@@ -16,6 +16,32 @@ object SparkEntry {
     "q_filter_complex"      -> (Relational.q_filter_complex _),
     "q_project_expr"        -> (Relational.q_project_expr _),
     "q_agg_pricing_summary" -> (Relational.q_agg_pricing_summary _),
+    "q_agg_distinct"        -> (Relational.q_agg_distinct _),
+    "q_agg_rollup"          -> (Relational.q_agg_rollup _),
+    "q_agg_cube"            -> (Relational.q_agg_cube _),
+    "q_agg_stats"           -> (Relational.q_agg_stats _),
+    "q_agg_median"          -> (Relational.q_agg_median _),
+    "q_topk_customers"      -> (Relational.q_topk_customers _),
+    "q_sort_multi"          -> (Relational.q_sort_multi _),
+    "q_set_intersect"       -> (Relational.q_set_intersect _),
+    "q_set_except"          -> (Relational.q_set_except _),
+    "q_set_union"           -> (Relational.q_set_union _),
+    "q_join_broadcast"      -> (Joins.q_join_broadcast _),
+    "q_join_shuffle_multi"  -> (Joins.q_join_shuffle_multi _),
+    "q_join_left_outer"     -> (Joins.q_join_left_outer _),
+    "q_join_semi"           -> (Joins.q_join_semi _),
+    "q_join_anti"           -> (Joins.q_join_anti _),
+    "q_join_theta"          -> (Joins.q_join_theta _),
+    "q_join_asof"           -> (Joins.q_join_asof _),
+    "q_window_rank"         -> (Windows.q_window_rank _),
+    "q_window_running"      -> (Windows.q_window_running _),
+    "q_window_lag_delta"    -> (Windows.q_window_lag_delta _),
+    "q_window_ntile"        -> (Windows.q_window_ntile _),
+    "q_scalar_string"       -> (Scalars.q_scalar_string _),
+    "q_scalar_date"         -> (Scalars.q_scalar_date _),
+    "q_scalar_math"         -> (Scalars.q_scalar_math _),
+    "q_scalar_json"         -> (Scalars.q_scalar_json _),
+    "q_scalar_array"        -> (Scalars.q_scalar_array _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

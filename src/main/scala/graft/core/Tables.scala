@@ -45,11 +45,15 @@ object Tables {
   def documents(spark: SparkSession, sf: String): DataFrame = table(spark, sf, "documents")
   def embeddings(spark: SparkSession, sf: String): DataFrame = table(spark, sf, "embeddings")
 
-  /** `events` with a µs-precision `ts_us` timestamp derived from the raw
-    * nanosecond long (see [[prepare]]). The raw `ts` long is kept for exact
-    * ordering/lag arithmetic where ns resolution avoids ties.
+  /** `events` with a µs-precision `ts_us` timestamp and an exact `ts_usl`
+    * µs long derived from the raw nanosecond long (see [[prepare]]).
+    *
+    * The ns→µs floor MUST be integer division (`div`): `col/1000` would go
+    * through double, and 2024-epoch nanos (~1.7e18) exceed double's 2^53
+    * exact-integer range — off-by-one µs that breaks the oracle compare.
     */
   def eventsWithTs(spark: SparkSession, sf: String): DataFrame =
     table(spark, sf, "events")
-      .withColumn("ts_us", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts_usl", expr("ts div 1000"))
+      .withColumn("ts_us", timestamp_micros(col("ts_usl")))
 }

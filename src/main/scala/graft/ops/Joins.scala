@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.core.Det.{cents, pct}
+
+/** Join operators (SURVEY.md §2.3).
+  *
+  * Scale posture: fact-to-dim joins broadcast the dim explicitly (the
+  * MapReduce "DistributedCache map-side join" expressed Spark-first);
+  * fact-to-fact joins shuffle on their equi-keys and rely on AQE for
+  * runtime re-planning / skew splitting at production scale.
+  */
+object Joins {
+
+  /** Broadcast hash join: lineitem ⋈ part (dim explicitly broadcast —
+    * plan-shape test asserts BroadcastHashJoin), revenue per brand.
+    */
+  def q_join_broadcast(spark: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(spark, sf)
+      .join(broadcast(Tables.part(spark, sf)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount"))))
+        .as("rev_e4"))
+      .orderBy("p_brand")
+
+  /** 4-way join across the star schema; revenue rolled up to region/nation.
+    * nation/region are tiny → Catalyst broadcasts them; customer⋈orders
+    * shuffles on the key.
+    */
+  def q_join_shuffle_multi(spark: SparkSession, sf: String): DataFrame =
+    Tables.customer(spark, sf)
+      .join(Tables.orders(spark, sf), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(Tables.nation(spark, sf)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sf)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev_cents"))
+      .orderBy("r_name", "n_name")
+
+  /** LEFT OUTER preserving line-less orders (n_lines = 0 for them). */
+  def q_join_left_outer(spark: SparkSession, sf: String): DataFrame =
+    Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf),
+        col("o_orderkey") === col("l_orderkey"), "left_outer")
+      .groupBy(col("o_orderkey"))
+      .agg(count(col("l_orderkey")).as("n_lines"))
+      .orderBy("o_orderkey")
+
+  /** LEFT SEMI: orders having at least one high-quantity line. */
+  def q_join_semi(spark: SparkSession, sf: String): DataFrame =
+    Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf).filter(col("l_quantity") >= 49),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .orderBy("o_orderkey")
+
+  /** LEFT ANTI: orders with no lineitems at all. */
+  def q_join_anti(spark: SparkSession, sf: String): DataFrame =
+    Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf),
+        col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .select(col("o_orderkey"))
+      .orderBy("o_orderkey")
+
+  /** Equi-join with a theta residual (ship date > order date + 100 days) —
+    * the residual stays a post-join filter on the hash join, not a
+    * nested-loop.
+    */
+  def q_join_theta(spark: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 100 DAYS"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  /** As-of join idiom: for each purchase, the nearest preceding event of
+    * the same user. Spark SQL has no native ASOF JOIN; the scalable idiom
+    * for self-as-of is a window `lag` over (user, time) — one shuffle on
+    * user_id, no N² and no range join. Time arithmetic runs on exact
+    * integer microseconds (matching DuckDB's µs-truncated reads).
+    */
+  def q_join_asof(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.eventsWithTs(spark, sf)
+    val w = Window.partitionBy("user_id").orderBy(col("ts_usl").asc, col("event_id").asc)
+    ev.withColumn("prev_usl", lag(col("ts_usl"), 1).over(w))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id"), col("user_id"), col("prev_type"),
+        // exact integer µs gap: a single IEEE division is bit-identical
+        // across engines, where ROUND at a half-point boundary is not
+        ((col("ts_usl") - col("prev_usl")) / 1e6).as("gap_sec"))
+      .orderBy("event_id")
+  }
+}

@@ -78,4 +78,112 @@ object Relational {
         count(lit(1)).as("n_rows"),
         r4(sum(col("l_quantity").cast("long")) / count(lit(1))).as("avg_qty"))
       .orderBy("l_returnflag", "l_linestatus")
+
+  /** Distinct counts — Catalyst rewrites the two-distinct agg via Expand
+    * into two-phase partial/final aggregation (no driver-side dedup).
+    */
+  def q_agg_distinct(spark: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+      .orderBy("l_returnflag")
+
+  /** ROLLUP with grouping id; NULL group keys are COALESCE'd to a sentinel
+    * so the cross-engine compare never depends on NULL sort/hash order.
+    */
+  def q_agg_rollup(spark: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(spark, sf)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount"))))
+          .as("rev_e4"),
+        grouping_id().cast("long").as("gid"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("rev_e4"), col("gid"))
+      .orderBy("gid", "rf", "ls")
+
+  /** CUBE over event type × day. */
+  def q_agg_cube(spark: SparkSession, sf: String): DataFrame =
+    Tables.eventsWithTs(spark, sf)
+      .withColumn("day", to_date(col("ts_us")))
+      .cube(col("event_type"), col("day"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(cents(col("value"))).as("value_cents"),
+        grouping_id().cast("long").as("gid"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(date_format(col("day"), "yyyy-MM-dd"), lit("1900-01-01")).as("day"),
+        col("n"), col("value_cents"), col("gid"))
+      .orderBy("gid", "event_type", "day")
+
+  /** Moment statistics (variance / stddev / correlation), ROUND(,4) per D3. */
+  def q_agg_stats(spark: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(spark, sf)
+      .agg(
+        r4(var_samp(col("l_quantity"))).as("var_qty"),
+        r4(stddev_samp(col("l_quantity"))).as("std_qty"),
+        r4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qty_price"))
+
+  /** Exact interpolating median + p90 over integer cents per priority. */
+  def q_agg_median(spark: SparkSession, sf: String): DataFrame =
+    Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), cents(col("o_totalprice")).as("tp_cents"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        r4(percentile(col("tp_cents"), lit(0.5))).as("median_cents"),
+        r4(percentile(col("tp_cents"), lit(0.9))).as("p90_cents"))
+      .orderBy("o_orderpriority")
+
+  // ---- §2.6 sorts / top-k --------------------------------------------------
+
+  /** Global top-10 customers by lifetime order value — Catalyst plans the
+    * ORDER BY + LIMIT as TakeOrderedAndProject (per-partition top-k then a
+    * single merge, no global sort).
+    */
+  def q_topk_customers(spark: SparkSession, sf: String): DataFrame =
+    Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("total_cents"))
+      .orderBy(col("total_cents").desc, col("o_custkey").asc)
+      .limit(10)
+
+  /** Multi-key total sort (range-partitioned in distributed mode). */
+  def q_sort_multi(spark: SparkSession, sf: String): DataFrame =
+    Tables.supplier(spark, sf)
+      .select(col("s_suppkey"), col("s_nationkey"), cents(col("s_acctbal")).as("acct_cents"))
+      .orderBy(col("s_nationkey").asc, col("acct_cents").desc, col("s_suppkey").asc)
+
+  // ---- §2.7 set operations -------------------------------------------------
+
+  private def custkeysOfYear(spark: SparkSession, sf: String, y: Int): DataFrame =
+    Tables.orders(spark, sf)
+      .filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey").as("custkey"))
+      .distinct()
+
+  def q_set_intersect(spark: SparkSession, sf: String): DataFrame =
+    custkeysOfYear(spark, sf, 1996)
+      .intersect(custkeysOfYear(spark, sf, 1997))
+      .orderBy("custkey")
+
+  def q_set_except(spark: SparkSession, sf: String): DataFrame =
+    custkeysOfYear(spark, sf, 1996)
+      .except(custkeysOfYear(spark, sf, 1997))
+      .orderBy("custkey")
+
+  /** UNION ALL of the two distinct key sets, re-grouped — n=2 rows are the
+    * intersection, so this exercises both UNION and UNION ALL semantics in
+    * one deterministic output.
+    */
+  def q_set_union(spark: SparkSession, sf: String): DataFrame =
+    custkeysOfYear(spark, sf, 1996)
+      .union(custkeysOfYear(spark, sf, 1997))
+      .groupBy("custkey")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("custkey")
 }

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.core.Det.cents
+
+/** Window functions (SURVEY.md §2.5). Every window orders by a provably
+  * unique key set inside each partition (money cents + entity id, or
+  * µs-timestamp + event id) so rank/lag/ntile are total-order deterministic
+  * across engines.
+  */
+object Windows {
+
+  /** Top-3 orders per priority via RANK over (cents desc, key asc). */
+  def q_window_rank(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("total_cents").desc, col("o_orderkey").asc)
+    Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("total_cents"))
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .orderBy("o_orderpriority", "rnk", "o_orderkey")
+  }
+
+  /** Running per-user cents sum (unbounded-preceding frame); emit the last
+    * 5 events per user by a descending row_number.
+    */
+  def q_window_running(spark: SparkSession, sf: String): DataFrame = {
+    val ev = Tables.eventsWithTs(spark, sf)
+    val wAsc = Window.partitionBy("user_id")
+      .orderBy(col("ts_usl").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDesc = Window.partitionBy("user_id")
+      .orderBy(col("ts_usl").desc, col("event_id").desc)
+    ev.withColumn("running_cents", sum(cents(col("value"))).over(wAsc))
+      .withColumn("rn", row_number().over(wDesc).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("user_id"), col("event_id"), col("running_cents"), col("rn"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Per-user inter-event gap stats. Deltas are exact integer µs; the only
+    * float op is the final single division + ROUND (D3).
+    */
+  def q_window_lag_delta(spark: SparkSession, sf: String): DataFrame = {
+    val ev = Tables.eventsWithTs(spark, sf)
+    val w = Window.partitionBy("user_id").orderBy(col("ts_usl").asc, col("event_id").asc)
+    ev.withColumn("delta_us", col("ts_usl") - lag(col("ts_usl"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("delta_us")) / (count(col("delta_us")) * lit(1e6)), 4)
+          .as("avg_gap_sec"))
+      .orderBy("user_id")
+  }
+
+  /** Account-balance quartiles per market segment via NTILE(4). */
+  def q_window_ntile(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("acct_cents").asc, col("c_custkey").asc)
+    Tables.customer(spark, sf)
+      .select(col("c_mktsegment"), col("c_custkey"), cents(col("c_acctbal")).as("acct_cents"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy(col("c_mktsegment"), col("quartile"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("acct_cents")).as("min_cents"),
+        max(col("acct_cents")).as("max_cents"))
+      .orderBy("c_mktsegment", "quartile")
+  }
+}
