@@ -42,6 +42,26 @@ object SparkEntry {
     "q_scalar_math"         -> (Scalars.q_scalar_math _),
     "q_scalar_json"         -> (Scalars.q_scalar_json _),
     "q_scalar_array"        -> (Scalars.q_scalar_array _),
+    "q_wordcount"           -> (Text.q_wordcount _),
+    "q_word_per_lang"       -> (Text.q_word_per_lang _),
+    "q_ngram_bigrams"       -> (Text.q_ngram_bigrams _),
+    "q_tfidf"               -> (Text.q_tfidf _),
+    "q_dedup_exact"         -> (Text.q_dedup_exact _),
+    "q_neardup_jaccard"     -> (Text.q_neardup_jaccard _),
+    "q_sentiment_lexicon"   -> (Text.q_sentiment_lexicon _),
+    "q_text_stats"          -> (Text.q_text_stats _),
+    "q_stream_tumbling"     -> (Events.q_stream_tumbling _),
+    "q_stream_sliding"      -> (Events.q_stream_sliding _),
+    "q_stream_session"      -> (Events.q_stream_session _),
+    "q_cosine_topk"         -> (Vectors.q_cosine_topk _),
+    "q_similarity_join_topk" -> (Vectors.q_similarity_join_topk _),
+    "q_knn_classify"        -> (Vectors.q_knn_classify _),
+    "q_linreg_normal"       -> (MLDeterministic.q_linreg_normal _),
+    "q_naivebayes_train"    -> (MLDeterministic.q_naivebayes_train _),
+    "q_naivebayes_predict"  -> (MLDeterministic.q_naivebayes_predict _),
+    "q_kmeans_step"         -> (MLDeterministic.q_kmeans_step _),
+    "q_kmeans_iter2"        -> (MLDeterministic.q_kmeans_iter2 _),
+    "q_apriori_pairs"       -> (MLDeterministic.q_apriori_pairs _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.core.Det.cents
+
+/** Event-time operators over the events table — the BATCH twins of the
+  * streaming pipeline (SURVEY.md §2.10). These are what the oracle hashes;
+  * the same logic re-expressed on `readStream` with watermarks lives in
+  * [[graft.streaming.Streaming]] and is covered by MemoryStream tests.
+  *
+  * Window starts are emitted as 'yyyy-MM-dd HH:mm:ss' strings (UTC) so the
+  * cross-engine compare never depends on timestamp physical types.
+  */
+object Events {
+
+  /** Tumbling 1h windows via Spark's native window() — per (window_start,
+    * event_type) count + exact cents value.
+    */
+  def q_stream_tumbling(spark: SparkSession, sf: String): DataFrame =
+    Tables.eventsWithTs(spark, sf)
+      .groupBy(window(col("ts_us"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"), col("value_cents"))
+      .orderBy("win_start", "event_type")
+
+  /** Sliding windows (1h length, 30min slide) — every event lands in
+    * exactly 2 windows; counts per (window_start, event_type).
+    */
+  def q_stream_sliding(spark: SparkSession, sf: String): DataFrame =
+    Tables.eventsWithTs(spark, sf)
+      .groupBy(window(col("ts_us"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"))
+      .orderBy("win_start", "event_type")
+
+  /** Sessionization with a 30-minute inactivity gap, computed with the
+    * lag/cumulative-sum idiom (matches session_window merge semantics —
+    * asserted by a streaming test). Exact integer µs throughout.
+    */
+  def q_stream_session(spark: SparkSession, sf: String): DataFrame = {
+    val ev = Tables.eventsWithTs(spark, sf)
+    val wOrder = Window.partitionBy("user_id").orderBy(col("ts_usl").asc, col("event_id").asc)
+    val wCum = wOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("prev_usl", lag(col("ts_usl"), 1).over(wOrder))
+      .withColumn("new_session",
+        when(col("prev_usl").isNull ||
+             col("ts_usl") - col("prev_usl") > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("new_session")).over(wCum))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        max(col("n_events")).as("max_session_events"))
+      .orderBy("user_id")
+  }
+}

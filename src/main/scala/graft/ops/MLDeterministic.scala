@@ -1,0 +1,205 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.core.Det.cents
+
+/** Deterministic, oracle-able formulations of the reference's ML surface
+  * (SURVEY.md §2.12): closed-form linear regression, multinomial Naive
+  * Bayes, unrolled K-Means Lloyd iterations, Apriori pair mining. The
+  * MLlib twins of these live in [[graft.ml.MllibTwins]].
+  *
+  * The MapReduce lineage is visible in the shape: every algorithm is a
+  * sum-reduction over exact integers (sufficient statistics, vote counts,
+  * lattice distances) followed by a fixed scalar epilogue — which is
+  * exactly what makes them distributable AND hash-comparable.
+  */
+object MLDeterministic {
+
+  /** Closed-form simple linear regression l_extendedprice_cents ~
+    * l_quantity via exact integer sufficient statistics (one partial+final
+    * aggregate — the canonical MR sum-reduction), then a fixed double
+    * epilogue for slope/intercept/r².
+    */
+  def q_linreg_normal(spark: SparkSession, sf: String): DataFrame = {
+    val sums = Tables.lineitem(spark, sf)
+      .select(col("l_quantity").cast("long").as("x"), cents(col("l_extendedprice")).as("y"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        // y² up to 1e14/row: sum in decimal(38) (exact, like DuckDB's
+        // HUGEINT) — a long would overflow beyond ~60k rows
+        sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+    // identical double expression tree on both engines (D3)
+    sums.select(
+      col("n"),
+      round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 4).as("slope"),
+      round((col("sy").cast("double") -
+             ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+             col("sx").cast("double")) / col("n").cast("double"), 4).as("intercept"),
+      round(((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") *
+             (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")) /
+            ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+             (col("n").cast("double") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double"))), 4).as("r2"))
+  }
+
+  private def docTokens(spark: SparkSession, sf: String): DataFrame =
+    Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), explode(split(lower(col("text")), " ")).as("word"))
+
+  /** Naive Bayes model components as exact integer counts + e4-scaled
+    * integer log-likelihoods: llh_e4 = ROUND(LN((c_wc+1)/(c_c+V))·1e4).
+    * Integer scores make the downstream argmax summation-order-proof.
+    */
+  private def nbModel(spark: SparkSession, sf: String)
+    : (DataFrame, DataFrame, DataFrame) = {
+    val toks = docTokens(spark, sf)
+    val wc = toks.groupBy(col("lang"), col("word")).agg(count(lit(1)).as("c_wc"))
+    val cc = toks.groupBy(col("lang")).agg(count(lit(1)).as("c_c"))
+    val v = toks.agg(countDistinct(col("word")).as("v"))
+    val likelihood = wc.join(cc, "lang").crossJoin(broadcast(v))
+      .select(col("lang"), col("word"),
+        round(log((col("c_wc") + 1).cast("double") / (col("c_c") + col("v"))) * 1e4)
+          .cast("long").as("llh_e4"))
+    val docsPerLang = Tables.documents(spark, sf)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_c"))
+    val nDocs = Tables.documents(spark, sf).agg(count(lit(1)).as("n"))
+    val prior = docsPerLang.crossJoin(broadcast(nDocs))
+      .select(col("lang"),
+        round(log(col("n_c").cast("double") / col("n")) * 1e4).cast("long").as("prior_e4"))
+    // default (unseen-in-class) log-likelihood per class
+    val default = cc.crossJoin(broadcast(v))
+      .select(col("lang"),
+        round(log(lit(1.0) / (col("c_c") + col("v"))) * 1e4).cast("long").as("def_e4"))
+    (likelihood, prior, default)
+  }
+
+  /** NB training output: top-5 tokens per language by likelihood, plus one
+    * prior row per language (rnk=0).
+    */
+  def q_naivebayes_train(spark: SparkSession, sf: String): DataFrame = {
+    val (likelihood, prior, _) = nbModel(spark, sf)
+    val w = Window.partitionBy("lang").orderBy(col("llh_e4").desc, col("word").asc)
+    val top = likelihood
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("lang"), col("word").as("item"), col("llh_e4").as("logp_e4"), col("rnk"))
+    val priors = prior.select(col("lang"), lit("__prior__").as("item"),
+      col("prior_e4").as("logp_e4"), lit(0L).as("rnk"))
+    top.unionByName(priors).orderBy("lang", "rnk", "item")
+  }
+
+  /** NB prediction: score every document against every class over its
+    * DISTINCT tokens (set-of-words), unseen tokens falling back to the
+    * class default; argmax with tie → lexicographically smaller language.
+    * Scores are exact integer e4-log sums. Appends one summary row
+    * (doc_id=-1) carrying the global correct-prediction count.
+    */
+  def q_naivebayes_predict(spark: SparkSession, sf: String): DataFrame = {
+    val (likelihood, prior, default) = nbModel(spark, sf)
+    val docWords = docTokens(spark, sf).select(col("doc_id"), col("word")).distinct()
+    val langs = prior.select(col("lang"))
+    val scored = docWords
+      .crossJoin(broadcast(langs))
+      .join(broadcast(likelihood), Seq("lang", "word"), "left_outer")
+      .join(broadcast(default), Seq("lang"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(coalesce(col("llh_e4"), col("def_e4"))).as("tok_score"))
+      .join(broadcast(prior), Seq("lang"))
+      .select(col("doc_id"), col("lang"),
+        (col("tok_score") + col("prior_e4")).as("score_e4"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score_e4").desc, col("lang").asc)
+    val pred = scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(Tables.documents(spark, sf).select(col("doc_id"), col("lang").as("actual")), "doc_id")
+      .select(col("doc_id"), col("lang").as("predicted"), col("actual"),
+        when(col("lang") === col("actual"), 1L).otherwise(0L).as("hit"))
+    val summary = pred.agg(
+      lit(-1L).as("doc_id"), lit("__summary__").as("predicted"),
+      lit("__correct__").as("actual"), sum(col("hit")).as("hit"))
+    pred.unionByName(summary).orderBy("doc_id")
+  }
+
+  /** One K-Means Lloyd iteration, k=10, seeds = vectors 0..9: assignment
+    * by exact integer lattice distance (tie → lower seed), per-cluster
+    * count and mean squared distance.
+    */
+  def q_kmeans_step(spark: SparkSession, sf: String): DataFrame = {
+    val assigned = kmeansAssign(spark, sf)
+    assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("d2")) / (count(lit(1)) * lit(1e14)), 4).as("mean_dist2"))
+      .orderBy("cluster")
+  }
+
+  /** Iteration-1 assignment shared by step/iter2: (vec_id, cluster, d2). */
+  private def kmeansAssign(spark: SparkSession, sf: String): DataFrame = {
+    val all = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), Vectors.q7(col("embedding")).as("qe"))
+    val seeds = all.filter(col("vec_id") <= 9)
+      .select(col("vec_id").as("cluster"), col("qe").as("seed_qe"))
+    val w = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("cluster").asc)
+    all.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("cluster"), Vectors.dist2E14(col("qe"), col("seed_qe")).as("d2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cluster"), col("d2"))
+  }
+
+  /** Two unrolled Lloyd iterations: recompute centroids as per-dimension
+    * means ROUND(,6) (then re-quantized to an e6 lattice), re-assign, emit
+    * iteration-2 cluster sizes. Centroids live as (cluster, dim, value)
+    * ROWS — per-dimension exact sums, no array aggregation, so the same
+    * relational shape runs on both engines.
+    */
+  def q_kmeans_iter2(spark: SparkSession, sf: String): DataFrame = {
+    val dims = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), posexplode(Vectors.q7(col("embedding"))).as(Seq("dim", "x_e7")))
+    val assign1 = kmeansAssign(spark, sf).select(col("vec_id"), col("cluster"))
+    // centroid per (cluster, dim): exact integer sum, one division, ROUND 6,
+    // re-quantized ×1e6 → exact integer lattice again
+    val centroids = dims.join(assign1, "vec_id")
+      .groupBy(col("cluster"), col("dim"))
+      .agg(round(round(sum(col("x_e7")) / (count(lit(1)) * lit(1e7)), 6) * 1e6)
+        .cast("long").as("c_e6"))
+    // iteration-2 squared distance: Σ(x_e7 − 10·c_e6)² — exact integers
+    val w = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("cluster").asc)
+    dims.join(broadcast(centroids), "dim")
+      .groupBy(col("vec_id"), col("cluster"))
+      .agg(sum((col("x_e7") - col("c_e6") * 10) * (col("x_e7") - col("c_e6") * 10)).as("d2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("cluster")
+  }
+
+  /** Apriori frequent pair mining: baskets = orders, items = distinct
+    * l_partkey per order; pairs (p1<p2) with support ≥ max(3, n_orders/5000),
+    * top-30. Pure integer counting — the classic MR pair-emission pattern
+    * as one self-join + hash aggregate.
+    */
+  def q_apriori_pairs(spark: SparkSession, sf: String): DataFrame = {
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nOrders = Tables.orders(spark, sf).agg(count(lit(1)).as("n_orders"))
+    items.as("a")
+      .join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+      .agg(count(lit(1)).as("support"))
+      .crossJoin(broadcast(nOrders))
+      .filter(col("support") >= greatest(lit(3L), expr("n_orders div 5000")))
+      .select(col("p1"), col("p2"), col("support"))
+      .orderBy(col("support").desc, col("p1").asc, col("p2").asc)
+      .limit(30)
+  }
+}

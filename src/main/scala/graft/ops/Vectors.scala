@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Vector similarity / search over the embeddings table (SURVEY.md §2.11)
+  * plus shared vector math for the deterministic ML operators.
+  *
+  * Cross-engine float determinism strategy: embeddings are quantized onto
+  * an integer lattice (×1e7, round, BIGINT) and every dot product / squared
+  * distance is then EXACT integer arithmetic — summation order cannot
+  * change the result, so Spark's partial aggregation and DuckDB's
+  * sequential fold agree bit-for-bit. The only float ops left are a fixed
+  * sqrt/divide sequence applied identically on both engines, then ROUND
+  * (D3). Quantization error (1e-7 per element) is invisible at the 4-6
+  * decimal output precision.
+  *
+  * Scale posture: all-pairs ops are blocked (by label, or 1×N for a single
+  * query vector) so the cross product is bounded per block; the unbounded
+  * scale path is MinHashLSH / random-projection LSH in [[graft.ml.Lsh]].
+  */
+object Vectors {
+
+  /** Quantize a float-array column onto the 1e7 integer lattice. */
+  def q7(c: Column): Column =
+    transform(c, v => round(v.cast("double") * 1e7).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors (e14 scale). */
+  def dotE14(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Exact integer squared euclidean distance (e14 scale). */
+  def dist2E14(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+
+  /** Cosine from exact integer components: one div + sqrt + mult, fixed
+    * IEEE op sequence on both engines.
+    */
+  def cosine(dot: Column, nx: Column, ny: Column): Column =
+    dot.cast("double") / sqrt(nx.cast("double") * ny.cast("double"))
+
+  private def quantized(spark: SparkSession, sf: String): DataFrame =
+    Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), q7(col("embedding")).as("qe"),
+        dotE14(q7(col("embedding")), q7(col("embedding"))).as("nrm"))
+
+  /** Similarity search: cosine of every vector against the vec_id=0 query
+    * (broadcast 1×N, no shuffle), top-10.
+    */
+  def q_cosine_topk(spark: SparkSession, sf: String): DataFrame = {
+    val all = quantized(spark, sf)
+    val query = all.filter(col("vec_id") === 0)
+      .select(col("qe").as("query_qe"), col("nrm").as("query_nrm"))
+    all.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(query))
+      .select(col("vec_id"),
+        round(cosine(dotE14(col("qe"), col("query_qe")), col("nrm"), col("query_nrm")), 4)
+          .as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** Top-20 most-similar pairs among label∈{0,1} vectors (label filter
+    * bounds the pair space; at scale this becomes LSH candidate pairs).
+    */
+  def q_similarity_join_topk(spark: SparkSession, sf: String): DataFrame = {
+    val sel = quantized(spark, sf).filter(col("label").isin(0, 1))
+    sel.as("a")
+      .join(sel.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        round(cosine(dotE14(col("a.qe"), col("b.qe")), col("a.nrm"), col("b.nrm")), 4)
+          .as("cos"))
+      .orderBy(col("cos").desc, col("v1").asc, col("v2").asc)
+      .limit(20)
+  }
+
+  /** k-NN classification (k=5): queries = vec_id<10, train = vec_id>=10;
+    * exact integer squared distances, majority label with tie → smaller
+    * label.
+    */
+  def q_knn_classify(spark: SparkSession, sf: String): DataFrame = {
+    val all = quantized(spark, sf)
+    val queries = all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("label").as("true_label"), col("qe").as("q_qe"))
+    val train = all.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("tid"), col("label").as("t_label"), col("qe").as("t_qe"))
+    val wNear = Window.partitionBy("qid").orderBy(col("d2").asc, col("tid").asc)
+    val neighbors = train.crossJoin(broadcast(queries))
+      .select(col("qid"), col("true_label"), col("tid"), col("t_label"),
+        dist2E14(col("q_qe"), col("t_qe")).as("d2"))
+      .withColumn("rn", row_number().over(wNear))
+      .filter(col("rn") <= 5)
+    val wVote = Window.partitionBy("qid").orderBy(col("votes").desc, col("t_label").asc)
+    neighbors
+      .groupBy(col("qid"), col("true_label"), col("t_label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .select(col("qid"), col("t_label").cast("long").as("predicted"),
+        col("true_label").cast("long").as("actual"))
+      .orderBy("qid")
+  }
+}

@@ -265,5 +265,295 @@ object OracleSql {
              ROUND(SQRT(list_sum(list_transform(embedding,
                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
       FROM embeddings ORDER BY vec_id""",
+
+    // ---- §2.9 text ---------------------------------------------------------
+
+    "q_wordcount" -> """
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+      GROUP BY word ORDER BY n DESC, word LIMIT 50""",
+
+    "q_word_per_lang" -> """
+      SELECT lang, word, n, rnk FROM (
+        SELECT lang, word, n,
+               CAST(RANK() OVER (PARTITION BY lang ORDER BY n DESC, word) AS BIGINT) AS rnk
+        FROM (SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS n
+              FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS word FROM documents)
+              GROUP BY lang, word))
+      WHERE rnk <= 10 ORDER BY lang, rnk, word""",
+
+    "q_ngram_bigrams" -> """
+      SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT word || ' ' || LEAD(word) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+        FROM (SELECT doc_id,
+                     unnest(string_split(lower(text), ' ')) AS word,
+                     generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+              FROM documents))
+      WHERE bigram IS NOT NULL
+      GROUP BY bigram ORDER BY n DESC, bigram LIMIT 30""",
+
+    "q_tfidf" -> """
+      WITH tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+                  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents)
+                  GROUP BY doc_id, word),
+           df AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY word),
+           nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+      SELECT doc_id, word, tf, ROUND(tf * LN(n_docs / (df + 1)), 4) AS tfidf
+      FROM tf JOIN df USING (word) CROSS JOIN nn
+      ORDER BY tfidf DESC, doc_id, word LIMIT 20""",
+
+    "q_dedup_exact" -> """
+      SELECT fingerprint, n, min_doc_id FROM (
+        SELECT md5(text) AS fingerprint, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+        FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+        UNION ALL
+        SELECT '__total_distinct__', CAST(COUNT(DISTINCT md5(text)) AS BIGINT),
+               CAST(-1 AS BIGINT)
+        FROM documents)
+      ORDER BY fingerprint""",
+
+    "q_neardup_jaccard" -> """
+      WITH toks AS (SELECT DISTINCT doc_id, lang, source, word
+                    FROM (SELECT doc_id, lang, source,
+                                 unnest(string_split(lower(text), ' ')) AS word FROM documents)),
+           sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM toks GROUP BY doc_id),
+           inter AS (SELECT a.lang, a.source, a.doc_id AS d1, b.doc_id AS d2,
+                            CAST(COUNT(*) AS BIGINT) AS i
+                     FROM toks a JOIN toks b
+                       ON a.lang = b.lang AND a.source = b.source
+                      AND a.word = b.word AND a.doc_id < b.doc_id
+                     GROUP BY a.lang, a.source, a.doc_id, b.doc_id)
+      SELECT lang, source, d1, d2,
+             ROUND(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 4) AS j
+      FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+      WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.8
+      ORDER BY lang, source, d1, d2""",
+
+    "q_sentiment_lexicon" -> """
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN pos > neg THEN 1 ELSE 0 END) AS BIGINT) AS pos_docs,
+             CAST(SUM(CASE WHEN neg > pos THEN 1 ELSE 0 END) AS BIGINT) AS neg_docs,
+             CAST(SUM(pos - neg) AS BIGINT) / CAST(SUM(n_tok) AS BIGINT) AS score_ratio
+      FROM (SELECT lang, CAST(len(toks) AS BIGINT) AS n_tok,
+                   CAST(len(list_filter(toks, t -> t = 'fast' OR t = 'big')) AS BIGINT) AS pos,
+                   CAST(len(list_filter(toks, t -> t = 'slow' OR t = 'small')) AS BIGINT) AS neg
+            FROM (SELECT lang, string_split(lower(text), ' ') AS toks FROM documents))
+      GROUP BY lang ORDER BY lang""",
+
+    "q_text_stats" -> """
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             ROUND(CAST(SUM(n_tok) AS BIGINT) / COUNT(*), 4) AS avg_tokens
+      FROM (SELECT lang, source, n_chars,
+                   CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok FROM documents)
+      GROUP BY lang, source ORDER BY lang, source""",
+
+    // ---- §2.10 event-time batch twins --------------------------------------
+
+    "q_stream_tumbling" -> """
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+             event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM events GROUP BY win_start, event_type ORDER BY win_start, event_type""",
+
+    "q_stream_sliding" -> """
+      SELECT win_start, event_type, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT strftime(make_timestamp((epoch_us(ts) // 1800000000) * 1800000000),
+                        '%Y-%m-%d %H:%M:%S') AS win_start, event_type FROM events
+        UNION ALL
+        SELECT strftime(make_timestamp((epoch_us(ts) // 1800000000) * 1800000000 - 1800000000),
+                        '%Y-%m-%d %H:%M:%S') AS win_start, event_type FROM events)
+      GROUP BY win_start, event_type ORDER BY win_start, event_type""",
+
+    "q_stream_session" -> """
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+             CAST(MAX(n_events) AS BIGINT) AS max_session_events
+      FROM (SELECT user_id, session_idx, COUNT(*) AS n_events
+            FROM (SELECT user_id,
+                         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_usl, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+                  FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_usl,
+                               CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                                      OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                                    THEN 1 ELSE 0 END AS new_session
+                        FROM events
+                        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)))
+            GROUP BY user_id, session_idx)
+      GROUP BY user_id ORDER BY user_id""",
+
+    // ---- §2.11 vectors (integer-lattice quantization — see Vectors.scala) --
+
+    "q_cosine_topk" -> """
+      WITH n AS (SELECT vec_id,
+                        list_transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE)*1e7) AS BIGINT)) AS qe
+                 FROM embeddings),
+           m AS (SELECT vec_id, qe,
+                        CAST(list_sum(list_transform(qe, x -> x*x)) AS BIGINT) AS nrm FROM n),
+           qq AS (SELECT qe AS query_qe, nrm AS query_nrm FROM m WHERE vec_id = 0)
+      SELECT vec_id,
+             ROUND(CAST(CAST(list_sum(list_transform(list_zip(qe, query_qe),
+                       p -> p[1]*p[2])) AS BIGINT) AS DOUBLE)
+                   / SQRT(CAST(nrm AS DOUBLE) * CAST(query_nrm AS DOUBLE)), 4) AS cos
+      FROM m, qq WHERE vec_id != 0
+      ORDER BY cos DESC, vec_id LIMIT 10""",
+
+    "q_similarity_join_topk" -> """
+      WITH n AS (SELECT vec_id, label,
+                        list_transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE)*1e7) AS BIGINT)) AS qe
+                 FROM embeddings WHERE label IN (0, 1)),
+           m AS (SELECT vec_id, qe,
+                        CAST(list_sum(list_transform(qe, x -> x*x)) AS BIGINT) AS nrm FROM n)
+      SELECT a.vec_id AS v1, b.vec_id AS v2,
+             ROUND(CAST(CAST(list_sum(list_transform(list_zip(a.qe, b.qe),
+                       p -> p[1]*p[2])) AS BIGINT) AS DOUBLE)
+                   / SQRT(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)), 4) AS cos
+      FROM m a JOIN m b ON a.vec_id < b.vec_id
+      ORDER BY cos DESC, v1, v2 LIMIT 20""",
+
+    "q_knn_classify" -> """
+      WITH n AS (SELECT vec_id, label,
+                        list_transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE)*1e7) AS BIGINT)) AS qe
+                 FROM embeddings),
+           queries AS (SELECT vec_id AS qid, label AS true_label, qe AS q_qe FROM n WHERE vec_id < 10),
+           train AS (SELECT vec_id AS tid, label AS t_label, qe AS t_qe FROM n WHERE vec_id >= 10),
+           d AS (SELECT qid, true_label, tid, t_label,
+                        CAST(list_sum(list_transform(list_zip(q_qe, t_qe),
+                             p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS d2
+                 FROM queries, train),
+           nn5 AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, tid) AS rn FROM d)
+                   WHERE rn <= 5),
+           votes AS (SELECT qid, true_label, t_label, COUNT(*) AS votes
+                     FROM nn5 GROUP BY qid, true_label, t_label)
+      SELECT qid, CAST(t_label AS BIGINT) AS predicted, CAST(true_label AS BIGINT) AS actual
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY votes DESC, t_label) AS vr FROM votes)
+      WHERE vr = 1 ORDER BY qid""",
+
+    // ---- §2.12 deterministic ML --------------------------------------------
+
+    "q_linreg_normal" -> """
+      WITH s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                        CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx,
+                        SUM(CAST(y AS HUGEINT) * y) AS syy
+                 FROM (SELECT CAST(l_quantity AS BIGINT) AS x,
+                              CAST(ROUND(l_extendedprice*100) AS BIGINT) AS y FROM lineitem))
+      SELECT n,
+             ROUND(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 4) AS slope,
+             ROUND((CAST(sy AS DOUBLE) -
+                    (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 4) AS intercept,
+             ROUND((CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE))
+                   / (CAST(n*sxx - sx*sx AS DOUBLE)
+                      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4) AS r2
+      FROM s""",
+
+    "q_naivebayes_train" -> """
+      WITH toks AS (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS word FROM documents),
+           wc AS (SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS c_wc FROM toks GROUP BY lang, word),
+           cc AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS c_c FROM toks GROUP BY lang),
+           v AS (SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS v FROM toks),
+           llh AS (SELECT lang, word,
+                          CAST(ROUND(LN(CAST(c_wc + 1 AS DOUBLE) / (c_c + v)) * 1e4) AS BIGINT) AS llh_e4
+                   FROM wc JOIN cc USING (lang) CROSS JOIN v),
+           top AS (SELECT lang, word AS item, llh_e4 AS logp_e4, rnk FROM
+                     (SELECT lang, word, llh_e4,
+                             CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY llh_e4 DESC, word) AS BIGINT) AS rnk
+                      FROM llh)
+                   WHERE rnk <= 5),
+           pr AS (SELECT lang, '__prior__' AS item,
+                         CAST(ROUND(LN(CAST(n_c AS DOUBLE) / n) * 1e4) AS BIGINT) AS logp_e4,
+                         CAST(0 AS BIGINT) AS rnk
+                  FROM (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_c FROM documents GROUP BY lang)
+                  CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents))
+      SELECT lang, item, logp_e4, rnk FROM (SELECT * FROM top UNION ALL SELECT * FROM pr)
+      ORDER BY lang, rnk, item""",
+
+    "q_naivebayes_predict" -> """
+      WITH toks AS (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS word FROM documents),
+           wc AS (SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS c_wc FROM toks GROUP BY lang, word),
+           cc AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS c_c FROM toks GROUP BY lang),
+           v AS (SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS v FROM toks),
+           llh AS (SELECT lang, word,
+                          CAST(ROUND(LN(CAST(c_wc + 1 AS DOUBLE) / (c_c + v)) * 1e4) AS BIGINT) AS llh_e4
+                   FROM wc JOIN cc USING (lang) CROSS JOIN v),
+           def AS (SELECT lang, CAST(ROUND(LN(1.0 / (c_c + v)) * 1e4) AS BIGINT) AS def_e4
+                   FROM cc CROSS JOIN v),
+           prior AS (SELECT lang, CAST(ROUND(LN(CAST(n_c AS DOUBLE) / n) * 1e4) AS BIGINT) AS prior_e4
+                     FROM (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_c FROM documents GROUP BY lang)
+                     CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)),
+           dw AS (SELECT DISTINCT doc_id, word FROM toks),
+           scored AS (SELECT dw.doc_id, langs.lang,
+                             CAST(SUM(COALESCE(llh.llh_e4, def.def_e4)) AS BIGINT) AS tok_score
+                      FROM dw CROSS JOIN (SELECT lang FROM cc) langs
+                      LEFT JOIN llh ON llh.lang = langs.lang AND llh.word = dw.word
+                      JOIN def ON def.lang = langs.lang
+                      GROUP BY dw.doc_id, langs.lang),
+           fs AS (SELECT doc_id, s.lang, tok_score + prior_e4 AS score_e4
+                  FROM scored s JOIN prior ON prior.lang = s.lang),
+           pred AS (SELECT doc_id, lang AS predicted FROM
+                      (SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_e4 DESC, lang) AS rn
+                       FROM fs)
+                    WHERE rn = 1),
+           outp AS (SELECT p.doc_id, p.predicted, d.lang AS actual,
+                           CASE WHEN p.predicted = d.lang THEN CAST(1 AS BIGINT)
+                                ELSE CAST(0 AS BIGINT) END AS hit
+                    FROM pred p JOIN documents d ON p.doc_id = d.doc_id)
+      SELECT doc_id, predicted, actual, hit FROM outp
+      UNION ALL
+      SELECT CAST(-1 AS BIGINT), '__summary__', '__correct__', CAST(SUM(hit) AS BIGINT) FROM outp
+      ORDER BY doc_id""",
+
+    "q_kmeans_step" -> """
+      WITH q AS (SELECT vec_id,
+                        list_transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE)*1e7) AS BIGINT)) AS qe
+                 FROM embeddings),
+           seeds AS (SELECT vec_id AS cluster, qe AS seed_qe FROM q WHERE vec_id <= 9),
+           d AS (SELECT vec_id, cluster,
+                        CAST(list_sum(list_transform(list_zip(qe, seed_qe),
+                             p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS d2
+                 FROM q, seeds),
+           a AS (SELECT vec_id, cluster, d2 FROM
+                   (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM d)
+                 WHERE rn = 1)
+      SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(CAST(SUM(d2) AS BIGINT) / (COUNT(*) * 1e14), 4) AS mean_dist2
+      FROM a GROUP BY cluster ORDER BY cluster""",
+
+    "q_kmeans_iter2" -> """
+      WITH q AS (SELECT vec_id,
+                        list_transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE)*1e7) AS BIGINT)) AS qe
+                 FROM embeddings),
+           dims AS (SELECT vec_id, generate_subscripts(qe, 1) - 1 AS dim, unnest(qe) AS x_e7 FROM q),
+           seeds AS (SELECT vec_id AS cluster, qe AS seed_qe FROM q WHERE vec_id <= 9),
+           d AS (SELECT vec_id, cluster,
+                        CAST(list_sum(list_transform(list_zip(qe, seed_qe),
+                             p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS d2
+                 FROM q, seeds),
+           a1 AS (SELECT vec_id, cluster FROM
+                    (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM d)
+                  WHERE rn = 1),
+           cent AS (SELECT cluster, dim,
+                           CAST(ROUND(ROUND(CAST(SUM(x_e7) AS BIGINT) / (COUNT(*) * 1e7), 6) * 1e6) AS BIGINT) AS c_e6
+                    FROM dims JOIN a1 USING (vec_id) GROUP BY cluster, dim),
+           d2t AS (SELECT vec_id, cluster,
+                          CAST(SUM((x_e7 - c_e6*10) * (x_e7 - c_e6*10)) AS BIGINT) AS d2
+                   FROM dims JOIN cent USING (dim) GROUP BY vec_id, cluster),
+           a2 AS (SELECT vec_id, cluster FROM
+                    (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM d2t)
+                  WHERE rn = 1)
+      SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n FROM a2 GROUP BY cluster ORDER BY cluster""",
+
+    "q_apriori_pairs" -> """
+      WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+           pairs AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2, CAST(COUNT(*) AS BIGINT) AS support
+                     FROM items a JOIN items b
+                       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+                     GROUP BY a.l_partkey, b.l_partkey),
+           t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders)
+      SELECT p1, p2, support FROM pairs, t
+      WHERE support >= GREATEST(3, n_orders // 5000)
+      ORDER BY support DESC, p1, p2 LIMIT 30""",
   )
 }
