@@ -139,18 +139,21 @@ object MLDeterministic {
       .orderBy("cluster")
   }
 
-  /** Iteration-1 assignment shared by step/iter2: (vec_id, cluster, d2). */
+  /** Iteration-1 assignment shared by step/iter2: (vec_id, cluster, d2).
+    * argmin is `min(struct(d2, cluster))` — lexicographic struct ordering
+    * gives the tie → lower cluster id rule inside a hash aggregate (partial
+    * + final, no per-partition sort like a window would need).
+    */
   private def kmeansAssign(spark: SparkSession, sf: String): DataFrame = {
     val all = Tables.embeddings(spark, sf)
       .select(col("vec_id"), Vectors.q7(col("embedding")).as("qe"))
     val seeds = all.filter(col("vec_id") <= 9)
       .select(col("vec_id").as("cluster"), col("qe").as("seed_qe"))
-    val w = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("cluster").asc)
     all.crossJoin(broadcast(seeds))
       .select(col("vec_id"), col("cluster"), Vectors.dist2E14(col("qe"), col("seed_qe")).as("d2"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cluster"), col("d2"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cluster"))).as("best"))
+      .select(col("vec_id"), col("best.cluster").as("cluster"), col("best.d2").as("d2"))
   }
 
   /** Two unrolled Lloyd iterations: recompute centroids as per-dimension
@@ -170,13 +173,12 @@ object MLDeterministic {
       .agg(round(round(sum(col("x_e7")) / (count(lit(1)) * lit(1e7)), 6) * 1e6)
         .cast("long").as("c_e6"))
     // iteration-2 squared distance: Σ(x_e7 − 10·c_e6)² — exact integers
-    val w = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("cluster").asc)
     dims.join(broadcast(centroids), "dim")
       .groupBy(col("vec_id"), col("cluster"))
       .agg(sum((col("x_e7") - col("c_e6") * 10) * (col("x_e7") - col("c_e6") * 10)).as("d2"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .groupBy(col("cluster"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cluster"))).as("best"))
+      .groupBy(col("best.cluster").as("cluster"))
       .agg(count(lit(1)).as("n"))
       .orderBy("cluster")
   }
@@ -187,14 +189,19 @@ object MLDeterministic {
     * as one self-join + hash aggregate.
     */
   def q_apriori_pairs(spark: SparkSession, sf: String): DataFrame = {
-    val items = Tables.lineitem(spark, sf)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
     val nOrders = Tables.orders(spark, sf).agg(count(lit(1)).as("n_orders"))
-    items.as("a")
-      .join(items.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-        col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+    // collect each basket's distinct items once, emit ordered pairs with an
+    // array HOF — one shuffle on basket + one on pair, instead of a
+    // distinct + self-join (which re-shuffles the item table twice)
+    val baskets = Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("items"))
+    baskets
+      .select(explode(expr(
+        """flatten(transform(items, (x, i) ->
+           transform(slice(items, i + 2, size(items)), y -> struct(x AS p1, y AS p2))))"""))
+        .as("pair"))
+      .groupBy(col("pair.p1").as("p1"), col("pair.p2").as("p2"))
       .agg(count(lit(1)).as("support"))
       .crossJoin(broadcast(nOrders))
       .filter(col("support") >= greatest(lit(3L), expr("n_orders div 5000")))

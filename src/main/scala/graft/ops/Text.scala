@@ -57,15 +57,16 @@ object Text {
       .orderBy(col("n").desc, col("bigram").asc)
       .limit(30)
 
-  /** TF-IDF: tf = in-doc term count, idf = LN(N / (1 + df)); top-20. */
+  /** TF-IDF: tf = in-doc term count, idf = LN(N / (1 + df)); top-20.
+    * df comes from a window over the tf aggregate (same shuffle key as a
+    * re-aggregation+join, but one pass over one explode instead of two).
+    */
   def q_tfidf(spark: SparkSession, sf: String): DataFrame = {
-    val docs = Tables.documents(spark, sf)
+    val n = Tables.documents(spark, sf).agg(count(lit(1)).as("n_docs"))
     val tf = docTokens(spark, sf)
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
-    val n = docs.agg(count(lit(1)).as("n_docs"))
-    tf.join(df, "word")
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("word")))
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("word"), col("tf"),
         round(col("tf") * log(col("n_docs") / (col("df") + 1)), 4).as("tfidf"))
