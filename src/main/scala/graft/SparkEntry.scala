@@ -62,6 +62,15 @@ object SparkEntry {
     "q_kmeans_step"         -> (MLDeterministic.q_kmeans_step _),
     "q_kmeans_iter2"        -> (MLDeterministic.q_kmeans_iter2 _),
     "q_apriori_pairs"       -> (MLDeterministic.q_apriori_pairs _),
+    "q_token_count"         -> (TextPipeline.q_token_count _),
+    "q_quality_score"       -> (TextPipeline.q_quality_score _),
+    "q_doc_fingerprint"     -> (TextPipeline.q_doc_fingerprint _),
+    "q_dedup_simhash"       -> (TextPipeline.q_dedup_simhash _),
+    "q_dedup_minhash_lsh"   -> (TextPipeline.q_dedup_minhash_lsh _),
+    "q_langid_ngram"        -> (TextPipeline.q_langid_ngram _),
+    "q_neardup_embedding"   -> (Ann.q_neardup_embedding _),
+    "q_ann_ivf"             -> (Ann.q_ann_ivf _),
+    "q_ann_rplsh"           -> (Ann.q_ann_rplsh _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Approximate-nearest-neighbor scale paths over the embeddings table:
+  * IVF (coarse-quantizer cell probing) and sign-random-projection LSH
+  * bucketing, plus embedding-cosine near-dup. Brute-force cosine top-k
+  * ([[Vectors.q_cosine_topk]]) is the exactness baseline these trade
+  * against.
+  *
+  * Everything is deterministic and oracle-able: the IVF coarse centroids
+  * are fixed seed vectors, the LSH hyperplanes are ±1 lattices derived
+  * from md5 parity, and all projections/distances are exact integer
+  * arithmetic on the 1e7-quantized vectors.
+  *
+  * Scale posture: both index structures turn the O(N²) search into
+  * shuffle-on-bucket-key + within-bucket products. At 100 TB the same
+  * plans hold: build is one pass (assign/bucket), probe touches only the
+  * query's cell.
+  */
+object Ann {
+
+  private def quantized(spark: SparkSession, sf: String): DataFrame =
+    Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), Vectors.q7(col("embedding")).as("qe"))
+      .withColumn("nrm", Vectors.dotE14(col("qe"), col("qe")))
+
+  /** Embedding-cosine near-duplicates: same-label blocked pairs with
+    * cosine ≥ 0.25 (p99 of the same-label pair distribution).
+    */
+  def q_neardup_embedding(spark: SparkSession, sf: String): DataFrame = {
+    val v = quantized(spark, sf)
+    v.as("a")
+      .join(v.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.label").as("label"), col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        Vectors.cosine(Vectors.dotE14(col("a.qe"), col("b.qe")), col("a.nrm"), col("b.nrm"))
+          .as("cos"))
+      .filter(col("cos") >= 0.25)
+      .select(col("label"), col("v1"), col("v2"), round(col("cos"), 4).as("cos"))
+      .orderBy("label", "v1", "v2")
+  }
+
+  /** IVF-style ANN: coarse cells = nearest of the 10 fixed seed vectors
+    * (vec_id 0..9); probe queries vec_id 10..14 against their own cell
+    * only (nprobe=1), top-5 by cosine.
+    */
+  def q_ann_ivf(spark: SparkSession, sf: String): DataFrame = {
+    val v = quantized(spark, sf)
+    val seeds = v.filter(col("vec_id") <= 9)
+      .select(col("vec_id").as("cell"), col("qe").as("seed_qe"))
+    val assigned = v.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("label"), col("qe"), col("nrm"), col("cell"),
+        Vectors.dist2E14(col("qe"), col("seed_qe")).as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cell"))).as("best"),
+        first(col("qe")).as("qe"), first(col("nrm")).as("nrm"))
+      .select(col("vec_id"), col("best.cell").as("cell"), col("qe"), col("nrm"))
+    val queries = assigned.filter(col("vec_id").between(10, 14))
+      .select(col("vec_id").as("qid"), col("cell"),
+        col("qe").as("q_qe"), col("nrm").as("q_nrm"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+    assigned.join(broadcast(queries), "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(Vectors.cosine(Vectors.dotE14(col("qe"), col("q_qe")), col("nrm"), col("q_nrm")), 4)
+          .as("cos"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .orderBy("qid", "rnk", "vec_id")
+  }
+
+  /** Sign-random-projection LSH ANN: 8 deterministic ±1 hyperplanes
+    * (md5 parity of (plane, dim)), 8-bit bucket per vector; the query
+    * (vec_id 0) probes only its own bucket, top-5 by cosine.
+    */
+  def q_ann_rplsh(spark: SparkSession, sf: String): DataFrame = {
+    val hp = spark.range(0, 8).select(col("id").as("p"))
+      .crossJoin(spark.range(0, 64).select(col("id").as("d")))
+      .select(col("p"), col("d"),
+        when(conv(substring(md5(concat(col("p").cast("string"), lit("_"),
+          col("d").cast("string")).cast("binary")), 1, 8), 16, 10)
+          .cast("long") % 2 === 0, 1L).otherwise(-1L).as("s"))
+    val v = quantized(spark, sf)
+    val dims = v.select(col("vec_id"), posexplode(col("qe")).as(Seq("d", "x")))
+    val buckets = dims.join(broadcast(hp), "d")
+      .groupBy(col("vec_id"), col("p"))
+      .agg(sum(col("s") * col("x")).as("proj"))
+      .groupBy(col("vec_id"))
+      .agg(sum(expr("CASE WHEN proj > 0 THEN CAST(shiftleft(1, p) AS BIGINT) ELSE 0 END"))
+        .as("bucket"))
+    val withBucket = v.join(buckets, "vec_id")
+    val query = withBucket.filter(col("vec_id") === 0)
+      .select(col("bucket"), col("qe").as("q_qe"), col("nrm").as("q_nrm"))
+    val w = Window.orderBy(col("cos").desc, col("vec_id").asc)
+    withBucket.join(broadcast(query), "bucket")
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        round(Vectors.cosine(Vectors.dotE14(col("qe"), col("q_qe")), col("nrm"), col("q_nrm")), 4)
+          .as("cos"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .orderBy("rnk", "vec_id")
+  }
+}

@@ -555,5 +555,185 @@ object OracleSql {
       SELECT p1, p2, support FROM pairs, t
       WHERE support >= GREATEST(3, n_orders // 5000)
       ORDER BY support DESC, p1, p2 LIMIT 30""",
+
+    // ---- LLM-data-pipeline extensions (TextPipeline.scala / Ann.scala) -----
+
+    "q_token_count" -> """
+      SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS ws_tokens,
+             CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS letter_runs,
+             CAST(len(regexp_extract_all(lower(text), '[aeiou]+|[b-df-hj-np-tv-z]+')) AS BIGINT) AS subword_units,
+             (n_chars * 10000) // CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS chars_per_tok_e4
+      FROM documents ORDER BY doc_id""",
+
+    "q_quality_score" -> """
+      SELECT doc_id, n_tok, distinct_tok, stop_hits,
+             0.4 * (1.0 - stop_hits / n_tok) + 0.3 * (distinct_tok / n_tok)
+             + 0.3 * LEAST(1.0, n_tok / 50.0) AS quality
+      FROM (SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tok,
+                   CAST(len(list_distinct(toks)) AS BIGINT) AS distinct_tok,
+                   CAST(len(list_filter(toks, t -> t = 'the' OR t = 'a' OR t = 'of'
+                                                OR t = 'to' OR t = 'in')) AS BIGINT) AS stop_hits
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents))
+      ORDER BY doc_id""",
+
+    "q_doc_fingerprint" -> """
+      SELECT doc_id, fingerprint,
+             CAST(COUNT(*) OVER (PARTITION BY fingerprint) AS BIGINT) AS n_same
+      FROM (SELECT doc_id,
+                   list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(lower(text), ' '),
+                         t -> CAST('0x' || substring(md5(t), 1, 8) AS BIGINT))),
+                     (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+            FROM documents)
+      ORDER BY doc_id""",
+
+    "q_dedup_simhash" -> """
+      WITH dt AS (SELECT DISTINCT doc_id, word FROM
+                    (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents)),
+           hs AS (SELECT doc_id, CAST('0x' || substring(md5(word), 1, 8) AS BIGINT) AS h FROM dt),
+           bits AS (SELECT doc_id, j, SUM(((h >> j) & 1) * 2 - 1) AS s
+                    FROM hs, (SELECT unnest(generate_series(0, 15)) AS j)
+                    GROUP BY doc_id, j),
+           sim AS (SELECT doc_id,
+                          CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+                   FROM bits GROUP BY doc_id),
+           bands AS (SELECT doc_id, simhash, band, (simhash >> (band * 4)) & 15 AS bv
+                     FROM sim, (SELECT unnest(generate_series(0, 3)) AS band)),
+           cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                           a.simhash AS s1, b.simhash AS s2
+                    FROM bands a JOIN bands b
+                      ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+      SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+      FROM cand WHERE bit_count(xor(s1, s2)) <= 3
+      ORDER BY d1, d2""",
+
+    "q_dedup_minhash_lsh" -> """
+      WITH dt AS (SELECT DISTINCT doc_id, word FROM
+                    (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents)),
+           hs AS (SELECT doc_id, word, CAST('0x' || substring(md5(word), 1, 8) AS BIGINT) AS h FROM dt),
+           sig AS (SELECT doc_id, i,
+                          MIN(((2*i + 1) * h + 7919*i + 12345) % 1000000007) AS sig
+                   FROM hs, (SELECT unnest(generate_series(0, 7)) AS i)
+                   GROUP BY doc_id, i),
+           bands AS (SELECT doc_id, i // 2 AS band,
+                            CAST(SUM(sig * (CASE WHEN i % 2 = 0 THEN 4294967311 ELSE 1 END)) AS BIGINT) AS bv
+                     FROM sig GROUP BY doc_id, i // 2),
+           cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                    FROM bands a JOIN bands b
+                      ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+           sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM dt GROUP BY doc_id),
+           inter AS (SELECT d1, d2, CAST(COUNT(*) AS BIGINT) AS i
+                     FROM cand
+                     JOIN dt ta ON ta.doc_id = d1
+                     JOIN dt tb ON tb.doc_id = d2 AND tb.word = ta.word
+                     GROUP BY d1, d2)
+      SELECT d1, d2, ROUND(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 4) AS j
+      FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+      WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.5
+      ORDER BY d1, d2""",
+
+    "q_langid_ngram" -> """
+      WITH grams AS (SELECT doc_id, lang,
+                            unnest(list_transform(generate_series(1, length(text) - 1),
+                                   i -> substring(text, i, 2))) AS gram
+                     FROM documents),
+           lc AS (SELECT lang, gram, CAST(COUNT(*) AS BIGINT) AS c FROM grams GROUP BY lang, gram),
+           lt AS (SELECT lang AS cand_lang, gram, lrank FROM
+                    (SELECT lang, gram,
+                            CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, gram) AS BIGINT) AS lrank
+                     FROM lc)
+                  WHERE lrank <= 20),
+           dc AS (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS c FROM grams GROUP BY doc_id, gram),
+           dtp AS (SELECT doc_id, gram, drank FROM
+                     (SELECT doc_id, gram,
+                             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS BIGINT) AS drank
+                      FROM dc)
+                   WHERE drank <= 20),
+           langs AS (SELECT DISTINCT lang AS cand_lang FROM documents),
+           dist AS (SELECT dtp.doc_id, langs.cand_lang AS cand_lang,
+                           CAST(SUM(COALESCE(ABS(drank - lrank), 20)) AS BIGINT) AS dist
+                    FROM dtp CROSS JOIN langs
+                    LEFT JOIN lt ON lt.cand_lang = langs.cand_lang AND lt.gram = dtp.gram
+                    GROUP BY dtp.doc_id, langs.cand_lang),
+           best AS (SELECT doc_id, cand_lang AS predicted, dist FROM
+                      (SELECT doc_id, cand_lang, dist,
+                              ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY dist, cand_lang) AS rn
+                       FROM dist)
+                    WHERE rn = 1)
+      SELECT b.doc_id, b.predicted, d.lang AS actual, b.dist
+      FROM best b JOIN documents d ON b.doc_id = d.doc_id
+      ORDER BY b.doc_id""",
+
+    "q_neardup_embedding" -> """
+      WITH m AS (SELECT vec_id, label,
+                        list_transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE)*1e7) AS BIGINT)) AS qe
+                 FROM embeddings),
+           n AS (SELECT vec_id, label, qe,
+                        CAST(list_sum(list_transform(qe, x -> x*x)) AS BIGINT) AS nrm FROM m)
+      SELECT a.label AS label, a.vec_id AS v1, b.vec_id AS v2,
+             ROUND(CAST(CAST(list_sum(list_transform(list_zip(a.qe, b.qe), p -> p[1]*p[2])) AS BIGINT) AS DOUBLE)
+                   / SQRT(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)), 4) AS cos
+      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE CAST(CAST(list_sum(list_transform(list_zip(a.qe, b.qe), p -> p[1]*p[2])) AS BIGINT) AS DOUBLE)
+            / SQRT(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) >= 0.25
+      ORDER BY label, v1, v2""",
+
+    "q_ann_ivf" -> """
+      WITH m AS (SELECT vec_id, label,
+                        list_transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE)*1e7) AS BIGINT)) AS qe
+                 FROM embeddings),
+           n AS (SELECT vec_id, qe,
+                        CAST(list_sum(list_transform(qe, x -> x*x)) AS BIGINT) AS nrm FROM m),
+           seeds AS (SELECT vec_id AS cell, qe AS seed_qe FROM n WHERE vec_id <= 9),
+           ad AS (SELECT vec_id, cell,
+                         CAST(list_sum(list_transform(list_zip(qe, seed_qe),
+                              p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS d2
+                  FROM n, seeds),
+           assigned AS (SELECT vec_id, cell FROM
+                          (SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+                           FROM ad)
+                        WHERE rn = 1),
+           aa AS (SELECT n.vec_id, assigned.cell, n.qe, n.nrm
+                  FROM n JOIN assigned ON n.vec_id = assigned.vec_id),
+           queries AS (SELECT vec_id AS qid, cell, qe AS q_qe, nrm AS q_nrm
+                       FROM aa WHERE vec_id BETWEEN 10 AND 14),
+           cands AS (SELECT q.qid, a.vec_id,
+                            ROUND(CAST(CAST(list_sum(list_transform(list_zip(a.qe, q.q_qe), p -> p[1]*p[2])) AS BIGINT) AS DOUBLE)
+                                  / SQRT(CAST(a.nrm AS DOUBLE) * CAST(q.q_nrm AS DOUBLE)), 4) AS cos
+                     FROM aa a JOIN queries q ON a.cell = q.cell AND a.vec_id != q.qid)
+      SELECT qid, vec_id, cos, rnk FROM
+        (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+         FROM cands)
+      WHERE rnk <= 5 ORDER BY qid, rnk, vec_id""",
+
+    "q_ann_rplsh" -> """
+      WITH hp AS (SELECT p, d,
+                         CASE WHEN CAST('0x' || substring(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 8) AS BIGINT) % 2 = 0
+                              THEN 1 ELSE -1 END AS s
+                  FROM range(0, 8) t1(p), range(0, 64) t2(d)),
+           m AS (SELECT vec_id,
+                        list_transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE)*1e7) AS BIGINT)) AS qe
+                 FROM embeddings),
+           n AS (SELECT vec_id, qe,
+                        CAST(list_sum(list_transform(qe, x -> x*x)) AS BIGINT) AS nrm FROM m),
+           dims AS (SELECT vec_id, generate_subscripts(qe, 1) - 1 AS d, unnest(qe) AS x FROM n),
+           proj AS (SELECT vec_id, p, CAST(SUM(s * x) AS BIGINT) AS proj
+                    FROM dims JOIN hp USING (d) GROUP BY vec_id, p),
+           buckets AS (SELECT vec_id,
+                              CAST(SUM(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+                       FROM proj GROUP BY vec_id),
+           wb AS (SELECT n.vec_id, n.qe, n.nrm, buckets.bucket
+                  FROM n JOIN buckets ON n.vec_id = buckets.vec_id),
+           query AS (SELECT bucket, qe AS q_qe, nrm AS q_nrm FROM wb WHERE vec_id = 0),
+           cands AS (SELECT a.vec_id,
+                            ROUND(CAST(CAST(list_sum(list_transform(list_zip(a.qe, q.q_qe), p -> p[1]*p[2])) AS BIGINT) AS DOUBLE)
+                                  / SQRT(CAST(a.nrm AS DOUBLE) * CAST(q.q_nrm AS DOUBLE)), 4) AS cos
+                     FROM wb a JOIN query q ON a.bucket = q.bucket AND a.vec_id != 0)
+      SELECT vec_id, cos, rnk FROM
+        (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk FROM cands)
+      WHERE rnk <= 5 ORDER BY rnk, vec_id""",
   )
 }
