@@ -81,23 +81,28 @@ object TextPipeline {
   /** SimHash near-dup: 16-bit simhash over the distinct-token set, then
     * candidate pairs via 4×4-bit band buckets (pigeonhole: hamming ≤ 3 ⇒
     * ≥ 1 shared band — the blocking is EXACT, not approximate), verified
-    * by bit_count(xor) ≤ 3. No global all-pairs join.
+    * by bit_count(xor) ≤ 3. Candidates are additionally sharded by
+    * (lang, source) — the 100 TB posture: dedup within corpus shards, so
+    * a degenerate bucket never goes quadratic in the whole corpus.
     */
   def q_dedup_simhash(spark: SparkSession, sf: String): DataFrame = {
     val sim = Tables.documents(spark, sf)
-      .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("word"))
-      .select(col("doc_id"), th(col("word")).as("h"))
-      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(15))).as("j"))
-      .groupBy(col("doc_id"), col("j"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(array_distinct(toks(col("text")))).as("word"))
+      .select(col("doc_id"), col("lang"), col("source"), th(col("word")).as("h"))
+      .select(col("doc_id"), col("lang"), col("source"), col("h"),
+        explode(sequence(lit(0), lit(15))).as("j"))
+      .groupBy(col("doc_id"), col("lang"), col("source"), col("j"))
       .agg(sum(expr("(CAST(shiftright(h, j) AS BIGINT) & 1) * 2 - 1")).as("s"))
-      .groupBy(col("doc_id"))
+      .groupBy(col("doc_id"), col("lang"), col("source"))
       .agg(sum(expr("CASE WHEN s > 0 THEN CAST(shiftleft(1, j) AS BIGINT) ELSE 0 END"))
         .as("simhash"))
-    val bands = sim.select(col("doc_id"), col("simhash"),
+    val bands = sim.select(col("doc_id"), col("lang"), col("source"), col("simhash"),
       explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("bv", expr("CAST(shiftright(simhash, band * 4) AS BIGINT) & 15"))
     bands.as("a")
       .join(bands.as("b"),
+        col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
@@ -114,25 +119,30 @@ object TextPipeline {
     */
   def q_dedup_minhash_lsh(spark: SparkSession, sf: String): DataFrame = {
     val docTok = Tables.documents(spark, sf)
-      .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("word"))
-    val hashed = docTok.select(col("doc_id"), th(col("word")).as("h"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(array_distinct(toks(col("text")))).as("word"))
+    val hashed = docTok.select(col("doc_id"), col("lang"), col("source"), th(col("word")).as("h"))
     val sig = hashed
-      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(7))).as("i"))
-      .groupBy(col("doc_id"), col("i"))
+      .select(col("doc_id"), col("lang"), col("source"), col("h"),
+        explode(sequence(lit(0), lit(7))).as("i"))
+      .groupBy(col("doc_id"), col("lang"), col("source"), col("i"))
       .agg(min(expr("((2 * i + 1) * h + 7919 * i + 12345) % 1000000007")).as("sig"))
     val bands = sig
-      .groupBy(col("doc_id"), expr("i div 2").as("band"))
+      .groupBy(col("doc_id"), col("lang"), col("source"), expr("i div 2").as("band"))
       .agg(sum(expr("sig * (CASE WHEN i % 2 = 0 THEN 4294967311 ELSE 1 END)")).as("bv"))
+    // candidates sharded by (lang, source) — see q_dedup_simhash note
     val cand = bands.as("a")
       .join(bands.as("b"),
+        col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    val sizes = docTok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val slim = docTok.select(col("doc_id"), col("word"))
+    val sizes = slim.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = cand
-      .join(docTok.withColumnRenamed("doc_id", "d1"), "d1")
-      .join(docTok.withColumnRenamed("doc_id", "d2"), Seq("d2", "word"))
+      .join(slim.withColumnRenamed("doc_id", "d1"), "d1")
+      .join(slim.withColumnRenamed("doc_id", "d2"), Seq("d2", "word"))
     inter.groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
       .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "sz1"), "d1")
       .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "sz2"), "d2")

@@ -27,13 +27,14 @@ object Vectors {
   def q7(c: Column): Column =
     transform(c, v => round(v.cast("double") * 1e7).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors (e14 scale). */
-  def dotE14(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+  /** Exact integer dot product of two quantized vectors (e14 scale).
+    * Native codegen expression — the zip_with+aggregate HOF formulation is
+    * semantically identical but evaluates interpreted lambdas per row.
+    */
+  def dotE14(a: Column, b: Column): Column = graft.functions.GraftFunctions.dotLong(a, b)
 
   /** Exact integer squared euclidean distance (e14 scale). */
-  def dist2E14(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+  def dist2E14(a: Column, b: Column): Column = graft.functions.GraftFunctions.dist2Long(a, b)
 
   /** Cosine from exact integer components: one div + sqrt + mult, fixed
     * IEEE op sequence on both engines.

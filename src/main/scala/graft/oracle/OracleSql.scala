@@ -591,39 +591,45 @@ object OracleSql {
       ORDER BY doc_id""",
 
     "q_dedup_simhash" -> """
-      WITH dt AS (SELECT DISTINCT doc_id, word FROM
-                    (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents)),
-           hs AS (SELECT doc_id, CAST('0x' || substring(md5(word), 1, 8) AS BIGINT) AS h FROM dt),
-           bits AS (SELECT doc_id, j, SUM(((h >> j) & 1) * 2 - 1) AS s
+      WITH dt AS (SELECT DISTINCT doc_id, lang, source, word FROM
+                    (SELECT doc_id, lang, source,
+                            unnest(string_split(lower(text), ' ')) AS word FROM documents)),
+           hs AS (SELECT doc_id, lang, source,
+                         CAST('0x' || substring(md5(word), 1, 8) AS BIGINT) AS h FROM dt),
+           bits AS (SELECT doc_id, lang, source, j, SUM(((h >> j) & 1) * 2 - 1) AS s
                     FROM hs, (SELECT unnest(generate_series(0, 15)) AS j)
-                    GROUP BY doc_id, j),
-           sim AS (SELECT doc_id,
+                    GROUP BY doc_id, lang, source, j),
+           sim AS (SELECT doc_id, lang, source,
                           CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
-                   FROM bits GROUP BY doc_id),
-           bands AS (SELECT doc_id, simhash, band, (simhash >> (band * 4)) & 15 AS bv
+                   FROM bits GROUP BY doc_id, lang, source),
+           bands AS (SELECT doc_id, lang, source, simhash, band, (simhash >> (band * 4)) & 15 AS bv
                      FROM sim, (SELECT unnest(generate_series(0, 3)) AS band)),
            cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
                            a.simhash AS s1, b.simhash AS s2
                     FROM bands a JOIN bands b
-                      ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+                      ON a.lang = b.lang AND a.source = b.source
+                     AND a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
       SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
       FROM cand WHERE bit_count(xor(s1, s2)) <= 3
       ORDER BY d1, d2""",
 
     "q_dedup_minhash_lsh" -> """
-      WITH dt AS (SELECT DISTINCT doc_id, word FROM
-                    (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents)),
-           hs AS (SELECT doc_id, word, CAST('0x' || substring(md5(word), 1, 8) AS BIGINT) AS h FROM dt),
-           sig AS (SELECT doc_id, i,
+      WITH dt AS (SELECT DISTINCT doc_id, lang, source, word FROM
+                    (SELECT doc_id, lang, source,
+                            unnest(string_split(lower(text), ' ')) AS word FROM documents)),
+           hs AS (SELECT doc_id, lang, source, word,
+                         CAST('0x' || substring(md5(word), 1, 8) AS BIGINT) AS h FROM dt),
+           sig AS (SELECT doc_id, lang, source, i,
                           MIN(((2*i + 1) * h + 7919*i + 12345) % 1000000007) AS sig
                    FROM hs, (SELECT unnest(generate_series(0, 7)) AS i)
-                   GROUP BY doc_id, i),
-           bands AS (SELECT doc_id, i // 2 AS band,
+                   GROUP BY doc_id, lang, source, i),
+           bands AS (SELECT doc_id, lang, source, i // 2 AS band,
                             CAST(SUM(sig * (CASE WHEN i % 2 = 0 THEN 4294967311 ELSE 1 END)) AS BIGINT) AS bv
-                     FROM sig GROUP BY doc_id, i // 2),
+                     FROM sig GROUP BY doc_id, lang, source, i // 2),
            cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
                     FROM bands a JOIN bands b
-                      ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+                      ON a.lang = b.lang AND a.source = b.source
+                     AND a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
            sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM dt GROUP BY doc_id),
            inter AS (SELECT d1, d2, CAST(COUNT(*) AS BIGINT) AS i
                      FROM cand
