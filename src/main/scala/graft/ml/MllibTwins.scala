@@ -83,9 +83,11 @@ object MllibTwins {
       .fit(tokenized).transform(tokenized)
       .filter(udf((v: org.apache.spark.ml.linalg.Vector) => v.numNonzeros > 0).apply(col("features")))
     val model = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-      .setNumHashTables(8).setSeed(42L)
+      .setNumHashTables(16).setSeed(42L)
       .fit(vectorized)
-    model.approxSimilarityJoin(vectorized, vectorized, 1.0 - threshold, "jaccard_dist")
+    // approxSimilarityJoin keeps dist < threshold STRICTLY; nudge the bound
+    // so pairs at exactly J = threshold are kept (dist <= 1-threshold)
+    model.approxSimilarityJoin(vectorized, vectorized, 1.0 - threshold + 1e-9, "jaccard_dist")
       .select(col("datasetA.doc_id").as("d1"), col("datasetB.doc_id").as("d2"),
         (lit(1.0) - col("jaccard_dist")).as("jaccard"))
       .filter(col("d1") < col("d2"))

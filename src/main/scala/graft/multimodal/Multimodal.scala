@@ -83,7 +83,7 @@ object Multimodal {
       col("media_id"), col("kind"),
       explode(
         when(col("kind") === "video",
-          sequence(lit(0L), greatest(lit(0L), (col("duration_ms") - 1) / everyMs)))
+          sequence(lit(0L), greatest(lit(0L), expr(s"(duration_ms - 1) div $everyMs"))))
         .otherwise(array(lit(0L)))).as("frame_idx"))
 
   /** Synthetic deterministic media fixture (content = seeded bytes). */

@@ -69,14 +69,13 @@ object Streaming {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
-      .mapGroupsWithState[UserTotals, UserTotals](GroupStateTimeout.ProcessingTimeTimeout) {
+      .mapGroupsWithState[UserTotals, UserTotals](GroupStateTimeout.NoTimeout) {
         (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserTotals]) =>
           val prev = state.getOption.getOrElse(UserTotals(userId, 0L, 0L))
           val next = rows.foldLeft(prev) { (acc, e) =>
             UserTotals(userId, acc.n + 1, acc.total_cents + math.round(e.value * 100))
           }
           state.update(next)
-          state.setTimeoutDuration("1 hour")
           next
       }
   }

@@ -12,4 +12,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Apply a SparkSessionExtensions instance to a fresh function registry —
+    * lets tests exercise injectFunction wiring without building a second
+    * SparkContext (registerFunctions is private[sql]).
+    */
+  def registerExtensions(ext: org.apache.spark.sql.SparkSessionExtensions)
+    : org.apache.spark.sql.catalyst.analysis.FunctionRegistry = {
+    val reg = new org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry
+    ext.registerFunctions(reg)
+  }
 }
