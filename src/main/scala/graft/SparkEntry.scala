@@ -71,6 +71,9 @@ object SparkEntry {
     "q_neardup_embedding"   -> (Ann.q_neardup_embedding _),
     "q_ann_ivf"             -> (Ann.q_ann_ivf _),
     "q_ann_rplsh"           -> (Ann.q_ann_rplsh _),
+    // capability-only (no oracle — engine-specific sketch internals;
+    // driver records the weaker rows-only check, tests gate the accuracy)
+    "q_approx_distinct"     -> (Relational.q_approx_distinct _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -121,10 +121,20 @@ object MLDeterministic {
       .join(Tables.documents(spark, sf).select(col("doc_id"), col("lang").as("actual")), "doc_id")
       .select(col("doc_id"), col("lang").as("predicted"), col("actual"),
         when(col("lang") === col("actual"), 1L).otherwise(0L).as("hit"))
-    val summary = pred.agg(
-      lit(-1L).as("doc_id"), lit("__summary__").as("predicted"),
-      lit("__correct__").as("actual"), sum(col("hit")).as("hit"))
-    pred.unionByName(summary).orderBy("doc_id")
+    // per-doc rows + the grand-total summary row in ONE pass via grouping
+    // sets (a union of pred with pred.agg would execute the scoring
+    // pipeline twice)
+    pred
+      .groupingSets(
+        Seq(Seq(col("doc_id"), col("predicted"), col("actual")), Seq.empty),
+        col("doc_id"), col("predicted"), col("actual"))
+      .agg(sum(col("hit")).as("hit"))
+      .select(
+        coalesce(col("doc_id"), lit(-1L)).as("doc_id"),
+        coalesce(col("predicted"), lit("__summary__")).as("predicted"),
+        coalesce(col("actual"), lit("__correct__")).as("actual"),
+        col("hit"))
+      .orderBy("doc_id")
   }
 
   /** One K-Means Lloyd iteration, k=10, seeds = vectors 0..9: assignment

@@ -121,6 +121,19 @@ object Relational {
         col("n"), col("value_cents"), col("gid"))
       .orderBy("gid", "event_type", "day")
 
+  /** Approximate distinct counts (HyperLogLog++) next to a bound derived
+    * from them — no oracle (sketch internals are engine-specific; DuckDB's
+    * HLL would hash differently). Declared for the rows-only check; the
+    * within-5%-of-exact property is asserted in CapabilitiesSpec.
+    */
+  def q_approx_distinct(spark: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey")).as("approx_supps"))
+      .orderBy("l_returnflag")
+
   /** Moment statistics (variance / stddev / correlation), ROUND(,4) per D3. */
   def q_agg_stats(spark: SparkSession, sf: String): DataFrame =
     Tables.lineitem(spark, sf)

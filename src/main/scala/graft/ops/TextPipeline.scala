@@ -165,12 +165,17 @@ object TextPipeline {
       .select(col("doc_id"), col("lang"),
         explode(expr("transform(sequence(1, char_length(text) - 1), i -> substring(text, i, 2))"))
           .as("gram"))
-    val langTop = grams.groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("c"))
+    // one explode + one aggregate: each doc has exactly one lang, so the
+    // per-doc and per-lang profiles both derive from (doc, lang, gram)
+    // counts — the language profile is a cheap re-aggregation of it
+    val gramCounts = grams.groupBy(col("doc_id"), col("lang"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+    val langTop = gramCounts.groupBy(col("lang"), col("gram")).agg(sum(col("c")).as("c"))
       .withColumn("lrank", row_number().over(
         Window.partitionBy("lang").orderBy(col("c").desc, col("gram").asc)).cast("long"))
       .filter(col("lrank") <= 20)
       .select(col("lang").as("cand_lang"), col("gram"), col("lrank"))
-    val docTop = grams.groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+    val docTop = gramCounts
       .withColumn("drank", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("c").desc, col("gram").asc)).cast("long"))
       .filter(col("drank") <= 20)

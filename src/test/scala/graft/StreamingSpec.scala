@@ -102,6 +102,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(last.getAs[Long]("total_cents") === 500L)
   }
 
+  test("file sink writes streaming output to parquet with checkpointing") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val stream = MemoryStream[Ev](spark)
+    stream.addData(Ev(ts(1), "view", 1.0, 1), Ev(ts(2), "click", 2.0, 2))
+    val q = graft.streaming.Streaming.startFileSink(
+      stream.toDF(), s"$dir/out", s"$dir/ckpt")
+    q.awaitTermination() // AvailableNow trigger: terminates when drained
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.count() === 2)
+    assert(back.columns.toSet === Set("ts_us", "event_type", "value", "user_id"))
+  }
+
   test("streaming dedup drops same-fingerprint duplicates in the horizon") {
     import spark.implicits._
     case class Doc(ts_us: Timestamp, fingerprint: String)
