@@ -37,6 +37,10 @@ object SparkEntry {
     "q_window_running"      -> (Windows.q_window_running _),
     "q_window_lag_delta"    -> (Windows.q_window_lag_delta _),
     "q_window_ntile"        -> (Windows.q_window_ntile _),
+    "q_window_firstlast"    -> (Windows.q_window_firstlast _),
+    "q_pivot_events"        -> (Relational.q_pivot_events _),
+    "q_unpivot_part"        -> (Relational.q_unpivot_part _),
+    "q_subquery_scalar"     -> (Relational.q_subquery_scalar _),
     "q_scalar_string"       -> (Scalars.q_scalar_string _),
     "q_scalar_date"         -> (Scalars.q_scalar_date _),
     "q_scalar_math"         -> (Scalars.q_scalar_math _),

@@ -199,4 +199,47 @@ object Relational {
       .groupBy("custkey")
       .agg(count(lit(1)).as("n"))
       .orderBy("custkey")
+
+  // ---- pivot / unpivot -----------------------------------------------------
+
+  /** PIVOT: daily event counts spread across one column per event type
+    * (explicit value list — deterministic schema, no discovery pass).
+    */
+  def q_pivot_events(spark: SparkSession, sf: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val pivoted = Tables.eventsWithTs(spark, sf)
+      .withColumn("day", date_format(col("ts_us"), "yyyy-MM-dd"))
+      .groupBy(col("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    pivoted
+      .select(col("day") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy("day")
+  }
+
+  /** UNPIVOT (melt): part measures to long (key, value) rows. */
+  def q_unpivot_part(spark: SparkSession, sf: String): DataFrame =
+    Tables.part(spark, sf)
+      .select(col("p_partkey"),
+        col("p_size").cast("long").as("size"),
+        cents(col("p_retailprice")).as("retail_cents"))
+      .unpivot(
+        Array(col("p_partkey")),
+        Array(col("size"), col("retail_cents")),
+        "measure", "value")
+      .orderBy("p_partkey", "measure")
+
+  /** Scalar subquery through the SQL entry path (E2): orders above the
+    * global average order value — Catalyst rewrites the subquery to a
+    * broadcast join under the hood.
+    */
+  def q_subquery_scalar(spark: SparkSession, sf: String): DataFrame = {
+    Tables.orders(spark, sf).createOrReplaceTempView("orders_v")
+    spark.sql("""
+      SELECT o_orderpriority, COUNT(*) AS n
+      FROM orders_v
+      WHERE CAST(ROUND(o_totalprice*100) AS BIGINT) >
+            (SELECT AVG(CAST(ROUND(o_totalprice*100) AS BIGINT)) FROM orders_v)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  }
 }

@@ -57,6 +57,26 @@ object Windows {
       .orderBy("user_id")
   }
 
+  /** first/last/nth value over each user's full event history (unbounded
+    * frame — last_value needs it, the default frame stops at CURRENT ROW).
+    */
+  def q_window_firstlast(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_usl").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.eventsWithTs(spark, sf)
+      .select(col("user_id"), col("ts_usl"), col("event_id"),
+        first(col("event_type")).over(w).as("first_type"),
+        last(col("event_type")).over(w).as("last_type"),
+        nth_value(col("event_type"), 2).over(w).as("second_type"))
+      .groupBy(col("user_id"))
+      .agg(
+        first(col("first_type")).as("first_type"),
+        first(col("last_type")).as("last_type"),
+        first(col("second_type")).as("second_type"))
+      .orderBy("user_id")
+  }
+
   /** Account-balance quartiles per market segment via NTILE(4). */
   def q_window_ntile(spark: SparkSession, sf: String): DataFrame = {
     val w = Window.partitionBy("c_mktsegment")

@@ -556,6 +556,42 @@ object OracleSql {
       WHERE support >= GREATEST(3, n_orders // 5000)
       ORDER BY support DESC, p1, p2 LIMIT 30""",
 
+    "q_pivot_events" -> """
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+             CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS "view"
+      FROM events GROUP BY strftime(ts, '%Y-%m-%d') ORDER BY day""",
+
+    "q_unpivot_part" -> """
+      SELECT p_partkey, measure, value FROM (
+        SELECT p_partkey, 'size' AS measure, CAST(p_size AS BIGINT) AS value FROM part
+        UNION ALL
+        SELECT p_partkey, 'retail_cents' AS measure,
+               CAST(ROUND(p_retailprice*100) AS BIGINT) AS value FROM part)
+      ORDER BY p_partkey, measure""",
+
+    "q_subquery_scalar" -> """
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders
+      WHERE CAST(ROUND(o_totalprice*100) AS BIGINT) >
+            (SELECT AVG(CAST(ROUND(o_totalprice*100) AS BIGINT)) FROM orders)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q_window_firstlast" -> """
+      SELECT user_id, MIN(first_type) AS first_type, MIN(last_type) AS last_type,
+             MIN(second_type) AS second_type
+      FROM (SELECT user_id,
+                   FIRST_VALUE(event_type) OVER w AS first_type,
+                   LAST_VALUE(event_type) OVER w AS last_type,
+                   NTH_VALUE(event_type, 2) OVER w AS second_type
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+      GROUP BY user_id ORDER BY user_id""",
+
     // ---- LLM-data-pipeline extensions (TextPipeline.scala / Ann.scala) -----
 
     "q_token_count" -> """
