@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig}
 import graft.core.Det.cents
 
 /** Structured Streaming twins of the batch event-time operators
@@ -78,6 +78,38 @@ object Streaming {
           state.update(next)
           next
       }
+  }
+
+  /** transformWithState twin of [[runningUserTotals]] — the Spark 4
+    * arbitrary-state API (typed ValueState handles, RocksDB-backed state
+    * store, TTL-capable). Same semantics, newer state machinery.
+    */
+  class UserTotalsProcessor extends StatefulProcessor[Long, UserEvent, UserTotals] {
+    @transient private var totals: org.apache.spark.sql.streaming.ValueState[UserTotals] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[UserTotals](
+        "totals", Encoders.product[UserTotals], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+                                 timerValues: TimerValues): Iterator[UserTotals] = {
+      val prev = if (totals.exists()) totals.get() else UserTotals(key, 0L, 0L)
+      val next = rows.foldLeft(prev) { (acc, e) =>
+        UserTotals(key, acc.n + 1, acc.total_cents + math.round(e.value * 100))
+      }
+      totals.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`); see StreamingSpec.
+    */
+  def runningUserTotalsTws(events: Dataset[UserEvent]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new UserTotalsProcessor, TimeMode.None(), OutputMode.Update())
   }
 
   /** File-sink demo wiring: parquet out with checkpointing (the

@@ -102,6 +102,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(last.getAs[Long]("total_cents") === 500L)
   }
 
+  test("transformWithState (RocksDB store) matches mapGroupsWithState totals") {
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Streaming.UserEvent](spark)
+      val q = Streaming.runningUserTotalsTws(stream.toDS())
+        .writeStream.format("memory").queryName("tws_out")
+        .outputMode(OutputMode.Update()).start()
+      stream.addData(Streaming.UserEvent(5, 2.25), Streaming.UserEvent(5, 0.75))
+      q.processAllAvailable()
+      stream.addData(Streaming.UserEvent(5, 1.00))
+      q.processAllAvailable()
+      q.stop()
+      val last = spark.table("tws_out").collect()
+        .filter(_.getAs[Long]("user_id") == 5L)
+        .maxBy(_.getAs[Long]("n"))
+      assert(last.getAs[Long]("n") === 3L)
+      assert(last.getAs[Long]("total_cents") === 400L)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("file sink writes streaming output to parquet with checkpointing") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
