@@ -39,7 +39,7 @@ object Ann {
         Vectors.cosine(Vectors.dotE14(col("a.qe"), col("b.qe")), col("a.nrm"), col("b.nrm"))
           .as("cos"))
       .filter(col("cos") >= 0.25)
-      .select(col("label"), col("v1"), col("v2"), round(col("cos"), 4).as("cos"))
+      .select(col("label"), col("v1"), col("v2"), (round(col("cos"), 4) + lit(0.0)).as("cos"))
       .orderBy("label", "v1", "v2")
   }
 
@@ -65,7 +65,7 @@ object Ann {
     assigned.join(broadcast(queries), "cell")
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        round(Vectors.cosine(Vectors.dotE14(col("qe"), col("q_qe")), col("nrm"), col("q_nrm")), 4)
+        (round(Vectors.cosine(Vectors.dotE14(col("qe"), col("q_qe")), col("nrm"), col("q_nrm")), 4) + lit(0.0))
           .as("cos"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 5)
@@ -98,7 +98,7 @@ object Ann {
     withBucket.join(broadcast(query), "bucket")
       .filter(col("vec_id") =!= 0)
       .select(col("vec_id"),
-        round(Vectors.cosine(Vectors.dotE14(col("qe"), col("q_qe")), col("nrm"), col("q_nrm")), 4)
+        (round(Vectors.cosine(Vectors.dotE14(col("qe"), col("q_qe")), col("nrm"), col("q_nrm")), 4) + lit(0.0))
           .as("cos"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 5)

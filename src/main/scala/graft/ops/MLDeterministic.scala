@@ -35,20 +35,23 @@ object MLDeterministic {
         // y² up to 1e14/row: sum in decimal(38) (exact, like DuckDB's
         // HUGEINT) — a long would overflow beyond ~60k rows
         sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
-    // identical double expression tree on both engines (D3)
+    // identical double expression tree on both engines (D3). The exact
+    // integer sums are cast to double FIRST: products like n·Σxy overflow
+    // int64 at sf ≥ 0.1 (found by the sf0.1 stress preflight), and the
+    // cast-then-multiply sequence is bit-identical across engines.
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double")
+    val syD = col("sy").cast("double")
+    val sxyD = col("sxy").cast("double")
+    val sxxD = col("sxx").cast("double")
+    val syyD = col("syy").cast("double")
+    val num = nD * sxyD - sxD * syD
+    val denX = nD * sxxD - sxD * sxD
     sums.select(
       col("n"),
-      round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 4).as("slope"),
-      round((col("sy").cast("double") -
-             ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
-             col("sx").cast("double")) / col("n").cast("double"), 4).as("intercept"),
-      round(((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") *
-             (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")) /
-            ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
-             (col("n").cast("double") * col("syy").cast("double") -
-              col("sy").cast("double") * col("sy").cast("double"))), 4).as("r2"))
+      (round(num / denX, 4) + lit(0.0)).as("slope"),
+      (round((syD - (num / denX) * sxD) / nD, 4) + lit(0.0)).as("intercept"),
+      (round((num * num) / (denX * (nD * syyD - syD * syD)), 4) + lit(0.0)).as("r2"))
   }
 
   private def docTokens(spark: SparkSession, sf: String): DataFrame =

@@ -140,7 +140,7 @@ object Relational {
       .agg(
         r4(var_samp(col("l_quantity"))).as("var_qty"),
         r4(stddev_samp(col("l_quantity"))).as("std_qty"),
-        r4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qty_price"))
+        (r4(corr(col("l_quantity"), col("l_extendedprice"))) + lit(0.0)).as("corr_qty_price"))
 
   /** Exact interpolating median + p90 over integer cents per priority. */
   def q_agg_median(spark: SparkSession, sf: String): DataFrame =

@@ -79,8 +79,8 @@ object Scalars {
       .select(
         col("vec_id"),
         size(col("embedding")).cast("long").as("dim"),
-        r4(element_at(col("embedding"), 1).cast("double")).as("first_e"),
-        r4(element_at(col("embedding"), -1).cast("double")).as("last_e"),
+        (r4(element_at(col("embedding"), 1).cast("double")) + lit(0.0)).as("first_e"),
+        (r4(element_at(col("embedding"), -1).cast("double")) + lit(0.0)).as("last_e"),
         r4(sqrt(aggregate(
           transform(col("embedding"), x => x.cast("double") * x.cast("double")),
           lit(0.0), (acc, x) => acc + x))).as("l2_norm"))

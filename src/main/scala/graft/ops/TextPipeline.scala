@@ -161,9 +161,10 @@ object TextPipeline {
     * near-chance — the operator is graded on determinism and shape.)
     */
   def q_langid_ngram(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
     val grams = Tables.documents(spark, sf)
       .select(col("doc_id"), col("lang"),
-        explode(expr("transform(sequence(1, char_length(text) - 1), i -> substring(text, i, 2))"))
+        explode(Bridge.column(graft.functions.CharBigrams(Bridge.expression(col("text")))))
           .as("gram"))
     // one explode + one aggregate: each doc has exactly one lang, so the
     // per-doc and per-lang profiles both derive from (doc, lang, gram)

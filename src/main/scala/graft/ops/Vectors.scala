@@ -57,7 +57,7 @@ object Vectors {
     all.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(query))
       .select(col("vec_id"),
-        round(cosine(dotE14(col("qe"), col("query_qe")), col("nrm"), col("query_nrm")), 4)
+        (round(cosine(dotE14(col("qe"), col("query_qe")), col("nrm"), col("query_nrm")), 4) + lit(0.0))
           .as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(10)
@@ -72,7 +72,7 @@ object Vectors {
       .join(sel.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(
         col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
-        round(cosine(dotE14(col("a.qe"), col("b.qe")), col("a.nrm"), col("b.nrm")), 4)
+        (round(cosine(dotE14(col("a.qe"), col("b.qe")), col("a.nrm"), col("b.nrm")), 4) + lit(0.0))
           .as("cos"))
       .orderBy(col("cos").desc, col("v1").asc, col("v2").asc)
       .limit(20)

@@ -80,7 +80,7 @@ object OracleSql {
     "q_agg_stats" -> """
       SELECT ROUND(VAR_SAMP(l_quantity), 4) AS var_qty,
              ROUND(STDDEV_SAMP(l_quantity), 4) AS std_qty,
-             ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qty_price
+             ROUND(CORR(l_quantity, l_extendedprice), 4) + 0 AS corr_qty_price
       FROM lineitem""",
 
     "q_agg_median" -> """
@@ -260,8 +260,8 @@ object OracleSql {
     "q_scalar_array" -> """
       SELECT vec_id,
              CAST(len(embedding) AS BIGINT) AS dim,
-             ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_e,
-             ROUND(CAST(embedding[64] AS DOUBLE), 4) AS last_e,
+             ROUND(CAST(embedding[1] AS DOUBLE), 4) + 0 AS first_e,
+             ROUND(CAST(embedding[64] AS DOUBLE), 4) + 0 AS last_e,
              ROUND(SQRT(list_sum(list_transform(embedding,
                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
       FROM embeddings ORDER BY vec_id""",
@@ -394,7 +394,7 @@ object OracleSql {
       SELECT vec_id,
              ROUND(CAST(CAST(list_sum(list_transform(list_zip(qe, query_qe),
                        p -> p[1]*p[2])) AS BIGINT) AS DOUBLE)
-                   / SQRT(CAST(nrm AS DOUBLE) * CAST(query_nrm AS DOUBLE)), 4) AS cos
+                   / SQRT(CAST(nrm AS DOUBLE) * CAST(query_nrm AS DOUBLE)), 4) + 0 AS cos
       FROM m, qq WHERE vec_id != 0
       ORDER BY cos DESC, vec_id LIMIT 10""",
 
@@ -407,7 +407,7 @@ object OracleSql {
       SELECT a.vec_id AS v1, b.vec_id AS v2,
              ROUND(CAST(CAST(list_sum(list_transform(list_zip(a.qe, b.qe),
                        p -> p[1]*p[2])) AS BIGINT) AS DOUBLE)
-                   / SQRT(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)), 4) AS cos
+                   / SQRT(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)), 4) + 0 AS cos
       FROM m a JOIN m b ON a.vec_id < b.vec_id
       ORDER BY cos DESC, v1, v2 LIMIT 20""",
 
@@ -439,14 +439,17 @@ object OracleSql {
                  FROM (SELECT CAST(l_quantity AS BIGINT) AS x,
                               CAST(ROUND(l_extendedprice*100) AS BIGINT) AS y FROM lineitem))
       SELECT n,
-             ROUND(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 4) AS slope,
+             ROUND((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                   / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)), 4) + 0 AS slope,
              ROUND((CAST(sy AS DOUBLE) -
-                    (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
-                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 4) AS intercept,
-             ROUND((CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE))
-                   / (CAST(n*sxx - sx*sx AS DOUBLE)
+                    ((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)))
+                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 4) + 0 AS intercept,
+             ROUND(((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                    * (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)))
+                   / ((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
                       * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4) AS r2
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4) + 0 AS r2
       FROM s""",
 
     "q_naivebayes_train" -> """
@@ -717,7 +720,7 @@ object OracleSql {
                         CAST(list_sum(list_transform(qe, x -> x*x)) AS BIGINT) AS nrm FROM m)
       SELECT a.label AS label, a.vec_id AS v1, b.vec_id AS v2,
              ROUND(CAST(CAST(list_sum(list_transform(list_zip(a.qe, b.qe), p -> p[1]*p[2])) AS BIGINT) AS DOUBLE)
-                   / SQRT(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)), 4) AS cos
+                   / SQRT(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)), 4) + 0 AS cos
       FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
       WHERE CAST(CAST(list_sum(list_transform(list_zip(a.qe, b.qe), p -> p[1]*p[2])) AS BIGINT) AS DOUBLE)
             / SQRT(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) >= 0.25
@@ -744,7 +747,7 @@ object OracleSql {
                        FROM aa WHERE vec_id BETWEEN 10 AND 14),
            cands AS (SELECT q.qid, a.vec_id,
                             ROUND(CAST(CAST(list_sum(list_transform(list_zip(a.qe, q.q_qe), p -> p[1]*p[2])) AS BIGINT) AS DOUBLE)
-                                  / SQRT(CAST(a.nrm AS DOUBLE) * CAST(q.q_nrm AS DOUBLE)), 4) AS cos
+                                  / SQRT(CAST(a.nrm AS DOUBLE) * CAST(q.q_nrm AS DOUBLE)), 4) + 0 AS cos
                      FROM aa a JOIN queries q ON a.cell = q.cell AND a.vec_id != q.qid)
       SELECT qid, vec_id, cos, rnk FROM
         (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
@@ -772,7 +775,7 @@ object OracleSql {
            query AS (SELECT bucket, qe AS q_qe, nrm AS q_nrm FROM wb WHERE vec_id = 0),
            cands AS (SELECT a.vec_id,
                             ROUND(CAST(CAST(list_sum(list_transform(list_zip(a.qe, q.q_qe), p -> p[1]*p[2])) AS BIGINT) AS DOUBLE)
-                                  / SQRT(CAST(a.nrm AS DOUBLE) * CAST(q.q_nrm AS DOUBLE)), 4) AS cos
+                                  / SQRT(CAST(a.nrm AS DOUBLE) * CAST(q.q_nrm AS DOUBLE)), 4) + 0 AS cos
                      FROM wb a JOIN query q ON a.bucket = q.bucket AND a.vec_id != 0)
       SELECT vec_id, cos, rnk FROM
         (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk FROM cands)

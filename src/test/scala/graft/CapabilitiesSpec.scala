@@ -85,6 +85,18 @@ class CapabilitiesSpec extends AnyFunSuite {
     assert(c.forall(v => math.abs(v) <= 1.0))
   }
 
+  test("map functions: from_json to MapType, keys, element access") {
+    val ev = graft.core.Tables.table(spark, sf, "events")
+      .select(from_json(col("props"), MapType(StringType, IntegerType)).as("m"))
+    val row = ev.select(
+      map_keys(col("m")).as("ks"),
+      element_at(col("m"), "k").as("k_val")).head()
+    assert(row.getSeq[String](0) === Seq("k"))
+    assert(row.getInt(1) >= 0)
+    val total = ev.agg(sum(element_at(col("m"), "k"))).head().getLong(0)
+    assert(total > 0)
+  }
+
   test("approx_count_distinct stays within 5% of exact") {
     val li = graft.core.Tables.lineitem(spark, sf)
     val row = li.agg(
