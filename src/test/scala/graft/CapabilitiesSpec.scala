@@ -106,6 +106,15 @@ class CapabilitiesSpec extends AnyFunSuite {
     assert(math.abs(approx - exact).toDouble / exact < 0.05, s"$approx vs $exact")
   }
 
+  test("Graft facade: attach, table load, query lookup, view registration") {
+    Graft.attach(spark)
+    assert(Graft.table(spark, sf, "events").columns.contains("ts_us"))
+    assert(Graft.queryNames.size === SparkEntry.queries.size)
+    assert(Graft.query("q_topk_customers")(spark, sf).count() === 10)
+    Graft.registerViews(spark, sf)
+    assert(spark.sql("SELECT count(*) FROM lineitem").head().getLong(0) === 6000L)
+  }
+
   test("SparkSessionExtensions injection registers graft functions") {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     val ext = new org.apache.spark.sql.SparkSessionExtensions
