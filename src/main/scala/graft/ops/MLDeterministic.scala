@@ -112,11 +112,13 @@ object MLDeterministic {
     // (classes are few and fixed; the per-class default fills unseen
     // (class, word) cells) — scoring becomes ONE broadcast join + ONE
     // aggregation instead of a 5× row expansion with a window argmax
-    val wordScores = likelihood.groupBy(col("word")).pivot("lang").agg(first(col("llh_e4")))
-    val langs = wordScores.columns.filterNot(_ == "word").toSeq.sorted
-    val defRow = default.groupBy().pivot("lang").agg(first(col("def_e4")))
+    // one tiny job to enumerate the classes, then explicit pivot values —
+    // auto-discovery would run a distinct scan per pivot (3×)
+    val langs = prior.select(col("lang")).collect().map(_.getString(0)).toSeq.sorted
+    val wordScores = likelihood.groupBy(col("word")).pivot("lang", langs).agg(first(col("llh_e4")))
+    val defRow = default.groupBy().pivot("lang", langs).agg(first(col("def_e4")))
       .select(langs.map(l => col(l).as(s"def_$l")): _*)
-    val priorRow = prior.groupBy().pivot("lang").agg(first(col("prior_e4")))
+    val priorRow = prior.groupBy().pivot("lang", langs).agg(first(col("prior_e4")))
       .select(langs.map(l => col(l).as(s"prior_$l")): _*)
     val docWords = docTokens(spark, sf).select(col("doc_id"), col("word")).distinct()
     val sumCols = langs.map(l => sum(col(s"s_$l")).as(s"s_$l"))
