@@ -19,7 +19,8 @@ import graft.core.Tables
   *
   * Scale posture: all-pairs ops are blocked (by label, or 1×N for a single
   * query vector) so the cross product is bounded per block; the unbounded
-  * scale path is MinHashLSH / random-projection LSH in [[graft.ml.Lsh]].
+  * scale paths are [[Ann]] (IVF / RP-LSH) and the MLlib LSH twins in
+  * [[graft.ml.MllibTwins]].
   */
 object Vectors {
 
