@@ -75,6 +75,18 @@ object SparkEntry {
     "q_neardup_embedding"   -> (Ann.q_neardup_embedding _),
     "q_ann_ivf"             -> (Ann.q_ann_ivf _),
     "q_ann_rplsh"           -> (Ann.q_ann_rplsh _),
+    // round 2: sampling / splits / profiling / LM / frames (SURVEY.md §2.15)
+    "q_sample_hash_split"   -> (Sampling.q_sample_hash_split _),
+    "q_sample_stratified"   -> (Sampling.q_sample_stratified _),
+    "q_hist_value"          -> (Sampling.q_hist_value _),
+    "q_feature_stats"       -> (Sampling.q_feature_stats _),
+    "q_grouping_sets"       -> (Relational.q_grouping_sets _),
+    "q_window_range_frame"  -> (Windows.q_window_range_frame _),
+    "q_join_range_bin"      -> (Joins.q_join_range_bin _),
+    "q_ngram_lm"            -> (TextPipeline.q_ngram_lm _),
+    "q_dedup_apply"         -> (TextPipeline.q_dedup_apply _),
+    "q_stream_dedup"        -> (Events.q_stream_dedup _),
+    "q_corr_matrix"         -> (MLDeterministic.q_corr_matrix _),
     // capability-only (no oracle — engine-specific sketch internals;
     // driver records the weaker rows-only check, tests gate the accuracy)
     "q_approx_distinct"     -> (Relational.q_approx_distinct _),

@@ -38,6 +38,20 @@ object Events {
         col("event_type"), col("n"))
       .orderBy("win_start", "event_type")
 
+  /** Batch twin of streaming deduplication (dropDuplicates within a
+    * watermark): raw vs distinct-(user, day) event counts per type. The
+    * streaming twin in [[graft.streaming.Streaming]] keys its state the
+    * same way, so state size is bounded by users×days inside the watermark.
+    */
+  def q_stream_dedup(spark: SparkSession, sf: String): DataFrame = {
+    val ev = Tables.eventsWithTs(spark, sf)
+      .select(col("event_type"), col("user_id"),
+        date_format(col("ts_us"), "yyyy-MM-dd").as("day"))
+    val raw = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_raw"))
+    val uniq = ev.distinct().groupBy(col("event_type")).agg(count(lit(1)).as("n_unique"))
+    raw.join(uniq, "event_type").orderBy("event_type")
+  }
+
   /** Sessionization with a 30-minute inactivity gap, computed with the
     * lag/cumulative-sum idiom (matches session_window merge semantics —
     * asserted by a streaming test). Exact integer µs throughout.

@@ -77,6 +77,27 @@ object Joins {
       .agg(count(lit(1)).as("n"))
       .orderBy("o_orderpriority")
 
+  /** Range (binning) join: orders banded into price tiers through a pure
+    * non-equi BETWEEN join against a tiny inline tier table — Spark plans a
+    * BroadcastNestedLoopJoin, the right physical choice for a 5-row build
+    * side at any fact-table scale.
+    */
+  def q_join_range_bin(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val tiers = Seq(
+      (1L, 0L, 10000000L),
+      (2L, 10000000L, 20000000L),
+      (3L, 20000000L, 30000000L),
+      (4L, 30000000L, 40000000L),
+      (5L, 40000000L, 1000000000000L)).toDF("tier", "lo", "hi")
+    Tables.orders(spark, sf)
+      .select(cents(col("o_totalprice")).as("tp_cents"))
+      .join(broadcast(tiers), col("tp_cents") >= col("lo") && col("tp_cents") < col("hi"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n"), sum(col("tp_cents")).as("sum_cents"))
+      .orderBy("tier")
+  }
+
   /** As-of join idiom: for each purchase, the nearest preceding event of
     * the same user. Spark SQL has no native ASOF JOIN; the scalable idiom
     * for self-as-of is a window `lag` over (user, time) — one shuffle on

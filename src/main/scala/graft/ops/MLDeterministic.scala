@@ -1,10 +1,10 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.core.Det.cents
+import graft.core.Det.{cents, pct}
 
 /** Deterministic, oracle-able formulations of the reference's ML surface
   * (SURVEY.md §2.12): closed-form linear regression, multinomial Naive
@@ -52,6 +52,53 @@ object MLDeterministic {
       (round(num / denX, 4) + lit(0.0)).as("slope"),
       (round((syD - (num / denX) * sxD) / nD, 4) + lit(0.0)).as("intercept"),
       (round((num * num) / (denX * (nD * syyD - syD * syD)), 4) + lit(0.0)).as("r2"))
+  }
+
+  /** Pairwise Pearson correlation matrix of the four lineitem measures
+    * (quantity, price cents, discount pct, tax pct) from ONE pass of exact
+    * integer sufficient statistics — 15 sums, then a fixed double epilogue
+    * per pair. Cross-product sums ride in decimal(38,0) (DuckDB: HUGEINT);
+    * price², at cents scale, overflows int64 beyond ~10⁵ rows.
+    */
+  def q_corr_matrix(spark: SparkSession, sf: String): DataFrame = {
+    def dsum(x: Column, y: Column): Column = sum(x.cast("decimal(38,0)") * y)
+    val s = Tables.lineitem(spark, sf)
+      .select(
+        col("l_quantity").cast("long").as("q"),
+        cents(col("l_extendedprice")).as("p"),
+        pct(col("l_discount")).as("d"),
+        pct(col("l_tax")).as("t"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("q")).as("s_q"), sum(col("p")).as("s_p"),
+        sum(col("d")).as("s_d"), sum(col("t")).as("s_t"),
+        dsum(col("q"), col("q")).as("s_qq"), dsum(col("p"), col("p")).as("s_pp"),
+        dsum(col("d"), col("d")).as("s_dd"), dsum(col("t"), col("t")).as("s_tt"),
+        dsum(col("q"), col("p")).as("s_qp"), dsum(col("q"), col("d")).as("s_qd"),
+        dsum(col("q"), col("t")).as("s_qt"), dsum(col("p"), col("d")).as("s_pd"),
+        dsum(col("p"), col("t")).as("s_pt"), dsum(col("d"), col("t")).as("s_dt"))
+    // identical IEEE epilogue on both engines: every exact sum is cast to
+    // double FIRST (see q_linreg_normal), then one fixed expression tree
+    def corrOf(sxy: String, sx: String, sy: String, sxx: String, syy: String): Column = {
+      val nD = col("n").cast("double")
+      val num = nD * col(sxy).cast("double") - col(sx).cast("double") * col(sy).cast("double")
+      val dx = nD * col(sxx).cast("double") - col(sx).cast("double") * col(sx).cast("double")
+      val dy = nD * col(syy).cast("double") - col(sy).cast("double") * col(sy).cast("double")
+      round(num / sqrt(dx * dy), 4) + lit(0.0)
+    }
+    s.select(
+      corrOf("s_qp", "s_q", "s_p", "s_qq", "s_pp").as("qty_price"),
+      corrOf("s_qd", "s_q", "s_d", "s_qq", "s_dd").as("qty_disc"),
+      corrOf("s_qt", "s_q", "s_t", "s_qq", "s_tt").as("qty_tax"),
+      corrOf("s_pd", "s_p", "s_d", "s_pp", "s_dd").as("price_disc"),
+      corrOf("s_pt", "s_p", "s_t", "s_pp", "s_tt").as("price_tax"),
+      corrOf("s_dt", "s_d", "s_t", "s_dd", "s_tt").as("disc_tax"))
+      .unpivot(
+        Array.empty[Column],
+        Array(col("qty_price"), col("qty_disc"), col("qty_tax"),
+          col("price_disc"), col("price_tax"), col("disc_tax")),
+        "pair", "r")
+      .orderBy("pair")
   }
 
   private def docTokens(spark: SparkSession, sf: String): DataFrame =

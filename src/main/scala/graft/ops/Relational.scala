@@ -121,6 +121,27 @@ object Relational {
         col("n"), col("value_cents"), col("gid"))
       .orderBy("gid", "event_type", "day")
 
+  /** Explicit GROUPING SETS beyond rollup/cube: event counts + exact cents
+    * at (type, day), (type), (day) and grand-total granularities in one
+    * pass (Catalyst expands once and aggregates partial+final).
+    */
+  def q_grouping_sets(spark: SparkSession, sf: String): DataFrame =
+    Tables.eventsWithTs(spark, sf)
+      .withColumn("day", date_format(col("ts_us"), "yyyy-MM-dd"))
+      .groupingSets(
+        Seq(Seq(col("event_type"), col("day")), Seq(col("event_type")),
+          Seq(col("day")), Seq.empty),
+        col("event_type"), col("day"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(cents(col("value"))).as("value_cents"),
+        grouping_id().cast("long").as("gid"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("day"), lit("ALL")).as("day"),
+        col("n"), col("value_cents"), col("gid"))
+      .orderBy("gid", "event_type", "day")
+
   /** Approximate distinct counts (HyperLogLog++) next to a bound derived
     * from them — no oracle (sketch internals are engine-specific; DuckDB's
     * HLL would hash differently). Declared for the rows-only check; the

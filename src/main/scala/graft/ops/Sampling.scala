@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.core.Det.cents
+
+/** Sampling, splitting and profiling operators for training-data pipelines:
+  * deterministic hash splits, stratified sampling, equal-width histograms,
+  * and per-dimension feature statistics.
+  *
+  * Randomness policy: no `rand()` anywhere — "random" choices are md5-hash
+  * order over a unique id. The sample is as good as uniform for pipeline
+  * purposes, reproducible run-to-run, engine-independent (the oracle runs
+  * the same md5 arithmetic), and at 100 TB needs no global shuffle or seed
+  * coordination across executors — each row decides its own fate from its
+  * own id.
+  */
+object Sampling {
+
+  /** md5-hash of a bigint id as an integer in [0, 2^32) — the shared
+    * pseudorandom key (same construction as TextPipeline's token hash).
+    */
+  private def idHash(c: Column): Column =
+    conv(substring(md5(c.cast("string").cast("binary")), 1, 8), 16, 10).cast("long")
+
+  /** Deterministic train/val/test split (80/10/10) by id-hash bucket;
+    * per (lang, split): document count and total chars. The assignment is
+    * a pure per-row map — no shuffle until the final small aggregate.
+    */
+  def q_sample_hash_split(spark: SparkSession, sf: String): DataFrame =
+    Tables.documents(spark, sf)
+      .withColumn("bucket", idHash(col("doc_id")) % 10)
+      .withColumn("split",
+        when(col("bucket") < 8, "train")
+          .when(col("bucket") === 8, "val")
+          .otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang", "split")
+
+  /** Stratified sample: first 5 documents per (lang, source) stratum in
+    * id-hash order. One shuffle on the stratum key; rank is windowed inside
+    * each stratum, so strata scale independently.
+    */
+  def q_sample_stratified(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("lang", "source").orderBy(col("h").asc, col("doc_id").asc)
+    Tables.documents(spark, sf)
+      .select(col("lang"), col("source"), col("doc_id"), idHash(col("doc_id")).as("h"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("lang"), col("source"), col("doc_id"), col("rk"))
+      .orderBy("lang", "source", "rk")
+  }
+
+  /** Equal-width 10-bucket histogram of event value cents between the
+    * global min and max. Bucketing is exact integer arithmetic
+    * ((v−lo)·10 div (hi−lo+1) is always in [0,9]); the two-row bounds
+    * aggregate broadcasts to the bucketing pass.
+    */
+  def q_hist_value(spark: SparkSession, sf: String): DataFrame = {
+    val v = Tables.eventsWithTs(spark, sf).select(cents(col("value")).as("v"))
+    val bounds = v.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    v.crossJoin(broadcast(bounds))
+      .withColumn("bucket", expr("((v - lo) * 10) div (hi - lo + 1)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_cents"))
+      .orderBy("bucket")
+  }
+
+  /** Per-dimension feature statistics over the embedding column (the
+    * normalization-stats pass of a feature pipeline): n/min/max on the
+    * exact e7 lattice, mean and sample variance from exact integer sums
+    * (the x² sum in decimal — long would overflow beyond ~10⁵ rows/dim).
+    */
+  def q_feature_stats(spark: SparkSession, sf: String): DataFrame = {
+    val dims = Tables.embeddings(spark, sf)
+      .select(posexplode(Vectors.q7(col("embedding"))).as(Seq("dim", "x_e7")))
+    val s = dims.groupBy(col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("x_e7")).as("min_e7"),
+        max(col("x_e7")).as("max_e7"),
+        sum(col("x_e7")).as("sx"),
+        sum(col("x_e7").cast("decimal(38,0)") * col("x_e7")).as("sxx"))
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double")
+    val sxxD = col("sxx").cast("double")
+    s.select(
+      col("dim").cast("long").as("dim"),
+      col("n"), col("min_e7"), col("max_e7"),
+      (round(sxD / (col("n") * lit(1e7)), 6) + lit(0.0)).as("mean"),
+      (round((nD * sxxD - sxD * sxD) / (nD * (nD - lit(1.0)) * lit(1e14)), 6) + lit(0.0))
+        .as("variance"))
+      .orderBy("dim")
+  }
+}

@@ -152,6 +152,45 @@ object TextPipeline {
       .orderBy("d1", "d2")
   }
 
+  /** Bigram language model: conditional probability P(w2|w1) as an exact
+    * e6-scaled integer (c(w1,w2)·10⁶ div c(w1·)), contexts counted from the
+    * bigram aggregate itself via a window re-sum (no second corpus pass);
+    * top-30 bigrams seen ≥ 5 times.
+    */
+  def q_ngram_lm(spark: SparkSession, sf: String): DataFrame =
+    Tables.documents(spark, sf)
+      .select(toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))"))
+        .as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .withColumn("c1", sum(col("c12")).over(Window.partitionBy("w1")))
+      .filter(col("c12") >= 5)
+      .select(col("w1"), col("w2"), col("c12"), expr("(c12 * 1000000) div c1").as("p_e6"))
+      .orderBy(col("p_e6").desc, col("w1").asc, col("w2").asc)
+      .limit(30)
+
+  /** Dedup APPLY step: exact-dup groups keep their smallest doc_id (the
+    * canonical keep-first policy); per (lang, source) corpus shard: total,
+    * kept and removed document counts. The survivor flag is a window min
+    * over the fingerprint — one shuffle, no self-join.
+    */
+  def q_dedup_apply(spark: SparkSession, sf: String): DataFrame =
+    Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("source"),
+        md5(col("text").cast("binary")).as("fp"))
+      .withColumn("keep",
+        when(col("doc_id") === min(col("doc_id")).over(Window.partitionBy("fp")), 1L)
+          .otherwise(0L))
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("keep")).as("n_kept"),
+        (count(lit(1)) - sum(col("keep"))).as("n_removed"))
+      .orderBy("lang", "source")
+
   /** N-gram language identification (Cavnar–Trenkle out-of-place measure):
     * rank the top-20 character bigrams per language and per document, score
     * each (doc, lang) by Σ|rank difference| (missing gram → penalty 20),

@@ -77,6 +77,21 @@ object Windows {
       .orderBy("user_id")
   }
 
+  /** Value-based RANGE frame: per customer, the rolling 30-day order value
+    * (all orders whose day number lies in [current−30, current]). The
+    * frame key is an exact integer day number, so peer-group membership —
+    * and therefore the integer sum — is identical across engines.
+    */
+  def q_window_range_frame(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("day_num")).rangeBetween(-30, 0)
+    Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"), to_date(lit("1990-01-01"))).cast("long").as("day_num"),
+        cents(col("o_totalprice")).as("tp_cents"))
+      .withColumn("sum30_cents", sum(col("tp_cents")).over(w))
+      .orderBy("o_custkey", "day_num", "o_orderkey")
+  }
+
   /** Account-balance quartiles per market segment via NTILE(4). */
   def q_window_ntile(spark: SparkSession, sf: String): DataFrame = {
     val w = Window.partitionBy("c_mktsegment")

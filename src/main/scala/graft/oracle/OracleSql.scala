@@ -780,5 +780,161 @@ object OracleSql {
       SELECT vec_id, cos, rnk FROM
         (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk FROM cands)
       WHERE rnk <= 5 ORDER BY rnk, vec_id""",
+
+    // ---- round 2: sampling / splits / profiling / LM / frames (§2.15) ------
+
+    "q_sample_hash_split" -> """
+      SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM (SELECT lang, n_chars,
+                   CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+            FROM (SELECT lang, n_chars,
+                         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10 AS b
+                  FROM documents))
+      GROUP BY lang, split ORDER BY lang, split""",
+
+    "q_sample_stratified" -> """
+      SELECT lang, source, doc_id, rk FROM (
+        SELECT lang, source, doc_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY h, doc_id) AS BIGINT) AS rk
+        FROM (SELECT lang, source, doc_id,
+                     CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+              FROM documents))
+      WHERE rk <= 5 ORDER BY lang, source, rk""",
+
+    "q_hist_value" -> """
+      WITH v AS (SELECT CAST(ROUND(value*100) AS BIGINT) AS v FROM events),
+           b AS (SELECT CAST(MIN(v) AS BIGINT) AS lo, CAST(MAX(v) AS BIGINT) AS hi FROM v)
+      SELECT ((v - lo) * 10) // (hi - lo + 1) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS sum_cents
+      FROM v, b GROUP BY bucket ORDER BY bucket""",
+
+    "q_feature_stats" -> """
+      WITH q AS (SELECT list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE)*1e7) AS BIGINT)) AS qe
+                 FROM embeddings),
+           dims AS (SELECT CAST(generate_subscripts(qe, 1) - 1 AS BIGINT) AS dim, unnest(qe) AS x_e7 FROM q),
+           s AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(MIN(x_e7) AS BIGINT) AS min_e7, CAST(MAX(x_e7) AS BIGINT) AS max_e7,
+                        CAST(SUM(x_e7) AS BIGINT) AS sx,
+                        SUM(CAST(x_e7 AS HUGEINT) * x_e7) AS sxx
+                 FROM dims GROUP BY dim)
+      SELECT dim, n, min_e7, max_e7,
+             ROUND(CAST(sx AS DOUBLE) / (n * 1e7), 6) + 0 AS mean,
+             ROUND((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                   / (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE) - 1.0)*1e14), 6) + 0 AS variance
+      FROM s ORDER BY dim""",
+
+    "q_grouping_sets" -> """
+      SELECT COALESCE(event_type, 'ALL') AS event_type,
+             COALESCE(day, 'ALL') AS day,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(value_cents) AS BIGINT) AS value_cents,
+             CAST(GROUPING(event_type, day) AS BIGINT) AS gid
+      FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                   CAST(ROUND(value*100) AS BIGINT) AS value_cents FROM events)
+      GROUP BY GROUPING SETS ((event_type, day), (event_type), (day), ())
+      ORDER BY gid, event_type, day""",
+
+    "q_window_range_frame" -> """
+      SELECT o_custkey, o_orderkey, day_num, tp_cents,
+             CAST(SUM(tp_cents) OVER (PARTITION BY o_custkey ORDER BY day_num
+                  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT) AS sum30_cents
+      FROM (SELECT o_custkey, o_orderkey,
+                   CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_num,
+                   CAST(ROUND(o_totalprice*100) AS BIGINT) AS tp_cents
+            FROM orders)
+      ORDER BY o_custkey, day_num, o_orderkey""",
+
+    "q_join_range_bin" -> """
+      SELECT CAST(tier AS BIGINT) AS tier, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(tp_cents) AS BIGINT) AS sum_cents
+      FROM (SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) AS tp_cents FROM orders)
+      JOIN (VALUES (1, 0, 10000000), (2, 10000000, 20000000), (3, 20000000, 30000000),
+                   (4, 30000000, 40000000), (5, 40000000, 1000000000000)) tiers(tier, lo, hi)
+        ON tp_cents >= lo AND tp_cents < hi
+      GROUP BY tier ORDER BY tier""",
+
+    "q_ngram_lm" -> """
+      WITH bg AS (SELECT w1, LEAD(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+                  FROM (SELECT doc_id,
+                               unnest(string_split(lower(text), ' ')) AS w1,
+                               generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+                        FROM documents)),
+           c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+                 FROM bg WHERE w2 IS NOT NULL GROUP BY w1, w2),
+           t AS (SELECT w1, w2, c12, CAST(SUM(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1 FROM c)
+      SELECT w1, w2, c12, (c12 * 1000000) // c1 AS p_e6
+      FROM t WHERE c12 >= 5
+      ORDER BY p_e6 DESC, w1, w2 LIMIT 30""",
+
+    "q_dedup_apply" -> """
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(keep) AS BIGINT) AS n_kept,
+             CAST(COUNT(*) - SUM(keep) AS BIGINT) AS n_removed
+      FROM (SELECT lang, source,
+                   CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
+                        THEN 1 ELSE 0 END AS keep
+            FROM documents)
+      GROUP BY lang, source ORDER BY lang, source""",
+
+    "q_stream_dedup" -> """
+      WITH e AS (SELECT event_type, user_id, strftime(ts, '%Y-%m-%d') AS day FROM events),
+           r AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_raw FROM e GROUP BY event_type),
+           u AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_unique
+                 FROM (SELECT DISTINCT event_type, user_id, day FROM e) GROUP BY event_type)
+      SELECT event_type, n_raw, n_unique FROM r JOIN u USING (event_type)
+      ORDER BY event_type""",
+
+    "q_corr_matrix" -> """
+      WITH s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(q) AS BIGINT) AS s_q, CAST(SUM(p) AS BIGINT) AS s_p,
+                        CAST(SUM(d) AS BIGINT) AS s_d, CAST(SUM(t) AS BIGINT) AS s_t,
+                        SUM(CAST(q AS HUGEINT) * q) AS s_qq, SUM(CAST(p AS HUGEINT) * p) AS s_pp,
+                        SUM(CAST(d AS HUGEINT) * d) AS s_dd, SUM(CAST(t AS HUGEINT) * t) AS s_tt,
+                        SUM(CAST(q AS HUGEINT) * p) AS s_qp, SUM(CAST(q AS HUGEINT) * d) AS s_qd,
+                        SUM(CAST(q AS HUGEINT) * t) AS s_qt, SUM(CAST(p AS HUGEINT) * d) AS s_pd,
+                        SUM(CAST(p AS HUGEINT) * t) AS s_pt, SUM(CAST(d AS HUGEINT) * t) AS s_dt
+                 FROM (SELECT CAST(l_quantity AS BIGINT) AS q,
+                              CAST(ROUND(l_extendedprice*100) AS BIGINT) AS p,
+                              CAST(ROUND(l_discount*100) AS BIGINT) AS d,
+                              CAST(ROUND(l_tax*100) AS BIGINT) AS t
+                       FROM lineitem))
+      SELECT pair, r FROM (
+        SELECT 'qty_price' AS pair,
+               ROUND((CAST(n AS DOUBLE)*CAST(s_qp AS DOUBLE) - CAST(s_q AS DOUBLE)*CAST(s_p AS DOUBLE))
+                     / SQRT((CAST(n AS DOUBLE)*CAST(s_qq AS DOUBLE) - CAST(s_q AS DOUBLE)*CAST(s_q AS DOUBLE))
+                          * (CAST(n AS DOUBLE)*CAST(s_pp AS DOUBLE) - CAST(s_p AS DOUBLE)*CAST(s_p AS DOUBLE))), 4) + 0 AS r
+        FROM s
+        UNION ALL
+        SELECT 'qty_disc',
+               ROUND((CAST(n AS DOUBLE)*CAST(s_qd AS DOUBLE) - CAST(s_q AS DOUBLE)*CAST(s_d AS DOUBLE))
+                     / SQRT((CAST(n AS DOUBLE)*CAST(s_qq AS DOUBLE) - CAST(s_q AS DOUBLE)*CAST(s_q AS DOUBLE))
+                          * (CAST(n AS DOUBLE)*CAST(s_dd AS DOUBLE) - CAST(s_d AS DOUBLE)*CAST(s_d AS DOUBLE))), 4) + 0
+        FROM s
+        UNION ALL
+        SELECT 'qty_tax',
+               ROUND((CAST(n AS DOUBLE)*CAST(s_qt AS DOUBLE) - CAST(s_q AS DOUBLE)*CAST(s_t AS DOUBLE))
+                     / SQRT((CAST(n AS DOUBLE)*CAST(s_qq AS DOUBLE) - CAST(s_q AS DOUBLE)*CAST(s_q AS DOUBLE))
+                          * (CAST(n AS DOUBLE)*CAST(s_tt AS DOUBLE) - CAST(s_t AS DOUBLE)*CAST(s_t AS DOUBLE))), 4) + 0
+        FROM s
+        UNION ALL
+        SELECT 'price_disc',
+               ROUND((CAST(n AS DOUBLE)*CAST(s_pd AS DOUBLE) - CAST(s_p AS DOUBLE)*CAST(s_d AS DOUBLE))
+                     / SQRT((CAST(n AS DOUBLE)*CAST(s_pp AS DOUBLE) - CAST(s_p AS DOUBLE)*CAST(s_p AS DOUBLE))
+                          * (CAST(n AS DOUBLE)*CAST(s_dd AS DOUBLE) - CAST(s_d AS DOUBLE)*CAST(s_d AS DOUBLE))), 4) + 0
+        FROM s
+        UNION ALL
+        SELECT 'price_tax',
+               ROUND((CAST(n AS DOUBLE)*CAST(s_pt AS DOUBLE) - CAST(s_p AS DOUBLE)*CAST(s_t AS DOUBLE))
+                     / SQRT((CAST(n AS DOUBLE)*CAST(s_pp AS DOUBLE) - CAST(s_p AS DOUBLE)*CAST(s_p AS DOUBLE))
+                          * (CAST(n AS DOUBLE)*CAST(s_tt AS DOUBLE) - CAST(s_t AS DOUBLE)*CAST(s_t AS DOUBLE))), 4) + 0
+        FROM s
+        UNION ALL
+        SELECT 'disc_tax',
+               ROUND((CAST(n AS DOUBLE)*CAST(s_dt AS DOUBLE) - CAST(s_d AS DOUBLE)*CAST(s_t AS DOUBLE))
+                     / SQRT((CAST(n AS DOUBLE)*CAST(s_dd AS DOUBLE) - CAST(s_d AS DOUBLE)*CAST(s_d AS DOUBLE))
+                          * (CAST(n AS DOUBLE)*CAST(s_tt AS DOUBLE) - CAST(s_t AS DOUBLE)*CAST(s_t AS DOUBLE))), 4) + 0
+        FROM s)
+      ORDER BY pair""",
   )
 }
