@@ -87,6 +87,18 @@ object SparkEntry {
     "q_dedup_apply"         -> (TextPipeline.q_dedup_apply _),
     "q_stream_dedup"        -> (Events.q_stream_dedup _),
     "q_corr_matrix"         -> (MLDeterministic.q_corr_matrix _),
+    // round 2 batch 2: outer join / agg idioms / profiling / LM (§2.16)
+    "q_join_full_outer"     -> (Joins.q_join_full_outer _),
+    "q_agg_argmax"          -> (Relational.q_agg_argmax _),
+    "q_agg_collect"         -> (Relational.q_agg_collect _),
+    "q_window_percentiles"  -> (Windows.q_window_percentiles _),
+    "q_seq_pack"            -> (Sampling.q_seq_pack _),
+    "q_doc_length_buckets"  -> (Sampling.q_doc_length_buckets _),
+    "q_anomaly_zscore"      -> (Sampling.q_anomaly_zscore _),
+    "q_minmax_scale"        -> (Sampling.q_minmax_scale _),
+    "q_contamination"       -> (TextPipeline.q_contamination _),
+    "q_lm_score"            -> (TextPipeline.q_lm_score _),
+    "q_pii_redact"          -> (Scalars.q_pii_redact _),
     // capability-only (no oracle — engine-specific sketch internals;
     // driver records the weaker rows-only check, tests gate the accuracy)
     "q_approx_distinct"     -> (Relational.q_approx_distinct _),

@@ -98,6 +98,28 @@ object Joins {
       .orderBy("tier")
   }
 
+  /** FULL OUTER join: each customer's 1996 vs 1997 order activity, keeping
+    * customers active in only one of the years on the appropriate side
+    * (nulls → 0). Both inputs are pre-aggregated to one row per key, so the
+    * outer join is key-unique and the shuffle is on the join key only.
+    */
+  def q_join_full_outer(spark: SparkSession, sf: String): DataFrame = {
+    val o = Tables.orders(spark, sf)
+      .select(col("o_custkey"), year(col("o_orderdate")).as("yr"),
+        cents(col("o_totalprice")).as("tp"))
+    def yearAgg(y: Int, n: String, c: String): DataFrame =
+      o.filter(col("yr") === y).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as(n), sum(col("tp")).as(c))
+    yearAgg(1996, "n96", "cents96")
+      .join(yearAgg(1997, "n97", "cents97"), Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        coalesce(col("n96"), lit(0L)).as("n96"),
+        coalesce(col("cents96"), lit(0L)).as("cents96"),
+        coalesce(col("n97"), lit(0L)).as("n97"),
+        coalesce(col("cents97"), lit(0L)).as("cents97"))
+      .orderBy("o_custkey")
+  }
+
   /** As-of join idiom: for each purchase, the nearest preceding event of
     * the same user. Spark SQL has no native ASOF JOIN; the scalable idiom
     * for self-as-of is a window `lag` over (user, time) — one shuffle on

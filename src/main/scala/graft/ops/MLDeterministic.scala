@@ -262,12 +262,14 @@ object MLDeterministic {
   }
 
   /** Apriori frequent pair mining: baskets = orders, items = distinct
-    * l_partkey per order; pairs (p1<p2) with support ≥ max(3, n_orders/5000),
-    * top-30. Pure integer counting — the classic MR pair-emission pattern
-    * as one self-join + hash aggregate.
+    * l_partkey per order; pairs (p1<p2) with support ≥ 3, top-30. The
+    * threshold is a flat 3 — support does NOT grow with scale factor here
+    * (the item universe scales with the data, so max pair support stays ~3
+    * at every SF; a scale-proportional threshold empties the output).
+    * Pure integer counting — the classic MR pair-emission pattern as one
+    * basket aggregate + one pair aggregate.
     */
   def q_apriori_pairs(spark: SparkSession, sf: String): DataFrame = {
-    val nOrders = Tables.orders(spark, sf).agg(count(lit(1)).as("n_orders"))
     // collect each basket's distinct items once, emit ordered pairs with an
     // array HOF — one shuffle on basket + one on pair, instead of a
     // distinct + self-join (which re-shuffles the item table twice)
@@ -281,8 +283,7 @@ object MLDeterministic {
         .as("pair"))
       .groupBy(col("pair.p1").as("p1"), col("pair.p2").as("p2"))
       .agg(count(lit(1)).as("support"))
-      .crossJoin(broadcast(nOrders))
-      .filter(col("support") >= greatest(lit(3L), expr("n_orders div 5000")))
+      .filter(col("support") >= 3L)
       .select(col("p1"), col("p2"), col("support"))
       .orderBy(col("support").desc, col("p1").asc, col("p2").asc)
       .limit(30)

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{Det, Tables}
 import graft.core.Det.{cents, pct, r4}
@@ -172,6 +173,50 @@ object Relational {
         r4(percentile(col("tp_cents"), lit(0.5))).as("median_cents"),
         r4(percentile(col("tp_cents"), lit(0.9))).as("p90_cents"))
       .orderBy("o_orderpriority")
+
+  /** Arg-max / arg-min in one aggregation pass: per order priority, the
+    * cheapest and the most expensive order. Spark's `max_by` breaks ties
+    * arbitrarily, so the deterministic idiom is `max(struct(value, key))` —
+    * lexicographic struct comparison pins the tie to the largest (resp.
+    * smallest) key, which the oracle reproduces with a ROW_NUMBER window.
+    */
+  def q_agg_argmax(spark: SparkSession, sf: String): DataFrame =
+    Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), cents(col("o_totalprice")).as("tp"),
+        col("o_orderkey").as("k"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        max(struct(col("tp"), col("k"))).as("mx"),
+        min(struct(col("tp"), col("k"))).as("mn"))
+      .select(col("o_orderpriority"), col("n"),
+        col("mx.tp").as("max_cents"), col("mx.k").as("max_key"),
+        col("mn.tp").as("min_cents"), col("mn.k").as("min_key"))
+      .orderBy("o_orderpriority")
+
+  /** Ordered array aggregation: per nation, the top-5 supplier names by
+    * account balance as ONE csv column. `collect_list` has no intra-group
+    * order guarantee, so the deterministic idiom is rank-first (window
+    * row_number), then collect `struct(rank, name)` and `array_sort` —
+    * the sort key is the rank, making the final order engine-independent.
+    */
+  def q_agg_collect(spark: SparkSession, sf: String): DataFrame = {
+    val s = Tables.supplier(spark, sf)
+      .select(col("s_nationkey"), col("s_name"), cents(col("s_acctbal")).as("bal"))
+    val w = Window.partitionBy("s_nationkey").orderBy(col("bal").desc, col("s_name").asc)
+    val top = s.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .groupBy(col("s_nationkey"))
+      .agg(expr("concat_ws(',', transform(array_sort(collect_list(struct(rn, s_name))), x -> x.s_name))")
+        .as("top5"))
+    val totals = s.groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_sup"), sum(col("bal")).as("bal_cents"))
+    totals.join(top, "s_nationkey")
+      .join(broadcast(Tables.nation(spark, sf)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("n_sup"), col("bal_cents"), col("top5"))
+      .orderBy("n_name")
+  }
 
   // ---- §2.6 sorts / top-k --------------------------------------------------
 

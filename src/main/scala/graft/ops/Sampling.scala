@@ -69,6 +69,87 @@ object Sampling {
       .orderBy("bucket")
   }
 
+  /** Greedy sequence packing (the batch-assembly step of an LLM training
+    * pipeline): per language, documents in doc_id order are packed into
+    * 4096-char bins by cumulative length BEFORE the current doc — a pure
+    * window cumsum, so each shard packs independently with one shuffle.
+    */
+  def q_seq_pack(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, sf)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .withColumn("cum_before", coalesce(sum(col("n_chars")).over(w), lit(0L)))
+      .withColumn("pack_id", expr("cum_before div 4096"))
+      .groupBy(col("lang"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+      .orderBy("lang", "pack_id")
+  }
+
+  /** Document length profile: 128-char-wide length buckets per language,
+    * with each bucket's share of its language (e4 integer, window re-sum
+    * over the aggregate — no second corpus pass).
+    */
+  def q_doc_length_buckets(spark: SparkSession, sf: String): DataFrame =
+    Tables.documents(spark, sf)
+      .select(col("lang"), expr("n_chars div 128").as("bucket"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share_e4",
+        expr("n * 10000 div sum(n) over (partition by lang)"))
+      .orderBy("lang", "bucket")
+
+  /** Z-score anomaly detection over event values: per event type, count of
+    * values beyond 3 sample standard deviations, plus the outlier range.
+    * Moments come from ONE pass of exact integer sums; the 3σ test is the
+    * identical IEEE expression tree on both engines ((v−mean)² > 9·var),
+    * and the tiny per-type stats broadcast back onto the scan.
+    */
+  def q_anomaly_zscore(spark: SparkSession, sf: String): DataFrame = {
+    val v = Tables.eventsWithTs(spark, sf)
+      .select(col("event_type"), cents(col("value")).as("v"))
+    val stats = v.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        sum(col("v").cast("decimal(38,0)") * col("v")).as("sxx"))
+    val nD = col("n").cast("double")
+    val sD = col("s").cast("double")
+    val mean = sD / nD
+    val variance = (nD * col("sxx").cast("double") - sD * sD) / (nD * (nD - lit(1.0)))
+    val dev = col("v").cast("double") - mean
+    v.join(broadcast(stats), "event_type")
+      .withColumn("is_out", when(dev * dev > lit(9.0) * variance, 1L).otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("is_out")).as("n_out"),
+        coalesce(min(when(col("is_out") === 1L, col("v"))), lit(0L)).as("min_out"),
+        coalesce(max(when(col("is_out") === 1L, col("v"))), lit(0L)).as("max_out"))
+      .orderBy("event_type")
+  }
+
+  /** Min-max feature scaling (normalization APPLY step): every embedding
+    * value rescaled to an e6 integer lattice with its dimension's min/max;
+    * per-vector checksum output. The 64-row bounds table broadcasts onto
+    * the explode, so the pass is shuffle-free after the bounds aggregate.
+    */
+  def q_minmax_scale(spark: SparkSession, sf: String): DataFrame = {
+    val dims = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), posexplode(Vectors.q7(col("embedding"))).as(Seq("dim", "x")))
+    val bounds = dims.groupBy(col("dim"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    dims.join(broadcast(bounds), "dim")
+      .withColumn("scaled_e6",
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(expr("(x - mn) * 1000000 div (mx - mn)")))
+      .groupBy(col("vec_id"))
+      .agg(
+        count(lit(1)).as("n_dims"),
+        sum(col("scaled_e6")).as("sum_e6"),
+        min(col("scaled_e6")).as("min_e6"),
+        max(col("scaled_e6")).as("max_e6"))
+      .orderBy("vec_id")
+  }
+
   /** Per-dimension feature statistics over the embedding column (the
     * normalization-stats pass of a feature pipeline): n/min/max on the
     * exact e7 lattice, mean and sample variance from exact integer sums

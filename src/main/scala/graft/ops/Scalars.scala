@@ -70,6 +70,27 @@ object Scalars {
         max(col("k")).as("max_k"))
       .orderBy("event_type")
 
+  /** PII-style redaction pass over the JSON props payload: digit runs are
+    * the sensitive pattern; per event type — payloads containing digits,
+    * total digit runs, total digit characters, and the redacted ('#' per
+    * run) payload length. Pure per-row regex (codegen'd builtins), one tiny
+    * aggregate — the shape of a full-corpus scrubbing pass.
+    */
+  def q_pii_redact(spark: SparkSession, sf: String): DataFrame =
+    Tables.table(spark, sf, "events")
+      .select(col("event_type"),
+        regexp_count(col("props"), lit("[0-9]+")).cast("long").as("runs"),
+        length(regexp_replace(col("props"), "[^0-9]", "")).cast("long").as("digits"),
+        length(regexp_replace(col("props"), "[0-9]+", "#")).cast("long").as("red_len"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("digits") > 0L, 1L).otherwise(0L)).as("n_with_digits"),
+        sum(col("runs")).as("total_runs"),
+        sum(col("digits")).as("total_digits"),
+        sum(col("red_len")).as("total_red_len"))
+      .orderBy("event_type")
+
   /** Array higher-order functions over the embedding vectors: length,
     * element access, L2 norm — float elements cast to double before any
     * arithmetic (D3), all inside codegen-friendly builtin HOFs.

@@ -191,6 +191,62 @@ object TextPipeline {
         (count(lit(1)) - sum(col("keep"))).as("n_removed"))
       .orderBy("lang", "source")
 
+  /** Benchmark-contamination check: candidate documents sharing any
+    * token-trigram shingle with the benchmark slice (doc_id ≡ 0..4 mod 100,
+    * a scale-invariant 5%). The benchmark shingle set is deduplicated and
+    * BROADCAST, so the corpus-side pass is a single scan + map-side join —
+    * the shape that survives a 100 TB corpus (the benchmark is small by
+    * definition; the corpus never self-joins).
+    */
+  def q_contamination(spark: SparkSession, sf: String): DataFrame = {
+    val sh = Tables.documents(spark, sf)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(sequence(2, size(t) - 1),
+           i -> concat_ws(' ', t[i-2], t[i-1], t[i])))""")).as("sh"))
+    val bench = sh.filter(col("doc_id") % 100 < 5)
+      .select(col("sh")).distinct().withColumn("hit", lit(1L))
+    sh.filter(col("doc_id") % 100 >= 5)
+      .join(broadcast(bench), Seq("sh"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_shared"))
+      .filter(col("n_shared") > 0)
+      .withColumn("overlap_e4", expr("n_shared * 10000 div n_shingles"))
+      .orderBy("doc_id")
+  }
+
+  /** LM scoring (perplexity proxy): every document scored against the
+    * corpus bigram model of [[q_ngram_lm]] (all bigrams seen ≥ 5 times) —
+    * per doc: bigram count, model coverage, exact integer Σ P(w2|w1)·10⁶
+    * and its per-covered-bigram mean. The ≥5 cutoff bounds the model to the
+    * head of the distribution, keeping it broadcastable at corpus scale.
+    */
+  def q_lm_score(spark: SparkSession, sf: String): DataFrame = {
+    val bg = Tables.documents(spark, sf)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))"))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val model = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .withColumn("c1", sum(col("c12")).over(Window.partitionBy("w1")))
+      .filter(col("c12") >= 5)
+      .select(col("w1"), col("w2"), expr("(c12 * 1000000) div c1").as("p_e6"))
+    bg.join(broadcast(model), Seq("w1", "w2"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bg"),
+        count(col("p_e6")).as("covered"),
+        coalesce(sum(col("p_e6")), lit(0L)).as("score_e6"))
+      .withColumn("avg_p_e6",
+        when(col("covered") === 0L, lit(0L)).otherwise(expr("score_e6 div covered")))
+      .orderBy("doc_id")
+  }
+
   /** N-gram language identification (Cavnar–Trenkle out-of-place measure):
     * rank the top-20 character bigrams per language and per document, score
     * each (doc, lang) by Σ|rank difference| (missing gram → penalty 20),

@@ -92,6 +92,20 @@ object Windows {
       .orderBy("o_custkey", "day_num", "o_orderkey")
   }
 
+  /** Distribution-position windows: PERCENT_RANK and CUME_DIST of each
+    * customer's balance within its market segment. Both are closed-form
+    * ((rank−1)/(n−1), peers/n) over exact integer cents, so the rounded
+    * outputs are identical across engines even with balance ties.
+    */
+  def q_window_percentiles(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("bal"))
+    Tables.customer(spark, sf)
+      .select(col("c_mktsegment"), col("c_custkey"), cents(col("c_acctbal")).as("bal"))
+      .withColumn("pr", round(percent_rank().over(w), 4))
+      .withColumn("cd", round(cume_dist().over(w), 4))
+      .orderBy("c_mktsegment", "bal", "c_custkey")
+  }
+
   /** Account-balance quartiles per market segment via NTILE(4). */
   def q_window_ntile(spark: SparkSession, sf: String): DataFrame = {
     val w = Window.partitionBy("c_mktsegment")

@@ -555,8 +555,8 @@ object OracleSql {
                        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
                      GROUP BY a.l_partkey, b.l_partkey),
            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders)
-      SELECT p1, p2, support FROM pairs, t
-      WHERE support >= GREATEST(3, n_orders // 5000)
+      SELECT p1, p2, support FROM pairs
+      WHERE support >= 3
       ORDER BY support DESC, p1, p2 LIMIT 30""",
 
     "q_pivot_events" -> """
@@ -936,5 +936,151 @@ object OracleSql {
                           * (CAST(n AS DOUBLE)*CAST(s_tt AS DOUBLE) - CAST(s_t AS DOUBLE)*CAST(s_t AS DOUBLE))), 4) + 0
         FROM s)
       ORDER BY pair""",
+
+    // ---- round 2 batch 2: outer join / agg idioms / profiling / LM ---------
+
+    "q_join_full_outer" -> """
+      WITH o AS (SELECT o_custkey, EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS yr,
+                        CAST(ROUND(o_totalprice*100) AS BIGINT) AS tp FROM orders),
+           a AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n96, CAST(SUM(tp) AS BIGINT) AS cents96
+                 FROM o WHERE yr = 1996 GROUP BY o_custkey),
+           b AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n97, CAST(SUM(tp) AS BIGINT) AS cents97
+                 FROM o WHERE yr = 1997 GROUP BY o_custkey)
+      SELECT o_custkey, COALESCE(n96, 0) AS n96, COALESCE(cents96, 0) AS cents96,
+             COALESCE(n97, 0) AS n97, COALESCE(cents97, 0) AS cents97
+      FROM a FULL OUTER JOIN b USING (o_custkey)
+      ORDER BY o_custkey""",
+
+    "q_agg_argmax" -> """
+      WITH t AS (SELECT o_orderpriority AS pr, CAST(ROUND(o_totalprice*100) AS BIGINT) AS tp,
+                        o_orderkey AS k FROM orders),
+           mx AS (SELECT pr, tp AS max_cents, k AS max_key FROM
+                    (SELECT *, ROW_NUMBER() OVER (PARTITION BY pr ORDER BY tp DESC, k DESC) AS rn FROM t)
+                  WHERE rn = 1),
+           mn AS (SELECT pr, tp AS min_cents, k AS min_key FROM
+                    (SELECT *, ROW_NUMBER() OVER (PARTITION BY pr ORDER BY tp ASC, k ASC) AS rn FROM t)
+                  WHERE rn = 1),
+           c AS (SELECT pr, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY pr)
+      SELECT c.pr AS o_orderpriority, n, max_cents, max_key, min_cents, min_key
+      FROM c JOIN mx USING (pr) JOIN mn USING (pr)
+      ORDER BY o_orderpriority""",
+
+    "q_agg_collect" -> """
+      WITH s AS (SELECT s_nationkey, s_name, CAST(ROUND(s_acctbal*100) AS BIGINT) AS bal FROM supplier),
+           r AS (SELECT s_nationkey, s_name, bal,
+                        ROW_NUMBER() OVER (PARTITION BY s_nationkey ORDER BY bal DESC, s_name ASC) AS rn
+                 FROM s),
+           top AS (SELECT s_nationkey, string_agg(s_name, ',' ORDER BY rn) AS top5
+                   FROM r WHERE rn <= 5 GROUP BY s_nationkey),
+           tot AS (SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_sup,
+                          CAST(SUM(bal) AS BIGINT) AS bal_cents
+                   FROM s GROUP BY s_nationkey)
+      SELECT n_name, n_sup, bal_cents, top5
+      FROM tot JOIN top USING (s_nationkey) JOIN nation ON s_nationkey = n_nationkey
+      ORDER BY n_name""",
+
+    "q_window_percentiles" -> """
+      SELECT c_mktsegment, c_custkey, bal,
+             ROUND(PERCENT_RANK() OVER w, 4) + 0 AS pr,
+             ROUND(CUME_DIST() OVER w, 4) + 0 AS cd
+      FROM (SELECT c_mktsegment, c_custkey, CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal FROM customer)
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY bal)
+      ORDER BY c_mktsegment, bal, c_custkey""",
+
+    "q_seq_pack" -> """
+      SELECT lang, cum_before // 4096 AS pack_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS chars
+      FROM (SELECT lang, n_chars,
+                   CAST(COALESCE(SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+            FROM documents)
+      GROUP BY lang, pack_id ORDER BY lang, pack_id""",
+
+    "q_doc_length_buckets" -> """
+      SELECT lang, bucket, n, n * 10000 // CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS share_e4
+      FROM (SELECT lang, n_chars // 128 AS bucket, CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents GROUP BY lang, bucket)
+      ORDER BY lang, bucket""",
+
+    "q_anomaly_zscore" -> """
+      WITH v AS (SELECT event_type, CAST(ROUND(value*100) AS BIGINT) AS v FROM events),
+           s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS sv,
+                        SUM(CAST(v AS HUGEINT) * v) AS sxx
+                 FROM v GROUP BY event_type),
+           f AS (SELECT v.event_type, v.v,
+                        CASE WHEN (CAST(v.v AS DOUBLE) - CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+                                * (CAST(v.v AS DOUBLE) - CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+                               > 9.0 * ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+                                        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                             THEN 1 ELSE 0 END AS is_out
+                 FROM v JOIN s ON v.event_type = s.event_type)
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(is_out) AS BIGINT) AS n_out,
+             CAST(COALESCE(MIN(CASE WHEN is_out = 1 THEN v END), 0) AS BIGINT) AS min_out,
+             CAST(COALESCE(MAX(CASE WHEN is_out = 1 THEN v END), 0) AS BIGINT) AS max_out
+      FROM f GROUP BY event_type ORDER BY event_type""",
+
+    "q_minmax_scale" -> """
+      WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE)*1e7) AS BIGINT)) AS qe
+                 FROM embeddings),
+           dims AS (SELECT vec_id, CAST(generate_subscripts(qe, 1) - 1 AS BIGINT) AS dim, unnest(qe) AS x FROM q),
+           b AS (SELECT dim, CAST(MIN(x) AS BIGINT) AS mn, CAST(MAX(x) AS BIGINT) AS mx
+                 FROM dims GROUP BY dim),
+           sc AS (SELECT vec_id,
+                         CASE WHEN mx = mn THEN 0 ELSE (x - mn) * 1000000 // (mx - mn) END AS scaled_e6
+                  FROM dims JOIN b USING (dim))
+      SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_dims, CAST(SUM(scaled_e6) AS BIGINT) AS sum_e6,
+             CAST(MIN(scaled_e6) AS BIGINT) AS min_e6, CAST(MAX(scaled_e6) AS BIGINT) AS max_e6
+      FROM sc GROUP BY vec_id ORDER BY vec_id""",
+
+    "q_contamination" -> """
+      WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w,
+                          generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+                   FROM documents),
+           tri AS (SELECT DISTINCT doc_id, w1 || ' ' || w2 || ' ' || w3 AS sh FROM
+                     (SELECT doc_id, w AS w1,
+                             LEAD(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+                             LEAD(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+                      FROM tok)
+                   WHERE w3 IS NOT NULL),
+           bench AS (SELECT DISTINCT sh FROM tri WHERE doc_id % 100 < 5),
+           cand AS (SELECT * FROM tri WHERE doc_id % 100 >= 5)
+      SELECT doc_id, n_shingles, n_shared, n_shared * 10000 // n_shingles AS overlap_e4
+      FROM (SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                   CAST(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+            FROM cand c LEFT JOIN bench b ON c.sh = b.sh
+            GROUP BY c.doc_id)
+      WHERE n_shared > 0 ORDER BY doc_id""",
+
+    "q_lm_score" -> """
+      WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w,
+                          generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+                   FROM documents),
+           b AS (SELECT doc_id, w1, w2 FROM
+                   (SELECT doc_id, w AS w1, LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM tok)
+                 WHERE w2 IS NOT NULL),
+           c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM b GROUP BY w1, w2),
+           m AS (SELECT w1, w2, (c12 * 1000000) // c1 AS p_e6 FROM
+                   (SELECT w1, w2, c12, CAST(SUM(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1 FROM c)
+                 WHERE c12 >= 5)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bg,
+             CAST(COUNT(m.p_e6) AS BIGINT) AS covered,
+             CAST(COALESCE(SUM(m.p_e6), 0) AS BIGINT) AS score_e6,
+             CAST(CASE WHEN COUNT(m.p_e6) = 0 THEN 0
+                       ELSE COALESCE(SUM(m.p_e6), 0) // COUNT(m.p_e6) END AS BIGINT) AS avg_p_e6
+      FROM b LEFT JOIN m ON b.w1 = m.w1 AND b.w2 = m.w2
+      GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_pii_redact" -> """
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN digits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_digits,
+             CAST(SUM(runs) AS BIGINT) AS total_runs,
+             CAST(SUM(digits) AS BIGINT) AS total_digits,
+             CAST(SUM(red_len) AS BIGINT) AS total_red_len
+      FROM (SELECT event_type,
+                   CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS runs,
+                   CAST(length(regexp_replace(props, '[^0-9]', '', 'g')) AS BIGINT) AS digits,
+                   CAST(length(regexp_replace(props, '[0-9]+', '#', 'g')) AS BIGINT) AS red_len
+            FROM events)
+      GROUP BY event_type ORDER BY event_type""",
   )
 }
