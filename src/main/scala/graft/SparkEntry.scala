@@ -99,6 +99,12 @@ object SparkEntry {
     "q_contamination"       -> (TextPipeline.q_contamination _),
     "q_lm_score"            -> (TextPipeline.q_lm_score _),
     "q_pii_redact"          -> (Scalars.q_pii_redact _),
+    // round 2 batch 3: components / salting / entropy / PMI / mode (§2.17)
+    "q_dedup_components"    -> (Text.q_dedup_components _),
+    "q_join_salted"         -> (Joins.q_join_salted _),
+    "q_token_entropy"       -> (Text.q_token_entropy _),
+    "q_colloc_pmi"          -> (Text.q_colloc_pmi _),
+    "q_agg_mode"            -> (Relational.q_agg_mode _),
     // capability-only (no oracle — engine-specific sketch internals;
     // driver records the weaker rows-only check, tests gate the accuracy)
     "q_approx_distinct"     -> (Relational.q_approx_distinct _),

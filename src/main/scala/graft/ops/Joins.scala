@@ -120,6 +120,26 @@ object Joins {
       .orderBy("o_custkey")
   }
 
+  /** Skew-mitigated (salted) join, oracle-verified: lineitem ⋈ orders
+    * through [[graft.core.Layout.saltedJoin]] — the hot-key side splits
+    * across 8 deterministic salts (derived from `l_linenumber`, no rand())
+    * while the other side replicates ×8, then revenue rolls up per order
+    * priority. The oracle runs the PLAIN join: salting must be invisible
+    * in the result, only in the shuffle layout.
+    */
+  def q_join_salted(spark: SparkSession, sf: String): DataFrame = {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount"))))
+          .as("rev_e4"))
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    graft.core.Layout.saltedJoin(li, o, "l_orderkey", col("l_linenumber"), 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("rev_e4")).as("rev_e4"))
+      .orderBy("o_orderpriority")
+  }
+
   /** As-of join idiom: for each purchase, the nearest preceding event of
     * the same user. Spark SQL has no native ASOF JOIN; the scalable idiom
     * for self-as-of is a window `lag` over (user, time) — one shuffle on

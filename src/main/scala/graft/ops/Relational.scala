@@ -218,6 +218,21 @@ object Relational {
       .orderBy("n_name")
   }
 
+  /** Deterministic MODE: most frequent quantity per return flag (Spark's
+    * `mode()` ties are unspecified, so the idiom is count-then-argmax via
+    * `max(struct(cnt, value))` — ties resolve to the larger value on both
+    * engines).
+    */
+  def q_agg_mode(spark: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+      .groupBy(col("l_returnflag"), col("qty"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("l_returnflag"))
+      .agg(max(struct(col("cnt"), col("qty"))).as("m"))
+      .select(col("l_returnflag"), col("m.qty").as("mode_qty"), col("m.cnt").as("mode_cnt"))
+      .orderBy("l_returnflag")
+
   // ---- §2.6 sorts / top-k --------------------------------------------------
 
   /** Global top-10 customers by lifetime order value — Catalyst plans the

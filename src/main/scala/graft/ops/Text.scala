@@ -95,7 +95,11 @@ object Text {
     * distinct token sets; |A∪B| = |A| + |B| − |A∩B|. One shuffle on the
     * block+token key — the pair space stays per-block.
     */
-  def q_neardup_jaccard(spark: SparkSession, sf: String): DataFrame = {
+  /** Near-dup pairs (J ≥ 0.8 within a (lang, source) block) — shared by
+    * [[q_neardup_jaccard]] and the component clustering of
+    * [[q_dedup_components]].
+    */
+  private[ops] def neardupPairs(spark: SparkSession, sf: String): DataFrame = {
     val toks = Tables.documents(spark, sf)
       .select(col("doc_id"), col("lang"), col("source"),
         explode(array_distinct(tokens(col("text")))).as("word"))
@@ -115,7 +119,112 @@ object Text {
       .filter(col("jaccard") >= 0.8)
       .select(col("lang"), col("source"), col("d1"), col("d2"),
         round(col("jaccard"), 4).as("j"))
-      .orderBy("lang", "source", "d1", "d2")
+  }
+
+  def q_neardup_jaccard(spark: SparkSession, sf: String): DataFrame =
+    neardupPairs(spark, sf).orderBy("lang", "source", "d1", "d2")
+
+  /** Dedup cluster discovery: connected components over the union of
+    * exact-dup edges (same md5 fingerprint → star to the group's min id)
+    * and near-dup edges (Jaccard ≥ 0.8). Spark side runs min-label
+    * propagation with pointer-doubling shortcuts (converges in
+    * O(log diameter) rounds; each round is two small joins on the
+    * edge/label tables, with `localCheckpoint` truncating the iterative
+    * lineage — the large-star/small-star CC shape that scales to
+    * billion-edge graphs). The oracle computes the same components by
+    * recursive-CTE transitive closure, feasible because dup components
+    * are small by nature. Output: one row per component (labelled by its
+    * min doc_id) with size and max member.
+    */
+  def q_dedup_components(spark: SparkSession, sf: String): DataFrame = {
+    val exactEdges = Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+      .withColumn("m", min(col("doc_id")).over(Window.partitionBy("fp")))
+      .filter(col("m") =!= col("doc_id"))
+      .select(col("m").as("a"), col("doc_id").as("b"))
+    val nearEdges = neardupPairs(spark, sf).select(col("d1").as("a"), col("d2").as("b"))
+    val e = exactEdges.union(nearEdges).distinct()
+    val und = e.union(e.select(col("b").as("a"), col("a").as("b"))).localCheckpoint()
+    var labels = und.select(col("a").as("v")).distinct()
+      .withColumn("comp", col("v")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 50) {
+      val nbr = und.join(labels, und("b") === labels("v"))
+        .groupBy(und("a").as("v"))
+        .agg(min(col("comp")).as("nc"))
+      val stepped = labels.as("l")
+        .join(nbr.as("n"), col("l.v") === col("n.v"), "left_outer")
+        .select(col("l.v").as("v"),
+          least(col("l.comp"), coalesce(col("n.nc"), col("l.comp"))).as("comp"))
+      // pointer doubling: follow the label's own label (halves the
+      // remaining propagation distance each round)
+      val next = stepped.as("x")
+        .join(stepped.select(col("v").as("cv"), col("comp").as("ccomp")).as("y"),
+          col("x.comp") === col("y.cv"), "left_outer")
+        .select(col("x.v").as("v"),
+          least(col("x.comp"), coalesce(col("y.ccomp"), col("x.comp"))).as("comp"))
+        .localCheckpoint()
+      val changed = next.as("p").join(labels.as("q"), col("p.v") === col("q.v"))
+        .filter(col("p.comp") < col("q.comp")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_docs"), max(col("v")).as("max_doc"))
+      .orderBy("comp")
+  }
+
+  /** Shannon entropy of the token distribution per language, from exact
+    * integer counts: each count's c·ln(c) term is rounded to an e4 integer
+    * BEFORE summation (the same proven cross-engine `ROUND(LN(·)·1e4)`
+    * lattice the NB model uses), so the sum is order-independent; the
+    * closed-form epilogue H = ln(n) − Σ/(n·10⁴) runs on both engines as
+    * the identical IEEE tree.
+    */
+  def q_token_entropy(spark: SparkSession, sf: String): DataFrame =
+    docTokens(spark, sf)
+      .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("c"))
+      .select(col("lang"), col("c"),
+        round(col("c").cast("double") * log(col("c").cast("double")) * 1e4)
+          .cast("long").as("clnc_e4"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("vocab"), sum(col("c")).as("n_tokens"),
+        sum(col("clnc_e4")).as("s_e4"))
+      .select(col("lang"), col("vocab"), col("n_tokens"),
+        (round(
+          log(col("n_tokens").cast("double")) -
+            col("s_e4").cast("double") / (col("n_tokens").cast("double") * lit(1e4)),
+          4) + lit(0.0)).as("entropy"))
+      .orderBy("lang")
+
+  /** Collocation extraction by pointwise mutual information: bigrams seen
+    * ≥ 5 times ranked by PMI = ln(c12·N / (c1·c2)) with margins re-summed
+    * from the bigram aggregate itself (no second corpus pass); e4 integer
+    * PMI keeps ordering engine-exact.
+    */
+  def q_colloc_pmi(spark: SparkSession, sf: String): DataFrame = {
+    val bg = Tables.documents(spark, sf)
+      .select(tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))"))
+        .as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val tot = bg.agg(sum(col("c12")).as("n"))
+    bg.withColumn("c1", sum(col("c12")).over(Window.partitionBy("w1")))
+      .withColumn("c2", sum(col("c12")).over(Window.partitionBy("w2")))
+      .filter(col("c12") >= 5)
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(log(
+          (col("c12").cast("double") * col("n").cast("double")) /
+            (col("c1").cast("double") * col("c2").cast("double"))) * 1e4)
+          .cast("long").as("pmi_e4"))
+      .orderBy(col("pmi_e4").desc, col("w1").asc, col("w2").asc)
+      .limit(30)
   }
 
   /** Lexicon sentiment (fixed 2+2 word lexicon). Per-language output keeps

@@ -1070,6 +1070,85 @@ object OracleSql {
       FROM b LEFT JOIN m ON b.w1 = m.w1 AND b.w2 = m.w2
       GROUP BY doc_id ORDER BY doc_id""",
 
+    // ---- round 2 batch 3: components / salting / entropy / PMI / mode ------
+
+    "q_dedup_components" -> """
+      WITH RECURSIVE
+        fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        ex AS (SELECT m AS a, doc_id AS b FROM
+                 (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fp) AS m FROM fp)
+               WHERE m <> doc_id),
+        toks AS (SELECT DISTINCT doc_id, lang, source, word
+                 FROM (SELECT doc_id, lang, source,
+                              unnest(string_split(lower(text), ' ')) AS word FROM documents)),
+        sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM toks GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS i
+                  FROM toks a JOIN toks b
+                    ON a.lang = b.lang AND a.source = b.source
+                   AND a.word = b.word AND a.doc_id < b.doc_id
+                  GROUP BY a.doc_id, b.doc_id),
+        near AS (SELECT d1 AS a, d2 AS b
+                 FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+                 WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.8),
+        e AS (SELECT a, b FROM ex UNION SELECT a, b FROM near),
+        und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        verts AS (SELECT DISTINCT a AS v FROM und),
+        reach AS (SELECT v AS src, v AS dst FROM verts
+                  UNION
+                  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+        comp AS (SELECT src AS v, MIN(dst) AS comp FROM reach GROUP BY src)
+      SELECT comp, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(MAX(v) AS BIGINT) AS max_doc
+      FROM comp GROUP BY comp ORDER BY comp""",
+
+    "q_join_salted" -> """
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                      * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS rev_e4
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q_token_entropy" -> """
+      WITH c AS (SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS c
+                 FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS word FROM documents)
+                 GROUP BY lang, word),
+           t AS (SELECT lang, c,
+                        CAST(ROUND(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE)) * 1e4) AS BIGINT) AS clnc_e4
+                 FROM c),
+           s AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS vocab, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                        CAST(SUM(clnc_e4) AS BIGINT) AS s_e4
+                 FROM t GROUP BY lang)
+      SELECT lang, vocab, n_tokens,
+             ROUND(LN(CAST(n_tokens AS DOUBLE))
+                   - CAST(s_e4 AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1e4), 4) + 0 AS entropy
+      FROM s ORDER BY lang""",
+
+    "q_colloc_pmi" -> """
+      WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w,
+                          generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+                   FROM documents),
+           b AS (SELECT w1, w2 FROM
+                   (SELECT doc_id, w AS w1, LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM tok)
+                 WHERE w2 IS NOT NULL),
+           c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM b GROUP BY w1, w2),
+           m AS (SELECT w1, w2, c12,
+                        CAST(SUM(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1,
+                        CAST(SUM(c12) OVER (PARTITION BY w2) AS BIGINT) AS c2,
+                        CAST(SUM(c12) OVER () AS BIGINT) AS n
+                 FROM c)
+      SELECT w1, w2, c12,
+             CAST(ROUND(LN((CAST(c12 AS DOUBLE) * CAST(n AS DOUBLE))
+                           / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))) * 1e4) AS BIGINT) AS pmi_e4
+      FROM m WHERE c12 >= 5
+      ORDER BY pmi_e4 DESC, w1, w2 LIMIT 30""",
+
+    "q_agg_mode" -> """
+      SELECT l_returnflag, qty AS mode_qty, cnt AS mode_cnt FROM (
+        SELECT l_returnflag, qty, cnt,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY cnt DESC, qty DESC) AS rn
+        FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM lineitem GROUP BY l_returnflag, qty))
+      WHERE rn = 1 ORDER BY l_returnflag""",
+
     "q_pii_redact" -> """
       SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(CASE WHEN digits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_digits,
