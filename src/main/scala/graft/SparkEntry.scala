@@ -105,6 +105,11 @@ object SparkEntry {
     "q_token_entropy"       -> (Text.q_token_entropy _),
     "q_colloc_pmi"          -> (Text.q_colloc_pmi _),
     "q_agg_mode"            -> (Relational.q_agg_mode _),
+    // round 2 batch 4: funnel / retention / fuzzy / spearman (§2.18)
+    "q_funnel"              -> (Events.q_funnel _),
+    "q_retention"           -> (Events.q_retention _),
+    "q_fuzzy_match"         -> (Relational.q_fuzzy_match _),
+    "q_corr_spearman"       -> (MLDeterministic.q_corr_spearman _),
     // capability-only (no oracle — engine-specific sketch internals;
     // driver records the weaker rows-only check, tests gate the accuracy)
     "q_approx_distinct"     -> (Relational.q_approx_distinct _),

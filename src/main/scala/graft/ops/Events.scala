@@ -52,6 +52,48 @@ object Events {
     raw.join(uniq, "event_type").orderBy("event_type")
   }
 
+  /** Strict ordered funnel view → click → purchase: each stage keeps the
+    * user's earliest qualifying event AFTER the previous stage's time.
+    * Three filtered min-aggregates chained by user-key joins (each stage's
+    * survivor set only shrinks), then four single-row counts — the
+    * standard scalable funnel shape, no per-user event sorting.
+    */
+  def q_funnel(spark: SparkSession, sf: String): DataFrame = {
+    // raw nanosecond longs on BOTH engines (oracle: epoch_ns) — the stage
+    // comparisons must see identical time resolution
+    val e = Tables.eventsWithTs(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts").as("t"))
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("t")).as("t1"))
+    val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
+      .filter(col("t") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("t")).as("t2"))
+    val s3 = e.filter(col("event_type") === "purchase").join(s2, "user_id")
+      .filter(col("t") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("t")).as("t3"))
+    e.agg(countDistinct(col("user_id")).as("n_users"))
+      .crossJoin(s1.agg(count(lit(1)).as("n_view")))
+      .crossJoin(s2.agg(count(lit(1)).as("n_view_click")))
+      .crossJoin(s3.agg(count(lit(1)).as("n_view_click_purchase")))
+  }
+
+  /** Cohort retention: users grouped by first-active day, activity counted
+    * per day offset 0..7. `distinct (user, day)` first, so the cohort join
+    * and the final count stay proportional to active-user-days, not raw
+    * events.
+    */
+  def q_retention(spark: SparkSession, sf: String): DataFrame = {
+    val act = Tables.eventsWithTs(spark, sf)
+      .select(col("user_id"), to_date(col("ts_us")).as("d")).distinct()
+    val cohort = act.groupBy(col("user_id")).agg(min(col("d")).as("c"))
+    act.join(cohort, "user_id")
+      .withColumn("offset", datediff(col("d"), col("c")).cast("long"))
+      .filter(col("offset") <= 7)
+      .groupBy(date_format(col("c"), "yyyy-MM-dd").as("cohort_day"), col("offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "offset")
+  }
+
   /** Sessionization with a 30-minute inactivity gap, computed with the
     * lag/cumulative-sum idiom (matches session_window merge semantics —
     * asserted by a streaming test). Exact integer µs throughout.

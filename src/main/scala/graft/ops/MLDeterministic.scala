@@ -101,6 +101,33 @@ object MLDeterministic {
       .orderBy("pair")
   }
 
+  /** Spearman rank correlation (min-rank variant) of quantity vs price per
+    * return flag: RANK() assigns identical integer ranks on both engines
+    * (ties → min rank), then the Pearson epilogue runs on exact integer
+    * rank sums — same one-pass sufficient-statistics shape as
+    * [[q_corr_matrix]], rank products carried in decimal.
+    */
+  def q_corr_spearman(spark: SparkSession, sf: String): DataFrame = {
+    val t = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").as("flag"),
+        col("l_quantity").cast("long").as("q"), cents(col("l_extendedprice")).as("p"))
+      .withColumn("rq", rank().over(Window.partitionBy("flag").orderBy("q")).cast("long"))
+      .withColumn("rp", rank().over(Window.partitionBy("flag").orderBy("p")).cast("long"))
+    def dsum(x: Column, y: Column): Column = sum(x.cast("decimal(38,0)") * y)
+    val s = t.groupBy(col("flag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("rq")).as("sq"), sum(col("rp")).as("sp"),
+        dsum(col("rq"), col("rq")).as("sqq"), dsum(col("rp"), col("rp")).as("spp"),
+        dsum(col("rq"), col("rp")).as("sqp"))
+    val nD = col("n").cast("double")
+    val num = nD * col("sqp").cast("double") - col("sq").cast("double") * col("sp").cast("double")
+    val dx = nD * col("sqq").cast("double") - col("sq").cast("double") * col("sq").cast("double")
+    val dy = nD * col("spp").cast("double") - col("sp").cast("double") * col("sp").cast("double")
+    s.select(col("flag"), col("n"),
+      (round(num / sqrt(dx * dy), 4) + lit(0.0)).as("rho"))
+      .orderBy("flag")
+  }
+
   private def docTokens(spark: SparkSession, sf: String): DataFrame =
     Tables.documents(spark, sf)
       .select(col("doc_id"), col("lang"), explode(split(lower(col("text")), " ")).as("word"))

@@ -233,6 +233,33 @@ object Relational {
       .select(col("l_returnflag"), col("m.qty").as("mode_qty"), col("m.cnt").as("mode_cnt"))
       .orderBy("l_returnflag")
 
+  /** Fuzzy entity matching: same-nation supplier name pairs within
+    * Levenshtein distance ≤ 2, summarized per nation with the closest
+    * example pair (min over `struct(d, name1, name2)` — deterministic tie
+    * order). The pair product is blocked by nation, so the quadratic term
+    * is bounded per block — the blocking-key shape record linkage uses at
+    * scale.
+    */
+  def q_fuzzy_match(spark: SparkSession, sf: String): DataFrame = {
+    val s = Tables.supplier(spark, sf)
+      .select(col("s_nationkey"), col("s_suppkey"), col("s_name"))
+    s.as("a")
+      .join(s.as("b"),
+        col("a.s_nationkey") === col("b.s_nationkey") &&
+          col("a.s_suppkey") < col("b.s_suppkey"))
+      .withColumn("d", levenshtein(col("a.s_name"), col("b.s_name")).cast("long"))
+      .filter(col("d") <= 2L)
+      .groupBy(col("a.s_nationkey").as("nationkey"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("d") === 1L, 1L).otherwise(0L)).as("n_d1"),
+        min(struct(col("d"), col("a.s_name").as("n1"), col("b.s_name").as("n2"))).as("m"))
+      .select(col("nationkey").cast("long").as("nationkey"), col("n_pairs"),
+        col("n_d1"), col("m.d").as("best_d"), col("m.n1").as("best_1"),
+        col("m.n2").as("best_2"))
+      .orderBy("nationkey")
+  }
+
   // ---- §2.6 sorts / top-k --------------------------------------------------
 
   /** Global top-10 customers by lifetime order value — Catalyst plans the

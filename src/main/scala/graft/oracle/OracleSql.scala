@@ -1070,6 +1070,64 @@ object OracleSql {
       FROM b LEFT JOIN m ON b.w1 = m.w1 AND b.w2 = m.w2
       GROUP BY doc_id ORDER BY doc_id""",
 
+    // ---- round 2 batch 4: funnel / retention / fuzzy / spearman ------------
+
+    "q_funnel" -> """
+      WITH e AS (SELECT user_id, event_type, CAST(epoch_ns(ts) AS BIGINT) AS t FROM events),
+           s1 AS (SELECT user_id, MIN(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+           s2 AS (SELECT e.user_id, MIN(t) AS t2 FROM e JOIN s1 ON e.user_id = s1.user_id
+                  WHERE event_type = 'click' AND t > t1 GROUP BY e.user_id),
+           s3 AS (SELECT e.user_id, MIN(t) AS t3 FROM e JOIN s2 ON e.user_id = s2.user_id
+                  WHERE event_type = 'purchase' AND t > t2 GROUP BY e.user_id)
+      SELECT (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM e) AS n_users,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_view,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n_view_click,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n_view_click_purchase""",
+
+    "q_retention" -> """
+      WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+           cohort AS (SELECT user_id, MIN(d) AS c FROM act GROUP BY user_id)
+      SELECT strftime(c, '%Y-%m-%d') AS cohort_day,
+             CAST(date_diff('day', c, d) AS BIGINT) AS "offset",
+             CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM act JOIN cohort USING (user_id)
+      WHERE date_diff('day', c, d) <= 7
+      GROUP BY cohort_day, "offset" ORDER BY cohort_day, "offset"""",
+
+    "q_fuzzy_match" -> """
+      WITH p AS (SELECT a.s_nationkey AS nationkey,
+                        CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS d,
+                        a.s_name AS n1, b.s_name AS n2
+                 FROM supplier a JOIN supplier b
+                   ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+                 WHERE levenshtein(a.s_name, b.s_name) <= 2),
+           agg AS (SELECT nationkey, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                          CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_d1
+                   FROM p GROUP BY nationkey),
+           best AS (SELECT nationkey, d AS best_d, n1 AS best_1, n2 AS best_2 FROM
+                      (SELECT *, ROW_NUMBER() OVER (PARTITION BY nationkey ORDER BY d, n1, n2) AS rn FROM p)
+                    WHERE rn = 1)
+      SELECT CAST(nationkey AS BIGINT) AS nationkey, n_pairs, n_d1, best_d, best_1, best_2
+      FROM agg JOIN best USING (nationkey) ORDER BY nationkey""",
+
+    "q_corr_spearman" -> """
+      WITH t AS (SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS q,
+                        CAST(ROUND(l_extendedprice*100) AS BIGINT) AS p FROM lineitem),
+           r AS (SELECT flag,
+                        CAST(RANK() OVER (PARTITION BY flag ORDER BY q) AS BIGINT) AS rq,
+                        CAST(RANK() OVER (PARTITION BY flag ORDER BY p) AS BIGINT) AS rp
+                 FROM t),
+           s AS (SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(rq) AS BIGINT) AS sq, CAST(SUM(rp) AS BIGINT) AS sp,
+                        SUM(CAST(rq AS HUGEINT) * rq) AS sqq, SUM(CAST(rp AS HUGEINT) * rp) AS spp,
+                        SUM(CAST(rq AS HUGEINT) * rp) AS sqp
+                 FROM r GROUP BY flag)
+      SELECT flag, n,
+             ROUND((CAST(n AS DOUBLE)*CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE)*CAST(sp AS DOUBLE))
+                   / SQRT((CAST(n AS DOUBLE)*CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE)*CAST(sq AS DOUBLE))
+                        * (CAST(n AS DOUBLE)*CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE)*CAST(sp AS DOUBLE))), 4) + 0 AS rho
+      FROM s ORDER BY flag""",
+
     // ---- round 2 batch 3: components / salting / entropy / PMI / mode ------
 
     "q_dedup_components" -> """
