@@ -149,6 +149,7 @@ object Text {
       .withColumn("comp", col("v")).localCheckpoint()
     var converged = false
     var iter = 0
+    var labelSum: java.math.BigDecimal = null
     while (!converged && iter < 50) {
       val nbr = und.join(labels, und("b") === labels("v"))
         .groupBy(und("a").as("v"))
@@ -165,10 +166,13 @@ object Text {
         .select(col("x.v").as("v"),
           least(col("x.comp"), coalesce(col("y.ccomp"), col("x.comp"))).as("comp"))
         .localCheckpoint()
-      val changed = next.as("p").join(labels.as("q"), col("p.v") === col("q.v"))
-        .filter(col("p.comp") < col("q.comp")).count()
+      // labels only ever decrease, so Σcomp is strictly monotone until the
+      // fixpoint — one scalar aggregate per round instead of a compare-join
+      val sum = next.agg(org.apache.spark.sql.functions.sum(col("comp")).cast("decimal(38,0)"))
+        .head().getDecimal(0)
+      converged = labelSum != null && labelSum.compareTo(sum) == 0
+      labelSum = sum
       labels = next
-      converged = changed == 0
       iter += 1
     }
     labels.groupBy(col("comp"))

@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops._
+
+/** Physical-plan assertions for the round-2 operators: the scale posture
+  * (broadcast vs shuffle, nested-loop only for tiny build sides, no
+  * needless exchanges) is part of each operator's contract, not an
+  * accident of the optimizer's mood.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import TestSpark.sf
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("range-bin join: 5-row tier table goes through BroadcastNestedLoopJoin") {
+    val p = plan(Joins.q_join_range_bin(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("contamination: benchmark shingle set is broadcast, corpus never self-joins") {
+    val p = plan(TextPipeline.q_contamination(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
+  }
+
+  test("LM scoring: bigram model is broadcast onto the corpus side") {
+    val p = plan(TextPipeline.q_lm_score(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("min-max scaling: per-dim bounds broadcast onto the explode") {
+    val p = plan(Sampling.q_minmax_scale(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("anomaly detection: per-type stats broadcast back onto the scan") {
+    val p = plan(Sampling.q_anomaly_zscore(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("full outer join over pre-aggregated key-unique sides") {
+    val p = plan(Joins.q_join_full_outer(spark, sf))
+    assert(p.contains("FullOuter"), p)
+  }
+
+  test("hash split asks for no shuffle before the final aggregate") {
+    // the split assignment is a pure per-row map: exactly one exchange
+    // (for the groupBy), nothing upstream of it
+    val p = plan(Sampling.q_sample_hash_split(spark, sf))
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 3, s"expected <=3 exchanges (agg + sort + reuse), got $exchanges:\n$p")
+  }
+
+  test("pii redaction: regexes stay in one whole-stage codegen pass") {
+    // AQE prints codegen spans only in the FINAL plan — execute first
+    val df = Scalars.q_pii_redact(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // codegen spans print as "*(n)" stage markers in the final plan
+    assert(p.contains("*(1)"), p)
+  }
+
+  test("funnel stages shrink: each stage count <= previous") {
+    val r = Events.q_funnel(spark, sf).head()
+    val (n0, n1, n2, n3) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n0 >= n1 && n1 >= n2 && n2 >= n3, s"$n0 >= $n1 >= $n2 >= $n3")
+    assert(n1 > 0, "funnel is degenerate at smoke scale")
+  }
+
+  test("retention cohort day-0 count equals cohort size") {
+    val rows = Events.q_retention(spark, sf).collect()
+    // every user appears in their own cohort at offset 0
+    val day0 = rows.filter(_.getAs[Long]("offset") == 0L).map(_.getAs[Long]("n_users")).sum
+    val users = graft.core.Tables.eventsWithTs(spark, sf)
+      .select("user_id").distinct().count()
+    assert(day0 === users)
+  }
+
+  test("connected components: every near-dup pair lands in one component") {
+    val comp = Text.q_dedup_components(spark, sf).collect()
+      .map(r => (r.getAs[Long]("comp"), r.getAs[Long]("n_docs"))).toMap
+    val nMembers = comp.values.sum
+    assert(comp.keySet.forall(c => comp(c) >= 2), "component of size < 2")
+    assert(nMembers > comp.size, "no non-trivial component at smoke scale")
+  }
+
+  test("salted join result is identical to the plain join") {
+    val salted = Joins.q_join_salted(spark, sf).collect().map(_.toString).sorted
+    val plain = graft.core.Tables.lineitem(spark, sf)
+      .join(graft.core.Tables.orders(spark, sf),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_lines"),
+        org.apache.spark.sql.functions.sum(
+          graft.core.Det.cents(org.apache.spark.sql.functions.col("l_extendedprice")) *
+            (org.apache.spark.sql.functions.lit(100L) -
+              graft.core.Det.pct(org.apache.spark.sql.functions.col("l_discount"))))
+          .as("rev_e4"))
+      .orderBy("o_orderpriority")
+      .collect().map(_.toString).sorted
+    assert(salted.toSeq === plain.toSeq)
+  }
+}
