@@ -86,6 +86,27 @@ object Multimodal {
           sequence(lit(0L), greatest(lit(0L), expr(s"(duration_ms - 1) div $everyMs"))))
         .otherwise(array(lit(0L)))).as("frame_idx"))
 
+  /** Opaque-binary metadata extraction — the decode-free half of media
+    * handling, oracle-gated: byte length, content fingerprint, an 8-byte
+    * header sniff, and an every-64th-byte sample (the frame-sampling
+    * access pattern), all as pure binary builtins over `cast(text as
+    * binary)` (the fixtures carry no real media; the byte plumbing is
+    * identical). Everything stays inside whole-stage codegen.
+    */
+  def q_binary_meta(spark: SparkSession, sf: String): DataFrame =
+    graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text").cast("binary").as("b"))
+      .select(col("doc_id"),
+        length(col("b")).cast("long").as("n_bytes"),
+        md5(col("b")).as("fp"),
+        lower(hex(col("b"))).as("h"))
+      .select(
+        col("doc_id"), col("n_bytes"), col("fp"),
+        substring(col("h"), 1, 16).as("header"),
+        expr("concat_ws('', transform(sequence(0, 4), i -> substring(h, i*128 + 1, 2)))")
+          .as("sample"))
+      .orderBy("doc_id")
+
   /** Synthetic deterministic media fixture (content = seeded bytes). */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaItem] = {
     import spark.implicits._

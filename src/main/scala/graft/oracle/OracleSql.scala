@@ -1128,6 +1128,15 @@ object OracleSql {
                         * (CAST(n AS DOUBLE)*CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE)*CAST(sp AS DOUBLE))), 4) + 0 AS rho
       FROM s ORDER BY flag""",
 
+    "q_binary_meta" -> """
+      SELECT doc_id, n_bytes, fp, substring(h, 1, 16) AS header,
+             array_to_string(list_transform([0, 1, 2, 3, 4],
+               i -> substring(h, i*128 + 1, 2)), '') AS sample
+      FROM (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   md5(text) AS fp, lower(hex(encode(text))) AS h
+            FROM documents)
+      ORDER BY doc_id""",
+
     // ---- round 2 batch 3: components / salting / entropy / PMI / mode ------
 
     "q_dedup_components" -> """
