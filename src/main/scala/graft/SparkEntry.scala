@@ -111,6 +111,8 @@ object SparkEntry {
     "q_fuzzy_match"         -> (Relational.q_fuzzy_match _),
     "q_corr_spearman"       -> (MLDeterministic.q_corr_spearman _),
     "q_binary_meta"         -> (graft.multimodal.Multimodal.q_binary_meta _),
+    "q_window_ewma"         -> (Windows.q_window_ewma _),
+    "q_chi_square"          -> (MLDeterministic.q_chi_square _),
     // capability-only (no oracle — engine-specific sketch internals;
     // driver records the weaker rows-only check, tests gate the accuracy)
     "q_approx_distinct"     -> (Relational.q_approx_distinct _),

@@ -128,6 +128,33 @@ object MLDeterministic {
       .orderBy("flag")
   }
 
+  /** Chi-square independence test of return flag × line status from the
+    * exact contingency table: marginals via window re-sums of the cell
+    * counts, each cell's (o−e)²/e term rounded to an e6 integer BEFORE the
+    * (order-independent) sum, one fixed epilogue. The whole test is two
+    * shuffles: the cell aggregate and the single-row collapse.
+    */
+  def q_chi_square(spark: SparkSession, sf: String): DataFrame = {
+    val obs = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag").as("f"), col("l_linestatus").as("s"))
+      .agg(count(lit(1)).as("o"))
+      .withColumn("rowtot", sum(col("o")).over(Window.partitionBy("f")))
+      .withColumn("coltot", sum(col("o")).over(Window.partitionBy("s")))
+      .withColumn("n", sum(col("o")).over(Window.partitionBy()))
+    val e = col("rowtot").cast("double") * col("coltot").cast("double") / col("n").cast("double")
+    val d = col("o").cast("double") - e
+    val cells = obs.select(col("f"), col("s"), col("n"),
+      round(d * d / e * 1e6).cast("long").as("term_e6"))
+    cells.agg(
+      max(col("n")).as("n"),
+      countDistinct(col("f")).as("n_flags"),
+      countDistinct(col("s")).as("n_statuses"),
+      sum(col("term_e6")).as("s_e6"))
+      .select(col("n"), col("n_flags"), col("n_statuses"),
+        ((col("n_flags") - 1L) * (col("n_statuses") - 1L)).as("dof"),
+        (round(col("s_e6").cast("double") / lit(1e6), 4) + lit(0.0)).as("chi2"))
+  }
+
   private def docTokens(spark: SparkSession, sf: String): DataFrame =
     Tables.documents(spark, sf)
       .select(col("doc_id"), col("lang"), explode(split(lower(col("text")), " ")).as("word"))

@@ -106,6 +106,26 @@ object Windows {
       .orderBy("c_mktsegment", "bal", "c_custkey")
   }
 
+  /** Exponentially weighted moving average as a rolling feature: per user,
+    * EWMA of value cents over the last 8 events with FIXED integer e6
+    * weights (halving per step; literal constants on both engines — no
+    * runtime float-weight derivation, so the weighted sum is an exact
+    * integer). The recurrence unrolls into 8 `lag` terms — one window, no
+    * self-joins.
+    */
+  def q_window_ewma(spark: SparkSession, sf: String): DataFrame = {
+    val weights = Seq(1000000L, 500000L, 250000L, 125000L, 62500L, 31250L, 15625L, 7812L)
+    val w = Window.partitionBy("user_id").orderBy(col("ts_usl").asc, col("event_id").asc)
+    val terms = weights.zipWithIndex.map { case (wk, k) =>
+      coalesce(lag(col("v"), k).over(w), lit(0L)) * lit(wk)
+    }.reduce(_ + _)
+    Tables.eventsWithTs(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts_usl"), cents(col("value")).as("v"))
+      .withColumn("ewma_e6", terms)
+      .select(col("user_id"), col("event_id"), col("v"), col("ewma_e6"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Account-balance quartiles per market segment via NTILE(4). */
   def q_window_ntile(spark: SparkSession, sf: String): DataFrame = {
     val w = Window.partitionBy("c_mktsegment")

@@ -1128,6 +1128,41 @@ object OracleSql {
                         * (CAST(n AS DOUBLE)*CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE)*CAST(sp AS DOUBLE))), 4) + 0 AS rho
       FROM s ORDER BY flag""",
 
+    "q_window_ewma" -> """
+      SELECT user_id, event_id, v,
+             COALESCE(LAG(v, 0) OVER w, 0) * 1000000
+           + COALESCE(LAG(v, 1) OVER w, 0) * 500000
+           + COALESCE(LAG(v, 2) OVER w, 0) * 250000
+           + COALESCE(LAG(v, 3) OVER w, 0) * 125000
+           + COALESCE(LAG(v, 4) OVER w, 0) * 62500
+           + COALESCE(LAG(v, 5) OVER w, 0) * 31250
+           + COALESCE(LAG(v, 6) OVER w, 0) * 15625
+           + COALESCE(LAG(v, 7) OVER w, 0) * 7812 AS ewma_e6
+      FROM (SELECT user_id, event_id, epoch_us(ts) AS tu,
+                   CAST(ROUND(value*100) AS BIGINT) AS v FROM events)
+      WINDOW w AS (PARTITION BY user_id ORDER BY tu ASC, event_id ASC)
+      ORDER BY user_id, event_id""",
+
+    "q_chi_square" -> """
+      WITH obs AS (SELECT l_returnflag AS f, l_linestatus AS s, CAST(COUNT(*) AS BIGINT) AS o
+                   FROM lineitem GROUP BY f, s),
+           m AS (SELECT f, s, o,
+                        CAST(SUM(o) OVER (PARTITION BY f) AS BIGINT) AS rowtot,
+                        CAST(SUM(o) OVER (PARTITION BY s) AS BIGINT) AS coltot,
+                        CAST(SUM(o) OVER () AS BIGINT) AS n
+                 FROM obs),
+           cells AS (SELECT f, s, n,
+                            CAST(ROUND((CAST(o AS DOUBLE) - CAST(rowtot AS DOUBLE)*CAST(coltot AS DOUBLE)/CAST(n AS DOUBLE))
+                                     * (CAST(o AS DOUBLE) - CAST(rowtot AS DOUBLE)*CAST(coltot AS DOUBLE)/CAST(n AS DOUBLE))
+                                     / (CAST(rowtot AS DOUBLE)*CAST(coltot AS DOUBLE)/CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS term_e6
+                     FROM m)
+      SELECT CAST(MAX(n) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT f) AS BIGINT) AS n_flags,
+             CAST(COUNT(DISTINCT s) AS BIGINT) AS n_statuses,
+             CAST((COUNT(DISTINCT f) - 1) * (COUNT(DISTINCT s) - 1) AS BIGINT) AS dof,
+             ROUND(CAST(SUM(term_e6) AS DOUBLE) / 1e6, 4) + 0 AS chi2
+      FROM cells""",
+
     "q_binary_meta" -> """
       SELECT doc_id, n_bytes, fp, substring(h, 1, 16) AS header,
              array_to_string(list_transform([0, 1, 2, 3, 4],
