@@ -113,6 +113,7 @@ object SparkEntry {
     "q_binary_meta"         -> (graft.multimodal.Multimodal.q_binary_meta _),
     "q_window_ewma"         -> (Windows.q_window_ewma _),
     "q_chi_square"          -> (MLDeterministic.q_chi_square _),
+    "q_recursive_calendar"  -> (Events.q_recursive_calendar _),
     // capability-only (no oracle — engine-specific sketch internals;
     // driver records the weaker rows-only check, tests gate the accuracy)
     "q_approx_distinct"     -> (Relational.q_approx_distinct _),

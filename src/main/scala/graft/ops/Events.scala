@@ -94,6 +94,30 @@ object Events {
       .orderBy("cohort_day", "offset")
   }
 
+  /** Recursive CTE (Spark 4's WITH RECURSIVE, through the SQL entry path):
+    * a generated calendar scaffold from the event stream's min to max day
+    * (bounded recursion — one level per day), LEFT JOINed back to daily
+    * event counts so silent days appear as explicit zeros. The same
+    * recursive SQL runs on the oracle.
+    */
+  def q_recursive_calendar(spark: SparkSession, sf: String): DataFrame = {
+    Tables.eventsWithTs(spark, sf)
+      .select(to_date(col("ts_us")).as("d"))
+      .createOrReplaceTempView("event_days_v")
+    spark.sql("""
+      WITH RECURSIVE
+        bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM event_days_v),
+        days(d) AS (
+          SELECT lo FROM bounds
+          UNION ALL
+          SELECT date_add(days.d, 1) FROM days, bounds WHERE days.d < bounds.hi),
+        daily AS (SELECT d, COUNT(*) AS n FROM event_days_v GROUP BY d)
+      SELECT date_format(days.d, 'yyyy-MM-dd') AS day,
+             CAST(COALESCE(daily.n, 0) AS BIGINT) AS n_events
+      FROM days LEFT JOIN daily ON days.d = daily.d
+      ORDER BY day""")
+  }
+
   /** Sessionization with a 30-minute inactivity gap, computed with the
     * lag/cumulative-sum idiom (matches session_window merge semantics —
     * asserted by a streaming test). Exact integer µs throughout.

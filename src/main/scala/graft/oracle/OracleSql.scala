@@ -1128,6 +1128,20 @@ object OracleSql {
                         * (CAST(n AS DOUBLE)*CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE)*CAST(sp AS DOUBLE))), 4) + 0 AS rho
       FROM s ORDER BY flag""",
 
+    "q_recursive_calendar" -> """
+      WITH RECURSIVE
+        ed AS (SELECT CAST(ts AS DATE) AS d FROM events),
+        bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM ed),
+        days(d) AS (
+          SELECT lo FROM bounds
+          UNION ALL
+          SELECT days.d + INTERVAL 1 DAY FROM days, bounds WHERE days.d < bounds.hi),
+        daily AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM ed GROUP BY d)
+      SELECT strftime(CAST(days.d AS DATE), '%Y-%m-%d') AS day,
+             CAST(COALESCE(daily.n, 0) AS BIGINT) AS n_events
+      FROM days LEFT JOIN daily ON days.d = daily.d
+      ORDER BY day""",
+
     "q_window_ewma" -> """
       SELECT user_id, event_id, v,
              COALESCE(LAG(v, 0) OVER w, 0) * 1000000
