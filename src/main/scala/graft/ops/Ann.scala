@@ -94,14 +94,18 @@ object Ann {
     val withBucket = v.join(buckets, "vec_id")
     val query = withBucket.filter(col("vec_id") === 0)
       .select(col("bucket"), col("qe").as("q_qe"), col("nrm").as("q_nrm"))
-    val w = Window.orderBy(col("cos").desc, col("vec_id").asc)
+    // rank WITHIN the bucket (a single bucket for one query, but the
+    // partition key keeps multi-query batches parallel and avoids a
+    // global single-partition window)
+    val w = Window.partitionBy("bucket").orderBy(col("cos").desc, col("vec_id").asc)
     withBucket.join(broadcast(query), "bucket")
       .filter(col("vec_id") =!= 0)
-      .select(col("vec_id"),
+      .select(col("bucket"), col("vec_id"),
         (round(Vectors.cosine(Vectors.dotE14(col("qe"), col("q_qe")), col("nrm"), col("q_nrm")), 4) + lit(0.0))
           .as("cos"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 5)
+      .select(col("vec_id"), col("cos"), col("rnk"))
       .orderBy("rnk", "vec_id")
   }
 }

@@ -135,12 +135,14 @@ object MLDeterministic {
     * shuffles: the cell aggregate and the single-row collapse.
     */
   def q_chi_square(spark: SparkSession, sf: String): DataFrame = {
-    val obs = Tables.lineitem(spark, sf)
+    val cellCounts = Tables.lineitem(spark, sf)
       .groupBy(col("l_returnflag").as("f"), col("l_linestatus").as("s"))
       .agg(count(lit(1)).as("o"))
+    val obs = cellCounts
       .withColumn("rowtot", sum(col("o")).over(Window.partitionBy("f")))
       .withColumn("coltot", sum(col("o")).over(Window.partitionBy("s")))
-      .withColumn("n", sum(col("o")).over(Window.partitionBy()))
+      // grand total via a broadcast 1-row aggregate, not a global window
+      .crossJoin(broadcast(cellCounts.agg(sum(col("o")).as("n"))))
     val e = col("rowtot").cast("double") * col("coltot").cast("double") / col("n").cast("double")
     val d = col("o").cast("double") - e
     val cells = obs.select(col("f"), col("s"), col("n"),

@@ -87,6 +87,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(nMembers > comp.size, "no non-trivial component at smoke scale")
   }
 
+  test("no query plans a global (partition-less) window") {
+    // an empty partitionSpec moves ALL rows to one task — a 100 TB
+    // red flag; every window in the inventory must carry a partition key
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val n = fn(spark, sf).queryExecution.optimizedPlan.collect {
+        case w: LogicalWindow if w.partitionSpec.isEmpty => w
+      }.size
+      if (n > 0) Some(s"$name($n)") else None
+    }
+    assert(offenders.isEmpty, s"global windows in: ${offenders.mkString(", ")}")
+  }
+
   test("salted join result is identical to the plain join") {
     val salted = Joins.q_join_salted(spark, sf).collect().map(_.toString).sorted
     val plain = graft.core.Tables.lineitem(spark, sf)
