@@ -114,6 +114,8 @@ object SparkEntry {
     "q_window_ewma"         -> (Windows.q_window_ewma _),
     "q_chi_square"          -> (MLDeterministic.q_chi_square _),
     "q_recursive_calendar"  -> (Events.q_recursive_calendar _),
+    "q_join_interval"       -> (Joins.q_join_interval _),
+    "q_agg_weighted"        -> (Relational.q_agg_weighted _),
     // capability-only (no oracle — engine-specific sketch internals;
     // driver records the weaker rows-only check, tests gate the accuracy)
     "q_approx_distinct"     -> (Relational.q_approx_distinct _),

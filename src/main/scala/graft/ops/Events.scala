@@ -101,16 +101,19 @@ object Events {
     * recursive SQL runs on the oracle.
     */
   def q_recursive_calendar(spark: SparkSession, sf: String): DataFrame = {
-    Tables.eventsWithTs(spark, sf)
-      .select(to_date(col("ts_us")).as("d"))
-      .createOrReplaceTempView("event_days_v")
-    spark.sql("""
+    val ed = Tables.eventsWithTs(spark, sf).select(to_date(col("ts_us")).as("d"))
+    ed.createOrReplaceTempView("event_days_v")
+    // resolve the bounds ONCE (a 1-row aggregate) and inline them as date
+    // literals — inside the recursive CTE the bounds subquery would be
+    // recomputed per recursion level (30 full scans at 30 days of data)
+    val b = ed.agg(min(col("d")).as("lo"), max(col("d")).as("hi")).head()
+    val (lo, hi) = (b.getDate(0), b.getDate(1))
+    spark.sql(s"""
       WITH RECURSIVE
-        bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM event_days_v),
         days(d) AS (
-          SELECT lo FROM bounds
+          SELECT DATE'$lo'
           UNION ALL
-          SELECT date_add(days.d, 1) FROM days, bounds WHERE days.d < bounds.hi),
+          SELECT date_add(d, 1) FROM days WHERE d < DATE'$hi'),
         daily AS (SELECT d, COUNT(*) AS n FROM event_days_v GROUP BY d)
       SELECT date_format(days.d, 'yyyy-MM-dd') AS day,
              CAST(COALESCE(daily.n, 0) AS BIGINT) AS n_events

@@ -140,6 +140,32 @@ object Joins {
       .orderBy("o_orderpriority")
   }
 
+  /** Interval (time-window) join — the batch twin of a stream-stream join
+    * with a ±5-minute join window: for each purchase, the count and types
+    * of OTHER events by the same user within the window. Equi-key on user
+    * plus a residual time predicate; integer µs throughout. At fleet scale
+    * the same plan applies with time-bucketed keys (user, window-bucket) to
+    * bound the per-key product; per-user event counts here make the
+    * residual filter cheap.
+    */
+  def q_join_interval(spark: SparkSession, sf: String): DataFrame = {
+    val ev = Tables.eventsWithTs(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts_usl"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts_usl").as("p_ts"))
+    val win = 300000000L // 5 minutes in µs
+    purchases.join(ev,
+        Seq("user_id"))
+      .filter(col("event_id") =!= col("p_id") &&
+        col("ts_usl") >= col("p_ts") - win && col("ts_usl") <= col("p_ts") + win)
+      .groupBy(col("p_id"))
+      .agg(
+        count(lit(1)).as("n_nearby"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_views"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_clicks"))
+      .orderBy("p_id")
+  }
+
   /** As-of join idiom: for each purchase, the nearest preceding event of
     * the same user. Spark SQL has no native ASOF JOIN; the scalable idiom
     * for self-as-of is a window `lag` over (user, time) — one shuffle on

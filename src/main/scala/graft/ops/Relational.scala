@@ -218,6 +218,24 @@ object Relational {
       .orderBy("n_name")
   }
 
+  /** Quantity-weighted average price per return flag: exact integer
+    * numerator (Σ cents·qty in decimal — overflow-proof) and denominator,
+    * one double division at the end — the weighted-mean shape every
+    * feature pipeline needs, summation-order-proof.
+    */
+  def q_agg_weighted(spark: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), cents(col("l_extendedprice")).as("p"),
+        col("l_quantity").cast("long").as("q"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("q")).as("sum_qty"),
+        sum(col("p").cast("decimal(38,0)") * col("q")).cast("decimal(38,0)").as("wsum"))
+      .select(col("l_returnflag"), col("sum_qty"),
+        (round(col("wsum").cast("double") / (col("sum_qty").cast("double") * lit(100.0)), 4)
+          + lit(0.0)).as("wavg_price"))
+      .orderBy("l_returnflag")
+
   /** Deterministic MODE: most frequent quantity per return flag (Spark's
     * `mode()` ties are unspecified, so the idiom is count-then-argmax via
     * `max(struct(cnt, value))` — ties resolve to the larger value on both

@@ -1128,6 +1128,25 @@ object OracleSql {
                         * (CAST(n AS DOUBLE)*CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE)*CAST(sp AS DOUBLE))), 4) + 0 AS rho
       FROM s ORDER BY flag""",
 
+    "q_join_interval" -> """
+      WITH ev AS (SELECT user_id, event_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS t FROM events),
+           p AS (SELECT user_id, event_id AS p_id, t AS p_ts FROM ev WHERE event_type = 'purchase')
+      SELECT p_id, CAST(COUNT(*) AS BIGINT) AS n_nearby,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_views,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks
+      FROM p JOIN ev ON p.user_id = ev.user_id
+       AND ev.event_id <> p.p_id
+       AND ev.t >= p.p_ts - 300000000 AND ev.t <= p.p_ts + 300000000
+      GROUP BY p_id ORDER BY p_id""",
+
+    "q_agg_weighted" -> """
+      SELECT l_returnflag, CAST(SUM(q) AS BIGINT) AS sum_qty,
+             ROUND(CAST(SUM(CAST(p AS HUGEINT) * q) AS DOUBLE)
+                   / (CAST(SUM(q) AS DOUBLE) * 100.0), 4) + 0 AS wavg_price
+      FROM (SELECT l_returnflag, CAST(ROUND(l_extendedprice*100) AS BIGINT) AS p,
+                   CAST(l_quantity AS BIGINT) AS q FROM lineitem)
+      GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     "q_recursive_calendar" -> """
       WITH RECURSIVE
         ed AS (SELECT CAST(ts AS DATE) AS d FROM events),
