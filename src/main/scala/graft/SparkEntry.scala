@@ -78,6 +78,7 @@ object SparkEntry {
     // round 2: sampling / splits / profiling / LM / frames (SURVEY.md §2.15)
     "q_sample_hash_split"   -> (Sampling.q_sample_hash_split _),
     "q_sample_stratified"   -> (Sampling.q_sample_stratified _),
+    "q_sample_weighted"     -> (Sampling.q_sample_weighted _),
     "q_hist_value"          -> (Sampling.q_hist_value _),
     "q_feature_stats"       -> (Sampling.q_feature_stats _),
     "q_grouping_sets"       -> (Relational.q_grouping_sets _),

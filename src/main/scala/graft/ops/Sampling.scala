@@ -54,6 +54,24 @@ object Sampling {
       .orderBy("lang", "source", "rk")
   }
 
+  /** Weighted sample: top-20 documents per language by integer priority
+    * key `md5-hash(doc_id) · n_chars` — longer documents proportionally
+    * more likely to surface, yet the draw is exact integer arithmetic
+    * (no float keys whose near-ties could order differently across
+    * engines) and needs no seed coordination: each row computes its own
+    * priority.
+    */
+  def q_sample_weighted(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("prio").desc, col("doc_id").asc)
+    Tables.documents(spark, sf)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        (idHash(col("doc_id")) * col("n_chars")).as("prio"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 20)
+      .select(col("lang"), col("rk"), col("doc_id"), col("n_chars"), col("prio"))
+      .orderBy("lang", "rk")
+  }
+
   /** Equal-width 10-bucket histogram of event value cents between the
     * global min and max. Bucketing is exact integer arithmetic
     * ((v−lo)·10 div (hi−lo+1) is always in [0,9]); the two-row bounds

@@ -802,6 +802,15 @@ object OracleSql {
               FROM documents))
       WHERE rk <= 5 ORDER BY lang, source, rk""",
 
+    "q_sample_weighted" -> """
+      SELECT lang, rk, doc_id, n_chars, prio FROM (
+        SELECT lang, doc_id, n_chars, prio,
+               CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY prio DESC, doc_id ASC) AS BIGINT) AS rk
+        FROM (SELECT lang, doc_id, n_chars,
+                     CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) * n_chars AS prio
+              FROM documents))
+      WHERE rk <= 20 ORDER BY lang, rk""",
+
     "q_hist_value" -> """
       WITH v AS (SELECT CAST(ROUND(value*100) AS BIGINT) AS v FROM events),
            b AS (SELECT CAST(MIN(v) AS BIGINT) AS lo, CAST(MAX(v) AS BIGINT) AS hi FROM v)
