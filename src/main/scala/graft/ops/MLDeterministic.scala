@@ -169,8 +169,11 @@ object MLDeterministic {
     : (DataFrame, DataFrame, DataFrame) = {
     val toks = docTokens(spark, sf)
     val wc = toks.groupBy(col("lang"), col("word")).agg(count(lit(1)).as("c_wc"))
-    val cc = toks.groupBy(col("lang")).agg(count(lit(1)).as("c_c"))
-    val v = toks.agg(countDistinct(col("word")).as("v"))
+    // class totals and vocabulary are RE-aggregations of wc — deriving them
+    // from the (lang, word) counts instead of re-exploding the corpus cuts
+    // the model build from three corpus passes to one
+    val cc = wc.groupBy(col("lang")).agg(sum(col("c_wc")).as("c_c"))
+    val v = wc.agg(countDistinct(col("word")).as("v"))
     val likelihood = wc.join(cc, "lang").crossJoin(broadcast(v))
       .select(col("lang"), col("word"),
         round(log((col("c_wc") + 1).cast("double") / (col("c_c") + col("v"))) * 1e4)
