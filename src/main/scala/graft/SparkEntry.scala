@@ -79,6 +79,7 @@ object SparkEntry {
     "q_sample_hash_split"   -> (Sampling.q_sample_hash_split _),
     "q_sample_stratified"   -> (Sampling.q_sample_stratified _),
     "q_sample_weighted"     -> (Sampling.q_sample_weighted _),
+    "q_mixture_plan"        -> (Sampling.q_mixture_plan _),
     "q_hist_value"          -> (Sampling.q_hist_value _),
     "q_feature_stats"       -> (Sampling.q_feature_stats _),
     "q_grouping_sets"       -> (Relational.q_grouping_sets _),

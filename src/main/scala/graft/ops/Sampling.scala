@@ -72,6 +72,28 @@ object Sampling {
       .orderBy("lang", "rk")
   }
 
+  /** Data-mixture plan: given target language mixture weights (a tiny
+    * inline spec), compute each language's target document count and the
+    * down-sampling rate that realizes it (capped at keep-everything for
+    * under-represented languages) — the planning step of corpus mixing,
+    * all exact integer arithmetic, one aggregate + a broadcast join.
+    */
+  def q_mixture_plan(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val weights = Seq(("en", 4000L), ("zh", 2000L), ("de", 1500L),
+      ("es", 1500L), ("fr", 1000L)).toDF("lang", "w_e4")
+    val counts = Tables.documents(spark, sf)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum(col("n_docs")).as("n_total"))
+    counts.join(broadcast(weights), "lang")
+      .crossJoin(broadcast(total))
+      .withColumn("target_docs", expr("n_total * w_e4 div 10000"))
+      .withColumn("rate_e6",
+        least(lit(1000000L), expr("target_docs * 1000000 div n_docs")))
+      .select(col("lang"), col("n_docs"), col("w_e4"), col("target_docs"), col("rate_e6"))
+      .orderBy("lang")
+  }
+
   /** Equal-width 10-bucket histogram of event value cents between the
     * global min and max. Bucketing is exact integer arithmetic
     * ((v−lo)·10 div (hi−lo+1) is always in [0,9]); the two-row bounds

@@ -811,6 +811,17 @@ object OracleSql {
               FROM documents))
       WHERE rk <= 20 ORDER BY lang, rk""",
 
+    "q_mixture_plan" -> """
+      WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang),
+           t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM c),
+           w(lang, w_e4) AS (VALUES ('en', 4000), ('zh', 2000), ('de', 1500),
+                                    ('es', 1500), ('fr', 1000))
+      SELECT lang, n_docs, CAST(w_e4 AS BIGINT) AS w_e4,
+             n_total * w_e4 // 10000 AS target_docs,
+             LEAST(1000000, (n_total * w_e4 // 10000) * 1000000 // n_docs) AS rate_e6
+      FROM c JOIN w USING (lang), t
+      ORDER BY lang""",
+
     "q_hist_value" -> """
       WITH v AS (SELECT CAST(ROUND(value*100) AS BIGINT) AS v FROM events),
            b AS (SELECT CAST(MIN(v) AS BIGINT) AS lo, CAST(MAX(v) AS BIGINT) AS hi FROM v)
