@@ -2,6 +2,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 import java.nio.charset.StandardCharsets
+import java.util.Locale
 
 /** Benchmark main: times `.count()` over every query in
   * [[SparkEntry.queries]] at `SPARK_GRAFT_SF_DIR` and prints ONE compact
@@ -13,10 +14,13 @@ import java.nio.charset.StandardCharsets
   * after the program exits. So the JSON line is (a) printed after
   * `spark.stop()` so nothing else lands behind it but sbt's epilogue,
   * (b) kept well under the window by carrying only the 15 slowest queries
-  * inline (3-decimal seconds) while `value` still sums ALL queries, and
+  * inline (3-decimal seconds, Locale.ROOT so a comma-decimal JVM locale
+  * cannot corrupt the JSON) while `value` still sums ALL queries, and
   * (c) passed through un-prefixed via `run / outputStrategy :=
-  * StdoutOutput`. Full per-query detail goes to
-  * `target/bench_detail.json`.
+  * StdoutOutput`. A query that throws is counted in `n_failed` and named
+  * in `failed` rather than silently logged as a fast success. Full
+  * per-query detail goes to `target/bench_detail.json` (best-effort — the
+  * stdout line is the contract, the file is auxiliary).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -33,20 +37,27 @@ object Bench {
     graft.core.Tables.region(spark, sfDir).groupBy("r_name").count().count()
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
+    def f3(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))
     val total = results.map(_._2).sum
-    val detail = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val failed = results.filterNot(_._3).map(_._1)
+    val detail = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    Files.write(Paths.get("target/bench_detail.json"),
-      (s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"sf":"$sfDir"}""" + "\n")
-        .getBytes(StandardCharsets.UTF_8))
+    try {
+      Files.write(Paths.get("target/bench_detail.json"),
+        (s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}""" + "\n")
+          .getBytes(StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () } // auxiliary; never lose the stdout line
     val slowest = results.sortBy(-_._2).take(15)
-      .map { case (k, v) => f""""$k":$v%.3f""" }
+      .map { case (k, v, _) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
+    val failedField =
+      if (failed.isEmpty) ""
+      else s""","failed":${failed.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$slowest,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size}$failedField,"queries":$slowest,"sf":"$sfDir"}"""
     spark.stop()
     println(line)
   }

@@ -26,4 +26,13 @@ object Det {
 
   /** Round to 6 decimals (distances, centroid coordinates). */
   def r6(c: Column): Column = round(c, 6)
+
+  /** THE cross-engine 32-bit hash: first 8 hex chars of md5, parsed as an
+    * integer. Every sketch (rolling fingerprint, SimHash, MinHash, LSH
+    * hyperplanes) and every deterministic sample is built on this one
+    * primitive so Spark and the DuckDB oracle agree bit-for-bit — keep a
+    * single definition (it was once open-coded in three files).
+    */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c.cast("string").cast("binary")), 1, 8), 16, 10).cast("long")
 }

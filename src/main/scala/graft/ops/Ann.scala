@@ -80,9 +80,8 @@ object Ann {
     val hp = spark.range(0, 8).select(col("id").as("p"))
       .crossJoin(spark.range(0, 64).select(col("id").as("d")))
       .select(col("p"), col("d"),
-        when(conv(substring(md5(concat(col("p").cast("string"), lit("_"),
-          col("d").cast("string")).cast("binary")), 1, 8), 16, 10)
-          .cast("long") % 2 === 0, 1L).otherwise(-1L).as("s"))
+        when(graft.core.Det.hash32(concat(col("p").cast("string"), lit("_"),
+          col("d").cast("string"))) % 2 === 0, 1L).otherwise(-1L).as("s"))
     val v = quantized(spark, sf)
     val dims = v.select(col("vec_id"), posexplode(col("qe")).as(Seq("d", "x")))
     val buckets = dims.join(broadcast(hp), "d")

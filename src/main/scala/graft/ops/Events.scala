@@ -102,11 +102,15 @@ object Events {
     */
   def q_recursive_calendar(spark: SparkSession, sf: String): DataFrame = {
     val ed = Tables.eventsWithTs(spark, sf).select(to_date(col("ts_us")).as("d"))
-    ed.createOrReplaceTempView("event_days_v")
+    // graft-prefixed view name: temp views are session-global, a generic
+    // name could clobber a caller's own view
+    ed.createOrReplaceTempView("graft_event_days_v")
     // resolve the bounds ONCE (a 1-row aggregate) and inline them as date
     // literals — inside the recursive CTE the bounds subquery would be
     // recomputed per recursion level (30 full scans at 30 days of data)
     val b = ed.agg(min(col("d")).as("lo"), max(col("d")).as("hi")).head()
+    if (b.isNullAt(0)) // empty input: empty calendar, not a parse error
+      return spark.range(0).select(lit("").as("day"), lit(0L).as("n_events")).where(lit(false))
     val (lo, hi) = (b.getDate(0), b.getDate(1))
     spark.sql(s"""
       WITH RECURSIVE
@@ -114,7 +118,7 @@ object Events {
           SELECT DATE'$lo'
           UNION ALL
           SELECT date_add(d, 1) FROM days WHERE d < DATE'$hi'),
-        daily AS (SELECT d, COUNT(*) AS n FROM event_days_v GROUP BY d)
+        daily AS (SELECT d, COUNT(*) AS n FROM graft_event_days_v GROUP BY d)
       SELECT date_format(days.d, 'yyyy-MM-dd') AS day,
              CAST(COALESCE(daily.n, 0) AS BIGINT) AS n_events
       FROM days LEFT JOIN daily ON days.d = daily.d

@@ -22,8 +22,7 @@ object Sampling {
   /** md5-hash of a bigint id as an integer in [0, 2^32) — the shared
     * pseudorandom key (same construction as TextPipeline's token hash).
     */
-  private def idHash(c: Column): Column =
-    conv(substring(md5(c.cast("string").cast("binary")), 1, 8), 16, 10).cast("long")
+  private def idHash(c: Column): Column = graft.core.Det.hash32(c)
 
   /** Deterministic train/val/test split (80/10/10) by id-hash bucket;
     * per (lang, split): document count and total chars. The assignment is

@@ -209,13 +209,8 @@ object Text {
     * PMI keeps ordering engine-exact.
     */
   def q_colloc_pmi(spark: SparkSession, sf: String): DataFrame = {
-    val bg = Tables.documents(spark, sf)
-      .select(tokens(col("text")).as("t"))
-      .filter(size(col("t")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))"))
-        .as("bg"))
-      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bg = TextPipeline.docBigrams(spark, sf)
+      .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c12"))
     val tot = bg.agg(sum(col("c12")).as("n"))
     bg.withColumn("c1", sum(col("c12")).over(Window.partitionBy("w1")))

@@ -23,8 +23,7 @@ object TextPipeline {
   private val P = 1000000007L
 
   /** Cross-engine 32-bit token hash (md5-hex prefix as integer). */
-  private def th(t: Column): Column =
-    conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long")
+  private def th(t: Column): Column = graft.core.Det.hash32(t)
 
   private def toks(c: Column): Column = split(lower(c), " ")
 
@@ -152,23 +151,33 @@ object TextPipeline {
       .orderBy("d1", "d2")
   }
 
-  /** Bigram language model: conditional probability P(w2|w1) as an exact
-    * e6-scaled integer (c(w1,w2)·10⁶ div c(w1·)), contexts counted from the
-    * bigram aggregate itself via a window re-sum (no second corpus pass);
-    * top-30 bigrams seen ≥ 5 times.
+  /** Per-document bigram stream (doc_id, w1, w2) — the ONE bigram builder
+    * behind the LM queries and the PMI collocations; keeping a single
+    * definition keeps the model, the scorer and the collocation margins in
+    * lockstep.
     */
-  def q_ngram_lm(spark: SparkSession, sf: String): DataFrame =
+  private[ops] def docBigrams(spark: SparkSession, sf: String): DataFrame =
     Tables.documents(spark, sf)
-      .select(toks(col("text")).as("t"))
+      .select(col("doc_id"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
-      .select(explode(expr(
+      .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))"))
         .as("bg"))
-      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .agg(count(lit(1)).as("c12"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+  /** Bigram LM table (w1, w2, c12, p_e6): P(w2|w1) as an exact e6-scaled
+    * integer, contexts via a window re-sum of the bigram aggregate itself
+    * (no second corpus pass), cutoff c12 ≥ 5.
+    */
+  private[ops] def bigramModel(bg: DataFrame): DataFrame =
+    bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
       .withColumn("c1", sum(col("c12")).over(Window.partitionBy("w1")))
       .filter(col("c12") >= 5)
       .select(col("w1"), col("w2"), col("c12"), expr("(c12 * 1000000) div c1").as("p_e6"))
+
+  /** Bigram language model: top-30 of [[bigramModel]]. */
+  def q_ngram_lm(spark: SparkSession, sf: String): DataFrame =
+    bigramModel(docBigrams(spark, sf))
       .orderBy(col("p_e6").desc, col("w1").asc, col("w2").asc)
       .limit(30)
 
@@ -225,17 +234,8 @@ object TextPipeline {
     * head of the distribution, keeping it broadcastable at corpus scale.
     */
   def q_lm_score(spark: SparkSession, sf: String): DataFrame = {
-    val bg = Tables.documents(spark, sf)
-      .select(col("doc_id"), toks(col("text")).as("t"))
-      .filter(size(col("t")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))"))
-        .as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val model = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-      .withColumn("c1", sum(col("c12")).over(Window.partitionBy("w1")))
-      .filter(col("c12") >= 5)
-      .select(col("w1"), col("w2"), expr("(c12 * 1000000) div c1").as("p_e6"))
+    val bg = docBigrams(spark, sf)
+    val model = bigramModel(bg).select(col("w1"), col("w2"), col("p_e6"))
     bg.join(broadcast(model), Seq("w1", "w2"), "left_outer")
       .groupBy(col("doc_id"))
       .agg(

@@ -98,14 +98,15 @@ class EdgeCasesSpec extends AnyFunSuite {
     // user with >=8 events, all value v: ewma_e6 = v * Σw after warmup
     val wsum = Seq(1000000L, 500000L, 250000L, 125000L, 62500L, 31250L, 15625L, 7812L).sum
     val ewma = graft.ops.Windows.q_window_ewma(spark, sf)
-    // the query is over fixture data, so verify the invariant structurally:
-    // ewma_e6 of any row is <= max(v so far) * wsum and >= min * wsum bounds
+    // the EWMA is dominated by the LAGGED values, so bound it by the
+    // table-wide max |v| (a per-row bound on the current value is
+    // data-dependent and latently flaky)
+    val maxAbsV = ewma.agg(max(abs(col("v")))).head().getLong(0)
     val sample = ewma.limit(200).collect()
     assert(sample.nonEmpty)
     sample.foreach { r =>
-      val v = math.abs(r.getAs[Long]("v"))
-      assert(math.abs(r.getAs[Long]("ewma_e6")) <= (v.max(100000L)) * wsum,
-        "ewma magnitude must be bounded by the largest recent value × Σweights")
+      assert(math.abs(r.getAs[Long]("ewma_e6")) <= maxAbsV * wsum,
+        "ewma magnitude must be bounded by the largest value × Σweights")
     }
   }
 

@@ -91,12 +91,18 @@ class PlanShapeSpec extends AnyFunSuite {
     // an empty partitionSpec moves ALL rows to one task — a 100 TB
     // red flag; every window in the inventory must carry a partition key
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
-    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
-      val n = fn(spark, sf).queryExecution.optimizedPlan.collect {
-        case w: LogicalWindow if w.partitionSpec.isEmpty => w
-      }.size
-      if (n > 0) Some(s"$name($n)") else None
-    }
+    // q_dedup_components runs its whole convergence loop at plan
+    // CONSTRUCTION; its constituent stages are ordinary keyed windows, so
+    // exempt it rather than pay ~8s to inspect the final (window-free) plan
+    val actionAtConstruction = Set("q_dedup_components")
+    val offenders = SparkEntry.queries.toSeq
+      .filterNot { case (name, _) => actionAtConstruction(name) }
+      .flatMap { case (name, fn) =>
+        val n = fn(spark, sf).queryExecution.optimizedPlan.collect {
+          case w: LogicalWindow if w.partitionSpec.isEmpty => w
+        }.size
+        if (n > 0) Some(s"$name($n)") else None
+      }
     assert(offenders.isEmpty, s"global windows in: ${offenders.mkString(", ")}")
   }
 
