@@ -1,0 +1,185 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.core.Det.pct
+
+/** The remaining *classic MapReduce algorithm* surface (SURVEY.md §2.19):
+  * sparse matrix multiplication, PageRank, decision-tree split finding,
+  * a logistic-regression gradient step, and an inverted index. These are
+  * the canonical textbook MapReduce examples, re-expressed as declarative
+  * Spark plans: the "map" becomes a projection, the "shuffle on key"
+  * becomes a `groupBy`/`join` Catalyst plans as a hash shuffle, and the
+  * "reduce" becomes an exact-integer aggregate — which is also what makes
+  * every one of them hash-comparable against the DuckDB oracle.
+  */
+object GraphMl {
+
+  /** Sparse matrix multiply C = A·B as the classic join-on-inner-dimension
+    * MapReduce algorithm. A(i,j) is lineitem quantity summed into a 50×40
+    * grid of (orderkey, partkey) residues; B(j,k) is part size summed into
+    * 40×20. The join key is the inner dimension j: at scale A is
+    * shuffle-partitioned by j while the much smaller B side broadcasts —
+    * exactly the "row-block × broadcast matrix" plan a 100 TB A demands.
+    * All values are exact integers; per-cell products stay far below int64
+    * even at sf 100.
+    */
+  def q_matmul(spark: SparkSession, sf: String): DataFrame = {
+    val a = Tables.lineitem(spark, sf)
+      .select((col("l_orderkey") % 50).as("i"), (col("l_partkey") % 40).as("j"),
+        col("l_quantity").cast("long").as("v"))
+      .groupBy("i", "j").agg(sum(col("v")).as("a"))
+    val b = Tables.part(spark, sf)
+      .select((col("p_partkey") % 40).as("j"), (col("p_size") % 20).as("k"),
+        col("p_size").cast("long").as("v"))
+      .groupBy("j", "k").agg(sum(col("v")).as("b"))
+    a.join(broadcast(b), "j")
+      .groupBy("i", "k")
+      .agg(sum(col("a") * col("b")).as("c"))
+      .orderBy("i", "k")
+  }
+
+  /** Edges of the event-type transition graph: consecutive events of the
+    * same user (µs timestamp, event_id tie-break — the as-of idiom) define
+    * a weighted directed edge src→dst, joined with each source's total
+    * out-weight. The heavy part — one window pass over all events plus the
+    * edge aggregation — is fully distributed; the resulting graph is tiny
+    * (|event types|² at most).
+    */
+  private def transitionEdges(spark: SparkSession, sf: String): DataFrame = {
+    val ev = Tables.eventsWithTs(spark, sf)
+    val w = Window.partitionBy("user_id").orderBy(col("ts_usl").asc, col("event_id").asc)
+    val edges = ev
+      .withColumn("src", lag(col("event_type"), 1).over(w))
+      .filter(col("src").isNotNull)
+      .groupBy(col("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val outs = edges.groupBy("src").agg(sum(col("w")).as("out_w"))
+    edges.join(outs, "src")
+  }
+
+  /** PageRank, 3 unrolled power iterations over the event-type transition
+    * graph, in EXACT e12-scaled integer arithmetic: each source's damped
+    * per-unit share `(p·85) div (100·out_w)` is floored ONCE per source
+    * (so the reduce-side sum is order-independent — the property that
+    * makes the classic MapReduce PageRank hash-comparable), then scaled by
+    * the integer edge weight. `share·w ≤ 0.85·p`, so nothing approaches
+    * int64 at any scale. Dangling mass is dropped (no out-edge → no
+    * contribution), identically on both engines.
+    */
+  def q_pagerank(spark: SparkSession, sf: String): DataFrame = {
+    val en = transitionEdges(spark, sf).cache()
+    val nodes = Tables.table(spark, sf, "events")
+      .select(col("event_type").as("v")).distinct().cache()
+    // the node count is a genuine scalar input of the formula (teleport
+    // base 0.15/N): resolve it once, like q_recursive_calendar's bounds
+    val n = nodes.count()
+    val base = 150000000000L / n
+    def step(p: DataFrame): DataFrame = {
+      // SQL `div` = exact integer division (Spark `/` on longs is a double
+      // divide whose truncation can round across an integer boundary).
+      // Dataset aliases: each iteration re-joins the same `en`/`nodes`
+      // lineage, which otherwise trips the ambiguous-self-join check.
+      val contrib = p.as("pp").join(en.as("ee"), col("pp.v") === col("ee.src"))
+        .select(col("ee.dst").as("dv"), col("pp.p").as("p"),
+          col("ee.w").as("w"), col("ee.out_w").as("out_w"))
+        .select(col("dv").as("v"), (expr("(p * 85) div (100 * out_w)") * col("w")).as("c"))
+        .groupBy("v").agg(sum(col("c")).as("c"))
+      nodes.as("nn").join(contrib.as("cc"), col("nn.v") === col("cc.v"), "left_outer")
+        .select(col("nn.v").as("v"), (lit(base) + coalesce(col("cc.c"), lit(0L))).as("p"))
+    }
+    val p0 = nodes.select(col("v"), lit(1000000000000L / n).as("p"))
+    val p1 = step(p0)
+    val p2 = step(p1)
+    val p3 = step(p2)
+    p1.withColumnRenamed("p", "p1")
+      .join(p2.withColumnRenamed("p", "p2"), "v")
+      .join(p3.withColumnRenamed("p", "p3"), "v")
+      .orderBy("v")
+  }
+
+  /** Decision-tree split finding (the MapReduce "histogram then scan"
+    * algorithm): Gini gain of every candidate threshold `l_quantity ≤ t`
+    * predicting l_returnflag. One distributed pass builds per-value class
+    * histograms (≤ 50 rows); the cumulative left/right counts then come
+    * from a bounded theta self-join on the histogram, NOT a global window
+    * (empty-partition windows are banned at scale) and NOT a second data
+    * pass. The gain epilogue is one fixed double expression tree over
+    * exact integer counts (D3).
+    */
+  def q_tree_split(spark: SparkSession, sf: String): DataFrame = {
+    val h = Tables.lineitem(spark, sf)
+      .groupBy(col("l_quantity").cast("long").as("q"))
+      .agg(
+        sum(when(col("l_returnflag") === "A", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("l_returnflag") === "N", 1L).otherwise(0L)).as("cn"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("cr"))
+      .cache()
+    val cum = h.as("t").join(h.as("s"), col("s.q") <= col("t.q"))
+      .groupBy(col("t.q").as("t"))
+      .agg(sum(col("s.ca")).as("la"), sum(col("s.cn")).as("ln"), sum(col("s.cr")).as("lr"))
+    val tot = h.agg(sum(col("ca")).as("ta"), sum(col("cn")).as("tn"), sum(col("cr")).as("tr"))
+    def gini(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+             c: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+      lit(1.0) - (a * lit(1.0) / n) * (a * lit(1.0) / n) -
+        (b * lit(1.0) / n) * (b * lit(1.0) / n) - (c * lit(1.0) / n) * (c * lit(1.0) / n)
+    cum.crossJoin(tot)
+      .withColumn("nl", col("la") + col("ln") + col("lr"))
+      .withColumn("nt", col("ta") + col("tn") + col("tr"))
+      .withColumn("nr", col("nt") - col("nl"))
+      .filter(col("nr") > 0) // the max threshold has an empty right side
+      .select(
+        col("t"), col("nl"), col("nr"),
+        (round(
+          gini(col("ta"), col("tn"), col("tr"), col("nt")) -
+            (col("nl") * lit(1.0) / col("nt")) * gini(col("la"), col("ln"), col("lr"), col("nl")) -
+            (col("nr") * lit(1.0) / col("nt")) *
+              gini(col("ta") - col("la"), col("tn") - col("ln"), col("tr") - col("lr"), col("nr")),
+          6) + lit(0.0)).as("gain_r6"))
+      .orderBy("t")
+  }
+
+  /** One exact batch gradient-descent step of logistic regression
+    * (y = [l_returnflag='R'] on features [1, quantity, discount%]) from
+    * w = 0, where sigmoid(0) = 1/2 exactly: the doubled gradient
+    * 2·Σ(σ(0)−y)·x = Σ(1−2y)·x is a pure integer sum-reduction — the
+    * MapReduce ML pattern (map: per-row term; reduce: sum) with no float
+    * until the final per-coefficient division, a single IEEE op on both
+    * engines.
+    */
+  def q_logreg_step(spark: SparkSession, sf: String): DataFrame = {
+    val d = Tables.lineitem(spark, sf).select(
+      when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"),
+      col("l_quantity").cast("long").as("x1"),
+      pct(col("l_discount")).as("x2"))
+    d.agg(
+      count(lit(1)).as("n"),
+      sum(lit(1L) - lit(2L) * col("y")).as("g0"),
+      sum((lit(1L) - lit(2L) * col("y")) * col("x1")).as("g1"),
+      sum((lit(1L) - lit(2L) * col("y")) * col("x2")).as("g2"))
+      .select(
+        col("n"), col("g0"), col("g1"), col("g2"),
+        (round(-col("g0") / (lit(2.0) * col("n")), 8) + lit(0.0)).as("w0_r8"),
+        (round(-col("g1") / (lit(2.0) * col("n")), 8) + lit(0.0)).as("w1_r8"),
+        (round(-col("g2") / (lit(2.0) * col("n")), 8) + lit(0.0)).as("w2_r8"))
+  }
+
+  /** Inverted index (the original MapReduce example): term → document
+    * frequency + the first 15 posting doc_ids as a comma-joined string.
+    * Map: (term, doc_id) per distinct term per document; reduce: count +
+    * sorted posting-list head. The truncated posting string keeps the
+    * output row bounded no matter how hot the term — at corpus scale a
+    * full posting list is a table, not a cell.
+    */
+  def q_inverted_index(spark: SparkSession, sf: String): DataFrame =
+    Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(array_distinct(split(lower(col("text")), " "))).as("term"))
+      .groupBy("term")
+      .agg(
+        count(lit(1)).as("df"),
+        expr("array_join(transform(slice(array_sort(collect_set(doc_id)), 1, 15)," +
+          " x -> CAST(x AS STRING)), ',')").as("postings"))
+      .orderBy("term")
+}

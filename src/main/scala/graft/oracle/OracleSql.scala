@@ -1316,5 +1316,113 @@ object OracleSql {
                    CAST(length(regexp_replace(props, '[0-9]+', '#', 'g')) AS BIGINT) AS red_len
             FROM events)
       GROUP BY event_type ORDER BY event_type""",
+
+    "q_matmul" -> """
+      WITH a AS (SELECT l_orderkey % 50 AS i, l_partkey % 40 AS j,
+                        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS a
+                 FROM lineitem GROUP BY 1, 2),
+           b AS (SELECT p_partkey % 40 AS j, p_size % 20 AS k,
+                        CAST(SUM(CAST(p_size AS BIGINT)) AS BIGINT) AS b
+                 FROM part GROUP BY 1, 2)
+      SELECT a.i, b.k, CAST(SUM(a.a * b.b) AS BIGINT) AS c
+      FROM a JOIN b USING (j)
+      GROUP BY a.i, b.k ORDER BY i, k""",
+
+    "q_pagerank" -> """
+      WITH lagd AS (SELECT event_type AS dst,
+                           LAG(event_type) OVER (PARTITION BY user_id
+                                                 ORDER BY epoch_us(ts), event_id) AS src
+                    FROM events),
+           edges AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+                     FROM lagd WHERE src IS NOT NULL GROUP BY 1, 2),
+           outs AS (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM edges GROUP BY 1),
+           en AS (SELECT e.src, e.dst, e.w, o.out_w FROM edges e JOIN outs o USING (src)),
+           nodes AS (SELECT DISTINCT event_type AS v FROM events),
+           nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+           p0 AS (SELECT v, 1000000000000 // (SELECT n FROM nn) AS p FROM nodes),
+           p1 AS (SELECT nodes.v,
+                         CAST(150000000000 // (SELECT n FROM nn)
+                              + COALESCE(SUM(((p0.p * 85) // (100 * en.out_w)) * en.w), 0)
+                           AS BIGINT) AS p
+                  FROM nodes LEFT JOIN en ON en.dst = nodes.v
+                             LEFT JOIN p0 ON p0.v = en.src
+                  GROUP BY nodes.v),
+           p2 AS (SELECT nodes.v,
+                         CAST(150000000000 // (SELECT n FROM nn)
+                              + COALESCE(SUM(((p1.p * 85) // (100 * en.out_w)) * en.w), 0)
+                           AS BIGINT) AS p
+                  FROM nodes LEFT JOIN en ON en.dst = nodes.v
+                             LEFT JOIN p1 ON p1.v = en.src
+                  GROUP BY nodes.v),
+           p3 AS (SELECT nodes.v,
+                         CAST(150000000000 // (SELECT n FROM nn)
+                              + COALESCE(SUM(((p2.p * 85) // (100 * en.out_w)) * en.w), 0)
+                           AS BIGINT) AS p
+                  FROM nodes LEFT JOIN en ON en.dst = nodes.v
+                             LEFT JOIN p2 ON p2.v = en.src
+                  GROUP BY nodes.v)
+      SELECT p1.v, p1.p AS p1, p2.p AS p2, p3.p AS p3
+      FROM p1 JOIN p2 USING (v) JOIN p3 USING (v)
+      ORDER BY v""",
+
+    "q_tree_split" -> """
+      WITH h AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+                        CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                        CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS cn,
+                        CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS cr
+                 FROM lineitem GROUP BY 1),
+           cum AS (SELECT t.q AS t,
+                          CAST(SUM(s.ca) AS BIGINT) AS la,
+                          CAST(SUM(s.cn) AS BIGINT) AS ln_,
+                          CAST(SUM(s.cr) AS BIGINT) AS lr
+                   FROM h t JOIN h s ON s.q <= t.q GROUP BY t.q),
+           tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS ta, CAST(SUM(cn) AS BIGINT) AS tn,
+                          CAST(SUM(cr) AS BIGINT) AS tr
+                   FROM h)
+      SELECT t, nl, nr,
+             ROUND(
+               (1.0 - (ta*1.0/nt)*(ta*1.0/nt) - (tn*1.0/nt)*(tn*1.0/nt) - (tr*1.0/nt)*(tr*1.0/nt))
+               - (nl*1.0/nt) * (1.0 - (la*1.0/nl)*(la*1.0/nl) - (ln_*1.0/nl)*(ln_*1.0/nl)
+                                    - (lr*1.0/nl)*(lr*1.0/nl))
+               - (nr*1.0/nt) * (1.0 - ((ta-la)*1.0/nr)*((ta-la)*1.0/nr)
+                                    - ((tn-ln_)*1.0/nr)*((tn-ln_)*1.0/nr)
+                                    - ((tr-lr)*1.0/nr)*((tr-lr)*1.0/nr)),
+               6) + 0 AS gain_r6
+      FROM (SELECT cum.t, cum.la, cum.ln_, cum.lr, tot.ta, tot.tn, tot.tr,
+                   CAST(cum.la + cum.ln_ + cum.lr AS BIGINT) AS nl,
+                   CAST(tot.ta + tot.tn + tot.tr AS BIGINT) AS nt,
+                   CAST(tot.ta + tot.tn + tot.tr - cum.la - cum.ln_ - cum.lr AS BIGINT) AS nr
+            FROM cum CROSS JOIN tot)
+      WHERE nr > 0
+      ORDER BY t""",
+
+    "q_logreg_step" -> """
+      SELECT n, g0, g1, g2,
+             ROUND(-g0 / (2.0 * n), 8) + 0 AS w0_r8,
+             ROUND(-g1 / (2.0 * n), 8) + 0 AS w1_r8,
+             ROUND(-g2 / (2.0 * n), 8) + 0 AS w2_r8
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(1 - 2*y) AS BIGINT) AS g0,
+                   CAST(SUM((1 - 2*y) * x1) AS BIGINT) AS g1,
+                   CAST(SUM((1 - 2*y) * x2) AS BIGINT) AS g2
+            FROM (SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+                         CAST(l_quantity AS BIGINT) AS x1,
+                         CAST(ROUND(l_discount*100) AS BIGINT) AS x2
+                  FROM lineitem))""",
+
+    "q_inverted_index" -> """
+      WITH t AS (SELECT DISTINCT doc_id, term
+                 FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+                       FROM documents)),
+           ranked AS (SELECT doc_id, term,
+                             ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+                      FROM t),
+           posting AS (SELECT term,
+                              string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+                       FROM ranked WHERE rn <= 15 GROUP BY term),
+           dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM t GROUP BY term)
+      SELECT dfs.term, dfs.df, posting.postings
+      FROM dfs JOIN posting USING (term)
+      ORDER BY term""",
   )
 }
