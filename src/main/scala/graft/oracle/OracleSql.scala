@@ -1424,5 +1424,100 @@ object OracleSql {
       SELECT dfs.term, dfs.df, posting.postings
       FROM dfs JOIN posting USING (term)
       ORDER BY term""",
+
+    "q_hll_estimate" -> """
+      WITH hp AS (SELECT CAST('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 8) AS BIGINT) AS h
+                  FROM lineitem),
+           bp AS (SELECT h // 16777216 AS idx,
+                         CASE WHEN h % 16777216 = 0 THEN 25
+                              ELSE 25 - length(bin(h % 16777216)) END AS rank
+                  FROM hp),
+           mp AS (SELECT idx, MAX(rank) AS m FROM bp GROUP BY idx),
+           ap AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb,
+                         CAST(SUM(CAST(pow(2, 25 - m) AS BIGINT)) AS BIGINT) AS ss
+                  FROM mp),
+           tp AS (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_true FROM lineitem),
+           rp AS (SELECT 'partkey' AS col_name, n_true,
+                         CAST(256 - nb AS BIGINT) AS v_zero,
+                         CAST(ss + (256 - nb) * 33554432 AS BIGINT) AS s_scaled
+                  FROM ap CROSS JOIN tp),
+           hs AS (SELECT CAST('0x' || substring(md5(CAST(l_suppkey AS VARCHAR)), 1, 8) AS BIGINT) AS h
+                  FROM lineitem),
+           bs AS (SELECT h // 16777216 AS idx,
+                         CASE WHEN h % 16777216 = 0 THEN 25
+                              ELSE 25 - length(bin(h % 16777216)) END AS rank
+                  FROM hs),
+           ms AS (SELECT idx, MAX(rank) AS m FROM bs GROUP BY idx),
+           sa AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb,
+                         CAST(SUM(CAST(pow(2, 25 - m) AS BIGINT)) AS BIGINT) AS ss
+                  FROM ms),
+           ts AS (SELECT CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_true FROM lineitem),
+           rs AS (SELECT 'suppkey' AS col_name, n_true,
+                         CAST(256 - nb AS BIGINT) AS v_zero,
+                         CAST(ss + (256 - nb) * 33554432 AS BIGINT) AS s_scaled
+                  FROM sa CROSS JOIN ts)
+      SELECT col_name, n_true, v_zero, s_scaled,
+             ROUND(CASE
+               WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 33554432.0
+                    / CAST(s_scaled AS DOUBLE) <= 640.0 AND v_zero > 0
+               THEN 256.0 * ln(256.0 / CAST(v_zero AS DOUBLE))
+               ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 33554432.0
+                    / CAST(s_scaled AS DOUBLE)
+             END, 2) + 0 AS est_r2
+      FROM (SELECT * FROM rp UNION ALL SELECT * FROM rs)
+      ORDER BY col_name""",
+
+    "q_cms_topk" -> """
+      WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents),
+           tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS true_c FROM tok GROUP BY term),
+           hashed AS (SELECT term, true_c, i,
+                             CAST('0x' || substring(md5(CAST(i AS VARCHAR) || '|' || term), 1, 8)
+                               AS BIGINT) % 64 AS b
+                      FROM tc, (SELECT unnest(generate_series(0, 3)) AS i)),
+           sketch AS (SELECT i, b, CAST(SUM(true_c) AS BIGINT) AS cell
+                      FROM hashed GROUP BY i, b)
+      SELECT h.term, CAST(MAX(h.true_c) AS BIGINT) AS true_c,
+             CAST(MIN(s.cell) AS BIGINT) AS cms_c
+      FROM hashed h JOIN sketch s USING (i, b)
+      GROUP BY h.term ORDER BY h.term""",
+
+    "q_bloom_filter" -> """
+      WITH ks AS (SELECT DISTINCT o_custkey AS k FROM orders),
+           fb AS (SELECT DISTINCT
+                         CAST('0x' || substring(md5(CAST(i AS VARCHAR) || '|' || CAST(k AS VARCHAR)), 1, 8)
+                           AS BIGINT) % 4096 AS bit
+                  FROM ks, (SELECT unnest(generate_series(0, 2)) AS i)),
+           pr AS (SELECT c_custkey AS k, i,
+                         CAST('0x' || substring(md5(CAST(i AS VARCHAR) || '|' || CAST(c_custkey AS VARCHAR)), 1, 8)
+                           AS BIGINT) % 4096 AS bit
+                  FROM customer, (SELECT unnest(generate_series(0, 2)) AS i)),
+           hits AS (SELECT pr.k, SUM(CASE WHEN fb.bit IS NOT NULL THEN 1 ELSE 0 END) AS hits
+                    FROM pr LEFT JOIN fb USING (bit) GROUP BY pr.k)
+      SELECT actually_present, bloom_positive, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT CAST(CASE WHEN ks.k IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS actually_present,
+                   CAST(CASE WHEN h.hits = 3 THEN 1 ELSE 0 END AS BIGINT) AS bloom_positive
+            FROM hits h LEFT JOIN ks ON ks.k = h.k)
+      GROUP BY actually_present, bloom_positive
+      ORDER BY actually_present, bloom_positive""",
+
+    "q_repetition_filter" -> """
+      WITH w AS (SELECT doc_id,
+                        unnest(string_split(lower(text), ' ')) AS word,
+                        generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+                 FROM documents),
+           bg AS (SELECT doc_id, word AS w1,
+                         LEAD(word) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+                  FROM w),
+           bgc AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM bg WHERE w2 IS NOT NULL GROUP BY 1, 2, 3),
+           st AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bg, CAST(MAX(c) AS BIGINT) AS top_c,
+                         CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_c
+                  FROM bgc GROUP BY 1)
+      SELECT doc_id, n_bg,
+             CAST(top_c * 1000000 // n_bg AS BIGINT) AS top_bigram_frac_e6,
+             CAST(dup_c * 1000000 // n_bg AS BIGINT) AS dup_bigram_frac_e6,
+             CAST(CASE WHEN top_c * 1000000 // n_bg < 100000
+                        AND dup_c * 1000000 // n_bg < 150000 THEN 1 ELSE 0 END AS BIGINT) AS keep
+      FROM st ORDER BY doc_id""",
   )
 }
