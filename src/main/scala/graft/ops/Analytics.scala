@@ -1,0 +1,166 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{Det, Tables}
+import graft.core.Det.cents
+
+/** Time-series / product-analytics operators (SURVEY.md §2.21).
+  *
+  * Everything here follows the determinism contract: integer cents (D2),
+  * unique total order (D1), float epilogues as one fixed IEEE expression
+  * tree computed from exact integer sufficient statistics (D3).
+  */
+object Analytics {
+
+  /** OHLC candlestick bars: per (event_type, hour) the opening / highest /
+    * lowest / closing event value plus count and volume. Open/close are
+    * arg-min/arg-max by (ts, event_id) — `min(struct(...))` keeps the
+    * whole thing one partial+final hash aggregate (no per-partition sort),
+    * the idiom a 100 TB tick-bar build needs: one shuffle keyed by the
+    * bar, never a global sort.
+    */
+  def q_ohlc_bars(spark: SparkSession, sf: String): DataFrame =
+    Tables.eventsWithTs(spark, sf)
+      .select(col("event_type"), date_trunc("hour", col("ts_us")).as("hour"),
+        col("ts"), col("event_id"), cents(col("value")).as("vc"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(struct(col("ts"), col("event_id"), col("vc"))).as("o"),
+        max(struct(col("ts"), col("event_id"), col("vc"))).as("c"),
+        max(col("vc")).as("high_cents"),
+        min(col("vc")).as("low_cents"),
+        sum(col("vc")).as("vol_cents"))
+      .select(col("event_type"),
+        date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("n"), col("o.vc").as("open_cents"), col("high_cents"),
+        col("low_cents"), col("c.vc").as("close_cents"), col("vol_cents"))
+      .orderBy("event_type", "hour")
+
+  /** First-order Markov transition matrix over each user's event sequence:
+    * count of consecutive (src → dst) event-type transitions and the
+    * row-normalized probability as an exact e6 integer. The row margin is
+    * a window re-sum of the 25-cell aggregate itself — the corpus is
+    * touched once, shuffled once (by user) for the lag.
+    */
+  def q_markov_transitions(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    Tables.eventsWithTs(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("dst", lead(col("event_type"), 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("event_type").as("src"), col("dst"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("row_total", sum(col("c")).over(Window.partitionBy("src")))
+      .select(col("src"), col("dst"), col("c"),
+        expr("c * 1000000 div row_total").as("p_e6"))
+      .orderBy("src", "dst")
+  }
+
+  /** Two-proportion A/B z-test: cohort = user-id parity, conversion =
+    * "the user's lifetime purchase value exceeds the global per-user
+    * median" (p ≈ 0.5 by construction, so the pooled variance can never
+    * degenerate — a fixed rare-event cutoff goes to p ∈ {0,1} at small
+    * SFs). Counts are exact integer aggregates; the z statistic is one
+    * fixed IEEE epilogue over four integers, so the whole test is a tiny
+    * reduction regardless of corpus size.
+    */
+  def q_ab_ztest(spark: SparkSession, sf: String): DataFrame = {
+    val perUser = Tables.eventsWithTs(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", cents(col("value")))
+        .otherwise(0L)).as("purchase_cents"))
+    val median = perUser.agg(percentile(col("purchase_cents"), lit(0.5)).as("med"))
+    val counts = perUser.crossJoin(broadcast(median))
+      .groupBy((col("user_id") % 2).as("cohort"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("purchase_cents") > col("med"), 1L).otherwise(0L)).as("n_conv"))
+    // pivot the 2 cohorts side by side via a self-agg (2 rows → 1)
+    val wide = counts.agg(
+      max(when(col("cohort") === 0, col("n_users"))).as("n0"),
+      max(when(col("cohort") === 0, col("n_conv"))).as("c0"),
+      max(when(col("cohort") === 1, col("n_users"))).as("n1"),
+      max(when(col("cohort") === 1, col("n_conv"))).as("c1"))
+    val p0 = col("c0").cast("double") / col("n0").cast("double")
+    val p1 = col("c1").cast("double") / col("n1").cast("double")
+    val p = (col("c0") + col("c1")).cast("double") / (col("n0") + col("n1")).cast("double")
+    val se = sqrt(p * (lit(1.0) - p) *
+      (lit(1.0) / col("n0").cast("double") + lit(1.0) / col("n1").cast("double")))
+    wide.select(col("n0"), col("c0"), col("n1"), col("c1"),
+      (Det.r4(p0) + lit(0.0)).as("p0"),
+      (Det.r4(p1) + lit(0.0)).as("p1"),
+      (Det.r4((p1 - p0) / se) + lit(0.0)).as("z"))
+  }
+
+  /** Equi-depth (decile) histogram of order totals: the 9 interior decile
+    * boundaries come from ONE exact interpolating percentile aggregate
+    * over integer cents; every row then buckets itself against the
+    * broadcast boundary array (`1 + |{b : cents > b}|`). Two passes, no
+    * global sort — the classic quantile-bucketing shape for 100 TB
+    * (contrast a global NTILE window, which would funnel the table through
+    * one partition).
+    */
+  def q_hist_equidepth(spark: SparkSession, sf: String): DataFrame = {
+    val tp = Tables.orders(spark, sf).select(cents(col("o_totalprice")).as("tp_cents"))
+    val bounds = tp.agg(percentile(col("tp_cents"),
+      array((1 to 9).map(i => lit(i / 10.0)): _*)).as("bounds"))
+    tp.crossJoin(broadcast(bounds))
+      .select(col("tp_cents"),
+        expr("1 + size(filter(bounds, b -> tp_cents > b))").cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("tp_cents")).as("min_cents"),
+        max(col("tp_cents")).as("max_cents"), sum(col("tp_cents")).as("sum_cents"))
+      .orderBy("bucket")
+  }
+
+  /** Triangle count on the co-purchase graph: nodes = parts, edges = part
+    * pairs ordered in the same order ≥ 2 times (the Apriori support-2
+    * pair set). Triangles come from the canonical a<b<c two-join
+    * enumeration over the ordered edge list — each triangle counted
+    * exactly once, join keys are single node ids (shuffle-friendly), and
+    * the edge list is orders of magnitude smaller than the raw fact table.
+    */
+  def q_triangle_count(spark: SparkSession, sf: String): DataFrame = {
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges = items.as("a")
+      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("s"))
+      .filter(col("s") >= 2)
+      .select(col("u"), col("v"))
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), col("e1.v") === col("e2.u"))
+      .join(edges.as("e3"),
+        col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val stats = edges.agg(count(lit(1)).as("n_edges"))
+    val nodes = edges.select(col("u").as("p")).union(edges.select(col("v").as("p")))
+      .distinct().agg(count(lit(1)).as("n_nodes"))
+    nodes.crossJoin(stats).crossJoin(tri)
+  }
+
+  /** TPC-H-Q3-flavor CTE query through the SQL-string entry path (E2):
+    * top-10 open orders by discounted revenue shipped after mid-1996.
+    * Exercises CTE parsing, a fact→dim shuffle join, aggregate-then-join
+    * and TakeOrderedAndProject in one statement.
+    */
+  def q_cte_q3(spark: SparkSession, sf: String): DataFrame = {
+    Tables.orders(spark, sf).createOrReplaceTempView("orders_v")
+    Tables.lineitem(spark, sf).createOrReplaceTempView("lineitem_v")
+    spark.sql("""
+      WITH rev AS (
+        SELECT l_orderkey,
+               SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                   * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS rev_e4
+        FROM lineitem_v
+        WHERE l_shipdate > TIMESTAMP '1996-06-30'
+        GROUP BY l_orderkey)
+      SELECT o.o_orderkey, o.o_orderpriority, r.rev_e4
+      FROM rev r JOIN orders_v o ON r.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus <> 'F'
+      ORDER BY r.rev_e4 DESC, o.o_orderkey LIMIT 10""")
+  }
+}

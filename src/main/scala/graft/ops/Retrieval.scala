@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Information-retrieval / tokenizer-training operators (SURVEY.md §2.21):
+  * BM25 ranking, a BPE merge step, and windowed word co-occurrence.
+  *
+  * Float policy (D3): BM25 is the only float op here — every per-term
+  * score is computed as one fixed IEEE expression tree from exact integer
+  * statistics and rounded to an e4 integer BEFORE the per-doc sum, so the
+  * sum is order-independent and bit-identical cross-engine.
+  */
+object Retrieval {
+
+  private def toks(c: Column): Column = split(lower(c), " ")
+
+  /** The fixed BM25 demo query terms (present across the fixture corpus
+    * at distinct document frequencies). */
+  private val QueryTerms = Seq("merge", "vector", "fast")
+
+  /** BM25 (k1=1.2, b=0.75, Lucene-style idf = ln(1 + (N−df+0.5)/(df+0.5)))
+    * top-20 documents for the fixed 3-term query. Shape: one corpus
+    * tokenize feeding both the per-(doc,term) tf aggregate and the per-doc
+    * length; term stats (df) and corpus stats (N, avgdl) are tiny
+    * broadcast sides. At 100 TB the only big shuffle is the tf aggregate,
+    * keyed by (doc, term).
+    */
+  def q_bm25_topk(spark: SparkSession, sf: String): DataFrame = {
+    val docToks = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(toks(col("text"))).as("word"))
+    val dl = docToks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val tf = docToks.filter(col("word").isin(QueryTerms: _*))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_toks"))
+    val k1 = lit(1.2)
+    val b = lit(0.75)
+    val avgdl = col("total_toks").cast("double") / col("n_docs").cast("double")
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val tfD = col("tf").cast("double")
+    val termScore = idf * tfD * (k1 + lit(1.0)) /
+      (tfD + k1 * (lit(1.0) - b + b * col("dl").cast("double") / avgdl))
+    tf.join(dl, "doc_id")
+      .join(broadcast(df_), "word")
+      .crossJoin(broadcast(corpus))
+      .select(col("doc_id"), col("word"),
+        round(termScore * 1e4).cast("long").as("term_e4"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("term_e4")).as("score_e4"))
+      .orderBy(col("score_e4").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  /** One BPE training merge step: treat every distinct word as a character
+    * sequence weighted by its corpus frequency, count all adjacent symbol
+    * pairs, emit the top-20 merge candidates by (count desc, pair asc).
+    * The pair explosion runs over the DISTINCT word table (vocabulary-
+    * sized, not corpus-sized) — exactly how a production BPE trainer
+    * avoids re-scanning 100 TB of text per merge.
+    */
+  def q_bpe_merge_step(spark: SparkSession, sf: String): DataFrame = {
+    val wf = Tables.documents(spark, sf)
+      .select(explode(toks(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .filter(length(col("word")) >= 2)
+    wf.select(col("c"), explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")).as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("c")).as("cnt"))
+      .select(substring(col("pair"), 1, 1).as("s1"),
+        substring(col("pair"), 2, 1).as("s2"), col("cnt"))
+      .orderBy(col("cnt").desc, col("s1").asc, col("s2").asc)
+      .limit(20)
+  }
+
+  /** Windowed word co-occurrence (the classic MapReduce "pairs" design,
+    * window = 2): ordered token pairs at distance 1 and 2, global top-30
+    * by (count desc, w1, w2). Pairs are generated inside the token array
+    * with a HOF transform — zero shuffles before the counting aggregate.
+    */
+  def q_word_cooccur(spark: SparkSession, sf: String): DataFrame = {
+    val t = Tables.documents(spark, sf).select(toks(col("text")).as("t"))
+    val d1 = t.filter(size(col("t")) >= 2).select(explode(expr(
+      "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))")).as("p"))
+    val d2 = t.filter(size(col("t")) >= 3).select(explode(expr(
+      "transform(sequence(1, size(t) - 2), i -> struct(t[i-1] AS w1, t[i+1] AS w2))")).as("p"))
+    d1.union(d2)
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w1").asc, col("w2").asc)
+      .limit(30)
+  }
+}

@@ -99,7 +99,12 @@ object Text {
     * [[q_neardup_jaccard]] and the component clustering of
     * [[q_dedup_components]].
     */
-  private[ops] def neardupPairs(spark: SparkSession, sf: String): DataFrame = {
+  /** Token-set overlap of every same-block doc pair: (lang, source, d1,
+    * d2, inter, sz1, sz2) — the shared core of the Jaccard and containment
+    * near-dup ops. One shuffle on the (block, token) key; the pair space
+    * stays per-block.
+    */
+  private[ops] def pairOverlap(spark: SparkSession, sf: String): DataFrame = {
     val toks = Tables.documents(spark, sf)
       .select(col("doc_id"), col("lang"), col("source"),
         explode(array_distinct(tokens(col("text")))).as("word"))
@@ -114,12 +119,28 @@ object Text {
     inter
       .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "sz1"), "d1")
       .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "sz2"), "d2")
+  }
+
+  private[ops] def neardupPairs(spark: SparkSession, sf: String): DataFrame =
+    pairOverlap(spark, sf)
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
       .filter(col("jaccard") >= 0.8)
       .select(col("lang"), col("source"), col("d1"), col("d2"),
         round(col("jaccard"), 4).as("j"))
-  }
+
+  /** Containment near-dup (the fuzzy-substring / partial-overlap dedup a
+    * training pipeline runs besides Jaccard): C = |A∩B| / min(|A|,|B|) as
+    * an exact e4 integer, pairs with C ≥ 0.9 per (lang, source) block.
+    * Catches a short doc swallowed by a longer one, which symmetric
+    * Jaccard misses.
+    */
+  def q_neardup_containment(spark: SparkSession, sf: String): DataFrame =
+    pairOverlap(spark, sf)
+      .select(col("lang"), col("source"), col("d1"), col("d2"),
+        expr("inter * 10000 div least(sz1, sz2)").as("cont_e4"))
+      .filter(col("cont_e4") >= 9000)
+      .orderBy("lang", "source", "d1", "d2")
 
   def q_neardup_jaccard(spark: SparkSession, sf: String): DataFrame =
     neardupPairs(spark, sf).orderBy("lang", "source", "d1", "d2")

@@ -105,4 +105,31 @@ object Vectors {
         col("true_label").cast("long").as("actual"))
       .orderBy("qid")
   }
+
+  /** Gram (uncentered second-moment) matrix of the first 8 embedding
+    * dimensions: G[i][j] = Σ_v x_i·x_j as an exact e14-lattice integer sum
+    * (decimal accumulator — long overflows beyond ~10⁴ rows), reported as
+    * G/n on the original scale. The classic one-pass MapReduce matrix
+    * pattern: explode each vector into its (dim, value) pairs, self-join
+    * per vector (64 pairs/row — bounded, data-independent), reduce by the
+    * (i, j) cell. At 100 TB this is the covariance/PCA input pass; cells,
+    * not vectors, are the shuffle key.
+    */
+  def q_gram_matrix(spark: SparkSession, sf: String): DataFrame =
+    Tables.embeddings(spark, sf)
+      .select(slice(q7(col("embedding")), 1, 8).as("qe"))
+      // upper-triangle (i, j, x_i·x_j) products generated INSIDE the array
+      // (e7·e7 = e14 products fit a long; only the cross-row sum needs
+      // decimal) — no per-vector self-join, zero shuffles before the
+      // 36-cell aggregate
+      .select(explode(expr(
+        "flatten(transform(sequence(0, 7), i ->" +
+          " transform(sequence(i, 7), j -> struct(i AS i, j AS j, qe[i] * qe[j] AS p))))"))
+        .as("c"))
+      .groupBy(col("c.i").cast("long").as("i"), col("c.j").cast("long").as("j"))
+      .agg(count(lit(1)).as("n"), sum(col("c.p").cast("decimal(38,0)")).as("sxy"))
+      .select(col("i"), col("j"),
+        (round(col("sxy").cast("double") / (col("n").cast("double") * lit(1e14)), 6)
+          + lit(0.0)).as("g"))
+      .orderBy("i", "j")
 }

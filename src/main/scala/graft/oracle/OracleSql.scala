@@ -1519,5 +1519,177 @@ object OracleSql {
              CAST(CASE WHEN top_c * 1000000 // n_bg < 100000
                         AND dup_c * 1000000 // n_bg < 150000 THEN 1 ELSE 0 END AS BIGINT) AS keep
       FROM st ORDER BY doc_id""",
+
+    "q_ohlc_bars" -> """
+      WITH e AS (SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                        ts, event_id, CAST(ROUND(value*100) AS BIGINT) AS vc
+                 FROM events),
+           r AS (SELECT *,
+                        ROW_NUMBER() OVER (PARTITION BY event_type, hour ORDER BY ts, event_id) AS ro,
+                        ROW_NUMBER() OVER (PARTITION BY event_type, hour ORDER BY ts DESC, event_id DESC) AS rc
+                 FROM e)
+      SELECT event_type, hour, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(MAX(CASE WHEN ro = 1 THEN vc END) AS BIGINT) AS open_cents,
+             CAST(MAX(vc) AS BIGINT) AS high_cents,
+             CAST(MIN(vc) AS BIGINT) AS low_cents,
+             CAST(MAX(CASE WHEN rc = 1 THEN vc END) AS BIGINT) AS close_cents,
+             CAST(SUM(vc) AS BIGINT) AS vol_cents
+      FROM r GROUP BY event_type, hour ORDER BY event_type, hour""",
+
+    "q_markov_transitions" -> """
+      WITH s AS (SELECT user_id, event_type,
+                        LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+                 FROM events),
+           c AS (SELECT event_type AS src, dst, CAST(COUNT(*) AS BIGINT) AS c
+                 FROM s WHERE dst IS NOT NULL GROUP BY 1, 2)
+      SELECT src, dst, c,
+             CAST(c * 1000000 // CAST(SUM(c) OVER (PARTITION BY src) AS BIGINT) AS BIGINT) AS p_e6
+      FROM c ORDER BY src, dst""",
+
+    "q_ab_ztest" -> """
+      WITH pu AS (SELECT user_id,
+                         CAST(SUM(CASE WHEN event_type = 'purchase'
+                                       THEN CAST(ROUND(value*100) AS BIGINT)
+                                       ELSE 0 END) AS BIGINT) AS purchase_cents
+                  FROM events GROUP BY user_id),
+           m AS (SELECT quantile_cont(purchase_cents, 0.5) AS med FROM pu),
+           co AS (SELECT user_id % 2 AS cohort, CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(CASE WHEN purchase_cents > med THEN 1 ELSE 0 END) AS BIGINT) AS c
+                  FROM pu CROSS JOIN m GROUP BY 1),
+           w AS (SELECT CAST(MAX(CASE WHEN cohort = 0 THEN n END) AS BIGINT) AS n0,
+                        CAST(MAX(CASE WHEN cohort = 0 THEN c END) AS BIGINT) AS c0,
+                        CAST(MAX(CASE WHEN cohort = 1 THEN n END) AS BIGINT) AS n1,
+                        CAST(MAX(CASE WHEN cohort = 1 THEN c END) AS BIGINT) AS c1
+                 FROM co)
+      SELECT n0, c0, n1, c1,
+             ROUND(CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE), 4) + 0 AS p0,
+             ROUND(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE), 4) + 0 AS p1,
+             ROUND((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                   / SQRT(CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)
+                          * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                          * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))), 4) + 0 AS z
+      FROM w""",
+
+    "q_hist_equidepth" -> """
+      WITH tp AS (SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) AS tp_cents FROM orders),
+           b AS (SELECT quantile_cont(tp_cents, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bounds
+                 FROM tp),
+           x AS (SELECT tp_cents,
+                        1 + len(list_filter(bounds, bb -> tp_cents > bb)) AS bucket
+                 FROM tp CROSS JOIN b)
+      SELECT CAST(bucket AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(MIN(tp_cents) AS BIGINT) AS min_cents,
+             CAST(MAX(tp_cents) AS BIGINT) AS max_cents,
+             CAST(SUM(tp_cents) AS BIGINT) AS sum_cents
+      FROM x GROUP BY 1 ORDER BY 1""",
+
+    "q_triangle_count" -> """
+      WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           edges AS (SELECT a.pk AS u, b.pk AS v
+                     FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+                     GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+           tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+                   FROM edges e1
+                   JOIN edges e2 ON e1.v = e2.u
+                   JOIN edges e3 ON e1.u = e3.u AND e2.v = e3.v),
+           st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges),
+           no AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes
+                  FROM (SELECT u AS p FROM edges UNION SELECT v FROM edges))
+      SELECT n_nodes, n_edges, n_triangles FROM no, st, tri""",
+
+    "q_cte_q3" -> """
+      WITH rev AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                   * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS rev_e4
+        FROM lineitem
+        WHERE l_shipdate > TIMESTAMP '1996-06-30'
+        GROUP BY l_orderkey)
+      SELECT o.o_orderkey, o.o_orderpriority, r.rev_e4
+      FROM rev r JOIN orders o ON r.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus <> 'F'
+      ORDER BY r.rev_e4 DESC, o.o_orderkey LIMIT 10""",
+
+    "q_bm25_topk" -> """
+      WITH dt AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents),
+           dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM dt GROUP BY doc_id),
+           tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+                  FROM dt WHERE word IN ('merge', 'vector', 'fast') GROUP BY 1, 2),
+           df AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY word),
+           corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_toks
+                      FROM dl),
+           t AS (SELECT tf.doc_id,
+                        CAST(ROUND(
+                          LN(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+                                   / (CAST(df.df AS DOUBLE) + 0.5))
+                          * CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)
+                          / (CAST(tf.tf AS DOUBLE)
+                             + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE)
+                                                 / (CAST(total_toks AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+                          * 1e4) AS BIGINT) AS term_e4
+                 FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+                         JOIN df ON tf.word = df.word
+                 CROSS JOIN corpus)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms, CAST(SUM(term_e4) AS BIGINT) AS score_e4
+      FROM t GROUP BY doc_id ORDER BY score_e4 DESC, doc_id LIMIT 20""",
+
+    "q_bpe_merge_step" -> """
+      WITH wf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+                  GROUP BY word HAVING LENGTH(word) >= 2),
+           p AS (SELECT c,
+                        unnest(list_transform(generate_series(1, CAST(LENGTH(word) AS INT) - 1),
+                               i -> substring(word, i, 2))) AS pair
+                 FROM wf),
+           pc AS (SELECT pair, CAST(SUM(c) AS BIGINT) AS cnt FROM p GROUP BY pair)
+      SELECT substring(pair, 1, 1) AS s1, substring(pair, 2, 1) AS s2, cnt
+      FROM pc ORDER BY cnt DESC, s1, s2 LIMIT 20""",
+
+    "q_word_cooccur" -> """
+      WITH t AS (SELECT doc_id,
+                        unnest(string_split(lower(text), ' ')) AS w,
+                        generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+                 FROM documents),
+           s AS (SELECT w AS w1,
+                        LEAD(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS n1,
+                        LEAD(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS n2
+                 FROM t),
+           pairs AS (SELECT w1, n1 AS w2 FROM s WHERE n1 IS NOT NULL
+                     UNION ALL
+                     SELECT w1, n2 AS w2 FROM s WHERE n2 IS NOT NULL)
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM pairs GROUP BY w1, w2 ORDER BY cnt DESC, w1, w2 LIMIT 30""",
+
+    "q_neardup_containment" -> """
+      WITH toks AS (SELECT DISTINCT doc_id, lang, source, word
+                    FROM (SELECT doc_id, lang, source,
+                                 unnest(string_split(lower(text), ' ')) AS word FROM documents)),
+           sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM toks GROUP BY doc_id),
+           inter AS (SELECT a.lang, a.source, a.doc_id AS d1, b.doc_id AS d2,
+                            CAST(COUNT(*) AS BIGINT) AS i
+                     FROM toks a JOIN toks b
+                       ON a.lang = b.lang AND a.source = b.source
+                      AND a.word = b.word AND a.doc_id < b.doc_id
+                     GROUP BY a.lang, a.source, a.doc_id, b.doc_id)
+      SELECT lang, source, d1, d2,
+             CAST(i * 10000 // LEAST(s1.sz, s2.sz) AS BIGINT) AS cont_e4
+      FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+      WHERE i * 10000 // LEAST(s1.sz, s2.sz) >= 9000
+      ORDER BY lang, source, d1, d2""",
+
+    "q_gram_matrix" -> """
+      WITH q AS (SELECT vec_id,
+                        list_transform(embedding[1:8],
+                                       x -> CAST(ROUND(CAST(x AS DOUBLE)*1e7) AS BIGINT)) AS qe
+                 FROM embeddings),
+           d AS (SELECT vec_id, CAST(generate_subscripts(qe, 1) - 1 AS BIGINT) AS dim,
+                        unnest(qe) AS x
+                 FROM q),
+           cells AS (SELECT a.dim AS i, b.dim AS j, CAST(COUNT(*) AS BIGINT) AS n,
+                            SUM(CAST(a.x AS HUGEINT) * b.x) AS sxy
+                     FROM d a JOIN d b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+                     GROUP BY 1, 2)
+      SELECT i, j, ROUND(CAST(sxy AS DOUBLE) / (CAST(n AS DOUBLE) * 1e14), 6) + 0 AS g
+      FROM cells ORDER BY i, j""",
   )
 }

