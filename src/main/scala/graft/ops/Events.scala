@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
@@ -145,5 +145,46 @@ object Events {
         count(lit(1)).as("n_sessions"),
         max(col("n_events")).as("max_session_events"))
       .orderBy("user_id")
+  }
+
+  /** Time-series gap fill with linear interpolation: the hourly mean event
+    * value per type on a COMPLETE hour scaffold (min..max observed hour),
+    * silent hours linearly interpolated between their observed neighbors.
+    * The interpolation is exact integer math — `(pv·(nh−h) + nv·(h−ph))
+    * div (nh−ph)` with a provably positive numerator, so trunc-vs-floor
+    * division can't diverge across engines. The hourly aggregate is tiny
+    * at any corpus size, so the neighbor lookup (a bounded theta join on
+    * the missing hours) never touches the raw events again.
+    */
+  def q_ts_interpolate(spark: SparkSession, sf: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val obs = Tables.eventsWithTs(spark, sf)
+      .groupBy(col("event_type"), expr(s"ts_usl div $hourUs").as("h"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sc"))
+      .select(col("event_type"), col("h"), expr("sc div n").as("v"))
+    val scaffold = obs.groupBy(col("event_type"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("h"))
+    val miss = scaffold.join(obs, Seq("event_type", "h"), "left_anti")
+    val prev = miss.as("s")
+      .join(obs.as("o"),
+        col("s.event_type") === col("o.event_type") && col("o.h") < col("s.h"))
+      .groupBy(col("s.event_type").as("event_type"), col("s.h").as("h"))
+      .agg(max(struct(col("o.h"), col("o.v"))).as("p"))
+    val next = miss.as("s")
+      .join(obs.as("o"),
+        col("s.event_type") === col("o.event_type") && col("o.h") > col("s.h"))
+      .groupBy(col("s.event_type").as("event_type"), col("s.h").as("h"))
+      .agg(min(struct(col("o.h"), col("o.v"))).as("nx"))
+    val interp = prev.join(next, Seq("event_type", "h"))
+      .select(col("event_type"), col("h"),
+        expr("(p.v * (nx.h - h) + nx.v * (h - p.h)) div (nx.h - p.h)").as("v"),
+        lit("interp").as("src"))
+    obs.select(col("event_type"), col("h"), col("v"), lit("obs").as("src"))
+      .unionByName(interp)
+      .select(col("event_type"),
+        date_format(timestamp_micros(col("h") * hourUs), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("v").as("v_cents"), col("src"))
+      .orderBy("event_type", "hour")
   }
 }

@@ -264,6 +264,35 @@ object MLDeterministic {
       .orderBy("doc_id")
   }
 
+  /** Ridge regression (closed form, 2 features, λ=1000, no intercept):
+    * solve (XᵀX + λI)w = Xᵀy for y = extended-price cents over features
+    * x1 = quantity, x2 = discount percent. One aggregate of six exact
+    * integer sufficient statistics (the cross-moment sums in decimal —
+    * long would overflow at fleet scale), then the 2×2 closed-form
+    * inverse as one fixed IEEE epilogue. The canonical "normal equations
+    * by sum-reduction" MapReduce pattern, one job at any data size.
+    */
+  def q_ridge_normal(spark: SparkSession, sf: String): DataFrame = {
+    def dsum(x: Column, y: Column): Column = sum(x.cast("decimal(38,0)") * y)
+    val lam = lit(1000.0)
+    val s = Tables.lineitem(spark, sf)
+      .select(col("l_quantity").cast("long").as("x1"),
+        pct(col("l_discount")).as("x2"),
+        cents(col("l_extendedprice")).as("z"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("x1"), col("x1")).as("sxx"), dsum(col("x1"), col("x2")).as("sxy"),
+        dsum(col("x2"), col("x2")).as("syy"), dsum(col("x1"), col("z")).as("sxz"),
+        dsum(col("x2"), col("z")).as("syz"))
+    val sxx = col("sxx").cast("double"); val sxy = col("sxy").cast("double")
+    val syy = col("syy").cast("double"); val sxz = col("sxz").cast("double")
+    val syz = col("syz").cast("double")
+    val det = (sxx + lam) * (syy + lam) - sxy * sxy
+    s.select(col("n"),
+      (round(((syy + lam) * sxz - sxy * syz) / det, 6) + lit(0.0)).as("w1"),
+      (round(((sxx + lam) * syz - sxy * sxz) / det, 6) + lit(0.0)).as("w2"))
+  }
+
   /** One K-Means Lloyd iteration, k=10, seeds = vectors 0..9: assignment
     * by exact integer lattice distance (tie → lower seed), per-cluster
     * count and mean squared distance.

@@ -215,4 +215,30 @@ object Sampling {
         .as("variance"))
       .orderBy("dim")
   }
+
+  /** One-pass column profiler over orders (the data-quality audit step of
+    * an ingest pipeline): three columns melted into (column, value) rows
+    * INSIDE the row (HOF array, no self-union scans), then per column:
+    * row count, distinct count, and the modal value with its e4 share.
+    * Mode tie → lexicographically larger value (`max(struct)`), which the
+    * oracle pins with a DESC row-number.
+    */
+  def q_profile_columns(spark: SparkSession, sf: String): DataFrame =
+    Tables.orders(spark, sf)
+      .select(explode(array(
+        struct(lit("o_orderstatus").as("c"), col("o_orderstatus").as("v")),
+        struct(lit("o_orderpriority").as("c"), col("o_orderpriority").as("v")),
+        struct(lit("order_year").as("c"), year(col("o_orderdate")).cast("string").as("v"))))
+        .as("m"))
+      .groupBy(col("m.c").as("column_name"), col("m.v").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("column_name"))
+      .agg(
+        sum(col("cnt")).as("n_values"),
+        count(lit(1)).as("n_distinct"),
+        max(struct(col("cnt"), col("v"))).as("top"))
+      .select(col("column_name"), col("n_values"), col("n_distinct"),
+        col("top.v").as("top_value"), col("top.cnt").as("top_count"),
+        expr("top.cnt * 10000 div n_values").as("top_share_e4"))
+      .orderBy("column_name")
 }

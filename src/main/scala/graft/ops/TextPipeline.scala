@@ -290,6 +290,37 @@ object TextPipeline {
       .orderBy("doc_id")
   }
 
+  /** Composite corpus-filter pipeline (the end-to-end QA pass a training
+    * pipeline chains from the individual signals): per document, token
+    * length bounds + lexical diversity + top-bigram repetition combined
+    * into one keep decision; reported per (lang, source) shard as total /
+    * kept / surviving characters. Everything is exact integers; the
+    * per-doc signals join on doc_id — at corpus scale two document-keyed
+    * shuffles, then one tiny shard aggregate.
+    */
+  def q_filter_pipeline(spark: SparkSession, sf: String): DataFrame = {
+    val docStats = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        toks(col("text")).as("t"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        size(col("t")).cast("long").as("n_tok"),
+        size(array_distinct(col("t"))).cast("long").as("distinct_tok"))
+    val rep = docBigrams(spark, sf)
+      .groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bg"), max(col("c")).as("top_c"))
+    docStats.join(rep, Seq("doc_id"), "left_outer")
+      .withColumn("keep",
+        when(col("n_tok").between(20L, 200L) &&
+          expr("distinct_tok * 1000000 div n_tok") >= 500000L &&
+          coalesce(expr("top_c * 1000000 div n_bg"), lit(0L)) < 100000L, 1L)
+          .otherwise(0L))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_kept"),
+        sum(when(col("keep") === 1L, col("n_chars")).otherwise(0L)).as("kept_chars"))
+      .orderBy("lang", "source")
+  }
+
   /** Gopher-style repetition quality filter: per document, the fraction of
     * bigram occurrences claimed by the single most frequent bigram and the
     * fraction covered by any repeated bigram, both as exact e6 integers

@@ -106,6 +106,22 @@ object Vectors {
       .orderBy("qid")
   }
 
+  /** Per-label embedding centroids over dims 0-7 (the class-prototype /
+    * cluster-init table): exact e7-lattice integer sums per (label, dim),
+    * mean as one rounded division. One explode + one aggregate keyed by
+    * (label, dim) — the shuffled state is centroid-sized, not data-sized.
+    */
+  def q_label_centroids(spark: SparkSession, sf: String): DataFrame =
+    Tables.embeddings(spark, sf)
+      .select(col("label").cast("long").as("label"),
+        posexplode(slice(q7(col("embedding")), 1, 8)).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      .select(col("label"), col("dim"), col("n"),
+        (round(col("sx").cast("double") / (col("n").cast("double") * lit(1e7)), 6)
+          + lit(0.0)).as("mean"))
+      .orderBy("label", "dim")
+
   /** Gram (uncentered second-moment) matrix of the first 8 embedding
     * dimensions: G[i][j] = Σ_v x_i·x_j as an exact e14-lattice integer sum
     * (decimal accumulator — long overflows beyond ~10⁴ rows), reported as

@@ -1691,5 +1691,121 @@ object OracleSql {
                      GROUP BY 1, 2)
       SELECT i, j, ROUND(CAST(sxy AS DOUBLE) / (CAST(n AS DOUBLE) * 1e14), 6) + 0 AS g
       FROM cells ORDER BY i, j""",
+
+    "q_ridge_normal" -> """
+      WITH s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                        SUM(CAST(x1 AS HUGEINT) * x1) AS sxx,
+                        SUM(CAST(x1 AS HUGEINT) * x2) AS sxy,
+                        SUM(CAST(x2 AS HUGEINT) * x2) AS syy,
+                        SUM(CAST(x1 AS HUGEINT) * z) AS sxz,
+                        SUM(CAST(x2 AS HUGEINT) * z) AS syz
+                 FROM (SELECT CAST(l_quantity AS BIGINT) AS x1,
+                              CAST(ROUND(l_discount*100) AS BIGINT) AS x2,
+                              CAST(ROUND(l_extendedprice*100) AS BIGINT) AS z
+                       FROM lineitem))
+      SELECT n,
+             ROUND(((CAST(syy AS DOUBLE) + 1000.0) * CAST(sxz AS DOUBLE)
+                    - CAST(sxy AS DOUBLE) * CAST(syz AS DOUBLE))
+                   / ((CAST(sxx AS DOUBLE) + 1000.0) * (CAST(syy AS DOUBLE) + 1000.0)
+                      - CAST(sxy AS DOUBLE) * CAST(sxy AS DOUBLE)), 6) + 0 AS w1,
+             ROUND(((CAST(sxx AS DOUBLE) + 1000.0) * CAST(syz AS DOUBLE)
+                    - CAST(sxy AS DOUBLE) * CAST(sxz AS DOUBLE))
+                   / ((CAST(sxx AS DOUBLE) + 1000.0) * (CAST(syy AS DOUBLE) + 1000.0)
+                      - CAST(sxy AS DOUBLE) * CAST(sxy AS DOUBLE)), 6) + 0 AS w2
+      FROM s""",
+
+    "q_label_centroids" -> """
+      WITH q AS (SELECT CAST(label AS BIGINT) AS label,
+                        list_transform(embedding[1:8],
+                                       x -> CAST(ROUND(CAST(x AS DOUBLE)*1e7) AS BIGINT)) AS qe
+                 FROM embeddings),
+           d AS (SELECT label, CAST(generate_subscripts(qe, 1) - 1 AS BIGINT) AS dim,
+                        unnest(qe) AS x
+                 FROM q)
+      SELECT label, dim, CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(CAST(SUM(x) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1e7), 6) + 0 AS mean
+      FROM d GROUP BY label, dim ORDER BY label, dim""",
+
+    "q_profile_columns" -> """
+      WITH m AS (SELECT 'o_orderstatus' AS column_name, o_orderstatus AS v FROM orders
+                 UNION ALL
+                 SELECT 'o_orderpriority', o_orderpriority FROM orders
+                 UNION ALL
+                 SELECT 'order_year', CAST(year(o_orderdate) AS VARCHAR) FROM orders),
+           c AS (SELECT column_name, v, CAST(COUNT(*) AS BIGINT) AS cnt
+                 FROM m GROUP BY 1, 2),
+           r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY column_name
+                                              ORDER BY cnt DESC, v DESC) AS rn
+                 FROM c)
+      SELECT column_name,
+             CAST(SUM(cnt) AS BIGINT) AS n_values,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(MAX(CASE WHEN rn = 1 THEN v END) AS VARCHAR) AS top_value,
+             CAST(MAX(CASE WHEN rn = 1 THEN cnt END) AS BIGINT) AS top_count,
+             CAST(MAX(CASE WHEN rn = 1 THEN cnt END) * 10000 // CAST(SUM(cnt) AS BIGINT)
+                  AS BIGINT) AS top_share_e4
+      FROM r GROUP BY column_name ORDER BY column_name""",
+
+    "q_filter_pipeline" -> """
+      WITH ds AS (SELECT doc_id, lang, source, n_chars,
+                         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok,
+                         CAST(len(list_distinct(string_split(lower(text), ' '))) AS BIGINT) AS distinct_tok
+                  FROM documents),
+           w AS (SELECT doc_id,
+                        unnest(string_split(lower(text), ' ')) AS word,
+                        generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+                 FROM documents),
+           bg AS (SELECT doc_id, word AS w1,
+                         LEAD(word) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+                  FROM w),
+           bgc AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM bg WHERE w2 IS NOT NULL GROUP BY 1, 2, 3),
+           rep AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bg, CAST(MAX(c) AS BIGINT) AS top_c
+                   FROM bgc GROUP BY 1),
+           k AS (SELECT ds.lang, ds.source, ds.n_chars,
+                        CASE WHEN ds.n_tok BETWEEN 20 AND 200
+                              AND ds.distinct_tok * 1000000 // ds.n_tok >= 500000
+                              AND COALESCE(rep.top_c * 1000000 // rep.n_bg, 0) < 100000
+                             THEN 1 ELSE 0 END AS keep
+                 FROM ds LEFT JOIN rep ON ds.doc_id = rep.doc_id)
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(keep) AS BIGINT) AS n_kept,
+             CAST(SUM(CASE WHEN keep = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+      FROM k GROUP BY lang, source ORDER BY lang, source""",
+
+    "q_ts_interpolate" -> """
+      WITH obs AS (SELECT event_type,
+                          (epoch_ns(ts) // 1000) // 3600000000 AS h,
+                          CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT)
+                            // CAST(COUNT(*) AS BIGINT) AS v
+                   FROM events GROUP BY 1, 2),
+           b AS (SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM obs GROUP BY 1),
+           scaffold AS (SELECT event_type, unnest(generate_series(h0, h1)) AS h FROM b),
+           miss AS (SELECT s.event_type, s.h
+                    FROM scaffold s LEFT JOIN obs o
+                      ON o.event_type = s.event_type AND o.h = s.h
+                    WHERE o.h IS NULL),
+           prev AS (SELECT s.event_type, s.h, MAX(o.h) AS ph
+                    FROM miss s JOIN obs o
+                      ON o.event_type = s.event_type AND o.h < s.h
+                    GROUP BY 1, 2),
+           nxt AS (SELECT s.event_type, s.h, MIN(o.h) AS nh
+                   FROM miss s JOIN obs o
+                     ON o.event_type = s.event_type AND o.h > s.h
+                   GROUP BY 1, 2),
+           interp AS (SELECT p.event_type, p.h,
+                             (pv.v * (n.nh - p.h) + nv.v * (p.h - p.ph)) // (n.nh - p.ph) AS v,
+                             'interp' AS src
+                      FROM prev p
+                      JOIN nxt n ON n.event_type = p.event_type AND n.h = p.h
+                      JOIN obs pv ON pv.event_type = p.event_type AND pv.h = p.ph
+                      JOIN obs nv ON nv.event_type = p.event_type AND nv.h = n.nh),
+           allrows AS (SELECT event_type, h, v, 'obs' AS src FROM obs
+                       UNION ALL
+                       SELECT event_type, h, v, src FROM interp)
+      SELECT event_type,
+             strftime(make_timestamp(h * 3600000000), '%Y-%m-%d %H:%M:%S') AS hour,
+             CAST(v AS BIGINT) AS v_cents, src
+      FROM allrows ORDER BY event_type, hour""",
   )
 }

@@ -106,6 +106,57 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(viol.count() === 0)
   }
 
+  test("ridge: shrinks toward zero as lambda grows (sanity vs unregularized)") {
+    val r = graft.ops.MLDeterministic.q_ridge_normal(spark, sf).head()
+    // quantity coefficient must be strongly positive (price scales with
+    // quantity in the fixture); discount coefficient is small
+    assert(r.getAs[Double]("w1") > 0.0)
+    assert(math.abs(r.getAs[Double]("w2")) < math.abs(r.getAs[Double]("w1")) * 100)
+  }
+
+  test("label centroids: one row per (label, dim), n sums to vectors x 8") {
+    val df = Vectors.q_label_centroids(spark, sf).cache()
+    val nVec = graft.core.Tables.embeddings(spark, sf).count()
+    val labels = graft.core.Tables.embeddings(spark, sf)
+      .select(col("label")).distinct().count()
+    assert(df.count() === labels * 8)
+    assert(df.agg(sum(col("n"))).head().getLong(0) === nVec * 8)
+    df.unpersist()
+  }
+
+  test("profile columns: counts consistent, share <= 1e4") {
+    val rows = graft.ops.Sampling.q_profile_columns(spark, sf).collect()
+    assert(rows.length === 3)
+    val orders = graft.core.Tables.orders(spark, sf).count()
+    assert(rows.forall(_.getAs[Long]("n_values") == orders))
+    assert(rows.forall(r => r.getAs[Long]("top_share_e4") <= 10000L))
+    assert(rows.forall(r => r.getAs[Long]("top_count") <= r.getAs[Long]("n_values")))
+  }
+
+  test("filter pipeline: kept <= total per shard, totals match corpus") {
+    val df = graft.ops.TextPipeline.q_filter_pipeline(spark, sf).cache()
+    assert(df.filter(col("n_kept") > col("n_docs")).count() === 0)
+    assert(df.agg(sum(col("n_docs"))).head().getLong(0) ===
+      graft.core.Tables.documents(spark, sf).count())
+    df.unpersist()
+  }
+
+  test("ts interpolate: complete hour scaffold per type, interpolated values bounded") {
+    val df = graft.ops.Events.q_ts_interpolate(spark, sf).cache()
+    // scaffold completeness: rows per type == distinct hours per type
+    val perType = df.groupBy("event_type")
+      .agg(count(lit(1)).as("rows"), countDistinct(col("hour")).as("hours"))
+      .filter(col("rows") =!= col("hours"))
+    assert(perType.count() === 0)
+    // every interpolated value lies within the global observed min..max
+    val obs = df.filter(col("src") === "obs")
+      .agg(min(col("v_cents")).as("lo"), max(col("v_cents")).as("hi")).head()
+    val bad = df.filter(col("src") === "interp")
+      .filter(col("v_cents") < obs.getAs[Long]("lo") || col("v_cents") > obs.getAs[Long]("hi"))
+    assert(bad.count() === 0)
+    df.unpersist()
+  }
+
   test("gram matrix: 36 upper-triangle cells, diagonal positive") {
     val rows = Vectors.q_gram_matrix(spark, sf).collect()
     assert(rows.length === 36)
