@@ -125,12 +125,17 @@ object Analytics {
   def q_triangle_count(spark: SparkSession, sf: String): DataFrame = {
     val items = Tables.lineitem(spark, sf)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    // the expensive per-order pair build runs ONCE: the edge list is tiny
+    // (support-2 survivors), so materialize it before it fans out into the
+    // three triangle-join references + the node/edge counts — without this
+    // the pair explosion re-executes five times
     val edges = items.as("a")
       .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
       .agg(count(lit(1)).as("s"))
       .filter(col("s") >= 2)
       .select(col("u"), col("v"))
+      .localCheckpoint()
     val tri = edges.as("e1")
       .join(edges.as("e2"), col("e1.v") === col("e2.u"))
       .join(edges.as("e3"),

@@ -216,6 +216,36 @@ object Sampling {
       .orderBy("dim")
   }
 
+  /** Robust outlier detection via median absolute deviation (the
+    * median-based twin of [[q_anomaly_zscore]], immune to the outliers it
+    * hunts): per event type, med = exact interpolating median of the
+    * value cents, MAD = median of |x − med|, outlier ⇔ |x − med| > 3·MAD.
+    * Two grouped percentile passes + one counting pass — each a single
+    * shuffle keyed by the (tiny) type dimension. Deviations are exact in
+    * doubles (integer cents ± an x.5 interpolation, far below 2⁵³), so
+    * the second percentile interpolates identical inputs on both engines.
+    */
+  def q_anomaly_mad(spark: SparkSession, sf: String): DataFrame = {
+    val v = Tables.eventsWithTs(spark, sf)
+      .select(col("event_type"), cents(col("value")).as("vc"))
+    val med = v.groupBy(col("event_type"))
+      .agg(percentile(col("vc"), lit(0.5)).as("med"))
+    val dev = v.join(broadcast(med), "event_type")
+      .select(col("event_type"), col("med"),
+        abs(col("vc").cast("double") - col("med")).as("dev"))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(percentile(col("dev"), lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        (max(col("med")) + lit(0.0)).as("med"),
+        (max(col("mad")) + lit(0.0)).as("mad"),
+        sum(when(col("dev") > col("mad") * lit(3.0), 1L).otherwise(0L)).as("n_outliers"),
+        (round(max(col("dev")), 4) + lit(0.0)).as("max_dev"))
+      .orderBy("event_type")
+  }
+
   /** One-pass column profiler over orders (the data-quality audit step of
     * an ingest pipeline): three columns melted into (column, value) rows
     * INSIDE the row (HOF array, no self-union scans), then per column:

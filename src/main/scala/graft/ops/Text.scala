@@ -145,6 +145,23 @@ object Text {
   def q_neardup_jaccard(spark: SparkSession, sf: String): DataFrame =
     neardupPairs(spark, sf).orderBy("lang", "source", "d1", "d2")
 
+  /** Boilerplate-prefix detection (the Common-Crawl-style "same opening,
+    * different tail" dedup pass exact dedup misses): group documents by
+    * the fingerprint of their first 80 characters, report groups of ≥ 2
+    * with their size, id range and language spread. One hash + one
+    * group-by — a single shuffle keyed by the prefix fingerprint at any
+    * corpus size.
+    */
+  def q_boilerplate_prefix(spark: SparkSession, sf: String): DataFrame =
+    Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"),
+        md5(substring(col("text"), 1, 80).cast("binary")).as("prefix_fp"))
+      .groupBy(col("prefix_fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"), countDistinct(col("lang")).as("n_langs"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("prefix_fp")
+
   /** Dedup cluster discovery: connected components over the union of
     * exact-dup edges (same md5 fingerprint → star to the group's min id)
     * and near-dup edges (Jaccard ≥ 0.8). Spark side runs min-label

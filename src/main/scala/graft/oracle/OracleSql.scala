@@ -1807,5 +1807,31 @@ object OracleSql {
              strftime(make_timestamp(h * 3600000000), '%Y-%m-%d %H:%M:%S') AS hour,
              CAST(v AS BIGINT) AS v_cents, src
       FROM allrows ORDER BY event_type, hour""",
+
+    "q_boilerplate_prefix" -> """
+      SELECT md5(substring(text, 1, 80)) AS prefix_fp,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+             CAST(MAX(doc_id) AS BIGINT) AS max_doc,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+      FROM documents
+      GROUP BY prefix_fp HAVING COUNT(*) >= 2
+      ORDER BY prefix_fp""",
+
+    "q_anomaly_mad" -> """
+      WITH v AS (SELECT event_type, CAST(ROUND(value*100) AS BIGINT) AS vc FROM events),
+           med AS (SELECT event_type, quantile_cont(vc, 0.5) AS med FROM v GROUP BY 1),
+           dev AS (SELECT v.event_type, med.med,
+                          ABS(CAST(vc AS DOUBLE) - med.med) AS dev
+                   FROM v JOIN med ON v.event_type = med.event_type),
+           mad AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY 1)
+      SELECT dev.event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             MAX(dev.med) + 0 AS med,
+             MAX(mad.mad) + 0 AS mad,
+             CAST(SUM(CASE WHEN dev.dev > mad.mad * 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+             ROUND(MAX(dev.dev), 4) + 0 AS max_dev
+      FROM dev JOIN mad ON dev.event_type = mad.event_type
+      GROUP BY dev.event_type ORDER BY dev.event_type""",
   )
 }

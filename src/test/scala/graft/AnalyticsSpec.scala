@@ -157,6 +157,26 @@ class AnalyticsSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("boilerplate prefix groups are a superset of exact-dup groups") {
+    val prefixDups = Text.q_boilerplate_prefix(spark, sf)
+      .agg(sum(col("n_docs"))).head().get(0)
+    val exactDupDocs = graft.core.Tables.documents(spark, sf)
+      .groupBy(md5(col("text").cast("binary"))).count()
+      .filter(col("count") >= 2).agg(sum(col("count"))).head().get(0)
+    val p = if (prefixDups == null) 0L else prefixDups.asInstanceOf[Long]
+    val e = if (exactDupDocs == null) 0L else exactDupDocs.asInstanceOf[Long]
+    assert(p >= e, s"prefix dups $p < exact dups $e")
+  }
+
+  test("anomaly mad: outliers are a minority and mad <= max_dev") {
+    val rows = graft.ops.Sampling.q_anomaly_mad(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_outliers") * 2 < r.getAs[Long]("n"))
+      assert(r.getAs[Double]("mad") <= r.getAs[Double]("max_dev"))
+    }
+  }
+
   test("gram matrix: 36 upper-triangle cells, diagonal positive") {
     val rows = Vectors.q_gram_matrix(spark, sf).collect()
     assert(rows.length === 36)
