@@ -1833,5 +1833,36 @@ object OracleSql {
              ROUND(MAX(dev.dev), 4) + 0 AS max_dev
       FROM dev JOIN mad ON dev.event_type = mad.event_type
       GROUP BY dev.event_type ORDER BY dev.event_type""",
+
+    "q_quantile_sketch" -> """
+      WITH v AS (SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) AS c FROM orders),
+           b0 AS (SELECT c, CAST(LENGTH(bin(c)) AS BIGINT) AS blen FROM v),
+           binned AS (SELECT c,
+                             blen * 8 + CASE WHEN blen >= 4
+                               THEN (c // CAST(pow(2, blen - 4) AS BIGINT)) % 8 ELSE 0 END AS bin_id
+                      FROM b0),
+           sk AS (SELECT bin_id, CAST(COUNT(*) AS BIGINT) AS cnt,
+                         CAST(MIN(c) AS BIGINT) AS bmin, CAST(MAX(c) AS BIGINT) AS bmax
+                  FROM binned GROUP BY 1),
+           cum AS (SELECT a.bin_id, a.cnt, a.bmin, a.bmax,
+                          CAST(COALESCE(SUM(b.cnt), 0) AS BIGINT) AS cb
+                   FROM sk a LEFT JOIN sk b ON b.bin_id < a.bin_id
+                   GROUP BY a.bin_id, a.cnt, a.bmin, a.bmax),
+           nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+           ex AS (SELECT quantile_cont(c, [0.5, 0.9, 0.99]) AS exq FROM v),
+           t AS (SELECT unnest([50, 90, 99]) AS q, unnest([1, 2, 3]) AS qi),
+           rk AS (SELECT CAST(t.q AS BIGINT) AS q, t.qi, nn.n,
+                         GREATEST(1, (nn.n * t.q) // 100) AS rk
+                  FROM t CROSS JOIN nn),
+           pick AS (SELECT rk.q, rk.n,
+                           CAST(cum.bmin + (cum.bmax - cum.bmin) * (rk.rk - cum.cb - 1) // cum.cnt
+                                AS BIGINT) AS est_cents,
+                           ex.exq[rk.qi] AS exv
+                    FROM rk JOIN cum ON cum.cb < rk.rk AND rk.rk <= cum.cb + cum.cnt
+                    CROSS JOIN ex)
+      SELECT q, n, est_cents,
+             ROUND(exv, 4) + 0 AS exact_cents,
+             CAST(ROUND(ABS(CAST(est_cents AS DOUBLE) - exv) / exv * 1e4) AS BIGINT) AS rel_err_e4
+      FROM pick ORDER BY q""",
   )
 }

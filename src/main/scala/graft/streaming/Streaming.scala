@@ -50,6 +50,28 @@ object Streaming {
       .agg(count(lit(1)).as("n_events"))
       .select(col("session_window.start").as("sess_start"), col("user_id"), col("n_events"))
 
+  /** OHLC bar twin of `q_ohlc_bars`: per (1h window, event_type) the
+    * opening/highest/lowest/closing value — open/close via `min/max(
+    * struct(event-time, value))`, which streaming state merges
+    * incrementally like any algebraic aggregate. (The batch query
+    * tie-breaks equal timestamps on event_id; the streaming contract
+    * carries no id column, so ties fall to the smaller value — document
+    * accordingly.)
+    */
+  def ohlcBars(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts_us", "10 minutes")
+      .groupBy(window(col("ts_us"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(struct(col("ts_us").as("t"), cents(col("value")).as("v"))).as("o"),
+        max(struct(col("ts_us").as("t"), cents(col("value")).as("v"))).as("c"),
+        max(cents(col("value"))).as("high_cents"),
+        min(cents(col("value"))).as("low_cents"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"),
+        col("o.v").as("open_cents"), col("high_cents"), col("low_cents"),
+        col("c.v").as("close_cents"))
+
   /** Streaming exact dedup on a fingerprint column within the watermark
     * horizon — the streaming face of q_dedup_exact.
     */

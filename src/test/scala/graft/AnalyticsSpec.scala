@@ -177,6 +177,15 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("quantile sketch: estimates within the 3.1% bin-width bound of exact") {
+    val rows = graft.ops.Sketches.q_quantile_sketch(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("q")).toSeq === Seq(50L, 90L, 99L))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("rel_err_e4") <= 310L,
+        s"q=${r.getAs[Long]("q")} err=${r.getAs[Long]("rel_err_e4")}")
+    }
+  }
+
   test("gram matrix: 36 upper-triangle cells, diagonal positive") {
     val rows = Vectors.q_gram_matrix(spark, sf).collect()
     assert(rows.length === 36)

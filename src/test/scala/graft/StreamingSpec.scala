@@ -47,6 +47,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming OHLC bars equal the batch computation") {
+    import spark.implicits._
+    val events = Seq(
+      Ev(ts(5), "view", 3.00, 1), Ev(ts(20), "view", 1.00, 1),
+      Ev(ts(40), "view", 2.00, 1), Ev(ts(65), "view", 5.00, 2))
+    val stream = MemoryStream[Ev](spark)
+    stream.addData(events: _*)
+    runToCompletion(stream, "ohlc_out", Streaming.ohlcBars)
+    val streamed = spark.table("ohlc_out").collect().toSet
+    val batch = Streaming.ohlcBars(events.toDF()).collect().toSet
+    assert(streamed === batch)
+    // first hour: open=300 (00:05), close=200 (00:40), high=300, low=100
+    val h0 = streamed.find(r => r.getAs[java.sql.Timestamp]("win_start").toString
+      .startsWith("2024-01-01 00:00")).get
+    assert(h0.getAs[Long]("open_cents") === 300L)
+    assert(h0.getAs[Long]("close_cents") === 200L)
+    assert(h0.getAs[Long]("high_cents") === 300L)
+    assert(h0.getAs[Long]("low_cents") === 100L)
+  }
+
   test("late event beyond the watermark is dropped from append output") {
     import spark.implicits._
     val stream = MemoryStream[Ev](spark)
