@@ -147,6 +147,54 @@ object Analytics {
     nodes.crossJoin(stats).crossJoin(tri)
   }
 
+  /** Last-touch marketing attribution: each purchase's value is credited
+    * to the user's most recent preceding non-purchase event type (the
+    * "channel"); purchases with no preceding touch credit 'none'. The
+    * carried channel is `last(..., ignoreNulls)` over an unbounded-
+    * preceding-to-−1 frame — one user-keyed shuffle, state O(1) per row,
+    * the same plan a streaming last-touch would keep in its state store.
+    */
+  def q_attribution_lasttouch(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.eventsWithTs(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        cents(col("value")).as("vc"))
+      .withColumn("channel",
+        last(when(col("event_type") =!= "purchase", col("event_type")), ignoreNulls = true)
+          .over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("channel"), lit("none")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("vc")).as("revenue_cents"))
+      .orderBy("channel")
+  }
+
+  /** Cumulative distinct-user growth by day: per calendar day, the active
+    * users (DAU), the first-ever-seen users, and the running total of
+    * distinct users to date. The cumulative count comes from each user's
+    * min-day (one user-keyed aggregate) re-summed over the tiny day table
+    * with a bounded theta join — never a distinct-over-growing-window,
+    * which would be quadratic state at fleet scale.
+    */
+  def q_dau_cumulative(spark: SparkSession, sf: String): DataFrame = {
+    val userDays = Tables.eventsWithTs(spark, sf)
+      .select(col("user_id"), to_date(col("ts_us")).as("day")).distinct()
+    val dau = userDays.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val newUsers = userDays.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    val days = dau.join(newUsers, Seq("day"), "left_outer")
+      .select(col("day"), col("dau"), coalesce(col("new_users"), lit(0L)).as("new_users"))
+    days.as("a")
+      .join(days.select(col("day").as("d2"), col("new_users").as("nu2")).as("b"),
+        col("b.d2") <= col("a.day"))
+      .groupBy(col("a.day").as("day"), col("a.dau").as("dau"),
+        col("a.new_users").as("new_users"))
+      .agg(sum(col("b.nu2")).as("cum_users"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("new_users"), col("cum_users"))
+      .orderBy("day")
+  }
+
   /** TPC-H-Q3-flavor CTE query through the SQL-string entry path (E2):
     * top-10 open orders by discounted revenue shipped after mid-1996.
     * Exercises CTE parsing, a fact→dim shuffle join, aggregate-then-join

@@ -1864,5 +1864,32 @@ object OracleSql {
              ROUND(exv, 4) + 0 AS exact_cents,
              CAST(ROUND(ABS(CAST(est_cents AS DOUBLE) - exv) / exv * 1e4) AS BIGINT) AS rel_err_e4
       FROM pick ORDER BY q""",
+
+    "q_attribution_lasttouch" -> """
+      WITH t AS (SELECT user_id, event_type, CAST(ROUND(value*100) AS BIGINT) AS vc,
+                        LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                                   IGNORE NULLS)
+                          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+                 FROM events)
+      SELECT COALESCE(channel, 'none') AS channel,
+             CAST(COUNT(*) AS BIGINT) AS n_purchases,
+             CAST(SUM(vc) AS BIGINT) AS revenue_cents
+      FROM t WHERE event_type = 'purchase'
+      GROUP BY 1 ORDER BY channel""",
+
+    "q_dau_cumulative" -> """
+      WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+           dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+           fs AS (SELECT user_id, MIN(day) AS day FROM ud GROUP BY user_id),
+           nu AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users FROM fs GROUP BY day),
+           days AS (SELECT dau.day, dau.dau,
+                           CAST(COALESCE(nu.new_users, 0) AS BIGINT) AS new_users
+                    FROM dau LEFT JOIN nu ON dau.day = nu.day)
+      SELECT strftime(a.day, '%Y-%m-%d') AS day, a.dau, a.new_users,
+             CAST(SUM(b.new_users) AS BIGINT) AS cum_users
+      FROM days a JOIN days b ON b.day <= a.day
+      GROUP BY a.day, a.dau, a.new_users
+      ORDER BY day""",
   )
 }

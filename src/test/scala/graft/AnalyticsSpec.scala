@@ -186,6 +186,24 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("attribution: credited purchases equal total purchases") {
+    val df = Analytics.q_attribution_lasttouch(spark, sf)
+    val credited = df.agg(sum(col("n_purchases"))).head().getLong(0)
+    val purchases = graft.core.Tables.eventsWithTs(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(credited === purchases)
+  }
+
+  test("dau cumulative: monotone non-decreasing, ends at total distinct users") {
+    val rows = Analytics.q_dau_cumulative(spark, sf).collect()
+    val cums = rows.map(_.getAs[Long]("cum_users"))
+    assert(cums.zip(cums.drop(1)).forall { case (a, b) => b >= a })
+    val total = graft.core.Tables.eventsWithTs(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(cums.last === total)
+    rows.foreach(r => assert(r.getAs[Long]("dau") >= r.getAs[Long]("new_users")))
+  }
+
   test("gram matrix: 36 upper-triangle cells, diagonal positive") {
     val rows = Vectors.q_gram_matrix(spark, sf).collect()
     assert(rows.length === 36)
