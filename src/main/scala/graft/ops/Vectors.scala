@@ -106,6 +106,38 @@ object Vectors {
       .orderBy("qid")
   }
 
+  /** Product-quantization codebook assignment (the compression pass of a
+    * production ANN index): the 64-dim embedding splits into 8 sub-vectors
+    * of 8 dims; each sub-vector is assigned to the nearest of 4 fixed
+    * codewords (the sub-vectors of embeddings 0..3 — D5 fixed seeds) by
+    * exact integer lattice distance, tie → lower code. Output: per
+    * (subspace, code) cell count and mean distortion. Sub-vectors are
+    * generated INSIDE the array (one explode, no self-join); codewords
+    * broadcast; the aggregate is 32 cells at any corpus size — after this
+    * pass each vector is 8 bytes instead of 256.
+    */
+  def q_pq_assign(spark: SparkSession, sf: String): DataFrame = {
+    val subvecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), q7(col("embedding")).as("qe"))
+      .select(col("vec_id"), explode(expr(
+        "transform(sequence(0, 7), s -> struct(s AS s, slice(qe, s * 8 + 1, 8) AS sv))"))
+        .as("x"))
+      .select(col("vec_id"), col("x.s").as("s"), col("x.sv").as("sv"))
+    val codebook = subvecs.filter(col("vec_id") <= 3)
+      .select(col("s"), col("vec_id").cast("long").as("code"), col("sv").as("cw"))
+    subvecs.filter(col("vec_id") > 3)
+      .join(broadcast(codebook), "s")
+      .select(col("vec_id"), col("s"), col("code"), dist2E14(col("sv"), col("cw")).as("d2"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("d2"), col("code"))).as("best"))
+      .groupBy(col("s").cast("long").as("subspace"), col("best.code").as("code"))
+      .agg(count(lit(1)).as("n"),
+        // decimal accumulator: a hot cell's Σd2 can pass 2^63 at fleet scale
+        (round(sum(col("best.d2").cast("decimal(38,0)")).cast("double") /
+          (count(lit(1)).cast("double") * lit(1e14)), 6) + lit(0.0)).as("mean_d2"))
+      .orderBy("subspace", "code")
+  }
+
   /** Per-label embedding centroids over dims 0-7 (the class-prototype /
     * cluster-init table): exact e7-lattice integer sums per (label, dim),
     * mean as one rounded division. One explode + one aggregate keyed by

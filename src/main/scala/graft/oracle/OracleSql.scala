@@ -1891,5 +1891,27 @@ object OracleSql {
       FROM days a JOIN days b ON b.day <= a.day
       GROUP BY a.day, a.dau, a.new_users
       ORDER BY day""",
+
+    "q_pq_assign" -> """
+      WITH q AS (SELECT vec_id,
+                        list_transform(embedding,
+                                       x -> CAST(ROUND(CAST(x AS DOUBLE)*1e7) AS BIGINT)) AS qe
+                 FROM embeddings),
+           sv AS (SELECT vec_id, t.s, qe[t.s*8+1 : t.s*8+8] AS sv
+                  FROM q CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) t),
+           cb AS (SELECT s, CAST(vec_id AS BIGINT) AS code, sv AS cw
+                  FROM sv WHERE vec_id <= 3),
+           d AS (SELECT sv.vec_id, sv.s, cb.code,
+                        CAST(list_sum(list_transform(generate_series(1, 8),
+                             i -> (sv.sv[i] - cb.cw[i]) * (sv.sv[i] - cb.cw[i]))) AS BIGINT) AS d2
+                 FROM sv JOIN cb ON sv.s = cb.s
+                 WHERE sv.vec_id > 3),
+           best AS (SELECT vec_id, s, code, d2 FROM
+                      (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                                    ORDER BY d2, code) AS rn FROM d)
+                    WHERE rn = 1)
+      SELECT CAST(s AS BIGINT) AS subspace, code, CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(CAST(SUM(d2) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1e14), 6) + 0 AS mean_d2
+      FROM best GROUP BY s, code ORDER BY subspace, code""",
   )
 }

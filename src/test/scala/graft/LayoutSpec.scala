@@ -29,6 +29,19 @@ class LayoutSpec extends AnyFunSuite {
       plain.orderBy("o_orderkey").collect().toSeq)
   }
 
+  test("partitioned sink produces partition-pruned scans") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    graft.sources.Sources.writeParquet(
+      Tables.lineitem(spark, sf), dir, partitionBy = Seq("l_returnflag"))
+    val pruned = spark.read.parquet(dir).filter(col("l_returnflag") === "A")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("l_returnflag"), s"no partition pruning in:\n$plan")
+    // the pruned scan reads exactly the A partition
+    val expected = Tables.lineitem(spark, sf).filter(col("l_returnflag") === "A").count()
+    assert(pruned.count() === expected)
+  }
+
   test("salted join returns exactly the plain join's result") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey", "l_quantity")
     val orders = Tables.orders(spark, sf).select(
