@@ -195,6 +195,43 @@ object Analytics {
       .orderBy("day")
   }
 
+  /** Hour-of-day × day-of-week seasonality profile (the load/traffic
+    * heatmap every event pipeline ships): per (dow, hour) event count and
+    * mean value cents — one aggregate into a fixed 7×24 cell grid, so the
+    * shuffled state is the profile, never the events.
+    */
+  def q_seasonality_profile(spark: SparkSession, sf: String): DataFrame =
+    Tables.eventsWithTs(spark, sf)
+      .select(dayofweek(col("ts_us")).cast("long").as("dow"),
+        hour(col("ts_us")).cast("long").as("hr"), cents(col("value")).as("vc"))
+      .groupBy(col("dow"), col("hr"))
+      .agg(count(lit(1)).as("n"), sum(col("vc")).as("sum_cents"))
+      .select(col("dow"), col("hr"), col("n"), col("sum_cents"),
+        expr("sum_cents div n").as("avg_cents"))
+      .orderBy("dow", "hr")
+
+  /** Cohort lifetime-value matrix (the revenue twin of `q_retention`):
+    * users cohorted by first-active day; per (cohort_day, day offset
+    * 0..7) the purchase revenue cents and purchasing-user count. First
+    * touch is one user-keyed aggregate; the matrix is a (cohort, offset)
+    * aggregate — two shuffles at any scale.
+    */
+  def q_cohort_ltv(spark: SparkSession, sf: String): DataFrame = {
+    val e = Tables.eventsWithTs(spark, sf)
+      .select(col("user_id"), to_date(col("ts_us")).as("day"),
+        col("event_type"), cents(col("value")).as("vc"))
+    val cohorts = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    e.filter(col("event_type") === "purchase")
+      .join(cohorts, "user_id")
+      .withColumn("offset", datediff(col("day"), col("cohort_day")).cast("long"))
+      .filter(col("offset") <= 7)
+      .groupBy(col("cohort_day"), col("offset"))
+      .agg(countDistinct(col("user_id")).as("buyers"), sum(col("vc")).as("revenue_cents"))
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("offset"), col("buyers"), col("revenue_cents"))
+      .orderBy("cohort_day", "offset")
+  }
+
   /** TPC-H-Q3-flavor CTE query through the SQL-string entry path (E2):
     * top-10 open orders by discounted revenue shipped after mid-1996.
     * Exercises CTE parsing, a fact→dim shuffle join, aggregate-then-join

@@ -264,6 +264,34 @@ object MLDeterministic {
       .orderBy("doc_id")
   }
 
+  /** Item-item co-occurrence lift (the collaborative-filtering "people
+    * who bought X also bought Y" score): for part pairs co-ordered ≥ 2
+    * times, lift = P(a,b)/(P(a)·P(b)) as an exact e4 integer —
+    * `s12·N·10⁴ div (s1·s2)` over the distinct order-item table. Top-30
+    * by (lift desc, pair). The pair space is per-order (bounded by basket
+    * size); item supports are a broadcastable dimension at any scale.
+    */
+  def q_recsys_lift(spark: SparkSession, sf: String): DataFrame = {
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      .localCheckpoint()
+    val n = items.select(col("ok")).distinct().agg(count(lit(1)).as("n_orders"))
+    val support = items.groupBy(col("pk")).agg(count(lit(1)).as("s"))
+    val pairs = items.as("a")
+      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .agg(count(lit(1)).as("s12"))
+      .filter(col("s12") >= 2)
+    pairs
+      .join(broadcast(support.select(col("pk").as("p1"), col("s").as("s1"))), "p1")
+      .join(broadcast(support.select(col("pk").as("p2"), col("s").as("s2"))), "p2")
+      .crossJoin(broadcast(n))
+      .select(col("p1"), col("p2"), col("s12"), col("s1"), col("s2"),
+        expr("s12 * n_orders * 10000 div (s1 * s2)").as("lift_e4"))
+      .orderBy(col("lift_e4").desc, col("p1").asc, col("p2").asc)
+      .limit(30)
+  }
+
   /** Ridge regression (closed form, 2 features, λ=1000, no intercept):
     * solve (XᵀX + λI)w = Xᵀy for y = extended-price cents over features
     * x1 = quantity, x2 = discount percent. One aggregate of six exact

@@ -290,6 +290,28 @@ object TextPipeline {
       .orderBy("doc_id")
   }
 
+  /** Vocabulary coverage / OOV-rate report (the "how well does a fixed
+    * top-K vocabulary cover each language" check run before tokenizer
+    * training): vocab = global top-100 words (count desc, word asc — a
+    * TakeOrderedAndProject, not a global window), per language the token
+    * total, OOV total and OOV rate as an exact e4 integer.
+    */
+  def q_oov_rate(spark: SparkSession, sf: String): DataFrame = {
+    val tokStream = Tables.documents(spark, sf)
+      .select(col("lang"), explode(toks(col("text"))).as("word"))
+    val vocab = tokStream.groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("word").asc).limit(100)
+      .select(col("word"), lit(1L).as("in_vocab"))
+    tokStream.join(broadcast(vocab), Seq("word"), "left_outer")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("lang"), col("n_tokens"), col("n_oov"),
+        expr("n_oov * 10000 div n_tokens").as("oov_e4"))
+      .orderBy("lang")
+  }
+
   /** Composite corpus-filter pipeline (the end-to-end QA pass a training
     * pipeline chains from the individual signals): per document, token
     * length bounds + lexical diversity + top-bigram repetition combined

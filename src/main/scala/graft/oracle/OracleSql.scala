@@ -1913,5 +1913,57 @@ object OracleSql {
       SELECT CAST(s AS BIGINT) AS subspace, code, CAST(COUNT(*) AS BIGINT) AS n,
              ROUND(CAST(SUM(d2) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1e14), 6) + 0 AS mean_d2
       FROM best GROUP BY s, code ORDER BY subspace, code""",
+
+    "q_seasonality_profile" -> """
+      WITH e AS (SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+                        CAST(hour(ts) AS BIGINT) AS hr,
+                        CAST(ROUND(value*100) AS BIGINT) AS vc
+                 FROM events)
+      SELECT dow, hr, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(vc) AS BIGINT) AS sum_cents,
+             CAST(SUM(vc) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS avg_cents
+      FROM e GROUP BY dow, hr ORDER BY dow, hr""",
+
+    "q_cohort_ltv" -> """
+      WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+                        CAST(ROUND(value*100) AS BIGINT) AS vc
+                 FROM events),
+           c AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id),
+           p AS (SELECT e.user_id, c.cohort_day,
+                        CAST(date_diff('day', c.cohort_day, e.day) AS BIGINT) AS "offset",
+                        e.vc
+                 FROM e JOIN c ON e.user_id = c.user_id
+                 WHERE e.event_type = 'purchase'
+                   AND date_diff('day', c.cohort_day, e.day) <= 7)
+      SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day, "offset",
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS buyers,
+             CAST(SUM(vc) AS BIGINT) AS revenue_cents
+      FROM p GROUP BY cohort_day, "offset" ORDER BY cohort_day, "offset"""",
+
+    "q_recsys_lift" -> """
+      WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           nn AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM items),
+           sup AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS s FROM items GROUP BY pk),
+           pairs AS (SELECT a.pk AS p1, b.pk AS p2, CAST(COUNT(*) AS BIGINT) AS s12
+                     FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+                     GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      SELECT p1, p2, s12, s1.s AS s1, s2.s AS s2,
+             CAST(s12 * n_orders * 10000 // (s1.s * s2.s) AS BIGINT) AS lift_e4
+      FROM pairs JOIN sup s1 ON pairs.p1 = s1.pk
+                 JOIN sup s2 ON pairs.p2 = s2.pk
+      CROSS JOIN nn
+      ORDER BY lift_e4 DESC, p1, p2 LIMIT 30""",
+
+    "q_oov_rate" -> """
+      WITH t AS (SELECT lang, unnest(string_split(lower(text), ' ')) AS word FROM documents),
+           v AS (SELECT word, 1 AS in_vocab FROM
+                   (SELECT word, COUNT(*) AS c FROM t GROUP BY word
+                    ORDER BY c DESC, word LIMIT 100)),
+           j AS (SELECT t.lang, CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END AS oov
+                 FROM t LEFT JOIN v ON t.word = v.word)
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(oov) AS BIGINT) AS n_oov,
+             CAST(SUM(oov) * 10000 // COUNT(*) AS BIGINT) AS oov_e4
+      FROM j GROUP BY lang ORDER BY lang""",
   )
 }

@@ -204,6 +204,45 @@ class AnalyticsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Long]("dau") >= r.getAs[Long]("new_users")))
   }
 
+  test("seasonality: cells cover all events, dow in 1..7, hour in 0..23") {
+    val df = Analytics.q_seasonality_profile(spark, sf).cache()
+    assert(df.agg(sum(col("n"))).head().getLong(0) ===
+      graft.core.Tables.eventsWithTs(spark, sf).count())
+    assert(df.filter(col("dow") < 1 || col("dow") > 7 ||
+      col("hr") < 0 || col("hr") > 23).count() === 0)
+    df.unpersist()
+  }
+
+  test("cohort ltv: offsets within 0..7 and revenue positive") {
+    val rows = Analytics.q_cohort_ltv(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val off = r.getAs[Long]("offset")
+      assert(off >= 0L && off <= 7L)
+      assert(r.getAs[Long]("revenue_cents") > 0L)
+      assert(r.getAs[Long]("buyers") >= 1L)
+    }
+  }
+
+  test("recsys lift: scores positive, pairs ordered, support >= 2") {
+    val rows = graft.ops.MLDeterministic.q_recsys_lift(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 30)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("p1") < r.getAs[Long]("p2"))
+      assert(r.getAs[Long]("s12") >= 2L)
+      assert(r.getAs[Long]("lift_e4") > 0L)
+    }
+  }
+
+  test("oov rate: bounded by 1e4 and oov <= tokens") {
+    val rows = graft.ops.TextPipeline.q_oov_rate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_oov") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("oov_e4") <= 10000L)
+    }
+  }
+
   test("gram matrix: 36 upper-triangle cells, diagonal positive") {
     val rows = Vectors.q_gram_matrix(spark, sf).collect()
     assert(rows.length === 36)
