@@ -24,12 +24,12 @@ object Analytics {
   def q_ohlc_bars(spark: SparkSession, sf: String): DataFrame =
     Tables.eventsWithTs(spark, sf)
       .select(col("event_type"), date_trunc("hour", col("ts_us")).as("hour"),
-        col("ts"), col("event_id"), cents(col("value")).as("vc"))
+        col("ts_usl"), col("event_id"), cents(col("value")).as("vc"))
       .groupBy(col("event_type"), col("hour"))
       .agg(
         count(lit(1)).as("n"),
-        min(struct(col("ts"), col("event_id"), col("vc"))).as("o"),
-        max(struct(col("ts"), col("event_id"), col("vc"))).as("c"),
+        min(struct(col("ts_usl"), col("event_id"), col("vc"))).as("o"),
+        max(struct(col("ts_usl"), col("event_id"), col("vc"))).as("c"),
         max(col("vc")).as("high_cents"),
         min(col("vc")).as("low_cents"),
         sum(col("vc")).as("vol_cents"))
@@ -46,9 +46,9 @@ object Analytics {
     * touched once, shuffled once (by user) for the lag.
     */
   def q_markov_transitions(spark: SparkSession, sf: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val w = Window.partitionBy("user_id").orderBy(col("ts_usl").asc, col("event_id").asc)
     Tables.eventsWithTs(spark, sf)
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .select(col("user_id"), col("ts_usl"), col("event_id"), col("event_type"))
       .withColumn("dst", lead(col("event_type"), 1).over(w))
       .filter(col("dst").isNotNull)
       .groupBy(col("event_type").as("src"), col("dst"))
@@ -155,10 +155,10 @@ object Analytics {
     * the same plan a streaming last-touch would keep in its state store.
     */
   def q_attribution_lasttouch(spark: SparkSession, sf: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val w = Window.partitionBy("user_id").orderBy(col("ts_usl").asc, col("event_id").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     Tables.eventsWithTs(spark, sf)
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+      .select(col("user_id"), col("ts_usl"), col("event_id"), col("event_type"),
         cents(col("value")).as("vc"))
       .withColumn("channel",
         last(when(col("event_type") =!= "purchase", col("event_type")), ignoreNulls = true)

@@ -186,4 +186,38 @@ object Joins {
         ((col("ts_usl") - col("prev_usl")) / 1e6).as("gap_sec"))
       .orderBy("event_id")
   }
+
+  /** As-of join, NEAREST mode (the pandas `merge_asof(direction=
+    * 'nearest')` / kdb `aj` completion of [[q_join_asof]]'s backward
+    * mode): for each purchase, the nearest same-user event in EITHER
+    * direction by absolute time gap, tie → the earlier neighbor. One
+    * user-keyed shuffle carrying both `lag` and `lead` — still no N²,
+    * no range join. Time runs in exact integer microseconds — the
+    * common precision of both engines (DuckDB reads the ns column
+    * µs-truncated) — and the signed gap is pure subtraction (dividing a
+    * negative gap would hit the trunc-vs-floor divergence).
+    */
+  def q_join_asof_nearest(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.eventsWithTs(spark, sf)
+    val w = Window.partitionBy("user_id").orderBy(col("ts_usl").asc, col("event_id").asc)
+    ev.withColumn("p_ts", lag(col("ts_usl"), 1).over(w))
+      .withColumn("p_id", lag(col("event_id"), 1).over(w))
+      .withColumn("n_ts", lead(col("ts_usl"), 1).over(w))
+      .withColumn("n_id", lead(col("event_id"), 1).over(w))
+      .filter(col("event_type") === "purchase")
+      .filter(col("p_id").isNotNull || col("n_id").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ts_usl"),
+        when(col("n_id").isNull ||
+          (col("p_id").isNotNull &&
+            (col("ts_usl") - col("p_ts")) <= (col("n_ts") - col("ts_usl"))), col("p_id"))
+          .otherwise(col("n_id")).as("matched_id"),
+        when(col("n_id").isNull ||
+          (col("p_id").isNotNull &&
+            (col("ts_usl") - col("p_ts")) <= (col("n_ts") - col("ts_usl"))),
+          col("p_ts") - col("ts_usl"))
+          .otherwise(col("n_ts") - col("ts_usl")).as("gap_us"))
+      .select(col("user_id"), col("event_id"), col("matched_id"), col("gap_us"))
+      .orderBy("user_id", "event_id")
+  }
 }

@@ -264,6 +264,101 @@ object MLDeterministic {
       .orderBy("doc_id")
   }
 
+  /** Farthest-first (k-center / Gonzalez) seeding, 3 unrolled rounds:
+    * seed 0 = vector 0 [D5]; each next seed is the point maximizing its
+    * min squared lattice distance to the chosen set (tie → lower id);
+    * a final row reports the coverage radius (the worst-covered point).
+    * Each round is one broadcast of a single seed row + one arg-max
+    * aggregate — the deterministic init a K-Means/K-center run wants at
+    * scale, touching the data k times with no shuffle growth.
+    */
+  def q_kcenter_seeds(spark: SparkSession, sf: String): DataFrame = {
+    val all = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), Vectors.q7(col("embedding")).as("qe"))
+    def argmax(df: DataFrame, d: String) =
+      df.agg(max(struct(col(d).as("d"), (-col("vec_id")).as("ni"), col("qe"))).as("m"))
+        .select((-col("m.ni")).as("vid"), col("m.d").as("dd"), col("m.qe").as("sqe"))
+    val s0 = all.filter(col("vec_id") === 0).select(col("qe").as("sqe"))
+    val d1 = all.crossJoin(broadcast(s0))
+      .select(col("vec_id"), col("qe"), Vectors.dist2E14(col("qe"), col("sqe")).as("dmin"))
+    val p1 = argmax(d1, "dmin")
+    val d2 = d1.crossJoin(broadcast(p1.select(col("sqe"))))
+      .select(col("vec_id"), col("qe"),
+        least(col("dmin"), Vectors.dist2E14(col("qe"), col("sqe"))).as("dmin"))
+    val p2 = argmax(d2, "dmin")
+    val d3 = d2.crossJoin(broadcast(p2.select(col("sqe"))))
+      .select(col("vec_id"), col("qe"),
+        least(col("dmin"), Vectors.dist2E14(col("qe"), col("sqe"))).as("dmin"))
+    val p3 = argmax(d3, "dmin")
+    def row(k: Long, p: DataFrame) = p.select(lit(k).as("k"), col("vid").as("vec_id"),
+      (round(col("dd").cast("double") / lit(1e14), 6) + lit(0.0)).as("d2"))
+    spark.range(1).select(lit(0L).as("k"), lit(0L).as("vec_id"), lit(0.0).as("d2"))
+      .unionByName(row(1L, p1)).unionByName(row(2L, p2)).unionByName(row(3L, p3))
+      .orderBy("k")
+  }
+
+  /** Cluster-quality index for the fixed 10-seed assignment of
+    * [[q_kmeans_step]]: per cluster the size, cohesion (mean intra
+    * squared distance), separation (min squared distance from this seed
+    * to any other seed) and their ratio — the Davies-Bouldin-flavor
+    * health check a clustering pipeline runs after every iteration.
+    * Intra sums carry in decimal (Σd2 can pass 2⁶³); the 10×10 seed-pair
+    * table is constant-sized at any corpus scale.
+    */
+  def q_cluster_quality(spark: SparkSession, sf: String): DataFrame = {
+    val assigned = kmeansAssign(spark, sf)
+    val intra = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"), sum(col("d2").cast("decimal(38,0)")).as("sd2"))
+    val seeds = Tables.embeddings(spark, sf).filter(col("vec_id") <= 9)
+      .select(col("vec_id").as("cluster"), Vectors.q7(col("embedding")).as("qe"))
+    val sep = seeds.as("a")
+      .join(broadcast(seeds.select(col("cluster").as("c2"), col("qe").as("qe2")).as("b")),
+        col("a.cluster") =!= col("c2"))
+      .select(col("a.cluster").as("cluster"),
+        Vectors.dist2E14(col("a.qe"), col("qe2")).as("pd2"))
+      .groupBy(col("cluster")).agg(min(col("pd2")).as("sep"))
+    val cohesion = col("sd2").cast("double") / (col("n").cast("double") * lit(1e14))
+    val separation = col("sep").cast("double") / lit(1e14)
+    intra.join(sep, "cluster")
+      .select(col("cluster"), col("n"),
+        (round(cohesion, 4) + lit(0.0)).as("cohesion"),
+        (round(separation, 4) + lit(0.0)).as("separation"),
+        (round(cohesion / separation, 4) + lit(0.0)).as("ratio"))
+      .orderBy("cluster")
+  }
+
+  /** Exact AUC of "embedding dim-0 predicts label ≤ 4" via the
+    * Mann-Whitney U statistic over a FIXED score lattice: scores bucket
+    * to e2 cells (shifted positive first — trunc-vs-floor on negatives
+    * differs across engines), the per-bucket (pos, neg) histogram is
+    * tiny and bounded by the value range at any corpus size, and
+    * 2U = Σ_b pos_b·(2·negBelow_b + neg_b) counts discordant pairs
+    * exactly (within-bucket ties at half credit). No global sort, no
+    * N² — the rank statistic becomes one histogram + one bounded theta
+    * re-sum.
+    */
+  def q_auc_rank(spark: SparkSession, sf: String): DataFrame = {
+    val scored = Tables.embeddings(spark, sf)
+      .select(when(col("label") <= 4, 1L).otherwise(0L).as("y"),
+        element_at(Vectors.q7(col("embedding")), 1).as("x"))
+      .select(col("y"), expr("(x + 1000000000) div 100000").as("b"))
+    val hist = scored.groupBy(col("b"))
+      .agg(sum(col("y")).as("np"), sum(lit(1L) - col("y")).as("nn"))
+    val below = hist.as("a")
+      .join(hist.select(col("b").as("b2"), col("nn").as("nn2")).as("x"),
+        col("b2") < col("a.b"), "left_outer")
+      .groupBy(col("a.b").as("b"), col("a.np").as("np"), col("a.nn").as("nn"))
+      .agg(coalesce(sum(col("nn2")), lit(0L)).as("below"))
+    below
+      .agg(
+        sum(col("np")).as("p"), sum(col("nn")).as("n"),
+        sum(col("np") * (lit(2L) * col("below") + col("nn"))).as("u2"))
+      .select(col("p"), col("n"),
+        (round(col("u2").cast("double") /
+          (lit(2.0) * col("p").cast("double") * col("n").cast("double")), 6)
+          + lit(0.0)).as("auc"))
+  }
+
   /** Item-item co-occurrence lift (the collaborative-filtering "people
     * who bought X also bought Y" score): for part pairs co-ordered ≥ 2
     * times, lift = P(a,b)/(P(a)·P(b)) as an exact e4 integer —

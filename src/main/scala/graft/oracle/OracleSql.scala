@@ -1965,5 +1965,104 @@ object OracleSql {
              CAST(SUM(oov) AS BIGINT) AS n_oov,
              CAST(SUM(oov) * 10000 // COUNT(*) AS BIGINT) AS oov_e4
       FROM j GROUP BY lang ORDER BY lang""",
+
+    "q_join_asof_nearest" -> """
+      WITH w AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+                        LAG(epoch_us(ts)) OVER win AS p_ts,
+                        LAG(event_id) OVER win AS p_id,
+                        LEAD(epoch_us(ts)) OVER win AS n_ts,
+                        LEAD(event_id) OVER win AS n_id
+                 FROM events
+                 WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT user_id, event_id,
+             CAST(CASE WHEN n_id IS NULL OR (p_id IS NOT NULL AND (tus - p_ts) <= (n_ts - tus))
+                       THEN p_id ELSE n_id END AS BIGINT) AS matched_id,
+             CAST(CASE WHEN n_id IS NULL OR (p_id IS NOT NULL AND (tus - p_ts) <= (n_ts - tus))
+                       THEN p_ts - tus ELSE n_ts - tus END AS BIGINT) AS gap_us
+      FROM w
+      WHERE event_type = 'purchase' AND (p_id IS NOT NULL OR n_id IS NOT NULL)
+      ORDER BY user_id, event_id""",
+
+    "q_kcenter_seeds" -> """
+      WITH q AS (SELECT vec_id,
+                        list_transform(embedding,
+                                       x -> CAST(ROUND(CAST(x AS DOUBLE)*1e7) AS BIGINT)) AS qe
+                 FROM embeddings),
+           s0 AS (SELECT qe AS sqe FROM q WHERE vec_id = 0),
+           d1 AS (SELECT vec_id, qe,
+                         CAST(list_sum(list_transform(generate_series(1, 64),
+                              i -> (qe[i] - sqe[i]) * (qe[i] - sqe[i]))) AS BIGINT) AS dmin
+                  FROM q CROSS JOIN s0),
+           p1 AS (SELECT vec_id AS vid, dmin AS dd, qe AS sqe FROM d1
+                  ORDER BY dmin DESC, vec_id LIMIT 1),
+           d2 AS (SELECT d1.vec_id, d1.qe,
+                         LEAST(d1.dmin,
+                               CAST(list_sum(list_transform(generate_series(1, 64),
+                                    i -> (d1.qe[i] - p1.sqe[i]) * (d1.qe[i] - p1.sqe[i]))) AS BIGINT)) AS dmin
+                  FROM d1 CROSS JOIN p1),
+           p2 AS (SELECT vec_id AS vid, dmin AS dd, qe AS sqe FROM d2
+                  ORDER BY dmin DESC, vec_id LIMIT 1),
+           d3 AS (SELECT d2.vec_id, d2.qe,
+                         LEAST(d2.dmin,
+                               CAST(list_sum(list_transform(generate_series(1, 64),
+                                    i -> (d2.qe[i] - p2.sqe[i]) * (d2.qe[i] - p2.sqe[i]))) AS BIGINT)) AS dmin
+                  FROM d2 CROSS JOIN p2),
+           p3 AS (SELECT vec_id AS vid, dmin AS dd FROM d3
+                  ORDER BY dmin DESC, vec_id LIMIT 1)
+      SELECT * FROM (
+        SELECT CAST(0 AS BIGINT) AS k, CAST(0 AS BIGINT) AS vec_id, 0.0 AS d2
+        UNION ALL
+        SELECT 1, CAST(vid AS BIGINT), ROUND(CAST(dd AS DOUBLE) / 1e14, 6) + 0 FROM p1
+        UNION ALL
+        SELECT 2, CAST(vid AS BIGINT), ROUND(CAST(dd AS DOUBLE) / 1e14, 6) + 0 FROM p2
+        UNION ALL
+        SELECT 3, CAST(vid AS BIGINT), ROUND(CAST(dd AS DOUBLE) / 1e14, 6) + 0 FROM p3)
+      ORDER BY k""",
+
+    "q_cluster_quality" -> """
+      WITH q AS (SELECT vec_id,
+                        list_transform(embedding,
+                                       x -> CAST(ROUND(CAST(x AS DOUBLE)*1e7) AS BIGINT)) AS qe
+                 FROM embeddings),
+           seeds AS (SELECT vec_id AS cluster, qe FROM q WHERE vec_id <= 9),
+           d AS (SELECT q.vec_id, s.cluster,
+                        CAST(list_sum(list_transform(generate_series(1, 64),
+                             i -> (q.qe[i] - s.qe[i]) * (q.qe[i] - s.qe[i]))) AS BIGINT) AS d2
+                 FROM q CROSS JOIN seeds s),
+           assign AS (SELECT vec_id, cluster, d2 FROM
+                        (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                                      ORDER BY d2, cluster) AS rn FROM d)
+                      WHERE rn = 1),
+           intra AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n, SUM(d2) AS sd2
+                     FROM assign GROUP BY cluster),
+           sep AS (SELECT a.cluster,
+                          CAST(MIN(list_sum(list_transform(generate_series(1, 64),
+                               i -> (a.qe[i] - b.qe[i]) * (a.qe[i] - b.qe[i])))) AS BIGINT) AS sep
+                   FROM seeds a JOIN seeds b ON a.cluster <> b.cluster
+                   GROUP BY a.cluster)
+      SELECT CAST(intra.cluster AS BIGINT) AS cluster, intra.n,
+             ROUND(CAST(sd2 AS DOUBLE) / (CAST(n AS DOUBLE) * 1e14), 4) + 0 AS cohesion,
+             ROUND(CAST(sep AS DOUBLE) / 1e14, 4) + 0 AS separation,
+             ROUND((CAST(sd2 AS DOUBLE) / (CAST(n AS DOUBLE) * 1e14))
+                   / (CAST(sep AS DOUBLE) / 1e14), 4) + 0 AS ratio
+      FROM intra JOIN sep ON intra.cluster = sep.cluster
+      ORDER BY cluster""",
+
+    "q_auc_rank" -> """
+      WITH s AS (SELECT CASE WHEN label <= 4 THEN 1 ELSE 0 END AS y,
+                        (CAST(ROUND(CAST(embedding[1] AS DOUBLE)*1e7) AS BIGINT)
+                         + 1000000000) // 100000 AS b
+                 FROM embeddings),
+           hist AS (SELECT b, CAST(SUM(y) AS BIGINT) AS np,
+                           CAST(SUM(1 - y) AS BIGINT) AS nn
+                    FROM s GROUP BY b),
+           below AS (SELECT a.b, a.np, a.nn,
+                            CAST(COALESCE(SUM(x.nn), 0) AS BIGINT) AS below
+                     FROM hist a LEFT JOIN hist x ON x.b < a.b
+                     GROUP BY a.b, a.np, a.nn)
+      SELECT CAST(SUM(np) AS BIGINT) AS p, CAST(SUM(nn) AS BIGINT) AS n,
+             ROUND(CAST(SUM(np * (2 * below + nn)) AS DOUBLE)
+                   / (2.0 * CAST(SUM(np) AS DOUBLE) * CAST(SUM(nn) AS DOUBLE)), 6) + 0 AS auc
+      FROM below""",
   )
 }

@@ -243,6 +243,44 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("asof nearest: |gap| <= backward asof gap for shared purchases") {
+    val near = graft.ops.Joins.q_join_asof_nearest(spark, sf)
+      .select(col("event_id"), abs(col("gap_us")).as("near_gap"))
+    val back = graft.ops.Joins.q_join_asof(spark, sf)
+      .filter(col("prev_type").isNotNull)
+      .select(col("event_id"), (col("gap_sec") * 1e6).as("back_gap"))
+    val viol = near.join(back, "event_id")
+      .filter(col("near_gap").cast("double") > col("back_gap") + 1.0)
+    assert(viol.count() === 0)
+  }
+
+  test("kcenter seeds: radii non-increasing, distinct seeds") {
+    val rows = graft.ops.MLDeterministic.q_kcenter_seeds(spark, sf).collect()
+    assert(rows.length === 4)
+    val d = rows.map(_.getAs[Double]("d2"))
+    // seed-selection distances shrink: d2(seed2) <= d2(seed1); the
+    // coverage row (k=3) is <= d2(seed2) as well
+    assert(d(2) <= d(1) && d(3) <= d(2))
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length >= 3)
+  }
+
+  test("cluster quality: positive cohesion/separation, 10 clusters") {
+    val rows = graft.ops.MLDeterministic.q_cluster_quality(spark, sf).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("cohesion") > 0.0)
+      assert(r.getAs[Double]("separation") > 0.0)
+      assert(r.getAs[Double]("ratio") > 0.0)
+    }
+  }
+
+  test("auc: in [0,1] and p+n equals vector count") {
+    val r = graft.ops.MLDeterministic.q_auc_rank(spark, sf).head()
+    assert(r.getAs[Double]("auc") >= 0.0 && r.getAs[Double]("auc") <= 1.0)
+    assert(r.getAs[Long]("p") + r.getAs[Long]("n") ===
+      graft.core.Tables.embeddings(spark, sf).count())
+  }
+
   test("gram matrix: 36 upper-triangle cells, diagonal positive") {
     val rows = Vectors.q_gram_matrix(spark, sf).collect()
     assert(rows.length === 36)
