@@ -195,6 +195,32 @@ object Analytics {
       .orderBy("day")
   }
 
+  /** CUSUM changepoint detection on the daily event-count series, per
+    * event type: S_d = Σ_{d'≤d} (x_{d'}·D − T) (the mean-centered
+    * cumulative sum scaled ×D so it stays in exact integers — no
+    * mean division), changepoint = the day maximizing |S_d|, tie → the
+    * earlier day. The daily series is tiny at any corpus size, so the
+    * cumulative window (partitioned by type) never sees the raw events.
+    */
+  def q_changepoint_cusum(spark: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.eventsWithTs(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts_us")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val totals = daily.groupBy(col("event_type"))
+      .agg(sum(col("x")).as("t"), count(lit(1)).as("d"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPick = Window.partitionBy("event_type").orderBy(abs(col("s")).desc, col("day").asc)
+    daily.join(broadcast(totals), "event_type")
+      .withColumn("s", sum(col("x") * col("d") - col("t")).over(w))
+      .withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("d").as("n_days"),
+        date_format(col("day"), "yyyy-MM-dd").as("changepoint_day"),
+        col("s").as("cusum_scaled"))
+      .orderBy("event_type")
+  }
+
   /** Hour-of-day × day-of-week seasonality profile (the load/traffic
     * heatmap every event pipeline ships): per (dow, hour) event count and
     * mean value cents — one aggregate into a fixed 7×24 cell grid, so the

@@ -326,6 +326,52 @@ object Relational {
       .agg(count(lit(1)).as("n"))
       .orderBy("custkey")
 
+  /** Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL — the
+    * multiplicity-preserving duals of §2.7's distinct set ops): customer
+    * keys of 1996 vs 1997 orders WITH their order multiplicity. One row
+    * per operation with its cardinality, plus the distinct-op sizes for
+    * contrast — multiplicities make `intersect_all ≥ intersect`.
+    */
+  def q_set_bag_ops(spark: SparkSession, sf: String): DataFrame = {
+    def bagOfYear(y: Int): DataFrame = Tables.orders(spark, sf)
+      .filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey").as("custkey"))
+    val b96 = bagOfYear(1996); val b97 = bagOfYear(1997)
+    def one(op: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n")).select(lit(op).as("op"), col("n"))
+    one("except_all", b96.exceptAll(b97))
+      .unionByName(one("intersect_all", b96.intersectAll(b97)))
+      .unionByName(one("except_distinct", b96.distinct().except(b97.distinct())))
+      .unionByName(one("intersect_distinct", b96.distinct().intersect(b97.distinct())))
+      .orderBy("op")
+  }
+
+  /** Missing-value imputation (the data-cleaning step of a feature
+    * pipeline): treat zero-discount lineitems as missing, impute with the
+    * per-returnflag exact interpolating median of the observed discount
+    * percents; report per flag the observed/missing split, the imputed
+    * value and the post-imputation mean. Two grouped passes (stats +
+    * re-scan), both keyed by the tiny flag dimension.
+    */
+  def q_impute_missing(spark: SparkSession, sf: String): DataFrame = {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").as("flag"), pct(col("l_discount")).as("d"))
+    val med = li.filter(col("d") > 0).groupBy(col("flag"))
+      .agg(percentile(col("d"), lit(0.5)).as("imputed"))
+    li.join(broadcast(med), "flag")
+      .groupBy(col("flag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("d") === 0, 1L).otherwise(0L)).as("n_missing"),
+        sum(col("d")).as("s_obs"),
+        (max(col("imputed")) + lit(0.0)).as("imputed_pct"))
+      .select(col("flag"), col("n"), col("n_missing"), col("imputed_pct"),
+        (round((col("s_obs").cast("double") +
+          col("n_missing").cast("double") * col("imputed_pct")) /
+          col("n").cast("double"), 4) + lit(0.0)).as("mean_pct_imputed"))
+      .orderBy("flag")
+  }
+
   // ---- pivot / unpivot -----------------------------------------------------
 
   /** PIVOT: daily event counts spread across one column per event type

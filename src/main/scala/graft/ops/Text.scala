@@ -218,6 +218,45 @@ object Text {
       .orderBy("comp")
   }
 
+  /** Pairwise KL divergence between the languages' Laplace-smoothed token
+    * distributions D(P‖Q) = Σ_w P(w)·ln(P(w)/Q(w)) — the
+    * distribution-shift check a mixture pipeline runs between corpus
+    * shards. The vocabulary is densified per language (every language ×
+    * every vocab word, zeros included) so the sum runs over the same
+    * support on both engines; each term is rounded to an e8 integer
+    * BEFORE the order-independent sum. Profiles are vocabulary-sized —
+    * tiny relative to the corpus at any scale.
+    */
+  def q_lang_divergence(spark: SparkSession, sf: String): DataFrame = {
+    val counts = docTokens(spark, sf)
+      .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("c"))
+    val vocab = counts.select(col("word")).distinct()
+    val vsize = vocab.agg(count(lit(1)).as("v"))
+    val totals = counts.groupBy(col("lang")).agg(sum(col("c")).as("t"))
+    val langs = totals.select(col("lang"), col("t"))
+    val dense = langs.crossJoin(vocab)
+      .join(counts, Seq("lang", "word"), "left_outer")
+      .select(col("lang"), col("word"), col("t"), coalesce(col("c"), lit(0L)).as("c"))
+      .crossJoin(broadcast(vsize))
+      // vocabulary-sized; materialize before the pair self-join so the
+      // corpus tokenize/aggregate pipeline behind it runs once, not twice
+      .localCheckpoint()
+    val p = (col("a.c") + lit(1L)).cast("double") /
+      (col("a.t") + col("a.v")).cast("double")
+    val q = (col("b.c") + lit(1L)).cast("double") /
+      (col("b.t") + col("b.v")).cast("double")
+    dense.as("a")
+      .join(dense.as("b"),
+        col("a.word") === col("b.word") && col("a.lang") =!= col("b.lang"))
+      .select(col("a.lang").as("lang_p"), col("b.lang").as("lang_q"),
+        round(p * log(p / q) * lit(1e8)).cast("long").as("term_e8"))
+      .groupBy(col("lang_p"), col("lang_q"))
+      .agg(sum(col("term_e8")).as("kl_e8"))
+      .select(col("lang_p"), col("lang_q"), col("kl_e8"),
+        (round(col("kl_e8").cast("double") / lit(1e8), 4) + lit(0.0)).as("kl"))
+      .orderBy("lang_p", "lang_q")
+  }
+
   /** Shannon entropy of the token distribution per language, from exact
     * integer counts: each count's c·ln(c) term is rounded to an e4 integer
     * BEFORE summation (the same proven cross-engine `ROUND(LN(·)·1e4)`

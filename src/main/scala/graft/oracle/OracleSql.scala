@@ -2064,5 +2064,82 @@ object OracleSql {
              ROUND(CAST(SUM(np * (2 * below + nn)) AS DOUBLE)
                    / (2.0 * CAST(SUM(np) AS DOUBLE) * CAST(SUM(nn) AS DOUBLE)), 6) + 0 AS auc
       FROM below""",
+
+    "q_changepoint_cusum" -> """
+      WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                            CAST(COUNT(*) AS BIGINT) AS x
+                     FROM events GROUP BY 1, 2),
+           tot AS (SELECT event_type, CAST(SUM(x) AS BIGINT) AS t,
+                          CAST(COUNT(*) AS BIGINT) AS d
+                   FROM daily GROUP BY 1),
+           s AS (SELECT daily.event_type, daily.day, tot.d,
+                        CAST(SUM(daily.x * tot.d - tot.t)
+                             OVER (PARTITION BY daily.event_type ORDER BY daily.day
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                             AS BIGINT) AS s
+                 FROM daily JOIN tot ON daily.event_type = tot.event_type),
+           pick AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                                 ORDER BY ABS(s) DESC, day ASC) AS rn
+                    FROM s)
+      SELECT event_type, d AS n_days, strftime(day, '%Y-%m-%d') AS changepoint_day,
+             s AS cusum_scaled
+      FROM pick WHERE rn = 1 ORDER BY event_type""",
+
+    "q_lang_divergence" -> """
+      WITH c AS (SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS c
+                 FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS word
+                       FROM documents)
+                 GROUP BY 1, 2),
+           vocab AS (SELECT DISTINCT word FROM c),
+           vs AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+           tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS t FROM c GROUP BY lang),
+           dense AS (SELECT tot.lang, vocab.word, tot.t, COALESCE(c.c, 0) AS c, vs.v
+                     FROM tot CROSS JOIN vocab CROSS JOIN vs
+                     LEFT JOIN c ON c.lang = tot.lang AND c.word = vocab.word),
+           pairs AS (SELECT a.lang AS lang_p, b.lang AS lang_q,
+                            CAST(ROUND(
+                              (CAST(a.c + 1 AS DOUBLE) / CAST(a.t + a.v AS DOUBLE))
+                              * LN((CAST(a.c + 1 AS DOUBLE) / CAST(a.t + a.v AS DOUBLE))
+                                   / (CAST(b.c + 1 AS DOUBLE) / CAST(b.t + b.v AS DOUBLE)))
+                              * 1e8) AS BIGINT) AS term_e8
+                     FROM dense a JOIN dense b
+                       ON a.word = b.word AND a.lang <> b.lang)
+      SELECT lang_p, lang_q, CAST(SUM(term_e8) AS BIGINT) AS kl_e8,
+             ROUND(CAST(SUM(term_e8) AS DOUBLE) / 1e8, 4) + 0 AS kl
+      FROM pairs GROUP BY 1, 2 ORDER BY lang_p, lang_q""",
+
+    "q_set_bag_ops" -> """
+      WITH b96 AS (SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996),
+           b97 AS (SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1997)
+      SELECT * FROM (
+        SELECT 'except_all' AS op, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT custkey FROM b96 EXCEPT ALL SELECT custkey FROM b97)
+        UNION ALL
+        SELECT 'intersect_all', CAST(COUNT(*) AS BIGINT)
+        FROM (SELECT custkey FROM b96 INTERSECT ALL SELECT custkey FROM b97)
+        UNION ALL
+        SELECT 'except_distinct', CAST(COUNT(*) AS BIGINT)
+        FROM (SELECT custkey FROM b96 EXCEPT SELECT custkey FROM b97)
+        UNION ALL
+        SELECT 'intersect_distinct', CAST(COUNT(*) AS BIGINT)
+        FROM (SELECT custkey FROM b96 INTERSECT SELECT custkey FROM b97))
+      ORDER BY op""",
+
+    "q_impute_missing" -> """
+      WITH li AS (SELECT l_returnflag AS flag,
+                         CAST(ROUND(l_discount*100) AS BIGINT) AS d
+                  FROM lineitem),
+           med AS (SELECT flag, quantile_cont(d, 0.5) AS imputed
+                   FROM li WHERE d > 0 GROUP BY flag),
+           agg AS (SELECT li.flag, CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(CASE WHEN li.d = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+                          CAST(SUM(li.d) AS BIGINT) AS s_obs,
+                          MAX(med.imputed) + 0 AS imputed_pct
+                   FROM li JOIN med ON li.flag = med.flag
+                   GROUP BY li.flag)
+      SELECT flag, n, n_missing, imputed_pct,
+             ROUND((CAST(s_obs AS DOUBLE) + CAST(n_missing AS DOUBLE) * imputed_pct)
+                   / CAST(n AS DOUBLE), 4) + 0 AS mean_pct_imputed
+      FROM agg ORDER BY flag""",
   )
 }

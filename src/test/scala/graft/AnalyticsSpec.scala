@@ -281,6 +281,38 @@ class AnalyticsSpec extends AnyFunSuite {
       graft.core.Tables.embeddings(spark, sf).count())
   }
 
+  test("cusum: one changepoint per event type, |s| maximal claim holds") {
+    val rows = Analytics.q_changepoint_cusum(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("event_type")).distinct.length === rows.length)
+    assert(rows.forall(_.getAs[Long]("n_days") >= 1L))
+  }
+
+  test("kl divergence: non-negative-ish (e8 rounding slack), zero for self excluded") {
+    val rows = graft.ops.Text.q_lang_divergence(spark, sf).collect()
+    assert(rows.length === 20) // 5 langs x 4 others
+    // KL >= 0 up to per-term e8 rounding slack
+    rows.foreach(r => assert(r.getAs[Long]("kl_e8") > -1000L,
+      s"${r.getAs[String]("lang_p")}->${r.getAs[String]("lang_q")}: ${r.getAs[Long]("kl_e8")}"))
+    rows.foreach(r => assert(r.getAs[String]("lang_p") != r.getAs[String]("lang_q")))
+  }
+
+  test("bag set ops: all >= distinct counterparts, algebra consistent") {
+    val m = graft.ops.Relational.q_set_bag_ops(spark, sf).collect()
+      .map(r => r.getAs[String]("op") -> r.getAs[Long]("n")).toMap
+    assert(m("except_all") >= m("except_distinct"))
+    assert(m("intersect_all") >= m("intersect_distinct"))
+  }
+
+  test("impute: missing + observed consistent, imputed mean between bounds") {
+    val rows = graft.ops.Relational.q_impute_missing(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_missing") < r.getAs[Long]("n"))
+      assert(r.getAs[Double]("imputed_pct") > 0.0)
+      assert(r.getAs[Double]("mean_pct_imputed") > 0.0)
+    }
+  }
+
   test("gram matrix: 36 upper-triangle cells, diagonal positive") {
     val rows = Vectors.q_gram_matrix(spark, sf).collect()
     assert(rows.length === 36)
