@@ -195,6 +195,77 @@ object Analytics {
       .orderBy("day")
   }
 
+  /** Sequential pattern mining (the 2-step "A then later B" support
+    * count): for every ordered pair of distinct event types, the number
+    * of users whose FIRST A strictly precedes their FIRST B (ties on the
+    * µs timestamp broken by event_id). First occurrences come from one
+    * (user, type) window; the per-user 5×5 pair product is constant-
+    * bounded, so the op is two user-keyed shuffles at any corpus size.
+    */
+  def q_seq_pattern(spark: SparkSession, sf: String): DataFrame = {
+    val wFirst = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts_usl").asc, col("event_id").asc)
+    val firsts = Tables.eventsWithTs(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts_usl"), col("event_id"))
+      .withColumn("rn", row_number().over(wFirst))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("ts_usl"), col("event_id"))
+    firsts.as("a")
+      .join(firsts.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+        col("a.event_type") =!= col("b.event_type") &&
+        (col("a.ts_usl") < col("b.ts_usl") ||
+          (col("a.ts_usl") === col("b.ts_usl") && col("a.event_id") < col("b.event_id"))))
+      .groupBy(col("a.event_type").as("first_type"), col("b.event_type").as("then_type"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("first_type", "then_type")
+  }
+
+  /** Week-over-week revenue change per event type: weekly cents totals
+    * with the previous week via `lag`, the relative change as ONE IEEE
+    * division (a scaled integer div would hit trunc-vs-floor on negative
+    * deltas). The weekly aggregate is tiny at any corpus size.
+    */
+  def q_wow_change(spark: SparkSession, sf: String): DataFrame = {
+    val weekly = Tables.eventsWithTs(spark, sf)
+      .groupBy(col("event_type"), date_trunc("week", col("ts_us")).as("week"))
+      .agg(sum(cents(col("value"))).as("rev_cents"))
+    val w = Window.partitionBy("event_type").orderBy("week")
+    weekly.withColumn("prev_cents", lag(col("rev_cents"), 1).over(w))
+      .filter(col("prev_cents").isNotNull)
+      .select(col("event_type"),
+        date_format(col("week"), "yyyy-MM-dd").as("week"),
+        col("rev_cents"), col("prev_cents"),
+        (round((col("rev_cents") - col("prev_cents")).cast("double") /
+          col("prev_cents").cast("double"), 4) + lit(0.0)).as("wow_change"))
+      .orderBy("event_type", "week")
+  }
+
+  /** Reorder latency: days between each customer's first and second
+    * order (the repeat-purchase health metric), summarized per market
+    * segment with exact interpolating median and p90. One customer-keyed
+    * window + a broadcast dimension join + a tiny segment aggregate.
+    */
+  def q_reorder_latency(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val second = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 2)
+      .select(col("o_custkey"),
+        datediff(col("o_orderdate"), col("prev_date")).cast("long").as("gap_days"))
+    second
+      .join(Tables.customer(spark, sf)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")), "o_custkey")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_reorders"),
+        (Det.r4(percentile(col("gap_days"), lit(0.5))) + lit(0.0)).as("median_gap_days"),
+        (Det.r4(percentile(col("gap_days"), lit(0.9))) + lit(0.0)).as("p90_gap_days"))
+      .orderBy("c_mktsegment")
+  }
+
   /** CUSUM changepoint detection on the daily event-count series, per
     * event type: S_d = Σ_{d'≤d} (x_{d'}·D − T) (the mean-centered
     * cumulative sum scaled ×D so it stays in exact integers — no

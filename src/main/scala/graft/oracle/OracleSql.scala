@@ -2141,5 +2141,46 @@ object OracleSql {
              ROUND((CAST(s_obs AS DOUBLE) + CAST(n_missing AS DOUBLE) * imputed_pct)
                    / CAST(n AS DOUBLE), 4) + 0 AS mean_pct_imputed
       FROM agg ORDER BY flag""",
+
+    "q_seq_pattern" -> """
+      WITH f AS (SELECT user_id, event_type, epoch_us(ts) AS tus, event_id FROM
+                   (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                                 ORDER BY ts, event_id) AS rn
+                    FROM events)
+                 WHERE rn = 1)
+      SELECT a.event_type AS first_type, b.event_type AS then_type,
+             CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM f a JOIN f b
+        ON a.user_id = b.user_id AND a.event_type <> b.event_type
+       AND (a.tus < b.tus OR (a.tus = b.tus AND a.event_id < b.event_id))
+      GROUP BY 1, 2 ORDER BY first_type, then_type""",
+
+    "q_wow_change" -> """
+      WITH weekly AS (SELECT event_type, date_trunc('week', ts) AS week,
+                             CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS rev_cents
+                      FROM events GROUP BY 1, 2),
+           l AS (SELECT event_type, week, rev_cents,
+                        LAG(rev_cents) OVER (PARTITION BY event_type ORDER BY week) AS prev_cents
+                 FROM weekly)
+      SELECT event_type, strftime(week, '%Y-%m-%d') AS week, rev_cents, prev_cents,
+             ROUND(CAST(rev_cents - prev_cents AS DOUBLE) / CAST(prev_cents AS DOUBLE), 4) + 0
+               AS wow_change
+      FROM l WHERE prev_cents IS NOT NULL
+      ORDER BY event_type, week""",
+
+    "q_reorder_latency" -> """
+      WITH s AS (SELECT o_custkey,
+                        CAST(date_diff('day', prev_date, o_orderdate) AS BIGINT) AS gap_days
+                 FROM (SELECT o_custkey, o_orderdate,
+                              LAG(o_orderdate) OVER w AS prev_date,
+                              ROW_NUMBER() OVER w AS rn
+                       FROM orders
+                       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+                 WHERE rn = 2)
+      SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_reorders,
+             ROUND(quantile_cont(gap_days, 0.5), 4) + 0 AS median_gap_days,
+             ROUND(quantile_cont(gap_days, 0.9), 4) + 0 AS p90_gap_days
+      FROM s JOIN customer ON s.o_custkey = customer.c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
   )
 }

@@ -313,6 +313,38 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("seq pattern: symmetric pair counts bounded by user count") {
+    val rows = Analytics.q_seq_pattern(spark, sf).collect()
+    val users = graft.core.Tables.eventsWithTs(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(rows.forall(_.getAs[Long]("n_users") <= users))
+    // A-before-B + B-before-A <= users with both types
+    val m = rows.map(r => (r.getAs[String]("first_type"),
+      r.getAs[String]("then_type")) -> r.getAs[Long]("n_users")).toMap
+    m.keys.foreach { case (a, b) =>
+      assert(m((a, b)) + m.getOrElse((b, a), 0L) <= users)
+    }
+  }
+
+  test("wow change: ratio consistent with the cents columns") {
+    val rows = Analytics.q_wow_change(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val expect = (r.getAs[Long]("rev_cents") - r.getAs[Long]("prev_cents")).toDouble /
+        r.getAs[Long]("prev_cents").toDouble
+      assert(math.abs(r.getAs[Double]("wow_change") - expect) < 1e-3)
+    }
+  }
+
+  test("reorder latency: medians <= p90, counts positive") {
+    val rows = Analytics.q_reorder_latency(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("median_gap_days") <= r.getAs[Double]("p90_gap_days"))
+      assert(r.getAs[Long]("n_reorders") > 0L)
+    }
+  }
+
   test("gram matrix: 36 upper-triangle cells, diagonal positive") {
     val rows = Vectors.q_gram_matrix(spark, sf).collect()
     assert(rows.length === 36)
