@@ -22,9 +22,16 @@ object GraftFunctions {
   def dist2Long(a: Column, b: Column): Column =
     Bridge.column(SquaredDistanceLong(Bridge.expression(a), Bridge.expression(b)))
 
+  /** Column API over the one-pass MinHash sketch aggregate (K=8 affine
+    * minima of the shared 32-bit token hash in one buffer — no 8× row
+    * expansion).
+    */
+  def minHash(tokenHash: Column): Column =
+    Bridge.column(MinHashAgg(Bridge.expression(tokenHash)).toAggregateExpression())
+
   /** Registers SQL-callable functions on the session:
     * `graft_tokenize(text)`, `graft_dot(a,b)`, `graft_dist2(a,b)`,
-    * `graft_cosine_centroid(arr)`.
+    * `graft_cosine_centroid(arr)`, `graft_minhash(h)`.
     */
   def register(spark: SparkSession): Unit = {
     spark.udf.register("graft_tokenize", (s: String) =>
@@ -35,6 +42,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dist2", exprs => SquaredDistanceLong(exprs(0), exprs(1)), "built-in")
     spark.udf.register("graft_cosine_centroid", udaf(CentroidAggregator))
+    // the analyzer wraps a bare AggregateFunction into its
+    // AggregateExpression — the builder returns the function itself
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash", exprs => MinHashAgg(exprs(0)), "built-in")
   }
 
   /** Typed UDAF: element-wise mean of float-array embeddings (the exact

@@ -345,6 +345,30 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("one-pass MinHashAgg equals the 8-way explode formulation") {
+    import graft.core.Det.hash32
+    val docTok = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(array_distinct(split(lower(col("text")), " "))).as("word"))
+      .select(col("doc_id"), hash32(col("word")).as("h"))
+    val onePass = docTok.groupBy(col("doc_id"))
+      .agg(graft.functions.GraftFunctions.minHash(col("h")).as("sig"))
+    val exploded = docTok
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(7))).as("i"))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(min(expr("((2 * i + 1) * h + 7919 * i + 12345) % 1000000007")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(i, s))), x -> x.s)").as("sig"))
+    val diff = onePass.join(exploded.withColumnRenamed("sig", "sig2"), "doc_id")
+      .filter(col("sig") =!= col("sig2"))
+    assert(diff.count() === 0)
+    // and the SQL-registered form resolves too
+    graft.core.Tables.documents(spark, sf).createOrReplaceTempView("docs_mh")
+    val viaSql = spark.sql(
+      """SELECT graft_minhash(CAST(conv(substring(md5(CAST(word AS BINARY)), 1, 8), 16, 10) AS BIGINT)) AS sig
+        |FROM (SELECT explode(array_distinct(split(lower(text), ' '))) AS word FROM docs_mh)""".stripMargin)
+    assert(viaSql.head().getSeq[Long](0).length === 8)
+  }
+
   test("gram matrix: 36 upper-triangle cells, diagonal positive") {
     val rows = Vectors.q_gram_matrix(spark, sf).collect()
     assert(rows.length === 36)
