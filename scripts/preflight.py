@@ -26,6 +26,9 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
+    if len(sys.argv) > 3:  # optional comma-separated key subset
+        keys = set(sys.argv[3].split(","))
+        oracle = {k: v for k, v in oracle.items() if k in keys}
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

@@ -329,6 +329,144 @@ object Analytics {
       .orderBy("cohort_day", "offset")
   }
 
+  /** Lag-1 autocorrelation of the daily revenue series per event type —
+    * the time-series diagnostic behind seasonality/trend detection. The
+    * raw stream collapses to a calendar-bounded daily aggregate first
+    * (one shuffle); the Pearson epilogue runs on exact integer sufficient
+    * statistics over the (prev, cur) lag pairs (cross-products in
+    * decimal — daily cents² would pass 2⁶³ at fleet scale), cast to
+    * double once in a fixed IEEE tree shared with the oracle.
+    */
+  def q_autocorr_daily(spark: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.eventsWithTs(spark, sf)
+      .groupBy(col("event_type"), date_trunc("day", col("ts_us")).as("day"))
+      .agg(sum(cents(col("value"))).as("rev"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val s = daily
+      .withColumn("prev", lag(col("rev"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("prev")).as("sx"), sum(col("rev")).as("sy"),
+        sum(col("prev").cast("decimal(38,0)") * col("rev")).as("sxy"),
+        sum(col("prev").cast("decimal(38,0)") * col("prev")).as("sxx"),
+        sum(col("rev").cast("decimal(38,0)") * col("rev")).as("syy"))
+    val nD = col("n_pairs").cast("double")
+    val num = nD * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")
+    val dx = nD * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")
+    val dy = nD * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double")
+    s.select(col("event_type"), col("n_pairs"),
+      (round(num / sqrt(dx * dy), 4) + lit(0.0)).as("acf1"))
+      .orderBy("event_type")
+  }
+
+  /** Moving-average crossover signal on daily order revenue: trailing
+    * 3-day vs 7-day means compared by integer cross-multiplication
+    * (sum3·7 > sum7·3 ⇔ ma3 > ma7 — no division ever happens), emitting
+    * the days where the signal flips. Windows are partitioned by calendar
+    * year (a trailing row frame needs *some* partition; the daily series
+    * is calendar-bounded so a year holds ≤ 366 rows at any data size) and
+    * the first 6 in-year days are warm-up, excluded on both engines.
+    */
+  def q_ma_crossover(spark: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.orders(spark, sf)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev"))
+      .withColumn("yr", year(col("day")))
+    val w = Window.partitionBy("yr").orderBy("day")
+    val sig = daily
+      .withColumn("rn", row_number().over(w))
+      .withColumn("sum3", sum(col("rev")).over(w.rowsBetween(-2, 0)))
+      .withColumn("sum7", sum(col("rev")).over(w.rowsBetween(-6, 0)))
+      .withColumn("above", (col("sum3") * 7 > col("sum7") * 3).cast("int"))
+      .withColumn("prev_above", lag(col("above"), 1).over(w))
+    sig.filter(col("rn") >= 8 && col("prev_above").isNotNull &&
+        col("above") =!= col("prev_above"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("sum3"), col("sum7"), col("above").cast("long").as("golden_cross"))
+      .orderBy("day")
+  }
+
+  /** Revenue concentration per market segment: exact Gini coefficient of
+    * customer lifetime order value via the rank formula
+    * G = Σ(2i−n−1)·xᵢ / (n·Σx) (x ascending, ties broken by custkey),
+    * plus the top-decile revenue share. Everything is integer until two
+    * final e6 integer divisions; the rank window is segment-partitioned
+    * and the term products ride in decimal (rank·cents passes 2⁶³ at
+    * fleet scale).
+    */
+  def q_gini_revenue(spark: SparkSession, sf: String): DataFrame = {
+    val perCust = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("x"))
+      .join(Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("c_custkey"), col("x"))
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("x").asc, col("c_custkey").asc)
+    val ranked = perCust
+      .withColumn("i", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("c_mktsegment")))
+    ranked.groupBy(col("c_mktsegment"))
+      .agg(max(col("n")).as("n_customers"),
+        sum(col("x")).as("total_cents"),
+        sum((lit(2) * col("i") - col("n") - lit(1)).cast("decimal(38,0)") * col("x")).as("gnum"),
+        sum(when(col("i") > col("n") - (col("n") / lit(10)).cast("long"), col("x"))
+          .otherwise(lit(0L))).as("top_cents"))
+      .select(col("c_mktsegment"), col("n_customers"), col("total_cents"),
+        expr("gnum * 1000000 div (CAST(n_customers AS decimal(38,0)) * total_cents)")
+          .cast("long").as("gini_e6"),
+        expr("CAST(top_cents AS decimal(38,0)) * 1000000 div total_cents")
+          .cast("long").as("top10_share_e6"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** RFM customer segmentation: recency (days to a fixed anchor),
+    * frequency (orders), monetary (lifetime cents), each bucketed into
+    * quintiles against boundaries from ONE interpolating-percentile
+    * aggregate — rows bucket themselves against the broadcast boundary
+    * arrays exactly like [[q_hist_equidepth]], so there is no global
+    * NTILE sort anywhere (the 100 TB shape). Output: customer count and
+    * monetary total per (r, f, m) cell.
+    */
+  def q_rfm_segments(spark: SparkSession, sf: String): DataFrame = {
+    val base = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(datediff(lit("1999-01-01").cast("date"), max(col("o_orderdate")).cast("date"))
+          .cast("long").as("rec"),
+        count(lit(1)).as("freq"),
+        sum(cents(col("o_totalprice"))).as("mon"))
+    val bounds = base.agg(
+      percentile(col("rec"), array((1 to 4).map(i => lit(i / 5.0)): _*)).as("rb"),
+      percentile(col("freq"), array((1 to 4).map(i => lit(i / 5.0)): _*)).as("fb"),
+      percentile(col("mon"), array((1 to 4).map(i => lit(i / 5.0)): _*)).as("mb"))
+    base.crossJoin(broadcast(bounds))
+      .select(col("mon"),
+        expr("1 + size(filter(rb, b -> rec > b))").cast("long").as("r_bucket"),
+        expr("1 + size(filter(fb, b -> freq > b))").cast("long").as("f_bucket"),
+        expr("1 + size(filter(mb, b -> mon > b))").cast("long").as("m_bucket"))
+      .groupBy("r_bucket", "f_bucket", "m_bucket")
+      .agg(count(lit(1)).as("n_customers"), sum(col("mon")).as("monetary_cents"))
+      .orderBy("r_bucket", "f_bucket", "m_bucket")
+  }
+
+  /** Degree profile of the customer↔part bipartite purchase graph: per
+    * customer the count of distinct parts ever ordered, then the
+    * distribution of that degree (customers and total quantity per
+    * degree). Two keyed shuffles — the orderkey join and the custkey
+    * aggregate; the degree histogram is bounded by max basket breadth,
+    * not corpus size.
+    */
+  def q_bipartite_degree(spark: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity").cast("long").as("q"))
+      .join(Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(countDistinct(col("l_partkey")).as("degree"), sum(col("q")).as("qty"))
+      .groupBy(col("degree"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("qty")).as("total_qty"))
+      .orderBy("degree")
+
   /** TPC-H-Q3-flavor CTE query through the SQL-string entry path (E2):
     * top-10 open orders by discounted revenue shipped after mid-1996.
     * Exercises CTE parsing, a fact→dim shuffle join, aggregate-then-join

@@ -2182,5 +2182,98 @@ object OracleSql {
              ROUND(quantile_cont(gap_days, 0.9), 4) + 0 AS p90_gap_days
       FROM s JOIN customer ON s.o_custkey = customer.c_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q_autocorr_daily" -> """
+      WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+                            CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS rev
+                     FROM events GROUP BY 1, 2),
+           p AS (SELECT event_type, rev,
+                        LAG(rev) OVER (PARTITION BY event_type ORDER BY day) AS prev
+                 FROM daily),
+           s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                        CAST(SUM(prev) AS BIGINT) AS sx, CAST(SUM(rev) AS BIGINT) AS sy,
+                        SUM(CAST(prev AS HUGEINT) * rev) AS sxy,
+                        SUM(CAST(prev AS HUGEINT) * prev) AS sxx,
+                        SUM(CAST(rev AS HUGEINT) * rev) AS syy
+                 FROM p WHERE prev IS NOT NULL GROUP BY 1)
+      SELECT event_type, n_pairs,
+             ROUND((CAST(n_pairs AS DOUBLE)*CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                   / SQRT((CAST(n_pairs AS DOUBLE)*CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                        * (CAST(n_pairs AS DOUBLE)*CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 4) + 0 AS acf1
+      FROM s ORDER BY event_type""",
+
+    "q_ma_crossover" -> """
+      WITH daily AS (SELECT date_trunc('day', o_orderdate) AS day,
+                            CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev,
+                            year(date_trunc('day', o_orderdate)) AS yr
+                     FROM orders GROUP BY 1, 3),
+           x AS (SELECT day, yr,
+                        ROW_NUMBER() OVER (PARTITION BY yr ORDER BY day) AS rn,
+                        SUM(rev) OVER (PARTITION BY yr ORDER BY day
+                                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS sum3,
+                        SUM(rev) OVER (PARTITION BY yr ORDER BY day
+                                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS sum7
+                 FROM daily),
+           y AS (SELECT day, rn, sum3, sum7,
+                        CAST(sum3*7 > sum7*3 AS INT) AS above,
+                        LAG(CAST(sum3*7 > sum7*3 AS INT))
+                          OVER (PARTITION BY yr ORDER BY day) AS prev_above
+                 FROM x)
+      SELECT strftime(day, '%Y-%m-%d') AS day,
+             CAST(sum3 AS BIGINT) AS sum3, CAST(sum7 AS BIGINT) AS sum7,
+             CAST(above AS BIGINT) AS golden_cross
+      FROM y WHERE rn >= 8 AND prev_above IS NOT NULL AND above <> prev_above
+      ORDER BY day""",
+
+    "q_gini_revenue" -> """
+      WITH pc AS (SELECT o_custkey,
+                         CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS x
+                  FROM orders GROUP BY 1),
+           r AS (SELECT c_mktsegment, x,
+                        ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                           ORDER BY x, c_custkey) AS i,
+                        COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+                 FROM pc JOIN customer ON o_custkey = c_custkey)
+      SELECT c_mktsegment, CAST(MAX(n) AS BIGINT) AS n_customers,
+             CAST(SUM(x) AS BIGINT) AS total_cents,
+             CAST(SUM(CAST(2*i - n - 1 AS HUGEINT) * x) * 1000000
+                  // (CAST(MAX(n) AS HUGEINT) * SUM(x)) AS BIGINT) AS gini_e6,
+             CAST(CAST(SUM(CASE WHEN i > n - n//10 THEN x ELSE 0 END) AS HUGEINT) * 1000000
+                  // SUM(x) AS BIGINT) AS top10_share_e6
+      FROM r GROUP BY 1 ORDER BY 1""",
+
+    "q_rfm_segments" -> """
+      WITH base AS (SELECT o_custkey,
+                           CAST(date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                                          DATE '1999-01-01') AS BIGINT) AS rec,
+                           CAST(COUNT(*) AS BIGINT) AS freq,
+                           CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS mon
+                    FROM orders GROUP BY 1),
+           b AS (SELECT quantile_cont(rec, [0.2, 0.4, 0.6, 0.8]) AS rb,
+                        quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS fb,
+                        quantile_cont(mon, [0.2, 0.4, 0.6, 0.8]) AS mb
+                 FROM base),
+           x AS (SELECT mon,
+                        1 + len(list_filter(rb, bb -> rec > bb)) AS r_bucket,
+                        1 + len(list_filter(fb, bb -> freq > bb)) AS f_bucket,
+                        1 + len(list_filter(mb, bb -> mon > bb)) AS m_bucket
+                 FROM base CROSS JOIN b)
+      SELECT CAST(r_bucket AS BIGINT) AS r_bucket, CAST(f_bucket AS BIGINT) AS f_bucket,
+             CAST(m_bucket AS BIGINT) AS m_bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(mon) AS BIGINT) AS monetary_cents
+      FROM x GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+
+    "q_bipartite_degree" -> """
+      WITH pc AS (SELECT o_custkey, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS degree,
+                         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  GROUP BY 1)
+      SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(qty) AS BIGINT) AS total_qty
+      FROM pc GROUP BY 1 ORDER BY 1""",
   )
 }

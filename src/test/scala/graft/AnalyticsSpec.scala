@@ -376,4 +376,54 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.filter(r => r.getAs[Long]("i") == r.getAs[Long]("j"))
       .forall(_.getAs[Double]("g") > 0.0))
   }
+
+  test("autocorr: acf1 in [-1,1] for every event type") {
+    val rows = Analytics.q_autocorr_daily(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val a = r.getAs[Double]("acf1"); a >= -1.0 && a <= 1.0 })
+  }
+
+  test("ma crossover: signal alternates along the flip sequence within a year") {
+    val rows = Analytics.q_ma_crossover(spark, sf).collect()
+    // consecutive flips in the same year must carry opposite signals
+    rows.sliding(2).foreach {
+      case Array(a, b)
+        if a.getAs[String]("day").take(4) == b.getAs[String]("day").take(4) =>
+        assert(a.getAs[Long]("golden_cross") != b.getAs[Long]("golden_cross"))
+      case _ =>
+    }
+  }
+
+  test("gini: in [0, 1e6) and top-decile share above uniform 10%") {
+    val rows = Analytics.q_gini_revenue(spark, sf).collect()
+    assert(rows.length === 5)
+    assert(rows.forall { r =>
+      val g = r.getAs[Long]("gini_e6"); g >= 0L && g < 1000000L })
+    assert(rows.forall(_.getAs[Long]("top10_share_e6") >= 100000L))
+  }
+
+  test("rfm: buckets within 1..5 and customers conserved") {
+    val df = Analytics.q_rfm_segments(spark, sf).cache()
+    assert(df.filter(col("r_bucket") < 1 || col("r_bucket") > 5 ||
+      col("f_bucket") < 1 || col("f_bucket") > 5 ||
+      col("m_bucket") < 1 || col("m_bucket") > 5).count() === 0)
+    val total = df.agg(sum(col("n_customers"))).head().getLong(0)
+    val custs = graft.core.Tables.orders(spark, sf)
+      .select(col("o_custkey")).distinct().count()
+    assert(total === custs)
+    df.unpersist()
+  }
+
+  test("bipartite degree: customers conserved and degrees positive") {
+    val df = Analytics.q_bipartite_degree(spark, sf).cache()
+    assert(df.filter(col("degree") < 1).count() === 0)
+    val total = df.agg(sum(col("n_customers"))).head().getLong(0)
+    val custs = graft.core.Tables.orders(spark, sf)
+      .join(graft.core.Tables.lineitem(spark, sf),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey")).distinct().count()
+    assert(total === custs)
+    df.unpersist()
+  }
 }
