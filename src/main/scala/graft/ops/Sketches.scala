@@ -161,4 +161,50 @@ object Sketches {
       .agg(count(lit(1)).as("n"))
       .orderBy("actually_present", "bloom_positive")
   }
+
+  /** AMS (Alon-Matias-Szegedy) second-moment sketch over the token
+    * stream: 8 independent ±1 hash signs, estimator e = (Σ count·sign)².
+    * F2 = Σc² is the self-join size / collision mass of the stream; the
+    * sketch needs 8 longs of state where the exact answer needs the whole
+    * frequency vector. Both ride along here as exact integers (products
+    * in decimal — c² passes 2⁶³ on a fleet-scale corpus), so the query
+    * hash-matches while still demonstrating the sketch's accuracy.
+    */
+  def q_ams_f2(spark: SparkSession, sf: String): DataFrame = {
+    val tc = Tables.documents(spark, sf)
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val est = tc
+      .select(col("word"), col("c"), explode(expr("sequence(0, 7)")).as("est_id"))
+      .select(col("est_id"), col("c"),
+        (lit(1L) - lit(2L) * (hash32(concat(col("word"), lit("|"), col("est_id"))) % 2))
+          .as("sign"))
+      .groupBy(col("est_id"))
+      .agg(sum(col("c") * col("sign")).as("s"))
+      .select(col("est_id").cast("long").as("est_id"), col("s"),
+        (col("s").cast("decimal(38,0)") * col("s")).cast("long").as("f2_est"))
+    val exact = tc.agg(
+      sum(col("c").cast("decimal(38,0)") * col("c")).cast("long").as("f2_exact"))
+    est.crossJoin(broadcast(exact)).orderBy("est_id")
+  }
+
+  /** KMV (k-minimum-values) distinct-count sketch: hash every distinct
+    * key, keep the 64 smallest hashes (a distributed top-k — the sketch
+    * state is 64 longs at any cardinality), estimate
+    * D ≈ (k−1)·2³²/h₍ₖ₎ from the k-th minimum, reported beside the exact
+    * distinct count for the two lineitem key columns. Integer division
+    * keeps it hash-exact cross-engine.
+    */
+  def q_kmv_distinct(spark: SparkSession, sf: String): DataFrame = {
+    def side(keyCol: String): DataFrame = {
+      val keys = Tables.lineitem(spark, sf).select(col(keyCol).as("k")).distinct()
+      val mins = keys.select(hash32(col("k")).as("h")).orderBy(col("h").asc).limit(64)
+      val sk = mins.agg(max(col("h")).as("h_k"), count(lit(1)).as("k_size"))
+      val exact = keys.agg(count(lit(1)).as("exact_distinct"))
+      sk.crossJoin(exact).select(lit(keyCol).as("column_name"), col("k_size"),
+        col("h_k"), expr("(k_size - 1) * 4294967296 div h_k").as("kmv_estimate"),
+        col("exact_distinct"))
+    }
+    side("l_partkey").unionAll(side("l_suppkey")).orderBy("column_name")
+  }
 }

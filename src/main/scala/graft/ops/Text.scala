@@ -257,6 +257,39 @@ object Text {
       .orderBy("lang_p", "lang_q")
   }
 
+  /** Zipf-law fit of the corpus frequency spectrum: OLS slope of
+    * ln(freq) on ln(rank) over the top-100 tokens (a healthy natural
+    * corpus sits near −1; flat or cliff-shaped spectra flag synthetic or
+    * template text). The top-100 arrive via TakeOrderedAndProject; ranks
+    * come from sorting the single collected 100-struct array (no global
+    * window anywhere); the log-log points land on the proven e8 LN
+    * lattice before exact integer sums, and the slope/intercept epilogue
+    * is one fixed IEEE tree shared with the oracle.
+    */
+  def q_zipf_fit(spark: SparkSession, sf: String): DataFrame = {
+    val top = docTokens(spark, sf)
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("word").asc).limit(100)
+    val ranked = top
+      .agg(array_sort(collect_list(struct((-col("c")).as("negc"), col("word")))).as("a"))
+      .select(posexplode(col("a")).as(Seq("pos", "s")))
+      .select((col("pos") + 1).cast("long").as("rank"), (-col("s.negc")).as("c"))
+    val pts = ranked.select(
+      round(log(col("rank").cast("double")) * lit(1e8)).cast("long").as("x_e8"),
+      round(log(col("c").cast("double")) * lit(1e8)).cast("long").as("y_e8"))
+    val s = pts.agg(count(lit(1)).as("n"),
+      sum(col("x_e8")).as("sx"), sum(col("y_e8")).as("sy"),
+      sum(col("x_e8").cast("decimal(38,0)") * col("y_e8")).as("sxy"),
+      sum(col("x_e8").cast("decimal(38,0)") * col("x_e8")).as("sxx"))
+    val nD = col("n").cast("double")
+    val slope = (nD * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")) /
+      (nD * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double"))
+    s.select(col("n").as("n_points"),
+      (round(slope, 4) + lit(0.0)).as("zipf_slope"),
+      (round((col("sy").cast("double") - slope * col("sx").cast("double")) / nD / lit(1e8), 4)
+        + lit(0.0)).as("intercept_ln"))
+  }
+
   /** Shannon entropy of the token distribution per language, from exact
     * integer counts: each count's c·ln(c) term is rounded to an e4 integer
     * BEFORE summation (the same proven cross-engine `ROUND(LN(·)·1e4)`

@@ -312,6 +312,51 @@ object TextPipeline {
       .orderBy("lang")
   }
 
+  /** Heaps-law vocabulary-growth curve: documents fall into 10 equal
+    * id-range buckets (a deterministic corpus order — no seed, no sort);
+    * per bucket the cumulative token count and cumulative distinct types
+    * (a type is counted in the bucket where it FIRST appears — one
+    * `min(bucket)` per word, never a distinct-over-growing-prefix), plus
+    * the cumulative type/token ratio as an e4 integer. Cumulation is a
+    * bounded self-join over the 10-row bucket table, not a window.
+    */
+  def q_vocab_growth(spark: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.documents(spark, sf)
+    val maxid = docs.agg(max(col("doc_id")).as("maxid"))
+    val tok = docs.crossJoin(broadcast(maxid))
+      .select(expr("(doc_id * 10) div (maxid + 1)").as("bucket"),
+        explode(toks(col("text"))).as("word"))
+    val perBucket = tok.groupBy(col("bucket")).agg(count(lit(1)).as("n_tokens"))
+    val newTypes = tok.groupBy(col("word")).agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("new_types"))
+    val j = perBucket.join(newTypes, Seq("bucket"), "left_outer")
+      .select(col("bucket"), col("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+    j.as("a").join(j.as("b"), col("b.bucket") <= col("a.bucket"))
+      .groupBy(col("a.bucket").as("bucket"))
+      .agg(sum(col("b.n_tokens")).as("cum_tokens"),
+        sum(col("b.new_types")).as("cum_types"))
+      .select(col("bucket"), col("cum_tokens"), col("cum_types"),
+        expr("cum_types * 10000 div cum_tokens").as("ttr_e4"))
+      .orderBy("bucket")
+  }
+
+  /** Hashing-trick featurization (the fixed-width bag-of-words a linear
+    * model trains on when the vocabulary is unbounded): every term maps
+    * to one of 32 buckets by the shared md5 hash; per (lang, bucket) the
+    * summed term count and the number of distinct terms that collided
+    * into the bucket. One vocabulary-sized aggregate then a 160-cell
+    * one — nothing here grows with corpus size except the first shuffle.
+    */
+  def q_feature_hashing(spark: SparkSession, sf: String): DataFrame =
+    Tables.documents(spark, sf)
+      .select(col("lang"), explode(toks(col("text"))).as("word"))
+      .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("c"))
+      .select(col("lang"), col("c"), (th(col("word")) % 32).as("bucket"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("c")).as("total_count"))
+      .orderBy("lang", "bucket")
+
   /** Composite corpus-filter pipeline (the end-to-end QA pass a training
     * pipeline chains from the individual signals): per document, token
     * length bounds + lexical diversity + top-bigram repetition combined

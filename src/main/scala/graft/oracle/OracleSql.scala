@@ -2275,5 +2275,91 @@ object OracleSql {
       SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_customers,
              CAST(SUM(qty) AS BIGINT) AS total_qty
       FROM pc GROUP BY 1 ORDER BY 1""",
+
+    "q_zipf_fit" -> """
+      WITH tc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+                  GROUP BY 1 ORDER BY c DESC, word LIMIT 100),
+           r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, word) AS rank FROM tc),
+           p AS (SELECT CAST(ROUND(LN(CAST(rank AS DOUBLE)) * 1e8) AS BIGINT) AS x_e8,
+                        CAST(ROUND(LN(CAST(c AS DOUBLE)) * 1e8) AS BIGINT) AS y_e8 FROM r),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(x_e8) AS BIGINT) AS sx, CAST(SUM(y_e8) AS BIGINT) AS sy,
+                        SUM(CAST(x_e8 AS HUGEINT) * y_e8) AS sxy,
+                        SUM(CAST(x_e8 AS HUGEINT) * x_e8) AS sxx
+                 FROM p)
+      SELECT n AS n_points,
+             ROUND((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                   / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)), 4)
+               + 0 AS zipf_slope,
+             ROUND((CAST(sy AS DOUBLE)
+                    - (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                      / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                      * CAST(sx AS DOUBLE))
+                   / CAST(n AS DOUBLE) / 1e8, 4) + 0 AS intercept_ln
+      FROM s""",
+
+    "q_vocab_growth" -> """
+      WITH m AS (SELECT MAX(doc_id) AS maxid FROM documents),
+           tok AS (SELECT (doc_id * 10) // (maxid + 1) AS bucket,
+                          unnest(string_split(lower(text), ' ')) AS word
+                   FROM documents, m),
+           pb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM tok GROUP BY 1),
+           fs AS (SELECT MIN(bucket) AS bucket FROM tok GROUP BY word),
+           nt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS new_types FROM fs GROUP BY 1),
+           j AS (SELECT pb.bucket, n_tokens, COALESCE(new_types, 0) AS new_types
+                 FROM pb LEFT JOIN nt ON pb.bucket = nt.bucket)
+      SELECT CAST(a.bucket AS BIGINT) AS bucket,
+             CAST(SUM(b.n_tokens) AS BIGINT) AS cum_tokens,
+             CAST(SUM(b.new_types) AS BIGINT) AS cum_types,
+             CAST(SUM(b.new_types) * 10000 // SUM(b.n_tokens) AS BIGINT) AS ttr_e4
+      FROM j a JOIN j b ON b.bucket <= a.bucket
+      GROUP BY a.bucket ORDER BY bucket""",
+
+    "q_feature_hashing" -> """
+      WITH tc AS (SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS word
+                        FROM documents)
+                  GROUP BY 1, 2)
+      SELECT lang,
+             CAST('0x' || substring(md5(word), 1, 8) AS BIGINT) % 32 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_terms, CAST(SUM(c) AS BIGINT) AS total_count
+      FROM tc GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_ams_f2" -> """
+      WITH tc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+                  GROUP BY 1),
+           sg AS (SELECT i AS est_id, c,
+                         1 - 2 * (CAST('0x' || substring(md5(word || '|' || CAST(i AS VARCHAR)), 1, 8)
+                                    AS BIGINT) % 2) AS sign
+                  FROM tc, (SELECT unnest(generate_series(0, 7)) AS i)),
+           es AS (SELECT CAST(est_id AS BIGINT) AS est_id, CAST(SUM(c * sign) AS BIGINT) AS s
+                  FROM sg GROUP BY 1),
+           ex AS (SELECT CAST(SUM(CAST(c AS HUGEINT) * c) AS BIGINT) AS f2_exact FROM tc)
+      SELECT est_id, s, CAST(CAST(s AS HUGEINT) * s AS BIGINT) AS f2_est, f2_exact
+      FROM es, ex ORDER BY est_id""",
+
+    "q_kmv_distinct" -> """
+      WITH pk AS (SELECT DISTINCT l_partkey AS k FROM lineitem),
+           pm AS (SELECT CAST('0x' || substring(md5(CAST(k AS VARCHAR)), 1, 8) AS BIGINT) AS h
+                  FROM pk ORDER BY h LIMIT 64),
+           ps AS (SELECT MAX(h) AS h_k, CAST(COUNT(*) AS BIGINT) AS k_size FROM pm),
+           pe AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_distinct FROM pk),
+           sk AS (SELECT DISTINCT l_suppkey AS k FROM lineitem),
+           sm AS (SELECT CAST('0x' || substring(md5(CAST(k AS VARCHAR)), 1, 8) AS BIGINT) AS h
+                  FROM sk ORDER BY h LIMIT 64),
+           ss AS (SELECT MAX(h) AS h_k, CAST(COUNT(*) AS BIGINT) AS k_size FROM sm),
+           se AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_distinct FROM sk)
+      SELECT * FROM (
+        SELECT 'l_partkey' AS column_name, k_size, h_k,
+               CAST((k_size - 1) * 4294967296 // h_k AS BIGINT) AS kmv_estimate,
+               exact_distinct
+        FROM ps, pe
+        UNION ALL
+        SELECT 'l_suppkey', k_size, h_k,
+               CAST((k_size - 1) * 4294967296 // h_k AS BIGINT), exact_distinct
+        FROM ss, se)
+      ORDER BY column_name""",
   )
 }

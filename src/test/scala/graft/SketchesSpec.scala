@@ -60,4 +60,26 @@ class SketchesSpec extends AnyFunSuite {
     assert(rows.exists(_.getAs[Long]("keep") == 0L))
     assert(rows.exists(_.getAs[Long]("keep") == 1L))
   }
+
+  test("ams f2: median of the 8 estimators within 3x of exact F2") {
+    val rows = Sketches.q_ams_f2(spark, sf).collect()
+    assert(rows.length === 8)
+    val exact = rows.head.getAs[Long]("f2_exact")
+    val med = rows.map(_.getAs[Long]("f2_est")).sorted.apply(4)
+    assert(med > exact / 3 && med < exact * 3,
+      s"median estimator $med vs exact $exact")
+  }
+
+  test("kmv: estimate within 40% of the exact distinct count (k=64 ⇒ ~12.5% σ)") {
+    val rows = Sketches.q_kmv_distinct(spark, sf).collect()
+    assert(rows.length === 2)
+    rows.foreach { r =>
+      val est = r.getAs[Long]("kmv_estimate")
+      val exact = r.getAs[Long]("exact_distinct")
+      if (r.getAs[Long]("k_size") == 64L)  // sketch saturated → estimator valid
+        assert(math.abs(est - exact).toDouble / exact < 0.4,
+          s"${r.getAs[String]("column_name")}: est $est vs exact $exact")
+      else assert(est >= 1L)
+    }
+  }
 }

@@ -100,4 +100,39 @@ class TextSpec extends AnyFunSuite {
     assert(rows.length <= 20)
     assert(rows.forall(_.getAs[Double]("tfidf") >= 0.0))
   }
+
+  test("zipf fit: slope negative (frequency decreases with rank)") {
+    val r = Text.q_zipf_fit(spark, sf).head()
+    // the test fixture's vocabulary can be under 100 types
+    assert(r.getAs[Long]("n_points") >= 10L && r.getAs[Long]("n_points") <= 100L)
+    assert(r.getAs[Double]("zipf_slope") < 0.0)
+  }
+
+  test("vocab growth: cumulative columns are monotone, last bucket = corpus totals") {
+    val rows = graft.ops.TextPipeline.q_vocab_growth(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("cum_tokens")).sliding(2).forall(p => p.head <= p.last))
+    assert(rows.map(_.getAs[Long]("cum_types")).sliding(2).forall(p => p.head <= p.last))
+    val totalTokens = graft.core.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.lower(
+            org.apache.spark.sql.functions.col("text")), " "))).count()
+    assert(rows.last.getAs[Long]("cum_tokens") === totalTokens)
+  }
+
+  test("feature hashing: buckets in [0,32) and counts conserved per lang") {
+    val rows = graft.ops.TextPipeline.q_feature_hashing(spark, sf).collect()
+    assert(rows.forall { r =>
+      val b = r.getAs[Long]("bucket"); b >= 0L && b < 32L })
+    val perLang = rows.groupBy(_.getAs[String]("lang"))
+      .view.mapValues(_.map(_.getAs[Long]("total_count")).sum).toMap
+    val truth = graft.core.Tables.documents(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.col("lang"))
+      .agg(org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.lower(
+            org.apache.spark.sql.functions.col("text")), " "))).as("n"))
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("n")).toMap
+    assert(perLang === truth)
+  }
 }
