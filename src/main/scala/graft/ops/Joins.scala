@@ -220,4 +220,23 @@ object Joins {
       .select(col("user_id"), col("event_id"), col("matched_id"), col("gap_us"))
       .orderBy("user_id", "event_id")
   }
+
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): zero
+    * discounts become NULL keys via NULLIF, and the null-safe comparator
+    * keeps the NULL group matched where a plain equi-join would silently
+    * drop it — the canonical "join on a nullable dimension" semantics.
+    * Both sides are pre-aggregated to key-unique rows, so the join is a
+    * tiny broadcast regardless of lineitem size. NULLS FIRST is pinned
+    * explicitly (Spark and DuckDB default opposite null orders).
+    */
+  def q_join_null_safe(spark: SparkSession, sf: String): DataFrame = {
+    def byDisc(df: DataFrame, n: String): DataFrame = df
+      .select(expr("nullif(CAST(ROUND(l_discount*100) AS BIGINT), 0)").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as(n))
+    val all = byDisc(Tables.lineitem(spark, sf), "n_all")
+    val heavy = byDisc(Tables.lineitem(spark, sf).filter(col("l_quantity") > 25), "n_heavy")
+    all.as("l").join(heavy.as("r"), col("l.d") <=> col("r.d"))
+      .select(col("l.d").as("disc_pct"), col("n_all"), col("n_heavy"))
+      .orderBy(asc_nulls_first("disc_pct"))
+  }
 }

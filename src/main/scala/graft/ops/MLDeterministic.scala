@@ -212,7 +212,12 @@ object MLDeterministic {
     * Scores are exact integer e4-log sums. Appends one summary row
     * (doc_id=-1) carrying the global correct-prediction count.
     */
-  def q_naivebayes_predict(spark: SparkSession, sf: String): DataFrame = {
+  /** Per-document NB predictions (doc_id, predicted, actual, hit) — the
+    * scoring pipeline shared by [[q_naivebayes_predict]] (which appends
+    * the summary row) and [[q_eval_f1]] (which aggregates the confusion
+    * matrix into per-class metrics).
+    */
+  private[ops] def nbPredict(spark: SparkSession, sf: String): DataFrame = {
     val (likelihood, prior, default) = nbModel(spark, sf)
     // pivot the model to word → one integer score column per language
     // (classes are few and fixed; the per-class default fills unseen
@@ -248,10 +253,14 @@ object MLDeterministic {
       .join(Tables.documents(spark, sf).select(col("doc_id"), col("lang").as("actual")), "doc_id")
       .select(col("doc_id"), col("predicted"), col("actual"),
         when(col("predicted") === col("actual"), 1L).otherwise(0L).as("hit"))
+    pred
+  }
+
+  def q_naivebayes_predict(spark: SparkSession, sf: String): DataFrame = {
     // per-doc rows + the grand-total summary row in ONE pass via grouping
     // sets (a union of pred with pred.agg would execute the scoring
     // pipeline twice)
-    pred
+    nbPredict(spark, sf)
       .groupingSets(
         Seq(Seq(col("doc_id"), col("predicted"), col("actual")), Seq.empty),
         col("doc_id"), col("predicted"), col("actual"))
@@ -262,6 +271,53 @@ object MLDeterministic {
         coalesce(col("actual"), lit("__correct__")).as("actual"),
         col("hit"))
       .orderBy("doc_id")
+  }
+
+  /** Per-class precision / recall / F1 of the NB classifier — the model
+    * evaluation pass every training pipeline runs after scoring. The
+    * confusion matrix is one (actual, predicted) aggregate (≤ classes²
+    * cells at any corpus size); metrics are exact e4 integer divisions
+    * with −1 sentinels for undefined cells (a class never predicted).
+    */
+  def q_eval_f1(spark: SparkSession, sf: String): DataFrame = {
+    val conf = nbPredict(spark, sf)
+      .groupBy(col("actual"), col("predicted")).agg(count(lit(1)).as("n"))
+    val byPred = conf.groupBy(col("predicted").as("class"))
+      .agg(sum(when(col("actual") === col("predicted"), col("n")).otherwise(0L)).as("tp"),
+        sum(when(col("actual") =!= col("predicted"), col("n")).otherwise(0L)).as("fp"))
+    val byAct = conf.groupBy(col("actual").as("class"))
+      .agg(sum(when(col("actual") =!= col("predicted"), col("n")).otherwise(0L)).as("fn"))
+    byAct.join(byPred, Seq("class"), "full_outer")
+      .select(col("class"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("fp"), lit(0L)).as("fp"),
+        coalesce(col("fn"), lit(0L)).as("fn"))
+      .select(col("class"), col("tp"), col("fp"), col("fn"),
+        expr("CASE WHEN tp + fp = 0 THEN -1 ELSE tp * 10000 div (tp + fp) END").as("precision_e4"),
+        expr("CASE WHEN tp + fn = 0 THEN -1 ELSE tp * 10000 div (tp + fn) END").as("recall_e4"),
+        expr("CASE WHEN 2*tp + fp + fn = 0 THEN -1" +
+          " ELSE 2 * tp * 10000 div (2*tp + fp + fn) END").as("f1_e4"))
+      .orderBy("class")
+  }
+
+  /** Smoothed mean-target encoding of a categorical feature (p_brand →
+    * expected retail price): enc = (Σ target + m·global_mean)/(n + m)
+    * with m = 10, all in exact integer cents (the global mean is one
+    * integer division, documented as floor). The classic leakage-free
+    * categorical featurization — one aggregate per category plus one
+    * broadcast global row, no matter the table size.
+    */
+  def q_target_encoding(spark: SparkSession, sf: String): DataFrame = {
+    val parts = Tables.part(spark, sf)
+      .select(col("p_brand"), cents(col("p_retailprice")).as("pc"))
+    val global = parts.agg(sum(col("pc")).as("ts"), count(lit(1)).as("tn"))
+      .select(expr("ts div tn").as("gmean"))
+    parts.groupBy(col("p_brand")).agg(count(lit(1)).as("n"), sum(col("pc")).as("s"))
+      .crossJoin(broadcast(global))
+      .select(col("p_brand"), col("n"), col("s"),
+        expr("(s + 10 * gmean) div (n + 10)").as("enc_cents"),
+        col("gmean").as("global_mean_cents"))
+      .orderBy("p_brand")
   }
 
   /** Farthest-first (k-center / Gonzalez) seeding, 3 unrolled rounds:

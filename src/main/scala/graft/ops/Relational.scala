@@ -414,4 +414,30 @@ object Relational {
             (SELECT AVG(CAST(ROUND(o_totalprice*100) AS BIGINT)) FROM orders_v)
       GROUP BY o_orderpriority ORDER BY o_orderpriority""")
   }
+
+  /** Schema-evolution union: two yearly aggregates with different column
+    * sets and orders merged by NAME (`unionByName` with missing columns
+    * null-filled — DuckDB's UNION ALL BY NAME), then audited per year:
+    * row counts, non-null counts per branch-specific column, and
+    * null-safe totals. The schema-drift-tolerant append every long-lived
+    * ingest pipeline needs.
+    */
+  def q_union_by_name(spark: SparkSession, sf: String): DataFrame = {
+    val o = Tables.orders(spark, sf)
+    val y96 = o.filter(year(col("o_orderdate")) === 1996)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      .withColumn("yr", lit(1996L))
+    val y97 = o.filter(year(col("o_orderdate")) === 1997)
+      .groupBy(col("o_custkey")).agg(sum(cents(col("o_totalprice"))).as("rev_cents"))
+      .withColumn("yr", lit(1997L))
+      .select(col("yr"), col("rev_cents"), col("o_custkey")) // scrambled on purpose
+    y96.unionByName(y97, allowMissingColumns = true)
+      .groupBy(col("yr"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("n_orders")).as("rows_with_orders"),
+        count(col("rev_cents")).as("rows_with_rev"),
+        sum(coalesce(col("n_orders"), lit(0L))).as("total_orders"),
+        sum(coalesce(col("rev_cents"), lit(0L))).as("total_rev_cents"))
+      .orderBy("yr")
+  }
 }

@@ -180,4 +180,51 @@ object Vectors {
         (round(col("sxy").cast("double") / (col("n").cast("double") * lit(1e14)), 6)
           + lit(0.0)).as("g"))
       .orderBy("i", "j")
+
+  /** Top principal direction of the first 8 embedding dimensions by two
+    * unrolled power iterations on the exact e14-lattice scatter matrix:
+    * v₀ = 1⃗, w = G·v, v ← round(w/max|w|·10⁶) (one IEEE division per
+    * component — trunc-vs-floor-unsafe integer division never touches the
+    * possibly-negative values). The data is read ONCE (the 64-cell scatter
+    * aggregate, `localCheckpoint`ed); both iterations are joins over that
+    * 8×8 table, so iteration cost is independent of corpus size. Output:
+    * the e6 loadings and the Rayleigh-quotient eigenvalue estimate on the
+    * original scale.
+    */
+  def q_pca_power(spark: SparkSession, sf: String): DataFrame = {
+    val cells = Tables.embeddings(spark, sf)
+      .select(slice(q7(col("embedding")), 1, 8).as("qe"))
+      .select(explode(expr(
+        "flatten(transform(sequence(0, 7), i ->" +
+          " transform(sequence(0, 7), j -> struct(CAST(i+1 AS BIGINT) AS i," +
+          " CAST(j+1 AS BIGINT) AS j, qe[i] * qe[j] AS p))))")).as("c"))
+      .groupBy(col("c.i").as("i"), col("c.j").as("j"))
+      .agg(sum(col("c.p").cast("decimal(38,0)")).as("g"), count(lit(1)).as("n"))
+      .localCheckpoint()
+    val v1raw = cells.groupBy(col("i")).agg(sum(col("g")).as("w"))
+    val m1 = v1raw.agg(max(abs(col("w"))).as("m"))
+    val v1 = v1raw.crossJoin(broadcast(m1))
+      .select(col("i"),
+        round(col("w").cast("double") / col("m").cast("double") * lit(1e6))
+          .cast("long").as("v"))
+    val w2 = cells
+      .join(v1.select(col("i").as("j"), col("v").as("vj")), "j")
+      .groupBy(col("i")).agg(sum(col("g") * col("vj")).as("w2"))
+    val m2 = w2.agg(max(abs(col("w2"))).as("m2"))
+    val v2 = w2.crossJoin(broadcast(m2))
+      .select(col("i"),
+        round(col("w2").cast("double") / col("m2").cast("double") * lit(1e6))
+          .cast("long").as("loading_e6"))
+    val rayleigh = v1.join(w2, "i")
+      .agg(sum(col("v").cast("decimal(38,0)") * col("w2")).as("num"),
+        sum(col("v").cast("decimal(38,0)") * col("v")).as("den"))
+      .crossJoin(cells.agg(max(col("n")).as("nv")))
+      // λ in original units: lattice e14 out, the e6 normalization of v
+      // cancels in num/den; divide by the vector count once
+      .select((round(col("num").cast("double") / col("den").cast("double") /
+        col("nv").cast("double") / lit(1e14), 6) + lit(0.0)).as("rayleigh"))
+    v2.crossJoin(broadcast(rayleigh))
+      .select(col("i").as("dim"), col("loading_e6"), col("rayleigh"))
+      .orderBy("dim")
+  }
 }

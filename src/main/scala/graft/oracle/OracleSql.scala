@@ -2361,5 +2361,117 @@ object OracleSql {
                CAST((k_size - 1) * 4294967296 // h_k AS BIGINT), exact_distinct
         FROM ss, se)
       ORDER BY column_name""",
+
+    "q_eval_f1" -> """
+      WITH toks AS (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS word FROM documents),
+           wc AS (SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS c_wc FROM toks GROUP BY lang, word),
+           cc AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS c_c FROM toks GROUP BY lang),
+           v AS (SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS v FROM toks),
+           llh AS (SELECT lang, word,
+                          CAST(ROUND(LN(CAST(c_wc + 1 AS DOUBLE) / (c_c + v)) * 1e4) AS BIGINT) AS llh_e4
+                   FROM wc JOIN cc USING (lang) CROSS JOIN v),
+           def AS (SELECT lang, CAST(ROUND(LN(1.0 / (c_c + v)) * 1e4) AS BIGINT) AS def_e4
+                   FROM cc CROSS JOIN v),
+           prior AS (SELECT lang, CAST(ROUND(LN(CAST(n_c AS DOUBLE) / n) * 1e4) AS BIGINT) AS prior_e4
+                     FROM (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_c FROM documents GROUP BY lang)
+                     CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)),
+           dw AS (SELECT DISTINCT doc_id, word FROM toks),
+           scored AS (SELECT dw.doc_id, langs.lang,
+                             CAST(SUM(COALESCE(llh.llh_e4, def.def_e4)) AS BIGINT) AS tok_score
+                      FROM dw CROSS JOIN (SELECT lang FROM cc) langs
+                      LEFT JOIN llh ON llh.lang = langs.lang AND llh.word = dw.word
+                      JOIN def ON def.lang = langs.lang
+                      GROUP BY dw.doc_id, langs.lang),
+           fs AS (SELECT doc_id, s.lang, tok_score + prior_e4 AS score_e4
+                  FROM scored s JOIN prior ON prior.lang = s.lang),
+           pred AS (SELECT doc_id, lang AS predicted FROM
+                      (SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_e4 DESC, lang) AS rn
+                       FROM fs)
+                    WHERE rn = 1),
+           outp AS (SELECT p.predicted, d.lang AS actual
+                    FROM pred p JOIN documents d ON p.doc_id = d.doc_id),
+           conf AS (SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n
+                    FROM outp GROUP BY 1, 2),
+           bp AS (SELECT predicted AS class,
+                         CAST(SUM(CASE WHEN actual = predicted THEN n ELSE 0 END) AS BIGINT) AS tp,
+                         CAST(SUM(CASE WHEN actual <> predicted THEN n ELSE 0 END) AS BIGINT) AS fp
+                  FROM conf GROUP BY 1),
+           ba AS (SELECT actual AS class,
+                         CAST(SUM(CASE WHEN actual <> predicted THEN n ELSE 0 END) AS BIGINT) AS fn
+                  FROM conf GROUP BY 1),
+           j AS (SELECT COALESCE(ba.class, bp.class) AS class,
+                        COALESCE(tp, 0) AS tp, COALESCE(fp, 0) AS fp, COALESCE(fn, 0) AS fn
+                 FROM ba FULL OUTER JOIN bp ON ba.class = bp.class)
+      SELECT class, tp, fp, fn,
+             CAST(CASE WHEN tp + fp = 0 THEN -1 ELSE tp * 10000 // (tp + fp) END AS BIGINT) AS precision_e4,
+             CAST(CASE WHEN tp + fn = 0 THEN -1 ELSE tp * 10000 // (tp + fn) END AS BIGINT) AS recall_e4,
+             CAST(CASE WHEN 2*tp + fp + fn = 0 THEN -1
+                       ELSE 2 * tp * 10000 // (2*tp + fp + fn) END AS BIGINT) AS f1_e4
+      FROM j ORDER BY class""",
+
+    "q_target_encoding" -> """
+      WITH p AS (SELECT p_brand, CAST(ROUND(p_retailprice*100) AS BIGINT) AS pc FROM part),
+           g AS (SELECT CAST(SUM(pc) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS gmean FROM p),
+           b AS (SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pc) AS BIGINT) AS s
+                 FROM p GROUP BY 1)
+      SELECT p_brand, n, s,
+             CAST((s + 10 * gmean) // (n + 10) AS BIGINT) AS enc_cents,
+             CAST(gmean AS BIGINT) AS global_mean_cents
+      FROM b, g ORDER BY p_brand""",
+
+    "q_pca_power" -> """
+      WITH e AS (SELECT vec_id,
+                        list_transform(embedding[1:8],
+                          v -> CAST(ROUND(CAST(v AS DOUBLE)*1e7) AS BIGINT)) AS q
+                 FROM embeddings),
+           x AS (SELECT vec_id, i, q[i] AS xi
+                 FROM e, (SELECT unnest(generate_series(1, 8)) AS i)),
+           cells AS (SELECT a.i AS i, b.i AS j, SUM(CAST(a.xi AS HUGEINT) * b.xi) AS g,
+                            CAST(COUNT(*) AS BIGINT) AS n
+                     FROM x a JOIN x b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+           v1 AS (SELECT i, SUM(g) AS w FROM cells GROUP BY 1),
+           m1 AS (SELECT MAX(ABS(w)) AS m FROM v1),
+           n1 AS (SELECT i, CAST(ROUND(CAST(w AS DOUBLE) / CAST(m AS DOUBLE) * 1000000.0) AS BIGINT) AS v
+                  FROM v1, m1),
+           w2 AS (SELECT c.i, SUM(c.g * n1.v) AS w2 FROM cells c JOIN n1 ON c.j = n1.i GROUP BY 1),
+           m2 AS (SELECT MAX(ABS(w2)) AS m2 FROM w2),
+           n2 AS (SELECT i, CAST(ROUND(CAST(w2 AS DOUBLE) / CAST(m2 AS DOUBLE) * 1000000.0) AS BIGINT)
+                           AS loading_e6
+                  FROM w2, m2),
+           r AS (SELECT SUM(CAST(n1.v AS HUGEINT) * w2.w2) AS num,
+                        SUM(CAST(n1.v AS HUGEINT) * n1.v) AS den
+                 FROM n1 JOIN w2 ON n1.i = w2.i),
+           nv AS (SELECT MAX(n) AS nv FROM cells)
+      SELECT CAST(n2.i AS BIGINT) AS dim, loading_e6,
+             ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / CAST(nv AS DOUBLE) / 1e14, 6) + 0
+               AS rayleigh
+      FROM n2, r, nv ORDER BY dim""",
+
+    "q_join_null_safe" -> """
+      WITH l AS (SELECT NULLIF(CAST(ROUND(l_discount*100) AS BIGINT), 0) AS d,
+                        CAST(COUNT(*) AS BIGINT) AS n_all
+                 FROM lineitem GROUP BY 1),
+           r AS (SELECT NULLIF(CAST(ROUND(l_discount*100) AS BIGINT), 0) AS d,
+                        CAST(COUNT(*) AS BIGINT) AS n_heavy
+                 FROM lineitem WHERE l_quantity > 25 GROUP BY 1)
+      SELECT l.d AS disc_pct, n_all, n_heavy
+      FROM l JOIN r ON l.d IS NOT DISTINCT FROM r.d
+      ORDER BY disc_pct NULLS FIRST""",
+
+    "q_union_by_name" -> """
+      WITH y96 AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                          CAST(1996 AS BIGINT) AS yr
+                   FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1),
+           y97 AS (SELECT CAST(1997 AS BIGINT) AS yr,
+                          CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev_cents,
+                          o_custkey
+                   FROM orders WHERE year(o_orderdate) = 1997 GROUP BY o_custkey),
+           u AS (SELECT * FROM y96 UNION ALL BY NAME SELECT * FROM y97)
+      SELECT yr, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(n_orders) AS BIGINT) AS rows_with_orders,
+             CAST(COUNT(rev_cents) AS BIGINT) AS rows_with_rev,
+             CAST(SUM(COALESCE(n_orders, 0)) AS BIGINT) AS total_orders,
+             CAST(SUM(COALESCE(rev_cents, 0)) AS BIGINT) AS total_rev_cents
+      FROM u GROUP BY yr ORDER BY yr""",
   )
 }

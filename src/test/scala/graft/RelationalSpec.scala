@@ -78,4 +78,52 @@ class RelationalSpec extends AnyFunSuite {
     }
     assert(sums.distinct.length === 1)
   }
+
+  test("null-safe join keeps the NULL discount group; heavy is a subset") {
+    val rows = graft.ops.Joins.q_join_null_safe(spark, sf).collect()
+    assert(rows.head.isNullAt(rows.head.fieldIndex("disc_pct"))) // nulls first
+    assert(rows.forall(r => r.getAs[Long]("n_heavy") <= r.getAs[Long]("n_all")))
+  }
+
+  test("union-by-name: branch columns never bleed across years") {
+    val rows = graft.ops.Relational.q_union_by_name(spark, sf).collect()
+    assert(rows.length === 2)
+    val y96 = rows.find(_.getAs[Long]("yr") == 1996L).get
+    val y97 = rows.find(_.getAs[Long]("yr") == 1997L).get
+    assert(y96.getAs[Long]("rows_with_orders") === y96.getAs[Long]("n_rows"))
+    assert(y96.getAs[Long]("rows_with_rev") === 0L)
+    assert(y97.getAs[Long]("rows_with_rev") === y97.getAs[Long]("n_rows"))
+    assert(y97.getAs[Long]("rows_with_orders") === 0L)
+  }
+
+  test("eval f1: per-class support equals tp + fn and metrics bounded") {
+    val rows = graft.ops.MLDeterministic.q_eval_f1(spark, sf).collect()
+    val support = graft.core.Tables.documents(spark, sf)
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    rows.foreach { r =>
+      val c = r.getAs[String]("class")
+      assert(r.getAs[Long]("tp") + r.getAs[Long]("fn") === support(c))
+      val f1 = r.getAs[Long]("f1_e4")
+      assert(f1 >= -1L && f1 <= 10000L)
+    }
+  }
+
+  test("target encoding: shrinkage keeps enc between brand mean and global mean") {
+    val rows = graft.ops.MLDeterministic.q_target_encoding(spark, sf).collect()
+    rows.foreach { r =>
+      val brandMean = r.getAs[Long]("s").toDouble / r.getAs[Long]("n")
+      val g = r.getAs[Long]("global_mean_cents").toDouble
+      val enc = r.getAs[Long]("enc_cents").toDouble
+      val (lo, hi) = (math.min(brandMean, g), math.max(brandMean, g))
+      assert(enc >= lo - 1 && enc <= hi + 1, s"${r.getAs[String]("p_brand")}: $enc not in [$lo,$hi]")
+    }
+  }
+
+  test("pca power: loadings normalized to max |1e6| and rayleigh positive") {
+    val rows = graft.ops.Vectors.q_pca_power(spark, sf).collect()
+    assert(rows.length === 8)
+    assert(rows.map(r => math.abs(r.getAs[Long]("loading_e6"))).max === 1000000L)
+    assert(rows.forall(_.getAs[Double]("rayleigh") > 0.0))
+  }
 }
