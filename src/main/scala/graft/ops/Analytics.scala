@@ -329,6 +329,61 @@ object Analytics {
       .orderBy("cohort_day", "offset")
   }
 
+  /** Gaps-and-islands activity streaks: a user's distinct active days
+    * collapse into runs of consecutive days via the classic
+    * day-number − row-number grouping key; per user the island count and
+    * longest streak, reported as a longest-streak histogram. Everything
+    * is user-partitioned integer arithmetic — the retention-adjacent
+    * engagement metric that needs no calendar scaffold.
+    */
+  def q_streak_islands(spark: SparkSession, sf: String): DataFrame = {
+    val days = Tables.eventsWithTs(spark, sf)
+      .select(col("user_id"),
+        datediff(col("ts_us").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("dayn"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("dayn")
+    val islands = days.withColumn("rn", row_number().over(w).cast("long"))
+      .select(col("user_id"), (col("dayn") - col("rn")).as("grp"))
+      .groupBy(col("user_id"), col("grp")).agg(count(lit(1)).as("len"))
+    islands.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"), max(col("len")).as("longest"))
+      .groupBy(col("longest"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n_islands")).as("total_islands"))
+      .orderBy("longest")
+  }
+
+  /** Skewness and excess kurtosis of lineitem quantity per return flag,
+    * from one pass of exact raw-moment sums (Σq..Σq⁴, the higher powers
+    * in decimal) and a fixed shared IEEE epilogue — the distribution-
+    * shape profile that decides normalization strategy before model
+    * training. One partial+final aggregate at any table size.
+    */
+  def q_skew_kurtosis(spark: SparkSession, sf: String): DataFrame = {
+    val s = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").as("flag"), col("l_quantity").cast("long").as("q"))
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s1"),
+        sum(col("q") * col("q")).as("s2"),
+        sum((col("q") * col("q")).cast("decimal(38,0)") * col("q")).as("s3"),
+        sum((col("q") * col("q")).cast("decimal(38,0)") * (col("q") * col("q"))).as("s4"))
+    val nD = col("n").cast("double")
+    val mu = col("s1").cast("double") / nD
+    val r2 = col("s2").cast("double") / nD
+    val r3 = col("s3").cast("double") / nD
+    val r4m = col("s4").cast("double") / nD
+    val m2 = r2 - mu * mu
+    val m3 = r3 - lit(3.0) * mu * r2 + lit(2.0) * mu * mu * mu
+    val m4 = r4m - lit(4.0) * mu * r3 + lit(6.0) * mu * mu * r2 -
+      lit(3.0) * mu * mu * mu * mu
+    s.select(col("flag"), col("n"),
+      // m2^1.5 as m2·√m2: sqrt is correctly-rounded IEEE on both engines,
+      // pow(x, 1.5) is a libm call that may differ by an ulp across them
+      (round(m3 / (m2 * sqrt(m2)), 4) + lit(0.0)).as("skewness"),
+      (round(m4 / (m2 * m2) - lit(3.0), 4) + lit(0.0)).as("kurtosis_excess"))
+      .orderBy("flag")
+  }
+
   /** Lag-1 autocorrelation of the daily revenue series per event type —
     * the time-series diagnostic behind seasonality/trend detection. The
     * raw stream collapses to a calendar-bounded daily aggregate first

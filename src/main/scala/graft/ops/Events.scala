@@ -147,6 +147,33 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Session duration profile (the engagement histogram behind the
+    * sessionization pass): same 30-minute-gap sessions as
+    * [[q_stream_session]], then each session's µs duration lands in a
+    * 10-minute bucket; per bucket the session count, total events and
+    * mean events per session (e2 integer). One user-keyed shuffle for the
+    * session windows, then a bounded histogram aggregate.
+    */
+  def q_session_duration(spark: SparkSession, sf: String): DataFrame = {
+    val ev = Tables.eventsWithTs(spark, sf)
+    val wOrder = Window.partitionBy("user_id").orderBy(col("ts_usl").asc, col("event_id").asc)
+    val wCum = wOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("prev_usl", lag(col("ts_usl"), 1).over(wOrder))
+      .withColumn("new_session",
+        when(col("prev_usl").isNull ||
+             col("ts_usl") - col("prev_usl") > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("new_session")).over(wCum))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("ts_usl")) - min(col("ts_usl"))).as("dur_us"))
+      .select(col("n_events"), expr("dur_us div 600000000").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("total_events"))
+      .select(col("bucket"), col("n_sessions"), col("total_events"),
+        expr("total_events * 100 div n_sessions").as("avg_events_e2"))
+      .orderBy("bucket")
+  }
+
   /** Time-series gap fill with linear interpolation: the hourly mean event
     * value per type on a COMPLETE hour scaffold (min..max observed hour),
     * silent hours linearly interpolated between their observed neighbors.

@@ -555,4 +555,28 @@ object MLDeterministic {
       .orderBy(col("support").desc, col("p1").asc, col("p2").asc)
       .limit(30)
   }
+
+  /** Apriori level 3: frequent item TRIPLES per order basket, support ≥ 2,
+    * top-20. Triples are generated inside the sorted basket array (three
+    * nested HOF transforms over index slices — candidate count is bounded
+    * by basket breadth³, data-independent), so like [[q_apriori_pairs]]
+    * there is exactly one shuffle on the basket key and one on the triple.
+    */
+  def q_freq_triples(spark: SparkSession, sf: String): DataFrame = {
+    val baskets = Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("items"))
+    baskets
+      .select(explode(expr(
+        """flatten(flatten(transform(items, (x, i) ->
+           transform(slice(items, i + 2, size(items)), (y, j) ->
+             transform(slice(items, i + j + 3, size(items)),
+               z -> struct(x AS p1, y AS p2, z AS p3))))))"""))
+        .as("t"))
+      .groupBy(col("t.p1").as("p1"), col("t.p2").as("p2"), col("t.p3").as("p3"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2L)
+      .orderBy(col("support").desc, col("p1").asc, col("p2").asc, col("p3").asc)
+      .limit(20)
+  }
 }

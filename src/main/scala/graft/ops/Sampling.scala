@@ -271,4 +271,30 @@ object Sampling {
         col("top.v").as("top_value"), col("top.cnt").as("top_count"),
         expr("top.cnt * 10000 div n_values").as("top_share_e4"))
       .orderBy("column_name")
+
+  /** Winsorization audit: event values clipped at the per-type p1/p99
+    * interpolating percentiles (rounded to integer cents BEFORE clipping,
+    * so the clamp is pure integer comparison); per type the clip counts
+    * and the raw vs winsorized exact sums — the outlier-taming pass that
+    * runs before any mean-based feature. Two passes over the data, the
+    * bounds broadcast back onto the scan.
+    */
+  def q_winsorize(spark: SparkSession, sf: String): DataFrame = {
+    import graft.core.Det.cents
+    val v = Tables.eventsWithTs(spark, sf)
+      .select(col("event_type"), cents(col("value")).as("vc"))
+    val bounds = v.groupBy(col("event_type")).agg(
+      round(percentile(col("vc"), lit(0.01))).cast("long").as("lo"),
+      round(percentile(col("vc"), lit(0.99))).cast("long").as("hi"))
+    v.join(broadcast(bounds), "event_type")
+      .select(col("event_type"), col("vc"), col("lo"), col("hi"),
+        greatest(col("lo"), least(col("hi"), col("vc"))).as("wc"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), max(col("lo")).as("lo_cents"),
+        max(col("hi")).as("hi_cents"),
+        sum(when(col("vc") < col("lo"), 1L).otherwise(0L)).as("n_clipped_low"),
+        sum(when(col("vc") > col("hi"), 1L).otherwise(0L)).as("n_clipped_high"),
+        sum(col("vc")).as("raw_sum_cents"), sum(col("wc")).as("win_sum_cents"))
+      .orderBy("event_type")
+  }
 }

@@ -2473,5 +2473,83 @@ object OracleSql {
              CAST(SUM(COALESCE(n_orders, 0)) AS BIGINT) AS total_orders,
              CAST(SUM(COALESCE(rev_cents, 0)) AS BIGINT) AS total_rev_cents
       FROM u GROUP BY yr ORDER BY yr""",
+
+    "q_session_duration" -> """
+      WITH s AS (SELECT user_id, session_idx, CAST(COUNT(*) AS BIGINT) AS n_events,
+                        MAX(ts_usl) - MIN(ts_usl) AS dur_us
+                 FROM (SELECT user_id, epoch_us(ts) AS ts_usl,
+                              SUM(new_session) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+                       FROM (SELECT user_id, event_id, ts,
+                                    CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                                           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                                         THEN 1 ELSE 0 END AS new_session
+                             FROM events
+                             WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)))
+                 GROUP BY user_id, session_idx),
+           b AS (SELECT dur_us // 600000000 AS bucket, n_events FROM s)
+      SELECT CAST(bucket AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+             CAST(SUM(n_events) AS BIGINT) AS total_events,
+             CAST(SUM(n_events) * 100 // COUNT(*) AS BIGINT) AS avg_events_e2
+      FROM b GROUP BY 1 ORDER BY 1""",
+
+    "q_winsorize" -> """
+      WITH v AS (SELECT event_type, CAST(ROUND(value*100) AS BIGINT) AS vc FROM events),
+           b AS (SELECT event_type, CAST(ROUND(quantile_cont(vc, 0.01)) AS BIGINT) AS lo,
+                        CAST(ROUND(quantile_cont(vc, 0.99)) AS BIGINT) AS hi
+                 FROM v GROUP BY 1),
+           j AS (SELECT v.event_type, vc, lo, hi, GREATEST(lo, LEAST(hi, vc)) AS wc
+                 FROM v JOIN b ON v.event_type = b.event_type)
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(MAX(lo) AS BIGINT) AS lo_cents, CAST(MAX(hi) AS BIGINT) AS hi_cents,
+             CAST(SUM(CASE WHEN vc < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+             CAST(SUM(CASE WHEN vc > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+             CAST(SUM(vc) AS BIGINT) AS raw_sum_cents,
+             CAST(SUM(wc) AS BIGINT) AS win_sum_cents
+      FROM j GROUP BY 1 ORDER BY 1""",
+
+    "q_freq_triples" -> """
+      WITH di AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+      SELECT a.pk AS p1, b.pk AS p2, c.pk AS p3, CAST(COUNT(*) AS BIGINT) AS support
+      FROM di a JOIN di b ON a.ok = b.ok AND a.pk < b.pk
+                JOIN di c ON b.ok = c.ok AND b.pk < c.pk
+      GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+      ORDER BY support DESC, p1, p2, p3 LIMIT 20""",
+
+    "q_streak_islands" -> """
+      WITH d AS (SELECT DISTINCT user_id,
+                        CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS dayn
+                 FROM events),
+           g AS (SELECT user_id,
+                        dayn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dayn) AS grp
+                 FROM d),
+           i AS (SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len FROM g GROUP BY 1, 2),
+           u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+                        CAST(MAX(len) AS BIGINT) AS longest
+                 FROM i GROUP BY 1)
+      SELECT longest, CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(n_islands) AS BIGINT) AS total_islands
+      FROM u GROUP BY 1 ORDER BY 1""",
+
+    "q_skew_kurtosis" -> """
+      WITH s AS (SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(q) AS BIGINT) AS s1, CAST(SUM(q*q) AS BIGINT) AS s2,
+                        SUM(CAST(q*q AS HUGEINT) * q) AS s3,
+                        SUM(CAST(q*q AS HUGEINT) * (q*q)) AS s4
+                 FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem)
+                 GROUP BY 1),
+           t AS (SELECT flag, n,
+                        CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE) AS mu,
+                        CAST(s2 AS DOUBLE)/CAST(n AS DOUBLE) AS r2,
+                        CAST(s3 AS DOUBLE)/CAST(n AS DOUBLE) AS r3,
+                        CAST(s4 AS DOUBLE)/CAST(n AS DOUBLE) AS r4m
+                 FROM s),
+           u AS (SELECT flag, n, r2 - mu*mu AS m2,
+                        r3 - 3.0*mu*r2 + 2.0*mu*mu*mu AS m3,
+                        r4m - 4.0*mu*r3 + 6.0*mu*mu*r2 - 3.0*mu*mu*mu*mu AS m4
+                 FROM t)
+      SELECT flag, n, ROUND(m3 / (m2 * SQRT(m2)), 4) + 0 AS skewness,
+             ROUND(m4 / (m2 * m2) - 3.0, 4) + 0 AS kurtosis_excess
+      FROM u ORDER BY flag""",
   )
 }

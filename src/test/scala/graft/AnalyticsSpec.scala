@@ -415,6 +415,55 @@ class AnalyticsSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("session duration: session count matches q_stream_session totals") {
+    val buckets = graft.ops.Events.q_session_duration(spark, sf).collect()
+    val total = buckets.map(_.getAs[Long]("n_sessions")).sum
+    val sessions = graft.ops.Events.q_stream_session(spark, sf)
+      .agg(sum(col("n_sessions"))).head().getLong(0)
+    assert(total === sessions)
+    assert(buckets.forall(r => r.getAs[Long]("avg_events_e2") >= 100L))
+  }
+
+  test("winsorize: clipped sum is within [lo*n, hi*n] and clip counts small") {
+    val rows = graft.ops.Sampling.q_winsorize(spark, sf).collect()
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      assert(r.getAs[Long]("win_sum_cents") >= r.getAs[Long]("lo_cents") * n)
+      assert(r.getAs[Long]("win_sum_cents") <= r.getAs[Long]("hi_cents") * n)
+      // p1/p99 clipping: ≤ ~2% of rows clipped (+1 slack for tiny groups)
+      assert(r.getAs[Long]("n_clipped_low") + r.getAs[Long]("n_clipped_high") <= n / 25 + 2)
+    }
+  }
+
+  test("freq triples: every triple's pairs reach pair-level support") {
+    val triples = graft.ops.MLDeterministic.q_freq_triples(spark, sf).collect()
+    // anti-monotonicity: a triple can never out-support its sub-pairs
+    if (triples.nonEmpty) {
+      val maxPair = graft.ops.MLDeterministic.q_apriori_pairs(spark, sf)
+        .agg(max(col("support"))).head().getLong(0)
+      assert(triples.forall(_.getAs[Long]("support") <= maxPair))
+      assert(triples.forall(r => r.getAs[Long]("p1") < r.getAs[Long]("p2") &&
+        r.getAs[Long]("p2") < r.getAs[Long]("p3")))
+    }
+  }
+
+  test("streak islands: users conserved") {
+    val rows = graft.ops.Analytics.q_streak_islands(spark, sf).collect()
+    val users = graft.core.Tables.eventsWithTs(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum === users)
+    assert(rows.forall(r => r.getAs[Long]("total_islands") >= r.getAs[Long]("n_users")))
+  }
+
+  test("skew/kurtosis: finite and kurtosis above the -2 theoretical floor") {
+    val rows = graft.ops.Analytics.q_skew_kurtosis(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(!r.getAs[Double]("skewness").isNaN)
+      assert(r.getAs[Double]("kurtosis_excess") >= -2.0)
+    }
+  }
+
   test("bipartite degree: customers conserved and degrees positive") {
     val df = Analytics.q_bipartite_degree(spark, sf).cache()
     assert(df.filter(col("degree") < 1).count() === 0)
