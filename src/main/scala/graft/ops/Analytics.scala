@@ -329,6 +329,86 @@ object Analytics {
       .orderBy("cohort_day", "offset")
   }
 
+  /** One-way ANOVA: does mean document length differ across languages?
+    * F = (SSB/(k−1))/(SSW/(N−k)) from exact per-group integer sums; the
+    * order-sensitive Σ S_g²/n_g is routed through an e6 integer per-group
+    * term (decimal product, positive → trunc-safe) BEFORE the order-free
+    * sum, then one fixed IEEE epilogue shared with the oracle.
+    */
+  def q_anova_f(spark: SparkSession, sf: String): DataFrame = {
+    val g = Tables.documents(spark, sf)
+      .select(col("lang"), col("n_chars").cast("long").as("x"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("ng"), sum(col("x")).as("sg"),
+        sum(col("x") * col("x")).as("sg2"))
+      .select(col("ng"), col("sg"), col("sg2"),
+        expr("CAST(sg AS decimal(38,0)) * sg * 1000000 div ng").cast("decimal(38,0)").as("t_e6"))
+    val s = g.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+      sum(col("sg")).as("sx"), sum(col("sg2")).as("sxx"),
+      sum(col("t_e6")).as("st_e6"))
+    val nD = col("n").cast("double")
+    val kD = col("k").cast("double")
+    val ssb = col("st_e6").cast("double") / lit(1e6) -
+      col("sx").cast("double") * col("sx").cast("double") / nD
+    val ssw = col("sxx").cast("double") - col("st_e6").cast("double") / lit(1e6)
+    s.select(col("k"), col("n"),
+      (round(ssb, 4) + lit(0.0)).as("ssb"),
+      (round(ssw, 4) + lit(0.0)).as("ssw"),
+      (round((ssb / (kD - lit(1.0))) / (ssw / (nD - kD)), 4) + lit(0.0)).as("f_stat"))
+  }
+
+  /** Benford first-digit audit of order totals: observed first-digit
+    * shares (e4 integers) beside the theoretical Benford share
+    * round(log₁₀(1+1/d)·10⁴) — the classic bulk fraud/quality screen.
+    * One digit-extraction pass + a 9-row aggregate at any table size.
+    */
+  def q_benford(spark: SparkSession, sf: String): DataFrame = {
+    val d = Tables.orders(spark, sf)
+      .select(substring(cents(col("o_totalprice")).cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("cnt"))
+    val n = d.agg(sum(col("cnt")).as("n"))
+    d.crossJoin(broadcast(n))
+      .select(col("digit"), col("cnt"),
+        expr("cnt * 10000 div n").as("share_e4"),
+        round(log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
+          log(lit(10.0)) * lit(1e4)).cast("long").as("benford_e4"))
+      .orderBy("digit")
+  }
+
+  /** Wald-Wolfowitz runs test for randomness of the daily revenue
+    * direction, per calendar year (a complete, calendar-bounded series —
+    * the same year-partitioned frame discipline as [[q_ma_crossover]]):
+    * runs of consecutive up/down days counted exactly, then the normal
+    * approximation z = (R−μ)/σ as one fixed IEEE epilogue over four
+    * integers.
+    */
+  def q_runs_test(spark: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.orders(spark, sf)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev"))
+      .withColumn("yr", year(col("day")))
+    val w = Window.partitionBy("yr").orderBy("day")
+    val signs = daily
+      .withColumn("prev", lag(col("rev"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("up", (col("rev") >= col("prev")).cast("long"))
+      .withColumn("chg", when(lag(col("up"), 1).over(w).isNull ||
+        lag(col("up"), 1).over(w) =!= col("up"), 1L).otherwise(0L))
+    val s = signs.groupBy(col("yr"))
+      .agg(count(lit(1)).as("n_days"), sum(col("up")).as("n_up"),
+        sum(lit(1L) - col("up")).as("n_down"), sum(col("chg")).as("runs"))
+    val n1 = col("n_up").cast("double")
+    val n2 = col("n_down").cast("double")
+    val mu = lit(1.0) + lit(2.0) * n1 * n2 / (n1 + n2)
+    val sig2 = lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - n1 - n2) /
+      ((n1 + n2) * (n1 + n2) * (n1 + n2 - lit(1.0)))
+    s.select(col("yr").cast("long").as("yr"), col("n_days"), col("n_up"),
+      col("n_down"), col("runs"),
+      (round((col("runs").cast("double") - mu) / sqrt(sig2), 4) + lit(0.0)).as("z"))
+      .orderBy("yr")
+  }
+
   /** Gaps-and-islands activity streaks: a user's distinct active days
     * collapse into runs of consecutive days via the classic
     * day-number − row-number grouping key; per user the island count and

@@ -415,6 +415,24 @@ object Relational {
       GROUP BY o_orderpriority ORDER BY o_orderpriority""")
   }
 
+  /** Grouped quantile summary: the p25/p50/p75/p90 interpolating
+    * percentiles of order value per priority from ONE percentile-array
+    * aggregate per group (not four), rounded at 4 decimals. The grouped
+    * twin of the global [[q_hist_equidepth]] boundary pass.
+    */
+  def q_grouped_quantiles(spark: SparkSession, sf: String): DataFrame =
+    Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), cents(col("o_totalprice")).as("tp"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        percentile(col("tp"), array(lit(0.25), lit(0.5), lit(0.75), lit(0.9))).as("qs"))
+      .select(col("o_orderpriority"), col("n"),
+        (round(element_at(col("qs"), 1), 4) + lit(0.0)).as("p25"),
+        (round(element_at(col("qs"), 2), 4) + lit(0.0)).as("p50"),
+        (round(element_at(col("qs"), 3), 4) + lit(0.0)).as("p75"),
+        (round(element_at(col("qs"), 4), 4) + lit(0.0)).as("p90"))
+      .orderBy("o_orderpriority")
+
   /** Schema-evolution union: two yearly aggregates with different column
     * sets and orders merged by NAME (`unionByName` with missing columns
     * null-filled — DuckDB's UNION ALL BY NAME), then audited per year:

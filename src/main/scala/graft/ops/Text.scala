@@ -257,6 +257,35 @@ object Text {
       .orderBy("lang_p", "lang_q")
   }
 
+  /** Mutual information between language and token identity — the
+    * feature-selection / leakage signal I(lang; word) = Σ p(l,w)·
+    * ln(p(l,w)·N/(n_l·n_w)), summed over OBSERVED cells only (0·ln 0 = 0
+    * exactly, so the unobserved cells contribute nothing on either
+    * engine), reported per language. Terms ride the proven e8 LN lattice
+    * before the order-free sum; the joint table is vocabulary-sized and
+    * `localCheckpoint`ed so the corpus tokenize runs once, not four times
+    * (joint + both margins + total).
+    */
+  def q_mutual_info(spark: SparkSession, sf: String): DataFrame = {
+    val joint = docTokens(spark, sf)
+      .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val nl = joint.groupBy(col("lang")).agg(sum(col("c")).as("nl"))
+    val nw = joint.groupBy(col("word")).agg(sum(col("c")).as("nw"))
+    val nn = joint.agg(sum(col("c")).as("nn"))
+    joint.join(broadcast(nl), "lang").join(nw, "word").crossJoin(broadcast(nn))
+      .select(col("lang"),
+        round((col("c").cast("double") / col("nn").cast("double")) *
+          log(col("c").cast("double") * col("nn").cast("double") /
+            (col("nl").cast("double") * col("nw").cast("double"))) * lit(1e8))
+          .cast("long").as("term_e8"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("term_e8")).as("mi_e8"))
+      .select(col("lang"), col("n_cells"), col("mi_e8"),
+        (round(col("mi_e8").cast("double") / lit(1e8), 4) + lit(0.0)).as("mi_nats"))
+      .orderBy("lang")
+  }
+
   /** Zipf-law fit of the corpus frequency spectrum: OLS slope of
     * ln(freq) on ln(rank) over the top-100 tokens (a healthy natural
     * corpus sits near −1; flat or cliff-shaped spectra flag synthetic or

@@ -2551,5 +2551,98 @@ object OracleSql {
       SELECT flag, n, ROUND(m3 / (m2 * SQRT(m2)), 4) + 0 AS skewness,
              ROUND(m4 / (m2 * m2) - 3.0, 4) + 0 AS kurtosis_excess
       FROM u ORDER BY flag""",
+
+    "q_grouped_quantiles" -> """
+      WITH tp AS (SELECT o_orderpriority, CAST(ROUND(o_totalprice*100) AS BIGINT) AS tp
+                  FROM orders),
+           q AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+                        quantile_cont(tp, [0.25, 0.5, 0.75, 0.9]) AS qs
+                 FROM tp GROUP BY 1)
+      SELECT o_orderpriority, n,
+             ROUND(qs[1], 4) + 0 AS p25, ROUND(qs[2], 4) + 0 AS p50,
+             ROUND(qs[3], 4) + 0 AS p75, ROUND(qs[4], 4) + 0 AS p90
+      FROM q ORDER BY o_orderpriority""",
+
+    "q_anova_f" -> """
+      WITH g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS ng,
+                        CAST(SUM(x) AS BIGINT) AS sg, CAST(SUM(x*x) AS BIGINT) AS sg2,
+                        CAST(SUM(x) AS HUGEINT) * CAST(SUM(x) AS BIGINT) * 1000000
+                          // CAST(COUNT(*) AS BIGINT) AS t_e6
+                 FROM (SELECT lang, CAST(n_chars AS BIGINT) AS x FROM documents)
+                 GROUP BY 1),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(ng) AS BIGINT) AS n,
+                        CAST(SUM(sg) AS BIGINT) AS sx, CAST(SUM(sg2) AS BIGINT) AS sxx,
+                        SUM(t_e6) AS st_e6
+                 FROM g),
+           e AS (SELECT k, n,
+                        CAST(st_e6 AS DOUBLE) / 1e6
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS ssb,
+                        CAST(sxx AS DOUBLE) - CAST(st_e6 AS DOUBLE) / 1e6 AS ssw
+                 FROM s)
+      SELECT k, n, ROUND(ssb, 4) + 0 AS ssb, ROUND(ssw, 4) + 0 AS ssw,
+             ROUND((ssb / (CAST(k AS DOUBLE) - 1.0)) / (ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 4)
+               + 0 AS f_stat
+      FROM e""",
+
+    "q_mutual_info" -> """
+      WITH joint AS (SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS c
+                     FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS word
+                           FROM documents)
+                     GROUP BY 1, 2),
+           nl AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS nl FROM joint GROUP BY 1),
+           nw AS (SELECT word, CAST(SUM(c) AS BIGINT) AS nw FROM joint GROUP BY 1),
+           nn AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM joint),
+           t AS (SELECT lang,
+                        CAST(ROUND((CAST(c AS DOUBLE) / CAST(nn AS DOUBLE)) *
+                             LN(CAST(c AS DOUBLE) * CAST(nn AS DOUBLE)
+                                / (CAST(nl AS DOUBLE) * CAST(nw AS DOUBLE))) * 1e8) AS BIGINT)
+                          AS term_e8
+                 FROM joint JOIN nl USING (lang) JOIN nw USING (word) CROSS JOIN nn)
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_cells,
+             CAST(SUM(term_e8) AS BIGINT) AS mi_e8,
+             ROUND(CAST(SUM(term_e8) AS DOUBLE) / 1e8, 4) + 0 AS mi_nats
+      FROM t GROUP BY 1 ORDER BY 1""",
+
+    "q_benford" -> """
+      WITH d AS (SELECT CAST(substring(CAST(CAST(ROUND(o_totalprice*100) AS BIGINT) AS VARCHAR), 1, 1)
+                          AS BIGINT) AS digit,
+                        CAST(COUNT(*) AS BIGINT) AS cnt
+                 FROM orders GROUP BY 1),
+           n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM d)
+      SELECT digit, cnt, CAST(cnt * 10000 // n AS BIGINT) AS share_e4,
+             CAST(ROUND(LN(1.0 + 1.0 / CAST(digit AS DOUBLE)) / LN(10.0) * 1e4) AS BIGINT)
+               AS benford_e4
+      FROM d, n ORDER BY digit""",
+
+    "q_runs_test" -> """
+      WITH daily AS (SELECT date_trunc('day', o_orderdate) AS day,
+                            CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev,
+                            year(date_trunc('day', o_orderdate)) AS yr
+                     FROM orders GROUP BY 1, 3),
+           p AS (SELECT yr, day, rev, LAG(rev) OVER (PARTITION BY yr ORDER BY day) AS prev
+                 FROM daily),
+           x AS (SELECT yr, day, CAST(rev >= prev AS BIGINT) AS up
+                 FROM p WHERE prev IS NOT NULL),
+           c AS (SELECT yr, up,
+                        CASE WHEN LAG(up) OVER (PARTITION BY yr ORDER BY day) IS NULL
+                               OR LAG(up) OVER (PARTITION BY yr ORDER BY day) <> up
+                             THEN 1 ELSE 0 END AS chg
+                 FROM x),
+           s AS (SELECT yr, CAST(COUNT(*) AS BIGINT) AS n_days, CAST(SUM(up) AS BIGINT) AS n_up,
+                        CAST(SUM(1 - up) AS BIGINT) AS n_down, CAST(SUM(chg) AS BIGINT) AS runs
+                 FROM c GROUP BY 1),
+           e AS (SELECT yr, n_days, n_up, n_down, runs,
+                        1.0 + 2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+                          / (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE)) AS mu,
+                        2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+                          * (2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+                             - CAST(n_up AS DOUBLE) - CAST(n_down AS DOUBLE))
+                          / ((CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE))
+                             * (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE))
+                             * (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE) - 1.0)) AS sig2
+                 FROM s)
+      SELECT CAST(yr AS BIGINT) AS yr, n_days, n_up, n_down, runs,
+             ROUND((CAST(runs AS DOUBLE) - mu) / SQRT(sig2), 4) + 0 AS z
+      FROM e ORDER BY yr""",
   )
 }

@@ -464,6 +464,46 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("anova: F positive and sums of squares non-negative") {
+    val r = Analytics.q_anova_f(spark, sf).head()
+    assert(r.getAs[Double]("f_stat") > 0.0)
+    assert(r.getAs[Double]("ssb") >= 0.0 && r.getAs[Double]("ssw") >= 0.0)
+  }
+
+  test("benford: shares sum to ~1e4 and expected column is the benford law") {
+    val rows = Analytics.q_benford(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("share_e4")).sum
+    assert(total > 10000L - rows.length && total <= 10000L)
+    val d1 = rows.find(_.getAs[Long]("digit") == 1L).get
+    assert(d1.getAs[Long]("benford_e4") === 3010L) // log10(2) = 0.30103
+  }
+
+  test("runs test: runs within [1, n_days] and up/down partition the days") {
+    val rows = Analytics.q_runs_test(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_up") + r.getAs[Long]("n_down") === r.getAs[Long]("n_days"))
+      val runs = r.getAs[Long]("runs")
+      assert(runs >= 1L && runs <= r.getAs[Long]("n_days"))
+    }
+  }
+
+  test("grouped quantiles: monotone p25 <= p50 <= p75 <= p90") {
+    val rows = graft.ops.Relational.q_grouped_quantiles(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Double]("p25") <= r.getAs[Double]("p50"))
+      assert(r.getAs[Double]("p50") <= r.getAs[Double]("p75"))
+      assert(r.getAs[Double]("p75") <= r.getAs[Double]("p90"))
+    }
+  }
+
+  test("mutual info: non-negative per language") {
+    val rows = graft.ops.Text.q_mutual_info(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // per-language MI contributions are sums of KL-like terms; the total
+    // is non-negative, individual cells can dip below zero — allow e8 noise
+    assert(rows.map(_.getAs[Long]("mi_e8")).sum >= 0L)
+  }
+
   test("bipartite degree: customers conserved and degrees positive") {
     val df = Analytics.q_bipartite_degree(spark, sf).cache()
     assert(df.filter(col("degree") < 1).count() === 0)
