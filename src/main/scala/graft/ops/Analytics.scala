@@ -329,6 +329,117 @@ object Analytics {
       .orderBy("cohort_day", "offset")
   }
 
+  /** Weekly user-lifecycle states: each user's active weeks classify as
+    * new (first ever), retained (active previous week too) or resurrected
+    * (returning after a gap), plus the count of users whose activity gap
+    * STARTS after this week — the growth-accounting decomposition every
+    * product dashboard runs. One user-keyed shuffle for the lag/lead
+    * windows, then a week-keyed aggregate.
+    */
+  def q_lifecycle_states(spark: SparkSession, sf: String): DataFrame = {
+    val uw = Tables.eventsWithTs(spark, sf)
+      .select(col("user_id"), date_trunc("week", col("ts_us")).as("week")).distinct()
+    val w = Window.partitionBy("user_id").orderBy("week")
+    val st = uw
+      .withColumn("prev", lag(col("week"), 1).over(w))
+      .withColumn("nxt", lead(col("week"), 1).over(w))
+      .withColumn("state",
+        when(col("prev").isNull, "new")
+          .when(datediff(col("week").cast("date"), col("prev").cast("date")) === 7, "retained")
+          .otherwise("resurrected"))
+      .withColumn("churns_after",
+        when(col("nxt").isNull ||
+             datediff(col("nxt").cast("date"), col("week").cast("date")) > 7, 1L)
+          .otherwise(0L))
+    st.groupBy(col("week"))
+      .agg(count(lit(1)).as("active_users"),
+        sum(when(col("state") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("state") === "retained", 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("state") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"),
+        sum(col("churns_after")).as("n_churning_after"))
+      .select(date_format(col("week"), "yyyy-MM-dd").as("week"), col("active_users"),
+        col("n_new"), col("n_retained"), col("n_resurrected"), col("n_churning_after"))
+      .orderBy("week")
+  }
+
+  /** Kaplan-Meier-style survival of "time to second order" per market
+    * segment, reported as the cumulative hazard H(t) = Σ −ln(1−dₜ/nₜ) at
+    * fixed horizons (7/30/60/90 days) — censoring = customers with no
+    * second order, censored at the global last order date. No exp() is
+    * ever taken (libm-unsafe): terms land on the e8 LN lattice and the
+    * survival curve ships as exact hazard integers. The risk set comes
+    * from one cumulative window over the per-day ending counts (never a
+    * per-customer theta re-scan), so the heavy table is touched twice
+    * (first/second order pass + segment join) regardless of scale.
+    */
+  def q_survival_hazard(spark: SparkSession, sf: String): DataFrame = {
+    val o = Tables.orders(spark, sf)
+    val anchor = o.agg(max(col("o_orderdate").cast("date")).as("anchor"))
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val firstSecond = o.select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy(col("o_custkey"))
+      .agg(min(col("o_orderdate").cast("date")).as("f"),
+        max(when(col("rn") === 2, col("o_orderdate").cast("date"))).as("s"))
+    val times = firstSecond.crossJoin(broadcast(anchor))
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        when(col("s").isNotNull, datediff(col("s"), col("f")))
+          .otherwise(datediff(col("anchor"), col("f"))).cast("long").as("t"),
+        when(col("s").isNotNull, 1L).otherwise(0L).as("event"))
+    val perDay = times.groupBy(col("seg"), col("t"))
+      .agg(sum(col("event")).as("d"), count(lit(1)).as("ending"))
+    val segTotals = times.groupBy(col("seg")).agg(count(lit(1)).as("n_seg"))
+    val wd = Window.partitionBy("seg").orderBy("t")
+    val hazard = perDay.join(segTotals, "seg")
+      .withColumn("at_risk", col("n_seg") - coalesce(
+        sum(col("ending")).over(wd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("d") > 0 && col("d") < col("at_risk"))
+      .withColumn("term_e8",
+        round(-log(lit(1.0) - col("d").cast("double") / col("at_risk").cast("double"))
+          * lit(1e8)).cast("long"))
+      .withColumn("h_e8",
+        sum(col("term_e8")).over(wd.rowsBetween(Window.unboundedPreceding, 0)))
+    val horizons = spark.range(1)
+      .select(explode(array(lit(7L), lit(30L), lit(60L), lit(90L))).as("horizon"))
+    hazard.select(col("seg"), col("t"), col("h_e8"))
+      .join(broadcast(horizons), col("t") <= col("horizon"))
+      .groupBy(col("seg"), col("horizon"))
+      .agg(max(struct(col("t"), col("h_e8"))).as("last"))
+      .select(col("seg"), col("horizon"), col("last.h_e8").as("cum_hazard_e8"))
+      .orderBy("seg", "horizon")
+  }
+
+  /** Weekly event-type mix drift: per week the e4 share of each event
+    * type (zero-filled on a dense week×type scaffold so vanishing types
+    * still count) and the L1 distance to the previous week's mix — the
+    * distribution-drift monitor a streaming ingest runs per batch. The
+    * scaffold is weeks×types (calendar-bounded), never event-sized.
+    */
+  def q_mix_drift(spark: SparkSession, sf: String): DataFrame = {
+    val wk = Tables.eventsWithTs(spark, sf)
+      .groupBy(date_trunc("week", col("ts_us")).as("week"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val dense = wk.select(col("week")).distinct()
+      .crossJoin(wk.select(col("event_type")).distinct())
+      .join(wk, Seq("week", "event_type"), "left_outer")
+      .select(col("week"), col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
+    val share = dense
+      .withColumn("tot", sum(col("n")).over(Window.partitionBy("week")))
+      .withColumn("share_e4", expr("n * 10000 div tot"))
+    share
+      .withColumn("prev_share",
+        lag(col("share_e4"), 1).over(Window.partitionBy("event_type").orderBy("week")))
+      .filter(col("prev_share").isNotNull)
+      .groupBy(col("week"))
+      .agg(max(col("tot")).as("total_events"),
+        sum(abs(col("share_e4") - col("prev_share"))).as("l1_drift_e4"))
+      .select(date_format(col("week"), "yyyy-MM-dd").as("week"),
+        col("total_events"), col("l1_drift_e4"))
+      .orderBy("week")
+  }
+
   /** One-way ANOVA: does mean document length differ across languages?
     * F = (SSB/(k−1))/(SSW/(N−k)) from exact per-group integer sums; the
     * order-sensitive Σ S_g²/n_g is routed through an e6 integer per-group

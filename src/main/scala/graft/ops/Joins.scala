@@ -187,6 +187,28 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** As-of join with a TOLERANCE window (pandas `merge_asof(tolerance=
+    * ...)`): each purchase matches its nearest preceding same-user event
+    * only if it happened within the last 10 minutes; stale or missing
+    * predecessors yield the −1 sentinel instead of a row drop, so the
+    * output stays one-row-per-purchase (the left-join contract a feature
+    * pipeline needs). Same single user-keyed shuffle as [[q_join_asof]].
+    */
+  def q_join_asof_tolerance(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.eventsWithTs(spark, sf)
+    val w = Window.partitionBy("user_id").orderBy(col("ts_usl").asc, col("event_id").asc)
+    val inTol = col("prev_usl").isNotNull &&
+      col("ts_usl") - col("prev_usl") <= 600L * 1000000L
+    ev.withColumn("prev_usl", lag(col("ts_usl"), 1).over(w))
+      .withColumn("prev_id", lag(col("event_id"), 1).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        when(inTol, col("prev_id")).otherwise(lit(-1L)).as("matched_id"),
+        when(inTol, col("ts_usl") - col("prev_usl")).otherwise(lit(-1L)).as("gap_us"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** As-of join, NEAREST mode (the pandas `merge_asof(direction=
     * 'nearest')` / kdb `aj` completion of [[q_join_asof]]'s backward
     * mode): for each purchase, the nearest same-user event in EITHER

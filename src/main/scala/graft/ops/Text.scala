@@ -257,6 +257,23 @@ object Text {
       .orderBy("lang_p", "lang_q")
   }
 
+  /** Hapax-legomena profile per language: vocabulary size, the count of
+    * once-seen and twice-seen types, and the hapax share of the
+    * vocabulary (e4) — the corpus-maturity indicator (a high hapax share
+    * flags OCR noise or under-collection). One vocabulary-sized
+    * aggregate.
+    */
+  def q_hapax_ratio(spark: SparkSession, sf: String): DataFrame =
+    docTokens(spark, sf)
+      .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("c"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("hapax"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("dis_legomena"))
+      .select(col("lang"), col("vocab"), col("hapax"), col("dis_legomena"),
+        expr("hapax * 10000 div vocab").as("hapax_share_e4"))
+      .orderBy("lang")
+
   /** Mutual information between language and token identity — the
     * feature-selection / leakage signal I(lang; word) = Σ p(l,w)·
     * ln(p(l,w)·N/(n_l·n_w)), summed over OBSERVED cells only (0·ln 0 = 0

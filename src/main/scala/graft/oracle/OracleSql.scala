@@ -2644,5 +2644,107 @@ object OracleSql {
       SELECT CAST(yr AS BIGINT) AS yr, n_days, n_up, n_down, runs,
              ROUND((CAST(runs AS DOUBLE) - mu) / SQRT(sig2), 4) + 0 AS z
       FROM e ORDER BY yr""",
+
+    "q_join_asof_tolerance" -> """
+      WITH p AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_usl,
+                        LAG(epoch_us(ts)) OVER w AS prev_usl,
+                        LAG(event_id) OVER w AS prev_id
+                 FROM events
+                 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+      SELECT user_id, event_id,
+             CAST(CASE WHEN prev_usl IS NOT NULL AND ts_usl - prev_usl <= 600000000
+                       THEN prev_id ELSE -1 END AS BIGINT) AS matched_id,
+             CAST(CASE WHEN prev_usl IS NOT NULL AND ts_usl - prev_usl <= 600000000
+                       THEN ts_usl - prev_usl ELSE -1 END AS BIGINT) AS gap_us
+      FROM p WHERE event_type = 'purchase' ORDER BY user_id, event_id""",
+
+    "q_lifecycle_states" -> """
+      WITH uw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events),
+           st AS (SELECT user_id, week,
+                         LAG(week) OVER w AS prev, LEAD(week) OVER w AS nxt
+                  FROM uw WINDOW w AS (PARTITION BY user_id ORDER BY week)),
+           cl AS (SELECT week,
+                         CASE WHEN prev IS NULL THEN 'new'
+                              WHEN date_diff('day', CAST(prev AS DATE), CAST(week AS DATE)) = 7
+                                THEN 'retained'
+                              ELSE 'resurrected' END AS state,
+                         CASE WHEN nxt IS NULL
+                                OR date_diff('day', CAST(week AS DATE), CAST(nxt AS DATE)) > 7
+                              THEN 1 ELSE 0 END AS churns_after
+                  FROM st)
+      SELECT strftime(week, '%Y-%m-%d') AS week, CAST(COUNT(*) AS BIGINT) AS active_users,
+             CAST(SUM(CASE WHEN state = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+             CAST(SUM(CASE WHEN state = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+             CAST(SUM(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+             CAST(SUM(churns_after) AS BIGINT) AS n_churning_after
+      FROM cl GROUP BY 1 ORDER BY 1""",
+
+    "q_survival_hazard" -> """
+      WITH anchor AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS anchor FROM orders),
+           r AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+                        ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate, o_orderkey) AS rn
+                 FROM orders),
+           fs AS (SELECT o_custkey, MIN(od) AS f,
+                         MAX(CASE WHEN rn = 2 THEN od END) AS s
+                  FROM r WHERE rn <= 2 GROUP BY 1),
+           times AS (SELECT c_mktsegment AS seg,
+                            CAST(CASE WHEN s IS NOT NULL THEN date_diff('day', f, s)
+                                 ELSE date_diff('day', f, anchor) END AS BIGINT) AS t,
+                            CASE WHEN s IS NOT NULL THEN 1 ELSE 0 END AS event
+                     FROM fs CROSS JOIN anchor
+                     JOIN customer ON o_custkey = c_custkey),
+           pd AS (SELECT seg, t, CAST(SUM(event) AS BIGINT) AS d,
+                         CAST(COUNT(*) AS BIGINT) AS ending
+                  FROM times GROUP BY 1, 2),
+           tot AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_seg FROM times GROUP BY 1),
+           rk AS (SELECT pd.seg AS seg, t, d,
+                         n_seg - COALESCE(SUM(ending) OVER (PARTITION BY pd.seg ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS at_risk
+                  FROM pd JOIN tot ON pd.seg = tot.seg),
+           f AS (SELECT seg, t,
+                        CAST(ROUND(-LN(1.0 - CAST(d AS DOUBLE) / CAST(at_risk AS DOUBLE)) * 1e8)
+                          AS BIGINT) AS term_e8
+                 FROM rk WHERE d > 0 AND d < at_risk),
+           h AS (SELECT seg, t, CAST(SUM(term_e8) OVER (PARTITION BY seg ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS h_e8
+                 FROM f),
+           hz AS (SELECT CAST(unnest([7, 30, 60, 90]) AS BIGINT) AS horizon),
+           sel AS (SELECT seg, horizon, h_e8,
+                          ROW_NUMBER() OVER (PARTITION BY seg, horizon ORDER BY t DESC) AS rn
+                   FROM h JOIN hz ON t <= horizon)
+      SELECT seg, horizon, h_e8 AS cum_hazard_e8
+      FROM sel WHERE rn = 1 ORDER BY seg, horizon""",
+
+    "q_hapax_ratio" -> """
+      WITH wc AS (SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS word
+                        FROM documents)
+                  GROUP BY 1, 2)
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS vocab,
+             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+             CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis_legomena,
+             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT)
+               AS hapax_share_e4
+      FROM wc GROUP BY 1 ORDER BY 1""",
+
+    "q_mix_drift" -> """
+      WITH wk AS (SELECT date_trunc('week', ts) AS week, event_type,
+                         CAST(COUNT(*) AS BIGINT) AS n
+                  FROM events GROUP BY 1, 2),
+           dense AS (SELECT w.week, t.event_type, COALESCE(wk.n, 0) AS n
+                     FROM (SELECT DISTINCT week FROM wk) w
+                     CROSS JOIN (SELECT DISTINCT event_type FROM wk) t
+                     LEFT JOIN wk ON wk.week = w.week AND wk.event_type = t.event_type),
+           share AS (SELECT week, event_type, n,
+                            SUM(n) OVER (PARTITION BY week) AS tot
+                     FROM dense),
+           s2 AS (SELECT week, event_type, tot, n * 10000 // tot AS share_e4 FROM share),
+           d AS (SELECT week, tot, share_e4,
+                        LAG(share_e4) OVER (PARTITION BY event_type ORDER BY week) AS prev_share
+                 FROM s2)
+      SELECT strftime(week, '%Y-%m-%d') AS week, CAST(MAX(tot) AS BIGINT) AS total_events,
+             CAST(SUM(ABS(share_e4 - prev_share)) AS BIGINT) AS l1_drift_e4
+      FROM d WHERE prev_share IS NOT NULL GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -504,6 +504,55 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("mi_e8")).sum >= 0L)
   }
 
+  test("asof tolerance: matches are a subset of the unconditioned asof join") {
+    val tol = graft.ops.Joins.q_join_asof_tolerance(spark, sf).collect()
+    assert(tol.nonEmpty)
+    tol.foreach { r =>
+      val gap = r.getAs[Long]("gap_us")
+      assert(gap == -1L || (gap >= 0L && gap <= 600000000L))
+      assert((gap == -1L) == (r.getAs[Long]("matched_id") == -1L))
+    }
+  }
+
+  test("lifecycle states: active = new + retained + resurrected each week") {
+    val rows = Analytics.q_lifecycle_states(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("active_users") ===
+        r.getAs[Long]("n_new") + r.getAs[Long]("n_retained") + r.getAs[Long]("n_resurrected"))
+    }
+    // every user is new exactly once
+    val users = graft.core.Tables.eventsWithTs(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_new")).sum === users)
+  }
+
+  test("survival hazard: cumulative and monotone across horizons per segment") {
+    val rows = Analytics.q_survival_hazard(spark, sf).collect()
+    rows.groupBy(_.getAs[String]("seg")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("horizon"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("cum_hazard_e8") <= b.getAs[Long]("cum_hazard_e8"))
+        case _ =>
+      }
+    }
+    assert(rows.forall(_.getAs[Long]("cum_hazard_e8") >= 0L))
+  }
+
+  test("mix drift: L1 distance bounded by 2e4") {
+    val rows = Analytics.q_mix_drift(spark, sf).collect()
+    assert(rows.forall { r =>
+      val d = r.getAs[Long]("l1_drift_e4"); d >= 0L && d <= 20000L })
+  }
+
+  test("hapax ratio: hapax + dis never exceed the vocabulary") {
+    val rows = graft.ops.Text.q_hapax_ratio(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("hapax") + r.getAs[Long]("dis_legomena") <= r.getAs[Long]("vocab"))
+      assert(r.getAs[Long]("hapax_share_e4") <= 10000L)
+    }
+  }
+
   test("bipartite degree: customers conserved and degrees positive") {
     val df = Analytics.q_bipartite_degree(spark, sf).cache()
     assert(df.filter(col("degree") < 1).count() === 0)
