@@ -415,6 +415,32 @@ object Relational {
       GROUP BY o_orderpriority ORDER BY o_orderpriority""")
   }
 
+  /** Batch MERGE/upsert accounting (the SCD-style "latest wins" refresh):
+    * 1997 per-customer aggregates merged onto the 1996 base by full-outer
+    * key join; rows classify as updated (both), unchanged (base only) or
+    * inserted (update only), with the post-merge value = COALESCE(update,
+    * base). Both sides are key-unique pre-aggregates, so the merge is one
+    * key-partitioned join at any scale.
+    */
+  def q_merge_upsert(spark: SparkSession, sf: String): DataFrame = {
+    val o = Tables.orders(spark, sf)
+    def yearAgg(y: Int, suffix: String) = o
+      .filter(year(col("o_orderdate")) === y)
+      .groupBy(col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as(s"c_$suffix"))
+    val base = yearAgg(1996, "base")
+    val upd = yearAgg(1997, "upd")
+    base.join(upd, Seq("o_custkey"), "full_outer")
+      .select(
+        when(col("c_base").isNotNull && col("c_upd").isNotNull, "updated")
+          .when(col("c_base").isNotNull, "unchanged")
+          .otherwise("inserted").as("status"),
+        coalesce(col("c_upd"), col("c_base")).as("cfinal"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("cfinal")).as("total_cents_final"))
+      .orderBy("status")
+  }
+
   /** Grouped quantile summary: the p25/p50/p75/p90 interpolating
     * percentiles of order value per priority from ONE percentile-array
     * aggregate per group (not four), rounded at 4 decimals. The grouped

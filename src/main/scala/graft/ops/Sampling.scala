@@ -272,6 +272,79 @@ object Sampling {
         expr("top.cnt * 10000 div n_values").as("top_share_e4"))
       .orderBy("column_name")
 
+  /** Sampling-accuracy audit: the per-priority exact median of order
+    * value vs the median of a deterministic 10% id-hash sample, with the
+    * e4 relative error — the "is a sample good enough" check run before
+    * switching an expensive metric to sampled mode. The sample needs no
+    * seed coordination: each row decides its own fate from md5(orderkey).
+    */
+  def q_sample_quantile_error(spark: SparkSession, sf: String): DataFrame = {
+    import graft.core.Det.{cents, hash32}
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), col("o_orderkey"), cents(col("o_totalprice")).as("tp"))
+    val exact = o.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_exact"), percentile(col("tp"), lit(0.5)).as("p50_exact"))
+    val sampled = o.filter(hash32(col("o_orderkey")) % 10 === 0)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_sample"), percentile(col("tp"), lit(0.5)).as("p50_sample"))
+    exact.join(sampled, "o_orderpriority")
+      .select(col("o_orderpriority"), col("n_exact"), col("n_sample"),
+        (round(col("p50_exact"), 4) + lit(0.0)).as("p50_exact"),
+        (round(col("p50_sample"), 4) + lit(0.0)).as("p50_sample"),
+        round(abs(col("p50_sample") - col("p50_exact")) / col("p50_exact") * lit(1e4))
+          .cast("long").as("rel_err_e4"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Rare-category collapse (cardinality capping before one-hot /
+    * target encoding): part types with fewer than 1% of all parts fold
+    * into '__other__'; per final category the part count and mean retail
+    * cents (exact integer division). Two aggregates + one broadcast
+    * total — the category table never leaves the reducer tier.
+    */
+  def q_rare_collapse(spark: SparkSession, sf: String): DataFrame = {
+    import graft.core.Det.cents
+    val p = Tables.part(spark, sf)
+      .select(col("p_type"), cents(col("p_retailprice")).as("pc"))
+    val counts = p.groupBy(col("p_type")).agg(count(lit(1)).as("cnt"), sum(col("pc")).as("s"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    counts.crossJoin(broadcast(total))
+      .select(
+        when(col("cnt") * 100 < col("total"), lit("__other__"))
+          .otherwise(col("p_type")).as("category"),
+        col("cnt"), col("s"))
+      .groupBy(col("category"))
+      .agg(sum(col("cnt")).as("n_parts"), sum(col("s")).as("sum_cents"))
+      .select(col("category"), col("n_parts"), col("sum_cents"),
+        expr("sum_cents div n_parts").as("mean_cents"))
+      .orderBy("category")
+  }
+
+  /** Tukey IQR fence outliers per event type: fences at q1−1.5·IQR /
+    * q3+1.5·IQR from one interpolating-percentile aggregate, outlier
+    * counts + e4 share — the boxplot screen beside the 3σ
+    * ([[q_anomaly_zscore]]) and MAD ([[q_anomaly_mad]]) variants.
+    */
+  def q_iqr_outliers(spark: SparkSession, sf: String): DataFrame = {
+    import graft.core.Det.cents
+    val v = Tables.eventsWithTs(spark, sf)
+      .select(col("event_type"), cents(col("value")).as("vc"))
+    val b = v.groupBy(col("event_type")).agg(
+      percentile(col("vc"), lit(0.25)).as("q1"),
+      percentile(col("vc"), lit(0.75)).as("q3"))
+    v.join(broadcast(b), "event_type")
+      .select(col("event_type"), col("vc"), col("q1"), col("q3"),
+        (col("q1") - lit(1.5) * (col("q3") - col("q1"))).as("lo"),
+        (col("q3") + lit(1.5) * (col("q3") - col("q1"))).as("hi"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("vc") < col("lo"), 1L).otherwise(0L)).as("n_below"),
+        sum(when(col("vc") > col("hi"), 1L).otherwise(0L)).as("n_above"))
+      .select(col("event_type"), col("n"), col("n_below"), col("n_above"),
+        expr("(n_below + n_above) * 10000 div n").as("outlier_share_e4"))
+      .orderBy("event_type")
+  }
+
   /** Winsorization audit: event values clipped at the per-type p1/p99
     * interpolating percentiles (rounded to integer cents BEFORE clipping,
     * so the clamp is pure integer comparison); per type the clip counts

@@ -181,6 +181,44 @@ object Vectors {
           + lit(0.0)).as("g"))
       .orderBy("i", "j")
 
+  /** NDCG@10 of cosine retrieval (relevance = same label as the query):
+    * for each of the 10 query vectors, the top-10 corpus neighbors by
+    * r6 cosine (tie → vec_id), gain weights on the e8 1/log₂(i+1)
+    * lattice, ideal DCG from the first min(10, R) weights where R is the
+    * query label's corpus support. The standard ranking-quality gate for
+    * an ANN index — integer-exact end to end (the only doubles are the
+    * shared fixed weight expression). Guarded −1 when a label has no
+    * relevant corpus vectors.
+    */
+  def q_ndcg_eval(spark: SparkSession, sf: String): DataFrame = {
+    val all = quantized(spark, sf)
+    val queries = all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("qe").as("q_qe"), col("nrm").as("q_nrm"))
+    val corpus = all.filter(col("vec_id") >= 10)
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+    val ranked = corpus.crossJoin(broadcast(queries))
+      .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
+        (round(cosine(dotE14(col("qe"), col("q_qe")), col("nrm"), col("q_nrm")), 6)
+          + lit(0.0)).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("qlabel"),
+        when(col("label") === col("qlabel"), 1L).otherwise(0L).as("rel"),
+        expr("CAST(ROUND(1e8 / (ln(rank + 1) / ln(2.0))) AS BIGINT)").as("w_e8"))
+    val dcg = ranked.groupBy(col("qid"), col("qlabel"))
+      .agg(sum(col("rel") * col("w_e8")).as("dcg_e8"), sum(col("rel")).as("n_rel_top10"))
+    val relTotals = corpus.groupBy(col("label").as("qlabel")).agg(count(lit(1)).as("r_total"))
+    dcg.join(broadcast(relTotals), "qlabel")
+      .select(col("qid"), col("qlabel"), col("n_rel_top10"), col("r_total"), col("dcg_e8"),
+        expr("aggregate(sequence(1, CAST(least(10, r_total) AS INT)), CAST(0 AS BIGINT)," +
+          " (acc, i) -> acc + CAST(ROUND(1e8 / (ln(i + 1) / ln(2.0))) AS BIGINT))").as("idcg_e8"))
+      .select(col("qid"), col("qlabel"), col("n_rel_top10"), col("r_total"),
+        col("dcg_e8"), col("idcg_e8"),
+        expr("CASE WHEN idcg_e8 = 0 THEN -1 ELSE dcg_e8 * 10000 div idcg_e8 END").as("ndcg_e4"))
+      .orderBy("qid")
+  }
+
   /** Top principal direction of the first 8 embedding dimensions by two
     * unrolled power iterations on the exact e14-lattice scatter matrix:
     * v₀ = 1⃗, w = G·v, v ← round(w/max|w|·10⁶) (one IEEE division per

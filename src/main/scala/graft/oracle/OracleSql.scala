@@ -2746,5 +2746,101 @@ object OracleSql {
       SELECT strftime(week, '%Y-%m-%d') AS week, CAST(MAX(tot) AS BIGINT) AS total_events,
              CAST(SUM(ABS(share_e4 - prev_share)) AS BIGINT) AS l1_drift_e4
       FROM d WHERE prev_share IS NOT NULL GROUP BY 1 ORDER BY 1""",
+
+    "q_sample_quantile_error" -> """
+      WITH o AS (SELECT o_orderpriority, o_orderkey,
+                        CAST(ROUND(o_totalprice*100) AS BIGINT) AS tp
+                 FROM orders),
+           e AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_exact,
+                        quantile_cont(tp, 0.5) AS p50_exact
+                 FROM o GROUP BY 1),
+           s AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_sample,
+                        quantile_cont(tp, 0.5) AS p50_sample
+                 FROM o
+                 WHERE CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT) % 10 = 0
+                 GROUP BY 1)
+      SELECT e.o_orderpriority, n_exact, n_sample,
+             ROUND(p50_exact, 4) + 0 AS p50_exact, ROUND(p50_sample, 4) + 0 AS p50_sample,
+             CAST(ROUND(ABS(p50_sample - p50_exact) / p50_exact * 1e4) AS BIGINT) AS rel_err_e4
+      FROM e JOIN s ON e.o_orderpriority = s.o_orderpriority
+      ORDER BY e.o_orderpriority""",
+
+    "q_rare_collapse" -> """
+      WITH p AS (SELECT p_type, CAST(ROUND(p_retailprice*100) AS BIGINT) AS pc FROM part),
+           c AS (SELECT p_type, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(pc) AS BIGINT) AS s
+                 FROM p GROUP BY 1),
+           t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c),
+           m AS (SELECT CASE WHEN cnt * 100 < total THEN '__other__' ELSE p_type END AS category,
+                        cnt, s
+                 FROM c, t)
+      SELECT category, CAST(SUM(cnt) AS BIGINT) AS n_parts, CAST(SUM(s) AS BIGINT) AS sum_cents,
+             CAST(SUM(s) // SUM(cnt) AS BIGINT) AS mean_cents
+      FROM m GROUP BY 1 ORDER BY 1""",
+
+    "q_iqr_outliers" -> """
+      WITH v AS (SELECT event_type, CAST(ROUND(value*100) AS BIGINT) AS vc FROM events),
+           b AS (SELECT event_type, quantile_cont(vc, 0.25) AS q1, quantile_cont(vc, 0.75) AS q3
+                 FROM v GROUP BY 1),
+           j AS (SELECT v.event_type, vc,
+                        q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+                 FROM v JOIN b ON v.event_type = b.event_type)
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN vc < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+             CAST(SUM(CASE WHEN vc > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+             CAST((SUM(CASE WHEN vc < lo THEN 1 ELSE 0 END)
+                   + SUM(CASE WHEN vc > hi THEN 1 ELSE 0 END)) * 10000 // COUNT(*) AS BIGINT)
+               AS outlier_share_e4
+      FROM j GROUP BY 1 ORDER BY 1""",
+
+    "q_ndcg_eval" -> """
+      WITH q AS (SELECT vec_id,
+                        list_transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE)*1e7) AS BIGINT)) AS qe,
+                        label
+                 FROM embeddings),
+           n AS (SELECT vec_id, label, qe,
+                        CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS nrm
+                 FROM q),
+           qs AS (SELECT vec_id AS qid, label AS qlabel, qe AS q_qe, nrm AS q_nrm
+                  FROM n WHERE vec_id < 10),
+           cp AS (SELECT vec_id, label, qe, nrm FROM n WHERE vec_id >= 10),
+           sc AS (SELECT qid, qlabel, cp.vec_id, cp.label,
+                         ROUND(CAST(list_sum(list_transform(list_zip(cp.qe, q_qe),
+                                 p -> p[1] * p[2])) AS DOUBLE)
+                               / SQRT(CAST(cp.nrm AS DOUBLE) * CAST(q_nrm AS DOUBLE)), 6) + 0 AS cos
+                  FROM cp CROSS JOIN qs),
+           rk AS (SELECT qid, qlabel, label,
+                         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+                  FROM sc),
+           top AS (SELECT qid, qlabel,
+                          CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel,
+                          CAST(ROUND(1e8 / (LN(rank + 1) / LN(2.0))) AS BIGINT) AS w_e8
+                   FROM rk WHERE rank <= 10),
+           dcg AS (SELECT qid, qlabel, CAST(SUM(rel * w_e8) AS BIGINT) AS dcg_e8,
+                          CAST(SUM(rel) AS BIGINT) AS n_rel_top10
+                   FROM top GROUP BY 1, 2),
+           rt AS (SELECT label AS qlabel, CAST(COUNT(*) AS BIGINT) AS r_total FROM cp GROUP BY 1),
+           idcg AS (SELECT dcg.qid, dcg.qlabel, n_rel_top10, r_total, dcg_e8,
+                           CAST(list_sum(list_transform(generate_series(1, LEAST(10, r_total)),
+                                i -> CAST(ROUND(1e8 / (LN(i + 1) / LN(2.0))) AS BIGINT)))
+                             AS BIGINT) AS idcg_e8
+                    FROM dcg JOIN rt ON dcg.qlabel = rt.qlabel)
+      SELECT qid, qlabel, n_rel_top10, r_total, dcg_e8, idcg_e8,
+             CAST(CASE WHEN idcg_e8 = 0 THEN -1 ELSE dcg_e8 * 10000 // idcg_e8 END AS BIGINT)
+               AS ndcg_e4
+      FROM idcg ORDER BY qid""",
+
+    "q_merge_upsert" -> """
+      WITH base AS (SELECT o_custkey, CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS c_base
+                    FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1),
+           upd AS (SELECT o_custkey, CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS c_upd
+                   FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1),
+           m AS (SELECT CASE WHEN c_base IS NOT NULL AND c_upd IS NOT NULL THEN 'updated'
+                             WHEN c_base IS NOT NULL THEN 'unchanged'
+                             ELSE 'inserted' END AS status,
+                        COALESCE(c_upd, c_base) AS cfinal
+                 FROM base FULL OUTER JOIN upd USING (o_custkey))
+      SELECT status, CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(cfinal) AS BIGINT) AS total_cents_final
+      FROM m GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -553,6 +553,45 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("sample quantile error: sample is ~10% and never empty") {
+    val rows = graft.ops.Sampling.q_sample_quantile_error(spark, sf).collect()
+    rows.foreach { r =>
+      val frac = r.getAs[Long]("n_sample").toDouble / r.getAs[Long]("n_exact")
+      assert(frac > 0.02 && frac < 0.3, s"sample fraction $frac")
+    }
+  }
+
+  test("rare collapse: parts conserved and __other__ absorbs only small categories") {
+    val rows = graft.ops.Sampling.q_rare_collapse(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n_parts")).sum
+    assert(total === graft.core.Tables.part(spark, sf).count())
+    rows.filter(_.getAs[String]("category") != "__other__").foreach { r =>
+      assert(r.getAs[Long]("n_parts") * 100 >= total)
+    }
+  }
+
+  test("iqr outliers: share below 10% for unimodal value data") {
+    val rows = graft.ops.Sampling.q_iqr_outliers(spark, sf).collect()
+    assert(rows.forall(_.getAs[Long]("outlier_share_e4") <= 1000L))
+  }
+
+  test("ndcg: within [0, 1e4] and dcg bounded by idcg") {
+    val rows = graft.ops.Vectors.q_ndcg_eval(spark, sf).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("ndcg_e4") >= 0L && r.getAs[Long]("ndcg_e4") <= 10000L)
+      assert(r.getAs[Long]("dcg_e8") <= r.getAs[Long]("idcg_e8"))
+    }
+  }
+
+  test("merge upsert: customer count equals distinct 96∪97 customers") {
+    val rows = graft.ops.Relational.q_merge_upsert(spark, sf).collect()
+    val o = graft.core.Tables.orders(spark, sf)
+    val expected = o.filter(year(col("o_orderdate")).isin(1996, 1997))
+      .select(col("o_custkey")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum === expected)
+  }
+
   test("bipartite degree: customers conserved and degrees positive") {
     val df = Analytics.q_bipartite_degree(spark, sf).cache()
     assert(df.filter(col("degree") < 1).count() === 0)
