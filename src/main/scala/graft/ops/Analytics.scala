@@ -329,6 +329,56 @@ object Analytics {
       .orderBy("cohort_day", "offset")
   }
 
+  /** Local-maximum peak detection on the daily revenue series per event
+    * type (strict peaks: higher than both neighbors), with the tallest
+    * peak per type as an arg-max struct — the alerting primitive behind
+    * spike detection. The series is the calendar-bounded daily aggregate;
+    * windows are type-partitioned.
+    */
+  def q_peak_detection(spark: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.eventsWithTs(spark, sf)
+      .groupBy(col("event_type"), date_trunc("day", col("ts_us")).as("day"))
+      .agg(sum(cents(col("value"))).as("rev"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    daily
+      .withColumn("prev", lag(col("rev"), 1).over(w))
+      .withColumn("nxt", lead(col("rev"), 1).over(w))
+      .withColumn("is_peak",
+        when(col("prev").isNotNull && col("nxt").isNotNull &&
+             col("rev") > col("prev") && col("rev") > col("nxt"), 1L).otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("is_peak")).as("n_peaks"),
+        max(when(col("is_peak") === 1L,
+          struct(col("rev"), date_format(col("day"), "yyyy-MM-dd").as("d")))).as("top"))
+      .select(col("event_type"), col("n_days"), col("n_peaks"),
+        col("top.d").as("top_peak_day"), col("top.rev").as("top_peak_cents"))
+      .orderBy("event_type")
+  }
+
+  /** Pareto coverage of order volume by part (the long-tail profile):
+    * per return flag, parts ranked by quantity; k80 = how many top parts
+    * cover 80% of the flag's volume (integer cross-multiplication — no
+    * division), plus the top-10 parts' e4 share. Rank windows are
+    * flag-partitioned over the part aggregate, not the raw scan.
+    */
+  def q_pareto_coverage(spark: SparkSession, sf: String): DataFrame = {
+    val perPart = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag").as("flag"), col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("qty"))
+    val w = Window.partitionBy("flag").orderBy(col("qty").desc, col("l_partkey").asc)
+    val ranked = perPart
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("qty")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("tot", sum(col("qty")).over(Window.partitionBy("flag")))
+    ranked.groupBy(col("flag"))
+      .agg(count(lit(1)).as("n_parts"), max(col("tot")).as("total_qty"),
+        min(when(col("cum") * 5 >= col("tot") * 4, col("rank"))).as("k80"),
+        sum(when(col("rank") <= 10, col("qty")).otherwise(0L)).as("top10_qty"))
+      .select(col("flag"), col("n_parts"), col("total_qty"), col("k80"),
+        expr("top10_qty * 10000 div total_qty").as("top10_share_e4"))
+      .orderBy("flag")
+  }
+
   /** Weekly user-lifecycle states: each user's active weeks classify as
     * new (first ever), retained (active previous week too) or resurrected
     * (returning after a gap), plus the count of users whose activity gap

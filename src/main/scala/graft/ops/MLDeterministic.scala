@@ -415,6 +415,59 @@ object MLDeterministic {
           + lit(0.0)).as("auc"))
   }
 
+  /** Per-group OLS (the per-segment model fit a feature pipeline runs
+    * after pooled regression — the Simpson's-paradox check): slope /
+    * intercept / r² of extendedprice ~ quantity per return flag, exact
+    * integer sufficient statistics and the identical IEEE epilogue of
+    * [[q_linreg_normal]]. Still one partial+final aggregate.
+    */
+  def q_grouped_regression(spark: SparkSession, sf: String): DataFrame = {
+    val sums = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").as("flag"),
+        col("l_quantity").cast("long").as("x"), cents(col("l_extendedprice")).as("y"))
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double")
+    val syD = col("sy").cast("double")
+    val num = nD * col("sxy").cast("double") - sxD * syD
+    val denX = nD * col("sxx").cast("double") - sxD * sxD
+    sums.select(col("flag"), col("n"),
+      (round(num / denX, 4) + lit(0.0)).as("slope"),
+      (round((syD - (num / denX) * sxD) / nD, 4) + lit(0.0)).as("intercept"),
+      (round((num * num) / (denX * (nD * col("syy").cast("double") - syD * syD)), 4)
+        + lit(0.0)).as("r2"))
+      .orderBy("flag")
+  }
+
+  /** Precision/recall curve for the [[q_auc_rank]] scorer ("embedding
+    * dim 0 predicts label ≤ 4") at five score-quantile thresholds:
+    * predicted-positive = score ≥ threshold, exact confusion counts per
+    * threshold, e4 metrics with −1 sentinels. The thresholds come from
+    * one percentile aggregate; the scan then fans out ×5 against the
+    * broadcast threshold row — never a per-threshold rescan.
+    */
+  def q_pr_curve(spark: SparkSession, sf: String): DataFrame = {
+    val scored = Tables.embeddings(spark, sf)
+      .select(when(col("label") <= 4, 1L).otherwise(0L).as("y"),
+        element_at(Vectors.q7(col("embedding")), 1).as("x"))
+    val thr = scored.agg(percentile(col("x"),
+      array(Seq(0.1, 0.3, 0.5, 0.7, 0.9).map(lit): _*)).as("ts"))
+    scored.crossJoin(broadcast(thr))
+      .select(col("y"), col("x"), posexplode(col("ts")).as(Seq("i", "t")))
+      .groupBy((col("i") + 1).cast("long").as("threshold_idx"))
+      .agg((round(max(col("t")), 4) + lit(0.0)).as("threshold"),
+        sum(when(col("x") >= col("t") && col("y") === 1L, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("x") >= col("t") && col("y") === 0L, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("x") < col("t") && col("y") === 1L, 1L).otherwise(0L)).as("fn"))
+      .select(col("threshold_idx"), col("threshold"), col("tp"), col("fp"), col("fn"),
+        expr("CASE WHEN tp + fp = 0 THEN -1 ELSE tp * 10000 div (tp + fp) END").as("precision_e4"),
+        expr("CASE WHEN tp + fn = 0 THEN -1 ELSE tp * 10000 div (tp + fn) END").as("recall_e4"))
+      .orderBy("threshold_idx")
+  }
+
   /** Item-item co-occurrence lift (the collaborative-filtering "people
     * who bought X also bought Y" score): for part pairs co-ordered ≥ 2
     * times, lift = P(a,b)/(P(a)·P(b)) as an exact e4 integer —

@@ -181,6 +181,21 @@ object Vectors {
           + lit(0.0)).as("g"))
       .orderBy("i", "j")
 
+  /** L2-norm histogram of the embedding column (the "are these vectors
+    * normalized?" audit an ANN index build runs first): exact integer
+    * squared norms, bucketed by floor(‖x‖/0.25) — sqrt is correctly
+    * rounded IEEE so the bucket edge is bit-identical cross-engine. One
+    * aggregate; the histogram is bounded by the norm range, not rows.
+    */
+  def q_embedding_norm_hist(spark: SparkSession, sf: String): DataFrame =
+    quantized(spark, sf)
+      .select(col("nrm"),
+        expr("CAST(FLOOR(SQRT(CAST(nrm AS DOUBLE)) / 2500000.0) AS BIGINT)").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("nrm")).as("min_nrm_e14"),
+        max(col("nrm")).as("max_nrm_e14"))
+      .orderBy("bucket")
+
   /** NDCG@10 of cosine retrieval (relevance = same label as the query):
     * for each of the 10 query vectors, the top-10 corpus neighbors by
     * r6 cosine (tie → vec_id), gain weights on the e8 1/log₂(i+1)

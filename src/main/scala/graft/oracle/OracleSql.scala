@@ -2842,5 +2842,98 @@ object OracleSql {
       SELECT status, CAST(COUNT(*) AS BIGINT) AS n_customers,
              CAST(SUM(cfinal) AS BIGINT) AS total_cents_final
       FROM m GROUP BY 1 ORDER BY 1""",
+
+    "q_grouped_regression" -> """
+      WITH s AS (SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                        CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx,
+                        SUM(CAST(y AS HUGEINT) * y) AS syy
+                 FROM (SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS x,
+                              CAST(ROUND(l_extendedprice*100) AS BIGINT) AS y FROM lineitem)
+                 GROUP BY 1)
+      SELECT flag, n,
+             ROUND((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                   / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)), 4) + 0 AS slope,
+             ROUND((CAST(sy AS DOUBLE) -
+                    ((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)))
+                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 4) + 0 AS intercept,
+             ROUND(((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                    * (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)))
+                   / ((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4) + 0 AS r2
+      FROM s ORDER BY flag""",
+
+    "q_pr_curve" -> """
+      WITH sc AS (SELECT CASE WHEN label <= 4 THEN 1 ELSE 0 END AS y,
+                         list_transform(embedding,
+                           v -> CAST(ROUND(CAST(v AS DOUBLE)*1e7) AS BIGINT))[1] AS x
+                  FROM embeddings),
+           th AS (SELECT quantile_cont(x, [0.1, 0.3, 0.5, 0.7, 0.9]) AS ts FROM sc),
+           ex AS (SELECT y, x, i, ts[i] AS t
+                  FROM sc, th, (SELECT unnest(generate_series(1, 5)) AS i)),
+           ag AS (SELECT CAST(i AS BIGINT) AS threshold_idx,
+                         ROUND(MAX(t), 4) + 0 AS threshold,
+                         CAST(SUM(CASE WHEN x >= t AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                         CAST(SUM(CASE WHEN x >= t AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                         CAST(SUM(CASE WHEN x < t AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+                  FROM ex GROUP BY 1)
+      SELECT threshold_idx, threshold, tp, fp, fn,
+             CAST(CASE WHEN tp + fp = 0 THEN -1 ELSE tp * 10000 // (tp + fp) END AS BIGINT)
+               AS precision_e4,
+             CAST(CASE WHEN tp + fn = 0 THEN -1 ELSE tp * 10000 // (tp + fn) END AS BIGINT)
+               AS recall_e4
+      FROM ag ORDER BY threshold_idx""",
+
+    "q_embedding_norm_hist" -> """
+      WITH n AS (SELECT CAST(list_sum(list_transform(
+                          list_transform(embedding,
+                            v -> CAST(ROUND(CAST(v AS DOUBLE)*1e7) AS BIGINT)),
+                          x -> x * x)) AS BIGINT) AS nrm
+                 FROM embeddings)
+      SELECT CAST(FLOOR(SQRT(CAST(nrm AS DOUBLE)) / 2500000.0) AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n, CAST(MIN(nrm) AS BIGINT) AS min_nrm_e14,
+             CAST(MAX(nrm) AS BIGINT) AS max_nrm_e14
+      FROM n GROUP BY 1 ORDER BY 1""",
+
+    "q_peak_detection" -> """
+      WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+                            CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS rev
+                     FROM events GROUP BY 1, 2),
+           x AS (SELECT event_type, day, rev,
+                        LAG(rev) OVER w AS prev, LEAD(rev) OVER w AS nxt
+                 FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+           p AS (SELECT event_type, day, rev,
+                        CASE WHEN prev IS NOT NULL AND nxt IS NOT NULL
+                               AND rev > prev AND rev > nxt
+                             THEN 1 ELSE 0 END AS is_peak
+                 FROM x),
+           a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+                        CAST(SUM(is_peak) AS BIGINT) AS n_peaks
+                 FROM p GROUP BY 1),
+           t AS (SELECT event_type, rev, strftime(day, '%Y-%m-%d') AS d,
+                        ROW_NUMBER() OVER (PARTITION BY event_type
+                                           ORDER BY rev DESC, strftime(day, '%Y-%m-%d') DESC) AS rn
+                 FROM p WHERE is_peak = 1)
+      SELECT a.event_type, n_days, n_peaks, t.d AS top_peak_day, t.rev AS top_peak_cents
+      FROM a LEFT JOIN t ON a.event_type = t.event_type AND t.rn = 1
+      ORDER BY a.event_type""",
+
+    "q_pareto_coverage" -> """
+      WITH pp AS (SELECT l_returnflag AS flag, l_partkey,
+                         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+                  FROM lineitem GROUP BY 1, 2),
+           r AS (SELECT flag, l_partkey, qty,
+                        ROW_NUMBER() OVER (PARTITION BY flag ORDER BY qty DESC, l_partkey) AS rank,
+                        SUM(qty) OVER (PARTITION BY flag ORDER BY qty DESC, l_partkey
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                        SUM(qty) OVER (PARTITION BY flag) AS tot
+                 FROM pp)
+      SELECT flag, CAST(COUNT(*) AS BIGINT) AS n_parts, CAST(MAX(tot) AS BIGINT) AS total_qty,
+             CAST(MIN(CASE WHEN cum * 5 >= tot * 4 THEN rank END) AS BIGINT) AS k80,
+             CAST(CAST(SUM(CASE WHEN rank <= 10 THEN qty ELSE 0 END) AS HUGEINT) * 10000
+                  // MAX(tot) AS BIGINT) AS top10_share_e4
+      FROM r GROUP BY flag ORDER BY flag""",
   )
 }

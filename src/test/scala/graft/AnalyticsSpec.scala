@@ -592,6 +592,47 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_customers")).sum === expected)
   }
 
+  test("pr curve: recall decreases as the threshold rises") {
+    val rows = graft.ops.MLDeterministic.q_pr_curve(spark, sf).collect()
+      .sortBy(_.getAs[Long]("threshold_idx"))
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("recall_e4") >= b.getAs[Long]("recall_e4"))
+      case _ =>
+    }
+  }
+
+  test("grouped regression: r2 in [0,1] per flag") {
+    val rows = graft.ops.MLDeterministic.q_grouped_regression(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0.0 && r2 <= 1.0)
+    }
+  }
+
+  test("embedding norm hist: vector count conserved") {
+    val rows = graft.ops.Vectors.q_embedding_norm_hist(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum ===
+      graft.core.Tables.embeddings(spark, sf).count())
+  }
+
+  test("peak detection: peaks bounded by interior days") {
+    val rows = Analytics.q_peak_detection(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_peaks") <= math.max(0L, r.getAs[Long]("n_days") - 2L))
+    }
+  }
+
+  test("pareto coverage: k80 within [1, n_parts] and top10 share sane") {
+    val rows = Analytics.q_pareto_coverage(spark, sf).collect()
+    rows.foreach { r =>
+      val k = r.getAs[Long]("k80")
+      assert(k >= 1L && k <= r.getAs[Long]("n_parts"))
+      assert(r.getAs[Long]("top10_share_e4") <= 10000L)
+    }
+  }
+
   test("bipartite degree: customers conserved and degrees positive") {
     val df = Analytics.q_bipartite_degree(spark, sf).cache()
     assert(df.filter(col("degree") < 1).count() === 0)
