@@ -329,6 +329,52 @@ object Analytics {
       .orderBy("cohort_day", "offset")
   }
 
+  /** Rolling 7-day active users (WAU) per day: each distinct (user, day)
+    * covers the next 7 calendar days via a bounded ×7 explode of the
+    * already-tiny distinct table, then one distinct count per covered
+    * day — never a distinct-over-sliding-window (which can't merge
+    * partially). Days past the observed range are clipped.
+    */
+  def q_rolling_wau(spark: SparkSession, sf: String): DataFrame = {
+    val ud = Tables.eventsWithTs(spark, sf)
+      .select(col("user_id"), col("ts_us").cast("date").as("day")).distinct()
+    val bounds = ud.agg(max(col("day")).as("max_day"))
+    ud.select(col("user_id"), explode(expr("sequence(0, 6)")).as("off"), col("day"))
+      .select(col("user_id"), expr("date_add(day, off)").as("cov_day"))
+      .distinct()
+      .crossJoin(broadcast(bounds))
+      .filter(col("cov_day") <= col("max_day"))
+      .groupBy(col("cov_day"))
+      .agg(count(lit(1)).as("wau"))
+      .select(date_format(col("cov_day"), "yyyy-MM-dd").as("day"), col("wau"))
+      .orderBy("day")
+  }
+
+  /** Seasonal decomposition (STL-lite): per event type, the daily series
+    * detrends against a centered 7-day moving sum (residual = rev·7 −
+    * Σ window, pure integers — no division until the epilogue), and the
+    * day-of-week seasonal index is the mean residual per (type, dow) as
+    * one IEEE division. Interior days only (full 7-day windows).
+    */
+  def q_seasonal_decompose(spark: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.eventsWithTs(spark, sf)
+      .groupBy(col("event_type"), date_trunc("day", col("ts_us")).as("day"))
+      .agg(sum(cents(col("value"))).as("rev"))
+    val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    daily
+      .withColumn("ma_sum", sum(col("rev")).over(w))
+      .withColumn("ma_n", count(lit(1)).over(w))
+      .filter(col("ma_n") === 7)
+      .select(col("event_type"), dayofweek(col("day")).cast("long").as("dow"),
+        (col("rev") * 7 - col("ma_sum")).as("resid"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("resid")).as("sr"))
+      .select(col("event_type"), col("dow"), col("n_days"),
+        (round(col("sr").cast("double") / (col("n_days").cast("double") * lit(7.0)), 4)
+          + lit(0.0)).as("seasonal_cents"))
+      .orderBy("event_type", "dow")
+  }
+
   /** Local-maximum peak detection on the daily revenue series per event
     * type (strict peaks: higher than both neighbors), with the tallest
     * peak per type as an arg-max struct — the alerting primitive behind

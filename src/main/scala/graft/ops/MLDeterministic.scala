@@ -415,6 +415,32 @@ object MLDeterministic {
           + lit(0.0)).as("auc"))
   }
 
+  /** Weight-of-evidence binning of quantity against the 'R' return-flag
+    * target (the credit-scoring categorical encoding): quantity deciles
+    * against broadcast percentile boundaries, per bin the good/bad
+    * counts and WOE = ln((good·BAD)/(bad·GOOD)) on the e4 LN lattice —
+    * NULL where a cell is empty (both engines agree on the sentinel).
+    */
+  def q_woe_binning(spark: SparkSession, sf: String): DataFrame = {
+    val v = Tables.lineitem(spark, sf)
+      .select(col("l_quantity").cast("long").as("q"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("bad"))
+    val bounds = v.agg(percentile(col("q"),
+      array((1 to 9).map(i => lit(i / 10.0)): _*)).as("bs"))
+    val binned = v.crossJoin(broadcast(bounds))
+      .select(expr("1 + size(filter(bs, b -> q > b))").cast("long").as("bin"), col("bad"))
+      .groupBy(col("bin"))
+      .agg(sum(lit(1L) - col("bad")).as("good"), sum(col("bad")).as("bad"))
+    val totals = binned.agg(sum(col("good")).as("tg"), sum(col("bad")).as("tb"))
+    binned.crossJoin(broadcast(totals))
+      .select(col("bin"), col("good"), col("bad"),
+        when(col("good") > 0 && col("bad") > 0,
+          round(log((col("good").cast("double") * col("tb").cast("double")) /
+            (col("bad").cast("double") * col("tg").cast("double"))) * lit(1e4)).cast("long"))
+          .as("woe_e4"))
+      .orderBy("bin")
+  }
+
   /** Per-group OLS (the per-segment model fit a feature pipeline runs
     * after pooled regression — the Simpson's-paradox check): slope /
     * intercept / r² of extendedprice ~ quantity per return flag, exact

@@ -20,6 +20,47 @@ object Retrieval {
     * at distinct document frequencies). */
   private val QueryTerms = Seq("merge", "vector", "fast")
 
+  /** TF-IDF cosine document similarity (the sparse-vector twin of the
+    * embedding cosine ops): per-(doc, term) weights w = tf·idf_e4 with
+    * idf on the e4 LN lattice (exact integers, possibly negative for
+    * ubiquitous terms), dot products via the shared-term join inside each
+    * (lang, source) block — the same pair-bounding discipline as
+    * `q_neardup_jaccard` — norms from one per-doc aggregate, cosine as
+    * the fixed IEEE div/sqrt, global top-20 pairs. At scale the block
+    * join is the candidate generator; the weights table is the inverted
+    * index.
+    */
+  def q_tfidf_cosine_docs(spark: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.documents(spark, sf)
+    val n = docs.agg(count(lit(1)).as("nn"))
+    val tf = docs
+      .select(col("doc_id"), col("lang"), col("source"), explode(toks(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("lang"), col("source"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val weights = tf.join(df, "word").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("lang"), col("source"), col("word"),
+        (col("tf") * round(log(col("nn").cast("double") / (col("df") + lit(1L)).cast("double"))
+          * lit(1e4)).cast("long")).as("w"))
+      .localCheckpoint()
+    val norms = weights.groupBy(col("doc_id").as("nd"))
+      .agg(sum(col("w").cast("decimal(38,0)") * col("w")).as("nrm"))
+    val dots = weights.as("a")
+      .join(weights.as("b"),
+        col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+          col("a.word") === col("b.word") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(sum(col("a.w").cast("decimal(38,0)") * col("b.w")).as("dot"))
+    dots
+      .join(norms.select(col("nd").as("d1"), col("nrm").as("n1")), "d1")
+      .join(norms.select(col("nd").as("d2"), col("nrm").as("n2")), "d2")
+      .select(col("d1"), col("d2"),
+        (round(col("dot").cast("double") /
+          sqrt(col("n1").cast("double") * col("n2").cast("double")), 6) + lit(0.0)).as("cos"))
+      .orderBy(col("cos").desc, col("d1").asc, col("d2").asc)
+      .limit(20)
+  }
+
   /** BM25 (k1=1.2, b=0.75, Lucene-style idf = ln(1 + (N−df+0.5)/(df+0.5)))
     * top-20 documents for the fixed 3-term query. Shape: one corpus
     * tokenize feeding both the per-(doc,term) tf aggregate and the per-doc

@@ -181,6 +181,35 @@ object Vectors {
           + lit(0.0)).as("g"))
       .orderBy("i", "j")
 
+  /** kNN label-noise audit over the label∈{0,1} block (the mislabeled-
+    * example screen run before training): each point's label vs the
+    * majority of its 5 nearest neighbors by exact lattice distance;
+    * per label the flagged count and e4 share. The block bounds the pair
+    * space exactly like [[q_similarity_join_topk]]; at scale the
+    * candidate pairs come from LSH instead.
+    */
+  def q_label_noise(spark: SparkSession, sf: String): DataFrame = {
+    val block = quantized(spark, sf).filter(col("label") <= 1)
+      .select(col("vec_id"), col("label"), col("qe"))
+    val w = Window.partitionBy("a_id").orderBy(col("d2").asc, col("b_id").asc)
+    val flagged = block.as("a")
+      .join(block.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("a.label").as("a_label"),
+        col("b.vec_id").as("b_id"), col("b.label").as("b_label"),
+        dist2E14(col("a.qe"), col("b.qe")).as("d2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .groupBy(col("a_id"), col("a_label"))
+      .agg(sum(when(col("b_label") === 1, 1L).otherwise(0L)).as("votes1"))
+      .select(col("a_label"),
+        when((col("votes1") >= 3) =!= (col("a_label") === 1), 1L).otherwise(0L).as("flagged"))
+    flagged.groupBy(col("a_label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n"), sum(col("flagged")).as("n_flagged"))
+      .select(col("label"), col("n"), col("n_flagged"),
+        expr("n_flagged * 10000 div n").as("flagged_share_e4"))
+      .orderBy("label")
+  }
+
   /** L2-norm histogram of the embedding column (the "are these vectors
     * normalized?" audit an ANN index build runs first): exact integer
     * squared norms, bucketed by floor(‖x‖/0.25) — sqrt is correctly

@@ -2935,5 +2935,97 @@ object OracleSql {
              CAST(CAST(SUM(CASE WHEN rank <= 10 THEN qty ELSE 0 END) AS HUGEINT) * 10000
                   // MAX(tot) AS BIGINT) AS top10_share_e4
       FROM r GROUP BY flag ORDER BY flag""",
+
+    "q_tfidf_cosine_docs" -> """
+      WITH nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM documents),
+           tf AS (SELECT doc_id, lang, source, word, CAST(COUNT(*) AS BIGINT) AS tf
+                  FROM (SELECT doc_id, lang, source,
+                               unnest(string_split(lower(text), ' ')) AS word
+                        FROM documents)
+                  GROUP BY 1, 2, 3, 4),
+           df AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+           w AS (SELECT doc_id, lang, source, tf.word,
+                        tf * CAST(ROUND(LN(CAST(nn AS DOUBLE) / CAST(df + 1 AS DOUBLE)) * 1e4)
+                              AS BIGINT) AS w
+                 FROM tf JOIN df ON tf.word = df.word CROSS JOIN nd),
+           nr AS (SELECT doc_id, SUM(CAST(w AS HUGEINT) * w) AS nrm FROM w GROUP BY 1),
+           dots AS (SELECT a.doc_id AS d1, b.doc_id AS d2, SUM(CAST(a.w AS HUGEINT) * b.w) AS dot
+                    FROM w a JOIN w b ON a.lang = b.lang AND a.source = b.source
+                         AND a.word = b.word AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+      SELECT d1, d2,
+             ROUND(CAST(dot AS DOUBLE) / SQRT(CAST(n1.nrm AS DOUBLE) * CAST(n2.nrm AS DOUBLE)), 6)
+               + 0 AS cos
+      FROM dots JOIN nr n1 ON d1 = n1.doc_id JOIN nr n2 ON d2 = n2.doc_id
+      ORDER BY cos DESC, d1, d2 LIMIT 20""",
+
+    "q_rolling_wau" -> """
+      WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+           b AS (SELECT MAX(day) AS max_day FROM ud),
+           cov AS (SELECT DISTINCT user_id, day + CAST(i AS INTEGER) AS cov_day
+                   FROM ud, (SELECT unnest(generate_series(0, 6)) AS i)),
+           f AS (SELECT cov_day FROM cov, b WHERE cov_day <= max_day)
+      SELECT strftime(cov_day, '%Y-%m-%d') AS day, CAST(COUNT(*) AS BIGINT) AS wau
+      FROM f GROUP BY 1 ORDER BY 1""",
+
+    "q_seasonal_decompose" -> """
+      WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+                            CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS rev
+                     FROM events GROUP BY 1, 2),
+           m AS (SELECT event_type, day, rev,
+                        SUM(rev) OVER (PARTITION BY event_type ORDER BY day
+                                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS ma_sum,
+                        COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+                                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS ma_n
+                 FROM daily),
+           r AS (SELECT event_type, dayofweek(CAST(day AS DATE)) + 1 AS dow,
+                        rev * 7 - ma_sum AS resid
+                 FROM m WHERE ma_n = 7)
+      SELECT event_type, CAST(dow AS BIGINT) AS dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+             ROUND(CAST(SUM(resid) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 7.0), 4) + 0
+               AS seasonal_cents
+      FROM r GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_label_noise" -> """
+      WITH q AS (SELECT vec_id, label,
+                        list_transform(embedding,
+                          v -> CAST(ROUND(CAST(v AS DOUBLE)*1e7) AS BIGINT)) AS qe
+                 FROM embeddings WHERE label <= 1),
+           p AS (SELECT a.vec_id AS a_id, a.label AS a_label, b.vec_id AS b_id,
+                        b.label AS b_label,
+                        CAST(list_sum(list_transform(list_zip(a.qe, b.qe),
+                             z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT) AS d2
+                 FROM q a JOIN q b ON a.vec_id <> b.vec_id),
+           r AS (SELECT a_id, a_label, b_label,
+                        ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY d2, b_id) AS rn
+                 FROM p),
+           v AS (SELECT a_id, a_label,
+                        CAST(SUM(CASE WHEN b_label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS votes1
+                 FROM r WHERE rn <= 5 GROUP BY 1, 2),
+           fl AS (SELECT a_label,
+                         CASE WHEN (votes1 >= 3) <> (a_label = 1) THEN 1 ELSE 0 END AS flagged
+                  FROM v)
+      SELECT CAST(a_label AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(flagged) AS BIGINT) AS n_flagged,
+             CAST(SUM(flagged) * 10000 // COUNT(*) AS BIGINT) AS flagged_share_e4
+      FROM fl GROUP BY 1 ORDER BY 1""",
+
+    "q_woe_binning" -> """
+      WITH v AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+                        CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS bad
+                 FROM lineitem),
+           b AS (SELECT quantile_cont(q, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+                 FROM v),
+           x AS (SELECT 1 + len(list_filter(bs, bb -> q > bb)) AS bin, bad FROM v, b),
+           g AS (SELECT CAST(bin AS BIGINT) AS bin, CAST(SUM(1 - bad) AS BIGINT) AS good,
+                        CAST(SUM(bad) AS BIGINT) AS bad
+                 FROM x GROUP BY 1),
+           t AS (SELECT CAST(SUM(good) AS BIGINT) AS tg, CAST(SUM(bad) AS BIGINT) AS tb FROM g)
+      SELECT bin, good, bad,
+             CASE WHEN good > 0 AND bad > 0
+                  THEN CAST(ROUND(LN((CAST(good AS DOUBLE) * CAST(tb AS DOUBLE))
+                       / (CAST(bad AS DOUBLE) * CAST(tg AS DOUBLE))) * 1e4) AS BIGINT)
+                  ELSE NULL END AS woe_e4
+      FROM g, t ORDER BY bin""",
   )
 }

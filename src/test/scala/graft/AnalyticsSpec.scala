@@ -633,6 +633,56 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("tfidf cosine pairs: cos within [-1, 1] and ids ordered") {
+    val rows = graft.ops.Retrieval.q_tfidf_cosine_docs(spark, sf).collect()
+    assert(rows.length <= 20)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("cos")
+      assert(c >= -1.0001 && c <= 1.0001)
+      assert(r.getAs[Long]("d1") < r.getAs[Long]("d2"))
+    }
+  }
+
+  test("rolling wau: at least the daily active count, at most total users") {
+    val wau = Analytics.q_rolling_wau(spark, sf).collect()
+      .map(r => r.getAs[String]("day") -> r.getAs[Long]("wau")).toMap
+    val dau = graft.core.Tables.eventsWithTs(spark, sf)
+      .select(date_format(col("ts_us").cast("date"), "yyyy-MM-dd").as("day"), col("user_id"))
+      .distinct().groupBy("day").count().collect()
+      .map(r => r.getAs[String]("day") -> r.getAs[Long]("count")).toMap
+    val users = graft.core.Tables.eventsWithTs(spark, sf)
+      .select(col("user_id")).distinct().count()
+    dau.foreach { case (d, n) =>
+      assert(wau(d) >= n && wau(d) <= users)
+    }
+  }
+
+  test("seasonal decompose: residual means are centered (sum near zero per type)") {
+    val rows = Analytics.q_seasonal_decompose(spark, sf).collect()
+    assert(rows.forall { r =>
+      val d = r.getAs[Long]("dow"); d >= 1L && d <= 7L })
+    // centered MA detrending ⇒ weighted residual means roughly cancel
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      val weighted = rs.map(r => r.getAs[Double]("seasonal_cents") * r.getAs[Long]("n_days")).sum
+      val scale = rs.map(r => math.abs(r.getAs[Double]("seasonal_cents")) * r.getAs[Long]("n_days")).sum
+      if (scale > 0) assert(math.abs(weighted) / scale < 0.5)
+    }
+  }
+
+  test("label noise: shares within [0, 1e4]") {
+    val rows = graft.ops.Vectors.q_label_noise(spark, sf).collect()
+    assert(rows.length === 2)
+    assert(rows.forall(_.getAs[Long]("flagged_share_e4") <= 10000L))
+  }
+
+  test("woe binning: goods and bads conserved") {
+    val rows = graft.ops.MLDeterministic.q_woe_binning(spark, sf).collect()
+    val li = graft.core.Tables.lineitem(spark, sf)
+    assert(rows.map(_.getAs[Long]("bad")).sum ===
+      li.filter(col("l_returnflag") === "R").count())
+    assert(rows.map(r => r.getAs[Long]("good") + r.getAs[Long]("bad")).sum === li.count())
+  }
+
   test("bipartite degree: customers conserved and degrees positive") {
     val df = Analytics.q_bipartite_degree(spark, sf).cache()
     assert(df.filter(col("degree") < 1).count() === 0)
