@@ -329,6 +329,44 @@ object Analytics {
       .orderBy("cohort_day", "offset")
   }
 
+  /** Rolling 7-day exact median of daily order revenue (the robust
+    * trend line a spiky series needs instead of a moving average): the
+    * trailing window materializes as a ≤7-element list per day — sorted
+    * in place, middle element taken — pure integers, year-partitioned
+    * frames with the 6-day warm-up excluded like [[q_ma_crossover]].
+    */
+  def q_rolling_median(spark: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.orders(spark, sf)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev"))
+      .withColumn("yr", year(col("day")))
+    val w = Window.partitionBy("yr").orderBy("day")
+    daily
+      .withColumn("rn", row_number().over(w))
+      .withColumn("win", collect_list(col("rev")).over(w.rowsBetween(-6, 0)))
+      .filter(col("rn") >= 7)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("rev"),
+        element_at(array_sort(col("win")), 4).as("med7"))
+      .orderBy("day")
+  }
+
+  /** Inter-arrival time histogram per user stream: µs gaps between a
+    * user's consecutive events, bucketed by integer bit length (the
+    * proven cross-engine log₂ lattice — ~2× resolution per bucket).
+    * The burstiness/Poisson-ness diagnostic for event pipelines; one
+    * user-keyed window + a ≤64-row histogram at any volume.
+    */
+  def q_interarrival_hist(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_usl").asc, col("event_id").asc)
+    Tables.eventsWithTs(spark, sf)
+      .withColumn("gap", col("ts_usl") - lag(col("ts_usl"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .select(expr("CAST(length(bin(gap)) AS BIGINT)").as("bucket"), col("gap"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("gap")).as("min_us"), max(col("gap")).as("max_us"))
+      .orderBy("bucket")
+  }
+
   /** Rolling 7-day active users (WAU) per day: each distinct (user, day)
     * covers the next 7 calendar days via a bounded ×7 explode of the
     * already-tiny distinct table, then one distinct count per covered

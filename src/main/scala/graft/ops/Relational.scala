@@ -143,6 +143,42 @@ object Relational {
         col("n"), col("value_cents"), col("gid"))
       .orderBy("gid", "event_type", "day")
 
+  /** Multi-dimension distinct-user rollup in ONE logical pass: exact
+    * COUNT(DISTINCT user_id) by (type, week), (type), (week) and grand
+    * total via grouping sets — Catalyst's expand handles the distinct
+    * per grouping set, so the stream is scanned once however many
+    * dimensions are rolled up.
+    */
+  def q_distinct_rollup(spark: SparkSession, sf: String): DataFrame =
+    Tables.eventsWithTs(spark, sf)
+      .withColumn("week", date_format(date_trunc("week", col("ts_us")), "yyyy-MM-dd"))
+      .groupingSets(
+        Seq(Seq(col("event_type"), col("week")), Seq(col("event_type")),
+          Seq(col("week")), Seq.empty),
+        col("event_type"), col("week"))
+      .agg(countDistinct(col("user_id")).as("distinct_users"),
+        count(lit(1)).as("n_events"),
+        grouping_id().cast("long").as("gid"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("week"), lit("ALL")).as("week"),
+        col("distinct_users"), col("n_events"), col("gid"))
+      .orderBy("gid", "event_type", "week")
+
+  /** Duplicate-key audit (the ingest data-quality gate before a table
+    * is trusted as key-unique): the multiplicity histogram of the
+    * (l_orderkey, l_linenumber) candidate key — how many key values
+    * appear once, twice, … — plus per-bucket row totals. The fixture
+    * really does carry duplicate pairs, so this op guards a real hazard.
+    */
+  def q_key_dup_audit(spark: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(count(lit(1)).as("mult"))
+      .groupBy(col("mult"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("mult")).as("n_rows"))
+      .orderBy("mult")
+
   /** Approximate distinct counts (HyperLogLog++) next to a bound derived
     * from them — no oracle (sketch internals are engine-specific; DuckDB's
     * HLL would hash differently). Declared for the rows-only check; the

@@ -181,6 +181,29 @@ object Vectors {
           + lit(0.0)).as("g"))
       .orderBy("i", "j")
 
+  /** Feature↔label correlation screen over embedding dims 1-8 (the
+    * leakage / predictive-power scan run before training): Pearson
+    * corr(label, xᵢ) per dimension from one pass of exact integer sums
+    * (lattice x, cross-products in decimal), shared IEEE epilogue.
+    */
+  def q_feature_label_corr(spark: SparkSession, sf: String): DataFrame = {
+    val s = Tables.embeddings(spark, sf)
+      .select(col("label").cast("long").as("y"),
+        posexplode(slice(q7(col("embedding")), 1, 8)).as(Seq("dim", "x")))
+      .groupBy((col("dim") + 1).cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val nD = col("n").cast("double")
+    val num = nD * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")
+    val dx = nD * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")
+    val dy = nD * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double")
+    s.select(col("dim"), col("n"),
+      (round(num / sqrt(dx * dy), 4) + lit(0.0)).as("corr_label"))
+      .orderBy("dim")
+  }
+
   /** kNN label-noise audit over the label∈{0,1} block (the mislabeled-
     * example screen run before training): each point's label vs the
     * majority of its 5 nearest neighbors by exact lattice distance;

@@ -3027,5 +3027,65 @@ object OracleSql {
                        / (CAST(bad AS DOUBLE) * CAST(tg AS DOUBLE))) * 1e4) AS BIGINT)
                   ELSE NULL END AS woe_e4
       FROM g, t ORDER BY bin""",
+
+    "q_rolling_median" -> """
+      WITH daily AS (SELECT date_trunc('day', o_orderdate) AS day,
+                            CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev,
+                            year(date_trunc('day', o_orderdate)) AS yr
+                     FROM orders GROUP BY 1, 3),
+           x AS (SELECT day, rev,
+                        ROW_NUMBER() OVER (PARTITION BY yr ORDER BY day) AS rn,
+                        list(rev) OVER (PARTITION BY yr ORDER BY day
+                                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS win
+                 FROM daily)
+      SELECT strftime(day, '%Y-%m-%d') AS day, rev,
+             CAST(list_sort(win)[4] AS BIGINT) AS med7
+      FROM x WHERE rn >= 7 ORDER BY day""",
+
+    "q_interarrival_hist" -> """
+      WITH g AS (SELECT epoch_us(ts) - LAG(epoch_us(ts))
+                          OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+                 FROM events),
+           b AS (SELECT CAST(length(bin(gap)) AS BIGINT) AS bucket, gap
+                 FROM g WHERE gap IS NOT NULL)
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n, CAST(MIN(gap) AS BIGINT) AS min_us,
+             CAST(MAX(gap) AS BIGINT) AS max_us
+      FROM b GROUP BY 1 ORDER BY 1""",
+
+    "q_distinct_rollup" -> """
+      SELECT COALESCE(event_type, 'ALL') AS event_type,
+             COALESCE(week, 'ALL') AS week,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(GROUPING(event_type, week) AS BIGINT) AS gid
+      FROM (SELECT event_type, strftime(date_trunc('week', ts), '%Y-%m-%d') AS week, user_id
+            FROM events)
+      GROUP BY GROUPING SETS ((event_type, week), (event_type), (week), ())
+      ORDER BY gid, event_type, week""",
+
+    "q_key_dup_audit" -> """
+      WITH k AS (SELECT l_orderkey, l_linenumber, CAST(COUNT(*) AS BIGINT) AS mult
+                 FROM lineitem GROUP BY 1, 2)
+      SELECT mult, CAST(COUNT(*) AS BIGINT) AS n_keys, CAST(SUM(mult) AS BIGINT) AS n_rows
+      FROM k GROUP BY 1 ORDER BY 1""",
+
+    "q_feature_label_corr" -> """
+      WITH e AS (SELECT CAST(label AS BIGINT) AS y,
+                        list_transform(embedding[1:8],
+                          v -> CAST(ROUND(CAST(v AS DOUBLE)*1e7) AS BIGINT)) AS q
+                 FROM embeddings),
+           x AS (SELECT y, i AS dim, q[i] AS x
+                 FROM e, (SELECT unnest(generate_series(1, 8)) AS i)),
+           s AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+                        CAST(SUM(y) AS BIGINT) AS sy,
+                        SUM(CAST(x AS HUGEINT) * y) AS sxy, SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                        CAST(SUM(y * y) AS BIGINT) AS syy
+                 FROM x GROUP BY 1)
+      SELECT CAST(dim AS BIGINT) AS dim, n,
+             ROUND((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                   / SQRT((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 4)
+               + 0 AS corr_label
+      FROM s ORDER BY dim""",
   )
 }

@@ -683,6 +683,47 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.map(r => r.getAs[Long]("good") + r.getAs[Long]("bad")).sum === li.count())
   }
 
+  test("rolling median: med7 lies within the window's min/max envelope") {
+    val rows = Analytics.q_rolling_median(spark, sf).collect()
+    // median of a window containing rev must never stray outside global bounds
+    if (rows.nonEmpty) {
+      val revs = rows.map(_.getAs[Long]("rev"))
+      val (lo, hi) = (revs.min, revs.max)
+      assert(rows.forall { r =>
+        val m = r.getAs[Long]("med7"); m >= lo && m <= hi })
+    }
+  }
+
+  test("interarrival hist: gap count = events - users") {
+    val rows = Analytics.q_interarrival_hist(spark, sf).collect()
+    val events = graft.core.Tables.eventsWithTs(spark, sf).count()
+    val users = graft.core.Tables.eventsWithTs(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n")).sum === events - users)
+  }
+
+  test("distinct rollup: grand total matches the distinct user count") {
+    val rows = graft.ops.Relational.q_distinct_rollup(spark, sf).collect()
+    val grand = rows.find(_.getAs[Long]("gid") == 3L).get
+    val users = graft.core.Tables.eventsWithTs(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(grand.getAs[Long]("distinct_users") === users)
+  }
+
+  test("key dup audit: rows conserved and duplicates actually present") {
+    val rows = graft.ops.Relational.q_key_dup_audit(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n_rows")).sum
+    assert(total === graft.core.Tables.lineitem(spark, sf).count())
+    assert(rows.exists(_.getAs[Long]("mult") > 1L)) // the fixture has dup keys
+  }
+
+  test("feature-label correlations within [-1, 1]") {
+    val rows = graft.ops.Vectors.q_feature_label_corr(spark, sf).collect()
+    assert(rows.length === 8)
+    assert(rows.forall { r =>
+      val c = r.getAs[Double]("corr_label"); c >= -1.0 && c <= 1.0 })
+  }
+
   test("bipartite degree: customers conserved and degrees positive") {
     val df = Analytics.q_bipartite_degree(spark, sf).cache()
     assert(df.filter(col("degree") < 1).count() === 0)
