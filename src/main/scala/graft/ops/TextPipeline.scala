@@ -312,6 +312,36 @@ object TextPipeline {
       .orderBy("lang")
   }
 
+  /** Corpus health report (the one-page per-language dashboard a data
+    * curation run ends with): documents, characters, tokens, vocabulary,
+    * type/token ratio, mean document length, and exact-duplicate volume —
+    * three aggregates (doc stats, token stats, fingerprint groups) joined
+    * on the language key. Every number is an exact integer.
+    */
+  def q_corpus_report(spark: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.documents(spark, sf)
+    val docStats = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars").cast("long")).as("n_chars"))
+    val tokStats = docs
+      .select(col("lang"), explode(toks(col("text"))).as("word"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("word")).as("vocab"))
+    val dupStats = docs
+      .select(col("lang"), md5(col("text").cast("binary")).as("fp"))
+      .groupBy(col("lang"), col("fp")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .groupBy(col("lang"))
+      .agg(sum(col("cnt")).as("dup_docs"), count(lit(1)).as("dup_groups"))
+    docStats.join(tokStats, "lang")
+      .join(dupStats, Seq("lang"), "left_outer")
+      .select(col("lang"), col("n_docs"), col("n_chars"), col("n_tokens"), col("vocab"),
+        expr("vocab * 10000 div n_tokens").as("ttr_e4"),
+        expr("n_chars div n_docs").as("mean_chars"),
+        coalesce(col("dup_docs"), lit(0L)).as("dup_docs"),
+        coalesce(col("dup_groups"), lit(0L)).as("dup_groups"))
+      .orderBy("lang")
+  }
+
   /** Heaps-law vocabulary-growth curve: documents fall into 10 equal
     * id-range buckets (a deterministic corpus order — no seed, no sort);
     * per bucket the cumulative token count and cumulative distinct types

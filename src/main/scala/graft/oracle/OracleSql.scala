@@ -3087,5 +3087,26 @@ object OracleSql {
                         * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 4)
                + 0 AS corr_label
       FROM s ORDER BY dim""",
+
+    "q_corpus_report" -> """
+      WITH ds AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                         CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS n_chars
+                  FROM documents GROUP BY 1),
+           ts AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                         CAST(COUNT(DISTINCT word) AS BIGINT) AS vocab
+                  FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS word
+                        FROM documents)
+                  GROUP BY 1),
+           dup AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS dup_docs,
+                          CAST(COUNT(*) AS BIGINT) AS dup_groups
+                   FROM (SELECT lang, md5(text) AS fp, CAST(COUNT(*) AS BIGINT) AS cnt
+                         FROM documents GROUP BY 1, 2)
+                   WHERE cnt > 1 GROUP BY 1)
+      SELECT ds.lang, n_docs, n_chars, n_tokens, vocab,
+             CAST(vocab * 10000 // n_tokens AS BIGINT) AS ttr_e4,
+             CAST(n_chars // n_docs AS BIGINT) AS mean_chars,
+             COALESCE(dup_docs, 0) AS dup_docs, COALESCE(dup_groups, 0) AS dup_groups
+      FROM ds JOIN ts ON ds.lang = ts.lang LEFT JOIN dup ON ds.lang = dup.lang
+      ORDER BY ds.lang""",
   )
 }

@@ -120,6 +120,18 @@ class TextSpec extends AnyFunSuite {
     assert(rows.last.getAs[Long]("cum_tokens") === totalTokens)
   }
 
+  test("corpus report: docs conserved and ttr bounded") {
+    val rows = graft.ops.TextPipeline.q_corpus_report(spark, sf).collect()
+    val totalDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(totalDocs === graft.core.Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("ttr_e4") <= 10000L)
+      assert(r.getAs[Long]("vocab") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("dup_docs") >= 2L * r.getAs[Long]("dup_groups")
+        || r.getAs[Long]("dup_groups") === 0L)
+    }
+  }
+
   test("feature hashing: buckets in [0,32) and counts conserved per lang") {
     val rows = graft.ops.TextPipeline.q_feature_hashing(spark, sf).collect()
     assert(rows.forall { r =>
