@@ -329,6 +329,51 @@ object Analytics {
       .orderBy("cohort_day", "offset")
   }
 
+  /** DAU/MAU stickiness per month: Σ daily actives over the month's
+    * observed days, divided by (days × monthly actives) — the canonical
+    * engagement ratio, all exact integers with one e4 integer division.
+    * Two distinct-aggregates over the tiny (user, day) table.
+    */
+  def q_stickiness(spark: SparkSession, sf: String): DataFrame = {
+    val ud = Tables.eventsWithTs(spark, sf)
+      .select(col("user_id"), col("ts_us").cast("date").as("day"),
+        date_format(date_trunc("month", col("ts_us")), "yyyy-MM").as("month"))
+      .distinct()
+    val daily = ud.groupBy(col("month"), col("day")).agg(count(lit(1)).as("dau"))
+      .groupBy(col("month"))
+      .agg(sum(col("dau")).as("dau_sum"), count(lit(1)).as("n_days"))
+    val monthly = ud.groupBy(col("month")).agg(countDistinct(col("user_id")).as("mau"))
+    daily.join(monthly, "month")
+      .select(col("month"), col("mau"), col("n_days"), col("dau_sum"),
+        expr("dau_sum * 10000 div (n_days * mau)").as("stickiness_e4"))
+      .orderBy("month")
+  }
+
+  /** Session conversion by engagement depth: 30-min-gap sessions
+    * bucketed by event count (capped at 10+), per bucket the share that
+    * contains a purchase — the "does depth convert" product question.
+    * Same single user-keyed session shuffle as the other session ops.
+    */
+  def q_session_conversion(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_usl").asc, col("event_id").asc)
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.eventsWithTs(spark, sf)
+      .withColumn("prev_usl", lag(col("ts_usl"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_usl").isNull ||
+             col("ts_usl") - col("prev_usl") > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("new_session")).over(wCum))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("converted"))
+      .select(least(col("n_events"), lit(10L)).as("depth_bucket"), col("converted"))
+      .groupBy(col("depth_bucket"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("converted")).as("n_converted"))
+      .select(col("depth_bucket"), col("n_sessions"), col("n_converted"),
+        expr("n_converted * 10000 div n_sessions").as("conv_e4"))
+      .orderBy("depth_bucket")
+  }
+
   /** Rolling 7-day exact median of daily order revenue (the robust
     * trend line a spiky series needs instead of a moving average): the
     * trailing window materializes as a ≤7-element list per day — sorted

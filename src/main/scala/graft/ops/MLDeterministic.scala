@@ -415,6 +415,30 @@ object MLDeterministic {
           + lit(0.0)).as("auc"))
   }
 
+  /** Cold-item coverage per brand (the recsys cold-start report): of the
+    * parts ever sold, how many never co-occur with another part in any
+    * order — those get no collaborative signal. n_catalog from the part
+    * dim, n_sold / n_cooccur from the order-item table, cold share e4.
+    */
+  def q_coverage_cold_items(spark: SparkSession, sf: String): DataFrame = {
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val basketSize = items.groupBy(col("ok")).agg(count(lit(1)).as("bsz"))
+    val partStats = items.join(basketSize, "ok")
+      .groupBy(col("pk"))
+      .agg(max(when(col("bsz") >= 2, 1L).otherwise(0L)).as("cooccurs"))
+    val p = Tables.part(spark, sf).select(col("p_partkey"), col("p_brand"))
+    p.join(partStats, col("p_partkey") === col("pk"), "left_outer")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_catalog"),
+        sum(when(col("pk").isNotNull, 1L).otherwise(0L)).as("n_sold"),
+        sum(coalesce(col("cooccurs"), lit(0L))).as("n_cooccur"))
+      .select(col("p_brand"), col("n_catalog"), col("n_sold"), col("n_cooccur"),
+        expr("CASE WHEN n_sold = 0 THEN -1" +
+          " ELSE (n_sold - n_cooccur) * 10000 div n_sold END").as("cold_share_e4"))
+      .orderBy("p_brand")
+  }
+
   /** Weight-of-evidence binning of quantity against the 'R' return-flag
     * target (the credit-scoring categorical encoding): quantity deciles
     * against broadcast percentile boundaries, per bin the good/bad

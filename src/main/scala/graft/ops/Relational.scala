@@ -179,6 +179,41 @@ object Relational {
       .agg(count(lit(1)).as("n_keys"), sum(col("mult")).as("n_rows"))
       .orderBy("mult")
 
+  /** Line-number sequence-gap audit (the completeness check for a
+    * position-keyed detail table): per order the max line number vs the
+    * distinct line count — their difference is the number of missing
+    * positions — reported as a gap histogram. Two aggregates.
+    */
+  def q_seq_gap_audit(spark: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey"))
+      .agg((max(col("l_linenumber")).cast("long") -
+        countDistinct(col("l_linenumber"))).as("gaps"))
+      .groupBy(col("gaps"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("gaps")
+
+  /** Customer value-tier transition matrix 1996 → 1997 (the migration /
+    * churn-value view): yearly spend tiers at fixed cent thresholds
+    * (0 = none, 1 < $150k, 2 < $400k, 3 ≥ $400k), one full-outer
+    * key join, counts per (from, to) cell.
+    */
+  def q_tier_transition(spark: SparkSession, sf: String): DataFrame = {
+    val o = Tables.orders(spark, sf)
+    def tiers(y: Int, n: String) = o.filter(year(col("o_orderdate")) === y)
+      .groupBy(col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("c"))
+      .select(col("o_custkey"),
+        when(col("c") < 15000000L, 1L).when(col("c") < 40000000L, 2L)
+          .otherwise(3L).as(n))
+    tiers(1996, "from_tier").join(tiers(1997, "to_tier"), Seq("o_custkey"), "full_outer")
+      .select(coalesce(col("from_tier"), lit(0L)).as("from_tier"),
+        coalesce(col("to_tier"), lit(0L)).as("to_tier"))
+      .groupBy(col("from_tier"), col("to_tier"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("from_tier", "to_tier")
+  }
+
   /** Approximate distinct counts (HyperLogLog++) next to a bound derived
     * from them — no oracle (sketch internals are engine-specific; DuckDB's
     * HLL would hash differently). Declared for the rows-only check; the

@@ -3108,5 +3108,85 @@ object OracleSql {
              COALESCE(dup_docs, 0) AS dup_docs, COALESCE(dup_groups, 0) AS dup_groups
       FROM ds JOIN ts ON ds.lang = ts.lang LEFT JOIN dup ON ds.lang = dup.lang
       ORDER BY ds.lang""",
+
+    "q_seq_gap_audit" -> """
+      WITH g AS (SELECT l_orderkey,
+                        CAST(MAX(l_linenumber) AS BIGINT)
+                          - CAST(COUNT(DISTINCT l_linenumber) AS BIGINT) AS gaps
+                 FROM lineitem GROUP BY 1)
+      SELECT gaps, CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM g GROUP BY 1 ORDER BY 1""",
+
+    "q_tier_transition" -> """
+      WITH t96 AS (SELECT o_custkey,
+                          CASE WHEN c < 15000000 THEN 1 WHEN c < 40000000 THEN 2
+                               ELSE 3 END AS from_tier
+                   FROM (SELECT o_custkey,
+                                CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS c
+                         FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1)),
+           t97 AS (SELECT o_custkey,
+                          CASE WHEN c < 15000000 THEN 1 WHEN c < 40000000 THEN 2
+                               ELSE 3 END AS to_tier
+                   FROM (SELECT o_custkey,
+                                CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS c
+                         FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1))
+      SELECT CAST(COALESCE(from_tier, 0) AS BIGINT) AS from_tier,
+             CAST(COALESCE(to_tier, 0) AS BIGINT) AS to_tier,
+             CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM t96 FULL OUTER JOIN t97 USING (o_custkey)
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_stickiness" -> """
+      WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+                         strftime(date_trunc('month', ts), '%Y-%m') AS month
+                  FROM events),
+           d AS (SELECT month, CAST(SUM(dau) AS BIGINT) AS dau_sum,
+                        CAST(COUNT(*) AS BIGINT) AS n_days
+                 FROM (SELECT month, day, CAST(COUNT(*) AS BIGINT) AS dau
+                       FROM ud GROUP BY 1, 2)
+                 GROUP BY 1),
+           m AS (SELECT month, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+                 FROM ud GROUP BY 1)
+      SELECT d.month, mau, n_days, dau_sum,
+             CAST(dau_sum * 10000 // (n_days * mau) AS BIGINT) AS stickiness_e4
+      FROM d JOIN m ON d.month = m.month ORDER BY d.month""",
+
+    "q_session_conversion" -> """
+      WITH s AS (SELECT user_id, session_idx, CAST(COUNT(*) AS BIGINT) AS n_events,
+                        CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+                          AS converted
+                 FROM (SELECT user_id, event_type,
+                              SUM(new_session) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+                       FROM (SELECT user_id, event_id, event_type, ts,
+                                    CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                                           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                                         THEN 1 ELSE 0 END AS new_session
+                             FROM events
+                             WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)))
+                 GROUP BY 1, 2),
+           b AS (SELECT LEAST(n_events, 10) AS depth_bucket, converted FROM s)
+      SELECT depth_bucket, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+             CAST(SUM(converted) AS BIGINT) AS n_converted,
+             CAST(SUM(converted) * 10000 // COUNT(*) AS BIGINT) AS conv_e4
+      FROM b GROUP BY 1 ORDER BY 1""",
+
+    "q_coverage_cold_items" -> """
+      WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           bs AS (SELECT ok, CAST(COUNT(*) AS BIGINT) AS bsz FROM items GROUP BY 1),
+           ps AS (SELECT pk, CAST(MAX(CASE WHEN bsz >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS cooccurs
+                  FROM items JOIN bs ON items.ok = bs.ok GROUP BY 1),
+           j AS (SELECT p_brand, pk, cooccurs
+                 FROM part LEFT JOIN ps ON p_partkey = ps.pk)
+      SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_catalog,
+             CAST(SUM(CASE WHEN pk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_sold,
+             CAST(SUM(COALESCE(cooccurs, 0)) AS BIGINT) AS n_cooccur,
+             CAST(CASE WHEN SUM(CASE WHEN pk IS NOT NULL THEN 1 ELSE 0 END) = 0 THEN -1
+                       ELSE (SUM(CASE WHEN pk IS NOT NULL THEN 1 ELSE 0 END)
+                             - SUM(COALESCE(cooccurs, 0))) * 10000
+                            // SUM(CASE WHEN pk IS NOT NULL THEN 1 ELSE 0 END) END AS BIGINT)
+               AS cold_share_e4
+      FROM j GROUP BY 1 ORDER BY 1""",
   )
 }

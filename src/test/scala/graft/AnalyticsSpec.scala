@@ -724,6 +724,49 @@ class AnalyticsSpec extends AnyFunSuite {
       val c = r.getAs[Double]("corr_label"); c >= -1.0 && c <= 1.0 })
   }
 
+  test("stickiness within (0, 1e4]") {
+    val rows = Analytics.q_stickiness(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val s = r.getAs[Long]("stickiness_e4"); s > 0L && s <= 10000L })
+  }
+
+  test("session conversion: sessions conserved vs q_stream_session") {
+    val rows = Analytics.q_session_conversion(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n_sessions")).sum
+    val sessions = graft.ops.Events.q_stream_session(spark, sf)
+      .agg(sum(col("n_sessions"))).head().getLong(0)
+    assert(total === sessions)
+    assert(rows.forall(r => r.getAs[Long]("n_converted") <= r.getAs[Long]("n_sessions")))
+  }
+
+  test("tier transition: customers conserved and no (0,0) cell") {
+    val rows = graft.ops.Relational.q_tier_transition(spark, sf).collect()
+    assert(!rows.exists(r =>
+      r.getAs[Long]("from_tier") == 0L && r.getAs[Long]("to_tier") == 0L))
+    val total = rows.map(_.getAs[Long]("n_customers")).sum
+    val expected = graft.core.Tables.orders(spark, sf)
+      .filter(year(col("o_orderdate")).isin(1996, 1997))
+      .select(col("o_custkey")).distinct().count()
+    assert(total === expected)
+  }
+
+  test("seq gap audit: orders conserved") {
+    val rows = graft.ops.Relational.q_seq_gap_audit(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n_orders")).sum
+    val orders = graft.core.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey")).distinct().count()
+    assert(total === orders)
+  }
+
+  test("cold items: n_cooccur <= n_sold <= n_catalog per brand") {
+    val rows = graft.ops.MLDeterministic.q_coverage_cold_items(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_cooccur") <= r.getAs[Long]("n_sold"))
+      assert(r.getAs[Long]("n_sold") <= r.getAs[Long]("n_catalog"))
+    }
+  }
+
   test("bipartite degree: customers conserved and degrees positive") {
     val df = Analytics.q_bipartite_degree(spark, sf).cache()
     assert(df.filter(col("degree") < 1).count() === 0)
