@@ -329,6 +329,78 @@ object Analytics {
       .orderBy("cohort_day", "offset")
   }
 
+  /** Herfindahl-Hirschman market-concentration index of brand revenue
+    * per ship-year: Σ (e4 share)² as an exact e8-scale integer — the
+    * antitrust-style concentration twin of [[q_gini_revenue]]. One
+    * fact→dim join, one (year, brand) aggregate, one window re-sum.
+    */
+  def q_hhi_concentration(spark: SparkSession, sf: String): DataFrame = {
+    val rev = Tables.lineitem(spark, sf)
+      .join(broadcast(Tables.part(spark, sf).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(year(col("l_shipdate")).cast("long").as("yr"), col("p_brand"))
+      .agg(sum(cents(col("l_extendedprice"))).as("s"))
+    rev
+      .withColumn("tot", sum(col("s")).over(Window.partitionBy("yr")))
+      .select(col("yr"), expr("s * 10000 div tot").as("share_e4"), col("tot"))
+      .groupBy(col("yr"))
+      .agg(count(lit(1)).as("n_brands"), max(col("tot")).as("total_cents"),
+        sum(col("share_e4") * col("share_e4")).as("hhi_e8"))
+      .orderBy("yr")
+  }
+
+  /** Customer-to-customer similarity by purchased-part sets (the
+    * collaborative neighborhood build): among the 50 most active
+    * customers (order count, tie → custkey — a broadcast-sized block),
+    * the top-20 pairs by exact e4 Jaccard over their distinct part sets.
+    * At full scale the block becomes an LSH bucket; the join shape is
+    * identical.
+    */
+  def q_user_similarity(spark: SparkSession, sf: String): DataFrame = {
+    val top50 = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("o_custkey").asc).limit(50)
+      .select(col("o_custkey"))
+    val sets = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(top50), "o_custkey")
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("pk")).distinct()
+    val sizes = sets.groupBy(col("cust")).agg(count(lit(1)).as("sz"))
+    sets.as("a").join(sets.as("b"),
+        col("a.pk") === col("b.pk") && col("a.cust") < col("b.cust"))
+      .groupBy(col("a.cust").as("c1"), col("b.cust").as("c2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("cust").as("c1"), col("sz").as("sz1")), "c1")
+      .join(sizes.select(col("cust").as("c2"), col("sz").as("sz2")), "c2")
+      .select(col("c1"), col("c2"),
+        expr("inter * 10000 div (sz1 + sz2 - inter)").as("jaccard_e4"))
+      .orderBy(col("jaccard_e4").desc, col("c1").asc, col("c2").asc)
+      .limit(20)
+  }
+
+  /** Per-user feature-store export (the materialized feature vector a
+    * churn/LTV model trains on), bounded to user_id < 100 for the
+    * declared output: event volume, purchases, purchase revenue, active
+    * days, tenure, and events-per-active-day (e2 integer). One user-keyed
+    * aggregate; the bound is a pushed-down filter, not a collect.
+    */
+  def q_feature_store_export(spark: SparkSession, sf: String): DataFrame =
+    Tables.eventsWithTs(spark, sf)
+      .filter(col("user_id") < 100)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+        sum(when(col("event_type") === "purchase", cents(col("value")))
+          .otherwise(0L)).as("purchase_cents"),
+        countDistinct(col("ts_us").cast("date")).as("active_days"),
+        (datediff(max(col("ts_us").cast("date")), min(col("ts_us").cast("date"))) + 1)
+          .cast("long").as("tenure_days"))
+      .select(col("user_id"), col("n_events"), col("n_purchases"), col("purchase_cents"),
+        col("active_days"), col("tenure_days"),
+        expr("n_events * 100 div tenure_days").as("events_per_day_e2"))
+      .orderBy("user_id")
+
   /** DAU/MAU stickiness per month: Σ daily actives over the month's
     * observed days, divided by (days × monthly actives) — the canonical
     * engagement ratio, all exact integers with one e4 integer division.

@@ -257,6 +257,25 @@ object Text {
       .orderBy("lang_p", "lang_q")
   }
 
+  /** Near-dup threshold sweep (the tuning pass that decides where to cut
+    * before a production dedup run): from ONE pair-overlap pass, the
+    * candidate-pair count and total docs-removed-if-deduped at Jaccard
+    * thresholds 0.5…0.9 — exact e4 integer Jaccard, ×5 fan-out over the
+    * tiny pair table, never a re-scan per threshold.
+    */
+  def q_dedup_threshold_sweep(spark: SparkSession, sf: String): DataFrame = {
+    val pairs = pairOverlap(spark, sf)
+      .select(col("d1"), col("d2"),
+        expr("inter * 10000 div (sz1 + sz2 - inter)").as("j_e4"))
+    pairs
+      .select(col("d1"), col("d2"), col("j_e4"),
+        explode(expr("array(5000, 6000, 7000, 8000, 9000)")).as("thr"))
+      .filter(col("j_e4") >= col("thr"))
+      .groupBy(col("thr").cast("long").as("threshold_e4"))
+      .agg(count(lit(1)).as("n_pairs"), countDistinct(col("d2")).as("n_docs_removed"))
+      .orderBy("threshold_e4")
+  }
+
   /** Hapax-legomena profile per language: vocabulary size, the count of
     * once-seen and twice-seen types, and the hapax share of the
     * vocabulary (e4) — the corpus-maturity indicator (a high hapax share

@@ -151,6 +151,55 @@ object TextPipeline {
       .orderBy("d1", "d2")
   }
 
+  /** MinHash sketch accuracy audit: for every LSH candidate pair of
+    * [[q_dedup_minhash_lsh]]'s pipeline, the signature-agreement estimate
+    * (matches/8 as e4) beside the exact Jaccard (e4) and the absolute
+    * error — the "is 8 hashes enough" calibration a dedup run performs
+    * before trusting the sketch at scale. Same shared md5 hash on both
+    * engines, so even the estimates hash-match.
+    */
+  def q_minhash_accuracy(spark: SparkSession, sf: String): DataFrame = {
+    val docTok = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(array_distinct(toks(col("text")))).as("word"))
+    val hashed = docTok.select(col("doc_id"), col("lang"), col("source"), th(col("word")).as("h"))
+    val sig = hashed
+      .select(col("doc_id"), col("lang"), col("source"), col("h"),
+        explode(sequence(lit(0), lit(7))).as("i"))
+      .groupBy(col("doc_id"), col("lang"), col("source"), col("i"))
+      .agg(min(expr("((2 * i + 1) * h + 7919 * i + 12345) % 1000000007")).as("sig"))
+    val bands = sig
+      .groupBy(col("doc_id"), col("lang"), col("source"), expr("i div 2").as("band"))
+      .agg(sum(expr("sig * (CASE WHEN i % 2 = 0 THEN 4294967311 ELSE 1 END)")).as("bv"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val matches = cand
+      .join(sig.select(col("doc_id").as("d1"), col("i"), col("sig").as("s1")), Seq("d1"))
+      .join(sig.select(col("doc_id").as("d2"), col("i"), col("sig").as("s2")), Seq("d2", "i"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(sum(when(col("s1") === col("s2"), 1L).otherwise(0L)).as("matches"))
+    val slim = docTok.select(col("doc_id"), col("word"))
+    val sizes = slim.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val exact = cand
+      .join(slim.withColumnRenamed("doc_id", "d1"), "d1")
+      .join(slim.withColumnRenamed("doc_id", "d2"), Seq("d2", "word"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "sz1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "sz2"), "d2")
+      .select(col("d1"), col("d2"),
+        expr("inter * 10000 div (sz1 + sz2 - inter)").as("exact_e4"))
+    matches.join(exact, Seq("d1", "d2"))
+      .select(col("d1"), col("d2"), col("matches"),
+        (col("matches") * 1250).as("est_e4"), col("exact_e4"),
+        abs(col("matches") * 1250 - col("exact_e4")).as("abs_err_e4"))
+      .orderBy("d1", "d2")
+  }
+
   /** Per-document bigram stream (doc_id, w1, w2) — the ONE bigram builder
     * behind the LM queries and the PMI collocations; keeping a single
     * definition keeps the model, the scorer and the collocation margins in

@@ -3188,5 +3188,105 @@ object OracleSql {
                             // SUM(CASE WHEN pk IS NOT NULL THEN 1 ELSE 0 END) END AS BIGINT)
                AS cold_share_e4
       FROM j GROUP BY 1 ORDER BY 1""",
+
+    "q_dedup_threshold_sweep" -> """
+      WITH dt AS (SELECT DISTINCT doc_id, lang, source, word FROM
+                    (SELECT doc_id, lang, source,
+                            unnest(string_split(lower(text), ' ')) AS word FROM documents)),
+           sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM dt GROUP BY doc_id),
+           inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS inter
+                     FROM dt a JOIN dt b
+                       ON a.lang = b.lang AND a.source = b.source
+                      AND a.word = b.word AND a.doc_id < b.doc_id
+                     GROUP BY 1, 2),
+           pj AS (SELECT d1, d2,
+                         CAST(inter * 10000 // (s1.sz + s2.sz - inter) AS BIGINT) AS j_e4
+                  FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id),
+           sw AS (SELECT d1, d2, j_e4, t AS thr
+                  FROM pj, (SELECT unnest([5000, 6000, 7000, 8000, 9000]) AS t)
+                  WHERE j_e4 >= t)
+      SELECT CAST(thr AS BIGINT) AS threshold_e4, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(COUNT(DISTINCT d2) AS BIGINT) AS n_docs_removed
+      FROM sw GROUP BY 1 ORDER BY 1""",
+
+    "q_minhash_accuracy" -> """
+      WITH dt AS (SELECT DISTINCT doc_id, lang, source, word FROM
+                    (SELECT doc_id, lang, source,
+                            unnest(string_split(lower(text), ' ')) AS word FROM documents)),
+           hs AS (SELECT doc_id, lang, source, word,
+                         CAST('0x' || substring(md5(word), 1, 8) AS BIGINT) AS h FROM dt),
+           sig AS (SELECT doc_id, lang, source, i,
+                          MIN(((2*i + 1) * h + 7919*i + 12345) % 1000000007) AS sig
+                   FROM hs, (SELECT unnest(generate_series(0, 7)) AS i)
+                   GROUP BY doc_id, lang, source, i),
+           bands AS (SELECT doc_id, lang, source, i // 2 AS band,
+                            CAST(SUM(sig * (CASE WHEN i % 2 = 0 THEN 4294967311 ELSE 1 END)) AS BIGINT) AS bv
+                     FROM sig GROUP BY doc_id, lang, source, i // 2),
+           cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                    FROM bands a JOIN bands b
+                      ON a.lang = b.lang AND a.source = b.source
+                     AND a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+           mt AS (SELECT d1, d2,
+                         CAST(SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS BIGINT) AS matches
+                  FROM cand
+                  JOIN sig sa ON sa.doc_id = d1
+                  JOIN sig sb ON sb.doc_id = d2 AND sb.i = sa.i
+                  GROUP BY 1, 2),
+           sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM dt GROUP BY doc_id),
+           ex AS (SELECT d1, d2,
+                         CAST(i * 10000 // (s1.sz + s2.sz - i) AS BIGINT) AS exact_e4
+                  FROM (SELECT d1, d2, CAST(COUNT(*) AS BIGINT) AS i
+                        FROM cand
+                        JOIN dt ta ON ta.doc_id = d1
+                        JOIN dt tb ON tb.doc_id = d2 AND tb.word = ta.word
+                        GROUP BY d1, d2)
+                  JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id)
+      SELECT mt.d1, mt.d2, matches, CAST(matches * 1250 AS BIGINT) AS est_e4, exact_e4,
+             CAST(ABS(matches * 1250 - exact_e4) AS BIGINT) AS abs_err_e4
+      FROM mt JOIN ex ON mt.d1 = ex.d1 AND mt.d2 = ex.d2
+      ORDER BY mt.d1, mt.d2""",
+
+    "q_hhi_concentration" -> """
+      WITH rev AS (SELECT year(l_shipdate) AS yr, p_brand,
+                          CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS s
+                   FROM lineitem JOIN part ON l_partkey = p_partkey
+                   GROUP BY 1, 2),
+           sh AS (SELECT yr, s * 10000 // SUM(s) OVER (PARTITION BY yr) AS share_e4,
+                         SUM(s) OVER (PARTITION BY yr) AS tot
+                  FROM rev)
+      SELECT CAST(yr AS BIGINT) AS yr, CAST(COUNT(*) AS BIGINT) AS n_brands,
+             CAST(MAX(tot) AS BIGINT) AS total_cents,
+             CAST(SUM(share_e4 * share_e4) AS BIGINT) AS hhi_e8
+      FROM sh GROUP BY 1 ORDER BY 1""",
+
+    "q_user_similarity" -> """
+      WITH top50 AS (SELECT o_custkey FROM orders GROUP BY o_custkey
+                     ORDER BY COUNT(*) DESC, o_custkey LIMIT 50),
+           sets AS (SELECT DISTINCT o_custkey AS cust, l_partkey AS pk
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    JOIN top50 USING (o_custkey)),
+           sizes AS (SELECT cust, CAST(COUNT(*) AS BIGINT) AS sz FROM sets GROUP BY 1),
+           inter AS (SELECT a.cust AS c1, b.cust AS c2, CAST(COUNT(*) AS BIGINT) AS inter
+                     FROM sets a JOIN sets b ON a.pk = b.pk AND a.cust < b.cust
+                     GROUP BY 1, 2)
+      SELECT c1, c2, CAST(inter * 10000 // (s1.sz + s2.sz - inter) AS BIGINT) AS jaccard_e4
+      FROM inter JOIN sizes s1 ON c1 = s1.cust JOIN sizes s2 ON c2 = s2.cust
+      ORDER BY jaccard_e4 DESC, c1, c2 LIMIT 20""",
+
+    "q_feature_store_export" -> """
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_purchases,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS purchase_cents,
+             CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days,
+             CAST(date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))) + 1 AS BIGINT)
+               AS tenure_days,
+             CAST(COUNT(*) * 100 // (date_diff('day', MIN(CAST(ts AS DATE)),
+                                               MAX(CAST(ts AS DATE))) + 1) AS BIGINT)
+               AS events_per_day_e2
+      FROM events WHERE user_id < 100
+      GROUP BY user_id ORDER BY user_id""",
   )
 }

@@ -767,6 +767,50 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup threshold sweep: monotone decreasing pair counts") {
+    val rows = graft.ops.Text.q_dedup_threshold_sweep(spark, sf).collect()
+      .sortBy(_.getAs[Long]("threshold_e4"))
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a.getAs[Long]("n_pairs") >= b.getAs[Long]("n_pairs"))
+      case _ =>
+    }
+  }
+
+  test("minhash accuracy: estimates within the 8-hash lattice and mean error small") {
+    val rows = graft.ops.TextPipeline.q_minhash_accuracy(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val m = r.getAs[Long]("matches")
+      assert(m >= 0L && m <= 8L)
+      assert(r.getAs[Long]("est_e4") === m * 1250L)
+    }
+    val meanErr = rows.map(_.getAs[Long]("abs_err_e4")).sum / rows.length
+    assert(meanErr < 4000L, s"mean |est-exact| $meanErr e4 too high")
+  }
+
+  test("hhi: within (0, 1e8] per year") {
+    val rows = Analytics.q_hhi_concentration(spark, sf).collect()
+    assert(rows.forall { r =>
+      val h = r.getAs[Long]("hhi_e8"); h > 0L && h <= 100000000L })
+  }
+
+  test("user similarity: jaccard in [0, 1e4] and pairs ordered") {
+    val rows = Analytics.q_user_similarity(spark, sf).collect()
+    assert(rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("jaccard_e4") <= 10000L)
+      assert(r.getAs[Long]("c1") < r.getAs[Long]("c2"))
+    }
+  }
+
+  test("feature store export: internal consistency per user") {
+    val rows = Analytics.q_feature_store_export(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_purchases") <= r.getAs[Long]("n_events"))
+      assert(r.getAs[Long]("active_days") <= r.getAs[Long]("tenure_days"))
+    }
+  }
+
   test("bipartite degree: customers conserved and degrees positive") {
     val df = Analytics.q_bipartite_degree(spark, sf).cache()
     assert(df.filter(col("degree") < 1).count() === 0)
