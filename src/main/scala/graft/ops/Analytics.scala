@@ -329,6 +329,81 @@ object Analytics {
       .orderBy("cohort_day", "offset")
   }
 
+  /** SaaS-style revenue growth accounting: per month the purchase
+    * revenue decomposes into new / expansion / contraction / churned /
+    * resurrected against each user's previous month, on a dense per-user
+    * month scaffold (first activity month → global max month — zeros are
+    * real months, so churn is visible). All exact integer cents; the
+    * scaffold is users × calendar months, never event-sized.
+    */
+  def q_revenue_growth_accounting(spark: SparkSession, sf: String): DataFrame = {
+    val rev = Tables.eventsWithTs(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), date_trunc("month", col("ts_us")).as("month"))
+      .agg(sum(cents(col("value"))).as("rev"))
+    val firstMonth = rev.groupBy(col("user_id")).agg(min(col("month")).as("fm"))
+    val maxMonth = rev.agg(max(col("month")).as("mm"))
+    val scaffold = firstMonth.crossJoin(broadcast(maxMonth))
+      .select(col("user_id"),
+        explode(expr("sequence(fm, mm, interval 1 month)")).as("month"))
+    val dense = scaffold.join(rev, Seq("user_id", "month"), "left_outer")
+      .select(col("user_id"), col("month"), coalesce(col("rev"), lit(0L)).as("rev"))
+    val w = Window.partitionBy("user_id").orderBy("month")
+    dense
+      .withColumn("prev", lag(col("rev"), 1).over(w))
+      .groupBy(col("month"))
+      .agg(
+        sum(when(col("prev").isNull, col("rev")).otherwise(0L)).as("new_cents"),
+        sum(when(col("prev") > 0 && col("rev") > col("prev"), col("rev") - col("prev"))
+          .otherwise(0L)).as("expansion_cents"),
+        sum(when(col("prev") > 0 && col("rev") > 0 && col("rev") < col("prev"),
+          col("rev") - col("prev")).otherwise(0L)).as("contraction_cents"),
+        sum(when(col("prev") > 0 && col("rev") === 0, -col("prev"))
+          .otherwise(0L)).as("churned_cents"),
+        sum(when(col("prev") === 0 && col("rev") > 0, col("rev"))
+          .otherwise(0L)).as("resurrected_cents"))
+      .select(date_format(col("month"), "yyyy-MM").as("month"),
+        col("new_cents"), col("expansion_cents"), col("contraction_cents"),
+        col("churned_cents"), col("resurrected_cents"),
+        (col("new_cents") + col("expansion_cents") + col("contraction_cents") +
+          col("churned_cents") + col("resurrected_cents")).as("net_change_cents"))
+      .orderBy("month")
+  }
+
+  /** Linear multi-touch attribution: each purchase's revenue splits
+    * equally (integer floor division, remainder to the purchase itself
+    * as 'unattributed') across the user's non-purchase touches in the
+    * preceding hour; per channel the touch count and credited cents.
+    * The touch lookup is the bounded interval-join idiom of
+    * `q_join_interval` — equi-key on user plus a residual µs predicate.
+    */
+  def q_attribution_linear(spark: SparkSession, sf: String): DataFrame = {
+    val ev = Tables.eventsWithTs(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts_usl"))
+    val purchases = Tables.eventsWithTs(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts_usl").as("p_ts"),
+        cents(col("value")).as("rev"))
+    val hour = 3600000000L
+    val touches = purchases.join(ev, Seq("user_id"))
+      .filter(col("event_type") =!= "purchase" &&
+        col("ts_usl") >= col("p_ts") - hour && col("ts_usl") < col("p_ts"))
+      .select(col("p_id"), col("rev"), col("event_type"))
+    val perPurchase = touches.groupBy(col("p_id"), col("rev"))
+      .agg(count(lit(1)).as("k"))
+    val credited = touches
+      .join(perPurchase.select(col("p_id"), col("k")), "p_id")
+      .groupBy(col("event_type").as("channel"))
+      .agg(count(lit(1)).as("n_touches"), sum(expr("rev div k")).as("credited_cents"))
+    val unattributed = purchases
+      .join(perPurchase.select(col("p_id"), col("k")), Seq("p_id"), "left_outer")
+      .select(when(col("k").isNull, col("rev"))
+        .otherwise(col("rev") - (expr("rev div k") * col("k"))).as("left_cents"))
+      .agg(count(lit(1)).as("n_touches"), sum(col("left_cents")).as("credited_cents"))
+      .select(lit("unattributed").as("channel"), col("n_touches"), col("credited_cents"))
+    credited.unionByName(unattributed).orderBy("channel")
+  }
+
   /** Herfindahl-Hirschman market-concentration index of brand revenue
     * per ship-year: Σ (e4 share)² as an exact e8-scale integer — the
     * antitrust-style concentration twin of [[q_gini_revenue]]. One

@@ -378,6 +378,43 @@ object Text {
           4) + lit(0.0)).as("entropy"))
       .orderBy("lang")
 
+  /** Bigram entropy rate per language: H(w₂|w₁) = H(w₁,w₂) − H(w₁) from
+    * the bigram and unigram-context counts, each on the proven e4
+    * c·ln(c) lattice of [[q_token_entropy]] — the sequence-predictability
+    * / compressibility signal that complements the unigram entropy.
+    * Margins re-sum the bigram aggregate; the corpus is tokenized once.
+    */
+  def q_bigram_entropy_rate(spark: SparkSession, sf: String): DataFrame = {
+    val bg = Tables.documents(spark, sf)
+      .select(col("lang"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("lang"), explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))")).as("b"))
+      .groupBy(col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
+    def entropyTerms(df: DataFrame, c: String) = df
+      .select(col("lang"), col(c),
+        round(col(c).cast("double") * log(col(c).cast("double")) * 1e4)
+          .cast("long").as("t_e4"))
+      .groupBy(col("lang"))
+      .agg(sum(col(c)).as("n"), sum(col("t_e4")).as("s_e4"))
+    val h2 = entropyTerms(bg, "c12")
+      .select(col("lang"), col("n").as("n2"), col("s_e4").as("s2_e4"))
+    val h1 = entropyTerms(
+      bg.groupBy(col("lang"), col("w1")).agg(sum(col("c12")).as("c1")), "c1")
+      .select(col("lang"), col("n").as("n1"), col("s_e4").as("s1_e4"))
+    def h(n: Column, s: Column): Column =
+      log(n.cast("double")) - s.cast("double") / (n.cast("double") * lit(1e4))
+    h2.join(h1, "lang")
+      .select(col("lang"), col("n2").as("n_bigrams"),
+        (round(h(col("n1"), col("s1_e4")), 4) + lit(0.0)).as("h_unigram"),
+        (round(h(col("n2"), col("s2_e4")), 4) + lit(0.0)).as("h_joint"),
+        (round(h(col("n2"), col("s2_e4")) - h(col("n1"), col("s1_e4")), 4)
+          + lit(0.0)).as("entropy_rate"))
+      .orderBy("lang")
+  }
+
   /** Collocation extraction by pointwise mutual information: bigrams seen
     * ≥ 5 times ranked by PMI = ln(c12·N / (c1·c2)) with margins re-summed
     * from the bigram aggregate itself (no second corpus pass); e4 integer

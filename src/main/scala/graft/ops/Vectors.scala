@@ -181,6 +181,26 @@ object Vectors {
           + lit(0.0)).as("g"))
       .orderBy("i", "j")
 
+  /** Nearest-neighbor distance histogram over the label∈{0,1} block (the
+    * intrinsic-density / outlier profile an ANN index build consults for
+    * parameter choice): each point's exact 1-NN squared lattice distance,
+    * bucketed by integer bit length. The 1-NN is a plain min-aggregate
+    * over the block pair join — no window, no sort.
+    */
+  def q_nn_distance_hist(spark: SparkSession, sf: String): DataFrame = {
+    val block = quantized(spark, sf).filter(col("label") <= 1)
+      .select(col("vec_id"), col("qe"))
+    block.as("a")
+      .join(block.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), dist2E14(col("a.qe"), col("b.qe")).as("d2"))
+      .groupBy(col("a_id")).agg(min(col("d2")).as("nn_d2"))
+      .select(expr("CAST(length(bin(nn_d2)) AS BIGINT)").as("bucket"), col("nn_d2"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("nn_d2")).as("min_d2"),
+        max(col("nn_d2")).as("max_d2"))
+      .orderBy("bucket")
+  }
+
   /** Feature↔label correlation screen over embedding dims 1-8 (the
     * leakage / predictive-power scan run before training): Pearson
     * corr(label, xᵢ) per dimension from one pass of exact integer sums

@@ -140,4 +140,26 @@ object Windows {
         max(col("acct_cents")).as("max_cents"))
       .orderBy("c_mktsegment", "quartile")
   }
+
+  /** Windowed lag-feature export (the time-series feature engineering a
+    * sequence model trains on): for each event of users 0-19, the
+    * previous value, the delta, and the trailing-3 rolling sum + count —
+    * all exact integer cents kept as (sum, n) pairs so no division ever
+    * happens. One user-keyed shuffle; the user bound is a pushed-down
+    * filter.
+    */
+  def q_lag_features_export(spark: SparkSession, sf: String): DataFrame = {
+    import graft.core.Det.cents
+    val w = Window.partitionBy("user_id").orderBy(col("ts_usl").asc, col("event_id").asc)
+    Tables.eventsWithTs(spark, sf)
+      .filter(col("user_id") < 20)
+      .select(col("user_id"), col("event_id"), col("ts_usl"), cents(col("value")).as("vc"))
+      .withColumn("prev_cents", lag(col("vc"), 1).over(w))
+      .withColumn("delta_cents", col("vc") - col("prev_cents"))
+      .withColumn("sum3_cents", sum(col("vc")).over(w.rowsBetween(-2, 0)))
+      .withColumn("n3", count(lit(1)).over(w.rowsBetween(-2, 0)))
+      .select(col("user_id"), col("event_id"), col("vc").as("value_cents"),
+        col("prev_cents"), col("delta_cents"), col("sum3_cents"), col("n3"))
+      .orderBy("user_id", "event_id")
+  }
 }

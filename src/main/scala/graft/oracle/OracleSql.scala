@@ -3288,5 +3288,116 @@ object OracleSql {
                AS events_per_day_e2
       FROM events WHERE user_id < 100
       GROUP BY user_id ORDER BY user_id""",
+
+    "q_nn_distance_hist" -> """
+      WITH q AS (SELECT vec_id,
+                        list_transform(embedding,
+                          v -> CAST(ROUND(CAST(v AS DOUBLE)*1e7) AS BIGINT)) AS qe
+                 FROM embeddings WHERE label <= 1),
+           nn AS (SELECT a.vec_id AS a_id,
+                         MIN(CAST(list_sum(list_transform(list_zip(a.qe, b.qe),
+                              z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT)) AS nn_d2
+                  FROM q a JOIN q b ON a.vec_id <> b.vec_id
+                  GROUP BY 1)
+      SELECT CAST(length(bin(nn_d2)) AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(MIN(nn_d2) AS BIGINT) AS min_d2, CAST(MAX(nn_d2) AS BIGINT) AS max_d2
+      FROM nn GROUP BY 1 ORDER BY 1""",
+
+    "q_lag_features_export" -> """
+      WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_usl,
+                        CAST(ROUND(value*100) AS BIGINT) AS vc
+                 FROM events WHERE user_id < 20)
+      SELECT user_id, event_id, vc AS value_cents,
+             LAG(vc) OVER w AS prev_cents,
+             vc - LAG(vc) OVER w AS delta_cents,
+             CAST(SUM(vc) OVER (PARTITION BY user_id ORDER BY ts_usl, event_id
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS sum3_cents,
+             CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts_usl, event_id
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS n3
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_usl, event_id)
+      ORDER BY user_id, event_id""",
+
+    "q_revenue_growth_accounting" -> """
+      WITH rev AS (SELECT user_id, date_trunc('month', ts) AS month,
+                          CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS rev
+                   FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+           fm AS (SELECT user_id, MIN(month) AS fm FROM rev GROUP BY 1),
+           mm AS (SELECT MAX(month) AS mm FROM rev),
+           sc AS (SELECT user_id, unnest(generate_series(fm, mm, INTERVAL 1 MONTH)) AS month
+                  FROM fm, mm),
+           dense AS (SELECT sc.user_id, sc.month, COALESCE(rev.rev, 0) AS rev
+                     FROM sc LEFT JOIN rev ON sc.user_id = rev.user_id
+                                          AND sc.month = rev.month),
+           lagd AS (SELECT user_id, month, rev,
+                           LAG(rev) OVER (PARTITION BY user_id ORDER BY month) AS prev
+                    FROM dense)
+      SELECT strftime(month, '%Y-%m') AS month,
+             CAST(SUM(CASE WHEN prev IS NULL THEN rev ELSE 0 END) AS BIGINT) AS new_cents,
+             CAST(SUM(CASE WHEN prev > 0 AND rev > prev THEN rev - prev ELSE 0 END) AS BIGINT)
+               AS expansion_cents,
+             CAST(SUM(CASE WHEN prev > 0 AND rev > 0 AND rev < prev THEN rev - prev ELSE 0 END)
+               AS BIGINT) AS contraction_cents,
+             CAST(SUM(CASE WHEN prev > 0 AND rev = 0 THEN -prev ELSE 0 END) AS BIGINT)
+               AS churned_cents,
+             CAST(SUM(CASE WHEN prev = 0 AND rev > 0 THEN rev ELSE 0 END) AS BIGINT)
+               AS resurrected_cents,
+             CAST(SUM(CASE WHEN prev IS NULL THEN rev ELSE 0 END)
+                  + SUM(CASE WHEN prev > 0 AND rev > prev THEN rev - prev ELSE 0 END)
+                  + SUM(CASE WHEN prev > 0 AND rev > 0 AND rev < prev THEN rev - prev ELSE 0 END)
+                  + SUM(CASE WHEN prev > 0 AND rev = 0 THEN -prev ELSE 0 END)
+                  + SUM(CASE WHEN prev = 0 AND rev > 0 THEN rev ELSE 0 END) AS BIGINT)
+               AS net_change_cents
+      FROM lagd GROUP BY 1 ORDER BY 1""",
+
+    "q_attribution_linear" -> """
+      WITH p AS (SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_ts,
+                        CAST(ROUND(value*100) AS BIGINT) AS rev
+                 FROM events WHERE event_type = 'purchase'),
+           e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_usl FROM events),
+           touches AS (SELECT p_id, rev, event_type
+                       FROM p JOIN e ON p.user_id = e.user_id
+                       WHERE e.event_type <> 'purchase'
+                         AND e.ts_usl >= p.p_ts - 3600000000 AND e.ts_usl < p.p_ts),
+           pp AS (SELECT p_id, rev, CAST(COUNT(*) AS BIGINT) AS k
+                  FROM touches GROUP BY 1, 2),
+           credited AS (SELECT event_type AS channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
+                               CAST(SUM(t.rev // pp.k) AS BIGINT) AS credited_cents
+                        FROM touches t JOIN pp ON t.p_id = pp.p_id
+                        GROUP BY 1),
+           unattr AS (SELECT 'unattributed' AS channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
+                             CAST(SUM(CASE WHEN pp.k IS NULL THEN p.rev
+                                      ELSE p.rev - (p.rev // pp.k) * pp.k END) AS BIGINT)
+                               AS credited_cents
+                      FROM p LEFT JOIN pp ON p.p_id = pp.p_id)
+      SELECT channel, n_touches, credited_cents FROM credited
+      UNION ALL SELECT channel, n_touches, credited_cents FROM unattr
+      ORDER BY channel""",
+
+    "q_bigram_entropy_rate" -> """
+      WITH bg0 AS (SELECT lang, w1, LEAD(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+                   FROM (SELECT doc_id, lang,
+                                unnest(string_split(lower(text), ' ')) AS w1,
+                                generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+                         FROM documents)),
+           bg AS (SELECT lang, w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+                  FROM bg0 WHERE w2 IS NOT NULL GROUP BY 1, 2, 3),
+           h2 AS (SELECT lang, CAST(SUM(c12) AS BIGINT) AS n2,
+                         CAST(SUM(CAST(ROUND(CAST(c12 AS DOUBLE) * LN(CAST(c12 AS DOUBLE)) * 1e4)
+                               AS BIGINT)) AS BIGINT) AS s2_e4
+                  FROM bg GROUP BY 1),
+           u AS (SELECT lang, w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bg GROUP BY 1, 2),
+           h1 AS (SELECT lang, CAST(SUM(c1) AS BIGINT) AS n1,
+                         CAST(SUM(CAST(ROUND(CAST(c1 AS DOUBLE) * LN(CAST(c1 AS DOUBLE)) * 1e4)
+                               AS BIGINT)) AS BIGINT) AS s1_e4
+                  FROM u GROUP BY 1)
+      SELECT h2.lang, n2 AS n_bigrams,
+             ROUND(LN(CAST(n1 AS DOUBLE)) - CAST(s1_e4 AS DOUBLE) / (CAST(n1 AS DOUBLE) * 1e4), 4)
+               + 0 AS h_unigram,
+             ROUND(LN(CAST(n2 AS DOUBLE)) - CAST(s2_e4 AS DOUBLE) / (CAST(n2 AS DOUBLE) * 1e4), 4)
+               + 0 AS h_joint,
+             ROUND((LN(CAST(n2 AS DOUBLE)) - CAST(s2_e4 AS DOUBLE) / (CAST(n2 AS DOUBLE) * 1e4))
+                   - (LN(CAST(n1 AS DOUBLE)) - CAST(s1_e4 AS DOUBLE) / (CAST(n1 AS DOUBLE) * 1e4)), 4)
+               + 0 AS entropy_rate
+      FROM h2 JOIN h1 ON h2.lang = h1.lang ORDER BY h2.lang""",
   )
 }

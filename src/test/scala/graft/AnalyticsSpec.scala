@@ -811,6 +811,57 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("nn distance hist: point count conserved") {
+    val rows = graft.ops.Vectors.q_nn_distance_hist(spark, sf).collect()
+    val block = graft.core.Tables.embeddings(spark, sf)
+      .filter(col("label") <= 1).count()
+    assert(rows.map(_.getAs[Long]("n")).sum === block)
+  }
+
+  test("lag features: delta consistent with prev, n3 <= 3") {
+    val rows = graft.ops.Windows.q_lag_features_export(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n3") >= 1L && r.getAs[Long]("n3") <= 3L)
+      if (!r.isNullAt(r.fieldIndex("prev_cents")))
+        assert(r.getAs[Long]("delta_cents") ===
+          r.getAs[Long]("value_cents") - r.getAs[Long]("prev_cents"))
+    }
+  }
+
+  test("revenue growth accounting: components reconcile to total revenue delta") {
+    val rows = Analytics.q_revenue_growth_accounting(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("new_cents") >= 0L)
+      assert(r.getAs[Long]("churned_cents") <= 0L)
+      assert(r.getAs[Long]("contraction_cents") <= 0L)
+    }
+    // Σ net changes over all months = final total monthly revenue (telescoping)
+    val net = rows.map(_.getAs[Long]("net_change_cents")).sum
+    val lastMonthRev = graft.core.Tables.eventsWithTs(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .withColumn("m", date_format(date_trunc("month", col("ts_us")), "yyyy-MM"))
+      .groupBy("m").agg(sum(graft.core.Det.cents(col("value"))).as("r"))
+      .orderBy(col("m").desc).limit(1).head().getAs[Long]("r")
+    assert(net === lastMonthRev)
+  }
+
+  test("linear attribution: total credit equals total purchase revenue") {
+    val rows = Analytics.q_attribution_linear(spark, sf).collect()
+    val credited = rows.map(_.getAs[Long]("credited_cents")).sum
+    val total = graft.core.Tables.eventsWithTs(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(graft.core.Det.cents(col("value")))).head().getLong(0)
+    assert(credited === total) // floor remainders land in 'unattributed'
+  }
+
+  test("bigram entropy rate: non-negative and below joint entropy") {
+    val rows = graft.ops.Text.q_bigram_entropy_rate(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Double]("entropy_rate") >= -0.0001)
+      assert(r.getAs[Double]("entropy_rate") <= r.getAs[Double]("h_joint") + 0.0001)
+    }
+  }
+
   test("bipartite degree: customers conserved and degrees positive") {
     val df = Analytics.q_bipartite_degree(spark, sf).cache()
     assert(df.filter(col("degree") < 1).count() === 0)
