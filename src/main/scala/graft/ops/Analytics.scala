@@ -329,6 +329,78 @@ object Analytics {
       .orderBy("cohort_day", "offset")
   }
 
+  /** Population Stability Index between the 1996 (expected) and 1997
+    * (actual) order-value distributions — THE model-monitoring drift
+    * metric: deciles fixed on the expected year, Laplace-smoothed shares
+    * (no zero-cell blowup), per-bin (p−q)·ln(p/q) on the e8 LN lattice.
+    * One percentile pass + two bucketing aggregates.
+    */
+  def q_psi_drift(spark: SparkSession, sf: String): DataFrame = {
+    val o = Tables.orders(spark, sf)
+      .select(year(col("o_orderdate")).as("yr"), cents(col("o_totalprice")).as("tp"))
+    val bounds = o.filter(col("yr") === 1996)
+      .agg(percentile(col("tp"), array((1 to 9).map(i => lit(i / 10.0)): _*)).as("bs"))
+    val binned = o.filter(col("yr").isin(1996, 1997))
+      .crossJoin(broadcast(bounds))
+      .select(col("yr"), expr("1 + size(filter(bs, b -> tp > b))").cast("long").as("bin"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("yr") === 1996, 1L).otherwise(0L)).as("c96"),
+        sum(when(col("yr") === 1997, 1L).otherwise(0L)).as("c97"))
+    val totals = binned.agg(sum(col("c96")).as("t96"), sum(col("c97")).as("t97"))
+    val p = (col("c96") + lit(1L)).cast("double") / (col("t96") + lit(10L)).cast("double")
+    val q = (col("c97") + lit(1L)).cast("double") / (col("t97") + lit(10L)).cast("double")
+    binned.crossJoin(broadcast(totals))
+      .select(col("bin"), col("c96"), col("c97"),
+        round((p - q) * log(p / q) * lit(1e8)).cast("long").as("psi_term_e8"))
+      .orderBy("bin")
+  }
+
+  /** Ingest partition-health report: per event day the row count,
+    * distinct users, payload characters and value cents, plus an
+    * integer-arithmetic hot-partition flag (day volume > 1.5× the mean —
+    * 2·n·days > 3·total, no division) — what a pipeline operator reads
+    * before picking partition keys and salting. One day-keyed aggregate.
+    */
+  def q_partition_health(spark: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.eventsWithTs(spark, sf)
+      .groupBy(col("ts_us").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(length(col("props")).cast("long")).as("props_chars"),
+        sum(cents(col("value"))).as("value_cents"))
+    val tot = daily.agg(sum(col("n_events")).as("total"), count(lit(1)).as("days"))
+    daily.crossJoin(broadcast(tot))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_events"), col("n_users"), col("props_chars"), col("value_cents"),
+        when(col("n_events") * 2 * col("days") > col("total") * 3, 1L)
+          .otherwise(0L).as("hot_flag"))
+      .orderBy("day")
+  }
+
+  /** Month-over-month top movers: the 10 largest absolute brand revenue
+    * swings between consecutive calendar months (gaps don't pair — the
+    * lag only counts when the previous observed month is exactly one
+    * month back). The BI "what changed" report; windows are
+    * brand-partitioned over the tiny (brand, month) aggregate.
+    */
+  def q_top_movers(spark: SparkSession, sf: String): DataFrame = {
+    val bm = Tables.lineitem(spark, sf)
+      .join(broadcast(Tables.part(spark, sf).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), date_trunc("month", col("l_shipdate")).as("month"))
+      .agg(sum(cents(col("l_extendedprice"))).as("rev"))
+    val w = Window.partitionBy("p_brand").orderBy("month")
+    bm.withColumn("prev_month", lag(col("month"), 1).over(w))
+      .withColumn("prev_rev", lag(col("rev"), 1).over(w))
+      .filter(col("prev_month").isNotNull &&
+        col("prev_month") + expr("interval 1 month") === col("month"))
+      .select(date_format(col("month"), "yyyy-MM").as("month"), col("p_brand"),
+        col("prev_rev").as("prev_cents"), col("rev").as("cur_cents"),
+        (col("rev") - col("prev_rev")).as("delta_cents"))
+      .orderBy(abs(col("delta_cents")).desc, col("p_brand").asc, col("month").asc)
+      .limit(10)
+  }
+
   /** SaaS-style revenue growth accounting: per month the purchase
     * revenue decomposes into new / expansion / contraction / churned /
     * resurrected against each user's previous month, on a dense per-user

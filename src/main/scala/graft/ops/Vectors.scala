@@ -181,6 +181,59 @@ object Vectors {
           + lit(0.0)).as("g"))
       .orderBy("i", "j")
 
+  /** INT8 quantization-error audit per embedding dimension (the
+    * compression feasibility check before shipping an int8 ANN index):
+    * symmetric per-dim scale maxabs/127, per-value reconstruction error
+    * rounded to an e2 integer before the order-free sum, mean error at 4
+    * decimals. Two passes: the per-dim bounds aggregate broadcast back
+    * onto the scan.
+    */
+  def q_int8_quant_error(spark: SparkSession, sf: String): DataFrame = {
+    val vals = Tables.embeddings(spark, sf)
+      .select(posexplode(slice(q7(col("embedding")), 1, 8)).as(Seq("dim0", "x")))
+      .select((col("dim0") + 1).cast("long").as("dim"), col("x"))
+    val bounds = vals.groupBy(col("dim")).agg(max(abs(col("x"))).as("maxabs"))
+    val q8 = round(col("x").cast("double") * lit(127.0) / col("maxabs").cast("double"))
+    val dequant = q8 * col("maxabs").cast("double") / lit(127.0)
+    vals.join(broadcast(bounds), "dim")
+      .select(col("dim"), col("maxabs"),
+        round(abs(col("x").cast("double") - dequant) * lit(100.0) / lit(1e7))
+          .cast("long").as("err_e2")) // error in original units ×100
+    // e2 per-value rounding keeps the sum order-independent
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), max(col("maxabs")).as("maxabs_e7"),
+        sum(col("err_e2")).as("serr_e2"))
+      .select(col("dim"), col("n"), col("maxabs_e7"),
+        (round(col("serr_e2").cast("double") / (col("n").cast("double") * lit(100.0)), 4)
+          + lit(0.0)).as("mean_abs_err"))
+      .orderBy("dim")
+  }
+
+  /** Near-zero-variance feature screen over embedding dims 1-8 (caret's
+    * nzv test): values coarsened to an e2 lattice, per dim the distinct
+    * count, the top value's e4 share, and the top1/top2 frequency ratio
+    * (e2, −1 when there is no second value). Two aggregates + one
+    * dim-partitioned rank window.
+    */
+  def q_nzv_screen(spark: SparkSession, sf: String): DataFrame = {
+    val vals = Tables.embeddings(spark, sf)
+      .select(posexplode(expr(
+        "transform(slice(embedding, 1, 8), v -> CAST(ROUND(CAST(v AS DOUBLE)*100) AS BIGINT))"))
+        .as(Seq("dim0", "v")))
+      .select((col("dim0") + 1).cast("long").as("dim"), col("v"))
+    val counts = vals.groupBy(col("dim"), col("v")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("dim").orderBy(col("c").desc, col("v").asc)
+    counts.withColumn("rn", row_number().over(w))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n_distinct"), sum(col("c")).as("n"),
+        max(when(col("rn") === 1, col("c"))).as("top1"),
+        max(when(col("rn") === 2, col("c"))).as("top2"))
+      .select(col("dim"), col("n_distinct"),
+        expr("top1 * 10000 div n").as("top_share_e4"),
+        expr("CASE WHEN top2 IS NULL THEN -1 ELSE top1 * 100 div top2 END").as("freq_ratio_e2"))
+      .orderBy("dim")
+  }
+
   /** Nearest-neighbor distance histogram over the label∈{0,1} block (the
     * intrinsic-density / outlier profile an ANN index build consults for
     * parameter choice): each point's exact 1-NN squared lattice distance,

@@ -3399,5 +3399,90 @@ object OracleSql {
                    - (LN(CAST(n1 AS DOUBLE)) - CAST(s1_e4 AS DOUBLE) / (CAST(n1 AS DOUBLE) * 1e4)), 4)
                + 0 AS entropy_rate
       FROM h2 JOIN h1 ON h2.lang = h1.lang ORDER BY h2.lang""",
+
+    "q_psi_drift" -> """
+      WITH o AS (SELECT year(o_orderdate) AS yr, CAST(ROUND(o_totalprice*100) AS BIGINT) AS tp
+                 FROM orders),
+           b AS (SELECT quantile_cont(tp, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+                 FROM o WHERE yr = 1996),
+           x AS (SELECT yr, 1 + len(list_filter(bs, bb -> tp > bb)) AS bin
+                 FROM o, b WHERE yr IN (1996, 1997)),
+           g AS (SELECT CAST(bin AS BIGINT) AS bin,
+                        CAST(SUM(CASE WHEN yr = 1996 THEN 1 ELSE 0 END) AS BIGINT) AS c96,
+                        CAST(SUM(CASE WHEN yr = 1997 THEN 1 ELSE 0 END) AS BIGINT) AS c97
+                 FROM x GROUP BY 1),
+           t AS (SELECT CAST(SUM(c96) AS BIGINT) AS t96, CAST(SUM(c97) AS BIGINT) AS t97 FROM g)
+      SELECT bin, c96, c97,
+             CAST(ROUND((CAST(c96 + 1 AS DOUBLE) / CAST(t96 + 10 AS DOUBLE)
+                         - CAST(c97 + 1 AS DOUBLE) / CAST(t97 + 10 AS DOUBLE))
+                        * LN((CAST(c96 + 1 AS DOUBLE) / CAST(t96 + 10 AS DOUBLE))
+                             / (CAST(c97 + 1 AS DOUBLE) / CAST(t97 + 10 AS DOUBLE))) * 1e8)
+               AS BIGINT) AS psi_term_e8
+      FROM g, t ORDER BY bin""",
+
+    "q_partition_health" -> """
+      WITH d AS (SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_events,
+                        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                        CAST(SUM(length(props)) AS BIGINT) AS props_chars,
+                        CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+                 FROM events GROUP BY 1),
+           t AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total,
+                        CAST(COUNT(*) AS BIGINT) AS days FROM d)
+      SELECT strftime(day, '%Y-%m-%d') AS day, n_events, n_users, props_chars, value_cents,
+             CAST(CASE WHEN n_events * 2 * days > total * 3 THEN 1 ELSE 0 END AS BIGINT)
+               AS hot_flag
+      FROM d, t ORDER BY day""",
+
+    "q_top_movers" -> """
+      WITH bm AS (SELECT p_brand, date_trunc('month', l_shipdate) AS month,
+                         CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev
+                  FROM lineitem JOIN part ON l_partkey = p_partkey
+                  GROUP BY 1, 2),
+           l AS (SELECT p_brand, month, rev,
+                        LAG(month) OVER w AS prev_month, LAG(rev) OVER w AS prev_rev
+                 FROM bm WINDOW w AS (PARTITION BY p_brand ORDER BY month))
+      SELECT strftime(month, '%Y-%m') AS month, p_brand, prev_rev AS prev_cents,
+             rev AS cur_cents, rev - prev_rev AS delta_cents
+      FROM l
+      WHERE prev_month IS NOT NULL AND prev_month + INTERVAL 1 MONTH = month
+      ORDER BY ABS(rev - prev_rev) DESC, p_brand, month LIMIT 10""",
+
+    "q_int8_quant_error" -> """
+      WITH e AS (SELECT list_transform(embedding[1:8],
+                          v -> CAST(ROUND(CAST(v AS DOUBLE)*1e7) AS BIGINT)) AS q
+                 FROM embeddings),
+           v AS (SELECT i AS dim, q[i] AS x
+                 FROM e, (SELECT unnest(generate_series(1, 8)) AS i)),
+           b AS (SELECT dim, CAST(MAX(ABS(x)) AS BIGINT) AS maxabs FROM v GROUP BY 1),
+           er AS (SELECT v.dim, maxabs,
+                         CAST(ROUND(ABS(CAST(x AS DOUBLE)
+                              - ROUND(CAST(x AS DOUBLE) * 127.0 / CAST(maxabs AS DOUBLE))
+                                * CAST(maxabs AS DOUBLE) / 127.0) * 100.0 / 1e7) AS BIGINT)
+                           AS err_e2
+                  FROM v JOIN b ON v.dim = b.dim)
+      SELECT CAST(dim AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(MAX(maxabs) AS BIGINT) AS maxabs_e7,
+             ROUND(CAST(SUM(err_e2) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 100.0), 4) + 0
+               AS mean_abs_err
+      FROM er GROUP BY 1 ORDER BY 1""",
+
+    "q_nzv_screen" -> """
+      WITH e AS (SELECT list_transform(embedding[1:8],
+                          v -> CAST(ROUND(CAST(v AS DOUBLE)*100) AS BIGINT)) AS q
+                 FROM embeddings),
+           v AS (SELECT i AS dim, q[i] AS v
+                 FROM e, (SELECT unnest(generate_series(1, 8)) AS i)),
+           c AS (SELECT dim, v, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY 1, 2),
+           r AS (SELECT dim, c, ROW_NUMBER() OVER (PARTITION BY dim ORDER BY c DESC, v) AS rn
+                 FROM c),
+           a AS (SELECT CAST(dim AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                        CAST(SUM(c) AS BIGINT) AS n,
+                        CAST(MAX(CASE WHEN rn = 1 THEN c END) AS BIGINT) AS top1,
+                        CAST(MAX(CASE WHEN rn = 2 THEN c END) AS BIGINT) AS top2
+                 FROM r GROUP BY 1)
+      SELECT dim, n_distinct, CAST(top1 * 10000 // n AS BIGINT) AS top_share_e4,
+             CAST(CASE WHEN top2 IS NULL THEN -1 ELSE top1 * 100 // top2 END AS BIGINT)
+               AS freq_ratio_e2
+      FROM a ORDER BY dim""",
   )
 }

@@ -862,6 +862,57 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("psi drift: 10 bins, counts conserved per year") {
+    val rows = Analytics.q_psi_drift(spark, sf).collect()
+    assert(rows.length === 10)
+    val o = graft.core.Tables.orders(spark, sf)
+    assert(rows.map(_.getAs[Long]("c96")).sum ===
+      o.filter(year(col("o_orderdate")) === 1996).count())
+    assert(rows.map(_.getAs[Long]("c97")).sum ===
+      o.filter(year(col("o_orderdate")) === 1997).count())
+  }
+
+  test("partition health: events conserved, hot days are above mean") {
+    val rows = Analytics.q_partition_health(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n_events")).sum
+    assert(total === graft.core.Tables.eventsWithTs(spark, sf).count())
+    val mean = total.toDouble / rows.length
+    rows.filter(_.getAs[Long]("hot_flag") == 1L).foreach { r =>
+      assert(r.getAs[Long]("n_events") > mean)
+    }
+  }
+
+  test("top movers: deltas consistent and sorted by magnitude") {
+    val rows = Analytics.q_top_movers(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("delta_cents") ===
+        r.getAs[Long]("cur_cents") - r.getAs[Long]("prev_cents"))
+    }
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(math.abs(a.getAs[Long]("delta_cents")) >= math.abs(b.getAs[Long]("delta_cents")))
+      case _ =>
+    }
+  }
+
+  test("int8 quant error: mean error below half a quantization step") {
+    val rows = graft.ops.Vectors.q_int8_quant_error(spark, sf).collect()
+    rows.foreach { r =>
+      val step = r.getAs[Long]("maxabs_e7").toDouble / 127.0 / 1e7
+      assert(r.getAs[Double]("mean_abs_err") <= step / 2 + 0.01)
+    }
+  }
+
+  test("nzv screen: top share bounded and ratio sane") {
+    val rows = graft.ops.Vectors.q_nzv_screen(spark, sf).collect()
+    assert(rows.length === 8)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("top_share_e4") <= 10000L)
+      val fr = r.getAs[Long]("freq_ratio_e2")
+      assert(fr == -1L || fr >= 100L)
+    }
+  }
+
   test("bipartite degree: customers conserved and degrees positive") {
     val df = Analytics.q_bipartite_degree(spark, sf).cache()
     assert(df.filter(col("degree") < 1).count() === 0)
