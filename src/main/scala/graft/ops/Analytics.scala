@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{Det, Tables}
@@ -1131,5 +1131,159 @@ object Analytics {
       FROM rev r JOIN orders_v o ON r.l_orderkey = o.o_orderkey
       WHERE o.o_orderstatus <> 'F'
       ORDER BY r.rev_e4 DESC, o.o_orderkey LIMIT 10""")
+  }
+
+  /** Two-sample Kolmogorov-Smirnov test: event values of even- vs
+    * odd-user-id cohorts. The ECDF difference is computed on the distinct
+    * value lattice — per value-cents the cohort counts, cumulated by a
+    * two-level distributed prefix sum (bucket-keyed windows + bucket-
+    * prefix offsets) — and the supremum is kept exactly as the integer
+    * |cum0·n1 − cum1·n0| before a single ÷(n0·n1) epilogue. At 100 TB the
+    * lattice is millions of rows, not billions of events, and no stage
+    * ever sorts it in one task.
+    */
+  def q_ks_test(spark: SparkSession, sf: String): DataFrame = {
+    val vals = Tables.eventsWithTs(spark, sf)
+      .select((col("user_id") % 2).as("cohort"), cents(col("value")).as("v"))
+      .groupBy(col("v"))
+      .agg(sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("c1"))
+      .withColumn("bkt", expr("v div 10000"))
+    // two-level distributed prefix sum: within-bucket cumulative (keyed
+    // window) + bucket-prefix offsets from a tiny bucket-totals theta join
+    // — no partition-less window anywhere, so the lattice never funnels
+    // through one task no matter how many distinct values exist.
+    val wIn = Window.partitionBy("bkt").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inCum = vals
+      .withColumn("in0", sum(col("c0")).over(wIn))
+      .withColumn("in1", sum(col("c1")).over(wIn))
+    val bktTot = vals.groupBy(col("bkt"))
+      .agg(sum(col("c0")).as("b0"), sum(col("c1")).as("b1"))
+    val prefix = bktTot.as("a")
+      .join(bktTot.as("b"), col("b.bkt") < col("a.bkt"), "left_outer")
+      .groupBy(col("a.bkt").as("bkt"))
+      .agg(coalesce(sum(col("b.b0")), lit(0L)).as("pre0"),
+        coalesce(sum(col("b.b1")), lit(0L)).as("pre1"))
+    val cum = inCum.join(broadcast(prefix), Seq("bkt"))
+      .select(col("v"), (col("pre0") + col("in0")).as("cum0"),
+        (col("pre1") + col("in1")).as("cum1"))
+    val n = vals.agg(sum(col("c0")).as("n0"), sum(col("c1")).as("n1"))
+    cum.crossJoin(broadcast(n))
+      .select(col("v"), col("n0"), col("n1"),
+        abs(col("cum0") * col("n1") - col("cum1") * col("n0")).as("diff"))
+      .orderBy(col("diff").desc, col("v").asc)
+      .limit(1)
+      .select(col("n0"), col("n1"), col("v").as("at_value_cents"),
+        expr("diff * 1000000 div (n0 * n1)").as("ks_e6"))
+  }
+
+  /** Mann-Whitney U rank-sum test between order statuses 'F' and 'O' on
+    * total price. Tie-corrected average ranks come off the distinct-value
+    * lattice (rank×2 = 2·cum_before + tie_count + 1 keeps everything
+    * integer); U, its mean and variance are the closed-form epilogue.
+    * Same scale shape as the KS test: the rank prefix is the two-level
+    * distributed prefix sum, never a partition-less window.
+    */
+  def q_mann_whitney(spark: SparkSession, sf: String): DataFrame = {
+    val vals = Tables.orders(spark, sf)
+      .filter(col("o_orderstatus").isin("F", "O"))
+      .select(col("o_orderstatus").as("g"), cents(col("o_totalprice")).as("v"))
+      .groupBy(col("v"))
+      .agg(sum(when(col("g") === "F", 1L).otherwise(0L)).as("cf"),
+        count(lit(1)).as("ct"))
+      .withColumn("bkt", expr("v div 1000000"))
+    val wIn = Window.partitionBy("bkt").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1L)
+    val bktTot = vals.groupBy(col("bkt")).agg(sum(col("ct")).as("bt"))
+    val prefix = bktTot.as("a")
+      .join(bktTot.as("b"), col("b.bkt") < col("a.bkt"), "left_outer")
+      .groupBy(col("a.bkt").as("bkt"))
+      .agg(coalesce(sum(col("b.bt")), lit(0L)).as("pre"))
+    val ranked = vals.join(broadcast(prefix), Seq("bkt"))
+      .withColumn("cumBefore",
+        col("pre") + coalesce(sum(col("ct")).over(wIn), lit(0L)))
+      .select(col("cf"), col("ct"),
+        (col("cf") * (col("cumBefore") * 2L + col("ct") + 1L)).as("r1x2"),
+        (col("ct") * (col("ct") * col("ct") - 1L)).as("tie3"))
+    val s = ranked.agg(sum(col("cf")).as("n1"),
+      sum(col("ct") - col("cf")).as("n2"),
+      sum(col("r1x2")).as("r1_x2"), sum(col("tie3")).as("ties3"))
+    val n1 = col("n1").cast("double")
+    val n2 = col("n2").cast("double")
+    val nn = n1 + n2
+    val u1 = (col("u1_x2")).cast("double") / lit(2.0)
+    val sigma2 = n1 * n2 / lit(12.0) *
+      ((nn + lit(1.0)) - col("ties3").cast("double") / (nn * (nn - lit(1.0))))
+    s.select(col("n1"), col("n2"),
+        (col("r1_x2") - col("n1") * (col("n1") + 1L)).as("u1_x2"), col("ties3"))
+      .select(col("n1"), col("n2"), col("u1_x2"),
+        (round((u1 - n1 * n2 / lit(2.0)) / sqrt(sigma2), 4) + lit(0.0)).as("z"))
+  }
+
+  /** Cramér's V association between customer market segment and home
+    * region (5×5 contingency). Each cell's χ² contribution is rounded to
+    * an e8 integer BEFORE the total — integer summation is order-free, so
+    * the statistic is reproducible regardless of partitioning; V is one
+    * closed-form epilogue over the integer χ². The contingency table is a
+    * broadcast-joined 25-row aggregate at any corpus size.
+    */
+  def q_cramers_v(spark: SparkSession, sf: String): DataFrame = {
+    val base = Tables.customer(spark, sf)
+      .join(broadcast(Tables.nation(spark, sf)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_mktsegment").as("seg"), col("n_regionkey").as("reg"))
+      .agg(count(lit(1)).as("obs"))
+    val cells = base
+      .withColumn("rowt", sum(col("obs")).over(Window.partitionBy("seg")))
+      .withColumn("colt", sum(col("obs")).over(Window.partitionBy("reg")))
+      .crossJoin(broadcast(base.agg(sum(col("obs")).as("n"))))
+    val num = (col("obs") * col("n") - col("rowt") * col("colt")).cast("double")
+    val termE8 = round(num * num /
+      (col("rowt") * col("colt")).cast("double") / col("n").cast("double") * lit(1e8))
+      .cast("long")
+    val s = cells
+      .select(col("n"), col("seg"), col("reg"), termE8.as("t_e8"))
+      .agg(max(col("n")).as("n"), countDistinct(col("seg")).as("r"),
+        countDistinct(col("reg")).as("c"), sum(col("t_e8")).as("chi2_e8"))
+    val chi2 = col("chi2_e8").cast("double") / lit(1e8)
+    val minDim = least(col("r"), col("c")).cast("double") - lit(1.0)
+    s.select(col("n"), col("r"), col("c"),
+      (round(chi2, 4) + lit(0.0)).as("chi2"),
+      (round(sqrt(chi2 / (col("n").cast("double") * minDim)), 6) + lit(0.0)).as("v"))
+  }
+
+  /** Cohen's d effect size of order total between URGENT and LOW priority
+    * orders: exact integer sufficient statistics (n, Σcents, Σcents² in
+    * decimal(38)) per group, pooled-SD epilogue. The canonical "is this
+    * uplift practically significant" readout — two partial aggregates and
+    * a 2-row reduce, no data movement beyond the group-by at any scale.
+    */
+  def q_cohens_d(spark: SparkSession, sf: String): DataFrame = {
+    val g = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(col("o_orderpriority").as("grp"), cents(col("o_totalprice")).as("v"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        sum(expr("CAST(v AS decimal(38,0)) * v")).as("ss"))
+    val s = g.agg(
+      sum(when(col("grp") === "1-URGENT", col("n"))).as("n1"),
+      sum(when(col("grp") === "1-URGENT", col("s"))).as("s1"),
+      sum(when(col("grp") === "1-URGENT", col("ss"))).as("ss1"),
+      sum(when(col("grp") === "5-LOW", col("n"))).as("n2"),
+      sum(when(col("grp") === "5-LOW", col("s"))).as("s2"),
+      sum(when(col("grp") === "5-LOW", col("ss"))).as("ss2"))
+    def m(sc: Column, nc: Column) = sc.cast("double") / nc.cast("double")
+    def ssd(ssc: Column, sc: Column, nc: Column) =
+      ssc.cast("double") - sc.cast("double") * sc.cast("double") / nc.cast("double")
+    val n1 = col("n1").cast("double")
+    val n2 = col("n2").cast("double")
+    val pooled = sqrt((ssd(col("ss1"), col("s1"), col("n1")) +
+      ssd(col("ss2"), col("s2"), col("n2"))) / (n1 + n2 - lit(2.0)))
+    s.select(col("n1"), col("n2"),
+      (round(m(col("s1"), col("n1")) / lit(100.0), 4) + lit(0.0)).as("mean1"),
+      (round(m(col("s2"), col("n2")) / lit(100.0), 4) + lit(0.0)).as("mean2"),
+      (round((m(col("s1"), col("n1")) - m(col("s2"), col("n2"))) / pooled, 6)
+        + lit(0.0)).as("d"))
   }
 }

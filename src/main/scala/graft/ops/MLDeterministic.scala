@@ -682,4 +682,45 @@ object MLDeterministic {
       .orderBy(col("support").desc, col("p1").asc, col("p2").asc, col("p3").asc)
       .limit(20)
   }
+
+  /** Decile lift table — the classic scorecard readout: customers bucketed
+    * into score deciles by the nine exact score percentiles (decile 1 =
+    * top scores; broadcast-bounds bucketing, the same 100 TB shape as the
+    * equi-depth histogram — no global NTILE sort anywhere), outcome =
+    * lifetime spend above the global median. Per decile the positive rate
+    * and cumulative lift as exact integer e6 ratios; the 10-row cumulative
+    * is a theta self-join on the aggregate, not a partition-less window.
+    */
+  def q_decile_lift(spark: SparkSession, sf: String): DataFrame = {
+    val spend = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("spend"))
+    val med = spend.agg(percentile(col("spend"), lit(0.5)).as("m"))
+    val scored = Tables.customer(spark, sf)
+      .select(col("c_custkey"), cents(col("c_acctbal")).as("score"))
+    val bounds = scored.agg(percentile(col("score"),
+      array((1 to 9).map(i => lit(i / 10.0)): _*)).as("bounds"))
+    val dec = scored
+      .join(spend, col("c_custkey") === col("o_custkey"), "left")
+      .crossJoin(broadcast(med))
+      .crossJoin(broadcast(bounds))
+      .select(
+        expr("10 - size(filter(bounds, b -> score > b))").cast("long").as("decile"),
+        when(coalesce(col("spend"), lit(0L)).cast("double") > col("m"), 1L)
+          .otherwise(0L).as("pos"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+    val tot = dec.agg(sum(col("n")).as("tot_n"), sum(col("n_pos")).as("tot_pos"))
+    dec.as("a")
+      .join(dec.select(col("decile").as("d2"), col("n").as("n2"),
+        col("n_pos").as("p2")).as("b"), col("b.d2") <= col("a.decile"))
+      .groupBy(col("a.decile").as("decile"), col("a.n").as("n"),
+        col("a.n_pos").as("n_pos"))
+      .agg(sum(col("b.n2")).as("cum_n"), sum(col("b.p2")).as("cum_pos"))
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), col("n"), col("n_pos"),
+        expr("n_pos * 1000000 div n").as("rate_e6"),
+        expr("cum_pos * tot_n * 1000000 div (cum_n * tot_pos)").as("cum_lift_e6"))
+      .orderBy("decile")
+  }
 }

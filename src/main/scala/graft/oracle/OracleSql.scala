@@ -3484,5 +3484,123 @@ object OracleSql {
              CAST(CASE WHEN top2 IS NULL THEN -1 ELSE top1 * 100 // top2 END AS BIGINT)
                AS freq_ratio_e2
       FROM a ORDER BY dim""",
+
+    "q_ks_test" -> """
+      WITH vals AS (SELECT CAST(ROUND(value*100) AS BIGINT) AS v,
+                           CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+                           CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+                    FROM events GROUP BY 1),
+           cum AS (SELECT v, SUM(c0) OVER (ORDER BY v) AS cum0,
+                          SUM(c1) OVER (ORDER BY v) AS cum1 FROM vals),
+           n AS (SELECT CAST(SUM(c0) AS BIGINT) AS n0, CAST(SUM(c1) AS BIGINT) AS n1 FROM vals)
+      SELECT n0, n1, v AS at_value_cents,
+             CAST(ABS(cum0*n1 - cum1*n0) * 1000000 // (n0*n1) AS BIGINT) AS ks_e6
+      FROM cum, n
+      ORDER BY ABS(cum0*n1 - cum1*n0) DESC, v ASC LIMIT 1""",
+
+    "q_mann_whitney" -> """
+      WITH vals AS (SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) AS v,
+                           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS cf,
+                           CAST(COUNT(*) AS BIGINT) AS ct
+                    FROM orders WHERE o_orderstatus IN ('F', 'O') GROUP BY 1),
+           r AS (SELECT cf, ct,
+                        CAST(COALESCE(SUM(ct) OVER (ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+                 FROM vals),
+           s AS (SELECT CAST(SUM(cf) AS BIGINT) AS n1, CAST(SUM(ct - cf) AS BIGINT) AS n2,
+                        CAST(SUM(cf * (2*cb + ct + 1)) AS BIGINT) AS r1_x2,
+                        CAST(SUM(ct * (ct*ct - 1)) AS BIGINT) AS ties3
+                 FROM r)
+      SELECT n1, n2, CAST(r1_x2 - n1*(n1+1) AS BIGINT) AS u1_x2,
+             ROUND((CAST(r1_x2 - n1*(n1+1) AS DOUBLE) / 2.0
+                    - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+                   / SQRT(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
+                          ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0)
+                           - CAST(ties3 AS DOUBLE)
+                             / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                                * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0)))), 4)
+               + 0 AS z
+      FROM s""",
+
+    "q_cramers_v" -> """
+      WITH cells AS (SELECT c_mktsegment AS seg, n_regionkey AS reg,
+                            CAST(COUNT(*) AS BIGINT) AS obs
+                     FROM customer JOIN nation ON c_nationkey = n_nationkey
+                     GROUP BY 1, 2),
+           x AS (SELECT seg, reg, obs,
+                        CAST(SUM(obs) OVER (PARTITION BY seg) AS BIGINT) AS rowt,
+                        CAST(SUM(obs) OVER (PARTITION BY reg) AS BIGINT) AS colt,
+                        CAST(SUM(obs) OVER () AS BIGINT) AS n
+                 FROM cells),
+           t AS (SELECT n,
+                        CAST(ROUND(CAST(obs*n - rowt*colt AS DOUBLE)
+                                   * CAST(obs*n - rowt*colt AS DOUBLE)
+                                   / CAST(rowt*colt AS DOUBLE) / CAST(n AS DOUBLE) * 1e8)
+                          AS BIGINT) AS t_e8,
+                        seg, reg
+                 FROM x),
+           s AS (SELECT CAST(MAX(n) AS BIGINT) AS n,
+                        CAST(COUNT(DISTINCT seg) AS BIGINT) AS r,
+                        CAST(COUNT(DISTINCT reg) AS BIGINT) AS c,
+                        CAST(SUM(t_e8) AS BIGINT) AS chi2_e8
+                 FROM t)
+      SELECT n, r, c, ROUND(CAST(chi2_e8 AS DOUBLE) / 1e8, 4) + 0 AS chi2,
+             ROUND(SQRT(CAST(chi2_e8 AS DOUBLE) / 1e8
+                        / (CAST(n AS DOUBLE) * (CAST(LEAST(r, c) AS DOUBLE) - 1.0))), 6)
+               + 0 AS v
+      FROM s""",
+
+    "q_cohens_d" -> """
+      WITH g AS (SELECT o_orderpriority AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS s,
+                        SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)
+                            * CAST(ROUND(o_totalprice*100) AS BIGINT)) AS ss
+                 FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW') GROUP BY 1),
+           s AS (SELECT CAST(SUM(CASE WHEN grp = '1-URGENT' THEN n END) AS BIGINT) AS n1,
+                        SUM(CASE WHEN grp = '1-URGENT' THEN s END) AS s1,
+                        SUM(CASE WHEN grp = '1-URGENT' THEN ss END) AS ss1,
+                        CAST(SUM(CASE WHEN grp = '5-LOW' THEN n END) AS BIGINT) AS n2,
+                        SUM(CASE WHEN grp = '5-LOW' THEN s END) AS s2,
+                        SUM(CASE WHEN grp = '5-LOW' THEN ss END) AS ss2
+                 FROM g)
+      SELECT n1, n2,
+             ROUND(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100.0, 4) + 0 AS mean1,
+             ROUND(CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 100.0, 4) + 0 AS mean2,
+             ROUND((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                    - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                   / SQRT(((CAST(ss1 AS DOUBLE)
+                            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                           + (CAST(ss2 AS DOUBLE)
+                              - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+                          / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0)), 6) + 0 AS d
+      FROM s""",
+
+    "q_decile_lift" -> """
+      WITH spend AS (SELECT o_custkey,
+                            CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS spend
+                     FROM orders GROUP BY 1),
+           med AS (SELECT quantile_cont(spend, 0.5) AS m FROM spend),
+           bounds AS (SELECT quantile_cont(CAST(ROUND(c_acctbal*100) AS BIGINT),
+                               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+                      FROM customer),
+           lab AS (SELECT CAST(10 - len(list_filter(bs,
+                            b -> CAST(ROUND(c_acctbal*100) AS BIGINT) > b)) AS BIGINT)
+                            AS decile,
+                          CASE WHEN CAST(COALESCE(spend, 0) AS DOUBLE) > m
+                               THEN 1 ELSE 0 END AS pos
+                   FROM customer LEFT JOIN spend ON c_custkey = o_custkey
+                        CROSS JOIN med CROSS JOIN bounds),
+           a AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(pos) AS BIGINT) AS n_pos
+                 FROM lab GROUP BY 1),
+           c AS (SELECT decile, n, n_pos,
+                        CAST(SUM(n) OVER (ORDER BY decile) AS BIGINT) AS cum_n,
+                        CAST(SUM(n_pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos,
+                        CAST(SUM(n) OVER () AS BIGINT) AS tot_n,
+                        CAST(SUM(n_pos) OVER () AS BIGINT) AS tot_pos
+                 FROM a)
+      SELECT decile, n, n_pos, CAST(n_pos * 1000000 // n AS BIGINT) AS rate_e6,
+             CAST(cum_pos * tot_n * 1000000 // (cum_n * tot_pos) AS BIGINT) AS cum_lift_e6
+      FROM c ORDER BY decile""",
   )
 }
