@@ -683,6 +683,35 @@ object MLDeterministic {
       .limit(20)
   }
 
+  /** Probability-calibration (reliability-diagram) bins: a deterministic
+    * scoring function — soft-sign squash p = ½ + s/(2(1+|s|)) of the exact
+    * e7 margin Σ(qe[1..8]) — is binned into 10 equal-width probability
+    * buckets; per bin the count, floor-mean predicted probability, and
+    * observed odd-label rate, all on e6 integer lattices (each row's p is
+    * rounded e6 BEFORE the order-free integer sum). The squash is
+    * algebraic (+,*,/,abs only), so both engines compute the identical
+    * IEEE value — no libm exp() to drift. One scan, 10-row aggregate.
+    */
+  def q_calibration_bins(spark: SparkSession, sf: String): DataFrame = {
+    val s = col("s_e7").cast("double") / lit(1e7)
+    val p = lit(0.5) + s / (lit(2.0) * (lit(1.0) + abs(s)))
+    Tables.embeddings(spark, sf)
+      .select(col("label"),
+        expr("aggregate(transform(slice(embedding, 1, 8)," +
+          " v -> CAST(ROUND(CAST(v AS DOUBLE) * 1e7) AS BIGINT))," +
+          " CAST(0 AS BIGINT), (a, x) -> a + x)").as("s_e7"))
+      .select(col("label"), round(p * lit(1e6)).cast("long").as("p_e6"))
+      .select(col("label"), col("p_e6"),
+        least(lit(9L), expr("p_e6 div 100000")).as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("p_e6")).as("sp"),
+        sum(when(col("label") % 2 === 1, 1L).otherwise(0L)).as("n_pos"))
+      .select(col("bin"), col("n"),
+        expr("sp div n").as("mean_pred_e6"),
+        expr("n_pos * 1000000 div n").as("pos_rate_e6"))
+      .orderBy("bin")
+  }
+
   /** Decile lift table — the classic scorecard readout: customers bucketed
     * into score deciles by the nine exact score percentiles (decile 1 =
     * top scores; broadcast-bounds bucketing, the same 100 TB shape as the

@@ -370,4 +370,35 @@ object Sampling {
         sum(col("vc")).as("raw_sum_cents"), sum(col("wc")).as("win_sum_cents"))
       .orderBy("event_type")
   }
+
+  /** Quantile (percent-rank) normalization of account balance — the
+    * feature transform that maps a skewed column onto [0,1] by empirical
+    * CDF. rank₀(v) = #{values < v} comes from the two-level distributed
+    * prefix sum over the distinct-value lattice (bucket-keyed window +
+    * bucket-prefix theta join — no partition-less window), then
+    * pr_e6 = rank₀·10⁶ div (N−1) exactly. Spot-checked on custkeys < 20.
+    */
+  def q_quantile_normalize(spark: SparkSession, sf: String): DataFrame = {
+    val scored = Tables.customer(spark, sf)
+      .select(col("c_custkey"), cents(col("c_acctbal")).as("score"))
+    val lat = scored.groupBy(col("score")).agg(count(lit(1)).as("ct"))
+      .withColumn("bkt", expr("score div 100000"))
+    val wIn = Window.partitionBy("bkt").orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1L)
+    val bktTot = lat.groupBy(col("bkt")).agg(sum(col("ct")).as("bt"))
+    val prefix = bktTot.as("a")
+      .join(bktTot.as("b"), col("b.bkt") < col("a.bkt"), "left_outer")
+      .groupBy(col("a.bkt").as("bkt"))
+      .agg(coalesce(sum(col("b.bt")), lit(0L)).as("pre"))
+    val rank0 = lat.join(broadcast(prefix), Seq("bkt"))
+      .select(col("score"),
+        (col("pre") + coalesce(sum(col("ct")).over(wIn), lit(0L))).as("r0"))
+    val n = scored.agg(count(lit(1)).as("n"))
+    scored.filter(col("c_custkey") < 20)
+      .join(rank0, Seq("score"))
+      .crossJoin(broadcast(n))
+      .select(col("c_custkey"), col("score"),
+        expr("r0 * 1000000 div (n - 1)").as("pr_e6"))
+      .orderBy("c_custkey")
+  }
 }

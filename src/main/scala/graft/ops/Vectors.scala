@@ -405,4 +405,91 @@ object Vectors {
       .select(col("i").as("dim"), col("loading_e6"), col("rayleigh"))
       .orderBy("dim")
   }
+
+  /** Shared cosine top-10 ranking for the retrieval-eval suite (same
+    * construction as [[q_ndcg_eval]]): vec_id < 10 are queries, the rest
+    * the corpus, relevance = label match. Broadcast queries, keyed window.
+    */
+  private def rankedTop10(spark: SparkSession, sf: String): DataFrame = {
+    val all = quantized(spark, sf)
+    val queries = all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("qe").as("q_qe"), col("nrm").as("q_nrm"))
+    val corpus = all.filter(col("vec_id") >= 10)
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+    corpus.crossJoin(broadcast(queries))
+      .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
+        (round(cosine(dotE14(col("qe"), col("q_qe")), col("nrm"), col("q_nrm")), 6)
+          + lit(0.0)).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .withColumn("rel", when(col("label") === col("qlabel"), 1L).otherwise(0L))
+  }
+
+  /** Mean-average-precision building block: per query the AP@10 on an e8
+    * floor lattice — Σ_{rel hits} (cum_rel·10⁸ div rank) div min(10, R).
+    * Precision terms are exact integer ratios, so the metric reproduces
+    * bit-for-bit on any partitioning; the ranking itself is the broadcast
+    * top-10 of [[rankedTop10]] (one corpus scan at any size).
+    */
+  def q_map_eval(spark: SparkSession, sf: String): DataFrame = {
+    val wCum = Window.partitionBy("qid").orderBy("rank")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val terms = rankedTop10(spark, sf)
+      .withColumn("cum_rel", sum(col("rel")).over(wCum))
+      .select(col("qid"), col("qlabel"), col("rel"),
+        expr("CASE WHEN rel = 1 THEN cum_rel * 100000000 div rank ELSE 0 END")
+          .as("term_e8"))
+      .groupBy(col("qid"), col("qlabel"))
+      .agg(sum(col("rel")).as("n_rel_top10"), sum(col("term_e8")).as("sum_prec_e8"))
+    val relTotals = Tables.embeddings(spark, sf).filter(col("vec_id") >= 10)
+      .groupBy(col("label").as("qlabel")).agg(count(lit(1)).as("r_total"))
+    terms.join(broadcast(relTotals), "qlabel")
+      .select(col("qid"), col("qlabel").cast("long").as("qlabel"),
+        col("n_rel_top10"), col("r_total"),
+        expr("sum_prec_e8 div least(10, r_total)").as("ap_e8"))
+      .orderBy("qid")
+  }
+
+  /** Mean-reciprocal-rank building block: per query the rank of the first
+    * relevant hit in the top-10 (−1 when none) and its reciprocal as an
+    * exact e6 floor integer. Same one-scan broadcast ranking as MAP.
+    */
+  def q_mrr_eval(spark: SparkSession, sf: String): DataFrame =
+    rankedTop10(spark, sf)
+      .groupBy(col("qid"), col("qlabel"))
+      .agg(min(when(col("rel") === 1L, col("rank"))).as("fr"))
+      .select(col("qid"), col("qlabel").cast("long").as("qlabel"),
+        coalesce(col("fr"), lit(-1L)).as("first_rel_rank"),
+        coalesce(expr("1000000 div fr"), lit(0L)).as("rr_e6"))
+      .orderBy("qid")
+
+  /** kNN regression: for the 10 query vectors, predict the target
+    * y = Σ(qe[9..16]) (an exact e7 integer functional of the embedding)
+    * as the floor-mean of the 5 euclidean-nearest training neighbors'
+    * targets. Same broadcast-queries + keyed-window shape as
+    * [[q_knn_classify]]; the prediction and error stay exact integers.
+    */
+  def q_knn_regression(spark: SparkSession, sf: String): DataFrame = {
+    val y = expr("aggregate(slice(qe, 9, 8), CAST(0 AS BIGINT), (a, x) -> a + x)")
+    val all = quantized(spark, sf).withColumn("y", y)
+    val queries = all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("y").as("y_true"), col("qe").as("q_qe"))
+    val train = all.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("tid"), col("y").as("t_y"), col("qe").as("t_qe"))
+    val wNear = Window.partitionBy("qid").orderBy(col("d2").asc, col("tid").asc)
+    train.crossJoin(broadcast(queries))
+      .select(col("qid"), col("y_true"), col("tid"), col("t_y"),
+        dist2E14(col("q_qe"), col("t_qe")).as("d2"))
+      .withColumn("rn", row_number().over(wNear))
+      .filter(col("rn") <= 5)
+      .groupBy(col("qid"), col("y_true"))
+      .agg(sum(col("t_y")).as("sum_y"))
+      .select(col("qid"), col("y_true"),
+        expr("CASE WHEN sum_y >= 0 THEN sum_y div 5" +
+          " ELSE -((-sum_y) div 5) END").as("pred_y"),
+        expr("abs(y_true - (CASE WHEN sum_y >= 0 THEN sum_y div 5" +
+          " ELSE -((-sum_y) div 5) END))").as("abs_err"))
+      .orderBy("qid")
+  }
 }

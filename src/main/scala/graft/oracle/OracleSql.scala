@@ -3602,5 +3602,118 @@ object OracleSql {
       SELECT decile, n, n_pos, CAST(n_pos * 1000000 // n AS BIGINT) AS rate_e6,
              CAST(cum_pos * tot_n * 1000000 // (cum_n * tot_pos) AS BIGINT) AS cum_lift_e6
       FROM c ORDER BY decile""",
+
+    "q_map_eval" -> """
+      WITH q AS (SELECT vec_id,
+                        list_transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE)*1e7) AS BIGINT)) AS qe,
+                        label
+                 FROM embeddings),
+           n AS (SELECT vec_id, label, qe,
+                        CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS nrm
+                 FROM q),
+           qs AS (SELECT vec_id AS qid, label AS qlabel, qe AS q_qe, nrm AS q_nrm
+                  FROM n WHERE vec_id < 10),
+           cp AS (SELECT vec_id, label, qe, nrm FROM n WHERE vec_id >= 10),
+           sc AS (SELECT qid, qlabel, cp.vec_id, cp.label,
+                         ROUND(CAST(list_sum(list_transform(list_zip(cp.qe, q_qe),
+                                 p -> p[1] * p[2])) AS DOUBLE)
+                               / SQRT(CAST(cp.nrm AS DOUBLE) * CAST(q_nrm AS DOUBLE)), 6) + 0 AS cos
+                  FROM cp CROSS JOIN qs),
+           rk AS (SELECT qid, qlabel, label,
+                         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+                  FROM sc),
+           top AS (SELECT qid, qlabel, rank,
+                          CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel
+                   FROM rk WHERE rank <= 10),
+           cum AS (SELECT qid, qlabel, rel, rank,
+                          SUM(rel) OVER (PARTITION BY qid ORDER BY rank) AS cum_rel
+                   FROM top),
+           ap AS (SELECT qid, qlabel, CAST(SUM(rel) AS BIGINT) AS n_rel_top10,
+                         CAST(SUM(CASE WHEN rel = 1
+                                       THEN cum_rel * 100000000 // rank ELSE 0 END)
+                           AS BIGINT) AS sum_prec_e8
+                  FROM cum GROUP BY 1, 2),
+           rt AS (SELECT label AS qlabel, CAST(COUNT(*) AS BIGINT) AS r_total FROM cp GROUP BY 1)
+      SELECT qid, CAST(ap.qlabel AS BIGINT) AS qlabel, n_rel_top10, r_total,
+             CAST(sum_prec_e8 // LEAST(10, r_total) AS BIGINT) AS ap_e8
+      FROM ap JOIN rt ON ap.qlabel = rt.qlabel ORDER BY qid""",
+
+    "q_mrr_eval" -> """
+      WITH q AS (SELECT vec_id,
+                        list_transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE)*1e7) AS BIGINT)) AS qe,
+                        label
+                 FROM embeddings),
+           n AS (SELECT vec_id, label, qe,
+                        CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS nrm
+                 FROM q),
+           qs AS (SELECT vec_id AS qid, label AS qlabel, qe AS q_qe, nrm AS q_nrm
+                  FROM n WHERE vec_id < 10),
+           cp AS (SELECT vec_id, label, qe, nrm FROM n WHERE vec_id >= 10),
+           sc AS (SELECT qid, qlabel, cp.vec_id, cp.label,
+                         ROUND(CAST(list_sum(list_transform(list_zip(cp.qe, q_qe),
+                                 p -> p[1] * p[2])) AS DOUBLE)
+                               / SQRT(CAST(cp.nrm AS DOUBLE) * CAST(q_nrm AS DOUBLE)), 6) + 0 AS cos
+                  FROM cp CROSS JOIN qs),
+           rk AS (SELECT qid, qlabel, label,
+                         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+                  FROM sc),
+           fr AS (SELECT qid, qlabel,
+                         MIN(CASE WHEN label = qlabel THEN rank END) AS fr
+                  FROM rk WHERE rank <= 10 GROUP BY 1, 2)
+      SELECT qid, CAST(qlabel AS BIGINT) AS qlabel,
+             CAST(COALESCE(fr, -1) AS BIGINT) AS first_rel_rank,
+             CAST(COALESCE(1000000 // fr, 0) AS BIGINT) AS rr_e6
+      FROM fr ORDER BY qid""",
+
+    "q_knn_regression" -> """
+      WITH n AS (SELECT vec_id,
+                        list_transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE)*1e7) AS BIGINT)) AS qe
+                 FROM embeddings),
+           y AS (SELECT vec_id, qe,
+                        CAST(list_sum(qe[9:16]) AS BIGINT) AS y
+                 FROM n),
+           queries AS (SELECT vec_id AS qid, y AS y_true, qe AS q_qe FROM y WHERE vec_id < 10),
+           train AS (SELECT vec_id AS tid, y AS t_y, qe AS t_qe FROM y WHERE vec_id >= 10),
+           d AS (SELECT qid, y_true, tid, t_y,
+                        CAST(list_sum(list_transform(list_zip(q_qe, t_qe),
+                             p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS d2
+                 FROM queries, train),
+           nn5 AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, tid) AS rn FROM d)
+                   WHERE rn <= 5),
+           p AS (SELECT qid, y_true, CAST(SUM(t_y) AS BIGINT) AS sum_y
+                 FROM nn5 GROUP BY 1, 2)
+      SELECT qid, y_true,
+             CAST(CASE WHEN sum_y >= 0 THEN sum_y // 5 ELSE -((-sum_y) // 5) END AS BIGINT) AS pred_y,
+             CAST(ABS(y_true - (CASE WHEN sum_y >= 0 THEN sum_y // 5
+                                     ELSE -((-sum_y) // 5) END)) AS BIGINT) AS abs_err
+      FROM p ORDER BY qid""",
+
+    "q_calibration_bins" -> """
+      WITH m AS (SELECT label,
+                        CAST(list_sum(list_transform(embedding[1:8],
+                          v -> CAST(ROUND(CAST(v AS DOUBLE)*1e7) AS BIGINT))) AS BIGINT) AS s_e7
+                 FROM embeddings),
+           p AS (SELECT label,
+                        CAST(ROUND((0.5 + (CAST(s_e7 AS DOUBLE) / 1e7)
+                                    / (2.0 * (1.0 + ABS(CAST(s_e7 AS DOUBLE) / 1e7)))) * 1e6)
+                          AS BIGINT) AS p_e6
+                 FROM m),
+           b AS (SELECT label, p_e6,
+                        LEAST(9, p_e6 // 100000) AS bin
+                 FROM p)
+      SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(p_e6) // COUNT(*) AS BIGINT) AS mean_pred_e6,
+             CAST(SUM(CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+               AS BIGINT) AS pos_rate_e6
+      FROM b GROUP BY 1 ORDER BY 1""",
+
+    "q_quantile_normalize" -> """
+      WITH s AS (SELECT c_custkey, CAST(ROUND(c_acctbal*100) AS BIGINT) AS score FROM customer),
+           n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s),
+           r AS (SELECT c_custkey, score,
+                        CAST(RANK() OVER (ORDER BY score) - 1 AS BIGINT) AS r0
+                 FROM s)
+      SELECT c_custkey, score, CAST(r0 * 1000000 // (n - 1) AS BIGINT) AS pr_e6
+      FROM r, n WHERE c_custkey < 20 ORDER BY c_custkey""",
   )
 }
