@@ -1253,6 +1253,90 @@ object Analytics {
       (round(sqrt(chi2 / (col("n").cast("double") * minDim)), 6) + lit(0.0)).as("v"))
   }
 
+  /** Maximum drawdown of the daily-revenue series per year: running peak
+    * (keyed cumulative max — never a partition-less window) minus the
+    * day's value; per year the worst drawdown and its earliest day via a
+    * single min(struct(−dd, day)) arg-min (no second pass, no sort). The
+    * canonical "how far below peak did the series fall" ops metric.
+    */
+  def q_drawdown(spark: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.lineitem(spark, sf)
+      .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
+      .agg(sum(cents(col("l_extendedprice"))).as("rev"))
+      .withColumn("yr", year(col("day")).cast("long"))
+    val w = Window.partitionBy("yr").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("dd", max(col("rev")).over(w) - col("rev"))
+      .groupBy(col("yr"))
+      .agg(count(lit(1)).as("n_days"),
+        min(struct((lit(0L) - col("dd")).as("negdd"), col("day"))).as("worst"))
+      .select(col("yr"), col("n_days"),
+        (lit(0L) - col("worst.negdd")).as("max_dd_cents"),
+        date_format(col("worst.day"), "yyyy-MM-dd").as("worst_day"))
+      .orderBy("yr")
+  }
+
+  /** Bollinger-band breaks on daily revenue: 7-day trailing mean ± 2σ,
+    * evaluated entirely in integer/decimal arithmetic by clearing
+    * denominators — break ⇔ 3·(7·rev − s₇)² > 14·(7·Σx² − s₇²) — so no
+    * per-row float epilogue can drift. Counts of upward/downward breaks
+    * per year; the rolling frames are year-keyed windows.
+    */
+  def q_bollinger_breaks(spark: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.lineitem(spark, sf)
+      .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
+      .agg(sum(cents(col("l_extendedprice"))).as("rev"))
+      .withColumn("yr", year(col("day")).cast("long"))
+    val w = Window.partitionBy("yr").orderBy("day").rowsBetween(-6, 0)
+    val rolled = daily
+      .withColumn("s7", sum(col("rev")).over(w))
+      .withColumn("ss7", sum(expr("CAST(rev AS decimal(38,0)) * rev")).over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .filter(col("cnt") === 7)
+      .withColumn("dev7", expr("CAST(7 AS decimal(38,0)) * rev - s7"))
+      .withColumn("lhs", expr("CAST(3 AS decimal(38,0)) * dev7 * dev7"))
+      .withColumn("rhs", expr(
+        "CAST(14 AS decimal(38,0)) * (CAST(7 AS decimal(38,0)) * ss7 - CAST(s7 AS decimal(38,0)) * s7)"))
+    rolled.groupBy(col("yr"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("lhs") > col("rhs") && col("dev7") > 0, 1L).otherwise(0L))
+          .as("n_break_up"),
+        sum(when(col("lhs") > col("rhs") && col("dev7") < 0, 1L).otherwise(0L))
+          .as("n_break_down"))
+      .orderBy("yr")
+  }
+
+  /** Daily VWAP per return flag and ship month: Σprice/Σqty as an exact
+    * e4 floor integer — the classic volume-weighted average that a naive
+    * avg(price) gets wrong. One partial+final aggregate, no window.
+    */
+  def q_vwap_monthly(spark: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag").as("flag"),
+        date_format(date_trunc("month", col("l_shipdate")), "yyyy-MM").as("month"))
+      .agg(sum(col("l_quantity").cast("long")).as("qty"),
+        sum(cents(col("l_extendedprice"))).as("rev_cents"))
+      .select(col("flag"), col("month"), col("qty"), col("rev_cents"),
+        expr("rev_cents * 100 div qty").as("vwap_e4"))
+      .orderBy("flag", "month")
+
+  /** Basket-size distribution: how many orders carry k lines, with the
+    * distinct-part and quantity mass per k — the order-shape profile that
+    * sizes a co-occurrence/recsys build before running it. Two hash
+    * aggregates (order, then k), no window, no sort until the k-row tail.
+    */
+  def q_basket_size_dist(spark: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+      .groupBy(col("n_lines"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("n_parts")).as("parts_total"),
+        sum(col("qty")).as("qty_total"))
+      .orderBy("n_lines")
+
   /** Cohen's d effect size of order total between URGENT and LOW priority
     * orders: exact integer sufficient statistics (n, Σcents, Σcents² in
     * decimal(38)) per group, pooled-SD epilogue. The canonical "is this

@@ -683,6 +683,38 @@ object MLDeterministic {
       .limit(20)
   }
 
+  /** Log-log price elasticity per part brand: regress y = ln(quantity) on
+    * x = ln(unit price) — both rounded to e6 integer lattices per row, so
+    * the sufficient statistics are order-free integer/decimal sums; the
+    * OLS slope (= elasticity) is one IEEE epilogue over double-cast sums.
+    * Same one-shuffle shape as [[q_grouped_regression]], plus the log
+    * lattice that makes the slope a unit-free elasticity.
+    */
+  def q_price_elasticity(spark: SparkSession, sf: String): DataFrame = {
+    val sums = Tables.lineitem(spark, sf)
+      .join(broadcast(Tables.part(spark, sf)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"),
+        round(log(cents(col("l_extendedprice")).cast("double") /
+          col("l_quantity").cast("double")) * lit(1e6)).cast("long").as("x"),
+        round(log(col("l_quantity").cast("double")) * lit(1e6)).cast("long").as("y"))
+      .groupBy(col("brand"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double")
+    val syD = col("sy").cast("double")
+    val num = nD * col("sxy").cast("double") - sxD * syD
+    val den = nD * col("sxx").cast("double") - sxD * sxD
+    sums.select(col("brand"), col("n"),
+      (round(num / den, 6) + lit(0.0)).as("elasticity"),
+      (round((syD - (num / den) * sxD) / nD / lit(1e6), 6) + lit(0.0))
+        .as("intercept_ln"))
+      .orderBy("brand")
+  }
+
   /** Probability-calibration (reliability-diagram) bins: a deterministic
     * scoring function — soft-sign squash p = ½ + s/(2(1+|s|)) of the exact
     * e7 margin Σ(qe[1..8]) — is binned into 10 equal-width probability

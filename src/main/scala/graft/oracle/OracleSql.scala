@@ -3715,5 +3715,88 @@ object OracleSql {
                  FROM s)
       SELECT c_custkey, score, CAST(r0 * 1000000 // (n - 1) AS BIGINT) AS pr_e6
       FROM r, n WHERE c_custkey < 20 ORDER BY c_custkey""",
+
+    "q_drawdown" -> """
+      WITH daily AS (SELECT date_trunc('day', l_shipdate) AS day,
+                            CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev
+                     FROM lineitem GROUP BY 1),
+           d AS (SELECT day, CAST(year(day) AS BIGINT) AS yr,
+                        CAST(MAX(rev) OVER (PARTITION BY year(day) ORDER BY day) - rev
+                          AS BIGINT) AS dd
+                 FROM daily),
+           w AS (SELECT yr, dd, day,
+                        ROW_NUMBER() OVER (PARTITION BY yr ORDER BY dd DESC, day ASC) AS rn,
+                        CAST(COUNT(*) OVER (PARTITION BY yr) AS BIGINT) AS n_days
+                 FROM d)
+      SELECT yr, n_days, dd AS max_dd_cents, strftime(day, '%Y-%m-%d') AS worst_day
+      FROM w WHERE rn = 1 ORDER BY yr""",
+
+    "q_bollinger_breaks" -> """
+      WITH daily AS (SELECT date_trunc('day', l_shipdate) AS day,
+                            CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev
+                     FROM lineitem GROUP BY 1),
+           r AS (SELECT CAST(year(day) AS BIGINT) AS yr, rev,
+                        SUM(rev) OVER w AS s7,
+                        SUM(CAST(rev AS HUGEINT) * rev) OVER w AS ss7,
+                        COUNT(*) OVER w AS cnt
+                 FROM daily
+                 WINDOW w AS (PARTITION BY year(day) ORDER BY day
+                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+           b AS (SELECT yr, CAST(7 AS HUGEINT) * rev - s7 AS dev7,
+                        CAST(3 AS HUGEINT) * (CAST(7 AS HUGEINT) * rev - s7)
+                          * (CAST(7 AS HUGEINT) * rev - s7) AS lhs,
+                        CAST(14 AS HUGEINT)
+                          * (CAST(7 AS HUGEINT) * ss7 - CAST(s7 AS HUGEINT) * s7) AS rhs
+                 FROM r WHERE cnt = 7)
+      SELECT yr, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(CASE WHEN lhs > rhs AND dev7 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_break_up,
+             CAST(SUM(CASE WHEN lhs > rhs AND dev7 < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_break_down
+      FROM b GROUP BY 1 ORDER BY 1""",
+
+    "q_vwap_monthly" -> """
+      SELECT l_returnflag AS flag,
+             strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+             CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev_cents,
+             CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) * 100
+                  // SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS vwap_e4
+      FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_basket_size_dist" -> """
+      WITH o AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+                        CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+                        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+                 FROM lineitem GROUP BY 1)
+      SELECT n_lines, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(n_parts) AS BIGINT) AS parts_total,
+             CAST(SUM(qty) AS BIGINT) AS qty_total
+      FROM o GROUP BY 1 ORDER BY 1""",
+
+    "q_price_elasticity" -> """
+      WITH l AS (SELECT p_brand AS brand,
+                        CAST(ROUND(LN(CAST(CAST(ROUND(l_extendedprice*100) AS BIGINT) AS DOUBLE)
+                                      / CAST(l_quantity AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+                        CAST(ROUND(LN(CAST(l_quantity AS DOUBLE)) * 1e6) AS BIGINT) AS y
+                 FROM lineitem JOIN part ON l_partkey = p_partkey),
+           s AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                        SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                        SUM(CAST(x AS HUGEINT) * x) AS sxx
+                 FROM l GROUP BY 1)
+      SELECT brand, n,
+             ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) + 0 AS elasticity,
+             ROUND((CAST(sy AS DOUBLE)
+                    - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                      * CAST(sx AS DOUBLE))
+                   / CAST(n AS DOUBLE) / 1e6, 6) + 0 AS intercept_ln
+      FROM s ORDER BY brand""",
   )
 }
