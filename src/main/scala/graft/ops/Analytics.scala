@@ -1004,6 +1004,45 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** Autocorrelation function at lags {1, 2, 3, 7} of the per-type daily
+    * value series — one keyed window pass computes all four lag columns,
+    * stacked in-row (explode of a 4-struct array, no per-lag rescan), then
+    * the Pearson epilogue per (type, lag) from exact integer/decimal
+    * sufficient statistics. The multi-lag seasonality probe behind the
+    * [[q_seasonality_profile]]-style dashboards.
+    */
+  def q_acf_multi_lag(spark: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.eventsWithTs(spark, sf)
+      .groupBy(col("event_type"), date_trunc("day", col("ts_us")).as("day"))
+      .agg(sum(cents(col("value"))).as("rev"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val lagged = daily
+      .withColumn("p1", lag(col("rev"), 1).over(w))
+      .withColumn("p2", lag(col("rev"), 2).over(w))
+      .withColumn("p3", lag(col("rev"), 3).over(w))
+      .withColumn("p7", lag(col("rev"), 7).over(w))
+      .select(col("event_type"), col("rev"), explode(expr(
+        "array(struct(CAST(1 AS BIGINT) AS k, p1 AS prev)," +
+          " struct(CAST(2 AS BIGINT) AS k, p2 AS prev)," +
+          " struct(CAST(3 AS BIGINT) AS k, p3 AS prev)," +
+          " struct(CAST(7 AS BIGINT) AS k, p7 AS prev))")).as("x"))
+      .filter(col("x.prev").isNotNull)
+      .select(col("event_type"), col("x.k").as("k"), col("rev"), col("x.prev").as("prev"))
+    val s = lagged.groupBy(col("event_type"), col("k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("prev")).as("sx"), sum(col("rev")).as("sy"),
+        sum(col("prev").cast("decimal(38,0)") * col("rev")).as("sxy"),
+        sum(col("prev").cast("decimal(38,0)") * col("prev")).as("sxx"),
+        sum(col("rev").cast("decimal(38,0)") * col("rev")).as("syy"))
+    val nD = col("n_pairs").cast("double")
+    val num = nD * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")
+    val dx = nD * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")
+    val dy = nD * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double")
+    s.select(col("event_type"), col("k"), col("n_pairs"),
+      (round(num / sqrt(dx * dy), 4) + lit(0.0)).as("acf"))
+      .orderBy("event_type", "k")
+  }
+
   /** Moving-average crossover signal on daily order revenue: trailing
     * 3-day vs 7-day means compared by integer cross-multiplication
     * (sum3·7 > sum7·3 ⇔ ma3 > ma7 — no division ever happens), emitting

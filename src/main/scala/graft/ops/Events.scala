@@ -214,4 +214,59 @@ object Events {
         col("v").as("v_cents"), col("src"))
       .orderBy("event_type", "hour")
   }
+
+  /** Top-10 session opening paths: the first three event types of each
+    * 30-minute-gap session (same sessionization as [[q_stream_session]])
+    * joined into an 'a>b>c' path, counted corpus-wide. The classic
+    * navigation-flow readout; everything is user-keyed windows plus one
+    * path aggregate, and the top-k is TakeOrdered, not a global sort.
+    */
+  def q_session_path_topk(spark: SparkSession, sf: String): DataFrame = {
+    val wOrder = Window.partitionBy("user_id").orderBy(col("ts_usl").asc, col("event_id").asc)
+    val wCum = wOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSess = Window.partitionBy("user_id", "session_idx")
+      .orderBy(col("ts_usl").asc, col("event_id").asc)
+    Tables.eventsWithTs(spark, sf)
+      .withColumn("prev_usl", lag(col("ts_usl"), 1).over(wOrder))
+      .withColumn("new_session",
+        when(col("prev_usl").isNull ||
+             col("ts_usl") - col("prev_usl") > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("new_session")).over(wCum))
+      .withColumn("rn", row_number().over(wSess))
+      .filter(col("rn") <= 3)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(array_join(transform(array_sort(collect_list(struct(
+        col("ts_usl"), col("event_id"), col("event_type")))),
+        x => x.getField("event_type")), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(10)
+  }
+
+  /** Last-observation-carried-forward gap fill: per return flag the daily
+    * revenue series on a dense calendar scaffold (per-flag min..max day),
+    * missing days filled by the last observed value — `last(ignoreNulls)`
+    * over a flag-keyed window, the distributed LOCF idiom. Output per
+    * flag: observed/missing day counts and the exact filled-series total.
+    */
+  def q_locf_fill(spark: SparkSession, sf: String): DataFrame = {
+    val obs = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag").as("flag"),
+        datediff(col("l_shipdate").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("dayn"))
+      .agg(sum(cents(col("l_extendedprice"))).as("rev"))
+    val scaffold = obs.groupBy(col("flag"))
+      .agg(min(col("dayn")).as("d0"), max(col("dayn")).as("d1"))
+      .select(col("flag"), explode(expr("sequence(d0, d1)")).as("dayn"))
+    val w = Window.partitionBy("flag").orderBy("dayn")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scaffold.join(obs, Seq("flag", "dayn"), "left_outer")
+      .withColumn("filled", last(col("rev"), ignoreNulls = true).over(w))
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("rev").isNull, 1L).otherwise(0L)).as("n_filled"),
+        sum(col("filled")).as("filled_total_cents"))
+      .orderBy("flag")
+  }
 }

@@ -371,6 +371,43 @@ object Sampling {
       .orderBy("event_type")
   }
 
+  /** 5-fold cross-validation assignment by id hash — every row decides
+    * its own fold from md5(doc_id), so folds are reproducible with no
+    * shuffle or seed coordination; per (fold, lang) the doc count, char
+    * mass, and the exact e4 deviation of the fold's language share from
+    * the corpus share (the balance audit that validates the splitter).
+    */
+  def q_crossval_folds(spark: SparkSession, sf: String): DataFrame = {
+    val assigned = Tables.documents(spark, sf)
+      .select(col("lang"), col("n_chars"), (idHash(col("doc_id")) % 5).as("fold"))
+    val cells = assigned.groupBy(col("fold"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    cells
+      .withColumn("fold_tot", sum(col("n_docs")).over(Window.partitionBy("fold")))
+      .withColumn("lang_tot", sum(col("n_docs")).over(Window.partitionBy("lang")))
+      .crossJoin(broadcast(cells.agg(sum(col("n_docs")).as("n"))))
+      .select(col("fold"), col("lang"), col("n_docs"), col("sum_chars"),
+        expr("n_docs * 10000 div fold_tot").as("fold_share_e4"),
+        expr("lang_tot * 10000 div n").as("corpus_share_e4"))
+      .orderBy("fold", "lang")
+  }
+
+  /** 2-D histogram of (quantity, unit-price) — the joint-distribution
+    * grid a pricing model is eyeballed from: quantity in width-10 bins,
+    * exact integer unit price cents in width-$25 bins; per cell the count
+    * and revenue mass. One scan, one aggregate, cells bounded by the grid.
+    */
+  def q_hist2d(spark: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(spark, sf)
+      .select(col("l_quantity").cast("long").as("q"),
+        cents(col("l_extendedprice")).as("pc"))
+      .select(expr("q div 10").as("q_bin"),
+        expr("(pc div (CASE WHEN q = 0 THEN 1 ELSE q END)) div 2500").as("p_bin"),
+        col("pc"))
+      .groupBy(col("q_bin"), col("p_bin"))
+      .agg(count(lit(1)).as("n"), sum(col("pc")).as("rev_cents"))
+      .orderBy("q_bin", "p_bin")
+
   /** Quantile (percent-rank) normalization of account balance — the
     * feature transform that maps a skewed column onto [0,1] by empirical
     * CDF. rank₀(v) = #{values < v} comes from the two-level distributed

@@ -470,4 +470,59 @@ object Text {
         sum(col("n_chars")).as("sum_chars"),
         round(sum(col("n_tok")) / count(lit(1)), 4).as("avg_tokens"))
       .orderBy("lang", "source")
+
+  /** Token-length profile per language — the length histogram a tokenizer
+    * /embedding budget is sized from: per (lang, token length) the count
+    * and exact e4 share of the language's tokens (share via a lang-keyed
+    * margin window over the already-aggregated profile, not a rescan).
+    */
+  def q_token_length_profile(spark: SparkSession, sf: String): DataFrame =
+    Tables.documents(spark, sf)
+      .select(col("lang"), explode(tokens(col("text"))).as("word"))
+      .groupBy(col("lang"), length(col("word")).cast("long").as("len"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("tot", sum(col("n")).over(Window.partitionBy("lang")))
+      .select(col("lang"), col("len"), col("n"),
+        expr("n * 10000 div tot").as("share_e4"))
+      .orderBy("lang", "len")
+
+  /** Bag-of-words dedup: two documents with the same word MULTISET are
+    * duplicates (catches word-order shuffles that exact-hash dedup
+    * misses). Fingerprint = the sorted token list re-joined; per language
+    * the doc count, distinct-bag count and surviving extra docs. One
+    * scan, one aggregate — the fingerprint is computed inside the row.
+    */
+  def q_dedup_bow(spark: SparkSession, sf: String): DataFrame =
+    Tables.documents(spark, sf)
+      .select(col("lang"),
+        array_join(sort_array(tokens(col("text"))), " ").as("bow"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("bow")).as("n_bow_distinct"))
+      .select(col("lang"), col("n_docs"), col("n_bow_distinct"),
+        (col("n_docs") - col("n_bow_distinct")).as("n_dup_extra"))
+      .orderBy("lang")
+
+  /** Bigram novelty per language: the share of a language's bigram
+    * occurrences that fall OUTSIDE the global top-1000 bigram list (count
+    * desc, bigram asc — a TakeOrdered top-k, never a global sort). The
+    * "how much long-tail text is here" readout that sizes novelty-based
+    * quality filters; the top list broadcasts to one join at any scale.
+    */
+  def q_ngram_novelty(spark: SparkSession, sf: String): DataFrame = {
+    val bg = Tables.documents(spark, sf)
+      .select(col("lang"), tokens(col("text")).as("toks"))
+      .select(col("lang"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))"))
+        .as("bigram"))
+    val top = bg.groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc).limit(1000)
+      .select(col("bigram"), lit(1L).as("in_top"))
+    bg.join(broadcast(top), Seq("bigram"), "left_outer")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("in_top").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("lang"), col("n_bigrams"), col("n_novel"),
+        expr("n_novel * 10000 div n_bigrams").as("novelty_e4"))
+      .orderBy("lang")
+  }
 }

@@ -493,4 +493,42 @@ object TextPipeline {
           expr("dup_c * 1000000 div n_bg") < 150000, 1L).otherwise(0L).as("keep"))
       .orderBy("doc_id")
   }
+
+  /** Head-vocabulary coverage per language: the exact e4 share of all
+    * token occurrences covered by the language's 20 most frequent tokens
+    * (rank is a lang-keyed window over the token aggregate; ties break on
+    * the token). The number a stopword list or BPE head-vocab is sized
+    * from; the scan aggregates once, the rank runs on the aggregate.
+    */
+  def q_top_token_coverage(spark: SparkSession, sf: String): DataFrame = {
+    val counts = Tables.documents(spark, sf)
+      .select(col("lang"), explode(split(lower(col("text")), " ")).as("word"))
+      .groupBy(col("lang"), col("word"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("lang").orderBy(col("n").desc, col("word").asc)
+    counts
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_distinct"), sum(col("n")).as("n_tokens"),
+        sum(when(col("rk") <= 20, col("n")).otherwise(0L)).as("top20_tokens"))
+      .select(col("lang"), col("n_distinct"), col("n_tokens"), col("top20_tokens"),
+        expr("top20_tokens * 10000 div n_tokens").as("coverage_e4"))
+      .orderBy("lang")
+  }
+
+  /** Compression-proxy corpus metric: exact chars-per-token (e4 floor) per
+    * (lang, source) — the cheap stand-in for bytes-per-BPE-token that
+    * flags anomalous sources before tokenizer training. Pure one-pass
+    * integer aggregate.
+    */
+  def q_chars_per_token(spark: SparkSession, sf: String): DataFrame =
+    Tables.documents(spark, sf)
+      .select(col("lang"), col("source"), col("n_chars"),
+        size(split(lower(col("text")), " ")).cast("long").as("n_tok"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+        sum(col("n_tok")).as("toks"))
+      .select(col("lang"), col("source"), col("n_docs"), col("chars"), col("toks"),
+        expr("chars * 10000 div toks").as("cpt_e4"))
+      .orderBy("lang", "source")
 }

@@ -3798,5 +3798,158 @@ object OracleSql {
                       * CAST(sx AS DOUBLE))
                    / CAST(n AS DOUBLE) / 1e6, 6) + 0 AS intercept_ln
       FROM s ORDER BY brand""",
+
+    "q_token_length_profile" -> """
+      WITH t AS (SELECT lang, length(word) AS len
+                 FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS word
+                       FROM documents)),
+           c AS (SELECT lang, CAST(len AS BIGINT) AS len, CAST(COUNT(*) AS BIGINT) AS n
+                 FROM t GROUP BY 1, 2)
+      SELECT lang, len, n,
+             CAST(n * 10000 // SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS share_e4
+      FROM c ORDER BY lang, len""",
+
+    "q_dedup_bow" -> """
+      WITH b AS (SELECT lang,
+                        array_to_string(list_sort(string_split(lower(text), ' ')), ' ') AS bow
+                 FROM documents)
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT bow) AS BIGINT) AS n_bow_distinct,
+             CAST(COUNT(*) - COUNT(DISTINCT bow) AS BIGINT) AS n_dup_extra
+      FROM b GROUP BY 1 ORDER BY 1""",
+
+    "q_ngram_novelty" -> """
+      WITH bg0 AS (SELECT lang,
+                          word || ' ' || LEAD(word) OVER (PARTITION BY doc_id ORDER BY pos)
+                            AS bigram
+                   FROM (SELECT doc_id, lang,
+                                unnest(string_split(lower(text), ' ')) AS word,
+                                generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+                         FROM documents)),
+           bg AS (SELECT lang, bigram FROM bg0 WHERE bigram IS NOT NULL),
+           top AS (SELECT bigram, 1 AS in_top FROM (
+                     SELECT bigram, COUNT(*) AS n FROM bg GROUP BY 1
+                     ORDER BY n DESC, bigram LIMIT 1000)),
+           j AS (SELECT lang, CASE WHEN t.in_top IS NULL THEN 1 ELSE 0 END AS novel
+                 FROM bg LEFT JOIN top t ON bg.bigram = t.bigram)
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(novel) AS BIGINT) AS n_novel,
+             CAST(SUM(novel) * 10000 // COUNT(*) AS BIGINT) AS novelty_e4
+      FROM j GROUP BY 1 ORDER BY 1""",
+
+    "q_top_token_coverage" -> """
+      WITH c AS (SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS n
+                 FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS word
+                       FROM documents)
+                 GROUP BY 1, 2),
+           r AS (SELECT lang, n,
+                        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, word) AS rk
+                 FROM c)
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(SUM(n) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN rk <= 20 THEN n ELSE 0 END) AS BIGINT) AS top20_tokens,
+             CAST(SUM(CASE WHEN rk <= 20 THEN n ELSE 0 END) * 10000 // SUM(n) AS BIGINT)
+               AS coverage_e4
+      FROM r GROUP BY 1 ORDER BY 1""",
+
+    "q_chars_per_token" -> """
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS chars,
+             CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT) AS toks,
+             CAST(SUM(n_chars) * 10000 // SUM(len(string_split(lower(text), ' ')))
+               AS BIGINT) AS cpt_e4
+      FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_session_path_topk" -> """
+      WITH s AS (SELECT user_id, event_id, event_type, ts_usl,
+                        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_usl, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+                 FROM (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_usl,
+                              CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                                     OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                                   THEN 1 ELSE 0 END AS new_session
+                       FROM events
+                       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))),
+           f AS (SELECT user_id, session_idx, event_type, ts_usl, event_id,
+                        ROW_NUMBER() OVER (PARTITION BY user_id, session_idx
+                                           ORDER BY ts_usl, event_id) AS rn
+                 FROM s),
+           p AS (SELECT user_id, session_idx,
+                        string_agg(event_type, '>' ORDER BY ts_usl, event_id) AS path
+                 FROM f WHERE rn <= 3 GROUP BY 1, 2)
+      SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+      FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 10""",
+
+    "q_locf_fill" -> """
+      WITH obs AS (SELECT l_returnflag AS flag,
+                          CAST(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+                            AS BIGINT) AS dayn,
+                          CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev
+                   FROM lineitem GROUP BY 1, 2),
+           sc AS (SELECT flag, unnest(generate_series(d0, d1)) AS dayn
+                  FROM (SELECT flag, MIN(dayn) AS d0, MAX(dayn) AS d1 FROM obs GROUP BY 1)),
+           f AS (SELECT sc.flag, sc.dayn, obs.rev,
+                        last_value(obs.rev IGNORE NULLS) OVER (PARTITION BY sc.flag
+                          ORDER BY sc.dayn
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+                 FROM sc LEFT JOIN obs ON sc.flag = obs.flag AND sc.dayn = obs.dayn)
+      SELECT flag, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(CASE WHEN rev IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+             CAST(SUM(filled) AS BIGINT) AS filled_total_cents
+      FROM f GROUP BY 1 ORDER BY 1""",
+
+    "q_acf_multi_lag" -> """
+      WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+                            CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS rev
+                     FROM events GROUP BY 1, 2),
+           l AS (SELECT event_type, rev,
+                        LAG(rev, 1) OVER w AS p1, LAG(rev, 2) OVER w AS p2,
+                        LAG(rev, 3) OVER w AS p3, LAG(rev, 7) OVER w AS p7
+                 FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+           st AS (SELECT event_type, CAST(1 AS BIGINT) AS k, rev, p1 AS prev FROM l
+                  UNION ALL SELECT event_type, 2, rev, p2 FROM l
+                  UNION ALL SELECT event_type, 3, rev, p3 FROM l
+                  UNION ALL SELECT event_type, 7, rev, p7 FROM l),
+           s AS (SELECT event_type, k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                        CAST(SUM(prev) AS BIGINT) AS sx, CAST(SUM(rev) AS BIGINT) AS sy,
+                        SUM(CAST(prev AS HUGEINT) * rev) AS sxy,
+                        SUM(CAST(prev AS HUGEINT) * prev) AS sxx,
+                        SUM(CAST(rev AS HUGEINT) * rev) AS syy
+                 FROM st WHERE prev IS NOT NULL GROUP BY 1, 2)
+      SELECT event_type, k, n_pairs,
+             ROUND((CAST(n_pairs AS DOUBLE)*CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                   / SQRT((CAST(n_pairs AS DOUBLE)*CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                        * (CAST(n_pairs AS DOUBLE)*CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 4) + 0 AS acf
+      FROM s ORDER BY event_type, k""",
+
+    "q_crossval_folds" -> """
+      WITH a AS (SELECT lang, n_chars,
+                        CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                          % 5 AS fold
+                 FROM documents),
+           c AS (SELECT CAST(fold AS BIGINT) AS fold, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                        CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+                 FROM a GROUP BY 1, 2),
+           x AS (SELECT fold, lang, n_docs, sum_chars,
+                        CAST(SUM(n_docs) OVER (PARTITION BY fold) AS BIGINT) AS fold_tot,
+                        CAST(SUM(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS lang_tot,
+                        CAST(SUM(n_docs) OVER () AS BIGINT) AS n
+                 FROM c)
+      SELECT fold, lang, n_docs, sum_chars,
+             CAST(n_docs * 10000 // fold_tot AS BIGINT) AS fold_share_e4,
+             CAST(lang_tot * 10000 // n AS BIGINT) AS corpus_share_e4
+      FROM x ORDER BY fold, lang""",
+
+    "q_hist2d" -> """
+      SELECT CAST(q // 10 AS BIGINT) AS q_bin,
+             CAST((pc // (CASE WHEN q = 0 THEN 1 ELSE q END)) // 2500 AS BIGINT) AS p_bin,
+             CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pc) AS BIGINT) AS rev_cents
+      FROM (SELECT CAST(l_quantity AS BIGINT) AS q,
+                   CAST(ROUND(l_extendedprice*100) AS BIGINT) AS pc
+            FROM lineitem)
+      GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 }
