@@ -1292,6 +1292,106 @@ object Analytics {
       (round(sqrt(chi2 / (col("n").cast("double") * minDim)), 6) + lit(0.0)).as("v"))
   }
 
+  /** Ship-latency SLA profile per order priority: exact integer day gaps
+    * order-date→ship-date, mean e4 floor, max, and the e4 share shipped
+    * within 30 days — the fulfillment dashboard row. One fact→dim join
+    * (orders is the smaller side only at test scale — the join keys on
+    * l_orderkey, so it shuffles both sides once at any scale) + a 5-row
+    * aggregate.
+    */
+  def q_sla_days(spark: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, sf)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("days"))
+      .groupBy(col("priority"))
+      .agg(count(lit(1)).as("n"), sum(col("days")).as("sum_days"),
+        max(col("days")).as("max_days"),
+        sum(when(col("days") <= 30, 1L).otherwise(0L)).as("n_within_30"))
+      .select(col("priority"), col("n"),
+        expr("sum_days * 10000 div n").as("mean_days_e4"), col("max_days"),
+        expr("n_within_30 * 10000 div n").as("within30_e4"))
+      .orderBy("priority")
+
+  /** Month-over-month revenue bridge: Δrevenue decomposed into a volume
+    * effect (Δqty at last month's average unit price, e4 floor) and the
+    * complementary price/mix effect (price_e4 = Δrev·10⁴ − volume_e4, so
+    * the bridge closes EXACTLY by construction). Consecutive months pair
+    * by an add_months equi-join on the tiny month aggregate — no window,
+    * partition-less or otherwise, anywhere.
+    */
+  def q_revenue_bridge(spark: SparkSession, sf: String): DataFrame = {
+    val monthly = Tables.lineitem(spark, sf)
+      .groupBy(date_trunc("month", col("l_shipdate")).as("month"))
+      .agg(sum(col("l_quantity").cast("long")).as("qty"),
+        sum(cents(col("l_extendedprice"))).as("rev"))
+    val prev = monthly.select(add_months(col("month"), 1).cast("timestamp").as("month"),
+      col("qty").as("pqty"), col("rev").as("prev_rev"))
+    monthly.join(prev, Seq("month"))
+      .select(date_format(col("month"), "yyyy-MM").as("month"),
+        col("prev_rev"), col("rev"), col("pqty"), col("qty"),
+        // trunc-normalized integer division (Δqty can be negative and the
+        // engines' integer-divide semantics differ there); the numerator
+        // needs 128-bit headroom — Δqty·rev·10⁴ overflows int64 at sf0.1
+        expr("CAST(CASE WHEN CAST(qty - pqty AS decimal(38,0)) * prev_rev * 10000 >= 0" +
+          " THEN (CAST(qty - pqty AS decimal(38,0)) * prev_rev * 10000) div pqty" +
+          " ELSE -((-(CAST(qty - pqty AS decimal(38,0)) * prev_rev * 10000)) div pqty)" +
+          " END AS BIGINT)").as("volume_effect_e4"))
+      .select(col("month"), col("prev_rev"), col("rev"), col("pqty"), col("qty"),
+        col("volume_effect_e4"),
+        ((col("rev") - col("prev_rev")) * 10000L - col("volume_effect_e4"))
+          .as("price_effect_e4"))
+      .orderBy("month")
+  }
+
+  /** ABC inventory classification per brand: parts ranked by revenue
+    * within their brand, cumulative-share cutoffs evaluated by integer
+    * cross-multiplication (A ⇔ cum·5 ≤ tot·4, B ⇔ cum·20 ≤ tot·19 — no
+    * division); per (brand, class) the part count and revenue mass. All
+    * windows are brand-keyed; the classic 80/15/5 Pareto segmentation.
+    */
+  def q_abc_class(spark: SparkSession, sf: String): DataFrame = {
+    val perPart = Tables.lineitem(spark, sf)
+      .join(broadcast(Tables.part(spark, sf).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"), col("l_partkey"))
+      .agg(sum(cents(col("l_extendedprice"))).as("rev"))
+    val w = Window.partitionBy("brand").orderBy(col("rev").desc, col("l_partkey").asc)
+    perPart
+      .withColumn("cum", sum(col("rev")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("rev")).over(Window.partitionBy("brand")))
+      .withColumn("cls",
+        when(col("cum") * 5 <= col("tot") * 4, "A")
+          .when(col("cum") * 20 <= col("tot") * 19, "B").otherwise("C"))
+      .groupBy(col("brand"), col("cls"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("rev")).as("rev_cents"))
+      .orderBy("brand", "cls")
+  }
+
+  /** Weekday-vs-weekend value lift per event type: exact cents sums and
+    * counts per side, lift = (weekend mean)/(weekday mean) as an e4 floor
+    * of integer cross-products — no float division at all. ISO weekday
+    * (Mon=0) on both engines. One 5-row aggregate.
+    */
+  def q_weekday_lift(spark: SparkSession, sf: String): DataFrame =
+    Tables.eventsWithTs(spark, sf)
+      .select(col("event_type"), cents(col("value")).as("vc"),
+        (weekday(col("ts_us")) >= 5).as("is_we"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(!col("is_we"), 1L).otherwise(0L)).as("wd_n"),
+        sum(when(!col("is_we"), col("vc")).otherwise(0L)).as("wd_cents"),
+        sum(when(col("is_we"), 1L).otherwise(0L)).as("we_n"),
+        sum(when(col("is_we"), col("vc")).otherwise(0L)).as("we_cents"))
+      .select(col("event_type"), col("wd_n"), col("wd_cents"), col("we_n"), col("we_cents"),
+        expr("CAST(CAST(we_cents AS decimal(38,0)) * wd_n * 10000" +
+          " div (CAST(wd_cents AS decimal(38,0)) * we_n) AS BIGINT)").as("lift_e4"))
+      .orderBy("event_type")
+
   /** Maximum drawdown of the daily-revenue series per year: running peak
     * (keyed cumulative max — never a partition-less window) minus the
     * day's value; per year the worst drawdown and its earliest day via a

@@ -244,6 +244,27 @@ object Events {
       .limit(10)
   }
 
+  /** Repeat-purchase cadence: each user's median gap between consecutive
+    * purchase events (exact integer hour gaps, per-user exact interpolated
+    * median), reported as a histogram over whole-day buckets. One
+    * user-keyed lag window + two aggregates; the retention-forecast input.
+    */
+  def q_purchase_interval_median(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_usl").asc, col("event_id").asc)
+    val gaps = Tables.eventsWithTs(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_usl"), col("event_id"))
+      .withColumn("prev", lag(col("ts_usl"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("user_id"), expr("(ts_usl - prev) div 3600000000").as("gap_h"))
+    gaps.groupBy(col("user_id"))
+      .agg(percentile(col("gap_h"), lit(0.5)).as("med_h"))
+      .select(floor(col("med_h") / lit(24.0)).cast("long").as("med_days_bucket"))
+      .groupBy(col("med_days_bucket"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("med_days_bucket")
+  }
+
   /** Last-observation-carried-forward gap fill: per return flag the daily
     * revenue series on a dense calendar scaffold (per-flag min..max day),
     * missing days filled by the last observed value — `last(ignoreNulls)`

@@ -555,4 +555,21 @@ object Relational {
         sum(coalesce(col("rev_cents"), lit(0L))).as("total_rev_cents"))
       .orderBy("yr")
   }
+
+  /** Discrete vs continuous percentiles side by side (p50/p90 of the
+    * extended price per return flag): `percentile_disc` returns an actual
+    * element of the column, `percentile` interpolates — the semantic
+    * difference every SLA/reporting consumer eventually trips on. Both
+    * are single-pass exact aggregates over integer cents.
+    */
+  def q_percentile_disc(spark: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").as("flag"), cents(col("l_extendedprice")).as("pc"))
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY pc)").as("p50_disc"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY pc)").as("p90_disc"),
+        (round(percentile(col("pc"), lit(0.5)), 4) + lit(0.0)).as("p50_cont"),
+        (round(percentile(col("pc"), lit(0.9)), 4) + lit(0.0)).as("p90_cont"))
+      .orderBy("flag")
 }

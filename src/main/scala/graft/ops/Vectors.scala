@@ -154,6 +154,92 @@ object Vectors {
           + lit(0.0)).as("mean"))
       .orderBy("label", "dim")
 
+  /** Silhouette coefficients for the 20 sample vectors against the label
+    * clustering: a = mean distance to own cluster (self excluded), b =
+    * best other-cluster mean, s = (b−a)/max(a,b). Every pair distance is
+    * rounded to an e6 integer BEFORE the order-free sums, means are exact
+    * floors, and only s is an IEEE epilogue. One broadcast block join
+    * (20×N) + a 20×10 aggregate — the clustering-quality audit at any
+    * corpus size.
+    */
+  def q_silhouette_sample(spark: SparkSession, sf: String): DataFrame = {
+    val all = quantized(spark, sf)
+    val sample = all.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("sid"), col("label").as("slabel"), col("qe").as("s_qe"))
+    val sums = all.crossJoin(broadcast(sample))
+      .filter(col("vec_id") =!= col("sid"))
+      .select(col("sid"), col("slabel"), col("label").as("olabel"),
+        round(sqrt(dist2E14(col("qe"), col("s_qe")).cast("double")) / lit(10.0))
+          .cast("long").as("d_e6"))
+      .groupBy(col("sid"), col("slabel"), col("olabel"))
+      .agg(count(lit(1)).as("n"), sum(col("d_e6")).as("sd"))
+      .select(col("sid"), col("slabel"), col("olabel"), expr("sd div n").as("md"))
+    sums.groupBy(col("sid"), col("slabel").cast("long").as("slabel"))
+      .agg(max(when(col("olabel") === col("slabel"), col("md"))).as("a_e6"),
+        min(when(col("olabel") =!= col("slabel"), col("md"))).as("b_e6"))
+      .select(col("sid"), col("slabel"), col("a_e6"), col("b_e6"),
+        (round((col("b_e6") - col("a_e6")).cast("double") /
+          greatest(col("a_e6"), col("b_e6")).cast("double"), 6) + lit(0.0)).as("s"))
+      .orderBy("sid")
+  }
+
+  /** Full confusion matrix of the nearest-label-centroid classifier:
+    * centroids = per-label e7-rounded means of dims 1..8 (one exploded
+    * aggregate, then re-assembled into arrays), every vector assigned to
+    * its integer-lattice-nearest centroid (tie → lower label) via one
+    * broadcast of the 10 centroids — the evaluation pass after any
+    * clustering/coreset build, one corpus scan at any size.
+    */
+  def q_centroid_confusion(spark: SparkSession, sf: String): DataFrame = {
+    val cent = Tables.embeddings(spark, sf)
+      .select(col("label").cast("long").as("clabel"),
+        posexplode(slice(q7(col("embedding")), 1, 8)).as(Seq("dim", "x")))
+      .groupBy(col("clabel"), col("dim"))
+      .agg(round(sum(col("x")).cast("double") / count(lit(1)).cast("double"))
+        .cast("long").as("c"))
+      .groupBy(col("clabel"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), p -> p.c)")
+        .as("c_qe"))
+    Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        slice(q7(col("embedding")), 1, 8).as("qe"))
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label"),
+        struct(dist2E14(col("qe"), col("c_qe")).as("d2"), col("clabel")).as("cand"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(min(col("cand")).as("best"))
+      .groupBy(col("label"), col("best.clabel").as("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label", "predicted")
+  }
+
+  /** Diagonal-covariance Mahalanobis outlier scan over dims 1..8: per-dim
+    * mean/variance from exact e7/e14 sums, each dimension's squared
+    * z-contribution rounded to an e6 integer per row BEFORE the order-free
+    * sum, top-10 scores by TakeOrdered. The multivariate anomaly screen
+    * that needs only one stats pass + one scan regardless of corpus size.
+    */
+  def q_mahalanobis_diag(spark: SparkSession, sf: String): DataFrame = {
+    val dims = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        posexplode(slice(q7(col("embedding")), 1, 8)).as(Seq("dim", "x")))
+    val stats = dims.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
+    val nD = col("n").cast("double")
+    val mu = col("sx").cast("double") / nD
+    val vr = (col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double") / nD) / (nD - lit(1.0))
+    dims.join(broadcast(stats), "dim")
+      .select(col("vec_id"), col("label"),
+        round((col("x").cast("double") - mu) * (col("x").cast("double") - mu) /
+          vr * lit(1e6)).cast("long").as("term_e6"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("term_e6")).as("d2_e6"))
+      .orderBy(col("d2_e6").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
   /** Gram (uncentered second-moment) matrix of the first 8 embedding
     * dimensions: G[i][j] = Σ_v x_i·x_j as an exact e14-lattice integer sum
     * (decimal accumulator — long overflows beyond ~10⁴ rows), reported as

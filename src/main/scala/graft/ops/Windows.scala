@@ -162,4 +162,21 @@ object Windows {
         col("prev_cents"), col("delta_cents"), col("sum3_cents"), col("n3"))
       .orderBy("user_id", "event_id")
   }
+
+  /** Distribution window functions percent_rank() and cume_dist() over a
+    * segment-keyed unique (balance, custkey) order — both are exact
+    * rationals of small integers, so the same IEEE division happens on
+    * both engines; rounded r6 for the compare. Spot output custkey < 50.
+    */
+  def q_window_cume_dist(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("bal_cents").asc, col("c_custkey").asc)
+    Tables.customer(spark, sf)
+      .select(col("c_mktsegment"), col("c_custkey"), cents(col("c_acctbal")).as("bal_cents"))
+      .withColumn("pr", round(percent_rank().over(w), 6) + lit(0.0))
+      .withColumn("cd", round(cume_dist().over(w), 6) + lit(0.0))
+      .filter(col("c_custkey") < 50)
+      .select(col("c_mktsegment"), col("c_custkey"), col("bal_cents"), col("pr"), col("cd"))
+      .orderBy("c_custkey")
+  }
 }

@@ -3951,5 +3951,160 @@ object OracleSql {
                    CAST(ROUND(l_extendedprice*100) AS BIGINT) AS pc
             FROM lineitem)
       GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_silhouette_sample" -> """
+      WITH n AS (SELECT vec_id, label,
+                        list_transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE)*1e7) AS BIGINT)) AS qe
+                 FROM embeddings),
+           s AS (SELECT vec_id AS sid, label AS slabel, qe AS s_qe FROM n WHERE vec_id < 20),
+           d AS (SELECT sid, slabel, n.label AS olabel,
+                        CAST(ROUND(SQRT(CAST(list_sum(list_transform(list_zip(n.qe, s_qe),
+                               p -> (p[1]-p[2])*(p[1]-p[2]))) AS DOUBLE)) / 10.0) AS BIGINT) AS d_e6
+                 FROM n CROSS JOIN s WHERE n.vec_id <> sid),
+           g AS (SELECT sid, slabel, olabel, CAST(COUNT(*) AS BIGINT) AS cnt,
+                        CAST(SUM(d_e6) AS BIGINT) AS sd
+                 FROM d GROUP BY 1, 2, 3),
+           m AS (SELECT sid, slabel, olabel, CAST(sd // cnt AS BIGINT) AS md FROM g),
+           ab AS (SELECT sid, CAST(slabel AS BIGINT) AS slabel,
+                         CAST(MAX(CASE WHEN olabel = slabel THEN md END) AS BIGINT) AS a_e6,
+                         CAST(MIN(CASE WHEN olabel <> slabel THEN md END) AS BIGINT) AS b_e6
+                  FROM m GROUP BY 1, 2)
+      SELECT sid, slabel, a_e6, b_e6,
+             ROUND(CAST(b_e6 - a_e6 AS DOUBLE) / CAST(GREATEST(a_e6, b_e6) AS DOUBLE), 6)
+               + 0 AS s
+      FROM ab ORDER BY sid""",
+
+    "q_centroid_confusion" -> """
+      WITH n AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                        list_transform(embedding[1:8],
+                          v -> CAST(ROUND(CAST(v AS DOUBLE)*1e7) AS BIGINT)) AS qe
+                 FROM embeddings),
+           e AS (SELECT label AS clabel, i AS dim, qe[i] AS x
+                 FROM n, (SELECT unnest(generate_series(1, 8)) AS i)),
+           c AS (SELECT clabel, dim,
+                        CAST(ROUND(CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS cv
+                 FROM e GROUP BY 1, 2),
+           ca AS (SELECT clabel, list(cv ORDER BY dim) AS c_qe FROM c GROUP BY 1),
+           d AS (SELECT vec_id, label, clabel,
+                        CAST(list_sum(list_transform(list_zip(qe, c_qe),
+                             p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS d2
+                 FROM n CROSS JOIN ca),
+           b AS (SELECT vec_id, label, clabel,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+                 FROM d)
+      SELECT label, clabel AS predicted, CAST(COUNT(*) AS BIGINT) AS n
+      FROM b WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_mahalanobis_diag" -> """
+      WITH dims AS (SELECT vec_id, CAST(label AS BIGINT) AS label, i AS dim,
+                           CAST(ROUND(CAST(embedding[i] AS DOUBLE)*1e7) AS BIGINT) AS x
+                    FROM embeddings, (SELECT unnest(generate_series(1, 8)) AS i)),
+           st AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+                         SUM(CAST(x AS HUGEINT) * x) AS sxx
+                  FROM dims GROUP BY 1),
+           t AS (SELECT vec_id, label,
+                        CAST(ROUND((CAST(x AS DOUBLE) - CAST(sx AS DOUBLE)/CAST(n AS DOUBLE))
+                                   * (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE)/CAST(n AS DOUBLE))
+                                   / ((CAST(sxx AS DOUBLE)
+                                       - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/CAST(n AS DOUBLE))
+                                      / (CAST(n AS DOUBLE) - 1.0)) * 1e6) AS BIGINT) AS term_e6
+                 FROM dims JOIN st USING (dim))
+      SELECT vec_id, label, CAST(SUM(term_e6) AS BIGINT) AS d2_e6
+      FROM t GROUP BY 1, 2 ORDER BY d2_e6 DESC, vec_id LIMIT 10""",
+
+    "q_window_cume_dist" -> """
+      SELECT c_mktsegment, c_custkey, bal_cents, pr, cd FROM (
+        SELECT c_mktsegment, c_custkey,
+               CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_cents,
+               ROUND(PERCENT_RANK() OVER w, 6) + 0 AS pr,
+               ROUND(CUME_DIST() OVER w, 6) + 0 AS cd
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment
+                     ORDER BY CAST(ROUND(c_acctbal*100) AS BIGINT), c_custkey))
+      WHERE c_custkey < 50 ORDER BY c_custkey""",
+
+    "q_percentile_disc" -> """
+      SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(quantile_disc(pc, 0.5) AS BIGINT) AS p50_disc,
+             CAST(quantile_disc(pc, 0.9) AS BIGINT) AS p90_disc,
+             ROUND(quantile_cont(pc, 0.5), 4) + 0 AS p50_cont,
+             ROUND(quantile_cont(pc, 0.9), 4) + 0 AS p90_cont
+      FROM (SELECT l_returnflag, CAST(ROUND(l_extendedprice*100) AS BIGINT) AS pc
+            FROM lineitem)
+      GROUP BY 1 ORDER BY 1""",
+
+    "q_sla_days" -> """
+      SELECT o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(days) * 10000 // COUNT(*) AS BIGINT) AS mean_days_e4,
+             CAST(MAX(days) AS BIGINT) AS max_days,
+             CAST(SUM(CASE WHEN days <= 30 THEN 1 ELSE 0 END) * 10000 // COUNT(*)
+               AS BIGINT) AS within30_e4
+      FROM (SELECT o_orderpriority,
+                   CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+                     AS BIGINT) AS days
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      GROUP BY 1 ORDER BY 1""",
+
+    "q_revenue_bridge" -> """
+      WITH m AS (SELECT date_trunc('month', l_shipdate) AS month,
+                        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+                        CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev
+                 FROM lineitem GROUP BY 1),
+           j AS (SELECT strftime(cur.month, '%Y-%m') AS month, prev.rev AS prev_rev,
+                        cur.rev AS rev, prev.qty AS pqty, cur.qty AS qty,
+                        CAST(cur.qty - prev.qty AS HUGEINT) * prev.rev * 10000 AS vnum
+                 FROM m cur JOIN m prev ON cur.month = prev.month + INTERVAL 1 MONTH),
+           v AS (SELECT month, prev_rev, rev, pqty, qty,
+                        CAST(CASE WHEN vnum >= 0 THEN vnum // pqty
+                                  ELSE -((-vnum) // pqty) END AS BIGINT) AS volume_effect_e4
+                 FROM j)
+      SELECT month, prev_rev, rev, pqty, qty, volume_effect_e4,
+             CAST((rev - prev_rev) * 10000 - volume_effect_e4 AS BIGINT) AS price_effect_e4
+      FROM v ORDER BY month""",
+
+    "q_abc_class" -> """
+      WITH pp AS (SELECT p_brand AS brand, l_partkey,
+                         CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev
+                  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2),
+           c AS (SELECT brand, rev,
+                        SUM(rev) OVER (PARTITION BY brand ORDER BY rev DESC, l_partkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                        SUM(rev) OVER (PARTITION BY brand) AS tot
+                 FROM pp),
+           k AS (SELECT brand, rev,
+                        CASE WHEN cum*5 <= tot*4 THEN 'A'
+                             WHEN cum*20 <= tot*19 THEN 'B' ELSE 'C' END AS cls
+                 FROM c)
+      SELECT brand, cls, CAST(COUNT(*) AS BIGINT) AS n_parts,
+             CAST(SUM(rev) AS BIGINT) AS rev_cents
+      FROM k GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_weekday_lift" -> """
+      WITH s AS (SELECT event_type,
+                        CAST(SUM(CASE WHEN isodow(ts) < 6 THEN 1 ELSE 0 END) AS BIGINT) AS wd_n,
+                        CAST(SUM(CASE WHEN isodow(ts) < 6
+                                      THEN CAST(ROUND(value*100) AS BIGINT) ELSE 0 END)
+                          AS BIGINT) AS wd_cents,
+                        CAST(SUM(CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END) AS BIGINT) AS we_n,
+                        CAST(SUM(CASE WHEN isodow(ts) >= 6
+                                      THEN CAST(ROUND(value*100) AS BIGINT) ELSE 0 END)
+                          AS BIGINT) AS we_cents
+                 FROM events GROUP BY 1)
+      SELECT event_type, wd_n, wd_cents, we_n, we_cents,
+             CAST(CAST(we_cents AS HUGEINT) * wd_n * 10000
+                  // (CAST(wd_cents AS HUGEINT) * we_n) AS BIGINT) AS lift_e4
+      FROM s ORDER BY event_type""",
+
+    "q_purchase_interval_median" -> """
+      WITH g AS (SELECT user_id, (ts_usl - prev) // 3600000000 AS gap_h
+                 FROM (SELECT user_id, epoch_us(ts) AS ts_usl,
+                              LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS prev
+                       FROM events WHERE event_type = 'purchase')
+                 WHERE prev IS NOT NULL),
+           m AS (SELECT user_id, quantile_cont(gap_h, 0.5) AS med_h FROM g GROUP BY 1)
+      SELECT CAST(FLOOR(med_h / 24.0) AS BIGINT) AS med_days_bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM m GROUP BY 1 ORDER BY 1""",
   )
 }
