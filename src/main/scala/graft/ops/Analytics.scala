@@ -1292,6 +1292,71 @@ object Analytics {
       (round(sqrt(chi2 / (col("n").cast("double") * minDim)), 6) + lit(0.0)).as("v"))
   }
 
+  /** Slowly-changing-dimension year-end snapshots: for every calendar
+    * year in the data, each customer's LATEST order status as of Dec 31
+    * (orders fan out onto the tiny year scaffold, latest-per-(customer,
+    * year) via a keyed row_number — the point-in-time reconstruction a
+    * feature store replays). Output: customers per (year, status).
+    */
+  def q_scd_snapshot(spark: SparkSession, sf: String): DataFrame = {
+    val o = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderdate"), year(col("o_orderdate")).cast("long").as("oy"))
+    val years = o.agg(min(col("oy")).as("y0"), max(col("oy")).as("y1"))
+      .select(explode(expr("sequence(y0, y1)")).as("y"))
+    val w = Window.partitionBy("o_custkey", "y")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    o.join(broadcast(years), col("oy") <= col("y"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("y"), col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("y", "status")
+  }
+
+  /** First-touch attribution (the complement of [[q_attribution_lasttouch]]):
+    * each purchase credits the FIRST non-purchase event type in the user's
+    * preceding history. Same user-keyed window shape; comparing the two
+    * tables shows how much credit the models move between channels.
+    */
+  def q_attribution_firsttouch(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_usl").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.eventsWithTs(spark, sf)
+      .select(col("user_id"), col("ts_usl"), col("event_id"), col("event_type"),
+        cents(col("value")).as("vc"))
+      .withColumn("channel",
+        first(when(col("event_type") =!= "purchase", col("event_type")), ignoreNulls = true)
+          .over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("channel"), lit("none")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("vc")).as("revenue_cents"))
+      .orderBy("channel")
+  }
+
+  /** New-vs-returning revenue split per day: a user's first active day
+    * (one user-keyed aggregate) classifies every later purchase, the day
+    * table then carries exact new/returning revenue and purchaser counts —
+    * the acquisition-vs-retention decomposition on every growth dashboard.
+    */
+  def q_new_returning_revenue(spark: SparkSession, sf: String): DataFrame = {
+    val ev = Tables.eventsWithTs(spark, sf)
+      .select(col("user_id"), to_date(col("ts_us")).as("day"),
+        col("event_type"), cents(col("value")).as("vc"))
+    val firstDay = ev.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    ev.filter(col("event_type") === "purchase")
+      .join(firstDay, "user_id")
+      .groupBy(col("day"))
+      .agg(
+        sum(when(col("day") === col("first_day"), col("vc")).otherwise(0L)).as("new_cents"),
+        sum(when(col("day") =!= col("first_day"), col("vc")).otherwise(0L)).as("ret_cents"),
+        countDistinct(when(col("day") === col("first_day"), col("user_id"))).as("new_buyers"),
+        countDistinct(when(col("day") =!= col("first_day"), col("user_id"))).as("ret_buyers"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("new_cents"),
+        col("ret_cents"), col("new_buyers"), col("ret_buyers"))
+      .orderBy("day")
+  }
+
   /** Ship-latency SLA profile per order priority: exact integer day gaps
     * order-date→ship-date, mean e4 floor, max, and the e4 share shipped
     * within 30 days — the fulfillment dashboard row. One fact→dim join

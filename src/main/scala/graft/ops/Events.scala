@@ -244,6 +244,69 @@ object Events {
       .limit(10)
   }
 
+  /** Watermark-lateness profile — the out-of-orderness histogram that
+    * sizes a Structured Streaming watermark: treating event_id as arrival
+    * order, lateness = (running max event time seen so far) − (this
+    * event's time). The running max is a two-level distributed prefix
+    * (arrival-bucket-keyed windows + bucket-max theta join — no
+    * partition-less window), lateness lands in 0/≤60s/≤5m/≤30m/beyond
+    * buckets with exact e4 shares.
+    */
+  def q_watermark_lateness(spark: SparkSession, sf: String): DataFrame = {
+    val ev = Tables.eventsWithTs(spark, sf)
+      .select(col("event_id"), col("ts_usl"))
+      .withColumn("bkt", expr("event_id div 100000"))
+    val wIn = Window.partitionBy("bkt").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bktMax = ev.groupBy(col("bkt")).agg(max(col("ts_usl")).as("bm"))
+    val prefix = bktMax.as("a")
+      .join(bktMax.as("b"), col("b.bkt") < col("a.bkt"), "left_outer")
+      .groupBy(col("a.bkt").as("bkt"))
+      .agg(max(col("b.bm")).as("pre"))
+    val late = ev.join(broadcast(prefix), Seq("bkt"))
+      .withColumn("runmax",
+        greatest(max(col("ts_usl")).over(wIn), coalesce(col("pre"), lit(Long.MinValue))))
+      .select(expr("(runmax - ts_usl) div 1000000").as("late_s"))
+      .select(when(col("late_s") === 0L, 0L)
+        .when(col("late_s") <= 60L, 1L)
+        .when(col("late_s") <= 300L, 2L)
+        .when(col("late_s") <= 1800L, 3L).otherwise(4L).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    late.crossJoin(broadcast(late.agg(sum(col("n")).as("tot"))))
+      .select(col("bucket"), col("n"), expr("n * 10000 div tot").as("share_e4"))
+      .orderBy("bucket")
+  }
+
+  /** Inter-arrival regularity per event type: gaps inside (type, day)
+    * partitions (keyed windows — a day bounds the partition at any
+    * scale), the exact per-type median gap, and the e4 share of gaps
+    * within [½·median, 2·median] — the pipeline-health readout that flags
+    * bursty or stalled sources.
+    */
+  def q_ts_regularity(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("event_type", "day")
+      .orderBy(col("ts_usl").asc, col("event_id").asc)
+    val gaps = Tables.eventsWithTs(spark, sf)
+      .select(col("event_type"), to_date(col("ts_us")).as("day"),
+        col("ts_usl"), col("event_id"))
+      .withColumn("prev", lag(col("ts_usl"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"), (col("ts_usl") - col("prev")).as("gap"))
+    val med = gaps.groupBy(col("event_type"))
+      .agg(percentile(col("gap"), lit(0.5)).as("med"))
+    gaps.join(broadcast(med), "event_type")
+      .select(col("event_type"), col("med"),
+        when(col("gap").cast("double") * lit(2.0) >= col("med") &&
+          col("gap").cast("double") <= col("med") * lit(2.0), 1L)
+          .otherwise(0L).as("reg"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"), max(col("med")).as("m"), sum(col("reg")).as("nr"))
+      .select(col("event_type"), col("n_gaps"),
+        (round(col("m"), 4) + lit(0.0)).as("median_gap_us"),
+        expr("nr * 10000 div n_gaps").as("regular_share_e4"))
+      .orderBy("event_type")
+  }
+
   /** Repeat-purchase cadence: each user's median gap between consecutive
     * purchase events (exact integer hour gaps, per-user exact interpolated
     * median), reported as a histogram over whole-day buckets. One

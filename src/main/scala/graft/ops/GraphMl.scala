@@ -182,4 +182,75 @@ object GraphMl {
         expr("array_join(transform(slice(array_sort(collect_set(doc_id)), 1, 15)," +
           " x -> CAST(x AS STRING)), ',')").as("postings"))
       .orderBy("term")
+
+  /** Undirected co-purchase edge list (support ≥ 2 part pairs, both
+    * directions) — the same graph as the triangle count, shared by the
+    * label-propagation and BFS operators below. `localCheckpoint` because
+    * every consumer fans out into multiple self-references.
+    */
+  private def coPurchaseEdges(spark: SparkSession, sf: String): DataFrame = {
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val e = items.as("a")
+      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("s"))
+      .filter(col("s") >= 2)
+      .select(col("u"), col("v"))
+    e.select(col("u"), col("v"))
+      .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+  }
+
+  /** One synchronous label-propagation step on the co-purchase graph:
+    * initial community = partkey mod 10, each node adopts the mode of its
+    * neighbors' labels (count desc, label asc — the deterministic
+    * tie-break every parallel LP needs). Output: the (old, new) label
+    * flow matrix with node counts — how much the communities move in one
+    * round. Edges shuffle once on the destination node; no iteration
+    * state beyond the edge list.
+    */
+  def q_label_propagation(spark: SparkSession, sf: String): DataFrame = {
+    val edges = coPurchaseEdges(spark, sf)
+    val votes = edges
+      .select(col("u").as("node"), (col("v") % 10).as("nlabel"))
+      .groupBy(col("node"), col("nlabel"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("node").orderBy(col("c").desc, col("nlabel").asc)
+    votes
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy((col("node") % 10).as("old_label"), col("nlabel").as("new_label"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy("old_label", "new_label")
+  }
+
+  /** Three unrolled BFS rounds from the minimum node of the co-purchase
+    * graph: per level the reachable-node count and id range. Each round
+    * is one join frontier→edges plus an anti-join against the visited
+    * set — the textbook distributed BFS, statically unrolled so the plan
+    * is pure DataFrame ops (the iterative generalization is
+    * q_dedup_components' convergence loop).
+    */
+  def q_bfs_levels(spark: SparkSession, sf: String): DataFrame = {
+    val edges = coPurchaseEdges(spark, sf)
+    val l0 = edges.agg(min(col("u")).as("node"))
+    def expand(frontier: DataFrame, visited: DataFrame): DataFrame =
+      edges.join(frontier.select(col("node").as("u")), "u")
+        .select(col("v").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .localCheckpoint()
+    val l1 = expand(l0, l0)
+    val v1 = l0.unionByName(l1)
+    val l2 = expand(l1, v1)
+    val v2 = v1.unionByName(l2)
+    val l3 = expand(l2, v2)
+    Seq((l0, 0L), (l1, 1L), (l2, 2L), (l3, 3L))
+      .map { case (df, lvl) =>
+        df.agg(lit(lvl).as("level"), count(lit(1)).as("n_nodes"),
+          min(col("node")).as("min_node"), max(col("node")).as("max_node"))
+      }
+      .reduce(_.unionByName(_))
+      .orderBy("level")
+  }
 }

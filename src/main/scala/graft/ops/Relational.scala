@@ -556,6 +556,71 @@ object Relational {
       .orderBy("yr")
   }
 
+  /** Entity-resolution blocking audit: candidate blocks keyed by
+    * (segment, nation, $1000 balance band); block-size distribution and
+    * the exact candidate-pair count vs the full N² — the scalability
+    * check that decides whether a fuzzy-match pass is runnable at all.
+    * One aggregate over the blocks; s·(s−1)/2 stays integer-exact.
+    */
+  def q_blocking_stats(spark: SparkSession, sf: String): DataFrame = {
+    val blocks = Tables.customer(spark, sf)
+      // +100000 offset keeps the band numerator positive — balances can be
+      // negative and trunc-vs-floor integer division differs there
+      .groupBy(col("c_mktsegment"), col("c_nationkey"),
+        expr("(CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000) div 100000").as("band"))
+      .agg(count(lit(1)).as("s"))
+    blocks.agg(count(lit(1)).as("n_blocks"), sum(col("s")).as("n_rows"),
+      max(col("s")).as("max_block"),
+      sum(expr("s * (s - 1) div 2")).as("cand_pairs"))
+      .select(col("n_rows"), col("n_blocks"), col("max_block"), col("cand_pairs"),
+        expr("n_rows * (n_rows - 1) div 2").as("total_pairs"),
+        expr("cand_pairs * 1000000 div (n_rows * (n_rows - 1) div 2)")
+          .as("cand_share_e6"))
+  }
+
+  /** CUBE with grouping_id()/grouping() — the metadata columns a BI layer
+    * uses to tell subtotal rows apart (flag = MSB, status = LSB on both
+    * engines). Completes the §2.4 grouped-aggregate surface.
+    */
+  def q_grouping_id(spark: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_linestatus"), cents(col("l_extendedprice")).as("pc"))
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        grouping(col("l_returnflag")).cast("long").as("g_flag"),
+        grouping(col("l_linestatus")).cast("long").as("g_status"),
+        count(lit(1)).as("n"), sum(col("pc")).as("rev_cents"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("gid"), col("g_flag"), col("g_status"), col("n"), col("rev_cents"))
+      .orderBy("gid", "flag", "status")
+
+  /** Referential-integrity audit across every FK relation in the star
+    * schema: child row count and orphan count per relation (one outer
+    * join each, unioned into the report). The ingest gate a warehouse
+    * runs before exposing a snapshot.
+    */
+  def q_fk_integrity(spark: SparkSession, sf: String): DataFrame = {
+    def rel(name: String, child: DataFrame, fk: String,
+            parent: DataFrame, pk: String): DataFrame =
+      child.select(col(fk)).join(parent.select(col(pk)).distinct(),
+        col(fk) === col(pk), "left_outer")
+        .agg(count(lit(1)).as("n_child"),
+          sum(when(col(pk).isNull, 1L).otherwise(0L)).as("n_orphans"))
+        .select(lit(name).as("relation"), col("n_child"), col("n_orphans"))
+    rel("customer->nation", Tables.customer(spark, sf), "c_nationkey",
+      Tables.nation(spark, sf), "n_nationkey")
+      .unionByName(rel("lineitem->orders", Tables.lineitem(spark, sf), "l_orderkey",
+        Tables.orders(spark, sf), "o_orderkey"))
+      .unionByName(rel("lineitem->part", Tables.lineitem(spark, sf), "l_partkey",
+        Tables.part(spark, sf), "p_partkey"))
+      .unionByName(rel("lineitem->supplier", Tables.lineitem(spark, sf), "l_suppkey",
+        Tables.supplier(spark, sf), "s_suppkey"))
+      .unionByName(rel("orders->customer", Tables.orders(spark, sf), "o_custkey",
+        Tables.customer(spark, sf), "c_custkey"))
+      .orderBy("relation")
+  }
+
   /** Discrete vs continuous percentiles side by side (p50/p90 of the
     * extended price per return flag): `percentile_disc` returns an actual
     * element of the column, `percentile` interpolates — the semantic

@@ -4106,5 +4106,172 @@ object OracleSql {
       SELECT CAST(FLOOR(med_h / 24.0) AS BIGINT) AS med_days_bucket,
              CAST(COUNT(*) AS BIGINT) AS n_users
       FROM m GROUP BY 1 ORDER BY 1""",
+
+    "q_watermark_lateness" -> """
+      WITH l AS (SELECT (MAX(epoch_us(ts)) OVER (ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - epoch_us(ts)) // 1000000 AS late_s
+                 FROM events),
+           b AS (SELECT CASE WHEN late_s = 0 THEN 0 WHEN late_s <= 60 THEN 1
+                             WHEN late_s <= 300 THEN 2 WHEN late_s <= 1800 THEN 3
+                             ELSE 4 END AS bucket
+                 FROM l),
+           c AS (SELECT CAST(bucket AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n
+                 FROM b GROUP BY 1)
+      SELECT bucket, n, CAST(n * 10000 // SUM(n) OVER () AS BIGINT) AS share_e4
+      FROM c ORDER BY bucket""",
+
+    "q_ts_regularity" -> """
+      WITH g AS (SELECT event_type, ts_usl - prev AS gap
+                 FROM (SELECT event_type, epoch_us(ts) AS ts_usl,
+                              LAG(epoch_us(ts)) OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                ORDER BY epoch_us(ts), event_id) AS prev
+                       FROM events)
+                 WHERE prev IS NOT NULL),
+           m AS (SELECT event_type, quantile_cont(gap, 0.5) AS med FROM g GROUP BY 1),
+           r AS (SELECT g.event_type, med,
+                        CASE WHEN CAST(gap AS DOUBLE) * 2.0 >= med
+                              AND CAST(gap AS DOUBLE) <= med * 2.0
+                             THEN 1 ELSE 0 END AS reg
+                 FROM g JOIN m ON g.event_type = m.event_type)
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+             ROUND(MAX(med), 4) + 0 AS median_gap_us,
+             CAST(SUM(reg) * 10000 // COUNT(*) AS BIGINT) AS regular_share_e4
+      FROM r GROUP BY 1 ORDER BY 1""",
+
+    "q_scd_snapshot" -> """
+      WITH o AS (SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+                        CAST(year(o_orderdate) AS BIGINT) AS oy
+                 FROM orders),
+           y AS (SELECT unnest(generate_series(y0, y1)) AS y
+                 FROM (SELECT MIN(oy) AS y0, MAX(oy) AS y1 FROM o)),
+           j AS (SELECT o_custkey, o_orderstatus, y.y,
+                        ROW_NUMBER() OVER (PARTITION BY o_custkey, y.y
+                                           ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                 FROM o JOIN y ON o.oy <= y.y)
+      SELECT y, o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM j WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_attribution_firsttouch" -> """
+      WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_usl,
+                        CAST(ROUND(value*100) AS BIGINT) AS vc
+                 FROM events),
+           w AS (SELECT event_type, vc,
+                        FIRST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                          IGNORE NULLS)
+                          OVER (PARTITION BY user_id ORDER BY ts_usl, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+                 FROM e)
+      SELECT COALESCE(channel, 'none') AS channel, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+             CAST(SUM(vc) AS BIGINT) AS revenue_cents
+      FROM w WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1""",
+
+    "q_new_returning_revenue" -> """
+      WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+                        CAST(ROUND(value*100) AS BIGINT) AS vc
+                 FROM events),
+           f AS (SELECT user_id, MIN(day) AS first_day FROM e GROUP BY 1),
+           p AS (SELECT e.user_id, e.day, f.first_day, vc
+                 FROM e JOIN f ON e.user_id = f.user_id
+                 WHERE event_type = 'purchase')
+      SELECT strftime(day, '%Y-%m-%d') AS day,
+             CAST(SUM(CASE WHEN day = first_day THEN vc ELSE 0 END) AS BIGINT) AS new_cents,
+             CAST(SUM(CASE WHEN day <> first_day THEN vc ELSE 0 END) AS BIGINT) AS ret_cents,
+             CAST(COUNT(DISTINCT CASE WHEN day = first_day THEN user_id END) AS BIGINT)
+               AS new_buyers,
+             CAST(COUNT(DISTINCT CASE WHEN day <> first_day THEN user_id END) AS BIGINT)
+               AS ret_buyers
+      FROM p GROUP BY day ORDER BY day""",
+
+    "q_label_propagation" -> """
+      WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           e0 AS (SELECT a.pk AS u, b.pk AS v
+                  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+                  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+           ed AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+           votes AS (SELECT u AS node, v % 10 AS nlabel, CAST(COUNT(*) AS BIGINT) AS c
+                     FROM ed GROUP BY 1, 2),
+           r AS (SELECT node, nlabel,
+                        ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, nlabel) AS rn
+                 FROM votes)
+      SELECT CAST(node % 10 AS BIGINT) AS old_label, CAST(nlabel AS BIGINT) AS new_label,
+             CAST(COUNT(*) AS BIGINT) AS n_nodes
+      FROM r WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_bfs_levels" -> """
+      WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           e0 AS (SELECT a.pk AS u, b.pk AS v
+                  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+                  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+           ed AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+           s AS (SELECT MIN(u) AS node FROM ed),
+           l1 AS (SELECT DISTINCT v AS node FROM ed JOIN s ON ed.u = s.node
+                  WHERE v NOT IN (SELECT node FROM s)),
+           l2 AS (SELECT DISTINCT v AS node FROM ed WHERE u IN (SELECT node FROM l1)
+                  AND v NOT IN (SELECT node FROM s UNION ALL SELECT node FROM l1)),
+           l3 AS (SELECT DISTINCT v AS node FROM ed WHERE u IN (SELECT node FROM l2)
+                  AND v NOT IN (SELECT node FROM s UNION ALL SELECT node FROM l1
+                                UNION ALL SELECT node FROM l2))
+      SELECT * FROM (
+        SELECT CAST(0 AS BIGINT) AS level, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(MIN(node) AS BIGINT) AS min_node, CAST(MAX(node) AS BIGINT) AS max_node
+        FROM s
+        UNION ALL SELECT 1, CAST(COUNT(*) AS BIGINT), MIN(node), MAX(node) FROM l1
+        UNION ALL SELECT 2, CAST(COUNT(*) AS BIGINT), MIN(node), MAX(node) FROM l2
+        UNION ALL SELECT 3, CAST(COUNT(*) AS BIGINT), MIN(node), MAX(node) FROM l3)
+      ORDER BY level""",
+
+    "q_blocking_stats" -> """
+      WITH b AS (SELECT c_mktsegment, c_nationkey,
+                        (CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000) // 100000 AS band,
+                        CAST(COUNT(*) AS BIGINT) AS s
+                 FROM customer GROUP BY 1, 2, 3),
+           a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks, CAST(SUM(s) AS BIGINT) AS n_rows,
+                        CAST(MAX(s) AS BIGINT) AS max_block,
+                        CAST(SUM(s * (s - 1) // 2) AS BIGINT) AS cand_pairs
+                 FROM b)
+      SELECT n_rows, n_blocks, max_block, cand_pairs,
+             CAST(n_rows * (n_rows - 1) // 2 AS BIGINT) AS total_pairs,
+             CAST(cand_pairs * 1000000 // (n_rows * (n_rows - 1) // 2) AS BIGINT)
+               AS cand_share_e6
+      FROM a""",
+
+    "q_grouping_id" -> """
+      SELECT COALESCE(l_returnflag, 'ALL') AS flag, COALESCE(l_linestatus, 'ALL') AS status,
+             CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+             CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+             CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY gid, flag, status""",
+
+    "q_fk_integrity" -> """
+      SELECT * FROM (
+        SELECT 'customer->nation' AS relation, CAST(COUNT(*) AS BIGINT) AS n_child,
+               CAST(SUM(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+        FROM customer LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+          ON c_nationkey = n_nationkey
+        UNION ALL
+        SELECT 'lineitem->orders', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+          ON l_orderkey = o_orderkey
+        UNION ALL
+        SELECT 'lineitem->part', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+          ON l_partkey = p_partkey
+        UNION ALL
+        SELECT 'lineitem->supplier', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) s
+          ON l_suppkey = s_suppkey
+        UNION ALL
+        SELECT 'orders->customer', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+          ON o_custkey = c_custkey)
+      ORDER BY relation""",
   )
 }
