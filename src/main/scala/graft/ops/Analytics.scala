@@ -1292,6 +1292,29 @@ object Analytics {
       (round(sqrt(chi2 / (col("n").cast("double") * minDim)), 6) + lit(0.0)).as("v"))
   }
 
+  /** Theil-Sen robust trend of daily revenue: the exact median of all
+    * pairwise slopes (trunc-normalized e4 integers — slopes can be
+    * negative). The pair join runs on the DAY AGGREGATE, whose size is
+    * calendar-bounded (~2.5k rows → ~3M pairs) regardless of corpus size,
+    * so the O(n²) stays constant at 100 TB. The outlier-immune answer to
+    * "is revenue trending up".
+    */
+  def q_theil_sen(spark: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.lineitem(spark, sf)
+      .groupBy(datediff(col("l_shipdate").cast("date"), lit("1970-01-01").cast("date"))
+        .cast("long").as("dayn"))
+      .agg(sum(cents(col("l_extendedprice"))).as("rev"))
+    val pairs = daily.as("a")
+      .join(daily.select(col("dayn").as("d2"), col("rev").as("r2")).as("b"),
+        col("b.d2") > col("a.dayn"))
+      .select(expr("CASE WHEN (r2 - rev) >= 0 THEN (r2 - rev) * 10000 div (d2 - dayn)" +
+        " ELSE -((-(r2 - rev)) * 10000 div (d2 - dayn)) END").as("slope_e4"))
+    pairs.agg(count(lit(1)).as("n_pairs"),
+      (round(percentile(col("slope_e4"), lit(0.5)), 4) + lit(0.0)).as("median_slope_e4"))
+      .crossJoin(broadcast(daily.agg(count(lit(1)).as("n_days"))))
+      .select(col("n_days"), col("n_pairs"), col("median_slope_e4"))
+  }
+
   /** Slowly-changing-dimension year-end snapshots: for every calendar
     * year in the data, each customer's LATEST order status as of Dec 31
     * (orders fan out onto the tiny year scaffold, latest-per-(customer,

@@ -556,6 +556,55 @@ object Relational {
       .orderBy("yr")
   }
 
+  /** Correlated EXISTS through the SQL-string entry path (E2): customers
+    * per segment holding at least one urgent order — Catalyst rewrites
+    * the correlated predicate into a left-semi hash join; declaring it
+    * as EXISTS (not a manual join) is exactly what lets the optimizer
+    * pick broadcast-vs-shuffle per scale.
+    */
+  def q_subquery_exists(spark: SparkSession, sf: String): DataFrame = {
+    Tables.customer(spark, sf).createOrReplaceTempView("customer_v")
+    Tables.orders(spark, sf).createOrReplaceTempView("orders_v")
+    spark.sql("""
+      SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_with_urgent
+      FROM customer_v c
+      WHERE EXISTS (SELECT 1 FROM orders_v o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+  }
+
+  /** IN / NOT IN subqueries as scalar counts (E2 SQL path): parts ever vs
+    * never sold — the rewrite targets are a semi and an anti join (the
+    * key columns are non-null, so NOT IN's three-valued trap is inert,
+    * noted here because at 100 TB a null-laden NOT IN silently empties).
+    */
+  def q_subquery_in(spark: SparkSession, sf: String): DataFrame = {
+    Tables.part(spark, sf).createOrReplaceTempView("part_v")
+    Tables.lineitem(spark, sf).createOrReplaceTempView("lineitem_v")
+    spark.sql("""
+      SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM part_v
+         WHERE p_partkey IN (SELECT l_partkey FROM lineitem_v)) AS n_parts_sold,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM part_v
+         WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem_v)) AS n_parts_never_sold""")
+  }
+
+  /** FILTER-clause aggregates (E2 SQL path): per flag the overall count
+    * beside filtered count/sum aggregates — one scan computes all three,
+    * the idiom that replaces three self-joined subqueries.
+    */
+  def q_agg_filter_clause(spark: SparkSession, sf: String): DataFrame = {
+    Tables.lineitem(spark, sf).createOrReplaceTempView("lineitem_v")
+    spark.sql("""
+      SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n_all,
+             CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_big,
+             CAST(COALESCE(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT))
+                    FILTER (WHERE CAST(ROUND(l_discount*100) AS BIGINT) = 0), 0)
+               AS BIGINT) AS rev_nodisc_cents
+      FROM lineitem_v GROUP BY 1 ORDER BY 1""")
+  }
+
   /** Entity-resolution blocking audit: candidate blocks keyed by
     * (segment, nation, $1000 balance band); block-size distribution and
     * the exact candidate-pair count vs the full N² — the scalability

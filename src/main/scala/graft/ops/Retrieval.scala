@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 
@@ -134,5 +135,60 @@ object Retrieval {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("w1").asc, col("w2").asc)
       .limit(30)
+  }
+
+  /** Per-document keyword extraction: the highest-TF-IDF term of each of
+    * docs 0-19. TF is computed only for the target docs, DF over the whole
+    * corpus (broadcast) — extraction cost scales with the extract set, not
+    * corpus², the shape a per-doc tagging pass needs. idf = ln(N/(1+df))
+    * rounded e6 before the integer tf·idf product; tie → lower term.
+    */
+  def q_doc_top_tfidf(spark: SparkSession, sf: String): DataFrame = {
+    val docToks = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(toks(col("text"))).as("word"))
+    val df_ = docToks.select(col("doc_id"), col("word")).distinct()
+      .groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val n = Tables.documents(spark, sf).agg(count(lit(1)).as("n_docs"))
+    val tf = docToks.filter(col("doc_id") < 20)
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score_e6").desc, col("word").asc)
+    tf.join(broadcast(df_), "word")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("word"), col("tf"), col("df"),
+        (col("tf") * round(log(col("n_docs").cast("double") /
+          (col("df").cast("double") + lit(1.0))) * lit(1e6)).cast("long"))
+          .as("score_e6"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("word"), col("tf"), col("df"), col("score_e6"))
+      .orderBy("doc_id")
+  }
+
+  /** Query-likelihood retrieval with Dirichlet smoothing (μ = 2000) for
+    * the shared query terms: score(d) = Σ_q ln((tf + μ·cf_q/|C|)/(|d|+μ)),
+    * each term rounded e6 before the order-free integer sum; top-10 docs.
+    * Every document scores every term (smoothing never zeroes), via one
+    * doc-length table × a 3-row broadcast of corpus term stats.
+    */
+  def q_query_likelihood(spark: SparkSession, sf: String): DataFrame = {
+    val mu = lit(2000.0)
+    val docToks = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(toks(col("text"))).as("word"))
+    val dl = docToks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val corpus = dl.agg(sum(col("dl")).as("total_toks"))
+    val cf = docToks.filter(col("word").isin(QueryTerms: _*))
+      .groupBy(col("word")).agg(count(lit(1)).as("cf"))
+    val tf = docToks.filter(col("word").isin(QueryTerms: _*))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val term = log((coalesce(col("tf"), lit(0L)).cast("double") +
+      mu * col("cf").cast("double") / col("total_toks").cast("double")) /
+      (col("dl").cast("double") + mu))
+    dl.crossJoin(broadcast(cf)).crossJoin(broadcast(corpus))
+      .join(tf, Seq("doc_id", "word"), "left_outer")
+      .select(col("doc_id"), round(term * lit(1e6)).cast("long").as("term_e6"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("term_e6")).as("score_e6"))
+      .orderBy(col("score_e6").desc, col("doc_id").asc)
+      .limit(10)
   }
 }

@@ -371,6 +371,23 @@ object Sampling {
       .orderBy("event_type")
   }
 
+  /** Subsample-stability audit: ten deterministic half-samples (md5 of
+    * doc_id·10+replica, parity split) and each replicate's exact floor-
+    * mean document length — if the replicate means disagree materially,
+    * corpus statistics aren't stable at half the data. The poor man's
+    * bootstrap, shuffle-free and reproducible on any cluster.
+    */
+  def q_subsample_stability(spark: SparkSession, sf: String): DataFrame =
+    Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars"),
+        explode(expr("sequence(0, 9)")).as("r"))
+      .filter(idHash(col("doc_id") * 10 + col("r")) % 2 === 0)
+      .groupBy(col("r").cast("long").as("replica"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .select(col("replica"), col("n_docs"), col("sum_chars"),
+        expr("sum_chars * 10000 div n_docs").as("mean_chars_e4"))
+      .orderBy("replica")
+
   /** 5-fold cross-validation assignment by id hash — every row decides
     * its own fold from md5(doc_id), so folds are reproducible with no
     * shuffle or seed coordination; per (fold, lang) the doc count, char

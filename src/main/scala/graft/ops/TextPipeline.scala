@@ -516,6 +516,29 @@ object TextPipeline {
       .orderBy("lang")
   }
 
+  /** Top-20 character trigrams per language with exact e4 share — the
+    * raw profile a language-ID model trains on. Trigrams are generated
+    * inside the row (one transform over the char positions, no join);
+    * docs shorter than 3 chars are skipped on both engines.
+    */
+  def q_char_trigram_profile(spark: SparkSession, sf: String): DataFrame = {
+    val counts = Tables.documents(spark, sf)
+      .filter(col("n_chars") >= 3)
+      .select(col("lang"), explode(expr(
+        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+        .as("g"))
+      .groupBy(col("lang"), col("g"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("lang").orderBy(col("n").desc, col("g").asc)
+    counts
+      .withColumn("tot", sum(col("n")).over(Window.partitionBy("lang")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 20)
+      .select(col("lang"), col("rk"), col("g").as("trigram"), col("n"),
+        expr("n * 10000 div tot").as("share_e4"))
+      .orderBy("lang", "rk")
+  }
+
   /** Compression-proxy corpus metric: exact chars-per-token (e4 floor) per
     * (lang, source) — the cheap stand-in for bytes-per-BPE-token that
     * flags anomalous sources before tokenizer training. Pure one-pass

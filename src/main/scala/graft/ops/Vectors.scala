@@ -240,6 +240,26 @@ object Vectors {
       .limit(10)
   }
 
+  /** Centered-feature export for vectors 0-9: per (vector, dim 1..8) the
+    * raw e7 value and the value minus the e7-rounded corpus mean — the
+    * preprocessing step before PCA/whitening, emitted as long rows the
+    * way a feature store ingests them. One stats pass broadcast onto the
+    * export slice.
+    */
+  def q_embedding_center_export(spark: SparkSession, sf: String): DataFrame = {
+    val dims = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        posexplode(slice(q7(col("embedding")), 1, 8)).as(Seq("dim", "x")))
+    val mu = dims.groupBy(col("dim"))
+      .agg(round(sum(col("x")).cast("double") / count(lit(1)).cast("double"))
+        .cast("long").as("mu_e7"))
+    dims.filter(col("vec_id") < 10)
+      .join(broadcast(mu), "dim")
+      .select(col("vec_id"), col("dim").cast("long").as("dim"), col("x").as("x_e7"),
+        (col("x") - col("mu_e7")).as("centered_e7"))
+      .orderBy("vec_id", "dim")
+  }
+
   /** Gram (uncentered second-moment) matrix of the first 8 embedding
     * dimensions: G[i][j] = Σ_v x_i·x_j as an exact e14-lattice integer sum
     * (decimal accumulator — long overflows beyond ~10⁴ rows), reported as

@@ -163,6 +163,26 @@ object Windows {
       .orderBy("user_id", "event_id")
   }
 
+  /** Boundary window functions over the FULL frame (first_value /
+    * nth_value(2) / last_value with unbounded-both frames) per market
+    * segment on the unique (balance desc, custkey) order — the top /
+    * runner-up / bottom readout without three separate rank passes.
+    */
+  def q_window_nth_value(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("bal_cents").desc, col("c_custkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.customer(spark, sf)
+      .select(col("c_mktsegment"), col("c_custkey"), cents(col("c_acctbal")).as("bal_cents"))
+      .withColumn("top_bal", first(col("bal_cents")).over(w))
+      .withColumn("second_bal", nth_value(col("bal_cents"), 2).over(w))
+      .withColumn("bottom_bal", last(col("bal_cents")).over(w))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), max(col("top_bal")).as("top_bal"),
+        max(col("second_bal")).as("second_bal"), max(col("bottom_bal")).as("bottom_bal"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Distribution window functions percent_rank() and cume_dist() over a
     * segment-keyed unique (balance, custkey) order — both are exact
     * rationals of small integers, so the same IEEE division happens on

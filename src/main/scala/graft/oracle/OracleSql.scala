@@ -4273,5 +4273,131 @@ object OracleSql {
         FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
           ON o_custkey = c_custkey)
       ORDER BY relation""",
+
+    "q_doc_top_tfidf" -> """
+      WITH dt AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+                  FROM documents),
+           df AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df
+                  FROM (SELECT DISTINCT doc_id, word FROM dt) GROUP BY 1),
+           n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+           tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+                  FROM dt WHERE doc_id < 20 GROUP BY 1, 2),
+           s AS (SELECT doc_id, word, tf, df,
+                        tf * CAST(ROUND(LN(CAST(n_docs AS DOUBLE)
+                               / (CAST(df AS DOUBLE) + 1.0)) * 1e6) AS BIGINT) AS score_e6
+                 FROM tf JOIN df USING (word), n),
+           r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                             ORDER BY score_e6 DESC, word) AS rn
+                 FROM s)
+      SELECT doc_id, word, tf, df, score_e6 FROM r WHERE rn = 1 ORDER BY doc_id""",
+
+    "q_query_likelihood" -> """
+      WITH dt AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+                  FROM documents),
+           dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM dt GROUP BY 1),
+           c AS (SELECT CAST(SUM(dl) AS BIGINT) AS total_toks FROM dl),
+           cf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cf FROM dt
+                  WHERE word IN ('merge', 'vector', 'fast') GROUP BY 1),
+           tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM dt
+                  WHERE word IN ('merge', 'vector', 'fast') GROUP BY 1, 2),
+           t AS (SELECT dl.doc_id,
+                        CAST(ROUND(LN((CAST(COALESCE(tf.tf, 0) AS DOUBLE)
+                                       + 2000.0 * CAST(cf.cf AS DOUBLE)
+                                         / CAST(total_toks AS DOUBLE))
+                                      / (CAST(dl.dl AS DOUBLE) + 2000.0)) * 1e6)
+                          AS BIGINT) AS term_e6
+                 FROM dl CROSS JOIN cf CROSS JOIN c
+                 LEFT JOIN tf ON dl.doc_id = tf.doc_id AND cf.word = tf.word)
+      SELECT doc_id, CAST(SUM(term_e6) AS BIGINT) AS score_e6
+      FROM t GROUP BY 1 ORDER BY score_e6 DESC, doc_id LIMIT 10""",
+
+    "q_char_trigram_profile" -> """
+      WITH t AS (SELECT lang, substring(text, CAST(i AS INT), 3) AS g
+                 FROM (SELECT lang, text, unnest(generate_series(1, length(text) - 2)) AS i
+                       FROM documents WHERE n_chars >= 3)),
+           c AS (SELECT lang, g, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY 1, 2),
+           r AS (SELECT lang, g, n,
+                        CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS tot,
+                        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, g) AS rk
+                 FROM c)
+      SELECT lang, CAST(rk AS BIGINT) AS rk, g AS trigram, n,
+             CAST(n * 10000 // tot AS BIGINT) AS share_e4
+      FROM r WHERE rk <= 20 ORDER BY lang, rk""",
+
+    "q_theil_sen" -> """
+      WITH d AS (SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+                          AS BIGINT) AS dayn,
+                        CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev
+                 FROM lineitem GROUP BY 1),
+           p AS (SELECT CASE WHEN (b.rev - a.rev) >= 0
+                             THEN (b.rev - a.rev) * 10000 // (b.dayn - a.dayn)
+                             ELSE -((-(b.rev - a.rev)) * 10000 // (b.dayn - a.dayn))
+                        END AS slope_e4
+                 FROM d a JOIN d b ON b.dayn > a.dayn),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                        ROUND(quantile_cont(slope_e4, 0.5), 4) + 0 AS median_slope_e4
+                 FROM p)
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_days, n_pairs, median_slope_e4
+      FROM s""",
+
+    "q_embedding_center_export" -> """
+      WITH dims AS (SELECT vec_id, i - 1 AS dim,
+                           CAST(ROUND(CAST(embedding[i] AS DOUBLE)*1e7) AS BIGINT) AS x
+                    FROM embeddings, (SELECT unnest(generate_series(1, 8)) AS i)),
+           mu AS (SELECT dim,
+                         CAST(ROUND(CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                           AS BIGINT) AS mu_e7
+                  FROM dims GROUP BY 1)
+      SELECT vec_id, CAST(dims.dim AS BIGINT) AS dim, x AS x_e7,
+             CAST(x - mu_e7 AS BIGINT) AS centered_e7
+      FROM dims JOIN mu ON dims.dim = mu.dim WHERE vec_id < 10 ORDER BY vec_id, dim""",
+
+    "q_subsample_stability" -> """
+      WITH x AS (SELECT doc_id, n_chars, unnest(generate_series(0, 9)) AS r FROM documents),
+           f AS (SELECT r, n_chars FROM x
+                 WHERE CAST('0x' || substring(md5(CAST(doc_id * 10 + r AS VARCHAR)), 1, 8)
+                         AS BIGINT) % 2 = 0)
+      SELECT CAST(r AS BIGINT) AS replica, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             CAST(SUM(n_chars) * 10000 // COUNT(*) AS BIGINT) AS mean_chars_e4
+      FROM f GROUP BY 1 ORDER BY 1""",
+
+    "q_subquery_exists" -> """
+      SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_with_urgent
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q_subquery_in" -> """
+      SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM part
+         WHERE p_partkey IN (SELECT l_partkey FROM lineitem)) AS n_parts_sold,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM part
+         WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)) AS n_parts_never_sold""",
+
+    "q_window_nth_value" -> """
+      WITH b AS (SELECT c_mktsegment, CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal, c_custkey
+                 FROM customer),
+           w AS (SELECT c_mktsegment,
+                        FIRST_VALUE(bal) OVER win AS top_bal,
+                        NTH_VALUE(bal, 2) OVER win AS second_bal,
+                        LAST_VALUE(bal) OVER win AS bottom_bal
+                 FROM b
+                 WINDOW win AS (PARTITION BY c_mktsegment ORDER BY bal DESC, c_custkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+      SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(MAX(top_bal) AS BIGINT) AS top_bal,
+             CAST(MAX(second_bal) AS BIGINT) AS second_bal,
+             CAST(MAX(bottom_bal) AS BIGINT) AS bottom_bal
+      FROM w GROUP BY 1 ORDER BY 1""",
+
+    "q_agg_filter_clause" -> """
+      SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n_all,
+             CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_big,
+             CAST(COALESCE(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT))
+                    FILTER (WHERE CAST(ROUND(l_discount*100) AS BIGINT) = 0), 0)
+               AS BIGINT) AS rev_nodisc_cents
+      FROM lineitem GROUP BY 1 ORDER BY 1""",
   )
 }
