@@ -244,6 +244,33 @@ object Events {
       .limit(10)
   }
 
+  /** Behavioral-entropy histogram: each user's event-type entropy
+    * H = ln(n) − Σc·ln(c)/n computed from exact counts (the c·ln(c)
+    * terms rounded e4 per cell before the order-free sum — the
+    * [[graft.ops.Text]] bigram-entropy lattice), bucketed in quarter-nat
+    * bins. Separates one-track users from browsers in one pass.
+    */
+  def q_session_entropy(spark: SparkSession, sf: String): DataFrame = {
+    val cells = Tables.eventsWithTs(spark, sf)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("user_id"), col("c"),
+        round(col("c").cast("double") * log(col("c").cast("double")) * lit(1e4))
+          .cast("long").as("clc_e4"))
+    val perUser = cells.groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n"), sum(col("clc_e4")).as("sclc_e4"))
+      .select(round((log(col("n").cast("double")) -
+        col("sclc_e4").cast("double") / lit(1e4) / col("n").cast("double")) * lit(1e4))
+        .cast("long").as("h_e4"))
+    perUser
+      // the e4 lattice can leave H a hair below zero for one-type users;
+      // clamp before the bucket division (trunc-vs-floor differs at <0)
+      .select(expr("greatest(h_e4, CAST(0 AS BIGINT)) div 2500").as("bucket_qnat"))
+      .groupBy(col("bucket_qnat"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("bucket_qnat")
+  }
+
   /** Watermark-lateness profile — the out-of-orderness histogram that
     * sizes a Structured Streaming watermark: treating event_id as arrival
     * order, lateness = (running max event time seen so far) − (this

@@ -683,6 +683,114 @@ object MLDeterministic {
       .limit(20)
   }
 
+  /** Elbow (inertia) curve for k = 1..4: every vector assigned to the
+    * nearest of the first k embeddings (fixed D5 seeds), inertia = Σ of
+    * per-row e8-floored squared distances — exact integers at any corpus
+    * size. One broadcast of ≤4 seed vectors, one scan per k fanned out of
+    * the same assignment table; the model-selection readout before a
+    * full k-means run.
+    */
+  def q_elbow_inertia(spark: SparkSession, sf: String): DataFrame = {
+    import graft.ops.{Vectors => V}
+    val all = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), V.q7(col("embedding")).as("qe"))
+    val seeds = all.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("sid"), col("qe").as("s_qe"))
+    val d = all.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("sid"),
+        graft.functions.GraftFunctions.dist2Long(col("qe"), col("s_qe")).as("d2"))
+    Seq(1L, 2L, 3L, 4L).map { k =>
+      d.filter(col("sid") < k)
+        .groupBy(col("vec_id"))
+        .agg(min(col("d2")).as("best"))
+        .agg(lit(k).as("k"), count(lit(1)).as("n"),
+          sum(expr("best div 1000000")).as("inertia_e8"))
+    }.reduce(_.unionByName(_)).orderBy("k")
+  }
+
+  /** Learning curve: OLS slope/R² of price~quantity on nested hash
+    * subsets (10/20/40/80/100% by md5 of the full row key — duplicates
+    * hash together, which only means they enter the same subset). The
+    * "does more data still help" diagnostic; each point is the same
+    * one-pass exact-sums regression on a filtered scan.
+    */
+  def q_learning_curve(spark: SparkSession, sf: String): DataFrame = {
+    val h = graft.core.Det.hash32(concat_ws("_", col("l_orderkey"),
+      col("l_linenumber"), col("l_partkey"), col("l_suppkey"), col("l_quantity")))
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_quantity").cast("long").as("x"),
+        cents(col("l_extendedprice")).as("y"), (h % 100).as("bucket"))
+      .select(col("x"), col("y"), explode(expr("array(10, 20, 40, 80, 100)")).as("p"),
+        col("bucket"))
+      .filter(col("bucket") < col("p"))
+    val sums = rows.groupBy(col("p").cast("long").as("pct"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+    val nD = col("n").cast("double")
+    val num = nD * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")
+    val dx = nD * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")
+    val dy = nD * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double")
+    sums.select(col("pct"), col("n"),
+      (round(num / dx, 4) + lit(0.0)).as("slope"),
+      (round(num * num / (dx * dy), 4) + lit(0.0)).as("r2"))
+      .orderBy("pct")
+  }
+
+  /** Deterministic permutation test: the observed even/odd-user gap in
+    * mean purchase value beside ten hash-permuted cohort assignments
+    * (md5(user·16+replica) parity). Every replica is one filtered-scan
+    * aggregate over the same per-user table; the observed row is replica
+    * −1. Exceedance counting is the reader's one-liner.
+    */
+  def q_permutation_test(spark: SparkSession, sf: String): DataFrame = {
+    val perUser = Tables.eventsWithTs(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("s"))
+    val reps = perUser
+      .select(col("user_id"), col("n"), col("s"),
+        explode(expr("sequence(-1, 9)")).as("r"))
+      .withColumn("cohort",
+        when(col("r") === -1L, col("user_id") % 2)
+          .otherwise(graft.core.Det.hash32(col("user_id") * 16 + col("r")) % 2))
+    reps.groupBy(col("r").cast("long").as("replica"))
+      .agg(
+        sum(when(col("cohort") === 0, col("s")).otherwise(0L)).as("s0"),
+        sum(when(col("cohort") === 0, col("n")).otherwise(0L)).as("n0"),
+        sum(when(col("cohort") === 1, col("s")).otherwise(0L)).as("s1"),
+        sum(when(col("cohort") === 1, col("n")).otherwise(0L)).as("n1"))
+      .select(col("replica"), col("n0"), col("n1"),
+        (round(col("s0").cast("double") / col("n0").cast("double") -
+          col("s1").cast("double") / col("n1").cast("double"), 4) + lit(0.0))
+          .as("mean_diff_cents"))
+      .orderBy("replica")
+  }
+
+  /** ANOVA post-hoc pairwise z-scores between return flags on extended
+    * price: per-pair mean difference over pooled standard error, straight
+    * from the 3-row exact-stats aggregate (theta self-join on flag order).
+    */
+  def q_anova_posthoc(spark: SparkSession, sf: String): DataFrame = {
+    val g = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").as("flag"), cents(col("l_extendedprice")).as("v"))
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        sum(expr("CAST(v AS decimal(38,0)) * v")).as("ss"))
+    def m(p: String) = col(s"$p.s").cast("double") / col(s"$p.n").cast("double")
+    def v(p: String) =
+      (col(s"$p.ss").cast("double") -
+        col(s"$p.s").cast("double") * col(s"$p.s").cast("double") / col(s"$p.n").cast("double")) /
+        (col(s"$p.n").cast("double") - lit(1.0))
+    g.as("a").join(g.as("b"), col("a.flag") < col("b.flag"))
+      .select(col("a.flag").as("flag1"), col("b.flag").as("flag2"),
+        col("a.n").as("n1"), col("b.n").as("n2"),
+        (round((m("a") - m("b")) /
+          sqrt(v("a") / col("a.n").cast("double") + v("b") / col("b.n").cast("double")), 4)
+          + lit(0.0)).as("z"))
+      .orderBy("flag1", "flag2")
+  }
+
   /** Log-log price elasticity per part brand: regress y = ln(quantity) on
     * x = ln(unit price) — both rounded to e6 integer lattices per row, so
     * the sufficient statistics are order-free integer/decimal sums; the

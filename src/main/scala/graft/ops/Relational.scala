@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{Det, Tables}
@@ -554,6 +554,113 @@ object Relational {
         sum(coalesce(col("n_orders"), lit(0L))).as("total_orders"),
         sum(coalesce(col("rev_cents"), lit(0L))).as("total_rev_cents"))
       .orderBy("yr")
+  }
+
+  /** Geometric mean of extended price per return flag: per-row ln rounded
+    * to an e6 integer (order-free sum), the mean-ln kept exact, and one
+    * exp() epilogue rounded r4 — the only libm call sits on a single
+    * aggregated value where a 1-ulp engine difference is ~10⁻¹¹ relative,
+    * far inside the rounding granularity.
+    */
+  def q_geometric_mean(spark: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").as("flag"),
+        round(log(cents(col("l_extendedprice")).cast("double")) * lit(1e6))
+          .cast("long").as("lx_e6"))
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n"), sum(col("lx_e6")).as("s"))
+      .select(col("flag"), col("n"),
+        expr("s div n").as("mean_ln_e6"),
+        (round(exp(col("s").cast("double") / col("n").cast("double") / lit(1e6)) /
+          lit(100.0), 4) + lit(0.0)).as("geo_mean"))
+      .orderBy("flag")
+
+  /** Harmonic mean of extended price per return flag: per-row reciprocal
+    * on an e12 integer lattice, exact sum, one division epilogue — no
+    * libm at all. The mean that prices-per-unit average correctly under.
+    */
+  def q_harmonic_mean(spark: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").as("flag"),
+        round(lit(1e12) / cents(col("l_extendedprice")).cast("double"))
+          .cast("long").as("r_e12"))
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n"), sum(col("r_e12")).as("sr"))
+      .select(col("flag"), col("n"), col("sr").as("sum_recip_e12"),
+        (round(col("n").cast("double") * lit(1e12) / col("sr").cast("double") /
+          lit(100.0), 4) + lit(0.0)).as("harm_mean"))
+      .orderBy("flag")
+
+  /** 10%-trimmed mean per return flag: exact p10/p90 bounds broadcast
+    * back onto the scan, exact integer mean of the interior — the
+    * outlier-insensitive center that plain AVG isn't. Two passes, both
+    * single aggregates.
+    */
+  def q_trimmed_mean(spark: SparkSession, sf: String): DataFrame = {
+    val v = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").as("flag"), cents(col("l_extendedprice")).as("pc"))
+    val bounds = v.groupBy(col("flag"))
+      .agg(percentile(col("pc"), lit(0.1)).as("lo"),
+        percentile(col("pc"), lit(0.9)).as("hi"))
+    v.join(broadcast(bounds), "flag")
+      .filter(col("pc").cast("double") >= col("lo") && col("pc").cast("double") <= col("hi"))
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("pc")).as("s"))
+      .select(col("flag"), col("n_kept"),
+        (round(col("s").cast("double") / col("n_kept").cast("double") / lit(100.0), 4)
+          + lit(0.0)).as("trimmed_mean"))
+      .orderBy("flag")
+  }
+
+  /** Quantity-weighted median price per return flag: on the distinct
+    * price lattice the quantity-mass cumulates (flag-keyed window) and
+    * the median is the first value whose doubled cumulative weight
+    * reaches the total — all integer, no interpolation ambiguity.
+    */
+  def q_weighted_median(spark: SparkSession, sf: String): DataFrame = {
+    val lat = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").as("flag"), cents(col("l_extendedprice")).as("pc"),
+        col("l_quantity").cast("long").as("q"))
+      .groupBy(col("flag"), col("pc"))
+      .agg(sum(col("q")).as("w"))
+    val win = Window.partitionBy("flag").orderBy("pc")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lat
+      .withColumn("cum", sum(col("w")).over(win))
+      .withColumn("tot", sum(col("w")).over(Window.partitionBy("flag")))
+      .groupBy(col("flag"))
+      .agg(max(col("tot")).as("total_weight"),
+        min(when(col("cum") * 2 >= col("tot"), col("pc"))).as("wmedian_cents"))
+      .orderBy("flag")
+  }
+
+  /** The MapReduce combiner pattern made auditable: per-day partial
+    * sufficient statistics (n, Σ, Σ² in decimal) merged to global moments
+    * beside the same moments from one direct scan — byte-identical
+    * because the statistics are exact integers, which is the entire
+    * argument for partial aggregation at 100 TB.
+    */
+  def q_stats_merge_audit(spark: SparkSession, sf: String): DataFrame = {
+    val raw = Tables.orders(spark, sf)
+      .select(date_trunc("day", col("o_orderdate")).as("day"),
+        cents(col("o_totalprice")).as("tp"))
+    val partials = raw.groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("tp")).as("s"),
+        sum(expr("CAST(tp AS decimal(38,0)) * tp")).as("ss"))
+    val merged = partials.agg(count(lit(1)).as("n_partitions"),
+      sum(col("n")).as("n"), sum(col("s")).as("s"), sum(col("ss")).as("ss"))
+    val direct = raw.agg(count(lit(1)).as("dn"), sum(col("tp")).as("dsum"),
+      sum(expr("CAST(tp AS decimal(38,0)) * tp")).as("dss"))
+    def mean(s: Column, n: Column) = s.cast("double") / n.cast("double")
+    def variance(ss: Column, s: Column, n: Column) =
+      (ss.cast("double") - s.cast("double") * s.cast("double") / n.cast("double")) /
+        (n.cast("double") - lit(1.0))
+    merged.crossJoin(broadcast(direct))
+      .select(col("n_partitions"), col("n"),
+        (round(mean(col("s"), col("n")), 4) + lit(0.0)).as("merged_mean"),
+        (round(variance(col("ss"), col("s"), col("n")), 4) + lit(0.0)).as("merged_var"),
+        (round(mean(col("dsum"), col("dn")), 4) + lit(0.0)).as("direct_mean"),
+        (round(variance(col("dss"), col("dsum"), col("dn")), 4) + lit(0.0)).as("direct_var"))
   }
 
   /** Correlated EXISTS through the SQL-string entry path (E2): customers

@@ -4399,5 +4399,177 @@ object OracleSql {
                     FILTER (WHERE CAST(ROUND(l_discount*100) AS BIGINT) = 0), 0)
                AS BIGINT) AS rev_nodisc_cents
       FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q_geometric_mean" -> """
+      WITH l AS (SELECT l_returnflag AS flag,
+                        CAST(ROUND(LN(CAST(CAST(ROUND(l_extendedprice*100) AS BIGINT) AS DOUBLE))
+                               * 1e6) AS BIGINT) AS lx
+                 FROM lineitem),
+           s AS (SELECT flag, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(lx) AS BIGINT) AS s
+                 FROM l GROUP BY 1)
+      SELECT flag, n, CAST(s // n AS BIGINT) AS mean_ln_e6,
+             ROUND(EXP(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e6) / 100.0, 4) + 0 AS geo_mean
+      FROM s ORDER BY flag""",
+
+    "q_harmonic_mean" -> """
+      WITH l AS (SELECT l_returnflag AS flag,
+                        CAST(ROUND(1e12 / CAST(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                               AS DOUBLE)) AS BIGINT) AS r
+                 FROM lineitem),
+           s AS (SELECT flag, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(r) AS BIGINT) AS sr
+                 FROM l GROUP BY 1)
+      SELECT flag, n, sr AS sum_recip_e12,
+             ROUND(CAST(n AS DOUBLE) * 1e12 / CAST(sr AS DOUBLE) / 100.0, 4) + 0 AS harm_mean
+      FROM s ORDER BY flag""",
+
+    "q_trimmed_mean" -> """
+      WITH v AS (SELECT l_returnflag AS flag, CAST(ROUND(l_extendedprice*100) AS BIGINT) AS pc
+                 FROM lineitem),
+           b AS (SELECT flag, quantile_cont(pc, 0.1) AS lo, quantile_cont(pc, 0.9) AS hi
+                 FROM v GROUP BY 1),
+           k AS (SELECT v.flag, pc FROM v JOIN b ON v.flag = b.flag
+                 WHERE CAST(pc AS DOUBLE) >= lo AND CAST(pc AS DOUBLE) <= hi)
+      SELECT flag, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             ROUND(CAST(SUM(pc) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0, 4) + 0
+               AS trimmed_mean
+      FROM k GROUP BY 1 ORDER BY 1""",
+
+    "q_weighted_median" -> """
+      WITH lat AS (SELECT l_returnflag AS flag, CAST(ROUND(l_extendedprice*100) AS BIGINT) AS pc,
+                          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+                   FROM lineitem GROUP BY 1, 2),
+           c AS (SELECT flag, pc,
+                        CAST(SUM(w) OVER (PARTITION BY flag ORDER BY pc) AS BIGINT) AS cum,
+                        CAST(SUM(w) OVER (PARTITION BY flag) AS BIGINT) AS tot
+                 FROM lat)
+      SELECT flag, CAST(MAX(tot) AS BIGINT) AS total_weight,
+             CAST(MIN(CASE WHEN cum * 2 >= tot THEN pc END) AS BIGINT) AS wmedian_cents
+      FROM c GROUP BY 1 ORDER BY 1""",
+
+    "q_stats_merge_audit" -> """
+      WITH raw AS (SELECT date_trunc('day', o_orderdate) AS day,
+                          CAST(ROUND(o_totalprice*100) AS BIGINT) AS tp
+                   FROM orders),
+           p AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(tp) AS BIGINT) AS s,
+                        SUM(CAST(tp AS HUGEINT) * tp) AS ss
+                 FROM raw GROUP BY 1),
+           m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_partitions, CAST(SUM(n) AS BIGINT) AS n,
+                        CAST(SUM(s) AS BIGINT) AS s, SUM(ss) AS ss
+                 FROM p),
+           d AS (SELECT CAST(COUNT(*) AS BIGINT) AS dn, CAST(SUM(tp) AS BIGINT) AS dsum,
+                        SUM(CAST(tp AS HUGEINT) * tp) AS dss
+                 FROM raw)
+      SELECT n_partitions, n,
+             ROUND(CAST(s AS DOUBLE)/CAST(n AS DOUBLE), 4) + 0 AS merged_mean,
+             ROUND((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - 1.0), 4) + 0 AS merged_var,
+             ROUND(CAST(dsum AS DOUBLE)/CAST(dn AS DOUBLE), 4) + 0 AS direct_mean,
+             ROUND((CAST(dss AS DOUBLE)
+                    - CAST(dsum AS DOUBLE)*CAST(dsum AS DOUBLE)/CAST(dn AS DOUBLE))
+                   / (CAST(dn AS DOUBLE) - 1.0), 4) + 0 AS direct_var
+      FROM m, d""",
+
+    "q_elbow_inertia" -> """
+      WITH n AS (SELECT vec_id,
+                        list_transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE)*1e7) AS BIGINT)) AS qe
+                 FROM embeddings),
+           s AS (SELECT vec_id AS sid, qe AS s_qe FROM n WHERE vec_id < 4),
+           d AS (SELECT n.vec_id, sid,
+                        CAST(list_sum(list_transform(list_zip(n.qe, s_qe),
+                             p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS d2
+                 FROM n CROSS JOIN s),
+           k AS (SELECT unnest([1, 2, 3, 4]) AS k),
+           b AS (SELECT k.k, d.vec_id, MIN(d2) AS best FROM d JOIN k ON d.sid < k.k
+                 GROUP BY 1, 2)
+      SELECT CAST(k AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(best // 1000000) AS BIGINT) AS inertia_e8
+      FROM b GROUP BY 1 ORDER BY 1""",
+
+    "q_learning_curve" -> """
+      WITH r AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+                        CAST(ROUND(l_extendedprice*100) AS BIGINT) AS y,
+                        CAST('0x' || substring(md5(
+                          CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)
+                          || '_' || CAST(l_partkey AS VARCHAR) || '_'
+                          || CAST(l_suppkey AS VARCHAR) || '_' || CAST(l_quantity AS VARCHAR)),
+                          1, 8) AS BIGINT) % 100 AS bucket
+                 FROM lineitem),
+           f AS (SELECT x, y, p FROM r
+                 CROSS JOIN (SELECT unnest([10, 20, 40, 80, 100]) AS p)
+                 WHERE bucket < p),
+           s AS (SELECT CAST(p AS BIGINT) AS pct, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                        CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx,
+                        SUM(CAST(y AS HUGEINT) * y) AS syy
+                 FROM f GROUP BY 1)
+      SELECT pct, n,
+             ROUND((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                   / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)), 4) + 0 AS slope,
+             ROUND((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                   * (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                   / ((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                      * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 4) + 0 AS r2
+      FROM s ORDER BY pct""",
+
+    "q_permutation_test" -> """
+      WITH pu AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS s
+                  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+           reps AS (SELECT user_id, n, s, r,
+                           CASE WHEN r = -1 THEN user_id % 2
+                                ELSE CAST('0x' || substring(md5(
+                                       CAST(user_id * 16 + r AS VARCHAR)), 1, 8) AS BIGINT) % 2
+                           END AS cohort
+                    FROM pu CROSS JOIN (SELECT unnest(generate_series(-1, 9)) AS r)),
+           a AS (SELECT CAST(r AS BIGINT) AS replica,
+                        CAST(SUM(CASE WHEN cohort = 0 THEN s ELSE 0 END) AS BIGINT) AS s0,
+                        CAST(SUM(CASE WHEN cohort = 0 THEN n ELSE 0 END) AS BIGINT) AS n0,
+                        CAST(SUM(CASE WHEN cohort = 1 THEN s ELSE 0 END) AS BIGINT) AS s1,
+                        CAST(SUM(CASE WHEN cohort = 1 THEN n ELSE 0 END) AS BIGINT) AS n1
+                 FROM reps GROUP BY 1)
+      SELECT replica, n0, n1,
+             ROUND(CAST(s0 AS DOUBLE)/CAST(n0 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE)/CAST(n1 AS DOUBLE), 4) + 0 AS mean_diff_cents
+      FROM a ORDER BY replica""",
+
+    "q_anova_posthoc" -> """
+      WITH g AS (SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS s,
+                        SUM(CAST(CAST(ROUND(l_extendedprice*100) AS BIGINT) AS HUGEINT)
+                            * CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS ss
+                 FROM lineitem GROUP BY 1)
+      SELECT a.flag AS flag1, b.flag AS flag2, a.n AS n1, b.n AS n2,
+             ROUND((CAST(a.s AS DOUBLE)/CAST(a.n AS DOUBLE)
+                    - CAST(b.s AS DOUBLE)/CAST(b.n AS DOUBLE))
+                   / SQRT(((CAST(a.ss AS DOUBLE)
+                            - CAST(a.s AS DOUBLE)*CAST(a.s AS DOUBLE)/CAST(a.n AS DOUBLE))
+                           / (CAST(a.n AS DOUBLE)-1.0)) / CAST(a.n AS DOUBLE)
+                          + ((CAST(b.ss AS DOUBLE)
+                              - CAST(b.s AS DOUBLE)*CAST(b.s AS DOUBLE)/CAST(b.n AS DOUBLE))
+                             / (CAST(b.n AS DOUBLE)-1.0)) / CAST(b.n AS DOUBLE)), 4) + 0 AS z
+      FROM g a JOIN g b ON a.flag < b.flag ORDER BY flag1, flag2""",
+
+    "q_session_entropy" -> """
+      WITH cells AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+                     FROM events GROUP BY 1, 2),
+           t AS (SELECT user_id, c,
+                        CAST(ROUND(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE)) * 1e4) AS BIGINT)
+                          AS clc
+                 FROM cells),
+           u AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(clc) AS BIGINT) AS sclc
+                 FROM t GROUP BY 1),
+           h AS (SELECT CAST(ROUND((LN(CAST(n AS DOUBLE))
+                          - CAST(sclc AS DOUBLE) / 1e4 / CAST(n AS DOUBLE)) * 1e4) AS BIGINT)
+                          AS h_e4
+                 FROM u)
+      SELECT CAST(GREATEST(h_e4, 0) // 2500 AS BIGINT) AS bucket_qnat,
+             CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM h GROUP BY 1 ORDER BY 1""",
   )
 }
