@@ -1292,6 +1292,107 @@ object Analytics {
       (round(sqrt(chi2 / (col("n").cast("double") * minDim)), 6) + lit(0.0)).as("v"))
   }
 
+  /** Budget-vs-actual variance: each month's revenue against the
+    * straight-line monthly budget (year total ÷ 12) on a dense
+    * (year × month) scaffold — months with no sales still report. The
+    * variance is kept integer by scaling ×12 (actual·12 − year total).
+    */
+  def q_budget_variance(spark: SparkSession, sf: String): DataFrame = {
+    val actual = Tables.lineitem(spark, sf)
+      .groupBy(year(col("l_shipdate")).cast("long").as("yr"),
+        month(col("l_shipdate")).cast("long").as("mo"))
+      .agg(sum(cents(col("l_extendedprice"))).as("rev"))
+    val yearly = actual.groupBy(col("yr")).agg(sum(col("rev")).as("ytot"))
+    val scaffold = yearly.select(col("yr"), col("ytot"),
+      explode(expr("sequence(CAST(1 AS BIGINT), CAST(12 AS BIGINT))")).as("mo"))
+    scaffold.join(actual, Seq("yr", "mo"), "left_outer")
+      .select(col("yr"), col("mo"), coalesce(col("rev"), lit(0L)).as("actual_cents"),
+        expr("ytot div 12").as("budget_floor_cents"),
+        (coalesce(col("rev"), lit(0L)) * 12L - col("ytot")).as("variance_x12"))
+      .orderBy("yr", "mo")
+  }
+
+  /** Concurrent-orders sweep line: +1 on the order date, −1 the day after
+    * the order's last shipment, cumulated over the dense day axis with
+    * the two-level distributed prefix sum (month-keyed windows +
+    * month-prefix theta join — in-flight intervals cross month and year
+    * boundaries, so a plain keyed window would be WRONG, not just slow).
+    * Output per month: peak and end-of-month in-flight counts.
+    */
+  def q_orders_in_flight(spark: SparkSession, sf: String): DataFrame = {
+    val epoch = lit("1970-01-01").cast("date")
+    val spans = Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey"))
+      .agg(max(datediff(col("l_shipdate").cast("date"), epoch)).cast("long").as("endd"))
+      .join(Tables.orders(spark, sf)
+        .select(col("o_orderkey"),
+          datediff(col("o_orderdate").cast("date"), epoch).cast("long").as("startd")),
+        col("l_orderkey") === col("o_orderkey"))
+    val deltas = spans.select(col("startd").as("dayn"), lit(1L).as("d"))
+      .unionByName(spans.select((col("endd") + 1L).as("dayn"), lit(-1L).as("d")))
+      .groupBy(col("dayn")).agg(sum(col("d")).as("delta"))
+      .withColumn("mon", expr("dayn div 32"))
+    val wIn = Window.partitionBy("mon").orderBy("dayn")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val monTot = deltas.groupBy(col("mon")).agg(sum(col("delta")).as("mt"))
+    val prefix = monTot.as("a")
+      .join(monTot.as("b"), col("b.mon") < col("a.mon"), "left_outer")
+      .groupBy(col("a.mon").as("mon"))
+      .agg(coalesce(sum(col("b.mt")), lit(0L)).as("pre"))
+    deltas.join(broadcast(prefix), Seq("mon"))
+      .withColumn("inflight", col("pre") + sum(col("delta")).over(wIn))
+      .groupBy(date_format(timestamp_seconds(col("dayn") * 86400L), "yyyy-MM").as("month"))
+      .agg(max(col("inflight")).as("peak_in_flight"),
+        min(struct((lit(0L) - col("dayn")).as("nd"), col("inflight"))).as("lastrow"))
+      .select(col("month"), col("peak_in_flight"),
+        col("lastrow.inflight").as("eom_in_flight"))
+      .orderBy("month")
+  }
+
+  /** Event-type co-occurrence lift over users: for every unordered type
+    * pair, P(both)/[P(a)·P(b)] as an exact e4 integer of cross-products —
+    * the association screen behind "users who X also Y". One distinct
+    * pass + a bounded pair explode per user (≤ C(5,2) rows each).
+    */
+  def q_event_cooccur_lift(spark: SparkSession, sf: String): DataFrame = {
+    val ut = Tables.eventsWithTs(spark, sf)
+      .select(col("user_id"), col("event_type")).distinct()
+    val totals = ut.groupBy(col("event_type")).agg(count(lit(1)).as("nu"))
+    val nUsers = ut.select(col("user_id")).distinct().agg(count(lit(1)).as("nn"))
+    ut.as("a").join(ut.as("b"),
+      col("a.user_id") === col("b.user_id") &&
+        col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("t1"), col("b.event_type").as("t2"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(broadcast(totals.select(col("event_type").as("t1"), col("nu").as("n1"))), "t1")
+      .join(broadcast(totals.select(col("event_type").as("t2"), col("nu").as("n2"))), "t2")
+      .crossJoin(broadcast(nUsers))
+      .select(col("t1"), col("t2"), col("n_both"), col("n1"), col("n2"),
+        expr("CAST(CAST(n_both AS decimal(38,0)) * nn * 10000 div" +
+          " (CAST(n1 AS decimal(38,0)) * n2) AS BIGINT)").as("lift_e4"))
+      .orderBy("t1", "t2")
+  }
+
+  /** Basket-size ↔ order-value correlation: Pearson r between an order's
+    * line count and its revenue, from one order-level aggregate and exact
+    * integer/decimal sufficient statistics. Answers "do bigger baskets
+    * actually spend more" in two shuffles total.
+    */
+  def q_basket_value_corr(spark: SparkSession, sf: String): DataFrame = {
+    val o = Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("x"), sum(cents(col("l_extendedprice"))).as("y"))
+    val s = o.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+    val nD = col("n").cast("double")
+    val num = nD * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")
+    val dx = nD * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")
+    val dy = nD * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double")
+    s.select(col("n").as("n_orders"),
+      (round(num / sqrt(dx * dy), 6) + lit(0.0)).as("corr"))
+  }
+
   /** Theil-Sen robust trend of daily revenue: the exact median of all
     * pairwise slopes (trunc-normalized e4 integers — slopes can be
     * negative). The pair join runs on the DAY AGGREGATE, whose size is

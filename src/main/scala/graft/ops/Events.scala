@@ -244,6 +244,28 @@ object Events {
       .limit(10)
   }
 
+  /** Burstiness (Fano factor = var/mean of the daily event count) per
+    * event type: exact integer daily counts, exact sufficient statistics,
+    * one IEEE epilogue. Fano ≈ 1 is Poisson-like traffic; ≫ 1 means
+    * campaign spikes — the capacity-planning number for a stream job.
+    */
+  def q_burstiness(spark: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.eventsWithTs(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts_us")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val s = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("c")).as("sc"),
+        sum(col("c") * col("c")).as("scc"))
+    val nD = col("n_days").cast("double")
+    val mean = col("sc").cast("double") / nD
+    val variance = (col("scc").cast("double") -
+      col("sc").cast("double") * col("sc").cast("double") / nD) / (nD - lit(1.0))
+    s.select(col("event_type"), col("n_days"),
+      (round(mean, 4) + lit(0.0)).as("mean_daily"),
+      (round(variance / mean, 4) + lit(0.0)).as("fano"))
+      .orderBy("event_type")
+  }
+
   /** Behavioral-entropy histogram: each user's event-type entropy
     * H = ln(n) − Σc·ln(c)/n computed from exact counts (the c·ln(c)
     * terms rounded e4 per cell before the order-free sum — the

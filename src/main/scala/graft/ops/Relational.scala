@@ -556,6 +556,27 @@ object Relational {
       .orderBy("yr")
   }
 
+  /** Price-consistency audit: parts sold at the most divergent unit
+    * prices (floor e4 unit price lattice) — distinct price points, span,
+    * top-10 by span. The catalog-quality screen that catches mispriced
+    * SKUs; one aggregate on (part, price point) then a part-level reduce.
+    */
+  def q_price_consistency(spark: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(spark, sf)
+      .select(col("l_partkey"),
+        expr("(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * 100)" +
+          " div CAST(l_quantity AS BIGINT)").as("unit_e4"))
+      .groupBy(col("l_partkey"), col("unit_e4"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("c")).as("n_lines"), count(lit(1)).as("n_price_points"),
+        min(col("unit_e4")).as("min_unit_e4"), max(col("unit_e4")).as("max_unit_e4"))
+      .select(col("l_partkey"), col("n_lines"), col("n_price_points"),
+        col("min_unit_e4"), col("max_unit_e4"),
+        (col("max_unit_e4") - col("min_unit_e4")).as("span_e4"))
+      .orderBy(col("span_e4").desc, col("l_partkey").asc)
+      .limit(10)
+
   /** Geometric mean of extended price per return flag: per-row ln rounded
     * to an e6 integer (order-free sum), the mean-ln kept exact, and one
     * exp() epilogue rounded r4 — the only libm call sits on a single

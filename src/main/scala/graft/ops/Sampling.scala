@@ -371,6 +371,29 @@ object Sampling {
       .orderBy("event_type")
   }
 
+  /** Z-score normalization export (the third normalizer beside min-max
+    * and quantile): per-flag exact moments broadcast back onto a spot
+    * slice (orderkey < 20), z rounded r6. The feature-scaling pass as a
+    * feature store would materialize it.
+    */
+  def q_zscore_export(spark: SparkSession, sf: String): DataFrame = {
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_returnflag").as("flag"), cents(col("l_extendedprice")).as("pc"))
+    val stats = rows.groupBy(col("flag"))
+      .agg(count(lit(1)).as("n"), sum(col("pc")).as("s"),
+        sum(expr("CAST(pc AS decimal(38,0)) * pc")).as("ss"))
+    val nD = col("n").cast("double")
+    val mean = col("s").cast("double") / nD
+    val sd = sqrt((col("ss").cast("double") -
+      col("s").cast("double") * col("s").cast("double") / nD) / (nD - lit(1.0)))
+    rows.filter(col("l_orderkey") < 20)
+      .join(broadcast(stats), "flag")
+      .select(col("l_orderkey"), col("l_linenumber"), col("flag"), col("pc"),
+        (round((col("pc").cast("double") - mean) / sd, 6) + lit(0.0)).as("z"))
+      .orderBy("l_orderkey", "l_linenumber", "pc")
+  }
+
   /** Subsample-stability audit: ten deterministic half-samples (md5 of
     * doc_id·10+replica, parity split) and each replicate's exact floor-
     * mean document length — if the replicate means disagree materially,

@@ -502,6 +502,53 @@ object Text {
         (col("n_docs") - col("n_bow_distinct")).as("n_dup_extra"))
       .orderBy("lang")
 
+  /** Vocabulary-overlap (Jaccard) matrix between language pairs: distinct
+    * token sets per language joined on the token — |A∩B| exact, the union
+    * by inclusion-exclusion, e6 floor ratio. Tells a tokenizer team how
+    * much one shared vocab buys across languages; one distinct pass + a
+    * word-keyed self-join of the (lang, word) table.
+    */
+  def q_vocab_jaccard_langs(spark: SparkSession, sf: String): DataFrame = {
+    val vocab = Tables.documents(spark, sf)
+      .select(col("lang"), explode(tokens(col("text"))).as("word")).distinct()
+    val sizes = vocab.groupBy(col("lang")).agg(count(lit(1)).as("v"))
+    vocab.as("a").join(vocab.as("b"),
+      col("a.word") === col("b.word") && col("a.lang") < col("b.lang"))
+      .groupBy(col("a.lang").as("lang1"), col("b.lang").as("lang2"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(broadcast(sizes.select(col("lang").as("lang1"), col("v").as("v1"))), "lang1")
+      .join(broadcast(sizes.select(col("lang").as("lang2"), col("v").as("v2"))), "lang2")
+      .select(col("lang1"), col("lang2"), col("v1"), col("v2"), col("n_inter"),
+        expr("n_inter * 1000000 div (v1 + v2 - n_inter)").as("jaccard_e6"))
+      .orderBy("lang1", "lang2")
+  }
+
+  /** Rising terms: the 10 tokens whose corpus share grew most from the
+    * first to the second half of the collection (doc_id order as the time
+    * axis). Shares are exact e9 integers per half from one conditional
+    * aggregate — a token absent from a half simply contributes zero.
+    * The "what's trending" screen over any append-ordered corpus.
+    */
+  def q_rising_terms(spark: SparkSession, sf: String): DataFrame = {
+    val n = Tables.documents(spark, sf).agg(count(lit(1)).as("nn"))
+    val toksHalf = Tables.documents(spark, sf)
+      .crossJoin(broadcast(n))
+      .select(explode(tokens(col("text"))).as("word"),
+        (col("doc_id") * 2 >= col("nn")).cast("long").as("half"))
+    val tot = toksHalf.groupBy(col("half")).agg(count(lit(1)).as("t"))
+    toksHalf.groupBy(col("word"))
+      .agg(sum(when(col("half") === 0L, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("half") === 1L, 1L).otherwise(0L)).as("c1"))
+      .crossJoin(broadcast(tot.agg(
+        max(when(col("half") === 0L, col("t"))).as("t0"),
+        max(when(col("half") === 1L, col("t"))).as("t1"))))
+      .select(col("word"), col("c0"), col("c1"),
+        (expr("c1 * 1000000000 div t1") - expr("c0 * 1000000000 div t0"))
+          .as("share_delta_e9"))
+      .orderBy(col("share_delta_e9").desc, col("word").asc)
+      .limit(10)
+  }
+
   /** Bigram novelty per language: the share of a language's bigram
     * occurrences that fall OUTSIDE the global top-1000 bigram list (count
     * desc, bigram asc — a TakeOrdered top-k, never a global sort). The

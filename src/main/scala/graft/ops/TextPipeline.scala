@@ -516,6 +516,45 @@ object TextPipeline {
       .orderBy("lang")
   }
 
+  /** End-to-end curation funnel: the document counts and char mass that
+    * survive each pipeline stage — raw → length gate → token-count gate →
+    * repetition gate → exact dedup (keep lowest doc_id per text). The
+    * waterfall readout every corpus-curation run is judged by; per-doc
+    * flags are computed once (`localCheckpoint`) and the five stage
+    * aggregates read that table, not the corpus.
+    */
+  def q_pipeline_funnel(spark: SparkSession, sf: String): DataFrame = {
+    val rep = docBigrams(spark, sf)
+      .groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bg"), max(col("c")).as("top_c"))
+      .select(col("doc_id"),
+        (expr("top_c * 1000000 div n_bg") < 200000L).as("rep_ok"))
+    val wDup = Window.partitionBy("text").orderBy("doc_id")
+    val flags = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("n_chars"),
+        size(split(lower(col("text")), " ")).cast("long").as("n_tok"))
+      .withColumn("first_of_text", row_number().over(wDup) === 1)
+      .join(rep, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_chars"),
+        (col("n_chars") >= 100L && col("n_chars") <= 5000L).as("len_ok"),
+        (col("n_tok") >= 20L).as("tok_ok"),
+        coalesce(col("rep_ok"), lit(false)).as("rep_ok"),
+        col("first_of_text"))
+      .localCheckpoint()
+    def stage(idx: Long, name: String, f: Column): DataFrame =
+      flags.filter(f).agg(lit(idx).as("stage"), lit(name).as("gate"),
+        count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    stage(0L, "raw", lit(true))
+      .unionByName(stage(1L, "length", col("len_ok")))
+      .unionByName(stage(2L, "tokens", col("len_ok") && col("tok_ok")))
+      .unionByName(stage(3L, "repetition",
+        col("len_ok") && col("tok_ok") && col("rep_ok")))
+      .unionByName(stage(4L, "exact_dedup",
+        col("len_ok") && col("tok_ok") && col("rep_ok") && col("first_of_text")))
+      .orderBy("stage")
+  }
+
   /** Top-20 character trigrams per language with exact e4 share — the
     * raw profile a language-ID model trains on. Trigrams are generated
     * inside the row (one transform over the char positions, no join);

@@ -4571,5 +4571,185 @@ object OracleSql {
       SELECT CAST(GREATEST(h_e4, 0) // 2500 AS BIGINT) AS bucket_qnat,
              CAST(COUNT(*) AS BIGINT) AS n_users
       FROM h GROUP BY 1 ORDER BY 1""",
+
+    "q_budget_variance" -> """
+      WITH actual AS (SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
+                             CAST(month(l_shipdate) AS BIGINT) AS mo,
+                             CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev
+                      FROM lineitem GROUP BY 1, 2),
+           yearly AS (SELECT yr, CAST(SUM(rev) AS BIGINT) AS ytot FROM actual GROUP BY 1),
+           sc AS (SELECT yr, ytot, unnest(generate_series(1, 12)) AS mo FROM yearly)
+      SELECT sc.yr AS yr, CAST(sc.mo AS BIGINT) AS mo,
+             CAST(COALESCE(rev, 0) AS BIGINT) AS actual_cents,
+             CAST(ytot // 12 AS BIGINT) AS budget_floor_cents,
+             CAST(COALESCE(rev, 0) * 12 - ytot AS BIGINT) AS variance_x12
+      FROM sc LEFT JOIN actual ON sc.yr = actual.yr AND sc.mo = actual.mo
+      ORDER BY 1, 2""",
+
+    "q_orders_in_flight" -> """
+      WITH spans AS (SELECT l.endd, o.startd
+                     FROM (SELECT l_orderkey,
+                                  CAST(MAX(date_diff('day', DATE '1970-01-01',
+                                        CAST(l_shipdate AS DATE))) AS BIGINT) AS endd
+                           FROM lineitem GROUP BY 1) l
+                     JOIN (SELECT o_orderkey,
+                                  CAST(date_diff('day', DATE '1970-01-01',
+                                        CAST(o_orderdate AS DATE)) AS BIGINT) AS startd
+                           FROM orders) o
+                       ON l.l_orderkey = o.o_orderkey),
+           deltas AS (SELECT dayn, CAST(SUM(d) AS BIGINT) AS delta FROM (
+                        SELECT startd AS dayn, 1 AS d FROM spans
+                        UNION ALL SELECT endd + 1, -1 FROM spans)
+                      GROUP BY 1),
+           c AS (SELECT dayn, CAST(SUM(delta) OVER (ORDER BY dayn) AS BIGINT) AS inflight
+                 FROM deltas),
+           m AS (SELECT strftime(DATE '1970-01-01' + CAST(dayn AS INT), '%Y-%m') AS month,
+                        dayn, inflight
+                 FROM c)
+      SELECT month, CAST(MAX(inflight) AS BIGINT) AS peak_in_flight,
+             CAST(MAX(CASE WHEN rn = 1 THEN inflight END) AS BIGINT) AS eom_in_flight
+      FROM (SELECT month, inflight,
+                   ROW_NUMBER() OVER (PARTITION BY month ORDER BY dayn DESC) AS rn
+            FROM m)
+      GROUP BY 1 ORDER BY 1""",
+
+    "q_event_cooccur_lift" -> """
+      WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+           t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nu FROM ut GROUP BY 1),
+           nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nn FROM ut),
+           p AS (SELECT a.event_type AS t1, b.event_type AS t2,
+                        CAST(COUNT(*) AS BIGINT) AS n_both
+                 FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+                 GROUP BY 1, 2)
+      SELECT t1, t2, n_both, x.nu AS n1, y.nu AS n2,
+             CAST(CAST(n_both AS HUGEINT) * nn * 10000
+                  // (CAST(x.nu AS HUGEINT) * y.nu) AS BIGINT) AS lift_e4
+      FROM p JOIN t x ON p.t1 = x.event_type JOIN t y ON p.t2 = y.event_type CROSS JOIN nu
+      ORDER BY t1, t2""",
+
+    "q_basket_value_corr" -> """
+      WITH o AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS x,
+                        CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS y
+                 FROM lineitem GROUP BY 1),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+                        CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x*y) AS BIGINT) AS sxy,
+                        CAST(SUM(x*x) AS BIGINT) AS sxx,
+                        SUM(CAST(y AS HUGEINT) * y) AS syy
+                 FROM o)
+      SELECT n AS n_orders,
+             ROUND((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                   / SQRT((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 6) + 0 AS corr
+      FROM s""",
+
+    "q_pipeline_funnel" -> """
+      WITH rep AS (SELECT doc_id,
+                          CASE WHEN MAX(c) * 1000000 // SUM(c) < 200000 THEN TRUE
+                               ELSE FALSE END AS rep_ok
+                   FROM (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+                         FROM (SELECT doc_id, word AS w1,
+                                      LEAD(word) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+                               FROM (SELECT doc_id,
+                                            unnest(string_split(lower(text), ' ')) AS word,
+                                            generate_subscripts(string_split(lower(text), ' '), 1)
+                                              AS pos
+                                     FROM documents))
+                         WHERE w2 IS NOT NULL GROUP BY 1, 2, 3)
+                   GROUP BY doc_id),
+           flags AS (SELECT d.doc_id, n_chars,
+                            (n_chars >= 100 AND n_chars <= 5000) AS len_ok,
+                            (len(string_split(lower(text), ' ')) >= 20) AS tok_ok,
+                            COALESCE(rep_ok, FALSE) AS rep_ok,
+                            (ROW_NUMBER() OVER (PARTITION BY text ORDER BY d.doc_id) = 1)
+                              AS first_of_text
+                     FROM documents d LEFT JOIN rep ON d.doc_id = rep.doc_id)
+      SELECT * FROM (
+        SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS gate, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars FROM flags
+        UNION ALL SELECT 1, 'length', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT)
+                  FROM flags WHERE len_ok
+        UNION ALL SELECT 2, 'tokens', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT)
+                  FROM flags WHERE len_ok AND tok_ok
+        UNION ALL SELECT 3, 'repetition', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT)
+                  FROM flags WHERE len_ok AND tok_ok AND rep_ok
+        UNION ALL SELECT 4, 'exact_dedup', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT)
+                  FROM flags WHERE len_ok AND tok_ok AND rep_ok AND first_of_text)
+      ORDER BY stage""",
+
+    "q_vocab_jaccard_langs" -> """
+      WITH v AS (SELECT DISTINCT lang, word
+                 FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS word
+                       FROM documents)),
+           s AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS v FROM v GROUP BY 1),
+           p AS (SELECT a.lang AS lang1, b.lang AS lang2, CAST(COUNT(*) AS BIGINT) AS n_inter
+                 FROM v a JOIN v b ON a.word = b.word AND a.lang < b.lang
+                 GROUP BY 1, 2)
+      SELECT lang1, lang2, x.v AS v1, y.v AS v2, n_inter,
+             CAST(n_inter * 1000000 // (x.v + y.v - n_inter) AS BIGINT) AS jaccard_e6
+      FROM p JOIN s x ON lang1 = x.lang JOIN s y ON lang2 = y.lang
+      ORDER BY lang1, lang2""",
+
+    "q_rising_terms" -> """
+      WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM documents),
+           th AS (SELECT word, CASE WHEN doc_id * 2 >= nn THEN 1 ELSE 0 END AS half
+                  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+                        FROM documents), n),
+           tot AS (SELECT CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t0,
+                          CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t1
+                   FROM th),
+           w AS (SELECT word,
+                        CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+                        CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+                 FROM th GROUP BY 1)
+      SELECT word, c0, c1,
+             CAST(c1 * 1000000000 // t1 - c0 * 1000000000 // t0 AS BIGINT) AS share_delta_e9
+      FROM w, tot ORDER BY share_delta_e9 DESC, word LIMIT 10""",
+
+    "q_burstiness" -> """
+      WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+                 FROM events GROUP BY 1, 2),
+           s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+                        CAST(SUM(c) AS BIGINT) AS sc, CAST(SUM(c*c) AS BIGINT) AS scc
+                 FROM d GROUP BY 1)
+      SELECT event_type, n_days,
+             ROUND(CAST(sc AS DOUBLE)/CAST(n_days AS DOUBLE), 4) + 0 AS mean_daily,
+             ROUND(((CAST(scc AS DOUBLE)
+                     - CAST(sc AS DOUBLE)*CAST(sc AS DOUBLE)/CAST(n_days AS DOUBLE))
+                    / (CAST(n_days AS DOUBLE) - 1.0))
+                   / (CAST(sc AS DOUBLE)/CAST(n_days AS DOUBLE)), 4) + 0 AS fano
+      FROM s ORDER BY event_type""",
+
+    "q_price_consistency" -> """
+      WITH u AS (SELECT l_partkey,
+                        (CAST(ROUND(l_extendedprice*100) AS BIGINT) * 100)
+                          // CAST(l_quantity AS BIGINT) AS unit_e4,
+                        CAST(COUNT(*) AS BIGINT) AS c
+                 FROM lineitem GROUP BY 1, 2),
+           p AS (SELECT l_partkey, CAST(SUM(c) AS BIGINT) AS n_lines,
+                        CAST(COUNT(*) AS BIGINT) AS n_price_points,
+                        CAST(MIN(unit_e4) AS BIGINT) AS min_unit_e4,
+                        CAST(MAX(unit_e4) AS BIGINT) AS max_unit_e4
+                 FROM u GROUP BY 1)
+      SELECT l_partkey, n_lines, n_price_points, min_unit_e4, max_unit_e4,
+             CAST(max_unit_e4 - min_unit_e4 AS BIGINT) AS span_e4
+      FROM p ORDER BY span_e4 DESC, l_partkey LIMIT 10""",
+
+    "q_zscore_export" -> """
+      WITH r AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                        l_returnflag AS flag, CAST(ROUND(l_extendedprice*100) AS BIGINT) AS pc
+                 FROM lineitem),
+           s AS (SELECT flag, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pc) AS BIGINT) AS s,
+                        SUM(CAST(pc AS HUGEINT) * pc) AS ss
+                 FROM r GROUP BY 1)
+      SELECT l_orderkey, l_linenumber, r.flag, pc,
+             ROUND((CAST(pc AS DOUBLE) - CAST(s.s AS DOUBLE)/CAST(s.n AS DOUBLE))
+                   / SQRT((CAST(ss AS DOUBLE)
+                           - CAST(s.s AS DOUBLE)*CAST(s.s AS DOUBLE)/CAST(s.n AS DOUBLE))
+                          / (CAST(s.n AS DOUBLE) - 1.0)), 6) + 0 AS z
+      FROM r JOIN s ON r.flag = s.flag WHERE l_orderkey < 20
+      ORDER BY l_orderkey, l_linenumber, pc""",
   )
 }
