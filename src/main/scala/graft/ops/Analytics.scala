@@ -1292,6 +1292,85 @@ object Analytics {
       (round(sqrt(chi2 / (col("n").cast("double") * minDim)), 6) + lit(0.0)).as("v"))
   }
 
+  /** Naive-forecast backtest: predict each week's revenue with the prior
+    * week's (flag-keyed lag), exact e4 absolute percentage errors, floor
+    * MAPE per flag — the baseline any forecasting model must beat, and
+    * the same harness evaluates it.
+    */
+  def q_forecast_backtest(spark: SparkSession, sf: String): DataFrame = {
+    val weekly = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag").as("flag"),
+        date_trunc("week", col("l_shipdate")).as("wk"))
+      .agg(sum(cents(col("l_extendedprice"))).as("rev"))
+    val w = Window.partitionBy("flag").orderBy("wk")
+    weekly
+      .withColumn("pred", lag(col("rev"), 1).over(w))
+      .filter(col("pred").isNotNull)
+      .select(col("flag"), expr("abs(rev - pred) * 10000 div rev").as("ape_e4"))
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n_weeks"), sum(col("ape_e4")).as("s"))
+      .select(col("flag"), col("n_weeks"), expr("s div n_weeks").as("mape_e4"))
+      .orderBy("flag")
+  }
+
+  /** Refund-rate trend: monthly share of 'R' return lines (e4) and the
+    * month-over-month delta via the add_months equi-join (no window).
+    * The quality KPI every ops review opens with.
+    */
+  def q_refund_rate_trend(spark: SparkSession, sf: String): DataFrame = {
+    val monthly = Tables.lineitem(spark, sf)
+      .groupBy(date_trunc("month", col("l_shipdate")).as("month"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_r"))
+      .select(col("month"), col("n"), col("n_r"),
+        expr("n_r * 10000 div n").as("rate_e4"))
+    val prev = monthly.select(add_months(col("month"), 1).cast("timestamp").as("month"),
+      col("rate_e4").as("prev_rate_e4"))
+    monthly.join(prev, Seq("month"), "left_outer")
+      .select(date_format(col("month"), "yyyy-MM").as("month"), col("n"), col("n_r"),
+        col("rate_e4"), (col("rate_e4") - col("prev_rate_e4")).as("delta_e4"))
+      .orderBy("month")
+  }
+
+  /** First-shipment latency histogram: order date → earliest line
+    * shipment, bucketed by week; order counts and e4 shares. The
+    * complement of [[q_sla_days]] (which averages over ALL lines).
+    */
+  def q_first_ship_latency_hist(spark: SparkSession, sf: String): DataFrame = {
+    val lat = Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey"))
+      .agg(min(col("l_shipdate")).as("first_ship"))
+      .join(Tables.orders(spark, sf).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((datediff(col("first_ship").cast("date"), col("o_orderdate").cast("date"))
+        .cast("long")).as("days"))
+    val h = lat.select(expr("days div 7").as("week_bucket"))
+      .groupBy(col("week_bucket")).agg(count(lit(1)).as("n_orders"))
+    h.crossJoin(broadcast(h.agg(sum(col("n_orders")).as("tot"))))
+      .select(col("week_bucket"), col("n_orders"),
+        expr("n_orders * 10000 div tot").as("share_e4"))
+      .orderBy("week_bucket")
+  }
+
+  /** Per-segment revenue index: each market segment's order count, share
+    * of revenue, and average-order-value index vs the overall average
+    * (e4 of 128-bit cross-products). The "which segments over-index"
+    * slide, in one join + one aggregate.
+    */
+  def q_segment_index(spark: SparkSession, sf: String): DataFrame = {
+    val seg = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf).select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_orders"), sum(cents(col("o_totalprice"))).as("rev"))
+    seg.crossJoin(broadcast(seg.agg(sum(col("n_orders")).as("tn"), sum(col("rev")).as("tr"))))
+      .select(col("segment"), col("n_orders"), col("rev").as("rev_cents"),
+        expr("rev * 10000 div tr").as("rev_share_e4"),
+        expr("CAST(CAST(rev AS decimal(38,0)) * tn * 10000" +
+          " div (CAST(n_orders AS decimal(38,0)) * tr) AS BIGINT)").as("aov_index_e4"))
+      .orderBy("segment")
+  }
+
   /** Budget-vs-actual variance: each month's revenue against the
     * straight-line monthly budget (year total ÷ 12) on a dense
     * (year × month) scaffold — months with no sales still report. The

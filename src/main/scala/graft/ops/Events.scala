@@ -244,6 +244,29 @@ object Events {
       .limit(10)
   }
 
+  /** View→purchase conversion latency: per converting user the exact gap
+    * between first view and first later purchase, reported as a whole-day
+    * histogram plus the converting-user count per bucket. Two user-keyed
+    * min-aggregates and a bounded histogram — the time-to-convert
+    * readout behind funnel dashboards.
+    */
+  def q_funnel_latency(spark: SparkSession, sf: String): DataFrame = {
+    val ev = Tables.eventsWithTs(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts_usl"))
+    val firstView = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_usl")).as("v_usl"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .join(firstView, "user_id")
+      .filter(col("ts_usl") >= col("v_usl"))
+      .groupBy(col("user_id"), col("v_usl"))
+      .agg(min(col("ts_usl")).as("p_usl"))
+    conv
+      .select(expr("(p_usl - v_usl) div 86400000000").as("days_bucket"))
+      .groupBy(col("days_bucket"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("days_bucket")
+  }
+
   /** Burstiness (Fano factor = var/mean of the daily event count) per
     * event type: exact integer daily counts, exact sufficient statistics,
     * one IEEE epilogue. Fano ≈ 1 is Poisson-like traffic; ≫ 1 means

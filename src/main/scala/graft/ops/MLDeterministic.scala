@@ -683,6 +683,63 @@ object MLDeterministic {
       .limit(20)
   }
 
+  /** Association rules for the top-10 co-purchase pairs: support,
+    * directional confidences and lift, all exact e4 integer ratios from
+    * basket counts (128-bit lift numerator). The step after Apriori that
+    * actually ships to a recommender; one basket pass, one pair pass,
+    * broadcast item supports.
+    */
+  def q_rule_confidence(spark: SparkSession, sf: String): DataFrame = {
+    val baskets = Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("items"))
+      .localCheckpoint()
+    val nB = baskets.agg(count(lit(1)).as("nb"))
+    val itemSup = baskets.select(explode(col("items")).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("sup"))
+    val pairSup = baskets
+      .select(explode(expr(
+        """flatten(transform(items, (x, i) ->
+           transform(slice(items, i + 2, size(items)), y -> struct(x AS p1, y AS p2))))"""))
+        .as("p"))
+      .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
+      .agg(count(lit(1)).as("sup_ab"))
+      .filter(col("sup_ab") >= 2)
+    pairSup
+      .join(broadcast(itemSup.select(col("item").as("p1"), col("sup").as("sup_a"))), "p1")
+      .join(broadcast(itemSup.select(col("item").as("p2"), col("sup").as("sup_b"))), "p2")
+      .crossJoin(broadcast(nB))
+      .select(col("p1"), col("p2"), col("sup_ab"), col("sup_a"), col("sup_b"),
+        expr("sup_ab * 10000 div sup_a").as("conf_ab_e4"),
+        expr("sup_ab * 10000 div sup_b").as("conf_ba_e4"),
+        expr("CAST(CAST(sup_ab AS decimal(38,0)) * nb * 10000" +
+          " div (CAST(sup_a AS decimal(38,0)) * sup_b) AS BIGINT)").as("lift_e4"))
+      .orderBy(col("sup_ab").desc, col("p1").asc, col("p2").asc)
+      .limit(10)
+  }
+
+  /** Medoid search over the first 50 vectors: the points minimizing total
+    * distance to the rest of the block (e8-floored per-pair distances,
+    * exact integer totals, top-3 ascending). The k-medoids seeding step,
+    * as one bounded block pair join.
+    */
+  def q_medoid_sample(spark: SparkSession, sf: String): DataFrame = {
+    import graft.ops.{Vectors => V}
+    val block = Tables.embeddings(spark, sf).filter(col("vec_id") < 50)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        V.q7(col("embedding")).as("qe"))
+    block.as("a")
+      .join(block.select(col("vec_id").as("oid"), col("qe").as("o_qe")).as("b"),
+        col("a.vec_id") =!= col("oid"))
+      .select(col("a.vec_id").as("vec_id"), col("a.label").as("label"),
+        graft.functions.GraftFunctions.dist2Long(col("a.qe"), col("o_qe")).as("d2"))
+      .select(col("vec_id"), col("label"), expr("d2 div 1000000").as("d2_e8"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("d2_e8")).as("total_d2_e8"))
+      .orderBy(col("total_d2_e8").asc, col("vec_id").asc)
+      .limit(3)
+  }
+
   /** Elbow (inertia) curve for k = 1..4: every vector assigned to the
     * nearest of the first k embeddings (fixed D5 seeds), inertia = Σ of
     * per-row e8-floored squared distances — exact integers at any corpus

@@ -556,6 +556,20 @@ object Relational {
       .orderBy("yr")
   }
 
+  /** Duplicate-transaction audit: orders sharing (customer, total, date)
+    * are double-charge suspects; report the group-size distribution. One
+    * aggregate on the natural key, one on the size — the fraud/ingest
+    * screen that precedes any billing rollup.
+    */
+  def q_dup_transaction_audit(spark: SparkSession, sf: String): DataFrame =
+    Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"), cents(col("o_totalprice")).as("tp"),
+        col("o_orderdate"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("group_size"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("sz")).as("n_orders"))
+      .orderBy("group_size")
+
   /** Price-consistency audit: parts sold at the most divergent unit
     * prices (floor e4 unit price lattice) — distinct price points, span,
     * top-10 by span. The catalog-quality screen that catches mispriced

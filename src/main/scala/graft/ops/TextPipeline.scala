@@ -516,6 +516,25 @@ object TextPipeline {
       .orderBy("lang")
   }
 
+  /** Cross-language length calibration: average document chars per
+    * language (e4 floor) and the e4 ratio vs the English baseline — the
+    * normalization table a per-language token budget is derived from.
+    */
+  def q_lang_length_ratio(spark: SparkSession, sf: String): DataFrame = {
+    val s = Tables.documents(spark, sf)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+    val en = s.filter(col("lang") === "en")
+      .select(col("n_docs").as("en_n"), col("chars").as("en_chars"))
+    s.crossJoin(broadcast(en))
+      .select(col("lang"), col("n_docs"), col("chars"),
+        expr("chars * 10000 div n_docs").as("mean_chars_e4"),
+        expr("CAST(CAST(chars AS decimal(38,0)) * en_n * 10000" +
+          " div (CAST(n_docs AS decimal(38,0)) * en_chars) AS BIGINT)")
+          .as("ratio_vs_en_e4"))
+      .orderBy("lang")
+  }
+
   /** End-to-end curation funnel: the document counts and char mass that
     * survive each pipeline stage — raw → length gate → token-count gate →
     * repetition gate → exact dedup (keep lowest doc_id per text). The

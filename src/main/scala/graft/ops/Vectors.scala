@@ -240,6 +240,39 @@ object Vectors {
       .limit(10)
   }
 
+  /** Pairwise Pearson correlations between the first four embedding
+    * dimensions (6 pairs): cross-moments as exact e14 decimal sums from a
+    * bounded in-vector pair explode, per-dim moments broadcast, one IEEE
+    * epilogue per cell. The feature-redundancy screen before whitening.
+    */
+  def q_emb_dim_corr(spark: SparkSession, sf: String): DataFrame = {
+    val dims = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), posexplode(slice(q7(col("embedding")), 1, 4)).as(Seq("dim", "x")))
+    val stats = dims.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
+    val cross = dims.as("a")
+      .join(dims.as("b"),
+        col("a.vec_id") === col("b.vec_id") && col("a.dim") < col("b.dim"))
+      .groupBy(col("a.dim").as("i"), col("b.dim").as("j"))
+      .agg(sum(col("a.x").cast("decimal(38,0)") * col("b.x")).as("sxy"))
+    val joined = cross
+      .join(broadcast(stats.select(col("dim").as("i"), col("n"),
+        col("sx").as("sxi"), col("sxx").as("sxxi"))), "i")
+      .join(broadcast(stats.select(col("dim").as("j"),
+        col("sx").as("sxj"), col("sxx").as("sxxj"))), "j")
+    val nD = col("n").cast("double")
+    val num = nD * col("sxy").cast("double") -
+      col("sxi").cast("double") * col("sxj").cast("double")
+    val di = nD * col("sxxi").cast("double") -
+      col("sxi").cast("double") * col("sxi").cast("double")
+    val dj = nD * col("sxxj").cast("double") -
+      col("sxj").cast("double") * col("sxj").cast("double")
+    joined.select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+      (round(num / sqrt(di * dj), 6) + lit(0.0)).as("corr"))
+      .orderBy("i", "j")
+  }
+
   /** Centered-feature export for vectors 0-9: per (vector, dim 1..8) the
     * raw e7 value and the value minus the e7-rounded corpus mean — the
     * preprocessing step before PCA/whitening, emitted as long rows the

@@ -4751,5 +4751,128 @@ object OracleSql {
                           / (CAST(s.n AS DOUBLE) - 1.0)), 6) + 0 AS z
       FROM r JOIN s ON r.flag = s.flag WHERE l_orderkey < 20
       ORDER BY l_orderkey, l_linenumber, pc""",
+
+    "q_funnel_latency" -> """
+      WITH fv AS (SELECT user_id, MIN(epoch_us(ts)) AS v_usl FROM events
+                  WHERE event_type = 'view' GROUP BY 1),
+           conv AS (SELECT e.user_id, fv.v_usl, MIN(epoch_us(ts)) AS p_usl
+                    FROM events e JOIN fv ON e.user_id = fv.user_id
+                    WHERE event_type = 'purchase' AND epoch_us(ts) >= v_usl
+                    GROUP BY 1, 2)
+      SELECT CAST((p_usl - v_usl) // 86400000000 AS BIGINT) AS days_bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM conv GROUP BY 1 ORDER BY 1""",
+
+    "q_rule_confidence" -> """
+      WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+           nb AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS nb FROM lineitem),
+           isup AS (SELECT l_partkey AS item, CAST(COUNT(*) AS BIGINT) AS sup
+                    FROM items GROUP BY 1),
+           pairs AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                            CAST(COUNT(*) AS BIGINT) AS sup_ab
+                     FROM items a JOIN items b
+                       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+                     GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      SELECT p1, p2, sup_ab, x.sup AS sup_a, y.sup AS sup_b,
+             CAST(sup_ab * 10000 // x.sup AS BIGINT) AS conf_ab_e4,
+             CAST(sup_ab * 10000 // y.sup AS BIGINT) AS conf_ba_e4,
+             CAST(CAST(sup_ab AS HUGEINT) * nb * 10000
+                  // (CAST(x.sup AS HUGEINT) * y.sup) AS BIGINT) AS lift_e4
+      FROM pairs JOIN isup x ON p1 = x.item JOIN isup y ON p2 = y.item CROSS JOIN nb
+      ORDER BY sup_ab DESC, p1, p2 LIMIT 10""",
+
+    "q_dup_transaction_audit" -> """
+      WITH g AS (SELECT o_custkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS tp, o_orderdate,
+                        CAST(COUNT(*) AS BIGINT) AS sz
+                 FROM orders GROUP BY 1, 2, 3)
+      SELECT sz AS group_size, CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(SUM(sz) AS BIGINT) AS n_orders
+      FROM g GROUP BY 1 ORDER BY 1""",
+
+    "q_forecast_backtest" -> """
+      WITH w AS (SELECT l_returnflag AS flag, date_trunc('week', l_shipdate) AS wk,
+                        CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev
+                 FROM lineitem GROUP BY 1, 2),
+           l AS (SELECT flag, rev, LAG(rev) OVER (PARTITION BY flag ORDER BY wk) AS pred
+                 FROM w),
+           a AS (SELECT flag, CAST(ABS(rev - pred) * 10000 // rev AS BIGINT) AS ape
+                 FROM l WHERE pred IS NOT NULL)
+      SELECT flag, CAST(COUNT(*) AS BIGINT) AS n_weeks,
+             CAST(SUM(ape) // COUNT(*) AS BIGINT) AS mape_e4
+      FROM a GROUP BY 1 ORDER BY 1""",
+
+    "q_refund_rate_trend" -> """
+      WITH m AS (SELECT date_trunc('month', l_shipdate) AS month, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_r
+                 FROM lineitem GROUP BY 1),
+           r AS (SELECT month, n, n_r, CAST(n_r * 10000 // n AS BIGINT) AS rate_e4 FROM m)
+      SELECT strftime(cur.month, '%Y-%m') AS month, cur.n, cur.n_r, cur.rate_e4,
+             CAST(cur.rate_e4 - prev.rate_e4 AS BIGINT) AS delta_e4
+      FROM r cur LEFT JOIN r prev ON cur.month = prev.month + INTERVAL 1 MONTH
+      ORDER BY 1""",
+
+    "q_emb_dim_corr" -> """
+      WITH dims AS (SELECT vec_id, i - 1 AS dim,
+                           CAST(ROUND(CAST(embedding[i] AS DOUBLE)*1e7) AS BIGINT) AS x
+                    FROM embeddings, (SELECT unnest(generate_series(1, 4)) AS i)),
+           st AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+                         SUM(CAST(x AS HUGEINT) * x) AS sxx
+                  FROM dims GROUP BY 1),
+           cr AS (SELECT a.dim AS i, b.dim AS j, SUM(CAST(a.x AS HUGEINT) * b.x) AS sxy
+                  FROM dims a JOIN dims b ON a.vec_id = b.vec_id AND a.dim < b.dim
+                  GROUP BY 1, 2)
+      SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+             ROUND((CAST(x.n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                    - CAST(x.sx AS DOUBLE)*CAST(y.sx AS DOUBLE))
+                   / SQRT((CAST(x.n AS DOUBLE)*CAST(x.sxx AS DOUBLE)
+                           - CAST(x.sx AS DOUBLE)*CAST(x.sx AS DOUBLE))
+                        * (CAST(x.n AS DOUBLE)*CAST(y.sxx AS DOUBLE)
+                           - CAST(y.sx AS DOUBLE)*CAST(y.sx AS DOUBLE))), 6) + 0 AS corr
+      FROM cr JOIN st x ON cr.i = x.dim JOIN st y ON cr.j = y.dim
+      ORDER BY i, j""",
+
+    "q_lang_length_ratio" -> """
+      WITH s AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                        CAST(SUM(n_chars) AS BIGINT) AS chars
+                 FROM documents GROUP BY 1),
+           en AS (SELECT n_docs AS en_n, chars AS en_chars FROM s WHERE lang = 'en')
+      SELECT lang, n_docs, chars, CAST(chars * 10000 // n_docs AS BIGINT) AS mean_chars_e4,
+             CAST(CAST(chars AS HUGEINT) * en_n * 10000
+                  // (CAST(n_docs AS HUGEINT) * en_chars) AS BIGINT) AS ratio_vs_en_e4
+      FROM s, en ORDER BY lang""",
+
+    "q_first_ship_latency_hist" -> """
+      WITH l AS (SELECT l_orderkey, MIN(l_shipdate) AS first_ship FROM lineitem GROUP BY 1),
+           d AS (SELECT CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                                CAST(first_ship AS DATE)) AS BIGINT) AS days
+                 FROM l JOIN orders ON l_orderkey = o_orderkey),
+           h AS (SELECT days // 7 AS week_bucket, CAST(COUNT(*) AS BIGINT) AS n_orders
+                 FROM d GROUP BY 1)
+      SELECT CAST(week_bucket AS BIGINT) AS week_bucket, n_orders,
+             CAST(n_orders * 10000 // SUM(n_orders) OVER () AS BIGINT) AS share_e4
+      FROM h ORDER BY 1""",
+
+    "q_medoid_sample" -> """
+      WITH n AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                        list_transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE)*1e7) AS BIGINT)) AS qe
+                 FROM embeddings WHERE vec_id < 50),
+           d AS (SELECT a.vec_id, a.label,
+                        CAST(list_sum(list_transform(list_zip(a.qe, b.qe),
+                             p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) // 1000000 AS d2e8
+                 FROM n a JOIN n b ON a.vec_id <> b.vec_id)
+      SELECT vec_id, label, CAST(SUM(d2e8) AS BIGINT) AS total_d2_e8
+      FROM d GROUP BY 1, 2 ORDER BY total_d2_e8 ASC, vec_id LIMIT 3""",
+
+    "q_segment_index" -> """
+      WITH seg AS (SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                          CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev
+                   FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1),
+           t AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS tn, CAST(SUM(rev) AS BIGINT) AS tr
+                 FROM seg)
+      SELECT segment, n_orders, rev AS rev_cents,
+             CAST(rev * 10000 // tr AS BIGINT) AS rev_share_e4,
+             CAST(CAST(rev AS HUGEINT) * tn * 10000
+                  // (CAST(n_orders AS HUGEINT) * tr) AS BIGINT) AS aov_index_e4
+      FROM seg, t ORDER BY segment""",
   )
 }
