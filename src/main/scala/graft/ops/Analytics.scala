@@ -1292,6 +1292,23 @@ object Analytics {
       (round(sqrt(chi2 / (col("n").cast("double") * minDim)), 6) + lit(0.0)).as("v"))
   }
 
+  /** Fiscal-calendar revenue: fiscal year starts July 1; revenue and
+    * order counts per (fiscal year, fiscal quarter) — the date-dimension
+    * remap every finance consumer needs, as pure integer month
+    * arithmetic on both engines.
+    */
+  def q_fiscal_calendar(spark: SparkSession, sf: String): DataFrame =
+    Tables.orders(spark, sf)
+      .select(cents(col("o_totalprice")).as("tp"),
+        year(col("o_orderdate")).cast("long").as("cy"),
+        month(col("o_orderdate")).cast("long").as("cm"))
+      .select(col("tp"),
+        (col("cy") + when(col("cm") >= 7, 1L).otherwise(0L)).as("fy"),
+        (expr("(cm + 5) % 12 div 3") + 1L).as("fq"))
+      .groupBy(col("fy"), col("fq"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("tp")).as("rev_cents"))
+      .orderBy("fy", "fq")
+
   /** Naive-forecast backtest: predict each week's revenue with the prior
     * week's (flag-keyed lag), exact e4 absolute percentage errors, floor
     * MAPE per flag — the baseline any forecasting model must beat, and

@@ -107,4 +107,51 @@ object Ann {
       .select(col("vec_id"), col("cos"), col("rnk"))
       .orderBy("rnk", "vec_id")
   }
+
+  /** Recall@5 of the IVF index against exact search: for the same five
+    * queries as [[q_ann_ivf]], the cell-restricted top-5 is compared with
+    * the exact cosine top-5 over the whole corpus (both rankings use the
+    * identical r4-rounded cosine and vec_id tie-break). THE metric an ANN
+    * index is tuned by — a 10-cell probe that misses recall gets more
+    * probes, not shipped.
+    */
+  def q_ann_recall_eval(spark: SparkSession, sf: String): DataFrame = {
+    val v = quantized(spark, sf)
+    val seeds = v.filter(col("vec_id") <= 9)
+      .select(col("vec_id").as("cell"), col("qe").as("seed_qe"))
+    val assigned = v.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("qe"), col("nrm"), col("cell"),
+        Vectors.dist2E14(col("qe"), col("seed_qe")).as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cell"))).as("best"),
+        first(col("qe")).as("qe"), first(col("nrm")).as("nrm"))
+      .select(col("vec_id"), col("best.cell").as("cell"), col("qe"), col("nrm"))
+    val queries = assigned.filter(col("vec_id").between(10, 14))
+      .select(col("vec_id").as("qid"), col("cell").as("q_cell"),
+        col("qe").as("q_qe"), col("nrm").as("q_nrm"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+    val ivf = assigned.join(broadcast(queries), col("cell") === col("q_cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (round(Vectors.cosine(Vectors.dotE14(col("qe"), col("q_qe")),
+          col("nrm"), col("q_nrm")), 4) + lit(0.0)).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("vec_id"), lit(1L).as("in_ivf"))
+    val exact = v.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (round(Vectors.cosine(Vectors.dotE14(col("qe"), col("q_qe")),
+          col("nrm"), col("q_nrm")), 4) + lit(0.0)).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("vec_id"))
+    exact.join(ivf, Seq("qid", "vec_id"), "left_outer")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("in_ivf"), lit(0L))).as("n_hit"))
+      .select(col("qid"), col("n_exact"), col("n_hit"),
+        expr("n_hit * 10000 div n_exact").as("recall_e4"))
+      .orderBy("qid")
+  }
 }

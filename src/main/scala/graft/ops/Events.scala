@@ -244,6 +244,27 @@ object Events {
       .limit(10)
   }
 
+  /** Window-rollup invariance audit: 15-minute tumbling counts re-rolled
+    * to the hour, checked against direct hourly aggregation per event
+    * type. Zero mismatches is the invariant that makes multi-resolution
+    * dashboards (and partial re-aggregation of streaming state) sound.
+    */
+  def q_window_rollup_audit(spark: SparkSession, sf: String): DataFrame = {
+    val ev = Tables.eventsWithTs(spark, sf)
+      .select(col("event_type"), expr("ts_usl div 900000000").as("q15"))
+    val q15 = ev.groupBy(col("event_type"), col("q15")).agg(count(lit(1)).as("n15"))
+    val rolled = q15.groupBy(col("event_type"), expr("q15 div 4").as("hr"))
+      .agg(sum(col("n15")).as("n_rolled"))
+    val direct = ev.groupBy(col("event_type"), expr("q15 div 4").as("hr"))
+      .agg(count(lit(1)).as("n_direct"))
+    rolled.join(direct, Seq("event_type", "hr"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("n_rolled")).as("total_rolled"),
+        sum(col("n_direct")).as("total_direct"),
+        sum(when(col("n_rolled") =!= col("n_direct"), 1L).otherwise(0L)).as("n_mismatch"))
+      .orderBy("event_type")
+  }
+
   /** View→purchase conversion latency: per converting user the exact gap
     * between first view and first later purchase, reported as a whole-day
     * histogram plus the converting-user count per bucket. Two user-keyed

@@ -556,6 +556,56 @@ object Relational {
       .orderBy("yr")
   }
 
+  /** Share-of-total matrix: (flag × status) revenue with exact e4 shares
+    * of the row, the column, and the grand total — the margins readout a
+    * crosstab report carries, computed with keyed margin windows plus one
+    * broadcast total (never a partition-less window).
+    */
+  def q_share_matrix(spark: SparkSession, sf: String): DataFrame = {
+    val base = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag").as("flag"), col("l_linestatus").as("status"))
+      .agg(sum(cents(col("l_extendedprice"))).as("rev"))
+    base
+      .withColumn("rowt", sum(col("rev")).over(Window.partitionBy("flag")))
+      .withColumn("colt", sum(col("rev")).over(Window.partitionBy("status")))
+      .crossJoin(broadcast(base.agg(sum(col("rev")).as("tot"))))
+      .select(col("flag"), col("status"), col("rev").as("rev_cents"),
+        expr("rev * 10000 div rowt").as("row_share_e4"),
+        expr("rev * 10000 div colt").as("col_share_e4"),
+        expr("rev * 10000 div tot").as("total_share_e4"))
+      .orderBy("flag", "status")
+  }
+
+  /** Row-value IN predicate ((flag, status) IN (...)) through the SQL
+    * path — the multi-column membership test Catalyst folds into a
+    * struct-equality filter; counts per matched combination.
+    */
+  def q_rowvalue_in(spark: SparkSession, sf: String): DataFrame = {
+    Tables.lineitem(spark, sf).createOrReplaceTempView("lineitem_v")
+    spark.sql("""
+      SELECT l_returnflag AS flag, l_linestatus AS status, CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem_v
+      WHERE (l_returnflag, l_linestatus) IN (('A', 'F'), ('R', 'F'), ('N', 'O'))
+      GROUP BY 1, 2 ORDER BY 1, 2""")
+  }
+
+  /** Correlated LATERAL subquery (E2 SQL path): each customer's single
+    * largest order joined laterally, aggregated per segment — the
+    * per-row-top-1 idiom Catalyst rewrites into a ranked window join.
+    */
+  def q_lateral_topn(spark: SparkSession, sf: String): DataFrame = {
+    Tables.customer(spark, sf).createOrReplaceTempView("customer_v")
+    Tables.orders(spark, sf).createOrReplaceTempView("orders_v")
+    spark.sql("""
+      SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(top_cents) AS BIGINT) AS sum_top_cents
+      FROM customer_v c,
+           LATERAL (SELECT MAX(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS top_cents
+                    FROM orders_v o WHERE o.o_custkey = c.c_custkey) t
+      WHERE top_cents IS NOT NULL
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+  }
+
   /** Duplicate-transaction audit: orders sharing (customer, total, date)
     * are double-charge suspects; report the group-size distribution. One
     * aggregate on the natural key, one on the size — the fraud/ingest

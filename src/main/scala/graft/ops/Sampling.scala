@@ -371,6 +371,21 @@ object Sampling {
       .orderBy("event_type")
   }
 
+  /** One-hot encoding export: the market segment of customers 0-9 as five
+    * indicator columns — the categorical-feature materialization shape
+    * (wide, fixed columns) a training job consumes. Pure projection.
+    */
+  def q_onehot_export(spark: SparkSession, sf: String): DataFrame =
+    Tables.customer(spark, sf)
+      .filter(col("c_custkey") < 10)
+      .select(col("c_custkey"),
+        (col("c_mktsegment") === "AUTOMOBILE").cast("long").as("seg_automobile"),
+        (col("c_mktsegment") === "BUILDING").cast("long").as("seg_building"),
+        (col("c_mktsegment") === "FURNITURE").cast("long").as("seg_furniture"),
+        (col("c_mktsegment") === "HOUSEHOLD").cast("long").as("seg_household"),
+        (col("c_mktsegment") === "MACHINERY").cast("long").as("seg_machinery"))
+      .orderBy("c_custkey")
+
   /** Z-score normalization export (the third normalizer beside min-max
     * and quantile): per-flag exact moments broadcast back onto a spot
     * slice (orderkey < 20), z rounded r6. The feature-scaling pass as a

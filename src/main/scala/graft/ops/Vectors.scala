@@ -240,6 +240,95 @@ object Vectors {
       .limit(10)
   }
 
+  /** Triplet mining for metric learning: per anchor (vec_id < 10) the
+    * hardest positive (same label, farthest) and hardest negative (other
+    * label, nearest) over the corpus, with the exact integer margin.
+    * One broadcast block join + two arg-extremes per anchor — the batch
+    * shape of a triplet-loss data loader.
+    */
+  def q_triplet_mining(spark: SparkSession, sf: String): DataFrame = {
+    val all = quantized(spark, sf)
+    val anchors = all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"), col("qe").as("q_qe"))
+    all.filter(col("vec_id") >= 10)
+      .crossJoin(broadcast(anchors))
+      .select(col("qid"), col("qlabel").cast("long").as("qlabel"), col("vec_id"),
+        col("label"), dist2E14(col("qe"), col("q_qe")).as("d2"))
+      .groupBy(col("qid"), col("qlabel"))
+      .agg(
+        max(when(col("label") === col("qlabel"),
+          struct(col("d2"), (lit(0L) - col("vec_id")).as("nv")))).as("hp"),
+        min(when(col("label") =!= col("qlabel"),
+          struct(col("d2"), col("vec_id").as("v")))).as("hn"))
+      .select(col("qid"), col("qlabel"),
+        (lit(0L) - col("hp.nv")).as("hard_pos_vec"), col("hp.d2").as("hard_pos_d2"),
+        col("hn.v").as("hard_neg_vec"), col("hn.d2").as("hard_neg_d2"),
+        (col("hp.d2") - col("hn.d2")).as("violation_margin"))
+      .orderBy("qid")
+  }
+
+  /** Margin-based uncertainty sampling: distance gap between each
+    * vector's nearest and second-nearest label centroid (e7-rounded
+    * centroids, exact lattice distances); the 10 smallest margins are the
+    * points an active learner asks about first.
+    */
+  def q_margin_sampling(spark: SparkSession, sf: String): DataFrame = {
+    val cent = Tables.embeddings(spark, sf)
+      .select(col("label").cast("long").as("clabel"),
+        posexplode(slice(q7(col("embedding")), 1, 8)).as(Seq("dim", "x")))
+      .groupBy(col("clabel"), col("dim"))
+      .agg(round(sum(col("x")).cast("double") / count(lit(1)).cast("double"))
+        .cast("long").as("c"))
+      .groupBy(col("clabel"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), p -> p.c)")
+        .as("c_qe"))
+    val w = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("clabel").asc)
+    Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        slice(q7(col("embedding")), 1, 8).as("qe"))
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        dist2E14(col("qe"), col("c_qe")).as("d2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy(col("vec_id"), col("label"))
+      .agg(min(when(col("rn") === 1, col("clabel"))).as("pred"),
+        min(when(col("rn") === 1, col("d2"))).as("d1"),
+        min(when(col("rn") === 2, col("d2"))).as("d2nd"))
+      .select(col("vec_id"), col("label"), col("pred"),
+        (col("d2nd") - col("d1")).as("margin"))
+      .orderBy(col("margin").asc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** Distance-weighted kNN (k = 5): neighbor votes weighted by the exact
+    * integer 10¹⁸ div (d2+1) reciprocal lattice — no float in the whole
+    * decision path, unlike majority voting which ignores proximity.
+    */
+  def q_knn_weighted(spark: SparkSession, sf: String): DataFrame = {
+    val all = quantized(spark, sf)
+    val queries = all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("label").as("true_label"), col("qe").as("q_qe"))
+    val train = all.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("tid"), col("label").as("t_label"), col("qe").as("t_qe"))
+    val wNear = Window.partitionBy("qid").orderBy(col("d2").asc, col("tid").asc)
+    val wVote = Window.partitionBy("qid").orderBy(col("wsum").desc, col("t_label").asc)
+    train.crossJoin(broadcast(queries))
+      .select(col("qid"), col("true_label"), col("tid"), col("t_label"),
+        dist2E14(col("q_qe"), col("t_qe")).as("d2"))
+      .withColumn("rn", row_number().over(wNear))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("true_label"), col("t_label"),
+        expr("CAST(1000000000000000000 AS BIGINT) div (d2 + 1)").as("w"))
+      .groupBy(col("qid"), col("true_label"), col("t_label"))
+      .agg(sum(col("w")).as("wsum"))
+      .withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .select(col("qid"), col("t_label").cast("long").as("predicted"),
+        col("true_label").cast("long").as("actual"), col("wsum"))
+      .orderBy("qid")
+  }
+
   /** Pairwise Pearson correlations between the first four embedding
     * dimensions (6 pairs): cross-moments as exact e14 decimal sums from a
     * bounded in-vector pair explode, per-dim moments broadcast, one IEEE

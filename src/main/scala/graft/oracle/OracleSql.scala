@@ -4874,5 +4874,185 @@ object OracleSql {
              CAST(CAST(rev AS HUGEINT) * tn * 10000
                   // (CAST(n_orders AS HUGEINT) * tr) AS BIGINT) AS aov_index_e4
       FROM seg, t ORDER BY segment""",
+
+    "q_triplet_mining" -> """
+      WITH n AS (SELECT vec_id, label,
+                        list_transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE)*1e7) AS BIGINT)) AS qe
+                 FROM embeddings),
+           a AS (SELECT vec_id AS qid, CAST(label AS BIGINT) AS qlabel, qe AS q_qe
+                 FROM n WHERE vec_id < 10),
+           c AS (SELECT vec_id, label, qe FROM n WHERE vec_id >= 10),
+           d AS (SELECT qid, qlabel, c.vec_id, c.label,
+                        CAST(list_sum(list_transform(list_zip(c.qe, q_qe),
+                             p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS d2
+                 FROM c CROSS JOIN a),
+           hp AS (SELECT qid, qlabel, vec_id, d2,
+                         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2 DESC, vec_id) AS rn
+                  FROM d WHERE label = qlabel),
+           hn AS (SELECT qid, vec_id, d2,
+                         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2 ASC, vec_id) AS rn
+                  FROM d WHERE label <> qlabel)
+      SELECT hp.qid, hp.qlabel, hp.vec_id AS hard_pos_vec, hp.d2 AS hard_pos_d2,
+             hn.vec_id AS hard_neg_vec, hn.d2 AS hard_neg_d2,
+             CAST(hp.d2 - hn.d2 AS BIGINT) AS violation_margin
+      FROM hp JOIN hn ON hp.qid = hn.qid
+      WHERE hp.rn = 1 AND hn.rn = 1 ORDER BY hp.qid""",
+
+    "q_margin_sampling" -> """
+      WITH n AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                        list_transform(embedding[1:8],
+                          v -> CAST(ROUND(CAST(v AS DOUBLE)*1e7) AS BIGINT)) AS qe
+                 FROM embeddings),
+           e AS (SELECT label AS clabel, i AS dim, qe[i] AS x
+                 FROM n, (SELECT unnest(generate_series(1, 8)) AS i)),
+           c AS (SELECT clabel, dim,
+                        CAST(ROUND(CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS cv
+                 FROM e GROUP BY 1, 2),
+           ca AS (SELECT clabel, list(cv ORDER BY dim) AS c_qe FROM c GROUP BY 1),
+           d AS (SELECT vec_id, label, clabel,
+                        CAST(list_sum(list_transform(list_zip(qe, c_qe),
+                             p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS d2
+                 FROM n CROSS JOIN ca),
+           r AS (SELECT vec_id, label, clabel, d2,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+                 FROM d)
+      SELECT vec_id, label,
+             CAST(MIN(CASE WHEN rn = 1 THEN clabel END) AS BIGINT) AS pred,
+             CAST(MIN(CASE WHEN rn = 2 THEN d2 END)
+                  - MIN(CASE WHEN rn = 1 THEN d2 END) AS BIGINT) AS margin
+      FROM r WHERE rn <= 2 GROUP BY 1, 2 ORDER BY margin ASC, vec_id LIMIT 10""",
+
+    "q_knn_weighted" -> """
+      WITH n AS (SELECT vec_id, label,
+                        list_transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE)*1e7) AS BIGINT)) AS qe
+                 FROM embeddings),
+           queries AS (SELECT vec_id AS qid, label AS true_label, qe AS q_qe
+                       FROM n WHERE vec_id < 10),
+           train AS (SELECT vec_id AS tid, label AS t_label, qe AS t_qe
+                     FROM n WHERE vec_id >= 10),
+           d AS (SELECT qid, true_label, tid, t_label,
+                        CAST(list_sum(list_transform(list_zip(q_qe, t_qe),
+                             p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS d2
+                 FROM queries, train),
+           nn5 AS (SELECT * FROM (SELECT *,
+                     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, tid) AS rn FROM d)
+                   WHERE rn <= 5),
+           votes AS (SELECT qid, true_label, t_label,
+                            CAST(SUM(1000000000000000000 // (d2 + 1)) AS BIGINT) AS wsum
+                     FROM nn5 GROUP BY 1, 2, 3)
+      SELECT qid, CAST(t_label AS BIGINT) AS predicted,
+             CAST(true_label AS BIGINT) AS actual, wsum
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY wsum DESC, t_label) AS vr
+            FROM votes)
+      WHERE vr = 1 ORDER BY qid""",
+
+    "q_ann_recall_eval" -> """
+      WITH m AS (SELECT vec_id, label,
+                        list_transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE)*1e7) AS BIGINT)) AS qe
+                 FROM embeddings),
+           n AS (SELECT vec_id, qe,
+                        CAST(list_sum(list_transform(qe, x -> x*x)) AS BIGINT) AS nrm FROM m),
+           seeds AS (SELECT vec_id AS cell, qe AS seed_qe FROM n WHERE vec_id <= 9),
+           ad AS (SELECT vec_id, cell,
+                         CAST(list_sum(list_transform(list_zip(qe, seed_qe),
+                              p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS d2
+                  FROM n, seeds),
+           assigned AS (SELECT vec_id, cell FROM
+                          (SELECT vec_id, cell,
+                                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+                           FROM ad)
+                        WHERE rn = 1),
+           aa AS (SELECT n.vec_id, assigned.cell, n.qe, n.nrm
+                  FROM n JOIN assigned ON n.vec_id = assigned.vec_id),
+           queries AS (SELECT vec_id AS qid, cell, qe AS q_qe, nrm AS q_nrm
+                       FROM aa WHERE vec_id BETWEEN 10 AND 14),
+           ivf AS (SELECT qid, vec_id FROM (
+                     SELECT q.qid, a.vec_id,
+                            ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                              ROUND(CAST(CAST(list_sum(list_transform(list_zip(a.qe, q.q_qe),
+                                    p -> p[1]*p[2])) AS BIGINT) AS DOUBLE)
+                                / SQRT(CAST(a.nrm AS DOUBLE) * CAST(q.q_nrm AS DOUBLE)), 4) DESC,
+                              a.vec_id) AS rnk
+                     FROM aa a JOIN queries q ON a.cell = q.cell AND a.vec_id != q.qid)
+                   WHERE rnk <= 5),
+           exact AS (SELECT qid, vec_id FROM (
+                       SELECT q.qid, a.vec_id,
+                              ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                                ROUND(CAST(CAST(list_sum(list_transform(list_zip(a.qe, q.q_qe),
+                                      p -> p[1]*p[2])) AS BIGINT) AS DOUBLE)
+                                  / SQRT(CAST(a.nrm AS DOUBLE) * CAST(q.q_nrm AS DOUBLE)), 4) DESC,
+                                a.vec_id) AS rnk
+                       FROM n a CROSS JOIN queries q
+                       WHERE a.vec_id != q.qid)
+                     WHERE rnk <= 5)
+      SELECT exact.qid, CAST(COUNT(*) AS BIGINT) AS n_exact,
+             CAST(SUM(CASE WHEN ivf.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+             CAST(SUM(CASE WHEN ivf.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 10000
+                  // COUNT(*) AS BIGINT) AS recall_e4
+      FROM exact LEFT JOIN ivf ON exact.qid = ivf.qid AND exact.vec_id = ivf.vec_id
+      GROUP BY 1 ORDER BY 1""",
+
+    "q_share_matrix" -> """
+      WITH b AS (SELECT l_returnflag AS flag, l_linestatus AS status,
+                        CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev
+                 FROM lineitem GROUP BY 1, 2),
+           x AS (SELECT flag, status, rev,
+                        CAST(SUM(rev) OVER (PARTITION BY flag) AS BIGINT) AS rowt,
+                        CAST(SUM(rev) OVER (PARTITION BY status) AS BIGINT) AS colt,
+                        CAST(SUM(rev) OVER () AS BIGINT) AS tot
+                 FROM b)
+      SELECT flag, status, rev AS rev_cents,
+             CAST(rev * 10000 // rowt AS BIGINT) AS row_share_e4,
+             CAST(rev * 10000 // colt AS BIGINT) AS col_share_e4,
+             CAST(rev * 10000 // tot AS BIGINT) AS total_share_e4
+      FROM x ORDER BY 1, 2""",
+
+    "q_rowvalue_in" -> """
+      SELECT l_returnflag AS flag, l_linestatus AS status, CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem
+      WHERE (l_returnflag, l_linestatus) IN (('A', 'F'), ('R', 'F'), ('N', 'O'))
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_lateral_topn" -> """
+      SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(top_cents) AS BIGINT) AS sum_top_cents
+      FROM (SELECT c_mktsegment,
+                   (SELECT MAX(CAST(ROUND(o_totalprice*100) AS BIGINT)) FROM orders o
+                    WHERE o.o_custkey = c.c_custkey) AS top_cents
+            FROM customer c)
+      WHERE top_cents IS NOT NULL GROUP BY 1 ORDER BY 1""",
+
+    "q_window_rollup_audit" -> """
+      WITH ev AS (SELECT event_type, epoch_us(ts) // 900000000 AS q15 FROM events),
+           q AS (SELECT event_type, q15, CAST(COUNT(*) AS BIGINT) AS n15
+                 FROM ev GROUP BY 1, 2),
+           r AS (SELECT event_type, q15 // 4 AS hr, CAST(SUM(n15) AS BIGINT) AS n_rolled
+                 FROM q GROUP BY 1, 2),
+           d AS (SELECT event_type, q15 // 4 AS hr, CAST(COUNT(*) AS BIGINT) AS n_direct
+                 FROM ev GROUP BY 1, 2)
+      SELECT r.event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+             CAST(SUM(n_rolled) AS BIGINT) AS total_rolled,
+             CAST(SUM(n_direct) AS BIGINT) AS total_direct,
+             CAST(SUM(CASE WHEN n_rolled <> n_direct THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_mismatch
+      FROM r JOIN d ON r.event_type = d.event_type AND r.hr = d.hr
+      GROUP BY 1 ORDER BY 1""",
+
+    "q_onehot_export" -> """
+      SELECT c_custkey,
+             CAST(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END AS BIGINT) AS seg_automobile,
+             CAST(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS BIGINT) AS seg_building,
+             CAST(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END AS BIGINT) AS seg_furniture,
+             CAST(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END AS BIGINT) AS seg_household,
+             CAST(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS BIGINT) AS seg_machinery
+      FROM customer WHERE c_custkey < 10 ORDER BY c_custkey""",
+
+    "q_fiscal_calendar" -> """
+      SELECT CAST(year(o_orderdate) + CASE WHEN month(o_orderdate) >= 7 THEN 1 ELSE 0 END
+               AS BIGINT) AS fy,
+             CAST((month(o_orderdate) + 5) % 12 // 3 + 1 AS BIGINT) AS fq,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM orders GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 }
