@@ -244,6 +244,46 @@ object Events {
       .limit(10)
   }
 
+  /** Error-rate alerting: hourly error share (e4) vs the global mean,
+    * hours flagged when 20% above it; reported per day as total vs
+    * alerted hours — the monitoring rule a stream job would evaluate,
+    * backfilled in batch. One hour aggregate + broadcast baseline.
+    */
+  def q_error_alert_hours(spark: SparkSession, sf: String): DataFrame = {
+    val hourly = Tables.eventsWithTs(spark, sf)
+      .groupBy(expr("ts_usl div 3600000000").as("hr"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"))
+      .select(col("hr"), col("n"), col("n_err"),
+        expr("n_err * 10000 div n").as("rate_e4"))
+    val base = hourly.agg(sum(col("n_err")).as("te"), sum(col("n")).as("tn"))
+      .select(expr("te * 10000 div tn").as("global_e4"))
+    hourly.crossJoin(broadcast(base))
+      .select(
+        expr("date_format(date_add(DATE '1970-01-01', CAST(hr div 24 AS INT)), 'yyyy-MM-dd')")
+          .as("day"),
+        when(col("rate_e4") * 10L > col("global_e4") * 12L, 1L).otherwise(0L).as("alert"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("alert")).as("n_alert_hours"))
+      .orderBy("day")
+  }
+
+  /** Capacity-planning percentiles: the p95 / max / floor-mean of hourly
+    * event counts per type — the number an executor or consumer fleet is
+    * sized against (plan for p95, alert at max).
+    */
+  def q_capacity_p95(spark: SparkSession, sf: String): DataFrame =
+    Tables.eventsWithTs(spark, sf)
+      .groupBy(col("event_type"), expr("ts_usl div 3600000000").as("hr"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("c")).as("total"),
+        (round(percentile(col("c"), lit(0.95)), 4) + lit(0.0)).as("p95_hourly"),
+        max(col("c")).as("max_hourly"))
+      .select(col("event_type"), col("n_hours"), col("max_hourly"), col("p95_hourly"),
+        expr("total div n_hours").as("mean_hourly_floor"))
+      .orderBy("event_type")
+
   /** Window-rollup invariance audit: 15-minute tumbling counts re-rolled
     * to the hour, checked against direct hourly aggregation per event
     * type. Zero mismatches is the invariant that makes multi-resolution

@@ -556,6 +556,64 @@ object Relational {
       .orderBy("yr")
   }
 
+  /** Data-freshness report: the newest business date per table against
+    * the newest across all three, with the lag in whole days — the
+    * staleness gate an orchestrator checks before kicking downstream
+    * jobs. Three tiny max-aggregates + one broadcast reference.
+    */
+  def q_data_freshness(spark: SparkSession, sf: String): DataFrame = {
+    val epoch = lit("1970-01-01").cast("date")
+    def maxDay(df: DataFrame, c: String, name: String): DataFrame =
+      df.agg(max(datediff(col(c).cast("date"), epoch)).cast("long").as("max_dayn"))
+        .select(lit(name).as("table_name"), col("max_dayn"))
+    val all = maxDay(Tables.orders(spark, sf), "o_orderdate", "orders")
+      .unionByName(maxDay(Tables.lineitem(spark, sf), "l_shipdate", "lineitem"))
+      .unionByName(Tables.eventsWithTs(spark, sf)
+        .agg(max(expr("ts_usl div 86400000000")).as("max_dayn"))
+        .select(lit("events").as("table_name"), col("max_dayn")))
+    all.crossJoin(broadcast(all.agg(max(col("max_dayn")).as("ref"))))
+      .select(col("table_name"), col("max_dayn"),
+        (col("ref") - col("max_dayn")).as("staleness_days"))
+      .orderBy("table_name")
+  }
+
+  /** Join-key skew profile of l_orderkey: how many keys carry each
+    * multiplicity and the row mass per bucket — the audit that decides
+    * whether the join needs salting BEFORE it runs (the q_join_salted
+    * counterpart). Two aggregates, no join.
+    */
+  def q_join_skew_profile(spark: SparkSession, sf: String): DataFrame = {
+    val mult = Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("m"))
+      .groupBy(col("m").as("multiplicity"))
+      .agg(count(lit(1)).as("n_keys"))
+    mult.crossJoin(broadcast(mult.agg(
+      sum(col("n_keys")).as("tk"),
+      sum(col("multiplicity") * col("n_keys")).as("tr"))))
+      .select(col("multiplicity"), col("n_keys"),
+        (col("multiplicity") * col("n_keys")).as("n_rows"),
+        expr("multiplicity * n_keys * 10000 div tr").as("row_share_e4"))
+      .orderBy("multiplicity")
+  }
+
+  /** Partition-planning estimate: rows, estimated bytes (measured string
+    * mass + fixed per-row overhead) and the 128 MB-target partition count
+    * per table — the sizing arithmetic behind
+    * `spark.sql.files.maxPartitionBytes` tuning, as a query.
+    */
+  def q_partition_planning(spark: SparkSession, sf: String): DataFrame = {
+    def plan(df: DataFrame, name: String, bytesExpr: Column): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"), sum(bytesExpr).as("est_bytes"))
+        .select(lit(name).as("table_name"), col("n_rows"), col("est_bytes"),
+          expr("(est_bytes + 134217727) div 134217728").as("parts_at_128mb"))
+    plan(Tables.lineitem(spark, sf), "lineitem", lit(100L))
+      .unionByName(plan(Tables.orders(spark, sf), "orders",
+        lit(60L) + length(col("o_orderpriority")).cast("long")))
+      .unionByName(plan(Tables.documents(spark, sf), "documents",
+        lit(40L) + col("n_chars")))
+      .orderBy("table_name")
+  }
+
   /** Share-of-total matrix: (flag × status) revenue with exact e4 shares
     * of the row, the column, and the grand total — the margins readout a
     * crosstab report carries, computed with keyed margin windows plus one

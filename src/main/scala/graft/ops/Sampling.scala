@@ -371,6 +371,37 @@ object Sampling {
       .orderBy("event_type")
   }
 
+  /** Train/holdout drift check: mean/variance of document length in the
+    * 80/20 md5 split plus the standardized mean difference — the
+    * pre-training sanity gate that catches a broken splitter. Exact
+    * sufficient statistics, one epilogue.
+    */
+  def q_holdout_drift(spark: SparkSession, sf: String): DataFrame = {
+    val s = Tables.documents(spark, sf)
+      .select(col("n_chars").as("x"),
+        when(idHash(col("doc_id")) % 10 < 8, "train").otherwise("test").as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+    val p = s.agg(
+      max(when(col("split") === "train", col("n"))).as("n1"),
+      max(when(col("split") === "train", col("sx"))).as("s1"),
+      max(when(col("split") === "train", col("sxx"))).as("ss1"),
+      max(when(col("split") === "test", col("n"))).as("n2"),
+      max(when(col("split") === "test", col("sx"))).as("s2"),
+      max(when(col("split") === "test", col("sxx"))).as("ss2"))
+    def m(sc: Column, nc: Column) = sc.cast("double") / nc.cast("double")
+    def vr(ssc: Column, sc: Column, nc: Column) =
+      (ssc.cast("double") - sc.cast("double") * sc.cast("double") / nc.cast("double")) /
+        (nc.cast("double") - lit(1.0))
+    p.select(col("n1"), col("n2"),
+      (round(m(col("s1"), col("n1")), 4) + lit(0.0)).as("train_mean"),
+      (round(m(col("s2"), col("n2")), 4) + lit(0.0)).as("test_mean"),
+      (round((m(col("s1"), col("n1")) - m(col("s2"), col("n2"))) /
+        sqrt((vr(col("ss1"), col("s1"), col("n1")) +
+          vr(col("ss2"), col("s2"), col("n2"))) / lit(2.0)), 6) + lit(0.0)).as("smd"))
+  }
+
   /** One-hot encoding export: the market segment of customers 0-9 as five
     * indicator columns — the categorical-feature materialization shape
     * (wide, fixed columns) a training job consumes. Pure projection.

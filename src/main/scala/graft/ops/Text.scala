@@ -502,6 +502,29 @@ object Text {
         (col("n_docs") - col("n_bow_distinct")).as("n_dup_extra"))
       .orderBy("lang")
 
+  /** Spell-correction candidates: vocabulary words within levenshtein
+    * distance 1 of three misspelled probes, ranked by corpus frequency
+    * (top-3 per probe). The distance predicate runs against the
+    * AGGREGATED vocabulary, so the edit-distance scan is |V|·|probes|,
+    * never corpus-sized.
+    */
+  def q_spell_candidates(spark: SparkSession, sf: String): DataFrame = {
+    val vocab = Tables.documents(spark, sf)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val probes = Seq("tble", "qery", "windw")
+    val probeDf = probes.map(p => vocab
+      .select(lit(p).as("probe"), col("word").as("candidate"), col("c"),
+        levenshtein(col("word"), lit(p)).cast("long").as("dist"))
+      .filter(col("dist") <= 1L)).reduce(_.unionByName(_))
+    val w = Window.partitionBy("probe").orderBy(col("c").desc, col("candidate").asc)
+    probeDf
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("probe"), col("rk"), col("candidate"), col("dist"), col("c"))
+      .orderBy("probe", "rk")
+  }
+
   /** Vocabulary-overlap (Jaccard) matrix between language pairs: distinct
     * token sets per language joined on the token — |A∩B| exact, the union
     * by inclusion-exclusion, e6 floor ratio. Tells a tokenizer team how

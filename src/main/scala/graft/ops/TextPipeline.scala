@@ -516,6 +516,61 @@ object TextPipeline {
       .orderBy("lang")
   }
 
+  /** N-gram autocomplete: the top-3 continuations (by bigram count, tie →
+    * token) for five fixed prefixes — the suggestion table a type-ahead
+    * service precomputes. The prefix filter pushes into the bigram
+    * aggregate, so cost follows the prefix list, not the corpus.
+    */
+  def q_ngram_autocomplete(spark: SparkSession, sf: String): DataFrame = {
+    val prefixes = Seq("fast", "table", "data", "key", "row")
+    val w = Window.partitionBy("w1").orderBy(col("c").desc, col("w2").asc)
+    docBigrams(spark, sf)
+      .filter(col("w1").isin(prefixes: _*))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("w1").as("prefix"), col("rk"), col("w2").as("suggestion"), col("c"))
+      .orderBy("prefix", "rk")
+  }
+
+  /** Stopword discovery: tokens present in ≥ 75% of documents (document
+    * frequency, not raw count — the robust definition). One distinct
+    * pass; the output IS the stopword list a filter stage consumes.
+    */
+  def q_stopword_discovery(spark: SparkSession, sf: String): DataFrame = {
+    val n = Tables.documents(spark, sf).agg(count(lit(1)).as("nn"))
+    Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(toks(col("text"))).as("word")).distinct()
+      .groupBy(col("word")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .select(col("word"), col("df"), expr("df * 10000 div nn").as("df_ratio_e4"))
+      .filter(col("df_ratio_e4") >= 7500L)
+      .orderBy(col("df_ratio_e4").desc, col("word").asc)
+  }
+
+  /** Doc-length ↔ token-count correlation per language — a calibration
+    * audit: if chars and tokens decorrelate somewhere, the tokenizer or
+    * the length metadata is wrong for that slice. Exact sums, one
+    * epilogue.
+    */
+  def q_len_token_corr(spark: SparkSession, sf: String): DataFrame = {
+    val s = Tables.documents(spark, sf)
+      .select(col("lang"), col("n_chars").as("x"),
+        size(toks(col("text"))).cast("long").as("y"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val nD = col("n").cast("double")
+    val num = nD * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")
+    val dx = nD * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")
+    val dy = nD * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double")
+    s.select(col("lang"), col("n"),
+      (round(num / sqrt(dx * dy), 6) + lit(0.0)).as("corr"))
+      .orderBy("lang")
+  }
+
   /** Cross-language length calibration: average document chars per
     * language (e4 floor) and the e4 ratio vs the English baseline — the
     * normalization table a per-language token budget is derived from.

@@ -5054,5 +5054,156 @@ object OracleSql {
              CAST(COUNT(*) AS BIGINT) AS n_orders,
              CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev_cents
       FROM orders GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_ngram_autocomplete" -> """
+      WITH bg AS (SELECT word AS w1, LEAD(word) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+                  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word,
+                               generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+                        FROM documents)),
+           c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM bg
+                 WHERE w2 IS NOT NULL AND w1 IN ('fast', 'table', 'data', 'key', 'row')
+                 GROUP BY 1, 2),
+           r AS (SELECT w1, w2, c, ROW_NUMBER() OVER (PARTITION BY w1 ORDER BY c DESC, w2) AS rk
+                 FROM c)
+      SELECT w1 AS prefix, CAST(rk AS BIGINT) AS rk, w2 AS suggestion, c
+      FROM r WHERE rk <= 3 ORDER BY prefix, rk""",
+
+    "q_spell_candidates" -> """
+      WITH v AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+                 FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+                 GROUP BY 1),
+           p AS (SELECT probe, word AS candidate, c,
+                        CAST(levenshtein(word, probe) AS BIGINT) AS dist
+                 FROM v CROSS JOIN (SELECT unnest(['tble', 'qery', 'windw']) AS probe)
+                 WHERE levenshtein(word, probe) <= 1),
+           r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe ORDER BY c DESC, candidate)
+                          AS rk
+                 FROM p)
+      SELECT probe, CAST(rk AS BIGINT) AS rk, candidate, dist, c
+      FROM r WHERE rk <= 3 ORDER BY probe, rk""",
+
+    "q_stopword_discovery" -> """
+      WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM documents),
+           df AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df
+                  FROM (SELECT DISTINCT doc_id, word
+                        FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+                              FROM documents))
+                  GROUP BY 1)
+      SELECT word, df, CAST(df * 10000 // nn AS BIGINT) AS df_ratio_e4
+      FROM df, n WHERE df * 10000 // nn >= 7500
+      ORDER BY df_ratio_e4 DESC, word""",
+
+    "q_error_alert_hours" -> """
+      WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hr, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+                          AS n_err
+                 FROM events GROUP BY 1),
+           r AS (SELECT hr, CAST(n_err * 10000 // n AS BIGINT) AS rate_e4 FROM h),
+           g AS (SELECT CAST(SUM(n_err) * 10000 // SUM(n) AS BIGINT) AS global_e4 FROM h)
+      SELECT strftime(DATE '1970-01-01' + CAST(hr // 24 AS INT), '%Y-%m-%d') AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_hours,
+             CAST(SUM(CASE WHEN rate_e4 * 10 > global_e4 * 12 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_alert_hours
+      FROM r, g GROUP BY 1 ORDER BY 1""",
+
+    "q_capacity_p95" -> """
+      WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+                        CAST(COUNT(*) AS BIGINT) AS c
+                 FROM events GROUP BY 1, 2)
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+             CAST(MAX(c) AS BIGINT) AS max_hourly,
+             ROUND(quantile_cont(c, 0.95), 4) + 0 AS p95_hourly,
+             CAST(SUM(c) // COUNT(*) AS BIGINT) AS mean_hourly_floor
+      FROM h GROUP BY 1 ORDER BY 1""",
+
+    "q_data_freshness" -> """
+      WITH a AS (
+        SELECT 'orders' AS table_name,
+               CAST(MAX(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)))
+                 AS BIGINT) AS max_dayn
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem',
+               CAST(MAX(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)))
+                 AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'events', CAST(MAX(epoch_us(ts) // 86400000000) AS BIGINT) FROM events)
+      SELECT table_name, max_dayn,
+             CAST((SELECT MAX(max_dayn) FROM a) - max_dayn AS BIGINT) AS staleness_days
+      FROM a ORDER BY table_name""",
+
+    "q_join_skew_profile" -> """
+      WITH m AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS m FROM lineitem GROUP BY 1),
+           h AS (SELECT m AS multiplicity, CAST(COUNT(*) AS BIGINT) AS n_keys FROM m GROUP BY 1),
+           t AS (SELECT CAST(SUM(multiplicity * n_keys) AS BIGINT) AS tr FROM h)
+      SELECT multiplicity, n_keys, CAST(multiplicity * n_keys AS BIGINT) AS n_rows,
+             CAST(multiplicity * n_keys * 10000 // tr AS BIGINT) AS row_share_e4
+      FROM h, t ORDER BY multiplicity""",
+
+    "q_partition_planning" -> """
+      SELECT * FROM (
+        SELECT 'lineitem' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(100) AS BIGINT) AS est_bytes,
+               CAST((SUM(100) + 134217727) // 134217728 AS BIGINT) AS parts_at_128mb
+        FROM lineitem
+        UNION ALL
+        SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(60 + length(o_orderpriority)) AS BIGINT),
+               CAST((SUM(60 + length(o_orderpriority)) + 134217727) // 134217728 AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'documents', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(40 + n_chars) AS BIGINT),
+               CAST((SUM(40 + n_chars) + 134217727) // 134217728 AS BIGINT)
+        FROM documents)
+      ORDER BY table_name""",
+
+    "q_holdout_drift" -> """
+      WITH s AS (SELECT CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                                    AS BIGINT) % 10 < 8
+                             THEN 'train' ELSE 'test' END AS split,
+                        n_chars AS x
+                 FROM documents),
+           g AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+                        CAST(SUM(x*x) AS BIGINT) AS sxx
+                 FROM s GROUP BY 1),
+           p AS (SELECT MAX(CASE WHEN split = 'train' THEN n END) AS n1,
+                        MAX(CASE WHEN split = 'train' THEN sx END) AS s1,
+                        MAX(CASE WHEN split = 'train' THEN sxx END) AS ss1,
+                        MAX(CASE WHEN split = 'test' THEN n END) AS n2,
+                        MAX(CASE WHEN split = 'test' THEN sx END) AS s2,
+                        MAX(CASE WHEN split = 'test' THEN sxx END) AS ss2
+                 FROM g)
+      SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+             ROUND(CAST(s1 AS DOUBLE)/CAST(n1 AS DOUBLE), 4) + 0 AS train_mean,
+             ROUND(CAST(s2 AS DOUBLE)/CAST(n2 AS DOUBLE), 4) + 0 AS test_mean,
+             ROUND((CAST(s1 AS DOUBLE)/CAST(n1 AS DOUBLE)
+                    - CAST(s2 AS DOUBLE)/CAST(n2 AS DOUBLE))
+                   / SQRT((((CAST(ss1 AS DOUBLE)
+                             - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/CAST(n1 AS DOUBLE))
+                            / (CAST(n1 AS DOUBLE)-1.0))
+                           + ((CAST(ss2 AS DOUBLE)
+                               - CAST(s2 AS DOUBLE)*CAST(s2 AS DOUBLE)/CAST(n2 AS DOUBLE))
+                              / (CAST(n2 AS DOUBLE)-1.0))) / 2.0), 6) + 0 AS smd
+      FROM p""",
+
+    "q_len_token_corr" -> """
+      WITH s AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                        CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx,
+                        CAST(SUM(y*y) AS BIGINT) AS syy
+                 FROM (SELECT lang, n_chars AS x,
+                              CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS y
+                       FROM documents)
+                 GROUP BY 1)
+      SELECT lang, n,
+             ROUND((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                   / SQRT((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 6) + 0 AS corr
+      FROM s ORDER BY lang""",
   )
 }
