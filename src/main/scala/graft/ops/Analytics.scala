@@ -1292,6 +1292,75 @@ object Analytics {
       (round(sqrt(chi2 / (col("n").cast("double") * minDim)), 6) + lit(0.0)).as("v"))
   }
 
+  /** Quarter-over-quarter growth: quarterly revenue paired with the prior
+    * quarter by an add_months(3) equi-join (no window); growth as an e4
+    * trunc integer — both engines truncate integer division toward zero,
+    * so negative quarters need no special casing.
+    */
+  def q_qoq_growth(spark: SparkSession, sf: String): DataFrame = {
+    val q = Tables.lineitem(spark, sf)
+      .groupBy(date_trunc("quarter", col("l_shipdate")).as("qtr"))
+      .agg(sum(cents(col("l_extendedprice"))).as("rev"))
+    val prev = q.select(add_months(col("qtr"), 3).cast("timestamp").as("qtr"),
+      col("rev").as("prev_rev"))
+    q.join(prev, Seq("qtr"))
+      .select(date_format(col("qtr"), "yyyy-MM").as("quarter"),
+        col("prev_rev"), col("rev"),
+        expr("(rev - prev_rev) * 10000 div prev_rev").as("growth_e4"))
+      .orderBy("quarter")
+  }
+
+  /** Receivables-aging buckets: open ('O') orders grouped by age against
+    * the newest order date — 0-30/31-60/61-90/90+ day buckets with counts
+    * and value mass. The finance-ops staple; one broadcast reference +
+    * one aggregate.
+    */
+  def q_aging_buckets(spark: SparkSession, sf: String): DataFrame = {
+    val epoch = lit("1970-01-01").cast("date")
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderstatus"),
+        datediff(col("o_orderdate").cast("date"), epoch).cast("long").as("dayn"),
+        cents(col("o_totalprice")).as("tp"))
+    val ref = o.agg(max(col("dayn")).as("ref"))
+    o.filter(col("o_orderstatus") === "O")
+      .crossJoin(broadcast(ref))
+      .select((col("ref") - col("dayn")).as("age"), col("tp"))
+      .select(when(col("age") <= 30L, "a_0_30")
+        .when(col("age") <= 60L, "b_31_60")
+        .when(col("age") <= 90L, "c_61_90").otherwise("d_over_90").as("bucket"),
+        col("tp"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("tp")).as("value_cents"))
+      .orderBy("bucket")
+  }
+
+  /** Lorenz-curve points: customer lifetime spend bucketed into deciles
+    * by the nine exact spend percentiles (decile 1 = lowest spend), with
+    * the cumulative revenue share per decile as exact e4 integers (10-row
+    * theta-join cumulative). The raw curve behind the Gini number.
+    */
+  def q_lorenz_curve(spark: SparkSession, sf: String): DataFrame = {
+    val spend = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey")).agg(sum(cents(col("o_totalprice"))).as("sp"))
+    val bounds = spend.agg(percentile(col("sp"),
+      array((1 to 9).map(i => lit(i / 10.0)): _*)).as("bs"))
+    val dec = spend.crossJoin(broadcast(bounds))
+      .select(expr("1 + size(filter(bs, b -> sp > b))").cast("long").as("decile"),
+        col("sp"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("sp")).as("spend_cents"))
+    dec.as("a")
+      .join(dec.select(col("decile").as("d2"), col("spend_cents").as("s2")).as("b"),
+        col("b.d2") <= col("a.decile"))
+      .groupBy(col("a.decile").as("decile"), col("a.n_customers").as("n_customers"),
+        col("a.spend_cents").as("spend_cents"))
+      .agg(sum(col("b.s2")).as("cum_spend"))
+      .crossJoin(broadcast(dec.agg(sum(col("spend_cents")).as("tot"))))
+      .select(col("decile"), col("n_customers"), col("spend_cents"),
+        expr("cum_spend * 10000 div tot").as("cum_share_e4"))
+      .orderBy("decile")
+  }
+
   /** Fiscal-calendar revenue: fiscal year starts July 1; revenue and
     * order counts per (fiscal year, fiscal quarter) — the date-dimension
     * remap every finance consumer needs, as pure integer month

@@ -244,6 +244,42 @@ object Events {
       .limit(10)
   }
 
+  /** Five-number (boxplot) summary of event value per type: exact integer
+    * min/max, exact interpolated quartiles (r4) — the distribution card a
+    * monitoring UI renders per metric.
+    */
+  def q_five_number(spark: SparkSession, sf: String): DataFrame =
+    Tables.eventsWithTs(spark, sf)
+      .select(col("event_type"), cents(col("value")).as("vc"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("vc")).as("min_cents"),
+        (round(percentile(col("vc"), lit(0.25)), 4) + lit(0.0)).as("q1"),
+        (round(percentile(col("vc"), lit(0.5)), 4) + lit(0.0)).as("median"),
+        (round(percentile(col("vc"), lit(0.75)), 4) + lit(0.0)).as("q3"),
+        max(col("vc")).as("max_cents"))
+      .orderBy("event_type")
+
+  /** Weekly retention curve: share of the user base active k weeks after
+    * their first week (exact e4, cohort = everyone — offset 0 is 100% by
+    * construction). One user-keyed min + one distinct pass; the single
+    * curve behind every retention chart.
+    */
+  def q_weekly_retention_curve(spark: SparkSession, sf: String): DataFrame = {
+    val uw = Tables.eventsWithTs(spark, sf)
+      .select(col("user_id"), date_trunc("week", col("ts_us")).as("wk")).distinct()
+    val first = uw.groupBy(col("user_id")).agg(min(col("wk")).as("w0"))
+    val offsets = uw.join(first, "user_id")
+      .select(col("user_id"),
+        (datediff(col("wk").cast("date"), col("w0").cast("date")) / 7)
+          .cast("long").as("wk_offset"))
+      .distinct()
+    val curve = offsets.groupBy(col("wk_offset")).agg(count(lit(1)).as("n_users"))
+    curve.crossJoin(broadcast(first.agg(count(lit(1)).as("cohort"))))
+      .select(col("wk_offset"), col("n_users"),
+        expr("n_users * 10000 div cohort").as("retention_e4"))
+      .orderBy("wk_offset")
+  }
+
   /** Error-rate alerting: hourly error share (e4) vs the global mean,
     * hours flagged when 20% above it; reported per day as total vs
     * alerted hours — the monitoring rule a stream job would evaluate,

@@ -556,6 +556,28 @@ object Relational {
       .orderBy("yr")
   }
 
+  /** Decimal-integrity audit: money columns stored as binary doubles are
+    * only APPROXIMATELY 2-decimal — this measures each column's maximum
+    * deviation of x·100 from the nearest integer (e9) and how many rows
+    * deviate beyond 10⁻⁶ cents. The audit that justifies the engine-wide
+    * round-to-cents rule (D2): deviations exist, stay below half a cent,
+    * and the rounding is therefore lossless.
+    */
+  def q_decimal_integrity(spark: SparkSession, sf: String): DataFrame = {
+    def audit(df: DataFrame, c: String, name: String): DataFrame = {
+      val dev = abs(col(c) * lit(100.0) - round(col(c) * lit(100.0)))
+      df.agg(count(lit(1)).as("n_rows"),
+        sum(when(dev > lit(1e-6), 1L).otherwise(0L)).as("n_above_1e6"),
+        round(max(dev) * lit(1e9)).cast("long").as("max_dev_e9"))
+        .select(lit(name).as("column_name"), col("n_rows"), col("n_above_1e6"),
+          col("max_dev_e9"))
+    }
+    audit(Tables.orders(spark, sf), "o_totalprice", "o_totalprice")
+      .unionByName(audit(Tables.lineitem(spark, sf), "l_extendedprice", "l_extendedprice"))
+      .unionByName(audit(Tables.lineitem(spark, sf), "l_discount", "l_discount"))
+      .orderBy("column_name")
+  }
+
   /** Data-freshness report: the newest business date per table against
     * the newest across all three, with the lag in whole days — the
     * staleness gate an orchestrator checks before kicking downstream

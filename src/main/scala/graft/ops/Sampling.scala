@@ -371,6 +371,23 @@ object Sampling {
       .orderBy("event_type")
   }
 
+  /** Temperature-scaled sampling allocation (T = 2 ⇒ weights ∝ √share):
+    * the per-language slice of a fixed token budget, as parts-per-million
+    * floors — how multilingual training mixes are actually drawn so tail
+    * languages aren't starved. √n per language rounded e6 BEFORE the
+    * order-free weight total.
+    */
+  def q_sampling_temperature(spark: SparkSession, sf: String): DataFrame = {
+    val s = Tables.documents(spark, sf)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_e6", round(sqrt(col("n_docs").cast("double")) * lit(1e6)).cast("long"))
+    s.crossJoin(broadcast(s.agg(sum(col("n_docs")).as("tot"), sum(col("w_e6")).as("wtot"))))
+      .select(col("lang"), col("n_docs"),
+        expr("n_docs * 10000 div tot").as("share_e4"), col("w_e6"),
+        expr("w_e6 * 1000000 div wtot").as("alloc_ppm"))
+      .orderBy("lang")
+  }
+
   /** Train/holdout drift check: mean/variance of document length in the
     * 80/20 md5 split plus the standardized mean difference — the
     * pre-training sanity gate that catches a broken splitter. Exact

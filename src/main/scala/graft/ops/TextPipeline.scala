@@ -516,6 +516,25 @@ object TextPipeline {
       .orderBy("lang")
   }
 
+  /** Degenerate-document audit per language: single-token docs, uniform
+    * (one distinct token repeated) docs, and sub-20-char docs — the
+    * pathological inputs that crash tokenizers or poison LM statistics,
+    * counted in one scan.
+    */
+  def q_degenerate_docs(spark: SparkSession, sf: String): DataFrame =
+    Tables.documents(spark, sf)
+      .select(col("lang"), col("n_chars"), toks(col("text")).as("t"))
+      .select(col("lang"), col("n_chars"),
+        size(col("t")).cast("long").as("n_tok"),
+        size(array_distinct(col("t"))).cast("long").as("n_distinct"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_tok") === 1L, 1L).otherwise(0L)).as("n_single_tok"),
+        sum(when(col("n_distinct") === 1L && col("n_tok") > 1L, 1L).otherwise(0L))
+          .as("n_uniform"),
+        sum(when(col("n_chars") < 20L, 1L).otherwise(0L)).as("n_short"))
+      .orderBy("lang")
+
   /** N-gram autocomplete: the top-3 continuations (by bigram count, tie →
     * token) for five fixed prefixes — the suggestion table a type-ahead
     * service precomputes. The prefix filter pushes into the bigram

@@ -240,6 +240,40 @@ object Vectors {
       .limit(10)
   }
 
+  /** Embedding-shape/content audit: vector counts per dimensionality,
+    * with NaN-containing and all-zero vector counts per shape — the
+    * ingest gate before any vector math (a single ragged or poisoned
+    * vector breaks a fused kernel at scale). One scan, in-row predicates.
+    */
+  def q_embedding_shape_audit(spark: SparkSession, sf: String): DataFrame =
+    Tables.embeddings(spark, sf)
+      .select(size(col("embedding")).cast("long").as("dims"),
+        expr("exists(embedding, v -> isnan(CAST(v AS DOUBLE)))").as("has_nan"),
+        expr("aggregate(embedding, CAST(0 AS DOUBLE), (a, v) -> a + abs(CAST(v AS DOUBLE)))" +
+          " = CAST(0 AS DOUBLE)").as("all_zero"))
+      .groupBy(col("dims"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("has_nan"), 1L).otherwise(0L)).as("n_with_nan"),
+        sum(when(col("all_zero"), 1L).otherwise(0L)).as("n_all_zero"))
+      .orderBy("dims")
+
+  /** Label-balance report: per-label counts, e4 shares, and each label's
+    * e8 χ² contribution against the uniform expectation — the class-
+    * imbalance screen run before any classifier training.
+    */
+  def q_label_balance(spark: SparkSession, sf: String): DataFrame = {
+    val c = Tables.embeddings(spark, sf)
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n"))
+    c.crossJoin(broadcast(c.agg(sum(col("n")).as("tot"), count(lit(1)).as("k"))))
+      .select(col("label"), col("n"), expr("n * 10000 div tot").as("share_e4"),
+        round((col("n").cast("double") - col("tot").cast("double") / col("k").cast("double"))
+          * (col("n").cast("double") - col("tot").cast("double") / col("k").cast("double"))
+          / (col("tot").cast("double") / col("k").cast("double")) * lit(1e8))
+          .cast("long").as("chi2_term_e8"))
+      .orderBy("label")
+  }
+
   /** Triplet mining for metric learning: per anchor (vec_id < 10) the
     * hardest positive (same label, farthest) and hardest negative (other
     * label, nearest) over the corpus, with the exact integer margin.

@@ -5205,5 +5205,136 @@ object OracleSql {
                         * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
                            - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 6) + 0 AS corr
       FROM s ORDER BY lang""",
+
+    "q_embedding_shape_audit" -> """
+      WITH x AS (SELECT len(embedding) AS dims,
+                        len(list_filter(embedding, v -> isnan(CAST(v AS DOUBLE)))) > 0 AS has_nan,
+                        list_sum(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) = 0
+                          AS all_zero
+                 FROM embeddings)
+      SELECT CAST(dims AS BIGINT) AS dims, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+             CAST(SUM(CASE WHEN has_nan THEN 1 ELSE 0 END) AS BIGINT) AS n_with_nan,
+             CAST(SUM(CASE WHEN all_zero THEN 1 ELSE 0 END) AS BIGINT) AS n_all_zero
+      FROM x GROUP BY 1 ORDER BY 1""",
+
+    "q_label_balance" -> """
+      WITH c AS (SELECT CAST(label AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS n
+                 FROM embeddings GROUP BY 1),
+           t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot, CAST(COUNT(*) AS BIGINT) AS k FROM c)
+      SELECT label, n, CAST(n * 10000 // tot AS BIGINT) AS share_e4,
+             CAST(ROUND((CAST(n AS DOUBLE) - CAST(tot AS DOUBLE)/CAST(k AS DOUBLE))
+                        * (CAST(n AS DOUBLE) - CAST(tot AS DOUBLE)/CAST(k AS DOUBLE))
+                        / (CAST(tot AS DOUBLE)/CAST(k AS DOUBLE)) * 1e8) AS BIGINT)
+               AS chi2_term_e8
+      FROM c, t ORDER BY label""",
+
+    "q_sampling_temperature" -> """
+      WITH s AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+           w AS (SELECT lang, n_docs,
+                        CAST(ROUND(SQRT(CAST(n_docs AS DOUBLE)) * 1e6) AS BIGINT) AS w_e6
+                 FROM s),
+           t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tot, CAST(SUM(w_e6) AS BIGINT) AS wtot
+                 FROM w)
+      SELECT lang, n_docs, CAST(n_docs * 10000 // tot AS BIGINT) AS share_e4, w_e6,
+             CAST(w_e6 * 1000000 // wtot AS BIGINT) AS alloc_ppm
+      FROM w, t ORDER BY lang""",
+
+    "q_qoq_growth" -> """
+      WITH q AS (SELECT date_trunc('quarter', l_shipdate) AS qtr,
+                        CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev
+                 FROM lineitem GROUP BY 1)
+      SELECT strftime(cur.qtr, '%Y-%m') AS quarter, prev.rev AS prev_rev, cur.rev AS rev,
+             CAST((cur.rev - prev.rev) * 10000 // prev.rev AS BIGINT) AS growth_e4
+      FROM q cur JOIN q prev ON cur.qtr = prev.qtr + INTERVAL 3 MONTH
+      ORDER BY quarter""",
+
+    "q_degenerate_docs" -> """
+      WITH d AS (SELECT lang, n_chars,
+                        len(string_split(lower(text), ' ')) AS n_tok,
+                        len(list_distinct(string_split(lower(text), ' '))) AS n_distinct
+                 FROM documents)
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN n_tok = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_single_tok,
+             CAST(SUM(CASE WHEN n_distinct = 1 AND n_tok > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_uniform,
+             CAST(SUM(CASE WHEN n_chars < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+      FROM d GROUP BY 1 ORDER BY 1""",
+
+    "q_decimal_integrity" -> """
+      SELECT * FROM (
+        SELECT 'o_totalprice' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN ABS(o_totalprice*100.0 - ROUND(o_totalprice*100.0)) > 1e-6
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_above_1e6,
+               CAST(ROUND(MAX(ABS(o_totalprice*100.0 - ROUND(o_totalprice*100.0))) * 1e9)
+                 AS BIGINT) AS max_dev_e9
+        FROM orders
+        UNION ALL
+        SELECT 'l_extendedprice', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN ABS(l_extendedprice*100.0 - ROUND(l_extendedprice*100.0))
+                                  > 1e-6 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(ROUND(MAX(ABS(l_extendedprice*100.0 - ROUND(l_extendedprice*100.0))) * 1e9)
+                 AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN ABS(l_discount*100.0 - ROUND(l_discount*100.0)) > 1e-6
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(ROUND(MAX(ABS(l_discount*100.0 - ROUND(l_discount*100.0))) * 1e9) AS BIGINT)
+        FROM lineitem)
+      ORDER BY column_name""",
+
+    "q_aging_buckets" -> """
+      WITH o AS (SELECT o_orderstatus,
+                        CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                          AS BIGINT) AS dayn,
+                        CAST(ROUND(o_totalprice*100) AS BIGINT) AS tp
+                 FROM orders),
+           r AS (SELECT CAST(MAX(dayn) AS BIGINT) AS ref FROM o),
+           b AS (SELECT CASE WHEN ref - dayn <= 30 THEN 'a_0_30'
+                             WHEN ref - dayn <= 60 THEN 'b_31_60'
+                             WHEN ref - dayn <= 90 THEN 'c_61_90'
+                             ELSE 'd_over_90' END AS bucket, tp
+                 FROM o, r WHERE o_orderstatus = 'O')
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_orders, CAST(SUM(tp) AS BIGINT) AS value_cents
+      FROM b GROUP BY 1 ORDER BY 1""",
+
+    "q_lorenz_curve" -> """
+      WITH sp AS (SELECT o_custkey,
+                         CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sp
+                  FROM orders GROUP BY 1),
+           bb AS (SELECT quantile_cont(sp, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+                  FROM sp),
+           d AS (SELECT CAST(1 + len(list_filter(bs, b -> sp > b)) AS BIGINT) AS decile, sp
+                 FROM sp, bb),
+           a AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+                        CAST(SUM(sp) AS BIGINT) AS spend_cents
+                 FROM d GROUP BY 1),
+           c AS (SELECT decile, n_customers, spend_cents,
+                        CAST(SUM(spend_cents) OVER (ORDER BY decile) AS BIGINT) AS cum,
+                        CAST(SUM(spend_cents) OVER () AS BIGINT) AS tot
+                 FROM a)
+      SELECT decile, n_customers, spend_cents, CAST(cum * 10000 // tot AS BIGINT) AS cum_share_e4
+      FROM c ORDER BY decile""",
+
+    "q_five_number" -> """
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, CAST(MIN(vc) AS BIGINT) AS min_cents,
+             ROUND(quantile_cont(vc, 0.25), 4) + 0 AS q1,
+             ROUND(quantile_cont(vc, 0.5), 4) + 0 AS median,
+             ROUND(quantile_cont(vc, 0.75), 4) + 0 AS q3,
+             CAST(MAX(vc) AS BIGINT) AS max_cents
+      FROM (SELECT event_type, CAST(ROUND(value*100) AS BIGINT) AS vc FROM events)
+      GROUP BY 1 ORDER BY 1""",
+
+    "q_weekly_retention_curve" -> """
+      WITH uw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+           f AS (SELECT user_id, MIN(wk) AS w0 FROM uw GROUP BY 1),
+           o AS (SELECT DISTINCT uw.user_id,
+                        CAST(date_diff('day', CAST(w0 AS DATE), CAST(wk AS DATE)) // 7
+                          AS BIGINT) AS wk_offset
+                 FROM uw JOIN f ON uw.user_id = f.user_id),
+           c AS (SELECT wk_offset, CAST(COUNT(*) AS BIGINT) AS n_users FROM o GROUP BY 1),
+           t AS (SELECT CAST(COUNT(*) AS BIGINT) AS cohort FROM f)
+      SELECT wk_offset, n_users, CAST(n_users * 10000 // cohort AS BIGINT) AS retention_e4
+      FROM c, t ORDER BY wk_offset""",
   )
 }
