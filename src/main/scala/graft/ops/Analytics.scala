@@ -1292,6 +1292,100 @@ object Analytics {
       (round(sqrt(chi2 / (col("n").cast("double") * minDim)), 6) + lit(0.0)).as("v"))
   }
 
+  /** Compaction candidates: (flag, month) ingest partitions under a 500-
+    * row threshold — the small-files report a table-maintenance job
+    * compacts from. One aggregate + share arithmetic.
+    */
+  def q_compaction_candidates(spark: SparkSession, sf: String): DataFrame = {
+    val parts = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag").as("flag"),
+        date_format(date_trunc("month", col("l_shipdate")), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_rows"))
+    parts.filter(col("n_rows") < 500L)
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n_small_partitions"), sum(col("n_rows")).as("rows_to_compact"),
+        min(col("month")).as("first_month"), max(col("month")).as("last_month"))
+      .orderBy("flag")
+  }
+
+  /** Region × order-priority revenue matrix through the full dimension
+    * chain (region ← nation ← customer ← orders): the two small dims
+    * broadcast, the single real shuffle is the orders aggregate — the
+    * canonical star-join rollup shape.
+    */
+  def q_region_priority_matrix(spark: SparkSession, sf: String): DataFrame =
+    Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sf)
+        .select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sf)
+        .select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_orders"), sum(cents(col("o_totalprice"))).as("rev_cents"))
+      .orderBy("region", "priority")
+
+  /** XYZ demand-variability classes per brand: each part's weekly demand
+    * CV (exact sums, one epilogue per part, e4-floored) classifies it as
+    * X (CV<0.5) / Y (<1.0) / Z — the forecastability partner of the ABC
+    * revenue classes. Two aggregates + a bounded class rollup.
+    */
+  def q_xyz_variability(spark: SparkSession, sf: String): DataFrame = {
+    val weekly = Tables.lineitem(spark, sf)
+      .join(broadcast(Tables.part(spark, sf).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"), col("l_partkey"),
+        date_trunc("week", col("l_shipdate")).as("wk"))
+      .agg(sum(col("l_quantity").cast("long")).as("q"))
+    val perPart = weekly.groupBy(col("brand"), col("l_partkey"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s"), sum(col("q") * col("q")).as("ss"))
+      .filter(col("n") >= 2)
+    val nD = col("n").cast("double")
+    val mean = col("s").cast("double") / nD
+    val sd = sqrt((col("ss").cast("double") -
+      col("s").cast("double") * col("s").cast("double") / nD) / (nD - lit(1.0)))
+    perPart
+      .withColumn("cv_e4", round(sd / mean * lit(1e4)).cast("long"))
+      .select(col("brand"),
+        when(col("cv_e4") < 5000L, "X").when(col("cv_e4") < 10000L, "Y").otherwise("Z")
+          .as("xyz"))
+      .groupBy(col("brand"), col("xyz"))
+      .agg(count(lit(1)).as("n_parts"))
+      .orderBy("brand", "xyz")
+  }
+
+  /** Difference-in-differences: weekend-vs-weekday purchase value, first
+    * half of the data vs second (by median event day) — DiD = (we₂−wd₂) −
+    * (we₁−wd₁) from four exact cell means, one epilogue. The causal-
+    * inference workhorse as a single pass + broadcast split point.
+    */
+  def q_did_estimate(spark: SparkSession, sf: String): DataFrame = {
+    val ev = Tables.eventsWithTs(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(cents(col("value")).as("vc"),
+        (weekday(col("ts_us")) >= 5).as("is_we"), expr("ts_usl div 86400000000").as("dayn"))
+    val split = ev.agg(percentile(col("dayn"), lit(0.5)).as("mid"))
+    val cells = ev.crossJoin(broadcast(split))
+      .select(col("vc"), col("is_we"), (col("dayn").cast("double") > col("mid")).as("late"))
+      .groupBy(col("is_we"), col("late"))
+      .agg(count(lit(1)).as("n"), sum(col("vc")).as("s"))
+    val p = cells.agg(
+      max(when(!col("is_we") && !col("late"), col("s"))).as("s_wd1"),
+      max(when(!col("is_we") && !col("late"), col("n"))).as("n_wd1"),
+      max(when(col("is_we") && !col("late"), col("s"))).as("s_we1"),
+      max(when(col("is_we") && !col("late"), col("n"))).as("n_we1"),
+      max(when(!col("is_we") && col("late"), col("s"))).as("s_wd2"),
+      max(when(!col("is_we") && col("late"), col("n"))).as("n_wd2"),
+      max(when(col("is_we") && col("late"), col("s"))).as("s_we2"),
+      max(when(col("is_we") && col("late"), col("n"))).as("n_we2"))
+    def m(s: String, n: String) = col(s).cast("double") / col(n).cast("double")
+    p.select(col("n_wd1"), col("n_we1"), col("n_wd2"), col("n_we2"),
+      (round((m("s_we2", "n_we2") - m("s_wd2", "n_wd2")) -
+        (m("s_we1", "n_we1") - m("s_wd1", "n_wd1")), 4) + lit(0.0)).as("did_cents"))
+  }
+
   /** Quarter-over-quarter growth: quarterly revenue paired with the prior
     * quarter by an add_months(3) equi-join (no window); growth as an e4
     * trunc integer — both engines truncate integer division toward zero,

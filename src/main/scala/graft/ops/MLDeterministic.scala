@@ -683,6 +683,67 @@ object MLDeterministic {
       .limit(20)
   }
 
+  /** Sample-ratio-mismatch (SRM) check for the parity A/B assignment:
+    * χ² of the two cohort sizes against 50/50 — the guardrail every
+    * experiment readout runs FIRST (an SRM invalidates the experiment
+    * regardless of the metric). One aggregate, one epilogue.
+    */
+  def q_srm_check(spark: SparkSession, sf: String): DataFrame = {
+    val c = Tables.eventsWithTs(spark, sf)
+      .select(col("user_id")).distinct()
+      .groupBy((col("user_id") % 2).as("cohort"))
+      .agg(count(lit(1)).as("n"))
+    val p = c.agg(max(when(col("cohort") === 0, col("n"))).as("n0"),
+      max(when(col("cohort") === 1, col("n"))).as("n1"))
+    val tot = (col("n0") + col("n1")).cast("double")
+    val e = tot / lit(2.0)
+    val chi2 = (col("n0").cast("double") - e) * (col("n0").cast("double") - e) / e +
+      (col("n1").cast("double") - e) * (col("n1").cast("double") - e) / e
+    p.select(col("n0"), col("n1"),
+      (round(chi2, 6) + lit(0.0)).as("chi2"),
+      (chi2 > lit(3.841)).cast("long").as("srm_flag"))
+  }
+
+  /** Discount-depth effectiveness: per discount level (exact integer
+    * percent) the line count, mean quantity (e4 floor) and revenue — does
+    * a deeper discount actually move more units. One aggregate.
+    */
+  def q_discount_depth(spark: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(spark, sf)
+      .groupBy(pct(col("l_discount")).as("discount_pct"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("l_quantity").cast("long")).as("qty"),
+        sum(cents(col("l_extendedprice"))).as("rev_cents"))
+      .select(col("discount_pct"), col("n_lines"),
+        expr("qty * 10000 div n_lines").as("mean_qty_e4"), col("rev_cents"))
+      .orderBy("discount_pct")
+
+  /** One-way ANOVA of embedding L2-norm across labels (e3-floored per-row
+    * norms — the scale keeps the ×10⁶ between-group lattice inside int64 —
+    * exact group stats, F epilogue): "does the embedding norm leak the
+    * label", the representation-quality probe.
+    */
+  def q_norm_anova(spark: SparkSession, sf: String): DataFrame = {
+    import graft.ops.{Vectors => V}
+    val g = Tables.embeddings(spark, sf)
+      .select(col("label").cast("long").as("label"),
+        floor(sqrt(graft.functions.GraftFunctions
+          .dotLong(V.q7(col("embedding")), V.q7(col("embedding"))).cast("double"))
+          / lit(10000.0)).cast("long").as("x"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("ng"), sum(col("x")).as("sg"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sg2"),
+        expr("CAST(SUM(x) AS decimal(38,0)) * SUM(x) * 1000000 div COUNT(1)").as("t_e6"))
+    val s = g.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+      sum(col("sg")).as("sx"), sum(col("sg2")).as("sxx"), sum(col("t_e6")).as("st_e6"))
+    val nD = col("n").cast("double")
+    val kD = col("k").cast("double")
+    val ssb = col("st_e6").cast("double") / lit(1e6) -
+      col("sx").cast("double") * col("sx").cast("double") / nD
+    val ssw = col("sxx").cast("double") - col("st_e6").cast("double") / lit(1e6)
+    s.select(col("k"), col("n"),
+      (round((ssb / (kD - lit(1.0))) / (ssw / (nD - kD)), 4) + lit(0.0)).as("f_stat"))
+  }
+
   /** Association rules for the top-10 co-purchase pairs: support,
     * directional confidences and lift, all exact e4 integer ratios from
     * basket counts (128-bit lift numerator). The step after Apriori that

@@ -556,6 +556,47 @@ object Relational {
       .orderBy("yr")
   }
 
+  /** LIKE / position string-predicate surface: pattern-match counts and
+    * the exact mean match position (e4 floor) of a needle across the
+    * corpus — the wildcard-scan shape Catalyst turns into StartsWith /
+    * Contains fast paths where it can.
+    */
+  def q_like_patterns(spark: SparkSession, sf: String): DataFrame = {
+    val d = Tables.documents(spark, sf)
+    def pat(name: String, cond: Column, posExpr: Column): DataFrame =
+      d.agg(count(lit(1)).as("n_docs"),
+        sum(when(cond, 1L).otherwise(0L)).as("n_match"),
+        sum(when(cond, posExpr).otherwise(0L)).as("pos_sum"))
+        .select(lit(name).as("pattern"), col("n_docs"), col("n_match"),
+          expr("CASE WHEN n_match = 0 THEN -1 ELSE pos_sum * 10000 div n_match END")
+            .as("mean_pos_e4"))
+    pat("contains_fast_table", col("text").like("%fast table%"),
+      instr(col("text"), "fast table").cast("long"))
+      .unionByName(pat("starts_with_key", col("text").like("key%"), lit(1L)))
+      .unionByName(pat("ends_with_scan", col("text").like("%scan"),
+        (length(col("text")) - lit(3)).cast("long")))
+      .orderBy("pattern")
+  }
+
+  /** Supplier-concentration audit: per part the supplier count and top-
+    * supplier share (e4), histogrammed — the single-source-risk screen.
+    * Two aggregates + a keyed rank on the (part, supplier) table.
+    */
+  def q_supplier_concentration(spark: SparkSession, sf: String): DataFrame = {
+    val ps = Tables.lineitem(spark, sf)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("l_partkey").orderBy(col("c").desc, col("l_suppkey").asc)
+    ps.withColumn("rn", row_number().over(w))
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_sup"), sum(col("c")).as("tot"),
+        max(when(col("rn") === 1, col("c"))).as("top_c"))
+      .select(col("n_sup"), expr("top_c * 10000 div tot").as("top_share_e4"))
+      .groupBy(col("n_sup"), expr("top_share_e4 div 2500").as("share_band"))
+      .agg(count(lit(1)).as("n_parts"))
+      .orderBy("n_sup", "share_band")
+  }
+
   /** Decimal-integrity audit: money columns stored as binary doubles are
     * only APPROXIMATELY 2-decimal — this measures each column's maximum
     * deviation of x·100 from the nearest integer (e9) and how many rows

@@ -304,7 +304,28 @@ object TextPipeline {
     * (On this fixture every language shares one vocabulary, so accuracy is
     * near-chance — the operator is graded on determinism and shape.)
     */
-  def q_langid_ngram(spark: SparkSession, sf: String): DataFrame = {
+  def q_langid_ngram(spark: SparkSession, sf: String): DataFrame =
+    langidPredictions(spark, sf).orderBy("doc_id")
+
+  /** Confusion matrix + per-language accuracy of the char-bigram language
+    * identifier — the evaluation row the [[q_langid_ngram]] model ships
+    * with. Same pipeline, re-aggregated to (actual, predicted) cells.
+    */
+  def q_langid_confusion(spark: SparkSession, sf: String): DataFrame = {
+    val cells = langidPredictions(spark, sf)
+      .groupBy(col("actual"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("row_tot", sum(col("n")).over(Window.partitionBy("actual")))
+      .select(col("actual"), col("predicted"), col("n"),
+        expr("n * 10000 div row_tot").as("row_share_e4"))
+      .orderBy("actual", "predicted")
+  }
+
+  /** Shared char-bigram language-ID core: rank-distance of each doc's
+    * top-20 bigram profile against every language's top-20 profile.
+    */
+  private def langidPredictions(spark: SparkSession, sf: String): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
     val grams = Tables.documents(spark, sf)
       .select(col("doc_id"), col("lang"),
@@ -336,7 +357,6 @@ object TextPipeline {
       .join(Tables.documents(spark, sf).select(col("doc_id"), col("lang").as("actual")), "doc_id")
       .select(col("doc_id"), col("best.cand_lang").as("predicted"),
         col("actual"), col("best.dist").as("dist"))
-      .orderBy("doc_id")
   }
 
   /** Vocabulary coverage / OOV-rate report (the "how well does a fixed

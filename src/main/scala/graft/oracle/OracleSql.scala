@@ -5336,5 +5336,205 @@ object OracleSql {
            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS cohort FROM f)
       SELECT wk_offset, n_users, CAST(n_users * 10000 // cohort AS BIGINT) AS retention_e4
       FROM c, t ORDER BY wk_offset""",
+
+    "q_langid_confusion" -> """
+      WITH grams AS (SELECT doc_id, lang,
+                            unnest(list_transform(generate_series(1, length(text) - 1),
+                                   i -> substring(text, i, 2))) AS gram
+                     FROM documents),
+           lc AS (SELECT lang, gram, CAST(COUNT(*) AS BIGINT) AS c FROM grams GROUP BY lang, gram),
+           lt AS (SELECT lang AS cand_lang, gram, lrank FROM
+                    (SELECT lang, gram,
+                            CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, gram) AS BIGINT) AS lrank
+                     FROM lc)
+                  WHERE lrank <= 20),
+           dc AS (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS c FROM grams GROUP BY doc_id, gram),
+           dtp AS (SELECT doc_id, gram, drank FROM
+                     (SELECT doc_id, gram,
+                             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS BIGINT) AS drank
+                      FROM dc)
+                   WHERE drank <= 20),
+           langs AS (SELECT DISTINCT lang AS cand_lang FROM documents),
+           dist AS (SELECT dtp.doc_id, langs.cand_lang AS cand_lang,
+                           CAST(SUM(COALESCE(ABS(drank - lrank), 20)) AS BIGINT) AS dist
+                    FROM dtp CROSS JOIN langs
+                    LEFT JOIN lt ON lt.cand_lang = langs.cand_lang AND lt.gram = dtp.gram
+                    GROUP BY dtp.doc_id, langs.cand_lang),
+           best AS (SELECT doc_id, cand_lang AS predicted FROM
+                      (SELECT doc_id, cand_lang,
+                              ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY dist, cand_lang) AS rn
+                       FROM dist)
+                    WHERE rn = 1),
+           cells AS (SELECT d.lang AS actual, b.predicted, CAST(COUNT(*) AS BIGINT) AS n
+                     FROM best b JOIN documents d ON b.doc_id = d.doc_id
+                     GROUP BY 1, 2)
+      SELECT actual, predicted, n,
+             CAST(n * 10000 // SUM(n) OVER (PARTITION BY actual) AS BIGINT) AS row_share_e4
+      FROM cells ORDER BY actual, predicted""",
+
+    "q_compaction_candidates" -> """
+      WITH p AS (SELECT l_returnflag AS flag,
+                        strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month,
+                        CAST(COUNT(*) AS BIGINT) AS n_rows
+                 FROM lineitem GROUP BY 1, 2)
+      SELECT flag, CAST(COUNT(*) AS BIGINT) AS n_small_partitions,
+             CAST(SUM(n_rows) AS BIGINT) AS rows_to_compact,
+             MIN(month) AS first_month, MAX(month) AS last_month
+      FROM p WHERE n_rows < 500 GROUP BY 1 ORDER BY 1""",
+
+    "q_region_priority_matrix" -> """
+      SELECT r_name AS region, o_orderpriority AS priority,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_xyz_variability" -> """
+      WITH w AS (SELECT p_brand AS brand, l_partkey, date_trunc('week', l_shipdate) AS wk,
+                        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+                 FROM lineitem JOIN part ON l_partkey = p_partkey
+                 GROUP BY 1, 2, 3),
+           p AS (SELECT brand, l_partkey, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(q) AS BIGINT) AS s, CAST(SUM(q*q) AS BIGINT) AS ss
+                 FROM w GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+           c AS (SELECT brand,
+                        CAST(ROUND(SQRT((CAST(ss AS DOUBLE)
+                                         - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/CAST(n AS DOUBLE))
+                                        / (CAST(n AS DOUBLE) - 1.0))
+                                   / (CAST(s AS DOUBLE)/CAST(n AS DOUBLE)) * 1e4) AS BIGINT)
+                          AS cv_e4
+                 FROM p)
+      SELECT brand, CASE WHEN cv_e4 < 5000 THEN 'X' WHEN cv_e4 < 10000 THEN 'Y'
+                         ELSE 'Z' END AS xyz,
+             CAST(COUNT(*) AS BIGINT) AS n_parts
+      FROM c GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_did_estimate" -> """
+      WITH ev AS (SELECT CAST(ROUND(value*100) AS BIGINT) AS vc,
+                         isodow(ts) >= 6 AS is_we,
+                         epoch_us(ts) // 86400000000 AS dayn
+                  FROM events WHERE event_type = 'purchase'),
+           sp AS (SELECT quantile_cont(dayn, 0.5) AS mid FROM ev),
+           cells AS (SELECT is_we, CAST(dayn AS DOUBLE) > mid AS late,
+                            CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(vc) AS BIGINT) AS s
+                     FROM ev, sp GROUP BY 1, 2),
+           p AS (SELECT MAX(CASE WHEN NOT is_we AND NOT late THEN s END) AS s_wd1,
+                        MAX(CASE WHEN NOT is_we AND NOT late THEN n END) AS n_wd1,
+                        MAX(CASE WHEN is_we AND NOT late THEN s END) AS s_we1,
+                        MAX(CASE WHEN is_we AND NOT late THEN n END) AS n_we1,
+                        MAX(CASE WHEN NOT is_we AND late THEN s END) AS s_wd2,
+                        MAX(CASE WHEN NOT is_we AND late THEN n END) AS n_wd2,
+                        MAX(CASE WHEN is_we AND late THEN s END) AS s_we2,
+                        MAX(CASE WHEN is_we AND late THEN n END) AS n_we2
+                 FROM cells)
+      SELECT CAST(n_wd1 AS BIGINT) AS n_wd1, CAST(n_we1 AS BIGINT) AS n_we1,
+             CAST(n_wd2 AS BIGINT) AS n_wd2, CAST(n_we2 AS BIGINT) AS n_we2,
+             ROUND((CAST(s_we2 AS DOUBLE)/CAST(n_we2 AS DOUBLE)
+                    - CAST(s_wd2 AS DOUBLE)/CAST(n_wd2 AS DOUBLE))
+                   - (CAST(s_we1 AS DOUBLE)/CAST(n_we1 AS DOUBLE)
+                      - CAST(s_wd1 AS DOUBLE)/CAST(n_wd1 AS DOUBLE)), 4) + 0 AS did_cents
+      FROM p""",
+
+    "q_like_patterns" -> """
+      SELECT * FROM (
+        SELECT 'contains_fast_table' AS pattern, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN text LIKE '%fast table%' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_match,
+               CAST(CASE WHEN SUM(CASE WHEN text LIKE '%fast table%' THEN 1 ELSE 0 END) = 0
+                         THEN -1
+                         ELSE SUM(CASE WHEN text LIKE '%fast table%'
+                                       THEN CAST(strpos(text, 'fast table') AS BIGINT)
+                                       ELSE 0 END) * 10000
+                              // SUM(CASE WHEN text LIKE '%fast table%' THEN 1 ELSE 0 END)
+                    END AS BIGINT) AS mean_pos_e4
+        FROM documents
+        UNION ALL
+        SELECT 'starts_with_key', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN text LIKE 'key%' THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(CASE WHEN SUM(CASE WHEN text LIKE 'key%' THEN 1 ELSE 0 END) = 0 THEN -1
+                         ELSE 10000 END AS BIGINT)
+        FROM documents
+        UNION ALL
+        SELECT 'ends_with_scan', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN text LIKE '%scan' THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(CASE WHEN SUM(CASE WHEN text LIKE '%scan' THEN 1 ELSE 0 END) = 0 THEN -1
+                         ELSE SUM(CASE WHEN text LIKE '%scan'
+                                       THEN CAST(length(text) - 3 AS BIGINT) ELSE 0 END) * 10000
+                              // SUM(CASE WHEN text LIKE '%scan' THEN 1 ELSE 0 END)
+                    END AS BIGINT)
+        FROM documents)
+      ORDER BY pattern""",
+
+    "q_supplier_concentration" -> """
+      WITH ps AS (SELECT l_partkey, l_suppkey, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM lineitem GROUP BY 1, 2),
+           r AS (SELECT l_partkey, c,
+                        ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY c DESC, l_suppkey)
+                          AS rn
+                 FROM ps),
+           a AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_sup,
+                        CAST(SUM(c) AS BIGINT) AS tot,
+                        CAST(MAX(CASE WHEN rn = 1 THEN c END) AS BIGINT) AS top_c
+                 FROM r GROUP BY 1)
+      SELECT n_sup, CAST(top_c * 10000 // tot // 2500 AS BIGINT) AS share_band,
+             CAST(COUNT(*) AS BIGINT) AS n_parts
+      FROM a GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_srm_check" -> """
+      WITH c AS (SELECT user_id % 2 AS cohort, CAST(COUNT(*) AS BIGINT) AS n
+                 FROM (SELECT DISTINCT user_id FROM events) GROUP BY 1),
+           p AS (SELECT MAX(CASE WHEN cohort = 0 THEN n END) AS n0,
+                        MAX(CASE WHEN cohort = 1 THEN n END) AS n1
+                 FROM c)
+      SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+             ROUND((CAST(n0 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE)/2.0)
+                   * (CAST(n0 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE)/2.0)
+                   / (CAST(n0 + n1 AS DOUBLE)/2.0)
+                   + (CAST(n1 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE)/2.0)
+                     * (CAST(n1 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE)/2.0)
+                     / (CAST(n0 + n1 AS DOUBLE)/2.0), 6) + 0 AS chi2,
+             CAST(CASE WHEN (CAST(n0 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE)/2.0)
+                            * (CAST(n0 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE)/2.0)
+                            / (CAST(n0 + n1 AS DOUBLE)/2.0)
+                            + (CAST(n1 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE)/2.0)
+                              * (CAST(n1 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE)/2.0)
+                              / (CAST(n0 + n1 AS DOUBLE)/2.0) > 3.841
+                       THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+      FROM p""",
+
+    "q_discount_depth" -> """
+      SELECT CAST(ROUND(l_discount*100) AS BIGINT) AS discount_pct,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) * 10000 // COUNT(*) AS BIGINT)
+               AS mean_qty_e4,
+             CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q_norm_anova" -> """
+      WITH x AS (SELECT CAST(label AS BIGINT) AS label,
+                        CAST(FLOOR(SQRT(CAST(list_sum(list_transform(
+                               list_transform(embedding,
+                                 v -> CAST(ROUND(CAST(v AS DOUBLE)*1e7) AS BIGINT)),
+                               q -> q*q)) AS DOUBLE)) / 10000.0) AS BIGINT) AS x
+                 FROM embeddings),
+           g AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS ng, CAST(SUM(x) AS BIGINT) AS sg,
+                        SUM(CAST(x AS HUGEINT) * x) AS sg2,
+                        CAST(CAST(SUM(x) AS HUGEINT) * SUM(x) * 1000000 // COUNT(*) AS BIGINT)
+                          AS t_e6
+                 FROM x GROUP BY 1),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(ng) AS BIGINT) AS n,
+                        CAST(SUM(sg) AS BIGINT) AS sx, SUM(sg2) AS sxx,
+                        CAST(SUM(t_e6) AS BIGINT) AS st_e6
+                 FROM g)
+      SELECT k, n,
+             ROUND(((CAST(st_e6 AS DOUBLE) / 1e6
+                     - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/CAST(n AS DOUBLE))
+                    / (CAST(k AS DOUBLE) - 1.0))
+                   / ((CAST(sxx AS DOUBLE) - CAST(st_e6 AS DOUBLE) / 1e6)
+                      / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 4) + 0 AS f_stat
+      FROM s""",
   )
 }
