@@ -1292,6 +1292,79 @@ object Analytics {
       (round(sqrt(chi2 / (col("n").cast("double") * minDim)), 6) + lit(0.0)).as("v"))
   }
 
+  /** Demand-intermittency histogram: each part's share of active weeks
+    * within its own demand span (exact e4), banded — the intermittent-
+    * demand screen that tells a forecaster which parts need Croston-style
+    * models instead of moving averages.
+    */
+  def q_demand_intermittency(spark: SparkSession, sf: String): DataFrame = {
+    val epoch = lit("1970-01-01").cast("date")
+    val weekly = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"),
+        (datediff(date_trunc("week", col("l_shipdate")).cast("date"), epoch) / 7)
+          .cast("long").as("wkn"))
+      .distinct()
+    weekly.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("active"), min(col("wkn")).as("w0"), max(col("wkn")).as("w1"))
+      .select(expr("active * 10000 div (w1 - w0 + 1)").as("share_e4"))
+      .select(expr("share_e4 div 2500").as("band"))
+      .groupBy(col("band")).agg(count(lit(1)).as("n_parts"))
+      .orderBy("band")
+  }
+
+  /** Accumulating-snapshot fact rows for orders 0-49: order date, first
+    * and last shipment, line count and the exact day lags — the classic
+    * warehouse pattern where one row accretes lifecycle milestones.
+    */
+  def q_accumulating_snapshot(spark: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"), min(col("l_shipdate")).as("first_ship"),
+        max(col("l_shipdate")).as("last_ship"))
+      .join(Tables.orders(spark, sf).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderkey") < 50)
+      .select(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("ordered"),
+        date_format(col("first_ship"), "yyyy-MM-dd").as("first_ship"),
+        date_format(col("last_ship"), "yyyy-MM-dd").as("last_ship"), col("n_lines"),
+        datediff(col("first_ship").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("days_to_first"),
+        datediff(col("last_ship").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("days_to_last"))
+      .orderBy("o_orderkey")
+
+  /** Order-fulfillment mix by order month: fulfilled (every line status
+    * 'F'), partial (mixed) or open (no 'F' line) — the operational
+    * pipeline-state rollup, one line aggregate + one month aggregate.
+    */
+  def q_order_fulfillment(spark: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_linestatus") === "F", 1L).otherwise(0L)).as("nf"))
+      .join(Tables.orders(spark, sf).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("month"))
+      .agg(sum(when(col("nf") === col("n"), 1L).otherwise(0L)).as("n_fulfilled"),
+        sum(when(col("nf") > 0L && col("nf") < col("n"), 1L).otherwise(0L)).as("n_partial"),
+        sum(when(col("nf") === 0L, 1L).otherwise(0L)).as("n_open"))
+      .orderBy("month")
+
+  /** Seasonal amplitude per event type: the ratio of the busiest to the
+    * quietest day-of-week mean value (floor means, e4 ratio) — one number
+    * for "how seasonal is this stream".
+    */
+  def q_seasonal_amplitude(spark: SparkSession, sf: String): DataFrame =
+    Tables.eventsWithTs(spark, sf)
+      .groupBy(col("event_type"), weekday(col("ts_us")).cast("long").as("dow"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("s"))
+      .select(col("event_type"), expr("s div n").as("m"))
+      .groupBy(col("event_type"))
+      .agg(min(col("m")).as("min_dow_mean"), max(col("m")).as("max_dow_mean"))
+      .select(col("event_type"), col("min_dow_mean"), col("max_dow_mean"),
+        expr("max_dow_mean * 10000 div min_dow_mean").as("amplitude_e4"))
+      .orderBy("event_type")
+
   /** Compaction candidates: (flag, month) ingest partitions under a 500-
     * row threshold — the small-files report a table-maintenance job
     * compacts from. One aggregate + share arithmetic.

@@ -244,6 +244,32 @@ object Events {
       .limit(10)
   }
 
+  /** Time-weighted average value (TWAP) per event type: each observation
+    * weighted by its exact µs holding time until the next same-type event
+    * in the day (keyed lead; the day's last observation has no weight).
+    * value·gap products accumulate in decimal — the aggregation VWAP's
+    * time-domain sibling, and the correct average for irregularly sampled
+    * series.
+    */
+  def q_twap(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("event_type", "day")
+      .orderBy(col("ts_usl").asc, col("event_id").asc)
+    Tables.eventsWithTs(spark, sf)
+      .select(col("event_type"), to_date(col("ts_us")).as("day"),
+        col("ts_usl"), col("event_id"), cents(col("value")).as("vc"))
+      .withColumn("nxt", lead(col("ts_usl"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("event_type"), col("vc"), (col("nxt") - col("ts_usl")).as("gap"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_weighted"),
+        sum(expr("CAST(vc AS decimal(38,0)) * gap")).as("vg"),
+        sum(col("gap")).as("g"))
+      .select(col("event_type"), col("n_weighted"),
+        (round(col("vg").cast("double") / col("g").cast("double"), 4) + lit(0.0))
+          .as("twap_cents"))
+      .orderBy("event_type")
+  }
+
   /** Five-number (boxplot) summary of event value per type: exact integer
     * min/max, exact interpolated quartiles (r4) — the distribution card a
     * monitoring UI renders per metric.

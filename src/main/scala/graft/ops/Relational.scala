@@ -556,6 +556,89 @@ object Relational {
       .orderBy("yr")
   }
 
+  /** Keyset (seek) pagination: page 3 of the orders feed ordered by
+    * (total desc, key) — the boundary is the 20th row (min-of-top-20 via
+    * TakeOrdered, NO global row_number), page 3 is a filtered TakeOrdered
+    * below it. O(page) at any depth, unlike OFFSET which scans and
+    * discards — the only pagination that survives a 100 TB feed.
+    */
+  def q_keyset_pagination(spark: SparkSession, sf: String): DataFrame = {
+    val o = Tables.orders(spark, sf)
+      .select(cents(col("o_totalprice")).as("tp"), col("o_orderkey").as("okey"))
+    val boundary = o.orderBy(col("tp").desc, col("okey").asc).limit(20)
+      .agg(min(struct(col("tp"), (lit(0L) - col("okey")).as("nk"))).as("b"))
+      .select(col("b.tp").as("b_tp"), (lit(0L) - col("b.nk")).as("b_okey"))
+    o.crossJoin(broadcast(boundary))
+      .filter(col("tp") < col("b_tp") ||
+        (col("tp") === col("b_tp") && col("okey") > col("b_okey")))
+      .orderBy(col("tp").desc, col("okey").asc)
+      .limit(10)
+      .select(col("okey"), col("tp").as("total_cents"))
+  }
+
+  /** GROUP BY ALL syntax through the SQL path — the analyst shorthand
+    * both engines now parse; semantics identical to the explicit list.
+    */
+  def q_group_by_all(spark: SparkSession, sf: String): DataFrame = {
+    Tables.lineitem(spark, sf).createOrReplaceTempView("lineitem_v")
+    spark.sql("""
+      SELECT l_returnflag AS flag, l_linestatus AS status,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM lineitem_v GROUP BY ALL ORDER BY flag, status""")
+  }
+
+  /** Inline VALUES lookup table (per-priority SLA targets) joined against
+    * order→first-ship latency — the config-as-data idiom that avoids a
+    * config file round-trip; compliance shares per priority.
+    */
+  def q_values_lookup(spark: SparkSession, sf: String): DataFrame = {
+    Tables.orders(spark, sf).createOrReplaceTempView("orders_v")
+    Tables.lineitem(spark, sf).createOrReplaceTempView("lineitem_v")
+    spark.sql("""
+      WITH sla(priority, target_days) AS (VALUES
+             ('1-URGENT', 35), ('2-HIGH', 45), ('3-MEDIUM', 60),
+             ('4-NOT SPECIFIED', 75), ('5-LOW', 90)),
+           fs AS (SELECT l_orderkey, MIN(l_shipdate) AS first_ship
+                  FROM lineitem_v GROUP BY l_orderkey),
+           lat AS (SELECT o_orderpriority AS priority,
+                          datediff(CAST(first_ship AS DATE), CAST(o_orderdate AS DATE)) AS days
+                   FROM fs JOIN orders_v ON l_orderkey = o_orderkey)
+      SELECT lat.priority, CAST(sla.target_days AS BIGINT) AS target_days,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CASE WHEN lat.days <= sla.target_days THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_within,
+             CAST(SUM(CASE WHEN lat.days <= sla.target_days THEN 1 ELSE 0 END) * 10000
+                  div COUNT(*) AS BIGINT) AS within_e4
+      FROM lat JOIN sla ON lat.priority = sla.priority
+      GROUP BY lat.priority, sla.target_days ORDER BY lat.priority""")
+  }
+
+  /** Catalog-vs-realized price drift per brand: the quantity-weighted
+    * realized unit price (exact Σprice/Σqty e4) against the catalog mean
+    * retail price, as an e4 index — the pricing-governance screen.
+    */
+  def q_catalog_price_drift(spark: SparkSession, sf: String): DataFrame = {
+    val realized = Tables.lineitem(spark, sf)
+      .join(broadcast(Tables.part(spark, sf)
+        .select(col("p_partkey"), col("p_brand"), cents(col("p_retailprice")).as("rc"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(sum(cents(col("l_extendedprice"))).as("rev"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+    val catalog = Tables.part(spark, sf)
+      .groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("n_parts"), sum(cents(col("p_retailprice"))).as("rsum"))
+    realized.join(catalog, "brand")
+      .select(col("brand"), col("n_parts"),
+        expr("rev * 100 div qty").as("realized_unit_e4"),
+        expr("rsum * 100 div n_parts").as("catalog_unit_e4"))
+      .select(col("brand"), col("n_parts"), col("realized_unit_e4"), col("catalog_unit_e4"),
+        expr("CAST(CAST(realized_unit_e4 AS decimal(38,0)) * 10000" +
+          " div catalog_unit_e4 AS BIGINT)").as("drift_index_e4"))
+      .orderBy("brand")
+  }
+
   /** LIKE / position string-predicate surface: pattern-match counts and
     * the exact mean match position (e4 floor) of a needle across the
     * corpus — the wildcard-scan shape Catalyst turns into StartsWith /

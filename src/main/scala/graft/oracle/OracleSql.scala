@@ -5505,6 +5505,129 @@ object OracleSql {
                        THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
       FROM p""",
 
+    "q_keyset_pagination" -> """
+      WITH o AS (SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) AS tp, o_orderkey AS okey
+                 FROM orders),
+           b AS (SELECT tp AS b_tp, okey AS b_okey FROM
+                   (SELECT tp, okey, ROW_NUMBER() OVER (ORDER BY tp DESC, okey) AS rn FROM o)
+                 WHERE rn = 20)
+      SELECT okey, tp AS total_cents FROM o, b
+      WHERE tp < b_tp OR (tp = b_tp AND okey > b_okey)
+      ORDER BY tp DESC, okey LIMIT 10""",
+
+    "q_twap" -> """
+      WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day, epoch_us(ts) AS ts_usl,
+                        event_id, CAST(ROUND(value*100) AS BIGINT) AS vc
+                 FROM events),
+           g AS (SELECT event_type, vc,
+                        LEAD(ts_usl) OVER (PARTITION BY event_type, day
+                          ORDER BY ts_usl, event_id) - ts_usl AS gap
+                 FROM e),
+           s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_weighted,
+                        SUM(CAST(vc AS HUGEINT) * gap) AS vg, CAST(SUM(gap) AS BIGINT) AS g
+                 FROM g WHERE gap IS NOT NULL GROUP BY 1)
+      SELECT event_type, n_weighted,
+             ROUND(CAST(vg AS DOUBLE) / CAST(g AS DOUBLE), 4) + 0 AS twap_cents
+      FROM s ORDER BY event_type""",
+
+    "q_demand_intermittency" -> """
+      WITH w AS (SELECT DISTINCT l_partkey,
+                        date_diff('day', DATE '1970-01-01',
+                          CAST(date_trunc('week', l_shipdate) AS DATE)) // 7 AS wkn
+                 FROM lineitem),
+           p AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS active,
+                        CAST(MIN(wkn) AS BIGINT) AS w0, CAST(MAX(wkn) AS BIGINT) AS w1
+                 FROM w GROUP BY 1),
+           s AS (SELECT active * 10000 // (w1 - w0 + 1) AS share_e4 FROM p)
+      SELECT CAST(share_e4 // 2500 AS BIGINT) AS band, CAST(COUNT(*) AS BIGINT) AS n_parts
+      FROM s GROUP BY 1 ORDER BY 1""",
+
+    "q_norm_quantiles_by_label" -> """
+      WITH x AS (SELECT CAST(label AS BIGINT) AS label,
+                        CAST(FLOOR(SQRT(CAST(list_sum(list_transform(list_transform(embedding,
+                               v -> CAST(ROUND(CAST(v AS DOUBLE)*1e7) AS BIGINT)),
+                               q -> q*q)) AS DOUBLE)) / 10000.0) AS BIGINT) AS nrm
+                 FROM embeddings)
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n, CAST(MIN(nrm) AS BIGINT) AS min_e3,
+             ROUND(quantile_cont(nrm, 0.5), 4) + 0 AS p50_e3,
+             ROUND(quantile_cont(nrm, 0.9), 4) + 0 AS p90_e3,
+             CAST(MAX(nrm) AS BIGINT) AS max_e3
+      FROM x GROUP BY 1 ORDER BY 1""",
+
+    "q_accumulating_snapshot" -> """
+      WITH l AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+                        MIN(l_shipdate) AS fs, MAX(l_shipdate) AS ls
+                 FROM lineitem GROUP BY 1)
+      SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS ordered,
+             strftime(fs, '%Y-%m-%d') AS first_ship, strftime(ls, '%Y-%m-%d') AS last_ship,
+             n_lines,
+             CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(fs AS DATE)) AS BIGINT)
+               AS days_to_first,
+             CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(ls AS DATE)) AS BIGINT)
+               AS days_to_last
+      FROM l JOIN orders ON l_orderkey = o_orderkey WHERE o_orderkey < 50
+      ORDER BY o_orderkey""",
+
+    "q_order_fulfillment" -> """
+      WITH l AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+                          AS nf
+                 FROM lineitem GROUP BY 1)
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             CAST(SUM(CASE WHEN nf = n THEN 1 ELSE 0 END) AS BIGINT) AS n_fulfilled,
+             CAST(SUM(CASE WHEN nf > 0 AND nf < n THEN 1 ELSE 0 END) AS BIGINT) AS n_partial,
+             CAST(SUM(CASE WHEN nf = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_open
+      FROM l JOIN orders ON l_orderkey = o_orderkey GROUP BY 1 ORDER BY 1""",
+
+    "q_group_by_all" -> """
+      SELECT l_returnflag AS flag, l_linestatus AS status,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM lineitem GROUP BY ALL ORDER BY flag, status""",
+
+    "q_values_lookup" -> """
+      WITH sla(priority, target_days) AS (VALUES
+             ('1-URGENT', 35), ('2-HIGH', 45), ('3-MEDIUM', 60),
+             ('4-NOT SPECIFIED', 75), ('5-LOW', 90)),
+           fs AS (SELECT l_orderkey, MIN(l_shipdate) AS first_ship
+                  FROM lineitem GROUP BY l_orderkey),
+           lat AS (SELECT o_orderpriority AS priority,
+                          date_diff('day', CAST(o_orderdate AS DATE), CAST(first_ship AS DATE))
+                            AS days
+                   FROM fs JOIN orders ON l_orderkey = o_orderkey)
+      SELECT lat.priority, CAST(sla.target_days AS BIGINT) AS target_days,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CASE WHEN lat.days <= sla.target_days THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_within,
+             CAST(SUM(CASE WHEN lat.days <= sla.target_days THEN 1 ELSE 0 END) * 10000
+                  // COUNT(*) AS BIGINT) AS within_e4
+      FROM lat JOIN sla ON lat.priority = sla.priority
+      GROUP BY lat.priority, sla.target_days ORDER BY lat.priority""",
+
+    "q_seasonal_amplitude" -> """
+      WITH d AS (SELECT event_type, isodow(ts) - 1 AS dow, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS s
+                 FROM events GROUP BY 1, 2),
+           m AS (SELECT event_type, CAST(s // n AS BIGINT) AS m FROM d)
+      SELECT event_type, CAST(MIN(m) AS BIGINT) AS min_dow_mean,
+             CAST(MAX(m) AS BIGINT) AS max_dow_mean,
+             CAST(MAX(m) * 10000 // MIN(m) AS BIGINT) AS amplitude_e4
+      FROM m GROUP BY 1 ORDER BY 1""",
+
+    "q_catalog_price_drift" -> """
+      WITH r AS (SELECT p_brand AS brand,
+                        CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev,
+                        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+                 FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+           c AS (SELECT p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+                        CAST(SUM(CAST(ROUND(p_retailprice*100) AS BIGINT)) AS BIGINT) AS rsum
+                 FROM part GROUP BY 1)
+      SELECT r.brand, n_parts, CAST(rev * 100 // qty AS BIGINT) AS realized_unit_e4,
+             CAST(rsum * 100 // n_parts AS BIGINT) AS catalog_unit_e4,
+             CAST(CAST(rev * 100 // qty AS HUGEINT) * 10000
+                  // (rsum * 100 // n_parts) AS BIGINT) AS drift_index_e4
+      FROM r JOIN c ON r.brand = c.brand ORDER BY r.brand""",
+
     "q_discount_depth" -> """
       SELECT CAST(ROUND(l_discount*100) AS BIGINT) AS discount_pct,
              CAST(COUNT(*) AS BIGINT) AS n_lines,
