@@ -2030,4 +2030,216 @@ object Analytics {
       (round((m(col("s1"), col("n1")) - m(col("s2"), col("n2"))) / pooled, 6)
         + lit(0.0)).as("d"))
   }
+
+  /** Time-decay marketing attribution: every purchase credits each
+    * non-purchase touch of the same user in the preceding 3 days with
+    * weight 2^(−age_days) — expressed in EXACT quarter-cent units
+    * (4 >> age_days ∈ {4,2,1}), so unlike the textbook pow(0.5, Δt/λ)
+    * formulation the credit sums are order-independent BIGINTs. The
+    * user-keyed interval join is one shuffle; the 3-day horizon bounds
+    * the per-user fan-out, which is what keeps the pair count linear-ish
+    * when a 100 TB event log has years of history per user.
+    */
+  def q_attribution_time_decay(spark: SparkSession, sf: String): DataFrame = {
+    val ev = Tables.eventsWithTs(spark, sf)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_usl").as("p_ts"), cents(col("value")).as("vc"))
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts_usl").as("t_ts"), col("event_type").as("channel"))
+    val dayUs = 86400000000L
+    val credits = purchases.join(touches, Seq("user_id"))
+      .filter(col("t_ts") < col("p_ts") && col("p_ts") - col("t_ts") <= lit(3L * dayUs))
+      .select(col("channel"),
+        expr(s"vc * shiftright(4L, CAST((p_ts - t_ts) div ${dayUs}L AS INT))")
+          .as("credit_q"))
+    val perChannel = credits.groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"), sum(col("credit_q")).as("credit_qc"))
+    val tot = perChannel.agg(sum(col("credit_qc")).as("t"))
+    perChannel.crossJoin(broadcast(tot))
+      .select(col("channel"), col("n_touches"), col("credit_qc"),
+        expr("credit_qc * 10000 div t").as("share_e4"))
+      .orderBy("channel")
+  }
+
+  /** Kaplan-Meier survival curve of user lifetime (days between first and
+    * last event; users still active in the final week of the window are
+    * right-censored). Risk sets are a reverse running sum, the product-
+    * limit estimator is exp of a forward running sum of ln(1 − d/n) —
+    * both single ordered windows over the ~30-row lifetime table, so the
+    * curve costs two tiny window passes after one user-keyed aggregate.
+    */
+  def q_kaplan_meier(spark: SparkSession, sf: String): DataFrame = {
+    val obs = Tables.eventsWithTs(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts_us"))).as("d0"), max(to_date(col("ts_us"))).as("d1"))
+      .select(datediff(col("d1"), col("d0")).cast("long").as("t"),
+        when(col("d1") <= lit("2024-01-23").cast("date"), 1L).otherwise(0L).as("churned"))
+    val byT = obs.groupBy(col("t"))
+      .agg(count(lit(1)).as("n_at"), sum(col("churned")).as("d"))
+    // risk sets and the product-limit prefix are bounded theta joins over
+    // the ~30-row lifetime table (house rule: no partition-less windows)
+    val risk = byT.as("a")
+      .join(byT.select(col("t").as("t2"), col("n_at").as("na2")).as("b"),
+        col("b.t2") >= col("a.t"))
+      .groupBy(col("a.t").as("t"), col("a.n_at").as("n_at"), col("a.d").as("d"))
+      .agg(sum(col("na2")).as("n_risk"))
+      .withColumn("lnterm",
+        when(col("d") > 0,
+          log(lit(1.0) - col("d").cast("double") / col("n_risk").cast("double")))
+          .otherwise(lit(0.0)))
+    risk.as("a")
+      .join(risk.select(col("t").as("t2"), col("lnterm").as("l2")).as("b"),
+        col("b.t2") <= col("a.t"))
+      .groupBy(col("a.t").as("t"), col("a.n_risk").as("n_risk"), col("a.n_at").as("n_at"),
+        col("a.d").as("d"))
+      .agg(sum(col("l2")).as("cum"))
+      .select(col("t"), col("n_risk"), col("d").as("n_churned"),
+        (col("n_at") - col("d")).as("n_censored"),
+        (round(exp(col("cum")), 4) + lit(0.0)).as("survival"))
+      .orderBy("t")
+  }
+
+  /** Shapley-value marketing attribution under the unanimity game: each
+    * purchase's value is split equally among the DISTINCT same-day
+    * preceding touch channels (for v(S)=1{S≠∅} the Shapley value of a
+    * member of S is exactly 1/|S| — the closed form practical Shapley
+    * attribution uses). Credits are exact twelfths (12 = lcm(1..4), the
+    * channel-universe size), so no float and no rounding loss.
+    */
+  def q_shapley_attribution(spark: SparkSession, sf: String): DataFrame = {
+    val ev = Tables.eventsWithTs(spark, sf)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts_us")).as("day"), col("ts_usl").as("p_ts"),
+        col("event_id").as("pid"), cents(col("value")).as("vc"))
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), to_date(col("ts_us")).as("day"), col("ts_usl").as("t_ts"),
+        col("event_type").as("channel"))
+    val sets = purchases.join(touches, Seq("user_id", "day"))
+      .filter(col("t_ts") < col("p_ts"))
+      .select(col("pid"), col("vc"), col("channel")).distinct()
+    val sizes = sets.groupBy(col("pid")).agg(count(lit(1)).as("ss"))
+    val credits = sets.join(sizes, "pid")
+      .select(col("channel"), expr("vc * (12 div ss)").as("c12"))
+    val per = credits.groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_credits"), sum(col("c12")).as("credit_12ths"))
+    val tot = per.agg(sum(col("credit_12ths")).as("t"))
+    per.crossJoin(broadcast(tot))
+      .select(col("channel"), col("n_credits"), col("credit_12ths"),
+        expr("credit_12ths * 10000 div t").as("share_e4"))
+      .orderBy("channel")
+  }
+
+  /** Price-volume-mix decomposition of the 1996→1997 revenue change per
+    * brand: ΔR = (p₁−p₀)q₀ (price) + p₀(q₁−q₀) (volume) + (p₁−p₀)(q₁−q₀)
+    * (cross/mix) + residual from the floor-cent unit prices. Pure
+    * products of exact integers — no signed division, so the engines'
+    * floor-vs-trunc divide semantics never meet a negative.
+    */
+  def q_pvm_decomposition(spark: SparkSession, sf: String): DataFrame = {
+    def yr(y: Int): DataFrame = Tables.lineitem(spark, sf)
+      .filter(year(col("l_shipdate")) === y)
+      .join(broadcast(Tables.part(spark, sf).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(sum(col("l_quantity").cast("long")).as(s"q$y"),
+        sum(cents(col("l_extendedprice"))).as(s"r$y"))
+    yr(1996).join(yr(1997), "brand")
+      .select(col("brand"), col("q1996"), col("q1997"),
+        expr("r1996 div q1996").as("p0"), expr("r1997 div q1997").as("p1"),
+        (col("r1997") - col("r1996")).as("delta_rev"))
+      .select(col("brand"), col("q1996"), col("q1997"), col("p0"), col("p1"),
+        col("delta_rev"),
+        ((col("p1") - col("p0")) * col("q1996")).as("price_effect"),
+        (col("p0") * (col("q1997") - col("q1996"))).as("volume_effect"),
+        ((col("p1") - col("p0")) * (col("q1997") - col("q1996"))).as("mix_effect"))
+      .select(col("brand"), col("q1996"), col("q1997"), col("p0"), col("p1"),
+        col("delta_rev"), col("price_effect"), col("volume_effect"), col("mix_effect"),
+        (col("delta_rev") - col("price_effect") - col("volume_effect") - col("mix_effect"))
+          .as("floor_residual"))
+      .orderBy("brand")
+  }
+
+  /** Overlapping-interval merge (gaps-and-islands on ranges): each
+    * shipment opens a 7-day service window; per supplier the overlapping
+    * windows coalesce into maximal islands. Island starts are flagged
+    * where a window opens after every previous window closed (keyed
+    * running max of end), island ids are the running flag count — two
+    * supplier-keyed windows, no self-join. Reports windows→islands
+    * compression and exact covered days for suppliers < 20.
+    */
+  def q_interval_merge(spark: SparkSession, sf: String): DataFrame = {
+    val epoch = lit("1970-01-01").cast("date")
+    val iv = Tables.lineitem(spark, sf)
+      .filter(col("l_suppkey") < 20)
+      .select(col("l_suppkey").as("supp"),
+        datediff(col("l_shipdate").cast("date"), epoch).cast("long").as("s"))
+      .distinct()
+      .select(col("supp"), col("s"), (col("s") + 6L).as("e"))
+    val wPrev = Window.partitionBy(col("supp")).orderBy(col("s").asc, col("e").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("supp")).orderBy(col("s").asc, col("e").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val isl = iv
+      .withColumn("pmax", max(col("e")).over(wPrev))
+      .withColumn("new_island",
+        when(col("pmax").isNull || col("s") > col("pmax"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(wRun))
+    isl.groupBy(col("supp"), col("island"))
+      .agg(min(col("s")).as("is0"), max(col("e")).as("ie"), count(lit(1)).as("nw"))
+      .groupBy(col("supp"))
+      .agg(sum(col("nw")).as("n_windows"), count(lit(1)).as("n_islands"),
+        sum(col("ie") - col("is0") + 1L).as("covered_days"),
+        max(col("ie") - col("is0") + 1L).as("longest_island_days"))
+      .orderBy("supp")
+  }
+
+  /** Newsvendor stocking rule per brand: the 0.75 critical-fractile
+    * quantile of weekly demand (holding:stockout cost 1:3) is the stock
+    * level; the backtest counts weeks the rule would have over/under-
+    * shot. Exact weekly units, exact interpolated quantile, integer
+    * backtest — the inventory twin of the EOQ policy (how MUCH to hold
+    * vs how much to ORDER).
+    */
+  def q_newsvendor(spark: SparkSession, sf: String): DataFrame = {
+    val epoch = lit("1970-01-01").cast("date")
+    val weekly = Tables.lineitem(spark, sf)
+      .join(broadcast(Tables.part(spark, sf).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"),
+        (datediff(date_trunc("week", col("l_shipdate")).cast("date"), epoch) / 7)
+          .cast("long").as("wk"))
+      .agg(sum(col("l_quantity").cast("long")).as("units"))
+    val q = weekly.groupBy(col("brand"))
+      .agg(count(lit(1)).as("n_weeks"), percentile(col("units"), lit(0.75)).as("q75"))
+    weekly.join(q, "brand")
+      .groupBy(col("brand"))
+      .agg(max(col("n_weeks")).as("n_weeks"),
+        (round(max(col("q75")), 4) + lit(0.0)).as("stock_level"),
+        sum(when(col("units").cast("double") > col("q75"), 1L).otherwise(0L)).as("weeks_short"),
+        sum(when(col("units").cast("double") <= col("q75"), 1L).otherwise(0L)).as("weeks_covered"))
+      .orderBy("brand")
+  }
+
+  /** Economic order quantity per brand: EOQ = √(2·D·S/H) with demand D =
+    * total units sold, fixed order cost S = $50, holding cost H = 20% of
+    * the brand's exact mean unit price (floor cents) — the classic
+    * inventory policy computed as one aggregate + one epilogue. The
+    * demand and price stats are exact integers; only the final √ is
+    * float.
+    */
+  def q_eoq_policy(spark: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(spark, sf)
+      .join(broadcast(Tables.part(spark, sf).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(sum(col("l_quantity").cast("long")).as("demand_units"),
+        sum(cents(col("l_extendedprice"))).as("rev"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+      .select(col("brand"), col("demand_units"),
+        expr("rev div qty").as("unit_price_cents"))
+      .select(col("brand"), col("demand_units"), col("unit_price_cents"),
+        (round(expr(
+          """SQRT(2.0 * CAST(demand_units AS DOUBLE) * 5000.0
+                  / (0.2 * CAST(unit_price_cents AS DOUBLE)))"""), 4) + lit(0.0)).as("eoq_units"))
+      .orderBy("brand")
 }

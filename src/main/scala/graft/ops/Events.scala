@@ -548,4 +548,320 @@ object Events {
         sum(col("filled")).as("filled_total_cents"))
       .orderBy("flag")
   }
+
+  /** Lead-lag cross-correlation between the daily view-value and
+    * purchase-value series at lags −3..+3 days (lag > 0 ⇒ views lead
+    * purchases). Daily sums are exact BIGINT cents; each lag's Pearson r
+    * is one fixed IEEE epilogue over the lag's five exact sums. Two tiny
+    * aggregates and a 7×30 join — the series alignment is on the ~30-row
+    * day table, never on raw events, so the shape is flat at any scale.
+    */
+  def q_cross_correlation(spark: SparkSession, sf: String): DataFrame = {
+    val epoch = lit("1970-01-01").cast("date")
+    def daily(t: String): DataFrame = Tables.eventsWithTs(spark, sf)
+      .filter(col("event_type") === t)
+      .groupBy(datediff(to_date(col("ts_us")), epoch).cast("long").as("dayn"))
+      .agg(sum(cents(col("value"))).as("s"))
+    val v = daily("view").select(col("dayn"), col("s").as("x"))
+    val p = daily("purchase").select(col("dayn").as("pdayn"), col("s").as("y"))
+    val lags = spark.range(-3, 4).select(col("id").as("lag"))
+    v.crossJoin(broadcast(lags))
+      .join(p, col("pdayn") === col("dayn") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("lag"), col("n_days"),
+        (round(expr(
+          """(CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (SQRT(CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * SQRT(CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"""),
+          6) + lit(0.0)).as("r"))
+      .orderBy("lag")
+  }
+
+  /** Browse-abandonment rate by day of week: the share of (user, day)
+    * pairs with at least one view but no purchase that day. One
+    * user-day aggregate then a 7-row rollup — the grain reduction comes
+    * first, so the dow rollup never touches raw events twice.
+    */
+  def q_abandonment_rate(spark: SparkSession, sf: String): DataFrame =
+    Tables.eventsWithTs(spark, sf)
+      .groupBy(col("user_id"), to_date(col("ts_us")).as("day"))
+      .agg(max(when(col("event_type") === "view", 1L).otherwise(0L)).as("hv"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("hp"))
+      .groupBy(weekday(col("day")).cast("long").as("dow"))
+      .agg(count(lit(1)).as("n_user_days"), sum(col("hv")).as("n_view_days"),
+        sum(col("hv") * (lit(1L) - col("hp"))).as("n_abandoned"))
+      .select(col("dow"), col("n_user_days"), col("n_view_days"), col("n_abandoned"),
+        expr("n_abandoned * 10000 div n_view_days").as("abandon_rate_e4"))
+      .orderBy("dow")
+
+  /** Position-bias curve: click-through rate by within-session position
+    * (rank of the event inside its user-day, event-time order). The CTR
+    * decay over position is what a click model corrects for before using
+    * clicks as relevance labels. One user-day window + a 10-row rollup.
+    */
+  def q_position_bias(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), to_date(col("ts_us")))
+      .orderBy(col("ts_usl").asc, col("event_id").asc)
+    Tables.eventsWithTs(spark, sf)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .filter(col("pos") <= 10L)
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_clicks"))
+      .select(col("pos"), col("n_events"), col("n_clicks"),
+        expr("n_clicks * 10000 div n_events").as("ctr_e4"))
+      .orderBy("pos")
+  }
+
+  /** Behavioral-sequence similarity: each user's 30-day journey is
+    * compressed to a string of daily dominant-event-type initials
+    * (deterministic mode: count desc, type asc), then Levenshtein-aligned
+    * against user 0's journey — the 10 nearest behavioral twins. The
+    * expensive alignment runs on 150 compressed strings, never on raw
+    * events; blocking (here: all-vs-one) is what keeps edit-distance
+    * linkage tractable at scale.
+    */
+  def q_user_sequence_similarity(spark: SparkSession, sf: String): DataFrame = {
+    val counts = Tables.eventsWithTs(spark, sf)
+      .groupBy(col("user_id"), to_date(col("ts_us")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val wMode = Window.partitionBy("user_id", "day")
+      .orderBy(col("c").desc, col("event_type").asc)
+    val daily = counts.withColumn("rn", row_number().over(wMode)).filter(col("rn") === 1)
+      .select(col("user_id"), col("day"), substring(col("event_type"), 1, 1).as("ch"))
+    val seqs = daily.groupBy(col("user_id"))
+      .agg(concat_ws("", array_sort(collect_list(struct(col("day"), col("ch"))))
+        .getField("ch")).as("seq"))
+    val q = seqs.filter(col("user_id") === 0)
+      .select(col("seq").as("q_seq"))
+    seqs.filter(col("user_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("user_id"), levenshtein(col("seq"), col("q_seq")).cast("long").as("edit_dist"),
+        length(col("seq")).cast("long").as("seq_len"))
+      .orderBy(col("edit_dist").asc, col("user_id").asc)
+      .limit(10)
+  }
+
+  /** SAX symbolization of each event type's daily-revenue series: 5
+    * six-day PAA segments, z-scored against the type's own exact
+    * daily-sum statistics, mapped onto the 4-letter SAX alphabet
+    * (±0.6745 / 0 breakpoints). The z epilogue is one fixed IEEE tree
+    * per segment over exact BIGINT sums — PAA means are computed as
+    * (segment sum, count) pairs, never as averaged floats.
+    */
+  def q_sax_symbolize(spark: SparkSession, sf: String): DataFrame = {
+    val epoch = lit("1970-01-01").cast("date")
+    val daily = Tables.eventsWithTs(spark, sf)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts_us")), epoch).cast("long").as("dayn"))
+      .agg(sum(cents(col("value"))).as("s"))
+    val base = daily.groupBy(col("event_type"))
+      .agg(min(col("dayn")).as("d0"), count(lit(1)).as("nd"),
+        sum(col("s")).as("ts"), sum(col("s") * col("s")).as("tq"))
+    val segs = daily.join(base, "event_type")
+      .groupBy(col("event_type"), expr("(dayn - d0) div 6").as("seg"))
+      .agg(sum(col("s")).as("ss"), count(lit(1)).as("sc"),
+        max(col("ts")).as("ts"), max(col("tq")).as("tq"), max(col("nd")).as("nd"))
+      .select(col("event_type"), col("seg"),
+        expr(
+          """(CAST(ss AS DOUBLE) / CAST(sc AS DOUBLE) - CAST(ts AS DOUBLE) / CAST(nd AS DOUBLE))
+             / SQRT((CAST(tq AS DOUBLE) - CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE) / CAST(nd AS DOUBLE))
+                    / CAST(nd - 1 AS DOUBLE))""").as("z"))
+      .select(col("event_type"), col("seg"),
+        when(col("z") < -0.6745, "a").when(col("z") < 0.0, "b")
+          .when(col("z") < 0.6745, "c").otherwise("d").as("sym"),
+        col("z"))
+    segs.groupBy(col("event_type"))
+      .agg(concat_ws("", array_sort(collect_list(struct(col("seg"), col("sym"))))
+        .getField("sym")).as("sax"),
+        (round(min(col("z")), 4) + lit(0.0)).as("min_z"),
+        (round(max(col("z")), 4) + lit(0.0)).as("max_z"))
+      .orderBy("event_type")
+  }
+
+  /** Unnormalized 2-level Haar wavelet energy decomposition of the daily
+    * total-value series: pairwise sums/differences on the day index
+    * (a=x₂ᵢ+x₂ᵢ₊₁, d=x₂ᵢ−x₂ᵢ₊₁ — all exact BIGINTs, no √2 anywhere),
+    * energies per level. Detail-1 energy ≈ day-to-day noise, detail-2 ≈
+    * 2-4-day swings, approx-2 ≈ the weekly trend floor — the multi-
+    * resolution screen before picking a smoothing window. Three hash
+    * aggregates on derived pair keys; no windows at all.
+    */
+  def q_haar_energy(spark: SparkSession, sf: String): DataFrame = {
+    val epoch = lit("1970-01-01").cast("date")
+    val raw = Tables.eventsWithTs(spark, sf)
+      .groupBy(datediff(to_date(col("ts_us")), epoch).cast("long").as("dayn"))
+      .agg(sum(cents(col("value"))).as("x"))
+    val d0 = raw.agg(min(col("dayn")).as("d0"))
+    val daily = raw.crossJoin(broadcast(d0))
+      .select((col("dayn") - col("d0")).as("i"), col("x"))
+    val l1 = daily.groupBy(expr("i div 2").as("p"))
+      .agg(sum(col("x")).as("a1"),
+        sum(col("x") * (lit(1L) - lit(2L) * (col("i") % 2))).as("d1"))
+    val l2 = l1.groupBy(expr("p div 2").as("p2"))
+      .agg(sum(col("a1")).as("a2"),
+        sum(col("a1") * (lit(1L) - lit(2L) * (col("p") % 2))).as("d2"))
+    val e0 = daily.agg(count(lit(1)).as("n_days"), sum(col("x") * col("x")).as("e_signal"))
+    val e1 = l1.agg(sum(col("d1") * col("d1")).as("e_detail1"))
+    val e2 = l2.agg(sum(col("d2") * col("d2")).as("e_detail2"),
+      sum(col("a2") * col("a2")).as("e_approx2"))
+    e0.crossJoin(e1).crossJoin(e2)
+  }
+
+  /** Streaming-state retention sweep: for watermark delays of 1 h / 6 h /
+    * 24 h, how many event rows and distinct user keys the state store
+    * would still hold at the stream's high-water mark. The sizing read
+    * BEFORE deploying a stateful query — delay × key-cardinality is the
+    * memory bill. One max + one broadcast + one aggregate per delay row.
+    */
+  def q_state_retention_sweep(spark: SparkSession, sf: String): DataFrame = {
+    val ev = Tables.eventsWithTs(spark, sf).select(col("ts_usl"), col("user_id"))
+    val hw = ev.agg(max(col("ts_usl")).as("hw"))
+    val delays = ev.sparkSession.range(0, 3)
+      .select(when(col("id") === 0, 3600000000L).when(col("id") === 1, 21600000000L)
+        .otherwise(86400000000L).as("delay_us"))
+    ev.crossJoin(broadcast(hw)).crossJoin(broadcast(delays))
+      .filter(col("ts_usl") > col("hw") - col("delay_us"))
+      .groupBy(expr("delay_us div 3600000000").as("delay_hours"))
+      .agg(count(lit(1)).as("n_state_rows"), countDistinct(col("user_id")).as("n_open_keys"))
+      .orderBy("delay_hours")
+  }
+
+  /** Q-Q alignment of the view vs purchase value distributions at 19
+    * interior ventiles: exact interpolated quantiles of both series side
+    * by side — the distribution-shape comparison a histogram hides. One
+    * aggregate per series (array percentile), exploded on the shared
+    * probability index.
+    */
+  def q_qq_quantiles(spark: SparkSession, sf: String): DataFrame = {
+    val probs = (1 to 19).map(_ / 20.0)
+    def side(t: String, as: String): DataFrame =
+      Tables.eventsWithTs(spark, sf).filter(col("event_type") === t)
+        .agg(percentile(cents(col("value")),
+          array(probs.map(lit(_)): _*)).as("qs"))
+        .select(posexplode(col("qs")))
+        .select(col("pos"), col("col").as(as))
+    side("view", "view_q").join(side("purchase", "purchase_q"), "pos")
+      .select((col("pos") * 5 + 5).cast("long").as("pct"),
+        (round(col("view_q"), 4) + lit(0.0)).as("view_q"),
+        (round(col("purchase_q"), 4) + lit(0.0)).as("purchase_q"))
+      .orderBy("pct")
+  }
+
+  /** XmR (individuals / moving-range) control chart per event type: the
+    * center line is the exact daily-total mean, the ±limits are
+    * center ± 2.66·MR̄ (moving ranges are |Δ| of integer daily sums, so
+    * MR̄ is exact-rational), and the out-of-control day count is the SPC
+    * alarm total. One keyed lag window + one aggregate per type.
+    */
+  def q_control_chart(spark: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.eventsWithTs(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts_us")).as("day"))
+      .agg(sum(cents(col("value"))).as("x"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day").asc)
+    val mr = daily
+      .withColumn("mrange", abs(col("x") - lag(col("x"), 1).over(w)))
+    val st = mr.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("sx"),
+        sum(col("mrange")).as("smr"), count(col("mrange")).as("nmr"))
+    mr.join(st, "event_type")
+      .select(col("event_type"), col("n_days"), col("x"),
+        expr("CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)").as("center"),
+        expr("2.66 * CAST(smr AS DOUBLE) / CAST(nmr AS DOUBLE)").as("band"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_days")).as("n_days"),
+        (round(max(col("center")), 4) + lit(0.0)).as("center"),
+        (round(max(col("center")) + max(col("band")), 4) + lit(0.0)).as("ucl"),
+        (round(max(col("center")) - max(col("band")), 4) + lit(0.0)).as("lcl"),
+        sum(when(col("x").cast("double") > col("center") + col("band"), 1L)
+          .when(col("x").cast("double") < col("center") - col("band"), 1L)
+          .otherwise(0L)).as("n_out_of_control"))
+      .orderBy("event_type")
+  }
+
+  /** Discrete periodogram of the daily revenue series at candidate
+    * periods 2-7 days: power(p) = (Σx·cos(2πt/p))² + (Σx·sin(2πt/p))²,
+    * normalized to shares — "is there a weekly cycle" answered in one
+    * pass. The trig arguments are the same rationals on both engines;
+    * per-period sums are a 6×30 broadcast product, no shuffle beyond the
+    * daily rollup.
+    */
+  def q_periodogram(spark: SparkSession, sf: String): DataFrame = {
+    val epoch = lit("1970-01-01").cast("date")
+    val raw = Tables.eventsWithTs(spark, sf)
+      .groupBy(datediff(to_date(col("ts_us")), epoch).cast("long").as("dayn"))
+      .agg(sum(cents(col("value"))).as("x"))
+    val d0 = raw.agg(min(col("dayn")).as("d0"))
+    val daily = raw.crossJoin(broadcast(d0))
+      .select((col("dayn") - col("d0")).as("t"), col("x"))
+    val periods = spark.range(2, 8).select(col("id").as("p"))
+    val pw = daily.crossJoin(broadcast(periods))
+      .select(col("p"),
+        expr("CAST(x AS DOUBLE) * cos(2.0 * 3.141592653589793 * CAST(t AS DOUBLE) / CAST(p AS DOUBLE))").as("c"),
+        expr("CAST(x AS DOUBLE) * sin(2.0 * 3.141592653589793 * CAST(t AS DOUBLE) / CAST(p AS DOUBLE))").as("s"))
+      .groupBy(col("p"))
+      .agg(sum(col("c")).as("sc"), sum(col("s")).as("ss"))
+      .select(col("p"), expr("sc * sc + ss * ss").as("power"))
+    val tot = pw.agg(sum(col("power")).as("tp"))
+    pw.crossJoin(broadcast(tot))
+      .select(col("p").as("period_days"),
+        (round(expr("power / tp"), 6) + lit(0.0)).as("power_share"))
+      .orderBy("period_days")
+  }
+
+  /** Matrix profile (window=5, exclusion zone 3) of the daily revenue
+    * series: for every 5-day window, the z-normalized distance to its
+    * nearest non-trivial neighbor window — minima are motifs, maxima are
+    * discords. Window stats come from exact sums; the 26×26 alignment is
+    * a bounded index join on the ~30-row daily table, the small-series
+    * twin of what a scalable STOMP would tile.
+    */
+  def q_matrix_profile(spark: SparkSession, sf: String): DataFrame = {
+    val epoch = lit("1970-01-01").cast("date")
+    val raw = Tables.eventsWithTs(spark, sf)
+      .groupBy(datediff(to_date(col("ts_us")), epoch).cast("long").as("dayn"))
+      .agg(sum(cents(col("value"))).as("x"))
+    val d0 = raw.agg(min(col("dayn")).as("d0"), max(col("dayn")).as("d1"))
+    val daily = raw.crossJoin(broadcast(d0))
+      .select((col("dayn") - col("d0")).as("t"), col("x"),
+        (col("d1") - col("d0") + 1L).as("nd"))
+    val wins = daily.as("w")
+      .join(daily.select(col("t").as("u"), col("x").as("xu")).as("e"),
+        col("u").between(col("t"), col("t") + 4L))
+      .groupBy(col("t"), col("nd"))
+      .agg(count(lit(1)).as("wn"), sum(col("xu")).as("ws"),
+        sum(col("xu") * col("xu")).as("wq"))
+      .filter(col("wn") === 5L && col("t") <= col("nd") - 5L)
+      .select(col("t"), col("ws"), col("wq"))
+      .localCheckpoint()
+    // element-aligned cross-window products: offset k=0..4
+    val elems = daily.select(col("t").as("et"), col("x"))
+    val prod = wins.select(col("t").as("i"), col("ws").as("wsi"), col("wq").as("wqi"))
+      .crossJoin(wins.select(col("t").as("j"), col("ws").as("wsj"), col("wq").as("wqj")))
+      .filter(abs(col("i") - col("j")) >= 3L)
+      .join(elems.select(col("et").as("ei"), col("x").as("xi")),
+        col("ei").between(col("i"), col("i") + 4L))
+      .join(elems.select(col("et").as("ej"), col("x").as("xj")),
+        col("ej") - col("j") === col("ei") - col("i"))
+      .groupBy(col("i"), col("j"), col("wsi"), col("wqi"), col("wsj"), col("wqj"))
+      .agg(sum(col("xi") * col("xj")).as("sxy"))
+    val dist = prod.select(col("i"), col("j"),
+      (round(expr(
+        """SQRT(GREATEST(0.0, 2.0 * 5.0 * (1.0 -
+             (CAST(sxy AS DOUBLE) - 5.0 * (CAST(wsi AS DOUBLE) / 5.0) * (CAST(wsj AS DOUBLE) / 5.0))
+             / (5.0 * SQRT((CAST(wqi AS DOUBLE) / 5.0 - (CAST(wsi AS DOUBLE) / 5.0) * (CAST(wsi AS DOUBLE) / 5.0))
+                           * (CAST(wqj AS DOUBLE) / 5.0 - (CAST(wsj AS DOUBLE) / 5.0) * (CAST(wsj AS DOUBLE) / 5.0)))))))"""),
+        4) + lit(0.0)).as("zdist"))
+    val w = Window.partitionBy(col("i")).orderBy(col("zdist").asc, col("j").asc)
+    dist.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("i").as("window_start"), col("j").as("nn_window"), col("zdist"))
+      .orderBy("window_start")
+  }
 }

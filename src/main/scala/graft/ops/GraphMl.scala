@@ -253,4 +253,164 @@ object GraphMl {
       .reduce(_.unionByName(_))
       .orderBy("level")
   }
+
+  /** Adamic-Adar link prediction on the co-purchase graph: for the top-10
+    * non-adjacent part pairs, Σ_z 1/ln(deg z) over their common neighbors
+    * z. The hub weight is pre-rounded to integer e6 per node so the score
+    * is an exact BIGINT sum — immune to float summation order — and the
+    * pair enumeration reuses the two-hop join shape of the triangle count
+    * (join keys are single node ids; the fan-out is bounded by Σdeg², the
+    * quantity any neighborhood-based link predictor must touch).
+    */
+  def q_adamic_adar(spark: SparkSession, sf: String): DataFrame = {
+    val edges = coPurchaseEdges(spark, sf)
+    val hubs = edges.groupBy(col("u").as("z"))
+      .agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 2) // a deg-1 node cannot be a common neighbor; also keeps ln > 0
+      .select(col("z"),
+        expr("CAST(ROUND(1000000.0 / ln(CAST(deg AS DOUBLE))) AS BIGINT)").as("w_e6"))
+    val pairs = edges.as("a")
+      .join(edges.as("b"), col("a.u") === col("b.u") && col("a.v") < col("b.v"))
+      .select(col("a.u").as("z"), col("a.v").as("x"), col("b.v").as("y"))
+      .join(hubs, "z")
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("n_common"), sum(col("w_e6")).as("score_e6"))
+    val existing = edges.filter(col("u") < col("v"))
+      .select(col("u").as("x"), col("v").as("y"))
+    pairs.join(existing, Seq("x", "y"), "left_anti")
+      .orderBy(col("score_e6").desc, col("x").asc, col("y").asc)
+      .limit(10)
+      .select(col("x").as("u"), col("y").as("v"), col("n_common"), col("score_e6"))
+  }
+
+  /** Degree assortativity of the co-purchase graph: the Pearson
+    * correlation of endpoint degrees over the directed edge list (each
+    * undirected edge contributes both directions — the standard Newman
+    * convention). Sufficient statistics are exact BIGINT sums; the
+    * correlation epilogue casts each sum to double first and evaluates
+    * one fixed IEEE tree (the sf0.1-safe pattern). r < 0 means hubs link
+    * to leaves (dissortative — typical of co-purchase graphs).
+    */
+  def q_graph_assortativity(spark: SparkSession, sf: String): DataFrame = {
+    val edges = coPurchaseEdges(spark, sf)
+    val deg = edges.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    edges
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .agg(count(lit(1)).as("n"), sum(col("du")).as("sx"), sum(col("dv")).as("sy"),
+        sum(col("du") * col("dv")).as("sxy"),
+        sum(col("du") * col("du")).as("sxx"),
+        sum(col("dv") * col("dv")).as("syy"))
+      .select(col("n").as("n_directed_edges"),
+        (round(expr(
+          """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"""),
+          6) + lit(0.0)).as("assortativity"))
+  }
+
+  /** Two statically-unrolled 3-core peeling rounds on the co-purchase
+    * graph: each round drops nodes with degree < 3 and re-induces the
+    * subgraph (two semi-joins on the surviving node set). Per-round node/
+    * edge counts and the degree range show how fast the periphery erodes
+    * — the k-core decomposition's fixed-depth prefix, same pattern as the
+    * unrolled BFS (the converged generalization is an iterative loop like
+    * q_dedup_components).
+    */
+  def q_kcore_peel(spark: SparkSession, sf: String): DataFrame = {
+    def stats(g: DataFrame, round: Long): DataFrame =
+      g.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .agg(lit(round).as("round"), count(lit(1)).as("n_nodes"),
+          sum(col("deg")).as("n_directed_edges"),
+          min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
+    def peel(g: DataFrame): DataFrame = {
+      val survivors = g.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 3).select(col("u").as("node"))
+      g.join(survivors.select(col("node").as("u")), "u")
+        .join(survivors.select(col("node").as("v")), "v")
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+    }
+    val g0 = coPurchaseEdges(spark, sf)
+    val g1 = peel(g0)
+    val g2 = peel(g1)
+    stats(g0, 0L).unionByName(stats(g1, 1L)).unionByName(stats(g2, 2L))
+      .orderBy("round")
+  }
+
+  /** Three statically-unrolled Bellman-Ford relaxation rounds from the
+    * minimum node of the weighted co-purchase graph (edge cost =
+    * 1000 div support — stronger ties are cheaper). Each round is one
+    * join dist→edges + a min re-aggregate — the min-plus semiring product
+    * every distributed SSSP is built from; costs are exact BIGINTs.
+    * Output: the 10 closest nodes after round 3.
+    */
+  def q_sssp_weighted(spark: SparkSession, sf: String): DataFrame = {
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val e0 = items.as("a")
+      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("s"))
+      .filter(col("s") >= 2)
+    val edges = e0.select(col("u"), col("v"), expr("1000 div s").as("w"))
+      .unionByName(e0.select(col("v").as("u"), col("u").as("v"), expr("1000 div s").as("w")))
+      .localCheckpoint()
+    val src = edges.agg(min(col("u")).as("node")).withColumn("dist", lit(0L))
+    def relax(d: DataFrame): DataFrame =
+      d.join(edges, col("node") === col("u"))
+        .select(col("v").as("node"), (col("dist") + col("w")).as("dist"))
+        .unionByName(d)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    val d3 = relax(relax(relax(src)))
+    d3.orderBy(col("dist").asc, col("node").asc).limit(10)
+  }
+
+  /** Newman modularity Q of the partkey-mod-10 community assignment on
+    * the co-purchase graph: Q = Σᵢ(eᵢᵢ/m₂ − (aᵢ/m₂)²) over the directed
+    * edge list (m₂ = 2m). All counts are exact; only the 10 per-community
+    * terms are float. The companion number to q_label_propagation — "did
+    * the communities it found mean anything".
+    */
+  def q_graph_modularity(spark: SparkSession, sf: String): DataFrame = {
+    val edges = coPurchaseEdges(spark, sf)
+    val comm = edges.select((col("u") % 10).as("cu"), (col("v") % 10).as("cv"))
+    val per = comm.groupBy(col("cu"))
+      .agg(count(lit(1)).as("a_i"),
+        sum(when(col("cu") === col("cv"), 1L).otherwise(0L)).as("e_ii"))
+    val m2 = comm.agg(count(lit(1)).as("m2"))
+    per.crossJoin(broadcast(m2))
+      .select(expr(
+        """CAST(e_ii AS DOUBLE) / CAST(m2 AS DOUBLE)
+           - (CAST(a_i AS DOUBLE) / CAST(m2 AS DOUBLE)) * (CAST(a_i AS DOUBLE) / CAST(m2 AS DOUBLE))""")
+        .as("term"), col("m2"))
+      .agg(count(lit(1)).as("n_communities"), max(col("m2")).as("m2"),
+        sum(col("term")).as("q"))
+      .select(col("n_communities"), expr("m2 div 2").as("n_edges"),
+        (round(col("q"), 6) + lit(0.0)).as("modularity"))
+  }
+
+  /** Two unrolled HITS iterations on the customer→part purchase
+    * bipartite graph (unweighted distinct edges): hubs = buyers whose
+    * baskets concentrate on authoritative parts, authorities = parts
+    * bought by strong hubs. Scores stay on an exact e6 integer lattice
+    * (no normalization — only the final ranking matters, and integer
+    * sums are order-independent). Top-10 authorities.
+    */
+  def q_hits_scores(spark: SparkSession, sf: String): DataFrame = {
+    val edges = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+      .localCheckpoint()
+    // a0 = 1e6 for every part → h1(c) = Σ a0, a1(p) = Σ h1, h2, a2
+    val h1 = edges.groupBy(col("c")).agg((count(lit(1)) * 1000000L).as("h"))
+    val a1 = edges.join(h1, "c").groupBy(col("p")).agg(sum(col("h")).as("a"))
+    val h2 = edges.join(a1, "p").groupBy(col("c")).agg(sum(col("a")).as("h"))
+    val a2 = edges.join(h2, "c").groupBy(col("p")).agg(sum(col("h")).as("authority"))
+    a2.orderBy(col("authority").desc, col("p").asc).limit(10)
+      .select(col("p").as("partkey"), col("authority"))
+  }
 }

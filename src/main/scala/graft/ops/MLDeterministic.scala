@@ -1010,4 +1010,970 @@ object MLDeterministic {
         expr("cum_pos * tot_n * 1000000 div (cum_n * tot_pos)").as("cum_lift_e6"))
       .orderBy("decile")
   }
+
+  /** Inter-rater agreement between two deterministic document "raters"
+    * (A: length ≥ 30 tokens; B: type-token ratio ≥ 0.5): the 2×2
+    * confusion as exact counts plus Cohen's κ (chance-corrected
+    * agreement) and the Matthews correlation coefficient — the two
+    * standard agreement metrics a labeling pipeline reports before
+    * trusting auto-labels. Counts are one map-side-combinable aggregate;
+    * the epilogues are fixed IEEE trees over the four BIGINT cells.
+    */
+  def q_rater_agreement(spark: SparkSession, sf: String): DataFrame =
+    Tables.documents(spark, sf)
+      .select(
+        (size(split(col("text"), " ")) >= 30).cast("long").as("a"),
+        (size(array_distinct(split(col("text"), " "))) * 2 >=
+          size(split(col("text"), " "))).cast("long").as("b"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("a") * col("b")).as("n11"),
+        sum(col("a") * (lit(1L) - col("b"))).as("n10"),
+        sum((lit(1L) - col("a")) * col("b")).as("n01"),
+        sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).as("n00"))
+      .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        (round(expr(
+          """((CAST(n11 AS DOUBLE) + CAST(n00 AS DOUBLE)) / CAST(n AS DOUBLE)
+              - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+                 + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+             / (1.0 - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+                 + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"""), 6) + lit(0.0))
+          .as("kappa"),
+        (round(expr(
+          """(CAST(n11 AS DOUBLE) * CAST(n00 AS DOUBLE)
+              - CAST(n10 AS DOUBLE) * CAST(n01 AS DOUBLE))
+             / SQRT(CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+                    * CAST(n00 + n10 AS DOUBLE) * CAST(n00 + n01 AS DOUBLE))"""),
+          6) + lit(0.0)).as("mcc"))
+
+  /** Kendall's τ-b between per-brand total revenue and total quantity:
+    * exact concordant / discordant / tied pair counts from the 25-brand
+    * aggregate's self-join (300 pairs — the O(G²) is on groups, never on
+    * rows), τ-b epilogue in double. The rank-based sibling of the
+    * Spearman query: τ is what survives heavy ties and tiny G.
+    */
+  def q_kendall_tau(spark: SparkSession, sf: String): DataFrame = {
+    val g = Tables.lineitem(spark, sf)
+      .join(broadcast(Tables.part(spark, sf).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(sum(cents(col("l_extendedprice"))).as("x"),
+        sum(col("l_quantity").cast("long")).as("y"))
+    val pairs = g.as("a")
+      .join(g.select(col("brand").as("b2"), col("x").as("x2"), col("y").as("y2")).as("b"),
+        col("a.brand") < col("b.b2"))
+    pairs
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when((col("x") < col("x2") && col("y") < col("y2")) ||
+          (col("x") > col("x2") && col("y") > col("y2")), 1L).otherwise(0L)).as("concordant"),
+        sum(when((col("x") < col("x2") && col("y") > col("y2")) ||
+          (col("x") > col("x2") && col("y") < col("y2")), 1L).otherwise(0L)).as("discordant"),
+        sum(when(col("x") === col("x2") && col("y") =!= col("y2"), 1L).otherwise(0L)).as("ties_x"),
+        sum(when(col("y") === col("y2") && col("x") =!= col("x2"), 1L).otherwise(0L)).as("ties_y"))
+      .select(col("n_pairs"), col("concordant"), col("discordant"),
+        col("ties_x"), col("ties_y"),
+        (round(expr(
+          """(CAST(concordant AS DOUBLE) - CAST(discordant AS DOUBLE))
+             / SQRT(CAST(concordant + discordant + ties_x AS DOUBLE)
+                    * CAST(concordant + discordant + ties_y AS DOUBLE))"""),
+          6) + lit(0.0)).as("tau_b"))
+  }
+
+  /** Brown-Forsythe (median-based Levene) test of variance homogeneity of
+    * event value across the 5 event types. |x − group median| doubled is
+    * an exact integer (cents are integers, the interpolated median is a
+    * half-integer), so the spread scores aggregate exactly; the W
+    * statistic (one-way ANOVA on the scores) is a fixed IEEE epilogue
+    * over BIGINT sums. W ≫ F-crit ≈ 2.37 (k−1=4, large N) ⇒ the types'
+    * value spreads genuinely differ — the gate before pooling variances.
+    */
+  def q_levene_test(spark: SparkSession, sf: String): DataFrame = {
+    val vals = Tables.eventsWithTs(spark, sf)
+      .select(col("event_type"), cents(col("value")).as("vc"))
+    val med = vals.groupBy(col("event_type"))
+      .agg(percentile(col("vc"), lit(0.5)).as("med"))
+    val z = vals.join(broadcast(med), "event_type")
+      .select(col("event_type"),
+        round(abs(col("vc").cast("double") - col("med")) * 2).cast("long").as("z2"))
+    val grp = z.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("ni"), sum(col("z2")).as("si"),
+        sum(col("z2") * col("z2")).as("qi"))
+    grp
+      .agg(count(lit(1)).as("k"), sum(col("ni")).as("n"),
+        sum(col("si")).as("s"),
+        sum(expr("CAST(si AS DOUBLE) * CAST(si AS DOUBLE) / CAST(ni AS DOUBLE)")).as("bsum"),
+        sum(expr("CAST(qi AS DOUBLE) - CAST(si AS DOUBLE) * CAST(si AS DOUBLE)" +
+          " / CAST(ni AS DOUBLE)")).as("wsum"))
+      .select(col("k").as("k_groups"), col("n").as("n_total"),
+        (round(expr(
+          """(CAST(n - k AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+             * (bsum - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / wsum"""),
+          6) + lit(0.0)).as("w_stat"))
+      .select(col("k_groups"), col("n_total"), col("w_stat"),
+        when(col("w_stat") > 2.372, 1L).otherwise(0L).as("heteroscedastic"))
+  }
+
+  /** Partial correlation: does per-user view count correlate with
+    * purchase spend once error count is controlled for? All three
+    * pairwise Pearsons come from ONE pass of exact BIGINT sufficient
+    * statistics over the 150-user aggregate; the partial-r epilogue
+    * r_xy·z = (r_xy − r_xz r_yz)/√((1−r_xz²)(1−r_yz²)) is computed from
+    * the already-rounded pairwise r columns so both engines feed it
+    * identical doubles.
+    */
+  def q_partial_correlation(spark: SparkSession, sf: String): DataFrame = {
+    val u = Tables.eventsWithTs(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", cents(col("value"))).otherwise(0L)).as("y"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("z"))
+    def r(a: String, b: String, sab: String): String =
+      s"""(CAST(n AS DOUBLE) * CAST($sab AS DOUBLE) - CAST(s$a AS DOUBLE) * CAST(s$b AS DOUBLE))
+          / (SQRT(CAST(n AS DOUBLE) * CAST(s$a$a AS DOUBLE) - CAST(s$a AS DOUBLE) * CAST(s$a AS DOUBLE))
+             * SQRT(CAST(n AS DOUBLE) * CAST(s$b$b AS DOUBLE) - CAST(s$b AS DOUBLE) * CAST(s$b AS DOUBLE)))"""
+    u.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("z")).as("sz"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("z")).as("sxz"), sum(col("y") * col("z")).as("syz"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+      sum(col("z") * col("z")).as("szz"))
+      .select(col("n").as("n_users"),
+        (round(expr(r("x", "y", "sxy")), 6) + lit(0.0)).as("r_xy"),
+        (round(expr(r("x", "z", "sxz")), 6) + lit(0.0)).as("r_xz"),
+        (round(expr(r("y", "z", "syz")), 6) + lit(0.0)).as("r_yz"))
+      .select(col("n_users"), col("r_xy"), col("r_xz"), col("r_yz"),
+        (round(expr("(r_xy - r_xz * r_yz) / SQRT((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz))"),
+          6) + lit(0.0)).as("partial_r_xy_z"))
+  }
+
+  /** Two rounds of gradient-boosted regression stumps for retail price ~
+    * size: round 1 fits the best variance-reducing threshold on the
+    * size-histogram's cumulative sums (the regression twin of
+    * q_tree_split), round 2 refits on the integer-cent residuals against
+    * round 1's floor-cent leaf means. Everything until the SSE epilogue
+    * is exact BIGINT; the argmin is a deterministic (sse, threshold)
+    * sort. The additive-ensemble recursion is what distinguishes this
+    * from the single-stump query.
+    */
+  def q_boosting_stump(spark: SparkSession, sf: String): DataFrame = {
+    def bestSplit(d: DataFrame, rnd: Long): DataFrame = {
+      // d: (f feature value, yv target) rows
+      val h = d.groupBy(col("f"))
+        .agg(count(lit(1)).as("cn"), sum(col("yv")).as("cy"),
+          sum(col("yv") * col("yv")).as("cyy"))
+      val tot = h.agg(sum(col("cn")).as("tn"), sum(col("cy")).as("ty"),
+        sum(col("cyy")).as("tyy"))
+      // cumulative sums over the ~50-row size histogram via bounded theta
+      // join (house rule: no partition-less windows), like q_tree_split
+      h.as("t")
+        .join(h.select(col("f").as("f2"), col("cn").as("cn2"), col("cy").as("cy2"),
+          col("cyy").as("cyy2")).as("s"), col("s.f2") <= col("t.f"))
+        .groupBy(col("t.f").as("f"))
+        .agg(sum(col("cn2")).as("ln"), sum(col("cy2")).as("ly"), sum(col("cyy2")).as("lyy"))
+        .crossJoin(broadcast(tot))
+        .filter(col("ln") < col("tn")) // a split must leave a non-empty right side
+        .select(lit(rnd).as("round"), col("f").as("threshold"),
+          col("ln").as("n_left"), (col("tn") - col("ln")).as("n_right"),
+          col("ly"), (col("ty") - col("ly")).as("ry"), col("lyy"),
+          (col("tyy") - col("lyy")).as("ryy"))
+        .select(col("round"), col("threshold"), col("n_left"), col("n_right"),
+          col("ly"), col("ry"),
+          (round(expr(
+            """(CAST(lyy AS DOUBLE) - CAST(ly AS DOUBLE) * CAST(ly AS DOUBLE) / CAST(n_left AS DOUBLE))
+               + (CAST(ryy AS DOUBLE) - CAST(ry AS DOUBLE) * CAST(ry AS DOUBLE) / CAST(n_right AS DOUBLE))"""),
+            4) + lit(0.0)).as("sse"))
+        .orderBy(col("sse").asc, col("threshold").asc).limit(1)
+        .localCheckpoint()
+    }
+    val base = Tables.part(spark, sf)
+      .select(col("p_size").cast("long").as("f"), cents(col("p_retailprice")).as("yv"))
+    val s1 = bestSplit(base, 1L)
+    // residuals against round 1's floor-cent leaf means (exact integers)
+    val resid = base.crossJoin(broadcast(s1.select(col("threshold").as("t1"),
+      expr("ly div n_left").as("ml"), expr("ry div n_right").as("mr"))))
+      .select(col("f"),
+        (col("yv") - when(col("f") <= col("t1"), col("ml")).otherwise(col("mr"))).as("yv"))
+    val s2 = bestSplit(resid, 2L)
+    s1.unionByName(s2)
+      .select(col("round"), col("threshold"), col("n_left"), col("n_right"),
+        (round(col("ly").cast("double") / col("n_left").cast("double"), 4) + lit(0.0))
+          .as("mean_left"),
+        (round(col("ry").cast("double") / col("n_right").cast("double"), 4) + lit(0.0))
+          .as("mean_right"),
+        col("sse"))
+      .orderBy("round")
+  }
+
+  /** Adjusted standardized residuals of the segment × priority
+    * contingency table: which cells drive the χ² — (o−e)/√(e(1−rᵢ/n)
+    * (1−cⱼ/n)) per cell, the diagnostic read after a significant
+    * independence test. Counts and margins are exact; the per-cell
+    * epilogue is one fixed IEEE tree.
+    */
+  def q_chi2_residuals(spark: SparkSession, sf: String): DataFrame = {
+    val cells = Tables.orders(spark, sf)
+      .join(broadcast(Tables.customer(spark, sf)
+        .select(col("c_custkey"), col("c_mktsegment"))), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("o"))
+    val rm = cells.groupBy(col("segment")).agg(sum(col("o")).as("ri"))
+    val cm = cells.groupBy(col("priority")).agg(sum(col("o")).as("cj"))
+    val n = cells.agg(sum(col("o")).as("n"))
+    cells.join(broadcast(rm), "segment").join(broadcast(cm), "priority")
+      .crossJoin(broadcast(n))
+      .select(col("segment"), col("priority"), col("o"),
+        (round(expr("CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE) / CAST(n AS DOUBLE)"), 4)
+          + lit(0.0)).as("expected"),
+        (round(expr(
+          """(CAST(o AS DOUBLE) - CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE) / CAST(n AS DOUBLE))
+             / SQRT(CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE) / CAST(n AS DOUBLE)
+                    * (1.0 - CAST(ri AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (1.0 - CAST(cj AS DOUBLE) / CAST(n AS DOUBLE)))"""),
+          4) + lit(0.0)).as("adj_residual"))
+      .orderBy("segment", "priority")
+  }
+
+  /** CUPED variance reduction: per user, pre-period (Jan 1-15) value is
+    * the covariate x, experiment-period (Jan 16+) value the metric y.
+    * θ = cov(x,y)/var(x) and the achievable variance reduction ρ² are one
+    * epilogue over exact BIGINT sums — the standard pre-experiment check
+    * "is the covariate worth wiring into the assignment pipeline".
+    */
+  def q_cuped(spark: SparkSession, sf: String): DataFrame = {
+    val cut = lit("2024-01-16").cast("date")
+    val u = Tables.eventsWithTs(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(sum(when(to_date(col("ts_us")) < cut, cents(col("value"))).otherwise(0L)).as("x"),
+        sum(when(to_date(col("ts_us")) >= cut, cents(col("value"))).otherwise(0L)).as("y"))
+    u.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+      .select(col("n").as("n_users"),
+        expr("CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)")
+          .as("cv"),
+        expr("CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)")
+          .as("vx"),
+        expr("CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)")
+          .as("vy"))
+      .select(col("n_users"),
+        (round(expr("cv / vx"), 6) + lit(0.0)).as("theta"),
+        (round(expr("cv * cv / (vx * vy)"), 6) + lit(0.0)).as("variance_reduction"))
+  }
+
+  /** Instrumental-variable (Wald/2SLS single-instrument) estimate of the
+    * click → purchase-spend effect, instrumented by per-user signup
+    * count: β_IV = cov(z,y)/cov(z,x), reported next to the naive OLS β
+    * and the first-stage correlation (instrument strength). One pass of
+    * exact sufficient statistics, three fixed epilogues.
+    */
+  def q_iv_estimate(spark: SparkSession, sf: String): DataFrame = {
+    val u = Tables.eventsWithTs(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", cents(col("value"))).otherwise(0L)).as("y"),
+        sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("z"))
+    u.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("z")).as("sz"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("z") * col("y")).as("szy"), sum(col("z") * col("x")).as("szx"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("z") * col("z")).as("szz"))
+      .select(col("n").as("n_users"),
+        (round(expr(
+          """(CAST(n AS DOUBLE) * CAST(szy AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(szx AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sx AS DOUBLE))"""),
+          6) + lit(0.0)).as("beta_iv"),
+        (round(expr(
+          """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"""),
+          6) + lit(0.0)).as("beta_ols"),
+        (round(expr(
+          """(CAST(n AS DOUBLE) * CAST(szx AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sx AS DOUBLE))
+             / (SQRT(CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))
+                * SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"""),
+          6) + lit(0.0)).as("first_stage_r"))
+  }
+
+  /** Sequential probability ratio test on the daily purchase share
+    * (H0 p=0.18 vs H1 p=0.22, A/B error 5%): the cumulative log-
+    * likelihood ratio walks day by day (one ordered running-sum window
+    * over the 30-row daily table) and each day is labeled
+    * accept_h1 / accept_h0 / continue against the ±ln(19) Wald bounds —
+    * the always-valid sequential monitor an experimentation platform
+    * runs instead of a fixed-horizon test.
+    */
+  def q_sprt_boundary(spark: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.eventsWithTs(spark, sf)
+      .groupBy(to_date(col("ts_us")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("s"))
+    // cumulative via bounded theta join over the ~30-row daily table — the
+    // house rule bans partition-less windows even on tiny aggregates
+    daily.as("t")
+      .join(daily.select(col("day").as("d2"), col("n").as("n2"), col("s").as("s2")).as("p"),
+        col("p.d2") <= col("t.day"))
+      .groupBy(col("t.day").as("day"))
+      .agg(sum(col("s2")).as("cum_s"), sum(col("n2")).as("cum_n"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("cum_s"), col("cum_n"),
+        // pre-rounded LLR weights (ln(p1/p0), ln(q1/q0)): live engine ln()
+        // differs by an ulp between JVM and C libm and the error amplifies
+        // by cum_n — platforms precompute these constants anyway
+        (round(expr(
+          """CAST(cum_s AS DOUBLE) * 0.2006707
+             + CAST(cum_n - cum_s AS DOUBLE) * (-0.0500104)"""), 4) + lit(0.0)).as("llr"))
+      .select(col("day"), col("cum_s"), col("cum_n"), col("llr"),
+        when(col("llr") > 2.9444, "accept_h1")
+          .when(col("llr") < -2.9444, "accept_h0")
+          .otherwise("continue").as("decision"))
+      .orderBy("day")
+  }
+
+  /** Wilson 95% score interval for the urgent-order share per market
+    * segment — the interval that behaves at extreme p̂ and small n where
+    * the naive Wald interval collapses. Exact counts, one fixed epilogue
+    * per segment.
+    */
+  def q_wilson_ci(spark: SparkSession, sf: String): DataFrame =
+    Tables.orders(spark, sf)
+      .join(broadcast(Tables.customer(spark, sf)
+        .select(col("c_custkey"), col("c_mktsegment"))), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("s"))
+      .select(col("segment"), col("n"), col("s"),
+        (round(expr("CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"), 6) + lit(0.0)).as("p_hat"),
+        (round(expr(
+          """(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) + 3.8416 / (2.0 * CAST(n AS DOUBLE))
+              - 1.96 * SQRT((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                            * (1.0 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+                            + 3.8416 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+             / (1.0 + 3.8416 / CAST(n AS DOUBLE))"""), 6) + lit(0.0)).as("wilson_lo"),
+        (round(expr(
+          """(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) + 3.8416 / (2.0 * CAST(n AS DOUBLE))
+              + 1.96 * SQRT((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                            * (1.0 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+                            + 3.8416 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+             / (1.0 + 3.8416 / CAST(n AS DOUBLE))"""), 6) + lit(0.0)).as("wilson_hi"))
+      .orderBy("segment")
+
+  /** Beta-Bernoulli posterior per event type for P(value > $100) from a
+    * uniform Beta(1,1) prior: posterior (α, β), the EXACT e6 floor
+    * posterior mean, and a normal-approximation 95% credible interval —
+    * conjugate Bayesian updating as a one-aggregate query.
+    */
+  def q_beta_posterior(spark: SparkSession, sf: String): DataFrame =
+    Tables.eventsWithTs(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(cents(col("value")) > 10000L, 1L).otherwise(0L)).as("s"))
+      .select(col("event_type"), (col("s") + 1L).as("alpha"),
+        (col("n") - col("s") + 1L).as("beta"),
+        expr("(s + 1) * 1000000 div (n + 2)").as("post_mean_e6"),
+        (round(expr(
+          """CAST(s + 1 AS DOUBLE) / CAST(n + 2 AS DOUBLE)
+             - 1.96 * SQRT(CAST(s + 1 AS DOUBLE) * CAST(n - s + 1 AS DOUBLE)
+                           / (CAST(n + 2 AS DOUBLE) * CAST(n + 2 AS DOUBLE) * CAST(n + 3 AS DOUBLE)))"""),
+          6) + lit(0.0)).as("ci_lo"),
+        (round(expr(
+          """CAST(s + 1 AS DOUBLE) / CAST(n + 2 AS DOUBLE)
+             + 1.96 * SQRT(CAST(s + 1 AS DOUBLE) * CAST(n - s + 1 AS DOUBLE)
+                           / (CAST(n + 2 AS DOUBLE) * CAST(n + 2 AS DOUBLE) * CAST(n + 3 AS DOUBLE)))"""),
+          6) + lit(0.0)).as("ci_hi"))
+      .orderBy("event_type")
+
+  /** Three unrolled generalized-ESD rounds on error-event values: each
+    * round recomputes exact sufficient statistics on the remaining data,
+    * extracts the max-|z| observation (argmax over one fixed IEEE z tree,
+    * event_id tie-break), and compares its R statistic against the
+    * round's critical value (α=0.05 literals). The iterative re-fit is
+    * what distinguishes ESD from a one-shot z-score screen: a masked
+    * second outlier surfaces once the first is removed.
+    */
+  def q_esd_outliers(spark: SparkSession, sf: String): DataFrame = {
+    val lambdas = Seq(3.02, 3.01, 3.01)
+    var remaining = Tables.eventsWithTs(spark, sf)
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), cents(col("value")).as("vc"))
+      .localCheckpoint()
+    var out: DataFrame = null
+    for (r <- 1 to 3) {
+      val st = remaining.agg(count(lit(1)).as("n"), sum(col("vc")).as("s"),
+        sum(col("vc") * col("vc")).as("q"))
+      val top = remaining.crossJoin(broadcast(st))
+        .select(col("event_id"), col("vc"), col("n"),
+          expr(
+            """ABS(CAST(vc AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+               / SQRT((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                      / CAST(n - 1 AS DOUBLE))""").as("z"))
+        .orderBy(col("z").desc, col("event_id").asc).limit(1)
+        .select(lit(r.toLong).as("round"), col("event_id"), col("vc").as("value_cents"),
+          col("n").as("n_remaining"), (round(col("z"), 4) + lit(0.0)).as("r_stat"),
+          lit(lambdas(r - 1)).as("lambda_crit"),
+          when(col("z") > lambdas(r - 1), 1L).otherwise(0L).as("is_outlier"))
+        .localCheckpoint()
+      out = if (out == null) top else out.unionByName(top)
+      remaining = remaining
+        .join(top.select(col("event_id")), Seq("event_id"), "left_anti")
+        .localCheckpoint()
+    }
+    out.orderBy("round")
+  }
+
+  /** Hill estimator of the order-value tail index: α̂ = k / Σln(xᵢ/x₍k₊₁₎)
+    * over the k=100 largest order totals. Each per-row ln is floored onto
+    * an e9 integer lattice so the sum is order-independent; the final α̂
+    * is one scalar epilogue. α̂ ≈ how heavy the revenue tail is — the
+    * number that decides whether mean-based capacity planning is safe.
+    */
+  def q_hill_tail_index(spark: SparkSession, sf: String): DataFrame = {
+    val o = Tables.orders(spark, sf)
+      .select(cents(col("o_totalprice")).as("tp"), col("o_orderkey"))
+    val top100 = o.orderBy(col("tp").desc, col("o_orderkey").asc).limit(100)
+    // x_(k+1): min of the top-101 (ties across the boundary contribute
+    // ln(1)=0 to the sum, the standard Hill convention)
+    val xk = o.orderBy(col("tp").desc, col("o_orderkey").asc).limit(101)
+      .agg(min(col("tp")).as("xk"))
+    top100.crossJoin(broadcast(xk))
+      .select(col("tp"), col("xk"),
+        floor(log(col("tp").cast("double") / col("xk").cast("double")) * 1e9)
+          .cast("long").as("ln_e9"))
+      .agg(count(lit(1)).as("k"), max(col("xk")).as("xk_cents"),
+        sum(col("ln_e9")).as("sum_ln_e9"))
+      .select(col("k"), col("xk_cents"), col("sum_ln_e9"),
+        (round(expr("CAST(k AS DOUBLE) * 1e9 / CAST(sum_ln_e9 AS DOUBLE)"), 4) + lit(0.0))
+          .as("hill_alpha"))
+  }
+
+  /** ECOD-style tail outlier score: per event type the two-sided
+    * empirical tail probability of each value (ties-inclusive RANGE
+    * frames, so both engines count identically), score = −ln of the
+    * smaller tail; the 10 most extreme observations. No distribution
+    * assumptions, no parameters — the ECDF is the model.
+    */
+  def q_ecod_outlier(spark: SparkSession, sf: String): DataFrame = {
+    val wLe = Window.partitionBy(col("event_type")).orderBy(col("vc").asc)
+      .rangeBetween(Window.unboundedPreceding, 0)
+    val wGe = Window.partitionBy(col("event_type")).orderBy(col("vc").desc)
+      .rangeBetween(Window.unboundedPreceding, 0)
+    val wN = Window.partitionBy(col("event_type"))
+    Tables.eventsWithTs(spark, sf)
+      .select(col("event_id"), col("event_type"), cents(col("value")).as("vc"))
+      .withColumn("c_le", count(lit(1)).over(wLe))
+      .withColumn("c_ge", count(lit(1)).over(wGe))
+      .withColumn("n", count(lit(1)).over(wN))
+      .select(col("event_id"), col("event_type"), col("vc"),
+        (round(expr(
+          """-ln(CAST(LEAST(c_le, c_ge) AS DOUBLE) / CAST(n AS DOUBLE))"""), 4)
+          + lit(0.0)).as("tail_score"))
+      .orderBy(col("tail_score").desc, col("event_id").asc)
+      .limit(10)
+  }
+
+  /** Regression leverage profile: h(x) = 1/n + (x−x̄)²/Sxx for each
+    * distinct quantity value in the price~quantity regression, with the
+    * standard 2(p+1)/n influence flag — which x-values could single-
+    * handedly steer the fit. Leverage depends only on x, so the profile
+    * is a ~50-row epilogue over one pass of exact sums.
+    */
+  def q_leverage_points(spark: SparkSession, sf: String): DataFrame = {
+    val xs = Tables.lineitem(spark, sf).select(col("l_quantity").cast("long").as("x"))
+    val st = xs.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sxx"))
+    xs.groupBy(col("x")).agg(count(lit(1)).as("n_rows"))
+      .crossJoin(broadcast(st))
+      .select(col("x"), col("n_rows"), col("n"),
+        (round(expr(
+          """1.0 / CAST(n AS DOUBLE)
+             + (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+               / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"""),
+          8) + lit(0.0)).as("leverage"))
+      .select(col("x"), col("n_rows"), col("leverage"),
+        when(col("leverage") > expr("4.0 / CAST(n AS DOUBLE)"), 1L).otherwise(0L)
+          .as("high_influence"))
+      .orderBy("x")
+  }
+
+  /** Two-feature OLS (purchase spend ~ views + clicks) by the explicit
+    * 2×2 normal-equations inverse over centered exact sums — the
+    * multiple-regression step up from the single-feature closed form.
+    * Reports both betas, the intercept and R², all as fixed IEEE
+    * epilogues over one pass of BIGINT sufficient statistics.
+    */
+  def q_ols_two_features(spark: SparkSession, sf: String): DataFrame = {
+    val u = Tables.eventsWithTs(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x1"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x2"),
+        sum(when(col("event_type") === "purchase", cents(col("value"))).otherwise(0L)).as("y"))
+    u.agg(count(lit(1)).as("n"), sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+      sum(col("y")).as("sy"), sum(col("x1") * col("x1")).as("s11"),
+      sum(col("x2") * col("x2")).as("s22"), sum(col("x1") * col("x2")).as("s12"),
+      sum(col("x1") * col("y")).as("s1y"), sum(col("x2") * col("y")).as("s2y"),
+      sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+      .select(col("n").as("n_users"),
+        expr("CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)").as("c11"),
+        expr("CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)").as("c22"),
+        expr("CAST(n AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)").as("c12"),
+        expr("CAST(n AS DOUBLE) * CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE)").as("c1y"),
+        expr("CAST(n AS DOUBLE) * CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE)").as("c2y"),
+        expr("CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)").as("cyy"),
+        expr("CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)").as("m1"),
+        expr("CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)").as("m2"),
+        expr("CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)").as("my"))
+      .select(col("n_users"),
+        expr("(c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12)").as("b1"),
+        expr("(c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12)").as("b2"),
+        col("m1"), col("m2"), col("my"), col("c1y"), col("c2y"), col("cyy"))
+      .select(col("n_users"),
+        (round(expr("my - b1 * m1 - b2 * m2"), 4) + lit(0.0)).as("b0"),
+        (round(col("b1"), 6) + lit(0.0)).as("beta_views"),
+        (round(col("b2"), 6) + lit(0.0)).as("beta_clicks"),
+        (round(expr("(b1 * c1y + b2 * c2y) / cyy"), 6) + lit(0.0)).as("r2"))
+  }
+
+  /** Gaussian naive Bayes on the e3-floored embedding norm: per-label
+    * mean/variance from exact sums, then the 10 lowest-id vectors are
+    * classified by argmax log-likelihood + log-prior (deterministic
+    * struct argmax, label tie-break). The continuous-feature sibling of
+    * the multinomial NB pair.
+    */
+  def q_gaussian_nb(spark: SparkSession, sf: String): DataFrame = {
+    val feat = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        floor(sqrt(Vectors.dotE14(Vectors.q7(col("embedding")), Vectors.q7(col("embedding")))
+          .cast("double")) / lit(10000.0)).cast("long").as("x"))
+    val st = feat.groupBy(col("label"))
+      .agg(count(lit(1)).as("nl"), sum(col("x")).as("sl"), sum(col("x") * col("x")).as("ql"))
+    val tot = feat.agg(count(lit(1)).as("n"))
+    val test = feat.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("label").as("true_label"), col("x"))
+    val scored = test.crossJoin(broadcast(st)).crossJoin(broadcast(tot))
+      .select(col("vec_id"), col("true_label"), col("label"),
+        expr(
+          """-0.5 * ln((CAST(ql AS DOUBLE) - CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE))
+                       / CAST(nl - 1 AS DOUBLE))
+             - (CAST(x AS DOUBLE) - CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE))
+               * (CAST(x AS DOUBLE) - CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE))
+               / (2.0 * (CAST(ql AS DOUBLE) - CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE))
+                  / CAST(nl - 1 AS DOUBLE))
+             + ln(CAST(nl AS DOUBLE) / CAST(n AS DOUBLE))""").as("ll"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("ll").desc, col("label").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("true_label"), col("label").as("predicted"),
+        (round(col("ll"), 4) + lit(0.0)).as("loglik"))
+      .orderBy("vec_id")
+  }
+
+  /** Simpson's-paradox screen for the price~quantity relationship: the
+    * pooled OLS slope next to each return-flag stratum's slope, with a
+    * per-stratum sign-agreement flag — the aggregation-reversal check
+    * run before trusting any pooled trend. One grouped pass + one pooled
+    * pass of exact sums.
+    */
+  def q_simpson_paradox(spark: SparkSession, sf: String): DataFrame = {
+    val d = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").as("g"), col("l_quantity").cast("long").as("x"),
+        cents(col("l_extendedprice")).as("y"))
+    def slopeExpr: String =
+      """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"""
+    val grouped = d.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("g").as("scope"), col("n"),
+        (round(expr(slopeExpr), 6) + lit(0.0)).as("slope"))
+    val overall = d.groupBy(lit("ALL").as("g"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("g").as("scope"), col("n"),
+        (round(expr(slopeExpr), 6) + lit(0.0)).as("slope"))
+    val all = grouped.unionByName(overall)
+    val ovr = overall.select(col("slope").as("pooled_slope"))
+    all.crossJoin(broadcast(ovr))
+      .select(col("scope"), col("n"), col("slope"),
+        when((col("slope") >= 0.0) === (col("pooled_slope") >= 0.0), 1L).otherwise(0L)
+          .as("sign_agrees_pooled"))
+      .orderBy("scope")
+  }
+
+  /** Quantile treatment effects at the nine interior deciles: per-user
+    * purchase spend, arms = user-id parity (the fixture's synthetic
+    * assignment), QTE(q) = q-th treated quantile − q-th control quantile.
+    * Where the average effect hides heterogeneity, the QTE curve shows
+    * WHERE in the distribution the effect lives. Two array percentiles +
+    * one exploded join.
+    */
+  def q_qte_deciles(spark: SparkSession, sf: String): DataFrame = {
+    val u = Tables.eventsWithTs(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", cents(col("value"))).otherwise(0L))
+        .as("y"))
+      .select((col("user_id") % 2).as("arm"), col("y"))
+    val probs = (1 to 9).map(_ / 10.0)
+    def side(a: Int, as: String): DataFrame = u.filter(col("arm") === a)
+      .agg(percentile(col("y"), array(probs.map(lit(_)): _*)).as("qs"))
+      .select(posexplode(col("qs"))).select(col("pos"), col("col").as(as))
+    side(1, "treated_q").join(side(0, "control_q"), "pos")
+      .select(((col("pos") + 1) * 10).cast("long").as("decile"),
+        (round(col("treated_q"), 4) + lit(0.0)).as("treated_q"),
+        (round(col("control_q"), 4) + lit(0.0)).as("control_q"),
+        (round(col("treated_q") - col("control_q"), 4) + lit(0.0)).as("qte"))
+      .orderBy("decile")
+  }
+
+  /** James-Stein (empirical-Bayes) shrinkage of per-segment mean account
+    * balances toward the grand mean: factor B = max(0, 1 − (k−3)·s̄²/SSB)
+    * with s̄² the mean within-segment variance of a group mean. The
+    * shrunk estimates dominate the raw means in total squared error —
+    * the first tool against the winner's curse in segment league tables.
+    */
+  def q_james_stein(spark: SparkSession, sf: String): DataFrame = {
+    val g = Tables.customer(spark, sf)
+      .select(col("c_mktsegment").as("segment"), cents(col("c_acctbal")).as("v"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("ni"), sum(col("v")).as("si"),
+        sum(col("v").cast("decimal(38,0)") * col("v")).as("qi"))
+    val tot = g.agg(count(lit(1)).as("k"), sum(col("si")).as("s"), sum(col("ni")).as("n"),
+      sum(expr("CAST(si AS DOUBLE) / CAST(ni AS DOUBLE)")).as("msum"),
+      sum(expr("""(CAST(si AS DOUBLE) / CAST(ni AS DOUBLE))
+                  * (CAST(si AS DOUBLE) / CAST(ni AS DOUBLE))""")).as("m2sum"),
+      sum(expr("""(CAST(qi AS DOUBLE) - CAST(si AS DOUBLE) * CAST(si AS DOUBLE) / CAST(ni AS DOUBLE))
+                  / (CAST(ni - 1 AS DOUBLE) * CAST(ni AS DOUBLE))""")).as("varsum"))
+    g.crossJoin(broadcast(tot))
+      .select(col("segment"), col("ni"),
+        expr("CAST(si AS DOUBLE) / CAST(ni AS DOUBLE)").as("raw_mean"),
+        expr("msum / CAST(k AS DOUBLE)").as("grand"),
+        expr("""GREATEST(0.0, 1.0 - (CAST(k - 3 AS DOUBLE) * (varsum / CAST(k AS DOUBLE)))
+                / (m2sum - msum * msum / CAST(k AS DOUBLE)))""").as("b"))
+      .select(col("segment"), col("ni"),
+        (round(col("raw_mean"), 4) + lit(0.0)).as("raw_mean_cents"),
+        (round(col("b"), 6) + lit(0.0)).as("shrink_factor"),
+        (round(expr("grand + b * (raw_mean - grand)"), 4) + lit(0.0))
+          .as("shrunk_mean_cents"))
+      .orderBy("segment")
+  }
+
+  /** Baron-Kenny mediation decomposition for views → clicks → spend:
+    * path a = slope(clicks~views), path b and the direct effect from the
+    * two-feature OLS of spend on views+clicks, indirect = a·b, total =
+    * slope(spend~views), proportion mediated — one pass of exact sums,
+    * three staged epilogues sharing the same centered moments.
+    */
+  def q_mediation(spark: SparkSession, sf: String): DataFrame = {
+    val u = Tables.eventsWithTs(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("m"),
+        sum(when(col("event_type") === "purchase", cents(col("value"))).otherwise(0L)).as("y"))
+    u.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("m")).as("sm"),
+      sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("m") * col("m")).as("smm"), sum(col("x") * col("m")).as("sxm"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("m") * col("y")).as("smy"))
+      .select(col("n").as("n_users"),
+        expr("CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)").as("cxx"),
+        expr("CAST(n AS DOUBLE) * CAST(smm AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)").as("cmm"),
+        expr("CAST(n AS DOUBLE) * CAST(sxm AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sm AS DOUBLE)").as("cxm"),
+        expr("CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)").as("cxy"),
+        expr("CAST(n AS DOUBLE) * CAST(smy AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sy AS DOUBLE)").as("cmy"))
+      .select(col("n_users"),
+        expr("cxm / cxx").as("a"),
+        expr("(cxx * cmy - cxm * cxy) / (cxx * cmm - cxm * cxm)").as("b"),
+        expr("(cmm * cxy - cxm * cmy) / (cxx * cmm - cxm * cxm)").as("direct"),
+        expr("cxy / cxx").as("total"))
+      .select(col("n_users"),
+        (round(col("a"), 6) + lit(0.0)).as("path_a"),
+        (round(col("b"), 6) + lit(0.0)).as("path_b"),
+        (round(col("direct"), 6) + lit(0.0)).as("direct_effect"),
+        (round(expr("a * b"), 6) + lit(0.0)).as("indirect_effect"),
+        (round(col("total"), 6) + lit(0.0)).as("total_effect"),
+        (round(expr("a * b / total"), 6) + lit(0.0)).as("prop_mediated"))
+  }
+
+  /** Two-sample power analysis from observed variability: per event
+    * type, the per-arm sample size to detect a 5%-of-mean lift at
+    * α=0.05 / power 0.8 — n = 2(z_α/2+z_β)²σ²/δ². The experiment-sizing
+    * arithmetic every A/B platform runs; z constants are literals, σ²
+    * comes from exact sums, the ceil is the only integerization.
+    */
+  def q_power_analysis(spark: SparkSession, sf: String): DataFrame =
+    Tables.eventsWithTs(spark, sf)
+      .select(col("event_type"), cents(col("value")).as("vc"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("vc")).as("s"),
+        sum(col("vc") * col("vc")).as("q"))
+      .select(col("event_type"), col("n"),
+        expr("CAST(s AS DOUBLE) / CAST(n AS DOUBLE)").as("mean_c"),
+        expr("""(CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                / CAST(n - 1 AS DOUBLE)""").as("var_c"))
+      .select(col("event_type"), col("n"),
+        (round(col("mean_c"), 4) + lit(0.0)).as("mean_cents"),
+        (round(expr("SQRT(var_c)"), 4) + lit(0.0)).as("sd_cents"),
+        ceil(expr("2.0 * 7.849 * var_c / (0.05 * mean_c * 0.05 * mean_c)")).cast("long")
+          .as("n_per_arm"))
+      .orderBy("event_type")
+
+  /** Split-conformal prediction interval for event value: the per-type
+    * mean model is fit on the hash-even calibration half, the 90th
+    * percentile absolute residual is the interval half-width, and
+    * empirical coverage is checked on the held-out half — finite-sample
+    * valid intervals with no distribution assumptions, the modern
+    * uncertainty wrapper for any point model.
+    */
+  def q_conformal_interval(spark: SparkSession, sf: String): DataFrame = {
+    import graft.core.Det.hash32
+    val ev = Tables.eventsWithTs(spark, sf)
+      .select(col("event_id"), col("event_type"), cents(col("value")).as("vc"),
+        (hash32(col("event_id")) % 2).as("half"))
+    val model = ev.filter(col("half") === 0)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("nc"), sum(col("vc")).as("sc"))
+    val calib = ev.filter(col("half") === 0)
+      .join(broadcast(model), "event_type")
+      .groupBy(col("event_type"))
+      .agg(max(col("nc")).as("n_calib"),
+        percentile(abs(col("vc").cast("double")
+          - expr("CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE)")), lit(0.9)).as("q90"))
+    ev.filter(col("half") === 1)
+      .join(broadcast(model), "event_type")
+      .join(broadcast(calib), "event_type")
+      .groupBy(col("event_type"))
+      .agg(max(col("n_calib")).as("n_calib"), count(lit(1)).as("n_test"),
+        (round(max(col("q90")), 4) + lit(0.0)).as("half_width"),
+        sum(when(abs(col("vc").cast("double")
+          - expr("CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE)")) <= col("q90"), 1L)
+          .otherwise(0L)).as("n_covered"))
+      .select(col("event_type"), col("n_calib"), col("n_test"), col("half_width"),
+        expr("n_covered * 10000 div n_test").as("coverage_e4"))
+      .orderBy("event_type")
+  }
+
+  /** Two unrolled iterative-proportional-fitting (raking) rounds on the
+    * segment × priority contingency table toward uniform 1/5 margins:
+    * row factors then column factors, reporting per-cell weights and the
+    * residual column-margin error. The survey-weighting workhorse,
+    * expressed as two broadcast-join rescalings.
+    */
+  def q_ipf_raking(spark: SparkSession, sf: String): DataFrame = {
+    val cells = Tables.orders(spark, sf)
+      .join(broadcast(Tables.customer(spark, sf)
+        .select(col("c_custkey"), col("c_mktsegment"))), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("o"))
+    val n = cells.agg(sum(col("o")).as("n"))
+    val w0 = cells.crossJoin(broadcast(n))
+      .select(col("segment"), col("priority"), col("o"), col("n"),
+        col("o").cast("double").as("w"))
+    val rowAdj = w0.groupBy(col("segment")).agg(sum(col("w")).as("rw"))
+    val w1 = w0.join(broadcast(rowAdj), "segment")
+      .select(col("segment"), col("priority"), col("o"), col("n"),
+        expr("w * (CAST(n AS DOUBLE) / 5.0) / rw").as("w"))
+    val colAdj = w1.groupBy(col("priority")).agg(sum(col("w")).as("cw"))
+    val w2 = w1.join(broadcast(colAdj), "priority")
+      .select(col("segment"), col("priority"), col("o"), col("n"),
+        expr("w * (CAST(n AS DOUBLE) / 5.0) / cw").as("w"))
+    w2.select(col("segment"), col("priority"), col("o"),
+      (round(expr("w / CAST(o AS DOUBLE)"), 6) + lit(0.0)).as("rake_weight"),
+      (round(col("w"), 4) + lit(0.0)).as("raked_count"))
+      .orderBy("segment", "priority")
+  }
+
+  /** Off-policy replay evaluation (rejection sampling): arms = event
+    * types, rewards = value cents, history split in hash halves. The
+    * greedy policy (best phase-1 arm) and an ε=0.2-greedy variant are
+    * replayed against the held-out log — an estimate only counts when
+    * the policy's action matches the logged one, the unbiased
+    * counterfactual trick (Li et al.'s bandit replay). Exploration
+    * choices are hash-derived, so the whole evaluation is deterministic.
+    */
+  def q_offpolicy_replay(spark: SparkSession, sf: String): DataFrame = {
+    import graft.core.Det.hash32
+    val ev = Tables.eventsWithTs(spark, sf)
+      .select(col("event_id"), col("event_type"), cents(col("value")).as("vc"),
+        (hash32(col("event_id")) % 2).as("half"))
+    val arms = ev.filter(col("half") === 0)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("na"), sum(col("vc")).as("sa"))
+      .select(col("event_type"), expr("sa * 10000 div na").as("mean_e4"))
+    val best = arms.orderBy(col("mean_e4").desc, col("event_type").asc).limit(1)
+      .select(col("event_type").as("best_arm"))
+    // alphabetical arm index via bounded theta join (no global window)
+    val armIdx = arms.select(col("event_type")).as("a")
+      .join(arms.select(col("event_type").as("e2")).as("b"),
+        col("b.e2") < col("a.event_type"), "left_outer")
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(count(col("e2")).as("idx"))
+    val test = ev.filter(col("half") === 1)
+      .crossJoin(broadcast(best))
+      .withColumn("explore", (hash32(concat(lit("x"), col("event_id"))) % 5 === 0))
+      .withColumn("rand_idx", hash32(concat(lit("a"), col("event_id"))) % 5)
+    val withAction = test
+      .join(broadcast(armIdx.select(col("event_type").as("rand_arm"), col("idx"))),
+        col("rand_idx") === col("idx"))
+      .select(col("event_type"), col("vc"), col("best_arm"),
+        when(col("explore"), col("rand_arm")).otherwise(col("best_arm")).as("eg_action"))
+    def policy(name: String, actionCol: Column): DataFrame =
+      withAction.select((col("event_type") === actionCol).cast("long").as("m"), col("vc"))
+        .agg(count(lit(1)).as("n_test"), sum(col("m")).as("n_matched"),
+          sum(col("vc") * col("m")).as("sv"))
+        .select(lit(name).as("policy"), col("n_test"), col("n_matched"),
+          expr("n_matched * 10000 div n_test").as("match_rate_e4"),
+          expr("sv * 10000 div n_matched").as("est_reward_e4"))
+    val logging = withAction
+      .agg(count(lit(1)).as("n_test"), sum(col("vc")).as("sv"))
+      .select(lit("logging").as("policy"), col("n_test"), col("n_test").as("n_matched"),
+        lit(10000L).as("match_rate_e4"), expr("sv * 10000 div n_test").as("est_reward_e4"))
+    policy("greedy", col("best_arm"))
+      .unionByName(policy("egreedy_02", col("eg_action")))
+      .unionByName(logging)
+      .orderBy("policy")
+  }
+
+  /** Fairness audit of the length-based document classifier across
+    * language groups: per-group selection rate (demographic parity),
+    * TPR and FPR (equalized odds) against the type-token-ratio label,
+    * with the global max selection-rate gap alongside — the
+    * disparate-impact screen run before shipping any auto-labeler.
+    * Exact counts, e4 rates.
+    */
+  def q_fairness_audit(spark: SparkSession, sf: String): DataFrame = {
+    val d = Tables.documents(spark, sf)
+      .select(col("lang"),
+        (size(split(col("text"), " ")) >= 30).cast("long").as("pred"),
+        (size(array_distinct(split(col("text"), " "))) * 2 >=
+          size(split(col("text"), " "))).cast("long").as("label"))
+    val per = d.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("pred")).as("np"),
+        sum(col("label")).as("nl"),
+        sum(col("pred") * col("label")).as("tp"),
+        sum(col("pred") * (lit(1L) - col("label"))).as("fp"))
+      .select(col("lang"), col("n"),
+        expr("np * 10000 div n").as("sel_rate_e4"),
+        expr("tp * 10000 div nl").as("tpr_e4"),
+        expr("fp * 10000 div (n - nl)").as("fpr_e4"))
+    val gap = per.agg((max(col("sel_rate_e4")) - min(col("sel_rate_e4"))).as("dp_gap_e4"))
+    per.crossJoin(broadcast(gap)).orderBy("lang")
+  }
+
+  /** 1-D earth mover's distance between the first- and second-half value
+    * distributions (100-cent bins): EMD = Σ|F_A − F_B| over the support,
+    * computed with EXACT integer numerators (|cumA·n_B − cumB·n_A|) so
+    * only the final normalization is float — the metric drift monitor
+    * that, unlike PSI, respects the value ordering.
+    */
+  def q_emd_drift(spark: SparkSession, sf: String): DataFrame = {
+    val cut = lit("2024-01-16").cast("date")
+    val b = Tables.eventsWithTs(spark, sf)
+      .select(expr("CAST(ROUND(value*100) AS BIGINT) div 100").as("bin"),
+        when(to_date(col("ts_us")) < cut, 1L).otherwise(0L).as("a"))
+      .groupBy(col("bin"))
+      .agg(sum(col("a")).as("ca"), sum(lit(1L) - col("a")).as("cb"))
+    val cum = b.as("t")
+      .join(b.select(col("bin").as("b2"), col("ca").as("ca2"), col("cb").as("cb2")).as("p"),
+        col("p.b2") <= col("t.bin"))
+      .groupBy(col("t.bin").as("bin"))
+      .agg(sum(col("ca2")).as("cuma"), sum(col("cb2")).as("cumb"))
+    val tot = b.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    cum.crossJoin(broadcast(tot))
+      .agg(count(lit(1)).as("n_bins"), max(col("na")).as("n_first"),
+        max(col("nb")).as("n_second"),
+        sum(abs(col("cuma") * col("nb") - col("cumb") * col("na"))).as("emd_num"))
+      .select(col("n_bins"), col("n_first"), col("n_second"),
+        (round(expr(
+          "CAST(emd_num AS DOUBLE) / (CAST(n_first AS DOUBLE) * CAST(n_second AS DOUBLE))"),
+          6) + lit(0.0)).as("emd_bins"))
+  }
+
+  /** Rank-biased overlap (p=0.9) between the revenue and quantity brand
+    * rankings: RBO = (1−p)·Σ_d p^(d−1)·|top_A(d) ∩ top_B(d)|/d — the
+    * top-weighted ranking-agreement metric search evaluation uses where
+    * Spearman over-weights the tail. Ranks come from bounded theta
+    * joins; only the geometric weights are float.
+    */
+  def q_rank_biased_overlap(spark: SparkSession, sf: String): DataFrame = {
+    val g = Tables.lineitem(spark, sf)
+      .join(broadcast(Tables.part(spark, sf).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(sum(cents(col("l_extendedprice"))).as("rev"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+    def rank(metric: String, as: String): DataFrame =
+      g.as("a").join(g.select(col("brand").as("b2"), col(metric).as("m2")).as("b"),
+        col("m2") > col(metric) ||
+          (col("m2") === col(metric) && col("b2") < col("brand")), "left_outer")
+        .groupBy(col("a.brand").as("brand"))
+        .agg((count(col("b2")) + 1L).as(as))
+    val ranks = rank("rev", "ra").join(rank("qty", "rb"), "brand").localCheckpoint()
+    val depths = spark.range(1, 26).select(col("id").as("d"))
+    val overlap = ranks.crossJoin(broadcast(depths))
+      .filter(col("ra") <= col("d") && col("rb") <= col("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("ov"))
+    overlap
+      .select(col("d"), col("ov"),
+        expr("0.1 * pow(0.9, CAST(d - 1 AS DOUBLE)) * CAST(ov AS DOUBLE) / CAST(d AS DOUBLE)")
+          .as("term"))
+      .agg(sum(col("term")).as("rbo_sum"), sum(col("ov")).as("ov_total"))
+      .select((round(col("rbo_sum"), 6) + lit(0.0)).as("rbo_p09"), col("ov_total"))
+  }
+
+  /** Successive halving over 8 threshold-classifier configs (predict
+    * return when quantity ≤ t): round 1 scores every config on the
+    * hash-even half, the top 4 graduate to a full-data round 2 — the
+    * multi-fidelity AutoML schedule, with every accuracy an exact e6
+    * integer and the promotion rank a bounded theta join.
+    */
+  def q_successive_halving(spark: SparkSession, sf: String): DataFrame = {
+    import graft.core.Det.hash32
+    val d = Tables.lineitem(spark, sf)
+      .select(col("l_quantity").cast("long").as("q"),
+        (col("l_returnflag") === "A").cast("long").as("y"),
+        (hash32(concat(col("l_orderkey").cast("string"), lit("#"),
+          col("l_linenumber").cast("string"))) % 2).as("half"))
+    val configs = spark.range(1, 9).select((col("id") * 5).as("t"))
+    def acc(data: DataFrame, as: String): DataFrame =
+      data.crossJoin(broadcast(configs))
+        .select(col("t"),
+          (when(col("q") <= col("t"), 1L).otherwise(0L) === col("y")).cast("long").as("ok"))
+        .groupBy(col("t"))
+        .agg(count(lit(1)).as("n"), sum(col("ok")).as("nok"))
+        .select(col("t"), expr(s"nok * 1000000 div n").as(as))
+    val r1 = acc(d.filter(col("half") === 0), "acc1_e6")
+    val promoted = r1.as("a")
+      .join(r1.select(col("t").as("t2"), col("acc1_e6").as("a2")).as("b"),
+        col("a2") > col("acc1_e6") ||
+          (col("a2") === col("acc1_e6") && col("t2") < col("t")), "left_outer")
+      .groupBy(col("a.t").as("t"), col("a.acc1_e6").as("acc1_e6"))
+      .agg(count(col("t2")).as("n_better"))
+      .select(col("t"), col("acc1_e6"), (col("n_better") < 4L).cast("long").as("survived"))
+    val r2 = acc(d, "acc2_e6")
+    promoted.join(r2, "t")
+      .select(col("t").as("threshold"), col("acc1_e6"), col("survived"),
+        when(col("survived") === 1L, col("acc2_e6")).otherwise(lit(-1L)).as("acc2_e6"))
+      .orderBy("threshold")
+  }
+
+  /** Partial autocorrelation of the daily revenue series at lags 1-2 by
+    * the Durbin-Levinson closed form: φ₁₁ = r₁, φ₂₂ = (r₂−r₁²)/(1−r₁²).
+    * Lag alignments are bounded theta joins on the ~30-row day table (no
+    * global window); r₁/r₂ are fixed IEEE trees over exact sums — the
+    * AR-order diagnostic next to the plain ACF query.
+    */
+  def q_pacf(spark: SparkSession, sf: String): DataFrame = {
+    val epoch = lit("1970-01-01").cast("date")
+    val raw = Tables.eventsWithTs(spark, sf)
+      .groupBy(datediff(to_date(col("ts_us")), epoch).cast("long").as("t"))
+      .agg(sum(cents(col("value"))).as("x"))
+    val base = raw.agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+      sum(col("x") * col("x")).as("q"))
+    def lagSum(k: Int): DataFrame = raw.as("a")
+      .join(raw.select(col("t").as("t2"), col("x").as("x2")).as("b"),
+        col("t2") === col("t") + k)
+      .agg(sum(col("x") * col("x2")).as(s"c$k"), count(lit(1)).as(s"n$k"),
+        sum(col("x")).as(s"sa$k"), sum(col("x2")).as(s"sb$k"))
+    base.crossJoin(lagSum(1)).crossJoin(lagSum(2))
+      .select(col("n").as("n_days"),
+        expr("""(CAST(c1 AS DOUBLE) - CAST(sa1 AS DOUBLE) * CAST(sb1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                / (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))""").as("r1"),
+        expr("""(CAST(c2 AS DOUBLE) - CAST(sa2 AS DOUBLE) * CAST(sb2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                / (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))""").as("r2"))
+      .select(col("n_days"),
+        (round(col("r1"), 6) + lit(0.0)).as("pacf_lag1"),
+        (round(expr("(r2 - r1 * r1) / (1.0 - r1 * r1)"), 6) + lit(0.0)).as("pacf_lag2"))
+  }
 }

@@ -1082,4 +1082,285 @@ object Relational {
         (round(percentile(col("pc"), lit(0.5)), 4) + lit(0.0)).as("p50_cont"),
         (round(percentile(col("pc"), lit(0.9)), 4) + lit(0.0)).as("p90_cont"))
       .orderBy("flag")
+
+  /** Surrogate-key generation audit: md5 hash keys derived from each
+    * dimension's natural business key (never a sequence —
+    * monotonically_increasing_id is nondeterministic and unjoinable
+    * across recomputes at fleet scale). Reports natural-key duplicates,
+    * hash collisions (md5 distinct < natural distinct — should be 0),
+    * and first-nibble bucket skew (max share e4 + uniformity χ², 16
+    * buckets) — the checks run before trusting hash keys for
+    * bucketed-join layout.
+    */
+  def q_surrogate_hash_audit(spark: SparkSession, sf: String): DataFrame = {
+    def audit(df: DataFrame, name: String, key: Column): DataFrame = {
+      val keyed = df.select(key.cast("string").as("nk"),
+        md5(key.cast("string").cast("binary")).as("sk"))
+      val base = keyed.agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("nk")).as("n_natural"),
+        countDistinct(col("sk")).as("n_hash"))
+      val buckets = keyed.select(substring(col("sk"), 1, 1).as("nib"), col("sk"))
+        .distinct()
+        .groupBy(col("nib")).agg(count(lit(1)).as("c"))
+      val skew = buckets.agg(sum(col("c")).as("t"), max(col("c")).as("mx"),
+        sum(expr("CAST(c AS DOUBLE) * CAST(c AS DOUBLE)")).as("ssq"))
+        .select(expr("mx * 10000 div t").as("max_bucket_e4"),
+          (round(expr(
+            "ssq * 16.0 / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE))") - lit(1.0), 6)
+            + lit(0.0)).as("skew_index"))
+      base.crossJoin(skew).select(lit(name).as("table_name"), col("n_rows"),
+        col("n_natural"), col("n_hash"),
+        (col("n_natural") - col("n_hash")).as("n_collisions"),
+        col("max_bucket_e4"), col("skew_index"))
+    }
+    audit(Tables.customer(spark, sf), "customer", col("c_name"))
+      .unionByName(audit(Tables.supplier(spark, sf), "supplier", col("s_name")))
+      .unionByName(audit(Tables.part(spark, sf), "part",
+        concat_ws("|", col("p_name"), col("p_brand"), col("p_size"))))
+      .orderBy("table_name")
+  }
+
+  /** Order→first-ship latency in BUSINESS days per priority: weekends
+    * excluded by closed-form calendar arithmetic (full weeks × 5 plus a
+    * remainder adjusted by whether Saturday/Sunday fall inside it) — no
+    * calendar table join, so the expression stays inside whole-stage
+    * codegen on the fact scan. The civil-day sibling is q_sla_days.
+    */
+  def q_business_days(spark: SparkSession, sf: String): DataFrame = {
+    val fs = Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey")).agg(min(col("l_shipdate")).as("first_ship"))
+    fs.join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        datediff(col("first_ship").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("days"),
+        weekday(col("o_orderdate")).cast("long").as("w1"))
+      .select(col("priority"),
+        (expr("(days div 7) * 5 + days % 7") -
+          when(expr("(5 - w1 + 7) % 7").between(1, expr("days % 7")), 1L).otherwise(0L) -
+          when(expr("(6 - w1 + 7) % 7").between(1, expr("days % 7")), 1L).otherwise(0L))
+          .as("bd"))
+      .groupBy(col("priority"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("bd")).as("total_bd"),
+        max(col("bd")).as("max_bd"))
+      .select(col("priority"), col("n_orders"), col("total_bd"), col("max_bd"),
+        expr("total_bd * 10000 div n_orders").as("mean_bd_e4"))
+      .orderBy("priority")
+  }
+
+  /** Skyline (Pareto frontier) of parts on (min price, max size). The
+    * naive operator is an O(N²) dominance anti-join; this is the scalable
+    * two-step: per price keep only the max size (anything smaller at the
+    * same price is strictly dominated — one hash aggregate), then a
+    * running-max sweep over the price-sorted survivors. The global window
+    * runs on the price-DISTINCT table, not the fact table, so the
+    * single-partition sort is bounded by price cardinality at any scale.
+    */
+  def q_skyline(spark: SparkSession, sf: String): DataFrame = {
+    val pts = Tables.part(spark, sf)
+      .select(cents(col("p_retailprice")).as("rc"), col("p_size").cast("long").as("sz"),
+        col("p_partkey"))
+    val best = pts.groupBy(col("rc")).agg(max(col("sz")).as("sz"))
+      .withColumn("band", expr("rc div 10000"))
+    // two-level prefix max: in-band running max (keyed window) + band-level
+    // prefix via a theta join over the ~tens-of-bands table — the scalable
+    // replacement for a partition-less global window
+    val wIn = Window.partitionBy(col("band")).orderBy(col("rc").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bandMax = best.groupBy(col("band")).agg(max(col("sz")).as("bmax"))
+    val bandPrev = bandMax.as("a")
+      .join(bandMax.select(col("band").as("b2"), col("bmax").as("m2")).as("b"),
+        col("b.b2") < col("a.band"), "left_outer")
+      .groupBy(col("a.band").as("band")).agg(max(col("m2")).as("pband"))
+    val frontier = best.withColumn("pin", max(col("sz")).over(wIn))
+      .join(bandPrev, "band")
+      .withColumn("pm", greatest(coalesce(col("pin"), lit(-1L)), coalesce(col("pband"), lit(-1L))))
+      .filter(col("sz") > col("pm"))
+      .select(col("rc"), col("sz"))
+    frontier.join(pts, Seq("rc", "sz"))
+      .groupBy(col("rc"), col("sz"))
+      .agg(count(lit(1)).as("n_parts"), min(col("p_partkey")).as("min_partkey"))
+      .orderBy("rc")
+  }
+
+  /** Greedy-prefix knapsack: select parts in value-density order
+    * (retail cents per size unit, e4) until the cumulative size exceeds
+    * the 1000-unit budget — the fractional-knapsack greedy minus the
+    * fractional item. One running-sum window over the density-sorted
+    * list; the budget bound means only the head of the sort matters
+    * (TakeOrdered shape at scale, never a full materialized sort).
+    */
+  def q_knapsack_greedy(spark: SparkSession, sf: String): DataFrame = {
+    val items = Tables.part(spark, sf)
+      .select(col("p_partkey"), cents(col("p_retailprice")).as("vc"),
+        col("p_size").cast("long").as("sz"))
+      .select(col("p_partkey"), col("vc"), col("sz"),
+        expr("vc * 10000 div sz").as("density_e4"))
+      .withColumn("band", expr("density_e4 div 1000000"))
+    // two-level prefix sum (in-band keyed window + theta join over band
+    // totals) — no partition-less global window, same result
+    val wIn = Window.partitionBy(col("band"))
+      .orderBy(col("density_e4").desc, col("p_partkey").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val bandSum = items.groupBy(col("band")).agg(sum(col("sz")).as("bsz"))
+    val bandPrev = bandSum.as("a")
+      .join(bandSum.select(col("band").as("b2"), col("bsz").as("s2")).as("b"),
+        col("b.b2") > col("a.band"), "left_outer")
+      .groupBy(col("a.band").as("band")).agg(sum(col("s2")).as("psum"))
+    items.withColumn("in_cum", sum(col("sz")).over(wIn))
+      .join(bandPrev, "band")
+      .withColumn("cum_sz", col("in_cum") + coalesce(col("psum"), lit(0L)))
+      .filter(col("cum_sz") <= 1000L)
+      .agg(count(lit(1)).as("n_selected"), sum(col("sz")).as("total_size"),
+        sum(col("vc")).as("total_value_cents"), min(col("density_e4")).as("marginal_density_e4"))
+      .select(lit(1000L).as("budget"), col("n_selected"), col("total_size"),
+        col("total_value_cents"), col("marginal_density_e4"))
+  }
+
+  /** Psychological price-point analysis: the distribution of retail-price
+    * cent endings (rc mod 100) — the ".99 effect" screen a pricing team
+    * runs on a catalog. One aggregate + share arithmetic; top 10 endings.
+    */
+  def q_price_endings(spark: SparkSession, sf: String): DataFrame = {
+    val e = Tables.part(spark, sf)
+      .select((cents(col("p_retailprice")) % 100).as("ending"))
+      .groupBy(col("ending")).agg(count(lit(1)).as("n_parts"))
+    val tot = e.agg(sum(col("n_parts")).as("t"))
+    e.crossJoin(broadcast(tot))
+      .select(col("ending"), col("n_parts"), expr("n_parts * 10000 div t").as("share_e4"))
+      .orderBy(col("n_parts").desc, col("ending").asc)
+      .limit(10)
+  }
+
+  /** Consistent-hashing ring rebalance audit: customers are placed on a
+    * hash ring with 4 virtual nodes per shard; adding a 9th shard moves
+    * only the keys that land on its vnodes' arcs. Reports per-shard key
+    * counts before/after and the moved-key share — the ~1/9 movement
+    * guarantee that motivates consistent hashing over mod-N (which would
+    * move 8/9). The key→vnode lookup is a broadcast theta join against
+    * the ≤36-row vnode table.
+    */
+  def q_consistent_hash_rebalance(spark: SparkSession, sf: String): DataFrame = {
+    import graft.core.Det.hash32
+    def vnodes(nShards: Int): DataFrame =
+      spark.range(nShards.toLong).select(col("id").as("shard"))
+        .crossJoin(spark.range(4).select(col("id").as("vn")))
+        .select(col("shard"),
+          hash32(concat(lit("shard"), col("shard"), lit("#v"), col("vn"))).as("pos"))
+    val keys = Tables.customer(spark, sf).select(hash32(col("c_custkey")).as("h"))
+    def assign(vn: DataFrame): DataFrame = {
+      val wrap = vn.orderBy(col("pos").asc).limit(1)
+        .select(col("shard").as("wrap_shard"))
+      keys.crossJoin(broadcast(vn))
+        .filter(col("pos") >= col("h"))
+        .groupBy(col("h"))
+        .agg(min(struct(col("pos"), col("shard"))).as("m"))
+        .select(col("h"), col("m.shard").as("shard"))
+        .unionByName(
+          keys.join(vn.groupBy().agg(max(col("pos")).as("mx")).crossJoin(wrap),
+            col("h") > col("mx"))
+            .select(col("h"), col("wrap_shard").as("shard")))
+    }
+    val before = assign(vnodes(8)).withColumnRenamed("shard", "shard8")
+    val after = assign(vnodes(9)).withColumnRenamed("shard", "shard9")
+    val j = before.join(after, "h")
+    val perShard = j.groupBy(col("shard9").as("shard"))
+      .agg(count(lit(1)).as("n_keys_after"),
+        sum(when(col("shard8") =!= col("shard9"), 1L).otherwise(0L)).as("n_arrived"))
+    val tot = j.agg(count(lit(1)).as("t"),
+      sum(when(col("shard8") =!= col("shard9"), 1L).otherwise(0L)).as("moved"))
+    perShard.crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_keys_after"), col("n_arrived"),
+        expr("moved * 10000 div t").as("total_moved_share_e4"))
+      .orderBy("shard")
+  }
+
+  /** Z-order (Morton) layout locality audit: parts are laid out by the
+    * bit-interleave of 4-bit price and size buckets, grouped into 16
+    * contiguous "files". For a 4-bucket price-band predicate, the audit
+    * counts files touched under Z-order vs under a price-linear layout —
+    * the two-dimensional-skipping argument for Z-ordering, measured not
+    * asserted. Bit mixing is plain integer arithmetic, codegen-friendly.
+    */
+  def q_zorder_locality(spark: SparkSession, sf: String): DataFrame = {
+    val pts = Tables.part(spark, sf)
+      .select(cents(col("p_retailprice")).as("rc"), col("p_size").cast("long").as("sz"))
+    val mx = pts.agg(max(col("rc")).as("mrc"), max(col("sz")).as("msz"))
+    val bucketed = pts.crossJoin(broadcast(mx))
+      .select(expr("least(15, rc * 16 div (mrc + 1))").as("px"),
+        expr("least(15, sz * 16 div (msz + 1))").as("sy"))
+    val morton = bucketed.select(col("px"), col("sy"),
+      expr("""((px div 1) % 2) * 2 + ((sy div 1) % 2) * 1
+              + ((px div 2) % 2) * 8 + ((sy div 2) % 2) * 4
+              + ((px div 4) % 2) * 32 + ((sy div 4) % 2) * 16
+              + ((px div 8) % 2) * 128 + ((sy div 8) % 2) * 64""").as("z"))
+    val filed = morton.select(col("px"), col("sy"),
+      expr("z div 16").as("zfile"), col("px").as("linfile"))
+    val hit = filed.filter(col("px").between(4, 7))
+    val stats = hit.agg(count(lit(1)).as("n_match"),
+      countDistinct(col("zfile")).as("z_files_touched"),
+      countDistinct(col("linfile")).as("linear_files_touched"))
+    val totals = filed.agg(count(lit(1)).as("n_rows"),
+      countDistinct(col("zfile")).as("z_files_total"))
+    stats.crossJoin(totals)
+      .select(col("n_rows"), col("n_match"),
+        expr("n_match * 10000 div n_rows").as("selectivity_e4"),
+        col("z_files_touched"), col("z_files_total"), col("linear_files_touched"))
+  }
+
+  /** Join-cardinality estimation audit: the textbook |R|·|S|/max(ndv)
+    * estimate against the true join size for the two fact joins — the
+    * q-error a cost-based optimizer lives or dies by. All counts exact;
+    * the estimate uses floor division identically on both engines.
+    */
+  def q_cardinality_estimation(spark: SparkSession, sf: String): DataFrame = {
+    def audit(name: String, l: DataFrame, lk: String, r: DataFrame, rk: String): DataFrame = {
+      val ls = l.agg(count(lit(1)).as("nl"), countDistinct(col(lk)).as("dl"))
+      val rs = r.agg(count(lit(1)).as("nr"), countDistinct(col(rk)).as("dr"))
+      val actual = l.join(r, col(lk) === col(rk)).agg(count(lit(1)).as("actual"))
+      ls.crossJoin(rs).crossJoin(actual)
+        .select(lit(name).as("join_name"), col("nl"), col("nr"),
+          col("dl"), col("dr"),
+          expr("CAST(CAST(nl AS decimal(38,0)) * nr div greatest(dl, dr) AS BIGINT)").as("estimated"),
+          col("actual"))
+        .select(col("join_name"), col("nl"), col("nr"), col("dl"), col("dr"),
+          col("estimated"), col("actual"),
+          expr("greatest(estimated * 10000 div actual, actual * 10000 div estimated)")
+            .as("q_error_e4"))
+    }
+    audit("lineitem_orders", Tables.lineitem(spark, sf), "l_orderkey",
+      Tables.orders(spark, sf), "o_orderkey")
+      .unionByName(audit("lineitem_part", Tables.lineitem(spark, sf), "l_partkey",
+        Tables.part(spark, sf), "p_partkey"))
+      .orderBy("join_name")
+  }
+
+  /** Largest-remainder (Hamilton) apportionment of 1000 slots across
+    * market segments by customer count: exact floor quotas, leftover
+    * slots to the largest remainders (remainders are EXACT integers —
+    * nᵢ·1000 mod N — so no float ever enters). The same algorithm
+    * allocates samples to strata, executors to queues, seats to parties.
+    */
+  def q_largest_remainder(spark: SparkSession, sf: String): DataFrame = {
+    val g = Tables.customer(spark, sf)
+      .groupBy(col("c_mktsegment").as("segment")).agg(count(lit(1)).as("ni"))
+    val tot = g.agg(sum(col("ni")).as("n"))
+    val quotas = g.crossJoin(broadcast(tot))
+      .select(col("segment"), col("ni"),
+        expr("ni * 1000 div n").as("floor_seats"),
+        expr("(ni * 1000) % n").as("rem"))
+    val used = quotas.agg(sum(col("floor_seats")).as("used"))
+    val ranked = quotas.as("a")
+      .join(quotas.select(col("segment").as("s2"), col("rem").as("r2")).as("b"),
+        col("r2") > col("rem") || (col("r2") === col("rem") && col("s2") < col("segment")),
+        "left_outer")
+      .groupBy(col("a.segment").as("segment"), col("a.ni").as("ni"),
+        col("a.floor_seats").as("floor_seats"), col("a.rem").as("rem"))
+      .agg(count(col("s2")).as("rk"))
+    ranked.crossJoin(broadcast(used))
+      .select(col("segment"), col("ni"), col("floor_seats"), col("rem"),
+        when(col("rk") < lit(1000L) - col("used"), 1L).otherwise(0L).as("extra_seat"))
+      .select(col("segment"), col("ni"), col("floor_seats"), col("extra_seat"),
+        (col("floor_seats") + col("extra_seat")).as("seats"))
+      .orderBy("segment")
+  }
 }

@@ -541,4 +541,34 @@ object Sampling {
         expr("r0 * 1000000 div (n - 1)").as("pr_e6"))
       .orderBy("c_custkey")
   }
+
+  /** Post-stratification estimator: the overall mean event value is
+    * re-estimated from a deterministic 20% hash sample, reweighting each
+    * event-type stratum by its POPULATION share (the frame is known even
+    * when the sample is skewed) — next to the naive sample mean and the
+    * truth, so the variance-reduction story is visible. Strata sizes come
+    * from one full-table aggregate (cheap count), values only from the
+    * sample — exactly the access pattern a 100 TB estimator needs.
+    */
+  def q_post_stratification(spark: SparkSession, sf: String): DataFrame = {
+    val ev = Tables.eventsWithTs(spark, sf)
+      .select(col("event_id"), col("event_type"), cents(col("value")).as("vc"))
+    val pop = ev.groupBy(col("event_type")).agg(count(lit(1)).as("pn"))
+    val samp = ev.filter(idHash(col("event_id")) % 5 === 0)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("sn"), sum(col("vc")).as("sv"))
+    val strat = pop.join(samp, "event_type")
+      .agg(sum(col("pn")).as("pn_tot"), sum(col("sn")).as("sn_tot"),
+        sum(col("sv")).as("sv_tot"),
+        sum(expr("CAST(pn AS DOUBLE) * (CAST(sv AS DOUBLE) / CAST(sn AS DOUBLE))"))
+          .as("wsum"))
+    val truth = ev.agg(count(lit(1)).as("tn"), sum(col("vc")).as("tv"))
+    strat.crossJoin(truth)
+      .select(col("sn_tot").as("n_sample"), col("tn").as("n_population"),
+        (round(expr("CAST(tv AS DOUBLE) / CAST(tn AS DOUBLE)"), 4) + lit(0.0))
+          .as("true_mean_cents"),
+        (round(expr("CAST(sv_tot AS DOUBLE) / CAST(sn_tot AS DOUBLE)"), 4) + lit(0.0))
+          .as("raw_sample_mean_cents"),
+        (round(expr("wsum / CAST(pn_tot AS DOUBLE)"), 4) + lit(0.0))
+          .as("poststrat_mean_cents"))
+  }
 }

@@ -207,4 +207,76 @@ object Sketches {
     }
     side("l_partkey").unionAll(side("l_suppkey")).orderBy("column_name")
   }
+
+  /** KMV sketch SET ALGEBRA: the union of two KMV sketches is the k
+    * smallest of the merged hash sets (sketches are mergeable — the whole
+    * reason they exist), and the intersection estimate falls out by
+    * inclusion-exclusion. Estimates sit next to the exact counts so the
+    * error is visible; everything is BIGINT arithmetic on the shared
+    * [[graft.core.Det.hash32]], so the "approximate" structure is
+    * hash-exact cross-engine. On a cluster each sketch is a 64-value
+    * partial aggregate — audience-overlap at 100 TB without a distinct.
+    */
+  def q_kmv_setops(spark: SparkSession, sf: String): DataFrame = {
+    val ev = Tables.eventsWithTs(spark, sf)
+    def users(t: String): DataFrame =
+      ev.filter(col("event_type") === t).select(col("user_id").as("k")).distinct()
+    def est(keys: DataFrame, name: String): DataFrame =
+      keys.select(hash32(col("k")).as("h")).orderBy(col("h").asc).limit(64)
+        .agg(max(col("h")).as("hk"), count(lit(1)).as("ksz"))
+        .select(expr("(ksz - 1) * 4294967296 div hk").as(s"est_$name"))
+    val a = users("view")
+    val b = users("click")
+    val exact = a.agg(count(lit(1)).as("exact_view"))
+      .crossJoin(b.agg(count(lit(1)).as("exact_click")))
+      .crossJoin(a.join(b, "k").agg(count(lit(1)).as("exact_overlap")))
+    est(a, "view").crossJoin(est(b, "click"))
+      .crossJoin(est(a.unionByName(b).distinct(), "union"))
+      .crossJoin(exact)
+      .select(lit(64L).as("k"), col("est_view"), col("exact_view"),
+        col("est_click"), col("exact_click"), col("est_union"),
+        (col("exact_view") + col("exact_click") - col("exact_overlap")).as("exact_union"),
+        (col("est_view") + col("est_click") - col("est_union")).as("est_overlap"),
+        col("exact_overlap"))
+  }
+
+  /** Bloom-filter join prefilter accounting: a k=3/m=16384 Bloom of the
+    * high-value order keys (total > $400k) is probed by every lineitem;
+    * the report compares Bloom passes against the exact semi-join — the
+    * false-positive rate IS the wasted shuffle a runtime-filter join
+    * avoids shipping. Build side is a tiny bit-set aggregate; the probe
+    * is a 3-bit broadcast lookup per row, no shuffle of the fact table.
+    */
+  def q_bloom_join_prefilter(spark: SparkSession, sf: String): DataFrame = {
+    val hot = Tables.orders(spark, sf)
+      .filter(col("o_totalprice") > 400000.0)
+      .select(col("o_orderkey").as("k"))
+    val ks = Tables.lineitem(spark, sf).select(col("l_orderkey").as("k"))
+    def bits(keys: DataFrame): DataFrame =
+      keys.crossJoin(spark.range(3).select(col("id").as("i")))
+        .select((hash32(concat(col("i").cast("string"), lit("|"), col("k").cast("string")))
+          % 16384).as("b"))
+        .distinct()
+    val bloom = bits(hot).localCheckpoint()
+    // membership decided once per DISTINCT key (3 bit probes each), then
+    // row counts come from a semi join back to the fact rows
+    val probed = ks.distinct()
+      .crossJoin(spark.range(3).select(col("id").as("i")))
+      .select(col("k"),
+        (hash32(concat(col("i").cast("string"), lit("|"), col("k").cast("string")))
+          % 16384).as("b"))
+      .join(bloom, Seq("b"), "left_semi")
+      .groupBy(col("k")).agg(count(lit(1)).as("nb"))
+      .filter(col("nb") === 3L)
+      .select(col("k"))
+    val passCount = ks.join(probed, Seq("k"), "left_semi").agg(count(lit(1)).as("n_pass"))
+    val trueMatch = ks.join(hot, Seq("k"), "left_semi").agg(count(lit(1)).as("n_true"))
+    val totals = ks.agg(count(lit(1)).as("n_lineitem"))
+    val built = hot.agg(count(lit(1)).as("n_hot_orders"))
+    totals.crossJoin(built).crossJoin(passCount).crossJoin(trueMatch)
+      .select(col("n_lineitem"), col("n_hot_orders"), col("n_pass"), col("n_true"),
+        (col("n_pass") - col("n_true")).as("false_positives"),
+        expr("(n_pass - n_true) * 1000000 div n_lineitem").as("fp_rate_e6"),
+        expr("n_true * 1000000 div n_lineitem").as("selectivity_e6"))
+  }
 }

@@ -595,4 +595,98 @@ object Text {
         expr("n_novel * 10000 div n_bigrams").as("novelty_e4"))
       .orderBy("lang")
   }
+
+  /** Interpolated Kneser-Ney bigram probabilities for continuations of
+    * "fast" (discount 0.75): the discounted bigram term plus the backoff
+    * weight times the CONTINUATION probability (how many distinct left
+    * contexts a word appears in — the KN insight that "Francisco" is
+    * frequent but not versatile). All counts exact; the probability is
+    * one fixed IEEE tree; top 20 continuations.
+    */
+  def q_kneser_ney(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+    val bigrams = Tables.documents(spark, sf)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos"), col("col").as("w1"))
+      .withColumn("w2", lead(col("w1"), 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("w1"), col("w2"))
+      .localCheckpoint()
+    val c12 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c")).as("cw1"),
+      count(lit(1)).as("n1plus_fwd"))
+    val cont = c12.groupBy(col("w2")).agg(count(lit(1)).as("n1plus_bwd"))
+    val totTypes = c12.agg(count(lit(1)).as("n_bigram_types"))
+    c12.filter(col("w1") === "fast")
+      .join(broadcast(c1.filter(col("w1") === "fast")), "w1")
+      .join(cont, "w2")
+      .crossJoin(broadcast(totTypes))
+      .select(col("w2"), col("c").as("c_bigram"), col("n1plus_bwd"),
+        (round(expr(
+          """GREATEST(CAST(c AS DOUBLE) - 0.75, 0.0) / CAST(cw1 AS DOUBLE)
+             + 0.75 * CAST(n1plus_fwd AS DOUBLE) / CAST(cw1 AS DOUBLE)
+               * CAST(n1plus_bwd AS DOUBLE) / CAST(n_bigram_types AS DOUBLE)"""),
+          6) + lit(0.0)).as("p_kn"))
+      .orderBy(col("p_kn").desc, col("w2").asc)
+      .limit(20)
+  }
+
+  /** Burrows' Delta stylometry: z-scores of the 20 highest-frequency
+    * words' per-source relative frequencies (e6 integer shares, exact
+    * source stats), Delta(source) = mean |z − z_src0| — which sources
+    * "write like" source 0. The attribution metric of computational
+    * stylometry, here over the 20 synthetic sources.
+    */
+  def q_burrows_delta(spark: SparkSession, sf: String): DataFrame = {
+    val toks = Tables.documents(spark, sf)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+    val topW = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc).limit(20)
+      .select(col("w")).localCheckpoint()
+    val srcTot = toks.groupBy(col("source")).agg(count(lit(1)).as("nt"))
+    val shares = toks.join(broadcast(topW), "w")
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cw"))
+      .join(srcTot, "source")
+      .select(col("source"), col("w"), expr("cw * 1000000 div nt").as("sh_e6"))
+    val wStats = shares.groupBy(col("w"))
+      .agg(count(lit(1)).as("ns"), sum(col("sh_e6")).as("ss"),
+        sum(col("sh_e6") * col("sh_e6")).as("qq"))
+    val z = shares.join(broadcast(wStats), "w")
+      .select(col("source"), col("w"),
+        expr("""(CAST(sh_e6 AS DOUBLE) - CAST(ss AS DOUBLE) / CAST(ns AS DOUBLE))
+                / SQRT((CAST(qq AS DOUBLE) - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) / CAST(ns AS DOUBLE))
+                       / CAST(ns - 1 AS DOUBLE))""").as("z"))
+    val z0 = z.filter(col("source") === "src0")
+      .select(col("w"), col("z").as("z0"))
+    z.filter(col("source") =!= "src0")
+      .join(broadcast(z0), "w")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        (round(avg(abs(col("z") - col("z0"))), 4) + lit(0.0)).as("delta"))
+      .orderBy("source")
+  }
+
+  /** Document-frequency pruning impact sweep: for min-df 1..5, the
+    * surviving vocabulary size and postings count with kept-share — the
+    * index-size vs coverage tradeoff read before building an inverted
+    * index. One df aggregate, five threshold rollups.
+    */
+  def q_df_pruning(spark: SparkSession, sf: String): DataFrame = {
+    val df = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .distinct()
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val tot = df.agg(count(lit(1)).as("v0"), sum(col("df")).as("p0"))
+    val ts = Tables.documents(spark, sf).sparkSession.range(1, 6)
+      .select(col("id").as("min_df"))
+    df.crossJoin(broadcast(ts))
+      .filter(col("df") >= col("min_df"))
+      .groupBy(col("min_df"))
+      .agg(count(lit(1)).as("vocab"), sum(col("df")).as("postings"))
+      .crossJoin(broadcast(tot))
+      .select(col("min_df"), col("vocab"), col("postings"),
+        expr("vocab * 10000 div v0").as("vocab_kept_e4"),
+        expr("postings * 10000 div p0").as("postings_kept_e4"))
+      .orderBy("min_df")
+  }
 }

@@ -706,4 +706,162 @@ object TextPipeline {
       .select(col("lang"), col("source"), col("n_docs"), col("chars"), col("toks"),
         expr("chars * 10000 div toks").as("cpt_e4"))
       .orderBy("lang", "source")
+
+  /** TextRank keyword extraction: two damped PageRank iterations on the
+    * word co-occurrence graph (tokens within distance ≤ 2 in a document,
+    * edge weight = co-occurrence count). Ranks live on an e12 integer
+    * lattice and every neighbor contribution is floor division — the
+    * same deterministic-integer recursion as q_pagerank, but on a graph
+    * built FROM TEXT, which is what turns a centrality kernel into a
+    * keyword extractor. Top-10 words by final rank.
+    */
+  def q_textrank_keywords(spark: SparkSession, sf: String): DataFrame = {
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos"), col("col").as("w"))
+    val e0 = toks.as("a")
+      .join(toks.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("b.pos") > col("a.pos") && col("b.pos") <= col("a.pos") + 2 &&
+          col("a.w") =!= col("b.w"))
+      .groupBy(col("a.w").as("u"), col("b.w").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val edges = e0.select(col("u"), col("v"), col("c"))
+      .unionByName(e0.select(col("v").as("u"), col("u").as("v"), col("c")))
+      .groupBy(col("u"), col("v")).agg(sum(col("c")).as("c"))
+      .localCheckpoint()
+    val wTot = edges.groupBy(col("u")).agg(sum(col("c")).as("wu"))
+    val nodes = wTot.select(col("u").as("w"), col("wu"))
+    def step(r: DataFrame): DataFrame = {
+      val contrib = r.join(nodes.select(col("w"), col("wu")), "w")
+        .join(edges.select(col("u").as("w"), col("v"), col("c")), "w")
+        .select(col("v"), expr("(rank * c) div wu").as("t"))
+        .groupBy(col("v")).agg(sum(col("t")).as("tin"))
+      nodes.select(col("w"))
+        .join(contrib.select(col("v").as("w"), col("tin")), Seq("w"), "left_outer")
+        .select(col("w"),
+          (lit(150000000000L) + expr("(850 * coalesce(tin, CAST(0 AS BIGINT))) div 1000")).as("rank"))
+        .localCheckpoint()
+    }
+    val r0 = nodes.select(col("w"), lit(1000000000000L).as("rank"))
+    val r2 = step(step(r0))
+    r2.select(col("w"), col("rank").as("score"))
+      .orderBy(col("score").desc, col("w").asc).limit(10)
+  }
+
+  /** Content-defined chunking audit: each document's token stream is cut
+    * after any token whose hash ≡ 0 (mod 32) — the rolling-boundary rule
+    * dedup storage systems use so an insertion only reshuffles its own
+    * chunk. Reports the chunk-length histogram (8-token bands) and mean
+    * length — the distribution a CDC tuner reads before picking the
+    * modulus. Chunk ids are a per-doc running boundary count (doc-keyed
+    * window), lengths one aggregate.
+    */
+  def q_cdc_chunks(spark: SparkSession, sf: String): DataFrame = {
+    import graft.core.Det.hash32
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos"), col("col").as("w"))
+      .withColumn("boundary", when(hash32(col("w")) % 32 === 0, 1L).otherwise(0L))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = toks
+      .withColumn("chunk", coalesce(sum(col("boundary")).over(w), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk"))
+      .agg(count(lit(1)).as("len"))
+    val tot = chunks.agg(count(lit(1)).as("n_chunks"), sum(col("len")).as("n_tokens"))
+    chunks.groupBy(expr("len div 8").as("len_band"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .select(col("len_band"), col("n"), col("n_chunks"),
+        expr("n_tokens * 10000 div n_chunks").as("mean_len_e4"))
+      .orderBy("len_band")
+  }
+
+  /** RAKE keyphrase extraction: candidate phrases are maximal runs of
+    * non-stopword tokens (stopwords 'a'/'the' delimit — the same
+    * boundary-cumsum shape as CDC chunking but scored, not sized), each
+    * word scores degree/frequency over the candidate set, a phrase
+    * scores the sum of its words. Degree and frequency are exact
+    * integers; the only float is the final ratio sum. Top 10 phrases of
+    * 2-4 words.
+    */
+  def q_rake_keyphrases(spark: SparkSession, sf: String): DataFrame = {
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos"), col("col").as("w"))
+      .withColumn("stop", when(col("w").isin("a", "the"), 1L).otherwise(0L))
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val phrases = toks
+      .withColumn("grp", sum(col("stop")).over(wRun))
+      .filter(col("stop") === 0)
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(concat_ws(" ", array_sort(collect_list(struct(col("pos"), col("w"))))
+        .getField("w")).as("phrase"), count(lit(1)).as("plen"))
+      .filter(col("plen").between(2, 4))
+      .localCheckpoint()
+    val words = phrases
+      .select(col("plen"), explode(split(col("phrase"), " ")).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+    // score each DISTINCT phrase once; word scores floor onto an e6
+    // integer lattice so the phrase sum is exact
+    val scored = phrases.select(col("phrase")).distinct()
+      .select(col("phrase"), explode(split(col("phrase"), " ")).as("w"))
+      .join(words, "w")
+      .groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(expr("deg * 1000000 div freq")).as("score_e6"))
+    val counts = phrases.groupBy(col("phrase")).agg(count(lit(1)).as("n_occurrences"))
+    scored.join(counts, "phrase")
+      .select(col("phrase"), col("n_words"), col("n_occurrences"), col("score_e6"))
+      .orderBy(col("score_e6").desc, col("phrase").asc)
+      .limit(10)
+  }
+
+  /** Word2vec-style negative-sampling distribution: unigram counts
+    * raised to the 3/4 power and normalized — the flattened noise
+    * distribution embedding training draws negatives from — with the
+    * expected draw count per 10k samples. Top 20 words; one aggregate +
+    * one epilogue per word.
+    */
+  def q_negative_sampling(spark: SparkSession, sf: String): DataFrame = {
+    val freq = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val tot = freq.agg(sum(expr("pow(CAST(c AS DOUBLE), 0.75)")).as("z"))
+    freq.crossJoin(broadcast(tot))
+      .select(col("w"), col("c"),
+        (round(expr("pow(CAST(c AS DOUBLE), 0.75) / z"), 6) + lit(0.0)).as("p_neg"),
+        (round(expr("10000.0 * pow(CAST(c AS DOUBLE), 0.75) / z"), 2) + lit(0.0))
+          .as("draws_per_10k"))
+      .orderBy(col("c").desc, col("w").asc)
+      .limit(20)
+  }
+
+  /** Training-minibatch composition audit: documents hash into 16
+    * batches; per batch the language KL divergence from the corpus
+    * distribution — skewed batches destabilize training, and this is the
+    * check that catches a bad shard key before a run burns GPU-days.
+    * Counts exact; the 5-term KL is the only float.
+    */
+  def q_minibatch_balance(spark: SparkSession, sf: String): DataFrame = {
+    import graft.core.Det.hash32
+    val d = Tables.documents(spark, sf)
+      .select((hash32(col("doc_id")) % 16).as("batch"), col("lang"))
+    val global = d.groupBy(col("lang")).agg(count(lit(1)).as("gc"))
+    val gtot = global.agg(sum(col("gc")).as("gn"))
+    val per = d.groupBy(col("batch"), col("lang")).agg(count(lit(1)).as("bc"))
+    val btot = per.groupBy(col("batch")).agg(sum(col("bc")).as("bn"))
+    per.join(btot, "batch").join(broadcast(global), "lang").crossJoin(broadcast(gtot))
+      .select(col("batch"), col("bn"),
+        expr("""(CAST(bc AS DOUBLE) / CAST(bn AS DOUBLE))
+                * ln((CAST(bc AS DOUBLE) / CAST(bn AS DOUBLE))
+                     / (CAST(gc AS DOUBLE) / CAST(gn AS DOUBLE)))""").as("term"))
+      .groupBy(col("batch"))
+      .agg(max(col("bn")).as("n_docs"),
+        (round(sum(col("term")), 6) + lit(0.0)).as("kl_vs_corpus"))
+      .orderBy("batch")
+  }
 }

@@ -770,4 +770,184 @@ object Vectors {
           " ELSE -((-sum_y) div 5) END))").as("abs_err"))
       .orderBy("qid")
   }
+
+  /** Maximal-marginal-relevance reranking: greedy diversified top-5 from
+    * the query's top-20 inner-product candidates, score = 7·rel − 3·max
+    * sim-to-selected (λ=0.7 ×10 — kept as an UNDIVIDED integer so there
+    * is no float and no negative-division floor/trunc hazard). The greedy
+    * recursion is 4 statically-unrolled rounds of anti-join + 1×k
+    * broadcast sim + argmax — rerank is inherently small-k, so every
+    * round is a bounded 20-row plan regardless of corpus size; the scale
+    * path is the ANN retrieval that produced the candidates.
+    */
+  def q_mmr_rerank(spark: SparkSession, sf: String): DataFrame = {
+    val all = quantized(spark, sf)
+    val query = all.filter(col("vec_id") === 0).select(col("qe").as("query_qe"))
+    val cands = all.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(query))
+      .select(col("vec_id"), col("qe"), dotE14(col("qe"), col("query_qe")).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id").asc).limit(20)
+      .localCheckpoint()
+    var selected = cands.orderBy(col("rel").desc, col("vec_id").asc).limit(1)
+      .select(col("vec_id"), col("qe"), col("rel"), lit(0L).as("ms"),
+        (col("rel") * 7).as("score"), lit(1L).as("rank"))
+    for (r <- 2 to 5) {
+      val selVecs = selected.select(col("vec_id").as("s_id"), col("qe").as("s_qe"))
+      val next = cands
+        .join(selected.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .crossJoin(broadcast(selVecs))
+        .select(col("vec_id"), col("rel"), dotE14(col("qe"), col("s_qe")).as("sim"))
+        .groupBy(col("vec_id"), col("rel"))
+        .agg(max(col("sim")).as("ms"))
+        .select(col("vec_id"), col("rel"), col("ms"),
+          (col("rel") * 7 - col("ms") * 3).as("score"))
+        .orderBy(col("score").desc, col("vec_id").asc).limit(1)
+        .join(cands.select(col("vec_id"), col("qe")), "vec_id")
+        .select(col("vec_id"), col("qe"), col("rel"), col("ms"), col("score"),
+          lit(r.toLong).as("rank"))
+      selected = selected.unionByName(next).localCheckpoint()
+    }
+    selected.select(col("rank").as("mmr_rank"), col("vec_id"), col("rel").as("rel_e14"),
+      col("ms").as("max_sim_e14"), col("score").as("score_x10"))
+      .orderBy("mmr_rank")
+  }
+
+  /** kNN hubness: the in-degree distribution of the label-blocked k=5
+    * nearest-neighbor graph — high-dimensional spaces grow "hubs" that
+    * appear in many neighbor lists and poison kNN labels/retrieval, and
+    * this histogram is the standard diagnostic. Distances are exact
+    * integer lattice math; the per-query top-5 is a keyed window (never
+    * global); blocking by label bounds the pair space exactly like the
+    * similarity join.
+    */
+  def q_knn_hubness(spark: SparkSession, sf: String): DataFrame = {
+    val sel = quantized(spark, sf)
+    val pairs = sel.as("a")
+      .join(sel.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"),
+        dist2E14(col("a.qe"), col("b.qe")).as("d2"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("nid").asc)
+    val indeg = pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .groupBy(col("nid")).agg(count(lit(1)).as("in_deg"))
+    val all = sel.select(col("vec_id").as("nid"))
+      .join(indeg, Seq("nid"), "left_outer")
+      .select(coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+    all.groupBy(col("in_deg")).agg(count(lit(1)).as("n_vectors"))
+      .orderBy("in_deg")
+  }
+
+  /** Mutual nearest neighbors between the label-0 and label-1 vector
+    * sets: a pair survives only if each side is the other's single
+    * nearest cross-set neighbor — the reciprocal-best-match criterion
+    * batch-effect alignment (MNN) and bilingual lexicon induction use to
+    * mine high-precision anchors. Exact lattice distances, keyed argmin
+    * windows, one equi-join on the reciprocal condition.
+    */
+  def q_mutual_nn(spark: SparkSession, sf: String): DataFrame = {
+    val a = quantized(spark, sf).filter(col("label") === 0)
+      .select(col("vec_id").as("aid"), col("qe").as("aqe"))
+    val b = quantized(spark, sf).filter(col("label") === 1)
+      .select(col("vec_id").as("bid"), col("qe").as("bqe"))
+    val pairs = a.crossJoin(b)
+      .select(col("aid"), col("bid"), dist2E14(col("aqe"), col("bqe")).as("d2"))
+    val wA = Window.partitionBy(col("aid")).orderBy(col("d2").asc, col("bid").asc)
+    val wB = Window.partitionBy(col("bid")).orderBy(col("d2").asc, col("aid").asc)
+    val bestA = pairs.withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
+      .select(col("aid"), col("bid"), col("d2"))
+    val bestB = pairs.withColumn("rn", row_number().over(wB)).filter(col("rn") === 1)
+      .select(col("aid").as("aid2"), col("bid").as("bid2"))
+    bestA.join(bestB, col("aid") === col("aid2") && col("bid") === col("bid2"))
+      .select(col("aid"), col("bid"), col("d2"))
+      .orderBy("aid")
+  }
+
+  /** Local Outlier Factor (k=5) over the label-0 block: k-distance →
+    * reachability distance → local reachability density → LOF, the
+    * textbook density-ratio outlier score. Distances are exact lattice
+    * integers end to end; the two density ratios are fixed IEEE trees, so
+    * the ranking is cross-engine stable. Top-10 by LOF — the vectors
+    * whose neighborhood is sparser than their neighbors'.
+    */
+  def q_lof_outliers(spark: SparkSession, sf: String): DataFrame = {
+    val sel = quantized(spark, sf).filter(col("label") === 0)
+    val pairs = sel.as("a")
+      .join(sel.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"),
+        dist2E14(col("a.qe"), col("b.qe")).as("d2"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("nid").asc)
+    val ranked = pairs.withColumn("rn", row_number().over(w))
+    val knn = ranked.filter(col("rn") <= 5).localCheckpoint()
+    val kdist = knn.filter(col("rn") === 5)
+      .select(col("qid").as("kd_id"), col("d2").as("kdist"))
+    // lrd(a) = k / Σ_b max(kdist(b), d2(a,b))
+    val lrd = knn
+      .join(kdist.select(col("kd_id").as("nid"), col("kdist")), "nid")
+      .select(col("qid"), greatest(col("kdist"), col("d2")).as("reach"))
+      .groupBy(col("qid"))
+      .agg(sum(col("reach")).as("rsum"))
+      .select(col("qid"), expr("5.0 / CAST(rsum AS DOUBLE)").as("lrd"))
+    val lof = knn
+      .join(lrd.select(col("qid").as("nid"), col("lrd").as("lrd_n")), "nid")
+      .groupBy(col("qid"))
+      .agg(sum(col("lrd_n")).as("lrd_nsum"))
+      .join(lrd, "qid")
+      .select(col("qid").as("vec_id"),
+        (round(expr("lrd_nsum / (5.0 * lrd)"), 4) + lit(0.0)).as("lof"))
+    lof.orderBy(col("lof").desc, col("vec_id").asc).limit(10)
+  }
+
+  /** DBSCAN point classification on the label-0 block (ε²=1.65e14 on the
+    * e14 lattice ≈ the median 4-NN distance, minPts=4): core points have
+    * ≥4 ε-neighbors, border points are non-core with a core ε-neighbor,
+    * the rest is noise. One blocked pair join + two aggregates — the
+    * expensive part of DBSCAN is exactly this ε-neighborhood build, which
+    * at scale becomes an LSH/grid candidate join.
+    */
+  def q_dbscan_labels(spark: SparkSession, sf: String): DataFrame = {
+    val eps = 165000000000000L
+    val sel = quantized(spark, sf).filter(col("label") === 0)
+    val neigh = sel.as("a")
+      .join(sel.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"),
+        dist2E14(col("a.qe"), col("b.qe")).as("d2"))
+      .filter(col("d2") <= eps)
+      .localCheckpoint()
+    val core = neigh.groupBy(col("qid")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 4).select(col("qid").as("core_id"))
+    val border = neigh
+      .join(core.select(col("core_id").as("nid")), "nid")
+      .select(col("qid")).distinct()
+      .join(core.select(col("core_id").as("qid")), Seq("qid"), "left_anti")
+    val all = sel.select(col("vec_id"))
+    val nCore = core.agg(count(lit(1)).as("n_core"))
+    val nBorder = border.agg(count(lit(1)).as("n_border"))
+    val nAll = all.agg(count(lit(1)).as("n_points"))
+    nAll.crossJoin(nCore).crossJoin(nBorder)
+      .select(col("n_points"), col("n_core"), col("n_border"),
+        (col("n_points") - col("n_core") - col("n_border")).as("n_noise"))
+  }
+
+  /** One single-linkage agglomeration step over the label clusters
+    * (labels 0-4): the full 10-pair dissimilarity matrix D(a,b) =
+    * min cross-pair distance, plus which two clusters merge first — the
+    * bottom level of a hierarchical clustering dendrogram. Exact lattice
+    * minima; the pair space is label-blocked.
+    */
+  def q_single_linkage_step(spark: SparkSession, sf: String): DataFrame = {
+    val sel = quantized(spark, sf).filter(col("label") < 5)
+    val cross = sel.as("a")
+      .join(sel.as("b"), col("a.label") < col("b.label"))
+      .select(col("a.label").as("la"), col("b.label").as("lb"),
+        dist2E14(col("a.qe"), col("b.qe")).as("d2"))
+      .groupBy(col("la"), col("lb"))
+      .agg(min(col("d2")).as("min_d2"), count(lit(1)).as("n_pairs"))
+    val best = cross.orderBy(col("min_d2").asc, col("la").asc, col("lb").asc).limit(1)
+      .select(col("la").as("ma"), col("lb").as("mb"))
+    cross.crossJoin(broadcast(best))
+      .select(col("la"), col("lb"), col("min_d2"), col("n_pairs"),
+        when(col("la") === col("ma") && col("lb") === col("mb"), 1L).otherwise(0L)
+          .as("merges_first"))
+      .orderBy("la", "lb")
+  }
 }

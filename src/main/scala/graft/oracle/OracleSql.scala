@@ -5628,6 +5628,1708 @@ object OracleSql {
                   // (rsum * 100 // n_parts) AS BIGINT) AS drift_index_e4
       FROM r JOIN c ON r.brand = c.brand ORDER BY r.brand""",
 
+    "q_adamic_adar" -> """
+      WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           e0 AS (SELECT a.pk AS u, b.pk AS v FROM items a JOIN items b
+                  ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+           edges AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+           hubs AS (SELECT u AS z,
+                           CAST(ROUND(1000000.0 / ln(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS w_e6
+                    FROM edges GROUP BY 1 HAVING COUNT(*) >= 2),
+           pairs AS (SELECT a.u AS z, a.v AS x, b.v AS y FROM edges a JOIN edges b
+                     ON a.u = b.u AND a.v < b.v),
+           scored AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n_common,
+                             CAST(SUM(w_e6) AS BIGINT) AS score_e6
+                      FROM pairs JOIN hubs ON pairs.z = hubs.z GROUP BY 1, 2)
+      SELECT x AS u, y AS v, n_common, score_e6 FROM scored s
+      WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.u = s.x AND e0.v = s.y)
+      ORDER BY score_e6 DESC, u, v LIMIT 10""",
+
+    "q_graph_assortativity" -> """
+      WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           e0 AS (SELECT a.pk AS u, b.pk AS v FROM items a JOIN items b
+                  ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+           edges AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+           deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+           j AS (SELECT d1.deg AS du, d2.deg AS dv FROM edges e
+                 JOIN deg d1 ON e.u = d1.node JOIN deg d2 ON e.v = d2.node),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(du) AS BIGINT) AS sx,
+                        CAST(SUM(dv) AS BIGINT) AS sy, CAST(SUM(du*dv) AS BIGINT) AS sxy,
+                        CAST(SUM(du*du) AS BIGINT) AS sxx, CAST(SUM(dv*dv) AS BIGINT) AS syy
+                 FROM j)
+      SELECT n AS n_directed_edges,
+             ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) + 0
+               AS assortativity
+      FROM s""",
+
+    "q_rater_agreement" -> """
+      WITH r AS (SELECT CASE WHEN len(string_split(text, ' ')) >= 30 THEN 1 ELSE 0 END AS a,
+                        CASE WHEN len(list_distinct(string_split(text, ' '))) * 2
+                                  >= len(string_split(text, ' ')) THEN 1 ELSE 0 END AS b
+                 FROM documents),
+           c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(a*b) AS BIGINT) AS n11,
+                        CAST(SUM(a*(1-b)) AS BIGINT) AS n10, CAST(SUM((1-a)*b) AS BIGINT) AS n01,
+                        CAST(SUM((1-a)*(1-b)) AS BIGINT) AS n00
+                 FROM r)
+      SELECT n, n11, n10, n01, n00,
+             ROUND(((CAST(n11 AS DOUBLE) + CAST(n00 AS DOUBLE)) / CAST(n AS DOUBLE)
+                     - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+                        + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                   / (1.0 - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+                        + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6) + 0 AS kappa,
+             ROUND((CAST(n11 AS DOUBLE) * CAST(n00 AS DOUBLE) - CAST(n10 AS DOUBLE) * CAST(n01 AS DOUBLE))
+                   / SQRT(CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+                          * CAST(n00 + n10 AS DOUBLE) * CAST(n00 + n01 AS DOUBLE)), 6) + 0 AS mcc
+      FROM c""",
+
+    "q_kendall_tau" -> """
+      WITH g AS (SELECT p_brand AS brand,
+                        CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS x,
+                        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS y
+                 FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+           p AS (SELECT a.x, a.y, b.x AS x2, b.y AS y2 FROM g a JOIN g b ON a.brand < b.brand),
+           c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                        CAST(SUM(CASE WHEN (x < x2 AND y < y2) OR (x > x2 AND y > y2)
+                                      THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+                        CAST(SUM(CASE WHEN (x < x2 AND y > y2) OR (x > x2 AND y < y2)
+                                      THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+                        CAST(SUM(CASE WHEN x = x2 AND y <> y2 THEN 1 ELSE 0 END) AS BIGINT) AS ties_x,
+                        CAST(SUM(CASE WHEN y = y2 AND x <> x2 THEN 1 ELSE 0 END) AS BIGINT) AS ties_y
+                 FROM p)
+      SELECT n_pairs, concordant, discordant, ties_x, ties_y,
+             ROUND((CAST(concordant AS DOUBLE) - CAST(discordant AS DOUBLE))
+                   / SQRT(CAST(concordant + discordant + ties_x AS DOUBLE)
+                          * CAST(concordant + discordant + ties_y AS DOUBLE)), 6) + 0 AS tau_b
+      FROM c""",
+
+    "q_levene_test" -> """
+      WITH v AS (SELECT event_type, CAST(ROUND(value*100) AS BIGINT) AS vc FROM events),
+           med AS (SELECT event_type, quantile_cont(vc, 0.5) AS med FROM v GROUP BY 1),
+           z AS (SELECT v.event_type, CAST(ROUND(2*ABS(CAST(vc AS DOUBLE) - med)) AS BIGINT) AS z2
+                 FROM v JOIN med ON v.event_type = med.event_type),
+           g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS ni, CAST(SUM(z2) AS BIGINT) AS si,
+                        CAST(SUM(z2*z2) AS BIGINT) AS qi
+                 FROM z GROUP BY 1),
+           t AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(ni) AS BIGINT) AS n,
+                        CAST(SUM(si) AS BIGINT) AS s,
+                        SUM(CAST(si AS DOUBLE) * CAST(si AS DOUBLE) / CAST(ni AS DOUBLE)) AS bsum,
+                        SUM(CAST(qi AS DOUBLE) - CAST(si AS DOUBLE) * CAST(si AS DOUBLE)
+                            / CAST(ni AS DOUBLE)) AS wsum
+                 FROM g),
+           w AS (SELECT k AS k_groups, n AS n_total,
+                        ROUND((CAST(n - k AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+                              * (bsum - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                              / wsum, 6) + 0 AS w_stat
+                 FROM t)
+      SELECT k_groups, n_total, w_stat,
+             CAST(CASE WHEN w_stat > 2.372 THEN 1 ELSE 0 END AS BIGINT) AS heteroscedastic
+      FROM w""",
+
+    "q_attribution_time_decay" -> """
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu,
+                        CAST(ROUND(value*100) AS BIGINT) AS vc
+                 FROM events),
+           p AS (SELECT user_id, tsu AS p_ts, vc FROM e WHERE event_type = 'purchase'),
+           t AS (SELECT user_id, tsu AS t_ts, event_type AS channel FROM e
+                 WHERE event_type <> 'purchase'),
+           c AS (SELECT channel,
+                        vc * (CASE (p_ts - t_ts) // 86400000000 WHEN 0 THEN 4 WHEN 1 THEN 2
+                              ELSE 1 END) AS credit_q
+                 FROM p JOIN t ON p.user_id = t.user_id
+                 WHERE t_ts < p_ts AND p_ts - t_ts <= 3*86400000000),
+           g AS (SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
+                        CAST(SUM(credit_q) AS BIGINT) AS credit_qc
+                 FROM c GROUP BY 1),
+           tot AS (SELECT CAST(SUM(credit_qc) AS BIGINT) AS t FROM g)
+      SELECT channel, n_touches, credit_qc, CAST(credit_qc * 10000 // t AS BIGINT) AS share_e4
+      FROM g, tot ORDER BY channel""",
+
+    "q_cross_correlation" -> """
+      WITH d AS (SELECT event_type,
+                        CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS dayn,
+                        CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS s
+                 FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1, 2),
+           v AS (SELECT dayn, s AS x FROM d WHERE event_type = 'view'),
+           p AS (SELECT dayn AS pdayn, s AS y FROM d WHERE event_type = 'purchase'),
+           l AS (SELECT CAST(range AS BIGINT) AS lag FROM range(-3, 4)),
+           g AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_days, CAST(SUM(x) AS BIGINT) AS sx,
+                        CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x*y) AS BIGINT) AS sxy,
+                        CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy
+                 FROM v CROSS JOIN l JOIN p ON pdayn = dayn + lag GROUP BY 1)
+      SELECT lag, n_days,
+             ROUND((CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (SQRT(CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * SQRT(CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) + 0
+               AS r
+      FROM g ORDER BY lag""",
+
+    "q_kmv_setops" -> """
+      WITH av AS (SELECT DISTINCT user_id AS k FROM events WHERE event_type = 'view'),
+           bv AS (SELECT DISTINCT user_id AS k FROM events WHERE event_type = 'click'),
+           ah AS (SELECT CAST('0x' || substring(md5(CAST(k AS VARCHAR)), 1, 8) AS BIGINT) AS h
+                  FROM av ORDER BY h LIMIT 64),
+           ae AS (SELECT CAST((COUNT(*) - 1) * 4294967296 // MAX(h) AS BIGINT) AS est_view FROM ah),
+           bh AS (SELECT CAST('0x' || substring(md5(CAST(k AS VARCHAR)), 1, 8) AS BIGINT) AS h
+                  FROM bv ORDER BY h LIMIT 64),
+           be AS (SELECT CAST((COUNT(*) - 1) * 4294967296 // MAX(h) AS BIGINT) AS est_click FROM bh),
+           uv AS (SELECT k FROM av UNION SELECT k FROM bv),
+           uh AS (SELECT CAST('0x' || substring(md5(CAST(k AS VARCHAR)), 1, 8) AS BIGINT) AS h
+                  FROM uv ORDER BY h LIMIT 64),
+           ue AS (SELECT CAST((COUNT(*) - 1) * 4294967296 // MAX(h) AS BIGINT) AS est_union FROM uh),
+           ex AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM av) AS exact_view,
+                         (SELECT CAST(COUNT(*) AS BIGINT) FROM bv) AS exact_click,
+                         (SELECT CAST(COUNT(*) AS BIGINT) FROM av JOIN bv ON av.k = bv.k)
+                           AS exact_overlap)
+      SELECT CAST(64 AS BIGINT) AS k, est_view, exact_view, est_click, exact_click, est_union,
+             exact_view + exact_click - exact_overlap AS exact_union,
+             est_view + est_click - est_union AS est_overlap, exact_overlap
+      FROM ae, be, ue, ex""",
+
+    "q_surrogate_hash_audit" -> """
+      WITH ck AS (SELECT CAST(c_name AS VARCHAR) AS nk, md5(CAST(c_name AS VARCHAR)) AS sk
+                  FROM customer),
+           sk2 AS (SELECT CAST(s_name AS VARCHAR) AS nk, md5(CAST(s_name AS VARCHAR)) AS sk
+                   FROM supplier),
+           pk AS (SELECT concat_ws('|', p_name, p_brand, CAST(p_size AS VARCHAR)) AS nk,
+                         md5(concat_ws('|', p_name, p_brand, CAST(p_size AS VARCHAR))) AS sk
+                  FROM part),
+           u AS (SELECT 'customer' AS table_name, nk, sk FROM ck
+                 UNION ALL SELECT 'supplier', nk, sk FROM sk2
+                 UNION ALL SELECT 'part', nk, sk FROM pk),
+           base AS (SELECT table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                           CAST(COUNT(DISTINCT nk) AS BIGINT) AS n_natural,
+                           CAST(COUNT(DISTINCT sk) AS BIGINT) AS n_hash
+                    FROM u GROUP BY 1),
+           b AS (SELECT table_name, substring(sk, 1, 1) AS nib, CAST(COUNT(*) AS BIGINT) AS c
+                 FROM (SELECT DISTINCT table_name, sk FROM u) GROUP BY 1, 2),
+           skew AS (SELECT table_name, CAST(MAX(c) * 10000 // SUM(c) AS BIGINT) AS max_bucket_e4,
+                           ROUND(SUM(CAST(c AS DOUBLE) * CAST(c AS DOUBLE)) * 16.0
+                                 / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)) - 1.0, 6) + 0
+                             AS skew_index
+                    FROM b GROUP BY 1)
+      SELECT base.table_name, n_rows, n_natural, n_hash, n_natural - n_hash AS n_collisions,
+             max_bucket_e4, skew_index
+      FROM base JOIN skew ON base.table_name = skew.table_name
+      ORDER BY base.table_name""",
+
+    "q_business_days" -> """
+      WITH fs AS (SELECT l_orderkey, MIN(l_shipdate) AS first_ship FROM lineitem GROUP BY 1),
+           j AS (SELECT o_orderpriority AS priority,
+                        CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(first_ship AS DATE))
+                             AS BIGINT) AS days,
+                        CAST(isodow(o_orderdate) - 1 AS BIGINT) AS w1
+                 FROM fs JOIN orders ON l_orderkey = o_orderkey),
+           b AS (SELECT priority, (days // 7) * 5 + days % 7
+                          - (CASE WHEN (5 - w1 + 7) % 7 BETWEEN 1 AND days % 7 THEN 1 ELSE 0 END)
+                          - (CASE WHEN (6 - w1 + 7) % 7 BETWEEN 1 AND days % 7 THEN 1 ELSE 0 END)
+                        AS bd
+                 FROM j)
+      SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_orders, CAST(SUM(bd) AS BIGINT) AS total_bd,
+             CAST(MAX(bd) AS BIGINT) AS max_bd,
+             CAST(SUM(bd) * 10000 // COUNT(*) AS BIGINT) AS mean_bd_e4
+      FROM b GROUP BY 1 ORDER BY 1""",
+
+    "q_mmr_rerank" -> """
+      WITH n AS (SELECT vec_id,
+                        list_transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE)*1e7) AS BIGINT)) AS qe
+                 FROM embeddings),
+           qq AS (SELECT qe AS query_qe FROM n WHERE vec_id = 0),
+           cands AS (SELECT vec_id, qe,
+                            CAST(list_sum(list_transform(list_zip(qe, query_qe), p -> p[1]*p[2]))
+                                 AS BIGINT) AS rel
+                     FROM n, qq WHERE vec_id <> 0 ORDER BY rel DESC, vec_id LIMIT 20),
+           s1 AS (SELECT vec_id, qe, rel, CAST(0 AS BIGINT) AS ms, rel * 7 AS score,
+                         CAST(1 AS BIGINT) AS rnk
+                  FROM cands ORDER BY rel DESC, vec_id LIMIT 1),
+           r2 AS (SELECT c.vec_id, c.qe, c.rel,
+                         MAX(CAST(list_sum(list_transform(list_zip(c.qe, s.qe), p -> p[1]*p[2]))
+                             AS BIGINT)) AS ms
+                  FROM cands c, s1 s WHERE c.vec_id NOT IN (SELECT vec_id FROM s1)
+                  GROUP BY 1, 2, 3),
+           n2 AS (SELECT vec_id, qe, rel, ms, 7*rel - 3*ms AS score, CAST(2 AS BIGINT) AS rnk
+                  FROM r2 ORDER BY score DESC, vec_id LIMIT 1),
+           sel2 AS (SELECT * FROM s1 UNION ALL SELECT * FROM n2),
+           r3 AS (SELECT c.vec_id, c.qe, c.rel,
+                         MAX(CAST(list_sum(list_transform(list_zip(c.qe, s.qe), p -> p[1]*p[2]))
+                             AS BIGINT)) AS ms
+                  FROM cands c, sel2 s WHERE c.vec_id NOT IN (SELECT vec_id FROM sel2)
+                  GROUP BY 1, 2, 3),
+           n3 AS (SELECT vec_id, qe, rel, ms, 7*rel - 3*ms AS score, CAST(3 AS BIGINT) AS rnk
+                  FROM r3 ORDER BY score DESC, vec_id LIMIT 1),
+           sel3 AS (SELECT * FROM sel2 UNION ALL SELECT * FROM n3),
+           r4 AS (SELECT c.vec_id, c.qe, c.rel,
+                         MAX(CAST(list_sum(list_transform(list_zip(c.qe, s.qe), p -> p[1]*p[2]))
+                             AS BIGINT)) AS ms
+                  FROM cands c, sel3 s WHERE c.vec_id NOT IN (SELECT vec_id FROM sel3)
+                  GROUP BY 1, 2, 3),
+           n4 AS (SELECT vec_id, qe, rel, ms, 7*rel - 3*ms AS score, CAST(4 AS BIGINT) AS rnk
+                  FROM r4 ORDER BY score DESC, vec_id LIMIT 1),
+           sel4 AS (SELECT * FROM sel3 UNION ALL SELECT * FROM n4),
+           r5 AS (SELECT c.vec_id, c.qe, c.rel,
+                         MAX(CAST(list_sum(list_transform(list_zip(c.qe, s.qe), p -> p[1]*p[2]))
+                             AS BIGINT)) AS ms
+                  FROM cands c, sel4 s WHERE c.vec_id NOT IN (SELECT vec_id FROM sel4)
+                  GROUP BY 1, 2, 3),
+           n5 AS (SELECT vec_id, qe, rel, ms, 7*rel - 3*ms AS score, CAST(5 AS BIGINT) AS rnk
+                  FROM r5 ORDER BY score DESC, vec_id LIMIT 1),
+           sel5 AS (SELECT * FROM sel4 UNION ALL SELECT * FROM n5)
+      SELECT rnk AS mmr_rank, vec_id, rel AS rel_e14, ms AS max_sim_e14, score AS score_x10
+      FROM sel5 ORDER BY mmr_rank""",
+
+    "q_skyline" -> """
+      WITH pts AS (SELECT CAST(ROUND(p_retailprice*100) AS BIGINT) AS rc,
+                          CAST(p_size AS BIGINT) AS sz, p_partkey
+                   FROM part),
+           best AS (SELECT rc, MAX(sz) AS sz FROM pts GROUP BY 1),
+           f AS (SELECT rc, sz, MAX(sz) OVER (ORDER BY rc
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+                 FROM best),
+           fr AS (SELECT rc, sz FROM f WHERE pm IS NULL OR sz > pm)
+      SELECT fr.rc, fr.sz, CAST(COUNT(*) AS BIGINT) AS n_parts,
+             CAST(MIN(p_partkey) AS BIGINT) AS min_partkey
+      FROM fr JOIN pts ON fr.rc = pts.rc AND fr.sz = pts.sz
+      GROUP BY 1, 2 ORDER BY 1""",
+
+    "q_knapsack_greedy" -> """
+      WITH items AS (SELECT p_partkey, CAST(ROUND(p_retailprice*100) AS BIGINT) AS vc,
+                            CAST(p_size AS BIGINT) AS sz
+                     FROM part),
+           d AS (SELECT p_partkey, vc, sz, vc * 10000 // sz AS density_e4 FROM items),
+           c AS (SELECT vc, sz, density_e4,
+                        SUM(sz) OVER (ORDER BY density_e4 DESC, p_partkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_sz
+                 FROM d),
+           s AS (SELECT * FROM c WHERE cum_sz <= 1000)
+      SELECT CAST(1000 AS BIGINT) AS budget, CAST(COUNT(*) AS BIGINT) AS n_selected,
+             CAST(SUM(sz) AS BIGINT) AS total_size, CAST(SUM(vc) AS BIGINT) AS total_value_cents,
+             CAST(MIN(density_e4) AS BIGINT) AS marginal_density_e4
+      FROM s""",
+
+    "q_price_endings" -> """
+      WITH e AS (SELECT CAST(ROUND(p_retailprice*100) AS BIGINT) % 100 AS ending,
+                        CAST(COUNT(*) AS BIGINT) AS n_parts
+                 FROM part GROUP BY 1),
+           t AS (SELECT CAST(SUM(n_parts) AS BIGINT) AS t FROM e)
+      SELECT ending, n_parts, CAST(n_parts * 10000 // t AS BIGINT) AS share_e4
+      FROM e, t ORDER BY n_parts DESC, ending LIMIT 10""",
+
+    "q_kaplan_meier" -> """
+      WITH obs AS (SELECT CAST(date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE)))
+                          AS BIGINT) AS t,
+                          CASE WHEN MAX(CAST(ts AS DATE)) <= DATE '2024-01-23' THEN 1 ELSE 0 END
+                            AS churned
+                   FROM events GROUP BY user_id),
+           byt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_at, CAST(SUM(churned) AS BIGINT) AS d
+                   FROM obs GROUP BY 1),
+           r AS (SELECT t, n_at, d,
+                        CAST(SUM(n_at) OVER (ORDER BY t DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk
+                 FROM byt),
+           l AS (SELECT t, n_risk, d, n_at,
+                        CASE WHEN d > 0
+                             THEN ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+                             ELSE 0.0 END AS lnterm
+                 FROM r),
+           c AS (SELECT t, n_risk, d, n_at,
+                        SUM(lnterm) OVER (ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                 FROM l)
+      SELECT t, n_risk, d AS n_churned, n_at - d AS n_censored,
+             ROUND(exp(cum), 4) + 0 AS survival
+      FROM c ORDER BY t""",
+
+    "q_abandonment_rate" -> """
+      WITH ud AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS hv,
+                         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS hp
+                  FROM events GROUP BY 1, 2)
+      SELECT CAST(isodow(day) - 1 AS BIGINT) AS dow, CAST(COUNT(*) AS BIGINT) AS n_user_days,
+             CAST(SUM(hv) AS BIGINT) AS n_view_days,
+             CAST(SUM(hv * (1 - hp)) AS BIGINT) AS n_abandoned,
+             CAST(SUM(hv * (1 - hp)) * 10000 // SUM(hv) AS BIGINT) AS abandon_rate_e4
+      FROM ud GROUP BY 1 ORDER BY 1""",
+
+    "q_kcore_peel" -> """
+      WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           e0 AS (SELECT a.pk AS u, b.pk AS v FROM items a JOIN items b
+                  ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+           g0 AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+           d0 AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM g0 GROUP BY 1),
+           s1 AS (SELECT u AS node FROM d0 WHERE deg >= 3),
+           g1 AS (SELECT g0.u, g0.v FROM g0
+                  JOIN s1 a ON g0.u = a.node JOIN s1 b ON g0.v = b.node),
+           d1 AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM g1 GROUP BY 1),
+           s2 AS (SELECT u AS node FROM d1 WHERE deg >= 3),
+           g2 AS (SELECT g1.u, g1.v FROM g1
+                  JOIN s2 a ON g1.u = a.node JOIN s2 b ON g1.v = b.node),
+           d2 AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM g2 GROUP BY 1)
+      SELECT * FROM (
+        SELECT CAST(0 AS BIGINT) AS round, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(deg) AS BIGINT) AS n_directed_edges,
+               CAST(MIN(deg) AS BIGINT) AS min_deg, CAST(MAX(deg) AS BIGINT) AS max_deg
+        FROM d0
+        UNION ALL
+        SELECT CAST(1 AS BIGINT), CAST(COUNT(*) AS BIGINT), CAST(SUM(deg) AS BIGINT),
+               CAST(MIN(deg) AS BIGINT), CAST(MAX(deg) AS BIGINT)
+        FROM d1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT), CAST(SUM(deg) AS BIGINT),
+               CAST(MIN(deg) AS BIGINT), CAST(MAX(deg) AS BIGINT)
+        FROM d2)
+      ORDER BY round""",
+
+    "q_partial_correlation" -> """
+      WITH u AS (SELECT user_id,
+                        CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                        CAST(SUM(CASE WHEN event_type = 'purchase'
+                                      THEN CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y,
+                        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS z
+                 FROM events GROUP BY 1),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+                        CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(z) AS BIGINT) AS sz,
+                        CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*z) AS BIGINT) AS sxz,
+                        CAST(SUM(y*z) AS BIGINT) AS syz, CAST(SUM(x*x) AS BIGINT) AS sxx,
+                        CAST(SUM(y*y) AS BIGINT) AS syy, CAST(SUM(z*z) AS BIGINT) AS szz
+                 FROM u),
+           r AS (SELECT n AS n_users,
+                        ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                              / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                 * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) + 0 AS r_xy,
+                        ROUND((CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+                              / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                 * SQRT(CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))), 6) + 0 AS r_xz,
+                        ROUND((CAST(n AS DOUBLE) * CAST(syz AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE))
+                              / (SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                                 * SQRT(CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))), 6) + 0 AS r_yz
+                 FROM s)
+      SELECT n_users, r_xy, r_xz, r_yz,
+             ROUND((r_xy - r_xz * r_yz) / SQRT((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz)), 6) + 0
+               AS partial_r_xy_z
+      FROM r""",
+
+    "q_boosting_stump" -> """
+      WITH base AS (SELECT CAST(p_size AS BIGINT) AS f,
+                           CAST(ROUND(p_retailprice*100) AS BIGINT) AS yv
+                    FROM part),
+           h1 AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS cn, CAST(SUM(yv) AS BIGINT) AS cy,
+                         CAST(SUM(yv*yv) AS BIGINT) AS cyy
+                  FROM base GROUP BY 1),
+           t1 AS (SELECT CAST(SUM(cn) AS BIGINT) AS tn, CAST(SUM(cy) AS BIGINT) AS ty,
+                         CAST(SUM(cyy) AS BIGINT) AS tyy FROM h1),
+           c1 AS (SELECT f,
+                         CAST(SUM(cn) OVER (ORDER BY f ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS lcn,
+                         CAST(SUM(cy) OVER (ORDER BY f ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ly,
+                         CAST(SUM(cyy) OVER (ORDER BY f ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS lyy
+                  FROM h1),
+           s1 AS (SELECT CAST(1 AS BIGINT) AS round, f AS threshold, lcn AS n_left,
+                         tn - lcn AS n_right, ly, ty - ly AS ry,
+                         ROUND((CAST(lyy AS DOUBLE) - CAST(ly AS DOUBLE) * CAST(ly AS DOUBLE) / CAST(lcn AS DOUBLE))
+                               + (CAST(tyy - lyy AS DOUBLE) - CAST(ty - ly AS DOUBLE) * CAST(ty - ly AS DOUBLE)
+                                  / CAST(tn - lcn AS DOUBLE)), 4) + 0 AS sse
+                  FROM c1, t1 WHERE lcn < tn
+                  ORDER BY sse, threshold LIMIT 1),
+           resid AS (SELECT f, yv - (CASE WHEN f <= s1.threshold THEN s1.ly // s1.n_left
+                                          ELSE s1.ry // s1.n_right END) AS yv
+                     FROM base, s1),
+           h2 AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS cn, CAST(SUM(yv) AS BIGINT) AS cy,
+                         CAST(SUM(yv*yv) AS BIGINT) AS cyy
+                  FROM resid GROUP BY 1),
+           t2 AS (SELECT CAST(SUM(cn) AS BIGINT) AS tn, CAST(SUM(cy) AS BIGINT) AS ty,
+                         CAST(SUM(cyy) AS BIGINT) AS tyy FROM h2),
+           c2 AS (SELECT f,
+                         CAST(SUM(cn) OVER (ORDER BY f ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS lcn,
+                         CAST(SUM(cy) OVER (ORDER BY f ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ly,
+                         CAST(SUM(cyy) OVER (ORDER BY f ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS lyy
+                  FROM h2),
+           s2 AS (SELECT CAST(2 AS BIGINT) AS round, f AS threshold, lcn AS n_left,
+                         tn - lcn AS n_right, ly, ty - ly AS ry,
+                         ROUND((CAST(lyy AS DOUBLE) - CAST(ly AS DOUBLE) * CAST(ly AS DOUBLE) / CAST(lcn AS DOUBLE))
+                               + (CAST(tyy - lyy AS DOUBLE) - CAST(ty - ly AS DOUBLE) * CAST(ty - ly AS DOUBLE)
+                                  / CAST(tn - lcn AS DOUBLE)), 4) + 0 AS sse
+                  FROM c2, t2 WHERE lcn < tn
+                  ORDER BY sse, threshold LIMIT 1),
+           u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+      SELECT round, threshold, n_left, n_right,
+             ROUND(CAST(ly AS DOUBLE) / CAST(n_left AS DOUBLE), 4) + 0 AS mean_left,
+             ROUND(CAST(ry AS DOUBLE) / CAST(n_right AS DOUBLE), 4) + 0 AS mean_right,
+             sse
+      FROM u ORDER BY round""",
+
+    "q_chi2_residuals" -> """
+      WITH cells AS (SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+                            CAST(COUNT(*) AS BIGINT) AS o
+                     FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+           rm AS (SELECT segment, CAST(SUM(o) AS BIGINT) AS ri FROM cells GROUP BY 1),
+           cm AS (SELECT priority, CAST(SUM(o) AS BIGINT) AS cj FROM cells GROUP BY 1),
+           n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells)
+      SELECT cells.segment, cells.priority, o,
+             ROUND(CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE) / CAST(n AS DOUBLE), 4) + 0 AS expected,
+             ROUND((CAST(o AS DOUBLE) - CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE) / CAST(n AS DOUBLE))
+                   / SQRT(CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE) / CAST(n AS DOUBLE)
+                          * (1.0 - CAST(ri AS DOUBLE) / CAST(n AS DOUBLE))
+                          * (1.0 - CAST(cj AS DOUBLE) / CAST(n AS DOUBLE))), 4) + 0 AS adj_residual
+      FROM cells JOIN rm ON cells.segment = rm.segment
+      JOIN cm ON cells.priority = cm.priority, n
+      ORDER BY cells.segment, cells.priority""",
+
+    "q_cuped" -> """
+      WITH u AS (SELECT user_id,
+                        CAST(SUM(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                                      THEN CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+                        CAST(SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                                      THEN CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+                 FROM events GROUP BY 1),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+                        CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x*x) AS BIGINT) AS sxx,
+                        SUM(CAST(y AS HUGEINT) * y) AS syy, CAST(SUM(x*y) AS BIGINT) AS sxy
+                 FROM u),
+           d AS (SELECT n AS n_users,
+                        CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cv,
+                        CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+                        CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+                 FROM s)
+      SELECT n_users, ROUND(cv / vx, 6) + 0 AS theta,
+             ROUND(cv * cv / (vx * vy), 6) + 0 AS variance_reduction
+      FROM d""",
+
+    "q_iv_estimate" -> """
+      WITH u AS (SELECT user_id,
+                        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                        CAST(SUM(CASE WHEN event_type = 'purchase'
+                                      THEN CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y,
+                        CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS z
+                 FROM events GROUP BY 1),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+                        CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(z) AS BIGINT) AS sz,
+                        CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(z*y) AS BIGINT) AS szy,
+                        CAST(SUM(z*x) AS BIGINT) AS szx, CAST(SUM(x*x) AS BIGINT) AS sxx,
+                        CAST(SUM(z*z) AS BIGINT) AS szz
+                 FROM u)
+      SELECT n AS n_users,
+             ROUND((CAST(n AS DOUBLE) * CAST(szy AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(szx AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sx AS DOUBLE)), 6) + 0
+               AS beta_iv,
+             ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) + 0
+               AS beta_ols,
+             ROUND((CAST(n AS DOUBLE) * CAST(szx AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sx AS DOUBLE))
+                   / (SQRT(CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))
+                      * SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))), 6) + 0
+               AS first_stage_r
+      FROM s""",
+
+    "q_sprt_boundary" -> """
+      WITH daily AS (SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n,
+                            CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS s
+                     FROM events GROUP BY 1),
+           c AS (SELECT day,
+                        CAST(SUM(s) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_s,
+                        CAST(SUM(n) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+                 FROM daily),
+           l AS (SELECT strftime(day, '%Y-%m-%d') AS day, cum_s, cum_n,
+                        ROUND(CAST(cum_s AS DOUBLE) * 0.2006707
+                              + CAST(cum_n - cum_s AS DOUBLE) * (-0.0500104), 4) + 0 AS llr
+                 FROM c)
+      SELECT day, cum_s, cum_n, llr,
+             CASE WHEN llr > 2.9444 THEN 'accept_h1'
+                  WHEN llr < -2.9444 THEN 'accept_h0'
+                  ELSE 'continue' END AS decision
+      FROM l ORDER BY day""",
+
+    "q_wilson_ci" -> """
+      WITH g AS (SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS s
+                 FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1)
+      SELECT segment, n, s,
+             ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0 AS p_hat,
+             ROUND((CAST(s AS DOUBLE) / CAST(n AS DOUBLE) + 3.8416 / (2.0 * CAST(n AS DOUBLE))
+                    - 1.96 * SQRT((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                                  * (1.0 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+                                  + 3.8416 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+                   / (1.0 + 3.8416 / CAST(n AS DOUBLE)), 6) + 0 AS wilson_lo,
+             ROUND((CAST(s AS DOUBLE) / CAST(n AS DOUBLE) + 3.8416 / (2.0 * CAST(n AS DOUBLE))
+                    + 1.96 * SQRT((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                                  * (1.0 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+                                  + 3.8416 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+                   / (1.0 + 3.8416 / CAST(n AS DOUBLE)), 6) + 0 AS wilson_hi
+      FROM g ORDER BY segment""",
+
+    "q_beta_posterior" -> """
+      WITH g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(CASE WHEN CAST(ROUND(value*100) AS BIGINT) > 10000
+                                      THEN 1 ELSE 0 END) AS BIGINT) AS s
+                 FROM events GROUP BY 1)
+      SELECT event_type, s + 1 AS alpha, n - s + 1 AS beta,
+             CAST((s + 1) * 1000000 // (n + 2) AS BIGINT) AS post_mean_e6,
+             ROUND(CAST(s + 1 AS DOUBLE) / CAST(n + 2 AS DOUBLE)
+                   - 1.96 * SQRT(CAST(s + 1 AS DOUBLE) * CAST(n - s + 1 AS DOUBLE)
+                                 / (CAST(n + 2 AS DOUBLE) * CAST(n + 2 AS DOUBLE) * CAST(n + 3 AS DOUBLE))), 6) + 0
+               AS ci_lo,
+             ROUND(CAST(s + 1 AS DOUBLE) / CAST(n + 2 AS DOUBLE)
+                   + 1.96 * SQRT(CAST(s + 1 AS DOUBLE) * CAST(n - s + 1 AS DOUBLE)
+                                 / (CAST(n + 2 AS DOUBLE) * CAST(n + 2 AS DOUBLE) * CAST(n + 3 AS DOUBLE))), 6) + 0
+               AS ci_hi
+      FROM g ORDER BY event_type""",
+
+    "q_post_stratification" -> """
+      WITH ev AS (SELECT event_id, event_type, CAST(ROUND(value*100) AS BIGINT) AS vc FROM events),
+           pop AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS pn FROM ev GROUP BY 1),
+           samp AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS sn, CAST(SUM(vc) AS BIGINT) AS sv
+                    FROM ev
+                    WHERE CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) % 5 = 0
+                    GROUP BY 1),
+           strat AS (SELECT CAST(SUM(pn) AS BIGINT) AS pn_tot, CAST(SUM(sn) AS BIGINT) AS sn_tot,
+                            CAST(SUM(sv) AS BIGINT) AS sv_tot,
+                            SUM(CAST(pn AS DOUBLE) * (CAST(sv AS DOUBLE) / CAST(sn AS DOUBLE))) AS wsum
+                     FROM pop JOIN samp ON pop.event_type = samp.event_type),
+           truth AS (SELECT CAST(COUNT(*) AS BIGINT) AS tn, CAST(SUM(vc) AS BIGINT) AS tv FROM ev)
+      SELECT sn_tot AS n_sample, tn AS n_population,
+             ROUND(CAST(tv AS DOUBLE) / CAST(tn AS DOUBLE), 4) + 0 AS true_mean_cents,
+             ROUND(CAST(sv_tot AS DOUBLE) / CAST(sn_tot AS DOUBLE), 4) + 0 AS raw_sample_mean_cents,
+             ROUND(wsum / CAST(pn_tot AS DOUBLE), 4) + 0 AS poststrat_mean_cents
+      FROM strat, truth""",
+
+    "q_sssp_weighted" -> """
+      WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           e0 AS (SELECT a.pk AS u, b.pk AS v, CAST(COUNT(*) AS BIGINT) AS s
+                  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+                  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+           edges AS (SELECT u, v, 1000 // s AS w FROM e0
+                     UNION ALL SELECT v, u, 1000 // s FROM e0),
+           d0 AS (SELECT MIN(u) AS node, CAST(0 AS BIGINT) AS dist FROM edges),
+           d1 AS (SELECT node, MIN(dist) AS dist FROM (
+                    SELECT e.v AS node, d.dist + e.w AS dist FROM d0 d JOIN edges e ON d.node = e.u
+                    UNION ALL SELECT node, dist FROM d0) GROUP BY 1),
+           d2 AS (SELECT node, MIN(dist) AS dist FROM (
+                    SELECT e.v AS node, d.dist + e.w AS dist FROM d1 d JOIN edges e ON d.node = e.u
+                    UNION ALL SELECT node, dist FROM d1) GROUP BY 1),
+           d3 AS (SELECT node, MIN(dist) AS dist FROM (
+                    SELECT e.v AS node, d.dist + e.w AS dist FROM d2 d JOIN edges e ON d.node = e.u
+                    UNION ALL SELECT node, dist FROM d2) GROUP BY 1)
+      SELECT node, CAST(dist AS BIGINT) AS dist FROM d3 ORDER BY dist, node LIMIT 10""",
+
+    "q_position_bias" -> """
+      WITH p AS (SELECT event_type,
+                        ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                          ORDER BY epoch_us(ts), event_id) AS pos
+                 FROM events)
+      SELECT CAST(pos AS BIGINT) AS pos, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT)
+               AS ctr_e4
+      FROM p WHERE pos <= 10 GROUP BY 1 ORDER BY 1""",
+
+    "q_user_sequence_similarity" -> """
+      WITH counts AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+                             CAST(COUNT(*) AS BIGINT) AS c
+                      FROM events GROUP BY 1, 2, 3),
+           m AS (SELECT user_id, day, substring(event_type, 1, 1) AS ch,
+                        ROW_NUMBER() OVER (PARTITION BY user_id, day
+                          ORDER BY c DESC, event_type) AS rn
+                 FROM counts),
+           seqs AS (SELECT user_id, string_agg(ch, '' ORDER BY day) AS seq
+                    FROM m WHERE rn = 1 GROUP BY 1),
+           q AS (SELECT seq AS q_seq FROM seqs WHERE user_id = 0)
+      SELECT user_id, CAST(levenshtein(seq, q_seq) AS BIGINT) AS edit_dist,
+             CAST(length(seq) AS BIGINT) AS seq_len
+      FROM seqs, q WHERE user_id <> 0
+      ORDER BY edit_dist, user_id LIMIT 10""",
+
+    "q_eoq_policy" -> """
+      WITH g AS (SELECT p_brand AS brand, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS demand_units,
+                        CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev,
+                        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+                 FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+           u AS (SELECT brand, demand_units, CAST(rev // qty AS BIGINT) AS unit_price_cents FROM g)
+      SELECT brand, demand_units, unit_price_cents,
+             ROUND(SQRT(2.0 * CAST(demand_units AS DOUBLE) * 5000.0
+                        / (0.2 * CAST(unit_price_cents AS DOUBLE))), 4) + 0 AS eoq_units
+      FROM u ORDER BY brand""",
+
+    "q_shapley_attribution" -> """
+      WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day, epoch_us(ts) AS tsu, event_type,
+                        event_id, CAST(ROUND(value*100) AS BIGINT) AS vc
+                 FROM events),
+           p AS (SELECT user_id, day, tsu AS p_ts, event_id AS pid, vc FROM e
+                 WHERE event_type = 'purchase'),
+           t AS (SELECT user_id, day, tsu AS t_ts, event_type AS channel FROM e
+                 WHERE event_type <> 'purchase'),
+           sets AS (SELECT DISTINCT pid, vc, channel FROM p JOIN t USING (user_id, day)
+                    WHERE t_ts < p_ts),
+           sizes AS (SELECT pid, CAST(COUNT(*) AS BIGINT) AS ss FROM sets GROUP BY 1),
+           credits AS (SELECT channel, vc * (12 // ss) AS c12 FROM sets JOIN sizes USING (pid)),
+           per AS (SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_credits,
+                          CAST(SUM(c12) AS BIGINT) AS credit_12ths
+                   FROM credits GROUP BY 1),
+           tot AS (SELECT CAST(SUM(credit_12ths) AS BIGINT) AS t FROM per)
+      SELECT channel, n_credits, credit_12ths,
+             CAST(credit_12ths * 10000 // t AS BIGINT) AS share_e4
+      FROM per, tot ORDER BY channel""",
+
+    "q_pvm_decomposition" -> """
+      WITH y0 AS (SELECT p_brand AS brand, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q1996,
+                         CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS r1996
+                  FROM lineitem JOIN part ON l_partkey = p_partkey
+                  WHERE year(l_shipdate) = 1996 GROUP BY 1),
+           y1 AS (SELECT p_brand AS brand, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q1997,
+                         CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS r1997
+                  FROM lineitem JOIN part ON l_partkey = p_partkey
+                  WHERE year(l_shipdate) = 1997 GROUP BY 1),
+           j AS (SELECT y0.brand, q1996, q1997, CAST(r1996 // q1996 AS BIGINT) AS p0,
+                        CAST(r1997 // q1997 AS BIGINT) AS p1, r1997 - r1996 AS delta_rev
+                 FROM y0 JOIN y1 ON y0.brand = y1.brand)
+      SELECT brand, q1996, q1997, p0, p1, delta_rev,
+             (p1 - p0) * q1996 AS price_effect,
+             p0 * (q1997 - q1996) AS volume_effect,
+             (p1 - p0) * (q1997 - q1996) AS mix_effect,
+             delta_rev - (p1 - p0) * q1996 - p0 * (q1997 - q1996)
+               - (p1 - p0) * (q1997 - q1996) AS floor_residual
+      FROM j ORDER BY brand""",
+
+    "q_graph_modularity" -> """
+      WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           e0 AS (SELECT a.pk AS u, b.pk AS v FROM items a JOIN items b
+                  ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+           edges AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+           comm AS (SELECT u % 10 AS cu, v % 10 AS cv FROM edges),
+           per AS (SELECT cu, CAST(COUNT(*) AS BIGINT) AS a_i,
+                          CAST(SUM(CASE WHEN cu = cv THEN 1 ELSE 0 END) AS BIGINT) AS e_ii
+                   FROM comm GROUP BY 1),
+           m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM comm),
+           terms AS (SELECT CAST(e_ii AS DOUBLE) / CAST(m2 AS DOUBLE)
+                            - (CAST(a_i AS DOUBLE) / CAST(m2 AS DOUBLE))
+                              * (CAST(a_i AS DOUBLE) / CAST(m2 AS DOUBLE)) AS term, m2
+                     FROM per, m)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+             CAST(MAX(m2) // 2 AS BIGINT) AS n_edges,
+             ROUND(SUM(term), 6) + 0 AS modularity
+      FROM terms""",
+
+    "q_knn_hubness" -> """
+      WITH n AS (SELECT vec_id, label,
+                        list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE)*1e7) AS BIGINT)) AS qe
+                 FROM embeddings),
+           pairs AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+                            CAST(list_sum(list_transform(list_zip(a.qe, b.qe),
+                                 p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS d2
+                     FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id),
+           r AS (SELECT nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, nid) AS rn
+                 FROM pairs),
+           indeg AS (SELECT nid, CAST(COUNT(*) AS BIGINT) AS in_deg FROM r
+                     WHERE rn <= 5 GROUP BY 1),
+           alln AS (SELECT COALESCE(in_deg, 0) AS in_deg
+                    FROM n LEFT JOIN indeg ON n.vec_id = indeg.nid)
+      SELECT in_deg, CAST(COUNT(*) AS BIGINT) AS n_vectors
+      FROM alln GROUP BY 1 ORDER BY 1""",
+
+    "q_esd_outliers" -> """
+      WITH d0 AS (SELECT event_id, CAST(ROUND(value*100) AS BIGINT) AS vc FROM events
+                  WHERE event_type = 'error'),
+           st1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(vc) AS BIGINT) AS s,
+                          CAST(SUM(vc*vc) AS BIGINT) AS q FROM d0),
+           z1 AS (SELECT event_id, vc, n,
+                         ABS(CAST(vc AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                         / SQRT((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                                / CAST(n - 1 AS DOUBLE)) AS z
+                  FROM d0, st1),
+           t1 AS (SELECT * FROM z1 ORDER BY z DESC, event_id LIMIT 1),
+           d1 AS (SELECT event_id, vc FROM d0 WHERE event_id NOT IN (SELECT event_id FROM t1)),
+           st2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(vc) AS BIGINT) AS s,
+                          CAST(SUM(vc*vc) AS BIGINT) AS q FROM d1),
+           z2 AS (SELECT event_id, vc, n,
+                         ABS(CAST(vc AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                         / SQRT((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                                / CAST(n - 1 AS DOUBLE)) AS z
+                  FROM d1, st2),
+           t2 AS (SELECT * FROM z2 ORDER BY z DESC, event_id LIMIT 1),
+           d2 AS (SELECT event_id, vc FROM d1 WHERE event_id NOT IN (SELECT event_id FROM t2)),
+           st3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(vc) AS BIGINT) AS s,
+                          CAST(SUM(vc*vc) AS BIGINT) AS q FROM d2),
+           z3 AS (SELECT event_id, vc, n,
+                         ABS(CAST(vc AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                         / SQRT((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                                / CAST(n - 1 AS DOUBLE)) AS z
+                  FROM d2, st3),
+           t3 AS (SELECT * FROM z3 ORDER BY z DESC, event_id LIMIT 1),
+           u AS (SELECT CAST(1 AS BIGINT) AS round, event_id, vc AS value_cents, n AS n_remaining,
+                        ROUND(z, 4) + 0 AS r_stat, 3.02 AS lambda_crit,
+                        CAST(CASE WHEN z > 3.02 THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+                 FROM t1
+                 UNION ALL
+                 SELECT CAST(2 AS BIGINT), event_id, vc, n, ROUND(z, 4) + 0, 3.01,
+                        CAST(CASE WHEN z > 3.01 THEN 1 ELSE 0 END AS BIGINT)
+                 FROM t2
+                 UNION ALL
+                 SELECT CAST(3 AS BIGINT), event_id, vc, n, ROUND(z, 4) + 0, 3.01,
+                        CAST(CASE WHEN z > 3.01 THEN 1 ELSE 0 END AS BIGINT)
+                 FROM t3)
+      SELECT * FROM u ORDER BY round""",
+
+    "q_hill_tail_index" -> """
+      WITH o AS (SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) AS tp, o_orderkey FROM orders),
+           top100 AS (SELECT tp FROM o ORDER BY tp DESC, o_orderkey LIMIT 100),
+           xk AS (SELECT CAST(MIN(tp) AS BIGINT) AS xk FROM
+                    (SELECT tp FROM o ORDER BY tp DESC, o_orderkey LIMIT 101)),
+           l AS (SELECT tp, xk.xk,
+                        CAST(FLOOR(ln(CAST(tp AS DOUBLE) / CAST(xk.xk AS DOUBLE)) * 1e9) AS BIGINT)
+                          AS ln_e9
+                 FROM top100, xk)
+      SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(MAX(xk) AS BIGINT) AS xk_cents,
+             CAST(SUM(ln_e9) AS BIGINT) AS sum_ln_e9,
+             ROUND(CAST(COUNT(*) AS DOUBLE) * 1e9 / CAST(SUM(ln_e9) AS DOUBLE), 4) + 0
+               AS hill_alpha
+      FROM l""",
+
+    "q_ecod_outlier" -> """
+      WITH v AS (SELECT event_id, event_type, CAST(ROUND(value*100) AS BIGINT) AS vc FROM events),
+           c AS (SELECT event_id, event_type, vc,
+                        CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY vc
+                          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c_le,
+                        CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY vc DESC
+                          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c_ge,
+                        CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+                 FROM v)
+      SELECT event_id, event_type, vc,
+             ROUND(-ln(CAST(LEAST(c_le, c_ge) AS DOUBLE) / CAST(n AS DOUBLE)), 4) + 0
+               AS tail_score
+      FROM c ORDER BY tail_score DESC, event_id LIMIT 10""",
+
+    "q_sax_symbolize" -> """
+      WITH daily AS (SELECT event_type,
+                            CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+                              AS dayn,
+                            CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS s
+                     FROM events GROUP BY 1, 2),
+           base AS (SELECT event_type, CAST(MIN(dayn) AS BIGINT) AS d0,
+                           CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(s) AS BIGINT) AS ts,
+                           CAST(SUM(s*s) AS BIGINT) AS tq
+                    FROM daily GROUP BY 1),
+           segs AS (SELECT daily.event_type, (dayn - d0) // 6 AS seg,
+                           CAST(SUM(s) AS BIGINT) AS ss, CAST(COUNT(*) AS BIGINT) AS sc,
+                           MAX(ts) AS ts, MAX(tq) AS tq, MAX(nd) AS nd
+                    FROM daily JOIN base ON daily.event_type = base.event_type
+                    GROUP BY 1, 2),
+           z AS (SELECT event_type, seg,
+                        (CAST(ss AS DOUBLE) / CAST(sc AS DOUBLE) - CAST(ts AS DOUBLE) / CAST(nd AS DOUBLE))
+                        / SQRT((CAST(tq AS DOUBLE) - CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE) / CAST(nd AS DOUBLE))
+                               / CAST(nd - 1 AS DOUBLE)) AS z
+                 FROM segs),
+           sym AS (SELECT event_type, seg, z,
+                          CASE WHEN z < -0.6745 THEN 'a' WHEN z < 0.0 THEN 'b'
+                               WHEN z < 0.6745 THEN 'c' ELSE 'd' END AS sym
+                   FROM z)
+      SELECT event_type, string_agg(sym, '' ORDER BY seg) AS sax,
+             ROUND(MIN(z), 4) + 0 AS min_z, ROUND(MAX(z), 4) + 0 AS max_z
+      FROM sym GROUP BY 1 ORDER BY 1""",
+
+    "q_haar_energy" -> """
+      WITH raw AS (SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+                            AS dayn,
+                          CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS x
+                   FROM events GROUP BY 1),
+           d0 AS (SELECT CAST(MIN(dayn) AS BIGINT) AS d0 FROM raw),
+           daily AS (SELECT dayn - d0 AS i, x FROM raw, d0),
+           l1 AS (SELECT i // 2 AS p, CAST(SUM(x) AS BIGINT) AS a1,
+                         CAST(SUM(x * (1 - 2 * (i % 2))) AS BIGINT) AS d1
+                  FROM daily GROUP BY 1),
+           l2 AS (SELECT p // 2 AS p2, CAST(SUM(a1) AS BIGINT) AS a2,
+                         CAST(SUM(a1 * (1 - 2 * (p % 2))) AS BIGINT) AS d2
+                  FROM l1 GROUP BY 1),
+           e0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days, CAST(SUM(x*x) AS BIGINT) AS e_signal
+                  FROM daily),
+           e1 AS (SELECT CAST(SUM(d1*d1) AS BIGINT) AS e_detail1 FROM l1),
+           e2 AS (SELECT CAST(SUM(d2*d2) AS BIGINT) AS e_detail2,
+                         CAST(SUM(a2*a2) AS BIGINT) AS e_approx2 FROM l2)
+      SELECT n_days, e_signal, e_detail1, e_detail2, e_approx2 FROM e0, e1, e2""",
+
+    "q_textrank_keywords" -> """
+      WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                           generate_subscripts(string_split(text, ' '), 1) AS pos
+                    FROM documents),
+           e0 AS (SELECT a.w AS u, b.w AS v, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM toks a JOIN toks b ON a.doc_id = b.doc_id
+                    AND b.pos > a.pos AND b.pos <= a.pos + 2 AND a.w <> b.w
+                  GROUP BY 1, 2),
+           edges AS (SELECT u, v, CAST(SUM(c) AS BIGINT) AS c FROM
+                       (SELECT u, v, c FROM e0 UNION ALL SELECT v, u, c FROM e0)
+                     GROUP BY 1, 2),
+           wtot AS (SELECT u, CAST(SUM(c) AS BIGINT) AS wu FROM edges GROUP BY 1),
+           r0 AS (SELECT u AS w, CAST(1000000000000 AS BIGINT) AS rank0 FROM wtot),
+           c1 AS (SELECT e.v, CAST(SUM((r0.rank0 * e.c) // wt.wu) AS BIGINT) AS tin
+                  FROM r0 JOIN wtot wt ON r0.w = wt.u JOIN edges e ON r0.w = e.u
+                  GROUP BY 1),
+           r1 AS (SELECT wt.u AS w,
+                         150000000000 + (850 * COALESCE(c1.tin, 0)) // 1000 AS rank1
+                  FROM wtot wt LEFT JOIN c1 ON wt.u = c1.v),
+           c2 AS (SELECT e.v, CAST(SUM((r1.rank1 * e.c) // wt.wu) AS BIGINT) AS tin
+                  FROM r1 JOIN wtot wt ON r1.w = wt.u JOIN edges e ON r1.w = e.u
+                  GROUP BY 1),
+           r2 AS (SELECT wt.u AS w,
+                         CAST(150000000000 + (850 * COALESCE(c2.tin, 0)) // 1000 AS BIGINT)
+                           AS score
+                  FROM wtot wt LEFT JOIN c2 ON wt.u = c2.v)
+      SELECT w, score FROM r2 ORDER BY score DESC, w LIMIT 10""",
+
+    "q_consistent_hash_rebalance" -> """
+      WITH v8 AS (SELECT s.range AS shard,
+                         CAST('0x' || substring(md5('shard' || CAST(s.range AS VARCHAR)
+                           || '#v' || CAST(v.range AS VARCHAR)), 1, 8) AS BIGINT) AS pos
+                  FROM range(8) s, range(4) v),
+           v9 AS (SELECT s.range AS shard,
+                         CAST('0x' || substring(md5('shard' || CAST(s.range AS VARCHAR)
+                           || '#v' || CAST(v.range AS VARCHAR)), 1, 8) AS BIGINT) AS pos
+                  FROM range(9) s, range(4) v),
+           keys AS (SELECT CAST('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 1, 8) AS BIGINT)
+                      AS h
+                    FROM customer),
+           a8 AS (SELECT h, CASE WHEN EXISTS (SELECT 1 FROM v8 WHERE pos >= h)
+                            THEN (SELECT shard FROM v8 WHERE pos >= h ORDER BY pos, shard LIMIT 1)
+                            ELSE (SELECT shard FROM v8 ORDER BY pos, shard LIMIT 1) END AS shard8
+                  FROM keys),
+           a9 AS (SELECT h, CASE WHEN EXISTS (SELECT 1 FROM v9 WHERE pos >= h)
+                            THEN (SELECT shard FROM v9 WHERE pos >= h ORDER BY pos, shard LIMIT 1)
+                            ELSE (SELECT shard FROM v9 ORDER BY pos, shard LIMIT 1) END AS shard9
+                  FROM keys),
+           j AS (SELECT a8.h, shard8, shard9 FROM a8 JOIN a9 ON a8.h = a9.h),
+           tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t,
+                          CAST(SUM(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END) AS BIGINT)
+                            AS moved
+                   FROM j)
+      SELECT CAST(shard9 AS BIGINT) AS shard, CAST(COUNT(*) AS BIGINT) AS n_keys_after,
+             CAST(SUM(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END) AS BIGINT) AS n_arrived,
+             CAST(moved * 10000 // t AS BIGINT) AS total_moved_share_e4
+      FROM j, tot GROUP BY 1, moved, t ORDER BY 1""",
+
+    "q_zorder_locality" -> """
+      WITH pts AS (SELECT CAST(ROUND(p_retailprice*100) AS BIGINT) AS rc,
+                          CAST(p_size AS BIGINT) AS sz
+                   FROM part),
+           mx AS (SELECT CAST(MAX(rc) AS BIGINT) AS mrc, CAST(MAX(sz) AS BIGINT) AS msz FROM pts),
+           b AS (SELECT LEAST(15, rc * 16 // (mrc + 1)) AS px,
+                        LEAST(15, sz * 16 // (msz + 1)) AS sy
+                 FROM pts, mx),
+           z AS (SELECT px, sy,
+                        ((px // 1) % 2) * 2 + ((sy // 1) % 2) * 1
+                        + ((px // 2) % 2) * 8 + ((sy // 2) % 2) * 4
+                        + ((px // 4) % 2) * 32 + ((sy // 4) % 2) * 16
+                        + ((px // 8) % 2) * 128 + ((sy // 8) % 2) * 64 AS zv
+                 FROM b),
+           filed AS (SELECT px, sy, zv // 16 AS zfile, px AS linfile FROM z),
+           hit AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_match,
+                          CAST(COUNT(DISTINCT zfile) AS BIGINT) AS z_files_touched,
+                          CAST(COUNT(DISTINCT linfile) AS BIGINT) AS linear_files_touched
+                   FROM filed WHERE px BETWEEN 4 AND 7),
+           tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                          CAST(COUNT(DISTINCT zfile) AS BIGINT) AS z_files_total
+                   FROM filed)
+      SELECT n_rows, n_match, CAST(n_match * 10000 // n_rows AS BIGINT) AS selectivity_e4,
+             z_files_touched, z_files_total, linear_files_touched
+      FROM hit, tot""",
+
+    "q_cardinality_estimation" -> """
+      WITH lo AS (SELECT 'lineitem_orders' AS join_name,
+                         (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS nl,
+                         (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS nr,
+                         (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) FROM lineitem) AS dl,
+                         (SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders) AS dr,
+                         (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem JOIN orders
+                            ON l_orderkey = o_orderkey) AS actual),
+           lp AS (SELECT 'lineitem_part' AS join_name,
+                         (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS nl,
+                         (SELECT CAST(COUNT(*) AS BIGINT) FROM part) AS nr,
+                         (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) FROM lineitem) AS dl,
+                         (SELECT CAST(COUNT(DISTINCT p_partkey) AS BIGINT) FROM part) AS dr,
+                         (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem JOIN part
+                            ON l_partkey = p_partkey) AS actual),
+           u AS (SELECT * FROM lo UNION ALL SELECT * FROM lp),
+           e AS (SELECT join_name, nl, nr, dl, dr,
+                        CAST(CAST(nl AS HUGEINT) * nr // GREATEST(dl, dr) AS BIGINT) AS estimated,
+                        actual
+                 FROM u)
+      SELECT join_name, nl, nr, dl, dr, estimated, actual,
+             CAST(GREATEST(estimated * 10000 // actual, actual * 10000 // estimated) AS BIGINT)
+               AS q_error_e4
+      FROM e ORDER BY join_name""",
+
+    "q_bloom_join_prefilter" -> """
+      WITH hot AS (SELECT o_orderkey AS k FROM orders WHERE o_totalprice > 400000.0),
+           bloom AS (SELECT DISTINCT
+                       CAST('0x' || substring(md5(CAST(i.range AS VARCHAR) || '|'
+                         || CAST(k AS VARCHAR)), 1, 8) AS BIGINT) % 16384 AS b
+                     FROM hot, range(3) i),
+           dk AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+           probes AS (SELECT k,
+                        CAST('0x' || substring(md5(CAST(i.range AS VARCHAR) || '|'
+                          || CAST(k AS VARCHAR)), 1, 8) AS BIGINT) % 16384 AS b
+                      FROM dk, range(3) i),
+           passk AS (SELECT k FROM probes JOIN bloom USING (b)
+                     GROUP BY k HAVING COUNT(*) = 3),
+           np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pass FROM lineitem
+                  WHERE l_orderkey IN (SELECT k FROM passk)),
+           nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM lineitem
+                  WHERE l_orderkey IN (SELECT k FROM hot)),
+           tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_lineitem FROM lineitem),
+           nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hot_orders FROM hot)
+      SELECT n_lineitem, n_hot_orders, n_pass, n_true, n_pass - n_true AS false_positives,
+             CAST((n_pass - n_true) * 1000000 // n_lineitem AS BIGINT) AS fp_rate_e6,
+             CAST(n_true * 1000000 // n_lineitem AS BIGINT) AS selectivity_e6
+      FROM tot, nb, np, nt""",
+
+    "q_hits_scores" -> """
+      WITH edges AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+                     FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           h1 AS (SELECT c, CAST(COUNT(*) * 1000000 AS BIGINT) AS h FROM edges GROUP BY 1),
+           a1 AS (SELECT p, CAST(SUM(h) AS BIGINT) AS a FROM edges JOIN h1 USING (c) GROUP BY 1),
+           h2 AS (SELECT c, CAST(SUM(a) AS BIGINT) AS h FROM edges JOIN a1 USING (p) GROUP BY 1),
+           a2 AS (SELECT p, CAST(SUM(h) AS BIGINT) AS authority
+                  FROM edges JOIN h2 USING (c) GROUP BY 1)
+      SELECT p AS partkey, authority FROM a2 ORDER BY authority DESC, partkey LIMIT 10""",
+
+    "q_cdc_chunks" -> """
+      WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                           generate_subscripts(string_split(text, ' '), 1) AS pos
+                    FROM documents),
+           b AS (SELECT doc_id, pos,
+                        CASE WHEN CAST('0x' || substring(md5(w), 1, 8) AS BIGINT) % 32 = 0
+                             THEN 1 ELSE 0 END AS boundary
+                 FROM toks),
+           ch AS (SELECT doc_id, pos,
+                         COALESCE(SUM(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+                  FROM b),
+           chunks AS (SELECT doc_id, chunk, CAST(COUNT(*) AS BIGINT) AS len
+                      FROM ch GROUP BY 1, 2),
+           tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                          CAST(SUM(len) AS BIGINT) AS n_tokens
+                   FROM chunks)
+      SELECT CAST(len // 8 AS BIGINT) AS len_band, CAST(COUNT(*) AS BIGINT) AS n, n_chunks,
+             CAST(n_tokens * 10000 // n_chunks AS BIGINT) AS mean_len_e4
+      FROM chunks, tot GROUP BY 1, n_chunks, n_tokens ORDER BY 1""",
+
+    "q_state_retention_sweep" -> """
+      WITH ev AS (SELECT epoch_us(ts) AS tsu, user_id FROM events),
+           hw AS (SELECT CAST(MAX(tsu) AS BIGINT) AS hw FROM ev),
+           delays AS (SELECT CAST(CASE range WHEN 0 THEN 3600000000 WHEN 1 THEN 21600000000
+                             ELSE 86400000000 END AS BIGINT) AS delay_us
+                      FROM range(3))
+      SELECT CAST(delay_us // 3600000000 AS BIGINT) AS delay_hours,
+             CAST(COUNT(*) AS BIGINT) AS n_state_rows,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_open_keys
+      FROM ev, hw, delays WHERE tsu > hw - delay_us
+      GROUP BY 1 ORDER BY 1""",
+
+    "q_qq_quantiles" -> """
+      WITH v AS (SELECT quantile_cont(CAST(ROUND(value*100) AS BIGINT),
+                          [0.05,0.10,0.15,0.20,0.25,0.30,0.35,0.40,0.45,0.50,
+                           0.55,0.60,0.65,0.70,0.75,0.80,0.85,0.90,0.95]) AS qs
+                 FROM events WHERE event_type = 'view'),
+           p AS (SELECT quantile_cont(CAST(ROUND(value*100) AS BIGINT),
+                          [0.05,0.10,0.15,0.20,0.25,0.30,0.35,0.40,0.45,0.50,
+                           0.55,0.60,0.65,0.70,0.75,0.80,0.85,0.90,0.95]) AS qs
+                 FROM events WHERE event_type = 'purchase'),
+           ve AS (SELECT generate_subscripts(qs, 1) - 1 AS pos, unnest(qs) AS view_q FROM v),
+           pe AS (SELECT generate_subscripts(qs, 1) - 1 AS pos, unnest(qs) AS purchase_q FROM p)
+      SELECT CAST(ve.pos * 5 + 5 AS BIGINT) AS pct,
+             ROUND(view_q, 4) + 0 AS view_q, ROUND(purchase_q, 4) + 0 AS purchase_q
+      FROM ve JOIN pe ON ve.pos = pe.pos ORDER BY pct""",
+
+    "q_mutual_nn" -> """
+      WITH n AS (SELECT vec_id, label,
+                        list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE)*1e7) AS BIGINT)) AS qe
+                 FROM embeddings),
+           pairs AS (SELECT a.vec_id AS aid, b.vec_id AS bid,
+                            CAST(list_sum(list_transform(list_zip(a.qe, b.qe),
+                                 p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS d2
+                     FROM n a JOIN n b ON a.label = 0 AND b.label = 1),
+           ba AS (SELECT aid, bid, d2 FROM
+                    (SELECT aid, bid, d2,
+                            ROW_NUMBER() OVER (PARTITION BY aid ORDER BY d2, bid) AS rn
+                     FROM pairs) WHERE rn = 1),
+           bb AS (SELECT aid AS aid2, bid AS bid2 FROM
+                    (SELECT aid, bid,
+                            ROW_NUMBER() OVER (PARTITION BY bid ORDER BY d2, aid) AS rn
+                     FROM pairs) WHERE rn = 1)
+      SELECT aid, bid, d2 FROM ba JOIN bb ON aid = aid2 AND bid = bid2 ORDER BY aid""",
+
+    "q_leverage_points" -> """
+      WITH xs AS (SELECT CAST(l_quantity AS BIGINT) AS x FROM lineitem),
+           st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+                         CAST(SUM(x*x) AS BIGINT) AS sxx FROM xs),
+           g AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS n_rows FROM xs GROUP BY 1),
+           l AS (SELECT x, n_rows, n,
+                        ROUND(1.0 / CAST(n AS DOUBLE)
+                              + (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                                * (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                                / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                                   / CAST(n AS DOUBLE)), 8) + 0 AS leverage
+                 FROM g, st)
+      SELECT x, n_rows, leverage,
+             CAST(CASE WHEN leverage > 4.0 / CAST(n AS DOUBLE) THEN 1 ELSE 0 END AS BIGINT)
+               AS high_influence
+      FROM l ORDER BY x""",
+
+    "q_lof_outliers" -> """
+      WITH n AS (SELECT vec_id,
+                        list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE)*1e7) AS BIGINT)) AS qe
+                 FROM embeddings WHERE label = 0),
+           pairs AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+                            CAST(list_sum(list_transform(list_zip(a.qe, b.qe),
+                                 p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS d2
+                     FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+           ranked AS (SELECT qid, nid, d2,
+                             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, nid) AS rn
+                      FROM pairs),
+           knn AS (SELECT qid, nid, d2, rn FROM ranked WHERE rn <= 5),
+           kd AS (SELECT qid AS kd_id, d2 AS kdist FROM knn WHERE rn = 5),
+           lrd AS (SELECT knn.qid, 5.0 / CAST(SUM(GREATEST(kd.kdist, knn.d2)) AS DOUBLE) AS lrd
+                   FROM knn JOIN kd ON knn.nid = kd.kd_id GROUP BY 1),
+           lof AS (SELECT knn.qid AS vec_id,
+                          ROUND(SUM(ln2.lrd) / (5.0 * MAX(l1.lrd)), 4) + 0 AS lof
+                   FROM knn JOIN lrd ln2 ON knn.nid = ln2.qid
+                   JOIN lrd l1 ON knn.qid = l1.qid
+                   GROUP BY 1)
+      SELECT vec_id, lof FROM lof ORDER BY lof DESC, vec_id LIMIT 10""",
+
+    "q_dbscan_labels" -> """
+      WITH n AS (SELECT vec_id,
+                        list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE)*1e7) AS BIGINT)) AS qe
+                 FROM embeddings WHERE label = 0),
+           neigh AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+                            CAST(list_sum(list_transform(list_zip(a.qe, b.qe),
+                                 p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS d2
+                     FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+           inr AS (SELECT qid, nid FROM neigh WHERE d2 <= 165000000000000),
+           core AS (SELECT qid AS core_id FROM inr GROUP BY 1 HAVING COUNT(*) >= 4),
+           border AS (SELECT DISTINCT qid FROM inr
+                      WHERE nid IN (SELECT core_id FROM core)
+                        AND qid NOT IN (SELECT core_id FROM core)),
+           c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_core FROM core),
+           b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_border FROM border),
+           t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_points FROM n)
+      SELECT n_points, n_core, n_border, n_points - n_core - n_border AS n_noise
+      FROM t, c, b""",
+
+    "q_interval_merge" -> """
+      WITH iv AS (SELECT DISTINCT l_suppkey AS supp,
+                         CAST(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+                              AS BIGINT) AS s
+                  FROM lineitem WHERE l_suppkey < 20),
+           iv2 AS (SELECT supp, s, s + 6 AS e FROM iv),
+           f AS (SELECT supp, s, e,
+                        MAX(e) OVER (PARTITION BY supp ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+                 FROM iv2),
+           g AS (SELECT supp, s, e,
+                        CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS new_island
+                 FROM f),
+           h AS (SELECT supp, s, e,
+                        SUM(new_island) OVER (PARTITION BY supp ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+                 FROM g),
+           isl AS (SELECT supp, island, CAST(MIN(s) AS BIGINT) AS is0,
+                          CAST(MAX(e) AS BIGINT) AS ie, CAST(COUNT(*) AS BIGINT) AS nw
+                   FROM h GROUP BY 1, 2)
+      SELECT supp, CAST(SUM(nw) AS BIGINT) AS n_windows, CAST(COUNT(*) AS BIGINT) AS n_islands,
+             CAST(SUM(ie - is0 + 1) AS BIGINT) AS covered_days,
+             CAST(MAX(ie - is0 + 1) AS BIGINT) AS longest_island_days
+      FROM isl GROUP BY 1 ORDER BY 1""",
+
+    "q_newsvendor" -> """
+      WITH weekly AS (SELECT p_brand AS brand,
+                             date_diff('day', DATE '1970-01-01',
+                               CAST(date_trunc('week', l_shipdate) AS DATE)) // 7 AS wk,
+                             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS units
+                      FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2),
+           q AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_weeks,
+                        quantile_cont(units, 0.75) AS q75
+                 FROM weekly GROUP BY 1)
+      SELECT weekly.brand, MAX(n_weeks) AS n_weeks, ROUND(MAX(q75), 4) + 0 AS stock_level,
+             CAST(SUM(CASE WHEN CAST(units AS DOUBLE) > q75 THEN 1 ELSE 0 END) AS BIGINT)
+               AS weeks_short,
+             CAST(SUM(CASE WHEN CAST(units AS DOUBLE) <= q75 THEN 1 ELSE 0 END) AS BIGINT)
+               AS weeks_covered
+      FROM weekly JOIN q ON weekly.brand = q.brand GROUP BY 1 ORDER BY 1""",
+
+    "q_control_chart" -> """
+      WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                            CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS x
+                     FROM events GROUP BY 1, 2),
+           mr AS (SELECT event_type, x,
+                         ABS(x - LAG(x) OVER (PARTITION BY event_type ORDER BY day)) AS mrange
+                  FROM daily),
+           st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+                         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(mrange) AS BIGINT) AS smr,
+                         CAST(COUNT(mrange) AS BIGINT) AS nmr
+                  FROM mr GROUP BY 1),
+           j AS (SELECT mr.event_type, n_days, x,
+                        CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE) AS center,
+                        2.66 * CAST(smr AS DOUBLE) / CAST(nmr AS DOUBLE) AS band
+                 FROM mr JOIN st ON mr.event_type = st.event_type)
+      SELECT event_type, MAX(n_days) AS n_days, ROUND(MAX(center), 4) + 0 AS center,
+             ROUND(MAX(center) + MAX(band), 4) + 0 AS ucl,
+             ROUND(MAX(center) - MAX(band), 4) + 0 AS lcl,
+             CAST(SUM(CASE WHEN CAST(x AS DOUBLE) > center + band THEN 1
+                           WHEN CAST(x AS DOUBLE) < center - band THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_out_of_control
+      FROM j GROUP BY 1 ORDER BY 1""",
+
+    "q_ols_two_features" -> """
+      WITH u AS (SELECT user_id,
+                        CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+                        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x2,
+                        CAST(SUM(CASE WHEN event_type = 'purchase'
+                                      THEN CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+                 FROM events GROUP BY 1),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x1) AS BIGINT) AS s1,
+                        CAST(SUM(x2) AS BIGINT) AS s2, CAST(SUM(y) AS BIGINT) AS sy,
+                        CAST(SUM(x1*x1) AS BIGINT) AS s11, CAST(SUM(x2*x2) AS BIGINT) AS s22,
+                        CAST(SUM(x1*x2) AS BIGINT) AS s12, CAST(SUM(x1*y) AS BIGINT) AS s1y,
+                        CAST(SUM(x2*y) AS BIGINT) AS s2y, SUM(CAST(y AS HUGEINT) * y) AS syy
+                 FROM u),
+           c AS (SELECT n AS n_users,
+                        CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) AS c11,
+                        CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) AS c22,
+                        CAST(n AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) AS c12,
+                        CAST(n AS DOUBLE) * CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE) AS c1y,
+                        CAST(n AS DOUBLE) * CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE) AS c2y,
+                        CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS cyy,
+                        CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+                        CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS m2,
+                        CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my
+                 FROM s),
+           bb AS (SELECT n_users,
+                         (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) AS b1,
+                         (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) AS b2,
+                         m1, m2, my, c1y, c2y, cyy
+                  FROM c)
+      SELECT n_users, ROUND(my - b1 * m1 - b2 * m2, 4) + 0 AS b0,
+             ROUND(b1, 6) + 0 AS beta_views, ROUND(b2, 6) + 0 AS beta_clicks,
+             ROUND((b1 * c1y + b2 * c2y) / cyy, 6) + 0 AS r2
+      FROM bb""",
+
+    "q_gaussian_nb" -> """
+      WITH feat AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                           CAST(FLOOR(SQRT(CAST(list_sum(list_transform(list_transform(embedding,
+                                  v -> CAST(ROUND(CAST(v AS DOUBLE)*1e7) AS BIGINT)),
+                                  q -> q*q)) AS DOUBLE)) / 10000.0) AS BIGINT) AS x
+                    FROM embeddings),
+           st AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS nl, CAST(SUM(x) AS BIGINT) AS sl,
+                         CAST(SUM(x*x) AS BIGINT) AS ql
+                  FROM feat GROUP BY 1),
+           tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM feat),
+           test AS (SELECT vec_id, label AS true_label, x FROM feat WHERE vec_id < 10),
+           scored AS (SELECT vec_id, true_label, st.label,
+                             -0.5 * ln((CAST(ql AS DOUBLE) - CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE))
+                                       / CAST(nl - 1 AS DOUBLE))
+                             - (CAST(x AS DOUBLE) - CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE))
+                               * (CAST(x AS DOUBLE) - CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE))
+                               / (2.0 * (CAST(ql AS DOUBLE) - CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE))
+                                  / CAST(nl - 1 AS DOUBLE))
+                             + ln(CAST(nl AS DOUBLE) / CAST(n AS DOUBLE)) AS ll
+                      FROM test, st, tot),
+           best AS (SELECT vec_id, true_label, label AS predicted, ll,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ll DESC, label) AS rn
+                    FROM scored)
+      SELECT vec_id, true_label, predicted, ROUND(ll, 4) + 0 AS loglik
+      FROM best WHERE rn = 1 ORDER BY vec_id""",
+
+    "q_simpson_paradox" -> """
+      WITH d AS (SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x,
+                        CAST(ROUND(l_extendedprice*100) AS BIGINT) AS y
+                 FROM lineitem),
+           grouped AS (SELECT g AS scope, CAST(COUNT(*) AS BIGINT) AS n,
+                              ROUND((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x*y) AS DOUBLE)
+                                     - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+                                    / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x*x) AS DOUBLE)
+                                       - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)), 6) + 0
+                                AS slope
+                       FROM d GROUP BY 1),
+           overall AS (SELECT 'ALL' AS scope, CAST(COUNT(*) AS BIGINT) AS n,
+                              ROUND((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x*y) AS DOUBLE)
+                                     - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+                                    / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x*x) AS DOUBLE)
+                                       - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)), 6) + 0
+                                AS slope
+                       FROM d),
+           a AS (SELECT * FROM grouped UNION ALL SELECT * FROM overall),
+           o AS (SELECT slope AS pooled_slope FROM overall)
+      SELECT scope, n, slope,
+             CAST(CASE WHEN (slope >= 0.0) = (pooled_slope >= 0.0) THEN 1 ELSE 0 END AS BIGINT)
+               AS sign_agrees_pooled
+      FROM a, o ORDER BY scope""",
+
+    "q_kneser_ney" -> """
+      WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w1,
+                           generate_subscripts(string_split(text, ' '), 1) AS pos
+                    FROM documents),
+           bg AS (SELECT w1, LEAD(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM toks),
+           bigrams AS (SELECT w1, w2 FROM bg WHERE w2 IS NOT NULL),
+           c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM bigrams GROUP BY 1, 2),
+           c1 AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cw1, CAST(COUNT(*) AS BIGINT) AS n1plus_fwd
+                  FROM c12 GROUP BY 1),
+           cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1plus_bwd FROM c12 GROUP BY 1),
+           tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bigram_types FROM c12)
+      SELECT c12.w2, c AS c_bigram, n1plus_bwd,
+             ROUND(GREATEST(CAST(c AS DOUBLE) - 0.75, 0.0) / CAST(cw1 AS DOUBLE)
+                   + 0.75 * CAST(n1plus_fwd AS DOUBLE) / CAST(cw1 AS DOUBLE)
+                     * CAST(n1plus_bwd AS DOUBLE) / CAST(n_bigram_types AS DOUBLE), 6) + 0 AS p_kn
+      FROM c12 JOIN c1 ON c12.w1 = c1.w1 JOIN cont ON c12.w2 = cont.w2, tt
+      WHERE c12.w1 = 'fast'
+      ORDER BY p_kn DESC, c12.w2 LIMIT 20""",
+
+    "q_rake_keyphrases" -> """
+      WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                           generate_subscripts(string_split(text, ' '), 1) AS pos
+                    FROM documents),
+           s AS (SELECT doc_id, pos, w,
+                        CASE WHEN w IN ('a', 'the') THEN 1 ELSE 0 END AS stop
+                 FROM toks),
+           g AS (SELECT doc_id, pos, w, stop,
+                        SUM(stop) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+                 FROM s),
+           phrases AS (SELECT doc_id, grp, string_agg(w, ' ' ORDER BY pos) AS phrase,
+                              CAST(COUNT(*) AS BIGINT) AS plen
+                       FROM g WHERE stop = 0 GROUP BY 1, 2
+                       HAVING COUNT(*) BETWEEN 2 AND 4),
+           words AS (SELECT unnest(string_split(phrase, ' ')) AS w, plen FROM phrases),
+           ws AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq, CAST(SUM(plen) AS BIGINT) AS deg
+                  FROM words GROUP BY 1),
+           dp AS (SELECT DISTINCT phrase FROM phrases),
+           dpw AS (SELECT phrase, unnest(string_split(phrase, ' ')) AS w FROM dp),
+           scored AS (SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_words,
+                             CAST(SUM(deg * 1000000 // freq) AS BIGINT) AS score_e6
+                      FROM dpw JOIN ws ON dpw.w = ws.w GROUP BY 1),
+           counts AS (SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+                      FROM phrases GROUP BY 1)
+      SELECT scored.phrase, n_words, n_occurrences, score_e6
+      FROM scored JOIN counts ON scored.phrase = counts.phrase
+      ORDER BY score_e6 DESC, scored.phrase LIMIT 10""",
+
+    "q_qte_deciles" -> """
+      WITH u AS (SELECT user_id % 2 AS arm,
+                        CAST(SUM(CASE WHEN event_type = 'purchase'
+                                      THEN CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+                 FROM events GROUP BY user_id),
+           t AS (SELECT quantile_cont(y, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+                 FROM u WHERE arm = 1),
+           c AS (SELECT quantile_cont(y, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+                 FROM u WHERE arm = 0),
+           te AS (SELECT generate_subscripts(qs, 1) - 1 AS pos, unnest(qs) AS treated_q FROM t),
+           ce AS (SELECT generate_subscripts(qs, 1) - 1 AS pos, unnest(qs) AS control_q FROM c)
+      SELECT CAST((te.pos + 1) * 10 AS BIGINT) AS decile,
+             ROUND(treated_q, 4) + 0 AS treated_q, ROUND(control_q, 4) + 0 AS control_q,
+             ROUND(treated_q - control_q, 4) + 0 AS qte
+      FROM te JOIN ce ON te.pos = ce.pos ORDER BY decile""",
+
+    "q_james_stein" -> """
+      WITH g AS (SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS ni,
+                        CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT) AS si,
+                        SUM(CAST(CAST(ROUND(c_acctbal*100) AS BIGINT) AS HUGEINT)
+                            * CAST(ROUND(c_acctbal*100) AS BIGINT)) AS qi
+                 FROM customer GROUP BY 1),
+           tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(si) AS BIGINT) AS s,
+                          CAST(SUM(ni) AS BIGINT) AS n,
+                          SUM(CAST(si AS DOUBLE) / CAST(ni AS DOUBLE)) AS msum,
+                          SUM((CAST(si AS DOUBLE) / CAST(ni AS DOUBLE))
+                              * (CAST(si AS DOUBLE) / CAST(ni AS DOUBLE))) AS m2sum,
+                          SUM((CAST(qi AS DOUBLE) - CAST(si AS DOUBLE) * CAST(si AS DOUBLE) / CAST(ni AS DOUBLE))
+                              / (CAST(ni - 1 AS DOUBLE) * CAST(ni AS DOUBLE))) AS varsum
+                   FROM g),
+           j AS (SELECT segment, ni, CAST(si AS DOUBLE) / CAST(ni AS DOUBLE) AS raw_mean,
+                        msum / CAST(k AS DOUBLE) AS grand,
+                        GREATEST(0.0, 1.0 - (CAST(k - 3 AS DOUBLE) * (varsum / CAST(k AS DOUBLE)))
+                                 / (m2sum - msum * msum / CAST(k AS DOUBLE))) AS b
+                 FROM g, tot)
+      SELECT segment, ni, ROUND(raw_mean, 4) + 0 AS raw_mean_cents,
+             ROUND(b, 6) + 0 AS shrink_factor,
+             ROUND(grand + b * (raw_mean - grand), 4) + 0 AS shrunk_mean_cents
+      FROM j ORDER BY segment""",
+
+    "q_mediation" -> """
+      WITH u AS (SELECT user_id,
+                        CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS m,
+                        CAST(SUM(CASE WHEN event_type = 'purchase'
+                                      THEN CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+                 FROM events GROUP BY 1),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+                        CAST(SUM(m) AS BIGINT) AS sm, CAST(SUM(y) AS BIGINT) AS sy,
+                        CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(m*m) AS BIGINT) AS smm,
+                        CAST(SUM(x*m) AS BIGINT) AS sxm, CAST(SUM(x*y) AS BIGINT) AS sxy,
+                        CAST(SUM(m*y) AS BIGINT) AS smy
+                 FROM u),
+           c AS (SELECT n AS n_users,
+                        CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS cxx,
+                        CAST(n AS DOUBLE) * CAST(smm AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) AS cmm,
+                        CAST(n AS DOUBLE) * CAST(sxm AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sm AS DOUBLE) AS cxm,
+                        CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cxy,
+                        CAST(n AS DOUBLE) * CAST(smy AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sy AS DOUBLE) AS cmy
+                 FROM s),
+           e AS (SELECT n_users, cxm / cxx AS a,
+                        (cxx * cmy - cxm * cxy) / (cxx * cmm - cxm * cxm) AS b,
+                        (cmm * cxy - cxm * cmy) / (cxx * cmm - cxm * cxm) AS direct,
+                        cxy / cxx AS total
+                 FROM c)
+      SELECT n_users, ROUND(a, 6) + 0 AS path_a, ROUND(b, 6) + 0 AS path_b,
+             ROUND(direct, 6) + 0 AS direct_effect, ROUND(a * b, 6) + 0 AS indirect_effect,
+             ROUND(total, 6) + 0 AS total_effect,
+             ROUND(a * b / total, 6) + 0 AS prop_mediated
+      FROM e""",
+
+    "q_power_analysis" -> """
+      WITH g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS s,
+                        CAST(SUM(CAST(ROUND(value*100) AS BIGINT)
+                                 * CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS q
+                 FROM events GROUP BY 1),
+           d AS (SELECT event_type, n, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
+                        (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                        / CAST(n - 1 AS DOUBLE) AS var_c
+                 FROM g)
+      SELECT event_type, n, ROUND(mean_c, 4) + 0 AS mean_cents,
+             ROUND(SQRT(var_c), 4) + 0 AS sd_cents,
+             CAST(CEIL(2.0 * 7.849 * var_c / (0.05 * mean_c * 0.05 * mean_c)) AS BIGINT)
+               AS n_per_arm
+      FROM d ORDER BY event_type""",
+
+    "q_conformal_interval" -> """
+      WITH ev AS (SELECT event_id, event_type, CAST(ROUND(value*100) AS BIGINT) AS vc,
+                         CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) % 2
+                           AS half
+                  FROM events),
+           model AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nc,
+                            CAST(SUM(vc) AS BIGINT) AS sc
+                     FROM ev WHERE half = 0 GROUP BY 1),
+           calib AS (SELECT ev.event_type, MAX(nc) AS n_calib,
+                            quantile_cont(ABS(CAST(vc AS DOUBLE)
+                              - CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE)), 0.9) AS q90
+                     FROM ev JOIN model ON ev.event_type = model.event_type
+                     WHERE half = 0 GROUP BY 1)
+      SELECT ev.event_type, MAX(n_calib) AS n_calib, CAST(COUNT(*) AS BIGINT) AS n_test,
+             ROUND(MAX(q90), 4) + 0 AS half_width,
+             CAST(SUM(CASE WHEN ABS(CAST(vc AS DOUBLE)
+                                    - CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE)) <= q90
+                           THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS coverage_e4
+      FROM ev JOIN model ON ev.event_type = model.event_type
+      JOIN calib ON ev.event_type = calib.event_type
+      WHERE half = 1 GROUP BY 1 ORDER BY 1""",
+
+    "q_ipf_raking" -> """
+      WITH cells AS (SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+                            CAST(COUNT(*) AS BIGINT) AS o
+                     FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+           n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+           w0 AS (SELECT segment, priority, o, n, CAST(o AS DOUBLE) AS w FROM cells, n),
+           ra AS (SELECT segment, SUM(w) AS rw FROM w0 GROUP BY 1),
+           w1 AS (SELECT w0.segment, priority, o, n,
+                         w * (CAST(n AS DOUBLE) / 5.0) / rw AS w
+                  FROM w0 JOIN ra ON w0.segment = ra.segment),
+           ca AS (SELECT priority, SUM(w) AS cw FROM w1 GROUP BY 1),
+           w2 AS (SELECT segment, w1.priority, o, n,
+                         w * (CAST(n AS DOUBLE) / 5.0) / cw AS w
+                  FROM w1 JOIN ca ON w1.priority = ca.priority)
+      SELECT segment, priority, o, ROUND(w / CAST(o AS DOUBLE), 6) + 0 AS rake_weight,
+             ROUND(w, 4) + 0 AS raked_count
+      FROM w2 ORDER BY segment, priority""",
+
+    "q_offpolicy_replay" -> """
+      WITH ev AS (SELECT event_id, event_type, CAST(ROUND(value*100) AS BIGINT) AS vc,
+                         CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) % 2
+                           AS half
+                  FROM events),
+           arms AS (SELECT event_type, CAST(SUM(vc) * 10000 // COUNT(*) AS BIGINT) AS mean_e4
+                    FROM ev WHERE half = 0 GROUP BY 1),
+           best AS (SELECT event_type AS best_arm FROM arms
+                    ORDER BY mean_e4 DESC, event_type LIMIT 1),
+           idx AS (SELECT a.event_type, CAST(COUNT(b.event_type) AS BIGINT) AS idx
+                   FROM arms a LEFT JOIN arms b ON b.event_type < a.event_type
+                   GROUP BY 1),
+           test AS (SELECT ev.event_type, vc, best_arm,
+                           CAST('0x' || substring(md5('x' || CAST(event_id AS VARCHAR)), 1, 8)
+                                AS BIGINT) % 5 = 0 AS explore,
+                           CAST('0x' || substring(md5('a' || CAST(event_id AS VARCHAR)), 1, 8)
+                                AS BIGINT) % 5 AS rand_idx
+                    FROM ev, best WHERE half = 1),
+           wa AS (SELECT test.event_type, vc, best_arm,
+                         CASE WHEN explore THEN idx.event_type ELSE best_arm END AS eg_action
+                  FROM test JOIN idx ON test.rand_idx = idx.idx),
+           g AS (SELECT 'greedy' AS policy, CAST(COUNT(*) AS BIGINT) AS n_test,
+                        CAST(SUM(CASE WHEN event_type = best_arm THEN 1 ELSE 0 END) AS BIGINT)
+                          AS n_matched,
+                        CAST(SUM(CASE WHEN event_type = best_arm THEN vc ELSE 0 END) AS BIGINT)
+                          AS sv
+                 FROM wa),
+           e AS (SELECT 'egreedy_02' AS policy, CAST(COUNT(*) AS BIGINT) AS n_test,
+                        CAST(SUM(CASE WHEN event_type = eg_action THEN 1 ELSE 0 END) AS BIGINT)
+                          AS n_matched,
+                        CAST(SUM(CASE WHEN event_type = eg_action THEN vc ELSE 0 END) AS BIGINT)
+                          AS sv
+                 FROM wa),
+           l AS (SELECT 'logging' AS policy, CAST(COUNT(*) AS BIGINT) AS n_test,
+                        CAST(COUNT(*) AS BIGINT) AS n_matched, CAST(SUM(vc) AS BIGINT) AS sv
+                 FROM wa),
+           u AS (SELECT * FROM g UNION ALL SELECT * FROM e UNION ALL SELECT * FROM l)
+      SELECT policy, n_test, n_matched,
+             CAST(n_matched * 10000 // n_test AS BIGINT) AS match_rate_e4,
+             CAST(sv * 10000 // n_matched AS BIGINT) AS est_reward_e4
+      FROM u ORDER BY policy""",
+
+    "q_periodogram" -> """
+      WITH raw AS (SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+                            AS dayn,
+                          CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS x
+                   FROM events GROUP BY 1),
+           d0 AS (SELECT CAST(MIN(dayn) AS BIGINT) AS d0 FROM raw),
+           daily AS (SELECT dayn - d0 AS t, x FROM raw, d0),
+           periods AS (SELECT CAST(range AS BIGINT) AS p FROM range(2, 8)),
+           pw AS (SELECT p,
+                         SUM(CAST(x AS DOUBLE)
+                             * cos(2.0 * 3.141592653589793 * CAST(t AS DOUBLE) / CAST(p AS DOUBLE))) AS sc,
+                         SUM(CAST(x AS DOUBLE)
+                             * sin(2.0 * 3.141592653589793 * CAST(t AS DOUBLE) / CAST(p AS DOUBLE))) AS ss
+                  FROM daily, periods GROUP BY 1),
+           pwr AS (SELECT p, sc * sc + ss * ss AS power FROM pw),
+           tot AS (SELECT SUM(power) AS tp FROM pwr)
+      SELECT p AS period_days, ROUND(power / tp, 6) + 0 AS power_share
+      FROM pwr, tot ORDER BY period_days""",
+
+    "q_matrix_profile" -> """
+      WITH raw AS (SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+                            AS dayn,
+                          CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS x
+                   FROM events GROUP BY 1),
+           d0 AS (SELECT CAST(MIN(dayn) AS BIGINT) AS d0, CAST(MAX(dayn) AS BIGINT) AS d1
+                  FROM raw),
+           daily AS (SELECT dayn - d0 AS t, x, d1 - d0 + 1 AS nd FROM raw, d0),
+           wins AS (SELECT w.t, CAST(COUNT(*) AS BIGINT) AS wn, CAST(SUM(e.x) AS BIGINT) AS ws,
+                           CAST(SUM(e.x * e.x) AS BIGINT) AS wq, MAX(w.nd) AS nd
+                    FROM daily w JOIN daily e ON e.t BETWEEN w.t AND w.t + 4
+                    GROUP BY 1),
+           ok AS (SELECT t, ws, wq FROM wins WHERE wn = 5 AND t <= nd - 5),
+           pr AS (SELECT a.t AS i, b.t AS j, a.ws AS wsi, a.wq AS wqi, b.ws AS wsj, b.wq AS wqj,
+                         CAST(SUM(ei.x * ej.x) AS BIGINT) AS sxy
+                  FROM ok a JOIN ok b ON ABS(a.t - b.t) >= 3
+                  JOIN daily ei ON ei.t BETWEEN a.t AND a.t + 4
+                  JOIN daily ej ON ej.t - b.t = ei.t - a.t
+                  GROUP BY 1, 2, 3, 4, 5, 6),
+           dist AS (SELECT i, j,
+                           ROUND(SQRT(GREATEST(0.0, 2.0 * 5.0 * (1.0 -
+                             (CAST(sxy AS DOUBLE) - 5.0 * (CAST(wsi AS DOUBLE) / 5.0) * (CAST(wsj AS DOUBLE) / 5.0))
+                             / (5.0 * SQRT((CAST(wqi AS DOUBLE) / 5.0 - (CAST(wsi AS DOUBLE) / 5.0) * (CAST(wsi AS DOUBLE) / 5.0))
+                                           * (CAST(wqj AS DOUBLE) / 5.0 - (CAST(wsj AS DOUBLE) / 5.0) * (CAST(wsj AS DOUBLE) / 5.0))))))), 4) + 0
+                             AS zdist
+                    FROM pr),
+           best AS (SELECT i, j, zdist,
+                           ROW_NUMBER() OVER (PARTITION BY i ORDER BY zdist, j) AS rn
+                    FROM dist)
+      SELECT i AS window_start, j AS nn_window, zdist FROM best WHERE rn = 1
+      ORDER BY window_start""",
+
+    "q_single_linkage_step" -> """
+      WITH n AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                        list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE)*1e7) AS BIGINT)) AS qe
+                 FROM embeddings WHERE label < 5),
+           cross_d AS (SELECT a.label AS la, b.label AS lb,
+                              CAST(list_sum(list_transform(list_zip(a.qe, b.qe),
+                                   p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS d2
+                       FROM n a JOIN n b ON a.label < b.label),
+           m AS (SELECT la, lb, CAST(MIN(d2) AS BIGINT) AS min_d2,
+                        CAST(COUNT(*) AS BIGINT) AS n_pairs
+                 FROM cross_d GROUP BY 1, 2),
+           best AS (SELECT la AS ma, lb AS mb FROM m
+                    ORDER BY min_d2, la, lb LIMIT 1)
+      SELECT la, lb, min_d2, n_pairs,
+             CAST(CASE WHEN la = ma AND lb = mb THEN 1 ELSE 0 END AS BIGINT) AS merges_first
+      FROM m, best ORDER BY la, lb""",
+
+    "q_fairness_audit" -> """
+      WITH d AS (SELECT lang,
+                        CASE WHEN len(string_split(text, ' ')) >= 30 THEN 1 ELSE 0 END AS pred,
+                        CASE WHEN len(list_distinct(string_split(text, ' '))) * 2
+                                  >= len(string_split(text, ' ')) THEN 1 ELSE 0 END AS label
+                 FROM documents),
+           per AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(pred) * 10000 // COUNT(*) AS BIGINT) AS sel_rate_e4,
+                          CAST(SUM(pred * label) * 10000 // SUM(label) AS BIGINT) AS tpr_e4,
+                          CAST(SUM(pred * (1 - label)) * 10000 // (COUNT(*) - SUM(label))
+                               AS BIGINT) AS fpr_e4
+                   FROM d GROUP BY 1),
+           gap AS (SELECT CAST(MAX(sel_rate_e4) - MIN(sel_rate_e4) AS BIGINT) AS dp_gap_e4
+                   FROM per)
+      SELECT lang, n, sel_rate_e4, tpr_e4, fpr_e4, dp_gap_e4 FROM per, gap ORDER BY lang""",
+
+    "q_emd_drift" -> """
+      WITH b AS (SELECT CAST(ROUND(value*100) AS BIGINT) // 100 AS bin,
+                        CAST(SUM(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                                      THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                        CAST(SUM(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                                      THEN 0 ELSE 1 END) AS BIGINT) AS cb
+                 FROM events GROUP BY 1),
+           cum AS (SELECT t.bin, CAST(SUM(p.ca) AS BIGINT) AS cuma,
+                          CAST(SUM(p.cb) AS BIGINT) AS cumb
+                   FROM b t JOIN b p ON p.bin <= t.bin GROUP BY 1),
+           tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM b)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_bins, MAX(na) AS n_first, MAX(nb) AS n_second,
+             ROUND(CAST(SUM(ABS(cuma * nb - cumb * na)) AS DOUBLE)
+                   / (CAST(MAX(na) AS DOUBLE) * CAST(MAX(nb) AS DOUBLE)), 6) + 0 AS emd_bins
+      FROM cum, tot""",
+
+    "q_rank_biased_overlap" -> """
+      WITH g AS (SELECT p_brand AS brand,
+                        CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev,
+                        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+                 FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+           ra AS (SELECT a.brand, CAST(COUNT(b.brand) + 1 AS BIGINT) AS ra
+                  FROM g a LEFT JOIN g b
+                    ON b.rev > a.rev OR (b.rev = a.rev AND b.brand < a.brand)
+                  GROUP BY 1),
+           rb AS (SELECT a.brand, CAST(COUNT(b.brand) + 1 AS BIGINT) AS rb
+                  FROM g a LEFT JOIN g b
+                    ON b.qty > a.qty OR (b.qty = a.qty AND b.brand < a.brand)
+                  GROUP BY 1),
+           ranks AS (SELECT ra.brand, ra, rb FROM ra JOIN rb ON ra.brand = rb.brand),
+           depths AS (SELECT CAST(range AS BIGINT) AS d FROM range(1, 26)),
+           ov AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS ov FROM ranks, depths
+                  WHERE ra <= d AND rb <= d GROUP BY 1),
+           terms AS (SELECT d, ov,
+                            0.1 * pow(0.9, CAST(d - 1 AS DOUBLE)) * CAST(ov AS DOUBLE)
+                            / CAST(d AS DOUBLE) AS term
+                     FROM ov)
+      SELECT ROUND(SUM(term), 6) + 0 AS rbo_p09, CAST(SUM(ov) AS BIGINT) AS ov_total
+      FROM terms""",
+
+    "q_successive_halving" -> """
+      WITH d AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+                        CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS y,
+                        CAST('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || '#'
+                          || CAST(l_linenumber AS VARCHAR)), 1, 8) AS BIGINT) % 2 AS half
+                 FROM lineitem),
+           configs AS (SELECT CAST(range * 5 AS BIGINT) AS t FROM range(1, 9)),
+           r1 AS (SELECT t, CAST(SUM(CASE WHEN (CASE WHEN q <= t THEN 1 ELSE 0 END) = y
+                                          THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+                         AS acc1_e6
+                  FROM d, configs WHERE half = 0 GROUP BY 1),
+           pr AS (SELECT a.t, a.acc1_e6, CAST(COUNT(b.t) AS BIGINT) AS n_better
+                  FROM r1 a LEFT JOIN r1 b
+                    ON b.acc1_e6 > a.acc1_e6 OR (b.acc1_e6 = a.acc1_e6 AND b.t < a.t)
+                  GROUP BY 1, 2),
+           r2 AS (SELECT t, CAST(SUM(CASE WHEN (CASE WHEN q <= t THEN 1 ELSE 0 END) = y
+                                          THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+                         AS acc2_e6
+                  FROM d, configs GROUP BY 1)
+      SELECT pr.t AS threshold, acc1_e6,
+             CAST(CASE WHEN n_better < 4 THEN 1 ELSE 0 END AS BIGINT) AS survived,
+             CASE WHEN n_better < 4 THEN r2.acc2_e6 ELSE -1 END AS acc2_e6
+      FROM pr JOIN r2 ON pr.t = r2.t ORDER BY threshold""",
+
+    "q_pacf" -> """
+      WITH raw AS (SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+                            AS t,
+                          CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS x
+                   FROM events GROUP BY 1),
+           base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s,
+                           CAST(SUM(x*x) AS BIGINT) AS q FROM raw),
+           l1 AS (SELECT CAST(SUM(a.x * b.x) AS BIGINT) AS c1, CAST(COUNT(*) AS BIGINT) AS n1,
+                         CAST(SUM(a.x) AS BIGINT) AS sa1, CAST(SUM(b.x) AS BIGINT) AS sb1
+                  FROM raw a JOIN raw b ON b.t = a.t + 1),
+           l2 AS (SELECT CAST(SUM(a.x * b.x) AS BIGINT) AS c2, CAST(COUNT(*) AS BIGINT) AS n2,
+                         CAST(SUM(a.x) AS BIGINT) AS sa2, CAST(SUM(b.x) AS BIGINT) AS sb2
+                  FROM raw a JOIN raw b ON b.t = a.t + 2),
+           r AS (SELECT n AS n_days,
+                        (CAST(c1 AS DOUBLE) - CAST(sa1 AS DOUBLE) * CAST(sb1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                        / (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS r1,
+                        (CAST(c2 AS DOUBLE) - CAST(sa2 AS DOUBLE) * CAST(sb2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                        / (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS r2
+                 FROM base, l1, l2)
+      SELECT n_days, ROUND(r1, 6) + 0 AS pacf_lag1,
+             ROUND((r2 - r1 * r1) / (1.0 - r1 * r1), 6) + 0 AS pacf_lag2
+      FROM r""",
+
+    "q_burrows_delta" -> """
+      WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+           topw AS (SELECT w FROM (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1)
+                    ORDER BY c DESC, w LIMIT 20),
+           st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nt FROM toks GROUP BY 1),
+           sh AS (SELECT toks.source, toks.w, CAST(COUNT(*) * 1000000 // MAX(nt) AS BIGINT)
+                           AS sh_e6
+                  FROM toks JOIN topw ON toks.w = topw.w
+                  JOIN st ON toks.source = st.source
+                  GROUP BY 1, 2),
+           ws AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS ns, CAST(SUM(sh_e6) AS BIGINT) AS ss,
+                         CAST(SUM(sh_e6 * sh_e6) AS BIGINT) AS qq
+                  FROM sh GROUP BY 1),
+           z AS (SELECT source, sh.w,
+                        (CAST(sh_e6 AS DOUBLE) - CAST(ss AS DOUBLE) / CAST(ns AS DOUBLE))
+                        / SQRT((CAST(qq AS DOUBLE) - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) / CAST(ns AS DOUBLE))
+                               / CAST(ns - 1 AS DOUBLE)) AS z
+                 FROM sh JOIN ws ON sh.w = ws.w),
+           z0 AS (SELECT w, z AS z0 FROM z WHERE source = 'src0')
+      SELECT z.source, CAST(COUNT(*) AS BIGINT) AS n_words,
+             ROUND(AVG(ABS(z - z0)), 4) + 0 AS delta
+      FROM z JOIN z0 ON z.w = z0.w WHERE z.source <> 'src0'
+      GROUP BY 1 ORDER BY 1""",
+
+    "q_df_pruning" -> """
+      WITH df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM
+                    (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+                     FROM documents)
+                  GROUP BY 1),
+           tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS v0, CAST(SUM(df) AS BIGINT) AS p0 FROM df),
+           ts AS (SELECT CAST(range AS BIGINT) AS min_df FROM range(1, 6))
+      SELECT min_df, CAST(COUNT(*) AS BIGINT) AS vocab, CAST(SUM(df) AS BIGINT) AS postings,
+             CAST(COUNT(*) * 10000 // MAX(v0) AS BIGINT) AS vocab_kept_e4,
+             CAST(SUM(df) * 10000 // MAX(p0) AS BIGINT) AS postings_kept_e4
+      FROM df, tot, ts WHERE df >= min_df GROUP BY 1 ORDER BY 1""",
+
+    "q_largest_remainder" -> """
+      WITH g AS (SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS ni
+                 FROM customer GROUP BY 1),
+           tot AS (SELECT CAST(SUM(ni) AS BIGINT) AS n FROM g),
+           q AS (SELECT segment, ni, CAST(ni * 1000 // n AS BIGINT) AS floor_seats,
+                        CAST((ni * 1000) % n AS BIGINT) AS rem
+                 FROM g, tot),
+           used AS (SELECT CAST(SUM(floor_seats) AS BIGINT) AS used FROM q),
+           rk AS (SELECT a.segment, a.ni, a.floor_seats, a.rem,
+                         CAST(COUNT(b.segment) AS BIGINT) AS rk
+                  FROM q a LEFT JOIN q b
+                    ON b.rem > a.rem OR (b.rem = a.rem AND b.segment < a.segment)
+                  GROUP BY 1, 2, 3, 4)
+      SELECT segment, ni, floor_seats,
+             CAST(CASE WHEN rk < 1000 - used THEN 1 ELSE 0 END AS BIGINT) AS extra_seat,
+             floor_seats + (CASE WHEN rk < 1000 - used THEN 1 ELSE 0 END) AS seats
+      FROM rk, used ORDER BY segment""",
+
+    "q_negative_sampling" -> """
+      WITH freq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM
+                      (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+                    GROUP BY 1),
+           tot AS (SELECT SUM(pow(CAST(c AS DOUBLE), 0.75)) AS z FROM freq)
+      SELECT w, c, ROUND(pow(CAST(c AS DOUBLE), 0.75) / z, 6) + 0 AS p_neg,
+             ROUND(10000.0 * pow(CAST(c AS DOUBLE), 0.75) / z, 2) + 0 AS draws_per_10k
+      FROM freq, tot ORDER BY c DESC, w LIMIT 20""",
+
+    "q_minibatch_balance" -> """
+      WITH d AS (SELECT CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 16
+                          AS batch, lang
+                 FROM documents),
+           global AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS gc FROM d GROUP BY 1),
+           gtot AS (SELECT CAST(SUM(gc) AS BIGINT) AS gn FROM global),
+           per AS (SELECT batch, lang, CAST(COUNT(*) AS BIGINT) AS bc FROM d GROUP BY 1, 2),
+           btot AS (SELECT batch, CAST(SUM(bc) AS BIGINT) AS bn FROM per GROUP BY 1),
+           terms AS (SELECT per.batch, bn,
+                            (CAST(bc AS DOUBLE) / CAST(bn AS DOUBLE))
+                            * ln((CAST(bc AS DOUBLE) / CAST(bn AS DOUBLE))
+                                 / (CAST(gc AS DOUBLE) / CAST(gn AS DOUBLE))) AS term
+                     FROM per JOIN btot ON per.batch = btot.batch
+                     JOIN global ON per.lang = global.lang, gtot)
+      SELECT batch, MAX(bn) AS n_docs, ROUND(SUM(term), 6) + 0 AS kl_vs_corpus
+      FROM terms GROUP BY 1 ORDER BY 1""",
+
     "q_discount_depth" -> """
       SELECT CAST(ROUND(l_discount*100) AS BIGINT) AS discount_pct,
              CAST(COUNT(*) AS BIGINT) AS n_lines,
