@@ -1976,4 +1976,238 @@ object MLDeterministic {
         (round(col("r1"), 6) + lit(0.0)).as("pacf_lag1"),
         (round(expr("(r2 - r1 * r1) / (1.0 - r1 * r1)"), 6) + lit(0.0)).as("pacf_lag2"))
   }
+
+  /** UCB1 allocation indices per arm (event type): mean reward +
+    * √(2 ln N / nᵢ) from the logged history — which arm a bandit would
+    * pull next and the implied exploration bonus ordering. The index is
+    * one fixed IEEE tree over exact counts; the pull-priority rank is a
+    * bounded theta join.
+    */
+  def q_ucb_allocation(spark: SparkSession, sf: String): DataFrame = {
+    val arms = Tables.eventsWithTs(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("ni"), sum(cents(col("value"))).as("si"))
+    val tot = arms.agg(sum(col("ni")).as("n"))
+    val idx = arms.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("ni"),
+        (round(expr("CAST(si AS DOUBLE) / CAST(ni AS DOUBLE)"), 4) + lit(0.0))
+          .as("mean_cents"),
+        (round(expr(
+          """CAST(si AS DOUBLE) / CAST(ni AS DOUBLE)
+             + 24500.0 * SQRT(2.0 * ln(CAST(n AS DOUBLE)) / CAST(ni AS DOUBLE))"""),
+          4) + lit(0.0)).as("ucb_index"))
+    idx.as("a")
+      .join(idx.select(col("event_type").as("e2"), col("ucb_index").as("u2")).as("b"),
+        col("u2") > col("ucb_index") ||
+          (col("u2") === col("ucb_index") && col("e2") < col("event_type")), "left_outer")
+      .groupBy(col("a.event_type").as("event_type"), col("a.ni").as("n_pulls"),
+        col("a.mean_cents").as("mean_cents"), col("a.ucb_index").as("ucb_index"))
+      .agg((count(col("e2")) + 1L).as("pull_priority"))
+      .orderBy("event_type")
+  }
+
+  /** Holm sequentially-rejective multiple-testing correction over the
+    * five per-segment urgent-share χ² tests (1 df): statistics ranked
+    * descending meet increasingly lenient critical literals
+    * (α/5, α/4, …); rejection stops at the first failure — the
+    * family-wise-error guard a metrics platform applies before flagging
+    * segments. Exact counts; the χ² and the stop-rule are fixed trees.
+    */
+  def q_holm_correction(spark: SparkSession, sf: String): DataFrame = {
+    val g = Tables.orders(spark, sf)
+      .join(broadcast(Tables.customer(spark, sf)
+        .select(col("c_custkey"), col("c_mktsegment"))), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("s"))
+    val tot = g.agg(sum(col("n")).as("tn"), sum(col("s")).as("ts"))
+    val stat = g.crossJoin(broadcast(tot))
+      .select(col("segment"), col("n"), col("s"),
+        // χ² vs the pooled urgent share: (o-e)²/e + ((n-o)-(n-e))²/(n-e)
+        expr(
+          """(CAST(s AS DOUBLE) - CAST(n AS DOUBLE) * CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE))
+             * (CAST(s AS DOUBLE) - CAST(n AS DOUBLE) * CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE))
+             * (1.0 / (CAST(n AS DOUBLE) * CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE))
+                + 1.0 / (CAST(n AS DOUBLE) * (1.0 - CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE))))""")
+          .as("chi2"))
+    val ranked = stat.as("a")
+      .join(stat.select(col("segment").as("s2"), col("chi2").as("c2")).as("b"),
+        col("c2") > col("chi2") || (col("c2") === col("chi2") && col("s2") < col("segment")),
+        "left_outer")
+      .groupBy(col("a.segment").as("segment"), col("a.chi2").as("chi2"))
+      .agg((count(col("s2")) + 1L).as("rk"))
+    // Holm critical values for α=0.05, m=5: χ²₁ quantiles at α/5..α/1
+    val crit = ranked.select(col("segment"), col("chi2"), col("rk"),
+      when(col("rk") === 1, 6.6349).when(col("rk") === 2, 6.2385)
+        .when(col("rk") === 3, 5.7305).when(col("rk") === 4, 5.0239)
+        .otherwise(3.8415).as("crit"))
+      .withColumn("passes", (col("chi2") > col("crit")).cast("long"))
+    // sequential stop: rejected only if every smaller rank also passed
+    val rejected = crit.as("a")
+      .join(crit.select(col("rk").as("rk2"), col("passes").as("p2")).as("b"),
+        col("rk2") <= col("rk"))
+      .groupBy(col("a.segment").as("segment"), col("a.chi2").as("chi2"),
+        col("a.rk").as("holm_rank"), col("a.crit").as("crit_value"))
+      .agg(min(col("p2")).as("rejected"))
+    rejected.select(col("segment"), (round(col("chi2"), 4) + lit(0.0)).as("chi2"),
+      col("holm_rank"), col("crit_value"), col("rejected"))
+      .orderBy("holm_rank")
+  }
+
+  /** Decision-curve analysis of the quantity≤25 return-risk classifier:
+    * net benefit NB(t) = TP/n − FP/n · t/(1−t) across thresholds
+    * 0.1-0.5, against the treat-all and treat-none baselines — the
+    * utility-aware evaluation that precision/recall curves ignore.
+    * Exact counts; per-threshold epilogue.
+    */
+  def q_decision_curve(spark: SparkSession, sf: String): DataFrame = {
+    val d = Tables.lineitem(spark, sf)
+      .select((col("l_quantity") <= 25.0).cast("long").as("pred"),
+        (col("l_returnflag") === "A").cast("long").as("y"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("ny"),
+        sum(col("pred") * col("y")).as("tp"),
+        sum(col("pred") * (lit(1L) - col("y"))).as("fp"))
+    val ts = Tables.lineitem(spark, sf).sparkSession.range(1, 6)
+      .select((col("id").cast("double") / 10.0).as("t"))
+    d.crossJoin(broadcast(ts))
+      .select(col("t"), col("n"), col("tp"), col("fp"),
+        (round(expr(
+          """CAST(tp AS DOUBLE) / CAST(n AS DOUBLE)
+             - CAST(fp AS DOUBLE) / CAST(n AS DOUBLE) * t / (1.0 - t)"""), 6) + lit(0.0))
+          .as("net_benefit_model"),
+        (round(expr(
+          """CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)
+             - (1.0 - CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)) * t / (1.0 - t)"""), 6)
+          + lit(0.0)).as("net_benefit_treat_all"))
+      .orderBy("t")
+  }
+
+  /** Upper-tail dependence between daily view and purchase revenue:
+    * P(purchase > its q80 | view > its q80) vs the independence baseline
+    * 0.2 — do the two streams spike together? Exact day counts over
+    * percentile thresholds; the extreme-value diagnostic correlation
+    * misses.
+    */
+  def q_tail_dependence(spark: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.eventsWithTs(spark, sf)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(to_date(col("ts_us")).as("day"), col("event_type"))
+      .agg(sum(cents(col("value"))).as("v"))
+    val wide = daily.groupBy(col("day"))
+      .agg(max(when(col("event_type") === "view", col("v"))).as("x"),
+        max(when(col("event_type") === "purchase", col("v"))).as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    val qs = wide.agg(percentile(col("x"), lit(0.8)).as("qx"),
+      percentile(col("y"), lit(0.8)).as("qy"))
+    wide.crossJoin(broadcast(qs))
+      .agg(count(lit(1)).as("n_days"),
+        sum((col("x").cast("double") > col("qx")).cast("long")).as("n_x_hi"),
+        sum((col("y").cast("double") > col("qy")).cast("long")).as("n_y_hi"),
+        sum(((col("x").cast("double") > col("qx")) &&
+          (col("y").cast("double") > col("qy"))).cast("long")).as("n_both_hi"))
+      .select(col("n_days"), col("n_x_hi"), col("n_y_hi"), col("n_both_hi"),
+        (round(expr("CAST(n_both_hi AS DOUBLE) / CAST(n_x_hi AS DOUBLE)"), 6) + lit(0.0))
+          .as("lambda_upper"))
+  }
+
+  /** One-lag Granger test: does yesterday's view count improve today's
+    * purchase-revenue prediction beyond its own lag? Restricted
+    * (y~y₋₁) and unrestricted (y~y₋₁+x₋₁) OLS via exact sums, F =
+    * (SSE_r − SSE_u)/(SSE_u/(n−3)). The predictive-causality screen for
+    * metric dashboards. All alignments are bounded day-index joins.
+    */
+  def q_granger_test(spark: SparkSession, sf: String): DataFrame = {
+    val epoch = lit("1970-01-01").cast("date")
+    val daily = Tables.eventsWithTs(spark, sf)
+      .groupBy(datediff(to_date(col("ts_us")), epoch).cast("long").as("t"))
+      .agg(sum(when(col("event_type") === "purchase", cents(col("value"))).otherwise(0L))
+        .as("y"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"))
+    val tri = daily.as("a")
+      .join(daily.select(col("t").as("t1"), col("y").as("yl"), col("x").as("xl")).as("b"),
+        col("t1") === col("t") - 1)
+      .select(col("y"), col("yl"), col("xl"))
+    val s = tri.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"), sum(col("yl")).as("s1"),
+      sum(col("xl")).as("s2"), sum(col("yl") * col("yl")).as("s11"),
+      sum(col("xl") * col("xl")).as("s22"), sum(col("yl") * col("xl")).as("s12"),
+      sum(col("yl") * col("y")).as("s1y"), sum(col("xl") * col("y")).as("s2y"),
+      sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+    s.select(col("n").as("n_days"),
+      expr("CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)").as("c11"),
+      expr("CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)").as("c22"),
+      expr("CAST(n AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)").as("c12"),
+      expr("CAST(n AS DOUBLE) * CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE)").as("c1y"),
+      expr("CAST(n AS DOUBLE) * CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE)").as("c2y"),
+      expr("CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)").as("cyy"))
+      .select(col("n_days"),
+        expr("cyy - c1y * c1y / c11").as("sse_r"),
+        expr("""cyy - (c22 * c1y * c1y - 2.0 * c12 * c1y * c2y + c11 * c2y * c2y)
+                / (c11 * c22 - c12 * c12)""").as("sse_u"))
+      .select(col("n_days"),
+        (round(expr("(sse_r - sse_u) / (sse_u / CAST(n_days - 3 AS DOUBLE))"), 4)
+          + lit(0.0)).as("f_stat"))
+      .select(col("n_days"), col("f_stat"),
+        when(col("f_stat") > 4.2, 1L).otherwise(0L).as("granger_significant"))
+  }
+
+  /** Kendall's W concordance among THREE brand rankings (revenue,
+    * quantity, order count): W = 12·S/(m²(n³−n)) from exact integer rank
+    * sums — do the three league tables even agree before anyone debates
+    * which to use? Ranks via bounded theta joins; everything integer
+    * until the final ratio.
+    */
+  def q_kendall_w(spark: SparkSession, sf: String): DataFrame = {
+    val g = Tables.lineitem(spark, sf)
+      .join(broadcast(Tables.part(spark, sf).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(sum(cents(col("l_extendedprice"))).as("m1"),
+        sum(col("l_quantity").cast("long")).as("m2"),
+        countDistinct(col("l_orderkey")).as("m3"))
+    def rank(metric: String, as: String): DataFrame =
+      g.as("a").join(g.select(col("brand").as("b2"), col(metric).as("v2")).as("b"),
+        col("v2") > col(metric) ||
+          (col("v2") === col(metric) && col("b2") < col("brand")), "left_outer")
+        .groupBy(col("a.brand").as("brand")).agg((count(col("b2")) + 1L).as(as))
+    val ranks = rank("m1", "r1").join(rank("m2", "r2"), "brand")
+      .join(rank("m3", "r3"), "brand")
+      .select(col("brand"), (col("r1") + col("r2") + col("r3")).as("rsum"))
+    ranks
+      .agg(count(lit(1)).as("n"), sum(col("rsum")).as("st"),
+        sum(col("rsum") * col("rsum")).as("sq"))
+      .select(col("n").as("n_brands"),
+        (round(expr(
+          """12.0 * (CAST(sq AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE))
+             / (9.0 * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))"""),
+          6) + lit(0.0)).as("kendall_w"))
+  }
+
+  /** Delete-one-block jackknife standard error of the mean order total:
+    * 10 hash blocks, leave-one-out means, SE² = (g−1)/g · Σ(m₋ᵢ − m̄)².
+    * The resampling variance estimate that works on any statistic a
+    * cluster can compute per block — no replication of the data, one
+    * pass for the block sums.
+    */
+  def q_jackknife_se(spark: SparkSession, sf: String): DataFrame = {
+    import graft.core.Det.hash32
+    val blocks = Tables.orders(spark, sf)
+      .select((hash32(col("o_orderkey")) % 10).as("blk"), cents(col("o_totalprice")).as("v"))
+      .groupBy(col("blk")).agg(count(lit(1)).as("nb"), sum(col("v")).as("sb"))
+    val tot = blocks.agg(sum(col("nb")).as("n"), sum(col("sb")).as("s"),
+      count(lit(1)).as("g"))
+    val loo = blocks.crossJoin(broadcast(tot))
+      .select(col("blk"),
+        expr("""(CAST(s AS DOUBLE) - CAST(sb AS DOUBLE))
+                / (CAST(n AS DOUBLE) - CAST(nb AS DOUBLE))""").as("m_loo"),
+        expr("CAST(s AS DOUBLE) / CAST(n AS DOUBLE)").as("m_all"), col("g"))
+    loo.agg(max(col("g")).as("g"), avg(col("m_loo")).as("mbar"),
+      sum(expr("m_loo * m_loo")).as("sq"), sum(col("m_loo")).as("sm"),
+      max(col("m_all")).as("m_all"))
+      .select(col("g").as("n_blocks"),
+        (round(col("m_all"), 4) + lit(0.0)).as("mean_cents"),
+        (round(expr(
+          """SQRT((CAST(g AS DOUBLE) - 1.0) / CAST(g AS DOUBLE)
+                  * (sq - sm * sm / CAST(g AS DOUBLE)))"""), 4) + lit(0.0))
+          .as("jackknife_se_cents"))
+  }
 }

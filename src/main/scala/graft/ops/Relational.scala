@@ -1363,4 +1363,60 @@ object Relational {
         (col("floor_seats") + col("extra_seat")).as("seats"))
       .orderBy("segment")
   }
+
+  /** Zone-map (min/max statistics) pruning audit: parts land in 16
+    * partkey-range "files"; for a retail-price band predicate, a file
+    * can be skipped iff its [min,max] price range misses the band. The
+    * report counts candidate files (zone-map overlap) vs files with true
+    * matches — the false-keep gap IS the benefit a sort/Z-order layout
+    * would add. Two aggregates over derived file keys.
+    */
+  def q_zone_map_pruning(spark: SparkSession, sf: String): DataFrame = {
+    val pts = Tables.part(spark, sf)
+      .select(col("p_partkey"), cents(col("p_retailprice")).as("rc"))
+    val mx = pts.agg(max(col("p_partkey")).as("mk"))
+    val filed = pts.crossJoin(broadcast(mx))
+      .select(expr("least(15, p_partkey * 16 div (mk + 1))").as("file"), col("rc"))
+    val zones = filed.groupBy(col("file"))
+      .agg(count(lit(1)).as("n_rows"), min(col("rc")).as("zmin"), max(col("rc")).as("zmax"),
+        sum(when(col("rc").between(100000L, 120000L), 1L).otherwise(0L)).as("n_match"))
+    zones
+      .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("n_rows"),
+        sum(col("n_match")).as("n_match_rows"),
+        sum(when(col("zmax") >= 100000L && col("zmin") <= 120000L, 1L).otherwise(0L))
+          .as("files_kept_by_zonemap"),
+        sum(when(col("n_match") > 0L, 1L).otherwise(0L)).as("files_with_matches"))
+      .select(col("n_files"), col("n_rows"), col("n_match_rows"),
+        col("files_kept_by_zonemap"), col("files_with_matches"),
+        (col("files_kept_by_zonemap") - col("files_with_matches")).as("false_keeps"))
+  }
+
+  /** ETL row-count reconciliation across the fact join chain: lineitem
+    * rows in, rows surviving the orders join and the part join, plus the
+    * dangling-key accounting at each hop — the lineage audit a pipeline
+    * runs after every load to prove no rows silently vanished. Exact
+    * counts; anti-joins name the drop reasons.
+    */
+  def q_etl_reconciliation(spark: SparkSession, sf: String): DataFrame = {
+    val l = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_partkey"))
+    val o = Tables.orders(spark, sf).select(col("o_orderkey"))
+    val p = Tables.part(spark, sf).select(col("p_partkey"))
+    val base = l.agg(count(lit(1)).as("lineitem_rows"))
+    val afterO = l.join(o, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .agg(count(lit(1)).as("after_orders_join"))
+    val afterOP = l.join(o, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .join(p, col("l_partkey") === col("p_partkey"), "left_semi")
+      .agg(count(lit(1)).as("after_part_join"))
+    val orphanO = l.join(o, col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("dropped_no_order"))
+    val orphanP = l.join(p, col("l_partkey") === col("p_partkey"), "left_anti")
+      .agg(count(lit(1)).as("dropped_no_part"))
+    val emptyO = o.join(l, col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("orders_without_lines"))
+    base.crossJoin(afterO).crossJoin(afterOP).crossJoin(orphanO).crossJoin(orphanP)
+      .crossJoin(emptyO)
+      .select(col("lineitem_rows"), col("after_orders_join"), col("after_part_join"),
+        col("dropped_no_order"), col("dropped_no_part"), col("orders_without_lines"),
+        (col("lineitem_rows") - col("after_part_join")).as("total_dropped"))
+  }
 }

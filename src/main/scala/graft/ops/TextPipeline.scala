@@ -864,4 +864,32 @@ object TextPipeline {
         (round(sum(col("term")), 6) + lit(0.0)).as("kl_vs_corpus"))
       .orderBy("batch")
   }
+
+  /** Golden-record (survivorship) selection over near-duplicate groups:
+    * documents sharing a bag-of-words fingerprint form a duplicate
+    * group; the survivor is picked by the MDM rule chain longest text →
+    * lowest id, and the report shows per-(lang of survivor) group
+    * counts, members absorbed, and whether any group mixed languages or
+    * sources — the merge-provenance audit record linkage systems emit.
+    */
+  def q_golden_record(spark: SparkSession, sf: String): DataFrame = {
+    val fp = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(concat_ws(" ", array_sort(split(col("text"), " "))).cast("binary")).as("bow_fp"))
+    val w = Window.partitionBy(col("bow_fp"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val marked = fp.withColumn("rn", row_number().over(w))
+    val groups = marked.groupBy(col("bow_fp"))
+      .agg(count(lit(1)).as("n_members"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"))
+    marked.filter(col("rn") === 1)
+      .join(groups, "bow_fp")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_golden"),
+        sum(col("n_members") - 1L).as("n_absorbed"),
+        sum(when(col("n_langs") > 1L, 1L).otherwise(0L)).as("n_mixed_lang_groups"),
+        sum(when(col("n_sources") > 1L, 1L).otherwise(0L)).as("n_mixed_source_groups"))
+      .orderBy("lang")
+  }
 }

@@ -7330,6 +7330,233 @@ object OracleSql {
       SELECT batch, MAX(bn) AS n_docs, ROUND(SUM(term), 6) + 0 AS kl_vs_corpus
       FROM terms GROUP BY 1 ORDER BY 1""",
 
+    "q_ucb_allocation" -> """
+      WITH arms AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS ni,
+                           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS si
+                    FROM events GROUP BY 1),
+           tot AS (SELECT CAST(SUM(ni) AS BIGINT) AS n FROM arms),
+           idx AS (SELECT event_type, ni,
+                          ROUND(CAST(si AS DOUBLE) / CAST(ni AS DOUBLE), 4) + 0 AS mean_cents,
+                          ROUND(CAST(si AS DOUBLE) / CAST(ni AS DOUBLE)
+                                + 24500.0 * SQRT(2.0 * ln(CAST(n AS DOUBLE)) / CAST(ni AS DOUBLE)), 4) + 0
+                            AS ucb_index
+                   FROM arms, tot)
+      SELECT a.event_type, a.ni AS n_pulls, a.mean_cents, a.ucb_index,
+             CAST(COUNT(b.event_type) + 1 AS BIGINT) AS pull_priority
+      FROM idx a LEFT JOIN idx b
+        ON b.ucb_index > a.ucb_index
+        OR (b.ucb_index = a.ucb_index AND b.event_type < a.event_type)
+      GROUP BY 1, 2, 3, 4 ORDER BY 1""",
+
+    "q_holm_correction" -> """
+      WITH g AS (SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+                             AS BIGINT) AS s
+                 FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1),
+           tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(s) AS BIGINT) AS ts FROM g),
+           stat AS (SELECT segment,
+                           (CAST(s AS DOUBLE) - CAST(n AS DOUBLE) * CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE))
+                           * (CAST(s AS DOUBLE) - CAST(n AS DOUBLE) * CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE))
+                           * (1.0 / (CAST(n AS DOUBLE) * CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE))
+                              + 1.0 / (CAST(n AS DOUBLE) * (1.0 - CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE))))
+                             AS chi2
+                    FROM g, tot),
+           rk AS (SELECT a.segment, a.chi2, CAST(COUNT(b.segment) + 1 AS BIGINT) AS rk
+                  FROM stat a LEFT JOIN stat b
+                    ON b.chi2 > a.chi2 OR (b.chi2 = a.chi2 AND b.segment < a.segment)
+                  GROUP BY 1, 2),
+           crit AS (SELECT segment, chi2, rk,
+                           CASE rk WHEN 1 THEN 6.6349 WHEN 2 THEN 6.2385 WHEN 3 THEN 5.7305
+                                   WHEN 4 THEN 5.0239 ELSE 3.8415 END AS crit,
+                           CASE WHEN chi2 > (CASE rk WHEN 1 THEN 6.6349 WHEN 2 THEN 6.2385
+                                             WHEN 3 THEN 5.7305 WHEN 4 THEN 5.0239
+                                             ELSE 3.8415 END) THEN 1 ELSE 0 END AS passes
+                    FROM rk)
+      SELECT a.segment, ROUND(a.chi2, 4) + 0 AS chi2, a.rk AS holm_rank,
+             a.crit AS crit_value, CAST(MIN(b.passes) AS BIGINT) AS rejected
+      FROM crit a JOIN crit b ON b.rk <= a.rk
+      GROUP BY 1, 2, 3, 4 ORDER BY holm_rank""",
+
+    "q_decision_curve" -> """
+      WITH d AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ny,
+                        CAST(SUM(CASE WHEN l_quantity <= 25.0 AND l_returnflag = 'A'
+                                      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                        CAST(SUM(CASE WHEN l_quantity <= 25.0 AND l_returnflag <> 'A'
+                                      THEN 1 ELSE 0 END) AS BIGINT) AS fp
+                 FROM lineitem),
+           ts AS (SELECT CAST(range AS DOUBLE) / 10.0 AS t FROM range(1, 6))
+      SELECT t, n, tp, fp,
+             ROUND(CAST(tp AS DOUBLE) / CAST(n AS DOUBLE)
+                   - CAST(fp AS DOUBLE) / CAST(n AS DOUBLE) * t / (1.0 - t), 6) + 0
+               AS net_benefit_model,
+             ROUND(CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)
+                   - (1.0 - CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)) * t / (1.0 - t), 6) + 0
+               AS net_benefit_treat_all
+      FROM d, ts ORDER BY t""",
+
+    "q_tail_dependence" -> """
+      WITH daily AS (SELECT CAST(ts AS DATE) AS day, event_type,
+                            CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS v
+                     FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1, 2),
+           wide AS (SELECT day, MAX(CASE WHEN event_type = 'view' THEN v END) AS x,
+                           MAX(CASE WHEN event_type = 'purchase' THEN v END) AS y
+                    FROM daily GROUP BY 1),
+           w2 AS (SELECT * FROM wide WHERE x IS NOT NULL AND y IS NOT NULL),
+           qs AS (SELECT quantile_cont(x, 0.8) AS qx, quantile_cont(y, 0.8) AS qy FROM w2)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(CASE WHEN CAST(x AS DOUBLE) > qx THEN 1 ELSE 0 END) AS BIGINT) AS n_x_hi,
+             CAST(SUM(CASE WHEN CAST(y AS DOUBLE) > qy THEN 1 ELSE 0 END) AS BIGINT) AS n_y_hi,
+             CAST(SUM(CASE WHEN CAST(x AS DOUBLE) > qx AND CAST(y AS DOUBLE) > qy
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_both_hi,
+             ROUND(CAST(SUM(CASE WHEN CAST(x AS DOUBLE) > qx AND CAST(y AS DOUBLE) > qy
+                                 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(SUM(CASE WHEN CAST(x AS DOUBLE) > qx THEN 1 ELSE 0 END) AS DOUBLE), 6) + 0
+               AS lambda_upper
+      FROM w2, qs""",
+
+    "q_granger_test" -> """
+      WITH daily AS (SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+                              AS t,
+                            CAST(SUM(CASE WHEN event_type = 'purchase'
+                                          THEN CAST(ROUND(value*100) AS BIGINT) ELSE 0 END)
+                                 AS BIGINT) AS y,
+                            CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+                              AS x
+                     FROM events GROUP BY 1),
+           tri AS (SELECT a.y, b.y AS yl, b.x AS xl FROM daily a
+                   JOIN daily b ON b.t = a.t - 1),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS sy,
+                        CAST(SUM(yl) AS BIGINT) AS s1, CAST(SUM(xl) AS BIGINT) AS s2,
+                        CAST(SUM(yl*yl) AS BIGINT) AS s11, CAST(SUM(xl*xl) AS BIGINT) AS s22,
+                        CAST(SUM(yl*xl) AS BIGINT) AS s12, CAST(SUM(yl*y) AS BIGINT) AS s1y,
+                        CAST(SUM(xl*y) AS BIGINT) AS s2y, SUM(CAST(y AS HUGEINT) * y) AS syy
+                 FROM tri),
+           c AS (SELECT n AS n_days,
+                        CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) AS c11,
+                        CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) AS c22,
+                        CAST(n AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) AS c12,
+                        CAST(n AS DOUBLE) * CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE) AS c1y,
+                        CAST(n AS DOUBLE) * CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE) AS c2y,
+                        CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS cyy
+                 FROM s),
+           e AS (SELECT n_days, cyy - c1y * c1y / c11 AS sse_r,
+                        cyy - (c22 * c1y * c1y - 2.0 * c12 * c1y * c2y + c11 * c2y * c2y)
+                        / (c11 * c22 - c12 * c12) AS sse_u
+                 FROM c),
+           f AS (SELECT n_days,
+                        ROUND((sse_r - sse_u) / (sse_u / CAST(n_days - 3 AS DOUBLE)), 4) + 0
+                          AS f_stat
+                 FROM e)
+      SELECT n_days, f_stat,
+             CAST(CASE WHEN f_stat > 4.2 THEN 1 ELSE 0 END AS BIGINT) AS granger_significant
+      FROM f""",
+
+    "q_kendall_w" -> """
+      WITH g AS (SELECT p_brand AS brand,
+                        CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS m1,
+                        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS m2,
+                        CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS m3
+                 FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+           r1 AS (SELECT a.brand, CAST(COUNT(b.brand) + 1 AS BIGINT) AS r1 FROM g a
+                  LEFT JOIN g b ON b.m1 > a.m1 OR (b.m1 = a.m1 AND b.brand < a.brand)
+                  GROUP BY 1),
+           r2 AS (SELECT a.brand, CAST(COUNT(b.brand) + 1 AS BIGINT) AS r2 FROM g a
+                  LEFT JOIN g b ON b.m2 > a.m2 OR (b.m2 = a.m2 AND b.brand < a.brand)
+                  GROUP BY 1),
+           r3 AS (SELECT a.brand, CAST(COUNT(b.brand) + 1 AS BIGINT) AS r3 FROM g a
+                  LEFT JOIN g b ON b.m3 > a.m3 OR (b.m3 = a.m3 AND b.brand < a.brand)
+                  GROUP BY 1),
+           rs AS (SELECT r1.brand, r1 + r2 + r3 AS rsum
+                  FROM r1 JOIN r2 ON r1.brand = r2.brand JOIN r3 ON r1.brand = r3.brand),
+           t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(rsum) AS BIGINT) AS st,
+                        CAST(SUM(rsum * rsum) AS BIGINT) AS sq
+                 FROM rs)
+      SELECT n AS n_brands,
+             ROUND(12.0 * (CAST(sq AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE))
+                   / (9.0 * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))), 6) + 0
+               AS kendall_w
+      FROM t""",
+
+    "q_jackknife_se" -> """
+      WITH blocks AS (SELECT CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
+                               AS BIGINT) % 10 AS blk,
+                             CAST(COUNT(*) AS BIGINT) AS nb,
+                             CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sb
+                      FROM orders GROUP BY 1),
+           tot AS (SELECT CAST(SUM(nb) AS BIGINT) AS n, CAST(SUM(sb) AS BIGINT) AS s,
+                          CAST(COUNT(*) AS BIGINT) AS g
+                   FROM blocks),
+           loo AS (SELECT blk,
+                          (CAST(s AS DOUBLE) - CAST(sb AS DOUBLE))
+                          / (CAST(n AS DOUBLE) - CAST(nb AS DOUBLE)) AS m_loo,
+                          CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m_all, g
+                   FROM blocks, tot)
+      SELECT MAX(g) AS n_blocks, ROUND(MAX(m_all), 4) + 0 AS mean_cents,
+             ROUND(SQRT((CAST(MAX(g) AS DOUBLE) - 1.0) / CAST(MAX(g) AS DOUBLE)
+                        * (SUM(m_loo * m_loo) - SUM(m_loo) * SUM(m_loo) / CAST(MAX(g) AS DOUBLE))), 4) + 0
+               AS jackknife_se_cents
+      FROM loo""",
+
+    "q_zone_map_pruning" -> """
+      WITH pts AS (SELECT p_partkey, CAST(ROUND(p_retailprice*100) AS BIGINT) AS rc FROM part),
+           mx AS (SELECT CAST(MAX(p_partkey) AS BIGINT) AS mk FROM pts),
+           filed AS (SELECT LEAST(15, p_partkey * 16 // (mk + 1)) AS f, rc FROM pts, mx),
+           zones AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                            CAST(MIN(rc) AS BIGINT) AS zmin, CAST(MAX(rc) AS BIGINT) AS zmax,
+                            CAST(SUM(CASE WHEN rc BETWEEN 100000 AND 120000
+                                          THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+                     FROM filed GROUP BY 1)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_files, CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+             CAST(SUM(n_match) AS BIGINT) AS n_match_rows,
+             CAST(SUM(CASE WHEN zmax >= 100000 AND zmin <= 120000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS files_kept_by_zonemap,
+             CAST(SUM(CASE WHEN n_match > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS files_with_matches,
+             CAST(SUM(CASE WHEN zmax >= 100000 AND zmin <= 120000 THEN 1 ELSE 0 END)
+                  - SUM(CASE WHEN n_match > 0 THEN 1 ELSE 0 END) AS BIGINT) AS false_keeps
+      FROM zones""",
+
+    "q_etl_reconciliation" -> """
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS lineitem_rows,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+              WHERE l_orderkey IN (SELECT o_orderkey FROM orders)) AS after_orders_join,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+              WHERE l_orderkey IN (SELECT o_orderkey FROM orders)
+                AND l_partkey IN (SELECT p_partkey FROM part)) AS after_part_join,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+              WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS dropped_no_order,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+              WHERE l_partkey NOT IN (SELECT p_partkey FROM part)) AS dropped_no_part,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+              WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem))
+               AS orders_without_lines,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem)
+               - (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+                  WHERE l_orderkey IN (SELECT o_orderkey FROM orders)
+                    AND l_partkey IN (SELECT p_partkey FROM part)) AS total_dropped""",
+
+    "q_golden_record" -> """
+      WITH fp AS (SELECT doc_id, lang, source, n_chars,
+                         md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS bow_fp
+                  FROM documents),
+           marked AS (SELECT doc_id, lang, bow_fp,
+                             ROW_NUMBER() OVER (PARTITION BY bow_fp
+                               ORDER BY n_chars DESC, doc_id) AS rn
+                      FROM fp),
+           groups AS (SELECT bow_fp, CAST(COUNT(*) AS BIGINT) AS n_members,
+                             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+                      FROM fp GROUP BY 1)
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_golden,
+             CAST(SUM(n_members - 1) AS BIGINT) AS n_absorbed,
+             CAST(SUM(CASE WHEN n_langs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_mixed_lang_groups,
+             CAST(SUM(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_mixed_source_groups
+      FROM marked JOIN groups ON marked.bow_fp = groups.bow_fp
+      WHERE rn = 1 GROUP BY 1 ORDER BY 1""",
+
     "q_discount_depth" -> """
       SELECT CAST(ROUND(l_discount*100) AS BIGINT) AS discount_pct,
              CAST(COUNT(*) AS BIGINT) AS n_lines,
