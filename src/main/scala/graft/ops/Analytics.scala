@@ -2159,6 +2159,104 @@ object Analytics {
       .orderBy("brand")
   }
 
+  /** Inverse-MSE forecast combination: two naive forecasters of daily
+    * revenue (yesterday, same-day-last-week) are backtested, weighted by
+    * 1/MSE and blended — combination beats both components whenever
+    * their errors decorrelate, the standard first ensemble. Per-day
+    * errors are exact integer diffs; only the weighting is float.
+    */
+  def q_forecast_combo(spark: SparkSession, sf: String): DataFrame = {
+    val epoch = lit("1970-01-01").cast("date")
+    val daily = Tables.eventsWithTs(spark, sf)
+      .groupBy(datediff(to_date(col("ts_us")), epoch).cast("long").as("t"))
+      .agg(sum(cents(col("value"))).as("x"))
+    val tri = daily.as("a")
+      .join(daily.select(col("t").as("t1"), col("x").as("f1")).as("b"),
+        col("t1") === col("t") - 1)
+      .join(daily.select(col("t").as("t7"), col("x").as("f7")).as("c"),
+        col("t7") === col("t") - 7)
+      .select(col("x"), col("f1"), col("f7"),
+        (col("x") - col("f1")).as("e1"), (col("x") - col("f7")).as("e7"))
+    tri.agg(count(lit(1)).as("n"), sum(col("e1") * col("e1")).as("sse1"),
+      sum(col("e7") * col("e7")).as("sse7"),
+      sum(col("e1") * col("e7")).as("se17"))
+      .select(col("n").as("n_days"), col("sse1"), col("sse7"), col("se17"),
+        expr("CAST(sse7 AS DOUBLE) / (CAST(sse1 AS DOUBLE) + CAST(sse7 AS DOUBLE))").as("w1"))
+      .select(col("n_days"), col("sse1"), col("sse7"),
+        (round(col("w1"), 6) + lit(0.0)).as("weight_lag1"),
+        // MSE of the blend: w²·SSE1 + (1-w)²·SSE7 + 2w(1-w)·SE17, all /n
+        (round(expr(
+          """(w1 * w1 * CAST(sse1 AS DOUBLE) + (1.0 - w1) * (1.0 - w1) * CAST(sse7 AS DOUBLE)
+              + 2.0 * w1 * (1.0 - w1) * CAST(se17 AS DOUBLE)) / CAST(n_days AS DOUBLE)"""),
+          4) + lit(0.0)).as("mse_combo"))
+  }
+
+  /** Lincoln-Petersen / Chapman capture-recapture estimate of the active
+    * user population from two week-long observation windows, next to the
+    * true distinct count — the population-size trick that also estimates
+    * residual duplicates a dedup pass missed. Exact integer estimators.
+    */
+  def q_capture_recapture(spark: SparkSession, sf: String): DataFrame = {
+    val ev = Tables.eventsWithTs(spark, sf)
+      .select(col("user_id"), to_date(col("ts_us")).as("day"))
+    val w1 = ev.filter(col("day").between(lit("2024-01-01").cast("date"),
+      lit("2024-01-07").cast("date"))).select(col("user_id")).distinct()
+    val w2 = ev.filter(col("day").between(lit("2024-01-08").cast("date"),
+      lit("2024-01-14").cast("date"))).select(col("user_id")).distinct()
+    val n1 = w1.agg(count(lit(1)).as("n1"))
+    val n2 = w2.agg(count(lit(1)).as("n2"))
+    val m = w1.join(w2, "user_id").agg(count(lit(1)).as("m"))
+    val truth = ev.select(col("user_id")).distinct().agg(count(lit(1)).as("true_users"))
+    n1.crossJoin(n2).crossJoin(m).crossJoin(truth)
+      .select(col("n1"), col("n2"), col("m"), col("true_users"),
+        expr("n1 * n2 div m").as("lincoln_petersen"),
+        expr("(n1 + 1) * (n2 + 1) div (m + 1) - 1").as("chapman"))
+  }
+
+  /** Long-run (stationary) customer-tier mix: weekly spend tiers (fixed
+    * cent breakpoints), the week-over-week transition counts, and three
+    * power iterations of πP on an e12 integer lattice — where the tier
+    * distribution is heading if current dynamics hold. The same
+    * integer-floor recursion as the PageRank operator, applied to a
+    * behavioral Markov chain.
+    */
+  def q_stationary_tiers(spark: SparkSession, sf: String): DataFrame = {
+    val epoch = lit("1970-01-01").cast("date")
+    val weekly = Tables.eventsWithTs(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"),
+        (datediff(to_date(col("ts_us")), epoch) / 7).cast("long").as("wk"))
+      .agg(sum(cents(col("value"))).as("v"))
+      .select(col("user_id"), col("wk"),
+        when(col("v") < 100000L, 0L).when(col("v") < 300000L, 1L)
+          .when(col("v") < 600000L, 2L).otherwise(3L).as("tier"))
+    val trans = weekly.as("a")
+      .join(weekly.select(col("user_id").as("u2"), (col("wk") - 1).as("wk2"),
+        col("tier").as("dst")).as("b"),
+        col("user_id") === col("u2") && col("wk") === col("wk2"))
+      .groupBy(col("tier").as("src"), col("dst"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val rowTot = trans.groupBy(col("src")).agg(sum(col("c")).as("rt"))
+    val states = trans.select(col("src").as("s")).unionByName(trans.select(col("dst").as("s")))
+      .distinct()
+    def step(pi: DataFrame): DataFrame =
+      states.join(
+        pi.join(rowTot.select(col("src").as("s"), col("rt")), "s")
+          .join(trans.select(col("src").as("s"), col("dst"), col("c")), "s")
+          .select(col("dst").as("s"), expr("(p * c) div rt").as("contrib"))
+          .groupBy(col("s")).agg(sum(col("contrib")).as("pn")),
+        Seq("s"), "left_outer")
+        .select(col("s"), coalesce(col("pn"), lit(0L)).as("p"))
+        .localCheckpoint()
+    val n0 = states.agg(count(lit(1)).as("k"))
+    val pi0 = states.crossJoin(broadcast(n0))
+      .select(col("s"), expr("1000000000000 div k").as("p"))
+    val pi3 = step(step(step(pi0)))
+    pi3.select(col("s").as("tier"), expr("p div 1000000").as("share_e6"))
+      .orderBy("tier")
+  }
+
   /** Overlapping-interval merge (gaps-and-islands on ranges): each
     * shipment opens a 7-day service window; per supplier the overlapping
     * windows coalesce into maximal islands. Island starts are flagged

@@ -864,4 +864,81 @@ object Events {
       .select(col("i").as("window_start"), col("j").as("nn_window"), col("zdist"))
       .orderBy("window_start")
   }
+
+  /** Gumbel fit of 5-day block maxima of daily revenue by the method of
+    * moments (β = s√6/π, μ = m − γβ with literal γ, π) plus the implied
+    * exceedance probability of 1.5× the mean block max — extreme-value
+    * sizing from exactly six numbers. Block maxima are exact integers;
+    * only the moment epilogue and the double-exponential are float.
+    */
+  def q_gumbel_maxima(spark: SparkSession, sf: String): DataFrame = {
+    val epoch = lit("1970-01-01").cast("date")
+    val raw = Tables.eventsWithTs(spark, sf)
+      .groupBy(datediff(to_date(col("ts_us")), epoch).cast("long").as("dayn"))
+      .agg(sum(cents(col("value"))).as("x"))
+    val d0 = raw.agg(min(col("dayn")).as("d0"))
+    val blocks = raw.crossJoin(broadcast(d0))
+      .groupBy(expr("(dayn - d0) div 5").as("blk"))
+      .agg(max(col("x")).as("mx"))
+    blocks.agg(count(lit(1)).as("nb"), sum(col("mx")).as("s"),
+      sum(col("mx") * col("mx")).as("q"))
+      .select(col("nb").as("n_blocks"),
+        expr("CAST(s AS DOUBLE) / CAST(nb AS DOUBLE)").as("m"),
+        expr("""SQRT((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(nb AS DOUBLE))
+                / CAST(nb - 1 AS DOUBLE))""").as("sd"))
+      .select(col("n_blocks"),
+        expr("sd * 2.449489742783178 / 3.141592653589793").as("beta"),
+        col("m"), col("sd"))
+      .select(col("n_blocks"),
+        (round(col("m"), 4) + lit(0.0)).as("mean_block_max"),
+        (round(expr("m - 0.5772156649 * beta"), 4) + lit(0.0)).as("gumbel_mu"),
+        (round(col("beta"), 4) + lit(0.0)).as("gumbel_beta"),
+        (round(expr("1.0 - exp(-exp(-(1.5 * m - (m - 0.5772156649 * beta)) / beta))"), 6)
+          + lit(0.0)).as("p_exceed_150pct"))
+  }
+
+  /** M/M/1 queueing assessment of the error stream: arrival rate λ from
+    * exact event counts, a declared service capacity μ = 50/hour, and
+    * the steady-state utilization ρ, queue length Lq = ρ²/(1−ρ), and
+    * wait Wq — the back-of-envelope every incident-response rota is
+    * sized by, as a query.
+    */
+  def q_mm1_queue(spark: SparkSession, sf: String): DataFrame = {
+    val span = Tables.eventsWithTs(spark, sf)
+      .filter(col("event_type") === "error")
+      .agg(count(lit(1)).as("n"), min(col("ts_usl")).as("t0"), max(col("ts_usl")).as("t1"))
+    span.select(col("n").as("n_errors"),
+      expr("CAST(n AS DOUBLE) * 3600000000.0 / CAST(t1 - t0 AS DOUBLE)").as("lambda_hr"))
+      .select(col("n_errors"),
+        (round(col("lambda_hr"), 4) + lit(0.0)).as("arrivals_per_hour"),
+        (round(expr("lambda_hr / 50.0"), 6) + lit(0.0)).as("rho"),
+        (round(expr("(lambda_hr / 50.0) * (lambda_hr / 50.0) / (1.0 - lambda_hr / 50.0)"), 6)
+          + lit(0.0)).as("lq"),
+        (round(expr(
+          """(lambda_hr / 50.0) * (lambda_hr / 50.0) / (1.0 - lambda_hr / 50.0) / lambda_hr
+             * 60.0"""), 6) + lit(0.0)).as("wq_minutes"))
+  }
+
+  /** Sessionization-threshold sensitivity sweep: session counts and mean
+    * session size under inactivity gaps of 5/15/30/60 minutes — the
+    * tuning table read before freezing a session definition, produced
+    * from ONE keyed lag pass crossed with the threshold list.
+    */
+  def q_session_gap_sweep(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_usl").asc, col("event_id").asc)
+    val gaps = Tables.eventsWithTs(spark, sf)
+      .select(col("user_id"), col("ts_usl"), col("event_id"))
+      .withColumn("gap_us", col("ts_usl") - lag(col("ts_usl"), 1).over(w))
+    val ts = gaps.sparkSession.range(0, 4)
+      .select(when(col("id") === 0, 5L).when(col("id") === 1, 15L)
+        .when(col("id") === 2, 30L).otherwise(60L).as("gap_min"))
+    gaps.crossJoin(broadcast(ts))
+      .groupBy(col("gap_min"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("gap_us").isNull ||
+          col("gap_us") > col("gap_min") * 60000000L, 1L).otherwise(0L)).as("n_sessions"))
+      .select(col("gap_min"), col("n_events"), col("n_sessions"),
+        expr("n_events * 10000 div n_sessions").as("mean_events_per_session_e4"))
+      .orderBy("gap_min")
+  }
 }

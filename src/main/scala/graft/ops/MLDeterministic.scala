@@ -2210,4 +2210,66 @@ object MLDeterministic {
                   * (sq - sm * sm / CAST(g AS DOUBLE)))"""), 4) + lit(0.0))
           .as("jackknife_se_cents"))
   }
+
+  /** Page-Hinkley sequential drift detector over the daily revenue
+    * series: PH_t = Σ(xᵢ − mean_i − δ) with the running prefix mean,
+    * alarm when PH_t − min PH exceeds λ — the streaming change monitor
+    * that, unlike CUSUM against a FIXED baseline, adapts its reference
+    * as it goes. Prefix stats are bounded theta joins on the ~30-row
+    * day table; δ=10000, λ=500000 cents are declared literals.
+    */
+  def q_page_hinkley(spark: SparkSession, sf: String): DataFrame = {
+    val epoch = lit("1970-01-01").cast("date")
+    val daily = Tables.eventsWithTs(spark, sf)
+      .groupBy(datediff(to_date(col("ts_us")), epoch).cast("long").as("t"))
+      .agg(sum(cents(col("value"))).as("x"))
+    val prefix = daily.as("a")
+      .join(daily.select(col("t").as("t2"), col("x").as("x2")).as("b"),
+        col("t2") <= col("t"))
+      .groupBy(col("a.t").as("t"), col("a.x").as("x"))
+      .agg(count(lit(1)).as("i"), sum(col("x2")).as("si"))
+      .select(col("t"), col("x"),
+        expr("CAST(x AS DOUBLE) - CAST(si AS DOUBLE) / CAST(i AS DOUBLE) - 10000.0")
+          .as("term"))
+    val ph = prefix.as("a")
+      .join(prefix.select(col("t").as("t2"), col("term").as("term2")).as("b"),
+        col("t2") <= col("t"))
+      .groupBy(col("a.t").as("t"), col("a.x").as("x"))
+      .agg(sum(col("term2")).as("ph"))
+    val alarm = ph.as("a")
+      .join(ph.select(col("t").as("t2"), col("ph").as("ph2")).as("b"),
+        col("t2") <= col("t"))
+      .groupBy(col("a.t").as("t"), col("a.x").as("x"), col("a.ph").as("ph"))
+      .agg(min(col("ph2")).as("phmin"))
+    alarm.select(col("t").as("day_index"), col("x").as("revenue_cents"),
+      (round(col("ph"), 4) + lit(0.0)).as("ph_stat"),
+      when(col("ph") - col("phmin") > 500000.0, 1L).otherwise(0L).as("alarm"))
+      .orderBy("day_index")
+  }
+
+  /** Intraclass correlation ICC(1,1) of order totals within customers
+    * (one-way random effects): (MSB − MSW)/(MSB + (k̄−1)·MSW) with the
+    * unbalanced-design k̄ correction — how much of order-value variance
+    * is "the customer" vs noise, the reliability number behind any
+    * per-customer personalization claim.
+    */
+  def q_icc(spark: SparkSession, sf: String): DataFrame = {
+    val g = Tables.orders(spark, sf)
+      .select(col("o_custkey").as("c"), cents(col("o_totalprice")).as("v"))
+      .groupBy(col("c"))
+      .agg(count(lit(1)).as("ni"), sum(col("v")).as("si"),
+        sum(col("v").cast("decimal(38,0)") * col("v")).as("qi"))
+      .filter(col("ni") >= 2)
+    g.agg(count(lit(1)).as("k"), sum(col("ni")).as("n"), sum(col("si")).as("s"),
+      sum(expr("CAST(qi AS DOUBLE)")).as("q"),
+      sum(expr("CAST(si AS DOUBLE) * CAST(si AS DOUBLE) / CAST(ni AS DOUBLE)")).as("bsum"),
+      sum(expr("CAST(ni AS DOUBLE) * CAST(ni AS DOUBLE)")).as("nsq"))
+      .select(col("k").as("n_customers"), col("n").as("n_orders"),
+        expr("(bsum - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE)")
+          .as("msb"),
+        expr("(q - bsum) / CAST(n - k AS DOUBLE)").as("msw"),
+        expr("(CAST(n AS DOUBLE) - nsq / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE)").as("k0"))
+      .select(col("n_customers"), col("n_orders"),
+        (round(expr("(msb - msw) / (msb + (k0 - 1.0) * msw)"), 6) + lit(0.0)).as("icc"))
+  }
 }

