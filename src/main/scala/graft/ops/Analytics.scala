@@ -2159,6 +2159,101 @@ object Analytics {
       .orderBy("brand")
   }
 
+  /** Risk-pooling benefit: the standard deviation of POOLED weekly
+    * demand vs the sum of per-brand standard deviations — the √n-ish
+    * variance reduction that justifies centralized inventory. Per-brand
+    * and pooled stats from the same exact weekly sums; the e4 benefit
+    * share is the headline number.
+    */
+  def q_risk_pooling(spark: SparkSession, sf: String): DataFrame = {
+    val epoch = lit("1970-01-01").cast("date")
+    val weekly = Tables.lineitem(spark, sf)
+      .join(broadcast(Tables.part(spark, sf).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"),
+        (datediff(date_trunc("week", col("l_shipdate")).cast("date"), epoch) / 7)
+          .cast("long").as("wk"))
+      .agg(sum(col("l_quantity").cast("long")).as("u"))
+      .localCheckpoint()
+    val perBrand = weekly.groupBy(col("brand"))
+      .agg(count(lit(1)).as("nw"), sum(col("u")).as("s"), sum(col("u") * col("u")).as("q"))
+      .select(expr(
+        """SQRT((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(nw AS DOUBLE))
+                / CAST(nw - 1 AS DOUBLE))""").as("sd"))
+      .agg(count(lit(1)).as("n_brands"), sum(col("sd")).as("sum_sd"))
+    val pooled = weekly.groupBy(col("wk")).agg(sum(col("u")).as("u"))
+      .agg(count(lit(1)).as("nw"), sum(col("u")).as("s"), sum(col("u") * col("u")).as("q"))
+      .select(expr(
+        """SQRT((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(nw AS DOUBLE))
+                / CAST(nw - 1 AS DOUBLE))""").as("pooled_sd"))
+    perBrand.crossJoin(pooled)
+      .select(col("n_brands"),
+        (round(col("sum_sd"), 4) + lit(0.0)).as("sum_brand_sd"),
+        (round(col("pooled_sd"), 4) + lit(0.0)).as("pooled_sd"),
+        (round(expr("(sum_sd - pooled_sd) / sum_sd"), 6) + lit(0.0))
+          .as("pooling_benefit"))
+  }
+
+  /** Laspeyres, Paasche and Fisher price indices 1996→1997 over parts
+    * sold in both years (floor-cent unit prices, exact quantities) — the
+    * index-number trio behind every inflation figure, as three ratio
+    * epilogues over one pass of exact component sums.
+    */
+  def q_price_indices(spark: SparkSession, sf: String): DataFrame = {
+    def yr(y: Int): DataFrame = Tables.lineitem(spark, sf)
+      .filter(year(col("l_shipdate")) === y)
+      .groupBy(col("l_partkey"))
+      .agg(sum(cents(col("l_extendedprice"))).as(s"r$y"),
+        sum(col("l_quantity").cast("long")).as(s"q$y"))
+      .select(col("l_partkey"), expr(s"r$y div q$y").as(s"p$y"), col(s"q$y"))
+    val j = yr(1996).join(yr(1997), "l_partkey")
+    j.agg(count(lit(1)).as("n_parts"),
+      sum(col("p1996") * col("q1996")).as("p0q0"),
+      sum(col("p1997") * col("q1996")).as("p1q0"),
+      sum(col("p1996") * col("q1997")).as("p0q1"),
+      sum(col("p1997") * col("q1997")).as("p1q1"))
+      .select(col("n_parts"),
+        expr("p1q0 * 10000 div p0q0").as("laspeyres_e4"),
+        expr("p1q1 * 10000 div p0q1").as("paasche_e4"))
+      .select(col("n_parts"), col("laspeyres_e4"), col("paasche_e4"),
+        (round(expr(
+          "SQRT(CAST(laspeyres_e4 AS DOUBLE) * CAST(paasche_e4 AS DOUBLE))"), 4)
+          + lit(0.0)).as("fisher_e4"))
+  }
+
+  /** Minimum-variance two-asset portfolio over daily view- and
+    * purchase-revenue CHANGES: w* = (σ₂²−σ₁₂)/(σ₁²+σ₂²−2σ₁₂) and the
+    * achieved portfolio σ vs either leg — Markowitz at its smallest,
+    * over exact integer day-over-day diffs.
+    */
+  def q_min_variance_portfolio(spark: SparkSession, sf: String): DataFrame = {
+    val epoch = lit("1970-01-01").cast("date")
+    val daily = Tables.eventsWithTs(spark, sf)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(datediff(to_date(col("ts_us")), epoch).cast("long").as("t"))
+      .agg(sum(when(col("event_type") === "view", cents(col("value"))).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", cents(col("value"))).otherwise(0L)).as("y"))
+    val diffs = daily.as("a")
+      .join(daily.select(col("t").as("t2"), col("x").as("x2"), col("y").as("y2")).as("b"),
+        col("t2") === col("t") - 1)
+      .select((col("x") - col("x2")).as("dx"), (col("y") - col("y2")).as("dy"))
+    diffs.agg(count(lit(1)).as("n"), sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+      sum(col("dx") * col("dx")).as("sxx"), sum(col("dy") * col("dy")).as("syy"),
+      sum(col("dx") * col("dy")).as("sxy"))
+      .select(col("n").as("n_days"),
+        expr("(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)").as("v1"),
+        expr("(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)").as("v2"),
+        expr("(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)").as("cv"))
+      .select(col("n_days"),
+        expr("(v2 - cv) / (v1 + v2 - 2.0 * cv)").as("w1"), col("v1"), col("v2"), col("cv"))
+      .select(col("n_days"),
+        (round(col("w1"), 6) + lit(0.0)).as("weight_view"),
+        (round(expr("SQRT(v1)"), 4) + lit(0.0)).as("sd_view"),
+        (round(expr("SQRT(v2)"), 4) + lit(0.0)).as("sd_purchase"),
+        (round(expr("SQRT(w1 * w1 * v1 + (1.0 - w1) * (1.0 - w1) * v2 + 2.0 * w1 * (1.0 - w1) * cv)"), 4)
+          + lit(0.0)).as("sd_portfolio"))
+  }
+
   /** Inverse-MSE forecast combination: two naive forecasters of daily
     * revenue (yesterday, same-day-last-week) are backtested, weighted by
     * 1/MSE and blended — combination beats both components whenever

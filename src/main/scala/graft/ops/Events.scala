@@ -941,4 +941,31 @@ object Events {
         expr("n_events * 10000 div n_sessions").as("mean_events_per_session_e4"))
       .orderBy("gap_min")
   }
+
+  /** Rolling 10-day regression beta of purchase revenue on view count:
+    * per day, the OLS slope over the trailing window — the time-varying
+    * sensitivity a single global regression averages away. Windows are
+    * bounded day-index range joins (≤10 rows each) over the ~30-row
+    * daily table; sums exact, slope one tree per day.
+    */
+  def q_rolling_beta(spark: SparkSession, sf: String): DataFrame = {
+    val epoch = lit("1970-01-01").cast("date")
+    val daily = Tables.eventsWithTs(spark, sf)
+      .groupBy(datediff(to_date(col("ts_us")), epoch).cast("long").as("t"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", cents(col("value"))).otherwise(0L)).as("y"))
+    daily.as("a")
+      .join(daily.select(col("t").as("t2"), col("x").as("x2"), col("y").as("y2")).as("b"),
+        col("t2").between(col("t") - 9, col("t")))
+      .groupBy(col("a.t").as("t"))
+      .agg(count(lit(1)).as("n"), sum(col("x2")).as("sx"), sum(col("y2")).as("sy"),
+        sum(col("x2") * col("y2")).as("sxy"), sum(col("x2") * col("x2")).as("sxx"))
+      .filter(col("n") === 10)
+      .select(col("t").as("day_index"),
+        (round(expr(
+          """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"""),
+          4) + lit(0.0)).as("rolling_beta"))
+      .orderBy("day_index")
+  }
 }

@@ -413,4 +413,31 @@ object GraphMl {
     a2.orderBy(col("authority").desc, col("p").asc).limit(10)
       .select(col("p").as("partkey"), col("authority"))
   }
+
+  /** Targeted-attack robustness of the co-purchase graph: surviving
+    * edge/node shares after removing the top-0/10/50 highest-degree
+    * hubs — the attack-tolerance curve that tells you whether the
+    * network's function rides on a few hubs. Hub sets are TakeOrdered
+    * lists; removal is two anti-joins per scenario.
+    */
+  def q_graph_robustness(spark: SparkSession, sf: String): DataFrame = {
+    val edges = coPurchaseEdges(spark, sf)
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val base = edges.agg(count(lit(1)).as("e0"))
+    def scenario(k: Int): DataFrame = {
+      val hubs = deg.orderBy(col("deg").desc, col("u").asc).limit(k)
+        .select(col("u").as("hub"))
+      val kept = edges
+        .join(hubs.select(col("hub").as("u")), Seq("u"), "left_anti")
+        .join(hubs.select(col("hub").as("v")), Seq("v"), "left_anti")
+      kept.agg(count(lit(1)).as("e_kept"),
+        countDistinct(col("u")).as("nodes_kept"))
+        .select(lit(k.toLong).as("hubs_removed"), col("e_kept"), col("nodes_kept"))
+    }
+    scenario(0).unionByName(scenario(10)).unionByName(scenario(50))
+      .crossJoin(broadcast(base))
+      .select(col("hubs_removed"), col("nodes_kept"), col("e_kept"),
+        expr("e_kept * 10000 div e0").as("edges_kept_e4"))
+      .orderBy("hubs_removed")
+  }
 }

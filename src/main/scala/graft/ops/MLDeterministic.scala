@@ -2272,4 +2272,341 @@ object MLDeterministic {
       .select(col("n_customers"), col("n_orders"),
         (round(expr("(msb - msw) / (msb + (k0 - 1.0) * msw)"), 6) + lit(0.0)).as("icc"))
   }
+
+  /** Grid-search quantile regression (τ = 0.5 and 0.9) of price on
+    * quantity through the origin: ten candidate slopes, the pinball loss
+    * of each accumulated as EXACT scaled integers (τ·10 weights), argmin
+    * per τ — the conditional-quantile line a mean regression can't give,
+    * with zero float anywhere.
+    */
+  def q_quantile_regression_grid(spark: SparkSession, sf: String): DataFrame = {
+    val d = Tables.lineitem(spark, sf)
+      .select(col("l_quantity").cast("long").as("x"), cents(col("l_extendedprice")).as("y"))
+    val grid = spark.range(0, 10).select((lit(2000L) + col("id") * 200L).as("b"))
+    val losses = d.crossJoin(broadcast(grid))
+      .select(col("b"), (col("y") - col("b") * col("x")).as("r"))
+      .groupBy(col("b"))
+      .agg(sum(greatest(col("r") * 5L, col("r") * -5L)).as("loss50_x10"),
+        sum(greatest(col("r") * 9L, col("r") * -1L)).as("loss90_x10"))
+      .localCheckpoint()
+    def best(lossCol: String, tau: String): DataFrame =
+      losses.orderBy(col(lossCol).asc, col("b").asc).limit(1)
+        .select(lit(tau).as("tau"), col("b").as("best_slope_cents"),
+          col(lossCol).as("pinball_loss_x10"))
+    best("loss50_x10", "0.5").unionByName(best("loss90_x10", "0.9")).orderBy("tau")
+  }
+
+  /** Empirical copula of daily (view, purchase) revenue at the 3×3
+    * quartile grid: Ĉ(u,v) vs the independence product u·v — WHERE in
+    * the joint distribution the dependence lives, the structure a single
+    * correlation number flattens. Ranks via bounded theta joins; counts
+    * exact.
+    */
+  def q_empirical_copula(spark: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.eventsWithTs(spark, sf)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(to_date(col("ts_us")).as("day"), col("event_type"))
+      .agg(sum(cents(col("value"))).as("v"))
+      .groupBy(col("day"))
+      .agg(max(when(col("event_type") === "view", col("v"))).as("x"),
+        max(when(col("event_type") === "purchase", col("v"))).as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .localCheckpoint()
+    val ranked = daily.as("a")
+      .join(daily.select(col("day").as("d2"), col("x").as("x2"), col("y").as("y2")).as("b"),
+        col("a.day") =!= col("d2"), "left_outer")
+      .groupBy(col("a.day").as("day"))
+      .agg(count(lit(1)).as("n0"),
+        sum(when(col("x2") < col("a.x") ||
+          (col("x2") === col("a.x") && col("d2") < col("a.day")), 1L).otherwise(0L)).as("rx"),
+        sum(when(col("y2") < col("a.y") ||
+          (col("y2") === col("a.y") && col("d2") < col("a.day")), 1L).otherwise(0L)).as("ry"))
+    val n = daily.agg(count(lit(1)).as("n"))
+    val grid = spark.range(1, 4).select((col("id") * 25L).as("u"))
+      .crossJoin(spark.range(1, 4).select((col("id") * 25L).as("v")))
+    ranked.crossJoin(broadcast(n)).crossJoin(broadcast(grid))
+      .groupBy(col("u"), col("v"), col("n"))
+      .agg(sum(when((col("rx") + 1L) * 100L <= col("u") * col("n") &&
+        (col("ry") + 1L) * 100L <= col("v") * col("n"), 1L).otherwise(0L)).as("c"))
+      .select(col("u").as("u_pct"), col("v").as("v_pct"),
+        expr("c * 10000 div n").as("copula_e4"),
+        expr("u * v").as("independence_e4"),
+        (expr("c * 10000 div n") - expr("u * v")).as("excess_e4"))
+      .orderBy("u_pct", "v_pct")
+  }
+
+  /** One binary-segmentation round on the daily revenue series: every
+    * candidate split's two-segment SSE from prefix sums (bounded theta
+    * joins), argmin split, and the variance reduction vs the unsplit fit
+    * — the offline changepoint locator beside the sequential CUSUM and
+    * Page-Hinkley monitors.
+    */
+  def q_binary_segmentation(spark: SparkSession, sf: String): DataFrame = {
+    val epoch = lit("1970-01-01").cast("date")
+    val daily = Tables.eventsWithTs(spark, sf)
+      .groupBy(datediff(to_date(col("ts_us")), epoch).cast("long").as("t"))
+      .agg(sum(cents(col("value"))).as("x"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+      sum(col("x") * col("x")).as("q"))
+    val prefix = daily.as("a")
+      .join(daily.select(col("t").as("t2"), col("x").as("x2")).as("b"),
+        col("t2") <= col("t"))
+      .groupBy(col("a.t").as("t"))
+      .agg(count(lit(1)).as("nl"), sum(col("x2")).as("sl"), sum(col("x2") * col("x2")).as("ql"))
+    val scored = prefix.crossJoin(broadcast(tot))
+      .filter(col("nl") < col("n"))
+      .select(col("t"), col("nl"),
+        expr(
+          """(CAST(ql AS DOUBLE) - CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE))
+             + (CAST(q - ql AS DOUBLE) - CAST(s - sl AS DOUBLE) * CAST(s - sl AS DOUBLE)
+                / CAST(n - nl AS DOUBLE))""").as("sse_split"),
+        expr("CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)")
+          .as("sse_total"),
+        expr("CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)").as("mean_left"),
+        expr("CAST(s - sl AS DOUBLE) / CAST(n - nl AS DOUBLE)").as("mean_right"))
+    scored.orderBy(col("sse_split").asc, col("t").asc).limit(1)
+      .select(col("t").as("split_after_day"), col("nl").as("n_left"),
+        (round(col("mean_left"), 4) + lit(0.0)).as("mean_left"),
+        (round(col("mean_right"), 4) + lit(0.0)).as("mean_right"),
+        (round(expr("1.0 - sse_split / sse_total"), 6) + lit(0.0)).as("variance_explained"))
+  }
+
+  /** One Newton step of Platt scaling from the zero initialization for
+    * the quantity→return-flag score: at (a,b)=(0,0) every p=½, so the
+    * gradient and Hessian are EXACT integer sums (p(1−p)=¼ constant) and
+    * the 2×2 Newton solve is a closed-form epilogue — the first
+    * calibration iteration with no exp() anywhere.
+    */
+  def q_platt_step(spark: SparkSession, sf: String): DataFrame = {
+    val d = Tables.lineitem(spark, sf)
+      .select(col("l_quantity").cast("long").as("s"),
+        (col("l_returnflag") === "A").cast("long").as("y"))
+    d.agg(count(lit(1)).as("n"), sum(col("s")).as("ss"), sum(col("s") * col("s")).as("sq"),
+      sum(col("y")).as("sy"), sum(col("s") * col("y")).as("ssy"))
+      .select(col("n").as("n_rows"),
+        // g = Σ(½−y)[s,1]; H = ¼[Σs² Σs; Σs n]; step = −H⁻¹g
+        expr("0.5 * CAST(ss AS DOUBLE) - CAST(ssy AS DOUBLE)").as("g1"),
+        expr("0.5 * CAST(n AS DOUBLE) - CAST(sy AS DOUBLE)").as("g2"),
+        expr("0.25 * CAST(sq AS DOUBLE)").as("h11"),
+        expr("0.25 * CAST(ss AS DOUBLE)").as("h12"),
+        expr("0.25 * CAST(n AS DOUBLE)").as("h22"))
+      .select(col("n_rows"),
+        (round(expr("-(h22 * g1 - h12 * g2) / (h11 * h22 - h12 * h12)"), 6) + lit(0.0))
+          .as("delta_a"),
+        (round(expr("-(h11 * g2 - h12 * g1) / (h11 * h22 - h12 * h12)"), 6) + lit(0.0))
+          .as("delta_b"))
+  }
+
+  /** Four-look O'Brien-Fleming group-sequential monitor of the parity
+    * A/B test on purchase rate: cumulative z at each weekly look against
+    * the spending boundaries {4.333, 2.963, 2.359, 2.014} — the
+    * peek-safe sequential design that spends almost no α early. Counts
+    * exact, z a fixed tree per look.
+    */
+  def q_alpha_spending(spark: SparkSession, sf: String): DataFrame = {
+    val ev = Tables.eventsWithTs(spark, sf)
+      .select((col("user_id") % 2).as("arm"),
+        (col("event_type") === "purchase").cast("long").as("y"),
+        (datediff(to_date(col("ts_us")), lit("2024-01-01").cast("date")) / 7)
+          .cast("long").as("wk"))
+    val looks = spark.range(0, 4).select(col("id").as("look"))
+    val cum = ev.crossJoin(broadcast(looks))
+      .filter(col("wk") <= col("look"))
+      .groupBy(col("look"))
+      .agg(sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("s1"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("s0"))
+    cum.select(col("look"), col("n1"), col("n0"),
+      (round(expr(
+        """(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+           / SQRT((CAST(s1 + s0 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE))
+                  * (1.0 - CAST(s1 + s0 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE))
+                  * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n0 AS DOUBLE)))"""), 4)
+        + lit(0.0)).as("z"),
+      when(col("look") === 0, 4.333).when(col("look") === 1, 2.963)
+        .when(col("look") === 2, 2.359).otherwise(2.014).as("obf_bound"))
+      .select(col("look"), col("n1"), col("n0"), col("z"), col("obf_bound"),
+        when(abs(col("z")) > col("obf_bound"), 1L).otherwise(0L).as("crossed"))
+      .orderBy("look")
+  }
+
+  /** One Weiszfeld iteration toward the geometric median of the 50
+    * quantity-level (x, mean-price) representative points: inverse-
+    * distance reweighting from the weighted centroid — the robust
+    * location step that, unlike the mean, ignores how FAR outliers are.
+    * Representative points keep the inverse-distance sum to 50 terms.
+    */
+  def q_weiszfeld_step(spark: SparkSession, sf: String): DataFrame = {
+    val pts = Tables.lineitem(spark, sf)
+      .select(col("l_quantity").cast("long").as("x"), cents(col("l_extendedprice")).as("y"))
+      .groupBy(col("x"))
+      .agg(count(lit(1)).as("w"), sum(col("y")).as("sy"))
+      .select(col("x").cast("double").as("px"),
+        expr("CAST(sy AS DOUBLE) / CAST(w AS DOUBLE) / 100.0").as("py"), col("w"))
+      .localCheckpoint()
+    val c0 = pts.agg(
+      expr("SUM(px * CAST(w AS DOUBLE)) / SUM(CAST(w AS DOUBLE))").as("cx0"),
+      expr("SUM(py * CAST(w AS DOUBLE)) / SUM(CAST(w AS DOUBLE))").as("cy0"))
+    val stepped = pts.crossJoin(broadcast(c0))
+      .select(col("px"), col("py"), col("cx0"), col("cy0"),
+        expr(
+          """CAST(w AS DOUBLE) / SQRT((px - cx0) * (px - cx0) + (py - cy0) * (py - cy0))""")
+          .as("iw"))
+      .agg(max(col("cx0")).as("cx0"), max(col("cy0")).as("cy0"),
+        expr("SUM(px * iw) / SUM(iw)").as("cx1"),
+        expr("SUM(py * iw) / SUM(iw)").as("cy1"))
+    stepped.select(
+      (round(col("cx0"), 4) + lit(0.0)).as("centroid_x"),
+      (round(col("cy0"), 4) + lit(0.0)).as("centroid_y"),
+      (round(col("cx1"), 4) + lit(0.0)).as("weiszfeld_x"),
+      (round(col("cy1"), 4) + lit(0.0)).as("weiszfeld_y"),
+      (round(expr(
+        "SQRT((cx1 - cx0) * (cx1 - cx0) + (cy1 - cy0) * (cy1 - cy0))"), 4) + lit(0.0))
+        .as("shift"))
+  }
+
+  /** One lasso coordinate-descent update for the price~quantity slope:
+    * the OLS solution next to the soft-thresholded S(ρ, λ)/Sxx shrunk
+    * coefficient at two λ levels — the mechanics of L1 shrinkage in one
+    * closed step over exact centered sums.
+    */
+  def q_lasso_step(spark: SparkSession, sf: String): DataFrame = {
+    val d = Tables.lineitem(spark, sf)
+      .select(col("l_quantity").cast("long").as("x"), cents(col("l_extendedprice")).as("y"))
+    val s = d.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("n").as("n_rows"),
+        expr("CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)").as("rho"),
+        expr("CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)").as("cxx"))
+    val lam = d.sparkSession.range(0, 2)
+      .select(when(col("id") === 0, 0.25).otherwise(0.75).as("lam_share"))
+    s.crossJoin(broadcast(lam))
+      .select(col("n_rows"), col("lam_share"),
+        (round(expr("rho / cxx"), 6) + lit(0.0)).as("beta_ols"),
+        // λ is declared as a share of |ρ| so the threshold is scale-free
+        (round(expr(
+          """CASE WHEN rho > lam_share * ABS(rho) THEN (rho - lam_share * ABS(rho)) / cxx
+                  WHEN rho < -lam_share * ABS(rho) THEN (rho + lam_share * ABS(rho)) / cxx
+                  ELSE 0.0 END"""), 6) + lit(0.0)).as("beta_lasso"))
+      .orderBy("lam_share")
+  }
+
+  /** Two-model uplift by activity quartile: per user-activity quartile
+    * (theta-join ranks, no global window), the parity-arm purchase-rate
+    * difference — WHO should be targeted, the question a single average
+    * treatment effect can't answer. Exact counts, e4 rates.
+    */
+  def q_uplift_quartiles(spark: SparkSession, sf: String): DataFrame = {
+    val u = Tables.eventsWithTs(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("act"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+      .select(col("user_id"), col("act"), col("np"), (col("user_id") % 2).as("arm"))
+    val ranked = u.as("a")
+      .join(u.select(col("user_id").as("u2"), col("act").as("act2")).as("b"),
+        col("act2") < col("act") ||
+          (col("act2") === col("act") && col("u2") < col("user_id")), "left_outer")
+      .groupBy(col("a.user_id").as("user_id"), col("a.act").as("act"),
+        col("a.np").as("np"), col("a.arm").as("arm"))
+      .agg(count(col("u2")).as("rk"))
+    val n = u.agg(count(lit(1)).as("n"))
+    ranked.crossJoin(broadcast(n))
+      .select(expr("least(3, rk * 4 div n)").as("quartile"), col("arm"),
+        col("act"), col("np"))
+      .groupBy(col("quartile"))
+      .agg(sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_treat"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_ctrl"),
+        sum(when(col("arm") === 1, col("np")).otherwise(0L)).as("p_treat"),
+        sum(when(col("arm") === 0, col("np")).otherwise(0L)).as("p_ctrl"))
+      .select(col("quartile"), col("n_treat"), col("n_ctrl"),
+        expr("p_treat * 10000 div greatest(n_treat, CAST(1 AS BIGINT))").as("rate_treat_e4"),
+        expr("p_ctrl * 10000 div greatest(n_ctrl, CAST(1 AS BIGINT))").as("rate_ctrl_e4"),
+        (expr("p_treat * 10000 div greatest(n_treat, CAST(1 AS BIGINT))")
+          - expr("p_ctrl * 10000 div greatest(n_ctrl, CAST(1 AS BIGINT))")).as("uplift_e4"))
+      .orderBy("quartile")
+  }
+
+  /** Exposure-based ranking fairness: the revenue brand ranking's
+    * 1/log₂(rank+1) exposure mass split by brand-number parity, against
+    * the groups' item shares — whether a ranking's attention matches
+    * representation, the metric behind fairness-of-exposure re-ranking.
+    */
+  def q_exposure_fairness(spark: SparkSession, sf: String): DataFrame = {
+    val g = Tables.lineitem(spark, sf)
+      .join(broadcast(Tables.part(spark, sf).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(sum(cents(col("l_extendedprice"))).as("rev"))
+    val ranked = g.as("a")
+      .join(g.select(col("brand").as("b2"), col("rev").as("r2")).as("b"),
+        col("r2") > col("rev") || (col("r2") === col("rev") && col("b2") < col("brand")),
+        "left_outer")
+      .groupBy(col("a.brand").as("brand"))
+      .agg((count(col("b2")) + 1L).as("rank"))
+      .select(col("brand"), col("rank"),
+        (split(col("brand"), "#").getItem(1).cast("long") % 2).as("grp"),
+        expr("1.0 / (ln(CAST(rank + 1 AS DOUBLE)) / ln(2.0))").as("exposure"))
+    val tot = ranked.agg(count(lit(1)).as("nb"), sum(col("exposure")).as("te"))
+    ranked.crossJoin(broadcast(tot))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_brands"),
+        (round(sum(expr("exposure / te")), 6) + lit(0.0)).as("exposure_share"),
+        (round(expr("CAST(COUNT(1) AS DOUBLE) / CAST(MAX(nb) AS DOUBLE)"), 6) + lit(0.0))
+          .as("item_share"))
+      .orderBy("grp")
+  }
+
+  /** Hypergeometric enrichment of the token "fast" in English documents
+    * vs the whole corpus: observed count against the hypergeometric
+    * mean/variance (normal approximation z) plus the e4 fold enrichment
+    * — the over-representation test run on every corpus slice before
+    * claiming a subcorpus "talks differently".
+    */
+  def q_enrichment_test(spark: SparkSession, sf: String): DataFrame = {
+    val toks = Tables.documents(spark, sf)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+    val st = toks.agg(count(lit(1)).as("nn"),
+      sum(when(col("w") === "fast", 1L).otherwise(0L)).as("kk"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+      sum(when(col("lang") === "en" && col("w") === "fast", 1L).otherwise(0L)).as("k_en"))
+    st.select(col("nn").as("corpus_tokens"), col("kk").as("corpus_fast"),
+      col("n_en").as("en_tokens"), col("k_en").as("en_fast"),
+      (round(expr(
+        """(CAST(k_en AS DOUBLE) - CAST(n_en AS DOUBLE) * CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE))
+           / SQRT(CAST(n_en AS DOUBLE) * (CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE))
+                  * (1.0 - CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE))
+                  * (CAST(nn - n_en AS DOUBLE) / CAST(nn - 1 AS DOUBLE)))"""), 4)
+        + lit(0.0)).as("enrichment_z"),
+      expr("CAST(CAST(k_en AS decimal(38,0)) * nn * 10000 div (CAST(n_en AS decimal(38,0)) * kk) AS BIGINT)")
+        .as("fold_enrichment_e4"))
+  }
+
+  /** Borda-count rank aggregation of the revenue / quantity / order-count
+    * brand rankings into one consensus list: score = Σ(n − rankᵢ), all
+    * exact integers — the consensus companion to the Kendall-W agreement
+    * number. Top 10 with the three component ranks shown.
+    */
+  def q_borda_count(spark: SparkSession, sf: String): DataFrame = {
+    val g = Tables.lineitem(spark, sf)
+      .join(broadcast(Tables.part(spark, sf).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(sum(cents(col("l_extendedprice"))).as("m1"),
+        sum(col("l_quantity").cast("long")).as("m2"),
+        countDistinct(col("l_orderkey")).as("m3"))
+    def rank(metric: String, as: String): DataFrame =
+      g.as("a").join(g.select(col("brand").as("b2"), col(metric).as("v2")).as("b"),
+        col("v2") > col(metric) ||
+          (col("v2") === col(metric) && col("b2") < col("brand")), "left_outer")
+        .groupBy(col("a.brand").as("brand")).agg((count(col("b2")) + 1L).as(as))
+    val ranks = rank("m1", "r1").join(rank("m2", "r2"), "brand")
+      .join(rank("m3", "r3"), "brand")
+    val n = g.agg(count(lit(1)).as("n"))
+    ranks.crossJoin(broadcast(n))
+      .select(col("brand"), col("r1"), col("r2"), col("r3"),
+        (col("n") * 3 - col("r1") - col("r2") - col("r3")).as("borda_score"))
+      .orderBy(col("borda_score").desc, col("brand").asc)
+      .limit(10)
+  }
 }

@@ -1419,4 +1419,57 @@ object Relational {
         col("dropped_no_order"), col("dropped_no_part"), col("orders_without_lines"),
         (col("lineitem_rows") - col("after_part_join")).as("total_dropped"))
   }
+
+  /** Cost-based join-order selection for the lineitem ⋈ orders ⋈
+    * customer chain: both left-deep orders' estimated intermediate sizes
+    * from the |R|·|S|/max(ndv) rule, the chosen order, and the actual
+    * intermediate cardinalities — the enumerate-estimate-choose core of
+    * a Selinger optimizer at its smallest. Exact counts; estimates use
+    * decimal headroom.
+    */
+  def q_join_order_choice(spark: SparkSession, sf: String): DataFrame = {
+    val l = Tables.lineitem(spark, sf).select(col("l_orderkey"))
+    val o = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(spark, sf).select(col("c_custkey"))
+    val stats = l.agg(count(lit(1)).as("nl"), countDistinct(col("l_orderkey")).as("dlo"))
+      .crossJoin(o.agg(count(lit(1)).as("no"), countDistinct(col("o_orderkey")).as("doo"),
+        countDistinct(col("o_custkey")).as("doc")))
+      .crossJoin(c.agg(count(lit(1)).as("nc"), countDistinct(col("c_custkey")).as("dcc")))
+    val actLO = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("act_lo"))
+    val actOC = o.join(c, col("o_custkey") === col("c_custkey"))
+      .agg(count(lit(1)).as("act_oc"))
+    stats.crossJoin(actLO).crossJoin(actOC)
+      .select(
+        expr("CAST(CAST(nl AS decimal(38,0)) * no div greatest(dlo, doo) AS BIGINT)")
+          .as("est_lo_first"),
+        expr("CAST(CAST(no AS decimal(38,0)) * nc div greatest(doc, dcc) AS BIGINT)")
+          .as("est_oc_first"),
+        col("act_lo").as("actual_lo"), col("act_oc").as("actual_oc"))
+      .select(col("est_lo_first"), col("est_oc_first"), col("actual_lo"), col("actual_oc"),
+        when(col("est_oc_first") < col("est_lo_first"), "orders_customer_first")
+          .otherwise("lineitem_orders_first").as("chosen_order"))
+  }
+
+  /** k-anonymity / l-diversity audit of the customer table under the
+    * (segment, nation) quasi-identifier: equivalence-class sizes, the
+    * minimum k, rows needing suppression at k<5, and the minimum
+    * sensitive-attribute diversity per class — the privacy screen run
+    * before any "anonymized" extract leaves the warehouse.
+    */
+  def q_k_anonymity(spark: SparkSession, sf: String): DataFrame = {
+    val classes = Tables.customer(spark, sf)
+      .select(col("c_mktsegment"), col("c_nationkey"),
+        when(col("c_acctbal") >= 0.0, 1L).otherwise(0L).as("sens"))
+      .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("k"), countDistinct(col("sens")).as("l"))
+    classes.agg(count(lit(1)).as("n_classes"), sum(col("k")).as("n_rows"),
+      min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+      sum(when(col("k") < 5, col("k")).otherwise(0L)).as("rows_below_k5"),
+      min(col("l")).as("min_l_diversity"))
+      .select(col("n_classes"), col("n_rows"), col("min_k"), col("max_k"),
+        col("rows_below_k5"),
+        expr("rows_below_k5 * 10000 div n_rows").as("suppression_share_e4"),
+        col("min_l_diversity"))
+  }
 }

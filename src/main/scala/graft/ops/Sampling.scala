@@ -571,4 +571,35 @@ object Sampling {
         (round(expr("wsum / CAST(pn_tot AS DOUBLE)"), 4) + lit(0.0))
           .as("poststrat_mean_cents"))
   }
+
+  /** Cluster-sampling design effect: DEFF = 1 + (m̄−1)·ρ with the
+    * within-user intraclass correlation of event values and the mean
+    * cluster size — how much sampling whole users instead of events
+    * inflates variance, and the effective sample size left. One grouped
+    * pass, ANOVA-style ρ, fixed epilogue.
+    */
+  def q_design_effect(spark: SparkSession, sf: String): DataFrame = {
+    val g = Tables.eventsWithTs(spark, sf)
+      .select(col("user_id"), cents(col("value")).as("v"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("ni"), sum(col("v")).as("si"),
+        sum(col("v") * col("v")).as("qi"))
+    g.agg(count(lit(1)).as("k"), sum(col("ni")).as("n"), sum(col("si")).as("s"),
+      sum(expr("CAST(qi AS DOUBLE)")).as("q"),
+      sum(expr("CAST(si AS DOUBLE) * CAST(si AS DOUBLE) / CAST(ni AS DOUBLE)")).as("bsum"),
+      sum(expr("CAST(ni AS DOUBLE) * CAST(ni AS DOUBLE)")).as("nsq"))
+      .select(col("k").as("n_clusters"), col("n").as("n_events"),
+        expr("(bsum - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE)")
+          .as("msb"),
+        expr("(q - bsum) / CAST(n - k AS DOUBLE)").as("msw"),
+        expr("(CAST(n AS DOUBLE) - nsq / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE)").as("k0"),
+        expr("CAST(n AS DOUBLE) / CAST(k AS DOUBLE)").as("mbar"))
+      .select(col("n_clusters"), col("n_events"),
+        expr("(msb - msw) / (msb + (k0 - 1.0) * msw)").as("rho"), col("mbar"))
+      .select(col("n_clusters"), col("n_events"),
+        (round(col("rho"), 6) + lit(0.0)).as("icc_rho"),
+        (round(expr("1.0 + (mbar - 1.0) * rho"), 4) + lit(0.0)).as("deff"),
+        (round(expr("CAST(n_events AS DOUBLE) / (1.0 + (mbar - 1.0) * rho)"), 2) + lit(0.0))
+          .as("effective_n"))
+  }
 }

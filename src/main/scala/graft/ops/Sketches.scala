@@ -279,4 +279,27 @@ object Sketches {
         expr("(n_pass - n_true) * 1000000 div n_lineitem").as("fp_rate_e6"),
         expr("n_true * 1000000 div n_lineitem").as("selectivity_e6"))
   }
+
+  /** Bloom-filter sizing calculator from live cardinality: for target
+    * false-positive rates 1% and 0.1%, the optimal bit count
+    * m = −n·ln p/(ln 2)², hash count k = (m/n)·ln 2, and bits/element —
+    * the capacity-planning arithmetic behind every runtime-filter
+    * config, driven by the EXACT measured key count. ln constants are
+    * literals.
+    */
+  def q_bloom_sizing(spark: SparkSession, sf: String): DataFrame = {
+    val n = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey")).distinct().agg(count(lit(1)).as("n"))
+    val targets = Tables.lineitem(spark, sf).sparkSession.range(0, 2)
+      .select(when(col("id") === 0, 4.605170185988091).otherwise(6.907755278982137)
+        .as("neg_ln_p"),
+        when(col("id") === 0, "0.01").otherwise("0.001").as("target_fp"))
+    n.crossJoin(broadcast(targets))
+      .select(col("target_fp"), col("n").as("n_keys"),
+        ceil(expr("CAST(n AS DOUBLE) * neg_ln_p / 0.4804530139182014")).cast("long")
+          .as("m_bits"),
+        expr("CAST(ROUND(neg_ln_p / 0.6931471805599453) AS BIGINT)").as("k_hashes"),
+        (round(expr("neg_ln_p / 0.4804530139182014"), 4) + lit(0.0)).as("bits_per_key"))
+      .orderBy("target_fp")
+  }
 }

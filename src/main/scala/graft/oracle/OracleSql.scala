@@ -7746,6 +7746,446 @@ object OracleSql {
                AS mean_events_per_session_e4
       FROM g, ts GROUP BY 1 ORDER BY 1""",
 
+    "q_quantile_regression_grid" -> """
+      WITH d AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+                        CAST(ROUND(l_extendedprice*100) AS BIGINT) AS y
+                 FROM lineitem),
+           grid AS (SELECT CAST(2000 + range * 200 AS BIGINT) AS b FROM range(10)),
+           losses AS (SELECT b,
+                             CAST(SUM(GREATEST((y - b * x) * 5, (y - b * x) * -5)) AS BIGINT)
+                               AS loss50_x10,
+                             CAST(SUM(GREATEST((y - b * x) * 9, (y - b * x) * -1)) AS BIGINT)
+                               AS loss90_x10
+                      FROM d, grid GROUP BY 1),
+           b50 AS (SELECT '0.5' AS tau, b AS best_slope_cents, loss50_x10 AS pinball_loss_x10
+                   FROM losses ORDER BY loss50_x10, b LIMIT 1),
+           b90 AS (SELECT '0.9' AS tau, b AS best_slope_cents, loss90_x10 AS pinball_loss_x10
+                   FROM losses ORDER BY loss90_x10, b LIMIT 1)
+      SELECT * FROM b50 UNION ALL SELECT * FROM b90 ORDER BY tau""",
+
+    "q_empirical_copula" -> """
+      WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                            MAX(CASE WHEN event_type = 'view'
+                                THEN CAST(sv AS BIGINT) END) AS x,
+                            MAX(CASE WHEN event_type = 'purchase'
+                                THEN CAST(sv AS BIGINT) END) AS y
+                     FROM (SELECT CAST(ts AS DATE) AS ts, event_type,
+                                  SUM(CAST(ROUND(value*100) AS BIGINT)) AS sv
+                           FROM events WHERE event_type IN ('view', 'purchase')
+                           GROUP BY 1, 2)
+                     GROUP BY 1),
+           d2 AS (SELECT day, x, y FROM daily WHERE x IS NOT NULL AND y IS NOT NULL),
+           ranked AS (SELECT a.day, CAST(COUNT(*) AS BIGINT) AS n0,
+                             CAST(SUM(CASE WHEN b.x < a.x OR (b.x = a.x AND b.day < a.day)
+                                           THEN 1 ELSE 0 END) AS BIGINT) AS rx,
+                             CAST(SUM(CASE WHEN b.y < a.y OR (b.y = a.y AND b.day < a.day)
+                                           THEN 1 ELSE 0 END) AS BIGINT) AS ry
+                      FROM d2 a LEFT JOIN d2 b ON a.day <> b.day GROUP BY 1),
+           n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d2),
+           grid AS (SELECT CAST(u.range * 25 AS BIGINT) AS u, CAST(v.range * 25 AS BIGINT) AS v
+                    FROM range(1, 4) u, range(1, 4) v)
+      SELECT u AS u_pct, v AS v_pct,
+             CAST(SUM(CASE WHEN (rx + 1) * 100 <= u * n AND (ry + 1) * 100 <= v * n
+                           THEN 1 ELSE 0 END) * 10000 // MAX(n) AS BIGINT) AS copula_e4,
+             CAST(u * v AS BIGINT) AS independence_e4,
+             CAST(SUM(CASE WHEN (rx + 1) * 100 <= u * n AND (ry + 1) * 100 <= v * n
+                           THEN 1 ELSE 0 END) * 10000 // MAX(n) - u * v AS BIGINT) AS excess_e4
+      FROM ranked, n, grid GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_binary_segmentation" -> """
+      WITH daily AS (SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+                              AS t,
+                            CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS x
+                     FROM events GROUP BY 1),
+           tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s,
+                          CAST(SUM(x*x) AS BIGINT) AS q FROM daily),
+           prefix AS (SELECT a.t, CAST(COUNT(*) AS BIGINT) AS nl, CAST(SUM(b.x) AS BIGINT) AS sl,
+                             CAST(SUM(b.x * b.x) AS BIGINT) AS ql
+                      FROM daily a JOIN daily b ON b.t <= a.t GROUP BY 1),
+           scored AS (SELECT t, nl,
+                             (CAST(ql AS DOUBLE) - CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE))
+                             + (CAST(q - ql AS DOUBLE) - CAST(s - sl AS DOUBLE) * CAST(s - sl AS DOUBLE)
+                                / CAST(n - nl AS DOUBLE)) AS sse_split,
+                             CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                               AS sse_total,
+                             CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE) AS mean_left,
+                             CAST(s - sl AS DOUBLE) / CAST(n - nl AS DOUBLE) AS mean_right
+                      FROM prefix, tot WHERE nl < n)
+      SELECT t AS split_after_day, nl AS n_left, ROUND(mean_left, 4) + 0 AS mean_left,
+             ROUND(mean_right, 4) + 0 AS mean_right,
+             ROUND(1.0 - sse_split / sse_total, 6) + 0 AS variance_explained
+      FROM scored ORDER BY sse_split, t LIMIT 1""",
+
+    "q_platt_step" -> """
+      WITH d AS (SELECT CAST(l_quantity AS BIGINT) AS s,
+                        CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS y
+                 FROM lineitem),
+           a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(s) AS BIGINT) AS ss,
+                        CAST(SUM(s*s) AS BIGINT) AS sq, CAST(SUM(y) AS BIGINT) AS sy,
+                        CAST(SUM(s*y) AS BIGINT) AS ssy
+                 FROM d),
+           g AS (SELECT n AS n_rows,
+                        0.5 * CAST(ss AS DOUBLE) - CAST(ssy AS DOUBLE) AS g1,
+                        0.5 * CAST(n AS DOUBLE) - CAST(sy AS DOUBLE) AS g2,
+                        0.25 * CAST(sq AS DOUBLE) AS h11, 0.25 * CAST(ss AS DOUBLE) AS h12,
+                        0.25 * CAST(n AS DOUBLE) AS h22
+                 FROM a)
+      SELECT n_rows,
+             ROUND(-(h22 * g1 - h12 * g2) / (h11 * h22 - h12 * h12), 6) + 0 AS delta_a,
+             ROUND(-(h11 * g2 - h12 * g1) / (h11 * h22 - h12 * h12), 6) + 0 AS delta_b
+      FROM g""",
+
+    "q_alpha_spending" -> """
+      WITH ev AS (SELECT user_id % 2 AS arm,
+                         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+                         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS wk
+                  FROM events),
+           looks AS (SELECT CAST(range AS BIGINT) AS look FROM range(4)),
+           cum AS (SELECT look,
+                          CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                          CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS s1,
+                          CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+                          CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS s0
+                   FROM ev, looks WHERE wk <= look GROUP BY 1),
+           z AS (SELECT look, n1, n0,
+                        ROUND((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                               - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                              / SQRT((CAST(s1 + s0 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE))
+                                     * (1.0 - CAST(s1 + s0 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE))
+                                     * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n0 AS DOUBLE))), 4) + 0
+                          AS z,
+                        CASE look WHEN 0 THEN 4.333 WHEN 1 THEN 2.963 WHEN 2 THEN 2.359
+                             ELSE 2.014 END AS obf_bound
+                 FROM cum)
+      SELECT look, n1, n0, z, obf_bound,
+             CAST(CASE WHEN ABS(z) > obf_bound THEN 1 ELSE 0 END AS BIGINT) AS crossed
+      FROM z ORDER BY look""",
+
+    "q_weiszfeld_step" -> """
+      WITH pts AS (SELECT CAST(x AS DOUBLE) AS px,
+                          CAST(sy AS DOUBLE) / CAST(w AS DOUBLE) / 100.0 AS py, w
+                   FROM (SELECT CAST(l_quantity AS BIGINT) AS x, CAST(COUNT(*) AS BIGINT) AS w,
+                                CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+                                  AS sy
+                         FROM lineitem GROUP BY 1)),
+           c0 AS (SELECT SUM(px * CAST(w AS DOUBLE)) / SUM(CAST(w AS DOUBLE)) AS cx0,
+                         SUM(py * CAST(w AS DOUBLE)) / SUM(CAST(w AS DOUBLE)) AS cy0
+                  FROM pts),
+           st AS (SELECT MAX(cx0) AS cx0, MAX(cy0) AS cy0,
+                         SUM(px * (CAST(w AS DOUBLE)
+                           / SQRT((px - cx0) * (px - cx0) + (py - cy0) * (py - cy0))))
+                         / SUM(CAST(w AS DOUBLE)
+                           / SQRT((px - cx0) * (px - cx0) + (py - cy0) * (py - cy0))) AS cx1,
+                         SUM(py * (CAST(w AS DOUBLE)
+                           / SQRT((px - cx0) * (px - cx0) + (py - cy0) * (py - cy0))))
+                         / SUM(CAST(w AS DOUBLE)
+                           / SQRT((px - cx0) * (px - cx0) + (py - cy0) * (py - cy0))) AS cy1
+                  FROM pts, c0)
+      SELECT ROUND(cx0, 4) + 0 AS centroid_x, ROUND(cy0, 4) + 0 AS centroid_y,
+             ROUND(cx1, 4) + 0 AS weiszfeld_x, ROUND(cy1, 4) + 0 AS weiszfeld_y,
+             ROUND(SQRT((cx1 - cx0) * (cx1 - cx0) + (cy1 - cy0) * (cy1 - cy0)), 4) + 0 AS shift
+      FROM st""",
+
+    "q_rolling_beta" -> """
+      WITH daily AS (SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+                              AS t,
+                            CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+                              AS x,
+                            CAST(SUM(CASE WHEN event_type = 'purchase'
+                                          THEN CAST(ROUND(value*100) AS BIGINT) ELSE 0 END)
+                                 AS BIGINT) AS y
+                     FROM events GROUP BY 1),
+           w AS (SELECT a.t, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(b.x) AS BIGINT) AS sx,
+                        CAST(SUM(b.y) AS BIGINT) AS sy, CAST(SUM(b.x * b.y) AS BIGINT) AS sxy,
+                        CAST(SUM(b.x * b.x) AS BIGINT) AS sxx
+                 FROM daily a JOIN daily b ON b.t BETWEEN a.t - 9 AND a.t GROUP BY 1)
+      SELECT t AS day_index,
+             ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4) + 0
+               AS rolling_beta
+      FROM w WHERE n = 10 ORDER BY day_index""",
+
+    "q_risk_pooling" -> """
+      WITH weekly AS (SELECT p_brand AS brand,
+                             date_diff('day', DATE '1970-01-01',
+                               CAST(date_trunc('week', l_shipdate) AS DATE)) // 7 AS wk,
+                             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS u
+                      FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2),
+           pb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_brands, SUM(sd) AS sum_sd FROM
+                    (SELECT brand,
+                            SQRT((CAST(SUM(u*u) AS DOUBLE)
+                                  - CAST(SUM(u) AS DOUBLE) * CAST(SUM(u) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                                 / CAST(COUNT(*) - 1 AS DOUBLE)) AS sd
+                     FROM weekly GROUP BY 1)),
+           pl AS (SELECT SQRT((CAST(SUM(u*u) AS DOUBLE)
+                               - CAST(SUM(u) AS DOUBLE) * CAST(SUM(u) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                              / CAST(COUNT(*) - 1 AS DOUBLE)) AS pooled_sd FROM
+                    (SELECT wk, CAST(SUM(u) AS BIGINT) AS u FROM weekly GROUP BY 1))
+      SELECT n_brands, ROUND(sum_sd, 4) + 0 AS sum_brand_sd,
+             ROUND(pooled_sd, 4) + 0 AS pooled_sd,
+             ROUND((sum_sd - pooled_sd) / sum_sd, 6) + 0 AS pooling_benefit
+      FROM pb, pl""",
+
+    "q_price_indices" -> """
+      WITH y0 AS (SELECT l_partkey,
+                         CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT))
+                              // SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS p1996,
+                         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q1996
+                  FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY 1),
+           y1 AS (SELECT l_partkey,
+                         CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT))
+                              // SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS p1997,
+                         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q1997
+                  FROM lineitem WHERE year(l_shipdate) = 1997 GROUP BY 1),
+           j AS (SELECT y0.l_partkey, p1996, q1996, p1997, q1997
+                 FROM y0 JOIN y1 ON y0.l_partkey = y1.l_partkey),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+                        CAST(SUM(p1996 * q1996) AS BIGINT) AS p0q0,
+                        CAST(SUM(p1997 * q1996) AS BIGINT) AS p1q0,
+                        CAST(SUM(p1996 * q1997) AS BIGINT) AS p0q1,
+                        CAST(SUM(p1997 * q1997) AS BIGINT) AS p1q1
+                 FROM j),
+           e AS (SELECT n_parts, CAST(p1q0 * 10000 // p0q0 AS BIGINT) AS laspeyres_e4,
+                        CAST(p1q1 * 10000 // p0q1 AS BIGINT) AS paasche_e4
+                 FROM s)
+      SELECT n_parts, laspeyres_e4, paasche_e4,
+             ROUND(SQRT(CAST(laspeyres_e4 AS DOUBLE) * CAST(paasche_e4 AS DOUBLE)), 4) + 0
+               AS fisher_e4
+      FROM e""",
+
+    "q_join_order_choice" -> """
+      WITH st AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS nl,
+                         (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) FROM lineitem) AS dlo,
+                         (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS no,
+                         (SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders) AS doo,
+                         (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders) AS doc,
+                         (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS nc,
+                         (SELECT CAST(COUNT(DISTINCT c_custkey) AS BIGINT) FROM customer) AS dcc,
+                         (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem JOIN orders
+                            ON l_orderkey = o_orderkey) AS act_lo,
+                         (SELECT CAST(COUNT(*) AS BIGINT) FROM orders JOIN customer
+                            ON o_custkey = c_custkey) AS act_oc),
+           e AS (SELECT CAST(CAST(nl AS HUGEINT) * no // GREATEST(dlo, doo) AS BIGINT)
+                          AS est_lo_first,
+                        CAST(CAST(no AS HUGEINT) * nc // GREATEST(doc, dcc) AS BIGINT)
+                          AS est_oc_first,
+                        act_lo AS actual_lo, act_oc AS actual_oc
+                 FROM st)
+      SELECT est_lo_first, est_oc_first, actual_lo, actual_oc,
+             CASE WHEN est_oc_first < est_lo_first THEN 'orders_customer_first'
+                  ELSE 'lineitem_orders_first' END AS chosen_order
+      FROM e""",
+
+    "q_lasso_step" -> """
+      WITH d AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+                        CAST(ROUND(l_extendedprice*100) AS BIGINT) AS y
+                 FROM lineitem),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                        CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x*y) AS DOUBLE)
+                          - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE) AS rho,
+                        CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x*x) AS DOUBLE)
+                          - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE) AS cxx
+                 FROM d),
+           lam AS (SELECT CASE range WHEN 0 THEN 0.25 ELSE 0.75 END AS lam_share
+                   FROM range(2))
+      SELECT n_rows, lam_share, ROUND(rho / cxx, 6) + 0 AS beta_ols,
+             ROUND(CASE WHEN rho > lam_share * ABS(rho)
+                        THEN (rho - lam_share * ABS(rho)) / cxx
+                        WHEN rho < -lam_share * ABS(rho)
+                        THEN (rho + lam_share * ABS(rho)) / cxx
+                        ELSE 0.0 END, 6) + 0 AS beta_lasso
+      FROM s, lam ORDER BY lam_share""",
+
+    "q_uplift_quartiles" -> """
+      WITH u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS act,
+                        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+                          AS np,
+                        user_id % 2 AS arm
+                 FROM events GROUP BY 1),
+           rk AS (SELECT a.user_id, a.act, a.np, a.arm, CAST(COUNT(b.user_id) AS BIGINT) AS rk
+                  FROM u a LEFT JOIN u b
+                    ON b.act < a.act OR (b.act = a.act AND b.user_id < a.user_id)
+                  GROUP BY 1, 2, 3, 4),
+           n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u),
+           q AS (SELECT LEAST(3, rk * 4 // n) AS quartile, arm, np FROM rk, n)
+      SELECT quartile,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_treat,
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl,
+             CAST(SUM(CASE WHEN arm = 1 THEN np ELSE 0 END) * 10000
+                  // GREATEST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END), 1) AS BIGINT)
+               AS rate_treat_e4,
+             CAST(SUM(CASE WHEN arm = 0 THEN np ELSE 0 END) * 10000
+                  // GREATEST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END), 1) AS BIGINT)
+               AS rate_ctrl_e4,
+             CAST(SUM(CASE WHEN arm = 1 THEN np ELSE 0 END) * 10000
+                  // GREATEST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END), 1)
+                  - SUM(CASE WHEN arm = 0 THEN np ELSE 0 END) * 10000
+                  // GREATEST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END), 1) AS BIGINT)
+               AS uplift_e4
+      FROM q GROUP BY 1 ORDER BY 1""",
+
+    "q_exposure_fairness" -> """
+      WITH g AS (SELECT p_brand AS brand,
+                        CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev
+                 FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+           ranked AS (SELECT a.brand, CAST(COUNT(b.brand) + 1 AS BIGINT) AS rnk
+                      FROM g a LEFT JOIN g b
+                        ON b.rev > a.rev OR (b.rev = a.rev AND b.brand < a.brand)
+                      GROUP BY 1),
+           e AS (SELECT brand, rnk,
+                        CAST(string_split(brand, '#')[2] AS BIGINT) % 2 AS grp,
+                        1.0 / (ln(CAST(rnk + 1 AS DOUBLE)) / ln(2.0)) AS exposure
+                 FROM ranked),
+           tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb, SUM(exposure) AS te FROM e)
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_brands,
+             ROUND(SUM(exposure / te), 6) + 0 AS exposure_share,
+             ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(MAX(nb) AS DOUBLE), 6) + 0 AS item_share
+      FROM e, tot GROUP BY 1 ORDER BY 1""",
+
+    "q_enrichment_test" -> """
+      WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+           st AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+                         CAST(SUM(CASE WHEN w = 'fast' THEN 1 ELSE 0 END) AS BIGINT) AS kk,
+                         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+                         CAST(SUM(CASE WHEN lang = 'en' AND w = 'fast' THEN 1 ELSE 0 END)
+                              AS BIGINT) AS k_en
+                  FROM toks)
+      SELECT nn AS corpus_tokens, kk AS corpus_fast, n_en AS en_tokens, k_en AS en_fast,
+             ROUND((CAST(k_en AS DOUBLE) - CAST(n_en AS DOUBLE) * CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE))
+                   / SQRT(CAST(n_en AS DOUBLE) * (CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE))
+                          * (1.0 - CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE))
+                          * (CAST(nn - n_en AS DOUBLE) / CAST(nn - 1 AS DOUBLE))), 4) + 0
+               AS enrichment_z,
+             CAST(CAST(k_en AS HUGEINT) * nn * 10000 // (CAST(n_en AS HUGEINT) * kk) AS BIGINT)
+               AS fold_enrichment_e4
+      FROM st""",
+
+    "q_borda_count" -> """
+      WITH g AS (SELECT p_brand AS brand,
+                        CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS m1,
+                        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS m2,
+                        CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS m3
+                 FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+           r1 AS (SELECT a.brand, CAST(COUNT(b.brand) + 1 AS BIGINT) AS r1 FROM g a
+                  LEFT JOIN g b ON b.m1 > a.m1 OR (b.m1 = a.m1 AND b.brand < a.brand)
+                  GROUP BY 1),
+           r2 AS (SELECT a.brand, CAST(COUNT(b.brand) + 1 AS BIGINT) AS r2 FROM g a
+                  LEFT JOIN g b ON b.m2 > a.m2 OR (b.m2 = a.m2 AND b.brand < a.brand)
+                  GROUP BY 1),
+           r3 AS (SELECT a.brand, CAST(COUNT(b.brand) + 1 AS BIGINT) AS r3 FROM g a
+                  LEFT JOIN g b ON b.m3 > a.m3 OR (b.m3 = a.m3 AND b.brand < a.brand)
+                  GROUP BY 1),
+           n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM g)
+      SELECT r1.brand, r1, r2, r3, n * 3 - r1 - r2 - r3 AS borda_score
+      FROM r1 JOIN r2 ON r1.brand = r2.brand JOIN r3 ON r1.brand = r3.brand, n
+      ORDER BY borda_score DESC, r1.brand LIMIT 10""",
+
+    "q_k_anonymity" -> """
+      WITH classes AS (SELECT c_mktsegment, c_nationkey, CAST(COUNT(*) AS BIGINT) AS k,
+                              CAST(COUNT(DISTINCT CASE WHEN c_acctbal >= 0.0 THEN 1 ELSE 0 END)
+                                   AS BIGINT) AS l
+                       FROM customer GROUP BY 1, 2)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_classes, CAST(SUM(k) AS BIGINT) AS n_rows,
+             CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k,
+             CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT) AS rows_below_k5,
+             CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) * 10000 // SUM(k) AS BIGINT)
+               AS suppression_share_e4,
+             CAST(MIN(l) AS BIGINT) AS min_l_diversity
+      FROM classes""",
+
+    "q_bloom_sizing" -> """
+      WITH n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM lineitem),
+           t AS (SELECT CASE range WHEN 0 THEN 4.605170185988091
+                        ELSE 6.907755278982137 END AS neg_ln_p,
+                        CASE range WHEN 0 THEN '0.01' ELSE '0.001' END AS target_fp
+                 FROM range(2))
+      SELECT target_fp, n AS n_keys,
+             CAST(CEIL(CAST(n AS DOUBLE) * neg_ln_p / 0.4804530139182014) AS BIGINT) AS m_bits,
+             CAST(ROUND(neg_ln_p / 0.6931471805599453) AS BIGINT) AS k_hashes,
+             ROUND(neg_ln_p / 0.4804530139182014, 4) + 0 AS bits_per_key
+      FROM n, t ORDER BY target_fp""",
+
+    "q_design_effect" -> """
+      WITH g AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS ni,
+                        CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS si,
+                        CAST(SUM(CAST(ROUND(value*100) AS BIGINT)
+                                 * CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS qi
+                 FROM events GROUP BY 1),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(ni) AS BIGINT) AS n,
+                        CAST(SUM(si) AS BIGINT) AS s, SUM(CAST(qi AS DOUBLE)) AS q,
+                        SUM(CAST(si AS DOUBLE) * CAST(si AS DOUBLE) / CAST(ni AS DOUBLE)) AS bsum,
+                        SUM(CAST(ni AS DOUBLE) * CAST(ni AS DOUBLE)) AS nsq
+                 FROM g),
+           d AS (SELECT k AS n_clusters, n AS n_events,
+                        (bsum - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                        / CAST(k - 1 AS DOUBLE) AS msb,
+                        (q - bsum) / CAST(n - k AS DOUBLE) AS msw,
+                        (CAST(n AS DOUBLE) - nsq / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE) AS k0,
+                        CAST(n AS DOUBLE) / CAST(k AS DOUBLE) AS mbar
+                 FROM s),
+           r AS (SELECT n_clusters, n_events,
+                        (msb - msw) / (msb + (k0 - 1.0) * msw) AS rho, mbar
+                 FROM d)
+      SELECT n_clusters, n_events, ROUND(rho, 6) + 0 AS icc_rho,
+             ROUND(1.0 + (mbar - 1.0) * rho, 4) + 0 AS deff,
+             ROUND(CAST(n_events AS DOUBLE) / (1.0 + (mbar - 1.0) * rho), 2) + 0
+               AS effective_n
+      FROM r""",
+
+    "q_graph_robustness" -> """
+      WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           e0 AS (SELECT a.pk AS u, b.pk AS v FROM items a JOIN items b
+                  ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+           edges AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+           deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+           base AS (SELECT CAST(COUNT(*) AS BIGINT) AS e0n FROM edges),
+           h10 AS (SELECT u AS hub FROM deg ORDER BY deg DESC, u LIMIT 10),
+           h50 AS (SELECT u AS hub FROM deg ORDER BY deg DESC, u LIMIT 50),
+           s0 AS (SELECT CAST(0 AS BIGINT) AS hubs_removed,
+                         CAST(COUNT(*) AS BIGINT) AS e_kept,
+                         CAST(COUNT(DISTINCT u) AS BIGINT) AS nodes_kept
+                  FROM edges),
+           s10 AS (SELECT CAST(10 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+                          CAST(COUNT(DISTINCT u) AS BIGINT)
+                   FROM edges WHERE u NOT IN (SELECT hub FROM h10)
+                     AND v NOT IN (SELECT hub FROM h10)),
+           s50 AS (SELECT CAST(50 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+                          CAST(COUNT(DISTINCT u) AS BIGINT)
+                   FROM edges WHERE u NOT IN (SELECT hub FROM h50)
+                     AND v NOT IN (SELECT hub FROM h50)),
+           u AS (SELECT * FROM s0 UNION ALL SELECT * FROM s10 UNION ALL SELECT * FROM s50)
+      SELECT hubs_removed, nodes_kept, e_kept,
+             CAST(e_kept * 10000 // e0n AS BIGINT) AS edges_kept_e4
+      FROM u, base ORDER BY hubs_removed""",
+
+    "q_min_variance_portfolio" -> """
+      WITH daily AS (SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+                              AS t,
+                            CAST(SUM(CASE WHEN event_type = 'view'
+                                          THEN CAST(ROUND(value*100) AS BIGINT) ELSE 0 END)
+                                 AS BIGINT) AS x,
+                            CAST(SUM(CASE WHEN event_type = 'purchase'
+                                          THEN CAST(ROUND(value*100) AS BIGINT) ELSE 0 END)
+                                 AS BIGINT) AS y
+                     FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1),
+           diffs AS (SELECT a.x - b.x AS dx, a.y - b.y AS dy
+                     FROM daily a JOIN daily b ON b.t = a.t - 1),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dx) AS BIGINT) AS sx,
+                        CAST(SUM(dy) AS BIGINT) AS sy, CAST(SUM(dx*dx) AS BIGINT) AS sxx,
+                        CAST(SUM(dy*dy) AS BIGINT) AS syy, CAST(SUM(dx*dy) AS BIGINT) AS sxy
+                 FROM diffs),
+           v AS (SELECT n AS n_days,
+                        (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS v1,
+                        (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS v2,
+                        (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS cv
+                 FROM s),
+           w AS (SELECT n_days, (v2 - cv) / (v1 + v2 - 2.0 * cv) AS w1, v1, v2, cv FROM v)
+      SELECT n_days, ROUND(w1, 6) + 0 AS weight_view, ROUND(SQRT(v1), 4) + 0 AS sd_view,
+             ROUND(SQRT(v2), 4) + 0 AS sd_purchase,
+             ROUND(SQRT(w1 * w1 * v1 + (1.0 - w1) * (1.0 - w1) * v2
+                        + 2.0 * w1 * (1.0 - w1) * cv), 4) + 0 AS sd_portfolio
+      FROM w""",
+
     "q_discount_depth" -> """
       SELECT CAST(ROUND(l_discount*100) AS BIGINT) AS discount_pct,
              CAST(COUNT(*) AS BIGINT) AS n_lines,
