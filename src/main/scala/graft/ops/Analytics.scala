@@ -2221,6 +2221,88 @@ object Analytics {
           + lit(0.0)).as("fisher_e4"))
   }
 
+  /** Restricted mean survival time to τ=25 days: the area under the
+    * Kaplan-Meier user-lifetime curve — "expected active days within the
+    * window", the modern replacement for a median that censoring makes
+    * undefined. Reuses the KM construction (theta-join risk sets and
+    * log-sum products); the integral is one more bounded join for the
+    * step widths.
+    */
+  def q_rmst(spark: SparkSession, sf: String): DataFrame = {
+    val obs = Tables.eventsWithTs(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts_us"))).as("d0"), max(to_date(col("ts_us"))).as("d1"))
+      .select(datediff(col("d1"), col("d0")).cast("long").as("t"),
+        when(col("d1") <= lit("2024-01-23").cast("date"), 1L).otherwise(0L).as("churned"))
+    val byT = obs.groupBy(col("t"))
+      .agg(count(lit(1)).as("n_at"), sum(col("churned")).as("d"))
+    val risk = byT.as("a")
+      .join(byT.select(col("t").as("t2"), col("n_at").as("na2")).as("b"),
+        col("b.t2") >= col("a.t"))
+      .groupBy(col("a.t").as("t"), col("a.d").as("d"))
+      .agg(sum(col("na2")).as("n_risk"))
+      .withColumn("lnterm",
+        when(col("d") > 0,
+          log(lit(1.0) - col("d").cast("double") / col("n_risk").cast("double")))
+          .otherwise(lit(0.0)))
+    val surv = risk.as("a")
+      .join(risk.select(col("t").as("t2"), col("lnterm").as("l2")).as("b"),
+        col("b.t2") <= col("a.t"))
+      .groupBy(col("a.t").as("t"))
+      .agg(exp(sum(col("l2"))).as("s"))
+    // step widths: from each event time to the next (capped at τ=25);
+    // plus the S=1 area from 0 to the first event time
+    val widths = surv.as("a")
+      .join(surv.select(col("t").as("t2")).as("b"), col("b.t2") > col("a.t"), "left_outer")
+      .groupBy(col("a.t").as("t"), col("a.s").as("s"))
+      .agg(min(col("t2")).as("nxt"))
+      .select(col("t"), col("s"),
+        (least(coalesce(col("nxt"), lit(25L)), lit(25L)) - least(col("t"), lit(25L)))
+          .as("w"))
+    val head = surv.agg(min(col("t")).as("t0"))
+      .select(least(col("t0"), lit(25L)).cast("double").as("area0"))
+    widths.filter(col("w") > 0)
+      .agg(sum(col("s") * col("w").cast("double")).as("area1"), count(lit(1)).as("n_steps"))
+      .crossJoin(head)
+      .select(col("n_steps"),
+        (round(col("area0") + col("area1"), 4) + lit(0.0)).as("rmst_days"))
+  }
+
+  /** Mix-shift decomposition of the 1996→1997 mean unit price: the exact
+    * identity Δmean = Σw₀Δp (rate effect at base mix) + Σp₁Δw (mix
+    * effect at new prices) over brand weights — why the average moved
+    * when no price did (or vice versa), the first question on any metric
+    * dashboard. Floor-cent prices and quantity-share weights from exact
+    * sums.
+    */
+  def q_mix_shift_decomposition(spark: SparkSession, sf: String): DataFrame = {
+    def yr(y: Int): DataFrame = Tables.lineitem(spark, sf)
+      .filter(year(col("l_shipdate")) === y)
+      .join(broadcast(Tables.part(spark, sf).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(sum(cents(col("l_extendedprice"))).as(s"r$y"),
+        sum(col("l_quantity").cast("long")).as(s"q$y"))
+    val j = yr(1996).join(yr(1997), "brand").localCheckpoint()
+    val tot = j.agg(sum(col("q1996")).as("tq0"), sum(col("q1997")).as("tq1"))
+    j.crossJoin(broadcast(tot))
+      .select(
+        expr("CAST(r1996 div q1996 AS DOUBLE)").as("p0"),
+        expr("CAST(r1997 div q1997 AS DOUBLE)").as("p1"),
+        expr("CAST(q1996 AS DOUBLE) / CAST(tq0 AS DOUBLE)").as("w0"),
+        expr("CAST(q1997 AS DOUBLE) / CAST(tq1 AS DOUBLE)").as("w1"))
+      .agg(sum(expr("p0 * w0")).as("mean96"), sum(expr("p1 * w1")).as("mean97"),
+        sum(expr("w0 * (p1 - p0)")).as("rate_effect"),
+        sum(expr("p1 * (w1 - w0)")).as("mix_effect"))
+      .select(
+        (round(col("mean96"), 4) + lit(0.0)).as("mean_unit_price96"),
+        (round(col("mean97"), 4) + lit(0.0)).as("mean_unit_price97"),
+        (round(col("rate_effect"), 4) + lit(0.0)).as("rate_effect"),
+        (round(col("mix_effect"), 4) + lit(0.0)).as("mix_effect"),
+        (round(col("mean97") - col("mean96") - col("rate_effect") - col("mix_effect"), 4)
+          + lit(0.0)).as("identity_check"))
+  }
+
   /** Minimum-variance two-asset portfolio over daily view- and
     * purchase-revenue CHANGES: w* = (σ₂²−σ₁₂)/(σ₁²+σ₂²−2σ₁₂) and the
     * achieved portfolio σ vs either leg — Markowitz at its smallest,

@@ -2609,4 +2609,57 @@ object MLDeterministic {
       .orderBy(col("borda_score").desc, col("brand").asc)
       .limit(10)
   }
+
+  /** One ChiMerge step for supervised discretization of quantity against
+    * the return-flag classes: the χ² of every ADJACENT value pair's 2×3
+    * table (dense integer support, so adjacency is f+1), lowest-χ² pairs
+    * merge first. Exact counts; the 5 most mergeable boundaries shown —
+    * the bottom-up partner of the top-down q_tree_split.
+    */
+  def q_chimerge_step(spark: SparkSession, sf: String): DataFrame = {
+    val h = Tables.lineitem(spark, sf)
+      .groupBy(col("l_quantity").cast("long").as("f"))
+      .agg(sum(when(col("l_returnflag") === "A", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("l_returnflag") === "N", 1L).otherwise(0L)).as("cn"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("cr"))
+    val pairs = h.as("a")
+      .join(h.select((col("f") - 1).as("f"), col("ca").as("ca2"), col("cn").as("cn2"),
+        col("cr").as("cr2")).as("b"), Seq("f"))
+      .select(col("f"), (col("ca") + col("cn") + col("cr")).as("n1"),
+        (col("ca2") + col("cn2") + col("cr2")).as("n2"),
+        col("ca"), col("cn"), col("cr"), col("ca2"), col("cn2"), col("cr2"))
+    def cell(o: String, rowN: String, colSum: String): String =
+      s"""(CAST($o AS DOUBLE) - CAST($rowN AS DOUBLE) * CAST($colSum AS DOUBLE)
+           / CAST(n1 + n2 AS DOUBLE))
+          * (CAST($o AS DOUBLE) - CAST($rowN AS DOUBLE) * CAST($colSum AS DOUBLE)
+             / CAST(n1 + n2 AS DOUBLE))
+          / (CAST($rowN AS DOUBLE) * CAST($colSum AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))"""
+    pairs
+      .select(col("f").as("boundary_low"), (col("f") + 1).as("boundary_high"),
+        (round(expr(
+          cell("ca", "n1", "(ca + ca2)") + "+" + cell("cn", "n1", "(cn + cn2)") + "+" +
+            cell("cr", "n1", "(cr + cr2)") + "+" + cell("ca2", "n2", "(ca + ca2)") + "+" +
+            cell("cn2", "n2", "(cn + cn2)") + "+" + cell("cr2", "n2", "(cr + cr2)")),
+          4) + lit(0.0)).as("chi2"))
+      .orderBy(col("chi2").asc, col("boundary_low").asc)
+      .limit(5)
+  }
+
+  /** Sign test for the hypothesis "median order total = $1500": counts
+    * above/below, the normal-approximation z, and the decision at 1.96 —
+    * the assumption-free location test that needs nothing but counts.
+    */
+  def q_sign_test(spark: SparkSession, sf: String): DataFrame =
+    Tables.orders(spark, sf)
+      .select(cents(col("o_totalprice")).as("tp"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("tp") > 150000L, 1L).otherwise(0L)).as("n_above"),
+        sum(when(col("tp") < 150000L, 1L).otherwise(0L)).as("n_below"),
+        sum(when(col("tp") === 150000L, 1L).otherwise(0L)).as("n_ties"))
+      .select(col("n"), col("n_above"), col("n_below"), col("n_ties"),
+        (round(expr(
+          """(CAST(n_above AS DOUBLE) - CAST(n_below AS DOUBLE))
+             / SQRT(CAST(n_above + n_below AS DOUBLE))"""), 4) + lit(0.0)).as("z"))
+      .select(col("n"), col("n_above"), col("n_below"), col("n_ties"), col("z"),
+        when(abs(col("z")) > 1.96, 1L).otherwise(0L).as("reject_median_150k"))
 }

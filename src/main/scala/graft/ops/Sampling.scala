@@ -602,4 +602,43 @@ object Sampling {
         (round(expr("CAST(n_events AS DOUBLE) / (1.0 + (mbar - 1.0) * rho)"), 2) + lit(0.0))
           .as("effective_n"))
   }
+
+  /** Neyman (variance-optimal) allocation of a 1000-interview budget
+    * across market segments ∝ N_h·S_h — big AND volatile strata get the
+    * samples — with largest-remainder integerization, next to the
+    * proportional allocation for contrast. Strata σ from exact cents
+    * sums; the only floats are the N·S weights.
+    */
+  def q_neyman_allocation(spark: SparkSession, sf: String): DataFrame = {
+    val g = Tables.customer(spark, sf)
+      .select(col("c_mktsegment").as("segment"), graft.core.Det.cents(col("c_acctbal")).as("v"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("nh"), sum(col("v")).as("s"),
+        sum(col("v").cast("decimal(38,0)") * col("v")).as("q"))
+      .select(col("segment"), col("nh"),
+        expr("""CAST(nh AS DOUBLE) * SQRT((CAST(q AS DOUBLE)
+                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(nh AS DOUBLE))
+                / CAST(nh - 1 AS DOUBLE))""").as("w"))
+    val tot = g.agg(sum(col("w")).as("tw"), sum(col("nh")).as("tn"))
+    val alloc = g.crossJoin(broadcast(tot))
+      .select(col("segment"), col("nh"),
+        expr("1000.0 * w / tw").as("exact_alloc"),
+        expr("nh * 1000 div tn").as("proportional"))
+      .select(col("segment"), col("nh"), col("proportional"),
+        floor(col("exact_alloc")).cast("long").as("fl"),
+        (col("exact_alloc") - floor(col("exact_alloc"))).as("rem"))
+    val used = alloc.agg(sum(col("fl")).as("used"))
+    val ranked = alloc.as("a")
+      .join(alloc.select(col("segment").as("s2"), col("rem").as("r2")).as("b"),
+        col("r2") > col("rem") || (col("r2") === col("rem") && col("s2") < col("segment")),
+        "left_outer")
+      .groupBy(col("a.segment").as("segment"), col("a.nh").as("nh"),
+        col("a.proportional").as("proportional"), col("a.fl").as("fl"))
+      .agg(count(col("s2")).as("rk"))
+    ranked.crossJoin(broadcast(used))
+      .select(col("segment"), col("nh"), col("proportional"),
+        (col("fl") + when(col("rk") < lit(1000L) - col("used"), 1L).otherwise(0L))
+          .as("neyman_alloc"))
+      .orderBy("segment")
+  }
 }

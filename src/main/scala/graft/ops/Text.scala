@@ -709,6 +709,25 @@ object Text {
           .as("chao1_estimate"))
   }
 
+  /** Method-of-moments negative-binomial fit of tokens-per-document:
+    * r = m²/(v−m), p = m/v from exact count sums, plus the
+    * overdispersion ratio v/m that justifies NB over Poisson — the
+    * count-model fit behind document-length modeling.
+    */
+  def q_negbin_fit(spark: SparkSession, sf: String): DataFrame =
+    Tables.documents(spark, sf)
+      .select(size(split(col("text"), " ")).cast("long").as("k"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("s"), sum(col("k") * col("k")).as("q"))
+      .select(col("n").as("n_docs"),
+        expr("CAST(s AS DOUBLE) / CAST(n AS DOUBLE)").as("m"),
+        expr("""(CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                / CAST(n - 1 AS DOUBLE)""").as("v"))
+      .select(col("n_docs"),
+        (round(col("m"), 4) + lit(0.0)).as("mean_tokens"),
+        (round(expr("v / m"), 4) + lit(0.0)).as("dispersion_ratio"),
+        (round(expr("m * m / (v - m)"), 4) + lit(0.0)).as("nb_r"),
+        (round(expr("m / v"), 6) + lit(0.0)).as("nb_p"))
+
   /** Document-frequency pruning impact sweep: for min-df 1..5, the
     * surviving vocabulary size and postings count with kept-share — the
     * index-size vs coverage tradeoff read before building an inverted

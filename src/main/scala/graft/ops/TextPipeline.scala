@@ -892,4 +892,50 @@ object TextPipeline {
         sum(when(col("n_sources") > 1L, 1L).otherwise(0L)).as("n_mixed_source_groups"))
       .orderBy("lang")
   }
+
+  /** B-cubed evaluation of the bag-of-words near-dup clustering against
+    * exact-text duplicate truth: per-document precision |pred∩true|/
+    * |pred| and recall |pred∩true|/|true|, each floored onto an e6
+    * lattice before the exact integer mean — the clustering-quality
+    * metric that, unlike pair-F1, doesn't let one giant cluster dominate.
+    */
+  def q_bcubed_eval(spark: SparkSession, sf: String): DataFrame = {
+    val d = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        md5(col("text").cast("binary")).as("tfp"),
+        md5(concat_ws(" ", array_sort(split(col("text"), " "))).cast("binary")).as("pfp"))
+      .localCheckpoint()
+    val predSz = d.groupBy(col("pfp")).agg(count(lit(1)).as("np"))
+    val trueSz = d.groupBy(col("tfp")).agg(count(lit(1)).as("nt"))
+    val bothSz = d.groupBy(col("pfp"), col("tfp")).agg(count(lit(1)).as("ni"))
+    d.join(predSz, "pfp").join(trueSz, "tfp").join(bothSz, Seq("pfp", "tfp"))
+      .select(expr("ni * 1000000 div np").as("p_e6"),
+        expr("ni * 1000000 div nt").as("r_e6"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("p_e6")).as("sp"), sum(col("r_e6")).as("sr"))
+      .select(col("n_docs"),
+        expr("sp div n_docs").as("bcubed_precision_e6"),
+        expr("sr div n_docs").as("bcubed_recall_e6"))
+  }
+
+  /** Leave-one-source-out data valuation: the corpus chars-per-token
+    * metric recomputed without each source — sources whose removal
+    * RAISES quality are negative-value data, the cheapest version of the
+    * question data-valuation methods answer. LOO deltas are exact
+    * integer subtractions from one full pass, not 20 recomputations.
+    */
+  def q_source_valuation(spark: SparkSession, sf: String): DataFrame = {
+    val per = Tables.documents(spark, sf)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("nd"), sum(col("n_chars")).as("cs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("ts"))
+    val tot = per.agg(sum(col("nd")).as("nd_t"), sum(col("cs")).as("cs_t"),
+      sum(col("ts")).as("ts_t"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("nd").as("n_docs"),
+        expr("cs_t * 10000 div ts_t").as("full_cpt_e4"),
+        expr("(cs_t - cs) * 10000 div (ts_t - ts)").as("loo_cpt_e4"))
+      .select(col("source"), col("n_docs"), col("full_cpt_e4"), col("loo_cpt_e4"),
+        (col("loo_cpt_e4") - col("full_cpt_e4")).as("removal_delta_e4"))
+      .orderBy("source")
+  }
 }

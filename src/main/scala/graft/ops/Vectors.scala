@@ -950,4 +950,31 @@ object Vectors {
           .as("merges_first"))
       .orderBy("la", "lb")
   }
+
+  /** Two-NN intrinsic-dimension estimate (Facco et al.) of the label-0
+    * block: d̂ = n / Σ ln(r₂/r₁) over each point's two nearest-neighbor
+    * distance ratio — whether 64 ambient dimensions hide a much smaller
+    * manifold, the diagnostic read before trusting distance-based
+    * methods at all. Per-point logs floor onto an e9 lattice so the sum
+    * is order-free.
+    */
+  def q_intrinsic_dimension(spark: SparkSession, sf: String): DataFrame = {
+    val sel = quantized(spark, sf).filter(col("label") === 0)
+    val pairs = sel.as("a")
+      .join(sel.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"),
+        dist2E14(col("a.qe"), col("b.qe")).as("d2"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("nid").asc)
+    val nn2 = pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .groupBy(col("qid"))
+      .agg(min(when(col("rn") === 1, col("d2"))).as("r1sq"),
+        min(when(col("rn") === 2, col("d2"))).as("r2sq"))
+      .select(col("qid"),
+        floor(log(col("r2sq").cast("double") / col("r1sq").cast("double")) * 0.5e9)
+          .cast("long").as("ln_mu_e9"))
+    nn2.agg(count(lit(1)).as("n_points"), sum(col("ln_mu_e9")).as("sum_ln_e9"))
+      .select(col("n_points"), col("sum_ln_e9"),
+        (round(expr("CAST(n_points AS DOUBLE) * 1e9 / CAST(sum_ln_e9 AS DOUBLE)"), 4)
+          + lit(0.0)).as("intrinsic_dim"))
+  }
 }

@@ -8186,6 +8186,190 @@ object OracleSql {
                         + 2.0 * w1 * (1.0 - w1) * cv), 4) + 0 AS sd_portfolio
       FROM w""",
 
+    "q_chimerge_step" -> """
+      WITH h AS (SELECT CAST(l_quantity AS BIGINT) AS f,
+                        CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                        CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS cn,
+                        CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS cr
+                 FROM lineitem GROUP BY 1),
+           p AS (SELECT a.f, a.ca + a.cn + a.cr AS n1, b.ca + b.cn + b.cr AS n2,
+                        a.ca, a.cn, a.cr, b.ca AS ca2, b.cn AS cn2, b.cr AS cr2
+                 FROM h a JOIN h b ON b.f = a.f + 1)
+      SELECT f AS boundary_low, f + 1 AS boundary_high,
+             ROUND(
+               (CAST(ca AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(ca + ca2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+               * (CAST(ca AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(ca + ca2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+               / (CAST(n1 AS DOUBLE) * CAST(ca + ca2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+               + (CAST(cn AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(cn + cn2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+               * (CAST(cn AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(cn + cn2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+               / (CAST(n1 AS DOUBLE) * CAST(cn + cn2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+               + (CAST(cr AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(cr + cr2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+               * (CAST(cr AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(cr + cr2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+               / (CAST(n1 AS DOUBLE) * CAST(cr + cr2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+               + (CAST(ca2 AS DOUBLE) - CAST(n2 AS DOUBLE) * CAST(ca + ca2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+               * (CAST(ca2 AS DOUBLE) - CAST(n2 AS DOUBLE) * CAST(ca + ca2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+               / (CAST(n2 AS DOUBLE) * CAST(ca + ca2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+               + (CAST(cn2 AS DOUBLE) - CAST(n2 AS DOUBLE) * CAST(cn + cn2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+               * (CAST(cn2 AS DOUBLE) - CAST(n2 AS DOUBLE) * CAST(cn + cn2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+               / (CAST(n2 AS DOUBLE) * CAST(cn + cn2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+               + (CAST(cr2 AS DOUBLE) - CAST(n2 AS DOUBLE) * CAST(cr + cr2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+               * (CAST(cr2 AS DOUBLE) - CAST(n2 AS DOUBLE) * CAST(cr + cr2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+               / (CAST(n2 AS DOUBLE) * CAST(cr + cr2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)), 4) + 0
+               AS chi2
+      FROM p ORDER BY chi2, boundary_low LIMIT 5""",
+
+    "q_sign_test" -> """
+      WITH s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(CASE WHEN CAST(ROUND(o_totalprice*100) AS BIGINT) > 150000
+                                      THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+                        CAST(SUM(CASE WHEN CAST(ROUND(o_totalprice*100) AS BIGINT) < 150000
+                                      THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+                        CAST(SUM(CASE WHEN CAST(ROUND(o_totalprice*100) AS BIGINT) = 150000
+                                      THEN 1 ELSE 0 END) AS BIGINT) AS n_ties
+                 FROM orders),
+           z AS (SELECT n, n_above, n_below, n_ties,
+                        ROUND((CAST(n_above AS DOUBLE) - CAST(n_below AS DOUBLE))
+                              / SQRT(CAST(n_above + n_below AS DOUBLE)), 4) + 0 AS z
+                 FROM s)
+      SELECT n, n_above, n_below, n_ties, z,
+             CAST(CASE WHEN ABS(z) > 1.96 THEN 1 ELSE 0 END AS BIGINT) AS reject_median_150k
+      FROM z""",
+
+    "q_rmst" -> """
+      WITH obs AS (SELECT CAST(date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE)))
+                          AS BIGINT) AS t,
+                          CASE WHEN MAX(CAST(ts AS DATE)) <= DATE '2024-01-23' THEN 1 ELSE 0 END
+                            AS churned
+                   FROM events GROUP BY user_id),
+           byt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_at, CAST(SUM(churned) AS BIGINT) AS d
+                   FROM obs GROUP BY 1),
+           risk AS (SELECT a.t, a.d, CAST(SUM(b.n_at) AS BIGINT) AS n_risk
+                    FROM byt a JOIN byt b ON b.t >= a.t GROUP BY 1, 2),
+           l AS (SELECT t, CASE WHEN d > 0
+                                THEN ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+                                ELSE 0.0 END AS lnterm
+                 FROM risk),
+           surv AS (SELECT a.t, exp(SUM(b.lnterm)) AS s
+                    FROM l a JOIN l b ON b.t <= a.t GROUP BY 1),
+           widths AS (SELECT a.t, a.s,
+                             LEAST(COALESCE(MIN(b.t), 25), 25) - LEAST(a.t, 25) AS w
+                      FROM surv a LEFT JOIN surv b ON b.t > a.t GROUP BY 1, 2),
+           head AS (SELECT CAST(LEAST(MIN(t), 25) AS DOUBLE) AS area0 FROM surv),
+           body AS (SELECT SUM(s * CAST(w AS DOUBLE)) AS area1, CAST(COUNT(*) AS BIGINT)
+                             AS n_steps
+                    FROM widths WHERE w > 0)
+      SELECT n_steps, ROUND(area0 + area1, 4) + 0 AS rmst_days FROM body, head""",
+
+    "q_mix_shift_decomposition" -> """
+      WITH y0 AS (SELECT p_brand AS brand,
+                         CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS r0,
+                         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q0
+                  FROM lineitem JOIN part ON l_partkey = p_partkey
+                  WHERE year(l_shipdate) = 1996 GROUP BY 1),
+           y1 AS (SELECT p_brand AS brand,
+                         CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS r1,
+                         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q1
+                  FROM lineitem JOIN part ON l_partkey = p_partkey
+                  WHERE year(l_shipdate) = 1997 GROUP BY 1),
+           j AS (SELECT y0.brand, r0, q0, r1, q1 FROM y0 JOIN y1 ON y0.brand = y1.brand),
+           tot AS (SELECT CAST(SUM(q0) AS BIGINT) AS tq0, CAST(SUM(q1) AS BIGINT) AS tq1 FROM j),
+           w AS (SELECT CAST(r0 // q0 AS DOUBLE) AS p0, CAST(r1 // q1 AS DOUBLE) AS p1,
+                        CAST(q0 AS DOUBLE) / CAST(tq0 AS DOUBLE) AS w0,
+                        CAST(q1 AS DOUBLE) / CAST(tq1 AS DOUBLE) AS w1
+                 FROM j, tot),
+           s AS (SELECT SUM(p0 * w0) AS mean96, SUM(p1 * w1) AS mean97,
+                        SUM(w0 * (p1 - p0)) AS rate_effect, SUM(p1 * (w1 - w0)) AS mix_effect
+                 FROM w)
+      SELECT ROUND(mean96, 4) + 0 AS mean_unit_price96, ROUND(mean97, 4) + 0 AS mean_unit_price97,
+             ROUND(rate_effect, 4) + 0 AS rate_effect, ROUND(mix_effect, 4) + 0 AS mix_effect,
+             ROUND(mean97 - mean96 - rate_effect - mix_effect, 4) + 0 AS identity_check
+      FROM s""",
+
+    "q_bcubed_eval" -> """
+      WITH d AS (SELECT doc_id, md5(text) AS tfp,
+                        md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS pfp
+                 FROM documents),
+           ps AS (SELECT pfp, CAST(COUNT(*) AS BIGINT) AS np FROM d GROUP BY 1),
+           ts AS (SELECT tfp, CAST(COUNT(*) AS BIGINT) AS nt FROM d GROUP BY 1),
+           bs AS (SELECT pfp, tfp, CAST(COUNT(*) AS BIGINT) AS ni FROM d GROUP BY 1, 2),
+           per AS (SELECT ni * 1000000 // np AS p_e6, ni * 1000000 // nt AS r_e6
+                   FROM d JOIN ps USING (pfp) JOIN ts USING (tfp) JOIN bs USING (pfp, tfp))
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(p_e6) // COUNT(*) AS BIGINT) AS bcubed_precision_e6,
+             CAST(SUM(r_e6) // COUNT(*) AS BIGINT) AS bcubed_recall_e6
+      FROM per""",
+
+    "q_source_valuation" -> """
+      WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nd,
+                          CAST(SUM(n_chars) AS BIGINT) AS cs,
+                          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ts
+                   FROM documents GROUP BY 1),
+           tot AS (SELECT CAST(SUM(nd) AS BIGINT) AS nd_t, CAST(SUM(cs) AS BIGINT) AS cs_t,
+                          CAST(SUM(ts) AS BIGINT) AS ts_t FROM per)
+      SELECT source, nd AS n_docs, CAST(cs_t * 10000 // ts_t AS BIGINT) AS full_cpt_e4,
+             CAST((cs_t - cs) * 10000 // (ts_t - ts) AS BIGINT) AS loo_cpt_e4,
+             CAST((cs_t - cs) * 10000 // (ts_t - ts) - cs_t * 10000 // ts_t AS BIGINT)
+               AS removal_delta_e4
+      FROM per, tot ORDER BY source""",
+
+    "q_negbin_fit" -> """
+      WITH d AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS k FROM documents),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(k) AS BIGINT) AS s,
+                        CAST(SUM(k*k) AS BIGINT) AS q FROM d),
+           m AS (SELECT n AS n_docs, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+                        (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                        / CAST(n - 1 AS DOUBLE) AS v
+                 FROM s)
+      SELECT n_docs, ROUND(m, 4) + 0 AS mean_tokens, ROUND(v / m, 4) + 0 AS dispersion_ratio,
+             ROUND(m * m / (v - m), 4) + 0 AS nb_r, ROUND(m / v, 6) + 0 AS nb_p
+      FROM m""",
+
+    "q_intrinsic_dimension" -> """
+      WITH n AS (SELECT vec_id,
+                        list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE)*1e7) AS BIGINT)) AS qe
+                 FROM embeddings WHERE label = 0),
+           pairs AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+                            CAST(list_sum(list_transform(list_zip(a.qe, b.qe),
+                                 p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS d2
+                     FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+           r AS (SELECT qid, d2, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, nid) AS rn
+                 FROM pairs),
+           nn2 AS (SELECT qid,
+                          CAST(FLOOR(ln(CAST(MIN(CASE WHEN rn = 2 THEN d2 END) AS DOUBLE)
+                                        / CAST(MIN(CASE WHEN rn = 1 THEN d2 END) AS DOUBLE))
+                                     * 0.5e9) AS BIGINT) AS ln_mu_e9
+                   FROM r WHERE rn <= 2 GROUP BY 1)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_points, CAST(SUM(ln_mu_e9) AS BIGINT) AS sum_ln_e9,
+             ROUND(CAST(COUNT(*) AS DOUBLE) * 1e9 / CAST(SUM(ln_mu_e9) AS DOUBLE), 4) + 0
+               AS intrinsic_dim
+      FROM nn2""",
+
+    "q_neyman_allocation" -> """
+      WITH g AS (SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS nh,
+                        CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT) AS s,
+                        SUM(CAST(CAST(ROUND(c_acctbal*100) AS BIGINT) AS HUGEINT)
+                            * CAST(ROUND(c_acctbal*100) AS BIGINT)) AS q
+                 FROM customer GROUP BY 1),
+           w AS (SELECT segment, nh,
+                        CAST(nh AS DOUBLE) * SQRT((CAST(q AS DOUBLE)
+                          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(nh AS DOUBLE))
+                          / CAST(nh - 1 AS DOUBLE)) AS w
+                 FROM g),
+           tot AS (SELECT SUM(w) AS tw, CAST(SUM(nh) AS BIGINT) AS tn FROM w),
+           alloc AS (SELECT segment, nh, CAST(nh * 1000 // tn AS BIGINT) AS proportional,
+                            CAST(FLOOR(1000.0 * w / tw) AS BIGINT) AS fl,
+                            1000.0 * w / tw - FLOOR(1000.0 * w / tw) AS rem
+                     FROM w, tot),
+           used AS (SELECT CAST(SUM(fl) AS BIGINT) AS used FROM alloc),
+           rk AS (SELECT a.segment, a.nh, a.proportional, a.fl,
+                         CAST(COUNT(b.segment) AS BIGINT) AS rk
+                  FROM alloc a LEFT JOIN alloc b
+                    ON b.rem > a.rem OR (b.rem = a.rem AND b.segment < a.segment)
+                  GROUP BY 1, 2, 3, 4)
+      SELECT segment, nh, proportional,
+             fl + (CASE WHEN rk < 1000 - used THEN 1 ELSE 0 END) AS neyman_alloc
+      FROM rk, used ORDER BY segment""",
+
     "q_discount_depth" -> """
       SELECT CAST(ROUND(l_discount*100) AS BIGINT) AS discount_pct,
              CAST(COUNT(*) AS BIGINT) AS n_lines,
