@@ -2517,4 +2517,178 @@ object Analytics {
           """SQRT(2.0 * CAST(demand_units AS DOUBLE) * 5000.0
                   / (0.2 * CAST(unit_price_cents AS DOUBLE)))"""), 4) + lit(0.0)).as("eoq_units"))
       .orderBy("brand")
+
+  /** Monthly revenue in exact cents keyed by a linear month index —
+    * shared spine for the econometric diagnostics below. */
+  private def monthlyRevenue(spark: SparkSession, sf: String): DataFrame =
+    Tables.orders(spark, sf)
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("m"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev"))
+
+  /** Lo–MacKinlay variance-ratio test (q=4) on monthly revenue changes:
+    * VR = Var(4-month diff) / (4·Var(1-month diff)). Under a random walk
+    * VR≈1; VR<1 mean-reversion, VR>1 momentum. Diffs pair months via
+    * exact integer month arithmetic; the z-statistic uses the iid
+    * asymptotic variance 2(2q−1)(q−1)/(3qn).
+    */
+  def q_variance_ratio(spark: SparkSession, sf: String): DataFrame = {
+    val rev = monthlyRevenue(spark, sf)
+    def diffs(q: Int): DataFrame = rev.as("a")
+      .join(rev.select(col("m").as("m2"), col("rev").as("rev2")).as("b"),
+        col("m2") === col("m") + q)
+      .select((col("rev2") - col("rev")).as("d"))
+      .agg(count(lit(1)).as("n"), sum(col("d")).as("sd"),
+        sum(col("d").cast("double") * col("d").cast("double")).as("sdd"))
+      .select(col("n"),
+        (col("sdd") / col("n").cast("double")
+          - (col("sd").cast("double") / col("n").cast("double"))
+            * (col("sd").cast("double") / col("n").cast("double"))).as(s"var$q"))
+    diffs(1).select(col("n").as("n1"), col("var1"))
+      .crossJoin(diffs(4).select(col("n").as("n4"), col("var4")))
+      .select(col("n1"), col("n4"),
+        (round(col("var4") / (lit(4.0) * col("var1")), 4) + lit(0.0)).as("vr"),
+        (round((col("var4") / (lit(4.0) * col("var1")) - lit(1.0))
+          / sqrt(lit(2.0 * 7 * 3 / 12.0) / col("n4").cast("double")), 4) + lit(0.0))
+          .as("vr_z"))
+  }
+
+  /** Theil inequality indices over per-customer lifetime revenue:
+    * T = (1/n)Σ(x/μ)ln(x/μ) (top-sensitive) and L = (1/n)Σln(μ/x)
+    * (bottom-sensitive) — the decomposable entropy-based complements to
+    * the Gini already in §2. Exact cent totals; only the per-customer
+    * ln is float, and both outputs are dimensionless.
+    */
+  def q_theil_index(spark: SparkSession, sf: String): DataFrame = {
+    val cust = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("x"))
+      .filter(col("x") > 0)
+    val tot = cust.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    cust.crossJoin(broadcast(tot))
+      .select(col("n"),
+        (col("x").cast("double") * col("n").cast("double")
+          / col("sx").cast("double")).as("ratio"))
+      .groupBy(col("n"))
+      .agg(sum(col("ratio") * log(col("ratio"))).as("st"),
+        sum(-log(col("ratio"))).as("sl"))
+      .select(col("n").as("n_customers"),
+        (round(col("st") / col("n").cast("double"), 4) + lit(0.0)).as("theil_t"),
+        (round(col("sl") / col("n").cast("double"), 4) + lit(0.0)).as("theil_l"))
+  }
+
+  /** Process-capability indices for line-item quantity against spec
+    * limits [5, 45]: Cp = (USL−LSL)/6σ, Cpk = min(USL−μ, μ−LSL)/3σ, and
+    * the observed out-of-spec rate in ppm, per return flag. μ and σ come
+    * from exact integer Σq and Σq² (q ≤ 50 so no overflow at any SF);
+    * the epilogue is a single identical IEEE expression tree.
+    */
+  def q_process_capability(spark: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").as("flag"),
+        col("l_quantity").cast("long").as("q"))
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"),
+        sum(col("q") * col("q")).as("sqq"),
+        sum(when(col("q") < 5 || col("q") > 45, 1L).otherwise(0L)).as("oos"))
+      .select(col("flag"), col("n"),
+        (round(col("sq").cast("double") / col("n").cast("double"), 4) + lit(0.0))
+          .as("mean_qty"),
+        (round(sqrt(col("sqq").cast("double") / col("n").cast("double")
+          - (col("sq").cast("double") / col("n").cast("double"))
+            * (col("sq").cast("double") / col("n").cast("double"))), 4) + lit(0.0))
+          .as("sd_qty"),
+        (round(lit(40.0) / (lit(6.0) * sqrt(col("sqq").cast("double") / col("n").cast("double")
+          - (col("sq").cast("double") / col("n").cast("double"))
+            * (col("sq").cast("double") / col("n").cast("double")))), 4) + lit(0.0))
+          .as("cp"),
+        (round(least(lit(45.0) - col("sq").cast("double") / col("n").cast("double"),
+          col("sq").cast("double") / col("n").cast("double") - lit(5.0))
+          / (lit(3.0) * sqrt(col("sqq").cast("double") / col("n").cast("double")
+            - (col("sq").cast("double") / col("n").cast("double"))
+              * (col("sq").cast("double") / col("n").cast("double")))), 4) + lit(0.0))
+          .as("cpk"),
+        expr("CAST(oos * 1000000 div n AS BIGINT)").as("oos_ppm"))
+      .orderBy("flag")
+
+  /** Ljung–Box portmanteau test on monthly revenue changes: sample
+    * autocorrelations ρ_k at lags 1..6 (overlapping-pair estimator with
+    * the full-series variance denominator) and the cumulative statistic
+    * Q(k) = n(n+2)Σ_{j≤k} ρ_j²/(n−j), which is χ²_k under white noise.
+    * Lag pairing and the Q accumulation are bounded theta joins over
+    * exact month indices.
+    */
+  def q_ljung_box(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val rev = monthlyRevenue(spark, sf)
+    val d1 = rev.as("a")
+      .join(rev.select(col("m").as("m2"), col("rev").as("rev2")).as("b"),
+        col("m2") === col("m") + 1)
+      .select(col("m"), (col("rev2") - col("rev")).as("d"))
+      .localCheckpoint()
+    val base = d1.agg(count(lit(1)).as("n"), sum(col("d")).as("sd"),
+      sum(col("d").cast("double") * col("d").cast("double")).as("sdd"))
+      .select(col("n"),
+        (col("sd").cast("double") / col("n").cast("double")).as("mu"),
+        (col("sdd")
+          - (col("sd").cast("double") / col("n").cast("double"))
+            * col("sd").cast("double")).as("ss"))
+    val lags = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("lag")
+    val rho = d1.crossJoin(broadcast(lags)).as("a")
+      .join(d1.select(col("m").as("m2"), col("d").as("d2")).as("b"),
+        col("m2") === col("m") + col("lag"))
+      .crossJoin(broadcast(base))
+      .groupBy(col("lag"), col("n"), col("ss"))
+      .agg(sum((col("d").cast("double") - col("mu"))
+        * (col("d2").cast("double") - col("mu"))).as("num"))
+      .select(col("lag"), col("n"), (col("num") / col("ss")).as("rho"))
+      .localCheckpoint()
+    rho.as("a")
+      .join(rho.select(col("lag").as("lag2"), col("rho").as("rho2")).as("b"),
+        col("lag2") <= col("a.lag"))
+      .groupBy(col("a.lag").as("lag"), col("a.n").as("n"), col("a.rho").as("rho_raw"))
+      .agg(sum(col("rho2") * col("rho2")
+        / (col("n").cast("double") - col("lag2").cast("double"))).as("qsum"))
+      .select(col("lag"), col("n"),
+        (round(col("rho_raw"), 4) + lit(0.0)).as("rho"),
+        (round(col("n").cast("double") * (col("n").cast("double") + 2) * col("qsum"), 4)
+          + lit(0.0)).as("q_stat"))
+      .orderBy("lag")
+  }
+
+  /** Durbin–Watson statistic of the residuals from OLS of monthly
+    * revenue on the month index: DW = Σ(e_t−e_{t−1})²/Σe_t², ≈2(1−ρ̂₁).
+    * The slope/intercept come from exact integer sums (month indices and
+    * cent totals), so residuals are identical IEEE doubles on both
+    * engines; the lag-1 pairing is an integer-key self join.
+    */
+  def q_durbin_watson(spark: SparkSession, sf: String): DataFrame = {
+    val rev = monthlyRevenue(spark, sf)
+    val fit = rev.agg(count(lit(1)).as("n"), sum(col("m")).as("st"),
+        sum(col("rev")).as("sy"), sum(col("m") * col("rev")).as("sty"),
+        sum(col("m") * col("m")).as("stt"))
+      .select(col("n"),
+        ((col("n").cast("double") * col("sty").cast("double")
+          - col("st").cast("double") * col("sy").cast("double"))
+          / (col("n").cast("double") * col("stt").cast("double")
+            - col("st").cast("double") * col("st").cast("double"))).as("b"),
+        (col("sy").cast("double") / col("n").cast("double")).as("ybar"),
+        (col("st").cast("double") / col("n").cast("double")).as("tbar"))
+    val resid = rev.crossJoin(broadcast(fit))
+      .select(col("m"), col("n"),
+        (col("rev").cast("double") - col("ybar")
+          - col("b") * (col("m").cast("double") - col("tbar"))).as("e"))
+      .localCheckpoint()
+    val num = resid.as("a")
+      .join(resid.select(col("m").as("m2"), col("e").as("e2")).as("b"),
+        col("m2") === col("m") + 1)
+      .agg(sum((col("e2") - col("e")) * (col("e2") - col("e"))).as("num"))
+    resid.groupBy(col("n"))
+      .agg(sum(col("e") * col("e")).as("den"))
+      .crossJoin(num)
+      .select(col("n").as("n_months"),
+        (round(col("num") / col("den"), 4) + lit(0.0)).as("dw"),
+        (round(lit(1.0) - (col("num") / col("den")) / lit(2.0), 4) + lit(0.0))
+          .as("rho1_approx"))
+  }
 }

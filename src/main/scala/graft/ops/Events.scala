@@ -968,4 +968,99 @@ object Events {
           4) + lit(0.0)).as("rolling_beta"))
       .orderBy("day_index")
   }
+
+  /** Hurst exponent of the daily event-count series by rescaled-range
+    * analysis: partition the 30-day series into full blocks of m ∈
+    * {5, 10, 15} days, compute R/S per block (range of cumulative
+    * deviations over the block sd), average per scale, and fit
+    * ln(R/S) ~ ln(m) by OLS — H≈0.5 is a random walk, H>0.5 trending
+    * traffic. Within-block cumulative sums are bounded theta joins
+    * (≤15-element bands), never a partition-less window.
+    */
+  def q_hurst_exponent(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.eventsWithTs(spark, sf)
+      .groupBy(datediff(to_date(col("ts_us")), lit("2024-01-01").cast("date"))
+        .cast("long").as("d"))
+      .agg(count(lit(1)).as("x"))
+    val scales = Seq(5L, 10L, 15L).toDF("m")
+    val cells = daily.crossJoin(broadcast(scales))
+      .select(col("m"), expr("d div m").as("blk"), col("d"), col("x"))
+    val blkStats = cells.groupBy(col("m"), col("blk"))
+      .agg(count(lit(1)).as("nb"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .filter(col("nb") === col("m"))
+      .select(col("m"), col("blk"),
+        (col("sx").cast("double") / col("nb").cast("double")).as("mu"),
+        sqrt(col("sxx").cast("double") / col("nb").cast("double")
+          - (col("sx").cast("double") / col("nb").cast("double"))
+            * (col("sx").cast("double") / col("nb").cast("double"))).as("sd"))
+    // cumulative deviation at day d = (partial sum through d) - (#days)*mu
+    val cum = cells.as("a")
+      .join(cells.select(col("m").as("m2"), col("blk").as("blk2"),
+        col("d").as("d2"), col("x").as("x2")).as("b"),
+        col("m2") === col("a.m") && col("blk2") === col("a.blk")
+          && col("d2") <= col("a.d"))
+      .groupBy(col("a.m").as("m"), col("a.blk").as("blk"), col("a.d").as("d"))
+      .agg(sum(col("x2")).as("ps"), count(lit(1)).as("k"))
+      .join(blkStats, Seq("m", "blk"))
+      .filter(col("sd") > 0)
+      .select(col("m"), col("blk"), col("sd"),
+        (col("ps").cast("double") - col("k").cast("double") * col("mu")).as("cd"))
+    val rs = cum.groupBy(col("m"), col("blk"), col("sd"))
+      .agg((max(col("cd")) - min(col("cd"))).as("r"))
+      .groupBy(col("m"))
+      .agg(avg(col("r") / col("sd")).as("rs_mean"), count(lit(1)).as("n_blocks"))
+      .localCheckpoint()
+    val fit = rs.select(log(col("m").cast("double")).as("lx"),
+        log(col("rs_mean")).as("ly"))
+      .agg(count(lit(1)).cast("double").as("n"), sum(col("lx")).as("sx"),
+        sum(col("ly")).as("sy"), sum(col("lx") * col("ly")).as("sxy"),
+        sum(col("lx") * col("lx")).as("sxx"))
+      .select((round((col("n") * col("sxy") - col("sx") * col("sy"))
+        / (col("n") * col("sxx") - col("sx") * col("sx")), 4) + lit(0.0))
+        .as("hurst"))
+    rs.crossJoin(broadcast(fit))
+      .select(col("m").as("block_days"), col("n_blocks"),
+        (round(col("rs_mean"), 4) + lit(0.0)).as("rs_mean"), col("hurst"))
+      .orderBy("block_days")
+  }
+
+  /** Geometric adstock (decay 0.5, 7-day carryover) of daily view counts
+    * vs same-day purchase counts: does smoothed past exposure correlate
+    * with conversions better than raw same-day exposure? The adstock
+    * convolution is a bounded theta join with exact powers of two, so
+    * both engines agree bit-for-bit on the kernel.
+    */
+  def q_adstock_decay(spark: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.eventsWithTs(spark, sf)
+      .groupBy(datediff(to_date(col("ts_us")), lit("2024-01-01").cast("date"))
+        .cast("long").as("d"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+    val ad = daily.as("a")
+      .join(daily.select(col("d").as("d2"), col("x").as("x2")).as("b"),
+        col("d2").between(col("a.d") - 7, col("a.d")))
+      .groupBy(col("a.d").as("d"), col("a.x").as("x"), col("a.y").as("y"))
+      .agg(sum(col("x2").cast("double")
+        * pow(lit(0.5), (col("d") - col("d2")).cast("double"))).as("adstock"))
+    ad.agg(count(lit(1)).as("n_days"),
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x").cast("double")).as("sx"), sum(col("y").cast("double")).as("sy"),
+        sum(col("adstock")).as("sa"),
+        sum(col("x").cast("double") * col("y").cast("double")).as("sxy"),
+        sum(col("x").cast("double") * col("x").cast("double")).as("sxx"),
+        sum(col("y").cast("double") * col("y").cast("double")).as("syy"),
+        sum(col("adstock") * col("y").cast("double")).as("say"),
+        sum(col("adstock") * col("adstock")).as("saa"))
+      .select(col("n_days"),
+        (round((col("n") * col("sxy") - col("sx") * col("sy"))
+          / (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
+            * sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 4) + lit(0.0))
+          .as("corr_raw"),
+        (round((col("n") * col("say") - col("sa") * col("sy"))
+          / (sqrt(col("n") * col("saa") - col("sa") * col("sa"))
+            * sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 4) + lit(0.0))
+          .as("corr_adstock"))
+  }
 }

@@ -2662,4 +2662,145 @@ object MLDeterministic {
              / SQRT(CAST(n_above + n_below AS DOUBLE))"""), 4) + lit(0.0)).as("z"))
       .select(col("n"), col("n_above"), col("n_below"), col("n_ties"), col("z"),
         when(abs(col("z")) > 1.96, 1L).otherwise(0L).as("reject_median_150k"))
+
+  /** Cronbach's alpha over a 4-item "scale": each customer's 1997
+    * quarterly revenue (missing quarters = 0 — absence is signal for a
+    * consistency measure). α = k/(k−1)·(1 − Σvar_item/var_total) asks
+    * whether quarters move together per customer. Item variances are
+    * population moments of exact cent sums; only the final ratio is
+    * float, and it is dimensionless.
+    */
+  def q_cronbach_alpha(spark: SparkSession, sf: String): DataFrame = {
+    val items = Tables.orders(spark, sf)
+      .filter(year(col("o_orderdate")) === 1997)
+      .groupBy(col("o_custkey"))
+      .agg(sum(when(quarter(col("o_orderdate")) === 1, cents(col("o_totalprice")))
+          .otherwise(0L)).as("q1"),
+        sum(when(quarter(col("o_orderdate")) === 2, cents(col("o_totalprice")))
+          .otherwise(0L)).as("q2"),
+        sum(when(quarter(col("o_orderdate")) === 3, cents(col("o_totalprice")))
+          .otherwise(0L)).as("q3"),
+        sum(when(quarter(col("o_orderdate")) === 4, cents(col("o_totalprice")))
+          .otherwise(0L)).as("q4"))
+      .withColumn("t", col("q1") + col("q2") + col("q3") + col("q4"))
+    def popVar(n: Column, s: Column, ss: Column): Column =
+      ss / n - (s / n) * (s / n)
+    items.agg(count(lit(1)).as("n"),
+        sum(col("q1")).as("s1"), sum(col("q1").cast("decimal(38,0)") * col("q1")).as("ss1"),
+        sum(col("q2")).as("s2"), sum(col("q2").cast("decimal(38,0)") * col("q2")).as("ss2"),
+        sum(col("q3")).as("s3"), sum(col("q3").cast("decimal(38,0)") * col("q3")).as("ss3"),
+        sum(col("q4")).as("s4"), sum(col("q4").cast("decimal(38,0)") * col("q4")).as("ss4"),
+        sum(col("t")).as("st"), sum(col("t").cast("decimal(38,0)") * col("t")).as("sst"))
+      .select(col("n"),
+        ((popVar(col("n").cast("double"), col("s1").cast("double"), col("ss1").cast("double"))
+          + popVar(col("n").cast("double"), col("s2").cast("double"), col("ss2").cast("double"))
+          + popVar(col("n").cast("double"), col("s3").cast("double"), col("ss3").cast("double"))
+          + popVar(col("n").cast("double"), col("s4").cast("double"), col("ss4").cast("double")))
+          / popVar(col("n").cast("double"), col("st").cast("double"), col("sst").cast("double")))
+          .as("var_ratio"))
+      .select(col("n").as("n_customers"),
+        (round(col("var_ratio"), 4) + lit(0.0)).as("item_total_var_ratio"),
+        (round((lit(4.0) / lit(3.0)) * (lit(1.0) - col("var_ratio")), 4) + lit(0.0))
+          .as("cronbach_alpha"))
+  }
+
+  /** Murphy decomposition of the Brier score for a grouped forecaster:
+    * train on pre-mid-1998 shipments to get each brand's return rate p_k,
+    * score on later shipments (outcome: returnflag = 'R'). Brier =
+    * REL − RES + UNC with the brand as the binning unit; the identity
+    * check must come back 0.0. Everything is ratios of exact counts —
+    * the canonical "is my calibrated model actually resolving anything"
+    * diagnostic at corpus scale.
+    */
+  def q_brier_decomposition(spark: SparkSession, sf: String): DataFrame = {
+    val branded = Tables.lineitem(spark, sf)
+      .join(broadcast(Tables.part(spark, sf).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"), col("l_shipdate"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("o"))
+    val train = branded.filter(col("l_shipdate") < lit("1998-07-01").cast("date"))
+      .groupBy(col("brand"))
+      .agg((sum(col("o")).cast("double") / count(lit(1)).cast("double")).as("p"))
+    val ev = branded.filter(col("l_shipdate") >= lit("1998-07-01").cast("date"))
+      .groupBy(col("brand"))
+      .agg(count(lit(1)).as("nk"), sum(col("o")).as("sk"))
+      .join(broadcast(train), "brand")
+      .localCheckpoint()
+    val tot = ev.agg(sum(col("nk")).as("nn"), sum(col("sk")).as("so"))
+      .select(col("nn"), (col("so").cast("double") / col("nn").cast("double")).as("obar"))
+    ev.crossJoin(broadcast(tot))
+      .select(col("nn"), col("obar"),
+        (col("nk").cast("double") * (col("p") - col("sk").cast("double") / col("nk").cast("double"))
+          * (col("p") - col("sk").cast("double") / col("nk").cast("double"))).as("rel_k"),
+        (col("nk").cast("double")
+          * (col("sk").cast("double") / col("nk").cast("double") - col("obar"))
+          * (col("sk").cast("double") / col("nk").cast("double") - col("obar"))).as("res_k"),
+        (col("nk").cast("double") * col("p") * col("p")
+          - lit(2.0) * col("p") * col("sk").cast("double")
+          + col("sk").cast("double")).as("brier_k"))
+      .groupBy(col("nn"), col("obar"))
+      .agg(sum(col("rel_k")).as("rel"), sum(col("res_k")).as("res"),
+        sum(col("brier_k")).as("brier"))
+      .select(col("nn").as("n_eval"),
+        (round(col("brier") / col("nn").cast("double"), 4) + lit(0.0)).as("brier"),
+        (round(col("rel") / col("nn").cast("double"), 4) + lit(0.0)).as("reliability"),
+        (round(col("res") / col("nn").cast("double"), 4) + lit(0.0)).as("resolution"),
+        (round(col("obar") * (lit(1.0) - col("obar")), 4) + lit(0.0)).as("uncertainty"),
+        (round(col("brier") / col("nn").cast("double")
+          - (col("rel") / col("nn").cast("double")
+            - col("res") / col("nn").cast("double")
+            + col("obar") * (lit(1.0) - col("obar"))), 4) + lit(0.0)).as("identity_check"))
+  }
+
+  /** Benjamini–Hochberg step-up FDR control (α=0.10) across 25
+    * per-nation mean-order-value z-tests: two-sided p-values via the
+    * logistic approximation to the normal CDF (p = 2/(1+e^{1.702|z|}),
+    * pre-rounded to 7 decimals in both engines so a boundary ulp can
+    * never flip a rejection), ranked by (p, nationkey) with a bounded
+    * theta join, rejecting all ranks ≤ max{i : p_(i) ≤ i·α/m}. More
+    * powerful than the Holm correction already in §2 — the pair shows
+    * FWER vs FDR on the same data.
+    */
+  def q_benjamini_hochberg(spark: SparkSession, sf: String): DataFrame = {
+    val joined = Tables.orders(spark, sf)
+      .join(broadcast(Tables.customer(spark, sf)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").as("nk"), cents(col("o_totalprice")).as("tp"))
+      .localCheckpoint()
+    val g = joined.agg(count(lit(1)).as("n"), sum(col("tp")).as("s"),
+        sum(col("tp").cast("decimal(38,0)") * col("tp")).as("ss"))
+      .select((col("s").cast("double") / col("n").cast("double")).as("mu"),
+        sqrt(col("ss").cast("double") / col("n").cast("double")
+          - (col("s").cast("double") / col("n").cast("double"))
+            * (col("s").cast("double") / col("n").cast("double"))).as("sigma"))
+    val pvals = joined.groupBy(col("nk"))
+      .agg(count(lit(1)).as("ni"), sum(col("tp")).as("si"))
+      .crossJoin(broadcast(g))
+      .select(col("nk"), col("ni"),
+        ((col("si").cast("double") / col("ni").cast("double") - col("mu"))
+          / (col("sigma") / sqrt(col("ni").cast("double")))).as("z"))
+      .select(col("nk"), col("ni"), col("z"),
+        round(lit(2.0) / (lit(1.0) + exp(lit(1.702) * abs(col("z")))), 7).as("p"))
+      .localCheckpoint()
+    val m = pvals.agg(count(lit(1)).as("m"))
+    val ranked = pvals.as("a")
+      .join(pvals.select(col("p").as("p2"), col("nk").as("nk2")).as("b"),
+        col("p2") < col("a.p") || (col("p2") === col("a.p") && col("nk2") <= col("a.nk")))
+      .groupBy(col("a.nk").as("nk"), col("a.ni").as("ni"), col("a.z").as("z"),
+        col("a.p").as("p"))
+      .agg(count(lit(1)).as("bh_rank"))
+      .crossJoin(broadcast(m))
+      .withColumn("passes",
+        when(col("p") <= col("bh_rank").cast("double") * lit(0.10)
+          / col("m").cast("double"), 1L).otherwise(0L))
+    val kstar = ranked.agg(coalesce(max(when(col("passes") === 1, col("bh_rank"))),
+      lit(0L)).as("kstar"))
+    ranked.crossJoin(broadcast(kstar))
+      .select(col("nk").as("nationkey"), col("ni").as("n_orders"),
+        (round(col("z"), 4) + lit(0.0)).as("z"),
+        (col("p") + lit(0.0)).as("p_approx"), col("bh_rank"),
+        when(col("bh_rank") <= col("kstar"), 1L).otherwise(0L).as("rejected"))
+      .orderBy("nationkey")
+  }
 }

@@ -622,7 +622,9 @@ object Sampling {
     val tot = g.agg(sum(col("w")).as("tw"), sum(col("nh")).as("tn"))
     val alloc = g.crossJoin(broadcast(tot))
       .select(col("segment"), col("nh"),
-        expr("1000.0 * w / tw").as("exact_alloc"),
+        // rounded to 7 decimals in BOTH engines: the exact allocation can
+        // land on an integer, where summation-order ulps would flip floor()
+        expr("ROUND(1000.0 * w / tw, 7)").as("exact_alloc"),
         expr("nh * 1000 div tn").as("proportional"))
       .select(col("segment"), col("nh"), col("proportional"),
         floor(col("exact_alloc")).cast("long").as("fl"),

@@ -8357,8 +8357,9 @@ object OracleSql {
                  FROM g),
            tot AS (SELECT SUM(w) AS tw, CAST(SUM(nh) AS BIGINT) AS tn FROM w),
            alloc AS (SELECT segment, nh, CAST(nh * 1000 // tn AS BIGINT) AS proportional,
-                            CAST(FLOOR(1000.0 * w / tw) AS BIGINT) AS fl,
-                            1000.0 * w / tw - FLOOR(1000.0 * w / tw) AS rem
+                            CAST(FLOOR(ROUND(1000.0 * w / tw, 7)) AS BIGINT) AS fl,
+                            ROUND(1000.0 * w / tw, 7)
+                              - FLOOR(ROUND(1000.0 * w / tw, 7)) AS rem
                      FROM w, tot),
            used AS (SELECT CAST(SUM(fl) AS BIGINT) AS used FROM alloc),
            rk AS (SELECT a.segment, a.nh, a.proportional, a.fl,
@@ -8401,5 +8402,305 @@ object OracleSql {
                    / ((CAST(sxx AS DOUBLE) - CAST(st_e6 AS DOUBLE) / 1e6)
                       / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 4) + 0 AS f_stat
       FROM s""",
+
+    "q_hurst_exponent" -> """
+      WITH daily AS (SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                            AS BIGINT) AS d,
+                            CAST(COUNT(*) AS BIGINT) AS x
+                     FROM events GROUP BY 1),
+           scales AS (SELECT CAST(m AS BIGINT) AS m FROM (VALUES (5), (10), (15)) t(m)),
+           cells AS (SELECT m, d // m AS blk, d, x FROM daily, scales),
+           bs AS (SELECT m, blk, CAST(COUNT(*) AS BIGINT) AS nb,
+                         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x*x) AS BIGINT) AS sxx
+                  FROM cells GROUP BY 1, 2),
+           bstat AS (SELECT m, blk, CAST(sx AS DOUBLE) / CAST(nb AS DOUBLE) AS mu,
+                            SQRT(CAST(sxx AS DOUBLE) / CAST(nb AS DOUBLE)
+                              - (CAST(sx AS DOUBLE) / CAST(nb AS DOUBLE))
+                                * (CAST(sx AS DOUBLE) / CAST(nb AS DOUBLE))) AS sd
+                     FROM bs WHERE nb = m),
+           cum AS (SELECT a.m, a.blk, a.d, CAST(SUM(b.x) AS BIGINT) AS ps,
+                          CAST(COUNT(*) AS BIGINT) AS k
+                   FROM cells a JOIN cells b
+                     ON b.m = a.m AND b.blk = a.blk AND b.d <= a.d
+                   GROUP BY 1, 2, 3),
+           cd AS (SELECT c.m, c.blk, s.sd,
+                         CAST(c.ps AS DOUBLE) - CAST(c.k AS DOUBLE) * s.mu AS cd
+                  FROM cum c JOIN bstat s ON s.m = c.m AND s.blk = c.blk
+                  WHERE s.sd > 0),
+           rs AS (SELECT m, blk, sd, MAX(cd) - MIN(cd) AS r FROM cd GROUP BY 1, 2, 3),
+           rsm AS (SELECT m, AVG(r / sd) AS rs_mean, CAST(COUNT(*) AS BIGINT) AS n_blocks
+                   FROM rs GROUP BY 1),
+           fit AS (SELECT ROUND((CAST(COUNT(*) AS DOUBLE)
+                              * SUM(ln(CAST(m AS DOUBLE)) * ln(rs_mean))
+                            - SUM(ln(CAST(m AS DOUBLE))) * SUM(ln(rs_mean)))
+                           / (CAST(COUNT(*) AS DOUBLE)
+                              * SUM(ln(CAST(m AS DOUBLE)) * ln(CAST(m AS DOUBLE)))
+                            - SUM(ln(CAST(m AS DOUBLE))) * SUM(ln(CAST(m AS DOUBLE)))), 4)
+                          + 0 AS hurst
+                   FROM rsm)
+      SELECT m AS block_days, n_blocks, ROUND(rs_mean, 4) + 0 AS rs_mean, hurst
+      FROM rsm, fit ORDER BY 1""",
+
+    "q_adstock_decay" -> """
+      WITH daily AS (SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                            AS BIGINT) AS d,
+                            CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                              AS BIGINT) AS x,
+                            CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                              AS BIGINT) AS y
+                     FROM events GROUP BY 1),
+           ad AS (SELECT a.d, a.x, a.y,
+                         SUM(CAST(b.x AS DOUBLE) * POWER(0.5, CAST(a.d - b.d AS DOUBLE)))
+                           AS adstock
+                  FROM daily a JOIN daily b ON b.d BETWEEN a.d - 7 AND a.d
+                  GROUP BY 1, 2, 3),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days, CAST(COUNT(*) AS DOUBLE) AS n,
+                        SUM(CAST(x AS DOUBLE)) AS sx, SUM(CAST(y AS DOUBLE)) AS sy,
+                        SUM(adstock) AS sa,
+                        SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS sxy,
+                        SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS sxx,
+                        SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS syy,
+                        SUM(adstock * CAST(y AS DOUBLE)) AS say,
+                        SUM(adstock * adstock) AS saa
+                 FROM ad)
+      SELECT n_days,
+             ROUND((n * sxy - sx * sy)
+               / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 4) + 0 AS corr_raw,
+             ROUND((n * say - sa * sy)
+               / (SQRT(n * saa - sa * sa) * SQRT(n * syy - sy * sy)), 4) + 0 AS corr_adstock
+      FROM s""",
+
+    "q_variance_ratio" -> """
+      WITH rev AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+                          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+                   FROM orders GROUP BY 1),
+           d1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(b.rev - a.rev) AS BIGINT) AS sd,
+                         SUM(CAST(b.rev - a.rev AS DOUBLE) * CAST(b.rev - a.rev AS DOUBLE)) AS sdd
+                  FROM rev a JOIN rev b ON b.m = a.m + 1),
+           d4 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(b.rev - a.rev) AS BIGINT) AS sd,
+                         SUM(CAST(b.rev - a.rev AS DOUBLE) * CAST(b.rev - a.rev AS DOUBLE)) AS sdd
+                  FROM rev a JOIN rev b ON b.m = a.m + 4),
+           v AS (SELECT d1.n AS n1, d4.n AS n4,
+                        d1.sdd / CAST(d1.n AS DOUBLE)
+                          - (CAST(d1.sd AS DOUBLE) / CAST(d1.n AS DOUBLE))
+                            * (CAST(d1.sd AS DOUBLE) / CAST(d1.n AS DOUBLE)) AS var1,
+                        d4.sdd / CAST(d4.n AS DOUBLE)
+                          - (CAST(d4.sd AS DOUBLE) / CAST(d4.n AS DOUBLE))
+                            * (CAST(d4.sd AS DOUBLE) / CAST(d4.n AS DOUBLE)) AS var4
+                 FROM d1, d4)
+      SELECT n1, n4, ROUND(var4 / (4.0 * var1), 4) + 0 AS vr,
+             ROUND((var4 / (4.0 * var1) - 1.0) / SQRT(3.5 / CAST(n4 AS DOUBLE)), 4) + 0 AS vr_z
+      FROM v""",
+
+    "q_ljung_box" -> """
+      WITH rev AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+                          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+                   FROM orders GROUP BY 1),
+           d1 AS (SELECT a.m, b.rev - a.rev AS d FROM rev a JOIN rev b ON b.m = a.m + 1),
+           base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                           CAST(SUM(d) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mu,
+                           SUM(CAST(d AS DOUBLE) * CAST(d AS DOUBLE))
+                             - (CAST(SUM(d) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                               * CAST(SUM(d) AS DOUBLE) AS ss
+                    FROM d1),
+           lags AS (SELECT CAST(l AS BIGINT) AS lag
+                    FROM (VALUES (1), (2), (3), (4), (5), (6)) t(l)),
+           rho0 AS (SELECT lag, n, ss,
+                           SUM((CAST(a.d AS DOUBLE) - mu) * (CAST(b.d AS DOUBLE) - mu)) AS num
+                    FROM d1 a CROSS JOIN lags CROSS JOIN base
+                    JOIN d1 b ON b.m = a.m + lag
+                    GROUP BY 1, 2, 3),
+           rho AS (SELECT lag, n, num / ss AS rho FROM rho0),
+           q AS (SELECT a.lag, a.n, a.rho,
+                        SUM(b.rho * b.rho / (CAST(a.n AS DOUBLE) - CAST(b.lag AS DOUBLE)))
+                          AS qsum
+                 FROM rho a JOIN rho b ON b.lag <= a.lag
+                 GROUP BY 1, 2, 3)
+      SELECT lag, n, ROUND(rho, 4) + 0 AS rho,
+             ROUND(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2) * qsum, 4) + 0 AS q_stat
+      FROM q ORDER BY lag""",
+
+    "q_durbin_watson" -> """
+      WITH rev AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+                          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+                   FROM orders GROUP BY 1),
+           fit AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                          (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(m * rev) AS DOUBLE)
+                            - CAST(SUM(m) AS DOUBLE) * CAST(SUM(rev) AS DOUBLE))
+                          / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(m * m) AS DOUBLE)
+                            - CAST(SUM(m) AS DOUBLE) * CAST(SUM(m) AS DOUBLE)) AS b,
+                          CAST(SUM(rev) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS ybar,
+                          CAST(SUM(m) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS tbar
+                   FROM rev),
+           resid AS (SELECT m, n,
+                            CAST(rev AS DOUBLE) - ybar - b * (CAST(m AS DOUBLE) - tbar) AS e
+                     FROM rev, fit),
+           num AS (SELECT SUM((b.e - a.e) * (b.e - a.e)) AS num
+                   FROM resid a JOIN resid b ON b.m = a.m + 1),
+           den AS (SELECT n, SUM(e * e) AS den FROM resid GROUP BY 1)
+      SELECT n AS n_months, ROUND(num / den, 4) + 0 AS dw,
+             ROUND(1.0 - (num / den) / 2.0, 4) + 0 AS rho1_approx
+      FROM den, num""",
+
+    "q_theil_index" -> """
+      WITH cust0 AS (SELECT o_custkey,
+                            CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+                     FROM orders GROUP BY 1),
+           cust AS (SELECT x FROM cust0 WHERE x > 0),
+           tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx
+                   FROM cust),
+           r AS (SELECT n, CAST(x AS DOUBLE) * CAST(n AS DOUBLE) / CAST(sx AS DOUBLE) AS ratio
+                 FROM cust, tot),
+           s AS (SELECT n, SUM(ratio * ln(ratio)) AS st, SUM(-ln(ratio)) AS sl
+                 FROM r GROUP BY 1)
+      SELECT n AS n_customers, ROUND(st / CAST(n AS DOUBLE), 4) + 0 AS theil_t,
+             ROUND(sl / CAST(n AS DOUBLE), 4) + 0 AS theil_l
+      FROM s""",
+
+    "q_process_capability" -> """
+      WITH s AS (SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+                        CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                          AS BIGINT) AS sqq,
+                        CAST(SUM(CASE WHEN CAST(l_quantity AS BIGINT) < 5
+                                        OR CAST(l_quantity AS BIGINT) > 45
+                                      THEN 1 ELSE 0 END) AS BIGINT) AS oos
+                 FROM lineitem GROUP BY 1)
+      SELECT flag, n,
+             ROUND(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE), 4) + 0 AS mean_qty,
+             ROUND(SQRT(CAST(sqq AS DOUBLE) / CAST(n AS DOUBLE)
+               - (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))), 4) + 0 AS sd_qty,
+             ROUND(40.0 / (6.0 * SQRT(CAST(sqq AS DOUBLE) / CAST(n AS DOUBLE)
+               - (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)))), 4) + 0 AS cp,
+             ROUND(LEAST(45.0 - CAST(sq AS DOUBLE) / CAST(n AS DOUBLE),
+                         CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) - 5.0)
+               / (3.0 * SQRT(CAST(sqq AS DOUBLE) / CAST(n AS DOUBLE)
+                 - (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)))), 4) + 0 AS cpk,
+             CAST(oos * 1000000 // n AS BIGINT) AS oos_ppm
+      FROM s ORDER BY flag""",
+
+    "q_cronbach_alpha" -> """
+      WITH it AS (SELECT o_custkey,
+                         CAST(SUM(CASE WHEN quarter(o_orderdate) = 1
+                                       THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                                       ELSE 0 END) AS BIGINT) AS q1,
+                         CAST(SUM(CASE WHEN quarter(o_orderdate) = 2
+                                       THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                                       ELSE 0 END) AS BIGINT) AS q2,
+                         CAST(SUM(CASE WHEN quarter(o_orderdate) = 3
+                                       THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                                       ELSE 0 END) AS BIGINT) AS q3,
+                         CAST(SUM(CASE WHEN quarter(o_orderdate) = 4
+                                       THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                                       ELSE 0 END) AS BIGINT) AS q4
+                  FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1),
+           t AS (SELECT q1, q2, q3, q4, q1 + q2 + q3 + q4 AS t FROM it),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(q1) AS BIGINT) AS s1,
+                        CAST(SUM(CAST(q1 AS HUGEINT) * q1) AS DOUBLE) AS ss1,
+                        CAST(SUM(q2) AS BIGINT) AS s2,
+                        CAST(SUM(CAST(q2 AS HUGEINT) * q2) AS DOUBLE) AS ss2,
+                        CAST(SUM(q3) AS BIGINT) AS s3,
+                        CAST(SUM(CAST(q3 AS HUGEINT) * q3) AS DOUBLE) AS ss3,
+                        CAST(SUM(q4) AS BIGINT) AS s4,
+                        CAST(SUM(CAST(q4 AS HUGEINT) * q4) AS DOUBLE) AS ss4,
+                        CAST(SUM(t) AS BIGINT) AS st,
+                        CAST(SUM(CAST(t AS HUGEINT) * t) AS DOUBLE) AS sst
+                 FROM t),
+           v AS (SELECT n,
+                        ((ss1 / CAST(n AS DOUBLE)
+                           - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                             * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                         + (ss2 / CAST(n AS DOUBLE)
+                           - (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                             * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)))
+                         + (ss3 / CAST(n AS DOUBLE)
+                           - (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+                             * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)))
+                         + (ss4 / CAST(n AS DOUBLE)
+                           - (CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE))
+                             * (CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE))))
+                        / (sst / CAST(n AS DOUBLE)
+                           - (CAST(st AS DOUBLE) / CAST(n AS DOUBLE))
+                             * (CAST(st AS DOUBLE) / CAST(n AS DOUBLE))) AS var_ratio
+                 FROM s)
+      SELECT n AS n_customers, ROUND(var_ratio, 4) + 0 AS item_total_var_ratio,
+             ROUND((4.0 / 3.0) * (1.0 - var_ratio), 4) + 0 AS cronbach_alpha
+      FROM v""",
+
+    "q_brier_decomposition" -> """
+      WITH br AS (SELECT p.p_brand AS brand, l.l_shipdate,
+                         CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS o
+                  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+           train AS (SELECT brand, CAST(SUM(o) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS p
+                     FROM br WHERE l_shipdate < DATE '1998-07-01' GROUP BY 1),
+           ev AS (SELECT b.brand, CAST(COUNT(*) AS BIGINT) AS nk,
+                         CAST(SUM(o) AS BIGINT) AS sk, t.p
+                  FROM br b JOIN train t ON t.brand = b.brand
+                  WHERE l_shipdate >= DATE '1998-07-01' GROUP BY 1, 4),
+           tot AS (SELECT CAST(SUM(nk) AS BIGINT) AS nn,
+                          CAST(SUM(sk) AS DOUBLE) / CAST(SUM(nk) AS DOUBLE) AS obar
+                   FROM ev),
+           terms AS (SELECT nn, obar,
+                            CAST(nk AS DOUBLE)
+                              * (p - CAST(sk AS DOUBLE) / CAST(nk AS DOUBLE))
+                              * (p - CAST(sk AS DOUBLE) / CAST(nk AS DOUBLE)) AS rel_k,
+                            CAST(nk AS DOUBLE)
+                              * (CAST(sk AS DOUBLE) / CAST(nk AS DOUBLE) - obar)
+                              * (CAST(sk AS DOUBLE) / CAST(nk AS DOUBLE) - obar) AS res_k,
+                            CAST(nk AS DOUBLE) * p * p - 2.0 * p * CAST(sk AS DOUBLE)
+                              + CAST(sk AS DOUBLE) AS brier_k
+                     FROM ev, tot),
+           agg AS (SELECT nn, obar, SUM(rel_k) AS rel, SUM(res_k) AS res,
+                          SUM(brier_k) AS brier
+                   FROM terms GROUP BY 1, 2)
+      SELECT nn AS n_eval,
+             ROUND(brier / CAST(nn AS DOUBLE), 4) + 0 AS brier,
+             ROUND(rel / CAST(nn AS DOUBLE), 4) + 0 AS reliability,
+             ROUND(res / CAST(nn AS DOUBLE), 4) + 0 AS resolution,
+             ROUND(obar * (1.0 - obar), 4) + 0 AS uncertainty,
+             ROUND(brier / CAST(nn AS DOUBLE)
+               - (rel / CAST(nn AS DOUBLE) - res / CAST(nn AS DOUBLE)
+                  + obar * (1.0 - obar)), 4) + 0 AS identity_check
+      FROM agg""",
+
+    "q_benjamini_hochberg" -> """
+      WITH j AS (SELECT c.c_nationkey AS nk,
+                        CAST(ROUND(o_totalprice * 100) AS BIGINT) AS tp
+                 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+           g AS (SELECT CAST(SUM(tp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mu,
+                        SQRT(CAST(SUM(CAST(tp AS HUGEINT) * tp) AS DOUBLE)
+                               / CAST(COUNT(*) AS DOUBLE)
+                             - (CAST(SUM(tp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                               * (CAST(SUM(tp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)))
+                          AS sigma
+                 FROM j),
+           pv AS (SELECT nk, CAST(COUNT(*) AS BIGINT) AS ni, CAST(SUM(tp) AS BIGINT) AS si
+                  FROM j GROUP BY 1),
+           z AS (SELECT nk, ni,
+                        (CAST(si AS DOUBLE) / CAST(ni AS DOUBLE) - mu)
+                          / (sigma / SQRT(CAST(ni AS DOUBLE))) AS z
+                 FROM pv, g),
+           p AS (SELECT nk, ni, z,
+                        ROUND(2.0 / (1.0 + exp(1.702 * abs(z))), 7) AS p
+                 FROM z),
+           m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM p),
+           rk AS (SELECT a.nk, a.ni, a.z, a.p, CAST(COUNT(*) AS BIGINT) AS bh_rank
+                  FROM p a JOIN p b ON b.p < a.p OR (b.p = a.p AND b.nk <= a.nk)
+                  GROUP BY 1, 2, 3, 4),
+           pass AS (SELECT nk, ni, z, p, bh_rank,
+                           CASE WHEN p <= CAST(bh_rank AS DOUBLE) * 0.10
+                                           / CAST(m AS DOUBLE)
+                                THEN 1 ELSE 0 END AS passes
+                    FROM rk, m),
+           ks AS (SELECT COALESCE(MAX(CASE WHEN passes = 1 THEN bh_rank END),
+                    CAST(0 AS BIGINT)) AS kstar FROM pass)
+      SELECT nk AS nationkey, ni AS n_orders, ROUND(z, 4) + 0 AS z, p + 0 AS p_approx,
+             bh_rank, CAST(CASE WHEN bh_rank <= kstar THEN 1 ELSE 0 END AS BIGINT)
+               AS rejected
+      FROM pass, ks ORDER BY 1""",
   )
 }
