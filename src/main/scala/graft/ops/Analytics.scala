@@ -2691,4 +2691,348 @@ object Analytics {
         (round(lit(1.0) - (col("num") / col("den")) / lit(2.0), 4) + lit(0.0))
           .as("rho1_approx"))
   }
+
+  private def dailyRevenue(spark: SparkSession, sf: String): DataFrame =
+    Tables.orders(spark, sf)
+      .groupBy(datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+        .cast("long").as("d"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev"))
+
+  /** Jarque–Bera normality test of line-item quantity per return flag:
+    * sample skewness and excess-kurtosis-from-3 via exact integer power
+    * sums Σq..Σq⁴ (q ≤ 50, no overflow at any SF), then
+    * JB = n/6·(S² + (K−3)²/4). The epilogue is one identical IEEE tree
+    * (sqrt is correctly rounded, so the reject flag is bit-safe).
+    */
+  def q_jarque_bera(spark: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").as("mode"), col("l_quantity").cast("long").as("q"))
+      .groupBy(col("mode"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s1"),
+        sum(col("q") * col("q")).as("s2"),
+        sum(col("q") * col("q") * col("q")).as("s3"),
+        sum(col("q") * col("q") * col("q") * col("q")).as("s4"))
+      .select(col("mode"), col("n"),
+        (col("s1").cast("double") / col("n").cast("double")).as("mu"),
+        (col("s2").cast("double") / col("n").cast("double")).as("a2"),
+        (col("s3").cast("double") / col("n").cast("double")).as("a3"),
+        (col("s4").cast("double") / col("n").cast("double")).as("a4"))
+      .select(col("mode"), col("n"),
+        (col("a2") - col("mu") * col("mu")).as("m2"),
+        (col("a3") - lit(3.0) * col("mu") * col("a2")
+          + lit(2.0) * col("mu") * col("mu") * col("mu")).as("m3"),
+        (col("a4") - lit(4.0) * col("mu") * col("a3")
+          + lit(6.0) * col("mu") * col("mu") * col("a2")
+          - lit(3.0) * col("mu") * col("mu") * col("mu") * col("mu")).as("m4"))
+      .select(col("mode"), col("n"),
+        (col("m3") / (col("m2") * sqrt(col("m2")))).as("skew"),
+        (col("m4") / (col("m2") * col("m2"))).as("kurt"))
+      .select(col("mode"), col("n"),
+        (round(col("skew"), 4) + lit(0.0)).as("skew"),
+        (round(col("kurt"), 4) + lit(0.0)).as("kurt"),
+        (round(col("n").cast("double") / lit(6.0)
+          * (col("skew") * col("skew")
+            + (col("kurt") - lit(3.0)) * (col("kurt") - lit(3.0)) / lit(4.0)), 4)
+          + lit(0.0)).as("jb"),
+        when(col("n").cast("double") / lit(6.0)
+          * (col("skew") * col("skew")
+            + (col("kurt") - lit(3.0)) * (col("kurt") - lit(3.0)) / lit(4.0))
+          > lit(5.991465), 1L).otherwise(0L).as("reject_normal"))
+      .orderBy("mode")
+
+  /** Breusch–Pagan heteroskedasticity test on the monthly-revenue trend
+    * fit: OLS residuals e from rev~m (exact-sum closed form, as in
+    * Durbin–Watson), then the auxiliary R² of e² on m and LM = n·R²,
+    * which is χ²₁ under homoskedasticity.
+    */
+  def q_breusch_pagan(spark: SparkSession, sf: String): DataFrame = {
+    val rev = monthlyRevenue(spark, sf)
+    val fit = rev.agg(count(lit(1)).as("n"), sum(col("m")).as("st"),
+        sum(col("rev")).as("sy"), sum(col("m") * col("rev")).as("sty"),
+        sum(col("m") * col("m")).as("stt"))
+      .select(col("n"), col("st"), col("stt"),
+        ((col("n").cast("double") * col("sty").cast("double")
+          - col("st").cast("double") * col("sy").cast("double"))
+          / (col("n").cast("double") * col("stt").cast("double")
+            - col("st").cast("double") * col("st").cast("double"))).as("b"),
+        (col("sy").cast("double") / col("n").cast("double")).as("ybar"),
+        (col("st").cast("double") / col("n").cast("double")).as("tbar"))
+    rev.crossJoin(broadcast(fit))
+      .select(col("m"), col("n"), col("st"), col("stt"),
+        (col("rev").cast("double") - col("ybar")
+          - col("b") * (col("m").cast("double") - col("tbar"))).as("e"))
+      .select(col("m"), col("n"), col("st"), col("stt"),
+        (col("e") * col("e")).as("u"))
+      .groupBy(col("n"), col("st"), col("stt"))
+      .agg(sum(col("u")).as("su"), sum(col("u") * col("u")).as("suu"),
+        sum(col("m").cast("double") * col("u")).as("smu"))
+      .select(col("n").as("n_months"),
+        ((col("n").cast("double") * col("smu") - col("st").cast("double") * col("su"))
+          * (col("n").cast("double") * col("smu") - col("st").cast("double") * col("su"))
+          / ((col("n").cast("double") * col("stt").cast("double")
+            - col("st").cast("double") * col("st").cast("double"))
+            * (col("n").cast("double") * col("suu") - col("su") * col("su"))))
+          .as("r2_aux"))
+      .select(col("n_months"),
+        (round(col("r2_aux"), 6) + lit(0.0)).as("r2_aux"),
+        (round(col("n_months").cast("double") * col("r2_aux"), 4) + lit(0.0)).as("lm"),
+        when(col("n_months").cast("double") * col("r2_aux") > lit(3.841459), 1L)
+          .otherwise(0L).as("reject_homosked"))
+  }
+
+  /** Chow structural-break F-test of the monthly revenue~month OLS at
+    * 1998-01: per-period and pooled RSS from conditional exact sums in a
+    * single pass (Σrev² and Σm·rev accumulated as doubles so the query
+    * survives any SF), F = ((RSSp−RSS1−RSS2)/k)/((RSS1+RSS2)/(n−2k)),
+    * k=2, vs the F(2,76) 5% critical value 3.117.
+    */
+  def q_chow_test(spark: SparkSession, sf: String): DataFrame = {
+    val rev = monthlyRevenue(spark, sf)
+      .select(col("m"), col("rev"),
+        when(col("m") < lit(1998L * 12 + 1), lit(0)).otherwise(lit(1)).as("p"))
+    def rss(pfx: String): Column =
+      (col(s"${pfx}syy") - (col(s"${pfx}sy") * col(s"${pfx}sy")) / col(s"${pfx}n"))
+        .minus(((col(s"${pfx}sty") - col(s"${pfx}st") * col(s"${pfx}sy") / col(s"${pfx}n"))
+          * (col(s"${pfx}sty") - col(s"${pfx}st") * col(s"${pfx}sy") / col(s"${pfx}n")))
+          / (col(s"${pfx}stt") - col(s"${pfx}st") * col(s"${pfx}st") / col(s"${pfx}n")))
+    def part(pfx: String, cond: Column): Seq[Column] = Seq(
+      sum(when(cond, 1.0).otherwise(0.0)).as(s"${pfx}n"),
+      sum(when(cond, col("m").cast("double")).otherwise(0.0)).as(s"${pfx}st"),
+      sum(when(cond, col("m").cast("double") * col("m").cast("double"))
+        .otherwise(0.0)).as(s"${pfx}stt"),
+      sum(when(cond, col("rev").cast("double")).otherwise(0.0)).as(s"${pfx}sy"),
+      sum(when(cond, col("rev").cast("double") * col("rev").cast("double"))
+        .otherwise(0.0)).as(s"${pfx}syy"),
+      sum(when(cond, col("m").cast("double") * col("rev").cast("double"))
+        .otherwise(0.0)).as(s"${pfx}sty"))
+    val aggs = part("a", col("p") === 0) ++ part("b", col("p") === 1) ++
+      part("t", lit(true))
+    rev.agg(aggs.head, aggs.tail: _*)
+      .select(col("an").cast("long").as("n1"), col("bn").cast("long").as("n2"),
+        rss("a").as("rss1"), rss("b").as("rss2"), rss("t").as("rssp"))
+      .select(col("n1"), col("n2"),
+        (round(((col("rssp") - col("rss1") - col("rss2")) / lit(2.0))
+          / ((col("rss1") + col("rss2"))
+            / (col("n1").cast("double") + col("n2").cast("double") - lit(4.0))), 4)
+          + lit(0.0)).as("f_stat"),
+        when(((col("rssp") - col("rss1") - col("rss2")) / lit(2.0))
+          / ((col("rss1") + col("rss2"))
+            / (col("n1").cast("double") + col("n2").cast("double") - lit(4.0)))
+          > lit(3.117), 1L).otherwise(0L).as("break_detected"))
+  }
+
+  /** Kruskal–Wallis rank test of order totals (binned to exact $1000
+    * cent-lattice values) across the five order priorities. Midranks
+    * come from a value-level theta join (count-below + (t+1)/2 — exact
+    * half-integers, so every rank sum is an exact double), tie-corrected
+    * H = (12/(N(N+1)) ΣR_g²/n_g − 3(N+1)) / (1 − Σ(t³−t)/(N³−N)).
+    */
+  def q_kruskal_wallis(spark: SparkSession, sf: String): DataFrame = {
+    val gv = Tables.orders(spark, sf)
+      .select(col("o_orderpriority").as("g"),
+        expr("CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) div 100000 AS BIGINT)")
+          .as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val vals = gv.groupBy(col("v")).agg(sum(col("cnt")).as("t"))
+    val ranks = vals.as("a")
+      .join(vals.select(col("v").as("v2"), col("t").as("t2")).as("b"),
+        col("v2") < col("a.v"), "left")
+      .groupBy(col("a.v").as("v"), col("a.t").as("t"))
+      .agg(coalesce(sum(col("t2")), lit(0L)).as("below"))
+      .select(col("v"), col("t"),
+        (col("below").cast("double")
+          + (col("t").cast("double") + lit(1.0)) / lit(2.0)).as("midrank"))
+    val tot = vals.agg(sum(col("t")).as("nn"),
+      sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+    val grp = gv.join(ranks, "v")
+      .groupBy(col("g"))
+      .agg(sum(col("cnt")).as("n_g"),
+        sum(col("cnt").cast("double") * col("midrank")).as("r_g"))
+      .localCheckpoint()
+    val h = grp.crossJoin(broadcast(tot))
+      .groupBy(col("nn"), col("ties"))
+      .agg(sum(col("r_g") * col("r_g") / col("n_g").cast("double")).as("srr"))
+      .select(
+        (lit(12.0) / (col("nn").cast("double") * (col("nn").cast("double") + lit(1.0)))
+          * col("srr") - lit(3.0) * (col("nn").cast("double") + lit(1.0))).as("h_raw"),
+        (lit(1.0) - col("ties").cast("double")
+          / ((col("nn").cast("double") * col("nn").cast("double") - lit(1.0))
+            * col("nn").cast("double"))).as("corr"))
+    grp.crossJoin(broadcast(h))
+      .select(col("g").as("priority"), col("n_g"),
+        (round(col("r_g") / col("n_g").cast("double"), 4) + lit(0.0)).as("mean_rank"),
+        (round(col("h_raw"), 4) + lit(0.0)).as("h"),
+        (round(col("h_raw") / col("corr"), 4) + lit(0.0)).as("h_adj"))
+      .orderBy("priority")
+  }
+
+  /** Friedman test of mean order value across the five priorities
+    * (treatments) blocked by month: within-block competition ranks via
+    * exact cross-multiplied integer comparison (s_b·c_a > s_a·c_b, no
+    * float ever compared), blocks restricted to all-5-present months,
+    * Q = 12/(nk(k+1))·ΣR_j² − 3n(k+1) vs χ²₄ = 9.487729.
+    */
+  def q_friedman_test(spark: SparkSession, sf: String): DataFrame = {
+    val cell = Tables.orders(spark, sf)
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("m"), col("o_orderpriority").as("g"))
+      .agg(sum(cents(col("o_totalprice"))).as("s"), count(lit(1)).as("c"))
+      .localCheckpoint()
+    val full = cell.groupBy(col("m")).agg(count(lit(1)).as("k"))
+      .filter(col("k") === 5).select(col("m"))
+    val blocks = cell.join(broadcast(full), "m")
+    val ranked = blocks.as("a")
+      .join(blocks.select(col("m").as("m2"), col("g").as("g2"),
+        col("s").as("s2"), col("c").as("c2")).as("b"),
+        col("m2") === col("a.m") && col("g2") =!= col("a.g"))
+      .groupBy(col("a.m").as("m"), col("a.g").as("g"))
+      .agg((lit(1L) + sum(when(col("s2") * col("a.c") > col("a.s") * col("c2"), 1L)
+        .otherwise(0L))).as("rank"))
+    val rj = ranked.groupBy(col("g")).agg(sum(col("rank")).as("r_sum"),
+      count(lit(1)).as("n_blocks")).localCheckpoint()
+    val q = rj.agg(max(col("n_blocks")).as("n"),
+        sum(col("r_sum") * col("r_sum")).as("srr"))
+      .select(col("n"),
+        (lit(12.0) / (col("n").cast("double") * lit(30.0))
+          * col("srr").cast("double")
+          - lit(18.0) * col("n").cast("double")).as("q_stat"))
+    rj.crossJoin(broadcast(q))
+      .select(col("g").as("priority"), col("n_blocks"), col("r_sum"),
+        (round(col("r_sum").cast("double") / col("n_blocks").cast("double"), 4)
+          + lit(0.0)).as("mean_rank"),
+        (round(col("q_stat"), 4) + lit(0.0)).as("q_stat"),
+        when(col("q_stat") > lit(9.487729), 1L).otherwise(0L).as("reject_equal"))
+      .orderBy("priority")
+  }
+
+  /** Wilcoxon signed-rank test of per-nation revenue 1996 vs 1997:
+    * exact cent differences, competition ranks of |d| via integer
+    * self-join counting, W⁺/W⁻ and the normal approximation
+    * z = (W⁺ − n(n+1)/4)/√(n(n+1)(2n+1)/24).
+    */
+  def q_wilcoxon_signed_rank(spark: SparkSession, sf: String): DataFrame = {
+    val d = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .filter(year(col("o_orderdate")).isin(1996, 1997))
+      .groupBy(col("c_nationkey").as("nation"))
+      .agg((sum(when(year(col("o_orderdate")) === 1997, cents(col("o_totalprice")))
+        .otherwise(0L))
+        - sum(when(year(col("o_orderdate")) === 1996, cents(col("o_totalprice")))
+          .otherwise(0L))).as("d"))
+      .filter(col("d") =!= 0L)
+      .select(col("nation"), col("d"), abs(col("d")).as("ad"))
+      .localCheckpoint()
+    val ranked = d.as("a")
+      .join(d.select(col("nation").as("n2"), col("ad").as("ad2")).as("b"),
+        col("n2") =!= col("a.nation"), "left")
+      .groupBy(col("a.nation").as("nation"), col("a.d").as("d"))
+      .agg((lit(1L) + coalesce(sum(when(col("ad2") < abs(col("a.d")), 1L)
+        .otherwise(0L)), lit(0L))).as("rank"))
+    ranked.agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("d") > 0, col("rank")).otherwise(0L)).as("w_plus"),
+        sum(when(col("d") < 0, col("rank")).otherwise(0L)).as("w_minus"))
+      .select(col("n_pairs"), col("w_plus"), col("w_minus"),
+        (round((col("w_plus").cast("double")
+          - col("n_pairs").cast("double") * (col("n_pairs").cast("double") + lit(1.0))
+            / lit(4.0))
+          / sqrt(col("n_pairs").cast("double")
+            * (col("n_pairs").cast("double") + lit(1.0))
+            * (lit(2.0) * col("n_pairs").cast("double") + lit(1.0)) / lit(24.0)), 4)
+          + lit(0.0)).as("z"))
+  }
+
+  /** Odds ratio of an item being returned (returnflag = 'R') for
+    * deep-discount line items (discount ≥ 0.06) vs the rest: 2×2 exact
+    * counts, Woolf log-interval CI95 = exp(ln OR ± 1.959964·√Σ1/nᵢ).
+    */
+  def q_odds_ratio(spark: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(spark, sf)
+      .select((col("l_discount") >= 0.06).as("expo"),
+        (col("l_returnflag") === "R").as("late"))
+      .agg(sum(when(col("expo") && col("late"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("expo") && !col("late"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("expo") && col("late"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("expo") && !col("late"), 1L).otherwise(0L)).as("d"))
+      .select(col("a"), col("b"), col("c"), col("d"),
+        ((col("a").cast("double") * col("d").cast("double"))
+          / (col("b").cast("double") * col("c").cast("double"))).as("or_raw"),
+        sqrt(lit(1.0) / col("a").cast("double") + lit(1.0) / col("b").cast("double")
+          + lit(1.0) / col("c").cast("double") + lit(1.0) / col("d").cast("double"))
+          .as("se"))
+      .select(col("a"), col("b"), col("c"), col("d"),
+        (round(col("or_raw"), 4) + lit(0.0)).as("odds_ratio"),
+        (round(exp(log(col("or_raw")) - lit(1.959964) * col("se")), 4) + lit(0.0))
+          .as("ci_lo"),
+        (round(exp(log(col("or_raw")) + lit(1.959964) * col("se")), 4) + lit(0.0))
+          .as("ci_hi"))
+
+  /** 14-day RSI of daily order revenue: consecutive-day cent changes
+    * split into gains/losses (exact integers), trailing-14-day sums via
+    * a bounded theta join, RSI = 100 − 100/(1+RS) — every input exact,
+    * so the decile bucketing is bit-safe — then the RSI decile
+    * distribution with per-bucket mean.
+    */
+  def q_rsi_indicator(spark: SparkSession, sf: String): DataFrame = {
+    val rev = dailyRevenue(spark, sf)
+    val chg = rev.as("a")
+      .join(rev.select(col("d").as("d2"), col("rev").as("rev2")).as("b"),
+        col("d2") === col("d") + 1)
+      .select(col("d2").as("d"),
+        greatest(col("rev2") - col("rev"), lit(0L)).as("g"),
+        greatest(col("rev") - col("rev2"), lit(0L)).as("l"))
+      .localCheckpoint()
+    chg.as("a")
+      .join(chg.select(col("d").as("d2"), col("g").as("g2"), col("l").as("l2")).as("b"),
+        col("d2").between(col("a.d") - 13, col("a.d")))
+      .groupBy(col("a.d").as("d"))
+      .agg(sum(col("g2")).as("sg"), sum(col("l2")).as("sl"))
+      .filter(col("sg") > 0L && col("sl") > 0L)
+      .select((lit(100.0) - lit(100.0)
+        / (lit(1.0) + col("sg").cast("double") / col("sl").cast("double"))).as("rsi"))
+      .groupBy(floor(col("rsi") / lit(10.0)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_days"),
+        (round(avg(col("rsi")), 4) + lit(0.0)).as("mean_rsi"))
+      .orderBy("bucket")
+  }
+
+  /** Historical VaR/CVaR of daily revenue changes per year: the 5%
+    * discrete quantile (k = ⌈n/20⌉-th smallest, exact via value-level
+    * cumulative-count theta join) and the expected shortfall (mean of
+    * the tail at or below VaR) in cents.
+    */
+  def q_var_cvar(spark: SparkSession, sf: String): DataFrame = {
+    val rev = Tables.orders(spark, sf)
+      .groupBy(datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+        .cast("long").as("d"), year(col("o_orderdate")).cast("long").as("y"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev"))
+    val chg = rev.as("a")
+      .join(rev.select(col("d").as("d2"), col("y").as("y2"),
+        col("rev").as("rev2")).as("b"),
+        col("d2") === col("d") + 1)
+      .select(col("y2").as("y"), (col("rev2") - col("rev")).as("diff"))
+      .localCheckpoint()
+    val vals = chg.groupBy(col("y"), col("diff")).agg(count(lit(1)).as("cnt"))
+    val stats = chg.groupBy(col("y")).agg(count(lit(1)).as("n"))
+      .select(col("y"), col("n"), expr("CAST((n + 19) div 20 AS BIGINT)").as("k"))
+    val cum = vals.as("a")
+      .join(vals.select(col("y").as("y2"), col("diff").as("diff2"),
+        col("cnt").as("cnt2")).as("b"),
+        col("y2") === col("a.y") && col("diff2") <= col("a.diff"))
+      .groupBy(col("a.y").as("y"), col("a.diff").as("diff"))
+      .agg(sum(col("cnt2")).as("cum"))
+    val varq = cum.join(broadcast(stats), "y")
+      .filter(col("cum") >= col("k"))
+      .groupBy(col("y"), col("n")).agg(min(col("diff")).as("var95"))
+    chg.join(broadcast(varq.select(col("y"), col("var95"))), "y")
+      .filter(col("diff") <= col("var95"))
+      .groupBy(col("y"))
+      .agg(count(lit(1)).as("n_tail"), sum(col("diff")).as("s_tail"))
+      .join(varq, "y")
+      .select(col("y").as("yr"), col("n"), col("var95"), col("n_tail"),
+        (round(col("s_tail").cast("double") / col("n_tail").cast("double"), 4)
+          + lit(0.0)).as("cvar95"))
+      .orderBy("yr")
+  }
 }

@@ -2803,4 +2803,30 @@ object MLDeterministic {
         when(col("bh_rank") <= col("kstar"), 1L).otherwise(0L).as("rejected"))
       .orderBy("nationkey")
   }
+
+  /** McNemar paired test comparing two rule classifiers of returned
+    * items (returnflag = 'R') on the same line items — A: discount
+    * ≥ 0.05; B: quantity > 25. Discordant counts b (A right, B wrong)
+    * and c (B right, A wrong); χ² = (b−c)²/(b+c) plus the
+    * continuity-corrected variant — all from exact integer counts, so
+    * the reject flag is bit-safe.
+    */
+  def q_mcnemar(spark: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(spark, sf)
+      .select((col("l_returnflag") === "R").as("t"),
+        (col("l_discount") >= 0.05).as("pa"),
+        (col("l_quantity") > 25).as("pb"))
+      .select((col("pa") === col("t")).as("ra"), (col("pb") === col("t")).as("rb"))
+      .agg(sum(when(col("ra") && !col("rb"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("ra") && col("rb"), 1L).otherwise(0L)).as("c"))
+      .select(col("b").as("a_only_right"), col("c").as("b_only_right"),
+        (round((col("b") - col("c")).cast("double") * (col("b") - col("c")).cast("double")
+          / (col("b") + col("c")).cast("double"), 4) + lit(0.0)).as("chi2"),
+        (round((abs(col("b") - col("c")).cast("double") - lit(1.0))
+          * (abs(col("b") - col("c")).cast("double") - lit(1.0))
+          / (col("b") + col("c")).cast("double"), 4) + lit(0.0)).as("chi2_cc"),
+        when((abs(col("b") - col("c")).cast("double") - lit(1.0))
+          * (abs(col("b") - col("c")).cast("double") - lit(1.0))
+          / (col("b") + col("c")).cast("double") > lit(3.841459), 1L)
+          .otherwise(0L).as("classifiers_differ"))
 }

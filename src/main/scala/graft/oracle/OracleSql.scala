@@ -8702,5 +8702,312 @@ object OracleSql {
              bh_rank, CAST(CASE WHEN bh_rank <= kstar THEN 1 ELSE 0 END AS BIGINT)
                AS rejected
       FROM pass, ks ORDER BY 1""",
+
+    "q_jarque_bera" -> """
+      WITH s AS (SELECT l_returnflag AS mode, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+                        CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                          AS BIGINT) AS s2,
+                        CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                          * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s3,
+                        CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                          * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                          AS BIGINT) AS s4
+                 FROM lineitem GROUP BY 1),
+           a AS (SELECT mode, n,
+                        CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+                        CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS a2,
+                        CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS a3,
+                        CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS a4
+                 FROM s),
+           m AS (SELECT mode, n, a2 - mu * mu AS m2,
+                        a3 - 3.0 * mu * a2 + 2.0 * mu * mu * mu AS m3,
+                        a4 - 4.0 * mu * a3 + 6.0 * mu * mu * a2
+                          - 3.0 * mu * mu * mu * mu AS m4
+                 FROM a),
+           sk AS (SELECT mode, n, m3 / (m2 * SQRT(m2)) AS skew,
+                         m4 / (m2 * m2) AS kurt
+                  FROM m)
+      SELECT mode, n, ROUND(skew, 4) + 0 AS skew, ROUND(kurt, 4) + 0 AS kurt,
+             ROUND(CAST(n AS DOUBLE) / 6.0
+               * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0), 4) + 0 AS jb,
+             CAST(CASE WHEN CAST(n AS DOUBLE) / 6.0
+               * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0) > 5.991465
+               THEN 1 ELSE 0 END AS BIGINT) AS reject_normal
+      FROM sk ORDER BY mode""",
+
+    "q_breusch_pagan" -> """
+      WITH rev AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+                          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+                   FROM orders GROUP BY 1),
+           fit AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(m) AS BIGINT) AS st, CAST(SUM(m * m) AS BIGINT) AS stt,
+                          (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(m * rev) AS DOUBLE)
+                            - CAST(SUM(m) AS DOUBLE) * CAST(SUM(rev) AS DOUBLE))
+                          / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(m * m) AS DOUBLE)
+                            - CAST(SUM(m) AS DOUBLE) * CAST(SUM(m) AS DOUBLE)) AS b,
+                          CAST(SUM(rev) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS ybar,
+                          CAST(SUM(m) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS tbar
+                   FROM rev),
+           u AS (SELECT m, n, st, stt,
+                        (CAST(rev AS DOUBLE) - ybar - b * (CAST(m AS DOUBLE) - tbar))
+                          * (CAST(rev AS DOUBLE) - ybar - b * (CAST(m AS DOUBLE) - tbar))
+                          AS u
+                 FROM rev, fit),
+           agg AS (SELECT n, st, stt, SUM(u) AS su, SUM(u * u) AS suu,
+                          SUM(CAST(m AS DOUBLE) * u) AS smu
+                   FROM u GROUP BY 1, 2, 3),
+           r2 AS (SELECT n AS n_months,
+                         (CAST(n AS DOUBLE) * smu - CAST(st AS DOUBLE) * su)
+                           * (CAST(n AS DOUBLE) * smu - CAST(st AS DOUBLE) * su)
+                           / ((CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                             - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+                             * (CAST(n AS DOUBLE) * suu - su * su)) AS r2_aux
+                  FROM agg)
+      SELECT n_months, ROUND(r2_aux, 6) + 0 AS r2_aux,
+             ROUND(CAST(n_months AS DOUBLE) * r2_aux, 4) + 0 AS lm,
+             CAST(CASE WHEN CAST(n_months AS DOUBLE) * r2_aux > 3.841459
+               THEN 1 ELSE 0 END AS BIGINT) AS reject_homosked
+      FROM r2""",
+
+    "q_chow_test" -> """
+      WITH rev AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+                          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+                   FROM orders GROUP BY 1),
+           s AS (SELECT
+                   SUM(CASE WHEN m < 23977 THEN 1.0 ELSE 0.0 END) AS an,
+                   SUM(CASE WHEN m < 23977 THEN CAST(m AS DOUBLE) ELSE 0.0 END) AS ast,
+                   SUM(CASE WHEN m < 23977 THEN CAST(m AS DOUBLE) * CAST(m AS DOUBLE)
+                       ELSE 0.0 END) AS astt,
+                   SUM(CASE WHEN m < 23977 THEN CAST(rev AS DOUBLE) ELSE 0.0 END) AS asy,
+                   SUM(CASE WHEN m < 23977 THEN CAST(rev AS DOUBLE) * CAST(rev AS DOUBLE)
+                       ELSE 0.0 END) AS asyy,
+                   SUM(CASE WHEN m < 23977 THEN CAST(m AS DOUBLE) * CAST(rev AS DOUBLE)
+                       ELSE 0.0 END) AS asty,
+                   SUM(CASE WHEN m >= 23977 THEN 1.0 ELSE 0.0 END) AS bn,
+                   SUM(CASE WHEN m >= 23977 THEN CAST(m AS DOUBLE) ELSE 0.0 END) AS bst,
+                   SUM(CASE WHEN m >= 23977 THEN CAST(m AS DOUBLE) * CAST(m AS DOUBLE)
+                       ELSE 0.0 END) AS bstt,
+                   SUM(CASE WHEN m >= 23977 THEN CAST(rev AS DOUBLE) ELSE 0.0 END) AS bsy,
+                   SUM(CASE WHEN m >= 23977 THEN CAST(rev AS DOUBLE) * CAST(rev AS DOUBLE)
+                       ELSE 0.0 END) AS bsyy,
+                   SUM(CASE WHEN m >= 23977 THEN CAST(m AS DOUBLE) * CAST(rev AS DOUBLE)
+                       ELSE 0.0 END) AS bsty,
+                   SUM(1.0) AS tn, SUM(CAST(m AS DOUBLE)) AS tst,
+                   SUM(CAST(m AS DOUBLE) * CAST(m AS DOUBLE)) AS tstt,
+                   SUM(CAST(rev AS DOUBLE)) AS tsy,
+                   SUM(CAST(rev AS DOUBLE) * CAST(rev AS DOUBLE)) AS tsyy,
+                   SUM(CAST(m AS DOUBLE) * CAST(rev AS DOUBLE)) AS tsty
+                 FROM rev),
+           r AS (SELECT CAST(an AS BIGINT) AS n1, CAST(bn AS BIGINT) AS n2,
+                        (asyy - (asy * asy) / an)
+                          - ((asty - ast * asy / an) * (asty - ast * asy / an))
+                            / (astt - ast * ast / an) AS rss1,
+                        (bsyy - (bsy * bsy) / bn)
+                          - ((bsty - bst * bsy / bn) * (bsty - bst * bsy / bn))
+                            / (bstt - bst * bst / bn) AS rss2,
+                        (tsyy - (tsy * tsy) / tn)
+                          - ((tsty - tst * tsy / tn) * (tsty - tst * tsy / tn))
+                            / (tstt - tst * tst / tn) AS rssp
+                 FROM s)
+      SELECT n1, n2,
+             ROUND(((rssp - rss1 - rss2) / 2.0)
+               / ((rss1 + rss2) / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 4.0)), 4)
+               + 0 AS f_stat,
+             CAST(CASE WHEN ((rssp - rss1 - rss2) / 2.0)
+               / ((rss1 + rss2) / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 4.0))
+               > 3.117 THEN 1 ELSE 0 END AS BIGINT) AS break_detected
+      FROM r""",
+
+    "q_kruskal_wallis" -> """
+      WITH gv AS (SELECT o_orderpriority AS g,
+                         CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100000
+                           AS BIGINT) AS v,
+                         CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM orders GROUP BY 1, 2),
+           vals AS (SELECT v, CAST(SUM(cnt) AS BIGINT) AS t FROM gv GROUP BY 1),
+           ranks AS (SELECT a.v, a.t,
+                            CAST(COALESCE(SUM(b.t), 0) AS BIGINT) AS below
+                     FROM vals a LEFT JOIN vals b ON b.v < a.v
+                     GROUP BY 1, 2),
+           mid AS (SELECT v, t,
+                          CAST(below AS DOUBLE) + (CAST(t AS DOUBLE) + 1.0) / 2.0
+                            AS midrank
+                   FROM ranks),
+           tot AS (SELECT CAST(SUM(t) AS BIGINT) AS nn,
+                          CAST(SUM(t * t * t - t) AS BIGINT) AS ties
+                   FROM vals),
+           grp AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n_g,
+                          SUM(CAST(cnt AS DOUBLE) * midrank) AS r_g
+                   FROM gv JOIN mid ON gv.v = mid.v GROUP BY 1),
+           h AS (SELECT nn, ties,
+                        SUM(r_g * r_g / CAST(n_g AS DOUBLE)) AS srr
+                 FROM grp, tot GROUP BY 1, 2),
+           hh AS (SELECT 12.0 / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0))
+                           * srr - 3.0 * (CAST(nn AS DOUBLE) + 1.0) AS h_raw,
+                         1.0 - CAST(ties AS DOUBLE)
+                           / ((CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) - 1.0)
+                             * CAST(nn AS DOUBLE)) AS corr
+                  FROM h)
+      SELECT g AS priority, n_g,
+             ROUND(r_g / CAST(n_g AS DOUBLE), 4) + 0 AS mean_rank,
+             ROUND(h_raw, 4) + 0 AS h, ROUND(h_raw / corr, 4) + 0 AS h_adj
+      FROM grp, hh ORDER BY priority""",
+
+    "q_friedman_test" -> """
+      WITH cell AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+                           o_orderpriority AS g,
+                           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s,
+                           CAST(COUNT(*) AS BIGINT) AS c
+                    FROM orders GROUP BY 1, 2),
+           full_b AS (SELECT m FROM cell GROUP BY 1 HAVING COUNT(*) = 5),
+           blk AS (SELECT cell.* FROM cell JOIN full_b ON cell.m = full_b.m),
+           ranked AS (SELECT a.m, a.g,
+                             1 + CAST(SUM(CASE WHEN b.s * a.c > a.s * b.c
+                               THEN 1 ELSE 0 END) AS BIGINT) AS rank_b
+                      FROM blk a JOIN blk b ON b.m = a.m AND b.g <> a.g
+                      GROUP BY 1, 2),
+           rj AS (SELECT g, CAST(SUM(rank_b) AS BIGINT) AS r_sum,
+                         CAST(COUNT(*) AS BIGINT) AS n_blocks
+                  FROM ranked GROUP BY 1),
+           q AS (SELECT MAX(n_blocks) AS n,
+                        CAST(SUM(r_sum * r_sum) AS BIGINT) AS srr
+                 FROM rj),
+           qs AS (SELECT 12.0 / (CAST(n AS DOUBLE) * 30.0) * CAST(srr AS DOUBLE)
+                           - 18.0 * CAST(n AS DOUBLE) AS q_stat
+                  FROM q)
+      SELECT g AS priority, n_blocks, r_sum,
+             ROUND(CAST(r_sum AS DOUBLE) / CAST(n_blocks AS DOUBLE), 4) + 0 AS mean_rank,
+             ROUND(q_stat, 4) + 0 AS q_stat,
+             CAST(CASE WHEN q_stat > 9.487729 THEN 1 ELSE 0 END AS BIGINT)
+               AS reject_equal
+      FROM rj, qs ORDER BY priority""",
+
+    "q_wilcoxon_signed_rank" -> """
+      WITH d0 AS (SELECT c.c_nationkey AS nation,
+                         CAST(SUM(CASE WHEN year(o_orderdate) = 1997
+                             THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT)
+                           - CAST(SUM(CASE WHEN year(o_orderdate) = 1996
+                             THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS d
+                  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                  WHERE year(o_orderdate) IN (1996, 1997)
+                  GROUP BY 1),
+           d1 AS (SELECT nation, d, ABS(d) AS ad FROM d0 WHERE d <> 0),
+           ranked AS (SELECT a.nation, a.d,
+                             1 + CAST(COALESCE(SUM(CASE WHEN b.ad < ABS(a.d)
+                               THEN 1 ELSE 0 END), 0) AS BIGINT) AS rank_b
+                      FROM d1 a LEFT JOIN d1 b ON b.nation <> a.nation
+                      GROUP BY 1, 2),
+           w AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                        CAST(SUM(CASE WHEN d > 0 THEN rank_b ELSE 0 END) AS BIGINT)
+                          AS w_plus,
+                        CAST(SUM(CASE WHEN d < 0 THEN rank_b ELSE 0 END) AS BIGINT)
+                          AS w_minus
+                 FROM ranked)
+      SELECT n_pairs, w_plus, w_minus,
+             ROUND((CAST(w_plus AS DOUBLE)
+               - CAST(n_pairs AS DOUBLE) * (CAST(n_pairs AS DOUBLE) + 1.0) / 4.0)
+               / SQRT(CAST(n_pairs AS DOUBLE) * (CAST(n_pairs AS DOUBLE) + 1.0)
+                 * (2.0 * CAST(n_pairs AS DOUBLE) + 1.0) / 24.0), 4) + 0 AS z
+      FROM w""",
+
+    "q_odds_ratio" -> """
+      WITH s AS (SELECT
+                   CAST(SUM(CASE WHEN l_discount >= 0.06
+                     AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                   CAST(SUM(CASE WHEN l_discount >= 0.06
+                     AND NOT l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+                     AS b,
+                   CAST(SUM(CASE WHEN NOT l_discount >= 0.06
+                     AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                   CAST(SUM(CASE WHEN NOT l_discount >= 0.06
+                     AND NOT l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+                     AS d
+                 FROM lineitem),
+           o AS (SELECT a, b, c, d,
+                        (CAST(a AS DOUBLE) * CAST(d AS DOUBLE))
+                          / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) AS or_raw,
+                        SQRT(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE)
+                          + 1.0 / CAST(c AS DOUBLE) + 1.0 / CAST(d AS DOUBLE)) AS se
+                 FROM s)
+      SELECT a, b, c, d, ROUND(or_raw, 4) + 0 AS odds_ratio,
+             ROUND(EXP(LN(or_raw) - 1.959964 * se), 4) + 0 AS ci_lo,
+             ROUND(EXP(LN(or_raw) + 1.959964 * se), 4) + 0 AS ci_hi
+      FROM o""",
+
+    "q_rsi_indicator" -> """
+      WITH rev AS (SELECT CAST(date_diff('day', DATE '1992-01-01', o_orderdate)
+                            AS BIGINT) AS d,
+                          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                            AS rev
+                   FROM orders GROUP BY 1),
+           chg AS (SELECT b.d AS d, GREATEST(b.rev - a.rev, 0) AS g,
+                          GREATEST(a.rev - b.rev, 0) AS l
+                   FROM rev a JOIN rev b ON b.d = a.d + 1),
+           win AS (SELECT a.d, CAST(SUM(b.g) AS BIGINT) AS sg,
+                          CAST(SUM(b.l) AS BIGINT) AS sl
+                   FROM chg a JOIN chg b ON b.d BETWEEN a.d - 13 AND a.d
+                   GROUP BY 1
+                   HAVING CAST(SUM(b.g) AS BIGINT) > 0 AND CAST(SUM(b.l) AS BIGINT) > 0),
+           rsi AS (SELECT 100.0 - 100.0
+                            / (1.0 + CAST(sg AS DOUBLE) / CAST(sl AS DOUBLE)) AS rsi
+                   FROM win)
+      SELECT CAST(FLOOR(rsi / 10.0) AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_days, ROUND(AVG(rsi), 4) + 0 AS mean_rsi
+      FROM rsi GROUP BY 1 ORDER BY bucket""",
+
+    "q_var_cvar" -> """
+      WITH rev AS (SELECT CAST(date_diff('day', DATE '1992-01-01', o_orderdate)
+                            AS BIGINT) AS d,
+                          CAST(year(o_orderdate) AS BIGINT) AS y,
+                          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                            AS rev
+                   FROM orders GROUP BY 1, 2),
+           chg AS (SELECT b.y AS y, b.rev - a.rev AS diff
+                   FROM rev a JOIN rev b ON b.d = a.d + 1),
+           vals AS (SELECT y, diff, CAST(COUNT(*) AS BIGINT) AS cnt
+                    FROM chg GROUP BY 1, 2),
+           stats AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS n,
+                            CAST((CAST(COUNT(*) AS BIGINT) + 19) // 20 AS BIGINT) AS k
+                     FROM chg GROUP BY 1),
+           cum AS (SELECT a.y, a.diff, CAST(SUM(b.cnt) AS BIGINT) AS cum
+                   FROM vals a JOIN vals b ON b.y = a.y AND b.diff <= a.diff
+                   GROUP BY 1, 2),
+           varq AS (SELECT cum.y, stats.n, MIN(cum.diff) AS var95
+                    FROM cum JOIN stats ON cum.y = stats.y
+                    WHERE cum.cum >= stats.k
+                    GROUP BY 1, 2),
+           tail AS (SELECT chg.y, CAST(COUNT(*) AS BIGINT) AS n_tail,
+                           CAST(SUM(chg.diff) AS BIGINT) AS s_tail
+                    FROM chg JOIN varq ON chg.y = varq.y
+                    WHERE chg.diff <= varq.var95
+                    GROUP BY 1)
+      SELECT varq.y AS yr, varq.n, varq.var95, tail.n_tail,
+             ROUND(CAST(tail.s_tail AS DOUBLE) / CAST(tail.n_tail AS DOUBLE), 4) + 0
+               AS cvar95
+      FROM tail JOIN varq ON tail.y = varq.y ORDER BY yr""",
+
+    "q_mcnemar" -> """
+      WITH r AS (SELECT (l_discount >= 0.05) = (l_returnflag = 'R') AS ra,
+                        (l_quantity > 25) = (l_returnflag = 'R') AS rb
+                 FROM lineitem),
+           s AS (SELECT CAST(SUM(CASE WHEN ra AND NOT rb THEN 1 ELSE 0 END) AS BIGINT)
+                          AS b,
+                        CAST(SUM(CASE WHEN NOT ra AND rb THEN 1 ELSE 0 END) AS BIGINT)
+                          AS c
+                 FROM r)
+      SELECT b AS a_only_right, c AS b_only_right,
+             ROUND(CAST(b - c AS DOUBLE) * CAST(b - c AS DOUBLE)
+               / CAST(b + c AS DOUBLE), 4) + 0 AS chi2,
+             ROUND((CAST(ABS(b - c) AS DOUBLE) - 1.0)
+               * (CAST(ABS(b - c) AS DOUBLE) - 1.0)
+               / CAST(b + c AS DOUBLE), 4) + 0 AS chi2_cc,
+             CAST(CASE WHEN (CAST(ABS(b - c) AS DOUBLE) - 1.0)
+               * (CAST(ABS(b - c) AS DOUBLE) - 1.0)
+               / CAST(b + c AS DOUBLE) > 3.841459 THEN 1 ELSE 0 END AS BIGINT)
+               AS classifiers_differ
+      FROM s""",
   )
 }
