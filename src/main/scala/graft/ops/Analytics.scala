@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{Det, Tables}
-import graft.core.Det.cents
+import graft.core.Det.{cents, pct}
 
 /** Time-series / product-analytics operators (SURVEY.md §2.21).
   *
@@ -3034,5 +3034,610 @@ object Analytics {
         (round(col("s_tail").cast("double") / col("n_tail").cast("double"), 4)
           + lit(0.0)).as("cvar95"))
       .orderBy("yr")
+  }
+
+  /** Bartlett test of order-total variance homogeneity across the five
+    * priorities: unbiased per-group variances from exact cent sums (Σx²
+    * accumulated as doubles, scale-safe), T = [(N−k)ln(Sp²) −
+    * Σ(nᵢ−1)ln(Sᵢ²)]/C with the standard small-sample correction C.
+    */
+  def q_bartlett_test(spark: SparkSession, sf: String): DataFrame = {
+    val g = Tables.orders(spark, sf)
+      .select(col("o_orderpriority").as("g"),
+        cents(col("o_totalprice")).as("x"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x").cast("double") * col("x").cast("double")).as("sxx"))
+      .select(col("g"), col("n"),
+        ((col("sxx") - (col("sx").cast("double") * col("sx").cast("double"))
+          / col("n").cast("double"))
+          / (col("n").cast("double") - lit(1.0))).as("s2"))
+      .localCheckpoint()
+    val tot = g.agg(count(lit(1)).as("k"), sum(col("n")).as("nn"),
+        sum((col("n").cast("double") - lit(1.0)) * col("s2")).as("pooled_num"),
+        sum((col("n").cast("double") - lit(1.0)) * log(col("s2"))).as("sum_nl"),
+        sum(lit(1.0) / (col("n").cast("double") - lit(1.0))).as("sum_inv"))
+      .select(col("k"), col("nn"),
+        ((col("nn").cast("double") - col("k").cast("double"))
+          * log(col("pooled_num")
+            / (col("nn").cast("double") - col("k").cast("double")))
+          - col("sum_nl")).as("t_num"),
+        (lit(1.0) + (col("sum_inv")
+          - lit(1.0) / (col("nn").cast("double") - col("k").cast("double")))
+          / (lit(3.0) * (col("k").cast("double") - lit(1.0)))).as("c_corr"))
+    g.crossJoin(broadcast(tot))
+      .select(col("g").as("priority"), col("n").as("n_g"),
+        (round(col("s2") / lit(10000.0), 4) + lit(0.0)).as("var_dollars"),
+        (round(col("t_num") / col("c_corr"), 4) + lit(0.0)).as("bartlett_t"),
+        when(col("t_num") / col("c_corr") > lit(9.487729), 1L).otherwise(0L)
+          .as("reject_homogeneous"))
+      .orderBy("priority")
+  }
+
+  /** Engle–Granger cointegration step between the BUILDING and
+    * AUTOMOBILE segments' monthly revenue series: closed-form OLS of A
+    * on B (exact-sum inputs, cross products accumulated as doubles),
+    * then the Durbin–Watson statistic of the cointegrating residuals —
+    * DW → 0 means a unit root survives (no cointegration).
+    */
+  def q_engle_granger(spark: SparkSession, sf: String): DataFrame = {
+    def seg(name: String, out: String): DataFrame =
+      Tables.orders(spark, sf)
+        .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+        .filter(col("c_mktsegment") === name)
+        .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("m"))
+        .agg(sum(cents(col("o_totalprice"))).as(out))
+    val ab = seg("BUILDING", "ya").join(seg("AUTOMOBILE", "yb"), "m")
+      .localCheckpoint()
+    val fit = ab.agg(count(lit(1)).as("n"), sum(col("ya")).as("sa"),
+        sum(col("yb")).as("sb"),
+        sum(col("ya").cast("double") * col("yb").cast("double")).as("sab"),
+        sum(col("yb").cast("double") * col("yb").cast("double")).as("sbb"))
+      .select(col("n"),
+        ((col("n").cast("double") * col("sab")
+          - col("sa").cast("double") * col("sb").cast("double"))
+          / (col("n").cast("double") * col("sbb")
+            - col("sb").cast("double") * col("sb").cast("double"))).as("beta"),
+        (col("sa").cast("double") / col("n").cast("double")).as("abar"),
+        (col("sb").cast("double") / col("n").cast("double")).as("bbar"))
+    val resid = ab.crossJoin(broadcast(fit))
+      .select(col("m"), col("n"), col("beta"),
+        (col("ya").cast("double") - col("abar")
+          - col("beta") * (col("yb").cast("double") - col("bbar"))).as("e"))
+      .localCheckpoint()
+    val num = resid.as("a")
+      .join(resid.select(col("m").as("m2"), col("e").as("e2")).as("b"),
+        col("m2") === col("m") + 1)
+      .agg(sum((col("e2") - col("e")) * (col("e2") - col("e"))).as("num"))
+    resid.groupBy(col("n"), col("beta"))
+      .agg(sum(col("e") * col("e")).as("den"))
+      .crossJoin(num)
+      .select(col("n").as("n_months"),
+        (round(col("beta"), 4) + lit(0.0)).as("beta"),
+        (round(col("num") / col("den"), 4) + lit(0.0)).as("dw_resid"),
+        when(col("num") / col("den") > lit(1.0), 1L).otherwise(0L)
+          .as("cointegrated"))
+  }
+
+  /** Goodman–Kruskal gamma ordinal association between quantity and
+    * the integer discount percent: concordant/discordant pair counts
+    * from the (quantity, pct) contingency cells via a cell-level theta
+    * join — exact integer products — γ = (C−D)/(C+D).
+    */
+  def q_goodman_kruskal_gamma(spark: SparkSession, sf: String): DataFrame = {
+    val cells = Tables.lineitem(spark, sf)
+      .groupBy(col("l_quantity").cast("long").as("x"),
+        pct(col("l_discount")).as("y"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    cells.as("a")
+      .join(cells.select(col("x").as("x2"), col("y").as("y2"),
+        col("cnt").as("cnt2")).as("b"),
+        col("x2") > col("a.x") && col("y2") =!= col("a.y"))
+      .agg(sum(when(col("y2") > col("a.y"), col("a.cnt") * col("cnt2"))
+        .otherwise(0L)).as("c_pairs"),
+        sum(when(col("y2") < col("a.y"), col("a.cnt") * col("cnt2"))
+          .otherwise(0L)).as("d_pairs"))
+      .select(col("c_pairs"), col("d_pairs"),
+        (round((col("c_pairs") - col("d_pairs")).cast("double")
+          / (col("c_pairs") + col("d_pairs")).cast("double"), 4) + lit(0.0))
+          .as("gamma"))
+  }
+
+  /** Atkinson inequality indices of per-customer lifetime revenue at
+    * ε = 0.5 (A = 1 − ((1/n)Σ√(x/μ))², via correctly-rounded sqrt) and
+    * ε = 2 (A = 1 − harmonic/μ), the standard welfare-weighted
+    * complements to Theil/Gini already in §2.
+    */
+  def q_atkinson_index(spark: SparkSession, sf: String): DataFrame = {
+    val cust = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("x"))
+      .filter(col("x") > 0)
+    val tot = cust.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    cust.crossJoin(broadcast(tot))
+      .select(col("n"),
+        (col("x").cast("double") * col("n").cast("double")
+          / col("sx").cast("double")).as("ratio"))
+      .groupBy(col("n"))
+      .agg(sum(sqrt(col("ratio"))).as("sr"),
+        sum(lit(1.0) / col("ratio")).as("sinv"))
+      .select(col("n").as("n_customers"),
+        (round(lit(1.0) - (col("sr") / col("n").cast("double"))
+          * (col("sr") / col("n").cast("double")), 4) + lit(0.0)).as("atkinson_half"),
+        (round(lit(1.0) - col("n").cast("double") / col("sinv"), 4) + lit(0.0))
+          .as("atkinson_two"))
+  }
+
+  /** Sharpe and Sortino ratios of daily revenue changes per year:
+    * population mean/σ from exact cent diffs (squares accumulated as
+    * doubles), downside RMS over the negative diffs only.
+    */
+  def q_sharpe_sortino(spark: SparkSession, sf: String): DataFrame = {
+    val rev = Tables.orders(spark, sf)
+      .groupBy(datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+        .cast("long").as("d"), year(col("o_orderdate")).cast("long").as("y"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev"))
+    rev.as("a")
+      .join(rev.select(col("d").as("d2"), col("y").as("y2"),
+        col("rev").as("rev2")).as("b"),
+        col("d2") === col("d") + 1)
+      .select(col("y2").as("y"), (col("rev2") - col("rev")).as("diff"))
+      .groupBy(col("y"))
+      .agg(count(lit(1)).as("n"), sum(col("diff")).as("sd"),
+        sum(col("diff").cast("double") * col("diff").cast("double")).as("sdd"),
+        sum(when(col("diff") < 0, col("diff").cast("double") * col("diff").cast("double"))
+          .otherwise(0.0)).as("sneg"))
+      .select(col("y").as("yr"), col("n"),
+        (round((col("sd").cast("double") / col("n").cast("double"))
+          / sqrt(col("sdd") / col("n").cast("double")
+            - (col("sd").cast("double") / col("n").cast("double"))
+              * (col("sd").cast("double") / col("n").cast("double"))), 4) + lit(0.0))
+          .as("sharpe"),
+        (round((col("sd").cast("double") / col("n").cast("double"))
+          / sqrt(col("sneg") / col("n").cast("double")), 4) + lit(0.0)).as("sortino"))
+      .orderBy("yr")
+  }
+
+  /** Kelly criterion from the daily revenue-change win/loss record:
+    * p = wins/n, b = mean win / mean loss (exact cent sums), and the
+    * optimal fraction f* = p − (1−p)/b.
+    */
+  def q_kelly_criterion(spark: SparkSession, sf: String): DataFrame = {
+    val rev = dailyRevenue(spark, sf)
+    rev.as("a")
+      .join(rev.select(col("d").as("d2"), col("rev").as("rev2")).as("b"),
+        col("d2") === col("d") + 1)
+      .select((col("rev2") - col("rev")).as("diff"))
+      .filter(col("diff") =!= 0L)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("diff") > 0, 1L).otherwise(0L)).as("n_win"),
+        sum(when(col("diff") > 0, col("diff")).otherwise(0L)).as("s_win"),
+        sum(when(col("diff") < 0, -col("diff")).otherwise(0L)).as("s_loss"))
+      .select(col("n"), col("n_win"), (col("n") - col("n_win")).as("n_loss"),
+        (col("n_win").cast("double") / col("n").cast("double")).as("p"),
+        ((col("s_win").cast("double") / col("n_win").cast("double"))
+          / (col("s_loss").cast("double")
+            / (col("n") - col("n_win")).cast("double"))).as("b"))
+      .select(col("n"), col("n_win"), col("n_loss"),
+        (round(col("p"), 4) + lit(0.0)).as("p_win"),
+        (round(col("b"), 4) + lit(0.0)).as("payoff_b"),
+        (round(col("p") - (lit(1.0) - col("p")) / col("b"), 4) + lit(0.0))
+          .as("kelly_f"))
+  }
+
+  /** Mann–Kendall trend test on monthly revenue: S = Σ sign(y_j − y_i)
+    * over all i<j month pairs (exact integer theta join), tie-corrected
+    * variance, and the continuity-corrected z — the nonparametric
+    * companion to the Theil–Sen slope already in §2.
+    */
+  def q_mann_kendall(spark: SparkSession, sf: String): DataFrame = {
+    val rev = monthlyRevenue(spark, sf).localCheckpoint()
+    val s = rev.as("a")
+      .join(rev.select(col("m").as("m2"), col("rev").as("rev2")).as("b"),
+        col("m2") > col("m"))
+      .agg(sum(when(col("rev2") > col("rev"), 1L)
+        .when(col("rev2") < col("rev"), -1L).otherwise(0L)).as("s"))
+    val ties = rev.groupBy(col("rev")).agg(count(lit(1)).as("t"))
+      .agg(sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L)).as("tie_term"))
+    val n = rev.agg(count(lit(1)).as("n"))
+    n.crossJoin(s).crossJoin(ties)
+      .select(col("n"), col("s").as("s_stat"),
+        ((col("n").cast("double") * (col("n").cast("double") - lit(1.0))
+          * (lit(2.0) * col("n").cast("double") + lit(5.0))
+          - col("tie_term").cast("double")) / lit(18.0)).as("var_s"))
+      .select(col("n").as("n_months"), col("s_stat"),
+        (round((col("s_stat").cast("double")
+          - signum(col("s_stat").cast("double")))
+          / sqrt(col("var_s")), 4) + lit(0.0)).as("z"),
+        when((col("s_stat").cast("double") - signum(col("s_stat").cast("double")))
+          / sqrt(col("var_s")) > lit(1.959964), 1L)
+          .when((col("s_stat").cast("double") - signum(col("s_stat").cast("double")))
+            / sqrt(col("var_s")) < lit(-1.959964), -1L)
+          .otherwise(0L).as("trend"))
+  }
+
+  /** Simple-exponential-smoothing backtest on monthly revenue with
+    * α = 0.5 and a 12-month truncated kernel: ŷ_t = Σ_{k=1..12} 0.5^k
+    * y_{t−k} — powers of ½ are exact doubles, so forecasts and errors
+    * are exact — scored only on months with a full kernel, reporting
+    * MAE/mean and RMSE/mean.
+    */
+  def q_ses_forecast(spark: SparkSession, sf: String): DataFrame = {
+    val rev = monthlyRevenue(spark, sf).localCheckpoint()
+    val pred = rev.as("a")
+      .join(rev.select(col("m").as("m2"), col("rev").as("rev2")).as("b"),
+        col("m2").between(col("m") - 12, col("m") - 1))
+      .groupBy(col("a.m").as("m"), col("a.rev").as("actual"))
+      .agg(count(lit(1)).as("k"),
+        sum(col("rev2").cast("double")
+          * pow(lit(0.5), (col("a.m") - col("m2")).cast("double"))).as("yhat"))
+      .filter(col("k") === 12)
+    pred.agg(count(lit(1)).as("n_forecasts"),
+        sum(col("actual")).as("sa"),
+        sum(abs(col("actual").cast("double") - col("yhat"))).as("sae"),
+        sum((col("actual").cast("double") - col("yhat"))
+          * (col("actual").cast("double") - col("yhat"))).as("sse"))
+      .select(col("n_forecasts"),
+        (round((col("sae") / col("n_forecasts").cast("double"))
+          / (col("sa").cast("double") / col("n_forecasts").cast("double")), 4)
+          + lit(0.0)).as("mae_over_mean"),
+        (round(sqrt(col("sse") / col("n_forecasts").cast("double"))
+          / (col("sa").cast("double") / col("n_forecasts").cast("double")), 4)
+          + lit(0.0)).as("rmse_over_mean"))
+  }
+
+  /** Method-of-moments Gamma fit of order totals per priority:
+    * shape k̂ = μ²/σ², scale θ̂ = σ²/μ (population moments from exact
+    * cent sums, squares accumulated as doubles), reported in dollars.
+    */
+  def q_gamma_mom(spark: SparkSession, sf: String): DataFrame =
+    Tables.orders(spark, sf)
+      .select(col("o_orderpriority").as("g"), cents(col("o_totalprice")).as("x"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x").cast("double") * col("x").cast("double")).as("sxx"))
+      .select(col("g"), col("n"),
+        (col("sx").cast("double") / col("n").cast("double")).as("mu"),
+        (col("sxx") / col("n").cast("double")
+          - (col("sx").cast("double") / col("n").cast("double"))
+            * (col("sx").cast("double") / col("n").cast("double"))).as("v"))
+      .select(col("g").as("priority"), col("n"),
+        (round(col("mu") * col("mu") / col("v"), 4) + lit(0.0)).as("shape_k"),
+        (round(col("v") / col("mu") / lit(100.0), 4) + lit(0.0)).as("scale_dollars"))
+      .orderBy("priority")
+
+  /** Mood's median test of order totals ($100 cent bins) across the
+    * five priorities: the grand lower median from a value-level
+    * cumulative-count theta join, per-group above/not-above counts, and
+    * the 2×k χ² against margin-derived expectations — all exact until
+    * the single χ² epilogue, so the reject flag is bit-safe.
+    */
+  def q_moods_median_test(spark: SparkSession, sf: String): DataFrame = {
+    val gv = Tables.orders(spark, sf)
+      .select(col("o_orderpriority").as("g"),
+        expr("CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) div 10000 AS BIGINT)")
+          .as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val vals = gv.groupBy(col("v")).agg(sum(col("cnt")).as("t"))
+    val tot = vals.agg(sum(col("t")).as("nn"))
+      .select(col("nn"), expr("CAST((nn + 1) div 2 AS BIGINT)").as("k"))
+    val med = vals.as("a")
+      .join(vals.select(col("v").as("v2"), col("t").as("t2")).as("b"),
+        col("v2") <= col("a.v"))
+      .groupBy(col("a.v").as("v")).agg(sum(col("t2")).as("cum"))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") >= col("k"))
+      .agg(min(col("v")).as("med"))
+    val grp = gv.crossJoin(broadcast(med))
+      .groupBy(col("g"))
+      .agg(sum(when(col("v") > col("med"), col("cnt")).otherwise(0L)).as("above"),
+        sum(when(col("v") <= col("med"), col("cnt")).otherwise(0L)).as("notabove"))
+      .localCheckpoint()
+    val marg = grp.agg(sum(col("above")).as("ta"), sum(col("notabove")).as("tb"))
+      .select(col("ta"), col("tb"), (col("ta") + col("tb")).as("nn"))
+    val chi = grp.crossJoin(broadcast(marg))
+      .select(col("g"), col("above"), col("notabove"),
+        ((col("above").cast("double")
+          - col("ta").cast("double") * (col("above") + col("notabove")).cast("double")
+            / col("nn").cast("double"))
+          * (col("above").cast("double")
+            - col("ta").cast("double") * (col("above") + col("notabove")).cast("double")
+              / col("nn").cast("double"))
+          / (col("ta").cast("double") * (col("above") + col("notabove")).cast("double")
+            / col("nn").cast("double"))
+          + (col("notabove").cast("double")
+            - col("tb").cast("double") * (col("above") + col("notabove")).cast("double")
+              / col("nn").cast("double"))
+            * (col("notabove").cast("double")
+              - col("tb").cast("double") * (col("above") + col("notabove")).cast("double")
+                / col("nn").cast("double"))
+            / (col("tb").cast("double") * (col("above") + col("notabove")).cast("double")
+              / col("nn").cast("double"))).as("contrib"))
+      .localCheckpoint()
+    val stat = chi.agg(sum(col("contrib")).as("chi2"))
+    chi.crossJoin(broadcast(stat))
+      .select(col("g").as("priority"), col("above"), col("notabove"),
+        (round(col("contrib"), 4) + lit(0.0)).as("contrib"),
+        (round(col("chi2"), 4) + lit(0.0)).as("chi2"),
+        when(col("chi2") > lit(9.487729), 1L).otherwise(0L).as("reject_equal_medians"))
+      .orderBy("priority")
+  }
+
+  /** Mood dispersion (scale) test between even- and odd-custkey orders
+    * on the $100 cent-bin lattice: midranks from a value-level theta
+    * join, scores (midrank − (N+1)/2)² — exact quarter-integers — and
+    * the normal approximation with the no-tie moments
+    * E[T] = m(N²−1)/12, Var[T] = mn(N+1)(N²−4)/180.
+    */
+  def q_mood_dispersion(spark: SparkSession, sf: String): DataFrame = {
+    val gv = Tables.orders(spark, sf)
+      .select((col("o_custkey") % 2).cast("long").as("g"),
+        expr("CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) div 10000 AS BIGINT)")
+          .as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val vals = gv.groupBy(col("v")).agg(sum(col("cnt")).as("t"))
+    val mid = vals.as("a")
+      .join(vals.select(col("v").as("v2"), col("t").as("t2")).as("b"),
+        col("v2") < col("a.v"), "left")
+      .groupBy(col("a.v").as("v"), col("a.t").as("t"))
+      .agg(coalesce(sum(col("t2")), lit(0L)).as("below"))
+      .select(col("v"),
+        (col("below").cast("double")
+          + (col("t").cast("double") + lit(1.0)) / lit(2.0)).as("midrank"))
+    val tot = gv.agg(sum(col("cnt")).as("nn"),
+      sum(when(col("g") === 0, col("cnt")).otherwise(0L)).as("m"))
+    gv.filter(col("g") === 0)
+      .join(mid, "v")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("nn"), col("m"))
+      .agg(sum(col("cnt").cast("double")
+        * (col("midrank") - (col("nn").cast("double") + lit(1.0)) / lit(2.0))
+        * (col("midrank") - (col("nn").cast("double") + lit(1.0)) / lit(2.0)))
+        .as("t_stat"))
+      .select(col("nn").as("n_total"), col("m").as("n_even"),
+        (round(col("t_stat"), 4) + lit(0.0)).as("t_stat"),
+        (round((col("t_stat")
+          - col("m").cast("double")
+            * (col("nn").cast("double") * col("nn").cast("double") - lit(1.0))
+            / lit(12.0))
+          / sqrt(col("m").cast("double")
+            * (col("nn").cast("double") - col("m").cast("double"))
+            * (col("nn").cast("double") + lit(1.0))
+            * (col("nn").cast("double") * col("nn").cast("double") - lit(4.0))
+            / lit(180.0)), 4) + lit(0.0)).as("z"))
+  }
+
+  /** Hodges–Lehmann shift estimator between the 1996 and 1997 monthly
+    * revenue series: the lower median of all 144 pairwise differences
+    * (exact cents) via a value-level cumulative-count theta join.
+    */
+  def q_hodges_lehmann(spark: SparkSession, sf: String): DataFrame = {
+    val rev = monthlyRevenue(spark, sf)
+    val a = rev.filter(col("m").between(1996L * 12 + 1, 1996L * 12 + 12))
+      .select(col("rev").as("ra"))
+    val b = rev.filter(col("m").between(1997L * 12 + 1, 1997L * 12 + 12))
+      .select(col("rev").as("rb"))
+    val w = a.crossJoin(b).select((col("rb") - col("ra")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val tot = w.agg(sum(col("cnt")).as("np"))
+      .select(col("np"), expr("CAST((np + 1) div 2 AS BIGINT)").as("k"))
+    w.as("a")
+      .join(w.select(col("w").as("w2"), col("cnt").as("cnt2")).as("b"),
+        col("w2") <= col("a.w"))
+      .groupBy(col("a.w").as("w")).agg(sum(col("cnt2")).as("cum"))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") >= col("k"))
+      .agg(max(col("np")).as("n_pairs"), min(col("w")).as("hl_cents"))
+      .select(col("n_pairs"), col("hl_cents"),
+        (round(col("hl_cents").cast("double") / lit(100.0), 2) + lit(0.0))
+          .as("hl_dollars"))
+  }
+
+  /** Pettitt changepoint test on monthly revenue: U_t = ΣΣ sign(y_j −
+    * y_i) over pairs straddling t, K = max|U_t| with the earliest
+    * argmax month, and the approximate p = 2exp(−6K²/(n³+n²)) — sign
+    * sums are exact integers from a pair×cut theta join.
+    */
+  def q_pettitt_test(spark: SparkSession, sf: String): DataFrame = {
+    val rev = monthlyRevenue(spark, sf).localCheckpoint()
+    val pairs = rev.as("a")
+      .join(rev.select(col("m").as("mj"), col("rev").as("revj")).as("b"),
+        col("mj") > col("m"))
+      .select(col("m").as("mi"), col("mj"),
+        when(col("revj") > col("rev"), 1L)
+          .when(col("revj") < col("rev"), -1L).otherwise(0L).as("s"))
+    val u = pairs
+      .join(rev.select(col("m").as("t")),
+        col("mi") <= col("t") && col("mj") > col("t"))
+      .groupBy(col("t")).agg(sum(col("s")).as("u_t"))
+      .localCheckpoint()
+    val k = u.agg(max(abs(col("u_t"))).as("k_stat"))
+    val tstar = u.crossJoin(broadcast(k))
+      .filter(abs(col("u_t")) === col("k_stat"))
+      .groupBy(col("k_stat")).agg(min(col("t")).as("t_star"))
+    rev.agg(count(lit(1)).as("n_months"))
+      .crossJoin(broadcast(tstar))
+      .select(col("n_months"), col("k_stat"), col("t_star"),
+        (round(lit(2.0) * exp(lit(-6.0) * col("k_stat").cast("double")
+          * col("k_stat").cast("double")
+          / (col("n_months").cast("double") * col("n_months").cast("double")
+            * col("n_months").cast("double")
+            + col("n_months").cast("double") * col("n_months").cast("double"))), 6)
+          + lit(0.0)).as("p_approx"))
+  }
+
+  /** Bowley (quartile) skewness and the quartile coefficient of
+    * dispersion of order totals per priority, from exact discrete
+    * quartiles (⌈qn⌉-th smallest on the $100 cent-bin lattice via a
+    * per-group cumulative-count theta join).
+    */
+  def q_bowley_skewness(spark: SparkSession, sf: String): DataFrame = {
+    val gv = Tables.orders(spark, sf)
+      .select(col("o_orderpriority").as("g"),
+        expr("CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) div 10000 AS BIGINT)")
+          .as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val stats = gv.groupBy(col("g")).agg(sum(col("cnt")).as("n"))
+      .select(col("g"), col("n"),
+        expr("CAST((n + 3) div 4 AS BIGINT)").as("k1"),
+        expr("CAST((n + 1) div 2 AS BIGINT)").as("k2"),
+        expr("CAST((3 * n + 3) div 4 AS BIGINT)").as("k3"))
+    gv.as("a")
+      .join(gv.select(col("g").as("g2"), col("v").as("v2"),
+        col("cnt").as("cnt2")).as("b"),
+        col("g2") === col("a.g") && col("v2") <= col("a.v"))
+      .groupBy(col("a.g").as("g"), col("a.v").as("v"))
+      .agg(sum(col("cnt2")).as("cum"))
+      .join(broadcast(stats), "g")
+      .groupBy(col("g"), col("n"))
+      .agg(min(when(col("cum") >= col("k1"), col("v"))).as("q1"),
+        min(when(col("cum") >= col("k2"), col("v"))).as("q2"),
+        min(when(col("cum") >= col("k3"), col("v"))).as("q3"))
+      .select(col("g").as("priority"), col("n"), col("q1"), col("q2"), col("q3"),
+        (round(((col("q3") + col("q1")).cast("double")
+          - lit(2.0) * col("q2").cast("double"))
+          / (col("q3") - col("q1")).cast("double"), 4) + lit(0.0)).as("bowley_skew"),
+        (round((col("q3") - col("q1")).cast("double")
+          / (col("q3") + col("q1")).cast("double"), 4) + lit(0.0)).as("qcd"))
+      .orderBy("priority")
+  }
+
+  /** Dunn post-hoc pairwise comparisons after Kruskal–Wallis on the
+    * $1000-binned order totals: tie-corrected pooled variance
+    * N(N+1)/12 − Σ(t³−t)/(12(N−1)), z per priority pair, flagged at
+    * the Bonferroni-corrected 2.807034 (10 comparisons).
+    */
+  def q_dunn_posthoc(spark: SparkSession, sf: String): DataFrame = {
+    val gv = Tables.orders(spark, sf)
+      .select(col("o_orderpriority").as("g"),
+        expr("CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) div 100000 AS BIGINT)")
+          .as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val vals = gv.groupBy(col("v")).agg(sum(col("cnt")).as("t"))
+    val mid = vals.as("a")
+      .join(vals.select(col("v").as("v2"), col("t").as("t2")).as("b"),
+        col("v2") < col("a.v"), "left")
+      .groupBy(col("a.v").as("v"), col("a.t").as("t"))
+      .agg(coalesce(sum(col("t2")), lit(0L)).as("below"))
+      .select(col("v"),
+        (col("below").cast("double")
+          + (col("t").cast("double") + lit(1.0)) / lit(2.0)).as("midrank"))
+    val tot = vals.agg(sum(col("t")).as("nn"),
+      sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+    val grp = gv.join(mid, "v")
+      .groupBy(col("g"))
+      .agg(sum(col("cnt")).as("n_g"),
+        sum(col("cnt").cast("double") * col("midrank")).as("r_g"))
+      .localCheckpoint()
+    grp.as("a")
+      .join(grp.select(col("g").as("g2"), col("n_g").as("n_g2"),
+        col("r_g").as("r_g2")).as("b"), col("a.g") < col("g2"))
+      .crossJoin(broadcast(tot))
+      .select(concat(col("a.g"), lit(" vs "), col("g2")).as("pair"),
+        ((col("r_g") / col("n_g").cast("double")
+          - col("r_g2") / col("n_g2").cast("double"))
+          / sqrt((col("nn").cast("double") * (col("nn").cast("double") + lit(1.0))
+            / lit(12.0)
+            - col("ties").cast("double")
+              / (lit(12.0) * (col("nn").cast("double") - lit(1.0))))
+            * (lit(1.0) / col("n_g").cast("double")
+              + lit(1.0) / col("n_g2").cast("double")))).as("z_raw"))
+      .select(col("pair"), (round(col("z_raw"), 4) + lit(0.0)).as("z"),
+        when(abs(col("z_raw")) > lit(2.807034), 1L).otherwise(0L).as("significant"))
+      .orderBy("pair")
+  }
+
+  /** Flesch-style readability over documents: words as whitespace
+    * tokens, sentences as sentence-punctuation runs + 1, syllables as
+    * vowel runs (all exact regexp counts), score = 206.835 −
+    * 1.015(w/s) − 84.6(syl/w), reported as a decile-bucketed
+    * distribution (bit-safe flooring of exactly-derived doubles).
+    */
+  def q_readability_score(spark: SparkSession, sf: String): DataFrame =
+    Tables.documents(spark, sf)
+      .select(
+        size(split(col("text"), " ")).cast("long").as("w"),
+        (size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))) + 1)
+          .cast("long").as("s"),
+        size(regexp_extract_all(lower(col("text")), lit("[aeiou]+"), lit(0)))
+          .cast("long").as("syl"))
+      .select((lit(206.835)
+        - lit(1.015) * (col("w").cast("double") / col("s").cast("double"))
+        - lit(84.6) * (col("syl").cast("double") / col("w").cast("double")))
+        .as("score"))
+      .groupBy(floor(col("score") / lit(10.0)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        (round(avg(col("score")), 4) + lit(0.0)).as("mean_score"))
+      .orderBy("bucket")
+
+  /** Permutation entropy (order-3 ordinal patterns) of monthly revenue:
+    * each consecutive triple maps to an exact comparison code,
+    * H = −Σp ln p over the code distribution, normalized by ln 6
+    * (pre-rounded literal).
+    */
+  def q_permutation_entropy(spark: SparkSession, sf: String): DataFrame = {
+    val rev = monthlyRevenue(spark, sf).localCheckpoint()
+    val tri = rev.as("a")
+      .join(rev.select(col("m").as("m1"), col("rev").as("rev1")).as("b"),
+        col("m1") === col("m") + 1)
+      .join(rev.select(col("m").as("m2"), col("rev").as("rev2")).as("c"),
+        col("m2") === col("m") + 2)
+      .select((when(col("rev1") > col("rev"), 4L).otherwise(0L)
+        + when(col("rev2") > col("rev"), 2L).otherwise(0L)
+        + when(col("rev2") > col("rev1"), 1L).otherwise(0L)).as("code"))
+    val dist = tri.groupBy(col("code")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val tot = dist.agg(sum(col("cnt")).as("n"))
+    val h = dist.crossJoin(broadcast(tot))
+      .agg(sum(-(col("cnt").cast("double") / col("n").cast("double"))
+        * log(col("cnt").cast("double") / col("n").cast("double"))).as("h"))
+    dist.crossJoin(broadcast(tot)).crossJoin(broadcast(h))
+      .select(col("code"), col("cnt"),
+        (round(col("cnt").cast("double") / col("n").cast("double"), 4) + lit(0.0))
+          .as("p"),
+        (round(col("h"), 4) + lit(0.0)).as("entropy"),
+        (round(col("h") / lit(1.7917595), 4) + lit(0.0)).as("entropy_norm"))
+      .orderBy("code")
+  }
+
+  /** Sample entropy (m=2, 10%-relative tolerance on the $1M cent-bin
+    * lattice) of monthly revenue: template pairs matched with exact
+    * integer tolerance |bᵢ−bⱼ| ≤ max(1, (bᵢ+bⱼ) div 20), SampEn =
+    * −ln(A/B) over ordered i<j pairs.
+    */
+  def q_sample_entropy(spark: SparkSession, sf: String): DataFrame = {
+    val rev = monthlyRevenue(spark, sf)
+    val tpl = rev.as("a")
+      .join(rev.select(col("m").as("m1"), col("rev").as("rev1")).as("b"),
+        col("m1") === col("m") + 1)
+      .join(rev.select(col("m").as("m2"), col("rev").as("rev2")).as("c"),
+        col("m2") === col("m") + 2)
+      .select(col("m"),
+        expr("CAST(rev div 100000000 AS BIGINT)").as("b0"),
+        expr("CAST(rev1 div 100000000 AS BIGINT)").as("b1"),
+        expr("CAST(rev2 div 100000000 AS BIGINT)").as("b2"))
+      .localCheckpoint()
+    tpl.as("a")
+      .join(tpl.select(col("m").as("mj"), col("b0").as("c0"),
+        col("b1").as("c1"), col("b2").as("c2")).as("b"),
+        col("mj") > col("m")
+          && abs(col("b0") - col("c0"))
+            <= greatest(lit(1L), expr("CAST((b0 + c0) div 20 AS BIGINT)"))
+          && abs(col("b1") - col("c1"))
+            <= greatest(lit(1L), expr("CAST((b1 + c1) div 20 AS BIGINT)")))
+      .agg(count(lit(1)).as("b_pairs"),
+        sum(when(abs(col("b2") - col("c2"))
+          <= greatest(lit(1L), expr("CAST((b2 + c2) div 20 AS BIGINT)")), 1L)
+          .otherwise(0L)).as("a_pairs"))
+      .select(col("b_pairs"), col("a_pairs"),
+        (round(-log(col("a_pairs").cast("double") / col("b_pairs").cast("double")), 4)
+          + lit(0.0)).as("sampen"))
   }
 }

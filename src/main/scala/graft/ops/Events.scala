@@ -1063,4 +1063,22 @@ object Events {
             * sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 4) + lit(0.0))
           .as("corr_adstock"))
   }
+
+  /** Bounce rate by day-of-week: a user-day with exactly one event is a
+    * bounce; the day-of-week is the epoch-day index mod 7 (identical
+    * integer arithmetic on both engines, no locale-dependent dow).
+    */
+  def q_bounce_rate(spark: SparkSession, sf: String): DataFrame =
+    Tables.eventsWithTs(spark, sf)
+      .groupBy(col("user_id"),
+        datediff(to_date(col("ts_us")), lit("2024-01-01").cast("date"))
+          .cast("long").as("d"))
+      .agg(count(lit(1)).as("n_ev"))
+      .groupBy((col("d") % 7).as("dow"))
+      .agg(count(lit(1)).as("n_user_days"),
+        sum(when(col("n_ev") === 1L, 1L).otherwise(0L)).as("n_bounce"))
+      .select(col("dow"), col("n_user_days"), col("n_bounce"),
+        (round(col("n_bounce").cast("double") / col("n_user_days").cast("double"), 4)
+          + lit(0.0)).as("bounce_rate"))
+      .orderBy("dow")
 }

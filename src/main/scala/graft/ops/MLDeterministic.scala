@@ -2829,4 +2829,32 @@ object MLDeterministic {
           * (abs(col("b") - col("c")).cast("double") - lit(1.0))
           / (col("b") + col("c")).cast("double") > lit(3.841459), 1L)
           .otherwise(0L).as("classifiers_differ"))
+
+  /** Cochran's Q test of whether customer purchase activity differs
+    * across 1996/1997/1998 (k=3 matched binary treatments per customer
+    * block): Q = (k−1)[kΣC_j² − (ΣC_j)²] / (kΣR_i − ΣR_i²) — every term
+    * an exact integer count, so the reject flag is bit-safe.
+    */
+  def q_cochran_q(spark: SparkSession, sf: String): DataFrame = {
+    val rows = Tables.orders(spark, sf)
+      .filter(year(col("o_orderdate")).isin(1996, 1997, 1998))
+      .groupBy(col("o_custkey"))
+      .agg(max(when(year(col("o_orderdate")) === 1996, 1L).otherwise(0L)).as("y1"),
+        max(when(year(col("o_orderdate")) === 1997, 1L).otherwise(0L)).as("y2"),
+        max(when(year(col("o_orderdate")) === 1998, 1L).otherwise(0L)).as("y3"))
+    rows.agg(count(lit(1)).as("n_blocks"),
+        sum(col("y1")).as("c1"), sum(col("y2")).as("c2"), sum(col("y3")).as("c3"),
+        sum((col("y1") + col("y2") + col("y3"))
+          * (col("y1") + col("y2") + col("y3"))).as("srr"),
+        sum(col("y1") + col("y2") + col("y3")).as("sr"))
+      .select(col("n_blocks"), col("c1"), col("c2"), col("c3"),
+        (lit(2.0) * (lit(3.0) * (col("c1") * col("c1") + col("c2") * col("c2")
+          + col("c3") * col("c3")).cast("double")
+          - (col("sr") * col("sr")).cast("double"))
+          / (lit(3.0) * col("sr").cast("double") - col("srr").cast("double")))
+          .as("q_raw"))
+      .select(col("n_blocks"), col("c1"), col("c2"), col("c3"),
+        (round(col("q_raw"), 4) + lit(0.0)).as("q_stat"),
+        when(col("q_raw") > lit(5.991465), 1L).otherwise(0L).as("reject_equal"))
+  }
 }

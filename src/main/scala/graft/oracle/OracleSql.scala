@@ -9009,5 +9009,520 @@ object OracleSql {
                / CAST(b + c AS DOUBLE) > 3.841459 THEN 1 ELSE 0 END AS BIGINT)
                AS classifiers_differ
       FROM s""",
+
+    "q_bartlett_test" -> """
+      WITH g AS (SELECT o_orderpriority AS g, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                          AS sx,
+                        SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DOUBLE)
+                          * CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DOUBLE))
+                          AS sxx
+                 FROM orders GROUP BY 1),
+           v AS (SELECT g, n,
+                        (sxx - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS s2
+                 FROM g),
+           tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS nn,
+                          SUM((CAST(n AS DOUBLE) - 1.0) * s2) AS pooled_num,
+                          SUM((CAST(n AS DOUBLE) - 1.0) * LN(s2)) AS sum_nl,
+                          SUM(1.0 / (CAST(n AS DOUBLE) - 1.0)) AS sum_inv
+                   FROM v),
+           t AS (SELECT k, nn,
+                        (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))
+                          * LN(pooled_num / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE)))
+                          - sum_nl AS t_num,
+                        1.0 + (sum_inv
+                          - 1.0 / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE)))
+                          / (3.0 * (CAST(k AS DOUBLE) - 1.0)) AS c_corr
+                 FROM tot)
+      SELECT g AS priority, n AS n_g,
+             ROUND(s2 / 10000.0, 4) + 0 AS var_dollars,
+             ROUND(t_num / c_corr, 4) + 0 AS bartlett_t,
+             CAST(CASE WHEN t_num / c_corr > 9.487729 THEN 1 ELSE 0 END AS BIGINT)
+               AS reject_homogeneous
+      FROM v, t ORDER BY priority""",
+
+    "q_engle_granger" -> """
+      WITH sega AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                             AS m,
+                           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                             AS ya
+                    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                    WHERE c.c_mktsegment = 'BUILDING' GROUP BY 1),
+           segb AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                             AS m,
+                           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                             AS yb
+                    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                    WHERE c.c_mktsegment = 'AUTOMOBILE' GROUP BY 1),
+           ab AS (SELECT sega.m, ya, yb FROM sega JOIN segb ON sega.m = segb.m),
+           fit AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                          (CAST(COUNT(*) AS DOUBLE)
+                            * SUM(CAST(ya AS DOUBLE) * CAST(yb AS DOUBLE))
+                            - CAST(SUM(ya) AS DOUBLE) * CAST(SUM(yb) AS DOUBLE))
+                          / (CAST(COUNT(*) AS DOUBLE)
+                            * SUM(CAST(yb AS DOUBLE) * CAST(yb AS DOUBLE))
+                            - CAST(SUM(yb) AS DOUBLE) * CAST(SUM(yb) AS DOUBLE)) AS beta,
+                          CAST(SUM(ya) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS abar,
+                          CAST(SUM(yb) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS bbar
+                   FROM ab),
+           resid AS (SELECT m, n, beta,
+                            CAST(ya AS DOUBLE) - abar
+                              - beta * (CAST(yb AS DOUBLE) - bbar) AS e
+                     FROM ab, fit),
+           num AS (SELECT SUM((b.e - a.e) * (b.e - a.e)) AS num
+                   FROM resid a JOIN resid b ON b.m = a.m + 1),
+           den AS (SELECT n, beta, SUM(e * e) AS den FROM resid GROUP BY 1, 2)
+      SELECT n AS n_months, ROUND(beta, 4) + 0 AS beta,
+             ROUND(num / den, 4) + 0 AS dw_resid,
+             CAST(CASE WHEN num / den > 1.0 THEN 1 ELSE 0 END AS BIGINT)
+               AS cointegrated
+      FROM den, num""",
+
+    "q_goodman_kruskal_gamma" -> """
+      WITH cells AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+                            CAST(ROUND(l_discount * 100) AS BIGINT) AS y,
+                            CAST(COUNT(*) AS BIGINT) AS cnt
+                     FROM lineitem GROUP BY 1, 2),
+           s AS (SELECT CAST(SUM(CASE WHEN b.y > a.y THEN a.cnt * b.cnt ELSE 0 END)
+                          AS BIGINT) AS c_pairs,
+                        CAST(SUM(CASE WHEN b.y < a.y THEN a.cnt * b.cnt ELSE 0 END)
+                          AS BIGINT) AS d_pairs
+                 FROM cells a JOIN cells b ON b.x > a.x AND b.y <> a.y)
+      SELECT c_pairs, d_pairs,
+             ROUND(CAST(c_pairs - d_pairs AS DOUBLE)
+               / CAST(c_pairs + d_pairs AS DOUBLE), 4) + 0 AS gamma
+      FROM s""",
+
+    "q_atkinson_index" -> """
+      WITH cust0 AS (SELECT o_custkey,
+                            CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                              AS x
+                     FROM orders GROUP BY 1),
+           cust AS (SELECT x FROM cust0 WHERE x > 0),
+           tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx
+                   FROM cust),
+           r AS (SELECT n, CAST(x AS DOUBLE) * CAST(n AS DOUBLE) / CAST(sx AS DOUBLE)
+                          AS ratio
+                 FROM cust, tot),
+           s AS (SELECT n, SUM(SQRT(ratio)) AS sr, SUM(1.0 / ratio) AS sinv
+                 FROM r GROUP BY 1)
+      SELECT n AS n_customers,
+             ROUND(1.0 - (sr / CAST(n AS DOUBLE)) * (sr / CAST(n AS DOUBLE)), 4) + 0
+               AS atkinson_half,
+             ROUND(1.0 - CAST(n AS DOUBLE) / sinv, 4) + 0 AS atkinson_two
+      FROM s""",
+
+    "q_sharpe_sortino" -> """
+      WITH rev AS (SELECT CAST(date_diff('day', DATE '1992-01-01', o_orderdate)
+                            AS BIGINT) AS d,
+                          CAST(year(o_orderdate) AS BIGINT) AS y,
+                          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                            AS rev
+                   FROM orders GROUP BY 1, 2),
+           chg AS (SELECT b.y AS y, b.rev - a.rev AS diff
+                   FROM rev a JOIN rev b ON b.d = a.d + 1),
+           s AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(diff) AS BIGINT) AS sd,
+                        SUM(CAST(diff AS DOUBLE) * CAST(diff AS DOUBLE)) AS sdd,
+                        SUM(CASE WHEN diff < 0
+                          THEN CAST(diff AS DOUBLE) * CAST(diff AS DOUBLE)
+                          ELSE 0.0 END) AS sneg
+                 FROM chg GROUP BY 1)
+      SELECT y AS yr, n,
+             ROUND((CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
+               / SQRT(sdd / CAST(n AS DOUBLE)
+                 - (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))), 4) + 0 AS sharpe,
+             ROUND((CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
+               / SQRT(sneg / CAST(n AS DOUBLE)), 4) + 0 AS sortino
+      FROM s ORDER BY yr""",
+
+    "q_kelly_criterion" -> """
+      WITH rev AS (SELECT CAST(date_diff('day', DATE '1992-01-01', o_orderdate)
+                            AS BIGINT) AS d,
+                          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                            AS rev
+                   FROM orders GROUP BY 1),
+           chg AS (SELECT b.rev - a.rev AS diff
+                   FROM rev a JOIN rev b ON b.d = a.d + 1),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                          AS n_win,
+                        CAST(SUM(CASE WHEN diff > 0 THEN diff ELSE 0 END) AS BIGINT)
+                          AS s_win,
+                        CAST(SUM(CASE WHEN diff < 0 THEN -diff ELSE 0 END) AS BIGINT)
+                          AS s_loss
+                 FROM chg WHERE diff <> 0),
+           pb AS (SELECT n, n_win, n - n_win AS n_loss,
+                         CAST(n_win AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+                         (CAST(s_win AS DOUBLE) / CAST(n_win AS DOUBLE))
+                           / (CAST(s_loss AS DOUBLE) / CAST(n - n_win AS DOUBLE)) AS b
+                  FROM s)
+      SELECT n, n_win, n_loss, ROUND(p, 4) + 0 AS p_win, ROUND(b, 4) + 0 AS payoff_b,
+             ROUND(p - (1.0 - p) / b, 4) + 0 AS kelly_f
+      FROM pb""",
+
+    "q_mann_kendall" -> """
+      WITH rev AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                            AS m,
+                          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                            AS rev
+                   FROM orders GROUP BY 1),
+           s AS (SELECT CAST(SUM(CASE WHEN b.rev > a.rev THEN 1
+                                      WHEN b.rev < a.rev THEN -1 ELSE 0 END) AS BIGINT)
+                          AS s
+                 FROM rev a JOIN rev b ON b.m > a.m),
+           ties AS (SELECT CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+                    FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM rev GROUP BY rev)),
+           n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rev),
+           v AS (SELECT n, s AS s_stat,
+                        (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+                          * (2.0 * CAST(n AS DOUBLE) + 5.0)
+                          - CAST(tie_term AS DOUBLE)) / 18.0 AS var_s
+                 FROM n, s, ties)
+      SELECT n AS n_months, s_stat,
+             ROUND((CAST(s_stat AS DOUBLE) - SIGN(CAST(s_stat AS DOUBLE)))
+               / SQRT(var_s), 4) + 0 AS z,
+             CAST(CASE WHEN (CAST(s_stat AS DOUBLE) - SIGN(CAST(s_stat AS DOUBLE)))
+                            / SQRT(var_s) > 1.959964 THEN 1
+                       WHEN (CAST(s_stat AS DOUBLE) - SIGN(CAST(s_stat AS DOUBLE)))
+                            / SQRT(var_s) < -1.959964 THEN -1
+                       ELSE 0 END AS BIGINT) AS trend
+      FROM v""",
+
+    "q_ses_forecast" -> """
+      WITH rev AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                            AS m,
+                          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                            AS rev
+                   FROM orders GROUP BY 1),
+           pred AS (SELECT a.m, a.rev AS actual, CAST(COUNT(*) AS BIGINT) AS k,
+                           SUM(CAST(b.rev AS DOUBLE)
+                             * POWER(0.5, CAST(a.m - b.m AS DOUBLE))) AS yhat
+                    FROM rev a JOIN rev b ON b.m BETWEEN a.m - 12 AND a.m - 1
+                    GROUP BY 1, 2
+                    HAVING CAST(COUNT(*) AS BIGINT) = 12),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_forecasts,
+                        CAST(SUM(actual) AS BIGINT) AS sa,
+                        SUM(ABS(CAST(actual AS DOUBLE) - yhat)) AS sae,
+                        SUM((CAST(actual AS DOUBLE) - yhat)
+                          * (CAST(actual AS DOUBLE) - yhat)) AS sse
+                 FROM pred)
+      SELECT n_forecasts,
+             ROUND((sae / CAST(n_forecasts AS DOUBLE))
+               / (CAST(sa AS DOUBLE) / CAST(n_forecasts AS DOUBLE)), 4) + 0
+               AS mae_over_mean,
+             ROUND(SQRT(sse / CAST(n_forecasts AS DOUBLE))
+               / (CAST(sa AS DOUBLE) / CAST(n_forecasts AS DOUBLE)), 4) + 0
+               AS rmse_over_mean
+      FROM s""",
+
+    "q_gamma_mom" -> """
+      WITH g AS (SELECT o_orderpriority AS g, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                          AS sx,
+                        SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DOUBLE)
+                          * CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DOUBLE))
+                          AS sxx
+                 FROM orders GROUP BY 1),
+           mv AS (SELECT g, n, CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+                         sxx / CAST(n AS DOUBLE)
+                           - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                             * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS v
+                  FROM g)
+      SELECT g AS priority, n, ROUND(mu * mu / v, 4) + 0 AS shape_k,
+             ROUND(v / mu / 100.0, 4) + 0 AS scale_dollars
+      FROM mv ORDER BY priority""",
+
+    "q_cochran_q" -> """
+      WITH rows0 AS (SELECT o_custkey,
+                            CAST(MAX(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS y1,
+                            CAST(MAX(CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS y2,
+                            CAST(MAX(CASE WHEN year(o_orderdate) = 1998 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS y3
+                     FROM orders WHERE year(o_orderdate) IN (1996, 1997, 1998)
+                     GROUP BY 1),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                        CAST(SUM(y1) AS BIGINT) AS c1, CAST(SUM(y2) AS BIGINT) AS c2,
+                        CAST(SUM(y3) AS BIGINT) AS c3,
+                        CAST(SUM((y1 + y2 + y3) * (y1 + y2 + y3)) AS BIGINT) AS srr,
+                        CAST(SUM(y1 + y2 + y3) AS BIGINT) AS sr
+                 FROM rows0),
+           q AS (SELECT n_blocks, c1, c2, c3,
+                        2.0 * (3.0 * CAST(c1 * c1 + c2 * c2 + c3 * c3 AS DOUBLE)
+                          - CAST(sr * sr AS DOUBLE))
+                          / (3.0 * CAST(sr AS DOUBLE) - CAST(srr AS DOUBLE)) AS q_raw
+                 FROM s)
+      SELECT n_blocks, c1, c2, c3, ROUND(q_raw, 4) + 0 AS q_stat,
+             CAST(CASE WHEN q_raw > 5.991465 THEN 1 ELSE 0 END AS BIGINT)
+               AS reject_equal
+      FROM q""",
+
+    "q_moods_median_test" -> """
+      WITH gv AS (SELECT o_orderpriority AS g,
+                         CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) // 10000
+                           AS BIGINT) AS v,
+                         CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM orders GROUP BY 1, 2),
+           vals AS (SELECT v, CAST(SUM(cnt) AS BIGINT) AS t FROM gv GROUP BY 1),
+           tot AS (SELECT CAST(SUM(t) AS BIGINT) AS nn,
+                          CAST((CAST(SUM(t) AS BIGINT) + 1) // 2 AS BIGINT) AS k
+                   FROM vals),
+           med AS (SELECT MIN(v) AS med
+                   FROM (SELECT a.v, CAST(SUM(b.t) AS BIGINT) AS cum
+                         FROM vals a JOIN vals b ON b.v <= a.v GROUP BY 1), tot
+                   WHERE cum >= k),
+           grp AS (SELECT g,
+                          CAST(SUM(CASE WHEN v > med THEN cnt ELSE 0 END) AS BIGINT)
+                            AS above,
+                          CAST(SUM(CASE WHEN v <= med THEN cnt ELSE 0 END) AS BIGINT)
+                            AS notabove
+                   FROM gv, med GROUP BY 1),
+           marg AS (SELECT CAST(SUM(above) AS BIGINT) AS ta,
+                           CAST(SUM(notabove) AS BIGINT) AS tb,
+                           CAST(SUM(above) AS BIGINT) + CAST(SUM(notabove) AS BIGINT)
+                             AS nn
+                    FROM grp),
+           chi AS (SELECT g, above, notabove,
+                          (CAST(above AS DOUBLE)
+                            - CAST(ta AS DOUBLE) * CAST(above + notabove AS DOUBLE)
+                              / CAST(nn AS DOUBLE))
+                          * (CAST(above AS DOUBLE)
+                            - CAST(ta AS DOUBLE) * CAST(above + notabove AS DOUBLE)
+                              / CAST(nn AS DOUBLE))
+                          / (CAST(ta AS DOUBLE) * CAST(above + notabove AS DOUBLE)
+                            / CAST(nn AS DOUBLE))
+                          + (CAST(notabove AS DOUBLE)
+                            - CAST(tb AS DOUBLE) * CAST(above + notabove AS DOUBLE)
+                              / CAST(nn AS DOUBLE))
+                            * (CAST(notabove AS DOUBLE)
+                              - CAST(tb AS DOUBLE) * CAST(above + notabove AS DOUBLE)
+                                / CAST(nn AS DOUBLE))
+                            / (CAST(tb AS DOUBLE) * CAST(above + notabove AS DOUBLE)
+                              / CAST(nn AS DOUBLE)) AS contrib
+                   FROM grp, marg),
+           stat AS (SELECT SUM(contrib) AS chi2 FROM chi)
+      SELECT g AS priority, above, notabove, ROUND(contrib, 4) + 0 AS contrib,
+             ROUND(chi2, 4) + 0 AS chi2,
+             CAST(CASE WHEN chi2 > 9.487729 THEN 1 ELSE 0 END AS BIGINT)
+               AS reject_equal_medians
+      FROM chi, stat ORDER BY priority""",
+
+    "q_mood_dispersion" -> """
+      WITH gv AS (SELECT CAST(o_custkey % 2 AS BIGINT) AS g,
+                         CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) // 10000
+                           AS BIGINT) AS v,
+                         CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM orders GROUP BY 1, 2),
+           vals AS (SELECT v, CAST(SUM(cnt) AS BIGINT) AS t FROM gv GROUP BY 1),
+           mid AS (SELECT a.v,
+                          CAST(COALESCE(SUM(b.t), 0) AS DOUBLE)
+                            + (CAST(a.t AS DOUBLE) + 1.0) / 2.0 AS midrank
+                   FROM vals a LEFT JOIN vals b ON b.v < a.v
+                   GROUP BY a.v, a.t),
+           tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS nn,
+                          CAST(SUM(CASE WHEN g = 0 THEN cnt ELSE 0 END) AS BIGINT) AS m
+                   FROM gv),
+           t AS (SELECT nn, m,
+                        SUM(CAST(cnt AS DOUBLE)
+                          * (midrank - (CAST(nn AS DOUBLE) + 1.0) / 2.0)
+                          * (midrank - (CAST(nn AS DOUBLE) + 1.0) / 2.0)) AS t_stat
+                 FROM gv JOIN mid ON gv.v = mid.v, tot
+                 WHERE g = 0 GROUP BY 1, 2)
+      SELECT nn AS n_total, m AS n_even, ROUND(t_stat, 4) + 0 AS t_stat,
+             ROUND((t_stat
+               - CAST(m AS DOUBLE)
+                 * (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) - 1.0) / 12.0)
+               / SQRT(CAST(m AS DOUBLE) * (CAST(nn AS DOUBLE) - CAST(m AS DOUBLE))
+                 * (CAST(nn AS DOUBLE) + 1.0)
+                 * (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) - 4.0) / 180.0), 4) + 0
+               AS z
+      FROM t""",
+
+    "q_hodges_lehmann" -> """
+      WITH rev AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                            AS m,
+                          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                            AS rev
+                   FROM orders GROUP BY 1),
+           a AS (SELECT rev AS ra FROM rev WHERE m BETWEEN 23953 AND 23964),
+           b AS (SELECT rev AS rb FROM rev WHERE m BETWEEN 23965 AND 23976),
+           w AS (SELECT rb - ra AS w, CAST(COUNT(*) AS BIGINT) AS cnt
+                 FROM a, b GROUP BY 1),
+           tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS np,
+                          CAST((CAST(SUM(cnt) AS BIGINT) + 1) // 2 AS BIGINT) AS k
+                   FROM w),
+           cum AS (SELECT a.w, CAST(SUM(b.cnt) AS BIGINT) AS cum
+                   FROM w a JOIN w b ON b.w <= a.w GROUP BY 1),
+           hl AS (SELECT MAX(np) AS n_pairs, MIN(w) AS hl_cents
+                  FROM cum, tot WHERE cum >= k)
+      SELECT n_pairs, hl_cents,
+             ROUND(CAST(hl_cents AS DOUBLE) / 100.0, 2) + 0 AS hl_dollars
+      FROM hl""",
+
+    "q_pettitt_test" -> """
+      WITH rev AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                            AS m,
+                          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                            AS rev
+                   FROM orders GROUP BY 1),
+           pairs AS (SELECT a.m AS mi, b.m AS mj,
+                            CASE WHEN b.rev > a.rev THEN 1
+                                 WHEN b.rev < a.rev THEN -1 ELSE 0 END AS s
+                     FROM rev a JOIN rev b ON b.m > a.m),
+           u AS (SELECT t.m AS t, CAST(SUM(s) AS BIGINT) AS u_t
+                 FROM pairs JOIN rev t ON pairs.mi <= t.m AND pairs.mj > t.m
+                 GROUP BY 1),
+           k AS (SELECT MAX(ABS(u_t)) AS k_stat FROM u),
+           ts AS (SELECT k_stat, MIN(t) AS t_star
+                  FROM u, k WHERE ABS(u_t) = k_stat GROUP BY 1),
+           n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_months FROM rev)
+      SELECT n_months, k_stat, t_star,
+             ROUND(2.0 * EXP(-6.0 * CAST(k_stat AS DOUBLE) * CAST(k_stat AS DOUBLE)
+               / (CAST(n_months AS DOUBLE) * CAST(n_months AS DOUBLE)
+                 * CAST(n_months AS DOUBLE)
+                 + CAST(n_months AS DOUBLE) * CAST(n_months AS DOUBLE))), 6) + 0
+               AS p_approx
+      FROM n, ts""",
+
+    "q_bowley_skewness" -> """
+      WITH gv AS (SELECT o_orderpriority AS g,
+                         CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) // 10000
+                           AS BIGINT) AS v,
+                         CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM orders GROUP BY 1, 2),
+           stats AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n,
+                            CAST((CAST(SUM(cnt) AS BIGINT) + 3) // 4 AS BIGINT) AS k1,
+                            CAST((CAST(SUM(cnt) AS BIGINT) + 1) // 2 AS BIGINT) AS k2,
+                            CAST((3 * CAST(SUM(cnt) AS BIGINT) + 3) // 4 AS BIGINT)
+                              AS k3
+                     FROM gv GROUP BY 1),
+           cum AS (SELECT a.g, a.v, CAST(SUM(b.cnt) AS BIGINT) AS cum
+                   FROM gv a JOIN gv b ON b.g = a.g AND b.v <= a.v
+                   GROUP BY 1, 2),
+           q AS (SELECT cum.g, stats.n,
+                        MIN(CASE WHEN cum >= k1 THEN v END) AS q1,
+                        MIN(CASE WHEN cum >= k2 THEN v END) AS q2,
+                        MIN(CASE WHEN cum >= k3 THEN v END) AS q3
+                 FROM cum JOIN stats ON cum.g = stats.g
+                 GROUP BY 1, 2)
+      SELECT g AS priority, n, q1, q2, q3,
+             ROUND((CAST(q3 + q1 AS DOUBLE) - 2.0 * CAST(q2 AS DOUBLE))
+               / CAST(q3 - q1 AS DOUBLE), 4) + 0 AS bowley_skew,
+             ROUND(CAST(q3 - q1 AS DOUBLE) / CAST(q3 + q1 AS DOUBLE), 4) + 0 AS qcd
+      FROM q ORDER BY priority""",
+
+    "q_dunn_posthoc" -> """
+      WITH gv AS (SELECT o_orderpriority AS g,
+                         CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100000
+                           AS BIGINT) AS v,
+                         CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM orders GROUP BY 1, 2),
+           vals AS (SELECT v, CAST(SUM(cnt) AS BIGINT) AS t FROM gv GROUP BY 1),
+           mid AS (SELECT a.v,
+                          CAST(COALESCE(SUM(b.t), 0) AS DOUBLE)
+                            + (CAST(a.t AS DOUBLE) + 1.0) / 2.0 AS midrank
+                   FROM vals a LEFT JOIN vals b ON b.v < a.v
+                   GROUP BY a.v, a.t),
+           tot AS (SELECT CAST(SUM(t) AS BIGINT) AS nn,
+                          CAST(SUM(t * t * t - t) AS BIGINT) AS ties
+                   FROM vals),
+           grp AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n_g,
+                          SUM(CAST(cnt AS DOUBLE) * midrank) AS r_g
+                   FROM gv JOIN mid ON gv.v = mid.v GROUP BY 1),
+           z AS (SELECT a.g || ' vs ' || b.g AS pair,
+                        (a.r_g / CAST(a.n_g AS DOUBLE)
+                          - b.r_g / CAST(b.n_g AS DOUBLE))
+                        / SQRT((CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0) / 12.0
+                          - CAST(ties AS DOUBLE)
+                            / (12.0 * (CAST(nn AS DOUBLE) - 1.0)))
+                          * (1.0 / CAST(a.n_g AS DOUBLE)
+                            + 1.0 / CAST(b.n_g AS DOUBLE))) AS z_raw
+                 FROM grp a JOIN grp b ON a.g < b.g, tot)
+      SELECT pair, ROUND(z_raw, 4) + 0 AS z,
+             CAST(CASE WHEN ABS(z_raw) > 2.807034 THEN 1 ELSE 0 END AS BIGINT)
+               AS significant
+      FROM z ORDER BY pair""",
+
+    "q_readability_score" -> """
+      WITH c AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+                        CAST(len(regexp_extract_all(text, '[.!?]+')) + 1 AS BIGINT) AS s,
+                        CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS BIGINT)
+                          AS syl
+                 FROM documents),
+           sc AS (SELECT 206.835
+                    - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+                    - 84.6 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE)) AS score
+                  FROM c)
+      SELECT CAST(FLOOR(score / 10.0) AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             ROUND(AVG(score), 4) + 0 AS mean_score
+      FROM sc GROUP BY 1 ORDER BY bucket""",
+
+    "q_permutation_entropy" -> """
+      WITH rev AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                            AS m,
+                          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                            AS rev
+                   FROM orders GROUP BY 1),
+           tri AS (SELECT (CASE WHEN b.rev > a.rev THEN 4 ELSE 0 END)
+                            + (CASE WHEN c.rev > a.rev THEN 2 ELSE 0 END)
+                            + (CASE WHEN c.rev > b.rev THEN 1 ELSE 0 END) AS code
+                   FROM rev a JOIN rev b ON b.m = a.m + 1
+                   JOIN rev c ON c.m = a.m + 2),
+           dist AS (SELECT CAST(code AS BIGINT) AS code, CAST(COUNT(*) AS BIGINT) AS cnt
+                    FROM tri GROUP BY 1),
+           tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM dist),
+           h AS (SELECT SUM(-(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))
+                   * LN(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))) AS h
+                 FROM dist, tot)
+      SELECT code, cnt,
+             ROUND(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE), 4) + 0 AS p,
+             ROUND(h, 4) + 0 AS entropy,
+             ROUND(h / 1.7917595, 4) + 0 AS entropy_norm
+      FROM dist, tot, h ORDER BY code""",
+
+    "q_sample_entropy" -> """
+      WITH rev AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                            AS m,
+                          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                            AS rev
+                   FROM orders GROUP BY 1),
+           tpl AS (SELECT a.m,
+                          CAST(a.rev // 100000000 AS BIGINT) AS b0,
+                          CAST(b.rev // 100000000 AS BIGINT) AS b1,
+                          CAST(c.rev // 100000000 AS BIGINT) AS b2
+                   FROM rev a JOIN rev b ON b.m = a.m + 1
+                   JOIN rev c ON c.m = a.m + 2),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS b_pairs,
+                        CAST(SUM(CASE WHEN ABS(a.b2 - b.b2)
+                          <= GREATEST(1, CAST((a.b2 + b.b2) // 20 AS BIGINT))
+                          THEN 1 ELSE 0 END) AS BIGINT) AS a_pairs
+                 FROM tpl a JOIN tpl b ON b.m > a.m
+                   AND ABS(a.b0 - b.b0)
+                     <= GREATEST(1, CAST((a.b0 + b.b0) // 20 AS BIGINT))
+                   AND ABS(a.b1 - b.b1)
+                     <= GREATEST(1, CAST((a.b1 + b.b1) // 20 AS BIGINT)))
+      SELECT b_pairs, a_pairs,
+             ROUND(-LN(CAST(a_pairs AS DOUBLE) / CAST(b_pairs AS DOUBLE)), 4) + 0
+               AS sampen
+      FROM s""",
+
+    "q_bounce_rate" -> """
+      WITH ud AS (SELECT user_id,
+                         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                           AS BIGINT) AS d,
+                         CAST(COUNT(*) AS BIGINT) AS n_ev
+                  FROM events GROUP BY 1, 2),
+           s AS (SELECT d % 7 AS dow, CAST(COUNT(*) AS BIGINT) AS n_user_days,
+                        CAST(SUM(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                          AS n_bounce
+                 FROM ud GROUP BY 1)
+      SELECT dow, n_user_days, n_bounce,
+             ROUND(CAST(n_bounce AS DOUBLE) / CAST(n_user_days AS DOUBLE), 4) + 0
+               AS bounce_rate
+      FROM s ORDER BY dow""",
   )
 }
