@@ -3640,4 +3640,161 @@ object Analytics {
         (round(-log(col("a_pairs").cast("double") / col("b_pairs").cast("double")), 4)
           + lit(0.0)).as("sampen"))
   }
+
+  /** Turning-points randomness test on monthly revenue: local extrema
+    * from exact triple comparisons, E = 2(n−2)/3, Var = (16n−29)/90,
+    * z = (T−E)/√Var — all integer until the single epilogue.
+    */
+  def q_turning_points(spark: SparkSession, sf: String): DataFrame = {
+    val rev = monthlyRevenue(spark, sf).localCheckpoint()
+    val tp = rev.as("a")
+      .join(rev.select(col("m").as("m1"), col("rev").as("rev1")).as("b"),
+        col("m1") === col("m") + 1)
+      .join(rev.select(col("m").as("m2"), col("rev").as("rev2")).as("c"),
+        col("m2") === col("m") + 2)
+      .agg(sum(when((col("rev1") > col("rev") && col("rev1") > col("rev2"))
+        || (col("rev1") < col("rev") && col("rev1") < col("rev2")), 1L)
+        .otherwise(0L)).as("n_turning"))
+    rev.agg(count(lit(1)).as("n_months")).crossJoin(tp)
+      .select(col("n_months"), col("n_turning"),
+        (round((col("n_turning").cast("double")
+          - lit(2.0) * (col("n_months").cast("double") - lit(2.0)) / lit(3.0))
+          / sqrt((lit(16.0) * col("n_months").cast("double") - lit(29.0))
+            / lit(90.0)), 4) + lit(0.0)).as("z"))
+  }
+
+  /** Engle's ARCH LM test (lag 1) on the monthly-revenue trend
+    * residuals: squared residuals regressed on their own lag,
+    * LM = (n−1)·R², χ²₁ under no ARCH effect.
+    */
+  def q_arch_lm(spark: SparkSession, sf: String): DataFrame = {
+    val rev = monthlyRevenue(spark, sf)
+    val fit = rev.agg(count(lit(1)).as("n"), sum(col("m")).as("st"),
+        sum(col("rev")).as("sy"), sum(col("m") * col("rev")).as("sty"),
+        sum(col("m") * col("m")).as("stt"))
+      .select(col("n"),
+        ((col("n").cast("double") * col("sty").cast("double")
+          - col("st").cast("double") * col("sy").cast("double"))
+          / (col("n").cast("double") * col("stt").cast("double")
+            - col("st").cast("double") * col("st").cast("double"))).as("b"),
+        (col("sy").cast("double") / col("n").cast("double")).as("ybar"),
+        (col("st").cast("double") / col("n").cast("double")).as("tbar"))
+    val u = rev.crossJoin(broadcast(fit))
+      .select(col("m"),
+        ((col("rev").cast("double") - col("ybar")
+          - col("b") * (col("m").cast("double") - col("tbar")))
+          * (col("rev").cast("double") - col("ybar")
+            - col("b") * (col("m").cast("double") - col("tbar")))).as("u"))
+      .localCheckpoint()
+    u.as("a")
+      .join(u.select(col("m").as("m2"), col("u").as("ul")).as("b"),
+        col("m2") === col("m") - 1)
+      .agg(count(lit(1)).as("np"), sum(col("u")).as("su"), sum(col("ul")).as("sl"),
+        sum(col("u") * col("ul")).as("sul"), sum(col("u") * col("u")).as("suu"),
+        sum(col("ul") * col("ul")).as("sll"))
+      .select(col("np").as("n_pairs"),
+        ((col("np").cast("double") * col("sul") - col("su") * col("sl"))
+          * (col("np").cast("double") * col("sul") - col("su") * col("sl"))
+          / ((col("np").cast("double") * col("sll") - col("sl") * col("sl"))
+            * (col("np").cast("double") * col("suu") - col("su") * col("su"))))
+          .as("r2"))
+      .select(col("n_pairs"), (round(col("r2"), 6) + lit(0.0)).as("r2"),
+        (round(col("n_pairs").cast("double") * col("r2"), 4) + lit(0.0)).as("lm"),
+        when(col("n_pairs").cast("double") * col("r2") > lit(3.841459), 1L)
+          .otherwise(0L).as("arch_effect"))
+  }
+
+  /** Higuchi-style fractal dimension of monthly revenue: exact absolute
+    * curve lengths at lags k ∈ {1,2,4}, normalized per pair-step, and
+    * the OLS slope of ln(length) on ln(1/k) (pre-rounded ln2 lattice
+    * abscissae) — FD ≈ 1 for smooth trends, → 2 for noise.
+    */
+  def q_higuchi_fd(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val rev = monthlyRevenue(spark, sf)
+    val lags = Seq(1L, 2L, 4L).toDF("k")
+    val cl = rev.crossJoin(broadcast(lags)).as("a")
+      .join(rev.select(col("m").as("m2"), col("rev").as("rev2")).as("b"),
+        col("m2") === col("m") + col("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("np"), sum(abs(col("rev2") - col("rev"))).as("clen"))
+      .select(col("k"), col("np"), col("clen"),
+        (col("clen").cast("double")
+          / (col("np").cast("double") * col("k").cast("double"))).as("nl"))
+      .select(col("k"), col("np"), col("clen"),
+        when(col("k") === 1L, lit(0.0)).when(col("k") === 2L, lit(-0.6931472))
+          .otherwise(lit(-1.3862944)).as("x"),
+        log(col("nl")).as("y"), col("nl"))
+      .localCheckpoint()
+    val slope = cl.agg(count(lit(1)).as("nk"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(((col("nk").cast("double") * col("sxy") - col("sx") * col("sy"))
+        / (col("nk").cast("double") * col("sxx") - col("sx") * col("sx")))
+        .as("fd"))
+    cl.crossJoin(broadcast(slope))
+      .select(col("k"), col("np").as("n_pairs"), col("clen").as("curve_len_cents"),
+        (round(col("nl"), 4) + lit(0.0)).as("norm_len"),
+        (round(col("fd"), 4) + lit(0.0)).as("fd"))
+      .orderBy("k")
+  }
+
+  /** Local clustering coefficient distribution on the support-2
+    * co-purchase graph (the q_triangle_count edge set): per-node
+    * triangle and degree counts, lcc = 2T/(d(d−1)), bucketed on the
+    * exact e1-floored lattice (both inputs integers, so the bucket is
+    * bit-safe).
+    */
+  def q_local_clustering(spark: SparkSession, sf: String): DataFrame = {
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges = items.as("a")
+      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("s"))
+      .filter(col("s") >= 2)
+      .select(col("u"), col("v"))
+      .localCheckpoint()
+    val deg = edges.select(col("u").as("p")).union(edges.select(col("v").as("p")))
+      .groupBy(col("p")).agg(count(lit(1)).as("d"))
+    val triNodes = edges.as("e1")
+      .join(edges.as("e2"), col("e1.v") === col("e2.u"))
+      .join(edges.as("e3"),
+        col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+    val triCnt = triNodes.select(col("a").as("p"))
+      .union(triNodes.select(col("b").as("p")))
+      .union(triNodes.select(col("c").as("p")))
+      .groupBy(col("p")).agg(count(lit(1)).as("t"))
+    deg.join(triCnt, Seq("p"), "left")
+      .select(col("d"), coalesce(col("t"), lit(0L)).as("t"))
+      .filter(col("d") >= 2)
+      .select(expr("CAST((t * 20) div (d * (d - 1)) AS BIGINT)").as("bucket"),
+        col("t"), col("d"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("t")).as("sum_tri"),
+        (round(avg(col("d").cast("double")), 4) + lit(0.0)).as("mean_degree"))
+      .orderBy("bucket")
+  }
+
+  /** Repeat-purchase curve: the share of customers with at least k
+    * orders, k = 1..10 — exact counts via an order-count × threshold
+    * theta join.
+    */
+  def q_repeat_purchase_curve(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val pc = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("k_c"))
+      .groupBy(col("k_c")).agg(count(lit(1)).as("nc"))
+      .localCheckpoint()
+    val tot = pc.agg(sum(col("nc")).as("n_cust"))
+    val ks = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 10L).toDF("k")
+    ks.join(pc, col("k_c") >= col("k"))
+      .groupBy(col("k")).agg(sum(col("nc")).as("n_ge_k"))
+      .crossJoin(broadcast(tot))
+      .select(col("k"), col("n_ge_k"),
+        (round(col("n_ge_k").cast("double") / col("n_cust").cast("double"), 4)
+          + lit(0.0)).as("share"))
+      .orderBy("k")
+  }
 }

@@ -2857,4 +2857,60 @@ object MLDeterministic {
         (round(col("q_raw"), 4) + lit(0.0)).as("q_stat"),
         when(col("q_raw") > lit(5.991465), 1L).otherwise(0L).as("reject_equal"))
   }
+
+  /** Matthews correlation, Youden's J and balanced accuracy of the
+    * deep-discount rule (discount ≥ 0.05) predicting returned items:
+    * exact confusion counts, the 4-factor denominator multiplied in
+    * doubles so it survives any SF.
+    */
+  def q_mcc_youden(spark: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(spark, sf)
+      .select((col("l_discount") >= 0.05).as("pred"),
+        (col("l_returnflag") === "R").as("t"))
+      .agg(sum(when(col("pred") && col("t"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pred") && !col("t"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("pred") && col("t"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("pred") && !col("t"), 1L).otherwise(0L)).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        (round((col("tp").cast("double") * col("tn").cast("double")
+          - col("fp").cast("double") * col("fn").cast("double"))
+          / sqrt((col("tp") + col("fp")).cast("double")
+            * (col("tp") + col("fn")).cast("double")
+            * (col("tn") + col("fp")).cast("double")
+            * (col("tn") + col("fn")).cast("double")), 4) + lit(0.0)).as("mcc"),
+        (round(col("tp").cast("double") / (col("tp") + col("fn")).cast("double")
+          + col("tn").cast("double") / (col("tn") + col("fp")).cast("double")
+          - lit(1.0), 4) + lit(0.0)).as("youden_j"),
+        (round((col("tp").cast("double") / (col("tp") + col("fn")).cast("double")
+          + col("tn").cast("double") / (col("tn") + col("fp")).cast("double"))
+          / lit(2.0), 4) + lit(0.0)).as("balanced_acc"))
+
+  /** Fleiss' kappa across three rule raters of line items (deep
+    * discount, bulk quantity, high price as binary "flag" votes):
+    * per-item agreement P_i = (y(y−1) + (3−y)(2−y))/6, chance
+    * agreement from the pooled yes-share — exact integer sums
+    * throughout, one double epilogue.
+    */
+  def q_fleiss_kappa(spark: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(spark, sf)
+      .select((when(col("l_discount") >= 0.05, 1L).otherwise(0L)
+        + when(col("l_quantity") > 25, 1L).otherwise(0L)
+        + when(col("l_extendedprice") > 30000.0, 1L).otherwise(0L)).as("y"))
+      .agg(count(lit(1)).as("n_items"), sum(col("y")).as("sy"),
+        sum(col("y") * (col("y") - 1L)
+          + (lit(3L) - col("y")) * (lit(2L) - col("y"))).as("agree6"))
+      .select(col("n_items"),
+        (col("agree6").cast("double")
+          / (lit(6.0) * col("n_items").cast("double"))).as("pbar"),
+        (col("sy").cast("double")
+          / (lit(3.0) * col("n_items").cast("double"))).as("pyes"))
+      .select(col("n_items"), (round(col("pbar"), 4) + lit(0.0)).as("p_agree"),
+        (round(col("pyes"), 4) + lit(0.0)).as("p_yes"),
+        (round((col("pbar")
+          - (col("pyes") * col("pyes")
+            + (lit(1.0) - col("pyes")) * (lit(1.0) - col("pyes"))))
+          / (lit(1.0)
+            - (col("pyes") * col("pyes")
+              + (lit(1.0) - col("pyes")) * (lit(1.0) - col("pyes")))), 4)
+          + lit(0.0)).as("fleiss_kappa"))
 }

@@ -643,4 +643,38 @@ object Sampling {
           .as("neyman_alloc"))
       .orderBy("segment")
   }
+
+  /** Deterministic hash-bootstrap of the mean order total: B = 20
+    * pseudo-resamples with per-(order, b) md5-derived pseudo-Poisson(1)
+    * weights (lattice 0.368/0.368/0.184/0.061/0.019), bootstrap SE =
+    * population sd of the B weighted means — the md5 lattice is
+    * identical on both engines, so every resample is reproducible.
+    */
+  def q_hash_bootstrap(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val bs = (0L until 20L).toDF("b")
+    val means = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), graft.core.Det.cents(col("o_totalprice")).as("x"))
+      .crossJoin(broadcast(bs))
+      .select(col("b"), col("x"),
+        (idHash(concat(col("o_orderkey").cast("string"), lit("_"),
+          col("b").cast("string"))) % 1000L).as("h"))
+      .select(col("b"), col("x"),
+        when(col("h") < 368L, 0L).when(col("h") < 736L, 1L)
+          .when(col("h") < 920L, 2L).when(col("h") < 981L, 3L)
+          .otherwise(4L).as("w"))
+      .groupBy(col("b"))
+      .agg(sum(col("w") * col("x")).as("swx"), sum(col("w")).as("sw"))
+      .select((col("swx").cast("double") / col("sw").cast("double")).as("mb"))
+      .localCheckpoint()
+    means.agg(count(lit(1)).as("n_resamples"), sum(col("mb")).as("sm"),
+        sum(col("mb") * col("mb")).as("smm"))
+      .select(col("n_resamples"),
+        (round(col("sm") / col("n_resamples").cast("double") / lit(100.0), 4)
+          + lit(0.0)).as("boot_mean_dollars"),
+        (round(sqrt(col("smm") / col("n_resamples").cast("double")
+          - (col("sm") / col("n_resamples").cast("double"))
+            * (col("sm") / col("n_resamples").cast("double"))) / lit(100.0), 4)
+          + lit(0.0)).as("boot_se_dollars"))
+  }
 }

@@ -751,4 +751,36 @@ object Text {
         expr("postings * 10000 div p0").as("postings_kept_e4"))
       .orderBy("min_df")
   }
+
+  /** Yule's K vocabulary-richness characteristic over the corpus token
+    * distribution: K = 10⁴·(Σc_w² − N)/N² from exact token counts —
+    * scale-invariant repetitiveness, higher = more repetitive.
+    */
+  def q_yule_k(spark: SparkSession, sf: String): DataFrame =
+    docTokens(spark, sf)
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("vocab"), sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("c")).as("scc"))
+      .select(col("n_tokens"), col("vocab"),
+        (round(lit(10000.0) * (col("scc") - col("n_tokens")).cast("double")
+          / (col("n_tokens").cast("double") * col("n_tokens").cast("double")), 4)
+          + lit(0.0)).as("yule_k"))
+
+  /** Simpson diversity of the token distribution: D = Σc(c−1)/(N(N−1)),
+    * reported as 1−D (Gini–Simpson) and the inverse 1/D (effective
+    * vocabulary size) — exact integer sums, one double epilogue.
+    */
+  def q_simpson_diversity(spark: SparkSession, sf: String): DataFrame =
+    docTokens(spark, sf)
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * (col("c") - 1L)).as("srr"))
+      .select(col("n_tokens"),
+        (round(lit(1.0) - col("srr").cast("double")
+          / (col("n_tokens").cast("double")
+            * (col("n_tokens").cast("double") - lit(1.0))), 4) + lit(0.0))
+          .as("gini_simpson"),
+        (round((col("n_tokens").cast("double")
+          * (col("n_tokens").cast("double") - lit(1.0)))
+          / col("srr").cast("double"), 4) + lit(0.0)).as("inverse_simpson"))
 }

@@ -9524,5 +9524,227 @@ object OracleSql {
              ROUND(CAST(n_bounce AS DOUBLE) / CAST(n_user_days AS DOUBLE), 4) + 0
                AS bounce_rate
       FROM s ORDER BY dow""",
+
+    "q_turning_points" -> """
+      WITH rev AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                            AS m,
+                          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                            AS rev
+                   FROM orders GROUP BY 1),
+           tp AS (SELECT CAST(SUM(CASE WHEN (b.rev > a.rev AND b.rev > c.rev)
+                                         OR (b.rev < a.rev AND b.rev < c.rev)
+                                       THEN 1 ELSE 0 END) AS BIGINT) AS n_turning
+                  FROM rev a JOIN rev b ON b.m = a.m + 1
+                  JOIN rev c ON c.m = a.m + 2),
+           n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_months FROM rev)
+      SELECT n_months, n_turning,
+             ROUND((CAST(n_turning AS DOUBLE)
+               - 2.0 * (CAST(n_months AS DOUBLE) - 2.0) / 3.0)
+               / SQRT((16.0 * CAST(n_months AS DOUBLE) - 29.0) / 90.0), 4) + 0 AS z
+      FROM n, tp""",
+
+    "q_arch_lm" -> """
+      WITH rev AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                            AS m,
+                          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                            AS rev
+                   FROM orders GROUP BY 1),
+           fit AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                          (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(m * rev) AS DOUBLE)
+                            - CAST(SUM(m) AS DOUBLE) * CAST(SUM(rev) AS DOUBLE))
+                          / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(m * m) AS DOUBLE)
+                            - CAST(SUM(m) AS DOUBLE) * CAST(SUM(m) AS DOUBLE)) AS b,
+                          CAST(SUM(rev) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS ybar,
+                          CAST(SUM(m) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS tbar
+                   FROM rev),
+           u AS (SELECT m,
+                        (CAST(rev AS DOUBLE) - ybar - b * (CAST(m AS DOUBLE) - tbar))
+                          * (CAST(rev AS DOUBLE) - ybar - b * (CAST(m AS DOUBLE) - tbar))
+                          AS u
+                 FROM rev, fit),
+           p AS (SELECT CAST(COUNT(*) AS BIGINT) AS np, SUM(a.u) AS su,
+                        SUM(b.u) AS sl, SUM(a.u * b.u) AS sul,
+                        SUM(a.u * a.u) AS suu, SUM(b.u * b.u) AS sll
+                 FROM u a JOIN u b ON b.m = a.m - 1),
+           r AS (SELECT np AS n_pairs,
+                        (CAST(np AS DOUBLE) * sul - su * sl)
+                          * (CAST(np AS DOUBLE) * sul - su * sl)
+                          / ((CAST(np AS DOUBLE) * sll - sl * sl)
+                            * (CAST(np AS DOUBLE) * suu - su * su)) AS r2
+                 FROM p)
+      SELECT n_pairs, ROUND(r2, 6) + 0 AS r2,
+             ROUND(CAST(n_pairs AS DOUBLE) * r2, 4) + 0 AS lm,
+             CAST(CASE WHEN CAST(n_pairs AS DOUBLE) * r2 > 3.841459
+               THEN 1 ELSE 0 END AS BIGINT) AS arch_effect
+      FROM r""",
+
+    "q_higuchi_fd" -> """
+      WITH rev AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                            AS m,
+                          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                            AS rev
+                   FROM orders GROUP BY 1),
+           lags AS (SELECT CAST(l AS BIGINT) AS k
+                    FROM (VALUES (1), (2), (4)) t(l)),
+           cl AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS np,
+                         CAST(SUM(ABS(b.rev - a.rev)) AS BIGINT) AS clen
+                  FROM rev a CROSS JOIN lags JOIN rev b ON b.m = a.m + k
+                  GROUP BY 1),
+           nl AS (SELECT k, np, clen,
+                         CAST(clen AS DOUBLE)
+                           / (CAST(np AS DOUBLE) * CAST(k AS DOUBLE)) AS nl
+                  FROM cl),
+           xy AS (SELECT k, np, clen, nl,
+                         CASE WHEN k = 1 THEN 0.0 WHEN k = 2 THEN -0.6931472
+                              ELSE -1.3862944 END AS x,
+                         LN(nl) AS y
+                  FROM nl),
+           slope AS (SELECT (CAST(COUNT(*) AS DOUBLE) * SUM(x * y) - SUM(x) * SUM(y))
+                            / (CAST(COUNT(*) AS DOUBLE) * SUM(x * x)
+                              - SUM(x) * SUM(x)) AS fd
+                     FROM xy)
+      SELECT k, np AS n_pairs, clen AS curve_len_cents,
+             ROUND(nl, 4) + 0 AS norm_len, ROUND(fd, 4) + 0 AS fd
+      FROM xy, slope ORDER BY k""",
+
+    "q_local_clustering" -> """
+      WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           edges AS (SELECT a.pk AS u, b.pk AS v
+                     FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+                     GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+           deg AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS d
+                   FROM (SELECT u AS p FROM edges UNION ALL SELECT v AS p FROM edges)
+                   GROUP BY 1),
+           trin AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                    FROM edges e1 JOIN edges e2 ON e1.v = e2.u
+                    JOIN edges e3 ON e1.u = e3.u AND e2.v = e3.v),
+           tric AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS t
+                    FROM (SELECT a AS p FROM trin UNION ALL SELECT b AS p FROM trin
+                          UNION ALL SELECT c AS p FROM trin)
+                    GROUP BY 1),
+           nodes AS (SELECT deg.d, COALESCE(tric.t, 0) AS t
+                     FROM deg LEFT JOIN tric ON deg.p = tric.p
+                     WHERE deg.d >= 2)
+      SELECT CAST((t * 20) // (d * (d - 1)) AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_nodes, CAST(SUM(t) AS BIGINT) AS sum_tri,
+             ROUND(AVG(CAST(d AS DOUBLE)), 4) + 0 AS mean_degree
+      FROM nodes GROUP BY 1 ORDER BY bucket""",
+
+    "q_repeat_purchase_curve" -> """
+      WITH pc AS (SELECT k_c, CAST(COUNT(*) AS BIGINT) AS nc
+                  FROM (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS k_c
+                        FROM orders GROUP BY 1)
+                  GROUP BY 1),
+           tot AS (SELECT CAST(SUM(nc) AS BIGINT) AS n_cust FROM pc),
+           ks AS (SELECT CAST(kk AS BIGINT) AS k
+                  FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10)) t(kk)),
+           s AS (SELECT k, CAST(SUM(nc) AS BIGINT) AS n_ge_k
+                 FROM ks JOIN pc ON pc.k_c >= ks.k GROUP BY 1)
+      SELECT k, n_ge_k,
+             ROUND(CAST(n_ge_k AS DOUBLE) / CAST(n_cust AS DOUBLE), 4) + 0 AS share
+      FROM s, tot ORDER BY k""",
+
+    "q_yule_k" -> """
+      WITH c AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+                 FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+                       FROM documents)
+                 GROUP BY 1),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab,
+                        CAST(SUM(c) AS BIGINT) AS n_tokens,
+                        CAST(SUM(c * c) AS BIGINT) AS scc
+                 FROM c)
+      SELECT n_tokens, vocab,
+             ROUND(10000.0 * CAST(scc - n_tokens AS DOUBLE)
+               / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)), 4) + 0
+               AS yule_k
+      FROM s""",
+
+    "q_simpson_diversity" -> """
+      WITH c AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+                 FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+                       FROM documents)
+                 GROUP BY 1),
+           s AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+                        CAST(SUM(c * (c - 1)) AS BIGINT) AS srr
+                 FROM c)
+      SELECT n_tokens,
+             ROUND(1.0 - CAST(srr AS DOUBLE)
+               / (CAST(n_tokens AS DOUBLE) * (CAST(n_tokens AS DOUBLE) - 1.0)), 4) + 0
+               AS gini_simpson,
+             ROUND((CAST(n_tokens AS DOUBLE) * (CAST(n_tokens AS DOUBLE) - 1.0))
+               / CAST(srr AS DOUBLE), 4) + 0 AS inverse_simpson
+      FROM s""",
+
+    "q_mcc_youden" -> """
+      WITH s AS (SELECT
+                   CAST(SUM(CASE WHEN l_discount >= 0.05 AND l_returnflag = 'R'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                   CAST(SUM(CASE WHEN l_discount >= 0.05 AND NOT l_returnflag = 'R'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                   CAST(SUM(CASE WHEN NOT l_discount >= 0.05 AND l_returnflag = 'R'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                   CAST(SUM(CASE WHEN NOT l_discount >= 0.05 AND NOT l_returnflag = 'R'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS tn
+                 FROM lineitem)
+      SELECT tp, fp, fn, tn,
+             ROUND((CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+               - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
+               / SQRT(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+                 * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)), 4) + 0 AS mcc,
+             ROUND(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+               + CAST(tn AS DOUBLE) / CAST(tn + fp AS DOUBLE) - 1.0, 4) + 0
+               AS youden_j,
+             ROUND((CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+               + CAST(tn AS DOUBLE) / CAST(tn + fp AS DOUBLE)) / 2.0, 4) + 0
+               AS balanced_acc
+      FROM s""",
+
+    "q_fleiss_kappa" -> """
+      WITH y AS (SELECT (CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END)
+                          + (CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END)
+                          + (CASE WHEN l_extendedprice > 30000.0 THEN 1 ELSE 0 END)
+                          AS y
+                 FROM lineitem),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+                        CAST(SUM(y) AS BIGINT) AS sy,
+                        CAST(SUM(y * (y - 1) + (3 - y) * (2 - y)) AS BIGINT) AS agree6
+                 FROM y),
+           p AS (SELECT n_items,
+                        CAST(agree6 AS DOUBLE) / (6.0 * CAST(n_items AS DOUBLE))
+                          AS pbar,
+                        CAST(sy AS DOUBLE) / (3.0 * CAST(n_items AS DOUBLE)) AS pyes
+                 FROM s)
+      SELECT n_items, ROUND(pbar, 4) + 0 AS p_agree, ROUND(pyes, 4) + 0 AS p_yes,
+             ROUND((pbar - (pyes * pyes + (1.0 - pyes) * (1.0 - pyes)))
+               / (1.0 - (pyes * pyes + (1.0 - pyes) * (1.0 - pyes))), 4) + 0
+               AS fleiss_kappa
+      FROM p""",
+
+    "q_hash_bootstrap" -> """
+      WITH bs AS (SELECT CAST(bb AS BIGINT) AS b
+                  FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9),(10),(11),
+                               (12),(13),(14),(15),(16),(17),(18),(19)) t(bb)),
+           h AS (SELECT b, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x,
+                        CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)
+                          || '_' || CAST(b AS VARCHAR)), 1, 8) AS BIGINT) % 1000 AS hh
+                 FROM orders CROSS JOIN bs),
+           w AS (SELECT b, x,
+                        CASE WHEN hh < 368 THEN 0 WHEN hh < 736 THEN 1
+                             WHEN hh < 920 THEN 2 WHEN hh < 981 THEN 3
+                             ELSE 4 END AS w
+                 FROM h),
+           means AS (SELECT CAST(SUM(w * x) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS mb
+                     FROM w GROUP BY b),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_resamples, SUM(mb) AS sm,
+                        SUM(mb * mb) AS smm
+                 FROM means)
+      SELECT n_resamples,
+             ROUND(sm / CAST(n_resamples AS DOUBLE) / 100.0, 4) + 0
+               AS boot_mean_dollars,
+             ROUND(SQRT(smm / CAST(n_resamples AS DOUBLE)
+               - (sm / CAST(n_resamples AS DOUBLE))
+                 * (sm / CAST(n_resamples AS DOUBLE))) / 100.0, 4) + 0
+               AS boot_se_dollars
+      FROM s""",
   )
 }
