@@ -3797,4 +3797,337 @@ object Analytics {
           + lit(0.0)).as("share"))
       .orderBy("k")
   }
+
+  /** Taguchi nominal-the-best quality loss of line-item quantity vs
+    * target 25 per return flag: L̄ = (μ−T)² + σ² from exact integer
+    * power sums, with the bias²/variance decomposition identity held
+    * inside one IEEE tree.
+    */
+  def q_taguchi_loss(spark: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").as("flag"), col("l_quantity").cast("long").as("q"))
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"),
+        sum(col("q") * col("q")).as("sqq"))
+      .select(col("flag"), col("n"),
+        ((col("sq").cast("double") / col("n").cast("double") - lit(25.0))
+          * (col("sq").cast("double") / col("n").cast("double") - lit(25.0)))
+          .as("bias2"),
+        (col("sqq").cast("double") / col("n").cast("double")
+          - (col("sq").cast("double") / col("n").cast("double"))
+            * (col("sq").cast("double") / col("n").cast("double"))).as("v"))
+      .select(col("flag"), col("n"),
+        (round(col("bias2"), 4) + lit(0.0)).as("bias_sq"),
+        (round(col("v"), 4) + lit(0.0)).as("variance"),
+        (round(col("bias2") + col("v"), 4) + lit(0.0)).as("taguchi_loss"))
+      .orderBy("flag")
+
+  /** Little's law consistency check L = λW on the order→first-ship
+    * pipeline: W̄ from exact per-order latencies, λ from the span, and L
+    * measured independently as the mean in-flight count over the
+    * observed-day grid (orders × days range theta join) — the ratio
+    * L/(λW) ≈ 1 up to boundary effects.
+    */
+  def q_littles_law(spark: SparkSession, sf: String): DataFrame = {
+    val ship = Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey")).agg(min(col("l_shipdate")).as("sd"))
+    val ord = Tables.orders(spark, sf)
+      .join(ship, col("o_orderkey") === col("l_orderkey"))
+      .select(datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+        .cast("long").as("od"),
+        datediff(col("sd"), lit("1992-01-01").cast("date")).cast("long").as("sdd"))
+      .filter(col("sdd") >= col("od"))
+      .localCheckpoint()
+    val days = ord.select(col("od").as("d")).distinct().localCheckpoint()
+    val base = ord.agg(count(lit(1)).as("n_orders"),
+      sum(col("sdd") - col("od")).as("sdur"))
+    val span = days.agg(count(lit(1)).as("n_days"))
+    val lgrid = ord.join(broadcast(days),
+        col("d") >= col("od") && col("d") < col("sdd"))
+      .agg(count(lit(1)).as("inflight_daysum"))
+    base.crossJoin(span).crossJoin(lgrid)
+      .select(col("n_orders"), col("n_days"),
+        (round(col("sdur").cast("double") / col("n_orders").cast("double"), 4)
+          + lit(0.0)).as("w_days"),
+        (round(col("n_orders").cast("double") / col("n_days").cast("double"), 4)
+          + lit(0.0)).as("lambda_per_day"),
+        (round(col("inflight_daysum").cast("double") / col("n_days").cast("double"), 4)
+          + lit(0.0)).as("l_inflight"),
+        (round((col("inflight_daysum").cast("double") / col("n_days").cast("double"))
+          / ((col("n_orders").cast("double") / col("n_days").cast("double"))
+            * (col("sdur").cast("double") / col("n_orders").cast("double"))), 4)
+          + lit(0.0)).as("littles_ratio"))
+  }
+
+  /** Erlang C staffing table for the purchase-event stream, load-
+    * balanced into the minimal number of shards holding each shard's
+    * offered load in (·,4] Erlangs (exact integer shard count, so the
+    * table is scale-free): for s = 2..8 servers per shard, the waiting
+    * probability C(s,a) via the k≤s−1 factorial series (exact factorial
+    * literals) and the mean queue wait Wq = C/(s−a); ρ ≥ 1 rows dropped.
+    */
+  def q_erlang_c(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val rate = Tables.eventsWithTs(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .agg(count(lit(1)).as("nev"),
+        ((datediff(max(to_date(col("ts_us"))), min(to_date(col("ts_us"))))
+          .cast("long") + 1L) * 24L).as("hours"))
+      .select((col("nev").cast("double")
+        / (col("hours").cast("double")
+          * expr("CAST((nev + 4 * hours - 1) div (4 * hours) AS BIGINT)")
+            .cast("double"))).as("a"))
+    val servers = Seq(2L, 3L, 4L, 5L, 6L, 7L, 8L).toDF("s")
+    val facts = Seq((0L, 1.0), (1L, 1.0), (2L, 2.0), (3L, 6.0), (4L, 24.0),
+      (5L, 120.0), (6L, 720.0), (7L, 5040.0), (8L, 40320.0)).toDF("k", "kfact")
+    val series = servers.crossJoin(broadcast(facts))
+      .filter(col("k") < col("s"))
+      .crossJoin(broadcast(rate))
+      .groupBy(col("s"), col("a"))
+      .agg(sum(pow(col("a"), col("k").cast("double")) / col("kfact")).as("ser"))
+    val sfact = facts.select(col("k").as("s"), col("kfact").as("sfact"))
+    series.join(broadcast(sfact), "s")
+      .filter(col("a") < col("s").cast("double"))
+      .select(col("s"),
+        (round(col("a"), 4) + lit(0.0)).as("offered_load"),
+        (pow(col("a"), col("s").cast("double")) / col("sfact")
+          / (lit(1.0) - col("a") / col("s").cast("double"))).as("tail"),
+        col("ser"))
+      .select(col("s"), col("offered_load"),
+        (round(col("tail") / (col("ser") + col("tail")), 4) + lit(0.0))
+          .as("p_wait"),
+        (round((col("tail") / (col("ser") + col("tail")))
+          / (col("s").cast("double") - col("offered_load")), 4) + lit(0.0))
+          .as("wq_hours"))
+      .orderBy("s")
+  }
+
+  /** Lorenz asymmetry coefficient of per-customer lifetime revenue:
+    * S = F(μ) + L(μ) with the below-mean test done as the exact integer
+    * comparison x·n < Σx (no float ever compared) — S > 1 means the
+    * inequality is driven by a few large customers.
+    */
+  def q_lorenz_asymmetry(spark: SparkSession, sf: String): DataFrame = {
+    val cust = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("x"))
+    val tot = cust.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    cust.crossJoin(broadcast(tot))
+      .groupBy(col("n"), col("sx"))
+      .agg(sum(when(col("x") * col("n") < col("sx"), 1L).otherwise(0L)).as("below"),
+        sum(when(col("x") * col("n") < col("sx"), col("x")).otherwise(0L))
+          .as("below_mass"))
+      .select(col("n").as("n_customers"),
+        (round(col("below").cast("double") / col("n").cast("double"), 4) + lit(0.0))
+          .as("f_mu"),
+        (round(col("below_mass").cast("double") / col("sx").cast("double"), 4)
+          + lit(0.0)).as("l_mu"),
+        (round(col("below").cast("double") / col("n").cast("double")
+          + col("below_mass").cast("double") / col("sx").cast("double"), 4)
+          + lit(0.0)).as("lorenz_asymmetry"))
+  }
+
+  /** Palma ratio on the $100 cent-bin income lattice of per-customer
+    * revenue: top-10% mass over bottom-40% mass with exact
+    * largest/smallest-k boundary splitting via cumulative value counts.
+    */
+  def q_palma_ratio(spark: SparkSession, sf: String): DataFrame = {
+    val vals = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("xc"))
+      .select(expr("CAST(xc div 10000 AS BIGINT)").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("t"))
+      .localCheckpoint()
+    val tot = vals.agg(sum(col("t")).as("n"), sum(col("v") * col("t")).as("mass"))
+      .select(col("n"), col("mass"),
+        expr("CAST((4 * n + 9) div 10 AS BIGINT)").as("k40"),
+        expr("CAST((9 * n + 9) div 10 AS BIGINT)").as("k90"))
+    val cum = vals.as("a")
+      .join(vals.select(col("v").as("v2"), col("t").as("t2")).as("b"),
+        col("v2") < col("a.v"), "left")
+      .groupBy(col("a.v").as("v"), col("a.t").as("t"))
+      .agg(coalesce(sum(col("t2")), lit(0L)).as("cb"),
+        coalesce(sum(col("v2") * col("t2")), lit(0L)).as("mb"))
+      .crossJoin(broadcast(tot))
+      .localCheckpoint()
+    val b40 = cum.filter(col("cb") < col("k40") && col("cb") + col("t") >= col("k40"))
+      .select(col("v").as("v40"),
+        (col("mb") + (col("k40") - col("cb")) * col("v")).as("bottom40_mass"))
+    val b90 = cum.filter(col("cb") < col("k90") && col("cb") + col("t") >= col("k90"))
+      .select(col("v").as("v90"),
+        (col("mb") + (col("k90") - col("cb")) * col("v")).as("below90_mass"))
+    tot.crossJoin(broadcast(b40)).crossJoin(broadcast(b90))
+      .select(col("n").as("n_customers"), col("v40"), col("v90"),
+        col("bottom40_mass"), (col("mass") - col("below90_mass")).as("top10_mass"),
+        (round((col("mass") - col("below90_mass")).cast("double")
+          / col("bottom40_mass").cast("double"), 4) + lit(0.0)).as("palma_ratio"))
+  }
+
+  /** Rich-club coefficient of the support-2 co-purchase graph at degree
+    * thresholds k ∈ {2,4,8}: φ(k) = 2E_k/(N_k(N_k−1)) over the subgraph
+    * of nodes with degree > k — exact integer counts.
+    */
+  def q_rich_club(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges = items.as("a")
+      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("s"))
+      .filter(col("s") >= 2)
+      .select(col("u"), col("v"))
+      .localCheckpoint()
+    val deg = edges.select(col("u").as("p")).union(edges.select(col("v").as("p")))
+      .groupBy(col("p")).agg(count(lit(1)).as("d"))
+    val ks = Seq(2L, 4L, 8L).toDF("k")
+    val nk = ks.join(deg, col("d") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_nodes"))
+    val ek = ks.crossJoin(edges)
+      .join(deg.select(col("p").as("pu"), col("d").as("du")), col("u") === col("pu"))
+      .join(deg.select(col("p").as("pv"), col("d").as("dv")), col("v") === col("pv"))
+      .filter(col("du") > col("k") && col("dv") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_edges"))
+    nk.join(ek, Seq("k"), "left")
+      .select(col("k"), col("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"))
+      .filter(col("n_nodes") >= 2)
+      .select(col("k"), col("n_nodes"), col("n_edges"),
+        (round(lit(2.0) * col("n_edges").cast("double")
+          / (col("n_nodes").cast("double")
+            * (col("n_nodes").cast("double") - lit(1.0))), 4) + lit(0.0))
+          .as("phi"))
+      .orderBy("k")
+  }
+
+  /** Discrete power-law fit of the co-purchase degree distribution:
+    * MLE α = 1 + n/(Σln d − n·ln d_min) over nodes with degree ≥ 2
+    * (d_min = 2, pre-rounded ln2 literal).
+    */
+  def q_degree_powerlaw(spark: SparkSession, sf: String): DataFrame = {
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges = items.as("a")
+      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("s"))
+      .filter(col("s") >= 2)
+      .select(col("u"), col("v"))
+    edges.select(col("u").as("p")).union(edges.select(col("v").as("p")))
+      .groupBy(col("p")).agg(count(lit(1)).as("d"))
+      .filter(col("d") >= 2L)
+      .agg(count(lit(1)).as("n_nodes"), sum(log(col("d").cast("double"))).as("sld"),
+        sum(col("d")).as("sd"))
+      .select(col("n_nodes"),
+        (round(col("sd").cast("double") / col("n_nodes").cast("double"), 4)
+          + lit(0.0)).as("mean_degree"),
+        (round(lit(1.0) + col("n_nodes").cast("double")
+          / (col("sld") - col("n_nodes").cast("double") * lit(0.6931472)), 4)
+          + lit(0.0)).as("alpha"))
+  }
+
+  /** Welch unequal-variance t-test of order totals, URGENT vs LOW
+    * priority: unbiased variances from exact cent sums, Satterthwaite
+    * df, |t| against 1.959964.
+    */
+  def q_welch_ttest(spark: SparkSession, sf: String): DataFrame = {
+    def grp(p: String, pfx: String): DataFrame =
+      Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === p)
+        .select(cents(col("o_totalprice")).as("x"))
+        .agg(count(lit(1)).as(s"${pfx}n"), sum(col("x")).as(s"${pfx}s"),
+          sum(col("x").cast("double") * col("x").cast("double")).as(s"${pfx}ss"))
+    grp("1-URGENT", "a").crossJoin(grp("5-LOW", "b"))
+      .select(col("an"), col("bn"),
+        ((col("as").cast("double") / col("an").cast("double")
+          - col("bs").cast("double") / col("bn").cast("double"))).as("dmean"),
+        (((col("ass") - (col("as").cast("double") * col("as").cast("double"))
+          / col("an").cast("double")) / (col("an").cast("double") - lit(1.0)))
+          / col("an").cast("double")).as("va"),
+        (((col("bss") - (col("bs").cast("double") * col("bs").cast("double"))
+          / col("bn").cast("double")) / (col("bn").cast("double") - lit(1.0)))
+          / col("bn").cast("double")).as("vb"))
+      .select(col("an").as("n_urgent"), col("bn").as("n_low"),
+        (round(col("dmean") / sqrt(col("va") + col("vb")), 4) + lit(0.0)).as("t"),
+        (round((col("va") + col("vb")) * (col("va") + col("vb"))
+          / (col("va") * col("va") / (col("an").cast("double") - lit(1.0))
+            + col("vb") * col("vb") / (col("bn").cast("double") - lit(1.0))), 2)
+          + lit(0.0)).as("df"),
+        when(abs(col("dmean") / sqrt(col("va") + col("vb"))) > lit(1.959964), 1L)
+          .otherwise(0L).as("reject_equal_means"))
+  }
+
+  /** Poisson dispersion (variance-to-mean) check of daily order counts
+    * per year: VMR from exact sums, D = (n−1)·VMR ~ χ²_{n−1}, flagged
+    * overdispersed when VMR > 1 + 2√(2/(n−1)).
+    */
+  def q_poisson_dispersion(spark: SparkSession, sf: String): DataFrame =
+    Tables.orders(spark, sf)
+      .groupBy(year(col("o_orderdate")).cast("long").as("y"),
+        datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+          .cast("long").as("d"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("y"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+        sum(col("c") * col("c")).as("scc"))
+      .select(col("y").as("yr"), col("n"),
+        (((col("scc").cast("double")
+          - (col("sc").cast("double") * col("sc").cast("double"))
+            / col("n").cast("double")) / (col("n").cast("double") - lit(1.0)))
+          / (col("sc").cast("double") / col("n").cast("double"))).as("vmr"))
+      .select(col("yr"), col("n").as("n_days"),
+        (round(col("vmr"), 4) + lit(0.0)).as("vmr"),
+        (round((col("n_days").cast("double") - lit(1.0)) * col("vmr"), 4) + lit(0.0))
+          .as("d_stat"),
+        when(col("vmr") > lit(1.0)
+          + lit(2.0) * sqrt(lit(2.0) / (col("n_days").cast("double") - lit(1.0))),
+          1L).otherwise(0L).as("overdispersed"))
+      .orderBy("yr")
+
+  /** Kupiec proportion-of-failures VaR backtest: the prior year's 5%
+    * historical VaR applied out-of-sample to each next year's daily
+    * revenue changes, LR = −2[(n−x)ln0.95 + x·ln0.05 − (n−x)ln(1−x/n)
+    * − x·ln(x/n)] with pre-rounded ln literals, χ²₁ gate.
+    */
+  def q_kupiec_pof(spark: SparkSession, sf: String): DataFrame = {
+    val rev = Tables.orders(spark, sf)
+      .groupBy(datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+        .cast("long").as("d"), year(col("o_orderdate")).cast("long").as("y"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev"))
+    val chg = rev.as("a")
+      .join(rev.select(col("d").as("d2"), col("y").as("y2"),
+        col("rev").as("rev2")).as("b"),
+        col("d2") === col("d") + 1)
+      .select(col("y2").as("y"), (col("rev2") - col("rev")).as("diff"))
+      .localCheckpoint()
+    val vals = chg.groupBy(col("y"), col("diff")).agg(count(lit(1)).as("cnt"))
+    val stats = chg.groupBy(col("y")).agg(count(lit(1)).as("n"))
+      .select(col("y"), col("n"), expr("CAST((n + 19) div 20 AS BIGINT)").as("k"))
+    val varq = vals.as("a")
+      .join(vals.select(col("y").as("y2"), col("diff").as("diff2"),
+        col("cnt").as("cnt2")).as("b"),
+        col("y2") === col("a.y") && col("diff2") <= col("a.diff"))
+      .groupBy(col("a.y").as("y"), col("a.diff").as("diff"))
+      .agg(sum(col("cnt2")).as("cum"))
+      .join(broadcast(stats), "y")
+      .filter(col("cum") >= col("k"))
+      .groupBy(col("y")).agg(min(col("diff")).as("var95"))
+    val bt = chg.join(broadcast(varq.select((col("y") + 1L).as("y"),
+        col("var95"))), "y")
+      .groupBy(col("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("diff") <= col("var95"), 1L).otherwise(0L)).as("x"))
+      .filter(col("x") > 0L && col("x") < col("n"))
+    bt.select(col("y").as("yr"), col("n"), col("x"),
+        (lit(-2.0) * ((col("n") - col("x")).cast("double") * lit(-0.0512933)
+          + col("x").cast("double") * lit(-2.9957323)
+          - (col("n") - col("x")).cast("double")
+            * log(lit(1.0) - col("x").cast("double") / col("n").cast("double"))
+          - col("x").cast("double")
+            * log(col("x").cast("double") / col("n").cast("double")))).as("lr"))
+      .select(col("yr"), col("n"), col("x"),
+        (round(col("lr"), 4) + lit(0.0)).as("lr_pof"),
+        when(col("lr") > lit(3.841459), 1L).otherwise(0L).as("reject_var_model"))
+      .orderBy("yr")
+  }
 }

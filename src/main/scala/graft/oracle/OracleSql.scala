@@ -9746,5 +9746,269 @@ object OracleSql {
                  * (sm / CAST(n_resamples AS DOUBLE))) / 100.0, 4) + 0
                AS boot_se_dollars
       FROM s""",
+
+    "q_taguchi_loss" -> """
+      WITH s AS (SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+                        CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                          AS BIGINT) AS sqq
+                 FROM lineitem GROUP BY 1),
+           d AS (SELECT flag, n,
+                        (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) - 25.0)
+                          * (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) - 25.0) AS bias2,
+                        CAST(sqq AS DOUBLE) / CAST(n AS DOUBLE)
+                          - (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
+                            * (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)) AS v
+                 FROM s)
+      SELECT flag, n, ROUND(bias2, 4) + 0 AS bias_sq, ROUND(v, 4) + 0 AS variance,
+             ROUND(bias2 + v, 4) + 0 AS taguchi_loss
+      FROM d ORDER BY flag""",
+
+    "q_littles_law" -> """
+      WITH ship AS (SELECT l_orderkey, MIN(l_shipdate) AS sd
+                    FROM lineitem GROUP BY 1),
+           ord AS (SELECT CAST(date_diff('day', DATE '1992-01-01', o_orderdate)
+                            AS BIGINT) AS od,
+                          CAST(date_diff('day', DATE '1992-01-01', sd) AS BIGINT) AS sdd
+                   FROM orders JOIN ship ON o_orderkey = l_orderkey
+                   WHERE CAST(date_diff('day', DATE '1992-01-01', sd) AS BIGINT)
+                     >= CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)),
+           days AS (SELECT DISTINCT od AS d FROM ord),
+           base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+                           CAST(SUM(sdd - od) AS BIGINT) AS sdur
+                    FROM ord),
+           span AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM days),
+           lgrid AS (SELECT CAST(COUNT(*) AS BIGINT) AS inflight_daysum
+                     FROM ord JOIN days ON d >= od AND d < sdd)
+      SELECT n_orders, n_days,
+             ROUND(CAST(sdur AS DOUBLE) / CAST(n_orders AS DOUBLE), 4) + 0 AS w_days,
+             ROUND(CAST(n_orders AS DOUBLE) / CAST(n_days AS DOUBLE), 4) + 0
+               AS lambda_per_day,
+             ROUND(CAST(inflight_daysum AS DOUBLE) / CAST(n_days AS DOUBLE), 4) + 0
+               AS l_inflight,
+             ROUND((CAST(inflight_daysum AS DOUBLE) / CAST(n_days AS DOUBLE))
+               / ((CAST(n_orders AS DOUBLE) / CAST(n_days AS DOUBLE))
+                 * (CAST(sdur AS DOUBLE) / CAST(n_orders AS DOUBLE))), 4) + 0
+               AS littles_ratio
+      FROM base, span, lgrid""",
+
+    "q_erlang_c" -> """
+      WITH r0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS nev,
+                         (CAST(date_diff('day', MIN(CAST(ts AS DATE)),
+                            MAX(CAST(ts AS DATE))) AS BIGINT) + 1) * 24 AS hours
+                  FROM events WHERE event_type = 'purchase'),
+           rate AS (SELECT CAST(nev AS DOUBLE)
+                      / (CAST(hours AS DOUBLE)
+                        * CAST(CAST((nev + 4 * hours - 1) // (4 * hours) AS BIGINT)
+                            AS DOUBLE)) AS a
+                    FROM r0),
+           servers AS (SELECT CAST(ss AS BIGINT) AS s
+                       FROM (VALUES (2),(3),(4),(5),(6),(7),(8)) t(ss)),
+           facts AS (SELECT CAST(kk AS BIGINT) AS k, CAST(kf AS DOUBLE) AS kfact
+                     FROM (VALUES (0,1),(1,1),(2,2),(3,6),(4,24),(5,120),(6,720),
+                                  (7,5040),(8,40320)) t(kk, kf)),
+           series AS (SELECT s, a, SUM(POWER(a, CAST(k AS DOUBLE)) / kfact) AS ser
+                      FROM servers CROSS JOIN facts CROSS JOIN rate
+                      WHERE k < s GROUP BY 1, 2),
+           j AS (SELECT series.s, a, ser, facts.kfact AS sfact
+                 FROM series JOIN facts ON facts.k = series.s
+                 WHERE a < CAST(series.s AS DOUBLE)),
+           t2 AS (SELECT s, ROUND(a, 4) + 0 AS offered_load,
+                         POWER(a, CAST(s AS DOUBLE)) / sfact
+                           / (1.0 - a / CAST(s AS DOUBLE)) AS tail_term, ser
+                  FROM j)
+      SELECT s, offered_load,
+             ROUND(tail_term / (ser + tail_term), 4) + 0 AS p_wait,
+             ROUND((tail_term / (ser + tail_term))
+               / (CAST(s AS DOUBLE) - offered_load), 4) + 0 AS wq_hours
+      FROM t2 ORDER BY s""",
+
+    "q_lorenz_asymmetry" -> """
+      WITH cust AS (SELECT o_custkey,
+                           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                             AS x
+                    FROM orders GROUP BY 1),
+           tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx
+                   FROM cust),
+           s AS (SELECT n, sx,
+                        CAST(SUM(CASE WHEN x * n < sx THEN 1 ELSE 0 END) AS BIGINT)
+                          AS below,
+                        CAST(SUM(CASE WHEN x * n < sx THEN x ELSE 0 END) AS BIGINT)
+                          AS below_mass
+                 FROM cust, tot GROUP BY 1, 2)
+      SELECT n AS n_customers,
+             ROUND(CAST(below AS DOUBLE) / CAST(n AS DOUBLE), 4) + 0 AS f_mu,
+             ROUND(CAST(below_mass AS DOUBLE) / CAST(sx AS DOUBLE), 4) + 0 AS l_mu,
+             ROUND(CAST(below AS DOUBLE) / CAST(n AS DOUBLE)
+               + CAST(below_mass AS DOUBLE) / CAST(sx AS DOUBLE), 4) + 0
+               AS lorenz_asymmetry
+      FROM s""",
+
+    "q_palma_ratio" -> """
+      WITH vals AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS t
+                    FROM (SELECT CAST(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                                   AS BIGINT) // 10000 AS BIGINT) AS v
+                          FROM orders GROUP BY o_custkey)
+                    GROUP BY 1),
+           tot AS (SELECT CAST(SUM(t) AS BIGINT) AS n,
+                          CAST(SUM(v * t) AS BIGINT) AS mass,
+                          CAST((4 * CAST(SUM(t) AS BIGINT) + 9) // 10 AS BIGINT) AS k40,
+                          CAST((9 * CAST(SUM(t) AS BIGINT) + 9) // 10 AS BIGINT) AS k90
+                   FROM vals),
+           cum AS (SELECT a.v, a.t,
+                          CAST(COALESCE(SUM(b.t), 0) AS BIGINT) AS cb,
+                          CAST(COALESCE(SUM(b.v * b.t), 0) AS BIGINT) AS mb
+                   FROM vals a LEFT JOIN vals b ON b.v < a.v
+                   GROUP BY 1, 2),
+           b40 AS (SELECT v AS v40, mb + (k40 - cb) * v AS bottom40_mass
+                   FROM cum, tot WHERE cb < k40 AND cb + t >= k40),
+           b90 AS (SELECT v AS v90, mb + (k90 - cb) * v AS below90_mass
+                   FROM cum, tot WHERE cb < k90 AND cb + t >= k90)
+      SELECT n AS n_customers, v40, v90, bottom40_mass,
+             mass - below90_mass AS top10_mass,
+             ROUND(CAST(mass - below90_mass AS DOUBLE)
+               / CAST(bottom40_mass AS DOUBLE), 4) + 0 AS palma_ratio
+      FROM tot, b40, b90""",
+
+    "q_rich_club" -> """
+      WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           edges AS (SELECT a.pk AS u, b.pk AS v
+                     FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+                     GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+           deg AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS d
+                   FROM (SELECT u AS p FROM edges UNION ALL SELECT v AS p FROM edges)
+                   GROUP BY 1),
+           ks AS (SELECT CAST(kk AS BIGINT) AS k FROM (VALUES (2),(4),(8)) t(kk)),
+           nk AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_nodes
+                  FROM ks JOIN deg ON deg.d > ks.k GROUP BY 1),
+           ek AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_edges
+                  FROM ks CROSS JOIN edges
+                  JOIN deg du ON edges.u = du.p
+                  JOIN deg dv ON edges.v = dv.p
+                  WHERE du.d > ks.k AND dv.d > ks.k
+                  GROUP BY 1)
+      SELECT nk.k, n_nodes, COALESCE(n_edges, 0) AS n_edges,
+             ROUND(2.0 * CAST(COALESCE(n_edges, 0) AS DOUBLE)
+               / (CAST(n_nodes AS DOUBLE) * (CAST(n_nodes AS DOUBLE) - 1.0)), 4) + 0
+               AS phi
+      FROM nk LEFT JOIN ek ON nk.k = ek.k
+      WHERE n_nodes >= 2 ORDER BY nk.k""",
+
+    "q_degree_powerlaw" -> """
+      WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           edges AS (SELECT a.pk AS u, b.pk AS v
+                     FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+                     GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+           deg AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS d
+                   FROM (SELECT u AS p FROM edges UNION ALL SELECT v AS p FROM edges)
+                   GROUP BY 1),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                        SUM(LN(CAST(d AS DOUBLE))) AS sld,
+                        CAST(SUM(d) AS BIGINT) AS sd
+                 FROM deg WHERE d >= 2)
+      SELECT n_nodes,
+             ROUND(CAST(sd AS DOUBLE) / CAST(n_nodes AS DOUBLE), 4) + 0
+               AS mean_degree,
+             ROUND(1.0 + CAST(n_nodes AS DOUBLE)
+               / (sld - CAST(n_nodes AS DOUBLE) * 0.6931472), 4) + 0 AS alpha
+      FROM s""",
+
+    "q_welch_ttest" -> """
+      WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS an,
+                        CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                          AS asum,
+                        SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DOUBLE)
+                          * CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DOUBLE))
+                          AS ass
+                 FROM orders WHERE o_orderpriority = '1-URGENT'),
+           b AS (SELECT CAST(COUNT(*) AS BIGINT) AS bn,
+                        CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                          AS bsum,
+                        SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DOUBLE)
+                          * CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DOUBLE))
+                          AS bss
+                 FROM orders WHERE o_orderpriority = '5-LOW'),
+           m AS (SELECT an, bn,
+                        (CAST(asum AS DOUBLE) / CAST(an AS DOUBLE)
+                          - CAST(bsum AS DOUBLE) / CAST(bn AS DOUBLE)) AS dmean,
+                        ((ass - (CAST(asum AS DOUBLE) * CAST(asum AS DOUBLE))
+                          / CAST(an AS DOUBLE)) / (CAST(an AS DOUBLE) - 1.0))
+                          / CAST(an AS DOUBLE) AS va,
+                        ((bss - (CAST(bsum AS DOUBLE) * CAST(bsum AS DOUBLE))
+                          / CAST(bn AS DOUBLE)) / (CAST(bn AS DOUBLE) - 1.0))
+                          / CAST(bn AS DOUBLE) AS vb
+                 FROM a, b)
+      SELECT an AS n_urgent, bn AS n_low,
+             ROUND(dmean / SQRT(va + vb), 4) + 0 AS t,
+             ROUND((va + vb) * (va + vb)
+               / (va * va / (CAST(an AS DOUBLE) - 1.0)
+                 + vb * vb / (CAST(bn AS DOUBLE) - 1.0)), 2) + 0 AS df,
+             CAST(CASE WHEN ABS(dmean / SQRT(va + vb)) > 1.959964
+               THEN 1 ELSE 0 END AS BIGINT) AS reject_equal_means
+      FROM m""",
+
+    "q_poisson_dispersion" -> """
+      WITH dc AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+                         CAST(date_diff('day', DATE '1992-01-01', o_orderdate)
+                           AS BIGINT) AS d,
+                         CAST(COUNT(*) AS BIGINT) AS c
+                  FROM orders GROUP BY 1, 2),
+           s AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(c) AS BIGINT) AS sc,
+                        CAST(SUM(c * c) AS BIGINT) AS scc
+                 FROM dc GROUP BY 1),
+           v AS (SELECT y AS yr, n,
+                        ((CAST(scc AS DOUBLE)
+                          - (CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+                            / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))
+                          / (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)) AS vmr
+                 FROM s)
+      SELECT yr, n AS n_days, ROUND(vmr, 4) + 0 AS vmr,
+             ROUND((CAST(n AS DOUBLE) - 1.0) * vmr, 4) + 0 AS d_stat,
+             CAST(CASE WHEN vmr > 1.0 + 2.0 * SQRT(2.0 / (CAST(n AS DOUBLE) - 1.0))
+               THEN 1 ELSE 0 END AS BIGINT) AS overdispersed
+      FROM v ORDER BY yr""",
+
+    "q_kupiec_pof" -> """
+      WITH rev AS (SELECT CAST(date_diff('day', DATE '1992-01-01', o_orderdate)
+                            AS BIGINT) AS d,
+                          CAST(year(o_orderdate) AS BIGINT) AS y,
+                          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                            AS rev
+                   FROM orders GROUP BY 1, 2),
+           chg AS (SELECT b.y AS y, b.rev - a.rev AS diff
+                   FROM rev a JOIN rev b ON b.d = a.d + 1),
+           vals AS (SELECT y, diff, CAST(COUNT(*) AS BIGINT) AS cnt
+                    FROM chg GROUP BY 1, 2),
+           stats AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS n,
+                            CAST((CAST(COUNT(*) AS BIGINT) + 19) // 20 AS BIGINT) AS k
+                     FROM chg GROUP BY 1),
+           varq AS (SELECT c.y, MIN(c.diff) AS var95
+                    FROM (SELECT a.y, a.diff, CAST(SUM(b.cnt) AS BIGINT) AS cum
+                          FROM vals a JOIN vals b ON b.y = a.y AND b.diff <= a.diff
+                          GROUP BY 1, 2) c
+                    JOIN stats ON c.y = stats.y
+                    WHERE c.cum >= stats.k GROUP BY 1),
+           bt AS (SELECT chg.y, CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(CASE WHEN chg.diff <= varq.var95 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS x
+                  FROM chg JOIN varq ON chg.y = varq.y + 1
+                  GROUP BY 1
+                  HAVING CAST(SUM(CASE WHEN chg.diff <= varq.var95 THEN 1 ELSE 0 END)
+                           AS BIGINT) > 0
+                     AND CAST(SUM(CASE WHEN chg.diff <= varq.var95 THEN 1 ELSE 0 END)
+                           AS BIGINT) < CAST(COUNT(*) AS BIGINT)),
+           lr AS (SELECT y AS yr, n, x,
+                         -2.0 * (CAST(n - x AS DOUBLE) * -0.0512933
+                           + CAST(x AS DOUBLE) * -2.9957323
+                           - CAST(n - x AS DOUBLE)
+                             * LN(1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                           - CAST(x AS DOUBLE)
+                             * LN(CAST(x AS DOUBLE) / CAST(n AS DOUBLE))) AS lr
+                  FROM bt)
+      SELECT yr, n, x, ROUND(lr, 4) + 0 AS lr_pof,
+             CAST(CASE WHEN lr > 3.841459 THEN 1 ELSE 0 END AS BIGINT)
+               AS reject_var_model
+      FROM lr ORDER BY yr""",
   )
 }
