@@ -4130,4 +4130,296 @@ object Analytics {
         when(col("lr") > lit(3.841459), 1L).otherwise(0L).as("reject_var_model"))
       .orderBy("yr")
   }
+
+  /** G-test (likelihood-ratio χ²) of independence between return flag
+    * and bulk quantity (> 25): G = 2ΣO·ln(O/E) over the 3×2 table with
+    * margin-derived expectations — exact counts, one ln epilogue per
+    * cell.
+    */
+  def q_g_test(spark: SparkSession, sf: String): DataFrame = {
+    val cells = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag").as("r"),
+        (col("l_quantity") > 25).cast("long").as("b"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint()
+    val rm = cells.groupBy(col("r")).agg(sum(col("o")).as("ro"))
+    val cm = cells.groupBy(col("b")).agg(sum(col("o")).as("co"))
+    val nn = cells.agg(sum(col("o")).as("nn"))
+    val g = cells.join(broadcast(rm), "r").join(broadcast(cm), "b")
+      .crossJoin(broadcast(nn))
+      .agg(sum(col("o").cast("double")
+        * log(col("o").cast("double")
+          / (col("ro").cast("double") * col("co").cast("double")
+            / col("nn").cast("double")))).as("hsum"))
+      .select((lit(2.0) * col("hsum")).as("g_stat"))
+    nn.crossJoin(broadcast(g))
+      .select(col("nn").as("n_items"),
+        (round(col("g_stat"), 4) + lit(0.0)).as("g_stat"),
+        when(col("g_stat") > lit(5.991465), 1L).otherwise(0L)
+          .as("reject_independent"))
+  }
+
+  /** Cohen's h effect size between the return rates of deep-discount
+    * (≥ 0.06) and regular line items: h = 2asin√p₁ − 2asin√p₂ from
+    * exact counts (asin/sqrt correctly rounded on both engines).
+    */
+  def q_cohen_h(spark: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(spark, sf)
+      .select((col("l_discount") >= 0.06).as("expo"),
+        (col("l_returnflag") === "R").as("ret"))
+      .agg(sum(when(col("expo") && col("ret"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("expo"), 1L).otherwise(0L)).as("ne"),
+        sum(when(!col("expo") && col("ret"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("expo"), 1L).otherwise(0L)).as("nr"))
+      .select(col("ne").as("n_deep"), col("nr").as("n_rest"),
+        (col("a").cast("double") / col("ne").cast("double")).as("p1"),
+        (col("c").cast("double") / col("nr").cast("double")).as("p2"))
+      .select(col("n_deep"), col("n_rest"),
+        (round(col("p1"), 4) + lit(0.0)).as("p1"),
+        (round(col("p2"), 4) + lit(0.0)).as("p2"),
+        (round(lit(2.0) * asin(sqrt(col("p1"))) - lit(2.0) * asin(sqrt(col("p2"))), 4)
+          + lit(0.0)).as("cohen_h"))
+
+  /** Cliff's delta and Vargha–Delaney A between URGENT and LOW order
+    * totals on the $100 cent-bin lattice: dominance pair counts from a
+    * cell-level cross join — exact integer products throughout.
+    */
+  def q_cliff_delta(spark: SparkSession, sf: String): DataFrame = {
+    val gv = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .groupBy(col("o_orderpriority").as("g"),
+        expr("CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) div 10000 AS BIGINT)")
+          .as("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    gv.filter(col("g") === "1-URGENT").select(col("v").as("v1"), col("cnt").as("c1"))
+      .crossJoin(gv.filter(col("g") === "5-LOW")
+        .select(col("v").as("v2"), col("cnt").as("c2")))
+      .agg(sum(col("c1") * col("c2")).as("nm"),
+        sum(when(col("v1") > col("v2"), col("c1") * col("c2")).otherwise(0L))
+          .as("gt"),
+        sum(when(col("v1") < col("v2"), col("c1") * col("c2")).otherwise(0L))
+          .as("lt"),
+        sum(when(col("v1") === col("v2"), col("c1") * col("c2")).otherwise(0L))
+          .as("eq"))
+      .select(col("nm").as("n_pairs"),
+        (round((col("gt") - col("lt")).cast("double") / col("nm").cast("double"), 4)
+          + lit(0.0)).as("cliff_delta"),
+        (round((lit(2L) * col("gt") + col("eq")).cast("double")
+          / (lit(2L) * col("nm")).cast("double"), 4) + lit(0.0)).as("vd_a"))
+  }
+
+  /** ANOVA effect sizes of order totals across the five priorities:
+    * η² = SSB/SST and the less-biased ω² = (SSB − (k−1)MSW)/(SST + MSW)
+    * — every sum of squares from exact cent sums accumulated as doubles.
+    */
+  def q_eta_squared(spark: SparkSession, sf: String): DataFrame = {
+    val g = Tables.orders(spark, sf)
+      .select(col("o_orderpriority").as("g"), cents(col("o_totalprice")).as("x"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(col("x").cast("double") * col("x").cast("double")).as("ss"))
+    g.agg(count(lit(1)).as("k"), sum(col("n")).as("nn"), sum(col("s")).as("st"),
+        sum(col("ss")).as("sst"),
+        sum((col("s").cast("double") * col("s").cast("double"))
+          / col("n").cast("double")).as("sb"))
+      .select(col("k"), col("nn"),
+        (col("sb") - (col("st").cast("double") * col("st").cast("double"))
+          / col("nn").cast("double")).as("ssb"),
+        (col("sst") - (col("st").cast("double") * col("st").cast("double"))
+          / col("nn").cast("double")).as("sstot"),
+        (col("sst") - col("sb")).as("ssw"))
+      .select(col("k"), col("nn").as("n_orders"),
+        (round(col("ssb") / col("sstot"), 6) + lit(0.0)).as("eta_sq"),
+        (round((col("ssb")
+          - (col("k").cast("double") - lit(1.0))
+            * (col("ssw") / (col("nn").cast("double") - col("k").cast("double"))))
+          / (col("sstot")
+            + col("ssw") / (col("nn").cast("double") - col("k").cast("double"))), 6)
+          + lit(0.0)).as("omega_sq"))
+  }
+
+  /** Page's L trend test for ordered alternatives (priorities 1..5 by
+    * their leading digit) blocked by month: L = Σj·R_j on the exact
+    * Friedman competition ranks, z = (L − nk(k+1)²/4)/√(nk²(k+1)(k²−1)/144).
+    */
+  def q_page_trend(spark: SparkSession, sf: String): DataFrame = {
+    val cell = Tables.orders(spark, sf)
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("m"), col("o_orderpriority").as("g"))
+      .agg(sum(cents(col("o_totalprice"))).as("s"), count(lit(1)).as("c"))
+      .localCheckpoint()
+    val full = cell.groupBy(col("m")).agg(count(lit(1)).as("k"))
+      .filter(col("k") === 5).select(col("m"))
+    val blocks = cell.join(broadcast(full), "m")
+    val ranked = blocks.as("a")
+      .join(blocks.select(col("m").as("m2"), col("g").as("g2"),
+        col("s").as("s2"), col("c").as("c2")).as("b"),
+        col("m2") === col("a.m") && col("g2") =!= col("a.g"))
+      .groupBy(col("a.m").as("m"), col("a.g").as("g"))
+      .agg((lit(1L) + sum(when(col("s2") * col("a.c") > col("a.s") * col("c2"), 1L)
+        .otherwise(0L))).as("rank"))
+    val rj = ranked.groupBy(col("g"))
+      .agg(sum(col("rank")).as("r_sum"), count(lit(1)).as("n_blocks"))
+      .select(expr("CAST(substring(g, 1, 1) AS BIGINT)").as("j"), col("r_sum"),
+        col("n_blocks"))
+    rj.agg(max(col("n_blocks")).as("n"), sum(col("j") * col("r_sum")).as("l_stat"))
+      .select(col("n").as("n_blocks"), col("l_stat"),
+        (round((col("l_stat").cast("double")
+          - col("n").cast("double") * lit(45.0))
+          / sqrt(col("n").cast("double") * lit(25.0)), 4) + lit(0.0))
+          .as("z"))
+  }
+
+  /** Jonckheere–Terpstra ordered-alternative test across priorities
+    * 1..5 on the $100 cent-bin lattice: J* = Σ_{j₁<j₂}(#(x₁<x₂) +
+    * ½#(x₁=x₂)) from exact cell products, no-tie moments for z.
+    */
+  def q_jonckheere(spark: SparkSession, sf: String): DataFrame = {
+    val gv = Tables.orders(spark, sf)
+      .groupBy(expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)").as("j"),
+        expr("CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) div 10000 AS BIGINT)")
+          .as("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val pairs = gv.as("a")
+      .join(gv.select(col("j").as("j2"), col("v").as("v2"),
+        col("cnt").as("c2")).as("b"), col("j2") > col("a.j"))
+      .agg(sum(when(col("v2") > col("a.v"), col("a.cnt") * col("c2")).otherwise(0L))
+        .as("jgt"),
+        sum(when(col("v2") === col("a.v"), col("a.cnt") * col("c2")).otherwise(0L))
+          .as("jeq"))
+    val sizes = gv.groupBy(col("j")).agg(sum(col("cnt")).as("ng"))
+      .agg(sum(col("ng")).as("nn"), sum(col("ng") * col("ng")).as("sn2"),
+        sum(col("ng") * col("ng")
+          * (lit(2L) * col("ng") + lit(3L))).as("sn23"))
+    pairs.crossJoin(broadcast(sizes))
+      .select(col("nn").as("n_orders"),
+        ((lit(2L) * col("jgt") + col("jeq")).cast("double") / lit(2.0)).as("jstar"),
+        ((col("nn") * col("nn") - col("sn2")).cast("double") / lit(4.0)).as("ej"),
+        (((col("nn") * col("nn")).cast("double")
+          * (lit(2.0) * col("nn").cast("double") + lit(3.0))
+          - col("sn23").cast("double")) / lit(72.0)).as("vj"))
+      .select(col("n_orders"),
+        (round(col("jstar"), 1) + lit(0.0)).as("j_stat"),
+        (round((col("jstar") - col("ej")) / sqrt(col("vj")), 4) + lit(0.0)).as("z"))
+  }
+
+  /** Deming (errors-in-variables, λ=1) regression of the BUILDING on
+    * the AUTOMOBILE segment's monthly revenue: β = (s_yy − s_xx +
+    * √((s_yy−s_xx)² + 4s_xy²))/(2s_xy) from exact-sum central moments.
+    */
+  def q_deming_regression(spark: SparkSession, sf: String): DataFrame = {
+    def seg(name: String, out: String): DataFrame =
+      Tables.orders(spark, sf)
+        .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+        .filter(col("c_mktsegment") === name)
+        .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("m"))
+        .agg(sum(cents(col("o_totalprice"))).as(out))
+    seg("BUILDING", "ya").join(seg("AUTOMOBILE", "yb"), "m")
+      .agg(count(lit(1)).as("n"), sum(col("ya")).as("sa"), sum(col("yb")).as("sb"),
+        sum(col("ya").cast("double") * col("ya").cast("double")).as("saa"),
+        sum(col("yb").cast("double") * col("yb").cast("double")).as("sbb"),
+        sum(col("ya").cast("double") * col("yb").cast("double")).as("sab"))
+      .select(col("n"),
+        (col("saa") / col("n").cast("double")
+          - (col("sa").cast("double") / col("n").cast("double"))
+            * (col("sa").cast("double") / col("n").cast("double"))).as("syy"),
+        (col("sbb") / col("n").cast("double")
+          - (col("sb").cast("double") / col("n").cast("double"))
+            * (col("sb").cast("double") / col("n").cast("double"))).as("sxx"),
+        (col("sab") / col("n").cast("double")
+          - (col("sa").cast("double") / col("n").cast("double"))
+            * (col("sb").cast("double") / col("n").cast("double"))).as("sxy"),
+        (col("sa").cast("double") / col("n").cast("double")).as("ybar"),
+        (col("sb").cast("double") / col("n").cast("double")).as("xbar"))
+      .select(col("n").as("n_months"),
+        (round((col("syy") - col("sxx")
+          + sqrt((col("syy") - col("sxx")) * (col("syy") - col("sxx"))
+            + lit(4.0) * col("sxy") * col("sxy"))) / (lit(2.0) * col("sxy")), 4)
+          + lit(0.0)).as("deming_beta"),
+        (round((col("ybar")
+          - ((col("syy") - col("sxx")
+            + sqrt((col("syy") - col("sxx")) * (col("syy") - col("sxx"))
+              + lit(4.0) * col("sxy") * col("sxy"))) / (lit(2.0) * col("sxy")))
+            * col("xbar")) / lit(100.0), 2) + lit(0.0)).as("alpha_dollars"))
+  }
+
+  /** Lin's concordance correlation between the two segments' monthly
+    * revenue: ρc = 2s_xy/(s_xx + s_yy + (x̄−ȳ)²), with the Pearson r and
+    * the bias-correction factor ρc/r.
+    */
+  def q_lin_ccc(spark: SparkSession, sf: String): DataFrame = {
+    def seg(name: String, out: String): DataFrame =
+      Tables.orders(spark, sf)
+        .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+        .filter(col("c_mktsegment") === name)
+        .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("m"))
+        .agg(sum(cents(col("o_totalprice"))).as(out))
+    seg("BUILDING", "ya").join(seg("AUTOMOBILE", "yb"), "m")
+      .agg(count(lit(1)).as("n"), sum(col("ya")).as("sa"), sum(col("yb")).as("sb"),
+        sum(col("ya").cast("double") * col("ya").cast("double")).as("saa"),
+        sum(col("yb").cast("double") * col("yb").cast("double")).as("sbb"),
+        sum(col("ya").cast("double") * col("yb").cast("double")).as("sab"))
+      .select(col("n"),
+        (col("saa") / col("n").cast("double")
+          - (col("sa").cast("double") / col("n").cast("double"))
+            * (col("sa").cast("double") / col("n").cast("double"))).as("syy"),
+        (col("sbb") / col("n").cast("double")
+          - (col("sb").cast("double") / col("n").cast("double"))
+            * (col("sb").cast("double") / col("n").cast("double"))).as("sxx"),
+        (col("sab") / col("n").cast("double")
+          - (col("sa").cast("double") / col("n").cast("double"))
+            * (col("sb").cast("double") / col("n").cast("double"))).as("sxy"),
+        ((col("sa").cast("double") / col("n").cast("double"))
+          - (col("sb").cast("double") / col("n").cast("double"))).as("dbar"))
+      .select(col("n").as("n_months"),
+        (round(col("sxy") / sqrt(col("sxx") * col("syy")), 4) + lit(0.0))
+          .as("pearson_r"),
+        (round(lit(2.0) * col("sxy")
+          / (col("sxx") + col("syy") + col("dbar") * col("dbar")), 4) + lit(0.0))
+          .as("lin_ccc"),
+        (round((lit(2.0) * col("sxy")
+          / (col("sxx") + col("syy") + col("dbar") * col("dbar")))
+          / (col("sxy") / sqrt(col("sxx") * col("syy"))), 4) + lit(0.0))
+          .as("bias_correction"))
+  }
+
+  /** Bland–Altman agreement between the two segments' monthly revenue:
+    * exact cent differences, 1.959964σ limits of agreement (dollars)
+    * and the count of months outside them.
+    */
+  def q_bland_altman(spark: SparkSession, sf: String): DataFrame = {
+    def seg(name: String, out: String): DataFrame =
+      Tables.orders(spark, sf)
+        .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+        .filter(col("c_mktsegment") === name)
+        .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("m"))
+        .agg(sum(cents(col("o_totalprice"))).as(out))
+    val d = seg("BUILDING", "ya").join(seg("AUTOMOBILE", "yb"), "m")
+      .select(col("m"), (col("ya") - col("yb")).as("d"))
+      .localCheckpoint()
+    val st = d.agg(count(lit(1)).as("n"), sum(col("d")).as("sd"),
+        sum(col("d").cast("double") * col("d").cast("double")).as("sdd"))
+      .select(col("n"),
+        (col("sd").cast("double") / col("n").cast("double")).as("mu"),
+        sqrt(col("sdd") / col("n").cast("double")
+          - (col("sd").cast("double") / col("n").cast("double"))
+            * (col("sd").cast("double") / col("n").cast("double"))).as("sig"))
+    d.crossJoin(broadcast(st))
+      .groupBy(col("n"), col("mu"), col("sig"))
+      .agg(sum(when(col("d").cast("double") < col("mu") - lit(1.959964) * col("sig")
+        || col("d").cast("double") > col("mu") + lit(1.959964) * col("sig"), 1L)
+        .otherwise(0L)).as("n_outside"))
+      .select(col("n").as("n_months"),
+        (round(col("mu") / lit(100.0), 2) + lit(0.0)).as("mean_diff_dollars"),
+        (round((col("mu") - lit(1.959964) * col("sig")) / lit(100.0), 2) + lit(0.0))
+          .as("loa_lo_dollars"),
+        (round((col("mu") + lit(1.959964) * col("sig")) / lit(100.0), 2) + lit(0.0))
+          .as("loa_hi_dollars"),
+        col("n_outside"))
+  }
 }

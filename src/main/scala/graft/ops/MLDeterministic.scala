@@ -2858,6 +2858,40 @@ object MLDeterministic {
         when(col("q_raw") > lit(5.991465), 1L).otherwise(0L).as("reject_equal"))
   }
 
+  /** Storey's π₀ null-proportion estimate at λ = 0.5 over the same
+    * per-nation p-surrogates as the BH query: π₀ = #{p > λ}/((1−λ)m),
+    * with the raw-0.05 significant count — the standard multiple-
+    * testing diagnostic before FDR thresholding.
+    */
+  def q_storey_pi0(spark: SparkSession, sf: String): DataFrame = {
+    val joined = Tables.orders(spark, sf)
+      .join(broadcast(Tables.customer(spark, sf)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").as("nk"), cents(col("o_totalprice")).as("tp"))
+      .localCheckpoint()
+    val g = joined.agg(count(lit(1)).as("n"), sum(col("tp")).as("s"),
+        sum(col("tp").cast("decimal(38,0)") * col("tp")).as("ss"))
+      .select((col("s").cast("double") / col("n").cast("double")).as("mu"),
+        sqrt(col("ss").cast("double") / col("n").cast("double")
+          - (col("s").cast("double") / col("n").cast("double"))
+            * (col("s").cast("double") / col("n").cast("double"))).as("sigma"))
+    joined.groupBy(col("nk"))
+      .agg(count(lit(1)).as("ni"), sum(col("tp")).as("si"))
+      .crossJoin(broadcast(g))
+      .select(col("nk"),
+        ((col("si").cast("double") / col("ni").cast("double") - col("mu"))
+          / (col("sigma") / sqrt(col("ni").cast("double")))).as("z"))
+      .select(round(lit(2.0) / (lit(1.0) + exp(lit(1.702) * abs(col("z")))), 7)
+        .as("p"))
+      .agg(count(lit(1)).as("m"),
+        sum(when(col("p") > 0.5, 1L).otherwise(0L)).as("n_above"),
+        sum(when(col("p") <= 0.05, 1L).otherwise(0L)).as("n_sig_raw"))
+      .select(col("m"), col("n_above"), col("n_sig_raw"),
+        (round(col("n_above").cast("double")
+          / (lit(0.5) * col("m").cast("double")), 4) + lit(0.0)).as("pi0"))
+  }
+
   /** Matthews correlation, Youden's J and balanced accuracy of the
     * deep-discount rule (discount ≥ 0.05) predicting returned items:
     * exact confusion counts, the 4-factor denominator multiplied in

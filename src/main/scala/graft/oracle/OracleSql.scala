@@ -10010,5 +10010,288 @@ object OracleSql {
              CAST(CASE WHEN lr > 3.841459 THEN 1 ELSE 0 END AS BIGINT)
                AS reject_var_model
       FROM lr ORDER BY yr""",
+
+    "q_g_test" -> """
+      WITH cells AS (SELECT l_returnflag AS r,
+                            CAST(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS BIGINT)
+                              AS b,
+                            CAST(COUNT(*) AS BIGINT) AS o
+                     FROM lineitem GROUP BY 1, 2),
+           rm AS (SELECT r, CAST(SUM(o) AS BIGINT) AS ro FROM cells GROUP BY 1),
+           cm AS (SELECT b, CAST(SUM(o) AS BIGINT) AS co FROM cells GROUP BY 1),
+           nn AS (SELECT CAST(SUM(o) AS BIGINT) AS nn FROM cells),
+           g AS (SELECT 2.0 * SUM(CAST(o AS DOUBLE)
+                   * LN(CAST(o AS DOUBLE)
+                     / (CAST(ro AS DOUBLE) * CAST(co AS DOUBLE)
+                       / CAST(nn AS DOUBLE)))) AS g_stat
+                 FROM cells JOIN rm ON cells.r = rm.r JOIN cm ON cells.b = cm.b, nn)
+      SELECT nn AS n_items, ROUND(g_stat, 4) + 0 AS g_stat,
+             CAST(CASE WHEN g_stat > 5.991465 THEN 1 ELSE 0 END AS BIGINT)
+               AS reject_independent
+      FROM nn, g""",
+
+    "q_cohen_h" -> """
+      WITH s AS (SELECT
+                   CAST(SUM(CASE WHEN l_discount >= 0.06 AND l_returnflag = 'R'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                   CAST(SUM(CASE WHEN l_discount >= 0.06 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS ne,
+                   CAST(SUM(CASE WHEN NOT l_discount >= 0.06 AND l_returnflag = 'R'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                   CAST(SUM(CASE WHEN NOT l_discount >= 0.06 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS nr
+                 FROM lineitem),
+           p AS (SELECT ne, nr, CAST(a AS DOUBLE) / CAST(ne AS DOUBLE) AS p1,
+                        CAST(c AS DOUBLE) / CAST(nr AS DOUBLE) AS p2
+                 FROM s)
+      SELECT ne AS n_deep, nr AS n_rest, ROUND(p1, 4) + 0 AS p1,
+             ROUND(p2, 4) + 0 AS p2,
+             ROUND(2.0 * ASIN(SQRT(p1)) - 2.0 * ASIN(SQRT(p2)), 4) + 0 AS cohen_h
+      FROM p""",
+
+    "q_cliff_delta" -> """
+      WITH gv AS (SELECT o_orderpriority AS g,
+                         CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) // 10000
+                           AS BIGINT) AS v,
+                         CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+                  GROUP BY 1, 2),
+           s AS (SELECT CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS nm,
+                        CAST(SUM(CASE WHEN a.v > b.v THEN a.cnt * b.cnt ELSE 0 END)
+                          AS BIGINT) AS gt,
+                        CAST(SUM(CASE WHEN a.v < b.v THEN a.cnt * b.cnt ELSE 0 END)
+                          AS BIGINT) AS lt,
+                        CAST(SUM(CASE WHEN a.v = b.v THEN a.cnt * b.cnt ELSE 0 END)
+                          AS BIGINT) AS eq
+                 FROM (SELECT v, cnt FROM gv WHERE g = '1-URGENT') a
+                 CROSS JOIN (SELECT v, cnt FROM gv WHERE g = '5-LOW') b)
+      SELECT nm AS n_pairs,
+             ROUND(CAST(gt - lt AS DOUBLE) / CAST(nm AS DOUBLE), 4) + 0
+               AS cliff_delta,
+             ROUND(CAST(2 * gt + eq AS DOUBLE) / CAST(2 * nm AS DOUBLE), 4) + 0
+               AS vd_a
+      FROM s""",
+
+    "q_eta_squared" -> """
+      WITH g AS (SELECT o_orderpriority AS g, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                          AS s,
+                        SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DOUBLE)
+                          * CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DOUBLE))
+                          AS ss
+                 FROM orders GROUP BY 1),
+           t AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS nn,
+                        CAST(SUM(s) AS BIGINT) AS st, SUM(ss) AS sst,
+                        SUM((CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                          / CAST(n AS DOUBLE)) AS sb
+                 FROM g),
+           d AS (SELECT k, nn,
+                        sb - (CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+                          / CAST(nn AS DOUBLE) AS ssb,
+                        sst - (CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+                          / CAST(nn AS DOUBLE) AS sstot,
+                        sst - sb AS ssw
+                 FROM t)
+      SELECT k, nn AS n_orders, ROUND(ssb / sstot, 6) + 0 AS eta_sq,
+             ROUND((ssb - (CAST(k AS DOUBLE) - 1.0)
+               * (ssw / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))))
+               / (sstot + ssw / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))), 6) + 0
+               AS omega_sq
+      FROM d""",
+
+    "q_page_trend" -> """
+      WITH cell AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                             AS m,
+                           o_orderpriority AS g,
+                           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                             AS s,
+                           CAST(COUNT(*) AS BIGINT) AS c
+                    FROM orders GROUP BY 1, 2),
+           full_b AS (SELECT m FROM cell GROUP BY 1 HAVING COUNT(*) = 5),
+           blk AS (SELECT cell.* FROM cell JOIN full_b ON cell.m = full_b.m),
+           ranked AS (SELECT a.m, a.g,
+                             1 + CAST(SUM(CASE WHEN b.s * a.c > a.s * b.c
+                               THEN 1 ELSE 0 END) AS BIGINT) AS rank_b
+                      FROM blk a JOIN blk b ON b.m = a.m AND b.g <> a.g
+                      GROUP BY 1, 2),
+           rj AS (SELECT CAST(substring(g, 1, 1) AS BIGINT) AS j,
+                         CAST(SUM(rank_b) AS BIGINT) AS r_sum,
+                         CAST(COUNT(*) AS BIGINT) AS n_blocks
+                  FROM ranked GROUP BY 1),
+           l AS (SELECT MAX(n_blocks) AS n,
+                        CAST(SUM(j * r_sum) AS BIGINT) AS l_stat
+                 FROM rj)
+      SELECT n AS n_blocks, l_stat,
+             ROUND((CAST(l_stat AS DOUBLE) - CAST(n AS DOUBLE) * 45.0)
+               / SQRT(CAST(n AS DOUBLE) * 25.0), 4) + 0 AS z
+      FROM l""",
+
+    "q_jonckheere" -> """
+      WITH gv AS (SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS j,
+                         CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) // 10000
+                           AS BIGINT) AS v,
+                         CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM orders GROUP BY 1, 2),
+           pairs AS (SELECT CAST(SUM(CASE WHEN b.v > a.v THEN a.cnt * b.cnt ELSE 0 END)
+                              AS BIGINT) AS jgt,
+                            CAST(SUM(CASE WHEN b.v = a.v THEN a.cnt * b.cnt ELSE 0 END)
+                              AS BIGINT) AS jeq
+                     FROM gv a JOIN gv b ON b.j > a.j),
+           sizes AS (SELECT CAST(SUM(ng) AS BIGINT) AS nn,
+                            CAST(SUM(ng * ng) AS BIGINT) AS sn2,
+                            CAST(SUM(ng * ng * (2 * ng + 3)) AS BIGINT) AS sn23
+                     FROM (SELECT j, CAST(SUM(cnt) AS BIGINT) AS ng
+                           FROM gv GROUP BY 1)),
+           d AS (SELECT nn AS n_orders,
+                        CAST(2 * jgt + jeq AS DOUBLE) / 2.0 AS jstar,
+                        CAST(nn * nn - sn2 AS DOUBLE) / 4.0 AS ej,
+                        (CAST(nn * nn AS DOUBLE)
+                          * (2.0 * CAST(nn AS DOUBLE) + 3.0)
+                          - CAST(sn23 AS DOUBLE)) / 72.0 AS vj
+                 FROM pairs, sizes)
+      SELECT n_orders, ROUND(jstar, 1) + 0 AS j_stat,
+             ROUND((jstar - ej) / SQRT(vj), 4) + 0 AS z
+      FROM d""",
+
+    "q_deming_regression" -> """
+      WITH sega AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                             AS m,
+                           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                             AS ya
+                    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                    WHERE c.c_mktsegment = 'BUILDING' GROUP BY 1),
+           segb AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                             AS m,
+                           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                             AS yb
+                    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                    WHERE c.c_mktsegment = 'AUTOMOBILE' GROUP BY 1),
+           ab AS (SELECT sega.m, ya, yb FROM sega JOIN segb ON sega.m = segb.m),
+           agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(ya) AS BIGINT) AS sa, CAST(SUM(yb) AS BIGINT) AS sb,
+                          SUM(CAST(ya AS DOUBLE) * CAST(ya AS DOUBLE)) AS saa,
+                          SUM(CAST(yb AS DOUBLE) * CAST(yb AS DOUBLE)) AS sbb,
+                          SUM(CAST(ya AS DOUBLE) * CAST(yb AS DOUBLE)) AS sab
+                   FROM ab),
+           mo AS (SELECT n,
+                         saa / CAST(n AS DOUBLE)
+                           - (CAST(sa AS DOUBLE) / CAST(n AS DOUBLE))
+                             * (CAST(sa AS DOUBLE) / CAST(n AS DOUBLE)) AS syy,
+                         sbb / CAST(n AS DOUBLE)
+                           - (CAST(sb AS DOUBLE) / CAST(n AS DOUBLE))
+                             * (CAST(sb AS DOUBLE) / CAST(n AS DOUBLE)) AS sxx,
+                         sab / CAST(n AS DOUBLE)
+                           - (CAST(sa AS DOUBLE) / CAST(n AS DOUBLE))
+                             * (CAST(sb AS DOUBLE) / CAST(n AS DOUBLE)) AS sxy,
+                         CAST(sa AS DOUBLE) / CAST(n AS DOUBLE) AS ybar,
+                         CAST(sb AS DOUBLE) / CAST(n AS DOUBLE) AS xbar
+                  FROM agg)
+      SELECT n AS n_months,
+             ROUND((syy - sxx + SQRT((syy - sxx) * (syy - sxx)
+               + 4.0 * sxy * sxy)) / (2.0 * sxy), 4) + 0 AS deming_beta,
+             ROUND((ybar - ((syy - sxx + SQRT((syy - sxx) * (syy - sxx)
+               + 4.0 * sxy * sxy)) / (2.0 * sxy)) * xbar) / 100.0, 2) + 0
+               AS alpha_dollars
+      FROM mo""",
+
+    "q_lin_ccc" -> """
+      WITH sega AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                             AS m,
+                           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                             AS ya
+                    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                    WHERE c.c_mktsegment = 'BUILDING' GROUP BY 1),
+           segb AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                             AS m,
+                           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                             AS yb
+                    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                    WHERE c.c_mktsegment = 'AUTOMOBILE' GROUP BY 1),
+           ab AS (SELECT sega.m, ya, yb FROM sega JOIN segb ON sega.m = segb.m),
+           agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(ya) AS BIGINT) AS sa, CAST(SUM(yb) AS BIGINT) AS sb,
+                          SUM(CAST(ya AS DOUBLE) * CAST(ya AS DOUBLE)) AS saa,
+                          SUM(CAST(yb AS DOUBLE) * CAST(yb AS DOUBLE)) AS sbb,
+                          SUM(CAST(ya AS DOUBLE) * CAST(yb AS DOUBLE)) AS sab
+                   FROM ab),
+           mo AS (SELECT n,
+                         saa / CAST(n AS DOUBLE)
+                           - (CAST(sa AS DOUBLE) / CAST(n AS DOUBLE))
+                             * (CAST(sa AS DOUBLE) / CAST(n AS DOUBLE)) AS syy,
+                         sbb / CAST(n AS DOUBLE)
+                           - (CAST(sb AS DOUBLE) / CAST(n AS DOUBLE))
+                             * (CAST(sb AS DOUBLE) / CAST(n AS DOUBLE)) AS sxx,
+                         sab / CAST(n AS DOUBLE)
+                           - (CAST(sa AS DOUBLE) / CAST(n AS DOUBLE))
+                             * (CAST(sb AS DOUBLE) / CAST(n AS DOUBLE)) AS sxy,
+                         (CAST(sa AS DOUBLE) / CAST(n AS DOUBLE))
+                           - (CAST(sb AS DOUBLE) / CAST(n AS DOUBLE)) AS dbar
+                  FROM agg)
+      SELECT n AS n_months,
+             ROUND(sxy / SQRT(sxx * syy), 4) + 0 AS pearson_r,
+             ROUND(2.0 * sxy / (sxx + syy + dbar * dbar), 4) + 0 AS lin_ccc,
+             ROUND((2.0 * sxy / (sxx + syy + dbar * dbar))
+               / (sxy / SQRT(sxx * syy)), 4) + 0 AS bias_correction
+      FROM mo""",
+
+    "q_bland_altman" -> """
+      WITH sega AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                             AS m,
+                           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                             AS ya
+                    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                    WHERE c.c_mktsegment = 'BUILDING' GROUP BY 1),
+           segb AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                             AS m,
+                           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                             AS yb
+                    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                    WHERE c.c_mktsegment = 'AUTOMOBILE' GROUP BY 1),
+           d AS (SELECT sega.m, ya - yb AS d FROM sega JOIN segb ON sega.m = segb.m),
+           st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(d) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mu,
+                         SQRT(SUM(CAST(d AS DOUBLE) * CAST(d AS DOUBLE))
+                             / CAST(COUNT(*) AS DOUBLE)
+                           - (CAST(SUM(d) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                             * (CAST(SUM(d) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)))
+                           AS sig
+                  FROM d),
+           o AS (SELECT n, mu, sig,
+                        CAST(SUM(CASE WHEN CAST(d AS DOUBLE) < mu - 1.959964 * sig
+                                        OR CAST(d AS DOUBLE) > mu + 1.959964 * sig
+                                      THEN 1 ELSE 0 END) AS BIGINT) AS n_outside
+                 FROM d, st GROUP BY 1, 2, 3)
+      SELECT n AS n_months, ROUND(mu / 100.0, 2) + 0 AS mean_diff_dollars,
+             ROUND((mu - 1.959964 * sig) / 100.0, 2) + 0 AS loa_lo_dollars,
+             ROUND((mu + 1.959964 * sig) / 100.0, 2) + 0 AS loa_hi_dollars,
+             n_outside
+      FROM o""",
+
+    "q_storey_pi0" -> """
+      WITH j AS (SELECT c.c_nationkey AS nk,
+                        CAST(ROUND(o_totalprice * 100) AS BIGINT) AS tp
+                 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+           g AS (SELECT CAST(SUM(tp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mu,
+                        SQRT(CAST(SUM(CAST(tp AS HUGEINT) * tp) AS DOUBLE)
+                               / CAST(COUNT(*) AS DOUBLE)
+                             - (CAST(SUM(tp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                               * (CAST(SUM(tp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)))
+                          AS sigma
+                 FROM j),
+           pv AS (SELECT nk, CAST(COUNT(*) AS BIGINT) AS ni, CAST(SUM(tp) AS BIGINT) AS si
+                  FROM j GROUP BY 1),
+           p AS (SELECT ROUND(2.0 / (1.0 + exp(1.702 * abs(
+                          (CAST(si AS DOUBLE) / CAST(ni AS DOUBLE) - mu)
+                            / (sigma / SQRT(CAST(ni AS DOUBLE)))))), 7) AS p
+                 FROM pv, g),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                        CAST(SUM(CASE WHEN p > 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+                          AS n_above,
+                        CAST(SUM(CASE WHEN p <= 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+                          AS n_sig_raw
+                 FROM p)
+      SELECT m, n_above, n_sig_raw,
+             ROUND(CAST(n_above AS DOUBLE) / (0.5 * CAST(m AS DOUBLE)), 4) + 0 AS pi0
+      FROM s""",
   )
 }
