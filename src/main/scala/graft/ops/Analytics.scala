@@ -4422,4 +4422,302 @@ object Analytics {
           .as("loa_hi_dollars"),
         col("n_outside"))
   }
+
+  /** Deterministic RANSAC trend fit on monthly revenue: every month
+    * pair proposes a line, inliers are counted with the cross-
+    * multiplied EXACT integer test |(y−y₁)Δm − Δy(m−m₁)| ≤ tol·Δm
+    * (tol = mean monthly revenue div 10), the consensus winner is the
+    * (inliers desc, m₁, m₂) argmax — no float enters the vote.
+    */
+  def q_ransac_trend(spark: SparkSession, sf: String): DataFrame = {
+    val rev = monthlyRevenue(spark, sf).localCheckpoint()
+    val tol = rev.agg(sum(col("rev")).as("s"), count(lit(1)).as("n"))
+      .select(expr("CAST(s div (10 * n) AS BIGINT)").as("tol"))
+    val cand = rev.as("a")
+      .join(rev.select(col("m").as("m2"), col("rev").as("rev2")).as("b"),
+        col("m2") > col("m"))
+      .select(col("m").as("m1"), col("rev").as("y1"), col("m2"), col("rev2").as("y2"))
+    val votes = cand.crossJoin(broadcast(tol)).as("c")
+      .join(rev.select(col("m").as("mm"), col("rev").as("yy")).as("p"),
+        abs((col("yy") - col("y1")) * (col("m2") - col("m1"))
+          - (col("y2") - col("y1")) * (col("mm") - col("m1")))
+          <= col("tol") * (col("m2") - col("m1")))
+      .groupBy(col("m1"), col("m2"), col("y1"), col("y2"))
+      .agg(count(lit(1)).as("inliers"))
+      .localCheckpoint()
+    val best = votes.agg(max(col("inliers")).as("best"))
+    val win = votes.crossJoin(broadcast(best))
+      .filter(col("inliers") === col("best"))
+      .groupBy(col("best")).agg(min(struct(col("m1"), col("m2"), col("y1"),
+        col("y2"), col("inliers"))).as("w"))
+      .select(col("w.m1").as("m1"), col("w.m2").as("m2"),
+        col("w.y1").as("y1"), col("w.y2").as("y2"),
+        col("w.inliers").as("n_inliers"))
+    win.crossJoin(broadcast(rev.agg(count(lit(1)).as("n_months"))))
+      .select(col("m1"), col("m2"), col("n_inliers"), col("n_months"),
+        (round((col("y2") - col("y1")).cast("double")
+          / ((col("m2") - col("m1")).cast("double") * lit(100.0)), 2) + lit(0.0))
+          .as("slope_dollars_per_month"),
+        (round(col("n_inliers").cast("double") / col("n_months").cast("double"), 4)
+          + lit(0.0)).as("inlier_share"))
+  }
+
+  /** Truncated Katz centrality (walks of length ≤ 3, α = ½) on the
+    * support-2 co-purchase graph: score·8 = 4·d(u) + 2·Σ_{v∈N(u)}d(v) +
+    * Σ_{v∈N(u)}Σ_{w∈N(v)}d(w) — an exact integer, so the top-10 ranking
+    * never compares floats.
+    */
+  def q_katz_centrality(spark: SparkSession, sf: String): DataFrame = {
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val und = items.as("a")
+      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("s"))
+      .filter(col("s") >= 2)
+      .select(col("u"), col("v"))
+    val dir = und.select(col("u"), col("v"))
+      .union(und.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    val deg = dir.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val s2 = dir.join(deg.select(col("u").as("v"), col("d").as("dv")), "v")
+      .groupBy(col("u")).agg(sum(col("dv")).as("s2"))
+    val s3 = dir.join(s2.select(col("u").as("v"), col("s2").as("s2v")), "v")
+      .groupBy(col("u")).agg(sum(col("s2v")).as("s3"))
+    deg.join(s2, "u").join(s3, "u")
+      .select(col("u").as("part"), col("d").as("degree"),
+        (lit(4L) * col("d") + lit(2L) * col("s2") + col("s3")).as("score8"))
+      .select(col("part"), col("degree"), col("score8"),
+        (round(col("score8").cast("double") / lit(8.0), 4) + lit(0.0)).as("katz"))
+      .orderBy(col("score8").desc, col("part").asc)
+      .limit(10)
+  }
+
+  /** Sharp regression discontinuity of the return rate at the $30 000
+    * extended-price cutoff (bandwidth $10 000): local linear fits on
+    * each side via exact-sum closed forms, the jump is the difference
+    * of the boundary intercepts.
+    */
+  def q_regression_discontinuity(spark: SparkSession, sf: String): DataFrame = {
+    val w = Tables.lineitem(spark, sf)
+      .filter(col("l_extendedprice") >= 20000.0 && col("l_extendedprice") <= 40000.0)
+      .select((col("l_extendedprice") - lit(30000.0)).as("x"),
+        when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("y"),
+        (col("l_extendedprice") >= 30000.0).as("right"))
+    def side(pfx: String, cond: Column): Seq[Column] = Seq(
+      sum(when(cond, 1.0).otherwise(0.0)).as(s"${pfx}n"),
+      sum(when(cond, col("x")).otherwise(0.0)).as(s"${pfx}sx"),
+      sum(when(cond, col("x") * col("x")).otherwise(0.0)).as(s"${pfx}sxx"),
+      sum(when(cond, col("y")).otherwise(0.0)).as(s"${pfx}sy"),
+      sum(when(cond, col("x") * col("y")).otherwise(0.0)).as(s"${pfx}sxy"))
+    val aggs = side("l", !col("right")) ++ side("r", col("right"))
+    def ab(pfx: String): (Column, Column) = {
+      val b = (col(s"${pfx}n") * col(s"${pfx}sxy")
+        - col(s"${pfx}sx") * col(s"${pfx}sy"))
+        ./(col(s"${pfx}n") * col(s"${pfx}sxx")
+          - col(s"${pfx}sx") * col(s"${pfx}sx"))
+      val a = (col(s"${pfx}sy") / col(s"${pfx}n"))
+        .minus(b * (col(s"${pfx}sx") / col(s"${pfx}n")))
+      (a, b)
+    }
+    val df0 = w.agg(aggs.head, aggs.tail: _*)
+    val (al, bl) = ab("l")
+    val (ar, br) = ab("r")
+    df0.select(col("ln").cast("long").as("n_left"),
+        col("rn").cast("long").as("n_right"),
+        (round(ar - al, 4) + lit(0.0)).as("rd_jump"),
+        (round(bl * lit(10000.0), 6) + lit(0.0)).as("slope_left_per_10k"),
+        (round(br * lit(10000.0), 6) + lit(0.0)).as("slope_right_per_10k"))
+  }
+
+  /** Two-group log-rank test on user lifetimes (even vs odd user_id,
+    * churn = inactive after 2024-01-23): risk sets per group from
+    * bounded theta joins on the lifetime lattice, χ² = (O₁−E₁)²/V with
+    * the hypergeometric variance — exact integers until the epilogue.
+    */
+  def q_logrank_test(spark: SparkSession, sf: String): DataFrame = {
+    val obs = Tables.eventsWithTs(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts_us"))).as("d0"), max(to_date(col("ts_us"))).as("d1"))
+      .select((col("user_id") % 2).cast("long").as("g"),
+        datediff(col("d1"), col("d0")).cast("long").as("t"),
+        when(col("d1") <= lit("2024-01-23").cast("date"), 1L).otherwise(0L)
+          .as("churned"))
+    val byT = obs.groupBy(col("t"))
+      .agg(count(lit(1)).as("n_at"),
+        sum(when(col("g") === 0, 1L).otherwise(0L)).as("n_at1"),
+        sum(col("churned")).as("d"),
+        sum(when(col("g") === 0, col("churned")).otherwise(0L)).as("d1"))
+      .localCheckpoint()
+    val risk = byT.as("a")
+      .join(byT.select(col("t").as("t2"), col("n_at").as("na2"),
+        col("n_at1").as("na12")).as("b"), col("t2") >= col("a.t"))
+      .groupBy(col("a.t").as("t"), col("a.d").as("d"), col("a.d1").as("dd1"))
+      .agg(sum(col("na2")).as("nr"), sum(col("na12")).as("nr1"))
+      .filter(col("d") > 0 && col("nr") > 1)
+    risk.agg(sum(col("dd1")).as("o1"),
+        sum(col("d").cast("double") * col("nr1").cast("double")
+          / col("nr").cast("double")).as("e1"),
+        sum(col("d").cast("double")
+          * (col("nr1").cast("double") / col("nr").cast("double"))
+          * (lit(1.0) - col("nr1").cast("double") / col("nr").cast("double"))
+          * (col("nr") - col("d")).cast("double")
+          / (col("nr").cast("double") - lit(1.0))).as("v"))
+      .select(col("o1").as("observed_g0"),
+        (round(col("e1"), 4) + lit(0.0)).as("expected_g0"),
+        (round((col("o1").cast("double") - col("e1"))
+          * (col("o1").cast("double") - col("e1")) / col("v"), 4) + lit(0.0))
+          .as("chi2"),
+        when((col("o1").cast("double") - col("e1"))
+          * (col("o1").cast("double") - col("e1")) / col("v") > lit(3.841459), 1L)
+          .otherwise(0L).as("curves_differ"))
+  }
+
+  /** Nelson–Aalen cumulative hazard on the pooled user lifetimes:
+    * H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ via the same bounded risk-set theta joins as
+    * the KM query, with the variance estimate Σ dᵢ/nᵢ².
+    */
+  def q_nelson_aalen(spark: SparkSession, sf: String): DataFrame = {
+    val obs = Tables.eventsWithTs(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts_us"))).as("d0"), max(to_date(col("ts_us"))).as("d1"))
+      .select(datediff(col("d1"), col("d0")).cast("long").as("t"),
+        when(col("d1") <= lit("2024-01-23").cast("date"), 1L).otherwise(0L)
+          .as("churned"))
+    val byT = obs.groupBy(col("t"))
+      .agg(count(lit(1)).as("n_at"), sum(col("churned")).as("d"))
+    val risk = byT.as("a")
+      .join(byT.select(col("t").as("t2"), col("n_at").as("na2")).as("b"),
+        col("t2") >= col("a.t"))
+      .groupBy(col("a.t").as("t"), col("a.n_at").as("n_at"), col("a.d").as("d"))
+      .agg(sum(col("na2")).as("nr"))
+      .localCheckpoint()
+    risk.as("a")
+      .join(risk.select(col("t").as("t2"), col("d").as("d2"),
+        col("nr").as("nr2")).as("b"), col("t2") <= col("a.t"))
+      .groupBy(col("a.t").as("t"), col("a.nr").as("n_risk"), col("a.d").as("d"))
+      .agg(sum(col("d2").cast("double") / col("nr2").cast("double")).as("h"),
+        sum(col("d2").cast("double")
+          / (col("nr2").cast("double") * col("nr2").cast("double"))).as("vh"))
+      .select(col("t"), col("n_risk"), col("d").as("n_churned"),
+        (round(col("h"), 4) + lit(0.0)).as("na_cumhaz"),
+        (round(sqrt(col("vh")), 4) + lit(0.0)).as("na_se"))
+      .orderBy("t")
+  }
+
+  /** Yuen 20%-trimmed-mean test, URGENT vs LOW order totals on the
+    * $100 cent-bin lattice: trimmed/winsorized sums built exactly from
+    * value-level cumulative counts (per-bin clipped contributions),
+    * t = (x̄ₜ₁−x̄ₜ₂)/√(d₁+d₂) with dᵢ = s²wᵢ(nᵢ−1)/(hᵢ(hᵢ−1)).
+    */
+  def q_yuen_ttest(spark: SparkSession, sf: String): DataFrame = {
+    val gv = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .groupBy(col("o_orderpriority").as("g"),
+        expr("CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) div 10000 AS BIGINT)")
+          .as("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val stats = gv.groupBy(col("g")).agg(sum(col("cnt")).as("n"))
+      .select(col("g"), col("n"), expr("CAST(n div 5 AS BIGINT)").as("tr"))
+    val cum = gv.as("a")
+      .join(gv.select(col("g").as("g2"), col("v").as("v2"),
+        col("cnt").as("cnt2")).as("b"),
+        col("g2") === col("a.g") && col("v2") < col("a.v"), "left")
+      .groupBy(col("a.g").as("g"), col("a.v").as("v"), col("a.cnt").as("cnt"))
+      .agg(coalesce(sum(col("cnt2")), lit(0L)).as("cb"))
+      .join(broadcast(stats), "g")
+      .localCheckpoint()
+    // per-bin kept mass inside ranks (tr, n-tr]: clip the bin's rank span
+    val kept = cum.select(col("g"), col("v"), col("n"), col("tr"),
+        (least(col("cb") + col("cnt"), col("n") - col("tr"))
+          - greatest(col("cb"), col("tr"))).as("keep"))
+      .select(col("g"), col("v"), col("n"), col("tr"),
+        greatest(col("keep"), lit(0L)).as("keep"))
+    val bounds = cum.groupBy(col("g"), col("n"), col("tr"))
+      .agg(min(when(col("cb") + col("cnt") >= col("tr") + 1L, col("v"))).as("vlo"),
+        min(when(col("cb") + col("cnt") >= col("n") - col("tr"), col("v"))).as("vhi"))
+    val core = kept.groupBy(col("g"))
+      .agg(sum(col("keep") * col("v")).as("tsum"),
+        sum(col("keep") * col("v") * col("v")).as("tss"),
+        sum(col("keep")).as("h"))
+    val agg = core.join(bounds, "g")
+      .select(col("g"), col("n"), col("tr"), col("h"),
+        (col("tsum").cast("double") / col("h").cast("double")).as("tmean"),
+        ((col("tss") + col("tr") * col("vlo") * col("vlo")
+          + col("tr") * col("vhi") * col("vhi")).cast("double")
+          / col("n").cast("double")
+          - ((col("tsum") + col("tr") * col("vlo") + col("tr") * col("vhi"))
+            .cast("double") / col("n").cast("double"))
+            * ((col("tsum") + col("tr") * col("vlo") + col("tr") * col("vhi"))
+              .cast("double") / col("n").cast("double"))).as("wvar"))
+      .select(col("g"), col("n"), col("h"), col("tmean"),
+        (col("wvar") * col("n").cast("double") / (col("n").cast("double") - lit(1.0))
+          * (col("n").cast("double") - lit(1.0))
+          / (col("h").cast("double") * (col("h").cast("double") - lit(1.0))))
+          .as("dterm"))
+      .localCheckpoint()
+    val a = agg.filter(col("g") === "1-URGENT")
+      .select(col("n").as("n1"), col("h").as("h1"), col("tmean").as("tm1"),
+        col("dterm").as("d1"))
+    val b = agg.filter(col("g") === "5-LOW")
+      .select(col("n").as("n2"), col("h").as("h2"), col("tmean").as("tm2"),
+        col("dterm").as("d2"))
+    a.crossJoin(b)
+      .select(col("h1"), col("h2"),
+        (round((col("tm1") - col("tm2")) / lit(100.0), 2) + lit(0.0))
+          .as("trimmed_diff_dollars"),
+        (round((col("tm1") - col("tm2")) / sqrt(col("d1") + col("d2")), 4)
+          + lit(0.0)).as("yuen_t"),
+        when(abs((col("tm1") - col("tm2")) / sqrt(col("d1") + col("d2")))
+          > lit(1.959964), 1L).otherwise(0L).as("reject_equal_trimmed"))
+  }
+
+  /** ABC×XYZ inventory matrix: parts classed A/B/C by lifetime revenue
+    * against the exact 80th/95th-percentile revenue bins ($100 lattice)
+    * and X/Y/Z by the coefficient of variation of monthly demand —
+    * every boundary evaluated on exact-derived values.
+    */
+  def q_abc_xyz_matrix(spark: SparkSession, sf: String): DataFrame = {
+    val li = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey").as("p"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("m"),
+        cents(col("l_extendedprice")).as("rev"),
+        col("l_quantity").cast("long").as("q"))
+      .localCheckpoint()
+    val part = li.groupBy(col("p"))
+      .agg(expr("CAST(SUM(rev) div 10000 AS BIGINT)").as("rv"))
+    val pm = li.groupBy(col("p"), col("m")).agg(sum(col("q")).as("qm"))
+      .groupBy(col("p"))
+      .agg(count(lit(1)).as("nm"), sum(col("qm")).as("sq"),
+        sum(col("qm") * col("qm")).as("sqq"))
+      .select(col("p"),
+        (sqrt(col("sqq").cast("double") / col("nm").cast("double")
+          - (col("sq").cast("double") / col("nm").cast("double"))
+            * (col("sq").cast("double") / col("nm").cast("double")))
+          / (col("sq").cast("double") / col("nm").cast("double"))).as("cv"))
+    val vals = part.groupBy(col("rv")).agg(count(lit(1)).as("t")).localCheckpoint()
+    val tot = vals.agg(sum(col("t")).as("n"))
+      .select(col("n"), expr("CAST((4 * n + 4) div 5 AS BIGINT)").as("k80"),
+        expr("CAST((19 * n + 19) div 20 AS BIGINT)").as("k95"))
+    val cuts = vals.as("a")
+      .join(vals.select(col("rv").as("rv2"), col("t").as("t2")).as("b"),
+        col("rv2") <= col("a.rv"))
+      .groupBy(col("a.rv").as("rv")).agg(sum(col("t2")).as("cum"))
+      .crossJoin(broadcast(tot))
+      .agg(min(when(col("cum") >= col("k80"), col("rv"))).as("c80"),
+        min(when(col("cum") >= col("k95"), col("rv"))).as("c95"))
+    part.join(pm, "p").crossJoin(broadcast(cuts))
+      .select(
+        when(col("rv") > col("c95"), "A")
+          .when(col("rv") > col("c80"), "B").otherwise("C").as("abc"),
+        when(col("cv") < 0.5, "X").when(col("cv") < 1.0, "Y").otherwise("Z")
+          .as("xyz"),
+        col("rv"))
+      .groupBy(col("abc"), col("xyz"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("rv")).as("rev_bins"))
+      .orderBy("abc", "xyz")
+  }
 }

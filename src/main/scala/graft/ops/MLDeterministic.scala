@@ -2892,6 +2892,111 @@ object MLDeterministic {
           / (lit(0.5) * col("m").cast("double")), 4) + lit(0.0)).as("pi0"))
   }
 
+  /** One EM iteration for a two-component 1D Gaussian mixture on order
+    * totals (dollars), from the fixed literal init μ=(100000, 300000),
+    * σ² = 10¹⁰, π = ½: responsibilities collapse to a logistic in the
+    * exact quadratic difference, then the M-step reweights — identical
+    * IEEE trees on both engines.
+    */
+  def q_gmm_em_step(spark: SparkSession, sf: String): DataFrame =
+    Tables.orders(spark, sf)
+      .select((cents(col("o_totalprice")).cast("double") / lit(100.0)).as("x"))
+      .select(col("x"),
+        (lit(1.0) / (lit(1.0)
+          + exp(((col("x") - lit(300000.0)) * (col("x") - lit(300000.0))
+            - (col("x") - lit(100000.0)) * (col("x") - lit(100000.0)))
+            / lit(2.0e10)))).as("r2"))
+      .agg(count(lit(1)).as("n"), sum(col("r2")).as("sr2"),
+        sum(col("r2") * col("x")).as("sx2"),
+        sum((lit(1.0) - col("r2")) * col("x")).as("sx1"))
+      .select(col("n").as("n_orders"),
+        (round(col("sr2") / col("n").cast("double"), 4) + lit(0.0)).as("pi2_new"),
+        (round(col("sx1") / (col("n").cast("double") - col("sr2")), 2) + lit(0.0))
+          .as("mu1_new"),
+        (round(col("sx2") / col("sr2"), 2) + lit(0.0)).as("mu2_new"))
+
+  /** Propensity-stratum covariate balance: a fixed literal logit score
+    * s = −2 + 30·discount + 0.02·quantity (pure IEEE arithmetic, no
+    * libm, so stratum boundaries are bit-safe), five literal strata,
+    * standardized difference of quantity between high-price "treated"
+    * and the rest within each stratum.
+    */
+  def q_propensity_balance(spark: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(spark, sf)
+      .select((lit(-2.0) + lit(30.0) * col("l_discount")
+        + lit(0.02) * col("l_quantity").cast("double")).as("s"),
+        (col("l_extendedprice") > 30000.0).as("tr"),
+        col("l_quantity").cast("long").as("q"))
+      .select(when(col("s") < -1.0, 0L).when(col("s") < -0.5, 1L)
+        .when(col("s") < 0.0, 2L).when(col("s") < 0.5, 3L).otherwise(4L)
+        .as("stratum"), col("tr"), col("q"))
+      .groupBy(col("stratum"))
+      .agg(sum(when(col("tr"), 1L).otherwise(0L)).as("nt"),
+        sum(when(!col("tr"), 1L).otherwise(0L)).as("nc"),
+        sum(when(col("tr"), col("q")).otherwise(0L)).as("sqt"),
+        sum(when(!col("tr"), col("q")).otherwise(0L)).as("sqc"),
+        sum(when(col("tr"), col("q") * col("q")).otherwise(0L)).as("sqqt"),
+        sum(when(!col("tr"), col("q") * col("q")).otherwise(0L)).as("sqqc"))
+      .filter(col("nt") > 0 && col("nc") > 0)
+      .select(col("stratum"), col("nt"), col("nc"),
+        (round((col("sqt").cast("double") / col("nt").cast("double")
+          - col("sqc").cast("double") / col("nc").cast("double"))
+          / sqrt(((col("sqqt").cast("double") / col("nt").cast("double")
+            - (col("sqt").cast("double") / col("nt").cast("double"))
+              * (col("sqt").cast("double") / col("nt").cast("double")))
+            + (col("sqqc").cast("double") / col("nc").cast("double")
+              - (col("sqc").cast("double") / col("nc").cast("double"))
+                * (col("sqc").cast("double") / col("nc").cast("double"))))
+            / lit(2.0)), 4) + lit(0.0)).as("std_diff_qty"))
+      .orderBy("stratum")
+
+  /** Benjamini–Yekutieli FDR (valid under arbitrary dependence) over
+    * the same per-nation p-surrogates as BH: threshold rank·q/(m·c(m))
+    * with c(m) = Σ1/i recovered exactly from the rank column itself.
+    */
+  def q_benjamini_yekutieli(spark: SparkSession, sf: String): DataFrame = {
+    val joined = Tables.orders(spark, sf)
+      .join(broadcast(Tables.customer(spark, sf)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").as("nk"), cents(col("o_totalprice")).as("tp"))
+      .localCheckpoint()
+    val g = joined.agg(count(lit(1)).as("n"), sum(col("tp")).as("s"),
+        sum(col("tp").cast("decimal(38,0)") * col("tp")).as("ss"))
+      .select((col("s").cast("double") / col("n").cast("double")).as("mu"),
+        sqrt(col("ss").cast("double") / col("n").cast("double")
+          - (col("s").cast("double") / col("n").cast("double"))
+            * (col("s").cast("double") / col("n").cast("double"))).as("sigma"))
+    val pvals = joined.groupBy(col("nk"))
+      .agg(count(lit(1)).as("ni"), sum(col("tp")).as("si"))
+      .crossJoin(broadcast(g))
+      .select(col("nk"),
+        ((col("si").cast("double") / col("ni").cast("double") - col("mu"))
+          / (col("sigma") / sqrt(col("ni").cast("double")))).as("z"))
+      .select(col("nk"),
+        round(lit(2.0) / (lit(1.0) + exp(lit(1.702) * abs(col("z")))), 7).as("p"))
+      .localCheckpoint()
+    val ranked = pvals.as("a")
+      .join(pvals.select(col("p").as("p2"), col("nk").as("nk2")).as("b"),
+        col("p2") < col("a.p") || (col("p2") === col("a.p") && col("nk2") <= col("a.nk")))
+      .groupBy(col("a.nk").as("nk"), col("a.p").as("p"))
+      .agg(count(lit(1)).as("rk"))
+      .localCheckpoint()
+    val mc = ranked.agg(count(lit(1)).as("m"),
+      sum(lit(1.0) / col("rk").cast("double")).as("cm"))
+    val flagged = ranked.crossJoin(broadcast(mc))
+      .withColumn("passes",
+        when(col("p") <= col("rk").cast("double") * lit(0.10)
+          / (col("m").cast("double") * col("cm")), 1L).otherwise(0L))
+    val kstar = flagged.agg(coalesce(max(when(col("passes") === 1, col("rk"))),
+      lit(0L)).as("kstar"))
+    flagged.crossJoin(broadcast(kstar))
+      .select(col("nk").as("nationkey"), (col("p") + lit(0.0)).as("p_approx"),
+        col("rk").as("by_rank"), (round(col("cm"), 6) + lit(0.0)).as("c_m"),
+        when(col("rk") <= col("kstar"), 1L).otherwise(0L).as("rejected"))
+      .orderBy("nationkey")
+  }
+
   /** Matthews correlation, Youden's J and balanced accuracy of the
     * deep-discount rule (discount ≥ 0.05) predicting returned items:
     * exact confusion counts, the 4-factor denominator multiplied in

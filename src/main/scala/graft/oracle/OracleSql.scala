@@ -10293,5 +10293,320 @@ object OracleSql {
       SELECT m, n_above, n_sig_raw,
              ROUND(CAST(n_above AS DOUBLE) / (0.5 * CAST(m AS DOUBLE)), 4) + 0 AS pi0
       FROM s""",
+
+    "q_ransac_trend" -> """
+      WITH rev AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                            AS m,
+                          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                            AS rev
+                   FROM orders GROUP BY 1),
+           tol AS (SELECT CAST(CAST(SUM(rev) AS BIGINT) // (10 * COUNT(*)) AS BIGINT)
+                            AS tol
+                   FROM rev),
+           cand AS (SELECT a.m AS m1, a.rev AS y1, b.m AS m2, b.rev AS y2
+                    FROM rev a JOIN rev b ON b.m > a.m),
+           votes AS (SELECT m1, m2, y1, y2, CAST(COUNT(*) AS BIGINT) AS inliers
+                     FROM cand CROSS JOIN tol JOIN rev p
+                       ON ABS((p.rev - y1) * (m2 - m1) - (y2 - y1) * (p.m - m1))
+                          <= tol * (m2 - m1)
+                     GROUP BY 1, 2, 3, 4),
+           best AS (SELECT MAX(inliers) AS best FROM votes),
+           win AS (SELECT m1, m2, y1, y2, inliers AS n_inliers
+                   FROM votes, best WHERE inliers = best
+                   ORDER BY m1, m2 LIMIT 1),
+           n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_months FROM rev)
+      SELECT m1, m2, n_inliers, n_months,
+             ROUND(CAST(y2 - y1 AS DOUBLE)
+               / (CAST(m2 - m1 AS DOUBLE) * 100.0), 2) + 0
+               AS slope_dollars_per_month,
+             ROUND(CAST(n_inliers AS DOUBLE) / CAST(n_months AS DOUBLE), 4) + 0
+               AS inlier_share
+      FROM win, n""",
+
+    "q_katz_centrality" -> """
+      WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           und AS (SELECT a.pk AS u, b.pk AS v
+                   FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+                   GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+           dir AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+           deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM dir GROUP BY 1),
+           s2 AS (SELECT dir.u, CAST(SUM(dv.d) AS BIGINT) AS s2
+                  FROM dir JOIN deg dv ON dir.v = dv.u GROUP BY 1),
+           s3 AS (SELECT dir.u, CAST(SUM(sv.s2) AS BIGINT) AS s3
+                  FROM dir JOIN s2 sv ON dir.v = sv.u GROUP BY 1)
+      SELECT deg.u AS part, deg.d AS degree,
+             CAST(4 * deg.d + 2 * s2.s2 + s3.s3 AS BIGINT) AS score8,
+             ROUND(CAST(4 * deg.d + 2 * s2.s2 + s3.s3 AS DOUBLE) / 8.0, 4) + 0
+               AS katz
+      FROM deg JOIN s2 ON deg.u = s2.u JOIN s3 ON deg.u = s3.u
+      ORDER BY score8 DESC, part LIMIT 10""",
+
+    "q_regression_discontinuity" -> """
+      WITH w AS (SELECT l_extendedprice - 30000.0 AS x,
+                        CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y,
+                        l_extendedprice >= 30000.0 AS r
+                 FROM lineitem
+                 WHERE l_extendedprice >= 20000.0 AND l_extendedprice <= 40000.0),
+           s AS (SELECT
+                   SUM(CASE WHEN NOT r THEN 1.0 ELSE 0.0 END) AS ln_,
+                   SUM(CASE WHEN NOT r THEN x ELSE 0.0 END) AS lsx,
+                   SUM(CASE WHEN NOT r THEN x * x ELSE 0.0 END) AS lsxx,
+                   SUM(CASE WHEN NOT r THEN y ELSE 0.0 END) AS lsy,
+                   SUM(CASE WHEN NOT r THEN x * y ELSE 0.0 END) AS lsxy,
+                   SUM(CASE WHEN r THEN 1.0 ELSE 0.0 END) AS rn,
+                   SUM(CASE WHEN r THEN x ELSE 0.0 END) AS rsx,
+                   SUM(CASE WHEN r THEN x * x ELSE 0.0 END) AS rsxx,
+                   SUM(CASE WHEN r THEN y ELSE 0.0 END) AS rsy,
+                   SUM(CASE WHEN r THEN x * y ELSE 0.0 END) AS rsxy
+                 FROM w),
+           f AS (SELECT CAST(ln_ AS BIGINT) AS n_left, CAST(rn AS BIGINT) AS n_right,
+                        (ln_ * lsxy - lsx * lsy) / (ln_ * lsxx - lsx * lsx) AS bl,
+                        (rn * rsxy - rsx * rsy) / (rn * rsxx - rsx * rsx) AS br,
+                        lsy / ln_ - (ln_ * lsxy - lsx * lsy)
+                          / (ln_ * lsxx - lsx * lsx) * (lsx / ln_) AS al,
+                        rsy / rn - (rn * rsxy - rsx * rsy)
+                          / (rn * rsxx - rsx * rsx) * (rsx / rn) AS ar
+                 FROM s)
+      SELECT n_left, n_right, ROUND(ar - al, 4) + 0 AS rd_jump,
+             ROUND(bl * 10000.0, 6) + 0 AS slope_left_per_10k,
+             ROUND(br * 10000.0, 6) + 0 AS slope_right_per_10k
+      FROM f""",
+
+    "q_logrank_test" -> """
+      WITH obs AS (SELECT CAST(user_id % 2 AS BIGINT) AS g,
+                          CAST(date_diff('day', MIN(CAST(ts AS DATE)),
+                            MAX(CAST(ts AS DATE))) AS BIGINT) AS t,
+                          CASE WHEN MAX(CAST(ts AS DATE)) <= DATE '2024-01-23'
+                               THEN 1 ELSE 0 END AS churned
+                   FROM events GROUP BY user_id, user_id % 2),
+           byt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_at,
+                          CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                            AS n_at1,
+                          CAST(SUM(churned) AS BIGINT) AS d,
+                          CAST(SUM(CASE WHEN g = 0 THEN churned ELSE 0 END) AS BIGINT)
+                            AS d1
+                   FROM obs GROUP BY 1),
+           risk AS (SELECT a.t, a.d, a.d1 AS dd1,
+                           CAST(SUM(b.n_at) AS BIGINT) AS nr,
+                           CAST(SUM(b.n_at1) AS BIGINT) AS nr1
+                    FROM byt a JOIN byt b ON b.t >= a.t
+                    GROUP BY 1, 2, 3
+                    HAVING a.d > 0 AND CAST(SUM(b.n_at) AS BIGINT) > 1),
+           s AS (SELECT CAST(SUM(dd1) AS BIGINT) AS o1,
+                        SUM(CAST(d AS DOUBLE) * CAST(nr1 AS DOUBLE)
+                          / CAST(nr AS DOUBLE)) AS e1,
+                        SUM(CAST(d AS DOUBLE)
+                          * (CAST(nr1 AS DOUBLE) / CAST(nr AS DOUBLE))
+                          * (1.0 - CAST(nr1 AS DOUBLE) / CAST(nr AS DOUBLE))
+                          * CAST(nr - d AS DOUBLE)
+                          / (CAST(nr AS DOUBLE) - 1.0)) AS v
+                 FROM risk)
+      SELECT o1 AS observed_g0, ROUND(e1, 4) + 0 AS expected_g0,
+             ROUND((CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1) / v, 4) + 0
+               AS chi2,
+             CAST(CASE WHEN (CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1) / v
+               > 3.841459 THEN 1 ELSE 0 END AS BIGINT) AS curves_differ
+      FROM s""",
+
+    "q_nelson_aalen" -> """
+      WITH obs AS (SELECT CAST(date_diff('day', MIN(CAST(ts AS DATE)),
+                            MAX(CAST(ts AS DATE))) AS BIGINT) AS t,
+                          CASE WHEN MAX(CAST(ts AS DATE)) <= DATE '2024-01-23'
+                               THEN 1 ELSE 0 END AS churned
+                   FROM events GROUP BY user_id),
+           byt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_at,
+                          CAST(SUM(churned) AS BIGINT) AS d
+                   FROM obs GROUP BY 1),
+           risk AS (SELECT a.t, a.n_at, a.d, CAST(SUM(b.n_at) AS BIGINT) AS nr
+                    FROM byt a JOIN byt b ON b.t >= a.t
+                    GROUP BY 1, 2, 3),
+           na AS (SELECT a.t, a.nr AS n_risk, a.d,
+                         SUM(CAST(b.d AS DOUBLE) / CAST(b.nr AS DOUBLE)) AS h,
+                         SUM(CAST(b.d AS DOUBLE)
+                           / (CAST(b.nr AS DOUBLE) * CAST(b.nr AS DOUBLE))) AS vh
+                  FROM risk a JOIN risk b ON b.t <= a.t
+                  GROUP BY 1, 2, 3)
+      SELECT t, n_risk, d AS n_churned, ROUND(h, 4) + 0 AS na_cumhaz,
+             ROUND(SQRT(vh), 4) + 0 AS na_se
+      FROM na ORDER BY t""",
+
+    "q_yuen_ttest" -> """
+      WITH gv AS (SELECT o_orderpriority AS g,
+                         CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) // 10000
+                           AS BIGINT) AS v,
+                         CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+                  GROUP BY 1, 2),
+           stats AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n,
+                            CAST(CAST(SUM(cnt) AS BIGINT) // 5 AS BIGINT) AS tr
+                     FROM gv GROUP BY 1),
+           cum AS (SELECT a.g, a.v, a.cnt,
+                          CAST(COALESCE(SUM(b.cnt), 0) AS BIGINT) AS cb, n, tr
+                   FROM gv a LEFT JOIN gv b ON b.g = a.g AND b.v < a.v
+                   JOIN stats ON stats.g = a.g
+                   GROUP BY a.g, a.v, a.cnt, n, tr),
+           kept AS (SELECT g, v, n, tr,
+                           GREATEST(LEAST(cb + cnt, n - tr) - GREATEST(cb, tr), 0)
+                             AS keep
+                    FROM cum),
+           bounds AS (SELECT g, n, tr,
+                             MIN(CASE WHEN cb + cnt >= tr + 1 THEN v END) AS vlo,
+                             MIN(CASE WHEN cb + cnt >= n - tr THEN v END) AS vhi
+                      FROM cum GROUP BY 1, 2, 3),
+           core AS (SELECT g, CAST(SUM(keep * v) AS BIGINT) AS tsum,
+                           CAST(SUM(keep * v * v) AS BIGINT) AS tss,
+                           CAST(SUM(keep) AS BIGINT) AS h
+                    FROM kept GROUP BY 1),
+           agg AS (SELECT core.g, n, tr, h,
+                          CAST(tsum AS DOUBLE) / CAST(h AS DOUBLE) AS tmean,
+                          CAST(tss + tr * vlo * vlo + tr * vhi * vhi AS DOUBLE)
+                            / CAST(n AS DOUBLE)
+                          - (CAST(tsum + tr * vlo + tr * vhi AS DOUBLE)
+                            / CAST(n AS DOUBLE))
+                            * (CAST(tsum + tr * vlo + tr * vhi AS DOUBLE)
+                              / CAST(n AS DOUBLE)) AS wvar
+                   FROM core JOIN bounds ON core.g = bounds.g),
+           dt AS (SELECT g, n, h, tmean,
+                         wvar * CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0)
+                           * (CAST(n AS DOUBLE) - 1.0)
+                           / (CAST(h AS DOUBLE) * (CAST(h AS DOUBLE) - 1.0)) AS dterm
+                  FROM agg),
+           ab AS (SELECT a.h AS h1, b.h AS h2, a.tmean AS tm1, b.tmean AS tm2,
+                         a.dterm AS d1, b.dterm AS d2
+                  FROM (SELECT * FROM dt WHERE g = '1-URGENT') a,
+                       (SELECT * FROM dt WHERE g = '5-LOW') b)
+      SELECT h1, h2,
+             ROUND((tm1 - tm2) / 100.0, 2) + 0 AS trimmed_diff_dollars,
+             ROUND((tm1 - tm2) / SQRT(d1 + d2), 4) + 0 AS yuen_t,
+             CAST(CASE WHEN ABS((tm1 - tm2) / SQRT(d1 + d2)) > 1.959964
+               THEN 1 ELSE 0 END AS BIGINT) AS reject_equal_trimmed
+      FROM ab""",
+
+    "q_abc_xyz_matrix" -> """
+      WITH li AS (SELECT l_partkey AS p,
+                         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                           AS m,
+                         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS rev,
+                         CAST(l_quantity AS BIGINT) AS q
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           part AS (SELECT p, CAST(CAST(SUM(rev) AS BIGINT) // 10000 AS BIGINT) AS rv
+                    FROM li GROUP BY 1),
+           pm AS (SELECT p,
+                         SQRT(CAST(sqq AS DOUBLE) / CAST(nm AS DOUBLE)
+                           - (CAST(sq AS DOUBLE) / CAST(nm AS DOUBLE))
+                             * (CAST(sq AS DOUBLE) / CAST(nm AS DOUBLE)))
+                           / (CAST(sq AS DOUBLE) / CAST(nm AS DOUBLE)) AS cv
+                  FROM (SELECT p, CAST(COUNT(*) AS BIGINT) AS nm,
+                               CAST(SUM(qm) AS BIGINT) AS sq,
+                               CAST(SUM(qm * qm) AS BIGINT) AS sqq
+                        FROM (SELECT p, m, CAST(SUM(q) AS BIGINT) AS qm
+                              FROM li GROUP BY 1, 2)
+                        GROUP BY 1)),
+           vals AS (SELECT rv, CAST(COUNT(*) AS BIGINT) AS t FROM part GROUP BY 1),
+           tot AS (SELECT CAST(SUM(t) AS BIGINT) AS n,
+                          CAST((4 * CAST(SUM(t) AS BIGINT) + 4) // 5 AS BIGINT) AS k80,
+                          CAST((19 * CAST(SUM(t) AS BIGINT) + 19) // 20 AS BIGINT)
+                            AS k95
+                   FROM vals),
+           cuts AS (SELECT MIN(CASE WHEN cum >= k80 THEN rv END) AS c80,
+                           MIN(CASE WHEN cum >= k95 THEN rv END) AS c95
+                    FROM (SELECT a.rv, CAST(SUM(b.t) AS BIGINT) AS cum
+                          FROM vals a JOIN vals b ON b.rv <= a.rv GROUP BY 1), tot),
+           cls AS (SELECT CASE WHEN rv > c95 THEN 'A' WHEN rv > c80 THEN 'B'
+                               ELSE 'C' END AS abc,
+                          CASE WHEN cv < 0.5 THEN 'X' WHEN cv < 1.0 THEN 'Y'
+                               ELSE 'Z' END AS xyz,
+                          rv
+                   FROM part JOIN pm ON part.p = pm.p, cuts)
+      SELECT abc, xyz, CAST(COUNT(*) AS BIGINT) AS n_parts,
+             CAST(SUM(rv) AS BIGINT) AS rev_bins
+      FROM cls GROUP BY 1, 2 ORDER BY abc, xyz""",
+
+    "q_gmm_em_step" -> """
+      WITH x AS (SELECT CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DOUBLE)
+                          / 100.0 AS x
+                 FROM orders),
+           r AS (SELECT x,
+                        1.0 / (1.0 + EXP(((x - 300000.0) * (x - 300000.0)
+                          - (x - 100000.0) * (x - 100000.0)) / 2.0e10)) AS r2
+                 FROM x),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(r2) AS sr2,
+                        SUM(r2 * x) AS sx2, SUM((1.0 - r2) * x) AS sx1
+                 FROM r)
+      SELECT n AS n_orders,
+             ROUND(sr2 / CAST(n AS DOUBLE), 4) + 0 AS pi2_new,
+             ROUND(sx1 / (CAST(n AS DOUBLE) - sr2), 2) + 0 AS mu1_new,
+             ROUND(sx2 / sr2, 2) + 0 AS mu2_new
+      FROM s""",
+
+    "q_propensity_balance" -> """
+      WITH s AS (SELECT -2.0 + 30.0 * l_discount
+                          + 0.02 * CAST(l_quantity AS DOUBLE) AS s,
+                        l_extendedprice > 30000.0 AS tr,
+                        CAST(l_quantity AS BIGINT) AS q
+                 FROM lineitem),
+           st AS (SELECT CASE WHEN s < -1.0 THEN 0 WHEN s < -0.5 THEN 1
+                              WHEN s < 0.0 THEN 2 WHEN s < 0.5 THEN 3
+                              ELSE 4 END AS stratum, tr, q
+                  FROM s),
+           g AS (SELECT CAST(stratum AS BIGINT) AS stratum,
+                        CAST(SUM(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+                        CAST(SUM(CASE WHEN NOT tr THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+                        CAST(SUM(CASE WHEN tr THEN q ELSE 0 END) AS BIGINT) AS sqt,
+                        CAST(SUM(CASE WHEN NOT tr THEN q ELSE 0 END) AS BIGINT) AS sqc,
+                        CAST(SUM(CASE WHEN tr THEN q * q ELSE 0 END) AS BIGINT)
+                          AS sqqt,
+                        CAST(SUM(CASE WHEN NOT tr THEN q * q ELSE 0 END) AS BIGINT)
+                          AS sqqc
+                 FROM st GROUP BY 1
+                 HAVING CAST(SUM(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT) > 0
+                    AND CAST(SUM(CASE WHEN NOT tr THEN 1 ELSE 0 END) AS BIGINT) > 0)
+      SELECT stratum, nt, nc,
+             ROUND((CAST(sqt AS DOUBLE) / CAST(nt AS DOUBLE)
+               - CAST(sqc AS DOUBLE) / CAST(nc AS DOUBLE))
+               / SQRT(((CAST(sqqt AS DOUBLE) / CAST(nt AS DOUBLE)
+                 - (CAST(sqt AS DOUBLE) / CAST(nt AS DOUBLE))
+                   * (CAST(sqt AS DOUBLE) / CAST(nt AS DOUBLE)))
+                 + (CAST(sqqc AS DOUBLE) / CAST(nc AS DOUBLE)
+                   - (CAST(sqc AS DOUBLE) / CAST(nc AS DOUBLE))
+                     * (CAST(sqc AS DOUBLE) / CAST(nc AS DOUBLE))))
+                 / 2.0), 4) + 0 AS std_diff_qty
+      FROM g ORDER BY stratum""",
+
+    "q_benjamini_yekutieli" -> """
+      WITH j AS (SELECT c.c_nationkey AS nk,
+                        CAST(ROUND(o_totalprice * 100) AS BIGINT) AS tp
+                 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+           g AS (SELECT CAST(SUM(tp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mu,
+                        SQRT(CAST(SUM(CAST(tp AS HUGEINT) * tp) AS DOUBLE)
+                               / CAST(COUNT(*) AS DOUBLE)
+                             - (CAST(SUM(tp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                               * (CAST(SUM(tp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)))
+                          AS sigma
+                 FROM j),
+           pv AS (SELECT nk, CAST(COUNT(*) AS BIGINT) AS ni,
+                         CAST(SUM(tp) AS BIGINT) AS si
+                  FROM j GROUP BY 1),
+           p AS (SELECT nk, ROUND(2.0 / (1.0 + exp(1.702 * abs(
+                          (CAST(si AS DOUBLE) / CAST(ni AS DOUBLE) - mu)
+                            / (sigma / SQRT(CAST(ni AS DOUBLE)))))), 7) AS p
+                 FROM pv, g),
+           rk AS (SELECT a.nk, a.p, CAST(COUNT(*) AS BIGINT) AS rk
+                  FROM p a JOIN p b ON b.p < a.p OR (b.p = a.p AND b.nk <= a.nk)
+                  GROUP BY 1, 2),
+           mc AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                         SUM(1.0 / CAST(rk AS DOUBLE)) AS cm
+                  FROM rk),
+           fl AS (SELECT nk, p, rk, cm,
+                         CASE WHEN p <= CAST(rk AS DOUBLE) * 0.10
+                                        / (CAST(m AS DOUBLE) * cm)
+                              THEN 1 ELSE 0 END AS passes
+                  FROM rk, mc),
+           ks AS (SELECT COALESCE(MAX(CASE WHEN passes = 1 THEN rk END),
+                    CAST(0 AS BIGINT)) AS kstar FROM fl)
+      SELECT nk AS nationkey, p + 0 AS p_approx, rk AS by_rank,
+             ROUND(cm, 6) + 0 AS c_m,
+             CAST(CASE WHEN rk <= kstar THEN 1 ELSE 0 END AS BIGINT) AS rejected
+      FROM fl, ks ORDER BY nationkey""",
   )
 }
