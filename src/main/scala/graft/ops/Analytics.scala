@@ -4720,4 +4720,257 @@ object Analytics {
       .agg(count(lit(1)).as("n_parts"), sum(col("rv")).as("rev_bins"))
       .orderBy("abc", "xyz")
   }
+
+  private def copurchaseDir(spark: SparkSession, sf: String): DataFrame = {
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val und = items.as("a")
+      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("s"))
+      .filter(col("s") >= 2)
+      .select(col("u"), col("v"))
+    und.select(col("u"), col("v"))
+      .union(und.select(col("v").as("u"), col("u").as("v")))
+  }
+
+  /** Harmonic centrality truncated at 3 hops for the top-100-degree
+    * seed nodes of the co-purchase graph (seed-bounded so the closure
+    * never goes quadratic in the node count): h·6 = 6·|d1| + 3·|d2| +
+    * 2·|d3| — an exact integer ranking.
+    */
+  def q_harmonic_centrality(spark: SparkSession, sf: String): DataFrame = {
+    val dir = copurchaseDir(spark, sf).localCheckpoint()
+    val deg = dir.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val seeds = deg.orderBy(col("d").desc, col("u").asc).limit(100)
+      .select(col("u").as("s0"))
+    val d1 = seeds.join(dir, col("s0") === col("u"))
+      .select(col("s0"), col("v").as("w")).localCheckpoint()
+    val r2 = d1.join(dir, col("w") === col("u"))
+      .select(col("s0"), col("v").as("w")).distinct()
+      .filter(col("w") =!= col("s0"))
+    val d2 = r2.join(d1.select(col("s0"), col("w"), lit(1).as("hit")),
+        Seq("s0", "w"), "left_anti")
+      .localCheckpoint()
+    val r3 = d2.join(dir, col("w") === col("u"))
+      .select(col("s0"), col("v").as("w")).distinct()
+      .filter(col("w") =!= col("s0"))
+    val d3 = r3.join(d1, Seq("s0", "w"), "left_anti")
+      .join(d2, Seq("s0", "w"), "left_anti")
+    val c1 = d1.groupBy(col("s0")).agg(count(lit(1)).as("n1"))
+    val c2 = d2.groupBy(col("s0")).agg(count(lit(1)).as("n2"))
+    val c3 = d3.groupBy(col("s0")).agg(count(lit(1)).as("n3"))
+    c1.join(c2, Seq("s0"), "left").join(c3, Seq("s0"), "left")
+      .select(col("s0").as("part"), col("n1"),
+        coalesce(col("n2"), lit(0L)).as("n2"),
+        coalesce(col("n3"), lit(0L)).as("n3"))
+      .select(col("part"), col("n1"), col("n2"), col("n3"),
+        (lit(6L) * col("n1") + lit(3L) * col("n2") + lit(2L) * col("n3"))
+          .as("h6"))
+      .select(col("part"), col("n1"), col("n2"), col("n3"), col("h6"),
+        (round(col("h6").cast("double") / lit(6.0), 4) + lit(0.0)).as("harmonic"))
+      .orderBy(col("h6").desc, col("part").asc)
+      .limit(10)
+  }
+
+  /** Burt's network constraint for the top-100-degree seeds of the
+    * co-purchase graph: C_i = Σ_j (p_ij + Σ_q p_iq p_qj)² with
+    * p = 1/degree — ranked on the e6-rounded score so the top-10 is
+    * stable across engines.
+    */
+  def q_burt_constraint(spark: SparkSession, sf: String): DataFrame = {
+    val dir = copurchaseDir(spark, sf).localCheckpoint()
+    val deg = dir.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val seeds = deg.orderBy(col("d").desc, col("u").asc).limit(100)
+      .select(col("u").as("i"), col("d").as("di"))
+    val sedges = seeds.join(dir, col("i") === col("u"))
+      .select(col("i"), col("di"), col("v").as("j")).localCheckpoint()
+    val ind = sedges.as("e")
+      .join(dir.select(col("u").as("i2"), col("v").as("q")).as("p1"),
+        col("i2") === col("e.i"))
+      .join(dir.select(col("u").as("q2"), col("v").as("j2")).as("p2"),
+        col("q2") === col("q") && col("j2") === col("e.j"))
+      .join(deg.select(col("u").as("qd"), col("d").as("dq")), col("qd") === col("q"))
+      .groupBy(col("e.i").as("i"), col("e.j").as("j"))
+      .agg(sum(lit(1.0) / col("e.di").cast("double")
+        / col("dq").cast("double")).as("indirect"))
+    sedges.join(ind, Seq("i", "j"), "left")
+      .select(col("i"), col("di"),
+        ((lit(1.0) / col("di").cast("double") + coalesce(col("indirect"), lit(0.0)))
+          * (lit(1.0) / col("di").cast("double")
+            + coalesce(col("indirect"), lit(0.0)))).as("cij"))
+      .groupBy(col("i"), col("di"))
+      .agg(sum(col("cij")).as("c"))
+      .select(col("i").as("part"), col("di").as("degree"),
+        (round(col("c"), 6) + lit(0.0)).as("constraint"))
+      .orderBy(col("constraint").desc, col("part").asc)
+      .limit(10)
+  }
+
+  private def brandMonthly(spark: SparkSession, sf: String, brand: String,
+      q: String, p: String): DataFrame =
+    Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
+      .filter(col("p_brand") === brand)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("m"))
+      .agg(sum(col("l_quantity").cast("long")).as(q),
+        sum(cents(col("l_extendedprice"))).as(p + "_rev"),
+        count(lit(1)).as(p + "_n"))
+
+  /** Cross-price elasticity: ln(quantity of Brand#4) regressed on
+    * ln(mean item price of Brand#2) across months — negative β means
+    * substitution; own-series correlation reported alongside. All lns
+    * applied to exact-derived ratios, identical IEEE trees.
+    */
+  def q_cross_elasticity(spark: SparkSession, sf: String): DataFrame = {
+    val a = brandMonthly(spark, sf, "Brand#4", "qa", "pa")
+      .select(col("m"), col("qa"))
+    val b = brandMonthly(spark, sf, "Brand#2", "qb", "pb")
+      .select(col("m"),
+        (col("pb_rev").cast("double") / col("pb_n").cast("double")).as("priceb"))
+    a.join(b, "m")
+      .select(log(col("qa").cast("double")).as("ly"),
+        log(col("priceb")).as("lx"))
+      .agg(count(lit(1)).as("n"), sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
+        sum(col("lx") * col("ly")).as("sxy"), sum(col("lx") * col("lx")).as("sxx"),
+        sum(col("ly") * col("ly")).as("syy"))
+      .select(col("n").as("n_months"),
+        (round((col("n").cast("double") * col("sxy") - col("sx") * col("sy"))
+          / (col("n").cast("double") * col("sxx") - col("sx") * col("sx")), 4)
+          + lit(0.0)).as("cross_elasticity"),
+        (round((col("n").cast("double") * col("sxy") - col("sx") * col("sy"))
+          / (sqrt(col("n").cast("double") * col("sxx") - col("sx") * col("sx"))
+            * sqrt(col("n").cast("double") * col("syy") - col("sy") * col("sy"))), 4)
+          + lit(0.0)).as("ln_corr"))
+  }
+
+  /** Safety stock and reorder point per return flag from weekly demand
+    * variability: ss = z·σ_week·√LT with z = 1.6448536 (95% service)
+    * and a 2-week literal lead time — σ from exact integer sums.
+    */
+  def q_safety_stock(spark: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag").as("flag"),
+        expr("CAST(datediff(l_shipdate, DATE '1992-01-01') div 7 AS BIGINT)")
+          .as("wk"))
+      .agg(sum(col("l_quantity").cast("long")).as("q"))
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n_weeks"), sum(col("q")).as("sq"),
+        sum(col("q").cast("double") * col("q").cast("double")).as("sqq"))
+      .select(col("flag"), col("n_weeks"),
+        (col("sq").cast("double") / col("n_weeks").cast("double")).as("mu"),
+        sqrt(col("sqq") / col("n_weeks").cast("double")
+          - (col("sq").cast("double") / col("n_weeks").cast("double"))
+            * (col("sq").cast("double") / col("n_weeks").cast("double"))).as("sig"))
+      .select(col("flag"), col("n_weeks"),
+        (round(col("mu"), 2) + lit(0.0)).as("mean_weekly_qty"),
+        (round(col("sig"), 4) + lit(0.0)).as("sd_weekly_qty"),
+        (round(lit(1.6448536) * col("sig") * sqrt(lit(2.0)), 2) + lit(0.0))
+          .as("safety_stock"),
+        (round(col("mu") * lit(2.0)
+          + lit(1.6448536) * col("sig") * sqrt(lit(2.0)), 2) + lit(0.0))
+          .as("reorder_point"))
+      .orderBy("flag")
+
+  private def sesPred(spark: SparkSession, sf: String): DataFrame = {
+    val rev = monthlyRevenue(spark, sf)
+    rev.as("a")
+      .join(rev.select(col("m").as("m2"), col("rev").as("rev2")).as("b"),
+        col("m2").between(col("m") - 12, col("m") - 1))
+      .groupBy(col("a.m").as("m"), col("a.rev").as("actual"))
+      .agg(count(lit(1)).as("k"),
+        sum(col("rev2").cast("double")
+          * pow(lit(0.5), (col("a.m") - col("m2")).cast("double"))).as("yhat"))
+      .filter(col("k") === 12)
+  }
+
+  /** Theil's U2: the SES (α=½, 12-month kernel) forecast's RMSE
+    * relative to the naive last-month forecast over the same months —
+    * U2 < 1 means the model beats naive.
+    */
+  def q_theil_u2(spark: SparkSession, sf: String): DataFrame = {
+    val rev = monthlyRevenue(spark, sf)
+    sesPred(spark, sf)
+      .join(rev.select((col("m") + 1L).as("m"), col("rev").as("naive")), "m")
+      .agg(count(lit(1)).as("n"),
+        sum((col("yhat") - col("actual").cast("double"))
+          * (col("yhat") - col("actual").cast("double"))).as("ssm"),
+        sum((col("naive") - col("actual")).cast("double")
+          * (col("naive") - col("actual")).cast("double")).as("ssn"))
+      .select(col("n").as("n_forecasts"),
+        (round(sqrt(col("ssm") / col("ssn")), 4) + lit(0.0)).as("theil_u2"),
+        when(col("ssm") < col("ssn"), 1L).otherwise(0L).as("beats_naive"))
+  }
+
+  /** Diebold–Mariano comparison of the SES and naive forecasts on
+    * squared-error loss: d_t = e²_ses − e²_naive, DM = d̄/√(s²_d/n).
+    */
+  def q_diebold_mariano(spark: SparkSession, sf: String): DataFrame = {
+    val rev = monthlyRevenue(spark, sf)
+    sesPred(spark, sf)
+      .join(rev.select((col("m") + 1L).as("m"), col("rev").as("naive")), "m")
+      .select(((col("yhat") - col("actual").cast("double"))
+        * (col("yhat") - col("actual").cast("double"))
+        - (col("naive") - col("actual")).cast("double")
+          * (col("naive") - col("actual")).cast("double")).as("d"))
+      .agg(count(lit(1)).as("n"), sum(col("d")).as("sd"),
+        sum(col("d") * col("d")).as("sdd"))
+      .select(col("n").as("n_forecasts"),
+        (round((col("sd") / col("n").cast("double"))
+          / sqrt((col("sdd") / col("n").cast("double")
+            - (col("sd") / col("n").cast("double"))
+              * (col("sd") / col("n").cast("double"))) / col("n").cast("double")), 4)
+          + lit(0.0)).as("dm_stat"),
+        when(col("sd") < 0.0, 1L).otherwise(0L).as("ses_better"))
+  }
+
+  /** Mincer–Zarnowitz forecast-rationality regression actual = a +
+    * b·forecast for the SES forecasts: intercept (dollars), slope, and
+    * the t-statistic of b against 1 from the closed-form OLS variance.
+    */
+  def q_mincer_zarnowitz(spark: SparkSession, sf: String): DataFrame =
+    sesPred(spark, sf)
+      .select(col("actual").cast("double").as("y"), col("yhat").as("x"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n"),
+        ((col("n").cast("double") * col("sxy") - col("sx") * col("sy"))
+          / (col("n").cast("double") * col("sxx") - col("sx") * col("sx"))).as("b"),
+        (col("sxx") - col("sx") * col("sx") / col("n").cast("double")).as("cxx"),
+        (col("syy") - col("sy") * col("sy") / col("n").cast("double")).as("cyy"),
+        (col("sxy") - col("sx") * col("sy") / col("n").cast("double")).as("cxy"),
+        (col("sy").cast("double") / col("n").cast("double")).as("ybar"),
+        (col("sx").cast("double") / col("n").cast("double")).as("xbar"))
+      .select(col("n").as("n_forecasts"),
+        (round((col("ybar") - col("b") * col("xbar")) / lit(100.0), 2) + lit(0.0))
+          .as("alpha_dollars"),
+        (round(col("b"), 4) + lit(0.0)).as("beta"),
+        (round((col("b") - lit(1.0))
+          / sqrt(((col("cyy") - col("b") * col("cxy"))
+            / (col("n").cast("double") - lit(2.0))) / col("cxx")), 4) + lit(0.0))
+          .as("t_beta_vs_1"))
+
+  /** Directional accuracy of the SES forecast: share of months where
+    * the predicted month-over-month change has the correct sign, with
+    * the binomial z against the 50% coin flip — the sign comparison is
+    * exact (forecast deltas are exact dyadic doubles).
+    */
+  def q_directional_accuracy(spark: SparkSession, sf: String): DataFrame = {
+    val p = sesPred(spark, sf).localCheckpoint()
+    p.as("a")
+      .join(p.select(col("m").as("m2"), col("actual").as("prev"),
+        col("yhat").as("yh2")).as("b"), col("m2") === col("m") - 1)
+      .select((signum(col("yhat") - col("prev").cast("double"))
+        === signum((col("actual") - col("prev")).cast("double"))).as("hit"))
+      .agg(count(lit(1)).as("n"), sum(when(col("hit"), 1L).otherwise(0L)).as("hits"))
+      .select(col("n"), col("hits"),
+        (round(col("hits").cast("double") / col("n").cast("double"), 4) + lit(0.0))
+          .as("hit_rate"),
+        (round((col("hits").cast("double")
+          - col("n").cast("double") / lit(2.0))
+          / sqrt(col("n").cast("double") / lit(4.0)), 4) + lit(0.0)).as("z"))
+  }
 }

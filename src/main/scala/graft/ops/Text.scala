@@ -783,4 +783,39 @@ object Text {
         (round((col("n_tokens").cast("double")
           * (col("n_tokens").cast("double") - lit(1.0)))
           / col("srr").cast("double"), 4) + lit(0.0)).as("inverse_simpson"))
+
+  private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+    "is", "it", "that", "as", "for", "on", "with", "was", "be", "by", "at",
+    "this", "are", "from", "not", "but", "have")
+
+  /** Lexical density per language: the share of non-stopword tokens
+    * (25-word literal function-word list) — a direct informativeness
+    * proxy for corpus filtering.
+    */
+  def q_lexical_density(spark: SparkSession, sf: String): DataFrame =
+    docTokens(spark, sf)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("word").isin(stopwords: _*), 1L).otherwise(0L)).as("n_stop"))
+      .select(col("lang"), col("n_tokens"), col("n_stop"),
+        (round((col("n_tokens") - col("n_stop")).cast("double")
+          / col("n_tokens").cast("double"), 4) + lit(0.0)).as("lexical_density"))
+      .orderBy("lang")
+
+  /** Mean token log-frequency per document (a Zipf-based difficulty
+    * score): each token scored ln(corpus count), per-document average,
+    * reported as an integer-bucketed distribution.
+    */
+  def q_mean_token_logfreq(spark: SparkSession, sf: String): DataFrame = {
+    val wc = docTokens(spark, sf)
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+    docTokens(spark, sf)
+      .join(broadcast(wc), "word")
+      .groupBy(col("doc_id"))
+      .agg(avg(log(col("c").cast("double"))).as("mlf"))
+      .groupBy(floor(col("mlf")).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        (round(avg(col("mlf")), 4) + lit(0.0)).as("mean_logfreq"))
+      .orderBy("bucket")
+  }
 }

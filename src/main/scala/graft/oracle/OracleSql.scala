@@ -10608,5 +10608,249 @@ object OracleSql {
              ROUND(cm, 6) + 0 AS c_m,
              CAST(CASE WHEN rk <= kstar THEN 1 ELSE 0 END AS BIGINT) AS rejected
       FROM fl, ks ORDER BY nationkey""",
+
+    "q_harmonic_centrality" -> """
+      WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           und AS (SELECT a.pk AS u, b.pk AS v
+                   FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+                   GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+           dir AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+           deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM dir GROUP BY 1),
+           seeds AS (SELECT u AS s0 FROM deg ORDER BY d DESC, u LIMIT 100),
+           d1 AS (SELECT s0, v AS w FROM seeds JOIN dir ON s0 = dir.u),
+           r2 AS (SELECT DISTINCT d1.s0, dir.v AS w
+                  FROM d1 JOIN dir ON d1.w = dir.u
+                  WHERE dir.v <> d1.s0),
+           d2 AS (SELECT r2.s0, r2.w FROM r2
+                  WHERE NOT EXISTS (SELECT 1 FROM d1
+                                    WHERE d1.s0 = r2.s0 AND d1.w = r2.w)),
+           r3 AS (SELECT DISTINCT d2.s0, dir.v AS w
+                  FROM d2 JOIN dir ON d2.w = dir.u
+                  WHERE dir.v <> d2.s0),
+           d3 AS (SELECT r3.s0, r3.w FROM r3
+                  WHERE NOT EXISTS (SELECT 1 FROM d1
+                                    WHERE d1.s0 = r3.s0 AND d1.w = r3.w)
+                    AND NOT EXISTS (SELECT 1 FROM d2
+                                    WHERE d2.s0 = r3.s0 AND d2.w = r3.w)),
+           c1 AS (SELECT s0, CAST(COUNT(*) AS BIGINT) AS n1 FROM d1 GROUP BY 1),
+           c2 AS (SELECT s0, CAST(COUNT(*) AS BIGINT) AS n2 FROM d2 GROUP BY 1),
+           c3 AS (SELECT s0, CAST(COUNT(*) AS BIGINT) AS n3 FROM d3 GROUP BY 1),
+           h AS (SELECT c1.s0 AS part, n1, COALESCE(n2, 0) AS n2,
+                        COALESCE(n3, 0) AS n3
+                 FROM c1 LEFT JOIN c2 ON c1.s0 = c2.s0
+                 LEFT JOIN c3 ON c1.s0 = c3.s0)
+      SELECT part, n1, n2, n3,
+             CAST(6 * n1 + 3 * n2 + 2 * n3 AS BIGINT) AS h6,
+             ROUND(CAST(6 * n1 + 3 * n2 + 2 * n3 AS DOUBLE) / 6.0, 4) + 0
+               AS harmonic
+      FROM h ORDER BY h6 DESC, part LIMIT 10""",
+
+    "q_burt_constraint" -> """
+      WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           und AS (SELECT a.pk AS u, b.pk AS v
+                   FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+                   GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+           dir AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+           deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM dir GROUP BY 1),
+           seeds AS (SELECT u AS i, d AS di FROM deg ORDER BY d DESC, u LIMIT 100),
+           sedges AS (SELECT i, di, v AS j FROM seeds JOIN dir ON i = dir.u),
+           ind AS (SELECT e.i, e.j, SUM(1.0 / CAST(e.di AS DOUBLE)
+                     / CAST(dq.d AS DOUBLE)) AS indirect
+                   FROM sedges e
+                   JOIN dir p1 ON p1.u = e.i
+                   JOIN dir p2 ON p2.u = p1.v AND p2.v = e.j
+                   JOIN deg dq ON dq.u = p1.v
+                   GROUP BY 1, 2),
+           cij AS (SELECT sedges.i, di,
+                          (1.0 / CAST(di AS DOUBLE) + COALESCE(indirect, 0.0))
+                            * (1.0 / CAST(di AS DOUBLE) + COALESCE(indirect, 0.0))
+                            AS cij
+                   FROM sedges LEFT JOIN ind
+                     ON sedges.i = ind.i AND sedges.j = ind.j),
+           c AS (SELECT i AS part, di AS degree, ROUND(SUM(cij), 6) + 0
+                          AS constraint_score
+                 FROM cij GROUP BY 1, 2)
+      SELECT part, degree, constraint_score AS "constraint"
+      FROM c ORDER BY constraint_score DESC, part LIMIT 10""",
+
+    "q_cross_elasticity" -> """
+      WITH a AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                          AS m,
+                        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qa
+                 FROM lineitem JOIN part ON l_partkey = p_partkey
+                 JOIN orders ON l_orderkey = o_orderkey
+                 WHERE p_brand = 'Brand#4' GROUP BY 1),
+           b AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                          AS m,
+                        CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                          AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS priceb
+                 FROM lineitem JOIN part ON l_partkey = p_partkey
+                 JOIN orders ON l_orderkey = o_orderkey
+                 WHERE p_brand = 'Brand#2' GROUP BY 1),
+           l AS (SELECT LN(CAST(qa AS DOUBLE)) AS ly, LN(priceb) AS lx
+                 FROM a JOIN b ON a.m = b.m),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(lx) AS sx, SUM(ly) AS sy,
+                        SUM(lx * ly) AS sxy, SUM(lx * lx) AS sxx, SUM(ly * ly) AS syy
+                 FROM l)
+      SELECT n AS n_months,
+             ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+               / (CAST(n AS DOUBLE) * sxx - sx * sx), 4) + 0 AS cross_elasticity,
+             ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+               / (SQRT(CAST(n AS DOUBLE) * sxx - sx * sx)
+                 * SQRT(CAST(n AS DOUBLE) * syy - sy * sy)), 4) + 0 AS ln_corr
+      FROM s""",
+
+    "q_safety_stock" -> """
+      WITH wk AS (SELECT l_returnflag AS flag,
+                         CAST(date_diff('day', DATE '1992-01-01', l_shipdate)
+                           AS BIGINT) // 7 AS wk,
+                         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+                  FROM lineitem GROUP BY 1, 2),
+           s AS (SELECT flag, CAST(COUNT(*) AS BIGINT) AS n_weeks,
+                        CAST(SUM(q) AS BIGINT) AS sq,
+                        SUM(CAST(q AS DOUBLE) * CAST(q AS DOUBLE)) AS sqq
+                 FROM wk GROUP BY 1),
+           m AS (SELECT flag, n_weeks,
+                        CAST(sq AS DOUBLE) / CAST(n_weeks AS DOUBLE) AS mu,
+                        SQRT(sqq / CAST(n_weeks AS DOUBLE)
+                          - (CAST(sq AS DOUBLE) / CAST(n_weeks AS DOUBLE))
+                            * (CAST(sq AS DOUBLE) / CAST(n_weeks AS DOUBLE))) AS sig
+                 FROM s)
+      SELECT flag, n_weeks, ROUND(mu, 2) + 0 AS mean_weekly_qty,
+             ROUND(sig, 4) + 0 AS sd_weekly_qty,
+             ROUND(1.6448536 * sig * SQRT(2.0), 2) + 0 AS safety_stock,
+             ROUND(mu * 2.0 + 1.6448536 * sig * SQRT(2.0), 2) + 0 AS reorder_point
+      FROM m ORDER BY flag""",
+
+    "q_theil_u2" -> """
+      WITH rev AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                            AS m,
+                          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                            AS rev
+                   FROM orders GROUP BY 1),
+           pred AS (SELECT a.m, a.rev AS actual,
+                           SUM(CAST(b.rev AS DOUBLE)
+                             * POWER(0.5, CAST(a.m - b.m AS DOUBLE))) AS yhat
+                    FROM rev a JOIN rev b ON b.m BETWEEN a.m - 12 AND a.m - 1
+                    GROUP BY 1, 2 HAVING COUNT(*) = 12),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                        SUM((yhat - CAST(actual AS DOUBLE))
+                          * (yhat - CAST(actual AS DOUBLE))) AS ssm,
+                        SUM(CAST(nv.rev - pred.actual AS DOUBLE)
+                          * CAST(nv.rev - pred.actual AS DOUBLE)) AS ssn
+                 FROM pred JOIN rev nv ON nv.m + 1 = pred.m)
+      SELECT n AS n_forecasts, ROUND(SQRT(ssm / ssn), 4) + 0 AS theil_u2,
+             CAST(CASE WHEN ssm < ssn THEN 1 ELSE 0 END AS BIGINT) AS beats_naive
+      FROM s""",
+
+    "q_diebold_mariano" -> """
+      WITH rev AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                            AS m,
+                          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                            AS rev
+                   FROM orders GROUP BY 1),
+           pred AS (SELECT a.m, a.rev AS actual,
+                           SUM(CAST(b.rev AS DOUBLE)
+                             * POWER(0.5, CAST(a.m - b.m AS DOUBLE))) AS yhat
+                    FROM rev a JOIN rev b ON b.m BETWEEN a.m - 12 AND a.m - 1
+                    GROUP BY 1, 2 HAVING COUNT(*) = 12),
+           d AS (SELECT (yhat - CAST(actual AS DOUBLE))
+                          * (yhat - CAST(actual AS DOUBLE))
+                        - CAST(nv.rev - pred.actual AS DOUBLE)
+                          * CAST(nv.rev - pred.actual AS DOUBLE) AS d
+                 FROM pred JOIN rev nv ON nv.m + 1 = pred.m),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(d) AS sd,
+                        SUM(d * d) AS sdd
+                 FROM d)
+      SELECT n AS n_forecasts,
+             ROUND((sd / CAST(n AS DOUBLE))
+               / SQRT((sdd / CAST(n AS DOUBLE)
+                 - (sd / CAST(n AS DOUBLE)) * (sd / CAST(n AS DOUBLE)))
+                 / CAST(n AS DOUBLE)), 4) + 0 AS dm_stat,
+             CAST(CASE WHEN sd < 0.0 THEN 1 ELSE 0 END AS BIGINT) AS ses_better
+      FROM s""",
+
+    "q_mincer_zarnowitz" -> """
+      WITH rev AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                            AS m,
+                          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                            AS rev
+                   FROM orders GROUP BY 1),
+           pred AS (SELECT a.m, a.rev AS actual,
+                           SUM(CAST(b.rev AS DOUBLE)
+                             * POWER(0.5, CAST(a.m - b.m AS DOUBLE))) AS yhat
+                    FROM rev a JOIN rev b ON b.m BETWEEN a.m - 12 AND a.m - 1
+                    GROUP BY 1, 2 HAVING COUNT(*) = 12),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                        SUM(yhat) AS sx, SUM(CAST(actual AS DOUBLE)) AS sy,
+                        SUM(yhat * CAST(actual AS DOUBLE)) AS sxy,
+                        SUM(yhat * yhat) AS sxx,
+                        SUM(CAST(actual AS DOUBLE) * CAST(actual AS DOUBLE)) AS syy
+                 FROM pred),
+           f AS (SELECT n,
+                        (CAST(n AS DOUBLE) * sxy - sx * sy)
+                          / (CAST(n AS DOUBLE) * sxx - sx * sx) AS b,
+                        sxx - sx * sx / CAST(n AS DOUBLE) AS cxx,
+                        syy - sy * sy / CAST(n AS DOUBLE) AS cyy,
+                        sxy - sx * sy / CAST(n AS DOUBLE) AS cxy,
+                        CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS ybar,
+                        CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar
+                 FROM s)
+      SELECT n AS n_forecasts,
+             ROUND((ybar - b * xbar) / 100.0, 2) + 0 AS alpha_dollars,
+             ROUND(b, 4) + 0 AS beta,
+             ROUND((b - 1.0)
+               / SQRT(((cyy - b * cxy) / (CAST(n AS DOUBLE) - 2.0)) / cxx), 4) + 0
+               AS t_beta_vs_1
+      FROM f""",
+
+    "q_directional_accuracy" -> """
+      WITH rev AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                            AS m,
+                          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                            AS rev
+                   FROM orders GROUP BY 1),
+           pred AS (SELECT a.m, a.rev AS actual,
+                           SUM(CAST(b.rev AS DOUBLE)
+                             * POWER(0.5, CAST(a.m - b.m AS DOUBLE))) AS yhat
+                    FROM rev a JOIN rev b ON b.m BETWEEN a.m - 12 AND a.m - 1
+                    GROUP BY 1, 2 HAVING COUNT(*) = 12),
+           h AS (SELECT CASE WHEN SIGN(a.yhat - CAST(b.actual AS DOUBLE))
+                               = SIGN(CAST(a.actual - b.actual AS DOUBLE))
+                             THEN 1 ELSE 0 END AS hit
+                 FROM pred a JOIN pred b ON b.m = a.m - 1),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(hit) AS BIGINT) AS hits
+                 FROM h)
+      SELECT n, hits,
+             ROUND(CAST(hits AS DOUBLE) / CAST(n AS DOUBLE), 4) + 0 AS hit_rate,
+             ROUND((CAST(hits AS DOUBLE) - CAST(n AS DOUBLE) / 2.0)
+               / SQRT(CAST(n AS DOUBLE) / 4.0), 4) + 0 AS z
+      FROM s""",
+
+    "q_lexical_density" -> """
+      WITH t AS (SELECT lang, unnest(string_split(lower(text), ' ')) AS word
+                 FROM documents),
+           s AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                        CAST(SUM(CASE WHEN word IN ('the','a','an','and','or','of',
+                          'to','in','is','it','that','as','for','on','with','was',
+                          'be','by','at','this','are','from','not','but','have')
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+                 FROM t GROUP BY 1)
+      SELECT lang, n_tokens, n_stop,
+             ROUND(CAST(n_tokens - n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4)
+               + 0 AS lexical_density
+      FROM s ORDER BY lang""",
+
+    "q_mean_token_logfreq" -> """
+      WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+                 FROM documents),
+           wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY 1),
+           d AS (SELECT doc_id, AVG(LN(CAST(c AS DOUBLE))) AS mlf
+                 FROM t JOIN wc ON t.word = wc.word GROUP BY 1)
+      SELECT CAST(FLOOR(mlf) AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             ROUND(AVG(mlf), 4) + 0 AS mean_logfreq
+      FROM d GROUP BY 1 ORDER BY bucket""",
   )
 }
