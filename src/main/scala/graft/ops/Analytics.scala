@@ -4680,9 +4680,8 @@ object Analytics {
     */
   def q_abc_xyz_matrix(spark: SparkSession, sf: String): DataFrame = {
     val li = Tables.lineitem(spark, sf)
-      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
       .select(col("l_partkey").as("p"),
-        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
           .cast("long").as("m"),
         cents(col("l_extendedprice")).as("rev"),
         col("l_quantity").cast("long").as("q"))
@@ -4972,5 +4971,260 @@ object Analytics {
         (round((col("hits").cast("double")
           - col("n").cast("double") / lit(2.0))
           / sqrt(col("n").cast("double") / lit(4.0)), 4) + lit(0.0)).as("z"))
+  }
+
+  /** XmR (individuals / moving-range) control chart on daily revenue:
+    * limits x̄ ± 2.66·m̄R from exact cent sums, out-of-limit day count —
+    * the violation test compares exact integers to identically-derived
+    * doubles on both engines.
+    */
+  def q_xmr_chart(spark: SparkSession, sf: String): DataFrame = {
+    val rev = dailyRevenue(spark, sf).localCheckpoint()
+    val mr = rev.as("a")
+      .join(rev.select(col("d").as("d2"), col("rev").as("rev2")).as("b"),
+        col("d2") === col("d") + 1)
+      .agg(count(lit(1)).as("nmr"), sum(abs(col("rev2") - col("rev"))).as("smr"))
+    val st = rev.agg(count(lit(1)).as("n"), sum(col("rev")).as("s"))
+    val lim = st.crossJoin(mr)
+      .select(col("n"), col("nmr"),
+        (col("s").cast("double") / col("n").cast("double")).as("xbar"),
+        (col("smr").cast("double") / col("nmr").cast("double")).as("mrbar"))
+      .select(col("n"), col("nmr"), col("xbar"), col("mrbar"),
+        (col("xbar") + lit(2.66) * col("mrbar")).as("ucl"),
+        (col("xbar") - lit(2.66) * col("mrbar")).as("lcl"))
+    rev.crossJoin(broadcast(lim))
+      .groupBy(col("n"), col("xbar"), col("mrbar"), col("ucl"), col("lcl"))
+      .agg(sum(when(col("rev").cast("double") > col("ucl")
+        || col("rev").cast("double") < col("lcl"), 1L).otherwise(0L))
+        .as("n_violations"))
+      .select(col("n").as("n_days"),
+        (round(col("xbar") / lit(100.0), 2) + lit(0.0)).as("mean_dollars"),
+        (round(col("mrbar") / lit(100.0), 2) + lit(0.0)).as("mrbar_dollars"),
+        (round(col("ucl") / lit(100.0), 2) + lit(0.0)).as("ucl_dollars"),
+        (round(col("lcl") / lit(100.0), 2) + lit(0.0)).as("lcl_dollars"),
+        col("n_violations"))
+  }
+
+  /** p-chart of the weekly return proportion: pooled p̄, per-week
+    * 3σ limits p̄ ± 3√(p̄(1−p̄)/n_w), counts of weeks above/below —
+    * all comparisons on identically-derived doubles.
+    */
+  def q_p_chart(spark: SparkSession, sf: String): DataFrame = {
+    val wk = Tables.lineitem(spark, sf)
+      .groupBy(expr("CAST(datediff(l_shipdate, DATE '1992-01-01') div 7 AS BIGINT)")
+        .as("wk"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("r"))
+      .localCheckpoint()
+    val pool = wk.agg(sum(col("n")).as("tn"), sum(col("r")).as("tr"))
+      .select((col("tr").cast("double") / col("tn").cast("double")).as("pbar"))
+    wk.crossJoin(broadcast(pool))
+      .select(col("pbar"),
+        (col("r").cast("double") / col("n").cast("double")).as("p"),
+        (col("pbar") + lit(3.0) * sqrt(col("pbar") * (lit(1.0) - col("pbar"))
+          / col("n").cast("double"))).as("ucl"),
+        (col("pbar") - lit(3.0) * sqrt(col("pbar") * (lit(1.0) - col("pbar"))
+          / col("n").cast("double"))).as("lcl"))
+      .groupBy(col("pbar"))
+      .agg(count(lit(1)).as("n_weeks"),
+        sum(when(col("p") > col("ucl"), 1L).otherwise(0L)).as("n_above"),
+        sum(when(col("p") < col("lcl"), 1L).otherwise(0L)).as("n_below"))
+      .select(col("n_weeks"), (round(col("pbar"), 4) + lit(0.0)).as("pbar"),
+        col("n_above"), col("n_below"))
+  }
+
+  /** Brand-assortment overlap between the BUILDING and AUTOMOBILE
+    * segments: Jaccard of the purchased-brand sets — exact set
+    * cardinalities from distinct joins.
+    */
+  def q_brand_overlap(spark: SparkSession, sf: String): DataFrame = {
+    def brands(seg: String): DataFrame =
+      Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+        .filter(col("c_mktsegment") === seg)
+        .join(Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand").as("b")).distinct()
+    val a = brands("BUILDING").localCheckpoint()
+    val b = brands("AUTOMOBILE").localCheckpoint()
+    val na = a.agg(count(lit(1)).as("n_building"))
+    val nb = b.agg(count(lit(1)).as("n_automobile"))
+    val ni = a.join(b, "b").agg(count(lit(1)).as("n_inter"))
+    na.crossJoin(nb).crossJoin(ni)
+      .select(col("n_building"), col("n_automobile"), col("n_inter"),
+        (col("n_building") + col("n_automobile") - col("n_inter")).as("n_union"),
+        (round(col("n_inter").cast("double")
+          / (col("n_building") + col("n_automobile") - col("n_inter"))
+            .cast("double"), 4) + lit(0.0)).as("jaccard"))
+  }
+
+  /** Share-of-wallet distribution: per customer the top brand's share
+    * of lifetime spend (exact integer ratio, bit-safe decile bucket),
+    * with per-bucket customer counts and mean share.
+    */
+  def q_share_of_wallet(spark: SparkSession, sf: String): DataFrame = {
+    val cb = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("o_custkey").as("c"), col("p_brand").as("b"))
+      .agg(sum(cents(col("l_extendedprice"))).as("s"))
+    cb.groupBy(col("c"))
+      .agg(max(col("s")).as("top"), sum(col("s")).as("tot"),
+        count(lit(1)).as("n_brands"))
+      .select(expr("CAST((top * 10) div tot AS BIGINT)").as("bucket"),
+        col("top"), col("tot"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_customers"),
+        (round(avg(col("top").cast("double") / col("tot").cast("double")), 4)
+          + lit(0.0)).as("mean_share"))
+      .orderBy("bucket")
+  }
+
+  private def interGaps(spark: SparkSession, sf: String): DataFrame = {
+    val od = Tables.orders(spark, sf)
+      .select(col("o_custkey").as("c"), col("o_orderdate").as("dt")).distinct()
+    od.as("a")
+      .join(od.select(col("c").as("c2"), col("dt").as("dt2")).as("b"),
+        col("c2") === col("c") && col("dt2") > col("dt"))
+      .groupBy(col("c"), col("dt"))
+      .agg(min(col("dt2")).as("nxt"))
+      .select(col("c"), datediff(col("nxt"), col("dt")).cast("long").as("t"))
+      .filter(col("t") >= 1L)
+  }
+
+  /** Weibull fit of customer inter-purchase times via the Gumbel
+    * log-moment method: k̂ = (π/√6)/sd(ln t) and
+    * λ̂ = exp(mean(ln t) + γ/k̂) (pre-rounded π/√6 and Euler-γ
+    * literals) — the closed form that needs no iteration.
+    */
+  def q_weibull_fit(spark: SparkSession, sf: String): DataFrame =
+    interGaps(spark, sf)
+      .select(log(col("t").cast("double")).as("lt"))
+      .agg(count(lit(1)).as("n"), sum(col("lt")).as("sl"),
+        sum(col("lt") * col("lt")).as("sll"))
+      .select(col("n"),
+        (col("sl") / col("n").cast("double")).as("ml"),
+        sqrt(col("sll") / col("n").cast("double")
+          - (col("sl") / col("n").cast("double"))
+            * (col("sl") / col("n").cast("double"))).as("sdl"))
+      .select(col("n").as("n_gaps"),
+        (round(lit(1.2825498) / col("sdl"), 4) + lit(0.0)).as("shape_k"),
+        (round(exp(col("ml") + lit(0.5772157) / (lit(1.2825498) / col("sdl"))), 2)
+          + lit(0.0)).as("scale_days"),
+        (round(exp(col("ml")), 2) + lit(0.0)).as("geo_mean_days"))
+
+  /** Lognormal fit of order totals: μ/σ of ln(dollars), the exact
+    * median exp(μ) and mean exp(μ+σ²/2) back-transforms.
+    */
+  def q_lognormal_fit(spark: SparkSession, sf: String): DataFrame =
+    Tables.orders(spark, sf)
+      .select(log(cents(col("o_totalprice")).cast("double") / lit(100.0)).as("lx"))
+      .agg(count(lit(1)).as("n"), sum(col("lx")).as("sl"),
+        sum(col("lx") * col("lx")).as("sll"))
+      .select(col("n"),
+        (col("sl") / col("n").cast("double")).as("mu"),
+        sqrt(col("sll") / col("n").cast("double")
+          - (col("sl") / col("n").cast("double"))
+            * (col("sl") / col("n").cast("double"))).as("sig"))
+      .select(col("n").as("n_orders"),
+        (round(col("mu"), 4) + lit(0.0)).as("mu_ln"),
+        (round(col("sig"), 4) + lit(0.0)).as("sigma_ln"),
+        (round(exp(col("mu")), 2) + lit(0.0)).as("median_dollars"),
+        (round(exp(col("mu") + col("sig") * col("sig") / lit(2.0)), 2) + lit(0.0))
+          .as("mean_dollars"))
+
+  /** Entropy rate of the per-user event-type Markov chain: the plug-in
+    * conditional entropy H = −Σ (c_ij/N)·ln(c_ij/rowtot_i) over the
+    * exact transition counts (same keyed-window pairing as
+    * q_markov_transitions).
+    */
+  def q_markov_entropy_rate(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_usl").asc, col("event_id").asc)
+    val cells = Tables.eventsWithTs(spark, sf)
+      .select(col("user_id"), col("ts_usl"), col("event_id"), col("event_type"))
+      .withColumn("dst", lead(col("event_type"), 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("event_type").as("src"), col("dst"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val row = cells.groupBy(col("src")).agg(sum(col("c")).as("rt"))
+    val tot = cells.agg(sum(col("c")).as("nn"))
+    cells.join(broadcast(row), "src").crossJoin(broadcast(tot))
+      .agg(max(col("nn")).as("n_transitions"),
+        sum(-(col("c").cast("double") / col("nn").cast("double"))
+          * log(col("c").cast("double") / col("rt").cast("double"))).as("h"))
+      .select(col("n_transitions"),
+        (round(col("h"), 4) + lit(0.0)).as("entropy_rate_nats"),
+        (round(col("h") / lit(0.6931472), 4) + lit(0.0)).as("entropy_rate_bits"))
+  }
+
+  /** Pollaczek–Khinchine M/G/1 waiting time in service units at three
+    * utilization literals: Wq/E[S] = ρ(1+CV²)/(2(1−ρ)) with the CV² of
+    * the per-order item count as the service-time shape — scale-free by
+    * construction.
+    */
+  def q_mg1_queue(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val cv2 = Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("k"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sk"),
+        sum(col("k") * col("k")).as("skk"))
+      .select(col("n"),
+        ((col("skk").cast("double") / col("n").cast("double")
+          - (col("sk").cast("double") / col("n").cast("double"))
+            * (col("sk").cast("double") / col("n").cast("double")))
+          / ((col("sk").cast("double") / col("n").cast("double"))
+            * (col("sk").cast("double") / col("n").cast("double")))).as("cv2"))
+    val rhos = Seq(0.5, 0.8, 0.9).toDF("rho")
+    cv2.crossJoin(broadcast(rhos))
+      .select(col("rho"), col("n").as("n_orders"),
+        (round(col("cv2"), 4) + lit(0.0)).as("service_cv2"),
+        (round(col("rho") * (lit(1.0) + col("cv2"))
+          / (lit(2.0) * (lit(1.0) - col("rho"))), 4) + lit(0.0))
+          .as("wq_over_service"))
+      .orderBy("rho")
+  }
+
+  /** h-index of parts by order-appearance counts: h = max over the
+    * count support of min(v, #parts with count ≥ v) — exact integers
+    * via a value-level suffix-count theta join.
+    */
+  def q_h_index(spark: SparkSession, sf: String): DataFrame = {
+    val pc = Tables.lineitem(spark, sf)
+      .select(col("l_partkey").as("p"), col("l_orderkey").as("ok")).distinct()
+      .groupBy(col("p")).agg(count(lit(1)).as("c"))
+    val vals = pc.groupBy(col("c")).agg(count(lit(1)).as("t")).localCheckpoint()
+    vals.as("a")
+      .join(vals.select(col("c").as("c2"), col("t").as("t2")).as("b"),
+        col("c2") >= col("a.c"))
+      .groupBy(col("a.c").as("v")).agg(sum(col("t2")).as("nge"))
+      .select(least(col("v"), col("nge")).as("cand"))
+      .agg(max(col("cand")).as("h_index"))
+      .crossJoin(pc.agg(count(lit(1)).as("n_parts"),
+        max(col("c")).as("max_count")))
+      .select(col("n_parts"), col("max_count"), col("h_index"))
+  }
+
+  /** Purchase clumpiness (Zhang's Hc on normalized inter-purchase
+    * gaps): per customer with ≥ 2 gaps, C = 1 + Σx·ln x / ln(n) —
+    * reported as the mean per order-count tier (no per-row float
+    * bucketing, so the grouping is exact).
+    */
+  def q_clumpiness(spark: SparkSession, sf: String): DataFrame = {
+    val gaps = interGaps(spark, sf).localCheckpoint()
+    val cust = gaps.groupBy(col("c"))
+      .agg(count(lit(1)).as("ng"), sum(col("t")).as("st"))
+      .filter(col("ng") >= 2)
+    gaps.join(broadcast(cust), "c")
+      .select(col("c"), col("ng"),
+        (col("t").cast("double") / col("st").cast("double")).as("x"))
+      .groupBy(col("c"), col("ng"))
+      .agg(sum(col("x") * log(col("x"))).as("sxlx"))
+      .select(col("ng"),
+        (lit(1.0) + col("sxlx") / log(col("ng").cast("double"))).as("cl"))
+      .groupBy(col("ng").as("n_gaps"))
+      .agg(count(lit(1)).as("n_customers"),
+        (round(avg(col("cl")), 4) + lit(0.0)).as("mean_clumpiness"))
+      .orderBy("n_gaps")
   }
 }

@@ -10484,11 +10484,11 @@ object OracleSql {
 
     "q_abc_xyz_matrix" -> """
       WITH li AS (SELECT l_partkey AS p,
-                         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                         CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT)
                            AS m,
                          CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS rev,
                          CAST(l_quantity AS BIGINT) AS q
-                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+                  FROM lineitem),
            part AS (SELECT p, CAST(CAST(SUM(rev) AS BIGINT) // 10000 AS BIGINT) AS rv
                     FROM li GROUP BY 1),
            pm AS (SELECT p,
@@ -10852,5 +10852,208 @@ object OracleSql {
              CAST(COUNT(*) AS BIGINT) AS n_docs,
              ROUND(AVG(mlf), 4) + 0 AS mean_logfreq
       FROM d GROUP BY 1 ORDER BY bucket""",
+
+    "q_xmr_chart" -> """
+      WITH rev AS (SELECT CAST(date_diff('day', DATE '1992-01-01', o_orderdate)
+                            AS BIGINT) AS d,
+                          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                            AS rev
+                   FROM orders GROUP BY 1),
+           mr AS (SELECT CAST(COUNT(*) AS BIGINT) AS nmr,
+                         CAST(SUM(ABS(b.rev - a.rev)) AS BIGINT) AS smr
+                  FROM rev a JOIN rev b ON b.d = a.d + 1),
+           st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(rev) AS BIGINT) AS s
+                  FROM rev),
+           lim AS (SELECT n, nmr,
+                          CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS xbar,
+                          CAST(smr AS DOUBLE) / CAST(nmr AS DOUBLE) AS mrbar,
+                          CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                            + 2.66 * (CAST(smr AS DOUBLE) / CAST(nmr AS DOUBLE))
+                            AS ucl,
+                          CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                            - 2.66 * (CAST(smr AS DOUBLE) / CAST(nmr AS DOUBLE))
+                            AS lcl
+                   FROM st, mr),
+           v AS (SELECT n, xbar, mrbar, ucl, lcl,
+                        CAST(SUM(CASE WHEN CAST(rev AS DOUBLE) > ucl
+                                        OR CAST(rev AS DOUBLE) < lcl
+                                      THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+                 FROM rev, lim GROUP BY 1, 2, 3, 4, 5)
+      SELECT n AS n_days, ROUND(xbar / 100.0, 2) + 0 AS mean_dollars,
+             ROUND(mrbar / 100.0, 2) + 0 AS mrbar_dollars,
+             ROUND(ucl / 100.0, 2) + 0 AS ucl_dollars,
+             ROUND(lcl / 100.0, 2) + 0 AS lcl_dollars, n_violations
+      FROM v""",
+
+    "q_p_chart" -> """
+      WITH wk AS (SELECT CAST(date_diff('day', DATE '1992-01-01', l_shipdate)
+                           AS BIGINT) // 7 AS wk,
+                         CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                           AS BIGINT) AS r
+                  FROM lineitem GROUP BY 1),
+           pool AS (SELECT CAST(SUM(r) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS pbar
+                    FROM wk),
+           lims AS (SELECT pbar, CAST(r AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+                           pbar + 3.0 * SQRT(pbar * (1.0 - pbar)
+                             / CAST(n AS DOUBLE)) AS ucl,
+                           pbar - 3.0 * SQRT(pbar * (1.0 - pbar)
+                             / CAST(n AS DOUBLE)) AS lcl
+                    FROM wk, pool),
+           s AS (SELECT pbar, CAST(COUNT(*) AS BIGINT) AS n_weeks,
+                        CAST(SUM(CASE WHEN p > ucl THEN 1 ELSE 0 END) AS BIGINT)
+                          AS n_above,
+                        CAST(SUM(CASE WHEN p < lcl THEN 1 ELSE 0 END) AS BIGINT)
+                          AS n_below
+                 FROM lims GROUP BY 1)
+      SELECT n_weeks, ROUND(pbar, 4) + 0 AS pbar, n_above, n_below
+      FROM s""",
+
+    "q_brand_overlap" -> """
+      WITH a AS (SELECT DISTINCT p_brand AS b
+                 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                 JOIN customer ON o_custkey = c_custkey
+                 JOIN part ON l_partkey = p_partkey
+                 WHERE c_mktsegment = 'BUILDING'),
+           bb AS (SELECT DISTINCT p_brand AS b
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+                  JOIN part ON l_partkey = p_partkey
+                  WHERE c_mktsegment = 'AUTOMOBILE'),
+           s AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n_building,
+                        (SELECT CAST(COUNT(*) AS BIGINT) FROM bb) AS n_automobile,
+                        (SELECT CAST(COUNT(*) AS BIGINT)
+                         FROM a JOIN bb ON a.b = bb.b) AS n_inter)
+      SELECT n_building, n_automobile, n_inter,
+             n_building + n_automobile - n_inter AS n_union,
+             ROUND(CAST(n_inter AS DOUBLE)
+               / CAST(n_building + n_automobile - n_inter AS DOUBLE), 4) + 0
+               AS jaccard
+      FROM s""",
+
+    "q_share_of_wallet" -> """
+      WITH cb AS (SELECT o_custkey AS c, p_brand AS b,
+                         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                           AS BIGINT) AS s
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  JOIN part ON l_partkey = p_partkey
+                  GROUP BY 1, 2),
+           cu AS (SELECT c, MAX(s) AS top, CAST(SUM(s) AS BIGINT) AS tot
+                  FROM cb GROUP BY 1)
+      SELECT CAST((top * 10) // tot AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             ROUND(AVG(CAST(top AS DOUBLE) / CAST(tot AS DOUBLE)), 4) + 0
+               AS mean_share
+      FROM cu GROUP BY 1 ORDER BY bucket""",
+
+    "q_weibull_fit" -> """
+      WITH od AS (SELECT DISTINCT o_custkey AS c, o_orderdate AS dt FROM orders),
+           nxt AS (SELECT a.c, a.dt, MIN(b.dt) AS nxt
+                   FROM od a JOIN od b ON b.c = a.c AND b.dt > a.dt
+                   GROUP BY 1, 2),
+           gaps AS (SELECT CAST(date_diff('day', dt, nxt) AS BIGINT) AS t
+                    FROM nxt
+                    WHERE CAST(date_diff('day', dt, nxt) AS BIGINT) >= 1),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                        SUM(LN(CAST(t AS DOUBLE))) AS sl,
+                        SUM(LN(CAST(t AS DOUBLE)) * LN(CAST(t AS DOUBLE))) AS sll
+                 FROM gaps),
+           m AS (SELECT n, sl / CAST(n AS DOUBLE) AS ml,
+                        SQRT(sll / CAST(n AS DOUBLE)
+                          - (sl / CAST(n AS DOUBLE)) * (sl / CAST(n AS DOUBLE)))
+                          AS sdl
+                 FROM s)
+      SELECT n AS n_gaps, ROUND(1.2825498 / sdl, 4) + 0 AS shape_k,
+             ROUND(EXP(ml + 0.5772157 / (1.2825498 / sdl)), 2) + 0 AS scale_days,
+             ROUND(EXP(ml), 2) + 0 AS geo_mean_days
+      FROM m""",
+
+    "q_lognormal_fit" -> """
+      WITH l AS (SELECT LN(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DOUBLE)
+                        / 100.0) AS lx
+                 FROM orders),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(lx) AS sl,
+                        SUM(lx * lx) AS sll
+                 FROM l),
+           m AS (SELECT n, sl / CAST(n AS DOUBLE) AS mu,
+                        SQRT(sll / CAST(n AS DOUBLE)
+                          - (sl / CAST(n AS DOUBLE)) * (sl / CAST(n AS DOUBLE)))
+                          AS sig
+                 FROM s)
+      SELECT n AS n_orders, ROUND(mu, 4) + 0 AS mu_ln, ROUND(sig, 4) + 0 AS sigma_ln,
+             ROUND(EXP(mu), 2) + 0 AS median_dollars,
+             ROUND(EXP(mu + sig * sig / 2.0), 2) + 0 AS mean_dollars
+      FROM m""",
+
+    "q_markov_entropy_rate" -> """
+      WITH pair AS (SELECT event_type AS src,
+                           LEAD(event_type) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS dst
+                    FROM events),
+           cells AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS c
+                     FROM pair WHERE dst IS NOT NULL GROUP BY 1, 2),
+           rw AS (SELECT src, CAST(SUM(c) AS BIGINT) AS rt FROM cells GROUP BY 1),
+           tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM cells),
+           h AS (SELECT MAX(nn) AS n_transitions,
+                        SUM(-(CAST(c AS DOUBLE) / CAST(nn AS DOUBLE))
+                          * LN(CAST(c AS DOUBLE) / CAST(rt AS DOUBLE))) AS h
+                 FROM cells JOIN rw ON cells.src = rw.src, tot)
+      SELECT n_transitions, ROUND(h, 4) + 0 AS entropy_rate_nats,
+             ROUND(h / 0.6931472, 4) + 0 AS entropy_rate_bits
+      FROM h""",
+
+    "q_mg1_queue" -> """
+      WITH k AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS k
+                 FROM lineitem GROUP BY 1),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(k) AS BIGINT) AS sk,
+                        CAST(SUM(k * k) AS BIGINT) AS skk
+                 FROM k),
+           c AS (SELECT n,
+                        (CAST(skk AS DOUBLE) / CAST(n AS DOUBLE)
+                          - (CAST(sk AS DOUBLE) / CAST(n AS DOUBLE))
+                            * (CAST(sk AS DOUBLE) / CAST(n AS DOUBLE)))
+                          / ((CAST(sk AS DOUBLE) / CAST(n AS DOUBLE))
+                            * (CAST(sk AS DOUBLE) / CAST(n AS DOUBLE))) AS cv2
+                 FROM s),
+           rhos AS (SELECT CAST(r AS DOUBLE) AS rho
+                    FROM (VALUES (0.5), (0.8), (0.9)) t(r))
+      SELECT rho, n AS n_orders, ROUND(cv2, 4) + 0 AS service_cv2,
+             ROUND(rho * (1.0 + cv2) / (2.0 * (1.0 - rho)), 4) + 0
+               AS wq_over_service
+      FROM c CROSS JOIN rhos ORDER BY rho""",
+
+    "q_h_index" -> """
+      WITH pc AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM (SELECT DISTINCT l_partkey AS p, l_orderkey AS ok
+                        FROM lineitem)
+                  GROUP BY 1),
+           vals AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS t FROM pc GROUP BY 1),
+           nge AS (SELECT a.c AS v, CAST(SUM(b.t) AS BIGINT) AS nge
+                   FROM vals a JOIN vals b ON b.c >= a.c GROUP BY 1),
+           h AS (SELECT MAX(LEAST(v, nge)) AS h_index FROM nge),
+           st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+                         MAX(c) AS max_count
+                  FROM pc)
+      SELECT n_parts, max_count, h_index FROM st, h""",
+
+    "q_clumpiness" -> """
+      WITH od AS (SELECT DISTINCT o_custkey AS c, o_orderdate AS dt FROM orders),
+           nxt AS (SELECT a.c, a.dt, MIN(b.dt) AS nxt
+                   FROM od a JOIN od b ON b.c = a.c AND b.dt > a.dt
+                   GROUP BY 1, 2),
+           gaps AS (SELECT c, CAST(date_diff('day', dt, nxt) AS BIGINT) AS t
+                    FROM nxt
+                    WHERE CAST(date_diff('day', dt, nxt) AS BIGINT) >= 1),
+           cust AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS ng,
+                           CAST(SUM(t) AS BIGINT) AS st
+                    FROM gaps GROUP BY 1 HAVING COUNT(*) >= 2),
+           x AS (SELECT gaps.c, ng,
+                        CAST(t AS DOUBLE) / CAST(st AS DOUBLE) AS x
+                 FROM gaps JOIN cust ON gaps.c = cust.c),
+           cl AS (SELECT c, ng, 1.0 + SUM(x * LN(x)) / LN(CAST(ng AS DOUBLE)) AS cl
+                  FROM x GROUP BY 1, 2)
+      SELECT ng AS n_gaps, CAST(COUNT(*) AS BIGINT) AS n_customers,
+             ROUND(AVG(cl), 4) + 0 AS mean_clumpiness
+      FROM cl GROUP BY 1 ORDER BY n_gaps""",
   )
 }
