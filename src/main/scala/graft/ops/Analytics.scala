@@ -5227,4 +5227,265 @@ object Analytics {
         (round(avg(col("cl")), 4) + lit(0.0)).as("mean_clumpiness"))
       .orderBy("n_gaps")
   }
+
+  private def dailyLossExceed(spark: SparkSession, sf: String): DataFrame = {
+    val rev = dailyRevenue(spark, sf)
+    val chg = rev.as("a")
+      .join(rev.select(col("d").as("d2"), col("rev").as("rev2")).as("b"),
+        col("d2") === col("d") + 1)
+      .select(col("d2").as("d"), (col("rev2") - col("rev")).as("diff"))
+      .localCheckpoint()
+    val vals = chg.groupBy(col("diff")).agg(count(lit(1)).as("cnt"))
+    val tot = chg.agg(count(lit(1)).as("n"))
+      .select(col("n"), expr("CAST((n + 19) div 20 AS BIGINT)").as("k"))
+    val u = vals.as("a")
+      .join(vals.select(col("diff").as("diff2"), col("cnt").as("cnt2")).as("b"),
+        col("diff2") <= col("a.diff"))
+      .groupBy(col("a.diff").as("diff")).agg(sum(col("cnt2")).as("cum"))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") >= col("k"))
+      .agg(min(col("diff")).as("u"))
+    chg.crossJoin(broadcast(u))
+      .select(col("d"), col("u"), (col("u") - col("diff")).as("y"))
+      .filter(col("y") > 0L)
+  }
+
+  /** Generalized-Pareto peaks-over-threshold fit of daily revenue
+    * losses beyond the 5% historical VaR: method-of-moments
+    * ξ = ½(1 − m²/s²), β = ½m(m²/s² + 1) from exact cent exceedances.
+    */
+  def q_gpd_pot(spark: SparkSession, sf: String): DataFrame =
+    dailyLossExceed(spark, sf)
+      .groupBy(col("u"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+        sum(col("y").cast("double") * col("y").cast("double")).as("syy"))
+      .select(col("u").as("threshold_cents"), col("n").as("n_exceed"),
+        (col("sy").cast("double") / col("n").cast("double")).as("m"),
+        (col("syy") / col("n").cast("double")
+          - (col("sy").cast("double") / col("n").cast("double"))
+            * (col("sy").cast("double") / col("n").cast("double"))).as("s2"))
+      .select(col("threshold_cents"), col("n_exceed"),
+        (round(lit(0.5) * (lit(1.0) - col("m") * col("m") / col("s2")), 4)
+          + lit(0.0)).as("xi"),
+        (round(lit(0.5) * col("m") * (col("m") * col("m") / col("s2") + lit(1.0))
+          / lit(100.0), 2) + lit(0.0)).as("beta_dollars"))
+
+  /** Extremal index (runs estimator, run length 2) of the VaR-exceeding
+    * loss days: θ = cluster starts / exceedances, where a start has no
+    * exceedance on the prior two days — exact day-lattice logic.
+    */
+  def q_extremal_index(spark: SparkSession, sf: String): DataFrame = {
+    val ex = dailyLossExceed(spark, sf).select(col("d")).localCheckpoint()
+    val starts = ex.as("a")
+      .join(ex.select(col("d").as("d2")).as("b"),
+        col("d2") === col("d") - 1 || col("d2") === col("d") - 2, "left")
+      .groupBy(col("a.d").as("d"))
+      .agg(count(col("d2")).as("nprev"))
+      .filter(col("nprev") === 0L)
+    ex.agg(count(lit(1)).as("n_exceed"))
+      .crossJoin(starts.agg(count(lit(1)).as("n_clusters")))
+      .select(col("n_exceed"), col("n_clusters"),
+        (round(col("n_clusters").cast("double") / col("n_exceed").cast("double"), 4)
+          + lit(0.0)).as("extremal_index"))
+  }
+
+  /** Records test on monthly revenue: the count of running record highs
+    * vs the i.i.d. expectation H_n (exact harmonic sums over the month
+    * index), z = (R − H_n)/√(H_n − H_n²ᵗᵉʳᵐ).
+    */
+  def q_records_test(spark: SparkSession, sf: String): DataFrame = {
+    val rev = monthlyRevenue(spark, sf).localCheckpoint()
+    val recs = rev.as("a")
+      .join(rev.select(col("m").as("m2"), col("rev").as("rev2")).as("b"),
+        col("m2") < col("m"), "left")
+      .groupBy(col("a.m").as("m"), col("a.rev").as("rv"))
+      .agg(coalesce(max(col("rev2")), lit(-1L)).as("prior_max"))
+      .agg(sum(when(col("rv") > col("prior_max"), 1L).otherwise(0L)).as("n_records"))
+    val minm = rev.agg(min(col("m")).as("m0"))
+    val harm = rev.crossJoin(broadcast(minm))
+      .select((col("m") - col("m0") + 1L).cast("double").as("i"))
+      .agg(count(lit(1)).as("n"), sum(lit(1.0) / col("i")).as("h1"),
+        sum(lit(1.0) / (col("i") * col("i"))).as("h2"))
+    harm.crossJoin(recs)
+      .select(col("n").as("n_months"), col("n_records"),
+        (round(col("h1"), 4) + lit(0.0)).as("expected_records"),
+        (round((col("n_records").cast("double") - col("h1"))
+          / sqrt(col("h1") - col("h2")), 4) + lit(0.0)).as("z"))
+  }
+
+  /** Circular statistics of the order day-of-week (epoch-day mod 7,
+    * pre-rounded cos/sin literals for the 7 angles): resultant length
+    * R̄, circular variance 1−R̄, and the Rayleigh uniformity z = nR̄².
+    */
+  def q_circular_stats(spark: SparkSession, sf: String): DataFrame = {
+    val cosw = Seq(1.0, 0.6234898, -0.2225209, -0.9009689, -0.9009689,
+      -0.2225209, 0.6234898)
+    val sinw = Seq(0.0, 0.7818315, 0.9749279, 0.4338837, -0.4338837,
+      -0.9749279, -0.7818315)
+    def lut(ws: Seq[Double]): Column =
+      (1 until 7).foldLeft(when(col("dow") === 0L, lit(ws(0)))) { (acc, k) =>
+        acc.when(col("dow") === k.toLong, lit(ws(k)))
+      }.otherwise(lit(0.0))
+    Tables.orders(spark, sf)
+      .select((datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+        .cast("long") % 7).as("dow"))
+      .groupBy(col("dow")).agg(count(lit(1)).as("nk"))
+      .select(col("nk"), lut(cosw).as("cw"), lut(sinw).as("sw"))
+      .agg(sum(col("nk")).as("n"),
+        sum(col("nk").cast("double") * col("cw")).as("cc"),
+        sum(col("nk").cast("double") * col("sw")).as("ss"))
+      .select(col("n").as("n_orders"),
+        (sqrt(col("cc") * col("cc") + col("ss") * col("ss"))
+          / col("n").cast("double")).as("rbar"))
+      .select(col("n_orders"),
+        (round(col("rbar"), 6) + lit(0.0)).as("resultant_rbar"),
+        (round(lit(1.0) - col("rbar"), 6) + lit(0.0)).as("circular_variance"),
+        (round(col("n_orders").cast("double") * col("rbar") * col("rbar"), 4)
+          + lit(0.0)).as("rayleigh_z"))
+  }
+
+  /** Somers' D (discount percent as the dependent ordinal vs quantity):
+    * D_yx = (C−D)/(C+D+T_y) from exact contingency-cell pair products.
+    */
+  def q_somers_d(spark: SparkSession, sf: String): DataFrame = {
+    val cells = Tables.lineitem(spark, sf)
+      .groupBy(col("l_quantity").cast("long").as("x"),
+        pct(col("l_discount")).as("y"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    cells.as("a")
+      .join(cells.select(col("x").as("x2"), col("y").as("y2"),
+        col("cnt").as("cnt2")).as("b"), col("x2") > col("a.x"))
+      .agg(sum(when(col("y2") > col("a.y"), col("a.cnt") * col("cnt2"))
+        .otherwise(0L)).as("c_pairs"),
+        sum(when(col("y2") < col("a.y"), col("a.cnt") * col("cnt2"))
+          .otherwise(0L)).as("d_pairs"),
+        sum(when(col("y2") === col("a.y"), col("a.cnt") * col("cnt2"))
+          .otherwise(0L)).as("ty_pairs"))
+      .select(col("c_pairs"), col("d_pairs"), col("ty_pairs"),
+        (round((col("c_pairs") - col("d_pairs")).cast("double")
+          / (col("c_pairs") + col("d_pairs") + col("ty_pairs")).cast("double"), 4)
+          + lit(0.0)).as("somers_d"))
+  }
+
+  /** Dixon's Q ratios for the monthly-revenue extremes: gap-to-range
+    * ratios on both tails from exact discrete order statistics (min,
+    * second-min, max, second-max via strict theta joins).
+    */
+  def q_dixon_q(spark: SparkSession, sf: String): DataFrame = {
+    val rev = monthlyRevenue(spark, sf).localCheckpoint()
+    val ex = rev.agg(count(lit(1)).as("n"), min(col("rev")).as("x1"),
+      max(col("rev")).as("xn"))
+    val x2 = rev.crossJoin(broadcast(ex)).filter(col("rev") > col("x1"))
+      .agg(min(col("rev")).as("x2"))
+    val xn1 = rev.crossJoin(broadcast(ex)).filter(col("rev") < col("xn"))
+      .agg(max(col("rev")).as("xn1"))
+    ex.crossJoin(x2).crossJoin(xn1)
+      .select(col("n").as("n_months"),
+        (round((col("x2") - col("x1")).cast("double")
+          / (col("xn") - col("x1")).cast("double"), 4) + lit(0.0)).as("q_low"),
+        (round((col("xn") - col("xn1")).cast("double")
+          / (col("xn") - col("x1")).cast("double"), 4) + lit(0.0)).as("q_high"))
+  }
+
+  /** Cook's distance for the monthly revenue~month OLS: exact-sum hat
+    * values h = 1/n + (m−t̄)²/S_tt, D = e²h/(2s²(1−h)²), top-5 most
+    * influential months on the e6-rounded score.
+    */
+  def q_cooks_distance(spark: SparkSession, sf: String): DataFrame = {
+    val rev = monthlyRevenue(spark, sf)
+    val fit = rev.agg(count(lit(1)).as("n"), sum(col("m")).as("st"),
+        sum(col("rev")).as("sy"), sum(col("m") * col("rev")).as("sty"),
+        sum(col("m") * col("m")).as("stt"))
+      .select(col("n"),
+        ((col("n").cast("double") * col("sty").cast("double")
+          - col("st").cast("double") * col("sy").cast("double"))
+          / (col("n").cast("double") * col("stt").cast("double")
+            - col("st").cast("double") * col("st").cast("double"))).as("b"),
+        (col("sy").cast("double") / col("n").cast("double")).as("ybar"),
+        (col("st").cast("double") / col("n").cast("double")).as("tbar"),
+        (col("stt").cast("double")
+          - col("st").cast("double") * col("st").cast("double")
+            / col("n").cast("double")).as("cstt"))
+    val resid = rev.crossJoin(broadcast(fit))
+      .select(col("m"), col("n"), col("cstt"), col("tbar"),
+        (col("rev").cast("double") - col("ybar")
+          - col("b") * (col("m").cast("double") - col("tbar"))).as("e"))
+      .select(col("m"), col("n"),
+        (lit(1.0) / col("n").cast("double")
+          + (col("m").cast("double") - col("tbar"))
+            * (col("m").cast("double") - col("tbar")) / col("cstt")).as("h"),
+        col("e"))
+      .localCheckpoint()
+    val s2 = resid.agg(max(col("n")).as("nn"), sum(col("e") * col("e")).as("rss"))
+      .select((col("rss") / (col("nn").cast("double") - lit(2.0))).as("s2"))
+    resid.crossJoin(broadcast(s2))
+      .select(col("m"),
+        (round(col("e") / lit(100.0), 2) + lit(0.0)).as("resid_dollars"),
+        (round(col("h"), 6) + lit(0.0)).as("leverage"),
+        (round(col("e") * col("e") * col("h")
+          / (lit(2.0) * col("s2") * (lit(1.0) - col("h"))
+            * (lit(1.0) - col("h"))), 6) + lit(0.0)).as("cooks_d"))
+      .orderBy(col("cooks_d").desc, col("m").asc)
+      .limit(5)
+  }
+
+  /** Theil's uncertainty coefficient between quantity tercile and
+    * return flag: U(Y|X) = (H_X + H_Y − H_XY)/H_Y and the symmetric
+    * 2I/(H_X+H_Y) — exact counts, ln epilogue per cell.
+    */
+  def q_uncertainty_coefficient(spark: SparkSession, sf: String): DataFrame = {
+    val cells = Tables.lineitem(spark, sf)
+      .groupBy(expr("CAST((CAST(l_quantity AS BIGINT) - 1) div 17 AS BIGINT)")
+        .as("x"), col("l_returnflag").as("y"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val hx = cells.groupBy(col("x")).agg(sum(col("c")).as("cx"))
+    val hy = cells.groupBy(col("y")).agg(sum(col("c")).as("cy"))
+    val nn = cells.agg(sum(col("c")).as("n"))
+    def ent(df: DataFrame, cc: String): DataFrame =
+      df.crossJoin(broadcast(nn))
+        .agg(sum(-(col(cc).cast("double") / col("n").cast("double"))
+          * log(col(cc).cast("double") / col("n").cast("double"))).as("h"))
+    val hxy = ent(cells, "c").select(col("h").as("hxy"))
+    val hxx = ent(hx, "cx").select(col("h").as("hx"))
+    val hyy = ent(hy, "cy").select(col("h").as("hy"))
+    nn.crossJoin(hxy).crossJoin(hxx).crossJoin(hyy)
+      .select(col("n").as("n_items"),
+        (round(col("hx") + col("hy") - col("hxy"), 6) + lit(0.0)).as("mi_nats"),
+        (round((col("hx") + col("hy") - col("hxy")) / col("hy"), 4) + lit(0.0))
+          .as("u_y_given_x"),
+        (round(lit(2.0) * (col("hx") + col("hy") - col("hxy"))
+          / (col("hx") + col("hy")), 4) + lit(0.0)).as("u_symmetric"))
+  }
+
+  /** Distribution-free 95% CI for the median order total ($100 bins):
+    * rank bounds k = (n ± 1.959964√n)/2 (floored identically on both
+    * engines), values recovered from the cumulative value lattice.
+    */
+  def q_median_ci(spark: SparkSession, sf: String): DataFrame = {
+    val vals = Tables.orders(spark, sf)
+      .select(expr("CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) div 10000 AS BIGINT)")
+        .as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("t"))
+      .localCheckpoint()
+    val tot = vals.agg(sum(col("t")).as("n"))
+      .select(col("n"),
+        expr("CAST((n + 1) div 2 AS BIGINT)").as("k2"),
+        floor((col("n").cast("double")
+          - lit(1.959964) * sqrt(col("n").cast("double"))) / lit(2.0))
+          .cast("long").as("klo"),
+        (floor((col("n").cast("double")
+          + lit(1.959964) * sqrt(col("n").cast("double"))) / lit(2.0))
+          .cast("long") + 1L).as("khi"))
+    vals.as("a")
+      .join(vals.select(col("v").as("v2"), col("t").as("t2")).as("b"),
+        col("v2") <= col("a.v"))
+      .groupBy(col("a.v").as("v")).agg(sum(col("t2")).as("cum"))
+      .crossJoin(broadcast(tot))
+      .agg(max(col("n")).as("n_orders"),
+        min(when(col("cum") >= col("k2"), col("v"))).as("median_bin"),
+        min(when(col("cum") >= col("klo"), col("v"))).as("ci_lo_bin"),
+        min(when(col("cum") >= col("khi"), col("v"))).as("ci_hi_bin"))
+  }
 }

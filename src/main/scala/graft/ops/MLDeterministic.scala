@@ -2997,6 +2997,29 @@ object MLDeterministic {
       .orderBy("nationkey")
   }
 
+  /** Tetrachoric correlation (cosine approximation) and Yule's Q for
+    * the deep-discount × returned 2×2 table: r ≈ cos(π/(1+√(ad/bc))),
+    * Q = (ad−bc)/(ad+bc) — exact counts, pre-rounded π literal.
+    */
+  def q_tetrachoric(spark: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(spark, sf)
+      .select((col("l_discount") >= 0.06).as("expo"),
+        (col("l_returnflag") === "R").as("ret"))
+      .agg(sum(when(col("expo") && col("ret"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("expo") && !col("ret"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("expo") && col("ret"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("expo") && !col("ret"), 1L).otherwise(0L)).as("d"))
+      .select(col("a"), col("b"), col("c"), col("d"),
+        (round((col("a").cast("double") * col("d").cast("double")
+          - col("b").cast("double") * col("c").cast("double"))
+          / (col("a").cast("double") * col("d").cast("double")
+            + col("b").cast("double") * col("c").cast("double")), 4) + lit(0.0))
+          .as("yule_q"),
+        (round(cos(lit(3.1415927) / (lit(1.0)
+          + sqrt(col("a").cast("double") * col("d").cast("double")
+            / (col("b").cast("double") * col("c").cast("double"))))), 4) + lit(0.0))
+          .as("tetrachoric_r"))
+
   /** Matthews correlation, Youden's J and balanced accuracy of the
     * deep-discount rule (discount ≥ 0.05) predicting returned items:
     * exact confusion counts, the 4-factor denominator multiplied in

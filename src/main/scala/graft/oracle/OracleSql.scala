@@ -11055,5 +11055,245 @@ object OracleSql {
       SELECT ng AS n_gaps, CAST(COUNT(*) AS BIGINT) AS n_customers,
              ROUND(AVG(cl), 4) + 0 AS mean_clumpiness
       FROM cl GROUP BY 1 ORDER BY n_gaps""",
+
+    "q_gpd_pot" -> """
+      WITH rev AS (SELECT CAST(date_diff('day', DATE '1992-01-01', o_orderdate)
+                            AS BIGINT) AS d,
+                          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                            AS rev
+                   FROM orders GROUP BY 1),
+           chg AS (SELECT b.d AS d, b.rev - a.rev AS diff
+                   FROM rev a JOIN rev b ON b.d = a.d + 1),
+           vals AS (SELECT diff, CAST(COUNT(*) AS BIGINT) AS cnt FROM chg GROUP BY 1),
+           tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST((CAST(COUNT(*) AS BIGINT) + 19) // 20 AS BIGINT) AS k
+                   FROM chg),
+           u AS (SELECT MIN(diff) AS u
+                 FROM (SELECT a.diff, CAST(SUM(b.cnt) AS BIGINT) AS cum
+                       FROM vals a JOIN vals b ON b.diff <= a.diff GROUP BY 1), tot
+                 WHERE cum >= k),
+           y AS (SELECT u, u - diff AS y FROM chg, u WHERE u - diff > 0),
+           s AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS sy,
+                        SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS syy
+                 FROM y GROUP BY 1),
+           m AS (SELECT u AS threshold_cents, n AS n_exceed,
+                        CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+                        syy / CAST(n AS DOUBLE)
+                          - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                            * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS s2
+                 FROM s)
+      SELECT threshold_cents, n_exceed,
+             ROUND(0.5 * (1.0 - m * m / s2), 4) + 0 AS xi,
+             ROUND(0.5 * m * (m * m / s2 + 1.0) / 100.0, 2) + 0 AS beta_dollars
+      FROM m""",
+
+    "q_extremal_index" -> """
+      WITH rev AS (SELECT CAST(date_diff('day', DATE '1992-01-01', o_orderdate)
+                            AS BIGINT) AS d,
+                          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                            AS rev
+                   FROM orders GROUP BY 1),
+           chg AS (SELECT b.d AS d, b.rev - a.rev AS diff
+                   FROM rev a JOIN rev b ON b.d = a.d + 1),
+           vals AS (SELECT diff, CAST(COUNT(*) AS BIGINT) AS cnt FROM chg GROUP BY 1),
+           tot AS (SELECT CAST((CAST(COUNT(*) AS BIGINT) + 19) // 20 AS BIGINT) AS k
+                   FROM chg),
+           u AS (SELECT MIN(diff) AS u
+                 FROM (SELECT a.diff, CAST(SUM(b.cnt) AS BIGINT) AS cum
+                       FROM vals a JOIN vals b ON b.diff <= a.diff GROUP BY 1), tot
+                 WHERE cum >= k),
+           ex AS (SELECT d FROM chg, u WHERE u - diff > 0),
+           starts AS (SELECT a.d FROM ex a
+                      LEFT JOIN ex b ON b.d = a.d - 1 OR b.d = a.d - 2
+                      GROUP BY 1 HAVING COUNT(b.d) = 0)
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ex) AS n_exceed,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM starts) AS n_clusters,
+             ROUND((SELECT CAST(COUNT(*) AS DOUBLE) FROM starts)
+               / (SELECT CAST(COUNT(*) AS DOUBLE) FROM ex), 4) + 0
+               AS extremal_index""",
+
+    "q_records_test" -> """
+      WITH rev AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                            AS m,
+                          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                            AS rev
+                   FROM orders GROUP BY 1),
+           pm AS (SELECT a.m, a.rev AS rv, COALESCE(MAX(b.rev), -1) AS prior_max
+                  FROM rev a LEFT JOIN rev b ON b.m < a.m
+                  GROUP BY 1, 2),
+           recs AS (SELECT CAST(SUM(CASE WHEN rv > prior_max THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_records
+                    FROM pm),
+           minm AS (SELECT MIN(m) AS m0 FROM rev),
+           harm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                           SUM(1.0 / CAST(m - m0 + 1 AS DOUBLE)) AS h1,
+                           SUM(1.0 / (CAST(m - m0 + 1 AS DOUBLE)
+                             * CAST(m - m0 + 1 AS DOUBLE))) AS h2
+                    FROM rev, minm)
+      SELECT n AS n_months, n_records, ROUND(h1, 4) + 0 AS expected_records,
+             ROUND((CAST(n_records AS DOUBLE) - h1) / SQRT(h1 - h2), 4) + 0 AS z
+      FROM harm, recs""",
+
+    "q_circular_stats" -> """
+      WITH dow AS (SELECT CAST(date_diff('day', DATE '1992-01-01', o_orderdate)
+                            AS BIGINT) % 7 AS dow,
+                          CAST(COUNT(*) AS BIGINT) AS nk
+                   FROM orders GROUP BY 1),
+           w AS (SELECT nk,
+                        CASE dow WHEN 0 THEN 1.0 WHEN 1 THEN 0.6234898
+                                 WHEN 2 THEN -0.2225209 WHEN 3 THEN -0.9009689
+                                 WHEN 4 THEN -0.9009689 WHEN 5 THEN -0.2225209
+                                 WHEN 6 THEN 0.6234898 ELSE 0.0 END AS cw,
+                        CASE dow WHEN 0 THEN 0.0 WHEN 1 THEN 0.7818315
+                                 WHEN 2 THEN 0.9749279 WHEN 3 THEN 0.4338837
+                                 WHEN 4 THEN -0.4338837 WHEN 5 THEN -0.9749279
+                                 WHEN 6 THEN -0.7818315 ELSE 0.0 END AS sw
+                 FROM dow),
+           s AS (SELECT CAST(SUM(nk) AS BIGINT) AS n,
+                        SUM(CAST(nk AS DOUBLE) * cw) AS cc,
+                        SUM(CAST(nk AS DOUBLE) * sw) AS ss
+                 FROM w),
+           r AS (SELECT n AS n_orders,
+                        SQRT(cc * cc + ss * ss) / CAST(n AS DOUBLE) AS rbar
+                 FROM s)
+      SELECT n_orders, ROUND(rbar, 6) + 0 AS resultant_rbar,
+             ROUND(1.0 - rbar, 6) + 0 AS circular_variance,
+             ROUND(CAST(n_orders AS DOUBLE) * rbar * rbar, 4) + 0 AS rayleigh_z
+      FROM r""",
+
+    "q_somers_d" -> """
+      WITH cells AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+                            CAST(ROUND(l_discount * 100) AS BIGINT) AS y,
+                            CAST(COUNT(*) AS BIGINT) AS cnt
+                     FROM lineitem GROUP BY 1, 2),
+           s AS (SELECT CAST(SUM(CASE WHEN b.y > a.y THEN a.cnt * b.cnt ELSE 0 END)
+                          AS BIGINT) AS c_pairs,
+                        CAST(SUM(CASE WHEN b.y < a.y THEN a.cnt * b.cnt ELSE 0 END)
+                          AS BIGINT) AS d_pairs,
+                        CAST(SUM(CASE WHEN b.y = a.y THEN a.cnt * b.cnt ELSE 0 END)
+                          AS BIGINT) AS ty_pairs
+                 FROM cells a JOIN cells b ON b.x > a.x)
+      SELECT c_pairs, d_pairs, ty_pairs,
+             ROUND(CAST(c_pairs - d_pairs AS DOUBLE)
+               / CAST(c_pairs + d_pairs + ty_pairs AS DOUBLE), 4) + 0 AS somers_d
+      FROM s""",
+
+    "q_dixon_q" -> """
+      WITH rev AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                            AS m,
+                          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                            AS rev
+                   FROM orders GROUP BY 1),
+           ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, MIN(rev) AS x1,
+                         MAX(rev) AS xn
+                  FROM rev),
+           x2 AS (SELECT MIN(rev) AS x2 FROM rev, ex WHERE rev > x1),
+           xn1 AS (SELECT MAX(rev) AS xn1 FROM rev, ex WHERE rev < xn)
+      SELECT n AS n_months,
+             ROUND(CAST(x2 - x1 AS DOUBLE) / CAST(xn - x1 AS DOUBLE), 4) + 0
+               AS q_low,
+             ROUND(CAST(xn - xn1 AS DOUBLE) / CAST(xn - x1 AS DOUBLE), 4) + 0
+               AS q_high
+      FROM ex, x2, xn1""",
+
+    "q_cooks_distance" -> """
+      WITH rev AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                            AS m,
+                          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                            AS rev
+                   FROM orders GROUP BY 1),
+           fit AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                          (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(m * rev) AS DOUBLE)
+                            - CAST(SUM(m) AS DOUBLE) * CAST(SUM(rev) AS DOUBLE))
+                          / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(m * m) AS DOUBLE)
+                            - CAST(SUM(m) AS DOUBLE) * CAST(SUM(m) AS DOUBLE)) AS b,
+                          CAST(SUM(rev) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS ybar,
+                          CAST(SUM(m) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS tbar,
+                          CAST(SUM(m * m) AS DOUBLE)
+                            - CAST(SUM(m) AS DOUBLE) * CAST(SUM(m) AS DOUBLE)
+                              / CAST(COUNT(*) AS DOUBLE) AS cstt
+                   FROM rev),
+           resid AS (SELECT m, n,
+                            1.0 / CAST(n AS DOUBLE)
+                              + (CAST(m AS DOUBLE) - tbar)
+                                * (CAST(m AS DOUBLE) - tbar) / cstt AS h,
+                            CAST(rev AS DOUBLE) - ybar
+                              - b * (CAST(m AS DOUBLE) - tbar) AS e
+                     FROM rev, fit),
+           s2 AS (SELECT MAX(n) AS nn, SUM(e * e) AS rss FROM resid),
+           sv AS (SELECT rss / (CAST(nn AS DOUBLE) - 2.0) AS s2 FROM s2)
+      SELECT m, ROUND(e / 100.0, 2) + 0 AS resid_dollars,
+             ROUND(h, 6) + 0 AS leverage,
+             ROUND(e * e * h / (2.0 * s2 * (1.0 - h) * (1.0 - h)), 6) + 0
+               AS cooks_d
+      FROM resid, sv
+      ORDER BY ROUND(e * e * h / (2.0 * s2 * (1.0 - h) * (1.0 - h)), 6) DESC, m
+      LIMIT 5""",
+
+    "q_uncertainty_coefficient" -> """
+      WITH cells AS (SELECT CAST((CAST(l_quantity AS BIGINT) - 1) // 17 AS BIGINT)
+                              AS x,
+                            l_returnflag AS y, CAST(COUNT(*) AS BIGINT) AS c
+                     FROM lineitem GROUP BY 1, 2),
+           nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+           hxy AS (SELECT SUM(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                     * LN(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))) AS hxy
+                   FROM cells, nn),
+           hx AS (SELECT SUM(-(CAST(cx AS DOUBLE) / CAST(n AS DOUBLE))
+                    * LN(CAST(cx AS DOUBLE) / CAST(n AS DOUBLE))) AS hx
+                  FROM (SELECT x, CAST(SUM(c) AS BIGINT) AS cx
+                        FROM cells GROUP BY 1), nn),
+           hy AS (SELECT SUM(-(CAST(cy AS DOUBLE) / CAST(n AS DOUBLE))
+                    * LN(CAST(cy AS DOUBLE) / CAST(n AS DOUBLE))) AS hy
+                  FROM (SELECT y, CAST(SUM(c) AS BIGINT) AS cy
+                        FROM cells GROUP BY 1), nn)
+      SELECT n AS n_items, ROUND(hx + hy - hxy, 6) + 0 AS mi_nats,
+             ROUND((hx + hy - hxy) / hy, 4) + 0 AS u_y_given_x,
+             ROUND(2.0 * (hx + hy - hxy) / (hx + hy), 4) + 0 AS u_symmetric
+      FROM nn, hxy, hx, hy""",
+
+    "q_median_ci" -> """
+      WITH vals AS (SELECT CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) // 10000
+                             AS BIGINT) AS v,
+                           CAST(COUNT(*) AS BIGINT) AS t
+                    FROM orders GROUP BY 1),
+           tot AS (SELECT CAST(SUM(t) AS BIGINT) AS n,
+                          CAST((CAST(SUM(t) AS BIGINT) + 1) // 2 AS BIGINT) AS k2,
+                          CAST(FLOOR((CAST(SUM(t) AS DOUBLE)
+                            - 1.959964 * SQRT(CAST(SUM(t) AS DOUBLE))) / 2.0)
+                            AS BIGINT) AS klo,
+                          CAST(FLOOR((CAST(SUM(t) AS DOUBLE)
+                            + 1.959964 * SQRT(CAST(SUM(t) AS DOUBLE))) / 2.0)
+                            AS BIGINT) + 1 AS khi
+                   FROM vals),
+           cum AS (SELECT a.v, CAST(SUM(b.t) AS BIGINT) AS cum
+                   FROM vals a JOIN vals b ON b.v <= a.v GROUP BY 1)
+      SELECT MAX(n) AS n_orders,
+             MIN(CASE WHEN cum >= k2 THEN v END) AS median_bin,
+             MIN(CASE WHEN cum >= klo THEN v END) AS ci_lo_bin,
+             MIN(CASE WHEN cum >= khi THEN v END) AS ci_hi_bin
+      FROM cum, tot""",
+
+    "q_tetrachoric" -> """
+      WITH s AS (SELECT
+                   CAST(SUM(CASE WHEN l_discount >= 0.06 AND l_returnflag = 'R'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                   CAST(SUM(CASE WHEN l_discount >= 0.06 AND NOT l_returnflag = 'R'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                   CAST(SUM(CASE WHEN NOT l_discount >= 0.06 AND l_returnflag = 'R'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                   CAST(SUM(CASE WHEN NOT l_discount >= 0.06
+                     AND NOT l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS d
+                 FROM lineitem)
+      SELECT a, b, c, d,
+             ROUND((CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+               - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+               / (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                 + CAST(b AS DOUBLE) * CAST(c AS DOUBLE)), 4) + 0 AS yule_q,
+             ROUND(COS(3.1415927 / (1.0
+               + SQRT(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                 / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE))))), 4) + 0
+               AS tetrachoric_r
+      FROM s""",
   )
 }
