@@ -5488,4 +5488,286 @@ object Analytics {
         min(when(col("cum") >= col("klo"), col("v"))).as("ci_lo_bin"),
         min(when(col("cum") >= col("khi"), col("v"))).as("ci_hi_bin"))
   }
+
+  private def strataTables(spark: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority").as("s"))
+      .agg(sum(when(col("l_discount") >= 0.06 && col("l_returnflag") === "R", 1L)
+        .otherwise(0L)).as("a"),
+        sum(when(col("l_discount") >= 0.06 && col("l_returnflag") =!= "R", 1L)
+          .otherwise(0L)).as("b"),
+        sum(when(col("l_discount") < 0.06 && col("l_returnflag") === "R", 1L)
+          .otherwise(0L)).as("c"),
+        sum(when(col("l_discount") < 0.06 && col("l_returnflag") =!= "R", 1L)
+          .otherwise(0L)).as("d"))
+
+  /** Cochran–Mantel–Haenszel test of the discount→return association
+    * stratified by order priority: continuity-corrected
+    * (|Σa−ΣE|−½)²/ΣV with the exact hypergeometric moments per stratum.
+    */
+  def q_cmh_test(spark: SparkSession, sf: String): DataFrame =
+    strataTables(spark, sf)
+      .select(col("a"), (col("a") + col("b")).as("n1"),
+        (col("c") + col("d")).as("n0"), (col("a") + col("c")).as("m1"),
+        (col("b") + col("d")).as("m0"),
+        (col("a") + col("b") + col("c") + col("d")).as("nn"))
+      .agg(count(lit(1)).as("k"), sum(col("a")).as("sa"),
+        sum(col("n1").cast("double") * col("m1").cast("double")
+          / col("nn").cast("double")).as("se"),
+        sum(col("n1").cast("double") * col("n0").cast("double")
+          * col("m1").cast("double") * col("m0").cast("double")
+          / (col("nn").cast("double") * col("nn").cast("double")
+            * (col("nn").cast("double") - lit(1.0)))).as("sv"))
+      .select(col("k").as("n_strata"), col("sa").as("sum_a"),
+        (round(col("se"), 4) + lit(0.0)).as("sum_e"),
+        (round((abs(col("sa").cast("double") - col("se")) - lit(0.5))
+          * (abs(col("sa").cast("double") - col("se")) - lit(0.5)) / col("sv"), 4)
+          + lit(0.0)).as("cmh_chi2"),
+        when((abs(col("sa").cast("double") - col("se")) - lit(0.5))
+          * (abs(col("sa").cast("double") - col("se")) - lit(0.5)) / col("sv")
+          > lit(3.841459), 1L).otherwise(0L).as("reject_no_association"))
+
+  /** Mantel–Haenszel common odds ratio across the priority strata with
+    * the Robins–Breslow–Greenland log-SE interval.
+    */
+  def q_mantel_haenszel(spark: SparkSession, sf: String): DataFrame =
+    strataTables(spark, sf)
+      .select(col("a"), col("b"), col("c"), col("d"),
+        (col("a") + col("b") + col("c") + col("d")).cast("double").as("nn"))
+      .select(
+        ((col("a") + col("d")).cast("double") / col("nn")).as("p"),
+        ((col("b") + col("c")).cast("double") / col("nn")).as("q"),
+        (col("a").cast("double") * col("d").cast("double") / col("nn")).as("r"),
+        (col("b").cast("double") * col("c").cast("double") / col("nn")).as("s"))
+      .agg(sum(col("r")).as("sr"), sum(col("s")).as("ss"),
+        sum(col("p") * col("r")).as("spr"),
+        sum(col("p") * col("s") + col("q") * col("r")).as("spsqr"),
+        sum(col("q") * col("s")).as("sqs"))
+      .select((col("sr") / col("ss")).as("or_mh"),
+        sqrt(col("spr") / (lit(2.0) * col("sr") * col("sr"))
+          + col("spsqr") / (lit(2.0) * col("sr") * col("ss"))
+          + col("sqs") / (lit(2.0) * col("ss") * col("ss"))).as("se"))
+      .select((round(col("or_mh"), 4) + lit(0.0)).as("or_mh"),
+        (round(exp(log(col("or_mh")) - lit(1.959964) * col("se")), 4) + lit(0.0))
+          .as("ci_lo"),
+        (round(exp(log(col("or_mh")) + lit(1.959964) * col("se")), 4) + lit(0.0))
+          .as("ci_hi"))
+
+  /** Direct standardization of per-priority return rates to the overall
+    * quantity-tercile mix: crude vs standardized rate per priority —
+    * exact stratum counts, double epilogue.
+    */
+  def q_direct_standardization(spark: SparkSession, sf: String): DataFrame = {
+    val cell = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority").as("g"),
+        expr("CAST((CAST(l_quantity AS BIGINT) - 1) div 17 AS BIGINT)").as("st"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("r"))
+      .localCheckpoint()
+    val w = cell.groupBy(col("st")).agg(sum(col("n")).as("ns"))
+    val tot = cell.agg(sum(col("n")).as("nt"))
+    cell.join(broadcast(w), "st").crossJoin(broadcast(tot))
+      .groupBy(col("g"))
+      .agg(sum(col("r")).as("rg"), sum(col("n")).as("ng"),
+        sum((col("r").cast("double") / col("n").cast("double"))
+          * (col("ns").cast("double") / col("nt").cast("double"))).as("std"))
+      .select(col("g").as("priority"),
+        (round(col("rg").cast("double") / col("ng").cast("double"), 4) + lit(0.0))
+          .as("crude_rate"),
+        (round(col("std"), 4) + lit(0.0)).as("standardized_rate"))
+      .orderBy("priority")
+  }
+
+  private def firstLastPriority(spark: SparkSession, sf: String): DataFrame =
+    Tables.orders(spark, sf)
+      .select(col("o_custkey").as("cust"),
+        (datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+          .cast("long") * 1000000000L + col("o_orderkey")).as("k"),
+        expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)").as("pr"))
+      .groupBy(col("cust"))
+      .agg(min_by(col("pr"), col("k")).as("i"), max_by(col("pr"), col("k")).as("j"),
+        count(lit(1)).as("n_ord"))
+      .filter(col("n_ord") >= 2)
+
+  /** Bowker symmetry test on the customers' first→last order-priority
+    * 5×5 transition table: χ² = Σ_{i<j}(n_ij−n_ji)²/(n_ij+n_ji), df=10
+    * — the first/last picks use a unique (day,orderkey) integer key so
+    * both engines agree bit-for-bit.
+    */
+  def q_bowker_symmetry(spark: SparkSession, sf: String): DataFrame = {
+    val t = firstLastPriority(spark, sf)
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val up = t.filter(col("i") < col("j"))
+      .select(col("i"), col("j"), col("n").as("nij"))
+    val lo = t.filter(col("i") > col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("n").as("nji"))
+    up.join(lo, Seq("i", "j"), "full_outer")
+      .select(coalesce(col("nij"), lit(0L)).as("nij"),
+        coalesce(col("nji"), lit(0L)).as("nji"))
+      .filter(col("nij") + col("nji") > 0L)
+      .agg(count(lit(1)).as("n_cells"),
+        sum((col("nij") - col("nji")).cast("double")
+          * (col("nij") - col("nji")).cast("double")
+          / (col("nij") + col("nji")).cast("double")).as("chi2"))
+      .select(col("n_cells"), (round(col("chi2"), 4) + lit(0.0)).as("bowker_chi2"),
+        when(col("chi2") > lit(18.307038), 1L).otherwise(0L).as("reject_symmetry"))
+  }
+
+  /** Shorrocks mobility index of the same first→last priority table:
+    * M = (k − Σ pᵢᵢ)/(k−1) over the 5 priority classes.
+    */
+  def q_shorrocks_mobility(spark: SparkSession, sf: String): DataFrame = {
+    val t = firstLastPriority(spark, sf)
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val row = t.groupBy(col("i")).agg(sum(col("n")).as("ri"))
+    t.filter(col("i") === col("j"))
+      .join(broadcast(row), "i")
+      .agg(count(lit(1)).as("k"),
+        sum(col("n").cast("double") / col("ri").cast("double")).as("tr"))
+      .select(col("k").as("k_classes"),
+        (round(col("tr"), 4) + lit(0.0)).as("trace_p"),
+        (round((col("k").cast("double") - col("tr"))
+          / (col("k").cast("double") - lit(1.0)), 4) + lit(0.0))
+          .as("shorrocks_m"))
+  }
+
+  /** Concentration index of returned items across the customer spend
+    * ranking ($100 lattice midranks): C = 2Σh·rank/(n·ΣH) − (n+1)/n —
+    * positive C means returns concentrate among big spenders.
+    */
+  def q_concentration_index(spark: SparkSession, sf: String): DataFrame = {
+    val cust = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(expr("CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) div 10000 AS BIGINT)")
+        .as("v"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("h"))
+      .localCheckpoint()
+    val vals = cust.groupBy(col("v"))
+      .agg(count(lit(1)).as("t"), sum(col("h")).as("hv"))
+    val mid = vals.as("a")
+      .join(vals.select(col("v").as("v2"), col("t").as("t2")).as("b"),
+        col("v2") < col("a.v"), "left")
+      .groupBy(col("a.v").as("v"), col("a.t").as("t"), col("a.hv").as("hv"))
+      .agg(coalesce(sum(col("t2")), lit(0L)).as("below"))
+      .select(col("v"), col("hv"),
+        (col("below").cast("double")
+          + (col("t").cast("double") + lit(1.0)) / lit(2.0)).as("midrank"))
+    val tot = cust.agg(count(lit(1)).as("n"), sum(col("h")).as("ht"))
+    mid.agg(sum(col("hv").cast("double") * col("midrank")).as("shr"))
+      .crossJoin(broadcast(tot))
+      .select(col("n").as("n_customers"), col("ht").as("total_returns"),
+        (round(lit(2.0) * col("shr")
+          / (col("n").cast("double") * col("ht").cast("double"))
+          - (col("n").cast("double") + lit(1.0)) / col("n").cast("double"), 4)
+          + lit(0.0)).as("concentration_index"))
+  }
+
+  /** Duncan dissimilarity and isolation indices of the BUILDING vs
+    * AUTOMOBILE customer populations across nations: D = ½Σ|aᵢ/A −
+    * bᵢ/B|, P* = Σ(aᵢ/A)(aᵢ/(aᵢ+bᵢ)).
+    */
+  def q_dissimilarity_index(spark: SparkSession, sf: String): DataFrame = {
+    val c = Tables.customer(spark, sf)
+      .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+      .groupBy(col("c_nationkey").as("nk"))
+      .agg(sum(when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L)).as("a"),
+        sum(when(col("c_mktsegment") === "AUTOMOBILE", 1L).otherwise(0L)).as("b"))
+      .localCheckpoint()
+    val tot = c.agg(sum(col("a")).as("ta"), sum(col("b")).as("tb"))
+    c.crossJoin(broadcast(tot))
+      .agg(count(lit(1)).as("n_nations"),
+        sum(abs(col("a").cast("double") / col("ta").cast("double")
+          - col("b").cast("double") / col("tb").cast("double"))).as("sd"),
+        sum((col("a").cast("double") / col("ta").cast("double"))
+          * (col("a").cast("double") / (col("a") + col("b")).cast("double")))
+          .as("iso"))
+      .select(col("n_nations"),
+        (round(col("sd") / lit(2.0), 4) + lit(0.0)).as("dissimilarity"),
+        (round(col("iso"), 4) + lit(0.0)).as("isolation_building"))
+  }
+
+  /** Location quotients of market segments by nation:
+    * LQ = (segment share within nation)/(segment share overall), top-10
+    * concentrations on the e4-rounded score with exact tie-breaks.
+    */
+  def q_location_quotient(spark: SparkSession, sf: String): DataFrame = {
+    val c = Tables.customer(spark, sf)
+      .groupBy(col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val byN = c.groupBy(col("nk")).agg(sum(col("n")).as("nn"))
+    val byS = c.groupBy(col("seg")).agg(sum(col("n")).as("ns"))
+    val tot = c.agg(sum(col("n")).as("nt"))
+    c.join(broadcast(byN), "nk").join(broadcast(byS), "seg")
+      .crossJoin(broadcast(tot))
+      .select(col("nk").as("nation"), col("seg"), col("n").as("n_customers"),
+        (round((col("n").cast("double") / col("nn").cast("double"))
+          / (col("ns").cast("double") / col("nt").cast("double")), 4) + lit(0.0))
+          .as("lq"))
+      .orderBy(col("lq").desc, col("nation").asc, col("seg").asc)
+      .limit(10)
+  }
+
+  /** Moran's I and Geary's C of per-nation mean account balance with
+    * same-region block weights: spatial autocorrelation on the
+    * nation/region hierarchy — exact cent sums, one double epilogue.
+    */
+  def q_morans_i(spark: SparkSession, sf: String): DataFrame = {
+    val natBal = Tables.customer(spark, sf)
+      .groupBy(col("c_nationkey").as("nk"))
+      .agg(count(lit(1)).as("nc"), sum(cents(col("c_acctbal"))).as("sb"))
+      .join(broadcast(Tables.nation(spark, sf)
+        .select(col("n_nationkey").as("nk"), col("n_regionkey").as("rk"))), "nk")
+      .select(col("nk"), col("rk"),
+        (col("sb").cast("double") / col("nc").cast("double")).as("x"))
+      .localCheckpoint()
+    val mean = natBal.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      .select(col("n"), (col("sx") / col("n").cast("double")).as("xbar"))
+    val z = natBal.crossJoin(broadcast(mean))
+      .select(col("nk"), col("rk"), (col("x") - col("xbar")).as("z"), col("n"))
+      .localCheckpoint()
+    val pairs = z.as("a")
+      .join(z.select(col("nk").as("nk2"), col("rk").as("rk2"),
+        col("z").as("z2")).as("b"),
+        col("rk2") === col("a.rk") && col("nk2") =!= col("a.nk"))
+      .agg(count(lit(1)).as("w"), sum(col("z") * col("z2")).as("szz"),
+        sum((col("z") - col("z2")) * (col("z") - col("z2"))).as("sdz"))
+    val den = z.agg(max(col("n")).as("n"), sum(col("z") * col("z")).as("szsq"))
+    den.crossJoin(pairs)
+      .select(col("n").as("n_nations"), col("w").as("w_pairs"),
+        (round((col("n").cast("double") / col("w").cast("double"))
+          * col("szz") / col("szsq"), 4) + lit(0.0)).as("morans_i"),
+        (round(((col("n").cast("double") - lit(1.0))
+          / (lit(2.0) * col("w").cast("double")))
+          * col("sdz") / col("szsq"), 4) + lit(0.0)).as("geary_c"))
+  }
+
+  /** Incidence rate ratio of returns, deep-discount vs regular items,
+    * with the Woolf-style log CI: RR = (a/T₁)/(c/T₀),
+    * CI = exp(ln RR ± 1.959964√(1/a+1/c)).
+    */
+  def q_rate_ratio_ci(spark: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(spark, sf)
+      .select((col("l_discount") >= 0.06).as("expo"),
+        (col("l_returnflag") === "R").as("ret"))
+      .agg(sum(when(col("expo") && col("ret"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("expo"), 1L).otherwise(0L)).as("t1"),
+        sum(when(!col("expo") && col("ret"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("expo"), 1L).otherwise(0L)).as("t0"))
+      .select(col("a"), col("t1"), col("c"), col("t0"),
+        ((col("a").cast("double") / col("t1").cast("double"))
+          / (col("c").cast("double") / col("t0").cast("double"))).as("rr"),
+        sqrt(lit(1.0) / col("a").cast("double") + lit(1.0) / col("c").cast("double"))
+          .as("se"))
+      .select(col("a"), col("t1"), col("c"), col("t0"),
+        (round(col("rr"), 4) + lit(0.0)).as("rate_ratio"),
+        (round(exp(log(col("rr")) - lit(1.959964) * col("se")), 4) + lit(0.0))
+          .as("ci_lo"),
+        (round(exp(log(col("rr")) + lit(1.959964) * col("se")), 4) + lit(0.0))
+          .as("ci_hi"))
 }

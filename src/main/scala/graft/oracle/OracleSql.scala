@@ -11295,5 +11295,237 @@ object OracleSql {
                  / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE))))), 4) + 0
                AS tetrachoric_r
       FROM s""",
+
+    "q_cmh_test" -> """
+      WITH st AS (SELECT o_orderpriority AS s,
+                         CAST(SUM(CASE WHEN l_discount >= 0.06 AND l_returnflag = 'R'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                         CAST(SUM(CASE WHEN l_discount >= 0.06 AND l_returnflag <> 'R'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                         CAST(SUM(CASE WHEN l_discount < 0.06 AND l_returnflag = 'R'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                         CAST(SUM(CASE WHEN l_discount < 0.06 AND l_returnflag <> 'R'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS d
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  GROUP BY 1),
+           m AS (SELECT a, a + b AS n1, c + d AS n0, a + c AS m1, b + d AS m0,
+                        a + b + c + d AS nn
+                 FROM st),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(a) AS BIGINT) AS sa,
+                        SUM(CAST(n1 AS DOUBLE) * CAST(m1 AS DOUBLE)
+                          / CAST(nn AS DOUBLE)) AS se,
+                        SUM(CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)
+                          * CAST(m1 AS DOUBLE) * CAST(m0 AS DOUBLE)
+                          / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+                            * (CAST(nn AS DOUBLE) - 1.0))) AS sv
+                 FROM m)
+      SELECT k AS n_strata, sa AS sum_a, ROUND(se, 4) + 0 AS sum_e,
+             ROUND((ABS(CAST(sa AS DOUBLE) - se) - 0.5)
+               * (ABS(CAST(sa AS DOUBLE) - se) - 0.5) / sv, 4) + 0 AS cmh_chi2,
+             CAST(CASE WHEN (ABS(CAST(sa AS DOUBLE) - se) - 0.5)
+               * (ABS(CAST(sa AS DOUBLE) - se) - 0.5) / sv > 3.841459
+               THEN 1 ELSE 0 END AS BIGINT) AS reject_no_association
+      FROM s""",
+
+    "q_mantel_haenszel" -> """
+      WITH st AS (SELECT o_orderpriority AS s,
+                         CAST(SUM(CASE WHEN l_discount >= 0.06 AND l_returnflag = 'R'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                         CAST(SUM(CASE WHEN l_discount >= 0.06 AND l_returnflag <> 'R'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                         CAST(SUM(CASE WHEN l_discount < 0.06 AND l_returnflag = 'R'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                         CAST(SUM(CASE WHEN l_discount < 0.06 AND l_returnflag <> 'R'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS d
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  GROUP BY 1),
+           pq AS (SELECT CAST(a + d AS DOUBLE) / CAST(a + b + c + d AS DOUBLE) AS p,
+                         CAST(b + c AS DOUBLE) / CAST(a + b + c + d AS DOUBLE) AS q,
+                         CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                           / CAST(a + b + c + d AS DOUBLE) AS r,
+                         CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+                           / CAST(a + b + c + d AS DOUBLE) AS s
+                  FROM st),
+           agg AS (SELECT SUM(r) AS sr, SUM(s) AS ss, SUM(p * r) AS spr,
+                          SUM(p * s + q * r) AS spsqr, SUM(q * s) AS sqs
+                   FROM pq),
+           f AS (SELECT sr / ss AS or_mh,
+                        SQRT(spr / (2.0 * sr * sr) + spsqr / (2.0 * sr * ss)
+                          + sqs / (2.0 * ss * ss)) AS se
+                 FROM agg)
+      SELECT ROUND(or_mh, 4) + 0 AS or_mh,
+             ROUND(EXP(LN(or_mh) - 1.959964 * se), 4) + 0 AS ci_lo,
+             ROUND(EXP(LN(or_mh) + 1.959964 * se), 4) + 0 AS ci_hi
+      FROM f""",
+
+    "q_direct_standardization" -> """
+      WITH cell AS (SELECT o_orderpriority AS g,
+                           CAST((CAST(l_quantity AS BIGINT) - 1) // 17 AS BIGINT)
+                             AS st,
+                           CAST(COUNT(*) AS BIGINT) AS n,
+                           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                             AS BIGINT) AS r
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    GROUP BY 1, 2),
+           w AS (SELECT st, CAST(SUM(n) AS BIGINT) AS ns FROM cell GROUP BY 1),
+           tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM cell),
+           s AS (SELECT g, CAST(SUM(r) AS BIGINT) AS rg, CAST(SUM(n) AS BIGINT) AS ng,
+                        SUM((CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+                          * (CAST(ns AS DOUBLE) / CAST(nt AS DOUBLE))) AS std
+                 FROM cell JOIN w ON cell.st = w.st, tot
+                 GROUP BY 1)
+      SELECT g AS priority,
+             ROUND(CAST(rg AS DOUBLE) / CAST(ng AS DOUBLE), 4) + 0 AS crude_rate,
+             ROUND(std, 4) + 0 AS standardized_rate
+      FROM s ORDER BY priority""",
+
+    "q_bowker_symmetry" -> """
+      WITH fl AS (SELECT o_custkey AS cust,
+                         arg_min(CAST(substring(o_orderpriority, 1, 1) AS BIGINT),
+                           CAST(date_diff('day', DATE '1992-01-01', o_orderdate)
+                             AS BIGINT) * 1000000000 + o_orderkey) AS i,
+                         arg_max(CAST(substring(o_orderpriority, 1, 1) AS BIGINT),
+                           CAST(date_diff('day', DATE '1992-01-01', o_orderdate)
+                             AS BIGINT) * 1000000000 + o_orderkey) AS j,
+                         CAST(COUNT(*) AS BIGINT) AS n_ord
+                  FROM orders GROUP BY 1 HAVING COUNT(*) >= 2),
+           t AS (SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n FROM fl GROUP BY 1, 2),
+           up AS (SELECT i, j, n AS nij FROM t WHERE i < j),
+           lo AS (SELECT j AS i, i AS j, n AS nji FROM t WHERE i > j),
+           cells AS (SELECT COALESCE(nij, 0) AS nij, COALESCE(nji, 0) AS nji
+                     FROM up FULL OUTER JOIN lo USING (i, j)
+                     WHERE COALESCE(nij, 0) + COALESCE(nji, 0) > 0),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+                        SUM(CAST(nij - nji AS DOUBLE) * CAST(nij - nji AS DOUBLE)
+                          / CAST(nij + nji AS DOUBLE)) AS chi2
+                 FROM cells)
+      SELECT n_cells, ROUND(chi2, 4) + 0 AS bowker_chi2,
+             CAST(CASE WHEN chi2 > 18.307038 THEN 1 ELSE 0 END AS BIGINT)
+               AS reject_symmetry
+      FROM s""",
+
+    "q_shorrocks_mobility" -> """
+      WITH fl AS (SELECT o_custkey AS cust,
+                         arg_min(CAST(substring(o_orderpriority, 1, 1) AS BIGINT),
+                           CAST(date_diff('day', DATE '1992-01-01', o_orderdate)
+                             AS BIGINT) * 1000000000 + o_orderkey) AS i,
+                         arg_max(CAST(substring(o_orderpriority, 1, 1) AS BIGINT),
+                           CAST(date_diff('day', DATE '1992-01-01', o_orderdate)
+                             AS BIGINT) * 1000000000 + o_orderkey) AS j
+                  FROM orders GROUP BY 1 HAVING COUNT(*) >= 2),
+           t AS (SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n FROM fl GROUP BY 1, 2),
+           rw AS (SELECT i, CAST(SUM(n) AS BIGINT) AS ri FROM t GROUP BY 1),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                        SUM(CAST(n AS DOUBLE) / CAST(ri AS DOUBLE)) AS tr
+                 FROM t JOIN rw ON t.i = rw.i WHERE t.i = t.j)
+      SELECT k AS k_classes, ROUND(tr, 4) + 0 AS trace_p,
+             ROUND((CAST(k AS DOUBLE) - tr) / (CAST(k AS DOUBLE) - 1.0), 4) + 0
+               AS shorrocks_m
+      FROM s""",
+
+    "q_concentration_index" -> """
+      WITH cust AS (SELECT o_custkey,
+                           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                             AS BIGINT) // 10000 AS v,
+                           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                             AS BIGINT) AS h
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    GROUP BY 1),
+           vals AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS t,
+                           CAST(SUM(h) AS BIGINT) AS hv
+                    FROM cust GROUP BY 1),
+           mid AS (SELECT a.v, a.hv,
+                          CAST(COALESCE(SUM(b.t), 0) AS DOUBLE)
+                            + (CAST(a.t AS DOUBLE) + 1.0) / 2.0 AS midrank
+                   FROM vals a LEFT JOIN vals b ON b.v < a.v
+                   GROUP BY a.v, a.t, a.hv),
+           tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(h) AS BIGINT) AS ht
+                   FROM cust),
+           s AS (SELECT SUM(CAST(hv AS DOUBLE) * midrank) AS shr FROM mid)
+      SELECT n AS n_customers, ht AS total_returns,
+             ROUND(2.0 * shr / (CAST(n AS DOUBLE) * CAST(ht AS DOUBLE))
+               - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 4) + 0
+               AS concentration_index
+      FROM s, tot""",
+
+    "q_dissimilarity_index" -> """
+      WITH c AS (SELECT c_nationkey AS nk,
+                        CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS a,
+                        CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS b
+                 FROM customer
+                 WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+                 GROUP BY 1),
+           tot AS (SELECT CAST(SUM(a) AS BIGINT) AS ta, CAST(SUM(b) AS BIGINT) AS tb
+                   FROM c),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nations,
+                        SUM(ABS(CAST(a AS DOUBLE) / CAST(ta AS DOUBLE)
+                          - CAST(b AS DOUBLE) / CAST(tb AS DOUBLE))) AS sd,
+                        SUM((CAST(a AS DOUBLE) / CAST(ta AS DOUBLE))
+                          * (CAST(a AS DOUBLE) / CAST(a + b AS DOUBLE))) AS iso
+                 FROM c, tot)
+      SELECT n_nations, ROUND(sd / 2.0, 4) + 0 AS dissimilarity,
+             ROUND(iso, 4) + 0 AS isolation_building
+      FROM s""",
+
+    "q_location_quotient" -> """
+      WITH c AS (SELECT c_nationkey AS nk, c_mktsegment AS seg,
+                        CAST(COUNT(*) AS BIGINT) AS n
+                 FROM customer GROUP BY 1, 2),
+           byn AS (SELECT nk, CAST(SUM(n) AS BIGINT) AS nn FROM c GROUP BY 1),
+           bys AS (SELECT seg, CAST(SUM(n) AS BIGINT) AS ns FROM c GROUP BY 1),
+           tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM c),
+           l AS (SELECT c.nk AS nation, c.seg, c.n AS n_customers,
+                        ROUND((CAST(c.n AS DOUBLE) / CAST(nn AS DOUBLE))
+                          / (CAST(ns AS DOUBLE) / CAST(nt AS DOUBLE)), 4) + 0 AS lq
+                 FROM c JOIN byn ON c.nk = byn.nk JOIN bys ON c.seg = bys.seg, tot)
+      SELECT nation, seg, n_customers, lq
+      FROM l ORDER BY lq DESC, nation, seg LIMIT 10""",
+
+    "q_morans_i" -> """
+      WITH nb AS (SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS nc,
+                         CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                           AS sb
+                  FROM customer GROUP BY 1),
+           nx AS (SELECT nb.nk, n_regionkey AS rk,
+                         CAST(sb AS DOUBLE) / CAST(nc AS DOUBLE) AS x
+                  FROM nb JOIN nation ON nb.nk = n_nationkey),
+           mean AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                           SUM(x) / CAST(COUNT(*) AS DOUBLE) AS xbar
+                    FROM nx),
+           z AS (SELECT nk, rk, x - xbar AS z, n FROM nx, mean),
+           pairs AS (SELECT CAST(COUNT(*) AS BIGINT) AS w,
+                            SUM(a.z * b.z) AS szz,
+                            SUM((a.z - b.z) * (a.z - b.z)) AS sdz
+                     FROM z a JOIN z b ON b.rk = a.rk AND b.nk <> a.nk),
+           den AS (SELECT MAX(n) AS n, SUM(z * z) AS szsq FROM z)
+      SELECT n AS n_nations, w AS w_pairs,
+             ROUND((CAST(n AS DOUBLE) / CAST(w AS DOUBLE)) * szz / szsq, 4) + 0
+               AS morans_i,
+             ROUND(((CAST(n AS DOUBLE) - 1.0) / (2.0 * CAST(w AS DOUBLE)))
+               * sdz / szsq, 4) + 0 AS geary_c
+      FROM den, pairs""",
+
+    "q_rate_ratio_ci" -> """
+      WITH s AS (SELECT
+                   CAST(SUM(CASE WHEN l_discount >= 0.06 AND l_returnflag = 'R'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                   CAST(SUM(CASE WHEN l_discount >= 0.06 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS t1,
+                   CAST(SUM(CASE WHEN NOT l_discount >= 0.06 AND l_returnflag = 'R'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                   CAST(SUM(CASE WHEN NOT l_discount >= 0.06 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS t0
+                 FROM lineitem),
+           f AS (SELECT a, t1, c, t0,
+                        (CAST(a AS DOUBLE) / CAST(t1 AS DOUBLE))
+                          / (CAST(c AS DOUBLE) / CAST(t0 AS DOUBLE)) AS rr,
+                        SQRT(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(c AS DOUBLE)) AS se
+                 FROM s)
+      SELECT a, t1, c, t0, ROUND(rr, 4) + 0 AS rate_ratio,
+             ROUND(EXP(LN(rr) - 1.959964 * se), 4) + 0 AS ci_lo,
+             ROUND(EXP(LN(rr) + 1.959964 * se), 4) + 0 AS ci_hi
+      FROM f""",
   )
 }
