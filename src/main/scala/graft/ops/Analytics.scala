@@ -5770,4 +5770,334 @@ object Analytics {
           .as("ci_lo"),
         (round(exp(log(col("rr")) + lit(1.959964) * col("se")), 4) + lit(0.0))
           .as("ci_hi"))
+
+  /** Breslow–Day homogeneity test of the per-stratum odds ratios
+    * against the MH common OR: expected cell from the Citardauq root of
+    * the per-stratum quadratic (stable as OR→1), χ² = Σ(a−A)²/V_A,
+    * df = k−1.
+    */
+  def q_breslow_day(spark: SparkSession, sf: String): DataFrame = {
+    val st = strataTables(spark, sf).localCheckpoint()
+    val or = st
+      .agg(sum(col("a").cast("double") * col("d").cast("double")
+        / (col("a") + col("b") + col("c") + col("d")).cast("double")).as("sr"),
+        sum(col("b").cast("double") * col("c").cast("double")
+          / (col("a") + col("b") + col("c") + col("d")).cast("double")).as("ss"))
+      .select((col("sr") / col("ss")).as("ormh"))
+    val terms = st.crossJoin(broadcast(or))
+      .select(col("a").cast("double").as("ad"),
+        (col("a") + col("b")).cast("double").as("n1"),
+        (col("a") + col("c")).cast("double").as("m1"),
+        (col("a") + col("b") + col("c") + col("d")).cast("double").as("nn"),
+        col("ormh"))
+      .select(col("ad"), col("n1"), col("m1"), col("nn"), col("ormh"),
+        (lit(1.0) - col("ormh")).as("a2"),
+        (col("nn") - col("n1") - col("m1")
+          + col("ormh") * (col("n1") + col("m1"))).as("b2"),
+        (-col("ormh") * col("n1") * col("m1")).as("c2"))
+      .select(col("ad"), col("n1"), col("m1"), col("nn"),
+        (lit(2.0) * col("c2")
+          / (-col("b2") - sqrt(col("b2") * col("b2")
+            - lit(4.0) * col("a2") * col("c2")))).as("ae"))
+      .select(col("ad"), col("ae"),
+        (lit(1.0) / (lit(1.0) / col("ae") + lit(1.0) / (col("n1") - col("ae"))
+          + lit(1.0) / (col("m1") - col("ae"))
+          + lit(1.0) / (col("nn") - col("n1") - col("m1") + col("ae")))).as("va"))
+    terms.agg(count(lit(1)).as("k"),
+        sum((col("ad") - col("ae")) * (col("ad") - col("ae")) / col("va"))
+          .as("chi2"))
+      .select(col("k").as("n_strata"),
+        (round(col("chi2"), 4) + lit(0.0)).as("breslow_day_chi2"),
+        when(col("chi2") > lit(9.487729), 1L).otherwise(0L)
+          .as("reject_homogeneous_or"))
+  }
+
+  /** Peto one-step odds ratio from the CMH moments:
+    * ψ = exp(Σ(O−E)/ΣV) with CI exp((Σ(O−E) ± 1.959964√ΣV)/ΣV).
+    */
+  def q_peto_odds_ratio(spark: SparkSession, sf: String): DataFrame =
+    strataTables(spark, sf)
+      .select(col("a").cast("double").as("ad"),
+        (col("a") + col("b")).cast("double").as("n1"),
+        (col("c") + col("d")).cast("double").as("n0"),
+        (col("a") + col("c")).cast("double").as("m1"),
+        (col("b") + col("d")).cast("double").as("m0"),
+        (col("a") + col("b") + col("c") + col("d")).cast("double").as("nn"))
+      .agg(sum(col("ad") - col("n1") * col("m1") / col("nn")).as("soe"),
+        sum(col("n1") * col("n0") * col("m1") * col("m0")
+          / (col("nn") * col("nn") * (col("nn") - lit(1.0)))).as("sv"))
+      .select((round(exp(col("soe") / col("sv")), 4) + lit(0.0)).as("peto_or"),
+        (round(exp((col("soe") - lit(1.959964) * sqrt(col("sv"))) / col("sv")), 4)
+          + lit(0.0)).as("ci_lo"),
+        (round(exp((col("soe") + lit(1.959964) * sqrt(col("sv"))) / col("sv")), 4)
+          + lit(0.0)).as("ci_hi"))
+
+  /** Indirect standardization: per-priority SMR = observed/expected
+    * returns with expectations from the overall quantity-tercile rates,
+    * log-normal CI exp(ln SMR ± 1.959964/√O).
+    */
+  def q_smr_indirect(spark: SparkSession, sf: String): DataFrame = {
+    val cell = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority").as("g"),
+        expr("CAST((CAST(l_quantity AS BIGINT) - 1) div 17 AS BIGINT)").as("st"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("r"))
+      .localCheckpoint()
+    val ref = cell.groupBy(col("st"))
+      .agg(sum(col("r")).as("rs"), sum(col("n")).as("ns"))
+      .select(col("st"),
+        (col("rs").cast("double") / col("ns").cast("double")).as("rate"))
+    cell.join(broadcast(ref), "st")
+      .groupBy(col("g"))
+      .agg(sum(col("r")).as("o"), sum(col("n").cast("double") * col("rate")).as("e"))
+      .select(col("g").as("priority"), col("o").as("observed"),
+        floor(col("e") * lit(100.0)).cast("long").as("expected_e2"),
+        (round(col("o").cast("double") / col("e"), 4) + lit(0.0)).as("smr"),
+        (round(exp(log(col("o").cast("double") / col("e"))
+          - lit(1.959964) / sqrt(col("o").cast("double"))), 4) + lit(0.0))
+          .as("ci_lo"),
+        (round(exp(log(col("o").cast("double") / col("e"))
+          + lit(1.959964) / sqrt(col("o").cast("double"))), 4) + lit(0.0))
+          .as("ci_hi"))
+      .orderBy("priority")
+  }
+
+  /** Funnel plot of per-nation return SMRs against the pooled rate:
+    * control limits 1 ± 1.959964√(1/E), each nation flagged −1/0/+1 —
+    * all flags from identically-derived doubles.
+    */
+  def q_funnel_plot(spark: SparkSession, sf: String): DataFrame = {
+    val nat = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, sf)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("o"))
+      .localCheckpoint()
+    val pool = nat.agg(sum(col("o")).as("to"), sum(col("n")).as("tn"))
+      .select((col("to").cast("double") / col("tn").cast("double")).as("pbar"))
+    nat.crossJoin(broadcast(pool))
+      .select(col("nk").as("nation"), col("o"),
+        (col("n").cast("double") * col("pbar")).as("e"))
+      .select(col("nation"), col("o"),
+        floor(col("e") * lit(100.0)).cast("long").as("expected_e2"),
+        (round(col("o").cast("double") / col("e"), 4) + lit(0.0)).as("smr"),
+        when(col("o").cast("double") / col("e")
+          > lit(1.0) + lit(1.959964) * sqrt(lit(1.0) / col("e")), 1L)
+          .when(col("o").cast("double") / col("e")
+            < lit(1.0) - lit(1.959964) * sqrt(lit(1.0) / col("e")), -1L)
+          .otherwise(0L).as("flag"))
+      .orderBy("nation")
+  }
+
+  /** Empirical-Bayes beta shrinkage of per-nation return rates: MoM
+    * prior from the unweighted rate mean/variance, K = m(1−m)/v − 1,
+    * shrunk = (O + mK)/(n + K).
+    */
+  def q_eb_shrinkage(spark: SparkSession, sf: String): DataFrame = {
+    val nat = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, sf)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("o"))
+      .select(col("nk"), col("n"), col("o"),
+        (col("o").cast("double") / col("n").cast("double")).as("x"))
+      .localCheckpoint()
+    val prior = nat.agg(count(lit(1)).as("kk"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select((col("sx") / col("kk").cast("double")).as("m"),
+        (col("sxx") / col("kk").cast("double")
+          - (col("sx") / col("kk").cast("double"))
+            * (col("sx") / col("kk").cast("double"))).as("v"))
+      .select(col("m"), (col("m") * (lit(1.0) - col("m")) / col("v") - lit(1.0))
+        .as("bigk"))
+    nat.crossJoin(broadcast(prior))
+      .select(col("nk").as("nation"), col("n"), col("o"),
+        (round(col("x"), 4) + lit(0.0)).as("raw_rate"),
+        (round((col("o").cast("double") + col("m") * col("bigk"))
+          / (col("n").cast("double") + col("bigk")), 4) + lit(0.0))
+          .as("shrunk_rate"),
+        (round(col("bigk"), 2) + lit(0.0)).as("prior_k"))
+      .orderBy("nation")
+  }
+
+  /** Bühlmann credibility of per-nation monthly return rates:
+    * EPV = mean within-nation variance, VHM = between-variance of
+    * nation means minus EPV/n̄, k = EPV/VHM and the credibility
+    * Z = n/(n+k) at the common month count.
+    */
+  def q_buhlmann_credibility(spark: SparkSession, sf: String): DataFrame = {
+    val nm = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, sf)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nk"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("m"))
+      .agg((sum(when(col("l_returnflag") === "R", 1.0).otherwise(0.0))
+        / count(lit(1)).cast("double")).as("x"))
+      .localCheckpoint()
+    val within = nm.groupBy(col("nk"))
+      .agg(count(lit(1)).as("t"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("nk"), col("t"),
+        (col("sx") / col("t").cast("double")).as("xbar"),
+        ((col("sxx") - col("sx") * col("sx") / col("t").cast("double"))
+          / (col("t").cast("double") - lit(1.0))).as("s2"))
+      .localCheckpoint()
+    val agg = within.agg(count(lit(1)).as("r"), avg(col("s2")).as("epv"),
+        avg(col("t").cast("double")).as("tbar"),
+        avg(col("xbar")).as("gx"),
+        (sum(col("xbar") * col("xbar"))
+          - sum(col("xbar")) * sum(col("xbar")) / count(lit(1)).cast("double"))
+          .as("ssb"))
+      .select(col("r"), col("epv"), col("tbar"),
+        (col("ssb") / (col("r").cast("double") - lit(1.0))
+          - col("epv") / col("tbar")).as("vhm"))
+    agg.select(col("r").as("n_nations"),
+        (round(col("epv"), 6) + lit(0.0)).as("epv"),
+        (round(col("vhm"), 6) + lit(0.0)).as("vhm"),
+        (round(when(col("vhm") > 0.0, col("epv") / col("vhm")).otherwise(lit(-1.0)),
+          2) + lit(0.0)).as("buhlmann_k"),
+        (round(when(col("vhm") > 0.0,
+          col("tbar") / (col("tbar") + col("epv") / col("vhm"))).otherwise(lit(0.0)),
+          4) + lit(0.0)).as("credibility_z"))
+  }
+
+  /** Cochran–Armitage trend test of the return proportion across the
+    * ordered priorities (scores 1..5): z from exact counts with the
+    * standard variance.
+    */
+  def q_cochran_armitage(spark: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)").as("s"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("a"))
+      .agg(sum(col("n")).as("nn"), sum(col("a")).as("aa"),
+        sum(col("s") * col("a")).as("ssa"), sum(col("s") * col("n")).as("ssn"),
+        sum(col("s") * col("s") * col("n")).as("ss2n"))
+      .select(col("nn"), col("aa"),
+        (col("ssa").cast("double")
+          - col("aa").cast("double") * col("ssn").cast("double")
+            / col("nn").cast("double")).as("t"),
+        ((col("aa").cast("double") / col("nn").cast("double"))
+          * (lit(1.0) - col("aa").cast("double") / col("nn").cast("double"))
+          * (col("ss2n").cast("double")
+            - col("ssn").cast("double") * col("ssn").cast("double")
+              / col("nn").cast("double"))).as("v"))
+      .select(col("nn").as("n_items"), col("aa").as("n_returns"),
+        (round(col("t") / sqrt(col("v")), 4) + lit(0.0)).as("ca_z"),
+        when(abs(col("t") / sqrt(col("v"))) > lit(1.959964), 1L).otherwise(0L)
+          .as("trend_detected"))
+
+  /** Piecewise-linear trend of monthly revenue with one literal knot at
+    * t = 40: the 3-parameter hinge regression solved exactly by
+    * Cramer's rule over the exact-sum normal equations.
+    */
+  def q_piecewise_trend(spark: SparkSession, sf: String): DataFrame = {
+    val rev = monthlyRevenue(spark, sf)
+    val m0 = rev.agg(min(col("m")).as("m0"))
+    val t = rev.crossJoin(broadcast(m0))
+      .select((col("m") - col("m0") + 1L).as("t"), col("rev"))
+      .select(col("t"), greatest(col("t") - 40L, lit(0L)).as("h"),
+        col("rev").cast("double").as("y"))
+    t.agg(count(lit(1)).cast("double").as("s1"),
+        sum(col("t")).cast("double").as("st"), sum(col("h")).cast("double").as("sh"),
+        sum(col("t") * col("t")).cast("double").as("stt"),
+        sum(col("t") * col("h")).cast("double").as("sth"),
+        sum(col("h") * col("h")).cast("double").as("shh"),
+        sum(col("y")).as("sy"), sum(col("t").cast("double") * col("y")).as("sty"),
+        sum(col("h").cast("double") * col("y")).as("shy"))
+      .select(col("s1"),
+        (col("s1") * (col("stt") * col("shh") - col("sth") * col("sth"))
+          - col("st") * (col("st") * col("shh") - col("sth") * col("sh"))
+          + col("sh") * (col("st") * col("sth") - col("stt") * col("sh"))).as("dd"),
+        (col("s1") * (col("sty") * col("shh") - col("sth") * col("shy"))
+          - col("sy") * (col("st") * col("shh") - col("sth") * col("sh"))
+          + col("sh") * (col("st") * col("shy") - col("sty") * col("sh"))).as("d2"),
+        (col("s1") * (col("stt") * col("shy") - col("sty") * col("sth"))
+          - col("st") * (col("st") * col("shy") - col("sty") * col("sh"))
+          + col("sy") * (col("st") * col("sth") - col("stt") * col("sh"))).as("d3"))
+      .select(col("s1").cast("long").as("n_months"),
+        lit(40L).as("knot_t"),
+        (round(col("d2") / col("dd") / lit(100.0), 4) + lit(0.0))
+          .as("base_slope_dollars"),
+        (round(col("d3") / col("dd") / lit(100.0), 4) + lit(0.0))
+          .as("slope_change_dollars"))
+  }
+
+  /** Newey–West HAC t-statistic of the mean daily revenue change
+    * (Bartlett kernel, 2 lags): σ²_NW = γ₀ + 2(⅔γ₁ + ⅓γ₂), compared
+    * with the i.i.d. t — autocorrelation-robust inference.
+    */
+  def q_newey_west(spark: SparkSession, sf: String): DataFrame = {
+    val rev = dailyRevenue(spark, sf)
+    val chg = rev.as("a")
+      .join(rev.select(col("d").as("d2"), col("rev").as("rev2")).as("b"),
+        col("d2") === col("d") + 1)
+      .select(col("d2").as("d"), (col("rev2") - col("rev")).as("x"))
+      .localCheckpoint()
+    val mu = chg.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      .select(col("n"), (col("sx").cast("double") / col("n").cast("double")).as("mu"))
+    val z = chg.crossJoin(broadcast(mu))
+      .select(col("d"), col("n"), col("mu"),
+        (col("x").cast("double") - col("mu")).as("z"))
+      .localCheckpoint()
+    def gamma(l: Int): DataFrame = z.as("a")
+      .join(z.select(col("d").as("d2"), col("z").as("z2")).as("b"),
+        col("d2") === col("d") + l)
+      .agg(sum(col("z") * col("z2")).as(s"g$l"))
+    val g0 = z.agg(max(col("n")).as("n"), max(col("mu")).as("mu"),
+      sum(col("z") * col("z")).as("g0"))
+    g0.crossJoin(gamma(1)).crossJoin(gamma(2))
+      .select(col("n").as("n_days"),
+        (round(col("mu") / lit(100.0), 2) + lit(0.0)).as("mean_change_dollars"),
+        (round((col("mu")
+          / sqrt(((col("g0") + lit(2.0) * (lit(2.0) / lit(3.0) * col("g1")
+            + lit(1.0) / lit(3.0) * col("g2"))) / col("n").cast("double"))
+            / col("n").cast("double"))), 4) + lit(0.0)).as("t_newey_west"),
+        (round(col("mu") / sqrt((col("g0") / col("n").cast("double"))
+          / col("n").cast("double")), 4) + lit(0.0)).as("t_iid"))
+  }
+
+  /** TOST equivalence test of URGENT vs LOW mean order totals with a
+    * ±1%-of-pooled-mean margin: both one-sided Welch t's must clear
+    * 1.6448536 for equivalence.
+    */
+  def q_tost_equivalence(spark: SparkSession, sf: String): DataFrame = {
+    def grp(p: String, pfx: String): DataFrame =
+      Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === p)
+        .select(cents(col("o_totalprice")).as("x"))
+        .agg(count(lit(1)).as(s"${pfx}n"), sum(col("x")).as(s"${pfx}s"),
+          sum(col("x").cast("double") * col("x").cast("double")).as(s"${pfx}ss"))
+    grp("1-URGENT", "a").crossJoin(grp("5-LOW", "b"))
+      .select(col("an"), col("bn"),
+        (col("as").cast("double") / col("an").cast("double")
+          - col("bs").cast("double") / col("bn").cast("double")).as("dmean"),
+        (((col("as") + col("bs")).cast("double")
+          / (col("an") + col("bn")).cast("double")) / lit(100.0)).as("delta"),
+        sqrt((((col("ass") - (col("as").cast("double") * col("as").cast("double"))
+          / col("an").cast("double")) / (col("an").cast("double") - lit(1.0)))
+          / col("an").cast("double"))
+          + (((col("bss") - (col("bs").cast("double") * col("bs").cast("double"))
+            / col("bn").cast("double")) / (col("bn").cast("double") - lit(1.0)))
+            / col("bn").cast("double"))).as("se"))
+      .select(col("an").as("n_urgent"), col("bn").as("n_low"),
+        (round(col("dmean") / lit(100.0), 2) + lit(0.0)).as("diff_dollars"),
+        (round(col("delta") / lit(100.0), 2) + lit(0.0)).as("margin_dollars"),
+        (round((col("dmean") + col("delta")) / col("se"), 4) + lit(0.0)).as("t_lower"),
+        (round((col("delta") - col("dmean")) / col("se"), 4) + lit(0.0)).as("t_upper"),
+        when((col("dmean") + col("delta")) / col("se") > lit(1.6448536)
+          && (col("delta") - col("dmean")) / col("se") > lit(1.6448536), 1L)
+          .otherwise(0L).as("equivalent"))
+  }
 }

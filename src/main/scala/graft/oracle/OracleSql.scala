@@ -11527,5 +11527,286 @@ object OracleSql {
              ROUND(EXP(LN(rr) - 1.959964 * se), 4) + 0 AS ci_lo,
              ROUND(EXP(LN(rr) + 1.959964 * se), 4) + 0 AS ci_hi
       FROM f""",
+
+    "q_breslow_day" -> """
+      WITH st AS (SELECT o_orderpriority AS s,
+                         CAST(SUM(CASE WHEN l_discount >= 0.06 AND l_returnflag = 'R'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                         CAST(SUM(CASE WHEN l_discount >= 0.06 AND l_returnflag <> 'R'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                         CAST(SUM(CASE WHEN l_discount < 0.06 AND l_returnflag = 'R'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                         CAST(SUM(CASE WHEN l_discount < 0.06 AND l_returnflag <> 'R'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS d
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  GROUP BY 1),
+           ormh AS (SELECT SUM(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                      / CAST(a + b + c + d AS DOUBLE))
+                      / SUM(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+                        / CAST(a + b + c + d AS DOUBLE)) AS ormh
+                    FROM st),
+           t1 AS (SELECT CAST(a AS DOUBLE) AS ad, CAST(a + b AS DOUBLE) AS n1,
+                         CAST(a + c AS DOUBLE) AS m1,
+                         CAST(a + b + c + d AS DOUBLE) AS nn, ormh
+                  FROM st, ormh),
+           t2 AS (SELECT ad, n1, m1, nn, ormh, 1.0 - ormh AS a2,
+                         nn - n1 - m1 + ormh * (n1 + m1) AS b2,
+                         -ormh * n1 * m1 AS c2
+                  FROM t1),
+           t3 AS (SELECT ad, n1, m1, nn,
+                         2.0 * c2 / (-b2 - SQRT(b2 * b2 - 4.0 * a2 * c2)) AS ae
+                  FROM t2),
+           t4 AS (SELECT ad, ae,
+                         1.0 / (1.0 / ae + 1.0 / (n1 - ae) + 1.0 / (m1 - ae)
+                           + 1.0 / (nn - n1 - m1 + ae)) AS va
+                  FROM t3),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                        SUM((ad - ae) * (ad - ae) / va) AS chi2
+                 FROM t4)
+      SELECT k AS n_strata, ROUND(chi2, 4) + 0 AS breslow_day_chi2,
+             CAST(CASE WHEN chi2 > 9.487729 THEN 1 ELSE 0 END AS BIGINT)
+               AS reject_homogeneous_or
+      FROM s""",
+
+    "q_peto_odds_ratio" -> """
+      WITH st AS (SELECT o_orderpriority AS s,
+                         CAST(SUM(CASE WHEN l_discount >= 0.06 AND l_returnflag = 'R'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                         CAST(SUM(CASE WHEN l_discount >= 0.06 AND l_returnflag <> 'R'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                         CAST(SUM(CASE WHEN l_discount < 0.06 AND l_returnflag = 'R'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                         CAST(SUM(CASE WHEN l_discount < 0.06 AND l_returnflag <> 'R'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS d
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  GROUP BY 1),
+           m AS (SELECT CAST(a AS DOUBLE) AS ad, CAST(a + b AS DOUBLE) AS n1,
+                        CAST(c + d AS DOUBLE) AS n0, CAST(a + c AS DOUBLE) AS m1,
+                        CAST(b + d AS DOUBLE) AS m0,
+                        CAST(a + b + c + d AS DOUBLE) AS nn
+                 FROM st),
+           s AS (SELECT SUM(ad - n1 * m1 / nn) AS soe,
+                        SUM(n1 * n0 * m1 * m0 / (nn * nn * (nn - 1.0))) AS sv
+                 FROM m)
+      SELECT ROUND(EXP(soe / sv), 4) + 0 AS peto_or,
+             ROUND(EXP((soe - 1.959964 * SQRT(sv)) / sv), 4) + 0 AS ci_lo,
+             ROUND(EXP((soe + 1.959964 * SQRT(sv)) / sv), 4) + 0 AS ci_hi
+      FROM s""",
+
+    "q_smr_indirect" -> """
+      WITH cell AS (SELECT o_orderpriority AS g,
+                           CAST((CAST(l_quantity AS BIGINT) - 1) // 17 AS BIGINT)
+                             AS st,
+                           CAST(COUNT(*) AS BIGINT) AS n,
+                           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                             AS BIGINT) AS r
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    GROUP BY 1, 2),
+           ref AS (SELECT st, CAST(SUM(r) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+                            AS rate
+                   FROM cell GROUP BY 1),
+           s AS (SELECT g, CAST(SUM(r) AS BIGINT) AS o,
+                        SUM(CAST(n AS DOUBLE) * rate) AS e
+                 FROM cell JOIN ref ON cell.st = ref.st GROUP BY 1)
+      SELECT g AS priority, o AS observed,
+             CAST(FLOOR(e * 100.0) AS BIGINT) AS expected_e2,
+             ROUND(CAST(o AS DOUBLE) / e, 4) + 0 AS smr,
+             ROUND(EXP(LN(CAST(o AS DOUBLE) / e)
+               - 1.959964 / SQRT(CAST(o AS DOUBLE))), 4) + 0 AS ci_lo,
+             ROUND(EXP(LN(CAST(o AS DOUBLE) / e)
+               + 1.959964 / SQRT(CAST(o AS DOUBLE))), 4) + 0 AS ci_hi
+      FROM s ORDER BY priority""",
+
+    "q_funnel_plot" -> """
+      WITH nat AS (SELECT c.c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS o
+                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                   JOIN customer c ON o_custkey = c.c_custkey
+                   GROUP BY 1),
+           pool AS (SELECT CAST(SUM(o) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS pbar
+                    FROM nat),
+           f AS (SELECT nk AS nation, o, CAST(n AS DOUBLE) * pbar AS e
+                 FROM nat, pool)
+      SELECT nation, o, CAST(FLOOR(e * 100.0) AS BIGINT) AS expected_e2,
+             ROUND(CAST(o AS DOUBLE) / e, 4) + 0 AS smr,
+             CAST(CASE WHEN CAST(o AS DOUBLE) / e
+                            > 1.0 + 1.959964 * SQRT(1.0 / e) THEN 1
+                       WHEN CAST(o AS DOUBLE) / e
+                            < 1.0 - 1.959964 * SQRT(1.0 / e) THEN -1
+                       ELSE 0 END AS BIGINT) AS flag
+      FROM f ORDER BY nation""",
+
+    "q_eb_shrinkage" -> """
+      WITH nat AS (SELECT c.c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS o
+                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                   JOIN customer c ON o_custkey = c.c_custkey
+                   GROUP BY 1),
+           nx AS (SELECT nk, n, o, CAST(o AS DOUBLE) / CAST(n AS DOUBLE) AS x
+                  FROM nat),
+           pr AS (SELECT SUM(x) / CAST(COUNT(*) AS DOUBLE) AS m,
+                         SUM(x * x) / CAST(COUNT(*) AS DOUBLE)
+                           - (SUM(x) / CAST(COUNT(*) AS DOUBLE))
+                             * (SUM(x) / CAST(COUNT(*) AS DOUBLE)) AS v
+                  FROM nx),
+           pk AS (SELECT m, m * (1.0 - m) / v - 1.0 AS bigk FROM pr)
+      SELECT nk AS nation, n, o, ROUND(x, 4) + 0 AS raw_rate,
+             ROUND((CAST(o AS DOUBLE) + m * bigk)
+               / (CAST(n AS DOUBLE) + bigk), 4) + 0 AS shrunk_rate,
+             ROUND(bigk, 2) + 0 AS prior_k
+      FROM nx, pk ORDER BY nation""",
+
+    "q_buhlmann_credibility" -> """
+      WITH nm AS (SELECT c.c_nationkey AS nk,
+                         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                           AS m,
+                         SUM(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END)
+                           / CAST(COUNT(*) AS DOUBLE) AS x
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  JOIN customer c ON o_custkey = c.c_custkey
+                  GROUP BY 1, 2),
+           w AS (SELECT nk, CAST(COUNT(*) AS BIGINT) AS t,
+                        SUM(x) / CAST(COUNT(*) AS DOUBLE) AS xbar,
+                        (SUM(x * x) - SUM(x) * SUM(x) / CAST(COUNT(*) AS DOUBLE))
+                          / (CAST(COUNT(*) AS DOUBLE) - 1.0) AS s2
+                 FROM nm GROUP BY 1),
+           agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS r, AVG(s2) AS epv,
+                          AVG(CAST(t AS DOUBLE)) AS tbar,
+                          (SUM(xbar * xbar)
+                            - SUM(xbar) * SUM(xbar) / CAST(COUNT(*) AS DOUBLE))
+                            AS ssb
+                   FROM w),
+           f AS (SELECT r, epv, tbar,
+                        ssb / (CAST(r AS DOUBLE) - 1.0) - epv / tbar AS vhm
+                 FROM agg)
+      SELECT r AS n_nations, ROUND(epv, 6) + 0 AS epv, ROUND(vhm, 6) + 0 AS vhm,
+             ROUND(CASE WHEN vhm > 0.0 THEN epv / vhm ELSE -1.0 END, 2) + 0
+               AS buhlmann_k,
+             ROUND(CASE WHEN vhm > 0.0 THEN tbar / (tbar + epv / vhm)
+                   ELSE 0.0 END, 4) + 0 AS credibility_z
+      FROM f""",
+
+    "q_cochran_armitage" -> """
+      WITH g AS (SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS s,
+                        CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS a
+                 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                 GROUP BY 1),
+           m AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(a) AS BIGINT) AS aa,
+                        CAST(SUM(s * a) AS BIGINT) AS ssa,
+                        CAST(SUM(s * n) AS BIGINT) AS ssn,
+                        CAST(SUM(s * s * n) AS BIGINT) AS ss2n
+                 FROM g),
+           f AS (SELECT nn, aa,
+                        CAST(ssa AS DOUBLE)
+                          - CAST(aa AS DOUBLE) * CAST(ssn AS DOUBLE)
+                            / CAST(nn AS DOUBLE) AS t,
+                        (CAST(aa AS DOUBLE) / CAST(nn AS DOUBLE))
+                          * (1.0 - CAST(aa AS DOUBLE) / CAST(nn AS DOUBLE))
+                          * (CAST(ss2n AS DOUBLE)
+                            - CAST(ssn AS DOUBLE) * CAST(ssn AS DOUBLE)
+                              / CAST(nn AS DOUBLE)) AS v
+                 FROM m)
+      SELECT nn AS n_items, aa AS n_returns,
+             ROUND(t / SQRT(v), 4) + 0 AS ca_z,
+             CAST(CASE WHEN ABS(t / SQRT(v)) > 1.959964 THEN 1 ELSE 0 END AS BIGINT)
+               AS trend_detected
+      FROM f""",
+
+    "q_piecewise_trend" -> """
+      WITH rev AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                            AS m,
+                          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                            AS rev
+                   FROM orders GROUP BY 1),
+           m0 AS (SELECT MIN(m) AS m0 FROM rev),
+           t AS (SELECT m - m0 + 1 AS t, GREATEST(m - m0 + 1 - 40, 0) AS h,
+                        CAST(rev AS DOUBLE) AS y
+                 FROM rev, m0),
+           s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS s1,
+                        CAST(CAST(SUM(t) AS BIGINT) AS DOUBLE) AS st,
+                        CAST(CAST(SUM(h) AS BIGINT) AS DOUBLE) AS sh,
+                        CAST(CAST(SUM(t * t) AS BIGINT) AS DOUBLE) AS stt,
+                        CAST(CAST(SUM(t * h) AS BIGINT) AS DOUBLE) AS sth,
+                        CAST(CAST(SUM(h * h) AS BIGINT) AS DOUBLE) AS shh,
+                        SUM(y) AS sy, SUM(CAST(t AS DOUBLE) * y) AS sty,
+                        SUM(CAST(h AS DOUBLE) * y) AS shy
+                 FROM t),
+           d AS (SELECT s1,
+                        s1 * (stt * shh - sth * sth) - st * (st * shh - sth * sh)
+                          + sh * (st * sth - stt * sh) AS dd,
+                        s1 * (sty * shh - sth * shy) - sy * (st * shh - sth * sh)
+                          + sh * (st * shy - sty * sh) AS d2,
+                        s1 * (stt * shy - sty * sth) - st * (st * shy - sty * sh)
+                          + sy * (st * sth - stt * sh) AS d3
+                 FROM s)
+      SELECT CAST(s1 AS BIGINT) AS n_months, CAST(40 AS BIGINT) AS knot_t,
+             ROUND(d2 / dd / 100.0, 4) + 0 AS base_slope_dollars,
+             ROUND(d3 / dd / 100.0, 4) + 0 AS slope_change_dollars
+      FROM d""",
+
+    "q_newey_west" -> """
+      WITH rev AS (SELECT CAST(date_diff('day', DATE '1992-01-01', o_orderdate)
+                            AS BIGINT) AS d,
+                          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                            AS rev
+                   FROM orders GROUP BY 1),
+           chg AS (SELECT b.d AS d, b.rev - a.rev AS x
+                   FROM rev a JOIN rev b ON b.d = a.d + 1),
+           mu AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mu
+                  FROM chg),
+           z AS (SELECT d, n, mu, CAST(x AS DOUBLE) - mu AS z FROM chg, mu),
+           g0 AS (SELECT MAX(n) AS n, MAX(mu) AS mu, SUM(z * z) AS g0 FROM z),
+           g1 AS (SELECT SUM(a.z * b.z) AS g1
+                  FROM z a JOIN z b ON b.d = a.d + 1),
+           g2 AS (SELECT SUM(a.z * b.z) AS g2
+                  FROM z a JOIN z b ON b.d = a.d + 2)
+      SELECT n AS n_days, ROUND(mu / 100.0, 2) + 0 AS mean_change_dollars,
+             ROUND(mu / SQRT(((g0 + 2.0 * (2.0 / 3.0 * g1 + 1.0 / 3.0 * g2))
+               / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)), 4) + 0 AS t_newey_west,
+             ROUND(mu / SQRT((g0 / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)), 4) + 0
+               AS t_iid
+      FROM g0, g1, g2""",
+
+    "q_tost_equivalence" -> """
+      WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS an,
+                        CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                          AS asum,
+                        SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DOUBLE)
+                          * CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DOUBLE))
+                          AS ass
+                 FROM orders WHERE o_orderpriority = '1-URGENT'),
+           b AS (SELECT CAST(COUNT(*) AS BIGINT) AS bn,
+                        CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                          AS bsum,
+                        SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DOUBLE)
+                          * CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DOUBLE))
+                          AS bss
+                 FROM orders WHERE o_orderpriority = '5-LOW'),
+           m AS (SELECT an, bn,
+                        CAST(asum AS DOUBLE) / CAST(an AS DOUBLE)
+                          - CAST(bsum AS DOUBLE) / CAST(bn AS DOUBLE) AS dmean,
+                        (CAST(asum + bsum AS DOUBLE) / CAST(an + bn AS DOUBLE))
+                          / 100.0 AS delta,
+                        SQRT((((ass - (CAST(asum AS DOUBLE) * CAST(asum AS DOUBLE))
+                          / CAST(an AS DOUBLE)) / (CAST(an AS DOUBLE) - 1.0))
+                          / CAST(an AS DOUBLE))
+                          + (((bss - (CAST(bsum AS DOUBLE) * CAST(bsum AS DOUBLE))
+                            / CAST(bn AS DOUBLE)) / (CAST(bn AS DOUBLE) - 1.0))
+                            / CAST(bn AS DOUBLE))) AS se
+                 FROM a, b)
+      SELECT an AS n_urgent, bn AS n_low,
+             ROUND(dmean / 100.0, 2) + 0 AS diff_dollars,
+             ROUND(delta / 100.0, 2) + 0 AS margin_dollars,
+             ROUND((dmean + delta) / se, 4) + 0 AS t_lower,
+             ROUND((delta - dmean) / se, 4) + 0 AS t_upper,
+             CAST(CASE WHEN (dmean + delta) / se > 1.6448536
+                        AND (delta - dmean) / se > 1.6448536
+                       THEN 1 ELSE 0 END AS BIGINT) AS equivalent
+      FROM m""",
   )
 }
