@@ -6100,4 +6100,400 @@ object Analytics {
           && (col("delta") - col("dmean")) / col("se") > lit(1.6448536), 1L)
           .otherwise(0L).as("equivalent"))
   }
+
+  /** Welch's heteroscedastic one-way ANOVA of order totals across the
+    * five priorities: F* = [Σwⱼ(x̄ⱼ−x̃)²/(k−1)] / [1 + 2(k−2)/(k²−1)·Λ]
+    * with wⱼ = nⱼ/s²ⱼ — exact sums, one double epilogue.
+    */
+  def q_welch_anova(spark: SparkSession, sf: String): DataFrame = {
+    val g = Tables.orders(spark, sf)
+      .select(col("o_orderpriority").as("g"), cents(col("o_totalprice")).as("x"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(col("x").cast("double") * col("x").cast("double")).as("ss"))
+      .select(col("g"), col("n"),
+        (col("s").cast("double") / col("n").cast("double")).as("xbar"),
+        (col("n").cast("double")
+          / ((col("ss") - (col("s").cast("double") * col("s").cast("double"))
+            / col("n").cast("double")) / (col("n").cast("double") - lit(1.0))))
+          .as("w"))
+      .localCheckpoint()
+    val tot = g.agg(count(lit(1)).as("k"), sum(col("w")).as("sw"),
+      sum(col("w") * col("xbar")).as("swx"))
+    val lam = g.crossJoin(broadcast(tot))
+      .agg(max(col("k")).as("k"), max(col("sw")).as("sw"),
+        max(col("swx")).as("swx"),
+        sum((lit(1.0) - col("w") / col("sw")) * (lit(1.0) - col("w") / col("sw"))
+          / (col("n").cast("double") - lit(1.0))).as("lam"),
+        sum(col("w") * (col("xbar") - col("swx") / col("sw"))
+          * (col("xbar") - col("swx") / col("sw"))).as("num"))
+    lam.select(col("k").as("n_groups"),
+        ((col("num") / (col("k").cast("double") - lit(1.0)))
+          / (lit(1.0) + lit(2.0) * (col("k").cast("double") - lit(2.0))
+            / (col("k").cast("double") * col("k").cast("double") - lit(1.0))
+            * col("lam"))).as("fstar"),
+        (((col("k").cast("double") * col("k").cast("double") - lit(1.0)) / lit(3.0))
+          / col("lam")).as("df2"))
+      .select(col("n_groups"), (round(col("fstar"), 4) + lit(0.0)).as("welch_f"),
+        (round(col("df2"), 2) + lit(0.0)).as("df2"),
+        when(col("fstar") > lit(2.372), 1L).otherwise(0L).as("reject_equal_means"))
+  }
+
+  private def twoGroupCells(spark: SparkSession, sf: String): DataFrame =
+    Tables.orders(spark, sf)
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .groupBy(col("o_orderpriority").as("g"),
+        expr("CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) div 10000 AS BIGINT)")
+          .as("v"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Energy distance between the URGENT and LOW order-total
+    * distributions on the $100 lattice: E = 2E|X−Y| − E|X−X'| − E|Y−Y'|
+    * from cell-pair products (accumulated as doubles, scale-safe),
+    * plus the n₁n₂/(n₁+n₂)-scaled e-statistic.
+    */
+  def q_energy_distance(spark: SparkSession, sf: String): DataFrame = {
+    val cells = twoGroupCells(spark, sf).localCheckpoint()
+    def within(p: String, out: String): DataFrame = {
+      val c = cells.filter(col("g") === p)
+      c.as("a").crossJoin(c.select(col("v").as("v2"), col("cnt").as("c2")).as("b"))
+        .agg(sum(col("cnt")).as("dummy"),
+          sum(abs(col("v") - col("v2")).cast("double")
+            * col("cnt").cast("double") * col("c2").cast("double")).as(out))
+        .select(col(out))
+    }
+    val sizes = cells.groupBy(col("g")).agg(sum(col("cnt")).as("n"))
+      .agg(sum(when(col("g") === "1-URGENT", col("n")).otherwise(0L)).as("n1"),
+        sum(when(col("g") === "5-LOW", col("n")).otherwise(0L)).as("n2"))
+    val cross = cells.filter(col("g") === "1-URGENT").as("a")
+      .crossJoin(cells.filter(col("g") === "5-LOW")
+        .select(col("v").as("v2"), col("cnt").as("c2")).as("b"))
+      .agg(sum(abs(col("v") - col("v2")).cast("double")
+        * col("cnt").cast("double") * col("c2").cast("double")).as("sxy"))
+    sizes.crossJoin(cross).crossJoin(within("1-URGENT", "sxx"))
+      .crossJoin(within("5-LOW", "syy"))
+      .select(col("n1"), col("n2"),
+        (lit(2.0) * col("sxy") / (col("n1").cast("double") * col("n2").cast("double"))
+          - col("sxx") / (col("n1").cast("double") * col("n1").cast("double"))
+          - col("syy") / (col("n2").cast("double") * col("n2").cast("double")))
+          .as("e"))
+      .select(col("n1"), col("n2"),
+        (round(col("e"), 4) + lit(0.0)).as("energy_distance_bins"),
+        (round(col("n1").cast("double") * col("n2").cast("double")
+          / (col("n1") + col("n2")).cast("double") * col("e"), 4) + lit(0.0))
+          .as("e_statistic"))
+  }
+
+  /** RBF-kernel maximum mean discrepancy between the same two
+    * distributions (bandwidth² = 2500 bins²): MMD² = K̄xx + K̄yy − 2K̄xy
+    * over cell-pair kernel sums.
+    */
+  def q_mmd_rbf(spark: SparkSession, sf: String): DataFrame = {
+    val cells = twoGroupCells(spark, sf).localCheckpoint()
+    def kern(ga: String, gb: String, out: String): DataFrame =
+      cells.filter(col("g") === ga).as("a")
+        .crossJoin(cells.filter(col("g") === gb)
+          .select(col("v").as("v2"), col("cnt").as("c2")).as("b"))
+        .agg(sum(exp(-((col("v") - col("v2")) * (col("v") - col("v2")))
+          .cast("double") / lit(5000.0))
+          * col("cnt").cast("double") * col("c2").cast("double")).as(out))
+        .select(col(out))
+    val sizes = cells.groupBy(col("g")).agg(sum(col("cnt")).as("n"))
+      .agg(sum(when(col("g") === "1-URGENT", col("n")).otherwise(0L)).as("n1"),
+        sum(when(col("g") === "5-LOW", col("n")).otherwise(0L)).as("n2"))
+    sizes.crossJoin(kern("1-URGENT", "1-URGENT", "kxx"))
+      .crossJoin(kern("5-LOW", "5-LOW", "kyy"))
+      .crossJoin(kern("1-URGENT", "5-LOW", "kxy"))
+      .select(col("n1"), col("n2"),
+        (round(col("kxx") / (col("n1").cast("double") * col("n1").cast("double"))
+          + col("kyy") / (col("n2").cast("double") * col("n2").cast("double"))
+          - lit(2.0) * col("kxy")
+            / (col("n1").cast("double") * col("n2").cast("double")), 6) + lit(0.0))
+          .as("mmd_squared"))
+  }
+
+  /** Distance correlation between the BUILDING and AUTOMOBILE monthly
+    * revenue series: double-centered exact cent distance matrices,
+    * dCor = √(dCov²/√(dVarX·dVarY)).
+    */
+  def q_distance_correlation(spark: SparkSession, sf: String): DataFrame = {
+    def seg(name: String, out: String): DataFrame =
+      Tables.orders(spark, sf)
+        .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+        .filter(col("c_mktsegment") === name)
+        .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("m"))
+        .agg(sum(cents(col("o_totalprice"))).as(out))
+    val xy = seg("BUILDING", "x").join(seg("AUTOMOBILE", "y"), "m").localCheckpoint()
+    val pairs = xy.as("a")
+      .join(xy.select(col("m").as("m2"), col("x").as("x2"), col("y").as("y2"))
+        .as("b"), lit(true))
+      .select(col("m"), col("m2"),
+        abs(col("x") - col("x2")).cast("double").as("ax"),
+        abs(col("y") - col("y2")).cast("double").as("byy"))
+      .localCheckpoint()
+    val rm = pairs.groupBy(col("m"))
+      .agg(avg(col("ax")).as("rax"), avg(col("byy")).as("rby"))
+    val gm = pairs.agg(avg(col("ax")).as("gax"), avg(col("byy")).as("gby"),
+      count(lit(1)).as("nsq"))
+    val centered = pairs
+      .join(broadcast(rm.select(col("m").as("mi"), col("rax").as("rai"),
+        col("rby").as("rbi"))), col("mi") === col("m"))
+      .join(broadcast(rm.select(col("m").as("mj"), col("rax").as("raj"),
+        col("rby").as("rbj"))), col("mj") === col("m2"))
+      .crossJoin(broadcast(gm))
+      .select(
+        (col("ax") - col("rai") - col("raj") + col("gax")).as("aa"),
+        (col("byy") - col("rbi") - col("rbj") + col("gby")).as("bb"),
+        col("nsq"))
+    centered.groupBy(col("nsq"))
+      .agg(sum(col("aa") * col("bb")).as("scov"),
+        sum(col("aa") * col("aa")).as("svx"),
+        sum(col("bb") * col("bb")).as("svy"))
+      .select(
+        (round(sqrt(sqrt((col("scov") / col("nsq").cast("double"))
+          * (col("scov") / col("nsq").cast("double"))
+          / ((col("svx") / col("nsq").cast("double"))
+            * (col("svy") / col("nsq").cast("double"))))), 4) + lit(0.0))
+          .as("dcor"),
+        (round(col("scov") / col("nsq").cast("double") / lit(1.0e16), 6) + lit(0.0))
+          .as("dcov2_e16"))
+  }
+
+  /** β-convergence of per-nation revenue: ln growth 1996→1997 regressed
+    * on ln initial level — a negative slope means laggards catch up;
+    * the R² rides along.
+    */
+  def q_beta_convergence(spark: SparkSession, sf: String): DataFrame =
+    Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .filter(year(col("o_orderdate")).isin(1996, 1997))
+      .groupBy(col("c_nationkey").as("nk"))
+      .agg(sum(when(year(col("o_orderdate")) === 1996, cents(col("o_totalprice")))
+        .otherwise(0L)).as("r96"),
+        sum(when(year(col("o_orderdate")) === 1997, cents(col("o_totalprice")))
+          .otherwise(0L)).as("r97"))
+      .filter(col("r96") > 0L && col("r97") > 0L)
+      .select(log(col("r96").cast("double")).as("x"),
+        log(col("r97").cast("double") / col("r96").cast("double")).as("y"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n").as("n_nations"),
+        (round((col("n").cast("double") * col("sxy") - col("sx") * col("sy"))
+          / (col("n").cast("double") * col("sxx") - col("sx") * col("sx")), 4)
+          + lit(0.0)).as("beta"),
+        (round((col("n").cast("double") * col("sxy") - col("sx") * col("sy"))
+          * (col("n").cast("double") * col("sxy") - col("sx") * col("sy"))
+          / ((col("n").cast("double") * col("sxx") - col("sx") * col("sx"))
+            * (col("n").cast("double") * col("syy") - col("sy") * col("sy"))), 4)
+          + lit(0.0)).as("r2"))
+
+  /** Theil T inequality of per-customer revenue decomposed into
+    * between-region and within-region components (T = T_b + ΣwT_r, the
+    * identity carried as an output check).
+    */
+  def q_theil_between_within(spark: SparkSession, sf: String): DataFrame = {
+    val cust = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sf)
+        .select(col("n_nationkey"), col("n_regionkey").as("rk"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("o_custkey"), col("rk"))
+      .agg(sum(cents(col("o_totalprice"))).as("x"))
+      .filter(col("x") > 0L)
+      .localCheckpoint()
+    val tot = cust.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    val reg = cust.groupBy(col("rk"))
+      .agg(count(lit(1)).as("nr"), sum(col("x")).as("yr"))
+    val tWithin = cust.join(broadcast(reg), "rk")
+      .select(col("rk"), col("yr"), col("nr"),
+        (col("x").cast("double") * col("nr").cast("double")
+          / col("yr").cast("double")).as("ratio"))
+      .groupBy(col("rk"), col("yr"), col("nr"))
+      .agg(sum((col("ratio") / col("nr").cast("double")) * log(col("ratio")))
+        .as("tr"))
+    val parts = tWithin.crossJoin(broadcast(tot))
+      .agg(sum((col("yr").cast("double") / col("sx").cast("double")) * col("tr"))
+        .as("t_within"),
+        sum((col("yr").cast("double") / col("sx").cast("double"))
+          * log((col("yr").cast("double") / col("sx").cast("double"))
+            / (col("nr").cast("double") / col("n").cast("double"))))
+          .as("t_between"))
+    val tTotal = cust.crossJoin(broadcast(tot))
+      .select((col("x").cast("double") * col("n").cast("double")
+        / col("sx").cast("double")).as("ratio"), col("n"))
+      .groupBy(col("n"))
+      .agg(sum(col("ratio") * log(col("ratio"))).as("st"))
+      .select((col("st") / col("n").cast("double")).as("t_total"))
+    parts.crossJoin(tTotal)
+      .select((round(col("t_total"), 4) + lit(0.0)).as("theil_total"),
+        (round(col("t_between"), 4) + lit(0.0)).as("theil_between"),
+        (round(col("t_within"), 4) + lit(0.0)).as("theil_within"),
+        (round(col("t_between") + col("t_within") - col("t_total"), 6) + lit(0.0))
+          .as("identity_gap"))
+  }
+
+  /** One-covariate ANCOVA: the URGENT-vs-LOW order-total difference
+    * adjusted for customer account balance via the pooled within-group
+    * slope — exact sums, closed-form epilogue.
+    */
+  def q_ancova_adjust(spark: SparkSession, sf: String): DataFrame = {
+    val d = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderpriority").as("g"), cents(col("o_totalprice")).as("y"),
+        cents(col("c_acctbal")).as("x"))
+    val g = d.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"), sum(col("x")).as("sx"),
+        sum(col("x").cast("double") * col("y").cast("double")).as("sxy"),
+        sum(col("x").cast("double") * col("x").cast("double")).as("sxx"))
+      .select(col("g"), col("n"),
+        (col("sy").cast("double") / col("n").cast("double")).as("ybar"),
+        (col("sx").cast("double") / col("n").cast("double")).as("xbar"),
+        (col("sxy") - col("sx").cast("double") * col("sy").cast("double")
+          / col("n").cast("double")).as("cxy"),
+        (col("sxx") - col("sx").cast("double") * col("sx").cast("double")
+          / col("n").cast("double")).as("cxx"))
+      .localCheckpoint()
+    val bw = g.agg(sum(col("cxy")).as("scxy"), sum(col("cxx")).as("scxx"))
+      .select((col("scxy") / col("scxx")).as("bw"))
+    val a = g.filter(col("g") === "1-URGENT")
+      .select(col("n").as("n1"), col("ybar").as("y1"), col("xbar").as("x1"))
+    val b = g.filter(col("g") === "5-LOW")
+      .select(col("n").as("n2"), col("ybar").as("y2"), col("xbar").as("x2"))
+    a.crossJoin(b).crossJoin(bw)
+      .select(col("n1"), col("n2"),
+        (round((col("y1") - col("y2")) / lit(100.0), 2) + lit(0.0))
+          .as("raw_diff_dollars"),
+        (round(((col("y1") - col("y2"))
+          - col("bw") * (col("x1") - col("x2"))) / lit(100.0), 2) + lit(0.0))
+          .as("adjusted_diff_dollars"),
+        (round(col("bw"), 6) + lit(0.0)).as("pooled_slope"))
+  }
+
+  /** Sample skewness/kurtosis of order totals per priority with their
+    * large-sample standard errors √(6/n) and √(24/n) and the resulting
+    * z-flags — the quick normality screen.
+    */
+  def q_moment_zscores(spark: SparkSession, sf: String): DataFrame =
+    Tables.orders(spark, sf)
+      .select(col("o_orderpriority").as("g"), cents(col("o_totalprice")).as("x"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+        sum(col("x").cast("double") * col("x").cast("double")).as("s2"),
+        sum(col("x").cast("double") * col("x").cast("double")
+          * col("x").cast("double")).as("s3"),
+        sum(col("x").cast("double") * col("x").cast("double")
+          * col("x").cast("double") * col("x").cast("double")).as("s4"))
+      .select(col("g"), col("n"),
+        (col("s1").cast("double") / col("n").cast("double")).as("mu"),
+        (col("s2") / col("n").cast("double")).as("a2"),
+        (col("s3") / col("n").cast("double")).as("a3"),
+        (col("s4") / col("n").cast("double")).as("a4"))
+      .select(col("g"), col("n"),
+        (col("a2") - col("mu") * col("mu")).as("m2"),
+        (col("a3") - lit(3.0) * col("mu") * col("a2")
+          + lit(2.0) * col("mu") * col("mu") * col("mu")).as("m3"),
+        (col("a4") - lit(4.0) * col("mu") * col("a3")
+          + lit(6.0) * col("mu") * col("mu") * col("a2")
+          - lit(3.0) * col("mu") * col("mu") * col("mu") * col("mu")).as("m4"))
+      .select(col("g").as("priority"), col("n"),
+        (round(col("m3") / (col("m2") * sqrt(col("m2"))), 4) + lit(0.0)).as("skew"),
+        (round(col("m4") / (col("m2") * col("m2")) - lit(3.0), 4) + lit(0.0))
+          .as("excess_kurt"),
+        (round((col("m3") / (col("m2") * sqrt(col("m2"))))
+          / sqrt(lit(6.0) / col("n").cast("double")), 4) + lit(0.0)).as("z_skew"),
+        (round((col("m4") / (col("m2") * col("m2")) - lit(3.0))
+          / sqrt(lit(24.0) / col("n").cast("double")), 4) + lit(0.0)).as("z_kurt"))
+      .orderBy("priority")
+
+  /** Biweight midvariance (robust scale) of order totals on the $100
+    * lattice: exact discrete median and MAD, Tukey weights u = (v−med)/
+    * (9·MAD), BWMV = n·Σt(v−med)²(1−u²)⁴/(Σt(1−u²)(1−5u²))².
+    */
+  def q_biweight_midvariance(spark: SparkSession, sf: String): DataFrame = {
+    val vals = Tables.orders(spark, sf)
+      .select(expr("CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) div 10000 AS BIGINT)")
+        .as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("t"))
+      .localCheckpoint()
+    val tot = vals.agg(sum(col("t")).as("n"))
+      .select(col("n"), expr("CAST((n + 1) div 2 AS BIGINT)").as("k"))
+    val cum = vals.as("a")
+      .join(vals.select(col("v").as("v2"), col("t").as("t2")).as("b"),
+        col("v2") <= col("a.v"))
+      .groupBy(col("a.v").as("v"), col("a.t").as("t"))
+      .agg(sum(col("t2")).as("cum"))
+      .localCheckpoint()
+    val med = cum.crossJoin(broadcast(tot))
+      .filter(col("cum") >= col("k")).agg(min(col("v")).as("med"))
+    val dev = vals.crossJoin(broadcast(med))
+      .select(abs(col("v") - col("med")).as("av"), col("t"))
+      .groupBy(col("av")).agg(sum(col("t")).as("t"))
+    val madCum = dev.as("a")
+      .join(dev.select(col("av").as("a2"), col("t").as("t2")).as("b"),
+        col("a2") <= col("a.av"))
+      .groupBy(col("a.av").as("av")).agg(sum(col("t2")).as("cum"))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") >= col("k")).agg(min(col("av")).as("mad"))
+    vals.crossJoin(broadcast(med)).crossJoin(broadcast(madCum))
+      .crossJoin(broadcast(tot.select(col("n"))))
+      .select(col("n"), col("med"), col("mad"), col("t"),
+        (col("v") - col("med")).cast("double").as("d"),
+        ((col("v") - col("med")).cast("double")
+          / (lit(9.0) * col("mad").cast("double"))).as("u"))
+      .filter(col("u") > -1.0 && col("u") < 1.0)
+      .groupBy(col("n"), col("med"), col("mad"))
+      .agg(sum(col("t").cast("double") * col("d") * col("d")
+        * (lit(1.0) - col("u") * col("u")) * (lit(1.0) - col("u") * col("u"))
+        * (lit(1.0) - col("u") * col("u")) * (lit(1.0) - col("u") * col("u")))
+        .as("num"),
+        sum(col("t").cast("double") * (lit(1.0) - col("u") * col("u"))
+          * (lit(1.0) - lit(5.0) * col("u") * col("u"))).as("den"))
+      .select(col("n").as("n_orders"), col("med").as("median_bin"),
+        col("mad").as("mad_bin"),
+        (round(col("n").cast("double") * col("num") / (col("den") * col("den")), 2)
+          + lit(0.0)).as("bwmv_bins2"),
+        (round(sqrt(col("n").cast("double") * col("num")
+          / (col("den") * col("den"))), 4) + lit(0.0)).as("robust_sd_bins"))
+  }
+
+  /** One-sample Cramér–von Mises test of the discount percents against
+    * the discrete uniform on 0..10: W² = 1/(12n) + Σ((2i−1)/2n − F₀)²
+    * with the per-bin rank-run sums in closed form (exact integer
+    * series).
+    */
+  def q_cvm_uniform(spark: SparkSession, sf: String): DataFrame = {
+    val vals = Tables.lineitem(spark, sf)
+      .select(pct(col("l_discount")).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("t"))
+      .localCheckpoint()
+    val cum = vals.as("a")
+      .join(vals.select(col("v").as("v2"), col("t").as("t2")).as("b"),
+        col("v2") < col("a.v"), "left")
+      .groupBy(col("a.v").as("v"), col("a.t").as("t"))
+      .agg(coalesce(sum(col("t2")), lit(0L)).as("cb"))
+    val tot = vals.agg(sum(col("t")).as("n"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("n"), col("t").cast("double").as("td"),
+        ((col("v") + 1L).cast("double") / lit(11.0)).as("f0"),
+        ((lit(2L) * col("t") * col("cb") + col("t") * col("t")).cast("double"))
+          .as("s1"),
+        expr("""CAST((4 * ((cb + t) * (cb + t + 1) * (2 * (cb + t) + 1)
+          - cb * (cb + 1) * (2 * cb + 1))) div 6
+          - 2 * (2 * t * cb + t * t) - t AS DOUBLE)""").as("s2raw"))
+      .select(col("n"),
+        (col("td") * col("f0") * col("f0")
+          - col("f0") * col("s1") / col("n").cast("double")
+          + col("s2raw")
+            / (lit(4.0) * col("n").cast("double") * col("n").cast("double")))
+          .as("contrib"))
+      .groupBy(col("n")).agg(sum(col("contrib")).as("sc"))
+      .select(col("n").as("n_items"),
+        (round(lit(1.0) / (lit(12.0) * col("n").cast("double")) + col("sc"), 6)
+          + lit(0.0)).as("cvm_w2"),
+        when(lit(1.0) / (lit(12.0) * col("n").cast("double")) + col("sc")
+          > lit(0.461), 1L).otherwise(0L).as("reject_uniform"))
+  }
 }

@@ -11808,5 +11808,336 @@ object OracleSql {
                         AND (delta - dmean) / se > 1.6448536
                        THEN 1 ELSE 0 END AS BIGINT) AS equivalent
       FROM m""",
+
+    "q_welch_anova" -> """
+      WITH g AS (SELECT o_orderpriority AS g, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                          AS s,
+                        SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DOUBLE)
+                          * CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DOUBLE))
+                          AS ss
+                 FROM orders GROUP BY 1),
+           w AS (SELECT g, n, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS xbar,
+                        CAST(n AS DOUBLE)
+                          / ((ss - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                            / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) AS w
+                 FROM g),
+           t AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, SUM(w) AS sw,
+                        SUM(w * xbar) AS swx
+                 FROM w),
+           l AS (SELECT MAX(k) AS k, MAX(sw) AS sw, MAX(swx) AS swx,
+                        SUM((1.0 - w / sw) * (1.0 - w / sw)
+                          / (CAST(n AS DOUBLE) - 1.0)) AS lam,
+                        SUM(w * (xbar - swx / sw) * (xbar - swx / sw)) AS num
+                 FROM w, t),
+           f AS (SELECT k,
+                        (num / (CAST(k AS DOUBLE) - 1.0))
+                          / (1.0 + 2.0 * (CAST(k AS DOUBLE) - 2.0)
+                            / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0) * lam)
+                          AS fstar,
+                        ((CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0) / 3.0) / lam
+                          AS df2
+                 FROM l)
+      SELECT k AS n_groups, ROUND(fstar, 4) + 0 AS welch_f,
+             ROUND(df2, 2) + 0 AS df2,
+             CAST(CASE WHEN fstar > 2.372 THEN 1 ELSE 0 END AS BIGINT)
+               AS reject_equal_means
+      FROM f""",
+
+    "q_energy_distance" -> """
+      WITH cells AS (SELECT o_orderpriority AS g,
+                            CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) // 10000
+                              AS BIGINT) AS v,
+                            CAST(COUNT(*) AS BIGINT) AS cnt
+                     FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+                     GROUP BY 1, 2),
+           sizes AS (SELECT CAST(SUM(CASE WHEN g = '1-URGENT' THEN cnt ELSE 0 END)
+                       AS BIGINT) AS n1,
+                            CAST(SUM(CASE WHEN g = '5-LOW' THEN cnt ELSE 0 END)
+                              AS BIGINT) AS n2
+                     FROM (SELECT g, CAST(SUM(cnt) AS BIGINT) AS cnt
+                           FROM cells GROUP BY 1)),
+           sxy AS (SELECT SUM(CAST(ABS(a.v - b.v) AS DOUBLE)
+                     * CAST(a.cnt AS DOUBLE) * CAST(b.cnt AS DOUBLE)) AS sxy
+                   FROM (SELECT v, cnt FROM cells WHERE g = '1-URGENT') a
+                   CROSS JOIN (SELECT v, cnt FROM cells WHERE g = '5-LOW') b),
+           sxx AS (SELECT SUM(CAST(ABS(a.v - b.v) AS DOUBLE)
+                     * CAST(a.cnt AS DOUBLE) * CAST(b.cnt AS DOUBLE)) AS sxx
+                   FROM (SELECT v, cnt FROM cells WHERE g = '1-URGENT') a
+                   CROSS JOIN (SELECT v, cnt FROM cells WHERE g = '1-URGENT') b),
+           syy AS (SELECT SUM(CAST(ABS(a.v - b.v) AS DOUBLE)
+                     * CAST(a.cnt AS DOUBLE) * CAST(b.cnt AS DOUBLE)) AS syy
+                   FROM (SELECT v, cnt FROM cells WHERE g = '5-LOW') a
+                   CROSS JOIN (SELECT v, cnt FROM cells WHERE g = '5-LOW') b),
+           e AS (SELECT n1, n2,
+                        2.0 * sxy / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                          - sxx / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE))
+                          - syy / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS e
+                 FROM sizes, sxy, sxx, syy)
+      SELECT n1, n2, ROUND(e, 4) + 0 AS energy_distance_bins,
+             ROUND(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+               / CAST(n1 + n2 AS DOUBLE) * e, 4) + 0 AS e_statistic
+      FROM e""",
+
+    "q_mmd_rbf" -> """
+      WITH cells AS (SELECT o_orderpriority AS g,
+                            CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) // 10000
+                              AS BIGINT) AS v,
+                            CAST(COUNT(*) AS BIGINT) AS cnt
+                     FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+                     GROUP BY 1, 2),
+           sizes AS (SELECT CAST(SUM(CASE WHEN g = '1-URGENT' THEN cnt ELSE 0 END)
+                       AS BIGINT) AS n1,
+                            CAST(SUM(CASE WHEN g = '5-LOW' THEN cnt ELSE 0 END)
+                              AS BIGINT) AS n2
+                     FROM (SELECT g, CAST(SUM(cnt) AS BIGINT) AS cnt
+                           FROM cells GROUP BY 1)),
+           kxx AS (SELECT SUM(EXP(-CAST((a.v - b.v) * (a.v - b.v) AS DOUBLE)
+                     / 5000.0) * CAST(a.cnt AS DOUBLE) * CAST(b.cnt AS DOUBLE))
+                     AS kxx
+                   FROM (SELECT v, cnt FROM cells WHERE g = '1-URGENT') a
+                   CROSS JOIN (SELECT v, cnt FROM cells WHERE g = '1-URGENT') b),
+           kyy AS (SELECT SUM(EXP(-CAST((a.v - b.v) * (a.v - b.v) AS DOUBLE)
+                     / 5000.0) * CAST(a.cnt AS DOUBLE) * CAST(b.cnt AS DOUBLE))
+                     AS kyy
+                   FROM (SELECT v, cnt FROM cells WHERE g = '5-LOW') a
+                   CROSS JOIN (SELECT v, cnt FROM cells WHERE g = '5-LOW') b),
+           kxy AS (SELECT SUM(EXP(-CAST((a.v - b.v) * (a.v - b.v) AS DOUBLE)
+                     / 5000.0) * CAST(a.cnt AS DOUBLE) * CAST(b.cnt AS DOUBLE))
+                     AS kxy
+                   FROM (SELECT v, cnt FROM cells WHERE g = '1-URGENT') a
+                   CROSS JOIN (SELECT v, cnt FROM cells WHERE g = '5-LOW') b)
+      SELECT n1, n2,
+             ROUND(kxx / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE))
+               + kyy / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE))
+               - 2.0 * kxy / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) + 0
+               AS mmd_squared
+      FROM sizes, kxx, kyy, kxy""",
+
+    "q_distance_correlation" -> """
+      WITH sega AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                             AS m,
+                           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                             AS x
+                    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                    WHERE c.c_mktsegment = 'BUILDING' GROUP BY 1),
+           segb AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                             AS m,
+                           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                             AS y
+                    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                    WHERE c.c_mktsegment = 'AUTOMOBILE' GROUP BY 1),
+           xy AS (SELECT sega.m, x, y FROM sega JOIN segb ON sega.m = segb.m),
+           pairs AS (SELECT a.m AS m, b.m AS m2,
+                            CAST(ABS(a.x - b.x) AS DOUBLE) AS ax,
+                            CAST(ABS(a.y - b.y) AS DOUBLE) AS byy
+                     FROM xy a CROSS JOIN xy b),
+           rm AS (SELECT m, AVG(ax) AS rax, AVG(byy) AS rby
+                  FROM pairs GROUP BY 1),
+           gm AS (SELECT AVG(ax) AS gax, AVG(byy) AS gby,
+                         CAST(COUNT(*) AS BIGINT) AS nsq
+                  FROM pairs),
+           cen AS (SELECT (pairs.ax - ri.rax - rj.rax + gax) AS aa,
+                          (pairs.byy - ri.rby - rj.rby + gby) AS bb, nsq
+                   FROM pairs
+                   JOIN rm ri ON ri.m = pairs.m
+                   JOIN rm rj ON rj.m = pairs.m2, gm),
+           s AS (SELECT nsq, SUM(aa * bb) AS scov, SUM(aa * aa) AS svx,
+                        SUM(bb * bb) AS svy
+                 FROM cen GROUP BY 1)
+      SELECT ROUND(SQRT(SQRT((scov / CAST(nsq AS DOUBLE))
+               * (scov / CAST(nsq AS DOUBLE))
+               / ((svx / CAST(nsq AS DOUBLE)) * (svy / CAST(nsq AS DOUBLE))))), 4)
+               + 0 AS dcor,
+             ROUND(scov / CAST(nsq AS DOUBLE) / 1.0e16, 6) + 0 AS dcov2_e16
+      FROM s""",
+
+    "q_beta_convergence" -> """
+      WITH nat AS (SELECT c.c_nationkey AS nk,
+                          CAST(SUM(CASE WHEN year(o_orderdate) = 1996
+                            THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS r96,
+                          CAST(SUM(CASE WHEN year(o_orderdate) = 1997
+                            THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS r97
+                   FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                   WHERE year(o_orderdate) IN (1996, 1997)
+                   GROUP BY 1),
+           l AS (SELECT LN(CAST(r96 AS DOUBLE)) AS x,
+                        LN(CAST(r97 AS DOUBLE) / CAST(r96 AS DOUBLE)) AS y
+                 FROM nat WHERE r96 > 0 AND r97 > 0),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                        SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+                 FROM l)
+      SELECT n AS n_nations,
+             ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+               / (CAST(n AS DOUBLE) * sxx - sx * sx), 4) + 0 AS beta,
+             ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+               * (CAST(n AS DOUBLE) * sxy - sx * sy)
+               / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+                 * (CAST(n AS DOUBLE) * syy - sy * sy)), 4) + 0 AS r2
+      FROM s""",
+
+    "q_theil_between_within" -> """
+      WITH cust AS (SELECT o_custkey, n_regionkey AS rk,
+                           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                             AS BIGINT) AS x
+                    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                    JOIN nation ON c.c_nationkey = n_nationkey
+                    GROUP BY 1, 2),
+           cp AS (SELECT rk, x FROM cust WHERE x > 0),
+           tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx
+                   FROM cp),
+           reg AS (SELECT rk, CAST(COUNT(*) AS BIGINT) AS nr,
+                          CAST(SUM(x) AS BIGINT) AS yr
+                   FROM cp GROUP BY 1),
+           tw AS (SELECT cp.rk, yr, nr,
+                         SUM((CAST(x AS DOUBLE) * CAST(nr AS DOUBLE)
+                           / CAST(yr AS DOUBLE)) / CAST(nr AS DOUBLE)
+                           * LN(CAST(x AS DOUBLE) * CAST(nr AS DOUBLE)
+                             / CAST(yr AS DOUBLE))) AS tr
+                  FROM cp JOIN reg ON cp.rk = reg.rk
+                  GROUP BY 1, 2, 3),
+           parts AS (SELECT SUM((CAST(yr AS DOUBLE) / CAST(sx AS DOUBLE)) * tr)
+                              AS t_within,
+                            SUM((CAST(yr AS DOUBLE) / CAST(sx AS DOUBLE))
+                              * LN((CAST(yr AS DOUBLE) / CAST(sx AS DOUBLE))
+                                / (CAST(nr AS DOUBLE) / CAST(n AS DOUBLE))))
+                              AS t_between
+                     FROM tw, tot),
+           tt AS (SELECT SUM((CAST(x AS DOUBLE) * CAST(n AS DOUBLE)
+                    / CAST(sx AS DOUBLE))
+                    * LN(CAST(x AS DOUBLE) * CAST(n AS DOUBLE)
+                      / CAST(sx AS DOUBLE))) / CAST(MAX(n) AS DOUBLE) AS t_total
+                  FROM cp, tot)
+      SELECT ROUND(t_total, 4) + 0 AS theil_total,
+             ROUND(t_between, 4) + 0 AS theil_between,
+             ROUND(t_within, 4) + 0 AS theil_within,
+             ROUND(t_between + t_within - t_total, 6) + 0 AS identity_gap
+      FROM parts, tt""",
+
+    "q_ancova_adjust" -> """
+      WITH d AS (SELECT o_orderpriority AS g,
+                        CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y,
+                        CAST(ROUND(c_acctbal * 100) AS BIGINT) AS x
+                 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                 WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+           g AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x) AS BIGINT) AS sx,
+                        SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS sxy,
+                        SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS sxx
+                 FROM d GROUP BY 1),
+           m AS (SELECT g, n, CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS ybar,
+                        CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar,
+                        sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                          / CAST(n AS DOUBLE) AS cxy,
+                        sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                          / CAST(n AS DOUBLE) AS cxx
+                 FROM g),
+           bw AS (SELECT SUM(cxy) / SUM(cxx) AS bw FROM m),
+           a AS (SELECT n AS n1, ybar AS y1, xbar AS x1 FROM m WHERE g = '1-URGENT'),
+           b AS (SELECT n AS n2, ybar AS y2, xbar AS x2 FROM m WHERE g = '5-LOW')
+      SELECT n1, n2, ROUND((y1 - y2) / 100.0, 2) + 0 AS raw_diff_dollars,
+             ROUND(((y1 - y2) - bw * (x1 - x2)) / 100.0, 2) + 0
+               AS adjusted_diff_dollars,
+             ROUND(bw, 6) + 0 AS pooled_slope
+      FROM a, b, bw""",
+
+    "q_moment_zscores" -> """
+      WITH s AS (SELECT o_orderpriority AS g, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                          AS s1,
+                        SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DOUBLE)
+                          * CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DOUBLE))
+                          AS s2,
+                        SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DOUBLE)
+                          * CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DOUBLE)
+                          * CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DOUBLE))
+                          AS s3,
+                        SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DOUBLE)
+                          * CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DOUBLE)
+                          * CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DOUBLE)
+                          * CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DOUBLE))
+                          AS s4
+                 FROM orders GROUP BY 1),
+           a AS (SELECT g, n, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+                        s2 / CAST(n AS DOUBLE) AS a2, s3 / CAST(n AS DOUBLE) AS a3,
+                        s4 / CAST(n AS DOUBLE) AS a4
+                 FROM s),
+           m AS (SELECT g, n, a2 - mu * mu AS m2,
+                        a3 - 3.0 * mu * a2 + 2.0 * mu * mu * mu AS m3,
+                        a4 - 4.0 * mu * a3 + 6.0 * mu * mu * a2
+                          - 3.0 * mu * mu * mu * mu AS m4
+                 FROM a)
+      SELECT g AS priority, n,
+             ROUND(m3 / (m2 * SQRT(m2)), 4) + 0 AS skew,
+             ROUND(m4 / (m2 * m2) - 3.0, 4) + 0 AS excess_kurt,
+             ROUND((m3 / (m2 * SQRT(m2))) / SQRT(6.0 / CAST(n AS DOUBLE)), 4) + 0
+               AS z_skew,
+             ROUND((m4 / (m2 * m2) - 3.0) / SQRT(24.0 / CAST(n AS DOUBLE)), 4) + 0
+               AS z_kurt
+      FROM m ORDER BY priority""",
+
+    "q_biweight_midvariance" -> """
+      WITH vals AS (SELECT CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) // 10000
+                             AS BIGINT) AS v,
+                           CAST(COUNT(*) AS BIGINT) AS t
+                    FROM orders GROUP BY 1),
+           tot AS (SELECT CAST(SUM(t) AS BIGINT) AS n,
+                          CAST((CAST(SUM(t) AS BIGINT) + 1) // 2 AS BIGINT) AS k
+                   FROM vals),
+           med AS (SELECT MIN(v) AS med
+                   FROM (SELECT a.v, CAST(SUM(b.t) AS BIGINT) AS cum
+                         FROM vals a JOIN vals b ON b.v <= a.v GROUP BY 1), tot
+                   WHERE cum >= k),
+           dev AS (SELECT ABS(v - med) AS av, CAST(SUM(t) AS BIGINT) AS t
+                   FROM vals, med GROUP BY 1),
+           mad AS (SELECT MIN(av) AS mad
+                   FROM (SELECT a.av, CAST(SUM(b.t) AS BIGINT) AS cum
+                         FROM dev a JOIN dev b ON b.av <= a.av GROUP BY 1), tot
+                   WHERE cum >= k),
+           u AS (SELECT n, med, mad, t,
+                        CAST(v - med AS DOUBLE) AS d,
+                        CAST(v - med AS DOUBLE) / (9.0 * CAST(mad AS DOUBLE)) AS u
+                 FROM vals, med, mad, tot),
+           s AS (SELECT n, med, mad,
+                        SUM(CAST(t AS DOUBLE) * d * d
+                          * (1.0 - u * u) * (1.0 - u * u)
+                          * (1.0 - u * u) * (1.0 - u * u)) AS num,
+                        SUM(CAST(t AS DOUBLE) * (1.0 - u * u)
+                          * (1.0 - 5.0 * u * u)) AS den
+                 FROM u WHERE u > -1.0 AND u < 1.0
+                 GROUP BY 1, 2, 3)
+      SELECT n AS n_orders, med AS median_bin, mad AS mad_bin,
+             ROUND(CAST(n AS DOUBLE) * num / (den * den), 2) + 0 AS bwmv_bins2,
+             ROUND(SQRT(CAST(n AS DOUBLE) * num / (den * den)), 4) + 0
+               AS robust_sd_bins
+      FROM s""",
+
+    "q_cvm_uniform" -> """
+      WITH vals AS (SELECT CAST(ROUND(l_discount * 100) AS BIGINT) AS v,
+                           CAST(COUNT(*) AS BIGINT) AS t
+                    FROM lineitem GROUP BY 1),
+           cum AS (SELECT a.v, a.t, CAST(COALESCE(SUM(b.t), 0) AS BIGINT) AS cb
+                   FROM vals a LEFT JOIN vals b ON b.v < a.v
+                   GROUP BY 1, 2),
+           tot AS (SELECT CAST(SUM(t) AS BIGINT) AS n FROM vals),
+           c AS (SELECT n, CAST(t AS DOUBLE) AS td,
+                        CAST(v + 1 AS DOUBLE) / 11.0 AS f0,
+                        CAST(2 * t * cb + t * t AS DOUBLE) AS s1,
+                        CAST((4 * ((cb + t) * (cb + t + 1) * (2 * (cb + t) + 1)
+                          - cb * (cb + 1) * (2 * cb + 1))) // 6
+                          - 2 * (2 * t * cb + t * t) - t AS DOUBLE) AS s2raw
+                 FROM cum, tot),
+           k AS (SELECT n, td * f0 * f0 - f0 * s1 / CAST(n AS DOUBLE)
+                          + s2raw / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                          AS contrib
+                 FROM c),
+           s AS (SELECT n, SUM(contrib) AS sc FROM k GROUP BY 1)
+      SELECT n AS n_items,
+             ROUND(1.0 / (12.0 * CAST(n AS DOUBLE)) + sc, 6) + 0 AS cvm_w2,
+             CAST(CASE WHEN 1.0 / (12.0 * CAST(n AS DOUBLE)) + sc > 0.461
+               THEN 1 ELSE 0 END AS BIGINT) AS reject_uniform
+      FROM s""",
   )
 }
