@@ -6496,4 +6496,121 @@ object Analytics {
         when(lit(1.0) / (lit(12.0) * col("n").cast("double")) + col("sc")
           > lit(0.461), 1L).otherwise(0L).as("reject_uniform"))
   }
+
+  /** Hartley's F-max and Cochran's C variance-homogeneity screens
+    * across the five priorities — the quick ratios before Bartlett.
+    */
+  def q_hartley_fmax(spark: SparkSession, sf: String): DataFrame =
+    Tables.orders(spark, sf)
+      .select(col("o_orderpriority").as("g"), cents(col("o_totalprice")).as("x"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(col("x").cast("double") * col("x").cast("double")).as("ss"))
+      .select(((col("ss") - (col("s").cast("double") * col("s").cast("double"))
+        / col("n").cast("double")) / (col("n").cast("double") - lit(1.0))).as("v"))
+      .agg(count(lit(1)).as("k"), max(col("v")).as("vmax"), min(col("v")).as("vmin"),
+        sum(col("v")).as("sv"))
+      .select(col("k").as("n_groups"),
+        (round(col("vmax") / col("vmin"), 4) + lit(0.0)).as("hartley_fmax"),
+        (round(col("vmax") / col("sv"), 4) + lit(0.0)).as("cochran_c"))
+
+  /** Scheffé simultaneous interval for the URGENT−LOW mean contrast:
+    * half-width √((k−1)F₀.₀₅)·√(MSW(1/n₁+1/n₅)) with the pooled
+    * within-group mean square.
+    */
+  def q_scheffe_contrast(spark: SparkSession, sf: String): DataFrame = {
+    val g = Tables.orders(spark, sf)
+      .select(col("o_orderpriority").as("g"), cents(col("o_totalprice")).as("x"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(col("x").cast("double") * col("x").cast("double")).as("ss"))
+      .localCheckpoint()
+    val msw = g.agg(count(lit(1)).as("k"), sum(col("n")).as("nn"),
+        sum(col("ss") - (col("s").cast("double") * col("s").cast("double"))
+          / col("n").cast("double")).as("ssw"))
+      .select(col("k"),
+        (col("ssw") / (col("nn").cast("double") - col("k").cast("double")))
+          .as("msw"))
+    val a = g.filter(col("g") === "1-URGENT")
+      .select(col("n").as("n1"),
+        (col("s").cast("double") / col("n").cast("double")).as("m1"))
+    val b = g.filter(col("g") === "5-LOW")
+      .select(col("n").as("n5"),
+        (col("s").cast("double") / col("n").cast("double")).as("m5"))
+    a.crossJoin(b).crossJoin(msw)
+      .select(col("n1"), col("n5"),
+        ((col("m1") - col("m5")) / lit(100.0)).as("d"),
+        (sqrt((col("k").cast("double") - lit(1.0)) * lit(2.372))
+          * sqrt(col("msw") * (lit(1.0) / col("n1").cast("double")
+            + lit(1.0) / col("n5").cast("double"))) / lit(100.0)).as("hw"))
+      .select(col("n1"), col("n5"),
+        (round(col("d"), 2) + lit(0.0)).as("contrast_dollars"),
+        (round(col("hw"), 2) + lit(0.0)).as("scheffe_halfwidth"),
+        when(abs(col("d")) > col("hw"), 1L).otherwise(0L).as("significant"))
+  }
+
+  /** Orthogonal polynomial contrasts (linear −2..2 and quadratic
+    * 2,−1,−2,−1,2) of mean order value across the ordered priorities,
+    * each with its pooled-MSW t-statistic.
+    */
+  def q_polynomial_contrasts(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val g = Tables.orders(spark, sf)
+      .select(expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)").as("j"),
+        cents(col("o_totalprice")).as("x"))
+      .groupBy(col("j"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(col("x").cast("double") * col("x").cast("double")).as("ss"))
+      .localCheckpoint()
+    val msw = g.agg(count(lit(1)).as("k"), sum(col("n")).as("nn"),
+        sum(col("ss") - (col("s").cast("double") * col("s").cast("double"))
+          / col("n").cast("double")).as("ssw"))
+      .select((col("ssw") / (col("nn").cast("double") - col("k").cast("double")))
+        .as("msw"))
+    val coefs = Seq(("linear", 1L, -2.0), ("linear", 2L, -1.0), ("linear", 3L, 0.0),
+      ("linear", 4L, 1.0), ("linear", 5L, 2.0),
+      ("quadratic", 1L, 2.0), ("quadratic", 2L, -1.0), ("quadratic", 3L, -2.0),
+      ("quadratic", 4L, -1.0), ("quadratic", 5L, 2.0))
+      .toDF("contrast", "j", "cf")
+    g.join(broadcast(coefs), "j")
+      .groupBy(col("contrast"))
+      .agg(sum(col("cf") * (col("s").cast("double") / col("n").cast("double")))
+        .as("l"),
+        sum(col("cf") * col("cf") / col("n").cast("double")).as("c2n"))
+      .crossJoin(broadcast(msw))
+      .select(col("contrast"),
+        (round(col("l") / lit(100.0), 2) + lit(0.0)).as("estimate_dollars"),
+        (round(col("l") / sqrt(col("msw") * col("c2n")), 4) + lit(0.0)).as("t"))
+      .orderBy("contrast")
+  }
+
+  /** Survival concordance (Harrell's C) between user lifetime and the
+    * event-count risk score: comparable pairs anchored at churned
+    * shorter lifetimes, ties at half credit — exact cell-pair counting
+    * on the (lifetime, score) lattice.
+    */
+  def q_survival_cindex(spark: SparkSession, sf: String): DataFrame = {
+    val obs = Tables.eventsWithTs(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts_us"))).as("d0"), max(to_date(col("ts_us"))).as("d1"),
+        count(lit(1)).as("score"))
+      .select(datediff(col("d1"), col("d0")).cast("long").as("t"),
+        when(col("d1") <= lit("2024-01-23").cast("date"), 1L).otherwise(0L)
+          .as("e"),
+        col("score"))
+      .groupBy(col("t"), col("e"), col("score")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    obs.filter(col("e") === 1L).as("a")
+      .join(obs.select(col("t").as("t2"), col("score").as("sc2"),
+        col("c").as("c2")).as("b"), col("t2") > col("a.t"))
+      .agg(sum(col("c") * col("c2")).as("comparable"),
+        sum(when(col("a.score") > col("sc2"), col("c") * col("c2"))
+          .otherwise(0L)).as("concordant"),
+        sum(when(col("a.score") === col("sc2"), col("c") * col("c2"))
+          .otherwise(0L)).as("tied"))
+      .select(col("comparable"), col("concordant"), col("tied"),
+        (round((lit(2L) * col("concordant") + col("tied")).cast("double")
+          / (lit(2L) * col("comparable")).cast("double"), 4) + lit(0.0))
+          .as("c_index"))
+  }
 }

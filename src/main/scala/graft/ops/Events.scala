@@ -1081,4 +1081,31 @@ object Events {
         (round(col("n_bounce").cast("double") / col("n_user_days").cast("double"), 4)
           + lit(0.0)).as("bounce_rate"))
       .orderBy("dow")
+
+  /** Hour-of-day load profile: χ² against the uniform 24-hour split
+    * plus the (deterministically tie-broken) peak hour — the hour comes
+    * from exact µs integer arithmetic on both engines.
+    */
+  def q_hourly_profile(spark: SparkSession, sf: String): DataFrame = {
+    val hours = Tables.eventsWithTs(spark, sf)
+      .groupBy(expr("CAST((ts_usl div 3600000000) % 24 AS BIGINT)").as("h"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val tot = hours.agg(sum(col("c")).as("n"))
+    val chi = hours.crossJoin(broadcast(tot))
+      .agg(max(col("n")).as("n"),
+        sum((col("c").cast("double") - col("n").cast("double") / lit(24.0))
+          * (col("c").cast("double") - col("n").cast("double") / lit(24.0))
+          / (col("n").cast("double") / lit(24.0))).as("chi2"),
+        max(col("c")).as("cmax"))
+    val peak = hours.crossJoin(broadcast(chi.select(col("cmax"))))
+      .filter(col("c") === col("cmax"))
+      .agg(min(col("h")).as("peak_hour"))
+    chi.crossJoin(peak)
+      .select(col("n").as("n_events"),
+        (round(col("chi2"), 4) + lit(0.0)).as("chi2_uniform"),
+        when(col("chi2") > lit(35.172462), 1L).otherwise(0L)
+          .as("reject_uniform"),
+        col("peak_hour"))
+  }
 }

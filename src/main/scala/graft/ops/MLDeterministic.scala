@@ -2997,6 +2997,94 @@ object MLDeterministic {
       .orderBy("nationkey")
   }
 
+  /** Log loss (cross-entropy) and Brier-free skill of the literal
+    * logistic score s = −2 + 30·discount + 0.02·quantity predicting
+    * returns: LL = −mean[y ln p + (1−y)ln(1−p)] vs the base-rate
+    * entropy, skill = 1 − LL/H₀.
+    */
+  def q_log_loss(spark: SparkSession, sf: String): DataFrame = {
+    val scored = Tables.lineitem(spark, sf)
+      .select((lit(1.0) / (lit(1.0) + exp(-(lit(-2.0) + lit(30.0) * col("l_discount")
+        + lit(0.02) * col("l_quantity").cast("double"))))).as("p"),
+        when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("y"))
+    scored.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+        sum(col("y") * log(col("p"))
+          + (lit(1.0) - col("y")) * log(lit(1.0) - col("p"))).as("sll"))
+      .select(col("n").as("n_items"),
+        (col("sy") / col("n").cast("double")).as("base"),
+        (-col("sll") / col("n").cast("double")).as("ll"))
+      .select(col("n_items"), (round(col("ll"), 6) + lit(0.0)).as("log_loss"),
+        (round(-(col("base") * log(col("base"))
+          + (lit(1.0) - col("base")) * log(lit(1.0) - col("base"))), 6) + lit(0.0))
+          .as("base_entropy"),
+        (round(lit(1.0) - col("ll") / (-(col("base") * log(col("base"))
+          + (lit(1.0) - col("base")) * log(lit(1.0) - col("base")))), 4)
+          + lit(0.0)).as("skill_score"))
+  }
+
+  /** KS discrimination of the same literal logistic score between
+    * returned and kept items: the supremum CDF gap on the bit-safe
+    * e2-floored score lattice, kept exactly as |cum₁n₀ − cum₀n₁| before
+    * one division.
+    */
+  def q_score_ks(spark: SparkSession, sf: String): DataFrame = {
+    val cells = Tables.lineitem(spark, sf)
+      .select(floor((lit(-2.0) + lit(30.0) * col("l_discount")
+        + lit(0.02) * col("l_quantity").cast("double")) * lit(100.0))
+        .cast("long").as("s"),
+        (col("l_returnflag") === "R").as("ret"))
+      .groupBy(col("s"))
+      .agg(sum(when(col("ret"), 1L).otherwise(0L)).as("c1"),
+        sum(when(!col("ret"), 1L).otherwise(0L)).as("c0"))
+      .localCheckpoint()
+    val tot = cells.agg(sum(col("c1")).as("n1"), sum(col("c0")).as("n0"))
+    cells.as("a")
+      .join(cells.select(col("s").as("s2"), col("c1").as("c12"),
+        col("c0").as("c02")).as("b"), col("s2") <= col("a.s"))
+      .groupBy(col("a.s").as("s"))
+      .agg(sum(col("c12")).as("cum1"), sum(col("c02")).as("cum0"))
+      .crossJoin(broadcast(tot))
+      .agg(max(col("n1")).as("n1"), max(col("n0")).as("n0"),
+        max(abs(col("cum1") * col("n0") - col("cum0") * col("n1")))
+          .as("supint"))
+      .select(col("n1"), col("n0"),
+        (round(col("supint").cast("double")
+          / (col("n1").cast("double") * col("n0").cast("double")), 4) + lit(0.0))
+          .as("ks_discrimination"))
+  }
+
+  /** Fisher's combined −2Σln p (χ²₂ₘ) and Stouffer's Σz/√m over the
+    * per-nation p-surrogates of the BH pipeline — the two canonical
+    * p-value pooling rules side by side.
+    */
+  def q_fisher_combined(spark: SparkSession, sf: String): DataFrame = {
+    val joined = Tables.orders(spark, sf)
+      .join(broadcast(Tables.customer(spark, sf)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").as("nk"), cents(col("o_totalprice")).as("tp"))
+      .localCheckpoint()
+    val g = joined.agg(count(lit(1)).as("n"), sum(col("tp")).as("s"),
+        sum(col("tp").cast("decimal(38,0)") * col("tp")).as("ss"))
+      .select((col("s").cast("double") / col("n").cast("double")).as("mu"),
+        sqrt(col("ss").cast("double") / col("n").cast("double")
+          - (col("s").cast("double") / col("n").cast("double"))
+            * (col("s").cast("double") / col("n").cast("double"))).as("sigma"))
+    joined.groupBy(col("nk"))
+      .agg(count(lit(1)).as("ni"), sum(col("tp")).as("si"))
+      .crossJoin(broadcast(g))
+      .select(((col("si").cast("double") / col("ni").cast("double") - col("mu"))
+        / (col("sigma") / sqrt(col("ni").cast("double")))).as("z"))
+      .select(col("z"),
+        round(lit(2.0) / (lit(1.0) + exp(lit(1.702) * abs(col("z")))), 7).as("p"))
+      .agg(count(lit(1)).as("m"), sum(-lit(2.0) * log(col("p"))).as("fisher"),
+        sum(col("z")).as("sz"))
+      .select(col("m").as("n_tests"), (lit(2L) * col("m")).as("df"),
+        (round(col("fisher"), 4) + lit(0.0)).as("fisher_chi2"),
+        (round(col("sz") / sqrt(col("m").cast("double")), 4) + lit(0.0))
+          .as("stouffer_z"))
+  }
+
   /** Tetrachoric correlation (cosine approximation) and Yule's Q for
     * the deep-discount × returned 2×2 table: r ≈ cos(π/(1+√(ad/bc))),
     * Q = (ad−bc)/(ad+bc) — exact counts, pre-rounded π literal.

@@ -977,4 +977,64 @@ object Vectors {
         (round(expr("CAST(n_points AS DOUBLE) * 1e9 / CAST(sum_ln_e9 AS DOUBLE)"), 4)
           + lit(0.0)).as("intrinsic_dim"))
   }
+
+  /** Exact closed-form eigendecomposition of the 2×2 covariance of the
+    * first two embedding dimensions (e7 lattice):
+    * λ± = (a+c)/2 ± √(((a−c)/2)² + b²), with the explained-variance
+    * share of the principal axis.
+    */
+  def q_embedding_eigen2(spark: SparkSession, sf: String): DataFrame =
+    Tables.embeddings(spark, sf)
+      .select(element_at(q7(col("embedding")), 1).as("x"),
+        element_at(q7(col("embedding")), 2).as("y"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x").cast("double") * col("x").cast("double")).as("sxx"),
+        sum(col("y").cast("double") * col("y").cast("double")).as("syy"),
+        sum(col("x").cast("double") * col("y").cast("double")).as("sxy"))
+      .select(col("n"),
+        (col("sxx") / col("n").cast("double")
+          - (col("sx").cast("double") / col("n").cast("double"))
+            * (col("sx").cast("double") / col("n").cast("double"))).as("a"),
+        (col("syy") / col("n").cast("double")
+          - (col("sy").cast("double") / col("n").cast("double"))
+            * (col("sy").cast("double") / col("n").cast("double"))).as("c"),
+        (col("sxy") / col("n").cast("double")
+          - (col("sx").cast("double") / col("n").cast("double"))
+            * (col("sy").cast("double") / col("n").cast("double"))).as("b"))
+      .select(col("n").as("n_vectors"),
+        ((col("a") + col("c")) / lit(2.0)
+          + sqrt(((col("a") - col("c")) / lit(2.0))
+            * ((col("a") - col("c")) / lit(2.0)) + col("b") * col("b")))
+          .as("lam1"),
+        ((col("a") + col("c")) / lit(2.0)
+          - sqrt(((col("a") - col("c")) / lit(2.0))
+            * ((col("a") - col("c")) / lit(2.0)) + col("b") * col("b")))
+          .as("lam2"))
+      .select(col("n_vectors"),
+        (round(col("lam1") / lit(1.0e14), 6) + lit(0.0)).as("lam1_unit"),
+        (round(col("lam2") / lit(1.0e14), 6) + lit(0.0)).as("lam2_unit"),
+        (round(col("lam1") / (col("lam1") + col("lam2")), 4) + lit(0.0))
+          .as("explained_share"))
+
+  /** Isotropy diagnostics of the first 8 embedding dimensions: max/mean
+    * per-dimension variance and the participation ratio (Σλ)²/Σλ² —
+    * PR → 8 means perfectly isotropic use of the subspace.
+    */
+  def q_embedding_isotropy(spark: SparkSession, sf: String): DataFrame =
+    Tables.embeddings(spark, sf)
+      .select(posexplode(slice(q7(col("embedding")), 1, 8)).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x").cast("double") * col("x").cast("double")).as("sxx"))
+      .select(col("dim"),
+        (col("sxx") / col("n").cast("double")
+          - (col("sx").cast("double") / col("n").cast("double"))
+            * (col("sx").cast("double") / col("n").cast("double"))).as("v"))
+      .agg(count(lit(1)).as("n_dims"), max(col("v")).as("vmax"),
+        sum(col("v")).as("sv"), sum(col("v") * col("v")).as("svv"))
+      .select(col("n_dims"),
+        (round(col("vmax") / (col("sv") / col("n_dims").cast("double")), 4)
+          + lit(0.0)).as("max_over_mean_var"),
+        (round(col("sv") * col("sv") / col("svv"), 4) + lit(0.0))
+          .as("participation_ratio"))
 }

@@ -12139,5 +12139,238 @@ object OracleSql {
              CAST(CASE WHEN 1.0 / (12.0 * CAST(n AS DOUBLE)) + sc > 0.461
                THEN 1 ELSE 0 END AS BIGINT) AS reject_uniform
       FROM s""",
+
+    "q_fisher_combined" -> """
+      WITH j AS (SELECT c.c_nationkey AS nk,
+                        CAST(ROUND(o_totalprice * 100) AS BIGINT) AS tp
+                 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+           g AS (SELECT CAST(SUM(tp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mu,
+                        SQRT(CAST(SUM(CAST(tp AS HUGEINT) * tp) AS DOUBLE)
+                               / CAST(COUNT(*) AS DOUBLE)
+                             - (CAST(SUM(tp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                               * (CAST(SUM(tp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)))
+                          AS sigma
+                 FROM j),
+           z AS (SELECT (CAST(SUM(tp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) - mu)
+                          / (sigma / SQRT(CAST(COUNT(*) AS DOUBLE))) AS z
+                 FROM j, g GROUP BY nk, mu, sigma),
+           p AS (SELECT z, ROUND(2.0 / (1.0 + exp(1.702 * abs(z))), 7) AS p FROM z),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                        SUM(-2.0 * LN(p)) AS fisher, SUM(z) AS sz
+                 FROM p)
+      SELECT m AS n_tests, CAST(2 * m AS BIGINT) AS df,
+             ROUND(fisher, 4) + 0 AS fisher_chi2,
+             ROUND(sz / SQRT(CAST(m AS DOUBLE)), 4) + 0 AS stouffer_z
+      FROM s""",
+
+    "q_log_loss" -> """
+      WITH sc AS (SELECT 1.0 / (1.0 + EXP(-(-2.0 + 30.0 * l_discount
+                    + 0.02 * CAST(l_quantity AS DOUBLE)))) AS p,
+                        CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+                  FROM lineitem),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(y) AS sy,
+                        SUM(y * LN(p) + (1.0 - y) * LN(1.0 - p)) AS sll
+                 FROM sc),
+           m AS (SELECT n AS n_items, sy / CAST(n AS DOUBLE) AS base,
+                        -sll / CAST(n AS DOUBLE) AS ll
+                 FROM s)
+      SELECT n_items, ROUND(ll, 6) + 0 AS log_loss,
+             ROUND(-(base * LN(base) + (1.0 - base) * LN(1.0 - base)), 6) + 0
+               AS base_entropy,
+             ROUND(1.0 - ll / (-(base * LN(base)
+               + (1.0 - base) * LN(1.0 - base))), 4) + 0 AS skill_score
+      FROM m""",
+
+    "q_score_ks" -> """
+      WITH cells AS (SELECT CAST(FLOOR((-2.0 + 30.0 * l_discount
+                       + 0.02 * CAST(l_quantity AS DOUBLE)) * 100.0) AS BIGINT) AS s,
+                            CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                              AS BIGINT) AS c1,
+                            CAST(SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END)
+                              AS BIGINT) AS c0
+                     FROM lineitem GROUP BY 1),
+           tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                          CAST(SUM(c0) AS BIGINT) AS n0
+                   FROM cells),
+           cum AS (SELECT a.s, CAST(SUM(b.c1) AS BIGINT) AS cum1,
+                          CAST(SUM(b.c0) AS BIGINT) AS cum0
+                   FROM cells a JOIN cells b ON b.s <= a.s GROUP BY 1),
+           sup AS (SELECT MAX(n1) AS n1, MAX(n0) AS n0,
+                          MAX(ABS(cum1 * n0 - cum0 * n1)) AS supint
+                   FROM cum, tot)
+      SELECT n1, n0,
+             ROUND(CAST(supint AS DOUBLE)
+               / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)), 4) + 0
+               AS ks_discrimination
+      FROM sup""",
+
+    "q_hartley_fmax" -> """
+      WITH g AS (SELECT o_orderpriority AS g, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                          AS s,
+                        SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DOUBLE)
+                          * CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DOUBLE))
+                          AS ss
+                 FROM orders GROUP BY 1),
+           v AS (SELECT (ss - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                   / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS v
+                 FROM g),
+           f AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, MAX(v) AS vmax,
+                        MIN(v) AS vmin, SUM(v) AS sv
+                 FROM v)
+      SELECT k AS n_groups, ROUND(vmax / vmin, 4) + 0 AS hartley_fmax,
+             ROUND(vmax / sv, 4) + 0 AS cochran_c
+      FROM f""",
+
+    "q_scheffe_contrast" -> """
+      WITH g AS (SELECT o_orderpriority AS g, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                          AS s,
+                        SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DOUBLE)
+                          * CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DOUBLE))
+                          AS ss
+                 FROM orders GROUP BY 1),
+           msw AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                          SUM(ss - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                            / CAST(n AS DOUBLE))
+                            / (CAST(SUM(n) AS DOUBLE) - CAST(COUNT(*) AS DOUBLE))
+                            AS msw
+                   FROM g),
+           a AS (SELECT n AS n1, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m1
+                 FROM g WHERE g = '1-URGENT'),
+           b AS (SELECT n AS n5, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m5
+                 FROM g WHERE g = '5-LOW'),
+           f AS (SELECT n1, n5, (m1 - m5) / 100.0 AS d,
+                        SQRT((CAST(k AS DOUBLE) - 1.0) * 2.372)
+                          * SQRT(msw * (1.0 / CAST(n1 AS DOUBLE)
+                            + 1.0 / CAST(n5 AS DOUBLE))) / 100.0 AS hw
+                 FROM a, b, msw)
+      SELECT n1, n5, ROUND(d, 2) + 0 AS contrast_dollars,
+             ROUND(hw, 2) + 0 AS scheffe_halfwidth,
+             CAST(CASE WHEN ABS(d) > hw THEN 1 ELSE 0 END AS BIGINT) AS significant
+      FROM f""",
+
+    "q_polynomial_contrasts" -> """
+      WITH g AS (SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS j,
+                        CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                          AS s,
+                        SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DOUBLE)
+                          * CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DOUBLE))
+                          AS ss
+                 FROM orders GROUP BY 1),
+           msw AS (SELECT SUM(ss - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                     / CAST(n AS DOUBLE))
+                     / (CAST(SUM(n) AS DOUBLE) - CAST(COUNT(*) AS DOUBLE)) AS msw
+                   FROM g),
+           coefs AS (SELECT * FROM (VALUES
+                       ('linear', 1, -2.0), ('linear', 2, -1.0), ('linear', 3, 0.0),
+                       ('linear', 4, 1.0), ('linear', 5, 2.0),
+                       ('quadratic', 1, 2.0), ('quadratic', 2, -1.0),
+                       ('quadratic', 3, -2.0), ('quadratic', 4, -1.0),
+                       ('quadratic', 5, 2.0)) t(contrast, j, cf)),
+           l AS (SELECT contrast,
+                        SUM(cf * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) AS l,
+                        SUM(cf * cf / CAST(n AS DOUBLE)) AS c2n
+                 FROM g JOIN coefs ON g.j = coefs.j GROUP BY 1)
+      SELECT contrast, ROUND(l / 100.0, 2) + 0 AS estimate_dollars,
+             ROUND(l / SQRT(msw * c2n), 4) + 0 AS t
+      FROM l, msw ORDER BY contrast""",
+
+    "q_survival_cindex" -> """
+      WITH obs AS (SELECT CAST(date_diff('day', MIN(CAST(ts AS DATE)),
+                            MAX(CAST(ts AS DATE))) AS BIGINT) AS t,
+                          CASE WHEN MAX(CAST(ts AS DATE)) <= DATE '2024-01-23'
+                               THEN 1 ELSE 0 END AS e,
+                          CAST(COUNT(*) AS BIGINT) AS score
+                   FROM events GROUP BY user_id),
+           cells AS (SELECT t, e, score, CAST(COUNT(*) AS BIGINT) AS c
+                     FROM obs GROUP BY 1, 2, 3),
+           s AS (SELECT CAST(SUM(a.c * b.c) AS BIGINT) AS comparable,
+                        CAST(SUM(CASE WHEN a.score > b.score THEN a.c * b.c
+                                      ELSE 0 END) AS BIGINT) AS concordant,
+                        CAST(SUM(CASE WHEN a.score = b.score THEN a.c * b.c
+                                      ELSE 0 END) AS BIGINT) AS tied
+                 FROM cells a JOIN cells b ON b.t > a.t
+                 WHERE a.e = 1)
+      SELECT comparable, concordant, tied,
+             ROUND(CAST(2 * concordant + tied AS DOUBLE)
+               / CAST(2 * comparable AS DOUBLE), 4) + 0 AS c_index
+      FROM s""",
+
+    "q_embedding_eigen2" -> """
+      WITH xy AS (SELECT CAST(ROUND(CAST(embedding[1] AS DOUBLE) * 1e7) AS BIGINT)
+                           AS x,
+                         CAST(ROUND(CAST(embedding[2] AS DOUBLE) * 1e7) AS BIGINT)
+                           AS y
+                  FROM embeddings),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                        SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS sxx,
+                        SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS syy,
+                        SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS sxy
+                 FROM xy),
+           cov AS (SELECT n,
+                          sxx / CAST(n AS DOUBLE)
+                            - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                              * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS a,
+                          syy / CAST(n AS DOUBLE)
+                            - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                              * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS c,
+                          sxy / CAST(n AS DOUBLE)
+                            - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                              * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS b
+                  FROM s),
+           lam AS (SELECT n AS n_vectors,
+                          (a + c) / 2.0 + SQRT(((a - c) / 2.0) * ((a - c) / 2.0)
+                            + b * b) AS lam1,
+                          (a + c) / 2.0 - SQRT(((a - c) / 2.0) * ((a - c) / 2.0)
+                            + b * b) AS lam2
+                   FROM cov)
+      SELECT n_vectors, ROUND(lam1 / 1.0e14, 6) + 0 AS lam1_unit,
+             ROUND(lam2 / 1.0e14, 6) + 0 AS lam2_unit,
+             ROUND(lam1 / (lam1 + lam2), 4) + 0 AS explained_share
+      FROM lam""",
+
+    "q_embedding_isotropy" -> """
+      WITH dims AS (SELECT i - 1 AS dim,
+                           CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1e7) AS BIGINT)
+                             AS x
+                    FROM embeddings, (SELECT unnest(generate_series(1, 8)) AS i)),
+           v AS (SELECT dim,
+                        SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                          / CAST(COUNT(*) AS DOUBLE)
+                          - (CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                            * (CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                          AS v
+                 FROM dims GROUP BY 1),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_dims, MAX(v) AS vmax,
+                        SUM(v) AS sv, SUM(v * v) AS svv
+                 FROM v)
+      SELECT n_dims,
+             ROUND(vmax / (sv / CAST(n_dims AS DOUBLE)), 4) + 0
+               AS max_over_mean_var,
+             ROUND(sv * sv / svv, 4) + 0 AS participation_ratio
+      FROM s""",
+
+    "q_hourly_profile" -> """
+      WITH hrs AS (SELECT CAST(((epoch_ns(ts) // 1000) // 3600000000) % 24
+                            AS BIGINT) AS h,
+                          CAST(COUNT(*) AS BIGINT) AS c
+                   FROM events GROUP BY 1),
+           tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM hrs),
+           chi AS (SELECT MAX(n) AS n,
+                          SUM((CAST(c AS DOUBLE) - CAST(n AS DOUBLE) / 24.0)
+                            * (CAST(c AS DOUBLE) - CAST(n AS DOUBLE) / 24.0)
+                            / (CAST(n AS DOUBLE) / 24.0)) AS chi2,
+                          MAX(c) AS cmax
+                   FROM hrs, tot),
+           peak AS (SELECT MIN(h) AS peak_hour
+                    FROM hrs, chi WHERE c = cmax)
+      SELECT n AS n_events, ROUND(chi2, 4) + 0 AS chi2_uniform,
+             CAST(CASE WHEN chi2 > 35.172462 THEN 1 ELSE 0 END AS BIGINT)
+               AS reject_uniform,
+             peak_hour
+      FROM chi, peak""",
   )
 }
