@@ -6613,4 +6613,343 @@ object Analytics {
           / (lit(2L) * col("comparable")).cast("double"), 4) + lit(0.0))
           .as("c_index"))
   }
+
+  /** TOPSIS multi-criteria ranking of nations on (revenue↑, orders↑,
+    * return-rate↓): vector-normalized criteria, Euclidean distances to
+    * the ideal/anti-ideal, closeness ranked on the e6-rounded score.
+    */
+  def q_topsis_ranking(spark: SparkSession, sf: String): DataFrame = {
+    val nat = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, sf)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nk"))
+      .agg(sum(cents(col("l_extendedprice"))).as("rev"),
+        count(lit(1)).as("cnt"),
+        (sum(when(col("l_returnflag") === "R", 1.0).otherwise(0.0))
+          / count(lit(1)).cast("double")).as("rr"))
+      .localCheckpoint()
+    val norms = nat.agg(
+      sqrt(sum(col("rev").cast("double") * col("rev").cast("double"))).as("nr"),
+      sqrt(sum(col("cnt").cast("double") * col("cnt").cast("double"))).as("nc"),
+      sqrt(sum(col("rr") * col("rr"))).as("nrr"))
+    val scaled = nat.crossJoin(broadcast(norms))
+      .select(col("nk"), (col("rev").cast("double") / col("nr")).as("v1"),
+        (col("cnt").cast("double") / col("nc")).as("v2"),
+        (col("rr") / col("nrr")).as("v3"))
+      .localCheckpoint()
+    val ideals = scaled.agg(max(col("v1")).as("b1"), max(col("v2")).as("b2"),
+      min(col("v3")).as("b3"), min(col("v1")).as("w1"), min(col("v2")).as("w2"),
+      max(col("v3")).as("w3"))
+    scaled.crossJoin(broadcast(ideals))
+      .select(col("nk").as("nation"),
+        sqrt((col("v1") - col("b1")) * (col("v1") - col("b1"))
+          + (col("v2") - col("b2")) * (col("v2") - col("b2"))
+          + (col("v3") - col("b3")) * (col("v3") - col("b3"))).as("dplus"),
+        sqrt((col("v1") - col("w1")) * (col("v1") - col("w1"))
+          + (col("v2") - col("w2")) * (col("v2") - col("w2"))
+          + (col("v3") - col("w3")) * (col("v3") - col("w3"))).as("dminus"))
+      .select(col("nation"),
+        (round(col("dminus") / (col("dplus") + col("dminus")), 6) + lit(0.0))
+          .as("closeness"))
+      .orderBy(col("closeness").desc, col("nation").asc)
+      .limit(5)
+  }
+
+  /** Theta-method forecast backtest: the 50/50 blend of the linear
+    * trend extrapolation and the SES (α=½, 12-month kernel) forecast,
+    * scored against both components by MAE — the M3-winning baseline.
+    */
+  def q_theta_forecast(spark: SparkSession, sf: String): DataFrame = {
+    val rev = monthlyRevenue(spark, sf)
+    val fit = rev.agg(count(lit(1)).as("n"), sum(col("m")).as("st"),
+        sum(col("rev")).as("sy"), sum(col("m") * col("rev")).as("sty"),
+        sum(col("m") * col("m")).as("stt"))
+      .select(
+        ((col("n").cast("double") * col("sty").cast("double")
+          - col("st").cast("double") * col("sy").cast("double"))
+          / (col("n").cast("double") * col("stt").cast("double")
+            - col("st").cast("double") * col("st").cast("double"))).as("b"),
+        (col("sy").cast("double") / col("n").cast("double")).as("ybar"),
+        (col("st").cast("double") / col("n").cast("double")).as("tbar"))
+    sesPred(spark, sf).crossJoin(broadcast(fit))
+      .select(col("actual").cast("double").as("y"), col("yhat").as("ses"),
+        (col("ybar") + col("b") * (col("m").cast("double") - col("tbar")))
+          .as("trend"))
+      .select(col("y"), col("ses"), col("trend"),
+        ((col("ses") + col("trend")) / lit(2.0)).as("theta"))
+      .agg(count(lit(1)).as("n"),
+        sum(abs(col("y") - col("ses"))).as("mses"),
+        sum(abs(col("y") - col("trend"))).as("mtrend"),
+        sum(abs(col("y") - col("theta"))).as("mtheta"))
+      .select(col("n").as("n_forecasts"),
+        (round(col("mtheta") / col("n").cast("double") / lit(100.0), 2) + lit(0.0))
+          .as("theta_mae_dollars"),
+        (round(col("mses") / col("n").cast("double") / lit(100.0), 2) + lit(0.0))
+          .as("ses_mae_dollars"),
+        (round(col("mtrend") / col("n").cast("double") / lit(100.0), 2) + lit(0.0))
+          .as("trend_mae_dollars"),
+        when(col("mtheta") < col("mses") && col("mtheta") < col("mtrend"), 1L)
+          .otherwise(0L).as("theta_wins"))
+  }
+
+  /** Tracking signal of the SES forecast: cumulative signed error over
+    * MAD — |TS| > 4 flags a biased forecast.
+    */
+  def q_tracking_signal(spark: SparkSession, sf: String): DataFrame =
+    sesPred(spark, sf)
+      .select((col("actual").cast("double") - col("yhat")).as("e"))
+      .agg(count(lit(1)).as("n"), sum(col("e")).as("se"),
+        sum(abs(col("e"))).as("sae"))
+      .select(col("n").as("n_forecasts"),
+        (round(col("se") / lit(100.0), 2) + lit(0.0)).as("cum_error_dollars"),
+        (round(col("sae") / col("n").cast("double") / lit(100.0), 2) + lit(0.0))
+          .as("mad_dollars"),
+        (round(col("se") / (col("sae") / col("n").cast("double")), 4) + lit(0.0))
+          .as("tracking_signal"),
+        when(abs(col("se") / (col("sae") / col("n").cast("double"))) > 4.0, 1L)
+          .otherwise(0L).as("biased"))
+
+  /** Maximum-subarray (best consecutive run) of monthly revenue
+    * changes: prefix sums via a cumulative theta join, the best
+    * (i,j] window as the exact pair argmax with (gain, i, j)
+    * tie-breaking.
+    */
+  def q_max_subarray(spark: SparkSession, sf: String): DataFrame = {
+    val rev = monthlyRevenue(spark, sf).localCheckpoint()
+    val base = rev.agg(min(col("m")).as("m0"))
+    val pre = rev.as("a")
+      .join(rev.select(col("m").as("m2"), col("rev").as("rev2")).as("b"),
+        col("m2") <= col("a.m"))
+      .groupBy(col("a.m").as("m")).agg(sum(col("rev2")).as("cum"))
+      .crossJoin(broadcast(base))
+      .select(col("m"), col("cum"))
+      .localCheckpoint()
+    val zero = base.select((col("m0") - 1L).as("m"), lit(0L).as("cum"))
+    val pts = pre.union(zero).localCheckpoint()
+    val best = pts.as("a")
+      .join(pts.select(col("m").as("mj"), col("cum").as("cumj")).as("b"),
+        col("mj") > col("m"))
+      .select(col("m").as("mi"), col("mj"), (col("cumj") - col("cum")).as("gain"))
+    val mx = best.agg(max(col("gain")).as("g"))
+    best.crossJoin(broadcast(mx))
+      .filter(col("gain") === col("g"))
+      .groupBy(col("g"))
+      .agg(min(struct(col("mi"), col("mj"))).as("w"))
+      .select((col("w.mi") + 1L).as("start_month"), col("w.mj").as("end_month"),
+        (col("w.mj") - col("w.mi")).as("window_months"),
+        (round(col("g").cast("double") / lit(100.0), 2) + lit(0.0))
+          .as("total_gain_dollars"))
+  }
+
+  /** One-step SimRank between brands on the customer–brand bipartite
+    * graph: s(a,b) = C·|N(a)∩N(b)|/(|N(a)||N(b)|) with C = 0.8 —
+    * top-10 brand pairs on the e6-rounded score.
+    */
+  def q_simrank_step(spark: SparkSession, sf: String): DataFrame = {
+    val cb = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
+      .select(col("o_custkey").as("c"), col("p_brand").as("b")).distinct()
+      .localCheckpoint()
+    val deg = cb.groupBy(col("b")).agg(count(lit(1)).as("d"))
+    val common = cb.as("x")
+      .join(cb.select(col("c").as("c2"), col("b").as("b2")).as("y"),
+        col("c2") === col("c") && col("b2") > col("x.b"))
+      .groupBy(col("x.b").as("ba"), col("b2").as("bb"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(deg.select(col("b").as("ba"), col("d").as("da")), "ba")
+      .join(deg.select(col("b").as("bb"), col("d").as("db")), "bb")
+      .select(col("ba"), col("bb"),
+        (round(lit(0.8) * col("common").cast("double")
+          / (col("da").cast("double") * col("db").cast("double")), 6) + lit(0.0))
+          .as("simrank1"))
+      .orderBy(col("simrank1").desc, col("ba").asc, col("bb").asc)
+      .limit(10)
+  }
+
+  /** Grey relational grade between the BUILDING and AUTOMOBILE monthly
+    * revenue series (ρ = 0.5): per-month coefficients
+    * (Δmin + ρΔmax)/(Δ + ρΔmax) on exact cent gaps, averaged.
+    */
+  def q_gray_relational(spark: SparkSession, sf: String): DataFrame = {
+    def seg(name: String, out: String): DataFrame =
+      Tables.orders(spark, sf)
+        .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+        .filter(col("c_mktsegment") === name)
+        .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("m"))
+        .agg(sum(cents(col("o_totalprice"))).as(out))
+    val d = seg("BUILDING", "ya").join(seg("AUTOMOBILE", "yb"), "m")
+      .select(col("m"), abs(col("ya") - col("yb")).as("dl"))
+      .localCheckpoint()
+    val ext = d.agg(min(col("dl")).as("dmin"), max(col("dl")).as("dmax"),
+      count(lit(1)).as("n"))
+    d.crossJoin(broadcast(ext))
+      .select(col("n"),
+        ((col("dmin").cast("double") + lit(0.5) * col("dmax").cast("double"))
+          / (col("dl").cast("double") + lit(0.5) * col("dmax").cast("double")))
+          .as("xi"))
+      .groupBy(col("n"))
+      .agg(sum(col("xi")).as("sxi"))
+      .select(col("n").as("n_months"),
+        (round(col("sxi") / col("n").cast("double"), 4) + lit(0.0))
+          .as("grey_relational_grade"))
+  }
+
+  /** One sweep of Tukey median polish on the priority × calendar-month
+    * mean-revenue table: exact lattice row medians, column medians of
+    * the residuals, and the final max |residual| — all medians discrete
+    * and bit-safe.
+    */
+  def q_median_polish(spark: SparkSession, sf: String): DataFrame = {
+    val cell = Tables.orders(spark, sf)
+      .groupBy(expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)").as("r"),
+        month(col("o_orderdate")).cast("long").as("cmo"))
+      .agg(expr("CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) div COUNT(*) AS BIGINT)")
+        .as("v"))
+      .localCheckpoint()
+    def medOf(df: DataFrame, key: String, value: String): DataFrame =
+      df.as("a")
+        .join(df.select(col(key).as("k2"), col(value).as("v2")).as("b"),
+          col("k2") === col(key))
+        .groupBy(col(key), col(value))
+        .agg(sum(when(col("v2") < col(value), 1L).otherwise(0L)).as("below"),
+          count(lit(1)).as("tot"))
+        .filter(lit(2L) * col("below") < col("tot")
+          && lit(2L) * (col("below") + lit(1L)) >= col("tot"))
+        .groupBy(col(key)).agg(min(col(value)).as("med"))
+    val rowMed = medOf(cell.select(col("r").as("rk"), col("v")), "rk", "v")
+      .select(col("rk"), col("med").as("rmed"))
+    val resid1 = cell.join(broadcast(rowMed), col("r") === col("rk"))
+      .select(col("r"), col("cmo"), (col("v") - col("rmed")).as("e1"))
+      .localCheckpoint()
+    val colMed = medOf(resid1.select(col("cmo").as("ck"), col("e1")), "ck", "e1")
+      .select(col("ck"), col("med").as("cmed"))
+    resid1.join(broadcast(colMed), col("cmo") === col("ck"))
+      .select((col("e1") - col("cmed")).as("e2"))
+      .agg(count(lit(1)).as("n_cells"),
+        max(abs(col("e2"))).as("max_abs_resid"),
+        sum(abs(col("e2"))).as("sum_abs_resid"))
+      .select(col("n_cells"),
+        (round(col("max_abs_resid").cast("double") / lit(100.0), 2) + lit(0.0))
+          .as("max_abs_resid_dollars"),
+        (round(col("sum_abs_resid").cast("double")
+          / (col("n_cells").cast("double") * lit(100.0)), 2) + lit(0.0))
+          .as("mean_abs_resid_dollars"))
+  }
+
+  /** Seasonal strength F_s = max(0, 1 − Var(remainder)/Var(detrended))
+    * of monthly revenue: linear detrend, calendar-month seasonal means,
+    * remainder variance ratio.
+    */
+  def q_seasonal_strength(spark: SparkSession, sf: String): DataFrame = {
+    val rev = monthlyRevenue(spark, sf)
+      .select(col("m"), (col("m") % 12L).as("cmo"), col("rev"))
+    val fit = rev.agg(count(lit(1)).as("n"), sum(col("m")).as("st"),
+        sum(col("rev")).as("sy"), sum(col("m") * col("rev")).as("sty"),
+        sum(col("m") * col("m")).as("stt"))
+      .select(col("n"),
+        ((col("n").cast("double") * col("sty").cast("double")
+          - col("st").cast("double") * col("sy").cast("double"))
+          / (col("n").cast("double") * col("stt").cast("double")
+            - col("st").cast("double") * col("st").cast("double"))).as("b"),
+        (col("sy").cast("double") / col("n").cast("double")).as("ybar"),
+        (col("st").cast("double") / col("n").cast("double")).as("tbar"))
+    val det = rev.crossJoin(broadcast(fit))
+      .select(col("cmo"),
+        (col("rev").cast("double") - col("ybar")
+          - col("b") * (col("m").cast("double") - col("tbar"))).as("e"))
+      .localCheckpoint()
+    val seas = det.groupBy(col("cmo")).agg(avg(col("e")).as("smean"))
+    det.join(broadcast(seas), "cmo")
+      .select(col("e"), (col("e") - col("smean")).as("r"))
+      .agg(count(lit(1)).as("n"), sum(col("e") * col("e")).as("se2"),
+        sum(col("e")).as("se"), sum(col("r") * col("r")).as("sr2"),
+        sum(col("r")).as("sr"))
+      .select(col("n").as("n_months"),
+        (round(greatest(lit(0.0), lit(1.0)
+          - (col("sr2") / col("n").cast("double")
+            - (col("sr") / col("n").cast("double"))
+              * (col("sr") / col("n").cast("double")))
+          / (col("se2") / col("n").cast("double")
+            - (col("se") / col("n").cast("double"))
+              * (col("se") / col("n").cast("double")))), 4) + lit(0.0))
+          .as("seasonal_strength"))
+  }
+
+  /** Blomqvist's β (medial correlation) between the two segments'
+    * monthly revenue: quadrant concordance around the exact lattice
+    * medians, β = (n_same − n_diff)/(n_same + n_diff).
+    */
+  def q_blomqvist_beta(spark: SparkSession, sf: String): DataFrame = {
+    def seg(name: String, out: String): DataFrame =
+      Tables.orders(spark, sf)
+        .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+        .filter(col("c_mktsegment") === name)
+        .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("m"))
+        .agg(sum(cents(col("o_totalprice"))).as(out))
+    val xy = seg("BUILDING", "x").join(seg("AUTOMOBILE", "y"), "m").localCheckpoint()
+    def med(value: String): DataFrame = {
+      val v = xy.select(col(value).as("v"))
+      val tot = v.agg(count(lit(1)).as("n"))
+        .select(expr("CAST((n + 1) div 2 AS BIGINT)").as("k"))
+      v.as("a").join(v.select(col("v").as("v2")).as("b"), col("v2") <= col("a.v"))
+        .groupBy(col("a.v").as("v")).agg(count(lit(1)).as("cum"))
+        .crossJoin(broadcast(tot))
+        .filter(col("cum") >= col("k")).agg(min(col("v")).as(s"med_$value"))
+    }
+    xy.crossJoin(broadcast(med("x"))).crossJoin(broadcast(med("y")))
+      .filter(col("x") =!= col("med_x") && col("y") =!= col("med_y"))
+      .agg(count(lit(1)).as("n_used"),
+        sum(when((col("x") > col("med_x")) === (col("y") > col("med_y")), 1L)
+          .otherwise(0L)).as("same"))
+      .select(col("n_used"), col("same"),
+        (round((lit(2L) * col("same") - col("n_used")).cast("double")
+          / col("n_used").cast("double"), 4) + lit(0.0)).as("blomqvist_beta"))
+  }
+
+  /** Hoeffding's D independence statistic between the two segments'
+    * monthly revenue (strict ranks on exact cents, no ties at cent
+    * resolution): D from the classical D₁/D₂/D₃ pair-count sums.
+    */
+  def q_hoeffding_d(spark: SparkSession, sf: String): DataFrame = {
+    def seg(name: String, out: String): DataFrame =
+      Tables.orders(spark, sf)
+        .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+        .filter(col("c_mktsegment") === name)
+        .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("m"))
+        .agg(sum(cents(col("o_totalprice"))).as(out))
+    val xy = seg("BUILDING", "x").join(seg("AUTOMOBILE", "y"), "m").localCheckpoint()
+    val ranks = xy.as("a")
+      .join(xy.select(col("m").as("m2"), col("x").as("x2"), col("y").as("y2"))
+        .as("b"), col("m2") =!= col("a.m"))
+      .groupBy(col("a.m").as("m"))
+      .agg((sum(when(col("x2") < col("a.x"), 1L).otherwise(0L)) + 1L).as("r"),
+        (sum(when(col("y2") < col("a.y"), 1L).otherwise(0L)) + 1L).as("s"),
+        sum(when(col("x2") < col("a.x") && col("y2") < col("a.y"), 1L)
+          .otherwise(0L)).as("q"))
+      .localCheckpoint()
+    ranks.agg(count(lit(1)).as("n"),
+        sum(col("q") * (col("q") - 1L)).as("d1"),
+        sum((col("r") - 1L) * (col("r") - 2L) * (col("s") - 1L)
+          * (col("s") - 2L)).as("d2"),
+        sum((col("r") - 2L) * (col("s") - 2L) * col("q")).as("d3"))
+      .select(col("n").as("n_months"),
+        (round(lit(30.0)
+          * ((col("n").cast("double") - lit(2.0))
+            * (col("n").cast("double") - lit(3.0)) * col("d1").cast("double")
+            + col("d2").cast("double")
+            - lit(2.0) * (col("n").cast("double") - lit(2.0))
+              * col("d3").cast("double"))
+          / (col("n").cast("double") * (col("n").cast("double") - lit(1.0))
+            * (col("n").cast("double") - lit(2.0))
+            * (col("n").cast("double") - lit(3.0))
+            * (col("n").cast("double") - lit(4.0))), 6) + lit(0.0))
+          .as("hoeffding_d"))
+  }
 }

@@ -12372,5 +12372,295 @@ object OracleSql {
                AS reject_uniform,
              peak_hour
       FROM chi, peak""",
+
+    "q_topsis_ranking" -> """
+      WITH nat AS (SELECT c.c_nationkey AS nk,
+                          CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                            AS BIGINT) AS rev,
+                          CAST(COUNT(*) AS BIGINT) AS cnt,
+                          SUM(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END)
+                            / CAST(COUNT(*) AS DOUBLE) AS rr
+                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                   JOIN customer c ON o_custkey = c.c_custkey
+                   GROUP BY 1),
+           norms AS (SELECT SQRT(SUM(CAST(rev AS DOUBLE) * CAST(rev AS DOUBLE)))
+                              AS nr,
+                            SQRT(SUM(CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE)))
+                              AS nc,
+                            SQRT(SUM(rr * rr)) AS nrr
+                     FROM nat),
+           sc AS (SELECT nk, CAST(rev AS DOUBLE) / nr AS v1,
+                         CAST(cnt AS DOUBLE) / nc AS v2, rr / nrr AS v3
+                  FROM nat, norms),
+           ide AS (SELECT MAX(v1) AS b1, MAX(v2) AS b2, MIN(v3) AS b3,
+                          MIN(v1) AS w1, MIN(v2) AS w2, MAX(v3) AS w3
+                   FROM sc),
+           dd AS (SELECT nk AS nation,
+                         SQRT((v1 - b1) * (v1 - b1) + (v2 - b2) * (v2 - b2)
+                           + (v3 - b3) * (v3 - b3)) AS dplus,
+                         SQRT((v1 - w1) * (v1 - w1) + (v2 - w2) * (v2 - w2)
+                           + (v3 - w3) * (v3 - w3)) AS dminus
+                  FROM sc, ide)
+      SELECT nation, ROUND(dminus / (dplus + dminus), 6) + 0 AS closeness
+      FROM dd ORDER BY closeness DESC, nation LIMIT 5""",
+
+    "q_theta_forecast" -> """
+      WITH rev AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                            AS m,
+                          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                            AS rev
+                   FROM orders GROUP BY 1),
+           fit AS (SELECT (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(m * rev) AS DOUBLE)
+                            - CAST(SUM(m) AS DOUBLE) * CAST(SUM(rev) AS DOUBLE))
+                          / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(m * m) AS DOUBLE)
+                            - CAST(SUM(m) AS DOUBLE) * CAST(SUM(m) AS DOUBLE)) AS b,
+                          CAST(SUM(rev) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS ybar,
+                          CAST(SUM(m) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS tbar
+                   FROM rev),
+           pred AS (SELECT a.m, a.rev AS actual,
+                           SUM(CAST(b.rev AS DOUBLE)
+                             * POWER(0.5, CAST(a.m - b.m AS DOUBLE))) AS yhat
+                    FROM rev a JOIN rev b ON b.m BETWEEN a.m - 12 AND a.m - 1
+                    GROUP BY 1, 2 HAVING COUNT(*) = 12),
+           t AS (SELECT CAST(actual AS DOUBLE) AS y, yhat AS ses,
+                        ybar + b * (CAST(pred.m AS DOUBLE) - tbar) AS trend
+                 FROM pred, fit),
+           t2 AS (SELECT y, ses, trend, (ses + trend) / 2.0 AS theta FROM t),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                        SUM(ABS(y - ses)) AS mses, SUM(ABS(y - trend)) AS mtrend,
+                        SUM(ABS(y - theta)) AS mtheta
+                 FROM t2)
+      SELECT n AS n_forecasts,
+             ROUND(mtheta / CAST(n AS DOUBLE) / 100.0, 2) + 0 AS theta_mae_dollars,
+             ROUND(mses / CAST(n AS DOUBLE) / 100.0, 2) + 0 AS ses_mae_dollars,
+             ROUND(mtrend / CAST(n AS DOUBLE) / 100.0, 2) + 0 AS trend_mae_dollars,
+             CAST(CASE WHEN mtheta < mses AND mtheta < mtrend THEN 1 ELSE 0 END
+               AS BIGINT) AS theta_wins
+      FROM s""",
+
+    "q_tracking_signal" -> """
+      WITH rev AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                            AS m,
+                          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                            AS rev
+                   FROM orders GROUP BY 1),
+           pred AS (SELECT a.m, a.rev AS actual,
+                           SUM(CAST(b.rev AS DOUBLE)
+                             * POWER(0.5, CAST(a.m - b.m AS DOUBLE))) AS yhat
+                    FROM rev a JOIN rev b ON b.m BETWEEN a.m - 12 AND a.m - 1
+                    GROUP BY 1, 2 HAVING COUNT(*) = 12),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                        SUM(CAST(actual AS DOUBLE) - yhat) AS se,
+                        SUM(ABS(CAST(actual AS DOUBLE) - yhat)) AS sae
+                 FROM pred)
+      SELECT n AS n_forecasts, ROUND(se / 100.0, 2) + 0 AS cum_error_dollars,
+             ROUND(sae / CAST(n AS DOUBLE) / 100.0, 2) + 0 AS mad_dollars,
+             ROUND(se / (sae / CAST(n AS DOUBLE)), 4) + 0 AS tracking_signal,
+             CAST(CASE WHEN ABS(se / (sae / CAST(n AS DOUBLE))) > 4.0
+               THEN 1 ELSE 0 END AS BIGINT) AS biased
+      FROM s""",
+
+    "q_max_subarray" -> """
+      WITH rev AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                            AS m,
+                          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                            AS rev
+                   FROM orders GROUP BY 1),
+           base AS (SELECT MIN(m) AS m0 FROM rev),
+           pre AS (SELECT a.m, CAST(SUM(b.rev) AS BIGINT) AS cum
+                   FROM rev a JOIN rev b ON b.m <= a.m GROUP BY 1),
+           pts AS (SELECT m, cum FROM pre
+                   UNION ALL SELECT m0 - 1 AS m, CAST(0 AS BIGINT) AS cum FROM base),
+           best AS (SELECT a.m AS mi, b.m AS mj, b.cum - a.cum AS gain
+                    FROM pts a JOIN pts b ON b.m > a.m),
+           mx AS (SELECT MAX(gain) AS g FROM best),
+           win AS (SELECT mi, mj, gain FROM best, mx WHERE gain = g
+                   ORDER BY mi, mj LIMIT 1)
+      SELECT mi + 1 AS start_month, mj AS end_month, mj - mi AS window_months,
+             ROUND(CAST(gain AS DOUBLE) / 100.0, 2) + 0 AS total_gain_dollars
+      FROM win""",
+
+    "q_simrank_step" -> """
+      WITH cb AS (SELECT DISTINCT o_custkey AS c, p_brand AS b
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  JOIN part ON l_partkey = p_partkey),
+           deg AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS d FROM cb GROUP BY 1),
+           com AS (SELECT x.b AS ba, y.b AS bb, CAST(COUNT(*) AS BIGINT) AS common
+                   FROM cb x JOIN cb y ON y.c = x.c AND y.b > x.b
+                   GROUP BY 1, 2)
+      SELECT ba, bb,
+             ROUND(0.8 * CAST(common AS DOUBLE)
+               / (CAST(da.d AS DOUBLE) * CAST(db.d AS DOUBLE)), 6) + 0 AS simrank1
+      FROM com JOIN deg da ON com.ba = da.b JOIN deg db ON com.bb = db.b
+      ORDER BY simrank1 DESC, ba, bb LIMIT 10""",
+
+    "q_gray_relational" -> """
+      WITH sega AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                             AS m,
+                           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                             AS ya
+                    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                    WHERE c.c_mktsegment = 'BUILDING' GROUP BY 1),
+           segb AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                             AS m,
+                           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                             AS yb
+                    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                    WHERE c.c_mktsegment = 'AUTOMOBILE' GROUP BY 1),
+           d AS (SELECT sega.m, ABS(ya - yb) AS dl
+                 FROM sega JOIN segb ON sega.m = segb.m),
+           ext AS (SELECT MIN(dl) AS dmin, MAX(dl) AS dmax,
+                          CAST(COUNT(*) AS BIGINT) AS n
+                   FROM d),
+           xi AS (SELECT n, (CAST(dmin AS DOUBLE) + 0.5 * CAST(dmax AS DOUBLE))
+                           / (CAST(dl AS DOUBLE) + 0.5 * CAST(dmax AS DOUBLE)) AS xi
+                  FROM d, ext),
+           s AS (SELECT n, SUM(xi) AS sxi FROM xi GROUP BY 1)
+      SELECT n AS n_months,
+             ROUND(sxi / CAST(n AS DOUBLE), 4) + 0 AS grey_relational_grade
+      FROM s""",
+
+    "q_median_polish" -> """
+      WITH cell AS (SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS r,
+                           CAST(month(o_orderdate) AS BIGINT) AS cmo,
+                           CAST(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                             AS BIGINT) // COUNT(*) AS BIGINT) AS v
+                    FROM orders GROUP BY 1, 2),
+           rmed AS (SELECT rk, MIN(v) AS rmed
+                    FROM (SELECT a.r AS rk, a.v,
+                                 CAST(SUM(CASE WHEN b.v < a.v THEN 1 ELSE 0 END)
+                                   AS BIGINT) AS below,
+                                 CAST(COUNT(*) AS BIGINT) AS tot
+                          FROM cell a JOIN cell b ON b.r = a.r
+                          GROUP BY 1, 2)
+                    WHERE 2 * below < tot AND 2 * (below + 1) >= tot
+                    GROUP BY 1),
+           res1 AS (SELECT r, cmo, v - rmed AS e1
+                    FROM cell JOIN rmed ON cell.r = rmed.rk),
+           cmed AS (SELECT ck, MIN(e1) AS cmed
+                    FROM (SELECT a.cmo AS ck, a.e1,
+                                 CAST(SUM(CASE WHEN b.e1 < a.e1 THEN 1 ELSE 0 END)
+                                   AS BIGINT) AS below,
+                                 CAST(COUNT(*) AS BIGINT) AS tot
+                          FROM res1 a JOIN res1 b ON b.cmo = a.cmo
+                          GROUP BY 1, 2)
+                    WHERE 2 * below < tot AND 2 * (below + 1) >= tot
+                    GROUP BY 1),
+           res2 AS (SELECT e1 - cmed AS e2
+                    FROM res1 JOIN cmed ON res1.cmo = cmed.ck),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+                        CAST(MAX(ABS(e2)) AS BIGINT) AS mx,
+                        CAST(SUM(ABS(e2)) AS BIGINT) AS sm
+                 FROM res2)
+      SELECT n_cells, ROUND(CAST(mx AS DOUBLE) / 100.0, 2) + 0
+               AS max_abs_resid_dollars,
+             ROUND(CAST(sm AS DOUBLE) / (CAST(n_cells AS DOUBLE) * 100.0), 2) + 0
+               AS mean_abs_resid_dollars
+      FROM s""",
+
+    "q_seasonal_strength" -> """
+      WITH rev AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                            AS m,
+                          CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                            % 12 AS cmo,
+                          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                            AS rev
+                   FROM orders GROUP BY 1, 2),
+           fit AS (SELECT (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(m * rev) AS DOUBLE)
+                            - CAST(SUM(m) AS DOUBLE) * CAST(SUM(rev) AS DOUBLE))
+                          / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(m * m) AS DOUBLE)
+                            - CAST(SUM(m) AS DOUBLE) * CAST(SUM(m) AS DOUBLE)) AS b,
+                          CAST(SUM(rev) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS ybar,
+                          CAST(SUM(m) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS tbar
+                   FROM rev),
+           det AS (SELECT cmo,
+                          CAST(rev AS DOUBLE) - ybar
+                            - b * (CAST(m AS DOUBLE) - tbar) AS e
+                   FROM rev, fit),
+           seas AS (SELECT cmo, AVG(e) AS smean FROM det GROUP BY 1),
+           r AS (SELECT e, e - smean AS r
+                 FROM det JOIN seas ON det.cmo = seas.cmo),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(e * e) AS se2,
+                        SUM(e) AS se, SUM(r * r) AS sr2, SUM(r) AS sr
+                 FROM r)
+      SELECT n AS n_months,
+             ROUND(GREATEST(0.0, 1.0
+               - (sr2 / CAST(n AS DOUBLE)
+                 - (sr / CAST(n AS DOUBLE)) * (sr / CAST(n AS DOUBLE)))
+               / (se2 / CAST(n AS DOUBLE)
+                 - (se / CAST(n AS DOUBLE)) * (se / CAST(n AS DOUBLE)))), 4) + 0
+               AS seasonal_strength
+      FROM s""",
+
+    "q_blomqvist_beta" -> """
+      WITH sega AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                             AS m,
+                           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                             AS x
+                    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                    WHERE c.c_mktsegment = 'BUILDING' GROUP BY 1),
+           segb AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                             AS m,
+                           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                             AS y
+                    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                    WHERE c.c_mktsegment = 'AUTOMOBILE' GROUP BY 1),
+           xy AS (SELECT sega.m, x, y FROM sega JOIN segb ON sega.m = segb.m),
+           totx AS (SELECT CAST((COUNT(*) + 1) // 2 AS BIGINT) AS k FROM xy),
+           medx AS (SELECT MIN(v) AS med_x
+                    FROM (SELECT a.x AS v, CAST(COUNT(*) AS BIGINT) AS cum
+                          FROM xy a JOIN xy b ON b.x <= a.x GROUP BY 1), totx
+                    WHERE cum >= k),
+           medy AS (SELECT MIN(v) AS med_y
+                    FROM (SELECT a.y AS v, CAST(COUNT(*) AS BIGINT) AS cum
+                          FROM xy a JOIN xy b ON b.y <= a.y GROUP BY 1), totx
+                    WHERE cum >= k),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_used,
+                        CAST(SUM(CASE WHEN (x > med_x) = (y > med_y)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS same
+                 FROM xy, medx, medy
+                 WHERE x <> med_x AND y <> med_y)
+      SELECT n_used, same,
+             ROUND(CAST(2 * same - n_used AS DOUBLE) / CAST(n_used AS DOUBLE), 4)
+               + 0 AS blomqvist_beta
+      FROM s""",
+
+    "q_hoeffding_d" -> """
+      WITH sega AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                             AS m,
+                           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                             AS x
+                    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                    WHERE c.c_mktsegment = 'BUILDING' GROUP BY 1),
+           segb AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                             AS m,
+                           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                             AS y
+                    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                    WHERE c.c_mktsegment = 'AUTOMOBILE' GROUP BY 1),
+           xy AS (SELECT sega.m, x, y FROM sega JOIN segb ON sega.m = segb.m),
+           rk AS (SELECT a.m,
+                         CAST(SUM(CASE WHEN b.x < a.x THEN 1 ELSE 0 END) + 1
+                           AS BIGINT) AS r,
+                         CAST(SUM(CASE WHEN b.y < a.y THEN 1 ELSE 0 END) + 1
+                           AS BIGINT) AS s,
+                         CAST(SUM(CASE WHEN b.x < a.x AND b.y < a.y THEN 1 ELSE 0 END)
+                           AS BIGINT) AS q
+                  FROM xy a JOIN xy b ON b.m <> a.m
+                  GROUP BY 1),
+           agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(q * (q - 1)) AS BIGINT) AS d1,
+                          CAST(SUM((r - 1) * (r - 2) * (s - 1) * (s - 2)) AS BIGINT)
+                            AS d2,
+                          CAST(SUM((r - 2) * (s - 2) * q) AS BIGINT) AS d3
+                   FROM rk)
+      SELECT n AS n_months,
+             ROUND(30.0 * ((CAST(n AS DOUBLE) - 2.0) * (CAST(n AS DOUBLE) - 3.0)
+               * CAST(d1 AS DOUBLE) + CAST(d2 AS DOUBLE)
+               - 2.0 * (CAST(n AS DOUBLE) - 2.0) * CAST(d3 AS DOUBLE))
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+                 * (CAST(n AS DOUBLE) - 2.0) * (CAST(n AS DOUBLE) - 3.0)
+                 * (CAST(n AS DOUBLE) - 4.0)), 6) + 0 AS hoeffding_d
+      FROM agg""",
   )
 }
