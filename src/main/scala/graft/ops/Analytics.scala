@@ -6952,4 +6952,254 @@ object Analytics {
             * (col("n").cast("double") - lit(4.0))), 6) + lit(0.0))
           .as("hoeffding_d"))
   }
+
+  /** Concentration-inequality reality check on daily order counts: the
+    * empirical tail P(X ≥ 1.5μ) against the Markov, Chebyshev and
+    * Cantelli bounds at the same threshold — exact counts vs
+    * identically-derived bounds.
+    */
+  def q_tail_bounds(spark: SparkSession, sf: String): DataFrame = {
+    val dc = Tables.orders(spark, sf)
+      .groupBy(datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+        .cast("long").as("d"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val st = dc.agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+        sum(col("c") * col("c")).as("scc"))
+      .select(col("n"),
+        (col("sc").cast("double") / col("n").cast("double")).as("mu"),
+        (col("scc").cast("double") / col("n").cast("double")
+          - (col("sc").cast("double") / col("n").cast("double"))
+            * (col("sc").cast("double") / col("n").cast("double"))).as("v"))
+    dc.crossJoin(broadcast(st))
+      .groupBy(col("n"), col("mu"), col("v"))
+      .agg(sum(when(col("c").cast("double") >= lit(1.5) * col("mu"), 1L)
+        .otherwise(0L)).as("n_tail"))
+      .select(col("n").as("n_days"),
+        (round(lit(1.5) * col("mu"), 2) + lit(0.0)).as("threshold"),
+        (round(col("n_tail").cast("double") / col("n").cast("double"), 4)
+          + lit(0.0)).as("empirical_tail"),
+        (round(col("mu") / (lit(1.5) * col("mu")), 4) + lit(0.0)).as("markov_bound"),
+        (round(col("v") / (lit(0.25) * col("mu") * col("mu")), 4) + lit(0.0))
+          .as("chebyshev_bound"),
+        (round(col("v") / (col("v") + lit(0.25) * col("mu") * col("mu")), 4)
+          + lit(0.0)).as("cantelli_bound"))
+  }
+
+  /** CLT diagnostic: the skewness of revenue at daily, weekly and
+    * monthly aggregation — the shrink toward 0 as the aggregation
+    * widens is the central limit theorem in the data.
+    */
+  def q_clt_diagnostic(spark: SparkSession, sf: String): DataFrame = {
+    def skewOf(unit: String, grain: Column): DataFrame =
+      Tables.orders(spark, sf)
+        .groupBy(grain.as("g"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("rev").cast("double")).as("s1"),
+          sum(col("rev").cast("double") * col("rev").cast("double")).as("s2"),
+          sum(col("rev").cast("double") * col("rev").cast("double")
+            * col("rev").cast("double")).as("s3"))
+        .select(lit(unit).as("level"), col("n"),
+          (col("s1") / col("n").cast("double")).as("mu"),
+          (col("s2") / col("n").cast("double")).as("a2"),
+          (col("s3") / col("n").cast("double")).as("a3"))
+        .select(col("level"), col("n"),
+          (col("a2") - col("mu") * col("mu")).as("m2"),
+          (col("a3") - lit(3.0) * col("mu") * col("a2")
+            + lit(2.0) * col("mu") * col("mu") * col("mu")).as("m3"))
+        .select(col("level"), col("n"),
+          (round(col("m3") / (col("m2") * sqrt(col("m2"))), 4) + lit(0.0))
+            .as("skew"))
+    val day = datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+      .cast("long")
+    skewOf("1_daily", day)
+      .union(skewOf("2_weekly", expr("CAST(datediff(o_orderdate, DATE '1992-01-01') div 7 AS BIGINT)")))
+      .union(skewOf("3_monthly",
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast("long")))
+      .orderBy("level")
+  }
+
+  /** Zero-inflated Poisson method-of-moments fit of customer-month
+    * order counts (zeros included via the customer×month universe):
+    * λ = (v + m̄² − m̄)/m̄, π = 1 − m̄/λ, with the observed zero share.
+    */
+  def q_zip_fit(spark: SparkSession, sf: String): DataFrame = {
+    val months = Tables.orders(spark, sf)
+      .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("m")).distinct()
+    val custs = Tables.orders(spark, sf)
+      .select(col("o_custkey").as("c")).distinct()
+    val counts = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey").as("c"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("m"))
+      .agg(count(lit(1)).as("k"))
+    custs.crossJoin(broadcast(months))
+      .join(counts, Seq("c", "m"), "left")
+      .select(coalesce(col("k"), lit(0L)).as("k"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sk"),
+        sum(col("k") * col("k")).as("skk"),
+        sum(when(col("k") === 0L, 1L).otherwise(0L)).as("z"))
+      .select(col("n"),
+        (col("sk").cast("double") / col("n").cast("double")).as("mbar"),
+        (col("skk").cast("double") / col("n").cast("double")
+          - (col("sk").cast("double") / col("n").cast("double"))
+            * (col("sk").cast("double") / col("n").cast("double"))).as("v"),
+        (col("z").cast("double") / col("n").cast("double")).as("z0"))
+      .select(col("n").as("n_cells"),
+        (round(col("mbar"), 4) + lit(0.0)).as("mean_count"),
+        (round(col("v"), 4) + lit(0.0)).as("var_count"),
+        (round((col("v") + col("mbar") * col("mbar") - col("mbar")) / col("mbar"), 4)
+          + lit(0.0)).as("zip_lambda"),
+        (round(lit(1.0) - col("mbar")
+          / ((col("v") + col("mbar") * col("mbar") - col("mbar")) / col("mbar")), 4)
+          + lit(0.0)).as("zip_pi_zero"),
+        (round(col("z0"), 4) + lit(0.0)).as("observed_zero_share"))
+  }
+
+  /** DFBETAS of the monthly trend slope: standardized single-point
+    * slope changes e(m−t̄)/((1−h)S_tt·se_b), top-5 most influential
+    * months on the e6-rounded magnitude.
+    */
+  def q_dfbetas(spark: SparkSession, sf: String): DataFrame = {
+    val rev = monthlyRevenue(spark, sf)
+    val fit = rev.agg(count(lit(1)).as("n"), sum(col("m")).as("st"),
+        sum(col("rev")).as("sy"), sum(col("m") * col("rev")).as("sty"),
+        sum(col("m") * col("m")).as("stt"))
+      .select(col("n"),
+        ((col("n").cast("double") * col("sty").cast("double")
+          - col("st").cast("double") * col("sy").cast("double"))
+          / (col("n").cast("double") * col("stt").cast("double")
+            - col("st").cast("double") * col("st").cast("double"))).as("b"),
+        (col("sy").cast("double") / col("n").cast("double")).as("ybar"),
+        (col("st").cast("double") / col("n").cast("double")).as("tbar"),
+        (col("stt").cast("double")
+          - col("st").cast("double") * col("st").cast("double")
+            / col("n").cast("double")).as("cstt"))
+    val resid = rev.crossJoin(broadcast(fit))
+      .select(col("m"), col("n"), col("cstt"), col("tbar"),
+        (lit(1.0) / col("n").cast("double")
+          + (col("m").cast("double") - col("tbar"))
+            * (col("m").cast("double") - col("tbar")) / col("cstt")).as("h"),
+        (col("rev").cast("double") - col("ybar")
+          - col("b") * (col("m").cast("double") - col("tbar"))).as("e"))
+      .localCheckpoint()
+    val s2 = resid.agg(max(col("n")).as("nn"), max(col("cstt")).as("cs"),
+        sum(col("e") * col("e")).as("rss"))
+      .select((col("rss") / (col("nn").cast("double") - lit(2.0))).as("s2"),
+        col("cs"))
+    resid.crossJoin(broadcast(s2))
+      .select(col("m"),
+        (round((col("e") * (col("m").cast("double") - col("tbar"))
+          / ((lit(1.0) - col("h")) * col("cstt")))
+          / sqrt(col("s2") / col("cs")), 6) + lit(0.0)).as("dfbetas"))
+      .select(col("m"), col("dfbetas"), abs(col("dfbetas")).as("mag"))
+      .orderBy(col("mag").desc, col("m").asc)
+      .limit(5)
+      .select(col("m"), col("dfbetas"))
+  }
+
+  /** PRESS statistic and predicted R² of the monthly trend fit:
+    * PRESS = Σ(e/(1−h))², R²_pred = 1 − PRESS/S_yy.
+    */
+  def q_press_statistic(spark: SparkSession, sf: String): DataFrame = {
+    val rev = monthlyRevenue(spark, sf)
+    val fit = rev.agg(count(lit(1)).as("n"), sum(col("m")).as("st"),
+        sum(col("rev")).as("sy"), sum(col("m") * col("rev")).as("sty"),
+        sum(col("m") * col("m")).as("stt"),
+        sum(col("rev").cast("double") * col("rev").cast("double")).as("syy"))
+      .select(col("n"),
+        ((col("n").cast("double") * col("sty").cast("double")
+          - col("st").cast("double") * col("sy").cast("double"))
+          / (col("n").cast("double") * col("stt").cast("double")
+            - col("st").cast("double") * col("st").cast("double"))).as("b"),
+        (col("sy").cast("double") / col("n").cast("double")).as("ybar"),
+        (col("st").cast("double") / col("n").cast("double")).as("tbar"),
+        (col("stt").cast("double")
+          - col("st").cast("double") * col("st").cast("double")
+            / col("n").cast("double")).as("cstt"),
+        (col("syy") - col("sy").cast("double") * col("sy").cast("double")
+          / col("n").cast("double")).as("cyy"))
+    rev.crossJoin(broadcast(fit))
+      .select(col("n"), col("cyy"),
+        ((col("rev").cast("double") - col("ybar")
+          - col("b") * (col("m").cast("double") - col("tbar")))
+          / (lit(1.0) - (lit(1.0) / col("n").cast("double")
+            + (col("m").cast("double") - col("tbar"))
+              * (col("m").cast("double") - col("tbar")) / col("cstt"))))
+          .as("pe"),
+        (col("rev").cast("double") - col("ybar")
+          - col("b") * (col("m").cast("double") - col("tbar"))).as("e"))
+      .groupBy(col("n"), col("cyy"))
+      .agg(sum(col("pe") * col("pe")).as("press"),
+        sum(col("e") * col("e")).as("rss"))
+      .select(col("n").as("n_months"),
+        (round(lit(1.0) - col("rss") / col("cyy"), 4) + lit(0.0)).as("r2_fit"),
+        (round(lit(1.0) - col("press") / col("cyy"), 4) + lit(0.0)).as("r2_pred"),
+        (round(col("press") / col("rss"), 4) + lit(0.0)).as("press_over_rss"))
+  }
+
+  /** Rank–size (Zipf) rule for nation revenues: ln(rank) on ln(revenue)
+    * OLS slope (≈ −1 under Zipf), ranks exact via count-greater+1.
+    */
+  def q_rank_size_rule(spark: SparkSession, sf: String): DataFrame = {
+    val nat = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nk"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev"))
+      .localCheckpoint()
+    nat.as("a")
+      .join(nat.select(col("nk").as("nk2"), col("rev").as("rev2")).as("b"),
+        col("rev2") > col("a.rev")
+          || (col("rev2") === col("a.rev") && col("nk2") < col("a.nk")), "left")
+      .groupBy(col("a.nk").as("nk"), col("a.rev").as("rev"))
+      .agg((count(col("nk2")) + 1L).as("rnk"))
+      .select(log(col("rnk").cast("double")).as("x"),
+        log(col("rev").cast("double")).as("y"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n").as("n_nations"),
+        (round((col("n").cast("double") * col("sxy") - col("sx") * col("sy"))
+          / (col("n").cast("double") * col("sxx") - col("sx") * col("sx")), 4)
+          + lit(0.0)).as("zipf_slope"),
+        (round((col("n").cast("double") * col("sxy") - col("sx") * col("sy"))
+          * (col("n").cast("double") * col("sxy") - col("sx") * col("sy"))
+          / ((col("n").cast("double") * col("sxx") - col("sx") * col("sx"))
+            * (col("n").cast("double") * col("syy") - col("sy") * col("sy"))), 4)
+          + lit(0.0)).as("r2"))
+  }
+
+  /** Decile dispersion ratios of per-customer revenue on the $100
+    * lattice: exact discrete P10/P50/P90 and the P90/P10, P90/P50
+    * ratios.
+    */
+  def q_decile_ratio(spark: SparkSession, sf: String): DataFrame = {
+    val vals = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(expr("CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) div 10000 AS BIGINT)")
+        .as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("t"))
+      .localCheckpoint()
+    val tot = vals.agg(sum(col("t")).as("n"))
+      .select(col("n"),
+        expr("CAST((n + 9) div 10 AS BIGINT)").as("k10"),
+        expr("CAST((n + 1) div 2 AS BIGINT)").as("k50"),
+        expr("CAST((9 * n + 9) div 10 AS BIGINT)").as("k90"))
+    vals.as("a")
+      .join(vals.select(col("v").as("v2"), col("t").as("t2")).as("b"),
+        col("v2") <= col("a.v"))
+      .groupBy(col("a.v").as("v")).agg(sum(col("t2")).as("cum"))
+      .crossJoin(broadcast(tot))
+      .agg(max(col("n")).as("n_customers"),
+        min(when(col("cum") >= col("k10"), col("v"))).as("p10_bin"),
+        min(when(col("cum") >= col("k50"), col("v"))).as("p50_bin"),
+        min(when(col("cum") >= col("k90"), col("v"))).as("p90_bin"))
+      .select(col("n_customers"), col("p10_bin"), col("p50_bin"), col("p90_bin"),
+        (round(col("p90_bin").cast("double") / col("p10_bin").cast("double"), 4)
+          + lit(0.0)).as("p90_p10"),
+        (round(col("p90_bin").cast("double") / col("p50_bin").cast("double"), 4)
+          + lit(0.0)).as("p90_p50"))
+  }
 }

@@ -677,4 +677,40 @@ object Sampling {
             * (col("sm") / col("n_resamples").cast("double"))) / lit(100.0), 4)
           + lit(0.0)).as("boot_se_dollars"))
   }
+
+  /** Percentile bootstrap CI from the same md5-lattice resamples: the
+    * 2nd and 19th order statistics of the B = 20 weighted means (exact
+    * discrete ranks, bit-identical resample means on both engines).
+    */
+  def q_bootstrap_ci(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val bs = (0L until 20L).toDF("b")
+    val means = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), graft.core.Det.cents(col("o_totalprice")).as("x"))
+      .crossJoin(broadcast(bs))
+      .select(col("b"), col("x"),
+        (idHash(concat(col("o_orderkey").cast("string"), lit("_"),
+          col("b").cast("string"))) % 1000L).as("h"))
+      .select(col("b"), col("x"),
+        when(col("h") < 368L, 0L).when(col("h") < 736L, 1L)
+          .when(col("h") < 920L, 2L).when(col("h") < 981L, 3L)
+          .otherwise(4L).as("w"))
+      .groupBy(col("b"))
+      .agg(sum(col("w") * col("x")).as("swx"), sum(col("w")).as("sw"))
+      .select((col("swx").cast("double") / col("sw").cast("double")).as("mb"))
+      .localCheckpoint()
+    val ranked = means.as("a")
+      .join(means.select(col("mb").as("mb2")).as("b"), col("mb2") < col("a.mb"),
+        "left")
+      .groupBy(col("a.mb").as("mb")).agg(count(col("mb2")).as("below"))
+    val lo = ranked.filter(col("below") === 1L).agg(min(col("mb")).as("lo"))
+    val hi = ranked.filter(col("below") === 18L).agg(min(col("mb")).as("hi"))
+    means.agg(count(lit(1)).as("n_resamples"), sum(col("mb")).as("sm"))
+      .crossJoin(lo).crossJoin(hi)
+      .select(col("n_resamples"),
+        (round(col("sm") / col("n_resamples").cast("double") / lit(100.0), 4)
+          + lit(0.0)).as("boot_mean_dollars"),
+        (round(col("lo") / lit(100.0), 4) + lit(0.0)).as("ci_lo_dollars"),
+        (round(col("hi") / lit(100.0), 4) + lit(0.0)).as("ci_hi_dollars"))
+  }
 }

@@ -788,6 +788,60 @@ object Text {
     "is", "it", "that", "as", "for", "on", "with", "was", "be", "by", "at",
     "this", "are", "from", "not", "but", "have")
 
+  /** Miller–Madow bias-corrected Shannon entropy of the token
+    * distribution: H_MM = H_MLE + (K−1)/(2N) — the first-order
+    * undersampling correction.
+    */
+  def q_entropy_corrected(spark: SparkSession, sf: String): DataFrame =
+    docTokens(spark, sf)
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("vocab"), sum(col("c")).as("n"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("scl"))
+      .select(col("n").as("n_tokens"), col("vocab"),
+        (log(col("n").cast("double"))
+          - col("scl") / col("n").cast("double")).as("h_mle"))
+      .select(col("n_tokens"), col("vocab"),
+        (round(col("h_mle"), 4) + lit(0.0)).as("h_mle"),
+        (round(col("h_mle")
+          + (col("vocab").cast("double") - lit(1.0))
+            / (lit(2.0) * col("n_tokens").cast("double")), 4) + lit(0.0))
+          .as("h_miller_madow"))
+
+  /** ACE (abundance-based coverage) richness estimator over the BIGRAM
+    * species distribution (unigram vocab is saturated — bigrams keep a
+    * rare tail at every SF) with the ≤10-count threshold: exact integer
+    * rare sums, the γ² overdispersion correction clipped at 0.
+    */
+  def q_ace_richness(spark: SparkSession, sf: String): DataFrame =
+    Tables.documents(spark, sf)
+      .select(tokens(col("text")).as("toks"))
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))"))
+        .as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("s_obs"),
+        sum(when(col("c") > 10L, 1L).otherwise(0L)).as("s_abund"),
+        sum(when(col("c") <= 10L, 1L).otherwise(0L)).as("s_rare"),
+        sum(when(col("c") <= 10L, col("c")).otherwise(0L)).as("n_rare"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") <= 10L, col("c") * (col("c") - 1L)).otherwise(0L))
+          .as("scc"))
+      .select(col("s_obs"), col("s_abund"), col("s_rare"), col("f1"),
+        (lit(1.0) - col("f1").cast("double") / col("n_rare").cast("double"))
+          .as("c_ace"),
+        col("n_rare"), col("scc"))
+      .select(col("s_obs"), col("f1"),
+        (round(col("c_ace"), 4) + lit(0.0)).as("coverage_ace"),
+        (round(col("s_abund").cast("double")
+          + col("s_rare").cast("double") / col("c_ace")
+          + col("f1").cast("double") / col("c_ace")
+            * greatest(lit(0.0),
+              col("s_rare").cast("double") / col("c_ace")
+                * col("scc").cast("double")
+                / (col("n_rare").cast("double")
+                  * (col("n_rare").cast("double") - lit(1.0))) - lit(1.0)), 2)
+          + lit(0.0)).as("s_ace"))
+
   /** Lexical density per language: the share of non-stopword tokens
     * (25-word literal function-word list) — a direct informativeness
     * proxy for corpus filtering.

@@ -12662,5 +12662,295 @@ object OracleSql {
                  * (CAST(n AS DOUBLE) - 2.0) * (CAST(n AS DOUBLE) - 3.0)
                  * (CAST(n AS DOUBLE) - 4.0)), 6) + 0 AS hoeffding_d
       FROM agg""",
+
+    "q_bootstrap_ci" -> """
+      WITH bs AS (SELECT CAST(bb AS BIGINT) AS b
+                  FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9),(10),(11),
+                               (12),(13),(14),(15),(16),(17),(18),(19)) t(bb)),
+           h AS (SELECT b, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x,
+                        CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)
+                          || '_' || CAST(b AS VARCHAR)), 1, 8) AS BIGINT) % 1000 AS hh
+                 FROM orders CROSS JOIN bs),
+           w AS (SELECT b, x,
+                        CASE WHEN hh < 368 THEN 0 WHEN hh < 736 THEN 1
+                             WHEN hh < 920 THEN 2 WHEN hh < 981 THEN 3
+                             ELSE 4 END AS w
+                 FROM h),
+           means AS (SELECT CAST(SUM(w * x) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS mb
+                     FROM w GROUP BY b),
+           rk AS (SELECT a.mb, CAST(COUNT(b.mb) AS BIGINT) AS below
+                  FROM means a LEFT JOIN means b ON b.mb < a.mb
+                  GROUP BY 1),
+           lo AS (SELECT MIN(mb) AS lo FROM rk WHERE below = 1),
+           hi AS (SELECT MIN(mb) AS hi FROM rk WHERE below = 18),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_resamples, SUM(mb) AS sm
+                 FROM means)
+      SELECT n_resamples,
+             ROUND(sm / CAST(n_resamples AS DOUBLE) / 100.0, 4) + 0
+               AS boot_mean_dollars,
+             ROUND(lo / 100.0, 4) + 0 AS ci_lo_dollars,
+             ROUND(hi / 100.0, 4) + 0 AS ci_hi_dollars
+      FROM s, lo, hi""",
+
+    "q_tail_bounds" -> """
+      WITH dc AS (SELECT CAST(date_diff('day', DATE '1992-01-01', o_orderdate)
+                           AS BIGINT) AS d,
+                         CAST(COUNT(*) AS BIGINT) AS c
+                  FROM orders GROUP BY 1),
+           st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mu,
+                         CAST(SUM(c * c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                           - (CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                             * (CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                           AS v
+                  FROM dc),
+           t AS (SELECT n, mu, v,
+                        CAST(SUM(CASE WHEN CAST(c AS DOUBLE) >= 1.5 * mu
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_tail
+                 FROM dc, st GROUP BY 1, 2, 3)
+      SELECT n AS n_days, ROUND(1.5 * mu, 2) + 0 AS threshold,
+             ROUND(CAST(n_tail AS DOUBLE) / CAST(n AS DOUBLE), 4) + 0
+               AS empirical_tail,
+             ROUND(mu / (1.5 * mu), 4) + 0 AS markov_bound,
+             ROUND(v / (0.25 * mu * mu), 4) + 0 AS chebyshev_bound,
+             ROUND(v / (v + 0.25 * mu * mu), 4) + 0 AS cantelli_bound
+      FROM t""",
+
+    "q_entropy_corrected" -> """
+      WITH wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+                        FROM documents)
+                  GROUP BY 1),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab,
+                        CAST(SUM(c) AS BIGINT) AS n,
+                        SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE))) AS scl
+                 FROM wc),
+           m AS (SELECT n AS n_tokens, vocab,
+                        LN(CAST(n AS DOUBLE)) - scl / CAST(n AS DOUBLE) AS h_mle
+                 FROM s)
+      SELECT n_tokens, vocab, ROUND(h_mle, 4) + 0 AS h_mle,
+             ROUND(h_mle + (CAST(vocab AS DOUBLE) - 1.0)
+               / (2.0 * CAST(n_tokens AS DOUBLE)), 4) + 0 AS h_miller_madow
+      FROM m""",
+
+    "q_ace_richness" -> """
+      WITH bg AS (SELECT word || ' ' || LEAD(word) OVER (PARTITION BY doc_id
+                    ORDER BY pos) AS g
+                  FROM (SELECT doc_id,
+                               unnest(string_split(lower(text), ' ')) AS word,
+                               generate_subscripts(string_split(lower(text), ' '), 1)
+                                 AS pos
+                        FROM documents)),
+           wc AS (SELECT g AS word, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM bg WHERE g IS NOT NULL GROUP BY 1),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS s_obs,
+                        CAST(SUM(CASE WHEN c > 10 THEN 1 ELSE 0 END) AS BIGINT)
+                          AS s_abund,
+                        CAST(SUM(CASE WHEN c <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+                          AS s_rare,
+                        CAST(SUM(CASE WHEN c <= 10 THEN c ELSE 0 END) AS BIGINT)
+                          AS n_rare,
+                        CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+                        CAST(SUM(CASE WHEN c <= 10 THEN c * (c - 1) ELSE 0 END)
+                          AS BIGINT) AS scc
+                 FROM wc),
+           m AS (SELECT s_obs, s_abund, s_rare, f1, n_rare, scc,
+                        1.0 - CAST(f1 AS DOUBLE) / CAST(n_rare AS DOUBLE) AS c_ace
+                 FROM s)
+      SELECT s_obs, f1, ROUND(c_ace, 4) + 0 AS coverage_ace,
+             ROUND(CAST(s_abund AS DOUBLE) + CAST(s_rare AS DOUBLE) / c_ace
+               + CAST(f1 AS DOUBLE) / c_ace
+                 * GREATEST(0.0, CAST(s_rare AS DOUBLE) / c_ace
+                   * CAST(scc AS DOUBLE)
+                   / (CAST(n_rare AS DOUBLE) * (CAST(n_rare AS DOUBLE) - 1.0))
+                   - 1.0), 2) + 0 AS s_ace
+      FROM m""",
+
+    "q_clt_diagnostic" -> """
+      WITH lv AS (
+        SELECT '1_daily' AS level,
+               CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS g,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS tp
+        FROM orders
+        UNION ALL
+        SELECT '2_weekly' AS level,
+               CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) // 7
+                 AS g,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS tp
+        FROM orders
+        UNION ALL
+        SELECT '3_monthly' AS level,
+               CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS g,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS tp
+        FROM orders),
+           agg AS (SELECT level, g, CAST(SUM(tp) AS BIGINT) AS rev
+                   FROM lv GROUP BY 1, 2),
+           s AS (SELECT level, CAST(COUNT(*) AS BIGINT) AS n,
+                        SUM(CAST(rev AS DOUBLE)) AS s1,
+                        SUM(CAST(rev AS DOUBLE) * CAST(rev AS DOUBLE)) AS s2,
+                        SUM(CAST(rev AS DOUBLE) * CAST(rev AS DOUBLE)
+                          * CAST(rev AS DOUBLE)) AS s3
+                 FROM agg GROUP BY 1),
+           a AS (SELECT level, n, s1 / CAST(n AS DOUBLE) AS mu,
+                        s2 / CAST(n AS DOUBLE) AS a2, s3 / CAST(n AS DOUBLE) AS a3
+                 FROM s),
+           m AS (SELECT level, n, a2 - mu * mu AS m2,
+                        a3 - 3.0 * mu * a2 + 2.0 * mu * mu * mu AS m3
+                 FROM a)
+      SELECT level, n, ROUND(m3 / (m2 * SQRT(m2)), 4) + 0 AS skew
+      FROM m ORDER BY level""",
+
+    "q_zip_fit" -> """
+      WITH months AS (SELECT DISTINCT CAST(year(o_orderdate) * 12
+                        + month(o_orderdate) AS BIGINT) AS m
+                      FROM orders),
+           custs AS (SELECT DISTINCT o_custkey AS c FROM orders),
+           counts AS (SELECT o_custkey AS c,
+                             CAST(year(o_orderdate) * 12 + month(o_orderdate)
+                               AS BIGINT) AS m,
+                             CAST(COUNT(*) AS BIGINT) AS k
+                      FROM orders GROUP BY 1, 2),
+           uni AS (SELECT COALESCE(k, 0) AS k
+                   FROM custs CROSS JOIN months
+                   LEFT JOIN counts ON custs.c = counts.c AND months.m = counts.m),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(k) AS BIGINT) AS sk,
+                        CAST(SUM(k * k) AS BIGINT) AS skk,
+                        CAST(SUM(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS BIGINT) AS z
+                 FROM uni),
+           m AS (SELECT n, CAST(sk AS DOUBLE) / CAST(n AS DOUBLE) AS mbar,
+                        CAST(skk AS DOUBLE) / CAST(n AS DOUBLE)
+                          - (CAST(sk AS DOUBLE) / CAST(n AS DOUBLE))
+                            * (CAST(sk AS DOUBLE) / CAST(n AS DOUBLE)) AS v,
+                        CAST(z AS DOUBLE) / CAST(n AS DOUBLE) AS z0
+                 FROM s)
+      SELECT n AS n_cells, ROUND(mbar, 4) + 0 AS mean_count,
+             ROUND(v, 4) + 0 AS var_count,
+             ROUND((v + mbar * mbar - mbar) / mbar, 4) + 0 AS zip_lambda,
+             ROUND(1.0 - mbar / ((v + mbar * mbar - mbar) / mbar), 4) + 0
+               AS zip_pi_zero,
+             ROUND(z0, 4) + 0 AS observed_zero_share
+      FROM m""",
+
+    "q_dfbetas" -> """
+      WITH rev AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                            AS m,
+                          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                            AS rev
+                   FROM orders GROUP BY 1),
+           fit AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                          (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(m * rev) AS DOUBLE)
+                            - CAST(SUM(m) AS DOUBLE) * CAST(SUM(rev) AS DOUBLE))
+                          / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(m * m) AS DOUBLE)
+                            - CAST(SUM(m) AS DOUBLE) * CAST(SUM(m) AS DOUBLE)) AS b,
+                          CAST(SUM(rev) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS ybar,
+                          CAST(SUM(m) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS tbar,
+                          CAST(SUM(m * m) AS DOUBLE)
+                            - CAST(SUM(m) AS DOUBLE) * CAST(SUM(m) AS DOUBLE)
+                              / CAST(COUNT(*) AS DOUBLE) AS cstt
+                   FROM rev),
+           resid AS (SELECT m, n, cstt, tbar,
+                            1.0 / CAST(n AS DOUBLE)
+                              + (CAST(m AS DOUBLE) - tbar)
+                                * (CAST(m AS DOUBLE) - tbar) / cstt AS h,
+                            CAST(rev AS DOUBLE) - ybar
+                              - b * (CAST(m AS DOUBLE) - tbar) AS e
+                     FROM rev, fit),
+           sv AS (SELECT MAX(n) AS nn, MAX(cstt) AS cs, SUM(e * e) AS rss
+                  FROM resid),
+           s2 AS (SELECT rss / (CAST(nn AS DOUBLE) - 2.0) AS s2, cs FROM sv),
+           d AS (SELECT m,
+                        ROUND((e * (CAST(m AS DOUBLE) - tbar)
+                          / ((1.0 - h) * cstt)) / SQRT(s2 / cs), 6) + 0 AS dfbetas
+                 FROM resid, s2)
+      SELECT m, dfbetas FROM d
+      ORDER BY ABS(dfbetas) DESC, m LIMIT 5""",
+
+    "q_press_statistic" -> """
+      WITH rev AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                            AS m,
+                          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                            AS rev
+                   FROM orders GROUP BY 1),
+           fit AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                          (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(m * rev) AS DOUBLE)
+                            - CAST(SUM(m) AS DOUBLE) * CAST(SUM(rev) AS DOUBLE))
+                          / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(m * m) AS DOUBLE)
+                            - CAST(SUM(m) AS DOUBLE) * CAST(SUM(m) AS DOUBLE)) AS b,
+                          CAST(SUM(rev) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS ybar,
+                          CAST(SUM(m) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS tbar,
+                          CAST(SUM(m * m) AS DOUBLE)
+                            - CAST(SUM(m) AS DOUBLE) * CAST(SUM(m) AS DOUBLE)
+                              / CAST(COUNT(*) AS DOUBLE) AS cstt,
+                          SUM(CAST(rev AS DOUBLE) * CAST(rev AS DOUBLE))
+                            - CAST(SUM(rev) AS DOUBLE) * CAST(SUM(rev) AS DOUBLE)
+                              / CAST(COUNT(*) AS DOUBLE) AS cyy
+                   FROM rev),
+           t AS (SELECT n, cyy,
+                        (CAST(rev AS DOUBLE) - ybar
+                          - b * (CAST(m AS DOUBLE) - tbar))
+                          / (1.0 - (1.0 / CAST(n AS DOUBLE)
+                            + (CAST(m AS DOUBLE) - tbar)
+                              * (CAST(m AS DOUBLE) - tbar) / cstt)) AS pe,
+                        CAST(rev AS DOUBLE) - ybar
+                          - b * (CAST(m AS DOUBLE) - tbar) AS e
+                 FROM rev, fit),
+           s AS (SELECT n, cyy, SUM(pe * pe) AS press, SUM(e * e) AS rss
+                 FROM t GROUP BY 1, 2)
+      SELECT n AS n_months, ROUND(1.0 - rss / cyy, 4) + 0 AS r2_fit,
+             ROUND(1.0 - press / cyy, 4) + 0 AS r2_pred,
+             ROUND(press / rss, 4) + 0 AS press_over_rss
+      FROM s""",
+
+    "q_rank_size_rule" -> """
+      WITH nat AS (SELECT c.c_nationkey AS nk,
+                          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                            AS rev
+                   FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                   GROUP BY 1),
+           rk AS (SELECT a.nk, a.rev,
+                         CAST(COUNT(b.nk) + 1 AS BIGINT) AS rnk
+                  FROM nat a LEFT JOIN nat b
+                    ON b.rev > a.rev OR (b.rev = a.rev AND b.nk < a.nk)
+                  GROUP BY 1, 2),
+           l AS (SELECT LN(CAST(rnk AS DOUBLE)) AS x,
+                        LN(CAST(rev AS DOUBLE)) AS y
+                 FROM rk),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                        SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+                 FROM l)
+      SELECT n AS n_nations,
+             ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+               / (CAST(n AS DOUBLE) * sxx - sx * sx), 4) + 0 AS zipf_slope,
+             ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+               * (CAST(n AS DOUBLE) * sxy - sx * sy)
+               / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+                 * (CAST(n AS DOUBLE) * syy - sy * sy)), 4) + 0 AS r2
+      FROM s""",
+
+    "q_decile_ratio" -> """
+      WITH vals AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS t
+                    FROM (SELECT CAST(CAST(SUM(CAST(ROUND(o_totalprice * 100)
+                                   AS BIGINT)) AS BIGINT) // 10000 AS BIGINT) AS v
+                          FROM orders GROUP BY o_custkey)
+                    GROUP BY 1),
+           tot AS (SELECT CAST(SUM(t) AS BIGINT) AS n,
+                          CAST((CAST(SUM(t) AS BIGINT) + 9) // 10 AS BIGINT) AS k10,
+                          CAST((CAST(SUM(t) AS BIGINT) + 1) // 2 AS BIGINT) AS k50,
+                          CAST((9 * CAST(SUM(t) AS BIGINT) + 9) // 10 AS BIGINT)
+                            AS k90
+                   FROM vals),
+           cum AS (SELECT a.v, CAST(SUM(b.t) AS BIGINT) AS cum
+                   FROM vals a JOIN vals b ON b.v <= a.v GROUP BY 1),
+           q AS (SELECT MAX(n) AS n_customers,
+                        MIN(CASE WHEN cum >= k10 THEN v END) AS p10_bin,
+                        MIN(CASE WHEN cum >= k50 THEN v END) AS p50_bin,
+                        MIN(CASE WHEN cum >= k90 THEN v END) AS p90_bin
+                 FROM cum, tot)
+      SELECT n_customers, p10_bin, p50_bin, p90_bin,
+             ROUND(CAST(p90_bin AS DOUBLE) / CAST(p10_bin AS DOUBLE), 4) + 0
+               AS p90_p10,
+             ROUND(CAST(p90_bin AS DOUBLE) / CAST(p50_bin AS DOUBLE), 4) + 0
+               AS p90_p50
+      FROM q""",
   )
 }
