@@ -7202,4 +7202,54 @@ object Analytics {
         (round(col("p90_bin").cast("double") / col("p50_bin").cast("double"), 4)
           + lit(0.0)).as("p90_p50"))
   }
+
+  /** Index of qualitative variation of the market-segment distribution:
+    * IQV = (k/(k−1))(1 − Σp²) — 1 means perfectly even categories.
+    */
+  def q_iqv(spark: SparkSession, sf: String): DataFrame =
+    Tables.customer(spark, sf)
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("k"), sum(col("c")).as("n"),
+        sum(col("c") * col("c")).as("scc"))
+      .select(col("k").as("n_categories"), col("n").as("n_customers"),
+        (round((col("k").cast("double") / (col("k").cast("double") - lit(1.0)))
+          * (lit(1.0) - col("scc").cast("double")
+            / (col("n").cast("double") * col("n").cast("double"))), 4) + lit(0.0))
+          .as("iqv"))
+
+  /** Pearson's second skewness coefficient 3(mean − median)/σ of order
+    * totals on the $100 lattice (exact discrete median), with the
+    * range-rule σ ≈ range/4 sanity ratio alongside.
+    */
+  def q_pearson_skew2(spark: SparkSession, sf: String): DataFrame = {
+    val vals = Tables.orders(spark, sf)
+      .select(expr("CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) div 10000 AS BIGINT)")
+        .as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("t"))
+      .localCheckpoint()
+    val st = vals.agg(sum(col("t")).as("n"),
+        sum(col("v") * col("t")).as("sv"),
+        sum(col("v").cast("double") * col("v").cast("double")
+          * col("t").cast("double")).as("svv"),
+        min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+      .select(col("n"), col("vmin"), col("vmax"),
+        expr("CAST((n + 1) div 2 AS BIGINT)").as("k"),
+        (col("sv").cast("double") / col("n").cast("double")).as("mu"),
+        sqrt(col("svv") / col("n").cast("double")
+          - (col("sv").cast("double") / col("n").cast("double"))
+            * (col("sv").cast("double") / col("n").cast("double"))).as("sig"))
+    val med = vals.as("a")
+      .join(vals.select(col("v").as("v2"), col("t").as("t2")).as("b"),
+        col("v2") <= col("a.v"))
+      .groupBy(col("a.v").as("v")).agg(sum(col("t2")).as("cum"))
+      .crossJoin(broadcast(st.select(col("k"))))
+      .filter(col("cum") >= col("k")).agg(min(col("v")).as("med"))
+    st.crossJoin(med)
+      .select(col("n").as("n_orders"),
+        (round(lit(3.0) * (col("mu") - col("med").cast("double")) / col("sig"), 4)
+          + lit(0.0)).as("pearson_skew2"),
+        (round(col("sig")
+          / ((col("vmax") - col("vmin")).cast("double") / lit(4.0)), 4) + lit(0.0))
+          .as("sd_over_range4"))
+  }
 }

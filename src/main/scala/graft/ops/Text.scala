@@ -842,6 +842,26 @@ object Text {
                   * (col("n_rare").cast("double") - lit(1.0))) - lit(1.0)), 2)
           + lit(0.0)).as("s_ace"))
 
+  /** Pielou evenness J = H/ln(K) of the token distribution and the
+    * Berger–Parker dominance (top species share) — the two standard
+    * endpoints of the diversity-profile family.
+    */
+  def q_pielou_evenness(spark: SparkSession, sf: String): DataFrame =
+    docTokens(spark, sf)
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("vocab"), sum(col("c")).as("n"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("scl"),
+        max(col("c")).as("cmax"))
+      .select(col("n").as("n_tokens"), col("vocab"),
+        (log(col("n").cast("double")) - col("scl") / col("n").cast("double"))
+          .as("h"),
+        col("cmax"))
+      .select(col("n_tokens"), col("vocab"),
+        (round(col("h") / log(col("vocab").cast("double")), 4) + lit(0.0))
+          .as("pielou_j"),
+        (round(col("cmax").cast("double") / col("n_tokens").cast("double"), 4)
+          + lit(0.0)).as("berger_parker"))
+
   /** Lexical density per language: the share of non-stopword tokens
     * (25-word literal function-word list) — a direct informativeness
     * proxy for corpus filtering.

@@ -12952,5 +12952,62 @@ object OracleSql {
              ROUND(CAST(p90_bin AS DOUBLE) / CAST(p50_bin AS DOUBLE), 4) + 0
                AS p90_p50
       FROM q""",
+
+    "q_iqv" -> """
+      WITH c AS (SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS c
+                 FROM customer GROUP BY 1),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(c) AS BIGINT) AS n,
+                        CAST(SUM(c * c) AS BIGINT) AS scc
+                 FROM c)
+      SELECT k AS n_categories, n AS n_customers,
+             ROUND((CAST(k AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0))
+               * (1.0 - CAST(scc AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 4) + 0 AS iqv
+      FROM s""",
+
+    "q_pearson_skew2" -> """
+      WITH vals AS (SELECT CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) // 10000
+                             AS BIGINT) AS v,
+                           CAST(COUNT(*) AS BIGINT) AS t
+                    FROM orders GROUP BY 1),
+           st AS (SELECT CAST(SUM(t) AS BIGINT) AS n, MIN(v) AS vmin, MAX(v) AS vmax,
+                         CAST((CAST(SUM(t) AS BIGINT) + 1) // 2 AS BIGINT) AS k,
+                         CAST(CAST(SUM(v * t) AS BIGINT) AS DOUBLE)
+                           / CAST(SUM(t) AS DOUBLE) AS mu,
+                         SQRT(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)
+                             * CAST(t AS DOUBLE)) / CAST(SUM(t) AS DOUBLE)
+                           - (CAST(CAST(SUM(v * t) AS BIGINT) AS DOUBLE)
+                             / CAST(SUM(t) AS DOUBLE))
+                             * (CAST(CAST(SUM(v * t) AS BIGINT) AS DOUBLE)
+                               / CAST(SUM(t) AS DOUBLE))) AS sig
+                  FROM vals),
+           med AS (SELECT MIN(v) AS med
+                   FROM (SELECT a.v, CAST(SUM(b.t) AS BIGINT) AS cum
+                         FROM vals a JOIN vals b ON b.v <= a.v GROUP BY 1), st
+                   WHERE cum >= k)
+      SELECT n AS n_orders,
+             ROUND(3.0 * (mu - CAST(med AS DOUBLE)) / sig, 4) + 0 AS pearson_skew2,
+             ROUND(sig / (CAST(vmax - vmin AS DOUBLE) / 4.0), 4) + 0
+               AS sd_over_range4
+      FROM st, med""",
+
+    "q_pielou_evenness" -> """
+      WITH wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+                        FROM documents)
+                  GROUP BY 1),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab,
+                        CAST(SUM(c) AS BIGINT) AS n,
+                        SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE))) AS scl,
+                        MAX(c) AS cmax
+                 FROM wc),
+           m AS (SELECT n AS n_tokens, vocab,
+                        LN(CAST(n AS DOUBLE)) - scl / CAST(n AS DOUBLE) AS h, cmax
+                 FROM s)
+      SELECT n_tokens, vocab,
+             ROUND(h / LN(CAST(vocab AS DOUBLE)), 4) + 0 AS pielou_j,
+             ROUND(CAST(cmax AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) + 0
+               AS berger_parker
+      FROM m""",
   )
 }
