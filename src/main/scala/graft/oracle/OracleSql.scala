@@ -4024,14 +4024,21 @@ object OracleSql {
       WHERE c_custkey < 50 ORDER BY c_custkey""",
 
     "q_percentile_disc" -> """
-      SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(quantile_disc(pc, 0.5) AS BIGINT) AS p50_disc,
-             CAST(quantile_disc(pc, 0.9) AS BIGINT) AS p90_disc,
+      WITH b AS (SELECT l_returnflag AS flag,
+                        CAST(ROUND(l_extendedprice*100) AS BIGINT) AS pc
+                 FROM lineitem),
+           r AS (SELECT flag, pc,
+                        ROW_NUMBER() OVER (PARTITION BY flag ORDER BY pc) AS rn,
+                        COUNT(*) OVER (PARTITION BY flag) AS nn
+                 FROM b)
+      SELECT flag, CAST(MAX(nn) AS BIGINT) AS n,
+             CAST(MIN(CASE WHEN CAST(rn AS DOUBLE) >= 0.5 * CAST(nn AS DOUBLE)
+                           THEN pc END) AS BIGINT) AS p50_disc,
+             CAST(MIN(CASE WHEN CAST(rn AS DOUBLE) >= 0.9 * CAST(nn AS DOUBLE)
+                           THEN pc END) AS BIGINT) AS p90_disc,
              ROUND(quantile_cont(pc, 0.5), 4) + 0 AS p50_cont,
              ROUND(quantile_cont(pc, 0.9), 4) + 0 AS p90_cont
-      FROM (SELECT l_returnflag, CAST(ROUND(l_extendedprice*100) AS BIGINT) AS pc
-            FROM lineitem)
-      GROUP BY 1 ORDER BY 1""",
+      FROM r GROUP BY 1 ORDER BY 1""",
 
     "q_sla_days" -> """
       SELECT o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS n,
