@@ -35,7 +35,12 @@ object Bench {
     // JVM/codegen warmup so classloading cost doesn't land on the first
     // measured query; touches the same read path the queries use.
     graft.core.Tables.region(spark, sfDir).groupBy("r_name").count().count()
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // Dev-only subset filter (comma-separated keys), mirroring Verify; the
+    // driver never sets this, so its runs always time the full inventory.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       (name, (System.nanoTime() - t0) / 1e9, ok)
