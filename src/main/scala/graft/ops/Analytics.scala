@@ -2835,13 +2835,9 @@ object Analytics {
       .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
     val vals = gv.groupBy(col("v")).agg(sum(col("cnt")).as("t"))
-    val ranks = vals.as("a")
-      .join(vals.select(col("v").as("v2"), col("t").as("t2")).as("b"),
-        col("v2") < col("a.v"), "left")
-      .groupBy(col("a.v").as("v"), col("a.t").as("t"))
-      .agg(coalesce(sum(col("t2")), lit(0L)).as("below"))
+    val ranks = BandedScan.cumSum(vals, Seq.empty, "v", "t", "ci", bandWidth = 32L)
       .select(col("v"), col("t"),
-        (col("below").cast("double")
+        ((col("ci") - col("t")).cast("double")
           + (col("t").cast("double") + lit(1.0)) / lit(2.0)).as("midrank"))
     val tot = vals.agg(sum(col("t")).as("nn"),
       sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
@@ -3324,10 +3320,7 @@ object Analytics {
     val vals = gv.groupBy(col("v")).agg(sum(col("cnt")).as("t"))
     val tot = vals.agg(sum(col("t")).as("nn"))
       .select(col("nn"), expr("CAST((nn + 1) div 2 AS BIGINT)").as("k"))
-    val med = vals.as("a")
-      .join(vals.select(col("v").as("v2"), col("t").as("t2")).as("b"),
-        col("v2") <= col("a.v"))
-      .groupBy(col("a.v").as("v")).agg(sum(col("t2")).as("cum"))
+    val med = BandedScan.cumSum(vals, Seq.empty, "v", "t", "cum", bandWidth = 256L)
       .crossJoin(broadcast(tot))
       .filter(col("cum") >= col("k"))
       .agg(min(col("v")).as("med"))
@@ -3380,13 +3373,9 @@ object Analytics {
       .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
     val vals = gv.groupBy(col("v")).agg(sum(col("cnt")).as("t"))
-    val mid = vals.as("a")
-      .join(vals.select(col("v").as("v2"), col("t").as("t2")).as("b"),
-        col("v2") < col("a.v"), "left")
-      .groupBy(col("a.v").as("v"), col("a.t").as("t"))
-      .agg(coalesce(sum(col("t2")), lit(0L)).as("below"))
+    val mid = BandedScan.cumSum(vals, Seq.empty, "v", "t", "ci", bandWidth = 256L)
       .select(col("v"),
-        (col("below").cast("double")
+        ((col("ci") - col("t")).cast("double")
           + (col("t").cast("double") + lit(1.0)) / lit(2.0)).as("midrank"))
     val tot = gv.agg(sum(col("cnt")).as("nn"),
       sum(when(col("g") === 0, col("cnt")).otherwise(0L)).as("m"))
@@ -3413,7 +3402,9 @@ object Analytics {
 
   /** Hodges–Lehmann shift estimator between the 1996 and 1997 monthly
     * revenue series: the lower median of all 144 pairwise differences
-    * (exact cents) via a value-level cumulative-count theta join.
+    * (exact cents) via the [[BandedScan]] cumulative count (wide bands —
+    * the cent-difference lattice is sparse, so banding groups it into
+    * a handful of keyed windows instead of an all-pairs theta join).
     */
   def q_hodges_lehmann(spark: SparkSession, sf: String): DataFrame = {
     val rev = monthlyRevenue(spark, sf)
@@ -3426,10 +3417,7 @@ object Analytics {
       .localCheckpoint()
     val tot = w.agg(sum(col("cnt")).as("np"))
       .select(col("np"), expr("CAST((np + 1) div 2 AS BIGINT)").as("k"))
-    w.as("a")
-      .join(w.select(col("w").as("w2"), col("cnt").as("cnt2")).as("b"),
-        col("w2") <= col("a.w"))
-      .groupBy(col("a.w").as("w")).agg(sum(col("cnt2")).as("cum"))
+    BandedScan.cumSum(w, Seq.empty, "w", "cnt", "cum", bandWidth = 100000000L)
       .crossJoin(broadcast(tot))
       .filter(col("cum") >= col("k"))
       .agg(max(col("np")).as("n_pairs"), min(col("w")).as("hl_cents"))
@@ -3440,24 +3428,32 @@ object Analytics {
 
   /** Pettitt changepoint test on monthly revenue: U_t = ΣΣ sign(y_j −
     * y_i) over pairs straddling t, K = max|U_t| with the earliest
-    * argmax month, and the approximate p = 2exp(−6K²/(n³+n²)) — sign
-    * sums are exact integers from a pair×cut theta join.
+    * argmax month, and the approximate p = 2exp(−6K²/(n³+n²)). Uses the
+    * Mann–Whitney rank identity U_t = t(n+1) − 2·W_t (W_t = running
+    * midrank sum over months ≤ t), which replaces the pair×cut double
+    * theta join (O(n³) pairs) with two [[BandedScan]] prefix scans;
+    * 2·midrank = 2·(strict below) + ties + 1 keeps every sum an exact
+    * integer, so the result is bit-identical to the sign-sum form.
     */
   def q_pettitt_test(spark: SparkSession, sf: String): DataFrame = {
     val rev = monthlyRevenue(spark, sf).localCheckpoint()
-    val pairs = rev.as("a")
-      .join(rev.select(col("m").as("mj"), col("rev").as("revj")).as("b"),
-        col("mj") > col("m"))
-      .select(col("m").as("mi"), col("mj"),
-        when(col("revj") > col("rev"), 1L)
-          .when(col("revj") < col("rev"), -1L).otherwise(0L).as("s"))
-    val u = pairs
-      .join(rev.select(col("m").as("t")),
-        col("mi") <= col("t") && col("mj") > col("t"))
-      .groupBy(col("t")).agg(sum(col("s")).as("u_t"))
+    val lat = rev.groupBy(col("rev").as("rv")).agg(count(lit(1)).as("tcnt"))
+    val twomid = BandedScan.cumSum(lat, Seq.empty, "rv", "tcnt", "ci",
+        bandWidth = 100000000L)
+      .select(col("rv"),
+        (lit(2L) * (col("ci") - col("tcnt")) + col("tcnt") + 1L).as("tm"))
+    val byMonth = rev.join(twomid, col("rev") === col("rv"))
+      .select(col("m"), col("tm"), lit(1L).as("one"))
+    val u = BandedScan.cumSums(byMonth, Seq.empty, "m",
+        Seq("tm" -> "w2", "one" -> "tpos"), bandWidth = 16L)
       .localCheckpoint()
-    val k = u.agg(max(abs(col("u_t"))).as("k_stat"))
-    val tstar = u.crossJoin(broadcast(k))
+    val nm = rev.agg(count(lit(1)).as("nm"))
+    val ut = u.crossJoin(broadcast(nm))
+      .filter(col("tpos") < col("nm"))  // U_n ≡ 0: the empty cut, as before
+      .select(col("m").as("t"),
+        (col("tpos") * (col("nm") + 1L) - col("w2")).as("u_t"))
+    val k = ut.agg(max(abs(col("u_t"))).as("k_stat"))
+    val tstar = ut.crossJoin(broadcast(k))
       .filter(abs(col("u_t")) === col("k_stat"))
       .groupBy(col("k_stat")).agg(min(col("t")).as("t_star"))
     rev.agg(count(lit(1)).as("n_months"))
@@ -3473,8 +3469,9 @@ object Analytics {
 
   /** Bowley (quartile) skewness and the quartile coefficient of
     * dispersion of order totals per priority, from exact discrete
-    * quartiles (⌈qn⌉-th smallest on the $100 cent-bin lattice via a
-    * per-group cumulative-count theta join).
+    * quartiles (⌈qn⌉-th smallest on the $100 cent-bin lattice via the
+    * [[BandedScan]] two-level prefix scan — O(V·√V) per group instead
+    * of the O(V²) all-pairs cumulative theta join).
     */
   def q_bowley_skewness(spark: SparkSession, sf: String): DataFrame = {
     val gv = Tables.orders(spark, sf)
@@ -3488,12 +3485,7 @@ object Analytics {
         expr("CAST((n + 3) div 4 AS BIGINT)").as("k1"),
         expr("CAST((n + 1) div 2 AS BIGINT)").as("k2"),
         expr("CAST((3 * n + 3) div 4 AS BIGINT)").as("k3"))
-    gv.as("a")
-      .join(gv.select(col("g").as("g2"), col("v").as("v2"),
-        col("cnt").as("cnt2")).as("b"),
-        col("g2") === col("a.g") && col("v2") <= col("a.v"))
-      .groupBy(col("a.g").as("g"), col("a.v").as("v"))
-      .agg(sum(col("cnt2")).as("cum"))
+    BandedScan.cumSum(gv, Seq("g"), "v", "cnt", "cum", bandWidth = 256L)
       .join(broadcast(stats), "g")
       .groupBy(col("g"), col("n"))
       .agg(min(when(col("cum") >= col("k1"), col("v"))).as("q1"),
@@ -3521,13 +3513,9 @@ object Analytics {
       .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
     val vals = gv.groupBy(col("v")).agg(sum(col("cnt")).as("t"))
-    val mid = vals.as("a")
-      .join(vals.select(col("v").as("v2"), col("t").as("t2")).as("b"),
-        col("v2") < col("a.v"), "left")
-      .groupBy(col("a.v").as("v"), col("a.t").as("t"))
-      .agg(coalesce(sum(col("t2")), lit(0L)).as("below"))
+    val mid = BandedScan.cumSum(vals, Seq.empty, "v", "t", "ci", bandWidth = 32L)
       .select(col("v"),
-        (col("below").cast("double")
+        ((col("ci") - col("t")).cast("double")
           + (col("t").cast("double") + lit(1.0)) / lit(2.0)).as("midrank"))
     val tot = vals.agg(sum(col("t")).as("nn"),
       sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
@@ -3942,12 +3930,10 @@ object Analytics {
       .select(col("n"), col("mass"),
         expr("CAST((4 * n + 9) div 10 AS BIGINT)").as("k40"),
         expr("CAST((9 * n + 9) div 10 AS BIGINT)").as("k90"))
-    val cum = vals.as("a")
-      .join(vals.select(col("v").as("v2"), col("t").as("t2")).as("b"),
-        col("v2") < col("a.v"), "left")
-      .groupBy(col("a.v").as("v"), col("a.t").as("t"))
-      .agg(coalesce(sum(col("t2")), lit(0L)).as("cb"),
-        coalesce(sum(col("v2") * col("t2")), lit(0L)).as("mb"))
+    val cum = BandedScan.cumSums(vals.withColumn("vt", col("v") * col("t")),
+        Seq.empty, "v", Seq("t" -> "ct", "vt" -> "cmass"), bandWidth = 1024L)
+      .select(col("v"), col("t"), (col("ct") - col("t")).as("cb"),
+        (col("cmass") - col("vt")).as("mb"))
       .crossJoin(broadcast(tot))
       .localCheckpoint()
     val b40 = cum.filter(col("cb") < col("k40") && col("cb") + col("t") >= col("k40"))
@@ -4620,12 +4606,8 @@ object Analytics {
       .localCheckpoint()
     val stats = gv.groupBy(col("g")).agg(sum(col("cnt")).as("n"))
       .select(col("g"), col("n"), expr("CAST(n div 5 AS BIGINT)").as("tr"))
-    val cum = gv.as("a")
-      .join(gv.select(col("g").as("g2"), col("v").as("v2"),
-        col("cnt").as("cnt2")).as("b"),
-        col("g2") === col("a.g") && col("v2") < col("a.v"), "left")
-      .groupBy(col("a.g").as("g"), col("a.v").as("v"), col("a.cnt").as("cnt"))
-      .agg(coalesce(sum(col("cnt2")), lit(0L)).as("cb"))
+    val cum = BandedScan.cumSum(gv, Seq("g"), "v", "cnt", "ci", bandWidth = 256L)
+      .withColumn("cb", col("ci") - col("cnt")).drop("ci")
       .join(broadcast(stats), "g")
       .localCheckpoint()
     // per-bin kept mass inside ranks (tr, n-tr]: clip the bin's rank span
@@ -5478,10 +5460,7 @@ object Analytics {
         (floor((col("n").cast("double")
           + lit(1.959964) * sqrt(col("n").cast("double"))) / lit(2.0))
           .cast("long") + 1L).as("khi"))
-    vals.as("a")
-      .join(vals.select(col("v").as("v2"), col("t").as("t2")).as("b"),
-        col("v2") <= col("a.v"))
-      .groupBy(col("a.v").as("v")).agg(sum(col("t2")).as("cum"))
+    BandedScan.cumSum(vals, Seq.empty, "v", "t", "cum", bandWidth = 256L)
       .crossJoin(broadcast(tot))
       .agg(max(col("n")).as("n_orders"),
         min(when(col("cum") >= col("k2"), col("v"))).as("median_bin"),
@@ -5649,13 +5628,9 @@ object Analytics {
       .localCheckpoint()
     val vals = cust.groupBy(col("v"))
       .agg(count(lit(1)).as("t"), sum(col("h")).as("hv"))
-    val mid = vals.as("a")
-      .join(vals.select(col("v").as("v2"), col("t").as("t2")).as("b"),
-        col("v2") < col("a.v"), "left")
-      .groupBy(col("a.v").as("v"), col("a.t").as("t"), col("a.hv").as("hv"))
-      .agg(coalesce(sum(col("t2")), lit(0L)).as("below"))
+    val mid = BandedScan.cumSum(vals, Seq.empty, "v", "t", "ci", bandWidth = 1024L)
       .select(col("v"), col("hv"),
-        (col("below").cast("double")
+        ((col("ci") - col("t")).cast("double")
           + (col("t").cast("double") + lit(1.0)) / lit(2.0)).as("midrank"))
     val tot = cust.agg(count(lit(1)).as("n"), sum(col("h")).as("ht"))
     mid.agg(sum(col("hv").cast("double") * col("midrank")).as("shr"))
@@ -6420,21 +6395,14 @@ object Analytics {
       .localCheckpoint()
     val tot = vals.agg(sum(col("t")).as("n"))
       .select(col("n"), expr("CAST((n + 1) div 2 AS BIGINT)").as("k"))
-    val cum = vals.as("a")
-      .join(vals.select(col("v").as("v2"), col("t").as("t2")).as("b"),
-        col("v2") <= col("a.v"))
-      .groupBy(col("a.v").as("v"), col("a.t").as("t"))
-      .agg(sum(col("t2")).as("cum"))
+    val cum = BandedScan.cumSum(vals, Seq.empty, "v", "t", "cum", bandWidth = 256L)
       .localCheckpoint()
     val med = cum.crossJoin(broadcast(tot))
       .filter(col("cum") >= col("k")).agg(min(col("v")).as("med"))
     val dev = vals.crossJoin(broadcast(med))
       .select(abs(col("v") - col("med")).as("av"), col("t"))
       .groupBy(col("av")).agg(sum(col("t")).as("t"))
-    val madCum = dev.as("a")
-      .join(dev.select(col("av").as("a2"), col("t").as("t2")).as("b"),
-        col("a2") <= col("a.av"))
-      .groupBy(col("a.av").as("av")).agg(sum(col("t2")).as("cum"))
+    val madCum = BandedScan.cumSum(dev, Seq.empty, "av", "t", "cum", bandWidth = 256L)
       .crossJoin(broadcast(tot))
       .filter(col("cum") >= col("k")).agg(min(col("av")).as("mad"))
     vals.crossJoin(broadcast(med)).crossJoin(broadcast(madCum))
@@ -6469,11 +6437,8 @@ object Analytics {
       .select(pct(col("l_discount")).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("t"))
       .localCheckpoint()
-    val cum = vals.as("a")
-      .join(vals.select(col("v").as("v2"), col("t").as("t2")).as("b"),
-        col("v2") < col("a.v"), "left")
-      .groupBy(col("a.v").as("v"), col("a.t").as("t"))
-      .agg(coalesce(sum(col("t2")), lit(0L)).as("cb"))
+    val cum = BandedScan.cumSum(vals, Seq.empty, "v", "t", "ci", bandWidth = 4L)
+      .withColumn("cb", col("ci") - col("t"))
     val tot = vals.agg(sum(col("t")).as("n"))
     cum.crossJoin(broadcast(tot))
       .select(col("n"), col("t").cast("double").as("td"),
@@ -6897,8 +6862,11 @@ object Analytics {
       val v = xy.select(col(value).as("v"))
       val tot = v.agg(count(lit(1)).as("n"))
         .select(expr("CAST((n + 1) div 2 AS BIGINT)").as("k"))
-      v.as("a").join(v.select(col("v").as("v2")).as("b"), col("v2") <= col("a.v"))
-        .groupBy(col("a.v").as("v")).agg(count(lit(1)).as("cum"))
+      // banded scan over the value lattice; cum = t·(inclusive row count)
+      // reproduces the original row-pair count exactly even under ties.
+      val lat = v.groupBy(col("v")).agg(count(lit(1)).as("t"))
+      BandedScan.cumSum(lat, Seq.empty, "v", "t", "ci", bandWidth = 100000000L)
+        .select(col("v"), (col("t") * col("ci")).as("cum"))
         .crossJoin(broadcast(tot))
         .filter(col("cum") >= col("k")).agg(min(col("v")).as(s"med_$value"))
     }
@@ -7187,10 +7155,7 @@ object Analytics {
         expr("CAST((n + 9) div 10 AS BIGINT)").as("k10"),
         expr("CAST((n + 1) div 2 AS BIGINT)").as("k50"),
         expr("CAST((9 * n + 9) div 10 AS BIGINT)").as("k90"))
-    vals.as("a")
-      .join(vals.select(col("v").as("v2"), col("t").as("t2")).as("b"),
-        col("v2") <= col("a.v"))
-      .groupBy(col("a.v").as("v")).agg(sum(col("t2")).as("cum"))
+    BandedScan.cumSum(vals, Seq.empty, "v", "t", "cum", bandWidth = 1024L)
       .crossJoin(broadcast(tot))
       .agg(max(col("n")).as("n_customers"),
         min(when(col("cum") >= col("k10"), col("v"))).as("p10_bin"),
@@ -7238,10 +7203,7 @@ object Analytics {
         sqrt(col("svv") / col("n").cast("double")
           - (col("sv").cast("double") / col("n").cast("double"))
             * (col("sv").cast("double") / col("n").cast("double"))).as("sig"))
-    val med = vals.as("a")
-      .join(vals.select(col("v").as("v2"), col("t").as("t2")).as("b"),
-        col("v2") <= col("a.v"))
-      .groupBy(col("a.v").as("v")).agg(sum(col("t2")).as("cum"))
+    val med = BandedScan.cumSum(vals, Seq.empty, "v", "t", "cum", bandWidth = 256L)
       .crossJoin(broadcast(st.select(col("k"))))
       .filter(col("cum") >= col("k")).agg(min(col("v")).as("med"))
     st.crossJoin(med)
