@@ -3417,7 +3417,10 @@ object Analytics {
       .localCheckpoint()
     val tot = w.agg(sum(col("cnt")).as("np"))
       .select(col("np"), expr("CAST((np + 1) div 2 AS BIGINT)").as("k"))
-    BandedScan.cumSum(w, Seq.empty, "w", "cnt", "cum", bandWidth = 100000000L)
+    // auto bandWidth: the cent-difference lattice is sparse and its range
+    // is data-dependent — deriving the width keeps ≈√V bands at any SF
+    // instead of the old degenerate single 1e8-wide band
+    BandedScan.cumSumAuto(w, Seq.empty, "w", "cnt", "cum")
       .crossJoin(broadcast(tot))
       .filter(col("cum") >= col("k"))
       .agg(max(col("np")).as("n_pairs"), min(col("w")).as("hl_cents"))
@@ -3438,8 +3441,8 @@ object Analytics {
   def q_pettitt_test(spark: SparkSession, sf: String): DataFrame = {
     val rev = monthlyRevenue(spark, sf).localCheckpoint()
     val lat = rev.groupBy(col("rev").as("rv")).agg(count(lit(1)).as("tcnt"))
-    val twomid = BandedScan.cumSum(lat, Seq.empty, "rv", "tcnt", "ci",
-        bandWidth = 100000000L)
+    // auto bandWidth (was a degenerate 1e8 single band): ≈√V bands at any SF
+    val twomid = BandedScan.cumSumAuto(lat, Seq.empty, "rv", "tcnt", "ci")
       .select(col("rv"),
         (lit(2L) * (col("ci") - col("tcnt")) + col("tcnt") + 1L).as("tm"))
     val byMonth = rev.join(twomid, col("rev") === col("rv"))
@@ -6865,7 +6868,8 @@ object Analytics {
       // banded scan over the value lattice; cum = t·(inclusive row count)
       // reproduces the original row-pair count exactly even under ties.
       val lat = v.groupBy(col("v")).agg(count(lit(1)).as("t"))
-      BandedScan.cumSum(lat, Seq.empty, "v", "t", "ci", bandWidth = 100000000L)
+      // auto bandWidth (was a degenerate 1e8 single band): ≈√V bands at any SF
+      BandedScan.cumSumAuto(lat, Seq.empty, "v", "t", "ci")
         .select(col("v"), (col("t") * col("ci")).as("cum"))
         .crossJoin(broadcast(tot))
         .filter(col("cum") >= col("k")).agg(min(col("v")).as(s"med_$value"))

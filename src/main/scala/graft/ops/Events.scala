@@ -59,10 +59,10 @@ object Events {
     * standard scalable funnel shape, no per-user event sorting.
     */
   def q_funnel(spark: SparkSession, sf: String): DataFrame = {
-    // raw nanosecond longs on BOTH engines (oracle: epoch_ns) — the stage
+    // exact nanosecond longs on BOTH engines (oracle: epoch_ns) — the stage
     // comparisons must see identical time resolution
     val e = Tables.eventsWithTs(spark, sf)
-      .select(col("user_id"), col("event_type"), col("ts").as("t"))
+      .select(col("user_id"), col("event_type"), col("ts_nsl").as("t"))
     val s1 = e.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("t")).as("t1"))
     val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")

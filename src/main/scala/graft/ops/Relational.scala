@@ -1067,21 +1067,40 @@ object Relational {
   }
 
   /** Discrete vs continuous percentiles side by side (p50/p90 of the
-    * extended price per return flag): `percentile_disc` returns an actual
-    * element of the column, `percentile` interpolates — the semantic
-    * difference every SLA/reporting consumer eventually trips on. Both
-    * are single-pass exact aggregates over integer cents.
+    * extended price per return flag): the discrete quantile returns an
+    * actual element of the column, the continuous one interpolates — the
+    * semantic difference every SLA/reporting consumer eventually trips on.
+    *
+    * The discrete rule is computed EXPLICITLY with pure integer rank
+    * arithmetic (smallest value whose cumulative count `cum·10 ≥ p·10·n`)
+    * over a (flag, value) histogram, identically on both engines — the
+    * builtin `percentile_disc` and a hand-written oracle disagreed on
+    * `p·n` double rounding for at least one group (r02/r03 hash fails).
+    * The histogram keeps the cumulative window over DISTINCT values only
+    * (bounded by the value domain, not the row count — the same shape as
+    * q_hist_equidepth), so no global row sort at any scale.
     */
-  def q_percentile_disc(spark: SparkSession, sf: String): DataFrame =
-    Tables.lineitem(spark, sf)
+  def q_percentile_disc(spark: SparkSession, sf: String): DataFrame = {
+    val b = Tables.lineitem(spark, sf)
       .select(col("l_returnflag").as("flag"), cents(col("l_extendedprice")).as("pc"))
-      .groupBy(col("flag"))
+    val cont = b.groupBy(col("flag"))
       .agg(count(lit(1)).as("n"),
-        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY pc)").as("p50_disc"),
-        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY pc)").as("p90_disc"),
         (round(percentile(col("pc"), lit(0.5)), 4) + lit(0.0)).as("p50_cont"),
         (round(percentile(col("pc"), lit(0.9)), 4) + lit(0.0)).as("p90_cont"))
+    val hist = b.groupBy(col("flag"), col("pc")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("flag")).orderBy(col("pc"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val disc = hist
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("nn", sum(col("c")).over(Window.partitionBy(col("flag"))))
+      .groupBy(col("flag"))
+      .agg(min(when(col("cum") * 10 >= col("nn") * 5, col("pc"))).as("p50_disc"),
+        min(when(col("cum") * 10 >= col("nn") * 9, col("pc"))).as("p90_disc"))
+    cont.join(disc, "flag")
+      .select(col("flag"), col("n"), col("p50_disc"), col("p90_disc"),
+        col("p50_cont"), col("p90_cont"))
       .orderBy("flag")
+  }
 
   /** Surrogate-key generation audit: md5 hash keys derived from each
     * dimension's natural business key (never a sequence —

@@ -4027,18 +4027,25 @@ object OracleSql {
       WITH b AS (SELECT l_returnflag AS flag,
                         CAST(ROUND(l_extendedprice*100) AS BIGINT) AS pc
                  FROM lineitem),
+           cont AS (SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
+                           ROUND(quantile_cont(pc, 0.5), 4) + 0 AS p50_cont,
+                           ROUND(quantile_cont(pc, 0.9), 4) + 0 AS p90_cont
+                    FROM b GROUP BY 1),
+           hist AS (SELECT flag, pc, CAST(COUNT(*) AS BIGINT) AS c
+                    FROM b GROUP BY 1, 2),
            r AS (SELECT flag, pc,
-                        ROW_NUMBER() OVER (PARTITION BY flag ORDER BY pc) AS rn,
-                        COUNT(*) OVER (PARTITION BY flag) AS nn
-                 FROM b)
-      SELECT flag, CAST(MAX(nn) AS BIGINT) AS n,
-             CAST(MIN(CASE WHEN CAST(rn AS DOUBLE) >= 0.5 * CAST(nn AS DOUBLE)
-                           THEN pc END) AS BIGINT) AS p50_disc,
-             CAST(MIN(CASE WHEN CAST(rn AS DOUBLE) >= 0.9 * CAST(nn AS DOUBLE)
-                           THEN pc END) AS BIGINT) AS p90_disc,
-             ROUND(quantile_cont(pc, 0.5), 4) + 0 AS p50_cont,
-             ROUND(quantile_cont(pc, 0.9), 4) + 0 AS p90_cont
-      FROM r GROUP BY 1 ORDER BY 1""",
+                        SUM(c) OVER (PARTITION BY flag ORDER BY pc
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                        SUM(c) OVER (PARTITION BY flag) AS nn
+                 FROM hist),
+           disc AS (SELECT flag,
+                           CAST(MIN(CASE WHEN cum*10 >= nn*5 THEN pc END) AS BIGINT)
+                             AS p50_disc,
+                           CAST(MIN(CASE WHEN cum*10 >= nn*9 THEN pc END) AS BIGINT)
+                             AS p90_disc
+                    FROM r GROUP BY 1)
+      SELECT flag, n, p50_disc, p90_disc, p50_cont, p90_cont
+      FROM cont JOIN disc USING (flag) ORDER BY flag""",
 
     "q_sla_days" -> """
       SELECT o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS n,

@@ -106,6 +106,28 @@ class CapabilitiesSpec extends AnyFunSuite {
     assert(math.abs(approx - exact).toDouble / exact < 0.05, s"$approx vs $exact")
   }
 
+  // The declared q_approx_distinct entry is no-oracle by design (HLL sketch
+  // internals are engine-specific, so a DuckDB hash compare is impossible);
+  // THIS is its verification: every per-group estimate within 5% of the
+  // exact distinct count, non-empty output, stable schema (SURVEY §2.4).
+  test("q_approx_distinct: every group estimate within 5% of exact") {
+    val got = graft.ops.Relational.q_approx_distinct(spark, sf)
+    assert(got.columns.toSeq ===
+      Seq("l_returnflag", "approx_parts", "approx_supps"))
+    val exact = graft.core.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_suppkey")).as("exact_supps"))
+    val rows = got.join(exact, "l_returnflag").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (ap, as_) = (r.getAs[Long]("approx_parts"), r.getAs[Long]("approx_supps"))
+      val (ep, es) = (r.getAs[Long]("exact_parts"), r.getAs[Long]("exact_supps"))
+      assert(math.abs(ap - ep).toDouble / ep < 0.05, s"parts: $ap vs $ep")
+      assert(math.abs(as_ - es).toDouble / es < 0.05, s"supps: $as_ vs $es")
+    }
+  }
+
   test("Graft facade: attach, table load, query lookup, view registration") {
     Graft.attach(spark)
     assert(Graft.table(spark, sf, "events").columns.contains("ts_us"))

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.types._
+import graft.core.Tables
+
+/** The fixture-schema guard: the driver regenerates the parquet fixtures
+  * between rounds and has changed physical types before (events.ts
+  * INT64-nanos → timestamp[us], which broke 135 queries at analysis time).
+  * These tests make any future drift fail HERE, in one place, with the
+  * guard's readable message — instead of as scattered DATATYPE_MISMATCHes.
+  */
+class FixtureSchemaSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import TestSpark.sf
+
+  test("every fixture table matches the declared schema contract") {
+    // Tables.table runs the guard on every load; loading all ten is the test.
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings"))
+      Tables.table(spark, sf, t)
+  }
+
+  test("guard names the table and column on type drift") {
+    val bad = Tables.table(spark, sf, "events")
+      .withColumn("value", org.apache.spark.sql.functions.col("value").cast("string"))
+    val e = intercept[IllegalStateException](Tables.assertSchema("events", bad))
+    assert(e.getMessage.contains("events"))
+    assert(e.getMessage.contains("value"))
+  }
+
+  test("guard names missing columns") {
+    val bad = Tables.table(spark, sf, "events").drop("props")
+    val e = intercept[IllegalStateException](Tables.assertSchema("events", bad))
+    assert(e.getMessage.contains("missing column props"))
+  }
+
+  test("eventsWithTs adapts to both shipped ts layouts") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.eventsWithTs(spark, sf)
+    assert(ev.schema("ts_usl").dataType === LongType)
+    assert(ev.schema("ts_nsl").dataType === LongType)
+    assert(ev.schema("ts_us").dataType === TimestampType)
+    // ns long is exactly µs·1000 and both derive from the same raw column
+    val r = ev.select(sum(when(col("ts_nsl") === col("ts_usl") * 1000L, 0L)
+      .otherwise(1L)).as("bad")).head()
+    assert(r.getLong(0) === 0L)
+    // the µs values must round-trip through the timestamp derivation
+    val rt = ev.select(sum(when(unix_micros(col("ts_us")) === col("ts_usl"), 0L)
+      .otherwise(1L)).as("bad")).head()
+    assert(rt.getLong(0) === 0L)
+  }
+
+  test("eventsWithTs rejects an unknown ts layout loudly") {
+    import org.apache.spark.sql.functions._
+    val bad = Tables.table(spark, sf, "events")
+      .withColumn("ts", col("ts").cast("string"))
+    val e = intercept[IllegalStateException](Tables.assertSchema("events", bad))
+    assert(e.getMessage.contains("ts"))
+  }
+}
