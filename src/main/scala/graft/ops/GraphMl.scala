@@ -48,7 +48,7 @@ object GraphMl {
     * edge aggregation — is fully distributed; the resulting graph is tiny
     * (|event types|² at most).
     */
-  private def transitionEdges(spark: SparkSession, sf: String): DataFrame = {
+  private[ops] def transitionEdges(spark: SparkSession, sf: String): DataFrame = {
     val ev = Tables.eventsWithTs(spark, sf)
     val w = Window.partitionBy("user_id").orderBy(col("ts_usl").asc, col("event_id").asc)
     val edges = ev

@@ -3163,4 +3163,43 @@ object MLDeterministic {
             - (col("pyes") * col("pyes")
               + (lit(1.0) - col("pyes")) * (lit(1.0) - col("pyes")))), 4)
           + lit(0.0)).as("fleiss_kappa"))
+
+  /** Viterbi decoding of the most probable 3-step event-type path under
+    * the first-order Markov chain (HMM decode, the dynamic-programming
+    * classic): start distribution = each user's FIRST event type,
+    * transitions = the [[GraphMl.transitionEdges]] graph. True DP — one
+    * per-state max-join per step over the |types|² transition table
+    * (never path enumeration), so decode depth is linear work at any
+    * alphabet size. Scores are ln-probabilities e8-rounded per edge
+    * BEFORE the 3-term integer sum (exact on both engines); ties →
+    * lexicographically larger predecessor (the max(struct) rule, pinned).
+    */
+  def q_viterbi_path(spark: SparkSession, sf: String): DataFrame = {
+    val ev = Tables.eventsWithTs(spark, sf)
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_usl").asc, col("event_id").asc)
+    val starts = ev
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("event_type").as("s0")).agg(count(lit(1)).as("c"))
+    val nUsers = starts.agg(sum(col("c")).as("tot"))
+    val s0 = starts.crossJoin(broadcast(nUsers))
+      .select(col("s0"),
+        round(log(col("c").cast("double") / col("tot").cast("double")) * 1e8)
+          .cast("long").as("sc0"))
+    val tr = GraphMl.transitionEdges(spark, sf)
+      .select(col("src"), col("dst"),
+        round(log(col("w").cast("double") / col("out_w").cast("double")) * 1e8)
+          .cast("long").as("lt"))
+    val v1 = s0.join(tr, col("s0") === col("src"))
+      .groupBy(col("dst").as("s1"))
+      .agg(max(struct((col("sc0") + col("lt")).as("sc"), col("s0"))).as("m"))
+      .select(col("s1"), col("m.sc").as("sc1"), col("m.s0").as("p0"))
+    val v2 = v1.join(tr, col("s1") === col("src"))
+      .groupBy(col("dst").as("s2"))
+      .agg(max(struct((col("sc1") + col("lt")).as("sc"), col("s1"), col("p0"))).as("m"))
+      .select(col("s2"), col("m.sc").as("sc2"), col("m.s1").as("p1"), col("m.p0").as("p0"))
+    v2.agg(max(struct(col("sc2").as("sc"), col("s2"), col("p1"), col("p0"))).as("m"))
+      .select(col("m.p0").as("step0"), col("m.p1").as("step1"),
+        col("m.s2").as("step2"), col("m.sc").as("score_e8"))
+  }
 }

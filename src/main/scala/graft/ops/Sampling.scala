@@ -644,21 +644,25 @@ object Sampling {
       .orderBy("segment")
   }
 
-  /** Deterministic hash-bootstrap of the mean order total: B = 20
-    * pseudo-resamples with per-(order, b) md5-derived pseudo-Poisson(1)
-    * weights (lattice 0.368/0.368/0.184/0.061/0.019), bootstrap SE =
-    * population sd of the B weighted means — the md5 lattice is
-    * identical on both engines, so every resample is reproducible.
+  /** The B = 20 deterministic bootstrap resample means shared by
+    * [[q_hash_bootstrap]] and [[q_bootstrap_ci]]: per-(order, b)
+    * pseudo-Poisson(1) weights (lattice 0.368/0.368/0.184/0.061/0.019)
+    * from ONE md5 hash per order re-randomized per resample by an affine
+    * transform h·(2b+1)+40503·b (mod 2³², mod 1000) — the same
+    * one-hash-K-transforms trick as the MinHash aggregate, cutting 20
+    * md5 evaluations per row to 1 (the md5 was ~90% of the query's
+    * runtime). Bit-identical on both engines.
     */
-  def q_hash_bootstrap(spark: SparkSession, sf: String): DataFrame = {
+  private def bootstrapMeans(spark: SparkSession, sf: String): DataFrame = {
     import spark.implicits._
     val bs = (0L until 20L).toDF("b")
-    val means = Tables.orders(spark, sf)
-      .select(col("o_orderkey"), graft.core.Det.cents(col("o_totalprice")).as("x"))
+    Tables.orders(spark, sf)
+      .select(graft.core.Det.cents(col("o_totalprice")).as("x"),
+        idHash(col("o_orderkey").cast("string")).as("h0"))
       .crossJoin(broadcast(bs))
       .select(col("b"), col("x"),
-        (idHash(concat(col("o_orderkey").cast("string"), lit("_"),
-          col("b").cast("string"))) % 1000L).as("h"))
+        (((col("h0") * (col("b") * 2L + 1L) + col("b") * 40503L)
+          % 4294967296L) % 1000L).as("h"))
       .select(col("b"), col("x"),
         when(col("h") < 368L, 0L).when(col("h") < 736L, 1L)
           .when(col("h") < 920L, 2L).when(col("h") < 981L, 3L)
@@ -667,6 +671,14 @@ object Sampling {
       .agg(sum(col("w") * col("x")).as("swx"), sum(col("w")).as("sw"))
       .select((col("swx").cast("double") / col("sw").cast("double")).as("mb"))
       .localCheckpoint()
+  }
+
+  /** Deterministic hash-bootstrap of the mean order total over the
+    * [[bootstrapMeans]] resamples; bootstrap SE = population sd of the
+    * B weighted means — every resample is reproducible on both engines.
+    */
+  def q_hash_bootstrap(spark: SparkSession, sf: String): DataFrame = {
+    val means = bootstrapMeans(spark, sf)
     means.agg(count(lit(1)).as("n_resamples"), sum(col("mb")).as("sm"),
         sum(col("mb") * col("mb")).as("smm"))
       .select(col("n_resamples"),
@@ -678,27 +690,12 @@ object Sampling {
           + lit(0.0)).as("boot_se_dollars"))
   }
 
-  /** Percentile bootstrap CI from the same md5-lattice resamples: the
-    * 2nd and 19th order statistics of the B = 20 weighted means (exact
-    * discrete ranks, bit-identical resample means on both engines).
+  /** Percentile bootstrap CI from the same [[bootstrapMeans]] resamples:
+    * the 2nd and 19th order statistics of the B = 20 weighted means
+    * (exact discrete ranks, bit-identical resample means on both engines).
     */
   def q_bootstrap_ci(spark: SparkSession, sf: String): DataFrame = {
-    import spark.implicits._
-    val bs = (0L until 20L).toDF("b")
-    val means = Tables.orders(spark, sf)
-      .select(col("o_orderkey"), graft.core.Det.cents(col("o_totalprice")).as("x"))
-      .crossJoin(broadcast(bs))
-      .select(col("b"), col("x"),
-        (idHash(concat(col("o_orderkey").cast("string"), lit("_"),
-          col("b").cast("string"))) % 1000L).as("h"))
-      .select(col("b"), col("x"),
-        when(col("h") < 368L, 0L).when(col("h") < 736L, 1L)
-          .when(col("h") < 920L, 2L).when(col("h") < 981L, 3L)
-          .otherwise(4L).as("w"))
-      .groupBy(col("b"))
-      .agg(sum(col("w") * col("x")).as("swx"), sum(col("w")).as("sw"))
-      .select((col("swx").cast("double") / col("sw").cast("double")).as("mb"))
-      .localCheckpoint()
+    val means = bootstrapMeans(spark, sf)
     val ranked = means.as("a")
       .join(means.select(col("mb").as("mb2")).as("b"), col("mb2") < col("a.mb"),
         "left")

@@ -892,4 +892,104 @@ object Text {
         (round(avg(col("mlf")), 4) + lit(0.0)).as("mean_logfreq"))
       .orderBy("bucket")
   }
+
+  /** Cross-shard duplication profile (which ingest shards overlap —
+    * the routing view exact dedup alone doesn't give): for every source
+    * pair (a < b), shared fingerprints at TWO granularities — exact
+    * full-text md5 and the 80-char boilerplate prefix (which catches
+    * same-opening/different-tail templates that exact dedup misses and
+    * guarantees a non-degenerate report at any corpus slice). Both
+    * self-joins are fingerprint-keyed and each fingerprint carries at
+    * most |sources| rows, so the pair product is bounded by |sources|²
+    * per fingerprint at any corpus size.
+    */
+  def q_dedup_crossshard(spark: SparkSession, sf: String): DataFrame = {
+    def shared(fpCol: Column, out: String): DataFrame = {
+      val fps = Tables.documents(spark, sf)
+        .select(fpCol.as("fp"), col("source")).distinct()
+      fps.as("a")
+        .join(fps.select(col("fp").as("fp2"), col("source").as("source_b")).as("b"),
+          col("fp") === col("fp2") && col("source") < col("source_b"))
+        .groupBy(col("source").as("source_a"), col("source_b"))
+        .agg(count(lit(1)).as(out))
+    }
+    shared(md5(substring(col("text"), 1, 80).cast("binary")), "n_shared_prefix80")
+      .join(shared(md5(col("text").cast("binary")), "n_shared_exact"),
+        Seq("source_a", "source_b"), "left_outer")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("n_shared_exact"), lit(0L)).as("n_shared_exact"),
+        col("n_shared_prefix80"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** Distinctive terms per language by log-odds ratio with an
+    * informative Dirichlet prior (Monroe et al. 2008, the corpus-
+    * comparison standard): the prior is the global term distribution, so
+    * common words are shrunk and genuinely distinctive ones surface.
+    * One token aggregate feeds everything; language/global margins are
+    * window re-sums of that aggregate (no second corpus pass). The
+    * z-score epilogue is a fixed IEEE tree over exact integer counts,
+    * e4-rounded before the top-5-per-language rank (ties → word asc).
+    */
+  def q_log_odds_terms(spark: SparkSession, sf: String): DataFrame = {
+    // language/corpus totals from a tiny re-aggregate (a global window
+    // over the term table would serialize into one task — banned shape)
+    val langTot = docTokens(spark, sf)
+      .groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+    val grand = langTot.agg(sum(col("nl")).as("n"))
+    val scored = docTokens(spark, sf)
+      .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("y"))
+      .withColumn("aw", sum(col("y")).over(Window.partitionBy("word")))
+      .join(broadcast(langTot), "lang")
+      .crossJoin(broadcast(grand))
+      .withColumn("yr", col("aw") - col("y"))      // term count in the REST
+      .withColumn("nr", col("n") - col("nl"))      // token total in the rest
+      .withColumn("d", expr(
+        """LN((CAST(y AS DOUBLE) + CAST(aw AS DOUBLE))
+             / (CAST(nl AS DOUBLE) + CAST(n AS DOUBLE)
+                - CAST(y AS DOUBLE) - CAST(aw AS DOUBLE)))
+           - LN((CAST(yr AS DOUBLE) + CAST(aw AS DOUBLE))
+             / (CAST(nr AS DOUBLE) + CAST(n AS DOUBLE)
+                - CAST(yr AS DOUBLE) - CAST(aw AS DOUBLE)))"""))
+      .withColumn("v", expr(
+        """1.0 / (CAST(y AS DOUBLE) + CAST(aw AS DOUBLE))
+           + 1.0 / (CAST(yr AS DOUBLE) + CAST(aw AS DOUBLE))"""))
+      .withColumn("z_e4",
+        round(col("d") / sqrt(col("v")) * lit(1e4)).cast("long"))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(col("z_e4").desc, col("word").asc)))
+      .filter(col("rn") <= 5)
+      .select(col("lang"), col("rn"), col("word"), col("y"), col("z_e4"))
+      .orderBy("lang", "rn")
+  }
+
+  /** Per-document character-distribution entropy — the compressibility
+    * proxy corpus-QA filters use to catch degenerate text (repeated
+    * characters score near 0, natural text 3+ bits ≈ 2.1 nats). Same
+    * proven lattice as [[q_token_entropy]]: each c·ln(c) term is
+    * e4-rounded BEFORE the order-independent sum. keep = entropy ≥ 1.5
+    * (fixed constant). Characters are generated INSIDE the row via a
+    * sequence transform — no join, one explode, one doc-keyed aggregate.
+    */
+  def q_char_entropy(spark: SparkSession, sf: String): DataFrame =
+    Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), lower(col("text")).as("lt"))
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(1, length(lt)), i -> substring(lt, i, 1))")).as("ch"))
+      .groupBy(col("doc_id"), col("lang"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), col("lang"), col("c"),
+        round(col("c").cast("double") * log(col("c").cast("double")) * 1e4)
+          .cast("long").as("clnc_e4"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("distinct_chars"), sum(col("c")).as("n_chars_used"),
+        sum(col("clnc_e4")).as("s_e4"))
+      .select(col("doc_id"), col("lang"), col("distinct_chars"), col("n_chars_used"),
+        (round(
+          log(col("n_chars_used").cast("double")) -
+            col("s_e4").cast("double") / (col("n_chars_used").cast("double") * lit(1e4)),
+          4) + lit(0.0)).as("entropy"))
+      .withColumn("keep", (col("entropy") >= 1.5).cast("int").cast("long"))
+      .orderBy("doc_id")
 }

@@ -938,4 +938,73 @@ object TextPipeline {
         (col("loo_cpt_e4") - col("full_cpt_e4")).as("removal_delta_e4"))
       .orderBy("source")
   }
+
+  /** N-gram novelty in corpus order (streaming-dedup's scoring view: how
+    * much of each shard is new text vs. re-tread): a bigram is "novel"
+    * in the first doc_id where it appears; per language — docs, distinct
+    * doc-bigrams, novel bigrams, novelty rate e4. Two vocabulary-keyed
+    * aggregates over the shared [[docBigrams]] explode; the corpus is
+    * tokenized once and never self-joined.
+    */
+  def q_ngram_novelty(spark: SparkSession, sf: String): DataFrame = {
+    val nb = docBigrams(spark, sf)
+      .select(col("doc_id"), col("w1"), col("w2")).distinct()
+    val first = nb.groupBy(col("w1"), col("w2"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    val perDoc = nb.join(first, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nb"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("nv"))
+    Tables.documents(spark, sf).select(col("doc_id"), col("lang"))
+      .join(perDoc, "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nb")).as("doc_bigrams"), sum(col("nv")).as("novel_bigrams"))
+      .select(col("lang"), col("n_docs"), col("doc_bigrams"), col("novel_bigrams"),
+        expr("novel_bigrams * 10000 div doc_bigrams").as("novelty_e4"))
+      .orderBy("lang")
+  }
+
+  /** Winnowing document fingerprints (Schleimer-Wilkerson-Aiken, the
+    * MOSS algorithm — THE bounded-size local fingerprint for plagiarism
+    * / near-dup detection at scale): hash every token 3-gram
+    * ([[graft.core.Det.hash32]]), slide a window of 4 hashes, keep each
+    * window's minimum, dedup — guaranteeing any shared run of ≥ 6 tokens
+    * yields a shared fingerprint while storing ~2/(w+1) of the hashes.
+    * Everything up to the fingerprint set is generated INSIDE the row
+    * (sequence/transform/slice/array_min — zero pre-aggregate shuffles);
+    * candidate pairs then come from a fingerprint-keyed join blocked by
+    * (lang, source), never corpus×corpus. Output per block: docs
+    * fingerprinted, stored fingerprints, candidate pairs sharing ≥ 2.
+    */
+  def q_winnowing_fingerprint(spark: SparkSession, sf: String): DataFrame = {
+    val fps = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("source"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 6) // k + w - 1 tokens for one full window
+      .select(col("doc_id"), col("lang"), col("source"), expr(
+        """transform(sequence(1, size(t) - 2),
+             i -> cast(conv(substring(md5(cast(concat_ws(' ', t[i-1], t[i], t[i+1])
+                  as binary)), 1, 8), 16, 10) as bigint))""").as("hs"))
+      .select(col("doc_id"), col("lang"), col("source"), explode(expr(
+        "array_distinct(transform(sequence(1, size(hs) - 3), j -> array_min(slice(hs, j, 4))))"))
+        .as("fp"))
+    val perDoc = fps.groupBy(col("lang"), col("source"), col("doc_id"))
+      .agg(count(lit(1)).as("nfp"))
+    val pairs = fps.as("a")
+      .join(fps.select(col("lang").as("l2"), col("source").as("s2"),
+        col("doc_id").as("d2"), col("fp").as("fp2")).as("b"),
+        col("lang") === col("l2") && col("source") === col("s2") &&
+          col("fp") === col("fp2") && col("doc_id") < col("d2"))
+      .groupBy(col("lang"), col("source"), col("doc_id"), col("d2"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 2)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("candidate_pairs"))
+    perDoc.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nfp")).as("n_fingerprints"))
+      .join(pairs, Seq("lang", "source"), "left_outer")
+      .select(col("lang"), col("source"), col("n_docs"), col("n_fingerprints"),
+        coalesce(col("candidate_pairs"), lit(0L)).as("candidate_pairs"))
+      .orderBy("lang", "source")
+  }
 }

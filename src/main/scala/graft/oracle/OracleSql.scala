@@ -9738,10 +9738,14 @@ object OracleSql {
       WITH bs AS (SELECT CAST(bb AS BIGINT) AS b
                   FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9),(10),(11),
                                (12),(13),(14),(15),(16),(17),(18),(19)) t(bb)),
-           h AS (SELECT b, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x,
-                        CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)
-                          || '_' || CAST(b AS VARCHAR)), 1, 8) AS BIGINT) % 1000 AS hh
-                 FROM orders CROSS JOIN bs),
+           h0 AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x,
+                         CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)),
+                           1, 8) AS BIGINT) AS h0
+                  FROM orders),
+           h AS (SELECT b, x,
+                        ((h0 * (b * 2 + 1) + b * 40503)
+                          % 4294967296) % 1000 AS hh
+                 FROM h0 CROSS JOIN bs),
            w AS (SELECT b, x,
                         CASE WHEN hh < 368 THEN 0 WHEN hh < 736 THEN 1
                              WHEN hh < 920 THEN 2 WHEN hh < 981 THEN 3
@@ -12681,10 +12685,14 @@ object OracleSql {
       WITH bs AS (SELECT CAST(bb AS BIGINT) AS b
                   FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9),(10),(11),
                                (12),(13),(14),(15),(16),(17),(18),(19)) t(bb)),
-           h AS (SELECT b, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x,
-                        CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)
-                          || '_' || CAST(b AS VARCHAR)), 1, 8) AS BIGINT) % 1000 AS hh
-                 FROM orders CROSS JOIN bs),
+           h0 AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x,
+                         CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)),
+                           1, 8) AS BIGINT) AS h0
+                  FROM orders),
+           h AS (SELECT b, x,
+                        ((h0 * (b * 2 + 1) + b * 40503)
+                          % 4294967296) % 1000 AS hh
+                 FROM h0 CROSS JOIN bs),
            w AS (SELECT b, x,
                         CASE WHEN hh < 368 THEN 0 WHEN hh < 736 THEN 1
                              WHEN hh < 920 THEN 2 WHEN hh < 981 THEN 3
@@ -13023,5 +13031,180 @@ object OracleSql {
              ROUND(CAST(cmax AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) + 0
                AS berger_parker
       FROM m""",
+
+    // ---- round 4: corpus structure / decode / engagement (§2.124) ----
+
+    "q_dedup_crossshard" -> """
+      WITH fe AS (SELECT DISTINCT md5(text) AS fp, source FROM documents),
+           fp80 AS (SELECT DISTINCT md5(substring(text, 1, 80)) AS fp, source
+                    FROM documents),
+           ex AS (SELECT a.source AS source_a, b.source AS source_b,
+                         CAST(COUNT(*) AS BIGINT) AS n_shared_exact
+                  FROM fe a JOIN fe b ON a.fp = b.fp AND a.source < b.source
+                  GROUP BY 1, 2),
+           pre AS (SELECT a.source AS source_a, b.source AS source_b,
+                          CAST(COUNT(*) AS BIGINT) AS n_shared_prefix80
+                   FROM fp80 a JOIN fp80 b ON a.fp = b.fp AND a.source < b.source
+                   GROUP BY 1, 2)
+      SELECT source_a, source_b,
+             CAST(COALESCE(n_shared_exact, 0) AS BIGINT) AS n_shared_exact,
+             n_shared_prefix80
+      FROM pre LEFT JOIN ex USING (source_a, source_b)
+      ORDER BY 1, 2""",
+
+    "q_log_odds_terms" -> """
+      WITH c AS (SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS y
+                 FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS word
+                       FROM documents)
+                 GROUP BY 1, 2),
+           cw AS (SELECT lang, word, y,
+                         CAST(SUM(y) OVER (PARTITION BY word) AS BIGINT) AS aw
+                  FROM c),
+           lt AS (SELECT lang, CAST(SUM(y) AS BIGINT) AS nl FROM c GROUP BY 1),
+           g AS (SELECT CAST(SUM(nl) AS BIGINT) AS n FROM lt),
+           sc AS (SELECT cw.lang, word, y,
+                         CAST(ROUND((LN((CAST(y AS DOUBLE) + CAST(aw AS DOUBLE))
+                             / (CAST(nl AS DOUBLE) + CAST(n AS DOUBLE)
+                                - CAST(y AS DOUBLE) - CAST(aw AS DOUBLE)))
+                           - LN((CAST(aw - y AS DOUBLE) + CAST(aw AS DOUBLE))
+                             / (CAST(n - nl AS DOUBLE) + CAST(n AS DOUBLE)
+                                - CAST(aw - y AS DOUBLE) - CAST(aw AS DOUBLE))))
+                           / SQRT(1.0 / (CAST(y AS DOUBLE) + CAST(aw AS DOUBLE))
+                             + 1.0 / (CAST(aw - y AS DOUBLE) + CAST(aw AS DOUBLE)))
+                           * 1e4) AS BIGINT) AS z_e4
+                  FROM cw JOIN lt ON cw.lang = lt.lang CROSS JOIN g),
+           r AS (SELECT lang, word, y, z_e4,
+                        CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                          ORDER BY z_e4 DESC, word) AS BIGINT) AS rn
+                 FROM sc)
+      SELECT lang, rn, word, y, z_e4 FROM r WHERE rn <= 5 ORDER BY lang, rn""",
+
+    "q_char_entropy" -> """
+      WITH ch AS (SELECT doc_id, lang,
+                         unnest(list_transform(
+                           generate_series(1, CAST(length(lt) AS INT)),
+                           i -> substring(lt, i, 1))) AS ch
+                  FROM (SELECT doc_id, lang, lower(text) AS lt FROM documents)),
+           c AS (SELECT doc_id, lang, ch, CAST(COUNT(*) AS BIGINT) AS c
+                 FROM ch GROUP BY 1, 2, 3),
+           t AS (SELECT doc_id, lang, c,
+                        CAST(ROUND(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE)) * 1e4)
+                          AS BIGINT) AS clnc_e4
+                 FROM c),
+           s AS (SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS distinct_chars,
+                        CAST(SUM(c) AS BIGINT) AS n_chars_used,
+                        CAST(SUM(clnc_e4) AS BIGINT) AS s_e4
+                 FROM t GROUP BY 1, 2)
+      SELECT doc_id, lang, distinct_chars, n_chars_used,
+             ROUND(LN(CAST(n_chars_used AS DOUBLE))
+               - CAST(s_e4 AS DOUBLE) / (CAST(n_chars_used AS DOUBLE) * 1e4), 4) + 0
+               AS entropy,
+             CAST(CASE WHEN ROUND(LN(CAST(n_chars_used AS DOUBLE))
+               - CAST(s_e4 AS DOUBLE) / (CAST(n_chars_used AS DOUBLE) * 1e4), 4)
+                 >= 1.5 THEN 1 ELSE 0 END AS BIGINT) AS keep
+      FROM s ORDER BY doc_id""",
+
+    "q_ngram_novelty" -> """
+      WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w,
+                          generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+                   FROM documents),
+           nb AS (SELECT DISTINCT doc_id, w1, w2 FROM
+                    (SELECT doc_id, w AS w1,
+                            LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+                     FROM tok)
+                  WHERE w2 IS NOT NULL),
+           fst AS (SELECT w1, w2, MIN(doc_id) AS first_doc FROM nb GROUP BY 1, 2),
+           pd AS (SELECT nb.doc_id, CAST(COUNT(*) AS BIGINT) AS nb_n,
+                         CAST(SUM(CASE WHEN first_doc = nb.doc_id THEN 1 ELSE 0 END)
+                           AS BIGINT) AS nv
+                  FROM nb JOIN fst USING (w1, w2) GROUP BY 1)
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(nb_n) AS BIGINT) AS doc_bigrams,
+             CAST(SUM(nv) AS BIGINT) AS novel_bigrams,
+             CAST(SUM(nv) * 10000 // SUM(nb_n) AS BIGINT) AS novelty_e4
+      FROM documents JOIN pd USING (doc_id)
+      GROUP BY 1 ORDER BY 1""",
+
+    "q_winnowing_fingerprint" -> """
+      WITH d AS (SELECT doc_id, lang, source, string_split(lower(text), ' ') AS t
+                 FROM documents
+                 WHERE len(string_split(lower(text), ' ')) >= 6),
+           hs AS (SELECT doc_id, lang, source,
+                         list_transform(generate_series(1, len(t) - 2),
+                           i -> CAST('0x' || substring(md5(t[i] || ' ' || t[i+1]
+                                || ' ' || t[i+2]), 1, 8) AS BIGINT)) AS hs
+                  FROM d),
+           fp AS (SELECT DISTINCT doc_id, lang, source, fp FROM
+                    (SELECT doc_id, lang, source,
+                            unnest(list_transform(generate_series(1, len(hs) - 3),
+                              j -> list_aggregate(hs[j:j+3], 'min'))) AS fp
+                     FROM hs)),
+           pd AS (SELECT lang, source, doc_id, CAST(COUNT(*) AS BIGINT) AS nfp
+                  FROM fp GROUP BY 1, 2, 3),
+           pairs AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS candidate_pairs
+                     FROM (SELECT a.lang, a.source, a.doc_id, b.doc_id AS d2,
+                                  CAST(COUNT(*) AS BIGINT) AS shared
+                           FROM fp a JOIN fp b
+                             ON a.lang = b.lang AND a.source = b.source
+                                AND a.fp = b.fp AND a.doc_id < b.doc_id
+                           GROUP BY 1, 2, 3, 4)
+                     WHERE shared >= 2 GROUP BY 1, 2)
+      SELECT pd.lang, pd.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(nfp) AS BIGINT) AS n_fingerprints,
+             CAST(COALESCE(MAX(candidate_pairs), 0) AS BIGINT) AS candidate_pairs
+      FROM pd LEFT JOIN pairs ON pd.lang = pairs.lang AND pd.source = pairs.source
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_viterbi_path" -> """
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tu, event_id
+                 FROM events),
+           st AS (SELECT event_type AS s0, CAST(COUNT(*) AS BIGINT) AS c FROM
+                    (SELECT user_id, event_type,
+                            ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY tu, event_id) AS rn
+                     FROM e)
+                  WHERE rn = 1 GROUP BY 1),
+           tot AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM st),
+           s0 AS (SELECT s0, CAST(ROUND(LN(CAST(c AS DOUBLE)
+                    / CAST(tot AS DOUBLE)) * 1e8) AS BIGINT) AS sc0
+                  FROM st, tot),
+           ed AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM
+                    (SELECT user_id, event_type AS dst,
+                            LAG(event_type) OVER (PARTITION BY user_id
+                              ORDER BY tu, event_id) AS src
+                     FROM e)
+                  WHERE src IS NOT NULL GROUP BY 1, 2),
+           tr AS (SELECT src, dst,
+                         CAST(ROUND(LN(CAST(w AS DOUBLE) / CAST(ow AS DOUBLE)) * 1e8)
+                           AS BIGINT) AS lt
+                  FROM (SELECT src, dst, w,
+                               CAST(SUM(w) OVER (PARTITION BY src) AS BIGINT) AS ow
+                        FROM ed)),
+           v1 AS (SELECT s1, sc1, p0 FROM
+                    (SELECT tr.dst AS s1, sc0 + lt AS sc1, s0.s0 AS p0,
+                            ROW_NUMBER() OVER (PARTITION BY tr.dst
+                              ORDER BY sc0 + lt DESC, s0.s0 DESC) AS rn
+                     FROM s0 JOIN tr ON s0.s0 = tr.src)
+                  WHERE rn = 1),
+           v2 AS (SELECT s2, sc2, p1, p0 FROM
+                    (SELECT tr.dst AS s2, sc1 + lt AS sc2, v1.s1 AS p1, v1.p0,
+                            ROW_NUMBER() OVER (PARTITION BY tr.dst
+                              ORDER BY sc1 + lt DESC, v1.s1 DESC, v1.p0 DESC) AS rn
+                     FROM v1 JOIN tr ON v1.s1 = tr.src)
+                  WHERE rn = 1)
+      SELECT p0 AS step0, p1 AS step1, s2 AS step2, CAST(sc2 AS BIGINT) AS score_e8
+      FROM v2 ORDER BY sc2 DESC, s2 DESC, p1 DESC, p0 DESC LIMIT 1""",
+
+    "q_user_stickiness" -> """
+      WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+           um AS (SELECT user_id, d, strftime(d, '%Y-%m') AS month FROM ud),
+           dau AS (SELECT month, CAST(COUNT(*) AS BIGINT) AS sum_dau,
+                          CAST(COUNT(DISTINCT d) AS BIGINT) AS n_days
+                   FROM um GROUP BY 1),
+           mau AS (SELECT month, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+                   FROM um GROUP BY 1)
+      SELECT month, n_days, mau, sum_dau,
+             CAST(sum_dau * 10000 // (n_days * mau) AS BIGINT) AS stickiness_e4
+      FROM dau JOIN mau USING (month) ORDER BY month""",
   )
 }

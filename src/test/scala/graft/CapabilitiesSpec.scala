@@ -41,6 +41,29 @@ class CapabilitiesSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [isnotnull(o_orderpriority"), plan)
   }
 
+  test("bucketed tables co-locate: sort-merge join with zero exchanges") {
+    import spark.implicits._
+    val a = (1 to 2000).map(i => (i.toLong, i * 2L)).toDF("k", "va")
+    val b = (1 to 2000).map(i => (i.toLong, i * 3L)).toDF("k", "vb")
+    a.write.mode("overwrite").bucketBy(8, "k").sortBy("k")
+      .saveAsTable("graft_bucket_a")
+    b.write.mode("overwrite").bucketBy(8, "k").sortBy("k")
+      .saveAsTable("graft_bucket_b")
+    // force SMJ (a broadcast join would skip the shuffle trivially and
+    // prove nothing about bucket co-location)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("graft_bucket_a")
+        .join(spark.table("graft_bucket_b"), "k")
+      assert(j.count() === 2000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"),
+        "bucketed-by-key join must not shuffle either side:\n" + plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("stub media decode is deterministic with stable schema and batching") {
     val items = Multimodal.syntheticMedia(spark, 30)
     val dec = new Multimodal.StubDecoder(16)
