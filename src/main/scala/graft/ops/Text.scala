@@ -932,13 +932,15 @@ object Text {
     * e4-rounded before the top-5-per-language rank (ties → word asc).
     */
   def q_log_odds_terms(spark: SparkSession, sf: String): DataFrame = {
-    // language/corpus totals from a tiny re-aggregate (a global window
-    // over the term table would serialize into one task — banned shape)
-    val langTot = docTokens(spark, sf)
-      .groupBy(col("lang")).agg(count(lit(1)).as("nl"))
-    val grand = langTot.agg(sum(col("nl")).as("n"))
-    val scored = docTokens(spark, sf)
+    // corpus tokenized ONCE; language/corpus totals re-sum the term
+    // aggregate (a global window over it would serialize into one task —
+    // banned shape), checkpointed so the explode doesn't run 3×
+    val terms = docTokens(spark, sf)
       .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("y"))
+      .localCheckpoint()
+    val langTot = terms.groupBy(col("lang")).agg(sum(col("y")).as("nl"))
+    val grand = langTot.agg(sum(col("nl")).as("n"))
+    val scored = terms
       .withColumn("aw", sum(col("y")).over(Window.partitionBy("word")))
       .join(broadcast(langTot), "lang")
       .crossJoin(broadcast(grand))

@@ -946,7 +946,7 @@ object TextPipeline {
     * aggregates over the shared [[docBigrams]] explode; the corpus is
     * tokenized once and never self-joined.
     */
-  def q_ngram_novelty(spark: SparkSession, sf: String): DataFrame = {
+  def q_corpus_novelty(spark: SparkSession, sf: String): DataFrame = {
     val nb = docBigrams(spark, sf)
       .select(col("doc_id"), col("w1"), col("w2")).distinct()
     val first = nb.groupBy(col("w1"), col("w2"))

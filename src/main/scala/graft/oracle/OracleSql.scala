@@ -13104,7 +13104,7 @@ object OracleSql {
                  >= 1.5 THEN 1 ELSE 0 END AS BIGINT) AS keep
       FROM s ORDER BY doc_id""",
 
-    "q_ngram_novelty" -> """
+    "q_corpus_novelty" -> """
       WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w,
                           generate_subscripts(string_split(lower(text), ' '), 1) AS pos
                    FROM documents),

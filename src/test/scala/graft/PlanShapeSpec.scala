@@ -87,6 +87,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(nMembers > comp.size, "no non-trivial component at smoke scale")
   }
 
+  test("log-odds terms: language totals broadcast onto the term table") {
+    val p = plan(Text.q_log_odds_terms(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("winnowing: candidate pair join is keyed, never a cross product") {
+    val p = plan(TextPipeline.q_winnowing_fingerprint(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"unkeyed pair join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"unkeyed pair join:\n$p")
+  }
+
   test("no query plans a global (partition-less) window") {
     // an empty partitionSpec moves ALL rows to one task — a 100 TB
     // red flag; every window in the inventory must carry a partition key

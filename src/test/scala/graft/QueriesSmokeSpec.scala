@@ -16,6 +16,24 @@ class QueriesSmokeSpec extends AnyFunSuite {
 
   private val capabilityOnly = Set("q_approx_distinct")
 
+  test("no duplicate keys in the SparkEntry / OracleSql map literals") {
+    // a Map literal silently keeps only the LAST binding for a repeated
+    // key — a new query reusing an existing name would shadow the old
+    // implementation with no compile error (it happened once)
+    for (path <- Seq("src/main/scala/graft/SparkEntry.scala",
+        "src/main/scala/graft/oracle/OracleSql.scala")) {
+      // explicit UTF-8: the sources carry µ/× in Scaladoc and the test
+      // JVM's platform default charset may be ASCII
+      val src = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val keys = "\"(q_\\w+)\"\\s*->".r.findAllMatchIn(src)
+        .map(_.group(1)).toSeq
+      val dups = keys.groupBy(identity).filter(_._2.size > 1).keys.toSeq.sorted
+      assert(dups.isEmpty, s"$path declares duplicate keys: ${dups.mkString(", ")}")
+    }
+  }
+
   test("every query has an oracle or is explicitly capability-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- capabilityOnly
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
