@@ -7219,23 +7219,4 @@ object Analytics {
           .as("sd_over_range4"))
   }
 
-  /** User stickiness (DAU/MAU, the engagement-depth product metric) per
-    * month: Σ daily-active ÷ (active days × monthly-active) as an e4
-    * integer, plus the raw components. Everything derives from ONE
-    * distinct (user, day) pass — DAU re-sums it by day, MAU by month —
-    * so the event stream is deduplicated exactly once at any scale.
-    */
-  def q_user_stickiness(spark: SparkSession, sf: String): DataFrame = {
-    val ud = Tables.eventsWithTs(spark, sf)
-      .select(col("user_id"), to_date(col("ts_us")).as("d")).distinct()
-      .withColumn("month", date_format(col("d"), "yyyy-MM"))
-    val dau = ud.groupBy(col("month"))
-      .agg(count(lit(1)).as("sum_dau"), countDistinct(col("d")).as("n_days"))
-    val mau = ud.select(col("month"), col("user_id")).distinct()
-      .groupBy(col("month")).agg(count(lit(1)).as("mau"))
-    dau.join(mau, "month")
-      .select(col("month"), col("n_days"), col("mau"), col("sum_dau"),
-        expr("sum_dau * 10000 div (n_days * mau)").as("stickiness_e4"))
-      .orderBy("month")
-  }
 }

@@ -13195,16 +13195,5 @@ object OracleSql {
       SELECT p0 AS step0, p1 AS step1, s2 AS step2, CAST(sc2 AS BIGINT) AS score_e8
       FROM v2 ORDER BY sc2 DESC, s2 DESC, p1 DESC, p0 DESC LIMIT 1""",
 
-    "q_user_stickiness" -> """
-      WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
-           um AS (SELECT user_id, d, strftime(d, '%Y-%m') AS month FROM ud),
-           dau AS (SELECT month, CAST(COUNT(*) AS BIGINT) AS sum_dau,
-                          CAST(COUNT(DISTINCT d) AS BIGINT) AS n_days
-                   FROM um GROUP BY 1),
-           mau AS (SELECT month, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
-                   FROM um GROUP BY 1)
-      SELECT month, n_days, mau, sum_dau,
-             CAST(sum_dau * 10000 // (n_days * mau) AS BIGINT) AS stickiness_e4
-      FROM dau JOIN mau USING (month) ORDER BY month""",
   )
 }
