@@ -58,4 +58,25 @@ class FixtureSchemaSpec extends AnyFunSuite {
     val e = intercept[IllegalStateException](Tables.assertSchema("events", bad))
     assert(e.getMessage.contains("ts"))
   }
+
+  test("legacy INT64-nanos ts layout still derives identical ts_usl/ts_us") {
+    import org.apache.spark.sql.functions._
+    // rounds 1-2 shipped ts as raw nanosecond longs (read under
+    // nanosAsLong); synthesize that layout from the current fixture and
+    // check the adaptive loader lands on the same derived columns
+    val dir = java.nio.file.Files.createTempDirectory("graft_nanos").toString
+    val cur = Tables.eventsWithTs(spark, sf)
+    cur.select(col("event_id"), (col("ts_usl") * 1000L).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val legacy = Tables.eventsWithTs(spark, dir)
+    assert(legacy.schema("ts").dataType ===
+      org.apache.spark.sql.types.LongType)
+    val diff = legacy.select(col("event_id"), col("ts_usl").as("usl_legacy"))
+      .join(cur.select(col("event_id"), col("ts_usl")), "event_id")
+      .agg(sum(when(col("usl_legacy") === col("ts_usl"), 0L).otherwise(1L))
+        .as("bad")).head().getLong(0)
+    assert(diff === 0L, "legacy nanos branch diverges from timestamp branch")
+    assert(legacy.count() === cur.count())
+  }
 }
