@@ -4263,6 +4263,13 @@ object Analytics {
   /** Jonckheere–Terpstra ordered-alternative test across priorities
     * 1..5 on the $100 cent-bin lattice: J* = Σ_{j₁<j₂}(#(x₁<x₂) +
     * ½#(x₁=x₂)) from exact cell products, no-tie moments for z.
+    *
+    * Shape: for each target group j₂, the mass of all LOWER groups is
+    * merged into one per-j₂ lattice and prefix-summed with the keyed
+    * [[BandedScan]]; each j₂ cell then contributes qcnt·(strict prefix)
+    * to J — replacing the old lattice×lattice theta join (~10⁸ pair
+    * evaluations at sf0.1, quadratic in the price domain) with one
+    * bounded 4× expand + a banded cumulative scan.
     */
   def q_jonckheere(spark: SparkSession, sf: String): DataFrame = {
     val gv = Tables.orders(spark, sf)
@@ -4271,13 +4278,19 @@ object Analytics {
           .as("v"))
       .agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
-    val pairs = gv.as("a")
-      .join(gv.select(col("j").as("j2"), col("v").as("v2"),
-        col("cnt").as("c2")).as("b"), col("j2") > col("a.j"))
-      .agg(sum(when(col("v2") > col("a.v"), col("a.cnt") * col("c2")).otherwise(0L))
-        .as("jgt"),
-        sum(when(col("v2") === col("a.v"), col("a.cnt") * col("c2")).otherwise(0L))
-          .as("jeq"))
+    val targets = gv.sparkSession.range(2, 6).select(col("id").as("j2"))
+    val lower = gv.crossJoin(broadcast(targets)).filter(col("j") < col("j2"))
+      .groupBy(col("j2"), col("v")).agg(sum(col("cnt")).as("dcnt"))
+    val query = gv.filter(col("j") >= 2)
+      .select(col("j").as("j2"), col("v"), col("cnt").as("qcnt"))
+    val lat = lower.join(query, Seq("j2", "v"), "full_outer")
+      .select(col("j2"), col("v"),
+        coalesce(col("dcnt"), lit(0L)).as("dcnt"),
+        coalesce(col("qcnt"), lit(0L)).as("qcnt"))
+      .localCheckpoint()
+    val pairs = BandedScan.cumSumAuto(lat, Seq("j2"), "v", "dcnt", "ci")
+      .agg(sum(col("qcnt") * (col("ci") - col("dcnt"))).as("jgt"),
+        sum(col("qcnt") * col("dcnt")).as("jeq"))
     val sizes = gv.groupBy(col("j")).agg(sum(col("cnt")).as("ng"))
       .agg(sum(col("ng")).as("nn"), sum(col("ng") * col("ng")).as("sn2"),
         sum(col("ng") * col("ng")
