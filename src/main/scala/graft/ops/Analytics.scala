@@ -4260,6 +4260,39 @@ object Analytics {
           .as("z"))
   }
 
+  /** Merkle-style partition content digest (incremental-sync change
+    * detection: re-process only partitions whose digest moved — the
+    * check count/key audits can't do, since a value edit keeps both):
+    * per event-day, an ORDER-INDEPENDENT content digest = Σ row-hash
+    * carried in decimal (exact at any row count) mod 2⁶¹−1; then a
+    * month-level digest-of-digests over the day digests in day order.
+    * Row hash covers every column through the shared md5 primitive, so
+    * both engines agree bit-for-bit. One scan, one day-keyed aggregate,
+    * one month-keyed rollup.
+    */
+  def q_partition_digest(spark: SparkSession, sf: String): DataFrame = {
+    val rows = Tables.eventsWithTs(spark, sf)
+      .select(date_format(col("ts_us"), "yyyy-MM-dd").as("day"),
+        graft.core.Det.hash32(concat_ws("|",
+          col("event_id"), col("ts_usl"), col("user_id"),
+          col("event_type"), cents(col("value")), col("props"))).as("h"))
+    val daily = rows.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(col("h").cast("decimal(38,0)")) % lit(2305843009213693951L))
+          .cast("long").as("digest"))
+    val monthly = daily
+      .groupBy(substring(col("day"), 1, 7).as("month"))
+      .agg(md5(concat_ws(",",
+        transform(
+          array_sort(collect_list(struct(col("day"), col("digest")))),
+          e => concat(e.getField("day"), lit(":"), e.getField("digest"))))
+        .cast("binary")).as("month_digest"))
+    daily.withColumn("month", substring(col("day"), 1, 7))
+      .join(broadcast(monthly), "month")
+      .select(col("day"), col("n_rows"), col("digest"), col("month_digest"))
+      .orderBy("day")
+  }
+
   /** Jonckheere–Terpstra ordered-alternative test across priorities
     * 1..5 on the $100 cent-bin lattice: J* = Σ_{j₁<j₂}(#(x₁<x₂) +
     * ½#(x₁=x₂)) from exact cell products, no-tie moments for z.

@@ -13195,5 +13195,26 @@ object OracleSql {
       SELECT p0 AS step0, p1 AS step1, s2 AS step2, CAST(sc2 AS BIGINT) AS score_e8
       FROM v2 ORDER BY sc2 DESC, s2 DESC, p1 DESC, p0 DESC LIMIT 1""",
 
+    "q_partition_digest" -> """
+      WITH r AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+                        CAST('0x' || substring(md5(
+                          CAST(event_id AS VARCHAR) || '|' ||
+                          CAST(CAST(epoch_us(ts) AS BIGINT) AS VARCHAR) || '|' ||
+                          CAST(user_id AS VARCHAR) || '|' ||
+                          event_type || '|' ||
+                          CAST(CAST(ROUND(value * 100) AS BIGINT) AS VARCHAR)
+                          || '|' || props), 1, 8) AS BIGINT) AS h
+                 FROM events),
+           d AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                        CAST(SUM(h) % 2305843009213693951 AS BIGINT) AS digest
+                 FROM r GROUP BY 1),
+           m AS (SELECT substring(day, 1, 7) AS month,
+                        md5(string_agg(day || ':' || CAST(digest AS VARCHAR),
+                          ',' ORDER BY day)) AS month_digest
+                 FROM d GROUP BY 1)
+      SELECT day, n_rows, digest, month_digest
+      FROM d JOIN m ON substring(d.day, 1, 7) = m.month
+      ORDER BY day""",
+
   )
 }
