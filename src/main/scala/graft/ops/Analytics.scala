@@ -7265,4 +7265,631 @@ object Analytics {
           .as("sd_over_range4"))
   }
 
+  /** Pairwise Hellinger distance between the nations' market-segment
+    * mixes: H = √(1 − Σᵢ√(pᵢqᵢ)) — the bounded [0,1] metric (unlike KL)
+    * segmentation monitors use to compare categorical profiles.
+    * Segment support is densified (every nation × every segment, zeros
+    * included) so both engines sum the same 5 terms; each √(p·q) is
+    * e8-rounded before the order-free sum and only the final √(1−BC) is
+    * a float epilogue. Profile table is |nations|×|segments| — tiny at
+    * any scale; the pair join is |nations|²-bounded, never row-scaled.
+    */
+  def q_hellinger_distance(spark: SparkSession, sf: String): DataFrame = {
+    val cn = Tables.customer(spark, sf)
+      .join(broadcast(Tables.nation(spark, sf)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("c_mktsegment")).agg(count(lit(1)).as("c"))
+    val tot = cn.groupBy(col("n_name")).agg(sum(col("c")).as("t"))
+    val segs = cn.select(col("c_mktsegment")).distinct()
+    val dense = tot.crossJoin(segs)
+      .join(cn, Seq("n_name", "c_mktsegment"), "left_outer")
+      .select(col("n_name"), col("c_mktsegment"), col("t"),
+        coalesce(col("c"), lit(0L)).as("c"))
+      .localCheckpoint()
+    val pa = col("a.c").cast("double") / col("a.t").cast("double")
+    val pb = col("b.c").cast("double") / col("b.t").cast("double")
+    dense.as("a")
+      .join(dense.as("b"),
+        col("a.c_mktsegment") === col("b.c_mktsegment") &&
+          col("a.n_name") < col("b.n_name"))
+      .select(col("a.n_name").as("nation_a"), col("b.n_name").as("nation_b"),
+        round(sqrt(pa * pb) * lit(1e8)).cast("long").as("term_e8"))
+      .groupBy(col("nation_a"), col("nation_b"))
+      .agg(sum(col("term_e8")).as("bc_e8"))
+      .select(col("nation_a"), col("nation_b"), col("bc_e8"),
+        (round(sqrt(greatest(lit(0.0),
+          lit(1.0) - col("bc_e8").cast("double") / lit(1e8))), 4) + lit(0.0))
+          .as("hellinger"))
+      .orderBy("nation_a", "nation_b")
+  }
+
+  /** Total-variation distance of each month's order-priority mix from
+    * the global mix: TV = ½Σᵢ|pᵢ−qᵢ| — the worst-case-event drift bound
+    * (every other f-divergence upper-bounds it) a mix monitor alarms on.
+    * The numerator is EXACT integer arithmetic (|cᵢ·N − gᵢ·n| summed
+    * over densified priorities); the single float is the final
+    * normalization by 2nN. One scan, three small keyed aggregates —
+    * the monthly profile table is |months|×|priorities|, scale-invariant.
+    */
+  def q_total_variation(spark: SparkSession, sf: String): DataFrame = {
+    val o = Tables.orders(spark, sf)
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_orderpriority").as("prio"))
+    val mc = o.groupBy(col("month"), col("prio")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val mt = mc.groupBy(col("month")).agg(sum(col("c")).as("n"))
+    val gc = mc.groupBy(col("prio")).agg(sum(col("c")).as("g"))
+    val gt = gc.agg(sum(col("g")).as("nn"))
+    mt.crossJoin(broadcast(gc)).crossJoin(broadcast(gt))
+      .join(mc, Seq("month", "prio"), "left_outer")
+      .select(col("month"), col("n"), col("nn"),
+        abs(coalesce(col("c"), lit(0L)) * col("nn") - col("g") * col("n")).as("num"))
+      .groupBy(col("month"), col("n"), col("nn"))
+      .agg(sum(col("num")).as("s_abs"))
+      .select(col("month"), col("n").as("n_orders"), col("s_abs"),
+        (round(col("s_abs").cast("double") /
+          (lit(2.0) * col("n").cast("double") * col("nn").cast("double")), 4)
+          + lit(0.0)).as("tv"))
+      .orderBy("month")
+  }
+
+  /** Two-sample Cramér–von Mises test (returnflag A vs R on quantity
+    * cents): T = U/(mn(m+n)) − (4mn−1)/(6(m+n)) with
+    * U = m·Σ_A(r−i)² + n·Σ_R(s−j)². Within a tied value the A-run
+    * precedes the R-run (fixed deterministic order, documented — the
+    * classic statistic assumes continuous data), which makes (rank −
+    * own-index) CONSTANT across each run: Σ(r−i)² over the A-run at
+    * value v is just ca(v)·(#R<v)², and for the R-run cr(v)·(#A≤v)². So
+    * the whole statistic reduces to one value-lattice aggregate over
+    * [[BandedScan]] cumulatives — no global sort, no per-row ranks, the
+    * only shape that survives a 100× value domain. U is assembled in
+    * doubles from exact ≤2⁵³ integers with one fixed IEEE tree.
+    */
+  def q_cvm_twosample(spark: SparkSession, sf: String): DataFrame = {
+    val li = Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag").isin("A", "R"))
+      .select(col("l_returnflag").as("rf"), cents(col("l_quantity")).as("qc"))
+    val cell = li.groupBy(col("qc")).agg(
+      sum(when(col("rf") === "A", 1L).otherwise(0L)).as("ca"),
+      sum(when(col("rf") === "R", 1L).otherwise(0L)).as("cr"))
+      .localCheckpoint()
+    val cum = BandedScan.cumSumsAuto(cell, Seq(), "qc",
+      Seq("ca" -> "cuma", "cr" -> "cumr"))
+    cum.agg(
+      sum(col("ca") * (col("cumr") - col("cr")) * (col("cumr") - col("cr")))
+        .as("sa"),
+      sum(col("cr") * col("cuma") * col("cuma")).as("sr"),
+      sum(col("ca")).as("m"), sum(col("cr")).as("n"))
+      .select(col("m"), col("n"), col("sa"), col("sr"),
+        (round(
+          (col("m").cast("double") * col("sa").cast("double") +
+            col("n").cast("double") * col("sr").cast("double")) /
+            (col("m").cast("double") * col("n").cast("double") *
+              (col("m") + col("n")).cast("double")) -
+            (lit(4.0) * col("m").cast("double") * col("n").cast("double") - lit(1.0)) /
+              (lit(6.0) * (col("m") + col("n")).cast("double")), 4) + lit(0.0))
+          .as("t_stat"))
+  }
+
+  /** Grubbs' outlier test per market segment on account balances:
+    * G = max|x−x̄|/s with the argmax customer (tie → min custkey). The
+    * deviation ranking is EXACT integer arithmetic (|x·n − Σx| in
+    * cents·n — no float compare decides the argmax); G itself is one
+    * fixed double tree over integer sufficient statistics (n, Σx, Σx²).
+    * Two keyed aggregates + one broadcast argmax join — no sort, no
+    * window; the single-pass shape a 100 TB outlier sweep needs.
+    */
+  def q_grubbs_test(spark: SparkSession, sf: String): DataFrame = {
+    val c = Tables.customer(spark, sf)
+      .select(col("c_mktsegment").as("segment"), col("c_custkey"),
+        cents(col("c_acctbal")).as("bc"))
+    val st = c.groupBy(col("segment"))
+      .agg(count(lit(1)).as("n"), sum(col("bc")).as("s"),
+        sum(col("bc") * col("bc")).as("q"))
+    val dev = c.join(broadcast(st), Seq("segment"))
+      .select(col("segment"), col("c_custkey"), col("bc"),
+        abs(col("bc") * col("n") - col("s")).as("dev"))
+    val mx = dev.groupBy(col("segment")).agg(max(col("dev")).as("maxdev"))
+    val nD = col("n").cast("double")
+    val sD = col("s").cast("double")
+    val qD = col("q").cast("double")
+    dev.join(broadcast(mx), Seq("segment"))
+      .filter(col("dev") === col("maxdev"))
+      .groupBy(col("segment"), col("maxdev"))
+      .agg(min(col("c_custkey")).as("outlier_custkey"))
+      .join(st, Seq("segment"))
+      .select(col("segment"), col("n"), col("outlier_custkey"),
+        (round((col("maxdev").cast("double") / nD) /
+          sqrt((nD * qD - sD * sD) / (nD * (nD - lit(1.0)))), 4) + lit(0.0))
+          .as("g_stat"))
+      .orderBy("segment")
+  }
+
+  /** Brown–Forsythe robust variance-homogeneity test across return
+    * flags on quantity cents: one-way ANOVA F on zᵢⱼ = |xᵢⱼ − medⱼ|
+    * (MEDIAN-centered — the robust variant of Levene). Group medians
+    * come from the integer value lattice ([[BandedScan]] cumulative +
+    * smallest v with cum ≥ (n+1)/2 — no sort); z is integer cents, so
+    * every sufficient statistic (nⱼ, Σz, Σz²) is exact, the per-group
+    * Σz²/n terms are e4-latticed before the cross-group sum, and F is
+    * one double epilogue. Three keyed aggregates over a ≤|values|
+    * lattice — scale-flat.
+    */
+  def q_brown_forsythe(spark: SparkSession, sf: String): DataFrame = {
+    val cell = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").as("rf"), cents(col("l_quantity")).as("qc"))
+      .groupBy(col("rf"), col("qc")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val cum = BandedScan.cumSumAuto(cell, Seq("rf"), "qc", "cnt", "cum")
+    val gn = cell.groupBy(col("rf")).agg(sum(col("cnt")).as("ng"))
+    val med = cum.join(broadcast(gn), Seq("rf"))
+      .filter(col("cum") * 2L >= col("ng") + 1L)
+      .groupBy(col("rf")).agg(min(col("qc")).as("med"))
+    val z = cell.join(broadcast(med), Seq("rf"))
+      .select(col("rf"), col("cnt"), abs(col("qc") - col("med")).as("z"))
+    val g = z.groupBy(col("rf"))
+      .agg(sum(col("cnt")).as("ng"), sum(col("cnt") * col("z")).as("sz"),
+        sum(col("cnt") * col("z") * col("z")).as("qz"))
+      .select(col("ng"), col("sz"), col("qz"),
+        round(col("sz").cast("double") * col("sz").cast("double") /
+          col("ng").cast("double") * lit(1e4)).cast("long").as("t1_e4"))
+    val t = g.agg(count(lit(1)).as("k"), sum(col("ng")).as("nn"),
+      sum(col("sz")).as("szt"), sum(col("qz")).as("qzt"),
+      sum(col("t1_e4")).as("st1_e4"))
+    val nnD = col("nn").cast("double")
+    val kD = col("k").cast("double")
+    val ssb = col("st1_e4").cast("double") / lit(1e4) -
+      col("szt").cast("double") * col("szt").cast("double") / nnD
+    val ssw = col("qzt").cast("double") - col("st1_e4").cast("double") / lit(1e4)
+    t.select(col("k").as("k_groups"), col("nn").as("n_total"),
+      (round((ssb / (kD - lit(1.0))) / (ssw / (nnD - kD)), 4) + lit(0.0))
+        .as("f_stat"))
+  }
+
+  /** Cochran's C homogeneity screen: is one weekday's event-value
+    * variance an outlying share of the total? C = max s²ⱼ / Σ s²ⱼ over
+    * the 7 weekday groups (Monday=0 — Spark `weekday` ↔ DuckDB
+    * `isodow−1`). Each group variance is one fixed double tree over
+    * exact integer (n, Σx, Σx²) and e4-latticed BEFORE the cross-group
+    * max/sum, so the ratio is integer-exact; argmax tie → smaller
+    * weekday. One aggregate over 7 groups — nothing scales with rows.
+    */
+  def q_cochran_c(spark: SparkSession, sf: String): DataFrame = {
+    val g = Tables.eventsWithTs(spark, sf)
+      .select(weekday(col("ts_us")).cast("long").as("dow"),
+        cents(col("value")).as("vc"))
+      .groupBy(col("dow"))
+      .agg(count(lit(1)).as("n"), sum(col("vc")).as("s"),
+        sum(col("vc") * col("vc")).as("q"))
+    val nD = col("n").cast("double")
+    val s2 = (nD * col("q").cast("double") -
+      col("s").cast("double") * col("s").cast("double")) /
+      (nD * (nD - lit(1.0)))
+    val lat = g.select(col("dow"), col("n"),
+      round(s2 * lit(1e4)).cast("long").as("s2_e4"))
+    val top = lat
+      .select(struct(col("s2_e4").as("s2"), (-col("dow")).as("nd")).as("key"),
+        col("s2_e4"))
+      .agg(max(col("key")).as("mx"), sum(col("s2_e4")).as("tot"),
+        count(lit(1)).as("k"))
+    top.select(col("k").as("k_groups"),
+      col("mx").getField("s2").as("max_s2_e4"), col("tot").as("sum_s2_e4"),
+      (-col("mx").getField("nd")).as("argmax_dow"),
+      (round(col("mx").getField("s2").cast("double") /
+        col("tot").cast("double"), 4) + lit(0.0)).as("c_stat"))
+  }
+
+  /** Ansari–Bradley dispersion test (linestatus O vs F on discount
+    * percent): scores min(rank, N+1−rank) pile the small scores on the
+    * extremes, so W = Σ_O score detects scale differences. Within a
+    * tied value the O-run precedes the F-run (fixed deterministic
+    * order, documented — like [[q_cvm_twosample]]), which makes every
+    * run's score sum a CLOSED FORM S(hi)−S(lo) of the prefix function
+    * S(x) = Σ_{p≤x} min(p, N+1−p) — pure integer arithmetic, no per-row
+    * ranks, no sort. Null moments use the exact score totals
+    * ΣS = S(N), Σs² = Q(k)+Q(N−k) (Q = sum of squares), z is one double
+    * epilogue. One tiny value lattice + [[BandedScan]] cumulative.
+    */
+  def q_ansari_bradley(spark: SparkSession, sf: String): DataFrame = {
+    val cell = Tables.lineitem(spark, sf)
+      .select(col("l_linestatus").as("ls"), pct(col("l_discount")).as("dp"))
+      .groupBy(col("dp"))
+      .agg(sum(when(col("ls") === "O", 1L).otherwise(0L)).as("co"),
+        count(lit(1)).as("ct"))
+      .localCheckpoint()
+    val cum = BandedScan.cumSumAuto(cell, Seq(), "dp", "ct", "cumt")
+    val tot = cell.agg(sum(col("co")).as("m"), sum(col("ct")).as("nt"))
+    // S(x) = sum_{p=1..x} min(p, T-p), T = N+1, kk = T div 2 — all
+    // integer `div` arithmetic (Column `/` on longs would go double and
+    // lose exactness past 2^53)
+    def sp(x: String): Column = expr(
+      s"(least($x, kk) * (least($x, kk) + 1)) div 2 + " +
+        s"(CASE WHEN $x > kk THEN ($x - kk) * t - " +
+        s"(($x * ($x + 1)) div 2 - (kk * (kk + 1)) div 2) ELSE 0 END)")
+    val withTot = cum.crossJoin(broadcast(tot))
+      .select(col("co"), col("ct"), col("cumt"), col("m"), col("nt"),
+        (col("nt") + 1L).as("t"), expr("(nt + 1) div 2").as("kk"))
+      .withColumn("x1", col("cumt") - col("ct") + col("co"))
+      .withColumn("x0", col("cumt") - col("ct"))
+    val w = withTot
+      .select(col("m"), col("nt"), col("t"), col("kk"),
+        (sp("x1") - sp("x0")).as("wrun"))
+      .groupBy(col("m"), col("nt"), col("t"), col("kk"))
+      .agg(sum(col("wrun")).as("w"))
+    val mD = col("m").cast("double")
+    val nD = (col("nt") - col("m")).cast("double")
+    val ntD = col("nt").cast("double")
+    w.withColumn("xn", col("nt"))
+      .select(col("m"), (col("nt") - col("m")).as("n"), col("w").as("w_stat"),
+        sp("xn").as("ssum"),
+        expr("(kk * (kk + 1) * (2 * kk + 1)) div 6 + " +
+          "((nt - kk) * (nt - kk + 1) * (2 * (nt - kk) + 1)) div 6").as("ssq"),
+        col("nt"))
+      .select(col("m"), col("n"), col("w_stat"),
+        (round((col("w_stat").cast("double") -
+          mD * col("ssum").cast("double") / ntD) /
+          sqrt(mD * nD *
+            (ntD * col("ssq").cast("double") -
+              col("ssum").cast("double") * col("ssum").cast("double")) /
+            (ntD * ntD * (ntD - lit(1.0)))), 4) + lit(0.0)).as("z"))
+  }
+
+  /** Bartels' rank version of the von Neumann ratio — the rank test for
+    * serial randomness of each event type's daily revenue series:
+    * RVN = Σ(rₜ−rₜ₊₁)² / Σ(rₜ−r̄)², E[RVN] = 2 under randomness. Ranks
+    * are made unique by the documented (rev, day) tie order, so the
+    * denominator is the closed form n(n²−1)/12 and everything before
+    * the z epilogue is integer-exact. Windows are keyed by event_type
+    * (the day series is calendar-bounded per type — never a global
+    * window over scaling rows).
+    */
+  def q_bartels_rank(spark: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.eventsWithTs(spark, sf)
+      .groupBy(col("event_type"),
+        date_format(col("ts_us"), "yyyy-MM-dd").as("day"))
+      .agg(sum(cents(col("value"))).as("rev"))
+    val r = daily.withColumn("r",
+      row_number().over(Window.partitionBy("event_type").orderBy("rev", "day"))
+        .cast("long"))
+    val d = r.withColumn("rn",
+      lead(col("r"), 1).over(Window.partitionBy("event_type").orderBy("day")))
+    val s = d.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("rn").isNotNull,
+          (col("r") - col("rn")) * (col("r") - col("rn"))).otherwise(0L))
+          .as("num"))
+    val nD = col("n").cast("double")
+    val rvn = col("num").cast("double") * lit(12.0) /
+      (nD * (nD * nD - lit(1.0)))
+    val varr = lit(4.0) * (nD - lit(2.0)) *
+      (lit(5.0) * nD * nD - lit(2.0) * nD - lit(9.0)) /
+      (lit(5.0) * nD * (nD + lit(1.0)) * (nD - lit(1.0)) * (nD - lit(1.0)))
+    s.select(col("event_type"), col("n").as("n_days"), col("num"),
+        (round(rvn, 4) + lit(0.0)).as("rvn"),
+        (round((rvn - lit(2.0)) / sqrt(varr), 4) + lit(0.0)).as("z"))
+      .orderBy("event_type")
+  }
+
+  /** Cuzick's Wilcoxon-type trend test across the ordered priority
+    * groups 1..5 on order value: T = Σⱼ j·Rⱼ with midranks from the
+    * value lattice (2·midrank = 2·#below + count + 1 — integer), so 2T
+    * is exact; z uses the no-tie moments E[2T] = (N+1)·L₁,
+    * Var[2T] = (N+1)(N·L₂−L₁²)/3 (documented, same convention as
+    * [[q_mood_dispersion]]). One lattice + [[BandedScan]] cumulative +
+    * one group-size aggregate — no sort, no pair joins.
+    */
+  def q_cuzick_trend(spark: SparkSession, sf: String): DataFrame = {
+    val o = Tables.orders(spark, sf)
+      .select(expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)").as("j"),
+        cents(col("o_totalprice")).as("v"))
+    val cell = o.groupBy(col("v"))
+      .agg(count(lit(1)).as("ct"), sum(col("j")).as("sjc"))
+      .localCheckpoint()
+    val cum = BandedScan.cumSumAuto(cell, Seq(), "v", "ct", "cumt")
+    val t2 = cum.agg(sum(col("sjc") *
+      ((col("cumt") - col("ct")) * 2L + col("ct") + 1L)).as("t2"))
+    val sizes = o.groupBy(col("j")).agg(count(lit(1)).as("nj"))
+      .agg(sum(col("nj")).as("nn"), sum(col("j") * col("nj")).as("l1"),
+        sum(col("j") * col("j") * col("nj")).as("l2"))
+    val nnD = col("nn").cast("double")
+    sizes.crossJoin(t2)
+      .select(col("nn").as("n"), col("l1"), col("t2"),
+        (round((col("t2").cast("double") -
+          (nnD + lit(1.0)) * col("l1").cast("double")) /
+          sqrt((nnD + lit(1.0)) *
+            (nnD * col("l2").cast("double") -
+              col("l1").cast("double") * col("l1").cast("double")) / lit(3.0)),
+          4) + lit(0.0)).as("z"))
+  }
+
+  /** MASE + sMAPE of the seasonal-naive (season=7 days) forecast of
+    * each event type's daily revenue — the scale-free forecast-accuracy
+    * pair every backtest reports (MASE < 1 beats the one-step naive).
+    * Lag pairing is exact integer day arithmetic via self-joins on
+    * (type, day−7)/(type, day−1) — no windows, no gap assumptions;
+    * numerators are exact integer |Δcents|; each sMAPE term is
+    * e8-latticed before the mean. Two keyed equi-joins on a
+    * calendar-bounded daily table.
+    */
+  def q_mase_smape(spark: SparkSession, sf: String): DataFrame = {
+    val epoch = lit("1970-01-01").cast("date")
+    val daily = Tables.eventsWithTs(spark, sf)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts_us")), epoch).cast("long").as("dayn"))
+      .agg(sum(cents(col("value"))).as("rev"))
+      .localCheckpoint()
+    val s7 = daily.as("a")
+      .join(daily.select(col("event_type"), (col("dayn") + 7L).as("dayn"),
+        col("rev").as("rev7")).as("b"), Seq("event_type", "dayn"))
+      .select(col("event_type"), abs(col("rev") - col("rev7")).as("ae"),
+        round(lit(2.0) * abs(col("rev") - col("rev7")).cast("double") /
+          (col("rev") + col("rev7")).cast("double") * lit(1e8))
+          .cast("long").as("smape_e8"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n7"), sum(col("ae")).as("sae7"),
+        sum(col("smape_e8")).as("ssm_e8"))
+    val s1 = daily.as("a")
+      .join(daily.select(col("event_type"), (col("dayn") + 1L).as("dayn"),
+        col("rev").as("rev1")).as("b"), Seq("event_type", "dayn"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n1"), sum(abs(col("rev") - col("rev1"))).as("sae1"))
+    s7.join(s1, Seq("event_type"))
+      .select(col("event_type"), col("n7").as("n_scored"),
+        (round((col("sae7").cast("double") / col("n7").cast("double")) /
+          (col("sae1").cast("double") / col("n1").cast("double")), 4) + lit(0.0))
+          .as("mase"),
+        (round(col("ssm_e8").cast("double") / lit(1e8) /
+          col("n7").cast("double"), 4) + lit(0.0)).as("smape"))
+      .orderBy("event_type")
+  }
+
+  /** Croston's intermittent-demand forecast per brand: separate
+    * recency-weighted (α=½, 8-term truncated kernel — weights are exact
+    * powers of two, so every product is an EXACT double like
+    * [[q_ses_forecast]]) estimates of demand SIZE ẑ over the last 8
+    * demand weeks and of the INTER-DEMAND INTERVAL p̂ over the last 8
+    * gaps; forecast per week = ẑ/p̂. Windows are keyed by brand (25
+    * partitions of calendar-bounded week series); both kernels
+    * normalize by their own Σw so partial histories stay unbiased.
+    */
+  def q_croston_forecast(spark: SparkSession, sf: String): DataFrame = {
+    val epoch = lit("1970-01-01").cast("date")
+    val wk = Tables.lineitem(spark, sf)
+      .join(broadcast(Tables.part(spark, sf)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"),
+        (datediff(date_trunc("week", col("l_shipdate")).cast("date"), epoch) / 7)
+          .cast("long").as("wkn"))
+      .agg(sum(cents(col("l_quantity"))).as("z"))
+    val wDesc = Window.partitionBy("brand").orderBy(col("wkn").desc)
+    val wAsc = Window.partitionBy("brand").orderBy("wkn")
+    val r = wk
+      .withColumn("idx", row_number().over(wDesc).cast("long"))
+      .withColumn("gap", col("wkn") - lag(col("wkn"), 1).over(wAsc))
+    val sz = r.filter(col("idx") <= 8L)
+      .groupBy(col("brand"))
+      .agg(sum(pow(lit(0.5), col("idx").cast("double")) *
+        col("z").cast("double")).as("wz"),
+        sum(pow(lit(0.5), col("idx").cast("double"))).as("ww"),
+        max(col("idx")).as("k_used"))
+    val gp = r.filter(col("idx") <= 8L && col("gap").isNotNull)
+      .groupBy(col("brand"))
+      .agg(sum(pow(lit(0.5), col("idx").cast("double")) *
+        col("gap").cast("double")).as("wg"),
+        sum(pow(lit(0.5), col("idx").cast("double"))).as("wwg"))
+    val nw = wk.groupBy(col("brand")).agg(count(lit(1)).as("n_demand_weeks"))
+    nw.join(sz, Seq("brand")).join(gp, Seq("brand"))
+      .select(col("brand"), col("n_demand_weeks"),
+        (round(col("wz") / col("ww"), 4) + lit(0.0)).as("zhat_cents"),
+        (round(col("wg") / col("wwg"), 4) + lit(0.0)).as("phat_weeks"),
+        (round((col("wz") / col("ww")) / (col("wg") / col("wwg")), 4) + lit(0.0))
+          .as("croston_cents_per_week"))
+      .orderBy("brand")
+  }
+
+  /** Brown's double exponential smoothing backtest on monthly revenue
+    * (α=½, 12-month truncated kernels): S1 = EWMA(y), S2 = EWMA(S1),
+    * forecast_{t+1} = 3·S1 − 2·S2 (level 2S1−S2 plus trend S1−S2).
+    * Powers of ½ make every kernel product an exact double
+    * ([[q_ses_forecast]]'s trick, applied twice — S1 values are exact
+    * multiples of 2⁻¹², S2 of 2⁻²⁴), so forecasts and errors are exact;
+    * scored only where both kernels are full. The month lattice is
+    * calendar-bounded — both kernel joins are broadcast-sized at any
+    * scale factor.
+    */
+  def q_brown_double_smoothing(spark: SparkSession, sf: String): DataFrame = {
+    val rev = monthlyRevenue(spark, sf).localCheckpoint()
+    val s1 = rev.as("a")
+      .join(rev.select(col("m").as("m2"), col("rev").as("rev2")).as("b"),
+        col("m2").between(col("m") - 12, col("m") - 1))
+      .groupBy(col("a.m").as("m"))
+      .agg(count(lit(1)).as("k1"),
+        sum(col("rev2").cast("double")
+          * pow(lit(0.5), (col("a.m") - col("m2")).cast("double"))).as("s1"))
+      .filter(col("k1") === 12)
+      .localCheckpoint()
+    val s2 = s1.as("a")
+      .join(s1.select(col("m").as("m2"), col("s1").as("s1b")).as("b"),
+        col("m2").between(col("m") - 12, col("m") - 1))
+      .groupBy(col("a.m").as("m"), col("a.s1").as("s1"))
+      .agg(count(lit(1)).as("k2"),
+        sum(col("s1b") * pow(lit(0.5), (col("a.m") - col("m2")).cast("double")))
+          .as("s2"))
+      .filter(col("k2") === 12)
+    val pred = s2
+      .select((col("m") + 1L).as("m"),
+        (lit(3.0) * col("s1") - lit(2.0) * col("s2")).as("f"))
+      .join(rev, Seq("m"))
+    pred.agg(count(lit(1)).as("n_forecasts"), sum(col("rev")).as("sa"),
+        sum(abs(col("rev").cast("double") - col("f"))).as("sae"),
+        sum((col("rev").cast("double") - col("f"))
+          * (col("rev").cast("double") - col("f"))).as("sse"))
+      .select(col("n_forecasts"),
+        (round((col("sae") / col("n_forecasts").cast("double"))
+          / (col("sa").cast("double") / col("n_forecasts").cast("double")), 4)
+          + lit(0.0)).as("mae_over_mean"),
+        (round(sqrt(col("sse") / col("n_forecasts").cast("double"))
+          / (col("sa").cast("double") / col("n_forecasts").cast("double")), 4)
+          + lit(0.0)).as("rmse_over_mean"))
+  }
+
+  /** Spectral entropy of the daily revenue series over the candidate
+    * periods 2–7 days ([[graft.ops.Events.q_periodogram]]'s grid): the
+    * power shares are e6-latticed, each p·ln p term e8-latticed, and
+    * H is normalized by ln 6 → [0,1] (1 = white noise, 0 = one pure
+    * cycle) — the single-number "is there structure" screen a forecast
+    * router uses before committing to a seasonal model.
+    */
+  def q_spectral_entropy(spark: SparkSession, sf: String): DataFrame = {
+    val epoch = lit("1970-01-01").cast("date")
+    val raw = Tables.eventsWithTs(spark, sf)
+      .groupBy(datediff(to_date(col("ts_us")), epoch).cast("long").as("dayn"))
+      .agg(sum(cents(col("value"))).as("x"))
+    val d0 = raw.agg(min(col("dayn")).as("d0"))
+    val daily = raw.crossJoin(broadcast(d0))
+      .select((col("dayn") - col("d0")).as("t"), col("x"))
+    val periods = spark.range(2, 8).select(col("id").as("p"))
+    val pw = daily.crossJoin(broadcast(periods))
+      .select(col("p"),
+        expr("CAST(x AS DOUBLE) * cos(2.0 * 3.141592653589793 * CAST(t AS DOUBLE) / CAST(p AS DOUBLE))").as("c"),
+        expr("CAST(x AS DOUBLE) * sin(2.0 * 3.141592653589793 * CAST(t AS DOUBLE) / CAST(p AS DOUBLE))").as("s"))
+      .groupBy(col("p"))
+      .agg(sum(col("c")).as("sc"), sum(col("s")).as("ss"))
+      .select(col("p"), expr("sc * sc + ss * ss").as("power"))
+    val tot = pw.agg(sum(col("power")).as("tp"))
+    val terms = pw.crossJoin(broadcast(tot))
+      .select(round(expr("power / tp * 1e6")).cast("long").as("p_e6"))
+      .filter(col("p_e6") > 0L)
+      .select(round((col("p_e6").cast("double") / lit(1e6)) *
+        log(col("p_e6").cast("double") / lit(1e6)) * lit(1e8))
+        .cast("long").as("term_e8"))
+    terms.agg(count(lit(1)).as("n_periods"), sum(col("term_e8")).as("s_e8"))
+      .select(col("n_periods"),
+        (round(-col("s_e8").cast("double") / lit(1e8), 4) + lit(0.0)).as("h"),
+        (round(-col("s_e8").cast("double") / lit(1e8) /
+          log(lit(6.0)), 4) + lit(0.0)).as("h_norm"))
+  }
+
+  /** KPSS level-stationarity statistic per event type's daily revenue:
+    * η = ΣₜSₜ²/(n²σ̂²) with Sₜ the partial sums of (y−ȳ) and the lag-0
+    * long-run variance (documented variant). Scaling by n turns every
+    * deviation into the EXACT integer dₜ = yₜ·n − Σy, the partial sums
+    * Dₜ = n·Sₜ stay integer (cumulated in a type-keyed, calendar-
+    * bounded window), squares accumulate in decimal(38,0), and the
+    * whole statistic collapses to ΣD²/(n·Σd²) — one division, no
+    * intermediate floats at all.
+    */
+  def q_kpss_stat(spark: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.eventsWithTs(spark, sf)
+      .groupBy(col("event_type"),
+        date_format(col("ts_us"), "yyyy-MM-dd").as("day"))
+      .agg(sum(cents(col("value"))).as("y"))
+    val st = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+    val d = daily.join(broadcast(st), Seq("event_type"))
+      .select(col("event_type"), col("day"), col("n"),
+        (col("y") * col("n") - col("sy")).as("d"))
+    val wc = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("dd", sum(col("d")).over(wc))
+      .groupBy(col("event_type"), col("n"))
+      .agg(sum(col("d").cast("decimal(38,0)") * col("d")).as("sd2"),
+        sum(col("dd").cast("decimal(38,0)") * col("dd")).as("sdd2"))
+      .select(col("event_type"), col("n").as("n_days"),
+        (round(col("sdd2").cast("double") /
+          (col("n").cast("double") * col("sd2").cast("double")), 6) + lit(0.0))
+          .as("kpss"))
+      .orderBy("event_type")
+  }
+
+  /** Bullwhip-effect ratio: Var(monthly ordered value) / Var(monthly
+    * shipped value) — demand-signal amplification across the two stages
+    * of the pipeline (ratio > 1 = upstream over-reaction, the classic
+    * supply-chain instability alarm). Each stage is one scan → month
+    * rollup; variances use exact integer cent sums with the
+    * [[q_gamma_mom]] double-square accumulation; months are
+    * calendar-bounded so both profiles are tiny at any scale.
+    */
+  def q_bullwhip_effect(spark: SparkSession, sf: String): DataFrame = {
+    def mstats(df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n"), sum(col("rev")).as("s"),
+        sum(col("rev").cast("double") * col("rev").cast("double")).as("q"))
+    val o = mstats(monthlyRevenue(spark, sf))
+      .select(col("n").as("n_o"), col("s").as("s_o"), col("q").as("q_o"))
+    val s = mstats(Tables.lineitem(spark, sf)
+      .groupBy((year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
+        .cast("long").as("m"))
+      .agg(sum(cents(col("l_extendedprice"))).as("rev")))
+      .select(col("n").as("n_s"), col("s").as("s_s"), col("q").as("q_s"))
+    val vo = (col("q_o") - col("s_o").cast("double") * col("s_o").cast("double")
+      / col("n_o").cast("double")) / col("n_o").cast("double")
+    val vs = (col("q_s") - col("s_s").cast("double") * col("s_s").cast("double")
+      / col("n_s").cast("double")) / col("n_s").cast("double")
+    o.crossJoin(s)
+      .select(col("n_o").as("n_months_orders"), col("n_s").as("n_months_ship"),
+        (round(vo / vs, 4) + lit(0.0)).as("bullwhip_ratio"))
+  }
+
+  /** Gini mean difference of quantity per return flag — the robust
+    * dispersion estimator E|X−X'| (more efficient than MAD near
+    * normality, finite for heavy tails where variance is not). The
+    * pairwise sum collapses on the value lattice to
+    * Σ_v c(v)·[v·B(v) − W(v)] with B/W the strictly-below count/sum —
+    * two [[BandedScan]] cumulative measures, no pair join, O(lattice)
+    * work at any row count.
+    */
+  def q_gini_mean_difference(spark: SparkSession, sf: String): DataFrame = {
+    val cell = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").as("rf"), cents(col("l_quantity")).as("v"))
+      .groupBy(col("rf"), col("v")).agg(count(lit(1)).as("c"))
+      .withColumn("sv", col("c") * col("v"))
+      .localCheckpoint()
+    val cum = BandedScan.cumSumsAuto(cell, Seq("rf"), "v",
+      Seq("c" -> "cumc", "sv" -> "cumsv"))
+    cum.select(col("rf"), col("c"),
+        (col("c") * (col("v") * (col("cumc") - col("c")) -
+          (col("cumsv") - col("sv")))).as("term"))
+      .groupBy(col("rf"))
+      .agg(sum(col("c")).as("n"), sum(col("term")).as("s"))
+      .select(col("rf"), col("n"),
+        (round(lit(2.0) * col("s").cast("double") /
+          (col("n").cast("double") * (col("n").cast("double") - lit(1.0))), 4)
+          + lit(0.0)).as("gmd_cents"))
+      .orderBy("rf")
+  }
+
+  /** c-chart on daily error-event counts: center c̄, control limits
+    * c̄ ± 3√c̄ (LCL floored at 0 — counts), days out of control. The
+    * Poisson-count control chart ops teams run on failure streams;
+    * complements the existing X-bar/XmR/p charts. One scan → day
+    * rollup → one aggregate; the out-of-control comparison is done on
+    * the e4-latticed limits so both engines flag identical days.
+    */
+  def q_c_chart(spark: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.eventsWithTs(spark, sf)
+      .filter(col("event_type") === "error")
+      .groupBy(date_format(col("ts_us"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val st = daily.agg(count(lit(1)).as("n_days"), sum(col("c")).as("sc"))
+      .select(col("n_days"), col("sc"),
+        round((col("sc").cast("double") / col("n_days").cast("double") +
+          lit(3.0) * sqrt(col("sc").cast("double") / col("n_days").cast("double")))
+          * lit(1e4)).cast("long").as("ucl_e4"),
+        round(greatest(lit(0.0),
+          col("sc").cast("double") / col("n_days").cast("double") -
+            lit(3.0) * sqrt(col("sc").cast("double") / col("n_days").cast("double")))
+          * lit(1e4)).cast("long").as("lcl_e4"))
+    daily.crossJoin(broadcast(st))
+      .agg(max(col("n_days")).as("n_days"),
+        (round(max(col("sc")).cast("double") / max(col("n_days")).cast("double"),
+          4) + lit(0.0)).as("cbar"),
+        (round(max(col("ucl_e4")).cast("double") / lit(1e4), 4) + lit(0.0))
+          .as("ucl"),
+        (round(max(col("lcl_e4")).cast("double") / lit(1e4), 4) + lit(0.0))
+          .as("lcl"),
+        sum(when(col("c") * 10000L > col("ucl_e4"), 1L)
+          .when(col("c") * 10000L < col("lcl_e4"), 1L).otherwise(0L))
+          .as("n_out_of_control"))
+  }
+
 }

@@ -994,4 +994,78 @@ object Text {
           4) + lit(0.0)).as("entropy"))
       .withColumn("keep", (col("entropy") >= 1.5).cast("int").cast("long"))
       .orderBy("doc_id")
+
+  /** Pairwise Jensen–Shannon divergence between the languages'
+    * Laplace-smoothed token distributions — the SYMMETRIC, bounded
+    * ([0, ln 2]) companion to [[q_lang_divergence]]'s KL, the measure
+    * mixture planners prefer because it never blows up on
+    * disjoint-support shards. Same densified-vocabulary machinery
+    * (every lang × every vocab word, zeros included, so both engines
+    * sum the same support); each ½p·ln(p/m)+½q·ln(q/m) term is
+    * e8-rounded BEFORE the order-independent sum. Profiles are
+    * vocabulary-sized — tiny relative to the corpus at any scale.
+    */
+  def q_jensen_shannon(spark: SparkSession, sf: String): DataFrame = {
+    val counts = docTokens(spark, sf)
+      .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("c"))
+    val vocab = counts.select(col("word")).distinct()
+    val vsize = vocab.agg(count(lit(1)).as("v"))
+    val totals = counts.groupBy(col("lang")).agg(sum(col("c")).as("t"))
+    val dense = totals.crossJoin(vocab)
+      .join(counts, Seq("lang", "word"), "left_outer")
+      .select(col("lang"), col("word"), col("t"), coalesce(col("c"), lit(0L)).as("c"))
+      .crossJoin(broadcast(vsize))
+      .localCheckpoint()
+    val p = (col("a.c") + lit(1L)).cast("double") /
+      (col("a.t") + col("a.v")).cast("double")
+    val q = (col("b.c") + lit(1L)).cast("double") /
+      (col("b.t") + col("b.v")).cast("double")
+    val m = (p + q) / lit(2.0)
+    dense.as("a")
+      .join(dense.as("b"),
+        col("a.word") === col("b.word") && col("a.lang") < col("b.lang"))
+      .select(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"),
+        round((lit(0.5) * p * log(p / m) + lit(0.5) * q * log(q / m)) * lit(1e8))
+          .cast("long").as("term_e8"))
+      .groupBy(col("lang_a"), col("lang_b"))
+      .agg(sum(col("term_e8")).as("jsd_e8"))
+      .select(col("lang_a"), col("lang_b"), col("jsd_e8"),
+        (round(col("jsd_e8").cast("double") / lit(1e8), 4) + lit(0.0)).as("jsd"))
+      .orderBy("lang_a", "lang_b")
+  }
+
+  /** Rényi entropy spectrum per language over the token distribution:
+    * H₀ = ln V (Hartley/richness), H₁ = Shannon, H₂ = −ln Σp²
+    * (collision), H∞ = −ln max p (min-entropy) — the four standard
+    * diversity endpoints a corpus profile reports (H₀ ≥ H₁ ≥ H₂ ≥ H∞ by
+    * construction, and the gaps measure head-heaviness). Only H₁ needs a
+    * float lattice (the proven e4 c·ln c tree from [[q_char_entropy]]);
+    * H₂ and H∞ are logs of EXACT integer sufficient statistics (Σc², max
+    * c), so every engine-side float is a single fixed expression over
+    * integers. One explode + two keyed aggregates — flat at any scale.
+    */
+  def q_renyi_spectrum(spark: SparkSession, sf: String): DataFrame =
+    docTokens(spark, sf)
+      .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("c"))
+      .select(col("lang"), col("c"),
+        round(col("c").cast("double") * log(col("c").cast("double")) * 1e4)
+          .cast("long").as("clnc_e4"),
+        (col("c") * col("c")).as("c2"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("v_types"), sum(col("c")).as("t_tokens"),
+        sum(col("clnc_e4")).as("s_e4"), sum(col("c2")).as("s_c2"),
+        max(col("c")).as("c_max"))
+      .select(col("lang"), col("v_types"), col("t_tokens"),
+        (round(log(col("v_types").cast("double")), 4) + lit(0.0)).as("h0"),
+        (round(
+          log(col("t_tokens").cast("double")) -
+            col("s_e4").cast("double") / (col("t_tokens").cast("double") * lit(1e4)),
+          4) + lit(0.0)).as("h1"),
+        (round(
+          lit(2.0) * log(col("t_tokens").cast("double")) -
+            log(col("s_c2").cast("double")), 4) + lit(0.0)).as("h2"),
+        (round(
+          log(col("t_tokens").cast("double")) - log(col("c_max").cast("double")),
+          4) + lit(0.0)).as("hinf"))
+      .orderBy("lang")
 }

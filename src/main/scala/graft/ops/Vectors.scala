@@ -1037,4 +1037,41 @@ object Vectors {
           + lit(0.0)).as("max_over_mean_var"),
         (round(col("sv") * col("sv") / col("svv"), 4) + lit(0.0))
           .as("participation_ratio"))
+
+  /** Pairwise Bhattacharyya coefficient/distance between the labels'
+    * embedding-norm histograms (the [[q_embedding_norm_hist]] buckets):
+    * BC = Σᵢ√(pᵢqᵢ), D_B = −ln BC — the class-separability screen run
+    * before training a classifier on the embedding space (BC→1 means
+    * the norm marginals are indistinguishable). Bucket support is
+    * densified per label so both engines sum identical terms; √(p·q)
+    * e8-rounded pre-sum, −ln as the only epilogue. Histograms are
+    * |labels|×|buckets| — scale-invariant; the pair join is |labels|².
+    */
+  def q_bhattacharyya(spark: SparkSession, sf: String): DataFrame = {
+    val h = quantized(spark, sf)
+      .select(col("label").cast("long").as("label"),
+        expr("CAST(FLOOR(SQRT(CAST(nrm AS DOUBLE)) / 2500000.0) AS BIGINT)")
+          .as("bucket"))
+      .groupBy(col("label"), col("bucket")).agg(count(lit(1)).as("c"))
+    val tot = h.groupBy(col("label")).agg(sum(col("c")).as("t"))
+    val buckets = h.select(col("bucket")).distinct()
+    val dense = tot.crossJoin(buckets)
+      .join(h, Seq("label", "bucket"), "left_outer")
+      .select(col("label"), col("bucket"), col("t"),
+        coalesce(col("c"), lit(0L)).as("c"))
+      .localCheckpoint()
+    val pa = col("a.c").cast("double") / col("a.t").cast("double")
+    val pb = col("b.c").cast("double") / col("b.t").cast("double")
+    dense.as("a")
+      .join(dense.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.label") < col("b.label"))
+      .select(col("a.label").as("label_a"), col("b.label").as("label_b"),
+        round(sqrt(pa * pb) * lit(1e8)).cast("long").as("term_e8"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum(col("term_e8")).as("bc_e8"))
+      .select(col("label_a"), col("label_b"), col("bc_e8"),
+        (round(-log(col("bc_e8").cast("double") / lit(1e8)), 4) + lit(0.0))
+          .as("bhattacharyya"))
+      .orderBy("label_a", "label_b")
+  }
 }

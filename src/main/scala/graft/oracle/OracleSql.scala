@@ -13216,5 +13216,549 @@ object OracleSql {
       FROM d JOIN m ON substring(d.day, 1, 7) = m.month
       ORDER BY day""",
 
+    // ---- round 5: distribution distances / divergences (§2.125) ----
+
+    "q_jensen_shannon" -> """
+      WITH c AS (SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS c
+                 FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS word
+                       FROM documents)
+                 GROUP BY 1, 2),
+           vocab AS (SELECT DISTINCT word FROM c),
+           vs AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+           tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS t FROM c GROUP BY lang),
+           dense AS (SELECT tot.lang, vocab.word, tot.t, COALESCE(c.c, 0) AS c, vs.v
+                     FROM tot CROSS JOIN vocab CROSS JOIN vs
+                     LEFT JOIN c ON c.lang = tot.lang AND c.word = vocab.word),
+           pq AS (SELECT a.lang AS lang_a, b.lang AS lang_b,
+                         CAST(a.c + 1 AS DOUBLE) / CAST(a.t + a.v AS DOUBLE) AS p,
+                         CAST(b.c + 1 AS DOUBLE) / CAST(b.t + b.v AS DOUBLE) AS q
+                  FROM dense a JOIN dense b
+                    ON a.word = b.word AND a.lang < b.lang),
+           terms AS (SELECT lang_a, lang_b,
+                            CAST(ROUND((0.5 * p * LN(p / ((p + q) / 2.0))
+                                        + 0.5 * q * LN(q / ((p + q) / 2.0)))
+                                       * 1e8) AS BIGINT) AS term_e8
+                     FROM pq)
+      SELECT lang_a, lang_b, CAST(SUM(term_e8) AS BIGINT) AS jsd_e8,
+             ROUND(CAST(SUM(term_e8) AS DOUBLE) / 1e8, 4) + 0 AS jsd
+      FROM terms GROUP BY 1, 2 ORDER BY lang_a, lang_b""",
+
+    "q_renyi_spectrum" -> """
+      WITH c AS (SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS c
+                 FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS word
+                       FROM documents)
+                 GROUP BY 1, 2),
+           s AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS v_types,
+                        CAST(SUM(c) AS BIGINT) AS t_tokens,
+                        CAST(SUM(CAST(ROUND(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE)) * 1e4)
+                                      AS BIGINT)) AS BIGINT) AS s_e4,
+                        CAST(SUM(c * c) AS BIGINT) AS s_c2,
+                        CAST(MAX(c) AS BIGINT) AS c_max
+                 FROM c GROUP BY lang)
+      SELECT lang, v_types, t_tokens,
+             ROUND(LN(CAST(v_types AS DOUBLE)), 4) + 0 AS h0,
+             ROUND(LN(CAST(t_tokens AS DOUBLE))
+                   - CAST(s_e4 AS DOUBLE) / (CAST(t_tokens AS DOUBLE) * 1e4), 4) + 0 AS h1,
+             ROUND(2.0 * LN(CAST(t_tokens AS DOUBLE)) - LN(CAST(s_c2 AS DOUBLE)), 4) + 0 AS h2,
+             ROUND(LN(CAST(t_tokens AS DOUBLE)) - LN(CAST(c_max AS DOUBLE)), 4) + 0 AS hinf
+      FROM s ORDER BY lang""",
+
+    "q_hellinger_distance" -> """
+      WITH cn AS (SELECT n.n_name, c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                  GROUP BY 1, 2),
+           tot AS (SELECT n_name, CAST(SUM(c) AS BIGINT) AS t FROM cn GROUP BY 1),
+           segs AS (SELECT DISTINCT c_mktsegment FROM cn),
+           dense AS (SELECT tot.n_name, segs.c_mktsegment, tot.t,
+                            COALESCE(cn.c, 0) AS c
+                     FROM tot CROSS JOIN segs
+                     LEFT JOIN cn ON cn.n_name = tot.n_name
+                                 AND cn.c_mktsegment = segs.c_mktsegment),
+           terms AS (SELECT a.n_name AS nation_a, b.n_name AS nation_b,
+                            CAST(ROUND(SQRT((CAST(a.c AS DOUBLE) / CAST(a.t AS DOUBLE))
+                                            * (CAST(b.c AS DOUBLE) / CAST(b.t AS DOUBLE)))
+                                       * 1e8) AS BIGINT) AS term_e8
+                     FROM dense a JOIN dense b
+                       ON a.c_mktsegment = b.c_mktsegment AND a.n_name < b.n_name)
+      SELECT nation_a, nation_b, CAST(SUM(term_e8) AS BIGINT) AS bc_e8,
+             ROUND(SQRT(GREATEST(0.0,
+               1.0 - CAST(SUM(term_e8) AS DOUBLE) / 1e8)), 4) + 0 AS hellinger
+      FROM terms GROUP BY 1, 2 ORDER BY nation_a, nation_b""",
+
+    "q_total_variation" -> """
+      WITH o AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                        o_orderpriority AS prio
+                 FROM orders),
+           mc AS (SELECT month, prio, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM o GROUP BY 1, 2),
+           mt AS (SELECT month, CAST(SUM(c) AS BIGINT) AS n FROM mc GROUP BY 1),
+           gc AS (SELECT prio, CAST(SUM(c) AS BIGINT) AS g FROM mc GROUP BY 1),
+           gt AS (SELECT CAST(SUM(g) AS BIGINT) AS nn FROM gc),
+           dense AS (SELECT mt.month, mt.n, gt.nn,
+                            ABS(COALESCE(mc.c, 0) * gt.nn - gc.g * mt.n) AS num
+                     FROM mt CROSS JOIN gc CROSS JOIN gt
+                     LEFT JOIN mc ON mc.month = mt.month AND mc.prio = gc.prio)
+      SELECT month, n AS n_orders, CAST(SUM(num) AS BIGINT) AS s_abs,
+             ROUND(CAST(SUM(num) AS DOUBLE)
+                   / (2.0 * CAST(n AS DOUBLE) * CAST(nn AS DOUBLE)), 4) + 0 AS tv
+      FROM dense GROUP BY month, n, nn ORDER BY month""",
+
+    "q_cvm_twosample" -> """
+      WITH li AS (SELECT l_returnflag AS rf,
+                         CAST(ROUND(l_quantity * 100) AS BIGINT) AS qc
+                  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+           cell AS (SELECT qc,
+                           CAST(SUM(CASE WHEN rf = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                           CAST(SUM(CASE WHEN rf = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS cr
+                    FROM li GROUP BY 1),
+           cum AS (SELECT qc, ca, cr,
+                          CAST(SUM(ca) OVER (ORDER BY qc) AS BIGINT) AS cuma,
+                          CAST(SUM(cr) OVER (ORDER BY qc) AS BIGINT) AS cumr
+                   FROM cell),
+           s AS (SELECT CAST(SUM(ca * (cumr - cr) * (cumr - cr)) AS BIGINT) AS sa,
+                        CAST(SUM(cr * cuma * cuma) AS BIGINT) AS sr,
+                        CAST(SUM(ca) AS BIGINT) AS m, CAST(SUM(cr) AS BIGINT) AS n
+                 FROM cum)
+      SELECT m, n, sa, sr,
+             ROUND((CAST(m AS DOUBLE) * CAST(sa AS DOUBLE)
+                    + CAST(n AS DOUBLE) * CAST(sr AS DOUBLE))
+                   / (CAST(m AS DOUBLE) * CAST(n AS DOUBLE) * CAST(m + n AS DOUBLE))
+                   - (4.0 * CAST(m AS DOUBLE) * CAST(n AS DOUBLE) - 1.0)
+                     / (6.0 * CAST(m + n AS DOUBLE)), 4) + 0 AS t_stat
+      FROM s""",
+
+    "q_bhattacharyya" -> """
+      WITH q AS (SELECT CAST(label AS BIGINT) AS label,
+                        CAST(list_sum(list_transform(
+                          list_transform(embedding,
+                            v -> CAST(ROUND(CAST(v AS DOUBLE)*1e7) AS BIGINT)),
+                          x -> x * x)) AS BIGINT) AS nrm
+                 FROM embeddings),
+           h AS (SELECT label,
+                        CAST(FLOOR(SQRT(CAST(nrm AS DOUBLE)) / 2500000.0) AS BIGINT) AS bucket,
+                        CAST(COUNT(*) AS BIGINT) AS c
+                 FROM q GROUP BY 1, 2),
+           tot AS (SELECT label, CAST(SUM(c) AS BIGINT) AS t FROM h GROUP BY 1),
+           buckets AS (SELECT DISTINCT bucket FROM h),
+           dense AS (SELECT tot.label, buckets.bucket, tot.t, COALESCE(h.c, 0) AS c
+                     FROM tot CROSS JOIN buckets
+                     LEFT JOIN h ON h.label = tot.label AND h.bucket = buckets.bucket),
+           terms AS (SELECT a.label AS label_a, b.label AS label_b,
+                            CAST(ROUND(SQRT((CAST(a.c AS DOUBLE) / CAST(a.t AS DOUBLE))
+                                            * (CAST(b.c AS DOUBLE) / CAST(b.t AS DOUBLE)))
+                                       * 1e8) AS BIGINT) AS term_e8
+                     FROM dense a JOIN dense b
+                       ON a.bucket = b.bucket AND a.label < b.label)
+      SELECT label_a, label_b, CAST(SUM(term_e8) AS BIGINT) AS bc_e8,
+             ROUND(-LN(CAST(SUM(term_e8) AS DOUBLE) / 1e8), 4) + 0 AS bhattacharyya
+      FROM terms GROUP BY 1, 2 ORDER BY label_a, label_b""",
+
+    // ---- round 5: hypothesis-test round-out (§2.126) ----
+
+    "q_grubbs_test" -> """
+      WITH c AS (SELECT c_mktsegment AS segment, c_custkey,
+                        CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bc
+                 FROM customer),
+           st AS (SELECT segment, CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(bc) AS BIGINT) AS s,
+                         CAST(SUM(bc * bc) AS BIGINT) AS q
+                  FROM c GROUP BY 1),
+           dev AS (SELECT c.segment, c.c_custkey,
+                          ABS(c.bc * st.n - st.s) AS dev
+                   FROM c JOIN st ON c.segment = st.segment),
+           mx AS (SELECT segment, CAST(MAX(dev) AS BIGINT) AS maxdev
+                  FROM dev GROUP BY 1),
+           arg AS (SELECT dev.segment, mx.maxdev,
+                          CAST(MIN(dev.c_custkey) AS BIGINT) AS outlier_custkey
+                   FROM dev JOIN mx ON dev.segment = mx.segment
+                                   AND dev.dev = mx.maxdev
+                   GROUP BY 1, 2)
+      SELECT st.segment, st.n, arg.outlier_custkey,
+             ROUND((CAST(arg.maxdev AS DOUBLE) / CAST(st.n AS DOUBLE))
+                   / SQRT((CAST(st.n AS DOUBLE) * CAST(st.q AS DOUBLE)
+                           - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE))
+                          / (CAST(st.n AS DOUBLE) * (CAST(st.n AS DOUBLE) - 1.0))), 4)
+               + 0 AS g_stat
+      FROM arg JOIN st ON arg.segment = st.segment
+      ORDER BY st.segment""",
+
+    "q_brown_forsythe" -> """
+      WITH cell AS (SELECT l_returnflag AS rf,
+                           CAST(ROUND(l_quantity * 100) AS BIGINT) AS qc,
+                           CAST(COUNT(*) AS BIGINT) AS cnt
+                    FROM lineitem GROUP BY 1, 2),
+           cum AS (SELECT rf, qc, cnt,
+                          CAST(SUM(cnt) OVER (PARTITION BY rf ORDER BY qc)
+                            AS BIGINT) AS cum
+                   FROM cell),
+           gn AS (SELECT rf, CAST(SUM(cnt) AS BIGINT) AS ng FROM cell GROUP BY 1),
+           med AS (SELECT cum.rf, CAST(MIN(cum.qc) AS BIGINT) AS med
+                   FROM cum JOIN gn ON cum.rf = gn.rf
+                   WHERE cum.cum * 2 >= gn.ng + 1
+                   GROUP BY 1),
+           z AS (SELECT cell.rf, cell.cnt, ABS(cell.qc - med.med) AS z
+                 FROM cell JOIN med ON cell.rf = med.rf),
+           g AS (SELECT rf, CAST(SUM(cnt) AS BIGINT) AS ng,
+                        CAST(SUM(cnt * z) AS BIGINT) AS sz,
+                        CAST(SUM(cnt * z * z) AS BIGINT) AS qz
+                 FROM z GROUP BY 1),
+           lat AS (SELECT ng, sz, qz,
+                          CAST(ROUND(CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)
+                                     / CAST(ng AS DOUBLE) * 1e4) AS BIGINT) AS t1_e4
+                   FROM g),
+           t AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(ng) AS BIGINT) AS nn,
+                        CAST(SUM(sz) AS BIGINT) AS szt, CAST(SUM(qz) AS BIGINT) AS qzt,
+                        CAST(SUM(t1_e4) AS BIGINT) AS st1_e4
+                 FROM lat)
+      SELECT k AS k_groups, nn AS n_total,
+             ROUND(((CAST(st1_e4 AS DOUBLE) / 1e4
+                     - CAST(szt AS DOUBLE) * CAST(szt AS DOUBLE) / CAST(nn AS DOUBLE))
+                    / (CAST(k AS DOUBLE) - 1.0))
+                   / ((CAST(qzt AS DOUBLE) - CAST(st1_e4 AS DOUBLE) / 1e4)
+                      / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))), 4) + 0 AS f_stat
+      FROM t""",
+
+    "q_cochran_c" -> """
+      WITH g AS (SELECT CAST(isodow(ts) - 1 AS BIGINT) AS dow,
+                        CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS s,
+                        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)
+                                 * CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS q
+                 FROM events GROUP BY 1),
+           lat AS (SELECT dow,
+                          CAST(ROUND((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                                      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                                     / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+                                     * 1e4) AS BIGINT) AS s2_e4
+                   FROM g),
+           top AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                          CAST(SUM(s2_e4) AS BIGINT) AS tot,
+                          CAST(MAX(s2_e4) AS BIGINT) AS mx
+                   FROM lat),
+           arg AS (SELECT CAST(MIN(lat.dow) AS BIGINT) AS argmax_dow, top.k,
+                          top.mx, top.tot
+                   FROM lat CROSS JOIN top WHERE lat.s2_e4 = top.mx
+                   GROUP BY 2, 3, 4)
+      SELECT k AS k_groups, mx AS max_s2_e4, tot AS sum_s2_e4, argmax_dow,
+             ROUND(CAST(mx AS DOUBLE) / CAST(tot AS DOUBLE), 4) + 0 AS c_stat
+      FROM arg""",
+
+    "q_ansari_bradley" -> """
+      WITH cell AS (SELECT CAST(ROUND(l_discount * 100) AS BIGINT) AS dp,
+                           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)
+                             AS BIGINT) AS co,
+                           CAST(COUNT(*) AS BIGINT) AS ct
+                    FROM lineitem GROUP BY 1),
+           cum AS (SELECT dp, co, ct,
+                          CAST(SUM(ct) OVER (ORDER BY dp) AS BIGINT) AS cumt
+                   FROM cell),
+           tot AS (SELECT CAST(SUM(co) AS BIGINT) AS m, CAST(SUM(ct) AS BIGINT) AS nt
+                   FROM cell),
+           wt AS (SELECT co, ct, cumt, m, nt, nt + 1 AS t, (nt + 1) // 2 AS kk,
+                         cumt - ct + co AS x1, cumt - ct AS x0
+                  FROM cum CROSS JOIN tot),
+           runs AS (SELECT m, nt, t, kk,
+                           ((LEAST(x1, kk) * (LEAST(x1, kk) + 1)) // 2
+                            + (CASE WHEN x1 > kk THEN (x1 - kk) * t
+                                 - ((x1 * (x1 + 1)) // 2 - (kk * (kk + 1)) // 2)
+                               ELSE 0 END))
+                           - ((LEAST(x0, kk) * (LEAST(x0, kk) + 1)) // 2
+                              + (CASE WHEN x0 > kk THEN (x0 - kk) * t
+                                   - ((x0 * (x0 + 1)) // 2 - (kk * (kk + 1)) // 2)
+                                 ELSE 0 END)) AS wrun
+                    FROM wt),
+           w AS (SELECT m, nt, t, kk, CAST(SUM(wrun) AS BIGINT) AS w
+                 FROM runs GROUP BY 1, 2, 3, 4),
+           fin AS (SELECT m, nt - m AS n, w AS w_stat,
+                          ((LEAST(nt, kk) * (LEAST(nt, kk) + 1)) // 2
+                           + (CASE WHEN nt > kk THEN (nt - kk) * t
+                                - ((nt * (nt + 1)) // 2 - (kk * (kk + 1)) // 2)
+                              ELSE 0 END)) AS ssum,
+                          ((kk * (kk + 1) * (2 * kk + 1)) // 6
+                           + ((nt - kk) * (nt - kk + 1) * (2 * (nt - kk) + 1)) // 6)
+                            AS ssq,
+                          nt
+                   FROM w)
+      SELECT m, n, w_stat,
+             ROUND((CAST(w_stat AS DOUBLE)
+                    - CAST(m AS DOUBLE) * CAST(ssum AS DOUBLE) / CAST(nt AS DOUBLE))
+                   / SQRT(CAST(m AS DOUBLE) * CAST(n AS DOUBLE)
+                          * (CAST(nt AS DOUBLE) * CAST(ssq AS DOUBLE)
+                             - CAST(ssum AS DOUBLE) * CAST(ssum AS DOUBLE))
+                          / (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE)
+                             * (CAST(nt AS DOUBLE) - 1.0))), 4) + 0 AS z
+      FROM fin""",
+
+    "q_bartels_rank" -> """
+      WITH daily AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                            CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                              AS rev
+                     FROM events GROUP BY 1, 2),
+           r AS (SELECT event_type, day, rev,
+                        CAST(ROW_NUMBER() OVER
+                          (PARTITION BY event_type ORDER BY rev, day) AS BIGINT) AS r
+                 FROM daily),
+           d AS (SELECT event_type, r,
+                        LEAD(r) OVER (PARTITION BY event_type ORDER BY day) AS rn
+                 FROM r),
+           s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(CASE WHEN rn IS NOT NULL
+                                      THEN (r - rn) * (r - rn) ELSE 0 END)
+                          AS BIGINT) AS num
+                 FROM d GROUP BY 1)
+      SELECT event_type, n AS n_days, num,
+             ROUND(CAST(num AS DOUBLE) * 12.0
+                   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0)),
+                   4) + 0 AS rvn,
+             ROUND((CAST(num AS DOUBLE) * 12.0
+                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0))
+                    - 2.0)
+                   / SQRT(4.0 * (CAST(n AS DOUBLE) - 2.0)
+                          * (5.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                             - 2.0 * CAST(n AS DOUBLE) - 9.0)
+                          / (5.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+                             * (CAST(n AS DOUBLE) - 1.0) * (CAST(n AS DOUBLE) - 1.0))),
+                   4) + 0 AS z
+      FROM s ORDER BY event_type""",
+
+    "q_cuzick_trend" -> """
+      WITH o AS (SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS j,
+                        CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+                 FROM orders),
+           cell AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS ct,
+                           CAST(SUM(j) AS BIGINT) AS sjc
+                    FROM o GROUP BY 1),
+           cum AS (SELECT v, ct, sjc,
+                          CAST(SUM(ct) OVER (ORDER BY v) AS BIGINT) AS cumt
+                   FROM cell),
+           t2 AS (SELECT CAST(SUM(sjc * ((cumt - ct) * 2 + ct + 1)) AS BIGINT) AS t2
+                  FROM cum),
+           sizes AS (SELECT CAST(SUM(nj) AS BIGINT) AS nn,
+                            CAST(SUM(j * nj) AS BIGINT) AS l1,
+                            CAST(SUM(j * j * nj) AS BIGINT) AS l2
+                     FROM (SELECT j, CAST(COUNT(*) AS BIGINT) AS nj
+                           FROM o GROUP BY 1))
+      SELECT nn AS n, l1, t2,
+             ROUND((CAST(t2 AS DOUBLE) - (CAST(nn AS DOUBLE) + 1.0) * CAST(l1 AS DOUBLE))
+                   / SQRT((CAST(nn AS DOUBLE) + 1.0)
+                          * (CAST(nn AS DOUBLE) * CAST(l2 AS DOUBLE)
+                             - CAST(l1 AS DOUBLE) * CAST(l1 AS DOUBLE)) / 3.0), 4)
+               + 0 AS z
+      FROM sizes CROSS JOIN t2""",
+
+    // ---- round 5: forecast metrics / ops analytics (§2.127) ----
+
+    "q_mase_smape" -> """
+      WITH daily AS (SELECT event_type,
+                            date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                              AS dayn,
+                            CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                              AS rev
+                     FROM events GROUP BY 1, 2),
+           s7 AS (SELECT a.event_type, CAST(COUNT(*) AS BIGINT) AS n7,
+                         CAST(SUM(ABS(a.rev - b.rev)) AS BIGINT) AS sae7,
+                         CAST(SUM(CAST(ROUND(2.0 * CAST(ABS(a.rev - b.rev) AS DOUBLE)
+                                             / CAST(a.rev + b.rev AS DOUBLE) * 1e8)
+                                       AS BIGINT)) AS BIGINT) AS ssm_e8
+                  FROM daily a JOIN daily b
+                    ON a.event_type = b.event_type AND a.dayn = b.dayn + 7
+                  GROUP BY 1),
+           s1 AS (SELECT a.event_type, CAST(COUNT(*) AS BIGINT) AS n1,
+                         CAST(SUM(ABS(a.rev - b.rev)) AS BIGINT) AS sae1
+                  FROM daily a JOIN daily b
+                    ON a.event_type = b.event_type AND a.dayn = b.dayn + 1
+                  GROUP BY 1)
+      SELECT s7.event_type, s7.n7 AS n_scored,
+             ROUND((CAST(sae7 AS DOUBLE) / CAST(n7 AS DOUBLE))
+                   / (CAST(sae1 AS DOUBLE) / CAST(n1 AS DOUBLE)), 4) + 0 AS mase,
+             ROUND(CAST(ssm_e8 AS DOUBLE) / 1e8 / CAST(n7 AS DOUBLE), 4) + 0 AS smape
+      FROM s7 JOIN s1 ON s7.event_type = s1.event_type
+      ORDER BY s7.event_type""",
+
+    "q_croston_forecast" -> """
+      WITH wk AS (SELECT p.p_brand AS brand,
+                         date_diff('day', DATE '1970-01-01',
+                           CAST(date_trunc('week', l.l_shipdate) AS DATE)) // 7 AS wkn,
+                         CAST(SUM(CAST(ROUND(l.l_quantity * 100) AS BIGINT)) AS BIGINT)
+                           AS z
+                  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                  GROUP BY 1, 2),
+           r AS (SELECT brand, wkn, z,
+                        CAST(ROW_NUMBER() OVER
+                          (PARTITION BY brand ORDER BY wkn DESC) AS BIGINT) AS idx,
+                        wkn - LAG(wkn) OVER (PARTITION BY brand ORDER BY wkn) AS gap
+                 FROM wk),
+           sz AS (SELECT brand,
+                         SUM(POWER(0.5, CAST(idx AS DOUBLE)) * CAST(z AS DOUBLE)) AS wz,
+                         SUM(POWER(0.5, CAST(idx AS DOUBLE))) AS ww
+                  FROM r WHERE idx <= 8 GROUP BY 1),
+           gp AS (SELECT brand,
+                         SUM(POWER(0.5, CAST(idx AS DOUBLE)) * CAST(gap AS DOUBLE)) AS wg,
+                         SUM(POWER(0.5, CAST(idx AS DOUBLE))) AS wwg
+                  FROM r WHERE idx <= 8 AND gap IS NOT NULL GROUP BY 1),
+           nw AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_demand_weeks
+                  FROM wk GROUP BY 1)
+      SELECT nw.brand, nw.n_demand_weeks,
+             ROUND(wz / ww, 4) + 0 AS zhat_cents,
+             ROUND(wg / wwg, 4) + 0 AS phat_weeks,
+             ROUND((wz / ww) / (wg / wwg), 4) + 0 AS croston_cents_per_week
+      FROM nw JOIN sz ON nw.brand = sz.brand JOIN gp ON nw.brand = gp.brand
+      ORDER BY nw.brand""",
+
+    "q_brown_double_smoothing" -> """
+      WITH rev AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                            AS m,
+                          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                            AS rev
+                   FROM orders GROUP BY 1),
+           s1 AS (SELECT a.m, CAST(COUNT(*) AS BIGINT) AS k1,
+                         SUM(CAST(b.rev AS DOUBLE)
+                             * POWER(0.5, CAST(a.m - b.m AS DOUBLE))) AS s1
+                  FROM rev a JOIN rev b ON b.m BETWEEN a.m - 12 AND a.m - 1
+                  GROUP BY 1 HAVING COUNT(*) = 12),
+           s2 AS (SELECT a.m, a.s1, CAST(COUNT(*) AS BIGINT) AS k2,
+                         SUM(b.s1 * POWER(0.5, CAST(a.m - b.m AS DOUBLE))) AS s2
+                  FROM s1 a JOIN s1 b ON b.m BETWEEN a.m - 12 AND a.m - 1
+                  GROUP BY 1, 2 HAVING COUNT(*) = 12),
+           pred AS (SELECT s2.m + 1 AS m, 3.0 * s2.s1 - 2.0 * s2.s2 AS f
+                    FROM s2),
+           sc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_forecasts,
+                         CAST(SUM(rev.rev) AS BIGINT) AS sa,
+                         SUM(ABS(CAST(rev.rev AS DOUBLE) - pred.f)) AS sae,
+                         SUM((CAST(rev.rev AS DOUBLE) - pred.f)
+                             * (CAST(rev.rev AS DOUBLE) - pred.f)) AS sse
+                  FROM pred JOIN rev ON pred.m = rev.m)
+      SELECT n_forecasts,
+             ROUND((sae / CAST(n_forecasts AS DOUBLE))
+                   / (CAST(sa AS DOUBLE) / CAST(n_forecasts AS DOUBLE)), 4) + 0
+               AS mae_over_mean,
+             ROUND(SQRT(sse / CAST(n_forecasts AS DOUBLE))
+                   / (CAST(sa AS DOUBLE) / CAST(n_forecasts AS DOUBLE)), 4) + 0
+               AS rmse_over_mean
+      FROM sc""",
+
+    "q_spectral_entropy" -> """
+      WITH raw AS (SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                            AS dayn,
+                          CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+                   FROM events GROUP BY 1),
+           d0 AS (SELECT CAST(MIN(dayn) AS BIGINT) AS d0 FROM raw),
+           daily AS (SELECT raw.dayn - d0.d0 AS t, raw.x FROM raw CROSS JOIN d0),
+           periods AS (SELECT unnest(range(2, 8)) AS p),
+           pw AS (SELECT p,
+                         SUM(CAST(x AS DOUBLE)
+                             * cos(2.0 * 3.141592653589793 * CAST(t AS DOUBLE)
+                                   / CAST(p AS DOUBLE))) AS sc,
+                         SUM(CAST(x AS DOUBLE)
+                             * sin(2.0 * 3.141592653589793 * CAST(t AS DOUBLE)
+                                   / CAST(p AS DOUBLE))) AS ss
+                  FROM daily CROSS JOIN periods GROUP BY 1),
+           pow2 AS (SELECT p, sc * sc + ss * ss AS power FROM pw),
+           tot AS (SELECT SUM(power) AS tp FROM pow2),
+           terms AS (SELECT CAST(ROUND((CAST(p_e6 AS DOUBLE) / 1e6)
+                                       * LN(CAST(p_e6 AS DOUBLE) / 1e6) * 1e8)
+                            AS BIGINT) AS term_e8
+                     FROM (SELECT CAST(ROUND(power / tp * 1e6) AS BIGINT) AS p_e6
+                           FROM pow2 CROSS JOIN tot)
+                     WHERE p_e6 > 0)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_periods,
+             ROUND(-CAST(SUM(term_e8) AS DOUBLE) / 1e8, 4) + 0 AS h,
+             ROUND(-CAST(SUM(term_e8) AS DOUBLE) / 1e8 / LN(6.0), 4) + 0 AS h_norm
+      FROM terms""",
+
+    "q_kpss_stat" -> """
+      WITH daily AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                            CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                              AS y
+                     FROM events GROUP BY 1, 2),
+           st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(y) AS BIGINT) AS sy
+                  FROM daily GROUP BY 1),
+           d AS (SELECT daily.event_type, daily.day, st.n,
+                        daily.y * st.n - st.sy AS d
+                 FROM daily JOIN st ON daily.event_type = st.event_type),
+           c AS (SELECT event_type, n, d,
+                        CAST(SUM(d) OVER (PARTITION BY event_type ORDER BY day)
+                          AS BIGINT) AS dd
+                 FROM d)
+      SELECT event_type, n AS n_days,
+             ROUND(CAST(SUM(CAST(dd AS HUGEINT) * dd) AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(SUM(CAST(d AS HUGEINT) * d) AS DOUBLE)),
+                   6) + 0 AS kpss
+      FROM c GROUP BY 1, 2 ORDER BY event_type""",
+
+    "q_bullwhip_effect" -> """
+      WITH om AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                           AS m,
+                         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                           AS rev
+                  FROM orders GROUP BY 1),
+           sm AS (SELECT CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT)
+                           AS m,
+                         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                           AS BIGINT) AS rev
+                  FROM lineitem GROUP BY 1),
+           o AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_o, CAST(SUM(rev) AS BIGINT) AS s_o,
+                        SUM(CAST(rev AS DOUBLE) * CAST(rev AS DOUBLE)) AS q_o
+                 FROM om),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_s, CAST(SUM(rev) AS BIGINT) AS s_s,
+                        SUM(CAST(rev AS DOUBLE) * CAST(rev AS DOUBLE)) AS q_s
+                 FROM sm)
+      SELECT n_o AS n_months_orders, n_s AS n_months_ship,
+             ROUND(((q_o - CAST(s_o AS DOUBLE) * CAST(s_o AS DOUBLE)
+                           / CAST(n_o AS DOUBLE)) / CAST(n_o AS DOUBLE))
+                   / ((q_s - CAST(s_s AS DOUBLE) * CAST(s_s AS DOUBLE)
+                             / CAST(n_s AS DOUBLE)) / CAST(n_s AS DOUBLE)), 4) + 0
+               AS bullwhip_ratio
+      FROM o CROSS JOIN s""",
+
+    "q_gini_mean_difference" -> """
+      WITH cell AS (SELECT l_returnflag AS rf,
+                           CAST(ROUND(l_quantity * 100) AS BIGINT) AS v,
+                           CAST(COUNT(*) AS BIGINT) AS c
+                    FROM lineitem GROUP BY 1, 2),
+           cum AS (SELECT rf, v, c, c * v AS sv,
+                          CAST(SUM(c) OVER (PARTITION BY rf ORDER BY v) AS BIGINT)
+                            AS cumc,
+                          CAST(SUM(c * v) OVER (PARTITION BY rf ORDER BY v) AS BIGINT)
+                            AS cumsv
+                   FROM cell),
+           t AS (SELECT rf, CAST(SUM(c) AS BIGINT) AS n,
+                        CAST(SUM(c * (v * (cumc - c) - (cumsv - sv))) AS BIGINT) AS s
+                 FROM cum GROUP BY 1)
+      SELECT rf, n,
+             ROUND(2.0 * CAST(s AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 4) + 0
+               AS gmd_cents
+      FROM t ORDER BY rf""",
+
+    "q_c_chart" -> """
+      WITH daily AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+                            CAST(COUNT(*) AS BIGINT) AS c
+                     FROM events WHERE event_type = 'error' GROUP BY 1),
+           st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+                         CAST(SUM(c) AS BIGINT) AS sc
+                  FROM daily),
+           lim AS (SELECT n_days, sc,
+                          CAST(ROUND((CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE)
+                                      + 3.0 * SQRT(CAST(sc AS DOUBLE)
+                                                   / CAST(n_days AS DOUBLE))) * 1e4)
+                            AS BIGINT) AS ucl_e4,
+                          CAST(ROUND(GREATEST(0.0,
+                            CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE)
+                            - 3.0 * SQRT(CAST(sc AS DOUBLE)
+                                         / CAST(n_days AS DOUBLE))) * 1e4)
+                            AS BIGINT) AS lcl_e4
+                   FROM st)
+      SELECT MAX(lim.n_days) AS n_days,
+             ROUND(CAST(MAX(lim.sc) AS DOUBLE) / CAST(MAX(lim.n_days) AS DOUBLE), 4)
+               + 0 AS cbar,
+             ROUND(CAST(MAX(lim.ucl_e4) AS DOUBLE) / 1e4, 4) + 0 AS ucl,
+             ROUND(CAST(MAX(lim.lcl_e4) AS DOUBLE) / 1e4, 4) + 0 AS lcl,
+             CAST(SUM(CASE WHEN daily.c * 10000 > lim.ucl_e4 THEN 1
+                           WHEN daily.c * 10000 < lim.lcl_e4 THEN 1
+                           ELSE 0 END) AS BIGINT) AS n_out_of_control
+      FROM daily CROSS JOIN lim""",
+
   )
 }
