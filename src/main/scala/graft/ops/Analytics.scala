@@ -7892,4 +7892,123 @@ object Analytics {
           .as("n_out_of_control"))
   }
 
+  /** Nadaraya–Watson kernel regression of event value on hour-of-day
+    * (Gaussian kernel, bandwidth 3h): ŷ(h) = Σᵢ K(h−hᵢ)·yᵢ / Σᵢ K(h−hᵢ)
+    * over the 24-hour grid. Because hours are integers, only 24 kernel
+    * values exist — each K is e12-latticed ONCE per (grid, source) hour
+    * pair, and the regression collapses to integer products of the
+    * lattice with the per-hour exact (Σy, n): a 24×24 broadcast
+    * product, no row-scaled float work at all.
+    */
+  def q_kernel_regression(spark: SparkSession, sf: String): DataFrame = {
+    val hs = Tables.eventsWithTs(spark, sf)
+      .groupBy(hour(col("ts_us")).cast("long").as("hi"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sy"))
+    val grid = hs.sparkSession.range(0, 24).select(col("id").as("h"))
+    grid.crossJoin(broadcast(hs))
+      .select(col("h"), col("n"), col("sy"),
+        round(exp(-((col("h") - col("hi")) * (col("h") - col("hi")))
+          .cast("double") / lit(18.0)) * lit(1e12)).cast("long").as("k_e12"))
+      .groupBy(col("h"))
+      .agg(sum(col("k_e12").cast("decimal(38,0)") * col("n")).as("den"),
+        sum(col("k_e12").cast("decimal(38,0)") * col("sy")).as("num"))
+      .select(col("h").as("hour"),
+        (round(col("num").cast("double") / col("den").cast("double"), 4)
+          + lit(0.0)).as("yhat_cents"))
+      .orderBy("hour")
+  }
+
+  /** One Huber IRLS step for order value on basket size: OLS from exact
+    * integer sums, residuals from the shared IEEE tree, robustness
+    * weights wᵢ = min(1, 1.345·1.4826·med|r| ⁄ |r|) decided on the
+    * INTEGER-rounded |r| lattice (the median via [[BandedScan]] — no
+    * sort), then one weighted least-squares re-fit with the e6 integer
+    * weights (weighted sums accumulate in decimal(38,0) — exact). The
+    * report: OLS vs Huber slope/intercept and how many orders were
+    * downweighted — the outlier-robust price-curve fit.
+    */
+  def q_huber_irls_step(spark: SparkSession, sf: String): DataFrame = {
+    val xy = Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("x"))
+      .join(Tables.orders(spark, sf)
+        .select(col("o_orderkey").as("l_orderkey"),
+          cents(col("o_totalprice")).as("y")), Seq("l_orderkey"))
+      .localCheckpoint()
+    val s = xy.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    val nD = col("n").cast("double")
+    val b = (nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")) /
+      (nD * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double"))
+    val a = (col("sy").cast("double") - b * col("sx").cast("double")) / nD
+    val withB = s.select(col("n"), round(b * lit(1e8)).cast("long").as("b_e8"),
+      round(a * lit(1e4)).cast("long").as("a_e4"))
+    val r = xy.crossJoin(broadcast(withB))
+      .select(col("x"), col("y"), col("n"), col("b_e8"), col("a_e4"),
+        abs(round(col("y").cast("double") -
+          (col("a_e4").cast("double") / lit(1e4) +
+            col("b_e8").cast("double") / lit(1e8) * col("x").cast("double"))))
+          .cast("long").as("ar"))
+      .localCheckpoint()
+    val lat = r.groupBy(col("ar")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val medv = BandedScan.cumSumAuto(lat, Seq(), "ar", "cnt", "cum")
+      .crossJoin(broadcast(lat.agg(sum(col("cnt")).as("nn"))))
+      .filter(col("cum") * 2L >= col("nn") + 1L)
+      .agg(min(col("ar")).as("med"))
+    val wr = r.crossJoin(broadcast(medv))
+      .select(col("x"), col("y"),
+        when(col("ar") === 0L, lit(1000000L))
+          .otherwise(least(lit(1000000L),
+            round(lit(1.345) * lit(1.4826) * col("med").cast("double") /
+              col("ar").cast("double") * lit(1e6)).cast("long"))).as("w"))
+    val ws = wr.agg(count(lit(1)).as("n"), sum(col("w")).as("sw"),
+      sum(col("w") * col("x")).as("swx"),
+      sum(col("w").cast("decimal(38,0)") * col("y")).as("swy"),
+      sum((col("w") * col("x")).cast("decimal(38,0)") * col("y")).as("swxy"),
+      sum(col("w") * col("x") * col("x")).as("swx2"),
+      sum(when(col("w") < 1000000L, 1L).otherwise(0L)).as("n_down"))
+    val b1 = (col("sw").cast("double") * col("swxy").cast("double") -
+      col("swx").cast("double") * col("swy").cast("double")) /
+      (col("sw").cast("double") * col("swx2").cast("double") -
+        col("swx").cast("double") * col("swx").cast("double"))
+    val a1 = (col("swy").cast("double") - b1 * col("swx").cast("double")) /
+      col("sw").cast("double")
+    ws.crossJoin(broadcast(withB.select(col("b_e8"), col("a_e4"))))
+      .select(col("n"), col("n_down").as("n_downweighted"),
+        (round(col("b_e8").cast("double") / lit(1e8), 4) + lit(0.0))
+          .as("b_ols_cents"),
+        (round(col("a_e4").cast("double") / lit(1e4), 4) + lit(0.0))
+          .as("a_ols_cents"),
+        (round(b1, 4) + lit(0.0)).as("b_huber_cents"),
+        (round(a1, 4) + lit(0.0)).as("a_huber_cents"))
+  }
+
+  /** Edge reciprocity of the directed event-type transition graph: the
+    * share of off-diagonal edges whose reverse edge exists, plus the
+    * weighted variant Σ min(c_st, c_ts) / Σ c_st — the feedback-loop
+    * screen run on interaction graphs before assuming DAG-ness.
+    * |types|²-bounded everywhere after the one edge aggregate.
+    */
+  def q_reciprocity(spark: SparkSession, sf: String): DataFrame = {
+    val e = GraphMl.transitionEdges(spark, sf)
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), col("w"))
+      .localCheckpoint()
+    val j = e.as("a")
+      .join(e.select(col("src").as("dst"), col("dst").as("src"),
+        col("w").as("wrev")).as("b"), Seq("src", "dst"), "left_outer")
+    j.agg(count(lit(1)).as("n_edges"),
+        sum(when(col("wrev").isNotNull, 1L).otherwise(0L)).as("n_reciprocated"),
+        sum(least(col("w"), coalesce(col("wrev"), lit(0L)))).as("s_min"),
+        sum(col("w")).as("s_w"))
+      .select(col("n_edges"), col("n_reciprocated"),
+        (round(col("n_reciprocated").cast("double") /
+          col("n_edges").cast("double"), 4) + lit(0.0)).as("reciprocity"),
+        (round(col("s_min").cast("double") / col("s_w").cast("double"), 4)
+          + lit(0.0)).as("weighted_reciprocity"))
+  }
+
 }

@@ -3202,4 +3202,47 @@ object MLDeterministic {
       .select(col("m.p0").as("step0"), col("m.p1").as("step1"),
         col("m.s2").as("step2"), col("m.sc").as("score_e8"))
   }
+
+  /** HMM forward pass (sum-product sibling of [[q_viterbi_path]]'s
+    * max-product): the MARGINAL state distribution after 1 and 2
+    * transitions from the per-user start distribution, αₜ₊₁(s') =
+    * Σₛ αₜ(s)·P(s,s'). Each product term is e12-latticed before the
+    * order-free sum, and the second step consumes the first step's
+    * integer lattice — so both engines propagate identical integers
+    * through both matrix-vector products. Everything after the edge
+    * aggregate is |types|²-bounded.
+    */
+  def q_hmm_forward(spark: SparkSession, sf: String): DataFrame = {
+    val ev = Tables.eventsWithTs(spark, sf)
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_usl").asc, col("event_id").asc)
+    val starts = ev
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("event_type").as("s0")).agg(count(lit(1)).as("c"))
+    val nUsers = starts.agg(sum(col("c")).as("tot"))
+    val tr = GraphMl.transitionEdges(spark, sf)
+    val a2 = starts.crossJoin(broadcast(nUsers))
+      .join(tr, col("s0") === col("src"))
+      .select(col("dst"),
+        round((col("c").cast("double") / col("tot").cast("double")) *
+          (col("w").cast("double") / col("out_w").cast("double")) * lit(1e12))
+          .cast("long").as("t_e12"))
+      .groupBy(col("dst").as("state"))
+      .agg(sum(col("t_e12")).as("a2_e12"))
+    val a3 = a2
+      .join(tr, col("state") === col("src"))
+      .select(col("dst"),
+        round((col("a2_e12").cast("double") / lit(1e12)) *
+          (col("w").cast("double") / col("out_w").cast("double")) * lit(1e12))
+          .cast("long").as("t_e12"))
+      .groupBy(col("dst").as("state"))
+      .agg(sum(col("t_e12")).as("a3_e12"))
+    a2.join(a3, Seq("state"), "full_outer")
+      .select(col("state"),
+        (round(coalesce(col("a2_e12"), lit(0L)).cast("double") / lit(1e12), 6)
+          + lit(0.0)).as("alpha2"),
+        (round(coalesce(col("a3_e12"), lit(0L)).cast("double") / lit(1e12), 6)
+          + lit(0.0)).as("alpha3"))
+      .orderBy("state")
+  }
 }

@@ -1007,4 +1007,210 @@ object TextPipeline {
         coalesce(col("candidate_pairs"), lit(0L)).as("candidate_pairs"))
       .orderBy("lang", "source")
   }
+
+  /** Per-doc unigram and bigram multiset counts plus token length — the
+    * shared core of the ROUGE/BLEU pair metrics below. Bigrams are
+    * in-array (no pre-explode join); multiset semantics (repeats
+    * counted) match the reference implementations of both metrics.
+    */
+  private def gramCounts(spark: SparkSession, sf: String, n: Int): DataFrame = {
+    val base = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("source"), toks(col("text")).as("tk"))
+    val grams =
+      if (n == 1) base.select(col("doc_id"), col("lang"), col("source"),
+        explode(col("tk")).as("g"))
+      else base.select(col("doc_id"), col("lang"), col("source"),
+        explode(expr("transform(sequence(1, size(tk) - 1), " +
+          "i -> concat(tk[i - 1], ' ', tk[i]))")).as("g"))
+    grams.groupBy(col("doc_id"), col("lang"), col("source"), col("g"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** ROUGE-1/ROUGE-2 recall between every doc pair inside a (lang,
+    * source) shard (lower doc_id = reference): clipped multiset n-gram
+    * overlap Σ min(c_ref, c_cand) over the reference's gram total — the
+    * summarization-QA overlap metric, here as the intra-shard
+    * redundancy screen. Pair products are shard-bounded (≤|shard|² per
+    * block, never corpus²); per-pair recalls are e6-latticed before the
+    * shard mean.
+    */
+  def q_rouge_recall(spark: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(toks(col("text"))).cast("long").as("len"))
+      .localCheckpoint()
+    val pairs = docs.as("a")
+      .join(docs.select(col("lang"), col("source"), col("doc_id").as("d2"),
+        col("len").as("len2")).as("b"), Seq("lang", "source"))
+      .filter(col("doc_id") < col("d2"))
+      .select(col("lang"), col("source"), col("doc_id"), col("d2"), col("len"))
+    def overlap(n: Int, out: String): DataFrame = {
+      val g = gramCounts(spark, sf, n)
+      g.as("a")
+        .join(g.select(col("lang"), col("source"), col("doc_id").as("d2"),
+          col("g"), col("c").as("c2")).as("b"),
+          Seq("lang", "source", "g"))
+        .filter(col("doc_id") < col("d2"))
+        .groupBy(col("lang"), col("source"), col("doc_id"), col("d2"))
+        .agg(sum(least(col("c"), col("c2"))).as(out))
+    }
+    pairs
+      .join(overlap(1, "ov1"), Seq("lang", "source", "doc_id", "d2"), "left_outer")
+      .join(overlap(2, "ov2"), Seq("lang", "source", "doc_id", "d2"), "left_outer")
+      .select(col("lang"), col("source"),
+        round(coalesce(col("ov1"), lit(0L)).cast("double") /
+          col("len").cast("double") * lit(1e6)).cast("long").as("r1_e6"),
+        round(coalesce(col("ov2"), lit(0L)).cast("double") /
+          (col("len") - 1L).cast("double") * lit(1e6)).cast("long").as("r2_e6"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_pairs"),
+        (round(sum(col("r1_e6")).cast("double") /
+          (count(lit(1)).cast("double") * lit(1e6)), 4) + lit(0.0))
+          .as("mean_rouge1"),
+        (round(sum(col("r2_e6")).cast("double") /
+          (count(lit(1)).cast("double") * lit(1e6)), 4) + lit(0.0))
+          .as("mean_rouge2"))
+      .orderBy("lang", "source")
+  }
+
+  /** BLEU-2 between every doc pair inside a (lang, source) shard (lower
+    * doc_id = reference, higher = candidate, documented): modified
+    * n-gram precisions p₁, p₂ (clipped multiset overlap over the
+    * CANDIDATE totals), brevity penalty exp(1−r/c) when the candidate
+    * is shorter, BLEU = BP·√(p₁p₂); zero overlap at either order ⇒ 0
+    * (no ln of 0). Same shard-bounded pair shape as [[q_rouge_recall]];
+    * per-pair BLEU e6-latticed before the shard mean.
+    */
+  def q_bleu_pairs(spark: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(toks(col("text"))).cast("long").as("len"))
+      .localCheckpoint()
+    val pairs = docs.as("a")
+      .join(docs.select(col("lang"), col("source"), col("doc_id").as("d2"),
+        col("len").as("len2")).as("b"), Seq("lang", "source"))
+      .filter(col("doc_id") < col("d2"))
+      .select(col("lang"), col("source"), col("doc_id"), col("d2"),
+        col("len"), col("len2"))
+    def overlap(n: Int, out: String): DataFrame = {
+      val g = gramCounts(spark, sf, n)
+      g.as("a")
+        .join(g.select(col("lang"), col("source"), col("doc_id").as("d2"),
+          col("g"), col("c").as("c2")).as("b"),
+          Seq("lang", "source", "g"))
+        .filter(col("doc_id") < col("d2"))
+        .groupBy(col("lang"), col("source"), col("doc_id"), col("d2"))
+        .agg(sum(least(col("c"), col("c2"))).as(out))
+    }
+    val bp = when(col("len2") >= col("len"), lit(1.0))
+      .otherwise(exp(lit(1.0) - col("len").cast("double") / col("len2").cast("double")))
+    val p1 = col("ov1").cast("double") / col("len2").cast("double")
+    val p2 = col("ov2").cast("double") / (col("len2") - 1L).cast("double")
+    pairs
+      .join(overlap(1, "ov1"), Seq("lang", "source", "doc_id", "d2"), "left_outer")
+      .join(overlap(2, "ov2"), Seq("lang", "source", "doc_id", "d2"), "left_outer")
+      .select(col("lang"), col("source"),
+        when(coalesce(col("ov1"), lit(0L)) === 0L ||
+          coalesce(col("ov2"), lit(0L)) === 0L, lit(0L))
+          .otherwise(round(bp * sqrt(p1 * p2) * lit(1e6)).cast("long"))
+          .as("bleu_e6"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_pairs"),
+        (round(sum(col("bleu_e6")).cast("double") /
+          (count(lit(1)).cast("double") * lit(1e6)), 4) + lit(0.0))
+          .as("mean_bleu2"))
+      .orderBy("lang", "source")
+  }
+
+  /** Heaps' law fit V = K·Nᵝ over the 10-bucket vocabulary growth curve
+    * ([[q_vocab_growth]]'s buckets, cumulated): log-log OLS on
+    * e6-latticed ln N / ln V points, closed-form slope β and intercept
+    * K = exp(lnK). β ≈ 0.4–0.6 is the natural-text signature a corpus
+    * screen expects; flat or unit slopes flag template or random text.
+    * Cumulatives via a ≤10×10 broadcast theta join — nothing scales
+    * with the corpus.
+    */
+  def q_heaps_law_fit(spark: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.documents(spark, sf)
+    val maxid = docs.agg(max(col("doc_id")).as("maxid"))
+    val tok = docs.crossJoin(broadcast(maxid))
+      .select(expr("(doc_id * 10) div (maxid + 1)").as("bucket"),
+        explode(toks(col("text"))).as("word"))
+    val perBucket = tok.groupBy(col("bucket")).agg(count(lit(1)).as("n_tokens"))
+    val newTypes = tok.groupBy(col("word")).agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("new_types"))
+    val growth = perBucket.join(newTypes, Seq("bucket"), "left_outer")
+      .select(col("bucket"), col("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .localCheckpoint()
+    val cum = growth.as("a")
+      .join(growth.select(col("bucket").as("b2"), col("n_tokens").as("nt2"),
+        col("new_types").as("v2")).as("b"), col("b2") <= col("a.bucket"))
+      .groupBy(col("a.bucket").as("bucket"))
+      .agg(sum(col("nt2")).as("cum_n"), sum(col("v2")).as("cum_v"))
+    val pts = cum.select(
+      round(log(col("cum_n").cast("double")) * lit(1e6)).cast("long").as("x"),
+      round(log(col("cum_v").cast("double")) * lit(1e6)).cast("long").as("y"))
+    val s = pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    val nD = col("n").cast("double")
+    val beta = (nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")) /
+      (nD * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double"))
+    s.select(col("n").as("n_points"),
+      (round(beta, 4) + lit(0.0)).as("beta"),
+      (round(exp((col("sy").cast("double") - beta * col("sx").cast("double")) /
+        (nD * lit(1e6))), 4) + lit(0.0)).as("k"))
+  }
+
+  /** Structural (template) dedup: the fingerprint is the md5 of the
+    * TOKEN-LENGTH sequence — two docs share it iff they have identical
+    * layout skeletons regardless of wording, the boilerplate/template
+    * detector that catches machine-generated families exact-hash dedup
+    * misses. One in-array transform (no explode), one fingerprint
+    * group-by — a single shuffle at any corpus size.
+    */
+  def q_structure_dedup(spark: SparkSession, sf: String): DataFrame = {
+    val fp = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"),
+        md5(expr("CAST(array_join(transform(split(lower(text), ' '), " +
+          "t -> CAST(length(t) AS STRING)), ',') AS BINARY)")).as("fp"))
+    val groups = fp.groupBy(col("lang"), col("fp")).agg(count(lit(1)).as("gsz"))
+    groups.groupBy(col("lang"))
+      .agg(sum(col("gsz")).as("n_docs"), count(lit(1)).as("n_templates"),
+        sum(when(col("gsz") > 1L, col("gsz")).otherwise(0L)).as("n_dup_docs"),
+        max(col("gsz")).as("max_group"))
+      .orderBy("lang")
+  }
+
+  /** Chunk-level duplication (RefinedWeb-style): split every doc into
+    * non-overlapping 8-token chunks, a chunk is DUPLICATED if its exact
+    * text occurs in ≥2 distinct docs corpus-wide; report per language
+    * the duplicated-chunk share. Chunks are generated in-array, the
+    * dup decision is one chunk-keyed distinct-doc aggregate (a single
+    * shuffle on the chunk hash — the only shape that survives 100 TB),
+    * and the share is an exact integer ratio.
+    */
+  def q_chunk_dedup(spark: SparkSession, sf: String): DataFrame = {
+    val chunks = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), toks(col("text")).as("tk"))
+      .select(col("doc_id"), col("lang"),
+        explode(expr("transform(sequence(0, (size(tk) div 8) - 1), " +
+          "i -> array_join(slice(tk, i * 8 + 1, 8), ' '))")).as("chunk"))
+      .localCheckpoint()
+    val dup = chunks.groupBy(col("chunk"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .select(col("chunk"), (col("ndocs") > 1L).as("is_dup"))
+    chunks.join(dup, Seq("chunk"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_chunks"))
+      .select(col("lang"), col("n_docs"), col("n_chunks"), col("n_dup_chunks"),
+        (round(col("n_dup_chunks").cast("double") /
+          col("n_chunks").cast("double"), 4) + lit(0.0)).as("dup_frac"))
+      .orderBy("lang")
+  }
 }

@@ -1074,4 +1074,51 @@ object Vectors {
           .as("bhattacharyya"))
       .orderBy("label_a", "label_b")
   }
+
+  /** One batch perceptron step on the embeddings (y = +1 for labels
+    * 0–4, −1 for 5–9): w₀ = centroid difference (per-dimension integer
+    * `div` means on the e7 lattice), margins yᵢ·⟨w₀,xᵢ⟩ are EXACT
+    * integer dot products (no float sign decisions), the update adds
+    * the mean misclassified correction (again integer `div`), and the
+    * report is misclassification count before vs after — the
+    * linear-separability probe run before committing to a classifier.
+    * Per-dimension explode → 64-row weight table, broadcast back; two
+    * passes, all shuffles keyed by dim or vec.
+    */
+  def q_perceptron_step(spark: SparkSession, sf: String): DataFrame = {
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        when(col("label") <= 4, 1L).otherwise(-1L).as("y"),
+        posexplode(q7(col("embedding"))).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("y"), col("dim").cast("long").as("dim"),
+        col("x"))
+      .localCheckpoint()
+    val w0 = e.groupBy(col("dim"))
+      .agg(sum(when(col("y") === 1L, col("x")).otherwise(0L)).as("sp"),
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("np"),
+        sum(when(col("y") === -1L, col("x")).otherwise(0L)).as("sn"),
+        sum(when(col("y") === -1L, 1L).otherwise(0L)).as("nn"))
+      .select(col("dim"), expr("(sp div np) - (sn div nn)").as("w0"))
+    val m1 = e.join(broadcast(w0), Seq("dim"))
+      .groupBy(col("vec_id"), col("y"))
+      .agg(sum(col("x") * col("w0")).as("dot"))
+      .select(col("vec_id"), col("y"), (col("y") * col("dot") <= 0L).as("mis"))
+      .localCheckpoint()
+    val upd = e.join(m1.filter(col("mis")).select(col("vec_id")), Seq("vec_id"))
+      .groupBy(col("dim")).agg(sum(col("y") * col("x")).as("su"),
+        countDistinct(col("vec_id")).as("nmis"))
+    val w1 = w0.join(upd, Seq("dim"), "left_outer")
+      .select(col("dim"), (col("w0") +
+        coalesce(expr("su div nmis"), lit(0L))).as("w1"))
+    val m2 = e.join(broadcast(w1), Seq("dim"))
+      .groupBy(col("vec_id"), col("y"))
+      .agg(sum(col("x") * col("w1")).as("dot"))
+      .select((col("y") * col("dot") <= 0L).as("mis"))
+    val before = m1.agg(
+      sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_pos"),
+      sum(when(col("y") === -1L, 1L).otherwise(0L)).as("n_neg"),
+      sum(when(col("mis"), 1L).otherwise(0L)).as("n_mis_before"))
+    val after = m2.agg(sum(when(col("mis"), 1L).otherwise(0L)).as("n_mis_after"))
+    before.crossJoin(after)
+  }
 }

@@ -13760,5 +13760,393 @@ object OracleSql {
                            ELSE 0 END) AS BIGINT) AS n_out_of_control
       FROM daily CROSS JOIN lim""",
 
+    // ---- round 5: text-metric / ML round-out (§2.128) ----
+
+    "q_rouge_recall" -> """
+      WITH docs AS (SELECT doc_id, lang, source,
+                           CAST(LENGTH(string_split(lower(text), ' ')) AS BIGINT)
+                             AS len
+                    FROM documents),
+           pairs AS (SELECT a.lang, a.source, a.doc_id, b.doc_id AS d2, a.len
+                     FROM docs a JOIN docs b
+                       ON a.lang = b.lang AND a.source = b.source
+                      AND a.doc_id < b.doc_id),
+           g1 AS (SELECT doc_id, lang, source, g, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM (SELECT doc_id, lang, source,
+                               unnest(string_split(lower(text), ' ')) AS g
+                        FROM documents)
+                  GROUP BY 1, 2, 3, 4),
+           g2 AS (SELECT doc_id, lang, source, g, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM (SELECT doc_id, lang, source,
+                               unnest(list_transform(
+                                 range(1, LENGTH(string_split(lower(text), ' '))),
+                                 i -> string_split(lower(text), ' ')[i] || ' '
+                                      || string_split(lower(text), ' ')[i + 1])) AS g
+                        FROM documents)
+                  GROUP BY 1, 2, 3, 4),
+           ov1 AS (SELECT a.lang, a.source, a.doc_id, b.doc_id AS d2,
+                          CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS ov1
+                   FROM g1 a JOIN g1 b
+                     ON a.lang = b.lang AND a.source = b.source AND a.g = b.g
+                    AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2, 3, 4),
+           ov2 AS (SELECT a.lang, a.source, a.doc_id, b.doc_id AS d2,
+                          CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS ov2
+                   FROM g2 a JOIN g2 b
+                     ON a.lang = b.lang AND a.source = b.source AND a.g = b.g
+                    AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2, 3, 4),
+           lat AS (SELECT p.lang, p.source,
+                          CAST(ROUND(CAST(COALESCE(ov1.ov1, 0) AS DOUBLE)
+                                     / CAST(p.len AS DOUBLE) * 1e6) AS BIGINT)
+                            AS r1_e6,
+                          CAST(ROUND(CAST(COALESCE(ov2.ov2, 0) AS DOUBLE)
+                                     / CAST(p.len - 1 AS DOUBLE) * 1e6) AS BIGINT)
+                            AS r2_e6
+                   FROM pairs p
+                   LEFT JOIN ov1 ON ov1.lang = p.lang AND ov1.source = p.source
+                                AND ov1.doc_id = p.doc_id AND ov1.d2 = p.d2
+                   LEFT JOIN ov2 ON ov2.lang = p.lang AND ov2.source = p.source
+                                AND ov2.doc_id = p.doc_id AND ov2.d2 = p.d2)
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             ROUND(CAST(SUM(r1_e6) AS DOUBLE)
+                   / (CAST(COUNT(*) AS DOUBLE) * 1e6), 4) + 0 AS mean_rouge1,
+             ROUND(CAST(SUM(r2_e6) AS DOUBLE)
+                   / (CAST(COUNT(*) AS DOUBLE) * 1e6), 4) + 0 AS mean_rouge2
+      FROM lat GROUP BY 1, 2 ORDER BY lang, source""",
+
+    "q_bleu_pairs" -> """
+      WITH docs AS (SELECT doc_id, lang, source,
+                           CAST(LENGTH(string_split(lower(text), ' ')) AS BIGINT)
+                             AS len
+                    FROM documents),
+           pairs AS (SELECT a.lang, a.source, a.doc_id, b.doc_id AS d2,
+                            a.len, b.len AS len2
+                     FROM docs a JOIN docs b
+                       ON a.lang = b.lang AND a.source = b.source
+                      AND a.doc_id < b.doc_id),
+           g1 AS (SELECT doc_id, lang, source, g, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM (SELECT doc_id, lang, source,
+                               unnest(string_split(lower(text), ' ')) AS g
+                        FROM documents)
+                  GROUP BY 1, 2, 3, 4),
+           g2 AS (SELECT doc_id, lang, source, g, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM (SELECT doc_id, lang, source,
+                               unnest(list_transform(
+                                 range(1, LENGTH(string_split(lower(text), ' '))),
+                                 i -> string_split(lower(text), ' ')[i] || ' '
+                                      || string_split(lower(text), ' ')[i + 1])) AS g
+                        FROM documents)
+                  GROUP BY 1, 2, 3, 4),
+           ov1 AS (SELECT a.lang, a.source, a.doc_id, b.doc_id AS d2,
+                          CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS ov1
+                   FROM g1 a JOIN g1 b
+                     ON a.lang = b.lang AND a.source = b.source AND a.g = b.g
+                    AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2, 3, 4),
+           ov2 AS (SELECT a.lang, a.source, a.doc_id, b.doc_id AS d2,
+                          CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS ov2
+                   FROM g2 a JOIN g2 b
+                     ON a.lang = b.lang AND a.source = b.source AND a.g = b.g
+                    AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2, 3, 4),
+           lat AS (SELECT p.lang, p.source,
+                          CASE WHEN COALESCE(ov1.ov1, 0) = 0
+                                 OR COALESCE(ov2.ov2, 0) = 0 THEN 0
+                               ELSE CAST(ROUND(
+                                 (CASE WHEN p.len2 >= p.len THEN 1.0
+                                       ELSE EXP(1.0 - CAST(p.len AS DOUBLE)
+                                                / CAST(p.len2 AS DOUBLE)) END)
+                                 * SQRT((CAST(ov1.ov1 AS DOUBLE)
+                                         / CAST(p.len2 AS DOUBLE))
+                                        * (CAST(ov2.ov2 AS DOUBLE)
+                                           / CAST(p.len2 - 1 AS DOUBLE)))
+                                 * 1e6) AS BIGINT) END AS bleu_e6
+                   FROM pairs p
+                   LEFT JOIN ov1 ON ov1.lang = p.lang AND ov1.source = p.source
+                                AND ov1.doc_id = p.doc_id AND ov1.d2 = p.d2
+                   LEFT JOIN ov2 ON ov2.lang = p.lang AND ov2.source = p.source
+                                AND ov2.doc_id = p.doc_id AND ov2.d2 = p.d2)
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             ROUND(CAST(SUM(bleu_e6) AS DOUBLE)
+                   / (CAST(COUNT(*) AS DOUBLE) * 1e6), 4) + 0 AS mean_bleu2
+      FROM lat GROUP BY 1, 2 ORDER BY lang, source""",
+
+    "q_heaps_law_fit" -> """
+      WITH mx AS (SELECT CAST(MAX(doc_id) AS BIGINT) AS maxid FROM documents),
+           tok AS (SELECT (doc_id * 10) // (maxid + 1) AS bucket,
+                          unnest(string_split(lower(text), ' ')) AS word
+                   FROM documents CROSS JOIN mx),
+           pb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_tokens
+                  FROM tok GROUP BY 1),
+           nt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS new_types
+                  FROM (SELECT word, CAST(MIN(bucket) AS BIGINT) AS bucket
+                        FROM tok GROUP BY 1)
+                  GROUP BY 1),
+           growth AS (SELECT pb.bucket, pb.n_tokens,
+                             COALESCE(nt.new_types, 0) AS new_types
+                      FROM pb LEFT JOIN nt ON pb.bucket = nt.bucket),
+           cum AS (SELECT a.bucket, CAST(SUM(b.n_tokens) AS BIGINT) AS cum_n,
+                          CAST(SUM(b.new_types) AS BIGINT) AS cum_v
+                   FROM growth a JOIN growth b ON b.bucket <= a.bucket
+                   GROUP BY 1),
+           pts AS (SELECT CAST(ROUND(LN(CAST(cum_n AS DOUBLE)) * 1e6) AS BIGINT)
+                            AS x,
+                          CAST(ROUND(LN(CAST(cum_v AS DOUBLE)) * 1e6) AS BIGINT)
+                            AS y
+                   FROM cum),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+                        CAST(SUM(y) AS BIGINT) AS sy,
+                        CAST(SUM(x * y) AS BIGINT) AS sxy,
+                        CAST(SUM(x * x) AS BIGINT) AS sxx
+                 FROM pts)
+      SELECT n AS n_points,
+             ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4) + 0 AS beta,
+             ROUND(EXP((CAST(sy AS DOUBLE)
+                        - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                          * CAST(sx AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * 1e6)), 4) + 0 AS k
+      FROM s""",
+
+    "q_structure_dedup" -> """
+      WITH fp AS (SELECT doc_id, lang,
+                         md5(array_to_string(list_transform(
+                           string_split(lower(text), ' '),
+                           t -> CAST(LENGTH(t) AS VARCHAR)), ',')) AS fp
+                  FROM documents),
+           groups AS (SELECT lang, fp, CAST(COUNT(*) AS BIGINT) AS gsz
+                      FROM fp GROUP BY 1, 2)
+      SELECT lang, CAST(SUM(gsz) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_templates,
+             CAST(SUM(CASE WHEN gsz > 1 THEN gsz ELSE 0 END) AS BIGINT)
+               AS n_dup_docs,
+             CAST(MAX(gsz) AS BIGINT) AS max_group
+      FROM groups GROUP BY 1 ORDER BY lang""",
+
+    "q_chunk_dedup" -> """
+      WITH chunks AS (SELECT doc_id, lang,
+                             unnest(list_transform(
+                               range(0, LENGTH(string_split(lower(text), ' ')) // 8),
+                               i -> array_to_string(list_slice(
+                                 string_split(lower(text), ' '),
+                                 i * 8 + 1, i * 8 + 8), ' '))) AS chunk
+                      FROM documents),
+           dup AS (SELECT chunk, COUNT(DISTINCT doc_id) > 1 AS is_dup
+                   FROM chunks GROUP BY 1)
+      SELECT lang, CAST(COUNT(DISTINCT chunks.doc_id) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             CAST(SUM(CASE WHEN dup.is_dup THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_chunks,
+             ROUND(CAST(SUM(CASE WHEN dup.is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 4) + 0 AS dup_frac
+      FROM chunks JOIN dup ON chunks.chunk = dup.chunk
+      GROUP BY 1 ORDER BY lang""",
+
+    "q_hmm_forward" -> """
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tu, event_id
+                 FROM events),
+           st AS (SELECT event_type AS s0, CAST(COUNT(*) AS BIGINT) AS c FROM
+                    (SELECT user_id, event_type,
+                            ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY tu, event_id) AS rn
+                     FROM e)
+                  WHERE rn = 1 GROUP BY 1),
+           tot AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM st),
+           ed AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM
+                    (SELECT user_id, event_type AS dst,
+                            LAG(event_type) OVER (PARTITION BY user_id
+                              ORDER BY tu, event_id) AS src
+                     FROM e)
+                  WHERE src IS NOT NULL GROUP BY 1, 2),
+           tr AS (SELECT ed.src, ed.dst, ed.w, ow.out_w
+                  FROM ed JOIN (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w
+                                FROM ed GROUP BY 1) ow ON ed.src = ow.src),
+           a2 AS (SELECT dst AS state, CAST(SUM(t_e12) AS BIGINT) AS a2_e12 FROM
+                    (SELECT tr.dst,
+                            CAST(ROUND((CAST(st.c AS DOUBLE) / CAST(tot.tot AS DOUBLE))
+                                       * (CAST(tr.w AS DOUBLE)
+                                          / CAST(tr.out_w AS DOUBLE)) * 1e12)
+                              AS BIGINT) AS t_e12
+                     FROM st CROSS JOIN tot JOIN tr ON st.s0 = tr.src)
+                  GROUP BY 1),
+           a3 AS (SELECT dst AS state, CAST(SUM(t_e12) AS BIGINT) AS a3_e12 FROM
+                    (SELECT tr.dst,
+                            CAST(ROUND((CAST(a2.a2_e12 AS DOUBLE) / 1e12)
+                                       * (CAST(tr.w AS DOUBLE)
+                                          / CAST(tr.out_w AS DOUBLE)) * 1e12)
+                              AS BIGINT) AS t_e12
+                     FROM a2 JOIN tr ON a2.state = tr.src)
+                  GROUP BY 1)
+      SELECT COALESCE(a2.state, a3.state) AS state,
+             ROUND(CAST(COALESCE(a2.a2_e12, 0) AS DOUBLE) / 1e12, 6) + 0 AS alpha2,
+             ROUND(CAST(COALESCE(a3.a3_e12, 0) AS DOUBLE) / 1e12, 6) + 0 AS alpha3
+      FROM a2 FULL OUTER JOIN a3 ON a2.state = a3.state
+      ORDER BY state""",
+
+    "q_perceptron_step" -> """
+      WITH q AS (SELECT vec_id,
+                        CASE WHEN label <= 4 THEN 1 ELSE -1 END AS y,
+                        list_transform(embedding,
+                          v -> CAST(ROUND(CAST(v AS DOUBLE)*1e7) AS BIGINT)) AS qe
+                 FROM embeddings),
+           e AS (SELECT vec_id, CAST(y AS BIGINT) AS y,
+                        CAST(generate_subscripts(qe, 1) - 1 AS BIGINT) AS dim,
+                        unnest(qe) AS x
+                 FROM q),
+           w0 AS (SELECT dim,
+                         (CASE WHEN sp >= 0 THEN sp // np ELSE -((-sp) // np) END)
+                         - (CASE WHEN sn >= 0 THEN sn // nn ELSE -((-sn) // nn) END)
+                           AS w0
+                  FROM (SELECT dim,
+                               CAST(SUM(CASE WHEN y = 1 THEN x ELSE 0 END) AS BIGINT)
+                                 AS sp,
+                               CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                                 AS np,
+                               CAST(SUM(CASE WHEN y = -1 THEN x ELSE 0 END) AS BIGINT)
+                                 AS sn,
+                               CAST(SUM(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                                 AS nn
+                        FROM e GROUP BY 1)),
+           m1 AS (SELECT e.vec_id, e.y,
+                         CAST(SUM(e.x * w0.w0) AS BIGINT) AS dot
+                  FROM e JOIN w0 ON e.dim = w0.dim GROUP BY 1, 2),
+           mis1 AS (SELECT vec_id, y, (y * dot <= 0) AS mis FROM m1),
+           upd AS (SELECT e.dim, CAST(SUM(e.y * e.x) AS BIGINT) AS su,
+                          CAST(COUNT(DISTINCT e.vec_id) AS BIGINT) AS nmis
+                   FROM e JOIN mis1 ON e.vec_id = mis1.vec_id AND mis1.mis
+                   GROUP BY 1),
+           w1 AS (SELECT w0.dim,
+                         w0.w0 + COALESCE(
+                           CASE WHEN upd.su >= 0 THEN upd.su // upd.nmis
+                                ELSE -((-upd.su) // upd.nmis) END, 0) AS w1
+                  FROM w0 LEFT JOIN upd ON w0.dim = upd.dim),
+           m2 AS (SELECT e.vec_id, e.y, CAST(SUM(e.x * w1.w1) AS BIGINT) AS dot
+                  FROM e JOIN w1 ON e.dim = w1.dim GROUP BY 1, 2),
+           bf AS (SELECT CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_pos,
+                         CAST(SUM(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_neg,
+                         CAST(SUM(CASE WHEN mis THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_mis_before
+                  FROM mis1),
+           af AS (SELECT CAST(SUM(CASE WHEN y * dot <= 0 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n_mis_after
+                  FROM m2)
+      SELECT n_pos, n_neg, n_mis_before, n_mis_after FROM bf CROSS JOIN af""",
+
+    "q_kernel_regression" -> """
+      WITH hs AS (SELECT CAST(hour(ts) AS BIGINT) AS hi,
+                         CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                           AS sy
+                  FROM events GROUP BY 1),
+           grid AS (SELECT CAST(unnest(range(0, 24)) AS BIGINT) AS h),
+           k AS (SELECT grid.h, hs.n, hs.sy,
+                        CAST(ROUND(EXP(-CAST((grid.h - hs.hi) * (grid.h - hs.hi)
+                                             AS DOUBLE) / 18.0) * 1e12) AS BIGINT)
+                          AS k_e12
+                 FROM grid CROSS JOIN hs)
+      SELECT h AS hour,
+             ROUND(CAST(SUM(CAST(k_e12 AS HUGEINT) * sy) AS DOUBLE)
+                   / CAST(SUM(CAST(k_e12 AS HUGEINT) * n) AS DOUBLE), 4) + 0
+               AS yhat_cents
+      FROM k GROUP BY 1 ORDER BY hour""",
+
+    "q_huber_irls_step" -> """
+      WITH xy AS (SELECT li.x, o.y FROM
+                    (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS x
+                     FROM lineitem GROUP BY 1) li
+                  JOIN (SELECT o_orderkey,
+                               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y
+                        FROM orders) o ON li.l_orderkey = o.o_orderkey),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+                        CAST(SUM(y) AS BIGINT) AS sy,
+                        CAST(SUM(x * y) AS BIGINT) AS sxy,
+                        CAST(SUM(x * x) AS BIGINT) AS sxx
+                 FROM xy),
+           ab AS (SELECT n,
+                         CAST(ROUND(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                                    * 1e8) AS BIGINT) AS b_e8,
+                         CAST(ROUND(((CAST(sy AS DOUBLE)
+                                      - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                                         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                                        * CAST(sx AS DOUBLE))
+                                     / CAST(n AS DOUBLE)) * 1e4) AS BIGINT) AS a_e4
+                  FROM s),
+           r AS (SELECT xy.x, xy.y, ab.n, ab.b_e8, ab.a_e4,
+                        CAST(ABS(ROUND(CAST(xy.y AS DOUBLE)
+                          - (CAST(ab.a_e4 AS DOUBLE) / 1e4
+                             + CAST(ab.b_e8 AS DOUBLE) / 1e8
+                               * CAST(xy.x AS DOUBLE)))) AS BIGINT) AS ar
+                 FROM xy CROSS JOIN ab),
+           lat AS (SELECT ar, CAST(COUNT(*) AS BIGINT) AS cnt FROM r GROUP BY 1),
+           med AS (SELECT CAST(MIN(ar) AS BIGINT) AS med FROM
+                     (SELECT ar, SUM(cnt) OVER (ORDER BY ar) AS cum FROM lat)
+                   CROSS JOIN (SELECT CAST(SUM(cnt) AS BIGINT) AS nn FROM lat)
+                   WHERE cum * 2 >= nn + 1),
+           wr AS (SELECT r.x, r.y,
+                         CASE WHEN r.ar = 0 THEN 1000000
+                              ELSE LEAST(1000000,
+                                CAST(ROUND(1.345 * 1.4826 * CAST(med.med AS DOUBLE)
+                                           / CAST(r.ar AS DOUBLE) * 1e6) AS BIGINT))
+                         END AS w
+                  FROM r CROSS JOIN med),
+           ws AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(w) AS BIGINT) AS sw,
+                         CAST(SUM(w * x) AS BIGINT) AS swx,
+                         SUM(CAST(w AS HUGEINT) * y) AS swy,
+                         SUM(CAST(w * x AS HUGEINT) * y) AS swxy,
+                         CAST(SUM(w * x * x) AS BIGINT) AS swx2,
+                         CAST(SUM(CASE WHEN w < 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_down
+                  FROM wr)
+      SELECT ws.n, ws.n_down AS n_downweighted,
+             ROUND(CAST(ab.b_e8 AS DOUBLE) / 1e8, 4) + 0 AS b_ols_cents,
+             ROUND(CAST(ab.a_e4 AS DOUBLE) / 1e4, 4) + 0 AS a_ols_cents,
+             ROUND((CAST(sw AS DOUBLE) * CAST(swxy AS DOUBLE)
+                    - CAST(swx AS DOUBLE) * CAST(swy AS DOUBLE))
+                   / (CAST(sw AS DOUBLE) * CAST(swx2 AS DOUBLE)
+                      - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE)), 4) + 0
+               AS b_huber_cents,
+             ROUND((CAST(swy AS DOUBLE)
+                    - ((CAST(sw AS DOUBLE) * CAST(swxy AS DOUBLE)
+                        - CAST(swx AS DOUBLE) * CAST(swy AS DOUBLE))
+                       / (CAST(sw AS DOUBLE) * CAST(swx2 AS DOUBLE)
+                          - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE)))
+                      * CAST(swx AS DOUBLE))
+                   / CAST(sw AS DOUBLE), 4) + 0 AS a_huber_cents
+      FROM ws CROSS JOIN ab""",
+
+    "q_reciprocity" -> """
+      WITH e0 AS (SELECT user_id, event_type, epoch_us(ts) AS tu, event_id
+                  FROM events),
+           ed AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM
+                    (SELECT user_id, event_type AS dst,
+                            LAG(event_type) OVER (PARTITION BY user_id
+                              ORDER BY tu, event_id) AS src
+                     FROM e0)
+                  WHERE src IS NOT NULL GROUP BY 1, 2),
+           e AS (SELECT src, dst, w FROM ed WHERE src <> dst),
+           j AS (SELECT a.src, a.dst, a.w, b.w AS wrev
+                 FROM e a LEFT JOIN e b ON a.src = b.dst AND a.dst = b.src)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+             CAST(SUM(CASE WHEN wrev IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_reciprocated,
+             ROUND(CAST(SUM(CASE WHEN wrev IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 4) + 0 AS reciprocity,
+             ROUND(CAST(SUM(LEAST(w, COALESCE(wrev, 0))) AS DOUBLE)
+                   / CAST(SUM(w) AS DOUBLE), 4) + 0 AS weighted_reciprocity
+      FROM j""",
+
   )
 }
