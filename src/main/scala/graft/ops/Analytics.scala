@@ -8011,4 +8011,575 @@ object Analytics {
           + lit(0.0)).as("weighted_reciprocity"))
   }
 
+  /** Per-nation mean account balance in EXACT rounded cents plus the
+    * region key — the shared input of the §2.130 spatial-association
+    * tests (same hierarchy-block weights as [[q_morans_i]]).
+    */
+  private def nationBalance(spark: SparkSession, sf: String): DataFrame =
+    Tables.customer(spark, sf)
+      .groupBy(col("c_nationkey").as("nk"))
+      .agg(count(lit(1)).as("nc"), sum(cents(col("c_acctbal"))).as("sb"))
+      .join(broadcast(Tables.nation(spark, sf)
+        .select(col("n_nationkey").as("nk"), col("n_regionkey").as("rk"))), "nk")
+      .select(col("nk"), col("rk"),
+        round(col("sb").cast("double") / col("nc").cast("double"))
+          .cast("long").as("xq"))
+
+  /** Getis–Ord global G of per-nation mean balance with same-region
+    * block weights: G = Σ_{i≠j, same region} xᵢxⱼ / Σ_{i≠j} xᵢxⱼ —
+    * the "hot-spot" companion to [[q_morans_i]] (G above its expectation
+    * W/(n(n−1)) = high values cluster). All products are exact integer
+    * cent×cent sums; the denominator uses the (Σx)²−Σx² identity so no
+    * all-pairs join ever runs — one broadcast region self-join sized
+    * |nations|² worst case.
+    */
+  def q_getis_ord_g(spark: SparkSession, sf: String): DataFrame = {
+    val x = nationBalance(spark, sf).localCheckpoint()
+    val pairs = x.as("a")
+      .join(x.select(col("nk").as("nk2"), col("rk").as("rk2"),
+        col("xq").as("xq2")).as("b"),
+        col("rk2") === col("a.rk") && col("nk2") =!= col("a.nk"))
+      .agg(count(lit(1)).as("w"), sum(col("xq") * col("xq2")).as("num"))
+    val tot = x.agg(count(lit(1)).as("n"), sum(col("xq")).as("sx"),
+      sum(col("xq") * col("xq")).as("sxx"))
+    tot.crossJoin(pairs)
+      .select(col("n").as("n_nations"), col("w").as("w_pairs"),
+        (round(col("num").cast("double") /
+          (col("sx").cast("double") * col("sx").cast("double")
+            - col("sxx").cast("double")), 6) + lit(0.0)).as("g"),
+        (round(col("w").cast("double") /
+          (col("n").cast("double") * (col("n").cast("double") - lit(1.0))), 6)
+          + lit(0.0)).as("e_g"))
+  }
+
+  /** Join-count statistics on the binarized balance surface: a nation is
+    * BLACK when its mean balance exceeds the cross-nation median (exact
+    * integer median rule: smallest xq with 2·#{≤} ≥ n on the 25-value
+    * lattice). Counts same-region ordered pairs by color — BB/BW/WW —
+    * against the free-sampling expectations E[BB] = W·nb(nb−1)/(n(n−1)),
+    * E[BW] = 2W·nb·nw/(n(n−1)): the categorical cousin of Moran's I for
+    * hot-spot detection on coded maps.
+    */
+  def q_join_count_stat(spark: SparkSession, sf: String): DataFrame = {
+    val x = nationBalance(spark, sf).localCheckpoint()
+    val med = x.as("a")
+      .join(x.select(col("xq").as("xq2")).as("b"), col("xq2") <= col("a.xq"))
+      .groupBy(col("a.xq").as("xq")).agg(count(lit(1)).as("cle"))
+      .crossJoin(broadcast(x.agg(count(lit(1)).as("n"))))
+      .filter(col("cle") * 2L >= col("n"))
+      .agg(min(col("xq")).as("m"))
+    val colored = x.crossJoin(broadcast(med))
+      .select(col("nk"), col("rk"), (col("xq") > col("m")).as("black"))
+      .localCheckpoint()
+    val pairs = colored.as("a")
+      .join(colored.select(col("nk").as("nk2"), col("rk").as("rk2"),
+        col("black").as("black2")).as("b"),
+        col("rk2") === col("a.rk") && col("nk2") =!= col("a.nk"))
+      .agg(count(lit(1)).as("w"),
+        sum(when(col("black") && col("black2"), 1L).otherwise(0L)).as("bb"),
+        sum(when(col("black") =!= col("black2"), 1L).otherwise(0L)).as("bw"),
+        sum(when(!col("black") && !col("black2"), 1L).otherwise(0L)).as("ww"))
+    val counts = colored.agg(count(lit(1)).as("n"),
+      sum(when(col("black"), 1L).otherwise(0L)).as("nb"))
+    counts.crossJoin(pairs)
+      .select(col("n").as("n_nations"), col("nb").as("n_black"),
+        col("w").as("w_pairs"), col("bb"), col("bw"), col("ww"),
+        (round(col("w").cast("double") * col("nb").cast("double")
+          * (col("nb").cast("double") - lit(1.0))
+          / (col("n").cast("double") * (col("n").cast("double") - lit(1.0))), 4)
+          + lit(0.0)).as("e_bb"),
+        (round(lit(2.0) * col("w").cast("double") * col("nb").cast("double")
+          * (col("n") - col("nb")).cast("double")
+          / (col("n").cast("double") * (col("n").cast("double") - lit(1.0))), 4)
+          + lit(0.0)).as("e_bw"))
+  }
+
+  /** Local Moran's Iᵢ (LISA): per nation, Iᵢ = n·zᵢ·Σ_{j∈region, j≠i} zⱼ
+    * / Σz² with the same-region block weights — the drill-down of the
+    * global [[q_morans_i]] that names WHICH nations sit in hot/cold
+    * clusters. Deviations are kept as EXACT integers (zᵢ = xqᵢ·n − Σxq,
+    * n²-scaled), so the neighbor sums and Σz² are order-free; one double
+    * epilogue per nation. Quadrant code: HH/LL/HL/LH from the signs.
+    */
+  def q_local_moran(spark: SparkSession, sf: String): DataFrame = {
+    val x = nationBalance(spark, sf).localCheckpoint()
+    val tot = x.agg(count(lit(1)).as("n"), sum(col("xq")).as("sx"))
+    val z = x.crossJoin(broadcast(tot))
+      .select(col("nk"), col("rk"), col("n"),
+        (col("xq") * col("n") - col("sx")).as("z"))
+      .localCheckpoint()
+    val regionSum = z.groupBy(col("rk"))
+      .agg(sum(col("z")).as("rz"), count(lit(1)).as("rn"))
+    val szsq = z.agg(sum(col("z").cast("decimal(38,0)") * col("z")).as("szsq"))
+    z.join(broadcast(regionSum), "rk").crossJoin(broadcast(szsq))
+      .select(col("nk"), col("rk"), (col("rn") - 1L).as("n_neighbors"),
+        (round(col("n").cast("double") * col("z").cast("double")
+          * (col("rz") - col("z")).cast("double")
+          / col("szsq").cast("double"), 4) + lit(0.0)).as("local_i"),
+        when(col("z") > 0L && (col("rz") - col("z")) > 0L, "HH")
+          .when(col("z") < 0L && (col("rz") - col("z")) < 0L, "LL")
+          .when(col("z") > 0L, "HL").otherwise("LH").as("quadrant"))
+      .orderBy("nk")
+  }
+
+  /** Anderson–Darling uniformity test of the discount distribution per
+    * return flag: discounts live on the 11-point cent lattice, mapped to
+    * u = (d+1)/12 ∈ (0,1); A² = −n − (1/n)·Σᵢ(2i−1)[ln u₍ᵢ₎ +
+    * ln(1−u₍ₙ₊₁₋ᵢ₎)] collapses to a VALUE-LATTICE aggregate because the
+    * rank weights over a tie block [lo,hi] have closed integer sums
+    * (Σ(2i−1) = hi²−(lo−1)², Σ(2n+1−2i) = c(2n+1)−(hi(hi+1)−lo(lo−1))).
+    * ln terms are e8-latticed per distinct value; products go through
+    * decimal(38,0) so the n² rank weights never overflow. No sort, no
+    * ranks — one lattice + [[BandedScan]] + one aggregate.
+    */
+  def q_anderson_darling(spark: SparkSession, sf: String): DataFrame = {
+    val cell = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").as("flag"), pct(col("l_discount")).as("d"))
+      .groupBy(col("flag"), col("d")).agg(count(lit(1)).as("c"))
+    val withCum = BandedScan.cumSum(cell, Seq("flag"), "d", "c", "hi", 4L)
+      .withColumn("lo", col("hi") - col("c") + 1L)
+    val n = withCum.groupBy(col("flag")).agg(sum(col("c")).as("n"))
+    val terms = withCum.join(broadcast(n), "flag")
+      .select(col("flag"), col("n"),
+        (col("hi") * col("hi") - (col("lo") - 1L) * (col("lo") - 1L)).as("w1"),
+        (col("c") * (lit(2L) * col("n") + 1L)
+          - (col("hi") * (col("hi") + 1L) - col("lo") * (col("lo") - 1L)))
+          .as("w2"),
+        round(log((col("d").cast("double") + lit(1.0)) / lit(12.0)) * lit(1e8))
+          .cast("long").as("t"),
+        round(log(lit(1.0) - (col("d").cast("double") + lit(1.0)) / lit(12.0))
+          * lit(1e8)).cast("long").as("s"))
+    terms.groupBy(col("flag"), col("n"))
+      .agg(sum(col("w1").cast("decimal(38,0)") * col("t")
+        + col("w2").cast("decimal(38,0)") * col("s")).as("ssum"))
+      .select(col("flag"), col("n"),
+        (round(-col("n").cast("double")
+          - col("ssum").cast("double") / (col("n").cast("double") * lit(1e8)), 4)
+          + lit(0.0)).as("a2"))
+      .orderBy("flag")
+  }
+
+  /** Cox–Stuart trend test on the daily revenue series per event type:
+    * pair day i with day i+(n−m) (m = n div 2 — the middle day of an odd
+    * series is skipped), count strictly-positive and strictly-negative
+    * differences of the EXACT cent revenues, z = (2S⁺−m')/√m' with ties
+    * dropped. Day indices come from a keyed calendar-bounded window; the
+    * pairing is one self-equi-join on (type, index+lag) — no global sort.
+    */
+  def q_cox_stuart(spark: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.eventsWithTs(spark, sf)
+      .groupBy(col("event_type"),
+        date_format(col("ts_us"), "yyyy-MM-dd").as("day"))
+      .agg(sum(cents(col("value"))).as("rev"))
+      .withColumn("i",
+        row_number().over(Window.partitionBy("event_type").orderBy("day"))
+          .cast("long"))
+      .localCheckpoint()
+    val n = daily.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val lagged = daily.join(broadcast(n), "event_type")
+      .withColumn("m", expr("n div 2"))
+      .filter(col("i") <= col("m"))
+      .select(col("event_type"), col("n"), col("m"),
+        (col("i") + col("n") - col("m")).as("i2"), col("rev").as("rev1"))
+    lagged.join(daily.select(col("event_type"), col("i").as("i2"),
+        col("rev").as("rev2")), Seq("event_type", "i2"))
+      .groupBy(col("event_type"), col("n"))
+      .agg(sum(when(col("rev2") > col("rev1"), 1L).otherwise(0L)).as("s_pos"),
+        sum(when(col("rev2") < col("rev1"), 1L).otherwise(0L)).as("s_neg"))
+      .select(col("event_type"), col("n").as("n_days"), col("s_pos"),
+        col("s_neg"),
+        (round((lit(2.0) * col("s_pos").cast("double")
+          - (col("s_pos") + col("s_neg")).cast("double"))
+          / sqrt((col("s_pos") + col("s_neg")).cast("double")), 4) + lit(0.0))
+          .as("z"))
+      .orderBy("event_type")
+  }
+
+  /** Wald–Wolfowitz two-sample runs test (linestatus F vs O on the
+    * quantity lattice): under the deterministic tie order (quantity asc,
+    * F before O) the run count has a CLOSED FORM on the value lattice —
+    * +1 inside any cell holding both groups, +1 at each boundary where
+    * the trailing group of one occupied cell differs from the leading
+    * group of the next (adjacency via a [[BandedScan]] dense index +
+    * one self-equi-join, so no global-order window exists anywhere).
+    * z uses the exact run moments μ = 2ab/(a+b)+1,
+    * σ² = 2ab(2ab−a−b)/((a+b)²(a+b−1)).
+    */
+  def q_wald_wolfowitz(spark: SparkSession, sf: String): DataFrame = {
+    val cell = Tables.lineitem(spark, sf)
+      .select(col("l_quantity").cast("long").as("v"),
+        (col("l_linestatus") === "F").as("isF"))
+      .groupBy(col("v"))
+      .agg(sum(when(col("isF"), 1L).otherwise(0L)).as("a"),
+        sum(when(!col("isF"), 1L).otherwise(0L)).as("b"))
+      .withColumn("occ", lit(1L))
+    val idx = BandedScan.cumSum(cell, Seq.empty, "v", "occ", "idx", 8L)
+      .localCheckpoint()
+    val internal = idx.agg(
+      sum(when(col("a") > 0L && col("b") > 0L, 1L).otherwise(0L)).as("t_in"),
+      sum(col("a")).as("ta"), sum(col("b")).as("tb"))
+    val bound = idx.as("x")
+      .join(idx.select((col("idx") - 1L).as("idx"),
+        col("a").as("a2"), col("b").as("b2")).as("y"), Seq("idx"))
+      .agg(sum(when(
+        when(col("b") > 0L, lit("O")).otherwise(lit("F")) =!=
+          when(col("a2") > 0L, lit("F")).otherwise(lit("O")), 1L)
+        .otherwise(0L)).as("t_bd"))
+    val aD = col("ta").cast("double")
+    val bD = col("tb").cast("double")
+    val mu = lit(2.0) * aD * bD / (aD + bD) + lit(1.0)
+    val sg2 = lit(2.0) * aD * bD * (lit(2.0) * aD * bD - aD - bD) /
+      ((aD + bD) * (aD + bD) * (aD + bD - lit(1.0)))
+    internal.crossJoin(bound)
+      .select(col("ta").as("n_f"), col("tb").as("n_o"),
+        (col("t_in") + col("t_bd") + 1L).as("runs"),
+        (round(mu, 4) + lit(0.0)).as("mu"),
+        (round(((col("t_in") + col("t_bd") + 1L).cast("double") - mu)
+          / sqrt(sg2), 4) + lit(0.0)).as("z"))
+  }
+
+  /** Seasonal Mann–Kendall trend test per event type with hour-of-day
+    * seasons: the MK S statistic is computed WITHIN each of the 24
+    * seasonal series over the days of the month (no cross-season pairs —
+    * diurnal cycle removed by construction) and summed; the variance
+    * sums the per-season tie-corrected moments. The pair join is
+    * calendar-bounded (≤ days² per season per type at any SF). Exact cent
+    * revenues, one z epilogue.
+    */
+  def q_seasonal_mann_kendall(spark: SparkSession, sf: String): DataFrame = {
+    val cell = Tables.eventsWithTs(spark, sf)
+      .groupBy(col("event_type"), hour(col("ts_us")).cast("long").as("h"),
+        date_format(col("ts_us"), "yyyy-MM-dd").as("day"))
+      .agg(sum(cents(col("value"))).as("rev"))
+      .localCheckpoint()
+    val s = cell.as("a")
+      .join(cell.select(col("event_type"), col("h"), col("day").as("day2"),
+        col("rev").as("rev2")).as("b"), Seq("event_type", "h"))
+      .filter(col("day2") > col("day"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("rev2") > col("rev"), 1L)
+        .when(col("rev2") < col("rev"), -1L).otherwise(0L)).as("s"))
+    val seasonN = cell.groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("n"))
+    val tie = cell.groupBy(col("event_type"), col("h"), col("rev"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L)).as("tt"))
+    val varS = seasonN.join(tie, Seq("event_type", "h"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_seasons"),
+        sum(col("n") * (col("n") - 1L) * (lit(2L) * col("n") + 5L) - col("tt"))
+          .as("var18"))
+    s.join(varS, "event_type")
+      .select(col("event_type"), col("n_seasons"), col("s").as("s_stat"),
+        (round((col("s").cast("double") - signum(col("s").cast("double")))
+          / sqrt(col("var18").cast("double") / lit(18.0)), 4) + lit(0.0)).as("z"))
+      .orderBy("event_type")
+  }
+
+  /** Quade test (weighted blocked rank ANOVA) on the day × event-type
+    * revenue table: within-day ranks r (deterministic (rev, type) order),
+    * day weights = rank of the day's revenue RANGE (tiny |days|² theta
+    * rank — calendar-bounded), scores kept 2-SCALED integers
+    * S₂ = Q·(2r−(k+1)) so A = ΣS₂² and B = Σⱼ(ΣS₂)²/n are exact;
+    * F = (n−1)B/(A−B) (the 4× scale cancels). Only complete blocks enter,
+    * per the test's definition.
+    */
+  def q_quade_test(spark: SparkSession, sf: String): DataFrame = {
+    val cell = Tables.eventsWithTs(spark, sf)
+      .groupBy(date_format(col("ts_us"), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(sum(cents(col("value"))).as("rev"))
+    val k = cell.select(col("event_type")).distinct().count()
+    val complete = cell.withColumn("nt",
+        count(lit(1)).over(Window.partitionBy("day")))
+      .filter(col("nt") === k).drop("nt")
+      .localCheckpoint()
+    val ranked = complete.withColumn("r",
+      row_number().over(Window.partitionBy("day").orderBy("rev", "event_type"))
+        .cast("long"))
+    val rng = complete.groupBy(col("day"))
+      .agg((max(col("rev")) - min(col("rev"))).as("range"))
+      .localCheckpoint()
+    val q = rng.as("a")
+      .join(rng.select(col("day").as("day2"), col("range").as("range2")).as("b"),
+        col("range2") < col("a.range")
+          || (col("range2") === col("a.range") && col("day2") < col("a.day")),
+        "left_outer")
+      .groupBy(col("a.day").as("day"))
+      .agg((count(col("day2")) + 1L).as("qrank"))
+    val scores = ranked.join(q, "day")
+      .select(col("day"), col("event_type"),
+        (col("qrank") * (lit(2L) * col("r") - lit(k + 1L))).as("s2"))
+      .localCheckpoint()
+    val a = scores.agg(count(lit(1)).as("nk"),
+      sum(col("s2") * col("s2")).as("a2"))
+    val b = scores.groupBy(col("event_type")).agg(sum(col("s2")).as("sj"))
+      .agg(count(lit(1)).as("kk"), sum(col("sj") * col("sj")).as("sb2"))
+    a.crossJoin(b)
+      .select(expr("nk div kk").as("n_blocks"), col("kk").as("k"),
+        col("a2"), col("sb2"),
+        (round((expr("nk div kk").cast("double") - lit(1.0))
+          * (col("sb2").cast("double") / expr("nk div kk").cast("double"))
+          / (col("a2").cast("double")
+            - col("sb2").cast("double") / expr("nk div kk").cast("double")), 4)
+          + lit(0.0)).as("f"))
+  }
+
+  /** Conover squared-ranks dispersion test per return flag on quantity,
+    * median-centered (exact integer lattice medians — the documented
+    * robust variant): z = |v − med_g| ranks across the COMBINED sample as
+    * lattice midranks (2R = 2·below + c + 1 — integer), T_g = Σc·(2R)²
+    * and ΣR⁴ through decimal(38,0); each group's standardized
+    * z_g = (T_g − n_g·S̄)/√(n_g(N−n_g)/(N(N−1))·(ΣR⁴ − N·S̄²)) is one
+    * double epilogue from broadcast totals — no cross-group float sums.
+    */
+  def q_conover_squared_ranks(spark: SparkSession, sf: String): DataFrame = {
+    val cell = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").as("g"), col("l_quantity").cast("long").as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val medInput = BandedScan.cumSum(cell, Seq("g"), "v", "c", "cum", 8L)
+    val ng = cell.groupBy(col("g")).agg(sum(col("c")).as("n_g"))
+    val med = medInput.join(broadcast(ng), "g")
+      .filter(col("cum") * 2L >= col("n_g"))
+      .groupBy(col("g")).agg(min(col("v")).as("med"))
+    val zcell = cell.join(broadcast(med), "g")
+      .select(col("g"), abs(col("v") - col("med")).as("z"), col("c"))
+      .groupBy(col("g"), col("z")).agg(sum(col("c")).as("c"))
+      .localCheckpoint()
+    val comb = zcell.groupBy(col("z")).agg(sum(col("c")).as("ct"))
+    val ranks = BandedScan.cumSum(comb, Seq.empty, "z", "ct", "cum", 8L)
+      .select(col("z"), col("ct"),
+        (lit(2L) * (col("cum") - col("ct")) + col("ct") + 1L).as("r2"))
+    val tot = ranks.agg(sum(col("ct")).as("nn"),
+      sum(col("ct").cast("decimal(38,0)") * col("r2") * col("r2")).as("sr2"),
+      sum(col("ct").cast("decimal(38,0)") * col("r2") * col("r2")
+        * col("r2") * col("r2")).as("sr4"))
+    val tg = zcell.join(broadcast(ranks.select(col("z"), col("r2"))), "z")
+      .groupBy(col("g"))
+      .agg(sum(col("c")).as("n_g"),
+        sum(col("c").cast("decimal(38,0)") * col("r2") * col("r2")).as("t4"))
+    val nD = col("nn").cast("double")
+    val ngD = col("n_g").cast("double")
+    // all in the 2-scaled lattice: T4 and sr2/sr4 carry (2R)² and (2R)⁴
+    val sbar = col("sr2").cast("double") / nD
+    val d2 = (col("sr4").cast("double") - nD * sbar * sbar) / (nD - lit(1.0))
+    tg.crossJoin(broadcast(tot))
+      .select(col("g").as("flag"), col("n_g"),
+        (round((col("t4").cast("double") - ngD * sbar)
+          / sqrt(ngD * (nD - ngD) / nD * d2), 4) + lit(0.0)).as("z"))
+      .orderBy("flag")
+  }
+
+  /** Erlang-B blocking probability table: offered load a = mean hourly
+    * arrivals / 10 Erlangs (derived from the event stream itself), loss
+    * B(m) = (aᵐ/m!)/Σ_{k≤m} aᵏ/k! for m = 1..8 — the closed form, not
+    * the recursion, so it's one 9-term lattice + a tiny ≤-theta join.
+    * The capacity-planning companion to [[q_erlang_c]].
+    */
+  def q_erlang_b_loss(spark: SparkSession, sf: String): DataFrame = {
+    val spanH = Tables.eventsWithTs(spark, sf)
+      .agg(count(lit(1)).as("n"), min(col("ts_usl")).as("t0"),
+        max(col("ts_usl")).as("t1"))
+      .select((col("n").cast("double") /
+        ((col("t1") - col("t0")).cast("double") / lit(3.6e9)) / lit(10.0)).as("a"))
+    val fact = expr("CASE k WHEN 0 THEN 1.0 WHEN 1 THEN 1.0 WHEN 2 THEN 2.0 " +
+      "WHEN 3 THEN 6.0 WHEN 4 THEN 24.0 WHEN 5 THEN 120.0 WHEN 6 THEN 720.0 " +
+      "WHEN 7 THEN 5040.0 ELSE 40320.0 END")
+    val terms = spanH.crossJoin(
+        spark.range(0, 9).select(col("id").cast("long").as("k")))
+      .select(col("k"), col("a"), (pow(col("a"), col("k").cast("double")) / fact).as("t"))
+      .localCheckpoint()
+    terms.filter(col("k") >= 1L).as("m")
+      .join(terms.select(col("k").as("k2"), col("t").as("t2")).as("d"),
+        col("k2") <= col("m.k"))
+      .groupBy(col("m.k").as("m"), col("a"), col("t"))
+      .agg(sum(col("t2")).as("den"))
+      .select(col("m"), (round(col("a"), 4) + lit(0.0)).as("offered_erlangs"),
+        (round(col("t") / col("den"), 6) + lit(0.0)).as("blocking_b"))
+      .orderBy("m")
+  }
+
+  /** Crow–AMSAA (NHPP power-law) reliability-growth fit on the error
+    * event stream: t_i = hours since stream start, MLE β̂ = n/Σln(T/tᵢ),
+    * λ̂ = n/T^β̂, instantaneous MTBF 1/(λ̂β̂T^{β̂−1}) — is the error rate
+    * improving or degrading over the month? Each ln tᵢ is e8-latticed
+    * before the order-free integer sum.
+    */
+  def q_crow_amsaa(spark: SparkSession, sf: String): DataFrame = {
+    val t0 = Tables.eventsWithTs(spark, sf).agg(min(col("ts_usl")).as("t0"))
+    val t = Tables.eventsWithTs(spark, sf)
+      .filter(col("event_type") === "error")
+      .crossJoin(broadcast(t0))
+      .select(((col("ts_usl") - col("t0")).cast("double") / lit(3.6e9)).as("th"))
+      .filter(col("th") > 0.0)
+      .select(col("th"), round(log(col("th")) * lit(1e8)).cast("long").as("lt"))
+    val s = t.agg(count(lit(1)).as("n"), sum(col("lt")).as("slt"),
+      max(col("th")).as("bigT"))
+    val nD = col("n").cast("double")
+    val beta = nD / (nD * log(col("bigT"))
+      - col("slt").cast("double") / lit(1e8))
+    val lam = nD / pow(col("bigT"), beta)
+    s.select(col("n").as("n_failures"),
+        (round(col("bigT"), 4) + lit(0.0)).as("t_hours"),
+        (round(beta, 4) + lit(0.0)).as("beta"),
+        (round(lam, 6) + lit(0.0)).as("lambda"),
+        (round(lit(1.0) / (lam * beta * pow(col("bigT"), beta - lit(1.0))), 4)
+          + lit(0.0)).as("mtbf_inst_h"))
+  }
+
+  /** Suits index of discount progressivity: do discount dollars
+    * concentrate on high-priced items? S = 1 − 2∫C(y)dy over the
+    * price-ordered accumulation curve (y = cumulative revenue share,
+    * C = cumulative discount-dollar share), trapezoid-integrated on the
+    * price-cent lattice via [[BandedScan]] cumulatives + one dense-index
+    * adjacency self-join — no sort, no global window. The numerator
+    * Σ pyᵢ·(CTᵢ+CTᵢ₋₁) stays exact in decimal(38,0); S ∈ [−1, 1],
+    * positive = discounts progressive w.r.t. price.
+    */
+  def q_suits_index(spark: SparkSession, sf: String): DataFrame = {
+    val cell = Tables.lineitem(spark, sf)
+      .select(cents(col("l_extendedprice")).as("v"),
+        cents(col("l_extendedprice") * col("l_discount")).as("tax"))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("c"), sum(col("tax")).as("pt"))
+      .select(col("v"), (col("v") * col("c")).as("py"), col("pt"),
+        lit(1L).as("occ"))
+    val cums = BandedScan.cumSums(cell, Seq.empty, "v",
+      Seq("occ" -> "idx", "py" -> "cy", "pt" -> "ct"))
+      .localCheckpoint()
+    val tot = cums.agg(max(col("cy")).as("ty"), max(col("ct")).as("tt"),
+      count(lit(1)).as("n_cells"))
+    val terms = cums.as("x")
+      .join(cums.select((col("idx") + 1L).as("idx"), col("ct").as("ct_prev"))
+        .as("p"), Seq("idx"), "left_outer")
+      .select(col("py"),
+        (col("ct") + coalesce(col("ct_prev"), lit(0L))).as("ct2"))
+      .agg(sum(col("py").cast("decimal(38,0)") * col("ct2")).as("num"))
+    tot.crossJoin(terms)
+      .select(col("n_cells"),
+        (round(lit(1.0) - col("num").cast("double")
+          / (col("ty").cast("double") * col("tt").cast("double")), 4)
+          + lit(0.0)).as("suits"))
+  }
+
+  /** Weighted log-rank family in one pass: the [[q_logrank_test]] risk
+    * sets scored under the three classic weightings — w=1 (log-rank,
+    * late-difference sensitive), w=nᵣ (Gehan–Breslow–Wilcoxon, early),
+    * w=√nᵣ (Tarone–Ware, compromise) — U_w = Σw(d₁−d·n₁/n),
+    * V_w = Σw²·hypergeometric variance, χ²_w = U²/V. Same bounded
+    * risk-set theta join as the parent; one extra fixed-width aggregate.
+    */
+  def q_weighted_logrank(spark: SparkSession, sf: String): DataFrame = {
+    val obs = Tables.eventsWithTs(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts_us"))).as("d0"), max(to_date(col("ts_us"))).as("d1"))
+      .select((col("user_id") % 2).cast("long").as("g"),
+        datediff(col("d1"), col("d0")).cast("long").as("t"),
+        when(col("d1") <= lit("2024-01-23").cast("date"), 1L).otherwise(0L)
+          .as("churned"))
+    val byT = obs.groupBy(col("t"))
+      .agg(count(lit(1)).as("n_at"),
+        sum(when(col("g") === 0, 1L).otherwise(0L)).as("n_at1"),
+        sum(col("churned")).as("d"),
+        sum(when(col("g") === 0, col("churned")).otherwise(0L)).as("d1"))
+      .localCheckpoint()
+    val risk = byT.as("a")
+      .join(byT.select(col("t").as("t2"), col("n_at").as("na2"),
+        col("n_at1").as("na12")).as("b"), col("t2") >= col("a.t"))
+      .groupBy(col("a.t").as("t"), col("a.d").as("d"), col("a.d1").as("dd1"))
+      .agg(sum(col("na2")).as("nr"), sum(col("na12")).as("nr1"))
+      .filter(col("d") > 0 && col("nr") > 1)
+    val dD = col("d").cast("double")
+    val nrD = col("nr").cast("double")
+    val contrib = col("dd1").cast("double") - dD * col("nr1").cast("double") / nrD
+    val vterm = dD * (col("nr1").cast("double") / nrD) *
+      (lit(1.0) - col("nr1").cast("double") / nrD) *
+      (col("nr") - col("d")).cast("double") / (nrD - lit(1.0))
+    val s = risk.agg(
+      sum(contrib).as("u1"), sum(vterm).as("v1"),
+      sum(nrD * contrib).as("ug"), sum(nrD * nrD * vterm).as("vg"),
+      sum(sqrt(nrD) * contrib).as("ut"), sum(nrD * vterm).as("vt"))
+    s.select(
+      (round(col("u1") * col("u1") / col("v1"), 4) + lit(0.0)).as("chi2_logrank"),
+      (round(col("ug") * col("ug") / col("vg"), 4) + lit(0.0)).as("chi2_gehan"),
+      (round(col("ut") * col("ut") / col("vt"), 4) + lit(0.0)).as("chi2_tarone_ware"))
+  }
+
+  /** Kakwani progressivity index of the discount "tariff" against the
+    * price base: K = C_discount − Gini_price, both curves trapezoid-
+    * integrated on the SAME price-cent lattice ordering (one
+    * [[BandedScan]] with population/revenue/discount cumulatives + one
+    * dense-index adjacency join shared by both integrals). Numerators
+    * exact in decimal(38,0); K > 0 = discounts progressively favor
+    * high-priced lines.
+    */
+  def q_kakwani_index(spark: SparkSession, sf: String): DataFrame = {
+    val cell = Tables.lineitem(spark, sf)
+      .select(cents(col("l_extendedprice")).as("v"),
+        cents(col("l_extendedprice") * col("l_discount")).as("tax"))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("c"), sum(col("tax")).as("pt"))
+      .select(col("v"), col("c"), (col("v") * col("c")).as("py"), col("pt"),
+        lit(1L).as("occ"))
+    val cums = BandedScan.cumSums(cell, Seq.empty, "v",
+      Seq("occ" -> "idx", "c" -> "cc", "py" -> "cy", "pt" -> "ct"))
+      .localCheckpoint()
+    val tot = cums.agg(max(col("cc")).as("tn"), max(col("cy")).as("ty"),
+      max(col("ct")).as("tt"), count(lit(1)).as("n_cells"))
+    val terms = cums.as("x")
+      .join(cums.select((col("idx") + 1L).as("idx"), col("cy").as("cy_prev"),
+        col("ct").as("ct_prev")).as("p"), Seq("idx"), "left_outer")
+      .agg(sum(col("c").cast("decimal(38,0)")
+          * (col("cy") + coalesce(col("cy_prev"), lit(0L)))).as("num_g"),
+        sum(col("c").cast("decimal(38,0)")
+          * (col("ct") + coalesce(col("ct_prev"), lit(0L)))).as("num_c"))
+    val gini = lit(1.0) - col("num_g").cast("double") /
+      (col("tn").cast("double") * col("ty").cast("double"))
+    val conc = lit(1.0) - col("num_c").cast("double") /
+      (col("tn").cast("double") * col("tt").cast("double"))
+    tot.crossJoin(terms)
+      .select(col("n_cells"),
+        (round(gini, 4) + lit(0.0)).as("gini_price"),
+        (round(conc, 4) + lit(0.0)).as("conc_discount"),
+        (round(conc - gini, 4) + lit(0.0)).as("kakwani"))
+  }
+
+  /** EWMA control chart on the daily error-count series (λ = ½, the
+    * [[q_c_chart]] companion with memory): zₜ = Σ_{k=0..11} ½^{k+1}·xₜ₋ₖ
+    * — a 12-term truncated kernel of EXACT dyadic weights, so every zₜ
+    * is an exact double regardless of summation order. Asymptotic limits
+    * c̄ ± 3·√c̄·√(λ/(2−λ)); only days with a full kernel are scored
+    * (documented truncation). Calendar-bounded kernel join — at any SF
+    * the chart is ≤ days rows.
+    */
+  def q_ewma_chart(spark: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.eventsWithTs(spark, sf)
+      .filter(col("event_type") === "error")
+      .groupBy(to_date(col("ts_us")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint()
+    val st = daily.agg(count(lit(1)).as("n_days"), sum(col("x")).as("sx"))
+      .select(col("n_days"),
+        (col("sx").cast("double") / col("n_days").cast("double")).as("cbar"))
+    val kern = daily.as("t")
+      .join(daily.select(col("day").as("day2"), col("x").as("x2")).as("k"),
+        datediff(col("t.day"), col("day2")).between(0, 11))
+      .groupBy(col("t.day").as("day"))
+      .agg(count(lit(1)).as("nk"),
+        sum(pow(lit(0.5), datediff(col("t.day"), col("day2"))
+          .cast("double") + lit(1.0)) * col("x2").cast("double")).as("z"))
+      .filter(col("nk") === 12L)
+    val lim = sqrt(lit(1.0) / lit(3.0)) * lit(3.0) * sqrt(col("cbar"))
+    kern.crossJoin(broadcast(st))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        (round(col("z"), 4) + lit(0.0)).as("ewma"),
+        (round(col("cbar") + lim, 4) + lit(0.0)).as("ucl"),
+        (round(col("cbar") - lim, 4) + lit(0.0)).as("lcl"),
+        when(col("z") > col("cbar") + lim
+          || col("z") < col("cbar") - lim, 1L).otherwise(0L).as("out_of_control"))
+      .orderBy("day")
+  }
+
 }

@@ -154,4 +154,52 @@ object Ann {
         expr("n_hit * 10000 div n_exact").as("recall_e4"))
       .orderBy("qid")
   }
+
+  /** Semantic-dedup pipeline report: the SemDeDup-style candidate stage —
+    * vectors are bucketed by the 8-plane sign-LSH signature (the
+    * [[q_ann_rplsh]] hyperplanes), candidate pairs are SAME (label,
+    * bucket) pairs only, and a pair is a semantic duplicate when its
+    * r4-rounded exact cosine ≥ 0.40. Per label: vectors, occupied
+    * buckets, candidate pairs actually scored, dup pairs, and distinct
+    * vectors slated for removal (the higher vec_id of each dup pair —
+    * keep-lowest survivorship). The bucket key bounds the pair product
+    * at any corpus size — the all-pairs product never materializes.
+    */
+  def q_semantic_dedup(spark: SparkSession, sf: String): DataFrame = {
+    val hp = spark.range(0, 8).select(col("id").as("p"))
+      .crossJoin(spark.range(0, 64).select(col("id").as("d")))
+      .select(col("p"), col("d"),
+        when(graft.core.Det.hash32(concat(col("p").cast("string"), lit("_"),
+          col("d").cast("string"))) % 2 === 0, 1L).otherwise(-1L).as("s"))
+    val v = quantized(spark, sf)
+    val dims = v.select(col("vec_id"), posexplode(col("qe")).as(Seq("d", "x")))
+    val buckets = dims.join(broadcast(hp), "d")
+      .groupBy(col("vec_id"), col("p"))
+      .agg(sum(col("s") * col("x")).as("proj"))
+      .groupBy(col("vec_id"))
+      .agg(sum(expr("CASE WHEN proj > 0 THEN CAST(shiftleft(1, p) AS BIGINT) ELSE 0 END"))
+        .as("bucket"))
+    val wb = v.join(buckets, "vec_id").localCheckpoint()
+    val pairs = wb.as("a")
+      .join(wb.select(col("vec_id").as("vid2"), col("label").as("label2"),
+        col("bucket").as("bucket2"), col("qe").as("qe2"),
+        col("nrm").as("nrm2")).as("b"),
+        col("a.bucket") === col("bucket2") && col("a.label") === col("label2")
+          && col("a.vec_id") < col("vid2"))
+      .select(col("a.label").as("label"), col("vid2"),
+        (round(Vectors.cosine(Vectors.dotE14(col("qe"), col("qe2")),
+          col("nrm"), col("nrm2")), 4) + lit(0.0)).as("cos"))
+    val pairStats = pairs.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_cand_pairs"),
+        sum(when(col("cos") >= 0.4, 1L).otherwise(0L)).as("n_dup_pairs"),
+        countDistinct(when(col("cos") >= 0.4, col("vid2"))).as("n_removed"))
+    val base = wb.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), countDistinct(col("bucket")).as("n_buckets"))
+    base.join(pairStats, Seq("label"), "left_outer")
+      .select(col("label").cast("long").as("label"), col("n_vecs"), col("n_buckets"),
+        coalesce(col("n_cand_pairs"), lit(0L)).as("n_cand_pairs"),
+        coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+      .orderBy("label")
+  }
 }

@@ -440,4 +440,42 @@ object GraphMl {
         expr("e_kept * 10000 div e0").as("edges_kept_e4"))
       .orderBy("hubs_removed")
   }
+
+  /** Global efficiency of the directed event-type transition graph:
+    * E = (1/(n(n−1)))·Σ_{s≠t} 1/d(s,t) with shortest hop-distances from
+    * up to 3 unrolled min-plus steps (the graph is |types|-bounded at any
+    * SF, and 3 hops saturate a near-complete digraph; unreachable pairs
+    * contribute 0, as defined). Inverse distances are e6-latticed
+    * integers (1000000 div d) so the sum is order-free.
+    */
+  def q_graph_efficiency(spark: SparkSession, sf: String): DataFrame = {
+    val e = transitionEdges(spark, sf)
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+      .localCheckpoint()
+    val d1 = e.select(col("src"), col("dst"), lit(1L).as("d"))
+    val d2 = e.as("a")
+      .join(e.select(col("src").as("mid"), col("dst").as("dst2")).as("b"),
+        col("a.dst") === col("mid"))
+      .filter(col("a.src") =!= col("dst2"))
+      .select(col("a.src").as("src"), col("dst2").as("dst"), lit(2L).as("d"))
+      .distinct()
+    val d3 = d2.select(col("src"), col("dst").as("mid2"))
+      .join(e.select(col("src").as("mid2"), col("dst").as("dst3")), Seq("mid2"))
+      .filter(col("src") =!= col("dst3"))
+      .select(col("src"), col("dst3").as("dst"), lit(3L).as("d"))
+      .distinct()
+    val best = d1.unionByName(d2).unionByName(d3)
+      .groupBy(col("src"), col("dst")).agg(min(col("d")).as("d"))
+      .localCheckpoint()
+    val n = Tables.eventsWithTs(spark, sf)
+      .select(col("event_type")).distinct().count()
+    best.agg(count(lit(1)).as("n_pairs_reachable"),
+        sum(expr("1000000 div d")).as("s_inv"), max(col("d")).as("diam"))
+      .select(lit(n).as("n_nodes"), col("n_pairs_reachable"),
+        col("diam").as("diameter_le3"),
+        (round(col("s_inv").cast("double")
+          / (lit(n.toDouble) * (lit(n.toDouble) - lit(1.0)) * lit(1e6)), 4)
+          + lit(0.0)).as("efficiency"))
+  }
 }

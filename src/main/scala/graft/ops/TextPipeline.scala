@@ -1213,4 +1213,166 @@ object TextPipeline {
           col("n_chunks").cast("double"), 4) + lit(0.0)).as("dup_frac"))
       .orderBy("lang")
   }
+
+  /** Gopher-style document quality battery: the four repetition/shape
+    * rules that survive this corpus's alphabet (no punctuation, so the
+    * symbol/bullet/ellipsis rules are vacuous here and documented as
+    * such) — word count ≥ 30, mean word length in [3, 10], top-word
+    * dominance ≤ 15%, ≥ 1 stopword hit. Every rule is an EXACT integer
+    * comparison (chars ≥ 3·words, maxcnt·100 ≤ 15·words — no float
+    * thresholds), so pass flags hash-match the oracle bit-for-bit.
+    * One explode + doc-keyed aggregate + lang rollup: two shuffles total.
+    */
+  def q_gopher_quality(spark: SparkSession, sf: String): DataFrame = {
+    val d = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), toks(col("text")).as("tk"))
+      .select(col("doc_id"), col("lang"), size(col("tk")).cast("long").as("nw"),
+        expr("CAST(aggregate(tk, 0L, (a, t) -> a + length(t)) AS BIGINT)").as("nc"),
+        expr("CAST(aggregate(tk, 0L, (a, t) -> a + CASE WHEN t IN ('the', 'a') THEN 1 ELSE 0 END) AS BIGINT)").as("stop_hits"),
+        explode(col("tk")).as("w"))
+      .groupBy(col("doc_id"), col("lang"), col("nw"), col("nc"), col("stop_hits"), col("w"))
+      .agg(count(lit(1)).as("wc"))
+      .groupBy(col("doc_id"), col("lang"), col("nw"), col("nc"), col("stop_hits"))
+      .agg(max(col("wc")).as("maxw"))
+    val flags = d.select(col("lang"),
+      (col("nw") >= 30L).as("len_ok"),
+      (col("nc") >= col("nw") * 3L && col("nc") <= col("nw") * 10L).as("mwl_ok"),
+      (col("maxw") * 100L <= col("nw") * 15L).as("rep_ok"),
+      (col("stop_hits") >= 1L).as("stop_ok"))
+    flags.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("len_ok"), 1L).otherwise(0L)).as("n_len_ok"),
+        sum(when(col("mwl_ok"), 1L).otherwise(0L)).as("n_mwl_ok"),
+        sum(when(col("rep_ok"), 1L).otherwise(0L)).as("n_rep_ok"),
+        sum(when(col("stop_ok"), 1L).otherwise(0L)).as("n_stop_ok"),
+        sum(when(col("len_ok") && col("mwl_ok") && col("rep_ok")
+          && col("stop_ok"), 1L).otherwise(0L)).as("n_pass"))
+      .select(col("lang"), col("n_docs"), col("n_len_ok"), col("n_mwl_ok"),
+        col("n_rep_ok"), col("n_stop_ok"), col("n_pass"),
+        (round(col("n_pass").cast("double") / col("n_docs").cast("double"), 4)
+          + lit(0.0)).as("pass_rate"))
+      .orderBy("lang")
+  }
+
+  /** Type-token-ratio diversity filter: per-doc TTR = |vocab|/|tokens|
+    * (in-array distinct — no explode, zero pre-agg shuffles), low-diversity
+    * flag TTR < 0.40 decided by the EXACT integer rule 10·distinct < 4·n.
+    * Per source: docs, flagged docs, and the mean e6-latticed TTR — the
+    * per-source knob a corpus-QA dashboard tracks.
+    */
+  def q_ttr_filter(spark: SparkSession, sf: String): DataFrame = {
+    val d = Tables.documents(spark, sf)
+      .select(col("source"), toks(col("text")).as("tk"))
+      .select(col("source"), size(col("tk")).cast("long").as("nw"),
+        expr("CAST(size(array_distinct(tk)) AS BIGINT)").as("nd"))
+      .select(col("source"), col("nw"), col("nd"),
+        (col("nd") * 10L < col("nw") * 4L).as("low_div"),
+        round(col("nd").cast("double") / col("nw").cast("double") * lit(1e6))
+          .cast("long").as("ttr_e6"))
+    d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("low_div"), 1L).otherwise(0L)).as("n_low_div"),
+        sum(col("ttr_e6")).as("s_ttr"))
+      .select(col("source"), col("n_docs"), col("n_low_div"),
+        (round(col("s_ttr").cast("double") /
+          (col("n_docs").cast("double") * lit(1e6)), 4) + lit(0.0)).as("mean_ttr"))
+      .orderBy("source")
+  }
+
+  /** RefinedWeb-style document REMOVAL by duplicated-chunk share: the
+    * doc-level decision stage on top of [[q_chunk_dedup]]'s chunk stats —
+    * a doc is dropped when ≥ 50% of its 8-token chunks are duplicated
+    * corpus-wide (exact integer rule 2·dup ≥ n). Reports per lang the
+    * retention and the chars saved — what a dedup stage actually buys.
+    * Same single chunk-keyed shuffle as the chunk view; the doc verdict
+    * is one more doc-keyed aggregate.
+    */
+  def q_dup_chunk_removal(spark: SparkSession, sf: String): DataFrame = {
+    val chunks = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("n_chars"), toks(col("text")).as("tk"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        explode(expr("transform(sequence(0, (size(tk) div 8) - 1), " +
+          "i -> array_join(slice(tk, i * 8 + 1, 8), ' '))")).as("chunk"))
+      .localCheckpoint()
+    val dup = chunks.groupBy(col("chunk"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .select(col("chunk"), (col("ndocs") > 1L).as("is_dup"))
+    val docs = chunks.join(dup, Seq("chunk"))
+      .groupBy(col("doc_id"), col("lang"), col("n_chars"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"))
+      .select(col("lang"), col("n_chars"),
+        (col("n_dup") * 2L >= col("n_chunks")).as("drop"))
+    docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("drop"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(!col("drop"), col("n_chars")).otherwise(0L)).as("kept_chars"),
+        sum(when(col("drop"), col("n_chars")).otherwise(0L)).as("dropped_chars"))
+      .select(col("lang"), col("n_docs"), col("n_dropped"), col("kept_chars"),
+        col("dropped_chars"),
+        (round(lit(1.0) - col("n_dropped").cast("double") /
+          col("n_docs").cast("double"), 4) + lit(0.0)).as("retention"))
+      .orderBy("lang")
+  }
+
+  /** Gries' DP corpus-dispersion measure for the top-10 tokens:
+    * DP = ½·Σ_parts |token share in part − part size share| with parts =
+    * sources — is a frequent token evenly spread or burst-concentrated
+    * in a few sources? The absolute differences stay EXACT integers
+    * (|vᵢ·T − sᵢ·f|), normalized once by f·T; DP ∈ [0,1), higher =
+    * clumpier. One explode + (token, part) aggregate + broadcast part
+    * sizes — no sort beyond the top-10 head.
+    */
+  def q_gries_dp(spark: SparkSession, sf: String): DataFrame = {
+    val tok = Tables.documents(spark, sf)
+      .select(col("source"), explode(toks(col("text"))).as("w"))
+      .groupBy(col("w"), col("source")).agg(count(lit(1)).as("v"))
+      .localCheckpoint()
+    val parts = tok.groupBy(col("source")).agg(sum(col("v")).as("s"))
+    val tot = parts.agg(sum(col("s")).as("t"))
+    val f = tok.groupBy(col("w")).agg(sum(col("v")).as("f"))
+    tok.join(broadcast(parts), "source").join(broadcast(f), "w")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("w"), col("f"), col("t"))
+      .agg(sum(abs(col("v") * col("t") - col("s") * col("f"))).as("num"),
+        count(lit(1)).as("n_parts"))
+      .select(col("w").as("token"), col("f").as("freq"), col("n_parts"),
+        (round(col("num").cast("double")
+          / (lit(2.0) * col("f").cast("double") * col("t").cast("double")), 4)
+          + lit(0.0)).as("dp"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(10)
+  }
+
+  /** Dunning log-likelihood keyness of tokens, English subcorpus vs the
+    * rest: LL = 2·[a·ln(a/e_a) + b·ln(b/e_b)] with expected counts from
+    * the pooled model (the corpus-linguistics standard for "which words
+    * define this subcorpus"); signed by over/under-representation.
+    * Per-token one fixed IEEE tree from exact integer counts — no
+    * cross-row float sums. Top-15 by |LL| e4 with word-asc ties.
+    */
+  def q_keyness_ll(spark: SparkSession, sf: String): DataFrame = {
+    val tok = Tables.documents(spark, sf)
+      .select((col("lang") === "en").as("inA"), explode(toks(col("text"))).as("w"))
+      .groupBy(col("w"))
+      .agg(sum(when(col("inA"), 1L).otherwise(0L)).as("a"),
+        sum(when(!col("inA"), 1L).otherwise(0L)).as("b"))
+      .localCheckpoint()
+    val tots = tok.agg(sum(col("a")).as("ta"), sum(col("b")).as("tb"))
+    val aD = col("a").cast("double")
+    val bD = col("b").cast("double")
+    val taD = col("ta").cast("double")
+    val tbD = col("tb").cast("double")
+    val ea = (aD + bD) * taD / (taD + tbD)
+    val eb = (aD + bD) * tbD / (taD + tbD)
+    val ll = lit(2.0) * (when(col("a") > 0L, aD * log(aD / ea)).otherwise(lit(0.0))
+      + when(col("b") > 0L, bD * log(bD / eb)).otherwise(lit(0.0)))
+    tok.crossJoin(broadcast(tots))
+      .select(col("w").as("token"), col("a").as("n_en"), col("b").as("n_rest"),
+        (round(ll, 4) + lit(0.0)).as("ll"),
+        when(aD * tbD > bD * taD, lit("over")).otherwise(lit("under"))
+          .as("direction"))
+      .orderBy(abs(col("ll")).desc, col("token").asc)
+      .limit(15)
+  }
 }

@@ -14148,5 +14148,649 @@ object OracleSql {
                    / CAST(SUM(w) AS DOUBLE), 4) + 0 AS weighted_reciprocity
       FROM j""",
 
+    // ---- round 4: quality-filter battery / semantic dedup (§2.129) --------
+
+    "q_gopher_quality" -> """
+      WITH base AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS tk
+                    FROM documents),
+           d AS (SELECT doc_id, lang,
+                        CAST(LENGTH(tk) AS BIGINT) AS nw,
+                        CAST(list_sum(list_transform(tk, t -> LENGTH(t))) AS BIGINT) AS nc,
+                        CAST(list_sum(list_transform(tk,
+                          t -> CASE WHEN t IN ('the', 'a') THEN 1 ELSE 0 END)) AS BIGINT) AS stop_hits,
+                        unnest(tk) AS w
+                 FROM base),
+           wc AS (SELECT doc_id, lang, nw, nc, stop_hits, w,
+                         CAST(COUNT(*) AS BIGINT) AS wcnt
+                  FROM d GROUP BY 1, 2, 3, 4, 5, 6),
+           docs AS (SELECT doc_id, lang, nw, nc, stop_hits,
+                           MAX(wcnt) AS maxw
+                    FROM wc GROUP BY 1, 2, 3, 4, 5),
+           flags AS (SELECT lang,
+                            nw >= 30 AS len_ok,
+                            nc >= nw * 3 AND nc <= nw * 10 AS mwl_ok,
+                            maxw * 100 <= nw * 15 AS rep_ok,
+                            stop_hits >= 1 AS stop_ok
+                     FROM docs)
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN len_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok,
+             CAST(SUM(CASE WHEN mwl_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_mwl_ok,
+             CAST(SUM(CASE WHEN rep_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_rep_ok,
+             CAST(SUM(CASE WHEN stop_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_stop_ok,
+             CAST(SUM(CASE WHEN len_ok AND mwl_ok AND rep_ok AND stop_ok
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+             ROUND(CAST(SUM(CASE WHEN len_ok AND mwl_ok AND rep_ok AND stop_ok
+                                 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 4) + 0 AS pass_rate
+      FROM flags GROUP BY 1 ORDER BY lang""",
+
+    "q_ttr_filter" -> """
+      WITH d AS (SELECT source,
+                        CAST(LENGTH(string_split(lower(text), ' ')) AS BIGINT) AS nw,
+                        CAST(LENGTH(list_distinct(string_split(lower(text), ' '))) AS BIGINT) AS nd
+                 FROM documents),
+           t AS (SELECT source, nw, nd,
+                        nd * 10 < nw * 4 AS low_div,
+                        CAST(ROUND(CAST(nd AS DOUBLE) / CAST(nw AS DOUBLE) * 1e6)
+                          AS BIGINT) AS ttr_e6
+                 FROM d)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN low_div THEN 1 ELSE 0 END) AS BIGINT) AS n_low_div,
+             ROUND(CAST(SUM(ttr_e6) AS DOUBLE)
+                   / (CAST(COUNT(*) AS DOUBLE) * 1e6), 4) + 0 AS mean_ttr
+      FROM t GROUP BY 1 ORDER BY source""",
+
+    "q_dup_chunk_removal" -> """
+      WITH chunks AS (SELECT doc_id, lang, n_chars,
+                             unnest(list_transform(
+                               range(0, LENGTH(string_split(lower(text), ' ')) // 8),
+                               i -> array_to_string(list_slice(
+                                 string_split(lower(text), ' '),
+                                 i * 8 + 1, i * 8 + 8), ' '))) AS chunk
+                      FROM documents),
+           dup AS (SELECT chunk, COUNT(DISTINCT doc_id) > 1 AS is_dup
+                   FROM chunks GROUP BY 1),
+           docs AS (SELECT chunks.doc_id, lang, n_chars,
+                           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                           CAST(SUM(CASE WHEN dup.is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+                    FROM chunks JOIN dup ON chunks.chunk = dup.chunk
+                    GROUP BY 1, 2, 3),
+           verdict AS (SELECT lang, n_chars, n_dup * 2 >= n_chunks AS drop_doc
+                       FROM docs)
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN drop_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+             CAST(SUM(CASE WHEN NOT drop_doc THEN n_chars ELSE 0 END) AS BIGINT)
+               AS kept_chars,
+             CAST(SUM(CASE WHEN drop_doc THEN n_chars ELSE 0 END) AS BIGINT)
+               AS dropped_chars,
+             ROUND(1.0 - CAST(SUM(CASE WHEN drop_doc THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 4) + 0 AS retention
+      FROM verdict GROUP BY 1 ORDER BY lang""",
+
+    "q_semantic_dedup" -> """
+      WITH hp AS (SELECT p, d,
+                         CASE WHEN CAST('0x' || substring(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 8) AS BIGINT) % 2 = 0
+                              THEN 1 ELSE -1 END AS s
+                  FROM range(0, 8) t1(p), range(0, 64) t2(d)),
+           m AS (SELECT vec_id, label,
+                        list_transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE)*1e7) AS BIGINT)) AS qe
+                 FROM embeddings),
+           n AS (SELECT vec_id, label, qe,
+                        CAST(list_sum(list_transform(qe, x -> x*x)) AS BIGINT) AS nrm FROM m),
+           dims AS (SELECT vec_id, generate_subscripts(qe, 1) - 1 AS d, unnest(qe) AS x FROM n),
+           proj AS (SELECT vec_id, p, CAST(SUM(s * x) AS BIGINT) AS proj
+                    FROM dims JOIN hp USING (d) GROUP BY vec_id, p),
+           buckets AS (SELECT vec_id,
+                              CAST(SUM(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+                       FROM proj GROUP BY vec_id),
+           wb AS (SELECT n.vec_id, n.label, n.qe, n.nrm, buckets.bucket
+                  FROM n JOIN buckets ON n.vec_id = buckets.vec_id),
+           pairs AS (SELECT a.label,
+                            b.vec_id AS vid2,
+                            ROUND(CAST(CAST(list_sum(list_transform(list_zip(a.qe, b.qe), z -> z[1]*z[2])) AS BIGINT) AS DOUBLE)
+                                  / SQRT(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)), 4) + 0 AS cos
+                     FROM wb a JOIN wb b
+                       ON a.bucket = b.bucket AND a.label = b.label
+                          AND a.vec_id < b.vec_id),
+           ps AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_cand_pairs,
+                         CAST(SUM(CASE WHEN cos >= 0.4 THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_dup_pairs,
+                         CAST(COUNT(DISTINCT CASE WHEN cos >= 0.4 THEN vid2 END) AS BIGINT)
+                           AS n_removed
+                  FROM pairs GROUP BY 1),
+           base AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                           CAST(COUNT(DISTINCT bucket) AS BIGINT) AS n_buckets
+                    FROM wb GROUP BY 1)
+      SELECT CAST(base.label AS BIGINT) AS label, n_vecs, n_buckets,
+             COALESCE(n_cand_pairs, 0) AS n_cand_pairs,
+             COALESCE(n_dup_pairs, 0) AS n_dup_pairs,
+             COALESCE(n_removed, 0) AS n_removed
+      FROM base LEFT JOIN ps ON base.label = ps.label
+      ORDER BY label""",
+
+    // ---- round 4: spatial association round-out (§2.130) ------------------
+
+    "q_getis_ord_g" -> """
+      WITH x AS (SELECT c.c_nationkey AS nk, n.n_regionkey AS rk,
+                        CAST(ROUND(
+                          CAST(SUM(CAST(ROUND(c.c_acctbal*100) AS BIGINT)) AS DOUBLE)
+                          / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS xq
+                 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                 GROUP BY 1, 2),
+           pairs AS (SELECT CAST(COUNT(*) AS BIGINT) AS w,
+                            CAST(SUM(a.xq * b.xq) AS BIGINT) AS num
+                     FROM x a JOIN x b ON a.rk = b.rk AND a.nk <> b.nk),
+           tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(xq) AS BIGINT) AS sx,
+                          CAST(SUM(xq * xq) AS BIGINT) AS sxx
+                   FROM x)
+      SELECT n AS n_nations, w AS w_pairs,
+             ROUND(CAST(num AS DOUBLE)
+                   / (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                      - CAST(sxx AS DOUBLE)), 6) + 0 AS g,
+             ROUND(CAST(w AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 6) + 0 AS e_g
+      FROM tot CROSS JOIN pairs""",
+
+    "q_join_count_stat" -> """
+      WITH x AS (SELECT c.c_nationkey AS nk, n.n_regionkey AS rk,
+                        CAST(ROUND(
+                          CAST(SUM(CAST(ROUND(c.c_acctbal*100) AS BIGINT)) AS DOUBLE)
+                          / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS xq
+                 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                 GROUP BY 1, 2),
+           med AS (SELECT MIN(xq) AS m FROM
+                     (SELECT a.xq, CAST(COUNT(*) AS BIGINT) AS cle
+                      FROM x a JOIN x b ON b.xq <= a.xq GROUP BY 1)
+                   CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM x)
+                   WHERE cle * 2 >= n),
+           colored AS (SELECT nk, rk, xq > med.m AS black FROM x CROSS JOIN med),
+           pairs AS (SELECT CAST(COUNT(*) AS BIGINT) AS w,
+                            CAST(SUM(CASE WHEN a.black AND b.black THEN 1 ELSE 0 END) AS BIGINT) AS bb,
+                            CAST(SUM(CASE WHEN a.black <> b.black THEN 1 ELSE 0 END) AS BIGINT) AS bw,
+                            CAST(SUM(CASE WHEN NOT a.black AND NOT b.black THEN 1 ELSE 0 END) AS BIGINT) AS ww
+                     FROM colored a JOIN colored b ON a.rk = b.rk AND a.nk <> b.nk),
+           counts AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                             CAST(SUM(CASE WHEN black THEN 1 ELSE 0 END) AS BIGINT) AS nb
+                      FROM colored)
+      SELECT n AS n_nations, nb AS n_black, w AS w_pairs, bb, bw, ww,
+             ROUND(CAST(w AS DOUBLE) * CAST(nb AS DOUBLE)
+                   * (CAST(nb AS DOUBLE) - 1.0)
+                   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 4) + 0 AS e_bb,
+             ROUND(2.0 * CAST(w AS DOUBLE) * CAST(nb AS DOUBLE)
+                   * CAST(n - nb AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 4) + 0 AS e_bw
+      FROM counts CROSS JOIN pairs""",
+
+    "q_local_moran" -> """
+      WITH x AS (SELECT c.c_nationkey AS nk, n.n_regionkey AS rk,
+                        CAST(ROUND(
+                          CAST(SUM(CAST(ROUND(c.c_acctbal*100) AS BIGINT)) AS DOUBLE)
+                          / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS xq
+                 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                 GROUP BY 1, 2),
+           tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(xq) AS BIGINT) AS sx FROM x),
+           z AS (SELECT nk, rk, n, xq * n - sx AS z FROM x CROSS JOIN tot),
+           rs AS (SELECT rk, CAST(SUM(z) AS BIGINT) AS rz,
+                         CAST(COUNT(*) AS BIGINT) AS rn
+                  FROM z GROUP BY 1),
+           sz AS (SELECT SUM(CAST(z AS HUGEINT) * z) AS szsq FROM z)
+      SELECT z.nk, z.rk, rn - 1 AS n_neighbors,
+             ROUND(CAST(z.n AS DOUBLE) * CAST(z.z AS DOUBLE)
+                   * CAST(rz - z.z AS DOUBLE)
+                   / CAST(szsq AS DOUBLE), 4) + 0 AS local_i,
+             CASE WHEN z.z > 0 AND (rz - z.z) > 0 THEN 'HH'
+                  WHEN z.z < 0 AND (rz - z.z) < 0 THEN 'LL'
+                  WHEN z.z > 0 THEN 'HL' ELSE 'LH' END AS quadrant
+      FROM z JOIN rs ON z.rk = rs.rk CROSS JOIN sz
+      ORDER BY nk""",
+
+    // ---- round 4: goodness-of-fit / sequence tests (§2.131) ---------------
+
+    "q_anderson_darling" -> """
+      WITH cell AS (SELECT l_returnflag AS flag,
+                           CAST(ROUND(l_discount*100) AS BIGINT) AS d,
+                           CAST(COUNT(*) AS BIGINT) AS c
+                    FROM lineitem GROUP BY 1, 2),
+           cum AS (SELECT flag, d, c,
+                          CAST(SUM(c) OVER (PARTITION BY flag ORDER BY d) AS BIGINT) AS hi
+                   FROM cell),
+           n AS (SELECT flag, CAST(SUM(c) AS BIGINT) AS n FROM cell GROUP BY 1),
+           terms AS (SELECT cum.flag, n.n,
+                            hi * hi - (hi - c) * (hi - c) AS w1,
+                            c * (2 * n.n + 1)
+                              - (hi * (hi + 1) - (hi - c + 1) * (hi - c)) AS w2,
+                            CAST(ROUND(ln((CAST(d AS DOUBLE) + 1.0) / 12.0) * 1e8)
+                              AS BIGINT) AS t,
+                            CAST(ROUND(ln(1.0 - (CAST(d AS DOUBLE) + 1.0) / 12.0)
+                                       * 1e8) AS BIGINT) AS s
+                     FROM cum JOIN n ON cum.flag = n.flag)
+      SELECT flag, n,
+             ROUND(-CAST(n AS DOUBLE)
+                   - CAST(SUM(CAST(w1 AS HUGEINT) * t + CAST(w2 AS HUGEINT) * s)
+                       AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * 1e8), 4) + 0 AS a2
+      FROM terms GROUP BY 1, 2 ORDER BY flag""",
+
+    "q_cox_stuart" -> """
+      WITH daily AS (SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                            CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS rev
+                     FROM events GROUP BY 1, 2),
+           idx AS (SELECT event_type, rev,
+                          CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY day) AS BIGINT) AS i
+                   FROM daily),
+           n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+                 FROM daily GROUP BY 1),
+           lagged AS (SELECT idx.event_type, n.n, n.n // 2 AS m,
+                             idx.i + n.n - n.n // 2 AS i2, idx.rev AS rev1
+                      FROM idx JOIN n ON idx.event_type = n.event_type
+                      WHERE idx.i <= n.n // 2),
+           s AS (SELECT lagged.event_type, lagged.n,
+                        CAST(SUM(CASE WHEN b.rev > rev1 THEN 1 ELSE 0 END) AS BIGINT) AS s_pos,
+                        CAST(SUM(CASE WHEN b.rev < rev1 THEN 1 ELSE 0 END) AS BIGINT) AS s_neg
+                 FROM lagged JOIN idx b
+                   ON lagged.event_type = b.event_type AND lagged.i2 = b.i
+                 GROUP BY 1, 2)
+      SELECT event_type, n AS n_days, s_pos, s_neg,
+             ROUND((2.0 * CAST(s_pos AS DOUBLE)
+                    - CAST(s_pos + s_neg AS DOUBLE))
+                   / SQRT(CAST(s_pos + s_neg AS DOUBLE)), 4) + 0 AS z
+      FROM s ORDER BY event_type""",
+
+    "q_wald_wolfowitz" -> """
+      WITH cell AS (SELECT CAST(l_quantity AS BIGINT) AS v,
+                           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                           CAST(SUM(CASE WHEN l_linestatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT) AS b
+                    FROM lineitem GROUP BY 1),
+           idx AS (SELECT v, a, b,
+                          CAST(ROW_NUMBER() OVER (ORDER BY v) AS BIGINT) AS idx
+                   FROM cell),
+           internal AS (SELECT CAST(SUM(CASE WHEN a > 0 AND b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS t_in,
+                               CAST(SUM(a) AS BIGINT) AS ta,
+                               CAST(SUM(b) AS BIGINT) AS tb
+                        FROM idx),
+           bound AS (SELECT CAST(SUM(CASE WHEN
+                              (CASE WHEN x.b > 0 THEN 'O' ELSE 'F' END) <>
+                              (CASE WHEN y.a > 0 THEN 'F' ELSE 'O' END)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS t_bd
+                     FROM idx x JOIN idx y ON x.idx = y.idx - 1)
+      SELECT ta AS n_f, tb AS n_o, t_in + t_bd + 1 AS runs,
+             ROUND(2.0 * CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)
+                   / (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE)) + 1.0, 4) + 0 AS mu,
+             ROUND((CAST(t_in + t_bd + 1 AS DOUBLE)
+                    - (2.0 * CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)
+                       / (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE)) + 1.0))
+                   / SQRT(2.0 * CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)
+                          * (2.0 * CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)
+                             - CAST(ta AS DOUBLE) - CAST(tb AS DOUBLE))
+                          / ((CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE))
+                             * (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE))
+                             * (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE) - 1.0))), 4)
+               + 0 AS z
+      FROM internal CROSS JOIN bound""",
+
+    // ---- round 4: blocked/seasonal rank tests, reliability (§2.132) -------
+
+    "q_seasonal_mann_kendall" -> """
+      WITH cell AS (SELECT event_type,
+                           CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+                           CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS rev
+                    FROM events GROUP BY 1, 2, 3),
+           s AS (SELECT a.event_type,
+                        CAST(SUM(CASE WHEN b.rev > a.rev THEN 1
+                                      WHEN b.rev < a.rev THEN -1 ELSE 0 END) AS BIGINT) AS s
+                 FROM cell a JOIN cell b
+                   ON a.event_type = b.event_type AND a.h = b.h AND b.day > a.day
+                 GROUP BY 1),
+           sn AS (SELECT event_type, h, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM cell GROUP BY 1, 2),
+           tie AS (SELECT event_type, h,
+                          CAST(SUM(t*(t-1)*(2*t+5)) AS BIGINT) AS tt FROM
+                            (SELECT event_type, h, rev, CAST(COUNT(*) AS BIGINT) AS t
+                             FROM cell GROUP BY 1, 2, 3)
+                   GROUP BY 1, 2),
+           v AS (SELECT sn.event_type, CAST(COUNT(*) AS BIGINT) AS n_seasons,
+                        CAST(SUM(n*(n-1)*(2*n+5) - tt) AS BIGINT) AS var18
+                 FROM sn JOIN tie ON sn.event_type = tie.event_type AND sn.h = tie.h
+                 GROUP BY 1)
+      SELECT s.event_type AS event_type, n_seasons, s AS s_stat,
+             ROUND((CAST(s AS DOUBLE) - SIGN(CAST(s AS DOUBLE)))
+                   / SQRT(CAST(var18 AS DOUBLE) / 18.0), 4) + 0 AS z
+      FROM s JOIN v ON s.event_type = v.event_type
+      ORDER BY 1""",
+
+    "q_quade_test" -> """
+      WITH cell AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+                           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS rev
+                    FROM events GROUP BY 1, 2),
+           kk AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k FROM cell),
+           complete AS (SELECT cell.* FROM cell
+                        JOIN (SELECT day, CAST(COUNT(*) AS BIGINT) AS nt
+                              FROM cell GROUP BY 1) d ON cell.day = d.day
+                        CROSS JOIN kk WHERE d.nt = kk.k),
+           ranked AS (SELECT day, event_type,
+                             CAST(ROW_NUMBER() OVER (PARTITION BY day
+                               ORDER BY rev, event_type) AS BIGINT) AS r
+                      FROM complete),
+           rng AS (SELECT day, MAX(rev) - MIN(rev) AS rg
+                   FROM complete GROUP BY 1),
+           q AS (SELECT a.day, CAST(COUNT(b.day) + 1 AS BIGINT) AS qrank
+                 FROM rng a LEFT JOIN rng b
+                   ON b.rg < a.rg OR (b.rg = a.rg AND b.day < a.day)
+                 GROUP BY 1),
+           scores AS (SELECT ranked.day, event_type,
+                             qrank * (2 * r - (kk.k + 1)) AS s2
+                      FROM ranked JOIN q ON ranked.day = q.day CROSS JOIN kk),
+           a AS (SELECT CAST(COUNT(*) AS BIGINT) AS nk,
+                        CAST(SUM(s2*s2) AS BIGINT) AS a2 FROM scores),
+           b AS (SELECT CAST(COUNT(*) AS BIGINT) AS kcnt,
+                        CAST(SUM(sj*sj) AS BIGINT) AS sb2 FROM
+                          (SELECT event_type, CAST(SUM(s2) AS BIGINT) AS sj
+                           FROM scores GROUP BY 1))
+      SELECT nk // kcnt AS n_blocks, kcnt AS k, a2, sb2,
+             ROUND((CAST(nk // kcnt AS DOUBLE) - 1.0)
+                   * (CAST(sb2 AS DOUBLE) / CAST(nk // kcnt AS DOUBLE))
+                   / (CAST(a2 AS DOUBLE)
+                      - CAST(sb2 AS DOUBLE) / CAST(nk // kcnt AS DOUBLE)), 4)
+               + 0 AS f
+      FROM a CROSS JOIN b""",
+
+    "q_conover_squared_ranks" -> """
+      WITH cell AS (SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v,
+                           CAST(COUNT(*) AS BIGINT) AS c
+                    FROM lineitem GROUP BY 1, 2),
+           cum AS (SELECT g, v, c,
+                          CAST(SUM(c) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum
+                   FROM cell),
+           ng AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n_g FROM cell GROUP BY 1),
+           med AS (SELECT cum.g, MIN(v) AS med
+                   FROM cum JOIN ng ON cum.g = ng.g
+                   WHERE cum * 2 >= n_g GROUP BY 1),
+           zcell AS (SELECT cell.g, ABS(v - med) AS z,
+                            CAST(SUM(c) AS BIGINT) AS c
+                     FROM cell JOIN med ON cell.g = med.g GROUP BY 1, 2),
+           comb AS (SELECT z, CAST(SUM(c) AS BIGINT) AS ct FROM zcell GROUP BY 1),
+           ranks AS (SELECT z, ct,
+                            2 * (CAST(SUM(ct) OVER (ORDER BY z) AS BIGINT) - ct)
+                              + ct + 1 AS r2
+                     FROM comb),
+           tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nn,
+                          SUM(CAST(ct AS HUGEINT) * r2 * r2) AS sr2,
+                          SUM(CAST(ct AS HUGEINT) * r2 * r2 * r2 * r2) AS sr4
+                   FROM ranks),
+           tg AS (SELECT zcell.g, CAST(SUM(c) AS BIGINT) AS n_g,
+                         SUM(CAST(c AS HUGEINT) * r2 * r2) AS t4
+                  FROM zcell JOIN ranks ON zcell.z = ranks.z GROUP BY 1)
+      SELECT g AS flag, n_g,
+             ROUND((CAST(t4 AS DOUBLE)
+                    - CAST(n_g AS DOUBLE) * (CAST(sr2 AS DOUBLE) / CAST(nn AS DOUBLE)))
+                   / SQRT(CAST(n_g AS DOUBLE)
+                          * (CAST(nn AS DOUBLE) - CAST(n_g AS DOUBLE))
+                          / CAST(nn AS DOUBLE)
+                          * ((CAST(sr4 AS DOUBLE)
+                              - CAST(nn AS DOUBLE)
+                                * (CAST(sr2 AS DOUBLE) / CAST(nn AS DOUBLE))
+                                * (CAST(sr2 AS DOUBLE) / CAST(nn AS DOUBLE)))
+                             / (CAST(nn AS DOUBLE) - 1.0))), 4) + 0 AS z
+      FROM tg CROSS JOIN tot ORDER BY flag""",
+
+    "q_erlang_b_loss" -> """
+      WITH span AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                           CAST(MIN(epoch_us(ts)) AS BIGINT) AS t0,
+                           CAST(MAX(epoch_us(ts)) AS BIGINT) AS t1
+                    FROM events),
+           aa AS (SELECT CAST(n AS DOUBLE)
+                         / (CAST(t1 - t0 AS DOUBLE) / 3.6e9) / 10.0 AS a
+                  FROM span),
+           terms AS (SELECT k, a,
+                            POW(a, CAST(k AS DOUBLE))
+                              / (CASE k WHEN 0 THEN 1.0 WHEN 1 THEN 1.0
+                                 WHEN 2 THEN 2.0 WHEN 3 THEN 6.0 WHEN 4 THEN 24.0
+                                 WHEN 5 THEN 120.0 WHEN 6 THEN 720.0
+                                 WHEN 7 THEN 5040.0 ELSE 40320.0 END) AS t
+                     FROM aa CROSS JOIN range(0, 9) r(k))
+      SELECT m.k AS m, ROUND(m.a, 4) + 0 AS offered_erlangs,
+             ROUND(m.t / SUM(d.t), 6) + 0 AS blocking_b
+      FROM terms m JOIN terms d ON d.k <= m.k
+      WHERE m.k >= 1
+      GROUP BY m.k, m.a, m.t ORDER BY m""",
+
+    "q_crow_amsaa" -> """
+      WITH t0 AS (SELECT CAST(MIN(epoch_us(ts)) AS BIGINT) AS t0 FROM events),
+           t AS (SELECT th, CAST(ROUND(ln(th) * 1e8) AS BIGINT) AS lt FROM
+                   (SELECT CAST(epoch_us(ts) - t0.t0 AS DOUBLE) / 3.6e9 AS th
+                    FROM events CROSS JOIN t0 WHERE event_type = 'error')
+                 WHERE th > 0.0),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(lt) AS BIGINT) AS slt,
+                        MAX(th) AS bigT
+                 FROM t)
+      SELECT n AS n_failures, ROUND(bigT, 4) + 0 AS t_hours,
+             ROUND(CAST(n AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * ln(bigT)
+                      - CAST(slt AS DOUBLE) / 1e8), 4) + 0 AS beta,
+             ROUND(CAST(n AS DOUBLE)
+                   / POW(bigT, CAST(n AS DOUBLE)
+                               / (CAST(n AS DOUBLE) * ln(bigT)
+                                  - CAST(slt AS DOUBLE) / 1e8)), 6) + 0 AS lambda,
+             ROUND(1.0 / ((CAST(n AS DOUBLE)
+                           / POW(bigT, CAST(n AS DOUBLE)
+                                       / (CAST(n AS DOUBLE) * ln(bigT)
+                                          - CAST(slt AS DOUBLE) / 1e8)))
+                          * (CAST(n AS DOUBLE)
+                             / (CAST(n AS DOUBLE) * ln(bigT)
+                                - CAST(slt AS DOUBLE) / 1e8))
+                          * POW(bigT, CAST(n AS DOUBLE)
+                                      / (CAST(n AS DOUBLE) * ln(bigT)
+                                         - CAST(slt AS DOUBLE) / 1e8) - 1.0)), 4)
+               + 0 AS mtbf_inst_h
+      FROM s""",
+
+    "q_suits_index" -> """
+      WITH cell AS (SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT) AS v,
+                           CAST(COUNT(*) AS BIGINT) AS c,
+                           CAST(SUM(CAST(ROUND(l_extendedprice*l_discount*100)
+                             AS BIGINT)) AS BIGINT) AS pt
+                    FROM lineitem GROUP BY 1),
+           cums AS (SELECT v, v * c AS py, pt,
+                           CAST(ROW_NUMBER() OVER (ORDER BY v) AS BIGINT) AS idx,
+                           CAST(SUM(v * c) OVER (ORDER BY v) AS BIGINT) AS cy,
+                           CAST(SUM(pt) OVER (ORDER BY v) AS BIGINT) AS ct
+                    FROM cell),
+           tot AS (SELECT MAX(cy) AS ty, MAX(ct) AS tt,
+                          CAST(COUNT(*) AS BIGINT) AS n_cells
+                   FROM cums),
+           terms AS (SELECT SUM(CAST(x.py AS HUGEINT)
+                       * (x.ct + COALESCE(p.ct, 0))) AS num
+                     FROM cums x LEFT JOIN cums p ON x.idx = p.idx + 1)
+      SELECT n_cells,
+             ROUND(1.0 - CAST(num AS DOUBLE)
+                   / (CAST(ty AS DOUBLE) * CAST(tt AS DOUBLE)), 4) + 0 AS suits
+      FROM tot CROSS JOIN terms""",
+
+    // ---- round 4: dispersion/keyness, survival family, SPC memory (§2.133) -
+
+    "q_gries_dp" -> """
+      WITH tok AS (SELECT w, source, CAST(COUNT(*) AS BIGINT) AS v FROM
+                     (SELECT source, unnest(string_split(lower(text), ' ')) AS w
+                      FROM documents)
+                   GROUP BY 1, 2),
+           parts AS (SELECT source, CAST(SUM(v) AS BIGINT) AS s
+                     FROM tok GROUP BY 1),
+           tot AS (SELECT CAST(SUM(s) AS BIGINT) AS t FROM parts),
+           f AS (SELECT w, CAST(SUM(v) AS BIGINT) AS f FROM tok GROUP BY 1)
+      SELECT tok.w AS token, f.f AS freq, CAST(COUNT(*) AS BIGINT) AS n_parts,
+             ROUND(CAST(SUM(ABS(v * t - s * f.f)) AS DOUBLE)
+                   / (2.0 * CAST(f.f AS DOUBLE) * CAST(MAX(t) AS DOUBLE)), 4) + 0
+               AS dp
+      FROM tok JOIN parts ON tok.source = parts.source
+      JOIN f ON tok.w = f.w CROSS JOIN tot
+      GROUP BY tok.w, f.f
+      ORDER BY freq DESC, token ASC LIMIT 10""",
+
+    "q_keyness_ll" -> """
+      WITH tok AS (SELECT w,
+                          CAST(SUM(CASE WHEN inA THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                          CAST(SUM(CASE WHEN NOT inA THEN 1 ELSE 0 END) AS BIGINT) AS b
+                   FROM (SELECT lang = 'en' AS inA,
+                                unnest(string_split(lower(text), ' ')) AS w
+                         FROM documents)
+                   GROUP BY 1),
+           tots AS (SELECT CAST(SUM(a) AS BIGINT) AS ta,
+                           CAST(SUM(b) AS BIGINT) AS tb FROM tok),
+           scored AS (SELECT w AS token, a AS n_en, b AS n_rest,
+                             ROUND(2.0 * (CASE WHEN a > 0 THEN CAST(a AS DOUBLE)
+                                    * ln(CAST(a AS DOUBLE)
+                                         / ((CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+                                            * CAST(ta AS DOUBLE)
+                                            / (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE))))
+                                    ELSE 0.0 END
+                                  + CASE WHEN b > 0 THEN CAST(b AS DOUBLE)
+                                    * ln(CAST(b AS DOUBLE)
+                                         / ((CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+                                            * CAST(tb AS DOUBLE)
+                                            / (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE))))
+                                    ELSE 0.0 END), 4) + 0 AS ll,
+                             CASE WHEN CAST(a AS DOUBLE) * CAST(tb AS DOUBLE)
+                                    > CAST(b AS DOUBLE) * CAST(ta AS DOUBLE)
+                                  THEN 'over' ELSE 'under' END AS direction
+                      FROM tok CROSS JOIN tots)
+      SELECT * FROM scored ORDER BY ABS(ll) DESC, token ASC LIMIT 15""",
+
+    "q_weighted_logrank" -> """
+      WITH obs AS (SELECT CAST(user_id % 2 AS BIGINT) AS g,
+                          CAST(date_diff('day', MIN(CAST(ts AS DATE)),
+                            MAX(CAST(ts AS DATE))) AS BIGINT) AS t,
+                          CASE WHEN MAX(CAST(ts AS DATE)) <= DATE '2024-01-23'
+                               THEN 1 ELSE 0 END AS churned
+                   FROM events GROUP BY user_id, user_id % 2),
+           byt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_at,
+                          CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                            AS n_at1,
+                          CAST(SUM(churned) AS BIGINT) AS d,
+                          CAST(SUM(CASE WHEN g = 0 THEN churned ELSE 0 END) AS BIGINT)
+                            AS d1
+                   FROM obs GROUP BY 1),
+           risk AS (SELECT a.t, a.d, a.d1 AS dd1,
+                           CAST(SUM(b.n_at) AS BIGINT) AS nr,
+                           CAST(SUM(b.n_at1) AS BIGINT) AS nr1
+                    FROM byt a JOIN byt b ON b.t >= a.t
+                    GROUP BY 1, 2, 3
+                    HAVING a.d > 0 AND CAST(SUM(b.n_at) AS BIGINT) > 1),
+           s AS (SELECT
+                   SUM(CAST(dd1 AS DOUBLE) - CAST(d AS DOUBLE)
+                       * CAST(nr1 AS DOUBLE) / CAST(nr AS DOUBLE)) AS u1,
+                   SUM(CAST(d AS DOUBLE) * (CAST(nr1 AS DOUBLE) / CAST(nr AS DOUBLE))
+                       * (1.0 - CAST(nr1 AS DOUBLE) / CAST(nr AS DOUBLE))
+                       * CAST(nr - d AS DOUBLE)
+                       / (CAST(nr AS DOUBLE) - 1.0)) AS v1,
+                   SUM(CAST(nr AS DOUBLE)
+                       * (CAST(dd1 AS DOUBLE) - CAST(d AS DOUBLE)
+                          * CAST(nr1 AS DOUBLE) / CAST(nr AS DOUBLE))) AS ug,
+                   SUM(CAST(nr AS DOUBLE) * CAST(nr AS DOUBLE)
+                       * (CAST(d AS DOUBLE) * (CAST(nr1 AS DOUBLE) / CAST(nr AS DOUBLE))
+                          * (1.0 - CAST(nr1 AS DOUBLE) / CAST(nr AS DOUBLE))
+                          * CAST(nr - d AS DOUBLE)
+                          / (CAST(nr AS DOUBLE) - 1.0))) AS vg,
+                   SUM(SQRT(CAST(nr AS DOUBLE))
+                       * (CAST(dd1 AS DOUBLE) - CAST(d AS DOUBLE)
+                          * CAST(nr1 AS DOUBLE) / CAST(nr AS DOUBLE))) AS ut,
+                   SUM(CAST(nr AS DOUBLE)
+                       * (CAST(d AS DOUBLE) * (CAST(nr1 AS DOUBLE) / CAST(nr AS DOUBLE))
+                          * (1.0 - CAST(nr1 AS DOUBLE) / CAST(nr AS DOUBLE))
+                          * CAST(nr - d AS DOUBLE)
+                          / (CAST(nr AS DOUBLE) - 1.0))) AS vt
+                 FROM risk)
+      SELECT ROUND(u1 * u1 / v1, 4) + 0 AS chi2_logrank,
+             ROUND(ug * ug / vg, 4) + 0 AS chi2_gehan,
+             ROUND(ut * ut / vt, 4) + 0 AS chi2_tarone_ware
+      FROM s""",
+
+    "q_kakwani_index" -> """
+      WITH cell AS (SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT) AS v,
+                           CAST(COUNT(*) AS BIGINT) AS c,
+                           CAST(SUM(CAST(ROUND(l_extendedprice*l_discount*100)
+                             AS BIGINT)) AS BIGINT) AS pt
+                    FROM lineitem GROUP BY 1),
+           cums AS (SELECT v, c, v * c AS py, pt,
+                           CAST(ROW_NUMBER() OVER (ORDER BY v) AS BIGINT) AS idx,
+                           CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS cc,
+                           CAST(SUM(v * c) OVER (ORDER BY v) AS BIGINT) AS cy,
+                           CAST(SUM(pt) OVER (ORDER BY v) AS BIGINT) AS ct
+                    FROM cell),
+           tot AS (SELECT MAX(cc) AS tn, MAX(cy) AS ty, MAX(ct) AS tt,
+                          CAST(COUNT(*) AS BIGINT) AS n_cells
+                   FROM cums),
+           terms AS (SELECT SUM(CAST(x.c AS HUGEINT)
+                              * (x.cy + COALESCE(p.cy, 0))) AS num_g,
+                            SUM(CAST(x.c AS HUGEINT)
+                              * (x.ct + COALESCE(p.ct, 0))) AS num_c
+                     FROM cums x LEFT JOIN cums p ON x.idx = p.idx + 1)
+      SELECT n_cells,
+             ROUND(1.0 - CAST(num_g AS DOUBLE)
+                   / (CAST(tn AS DOUBLE) * CAST(ty AS DOUBLE)), 4) + 0 AS gini_price,
+             ROUND(1.0 - CAST(num_c AS DOUBLE)
+                   / (CAST(tn AS DOUBLE) * CAST(tt AS DOUBLE)), 4) + 0
+               AS conc_discount,
+             ROUND((1.0 - CAST(num_c AS DOUBLE)
+                    / (CAST(tn AS DOUBLE) * CAST(tt AS DOUBLE)))
+                   - (1.0 - CAST(num_g AS DOUBLE)
+                      / (CAST(tn AS DOUBLE) * CAST(ty AS DOUBLE))), 4) + 0
+               AS kakwani
+      FROM tot CROSS JOIN terms""",
+
+    "q_ewma_chart" -> """
+      WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                            CAST(COUNT(*) AS BIGINT) AS x
+                     FROM events WHERE event_type = 'error' GROUP BY 1),
+           st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+                         CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS cbar
+                  FROM daily),
+           kern AS (SELECT t.day,
+                           SUM(POW(0.5, CAST(date_diff('day', k.day, t.day)
+                                 AS DOUBLE) + 1.0)
+                               * CAST(k.x AS DOUBLE)) AS z
+                    FROM daily t JOIN daily k
+                      ON date_diff('day', k.day, t.day) BETWEEN 0 AND 11
+                    GROUP BY 1 HAVING COUNT(*) = 12)
+      SELECT CAST(day AS VARCHAR) AS day, ROUND(z, 4) + 0 AS ewma,
+             ROUND(cbar + SQRT(1.0 / 3.0) * 3.0 * SQRT(cbar), 4) + 0 AS ucl,
+             ROUND(cbar - SQRT(1.0 / 3.0) * 3.0 * SQRT(cbar), 4) + 0 AS lcl,
+             CAST(CASE WHEN z > cbar + SQRT(1.0 / 3.0) * 3.0 * SQRT(cbar)
+                         OR z < cbar - SQRT(1.0 / 3.0) * 3.0 * SQRT(cbar)
+                       THEN 1 ELSE 0 END AS BIGINT) AS out_of_control
+      FROM kern CROSS JOIN st
+      ORDER BY day""",
+
+    "q_graph_efficiency" -> """
+      WITH e0 AS (SELECT user_id, event_type, epoch_us(ts) AS tu, event_id
+                  FROM events),
+           ed AS (SELECT src, dst FROM
+                    (SELECT user_id, event_type AS dst,
+                            LAG(event_type) OVER (PARTITION BY user_id
+                              ORDER BY tu, event_id) AS src
+                     FROM e0)
+                  WHERE src IS NOT NULL AND src <> dst
+                  GROUP BY 1, 2),
+           d1 AS (SELECT src, dst, CAST(1 AS BIGINT) AS d FROM ed),
+           d2 AS (SELECT DISTINCT a.src, b.dst, CAST(2 AS BIGINT) AS d
+                  FROM ed a JOIN ed b ON a.dst = b.src AND a.src <> b.dst),
+           d3 AS (SELECT DISTINCT d2.src, ed.dst, CAST(3 AS BIGINT) AS d
+                  FROM d2 JOIN ed ON d2.dst = ed.src AND d2.src <> ed.dst),
+           best AS (SELECT src, dst, MIN(d) AS d FROM
+                      (SELECT * FROM d1 UNION ALL SELECT * FROM d2
+                       UNION ALL SELECT * FROM d3)
+                    GROUP BY 1, 2),
+           n AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n FROM events)
+      SELECT n.n AS n_nodes, CAST(COUNT(*) AS BIGINT) AS n_pairs_reachable,
+             CAST(MAX(d) AS BIGINT) AS diameter_le3,
+             ROUND(CAST(SUM(1000000 // d) AS DOUBLE)
+                   / (CAST(n.n AS DOUBLE) * (CAST(n.n AS DOUBLE) - 1.0) * 1e6), 4)
+               + 0 AS efficiency
+      FROM best CROSS JOIN n GROUP BY n.n""",
+
   )
 }
