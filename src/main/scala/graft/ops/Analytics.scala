@@ -8582,4 +8582,263 @@ object Analytics {
       .orderBy("day")
   }
 
+  /** Cucconi two-sample location-scale test (linestatus F vs O on the
+    * quantity lattice): midranks carried as 2R integers (the
+    * [[q_conover_squared_ranks]] lattice convention), ΣR² and contrary
+    * Σ(N+1−R)² kept exact in decimal(38,0) — U, V, ρ and the combined
+    * C statistic are one fixed IEEE epilogue from exact integer
+    * numerators (4·U_num = 6·Σ(2R)² − 4m(N+1)(2N+1)).
+    */
+  def q_cucconi_test(spark: SparkSession, sf: String): DataFrame = {
+    val cell = Tables.lineitem(spark, sf)
+      .select(col("l_linestatus").as("g"), col("l_quantity").cast("long").as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val comb = cell.groupBy(col("v")).agg(sum(col("c")).as("ct"))
+    val ranks = BandedScan.cumSum(comb, Seq.empty, "v", "ct", "cum", 8L)
+      .select(col("v"),
+        (lit(2L) * (col("cum") - col("ct")) + col("ct") + 1L).as("r2"))
+    val tot = cell.agg(sum(col("c")).as("nn"))
+    val per = cell.join(broadcast(ranks), "v")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("g"), col("nn"))
+      .agg(sum(col("c")).as("m"),
+        sum(col("c").cast("decimal(38,0)") * col("r2") * col("r2")).as("s1_4"),
+        sum(col("c").cast("decimal(38,0)")
+          * (lit(2L) * (col("nn") + 1L) - col("r2"))
+          * (lit(2L) * (col("nn") + 1L) - col("r2"))).as("s2_4"))
+      .filter(col("g") === "F")
+    val nD = col("nn").cast("double")
+    val mD = col("m").cast("double")
+    val oD = nD - mD
+    val denom = sqrt(mD * oD * (nD + lit(1.0)) * (lit(2.0) * nD + lit(1.0))
+      * (lit(8.0) * nD + lit(11.0)) / lit(5.0))
+    val u = (lit(6.0) * col("s1_4").cast("double") / lit(4.0)
+      - mD * (nD + lit(1.0)) * (lit(2.0) * nD + lit(1.0))) / denom
+    val v = (lit(6.0) * col("s2_4").cast("double") / lit(4.0)
+      - mD * (nD + lit(1.0)) * (lit(2.0) * nD + lit(1.0))) / denom
+    val rho = (lit(2.0) * (nD * nD - lit(4.0))
+      / ((lit(2.0) * nD + lit(1.0)) * (lit(8.0) * nD + lit(11.0))) - lit(1.0))
+    per.select(col("m").as("n_f"), (col("nn") - col("m")).as("n_o"),
+      (round(u, 4) + lit(0.0)).as("u"),
+      (round(v, 4) + lit(0.0)).as("v"),
+      (round(rho, 6) + lit(0.0)).as("rho"),
+      (round((u * u + v * v - lit(2.0) * rho * u * v)
+        / (lit(2.0) * (lit(1.0) - rho * rho)), 4) + lit(0.0)).as("c_stat"))
+  }
+
+  /** Goodman–Kruskal λ (proportional-reduction-in-error) for predicting
+    * market segment from nation on the customer table: λ = (Σ_x max_y
+    * n_xy − max_y n_·y)/(n − max_y n_·y) — every term an exact integer
+    * from one contingency aggregate; ties inside max are value-ties
+    * (count maxima), so no ordering enters.
+    */
+  def q_gk_lambda(spark: SparkSession, sf: String): DataFrame = {
+    val cont = Tables.customer(spark, sf)
+      .groupBy(col("c_nationkey").cast("long").as("x"), col("c_mktsegment").as("y"))
+      .agg(count(lit(1)).as("nxy"))
+      .localCheckpoint()
+    val rowMax = cont.groupBy(col("x")).agg(max(col("nxy")).as("mx"))
+      .agg(sum(col("mx")).as("sum_row_max"), count(lit(1)).as("k_x"))
+    val colMax = cont.groupBy(col("y")).agg(sum(col("nxy")).as("ny"))
+      .agg(max(col("ny")).as("max_col"), count(lit(1)).as("k_y"),
+        sum(col("ny")).as("n"))
+    rowMax.crossJoin(colMax)
+      .select(col("n"), col("k_x"), col("k_y"), col("sum_row_max"), col("max_col"),
+        (round((col("sum_row_max") - col("max_col")).cast("double")
+          / (col("n") - col("max_col")).cast("double"), 6) + lit(0.0)).as("lambda"))
+  }
+
+  /** D'Agostino K² omnibus normality test of the discount lattice per
+    * return flag: √b1 and b2 from EXACT integer moment sums (decimal
+    * (38,0)), then the standard Z(√b1) (Johnson SU) and Z(b2)
+    * (Anscombe–Glynn, cbrt — defined for negative arguments on both
+    * engines) transformations as one fixed IEEE tree per group,
+    * K² = Z₁² + Z₂². One lattice aggregate per flag, no sorting.
+    */
+  def q_dagostino_k2(spark: SparkSession, sf: String): DataFrame = {
+    val s = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").as("flag"), pct(col("l_discount")).as("d"))
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n"), sum(col("d")).as("s1"),
+        sum(col("d").cast("decimal(38,0)") * col("d")).as("s2"),
+        sum(col("d").cast("decimal(38,0)") * col("d") * col("d")).as("s3"),
+        sum(col("d").cast("decimal(38,0)") * col("d") * col("d") * col("d")).as("s4"))
+    val nD = col("n").cast("double")
+    val mean = col("s1").cast("double") / nD
+    val m2 = col("s2").cast("double") / nD - mean * mean
+    val m3 = (col("s3").cast("double") / nD
+      - lit(3.0) * mean * (col("s2").cast("double") / nD)
+      + lit(2.0) * mean * mean * mean)
+    val m4 = (col("s4").cast("double") / nD
+      - lit(4.0) * mean * (col("s3").cast("double") / nD)
+      + lit(6.0) * mean * mean * (col("s2").cast("double") / nD)
+      - lit(3.0) * mean * mean * mean * mean)
+    val g1 = m3 / sqrt(m2 * m2 * m2)
+    val b2 = m4 / (m2 * m2)
+    // Z(√b1): Johnson SU approximation
+    val y = g1 * sqrt((nD + lit(1.0)) * (nD + lit(3.0))
+      / (lit(6.0) * (nD - lit(2.0))))
+    val beta2 = (lit(3.0) * (nD * nD + lit(27.0) * nD - lit(70.0))
+      * (nD + lit(1.0)) * (nD + lit(3.0))
+      / ((nD - lit(2.0)) * (nD + lit(5.0)) * (nD + lit(7.0)) * (nD + lit(9.0))))
+    val w2 = sqrt(lit(2.0) * (beta2 - lit(1.0))) - lit(1.0)
+    val delta = lit(1.0) / sqrt(log(sqrt(w2)))
+    val alpha = sqrt(lit(2.0) / (w2 - lit(1.0)))
+    val z1 = delta * log(y / alpha + sqrt((y / alpha) * (y / alpha) + lit(1.0)))
+    // Z(b2): Anscombe–Glynn
+    val eb2 = lit(3.0) * (nD - lit(1.0)) / (nD + lit(1.0))
+    val vb2 = (lit(24.0) * nD * (nD - lit(2.0)) * (nD - lit(3.0))
+      / ((nD + lit(1.0)) * (nD + lit(1.0)) * (nD + lit(3.0)) * (nD + lit(5.0))))
+    val x = (b2 - eb2) / sqrt(vb2)
+    val sb = (lit(6.0) * (nD * nD - lit(5.0) * nD + lit(2.0))
+      / ((nD + lit(7.0)) * (nD + lit(9.0)))
+      * sqrt(lit(6.0) * (nD + lit(3.0)) * (nD + lit(5.0))
+        / (nD * (nD - lit(2.0)) * (nD - lit(3.0)))))
+    val a = (lit(6.0) + lit(8.0) / sb
+      * (lit(2.0) / sb + sqrt(lit(1.0) + lit(4.0) / (sb * sb))))
+    val z2 = (((lit(1.0) - lit(2.0) / (lit(9.0) * a))
+      - cbrt((lit(1.0) - lit(2.0) / a)
+        / (lit(1.0) + x * sqrt(lit(2.0) / (a - lit(4.0))))))
+      / sqrt(lit(2.0) / (lit(9.0) * a)))
+    s.select(col("flag"), col("n"),
+      (round(g1, 6) + lit(0.0)).as("sqrt_b1"),
+      (round(b2, 6) + lit(0.0)).as("b2"),
+      (round(z1, 4) + lit(0.0)).as("z_skew"),
+      (round(z2, 4) + lit(0.0)).as("z_kurt"),
+      (round(z1 * z1 + z2 * z2, 4) + lit(0.0)).as("k2"))
+      .orderBy("flag")
+  }
+
+  /** Runs-up-and-down randomness test of the daily revenue sequence per
+    * event type: signs of consecutive-day deltas (exact cents, zero
+    * deltas excluded as documented flats), runs = 1 + sign transitions,
+    * E[R] = (2n−1)/3, Var[R] = (16n−29)/90 — exact integers until one
+    * z epilogue. Two keyed windows (partitioned by type, ≤ days rows).
+    */
+  def q_runs_updown(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.eventsWithTs(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts_us")).as("day"))
+      .agg(sum(cents(col("value"))).as("rev"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val signs = daily
+      .select(col("event_type"), col("day"),
+        (col("rev") - lag(col("rev"), 1).over(w)).as("delta"))
+      .filter(col("delta").isNotNull && col("delta") =!= 0L)
+      .select(col("event_type"), col("day"),
+        when(col("delta") > 0L, 1L).otherwise(-1L).as("s"))
+    val w2 = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val runs = signs
+      .select(col("event_type"), col("s"),
+        lag(col("s"), 1).over(w2).as("sp"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_deltas"),
+        (sum(when(col("sp").isNotNull && col("s") =!= col("sp"), 1L)
+          .otherwise(0L)) + 1L).as("n_runs"))
+    val nD = col("n_deltas").cast("double")
+    runs.select(col("event_type"), col("n_deltas"), col("n_runs"),
+      (round((col("n_runs").cast("double")
+        - (lit(2.0) * nD - lit(1.0)) / lit(3.0))
+        / sqrt((lit(16.0) * nD - lit(29.0)) / lit(90.0)), 4) + lit(0.0)).as("z"))
+      .orderBy("event_type")
+  }
+
+  /** Pairwise Tukey-HSD q statistics for mean discount across return
+    * flags: group moments from exact integer pct sums, pooled MSE one
+    * fixed tree, qᵢⱼ = |x̄ᵢ−x̄ⱼ|/√(MSE/2·(1/nᵢ+1/nⱼ)) per unordered
+    * pair — k²/2 rows from a broadcast self-join of the k-row stats.
+    */
+  def q_tukey_hsd(spark: SparkSession, sf: String): DataFrame = {
+    val g = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").as("flag"), pct(col("l_discount")).as("d"))
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n_g"), sum(col("d")).as("s1"),
+        sum(col("d").cast("decimal(38,0)") * col("d")).as("s2"))
+      .localCheckpoint()
+    val mse = g.agg(sum(col("n_g")).as("nn"), count(lit(1)).as("k"),
+      sum(col("s2").cast("double")
+        - col("s1").cast("double") * col("s1").cast("double")
+          / col("n_g").cast("double")).as("sse"))
+      .select(col("nn"), col("k"),
+        (col("sse") / (col("nn") - col("k")).cast("double")).as("mse"))
+    val pairs = g.as("a")
+      .join(g.select(col("flag").as("flag2"), col("n_g").as("n2"),
+        col("s1").as("t1")).as("b"), col("a.flag") < col("flag2"))
+    pairs.crossJoin(broadcast(mse))
+      .select(col("a.flag").as("flag_i"), col("flag2").as("flag_j"),
+        col("n_g").as("n_i"), col("n2").as("n_j"),
+        (round(abs(col("s1").cast("double") / col("n_g").cast("double")
+          - col("t1").cast("double") / col("n2").cast("double")), 6)
+          + lit(0.0)).as("mean_diff"),
+        (round(abs(col("s1").cast("double") / col("n_g").cast("double")
+          - col("t1").cast("double") / col("n2").cast("double"))
+          / sqrt(col("mse") / lit(2.0)
+            * (lit(1.0) / col("n_g").cast("double")
+              + lit(1.0) / col("n2").cast("double"))), 4) + lit(0.0)).as("q_stat"))
+      .orderBy("flag_i", "flag_j")
+  }
+
+  /** Geary's C spatial autocorrelation of per-nation floor-mean account
+    * balance with same-region block weights (the [[q_morans_i]] /
+    * [[q_getis_ord_g]] companion measuring local contrast, not
+    * covariance): numerator Σw(xᵢ−xⱼ)² over ordered same-region pairs,
+    * denominator via exact n·xᵢ−Σx deviations — all integer products in
+    * decimal(38,0) until the single C epilogue. 25-row lattice.
+    */
+  def q_geary_c(spark: SparkSession, sf: String): DataFrame = {
+    val x = Tables.customer(spark, sf)
+      .groupBy(col("c_nationkey").cast("long").as("nk"))
+      .agg(expr("sum(CAST(ROUND(c_acctbal*100) AS BIGINT)) div count(1)").as("x"))
+      .join(Tables.nation(spark, sf)
+        .select(col("n_nationkey").cast("long").as("nk"),
+          col("n_regionkey").cast("long").as("rk")), "nk")
+      .localCheckpoint()
+    val tot = x.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    val den = x.crossJoin(broadcast(tot))
+      .select(((col("x") * col("n") - col("sx")).cast("decimal(38,0)")
+        * (col("x") * col("n") - col("sx"))).as("d2"))
+      .agg(sum(col("d2")).as("d4"))
+    val num = x.as("a")
+      .join(x.select(col("nk").as("nk2"), col("x").as("x2"),
+        col("rk").as("rk2")).as("b"),
+        col("a.rk") === col("rk2") && col("a.nk") =!= col("nk2"))
+      .select(((col("x") - col("x2")).cast("decimal(38,0)")
+        * (col("x") - col("x2"))).as("w2"))
+      .agg(count(lit(1)).as("w"), sum(col("w2")).as("num"))
+    tot.crossJoin(num).crossJoin(den)
+      .select(col("n"), col("w").as("n_pairs"),
+        (round((col("n") - 1L).cast("double") * col("n").cast("double")
+          * col("n").cast("double") * col("num").cast("double")
+          / (lit(2.0) * col("w").cast("double") * col("d4").cast("double")), 6)
+          + lit(0.0)).as("geary_c"))
+  }
+
+  /** Daily OEE (overall equipment effectiveness) read off the event
+    * stream: availability = non-error share, performance = revenue vs
+    * the best day, quality = purchases/(purchases+errors) — each an
+    * EXACT e6 integer ratio (trunc div), OEE their product as one
+    * epilogue. One daily aggregate + one broadcast best-day scalar.
+    */
+  def q_oee_daily(spark: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.eventsWithTs(spark, sf)
+      .groupBy(to_date(col("ts_us")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purch"),
+        sum(cents(col("value"))).as("rev"))
+      .localCheckpoint()
+    val best = daily.agg(max(col("rev")).as("max_rev"))
+    daily.crossJoin(broadcast(best))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n"),
+        expr("(n - n_err) * 1000000 div n").as("avail_e6"),
+        expr("rev * 1000000 div max_rev").as("perf_e6"),
+        expr("n_purch * 1000000 div (n_purch + n_err)").as("qual_e6"))
+      .select(col("day"), col("n"), col("avail_e6"), col("perf_e6"), col("qual_e6"),
+        (round(col("avail_e6").cast("double") * col("perf_e6").cast("double")
+          * col("qual_e6").cast("double") / lit(1e18), 6) + lit(0.0)).as("oee"))
+      .orderBy("day")
+  }
+
 }

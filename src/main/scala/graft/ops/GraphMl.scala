@@ -478,4 +478,33 @@ object GraphMl {
           / (lit(n.toDouble) * (lit(n.toDouble) - lit(1.0)) * lit(1e6)), 4)
           + lit(0.0)).as("efficiency"))
   }
+
+  /** Link-prediction score battery on the co-purchase graph — Jaccard,
+    * resource-allocation (Σ 1/deg(z), e6 trunc-div lattice) and
+    * preferential attachment for every 2-hop non-edge pair, top-10 by
+    * RA. The [[q_adamic_adar]] wedge join with two extra exact-integer
+    * scores; degrees broadcast, candidate pairs bounded by wedge count,
+    * never node². */
+  def q_link_prediction(spark: SparkSession, sf: String): DataFrame = {
+    val edges = coPurchaseEdges(spark, sf)
+    val deg = edges.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    val hubs = deg.select(col("node").as("z"),
+      expr("1000000 div deg").as("w_e6"))
+    val pairs = edges.as("a")
+      .join(edges.as("b"), col("a.u") === col("b.u") && col("a.v") < col("b.v"))
+      .select(col("a.u").as("z"), col("a.v").as("x"), col("b.v").as("y"))
+      .join(hubs, "z")
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("n_common"), sum(col("w_e6")).as("ra_e6"))
+    val existing = edges.filter(col("u") < col("v"))
+      .select(col("u").as("x"), col("v").as("y"))
+    pairs.join(existing, Seq("x", "y"), "left_anti")
+      .join(broadcast(deg.select(col("node").as("x"), col("deg").as("dx"))), "x")
+      .join(broadcast(deg.select(col("node").as("y"), col("deg").as("dy"))), "y")
+      .select(col("x").as("u"), col("y").as("v"), col("n_common"), col("ra_e6"),
+        expr("n_common * 1000000 div (dx + dy - n_common)").as("jaccard_e6"),
+        (col("dx") * col("dy")).as("pref_attach"))
+      .orderBy(col("ra_e6").desc, col("u").asc, col("v").asc)
+      .limit(10)
+  }
 }

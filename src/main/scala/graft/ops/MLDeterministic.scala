@@ -3245,4 +3245,38 @@ object MLDeterministic {
           + lit(0.0)).as("alpha3"))
       .orderBy("state")
   }
+
+  /** One AdaBoost round (uniform initial weights) for the returns
+    * classifier y = ±1 (R vs not) over the 11-threshold discount-pct
+    * stump family × 2 polarities: weighted error = plain error counts
+    * (exact integers) in round 1, best stump by (err, t, polarity)
+    * total order, α = ½ln((n−e)/e) and the normalizer Z = 2√(ε(1−ε))
+    * one epilogue. Lattice aggregate + a 22-row broadcast stump grid —
+    * no per-row model state at any scale.
+    */
+  def q_adaboost_round(spark: SparkSession, sf: String): DataFrame = {
+    val cell = Tables.lineitem(spark, sf)
+      .select(pct(col("l_discount")).as("d"),
+        when(col("l_returnflag") === "R", 1L).otherwise(-1L).as("y"))
+      .groupBy(col("d"), col("y")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val stumps = spark.range(0, 11).select(col("id").as("t"))
+      .crossJoin(spark.range(0, 2).select((col("id") * 2L - 1L).as("p")))
+    val err = cell.crossJoin(broadcast(stumps))
+      .select(col("t"), col("p"), col("c"),
+        when(col("d") >= col("t"), col("p")).otherwise(-col("p")).as("pred"),
+        col("y"))
+      .groupBy(col("t"), col("p"))
+      .agg(sum(col("c")).as("n"),
+        sum(when(col("pred") =!= col("y"), col("c")).otherwise(0L)).as("e"))
+    val eD = col("e").cast("double")
+    val nD = col("n").cast("double")
+    err.orderBy(col("e").asc, col("t").asc, col("p").asc).limit(1)
+      .select(col("t").as("threshold"), col("p").as("polarity"),
+        col("n"), col("e").as("n_err"),
+        (round(eD / nD, 6) + lit(0.0)).as("err_rate"),
+        (round(lit(0.5) * log((nD - eD) / eD), 6) + lit(0.0)).as("alpha"),
+        (round(lit(2.0) * sqrt(eD / nD * (lit(1.0) - eD / nD)), 6)
+          + lit(0.0)).as("z_norm"))
+  }
 }

@@ -1375,4 +1375,96 @@ object TextPipeline {
       .orderBy(abs(col("ll")).desc, col("token").asc)
       .limit(15)
   }
+
+  /** Cohen's kappa agreement between two deterministic quality "raters"
+    * on every document — rater A = length rule (≥ 30 tokens, the
+    * [[q_gopher_quality]] gate), rater B = diversity rule (10·distinct ≥
+    * 4·tokens, the [[q_ttr_filter]] gate). The 2×2 agreement table is
+    * exact integer counts and κ = (n·agree − Σ margin products) /
+    * (n² − Σ margin products) stays an exact rational until one final
+    * division (decimal(38,0) — n² overflows BIGINT at corpus scale).
+    * One scan + one 4-cell aggregate.
+    */
+  def q_cohen_kappa(spark: SparkSession, sf: String): DataFrame = {
+    val r = Tables.documents(spark, sf)
+      .select(size(toks(col("text"))).cast("long").as("nw"),
+        expr("CAST(size(array_distinct(split(lower(text), ' '))) AS BIGINT)")
+          .as("nd"))
+      .select((col("nw") >= 30L).as("a"), (col("nd") * 10L >= col("nw") * 4L).as("b"))
+    val c = r.agg(count(lit(1)).as("n"),
+      sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
+      sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+      sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"),
+      sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"))
+    val pe = (col("n11") + col("n10")).cast("decimal(38,0)") *
+      (col("n11") + col("n01")).cast("decimal(38,0)") +
+      (col("n01") + col("n00")).cast("decimal(38,0)") *
+      (col("n10") + col("n00")).cast("decimal(38,0)")
+    c.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+      (round((col("n").cast("decimal(38,0)") * (col("n11") + col("n00")) - pe)
+        .cast("double") /
+        (col("n").cast("decimal(38,0)") * col("n") - pe).cast("double"), 6)
+        + lit(0.0)).as("kappa"))
+  }
+
+  /** Tsallis entropy of the per-language token distribution at q = 2 and
+    * q = 3: S_q = (1 − Σpᵢ^q)/(q−1) where Σpᵢ^q = Σcᵢ^q / T^q stays an
+    * EXACT integer ratio (decimal(38,0) — token counts cubed overflow
+    * BIGINT at corpus scale) until one final division per language.
+    * S₂ is the Simpson-diversity complement, S₃ adds tail sensitivity;
+    * one token aggregate per language, no float sums anywhere.
+    */
+  def q_tsallis_entropy(spark: SparkSession, sf: String): DataFrame = {
+    val tok = Tables.documents(spark, sf)
+      .select(col("lang"), explode(toks(col("text"))).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+    tok.groupBy(col("lang"))
+      .agg(sum(col("c")).as("t"), count(lit(1)).as("vocab"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("s2"),
+        sum(col("c").cast("decimal(38,0)") * col("c") * col("c")).as("s3"))
+      .select(col("lang"), col("t").as("n_tokens"), col("vocab"),
+        (round(lit(1.0) - col("s2").cast("double")
+          / (col("t").cast("double") * col("t").cast("double")), 6)
+          + lit(0.0)).as("tsallis_q2"),
+        (round((lit(1.0) - col("s3").cast("double")
+          / (col("t").cast("double") * col("t").cast("double")
+            * col("t").cast("double"))) / lit(2.0), 6) + lit(0.0)).as("tsallis_q3"))
+      .orderBy("lang")
+  }
+
+  /** Edit-distance near-dup candidates: Levenshtein over 40-char
+    * prefixes, pairs blocked by (lang, n_chars div 8) so two docs are
+    * compared only when language AND length band agree — the blocked
+    * fuzzy-match stage of an entity-resolution pipeline, never corpus².
+    * Per language: blocks, candidate pairs, near-dups (distance ≤ 5)
+    * and the floor-mean distance — all exact integers (both engines'
+    * levenshtein is the classic unit-cost DP).
+    */
+  def q_edit_distance_dedup(spark: SparkSession, sf: String): DataFrame = {
+    val d = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"),
+        expr("n_chars div 8").as("blk"),
+        substring(col("text"), 1, 40).as("pfx"))
+      .localCheckpoint()
+    val pairs = d.as("a")
+      .join(d.select(col("doc_id").as("did2"), col("lang").as("lang2"),
+        col("blk").as("blk2"), col("pfx").as("pfx2")).as("b"),
+        col("a.lang") === col("lang2") && col("a.blk") === col("blk2")
+          && col("a.doc_id") < col("did2"))
+      .select(col("a.lang").as("lang"),
+        levenshtein(col("pfx"), col("pfx2")).cast("long").as("dist"))
+    val blocks = d.groupBy(col("lang"))
+      .agg(countDistinct(col("blk")).as("n_blocks"))
+    blocks.join(
+      pairs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_cand_pairs"),
+          sum(when(col("dist") <= 5L, 1L).otherwise(0L)).as("n_near"),
+          expr("sum(dist) div count(1)").as("mean_dist")),
+      Seq("lang"), "left_outer")
+      .select(col("lang"), col("n_blocks"),
+        coalesce(col("n_cand_pairs"), lit(0L)).as("n_cand_pairs"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        coalesce(col("mean_dist"), lit(0L)).as("mean_dist"))
+      .orderBy("lang")
+  }
 }

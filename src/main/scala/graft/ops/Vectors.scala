@@ -1121,4 +1121,222 @@ object Vectors {
     val after = m2.agg(sum(when(col("mis"), 1L).otherwise(0L)).as("n_mis_after"))
     before.crossJoin(after)
   }
+
+  /** The 16-bucket sign-LSH partition used as the "predicted" clustering
+    * by the external-validation metrics below: 4 deterministic ±1
+    * hyperplanes (md5 parity of (plane, dim), the [[Ann]] convention),
+    * bucket = 4-bit sign pattern of the exact integer projections. One
+    * dim-keyed aggregate per corpus scan — no pairwise work.
+    */
+  private def lshPartition(spark: SparkSession, sf: String): DataFrame = {
+    val hp = spark.range(0, 4).select(col("id").as("d2p"))
+      .crossJoin(spark.range(0, 64).select(col("id").as("d")))
+      .select(col("d2p").as("p"), col("d"),
+        when(graft.core.Det.hash32(concat(col("d2p").cast("string"), lit("_"),
+          col("d").cast("string"))) % 2 === 0, 1L).otherwise(-1L).as("s"))
+    Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        posexplode(q7(col("embedding"))).as(Seq("d", "x")))
+      .join(broadcast(hp), "d")
+      .groupBy(col("vec_id"), col("label"), col("p"))
+      .agg(sum(col("s") * col("x")).as("proj"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(expr("CASE WHEN proj > 0 THEN CAST(shiftleft(1, p) AS BIGINT) ELSE 0 END"))
+        .as("bucket"))
+  }
+
+  /** Adjusted Rand Index of the true label partition vs the 16-bucket
+    * sign-LSH partition ([[lshPartition]]): pair-counting from the
+    * label×bucket contingency table — Σ C(nij,2), margin sums ΣC(ai,2),
+    * ΣC(bj,2) all exact (decimal(38,0) — pair counts are O(n²) and
+    * overflow BIGINT at corpus scale), one IEEE epilogue for the
+    * chance-corrected ratio. Contingency is ≤ labels×16 rows regardless
+    * of corpus size.
+    */
+  def q_adjusted_rand(spark: SparkSession, sf: String): DataFrame = {
+    val cont = lshPartition(spark, sf)
+      .groupBy(col("label"), col("bucket")).agg(count(lit(1)).as("nij"))
+      .localCheckpoint()
+    val cells = cont.agg(
+      sum(expr("CAST(nij * (nij - 1) div 2 AS decimal(38,0))")).as("sum_idx"),
+      count(lit(1)).as("n_cells"))
+    val rows = cont.groupBy(col("label")).agg(sum(col("nij")).as("ai"))
+      .agg(sum(expr("CAST(ai * (ai - 1) div 2 AS decimal(38,0))")).as("sum_a"),
+        count(lit(1)).as("k_labels"), sum(col("ai")).as("n"))
+    val colsM = cont.groupBy(col("bucket")).agg(sum(col("nij")).as("bj"))
+      .agg(sum(expr("CAST(bj * (bj - 1) div 2 AS decimal(38,0))")).as("sum_b"),
+        count(lit(1)).as("k_buckets"))
+    val nD = col("n").cast("double")
+    val tD = nD * (nD - lit(1.0)) / lit(2.0)
+    val aD = col("sum_a").cast("double")
+    val bD = col("sum_b").cast("double")
+    val iD = col("sum_idx").cast("double")
+    cells.crossJoin(rows).crossJoin(colsM)
+      .select(col("n"), col("k_labels"), col("k_buckets"), col("n_cells"),
+        (round((iD - aD * bD / tD) /
+          ((aD + bD) / lit(2.0) - aD * bD / tD), 6) + lit(0.0)).as("ari"))
+  }
+
+  /** Normalized mutual information of the same label-vs-LSH-bucket
+    * contingency: every pᵢⱼ·ln term is computed from EXACT counts with a
+    * fixed IEEE tree and rounded to an e8 integer BEFORE the order-free
+    * sum (≤ labels×16 cells), so partial aggregation order cannot move
+    * the result; NMI = 2I/(H_label + H_bucket) is one epilogue.
+    */
+  def q_nmi_clusters(spark: SparkSession, sf: String): DataFrame = {
+    val cont = lshPartition(spark, sf)
+      .groupBy(col("label"), col("bucket")).agg(count(lit(1)).as("nij"))
+      .localCheckpoint()
+    val tot = cont.agg(sum(col("nij")).as("n"))
+    val rows = cont.groupBy(col("label")).agg(sum(col("nij")).as("ai"))
+    val colsM = cont.groupBy(col("bucket")).agg(sum(col("nij")).as("bj"))
+    val nD = col("n").cast("double")
+    val hU = rows.crossJoin(broadcast(tot))
+      .select(round(col("ai").cast("double") *
+        log(col("ai").cast("double") / nD) * lit(1e8)).cast("long").as("t"),
+        col("n"))
+      .groupBy(col("n")).agg((-sum(col("t"))).as("hu_e8"),
+        count(lit(1)).as("k_labels"))
+    val hV = colsM.crossJoin(broadcast(tot))
+      .select(round(col("bj").cast("double") *
+        log(col("bj").cast("double") / nD) * lit(1e8)).cast("long").as("t"))
+      .agg((-sum(col("t"))).as("hv_e8"), count(lit(1)).as("k_buckets"))
+    val mi = cont
+      .join(broadcast(rows), "label").join(broadcast(colsM), "bucket")
+      .crossJoin(broadcast(tot))
+      .select(round(col("nij").cast("double") *
+        log(nD * col("nij").cast("double") /
+          (col("ai").cast("double") * col("bj").cast("double"))) * lit(1e8))
+        .cast("long").as("t"))
+      .agg(sum(col("t")).as("mi_e8"))
+    val scale = col("n").cast("double") * lit(1e8)
+    hU.crossJoin(hV).crossJoin(mi)
+      .select(col("n"), col("k_labels"), col("k_buckets"),
+        (round(col("hu_e8").cast("double") / scale, 6) + lit(0.0)).as("h_label"),
+        (round(col("hv_e8").cast("double") / scale, 6) + lit(0.0)).as("h_bucket"),
+        (round(col("mi_e8").cast("double") / scale, 6) + lit(0.0)).as("mi"),
+        (round(lit(2.0) * col("mi_e8").cast("double") /
+          (col("hu_e8") + col("hv_e8")).cast("double"), 6) + lit(0.0)).as("nmi"))
+  }
+
+  /** Per-label centroid of dims 1..8 on the integer lattice (rounded
+    * mean per dim, re-assembled into an array) plus the member count —
+    * the shared base of the internal-validation indices below.
+    */
+  private def centroids8(spark: SparkSession, sf: String): DataFrame =
+    Tables.embeddings(spark, sf)
+      .select(col("label").cast("long").as("clabel"),
+        posexplode(slice(q7(col("embedding")), 1, 8)).as(Seq("dim", "x")))
+      .groupBy(col("clabel"), col("dim"))
+      .agg(round(sum(col("x")).cast("double") / count(lit(1)).cast("double"))
+        .cast("long").as("c"))
+      .groupBy(col("clabel"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), p -> p.c)")
+        .as("c_qe"))
+
+  /** Davies–Bouldin index of the label clustering over dims 1..8:
+    * scatter sᵢ = floor-mean of e6-latticed member→centroid distances,
+    * centroid separations e6-latticed, Rᵢⱼ = (sᵢ+sⱼ)/dᵢⱼ kept as an
+    * exact integer ratio — max/mean over the k×k pair lattice involve
+    * no float sums. One broadcast centroid join per corpus scan; the
+    * pair table is k² rows regardless of scale.
+    */
+  def q_davies_bouldin(spark: SparkSession, sf: String): DataFrame = {
+    val cent = centroids8(spark, sf).localCheckpoint()
+    val scat = Tables.embeddings(spark, sf)
+      .select(col("label").cast("long").as("clabel"),
+        slice(q7(col("embedding")), 1, 8).as("qe"))
+      .join(broadcast(cent), "clabel")
+      .select(col("clabel"),
+        round(sqrt(dist2E14(col("qe"), col("c_qe")).cast("double")) / lit(10.0))
+          .cast("long").as("d_e6"))
+      .groupBy(col("clabel"))
+      .agg(count(lit(1)).as("n_members"), sum(col("d_e6")).as("sd"))
+      .select(col("clabel"), col("n_members"), expr("sd div n_members").as("s_e6"))
+      .localCheckpoint()
+    val pairs = cent.as("a")
+      .join(cent.select(col("clabel").as("clabel2"), col("c_qe").as("c_qe2")).as("b"),
+        col("a.clabel") =!= col("clabel2"))
+      .select(col("a.clabel").as("clabel"), col("clabel2"),
+        round(sqrt(dist2E14(col("c_qe"), col("c_qe2")).cast("double")) / lit(10.0))
+          .cast("long").as("dc_e6"))
+    val ratios = pairs
+      .join(broadcast(scat.select(col("clabel"), col("s_e6"))), "clabel")
+      .join(broadcast(scat.select(col("clabel").as("clabel2"),
+        col("s_e6").as("s2_e6"))), "clabel2")
+      .select(col("clabel"),
+        expr("(s_e6 + s2_e6) * 1000000 div dc_e6").as("r_e6"))
+      .groupBy(col("clabel")).agg(max(col("r_e6")).as("r_max_e6"))
+    val db = ratios.agg(expr("sum(r_max_e6) div count(1)").as("db_e6"))
+    scat.join(ratios, "clabel").crossJoin(broadcast(db))
+      .select(col("clabel").as("label"), col("n_members"), col("s_e6"),
+        col("r_max_e6"),
+        (round(col("db_e6").cast("double") / lit(1e6), 6) + lit(0.0))
+          .as("db_index"))
+      .orderBy("label")
+  }
+
+  /** Calinski–Harabasz (variance-ratio) index of the label clustering
+    * over dims 1..8: between-scatter B = Σ nᵢ·‖cᵢ−c̄‖², within-scatter
+    * W = Σ‖x−c_label‖², both EXACT integer sums on the e14 lattice
+    * carried in decimal(38,0) (they overflow BIGINT at corpus scale);
+    * CH = (B/(k−1))/(W/(n−k)) is one IEEE epilogue. One broadcast
+    * centroid join per scan.
+    */
+  def q_calinski_harabasz(spark: SparkSession, sf: String): DataFrame = {
+    val cent = centroids8(spark, sf).localCheckpoint()
+    val sizes = Tables.embeddings(spark, sf)
+      .groupBy(col("label").cast("long").as("clabel"))
+      .agg(count(lit(1)).as("ni"))
+    // global centroid from the raw corpus (not the centroid-of-centroids)
+    val gcent = Tables.embeddings(spark, sf)
+      .select(posexplode(slice(q7(col("embedding")), 1, 8)).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(round(sum(col("x")).cast("double") / count(lit(1)).cast("double"))
+        .cast("long").as("g"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, g))), p -> p.g)")
+        .as("g_qe"))
+    val between = cent.join(sizes, "clabel").crossJoin(broadcast(gcent))
+      .select((col("ni").cast("decimal(38,0)") *
+        dist2E14(col("c_qe"), col("g_qe"))).as("t"), col("ni"))
+      .agg(sum(col("t")).as("b_ss"), sum(col("ni")).as("n"),
+        count(lit(1)).as("k"))
+    val within = Tables.embeddings(spark, sf)
+      .select(col("label").cast("long").as("clabel"),
+        slice(q7(col("embedding")), 1, 8).as("qe"))
+      .join(broadcast(cent), "clabel")
+      .select(dist2E14(col("qe"), col("c_qe")).cast("decimal(38,0)").as("d2"))
+      .agg(sum(col("d2")).as("w_ss"))
+    between.crossJoin(within)
+      .select(col("n"), col("k"),
+        (round((col("b_ss").cast("double") / (col("k").cast("double") - lit(1.0))) /
+          (col("w_ss").cast("double") /
+            (col("n").cast("double") - col("k").cast("double"))), 6) + lit(0.0))
+          .as("ch_index"))
+  }
+
+  /** One k-medoids assignment step with the three fixed medoids
+    * vec_id ∈ {0,1,2}: every vector goes to its exact-integer-nearest
+    * medoid (full 64-dim lattice distance, tie → lower medoid id), cost
+    * = e6-latticed euclidean distance. Broadcast 3×N — one scan, no
+    * shuffle beyond the 3-row aggregate, at any corpus size.
+    */
+  def q_kmedoids_step(spark: SparkSession, sf: String): DataFrame = {
+    val med = quantized(spark, sf).filter(col("vec_id") < 3)
+      .select(col("vec_id").as("mid"), col("qe").as("m_qe"))
+    quantized(spark, sf)
+      .crossJoin(broadcast(med))
+      .select(col("vec_id"),
+        struct(dist2E14(col("qe"), col("m_qe")).as("d2"), col("mid")).as("cand"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("cand")).as("best"))
+      .select(col("best.mid").as("medoid"),
+        round(sqrt(col("best.d2").cast("double")) / lit(10.0)).cast("long")
+          .as("d_e6"))
+      .groupBy(col("medoid"))
+      .agg(count(lit(1)).as("n_assigned"), sum(col("d_e6")).as("cost_e6"))
+      .select(col("medoid"), col("n_assigned"), col("cost_e6"),
+        expr("cost_e6 div n_assigned").as("mean_cost_e6"))
+      .orderBy("medoid")
+  }
 }

@@ -14792,5 +14792,547 @@ object OracleSql {
                + 0 AS efficiency
       FROM best CROSS JOIN n GROUP BY n.n""",
 
+    "q_adjusted_rand" -> """
+      WITH hp AS (SELECT p, d,
+                         CASE WHEN CAST('0x' || substring(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 8) AS BIGINT) % 2 = 0
+                              THEN 1 ELSE -1 END AS s
+                  FROM range(0, 4) t1(p), range(0, 64) t2(d)),
+           m AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                        list_transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE)*1e7) AS BIGINT)) AS qe
+                 FROM embeddings),
+           dims AS (SELECT vec_id, label, generate_subscripts(qe, 1) - 1 AS d, unnest(qe) AS x FROM m),
+           proj AS (SELECT vec_id, label, p, CAST(SUM(s * x) AS BIGINT) AS proj
+                    FROM dims JOIN hp USING (d) GROUP BY 1, 2, 3),
+           buckets AS (SELECT vec_id, label,
+                              CAST(SUM(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+                       FROM proj GROUP BY 1, 2),
+           cont AS (SELECT label, bucket, CAST(COUNT(*) AS BIGINT) AS nij
+                    FROM buckets GROUP BY 1, 2),
+           cells AS (SELECT SUM(CAST(nij * (nij - 1) // 2 AS HUGEINT)) AS sum_idx,
+                            CAST(COUNT(*) AS BIGINT) AS n_cells
+                     FROM cont),
+           rows_ AS (SELECT SUM(CAST(ai * (ai - 1) // 2 AS HUGEINT)) AS sum_a,
+                            CAST(COUNT(*) AS BIGINT) AS k_labels,
+                            CAST(SUM(ai) AS BIGINT) AS n
+                     FROM (SELECT label, CAST(SUM(nij) AS BIGINT) AS ai
+                           FROM cont GROUP BY 1)),
+           cols_ AS (SELECT SUM(CAST(bj * (bj - 1) // 2 AS HUGEINT)) AS sum_b,
+                            CAST(COUNT(*) AS BIGINT) AS k_buckets
+                     FROM (SELECT bucket, CAST(SUM(nij) AS BIGINT) AS bj
+                           FROM cont GROUP BY 1))
+      SELECT n, k_labels, k_buckets, n_cells,
+             ROUND((CAST(sum_idx AS DOUBLE)
+                    - CAST(sum_a AS DOUBLE) * CAST(sum_b AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0))
+                   / ((CAST(sum_a AS DOUBLE) + CAST(sum_b AS DOUBLE)) / 2.0
+                      - CAST(sum_a AS DOUBLE) * CAST(sum_b AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0)),
+                   6) + 0 AS ari
+      FROM cells CROSS JOIN rows_ CROSS JOIN cols_""",
+
+    "q_nmi_clusters" -> """
+      WITH hp AS (SELECT p, d,
+                         CASE WHEN CAST('0x' || substring(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 8) AS BIGINT) % 2 = 0
+                              THEN 1 ELSE -1 END AS s
+                  FROM range(0, 4) t1(p), range(0, 64) t2(d)),
+           m AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                        list_transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE)*1e7) AS BIGINT)) AS qe
+                 FROM embeddings),
+           dims AS (SELECT vec_id, label, generate_subscripts(qe, 1) - 1 AS d, unnest(qe) AS x FROM m),
+           proj AS (SELECT vec_id, label, p, CAST(SUM(s * x) AS BIGINT) AS proj
+                    FROM dims JOIN hp USING (d) GROUP BY 1, 2, 3),
+           buckets AS (SELECT vec_id, label,
+                              CAST(SUM(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+                       FROM proj GROUP BY 1, 2),
+           cont AS (SELECT label, bucket, CAST(COUNT(*) AS BIGINT) AS nij
+                    FROM buckets GROUP BY 1, 2),
+           tot AS (SELECT CAST(SUM(nij) AS BIGINT) AS n FROM cont),
+           rows_ AS (SELECT label, CAST(SUM(nij) AS BIGINT) AS ai FROM cont GROUP BY 1),
+           cols_ AS (SELECT bucket, CAST(SUM(nij) AS BIGINT) AS bj FROM cont GROUP BY 1),
+           hu AS (SELECT -CAST(SUM(CAST(ROUND(CAST(ai AS DOUBLE)
+                            * LN(CAST(ai AS DOUBLE) / CAST(n AS DOUBLE)) * 1e8)
+                          AS BIGINT)) AS BIGINT) AS hu_e8,
+                         CAST(COUNT(*) AS BIGINT) AS k_labels, n
+                  FROM rows_ CROSS JOIN tot GROUP BY n),
+           hv AS (SELECT -CAST(SUM(CAST(ROUND(CAST(bj AS DOUBLE)
+                            * LN(CAST(bj AS DOUBLE) / CAST(n AS DOUBLE)) * 1e8)
+                          AS BIGINT)) AS BIGINT) AS hv_e8,
+                         CAST(COUNT(*) AS BIGINT) AS k_buckets
+                  FROM cols_ CROSS JOIN tot),
+           mi AS (SELECT CAST(SUM(CAST(ROUND(CAST(nij AS DOUBLE)
+                            * LN(CAST(n AS DOUBLE) * CAST(nij AS DOUBLE)
+                                 / (CAST(ai AS DOUBLE) * CAST(bj AS DOUBLE))) * 1e8)
+                          AS BIGINT)) AS BIGINT) AS mi_e8
+                  FROM cont JOIN rows_ USING (label) JOIN cols_ USING (bucket)
+                       CROSS JOIN tot)
+      SELECT n, k_labels, k_buckets,
+             ROUND(CAST(hu_e8 AS DOUBLE) / (CAST(n AS DOUBLE) * 1e8), 6) + 0 AS h_label,
+             ROUND(CAST(hv_e8 AS DOUBLE) / (CAST(n AS DOUBLE) * 1e8), 6) + 0 AS h_bucket,
+             ROUND(CAST(mi_e8 AS DOUBLE) / (CAST(n AS DOUBLE) * 1e8), 6) + 0 AS mi,
+             ROUND(2.0 * CAST(mi_e8 AS DOUBLE) / CAST(hu_e8 + hv_e8 AS DOUBLE), 6)
+               + 0 AS nmi
+      FROM hu CROSS JOIN hv CROSS JOIN mi""",
+
+    "q_davies_bouldin" -> """
+      WITH m AS (SELECT vec_id, CAST(label AS BIGINT) AS clabel,
+                        list_transform(embedding[1:8], v -> CAST(ROUND(CAST(v AS DOUBLE)*1e7) AS BIGINT)) AS qe
+                 FROM embeddings),
+           dims AS (SELECT clabel, generate_subscripts(qe, 1) - 1 AS dim, unnest(qe) AS x FROM m),
+           cd AS (SELECT clabel, dim,
+                         CAST(ROUND(CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS c
+                  FROM dims GROUP BY 1, 2),
+           cent AS (SELECT clabel, list(c ORDER BY dim) AS c_qe FROM cd GROUP BY 1),
+           scat AS (SELECT m.clabel, CAST(COUNT(*) AS BIGINT) AS n_members,
+                           CAST(SUM(d_e6) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS s_e6
+                    FROM (SELECT m.clabel,
+                                 CAST(ROUND(SQRT(CAST(list_sum(list_transform(list_zip(m.qe, cent.c_qe),
+                                        p -> (p[1]-p[2])*(p[1]-p[2]))) AS DOUBLE)) / 10.0)
+                                   AS BIGINT) AS d_e6
+                          FROM m JOIN cent ON m.clabel = cent.clabel) m
+                    GROUP BY 1),
+           pairs AS (SELECT a.clabel,
+                            CAST(ROUND(SQRT(CAST(list_sum(list_transform(list_zip(a.c_qe, b.c_qe),
+                                   p -> (p[1]-p[2])*(p[1]-p[2]))) AS DOUBLE)) / 10.0)
+                              AS BIGINT) AS dc_e6,
+                            b.clabel AS clabel2
+                     FROM cent a JOIN cent b ON a.clabel <> b.clabel),
+           ratios AS (SELECT p.clabel,
+                             CAST(MAX((s1.s_e6 + s2.s_e6) * 1000000 // p.dc_e6) AS BIGINT) AS r_max_e6
+                      FROM pairs p
+                      JOIN scat s1 ON p.clabel = s1.clabel
+                      JOIN scat s2 ON p.clabel2 = s2.clabel
+                      GROUP BY 1),
+           db AS (SELECT CAST(SUM(r_max_e6) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS db_e6
+                  FROM ratios)
+      SELECT s.clabel AS label, s.n_members, s.s_e6, r.r_max_e6,
+             ROUND(CAST(db_e6 AS DOUBLE) / 1e6, 6) + 0 AS db_index
+      FROM scat s JOIN ratios r ON s.clabel = r.clabel CROSS JOIN db
+      ORDER BY label""",
+
+    "q_calinski_harabasz" -> """
+      WITH m AS (SELECT vec_id, CAST(label AS BIGINT) AS clabel,
+                        list_transform(embedding[1:8], v -> CAST(ROUND(CAST(v AS DOUBLE)*1e7) AS BIGINT)) AS qe
+                 FROM embeddings),
+           dims AS (SELECT clabel, generate_subscripts(qe, 1) - 1 AS dim, unnest(qe) AS x FROM m),
+           cd AS (SELECT clabel, dim,
+                         CAST(ROUND(CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS c
+                  FROM dims GROUP BY 1, 2),
+           cent AS (SELECT clabel, list(c ORDER BY dim) AS c_qe FROM cd GROUP BY 1),
+           gd AS (SELECT dim,
+                         CAST(ROUND(CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS g
+                  FROM dims GROUP BY 1),
+           gcent AS (SELECT list(g ORDER BY dim) AS g_qe FROM gd),
+           sizes AS (SELECT CAST(label AS BIGINT) AS clabel, CAST(COUNT(*) AS BIGINT) AS ni
+                     FROM embeddings GROUP BY 1),
+           between_ AS (SELECT SUM(CAST(ni AS HUGEINT)
+                              * CAST(list_sum(list_transform(list_zip(c_qe, g_qe),
+                                  p -> (p[1]-p[2])*(p[1]-p[2]))) AS HUGEINT)) AS b_ss,
+                               CAST(SUM(ni) AS BIGINT) AS n,
+                               CAST(COUNT(*) AS BIGINT) AS k
+                        FROM cent JOIN sizes USING (clabel) CROSS JOIN gcent),
+           within_ AS (SELECT SUM(CAST(list_sum(list_transform(list_zip(m.qe, cent.c_qe),
+                                 p -> (p[1]-p[2])*(p[1]-p[2]))) AS HUGEINT)) AS w_ss
+                       FROM m JOIN cent ON m.clabel = cent.clabel)
+      SELECT n, k,
+             ROUND((CAST(b_ss AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0))
+                   / (CAST(w_ss AS DOUBLE) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))),
+                   6) + 0 AS ch_index
+      FROM between_ CROSS JOIN within_""",
+
+    "q_kmedoids_step" -> """
+      WITH m AS (SELECT vec_id,
+                        list_transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE)*1e7) AS BIGINT)) AS qe
+                 FROM embeddings),
+           med AS (SELECT vec_id AS mid, qe AS m_qe FROM m WHERE vec_id < 3),
+           d AS (SELECT vec_id, mid,
+                        CAST(list_sum(list_transform(list_zip(qe, m_qe),
+                             p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS d2,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id
+                          ORDER BY CAST(list_sum(list_transform(list_zip(qe, m_qe),
+                             p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT), mid) AS rn
+                 FROM m CROSS JOIN med),
+           costs AS (SELECT mid AS medoid,
+                            CAST(ROUND(SQRT(CAST(d2 AS DOUBLE)) / 10.0) AS BIGINT) AS d_e6
+                     FROM d WHERE rn = 1)
+      SELECT medoid, CAST(COUNT(*) AS BIGINT) AS n_assigned,
+             CAST(SUM(d_e6) AS BIGINT) AS cost_e6,
+             CAST(SUM(d_e6) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mean_cost_e6
+      FROM costs GROUP BY 1 ORDER BY medoid""",
+
+    "q_cohen_kappa" -> """
+      WITH r AS (SELECT CAST(LENGTH(string_split(lower(text), ' ')) AS BIGINT) AS nw,
+                        CAST(LENGTH(list_distinct(string_split(lower(text), ' '))) AS BIGINT) AS nd
+                 FROM documents),
+           f AS (SELECT nw >= 30 AS a, nd * 10 >= nw * 4 AS b FROM r),
+           c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+                        CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+                        CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+                        CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
+                 FROM f)
+      SELECT n, n11, n10, n01, n00,
+             ROUND(CAST(CAST(n AS HUGEINT) * (n11 + n00)
+                        - (CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+                           + CAST(n01 + n00 AS HUGEINT) * (n10 + n00)) AS DOUBLE)
+                   / CAST(CAST(n AS HUGEINT) * n
+                          - (CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+                             + CAST(n01 + n00 AS HUGEINT) * (n10 + n00)) AS DOUBLE),
+                   6) + 0 AS kappa
+      FROM c""",
+
+    "q_cucconi_test" -> """
+      WITH cell AS (SELECT l_linestatus AS g, CAST(l_quantity AS BIGINT) AS v,
+                           CAST(COUNT(*) AS BIGINT) AS c
+                    FROM lineitem GROUP BY 1, 2),
+           comb AS (SELECT v, CAST(SUM(c) AS BIGINT) AS ct FROM cell GROUP BY 1),
+           ranks AS (SELECT v, ct,
+                            2 * (CAST(SUM(ct) OVER (ORDER BY v) AS BIGINT) - ct)
+                              + ct + 1 AS r2
+                     FROM comb),
+           tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM cell),
+           per AS (SELECT g, nn, CAST(SUM(c) AS BIGINT) AS m,
+                          SUM(CAST(c AS HUGEINT) * r2 * r2) AS s1_4,
+                          SUM(CAST(c AS HUGEINT)
+                              * (2 * (nn + 1) - r2) * (2 * (nn + 1) - r2)) AS s2_4
+                   FROM cell JOIN ranks USING (v) CROSS JOIN tot
+                   GROUP BY 1, 2),
+           f AS (SELECT * FROM per WHERE g = 'F')
+      SELECT m AS n_f, nn - m AS n_o,
+             ROUND((6.0 * CAST(s1_4 AS DOUBLE) / 4.0
+                    - CAST(m AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0)
+                      * (2.0 * CAST(nn AS DOUBLE) + 1.0))
+                   / SQRT(CAST(m AS DOUBLE) * (CAST(nn AS DOUBLE) - CAST(m AS DOUBLE))
+                          * (CAST(nn AS DOUBLE) + 1.0) * (2.0 * CAST(nn AS DOUBLE) + 1.0)
+                          * (8.0 * CAST(nn AS DOUBLE) + 11.0) / 5.0), 4) + 0 AS u,
+             ROUND((6.0 * CAST(s2_4 AS DOUBLE) / 4.0
+                    - CAST(m AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0)
+                      * (2.0 * CAST(nn AS DOUBLE) + 1.0))
+                   / SQRT(CAST(m AS DOUBLE) * (CAST(nn AS DOUBLE) - CAST(m AS DOUBLE))
+                          * (CAST(nn AS DOUBLE) + 1.0) * (2.0 * CAST(nn AS DOUBLE) + 1.0)
+                          * (8.0 * CAST(nn AS DOUBLE) + 11.0) / 5.0), 4) + 0 AS v,
+             ROUND(2.0 * (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) - 4.0)
+                   / ((2.0 * CAST(nn AS DOUBLE) + 1.0)
+                      * (8.0 * CAST(nn AS DOUBLE) + 11.0)) - 1.0, 6) + 0 AS rho,
+             ROUND((((6.0 * CAST(s1_4 AS DOUBLE) / 4.0
+                      - CAST(m AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0)
+                        * (2.0 * CAST(nn AS DOUBLE) + 1.0))
+                     / SQRT(CAST(m AS DOUBLE) * (CAST(nn AS DOUBLE) - CAST(m AS DOUBLE))
+                            * (CAST(nn AS DOUBLE) + 1.0) * (2.0 * CAST(nn AS DOUBLE) + 1.0)
+                            * (8.0 * CAST(nn AS DOUBLE) + 11.0) / 5.0))
+                    * ((6.0 * CAST(s1_4 AS DOUBLE) / 4.0
+                      - CAST(m AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0)
+                        * (2.0 * CAST(nn AS DOUBLE) + 1.0))
+                     / SQRT(CAST(m AS DOUBLE) * (CAST(nn AS DOUBLE) - CAST(m AS DOUBLE))
+                            * (CAST(nn AS DOUBLE) + 1.0) * (2.0 * CAST(nn AS DOUBLE) + 1.0)
+                            * (8.0 * CAST(nn AS DOUBLE) + 11.0) / 5.0))
+                    + ((6.0 * CAST(s2_4 AS DOUBLE) / 4.0
+                      - CAST(m AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0)
+                        * (2.0 * CAST(nn AS DOUBLE) + 1.0))
+                     / SQRT(CAST(m AS DOUBLE) * (CAST(nn AS DOUBLE) - CAST(m AS DOUBLE))
+                            * (CAST(nn AS DOUBLE) + 1.0) * (2.0 * CAST(nn AS DOUBLE) + 1.0)
+                            * (8.0 * CAST(nn AS DOUBLE) + 11.0) / 5.0))
+                    * ((6.0 * CAST(s2_4 AS DOUBLE) / 4.0
+                      - CAST(m AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0)
+                        * (2.0 * CAST(nn AS DOUBLE) + 1.0))
+                     / SQRT(CAST(m AS DOUBLE) * (CAST(nn AS DOUBLE) - CAST(m AS DOUBLE))
+                            * (CAST(nn AS DOUBLE) + 1.0) * (2.0 * CAST(nn AS DOUBLE) + 1.0)
+                            * (8.0 * CAST(nn AS DOUBLE) + 11.0) / 5.0))
+                    - 2.0 * (2.0 * (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) - 4.0)
+                             / ((2.0 * CAST(nn AS DOUBLE) + 1.0)
+                                * (8.0 * CAST(nn AS DOUBLE) + 11.0)) - 1.0)
+                      * ((6.0 * CAST(s1_4 AS DOUBLE) / 4.0
+                        - CAST(m AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0)
+                          * (2.0 * CAST(nn AS DOUBLE) + 1.0))
+                       / SQRT(CAST(m AS DOUBLE) * (CAST(nn AS DOUBLE) - CAST(m AS DOUBLE))
+                              * (CAST(nn AS DOUBLE) + 1.0) * (2.0 * CAST(nn AS DOUBLE) + 1.0)
+                              * (8.0 * CAST(nn AS DOUBLE) + 11.0) / 5.0))
+                      * ((6.0 * CAST(s2_4 AS DOUBLE) / 4.0
+                        - CAST(m AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0)
+                          * (2.0 * CAST(nn AS DOUBLE) + 1.0))
+                       / SQRT(CAST(m AS DOUBLE) * (CAST(nn AS DOUBLE) - CAST(m AS DOUBLE))
+                              * (CAST(nn AS DOUBLE) + 1.0) * (2.0 * CAST(nn AS DOUBLE) + 1.0)
+                              * (8.0 * CAST(nn AS DOUBLE) + 11.0) / 5.0)))
+                   / (2.0 * (1.0
+                      - (2.0 * (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) - 4.0)
+                         / ((2.0 * CAST(nn AS DOUBLE) + 1.0)
+                            * (8.0 * CAST(nn AS DOUBLE) + 11.0)) - 1.0)
+                      * (2.0 * (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) - 4.0)
+                         / ((2.0 * CAST(nn AS DOUBLE) + 1.0)
+                            * (8.0 * CAST(nn AS DOUBLE) + 11.0)) - 1.0))), 4) + 0
+               AS c_stat
+      FROM f""",
+
+    "q_gk_lambda" -> """
+      WITH cont AS (SELECT CAST(c_nationkey AS BIGINT) AS x, c_mktsegment AS y,
+                           CAST(COUNT(*) AS BIGINT) AS nxy
+                    FROM customer GROUP BY 1, 2),
+           rm AS (SELECT CAST(SUM(mx) AS BIGINT) AS sum_row_max,
+                         CAST(COUNT(*) AS BIGINT) AS k_x
+                  FROM (SELECT x, MAX(nxy) AS mx FROM cont GROUP BY 1)),
+           cm AS (SELECT CAST(MAX(ny) AS BIGINT) AS max_col,
+                         CAST(COUNT(*) AS BIGINT) AS k_y,
+                         CAST(SUM(ny) AS BIGINT) AS n
+                  FROM (SELECT y, SUM(nxy) AS ny FROM cont GROUP BY 1))
+      SELECT n, k_x, k_y, sum_row_max, max_col,
+             ROUND(CAST(sum_row_max - max_col AS DOUBLE)
+                   / CAST(n - max_col AS DOUBLE), 6) + 0 AS lambda
+      FROM rm CROSS JOIN cm""",
+
+    "q_dagostino_k2" -> """
+      WITH s AS (SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(d) AS BIGINT) AS s1,
+                        SUM(CAST(d AS HUGEINT) * d) AS s2,
+                        SUM(CAST(d AS HUGEINT) * d * d) AS s3,
+                        SUM(CAST(d AS HUGEINT) * d * d * d) AS s4
+                 FROM (SELECT l_returnflag,
+                              CAST(ROUND(l_discount*100) AS BIGINT) AS d
+                       FROM lineitem)
+                 GROUP BY 1),
+           m AS (SELECT flag, n,
+                        CAST(n AS DOUBLE) AS nd,
+                        CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                        CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+                        CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+                        CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+                 FROM s),
+           mm AS (SELECT flag, n, nd, mean,
+                         r2 - mean * mean AS m2,
+                         r3 - 3.0 * mean * r2 + 2.0 * mean * mean * mean AS m3,
+                         r4 - 4.0 * mean * r3 + 6.0 * mean * mean * r2
+                           - 3.0 * mean * mean * mean * mean AS m4
+                  FROM m),
+           gg AS (SELECT flag, n, nd,
+                         m3 / SQRT(m2 * m2 * m2) AS g1,
+                         m4 / (m2 * m2) AS b2
+                  FROM mm),
+           t1 AS (SELECT flag, n, nd, g1, b2,
+                         g1 * SQRT((nd + 1.0) * (nd + 3.0) / (6.0 * (nd - 2.0))) AS y,
+                         3.0 * (nd * nd + 27.0 * nd - 70.0) * (nd + 1.0) * (nd + 3.0)
+                           / ((nd - 2.0) * (nd + 5.0) * (nd + 7.0) * (nd + 9.0)) AS beta2
+                  FROM gg),
+           t2 AS (SELECT flag, n, nd, g1, b2, y,
+                         SQRT(2.0 * (beta2 - 1.0)) - 1.0 AS w2
+                  FROM t1),
+           t3 AS (SELECT flag, n, nd, g1, b2, y, w2,
+                         1.0 / SQRT(LN(SQRT(w2))) AS delta,
+                         SQRT(2.0 / (w2 - 1.0)) AS alpha
+                  FROM t2),
+           z1t AS (SELECT flag, n, nd, g1, b2,
+                          delta * LN(y / alpha + SQRT((y / alpha) * (y / alpha) + 1.0)) AS z1
+                   FROM t3),
+           k1 AS (SELECT flag, n, nd, g1, b2, z1,
+                         3.0 * (nd - 1.0) / (nd + 1.0) AS eb2,
+                         24.0 * nd * (nd - 2.0) * (nd - 3.0)
+                           / ((nd + 1.0) * (nd + 1.0) * (nd + 3.0) * (nd + 5.0)) AS vb2
+                  FROM z1t),
+           k2_ AS (SELECT flag, n, nd, g1, b2, z1,
+                          (b2 - eb2) / SQRT(vb2) AS x,
+                          6.0 * (nd * nd - 5.0 * nd + 2.0)
+                            / ((nd + 7.0) * (nd + 9.0))
+                            * SQRT(6.0 * (nd + 3.0) * (nd + 5.0)
+                                   / (nd * (nd - 2.0) * (nd - 3.0))) AS sb
+                   FROM k1),
+           k3 AS (SELECT flag, n, g1, b2, z1, x,
+                         6.0 + 8.0 / sb * (2.0 / sb + SQRT(1.0 + 4.0 / (sb * sb))) AS a
+                  FROM k2_),
+           zf AS (SELECT flag, n, g1, b2, z1,
+                         ((1.0 - 2.0 / (9.0 * a))
+                          - CBRT((1.0 - 2.0 / a)
+                                 / (1.0 + x * SQRT(2.0 / (a - 4.0)))))
+                           / SQRT(2.0 / (9.0 * a)) AS z2
+                  FROM k3)
+      SELECT flag, n,
+             ROUND(g1, 6) + 0 AS sqrt_b1, ROUND(b2, 6) + 0 AS b2,
+             ROUND(z1, 4) + 0 AS z_skew, ROUND(z2, 4) + 0 AS z_kurt,
+             ROUND(z1 * z1 + z2 * z2, 4) + 0 AS k2
+      FROM zf ORDER BY flag""",
+
+    "q_runs_updown" -> """
+      WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                            CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS rev
+                     FROM events GROUP BY 1, 2),
+           del AS (SELECT event_type, day,
+                          rev - LAG(rev) OVER (PARTITION BY event_type ORDER BY day)
+                            AS delta
+                   FROM daily),
+           signs AS (SELECT event_type, day,
+                            CASE WHEN delta > 0 THEN 1 ELSE -1 END AS s
+                     FROM del WHERE delta IS NOT NULL AND delta <> 0),
+           tr AS (SELECT event_type, s,
+                         LAG(s) OVER (PARTITION BY event_type ORDER BY day) AS sp
+                  FROM signs),
+           runs AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_deltas,
+                           CAST(SUM(CASE WHEN sp IS NOT NULL AND s <> sp
+                                         THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_runs
+                    FROM tr GROUP BY 1)
+      SELECT event_type, n_deltas, n_runs,
+             ROUND((CAST(n_runs AS DOUBLE)
+                    - (2.0 * CAST(n_deltas AS DOUBLE) - 1.0) / 3.0)
+                   / SQRT((16.0 * CAST(n_deltas AS DOUBLE) - 29.0) / 90.0), 4) + 0
+               AS z
+      FROM runs ORDER BY event_type""",
+
+    "q_tukey_hsd" -> """
+      WITH g AS (SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n_g,
+                        CAST(SUM(d) AS BIGINT) AS s1,
+                        SUM(CAST(d AS HUGEINT) * d) AS s2
+                 FROM (SELECT l_returnflag,
+                              CAST(ROUND(l_discount*100) AS BIGINT) AS d
+                       FROM lineitem)
+                 GROUP BY 1),
+           mse AS (SELECT CAST(SUM(n_g) AS BIGINT) AS nn,
+                          CAST(COUNT(*) AS BIGINT) AS k,
+                          SUM(CAST(s2 AS DOUBLE)
+                              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                                / CAST(n_g AS DOUBLE))
+                            / CAST(SUM(n_g) - COUNT(*) AS DOUBLE) AS mse
+                   FROM g)
+      SELECT a.flag AS flag_i, b.flag AS flag_j,
+             a.n_g AS n_i, b.n_g AS n_j,
+             ROUND(ABS(CAST(a.s1 AS DOUBLE) / CAST(a.n_g AS DOUBLE)
+                       - CAST(b.s1 AS DOUBLE) / CAST(b.n_g AS DOUBLE)), 6) + 0
+               AS mean_diff,
+             ROUND(ABS(CAST(a.s1 AS DOUBLE) / CAST(a.n_g AS DOUBLE)
+                       - CAST(b.s1 AS DOUBLE) / CAST(b.n_g AS DOUBLE))
+                   / SQRT(mse / 2.0 * (1.0 / CAST(a.n_g AS DOUBLE)
+                                       + 1.0 / CAST(b.n_g AS DOUBLE))), 4) + 0
+               AS q_stat
+      FROM g a JOIN g b ON a.flag < b.flag CROSS JOIN mse
+      ORDER BY flag_i, flag_j""",
+
+    "q_geary_c" -> """
+      WITH x0 AS (SELECT CAST(c_nationkey AS BIGINT) AS nk,
+                         CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT) AS sb,
+                         CAST(COUNT(*) AS BIGINT) AS nc,
+                         CAST(ANY_VALUE(rk) AS BIGINT) AS rk
+                  FROM customer
+                  JOIN (SELECT n_nationkey, CAST(n_regionkey AS BIGINT) AS rk
+                        FROM nation) nn ON c_nationkey = n_nationkey
+                  GROUP BY 1),
+           x AS (SELECT nk,
+                        CAST(CASE WHEN sb >= 0 THEN sb // nc
+                                  ELSE -((-sb) // nc) END AS BIGINT) AS x,
+                        rk
+                 FROM x0),
+           tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(x) AS BIGINT) AS sx FROM x),
+           den AS (SELECT SUM(CAST(x.x * tot.n - tot.sx AS HUGEINT)
+                              * (x.x * tot.n - tot.sx)) AS d4
+                   FROM x CROSS JOIN tot),
+           num AS (SELECT CAST(COUNT(*) AS BIGINT) AS w,
+                          SUM(CAST(a.x - b.x AS HUGEINT) * (a.x - b.x)) AS num
+                   FROM x a JOIN x b ON a.rk = b.rk AND a.nk <> b.nk)
+      SELECT n, w AS n_pairs,
+             ROUND(CAST(n - 1 AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                   * CAST(num AS DOUBLE)
+                   / (2.0 * CAST(w AS DOUBLE) * CAST(d4 AS DOUBLE)), 6) + 0
+               AS geary_c
+      FROM tot CROSS JOIN num CROSS JOIN den""",
+
+    "q_tsallis_entropy" -> """
+      WITH tok AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS w
+                         FROM documents)
+                   GROUP BY 1, 2),
+           agg AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS t,
+                          CAST(COUNT(*) AS BIGINT) AS vocab,
+                          SUM(CAST(c AS HUGEINT) * c) AS s2,
+                          SUM(CAST(c AS HUGEINT) * c * c) AS s3
+                   FROM tok GROUP BY 1)
+      SELECT lang, t AS n_tokens, vocab,
+             ROUND(1.0 - CAST(s2 AS DOUBLE)
+                   / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)), 6) + 0 AS tsallis_q2,
+             ROUND((1.0 - CAST(s3 AS DOUBLE)
+                    / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE) * CAST(t AS DOUBLE)))
+                   / 2.0, 6) + 0 AS tsallis_q3
+      FROM agg ORDER BY lang""",
+
+    "q_adaboost_round" -> """
+      WITH cell AS (SELECT CAST(ROUND(l_discount*100) AS BIGINT) AS d,
+                           CASE WHEN l_returnflag = 'R' THEN 1 ELSE -1 END AS y,
+                           CAST(COUNT(*) AS BIGINT) AS c
+                    FROM lineitem GROUP BY 1, 2),
+           stumps AS (SELECT t, p FROM range(0, 11) r1(t),
+                        (SELECT unnest([CAST(-1 AS BIGINT), CAST(1 AS BIGINT)]) AS p)),
+           err AS (SELECT t, p, CAST(SUM(c) AS BIGINT) AS n,
+                          CAST(SUM(CASE WHEN (CASE WHEN d >= t THEN p ELSE -p END) <> y
+                                        THEN c ELSE 0 END) AS BIGINT) AS e
+                   FROM cell CROSS JOIN stumps GROUP BY 1, 2),
+           best AS (SELECT * FROM err ORDER BY e, t, p LIMIT 1)
+      SELECT CAST(t AS BIGINT) AS threshold, p AS polarity, n, e AS n_err,
+             ROUND(CAST(e AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0 AS err_rate,
+             ROUND(0.5 * LN((CAST(n AS DOUBLE) - CAST(e AS DOUBLE))
+                            / CAST(e AS DOUBLE)), 6) + 0 AS alpha,
+             ROUND(2.0 * SQRT(CAST(e AS DOUBLE) / CAST(n AS DOUBLE)
+                              * (1.0 - CAST(e AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+               + 0 AS z_norm
+      FROM best""",
+
+    "q_oee_daily" -> """
+      WITH daily AS (SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n,
+                            CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_err,
+                            CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_purch,
+                            CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS rev
+                     FROM events GROUP BY 1),
+           best AS (SELECT CAST(MAX(rev) AS BIGINT) AS max_rev FROM daily),
+           r AS (SELECT CAST(day AS VARCHAR) AS day, n,
+                        (n - n_err) * 1000000 // n AS avail_e6,
+                        rev * 1000000 // max_rev AS perf_e6,
+                        n_purch * 1000000 // (n_purch + n_err) AS qual_e6
+                 FROM daily CROSS JOIN best)
+      SELECT day, n, avail_e6, perf_e6, qual_e6,
+             ROUND(CAST(avail_e6 AS DOUBLE) * CAST(perf_e6 AS DOUBLE)
+                   * CAST(qual_e6 AS DOUBLE) / 1e18, 6) + 0 AS oee
+      FROM r ORDER BY day""",
+
+    "q_edit_distance_dedup" -> """
+      WITH d AS (SELECT doc_id, lang, n_chars // 8 AS blk,
+                        substring(text, 1, 40) AS pfx
+                 FROM documents),
+           pairs AS (SELECT a.lang,
+                            CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
+                     FROM d a JOIN d b
+                       ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id),
+           blocks AS (SELECT lang, CAST(COUNT(DISTINCT blk) AS BIGINT) AS n_blocks
+                      FROM d GROUP BY 1),
+           agg AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_cand_pairs,
+                          CAST(SUM(CASE WHEN dist <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+                            AS n_near,
+                          CAST(SUM(dist) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+                            AS mean_dist
+                   FROM pairs GROUP BY 1)
+      SELECT lang, n_blocks,
+             COALESCE(n_cand_pairs, 0) AS n_cand_pairs,
+             COALESCE(n_near, 0) AS n_near,
+             COALESCE(mean_dist, 0) AS mean_dist
+      FROM blocks LEFT JOIN agg USING (lang)
+      ORDER BY lang""",
+
+    "q_link_prediction" -> """
+      WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           e0 AS (SELECT a.pk AS u, b.pk AS v FROM items a JOIN items b
+                  ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+           edges AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+           deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg
+                   FROM edges GROUP BY 1),
+           hubs AS (SELECT node AS z, 1000000 // deg AS w_e6 FROM deg),
+           pairs AS (SELECT a.u AS z, a.v AS x, b.v AS y FROM edges a JOIN edges b
+                     ON a.u = b.u AND a.v < b.v),
+           scored AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n_common,
+                             CAST(SUM(w_e6) AS BIGINT) AS ra_e6
+                      FROM pairs JOIN hubs ON pairs.z = hubs.z GROUP BY 1, 2),
+           non_edge AS (SELECT * FROM scored s
+                        WHERE NOT EXISTS (SELECT 1 FROM e0
+                                          WHERE e0.u = s.x AND e0.v = s.y))
+      SELECT s.x AS u, s.y AS v, s.n_common, s.ra_e6,
+             s.n_common * 1000000 // (dx.deg + dy.deg - s.n_common) AS jaccard_e6,
+             CAST(dx.deg * dy.deg AS BIGINT) AS pref_attach
+      FROM non_edge s
+      JOIN deg dx ON s.x = dx.node
+      JOIN deg dy ON s.y = dy.node
+      ORDER BY ra_e6 DESC, u, v LIMIT 10""",
+
   )
 }
