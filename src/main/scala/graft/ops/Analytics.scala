@@ -8814,6 +8814,132 @@ object Analytics {
           + lit(0.0)).as("geary_c"))
   }
 
+  /** Dunnett-style many-to-one comparisons of mean discount against the
+    * control flag 'N': pooled MSE from exact integer pct sums (the
+    * [[q_tukey_hsd]] base), tᵢ = (x̄ᵢ−x̄_c)/√(MSE(1/nᵢ+1/n_c)) per
+    * treatment group — the statistic a multiple-comparison-vs-control
+    * readout reports (critical values are table lookups, not data).
+    */
+  def q_dunnett_control(spark: SparkSession, sf: String): DataFrame = {
+    val g = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").as("flag"), pct(col("l_discount")).as("d"))
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n_g"), sum(col("d")).as("s1"),
+        sum(col("d").cast("decimal(38,0)") * col("d")).as("s2"))
+      .localCheckpoint()
+    val mse = g.agg(sum(col("n_g")).as("nn"), count(lit(1)).as("k"),
+      sum(col("s2").cast("double")
+        - col("s1").cast("double") * col("s1").cast("double")
+          / col("n_g").cast("double")).as("sse"))
+      .select(col("nn"), col("k"),
+        (col("sse") / (col("nn") - col("k")).cast("double")).as("mse"))
+    val ctrl = g.filter(col("flag") === "N")
+      .select(col("n_g").as("n_c"), col("s1").as("s1_c"))
+    val diff = (col("s1").cast("double") / col("n_g").cast("double")
+      - col("s1_c").cast("double") / col("n_c").cast("double"))
+    g.filter(col("flag") =!= "N")
+      .crossJoin(broadcast(ctrl)).crossJoin(broadcast(mse))
+      .select(col("flag"), col("n_g").as("n_i"), col("n_c"),
+        (round(diff, 6) + lit(0.0)).as("mean_diff"),
+        (round(diff / sqrt(col("mse") * (lit(1.0) / col("n_g").cast("double")
+          + lit(1.0) / col("n_c").cast("double"))), 4) + lit(0.0)).as("t_stat"))
+      .orderBy("flag")
+  }
+
+  /** Games–Howell pairwise comparisons (unequal variances) of mean
+    * discount across return flags: per-group s²ᵢ/nᵢ from exact sums,
+    * t = |Δx̄|/√(v_i+v_j), Welch–Satterthwaite df = (vᵢ+vⱼ)²/(vᵢ²/(nᵢ−1)
+    * +vⱼ²/(nⱼ−1)), studentized q = t√2 — the [[q_tukey_hsd]] companion
+    * when pooling is unjustified.
+    */
+  def q_games_howell(spark: SparkSession, sf: String): DataFrame = {
+    val g = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").as("flag"), pct(col("l_discount")).as("d"))
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n_g"), sum(col("d")).as("s1"),
+        sum(col("d").cast("decimal(38,0)") * col("d")).as("s2"))
+      .select(col("flag"), col("n_g"), col("s1"),
+        ((col("s2").cast("double")
+          - col("s1").cast("double") * col("s1").cast("double")
+            / col("n_g").cast("double"))
+          / (col("n_g") - 1L).cast("double")
+          / col("n_g").cast("double")).as("v"))
+      .localCheckpoint()
+    val pairs = g.as("a")
+      .join(g.select(col("flag").as("flag2"), col("n_g").as("n2"),
+        col("s1").as("t1"), col("v").as("v2")).as("b"),
+        col("a.flag") < col("flag2"))
+    val t = (abs(col("s1").cast("double") / col("n_g").cast("double")
+      - col("t1").cast("double") / col("n2").cast("double"))
+      / sqrt(col("v") + col("v2")))
+    pairs.select(col("a.flag").as("flag_i"), col("flag2").as("flag_j"),
+      (round(t, 4) + lit(0.0)).as("t_stat"),
+      (round((col("v") + col("v2")) * (col("v") + col("v2"))
+        / (col("v") * col("v") / (col("n_g") - 1L).cast("double")
+          + col("v2") * col("v2") / (col("n2") - 1L).cast("double")), 4)
+        + lit(0.0)).as("df_welch"),
+      (round(t * sqrt(lit(2.0)), 4) + lit(0.0)).as("q_stat"))
+      .orderBy("flag_i", "flag_j")
+  }
+
+  /** Brunner–Munzel two-sample rank test (linestatus F vs O on the
+    * quantity lattice): relative effect p̂ = P(X<Y)+½P(X=Y) and the
+    * lawstat-form statistic W = n₁n₂(R̄₂−R̄₁)/((n₁+n₂)√(n₁v₁+n₂v₂)),
+    * with combined AND within-group midranks carried as 2R integers
+    * from two [[BandedScan]]s; per-cell deviations multiplied through
+    * by n_g so every squared term is an exact integer (decimal(38,0))
+    * — the Welch-style df follows the same exact sums.
+    */
+  def q_brunner_munzel(spark: SparkSession, sf: String): DataFrame = {
+    val cell = Tables.lineitem(spark, sf)
+      .select(col("l_linestatus").as("g"), col("l_quantity").cast("long").as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val comb = cell.groupBy(col("v")).agg(sum(col("c")).as("ct"))
+    val ranks = BandedScan.cumSum(comb, Seq.empty, "v", "ct", "cum", 8L)
+      .select(col("v"), (lit(2L) * (col("cum") - col("ct")) + col("ct") + 1L).as("r2"))
+    val within = BandedScan.cumSum(cell, Seq("g"), "v", "c", "cumg", 8L)
+      .select(col("g"), col("v"),
+        (lit(2L) * (col("cumg") - col("c")) + col("c") + 1L).as("r2g"))
+    val base = cell.join(broadcast(ranks), "v")
+      .join(within, Seq("g", "v"))
+      .localCheckpoint()
+    val gs = base.groupBy(col("g"))
+      .agg(sum(col("c")).as("n_g"),
+        sum(col("c").cast("decimal(38,0)") * col("r2")).as("sr2"))
+      .localCheckpoint()
+    val dev = base.join(broadcast(gs), "g")
+      .select(col("g"), col("c"),
+        (col("n_g") * (col("r2") - col("r2g")) - col("sr2").cast("long")
+          + col("n_g") * (col("n_g") + 1L)).as("dd"))
+      .groupBy(col("g"))
+      .agg(sum(col("c").cast("decimal(38,0)") * col("dd") * col("dd")).as("sdd"))
+    val st = gs.join(dev, "g")
+      .select(col("g"), col("n_g"), col("sr2"),
+        (col("sdd").cast("double")
+          / (lit(4.0) * col("n_g").cast("double") * col("n_g").cast("double")
+            * (col("n_g") - 1L).cast("double"))).as("v_g"))
+    val f = st.filter(col("g") === "F")
+      .select(col("n_g").as("n1"), col("sr2").as("sr1"), col("v_g").as("v1"))
+    val o = st.filter(col("g") === "O")
+      .select(col("n_g").as("n2"), col("sr2").as("sr2o"), col("v_g").as("v2"))
+    val n1D = col("n1").cast("double")
+    val n2D = col("n2").cast("double")
+    val m1 = col("sr1").cast("double") / (lit(2.0) * n1D)
+    val m2 = col("sr2o").cast("double") / (lit(2.0) * n2D)
+    val w = (n1D * n2D * (m2 - m1) / (n1D + n2D)
+      / sqrt(n1D * col("v1") + n2D * col("v2")))
+    f.crossJoin(o)
+      .select(col("n1"), col("n2"),
+        (round((m2 - (n2D + lit(1.0)) / lit(2.0)) / n1D, 6) + lit(0.0)).as("p_hat"),
+        (round(w, 4) + lit(0.0)).as("w_stat"),
+        (round((n1D * col("v1") + n2D * col("v2"))
+          * (n1D * col("v1") + n2D * col("v2"))
+          / ((n1D * col("v1")) * (n1D * col("v1")) / (n1D - lit(1.0))
+            + (n2D * col("v2")) * (n2D * col("v2")) / (n2D - lit(1.0))), 4)
+          + lit(0.0)).as("df_bm"))
+  }
+
   /** Daily OEE (overall equipment effectiveness) read off the event
     * stream: availability = non-error share, performance = revenue vs
     * the best day, quality = purchases/(purchases+errors) — each an

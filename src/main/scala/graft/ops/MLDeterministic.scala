@@ -3279,4 +3279,36 @@ object MLDeterministic {
         (round(lit(2.0) * sqrt(eD / nD * (lit(1.0) - eD / nD)), 6)
           + lit(0.0)).as("z_norm"))
   }
+
+  /** Hosmer–Lemeshow calibration χ² over the [[q_calibration_bins]]
+    * construct (soft-sign score of the first-8-dim embedding sum, odd
+    * label as outcome, 10 fixed e6-score bins — fixed BANDS, not rank
+    * deciles, so no global sort at any scale): per-bin term
+    * (O−n·p̄)²/(n·p̄(1−p̄)) from exact integer counts, e8-latticed
+    * BEFORE the order-free sum; df = bins − 2.
+    */
+  def q_hosmer_lemeshow(spark: SparkSession, sf: String): DataFrame = {
+    val s = col("s_e7").cast("double") / lit(1e7)
+    val p = lit(0.5) + s / (lit(2.0) * (lit(1.0) + abs(s)))
+    val bins = Tables.embeddings(spark, sf)
+      .select(col("label"),
+        expr("aggregate(transform(slice(embedding, 1, 8)," +
+          " v -> CAST(ROUND(CAST(v AS DOUBLE) * 1e7) AS BIGINT))," +
+          " CAST(0 AS BIGINT), (a, x) -> a + x)").as("s_e7"))
+      .select(col("label"), round(p * lit(1e6)).cast("long").as("p_e6"))
+      .select(col("label"), col("p_e6"),
+        least(lit(9L), expr("p_e6 div 100000")).as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("p_e6")).as("sp"),
+        sum(when(col("label") % 2 === 1, 1L).otherwise(0L)).as("n_pos"))
+    val pbar = col("sp").cast("double") / (col("n").cast("double") * lit(1e6))
+    val e = col("n").cast("double") * pbar
+    val term = ((col("n_pos").cast("double") - e) * (col("n_pos").cast("double") - e)
+      / (e * (lit(1.0) - pbar)))
+    bins
+      .select(round(term * lit(1e8)).cast("long").as("t_e8"))
+      .agg(count(lit(1)).as("n_bins"), sum(col("t_e8")).as("s_e8"))
+      .select(col("n_bins"), (col("n_bins") - 2L).as("df"),
+        (round(col("s_e8").cast("double") / lit(1e8), 4) + lit(0.0)).as("hl_chi2"))
+  }
 }

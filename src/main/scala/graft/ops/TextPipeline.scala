@@ -1467,4 +1467,194 @@ object TextPipeline {
         coalesce(col("mean_dist"), lit(0L)).as("mean_dist"))
       .orderBy("lang")
   }
+
+  /** The 5-item binary quality battery every document answers — the four
+    * [[q_gopher_quality]] rules plus the [[q_ttr_filter]] diversity rule
+    * — shared base of the reliability coefficients below. One explode
+    * (for the top-word share) + doc-keyed aggregates; items i1..i5 and
+    * the total score are exact 0/1 integers.
+    */
+  private def qualityItems(spark: SparkSession, sf: String): DataFrame =
+    Tables.documents(spark, sf)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("nw"),
+        expr("CAST(aggregate(tk, 0L, (a, t) -> a + length(t)) AS BIGINT)").as("nc"),
+        expr("CAST(aggregate(tk, 0L, (a, t) -> a + CASE WHEN t IN ('the', 'a') THEN 1 ELSE 0 END) AS BIGINT)").as("stop_hits"),
+        expr("CAST(size(array_distinct(tk)) AS BIGINT)").as("nd"),
+        explode(col("tk")).as("w"))
+      .groupBy(col("doc_id"), col("nw"), col("nc"), col("stop_hits"), col("nd"),
+        col("w"))
+      .agg(count(lit(1)).as("wc"))
+      .groupBy(col("doc_id"), col("nw"), col("nc"), col("stop_hits"), col("nd"))
+      .agg(max(col("wc")).as("maxw"))
+      .select(col("doc_id"),
+        when(col("nw") >= 30L, 1L).otherwise(0L).as("i1"),
+        when(col("nc") >= col("nw") * 3L && col("nc") <= col("nw") * 10L, 1L)
+          .otherwise(0L).as("i2"),
+        when(col("maxw") * 100L <= col("nw") * 15L, 1L).otherwise(0L).as("i3"),
+        when(col("stop_hits") >= 1L, 1L).otherwise(0L).as("i4"),
+        when(col("nd") * 10L >= col("nw") * 4L, 1L).otherwise(0L).as("i5"))
+
+  /** KR-20 internal-consistency reliability of the 5-item quality
+    * battery: KR20 = k/(k−1)·(1 − Σpⱼqⱼ/σ²ₜ), computed ENTIRELY in
+    * exact integers via Σpq = Σcⱼ(n−cⱼ)/n² and n²σ² = nΣt²−(Σt)² —
+    * the common n² cancels, so one final division is the only float op.
+    */
+  def q_kr20(spark: SparkSession, sf: String): DataFrame = {
+    val it = qualityItems(spark, sf)
+      .select(col("doc_id"), col("i1"), col("i2"), col("i3"), col("i4"), col("i5"),
+        (col("i1") + col("i2") + col("i3") + col("i4") + col("i5")).as("t"))
+    it.agg(count(lit(1)).as("n"),
+      sum(col("i1")).as("c1"), sum(col("i2")).as("c2"), sum(col("i3")).as("c3"),
+      sum(col("i4")).as("c4"), sum(col("i5")).as("c5"),
+      sum(col("t")).as("st"), sum(col("t") * col("t")).as("stt"))
+      .select(col("n"), col("c1"), col("c2"), col("c3"), col("c4"), col("c5"),
+        // all-equal totals → zero score variance → KR-20 undefined (NULL)
+        when((col("n") * col("stt") - col("st") * col("st")) > 0L,
+          round(lit(1.25) * (lit(1.0)
+            - (col("c1") * (col("n") - col("c1")) + col("c2") * (col("n") - col("c2"))
+              + col("c3") * (col("n") - col("c3")) + col("c4") * (col("n") - col("c4"))
+              + col("c5") * (col("n") - col("c5"))).cast("double")
+              / (col("n") * col("stt") - col("st") * col("st")).cast("double")), 6)
+            + lit(0.0)).as("kr20"))
+  }
+
+  /** Spearman–Brown split-half reliability of the same battery: halves
+    * A = items {1,3,5}, B = items {2,4}; Pearson r between half scores
+    * from exact integer sums, SB = 2r/(1+r) one epilogue.
+    */
+  def q_split_half(spark: SparkSession, sf: String): DataFrame = {
+    val h = qualityItems(spark, sf)
+      .select((col("i1") + col("i3") + col("i5")).as("a"),
+        (col("i2") + col("i4")).as("b"))
+    val s = h.agg(count(lit(1)).as("n"), sum(col("a")).as("sa"),
+      sum(col("b")).as("sb"), sum(col("a") * col("a")).as("saa"),
+      sum(col("b") * col("b")).as("sbb"), sum(col("a") * col("b")).as("sab"))
+    val r = ((col("n") * col("sab") - col("sa") * col("sb")).cast("double")
+      / sqrt((col("n") * col("saa") - col("sa") * col("sa")).cast("double")
+        * (col("n") * col("sbb") - col("sb") * col("sb")).cast("double")))
+    // zero-variance half → undefined r: exact integer guard, NULL out
+    val ok = ((col("n") * col("saa") - col("sa") * col("sa")) > 0L
+      && (col("n") * col("sbb") - col("sb") * col("sb")) > 0L)
+    s.select(col("n"),
+      when(ok, round(r, 6) + lit(0.0)).as("r_halves"),
+      when(ok, round(lit(2.0) * r / (lit(1.0) + r), 6) + lit(0.0))
+        .as("spearman_brown"))
+  }
+
+  /** Item-total diagnostics of the battery: per item the endorsement
+    * share (e6 trunc) and the point-biserial correlation against the
+    * REST score (total minus the item — the corrected discrimination a
+    * test-construction pass reports), from exact integer sums only.
+    */
+  def q_item_total(spark: SparkSession, sf: String): DataFrame = {
+    val it = qualityItems(spark, sf)
+      .select(col("doc_id"), col("i1"), col("i2"), col("i3"), col("i4"), col("i5"),
+        (col("i1") + col("i2") + col("i3") + col("i4") + col("i5")).as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(expr("map('i1', i1, 'i2', i2, 'i3', i3, 'i4', i4, 'i5', i5)"))
+          .as(Seq("item", "x")))
+      .select(col("item"), col("x"), (col("t") - col("x")).as("y"))
+    it.groupBy(col("item"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("item"), col("n"),
+        expr("sx * 1000000 div n").as("p_e6"),
+        // a constant item (zero variance — it happens: one gopher rule
+        // passes every doc at some SFs) has no defined point-biserial;
+        // the exact integer variance product guards the division on both
+        // engines identically (NULL, never Inf/throw)
+        when((col("n") * col("sxx") - col("sx") * col("sx")) > 0L
+          && (col("n") * col("syy") - col("sy") * col("sy")) > 0L,
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+              * (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+            + lit(0.0)).as("r_item_rest"))
+      .orderBy("item")
+  }
+
+  /** Readability index battery per language — Coleman–Liau, ARI and LIX
+    * from corpus-level EXACT integer totals (chars per token, whitespace
+    * words, sentence-punctuation runs, >6-char long words): three fixed
+    * IEEE trees per language, no per-doc float survives aggregation.
+    * The [[q_readability_score]] (Flesch) companions on the counts a
+    * 100 TB corpus scan already produces.
+    */
+  def q_readability_battery(spark: SparkSession, sf: String): DataFrame =
+    Tables.documents(spark, sf)
+      .select(col("lang"), toks(col("text")).as("tk"), col("text"))
+      .select(col("lang"), size(col("tk")).cast("long").as("w"),
+        expr("CAST(aggregate(tk, 0L, (a, t) -> a + length(t)) AS BIGINT)").as("ch"),
+        (size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))) + 1)
+          .cast("long").as("s"),
+        expr("CAST(aggregate(tk, 0L, (a, t) -> a + CASE WHEN length(t) > 6 THEN 1 ELSE 0 END) AS BIGINT)").as("lw"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("tw"),
+        sum(col("ch")).as("tc"), sum(col("s")).as("ts"), sum(col("lw")).as("tlw"))
+      .select(col("lang"), col("n_docs"), col("tw").as("n_words"),
+        (round(lit(0.0588) * (col("tc").cast("double") / col("tw").cast("double")
+          * lit(100.0))
+          - lit(0.296) * (col("ts").cast("double") / col("tw").cast("double")
+            * lit(100.0)) - lit(15.8), 4) + lit(0.0)).as("coleman_liau"),
+        (round(lit(4.71) * (col("tc").cast("double") / col("tw").cast("double"))
+          + lit(0.5) * (col("tw").cast("double") / col("ts").cast("double"))
+          - lit(21.43), 4) + lit(0.0)).as("ari"),
+        (round(col("tw").cast("double") / col("ts").cast("double")
+          + lit(100.0) * col("tlw").cast("double") / col("tw").cast("double"), 4)
+          + lit(0.0)).as("lix"))
+      .orderBy("lang")
+
+  /** Cross-source duplicate-pressure matrix: bag-of-words fingerprints
+    * (the [[q_bcubed_eval]] pfp) shared between source pairs — for each
+    * ordered pair (a < b) the distinct shared fingerprints and total
+    * cross-pair doc products. The data-lineage readout that tells a
+    * corpus owner WHICH shards re-host each other's text; the join is
+    * fingerprint-keyed, pairs bounded by sources-per-fingerprint, never
+    * corpus².
+    */
+  def q_source_overlap(spark: SparkSession, sf: String): DataFrame = {
+    val fp = Tables.documents(spark, sf)
+      .select(col("source"),
+        md5(concat_ws(" ", array_sort(split(col("text"), " "))).cast("binary"))
+          .as("pfp"))
+      .groupBy(col("pfp"), col("source")).agg(count(lit(1)).as("nd"))
+      .localCheckpoint()
+    fp.as("a")
+      .join(fp.select(col("pfp"), col("source").as("source2"),
+        col("nd").as("nd2")).as("b"),
+        Seq("pfp"))
+      .filter(col("source") < col("source2"))
+      .groupBy(col("source"), col("source2"))
+      .agg(count(lit(1)).as("n_shared_fps"),
+        sum(col("nd") * col("nd2")).as("n_cross_pairs"))
+      .orderBy("source", "source2")
+  }
+
+  /** Min-length filter sweep: for thresholds t = 10,20,…,100 tokens the
+    * documents and tokens RETAINED (count + e6 share) — the curve a
+    * data-curation pass reads before fixing a length cutoff. One
+    * doc-length lattice aggregate + a 10-row broadcast theta join; the
+    * lattice is |distinct lengths| regardless of corpus size.
+    */
+  def q_length_filter_sweep(spark: SparkSession, sf: String): DataFrame = {
+    val lat = Tables.documents(spark, sf)
+      .select(size(toks(col("text"))).cast("long").as("nw"))
+      .groupBy(col("nw")).agg(count(lit(1)).as("nd"))
+      .localCheckpoint()
+    val tot = lat.agg(sum(col("nd")).as("td"),
+      sum(col("nd") * col("nw")).as("tt"))
+    val thr = spark.range(1, 11).select((col("id") * 10L).as("t"))
+    lat.crossJoin(broadcast(thr))
+      .filter(col("nw") >= col("t"))
+      .groupBy(col("t"))
+      .agg(sum(col("nd")).as("docs_kept"),
+        sum(col("nd") * col("nw")).as("tokens_kept"))
+      .crossJoin(broadcast(tot))
+      .select(col("t"), col("docs_kept"),
+        expr("docs_kept * 1000000 div td").as("docs_share_e6"),
+        col("tokens_kept"),
+        expr("tokens_kept * 1000000 div tt").as("tokens_share_e6"))
+      .orderBy("t")
+  }
 }

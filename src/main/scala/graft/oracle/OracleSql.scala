@@ -15334,5 +15334,322 @@ object OracleSql {
       JOIN deg dy ON s.y = dy.node
       ORDER BY ra_e6 DESC, u, v LIMIT 10""",
 
+    "q_kr20" -> """
+      WITH base AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+                    FROM documents),
+           d AS (SELECT doc_id,
+                        CAST(LENGTH(tk) AS BIGINT) AS nw,
+                        CAST(list_sum(list_transform(tk, t -> LENGTH(t))) AS BIGINT) AS nc,
+                        CAST(list_sum(list_transform(tk,
+                          t -> CASE WHEN t IN ('the', 'a') THEN 1 ELSE 0 END)) AS BIGINT) AS stop_hits,
+                        CAST(LENGTH(list_distinct(tk)) AS BIGINT) AS nd,
+                        unnest(tk) AS w
+                 FROM base),
+           wc AS (SELECT doc_id, nw, nc, stop_hits, nd, w,
+                         CAST(COUNT(*) AS BIGINT) AS wcnt
+                  FROM d GROUP BY 1, 2, 3, 4, 5, 6),
+           docs AS (SELECT doc_id, nw, nc, stop_hits, nd, MAX(wcnt) AS maxw
+                    FROM wc GROUP BY 1, 2, 3, 4, 5),
+           items AS (SELECT doc_id,
+                            CASE WHEN nw >= 30 THEN 1 ELSE 0 END AS i1,
+                            CASE WHEN nc >= nw * 3 AND nc <= nw * 10 THEN 1 ELSE 0 END AS i2,
+                            CASE WHEN maxw * 100 <= nw * 15 THEN 1 ELSE 0 END AS i3,
+                            CASE WHEN stop_hits >= 1 THEN 1 ELSE 0 END AS i4,
+                            CASE WHEN nd * 10 >= nw * 4 THEN 1 ELSE 0 END AS i5
+                     FROM docs),
+           t AS (SELECT i1, i2, i3, i4, i5, i1 + i2 + i3 + i4 + i5 AS t FROM items),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(i1) AS BIGINT) AS c1, CAST(SUM(i2) AS BIGINT) AS c2,
+                        CAST(SUM(i3) AS BIGINT) AS c3, CAST(SUM(i4) AS BIGINT) AS c4,
+                        CAST(SUM(i5) AS BIGINT) AS c5,
+                        CAST(SUM(t) AS BIGINT) AS st,
+                        CAST(SUM(t * t) AS BIGINT) AS stt
+                 FROM t)
+      SELECT n, c1, c2, c3, c4, c5,
+             CASE WHEN n * stt - st * st > 0 THEN
+               ROUND(1.25 * (1.0
+                     - CAST(c1 * (n - c1) + c2 * (n - c2) + c3 * (n - c3)
+                            + c4 * (n - c4) + c5 * (n - c5) AS DOUBLE)
+                       / CAST(n * stt - st * st AS DOUBLE)), 6) + 0 END AS kr20
+      FROM s""",
+
+    "q_split_half" -> """
+      WITH base AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+                    FROM documents),
+           d AS (SELECT doc_id,
+                        CAST(LENGTH(tk) AS BIGINT) AS nw,
+                        CAST(list_sum(list_transform(tk, t -> LENGTH(t))) AS BIGINT) AS nc,
+                        CAST(list_sum(list_transform(tk,
+                          t -> CASE WHEN t IN ('the', 'a') THEN 1 ELSE 0 END)) AS BIGINT) AS stop_hits,
+                        CAST(LENGTH(list_distinct(tk)) AS BIGINT) AS nd,
+                        unnest(tk) AS w
+                 FROM base),
+           wc AS (SELECT doc_id, nw, nc, stop_hits, nd, w,
+                         CAST(COUNT(*) AS BIGINT) AS wcnt
+                  FROM d GROUP BY 1, 2, 3, 4, 5, 6),
+           docs AS (SELECT doc_id, nw, nc, stop_hits, nd, MAX(wcnt) AS maxw
+                    FROM wc GROUP BY 1, 2, 3, 4, 5),
+           h AS (SELECT (CASE WHEN nw >= 30 THEN 1 ELSE 0 END
+                         + CASE WHEN maxw * 100 <= nw * 15 THEN 1 ELSE 0 END
+                         + CASE WHEN nd * 10 >= nw * 4 THEN 1 ELSE 0 END) AS a,
+                        (CASE WHEN nc >= nw * 3 AND nc <= nw * 10 THEN 1 ELSE 0 END
+                         + CASE WHEN stop_hits >= 1 THEN 1 ELSE 0 END) AS b
+                 FROM docs),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+                        CAST(SUM(a * a) AS BIGINT) AS saa,
+                        CAST(SUM(b * b) AS BIGINT) AS sbb,
+                        CAST(SUM(a * b) AS BIGINT) AS sab
+                 FROM h)
+      SELECT n,
+             CASE WHEN n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0 THEN
+               ROUND(CAST(n * sab - sa * sb AS DOUBLE)
+                     / SQRT(CAST(n * saa - sa * sa AS DOUBLE)
+                            * CAST(n * sbb - sb * sb AS DOUBLE)), 6) + 0 END
+               AS r_halves,
+             CASE WHEN n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0 THEN
+               ROUND(2.0 * (CAST(n * sab - sa * sb AS DOUBLE)
+                            / SQRT(CAST(n * saa - sa * sa AS DOUBLE)
+                                   * CAST(n * sbb - sb * sb AS DOUBLE)))
+                     / (1.0 + (CAST(n * sab - sa * sb AS DOUBLE)
+                               / SQRT(CAST(n * saa - sa * sa AS DOUBLE)
+                                      * CAST(n * sbb - sb * sb AS DOUBLE)))), 6) + 0
+               END AS spearman_brown
+      FROM s""",
+
+    "q_item_total" -> """
+      WITH base AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+                    FROM documents),
+           d AS (SELECT doc_id,
+                        CAST(LENGTH(tk) AS BIGINT) AS nw,
+                        CAST(list_sum(list_transform(tk, t -> LENGTH(t))) AS BIGINT) AS nc,
+                        CAST(list_sum(list_transform(tk,
+                          t -> CASE WHEN t IN ('the', 'a') THEN 1 ELSE 0 END)) AS BIGINT) AS stop_hits,
+                        CAST(LENGTH(list_distinct(tk)) AS BIGINT) AS nd,
+                        unnest(tk) AS w
+                 FROM base),
+           wc AS (SELECT doc_id, nw, nc, stop_hits, nd, w,
+                         CAST(COUNT(*) AS BIGINT) AS wcnt
+                  FROM d GROUP BY 1, 2, 3, 4, 5, 6),
+           docs AS (SELECT doc_id, nw, nc, stop_hits, nd, MAX(wcnt) AS maxw
+                    FROM wc GROUP BY 1, 2, 3, 4, 5),
+           items AS (SELECT doc_id,
+                            CASE WHEN nw >= 30 THEN 1 ELSE 0 END AS i1,
+                            CASE WHEN nc >= nw * 3 AND nc <= nw * 10 THEN 1 ELSE 0 END AS i2,
+                            CASE WHEN maxw * 100 <= nw * 15 THEN 1 ELSE 0 END AS i3,
+                            CASE WHEN stop_hits >= 1 THEN 1 ELSE 0 END AS i4,
+                            CASE WHEN nd * 10 >= nw * 4 THEN 1 ELSE 0 END AS i5
+                     FROM docs),
+           long_ AS (SELECT item, x,
+                            (i1 + i2 + i3 + i4 + i5) - x AS y
+                     FROM (SELECT i1, i2, i3, i4, i5,
+                                  unnest(['i1', 'i2', 'i3', 'i4', 'i5']) AS item,
+                                  unnest([i1, i2, i3, i4, i5]) AS x
+                           FROM items)),
+           s AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                        CAST(SUM(x * x) AS BIGINT) AS sxx,
+                        CAST(SUM(y * y) AS BIGINT) AS syy,
+                        CAST(SUM(x * y) AS BIGINT) AS sxy
+                 FROM long_ GROUP BY 1)
+      SELECT item, n, sx * 1000000 // n AS p_e6,
+             CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE)), 6) + 0 END
+               AS r_item_rest
+      FROM s ORDER BY item""",
+
+    "q_readability_battery" -> """
+      WITH d AS (SELECT lang, string_split(lower(text), ' ') AS tk, text
+                 FROM documents),
+           c AS (SELECT lang,
+                        CAST(LENGTH(tk) AS BIGINT) AS w,
+                        CAST(list_sum(list_transform(tk, t -> LENGTH(t))) AS BIGINT) AS ch,
+                        CAST(LENGTH(regexp_extract_all(text, '[.!?]+')) + 1 AS BIGINT) AS s,
+                        CAST(list_sum(list_transform(tk,
+                          t -> CASE WHEN LENGTH(t) > 6 THEN 1 ELSE 0 END)) AS BIGINT) AS lw
+                 FROM d),
+           agg AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                          CAST(SUM(w) AS BIGINT) AS tw, CAST(SUM(ch) AS BIGINT) AS tc,
+                          CAST(SUM(s) AS BIGINT) AS ts, CAST(SUM(lw) AS BIGINT) AS tlw
+                   FROM c GROUP BY 1)
+      SELECT lang, n_docs, tw AS n_words,
+             ROUND(0.0588 * (CAST(tc AS DOUBLE) / CAST(tw AS DOUBLE) * 100.0)
+                   - 0.296 * (CAST(ts AS DOUBLE) / CAST(tw AS DOUBLE) * 100.0)
+                   - 15.8, 4) + 0 AS coleman_liau,
+             ROUND(4.71 * (CAST(tc AS DOUBLE) / CAST(tw AS DOUBLE))
+                   + 0.5 * (CAST(tw AS DOUBLE) / CAST(ts AS DOUBLE))
+                   - 21.43, 4) + 0 AS ari,
+             ROUND(CAST(tw AS DOUBLE) / CAST(ts AS DOUBLE)
+                   + 100.0 * CAST(tlw AS DOUBLE) / CAST(tw AS DOUBLE), 4) + 0 AS lix
+      FROM agg ORDER BY lang""",
+
+    "q_hosmer_lemeshow" -> """
+      WITH m AS (SELECT label,
+                        CAST(list_sum(list_transform(embedding[1:8],
+                          v -> CAST(ROUND(CAST(v AS DOUBLE)*1e7) AS BIGINT))) AS BIGINT) AS s_e7
+                 FROM embeddings),
+           p AS (SELECT label,
+                        CAST(ROUND((0.5 + (CAST(s_e7 AS DOUBLE) / 1e7)
+                                    / (2.0 * (1.0 + ABS(CAST(s_e7 AS DOUBLE) / 1e7)))) * 1e6)
+                          AS BIGINT) AS p_e6
+                 FROM m),
+           b AS (SELECT label, p_e6, LEAST(9, p_e6 // 100000) AS bin FROM p),
+           g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(p_e6) AS BIGINT) AS sp,
+                        CAST(SUM(CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                          AS n_pos
+                 FROM b GROUP BY 1),
+           t AS (SELECT bin,
+                        CAST(ROUND(
+                          (CAST(n_pos AS DOUBLE)
+                           - CAST(n AS DOUBLE) * (CAST(sp AS DOUBLE)
+                                                  / (CAST(n AS DOUBLE) * 1e6)))
+                          * (CAST(n_pos AS DOUBLE)
+                             - CAST(n AS DOUBLE) * (CAST(sp AS DOUBLE)
+                                                    / (CAST(n AS DOUBLE) * 1e6)))
+                          / ((CAST(n AS DOUBLE) * (CAST(sp AS DOUBLE)
+                                                   / (CAST(n AS DOUBLE) * 1e6)))
+                             * (1.0 - CAST(sp AS DOUBLE)
+                                      / (CAST(n AS DOUBLE) * 1e6))) * 1e8)
+                          AS BIGINT) AS t_e8
+                 FROM g)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+             CAST(COUNT(*) - 2 AS BIGINT) AS df,
+             ROUND(CAST(SUM(t_e8) AS DOUBLE) / 1e8, 4) + 0 AS hl_chi2
+      FROM t""",
+
+    "q_dunnett_control" -> """
+      WITH g AS (SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n_g,
+                        CAST(SUM(d) AS BIGINT) AS s1,
+                        SUM(CAST(d AS HUGEINT) * d) AS s2
+                 FROM (SELECT l_returnflag,
+                              CAST(ROUND(l_discount*100) AS BIGINT) AS d
+                       FROM lineitem)
+                 GROUP BY 1),
+           mse AS (SELECT CAST(SUM(n_g) AS BIGINT) AS nn,
+                          CAST(COUNT(*) AS BIGINT) AS k,
+                          SUM(CAST(s2 AS DOUBLE)
+                              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                                / CAST(n_g AS DOUBLE))
+                            / CAST(SUM(n_g) - COUNT(*) AS DOUBLE) AS mse
+                   FROM g),
+           ctrl AS (SELECT n_g AS n_c, s1 AS s1_c FROM g WHERE flag = 'N')
+      SELECT flag, n_g AS n_i, n_c,
+             ROUND(CAST(s1 AS DOUBLE) / CAST(n_g AS DOUBLE)
+                   - CAST(s1_c AS DOUBLE) / CAST(n_c AS DOUBLE), 6) + 0 AS mean_diff,
+             ROUND((CAST(s1 AS DOUBLE) / CAST(n_g AS DOUBLE)
+                    - CAST(s1_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+                   / SQRT(mse * (1.0 / CAST(n_g AS DOUBLE)
+                                 + 1.0 / CAST(n_c AS DOUBLE))), 4) + 0 AS t_stat
+      FROM g CROSS JOIN ctrl CROSS JOIN mse
+      WHERE flag <> 'N'
+      ORDER BY flag""",
+
+    "q_games_howell" -> """
+      WITH g0 AS (SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n_g,
+                         CAST(SUM(d) AS BIGINT) AS s1,
+                         SUM(CAST(d AS HUGEINT) * d) AS s2
+                  FROM (SELECT l_returnflag,
+                               CAST(ROUND(l_discount*100) AS BIGINT) AS d
+                        FROM lineitem)
+                  GROUP BY 1),
+           g AS (SELECT flag, n_g, s1,
+                        (CAST(s2 AS DOUBLE)
+                         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                           / CAST(n_g AS DOUBLE))
+                          / CAST(n_g - 1 AS DOUBLE) / CAST(n_g AS DOUBLE) AS v
+                 FROM g0)
+      SELECT a.flag AS flag_i, b.flag AS flag_j,
+             ROUND(ABS(CAST(a.s1 AS DOUBLE) / CAST(a.n_g AS DOUBLE)
+                       - CAST(b.s1 AS DOUBLE) / CAST(b.n_g AS DOUBLE))
+                   / SQRT(a.v + b.v), 4) + 0 AS t_stat,
+             ROUND((a.v + b.v) * (a.v + b.v)
+                   / (a.v * a.v / CAST(a.n_g - 1 AS DOUBLE)
+                      + b.v * b.v / CAST(b.n_g - 1 AS DOUBLE)), 4) + 0 AS df_welch,
+             ROUND((ABS(CAST(a.s1 AS DOUBLE) / CAST(a.n_g AS DOUBLE)
+                        - CAST(b.s1 AS DOUBLE) / CAST(b.n_g AS DOUBLE))
+                    / SQRT(a.v + b.v)) * SQRT(2.0), 4) + 0 AS q_stat
+      FROM g a JOIN g b ON a.flag < b.flag
+      ORDER BY flag_i, flag_j""",
+
+    "q_brunner_munzel" -> """
+      WITH cell AS (SELECT l_linestatus AS g, CAST(l_quantity AS BIGINT) AS v,
+                           CAST(COUNT(*) AS BIGINT) AS c
+                    FROM lineitem GROUP BY 1, 2),
+           comb AS (SELECT v, CAST(SUM(c) AS BIGINT) AS ct FROM cell GROUP BY 1),
+           ranks AS (SELECT v,
+                            2 * (CAST(SUM(ct) OVER (ORDER BY v) AS BIGINT) - ct)
+                              + ct + 1 AS r2
+                     FROM comb),
+           within AS (SELECT g, v,
+                             2 * (CAST(SUM(c) OVER (PARTITION BY g ORDER BY v)
+                                    AS BIGINT) - c) + c + 1 AS r2g
+                      FROM cell),
+           base AS (SELECT cell.g, cell.v, cell.c, ranks.r2, within.r2g
+                    FROM cell JOIN ranks USING (v) JOIN within
+                      ON cell.g = within.g AND cell.v = within.v),
+           gs AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n_g,
+                         CAST(SUM(c * r2) AS BIGINT) AS sr2
+                  FROM base GROUP BY 1),
+           dev AS (SELECT base.g,
+                          SUM(CAST(base.c AS HUGEINT)
+                              * (gs.n_g * (base.r2 - base.r2g) - gs.sr2
+                                 + gs.n_g * (gs.n_g + 1))
+                              * (gs.n_g * (base.r2 - base.r2g) - gs.sr2
+                                 + gs.n_g * (gs.n_g + 1))) AS sdd
+                   FROM base JOIN gs ON base.g = gs.g GROUP BY 1),
+           st AS (SELECT gs.g, gs.n_g, gs.sr2,
+                         CAST(sdd AS DOUBLE)
+                           / (4.0 * CAST(gs.n_g AS DOUBLE) * CAST(gs.n_g AS DOUBLE)
+                              * CAST(gs.n_g - 1 AS DOUBLE)) AS v_g
+                  FROM gs JOIN dev ON gs.g = dev.g),
+           f AS (SELECT n_g AS n1, sr2 AS sr1, v_g AS v1 FROM st WHERE g = 'F'),
+           o AS (SELECT n_g AS n2, sr2 AS sr2o, v_g AS v2 FROM st WHERE g = 'O')
+      SELECT n1, n2,
+             ROUND((CAST(sr2o AS DOUBLE) / (2.0 * CAST(n2 AS DOUBLE))
+                    - (CAST(n2 AS DOUBLE) + 1.0) / 2.0) / CAST(n1 AS DOUBLE), 6)
+               + 0 AS p_hat,
+             ROUND(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                   * (CAST(sr2o AS DOUBLE) / (2.0 * CAST(n2 AS DOUBLE))
+                      - CAST(sr1 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE)))
+                   / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                   / SQRT(CAST(n1 AS DOUBLE) * v1 + CAST(n2 AS DOUBLE) * v2), 4)
+               + 0 AS w_stat,
+             ROUND((CAST(n1 AS DOUBLE) * v1 + CAST(n2 AS DOUBLE) * v2)
+                   * (CAST(n1 AS DOUBLE) * v1 + CAST(n2 AS DOUBLE) * v2)
+                   / ((CAST(n1 AS DOUBLE) * v1) * (CAST(n1 AS DOUBLE) * v1)
+                      / (CAST(n1 AS DOUBLE) - 1.0)
+                      + (CAST(n2 AS DOUBLE) * v2) * (CAST(n2 AS DOUBLE) * v2)
+                        / (CAST(n2 AS DOUBLE) - 1.0)), 4) + 0 AS df_bm
+      FROM f CROSS JOIN o""",
+
+    "q_source_overlap" -> """
+      WITH fp AS (SELECT source,
+                         md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS pfp,
+                         CAST(COUNT(*) AS BIGINT) AS nd
+                  FROM documents GROUP BY 1, 2)
+      SELECT a.source AS source, b.source AS source2,
+             CAST(COUNT(*) AS BIGINT) AS n_shared_fps,
+             CAST(SUM(a.nd * b.nd) AS BIGINT) AS n_cross_pairs
+      FROM fp a JOIN fp b ON a.pfp = b.pfp AND a.source < b.source
+      GROUP BY 1, 2 ORDER BY source, source2""",
+
+    "q_length_filter_sweep" -> """
+      WITH lat AS (SELECT CAST(LENGTH(string_split(lower(text), ' ')) AS BIGINT) AS nw,
+                          CAST(COUNT(*) AS BIGINT) AS nd
+                   FROM documents GROUP BY 1),
+           tot AS (SELECT CAST(SUM(nd) AS BIGINT) AS td,
+                          CAST(SUM(nd * nw) AS BIGINT) AS tt FROM lat),
+           thr AS (SELECT t * 10 AS t FROM range(1, 11) r(t)),
+           kept AS (SELECT t, CAST(SUM(nd) AS BIGINT) AS docs_kept,
+                           CAST(SUM(nd * nw) AS BIGINT) AS tokens_kept
+                    FROM lat CROSS JOIN thr WHERE nw >= t GROUP BY 1)
+      SELECT CAST(t AS BIGINT) AS t, docs_kept,
+             docs_kept * 1000000 // td AS docs_share_e6,
+             tokens_kept, tokens_kept * 1000000 // tt AS tokens_share_e6
+      FROM kept CROSS JOIN tot ORDER BY t""",
+
   )
 }
