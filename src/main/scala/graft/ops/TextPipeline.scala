@@ -1657,4 +1657,101 @@ object TextPipeline {
         expr("tokens_kept * 1000000 div tt").as("tokens_share_e6"))
       .orderBy("t")
   }
+
+  /** Sequence-packing efficiency audit at context length 512: per
+    * language the padded-sequence count Σ⌈nw/512⌉, the padding waste,
+    * and the packed lower bound ⌈Σnw/512⌉ — the exact integer answer to
+    * "what does sequence packing buy over pad-to-length at this corpus
+    * mix". One scan, one aggregate, any corpus size.
+    */
+  def q_packing_efficiency(spark: SparkSession, sf: String): DataFrame =
+    Tables.documents(spark, sf)
+      .select(col("lang"), size(toks(col("text"))).cast("long").as("nw"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("tokens"),
+        sum(expr("(nw + 511) div 512")).as("seqs_padded"),
+        sum(expr("(nw + 511) div 512") * 512L - col("nw")).as("pad_waste"))
+      .select(col("lang"), col("n_docs"), col("tokens"), col("seqs_padded"),
+        col("pad_waste"),
+        expr("pad_waste * 1000000 div (seqs_padded * 512)").as("waste_share_e6"),
+        expr("(tokens + 511) div 512").as("seqs_packed_lb"),
+        expr("(seqs_padded - (tokens + 511) div 512) * 1000000 div seqs_padded")
+          .as("packing_gain_e6"))
+      .orderBy("lang")
+
+  /** T5-style span-corruption plan, fully deterministic: a span of 3
+    * tokens starts wherever hash32(doc_id, pos) ≡ 0 (mod 20), a token is
+    * masked iff a span started at pos, pos−1 or pos−2 — three hash
+    * probes per token, NO self-join. Per language: tokens, spans,
+    * masked tokens and the realized mask rate (e6) vs the 15%
+    * geometric-free target. The masking-plan audit a corruption
+    * pretraining pipeline runs before writing shards.
+    */
+  def q_span_corruption_plan(spark: SparkSession, sf: String): DataFrame = {
+    def h(p: Column): Column =
+      graft.core.Det.hash32(concat(col("doc_id").cast("string"), lit("_"),
+        p.cast("string"))) % 20 === 0
+    val tok = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"),
+        posexplode(toks(col("text"))).as(Seq("pos", "w")))
+    tok.select(col("lang"),
+      when(h(col("pos")), 1L).otherwise(0L).as("starts"),
+      when(h(col("pos"))
+        || (col("pos") >= 1 && h(col("pos") - 1))
+        || (col("pos") >= 2 && h(col("pos") - 2)), 1L).otherwise(0L).as("masked"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("tokens"), sum(col("starts")).as("spans"),
+        sum(col("masked")).as("masked"))
+      .select(col("lang"), col("tokens"), col("spans"), col("masked"),
+        expr("masked * 1000000 div tokens").as("mask_rate_e6"))
+      .orderBy("lang")
+  }
+
+  /** Vocabulary-pruning sweep: for min-frequency thresholds f =
+    * 1,2,4,8,16,32 the vocabulary retained and the corpus-token share
+    * still covered — computed from the count-of-counts lattice (group
+    * tokens by frequency first), so the sweep join touches |distinct
+    * frequencies| × 6 rows however large the corpus. The tokenizer-
+    * vocab sizing curve.
+    */
+  def q_vocab_prune_sweep(spark: SparkSession, sf: String): DataFrame = {
+    val coc = Tables.documents(spark, sf)
+      .select(explode(toks(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("m"))
+      .localCheckpoint()
+    val tot = coc.agg(sum(col("m")).as("tv"), sum(col("c") * col("m")).as("tt"))
+    val thr = spark.range(0, 6)
+      .select(expr("CAST(shiftleft(1, CAST(id AS INT)) AS BIGINT)").as("f"))
+    coc.crossJoin(broadcast(thr))
+      .filter(col("c") >= col("f"))
+      .groupBy(col("f"))
+      .agg(sum(col("m")).as("vocab_kept"),
+        sum(col("c") * col("m")).as("tokens_covered"))
+      .crossJoin(broadcast(tot))
+      .select(col("f").as("min_freq"), col("vocab_kept"),
+        expr("vocab_kept * 1000000 div tv").as("vocab_share_e6"),
+        col("tokens_covered"),
+        expr("tokens_covered * 1000000 div tt").as("coverage_e6"))
+      .orderBy("min_freq")
+  }
+
+  /** Shard-balance audit of the physical (lang, source) partitioning:
+    * per language the shard count, total/trunc-mean/max shard chars and
+    * the max/mean imbalance ratio (e6) — the skew card read before
+    * choosing a partition key at scale. One two-level aggregate.
+    */
+  def q_shard_balance(spark: SparkSession, sf: String): DataFrame =
+    Tables.documents(spark, sf)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("nd"), sum(col("n_chars")).as("chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_shards"), sum(col("nd")).as("n_docs"),
+        sum(col("chars")).as("tot_chars"), max(col("chars")).as("max_chars"))
+      .select(col("lang"), col("n_shards"), col("n_docs"), col("tot_chars"),
+        col("max_chars"),
+        expr("tot_chars div n_shards").as("mean_chars"),
+        expr("max_chars * 1000000 div (tot_chars div n_shards)")
+          .as("skew_ratio_e6"))
+      .orderBy("lang")
 }

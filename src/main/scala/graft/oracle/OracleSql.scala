@@ -15651,5 +15651,72 @@ object OracleSql {
              tokens_kept, tokens_kept * 1000000 // tt AS tokens_share_e6
       FROM kept CROSS JOIN tot ORDER BY t""",
 
+    "q_packing_efficiency" -> """
+      WITH d AS (SELECT lang,
+                        CAST(LENGTH(string_split(lower(text), ' ')) AS BIGINT) AS nw
+                 FROM documents),
+           g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                        CAST(SUM(nw) AS BIGINT) AS tokens,
+                        CAST(SUM((nw + 511) // 512) AS BIGINT) AS seqs_padded,
+                        CAST(SUM((nw + 511) // 512 * 512 - nw) AS BIGINT) AS pad_waste
+                 FROM d GROUP BY 1)
+      SELECT lang, n_docs, tokens, seqs_padded, pad_waste,
+             pad_waste * 1000000 // (seqs_padded * 512) AS waste_share_e6,
+             (tokens + 511) // 512 AS seqs_packed_lb,
+             (seqs_padded - (tokens + 511) // 512) * 1000000 // seqs_padded
+               AS packing_gain_e6
+      FROM g ORDER BY lang""",
+
+    "q_span_corruption_plan" -> """
+      WITH tok AS (SELECT doc_id, lang,
+                          generate_subscripts(tk, 1) - 1 AS pos
+                   FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS tk
+                         FROM documents)),
+           t2 AS (SELECT lang,
+                         CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '_' || CAST(pos AS VARCHAR)), 1, 8) AS BIGINT) % 20 = 0
+                              THEN 1 ELSE 0 END AS starts,
+                         CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '_' || CAST(pos AS VARCHAR)), 1, 8) AS BIGINT) % 20 = 0
+                                OR (pos >= 1 AND CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '_' || CAST(pos - 1 AS VARCHAR)), 1, 8) AS BIGINT) % 20 = 0)
+                                OR (pos >= 2 AND CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '_' || CAST(pos - 2 AS VARCHAR)), 1, 8) AS BIGINT) % 20 = 0)
+                              THEN 1 ELSE 0 END AS masked
+                  FROM tok)
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS tokens,
+             CAST(SUM(starts) AS BIGINT) AS spans,
+             CAST(SUM(masked) AS BIGINT) AS masked,
+             CAST(SUM(masked) AS BIGINT) * 1000000 // CAST(COUNT(*) AS BIGINT)
+               AS mask_rate_e6
+      FROM t2 GROUP BY 1 ORDER BY lang""",
+
+    "q_vocab_prune_sweep" -> """
+      WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS w
+                   FROM documents),
+           wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+           coc AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS m FROM wc GROUP BY 1),
+           tot AS (SELECT CAST(SUM(m) AS BIGINT) AS tv,
+                          CAST(SUM(c * m) AS BIGINT) AS tt FROM coc),
+           thr AS (SELECT CAST(1 << CAST(f AS INT) AS BIGINT) AS f
+                   FROM range(0, 6) r(f)),
+           kept AS (SELECT f, CAST(SUM(m) AS BIGINT) AS vocab_kept,
+                           CAST(SUM(c * m) AS BIGINT) AS tokens_covered
+                    FROM coc CROSS JOIN thr WHERE c >= f GROUP BY 1)
+      SELECT f AS min_freq, vocab_kept,
+             vocab_kept * 1000000 // tv AS vocab_share_e6,
+             tokens_covered, tokens_covered * 1000000 // tt AS coverage_e6
+      FROM kept CROSS JOIN tot ORDER BY min_freq""",
+
+    "q_shard_balance" -> """
+      WITH s AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS nd,
+                        CAST(SUM(n_chars) AS BIGINT) AS chars
+                 FROM documents GROUP BY 1, 2),
+           g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_shards,
+                        CAST(SUM(nd) AS BIGINT) AS n_docs,
+                        CAST(SUM(chars) AS BIGINT) AS tot_chars,
+                        CAST(MAX(chars) AS BIGINT) AS max_chars
+                 FROM s GROUP BY 1)
+      SELECT lang, n_shards, n_docs, tot_chars, max_chars,
+             tot_chars // n_shards AS mean_chars,
+             max_chars * 1000000 // (tot_chars // n_shards) AS skew_ratio_e6
+      FROM g ORDER BY lang""",
+
   )
 }
