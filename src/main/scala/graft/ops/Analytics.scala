@@ -8940,6 +8940,76 @@ object Analytics {
           + lit(0.0)).as("df_bm"))
   }
 
+  /** Absorption probability into the 'purchase' state within ≤ 1/2/3
+    * steps of the [[q_markov_transitions]] chain: transition probs are
+    * exact e6 integers (trunc), each unrolled step is a ≤|types|-term
+    * integer dot product re-truncated to e6 — the funnel question
+    * ("how likely does a session reach purchase in k clicks") answered
+    * on a 25-cell broadcast matrix, corpus touched once.
+    */
+  def q_markov_absorption(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_usl").asc, col("event_id").asc)
+    val trans = Tables.eventsWithTs(spark, sf)
+      .select(col("user_id"), col("ts_usl"), col("event_id"), col("event_type"))
+      .withColumn("dst", lead(col("event_type"), 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("event_type").as("src"), col("dst"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("row_total",
+        sum(col("c")).over(Window.partitionBy("src")))
+      .select(col("src"), col("dst"), expr("c * 1000000 div row_total").as("p_e6"))
+      .localCheckpoint()
+    val a1 = trans.filter(col("dst") === "purchase")
+      .select(col("src"), col("p_e6").as("a1_e6"))
+    val a2 = trans.filter(col("dst") =!= "purchase")
+      .join(broadcast(a1.select(col("src").as("dst"), col("a1_e6").as("a1_t"))),
+        Seq("dst"), "left_outer")
+      .groupBy(col("src"))
+      .agg(sum(col("p_e6") * coalesce(col("a1_t"), lit(0L))).as("ind_e12"))
+      .join(a1, Seq("src"), "full_outer")
+      .select(col("src"),
+        (coalesce(col("a1_e6"), lit(0L))
+          + expr("coalesce(ind_e12, 0L) div 1000000")).as("a2_e6"))
+      .localCheckpoint()
+    val a3 = trans.filter(col("dst") =!= "purchase")
+      .join(broadcast(a2.select(col("src").as("dst"), col("a2_e6").as("a2_t"))),
+        Seq("dst"), "left_outer")
+      .groupBy(col("src"))
+      .agg(sum(col("p_e6") * coalesce(col("a2_t"), lit(0L))).as("ind_e12"))
+      .join(a1, Seq("src"), "full_outer")
+      .select(col("src"),
+        (coalesce(col("a1_e6"), lit(0L))
+          + expr("coalesce(ind_e12, 0L) div 1000000")).as("a3_e6"))
+    a1.join(a2, Seq("src"), "full_outer").join(a3, Seq("src"), "full_outer")
+      .select(col("src"), coalesce(col("a1_e6"), lit(0L)).as("p1_e6"),
+        col("a2_e6"), col("a3_e6"))
+      .orderBy("src")
+  }
+
+  /** Hawkes-style branching-ratio estimate of the event stream: an
+    * event is "triggered" when it follows the same user's previous
+    * event within 60 s (exact µs rule) — triggered share among events
+    * with a parent candidate ≈ the branching ratio of a self-exciting
+    * process. Per event type, one user-keyed lag window, exact counts.
+    */
+  def q_hawkes_branching(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_usl").asc, col("event_id").asc)
+    Tables.eventsWithTs(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts_usl"), col("event_id"))
+      .withColumn("prev_ts", lag(col("ts_usl"), 1).over(w))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("prev_ts").isNotNull, 1L).otherwise(0L)).as("n_with_prev"),
+        sum(when(col("prev_ts").isNotNull
+          && col("ts_usl") - col("prev_ts") < 60000000L, 1L).otherwise(0L))
+          .as("n_triggered"))
+      .select(col("event_type"), col("n"), col("n_with_prev"), col("n_triggered"),
+        expr("n_triggered * 1000000 div n_with_prev").as("branching_e6"))
+      .orderBy("event_type")
+  }
+
   /** Daily OEE (overall equipment effectiveness) read off the event
     * stream: availability = non-error share, performance = revenue vs
     * the best day, quality = purchases/(purchases+errors) — each an

@@ -507,4 +507,30 @@ object GraphMl {
       .orderBy(col("ra_e6").desc, col("u").asc, col("v").asc)
       .limit(10)
   }
+
+  /** One k-truss support-pruning step (k = 4) on the co-purchase graph:
+    * per-edge triangle support via the wedge join (common-neighbor
+    * count, never node²), then the support histogram with the kept
+    * verdict (support ≥ k−2 survives the first peel). The one-step view
+    * tells how much of the graph a full truss decomposition would
+    * discard immediately.
+    */
+  def q_ktruss_step(spark: SparkSession, sf: String): DataFrame = {
+    val edges = coPurchaseEdges(spark, sf)
+    val und = edges.filter(col("u") < col("v")).localCheckpoint()
+    val support = und.as("e")
+      .join(edges.select(col("u").as("eu"), col("v").as("z1")).as("a"),
+        col("e.u") === col("eu"))
+      .join(edges.select(col("u").as("ev"), col("v").as("z2")).as("b"),
+        col("e.v") === col("ev") && col("z1") === col("z2"))
+      .groupBy(col("e.u").as("u"), col("e.v").as("v"))
+      .agg(count(lit(1)).as("support"))
+    und.join(support, Seq("u", "v"), "left_outer")
+      .select(coalesce(col("support"), lit(0L)).as("support"))
+      .groupBy(col("support"))
+      .agg(count(lit(1)).as("n_edges"))
+      .select(col("support"), col("n_edges"),
+        when(col("support") >= 2L, 1L).otherwise(0L).as("kept_k4"))
+      .orderBy("support")
+  }
 }

@@ -15718,5 +15718,73 @@ object OracleSql {
              max_chars * 1000000 // (tot_chars // n_shards) AS skew_ratio_e6
       FROM g ORDER BY lang""",
 
+    "q_markov_absorption" -> """
+      WITH s AS (SELECT user_id, event_type,
+                        LEAD(event_type) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS dst
+                 FROM events),
+           c AS (SELECT event_type AS src, dst, CAST(COUNT(*) AS BIGINT) AS c
+                 FROM s WHERE dst IS NOT NULL GROUP BY 1, 2),
+           trans AS (SELECT src, dst,
+                            CAST(c * 1000000
+                              // CAST(SUM(c) OVER (PARTITION BY src) AS BIGINT)
+                              AS BIGINT) AS p_e6
+                     FROM c),
+           a1 AS (SELECT src, p_e6 AS a1_e6 FROM trans WHERE dst = 'purchase'),
+           a2i AS (SELECT t.src, CAST(SUM(t.p_e6 * COALESCE(a.a1_e6, 0)) AS BIGINT)
+                            AS ind_e12
+                   FROM trans t LEFT JOIN a1 a ON t.dst = a.src
+                   WHERE t.dst <> 'purchase' GROUP BY 1),
+           a2 AS (SELECT COALESCE(i.src, a.src) AS src,
+                         COALESCE(a.a1_e6, 0) + COALESCE(i.ind_e12, 0) // 1000000
+                           AS a2_e6
+                  FROM a2i i FULL OUTER JOIN a1 a ON i.src = a.src),
+           a3i AS (SELECT t.src, CAST(SUM(t.p_e6 * COALESCE(a.a2_e6, 0)) AS BIGINT)
+                            AS ind_e12
+                   FROM trans t LEFT JOIN a2 a ON t.dst = a.src
+                   WHERE t.dst <> 'purchase' GROUP BY 1),
+           a3 AS (SELECT COALESCE(i.src, a.src) AS src,
+                         COALESCE(a.a1_e6, 0) + COALESCE(i.ind_e12, 0) // 1000000
+                           AS a3_e6
+                  FROM a3i i FULL OUTER JOIN a1 a ON i.src = a.src)
+      SELECT COALESCE(a1.src, a2.src, a3.src) AS src,
+             CAST(COALESCE(a1_e6, 0) AS BIGINT) AS p1_e6,
+             CAST(a2_e6 AS BIGINT) AS a2_e6, CAST(a3_e6 AS BIGINT) AS a3_e6
+      FROM a1 FULL OUTER JOIN a2 ON a1.src = a2.src
+              FULL OUTER JOIN a3 ON COALESCE(a1.src, a2.src) = a3.src
+      ORDER BY src""",
+
+    "q_hawkes_branching" -> """
+      WITH s AS (SELECT event_type,
+                        epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                          ORDER BY epoch_us(ts), event_id) AS gap
+                 FROM events),
+           g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(CASE WHEN gap IS NOT NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_with_prev,
+                        CAST(SUM(CASE WHEN gap IS NOT NULL AND gap < 60000000
+                                      THEN 1 ELSE 0 END) AS BIGINT) AS n_triggered
+                 FROM s GROUP BY 1)
+      SELECT event_type, n, n_with_prev, n_triggered,
+             n_triggered * 1000000 // n_with_prev AS branching_e6
+      FROM g ORDER BY event_type""",
+
+    "q_ktruss_step" -> """
+      WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           e0 AS (SELECT a.pk AS u, b.pk AS v FROM items a JOIN items b
+                  ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+           edges AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+           support AS (SELECT e.u, e.v, CAST(COUNT(*) AS BIGINT) AS support
+                       FROM e0 e
+                       JOIN edges a ON e.u = a.u
+                       JOIN edges b ON e.v = b.u AND a.v = b.v
+                       GROUP BY 1, 2),
+           h AS (SELECT COALESCE(s.support, 0) AS support
+                 FROM e0 LEFT JOIN support s ON e0.u = s.u AND e0.v = s.v)
+      SELECT CAST(support AS BIGINT) AS support,
+             CAST(COUNT(*) AS BIGINT) AS n_edges,
+             CAST(CASE WHEN support >= 2 THEN 1 ELSE 0 END AS BIGINT) AS kept_k4
+      FROM h GROUP BY support ORDER BY support""",
+
   )
 }
