@@ -8987,6 +8987,92 @@ object Analytics {
       .orderBy("src")
   }
 
+  /** Dickey–Fuller unit-root statistic (no augmentation, constant
+    * included) on monthly revenue: Δyₜ = α + β·yₜ₋₁ + ε via closed-form
+    * OLS over EXACT integer cent sums (decimal(38,0) cross products),
+    * t(β̂) = β̂/SE(β̂) one IEEE epilogue. The [[q_kpss_stat]] companion
+    * (DF: H₀ unit root; KPSS: H₀ stationary). Month pairs via exact
+    * month-index arithmetic — calendar-bounded at any SF.
+    */
+  def q_adf_stat(spark: SparkSession, sf: String): DataFrame = {
+    val rev = monthlyRevenue(spark, sf).localCheckpoint()
+    val pairs = rev.as("a")
+      .join(rev.select((col("m") + 1L).as("m"), col("rev").as("prev")).as("b"),
+        Seq("m"))
+      .select(col("prev").as("x"), (col("rev") - col("prev")).as("y"))
+    val s = pairs.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"),
+      sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+      sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+      sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+    val nD = col("n").cast("double")
+    // parens matter: a leading "- …" continuation line outside parens
+    // parses as a DISCARDED unary-minus statement (Column has unary_-),
+    // silently dropping the centering term — caught by the oracle gate
+    val dxx = (nD * col("sxx").cast("double")
+      - col("sx").cast("double") * col("sx").cast("double"))
+    val beta = (nD * col("sxy").cast("double")
+      - col("sx").cast("double") * col("sy").cast("double")) / dxx
+    val alpha = (col("sy").cast("double") - beta * col("sx").cast("double")) / nD
+    val sse = (col("syy").cast("double")
+      - alpha * col("sy").cast("double") - beta * col("sxy").cast("double"))
+    val se = sqrt(sse / (nD - lit(2.0)) * nD / dxx)
+    s.select(col("n").as("n_obs"),
+      (round(beta, 6) + lit(0.0)).as("beta"),
+      (round(beta / se, 4) + lit(0.0)).as("df_t"))
+  }
+
+  /** Maximum drawdown + ulcer index of the cumulative daily revenue
+    * curve: running peak via the day≤day theta join (calendar-bounded —
+    * the chart is ≤ days rows at ANY corpus size), drawdown percents as
+    * exact e6 trunc integers, ulcer = √(mean dd²) one epilogue.
+    */
+  def q_max_drawdown(spark: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.eventsWithTs(spark, sf)
+      .groupBy(to_date(col("ts_us")).as("day"))
+      .agg(sum(cents(col("value"))).as("x"))
+      .localCheckpoint()
+    val cum = daily.as("t")
+      .join(daily.select(col("day").as("day2"), col("x").as("x2")).as("p"),
+        col("day2") <= col("t.day"))
+      .groupBy(col("t.day").as("day"))
+      .agg(sum(col("x2")).as("c"))
+      .localCheckpoint()
+    val dd = cum.as("t")
+      .join(cum.select(col("day").as("day2"), col("c").as("c2")).as("p"),
+        col("day2") <= col("t.day"))
+      .groupBy(col("t.day").as("day"), col("t.c").as("c"))
+      .agg(max(col("c2")).as("peak"))
+      .select(col("day"), (col("peak") - col("c")).as("dd_cents"),
+        expr("(peak - c) * 1000000 div peak").as("dd_pct_e6"))
+    dd.agg(count(lit(1)).as("n_days"), max(col("dd_cents")).as("max_dd_cents"),
+      max(col("dd_pct_e6")).as("max_dd_pct_e6"),
+      sum(col("dd_pct_e6") * col("dd_pct_e6")).as("sdd2"))
+      .select(col("n_days"), col("max_dd_cents"), col("max_dd_pct_e6"),
+        (round(sqrt(col("sdd2").cast("double") / col("n_days").cast("double"))
+          / lit(1e6), 6) + lit(0.0)).as("ulcer_index"))
+  }
+
+  /** Omega ratio of daily revenue against its own trunc-mean threshold:
+    * Ω = Σ(x−τ)⁺ / Σ(τ−x)⁺ — both partial moments exact integer cents,
+    * one final division. The gain/loss asymmetry card.
+    */
+  def q_omega_ratio(spark: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.eventsWithTs(spark, sf)
+      .groupBy(to_date(col("ts_us")).as("day"))
+      .agg(sum(cents(col("value"))).as("x"))
+      .localCheckpoint()
+    val tau = daily.agg(expr("sum(x) div count(1)").as("tau"))
+    daily.crossJoin(broadcast(tau))
+      .agg(count(lit(1)).as("n_days"), max(col("tau")).as("tau"),
+        sum(greatest(col("x") - col("tau"), lit(0L))).as("gains_cents"),
+        sum(greatest(col("tau") - col("x"), lit(0L))).as("losses_cents"))
+      .select(col("n_days"), col("tau").as("tau_cents"), col("gains_cents"),
+        col("losses_cents"),
+        (round(col("gains_cents").cast("double")
+          / col("losses_cents").cast("double"), 6) + lit(0.0)).as("omega"))
+  }
+
   /** Hawkes-style branching-ratio estimate of the event stream: an
     * event is "triggered" when it follows the same user's previous
     * event within 60 s (exact µs rule) — triggered share among events

@@ -710,4 +710,34 @@ object Sampling {
         (round(col("lo") / lit(100.0), 4) + lit(0.0)).as("ci_lo_dollars"),
         (round(col("hi") / lit(100.0), 4) + lit(0.0)).as("ci_hi_dollars"))
   }
+
+  /** Horvitz–Thompson total-token estimate from a deterministic
+    * unequal-probability sample: strata = length bands (nw div 100,
+    * clamped to 4), inclusion 1/(band+2) decided by hash32(doc_id)
+    * (seedless, re-runnable), estimate = Σ nw·(band+2) over the sample.
+    * Per stratum the population/sample counts, true vs HT tokens and
+    * the e6 relative error — the design-based estimator a scan-budget
+    * sampler reports. One scan, exact integers throughout.
+    */
+  def q_horvitz_thompson(spark: SparkSession, sf: String): DataFrame = {
+    val d = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        expr("CAST(size(split(lower(text), ' ')) AS BIGINT)").as("nw"))
+      .select(col("doc_id"), col("nw"),
+        least(expr("nw div 100"), lit(4L)).as("band"))
+      .select(col("doc_id"), col("nw"), col("band"),
+        (graft.core.Det.hash32(col("doc_id").cast("string"))
+          % (col("band") + 2L) === 0L).as("sampled"))
+    d.groupBy(col("band"))
+      .agg(count(lit(1)).as("n_pop"),
+        sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(col("nw")).as("true_tokens"),
+        sum(when(col("sampled"), col("nw") * (col("band") + 2L)).otherwise(0L))
+          .as("ht_tokens"))
+      .select(col("band"), col("n_pop"), col("n_sampled"), col("true_tokens"),
+        col("ht_tokens"),
+        expr("(ht_tokens - true_tokens) * 1000000 div true_tokens")
+          .as("err_e6"))
+      .orderBy("band")
+  }
 }

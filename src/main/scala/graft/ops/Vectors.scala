@@ -1315,6 +1315,44 @@ object Vectors {
           .as("ch_index"))
   }
 
+  /** Matryoshka-truncation recall: for the 20 query vectors, exact
+    * top-5 neighbors (integer lattice L2, tie → lower id) computed on
+    * the FULL 64 dims vs on the first 8/16/32 dims; per prefix width
+    * the mean top-5 overlap (e6 trunc). Quantifies what dimension
+    * truncation costs BEFORE re-embedding a corpus — 20×N broadcast
+    * block join, keyed top-k windows, never N².
+    */
+  def q_matryoshka_recall(spark: SparkSession, sf: String): DataFrame = {
+    val all = quantized(spark, sf)
+    val q = all.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("qe").as("q_qe"))
+    val cand = all.filter(col("vec_id") >= 20)
+      .select(col("vec_id").as("tid"), col("qe").as("t_qe"))
+      .crossJoin(broadcast(q))
+      .select(col("qid"), col("tid"),
+        dist2E14(col("t_qe"), col("q_qe")).as("d_full"),
+        dist2E14(slice(col("t_qe"), 1, 8), slice(col("q_qe"), 1, 8)).as("d8"),
+        dist2E14(slice(col("t_qe"), 1, 16), slice(col("q_qe"), 1, 16)).as("d16"),
+        dist2E14(slice(col("t_qe"), 1, 32), slice(col("q_qe"), 1, 32)).as("d32"))
+      .localCheckpoint()
+    def top5(dcol: String): DataFrame = {
+      val w = Window.partitionBy(col("qid")).orderBy(col(dcol).asc, col("tid").asc)
+      cand.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select(col("qid"), col("tid"))
+    }
+    val full = top5("d_full")
+    val overlaps = Seq("d8" -> 8L, "d16" -> 16L, "d32" -> 32L).map {
+      case (dcol, dims) =>
+        top5(dcol).join(full, Seq("qid", "tid"))
+          .agg(count(lit(1)).as("n_hit"))
+          .select(lit(dims).as("prefix_dims"), col("n_hit"))
+    }
+    overlaps.reduce(_ unionByName _)
+      .select(col("prefix_dims"), col("n_hit"),
+        expr("n_hit * 1000000 div 100").as("recall_e6"))
+      .orderBy("prefix_dims")
+  }
+
   /** One k-medoids assignment step with the three fixed medoids
     * vec_id ∈ {0,1,2}: every vector goes to its exact-integer-nearest
     * medoid (full 64-dim lattice distance, tie → lower medoid id), cost

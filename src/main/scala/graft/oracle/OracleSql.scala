@@ -15786,5 +15786,140 @@ object OracleSql {
              CAST(CASE WHEN support >= 2 THEN 1 ELSE 0 END AS BIGINT) AS kept_k4
       FROM h GROUP BY support ORDER BY support""",
 
+    "q_adf_stat" -> """
+      WITH rev AS (SELECT CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate) AS BIGINT) AS m,
+                          CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev
+                   FROM orders GROUP BY 1),
+           pairs AS (SELECT b.rev AS x, a.rev - b.rev AS y
+                     FROM rev a JOIN rev b ON a.m = b.m + 1),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                        SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                        SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                        SUM(CAST(y AS HUGEINT) * y) AS syy
+                 FROM pairs)
+      SELECT n AS n_obs,
+             ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) + 0 AS beta,
+             ROUND(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                   / SQRT((CAST(syy AS DOUBLE)
+                           - ((CAST(sy AS DOUBLE)
+                               - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                                 * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))
+                             * CAST(sy AS DOUBLE)
+                           - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                             * CAST(sxy AS DOUBLE))
+                          / (CAST(n AS DOUBLE) - 2.0) * CAST(n AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))), 4) + 0
+               AS df_t
+      FROM s""",
+
+    "q_max_drawdown" -> """
+      WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                            CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS x
+                     FROM events GROUP BY 1),
+           cum AS (SELECT t.day, CAST(SUM(p.x) AS BIGINT) AS c
+                   FROM daily t JOIN daily p ON p.day <= t.day
+                   GROUP BY 1),
+           dd AS (SELECT t.day, t.c, CAST(MAX(p.c) AS BIGINT) AS peak
+                  FROM cum t JOIN cum p ON p.day <= t.day
+                  GROUP BY 1, 2),
+           d2 AS (SELECT day, peak - c AS dd_cents,
+                         (peak - c) * 1000000 // peak AS dd_pct_e6
+                  FROM dd)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(MAX(dd_cents) AS BIGINT) AS max_dd_cents,
+             CAST(MAX(dd_pct_e6) AS BIGINT) AS max_dd_pct_e6,
+             ROUND(SQRT(CAST(SUM(dd_pct_e6 * dd_pct_e6) AS DOUBLE)
+                        / CAST(COUNT(*) AS DOUBLE)) / 1e6, 6) + 0 AS ulcer_index
+      FROM d2""",
+
+    "q_omega_ratio" -> """
+      WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                            CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS x
+                     FROM events GROUP BY 1),
+           tau AS (SELECT CAST(SUM(x) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS tau
+                   FROM daily)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(MAX(tau) AS BIGINT) AS tau_cents,
+             CAST(SUM(GREATEST(x - tau, 0)) AS BIGINT) AS gains_cents,
+             CAST(SUM(GREATEST(tau - x, 0)) AS BIGINT) AS losses_cents,
+             ROUND(CAST(SUM(GREATEST(x - tau, 0)) AS DOUBLE)
+                   / CAST(SUM(GREATEST(tau - x, 0)) AS DOUBLE), 6) + 0 AS omega
+      FROM daily CROSS JOIN tau""",
+
+    "q_horvitz_thompson" -> """
+      WITH d AS (SELECT doc_id,
+                        CAST(LENGTH(string_split(lower(text), ' ')) AS BIGINT) AS nw
+                 FROM documents),
+           b AS (SELECT doc_id, nw, LEAST(nw // 100, 4) AS band FROM d),
+           s AS (SELECT doc_id, nw, band,
+                        CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                          AS BIGINT) % (band + 2) = 0 AS sampled
+                 FROM b)
+      SELECT CAST(band AS BIGINT) AS band, CAST(COUNT(*) AS BIGINT) AS n_pop,
+             CAST(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+             CAST(SUM(nw) AS BIGINT) AS true_tokens,
+             CAST(SUM(CASE WHEN sampled THEN nw * (band + 2) ELSE 0 END) AS BIGINT)
+               AS ht_tokens,
+             (CAST(SUM(CASE WHEN sampled THEN nw * (band + 2) ELSE 0 END) AS BIGINT)
+              - CAST(SUM(nw) AS BIGINT)) * 1000000 // CAST(SUM(nw) AS BIGINT)
+               AS err_e6
+      FROM s GROUP BY band ORDER BY band""",
+
+    "q_matryoshka_recall" -> """
+      WITH m AS (SELECT vec_id,
+                        list_transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE)*1e7) AS BIGINT)) AS qe
+                 FROM embeddings),
+           q AS (SELECT vec_id AS qid, qe AS q_qe FROM m WHERE vec_id < 20),
+           cand AS (SELECT qid, vec_id AS tid,
+                           CAST(list_sum(list_transform(list_zip(qe, q_qe),
+                                p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS d_full,
+                           CAST(list_sum(list_transform(list_zip(qe[1:8], q_qe[1:8]),
+                                p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS d8,
+                           CAST(list_sum(list_transform(list_zip(qe[1:16], q_qe[1:16]),
+                                p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS d16,
+                           CAST(list_sum(list_transform(list_zip(qe[1:32], q_qe[1:32]),
+                                p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS d32
+                    FROM m CROSS JOIN q WHERE vec_id >= 20),
+           full_ AS (SELECT qid, tid FROM
+                       (SELECT qid, tid, ROW_NUMBER() OVER (PARTITION BY qid
+                          ORDER BY d_full, tid) AS rn FROM cand)
+                     WHERE rn <= 5),
+           o8 AS (SELECT CAST(8 AS BIGINT) AS prefix_dims,
+                         CAST(COUNT(*) AS BIGINT) AS n_hit
+                  FROM (SELECT qid, tid FROM
+                          (SELECT qid, tid, ROW_NUMBER() OVER (PARTITION BY qid
+                             ORDER BY d8, tid) AS rn FROM cand)
+                        WHERE rn <= 5) t JOIN full_ USING (qid, tid)),
+           o16 AS (SELECT CAST(16 AS BIGINT) AS prefix_dims,
+                          CAST(COUNT(*) AS BIGINT) AS n_hit
+                   FROM (SELECT qid, tid FROM
+                           (SELECT qid, tid, ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY d16, tid) AS rn FROM cand)
+                         WHERE rn <= 5) t JOIN full_ USING (qid, tid)),
+           o32 AS (SELECT CAST(32 AS BIGINT) AS prefix_dims,
+                          CAST(COUNT(*) AS BIGINT) AS n_hit
+                   FROM (SELECT qid, tid FROM
+                           (SELECT qid, tid, ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY d32, tid) AS rn FROM cand)
+                         WHERE rn <= 5) t JOIN full_ USING (qid, tid)),
+           u AS (SELECT * FROM o8 UNION ALL SELECT * FROM o16
+                 UNION ALL SELECT * FROM o32)
+      SELECT prefix_dims, n_hit, n_hit * 1000000 // 100 AS recall_e6
+      FROM u ORDER BY prefix_dims""",
+
   )
 }
