@@ -8987,6 +8987,115 @@ object Analytics {
       .orderBy("src")
   }
 
+  /** Lepage combined location-scale test (linestatus F vs O on the
+    * quantity lattice): L = z_W² + z_A² with Wilcoxon scores = 2R
+    * midranks and Ansari–Bradley scores a = min(2R, 2(N+1)−2R), both
+    * standardized by the EXACT finite-population moments of the
+    * observed score set (E = m·ā, Var = mn·Σ(a−ā)²/(N(N−1)) — ties
+    * handled by construction). Score sums exact in decimal(38,0); the
+    * two z's and L are one epilogue. Same lattice+BandedScan base as
+    * [[q_cucconi_test]].
+    */
+  def q_lepage_test(spark: SparkSession, sf: String): DataFrame = {
+    val cell = Tables.lineitem(spark, sf)
+      .select(col("l_linestatus").as("g"), col("l_quantity").cast("long").as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val comb = cell.groupBy(col("v")).agg(sum(col("c")).as("ct"))
+    val tot = cell.agg(sum(col("c")).as("nn"))
+    val scores = BandedScan.cumSum(comb, Seq.empty, "v", "ct", "cum", 8L)
+      .crossJoin(broadcast(tot))
+      .select(col("v"),
+        (lit(2L) * (col("cum") - col("ct")) + col("ct") + 1L).as("r2"),
+        least(lit(2L) * (col("cum") - col("ct")) + col("ct") + 1L,
+          lit(2L) * (col("nn") + 1L)
+            - (lit(2L) * (col("cum") - col("ct")) + col("ct") + 1L)).as("a2"))
+    val base = cell.join(broadcast(scores), "v").localCheckpoint()
+    val pop = base.agg(sum(col("c")).as("nn"),
+      sum(col("c").cast("decimal(38,0)") * col("r2")).as("sr"),
+      sum(col("c").cast("decimal(38,0)") * col("r2") * col("r2")).as("srr"),
+      sum(col("c").cast("decimal(38,0)") * col("a2")).as("sa"),
+      sum(col("c").cast("decimal(38,0)") * col("a2") * col("a2")).as("saa"))
+    val f = base.filter(col("g") === "F")
+      .agg(sum(col("c")).as("m"),
+        sum(col("c").cast("decimal(38,0)") * col("r2")).as("tw"),
+        sum(col("c").cast("decimal(38,0)") * col("a2")).as("ta"))
+    val nD = col("nn").cast("double")
+    val mD = col("m").cast("double")
+    val oD = nD - mD
+    def z(t: Column, s: Column, ss: Column): Column = {
+      val sbar = s.cast("double") / nD
+      val dev2 = ss.cast("double") - nD * sbar * sbar
+      (t.cast("double") - mD * sbar) / sqrt(mD * oD * dev2 / (nD * (nD - lit(1.0))))
+    }
+    pop.crossJoin(f)
+      .select(col("m").as("n_f"), (col("nn") - col("m")).as("n_o"),
+        (round(z(col("tw"), col("sr"), col("srr")), 4) + lit(0.0)).as("z_wilcoxon"),
+        (round(z(col("ta"), col("sa"), col("saa")), 4) + lit(0.0)).as("z_ansari"),
+        (round(z(col("tw"), col("sr"), col("srr"))
+          * z(col("tw"), col("sr"), col("srr"))
+          + z(col("ta"), col("sa"), col("saa"))
+            * z(col("ta"), col("sa"), col("saa")), 4) + lit(0.0)).as("lepage_l"))
+  }
+
+  /** Winsorized mean of quantity per return flag (p10/p90 clamping):
+    * the clamp bounds come from the EXACT integer rank rule (smallest v
+    * with 10·cum ≥ n / ≥ 9n) on the per-flag lattice, values clamped
+    * and re-aggregated exactly — one division at the end. The robust-
+    * location companion to the existing trimmed mean.
+    */
+  def q_winsorized_mean(spark: SparkSession, sf: String): DataFrame = {
+    val cell = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").as("g"), col("l_quantity").cast("long").as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val cum = BandedScan.cumSum(cell, Seq("g"), "v", "c", "cum", 8L)
+    val ng = cell.groupBy(col("g")).agg(sum(col("c")).as("n_g"))
+    val lo = cum.join(broadcast(ng), "g")
+      .filter(col("cum") * 10L >= col("n_g"))
+      .groupBy(col("g")).agg(min(col("v")).as("lo"))
+    val hi = cum.join(broadcast(ng), "g")
+      .filter(col("cum") * 10L >= col("n_g") * 9L)
+      .groupBy(col("g")).agg(min(col("v")).as("hi"))
+    cell.join(broadcast(lo), "g").join(broadcast(hi), "g")
+      .select(col("g"),
+        (col("c") * greatest(least(col("v"), col("hi")), col("lo"))).as("wv"),
+        col("c"))
+      .groupBy(col("g"))
+      .agg(sum(col("c")).as("n"), sum(col("wv")).as("sw"))
+      .join(broadcast(lo), "g").join(broadcast(hi), "g")
+      .select(col("g").as("flag"), col("n"), col("lo").as("p10_clamp"),
+        col("hi").as("p90_clamp"),
+        (round(col("sw").cast("double") / col("n").cast("double"), 6)
+          + lit(0.0)).as("winsorized_mean"))
+      .orderBy("flag")
+  }
+
+  /** Quartile shape card of the quantity distribution: discrete Q1/Q2/Q3
+    * by the exact integer rank rule (smallest v with 4·cum ≥ k·n),
+    * quartile coefficient of dispersion (Q3−Q1)/(Q3+Q1), midhinge and
+    * Tukey trimean — robust spread/location without a single sort.
+    */
+  def q_quartile_dispersion(spark: SparkSession, sf: String): DataFrame = {
+    val cell = Tables.lineitem(spark, sf)
+      .select(col("l_quantity").cast("long").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val cum = BandedScan.cumSum(cell, Seq.empty, "v", "c", "cum", 8L)
+      .crossJoin(broadcast(cell.agg(sum(col("c")).as("n"))))
+      .localCheckpoint()
+    def q(k: Int): DataFrame = cum.filter(col("cum") * 4L >= col("n") * k.toLong)
+      .agg(min(col("v")).as(s"q$k"))
+    q(1).crossJoin(q(2)).crossJoin(q(3))
+      .select(col("q1"), col("q2"), col("q3"),
+        (round((col("q3") - col("q1")).cast("double")
+          / (col("q3") + col("q1")).cast("double"), 6) + lit(0.0)).as("qcd"),
+        (round((col("q1") + col("q3")).cast("double") / lit(2.0), 4)
+          + lit(0.0)).as("midhinge"),
+        (round((col("q1") + lit(2L) * col("q2") + col("q3")).cast("double")
+          / lit(4.0), 4) + lit(0.0)).as("trimean"))
+  }
+
   /** Dickey–Fuller unit-root statistic (no augmentation, constant
     * included) on monthly revenue: Δyₜ = α + β·yₜ₋₁ + ε via closed-form
     * OLS over EXACT integer cent sums (decimal(38,0) cross products),

@@ -1736,6 +1736,38 @@ object TextPipeline {
       .orderBy("min_freq")
   }
 
+  /** Per-document token-entropy filter: H = −Σ(c/n)ln(c/n) over the
+    * doc's own token distribution, every c·ln(c/n) term a fixed IEEE
+    * tree from exact counts e8-latticed BEFORE the doc sum (order-free),
+    * low-diversity flag H < 1.5 nats. Per source: docs, flagged, mean
+    * e4 entropy — the information-theoretic sibling of the TTR filter
+    * (catches "aaa bbb aaa bbb" that TTR alone misses).
+    */
+  def q_doc_entropy_filter(spark: SparkSession, sf: String): DataFrame = {
+    val terms = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        expr("CAST(size(split(lower(text), ' ')) AS BIGINT)").as("n"),
+        explode(toks(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("source"), col("n"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), col("source"), col("n"),
+        round(col("c").cast("double")
+          * log(col("c").cast("double") / col("n").cast("double")) * lit(1e8))
+          .cast("long").as("t_e8"))
+    val docs = terms.groupBy(col("doc_id"), col("source"), col("n"))
+      .agg((-sum(col("t_e8"))).as("s_e8"))
+      .select(col("source"),
+        round(col("s_e8").cast("double") / (col("n").cast("double") * lit(1e8))
+          * lit(1e4)).cast("long").as("h_e4"))
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("h_e4") < 15000L, 1L).otherwise(0L)).as("n_low_entropy"),
+        sum(col("h_e4")).as("sh"))
+      .select(col("source"), col("n_docs"), col("n_low_entropy"),
+        expr("sh div n_docs").as("mean_h_e4"))
+      .orderBy("source")
+  }
+
   /** Shard-balance audit of the physical (lang, source) partitioning:
     * per language the shard count, total/trunc-mean/max shard chars and
     * the max/mean imbalance ratio (e6) — the skew card read before

@@ -15921,5 +15921,149 @@ object OracleSql {
       SELECT prefix_dims, n_hit, n_hit * 1000000 // 100 AS recall_e6
       FROM u ORDER BY prefix_dims""",
 
+    "q_lepage_test" -> """
+      WITH cell AS (SELECT l_linestatus AS g, CAST(l_quantity AS BIGINT) AS v,
+                           CAST(COUNT(*) AS BIGINT) AS c
+                    FROM lineitem GROUP BY 1, 2),
+           comb AS (SELECT v, CAST(SUM(c) AS BIGINT) AS ct FROM cell GROUP BY 1),
+           tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM cell),
+           scores AS (SELECT v,
+                             2 * (CAST(SUM(ct) OVER (ORDER BY v) AS BIGINT) - ct)
+                               + ct + 1 AS r2,
+                             LEAST(2 * (CAST(SUM(ct) OVER (ORDER BY v) AS BIGINT) - ct)
+                                     + ct + 1,
+                                   2 * (nn + 1)
+                                     - (2 * (CAST(SUM(ct) OVER (ORDER BY v) AS BIGINT) - ct)
+                                        + ct + 1)) AS a2
+                      FROM comb CROSS JOIN tot),
+           base AS (SELECT cell.g, cell.c, scores.r2, scores.a2
+                    FROM cell JOIN scores USING (v)),
+           pop AS (SELECT CAST(SUM(c) AS BIGINT) AS nn,
+                          SUM(CAST(c AS HUGEINT) * r2) AS sr,
+                          SUM(CAST(c AS HUGEINT) * r2 * r2) AS srr,
+                          SUM(CAST(c AS HUGEINT) * a2) AS sa,
+                          SUM(CAST(c AS HUGEINT) * a2 * a2) AS saa
+                   FROM base),
+           f AS (SELECT CAST(SUM(c) AS BIGINT) AS m,
+                        SUM(CAST(c AS HUGEINT) * r2) AS tw,
+                        SUM(CAST(c AS HUGEINT) * a2) AS ta
+                 FROM base WHERE g = 'F')
+      SELECT m AS n_f, nn - m AS n_o,
+             ROUND((CAST(tw AS DOUBLE) - CAST(m AS DOUBLE)
+                    * (CAST(sr AS DOUBLE) / CAST(nn AS DOUBLE)))
+                   / SQRT(CAST(m AS DOUBLE) * (CAST(nn AS DOUBLE) - CAST(m AS DOUBLE))
+                          * (CAST(srr AS DOUBLE) - CAST(nn AS DOUBLE)
+                             * (CAST(sr AS DOUBLE) / CAST(nn AS DOUBLE))
+                             * (CAST(sr AS DOUBLE) / CAST(nn AS DOUBLE)))
+                          / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0))), 4) + 0
+               AS z_wilcoxon,
+             ROUND((CAST(ta AS DOUBLE) - CAST(m AS DOUBLE)
+                    * (CAST(sa AS DOUBLE) / CAST(nn AS DOUBLE)))
+                   / SQRT(CAST(m AS DOUBLE) * (CAST(nn AS DOUBLE) - CAST(m AS DOUBLE))
+                          * (CAST(saa AS DOUBLE) - CAST(nn AS DOUBLE)
+                             * (CAST(sa AS DOUBLE) / CAST(nn AS DOUBLE))
+                             * (CAST(sa AS DOUBLE) / CAST(nn AS DOUBLE)))
+                          / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0))), 4) + 0
+               AS z_ansari,
+             ROUND(((CAST(tw AS DOUBLE) - CAST(m AS DOUBLE)
+                     * (CAST(sr AS DOUBLE) / CAST(nn AS DOUBLE)))
+                    / SQRT(CAST(m AS DOUBLE) * (CAST(nn AS DOUBLE) - CAST(m AS DOUBLE))
+                           * (CAST(srr AS DOUBLE) - CAST(nn AS DOUBLE)
+                              * (CAST(sr AS DOUBLE) / CAST(nn AS DOUBLE))
+                              * (CAST(sr AS DOUBLE) / CAST(nn AS DOUBLE)))
+                           / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0))))
+                   * ((CAST(tw AS DOUBLE) - CAST(m AS DOUBLE)
+                     * (CAST(sr AS DOUBLE) / CAST(nn AS DOUBLE)))
+                    / SQRT(CAST(m AS DOUBLE) * (CAST(nn AS DOUBLE) - CAST(m AS DOUBLE))
+                           * (CAST(srr AS DOUBLE) - CAST(nn AS DOUBLE)
+                              * (CAST(sr AS DOUBLE) / CAST(nn AS DOUBLE))
+                              * (CAST(sr AS DOUBLE) / CAST(nn AS DOUBLE)))
+                           / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0))))
+                   + ((CAST(ta AS DOUBLE) - CAST(m AS DOUBLE)
+                     * (CAST(sa AS DOUBLE) / CAST(nn AS DOUBLE)))
+                    / SQRT(CAST(m AS DOUBLE) * (CAST(nn AS DOUBLE) - CAST(m AS DOUBLE))
+                           * (CAST(saa AS DOUBLE) - CAST(nn AS DOUBLE)
+                              * (CAST(sa AS DOUBLE) / CAST(nn AS DOUBLE))
+                              * (CAST(sa AS DOUBLE) / CAST(nn AS DOUBLE)))
+                           / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0))))
+                   * ((CAST(ta AS DOUBLE) - CAST(m AS DOUBLE)
+                     * (CAST(sa AS DOUBLE) / CAST(nn AS DOUBLE)))
+                    / SQRT(CAST(m AS DOUBLE) * (CAST(nn AS DOUBLE) - CAST(m AS DOUBLE))
+                           * (CAST(saa AS DOUBLE) - CAST(nn AS DOUBLE)
+                              * (CAST(sa AS DOUBLE) / CAST(nn AS DOUBLE))
+                              * (CAST(sa AS DOUBLE) / CAST(nn AS DOUBLE)))
+                           / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0)))), 4)
+               + 0 AS lepage_l
+      FROM pop CROSS JOIN f""",
+
+    "q_winsorized_mean" -> """
+      WITH cell AS (SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v,
+                           CAST(COUNT(*) AS BIGINT) AS c
+                    FROM lineitem GROUP BY 1, 2),
+           cum AS (SELECT g, v, c,
+                          CAST(SUM(c) OVER (PARTITION BY g ORDER BY v) AS BIGINT)
+                            AS cum
+                   FROM cell),
+           ng AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n_g FROM cell GROUP BY 1),
+           lo AS (SELECT cum.g, CAST(MIN(v) AS BIGINT) AS lo
+                  FROM cum JOIN ng ON cum.g = ng.g
+                  WHERE cum * 10 >= n_g GROUP BY 1),
+           hi AS (SELECT cum.g, CAST(MIN(v) AS BIGINT) AS hi
+                  FROM cum JOIN ng ON cum.g = ng.g
+                  WHERE cum * 10 >= n_g * 9 GROUP BY 1),
+           w AS (SELECT cell.g, CAST(SUM(c) AS BIGINT) AS n,
+                        CAST(SUM(c * GREATEST(LEAST(v, hi), lo)) AS BIGINT) AS sw
+                 FROM cell JOIN lo ON cell.g = lo.g JOIN hi ON cell.g = hi.g
+                 GROUP BY 1)
+      SELECT w.g AS flag, n, lo AS p10_clamp, hi AS p90_clamp,
+             ROUND(CAST(sw AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0
+               AS winsorized_mean
+      FROM w JOIN lo ON w.g = lo.g JOIN hi ON w.g = hi.g
+      ORDER BY flag""",
+
+    "q_quartile_dispersion" -> """
+      WITH cell AS (SELECT CAST(l_quantity AS BIGINT) AS v,
+                           CAST(COUNT(*) AS BIGINT) AS c
+                    FROM lineitem GROUP BY 1),
+           cum AS (SELECT v, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS cum
+                   FROM cell),
+           n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cell),
+           q1 AS (SELECT CAST(MIN(v) AS BIGINT) AS q1 FROM cum CROSS JOIN n
+                  WHERE cum * 4 >= n),
+           q2 AS (SELECT CAST(MIN(v) AS BIGINT) AS q2 FROM cum CROSS JOIN n
+                  WHERE cum * 4 >= n * 2),
+           q3 AS (SELECT CAST(MIN(v) AS BIGINT) AS q3 FROM cum CROSS JOIN n
+                  WHERE cum * 4 >= n * 3)
+      SELECT q1, q2, q3,
+             ROUND(CAST(q3 - q1 AS DOUBLE) / CAST(q3 + q1 AS DOUBLE), 6) + 0 AS qcd,
+             ROUND(CAST(q1 + q3 AS DOUBLE) / 2.0, 4) + 0 AS midhinge,
+             ROUND(CAST(q1 + 2 * q2 + q3 AS DOUBLE) / 4.0, 4) + 0 AS trimean
+      FROM q1 CROSS JOIN q2 CROSS JOIN q3""",
+
+    "q_doc_entropy_filter" -> """
+      WITH d AS (SELECT doc_id, source,
+                        CAST(LENGTH(string_split(lower(text), ' ')) AS BIGINT) AS n,
+                        unnest(string_split(lower(text), ' ')) AS w
+                 FROM documents),
+           terms AS (SELECT doc_id, source, n, w, CAST(COUNT(*) AS BIGINT) AS c
+                     FROM d GROUP BY 1, 2, 3, 4),
+           t2 AS (SELECT doc_id, source, n,
+                         CAST(ROUND(CAST(c AS DOUBLE)
+                              * LN(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1e8)
+                           AS BIGINT) AS t_e8
+                  FROM terms),
+           docs AS (SELECT doc_id, source, n,
+                           -CAST(SUM(t_e8) AS BIGINT) AS s_e8
+                    FROM t2 GROUP BY 1, 2, 3),
+           h AS (SELECT source,
+                        CAST(ROUND(CAST(s_e8 AS DOUBLE)
+                             / (CAST(n AS DOUBLE) * 1e8) * 1e4) AS BIGINT) AS h_e4
+                 FROM docs)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN h_e4 < 15000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_low_entropy,
+             CAST(SUM(h_e4) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mean_h_e4
+      FROM h GROUP BY 1 ORDER BY source""",
+
   )
 }
