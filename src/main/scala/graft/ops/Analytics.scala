@@ -8987,6 +8987,62 @@ object Analytics {
       .orderBy("src")
   }
 
+  /** Sequential probability ratio test (Wald SPRT) monitor on the daily
+    * purchase-share series: H₀ p=0.18 vs H₁ p=0.22, per-day LLR
+    * k·ln(p₁/p₀)+(n−k)·ln(q₁/q₀) from exact counts e8-latticed BEFORE
+    * the calendar-bounded cumulative (day≤day theta join), boundaries
+    * ±ln 19 (α=β=0.05). The always-on experiment monitor — ≤ days rows
+    * at any SF.
+    */
+  def q_sprt_monitor(spark: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.eventsWithTs(spark, sf)
+      .groupBy(to_date(col("ts_us")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("k"))
+      .select(col("day"),
+        round((col("k").cast("double") * log(lit(0.22) / lit(0.18))
+          + (col("n") - col("k")).cast("double")
+            * log(lit(0.78) / lit(0.82))) * lit(1e8)).cast("long").as("llr_e8"))
+      .localCheckpoint()
+    daily.as("t")
+      .join(daily.select(col("day").as("day2"), col("llr_e8").as("l2")).as("p"),
+        col("day2") <= col("t.day"))
+      .groupBy(col("t.day").as("day"))
+      .agg(sum(col("l2")).as("cum_e8"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        (round(col("cum_e8").cast("double") / lit(1e8), 6) + lit(0.0))
+          .as("cum_llr"),
+        when(col("cum_e8").cast("double") / lit(1e8) >= log(lit(19.0)),
+          lit("accept_h1"))
+          .when(col("cum_e8").cast("double") / lit(1e8) <= -log(lit(19.0)),
+            lit("accept_h0"))
+          .otherwise(lit("continue")).as("decision"))
+      .orderBy("day")
+  }
+
+  /** Behavioral-diversity entropy per user (event-type distribution,
+    * c·ln(c/n) terms e8-latticed before the user sum), reported as the
+    * e4-entropy band histogram with per-band trunc means — the
+    * bot/power-user segmentation card. Two user-keyed aggregates.
+    */
+  def q_user_behavior_entropy(spark: SparkSession, sf: String): DataFrame = {
+    val terms = Tables.eventsWithTs(spark, sf)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("user_id")))
+      .select(col("user_id"), col("n"),
+        round(col("c").cast("double")
+          * log(col("c").cast("double") / col("n").cast("double")) * lit(1e8))
+          .cast("long").as("t_e8"))
+    val users = terms.groupBy(col("user_id"), col("n"))
+      .agg((-sum(col("t_e8"))).as("s_e8"))
+      .select(round(col("s_e8").cast("double") / (col("n").cast("double") * lit(1e8))
+        * lit(1e4)).cast("long").as("h_e4"))
+    users.groupBy(expr("h_e4 div 2500").as("band"))
+      .agg(count(lit(1)).as("n_users"), expr("sum(h_e4) div count(1)").as("mean_h_e4"))
+      .orderBy("band")
+  }
+
   /** Lepage combined location-scale test (linestatus F vs O on the
     * quantity lattice): L = z_W² + z_A² with Wilcoxon scores = 2R
     * midranks and Ansari–Bradley scores a = min(2R, 2(N+1)−2R), both

@@ -3280,6 +3280,31 @@ object MLDeterministic {
           + lit(0.0)).as("z_norm"))
   }
 
+  /** Rare-category collapsing audit for the part-type feature: any
+    * category with share < 1% (exact integer rule 100·n < N) folds into
+    * OTHER. Reports cardinality before/after, rows folded and the OTHER
+    * share — the cardinality-control step before one-hot/target
+    * encoding. One aggregate + one broadcast total.
+    */
+  def q_rare_category_collapse(spark: SparkSession, sf: String): DataFrame = {
+    val cat = Tables.part(spark, sf)
+      .groupBy(col("p_type")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val tot = cat.agg(sum(col("n")).as("nn"), count(lit(1)).as("n_before"))
+    cat.crossJoin(broadcast(tot))
+      .select(col("nn"), col("n_before"),
+        when(col("n") * 100L < col("nn"), 1L).otherwise(0L).as("rare"),
+        col("n"))
+      .groupBy(col("nn"), col("n_before"))
+      .agg(sum(col("rare")).as("n_collapsed"),
+        sum(when(col("rare") === 1L, col("n")).otherwise(0L)).as("rows_other"))
+      .select(col("n_before"),
+        (col("n_before") - col("n_collapsed")
+          + when(col("n_collapsed") > 0L, 1L).otherwise(0L)).as("n_after"),
+        col("n_collapsed"), col("rows_other"),
+        expr("rows_other * 1000000 div nn").as("other_share_e6"))
+  }
+
   /** Hosmer–Lemeshow calibration χ² over the [[q_calibration_bins]]
     * construct (soft-sign score of the first-8-dim embedding sum, odd
     * label as outcome, 10 fixed e6-score bins — fixed BANDS, not rank

@@ -16065,5 +16065,62 @@ object OracleSql {
              CAST(SUM(h_e4) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mean_h_e4
       FROM h GROUP BY 1 ORDER BY source""",
 
+    "q_sprt_monitor" -> """
+      WITH daily AS (SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n,
+                            CAST(SUM(CASE WHEN event_type = 'purchase'
+                                          THEN 1 ELSE 0 END) AS BIGINT) AS k
+                     FROM events GROUP BY 1),
+           l AS (SELECT day,
+                        CAST(ROUND((CAST(k AS DOUBLE) * LN(0.22 / 0.18)
+                             + CAST(n - k AS DOUBLE) * LN(0.78 / 0.82)) * 1e8)
+                          AS BIGINT) AS llr_e8
+                 FROM daily),
+           c AS (SELECT t.day, CAST(SUM(p.llr_e8) AS BIGINT) AS cum_e8
+                 FROM l t JOIN l p ON p.day <= t.day GROUP BY 1)
+      SELECT CAST(day AS VARCHAR) AS day,
+             ROUND(CAST(cum_e8 AS DOUBLE) / 1e8, 6) + 0 AS cum_llr,
+             CASE WHEN CAST(cum_e8 AS DOUBLE) / 1e8 >= LN(19.0) THEN 'accept_h1'
+                  WHEN CAST(cum_e8 AS DOUBLE) / 1e8 <= -LN(19.0) THEN 'accept_h0'
+                  ELSE 'continue' END AS decision
+      FROM c ORDER BY day""",
+
+    "q_user_behavior_entropy" -> """
+      WITH c0 AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM events GROUP BY 1, 2),
+           c1 AS (SELECT user_id, c,
+                         CAST(SUM(c) OVER (PARTITION BY user_id) AS BIGINT) AS n
+                  FROM c0),
+           t AS (SELECT user_id, n,
+                        CAST(ROUND(CAST(c AS DOUBLE)
+                             * LN(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1e8)
+                          AS BIGINT) AS t_e8
+                 FROM c1),
+           u AS (SELECT user_id, n, -CAST(SUM(t_e8) AS BIGINT) AS s_e8
+                 FROM t GROUP BY 1, 2),
+           h AS (SELECT CAST(ROUND(CAST(s_e8 AS DOUBLE)
+                             / (CAST(n AS DOUBLE) * 1e8) * 1e4) AS BIGINT) AS h_e4
+                 FROM u)
+      SELECT h_e4 // 2500 AS band, CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(h_e4) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mean_h_e4
+      FROM h GROUP BY 1 ORDER BY band""",
+
+    "q_rare_category_collapse" -> """
+      WITH cat AS (SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM part GROUP BY 1),
+           tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+                          CAST(COUNT(*) AS BIGINT) AS n_before FROM cat),
+           agg AS (SELECT nn, n_before,
+                          CAST(SUM(CASE WHEN n * 100 < nn THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_collapsed,
+                          CAST(SUM(CASE WHEN n * 100 < nn THEN n ELSE 0 END)
+                            AS BIGINT) AS rows_other
+                   FROM cat CROSS JOIN tot GROUP BY 1, 2)
+      SELECT n_before,
+             n_before - n_collapsed
+               + CASE WHEN n_collapsed > 0 THEN 1 ELSE 0 END AS n_after,
+             n_collapsed, rows_other,
+             rows_other * 1000000 // nn AS other_share_e6
+      FROM agg""",
+
   )
 }
