@@ -8987,6 +8987,112 @@ object Analytics {
       .orderBy("src")
   }
 
+  /** Relative risk of returns under deep discount (the [[q_odds_ratio]]
+    * 2×2 read as a cohort study): RR = (a/(a+b))/(c/(c+d)), Katz
+    * log-SE CI, attributable risk difference — exact counts, one
+    * epilogue.
+    */
+  def q_relative_risk(spark: SparkSession, sf: String): DataFrame = {
+    val c2 = Tables.lineitem(spark, sf)
+      .select((col("l_discount") >= 0.06).as("expo"),
+        (col("l_returnflag") === "R").as("out"))
+      .agg(sum(when(col("expo") && col("out"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("expo") && !col("out"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("expo") && col("out"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("expo") && !col("out"), 1L).otherwise(0L)).as("d"))
+    val p1 = col("a").cast("double") / (col("a") + col("b")).cast("double")
+    val p0 = col("c").cast("double") / (col("c") + col("d")).cast("double")
+    val se = sqrt(lit(1.0) / col("a").cast("double")
+      - lit(1.0) / (col("a") + col("b")).cast("double")
+      + lit(1.0) / col("c").cast("double")
+      - lit(1.0) / (col("c") + col("d")).cast("double"))
+    c2.select(col("a"), col("b"), col("c"), col("d"),
+      (round(p1 / p0, 4) + lit(0.0)).as("rr"),
+      (round(exp(log(p1 / p0) - lit(1.959964) * se), 4) + lit(0.0)).as("ci_lo"),
+      (round(exp(log(p1 / p0) + lit(1.959964) * se), 4) + lit(0.0)).as("ci_hi"),
+      (round(p1 - p0, 6) + lit(0.0)).as("risk_diff"))
+  }
+
+  /** Rogan–Gladen prevalence adjustment of the deep-discount share for
+    * an imperfect detector (sens = 0.90, spec = 0.95 literals):
+    * p̂ = (p_obs + spec − 1)/(sens + spec − 1), clamped to [0,1] —
+    * the truth-inference step any noisy-classifier census needs.
+    */
+  def q_prevalence_adjust(spark: SparkSession, sf: String): DataFrame = {
+    val s = Tables.lineitem(spark, sf)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_discount") >= 0.06, 1L).otherwise(0L)).as("pos"))
+    val pObs = col("pos").cast("double") / col("n").cast("double")
+    val pAdj = (pObs + lit(0.95) - lit(1.0)) / (lit(0.90) + lit(0.95) - lit(1.0))
+    s.select(col("n"), col("pos"),
+      (round(pObs, 6) + lit(0.0)).as("p_observed"),
+      (round(greatest(least(pAdj, lit(1.0)), lit(0.0)), 6) + lit(0.0))
+        .as("p_adjusted"))
+  }
+
+  /** Linearly-weighted Cohen's κ between two ordinal 5-level raters of
+    * an order — price band (trunc $50k steps, capped) vs priority rank
+    * (leading digit of o_orderpriority): κ_w = 1 − n·Σ|i−j|·o_ij /
+    * Σ|i−j|·r_i·c_j stays an EXACT integer ratio (decimal(38,0)
+    * products) until one division. One contingency aggregate.
+    */
+  def q_weighted_kappa(spark: SparkSession, sf: String): DataFrame = {
+    val cont = Tables.orders(spark, sf)
+      .select(least(expr("CAST(ROUND(o_totalprice*100) AS BIGINT) div 5000000"),
+        lit(4L)).as("i"),
+        (substring(col("o_orderpriority"), 1, 1).cast("long") - 1L).as("j"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("o"))
+      .localCheckpoint()
+    val rows = cont.groupBy(col("i")).agg(sum(col("o")).as("r"))
+    val cols9 = cont.groupBy(col("j")).agg(sum(col("o")).as("cc"))
+    val num = cont
+      .select((abs(col("i") - col("j")).cast("decimal(38,0)") * col("o")).as("t"))
+      .agg(sum(col("t")).as("svo"))
+    val den = rows.crossJoin(cols9)
+      .select((abs(col("i") - col("j")).cast("decimal(38,0)")
+        * col("r") * col("cc")).as("t"))
+      .agg(sum(col("t")).as("svrc"))
+    val n = cont.agg(sum(col("o")).as("n"))
+    n.crossJoin(num).crossJoin(den)
+      .select(col("n"), col("svo").cast("long").as("weighted_disagree"),
+        (round(lit(1.0) - col("n").cast("double") * col("svo").cast("double")
+          / col("svrc").cast("double"), 6) + lit(0.0)).as("kappa_w"))
+  }
+
+  /** Tukey-fence outlier audit of extended price per return flag:
+    * Q1/Q3 by the exact integer rank rule on the price-cent lattice
+    * (keyed [[BandedScan]], auto band width — the lattice is \|distinct
+    * cents\| however big the table), fences at ±1.5·IQR carried in
+    * half-cent integers (2·Q1 − 3·IQR needs no floats), outlier counts
+    * and e6 rates exact.
+    */
+  def q_tukey_fences(spark: SparkSession, sf: String): DataFrame = {
+    val cell = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").as("g"), cents(col("l_extendedprice")).as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val cum = BandedScan.cumSumAuto(cell, Seq("g"), "v", "c", "cum")
+      .localCheckpoint()
+    val ng = cell.groupBy(col("g")).agg(sum(col("c")).as("n_g"))
+    val q1 = cum.join(broadcast(ng), "g").filter(col("cum") * 4L >= col("n_g"))
+      .groupBy(col("g")).agg(min(col("v")).as("q1"))
+    val q3 = cum.join(broadcast(ng), "g").filter(col("cum") * 4L >= col("n_g") * 3L)
+      .groupBy(col("g")).agg(min(col("v")).as("q3"))
+    val fences = q1.join(q3, "g")
+      .select(col("g"), col("q1"), col("q3"),
+        (lit(2L) * col("q1") - lit(3L) * (col("q3") - col("q1"))).as("lo2"),
+        (lit(2L) * col("q3") + lit(3L) * (col("q3") - col("q1"))).as("hi2"))
+    cell.join(broadcast(fences), "g")
+      .groupBy(col("g"), col("q1"), col("q3"), col("lo2"), col("hi2"))
+      .agg(sum(col("c")).as("n"),
+        sum(when(col("v") * 2L < col("lo2"), col("c")).otherwise(0L)).as("n_low"),
+        sum(when(col("v") * 2L > col("hi2"), col("c")).otherwise(0L)).as("n_high"))
+      .select(col("g").as("flag"), col("n"), col("q1"), col("q3"),
+        col("n_low"), col("n_high"),
+        expr("(n_low + n_high) * 1000000 div n").as("outlier_rate_e6"))
+      .orderBy("flag")
+  }
+
   /** Sequential probability ratio test (Wald SPRT) monitor on the daily
     * purchase-share series: H₀ p=0.18 vs H₁ p=0.22, per-day LLR
     * k·ln(p₁/p₀)+(n−k)·ln(q₁/q₀) from exact counts e8-latticed BEFORE

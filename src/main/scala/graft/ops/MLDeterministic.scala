@@ -3305,6 +3305,30 @@ object MLDeterministic {
         expr("rows_other * 1000000 div nn").as("other_share_e6"))
   }
 
+  /** Diagnostic likelihood ratios of the discount-rule returns detector
+    * (the [[q_mcc_youden]] 2×2 read as a screening test): sensitivity,
+    * specificity, LR⁺ = sens/(1−spec), LR⁻ = (1−sens)/spec and the
+    * diagnostic odds ratio — exact counts, one epilogue each.
+    */
+  def q_likelihood_ratios(spark: SparkSession, sf: String): DataFrame = {
+    val c2 = Tables.lineitem(spark, sf)
+      .select((col("l_discount") >= 0.05).as("pred"),
+        (col("l_returnflag") === "R").as("t"))
+      .agg(sum(when(col("pred") && col("t"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pred") && !col("t"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("pred") && col("t"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("pred") && !col("t"), 1L).otherwise(0L)).as("tn"))
+    val sens = col("tp").cast("double") / (col("tp") + col("fn")).cast("double")
+    val spec = col("tn").cast("double") / (col("tn") + col("fp")).cast("double")
+    c2.select(col("tp"), col("fp"), col("fn"), col("tn"),
+      (round(sens, 6) + lit(0.0)).as("sensitivity"),
+      (round(spec, 6) + lit(0.0)).as("specificity"),
+      (round(sens / (lit(1.0) - spec), 4) + lit(0.0)).as("lr_pos"),
+      (round((lit(1.0) - sens) / spec, 4) + lit(0.0)).as("lr_neg"),
+      (round(sens / (lit(1.0) - spec) / ((lit(1.0) - sens) / spec), 4)
+        + lit(0.0)).as("dor"))
+  }
+
   /** Hosmer–Lemeshow calibration χ² over the [[q_calibration_bins]]
     * construct (soft-sign score of the first-8-dim embedding sum, odd
     * label as outcome, 10 fixed e6-score bins — fixed BANDS, not rank

@@ -16122,5 +16122,123 @@ object OracleSql {
              rows_other * 1000000 // nn AS other_share_e6
       FROM agg""",
 
+    "q_relative_risk" -> """
+      WITH c2 AS (SELECT CAST(SUM(CASE WHEN l_discount >= 0.06 AND l_returnflag = 'R'
+                                       THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                         CAST(SUM(CASE WHEN l_discount >= 0.06 AND l_returnflag <> 'R'
+                                       THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                         CAST(SUM(CASE WHEN l_discount < 0.06 AND l_returnflag = 'R'
+                                       THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                         CAST(SUM(CASE WHEN l_discount < 0.06 AND l_returnflag <> 'R'
+                                       THEN 1 ELSE 0 END) AS BIGINT) AS d
+                  FROM lineitem)
+      SELECT a, b, c, d,
+             ROUND((CAST(a AS DOUBLE) / CAST(a + b AS DOUBLE))
+                   / (CAST(c AS DOUBLE) / CAST(c + d AS DOUBLE)), 4) + 0 AS rr,
+             ROUND(EXP(LN((CAST(a AS DOUBLE) / CAST(a + b AS DOUBLE))
+                          / (CAST(c AS DOUBLE) / CAST(c + d AS DOUBLE)))
+                       - 1.959964 * SQRT(1.0 / CAST(a AS DOUBLE)
+                                         - 1.0 / CAST(a + b AS DOUBLE)
+                                         + 1.0 / CAST(c AS DOUBLE)
+                                         - 1.0 / CAST(c + d AS DOUBLE))), 4) + 0
+               AS ci_lo,
+             ROUND(EXP(LN((CAST(a AS DOUBLE) / CAST(a + b AS DOUBLE))
+                          / (CAST(c AS DOUBLE) / CAST(c + d AS DOUBLE)))
+                       + 1.959964 * SQRT(1.0 / CAST(a AS DOUBLE)
+                                         - 1.0 / CAST(a + b AS DOUBLE)
+                                         + 1.0 / CAST(c AS DOUBLE)
+                                         - 1.0 / CAST(c + d AS DOUBLE))), 4) + 0
+               AS ci_hi,
+             ROUND(CAST(a AS DOUBLE) / CAST(a + b AS DOUBLE)
+                   - CAST(c AS DOUBLE) / CAST(c + d AS DOUBLE), 6) + 0 AS risk_diff
+      FROM c2""",
+
+    "q_prevalence_adjust" -> """
+      WITH s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(CASE WHEN l_discount >= 0.06 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS pos
+                 FROM lineitem)
+      SELECT n, pos,
+             ROUND(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0 AS p_observed,
+             ROUND(GREATEST(LEAST((CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+                                   + 0.95 - 1.0) / (0.90 + 0.95 - 1.0), 1.0),
+                            0.0), 6) + 0 AS p_adjusted
+      FROM s""",
+
+    "q_weighted_kappa" -> """
+      WITH cont AS (SELECT LEAST(CAST(ROUND(o_totalprice*100) AS BIGINT) // 5000000,
+                                 4) AS i,
+                           CAST(substring(o_orderpriority, 1, 1) AS BIGINT) - 1 AS j,
+                           CAST(COUNT(*) AS BIGINT) AS o
+                    FROM orders GROUP BY 1, 2),
+           rows_ AS (SELECT i, CAST(SUM(o) AS BIGINT) AS r FROM cont GROUP BY 1),
+           cols_ AS (SELECT j, CAST(SUM(o) AS BIGINT) AS cc FROM cont GROUP BY 1),
+           num AS (SELECT SUM(CAST(ABS(i - j) AS HUGEINT) * o) AS svo FROM cont),
+           den AS (SELECT SUM(CAST(ABS(rows_.i - cols_.j) AS HUGEINT) * r * cc) AS svrc
+                   FROM rows_ CROSS JOIN cols_),
+           n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cont)
+      SELECT n, CAST(svo AS BIGINT) AS weighted_disagree,
+             ROUND(1.0 - CAST(n AS DOUBLE) * CAST(svo AS DOUBLE)
+                   / CAST(svrc AS DOUBLE), 6) + 0 AS kappa_w
+      FROM n CROSS JOIN num CROSS JOIN den""",
+
+    "q_tukey_fences" -> """
+      WITH cell AS (SELECT l_returnflag AS g,
+                           CAST(ROUND(l_extendedprice*100) AS BIGINT) AS v,
+                           CAST(COUNT(*) AS BIGINT) AS c
+                    FROM lineitem GROUP BY 1, 2),
+           cum AS (SELECT g, v, c,
+                          CAST(SUM(c) OVER (PARTITION BY g ORDER BY v) AS BIGINT)
+                            AS cum
+                   FROM cell),
+           ng AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n_g FROM cell GROUP BY 1),
+           q1 AS (SELECT cum.g, CAST(MIN(v) AS BIGINT) AS q1
+                  FROM cum JOIN ng ON cum.g = ng.g
+                  WHERE cum * 4 >= n_g GROUP BY 1),
+           q3 AS (SELECT cum.g, CAST(MIN(v) AS BIGINT) AS q3
+                  FROM cum JOIN ng ON cum.g = ng.g
+                  WHERE cum * 4 >= n_g * 3 GROUP BY 1),
+           f AS (SELECT q1.g, q1.q1, q3.q3,
+                        2 * q1.q1 - 3 * (q3.q3 - q1.q1) AS lo2,
+                        2 * q3.q3 + 3 * (q3.q3 - q1.q1) AS hi2
+                 FROM q1 JOIN q3 ON q1.g = q3.g)
+      SELECT cell.g AS flag, CAST(SUM(c) AS BIGINT) AS n, f.q1, f.q3,
+             CAST(SUM(CASE WHEN v * 2 < lo2 THEN c ELSE 0 END) AS BIGINT) AS n_low,
+             CAST(SUM(CASE WHEN v * 2 > hi2 THEN c ELSE 0 END) AS BIGINT) AS n_high,
+             (CAST(SUM(CASE WHEN v * 2 < lo2 THEN c ELSE 0 END) AS BIGINT)
+              + CAST(SUM(CASE WHEN v * 2 > hi2 THEN c ELSE 0 END) AS BIGINT))
+               * 1000000 // CAST(SUM(c) AS BIGINT) AS outlier_rate_e6
+      FROM cell JOIN f ON cell.g = f.g
+      GROUP BY cell.g, f.q1, f.q3, f.lo2, f.hi2
+      ORDER BY flag""",
+
+    "q_likelihood_ratios" -> """
+      WITH c2 AS (SELECT CAST(SUM(CASE WHEN l_discount >= 0.05 AND l_returnflag = 'R'
+                                       THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                         CAST(SUM(CASE WHEN l_discount >= 0.05 AND l_returnflag <> 'R'
+                                       THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                         CAST(SUM(CASE WHEN l_discount < 0.05 AND l_returnflag = 'R'
+                                       THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                         CAST(SUM(CASE WHEN l_discount < 0.05 AND l_returnflag <> 'R'
+                                       THEN 1 ELSE 0 END) AS BIGINT) AS tn
+                  FROM lineitem)
+      SELECT tp, fp, fn, tn,
+             ROUND(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) + 0
+               AS sensitivity,
+             ROUND(CAST(tn AS DOUBLE) / CAST(tn + fp AS DOUBLE), 6) + 0
+               AS specificity,
+             ROUND((CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))
+                   / (1.0 - CAST(tn AS DOUBLE) / CAST(tn + fp AS DOUBLE)), 4) + 0
+               AS lr_pos,
+             ROUND((1.0 - CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))
+                   / (CAST(tn AS DOUBLE) / CAST(tn + fp AS DOUBLE)), 4) + 0
+               AS lr_neg,
+             ROUND((CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))
+                   / (1.0 - CAST(tn AS DOUBLE) / CAST(tn + fp AS DOUBLE))
+                   / ((1.0 - CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))
+                      / (CAST(tn AS DOUBLE) / CAST(tn + fp AS DOUBLE))), 4) + 0
+               AS dor
+      FROM c2""",
+
   )
 }
