@@ -1,0 +1,111 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops._
+
+/** Plan-shape + invariant gates for the round-4 additions: the scale
+  * posture (broadcast small sides, hash-probe masking with NO self-join,
+  * bounded theta sweeps) is part of each operator's contract.
+  */
+class Round4OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import TestSpark.sf
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("matryoshka recall: recall grows with prefix width and caps at 1") {
+    // the broadcast stage materializes inside the query's localCheckpoint,
+    // so the outer plan can't be asserted — gate the invariant instead
+    val rows = Vectors.q_matryoshka_recall(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("prefix_dims")).toSeq == Seq(8L, 16L, 32L))
+    val rec = rows.map(_.getAs[Long]("recall_e6"))
+    assert(rec(0) <= rec(1) + 100000 && rec(1) <= rec(2) + 100000,
+      s"recall not roughly monotone in dims: ${rec.toSeq}")
+    assert(rec.forall(r => r >= 0L && r <= 1000000L), rec.toSeq.toString)
+  }
+
+  test("kmedoids step: 3-row medoid table goes through a broadcast join") {
+    val p = plan(Vectors.q_kmedoids_step(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
+  }
+
+  test("tukey fences: per-flag fence bounds broadcast back onto the lattice") {
+    val p = plan(Analytics.q_tukey_fences(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("span corruption plan: hash probes only — the plan contains NO join at all") {
+    val p = plan(TextPipeline.q_span_corruption_plan(spark, sf))
+    assert(!p.contains("Join"), s"masking must not self-join:\n$p")
+  }
+
+  test("length/vocab sweeps: threshold lattices join via broadcast, never shuffle") {
+    for (df <- Seq(TextPipeline.q_length_filter_sweep(spark, sf),
+        TextPipeline.q_vocab_prune_sweep(spark, sf))) {
+      val p = plan(df)
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
+    }
+  }
+
+  test("markov absorption: the <=25-cell transition matrix is broadcast in every step") {
+    val p = plan(Analytics.q_markov_absorption(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("packing efficiency: padded sequences never beat the packed lower bound") {
+    TextPipeline.q_packing_efficiency(spark, sf).collect().foreach { r =>
+      val padded = r.getAs[Long]("seqs_padded")
+      val lb = r.getAs[Long]("seqs_packed_lb")
+      assert(padded >= lb, s"padded=$padded < lower bound=$lb")
+      assert(r.getAs[Long]("pad_waste") >= 0L)
+    }
+  }
+
+  test("span corruption: masked tokens bounded by 3x span starts and never below starts") {
+    TextPipeline.q_span_corruption_plan(spark, sf).collect().foreach { r =>
+      val spans = r.getAs[Long]("spans")
+      val masked = r.getAs[Long]("masked")
+      assert(masked >= spans && masked <= 3L * spans,
+        s"spans=$spans masked=$masked outside [spans, 3*spans]")
+    }
+  }
+
+  test("adjusted rand / NMI agree on the contingency margins") {
+    val ari = Vectors.q_adjusted_rand(spark, sf).head()
+    val nmi = Vectors.q_nmi_clusters(spark, sf).head()
+    assert(ari.getAs[Long]("n") === nmi.getAs[Long]("n"))
+    assert(ari.getAs[Long]("k_labels") === nmi.getAs[Long]("k_labels"))
+    assert(ari.getAs[Long]("k_buckets") === nmi.getAs[Long]("k_buckets"))
+    val nmiV = nmi.getAs[Double]("nmi")
+    assert(nmiV >= -1e-9 && nmiV <= 1.0 + 1e-9, s"NMI out of range: $nmiV")
+  }
+
+  test("horvitz-thompson: strata partition the population and HT stays finite") {
+    val rows = Sampling.q_horvitz_thompson(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_sampled") <= r.getAs[Long]("n_pop"))
+      assert(r.getAs[Long]("ht_tokens") >= 0L)
+    }
+  }
+
+  test("quartile dispersion: Q1 <= Q2 <= Q3 and QCD in [0, 1]") {
+    val r = Analytics.q_quartile_dispersion(spark, sf).head()
+    val (q1, q2, q3) = (r.getAs[Long]("q1"), r.getAs[Long]("q2"), r.getAs[Long]("q3"))
+    assert(q1 <= q2 && q2 <= q3, s"$q1 <= $q2 <= $q3")
+    val qcd = r.getAs[Double]("qcd")
+    assert(qcd >= 0.0 && qcd <= 1.0, s"qcd=$qcd")
+  }
+
+  test("markov absorption: probabilities monotone in horizon and within [0, 1e6]") {
+    Analytics.q_markov_absorption(spark, sf).collect().foreach { r =>
+      val (p1, p2, p3) = (r.getAs[Long]("p1_e6"), r.getAs[Long]("a2_e6"),
+        r.getAs[Long]("a3_e6"))
+      assert(p1 <= p2 && p2 <= p3, s"absorption not monotone: $p1 $p2 $p3")
+      assert(p3 <= 1000000L, s"p3=$p3 > 1")
+    }
+  }
+}
