@@ -1548,29 +1548,45 @@ object TextPipeline {
     * test-construction pass reports), from exact integer sums only.
     */
   def q_item_total(spark: SparkSession, sf: String): DataFrame = {
-    val it = qualityItems(spark, sf)
-      .select(col("doc_id"), col("i1"), col("i2"), col("i3"), col("i4"), col("i5"),
+    // binary items collapse the long-form sums: with x ∈ {0,1} and
+    // y = t − x, every per-item moment is a function of (n, Σt, Σt²,
+    // cₖ = Σiₖ, aₖ = Σiₖ·t): Σx² = cₖ, Σxy = aₖ − cₖ, Σy = Σt − cₖ,
+    // Σy² = Σt² − 2aₖ + cₖ — so ONE 12-sum aggregate replaces the
+    // map-explode + regroup (which cost 25× the battery itself).
+    val s = qualityItems(spark, sf)
+      .select(col("i1"), col("i2"), col("i3"), col("i4"), col("i5"),
         (col("i1") + col("i2") + col("i3") + col("i4") + col("i5")).as("t"))
-      .select(col("doc_id"), col("t"),
-        explode(expr("map('i1', i1, 'i2', i2, 'i3', i3, 'i4', i4, 'i5', i5)"))
-          .as(Seq("item", "x")))
-      .select(col("item"), col("x"), (col("t") - col("x")).as("y"))
-    it.groupBy(col("item"))
-      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
-        sum(col("x") * col("y")).as("sxy"))
-      .select(col("item"), col("n"),
-        expr("sx * 1000000 div n").as("p_e6"),
+      .agg(count(lit(1)).as("n"), sum(col("t")).as("st"),
+        sum(col("t") * col("t")).as("stt"),
+        sum(col("i1")).as("c1"), sum(col("i1") * col("t")).as("a1"),
+        sum(col("i2")).as("c2"), sum(col("i2") * col("t")).as("a2"),
+        sum(col("i3")).as("c3"), sum(col("i3") * col("t")).as("a3"),
+        sum(col("i4")).as("c4"), sum(col("i4") * col("t")).as("a4"),
+        sum(col("i5")).as("c5"), sum(col("i5") * col("t")).as("a5"))
+      .localCheckpoint()
+    def row(item: String, c: Column, a: Column) = {
+      val sx = c
+      val sy = col("st") - c
+      val sxx = c
+      val sxy = a - c
+      val syy = col("stt") - lit(2L) * a + c
+      s.select(lit(item).as("item"), col("n"),
+        expr(s"${item.replace("i", "c")} * 1000000 div n").as("p_e6"),
         // a constant item (zero variance — it happens: one gopher rule
         // passes every doc at some SFs) has no defined point-biserial;
         // the exact integer variance product guards the division on both
         // engines identically (NULL, never Inf/throw)
-        when((col("n") * col("sxx") - col("sx") * col("sx")) > 0L
-          && (col("n") * col("syy") - col("sy") * col("sy")) > 0L,
-          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-            / sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
-              * (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+        when((col("n") * sxx - sx * sx) > 0L
+          && (col("n") * syy - sy * sy) > 0L,
+          round((col("n") * sxy - sx * sy).cast("double")
+            / sqrt((col("n") * sxx - sx * sx).cast("double")
+              * (col("n") * syy - sy * sy).cast("double")), 6)
             + lit(0.0)).as("r_item_rest"))
+    }
+    Seq(row("i1", col("c1"), col("a1")), row("i2", col("c2"), col("a2")),
+      row("i3", col("c3"), col("a3")), row("i4", col("c4"), col("a4")),
+      row("i5", col("c5"), col("a5")))
+      .reduce(_ unionByName _)
       .orderBy("item")
   }
 
