@@ -1563,30 +1563,36 @@ object TextPipeline {
         sum(col("i3")).as("c3"), sum(col("i3") * col("t")).as("a3"),
         sum(col("i4")).as("c4"), sum(col("i4") * col("t")).as("a4"),
         sum(col("i5")).as("c5"), sum(col("i5") * col("t")).as("a5"))
-      .localCheckpoint()
-    def row(item: String, c: Column, a: Column) = {
-      val sx = c
-      val sy = col("st") - c
-      val sxx = c
-      val sxy = a - c
-      val syy = col("stt") - lit(2L) * a + c
-      s.select(lit(item).as("item"), col("n"),
-        expr(s"${item.replace("i", "c")} * 1000000 div n").as("p_e6"),
-        // a constant item (zero variance — it happens: one gopher rule
-        // passes every doc at some SFs) has no defined point-biserial;
-        // the exact integer variance product guards the division on both
-        // engines identically (NULL, never Inf/throw)
-        when((col("n") * sxx - sx * sx) > 0L
-          && (col("n") * syy - sy * sy) > 0L,
-          round((col("n") * sxy - sx * sy).cast("double")
-            / sqrt((col("n") * sxx - sx * sx).cast("double")
-              * (col("n") * syy - sy * sy).cast("double")), 6)
-            + lit(0.0)).as("r_item_rest"))
-    }
-    Seq(row("i1", col("c1"), col("a1")), row("i2", col("c2"), col("a2")),
-      row("i3", col("c3"), col("a3")), row("i4", col("c4"), col("a4")),
-      row("i5", col("c5"), col("a5")))
-      .reduce(_ unionByName _)
+    // fan the single stats row out into 5 item rows with a literal-keyed
+    // generator — the corpus is aggregated exactly ONCE (a 5-way union
+    // recomputed the battery per branch, and eager localCheckpoint cost
+    // ~10 s of construction-time wall on the bench path)
+    val long = s.select(col("n"), col("st"), col("stt"),
+      explode(array(
+        struct(lit("i1").as("item"), col("c1").as("c"), col("a1").as("a")),
+        struct(lit("i2").as("item"), col("c2").as("c"), col("a2").as("a")),
+        struct(lit("i3").as("item"), col("c3").as("c"), col("a3").as("a")),
+        struct(lit("i4").as("item"), col("c4").as("c"), col("a4").as("a")),
+        struct(lit("i5").as("item"), col("c5").as("c"), col("a5").as("a")))).as("e"))
+      .select(col("e.item").as("item"), col("n"), col("st"), col("stt"),
+        col("e.c").as("c"), col("e.a").as("a"))
+    val sx = col("c")
+    val sy = col("st") - col("c")
+    val sxx = col("c")
+    val sxy = col("a") - col("c")
+    val syy = col("stt") - lit(2L) * col("a") + col("c")
+    long.select(col("item"), col("n"),
+      expr("c * 1000000 div n").as("p_e6"),
+      // a constant item (zero variance — it happens: one gopher rule
+      // passes every doc at some SFs) has no defined point-biserial;
+      // the exact integer variance product guards the division on both
+      // engines identically (NULL, never Inf/throw)
+      when((col("n") * sxx - sx * sx) > 0L
+        && (col("n") * syy - sy * sy) > 0L,
+        round((col("n") * sxy - sx * sy).cast("double")
+          / sqrt((col("n") * sxx - sx * sx).cast("double")
+            * (col("n") * syy - sy * sy).cast("double")), 6)
+          + lit(0.0)).as("r_item_rest"))
       .orderBy("item")
   }
 
