@@ -533,4 +533,158 @@ object GraphMl {
         when(col("support") >= 2L, 1L).otherwise(0L).as("kept_k4"))
       .orderBy("support")
   }
+
+  /** Bounded eccentricity from the five highest-degree hubs: a
+    * multi-source BFS (frontier keyed by (seed, node)) unrolled three
+    * rounds — one edge join + one anti-join per round, all seeds expand
+    * in the SAME frontier DataFrame so the round count, not the seed
+    * count, fixes the number of shuffles. Output per seed: nodes newly
+    * reached at hops 1-3 and the 3-bounded eccentricity (how far the
+    * hub's influence actually extends). Hop-bounded by design: on a
+    * 100 TB graph the full eccentricity is a Θ(diameter)-round job,
+    * while the k-bounded variant is the fixed-cost neighborhood profile
+    * every hub audit starts with.
+    */
+  def q_graph_eccentricity(spark: SparkSession, sf: String): DataFrame = {
+    val edges = coPurchaseEdges(spark, sf)
+    val seeds = edges.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("node").asc)
+      .limit(5)
+      .localCheckpoint()
+    val f0 = seeds.select(col("node").as("seed"), col("node"))
+    def expand(frontier: DataFrame, visited: DataFrame): DataFrame =
+      frontier.join(edges.select(col("u").as("node"), col("v")), "node")
+        .select(col("seed"), col("v").as("node")).distinct()
+        .join(visited, Seq("seed", "node"), "left_anti")
+        .localCheckpoint()
+    val f1 = expand(f0, f0)
+    val v1 = f0.unionByName(f1)
+    val f2 = expand(f1, v1)
+    val v2 = v1.unionByName(f2)
+    val f3 = expand(f2, v2)
+    val levels = f1.withColumn("lvl", lit(1L))
+      .unionByName(f2.withColumn("lvl", lit(2L)))
+      .unionByName(f3.withColumn("lvl", lit(3L)))
+    seeds.select(col("node").as("seed"), col("deg"))
+      .join(levels.groupBy(col("seed")).agg(
+        sum(when(col("lvl") === 1L, 1L).otherwise(0L)).as("n_hop1"),
+        sum(when(col("lvl") === 2L, 1L).otherwise(0L)).as("n_hop2"),
+        sum(when(col("lvl") === 3L, 1L).otherwise(0L)).as("n_hop3"),
+        max(col("lvl")).as("ecc3")), Seq("seed"), "left_outer")
+      .select(col("seed"), col("deg"),
+        coalesce(col("n_hop1"), lit(0L)).as("n_hop1"),
+        coalesce(col("n_hop2"), lit(0L)).as("n_hop2"),
+        coalesce(col("n_hop3"), lit(0L)).as("n_hop3"),
+        coalesce(col("ecc3"), lit(0L)).as("ecc3"))
+      .orderBy("seed")
+  }
+
+  /** Double-sweep diameter lower bound, 3-hop-bounded: BFS from the
+    * minimum node, pick the farthest node reached (max level, then min
+    * id — the deterministic periphery pick), BFS again from there. The
+    * second sweep's eccentricity is the classic cheap diameter lower
+    * bound (two BFS instead of all-pairs). Both sweeps reuse the same
+    * unrolled frontier/anti-join rounds as [[q_bfs_levels]]; the
+    * peripheral pick is a 1-row sort-limit broadcast into sweep 2.
+    */
+  def q_graph_diameter2sweep(spark: SparkSession, sf: String): DataFrame = {
+    val edges = coPurchaseEdges(spark, sf)
+    def expand(frontier: DataFrame, visited: DataFrame): DataFrame =
+      frontier.join(edges.select(col("u").as("node"), col("v")), "node")
+        .select(col("v").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .localCheckpoint()
+    def sweep(src: DataFrame): DataFrame = {
+      val f0 = src.localCheckpoint()
+      val f1 = expand(f0, f0)
+      val v1 = f0.unionByName(f1)
+      val f2 = expand(f1, v1)
+      val v2 = v1.unionByName(f2)
+      val f3 = expand(f2, v2)
+      f0.withColumn("lvl", lit(0L))
+        .unionByName(f1.withColumn("lvl", lit(1L)))
+        .unionByName(f2.withColumn("lvl", lit(2L)))
+        .unionByName(f3.withColumn("lvl", lit(3L)))
+    }
+    val s1 = sweep(edges.agg(min(col("u")).as("node")))
+    val far = s1.orderBy(col("lvl").desc, col("node").asc).limit(1)
+      .localCheckpoint()
+    val s2 = sweep(far.select(col("node")))
+    val a1 = s1.agg(max(col("lvl")).as("ecc1"), count(lit(1)).as("n_reached1"))
+    val a2 = s2.agg(max(col("lvl")).as("ecc2"), count(lit(1)).as("n_reached2"))
+    s1.filter(col("lvl") === 0L).select(col("node").as("start_node"))
+      .crossJoin(far.select(col("node").as("periphery_node")))
+      .crossJoin(a1).crossJoin(a2)
+      .select(col("start_node"), col("periphery_node"),
+        col("ecc1"), col("n_reached1"), col("ecc2"), col("n_reached2"),
+        greatest(col("ecc1"), col("ecc2")).as("diameter_lb"))
+  }
+
+  /** One Borůvka MST round on the weighted co-purchase graph (edge cost
+    * = 1000 div support, the q_sssp_weighted metric): every node picks
+    * its cheapest incident edge (cost asc, neighbor asc — the
+    * deterministic tie-break Borůvka needs to stay cycle-free), the
+    * picks are deduped to undirected edges, and the round summary says
+    * how far one parallel round gets: components drop from n_nodes to
+    * n_nodes − n_picked. The per-node pick is a node-partitioned
+    * window (never global); this is the textbook first round of
+    * distributed MST at any scale.
+    */
+  def q_boruvka_step(spark: SparkSession, sf: String): DataFrame = {
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val e0 = items.as("a")
+      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("s"))
+      .filter(col("s") >= 2)
+    val edges = e0.select(col("u"), col("v"), expr("1000 div s").as("w"))
+      .unionByName(e0.select(col("v").as("u"), col("u").as("v"), expr("1000 div s").as("w")))
+      .localCheckpoint()
+    val wMin = Window.partitionBy("u").orderBy(col("w").asc, col("v").asc)
+    val picks = edges.withColumn("rn", row_number().over(wMin))
+      .filter(col("rn") === 1)
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"), col("w"))
+    val und = picks.groupBy(col("a"), col("b"))
+      .agg(max(col("w")).as("w"), count(lit(1)).as("n_pickers"))
+    val nodes = edges.agg(countDistinct(col("u")).as("n_nodes"))
+    und.agg(count(lit(1)).as("n_picked"), sum(col("w")).as("total_w"),
+        sum(when(col("n_pickers") === 2L, 1L).otherwise(0L)).as("n_mutual"))
+      .crossJoin(broadcast(nodes))
+      .select(col("n_nodes"), col("n_picked"), col("total_w"), col("n_mutual"),
+        (col("n_nodes") - col("n_picked")).as("n_components_after"))
+  }
+
+  /** Local bridges (Granovetter weak ties): edges whose endpoints share
+    * NO common neighbor — removing one lengthens the u→v path to ≥ 3.
+    * Support comes from the same wedge join as [[q_ktruss_step]] (never
+    * node²); the top-10 bridges by endpoint-degree product are the
+    * highest-traffic weak ties, the ones a connectivity-critical
+    * pipeline monitors. `n_bridges_total` rides along on every row so
+    * the single query also answers "how much of the graph is
+    * triangle-free tissue".
+    */
+  def q_local_bridges(spark: SparkSession, sf: String): DataFrame = {
+    val edges = coPurchaseEdges(spark, sf)
+    val und = edges.filter(col("u") < col("v")).localCheckpoint()
+    val supported = und.as("e")
+      .join(edges.select(col("u").as("eu"), col("v").as("z1")).as("a"),
+        col("e.u") === col("eu"))
+      .join(edges.select(col("u").as("ev"), col("v").as("z2")).as("b"),
+        col("e.v") === col("ev") && col("z1") === col("z2"))
+      .select(col("e.u").as("u"), col("e.v").as("v")).distinct()
+    val deg = edges.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    val bridges = und.join(supported, Seq("u", "v"), "left_anti")
+      .join(deg.select(col("node").as("u"), col("deg").as("deg_u")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("deg_v")), "v")
+      .localCheckpoint()
+    val tot = bridges.agg(count(lit(1)).as("n_bridges_total"))
+    bridges.crossJoin(broadcast(tot))
+      .orderBy((col("deg_u") * col("deg_v")).desc, col("u").asc, col("v").asc)
+      .limit(10)
+      .select(col("u"), col("v"), col("deg_u"), col("deg_v"),
+        (col("deg_u") * col("deg_v")).as("degprod"), col("n_bridges_total"))
+  }
 }

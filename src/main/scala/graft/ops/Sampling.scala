@@ -740,4 +740,34 @@ object Sampling {
           .as("err_e6"))
       .orderBy("band")
   }
+
+  /** Bottom-k "reservoir" estimator audit: per event type the 32 events
+    * with the smallest md5 hash of their id form a deterministic uniform
+    * sample (the mergeable distributed equivalent of reservoir sampling —
+    * bottom-k by a fixed hash commutes with partitioning, unlike the
+    * classic sequential reservoir). The audit compares the sample's mean
+    * value against the exact mean: per type n, k, both means (4-decimal,
+    * one fixed IEEE division each) and the signed e4 relative error —
+    * the number that says whether k = 32 is enough at this cardinality.
+    */
+  def q_reservoir_bottomk(spark: SparkSession, sf: String): DataFrame = {
+    val ev = Tables.eventsWithTs(spark, sf)
+      .select(col("event_type"), col("event_id"), cents(col("value")).as("v"),
+        graft.core.Det.hash32(col("event_id")).as("h"))
+    val w = Window.partitionBy("event_type").orderBy(col("h").asc, col("event_id").asc)
+    val samp = ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 32)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("k"), sum(col("v")).as("sv"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("tv"))
+    exact.join(samp, "event_type")
+      .select(col("event_type"), col("n"), col("k"),
+        (round(expr("CAST(sv AS DOUBLE) / CAST(k AS DOUBLE)"), 4) + lit(0.0))
+          .as("est_mean_cents"),
+        (round(expr("CAST(tv AS DOUBLE) / CAST(n AS DOUBLE)"), 4) + lit(0.0))
+          .as("exact_mean_cents"),
+        expr("(sv * n - tv * k) * 10000 div (tv * k)").as("rel_err_e4"))
+      .orderBy("event_type")
+  }
 }

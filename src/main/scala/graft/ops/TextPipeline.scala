@@ -1808,4 +1808,66 @@ object TextPipeline {
         expr("max_chars * 1000000 div (tot_chars div n_shards)")
           .as("skew_ratio_e6"))
       .orderBy("lang")
+
+  /** DSIR-style importance weights for data selection: hashed-bigram
+    * log-likelihood ratio between the target domain (English docs — the
+    * corpus majority) and the raw rest. Per 1024-bucket feature b the
+    * add-one LLR ln((t_b+1)/(T+B)) − ln((r_b+1)/(R+B)) is pre-rounded
+    * to an e6 BIGINT, so each candidate doc's score is an exact integer
+    * sum over its bigram buckets — summation-order-proof. Output: the
+    * 20 non-target docs most target-like, i.e. exactly the docs an
+    * importance-resampling curation step would pull in first. Scale
+    * posture: the bucket table is ≤1024 rows (broadcast); everything
+    * else is explode → hash-aggregate on (doc, bucket).
+    */
+  def q_dsir_weights(spark: SparkSession, sf: String): DataFrame = {
+    val feats = docBigrams(spark, sf)
+      .join(Tables.documents(spark, sf).select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"),
+        pmod(th(concat_ws(" ", col("w1"), col("w2"))), lit(1024L)).as("b"))
+    val counts = feats
+      .groupBy(col("b"))
+      .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tb"),
+        sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("rb"))
+    val tots = counts.agg(sum(col("tb")).as("tt"), sum(col("rb")).as("rt"))
+    val llr = counts.crossJoin(broadcast(tots))
+      .select(col("b"), expr(
+        """CAST(ROUND((ln(CAST(tb + 1 AS DOUBLE)) - ln(CAST(tt + 1024 AS DOUBLE))
+                       - ln(CAST(rb + 1 AS DOUBLE)) + ln(CAST(rt + 1024 AS DOUBLE))) * 1e6)
+           AS BIGINT)""").as("llr_e6"))
+    feats.filter(col("lang") =!= "en")
+      .join(broadcast(llr), "b")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("llr_e6")).as("score_e6"))
+      .orderBy(col("score_e6").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  /** Curriculum schedule for training-data ordering: documents staged
+    * easy→hard by length (256-char stages, capped at 3), each stage
+    * reporting its size, its char mass, the cumulative chars a trainer
+    * has consumed BEFORE the stage starts, and the first five doc ids
+    * it would emit. The cross-stage prefix is a bounded theta join on
+    * the 4-row stage aggregate — never a global window — so the
+    * schedule metadata costs one aggregate regardless of corpus size.
+    */
+  def q_curriculum_schedule(spark: SparkSession, sf: String): DataFrame = {
+    val staged = Tables.documents(spark, sf)
+      .select(least(lit(3L), expr("n_chars div 256")).as("stage"),
+        col("doc_id"), col("n_chars"))
+    val agg = staged.groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+        expr("array_join(transform(slice(array_sort(collect_list(doc_id)), 1, 5)," +
+          " x -> CAST(x AS STRING)), ',')").as("first_docs"))
+      .localCheckpoint()
+    agg.as("a")
+      .join(agg.select(col("stage").as("s2"), col("chars").as("c2")).as("b"),
+        col("s2") < col("a.stage"), "left_outer")
+      .groupBy(col("a.stage").as("stage"), col("a.n_docs").as("n_docs"),
+        col("a.chars").as("chars"), col("a.first_docs").as("first_docs"))
+      .agg(coalesce(sum(col("c2")), lit(0L)).as("cum_chars_before"))
+      .select(col("stage"), col("n_docs"), col("chars"),
+        col("cum_chars_before"), col("first_docs"))
+      .orderBy("stage")
+  }
 }

@@ -16240,5 +16240,174 @@ object OracleSql {
                AS dor
       FROM c2""",
 
+    "q_graph_eccentricity" -> """
+      WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           e0 AS MATERIALIZED (SELECT a.pk AS u, b.pk AS v
+                  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+                  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+           ed AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+           seeds AS MATERIALIZED (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg
+                     FROM ed GROUP BY u ORDER BY deg DESC, node ASC LIMIT 5),
+           f0 AS MATERIALIZED (SELECT node AS seed, node FROM seeds),
+           f1 AS MATERIALIZED (SELECT DISTINCT f.seed, e.v AS node FROM f0 f JOIN ed e ON e.u = f.node
+                  WHERE NOT EXISTS (SELECT 1 FROM f0 x WHERE x.seed = f.seed AND x.node = e.v)),
+           f2 AS MATERIALIZED (SELECT DISTINCT f.seed, e.v AS node FROM f1 f JOIN ed e ON e.u = f.node
+                  WHERE NOT EXISTS (SELECT 1 FROM f0 x WHERE x.seed = f.seed AND x.node = e.v)
+                    AND NOT EXISTS (SELECT 1 FROM f1 x WHERE x.seed = f.seed AND x.node = e.v)),
+           f3 AS MATERIALIZED (SELECT DISTINCT f.seed, e.v AS node FROM f2 f JOIN ed e ON e.u = f.node
+                  WHERE NOT EXISTS (SELECT 1 FROM f0 x WHERE x.seed = f.seed AND x.node = e.v)
+                    AND NOT EXISTS (SELECT 1 FROM f1 x WHERE x.seed = f.seed AND x.node = e.v)
+                    AND NOT EXISTS (SELECT 1 FROM f2 x WHERE x.seed = f.seed AND x.node = e.v)),
+           lv AS MATERIALIZED (SELECT seed, node, 1 AS lvl FROM f1
+                  UNION ALL SELECT seed, node, 2 FROM f2
+                  UNION ALL SELECT seed, node, 3 FROM f3)
+      SELECT s.node AS seed, s.deg,
+             CAST(COALESCE(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hop1,
+             CAST(COALESCE(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hop2,
+             CAST(COALESCE(SUM(CASE WHEN lvl = 3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hop3,
+             CAST(COALESCE(MAX(lvl), 0) AS BIGINT) AS ecc3
+      FROM seeds s LEFT JOIN lv ON lv.seed = s.node
+      GROUP BY 1, 2 ORDER BY seed""",
+
+    "q_graph_diameter2sweep" -> """
+      WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           e0 AS MATERIALIZED (SELECT a.pk AS u, b.pk AS v
+                  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+                  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+           ed AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+           s0 AS MATERIALIZED (SELECT MIN(u) AS node FROM ed),
+           l1 AS MATERIALIZED (SELECT DISTINCT v AS node FROM ed JOIN s0 ON ed.u = s0.node
+                  WHERE v NOT IN (SELECT node FROM s0)),
+           l2 AS MATERIALIZED (SELECT DISTINCT v AS node FROM ed WHERE u IN (SELECT node FROM l1)
+                  AND v NOT IN (SELECT node FROM s0 UNION ALL SELECT node FROM l1)),
+           l3 AS MATERIALIZED (SELECT DISTINCT v AS node FROM ed WHERE u IN (SELECT node FROM l2)
+                  AND v NOT IN (SELECT node FROM s0 UNION ALL SELECT node FROM l1
+                                UNION ALL SELECT node FROM l2)),
+           sw1 AS MATERIALIZED (SELECT node, 0 AS lvl FROM s0 UNION ALL SELECT node, 1 FROM l1
+                   UNION ALL SELECT node, 2 FROM l2 UNION ALL SELECT node, 3 FROM l3),
+           far AS MATERIALIZED (SELECT node FROM sw1 ORDER BY lvl DESC, node ASC LIMIT 1),
+           m1 AS MATERIALIZED (SELECT DISTINCT v AS node FROM ed JOIN far ON ed.u = far.node
+                  WHERE v NOT IN (SELECT node FROM far)),
+           m2 AS MATERIALIZED (SELECT DISTINCT v AS node FROM ed WHERE u IN (SELECT node FROM m1)
+                  AND v NOT IN (SELECT node FROM far UNION ALL SELECT node FROM m1)),
+           m3 AS MATERIALIZED (SELECT DISTINCT v AS node FROM ed WHERE u IN (SELECT node FROM m2)
+                  AND v NOT IN (SELECT node FROM far UNION ALL SELECT node FROM m1
+                                UNION ALL SELECT node FROM m2)),
+           sw2 AS MATERIALIZED (SELECT node, 0 AS lvl FROM far UNION ALL SELECT node, 1 FROM m1
+                   UNION ALL SELECT node, 2 FROM m2 UNION ALL SELECT node, 3 FROM m3)
+      SELECT (SELECT node FROM s0) AS start_node,
+             (SELECT node FROM far) AS periphery_node,
+             CAST((SELECT MAX(lvl) FROM sw1) AS BIGINT) AS ecc1,
+             CAST((SELECT COUNT(*) FROM sw1) AS BIGINT) AS n_reached1,
+             CAST((SELECT MAX(lvl) FROM sw2) AS BIGINT) AS ecc2,
+             CAST((SELECT COUNT(*) FROM sw2) AS BIGINT) AS n_reached2,
+             CAST(GREATEST((SELECT MAX(lvl) FROM sw1),
+                           (SELECT MAX(lvl) FROM sw2)) AS BIGINT) AS diameter_lb""",
+
+    "q_boruvka_step" -> """
+      WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           e0 AS (SELECT a.pk AS u, b.pk AS v, CAST(COUNT(*) AS BIGINT) AS s
+                  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+                  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+           edges AS (SELECT u, v, 1000 // s AS w FROM e0
+                     UNION ALL SELECT v, u, 1000 // s FROM e0),
+           picks AS (SELECT LEAST(u, v) AS a, GREATEST(u, v) AS b, w FROM
+                       (SELECT u, v, w,
+                               ROW_NUMBER() OVER (PARTITION BY u ORDER BY w ASC, v ASC) AS rn
+                        FROM edges)
+                     WHERE rn = 1),
+           und AS (SELECT a, b, CAST(MAX(w) AS BIGINT) AS w,
+                          CAST(COUNT(*) AS BIGINT) AS np
+                   FROM picks GROUP BY a, b),
+           nodes AS (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS n_nodes FROM edges)
+      SELECT n_nodes, CAST(COUNT(*) AS BIGINT) AS n_picked,
+             CAST(SUM(w) AS BIGINT) AS total_w,
+             CAST(SUM(CASE WHEN np = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_mutual,
+             CAST(n_nodes - COUNT(*) AS BIGINT) AS n_components_after
+      FROM und CROSS JOIN nodes GROUP BY n_nodes""",
+
+    "q_local_bridges" -> """
+      WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           e0 AS (SELECT a.pk AS u, b.pk AS v
+                  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+                  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+           ed AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+           supported AS (SELECT DISTINCT e.u, e.v
+                         FROM e0 e JOIN ed a ON a.u = e.u
+                                   JOIN ed b ON b.u = e.v AND a.v = b.v),
+           deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM ed GROUP BY u),
+           br AS (SELECT e.u, e.v, du.deg AS deg_u, dv.deg AS deg_v
+                  FROM e0 e
+                  LEFT JOIN supported s ON s.u = e.u AND s.v = e.v
+                  JOIN deg du ON du.node = e.u
+                  JOIN deg dv ON dv.node = e.v
+                  WHERE s.u IS NULL),
+           tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM br)
+      SELECT u, v, deg_u, deg_v, CAST(deg_u * deg_v AS BIGINT) AS degprod,
+             nb AS n_bridges_total
+      FROM br CROSS JOIN tot
+      ORDER BY degprod DESC, u ASC, v ASC LIMIT 10""",
+
+    "q_dsir_weights" -> """
+      WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w,
+                          generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+                   FROM documents),
+           bg AS (SELECT doc_id, w1, w2 FROM
+                    (SELECT doc_id, w AS w1,
+                            LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM tok)
+                  WHERE w2 IS NOT NULL),
+           f AS (SELECT b.doc_id, d.lang,
+                        CAST('0x' || substring(md5(w1 || ' ' || w2), 1, 8) AS BIGINT) % 1024 AS bk
+                 FROM bg b JOIN documents d ON d.doc_id = b.doc_id),
+           c AS (SELECT bk,
+                        CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tb,
+                        CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS rb
+                 FROM f GROUP BY bk),
+           t AS (SELECT CAST(SUM(tb) AS BIGINT) AS tt, CAST(SUM(rb) AS BIGINT) AS rt FROM c),
+           l AS (SELECT bk,
+                        CAST(ROUND((LN(CAST(tb + 1 AS DOUBLE)) - LN(CAST(tt + 1024 AS DOUBLE))
+                                    - LN(CAST(rb + 1 AS DOUBLE)) + LN(CAST(rt + 1024 AS DOUBLE)))
+                                   * 1e6) AS BIGINT) AS llr_e6
+                 FROM c CROSS JOIN t)
+      SELECT f.doc_id, f.lang, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(llr_e6) AS BIGINT) AS score_e6
+      FROM f JOIN l USING (bk) WHERE f.lang <> 'en'
+      GROUP BY 1, 2 ORDER BY score_e6 DESC, doc_id ASC LIMIT 20""",
+
+    "q_curriculum_schedule" -> """
+      WITH s AS (SELECT LEAST(n_chars // 256, 3) AS stage, doc_id, n_chars FROM documents),
+           r AS (SELECT stage, doc_id,
+                        ROW_NUMBER() OVER (PARTITION BY stage ORDER BY doc_id) AS rn FROM s),
+           fd AS (SELECT stage, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                           AS first_docs
+                  FROM r WHERE rn <= 5 GROUP BY stage),
+           a AS (SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                        CAST(SUM(n_chars) AS BIGINT) AS chars
+                 FROM s GROUP BY stage),
+           cum AS (SELECT a.stage, CAST(COALESCE(SUM(b.chars), 0) AS BIGINT) AS cum_chars_before
+                   FROM a LEFT JOIN a b ON b.stage < a.stage GROUP BY a.stage)
+      SELECT a.stage, a.n_docs, a.chars, cum.cum_chars_before, fd.first_docs
+      FROM a JOIN cum USING (stage) JOIN fd USING (stage) ORDER BY stage""",
+
+    "q_reservoir_bottomk" -> """
+      WITH ev AS (SELECT event_type, event_id,
+                         CAST(ROUND(value * 100) AS BIGINT) AS v,
+                         CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8)
+                           AS BIGINT) AS h
+                  FROM events),
+           r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                              ORDER BY h ASC, event_id ASC) AS rn FROM ev),
+           s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS k,
+                        CAST(SUM(v) AS BIGINT) AS sv
+                 FROM r WHERE rn <= 32 GROUP BY 1),
+           x AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(v) AS BIGINT) AS tv
+                 FROM ev GROUP BY 1)
+      SELECT x.event_type, n, k,
+             ROUND(CAST(sv AS DOUBLE) / CAST(k AS DOUBLE), 4) + 0 AS est_mean_cents,
+             ROUND(CAST(tv AS DOUBLE) / CAST(n AS DOUBLE), 4) + 0 AS exact_mean_cents,
+             CAST((sv * n - tv * k) * 10000 // (tv * k) AS BIGINT) AS rel_err_e4
+      FROM x JOIN s USING (event_type) ORDER BY event_type""",
+
   )
 }

@@ -108,4 +108,75 @@ class Round4OpsSpec extends AnyFunSuite {
       assert(p3 <= 1000000L, s"p3=$p3 > 1")
     }
   }
+
+  test("graph eccentricity: 5 hub seeds, hop-1 ring equals degree, ecc within bound") {
+    val rows = GraphMl.q_graph_eccentricity(spark, sf).collect()
+    assert(rows.length == 5, rows.length.toString)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_hop1") == r.getAs[Long]("deg"),
+        s"hop-1 ring must be exactly the neighbor set: $r")
+      val e = r.getAs[Long]("ecc3")
+      assert(e >= 1L && e <= 3L, s"ecc3=$e outside the 3-hop bound")
+    }
+  }
+
+  test("diameter double sweep: lower bound dominates the first sweep's eccentricity") {
+    val r = GraphMl.q_graph_diameter2sweep(spark, sf).collect().head
+    val (e1, e2, lb) = (r.getAs[Long]("ecc1"), r.getAs[Long]("ecc2"),
+      r.getAs[Long]("diameter_lb"))
+    assert(lb == math.max(e1, e2), s"lb=$lb vs max($e1,$e2)")
+    assert(r.getAs[Long]("n_reached1") >= 1L && r.getAs[Long]("n_reached2") >= 1L)
+  }
+
+  test("boruvka step: component arithmetic holds and every pick is a real merge") {
+    val r = GraphMl.q_boruvka_step(spark, sf).collect().head
+    val (n, picked, mutual, after) = (r.getAs[Long]("n_nodes"),
+      r.getAs[Long]("n_picked"), r.getAs[Long]("n_mutual"),
+      r.getAs[Long]("n_components_after"))
+    assert(after == n - picked, s"$after != $n - $picked")
+    assert(picked * 2 >= n, s"every node picks an edge: picked=$picked n=$n")
+    assert(mutual >= 0L && mutual <= picked)
+  }
+
+  test("local bridges: degree product column is consistent and count rides along") {
+    val rows = GraphMl.q_local_bridges(spark, sf).collect()
+    assert(rows.length <= 10)
+    val tot = rows.head.getAs[Long]("n_bridges_total")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("degprod") ==
+        r.getAs[Long]("deg_u") * r.getAs[Long]("deg_v"))
+      assert(r.getAs[Long]("n_bridges_total") == tot)
+      assert(tot >= rows.length.toLong)
+    }
+  }
+
+  test("dsir weights: only non-target docs, scores strictly ordered with id tiebreak") {
+    val rows = TextPipeline.q_dsir_weights(spark, sf).collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_.getAs[String]("lang") != "en"))
+    val pairs = rows.map(r => (r.getAs[Long]("score_e6"), r.getAs[Long]("doc_id")))
+    pairs.sliding(2).foreach { case Array((s1, d1), (s2, d2)) =>
+      assert(s1 > s2 || (s1 == s2 && d1 < d2), s"order broken: ($s1,$d1) ($s2,$d2)")
+    }
+  }
+
+  test("curriculum schedule: prefix chars reconstruct from the stage masses") {
+    val rows = TextPipeline.q_curriculum_schedule(spark, sf).collect()
+    var cum = 0L
+    rows.sortBy(_.getAs[Long]("stage")).foreach { r =>
+      assert(r.getAs[Long]("cum_chars_before") == cum, r.toString)
+      cum += r.getAs[Long]("chars")
+      assert(r.getAs[String]("first_docs").split(",").length
+        == math.min(5L, r.getAs[Long]("n_docs")), r.toString)
+    }
+  }
+
+  test("reservoir bottom-k: sample never exceeds k=32 or the population") {
+    Sampling.q_reservoir_bottomk(spark, sf).collect().foreach { r =>
+      val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("k"))
+      assert(k <= 32L && k <= n, s"k=$k n=$n")
+      assert(math.abs(r.getAs[Long]("rel_err_e4")) < 5000L,
+        s"bottom-32 estimate off by >50%: $r")
+    }
+  }
 }
