@@ -9394,4 +9394,196 @@ object Analytics {
       .orderBy("day")
   }
 
+  /** Yule-Walker AR(2) fit of the daily revenue series with a one-step
+    * forecast: r₁/r₂ exactly as [[graft.ops.MLDeterministic.q_pacf]]
+    * (the same sufficient-statistic trees), then
+    * φ₁ = r₁(1−r₂)/(1−r₁²), φ₂ = (r₂−r₁²)/(1−r₁²), the innovation
+    * variance ratio 1 − φ₁r₁ − φ₂r₂, and
+    * x̂ = μ + φ₁(x_T−μ) + φ₂(x_{T−1}−μ) where the last two observations
+    * come from a later-count theta join (gap-proof — no calendar
+    * assumption). One aggregate + three bounded joins at any scale.
+    */
+  def q_yule_walker_ar2(spark: SparkSession, sf: String): DataFrame = {
+    val epoch = lit("1970-01-01").cast("date")
+    val raw = Tables.eventsWithTs(spark, sf)
+      .groupBy(datediff(to_date(col("ts_us")), epoch).cast("long").as("t"))
+      .agg(sum(cents(col("value"))).as("x"))
+      .localCheckpoint()
+    val base = raw.agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+      sum(col("x") * col("x")).as("q"))
+    def lagSum(k: Int): DataFrame = raw.as("a")
+      .join(raw.select(col("t").as("t2"), col("x").as("x2")).as("b"),
+        col("t2") === col("t") + k)
+      .agg(sum(col("x") * col("x2")).as(s"c$k"), count(lit(1)).as(s"n$k"),
+        sum(col("x")).as(s"sa$k"), sum(col("x2")).as(s"sb$k"))
+    val last2 = raw.as("a")
+      .join(raw.select(col("t").as("t2")).as("b"), col("t2") > col("t"), "left_outer")
+      .groupBy(col("a.t").as("t"), col("a.x").as("x"))
+      .agg(count(col("t2")).as("n_later"))
+      .filter(col("n_later") <= 1)
+      .agg(sum(when(col("n_later") === 0, col("x"))).as("xt"),
+        sum(when(col("n_later") === 1, col("x"))).as("xt1"))
+    base.crossJoin(lagSum(1)).crossJoin(lagSum(2)).crossJoin(last2)
+      .select(col("n").as("n_days"),
+        expr("""(CAST(c1 AS DOUBLE) - CAST(sa1 AS DOUBLE) * CAST(sb1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                / (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))""").as("r1"),
+        expr("""(CAST(c2 AS DOUBLE) - CAST(sa2 AS DOUBLE) * CAST(sb2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                / (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))""").as("r2"),
+        expr("CAST(s AS DOUBLE) / CAST(n AS DOUBLE)").as("mu"),
+        col("xt"), col("xt1"))
+      .select(col("n_days"),
+        (round(expr("r1 * (1.0 - r2) / (1.0 - r1 * r1)"), 6) + lit(0.0)).as("phi1"),
+        (round(expr("(r2 - r1 * r1) / (1.0 - r1 * r1)"), 6) + lit(0.0)).as("phi2"),
+        (round(expr("""1.0 - (r1 * (1.0 - r2) / (1.0 - r1 * r1)) * r1
+                       - ((r2 - r1 * r1) / (1.0 - r1 * r1)) * r2"""), 6)
+          + lit(0.0)).as("innovar_ratio"),
+        (round(expr("""mu + (r1 * (1.0 - r2) / (1.0 - r1 * r1)) * (CAST(xt AS DOUBLE) - mu)
+                       + ((r2 - r1 * r1) / (1.0 - r1 * r1)) * (CAST(xt1 AS DOUBLE) - mu)"""), 4)
+          + lit(0.0)).as("forecast_cents"))
+  }
+
+  /** Hampel filter over daily revenue: per day the 7-day-window (±3
+    * calendar days) rolling lower median and MAD via the bounded
+    * day-distance theta join (≤7 partners per row — never a global
+    * window), outlier iff |x−med| > 3·MAD (exact integer comparison ×2
+    * against 6·MAD since MAD is a half-integer lattice ×2). Output: the
+    * per-day card with the flag — the despiking pre-pass robust
+    * monitoring pipelines run before any control chart.
+    */
+  def q_hampel_filter(spark: SparkSession, sf: String): DataFrame = {
+    val epoch = lit("1970-01-01").cast("date")
+    val raw = Tables.eventsWithTs(spark, sf)
+      .groupBy(datediff(to_date(col("ts_us")), epoch).cast("long").as("t"))
+      .agg(sum(cents(col("value"))).as("x"))
+      .localCheckpoint()
+    val near = raw.as("a")
+      .join(raw.select(col("t").as("t2"), col("x").as("x2")).as("b"),
+        col("t2").between(col("t") - 3, col("t") + 3))
+    // lower median of the ≤7 window values: smallest x2 with 2·rank ≥ n+1
+    val med = near.as("p")
+      .join(raw.select(col("t").as("t3"), col("x").as("x3")).as("c"),
+        col("t3").between(col("p.t") - 3, col("p.t") + 3) &&
+          (col("x3") < col("x2") ||
+            (col("x3") === col("x2") && col("t3") <= col("t2"))))
+      .groupBy(col("p.t").as("t"), col("p.x").as("x"), col("t2"), col("x2"))
+      .agg(count(lit(1)).as("rnk"))
+      .withColumn("n_win", sum(lit(1L)).over(Window.partitionBy("t")))
+      .filter(col("rnk") * 2 >= col("n_win") + 1)
+      .groupBy(col("t"), col("x"), col("n_win"))
+      .agg(min(col("x2")).as("med"))
+    val dev = med.join(near.select(col("a.t").as("t"), col("t2"), col("x2")), "t")
+      .select(col("t"), col("x"), col("n_win"), col("med"), col("t2"),
+        abs(col("x2") - col("med")).as("d"))
+    val mad = dev.as("p")
+      .join(dev.select(col("t").as("t4"), col("t2").as("t4m"),
+        col("d").as("d4")).as("q4"),
+        col("t4") === col("p.t") &&
+          (col("d4") < col("d") ||
+            (col("d4") === col("d") && col("t4m") <= col("t2"))))
+      .groupBy(col("p.t").as("t"), col("p.x").as("x"), col("p.n_win").as("n_win"),
+        col("p.med").as("med"), col("p.t2").as("t2"), col("d"))
+      .agg(count(lit(1)).as("rnk"))
+      .filter(col("rnk") * 2 >= col("n_win") + 1)
+      .groupBy(col("t"), col("x"), col("n_win"), col("med"))
+      .agg(min(col("d")).as("mad"))
+    mad.select(col("t").as("day"), col("x").as("rev_cents"), col("n_win"),
+        col("med").as("med_cents"), col("mad").as("mad_cents"),
+        when(abs(col("x") - col("med")) > col("mad") * 3, 1L).otherwise(0L)
+          .as("is_outlier"))
+      .orderBy("day")
+  }
+
+  /** Matched-sample price index numbers between the first and the last
+    * order month: per-part unit values on an exact e2-cent lattice
+    * (rev_cents·100 div qty), Laspeyres / Paasche / Fisher from exact
+    * BIGINT cross-products, Törnqvist from per-part e12-latticed
+    * ½(s₀+s₁)·ln(p₁/p₀) terms — every float folded per part BEFORE the
+    * sum, so the four indexes are summation-order-proof at any scale.
+    */
+  def q_price_indexes(spark: SparkSession, sf: String): DataFrame = {
+    val li = Tables.lineitem(spark, sf)
+      .select((year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
+        .cast("long").as("m"), col("l_partkey").as("pk"),
+        col("l_quantity").cast("long").as("qty"),
+        cents(col("l_extendedprice")).as("rev"))
+    val bounds = li.agg(min(col("m")).as("m0"), max(col("m")).as("m1"))
+    val pm = li.crossJoin(broadcast(bounds))
+      .filter(col("m") === col("m0") || col("m") === col("m1"))
+      .groupBy(col("pk"), (col("m") === col("m1")).cast("int").as("cur"))
+      .agg(sum(col("qty")).as("q"), sum(col("rev")).as("rev"))
+      .withColumn("uv_e2", expr("rev * 100 div q"))
+    val matched = pm.filter(col("cur") === 0)
+      .select(col("pk"), col("q").as("q0"), col("rev").as("rev0"), col("uv_e2").as("p0"))
+      .join(pm.filter(col("cur") === 1)
+        .select(col("pk"), col("q").as("q1"), col("rev").as("rev1"), col("uv_e2").as("p1")),
+        "pk")
+      .localCheckpoint()
+    val tots = matched.agg(sum(col("rev0")).as("t0"), sum(col("rev1")).as("t1"))
+    val terms = matched.crossJoin(broadcast(tots))
+      .select(col("pk"), col("q0"), col("q1"), col("p0"), col("p1"),
+        expr("""CAST(ROUND((CAST(rev0 AS DOUBLE) / CAST(t0 AS DOUBLE)
+                            + CAST(rev1 AS DOUBLE) / CAST(t1 AS DOUBLE)) * 0.5
+                           * ln(CAST(p1 AS DOUBLE) / CAST(p0 AS DOUBLE)) * 1e12)
+                AS BIGINT)""").as("torn_e12"))
+    terms.agg(count(lit(1)).as("n_matched"),
+        sum(col("p1") * col("q0")).as("l_num"), sum(col("p0") * col("q0")).as("l_den"),
+        sum(col("p1") * col("q1")).as("p_num"), sum(col("p0") * col("q1")).as("p_den"),
+        sum(col("torn_e12")).as("te12"))
+      .select(col("n_matched"),
+        expr("CAST(ROUND(CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE) * 1e6) AS BIGINT)")
+          .as("laspeyres_e6"),
+        expr("CAST(ROUND(CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE) * 1e6) AS BIGINT)")
+          .as("paasche_e6"),
+        expr("""CAST(ROUND(SQRT(CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE)
+                                * CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE)) * 1e6)
+                AS BIGINT)""").as("fisher_e6"),
+        expr("CAST(ROUND(EXP(CAST(te12 AS DOUBLE) / 1e12) * 1e6) AS BIGINT)")
+          .as("tornqvist_e6"))
+  }
+
+  /** Chained Laspeyres price-index series: consecutive-month links on
+    * the matched-part e2 unit-value lattice, link ln pre-rounded to an
+    * e9 BIGINT, and the chain reported in ln scale as the bounded
+    * month-theta-join cumulative (a pure BIGINT — exp() of a thin-match
+    * chain overflows, the ln chain never does). The
+    * chain drifts from the direct index when prices oscillate; this is
+    * the CPI-style monthly series next to [[q_price_indexes]]'
+    * two-point comparison.
+    */
+  def q_chained_laspeyres(spark: SparkSession, sf: String): DataFrame = {
+    val pm = Tables.lineitem(spark, sf)
+      .select((year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
+        .cast("long").as("m"), col("l_partkey").as("pk"),
+        col("l_quantity").cast("long").as("qty"),
+        cents(col("l_extendedprice")).as("rev"))
+      .groupBy(col("m"), col("pk"))
+      .agg(sum(col("qty")).as("q"), sum(col("rev")).as("rev"))
+      .withColumn("uv_e2", expr("rev * 100 div q"))
+      .localCheckpoint()
+    val links = pm.as("a")
+      .join(pm.select((col("m") - 1).as("m"), col("pk"),
+        col("q").as("q1x"), col("uv_e2").as("p1")).as("b"), Seq("m", "pk"))
+      .groupBy((col("m") + 1).as("m"))
+      .agg(count(lit(1)).as("n_matched"),
+        sum(col("p1") * col("q")).as("num"), sum(col("uv_e2") * col("q")).as("den"))
+      .select(col("m"), col("n_matched"),
+        expr("CAST(ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1e6) AS BIGINT)")
+          .as("link_e6"),
+        expr("CAST(ROUND(ln(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) * 1e9) AS BIGINT)")
+          .as("lnlink_e9"))
+      .localCheckpoint()
+    links.as("a")
+      .join(links.select(col("m").as("m2"), col("lnlink_e9").as("l2")).as("b"),
+        col("m2") <= col("m"))
+      .groupBy(col("a.m").as("m"), col("a.n_matched").as("n_matched"),
+        col("a.link_e6").as("link_e6"))
+      .agg(sum(col("l2")).as("cum_e9"))
+      // chain reported in ln scale (exact integer): thin-match months make
+      // exp() of the cumulative unbounded, while the ln chain stays a pure
+      // BIGINT at any drift
+      .select(col("m"), col("n_matched"), col("link_e6"),
+        expr("cum_e9 div 1000").as("chained_ln_e6"))
+      .orderBy("m")
+  }
+
 }

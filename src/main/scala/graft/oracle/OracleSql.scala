@@ -16409,5 +16409,127 @@ object OracleSql {
              CAST((sv * n - tv * k) * 10000 // (tv * k) AS BIGINT) AS rel_err_e4
       FROM x JOIN s USING (event_type) ORDER BY event_type""",
 
+    "q_yule_walker_ar2" -> """
+      WITH raw AS MATERIALIZED (
+             SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS t,
+                    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS x
+             FROM events GROUP BY 1),
+           base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s,
+                           CAST(SUM(x*x) AS BIGINT) AS q FROM raw),
+           l1 AS (SELECT CAST(SUM(a.x * b.x) AS BIGINT) AS c1, CAST(COUNT(*) AS BIGINT) AS n1,
+                         CAST(SUM(a.x) AS BIGINT) AS sa1, CAST(SUM(b.x) AS BIGINT) AS sb1
+                  FROM raw a JOIN raw b ON b.t = a.t + 1),
+           l2 AS (SELECT CAST(SUM(a.x * b.x) AS BIGINT) AS c2, CAST(COUNT(*) AS BIGINT) AS n2,
+                         CAST(SUM(a.x) AS BIGINT) AS sa2, CAST(SUM(b.x) AS BIGINT) AS sb2
+                  FROM raw a JOIN raw b ON b.t = a.t + 2),
+           last2 AS (SELECT CAST(SUM(CASE WHEN n_later = 0 THEN x END) AS BIGINT) AS xt,
+                            CAST(SUM(CASE WHEN n_later = 1 THEN x END) AS BIGINT) AS xt1
+                     FROM (SELECT a.t, a.x, COUNT(b.t) AS n_later
+                           FROM raw a LEFT JOIN raw b ON b.t > a.t GROUP BY a.t, a.x)
+                     WHERE n_later <= 1),
+           r AS (SELECT n AS n_days,
+                        (CAST(c1 AS DOUBLE) - CAST(sa1 AS DOUBLE) * CAST(sb1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                        / (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS r1,
+                        (CAST(c2 AS DOUBLE) - CAST(sa2 AS DOUBLE) * CAST(sb2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                        / (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS r2,
+                        CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu
+                 FROM base, l1, l2)
+      SELECT n_days,
+             ROUND(r1 * (1.0 - r2) / (1.0 - r1 * r1), 6) + 0 AS phi1,
+             ROUND((r2 - r1 * r1) / (1.0 - r1 * r1), 6) + 0 AS phi2,
+             ROUND(1.0 - (r1 * (1.0 - r2) / (1.0 - r1 * r1)) * r1
+                   - ((r2 - r1 * r1) / (1.0 - r1 * r1)) * r2, 6) + 0 AS innovar_ratio,
+             ROUND(mu + (r1 * (1.0 - r2) / (1.0 - r1 * r1)) * (CAST(xt AS DOUBLE) - mu)
+                   + ((r2 - r1 * r1) / (1.0 - r1 * r1)) * (CAST(xt1 AS DOUBLE) - mu), 4) + 0
+               AS forecast_cents
+      FROM r CROSS JOIN last2""",
+
+    "q_hampel_filter" -> """
+      WITH raw AS MATERIALIZED (
+             SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS t,
+                    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS x
+             FROM events GROUP BY 1),
+           near AS MATERIALIZED (
+             SELECT a.t, a.x, b.t AS t2, b.x AS x2
+             FROM raw a JOIN raw b ON b.t BETWEEN a.t - 3 AND a.t + 3),
+           rnk AS MATERIALIZED (
+             SELECT p.t, p.x, p.t2, p.x2, CAST(COUNT(*) AS BIGINT) AS rnk
+             FROM near p JOIN raw c ON c.t BETWEEN p.t - 3 AND p.t + 3
+                  AND (c.x < p.x2 OR (c.x = p.x2 AND c.t <= p.t2))
+             GROUP BY 1, 2, 3, 4),
+           rn2 AS (SELECT *, CAST(COUNT(*) OVER (PARTITION BY t) AS BIGINT) AS n_win FROM rnk),
+           med AS MATERIALIZED (
+             SELECT t, x, n_win, CAST(MIN(x2) AS BIGINT) AS med
+             FROM rn2 WHERE rnk * 2 >= n_win + 1 GROUP BY 1, 2, 3),
+           dev AS MATERIALIZED (
+             SELECT m.t, m.x, m.n_win, m.med, n.t2, abs(n.x2 - m.med) AS d
+             FROM med m JOIN near n ON n.t = m.t),
+           mrnk AS (SELECT p.t, p.x, p.n_win, p.med, p.t2, p.d, CAST(COUNT(*) AS BIGINT) AS rnk
+                    FROM dev p JOIN dev q4 ON q4.t = p.t
+                         AND (q4.d < p.d OR (q4.d = p.d AND q4.t2 <= p.t2))
+                    GROUP BY 1, 2, 3, 4, 5, 6),
+           mad AS (SELECT t, x, n_win, med, CAST(MIN(d) AS BIGINT) AS mad
+                   FROM mrnk WHERE rnk * 2 >= n_win + 1 GROUP BY 1, 2, 3, 4)
+      SELECT t AS day, x AS rev_cents, n_win, med AS med_cents, mad AS mad_cents,
+             CAST(CASE WHEN abs(x - med) > mad * 3 THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+      FROM mad ORDER BY day""",
+
+    "q_price_indexes" -> """
+      WITH li AS (SELECT CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS m,
+                         l_partkey AS pk, CAST(l_quantity AS BIGINT) AS qty,
+                         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS rev
+                  FROM lineitem),
+           bounds AS (SELECT MIN(m) AS m0, MAX(m) AS m1 FROM li),
+           pm AS (SELECT pk, CASE WHEN m = m1 THEN 1 ELSE 0 END AS cur,
+                         CAST(SUM(qty) AS BIGINT) AS q, CAST(SUM(rev) AS BIGINT) AS rev,
+                         CAST(SUM(rev) * 100 // SUM(qty) AS BIGINT) AS uv_e2
+                  FROM li CROSS JOIN bounds WHERE m = m0 OR m = m1 GROUP BY 1, 2),
+           matched AS (SELECT b0.pk, b0.q AS q0, b0.rev AS rev0, b0.uv_e2 AS p0,
+                              b1.q AS q1, b1.rev AS rev1, b1.uv_e2 AS p1
+                       FROM pm b0 JOIN pm b1 ON b0.pk = b1.pk AND b0.cur = 0 AND b1.cur = 1),
+           tots AS (SELECT CAST(SUM(rev0) AS BIGINT) AS t0, CAST(SUM(rev1) AS BIGINT) AS t1
+                    FROM matched),
+           terms AS (SELECT pk, q0, q1, p0, p1,
+                            CAST(ROUND((CAST(rev0 AS DOUBLE) / CAST(t0 AS DOUBLE)
+                                        + CAST(rev1 AS DOUBLE) / CAST(t1 AS DOUBLE)) * 0.5
+                                       * LN(CAST(p1 AS DOUBLE) / CAST(p0 AS DOUBLE)) * 1e12)
+                              AS BIGINT) AS torn_e12
+                     FROM matched CROSS JOIN tots)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_matched,
+             CAST(ROUND(CAST(SUM(p1 * q0) AS DOUBLE) / CAST(SUM(p0 * q0) AS DOUBLE) * 1e6)
+               AS BIGINT) AS laspeyres_e6,
+             CAST(ROUND(CAST(SUM(p1 * q1) AS DOUBLE) / CAST(SUM(p0 * q1) AS DOUBLE) * 1e6)
+               AS BIGINT) AS paasche_e6,
+             CAST(ROUND(SQRT(CAST(SUM(p1 * q0) AS DOUBLE) / CAST(SUM(p0 * q0) AS DOUBLE)
+                             * CAST(SUM(p1 * q1) AS DOUBLE) / CAST(SUM(p0 * q1) AS DOUBLE)) * 1e6)
+               AS BIGINT) AS fisher_e6,
+             CAST(ROUND(EXP(CAST(SUM(torn_e12) AS DOUBLE) / 1e12) * 1e6) AS BIGINT)
+               AS tornqvist_e6
+      FROM terms""",
+
+    "q_chained_laspeyres" -> """
+      WITH li AS (SELECT CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS m,
+                         l_partkey AS pk, CAST(l_quantity AS BIGINT) AS qty,
+                         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS rev
+                  FROM lineitem),
+           pm AS MATERIALIZED (
+             SELECT m, pk, CAST(SUM(qty) AS BIGINT) AS q,
+                    CAST(SUM(rev) * 100 // SUM(qty) AS BIGINT) AS uv_e2
+             FROM li GROUP BY 1, 2),
+           links AS MATERIALIZED (
+             SELECT a.m + 1 AS m, CAST(COUNT(*) AS BIGINT) AS n_matched,
+                    CAST(ROUND(CAST(SUM(b.uv_e2 * a.q) AS DOUBLE)
+                               / CAST(SUM(a.uv_e2 * a.q) AS DOUBLE) * 1e6) AS BIGINT)
+                      AS link_e6,
+                    CAST(ROUND(LN(CAST(SUM(b.uv_e2 * a.q) AS DOUBLE)
+                                  / CAST(SUM(a.uv_e2 * a.q) AS DOUBLE)) * 1e9) AS BIGINT)
+                      AS lnlink_e9
+             FROM pm a JOIN pm b ON b.pk = a.pk AND b.m = a.m + 1
+             GROUP BY a.m)
+      SELECT a.m, a.n_matched, a.link_e6,
+             CAST(CAST(SUM(b.lnlink_e9) AS BIGINT) // 1000 AS BIGINT) AS chained_ln_e6
+      FROM links a JOIN links b ON b.m <= a.m
+      GROUP BY 1, 2, 3 ORDER BY 1""",
+
   )
 }

@@ -171,6 +171,47 @@ class Round4OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("yule-walker AR(2): stationary fit with innovation variance in (0, 1]") {
+    val r = Analytics.q_yule_walker_ar2(spark, sf).collect().head
+    val (p1, p2) = (r.getAs[Double]("phi1"), r.getAs[Double]("phi2"))
+    // stationarity triangle: |φ2| < 1, φ2 ± φ1 < 1
+    assert(math.abs(p2) < 1.0 && p2 + p1 < 1.0 && p2 - p1 < 1.0, s"$p1 $p2")
+    val iv = r.getAs[Double]("innovar_ratio")
+    assert(iv > 0.0 && iv <= 1.0, s"innovar_ratio=$iv")
+  }
+
+  test("hampel filter: MAD never exceeds the widest deviation and flags are 0/1") {
+    val rows = Analytics.q_hampel_filter(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_win") >= 4L && r.getAs[Long]("n_win") <= 7L, r.toString)
+      assert(r.getAs[Long]("mad_cents") >= 0L)
+      assert(Set(0L, 1L).contains(r.getAs[Long]("is_outlier")))
+    }
+  }
+
+  test("price indexes: Fisher is the geometric mean of Laspeyres and Paasche") {
+    val r = Analytics.q_price_indexes(spark, sf).collect().head
+    val (l, p, f) = (r.getAs[Long]("laspeyres_e6"), r.getAs[Long]("paasche_e6"),
+      r.getAs[Long]("fisher_e6"))
+    assert(math.abs(f - math.sqrt(l.toDouble * p.toDouble)) < 2.0, s"$l $p $f")
+    assert(r.getAs[Long]("n_matched") >= 1L)
+  }
+
+  test("chained laspeyres: ln chain telescopes the per-month ln links") {
+    val rows = Analytics.q_chained_laspeyres(spark, sf).collect()
+      .sortBy(_.getAs[Long]("m"))
+    assert(rows.nonEmpty)
+    // each month's chain minus the previous chain ≈ the month's own ln link
+    // (e6 lattice; rounding of the e9→e6 truncation allows ±1)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      val step = b.getAs[Long]("chained_ln_e6") - a.getAs[Long]("chained_ln_e6")
+      val link = math.round(math.log(b.getAs[Long]("link_e6").toDouble / 1e6) * 1e6)
+      assert(math.abs(step - link) <= 2L, s"step=$step link=$link")
+    case _ => ()
+    }
+  }
+
   test("reservoir bottom-k: sample never exceeds k=32 or the population") {
     Sampling.q_reservoir_bottomk(spark, sf).collect().foreach { r =>
       val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("k"))
