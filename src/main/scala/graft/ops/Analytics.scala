@@ -9586,4 +9586,82 @@ object Analytics {
       .orderBy("m")
   }
 
+  /** ℓ-diversity audit of the release view (QI block = market segment ×
+    * nation, sensitive attribute = order priority): per block the row
+    * count, distinct-ℓ, entropy-ℓ (per-priority terms −p·ln p
+    * pre-rounded e8 before the ≤5-term sum — order-proof), and the
+    * ℓ≥3 verdict. The k-anonymity sibling counts rows; this one is the
+    * attribute-disclosure check a privacy review actually needs.
+    */
+  def q_l_diversity(spark: SparkSession, sf: String): DataFrame = {
+    val rel = Tables.orders(spark, sf)
+      .select(col("o_custkey").as("cust"), col("o_orderpriority").as("sens"))
+      .join(Tables.customer(spark, sf)
+        .select(col("c_custkey").as("cust"), col("c_mktsegment").as("seg"),
+          col("c_nationkey").cast("long").as("nat")), "cust")
+    val cells = rel.groupBy(col("seg"), col("nat"), col("sens"))
+      .agg(count(lit(1)).as("c"))
+    cells
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("seg", "nat")))
+      .select(col("seg"), col("nat"), col("n"),
+        expr("""CAST(ROUND(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                           * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1e8)
+                AS BIGINT)""").as("term_e8"))
+      .groupBy(col("seg"), col("nat"), col("n"))
+      .agg(count(lit(1)).as("l_distinct"), sum(col("term_e8")).as("h_e8"))
+      .select(col("seg"), col("nat"), col("n"), col("l_distinct"),
+        expr("h_e8 div 100").as("entropy_e6"),
+        when(col("l_distinct") >= 3, 1L).otherwise(0L).as("ok_l3"))
+      .orderBy("seg", "nat")
+  }
+
+  /** Hierarchical forecast reconciliation on monthly revenue by nation:
+    * holdout = the last month, naive per-nation forecast = mean of the
+    * three months before it (bottom-up), direct total forecast = the
+    * same rule on the total series, allocated top-down by each
+    * nation's training-revenue share (e6). Output per nation: actual,
+    * both forecasts, both absolute errors — the coherence-vs-accuracy
+    * table every hierarchy reconciliation decision reads. All integer
+    * cents; empty last-3 windows forecast 0 by the exact guard.
+    */
+  def q_forecast_reconcile(spark: SparkSession, sf: String): DataFrame = {
+    val nm = Tables.orders(spark, sf)
+      .select(col("o_custkey").as("cust"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("m"),
+        cents(col("o_totalprice")).as("rev"))
+      .join(Tables.customer(spark, sf)
+        .select(col("c_custkey").as("cust"), col("c_nationkey").cast("long").as("nat")), "cust")
+      .groupBy(col("nat"), col("m"))
+      .agg(sum(col("rev")).as("rev"))
+      .localCheckpoint()
+    val mmax = nm.agg(max(col("m")).as("mx"))
+    val base = nm.crossJoin(broadcast(mmax))
+    val bu = base.filter(col("m").between(col("mx") - 3, col("mx") - 1))
+      .groupBy(col("nat")).agg(sum(col("rev")).as("s3"), count(lit(1)).as("c3"))
+      .select(col("nat"), expr("s3 div c3").as("bu_fc"))
+    val share = base.filter(col("m") < col("mx"))
+      .groupBy(col("nat")).agg(sum(col("rev")).as("tr"))
+    val grand = share.agg(sum(col("tr")).as("g"))
+    val tdTot = base.filter(col("m").between(col("mx") - 3, col("mx") - 1))
+      .groupBy(col("m")).agg(sum(col("rev")).as("mrev"))
+      .agg(sum(col("mrev")).as("ts3"), count(lit(1)).as("tc3"))
+      .select(expr("ts3 div tc3").as("td_total"))
+    val actual = base.filter(col("m") === col("mx"))
+      .select(col("nat"), col("rev").as("actual"))
+    share.crossJoin(broadcast(grand)).crossJoin(broadcast(tdTot))
+      // two-step lattice: share_e6 ≤ 1e6 keeps td_total·share inside BIGINT
+      // where td_total·tr would overflow
+      .select(col("nat"), col("tr"),
+        expr("td_total * (tr * 1000000 div g) div 1000000").as("td_fc"))
+      .join(bu, Seq("nat"), "left_outer")
+      .join(actual, Seq("nat"), "left_outer")
+      .select(col("nat"), coalesce(col("actual"), lit(0L)).as("actual_cents"),
+        coalesce(col("bu_fc"), lit(0L)).as("bu_fc_cents"),
+        col("td_fc").as("td_fc_cents"))
+      .withColumn("bu_abs_err", abs(col("actual_cents") - col("bu_fc_cents")))
+      .withColumn("td_abs_err", abs(col("actual_cents") - col("td_fc_cents")))
+      .orderBy("nat")
+  }
+
 }

@@ -3360,4 +3360,82 @@ object MLDeterministic {
       .select(col("n_bins"), (col("n_bins") - 2L).as("df"),
         (round(col("s_e8").cast("double") / lit(1e8), 4) + lit(0.0)).as("hl_chi2"))
   }
+
+  /** One ALS user half-step (rank 2, λ=0.1) on the implicit
+    * customer×brand rating matrix (rating = distinct orders containing
+    * the brand). Item factors are a fixed deterministic e4 lattice from
+    * the shared md5 hash (what a converged factor table looks like to
+    * the solver — the update math is identical), so each user's ridge
+    * normal equations accumulate as exact BIGINT sums and the 2×2
+    * closed-form solve is one fixed IEEE tree. This is the half-step
+    * every distributed ALS iterates: broadcast item factors, one
+    * user-keyed aggregate, no shuffle beyond the ratings group-by.
+    */
+  def q_als_user_step(spark: SparkSession, sf: String): DataFrame = {
+    val ratings = Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("ok"), col("o_custkey").as("cust"))
+      .join(Tables.lineitem(spark, sf)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")), "ok")
+      .join(broadcast(Tables.part(spark, sf)
+        .select(col("p_partkey").as("pk"), col("p_brand").as("brand"))), "pk")
+      .select(col("cust"), col("brand"), col("ok")).distinct()
+      .groupBy(col("cust"), col("brand"))
+      .agg(count(lit(1)).as("r"))
+    val factors = Tables.part(spark, sf).select(col("p_brand").as("brand")).distinct()
+      .select(col("brand"),
+        (pmod(graft.core.Det.hash32(col("brand")), lit(2001L)) - 1000L).as("v1"),
+        (pmod(graft.core.Det.hash32(concat(col("brand"), lit("#2"))), lit(2001L))
+          - 1000L).as("v2"))
+    ratings.join(broadcast(factors), "brand")
+      .groupBy(col("cust"))
+      .agg(count(lit(1)).as("n_brands"), sum(col("r")).as("sum_r"),
+        sum(col("v1") * col("v1")).as("a11"), sum(col("v1") * col("v2")).as("a12"),
+        sum(col("v2") * col("v2")).as("a22"),
+        sum(col("r") * col("v1")).as("b1"), sum(col("r") * col("v2")).as("b2"))
+      .select(col("cust"), col("n_brands"), col("sum_r"),
+        (round(expr(
+          """((CAST(a22 AS DOUBLE) / 1e8 + 0.1) * (CAST(b1 AS DOUBLE) / 1e4)
+              - (CAST(a12 AS DOUBLE) / 1e8) * (CAST(b2 AS DOUBLE) / 1e4))
+             / ((CAST(a11 AS DOUBLE) / 1e8 + 0.1) * (CAST(a22 AS DOUBLE) / 1e8 + 0.1)
+                - (CAST(a12 AS DOUBLE) / 1e8) * (CAST(a12 AS DOUBLE) / 1e8))"""), 6)
+          + lit(0.0)).as("u1"),
+        (round(expr(
+          """((CAST(a11 AS DOUBLE) / 1e8 + 0.1) * (CAST(b2 AS DOUBLE) / 1e4)
+              - (CAST(a12 AS DOUBLE) / 1e8) * (CAST(b1 AS DOUBLE) / 1e4))
+             / ((CAST(a11 AS DOUBLE) / 1e8 + 0.1) * (CAST(a22 AS DOUBLE) / 1e8 + 0.1)
+                - (CAST(a12 AS DOUBLE) / 1e8) * (CAST(a12 AS DOUBLE) / 1e8))"""), 6)
+          + lit(0.0)).as("u2"))
+      .orderBy(col("n_brands").desc, col("cust").asc)
+      .limit(10)
+  }
+
+  /** Slope One deviation matrix on the same implicit ratings: for each
+    * co-rated brand pair the mean rating difference (e6 integer ratio of
+    * the exact diff sum). The pair build is user-bounded (≤ #brands per
+    * user — never item², the same shape as the Apriori family); the
+    * top-10 best-supported deviations are exactly the table the O(1)
+    * Slope One predictor looks up at serve time.
+    */
+  def q_slope_one(spark: SparkSession, sf: String): DataFrame = {
+    val ratings = Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("ok"), col("o_custkey").as("cust"))
+      .join(Tables.lineitem(spark, sf)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")), "ok")
+      .join(broadcast(Tables.part(spark, sf)
+        .select(col("p_partkey").as("pk"), col("p_brand").as("brand"))), "pk")
+      .select(col("cust"), col("brand"), col("ok")).distinct()
+      .groupBy(col("cust"), col("brand"))
+      .agg(count(lit(1)).as("r"))
+      .localCheckpoint()
+    ratings.as("a")
+      .join(ratings.as("b"),
+        col("a.cust") === col("b.cust") && col("a.brand") < col("b.brand"))
+      .groupBy(col("a.brand").as("brand_i"), col("b.brand").as("brand_j"))
+      .agg(count(lit(1)).as("n_corated"),
+        sum(col("a.r") - col("b.r")).as("sumdiff"))
+      .select(col("brand_i"), col("brand_j"), col("n_corated"),
+        expr("sumdiff * 1000000 div n_corated").as("dev_e6"))
+      .orderBy(col("n_corated").desc, col("brand_i").asc, col("brand_j").asc)
+      .limit(10)
+  }
 }

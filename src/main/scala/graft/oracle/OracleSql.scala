@@ -16531,5 +16531,97 @@ object OracleSql {
       FROM links a JOIN links b ON b.m <= a.m
       GROUP BY 1, 2, 3 ORDER BY 1""",
 
+    "q_als_user_step" -> """
+      WITH ratings AS MATERIALIZED (
+             SELECT cust, brand, CAST(COUNT(*) AS BIGINT) AS r FROM
+               (SELECT DISTINCT o.o_custkey AS cust, p.p_brand AS brand,
+                       o.o_orderkey AS ok
+                FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                JOIN part p ON p.p_partkey = l.l_partkey)
+             GROUP BY 1, 2),
+           factors AS (SELECT brand,
+                              CAST('0x' || substring(md5(brand), 1, 8) AS BIGINT) % 2001
+                                - 1000 AS v1,
+                              CAST('0x' || substring(md5(brand || '#2'), 1, 8) AS BIGINT) % 2001
+                                - 1000 AS v2
+                       FROM (SELECT DISTINCT p_brand AS brand FROM part)),
+           acc AS (SELECT cust, CAST(COUNT(*) AS BIGINT) AS n_brands,
+                          CAST(SUM(r) AS BIGINT) AS sum_r,
+                          CAST(SUM(v1*v1) AS BIGINT) AS a11, CAST(SUM(v1*v2) AS BIGINT) AS a12,
+                          CAST(SUM(v2*v2) AS BIGINT) AS a22,
+                          CAST(SUM(r*v1) AS BIGINT) AS b1, CAST(SUM(r*v2) AS BIGINT) AS b2
+                   FROM ratings JOIN factors USING (brand) GROUP BY 1)
+      SELECT cust, n_brands, sum_r,
+             ROUND(((CAST(a22 AS DOUBLE) / 1e8 + 0.1) * (CAST(b1 AS DOUBLE) / 1e4)
+                    - (CAST(a12 AS DOUBLE) / 1e8) * (CAST(b2 AS DOUBLE) / 1e4))
+                   / ((CAST(a11 AS DOUBLE) / 1e8 + 0.1) * (CAST(a22 AS DOUBLE) / 1e8 + 0.1)
+                      - (CAST(a12 AS DOUBLE) / 1e8) * (CAST(a12 AS DOUBLE) / 1e8)), 6) + 0 AS u1,
+             ROUND(((CAST(a11 AS DOUBLE) / 1e8 + 0.1) * (CAST(b2 AS DOUBLE) / 1e4)
+                    - (CAST(a12 AS DOUBLE) / 1e8) * (CAST(b1 AS DOUBLE) / 1e4))
+                   / ((CAST(a11 AS DOUBLE) / 1e8 + 0.1) * (CAST(a22 AS DOUBLE) / 1e8 + 0.1)
+                      - (CAST(a12 AS DOUBLE) / 1e8) * (CAST(a12 AS DOUBLE) / 1e8)), 6) + 0 AS u2
+      FROM acc ORDER BY n_brands DESC, cust ASC LIMIT 10""",
+
+    "q_slope_one" -> """
+      WITH ratings AS MATERIALIZED (
+             SELECT cust, brand, CAST(COUNT(*) AS BIGINT) AS r FROM
+               (SELECT DISTINCT o.o_custkey AS cust, p.p_brand AS brand,
+                       o.o_orderkey AS ok
+                FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                JOIN part p ON p.p_partkey = l.l_partkey)
+             GROUP BY 1, 2)
+      SELECT a.brand AS brand_i, b.brand AS brand_j,
+             CAST(COUNT(*) AS BIGINT) AS n_corated,
+             CAST(CAST(SUM(a.r - b.r) AS BIGINT) * 1000000 // COUNT(*) AS BIGINT) AS dev_e6
+      FROM ratings a JOIN ratings b ON a.cust = b.cust AND a.brand < b.brand
+      GROUP BY 1, 2 ORDER BY n_corated DESC, brand_i ASC, brand_j ASC LIMIT 10""",
+
+    "q_l_diversity" -> """
+      WITH rel AS (SELECT c.c_mktsegment AS seg, CAST(c.c_nationkey AS BIGINT) AS nat,
+                          o.o_orderpriority AS sens
+                   FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+           cells AS (SELECT seg, nat, sens, CAST(COUNT(*) AS BIGINT) AS c
+                     FROM rel GROUP BY 1, 2, 3),
+           w AS (SELECT seg, nat, c,
+                        CAST(SUM(c) OVER (PARTITION BY seg, nat) AS BIGINT) AS n FROM cells),
+           t AS (SELECT seg, nat, n,
+                        CAST(ROUND(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                                   * LN(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1e8)
+                          AS BIGINT) AS term_e8
+                 FROM w)
+      SELECT seg, nat, n, CAST(COUNT(*) AS BIGINT) AS l_distinct,
+             CAST(CAST(SUM(term_e8) AS BIGINT) // 100 AS BIGINT) AS entropy_e6,
+             CAST(CASE WHEN COUNT(*) >= 3 THEN 1 ELSE 0 END AS BIGINT) AS ok_l3
+      FROM t GROUP BY 1, 2, 3 ORDER BY seg, nat""",
+
+    "q_forecast_reconcile" -> """
+      WITH nm AS MATERIALIZED (
+             SELECT CAST(c.c_nationkey AS BIGINT) AS nat,
+                    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+                    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+             FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+             GROUP BY 1, 2),
+           mmax AS (SELECT MAX(m) AS mx FROM nm),
+           bu AS (SELECT nat, CAST(SUM(rev) // COUNT(*) AS BIGINT) AS bu_fc
+                  FROM nm CROSS JOIN mmax WHERE m BETWEEN mx - 3 AND mx - 1 GROUP BY 1),
+           share AS (SELECT nat, CAST(SUM(rev) AS BIGINT) AS tr
+                     FROM nm CROSS JOIN mmax WHERE m < mx GROUP BY 1),
+           grand AS (SELECT CAST(SUM(tr) AS BIGINT) AS g FROM share),
+           tdt AS (SELECT CAST(SUM(mrev) // COUNT(*) AS BIGINT) AS td_total FROM
+                     (SELECT m, CAST(SUM(rev) AS BIGINT) AS mrev
+                      FROM nm CROSS JOIN mmax
+                      WHERE m BETWEEN mx - 3 AND mx - 1 GROUP BY 1)),
+           act AS (SELECT nat, rev AS actual FROM nm CROSS JOIN mmax WHERE m = mx)
+      SELECT s.nat, CAST(COALESCE(a.actual, 0) AS BIGINT) AS actual_cents,
+             CAST(COALESCE(b.bu_fc, 0) AS BIGINT) AS bu_fc_cents,
+             CAST(td_total * (s.tr * 1000000 // g) // 1000000 AS BIGINT) AS td_fc_cents,
+             CAST(abs(COALESCE(a.actual, 0) - COALESCE(b.bu_fc, 0)) AS BIGINT) AS bu_abs_err,
+             CAST(abs(COALESCE(a.actual, 0)
+                      - td_total * (s.tr * 1000000 // g) // 1000000) AS BIGINT) AS td_abs_err
+      FROM share s CROSS JOIN grand CROSS JOIN tdt
+      LEFT JOIN bu b ON b.nat = s.nat
+      LEFT JOIN act a ON a.nat = s.nat
+      ORDER BY s.nat""",
+
   )
 }

