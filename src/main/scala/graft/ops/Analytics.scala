@@ -9664,4 +9664,39 @@ object Analytics {
       .orderBy("nat")
   }
 
+  /** LB_Keogh lower bound between the daily purchase and click revenue
+    * series (dollars lattice, Sakoe-Chiba radius r = 2): envelope
+    * U/L = max/min of the candidate inside ±r days (bounded theta
+    * join), LB = Σ squared exceedance outside [L, U]. This is the
+    * pruning bound every scalable DTW search evaluates INSTEAD of the
+    * O(n²) warping DP — exact BIGINT dollars² so the bound is
+    * summation-order-proof; days with an empty envelope window are
+    * counted, not guessed.
+    */
+  def q_lbkeogh_bound(spark: SparkSession, sf: String): DataFrame = {
+    val epoch = lit("1970-01-01").cast("date")
+    val daily = Tables.eventsWithTs(spark, sf)
+      .filter(col("event_type").isin("purchase", "click"))
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts_us")), epoch).cast("long").as("t"))
+      .agg(sum(cents(col("value"))).as("c"))
+      .select(col("event_type"), col("t"), expr("c div 100").as("v"))
+      .localCheckpoint()
+    val x = daily.filter(col("event_type") === "purchase").select(col("t"), col("v").as("x"))
+    val y = daily.filter(col("event_type") === "click")
+      .select(col("t").as("t2"), col("v").as("yv"))
+    val env = x.join(y, col("t2").between(col("t") - 2, col("t") + 2), "left_outer")
+      .groupBy(col("t"), col("x"))
+      .agg(max(col("yv")).as("hi"), min(col("yv")).as("lo"), count(col("yv")).as("nw"))
+    env.agg(count(lit(1)).as("n_days"),
+        sum(when(col("nw") === 0, 1L).otherwise(0L)).as("n_nowindow"),
+        sum(when(col("nw") > 0 && (col("x") > col("hi") || col("x") < col("lo")), 1L)
+          .otherwise(0L)).as("n_exceed"),
+        sum(when(col("nw") > 0 && col("x") > col("hi"),
+            (col("x") - col("hi")) * (col("x") - col("hi")))
+          .when(col("nw") > 0 && col("x") < col("lo"),
+            (col("lo") - col("x")) * (col("lo") - col("x")))
+          .otherwise(0L)).as("lb_dollars2"))
+  }
+
 }

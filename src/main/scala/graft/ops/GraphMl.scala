@@ -687,4 +687,102 @@ object GraphMl {
       .select(col("u"), col("v"), col("deg_u"), col("deg_v"),
         (col("deg_u") * col("deg_v")).as("degprod"), col("n_bridges_total"))
   }
+
+  /** One Jones–Plassmann coloring round on the co-purchase graph: a node
+    * takes the first color iff its (md5-hash, id) priority beats every
+    * neighbor's — the classic distributed-coloring selection rule (each
+    * round is one edge-keyed max-aggregate; no sequential order
+    * anywhere). Output: the independent-set size, its share, and the
+    * conflict count (edges with both endpoints selected — zero by
+    * construction, and the query proves it rather than asserts it).
+    */
+  def q_jones_plassmann(spark: SparkSession, sf: String): DataFrame = {
+    val edges = coPurchaseEdges(spark, sf)
+    val pri = edges.select(col("u").as("node")).distinct()
+      .select(col("node"), graft.core.Det.hash32(col("node")).as("h"))
+      .localCheckpoint()
+    val beaten = edges
+      .join(pri.select(col("node").as("u"), col("h").as("hu")), "u")
+      .join(pri.select(col("node").as("v"), col("h").as("hv")), "v")
+      .filter(col("hv") > col("hu") || (col("hv") === col("hu") && col("v") > col("u")))
+      .select(col("u").as("node")).distinct()
+    val sel = pri.join(beaten, Seq("node"), "left_anti")
+      .select(col("node")).localCheckpoint()
+    val n = pri.agg(count(lit(1)).as("n_nodes"))
+    val k = sel.agg(count(lit(1)).as("n_colored"))
+    val conflicts = edges.filter(col("u") < col("v"))
+      .join(sel.select(col("node").as("u")), "u")
+      .join(sel.select(col("node").as("v")), "v")
+      .agg(count(lit(1)).as("n_conflicts"))
+    n.crossJoin(k).crossJoin(conflicts)
+      .select(col("n_nodes"), col("n_colored"),
+        expr("n_colored * 10000 div n_nodes").as("frac_e4"), col("n_conflicts"))
+  }
+
+  /** One power-iteration step of spectral bisection: x₁ = L·x₀ with the
+    * Laplacian applied as one edge join (deg·x₀ − Σ_neighbor x₀) from
+    * the deterministic ±1 parity start. Output: both partition sizes and
+    * the cut size before/after — the signature every distributed
+    * spectral partitioner produces per iteration (matrix-free, the
+    * matvec IS the edge shuffle).
+    */
+  def q_spectral_bisection_step(spark: SparkSession, sf: String): DataFrame = {
+    val edges = coPurchaseEdges(spark, sf)
+    val x0 = edges.select(col("u").as("node")).distinct()
+      .select(col("node"), ((col("node") % 2) * 2 - 1).as("x"))
+      .localCheckpoint()
+    val x1 = edges
+      .join(x0.select(col("node").as("u"), col("x").as("xu")), "u")
+      .join(x0.select(col("node").as("v"), col("x").as("xv")), "v")
+      .groupBy(col("u").as("node"), col("xu"))
+      .agg(count(lit(1)).as("deg"), sum(col("xv")).as("nsum"))
+      .select(col("node"), col("xu").as("x_old"),
+        (col("deg") * col("xu") - col("nsum")).as("x_new"))
+      .localCheckpoint()
+    def cut(sign: DataFrame): DataFrame = edges.filter(col("u") < col("v"))
+      .join(sign.select(col("node").as("u"), col("s").as("su")), "u")
+      .join(sign.select(col("node").as("v"), col("s").as("sv")), "v")
+      .agg(sum(when(col("su") =!= col("sv"), 1L).otherwise(0L)).as("c"))
+    val before = cut(x1.select(col("node"),
+      when(col("x_old") >= 0, 1L).otherwise(-1L).as("s")))
+    val after = cut(x1.select(col("node"),
+      when(col("x_new") >= 0, 1L).otherwise(-1L).as("s")))
+    val sizes = x1.agg(
+      sum(when(col("x_new") >= 0, 1L).otherwise(0L)).as("n_pos"),
+      sum(when(col("x_new") < 0, 1L).otherwise(0L)).as("n_neg"))
+    sizes.crossJoin(before.select(col("c").as("cut_before")))
+      .crossJoin(after.select(col("c").as("cut_after")))
+  }
+
+  /** One Charikar/Bahmani densest-subgraph peeling round: drop every
+    * node whose degree is ≤ the average (deg·n ≤ 2m — exact integer
+    * rule, ε = 0), then re-measure. Output: nodes/edges/density (e6)
+    * before and after plus the removed count — the per-round signature
+    * of the MapReduce densest-subgraph algorithm (Bahmani et al.,
+    * VLDB'12), whose full run just iterates this exact step.
+    */
+  def q_densest_subgraph_peel(spark: SparkSession, sf: String): DataFrame = {
+    val und = coPurchaseEdges(spark, sf).filter(col("u") < col("v"))
+      .localCheckpoint()
+    val deg = und.select(col("u").as("node"))
+      .unionByName(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val tot = deg.agg(count(lit(1)).as("n0"), sum(col("deg")).as("m2"))
+    val keep = deg.crossJoin(broadcast(tot))
+      .filter(col("deg") * col("n0") > col("m2"))
+      .select(col("node")).localCheckpoint()
+    val kept = und
+      .join(keep.select(col("node").as("u")), "u")
+      .join(keep.select(col("node").as("v")), "v")
+      .agg(count(lit(1)).as("m1"))
+    val kn = keep.agg(count(lit(1)).as("n1"))
+    tot.crossJoin(kn).crossJoin(kept)
+      .select(col("n0"), expr("m2 div 2").as("m0"),
+        expr("(m2 div 2) * 1000000 div n0").as("rho0_e6"),
+        col("n1"), col("m1"),
+        when(col("n1") > 0, expr("m1 * 1000000 div n1")).otherwise(lit(0L))
+          .as("rho1_e6"),
+        (col("n0") - col("n1")).as("n_removed"))
+  }
 }

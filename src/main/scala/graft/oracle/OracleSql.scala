@@ -16623,5 +16623,100 @@ object OracleSql {
       LEFT JOIN act a ON a.nat = s.nat
       ORDER BY s.nat""",
 
+    "q_jones_plassmann" -> """
+      WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           e0 AS MATERIALIZED (
+             SELECT a.pk AS u, b.pk AS v
+             FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+             GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+           ed AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+           pri AS MATERIALIZED (
+             SELECT u AS node,
+                    CAST('0x' || substring(md5(CAST(u AS VARCHAR)), 1, 8) AS BIGINT) AS h
+             FROM (SELECT DISTINCT u FROM ed)),
+           beaten AS (SELECT DISTINCT e.u AS node FROM ed e
+                      JOIN pri pu ON pu.node = e.u JOIN pri pv ON pv.node = e.v
+                      WHERE pv.h > pu.h OR (pv.h = pu.h AND e.v > e.u)),
+           sel AS MATERIALIZED (
+             SELECT node FROM pri WHERE node NOT IN (SELECT node FROM beaten)),
+           n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM pri),
+           k AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_colored FROM sel),
+           c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_conflicts FROM e0
+                 WHERE u IN (SELECT node FROM sel) AND v IN (SELECT node FROM sel))
+      SELECT n_nodes, n_colored,
+             CAST(n_colored * 10000 // n_nodes AS BIGINT) AS frac_e4, n_conflicts
+      FROM n, k, c""",
+
+    "q_spectral_bisection_step" -> """
+      WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           e0 AS MATERIALIZED (
+             SELECT a.pk AS u, b.pk AS v
+             FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+             GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+           ed AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+           x0 AS MATERIALIZED (
+             SELECT u AS node, (u % 2) * 2 - 1 AS x FROM (SELECT DISTINCT u FROM ed)),
+           x1 AS MATERIALIZED (
+             SELECT e.u AS node, a.x AS x_old,
+                    CAST(CAST(COUNT(*) AS BIGINT) * a.x - CAST(SUM(b.x) AS BIGINT)
+                      AS BIGINT) AS x_new
+             FROM ed e JOIN x0 a ON a.node = e.u JOIN x0 b ON b.node = e.v
+             GROUP BY 1, 2),
+           sizes AS (SELECT CAST(SUM(CASE WHEN x_new >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+                            CAST(SUM(CASE WHEN x_new < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+                     FROM x1),
+           cb AS (SELECT CAST(SUM(CASE WHEN (a.x_old >= 0) <> (b.x_old >= 0)
+                                       THEN 1 ELSE 0 END) AS BIGINT) AS cut_before
+                  FROM e0 JOIN x1 a ON a.node = e0.u JOIN x1 b ON b.node = e0.v),
+           ca AS (SELECT CAST(SUM(CASE WHEN (a.x_new >= 0) <> (b.x_new >= 0)
+                                       THEN 1 ELSE 0 END) AS BIGINT) AS cut_after
+                  FROM e0 JOIN x1 a ON a.node = e0.u JOIN x1 b ON b.node = e0.v)
+      SELECT n_pos, n_neg, cut_before, cut_after FROM sizes, cb, ca""",
+
+    "q_densest_subgraph_peel" -> """
+      WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           e0 AS MATERIALIZED (
+             SELECT a.pk AS u, b.pk AS v
+             FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+             GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+           deg AS MATERIALIZED (
+             SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM
+               (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+             GROUP BY 1),
+           tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0, CAST(SUM(deg) AS BIGINT) AS m2
+                   FROM deg),
+           keep AS MATERIALIZED (
+             SELECT node FROM deg CROSS JOIN tot WHERE deg * n0 > m2),
+           kept AS (SELECT CAST(COUNT(*) AS BIGINT) AS m1 FROM e0
+                    WHERE u IN (SELECT node FROM keep) AND v IN (SELECT node FROM keep)),
+           kn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1 FROM keep)
+      SELECT n0, CAST(m2 // 2 AS BIGINT) AS m0,
+             CAST((m2 // 2) * 1000000 // n0 AS BIGINT) AS rho0_e6,
+             n1, m1,
+             CAST(CASE WHEN n1 > 0 THEN m1 * 1000000 // n1 ELSE 0 END AS BIGINT) AS rho1_e6,
+             CAST(n0 - n1 AS BIGINT) AS n_removed
+      FROM tot, kn, kept""",
+
+    "q_lbkeogh_bound" -> """
+      WITH daily AS MATERIALIZED (
+             SELECT event_type,
+                    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS t,
+                    CAST(CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) // 100
+                      AS BIGINT) AS v
+             FROM events WHERE event_type IN ('purchase', 'click') GROUP BY 1, 2),
+           x AS (SELECT t, v AS x FROM daily WHERE event_type = 'purchase'),
+           y AS (SELECT t AS t2, v AS yv FROM daily WHERE event_type = 'click'),
+           env AS (SELECT x.t, x.x, MAX(y.yv) AS hi, MIN(y.yv) AS lo,
+                          CAST(COUNT(y.yv) AS BIGINT) AS nw
+                   FROM x LEFT JOIN y ON y.t2 BETWEEN x.t - 2 AND x.t + 2 GROUP BY 1, 2)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(CASE WHEN nw = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nowindow,
+             CAST(SUM(CASE WHEN nw > 0 AND (x > hi OR x < lo) THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exceed,
+             CAST(SUM(CASE WHEN nw > 0 AND x > hi THEN (x - hi) * (x - hi)
+                           WHEN nw > 0 AND x < lo THEN (lo - x) * (lo - x)
+                           ELSE 0 END) AS BIGINT) AS lb_dollars2
+      FROM env""",
+
   )
 }

@@ -251,6 +251,33 @@ class Round4OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("jones-plassmann: the selected set is independent by construction") {
+    val r = GraphMl.q_jones_plassmann(spark, sf).collect().head
+    assert(r.getAs[Long]("n_conflicts") == 0L, r.toString)
+    assert(r.getAs[Long]("n_colored") >= 1L)
+    assert(r.getAs[Long]("n_colored") <= r.getAs[Long]("n_nodes"))
+  }
+
+  test("spectral bisection: partition sizes cover the graph, cuts within edge count") {
+    val r = GraphMl.q_spectral_bisection_step(spark, sf).collect().head
+    assert(r.getAs[Long]("n_pos") + r.getAs[Long]("n_neg") >= 1L)
+    assert(r.getAs[Long]("cut_before") >= 0L && r.getAs[Long]("cut_after") >= 0L)
+  }
+
+  test("densest subgraph peel: removal arithmetic holds and edges only shrink") {
+    val r = GraphMl.q_densest_subgraph_peel(spark, sf).collect().head
+    assert(r.getAs[Long]("n_removed") == r.getAs[Long]("n0") - r.getAs[Long]("n1"))
+    assert(r.getAs[Long]("m1") <= r.getAs[Long]("m0"))
+    assert(r.getAs[Long]("rho1_e6") >= 0L)
+  }
+
+  test("lb_keogh: the bound is nonnegative and exceed days are counted days") {
+    val r = Analytics.q_lbkeogh_bound(spark, sf).collect().head
+    assert(r.getAs[Long]("lb_dollars2") >= 0L)
+    assert(r.getAs[Long]("n_exceed") <= r.getAs[Long]("n_days"))
+    assert(r.getAs[Long]("n_nowindow") <= r.getAs[Long]("n_days"))
+  }
+
   test("reservoir bottom-k: sample never exceeds k=32 or the population") {
     Sampling.q_reservoir_bottomk(spark, sf).collect().foreach { r =>
       val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("k"))
