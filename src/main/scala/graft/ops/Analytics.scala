@@ -9699,4 +9699,78 @@ object Analytics {
           .otherwise(0L)).as("lb_dollars2"))
   }
 
+  /** SLO error-budget burn-down: per day the error share of all events
+    * against a 99% success SLO — burn rate (error rate ÷ budget, e4),
+    * the running consumed/allowed budget via the calendar-bounded
+    * cumulative, and the remaining budget e6 (negative = blown). Exact
+    * integer arithmetic end to end; this is the on-call dashboard
+    * number, computed the mergeable way (daily partials + prefix).
+    */
+  def q_error_budget_burn(spark: SparkSession, sf: String): DataFrame = {
+    val epoch = lit("1970-01-01").cast("date")
+    val daily = Tables.eventsWithTs(spark, sf)
+      .groupBy(datediff(to_date(col("ts_us")), epoch).cast("long").as("t"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"))
+      .localCheckpoint()
+    daily.as("a")
+      .join(daily.select(col("t").as("t2"), col("n").as("n2"),
+        col("n_err").as("e2")).as("b"), col("t2") <= col("t"))
+      .groupBy(col("a.t").as("day"), col("a.n").as("n"), col("a.n_err").as("n_err"))
+      .agg(sum(col("n2")).as("cum_n"), sum(col("e2")).as("cum_err"))
+      .select(col("day"), col("n"), col("n_err"),
+        expr("n_err * 1000000 div n").as("err_rate_e6"),
+        expr("n_err * 1000000 div n div 100").as("burn_e4"),
+        col("cum_n"), col("cum_err"),
+        expr("(cum_n div 100 - cum_err) * 1000000 div greatest(cum_n div 100, 1)")
+          .as("budget_remaining_e6"))
+      .orderBy("day")
+  }
+
+  /** Geometric adstock (λ=½, 8-day carryover) of daily click revenue
+    * against purchase revenue: the adstock is an EXACT integer — lag-k
+    * clicks weighted 2⁷⁻ᵏ via the bounded theta join — and both Pearson
+    * correlations (raw and adstocked) come from exact sufficient sums.
+    * The marketing-mix carryover transform, shuffled once on the day
+    * key regardless of scale.
+    */
+  def q_adstock_correlation(spark: SparkSession, sf: String): DataFrame = {
+    val epoch = lit("1970-01-01").cast("date")
+    val daily = Tables.eventsWithTs(spark, sf)
+      .filter(col("event_type").isin("purchase", "click"))
+      .groupBy(datediff(to_date(col("ts_us")), epoch).cast("long").as("t"))
+      .agg(sum(when(col("event_type") === "click", cents(col("value")))
+          .otherwise(0L)).as("cc"),
+        sum(when(col("event_type") === "purchase", cents(col("value")))
+          .otherwise(0L)).as("pc"))
+      // $100 lattice: the 128-weighted adstock squared would overflow
+      // BIGINT on cent sums at fleet scale; correlation is scale-free
+      .select(col("t"), expr("cc div 10000").as("c"), expr("pc div 10000").as("p"))
+      .localCheckpoint()
+    val ad = daily.as("a")
+      .join(daily.select(col("t").as("t2"), col("c").as("c2")).as("b"),
+        col("t2").between(col("t") - 7, col("t")))
+      .groupBy(col("a.t").as("t"), col("a.c").as("c"), col("a.p").as("p"))
+      .agg(sum(col("c2") *
+        pow(lit(2.0), (lit(7L) - (col("a.t") - col("t2"))).cast("double"))
+          .cast("long")).as("ad128"))
+    def corr2(xc: String, yc: String, as_ : String): Column =
+      round(expr(
+        s"""(CAST(n AS DOUBLE) * CAST(s_${xc}${yc} AS DOUBLE)
+             - CAST(s_$xc AS DOUBLE) * CAST(s_$yc AS DOUBLE))
+           / (SQRT(CAST(n AS DOUBLE) * CAST(s_$xc$xc AS DOUBLE)
+                   - CAST(s_$xc AS DOUBLE) * CAST(s_$xc AS DOUBLE))
+              * SQRT(CAST(n AS DOUBLE) * CAST(s_$yc$yc AS DOUBLE)
+                     - CAST(s_$yc AS DOUBLE) * CAST(s_$yc AS DOUBLE)))"""), 6)
+        .as(as_)
+    ad.agg(count(lit(1)).as("n"),
+        sum(col("c")).as("s_c"), sum(col("p")).as("s_p"), sum(col("ad128")).as("s_a"),
+        sum(col("c") * col("p")).as("s_cp"), sum(col("c") * col("c")).as("s_cc"),
+        sum(col("p") * col("p")).as("s_pp"), sum(col("ad128") * col("p")).as("s_ap"),
+        sum(col("ad128") * col("ad128")).as("s_aa"))
+      .select(col("n").as("n_days"),
+        (corr2("c", "p", "corr_raw") + lit(0.0)).as("corr_raw"),
+        (corr2("a", "p", "corr_adstock") + lit(0.0)).as("corr_adstock"))
+  }
+
 }

@@ -785,4 +785,56 @@ object GraphMl {
           .as("rho1_e6"),
         (col("n0") - col("n1")).as("n_removed"))
   }
+
+  /** Friendship paradox on the co-purchase graph: "your neighbors have
+    * more co-purchases than you" — mean degree Σd/n vs mean neighbor
+    * degree Σd²/Σd, both from ONE degree aggregate (the ratio is
+    * Feld's classic 1 + Var/μ² inflation). Ratio as a fixed IEEE tree
+    * over exact sums (Σd²·n vs (Σd)² overflows BIGINT at fleet scale —
+    * cast first). The single-aggregate shape costs one shuffle at any
+    * graph size.
+    */
+  def q_friendship_paradox(spark: SparkSession, sf: String): DataFrame = {
+    val edges = coPurchaseEdges(spark, sf)
+    edges.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("sd"),
+        sum(col("deg") * col("deg")).as("sd2"))
+      .select(col("n_nodes"), expr("sd div 2").as("n_edges"),
+        expr("sd * 10000 div n_nodes").as("mean_deg_e4"),
+        expr("sd2 * 10000 div sd").as("mean_neighbor_deg_e4"),
+        (round(expr(
+          """CAST(sd2 AS DOUBLE) * CAST(n_nodes AS DOUBLE)
+             / (CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))"""), 6) + lit(0.0))
+          .as("paradox_ratio"))
+  }
+
+  /** Newman's categorical assortativity of the co-purchase graph by part
+    * brand: r = (E·tr − Σₘaᵍbᵍ)/(E² − Σₘaᵍbᵍ) over the ≤25-brand mixing
+    * matrix — all sufficient statistics exact BIGINTs (trace, margins)
+    * from one edge-keyed aggregate after a broadcast brand join; only
+    * the final r is float. The label-mixing companion to the degree
+    * assortativity and modularity queries.
+    */
+  def q_attribute_assortativity(spark: SparkSession, sf: String): DataFrame = {
+    val edges = coPurchaseEdges(spark, sf)
+    val lab = Tables.part(spark, sf)
+      .select(col("p_partkey").as("node"), col("p_brand").as("g"))
+    val el = edges
+      .join(broadcast(lab.select(col("node").as("u"), col("g").as("gu"))), "u")
+      .join(broadcast(lab.select(col("node").as("v"), col("g").as("gv"))), "v")
+    val cells = el.groupBy(col("gu"), col("gv")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val tr = cells.filter(col("gu") === col("gv")).agg(sum(col("c")).as("tr"))
+    val margins = cells.groupBy(col("gu")).agg(sum(col("c")).as("a"))
+      .join(cells.groupBy(col("gv").as("gu")).agg(sum(col("c")).as("b")), "gu")
+    val sumab = margins.agg(count(lit(1)).as("n_labels"),
+      sum(col("a") * col("b")).as("sab"))
+    val e = cells.agg(sum(col("c")).as("e"))
+    sumab.crossJoin(tr).crossJoin(e)
+      .select(col("n_labels"), col("e").as("n_directed_edges"), col("tr").as("trace"),
+        (round(expr(
+          """(CAST(e AS DOUBLE) * CAST(tr AS DOUBLE) - CAST(sab AS DOUBLE))
+             / (CAST(e AS DOUBLE) * CAST(e AS DOUBLE) - CAST(sab AS DOUBLE))"""), 6)
+          + lit(0.0)).as("assortativity_r"))
+  }
 }

@@ -16718,5 +16718,101 @@ object OracleSql {
                            ELSE 0 END) AS BIGINT) AS lb_dollars2
       FROM env""",
 
+    "q_friendship_paradox" -> """
+      WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           e0 AS (SELECT a.pk AS u, b.pk AS v
+                  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+                  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+           ed AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+           deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM ed GROUP BY 1),
+           t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes, CAST(SUM(deg) AS BIGINT) AS sd,
+                        CAST(SUM(deg * deg) AS BIGINT) AS sd2 FROM deg)
+      SELECT n_nodes, CAST(sd // 2 AS BIGINT) AS n_edges,
+             CAST(sd * 10000 // n_nodes AS BIGINT) AS mean_deg_e4,
+             CAST(sd2 * 10000 // sd AS BIGINT) AS mean_neighbor_deg_e4,
+             ROUND(CAST(sd2 AS DOUBLE) * CAST(n_nodes AS DOUBLE)
+                   / (CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)), 6) + 0 AS paradox_ratio
+      FROM t""",
+
+    "q_attribute_assortativity" -> """
+      WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           e0 AS MATERIALIZED (
+             SELECT a.pk AS u, b.pk AS v
+             FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+             GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+           ed AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+           cells AS MATERIALIZED (
+             SELECT pu.p_brand AS gu, pv.p_brand AS gv, CAST(COUNT(*) AS BIGINT) AS c
+             FROM ed JOIN part pu ON pu.p_partkey = ed.u
+                     JOIN part pv ON pv.p_partkey = ed.v
+             GROUP BY 1, 2),
+           tr AS (SELECT CAST(SUM(c) AS BIGINT) AS tr FROM cells WHERE gu = gv),
+           ma AS (SELECT gu, CAST(SUM(c) AS BIGINT) AS a FROM cells GROUP BY 1),
+           mb AS (SELECT gv AS gu, CAST(SUM(c) AS BIGINT) AS b FROM cells GROUP BY 1),
+           sab AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_labels,
+                          CAST(SUM(a * b) AS BIGINT) AS sab
+                   FROM ma JOIN mb USING (gu)),
+           e AS (SELECT CAST(SUM(c) AS BIGINT) AS e FROM cells)
+      SELECT n_labels, e AS n_directed_edges, tr AS trace,
+             ROUND((CAST(e AS DOUBLE) * CAST(tr AS DOUBLE) - CAST(sab AS DOUBLE))
+                   / (CAST(e AS DOUBLE) * CAST(e AS DOUBLE) - CAST(sab AS DOUBLE)), 6) + 0
+               AS assortativity_r
+      FROM sab, tr, e""",
+
+    "q_error_budget_burn" -> """
+      WITH daily AS MATERIALIZED (
+             SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS t,
+                    CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_err
+             FROM events GROUP BY 1)
+      SELECT a.t AS day, a.n AS n, a.n_err AS n_err,
+             CAST(a.n_err * 1000000 // a.n AS BIGINT) AS err_rate_e6,
+             CAST(a.n_err * 1000000 // a.n // 100 AS BIGINT) AS burn_e4,
+             CAST(SUM(b.n) AS BIGINT) AS cum_n, CAST(SUM(b.n_err) AS BIGINT) AS cum_err,
+             CAST((CAST(SUM(b.n) AS BIGINT) // 100 - CAST(SUM(b.n_err) AS BIGINT)) * 1000000
+                  // GREATEST(CAST(SUM(b.n) AS BIGINT) // 100, 1) AS BIGINT)
+               AS budget_remaining_e6
+      FROM daily a JOIN daily b ON b.t <= a.t
+      GROUP BY 1, 2, 3 ORDER BY day""",
+
+    "q_adstock_correlation" -> """
+      WITH daily AS MATERIALIZED (
+             SELECT t, CAST(cc // 10000 AS BIGINT) AS c, CAST(pc // 10000 AS BIGINT) AS p FROM (
+               SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS t,
+                      CAST(SUM(CASE WHEN event_type = 'click'
+                                    THEN CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) AS BIGINT)
+                        AS cc,
+                      CAST(SUM(CASE WHEN event_type = 'purchase'
+                                    THEN CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) AS BIGINT)
+                        AS pc
+               FROM events WHERE event_type IN ('purchase', 'click') GROUP BY 1)),
+           ad AS (SELECT a.t, a.c, a.p,
+                         CAST(SUM(b.c * CAST(POW(2.0, 7 - (a.t - b.t)) AS BIGINT)) AS BIGINT)
+                           AS ad128
+                  FROM daily a JOIN daily b ON b.t BETWEEN a.t - 7 AND a.t
+                  GROUP BY 1, 2, 3),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s_c,
+                        CAST(SUM(p) AS BIGINT) AS s_p, CAST(SUM(ad128) AS BIGINT) AS s_a,
+                        CAST(SUM(c*p) AS BIGINT) AS s_cp, CAST(SUM(c*c) AS BIGINT) AS s_cc,
+                        CAST(SUM(p*p) AS BIGINT) AS s_pp, CAST(SUM(ad128*p) AS BIGINT) AS s_ap,
+                        CAST(SUM(ad128*ad128) AS BIGINT) AS s_aa
+                 FROM ad)
+      SELECT n AS n_days,
+             ROUND((CAST(n AS DOUBLE) * CAST(s_cp AS DOUBLE)
+                    - CAST(s_c AS DOUBLE) * CAST(s_p AS DOUBLE))
+                   / (SQRT(CAST(n AS DOUBLE) * CAST(s_cc AS DOUBLE)
+                           - CAST(s_c AS DOUBLE) * CAST(s_c AS DOUBLE))
+                      * SQRT(CAST(n AS DOUBLE) * CAST(s_pp AS DOUBLE)
+                             - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE))), 6) + 0 AS corr_raw,
+             ROUND((CAST(n AS DOUBLE) * CAST(s_ap AS DOUBLE)
+                    - CAST(s_a AS DOUBLE) * CAST(s_p AS DOUBLE))
+                   / (SQRT(CAST(n AS DOUBLE) * CAST(s_aa AS DOUBLE)
+                           - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE))
+                      * SQRT(CAST(n AS DOUBLE) * CAST(s_pp AS DOUBLE)
+                             - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE))), 6) + 0
+               AS corr_adstock
+      FROM s""",
+
   )
 }

@@ -278,6 +278,37 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_nowindow") <= r.getAs[Long]("n_days"))
   }
 
+  test("friendship paradox: neighbor mean dominates the plain mean (Feld)") {
+    val r = GraphMl.q_friendship_paradox(spark, sf).collect().head
+    assert(r.getAs[Long]("mean_neighbor_deg_e4") >= r.getAs[Long]("mean_deg_e4"),
+      r.toString)
+    assert(r.getAs[Double]("paradox_ratio") >= 1.0 - 1e-9)
+  }
+
+  test("attribute assortativity: r is a proper correlation in [-1, 1]") {
+    val r = GraphMl.q_attribute_assortativity(spark, sf).collect().head
+    val a = r.getAs[Double]("assortativity_r")
+    assert(a >= -1.0 && a <= 1.0, a.toString)
+    assert(r.getAs[Long]("trace") <= r.getAs[Long]("n_directed_edges"))
+  }
+
+  test("error budget burn: cumulative counts are monotone and remaining <= 1e6") {
+    val rows = Analytics.q_error_budget_burn(spark, sf).collect()
+      .sortBy(_.getAs[Long]("day"))
+    var (pn, pe) = (0L, 0L)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cum_n") >= pn && r.getAs[Long]("cum_err") >= pe)
+      pn = r.getAs[Long]("cum_n"); pe = r.getAs[Long]("cum_err")
+      assert(r.getAs[Long]("budget_remaining_e6") <= 1000000L)
+    }
+  }
+
+  test("adstock correlation: both correlations are in [-1, 1]") {
+    val r = Analytics.q_adstock_correlation(spark, sf).collect().head
+    for (c <- Seq(r.getAs[Double]("corr_raw"), r.getAs[Double]("corr_adstock")))
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9, c.toString)
+  }
+
   test("reservoir bottom-k: sample never exceeds k=32 or the population") {
     Sampling.q_reservoir_bottomk(spark, sf).collect().foreach { r =>
       val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("k"))
