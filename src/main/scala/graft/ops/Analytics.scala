@@ -9773,4 +9773,134 @@ object Analytics {
         (corr2("a", "p", "corr_adstock") + lit(0.0)).as("corr_adstock"))
   }
 
+  /** Recurrence quantification of the daily revenue series: pairs of
+    * days within ε = range/10 of each other are recurrent (RR e6), and
+    * a recurrent pair that stays recurrent one step later is diagonal
+    * (DET e6 — the determinism measure separating structure from
+    * noise). All exact integer comparisons; the pair space is
+    * calendar-bounded (days², independent of event volume), which is
+    * what makes RQA affordable at any scale.
+    */
+  def q_recurrence_quantification(spark: SparkSession, sf: String): DataFrame = {
+    val epoch = lit("1970-01-01").cast("date")
+    val raw = Tables.eventsWithTs(spark, sf)
+      .groupBy(datediff(to_date(col("ts_us")), epoch).cast("long").as("t"))
+      .agg(sum(cents(col("value"))).as("x"))
+      .localCheckpoint()
+    val eps = raw.agg(expr("(max(x) - min(x)) div 10").as("eps"))
+    val rec = raw.as("a")
+      .join(raw.select(col("t").as("t2"), col("x").as("x2")).as("b"),
+        col("t2") > col("t"))
+      .crossJoin(broadcast(eps))
+      .select(col("t").as("i"), col("t2").as("j"),
+        (abs(col("x") - col("x2")) <= col("eps")).as("r"))
+      .localCheckpoint()
+    val base = rec.agg(count(lit(1)).as("n_pairs"),
+      sum(when(col("r"), 1L).otherwise(0L)).as("n_rec"))
+    val diag = rec.filter(col("r")).as("p")
+      .join(rec.filter(col("r"))
+        .select(col("i").as("i2"), col("j").as("j2")).as("q"),
+        col("i2") === col("i") + 1 && col("j2") === col("j") + 1)
+      .agg(count(lit(1)).as("n_diag"))
+    val n = raw.agg(count(lit(1)).as("n_days"))
+    n.crossJoin(base).crossJoin(diag)
+      .select(col("n_days"), col("n_pairs"), col("n_rec"),
+        expr("n_rec * 1000000 div n_pairs").as("rr_e6"),
+        col("n_diag"),
+        when(col("n_rec") > 0, expr("n_diag * 1000000 div n_rec"))
+          .otherwise(lit(0L)).as("det_e6"))
+  }
+
+  /** Cornish-Fisher 95% quantile of daily revenue: the skew/kurtosis
+    * expansion w = z + (z²−1)γ/6 + (z³−3z)κ/24 − (2z³−5z)γ²/36 applied
+    * to exact moment sums (cubes/quartics accumulate as doubles —
+    * cents³ overflows BIGINT), next to the normal quantile and the
+    * exact empirical rank-rule quantile it tries to approximate. The
+    * risk-desk VaR adjustment as one aggregate + one bounded rank join.
+    */
+  def q_cornish_fisher(spark: SparkSession, sf: String): DataFrame = {
+    val epoch = lit("1970-01-01").cast("date")
+    val raw = Tables.eventsWithTs(spark, sf)
+      .groupBy(datediff(to_date(col("ts_us")), epoch).cast("long").as("t"))
+      .agg(sum(cents(col("value"))).as("x"))
+      .localCheckpoint()
+    val mom = raw.agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+      sum(col("x").cast("double") * col("x").cast("double")).as("s2"),
+      sum(col("x").cast("double") * col("x").cast("double")
+        * col("x").cast("double")).as("s3"),
+      sum(col("x").cast("double") * col("x").cast("double")
+        * col("x").cast("double") * col("x").cast("double")).as("s4"))
+    val emp = raw.as("a")
+      .join(raw.select(col("t").as("t2"), col("x").as("x2")).as("b"),
+        col("x2") < col("x") || (col("x2") === col("x") && col("t2") <= col("t")))
+      .groupBy(col("a.t").as("t"), col("a.x").as("x"))
+      .agg(count(lit(1)).as("rn"))
+      .crossJoin(broadcast(raw.agg(count(lit(1)).as("nn"))))
+      .filter(col("rn") * 20 >= col("nn") * 19)
+      .agg(min(col("x")).as("q95_emp"))
+    mom.crossJoin(emp)
+      .select(col("n").as("n_days"),
+        expr("CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)").as("mu"),
+        expr("""SQRT(s2 / CAST(n AS DOUBLE)
+                - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))""").as("sd"),
+        col("s2"), col("s3"), col("s4"), col("s1"), col("n"), col("q95_emp"))
+      .select(col("n_days"), col("mu"), col("sd"), col("q95_emp"),
+        expr("""(s3 / CAST(n AS DOUBLE) - 3.0 * mu * (s2 / CAST(n AS DOUBLE))
+                + 2.0 * mu * mu * mu) / (sd * sd * sd)""").as("g"),
+        expr("""(s4 / CAST(n AS DOUBLE) - 4.0 * mu * (s3 / CAST(n AS DOUBLE))
+                + 6.0 * mu * mu * (s2 / CAST(n AS DOUBLE))
+                - 3.0 * mu * mu * mu * mu) / (sd * sd * sd * sd) - 3.0""").as("k"))
+      .withColumn("z", lit(1.6448536269514722d))
+      .select(col("n_days"),
+        (round(col("g"), 6) + lit(0.0)).as("skew"),
+        (round(col("k"), 6) + lit(0.0)).as("excess_kurtosis"),
+        (round(expr("mu + z * sd"), 4) + lit(0.0)).as("q95_normal"),
+        (round(expr(
+          """mu + (z + (z * z - 1.0) * g / 6.0
+               + (z * z * z - 3.0 * z) * k / 24.0
+               - (2.0 * z * z * z - 5.0 * z) * g * g / 36.0) * sd"""), 4)
+          + lit(0.0)).as("q95_cf"),
+        col("q95_emp"))
+  }
+
+  /** Pinball (quantile) loss scorecard: the train-period p50/p90 of
+    * daily revenue (exact rank rule) evaluated as constant quantile
+    * forecasts over the last 14 days. Loss stays on the integer cent
+    * lattice (τ in e2), so the scorecard is exact — the metric every
+    * probabilistic-forecast benchmark reports, with the train/test
+    * split a pure calendar filter.
+    */
+  def q_pinball_loss(spark: SparkSession, sf: String): DataFrame = {
+    val epoch = lit("1970-01-01").cast("date")
+    val raw = Tables.eventsWithTs(spark, sf)
+      .groupBy(datediff(to_date(col("ts_us")), epoch).cast("long").as("t"))
+      .agg(sum(cents(col("value"))).as("x"))
+      .localCheckpoint()
+    val cut = raw.agg((max(col("t")) - 13).as("tcut"))
+    val train = raw.crossJoin(broadcast(cut)).filter(col("t") < col("tcut"))
+      .select(col("t"), col("x")).localCheckpoint()
+    val ranked = train.as("a")
+      .join(train.select(col("t").as("t2"), col("x").as("x2")).as("b"),
+        col("x2") < col("x") || (col("x2") === col("x") && col("t2") <= col("t")))
+      .groupBy(col("a.t").as("t"), col("a.x").as("x"))
+      .agg(count(lit(1)).as("rn"))
+      .crossJoin(broadcast(train.agg(count(lit(1)).as("nn"))))
+    val qs = ranked.filter(col("rn") * 2 >= col("nn"))
+      .agg(min(col("x")).as("q")).withColumn("tau_e2", lit(50L))
+      .unionByName(ranked.filter(col("rn") * 10 >= col("nn") * 9)
+        .agg(min(col("x")).as("q")).withColumn("tau_e2", lit(90L)))
+    val test = raw.crossJoin(broadcast(cut)).filter(col("t") >= col("tcut"))
+      .select(col("x").as("y"))
+    test.crossJoin(broadcast(qs))
+      .groupBy(col("tau_e2"), col("q").as("q_pred_cents"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("y") >= col("q"), col("tau_e2") * (col("y") - col("q")))
+          .otherwise((lit(100L) - col("tau_e2")) * (col("q") - col("y"))))
+          .as("loss_e2"))
+      .select(col("tau_e2"), col("q_pred_cents"), col("n_test"), col("loss_e2"),
+        expr("loss_e2 div n_test").as("mean_loss_cents_e2"))
+      .orderBy("tau_e2")
+  }
+
 }

