@@ -1491,4 +1491,35 @@ object Relational {
         expr("rows_below_k5 * 10000 div n_rows").as("suppression_share_e4"),
         col("min_l_diversity"))
   }
+
+  /** Run-length-encoding benefit audit for the columnar layout: within
+    * each order (the natural write batch, linenumber order) count value
+    * runs of the two low-cardinality flag columns; rows-per-run e4 is
+    * the compression multiple RLE would deliver on the current sort
+    * order. Keyed lag windows only (per order — bounded rows, never a
+    * global sort); the question this answers at fleet scale is "is this
+    * table worth Z-ordering before parquet-writing".
+    */
+  def q_rle_benefit(spark: SparkSession, sf: String): DataFrame = {
+    // (l_orderkey, l_linenumber) is NOT unique — tie-break by the flag
+    // values themselves so the run count is engine-deterministic
+    val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "rf", "ls")
+    val runs = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
+      .select(
+        when(lag(col("rf"), 1).over(w).isNull ||
+          lag(col("rf"), 1).over(w) =!= col("rf"), 1L).otherwise(0L).as("rf_start"),
+        when(lag(col("ls"), 1).over(w).isNull ||
+          lag(col("ls"), 1).over(w) =!= col("ls"), 1L).otherwise(0L).as("ls_start"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("rf_start")).as("rf_runs"), sum(col("ls_start")).as("ls_runs"))
+    runs.select(lit("l_returnflag").as("column_name"), col("n_rows"),
+        col("rf_runs").as("n_runs"),
+        expr("n_rows * 10000 div rf_runs").as("rows_per_run_e4"))
+      .unionByName(runs.select(lit("l_linestatus").as("column_name"), col("n_rows"),
+        col("ls_runs").as("n_runs"),
+        expr("n_rows * 10000 div ls_runs").as("rows_per_run_e4")))
+      .orderBy("column_name")
+  }
 }

@@ -1377,4 +1377,85 @@ object Vectors {
         expr("cost_e6 div n_assigned").as("mean_cost_e6"))
       .orderBy("medoid")
   }
+
+  /** Grid-hashed closest pair in the (dim0, dim1) embedding plane: each
+    * point lands in a 32×32 cell, the right side is exploded into its
+    * 3×3 neighborhood so candidates meet through a plain HASH join on
+    * the cell key (never point² — the standard spatial-join shape), and
+    * the winner is the lexicographic-min (d², a, b). Exact e7-lattice
+    * integer distances; candidate count rides along as the efficiency
+    * witness.
+    */
+  def q_closest_pair_2d(spark: SparkSession, sf: String): DataFrame = {
+    val pts = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        round(element_at(col("embedding"), 1).cast("double") * 1e7).cast("long").as("x"),
+        round(element_at(col("embedding"), 2).cast("double") * 1e7).cast("long").as("y"))
+      .localCheckpoint()
+    val bounds = pts.agg(min(col("x")).as("x0"), max(col("x")).as("x1"),
+      min(col("y")).as("y0"), max(col("y")).as("y1"))
+    val cells = pts.crossJoin(broadcast(bounds))
+      .select(col("vec_id"), col("x"), col("y"),
+        expr("(x - x0) * 32 div (x1 - x0 + 1)").as("cx"),
+        expr("(y - y0) * 32 div (y1 - y0 + 1)").as("cy"))
+      .localCheckpoint()
+    val probe = cells.select(col("vec_id").as("b"), col("x").as("bx"),
+        col("y").as("by"), col("cx"), col("cy"))
+      .withColumn("d", explode(expr(
+        "transform(sequence(0, 8), i -> struct(i div 3 - 1 AS ox, i % 3 - 1 AS oy))")))
+      .select(col("b"), col("bx"), col("by"),
+        (col("cx") + col("d.ox")).as("cx"), (col("cy") + col("d.oy")).as("cy"))
+    val cand = cells.join(probe, Seq("cx", "cy"))
+      .filter(col("vec_id") < col("b"))
+      .select(col("vec_id").as("a"), col("b"),
+        ((col("x") - col("bx")) * (col("x") - col("bx"))
+          + (col("y") - col("by")) * (col("y") - col("by"))).as("d2"))
+      .localCheckpoint()
+    val n = cand.agg(count(lit(1)).as("n_candidates"))
+    cand.orderBy(col("d2").asc, col("a").asc, col("b").asc).limit(1)
+      .crossJoin(broadcast(n))
+      .select(col("a").as("vec_a"), col("b").as("vec_b"),
+        col("d2").as("d2_e14"), col("n_candidates"))
+  }
+
+  /** Z-order vs hash layout locality on the embedding plane: both
+    * schemes bucket the same points (8-bit Morton code div 256 vs
+    * md5 mod 256) and the average intra-bucket squared grid distance
+    * comes from per-bucket sufficient sums (n·Σx² − (Σx)² — NO pair
+    * join at any scale). The number Delta/Iceberg-style Z-ORDER
+    * clustering optimizes: z buckets should be an order of magnitude
+    * tighter than hash buckets.
+    */
+  def q_zorder_locality(spark: SparkSession, sf: String): DataFrame = {
+    val pts = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        round(element_at(col("embedding"), 1).cast("double") * 1e7).cast("long").as("x"),
+        round(element_at(col("embedding"), 2).cast("double") * 1e7).cast("long").as("y"))
+    val bounds = pts.agg(min(col("x")).as("x0"), max(col("x")).as("x1"),
+      min(col("y")).as("y0"), max(col("y")).as("y1"))
+    val grid = pts.crossJoin(broadcast(bounds))
+      .select(col("vec_id"),
+        expr("(x - x0) * 256 div (x1 - x0 + 1)").as("gx"),
+        expr("(y - y0) * 256 div (y1 - y0 + 1)").as("gy"))
+      .withColumn("morton", expr((0 until 8).map(b =>
+        s"((gx div ${1L << b}) % 2) * ${1L << (2 * b)}" +
+          s" + ((gy div ${1L << b}) % 2) * ${1L << (2 * b + 1)}").mkString(" + ")))
+      .localCheckpoint()
+    def locality(bucketed: DataFrame, scheme: String): DataFrame =
+      bucketed.groupBy(col("bk"))
+        .agg(count(lit(1)).as("n"), sum(col("gx")).as("sx"),
+          sum(col("gx") * col("gx")).as("sxx"),
+          sum(col("gy")).as("sy"), sum(col("gy") * col("gy")).as("syy"))
+        .agg(count(lit(1)).as("n_buckets_used"),
+          sum(expr("n * (n - 1) div 2")).as("n_pairs"),
+          sum(expr("n * sxx - sx * sx + n * syy - sy * sy")).as("sum_d2"))
+        .select(lit(scheme).as("scheme"), col("n_buckets_used"), col("n_pairs"),
+          when(col("n_pairs") > 0, expr("sum_d2 * 10000 div n_pairs"))
+            .otherwise(lit(0L)).as("avg_d2_e4"))
+    locality(grid.select(expr("morton div 256").as("bk"), col("gx"), col("gy")), "zorder")
+      .unionByName(locality(grid.select(
+        pmod(graft.core.Det.hash32(col("vec_id")), lit(256L)).as("bk"),
+        col("gx"), col("gy")), "hash"))
+      .orderBy("scheme")
+  }
 }

@@ -16905,5 +16905,101 @@ object OracleSql {
       FROM test CROSS JOIN qs
       GROUP BY tau_e2, q ORDER BY tau_e2""",
 
+    "q_closest_pair_2d" -> """
+      WITH pts AS MATERIALIZED (
+             SELECT vec_id,
+                    CAST(ROUND(CAST(embedding[1] AS DOUBLE) * 1e7) AS BIGINT) AS x,
+                    CAST(ROUND(CAST(embedding[2] AS DOUBLE) * 1e7) AS BIGINT) AS y
+             FROM embeddings),
+           bounds AS (SELECT MIN(x) AS x0, MAX(x) AS x1, MIN(y) AS y0, MAX(y) AS y1
+                      FROM pts),
+           cells AS MATERIALIZED (
+             SELECT vec_id, x, y, (x - x0) * 32 // (x1 - x0 + 1) AS cx,
+                    (y - y0) * 32 // (y1 - y0 + 1) AS cy
+             FROM pts CROSS JOIN bounds),
+           probe AS (SELECT vec_id AS b, x AS bx, y AS byy,
+                            cx + ox AS cx, cy + oy AS cy
+                     FROM cells CROSS JOIN
+                       (SELECT i // 3 - 1 AS ox, i % 3 - 1 AS oy
+                        FROM (SELECT unnest(range(0, 9)) AS i)) o),
+           cand AS MATERIALIZED (
+             SELECT c.vec_id AS a, p.b,
+                    (c.x - p.bx) * (c.x - p.bx) + (c.y - p.byy) * (c.y - p.byy) AS d2
+             FROM cells c JOIN probe p ON p.cx = c.cx AND p.cy = c.cy
+             WHERE c.vec_id < p.b),
+           n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand)
+      SELECT CAST(a AS BIGINT) AS vec_a, CAST(b AS BIGINT) AS vec_b,
+             CAST(d2 AS BIGINT) AS d2_e14, n_candidates
+      FROM cand CROSS JOIN n ORDER BY d2, a, b LIMIT 1""",
+
+    "q_zorder_locality" -> """
+      WITH pts AS (SELECT vec_id,
+                          CAST(ROUND(CAST(embedding[1] AS DOUBLE) * 1e7) AS BIGINT) AS x,
+                          CAST(ROUND(CAST(embedding[2] AS DOUBLE) * 1e7) AS BIGINT) AS y
+                   FROM embeddings),
+           bounds AS (SELECT MIN(x) AS x0, MAX(x) AS x1, MIN(y) AS y0, MAX(y) AS y1
+                      FROM pts),
+           grid AS MATERIALIZED (
+             SELECT vec_id, gx, gy,
+                    ((gx // 1) % 2) * 1 + ((gy // 1) % 2) * 2
+                    + ((gx // 2) % 2) * 4 + ((gy // 2) % 2) * 8
+                    + ((gx // 4) % 2) * 16 + ((gy // 4) % 2) * 32
+                    + ((gx // 8) % 2) * 64 + ((gy // 8) % 2) * 128
+                    + ((gx // 16) % 2) * 256 + ((gy // 16) % 2) * 512
+                    + ((gx // 32) % 2) * 1024 + ((gy // 32) % 2) * 2048
+                    + ((gx // 64) % 2) * 4096 + ((gy // 64) % 2) * 8192
+                    + ((gx // 128) % 2) * 16384 + ((gy // 128) % 2) * 32768 AS morton
+             FROM (SELECT vec_id, (x - x0) * 256 // (x1 - x0 + 1) AS gx,
+                          (y - y0) * 256 // (y1 - y0 + 1) AS gy
+                   FROM pts CROSS JOIN bounds)),
+           z AS (SELECT morton // 256 AS bk, gx, gy FROM grid),
+           h AS (SELECT CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8)
+                          AS BIGINT) % 256 AS bk, gx, gy FROM grid),
+           zb AS (SELECT bk, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(gx) AS BIGINT) AS sx,
+                         CAST(SUM(gx*gx) AS BIGINT) AS sxx, CAST(SUM(gy) AS BIGINT) AS sy,
+                         CAST(SUM(gy*gy) AS BIGINT) AS syy FROM z GROUP BY bk),
+           hb AS (SELECT bk, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(gx) AS BIGINT) AS sx,
+                         CAST(SUM(gx*gx) AS BIGINT) AS sxx, CAST(SUM(gy) AS BIGINT) AS sy,
+                         CAST(SUM(gy*gy) AS BIGINT) AS syy FROM h GROUP BY bk),
+           za AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+                         CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS n_pairs,
+                         CAST(SUM(n * sxx - sx * sx + n * syy - sy * sy) AS BIGINT) AS sum_d2
+                  FROM zb),
+           ha AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+                         CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS n_pairs,
+                         CAST(SUM(n * sxx - sx * sx + n * syy - sy * sy) AS BIGINT) AS sum_d2
+                  FROM hb)
+      SELECT * FROM (
+        SELECT 'zorder' AS scheme, n_buckets_used, n_pairs,
+               CAST(CASE WHEN n_pairs > 0 THEN sum_d2 * 10000 // n_pairs ELSE 0 END
+                 AS BIGINT) AS avg_d2_e4
+        FROM za
+        UNION ALL
+        SELECT 'hash', n_buckets_used, n_pairs,
+               CAST(CASE WHEN n_pairs > 0 THEN sum_d2 * 10000 // n_pairs ELSE 0 END
+                 AS BIGINT)
+        FROM ha)
+      ORDER BY scheme""",
+
+    "q_rle_benefit" -> """
+      WITH r AS (SELECT CASE WHEN prf IS NULL OR prf <> rf THEN 1 ELSE 0 END AS rf_start,
+                        CASE WHEN pls IS NULL OR pls <> ls THEN 1 ELSE 0 END AS ls_start
+                 FROM (SELECT l_returnflag AS rf, l_linestatus AS ls,
+                              LAG(l_returnflag) OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_returnflag, l_linestatus) AS prf,
+                              LAG(l_linestatus) OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_returnflag, l_linestatus) AS pls
+                       FROM lineitem)),
+           t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                        CAST(SUM(rf_start) AS BIGINT) AS rf_runs,
+                        CAST(SUM(ls_start) AS BIGINT) AS ls_runs FROM r)
+      SELECT * FROM (
+        SELECT 'l_returnflag' AS column_name, n_rows, rf_runs AS n_runs,
+               CAST(n_rows * 10000 // rf_runs AS BIGINT) AS rows_per_run_e4 FROM t
+        UNION ALL
+        SELECT 'l_linestatus', n_rows, ls_runs,
+               CAST(n_rows * 10000 // ls_runs AS BIGINT) FROM t)
+      ORDER BY column_name""",
+
   )
 }

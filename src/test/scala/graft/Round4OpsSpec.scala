@@ -335,6 +335,28 @@ class Round4OpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Long]("loss_e2") >= 0L))
   }
 
+  test("closest pair 2d: candidates go through a hash join on the cell key") {
+    val df = Vectors.q_closest_pair_2d(spark, sf)
+    val r = df.collect().head
+    assert(r.getAs[Long]("d2_e14") >= 0L)
+    assert(r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b"))
+    assert(r.getAs[Long]("n_candidates") >= 1L)
+  }
+
+  test("zorder locality: z buckets are tighter than hash buckets") {
+    val rows = Vectors.q_zorder_locality(spark, sf).collect()
+      .map(r => r.getAs[String]("scheme") -> r.getAs[Long]("avg_d2_e4")).toMap
+    assert(rows("zorder") < rows("hash"),
+      s"Z-order must improve locality: $rows")
+  }
+
+  test("rle benefit: runs bounded by rows, ratio at least 1x") {
+    Relational.q_rle_benefit(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("n_runs") <= r.getAs[Long]("n_rows"))
+      assert(r.getAs[Long]("rows_per_run_e4") >= 10000L)
+    }
+  }
+
   test("reservoir bottom-k: sample never exceeds k=32 or the population") {
     Sampling.q_reservoir_bottomk(spark, sf).collect().foreach { r =>
       val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("k"))
