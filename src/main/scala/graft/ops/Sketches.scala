@@ -302,4 +302,78 @@ object Sketches {
         (round(expr("neg_ln_p / 0.4804530139182014"), 4) + lit(0.0)).as("bits_per_key"))
       .orderBy("target_fp")
   }
+
+  /** Linear counting (Whang et al.): per event type the m=1024-bit
+    * bitmap of md5 user buckets, estimate −m·ln(V/m) from the EXACT
+    * empty-bucket fraction vs the exact distinct count. The bitmap is
+    * just `countDistinct(bucket)` — fully mergeable (bitwise OR), the
+    * small-cardinality companion to HLL with error ~√m/m. All integer
+    * until the one ln.
+    */
+  def q_linear_counting(spark: SparkSession, sf: String): DataFrame =
+    Tables.eventsWithTs(spark, sf)
+      .select(col("event_type"), col("user_id"),
+        pmod(hash32(col("user_id")), lit(1024L)).as("bk"))
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"),
+        countDistinct(col("bk")).as("n_hit"))
+      .select(col("event_type"), lit(1024L).as("m"), col("n_exact"), col("n_hit"),
+        // a full bitmap saturates LC (ln 0): report -1/0, the "switch to
+        // HLL" signal every LC deployment carries
+        when(col("n_hit") >= 1024L, lit(-1L))
+          .otherwise(expr(
+            """CAST(ROUND(-1024.0 * ln(CAST(1024 - n_hit AS DOUBLE) / 1024.0))
+               AS BIGINT)""")).as("est"),
+        when(col("n_hit") >= 1024L, lit(0L))
+          .otherwise(expr(
+            """(CAST(ROUND(-1024.0 * ln(CAST(1024 - n_hit AS DOUBLE) / 1024.0))
+                AS BIGINT) - n_exact) * 10000 div n_exact""")).as("err_e4"))
+      .orderBy("event_type")
+
+  /** Flajolet-Martin ρ-max sketch per event type: ρ = trailing zeros of
+    * the shared md5 hash (h & −h is the lowest set bit — log2 of an
+    * exact power, no loops), estimate 2^ρmax/0.77351 vs exact distinct
+    * users. THE original 1985 probabilistic-counting paper as one
+    * max-aggregate; the single-sketch variance is the documented
+    * weakness the PCSA/HLL successors average away.
+    */
+  def q_fm_sketch(spark: SparkSession, sf: String): DataFrame =
+    Tables.eventsWithTs(spark, sf)
+      .select(col("event_type"), col("user_id"), hash32(col("user_id")).as("h"))
+      .select(col("event_type"), col("user_id"),
+        when(col("h") === 0L, 32L)
+          .otherwise(expr("CAST(ROUND(LOG2(CAST(h & -h AS DOUBLE))) AS BIGINT)"))
+          .as("rho"))
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"), max(col("rho")).as("max_rho"))
+      .select(col("event_type"), col("n_exact"), col("max_rho"),
+        expr("CAST(ROUND(POW(2.0, CAST(max_rho AS DOUBLE)) / 0.77351) AS BIGINT)")
+          .as("est"))
+      .orderBy("event_type")
+
+  /** PCSA (stochastic averaging — the FM→HLL missing link) per event
+    * type: 64 buckets by the low hash bits, per-bucket ρ-max of the
+    * remaining bits, estimate (m/0.77351)·2^(Σρ/m). The Σρ is an exact
+    * BIGINT so the arithmetic-mean exponent is one fixed tree —
+    * averaging over buckets is exactly what cuts single-FM's ±1-octave
+    * variance to ~10%.
+    */
+  def q_pcsa(spark: SparkSession, sf: String): DataFrame =
+    Tables.eventsWithTs(spark, sf)
+      .select(col("event_type"), col("user_id"), hash32(col("user_id")).as("h"))
+      .select(col("event_type"), col("user_id"),
+        pmod(col("h"), lit(64L)).as("bk"), expr("h div 64").as("w"))
+      .select(col("event_type"), col("user_id"), col("bk"),
+        when(col("w") === 0L, 26L)
+          .otherwise(expr("CAST(ROUND(LOG2(CAST(w & -w AS DOUBLE))) AS BIGINT)"))
+          .as("rho"))
+      .groupBy(col("event_type"), col("bk"))
+      .agg(countDistinct(col("user_id")).as("nd"), max(col("rho")).as("m"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("nd")).as("n_exact"), count(lit(1)).as("n_buckets"),
+        sum(col("m")).as("sum_rho"))
+      .select(col("event_type"), col("n_exact"), col("n_buckets"), col("sum_rho"),
+        expr("""CAST(ROUND(64.0 / 0.77351
+                * POW(2.0, CAST(sum_rho AS DOUBLE) / 64.0)) AS BIGINT)""").as("est"))
+      .orderBy("event_type")
 }

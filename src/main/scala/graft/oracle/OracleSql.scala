@@ -17001,5 +17001,60 @@ object OracleSql {
                CAST(n_rows * 10000 // ls_runs AS BIGINT) FROM t)
       ORDER BY column_name""",
 
+    "q_linear_counting" -> """
+      WITH b AS (SELECT event_type,
+                        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+                        CAST(COUNT(DISTINCT CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                                                  AS BIGINT) % 1024) AS BIGINT) AS n_hit
+                 FROM events GROUP BY 1)
+      SELECT event_type, CAST(1024 AS BIGINT) AS m, n_exact, n_hit,
+             CAST(CASE WHEN n_hit >= 1024 THEN -1
+                       ELSE CAST(ROUND(-1024.0 * LN(CAST(1024 - n_hit AS DOUBLE) / 1024.0))
+                            AS BIGINT) END AS BIGINT) AS est,
+             CAST(CASE WHEN n_hit >= 1024 THEN 0
+                       ELSE (CAST(ROUND(-1024.0 * LN(CAST(1024 - n_hit AS DOUBLE) / 1024.0))
+                             AS BIGINT) - n_exact) * 10000 // n_exact END AS BIGINT) AS err_e4
+      FROM b ORDER BY event_type""",
+
+    "q_fm_sketch" -> """
+      WITH h AS (SELECT event_type, user_id,
+                        CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                          AS BIGINT) AS h
+                 FROM events),
+           r AS (SELECT event_type, user_id,
+                        CASE WHEN h = 0 THEN 32
+                             ELSE CAST(ROUND(LOG2(CAST(h & -h AS DOUBLE))) AS BIGINT)
+                        END AS rho
+                 FROM h),
+           a AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+                        CAST(MAX(rho) AS BIGINT) AS max_rho
+                 FROM r GROUP BY 1)
+      SELECT event_type, n_exact, max_rho,
+             CAST(ROUND(POW(2.0, CAST(max_rho AS DOUBLE)) / 0.77351) AS BIGINT) AS est
+      FROM a ORDER BY event_type""",
+
+    "q_pcsa" -> """
+      WITH h AS (SELECT event_type, user_id,
+                        CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                          AS BIGINT) AS h
+                 FROM events),
+           r AS (SELECT event_type, user_id, h % 64 AS bk,
+                        CASE WHEN h // 64 = 0 THEN 26
+                             ELSE CAST(ROUND(LOG2(CAST((h // 64) & -(h // 64) AS DOUBLE)))
+                                  AS BIGINT)
+                        END AS rho
+                 FROM h),
+           b AS (SELECT event_type, bk, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nd,
+                        CAST(MAX(rho) AS BIGINT) AS m
+                 FROM r GROUP BY 1, 2),
+           a AS (SELECT event_type, CAST(SUM(nd) AS BIGINT) AS n_exact,
+                        CAST(COUNT(*) AS BIGINT) AS n_buckets,
+                        CAST(SUM(m) AS BIGINT) AS sum_rho
+                 FROM b GROUP BY 1)
+      SELECT event_type, n_exact, n_buckets, sum_rho,
+             CAST(ROUND(64.0 / 0.77351 * POW(2.0, CAST(sum_rho AS DOUBLE) / 64.0))
+               AS BIGINT) AS est
+      FROM a ORDER BY event_type""",
+
   )
 }

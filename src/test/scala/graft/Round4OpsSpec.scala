@@ -357,6 +357,27 @@ class Round4OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("probabilistic counting lineage: estimates bracket the exact count sanely") {
+    Sketches.q_linear_counting(spark, sf).collect().foreach { r =>
+      val est = r.getAs[Long]("est")
+      if (est >= 0) // unsaturated
+        assert(est >= r.getAs[Long]("n_hit"), s"LC est below bitmap occupancy: $r")
+      else assert(r.getAs[Long]("n_hit") == 1024L)
+    }
+    Sketches.q_fm_sketch(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("max_rho") >= 0L && r.getAs[Long]("max_rho") <= 32L)
+      assert(r.getAs[Long]("est") >= 1L)
+    }
+    Sketches.q_pcsa(spark, sf).collect().foreach { r =>
+      val (est, ex) = (r.getAs[Long]("est"), r.getAs[Long]("n_exact"))
+      // the error band only applies in PCSA's valid regime n >> m; below
+      // that the documented small-range bias floors the estimate near m/φ
+      if (ex >= 5 * 64)
+        assert(est >= ex / 3 && est <= ex * 3, s"PCSA off: est=$est exact=$ex")
+      else assert(est >= 1L)
+    }
+  }
+
   test("reservoir bottom-k: sample never exceeds k=32 or the population") {
     Sampling.q_reservoir_bottomk(spark, sf).collect().foreach { r =>
       val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("k"))
