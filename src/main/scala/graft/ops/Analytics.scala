@@ -9903,4 +9903,101 @@ object Analytics {
       .orderBy("tau_e2")
   }
 
+  /** Process-mining bottleneck table: the directly-follows transitions
+    * of each user's event stream ((ts, id)-ordered keyed lag — never a
+    * global sort) with exact µs mean waiting time; the top-8
+    * well-supported slowest hand-offs are where the process stalls,
+    * and self-transitions flag rework loops. The duration-annotated
+    * DFG every conformance-checking pipeline starts from.
+    */
+  def q_process_bottleneck(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_usl", "event_id")
+    Tables.eventsWithTs(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts_usl"), col("event_type"))
+      .select(col("event_type").as("to_type"),
+        lag(col("event_type"), 1).over(w).as("from_type"),
+        (col("ts_usl") - lag(col("ts_usl"), 1).over(w)).as("gap_us"))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"), sum(col("gap_us")).as("sum_gap_us"))
+      .filter(col("n") >= 5)
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("sum_gap_us div n").as("mean_gap_us"),
+        when(col("from_type") === col("to_type"), 1L).otherwise(0L).as("is_rework"))
+      .orderBy(col("mean_gap_us").desc, col("from_type").asc, col("to_type").asc)
+      .limit(8)
+  }
+
+  /** Global clustering coefficient vs its configuration-model null:
+    * C = 3·triangles/wedges (triangles via the wedge join — Σdeg²
+    * bounded, never node³) against E[C]ᶜᵐ = (⟨d²⟩−⟨d⟩)²/(n·⟨d⟩³) from
+    * the same one degree aggregate. The ratio says whether the
+    * co-purchase graph clusters MORE than random given its degree
+    * sequence — the null-model check every "community found!" claim
+    * needs.
+    */
+  def q_clustering_null_model(spark: SparkSession, sf: String): DataFrame = {
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val e0 = items.as("a")
+      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("s")).filter(col("s") >= 2)
+      .select(col("u"), col("v"))
+    val ed = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    val tri = e0.as("e")
+      .join(ed.select(col("u").as("eu"), col("v").as("z1")).as("a"),
+        col("e.u") === col("eu"))
+      .join(ed.select(col("u").as("ev"), col("v").as("z2")).as("b"),
+        col("e.v") === col("ev") && col("z1") === col("z2"))
+      .agg((count(lit(1)) / 3).cast("long").as("triangles"))
+    val degm = ed.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      .agg(count(lit(1)).as("n"), sum(col("d")).as("sd"),
+        sum(col("d") * (col("d") - 1)).as("wedges2"),
+        sum(col("d") * col("d")).as("sd2"))
+    degm.crossJoin(tri)
+      .select(col("n").as("n_nodes"), expr("sd div 2").as("n_edges"),
+        col("triangles"), expr("wedges2 div 2").as("wedges"),
+        (round(expr(
+          "6.0 * CAST(triangles AS DOUBLE) / CAST(wedges2 AS DOUBLE)"), 6)
+          + lit(0.0)).as("c_global"),
+        (round(expr(
+          """(CAST(sd2 AS DOUBLE) / CAST(n AS DOUBLE) - CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(sd2 AS DOUBLE) / CAST(n AS DOUBLE) - CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(n AS DOUBLE)
+                * (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE)))"""), 6)
+          + lit(0.0)).as("c_random"))
+  }
+
+  /** Molloy-Reed percolation audit of the co-purchase graph: κ = ⟨d²⟩/⟨d⟩
+    * (giant component iff κ > 2) and the bond-percolation threshold
+    * p_c = ⟨d⟩/(⟨d²⟩−⟨d⟩) — how much random edge loss the graph
+    * survives. One degree aggregate; the robustness number behind
+    * every "can we drop x% of the network" question.
+    */
+  def q_percolation_threshold(spark: SparkSession, sf: String): DataFrame = {
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val e0 = items.as("a")
+      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("s")).filter(col("s") >= 2)
+      .select(col("u"), col("v"))
+    e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+      .groupBy(col("u")).agg(count(lit(1)).as("d"))
+      .agg(count(lit(1)).as("n"), sum(col("d")).as("sd"),
+        sum(col("d") * col("d")).as("sd2"))
+      .select(col("n").as("n_nodes"), expr("sd div 2").as("n_edges"),
+        (round(expr("CAST(sd2 AS DOUBLE) / CAST(sd AS DOUBLE)"), 6) + lit(0.0))
+          .as("kappa"),
+        when(expr("CAST(sd2 AS DOUBLE) / CAST(sd AS DOUBLE)") > 2.0, 1L)
+          .otherwise(0L).as("giant_component"),
+        (round(expr(
+          "CAST(sd AS DOUBLE) / (CAST(sd2 AS DOUBLE) - CAST(sd AS DOUBLE))"), 6)
+          + lit(0.0)).as("p_critical"))
+  }
+
 }

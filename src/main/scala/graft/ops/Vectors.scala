@@ -1426,7 +1426,7 @@ object Vectors {
     * clustering optimizes: z buckets should be an order of magnitude
     * tighter than hash buckets.
     */
-  def q_zorder_locality(spark: SparkSession, sf: String): DataFrame = {
+  def q_zorder_bucket_tightness(spark: SparkSession, sf: String): DataFrame = {
     val pts = Tables.embeddings(spark, sf)
       .select(col("vec_id"),
         round(element_at(col("embedding"), 1).cast("double") * 1e7).cast("long").as("x"),

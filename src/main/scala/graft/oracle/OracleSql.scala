@@ -16932,7 +16932,7 @@ object OracleSql {
              CAST(d2 AS BIGINT) AS d2_e14, n_candidates
       FROM cand CROSS JOIN n ORDER BY d2, a, b LIMIT 1""",
 
-    "q_zorder_locality" -> """
+    "q_zorder_bucket_tightness" -> """
       WITH pts AS (SELECT vec_id,
                           CAST(ROUND(CAST(embedding[1] AS DOUBLE) * 1e7) AS BIGINT) AS x,
                           CAST(ROUND(CAST(embedding[2] AS DOUBLE) * 1e7) AS BIGINT) AS y
@@ -17055,6 +17055,64 @@ object OracleSql {
              CAST(ROUND(64.0 / 0.77351 * POW(2.0, CAST(sum_rho AS DOUBLE) / 64.0))
                AS BIGINT) AS est
       FROM a ORDER BY event_type""",
+
+    "q_process_bottleneck" -> """
+      WITH seq AS (SELECT event_type AS to_type,
+                          LAG(event_type) OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS from_type,
+                          epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS gap_us
+                   FROM events),
+           t AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us
+                 FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2)
+      SELECT from_type, to_type, n, CAST(sum_gap_us // n AS BIGINT) AS mean_gap_us,
+             CAST(CASE WHEN from_type = to_type THEN 1 ELSE 0 END AS BIGINT) AS is_rework
+      FROM t WHERE n >= 5
+      ORDER BY mean_gap_us DESC, from_type ASC, to_type ASC LIMIT 8""",
+
+    "q_clustering_null_model" -> """
+      WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           e0 AS MATERIALIZED (
+             SELECT a.pk AS u, b.pk AS v
+             FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+             GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+           ed AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+           tri AS (SELECT CAST(COUNT(*) // 3 AS BIGINT) AS triangles
+                   FROM e0 e JOIN ed a ON a.u = e.u
+                             JOIN ed b ON b.u = e.v AND a.v = b.v),
+           degm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(d) AS BIGINT) AS sd,
+                           CAST(SUM(d * (d - 1)) AS BIGINT) AS wedges2,
+                           CAST(SUM(d * d) AS BIGINT) AS sd2 FROM
+                      (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM ed GROUP BY 1))
+      SELECT n AS n_nodes, CAST(sd // 2 AS BIGINT) AS n_edges, triangles,
+             CAST(wedges2 // 2 AS BIGINT) AS wedges,
+             ROUND(6.0 * CAST(triangles AS DOUBLE) / CAST(wedges2 AS DOUBLE), 6) + 0
+               AS c_global,
+             ROUND((CAST(sd2 AS DOUBLE) / CAST(n AS DOUBLE) - CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(sd2 AS DOUBLE) / CAST(n AS DOUBLE) - CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE)
+                      * (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))), 6) + 0 AS c_random
+      FROM degm, tri""",
+
+    "q_percolation_threshold" -> """
+      WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           e0 AS (SELECT a.pk AS u, b.pk AS v
+                  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+                  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+           ed AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+           degm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(d) AS BIGINT) AS sd,
+                           CAST(SUM(d * d) AS BIGINT) AS sd2 FROM
+                      (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM ed GROUP BY 1))
+      SELECT n AS n_nodes, CAST(sd // 2 AS BIGINT) AS n_edges,
+             ROUND(CAST(sd2 AS DOUBLE) / CAST(sd AS DOUBLE), 6) + 0 AS kappa,
+             CAST(CASE WHEN CAST(sd2 AS DOUBLE) / CAST(sd AS DOUBLE) > 2.0
+                       THEN 1 ELSE 0 END AS BIGINT) AS giant_component,
+             ROUND(CAST(sd AS DOUBLE) / (CAST(sd2 AS DOUBLE) - CAST(sd AS DOUBLE)), 6) + 0
+               AS p_critical
+      FROM degm""",
 
   )
 }

@@ -54,4 +54,22 @@ class LayoutSpec extends AnyFunSuite {
     assert(salted.orderBy("o_orderpriority").collect().toSeq ===
       plain.orderBy("o_orderpriority").collect().toSeq)
   }
+
+  test("query registry has no silent key collisions (Map keeps last wins)") {
+    // a duplicate key in the SparkEntry.queries literal silently shadows the
+    // earlier operator (it has happened twice); parse the source and fail loudly
+    import scala.jdk.CollectionConverters._
+    val src = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get("src/main/scala/graft/SparkEntry.scala")).asScala
+        .mkString("\n")
+    val body = src.substring(src.indexOf("def queries"),
+      src.indexOf("def oracleSql"))
+    val keys = "\"(q_[a-z0-9_]+)\"\\s*->".r.findAllMatchIn(body)
+      .map(_.group(1)).toSeq
+    val dups = keys.groupBy(identity).collect { case (k, v) if v.size > 1 => k }
+    assert(dups.isEmpty, s"duplicate registry keys shadow operators: $dups")
+    assert(keys.size == SparkEntry.queries.size,
+      s"registry literal has ${keys.size} entries but the Map kept " +
+        s"${SparkEntry.queries.size}")
+  }
 }

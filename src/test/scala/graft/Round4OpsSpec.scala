@@ -344,7 +344,7 @@ class Round4OpsSpec extends AnyFunSuite {
   }
 
   test("zorder locality: z buckets are tighter than hash buckets") {
-    val rows = Vectors.q_zorder_locality(spark, sf).collect()
+    val rows = Vectors.q_zorder_bucket_tightness(spark, sf).collect()
       .map(r => r.getAs[String]("scheme") -> r.getAs[Long]("avg_d2_e4")).toMap
     assert(rows("zorder") < rows("hash"),
       s"Z-order must improve locality: $rows")
@@ -376,6 +376,24 @@ class Round4OpsSpec extends AnyFunSuite {
         assert(est >= ex / 3 && est <= ex * 3, s"PCSA off: est=$est exact=$ex")
       else assert(est >= 1L)
     }
+  }
+
+  test("process bottleneck: transitions are well-supported with sane gaps") {
+    Analytics.q_process_bottleneck(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("n") >= 5L)
+      assert(r.getAs[Long]("mean_gap_us") >= 0L)
+      assert(r.getAs[Long]("is_rework") ==
+        (if (r.getAs[String]("from_type") == r.getAs[String]("to_type")) 1L else 0L))
+    }
+  }
+
+  test("graph null model + percolation: coefficients and thresholds are proper") {
+    val c = Analytics.q_clustering_null_model(spark, sf).collect().head
+    assert(c.getAs[Double]("c_global") >= 0.0 && c.getAs[Double]("c_global") <= 1.0)
+    assert(c.getAs[Double]("c_random") > 0.0)
+    val p = Analytics.q_percolation_threshold(spark, sf).collect().head
+    assert(p.getAs[Double]("kappa") > 0.0)
+    assert(p.getAs[Double]("p_critical") > 0.0 && p.getAs[Double]("p_critical") <= 1.0)
   }
 
   test("reservoir bottom-k: sample never exceeds k=32 or the population") {
