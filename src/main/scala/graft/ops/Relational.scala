@@ -1522,4 +1522,95 @@ object Relational {
         expr("n_rows * 10000 div ls_runs").as("rows_per_run_e4")))
       .orderBy("column_name")
   }
+
+  /** Yannakakis full reducer on the region→nation→customer→orders chain
+    * (filter r_name='ASIA' at the root): the semijoin cascade down then
+    * back up, reporting each relation's row count raw / after the down
+    * pass / after the up pass, plus the final join size. The classic
+    * guarantee — no intermediate ever exceeds the output — is exactly
+    * why distributed engines semijoin-reduce before shuffling; every
+    * semijoin here is a broadcast of the (tiny) key set.
+    */
+  def q_yannakakis_reduction(spark: SparkSession, sf: String): DataFrame = {
+    val reg = Tables.region(spark, sf).filter(col("r_name") === "ASIA")
+      .select(col("r_regionkey").as("rk"))
+    val nat = Tables.nation(spark, sf)
+      .select(col("n_nationkey").as("nk"), col("n_regionkey").as("rk"))
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_custkey").as("ck"), col("c_nationkey").as("nk"))
+    val ord = Tables.orders(spark, sf).select(col("o_custkey").as("ck"))
+    val natD = nat.join(broadcast(reg), "rk").localCheckpoint()
+    val custD = cust.join(broadcast(natD.select(col("nk"))), "nk").localCheckpoint()
+    val ordD = ord.join(custD.select(col("ck")).distinct(), "ck").localCheckpoint()
+    val custU = custD.join(ordD.select(col("ck")).distinct(), "ck").localCheckpoint()
+    val natU = natD.join(broadcast(custU.select(col("nk")).distinct()), "nk")
+    def c(df: DataFrame): DataFrame = df.agg(count(lit(1)).as("c"))
+    val joinSize = ordD.agg(count(lit(1)).as("c")) // chain join size = reduced orders
+    def row(name: String, raw: DataFrame, down: DataFrame, up: DataFrame) =
+      c(raw).crossJoin(c(down).select(col("c").as("cd")))
+        .crossJoin(c(up).select(col("c").as("cu")))
+        .select(lit(name).as("relation"), col("c").as("rows_raw"),
+          col("cd").as("rows_down"), col("cu").as("rows_up"))
+    row("nation", nat, natD, natU)
+      .unionByName(row("customer", cust, custD, custU))
+      .unionByName(row("orders", ord, ordD, ordD))
+      .unionByName(joinSize.select(lit("__join_result__").as("relation"),
+        col("c").as("rows_raw"), col("c").as("rows_down"), col("c").as("rows_up")))
+      .orderBy("relation")
+  }
+
+  /** Functional-dependency mining (TANE's candidate check) over six
+    * declared A→B candidates: the FD holds iff |distinct A| =
+    * |distinct (A,B)|, and the violation count is their difference —
+    * both plain distinct aggregates, which is why FD profiling scales
+    * to any table. Key-based FDs hold; attribute-pair candidates
+    * mostly fail, quantifying how far each is from functional.
+    */
+  def q_fd_discovery(spark: SparkSession, sf: String): DataFrame = {
+    def cand(df: DataFrame, table: String, a: String, b: String): DataFrame =
+      df.agg(countDistinct(col(a)).as("n_lhs"),
+        countDistinct(col(a), col(b)).as("n_pairs"))
+        .select(lit(s"$table.$a").as("lhs"), lit(b).as("rhs"),
+          col("n_lhs"), col("n_pairs"),
+          when(col("n_lhs") === col("n_pairs"), 1L).otherwise(0L).as("holds"),
+          (col("n_pairs") - col("n_lhs")).as("extra_rhs_values"))
+    val cu = Tables.customer(spark, sf)
+    val or = Tables.orders(spark, sf)
+    val pa = Tables.part(spark, sf)
+    cand(cu, "customer", "c_custkey", "c_mktsegment")
+      .unionByName(cand(cu, "customer", "c_nationkey", "c_mktsegment"))
+      .unionByName(cand(or, "orders", "o_orderkey", "o_orderstatus"))
+      .unionByName(cand(or, "orders", "o_custkey", "o_orderpriority"))
+      .unionByName(cand(pa, "part", "p_partkey", "p_brand"))
+      .unionByName(cand(pa, "part", "p_brand", "p_type"))
+      .orderBy("lhs", "rhs")
+  }
+
+  /** Factorized join counting: |R ⋈ S| computed WITHOUT materializing
+    * the join — join the per-key count vectors and sum the products —
+    * next to the materialized count it must equal. The identity
+    * |R⋈S| = Σₖ c_R(k)·c_S(k) is what factorized/semi-ring query
+    * processing pushes through plans; at 100 TB the count-vector join
+    * shuffles |keys| rows instead of |output| rows.
+    */
+  def q_factorized_join_count(spark: SparkSession, sf: String): DataFrame = {
+    def pair(left: DataFrame, lk: String, right: DataFrame, rk: String,
+        name: String): DataFrame = {
+      val cl = left.groupBy(col(lk).as("k")).agg(count(lit(1)).as("ca"))
+      val cr = right.groupBy(col(rk).as("k")).agg(count(lit(1)).as("cb"))
+      val fact = cl.join(cr, "k").agg(sum(col("ca") * col("cb")).as("factorized"))
+      val mat = left.select(col(lk).as("k"))
+        .join(right.select(col(rk).as("k")), "k")
+        .agg(count(lit(1)).as("materialized"))
+      fact.crossJoin(mat)
+        .select(lit(name).as("join_name"), col("factorized"), col("materialized"),
+          when(col("factorized") === col("materialized"), 1L).otherwise(0L)
+            .as("identity_holds"))
+    }
+    pair(Tables.orders(spark, sf), "o_custkey",
+        Tables.customer(spark, sf), "c_custkey", "orders_x_customer")
+      .unionByName(pair(Tables.lineitem(spark, sf), "l_orderkey",
+        Tables.orders(spark, sf), "o_orderkey", "lineitem_x_orders"))
+      .orderBy("join_name")
+  }
 }

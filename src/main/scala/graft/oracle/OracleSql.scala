@@ -17114,5 +17114,101 @@ object OracleSql {
                AS p_critical
       FROM degm""",
 
+    "q_yannakakis_reduction" -> """
+      WITH reg AS (SELECT r_regionkey AS rk FROM region WHERE r_name = 'ASIA'),
+           nat AS (SELECT n_nationkey AS nk, n_regionkey AS rk FROM nation),
+           cust AS (SELECT c_custkey AS ck, c_nationkey AS nk FROM customer),
+           ord AS (SELECT o_custkey AS ck FROM orders),
+           natd AS MATERIALIZED (SELECT nat.* FROM nat JOIN reg USING (rk)),
+           custd AS MATERIALIZED (
+             SELECT cust.* FROM cust WHERE nk IN (SELECT nk FROM natd)),
+           ordd AS MATERIALIZED (
+             SELECT ord.* FROM ord WHERE ck IN (SELECT ck FROM custd)),
+           custu AS MATERIALIZED (
+             SELECT custd.* FROM custd WHERE ck IN (SELECT ck FROM ordd)),
+           natu AS (SELECT natd.* FROM natd WHERE nk IN (SELECT nk FROM custu))
+      SELECT * FROM (
+        SELECT 'nation' AS relation,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM nat) AS rows_raw,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM natd) AS rows_down,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM natu) AS rows_up
+        UNION ALL
+        SELECT 'customer', (SELECT CAST(COUNT(*) AS BIGINT) FROM cust),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM custd),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM custu)
+        UNION ALL
+        SELECT 'orders', (SELECT CAST(COUNT(*) AS BIGINT) FROM ord),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM ordd),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM ordd)
+        UNION ALL
+        SELECT '__join_result__', (SELECT CAST(COUNT(*) AS BIGINT) FROM ordd),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM ordd),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM ordd))
+      ORDER BY relation""",
+
+    "q_fd_discovery" -> """
+      SELECT lhs, rhs, n_lhs, n_pairs,
+             CAST(CASE WHEN n_lhs = n_pairs THEN 1 ELSE 0 END AS BIGINT) AS holds,
+             CAST(n_pairs - n_lhs AS BIGINT) AS extra_rhs_values
+      FROM (
+        SELECT 'customer.c_custkey' AS lhs, 'c_mktsegment' AS rhs,
+               (SELECT CAST(COUNT(DISTINCT c_custkey) AS BIGINT) FROM customer) AS n_lhs,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM
+                 (SELECT DISTINCT c_custkey, c_mktsegment FROM customer)) AS n_pairs
+        UNION ALL
+        SELECT 'customer.c_nationkey', 'c_mktsegment',
+               (SELECT CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) FROM customer),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM
+                 (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer))
+        UNION ALL
+        SELECT 'orders.o_orderkey', 'o_orderstatus',
+               (SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM
+                 (SELECT DISTINCT o_orderkey, o_orderstatus FROM orders))
+        UNION ALL
+        SELECT 'orders.o_custkey', 'o_orderpriority',
+               (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM
+                 (SELECT DISTINCT o_custkey, o_orderpriority FROM orders))
+        UNION ALL
+        SELECT 'part.p_partkey', 'p_brand',
+               (SELECT CAST(COUNT(DISTINCT p_partkey) AS BIGINT) FROM part),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM
+                 (SELECT DISTINCT p_partkey, p_brand FROM part))
+        UNION ALL
+        SELECT 'part.p_brand', 'p_type',
+               (SELECT CAST(COUNT(DISTINCT p_brand) AS BIGINT) FROM part),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM
+                 (SELECT DISTINCT p_brand, p_type FROM part)))
+      ORDER BY lhs, rhs""",
+
+    "q_factorized_join_count" -> """
+      WITH oc AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS ca
+                  FROM orders GROUP BY 1),
+           cc AS (SELECT c_custkey AS k, CAST(COUNT(*) AS BIGINT) AS cb
+                  FROM customer GROUP BY 1),
+           f1 AS (SELECT CAST(SUM(ca * cb) AS BIGINT) AS factorized
+                  FROM oc JOIN cc USING (k)),
+           m1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS materialized
+                  FROM orders JOIN customer ON c_custkey = o_custkey),
+           lo AS (SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS ca
+                  FROM lineitem GROUP BY 1),
+           oo AS (SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS cb
+                  FROM orders GROUP BY 1),
+           f2 AS (SELECT CAST(SUM(ca * cb) AS BIGINT) AS factorized
+                  FROM lo JOIN oo USING (k)),
+           m2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS materialized
+                  FROM lineitem JOIN orders ON o_orderkey = l_orderkey)
+      SELECT * FROM (
+        SELECT 'orders_x_customer' AS join_name, factorized, materialized,
+               CAST(CASE WHEN factorized = materialized THEN 1 ELSE 0 END AS BIGINT)
+                 AS identity_holds
+        FROM f1, m1
+        UNION ALL
+        SELECT 'lineitem_x_orders', factorized, materialized,
+               CAST(CASE WHEN factorized = materialized THEN 1 ELSE 0 END AS BIGINT)
+        FROM f2, m2)
+      ORDER BY join_name""",
+
   )
 }

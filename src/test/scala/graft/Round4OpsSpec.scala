@@ -396,6 +396,32 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(p.getAs[Double]("p_critical") > 0.0 && p.getAs[Double]("p_critical") <= 1.0)
   }
 
+  test("yannakakis: reduction is monotone and the join never exceeds reduced orders") {
+    val rows = Relational.q_yannakakis_reduction(spark, sf).collect()
+      .map(r => r.getAs[String]("relation") -> r).toMap
+    for ((_, r) <- rows if r.getAs[String]("relation") != "__join_result__") {
+      assert(r.getAs[Long]("rows_down") <= r.getAs[Long]("rows_raw"))
+      assert(r.getAs[Long]("rows_up") <= r.getAs[Long]("rows_down"))
+    }
+    assert(rows("__join_result__").getAs[Long]("rows_raw") ==
+      rows("orders").getAs[Long]("rows_down"))
+  }
+
+  test("fd discovery: key-based FDs hold, attribute FDs report violations") {
+    val m = Relational.q_fd_discovery(spark, sf).collect()
+      .map(r => r.getAs[String]("lhs") -> r).toMap
+    assert(m("customer.c_custkey").getAs[Long]("holds") == 1L)
+    assert(m("orders.o_orderkey").getAs[Long]("holds") == 1L)
+    assert(m("part.p_partkey").getAs[Long]("holds") == 1L)
+    m.values.foreach(r => assert(r.getAs[Long]("extra_rhs_values") >= 0L))
+  }
+
+  test("factorized join count: the semiring identity holds on both joins") {
+    Relational.q_factorized_join_count(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("identity_holds") == 1L, r.toString)
+    }
+  }
+
   test("reservoir bottom-k: sample never exceeds k=32 or the population") {
     Sampling.q_reservoir_bottomk(spark, sf).collect().foreach { r =>
       val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("k"))
