@@ -10000,4 +10000,169 @@ object Analytics {
           + lit(0.0)).as("p_critical"))
   }
 
+  // ---- §2.156 rank aggregation — Condorcet, RRF, Kemeny, Bradley-Terry ----
+
+  /** Segment "ballots": each market segment ranks every brand by exact
+    * revenue cents (ties broken by brand name), the shared input of the
+    * §2.156 rank-aggregation family. One fact shuffle on the agg key;
+    * part is broadcast; the resulting lattice is segments×brands
+    * (≤ 5×25) independent of scale factor.
+    */
+  private def segmentBallots(spark: SparkSession, sf: String): DataFrame = {
+    val rev = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice"))
+      .join(Tables.orders(spark, sf)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, sf)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.part(spark, sf)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("c_mktsegment").as("segment"), col("p_brand").as("brand"))
+      .agg(sum(cents(col("l_extendedprice"))).as("rev_cents"))
+    val w = Window.partitionBy("segment")
+      .orderBy(col("rev_cents").desc, col("brand").asc)
+    rev.select(col("segment"), col("brand"),
+      row_number().over(w).cast("long").as("rk"))
+  }
+
+  /** Condorcet tournament over the segment ballots: for every brand
+    * pair, in how many segments does a out-rank b; Copeland score =
+    * majority wins − majority losses; the Condorcet winner (beats every
+    * opponent head-to-head) flagged if one exists. The pair space is
+    * candidate-bounded (brands², never data-bounded), so the tournament
+    * costs the same at any scale factor once the ballots aggregate is
+    * done.
+    */
+  def q_condorcet_copeland(spark: SparkSession, sf: String): DataFrame = {
+    val b = segmentBallots(spark, sf).localCheckpoint()
+    val duels = b.as("a")
+      .join(b.select(col("segment").as("s2"), col("brand").as("b2"),
+        col("rk").as("rk2")).as("bb"),
+        col("segment") === col("s2") && col("brand") < col("b2"))
+      .groupBy(col("brand").as("x"), col("b2").as("y"))
+      .agg(sum(when(col("rk") < col("rk2"), 1L).otherwise(0L)).as("x_wins"),
+        sum(when(col("rk") > col("rk2"), 1L).otherwise(0L)).as("y_wins"))
+    val perBrand = duels
+      .select(col("x").as("brand"),
+        when(col("x_wins") > col("y_wins"), 1L).otherwise(0L).as("maj_win"),
+        when(col("x_wins") < col("y_wins"), 1L).otherwise(0L).as("maj_loss"))
+      .unionByName(duels.select(col("y").as("brand"),
+        when(col("y_wins") > col("x_wins"), 1L).otherwise(0L).as("maj_win"),
+        when(col("y_wins") < col("x_wins"), 1L).otherwise(0L).as("maj_loss")))
+      .groupBy(col("brand"))
+      .agg(sum(col("maj_win")).as("majority_wins"),
+        sum(col("maj_loss")).as("majority_losses"),
+        count(lit(1)).as("n_opponents"))
+    perBrand
+      .select(col("brand"), col("majority_wins"), col("majority_losses"),
+        (col("majority_wins") - col("majority_losses")).as("copeland_score"),
+        when(col("majority_wins") === col("n_opponents"), 1L).otherwise(0L)
+          .as("is_condorcet_winner"))
+      .orderBy(col("copeland_score").desc, col("brand").asc)
+      .limit(10)
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. SIGIR'09, k=60) of the five
+    * segment ballots: score(b) = Σ_s 1e9 div (60 + rank_s(b)), the
+    * integer-division e9 lattice making the sum order-free and
+    * engine-exact. The same fusion merges retrieval result lists; here
+    * it builds the cross-segment consensus brand ranking, with the
+    * rank spread shown as the disagreement witness.
+    */
+  def q_rrf_fusion(spark: SparkSession, sf: String): DataFrame = {
+    segmentBallots(spark, sf)
+      .groupBy(col("brand"))
+      .agg(sum(expr("1000000000 div (60 + rk)")).as("rrf_e9"),
+        count(lit(1)).as("n_ballots"),
+        min(col("rk")).as("best_rank"), max(col("rk")).as("worst_rank"))
+      .orderBy(col("rrf_e9").desc, col("brand").asc)
+      .limit(10)
+  }
+
+  /** Kemeny distance of each segment ballot from the global-revenue
+    * consensus ranking: the number of discordant brand pairs (Kendall
+    * tau distance), plus the e6-normalized distance over the C(n,2)
+    * pair universe — which segment's taste diverges most from the
+    * aggregate. Pairs are candidate-bounded (brands² per segment).
+    */
+  def q_kemeny_distance(spark: SparkSession, sf: String): DataFrame = {
+    val b = segmentBallots(spark, sf).localCheckpoint()
+    val grev = Tables.lineitem(spark, sf)
+      .join(broadcast(Tables.part(spark, sf)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(sum(cents(col("l_extendedprice"))).as("rev_cents"))
+    // global consensus rank via the theta-count pattern (≤ brands² pairs,
+    // keyed-parallel; no global window)
+    val g = grev.as("a")
+      .join(grev.select(col("brand").as("b2"), col("rev_cents").as("v2")).as("bb"),
+        col("v2") > col("rev_cents") ||
+          (col("v2") === col("rev_cents") && col("b2") < col("brand")), "left_outer")
+      .groupBy(col("a.brand").as("brand"))
+      .agg((count(col("b2")) + 1L).as("grk"))
+    val withG = b.join(broadcast(g), "brand")
+      .select(col("segment"), col("brand"), col("rk"), col("grk"))
+    withG.as("a")
+      .join(withG.select(col("segment").as("s2"), col("brand").as("b2"),
+        col("rk").as("rk2"), col("grk").as("grk2")).as("bb"),
+        col("segment") === col("s2") && col("brand") < col("b2"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when((col("rk") < col("rk2")) =!= (col("grk") < col("grk2")), 1L)
+          .otherwise(0L)).as("discordant"))
+      .select(col("segment"), col("n_pairs"), col("discordant"),
+        expr("discordant * 1000000 div n_pairs").as("kemeny_dist_e6"))
+      .orderBy(col("segment"))
+  }
+
+  /** Bradley-Terry strength fit, two MM iterations (Hunter 2004) on the
+    * segment-ballot pairwise wins: w⁽¹⁾ ∝ wins (the uniform-start
+    * closed form), then w⁽²⁾ᵢ = Wᵢ·1e9 div Σⱼ nᵢⱼ·1e9 div (w⁽¹⁾ᵢ+w⁽¹⁾ⱼ)
+    * on the e9 integer lattice — iteration 2 is where opponent strength
+    * starts mattering, and the rank shift between the two is reported.
+    * The duel matrix is candidate-bounded (≤ brands²).
+    */
+  def q_bradley_terry_step(spark: SparkSession, sf: String): DataFrame = {
+    val b = segmentBallots(spark, sf).localCheckpoint()
+    val duels = b.as("a")
+      .join(b.select(col("segment").as("s2"), col("brand").as("b2"),
+        col("rk").as("rk2")).as("bb"),
+        col("segment") === col("s2") && col("brand") =!= col("b2"))
+      .groupBy(col("brand").as("x"), col("b2").as("y"))
+      .agg(sum(when(col("rk") < col("rk2"), 1L).otherwise(0L)).as("wins_xy"),
+        count(lit(1)).as("n_xy"))
+      .localCheckpoint()
+    val w1 = duels.groupBy(col("x").as("brand"))
+      .agg(sum(col("wins_xy")).as("wins"))
+      .select(col("brand"), col("wins"), (col("wins") * 1000L).as("w1_e3"))
+    val denom = duels
+      .join(broadcast(w1.select(col("brand").as("x"), col("w1_e3").as("wx"))), "x")
+      .join(broadcast(w1.select(col("brand").as("y"), col("w1_e3").as("wy"))), "y")
+      .groupBy(col("x").as("brand"))
+      .agg(sum(expr("n_xy * 1000000000 div (wx + wy)")).as("den_e6"))
+    val w2 = w1.join(denom, "brand")
+      .select(col("brand"), col("wins"), col("w1_e3"),
+        expr("wins * 1000000000 div den_e6").as("w2_e3"))
+      .localCheckpoint()
+    // ranks via the theta-count pattern on the ≤ brands-row strength
+    // table (no global window)
+    def rk(c: String, as: String)(df: DataFrame): DataFrame =
+      df.as("a").join(
+        df.select(col("brand").as("b2"), col(c).as("v2")).as("bb"),
+        col("v2") > col(c) ||
+          (col("v2") === col(c) && col("b2") < col("brand")), "left_outer")
+        .groupBy(df.columns.map(col): _*)
+        .agg((count(col("b2")) + 1L).as(as))
+    rk("w2_e3", "rank_iter2")(rk("w1_e3", "rank_iter1")(w2))
+      .select(col("brand"), col("wins"), col("w1_e3"), col("w2_e3"),
+        col("rank_iter1"), col("rank_iter2"),
+        (col("rank_iter1") - col("rank_iter2")).as("rank_shift"))
+      .orderBy(col("rank_iter2"), col("brand"))
+      .limit(10)
+  }
+
 }

@@ -17210,5 +17210,161 @@ object OracleSql {
         FROM f2, m2)
       ORDER BY join_name""",
 
+    "q_condorcet_copeland" -> """
+      WITH rev AS (
+        SELECT c_mktsegment AS segment, p_brand AS brand,
+               SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS rev_cents
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN part ON p_partkey = l_partkey
+        GROUP BY 1, 2),
+      ballots AS (
+        SELECT segment, brand,
+               CAST(ROW_NUMBER() OVER (PARTITION BY segment
+                 ORDER BY rev_cents DESC, brand) AS BIGINT) AS rk
+        FROM rev),
+      duels AS (
+        SELECT a.brand AS x, b.brand AS y,
+               SUM(CASE WHEN a.rk < b.rk THEN 1 ELSE 0 END) AS x_wins,
+               SUM(CASE WHEN a.rk > b.rk THEN 1 ELSE 0 END) AS y_wins
+        FROM ballots a JOIN ballots b
+          ON a.segment = b.segment AND a.brand < b.brand
+        GROUP BY 1, 2),
+      per AS (
+        SELECT x AS brand,
+               CASE WHEN x_wins > y_wins THEN 1 ELSE 0 END AS mw,
+               CASE WHEN x_wins < y_wins THEN 1 ELSE 0 END AS ml
+        FROM duels
+        UNION ALL
+        SELECT y,
+               CASE WHEN y_wins > x_wins THEN 1 ELSE 0 END,
+               CASE WHEN y_wins < x_wins THEN 1 ELSE 0 END
+        FROM duels)
+      SELECT brand,
+             CAST(SUM(mw) AS BIGINT) AS majority_wins,
+             CAST(SUM(ml) AS BIGINT) AS majority_losses,
+             CAST(SUM(mw) - SUM(ml) AS BIGINT) AS copeland_score,
+             CAST(CASE WHEN SUM(mw) = COUNT(*) THEN 1 ELSE 0 END AS BIGINT)
+               AS is_condorcet_winner
+      FROM per GROUP BY brand
+      ORDER BY copeland_score DESC, brand LIMIT 10""",
+
+    "q_rrf_fusion" -> """
+      WITH rev AS (
+        SELECT c_mktsegment AS segment, p_brand AS brand,
+               SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS rev_cents
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN part ON p_partkey = l_partkey
+        GROUP BY 1, 2),
+      ballots AS (
+        SELECT segment, brand,
+               CAST(ROW_NUMBER() OVER (PARTITION BY segment
+                 ORDER BY rev_cents DESC, brand) AS BIGINT) AS rk
+        FROM rev)
+      SELECT brand,
+             CAST(SUM(1000000000 // (60 + rk)) AS BIGINT) AS rrf_e9,
+             CAST(COUNT(*) AS BIGINT) AS n_ballots,
+             CAST(MIN(rk) AS BIGINT) AS best_rank,
+             CAST(MAX(rk) AS BIGINT) AS worst_rank
+      FROM ballots GROUP BY brand
+      ORDER BY rrf_e9 DESC, brand LIMIT 10""",
+
+    "q_kemeny_distance" -> """
+      WITH rev AS (
+        SELECT c_mktsegment AS segment, p_brand AS brand,
+               SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS rev_cents
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN part ON p_partkey = l_partkey
+        GROUP BY 1, 2),
+      ballots AS (
+        SELECT segment, brand,
+               CAST(ROW_NUMBER() OVER (PARTITION BY segment
+                 ORDER BY rev_cents DESC, brand) AS BIGINT) AS rk
+        FROM rev),
+      grev AS (
+        SELECT p_brand AS brand,
+               SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS rev_cents
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        GROUP BY 1),
+      g AS (
+        SELECT a.brand, CAST(1 + COUNT(b.brand) AS BIGINT) AS grk
+        FROM grev a LEFT JOIN grev b
+          ON b.rev_cents > a.rev_cents
+             OR (b.rev_cents = a.rev_cents AND b.brand < a.brand)
+        GROUP BY a.brand),
+      wg AS (
+        SELECT segment, ballots.brand AS brand, rk, grk
+        FROM ballots JOIN g ON g.brand = ballots.brand)
+      SELECT a.segment AS segment,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CASE WHEN (a.rk < b.rk) <> (a.grk < b.grk)
+               THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+             CAST(SUM(CASE WHEN (a.rk < b.rk) <> (a.grk < b.grk)
+               THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+               AS kemeny_dist_e6
+      FROM wg a JOIN wg b
+        ON a.segment = b.segment AND a.brand < b.brand
+      GROUP BY 1 ORDER BY segment""",
+
+    "q_bradley_terry_step" -> """
+      WITH rev AS (
+        SELECT c_mktsegment AS segment, p_brand AS brand,
+               SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS rev_cents
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN part ON p_partkey = l_partkey
+        GROUP BY 1, 2),
+      ballots AS (
+        SELECT segment, brand,
+               CAST(ROW_NUMBER() OVER (PARTITION BY segment
+                 ORDER BY rev_cents DESC, brand) AS BIGINT) AS rk
+        FROM rev),
+      duels AS (
+        SELECT a.brand AS x, b.brand AS y,
+               CAST(SUM(CASE WHEN a.rk < b.rk THEN 1 ELSE 0 END) AS BIGINT)
+                 AS wins_xy,
+               CAST(COUNT(*) AS BIGINT) AS n_xy
+        FROM ballots a JOIN ballots b
+          ON a.segment = b.segment AND a.brand <> b.brand
+        GROUP BY 1, 2),
+      w1 AS (
+        SELECT x AS brand, CAST(SUM(wins_xy) AS BIGINT) AS wins,
+               CAST(SUM(wins_xy) * 1000 AS BIGINT) AS w1_e3
+        FROM duels GROUP BY 1),
+      den AS (
+        SELECT d.x AS brand,
+               CAST(SUM(d.n_xy * 1000000000 // (wx.w1_e3 + wy.w1_e3)) AS BIGINT)
+                 AS den_e6
+        FROM duels d
+        JOIN w1 wx ON wx.brand = d.x
+        JOIN w1 wy ON wy.brand = d.y
+        GROUP BY 1),
+      w2 AS (
+        SELECT w1.brand AS brand, wins, w1_e3,
+               CAST(wins * 1000000000 // den_e6 AS BIGINT) AS w2_e3
+        FROM w1 JOIN den ON den.brand = w1.brand),
+      r1 AS (
+        SELECT a.brand, CAST(1 + COUNT(b.brand) AS BIGINT) AS rank_iter1
+        FROM w2 a LEFT JOIN w2 b
+          ON b.w1_e3 > a.w1_e3 OR (b.w1_e3 = a.w1_e3 AND b.brand < a.brand)
+        GROUP BY a.brand),
+      r2 AS (
+        SELECT a.brand, CAST(1 + COUNT(b.brand) AS BIGINT) AS rank_iter2
+        FROM w2 a LEFT JOIN w2 b
+          ON b.w2_e3 > a.w2_e3 OR (b.w2_e3 = a.w2_e3 AND b.brand < a.brand)
+        GROUP BY a.brand)
+      SELECT w2.brand AS brand, wins, w1_e3, w2_e3, rank_iter1, rank_iter2,
+             CAST(rank_iter1 - rank_iter2 AS BIGINT) AS rank_shift
+      FROM w2
+      JOIN r1 ON r1.brand = w2.brand
+      JOIN r2 ON r2.brand = w2.brand
+      ORDER BY rank_iter2, brand LIMIT 10""",
+
   )
 }

@@ -422,6 +422,39 @@ class Round4OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("condorcet: copeland bounded by opponents, at most one condorcet winner") {
+    val rows = Analytics.q_condorcet_copeland(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, l) = (r.getAs[Long]("majority_wins"), r.getAs[Long]("majority_losses"))
+      assert(r.getAs[Long]("copeland_score") == w - l, r.toString)
+    }
+    assert(rows.map(_.getAs[Long]("is_condorcet_winner")).sum <= 1L)
+  }
+
+  test("rank fusion: rrf scores positive and rank spread well-ordered") {
+    Analytics.q_rrf_fusion(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("rrf_e9") > 0L)
+      assert(r.getAs[Long]("best_rank") <= r.getAs[Long]("worst_rank"))
+    }
+  }
+
+  test("kemeny distance: discordant pairs within the pair universe") {
+    Analytics.q_kemeny_distance(spark, sf).collect().foreach { r =>
+      val (d, n) = (r.getAs[Long]("discordant"), r.getAs[Long]("n_pairs"))
+      assert(d >= 0L && d <= n, r.toString)
+      assert(r.getAs[Long]("kemeny_dist_e6") <= 1000000L)
+    }
+  }
+
+  test("bradley-terry: strengths positive, iteration-2 ranks a permutation") {
+    val got = Analytics.q_bradley_terry_step(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach(r => assert(r.getAs[Long]("w2_e3") > 0L, r.toString))
+    val r2 = got.map(_.getAs[Long]("rank_iter2")).toSeq
+    assert(r2 == r2.sorted && r2.distinct.size == r2.size, r2.toString)
+  }
+
   test("reservoir bottom-k: sample never exceeds k=32 or the population") {
     Sampling.q_reservoir_bottomk(spark, sf).collect().foreach { r =>
       val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("k"))
