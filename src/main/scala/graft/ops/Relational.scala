@@ -1523,6 +1523,114 @@ object Relational {
       .orderBy("column_name")
   }
 
+  // ---- §2.157 storage codec audit — Shannon bound, delta bits, dictionary ----
+
+  /** Exact ⌈log2(n/c)⌉ via a double-log seed k0 (undershot by 1) and an
+    * integer shift correction — the double only has to land within ±1 of
+    * the truth, the `c·2^k ≥ n` checks are exact BIGINT, so both engines
+    * agree bit-for-bit at any magnitude. `cCol`/`nCol` must be positive
+    * BIGINT column names; result is BIGINT.
+    */
+  private def ceilLog2Ratio(cCol: String, nCol: String): (String, String) = (
+    s"CAST(GREATEST(0.0, FLOOR(LN(CAST($nCol AS DOUBLE)/CAST($cCol AS DOUBLE))" +
+      s"/LN(2.0)) - 1) AS INT)",
+    s"CASE WHEN $cCol * shiftleft(CAST(1 AS BIGINT), k0) >= $nCol " +
+      s"THEN CAST(k0 AS BIGINT) " +
+      s"WHEN $cCol * shiftleft(CAST(1 AS BIGINT), k0 + 1) >= $nCol " +
+      s"THEN CAST(k0 + 1 AS BIGINT) ELSE CAST(k0 + 2 AS BIGINT) END")
+
+  /** Shannon code-length bound for entropy-coding the event_type column:
+    * per symbol the ⌈log2(1/p)⌉ Shannon code bits (exact integers via
+    * shift-corrected log), its e6 probability, its e6 expected-bits
+    * contribution, and the r6 entropy term — the "how far from the
+    * entropy floor is a prefix code" audit, H ≤ L < H+1 gated in the
+    * spec. One aggregate; the symbol table is alphabet-bounded.
+    */
+  def q_shannon_code_bound(spark: SparkSession, sf: String): DataFrame = {
+    val g = Tables.table(spark, sf, "events")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+    val tot = g.agg(sum(col("cnt")).as("n"))
+    val (k0, k) = ceilLog2Ratio("cnt", "n")
+    g.crossJoin(broadcast(tot))
+      .withColumn("k0", expr(k0))
+      .withColumn("shannon_bits", expr(k))
+      .select(col("event_type"), col("cnt"),
+        expr("cnt * 1000000 div n").as("p_e6"),
+        col("shannon_bits"),
+        expr("cnt * shannon_bits * 1000000 div n").as("contribution_bits_e6"),
+        (expr("ROUND(-(CAST(cnt AS DOUBLE)/CAST(n AS DOUBLE)) * " +
+          "(LN(CAST(cnt AS DOUBLE)/CAST(n AS DOUBLE))/LN(2.0)), 6)") + lit(0.0))
+          .as("entropy_term"))
+      .orderBy("event_type")
+  }
+
+  /** Delta-encoding audit of per-user event timestamp streams: each
+    * user's sorted ts gaps take bitwidth(gap) = ⌈log2(gap+1)⌉ bits
+    * instead of 64; the histogram over gap widths reports how many gaps
+    * land in each width and the bits saved vs plain int64 — the
+    * parquet/time-series codec question "is this stream delta-friendly".
+    * Keyed lag windows only; widths are exact via the shift-corrected
+    * log, so both engines agree at any gap magnitude.
+    */
+  def q_delta_bits_audit(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_usl", "event_id")
+    val gaps = Tables.eventsWithTs(spark, sf)
+      .select(col("user_id"), col("ts_usl"), col("event_id"))
+      .select(col("user_id"),
+        (col("ts_usl") - lag(col("ts_usl"), 1).over(w)).as("gap"))
+      .filter(col("gap").isNotNull)
+      .select(col("user_id"), (col("gap") + 1L).as("gp1"))
+    val one = lit(1L).cast("long")
+    val (k0, k) = ceilLog2Ratio("one", "gp1")
+    gaps.withColumn("one", one)
+      .withColumn("k0", expr(k0))
+      .withColumn("width_bits", expr(k))
+      .groupBy(col("width_bits"))
+      .agg(count(lit(1)).as("n_gaps"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(col("width_bits"), col("n_gaps"), col("n_users"),
+        ((lit(64L) - col("width_bits")) * col("n_gaps")).as("saved_bits"))
+      .orderBy("width_bits")
+  }
+
+  /** Dictionary-encoding audit for five low-cardinality string columns:
+    * raw bits (8·Σ chars — the fixtures are ASCII, chars = bytes, the
+    * contract both engines share), dictionary bits (8·Σ distinct-value
+    * chars + n·⌈log2(d)⌉ index bits, exact), and the e4 savings share —
+    * the "should this column be DICT-encoded in parquet" scorecard. Two
+    * aggregates per column; the union is column-bounded.
+    */
+  def q_dict_encoding_audit(spark: SparkSession, sf: String): DataFrame = {
+    def audit(df: DataFrame, c: String, label: String): DataFrame = {
+      val base = df.select(col(c).as("v")).localCheckpoint()
+      val n = base.agg(count(lit(1)).as("n"),
+        sum(length(col("v")).cast("long")).as("sum_len"))
+      val d = base.distinct()
+        .agg(count(lit(1)).as("d"),
+          sum(length(col("v")).cast("long")).as("dict_len"))
+      val (k0, k) = ceilLog2Ratio("one", "d")
+      n.crossJoin(d)
+        .withColumn("one", lit(1L).cast("long"))
+        .withColumn("k0", expr(k0))
+        .withColumn("index_bits", expr(k))
+        .select(lit(label).as("column_name"), col("n").as("n_rows"),
+          col("d").as("n_distinct"), col("index_bits"),
+          (col("sum_len") * 8L).as("raw_bits"),
+          (col("dict_len") * 8L + col("n") * col("index_bits")).as("dict_bits"))
+        .select(col("column_name"), col("n_rows"), col("n_distinct"),
+          col("index_bits"), col("raw_bits"), col("dict_bits"),
+          expr("(raw_bits - dict_bits) * 10000 div raw_bits").as("savings_e4"))
+    }
+    audit(Tables.table(spark, sf, "events"), "event_type", "events.event_type")
+      .unionByName(audit(Tables.documents(spark, sf), "lang", "documents.lang"))
+      .unionByName(audit(Tables.documents(spark, sf), "source", "documents.source"))
+      .unionByName(audit(Tables.customer(spark, sf), "c_mktsegment",
+        "customer.c_mktsegment"))
+      .unionByName(audit(Tables.orders(spark, sf), "o_orderpriority",
+        "orders.o_orderpriority"))
+      .orderBy("column_name")
+  }
+
   /** Yannakakis full reducer on the region→nation→customer→orders chain
     * (filter r_name='ASIA' at the root): the semijoin cascade down then
     * back up, reporting each relation's row count raw / after the down

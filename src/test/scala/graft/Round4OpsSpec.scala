@@ -455,6 +455,45 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(r2 == r2.sorted && r2.distinct.size == r2.size, r2.toString)
   }
 
+  test("shannon code bound: per-symbol ceil-log2 dominates the entropy term") {
+    val rows = Relational.q_shannon_code_bound(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var meanLen = 0L; var entropy = 0.0
+    rows.foreach { r =>
+      val contrib = r.getAs[Long]("contribution_bits_e6")
+      val term = r.getAs[Double]("entropy_term")
+      assert(contrib + 1 >= math.round(term * 1e6), r.toString)
+      meanLen += contrib; entropy += term
+    }
+    // H <= L < H+1 (Shannon code optimality band), at e6 slack for lattices
+    assert(meanLen >= math.round(entropy * 1e6) - rows.length)
+    assert(meanLen < math.round((entropy + 1.0) * 1e6) + rows.length)
+  }
+
+  test("delta bits: widths in [0,64] and gap count = events minus users") {
+    val rows = Relational.q_delta_bits_audit(spark, sf).collect()
+    rows.foreach { r =>
+      val w = r.getAs[Long]("width_bits")
+      assert(w >= 0L && w <= 64L)
+      assert(r.getAs[Long]("saved_bits") == (64L - w) * r.getAs[Long]("n_gaps"))
+    }
+    val ev = graft.core.Tables.table(spark, sf, "events")
+    val expected = ev.count() -
+      ev.select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_gaps")).sum == expected)
+  }
+
+  test("dict encoding: index bits are exact ceil-log2 and dict always wins here") {
+    Relational.q_dict_encoding_audit(spark, sf).collect().foreach { r =>
+      val d = r.getAs[Long]("n_distinct")
+      val want = if (d <= 1) 0L
+        else (64 - java.lang.Long.numberOfLeadingZeros(d - 1)).toLong
+      assert(r.getAs[Long]("index_bits") == want, r.toString)
+      assert(r.getAs[Long]("dict_bits") < r.getAs[Long]("raw_bits"), r.toString)
+      assert(r.getAs[Long]("savings_e4") > 0L, r.toString)
+    }
+  }
+
   test("reservoir bottom-k: sample never exceeds k=32 or the population") {
     Sampling.q_reservoir_bottomk(spark, sf).collect().foreach { r =>
       val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("k"))
