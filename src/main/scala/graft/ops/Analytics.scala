@@ -10000,6 +10000,42 @@ object Analytics {
           + lit(0.0)).as("p_critical"))
   }
 
+  /** AGM fractional-edge-cover bound (Atserias-Grohe-Marx 2008) for the
+    * triangle join E(a,b)⋈E(b,c)⋈E(a,c) on the directed co-purchase
+    * edge set: bound = m^{3/2}, vs the actual triangle-join output
+    * (6·triangles). The tightness ratio is the worst-case-optimal-join
+    * motivation number — binary join plans can exceed the bound
+    * in intermediates, Leapfrog-style plans cannot. Triangles via the
+    * keyed wedge join (basket-bounded edge build, never vertex²).
+    */
+  def q_agm_bound(spark: SparkSession, sf: String): DataFrame = {
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val e0 = items.as("a")
+      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("s")).filter(col("s") >= 2)
+      .select(col("u"), col("v")).localCheckpoint()
+    val ed = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    val tri = e0.as("e")
+      .join(ed.select(col("u").as("eu"), col("v").as("z1")).as("a"),
+        col("e.u") === col("eu"))
+      .join(ed.select(col("u").as("ev"), col("v").as("z2")).as("b"),
+        col("e.v") === col("ev") && col("z1") === col("z2"))
+      .agg(count(lit(1)).as("c3"))
+      .select(expr("c3 div 3").as("triangles"))
+    val m = ed.agg(count(lit(1)).as("m"))
+    m.crossJoin(tri)
+      .select(col("m").as("n_directed_edges"), col("triangles"),
+        (col("triangles") * 6L).as("triangle_join_actual"),
+        expr("CAST(FLOOR(CAST(m AS DOUBLE) * SQRT(CAST(m AS DOUBLE))) AS BIGINT)")
+          .as("agm_bound"))
+      .select(col("n_directed_edges"), col("triangles"),
+        col("triangle_join_actual"), col("agm_bound"),
+        expr("triangle_join_actual * 1000000 div agm_bound").as("tightness_e6"))
+  }
+
   // ---- §2.156 rank aggregation — Condorcet, RRF, Kemeny, Bradley-Terry ----
 
   /** Segment "ballots": each market segment ranks every brand by exact

@@ -1631,6 +1631,87 @@ object Relational {
       .orderBy("column_name")
   }
 
+  /** Attribute-value-independence audit — the selectivity assumption
+    * every textbook optimizer makes: est(A=a ∧ B=b) = n·(n_a/n)·(n_b/n)
+    * vs the actual cell count on the (o_orderstatus, o_orderpriority)
+    * contingency lattice, INCLUDING empty cells (the overestimates AVI
+    * is famous for). Per-cell integer q-error e4; the lattice is
+    * value-bounded (statuses × priorities), marginals broadcast.
+    */
+  def q_avi_selectivity(spark: SparkSession, sf: String): DataFrame = {
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderstatus").as("st"), col("o_orderpriority").as("pr"))
+    val n = o.agg(count(lit(1)).as("n"))
+    val na = o.groupBy(col("st")).agg(count(lit(1)).as("na"))
+    val nb = o.groupBy(col("pr")).agg(count(lit(1)).as("nb"))
+    val act = o.groupBy(col("st"), col("pr")).agg(count(lit(1)).as("act"))
+    broadcast(na).crossJoin(broadcast(nb))
+      .join(act, Seq("st", "pr"), "left_outer")
+      .crossJoin(broadcast(n))
+      .select(col("st").as("o_orderstatus"), col("pr").as("o_orderpriority"),
+        col("na").as("n_status"), col("nb").as("n_priority"),
+        coalesce(col("act"), lit(0L)).as("actual_rows"),
+        expr("na * nb div n").as("est_rows"))
+      .select(col("o_orderstatus"), col("o_orderpriority"), col("n_status"),
+        col("n_priority"), col("actual_rows"), col("est_rows"),
+        expr("greatest(actual_rows, est_rows) * 10000 div " +
+          "greatest(1, least(actual_rows, est_rows))").as("q_error_e4"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
+  /** Equi-width-histogram range-selectivity estimation — the optimizer's
+    * other workhorse: a 16-bucket histogram over o_totalprice cents,
+    * then for three domain-derived ranges the interpolated estimate
+    * Σ cnt_b·overlap_b div width vs the actual count, with the integer
+    * q-error. All boundaries live on the exact cent lattice (width =
+    * span div 16 + 1), so both engines build the identical histogram;
+    * the 16-row histogram and 3-row range table broadcast.
+    */
+  def q_histogram_selectivity(spark: SparkSession, sf: String): DataFrame = {
+    val pc = Tables.orders(spark, sf)
+      .select(cents(col("o_totalprice")).as("pc")).localCheckpoint()
+    val mm = pc.agg(min(col("pc")).as("minc"), max(col("pc")).as("maxc"))
+      .select(col("minc"), col("maxc"),
+        expr("(maxc - minc) div 16 + 1").as("wb"),
+        (col("maxc") - col("minc")).as("span"))
+    val hist = pc.crossJoin(broadcast(mm))
+      .groupBy(expr("(pc - minc) div wb").as("b"))
+      .agg(count(lit(1)).as("cnt")).localCheckpoint()
+    val ranges = mm.select(explode(array(
+        struct(lit("r1_wide_low").as("range_name"),
+          (col("minc") + expr("span div 8")).as("lo"),
+          (col("minc") + expr("span div 2")).as("hi")),
+        struct(lit("r2_upper_quarter").as("range_name"),
+          (col("minc") + expr("span div 2")).as("lo"),
+          (col("minc") + expr("3 * span div 4")).as("hi")),
+        struct(lit("r3_narrow").as("range_name"),
+          (col("minc") + expr("2 * span div 5")).as("lo"),
+          (col("minc") + expr("2 * span div 5 + span div 50")).as("hi"))))
+        .as("r"), col("minc"), col("wb"))
+      .select(col("r.range_name").as("range_name"), col("r.lo").as("lo"),
+        col("r.hi").as("hi"), col("minc"), col("wb"))
+      .localCheckpoint()
+    val est = broadcast(ranges).crossJoin(hist)
+      .select(col("range_name"), col("lo"), col("hi"), col("wb"), col("cnt"),
+        (col("minc") + col("b") * col("wb")).as("sb"))
+      .select(col("range_name"), col("lo"), col("hi"),
+        expr("cnt * greatest(0, least(hi, sb + wb) - greatest(lo, sb)) div wb")
+          .as("contrib"))
+      .groupBy(col("range_name"), col("lo"), col("hi"))
+      .agg(sum(col("contrib")).as("est_rows"))
+    val act = pc.join(broadcast(ranges),
+        col("pc") >= col("lo") && col("pc") < col("hi"))
+      .groupBy(col("range_name")).agg(count(lit(1)).as("actual_rows"))
+    est.join(act, Seq("range_name"), "left_outer")
+      .select(col("range_name"), col("lo"), col("hi"), col("est_rows"),
+        coalesce(col("actual_rows"), lit(0L)).as("actual_rows"))
+      .select(col("range_name"), col("lo"), col("hi"), col("est_rows"),
+        col("actual_rows"),
+        expr("greatest(actual_rows, est_rows) * 10000 div " +
+          "greatest(1, least(actual_rows, est_rows))").as("q_error_e4"))
+      .orderBy("range_name")
+  }
+
   /** Yannakakis full reducer on the region→nation→customer→orders chain
     * (filter r_name='ASIA' at the root): the semijoin cascade down then
     * back up, reporting each relation's row count raw / after the down

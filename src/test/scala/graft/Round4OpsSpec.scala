@@ -494,6 +494,33 @@ class Round4OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("agm bound: the triangle join never exceeds m^1.5") {
+    val r = Analytics.q_agm_bound(spark, sf).collect().head
+    assert(r.getAs[Long]("triangle_join_actual") <= r.getAs[Long]("agm_bound"),
+      r.toString)
+    assert(r.getAs[Long]("tightness_e6") <= 1000000L)
+  }
+
+  test("avi selectivity: marginals reconstruct n and q-errors >= 1") {
+    val rows = Relational.q_avi_selectivity(spark, sf).collect()
+    assert(rows.length >= 6)
+    val n = rows.map(_.getAs[Long]("actual_rows")).sum
+    val statuses = rows.map(_.getAs[String]("o_orderstatus")).distinct
+    val nFromMarginal = rows.groupBy(_.getAs[String]("o_orderstatus"))
+      .map(_._2.head.getAs[Long]("n_status")).sum
+    assert(n == nFromMarginal, s"$n != $nFromMarginal over $statuses")
+    rows.foreach(r => assert(r.getAs[Long]("q_error_e4") >= 10000L, r.toString))
+  }
+
+  test("histogram selectivity: estimates within one bucket of actual") {
+    Relational.q_histogram_selectivity(spark, sf).collect().foreach { r =>
+      // equi-width interpolation error is bounded by the two edge buckets
+      assert(r.getAs[Long]("est_rows") >= 0L)
+      assert(r.getAs[Long]("q_error_e4") < 100000L,
+        s"estimate off by >10x — histogram broken: $r")
+    }
+  }
+
   test("reservoir bottom-k: sample never exceeds k=32 or the population") {
     Sampling.q_reservoir_bottomk(spark, sf).collect().foreach { r =>
       val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("k"))
