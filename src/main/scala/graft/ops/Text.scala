@@ -631,6 +631,104 @@ object Text {
       .limit(20)
   }
 
+  /** Shared bigram/unigram counts for the §2.159 smoothing family:
+    * (w1,w2) bigram counts via per-doc keyed lead windows, unigram
+    * counts, and corpus totals — each smoother broadcasts the tiny
+    * per-context slice it needs.
+    */
+  private def bigramCounts(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+    Tables.documents(spark, sf)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos"), col("col").as("w1"))
+      .withColumn("w2", lead(col("w1"), 1).over(w))
+      .filter(col("w2").isNotNull)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+  }
+
+  /** Witten-Bell smoothed bigram probabilities for continuations of
+    * "join": λ(w1) = T/(c(w1)+T) with T the distinct-continuation
+    * count — the "how often does this context coin a NEW word" mass —
+    * and p = (1−λ)·ML + λ·unigram. The WB member of the smoothing
+    * family (KN §2.21, JM/backoff below); one fixed IEEE tree r6,
+    * every join broadcast-bounded by the vocabulary.
+    */
+  def q_witten_bell(spark: SparkSession, sf: String): DataFrame = {
+    val c12 = bigramCounts(spark, sf)
+    val uni = c12.groupBy(col("w2")).agg(sum(col("c")).as("cu"))
+    val tot = uni.agg(sum(col("cu")).as("nn"))
+    val ctx = c12.filter(col("w1") === "join")
+      .groupBy(col("w1")).agg(sum(col("c")).as("cw1"),
+        count(lit(1)).as("tt"))
+    c12.filter(col("w1") === "join")
+      .join(broadcast(ctx), "w1")
+      .join(uni, "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w2"), col("c").as("c_bigram"), col("cu").as("c_unigram"),
+        (round(expr(
+          """(CAST(cw1 AS DOUBLE) / (CAST(cw1 AS DOUBLE) + CAST(tt AS DOUBLE)))
+             * (CAST(c AS DOUBLE) / CAST(cw1 AS DOUBLE))
+             + (CAST(tt AS DOUBLE) / (CAST(cw1 AS DOUBLE) + CAST(tt AS DOUBLE)))
+               * (CAST(cu AS DOUBLE) / CAST(nn AS DOUBLE))"""),
+          6) + lit(0.0)).as("p_wb"))
+      .orderBy(col("p_wb").desc, col("w2").asc)
+      .limit(20)
+  }
+
+  /** Jelinek-Mercer interpolation (λ = 0.7) for continuations of
+    * "join": p = λ·ML(w2|w1) + (1−λ)·unigram(w2) — the fixed-weight
+    * member of the smoothing family, the baseline KN and WB are judged
+    * against. Same broadcast-bounded shape, r6 IEEE tree.
+    */
+  def q_jelinek_mercer(spark: SparkSession, sf: String): DataFrame = {
+    val c12 = bigramCounts(spark, sf)
+    val uni = c12.groupBy(col("w2")).agg(sum(col("c")).as("cu"))
+    val tot = uni.agg(sum(col("cu")).as("nn"))
+    val ctx = c12.filter(col("w1") === "join")
+      .groupBy(col("w1")).agg(sum(col("c")).as("cw1"))
+    c12.filter(col("w1") === "join")
+      .join(broadcast(ctx), "w1")
+      .join(uni, "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w2"), col("c").as("c_bigram"), col("cu").as("c_unigram"),
+        (round(expr(
+          """0.7 * CAST(c AS DOUBLE) / CAST(cw1 AS DOUBLE)
+             + 0.3 * CAST(cu AS DOUBLE) / CAST(nn AS DOUBLE)"""),
+          6) + lit(0.0)).as("p_jm"))
+      .orderBy(col("p_jm").desc, col("w2").asc)
+      .limit(20)
+  }
+
+  /** Stupid backoff (Brants et al. EMNLP'07) scores over the WHOLE
+    * vocabulary for context "join": S = c12/c(w1) when the bigram was
+    * seen, else 0.4·unigram — the non-normalized web-scale scorer.
+    * Unseen continuations enter via a left join from the unigram
+    * vocabulary, so the output shows where backoff mass overtakes rare
+    * seen bigrams; top 20, r6 tree, vocabulary-bounded broadcasts.
+    */
+  def q_stupid_backoff(spark: SparkSession, sf: String): DataFrame = {
+    val c12 = bigramCounts(spark, sf)
+    val uni = c12.groupBy(col("w2")).agg(sum(col("c")).as("cu"))
+    val tot = uni.agg(sum(col("cu")).as("nn"))
+    val ctx = c12.filter(col("w1") === "join")
+      .groupBy(col("w1")).agg(sum(col("c")).as("cw1"))
+    uni.join(c12.filter(col("w1") === "join")
+        .select(col("w2"), col("c")), Seq("w2"), "left_outer")
+      .crossJoin(broadcast(ctx.select(col("cw1"))))
+      .crossJoin(broadcast(tot))
+      .select(col("w2"), coalesce(col("c"), lit(0L)).as("c_bigram"),
+        col("cu").as("c_unigram"),
+        when(col("c").isNotNull, lit(1L)).otherwise(0L).as("seen_bigram"),
+        (round(expr(
+          """CASE WHEN c IS NOT NULL
+               THEN CAST(c AS DOUBLE) / CAST(cw1 AS DOUBLE)
+               ELSE 0.4 * CAST(cu AS DOUBLE) / CAST(nn AS DOUBLE) END"""),
+          6) + lit(0.0)).as("s_backoff"))
+      .orderBy(col("s_backoff").desc, col("w2").asc)
+      .limit(20)
+  }
+
   /** Burrows' Delta stylometry: z-scores of the 20 highest-frequency
     * words' per-source relative frequencies (e6 integer shares, exact
     * source stats), Delta(source) = mean |z − z_src0| — which sources

@@ -521,6 +521,17 @@ class Round4OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("smoothing family: WB/JM/backoff probabilities in (0,1], seen beats unseen ML") {
+    for (df <- Seq(Text.q_witten_bell(spark, sf), Text.q_jelinek_mercer(spark, sf))) {
+      val ps = df.collect().map(_.getDouble(3))
+      assert(ps.forall(p => p > 0.0 && p <= 1.0), ps.toSeq.toString)
+      assert(ps.toSeq == ps.toSeq.sortBy(-_), "not ordered by probability")
+    }
+    val sb = Text.q_stupid_backoff(spark, sf).collect()
+    assert(sb.exists(_.getAs[Long]("seen_bigram") == 1L))
+    sb.foreach(r => assert(r.getAs[Double]("s_backoff") > 0.0, r.toString))
+  }
+
   test("reservoir bottom-k: sample never exceeds k=32 or the population") {
     Sampling.q_reservoir_bottomk(spark, sf).collect().foreach { r =>
       val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("k"))
