@@ -1108,4 +1108,149 @@ object Events {
           .as("reject_uniform"),
         col("peak_hour"))
   }
+
+  // ---- §2.160 sequential pattern mining — PrefixSpan pairs, GSP, contrast ----
+
+  /** Per-(user, event_type) first/last position in the user's stream
+    * (position = row_number by (ts_usl, event_id), the deterministic
+    * sequence order). The closed form `minpos(A) < maxpos(B)` decides
+    * "some A occurs before some B" without any occurrence² join — the
+    * §2.160 miners all run on this alphabet-bounded table (users ×
+    * ≤5 types).
+    */
+  private def userTypeSpans(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_usl", "event_id")
+    Tables.eventsWithTs(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        row_number().over(w).cast("long").as("pos"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("pos")).as("minp"), max(col("pos")).as("maxp"))
+      .localCheckpoint()
+  }
+
+  /** PrefixSpan level-2 patterns — gap-allowed "A then B" support over
+    * every ordered event-type pair: users whose stream contains some A
+    * before some B (exact via the span closed form), confidence vs
+    * users-with-A, and lift vs P(user has B). Pattern MINING over the
+    * whole alphabet, unlike the fixed-stage funnel queries; the pair
+    * space is alphabet², never occurrence².
+    */
+  def q_prefixspan_pairs(spark: SparkSession, sf: String): DataFrame = {
+    val spans = userTypeSpans(spark, sf)
+    val nUsers = spans.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_users"))
+    val typeUsers = spans.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("t_users"))
+    val sup = spans.as("a")
+      .join(spans.select(col("user_id").as("u2"), col("event_type").as("tb"),
+        col("maxp").as("maxp2")).as("b"),
+        col("user_id") === col("u2") && col("event_type") =!= col("tb") &&
+          col("minp") < col("maxp2"))
+      .groupBy(col("event_type").as("type_a"), col("tb").as("type_b"))
+      .agg(count(lit(1)).as("support_users"))
+    sup
+      .join(broadcast(typeUsers.select(col("event_type").as("type_a"),
+        col("t_users").as("users_a"))), "type_a")
+      .join(broadcast(typeUsers.select(col("event_type").as("type_b"),
+        col("t_users").as("users_b"))), "type_b")
+      .crossJoin(broadcast(nUsers))
+      .select(col("type_a"), col("type_b"), col("support_users"),
+        col("users_a"), col("users_b"),
+        expr("support_users * 10000 div users_a").as("confidence_e4"),
+        expr("support_users * n_users * 10000 div (users_a * users_b)")
+          .as("lift_e4"))
+      .orderBy(col("support_users").desc, col("type_a"), col("type_b"))
+      .limit(20)
+  }
+
+  /** GSP windowed sequential pairs (Srikant-Agrawal EDBT'96 max-gap):
+    * "B within 24h after A" support per ordered type pair, next to the
+    * gap-unbounded support — how much pattern mass the window constraint
+    * removes. Occurrence pairs join calendar-bounded (same user, same or
+    * adjacent day) then filter the exact µs gap — never occurrence²
+    * across the stream.
+    */
+  def q_gsp_windowed_pairs(spark: SparkSession, sf: String): DataFrame = {
+    val ev = Tables.eventsWithTs(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts_usl"),
+        expr("ts_usl div 86400000000").as("day"))
+      .localCheckpoint()
+    // register each B occurrence under its own day AND the previous day so
+    // the pair join is a pure (user, day) equi-join — per-bucket bounded,
+    // never occurrence² across a user's whole stream
+    val evb = ev.select(col("user_id").as("u2"), col("event_type").as("tb"),
+        col("ts_usl").as("ts2"),
+        explode(array(col("day"), col("day") - 1L)).as("dayb"))
+    val windowed = ev.join(evb,
+        col("user_id") === col("u2") && col("day") === col("dayb") &&
+          col("event_type") =!= col("tb") &&
+          col("ts2") > col("ts_usl") &&
+          col("ts2") - col("ts_usl") <= lit(86400000000L))
+      .select(col("user_id"), col("event_type").as("type_a"),
+        col("tb").as("type_b")).distinct()
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("support_24h"))
+    val spans = userTypeSpans(spark, sf)
+    val anyGap = spans.as("a")
+      .join(spans.select(col("user_id").as("u2"), col("event_type").as("tb"),
+        col("maxp").as("maxp2")).as("b"),
+        col("user_id") === col("u2") && col("event_type") =!= col("tb") &&
+          col("minp") < col("maxp2"))
+      .groupBy(col("event_type").as("type_a"), col("tb").as("type_b"))
+      .agg(count(lit(1)).as("support_any_gap"))
+    anyGap.join(windowed, Seq("type_a", "type_b"), "left_outer")
+      .select(col("type_a"), col("type_b"), col("support_any_gap"),
+        coalesce(col("support_24h"), lit(0L)).as("support_24h"))
+      .select(col("type_a"), col("type_b"), col("support_any_gap"),
+        col("support_24h"),
+        expr("(support_any_gap - support_24h) * 10000 div support_any_gap")
+          .as("window_loss_e4"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** Contrast sequential patterns: A-then-B support rate per user cohort
+    * (above vs below the mean per-user event value), the e4 support gap
+    * ranked — which behavioural sequences discriminate high-value users.
+    * The emerging-pattern flavour of sequence mining; cohort tags join
+    * broadcast, the pair space stays alphabet-bounded.
+    */
+  def q_contrast_sequences(spark: SparkSession, sf: String): DataFrame = {
+    val userVal = Tables.eventsWithTs(spark, sf)
+      .groupBy(col("user_id")).agg(sum(cents(col("value"))).as("v"))
+    val meanV = userVal.agg((sum(col("v")) / count(lit(1))).as("mv"))
+    val cohorts = userVal.crossJoin(broadcast(meanV))
+      .select(col("user_id"),
+        when(col("v").cast("double") >= col("mv"), lit("high"))
+          .otherwise(lit("low")).as("cohort"))
+      .localCheckpoint()
+    val cohortSizes = cohorts.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("c_users"))
+    val spans = userTypeSpans(spark, sf)
+    val pairUsers = spans.as("a")
+      .join(spans.select(col("user_id").as("u2"), col("event_type").as("tb"),
+        col("maxp").as("maxp2")).as("b"),
+        col("user_id") === col("u2") && col("event_type") =!= col("tb") &&
+          col("minp") < col("maxp2"))
+      .select(col("user_id"), col("event_type").as("type_a"),
+        col("tb").as("type_b"))
+    val rates = pairUsers.join(cohorts, "user_id")
+      .groupBy(col("type_a"), col("type_b"), col("cohort"))
+      .agg(count(lit(1)).as("sup"))
+      .join(broadcast(cohortSizes), "cohort")
+      .select(col("type_a"), col("type_b"), col("cohort"),
+        expr("sup * 10000 div c_users").as("rate_e4"))
+    val hi = rates.filter(col("cohort") === "high")
+      .select(col("type_a"), col("type_b"), col("rate_e4").as("rate_high_e4"))
+    val lo = rates.filter(col("cohort") === "low")
+      .select(col("type_a"), col("type_b"), col("rate_e4").as("rate_low_e4"))
+    hi.join(lo, Seq("type_a", "type_b"), "full_outer")
+      .select(col("type_a"), col("type_b"),
+        coalesce(col("rate_high_e4"), lit(0L)).as("rate_high_e4"),
+        coalesce(col("rate_low_e4"), lit(0L)).as("rate_low_e4"))
+      .select(col("type_a"), col("type_b"), col("rate_high_e4"),
+        col("rate_low_e4"),
+        abs(col("rate_high_e4") - col("rate_low_e4")).as("contrast_e4"))
+      .orderBy(col("contrast_e4").desc, col("type_a"), col("type_b"))
+      .limit(15)
+  }
 }

@@ -532,6 +532,32 @@ class Round4OpsSpec extends AnyFunSuite {
     sb.foreach(r => assert(r.getAs[Double]("s_backoff") > 0.0, r.toString))
   }
 
+  test("prefixspan pairs: support bounded by both type populations") {
+    Events.q_prefixspan_pairs(spark, sf).collect().foreach { r =>
+      val s = r.getAs[Long]("support_users")
+      assert(s <= r.getAs[Long]("users_a") && s <= r.getAs[Long]("users_b"),
+        r.toString)
+      assert(r.getAs[Long]("confidence_e4") <= 10000L)
+    }
+  }
+
+  test("gsp window: 24h-constrained support never exceeds the any-gap support") {
+    Events.q_gsp_windowed_pairs(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("support_24h") <= r.getAs[Long]("support_any_gap"),
+        r.toString)
+      val loss = r.getAs[Long]("window_loss_e4")
+      assert(loss >= 0L && loss <= 10000L)
+    }
+  }
+
+  test("contrast sequences: rates are e4 shares and contrast is their gap") {
+    Events.q_contrast_sequences(spark, sf).collect().foreach { r =>
+      val (h, l) = (r.getAs[Long]("rate_high_e4"), r.getAs[Long]("rate_low_e4"))
+      assert(h >= 0L && h <= 10000L && l >= 0L && l <= 10000L)
+      assert(r.getAs[Long]("contrast_e4") == math.abs(h - l))
+    }
+  }
+
   test("reservoir bottom-k: sample never exceeds k=32 or the population") {
     Sampling.q_reservoir_bottomk(spark, sf).collect().foreach { r =>
       val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("k"))
