@@ -376,4 +376,106 @@ object Sketches {
         expr("""CAST(ROUND(64.0 / 0.77351
                 * POW(2.0, CAST(sum_rho AS DOUBLE) / 64.0)) AS BIGINT)""").as("est"))
       .orderBy("event_type")
+
+  // ---- §2.161 frequency sketches — count-min, space-saving, lossy counting ----
+
+  /** Count-min sketch (Cormode-Muthukrishnan '05), d=4 rows × w=256
+    * buckets over part-key frequencies in lineitem: the sketch is an
+    * algebraic aggregate on the shared md5 hash (bit-identical on both
+    * engines), the point estimate is min over rows of the hashed bucket
+    * sums, always an overcount; the top-10 true keys are audited against
+    * the e·N/w error bound. The 1024-row sketch broadcasts to the probe.
+    */
+  def q_count_min_sketch(spark: SparkSession, sf: String): DataFrame = {
+    val pk = Tables.lineitem(spark, sf)
+      .groupBy(col("l_partkey").as("pk")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val n = pk.agg(sum(col("c")).as("nn"))
+    def bucket = (hash32(concat(lit("cms"), col("j"), lit(":"), col("pk")))
+      % 256L).as("b")
+    val sketch = pk
+      .select(col("pk"), col("c"), explode(array(lit(0), lit(1), lit(2), lit(3)))
+        .as("j"))
+      .select(col("j"), bucket, col("c"))
+      .groupBy(col("j"), col("b")).agg(sum(col("c")).as("bsum"))
+    val top = pk.orderBy(col("c").desc, col("pk").asc).limit(10)
+    top
+      .select(col("pk"), col("c"), explode(array(lit(0), lit(1), lit(2), lit(3)))
+        .as("j"))
+      .select(col("pk"), col("c"), col("j"), bucket)
+      .join(broadcast(sketch), Seq("j", "b"))
+      .groupBy(col("pk"), col("c")).agg(min(col("bsum")).as("cms_est"))
+      .crossJoin(broadcast(n))
+      .select(col("pk").as("l_partkey"), col("c").as("true_cnt"),
+        col("cms_est"), (col("cms_est") - col("c")).as("overcount"),
+        expr("2718282 * nn div 256000000 + 1").as("bound_en_w"))
+      .select(col("l_partkey"), col("true_cnt"), col("cms_est"),
+        col("overcount"), col("bound_en_w"),
+        when(col("overcount") <= col("bound_en_w"), 1L).otherwise(0L)
+          .as("within_bound"))
+      .orderBy(col("true_cnt").desc, col("l_partkey").asc)
+  }
+
+  /** Space-saving guarantee bands (Metwally et al. ICDT'05) for brand
+    * frequencies at k ∈ {10, 25, 50} counters: any item with f·k > N is
+    * GUARANTEED to sit in every k-counter summary, and no estimate errs
+    * by more than N div k. The per-k row reports both plus the mass the
+    * guaranteed set covers — all integer comparisons, no float ever.
+    */
+  def q_spacesaving_guarantee(spark: SparkSession, sf: String): DataFrame = {
+    val f = Tables.lineitem(spark, sf)
+      .join(broadcast(Tables.part(spark, sf)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val n = f.agg(sum(col("c")).as("nn"), count(lit(1)).as("n_items"))
+    f.crossJoin(broadcast(n))
+      .select(col("p_brand"), col("c"), col("nn"), col("n_items"),
+        explode(array(lit(10L), lit(25L), lit(50L))).as("k"))
+      .groupBy(col("k"))
+      .agg(max(col("nn")).as("nn"), max(col("n_items")).as("n_items"),
+        sum(when(col("c") * col("k") > col("nn"), 1L).otherwise(0L))
+          .as("n_guaranteed"),
+        sum(when(col("c") * col("k") > col("nn"), col("c")).otherwise(0L))
+          .as("guaranteed_mass"))
+      .select(col("k"), col("n_items"), expr("nn div k").as("err_bound"),
+        col("n_guaranteed"),
+        expr("guaranteed_mass * 10000 div nn").as("guaranteed_share_e4"))
+      .orderBy("k")
+  }
+
+  /** Lossy-counting guarantee bands (Manku-Motwani VLDB'02) for brand
+    * frequencies at support s = m/250 (m ∈ {8,10,12} straddling the
+    * uniform share), ε = s/10: items with f ≥ sN are guaranteed OUTPUT,
+    * items with f < (s−ε)N are guaranteed DROPPED, the rest is the
+    * synopsis-dependent maybe zone; bucket width ⌈1/ε⌉ is the memory
+    * witness. Pure integer threshold algebra on exact counts.
+    */
+  def q_lossy_counting_bands(spark: SparkSession, sf: String): DataFrame = {
+    val f = Tables.lineitem(spark, sf)
+      .join(broadcast(Tables.part(spark, sf)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val n = f.agg(sum(col("c")).as("nn"))
+    f.crossJoin(broadcast(n))
+      .select(col("c"), col("nn"),
+        explode(array(lit(8L), lit(10L), lit(12L))).as("m"))
+      .groupBy(col("m"))
+      .agg(max(col("nn")).as("nn"),
+        sum(when(col("c") * 250L >= col("m") * col("nn"), 1L).otherwise(0L))
+          .as("n_guaranteed_in"),
+        sum(when(col("c") * 2500L < col("m") * 9L * col("nn"), 1L)
+          .otherwise(0L)).as("n_guaranteed_out"),
+        count(lit(1)).as("n_items"))
+      .select(col("m"), (col("m") * 40L).as("support_e4"),
+        expr("(2500 + m - 1) div m").as("bucket_width"),
+        col("n_guaranteed_in"),
+        (col("n_items") - col("n_guaranteed_in") - col("n_guaranteed_out"))
+          .as("n_maybe"),
+        col("n_guaranteed_out"))
+      .orderBy("m")
+  }
 }

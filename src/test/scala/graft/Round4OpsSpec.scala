@@ -558,6 +558,30 @@ class Round4OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("count-min: estimates always overcount and respect the e*N/w bound") {
+    Sketches.q_count_min_sketch(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("true_cnt"), r.toString)
+      assert(r.getAs[Long]("within_bound") == 1L, r.toString)
+    }
+  }
+
+  test("space-saving: guarantee band grows with k") {
+    val rows = Sketches.q_spacesaving_guarantee(spark, sf).collect()
+      .sortBy(_.getAs[Long]("k"))
+    val g = rows.map(_.getAs[Long]("n_guaranteed"))
+    assert(g.sameElements(g.sorted), g.toSeq.toString)
+    rows.foreach(r => assert(r.getAs[Long]("guaranteed_share_e4") <= 10000L))
+  }
+
+  test("lossy counting: the three bands partition the item universe") {
+    Sketches.q_lossy_counting_bands(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("n_guaranteed_in") >= 0L)
+      assert(r.getAs[Long]("n_maybe") >= 0L, r.toString)
+      assert(r.getAs[Long]("n_guaranteed_out") >= 0L)
+      assert(r.getAs[Long]("bucket_width") * r.getAs[Long]("m") >= 2500L)
+    }
+  }
+
   test("reservoir bottom-k: sample never exceeds k=32 or the population") {
     Sampling.q_reservoir_bottomk(spark, sf).collect().foreach { r =>
       val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("k"))
