@@ -10201,4 +10201,129 @@ object Analytics {
       .limit(10)
   }
 
+  // ---- §2.163 privacy risk & anonymization cost ---------------------------
+
+  /** t-closeness audit (Li et al. ICDE'07) with the ordered-distance EMD:
+    * equivalence classes are (status, order-month), the sensitive
+    * attribute is the priority ordinal 1..5, and EMD = Σ|cumulative
+    * p−q| / (m−1) between each class's distribution and the global one.
+    * Probabilities are e6 integers (identical truncation on both
+    * engines) and the 4 cumulative terms are explicit columns, so the
+    * whole check is two hash aggregates plus one broadcast — the
+    * attribute-disclosure gate that k-anonymity and ℓ-diversity miss
+    * (a class can be diverse yet skewed toward LOW-priority). Top-15
+    * classes by distance, with the t=0.15 verdict.
+    */
+  def q_t_closeness(spark: SparkSession, sf: String): DataFrame = {
+    val o = Tables.orders(spark, sf).select(
+      col("o_orderstatus").as("st"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("mon"),
+      expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)").as("ord"))
+    def dist(grouped: org.apache.spark.sql.RelationalGroupedDataset): DataFrame = grouped
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ord") === 1L, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("ord") === 2L, 1L).otherwise(0L)).as("c2"),
+        sum(when(col("ord") === 3L, 1L).otherwise(0L)).as("c3"),
+        sum(when(col("ord") === 4L, 1L).otherwise(0L)).as("c4"),
+        sum(when(col("ord") === 5L, 1L).otherwise(0L)).as("c5"))
+      .select(col("*"),
+        expr("c1 * 1000000 div n").as("p1"), expr("c2 * 1000000 div n").as("p2"),
+        expr("c3 * 1000000 div n").as("p3"), expr("c4 * 1000000 div n").as("p4"))
+    val glob = dist(o.groupBy())
+      .select(col("p1").as("q1"), col("p2").as("q2"), col("p3").as("q3"),
+        col("p4").as("q4"))
+    dist(o.groupBy(col("st"), col("mon"))).crossJoin(broadcast(glob))
+      .select(col("st").as("o_orderstatus"), col("mon").as("month"),
+        col("n").as("n_ec"),
+        expr("""(abs(p1 - q1) + abs(p1 + p2 - q1 - q2)
+               + abs(p1 + p2 + p3 - q1 - q2 - q3)
+               + abs(p1 + p2 + p3 + p4 - q1 - q2 - q3 - q4)) div 4""")
+          .as("emd_e6"))
+      .select(col("o_orderstatus"), col("month"), col("n_ec"), col("emd_e6"),
+        when(col("emd_e6") > 150000L, 1L).otherwise(0L).as("violates_t15"))
+      .orderBy(col("emd_e6").desc, col("o_orderstatus"), col("month"))
+      .limit(15)
+  }
+
+  /** Discernibility metric (Bayardo-Agrawal ICDE'05) across a 4-level
+    * generalization lattice of the customer quasi-identifiers — (nation,
+    * segment, $1000 balance band) → (nation, segment) → (nation) → ⊤:
+    * DM = Σ_{|EC|≥k}|EC|² + n·Σ_{|EC|<k}|EC| at k=5, plus the achieved
+    * k-anonymity (min class size) and the rows a suppression policy
+    * would drop. Each level is one hash aggregate over customers; the
+    * level summaries are 4 rows. The monotone DM-vs-k trade is the cost
+    * curve an anonymization search (Incognito/Flash) walks.
+    */
+  def q_discernibility_metric(spark: SparkSession, sf: String): DataFrame = {
+    val c = Tables.customer(spark, sf).select(
+      col("c_nationkey").cast("long").as("nat"), col("c_mktsegment").as("seg"),
+      expr("(CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000) div 100000")
+        .as("band"))
+    val n = c.agg(count(lit(1)).as("n_total"))
+    def level(name: String, keys: Seq[Column]): DataFrame = {
+      val ecs =
+        if (keys.isEmpty) c.groupBy(lit(1).as("g")).agg(count(lit(1)).as("ec"))
+        else c.groupBy(keys: _*).agg(count(lit(1)).as("ec"))
+      ecs.crossJoin(broadcast(n))
+        .agg(count(lit(1)).as("n_ec"), min(col("ec")).as("min_ec"),
+          sum(when(col("ec") < 5L, col("ec")).otherwise(0L)).as("n_suppressed"),
+          sum(when(col("ec") >= 5L, col("ec") * col("ec"))
+            .otherwise(col("ec") * col("n_total"))).as("dm"))
+        .select(lit(name).as("level"), col("n_ec"), col("min_ec"),
+          col("n_suppressed"), col("dm"))
+    }
+    level("g0_nat_seg_band", Seq(col("nat"), col("seg"), col("band")))
+      .unionByName(level("g1_nat_seg", Seq(col("nat"), col("seg"))))
+      .unionByName(level("g2_nat", Seq(col("nat"))))
+      .unionByName(level("g3_top", Seq.empty))
+      .orderBy("level")
+  }
+
+  /** Normalized certainty penalty (Xu et al. KDD'06) — the information-
+    * loss side of the anonymization trade: for balance-band widths
+    * $500/$2000/$8000 the numeric NCP is the record-weighted actual band
+    * spread over the global range, and generalizing nation→region adds
+    * the categorical subtree penalty |region|/|nations|. Six (width ×
+    * generalize) rows of e6 penalties — read together with
+    * q_discernibility_metric this is the cost/risk frontier. All sums
+    * are exact integer cents with a single trailing division.
+    */
+  def q_ncp_generalization(spark: SparkSession, sf: String): DataFrame = {
+    val c = Tables.customer(spark, sf).select(
+      col("c_nationkey").cast("long").as("nat"),
+      (cents(col("c_acctbal")) + 100000L).as("bc"))
+    val stats = c.agg(count(lit(1)).as("n"),
+      (max(col("bc")) - min(col("bc"))).as("rng"))
+    val bands = c
+      .select(col("bc"), explode(array(lit(50000L), lit(200000L), lit(800000L)))
+        .as("w"))
+      .groupBy(col("w"), expr("bc div w").as("band"))
+      .agg(count(lit(1)).as("cnt"), (max(col("bc")) - min(col("bc"))).as("spread"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_bands"),
+        sum(col("cnt") * col("spread")).as("num_sum"))
+    val regionSize = Tables.nation(spark, sf)
+      .groupBy(col("n_regionkey")).agg(count(lit(1)).as("rsize"))
+    val natCount = Tables.nation(spark, sf).agg(count(lit(1)).as("n_nat"))
+    val catSum = c
+      .join(broadcast(Tables.nation(spark, sf)
+        .select(col("n_nationkey").cast("long").as("nat"), col("n_regionkey"))),
+        "nat")
+      .join(broadcast(regionSize), "n_regionkey")
+      .agg(sum(col("rsize")).as("cat_sum"))
+    bands.crossJoin(broadcast(stats)).crossJoin(broadcast(catSum))
+      .crossJoin(broadcast(natCount))
+      .select(col("w"), col("n_bands"), col("num_sum"), col("n"), col("rng"),
+        col("cat_sum"), col("n_nat"),
+        explode(array(lit(0L), lit(1L))).as("generalize_nation"))
+      .select(col("w").as("w_cents"), col("generalize_nation"), col("n_bands"),
+        expr("num_sum * 1000000 div (rng * n)").as("avg_num_ncp_e6"),
+        when(col("generalize_nation") === 1L,
+          expr("cat_sum * 1000000 div (n_nat * n)")).otherwise(0L)
+          .as("avg_cat_ncp_e6"))
+      .select(col("w_cents"), col("generalize_nation"), col("n_bands"),
+        col("avg_num_ncp_e6"), col("avg_cat_ncp_e6"),
+        expr("(avg_num_ncp_e6 + avg_cat_ncp_e6) div 2").as("total_ncp_e6"))
+      .orderBy("w_cents", "generalize_nation")
+  }
 }

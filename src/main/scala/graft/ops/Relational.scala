@@ -1802,4 +1802,178 @@ object Relational {
         Tables.orders(spark, sf), "o_orderkey", "lineitem_x_orders"))
       .orderBy("join_name")
   }
+
+  // ---- §2.162 physical design classics — HRU views, bitmap runs, Fagin TA --
+
+  /** Harinarayan-Rajaraman-Ullman greedy view selection (SIGMOD'96) on the
+    * 8-node cube lattice over (status, priority, order-month): node sizes
+    * are one multi-distinct aggregate, the top view is always materialized,
+    * and two greedy rounds pick the views maximizing the HRU benefit
+    * Σ_{v⊆w} (cost(v) − |w|)⁺ — the classic (1−1/e)-of-optimal result.
+    * Subset tests are bitmask ANDs on the 8-row lattice, so every join
+    * after the size aggregate is a broadcast over ≤64 pairs.
+    */
+  def q_view_selection_hru(spark: SparkSession, sf: String): DataFrame = {
+    val o = Tables.orders(spark, sf).select(
+      col("o_orderstatus").as("a"), col("o_orderpriority").as("b"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("c"))
+    val sz = o.agg(
+      countDistinct(col("a")).as("sa"), countDistinct(col("b")).as("sb"),
+      countDistinct(col("c")).as("sc"),
+      countDistinct(col("a"), col("b")).as("sab"),
+      countDistinct(col("a"), col("c")).as("sac"),
+      countDistinct(col("b"), col("c")).as("sbc"),
+      countDistinct(col("a"), col("b"), col("c")).as("sabc"))
+    val lat = sz.select(explode(array(
+        struct(lit(0L).as("mask"), lit("apex").as("node"), lit(1L).as("sz")),
+        struct(lit(1L).as("mask"), lit("status").as("node"), col("sa").as("sz")),
+        struct(lit(2L).as("mask"), lit("priority").as("node"), col("sb").as("sz")),
+        struct(lit(3L).as("mask"), lit("status_priority").as("node"), col("sab").as("sz")),
+        struct(lit(4L).as("mask"), lit("month").as("node"), col("sc").as("sz")),
+        struct(lit(5L).as("mask"), lit("status_month").as("node"), col("sac").as("sz")),
+        struct(lit(6L).as("mask"), lit("priority_month").as("node"), col("sbc").as("sz")),
+        struct(lit(7L).as("mask"), lit("status_priority_month").as("node"),
+          col("sabc").as("sz")))).as("n"))
+      .select(col("n.mask").as("mask"), col("n.node").as("node"),
+        col("n.sz").as("sz"))
+      .localCheckpoint()
+    val top = lat.filter(col("mask") === 7L).select(col("sz").as("topsz"))
+    val pairs = lat.select(col("mask").as("vmask"), col("sz").as("vsz"))
+      .crossJoin(broadcast(lat.select(col("mask").as("wmask"), col("sz").as("wsz"))))
+      .filter(col("vmask").bitwiseAND(col("wmask")) === col("vmask"))
+    val b1 = pairs.filter(col("wmask") =!= 7L).crossJoin(broadcast(top))
+      .groupBy(col("wmask"), col("wsz"))
+      .agg(sum(greatest(lit(0L), col("topsz") - col("wsz"))).as("benefit_r1"))
+    val p1 = b1.orderBy(col("benefit_r1").desc, col("wmask").asc).limit(1)
+      .select(col("wmask").as("p1mask"), col("wsz").as("p1sz"))
+    val cost1 = lat.crossJoin(broadcast(p1)).crossJoin(broadcast(top))
+      .select(col("mask").as("vmask"),
+        when(col("mask").bitwiseAND(col("p1mask")) === col("mask"), col("p1sz"))
+          .otherwise(col("topsz")).as("cost1"))
+    val b2 = pairs.join(broadcast(cost1), "vmask").crossJoin(broadcast(p1))
+      .filter(col("wmask") =!= 7L && col("wmask") =!= col("p1mask"))
+      .groupBy(col("wmask"), col("wsz"))
+      .agg(sum(greatest(lit(0L), col("cost1") - col("wsz"))).as("benefit_r2"))
+    val p2 = b2.orderBy(col("benefit_r2").desc, col("wmask").asc).limit(1)
+      .select(col("wmask").as("p2mask"))
+    lat.join(broadcast(b1.select(col("wmask").as("mask"), col("benefit_r1"))),
+        Seq("mask"), "left_outer")
+      .join(broadcast(b2.select(col("wmask").as("mask"), col("benefit_r2"))),
+        Seq("mask"), "left_outer")
+      .crossJoin(broadcast(p1)).crossJoin(broadcast(p2))
+      .select(col("node"), col("mask"), col("sz").as("n_rows"),
+        coalesce(col("benefit_r1"), lit(0L)).as("benefit_r1"),
+        coalesce(col("benefit_r2"), lit(0L)).as("benefit_r2"),
+        when(col("mask") === 7L, 0L)
+          .when(col("mask") === col("p1mask"), 1L)
+          .when(col("mask") === col("p2mask"), 2L)
+          .otherwise(-1L).as("picked_round"))
+      .orderBy("mask")
+  }
+
+  /** Bitmap-index run-length audit of o_orderstatus in o_orderkey order:
+    * exact maximal-run counts per value, computed scale-out — a lag window
+    * keyed by 65536-wide key bands plus a band-boundary join on band−1
+    * (the key space is contiguously occupied, so the previous band exists;
+    * the spec asserts run-count exactness against a brute-force order).
+    * Reports literal-bitmap bits vs two-64-bit-words-per-run RLE bits —
+    * the sizing rule a column store uses to pick bitmap encodings, and on
+    * a key-ordered low-cardinality column RLE loses (ratio > 1), which is
+    * exactly why engines cluster before encoding (see q_rle_layout).
+    */
+  def q_bitmap_index_audit(spark: SparkSession, sf: String): DataFrame = {
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("v"))
+      .withColumn("band", expr("k div 65536"))
+    val win = Window.partitionBy("band").orderBy("k")
+    val lastOfBand = o.groupBy(col("band"))
+      .agg(max_by(col("v"), col("k")).as("prev_last"))
+      .withColumn("band", col("band") + 1L)
+    val runs = o.withColumn("lagv", lag(col("v"), 1).over(win))
+      .join(lastOfBand, Seq("band"), "left_outer")
+      .withColumn("prevv", coalesce(col("lagv"), col("prev_last")))
+      .filter(col("prevv").isNull || col("prevv") =!= col("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("n_runs"))
+    val counts = o.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    val n = o.agg(count(lit(1)).as("n_rows"))
+    counts.join(runs, Seq("v")).crossJoin(broadcast(n))
+      .select(col("v").as("o_orderstatus"), col("n_rows"), col("cnt"),
+        col("n_runs"), expr("cnt * 10000 div n_runs").as("avg_run_len_e4"),
+        col("n_rows").as("literal_bits"),
+        (col("n_runs") * 128L + 64L).as("rle_bits"),
+        expr("(n_runs * 128 + 64) * 10000 div n_rows").as("rle_over_literal_e4"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Fagin's Threshold Algorithm audit (PODS'01 instance-optimal top-k):
+    * brands carry two e6-share score lists (quantity share, revenue
+    * share); sorted access descends both in lock-step and stops at the
+    * first depth where the 5th-best fully-scored seen item beats the
+    * threshold T(d) = x(d) + y(d). One row per round up to the stop —
+    * n_seen / kth score / threshold — showing why TA touches a handful
+    * of rounds, not the whole list. Ranks and per-depth k-th selection
+    * are brand-bounded theta-count joins on broadcasts (25² pairs max),
+    * never a global window.
+    */
+  def q_fagin_ta_rounds(spark: SparkSession, sf: String): DataFrame = {
+    val base = Tables.lineitem(spark, sf)
+      .join(broadcast(Tables.part(spark, sf)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(col("l_quantity").cast("long")).as("q"),
+        sum(cents(col("l_extendedprice"))).as("r"))
+      .localCheckpoint()
+    val tot = base.agg(sum(col("q")).as("tq"), sum(col("r")).as("tr"))
+    val items = base.crossJoin(broadcast(tot))
+      .select(col("p_brand"), expr("q * 1000000 div tq").as("xs"),
+        expr("r * 1000000 div tr").as("ys"),
+        expr("q * 1000000 div tq + r * 1000000 div tr").as("score"))
+      .localCheckpoint()
+    def rankBy(c: String, out: String): DataFrame = {
+      val b = items.select(col("p_brand").as("b_brand"), col(c).as("b_c"))
+      items.join(broadcast(b),
+          col("b_c") > col(c) ||
+          (col("b_c") === col(c) && col("b_brand") < col("p_brand")),
+          "left_outer")
+        .groupBy(col("p_brand")).agg((count(col("b_brand")) + 1L).as(out))
+    }
+    val ranked = items.join(rankBy("xs", "r1"), "p_brand")
+      .join(rankBy("ys", "r2"), "p_brand")
+      .withColumn("ad", least(col("r1"), col("r2")))
+      .localCheckpoint()
+    val thr = ranked.select(col("r1").as("d"), col("xs"))
+      .join(ranked.select(col("r2").as("d"), col("ys")), "d")
+      .select(col("d"), (col("xs") + col("ys")).as("threshold_e6"))
+    val seen = thr.join(
+      broadcast(ranked.select(col("p_brand"), col("ad"), col("score"))),
+      col("ad") <= col("d"))
+    val nSeen = seen.groupBy(col("d"), col("threshold_e6"))
+      .agg(count(lit(1)).as("n_seen"))
+    val t = ranked.select(col("p_brand").as("t_brand"), col("ad").as("t_ad"),
+      col("score").as("t_score"))
+    val kth = seen.join(broadcast(t),
+        col("t_ad") <= col("d") &&
+        (col("t_score") > col("score") ||
+         (col("t_score") === col("score") && col("t_brand") < col("p_brand"))),
+        "left_outer")
+      .groupBy(col("d"), col("p_brand"), col("score"))
+      .agg(count(col("t_brand")).as("nbetter"))
+      .filter(col("nbetter") === 4L)
+      .select(col("d"), col("score").as("kth_score_e6"))
+    val rounds = nSeen.join(kth, Seq("d"), "left_outer")
+      .select(col("d").as("depth"), col("n_seen"),
+        coalesce(col("kth_score_e6"), lit(-1L)).as("kth_score_e6"),
+        col("threshold_e6"),
+        when(coalesce(col("kth_score_e6"), lit(-1L)) >= col("threshold_e6"), 1L)
+          .otherwise(0L).as("stopped"))
+      .localCheckpoint()
+    val stopD = rounds.filter(col("stopped") === 1L)
+      .agg(coalesce(min(col("depth")), lit(Long.MaxValue)).as("stop_depth"))
+    rounds.crossJoin(broadcast(stopD))
+      .filter(col("depth") <= col("stop_depth"))
+      .select(col("depth"), col("n_seen"), col("kth_score_e6"),
+        col("threshold_e6"), col("stopped"))
+      .orderBy("depth")
+  }
 }

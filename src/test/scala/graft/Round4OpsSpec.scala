@@ -582,6 +582,94 @@ class Round4OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("HRU view selection: top pre-materialized, two distinct greedy picks") {
+    val rows = Relational.q_view_selection_hru(spark, sf).collect()
+    assert(rows.length == 8, rows.length.toString)
+    val byRound = rows.groupBy(_.getAs[Long]("picked_round"))
+    assert(byRound(0L).map(_.getAs[Long]("mask")).toSeq == Seq(7L))
+    assert(byRound(1L).length == 1 && byRound(2L).length == 1)
+    val apex = rows.find(_.getAs[Long]("mask") == 0L).get
+    assert(apex.getAs[Long]("n_rows") == 1L)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("benefit_r1") >= 0L && r.getAs[Long]("benefit_r2") >= 0L)
+    }
+    // round-2 benefit of the round-1 pick is reported as 0 (it's materialized)
+    assert(byRound(1L).head.getAs[Long]("benefit_r2") == 0L)
+  }
+
+  test("bitmap runs: banded run counts equal a brute-force global scan") {
+    val rows = Relational.q_bitmap_index_audit(spark, sf).collect()
+    val n = rows.head.getAs[Long]("n_rows")
+    assert(rows.map(_.getAs[Long]("cnt")).sum == n)
+    // brute-force: count value changes over the fully-ordered column
+    import spark.implicits._
+    val vs = graft.core.Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_orderstatus").as[(Long, String)]
+      .collect().sortBy(_._1).map(_._2)
+    val brute = vs.indices.groupBy(vs)
+      .map { case (v, idx) => v -> idx.count(i => i == 0 || vs(i - 1) != v) }
+    rows.foreach { r =>
+      val v = r.getAs[String]("o_orderstatus")
+      assert(r.getAs[Long]("n_runs") == brute(v).toLong, s"$v: $r vs ${brute(v)}")
+      assert(r.getAs[Long]("n_runs") <= r.getAs[Long]("cnt"))
+    }
+  }
+
+  test("fagin TA: stops early with a valid threshold certificate") {
+    val rows = Relational.q_fagin_ta_rounds(spark, sf).collect()
+      .sortBy(_.getAs[Long]("depth"))
+    assert(rows.nonEmpty)
+    // thresholds are non-increasing in depth; n_seen non-decreasing
+    val thr = rows.map(_.getAs[Long]("threshold_e6"))
+    assert(thr.zip(thr.tail).forall { case (a, b) => a >= b }, thr.toSeq.toString)
+    val seen = rows.map(_.getAs[Long]("n_seen"))
+    assert(seen.zip(seen.tail).forall { case (a, b) => a <= b })
+    // only the last emitted round stops, and it carries the certificate
+    assert(rows.init.forall(_.getAs[Long]("stopped") == 0L))
+    val last = rows.last
+    if (last.getAs[Long]("stopped") == 1L)
+      assert(last.getAs[Long]("kth_score_e6") >= last.getAs[Long]("threshold_e6"))
+  }
+
+  test("t-closeness: EMD bounded by 1e6 and zero for a class matching global") {
+    val rows = Analytics.q_t_closeness(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 15)
+    rows.foreach { r =>
+      val emd = r.getAs[Long]("emd_e6")
+      assert(emd >= 0L && emd <= 1000000L, r.toString)
+      assert((r.getAs[Long]("violates_t15") == 1L) == (emd > 150000L))
+    }
+  }
+
+  test("discernibility metric: DM shrinks and min EC grows up the lattice") {
+    val rows = Analytics.q_discernibility_metric(spark, sf).collect()
+      .sortBy(_.getAs[String]("level"))
+    assert(rows.map(_.getAs[String]("level")).toSeq ==
+      Seq("g0_nat_seg_band", "g1_nat_seg", "g2_nat", "g3_top"))
+    val minEc = rows.map(_.getAs[Long]("min_ec"))
+    assert(minEc.zip(minEc.tail).forall { case (a, b) => a <= b }, minEc.toSeq.toString)
+    val nEc = rows.map(_.getAs[Long]("n_ec"))
+    assert(nEc.zip(nEc.tail).forall { case (a, b) => a >= b })
+    assert(rows.last.getAs[Long]("n_ec") == 1L)
+    assert(rows.last.getAs[Long]("n_suppressed") == 0L)
+  }
+
+  test("NCP: penalty grows with band width and with nation generalization") {
+    val rows = Analytics.q_ncp_generalization(spark, sf).collect()
+    assert(rows.length == 6)
+    val byGen = rows.groupBy(_.getAs[Long]("generalize_nation"))
+    byGen.values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[Long]("w_cents"))
+      val ncp = sorted.map(_.getAs[Long]("avg_num_ncp_e6"))
+      assert(ncp.zip(ncp.tail).forall { case (a, b) => a <= b }, ncp.toSeq.toString)
+    }
+    rows.foreach { r =>
+      val cat = r.getAs[Long]("avg_cat_ncp_e6")
+      if (r.getAs[Long]("generalize_nation") == 0L) assert(cat == 0L)
+      else assert(cat > 0L && cat <= 1000000L, r.toString)
+    }
+  }
+
   test("reservoir bottom-k: sample never exceeds k=32 or the population") {
     Sampling.q_reservoir_bottomk(spark, sf).collect().foreach { r =>
       val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("k"))
