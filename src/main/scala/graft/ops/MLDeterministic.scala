@@ -3438,4 +3438,168 @@ object MLDeterministic {
       .orderBy(col("n_corated").desc, col("brand_i").asc, col("brand_j").asc)
       .limit(10)
   }
+  // ---- §2.164 record linkage — Fellegi-Sunter, EM step, threshold sweep ----
+
+  /** Shared Fellegi-Sunter core: customers blocked by (nation, $500
+    * balance band), field surrogates f1=segment, f2=cent digits,
+    * f3=last dollar digit; pairs are an equi-join on the block key
+    * (never corpus²), the agreement pattern lattice is the full 2³.
+    * Returns (a1,a2,a3,n_pairs) with zero-count patterns present.
+    */
+  private def fsPatterns(spark: SparkSession, sf: String): DataFrame = {
+    val c = Tables.customer(spark, sf).select(
+      col("c_custkey").as("cust"), col("c_nationkey").cast("long").as("nat"),
+      col("c_mktsegment").as("seg"),
+      expr("CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000").as("bc"))
+      .select(col("cust"), col("nat"), col("seg"),
+        expr("bc % 100").as("f2"), expr("(bc div 100) % 10").as("f3"),
+        expr("bc div 50000").as("bb"))
+    val l = c.select(col("cust").as("cust1"), col("nat"), col("bb"),
+      col("seg").as("seg1"), col("f2").as("f21"), col("f3").as("f31"))
+    val r = c.select(col("cust").as("cust2"), col("nat"), col("bb"),
+      col("seg").as("seg2"), col("f2").as("f22"), col("f3").as("f32"))
+    val observed = l.join(r, Seq("nat", "bb"))
+      .filter(col("cust1") < col("cust2"))
+      .select(
+        when(col("seg1") === col("seg2"), 1L).otherwise(0L).as("a1"),
+        when(col("f21") === col("f22"), 1L).otherwise(0L).as("a2"),
+        when(col("f31") === col("f32"), 1L).otherwise(0L).as("a3"))
+      .groupBy(col("a1"), col("a2"), col("a3"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val lattice = c.sparkSession.range(1).select(
+        explode(array(lit(0L), lit(1L))).as("a1"))
+      .select(col("a1"), explode(array(lit(0L), lit(1L))).as("a2"))
+      .select(col("a1"), col("a2"), explode(array(lit(0L), lit(1L))).as("a3"))
+    lattice.join(observed, Seq("a1", "a2", "a3"), "left_outer")
+      .select(col("a1"), col("a2"), col("a3"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+  }
+
+  /** Chance-agreement u-probabilities per field (P(agree | random pair),
+    * Σ_v c_v(c_v−1) over N(N−1)) as one broadcastable row of doubles
+    * built from exact integer sufficient statistics (single division —
+    * bit-identical cross-engine).
+    */
+  private def fsU(spark: SparkSession, sf: String): DataFrame = {
+    val c = Tables.customer(spark, sf).select(
+      col("c_mktsegment").as("f1"),
+      expr("(CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000) % 100").as("f2"),
+      expr("((CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000) div 100) % 10")
+        .as("f3"))
+      .localCheckpoint()
+    val n = c.agg(count(lit(1)).as("n"))
+    def chance(f: String): DataFrame = c.groupBy(col(f))
+      .agg(count(lit(1)).as("cv"))
+      .agg(sum(expr("cv * (cv - 1)")).as(s"s_$f"))
+    chance("f1").crossJoin(chance("f2")).crossJoin(chance("f3"))
+      .crossJoin(n)
+      .select(
+        expr("CAST(s_f1 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)").as("u1"),
+        expr("CAST(s_f2 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)").as("u2"),
+        expr("CAST(s_f3 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)").as("u3"))
+  }
+
+  /** Fellegi-Sunter record-linkage weights (JASA'69): per agreement
+    * pattern the pair count, the e6 log2 match/non-match weight sum
+    * (m fixed at 0.9, u from chance agreement), and the three-way
+    * decision at the ±1.5e6/−3e6 thresholds. The pattern table is the
+    * full 2³ lattice; pair generation is block-bounded (see
+    * q_blocking_stats for the reduction-ratio side).
+    */
+  def q_fellegi_sunter(spark: SparkSession, sf: String): DataFrame = {
+    val w = fsU(spark, sf).select(
+      expr("CAST(ROUND(LN(0.9 / u1) / LN(2.0) * 1000000) AS BIGINT)").as("wa1"),
+      expr("CAST(ROUND(LN(0.9 / u2) / LN(2.0) * 1000000) AS BIGINT)").as("wa2"),
+      expr("CAST(ROUND(LN(0.9 / u3) / LN(2.0) * 1000000) AS BIGINT)").as("wa3"),
+      expr("CAST(ROUND(LN(0.1 / (1.0 - u1)) / LN(2.0) * 1000000) AS BIGINT)").as("wd1"),
+      expr("CAST(ROUND(LN(0.1 / (1.0 - u2)) / LN(2.0) * 1000000) AS BIGINT)").as("wd2"),
+      expr("CAST(ROUND(LN(0.1 / (1.0 - u3)) / LN(2.0) * 1000000) AS BIGINT)").as("wd3"))
+    fsPatterns(spark, sf).crossJoin(broadcast(w))
+      .select(col("a1"), col("a2"), col("a3"), col("n_pairs"),
+        (col("a1") * col("wa1") + (lit(1L) - col("a1")) * col("wd1")
+          + col("a2") * col("wa2") + (lit(1L) - col("a2")) * col("wd2")
+          + col("a3") * col("wa3") + (lit(1L) - col("a3")) * col("wd3"))
+          .as("score_e6"))
+      .select(col("a1"), col("a2"), col("a3"), col("n_pairs"), col("score_e6"),
+        when(col("score_e6") >= 1500000L, 1L)
+          .when(col("score_e6") <= -3000000L, -1L).otherwise(0L).as("decision"))
+      .orderBy("a1", "a2", "a3")
+  }
+
+  /** One Fellegi-Sunter EM iteration (Winkler'88) from the pattern
+    * counts: E-step posteriors g_p under (λ=0.1, m=0.9, u=chance),
+    * pre-rounded to e9 integers so the M-step sums are order-proof,
+    * then per-field m/u re-estimates and the new λ — each a single
+    * exact-integer division rendered e6. Three field rows.
+    */
+  def q_em_linkage_step(spark: SparkSession, sf: String): DataFrame = {
+    val g = fsPatterns(spark, sf).crossJoin(broadcast(fsU(spark, sf)))
+      .select(col("a1"), col("a2"), col("a3"), col("n_pairs"),
+        col("u1"), col("u2"), col("u3"),
+        expr("""CAST(ROUND(
+            (0.1 * (CASE WHEN a1 = 1 THEN 0.9 ELSE 0.1 END)
+                 * (CASE WHEN a2 = 1 THEN 0.9 ELSE 0.1 END)
+                 * (CASE WHEN a3 = 1 THEN 0.9 ELSE 0.1 END))
+          / (0.1 * (CASE WHEN a1 = 1 THEN 0.9 ELSE 0.1 END)
+                 * (CASE WHEN a2 = 1 THEN 0.9 ELSE 0.1 END)
+                 * (CASE WHEN a3 = 1 THEN 0.9 ELSE 0.1 END)
+           + 0.9 * (CASE WHEN a1 = 1 THEN u1 ELSE 1.0 - u1 END)
+                 * (CASE WHEN a2 = 1 THEN u2 ELSE 1.0 - u2 END)
+                 * (CASE WHEN a3 = 1 THEN u3 ELSE 1.0 - u3 END))
+          * 1000000000) AS BIGINT)""").as("gp"))
+    val s = g.agg(
+      sum(col("gp") * col("n_pairs")).as("sw"),
+      sum((lit(1000000000L) - col("gp")) * col("n_pairs")).as("sv"),
+      sum(col("gp") * col("n_pairs") * col("a1")).as("sw1"),
+      sum(col("gp") * col("n_pairs") * col("a2")).as("sw2"),
+      sum(col("gp") * col("n_pairs") * col("a3")).as("sw3"),
+      sum((lit(1000000000L) - col("gp")) * col("n_pairs") * col("a1")).as("sv1"),
+      sum((lit(1000000000L) - col("gp")) * col("n_pairs") * col("a2")).as("sv2"),
+      sum((lit(1000000000L) - col("gp")) * col("n_pairs") * col("a3")).as("sv3"),
+      sum(col("n_pairs")).as("np"))
+    s.crossJoin(broadcast(fsU(spark, sf)))
+      .select(explode(array(
+        struct(lit("f1_segment").as("field"),
+          expr("CAST(ROUND(u1 * 1000000) AS BIGINT)").as("u0_e6"),
+          expr("CAST(ROUND(CAST(sw1 AS DOUBLE) / CAST(sw AS DOUBLE) * 1000000) AS BIGINT)").as("m1_e6"),
+          expr("CAST(ROUND(CAST(sv1 AS DOUBLE) / CAST(sv AS DOUBLE) * 1000000) AS BIGINT)").as("u1_e6"),
+          expr("CAST(ROUND(CAST(sw AS DOUBLE) / CAST(np * 1000000000 AS DOUBLE) * 1000000) AS BIGINT)").as("lambda1_e6")),
+        struct(lit("f2_cent_digits").as("field"),
+          expr("CAST(ROUND(u2 * 1000000) AS BIGINT)").as("u0_e6"),
+          expr("CAST(ROUND(CAST(sw2 AS DOUBLE) / CAST(sw AS DOUBLE) * 1000000) AS BIGINT)").as("m1_e6"),
+          expr("CAST(ROUND(CAST(sv2 AS DOUBLE) / CAST(sv AS DOUBLE) * 1000000) AS BIGINT)").as("u1_e6"),
+          expr("CAST(ROUND(CAST(sw AS DOUBLE) / CAST(np * 1000000000 AS DOUBLE) * 1000000) AS BIGINT)").as("lambda1_e6")),
+        struct(lit("f3_dollar_digit").as("field"),
+          expr("CAST(ROUND(u3 * 1000000) AS BIGINT)").as("u0_e6"),
+          expr("CAST(ROUND(CAST(sw3 AS DOUBLE) / CAST(sw AS DOUBLE) * 1000000) AS BIGINT)").as("m1_e6"),
+          expr("CAST(ROUND(CAST(sv3 AS DOUBLE) / CAST(sv AS DOUBLE) * 1000000) AS BIGINT)").as("u1_e6"),
+          expr("CAST(ROUND(CAST(sw AS DOUBLE) / CAST(np * 1000000000 AS DOUBLE) * 1000000) AS BIGINT)").as("lambda1_e6"))))
+        .as("r"))
+      .select(col("r.field").as("field"), col("r.u0_e6").as("u0_e6"),
+        col("r.m1_e6").as("m1_e6"), col("r.u1_e6").as("u1_e6"),
+        col("r.lambda1_e6").as("lambda1_e6"))
+      .orderBy("field")
+  }
+
+  /** Decision-threshold sweep over the Fellegi-Sunter score: for nine
+    * e6 thresholds −4..4 the pairs classified as matches and their e6
+    * share — the clerical-review-load curve the two FS thresholds are
+    * chosen from. Pattern scores as in q_fellegi_sunter; the sweep is
+    * a 9-row broadcast lattice against the 8-row pattern table.
+    */
+  def q_linkage_threshold_sweep(spark: SparkSession, sf: String): DataFrame = {
+    val scored = q_fellegi_sunter(spark, sf)
+      .select(col("n_pairs"), col("score_e6")).localCheckpoint()
+    val tot = scored.agg(sum(col("n_pairs")).as("np"))
+    val ts = scored.sparkSession.range(-4L, 5L)
+      .select((col("id") * 1000000L).as("t_e6"))
+    broadcast(ts).crossJoin(scored)
+      .groupBy(col("t_e6"))
+      .agg(sum(when(col("score_e6") >= col("t_e6"), col("n_pairs"))
+        .otherwise(0L)).as("n_match"))
+      .crossJoin(broadcast(tot))
+      .select(col("t_e6"), col("n_match"),
+        expr("n_match * 1000000 div np").as("match_share_e6"))
+      .orderBy("t_e6")
+  }
 }

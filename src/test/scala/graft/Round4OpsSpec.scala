@@ -670,6 +670,48 @@ class Round4OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("fellegi-sunter: full pattern lattice, monotone score in agreements") {
+    val rows = MLDeterministic.q_fellegi_sunter(spark, sf).collect()
+    assert(rows.length == 8)
+    val byPat = rows.map(r => (r.getAs[Long]("a1"), r.getAs[Long]("a2"),
+      r.getAs[Long]("a3")) -> r.getAs[Long]("score_e6")).toMap
+    // flipping any field from disagree to agree raises the score
+    for (p @ (a1, a2, a3) <- byPat.keys) {
+      if (a1 == 0) assert(byPat((1L, a2, a3)) > byPat(p))
+      if (a2 == 0) assert(byPat((a1, 1L, a3)) > byPat(p))
+      if (a3 == 0) assert(byPat((a1, a2, 1L)) > byPat(p))
+    }
+    // all-agree is a match, all-disagree is a non-match
+    assert(rows.find(r => r.getAs[Long]("a1") == 1 && r.getAs[Long]("a2") == 1
+      && r.getAs[Long]("a3") == 1).get.getAs[Long]("decision") == 1L)
+    assert(rows.find(r => r.getAs[Long]("a1") == 0 && r.getAs[Long]("a2") == 0
+      && r.getAs[Long]("a3") == 0).get.getAs[Long]("decision") == -1L)
+  }
+
+  test("EM linkage step: posteriors move m up and u stays near chance") {
+    val rows = MLDeterministic.q_em_linkage_step(spark, sf).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val (u0, m1, u1) = (r.getAs[Long]("u0_e6"), r.getAs[Long]("m1_e6"),
+        r.getAs[Long]("u1_e6"))
+      // non-strict: at tiny SF a rare field may have zero agreeing pairs,
+      // collapsing both re-estimates to 0
+      assert(m1 >= u1, s"m should not fall below u after one step: $r")
+      assert(u0 >= 0L && u0 <= 1000000L && u1 >= 0L && u1 <= 1000000L)
+      val l = r.getAs[Long]("lambda1_e6")
+      assert(l >= 0L && l <= 1000000L, r.toString)
+    }
+  }
+
+  test("linkage threshold sweep: match counts fall monotonically") {
+    val rows = MLDeterministic.q_linkage_threshold_sweep(spark, sf).collect()
+      .sortBy(_.getAs[Long]("t_e6"))
+    assert(rows.length == 9)
+    val m = rows.map(_.getAs[Long]("n_match"))
+    assert(m.zip(m.tail).forall { case (a, b) => a >= b }, m.toSeq.toString)
+    assert(rows.forall(r => r.getAs[Long]("match_share_e6") <= 1000000L))
+  }
+
   test("reservoir bottom-k: sample never exceeds k=32 or the population") {
     Sampling.q_reservoir_bottomk(spark, sf).collect().foreach { r =>
       val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("k"))
