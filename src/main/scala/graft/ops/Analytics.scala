@@ -10326,4 +10326,145 @@ object Analytics {
         expr("(avg_num_ncp_e6 + avg_cat_ncp_e6) div 2").as("total_ncp_e6"))
       .orderBy("w_cents", "generalize_nation")
   }
+  // ---- §2.165 fair allocation — max-min water-filling, D'Hondt, Hamilton ---
+
+  /** Max-min fair (water-filling) allocation of a capacity equal to 60%
+    * of total demand across the 5 segment revenue demands: the water
+    * level λ solves Σ min(dᵢ, λ) = C; ranks and prefix sums are
+    * segment-bounded theta-counts, λ and the cutoff come from the
+    * standard progressive-filling test d₍ᵢ₎ ≤ (C − prefix)/(n−i+1), and
+    * the integer remainder goes to the first unsatisfied segments in
+    * name order so Σ alloc = C exactly. The RFC-style fairness baseline
+    * every shared-cluster scheduler states its guarantees against.
+    */
+  def q_maxmin_fairness(spark: SparkSession, sf: String): DataFrame = {
+    val d = Tables.orders(spark, sf)
+      .join(broadcast(Tables.customer(spark, sf)
+        .select(col("c_custkey").as("cust"), col("c_mktsegment").as("seg"))),
+        col("o_custkey") === col("cust"))
+      .groupBy(col("seg")).agg(sum(cents(col("o_totalprice"))).as("dem"))
+      .localCheckpoint()
+    val tot = d.agg(sum(col("dem")).as("td"), count(lit(1)).as("n"))
+      .select(col("td"), col("n"), expr("td * 6 div 10").as("cap"))
+    val o = d.select(col("seg").as("o_seg"), col("dem").as("o_dem"))
+    val ranked = d.join(broadcast(o),
+        col("o_dem") < col("dem") ||
+        (col("o_dem") === col("dem") && col("o_seg") < col("seg")), "left_outer")
+      .groupBy(col("seg"), col("dem"))
+      .agg((count(col("o_seg")) + 1L).as("rk"),
+        coalesce(sum(col("o_dem")), lit(0L)).as("prefix"))
+      .crossJoin(broadcast(tot))
+      .select(col("seg"), col("dem"), col("rk"), col("prefix"), col("cap"),
+        col("n"),
+        when(col("dem") * (col("n") - col("rk") + 1L)
+          <= col("cap") - col("prefix"), 1L).otherwise(0L).as("satisfied"))
+      .localCheckpoint()
+    val cut = ranked
+      .agg(coalesce(sum(col("satisfied")), lit(0L)).as("n_sat"),
+        coalesce(sum(when(col("satisfied") === 1L, col("dem"))
+          .otherwise(0L)), lit(0L)).as("sat_dem"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_sat"), col("sat_dem"),
+        when(col("n") > col("n_sat"),
+          expr("(cap - sat_dem) div (n - n_sat)")).otherwise(lit(0L))
+          .as("lambda"),
+        when(col("n") > col("n_sat"),
+          expr("(cap - sat_dem) % (n - n_sat)")).otherwise(lit(0L))
+          .as("rem"))
+    val unsatRank = ranked.filter(col("satisfied") === 0L)
+      .select(col("seg").as("u_seg"))
+    val extraRk = ranked.filter(col("satisfied") === 0L).as("x")
+      .join(broadcast(unsatRank), col("u_seg") < col("seg"), "left_outer")
+      .groupBy(col("seg")).agg(count(col("u_seg")).as("name_rk"))
+    ranked.join(broadcast(extraRk), Seq("seg"), "left_outer")
+      .crossJoin(broadcast(cut))
+      .select(col("seg").as("c_mktsegment"), col("dem").as("demand_cents"),
+        col("satisfied"), col("lambda").as("water_level_cents"),
+        when(col("satisfied") === 1L, col("dem"))
+          .otherwise(col("lambda")
+            + when(col("name_rk") < col("rem"), 1L).otherwise(0L))
+          .as("alloc_cents"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** D'Hondt (Jefferson) apportionment of 20 capacity slots across the
+    * segment revenue demands: the 100 quotients d/k are ranked by exact
+    * cross-multiplication (dᵢ·kⱼ vs dⱼ·kᵢ — no division, no floats),
+    * the top 20 win. Reports the lower quota ⌊d·S/D⌋ and the
+    * quota-violation flag — the divisor-method bias toward large
+    * parties that Hamilton (q_hamilton_apportionment) never shows.
+    */
+  def q_dhondt_apportionment(spark: SparkSession, sf: String): DataFrame = {
+    val d = Tables.orders(spark, sf)
+      .join(broadcast(Tables.customer(spark, sf)
+        .select(col("c_custkey").as("cust"), col("c_mktsegment").as("seg"))),
+        col("o_custkey") === col("cust"))
+      .groupBy(col("seg")).agg(sum(cents(col("o_totalprice"))).as("dem"))
+      .localCheckpoint()
+    val quot = d.select(col("seg"), col("dem"),
+      explode(sequence(lit(1L), lit(20L))).as("k"))
+    val o = quot.select(col("seg").as("o_seg"), col("dem").as("o_dem"),
+      col("k").as("o_k"))
+    val seats = quot.join(broadcast(o),
+        col("o_dem") * col("k") > col("dem") * col("o_k") ||
+        (col("o_dem") * col("k") === col("dem") * col("o_k") &&
+          (col("o_seg") < col("seg") ||
+           (col("o_seg") === col("seg") && col("o_k") < col("k")))),
+        "left_outer")
+      .groupBy(col("seg"), col("dem"), col("k"))
+      .agg(count(col("o_seg")).as("nbetter"))
+      .filter(col("nbetter") < 20L)
+      .groupBy(col("seg"), col("dem")).agg(count(lit(1)).as("seats"))
+    val tot = d.agg(sum(col("dem")).as("td"))
+    d.join(seats.select(col("seg"), col("seats")), Seq("seg"), "left_outer")
+      .crossJoin(broadcast(tot))
+      .select(col("seg").as("c_mktsegment"), col("dem").as("demand_cents"),
+        coalesce(col("seats"), lit(0L)).as("seats"),
+        expr("dem * 20 div td").as("lower_quota"),
+        expr("(dem * 20 + td - 1) div td").as("upper_quota"),
+        expr("dem * 200000 div td").as("ideal_share_e4"))
+      .select(col("c_mktsegment"), col("demand_cents"), col("seats"),
+        col("lower_quota"), col("upper_quota"), col("ideal_share_e4"),
+        when(col("seats") < col("lower_quota")
+          || col("seats") > col("upper_quota"), 1L).otherwise(0L)
+          .as("quota_violated"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Hamilton (largest-remainder) apportionment of the same 20 slots:
+    * floor quotas ⌊d·S/D⌋, then the leftover seats go to the largest
+    * exact remainders d·S mod D (ties by segment name) — always inside
+    * quota, at the price of the Alabama paradox D'Hondt avoids. Pure
+    * integer div/mod; remainder ranking is a segment-bounded
+    * theta-count.
+    */
+  def q_hamilton_apportionment(spark: SparkSession, sf: String): DataFrame = {
+    val d = Tables.orders(spark, sf)
+      .join(broadcast(Tables.customer(spark, sf)
+        .select(col("c_custkey").as("cust"), col("c_mktsegment").as("seg"))),
+        col("o_custkey") === col("cust"))
+      .groupBy(col("seg")).agg(sum(cents(col("o_totalprice"))).as("dem"))
+      .localCheckpoint()
+    val tot = d.agg(sum(col("dem")).as("td"))
+    val q = d.crossJoin(broadcast(tot))
+      .select(col("seg"), col("dem"),
+        expr("dem * 20 div td").as("fl"), expr("(dem * 20) % td").as("rem"))
+      .localCheckpoint()
+    val leftover = q.agg((lit(20L) - sum(col("fl"))).as("lo"))
+    val o = q.select(col("seg").as("o_seg"), col("rem").as("o_rem"))
+    val remRank = q.join(broadcast(o),
+        col("o_rem") > col("rem") ||
+        (col("o_rem") === col("rem") && col("o_seg") < col("seg")),
+        "left_outer")
+      .groupBy(col("seg"), col("dem"), col("fl"), col("rem"))
+      .agg(count(col("o_seg")).as("rem_rk"))
+    remRank.crossJoin(broadcast(leftover))
+      .select(col("seg").as("c_mktsegment"), col("dem").as("demand_cents"),
+        col("fl").as("floor_quota"), col("rem").as("remainder"),
+        when(col("rem_rk") < col("lo"), 1L).otherwise(0L).as("extra_seat"))
+      .select(col("c_mktsegment"), col("demand_cents"), col("floor_quota"),
+        col("remainder"), col("extra_seat"),
+        (col("floor_quota") + col("extra_seat")).as("seats"))
+      .orderBy("c_mktsegment")
+  }
 }

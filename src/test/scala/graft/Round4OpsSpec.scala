@@ -712,6 +712,35 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getAs[Long]("match_share_e6") <= 1000000L))
   }
 
+  test("max-min fairness: allocations sum to capacity, never exceed demand") {
+    val rows = Analytics.q_maxmin_fairness(spark, sf).collect()
+    assert(rows.length == 5)
+    val totalDem = rows.map(_.getAs[Long]("demand_cents")).sum
+    val totalAlloc = rows.map(_.getAs[Long]("alloc_cents")).sum
+    assert(totalAlloc == totalDem * 6 / 10, s"$totalAlloc vs ${totalDem * 6 / 10}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("alloc_cents") <= r.getAs[Long]("demand_cents"), r.toString)
+      if (r.getAs[Long]("satisfied") == 1L)
+        assert(r.getAs[Long]("alloc_cents") == r.getAs[Long]("demand_cents"))
+    }
+  }
+
+  test("apportionment: both methods hand out exactly 20 seats") {
+    val dh = Analytics.q_dhondt_apportionment(spark, sf).collect()
+    val ha = Analytics.q_hamilton_apportionment(spark, sf).collect()
+    assert(dh.map(_.getAs[Long]("seats")).sum == 20L)
+    assert(ha.map(_.getAs[Long]("seats")).sum == 20L)
+    // Hamilton always stays inside quota
+    ha.foreach { r =>
+      val fl = r.getAs[Long]("floor_quota")
+      assert(r.getAs[Long]("seats") == fl || r.getAs[Long]("seats") == fl + 1L)
+    }
+    // D'Hondt never violates LOWER quota (Jefferson property)
+    dh.foreach { r =>
+      assert(r.getAs[Long]("seats") >= r.getAs[Long]("lower_quota"), r.toString)
+    }
+  }
+
   test("reservoir bottom-k: sample never exceeds k=32 or the population") {
     Sampling.q_reservoir_bottomk(spark, sf).collect().foreach { r =>
       val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("k"))
