@@ -10467,4 +10467,105 @@ object Analytics {
         (col("floor_quota") + col("extra_seat")).as("seats"))
       .orderBy("c_mktsegment")
   }
+  // ---- §2.166 monotone fitting — isotonic PAVA, calibration, audit --------
+
+  /** Isotonic (monotone non-decreasing) regression of monthly mean order
+    * revenue via the PAVA minimax closed form iso_i = max_{j≤i} min_{k≥i}
+    * avg(j..k) (Barlow-Brunk '72): interval averages are exact-integer
+    * e4 cents (weighted by order counts), and the month lattice is
+    * calendar-bounded (≤~100 rows at ANY scale factor), so the O(n³)
+    * triple join is a broadcast constant independent of data size —
+    * the data-sized work is one month aggregate. Pooled months (fit ≠
+    * observed) are where PAVA merged violators.
+    */
+  def q_isotonic_fit(spark: SparkSession, sf: String): DataFrame = {
+    val mo = Tables.orders(spark, sf)
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("m"))
+      .agg(sum(cents(col("o_totalprice"))).as("s"), count(lit(1)).as("c"))
+      .localCheckpoint()
+    val iv = mo.select(col("m").as("j"))
+      .crossJoin(broadcast(mo.select(col("m").as("k"))))
+      .filter(col("j") <= col("k"))
+    val ivAvg = iv
+      .join(broadcast(mo), col("m").between(col("j"), col("k")))
+      .groupBy(col("j"), col("k"))
+      .agg(expr("sum(s) * 10000 div sum(c)").as("avg_e4"))
+    val inner = ivAvg
+      .join(broadcast(mo.select(col("m").as("i"))),
+        col("j") <= col("i") && col("i") <= col("k"))
+      .groupBy(col("i"), col("j")).agg(min(col("avg_e4")).as("mn"))
+    val iso = inner.groupBy(col("i")).agg(max(col("mn")).as("iso_e4"))
+    mo.select(col("m"), expr("s * 10000 div c").as("obs_e4"))
+      .join(iso, col("m") === col("i"))
+      .select(col("m").as("month_idx"), col("obs_e4"), col("iso_e4"),
+        when(col("obs_e4") =!= col("iso_e4"), 1L).otherwise(0L).as("pooled"))
+      .orderBy("month_idx")
+  }
+
+  /** Isotonic calibration of P(order status = 'F') against ten
+    * equi-width price bands — the PAVA step a calibrated classifier
+    * pipeline runs on (score, outcome) pairs: per-band empirical e6
+    * rates, then the same minimax closed form over the 10-row band
+    * lattice. The probability-vs-score curve must be monotone before
+    * it can be inverted; pooled bands show where raw rates violated
+    * that.
+    */
+  def q_isotonic_calibration(spark: SparkSession, sf: String): DataFrame = {
+    val pc = Tables.orders(spark, sf)
+      .select(cents(col("o_totalprice")).as("pc"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+    val mm = pc.agg(min(col("pc")).as("minc"), max(col("pc")).as("maxc"))
+      .select(col("minc"), expr("(maxc - minc) div 10 + 1").as("wb"))
+    val bands = pc.crossJoin(broadcast(mm))
+      .groupBy(expr("(pc - minc) div wb").as("b"))
+      .agg(sum(col("y")).as("s"), count(lit(1)).as("c"))
+      .localCheckpoint()
+    val iv = bands.select(col("b").as("j"))
+      .crossJoin(broadcast(bands.select(col("b").as("k"))))
+      .filter(col("j") <= col("k"))
+    val ivAvg = iv
+      .join(broadcast(bands), col("b").between(col("j"), col("k")))
+      .groupBy(col("j"), col("k"))
+      .agg(expr("sum(s) * 1000000 div sum(c)").as("rate_e6"))
+    val inner = ivAvg
+      .join(broadcast(bands.select(col("b").as("i"))),
+        col("j") <= col("i") && col("i") <= col("k"))
+      .groupBy(col("i"), col("j")).agg(min(col("rate_e6")).as("mn"))
+    val iso = inner.groupBy(col("i")).agg(max(col("mn")).as("iso_rate_e6"))
+    bands.select(col("b"), col("c").as("n_orders"),
+        expr("s * 1000000 div c").as("raw_rate_e6"))
+      .join(iso, col("b") === col("i"))
+      .select(col("b").as("band"), col("n_orders"), col("raw_rate_e6"),
+        col("iso_rate_e6"),
+        when(col("raw_rate_e6") =!= col("iso_rate_e6"), 1L).otherwise(0L)
+          .as("pooled"))
+      .orderBy("band")
+  }
+
+  /** Monotonicity audit of the monthly revenue-per-order series the
+    * isotonic fit smooths: adjacent-month violations (count, share e4,
+    * total downward mass e4) via a month→month−1 equi-join on the
+    * calendar-bounded lattice — the "how non-monotone is this series"
+    * number that decides whether an isotonic constraint is even
+    * plausible. One summary row.
+    */
+  def q_monotone_violations(spark: SparkSession, sf: String): DataFrame = {
+    val mo = Tables.orders(spark, sf)
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("m"))
+      .agg(expr("sum(CAST(ROUND(o_totalprice * 100) AS BIGINT)) * 10000 div count(1)")
+        .as("y_e4"))
+      .localCheckpoint()
+    val prev = mo.select((col("m") + 1L).as("m"), col("y_e4").as("y_prev"))
+    mo.join(prev, Seq("m"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("y_e4") < col("y_prev"), 1L).otherwise(0L))
+          .as("n_violations"),
+        sum(when(col("y_e4") < col("y_prev"), col("y_prev") - col("y_e4"))
+          .otherwise(0L)).as("down_mass_e4"))
+      .select(col("n_pairs"), col("n_violations"),
+        expr("n_violations * 10000 div n_pairs").as("violation_share_e4"),
+        col("down_mass_e4"))
+  }
 }

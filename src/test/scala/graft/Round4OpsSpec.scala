@@ -741,6 +741,37 @@ class Round4OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("isotonic fit: output is monotone and preserves order of magnitude") {
+    val rows = Analytics.q_isotonic_fit(spark, sf).collect()
+      .sortBy(_.getAs[Long]("month_idx"))
+    assert(rows.length >= 12)
+    val iso = rows.map(_.getAs[Long]("iso_e4"))
+    assert(iso.zip(iso.tail).forall { case (a, b) => a <= b },
+      "isotonic fit must be non-decreasing")
+    // fit stays inside the observed range
+    val obs = rows.map(_.getAs[Long]("obs_e4"))
+    iso.foreach(v => assert(v >= obs.min && v <= obs.max))
+    // at least one pooled month exists iff the raw series has violations
+    val rawViolations = obs.zip(obs.tail).count { case (a, b) => b < a }
+    if (rawViolations > 0) assert(rows.exists(_.getAs[Long]("pooled") == 1L))
+  }
+
+  test("isotonic calibration: monotone rates bounded by [0, 1e6]") {
+    val rows = Analytics.q_isotonic_calibration(spark, sf).collect()
+      .sortBy(_.getAs[Long]("band"))
+    val iso = rows.map(_.getAs[Long]("iso_rate_e6"))
+    assert(iso.zip(iso.tail).forall { case (a, b) => a <= b })
+    iso.foreach(v => assert(v >= 0L && v <= 1000000L))
+  }
+
+  test("monotone violations: counts are consistent with the pair total") {
+    val r = Analytics.q_monotone_violations(spark, sf).collect().head
+    assert(r.getAs[Long]("n_violations") <= r.getAs[Long]("n_pairs"))
+    assert(r.getAs[Long]("violation_share_e4") <= 10000L)
+    if (r.getAs[Long]("n_violations") == 0L)
+      assert(r.getAs[Long]("down_mass_e4") == 0L)
+  }
+
   test("reservoir bottom-k: sample never exceeds k=32 or the population") {
     Sampling.q_reservoir_bottomk(spark, sf).collect().foreach { r =>
       val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("k"))
