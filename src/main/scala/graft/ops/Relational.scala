@@ -1976,4 +1976,99 @@ object Relational {
         col("threshold_e6"), col("stopped"))
       .orderBy("depth")
   }
+  // ---- §2.167 data placement — rendezvous hashing, failover, reshard cost --
+
+  /** Rendezvous (highest-random-weight, Thaler-Ravishankar '96) placement
+    * of part keys on 8 nodes: each key goes to argmax over nodes of the
+    * shared md5 hash, encoded as one max aggregate over h·16+j (total
+    * order identical to (h, node) lexicographic since j < 16 — no
+    * struct/argmax needed, bit-identical cross-engine). Per-node load,
+    * e6 share and deviation from the ideal 1/8 — HRW's balance claim,
+    * measured. One explode + two hash aggregates, any scale.
+    */
+  def q_rendezvous_hashing(spark: SparkSession, sf: String): DataFrame = {
+    import graft.core.Det.hash32
+    val assign = Tables.part(spark, sf).select(col("p_partkey").as("pk"))
+      .select(col("pk"), explode(sequence(lit(0L), lit(7L))).as("j"))
+      .select(col("pk"), col("j"),
+        hash32(concat(lit("hrw"), col("j"), lit(":"), col("pk"))).as("h"))
+      .groupBy(col("pk"))
+      .agg(max(col("h") * 16L + col("j")).as("mx"))
+      .select(expr("mx % 16").as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_keys"))
+    val tot = assign.agg(sum(col("n_keys")).as("n"))
+    assign.crossJoin(broadcast(tot))
+      .select(col("node"), col("n_keys"),
+        expr("n_keys * 1000000 div n").as("share_e6"),
+        expr("abs(n_keys * 1000000 div n - 125000)").as("dev_from_ideal_e6"))
+      .orderBy("node")
+  }
+
+  /** HRW failover: node 3 dies, its keys move to their second-highest
+    * node while every other key stays put — the minimal-disruption
+    * property that makes rendezvous hashing a cache/shard router. The
+    * backup winner comes from the SAME single aggregate (conditional
+    * max over j≠3), so the whole reassignment is one pass. Per-node
+    * before/after/delta; the spec pins "only node 3's keys moved".
+    */
+  def q_hrw_failover(spark: SparkSession, sf: String): DataFrame = {
+    import graft.core.Det.hash32
+    val m = Tables.part(spark, sf).select(col("p_partkey").as("pk"))
+      .select(col("pk"), explode(sequence(lit(0L), lit(7L))).as("j"))
+      .select(col("pk"), col("j"),
+        hash32(concat(lit("hrw"), col("j"), lit(":"), col("pk"))).as("h"))
+      .groupBy(col("pk"))
+      .agg(max(col("h") * 16L + col("j")).as("m_all"),
+        max(when(col("j") =!= 3L, col("h") * 16L + col("j"))).as("m_no3"))
+      .select(expr("m_all % 16").as("before"),
+        expr("(CASE WHEN m_all % 16 = 3 THEN m_no3 ELSE m_all END) % 16")
+          .as("after"))
+      .localCheckpoint()
+    val nodes = m.sparkSession.range(0L, 8L).select(col("id").as("node"))
+    val b = m.groupBy(col("before").as("node")).agg(count(lit(1)).as("n_before"))
+    val a = m.filter(col("after") =!= 3L)
+      .groupBy(col("after").as("node")).agg(count(lit(1)).as("n_after"))
+    broadcast(nodes).join(b, Seq("node"), "left_outer")
+      .join(a, Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("n_before"), lit(0L)).as("n_before"),
+        when(col("node") === 3L, 0L).otherwise(coalesce(col("n_after"), lit(0L)))
+          .as("n_after"))
+      .select(col("node"), col("n_before"), col("n_after"),
+        (col("n_after") - col("n_before")).as("delta"))
+      .orderBy("node")
+  }
+
+  /** Resharding cost, 8 → 9 nodes, mod-N vs rendezvous: mod-N remaps
+    * ~8/9 of all keys (h%8 vs h%9 agree only on 1/72·8 of the hash
+    * ring) while HRW moves only the keys whose new node 8 wins
+    * (~1/9) — the one-table argument for consistent placement under
+    * elastic scaling. Both schemes measured exactly on the same key
+    * population from the same shared-md5 hashes.
+    */
+  def q_shard_move_cost(spark: SparkSession, sf: String): DataFrame = {
+    import graft.core.Det.hash32
+    val keys = Tables.part(spark, sf).select(col("p_partkey").as("pk"))
+      .localCheckpoint()
+    val hrw = keys
+      .select(col("pk"), explode(sequence(lit(0L), lit(8L))).as("j"))
+      .select(col("pk"), col("j"),
+        hash32(concat(lit("hrw"), col("j"), lit(":"), col("pk"))).as("h"))
+      .groupBy(col("pk"))
+      .agg(max(when(col("j") < 8L, col("h") * 16L + col("j"))).as("m8"),
+        max(col("h") * 16L + col("j")).as("m9"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(expr("m8 % 16") =!= expr("m9 % 16"), 1L).otherwise(0L))
+          .as("n_moved"))
+      .select(lit("hrw").as("scheme"), col("n_keys"), col("n_moved"))
+    val modn = keys
+      .select(hash32(concat(lit("hrw:"), col("pk"))).as("h"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(expr("h % 8") =!= expr("h % 9"), 1L).otherwise(0L))
+          .as("n_moved"))
+      .select(lit("mod_n").as("scheme"), col("n_keys"), col("n_moved"))
+    hrw.unionByName(modn)
+      .select(col("scheme"), col("n_keys"), col("n_moved"),
+        expr("n_moved * 1000000 div n_keys").as("moved_share_e6"))
+      .orderBy("scheme")
+  }
 }

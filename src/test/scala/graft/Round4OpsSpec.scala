@@ -772,6 +772,40 @@ class Round4OpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("down_mass_e4") == 0L)
   }
 
+  test("rendezvous hashing: every key placed, roughly balanced") {
+    val rows = Relational.q_rendezvous_hashing(spark, sf).collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      // within 5x of ideal on the tiny fixture; tightens with scale
+      assert(r.getAs[Long]("share_e6") < 625000L, r.toString)
+    }
+  }
+
+  test("hrw failover: only node 3's keys move, totals conserved") {
+    val rows = Relational.q_hrw_failover(spark, sf).collect()
+    val n3 = rows.find(_.getAs[Long]("node") == 3L).get
+    assert(n3.getAs[Long]("n_after") == 0L)
+    val others = rows.filter(_.getAs[Long]("node") != 3L)
+    // no surviving node loses keys (minimal disruption)
+    others.foreach(r => assert(r.getAs[Long]("delta") >= 0L, r.toString))
+    // moved keys are exactly node 3's former load
+    assert(others.map(_.getAs[Long]("delta")).sum == n3.getAs[Long]("n_before"))
+    // every key still lands somewhere: totals match before and after
+    assert(rows.map(_.getAs[Long]("n_before")).sum ==
+      rows.map(_.getAs[Long]("n_after")).sum)
+  }
+
+  test("shard move cost: HRW moves far fewer keys than mod-N on scale-out") {
+    val rows = Relational.q_shard_move_cost(spark, sf).collect()
+    val hrw = rows.find(_.getAs[String]("scheme") == "hrw").get
+    val modn = rows.find(_.getAs[String]("scheme") == "mod_n").get
+    assert(hrw.getAs[Long]("n_keys") == modn.getAs[Long]("n_keys"))
+    assert(hrw.getAs[Long]("moved_share_e6") < modn.getAs[Long]("moved_share_e6"))
+    // HRW ~1/9, mod-N ~8/9 — allow wide tolerance at fixture scale
+    assert(hrw.getAs[Long]("moved_share_e6") < 400000L, hrw.toString)
+    assert(modn.getAs[Long]("moved_share_e6") > 600000L, modn.toString)
+  }
+
   test("reservoir bottom-k: sample never exceeds k=32 or the population") {
     Sampling.q_reservoir_bottomk(spark, sf).collect().foreach { r =>
       val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("k"))
