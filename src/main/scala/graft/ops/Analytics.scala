@@ -10568,4 +10568,122 @@ object Analytics {
         expr("n_violations * 10000 div n_pairs").as("violation_share_e4"),
         col("down_mass_e4"))
   }
+  // ---- §2.168 scheduling classics — Johnson, SPT, makespan bounds ---------
+
+  /** Johnson's two-machine flow-shop rule (Naval Res. Logistics '54) on
+    * 25 brand jobs (machine-A time from quantities, machine-B time from
+    * revenue): the optimal sequence — p1<p2 ascending-p1 first, then
+    * descending-p2 — and its makespan via the max-plus closed form
+    * C = max_j (Σ_{i≤j} p1 + Σ_{i≥j} p2), compared against an
+    * alphabetical baseline and the two-machine lower bound. Ranks and
+    * prefix/suffix sums are brand-bounded theta-counts — no global
+    * window, O(25²) broadcast pairs.
+    */
+  def q_johnson_two_machine(spark: SparkSession, sf: String): DataFrame = {
+    val jobs = Tables.lineitem(spark, sf)
+      .join(broadcast(Tables.part(spark, sf)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(expr("sum(CAST(l_quantity AS BIGINT)) div 100 + 1").as("p1"),
+        expr("sum(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) div 100000000 + 1")
+          .as("p2"))
+      .localCheckpoint()
+    // Johnson key: group 0 (p1<p2) by p1 asc, group 1 by p2 desc; ties brand
+    val keyed = jobs.select(col("p_brand"), col("p1"), col("p2"),
+      when(col("p1") < col("p2"), 0L).otherwise(1L).as("grp"),
+      when(col("p1") < col("p2"), col("p1")).otherwise(-col("p2")).as("ord"))
+    def makespan(ranked: DataFrame): DataFrame = {
+      val o = ranked.select(col("rk").as("o_rk"), col("p1").as("o_p1"),
+        col("p2").as("o_p2"))
+      ranked.join(broadcast(o), lit(true))
+        .groupBy(col("rk"))
+        .agg(sum(when(col("o_rk") <= col("rk"), col("o_p1")).otherwise(0L))
+          .as("pre1"),
+          sum(when(col("o_rk") >= col("rk"), col("o_p2")).otherwise(0L))
+            .as("suf2"))
+        .agg(max(col("pre1") + col("suf2")).as("makespan"))
+    }
+    val jRank = keyed.as("a").join(broadcast(keyed.select(
+        col("grp").as("b_grp"), col("ord").as("b_ord"),
+        col("p_brand").as("b_brand"))),
+        col("b_grp") < col("grp") ||
+        (col("b_grp") === col("grp") && (col("b_ord") < col("ord") ||
+          (col("b_ord") === col("ord") && col("b_brand") < col("p_brand")))),
+        "left_outer")
+      .groupBy(col("p_brand"), col("p1"), col("p2"))
+      .agg((count(col("b_brand")) + 1L).as("rk"))
+    val aRank = jobs.as("a").join(broadcast(jobs.select(
+        col("p_brand").as("b_brand"))),
+        col("b_brand") < col("p_brand"), "left_outer")
+      .groupBy(col("p_brand"), col("p1"), col("p2"))
+      .agg((count(col("b_brand")) + 1L).as("rk"))
+    val lb = jobs.agg(
+      greatest(sum(col("p1")) + min(col("p2")),
+        sum(col("p2")) + min(col("p1"))).as("lower_bound"))
+    makespan(jRank).select(lit("johnson").as("schedule"), col("makespan"))
+      .unionByName(makespan(aRank)
+        .select(lit("alphabetical").as("schedule"), col("makespan")))
+      .crossJoin(broadcast(lb))
+      .orderBy("schedule")
+  }
+
+  /** SPT total-completion-time optimality on 25 nation jobs (processing
+    * time = order count): Σ completion = Σ p₍ᵢ₎(n−i+1) under the
+    * shortest-processing-time order vs the alphabetical baseline — the
+    * exchange-argument classic every scheduler cites. Ranks by
+    * theta-count; two summary rows.
+    */
+  def q_spt_completion(spark: SparkSession, sf: String): DataFrame = {
+    val jobs = Tables.orders(spark, sf)
+      .join(broadcast(Tables.customer(spark, sf)
+        .select(col("c_custkey").as("cust"), col("c_nationkey").cast("long").as("nat"))),
+        col("o_custkey") === col("cust"))
+      .groupBy(col("nat")).agg(count(lit(1)).as("p"))
+      .localCheckpoint()
+    val n = jobs.agg(count(lit(1)).as("n"))
+    def total(ranked: DataFrame, name: String): DataFrame =
+      ranked.crossJoin(broadcast(n))
+        .agg(sum(col("p") * (col("n") - col("rk") + 1L)).as("total_completion"),
+          max(col("n")).as("n_jobs"))
+        .select(lit(name).as("schedule"), col("total_completion"), col("n_jobs"))
+    val spt = jobs.join(broadcast(jobs.select(col("nat").as("b_nat"),
+        col("p").as("b_p"))),
+        col("b_p") < col("p") ||
+        (col("b_p") === col("p") && col("b_nat") < col("nat")), "left_outer")
+      .groupBy(col("nat"), col("p")).agg((count(col("b_nat")) + 1L).as("rk"))
+    val alpha = jobs.join(broadcast(jobs.select(col("nat").as("b_nat"))),
+        col("b_nat") < col("nat"), "left_outer")
+      .groupBy(col("nat"), col("p")).agg((count(col("b_nat")) + 1L).as("rk"))
+    total(spt, "spt").unionByName(total(alpha, "by_key")).orderBy("schedule")
+  }
+
+  /** Parallel-machine makespan bounds for m ∈ {2,4,8}: the LP lower
+    * bound max(⌈Σp/m⌉, p_max) and Graham's LPT guarantee
+    * (4/3 − 1/3m)·OPT rendered as an exact-integer ceiling — the
+    * capacity-planning envelope you can state WITHOUT running the
+    * sequential greedy. Brand revenue-based job sizes; one aggregate
+    * plus a 3-row parameter lattice.
+    */
+  def q_makespan_bounds(spark: SparkSession, sf: String): DataFrame = {
+    val jobs = Tables.lineitem(spark, sf)
+      .join(broadcast(Tables.part(spark, sf)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(expr("sum(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) div 100000000 + 1")
+        .as("p"))
+    val s = jobs.agg(sum(col("p")).as("sp"), max(col("p")).as("pmax"),
+      count(lit(1)).as("n_jobs"))
+    s.select(col("sp"), col("pmax"), col("n_jobs"),
+        explode(array(lit(2L), lit(4L), lit(8L))).as("m"))
+      .select(col("m"), col("n_jobs"), col("sp").as("sum_p"),
+        col("pmax").as("p_max"),
+        greatest(expr("(sp + m - 1) div m"), col("pmax")).as("opt_lower_bound"))
+      .select(col("m"), col("n_jobs"), col("sum_p"), col("p_max"),
+        col("opt_lower_bound"),
+        expr("((4 * m - 1) * opt_lower_bound + 3 * m - 1) div (3 * m)")
+          .as("lpt_guarantee_ub"))
+      .orderBy("m")
+  }
 }

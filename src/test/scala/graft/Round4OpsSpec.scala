@@ -806,6 +806,33 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(modn.getAs[Long]("moved_share_e6") > 600000L, modn.toString)
   }
 
+  test("johnson rule: optimal sequence beats baseline, both above bound") {
+    val rows = Analytics.q_johnson_two_machine(spark, sf).collect()
+    val j = rows.find(_.getAs[String]("schedule") == "johnson").get
+    val a = rows.find(_.getAs[String]("schedule") == "alphabetical").get
+    assert(j.getAs[Long]("makespan") <= a.getAs[Long]("makespan"))
+    rows.foreach(r =>
+      assert(r.getAs[Long]("makespan") >= r.getAs[Long]("lower_bound"), r.toString))
+  }
+
+  test("SPT: shortest-processing-time minimizes total completion") {
+    val rows = Analytics.q_spt_completion(spark, sf).collect()
+    val s = rows.find(_.getAs[String]("schedule") == "spt").get
+    val b = rows.find(_.getAs[String]("schedule") == "by_key").get
+    assert(s.getAs[Long]("total_completion") <= b.getAs[Long]("total_completion"))
+  }
+
+  test("makespan bounds: lower bound shrinks with machines, UB ordering holds") {
+    val rows = Analytics.q_makespan_bounds(spark, sf).collect()
+      .sortBy(_.getAs[Long]("m"))
+    val lbs = rows.map(_.getAs[Long]("opt_lower_bound"))
+    assert(lbs.zip(lbs.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      assert(r.getAs[Long]("lpt_guarantee_ub") >= r.getAs[Long]("opt_lower_bound"))
+      assert(r.getAs[Long]("opt_lower_bound") >= r.getAs[Long]("p_max"))
+    }
+  }
+
   test("reservoir bottom-k: sample never exceeds k=32 or the population") {
     Sampling.q_reservoir_bottomk(spark, sf).collect().foreach { r =>
       val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("k"))
