@@ -478,4 +478,97 @@ object Sketches {
         col("n_guaranteed_out"))
       .orderBy("m")
   }
+  // ---- §2.169 population estimation — German tank, coupon, birthday -------
+
+  /** German-tank estimation of the maximum order serial from a 2%
+    * deterministic hash sample: the UMVU m + m/k − 1, the
+    * method-of-moments 2·mean − 1, and the plain MLE m, each against
+    * the true maximum with e4 relative error — the serial-number
+    * population estimator as three one-aggregate rows. Sampling is the
+    * shared md5 hash, so the sample (and thus every estimate) is
+    * bit-identical cross-engine and stable under re-partitioning.
+    */
+  def q_german_tank(spark: SparkSession, sf: String): DataFrame = {
+    import graft.core.Det.hash32
+    val all = Tables.orders(spark, sf).select(col("o_orderkey").as("k"))
+    val truth = all.agg(max(col("k")).as("true_max"))
+    val s = all.filter(hash32(concat(lit("gt:"), col("k"))) % 100L < 2L)
+      .agg(count(lit(1)).as("n"), max(col("k")).as("m"), sum(col("k")).as("sk"))
+    s.crossJoin(broadcast(truth))
+      .select(explode(array(
+        struct(lit("umvu_max_gap").as("estimator"),
+          expr("m + m div n - 1").as("estimate")),
+        struct(lit("moments_2mean").as("estimator"),
+          expr("2 * (sk div n) - 1").as("estimate")),
+        struct(lit("mle_max").as("estimator"), col("m").as("estimate"))))
+        .as("e"), col("n").as("sample_n"), col("true_max"))
+      .select(col("e.estimator").as("estimator"), col("sample_n"),
+        col("e.estimate").as("estimate"), col("true_max"),
+        expr("abs(e.estimate - true_max) * 10000 div true_max").as("err_e4"))
+      .orderBy("estimator")
+  }
+
+  /** Coupon-collector audit on the event-type alphabet: the exact draw
+    * count until every type has been seen (completion point = the
+    * lexicographically-last first occurrence, derived with two-step
+    * min/max on (ns, id) — no global window, no struct aggregates) vs
+    * the k·H_k expectation (e6 harmonic with per-term truncation, terms
+    * indexed by the type rank so no sequence generator is needed).
+    */
+  def q_coupon_collector(spark: SparkSession, sf: String): DataFrame = {
+    val ev = Tables.eventsWithTs(spark, sf)
+      .select(col("event_type").as("t"), col("ts_nsl").as("ns"),
+        col("event_id").as("id"))
+      .localCheckpoint()
+    val firstTs = ev.groupBy(col("t")).agg(min(col("ns")).as("fns"))
+      .select(col("t").as("ft"), col("fns"))
+    val firsts = ev.join(firstTs,
+        col("t") === col("ft") && col("ns") === col("fns"))
+      .groupBy(col("ft"), col("fns")).agg(min(col("id")).as("fid"))
+    val mxTs = firsts.agg(max(col("fns")).as("cns"))
+    val comp = firsts.crossJoin(broadcast(mxTs))
+      .filter(col("fns") === col("cns"))
+      .agg(max(col("fns")).as("cns"), max(col("fid")).as("cid"))
+    val draws = ev.crossJoin(broadcast(comp))
+      .agg(sum(when(col("ns") < col("cns") ||
+        (col("ns") === col("cns") && col("id") <= col("cid")), 1L)
+        .otherwise(0L)).as("draws_to_complete"),
+        count(lit(1)).as("n_events"))
+    val types = firstTs.select(col("ft"))
+    val ranked = types.join(broadcast(types.select(col("ft").as("b_t"))),
+        col("b_t") < col("ft"), "left_outer")
+      .groupBy(col("ft")).agg((count(col("b_t")) + 1L).as("i"))
+    val harm = ranked.agg(count(lit(1)).as("k_types"),
+      sum(expr("1000000 div i")).as("h_e6"))
+    draws.crossJoin(broadcast(harm))
+      .select(col("k_types"), col("n_events"), col("draws_to_complete"),
+        (col("k_types") * col("h_e6")).as("expected_draws_e6"))
+      .select(col("k_types"), col("n_events"), col("draws_to_complete"),
+        col("expected_draws_e6"),
+        expr("draws_to_complete * 10000000000 div expected_draws_e6")
+          .as("actual_over_expected_e4"))
+  }
+
+  /** Birthday-collision audit: part keys into 4096 shared-md5 buckets —
+    * the exact colliding-pair count Σc(c−1)/2 vs the pairwise
+    * expectation n(n−1)/2m (exact integer), and occupied buckets vs
+    * m(1−((m−1)/m)ⁿ) (one EXP∘LN tree, e2) — the load-factor rule of
+    * thumb for hash sizing, measured. Two hash aggregates.
+    */
+  def q_birthday_collisions(spark: SparkSession, sf: String): DataFrame = {
+    import graft.core.Det.hash32
+    val b = Tables.part(spark, sf)
+      .select((hash32(concat(lit("bd:"), col("p_partkey"))) % 4096L).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("c"))
+    b.agg(sum(col("c")).as("n"), count(lit(1)).as("occupied"),
+        sum(expr("c * (c - 1) div 2")).as("actual_pairs"))
+      .select(col("n").as("n_keys"), lit(4096L).as("m_buckets"),
+        col("actual_pairs"),
+        expr("n * (n - 1) div 8192").as("expected_pairs"),
+        col("occupied").as("actual_occupied"),
+        expr("""CAST(ROUND(CAST(4096 AS DOUBLE) * (CAST(1 AS DOUBLE)
+               - EXP(CAST(n AS DOUBLE) * LN(CAST(4095 AS DOUBLE)
+               / CAST(4096 AS DOUBLE)))) * 100) AS BIGINT)""")
+          .as("expected_occupied_e2"))
+  }
 }

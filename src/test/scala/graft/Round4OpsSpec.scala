@@ -833,6 +833,33 @@ class Round4OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("german tank: UMVU estimate within 10% of truth, MLE never overshoots") {
+    val rows = Sketches.q_german_tank(spark, sf).collect()
+    assert(rows.length == 3)
+    val umvu = rows.find(_.getAs[String]("estimator") == "umvu_max_gap").get
+    assert(umvu.getAs[Long]("err_e4") < 1000L, umvu.toString)
+    val mle = rows.find(_.getAs[String]("estimator") == "mle_max").get
+    assert(mle.getAs[Long]("estimate") <= mle.getAs[Long]("true_max"))
+  }
+
+  test("coupon collector: completion draws bounded by the event count") {
+    val r = Sketches.q_coupon_collector(spark, sf).collect().head
+    val draws = r.getAs[Long]("draws_to_complete")
+    assert(draws >= r.getAs[Long]("k_types"))
+    assert(draws <= r.getAs[Long]("n_events"))
+    assert(r.getAs[Long]("expected_draws_e6") >=
+      r.getAs[Long]("k_types") * 1000000L)
+  }
+
+  test("birthday collisions: actual pairs near the pairwise expectation") {
+    val r = Sketches.q_birthday_collisions(spark, sf).collect().head
+    assert(r.getAs[Long]("actual_occupied") <= r.getAs[Long]("m_buckets"))
+    assert(r.getAs[Long]("actual_occupied") <= r.getAs[Long]("n_keys"))
+    val (act, exp) = (r.getAs[Long]("actual_pairs"), r.getAs[Long]("expected_pairs"))
+    // within 3x either way at fixture scale (small-sample noise)
+    assert(act <= (exp + 1) * 3 && exp <= (act + 1) * 3, s"act=$act exp=$exp")
+  }
+
   test("reservoir bottom-k: sample never exceeds k=32 or the population") {
     Sampling.q_reservoir_bottomk(spark, sf).collect().foreach { r =>
       val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("k"))
