@@ -3602,4 +3602,138 @@ object MLDeterministic {
         expr("n_match * 1000000 div np").as("match_share_e6"))
       .orderBy("t_e6")
   }
+  // ---- §2.170 growth curves — logistic, Gompertz, Bass diffusion ----------
+
+  /** Shared adoption series: first-purchase month per customer →
+    * adopters per month, cumulative adopters (month-lattice theta join,
+    * calendar-bounded), and the 1..T month rank. */
+  private def adoption(spark: SparkSession, sf: String): DataFrame = {
+    val fm = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(min(year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("m"))
+    val ad = fm.groupBy(col("m")).agg(count(lit(1)).as("n_ad"))
+      .localCheckpoint()
+    val lat = ad.select(col("m").as("m2"), col("n_ad").as("n2"))
+    val cum = ad.join(broadcast(lat), col("m2") <= col("m"))
+      .groupBy(col("m"), col("n_ad")).agg(sum(col("n2")).as("cum_n"))
+    val rk = ad.join(broadcast(ad.select(col("m").as("m3"))),
+        col("m3") < col("m"), "left_outer")
+      .groupBy(col("m")).agg((count(col("m3")) + 1L).as("t"))
+    cum.join(rk, "m")
+  }
+
+  /** Logistic growth fit of cumulative adopters: with capacity
+    * K = 1.05·N_final, the transform y = ln(N/(K−N)) is linear in
+    * time, so the fit is plain OLS — y pre-rounded to e8 integers
+    * (order-proof sums), slope/intercept as single exact-integer
+    * divisions e6. The S-curve every adoption forecast starts from;
+    * the slope IS the logistic growth rate r.
+    */
+  def q_logistic_growth_fit(spark: SparkSession, sf: String): DataFrame = {
+    val a = adoption(spark, sf)
+    val k = a.agg(expr("max(cum_n) * 21 div 20").as("kk"))
+    val y = a.crossJoin(broadcast(k))
+      .select(col("t"),
+        expr("""CAST(ROUND(LN(CAST(cum_n AS DOUBLE)
+               / CAST(kk - cum_n AS DOUBLE)) * 100000000) AS BIGINT)""")
+          .as("y8"), col("kk"))
+    y.agg(count(lit(1)).as("tt"), sum(col("t")).as("st"),
+        sum(col("t") * col("t")).as("st2"), sum(col("y8")).as("sy"),
+        sum(col("t") * col("y8")).as("sty"), max(col("kk")).as("k_capacity"))
+      .select(col("tt").as("n_months"), col("k_capacity"),
+        expr("(tt * sty - st * sy) div ((tt * st2 - st * st) * 100)")
+          .as("slope_e6"),
+        expr("""(sy * (tt * st2 - st * st) - (tt * sty - st * sy) * st)
+               div (tt * (tt * st2 - st * st) * 100)""").as("intercept_e6"))
+  }
+
+  /** Gompertz growth fit of the same series: z = ln(ln(K/N)) is linear
+    * in time (slope −c), the asymmetric S-curve that peaks earlier than
+    * the logistic — same e8 pre-rounding + exact-integer OLS epilogue.
+    * Read next to q_logistic_growth_fit: whichever line is straighter
+    * (future round: SSE) is the better adoption model.
+    */
+  def q_gompertz_fit(spark: SparkSession, sf: String): DataFrame = {
+    val a = adoption(spark, sf)
+    val k = a.agg(expr("max(cum_n) * 21 div 20").as("kk"))
+    val y = a.crossJoin(broadcast(k))
+      .select(col("t"),
+        expr("""CAST(ROUND(LN(LN(CAST(kk AS DOUBLE)
+               / CAST(cum_n AS DOUBLE))) * 100000000) AS BIGINT)""")
+          .as("y8"), col("kk"))
+    y.agg(count(lit(1)).as("tt"), sum(col("t")).as("st"),
+        sum(col("t") * col("t")).as("st2"), sum(col("y8")).as("sy"),
+        sum(col("t") * col("y8")).as("sty"), max(col("kk")).as("k_capacity"))
+      .select(col("tt").as("n_months"), col("k_capacity"),
+        expr("(tt * sty - st * sy) div ((tt * st2 - st * st) * 100)")
+          .as("slope_e6"),
+        expr("""(sy * (tt * st2 - st * st) - (tt * sty - st * sy) * st)
+               div (tt * (tt * st2 - st * st) * 100)""").as("intercept_e6"))
+  }
+
+  /** Bass diffusion fit (Srinivasan-Mason OLS): adopters/month regressed
+    * on lagged cumulative adopters and its square (scaled to hundreds so
+    * every sufficient statistic is an exact BIGINT), coefficients via a
+    * 3×3 Cramer solve on doubles cast from the exact sums, then the
+    * market-size root m = (−b−√(b²−4ac))/2c and p = a/m, q = −c·m — the
+    * innovation/imitation split of the adoption curve. One staged IEEE
+    * tree; e-scaled outputs.
+    */
+  def q_bass_diffusion_ols(spark: SparkSession, sf: String): DataFrame = {
+    val ad0 = adoption(spark, sf).localCheckpoint()
+    // data-derived scale keeps x <= ~500 at every SF: exact BIGINT x^4 sums
+    // without collapsing to zero on tiny fixtures
+    val sc = ad0.agg(expr("max(cum_n) div 500 + 1").as("sc"))
+    val a = ad0.crossJoin(broadcast(sc))
+      .select(col("n_ad").as("y"),
+        expr("(cum_n - n_ad) div sc").as("x"))
+    a.agg(count(lit(1)).as("tt"), sum(col("x")).as("s1"),
+        sum(col("x") * col("x")).as("s2"),
+        sum(col("x") * col("x") * col("x")).as("s3"),
+        sum(col("x") * col("x") * col("x") * col("x")).as("s4"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x") * col("y")).as("sx2y"))
+      .select(col("tt").as("n_months"),
+        expr("""CAST(tt AS DOUBLE) * (CAST(s2 AS DOUBLE) * CAST(s4 AS DOUBLE)
+               - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE))
+               - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s4 AS DOUBLE)
+               - CAST(s3 AS DOUBLE) * CAST(s2 AS DOUBLE))
+               + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE)
+               - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))""").as("det"),
+        col("s1"), col("s2"), col("s3"), col("s4"), col("sy"), col("sxy"),
+        col("sx2y"), col("tt"))
+      .select(col("n_months"),
+        expr("""(CAST(sy AS DOUBLE) * (CAST(s2 AS DOUBLE) * CAST(s4 AS DOUBLE)
+               - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE))
+               - CAST(s1 AS DOUBLE) * (CAST(sxy AS DOUBLE) * CAST(s4 AS DOUBLE)
+               - CAST(s3 AS DOUBLE) * CAST(sx2y AS DOUBLE))
+               + CAST(s2 AS DOUBLE) * (CAST(sxy AS DOUBLE) * CAST(s3 AS DOUBLE)
+               - CAST(s2 AS DOUBLE) * CAST(sx2y AS DOUBLE))) / det""").as("ca"),
+        expr("""(CAST(tt AS DOUBLE) * (CAST(sxy AS DOUBLE) * CAST(s4 AS DOUBLE)
+               - CAST(s3 AS DOUBLE) * CAST(sx2y AS DOUBLE))
+               - CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s4 AS DOUBLE)
+               - CAST(s3 AS DOUBLE) * CAST(s2 AS DOUBLE))
+               + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(sx2y AS DOUBLE)
+               - CAST(sxy AS DOUBLE) * CAST(s2 AS DOUBLE))) / det""").as("cb"),
+        expr("""(CAST(tt AS DOUBLE) * (CAST(s2 AS DOUBLE) * CAST(sx2y AS DOUBLE)
+               - CAST(sxy AS DOUBLE) * CAST(s3 AS DOUBLE))
+               - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(sx2y AS DOUBLE)
+               - CAST(sxy AS DOUBLE) * CAST(s2 AS DOUBLE))
+               + CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE)
+               - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))) / det""").as("cc"))
+      .select(col("n_months"),
+        expr("CAST(ROUND(ca * 10000) AS BIGINT)").as("a_e4"),
+        expr("CAST(ROUND(cb * 10000) AS BIGINT)").as("b_e4"),
+        expr("CAST(ROUND(cc * 1000000) AS BIGINT)").as("c_e6"),
+        expr("""CAST(ROUND((0.0 - cb - SQRT(cb * cb - CAST(4 AS DOUBLE)
+               * ca * cc)) / (CAST(2 AS DOUBLE) * cc) * 100) AS BIGINT)""")
+          .as("m_scaled_e2"),
+        expr("""CAST(ROUND(ca / ((0.0 - cb - SQRT(cb * cb - CAST(4 AS DOUBLE)
+               * ca * cc)) / (CAST(2 AS DOUBLE) * cc)) * 1000000) AS BIGINT)""")
+          .as("p_scaled_e6"),
+        expr("""CAST(ROUND((0.0 - cc) * ((0.0 - cb - SQRT(cb * cb
+               - CAST(4 AS DOUBLE) * ca * cc)) / (CAST(2 AS DOUBLE) * cc))
+               * 1000000) AS BIGINT)""").as("q_scaled_e6"))
+  }
 }

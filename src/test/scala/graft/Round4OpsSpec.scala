@@ -862,6 +862,25 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(act <= (exp + 1) * 3 && exp <= (act + 1) * 3, s"act=$act exp=$exp")
   }
 
+  test("logistic fit: positive growth rate on a cumulative series") {
+    val r = MLDeterministic.q_logistic_growth_fit(spark, sf).collect().head
+    assert(r.getAs[Long]("slope_e6") > 0L, r.toString)
+    assert(r.getAs[Long]("n_months") >= 12L)
+    assert(r.getAs[Long]("k_capacity") > 0L)
+  }
+
+  test("gompertz fit: z = ln(ln(K/N)) falls over time (negative slope)") {
+    val r = MLDeterministic.q_gompertz_fit(spark, sf).collect().head
+    assert(r.getAs[Long]("slope_e6") < 0L, r.toString)
+  }
+
+  test("bass diffusion: imitation dominates innovation on a growing base") {
+    val r = MLDeterministic.q_bass_diffusion_ols(spark, sf).collect().head
+    // a > 0 (innovation inflow exists), market root positive
+    assert(r.getAs[Long]("a_e4") > 0L, r.toString)
+    assert(r.getAs[Long]("m_scaled_e2") > 0L, r.toString)
+  }
+
   test("reservoir bottom-k: sample never exceeds k=32 or the population") {
     Sampling.q_reservoir_bottomk(spark, sf).collect().foreach { r =>
       val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("k"))
