@@ -1253,4 +1253,90 @@ object Events {
       .orderBy(col("contrast_e4").desc, col("type_a"), col("type_b"))
       .limit(15)
   }
+  // ---- §2.171 online decision rules — ski rental, secretary, prophet ------
+
+  /** Ski-rental audit on per-user event counts as "days": always-rent,
+    * buy-immediately (B=10), and the break-even rule (rent B−1 days,
+    * then buy) against the offline OPT = min(d, B) — the (2−1/B)-
+    * competitive classic, measured as exact integer totals. One keyed
+    * aggregate + a 3-row strategy lattice.
+    */
+  def q_ski_rental(spark: SparkSession, sf: String): DataFrame = {
+    val d = Tables.eventsWithTs(spark, sf)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("d"))
+    d.agg(
+        sum(col("d")).as("rent_total"),
+        (count(lit(1)) * 10L).as("buy_total"),
+        sum(when(col("d") < 10L, col("d")).otherwise(19L)).as("breakeven_total"),
+        sum(least(col("d"), lit(10L))).as("opt_total"))
+      .select(explode(array(
+        struct(lit("always_rent").as("strategy"),
+          col("rent_total").as("total_cost")),
+        struct(lit("buy_immediately").as("strategy"),
+          col("buy_total").as("total_cost")),
+        struct(lit("breakeven_rule").as("strategy"),
+          col("breakeven_total").as("total_cost")))).as("s"),
+        col("opt_total"))
+      .select(col("s.strategy").as("strategy"),
+        col("s.total_cost").as("total_cost"), col("opt_total"),
+        expr("s.total_cost * 10000 div opt_total").as("ratio_vs_opt_e4"))
+      .orderBy("strategy")
+  }
+
+  /** Secretary 1/e rule on each user's event-value sequence: skip the
+    * first ⌊n/e⌋ values (e via the 36788/100000 integer rational), then
+    * take the first value beating the observation-phase max; success =
+    * that pick equals the sequence max. The measured success share sits
+    * around the 1/e ≈ 0.3679 optimum the stopping theorem promises.
+    * All per-user work is user-keyed windows + co-keyed joins.
+    */
+  def q_secretary_rule(spark: SparkSession, sf: String): DataFrame = {
+    val win = Window.partitionBy("u").orderBy("ns", "id")
+    val seq = Tables.eventsWithTs(spark, sf)
+      .select(col("user_id").as("u"), col("ts_nsl").as("ns"),
+        col("event_id").as("id"), cents(col("value")).as("v"))
+      .withColumn("rn", row_number().over(win).cast("long"))
+      .localCheckpoint()
+    val st = seq.groupBy(col("u"))
+      .agg(count(lit(1)).as("n"), max(col("v")).as("vmax"))
+      .filter(col("n") >= 5L)
+      .select(col("u"), col("vmax"), expr("n * 36788 div 100000").as("r"))
+    val mr = seq.join(st, "u").filter(col("rn") <= col("r"))
+      .groupBy(col("u")).agg(max(col("v")).as("mr"))
+    val pick = seq.join(st, "u").join(mr, "u")
+      .filter(col("rn") > col("r") && col("v") > col("mr"))
+      .groupBy(col("u")).agg(min_by(col("v"), col("rn")).as("picked"))
+    st.join(pick, Seq("u"), "left_outer")
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("picked") === col("vmax"), 1L).otherwise(0L))
+          .as("n_success"))
+      .select(col("n_users"), col("n_success"),
+        expr("n_success * 10000 div n_users").as("success_share_e4"),
+        lit(3679L).as("theory_1_over_e_e4"))
+  }
+
+  /** Prophet-inequality threshold rule: per user take the first value v
+    * with 2v ≥ max — the picked total is provably ≥ half the prophet's
+    * Σmax, and the audit reports the measured e4 ratio next to the 5000
+    * guarantee. Same keyed-sequence machinery as the secretary rule;
+    * the two together are the stopping-theory corner of the suite.
+    */
+  def q_prophet_threshold(spark: SparkSession, sf: String): DataFrame = {
+    val win = Window.partitionBy("u").orderBy("ns", "id")
+    val seq = Tables.eventsWithTs(spark, sf)
+      .select(col("user_id").as("u"), col("ts_nsl").as("ns"),
+        col("event_id").as("id"), cents(col("value")).as("v"))
+      .withColumn("rn", row_number().over(win).cast("long"))
+      .localCheckpoint()
+    val st = seq.groupBy(col("u")).agg(max(col("v")).as("vmax"))
+    val pick = seq.join(st, "u")
+      .filter(col("v") * 2L >= col("vmax"))
+      .groupBy(col("u")).agg(min_by(col("v"), col("rn")).as("picked"),
+        max(col("vmax")).as("vmax"))
+    pick.agg(count(lit(1)).as("n_users"), sum(col("picked")).as("picked_total"),
+        sum(col("vmax")).as("prophet_total"))
+      .select(col("n_users"), col("picked_total"), col("prophet_total"),
+        expr("picked_total * 10000 div prophet_total").as("ratio_e4"),
+        lit(5000L).as("guarantee_e4"))
+  }
 }

@@ -881,6 +881,28 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("m_scaled_e2") > 0L, r.toString)
   }
 
+  test("ski rental: break-even rule honors the 2-competitive bound") {
+    val rows = Events.q_ski_rental(spark, sf).collect()
+    val be = rows.find(_.getAs[String]("strategy") == "breakeven_rule").get
+    assert(be.getAs[Long]("ratio_vs_opt_e4") <= 20000L, be.toString)
+    rows.foreach(r =>
+      assert(r.getAs[Long]("total_cost") >= r.getAs[Long]("opt_total"), r.toString))
+  }
+
+  test("secretary rule: success share in a plausible band around 1/e") {
+    val r = Events.q_secretary_rule(spark, sf).collect().head
+    assert(r.getAs[Long]("n_success") <= r.getAs[Long]("n_users"))
+    val s = r.getAs[Long]("success_share_e4")
+    // wide band at fixture scale; the theorem gives 0.3679 asymptotically
+    assert(s > 1000L && s < 8000L, r.toString)
+  }
+
+  test("prophet threshold: picked total at least half the prophet's") {
+    val r = Events.q_prophet_threshold(spark, sf).collect().head
+    assert(r.getAs[Long]("ratio_e4") >= 5000L, r.toString)
+    assert(r.getAs[Long]("picked_total") <= r.getAs[Long]("prophet_total"))
+  }
+
   test("reservoir bottom-k: sample never exceeds k=32 or the population") {
     Sampling.q_reservoir_bottomk(spark, sf).collect().foreach { r =>
       val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("k"))
