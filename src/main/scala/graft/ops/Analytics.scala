@@ -10686,4 +10686,117 @@ object Analytics {
           .as("lpt_guarantee_ub"))
       .orderBy("m")
   }
+  // ---- §2.172 robust scale — Rousseeuw-Croux Sn, Qn, MAD consistency ------
+
+  /** Monthly mean-revenue series shared by the §2.172 scale estimators:
+    * calendar-bounded (≤~100 rows at any SF), so the O(n²)/O(n³)
+    * pairwise machinery below is a broadcast constant. */
+  private def monthSeries(spark: SparkSession, sf: String): DataFrame =
+    Tables.orders(spark, sf)
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("m"))
+      .agg(expr("sum(CAST(ROUND(o_totalprice * 100) AS BIGINT)) div count(1)")
+        .as("y"))
+      .localCheckpoint()
+
+  /** Rousseeuw-Croux Sn (JASA'93): lomed_i himed_{j≠i} |yᵢ−yⱼ| with the
+    * 1.1926 consistency factor — the 58%-efficient, 50%-breakdown scale
+    * estimator. Both nested medians are exact rank selections via
+    * theta-counts over the month lattice (no sort, no window); the
+    * inner selection is a pairs×pairs join bounded by the calendar.
+    */
+  def q_sn_estimator(spark: SparkSession, sf: String): DataFrame = {
+    val ms = monthSeries(spark, sf)
+    val pairs = ms.crossJoin(broadcast(ms.select(col("m").as("j"),
+        col("y").as("yj"))))
+      .filter(col("j") =!= col("m"))
+      .select(col("m"), col("j"), abs(col("y") - col("yj")).as("d"))
+      .localCheckpoint()
+    val n = ms.agg(count(lit(1)).as("n"))
+    // inner high median: rank (n-1)/2 + 1 among each i's n-1 diffs
+    val ranked = pairs.as("a").join(broadcast(pairs.select(col("m").as("m2"),
+        col("j").as("j2"), col("d").as("d2"))),
+        col("m2") === col("m") &&
+        (col("d2") < col("d") ||
+         (col("d2") === col("d") && col("j2") < col("j"))),
+        "left_outer")
+      .groupBy(col("m"), col("j"), col("d"))
+      .agg((count(col("j2")) + 1L).as("rk"))
+    val himed = ranked.crossJoin(broadcast(n))
+      .filter(col("rk") === expr("(n - 1) div 2 + 1"))
+      .select(col("m"), col("d").as("hm"))
+    val lomed = himed.as("a").join(broadcast(himed.select(col("m").as("m2"),
+        col("hm").as("hm2"))),
+        col("hm2") < col("hm") ||
+        (col("hm2") === col("hm") && col("m2") < col("m")), "left_outer")
+      .groupBy(col("m"), col("hm")).agg((count(col("m2")) + 1L).as("rk"))
+      .crossJoin(broadcast(n))
+      .filter(col("rk") === expr("(n + 1) div 2"))
+    lomed.select(col("n").as("n_months"), col("hm").as("sn_raw_cents"),
+      expr("hm * 11926 div 10000").as("sn_cents"))
+  }
+
+  /** Rousseeuw-Croux Qn: the C(h,2)-th order statistic of all C(n,2)
+    * pairwise gaps (h = n/2 + 1) with the 2.2219 factor — the
+    * 82%-efficient sibling that needs no location estimate at all.
+    * Selection is one theta-count rank over the bounded gap set.
+    */
+  def q_qn_estimator(spark: SparkSession, sf: String): DataFrame = {
+    val ms = monthSeries(spark, sf)
+    val gaps = ms.crossJoin(broadcast(ms.select(col("m").as("j"),
+        col("y").as("yj"))))
+      .filter(col("m") < col("j"))
+      .select(col("m"), col("j"), abs(col("y") - col("yj")).as("d"))
+      .localCheckpoint()
+    val n = ms.agg(count(lit(1)).as("n"))
+      .select(col("n"), expr("n div 2 + 1").as("h"))
+      .select(col("n"), col("h"), expr("h * (h - 1) div 2").as("k"))
+    val ranked = gaps.as("a").join(broadcast(gaps.select(col("m").as("m2"),
+        col("j").as("j2"), col("d").as("d2"))),
+        col("d2") < col("d") ||
+        (col("d2") === col("d") && (col("m2") < col("m") ||
+          (col("m2") === col("m") && col("j2") < col("j")))), "left_outer")
+      .groupBy(col("m"), col("j"), col("d"))
+      .agg((count(col("m2")) + 1L).as("rk"))
+    ranked.crossJoin(broadcast(n))
+      .filter(col("rk") === col("k"))
+      .select(col("n").as("n_months"), col("h"), col("k"),
+        col("d").as("qn_raw_cents"),
+        expr("d * 22219 div 10000").as("qn_cents"))
+  }
+
+  /** MAD with the 1.4826 Gaussian-consistency factor vs the exact
+    * sample SD on the same series — the calibration check that tells
+    * you whether the robust and classical scales agree (clean data) or
+    * diverge (heavy tails). Medians are lomed rank selections; SD is
+    * one √ on exact integer sums.
+    */
+  def q_mad_consistency(spark: SparkSession, sf: String): DataFrame = {
+    val ms = monthSeries(spark, sf)
+    val n = ms.agg(count(lit(1)).as("n"))
+    def lomedOf(df: DataFrame, v: String): DataFrame =
+      df.as("a").join(broadcast(df.select(col("m").as("m2"), col(v).as("v2"))),
+          col("v2") < col(v) ||
+          (col("v2") === col(v) && col("m2") < col("m")), "left_outer")
+        .groupBy(col("m"), col(v)).agg((count(col("m2")) + 1L).as("rk"))
+        .crossJoin(broadcast(n))
+        .filter(col("rk") === expr("(n + 1) div 2"))
+        .select(col(v).as("med"))
+    val med = lomedOf(ms, "y")
+    val dev = ms.crossJoin(broadcast(med))
+      .select(col("m"), abs(col("y") - col("med")).as("ad"))
+    val mad = lomedOf(dev, "ad").select(col("med").as("mad_cents"))
+    val sd = ms.agg(count(lit(1)).as("nn"), sum(col("y")).as("sy"),
+        sum(col("y") * col("y")).as("sy2"))
+      .select(expr("""CAST(ROUND(SQRT((CAST(nn AS DOUBLE) * CAST(sy2 AS DOUBLE)
+             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(nn AS DOUBLE) * CAST(nn - 1 AS DOUBLE)))) AS BIGINT)""")
+        .as("sd_cents"), col("nn").as("n_months"))
+    sd.crossJoin(broadcast(mad))
+      .select(col("n_months"), col("sd_cents"), col("mad_cents"),
+        expr("mad_cents * 14826 div 10000").as("mad_consistent_cents"))
+      .select(col("n_months"), col("sd_cents"), col("mad_cents"),
+        col("mad_consistent_cents"),
+        expr("mad_consistent_cents * 10000 div sd_cents").as("ratio_e4"))
+  }
 }

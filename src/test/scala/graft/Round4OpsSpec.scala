@@ -903,6 +903,22 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("picked_total") <= r.getAs[Long]("prophet_total"))
   }
 
+  test("robust scale: Sn, Qn and consistent MAD agree within 3x of SD") {
+    val sn = Analytics.q_sn_estimator(spark, sf).collect().head
+    val qn = Analytics.q_qn_estimator(spark, sf).collect().head
+    val mc = Analytics.q_mad_consistency(spark, sf).collect().head
+    val sd = mc.getAs[Long]("sd_cents")
+    assert(sd > 0L)
+    for (v <- Seq(sn.getAs[Long]("sn_cents"), qn.getAs[Long]("qn_cents"),
+      mc.getAs[Long]("mad_consistent_cents"))) {
+      assert(v > 0L)
+      assert(v < sd * 3 && sd < v * 3, s"scale $v too far from sd $sd")
+    }
+    // Qn's k stays inside the gap count C(n,2)
+    val (n, k) = (qn.getAs[Long]("n_months"), qn.getAs[Long]("k"))
+    assert(k >= 1L && k <= n * (n - 1) / 2)
+  }
+
   test("reservoir bottom-k: sample never exceeds k=32 or the population") {
     Sampling.q_reservoir_bottomk(spark, sf).collect().foreach { r =>
       val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("k"))
