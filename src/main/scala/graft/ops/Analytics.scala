@@ -10799,4 +10799,116 @@ object Analytics {
         col("mad_consistent_cents"),
         expr("mad_consistent_cents * 10000 div sd_cents").as("ratio_e4"))
   }
+  // ---- §2.173 causal inference — DiD, event study, Wald IV ----------------
+
+  /** Difference-in-differences on mean order value: treated = BUILDING-
+    * segment customers, policy point = the calendar midpoint month
+    * (data-derived integer), DiD = (ΔT) − (ΔC) — four exact-integer
+    * group means (single truncating divisions) and their double
+    * difference in cents. The 2×2 table every causal-claims review
+    * starts by demanding.
+    */
+  def q_diff_in_diff(spark: SparkSession, sf: String): DataFrame = {
+    val o = Tables.orders(spark, sf)
+      .join(broadcast(Tables.customer(spark, sf)
+        .select(col("c_custkey").as("cust"), col("c_mktsegment").as("seg"))),
+        col("o_custkey") === col("cust"))
+      .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("m"),
+        when(col("seg") === "BUILDING", 1L).otherwise(0L).as("treat"),
+        cents(col("o_totalprice")).as("v"))
+      .localCheckpoint()
+    val pivot = o.agg(expr("(min(m) + max(m) + 1) div 2").as("pv"))
+    o.crossJoin(broadcast(pivot))
+      .select(col("treat"), when(col("m") >= col("pv"), 1L).otherwise(0L)
+        .as("post"), col("v"))
+      .groupBy().agg(
+        expr("sum(CASE WHEN treat = 1 AND post = 0 THEN v ELSE 0 END) div " +
+          "sum(CASE WHEN treat = 1 AND post = 0 THEN 1 ELSE 0 END)").as("t_pre"),
+        expr("sum(CASE WHEN treat = 1 AND post = 1 THEN v ELSE 0 END) div " +
+          "sum(CASE WHEN treat = 1 AND post = 1 THEN 1 ELSE 0 END)").as("t_post"),
+        expr("sum(CASE WHEN treat = 0 AND post = 0 THEN v ELSE 0 END) div " +
+          "sum(CASE WHEN treat = 0 AND post = 0 THEN 1 ELSE 0 END)").as("c_pre"),
+        expr("sum(CASE WHEN treat = 0 AND post = 1 THEN v ELSE 0 END) div " +
+          "sum(CASE WHEN treat = 0 AND post = 1 THEN 1 ELSE 0 END)").as("c_post"))
+      .select(col("t_pre"), col("t_post"), col("c_pre"), col("c_post"),
+        ((col("t_post") - col("t_pre")) - (col("c_post") - col("c_pre")))
+          .as("did_cents"))
+  }
+
+  /** Event-study coefficients around the same policy point: for each
+    * relative month τ ∈ [−6, 6], the treated-minus-control gap net of
+    * the τ = −1 baseline gap — flat pre-τ coefficients are the
+    * parallel-trends evidence DiD needs. 13 calendar-bounded rows, all
+    * integer-cents arithmetic.
+    */
+  def q_event_study(spark: SparkSession, sf: String): DataFrame = {
+    val o = Tables.orders(spark, sf)
+      .join(broadcast(Tables.customer(spark, sf)
+        .select(col("c_custkey").as("cust"), col("c_mktsegment").as("seg"))),
+        col("o_custkey") === col("cust"))
+      .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("m"),
+        when(col("seg") === "BUILDING", 1L).otherwise(0L).as("treat"),
+        cents(col("o_totalprice")).as("v"))
+      .localCheckpoint()
+    val pivot = o.agg(expr("(min(m) + max(m) + 1) div 2").as("pv"))
+    val gaps = o.crossJoin(broadcast(pivot))
+      .select((col("m") - col("pv")).as("tau"), col("treat"), col("v"))
+      .filter(col("tau").between(-6L, 6L))
+      .groupBy(col("tau"))
+      .agg(sum(when(col("treat") === 1L, 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("treat") === 0L, 1L).otherwise(0L)).as("n_c"),
+        expr("sum(CASE WHEN treat = 1 THEN v ELSE 0 END) div " +
+          "sum(CASE WHEN treat = 1 THEN 1 ELSE 0 END)").as("mean_t"),
+        expr("sum(CASE WHEN treat = 0 THEN v ELSE 0 END) div " +
+          "sum(CASE WHEN treat = 0 THEN 1 ELSE 0 END)").as("mean_c"))
+      .select(col("tau"), col("n_t"), col("n_c"),
+        (col("mean_t") - col("mean_c")).as("gap_cents"))
+      .localCheckpoint()
+    val base = gaps.filter(col("tau") === -1L)
+      .select(col("gap_cents").as("base_gap"))
+    gaps.crossJoin(broadcast(base))
+      .select(col("tau"), col("n_t"), col("n_c"), col("gap_cents"),
+        (col("gap_cents") - col("base_gap")).as("coef_cents"))
+      .orderBy("tau")
+  }
+
+  /** Wald instrumental-variable estimator: instrument z = customer's
+    * nation sits in ASIA, endogenous x = orders per customer, outcome
+    * y = spend per customer — β̂ = (ȳ₁−ȳ₀)/(x̄₁−x̄₀) as one double
+    * division over four exact-integer sums, e2 cents-per-order. The
+    * simplest 2SLS there is; the four group means ship alongside so
+    * the reader can recompute the ratio.
+    */
+  def q_wald_iv(spark: SparkSession, sf: String): DataFrame = {
+    val z = Tables.customer(spark, sf)
+      .join(broadcast(Tables.nation(spark, sf)
+        .join(broadcast(Tables.region(spark, sf)), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), when(col("r_name") === "ASIA", 1L)
+          .otherwise(0L).as("z"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey").as("cust"), col("z"))
+    val per = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey").as("cust"))
+      .agg(count(lit(1)).as("x"), sum(cents(col("o_totalprice"))).as("y"))
+      .join(z, "cust")
+    per.agg(
+        sum(when(col("z") === 1L, col("y"))).as("sy1"),
+        sum(when(col("z") === 0L, col("y"))).as("sy0"),
+        sum(when(col("z") === 1L, col("x"))).as("sx1"),
+        sum(when(col("z") === 0L, col("x"))).as("sx0"),
+        sum(col("z")).as("n1"),
+        sum(lit(1L) - col("z")).as("n0"))
+      .select(col("n1"), col("n0"),
+        expr("sy1 div n1").as("mean_y_z1"), expr("sy0 div n0").as("mean_y_z0"),
+        expr("sx1 * 10000 div n1").as("mean_x_z1_e4"),
+        expr("sx0 * 10000 div n0").as("mean_x_z0_e4"),
+        expr("""CASE WHEN sx1 * n0 = sx0 * n1 THEN CAST(0 AS BIGINT)
+               ELSE CAST(ROUND((CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+               - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+               / (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+               - CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE)) * 100) AS BIGINT)
+               END""").as("wald_beta_e2"))
+  }
 }

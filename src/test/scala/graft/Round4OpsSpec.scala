@@ -919,6 +919,29 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(k >= 1L && k <= n * (n - 1) / 2)
   }
 
+  test("DiD: double difference equals the recomputed group means") {
+    val r = Analytics.q_diff_in_diff(spark, sf).collect().head
+    val did = (r.getAs[Long]("t_post") - r.getAs[Long]("t_pre")) -
+      (r.getAs[Long]("c_post") - r.getAs[Long]("c_pre"))
+    assert(r.getAs[Long]("did_cents") == did)
+  }
+
+  test("event study: tau=-1 coefficient is exactly zero") {
+    val rows = Analytics.q_event_study(spark, sf).collect()
+    val base = rows.find(_.getAs[Long]("tau") == -1L).get
+    assert(base.getAs[Long]("coef_cents") == 0L)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("coef_cents") ==
+        r.getAs[Long]("gap_cents") - base.getAs[Long]("gap_cents"))
+    }
+  }
+
+  test("wald IV: group counts partition the customer base") {
+    val r = Analytics.q_wald_iv(spark, sf).collect().head
+    assert(r.getAs[Long]("n1") > 0L && r.getAs[Long]("n0") > 0L)
+    assert(r.getAs[Long]("mean_x_z1_e4") > 0L)
+  }
+
   test("reservoir bottom-k: sample never exceeds k=32 or the population") {
     Sampling.q_reservoir_bottomk(spark, sf).collect().foreach { r =>
       val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("k"))
