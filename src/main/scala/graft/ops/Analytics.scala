@@ -10911,4 +10911,90 @@ object Analytics {
                - CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE)) * 100) AS BIGINT)
                END""").as("wald_beta_e2"))
   }
+  // ---- §2.174 auction theory — Vickrey revenue, reserve sweep, equivalence -
+
+  /** Per-part auction table shared by §2.174: bids are lineitem prices
+    * (cents), auctions keep ≥3 bids; two co-keyed passes derive the
+    * highest bid, its multiplicity, and the highest strictly-lower bid
+    * (so the duplicate-top case second-prices at the top value, the
+    * standard Vickrey tie rule). */
+  private def auctions(spark: SparkSession, sf: String): DataFrame = {
+    val bids = Tables.lineitem(spark, sf)
+      .select(col("l_partkey").as("pk"), cents(col("l_extendedprice")).as("b"))
+    val top = bids.groupBy(col("pk"))
+      .agg(count(lit(1)).as("n_bids"), max(col("b")).as("mx"))
+      .filter(col("n_bids") >= 3L)
+    bids.join(top, "pk")
+      .groupBy(col("pk"), col("n_bids"), col("mx"))
+      .agg(sum(when(col("b") === col("mx"), 1L).otherwise(0L)).as("cnt_mx"),
+        max(when(col("b") < col("mx"), col("b"))).as("below"))
+      .select(col("pk"), col("n_bids"), col("mx"),
+        when(col("cnt_mx") >= 2L, col("mx")).otherwise(col("below"))
+          .as("second"))
+      .localCheckpoint()
+  }
+
+  /** First-price vs second-price (Vickrey) revenue over the part
+    * auctions — the mechanism-design baseline table: total revenue per
+    * mechanism and the e4 share of second vs first. Ties at the top
+    * second-price at the top value; everything exact integer cents.
+    */
+  def q_auction_revenue(spark: SparkSession, sf: String): DataFrame = {
+    val a = auctions(spark, sf)
+    a.agg(count(lit(1)).as("n_auctions"), sum(col("mx")).as("first_rev"),
+        sum(col("second")).as("second_rev"))
+      .select(explode(array(
+        struct(lit("first_price").as("mechanism"),
+          col("first_rev").as("revenue_cents")),
+        struct(lit("second_price").as("mechanism"),
+          col("second_rev").as("revenue_cents")))).as("m"),
+        col("n_auctions"), col("first_rev"))
+      .select(col("m.mechanism").as("mechanism"), col("n_auctions"),
+        col("m.revenue_cents").as("revenue_cents"),
+        expr("m.revenue_cents * 10000 div first_rev").as("share_of_first_e4"))
+      .orderBy("mechanism")
+  }
+
+  /** Reserve-price sweep for the Vickrey auction: reserves at
+    * {50,75,100,125,150}% of the mean top bid (exact integer lattice);
+    * per reserve the sold count and revenue (0 if top < r, r if only
+    * the top clears, else the second price) — the Myerson reserve
+    * trade-off curve: higher reserves lose sales but lift per-sale
+    * revenue. 5 broadcast-lattice rows.
+    */
+  def q_reserve_price_sweep(spark: SparkSession, sf: String): DataFrame = {
+    val a = auctions(spark, sf)
+    val base = a.agg(expr("sum(mx) div count(1)").as("mb"))
+    a.crossJoin(broadcast(base))
+      .select(col("mx"), col("second"), col("mb"),
+        explode(array(lit(50L), lit(75L), lit(100L), lit(125L), lit(150L)))
+          .as("pct"))
+      .select(col("mx"), col("second"), col("pct"),
+        expr("mb * pct div 100").as("r"))
+      .groupBy(col("pct"), col("r"))
+      .agg(count(lit(1)).as("n_auctions"),
+        sum(when(col("mx") >= col("r"), 1L).otherwise(0L)).as("n_sold"),
+        sum(when(col("mx") < col("r"), 0L)
+          .when(col("second") < col("r"), col("r"))
+          .otherwise(col("second"))).as("revenue_cents"))
+      .select(col("pct").as("reserve_pct"), col("r").as("reserve_cents"),
+        col("n_auctions"), col("n_sold"), col("revenue_cents"))
+      .orderBy("reserve_pct")
+  }
+
+  /** Revenue-equivalence audit: the uniform-value equilibrium shade
+    * b = v(n−1)/n applied to each auction's top value vs the actual
+    * second-price revenue — the theorem says the two mechanisms earn
+    * the same in expectation, and this measures how close this bid
+    * population gets (e4 ratio). One pass over the shared auction
+    * table.
+    */
+  def q_revenue_equivalence(spark: SparkSession, sf: String): DataFrame = {
+    val a = auctions(spark, sf)
+    a.agg(count(lit(1)).as("n_auctions"),
+        sum(expr("mx * (n_bids - 1) div n_bids")).as("shaded_first_rev"),
+        sum(col("second")).as("second_rev"))
+      .select(col("n_auctions"), col("shaded_first_rev"), col("second_rev"),
+        expr("shaded_first_rev * 10000 div second_rev").as("ratio_e4"))
+  }
 }

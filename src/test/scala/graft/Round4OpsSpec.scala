@@ -942,6 +942,30 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("mean_x_z1_e4") > 0L)
   }
 
+  test("auctions: second price never beats first price") {
+    val rows = Analytics.q_auction_revenue(spark, sf).collect()
+    val f = rows.find(_.getAs[String]("mechanism") == "first_price").get
+    val s = rows.find(_.getAs[String]("mechanism") == "second_price").get
+    assert(s.getAs[Long]("revenue_cents") <= f.getAs[Long]("revenue_cents"))
+    assert(f.getAs[Long]("share_of_first_e4") == 10000L)
+  }
+
+  test("reserve sweep: sold count falls as the reserve rises") {
+    val rows = Analytics.q_reserve_price_sweep(spark, sf).collect()
+      .sortBy(_.getAs[Long]("reserve_pct"))
+    val sold = rows.map(_.getAs[Long]("n_sold"))
+    assert(sold.zip(sold.tail).forall { case (a, b) => a >= b }, sold.toSeq.toString)
+    rows.foreach(r => assert(r.getAs[Long]("n_sold") <= r.getAs[Long]("n_auctions")))
+  }
+
+  test("revenue equivalence: shaded first-price lands near second-price") {
+    val r = Analytics.q_revenue_equivalence(spark, sf).collect().head
+    val ratio = r.getAs[Long]("ratio_e4")
+    // the theorem is exact only in expectation under uniform values;
+    // real bid data should still land within a broad band
+    assert(ratio > 5000L && ratio < 20000L, r.toString)
+  }
+
   test("reservoir bottom-k: sample never exceeds k=32 or the population") {
     Sampling.q_reservoir_bottomk(spark, sf).collect().foreach { r =>
       val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("k"))
