@@ -11080,4 +11080,118 @@ object Analytics {
           .as("beta_e6"))
       .orderBy("c_mktsegment")
   }
+  // ---- §2.176 cooperative games — Shapley, Banzhaf, core ------------------
+
+  /** Coalition values for the 3-player part-coverage game: players are
+    * the AMERICA/ASIA/EUROPE customer blocs, v(S) = distinct parts any
+    * coalition member ever ordered — a genuinely submodular coverage
+    * game, so the solution concepts below are non-trivial. All seven
+    * values come from ONE multi-distinct aggregate over the distinct
+    * (region, part) pairs.
+    */
+  private def coalitionValues(spark: SparkSession, sf: String): DataFrame = {
+    val rp = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(Tables.orders(spark, sf)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, sf)
+        .select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(Tables.nation(spark, sf)
+          .join(broadcast(Tables.region(spark, sf)),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("r_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey").as("cust"), col("r_name").as("reg"))),
+        col("o_custkey") === col("cust"))
+      .filter(col("reg").isin("AMERICA", "ASIA", "EUROPE"))
+      .select(col("reg"), col("l_partkey").as("pk")).distinct()
+    rp.agg(
+      countDistinct(when(col("reg") === "AMERICA", col("pk"))).as("va"),
+      countDistinct(when(col("reg") === "ASIA", col("pk"))).as("vb"),
+      countDistinct(when(col("reg") === "EUROPE", col("pk"))).as("vc"),
+      countDistinct(when(col("reg").isin("AMERICA", "ASIA"), col("pk"))).as("vab"),
+      countDistinct(when(col("reg").isin("AMERICA", "EUROPE"), col("pk"))).as("vac"),
+      countDistinct(when(col("reg").isin("ASIA", "EUROPE"), col("pk"))).as("vbc"),
+      countDistinct(col("pk")).as("vabc"))
+  }
+
+  /** Exact Shapley values (×6, the 3! permutation denominator) of the
+    * coverage game via the closed 3-player form
+    * 6φ_A = 2v(A) + [v(AB)−v(B)] + [v(AC)−v(C)] + 2[v(ABC)−v(BC)] —
+    * pure integers, efficiency Σφ = 6v(ABC) gated in the spec. The
+    * fair-division number for "which bloc's catalog breadth actually
+    * matters".
+    */
+  def q_shapley_coverage(spark: SparkSession, sf: String): DataFrame =
+    coalitionValues(spark, sf)
+      .select(explode(array(
+        struct(lit("AMERICA").as("player"),
+          expr("2 * va + (vab - vb) + (vac - vc) + 2 * (vabc - vbc)")
+            .as("shapley_x6"), col("va").as("solo_value")),
+        struct(lit("ASIA").as("player"),
+          expr("2 * vb + (vab - va) + (vbc - vc) + 2 * (vabc - vac)")
+            .as("shapley_x6"), col("vb").as("solo_value")),
+        struct(lit("EUROPE").as("player"),
+          expr("2 * vc + (vac - va) + (vbc - vb) + 2 * (vabc - vab)")
+            .as("shapley_x6"), col("vc").as("solo_value")))).as("p"),
+        col("vabc").as("grand_value"))
+      .select(col("p.player").as("player"), col("p.shapley_x6").as("shapley_x6"),
+        col("p.solo_value").as("solo_value"), col("grand_value"))
+      .orderBy("player")
+
+  /** Banzhaf power (×4, the 2ⁿ⁻¹ denominator): each player's total
+    * marginal contribution across the four coalitions it can join —
+    * the probabilistic-voting cousin of Shapley, same seven exact
+    * values, different weighting. Divergence between the two rankings
+    * is the textbook caution against "the" power index.
+    */
+  def q_banzhaf_power(spark: SparkSession, sf: String): DataFrame =
+    coalitionValues(spark, sf)
+      .select(explode(array(
+        struct(lit("AMERICA").as("player"),
+          expr("va + (vab - vb) + (vac - vc) + (vabc - vbc)").as("banzhaf_x4")),
+        struct(lit("ASIA").as("player"),
+          expr("vb + (vab - va) + (vbc - vc) + (vabc - vac)").as("banzhaf_x4")),
+        struct(lit("EUROPE").as("player"),
+          expr("vc + (vac - va) + (vbc - vb) + (vabc - vab)").as("banzhaf_x4"))))
+        .as("p"))
+      .select(col("p.player").as("player"), col("p.banzhaf_x4").as("banzhaf_x4"))
+      .orderBy("player")
+
+  /** Anticore-stability audit of the Shapley allocation: for a
+    * SUBMODULAR value game (coverage is) the Shapley value lies in the
+    * anticore — Σ_{i∈S} φᵢ ≤ 6·v(S) for every coalition, with equality
+    * at the grand coalition — so no coalition is allocated more than it
+    * could generate alone. All seven constraints checked exactly (×6
+    * scale); the spec pins every flag true and the efficiency slack 0.
+    */
+  def q_core_stability(spark: SparkSession, sf: String): DataFrame =
+    coalitionValues(spark, sf)
+      .select(col("*"),
+        expr("2 * va + (vab - vb) + (vac - vc) + 2 * (vabc - vbc)").as("pa"),
+        expr("2 * vb + (vab - va) + (vbc - vc) + 2 * (vabc - vac)").as("pb"),
+        expr("2 * vc + (vac - va) + (vbc - vb) + 2 * (vabc - vab)").as("pc"))
+      .select(explode(array(
+        struct(lit("A").as("coalition"), col("pa").as("alloc_x6"),
+          (col("va") * 6L).as("value_x6")),
+        struct(lit("B").as("coalition"), col("pb").as("alloc_x6"),
+          (col("vb") * 6L).as("value_x6")),
+        struct(lit("C").as("coalition"), col("pc").as("alloc_x6"),
+          (col("vc") * 6L).as("value_x6")),
+        struct(lit("AB").as("coalition"), (col("pa") + col("pb")).as("alloc_x6"),
+          (col("vab") * 6L).as("value_x6")),
+        struct(lit("AC").as("coalition"), (col("pa") + col("pc")).as("alloc_x6"),
+          (col("vac") * 6L).as("value_x6")),
+        struct(lit("BC").as("coalition"), (col("pb") + col("pc")).as("alloc_x6"),
+          (col("vbc") * 6L).as("value_x6")),
+        struct(lit("ABC").as("coalition"),
+          (col("pa") + col("pb") + col("pc")).as("alloc_x6"),
+          (col("vabc") * 6L).as("value_x6")))).as("r"))
+      .select(col("r.coalition").as("coalition"), col("r.alloc_x6").as("alloc_x6"),
+        col("r.value_x6").as("value_x6"),
+        (col("r.value_x6") - col("r.alloc_x6")).as("slack_x6"),
+        when(col("r.alloc_x6") <= col("r.value_x6"), 1L).otherwise(0L)
+          .as("satisfied"))
+      .orderBy("coalition")
 }

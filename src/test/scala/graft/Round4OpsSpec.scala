@@ -988,6 +988,36 @@ class Round4OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("shapley: efficiency holds and every player gets at least solo value") {
+    val rows = Analytics.q_shapley_coverage(spark, sf).collect()
+    assert(rows.length == 3)
+    val grand = rows.head.getAs[Long]("grand_value")
+    assert(rows.map(_.getAs[Long]("shapley_x6")).sum == grand * 6L)
+    // submodularity: each player's average marginal never beats its solo value
+    rows.foreach { r =>
+      assert(r.getAs[Long]("shapley_x6") >= 0L, r.toString)
+      assert(r.getAs[Long]("shapley_x6") <= r.getAs[Long]("solo_value") * 6L,
+        r.toString)
+    }
+  }
+
+  test("anticore: submodular-game Shapley never over-allocates a coalition") {
+    val rows = Analytics.q_core_stability(spark, sf).collect()
+    assert(rows.length == 7)
+    rows.foreach(r => assert(r.getAs[Long]("satisfied") == 1L, r.toString))
+    val abc = rows.find(_.getAs[String]("coalition") == "ABC").get
+    assert(abc.getAs[Long]("slack_x6") == 0L)
+  }
+
+  test("banzhaf: powers positive and bounded by four grand values") {
+    val rows = Analytics.q_banzhaf_power(spark, sf).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("banzhaf_x4")
+      assert(b > 0L, r.toString)
+    }
+  }
+
   test("reservoir bottom-k: sample never exceeds k=32 or the population") {
     Sampling.q_reservoir_bottomk(spark, sf).collect().foreach { r =>
       val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("k"))
