@@ -571,4 +571,84 @@ object Sketches {
                / CAST(4096 AS DOUBLE)))) * 100) AS BIGINT)""")
           .as("expected_occupied_e2"))
   }
+  // ---- §2.177 hashing theory — universal, Fibonacci, prime modulus --------
+
+  /** Carter-Wegman universal hashing audit: four fixed (a, b) pairs of
+    * h(x) = ((a·x + b) mod p) mod 1024 (p = 1e9+7) over order keys —
+    * exact colliding-pair counts vs the n(n−1)/2m universality bound,
+    * e4 ratio per pair. The bound holds in expectation over (a, b);
+    * four concrete draws show the spread around it. Pure integer
+    * arithmetic, one aggregate per pair via a 4-row lattice.
+    */
+  def q_universal_hash_audit(spark: SparkSession, sf: String): DataFrame = {
+    val ab = Seq((1L, 123456789L, 98765431L), (2L, 679034479L, 4297L),
+      (3L, 87178291L, 999999937L), (4L, 512927357L, 31337L))
+    val lat = ab.map { case (i, a, b) =>
+      struct(lit(i).as("pair_id"), lit(a).as("a"), lit(b).as("b")) }
+    val buckets = Tables.orders(spark, sf).select(col("o_orderkey").as("x"))
+      .select(col("x"), explode(array(lat: _*)).as("p"))
+      .select(col("p.pair_id").as("pair_id"), col("p.a").as("a"),
+        col("p.b").as("b"),
+        expr("((p.a * x + p.b) % 1000000007) % 1024").as("bkt"))
+      .groupBy(col("pair_id"), col("a"), col("b"), col("bkt"))
+      .agg(count(lit(1)).as("c"))
+    buckets.groupBy(col("pair_id"), col("a"), col("b"))
+      .agg(sum(col("c")).as("n"), sum(expr("c * (c - 1) div 2")).as("collisions"))
+      .select(col("pair_id"), col("a"), col("b"), col("n"), col("collisions"),
+        expr("n * (n - 1) div 2048").as("expected_pairs"))
+      .select(col("pair_id"), col("a"), col("b"), col("n"), col("collisions"),
+        col("expected_pairs"),
+        expr("collisions * 10000 div greatest(1, expected_pairs)")
+          .as("ratio_e4"))
+      .orderBy("pair_id")
+  }
+
+  /** Fibonacci (multiplicative) hashing vs plain modulo on the SAME
+    * structured key population: h = (x·2654435769 mod 2³²) ≫ 22 against
+    * x mod 1024 — the golden-ratio multiplier scrambles key structure
+    * that a power-of-two modulus passes straight through. Exact
+    * occupied/max-load/collision numbers per scheme; Knuth §6.4 as a
+    * two-row table.
+    */
+  def q_fibonacci_hashing(spark: SparkSession, sf: String): DataFrame = {
+    val keys = Tables.orders(spark, sf).select(col("o_orderkey").as("x"))
+      .localCheckpoint()
+    def audit(name: String, bkt: Column): DataFrame =
+      keys.select(bkt.as("b")).groupBy(col("b")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("occupied"),
+          max(col("c")).as("max_load"),
+          sum(expr("c * (c - 1) div 2")).as("collisions"))
+        .select(lit(name).as("scheme"), col("n"), col("occupied"),
+          col("max_load"), col("collisions"))
+    audit("fibonacci", expr("((x * 2654435769) % 4294967296) div 4194304"))
+      .unionByName(audit("plain_mod", expr("x % 1024")))
+      .select(col("scheme"), col("n"), col("occupied"), col("max_load"),
+        col("collisions"),
+        expr("max_load * 1024 * 10000 div n").as("max_load_over_ideal_e4"))
+      .orderBy("scheme")
+  }
+
+  /** Prime-vs-power-of-two modulus bias on structured keys: x mod 64
+    * against x mod 61 — a composite modulus inherits every low-bit
+    * pattern in the keys while a prime one mixes them; measured as
+    * occupied residues, max/min load and the e4 max/min imbalance.
+    * The oldest hash-table sizing rule, quantified on real keys.
+    */
+  def q_mod_prime_bias(spark: SparkSession, sf: String): DataFrame = {
+    val keys = Tables.orders(spark, sf).select(col("o_orderkey").as("x"))
+      .localCheckpoint()
+    def audit(name: String, m: Long): DataFrame =
+      keys.select(expr(s"x % $m").as("b")).groupBy(col("b"))
+        .agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("occupied"),
+          max(col("c")).as("max_load"), min(col("c")).as("min_load"))
+        .select(lit(name).as("scheme"), lit(m).as("m"), col("n"),
+          col("occupied"), col("max_load"), col("min_load"))
+    audit("mod_64_composite", 64L).unionByName(audit("mod_61_prime", 61L))
+      .select(col("scheme"), col("m"), col("n"), col("occupied"),
+        col("max_load"), col("min_load"),
+        expr("max_load * 10000 div greatest(1, min_load)")
+          .as("imbalance_e4"))
+      .orderBy("scheme")
+  }
 }

@@ -1018,6 +1018,35 @@ class Round4OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("universal hashing: four draws all near the universality bound") {
+    val rows = Sketches.q_universal_hash_audit(spark, sf).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      // any single draw can deviate, but not catastrophically
+      assert(r.getAs[Long]("ratio_e4") < 50000L, r.toString)
+      assert(r.getAs[Long]("collisions") >= 0L)
+    }
+  }
+
+  test("fibonacci hashing: multiplier never collides worse than plain mod") {
+    val rows = Sketches.q_fibonacci_hashing(spark, sf).collect()
+    val fib = rows.find(_.getAs[String]("scheme") == "fibonacci").get
+    val pm = rows.find(_.getAs[String]("scheme") == "plain_mod").get
+    assert(fib.getAs[Long]("n") == pm.getAs[Long]("n"))
+    assert(fib.getAs[Long]("collisions") <= pm.getAs[Long]("collisions") * 2,
+      s"fib=${fib.getAs[Long]("collisions")} pm=${pm.getAs[Long]("collisions")}")
+  }
+
+  test("mod bias: counts conserved and imbalance well-defined") {
+    val rows = Sketches.q_mod_prime_bias(spark, sf).collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[Long]("n")).distinct.length == 1)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("occupied") <= r.getAs[Long]("m"))
+      assert(r.getAs[Long]("max_load") >= r.getAs[Long]("min_load"))
+    }
+  }
+
   test("reservoir bottom-k: sample never exceeds k=32 or the population") {
     Sampling.q_reservoir_bottomk(spark, sf).collect().foreach { r =>
       val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("k"))
