@@ -837,4 +837,112 @@ object GraphMl {
              / (CAST(e AS DOUBLE) * CAST(e AS DOUBLE) - CAST(sab AS DOUBLE))"""), 6)
           + lit(0.0)).as("assortativity_r"))
   }
+  // ---- §2.178 contagion — threshold cascade, seed compare, SIS mean-field --
+
+  /** Granovetter linear-threshold cascade on the co-purchase graph:
+    * seeds are the 5 highest-degree parts, a node activates once ≥2
+    * neighbors are active, three synchronous rounds statically
+    * unrolled — per-round active/new counts. Each round is one
+    * frontier⋈edges co-keyed join plus an anti-join; the monotone
+    * closure every influence-maximization paper simulates.
+    */
+  def q_threshold_cascade(spark: SparkSession, sf: String): DataFrame = {
+    val edges = coPurchaseEdges(spark, sf)
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val seeds = deg.orderBy(col("d").desc, col("u").asc).limit(5)
+      .select(col("u").as("node")).localCheckpoint()
+    def step(active: DataFrame): DataFrame = {
+      val newly = edges
+        .join(active.select(col("node").as("v")), "v")
+        .groupBy(col("u")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2L)
+        .select(col("u").as("node"))
+        .join(active, Seq("node"), "left_anti")
+      active.unionByName(newly).localCheckpoint()
+    }
+    val a1 = step(seeds)
+    val a2 = step(a1)
+    val a3 = step(a2)
+    def row(r: Long, a: DataFrame): DataFrame =
+      a.agg(count(lit(1)).as("n_active")).select(lit(r).as("round"),
+        col("n_active"))
+    val rounds = row(0L, seeds).unionByName(row(1L, a1))
+      .unionByName(row(2L, a2)).unionByName(row(3L, a3)).localCheckpoint()
+    val prev = rounds.select((col("round") + 1L).as("round"),
+      col("n_active").as("prev_active"))
+    rounds.join(broadcast(prev), Seq("round"), "left_outer")
+      .select(col("round"), col("n_active"),
+        (col("n_active") - coalesce(col("prev_active"), lit(0L))).as("n_new"))
+      .orderBy("round")
+  }
+
+  /** Seed-selection comparison for the same cascade: top-degree seeds
+    * vs shared-md5 "random" seeds (5 each), coverage after two rounds
+    * as an e4 share of all nodes — the degree-heuristic vs random
+    * baseline every influence-max evaluation starts with.
+    */
+  def q_cascade_seed_compare(spark: SparkSession, sf: String): DataFrame = {
+    import graft.core.Det.hash32
+    val edges = coPurchaseEdges(spark, sf)
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      .localCheckpoint()
+    val nNodes = deg.agg(count(lit(1)).as("nn"))
+    def run(seeds: DataFrame): DataFrame = {
+      def step(active: DataFrame): DataFrame = {
+        val newly = edges
+          .join(active.select(col("node").as("v")), "v")
+          .groupBy(col("u")).agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= 2L)
+          .select(col("u").as("node"))
+          .join(active, Seq("node"), "left_anti")
+        active.unionByName(newly).localCheckpoint()
+      }
+      step(step(seeds.localCheckpoint()))
+    }
+    val topDeg = deg.orderBy(col("d").desc, col("u").asc).limit(5)
+      .select(col("u").as("node"))
+    val hashSeeds = deg
+      .orderBy(hash32(concat(lit("seed:"), col("u"))).asc, col("u").asc)
+      .limit(5).select(col("u").as("node"))
+    def row(name: String, seeds: DataFrame): DataFrame =
+      run(seeds).agg(count(lit(1)).as("active_r2"))
+        .crossJoin(broadcast(nNodes))
+        .select(lit(name).as("strategy"), lit(5L).as("n_seeds"),
+          col("active_r2"), expr("active_r2 * 10000 div nn").as("coverage_e4"))
+    row("top_degree", topDeg).unionByName(row("hash_random", hashSeeds))
+      .orderBy("strategy")
+  }
+
+  /** Mean-field SIS epidemic on the co-purchase degree statistics:
+    * x_{t+1} = x + β⟨k⟩x(1−x) − γx (β=0.1, γ=0.2) unrolled four steps
+    * on e6 integers (identical truncation both engines), plus the
+    * heterogeneous threshold λ_c = ⟨k⟩/⟨k²⟩ and the β/γ verdict —
+    * whether this contact graph sustains an endemic state. One degree
+    * aggregate; everything else is a 1-row integer recursion.
+    */
+  def q_sis_meanfield(spark: SparkSession, sf: String): DataFrame = {
+    val deg = coPurchaseEdges(spark, sf).groupBy(col("u"))
+      .agg(count(lit(1)).as("d"))
+    val s = deg.agg(count(lit(1)).as("n"), sum(col("d")).as("sd"),
+        sum(col("d") * col("d")).as("sd2"))
+      .select(col("n"), expr("sd * 1000 div n").as("kavg_e3"),
+        expr("sd * 1000000 div sd2").as("lambda_c_e6"))
+    s.select(col("n").as("n_nodes"), col("kavg_e3"), col("lambda_c_e6"),
+        lit(50000L).as("x0_e6"))
+      .select(col("*"), expr(sisStep("x0_e6")).as("x1_e6"))
+      .select(col("*"), expr(sisStep("x1_e6")).as("x2_e6"))
+      .select(col("*"), expr(sisStep("x2_e6")).as("x3_e6"))
+      .select(col("*"), expr(sisStep("x3_e6")).as("x4_e6"))
+      .select(col("n_nodes"), col("kavg_e3"), col("lambda_c_e6"),
+        col("x0_e6"), col("x1_e6"), col("x2_e6"), col("x3_e6"), col("x4_e6"),
+        when(lit(500000L) > col("lambda_c_e6"), 1L).otherwise(0L)
+          .as("above_threshold"))
+  }
+
+  /** One SIS mean-field step as SQL text (shared Spark/DuckDB shape):
+    * x' = clamp(x + β⟨k⟩x(1−x)/scales − γx/1000). */
+  private def sisStep(x: String): String =
+    s"""least(1000000, greatest(0,
+       $x + (kavg_e3 * $x * (1000000 - $x)) div 10000000000
+       - (200 * $x) div 1000))"""
 }

@@ -1047,6 +1047,34 @@ class Round4OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("threshold cascade: active set grows monotonically from 5 seeds") {
+    val rows = GraphMl.q_threshold_cascade(spark, sf).collect()
+      .sortBy(_.getAs[Long]("round"))
+    assert(rows.length == 4)
+    assert(rows.head.getAs[Long]("n_active") == 5L)
+    val act = rows.map(_.getAs[Long]("n_active"))
+    assert(act.zip(act.tail).forall { case (a, b) => b >= a })
+    rows.tail.foreach(r => assert(r.getAs[Long]("n_new") >= 0L))
+  }
+
+  test("cascade seeds: both strategies cover at least their own seeds") {
+    val rows = GraphMl.q_cascade_seed_compare(spark, sf).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("active_r2") >= 5L, r.toString)
+      assert(r.getAs[Long]("coverage_e4") <= 10000L)
+    }
+  }
+
+  test("SIS mean-field: states stay in [0,1e6] and epidemic dies iff subcritical") {
+    val r = GraphMl.q_sis_meanfield(spark, sf).collect().head
+    val xs = Seq("x0_e6", "x1_e6", "x2_e6", "x3_e6", "x4_e6")
+      .map(r.getAs[Long])
+    xs.foreach(x => assert(x >= 0L && x <= 1000000L))
+    if (r.getAs[Long]("above_threshold") == 1L)
+      assert(xs.last >= xs.head, s"supercritical epidemic should not die: $xs")
+  }
+
   test("reservoir bottom-k: sample never exceeds k=32 or the population") {
     Sampling.q_reservoir_bottomk(spark, sf).collect().foreach { r =>
       val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("k"))
