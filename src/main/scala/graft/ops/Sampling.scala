@@ -770,4 +770,111 @@ object Sampling {
         expr("(sv * n - tv * k) * 10000 div (tv * k)").as("rel_err_e4"))
       .orderBy("event_type")
   }
+  // ---- §2.179 survey statistics — Kish n_eff, raking, nonresponse ---------
+
+
+  /** One raking (iterative-proportional-fitting) cycle: the customer
+    * (segment × region) joint table re-weighted to hit ORDER-share
+    * margins — rows scaled first, then columns, all e3 integer weights
+    * with identical truncation on both engines (e3 keeps every product
+    * inside BIGINT at any graded SF). Per-cell initial / after-rows /
+    * after-cycle weights plus the residual row-margin error the next
+    * cycle would shrink — the survey-weighting workhorse
+    * (Deming-Stephan '40) as two broadcast joins over a 25-cell table.
+    */
+  def q_raking_step(spark: SparkSession, sf: String): DataFrame = {
+    val cust = Tables.customer(spark, sf)
+      .join(broadcast(Tables.nation(spark, sf)
+        .join(broadcast(Tables.region(spark, sf)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("r_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey").as("cust"), col("c_mktsegment").as("seg"),
+        col("r_name").as("reg"))
+      .localCheckpoint()
+    val joint = cust.groupBy(col("seg"), col("reg"))
+      .agg(count(lit(1)).as("c0")).localCheckpoint()
+    val nTot = joint.agg(sum(col("c0")).as("nt"))
+    val ord = Tables.orders(spark, sf)
+      .join(cust, col("o_custkey") === col("cust"))
+      .select(col("seg"), col("reg")).localCheckpoint()
+    val rowTarget = ord.groupBy(col("seg")).agg(count(lit(1)).as("tr"))
+    val colTarget = ord.groupBy(col("reg")).agg(count(lit(1)).as("tc"))
+    val oTot = ord.agg(count(lit(1)).as("ot"))
+    val w0 = joint.select(col("seg"), col("reg"),
+      (col("c0") * lit(1000L)).as("w0"))
+    val rowSum = w0.groupBy(col("seg")).agg(sum(col("w0")).as("rs"))
+    val w1 = w0.join(broadcast(rowSum), "seg")
+      .join(broadcast(rowTarget), "seg")
+      .crossJoin(broadcast(oTot)).crossJoin(broadcast(nTot))
+      .select(col("seg"), col("reg"), col("w0"),
+        expr("w0 * (tr * nt * 1000 div ot) div rs").as("w1"))
+      .localCheckpoint()
+    val colSum = w1.groupBy(col("reg")).agg(sum(col("w1")).as("cs"))
+    val w2 = w1.join(broadcast(colSum), "reg")
+      .join(broadcast(colTarget), "reg")
+      .crossJoin(broadcast(oTot)).crossJoin(broadcast(nTot))
+      .select(col("seg"), col("reg"), col("w0"), col("w1"),
+        expr("w1 * (tc * nt * 1000 div ot) div cs").as("w2"))
+      .localCheckpoint()
+    val rowErr = w2.join(broadcast(rowTarget), "seg")
+      .crossJoin(broadcast(oTot)).crossJoin(broadcast(nTot))
+      .groupBy(col("seg"), expr("tr * nt * 1000 div ot").as("row_target_e3"))
+      .agg(sum(col("w2")).as("row_sum_e3"))
+      .select(col("seg"),
+        abs(col("row_sum_e3") - col("row_target_e3")).as("row_resid_e3"))
+    w2.join(broadcast(rowErr), "seg")
+      .select(col("seg").as("c_mktsegment"), col("reg").as("r_name"),
+        expr("w0 div 1000").as("n_customers"),
+        col("w1").as("w_after_rows_e3"),
+        col("w2").as("w_after_cycle_e3"),
+        col("row_resid_e3"))
+      .orderBy("c_mktsegment", "r_name")
+  }
+
+  /** Nonresponse-bias audit: "respondents" are customers with ≥1 order;
+    * per segment the response rate e4, respondent vs full-frame mean
+    * balance (exact shifted cents), and the absolute bias — plus the
+    * R-indicator ingredient, the between-segment variance of response
+    * propensities (e8, exact integer sums). The table a survey
+    * methodologist reads before trusting any respondent-only mean.
+    */
+  def q_nonresponse_bias(spark: SparkSession, sf: String): DataFrame = {
+    val resp = Tables.orders(spark, sf).select(col("o_custkey").as("cust"))
+      .distinct()
+    val c = Tables.customer(spark, sf)
+      .select(col("c_custkey").as("cust"), col("c_mktsegment").as("seg"),
+        expr("CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000").as("y"))
+      .join(resp.withColumn("r", lit(1L)), Seq("cust"), "left_outer")
+      .select(col("seg"), col("y"), coalesce(col("r"), lit(0L)).as("r"))
+    c.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_frame"), sum(col("r")).as("n_resp"),
+        sum(col("y")).as("sy"), sum(col("r") * col("y")).as("sry"))
+      .select(col("seg").as("c_mktsegment"), col("n_frame"), col("n_resp"),
+        expr("n_resp * 10000 div n_frame").as("response_rate_e4"),
+        expr("sy div n_frame - 100000").as("frame_mean_cents"),
+        expr("sry div greatest(1, n_resp) - 100000").as("resp_mean_cents"))
+      .select(col("c_mktsegment"), col("n_frame"), col("n_resp"),
+        col("response_rate_e4"), col("frame_mean_cents"),
+        col("resp_mean_cents"),
+        abs(col("resp_mean_cents") - col("frame_mean_cents")).as("abs_bias_cents"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Kish effective sample size under unequal weights (customer order
+    * counts as weights): n_eff = (Σw)²/Σw² and the weighting design
+    * effect n·Σw²/(Σw)² — both exact-integer ratios rendered e2/e4.
+    * The first number a survey statistician asks of any weighted
+    * sample.
+    */
+  def q_kish_neff(spark: SparkSession, sf: String): DataFrame = {
+    val w = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("w"))
+    w.agg(count(lit(1)).as("n"), sum(col("w")).as("sw"),
+        sum(col("w") * col("w")).as("sw2"))
+      .select(col("n").as("n_customers"), col("sw").as("sum_w"),
+        col("sw2").as("sum_w2"),
+        expr("sw * sw * 100 div sw2").as("n_eff_e2"),
+        expr("n * sw2 * 10000 div (sw * sw)").as("deff_weighting_e4"))
+  }
 }

@@ -1075,6 +1075,36 @@ class Round4OpsSpec extends AnyFunSuite {
       assert(xs.last >= xs.head, s"supercritical epidemic should not die: $xs")
   }
 
+  test("kish: effective n never exceeds actual n, deff at least 1") {
+    val r = Sampling.q_kish_neff(spark, sf).collect().head
+    assert(r.getAs[Long]("n_eff_e2") <= r.getAs[Long]("n_customers") * 100L)
+    assert(r.getAs[Long]("deff_weighting_e4") >= 10000L)
+  }
+
+  test("raking: one cycle lands column margins and shrinks weights sanely") {
+    val rows = Sampling.q_raking_step(spark, sf).collect()
+    assert(rows.length == 25, rows.length.toString)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("w_after_cycle_e3") >= 0L)
+      assert(r.getAs[Long]("row_resid_e3") >= 0L)
+    }
+    // total mass after the cycle stays within 1% of the customer total
+    val total = rows.map(_.getAs[Long]("w_after_cycle_e3")).sum
+    val n = rows.map(_.getAs[Long]("n_customers")).sum
+    assert(math.abs(total - n * 1000L) <= n * 10L, s"total=$total n=$n")
+  }
+
+  test("nonresponse: rates bounded and bias consistent with the means") {
+    val rows = Sampling.q_nonresponse_bias(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("response_rate_e4") <= 10000L)
+      assert(r.getAs[Long]("n_resp") <= r.getAs[Long]("n_frame"))
+      assert(r.getAs[Long]("abs_bias_cents") ==
+        math.abs(r.getAs[Long]("resp_mean_cents") - r.getAs[Long]("frame_mean_cents")))
+    }
+  }
+
   test("reservoir bottom-k: sample never exceeds k=32 or the population") {
     Sampling.q_reservoir_bottomk(spark, sf).collect().foreach { r =>
       val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("k"))
