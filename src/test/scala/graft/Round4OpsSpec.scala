@@ -1105,6 +1105,24 @@ class Round4OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("gumbel PWM: positive scale, return levels rise with horizon") {
+    val fit = Analytics.q_gumbel_pwm_fit(spark, sf).collect().head
+    assert(fit.getAs[Long]("sigma_e2") > 0L, fit.toString)
+    val rl = Analytics.q_return_levels(spark, sf).collect()
+      .sortBy(_.getAs[Long]("horizon_blocks"))
+    val lv = rl.map(_.getAs[Long]("return_level_e2"))
+    assert(lv.zip(lv.tail).forall { case (a, b) => a < b }, lv.toSeq.toString)
+    // the 10-block level sits above the location parameter
+    assert(lv.head > fit.getAs[Long]("mu_e2"))
+  }
+
+  test("GEV shape: finite shape with a coherent Gumbel verdict") {
+    val r = Analytics.q_gev_shape_pwm(spark, sf).collect().head
+    val k = r.getAs[Long]("k_shape_e6")
+    assert(k > -1000000L && k < 1000000L, r.toString)
+    assert((r.getAs[Long]("gumbel_adequate") == 1L) == (math.abs(k) < 100000L))
+  }
+
   test("reservoir bottom-k: sample never exceeds k=32 or the population") {
     Sampling.q_reservoir_bottomk(spark, sf).collect().foreach { r =>
       val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("k"))
