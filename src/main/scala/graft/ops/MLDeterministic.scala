@@ -3736,4 +3736,115 @@ object MLDeterministic {
                - CAST(4 AS DOUBLE) * ca * cc)) / (CAST(2 AS DOUBLE) * cc))
                * 1000000) AS BIGINT)""").as("q_scaled_e6"))
   }
+  // ---- §2.181 conformal prediction — split conformal, sweep, groups -------
+
+  /** Shared split-conformal base: hash-split orders into train(50%)/
+    * calib(25%)/test(25%), fit ŷ = per-segment train mean, score
+    * s = \|y − ŷ\| cents on calib+test. The calib score lattice gets its
+    * cumulative counts via the banded scan (scale-safe, no global
+    * window); qhat(k) is the smallest score whose cumulative count
+    * reaches k. */
+  private def conformalScores(spark: SparkSession, sf: String): DataFrame = {
+    import graft.core.Det.hash32
+    val o = Tables.orders(spark, sf)
+      .join(broadcast(Tables.customer(spark, sf)
+        .select(col("c_custkey").as("cust"), col("c_mktsegment").as("seg"))),
+        col("o_custkey") === col("cust"))
+      .select(col("o_orderkey").as("k"), col("seg"),
+        cents(col("o_totalprice")).as("y"))
+      .withColumn("split", hash32(concat(lit("cp:"), col("k"))) % 4L)
+    val fit = o.filter(col("split") <= 1L).groupBy(col("seg"))
+      .agg(expr("sum(y) div count(1)").as("yhat"))
+    o.filter(col("split") >= 2L).join(broadcast(fit), "seg")
+      .select(col("split"), col("seg"), abs(col("y") - col("yhat")).as("s"))
+      .localCheckpoint()
+  }
+
+  /** Split-conformal prediction interval at α = 0.1 (Vovk/Lei-Wasserman):
+    * qhat = the ⌈(n_cal+1)(1−α)⌉-th calibration score via a banded-scan
+    * cumulative over the score lattice, then the finite-sample coverage
+    * guarantee checked on the held-out test split — the
+    * distribution-free UQ recipe, end to end in five exact-integer
+    * steps.
+    */
+  def q_split_conformal(spark: SparkSession, sf: String): DataFrame = {
+    val scored = conformalScores(spark, sf)
+    val calib = scored.filter(col("split") === 2L)
+    val lattice = calib.groupBy(col("s")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val cum = BandedScan.cumSumAuto(lattice, Seq.empty, "s", "cnt", "cum")
+    val ncal = calib.agg(count(lit(1)).as("ncal"))
+    val qhat = cum.crossJoin(broadcast(ncal))
+      .filter(col("cum") >= expr("((ncal + 1) * 9 + 9) div 10"))
+      .agg(min(col("s")).as("qhat_cents"), max(col("ncal")).as("n_cal"))
+    scored.filter(col("split") === 3L).crossJoin(broadcast(qhat))
+      .agg(max(col("qhat_cents")).as("qhat_cents"), max(col("n_cal")).as("n_cal"),
+        count(lit(1)).as("n_test"),
+        sum(when(col("s") <= col("qhat_cents"), 1L).otherwise(0L))
+          .as("n_covered"))
+      .select(col("n_cal"), col("n_test"), col("qhat_cents"), col("n_covered"),
+        expr("n_covered * 10000 div n_test").as("coverage_e4"),
+        lit(9000L).as("target_e4"))
+  }
+
+  /** Conformal α sweep {0.2, 0.1, 0.05}: per row the rank k, qhat and
+    * the test coverage against its 1−α target — tighter α must produce
+    * wider intervals (monotone qhat), which the spec pins. One banded
+    * cumulative reused across the sweep.
+    */
+  def q_conformal_alpha_sweep(spark: SparkSession, sf: String): DataFrame = {
+    val scored = conformalScores(spark, sf)
+    val calib = scored.filter(col("split") === 2L)
+    val lattice = calib.groupBy(col("s")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val cum = BandedScan.cumSumAuto(lattice, Seq.empty, "s", "cnt", "cum")
+      .localCheckpoint()
+    val ncal = calib.agg(count(lit(1)).as("ncal"))
+    val ks = ncal.select(col("ncal"),
+        explode(array(lit(20L), lit(10L), lit(5L))).as("a100"))
+      .select(col("a100"),
+        expr("((ncal + 1) * (100 - a100) + 99) div 100").as("kk"),
+        col("ncal"))
+    val qhats = cum.crossJoin(broadcast(ks))
+      .filter(col("cum") >= col("kk"))
+      .groupBy(col("a100"), col("kk"), col("ncal"))
+      .agg(min(col("s")).as("qhat_cents"))
+    scored.filter(col("split") === 3L).crossJoin(broadcast(qhats))
+      .groupBy(col("a100"), col("kk"), col("ncal"), col("qhat_cents"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("s") <= col("qhat_cents"), 1L).otherwise(0L))
+          .as("n_covered"))
+      .select(col("a100").as("alpha_e2"), col("kk").as("rank_k"),
+        col("qhat_cents"), col("n_test"), col("n_covered"),
+        expr("n_covered * 10000 div n_test").as("coverage_e4"),
+        expr("(100 - a100) * 100").as("target_e4"))
+      .orderBy("alpha_e2")
+  }
+
+  /** Conditional-coverage audit: the α = 0.1 GLOBAL qhat applied per
+    * segment on the test split — marginal conformal guarantees say
+    * nothing about per-group coverage, and this table shows which
+    * segments are under-covered (the motivation for Mondrian/
+    * group-conditional conformal). Five rows.
+    */
+  def q_conformal_group_coverage(spark: SparkSession, sf: String): DataFrame = {
+    val scored = conformalScores(spark, sf)
+    val calib = scored.filter(col("split") === 2L)
+    val lattice = calib.groupBy(col("s")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val cum = BandedScan.cumSumAuto(lattice, Seq.empty, "s", "cnt", "cum")
+    val ncal = calib.agg(count(lit(1)).as("ncal"))
+    val qhat = cum.crossJoin(broadcast(ncal))
+      .filter(col("cum") >= expr("((ncal + 1) * 9 + 9) div 10"))
+      .agg(min(col("s")).as("qhat_cents"))
+    scored.filter(col("split") === 3L).crossJoin(broadcast(qhat))
+      .groupBy(col("seg"), col("qhat_cents"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("s") <= col("qhat_cents"), 1L).otherwise(0L))
+          .as("n_covered"))
+      .select(col("seg").as("c_mktsegment"), col("qhat_cents"), col("n_test"),
+        col("n_covered"),
+        expr("n_covered * 10000 div n_test").as("coverage_e4"))
+      .orderBy("c_mktsegment")
+  }
 }

@@ -1123,6 +1123,31 @@ class Round4OpsSpec extends AnyFunSuite {
     assert((r.getAs[Long]("gumbel_adequate") == 1L) == (math.abs(k) < 100000L))
   }
 
+  test("split conformal: empirical coverage honors the finite-sample bound") {
+    val r = MLDeterministic.q_split_conformal(spark, sf).collect().head
+    // the guarantee is >= 1-alpha in expectation; allow slack at tiny SF
+    assert(r.getAs[Long]("coverage_e4") >= 8000L, r.toString)
+    assert(r.getAs[Long]("n_covered") <= r.getAs[Long]("n_test"))
+    assert(r.getAs[Long]("qhat_cents") > 0L)
+  }
+
+  test("conformal sweep: tighter alpha widens the interval monotonically") {
+    val rows = MLDeterministic.q_conformal_alpha_sweep(spark, sf).collect()
+      .sortBy(_.getAs[Long]("alpha_e2"))
+    assert(rows.length == 3)
+    // alpha 5 < 10 < 20 sorted ascending → qhat must descend
+    val qh = rows.map(_.getAs[Long]("qhat_cents"))
+    assert(qh.zip(qh.tail).forall { case (a, b) => a >= b }, qh.toSeq.toString)
+    rows.foreach(r => assert(r.getAs[Long]("coverage_e4") <= 10000L))
+  }
+
+  test("conformal groups: per-segment coverage varies around the target") {
+    val rows = MLDeterministic.q_conformal_group_coverage(spark, sf).collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getAs[Long]("qhat_cents")).distinct.length == 1)
+    rows.foreach(r => assert(r.getAs[Long]("coverage_e4") <= 10000L))
+  }
+
   test("reservoir bottom-k: sample never exceeds k=32 or the population") {
     Sampling.q_reservoir_bottomk(spark, sf).collect().foreach { r =>
       val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("k"))
