@@ -11284,4 +11284,98 @@ object Analytics {
       .select(col("n_blocks"), col("c_e8"), col("k_shape_e6"),
         when(abs(col("k_shape_e6")) < 100000L, 1L).otherwise(0L)
           .as("gumbel_adequate"))
+  // ---- §2.182 discrete choice — logit shares, log-sum, elasticities -------
+
+  /** One-row sufficient statistics for the 5-segment logit: per-segment
+    * mean order price (exact integer division) and order counts, as
+    * named columns so every downstream float expression is a FIXED
+    * 5-term tree (no order-dependent aggregation of doubles). */
+  private def logitStats(spark: SparkSession, sf: String): DataFrame = {
+    val o = Tables.orders(spark, sf)
+      .join(broadcast(Tables.customer(spark, sf)
+        .select(col("c_custkey").as("cust"), col("c_mktsegment").as("seg"))),
+        col("o_custkey") === col("cust"))
+      .select(col("seg"), cents(col("o_totalprice")).as("y"))
+    def m(s: String, out: String) =
+      expr(s"sum(CASE WHEN seg = '$s' THEN y ELSE 0 END) div " +
+        s"sum(CASE WHEN seg = '$s' THEN 1 ELSE 0 END)").as("p_" + out)
+    def c(s: String, out: String) =
+      expr(s"sum(CASE WHEN seg = '$s' THEN 1 ELSE 0 END)").as("n_" + out)
+    o.groupBy().agg(
+      m("AUTOMOBILE", "auto"), m("BUILDING", "bld"), m("FURNITURE", "furn"),
+      m("HOUSEHOLD", "hh"), m("MACHINERY", "mach"),
+      c("AUTOMOBILE", "auto"), c("BUILDING", "bld"), c("FURNITURE", "furn"),
+      c("HOUSEHOLD", "hh"), c("MACHINERY", "mach"),
+      expr("sum(y) div count(1)").as("pbar"), count(lit(1)).as("n"))
+  }
+
+  private val logitDen =
+    "(EXP(CAST(0 AS DOUBLE) - CAST(p_auto AS DOUBLE) / CAST(pbar AS DOUBLE))" +
+    " + EXP(CAST(0 AS DOUBLE) - CAST(p_bld AS DOUBLE) / CAST(pbar AS DOUBLE))" +
+    " + EXP(CAST(0 AS DOUBLE) - CAST(p_furn AS DOUBLE) / CAST(pbar AS DOUBLE))" +
+    " + EXP(CAST(0 AS DOUBLE) - CAST(p_hh AS DOUBLE) / CAST(pbar AS DOUBLE))" +
+    " + EXP(CAST(0 AS DOUBLE) - CAST(p_mach AS DOUBLE) / CAST(pbar AS DOUBLE)))"
+
+  private def logitShare(p: String): String =
+    s"EXP(CAST(0 AS DOUBLE) - CAST($p AS DOUBLE) / CAST(pbar AS DOUBLE)) / $logitDen"
+
+  /** Multinomial-logit choice shares with utility u = −p/p̄ (β = 1/p̄):
+    * predicted share exp(u_i)/Σexp(u_j) per segment — the denominator a
+    * FIXED 5-term sum so both engines evaluate the identical IEEE
+    * tree — against the actual order share, e6. The workhorse demand
+    * model, fit-free and fully auditable.
+    */
+  def q_logit_shares(spark: SparkSession, sf: String): DataFrame = {
+    val segs = Seq(("AUTOMOBILE", "p_auto", "n_auto"),
+      ("BUILDING", "p_bld", "n_bld"), ("FURNITURE", "p_furn", "n_furn"),
+      ("HOUSEHOLD", "p_hh", "n_hh"), ("MACHINERY", "p_mach", "n_mach"))
+    val rows = segs.map { case (name, p, nn) =>
+      struct(lit(name).as("seg"),
+        expr(s"$nn * 1000000 div n").as("actual_share_e6"),
+        expr(s"CAST(ROUND(${logitShare(p)} * 1000000) AS BIGINT)")
+          .as("pred_share_e6")) }
+    logitStats(spark, sf)
+      .select(explode(array(rows: _*)).as("r"))
+      .select(col("r.seg").as("c_mktsegment"),
+        col("r.actual_share_e6").as("actual_share_e6"),
+        col("r.pred_share_e6").as("pred_share_e6"),
+        (col("r.pred_share_e6") - col("r.actual_share_e6")).as("diff_e6"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Log-sum (inclusive value) consumer surplus of the same logit:
+    * IV = ln Σ exp(u_i), the expected maximum utility that makes
+    * nested-logit trees and welfare deltas computable — one staged
+    * tree, e6, with the share-weighted mean utility beside it.
+    */
+  def q_logsum_surplus(spark: SparkSession, sf: String): DataFrame =
+    logitStats(spark, sf)
+      .select(col("n").as("n_orders"), col("pbar").as("mean_price_cents"),
+        expr(s"CAST(ROUND(LN($logitDen) * 1000000) AS BIGINT)")
+          .as("logsum_e6"))
+
+  /** Logit price elasticities at β = 1/p̄: own e_ii = −(p_i/p̄)(1−s_i)
+    * and the cross effect each segment exerts, +(p_i/p̄)s_i — the
+    * IIA-driven proportional-substitution pattern, per segment e6.
+    * Same fixed trees as the shares.
+    */
+  def q_logit_elasticities(spark: SparkSession, sf: String): DataFrame = {
+    val segs = Seq(("AUTOMOBILE", "p_auto"), ("BUILDING", "p_bld"),
+      ("FURNITURE", "p_furn"), ("HOUSEHOLD", "p_hh"), ("MACHINERY", "p_mach"))
+    val rows = segs.map { case (name, p) =>
+      struct(lit(name).as("seg"),
+        expr(s"""CAST(ROUND((CAST(0 AS DOUBLE) - CAST($p AS DOUBLE)
+            / CAST(pbar AS DOUBLE))
+            * (CAST(1 AS DOUBLE) - ${logitShare(p)}) * 1000000) AS BIGINT)""")
+          .as("own_elasticity_e6"),
+        expr(s"""CAST(ROUND(CAST($p AS DOUBLE) / CAST(pbar AS DOUBLE)
+            * ${logitShare(p)} * 1000000) AS BIGINT)""")
+          .as("cross_effect_e6")) }
+    logitStats(spark, sf)
+      .select(explode(array(rows: _*)).as("r"))
+      .select(col("r.seg").as("c_mktsegment"),
+        col("r.own_elasticity_e6").as("own_elasticity_e6"),
+        col("r.cross_effect_e6").as("cross_effect_e6"))
+      .orderBy("c_mktsegment")
+  }
 }

@@ -1148,6 +1148,26 @@ class Round4OpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Long]("coverage_e4") <= 10000L))
   }
 
+  test("logit shares: predictions form a probability vector") {
+    val rows = Analytics.q_logit_shares(spark, sf).collect()
+    assert(rows.length == 5)
+    val pred = rows.map(_.getAs[Long]("pred_share_e6")).sum
+    assert(math.abs(pred - 1000000L) <= 5L, pred.toString)
+    rows.foreach(r => assert(r.getAs[Long]("pred_share_e6") > 0L))
+  }
+
+  test("logit elasticities: own negative, cross positive, IIA pattern") {
+    val rows = Analytics.q_logit_elasticities(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("own_elasticity_e6") < 0L, r.toString)
+      assert(r.getAs[Long]("cross_effect_e6") > 0L, r.toString)
+    }
+    val ls = Analytics.q_logsum_surplus(spark, sf).collect().head
+    // ln of a 5-term sum of exp(~-1) values lands near ln(5) - 1
+    val v = ls.getAs[Long]("logsum_e6")
+    assert(v > -2000000L && v < 2000000L, v.toString)
+  }
+
   test("reservoir bottom-k: sample never exceeds k=32 or the population") {
     Sampling.q_reservoir_bottomk(spark, sf).collect().foreach { r =>
       val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("k"))
