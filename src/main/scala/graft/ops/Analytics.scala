@@ -11378,4 +11378,314 @@ object Analytics {
         col("r.cross_effect_e6").as("cross_effect_e6"))
       .orderBy("c_mktsegment")
   }
+
+  // ---- §2.183 claims reserving — chain ladder, BF ultimate ----------------
+
+  /** Run-off triangle over the order book: origin = order YEAR, payment =
+    * line-item ship YEAR, development age = ship−origin years clamped to
+    * the 0..3+ ladder (negative synthetic lags excluded). One row per
+    * origin with the four CUMULATIVE paid columns as exact cents — the
+    * whole triangle is ONE shuffle (join on orderkey) plus one 7-row
+    * aggregate, so the shape is identical at 100 TB.
+    */
+  private def clTriangle(spark: SparkSession, sf: String): DataFrame = {
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("ok"), year(col("o_orderdate")).as("origin"))
+    val paid = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), year(col("l_shipdate")).as("ship_y"),
+        cents(col("l_extendedprice")).as("paid"))
+      .join(o, col("l_orderkey") === col("ok"))
+      .withColumn("age", col("ship_y") - col("origin"))
+      .filter(col("age") >= 0)
+    paid.groupBy("origin").agg(
+      sum(when(col("age") <= 0, col("paid")).otherwise(0L)).as("c0"),
+      sum(when(col("age") <= 1, col("paid")).otherwise(0L)).as("c1"),
+      sum(when(col("age") <= 2, col("paid")).otherwise(0L)).as("c2"),
+      sum(col("paid")).as("c3"),
+      max(col("ship_y")).as("max_ship_y"))
+  }
+
+  /** One-row chain-ladder sufficient statistics: the calendar cutoff year
+    * and, per development age k ∈ {0,1,2}, the volume-weighted link-ratio
+    * numerator Σᵢ C_{i,k+1} and denominator Σᵢ C_{i,k} over exactly the
+    * origins whose age k+1 is observed (origin + k + 1 ≤ cutoff). All
+    * sums exact cents; every float downstream is a fixed tree on these.
+    */
+  private def clStats(spark: SparkSession, sf: String): DataFrame = {
+    val t = clTriangle(spark, sf)
+    val cutoff = t.agg(max(col("max_ship_y")).as("cutoff"))
+    t.crossJoin(broadcast(cutoff)).groupBy().agg(
+      max(col("cutoff")).as("cutoff"),
+      sum(when(col("origin") + 1 <= col("cutoff"), col("c0")).otherwise(0L)).as("den0"),
+      sum(when(col("origin") + 1 <= col("cutoff"), col("c1")).otherwise(0L)).as("num0"),
+      sum(when(col("origin") + 1 <= col("cutoff"), 1L).otherwise(0L)).as("n0"),
+      sum(when(col("origin") + 2 <= col("cutoff"), col("c1")).otherwise(0L)).as("den1"),
+      sum(when(col("origin") + 2 <= col("cutoff"), col("c2")).otherwise(0L)).as("num1"),
+      sum(when(col("origin") + 2 <= col("cutoff"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("origin") + 3 <= col("cutoff"), col("c2")).otherwise(0L)).as("den2"),
+      sum(when(col("origin") + 3 <= col("cutoff"), col("c3")).otherwise(0L)).as("num2"),
+      sum(when(col("origin") + 3 <= col("cutoff"), 1L).otherwise(0L)).as("n2"),
+      sum(when(col("origin") + 3 <= col("cutoff"), col("c3")).otherwise(0L)).as("paid_full"))
+  }
+
+  /** Textual double expression for link ratio f_k — kept as ONE string so
+    * the Spark and DuckDB trees are byte-identical. */
+  private def clF(k: Int): String =
+    s"(CAST(num$k AS DOUBLE) / CAST(den$k AS DOUBLE))"
+
+  /** Chain-ladder development factors: per age k the volume-weighted link
+    * ratio f_k = ΣC_{k+1}/ΣC_k with its exact integer numerator,
+    * denominator, and origin count. The actuarial standard reserve
+    * pattern (Mack 1993) as three fixed-tree ratios, e6.
+    */
+  def q_chain_ladder_factors(spark: SparkSession, sf: String): DataFrame = {
+    val rows = (0 to 2).map { k =>
+      struct(lit(k.toLong).as("dev_age"),
+        col(s"n$k").as("n_origins"),
+        col(s"den$k").as("paid_at_cents"),
+        col(s"num$k").as("paid_next_cents"),
+        expr(s"CAST(ROUND(${clF(k)} * 1000000) AS BIGINT)").as("factor_e6")) }
+    clStats(spark, sf)
+      .select(explode(array(rows: _*)).as("r"))
+      .select(col("r.dev_age").as("dev_age"), col("r.n_origins").as("n_origins"),
+        col("r.paid_at_cents").as("paid_at_cents"),
+        col("r.paid_next_cents").as("paid_next_cents"),
+        col("r.factor_e6").as("factor_e6"))
+      .orderBy("dev_age")
+  }
+
+  /** CASE tree: latest observed cumulative paid for an origin at its
+    * latest observed age L = least(3, cutoff − origin). */
+  private val clLatest =
+    "(CASE LEAST(3, cutoff - origin) WHEN 0 THEN c0 WHEN 1 THEN c1 " +
+      "WHEN 2 THEN c2 ELSE c3 END)"
+
+  /** CASE tree: product of the remaining link ratios from age L to
+    * ultimate, as a fixed multiplication tree per branch. */
+  private def clTail: String =
+    s"(CASE LEAST(3, cutoff - origin) " +
+      s"WHEN 0 THEN ${clF(0)} * ${clF(1)} * ${clF(2)} " +
+      s"WHEN 1 THEN ${clF(1)} * ${clF(2)} " +
+      s"WHEN 2 THEN ${clF(2)} ELSE CAST(1 AS DOUBLE) END)"
+
+  /** Per-origin chain-ladder projection: latest observed cumulative,
+    * projected ultimate = latest × Π remaining f_k, and the IBNR reserve.
+    * Cumulative columns guarantee f_k ≥ 1, so reserves are ≥ 0 by
+    * construction. Triangle rows are calendar-bounded (years), so the
+    * final table is tiny at any corpus scale.
+    */
+  def q_chain_ladder_reserve(spark: SparkSession, sf: String): DataFrame =
+    clTriangle(spark, sf)
+      .crossJoin(broadcast(clStats(spark, sf)))
+      .select(col("origin").cast("long").as("origin_year"),
+        expr("CAST(LEAST(3, cutoff - origin) AS BIGINT)").as("latest_age"),
+        expr(clLatest).as("latest_cents"),
+        expr(s"CAST(ROUND(CAST($clLatest AS DOUBLE) * $clTail) AS BIGINT)")
+          .as("ultimate_cents"),
+        expr(s"CAST(ROUND(CAST($clLatest AS DOUBLE) * $clTail) AS BIGINT) " +
+          s"- $clLatest").as("reserve_cents"))
+      .orderBy("origin_year")
+
+  /** Bornhuetter-Ferguson ultimate: blend the chain-ladder tail with a
+    * prior ultimate = origin-year premium × portfolio ELR (paid/premium
+    * over fully-developed origins). BF ultimate = latest + prior ×
+    * (1 − 1/Πf) — the stabilizer actuaries use when an immature origin's
+    * own data is too thin to trust the pure link-ratio projection.
+    */
+  def q_bf_ultimate(spark: SparkSession, sf: String): DataFrame = {
+    val premium = Tables.orders(spark, sf)
+      .groupBy(year(col("o_orderdate")).as("origin"))
+      .agg(sum(cents(col("o_totalprice"))).as("premium_cents"))
+    val stats = clStats(spark, sf)
+    val prem = premium.crossJoin(broadcast(stats))
+      .groupBy().agg(
+        sum(when(col("origin") + 3 <= col("cutoff"), col("premium_cents"))
+          .otherwise(0L)).as("prem_full"))
+    val pctDev = s"(CAST(1 AS DOUBLE) / $clTail)"
+    clTriangle(spark, sf)
+      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(prem))
+      .join(premium, Seq("origin"))
+      .select(col("origin").cast("long").as("origin_year"),
+        col("premium_cents"),
+        expr("CAST(ROUND(CAST(paid_full AS DOUBLE) / CAST(prem_full AS DOUBLE)" +
+          " * 1000000) AS BIGINT)").as("elr_e6"),
+        expr(s"CAST(ROUND($pctDev * 1000000) AS BIGINT)").as("pct_developed_e6"),
+        expr(s"CAST(ROUND(CAST($clLatest AS DOUBLE) " +
+          s"+ CAST(premium_cents AS DOUBLE) " +
+          s"* (CAST(paid_full AS DOUBLE) / CAST(prem_full AS DOUBLE)) " +
+          s"* (CAST(1 AS DOUBLE) - $pctDev)) AS BIGINT)").as("bf_ultimate_cents"),
+        expr(s"CAST(ROUND(CAST($clLatest AS DOUBLE) * $clTail) AS BIGINT)")
+          .as("cl_ultimate_cents"))
+      .orderBy("origin_year")
+  }
+
+  // ---- §2.184 fixed income — bond price, duration, convexity --------------
+
+  /** One bond per nation, parameters derived from the data so the ladder
+    * is deterministic at every SF: coupon_bps = 150 + 25·(Σ|supplier
+    * acctbal cents| mod 17), maturity = 1 + nationkey mod 10 years, flat
+    * market yield ybps = 350 + (global supplier count mod 150). The
+    * portfolio is nation-bounded (≤ 25 rows), so every downstream op is
+    * a broadcast regardless of corpus size.
+    */
+  private def bondLadder(spark: SparkSession, sf: String): DataFrame = {
+    val perNation = Tables.supplier(spark, sf)
+      .groupBy(col("s_nationkey").as("nk"))
+      .agg(sum(abs(cents(col("s_acctbal")))).as("bal"),
+        count(lit(1)).as("n_sup"))
+    val global = Tables.supplier(spark, sf)
+      .agg(count(lit(1)).as("n_all"))
+    Tables.nation(spark, sf)
+      .join(perNation, col("n_nationkey") === col("nk"))
+      .crossJoin(broadcast(global))
+      .select(col("n_nationkey").cast("long").as("bond_id"),
+        col("n_name").as("issuer"),
+        expr("150 + 25 * (bal % 17)").as("coupon_bps"),
+        expr("CAST(1 + n_nationkey % 10 AS BIGINT)").as("maturity_y"),
+        expr("CAST(350 + n_all % 150 AS BIGINT)").as("y_bps"))
+  }
+
+  /** Closed-form clean price per 100 face at a flat annual yield: the
+    * annuity form c·F·(1−vᵀ)/y + F·vᵀ — NO per-cashflow double sum, so
+    * there is no order-dependent aggregation anywhere. `y` names the
+    * yield column (bps) so the bump-and-revalue convexity reuses the
+    * identical tree at y±1bp.
+    */
+  private def bondPx(y: String): String = {
+    val yd = s"(CAST($y AS DOUBLE) / CAST(10000 AS DOUBLE))"
+    val v = s"(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + $yd))"
+    val c = "(CAST(coupon_bps AS DOUBLE) / CAST(10000 AS DOUBLE))"
+    s"($c * CAST(100 AS DOUBLE) * (CAST(1 AS DOUBLE) - POWER($v, maturity_y)) / $yd" +
+      s" + CAST(100 AS DOUBLE) * POWER($v, maturity_y))"
+  }
+
+  /** Bond pricing: closed-form price, premium/discount flag, and current
+    * yield (coupon/price) for the 25-bond ladder, e6. */
+  def q_bond_pricing(spark: SparkSession, sf: String): DataFrame =
+    bondLadder(spark, sf)
+      .select(col("bond_id"), col("issuer"), col("coupon_bps"),
+        col("maturity_y"), col("y_bps"),
+        expr(s"CAST(ROUND(${bondPx("y_bps")} * 1000000) AS BIGINT)")
+          .as("price_e6"),
+        expr(s"CAST(ROUND(CAST(coupon_bps AS DOUBLE) / CAST(100 AS DOUBLE)" +
+          s" / ${bondPx("y_bps")} * 1000000) AS BIGINT)")
+          .as("current_yield_e6"),
+        expr(s"CASE WHEN coupon_bps > y_bps THEN 1 ELSE 0 END")
+          .cast("long").as("premium_flag"))
+      .orderBy("bond_id")
+
+  /** Macaulay duration via the closed geometric-gradient form
+    * Σ t·vᵗ = v(1−(T+1)vᵀ+T·vᵀ⁺¹)/(1−v)², modified duration D/(1+y),
+    * and DV01 — every term one fixed tree on the ladder row. */
+  def q_bond_duration(spark: SparkSession, sf: String): DataFrame = {
+    val yd = "(CAST(y_bps AS DOUBLE) / CAST(10000 AS DOUBLE))"
+    val v = s"(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + $yd))"
+    val c = "(CAST(coupon_bps AS DOUBLE) / CAST(10000 AS DOUBLE))"
+    val sumTv = s"($v * (CAST(1 AS DOUBLE) - (CAST(maturity_y AS DOUBLE)" +
+      s" + CAST(1 AS DOUBLE)) * POWER($v, maturity_y)" +
+      s" + CAST(maturity_y AS DOUBLE) * POWER($v, maturity_y + 1))" +
+      s" / ((CAST(1 AS DOUBLE) - $v) * (CAST(1 AS DOUBLE) - $v)))"
+    val macaulay = s"(($c * CAST(100 AS DOUBLE) * $sumTv" +
+      s" + CAST(maturity_y AS DOUBLE) * CAST(100 AS DOUBLE)" +
+      s" * POWER($v, maturity_y)) / ${bondPx("y_bps")})"
+    bondLadder(spark, sf)
+      .select(col("bond_id"), col("maturity_y"), col("y_bps"),
+        expr(s"CAST(ROUND($macaulay * 1000000) AS BIGINT)").as("macaulay_e6"),
+        expr(s"CAST(ROUND($macaulay / (CAST(1 AS DOUBLE) + $yd) * 1000000)" +
+          " AS BIGINT)").as("modified_e6"),
+        expr(s"CAST(ROUND(${bondPx("y_bps")} * $macaulay" +
+          s" / (CAST(1 AS DOUBLE) + $yd) / CAST(10000 AS DOUBLE) * 1000000)" +
+          " AS BIGINT)").as("dv01_e6"))
+      .orderBy("bond_id")
+  }
+
+  /** Effective convexity by bump-and-revalue at h = 1bp —
+    * (P₊ + P₋ − 2P)/(P·h²) — plus the two bumped prices themselves; the
+    * practitioner's model-free convexity, reusing the identical pricing
+    * tree at three yields. */
+  def q_bond_convexity(spark: SparkSession, sf: String): DataFrame = {
+    val h = "(CAST(1 AS DOUBLE) / CAST(10000 AS DOUBLE))"
+    val conv = s"((${bondPx("y_bps + 1")} + ${bondPx("y_bps - 1")}" +
+      s" - CAST(2 AS DOUBLE) * ${bondPx("y_bps")})" +
+      s" / (${bondPx("y_bps")} * $h * $h))"
+    bondLadder(spark, sf)
+      .select(col("bond_id"), col("maturity_y"), col("y_bps"),
+        expr(s"CAST(ROUND(${bondPx("y_bps + 1")} * 1000000) AS BIGINT)")
+          .as("price_up_e6"),
+        expr(s"CAST(ROUND(${bondPx("y_bps - 1")} * 1000000) AS BIGINT)")
+          .as("price_down_e6"),
+        expr(s"CAST(ROUND($conv * 1000000) AS BIGINT)").as("convexity_e6"))
+      .orderBy("bond_id")
+  }
+
+  // ---- §2.186 actuarial life table — lx/qx/ex, Lexis, Gompertz ------------
+
+  /** Cohort life table over user lifetimes: age = DAYS between a user's
+    * first and last event (the fixture stream spans ~a month, so days is
+    * the natural actuarial grain), d_x = deaths at age x, survivors
+    * l_x = Σ_{y≥x} d_y via a banded reverse-cumulative scan (age negated
+    * so the inclusive BandedScan runs "from the oldest age down" — no
+    * global window), and T2_x = Σ_{y≥x} (2l_y − d_y), person-days
+    * lived ×2 kept exactly integral so e_x = T2/(2l) is the only float.
+    */
+  private def lifeTable(spark: SparkSession, sf: String): DataFrame = {
+    val ages = Tables.eventsWithTs(spark, sf)
+      .select(col("user_id"),
+        expr("ts_usl div 86400000000").as("m"))
+      .groupBy("user_id").agg(min(col("m")).as("m0"), max(col("m")).as("m1"))
+      .select((col("m1") - col("m0")).as("x"))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+      .withColumn("nx", -col("x"))
+    val lx = BandedScan.cumSum(ages, Nil, "nx", "d", "lx")
+      .withColumn("L2", col("lx") * 2L - col("d"))
+    BandedScan.cumSum(lx, Nil, "nx", "L2", "T2")
+      .select(col("x").cast("long").as("age_days"), col("d"), col("lx"),
+        col("L2"), col("T2"))
+  }
+
+  /** The classic cohort life table: per age in days the deaths d_x,
+    * survivors l_x, mortality probability q_x = d_x/l_x (e6), and the
+    * remaining life expectancy e_x = T_x/l_x (e6) under the standard
+    * half-period-of-death convention. */
+  def q_life_table(spark: SparkSession, sf: String): DataFrame =
+    lifeTable(spark, sf)
+      .select(col("age_days"), col("d").as("deaths"), col("lx"),
+        expr("d * 1000000 div lx").as("qx_e6"),
+        expr("CAST(ROUND(CAST(T2 AS DOUBLE) / (CAST(2 AS DOUBLE)" +
+          " * CAST(lx AS DOUBLE)) * 1000000) AS BIGINT)").as("ex_e6"))
+      .orderBy("age_days")
+
+  /** Lexis surface: deaths on the (birth-cohort week × age-week band)
+    * grid plus exact person-days — the demographer's diagram as one
+    * two-key aggregate, scale-bounded by the calendar not the corpus. */
+  def q_lexis_surface(spark: SparkSession, sf: String): DataFrame =
+    Tables.eventsWithTs(spark, sf)
+      .select(col("user_id"),
+        expr("ts_usl div 86400000000").as("m"))
+      .groupBy("user_id").agg(min(col("m")).as("m0"), max(col("m")).as("m1"))
+      .groupBy(expr("CAST(m0 div 7 AS BIGINT)").as("cohort_w"),
+        expr("CAST((m1 - m0) div 7 AS BIGINT)").as("age_band"))
+      .agg(count(lit(1)).as("deaths"),
+        sum(col("m1") - col("m0")).as("person_days"))
+      .orderBy("cohort_w", "age_band")
+
+  /** Central death rates m_x = d_x/(L2_x/2) and the Gompertz log-gradient
+    * ln(m_{x+1}/m_x) — mortality's exponential-aging slope — via a
+    * broadcast self-join of consecutive ages (the table is age-bounded,
+    * never corpus-bounded). */
+  def q_mortality_gradient(spark: SparkSession, sf: String): DataFrame = {
+    val lt = lifeTable(spark, sf).filter(col("d") > 0L)
+    val mx = "(CAST(2 AS DOUBLE) * CAST(d AS DOUBLE) / CAST(L2 AS DOUBLE))"
+    val mxN = "(CAST(2 AS DOUBLE) * CAST(d_n AS DOUBLE) / CAST(L2_n AS DOUBLE))"
+    val nxt = lt.select(col("age_days").as("age_n"), col("d").as("d_n"),
+      col("L2").as("L2_n"))
+    lt.join(broadcast(nxt), col("age_n") === col("age_days") + 1L)
+      .select(col("age_days"),
+        expr(s"CAST(ROUND($mx * 1000000) AS BIGINT)").as("mx_e6"),
+        expr(s"CAST(ROUND($mxN * 1000000) AS BIGINT)").as("mx_next_e6"),
+        expr(s"CAST(ROUND(LN($mxN / $mx) * 1000000) AS BIGINT)")
+          .as("gompertz_slope_e6"))
+      .orderBy("age_days")
+  }
 }

@@ -1339,4 +1339,111 @@ object Events {
         expr("picked_total * 10000 div prophet_total").as("ratio_e4"),
         lit(5000L).as("guarantee_e4"))
   }
+
+  // ---- §2.185 cache / working-set analytics -------------------------------
+
+  /** Global access-sequence numbers over the event stream WITHOUT a
+    * global window: band the timeline (≈√n bands from the observed
+    * range, like [[BandedScan.cumSumAuto]]), row_number within each band
+    * (keyed window), then add the banded prefix count of earlier bands.
+    * Returns (key, rn, n_total): key = user_id (the "cache line"),
+    * rn = 1-based position in the (ts, event_id) total order. The band
+    * bounds resolve once at plan construction (one tiny aggregate), the
+    * same pattern as the calendar bounds in q_recursive_calendar.
+    */
+  private def accessSeq(spark: SparkSession, sf: String): (DataFrame, Long) = {
+    val ev = Tables.eventsWithTs(spark, sf)
+      .select(col("user_id").as("key"), col("ts_usl").as("t"),
+        col("event_id").as("id"))
+    val b = ev.agg(min(col("t")).as("mn"), max(col("t")).as("mx"),
+      count(lit(1)).as("n")).head()
+    val n = b.getLong(2)
+    val bw = math.max(1L,
+      math.ceil((b.getLong(1) - b.getLong(0) + 1) / math.sqrt(math.max(n, 1L).toDouble)).toLong)
+    val banded = ev.withColumn("band", expr(s"t div $bw"))
+    val wIn = Window.partitionBy("band").orderBy(col("t"), col("id"))
+    val inBand = banded.withColumn("r_in", row_number().over(wIn).cast("long"))
+    val prefix = BandedScan
+      .cumSum(banded.groupBy("band").agg(count(lit(1)).as("cnt")),
+        Nil, "band", "cnt", "cum")
+      .select(col("band"), (col("cum") - col("cnt")).as("prev"))
+    (inBand.join(prefix, "band")
+      .select(col("key"), (col("prev") + col("r_in")).as("rn")), n)
+  }
+
+  /** Reuse distances: rn − previous rn of the same key (a keyed window),
+    * null for compulsory first accesses. */
+  private def reuseDist(spark: SparkSession, sf: String): (DataFrame, Long) = {
+    val (acc, n) = accessSeq(spark, sf)
+    val w = Window.partitionBy("key").orderBy("rn")
+    (acc.withColumn("d", col("rn") - lag(col("rn"), 1).over(w))
+      .filter(col("d").isNotNull), n)
+  }
+
+  /** Shared CASE tree: power-of-two reuse-distance bucket 0..20. */
+  private val reuseBucket: String = {
+    val whens = (1 to 20)
+      .map(bkt => s"WHEN d < ${1L << bkt} THEN ${bkt - 1}").mkString(" ")
+    s"(CASE $whens ELSE 20 END)"
+  }
+
+  /** Reuse-distance histogram — the locality profile cache sizing reads
+    * off directly: per power-of-two bucket the access count, its share
+    * of ALL accesses (e6), and the exact min/max distance seen. The
+    * global sequence numbering is banded (no single-task window), so
+    * the whole profile is shuffle-bounded at any corpus size.
+    */
+  def q_reuse_distance(spark: SparkSession, sf: String): DataFrame = {
+    val (r, n) = reuseDist(spark, sf)
+    r.groupBy(expr(s"CAST($reuseBucket AS BIGINT)").as("bucket"))
+      .agg(count(lit(1)).as("n_accesses"),
+        min(col("d")).as("d_min"), max(col("d")).as("d_max"))
+      .select(col("bucket"), col("n_accesses"),
+        expr(s"n_accesses * 1000000 div ${n}L").as("share_e6"),
+        col("d_min"), col("d_max"))
+      .orderBy("bucket")
+  }
+
+  /** LRU hit-rate curve by cache size (16..4096 lines) under the classic
+    * time-distance approximation (temporal reuse distance upper-bounds
+    * stack distance, so each point upper-bounds the true LRU hit rate):
+    * per size the hits, hit share of all accesses (e6), plus the
+    * compulsory-miss row the curve asymptotes to.
+    */
+  def q_lru_hit_curve(spark: SparkSession, sf: String): DataFrame = {
+    val (r, n) = reuseDist(spark, sf)
+    val sizes = Seq(16L, 64L, 256L, 1024L, 4096L)
+    val aggs = sizes.map(c =>
+      sum(when(col("d") <= c, 1L).otherwise(0L)).as(s"h_$c")) :+
+      count(lit(1)).as("n_reuses")
+    val one = r.groupBy().agg(aggs.head, aggs.tail: _*)
+    val rows = sizes.map { c =>
+      struct(lit(c).as("cache_size"), col(s"h_$c").as("hits"),
+        expr(s"h_$c * 1000000 div ${n}L").as("hit_rate_e6")) }
+    one.select(col("n_reuses"), explode(array(rows: _*)).as("r"))
+      .select(col("r.cache_size").as("cache_size"), col("r.hits").as("hits"),
+        col("r.hit_rate_e6").as("hit_rate_e6"),
+        (lit(n) - col("n_reuses")).as("compulsory_misses"))
+      .orderBy("cache_size")
+  }
+
+  /** Denning working-set curve: for tumbling windows of 1h / 6h / 24h,
+    * the number of windows, the mean and max distinct keys per window —
+    * how resident-set demand scales with the observation interval. Each
+    * scale is one exact (window, key) distinct + count, keyed end to end.
+    */
+  def q_working_set_curve(spark: SparkSession, sf: String): DataFrame = {
+    val ev = Tables.eventsWithTs(spark, sf)
+      .select(col("user_id").as("key"), col("ts_usl").as("t"))
+    val taus = Seq(3600000000L, 21600000000L, 86400000000L)
+    taus.map { tau =>
+      ev.select(expr(s"t div ${tau}L").as("w"), col("key")).distinct()
+        .groupBy("w").agg(count(lit(1)).as("m"))
+        .agg(count(lit(1)).as("n_windows"), sum(col("m")).as("sum_ws"),
+          max(col("m")).as("max_ws"))
+        .select(lit(tau).as("window_us"), col("n_windows"),
+          expr("sum_ws * 1000000 div n_windows").as("mean_ws_e6"),
+          col("max_ws"))
+    }.reduce(_ unionAll _).orderBy("window_us")
+  }
 }

@@ -1168,6 +1168,111 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(v > -2000000L && v < 2000000L, v.toString)
   }
 
+  test("chain ladder: link ratios >= 1 and reserves nonnegative") {
+    val f = Analytics.q_chain_ladder_factors(spark, sf).collect()
+    assert(f.map(_.getAs[Long]("dev_age")).toSeq == Seq(0L, 1L, 2L))
+    // cumulative paid can only grow with age, so every link ratio >= 1
+    f.foreach(r => assert(r.getAs[Long]("factor_e6") >= 1000000L, r.toString))
+    val res = Analytics.q_chain_ladder_reserve(spark, sf).collect()
+    res.foreach { r =>
+      assert(r.getAs[Long]("reserve_cents") >= 0L, r.toString)
+      assert(r.getAs[Long]("ultimate_cents") >= r.getAs[Long]("latest_cents"))
+      // a fully developed origin projects exactly itself
+      if (r.getAs[Long]("latest_age") == 3L)
+        assert(r.getAs[Long]("reserve_cents") == 0L, r.toString)
+    }
+  }
+
+  test("BF ultimate: immature origins blend toward the premium prior") {
+    val rows = Analytics.q_bf_ultimate(spark, sf).collect()
+    rows.foreach { r =>
+      val pct = r.getAs[Long]("pct_developed_e6")
+      assert(pct > 0L && pct <= 1000000L, r.toString)
+      // BF never projects below what is already paid at 100% development
+      if (pct == 1000000L)
+        assert(r.getAs[Long]("bf_ultimate_cents") ==
+          r.getAs[Long]("cl_ultimate_cents"), r.toString)
+    }
+    assert(rows.map(_.getAs[Long]("elr_e6")).distinct.length == 1)
+  }
+
+  test("bond math: par/premium/discount pricing and positive risk measures") {
+    val px = Analytics.q_bond_pricing(spark, sf).collect()
+    assert(px.nonEmpty && px.length <= 25)
+    px.foreach { r =>
+      val (c, y, p) = (r.getAs[Long]("coupon_bps"), r.getAs[Long]("y_bps"),
+        r.getAs[Long]("price_e6"))
+      // price sits on the correct side of par iff coupon vs yield
+      if (c > y) assert(p > 100000000L, r.toString)
+      if (c < y) assert(p < 100000000L, r.toString)
+      assert(r.getAs[Long]("premium_flag") == (if (c > y) 1L else 0L))
+    }
+    val dur = Analytics.q_bond_duration(spark, sf).collect()
+    dur.foreach { r =>
+      val mac = r.getAs[Long]("macaulay_e6")
+      assert(mac > 0L && mac <= r.getAs[Long]("maturity_y") * 1000000L,
+        r.toString) // Macaulay duration of a coupon bond never exceeds T
+      assert(r.getAs[Long]("modified_e6") < mac)
+      assert(r.getAs[Long]("dv01_e6") > 0L)
+    }
+    Analytics.q_bond_convexity(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("convexity_e6") > 0L, r.toString)
+      assert(r.getAs[Long]("price_down_e6") > r.getAs[Long]("price_up_e6"))
+    }
+  }
+
+  test("cache analytics: LRU curve is monotone and banded seq has no global window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+    val lru = Events.q_lru_hit_curve(spark, sf)
+    val globals = lru.queryExecution.optimizedPlan.collect {
+      case w: LogicalWindow if w.partitionSpec.isEmpty => w }
+    assert(globals.isEmpty, "banded global sequence leaked a global window")
+    val rows = lru.collect()
+    assert(rows.map(_.getAs[Long]("cache_size")).toSeq ==
+      Seq(16L, 64L, 256L, 1024L, 4096L))
+    val rates = rows.map(_.getAs[Long]("hit_rate_e6"))
+    assert(rates.zip(rates.tail).forall { case (a, b) => a <= b },
+      s"hit rate must grow with cache size: ${rates.toSeq}")
+    assert(rows.map(_.getAs[Long]("compulsory_misses")).distinct.length == 1)
+  }
+
+  test("reuse distance histogram covers every non-first access exactly once") {
+    val h = Events.q_reuse_distance(spark, sf).collect()
+    h.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(b >= 0L && b <= 20L)
+      assert(r.getAs[Long]("d_min") >= (if (b == 0L) 1L else 1L << b))
+      if (b < 20L) assert(r.getAs[Long]("d_max") < (1L << (b + 1)))
+    }
+    val ws = Events.q_working_set_curve(spark, sf).collect()
+    assert(ws.length == 3)
+    // widening the window can only grow the per-window working set
+    val means = ws.map(_.getAs[Long]("mean_ws_e6"))
+    assert(means(0) <= means(1) && means(1) <= means(2), means.toSeq.toString)
+  }
+
+  test("life table: survivorship is monotone and qx/ex well-formed") {
+    val lt = Analytics.q_life_table(spark, sf).collect()
+    assert(lt.nonEmpty)
+    val lx = lt.map(_.getAs[Long]("lx"))
+    assert(lx.zip(lx.tail).forall { case (a, b) => a >= b },
+      s"lx must be non-increasing: ${lx.toSeq}")
+    lt.foreach { r =>
+      val q = r.getAs[Long]("qx_e6")
+      assert(q >= 0L && q <= 1000000L, r.toString)
+      assert(r.getAs[Long]("ex_e6") >= 0L, r.toString)
+    }
+    // the oldest observed age dies with certainty (qx = 1) since lx = dx
+    assert(lt.last.getAs[Long]("qx_e6") == 1000000L)
+    // lexis deaths must sum to total users
+    val deaths = Analytics.q_lexis_surface(spark, sf).collect()
+      .map(_.getAs[Long]("deaths")).sum
+    assert(deaths == lt.map(_.getAs[Long]("deaths")).sum)
+    Analytics.q_mortality_gradient(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("mx_e6") > 0L && r.getAs[Long]("mx_next_e6") > 0L)
+    }
+  }
+
   test("reservoir bottom-k: sample never exceeds k=32 or the population") {
     Sampling.q_reservoir_bottomk(spark, sf).collect().foreach { r =>
       val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("k"))
