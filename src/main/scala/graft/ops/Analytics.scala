@@ -11688,4 +11688,296 @@ object Analytics {
           .as("gompertz_slope_e6"))
       .orderBy("age_days")
   }
+
+  // ---- §2.187 transportation problem — flows, NW corner, Vogel ------------
+
+  /** Region→region shipment flows: every lineitem routed from its
+    * supplier's region to its customer's region. ONE pass over lineitem
+    * with two keyed shuffle joins (orders, supplier) and broadcast
+    * dimension chains — the canonical star-join shape; the result is
+    * 5×5 regardless of corpus size. Cost proxy per unit = mean discount
+    * bps on the lane + 1 (exact integer division).
+    */
+  private def transportFlows(spark: SparkSession, sf: String): DataFrame = {
+    val custRegion = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(Tables.nation(spark, sf)
+        .select(col("n_nationkey").as("cn"), col("n_regionkey").as("dst"))),
+        col("c_nationkey") === col("cn"))
+      .select(col("c_custkey"), col("dst"))
+    val suppRegion = Tables.supplier(spark, sf)
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(Tables.nation(spark, sf)
+        .select(col("n_nationkey").as("sn"), col("n_regionkey").as("src"))),
+        col("s_nationkey") === col("sn"))
+      .select(col("s_suppkey"), col("src"))
+    Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_suppkey"), pct(col("l_discount")).as("disc"))
+      .join(Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(custRegion, col("o_custkey") === col("c_custkey"))
+      .join(suppRegion, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .agg(count(lit(1)).as("flow"), sum(col("disc")).as("disc_sum"))
+      .withColumn("cost", expr("disc_sum div flow + 1"))
+  }
+
+  /** Northwest-corner feasible plan: supplies = per-source totals,
+    * demands = per-destination totals (both sum to N, so the problem is
+    * balanced by construction); alloc_ij = overlap of the cumulative
+    * intervals [S_{i−1},S_i) ∩ [D_{j−1},D_j) — the closed interval form
+    * of the textbook NW sweep, no iteration. Cumulatives via the banded
+    * scan; the 5×5 grid is a broadcast cross join.
+    */
+  def q_transport_plan_nw(spark: SparkSession, sf: String): DataFrame = {
+    val fl = transportFlows(spark, sf).localCheckpoint()
+    val sup = BandedScan.cumSum(
+      fl.groupBy("src").agg(sum(col("flow")).as("s")), Nil, "src", "s", "cs")
+      .select(col("src"), (col("cs") - col("s")).as("s_lo"), col("cs").as("s_hi"))
+    val dem = BandedScan.cumSum(
+      fl.groupBy("dst").agg(sum(col("flow")).as("d")), Nil, "dst", "d", "cd")
+      .select(col("dst"), (col("cd") - col("d")).as("d_lo"), col("cd").as("d_hi"))
+    sup.crossJoin(broadcast(dem))
+      .select(col("src"), col("dst"),
+        expr("GREATEST(CAST(0 AS BIGINT)," +
+          " LEAST(s_hi, d_hi) - GREATEST(s_lo, d_lo))").as("alloc"))
+      .filter(col("alloc") > 0L)
+      .join(broadcast(fl.select(col("src"), col("dst"), col("cost"))),
+        Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"), col("alloc"),
+        coalesce(col("cost"), lit(0L)).as("lane_cost"),
+        (col("alloc") * coalesce(col("cost"), lit(0L))).as("cost_total"))
+      .orderBy("src", "dst")
+  }
+
+  /** Vogel approximation penalties: per source row and per destination
+    * column, the spread between the cheapest and second-cheapest lane —
+    * the regret ranking VAM allocates by. Keyed windows over the 5×5
+    * cost matrix, row and column sides unioned. */
+  def q_vogel_penalties(spark: SparkSession, sf: String): DataFrame = {
+    val fl = transportFlows(spark, sf).localCheckpoint()
+    def side(key: String, other: String, label: String) = {
+      val w = Window.partitionBy(key).orderBy(col("cost").asc, col(other).asc)
+      fl.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 2)
+        .groupBy(col(key).as("region"))
+        .agg(min(col("cost")).as("best_cost"),
+          max(col("cost")).as("second_cost"), count(lit(1)).as("n_lanes"))
+        .select(lit(label).as("side"), col("region"),
+          col("best_cost"), col("second_cost"),
+          (col("second_cost") - col("best_cost")).as("penalty"),
+          col("n_lanes"))
+    }
+    side("src", "dst", "row").unionAll(side("dst", "src", "col"))
+      .orderBy("side", "region")
+  }
+
+  /** Cost audit: actual routing cost vs the NW-corner plan vs the
+    * row-minimum lower bound Σᵢ sᵢ·minⱼ cᵢⱼ — how far observed and
+    * naive-feasible sit above the cheapest conceivable assignment. */
+  def q_transport_cost_gap(spark: SparkSession, sf: String): DataFrame = {
+    val fl = transportFlows(spark, sf).localCheckpoint()
+    val actual = fl.agg(sum(col("flow") * col("cost")).as("actual_cost"))
+    val nw = q_transport_plan_nw(spark, sf)
+      .agg(sum(col("cost_total")).as("nw_cost"))
+    val lb = fl.groupBy("src")
+      .agg(sum(col("flow")).as("s"), min(col("cost")).as("cmin"))
+      .agg(sum(col("s") * col("cmin")).as("lb_cost"))
+    actual.crossJoin(broadcast(nw)).crossJoin(broadcast(lb))
+      .select(col("actual_cost"), col("nw_cost"), col("lb_cost"),
+        expr("(actual_cost - lb_cost) * 1000000 div lb_cost")
+          .as("actual_gap_e6"),
+        expr("(nw_cost - lb_cost) * 1000000 div lb_cost").as("nw_gap_e6"))
+  }
+
+  // ---- §2.188 option pricing — Black-Scholes, parity, implied vol ---------
+
+  /** Exact-rational double literal — both engines parse the identical
+    * division tree, so the constant is bit-identical cross-engine. */
+  private def frac(num: Long, den: Long): String =
+    if (num < 0) s"(CAST(0 AS DOUBLE) - CAST(${-num} AS DOUBLE) / CAST($den AS DOUBLE))"
+    else s"(CAST($num AS DOUBLE) / CAST($den AS DOUBLE))"
+
+  /** Standard normal CDF as ONE portable fixed tree: the Zelen-Severo
+    * (A&S 26.2.17) five-coefficient approximation (|ε| < 7.5e-8),
+    * reflected for negative arguments. `x` must be a simple column
+    * reference (it is repeated ~12 times in the tree).
+    */
+  private def normCdf(x: String): String = {
+    def F(y: String): String = {
+      val t = s"(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + ${frac(2316419L, 10000000L)} * $y))"
+      val horner = s"($t * (${frac(319381530L, 1000000000L)} + $t * (${frac(-356563782L, 1000000000L)}" +
+        s" + $t * (${frac(1781477937L, 1000000000L)} + $t * (${frac(-1821255978L, 1000000000L)}" +
+        s" + $t * ${frac(1330274429L, 1000000000L)})))))"
+      s"(CAST(1 AS DOUBLE) - EXP(CAST(0 AS DOUBLE) - $y * $y / CAST(2 AS DOUBLE))" +
+        s" / SQRT(CAST(2 AS DOUBLE) * PI()) * $horner)"
+    }
+    s"(CASE WHEN $x >= CAST(0 AS DOUBLE) THEN ${F(x)}" +
+      s" ELSE CAST(1 AS DOUBLE) - ${F(s"(CAST(0 AS DOUBLE) - $x)")} END)"
+  }
+
+  /** One option chain per part brand: spot = mean retail cents (exact
+    * div), five moneyness strikes, data-derived vol (10–50%) and flat
+    * rate (2–4%), T = 1y. Brand-bounded (≤ 25×5 rows) at any SF. */
+  private def optionGrid(spark: SparkSession, sf: String): DataFrame = {
+    val brands = Tables.part(spark, sf).groupBy(col("p_brand"))
+      .agg(sum(cents(col("p_retailprice"))).as("sc"), count(lit(1)).as("n"))
+      .select(col("p_brand"), expr("sc div n").as("s_cents"))
+    val g = Tables.part(spark, sf).agg(count(lit(1)).as("n_all"))
+    brands.crossJoin(broadcast(g))
+      .select(col("p_brand"), col("s_cents"),
+        expr("1000 + s_cents % 4000").as("sig_e4"),
+        expr("200 + n_all % 200").as("r_bps"),
+        explode(array(Seq(80L, 90L, 100L, 110L, 120L).map(lit): _*))
+          .as("moneyness"))
+      .withColumn("k_cents", expr("s_cents * moneyness div 100"))
+      .withColumn("d1", expr(s"(LN($bsS / $bsK) + $bsR + $bsSig * $bsSig" +
+        s" / CAST(2 AS DOUBLE)) / $bsSig"))
+      .withColumn("d2", expr(s"d1 - $bsSig"))
+  }
+
+  private val bsS = "(CAST(s_cents AS DOUBLE) / CAST(100 AS DOUBLE))"
+  private val bsK = "(CAST(k_cents AS DOUBLE) / CAST(100 AS DOUBLE))"
+  private val bsSig = "(CAST(sig_e4 AS DOUBLE) / CAST(10000 AS DOUBLE))"
+  private val bsR = "(CAST(r_bps AS DOUBLE) / CAST(10000 AS DOUBLE))"
+  private def bsDisc = s"EXP(CAST(0 AS DOUBLE) - $bsR)"
+  private def bsCall =
+    s"($bsS * ${normCdf("d1")} - $bsK * $bsDisc * ${normCdf("d2")})"
+  private def bsPut =
+    s"($bsK * $bsDisc * (CAST(1 AS DOUBLE) - ${normCdf("d2")})" +
+      s" - $bsS * (CAST(1 AS DOUBLE) - ${normCdf("d1")}))"
+
+  /** Black-Scholes call/put prices (T = 1y) across the brand×moneyness
+    * chain, e6, with d1 for delta-reading — the entire surface one
+    * codegen'd projection over a broadcast-sized grid. */
+  def q_black_scholes_grid(spark: SparkSession, sf: String): DataFrame =
+    optionGrid(spark, sf)
+      .select(col("p_brand"), col("moneyness"), col("s_cents"), col("k_cents"),
+        col("sig_e4"), col("r_bps"),
+        expr(s"CAST(ROUND($bsCall * 1000000) AS BIGINT)").as("call_e6"),
+        expr(s"CAST(ROUND($bsPut * 1000000) AS BIGINT)").as("put_e6"),
+        expr("CAST(ROUND(d1 * 1000000) AS BIGINT) + 0").as("d1_e6"))
+      .orderBy("p_brand", "moneyness")
+
+  /** Put-call parity audit: C − P must equal S − K·e^(−r) identically;
+    * the absolute gap (e9) is the engine's floating-point honesty check
+    * and must round to zero everywhere. */
+  def q_put_call_parity(spark: SparkSession, sf: String): DataFrame =
+    optionGrid(spark, sf)
+      .select(col("p_brand"), col("moneyness"),
+        expr(s"CAST(ROUND(($bsCall - $bsPut) * 1000000) AS BIGINT) + 0")
+          .as("lhs_e6"),
+        expr(s"CAST(ROUND(($bsS - $bsK * $bsDisc) * 1000000) AS BIGINT) + 0")
+          .as("rhs_e6"),
+        expr(s"CAST(ROUND(ABS(($bsCall - $bsPut) - ($bsS - $bsK * $bsDisc))" +
+          s" * 1000000000) AS BIGINT)").as("parity_gap_e9"))
+      .orderBy("p_brand", "moneyness")
+
+  /** Implied volatility by deterministic grid search: target = the same
+    * pricing tree at vol ×1.2; scan 64 candidate vols (5%..84.375%,
+    * 1.25% step) and keep the lexicographic (|error|, vol) minimum —
+    * recovering the bumped vol to within half a grid step, with no
+    * iteration and no order-dependent float reduction. */
+  def q_implied_vol_grid(spark: SparkSession, sf: String): DataFrame = {
+    val target = s"CAST(tgt_e9 AS DOUBLE) / CAST(1000000000 AS DOUBLE)"
+    val candSig = "(CAST(sigc_e4 AS DOUBLE) / CAST(10000 AS DOUBLE))"
+    val cd1 = s"((LN($bsS / $bsK) + $bsR + $candSig * $candSig" +
+      s" / CAST(2 AS DOUBLE)) / $candSig)"
+    val base = optionGrid(spark, sf)
+      .withColumn("sig_bump_e4", expr("sig_e4 * 12 div 10"))
+      .drop("d1", "d2").withColumnRenamed("sig_e4", "sig_orig_e4")
+      .withColumnRenamed("sig_bump_e4", "sig_e4")
+      .withColumn("d1", expr(s"(LN($bsS / $bsK) + $bsR + $bsSig * $bsSig" +
+        s" / CAST(2 AS DOUBLE)) / $bsSig"))
+      .withColumn("d2", expr(s"d1 - $bsSig"))
+      .withColumn("tgt_e9", expr(s"CAST(ROUND($bsCall * 1000000000) AS BIGINT)"))
+    base
+      .select(col("p_brand"), col("moneyness"), col("s_cents"), col("k_cents"),
+        col("r_bps"), col("sig_e4").as("sig_true_e4"), col("tgt_e9"),
+        explode(expr("sequence(0, 63)")).as("i"))
+      .withColumn("sigc_e4", expr("CAST(500 + 125 * i AS BIGINT)"))
+      .withColumn("cd1", expr(cd1))
+      .withColumn("cd2", expr(s"cd1 - $candSig"))
+      .withColumn("err_e9", expr(
+        s"CAST(ROUND(ABS(($bsS * ${normCdf("cd1")} - $bsK * $bsDisc" +
+          s" * ${normCdf("cd2")}) - $target) * 1000000000) AS BIGINT)"))
+      .groupBy(col("p_brand"), col("moneyness"))
+      .agg(min(struct(col("err_e9"), col("sigc_e4"))).as("best"),
+        max(col("sig_true_e4")).as("sig_true_e4"))
+      .select(col("p_brand"), col("moneyness"),
+        col("best.sigc_e4").as("implied_e4"), col("sig_true_e4"),
+        col("best.err_e9").as("err_e9"),
+        (col("best.sigc_e4") - col("sig_true_e4")).as("grid_bias_e4"))
+      .orderBy("p_brand", "moneyness")
+  }
+
+  // ---- §2.189 credit scorecard — PDO points, distribution, alignment ------
+
+  /** Per-segment good/bad counts (bad = negative account balance) with
+    * both classes present — the single-feature scorecard bin table.
+    * One aggregate; segment-bounded output. */
+  private def scorecardBins(spark: SparkSession, sf: String): DataFrame =
+    Tables.customer(spark, sf)
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(when(col("c_acctbal") >= 0, 1L).otherwise(0L)).as("n_good"),
+        sum(when(col("c_acctbal") < 0, 1L).otherwise(0L)).as("n_bad"))
+      .filter(col("n_good") > 0L && col("n_bad") > 0L)
+
+  /** factor = PDO / ln 2 with PDO = 20: doubling the odds adds 20
+    * points; offset anchors odds 19:1 at score 600. */
+  private val scFactor = "(CAST(20 AS DOUBLE) / LN(CAST(2 AS DOUBLE)))"
+  private val scOffset =
+    s"(CAST(600 AS DOUBLE) - $scFactor * LN(CAST(19 AS DOUBLE)))"
+  private val scLnOdds =
+    "LN(CAST(n_good AS DOUBLE) / CAST(n_bad AS DOUBLE))"
+
+  /** Industry-standard points-to-double-odds scorecard: per segment the
+    * good/bad counts, empirical ln-odds (e6), and the PDO-scaled score
+    * round(offset + factor·ln(odds)) — 600 at 19:1, +20 per doubling. */
+  def q_scorecard_points(spark: SparkSession, sf: String): DataFrame =
+    scorecardBins(spark, sf)
+      .select(col("c_mktsegment"), col("n_good"), col("n_bad"),
+        expr(s"CAST(ROUND($scLnOdds * 1000000) AS BIGINT)").as("ln_odds_e6"),
+        expr(s"CAST(ROUND($scOffset + $scFactor * $scLnOdds) AS BIGINT)")
+          .as("points"))
+      .orderBy("c_mktsegment")
+
+  /** Score each customer by its segment's points (broadcast apply) and
+    * profile the score distribution: population, bads, bad rate (e6),
+    * and lift vs the portfolio bad rate (e6) per score level. */
+  def q_scorecard_distribution(spark: SparkSession, sf: String): DataFrame = {
+    val pts = scorecardBins(spark, sf)
+      .select(col("c_mktsegment").as("seg"),
+        expr(s"CAST(ROUND($scOffset + $scFactor * $scLnOdds) AS BIGINT)")
+          .as("points"))
+    val scored = Tables.customer(spark, sf)
+      .join(broadcast(pts), col("c_mktsegment") === col("seg"))
+      .select(col("points"),
+        when(col("c_acctbal") < 0, 1L).otherwise(0L).as("bad"))
+    val total = scored.agg(count(lit(1)).as("n_all"), sum(col("bad")).as("b_all"))
+    scored.groupBy("points")
+      .agg(count(lit(1)).as("n"), sum(col("bad")).as("n_bad"))
+      .crossJoin(broadcast(total))
+      .select(col("points"), col("n"), col("n_bad"),
+        expr("n_bad * 1000000 div n").as("bad_rate_e6"),
+        expr("CAST(ROUND((CAST(n_bad AS DOUBLE) / CAST(n AS DOUBLE))" +
+          " / (CAST(b_all AS DOUBLE) / CAST(n_all AS DOUBLE))" +
+          " * 1000000) AS BIGINT)").as("lift_e6"))
+      .orderBy("points")
+  }
+
+  /** Alignment audit: invert each bin's points back to implied ln-odds
+    * (points − offset)/factor and compare with the empirical ln-odds —
+    * the gap is pure integer-rounding noise iff the PDO scaling is
+    * correctly calibrated (the scorecard governance check). */
+  def q_scorecard_alignment(spark: SparkSession, sf: String): DataFrame =
+    scorecardBins(spark, sf)
+      .select(col("c_mktsegment"),
+        expr(s"CAST(ROUND($scLnOdds * 1000000) AS BIGINT)").as("actual_e6"),
+        expr(s"CAST(ROUND((CAST(CAST(ROUND($scOffset + $scFactor * $scLnOdds)" +
+          s" AS BIGINT) AS DOUBLE) - $scOffset) / $scFactor * 1000000)" +
+          " AS BIGINT)").as("implied_e6"))
+      .withColumn("gap_e6", abs(col("actual_e6") - col("implied_e6")))
+      .orderBy("c_mktsegment")
 }

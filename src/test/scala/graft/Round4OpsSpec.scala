@@ -1273,6 +1273,68 @@ class Round4OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("NW-corner plan is a feasible balanced transportation solution") {
+    val plan = Analytics.q_transport_plan_nw(spark, sf).collect()
+    assert(plan.nonEmpty)
+    plan.foreach(r => assert(r.getAs[Long]("alloc") > 0L))
+    // row sums of the plan equal the supplies; column sums the demands
+    val bySrc = plan.groupBy(_.getAs[Long]("src"))
+      .view.mapValues(_.map(_.getAs[Long]("alloc")).sum).toMap
+    val byDst = plan.groupBy(_.getAs[Long]("dst"))
+      .view.mapValues(_.map(_.getAs[Long]("alloc")).sum).toMap
+    assert(bySrc.values.sum == byDst.values.sum)
+    // NW plan has at most m + n - 1 basic cells
+    assert(plan.length <= bySrc.size + byDst.size - 1, plan.length.toString)
+    val gap = Analytics.q_transport_cost_gap(spark, sf).collect().head
+    assert(gap.getAs[Long]("actual_cost") >= gap.getAs[Long]("lb_cost"))
+    assert(gap.getAs[Long]("nw_cost") >= gap.getAs[Long]("lb_cost"))
+    Analytics.q_vogel_penalties(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("penalty") >= 0L)
+      assert(r.getAs[Long]("second_cost") >= r.getAs[Long]("best_cost"))
+    }
+  }
+
+  test("Black-Scholes: no-arbitrage bounds, parity holds, implied vol recovers bump") {
+    val px = Analytics.q_black_scholes_grid(spark, sf).collect()
+    assert(px.nonEmpty)
+    px.foreach { r =>
+      val (s, k) = (r.getAs[Long]("s_cents") * 10000L,
+        r.getAs[Long]("k_cents") * 10000L)
+      val (c, p) = (r.getAs[Long]("call_e6"), r.getAs[Long]("put_e6"))
+      assert(c >= 0L && p >= 0L, r.toString)
+      assert(c <= s, s"call above spot: $r")           // C <= S
+      assert(p <= k, s"put above strike: $r")          // P <= K
+      // intrinsic lower bound: C >= S - K e^{-r} >= S - K
+      assert(c >= s - k, s"call under intrinsic: $r")
+    }
+    Analytics.q_put_call_parity(spark, sf).collect().foreach { r =>
+      assert(math.abs(r.getAs[Long]("parity_gap_e9")) <= 10L,
+        s"parity violated: $r")
+    }
+    Analytics.q_implied_vol_grid(spark, sf).collect().foreach { r =>
+      // grid step is 125 e4; recovered vol within one step of the bump
+      assert(math.abs(r.getAs[Long]("grid_bias_e4")) <= 125L, r.toString)
+    }
+  }
+
+  test("scorecard: PDO scaling round-trips and distribution accounts everyone") {
+    val pts = Analytics.q_scorecard_points(spark, sf).collect()
+    assert(pts.nonEmpty)
+    // higher empirical odds must never score lower (monotone PDO map)
+    val sorted = pts.sortBy(_.getAs[Long]("ln_odds_e6"))
+    val p = sorted.map(_.getAs[Long]("points"))
+    assert(p.zip(p.tail).forall { case (a, b) => a <= b }, p.toSeq.toString)
+    Analytics.q_scorecard_alignment(spark, sf).collect().foreach { r =>
+      // inverting integer points reintroduces at most half-a-point of
+      // ln-odds: 0.5 / factor = 0.5 ln2 / 20 ≈ 0.0173
+      assert(r.getAs[Long]("gap_e6") <= 17400L, r.toString)
+    }
+    val dist = Analytics.q_scorecard_distribution(spark, sf).collect()
+    val binsN = pts.map(r => r.getAs[Long]("n_good") + r.getAs[Long]("n_bad")).sum
+    assert(dist.map(_.getAs[Long]("n")).sum == binsN)
+    dist.foreach(r => assert(r.getAs[Long]("bad_rate_e6") <= 1000000L))
+  }
+
   test("reservoir bottom-k: sample never exceeds k=32 or the population") {
     Sampling.q_reservoir_bottomk(spark, sf).collect().foreach { r =>
       val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("k"))
