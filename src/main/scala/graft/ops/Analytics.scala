@@ -11980,4 +11980,191 @@ object Analytics {
           " AS BIGINT)").as("implied_e6"))
       .withColumn("gap_e6", abs(col("actual_e6") - col("implied_e6")))
       .orderBy("c_mktsegment")
+
+  // ---- §2.190 magnitude analytics — Gutenberg-Richter, Omori, GR curve ----
+
+  /** Aki-MLE b-value per event type, treating event value as the
+    * magnitude and the GLOBAL mean as the completeness cutoff Mc (both
+    * exact integer stats): b = log10(e)/(mean_{≥Mc} − Mc). One corpus
+    * pass for the cutoff, one for the per-type tail stats. */
+  def q_gutenberg_richter(spark: SparkSession, sf: String): DataFrame = {
+    val ev = Tables.eventsWithTs(spark, sf)
+      .select(col("event_type"), cents(col("value")).as("mc"))
+    val cut = ev.agg(expr("sum(mc) div count(1)").as("cutoff"))
+    ev.crossJoin(broadcast(cut))
+      .filter(col("mc") >= col("cutoff"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_above"), sum(col("mc")).as("s"),
+        max(col("cutoff")).as("cutoff_cents"))
+      .select(col("event_type"), col("n_above"), col("cutoff_cents"),
+        expr("s div n_above").as("mean_above_cents"),
+        expr("CAST(ROUND((CAST(1 AS DOUBLE) / LN(CAST(10 AS DOUBLE)))" +
+          " / ((CAST(s AS DOUBLE) / CAST(n_above AS DOUBLE)" +
+          " - CAST(cutoff_cents AS DOUBLE)) / CAST(100 AS DOUBLE))" +
+          " * 1000000) AS BIGINT)").as("b_value_e6"))
+      .orderBy("event_type")
+  }
+
+  /** Shared power-of-two CASE bucket over a nonnegative column. */
+  private def pow2Bucket(x: String): String = {
+    val whens = (1 to 20)
+      .map(b => s"WHEN $x < ${1L << b} THEN ${b - 1}").mkString(" ")
+    s"(CASE $whens ELSE 20 END)"
+  }
+
+  /** Omori aftershock decay: take the strongest event (max value,
+    * smallest id on ties) as the mainshock, bucket the events after it
+    * by log2 seconds-since, and report the occurrence RATE per bucket —
+    * Omori's 1/t^p law shows as a falling staircase. Mainshock found by
+    * one struct-max aggregate; no ordering shuffle. */
+  def q_omori_decay(spark: SparkSession, sf: String): DataFrame = {
+    val ev = Tables.eventsWithTs(spark, sf)
+      .select(col("event_id"), col("ts_usl"), cents(col("value")).as("mc"))
+    val main = ev
+      .agg(min(struct((-col("mc")).as("nm"), col("event_id"),
+        col("ts_usl").as("t0"))).as("m"))
+      .select(col("m.t0").as("t0"))
+    ev.crossJoin(broadcast(main))
+      .filter(col("ts_usl") > col("t0"))
+      .withColumn("dt_s", expr("(ts_usl - t0) div 1000000"))
+      .groupBy(expr(s"CAST(${pow2Bucket("dt_s")} AS BIGINT)").as("bucket"))
+      .agg(count(lit(1)).as("n_after"))
+      .select(col("bucket"), col("n_after"),
+        expr("CASE WHEN bucket = 0 THEN CAST(2 AS BIGINT)" +
+          " ELSE CAST(POW(2, bucket) AS BIGINT) END").as("width_s"),
+        expr("n_after * 1000000 div (CASE WHEN bucket = 0" +
+          " THEN CAST(2 AS BIGINT) ELSE CAST(POW(2, bucket) AS BIGINT) END)")
+          .as("rate_e6"))
+      .orderBy("bucket")
+  }
+
+  /** Frequency-magnitude (GR) curve: counts per 10-unit magnitude bin
+    * and the cumulative N(≥m) via a banded reverse scan, with log10 N —
+    * the straight line whose slope is −b and whose roll-off below the
+    * completeness magnitude is the detectability audit. */
+  def q_magnitude_completeness(spark: SparkSession, sf: String): DataFrame = {
+    val bins = Tables.eventsWithTs(spark, sf)
+      .select(expr("CAST(ROUND(value * 100) AS BIGINT) div 1000").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+      .withColumn("nb", -col("bin"))
+    BandedScan.cumSum(bins, Nil, "nb", "n", "cum_n")
+      .select(col("bin"), col("n"), col("cum_n"),
+        expr("CAST(ROUND(LN(CAST(cum_n AS DOUBLE)) / LN(CAST(10 AS DOUBLE))" +
+          " * 1000000) AS BIGINT)").as("log10_cum_e6"))
+      .orderBy("bin")
+  }
+
+  // ---- §2.191 doubly-robust causal — AIPW, IPW diagnostics, positivity ----
+
+  private val aipwSegs = Seq("AUTOMOBILE" -> "auto", "BUILDING" -> "bld",
+    "FURNITURE" -> "furn", "HOUSEHOLD" -> "hh", "MACHINERY" -> "mach")
+
+  /** One-row sufficient statistics for the observational study: treatment
+    * T = custkey parity, outcome Y = lifetime order cents (0 for never-
+    * buyers via left join), confounder X = market segment. Per segment:
+    * arm counts and exact cents sums — every estimator downstream is a
+    * fixed tree on these 20 integers. */
+  private def aipwStats(spark: SparkSession, sf: String): DataFrame = {
+    val spend = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("yy"))
+    val obs = Tables.customer(spark, sf)
+      .join(spend, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_mktsegment").as("seg"), (col("c_custkey") % 2).as("t"),
+        coalesce(col("yy"), lit(0L)).as("y"))
+    val aggs = aipwSegs.flatMap { case (name, a) => Seq(
+      expr(s"sum(CASE WHEN seg = '$name' AND t = 1 THEN 1 ELSE 0 END)").as(s"n1_$a"),
+      expr(s"sum(CASE WHEN seg = '$name' AND t = 0 THEN 1 ELSE 0 END)").as(s"n0_$a"),
+      expr(s"sum(CASE WHEN seg = '$name' AND t = 1 THEN y ELSE 0 END)").as(s"s1_$a"),
+      expr(s"sum(CASE WHEN seg = '$name' AND t = 0 THEN y ELSE 0 END)").as(s"s0_$a"))
+    }
+    obs.groupBy().agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def aipwD(x: String) = s"CAST($x AS DOUBLE)"
+  private def aipwNc(a: String) = s"(n1_$a + n0_$a)"
+  private def aipwN = aipwSegs.map { case (_, a) => aipwNc(a) }.mkString("(", " + ", ")")
+  private def aipwN1 = aipwSegs.map { case (_, a) => s"n1_$a" }.mkString("(", " + ", ")")
+  private def aipwN0 = aipwSegs.map { case (_, a) => s"n0_$a" }.mkString("(", " + ", ")")
+  private def aipwS1 = aipwSegs.map { case (_, a) => s"s1_$a" }.mkString("(", " + ", ")")
+  private def aipwS0 = aipwSegs.map { case (_, a) => s"s0_$a" }.mkString("(", " + ", ")")
+  private def aipwMu1 = s"(${aipwD(aipwS1)} / ${aipwD(aipwN1)})"
+  private def aipwMu0 = s"(${aipwD(aipwS0)} / ${aipwD(aipwN0)})"
+  private def aipwE(a: String) = s"(${aipwD(s"n1_$a")} / ${aipwD(aipwNc(a))})"
+  /** Stratified (g-formula) ATE: Σ n_c(μ̂1c − μ̂0c)/N. */
+  private def aipwG = aipwSegs.map { case (_, a) =>
+    s"${aipwD(aipwNc(a))} * (${aipwD(s"s1_$a")} / ${aipwD(s"n1_$a")}" +
+      s" - ${aipwD(s"s0_$a")} / ${aipwD(s"n0_$a")})" }
+    .mkString("((", " + ", s") / ${aipwD(aipwN)})")
+  /** AIPW Σψ with a deliberately UNADJUSTED outcome model (global arm
+    * means) and the exact per-cell propensity — the augmentation repairs
+    * the misspecification, reproducing the g-formula analytically. */
+  private def aipwPsi = aipwSegs.map { case (_, a) =>
+    s"((${aipwD(s"s1_$a")} - ${aipwD(s"n1_$a")} * $aipwMu1) / ${aipwE(a)}" +
+      s" + ${aipwD(aipwNc(a))} * $aipwMu1" +
+      s" - (${aipwD(s"s0_$a")} - ${aipwD(s"n0_$a")} * $aipwMu0)" +
+      s" / (CAST(1 AS DOUBLE) - ${aipwE(a)})" +
+      s" - ${aipwD(aipwNc(a))} * $aipwMu0)" }
+    .mkString("((", " + ", s") / ${aipwD(aipwN)})")
+
+  /** Average treatment effect three ways: naive arm difference,
+    * stratified g-formula, and AIPW with a misspecified outcome model —
+    * plus the doubly-robust identity gap (e9, must round to ~0): with a
+    * saturated exact propensity the augmentation term cancels the model
+    * bias analytically, so AIPW ≡ g-formula up to float path. Pure
+    * +,*,/ trees — bit-identical cross-engine. */
+  def q_aipw_ate(spark: SparkSession, sf: String): DataFrame =
+    aipwStats(spark, sf)
+      .select(
+        expr(s"CAST(ROUND(($aipwMu1 - $aipwMu0) * 10000) AS BIGINT)")
+          .as("naive_cents_e4"),
+        expr(s"CAST(ROUND($aipwG * 10000) AS BIGINT)").as("gformula_cents_e4"),
+        expr(s"CAST(ROUND($aipwPsi * 10000) AS BIGINT)").as("aipw_cents_e4"),
+        expr(s"CAST(ROUND(ABS($aipwPsi - $aipwG) * 1000000) AS BIGINT)")
+          .as("dr_gap_e6"))
+
+  /** IPW weight table per segment: propensity (e6), the two inverse
+    * weights (e6), and each cell's share of the total Horvitz-Thompson
+    * mass — the overlap panel a reviewer reads before trusting any
+    * weighted estimate. */
+  def q_ipw_diagnostics(spark: SparkSession, sf: String): DataFrame = {
+    val rows = aipwSegs.map { case (name, a) =>
+      struct(lit(name).as("seg"), col(s"n1_$a").as("n1"), col(s"n0_$a").as("n0"),
+        expr(s"CAST(ROUND(${aipwE(a)} * 1000000) AS BIGINT)").as("e_e6"),
+        expr(s"CAST(ROUND(CAST(1 AS DOUBLE) / ${aipwE(a)} * 1000000) AS BIGINT)")
+          .as("w1_e6"),
+        expr(s"CAST(ROUND(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) - ${aipwE(a)})" +
+          s" * 1000000) AS BIGINT)").as("w0_e6")) }
+    aipwStats(spark, sf)
+      .select(explode(array(rows: _*)).as("r"))
+      .select(col("r.seg").as("c_mktsegment"), col("r.n1").as("n1"),
+        col("r.n0").as("n0"), col("r.e_e6").as("e_e6"),
+        col("r.w1_e6").as("w1_e6"), col("r.w0_e6").as("w0_e6"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Positivity audit: min(e, 1−e) per segment (e6), the 5%-clip flag,
+    * and the ATO overlap weight e(1−e) share — where the estimand quietly
+    * reweights itself when overlap thins. */
+  def q_overlap_positivity(spark: SparkSession, sf: String): DataFrame = {
+    val hSum = aipwSegs.map { case (_, a) =>
+      s"${aipwD(aipwNc(a))} * ${aipwE(a)} * (CAST(1 AS DOUBLE) - ${aipwE(a)})" }
+      .mkString("(", " + ", ")")
+    val rows = aipwSegs.map { case (name, a) =>
+      val h = s"${aipwD(aipwNc(a))} * ${aipwE(a)} * (CAST(1 AS DOUBLE) - ${aipwE(a)})"
+      struct(lit(name).as("seg"),
+        expr(s"CAST(ROUND(LEAST(${aipwE(a)}, CAST(1 AS DOUBLE) - ${aipwE(a)})" +
+          s" * 1000000) AS BIGINT)").as("min_arm_e6"),
+        expr(s"CASE WHEN ${aipwE(a)} >= ${aipwD("1")} / ${aipwD("20")}" +
+          s" AND ${aipwE(a)} <= ${aipwD("19")} / ${aipwD("20")}" +
+          s" THEN 1 ELSE 0 END").cast("long").as("positivity_ok"),
+        expr(s"CAST(ROUND($h / $hSum * 1000000) AS BIGINT)").as("ato_share_e6")) }
+    aipwStats(spark, sf)
+      .select(explode(array(rows: _*)).as("r"))
+      .select(col("r.seg").as("c_mktsegment"),
+        col("r.min_arm_e6").as("min_arm_e6"),
+        col("r.positivity_ok").as("positivity_ok"),
+        col("r.ato_share_e6").as("ato_share_e6"))
+      .orderBy("c_mktsegment")
+  }
 }

@@ -1446,4 +1446,73 @@ object Events {
           col("max_ws"))
     }.reduce(_ unionAll _).orderBy("window_us")
   }
+
+  // ---- §2.192 rate limiting — token bucket / GCRA conformance -------------
+
+  /** Per-user virtual token-bucket backlog via the EXACT-INTEGER Lindley
+    * closed form: with one token per `refillUs` µs, the µs-scaled
+    * backlog after arrival n is
+    *   Q·R = n·R − t_n − min_{j≤n}((j−1)·R − t_j),  clamped ≥ 0
+    * — a keyed running minimum instead of the sequential recursion, so
+    * the whole conformance audit is one window pass per user with no
+    * iteration and no floats. `q_scaled` is in µs·tokens; a violation
+    * is Q > burst (shaper semantics: the virtual backlog is not reset
+    * on violation, mirroring GCRA's theoretical arrival time). */
+  private def tokenBucket(spark: SparkSession, sf: String,
+                          refillUs: Long): DataFrame = {
+    val w = Window.partitionBy("u").orderBy(col("t").asc, col("id").asc)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.eventsWithTs(spark, sf)
+      .select(col("user_id").as("u"), col("ts_usl").as("t"),
+        col("event_id").as("id"))
+      .withColumn("j", row_number().over(w).cast("long"))
+      .withColumn("a", (col("j") - 1L) * refillUs - col("t"))
+      .withColumn("amin", min(col("a")).over(wRun))
+      .withColumn("q_scaled",
+        greatest(lit(0L), col("j") * refillUs - col("t") - col("amin")))
+  }
+
+  /** Token-bucket conformance per user at 1 token / 60 s, burst 5:
+    * arrivals, peak backlog (e6 tokens), violations, and the first
+    * violating position — the per-principal rate-limit report. */
+  def q_token_bucket_audit(spark: SparkSession, sf: String): DataFrame = {
+    val r = 60000000L
+    tokenBucket(spark, sf, r)
+      .withColumn("viol", (col("q_scaled") > lit(5L * r)).cast("long"))
+      .groupBy(col("u").as("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        expr(s"max(q_scaled) * 1000000 div ${r}L").as("peak_tokens_e6"),
+        sum(col("viol")).as("n_violations"),
+        min(when(col("viol") === 1L, col("j"))).as("first_violation_at"))
+      .orderBy("user_id")
+  }
+
+  /** Fleet-wide rate-limit summary at the same policy: principals,
+    * offenders, violation mass, and the share of all traffic that a
+    * shaper would have delayed (e6). */
+  def q_rate_limit_summary(spark: SparkSession, sf: String): DataFrame = {
+    val r = 60000000L
+    tokenBucket(spark, sf, r)
+      .withColumn("viol", (col("q_scaled") > lit(5L * r)).cast("long"))
+      .groupBy(col("u"))
+      .agg(count(lit(1)).as("n"), sum(col("viol")).as("v"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("v") > 0L, 1L).otherwise(0L)).as("offending_users"),
+        sum(col("n")).as("n_events"), sum(col("v")).as("n_violations"))
+      .select(col("n_users"), col("offending_users"), col("n_events"),
+        col("n_violations"),
+        expr("n_violations * 1000000 div n_events").as("violation_share_e6"))
+  }
+
+  /** GCRA conformance sweep across refill periods (10/30/60/120 s,
+    * burst 5): violations per policy — the capacity-planning curve for
+    * picking a limit. One windowed pass per policy, unioned. */
+  def q_gcra_conformance_sweep(spark: SparkSession, sf: String): DataFrame =
+    Seq(10000000L, 30000000L, 60000000L, 120000000L).map { r =>
+      tokenBucket(spark, sf, r)
+        .withColumn("viol", (col("q_scaled") > lit(5L * r)).cast("long"))
+        .agg(count(lit(1)).as("n_events"), sum(col("viol")).as("n_violations"))
+        .select(lit(r).as("refill_us"), col("n_events"), col("n_violations"),
+          expr("n_violations * 1000000 div n_events").as("violation_share_e6"))
+    }.reduce(_ unionAll _).orderBy("refill_us")
 }

@@ -1335,6 +1335,62 @@ class Round4OpsSpec extends AnyFunSuite {
     dist.foreach(r => assert(r.getAs[Long]("bad_rate_e6") <= 1000000L))
   }
 
+  test("Gutenberg-Richter: positive b-values and a monotone GR curve") {
+    val gr = Analytics.q_gutenberg_richter(spark, sf).collect()
+    assert(gr.length == 5)
+    gr.foreach { r =>
+      assert(r.getAs[Long]("b_value_e6") > 0L, r.toString)
+      assert(r.getAs[Long]("mean_above_cents") >= r.getAs[Long]("cutoff_cents"))
+    }
+    val curve = Analytics.q_magnitude_completeness(spark, sf).collect()
+    val cum = curve.map(_.getAs[Long]("cum_n"))
+    assert(cum.zip(cum.tail).forall { case (a, b) => a >= b },
+      s"N(>=m) must fall with m: ${cum.toSeq}")
+    assert(cum.head == curve.map(_.getAs[Long]("n")).sum)
+    Analytics.q_omori_decay(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("n_after") > 0L || r.getAs[Long]("rate_e6") == 0L)
+      assert(r.getAs[Long]("width_s") > 0L)
+    }
+  }
+
+  test("AIPW: doubly-robust identity holds and weights are coherent") {
+    val ate = Analytics.q_aipw_ate(spark, sf).collect().head
+    // with exact saturated propensity, AIPW == g-formula analytically
+    assert(ate.getAs[Long]("dr_gap_e6") <= 10L, ate.toString)
+    assert(ate.getAs[Long]("aipw_cents_e4") == ate.getAs[Long]("gformula_cents_e4"))
+    val diag = Analytics.q_ipw_diagnostics(spark, sf).collect()
+    assert(diag.length == 5)
+    diag.foreach { r =>
+      val e = r.getAs[Long]("e_e6")
+      assert(e > 0L && e < 1000000L, r.toString)
+      // harmonic identity: 1/e + 1/(1-e) >= 4, with equality at e = 1/2
+      assert(r.getAs[Long]("w1_e6") + r.getAs[Long]("w0_e6") >= 4000000L - 4L)
+    }
+    val pos = Analytics.q_overlap_positivity(spark, sf).collect()
+    assert(math.abs(pos.map(_.getAs[Long]("ato_share_e6")).sum - 1000000L) <= 5L)
+    pos.foreach(r => assert(r.getAs[Long]("min_arm_e6") <= 500000L))
+  }
+
+  test("token bucket: Lindley backlog audit is coherent and sweep is monotone") {
+    val audit = Events.q_token_bucket_audit(spark, sf).collect()
+    assert(audit.nonEmpty)
+    audit.foreach { r =>
+      assert(r.getAs[Long]("peak_tokens_e6") >= 0L)
+      assert(r.getAs[Long]("n_violations") <= r.getAs[Long]("n_events"))
+      if (r.getAs[Long]("n_violations") > 0L)
+        assert(r.getAs[Long]("first_violation_at") >= 1L, r.toString)
+    }
+    val sum = Events.q_rate_limit_summary(spark, sf).collect().head
+    assert(sum.getAs[Long]("n_events") ==
+      audit.map(_.getAs[Long]("n_events")).sum)
+    assert(sum.getAs[Long]("n_violations") ==
+      audit.map(_.getAs[Long]("n_violations")).sum)
+    // a slower refill (larger period) can only create MORE violations
+    val sweep = Events.q_gcra_conformance_sweep(spark, sf).collect()
+    val v = sweep.map(_.getAs[Long]("n_violations"))
+    assert(v.zip(v.tail).forall { case (a, b) => a <= b }, v.toSeq.toString)
+  }
+
   test("reservoir bottom-k: sample never exceeds k=32 or the population") {
     Sampling.q_reservoir_bottomk(spark, sf).collect().foreach { r =>
       val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("k"))
