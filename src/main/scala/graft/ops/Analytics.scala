@@ -12167,4 +12167,224 @@ object Analytics {
         col("r.ato_share_e6").as("ato_share_e6"))
       .orderBy("c_mktsegment")
   }
+
+  // ---- §2.193 reliability engineering — blocks, Birnbaum, budget ----------
+
+  private val relRegions = Seq("AFRICA" -> "af", "AMERICA" -> "am",
+    "ASIA" -> "as", "EUROPE" -> "eu", "MIDDLE EAST" -> "me")
+
+  /** One-row reliability sufficient statistics: per region the supplier
+    * count and the healthy count (positive balance) — the component-up
+    * probability inputs, exact integers. */
+  private def relStats(spark: SparkSession, sf: String): DataFrame = {
+    val s = Tables.supplier(spark, sf)
+      .join(broadcast(Tables.nation(spark, sf)
+        .select(col("n_nationkey").as("nk"), col("n_regionkey"))),
+        col("s_nationkey") === col("nk"))
+      .join(broadcast(Tables.region(spark, sf)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), (col("s_acctbal") > 0).cast("long").as("up"))
+    val aggs = relRegions.flatMap { case (name, a) => Seq(
+      expr(s"sum(CASE WHEN r_name = '$name' THEN 1 ELSE 0 END)").as(s"n_$a"),
+      expr(s"sum(CASE WHEN r_name = '$name' THEN up ELSE 0 END)").as(s"u_$a")) }
+    s.groupBy().agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Parallel-block availability of region `a`: a 4-way active
+    * redundancy group (suppliers beyond 4 are cold spares, not counted,
+    * so the unavailability (1−p)^min(n,4) never underflows to exact 0
+    * and the downstream log stays finite): A = 1 − (1−p)^min(n,4) with
+    * p = u/n. */
+  private def relA(a: String): String = {
+    val p = s"(CAST(u_$a AS DOUBLE) / CAST(n_$a AS DOUBLE))"
+    s"(CAST(1 AS DOUBLE) - POWER(CAST(1 AS DOUBLE) - $p, LEAST(n_$a, 4)))"
+  }
+  private def relSys = relRegions.map { case (_, a) => relA(a) }.mkString("(", " * ", ")")
+
+  /** Reliability block diagram: each region is a parallel block of its
+    * suppliers (up = positive balance); per block the component count,
+    * up-probability (e6), and block availability 1 − (1−p)^n (e9). */
+  def q_reliability_block(spark: SparkSession, sf: String): DataFrame = {
+    val rows = relRegions.map { case (name, a) =>
+      struct(lit(name).as("r"), col(s"n_$a").as("n_sup"), col(s"u_$a").as("n_up"),
+        expr(s"CAST(ROUND(CAST(u_$a AS DOUBLE) / CAST(n_$a AS DOUBLE)" +
+          " * 1000000) AS BIGINT)").as("p_e6"),
+        expr(s"CAST(ROUND(${relA(a)} * 1000000000) AS BIGINT)").as("avail_e9")) }
+    relStats(spark, sf)
+      .select(explode(array(rows: _*)).as("x"))
+      .select(col("x.r").as("r_name"), col("x.n_sup").as("n_sup"),
+        col("x.n_up").as("n_up"), col("x.p_e6").as("p_e6"),
+        col("x.avail_e9").as("avail_e9"))
+      .orderBy("r_name")
+  }
+
+  /** Birnbaum structural importance of each block in the series system:
+    * ∂R/∂A_r = Π_{s≠r} A_s — which region's hardening buys the most
+    * system availability. Fixed 4-term product per block. */
+  def q_birnbaum_importance(spark: SparkSession, sf: String): DataFrame = {
+    val rows = relRegions.map { case (name, a) =>
+      val others = relRegions.collect { case (_, b) if b != a => relA(b) }
+        .mkString("(", " * ", ")")
+      struct(lit(name).as("r"),
+        expr(s"CAST(ROUND($others * 1000000000) AS BIGINT)").as("birnbaum_e9"),
+        expr(s"CAST(ROUND($others * (CAST(1 AS DOUBLE) - ${relA(a)})" +
+          " * 1000000000) AS BIGINT)").as("risk_contrib_e9")) }
+    relStats(spark, sf)
+      .select(explode(array(rows: _*)).as("x"))
+      .select(col("x.r").as("r_name"), col("x.birnbaum_e9").as("birnbaum_e9"),
+        col("x.risk_contrib_e9").as("risk_contrib_e9"))
+      .orderBy("r_name")
+  }
+
+  /** System availability budget: series-of-parallel availability, the
+    * downtime minutes per year it implies, and the "number of nines"
+    * −log10(1−A) — the SLO line item, one fixed tree. */
+  def q_availability_budget(spark: SparkSession, sf: String): DataFrame =
+    relStats(spark, sf)
+      .select(
+        expr(s"CAST(ROUND($relSys * 1000000000) AS BIGINT)").as("sys_avail_e9"),
+        expr(s"CAST(ROUND((CAST(1 AS DOUBLE) - $relSys) * CAST(525960 AS DOUBLE)" +
+          " * 100) AS BIGINT)").as("downtime_min_yr_e2"),
+        expr(s"CAST(ROUND((CAST(0 AS DOUBLE) - LN(CAST(1 AS DOUBLE) - $relSys)" +
+          " / LN(CAST(10 AS DOUBLE))) * 10000) AS BIGINT)").as("nines_e4"))
+
+  // ---- §2.194 bipartite structure — lane graph, Hall deficiency -----------
+
+  /** Thresholded region-level bipartite trade graph: keep lane S→D iff
+    * its cost (mean discount bps) is at most the mean lane cost —
+    * a data-derived sparsification that leaves a nontrivial adjacency.
+    * Exposes per-source neighbor BITMASKS so the subset sweep below is
+    * pure integer arithmetic. */
+  private def hallLanes(spark: SparkSession, sf: String): DataFrame = {
+    val fl = transportFlows(spark, sf).localCheckpoint()
+    val thr = fl.agg(expr("sum(cost) div count(1)").as("mean_cost"))
+    fl.crossJoin(broadcast(thr))
+      .filter(col("cost") <= col("mean_cost"))
+      .groupBy("src")
+      .agg(sum(expr("CAST(POW(2, dst) AS BIGINT)")).as("nbr_mask"),
+        count(lit(1)).as("degree"))
+  }
+
+  /** The sparsified lane adjacency itself: per source region its degree,
+    * neighbor mask, and share of possible destinations (e6) — the base
+    * audit for the Hall sweep. */
+  def q_lane_adjacency(spark: SparkSession, sf: String): DataFrame =
+    hallLanes(spark, sf)
+      .select(col("src"), col("degree"), col("nbr_mask"),
+        expr("degree * 1000000 div 5").as("coverage_e6"))
+      .orderBy("src")
+
+  /** Hall's condition, checked EXHAUSTIVELY: for every nonempty subset
+    * of source regions (31 rows — the lattice is region-bounded, so
+    * enumeration is scale-free) the neighborhood size |N(S)| via OR-ed
+    * bitmasks and the deficiency max(0, |S|−|N(S)|). A positive row is
+    * a constructive Hall-violation certificate. */
+  def q_hall_deficiency(spark: SparkSession, sf: String): DataFrame = {
+    val subsets = spark.range(1L, 32L).toDF("s_mask")
+    subsets.join(broadcast(hallLanes(spark, sf)),
+        expr("CAST(s_mask AS BIGINT) & CAST(POW(2, src) AS BIGINT) > 0"))
+      .groupBy("s_mask")
+      .agg(count(lit(1)).as("subset_size"),
+        expr("bit_or(nbr_mask)").as("n_mask"))
+      .select(col("s_mask"), col("subset_size"),
+        expr("CAST(bit_count(n_mask) AS BIGINT)").as("neighborhood_size"),
+        expr("GREATEST(CAST(0 AS BIGINT)," +
+          " subset_size - CAST(bit_count(n_mask) AS BIGINT))").as("deficiency"))
+      .orderBy("s_mask")
+  }
+
+  /** König/defect certificate: the worst Hall subset (max deficiency,
+    * smallest mask on ties) and the defect-form matching bound
+    * ν = m − max(deficiency) it implies for the 5×5 lane graph. */
+  def q_matching_bound(spark: SparkSession, sf: String): DataFrame =
+    q_hall_deficiency(spark, sf)
+      .agg(min(struct((-col("deficiency")).as("nd"), col("s_mask"),
+        col("subset_size"), col("neighborhood_size"))).as("w"),
+        count(lit(1)).as("n_subsets"))
+      .select(col("n_subsets"), col("w.s_mask").as("worst_mask"),
+        col("w.subset_size").as("worst_size"),
+        col("w.neighborhood_size").as("worst_neighborhood"),
+        (-col("w.nd")).as("max_deficiency"),
+        (lit(5L) + col("w.nd")).as("matching_bound"))
+
+  // ---- §2.195 Bayesian A/B — Beta posteriors, decision, credible bounds ---
+
+  /** One-row A/B sufficient statistics: cohort = user parity, converted
+    * = at least one purchase event. Beta(1,1) prior. Exact integers. */
+  private def bayesAbStats(spark: SparkSession, sf: String): DataFrame =
+    Tables.eventsWithTs(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("conv"))
+      .select((col("user_id") % 2).as("cohort"), col("conv"))
+      .groupBy().agg(
+        expr("sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END)").as("n_a"),
+        expr("sum(CASE WHEN cohort = 0 THEN conv ELSE 0 END)").as("c_a"),
+        expr("sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END)").as("n_b"),
+        expr("sum(CASE WHEN cohort = 1 THEN conv ELSE 0 END)").as("c_b"))
+
+  /** Posterior mean α/(α+β) of cohort `x` under Beta(1,1). */
+  private def bAbMean(x: String) =
+    s"((CAST(1 AS DOUBLE) + CAST(c_$x AS DOUBLE))" +
+      s" / (CAST(2 AS DOUBLE) + CAST(n_$x AS DOUBLE)))"
+  /** Posterior variance αβ/((α+β)²(α+β+1)). */
+  private def bAbVar(x: String) = {
+    val al = s"(CAST(1 AS DOUBLE) + CAST(c_$x AS DOUBLE))"
+    val be = s"(CAST(1 AS DOUBLE) + CAST(n_$x AS DOUBLE) - CAST(c_$x AS DOUBLE))"
+    val ab = s"(CAST(2 AS DOUBLE) + CAST(n_$x AS DOUBLE))"
+    s"($al * $be / ($ab * $ab * ($ab + CAST(1 AS DOUBLE))))"
+  }
+
+  /** Beta posteriors per cohort under a uniform prior: trials,
+    * conversions, α/β, posterior mean (e6) and variance (e12). */
+  def q_bayes_ab_posterior(spark: SparkSession, sf: String): DataFrame = {
+    val rows = Seq("a", "b").map { x =>
+      struct(lit(x).as("cohort"), col(s"n_$x").as("n_users"),
+        col(s"c_$x").as("n_conv"),
+        (col(s"c_$x") + 1L).as("alpha"),
+        (col(s"n_$x") - col(s"c_$x") + 1L).as("beta"),
+        expr(s"CAST(ROUND(${bAbMean(x)} * 1000000) AS BIGINT)").as("mean_e6"),
+        expr(s"CAST(ROUND(${bAbVar(x)} * 1000000000000) AS BIGINT)")
+          .as("var_e12")) }
+    bayesAbStats(spark, sf)
+      .select(explode(array(rows: _*)).as("r"))
+      .select(col("r.cohort").as("cohort"), col("r.n_users").as("n_users"),
+        col("r.n_conv").as("n_conv"), col("r.alpha").as("alpha"),
+        col("r.beta").as("beta"), col("r.mean_e6").as("mean_e6"),
+        col("r.var_e12").as("var_e12"))
+      .orderBy("cohort")
+  }
+
+  /** The ship/hold decision: z = (μ_B − μ_A)/√(v_A + v_B) and
+    * P(B > A) ≈ Φ(z) via the portable normal-CDF tree, plus the
+    * posterior-mean uplift — the one-row summary a launch review reads. */
+  def q_bayes_ab_decision(spark: SparkSession, sf: String): DataFrame =
+    bayesAbStats(spark, sf)
+      .withColumn("z", expr(s"(${bAbMean("b")} - ${bAbMean("a")})" +
+        s" / SQRT(${bAbVar("a")} + ${bAbVar("b")})"))
+      .select(col("n_a"), col("n_b"),
+        expr("CAST(ROUND(z * 1000000) AS BIGINT) + 0").as("z_e6"),
+        expr(s"CAST(ROUND(${normCdf("z")} * 1000000) AS BIGINT)")
+          .as("p_b_beats_a_e6"),
+        expr(s"CAST(ROUND((${bAbMean("b")} - ${bAbMean("a")}) * 1000000)" +
+          " AS BIGINT) + 0").as("uplift_e6"))
+
+  /** Normal-approximation 95% credible intervals per cohort
+    * (μ ± 1.96σ, e6) with the interval width — the overlap picture
+    * behind the decision number. */
+  def q_bayes_credible_bounds(spark: SparkSession, sf: String): DataFrame = {
+    val z95 = frac(196L, 100L)
+    val rows = Seq("a", "b").map { x =>
+      struct(lit(x).as("cohort"),
+        expr(s"CAST(ROUND((${bAbMean(x)} - $z95 * SQRT(${bAbVar(x)}))" +
+          " * 1000000) AS BIGINT)").as("lo_e6"),
+        expr(s"CAST(ROUND((${bAbMean(x)} + $z95 * SQRT(${bAbVar(x)}))" +
+          " * 1000000) AS BIGINT)").as("hi_e6"),
+        expr(s"CAST(ROUND(CAST(2 AS DOUBLE) * $z95 * SQRT(${bAbVar(x)})" +
+          " * 1000000) AS BIGINT)").as("width_e6")) }
+    bayesAbStats(spark, sf)
+      .select(explode(array(rows: _*)).as("r"))
+      .select(col("r.cohort").as("cohort"), col("r.lo_e6").as("lo_e6"),
+        col("r.hi_e6").as("hi_e6"), col("r.width_e6").as("width_e6"))
+      .orderBy("cohort")
+  }
 }

@@ -1391,6 +1391,61 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(v.zip(v.tail).forall { case (a, b) => a <= b }, v.toSeq.toString)
   }
 
+  test("reliability: block availability dominates p and Birnbaum ranks blocks") {
+    val blocks = Analytics.q_reliability_block(spark, sf).collect()
+    assert(blocks.length == 5)
+    blocks.foreach { r =>
+      // a parallel block is at least as available as one component
+      assert(r.getAs[Long]("avail_e9") >= r.getAs[Long]("p_e6") * 1000L - 1000L)
+      assert(r.getAs[Long]("n_up") <= r.getAs[Long]("n_sup"))
+    }
+    val bud = Analytics.q_availability_budget(spark, sf).collect().head
+    assert(bud.getAs[Long]("sys_avail_e9") <= 1000000000L)
+    assert(bud.getAs[Long]("downtime_min_yr_e2") >= 0L)
+    Analytics.q_birnbaum_importance(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("birnbaum_e9") >= r.getAs[Long]("risk_contrib_e9"))
+    }
+  }
+
+  test("Hall sweep covers all 31 subsets and the matching bound is coherent") {
+    val defs = Analytics.q_hall_deficiency(spark, sf).collect()
+    assert(defs.length == 31)
+    defs.foreach { r =>
+      assert(r.getAs[Long]("subset_size") ==
+        java.lang.Long.bitCount(r.getAs[Long]("s_mask")).toLong)
+      assert(r.getAs[Long]("deficiency") >= 0L)
+    }
+    val mb = Analytics.q_matching_bound(spark, sf).collect().head
+    assert(mb.getAs[Long]("n_subsets") == 31L)
+    assert(mb.getAs[Long]("matching_bound") ==
+      5L - defs.map(_.getAs[Long]("deficiency")).max)
+    val adj = Analytics.q_lane_adjacency(spark, sf).collect()
+    adj.foreach(r => assert(
+      java.lang.Long.bitCount(r.getAs[Long]("nbr_mask")).toLong ==
+        r.getAs[Long]("degree")))
+  }
+
+  test("Bayesian A/B: posterior mean between prior and MLE, decision coherent") {
+    val post = Analytics.q_bayes_ab_posterior(spark, sf).collect()
+    assert(post.length == 2)
+    post.foreach { r =>
+      assert(r.getAs[Long]("alpha") == r.getAs[Long]("n_conv") + 1L)
+      val m = r.getAs[Long]("mean_e6")
+      assert(m > 0L && m < 1000000L)
+      assert(r.getAs[Long]("var_e12") > 0L)
+    }
+    val dec = Analytics.q_bayes_ab_decision(spark, sf).collect().head
+    val p = dec.getAs[Long]("p_b_beats_a_e6")
+    assert(p >= 0L && p <= 1000000L)
+    // P(B>A) > 1/2 iff uplift positive
+    assert((p >= 500000L) == (dec.getAs[Long]("uplift_e6") >= 0L))
+    Analytics.q_bayes_credible_bounds(spark, sf).collect().foreach { r =>
+      // lo/hi/width are rounded independently — agree to 1 ulp of e6
+      assert(math.abs(r.getAs[Long]("hi_e6") - r.getAs[Long]("lo_e6") -
+        r.getAs[Long]("width_e6")) <= 1L, r.toString)
+    }
+  }
+
   test("reservoir bottom-k: sample never exceeds k=32 or the population") {
     Sampling.q_reservoir_bottomk(spark, sf).collect().foreach { r =>
       val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("k"))
