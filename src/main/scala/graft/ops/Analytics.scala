@@ -12387,4 +12387,209 @@ object Analytics {
         col("r.hi_e6").as("hi_e6"), col("r.width_e6").as("width_e6"))
       .orderBy("cohort")
   }
+
+  // ---- §2.196 period detection — epoch folding / phase dispersion ---------
+
+  private val pdmPeriods: Seq[Long] = // candidate periods, µs: 2h..48h
+    Seq(2L, 3L, 4L, 6L, 8L, 12L, 16L, 24L, 36L, 48L).map(_ * 3600000000L)
+
+  /** Phase-dispersion statistics: fold event times at each candidate
+    * period into 8 phase bins held as NAMED columns (n_0..n_7, s_0..s_7
+    * plus the global Σv²) so every float downstream is a fixed 8-term
+    * written-order tree — no order-dependent reduction anywhere. One
+    * aggregate per period, unioned. */
+  private def pdmStats(spark: SparkSession, sf: String): DataFrame = {
+    val ev = Tables.eventsWithTs(spark, sf)
+      .select(col("ts_usl").as("t"), cents(col("value")).as("v"))
+    pdmPeriods.map { p =>
+      val binned = ev.select(expr(s"(t % ${p}L) * 8 div ${p}L").as("bin"), col("v"))
+      val aggs = (0 to 7).flatMap { b => Seq(
+        expr(s"sum(CASE WHEN bin = $b THEN 1 ELSE 0 END)").as(s"n_$b"),
+        expr(s"sum(CASE WHEN bin = $b THEN v ELSE 0 END)").as(s"s_$b")) } ++ Seq(
+        count(lit(1)).as("n_total"), sum(col("v")).as("s_total"),
+        sum(col("v") * col("v")).as("s2_total"))
+      binned.groupBy().agg(aggs.head, aggs.tail: _*)
+        .select(lit(p).as("period_us") +:
+          (0 to 7).flatMap(b => Seq(col(s"n_$b"), col(s"s_$b"))) :+
+          col("n_total") :+ col("s_total") :+ col("s2_total"): _*)
+    }.reduce(_ unionAll _)
+  }
+
+  /** Σ_b S_b²/n_b as one fixed written-order 8-term tree (empty bins
+    * contribute 0). */
+  private def pdmWithin: String = (0 to 7).map { b =>
+    s"(CASE WHEN n_$b = 0 THEN CAST(0 AS DOUBLE)" +
+      s" ELSE CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE)" +
+      s" / CAST(n_$b AS DOUBLE) END)" }.mkString("(", " + ", ")")
+
+  /** Phase-dispersion minimisation (Stellingwerf): per candidate period
+    * θ = SS_within/SS_total with SS_within = Σv² − Σ_b S_b²/n_b.
+    * θ ≪ 1 flags a real periodicity at that fold; a flat profile stays
+    * ≈ 1. Deterministic: the only float math is a fixed 8-term tree on
+    * exact integer sufficient statistics. */
+  def q_phase_dispersion(spark: SparkSession, sf: String): DataFrame =
+    pdmStats(spark, sf)
+      .select(col("period_us"), lit(8L).as("n_bins"), col("n_total"),
+        expr(s"CAST(ROUND((CAST(s2_total AS DOUBLE) - $pdmWithin)" +
+          " / (CAST(s2_total AS DOUBLE) - CAST(s_total AS DOUBLE)" +
+          " * CAST(s_total AS DOUBLE) / CAST(n_total AS DOUBLE))" +
+          " * 1000000) AS BIGINT)").as("theta_e6"))
+      .orderBy("period_us")
+
+  /** The detected period: lexicographic (θ, period) minimum over the
+    * candidate grid, with its dispersion ratio — one struct-min. */
+  def q_best_period(spark: SparkSession, sf: String): DataFrame =
+    q_phase_dispersion(spark, sf)
+      .agg(min(struct(col("theta_e6"), col("period_us"))).as("b"),
+        count(lit(1)).as("n_candidates"))
+      .select(col("n_candidates"), col("b.period_us").as("best_period_us"),
+        col("b.theta_e6").as("theta_e6"))
+
+  /** Phase profile at the 24h fold: per phase bin the count, mean cents
+    * and share e6 — the folded light-curve a human reads to confirm the
+    * detected cycle. */
+  def q_phase_profile(spark: SparkSession, sf: String): DataFrame = {
+    val p = 24L * 3600000000L
+    val ev = Tables.eventsWithTs(spark, sf)
+      .select(expr(s"(ts_usl % ${p}L) * 8 div ${p}L").as("bin"),
+        cents(col("value")).as("v"))
+    val tot = ev.agg(count(lit(1)).as("n_all"))
+    ev.groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"), expr("s div n").as("mean_cents"),
+        expr("n * 1000000 div n_all").as("share_e6"))
+      .orderBy("bin")
+  }
+
+  // ---- §2.197 random-walk path statistics — ballot, range, last zero ------
+
+  /** Per-user ±1 walk: +1 on purchase, −1 on error (other events keep
+    * the walk flat), stepped in (ts, id) order with a keyed cumulative
+    * sum — the sample-path statistics classical fluctuation theory
+    * (ballot problem, arcsine laws) describes. */
+  private def userWalk(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("u").orderBy(col("t").asc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.eventsWithTs(spark, sf)
+      .select(col("user_id").as("u"), col("ts_usl").as("t"),
+        col("event_id").as("id"),
+        when(col("event_type") === "purchase", 1L)
+          .when(col("event_type") === "error", -1L).otherwise(0L).as("step"))
+      .withColumn("pos", sum(col("step")).over(w))
+      .withColumn("j", count(lit(1)).over(w))
+  }
+
+  /** Ballot-problem audit: users whose purchase−error lead never goes
+    * negative (the candidate "stays ahead"), the fleet share e6, and the
+    * deepest deficit observed — one keyed walk pass + one user agg. */
+  def q_walk_ballot(spark: SparkSession, sf: String): DataFrame =
+    userWalk(spark, sf)
+      .groupBy(col("u"))
+      .agg(min(col("pos")).as("min_pos"), max(col("pos")).as("max_pos"),
+        count(lit(1)).as("n_steps"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("min_pos") >= 0L, 1L).otherwise(0L)).as("never_behind"),
+        min(col("min_pos")).as("deepest_deficit"),
+        max(col("max_pos")).as("highest_lead"))
+      .select(col("n_users"), col("never_behind"),
+        expr("never_behind * 1000000 div n_users").as("never_behind_e6"),
+        col("deepest_deficit"), col("highest_lead"))
+
+  /** Walk range (max − min position) distribution: histogram of per-user
+    * ranges with exact counts — the spread statistic diffusion scaling
+    * (≈√n) predicts. */
+  def q_walk_range(spark: SparkSession, sf: String): DataFrame =
+    userWalk(spark, sf)
+      .groupBy(col("u"))
+      .agg((max(col("pos")) - min(col("pos"))).as("range"),
+        count(lit(1)).as("n_steps"))
+      .groupBy(col("range"))
+      .agg(count(lit(1)).as("n_users"),
+        min(col("n_steps")).as("min_steps"), max(col("n_steps")).as("max_steps"))
+      .orderBy("range")
+
+  /** Arcsine-law probe: the position of each walk's LAST zero crossing
+    * as a share of its length (e6), bucketed into deciles — Lévy's
+    * arcsine law says the mass piles up at the ends, not the middle. */
+  def q_walk_last_zero(spark: SparkSession, sf: String): DataFrame =
+    userWalk(spark, sf)
+      .groupBy(col("u"))
+      .agg(max(when(col("pos") === 0L, col("j")).otherwise(0L)).as("last_zero"),
+        count(lit(1)).as("n_steps"))
+      .select(expr("last_zero * 10 div (n_steps + 1)").as("decile"))
+      .groupBy("decile").agg(count(lit(1)).as("n_users"))
+      .orderBy("decile")
+
+  // ---- §2.198 formal concept analysis — closures over shipping relation --
+
+  /** The formal context: objects = supplier nations, attributes =
+    * destination regions, incidence = "some lineitem ships from this
+    * nation to that region". One star join, then each object carries its
+    * attribute BITMASK, so closure arithmetic downstream is pure integer
+    * ops on a nation-bounded table. */
+  private def fcaObjects(spark: SparkSession, sf: String): DataFrame = {
+    val custRegion = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(Tables.nation(spark, sf)
+        .select(col("n_nationkey").as("cn"), col("n_regionkey").as("dst"))),
+        col("c_nationkey") === col("cn"))
+      .select(col("c_custkey"), col("dst"))
+    Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(custRegion, col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, sf).select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey").cast("long").as("obj"),
+        col("dst").cast("long").as("dst"))
+      .distinct()
+      .groupBy("obj")
+      .agg(expr("bit_or(CAST(POW(2, dst) AS BIGINT))").as("attr_mask"))
+  }
+
+  /** Galois closure sweep over ALL 32 attribute subsets: extent size
+    * (objects with every attribute in B) and the closure intent
+    * (bit-AND of their masks; full set for an empty extent). A subset is
+    * closed iff closure == B; the lattice is attribute-bounded, so the
+    * sweep is exhaustive at any corpus size. */
+  def q_fca_closure_sweep(spark: SparkSession, sf: String): DataFrame = {
+    val objs = fcaObjects(spark, sf).localCheckpoint()
+    spark.range(0L, 32L).toDF("b_mask")
+      .join(broadcast(objs), expr("(attr_mask & b_mask) = b_mask"), "left")
+      .groupBy("b_mask")
+      .agg(count(col("obj")).as("extent_size"),
+        coalesce(expr("bit_and(attr_mask)"), lit(31L)).as("closure_mask"))
+      .select(col("b_mask"), col("extent_size"), col("closure_mask"),
+        (col("closure_mask") === col("b_mask")).cast("long").as("is_closed"))
+      .orderBy("b_mask")
+  }
+
+  /** Concept-lattice summary: distinct intents reachable from the sweep
+    * (= the concept count), how many subsets are already closed, and the
+    * top/bottom extents — the shape of the trade concept lattice. */
+  def q_fca_concept_count(spark: SparkSession, sf: String): DataFrame = {
+    val sweep = q_fca_closure_sweep(spark, sf).localCheckpoint()
+    sweep.agg(count(lit(1)).as("n_subsets"),
+      countDistinct(col("closure_mask")).as("n_concepts"),
+      sum(col("is_closed")).as("n_closed"),
+      max(when(col("b_mask") === 0L, col("extent_size"))).as("top_extent"),
+      max(when(col("b_mask") === 31L, col("extent_size"))).as("bottom_extent"))
+  }
+
+  /** Attribute implications from single premises: for each destination
+    * region a, the closure of {a} minus a — "shipping to a implies
+    * shipping to X" — with the premise support. The implication basis a
+    * category manager actually reads. */
+  def q_fca_implications(spark: SparkSession, sf: String): DataFrame =
+    q_fca_closure_sweep(spark, sf)
+      .filter(col("b_mask").isin(1L, 2L, 4L, 8L, 16L))
+      .select(
+        expr("CASE b_mask WHEN 1 THEN 0 WHEN 2 THEN 1 WHEN 4 THEN 2" +
+          " WHEN 8 THEN 3 ELSE 4 END").cast("long").as("premise_region"),
+        col("extent_size").as("support"),
+        expr("closure_mask & ~b_mask").as("implied_mask"),
+        (expr("closure_mask & ~b_mask") =!= 0L).cast("long").as("has_implication"))
+      .orderBy("premise_region")
 }

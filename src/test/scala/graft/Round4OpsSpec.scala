@@ -1446,6 +1446,51 @@ class Round4OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("phase dispersion: theta in range, best period is the grid argmin") {
+    val pd = Analytics.q_phase_dispersion(spark, sf).collect()
+    assert(pd.length == 10)
+    pd.foreach { r =>
+      val th = r.getAs[Long]("theta_e6")
+      assert(th > 0L && th <= 1100000L, r.toString) // θ ≲ 1 up to noise
+    }
+    val best = Analytics.q_best_period(spark, sf).collect().head
+    assert(best.getAs[Long]("theta_e6") ==
+      pd.map(_.getAs[Long]("theta_e6")).min)
+    val prof = Analytics.q_phase_profile(spark, sf).collect()
+    assert(prof.map(_.getAs[Long]("share_e6")).sum >= 999990L)
+  }
+
+  test("random walk: ballot share, ranges, and arcsine deciles are coherent") {
+    val ballot = Analytics.q_walk_ballot(spark, sf).collect().head
+    assert(ballot.getAs[Long]("never_behind") <= ballot.getAs[Long]("n_users"))
+    assert(ballot.getAs[Long]("deepest_deficit") <= 0L)
+    val ranges = Analytics.q_walk_range(spark, sf).collect()
+    assert(ranges.map(_.getAs[Long]("n_users")).sum ==
+      ballot.getAs[Long]("n_users"))
+    val dec = Analytics.q_walk_last_zero(spark, sf).collect()
+    dec.foreach(r => assert(r.getAs[Long]("decile") >= 0L &&
+      r.getAs[Long]("decile") <= 9L))
+    assert(dec.map(_.getAs[Long]("n_users")).sum ==
+      ballot.getAs[Long]("n_users"))
+  }
+
+  test("FCA: closures are extensive/idempotent and concepts count closed sets") {
+    val sweep = Analytics.q_fca_closure_sweep(spark, sf).collect()
+    assert(sweep.length == 32)
+    val closureOf = sweep.map(r =>
+      r.getAs[Long]("b_mask") -> r.getAs[Long]("closure_mask")).toMap
+    sweep.foreach { r =>
+      val (b, c) = (r.getAs[Long]("b_mask"), r.getAs[Long]("closure_mask"))
+      assert((b & c) == b, s"closure must contain the set: $r") // extensive
+      assert(closureOf(c) == c, s"closure must be idempotent: $r")
+      assert((r.getAs[Long]("is_closed") == 1L) == (b == c))
+    }
+    val cc = Analytics.q_fca_concept_count(spark, sf).collect().head
+    assert(cc.getAs[Long]("n_concepts") ==
+      sweep.map(_.getAs[Long]("closure_mask")).distinct.length.toLong)
+    assert(cc.getAs[Long]("top_extent") >= cc.getAs[Long]("bottom_extent"))
+  }
+
   test("reservoir bottom-k: sample never exceeds k=32 or the population") {
     Sampling.q_reservoir_bottomk(spark, sf).collect().foreach { r =>
       val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("k"))
