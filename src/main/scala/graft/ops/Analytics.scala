@@ -12592,4 +12592,132 @@ object Analytics {
         expr("closure_mask & ~b_mask").as("implied_mask"),
         (expr("closure_mask & ~b_mask") =!= 0L).cast("long").as("has_implication"))
       .orderBy("premise_region")
+
+  // ---- §2.199 Jackson network — traffic equations, utilization ------------
+
+  private val jkTypes = Seq("click" -> "c", "error" -> "e",
+    "purchase" -> "p", "signup" -> "s", "view" -> "v")
+
+  /** One-row open-network statistics: stations = the 5 event types.
+    * Per ordered pair (j,i) the user-consecutive transition count c_ji;
+    * per station the totals n_j, exits x_j (last event of a user) and
+    * external arrivals f_j (first event of a user); plus the global time
+    * span. Routing p_ji = c_ji/n_j then satisfies Σᵢ p_ji < 1 exactly
+    * (each visit either routes or exits), so the traffic equations have
+    * a unique solution the fixed-point iteration converges to
+    * geometrically. */
+  private def jacksonStats(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("u").orderBy(col("t").asc, col("id").asc)
+    val seq = Tables.eventsWithTs(spark, sf)
+      .select(col("user_id").as("u"), col("ts_usl").as("t"),
+        col("event_id").as("id"), col("event_type").as("et"))
+      .withColumn("nxt", lead(col("et"), 1).over(w))
+      .withColumn("prv", lag(col("et"), 1).over(w))
+    val aggs =
+      (for ((j, a) <- jkTypes; (i, b) <- jkTypes) yield
+        expr(s"sum(CASE WHEN et = '$j' AND nxt = '$i' THEN 1 ELSE 0 END)")
+          .as(s"c_$a$b")) ++
+      jkTypes.map { case (j, a) =>
+        expr(s"sum(CASE WHEN et = '$j' THEN 1 ELSE 0 END)").as(s"n_$a") } ++
+      jkTypes.map { case (j, a) =>
+        expr(s"sum(CASE WHEN et = '$j' AND nxt IS NULL THEN 1 ELSE 0 END)")
+          .as(s"x_$a") } ++
+      jkTypes.map { case (j, a) =>
+        expr(s"sum(CASE WHEN et = '$j' AND prv IS NULL THEN 1 ELSE 0 END)")
+          .as(s"f_$a") } ++
+      Seq(min(col("t")).as("tmin"), max(col("t")).as("tmax"))
+    seq.groupBy().agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Stats row + routing probabilities p_ji, external rates g_j (per
+    * hour), and ten fixed-point sweeps of the traffic equations
+    * λ⁽ᵏ⁺¹⁾ᵢ = γᵢ + Σⱼ λ⁽ᵏ⁾ⱼ p_ji materialised as columns l10_* — every
+    * level references the PREVIOUS level's columns, so the expression
+    * trees stay linear in the iteration count. */
+  private def jacksonSolved(spark: SparkSession, sf: String): DataFrame = {
+    var df = jacksonStats(spark, sf)
+    for ((_, a) <- jkTypes; (_, b) <- jkTypes)
+      df = df.withColumn(s"p_$a$b",
+        expr(s"CAST(c_$a$b AS DOUBLE) / CAST(n_$a AS DOUBLE)"))
+    for ((_, a) <- jkTypes)
+      df = df.withColumn(s"g_$a",
+        expr(s"CAST(f_$a AS DOUBLE) * CAST(3600000000 AS DOUBLE)" +
+          s" / CAST(tmax - tmin AS DOUBLE)"))
+    for ((_, a) <- jkTypes) df = df.withColumn(s"l0_$a", col(s"g_$a"))
+    for (k <- 1 to 10; (_, i) <- jkTypes) {
+      val inflow = jkTypes.map { case (_, j) => s"l${k - 1}_$j * p_$j$i" }
+        .mkString(" + ")
+      df = df.withColumn(s"l${k}_$i", expr(s"g_$i + $inflow"))
+    }
+    df
+  }
+
+  /** Solved per-station arrival rates: external γ, network λ (both per
+    * hour, e6) and the visit ratio λ/γ — how much internal routing
+    * amplifies each station's load. */
+  def q_jackson_arrivals(spark: SparkSession, sf: String): DataFrame = {
+    val rows = jkTypes.map { case (name, a) =>
+      struct(lit(name).as("station"), col(s"n_$a").as("n_events"),
+        expr(s"CAST(ROUND(g_$a * 1000000) AS BIGINT)").as("gamma_hr_e6"),
+        expr(s"CAST(ROUND(l10_$a * 1000000) AS BIGINT)").as("lambda_hr_e6"),
+        expr(s"CASE WHEN f_$a = 0 THEN CAST(0 AS BIGINT)" +
+          s" ELSE CAST(ROUND(l10_$a / g_$a * 1000000) AS BIGINT) END")
+          .as("visit_ratio_e6")) }
+    jacksonSolved(spark, sf)
+      .select(explode(array(rows: _*)).as("r"))
+      .select(col("r.station").as("station"), col("r.n_events").as("n_events"),
+        col("r.gamma_hr_e6").as("gamma_hr_e6"),
+        col("r.lambda_hr_e6").as("lambda_hr_e6"),
+        col("r.visit_ratio_e6").as("visit_ratio_e6"))
+      .orderBy("station")
+  }
+
+  private def jkMu: String =
+    jkTypes.map { case (_, a) => s"l10_$a" }
+      .mkString("(CAST(2 AS DOUBLE) * GREATEST(", ", ", "))")
+
+  /** M/M/1 performance per station with capacity provisioned at 2× the
+    * peak solved throughput (so every ρ ≤ 1/2 by construction): ρ,
+    * wait W = 1/(μ−λ) in minutes, queue length L = λW. */
+  def q_jackson_utilization(spark: SparkSession, sf: String): DataFrame = {
+    val rows = jkTypes.map { case (name, a) =>
+      struct(lit(name).as("station"),
+        expr(s"CAST(ROUND(l10_$a / $jkMu * 1000000) AS BIGINT)").as("rho_e6"),
+        expr(s"CAST(ROUND(CAST(60 AS DOUBLE) / ($jkMu - l10_$a) * 1000000)" +
+          " AS BIGINT)").as("wait_min_e6"),
+        expr(s"CAST(ROUND(l10_$a / ($jkMu - l10_$a) * 1000000) AS BIGINT)")
+          .as("queue_len_e6")) }
+    jacksonSolved(spark, sf)
+      .select(explode(array(rows: _*)).as("r"))
+      .select(col("r.station").as("station"), col("r.rho_e6").as("rho_e6"),
+        col("r.wait_min_e6").as("wait_min_e6"),
+        col("r.queue_len_e6").as("queue_len_e6"))
+      .orderBy("station")
+  }
+
+  /** Network rollup: the bottleneck station (max ρ, i.e. max λ under a
+    * common μ), total queue length ΣL, total external rate Σγ, and the
+    * network response time ΣL/Σγ (Little) in minutes — the capacity
+    * headline. */
+  def q_jackson_bottleneck(spark: SparkSession, sf: String): DataFrame = {
+    val lSum = jkTypes.map { case (_, a) => s"(l10_$a / ($jkMu - l10_$a))" }
+      .mkString("(", " + ", ")")
+    val gSum = jkTypes.map { case (_, a) => s"g_$a" }.mkString("(", " + ", ")")
+    val rows = jkTypes.map { case (name, a) =>
+      struct(expr(s"CAST(ROUND(l10_$a * 1000000) AS BIGINT)").as("nl"),
+        lit(name).as("station")) }
+    jacksonSolved(spark, sf)
+      .select(explode(array(rows: _*)).as("r"),
+        expr(s"CAST(ROUND($lSum * 1000000) AS BIGINT)").as("total_queue_e6"),
+        expr(s"CAST(ROUND($gSum * 1000000) AS BIGINT)").as("gamma_total_e6"),
+        expr(s"CAST(ROUND($lSum / $gSum * CAST(60 AS DOUBLE) * 1000000)" +
+          " AS BIGINT)").as("network_resp_min_e6"))
+      .groupBy()
+      .agg(max(col("r")).as("b"), max(col("total_queue_e6")).as("total_queue_e6"),
+        max(col("gamma_total_e6")).as("gamma_total_e6"),
+        max(col("network_resp_min_e6")).as("network_resp_min_e6"))
+      .select(col("b.station").as("bottleneck"),
+        col("b.nl").as("bottleneck_lambda_e6"), col("total_queue_e6"),
+        col("gamma_total_e6"), col("network_resp_min_e6"))
+  }
 }

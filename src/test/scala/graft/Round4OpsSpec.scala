@@ -1491,6 +1491,28 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(cc.getAs[Long]("top_extent") >= cc.getAs[Long]("bottom_extent"))
   }
 
+  test("Jackson network: traffic solution dominates external rates, rho <= 1/2") {
+    val arr = Analytics.q_jackson_arrivals(spark, sf).collect()
+    assert(arr.length == 5)
+    arr.foreach { r =>
+      // internal routing only ADDS load: lambda >= gamma, visit ratio >= 1
+      assert(r.getAs[Long]("lambda_hr_e6") >= r.getAs[Long]("gamma_hr_e6") - 1L,
+        r.toString)
+      if (r.getAs[Long]("gamma_hr_e6") > 0L) // guarded to 0 when gamma = 0
+        assert(r.getAs[Long]("visit_ratio_e6") >= 999999L, r.toString)
+    }
+    val util = Analytics.q_jackson_utilization(spark, sf).collect()
+    util.foreach { r =>
+      // mu = 2 x peak lambda, so every station sits at rho <= 1/2
+      assert(r.getAs[Long]("rho_e6") <= 500001L, r.toString)
+      assert(r.getAs[Long]("wait_min_e6") > 0L)
+    }
+    val bn = Analytics.q_jackson_bottleneck(spark, sf).collect().head
+    val maxL = arr.map(_.getAs[Long]("lambda_hr_e6")).max
+    assert(bn.getAs[Long]("bottleneck_lambda_e6") == maxL)
+    assert(bn.getAs[Long]("network_resp_min_e6") > 0L)
+  }
+
   test("reservoir bottom-k: sample never exceeds k=32 or the population") {
     Sampling.q_reservoir_bottomk(spark, sf).collect().foreach { r =>
       val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("k"))
