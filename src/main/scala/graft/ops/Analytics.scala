@@ -12720,4 +12720,176 @@ object Analytics {
         col("b.nl").as("bottleneck_lambda_e6"), col("total_queue_e6"),
         col("gamma_total_e6"), col("network_resp_min_e6"))
   }
+
+  // ---- §2.200 market microstructure — Roll, Kyle, Amihud ------------------
+
+  /** Tick table: per (event_type, day) price series in cents with the
+    * keyed-lag price change, its one-step lead, and a parity tick-rule
+    * signed volume. Windows are keyed by (type, day) — parallelism grows
+    * with the calendar, never a 5-partition hotspot. Day-level
+    * estimates are rounded to integers and then averaged EXACTLY across
+    * days, so no cross-day float reduction exists anywhere. */
+  private def tickDays(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("et", "day").orderBy(col("t").asc, col("id").asc)
+    Tables.eventsWithTs(spark, sf)
+      .select(col("event_type").as("et"), col("ts_usl").as("t"),
+        col("event_id").as("id"), cents(col("value")).as("v"),
+        expr("ts_usl div 86400000000").as("day"),
+        expr("CASE WHEN event_id % 2 = 0 THEN 1 ELSE -1 END").cast("long")
+          .as("dir"))
+      .withColumn("dp", col("v") - lag(col("v"), 1).over(w))
+      .withColumn("dp_next", lead(col("dp"), 1).over(w))
+      .withColumn("sv", col("dir") * col("v"))
+  }
+
+  /** Roll's implied effective spread 2√(−cov(Δp_t, Δp_{t+1})) per event
+    * type: serial covariance from exact integer sums per day, spread
+    * rounded to cents per day (0 where the covariance is nonnegative —
+    * Roll undefined), then an exact integer mean across days. */
+  def q_roll_spread(spark: SparkSession, sf: String): DataFrame =
+    tickDays(spark, sf)
+      .filter(col("dp").isNotNull && col("dp_next").isNotNull)
+      .groupBy("et", "day")
+      .agg(count(lit(1)).as("n"), sum(col("dp")).as("sx"),
+        sum(col("dp_next")).as("sy"), sum(col("dp") * col("dp_next")).as("sxy"))
+      .filter(col("n") >= 2L)
+      .select(col("et"), col("day"),
+        expr("CAST(ROUND(CASE WHEN CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)" +
+          " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)" +
+          " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) < CAST(0 AS DOUBLE)" +
+          " THEN CAST(2 AS DOUBLE) * SQRT(CAST(0 AS DOUBLE)" +
+          " - (CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)" +
+          " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)" +
+          " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))" +
+          " ELSE CAST(0 AS DOUBLE) END) AS BIGINT)").as("spread_cents_day"))
+      .groupBy("et")
+      .agg(count(lit(1)).as("n_days"),
+        expr("sum(spread_cents_day) div count(1)").as("roll_spread_cents"),
+        sum(when(col("spread_cents_day") > 0L, 1L).otherwise(0L))
+          .as("days_defined"))
+      .orderBy("et")
+
+  /** Kyle's lambda (price impact): per day the OLS slope of Δp on the
+    * parity-signed volume from exact sums, e6 per day, then the exact
+    * integer mean across days — how many cents the price moves per
+    * signed cent of flow. */
+  def q_kyle_lambda(spark: SparkSession, sf: String): DataFrame =
+    tickDays(spark, sf)
+      .filter(col("dp").isNotNull)
+      .groupBy("et", "day")
+      .agg(count(lit(1)).as("n"), sum(col("sv")).as("sx"),
+        sum(col("dp")).as("sy"), sum(col("sv") * col("dp")).as("sxy"),
+        sum(col("sv") * col("sv")).as("sxx"))
+      .filter(col("n") >= 2L)
+      .select(col("et"), col("day"),
+        expr("CAST(ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)" +
+          " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))" +
+          " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)" +
+          " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))" +
+          " * 1000000) AS BIGINT)").as("lambda_day_e6"))
+      .groupBy("et")
+      .agg(count(lit(1)).as("n_days"),
+        // day means can be negative: Spark `div` truncates while DuckDB
+        // `//` floors, so the cross-day mean goes through ROUND instead
+        expr("CAST(ROUND(CAST(sum(lambda_day_e6) AS DOUBLE)" +
+          " / CAST(count(1) AS DOUBLE)) AS BIGINT) + 0").as("kyle_lambda_e6"))
+      .orderBy("et")
+
+  /** Amihud illiquidity: per day Σ|Δp| / Σv (e9), then the exact
+    * integer mean across days per type — price move per cent of volume,
+    * the workhorse illiquidity proxy. */
+  def q_amihud_illiquidity(spark: SparkSession, sf: String): DataFrame =
+    tickDays(spark, sf)
+      .filter(col("dp").isNotNull)
+      .groupBy("et", "day")
+      .agg(sum(abs(col("dp"))).as("sad"), sum(col("v")).as("svol"),
+        count(lit(1)).as("n"))
+      .select(col("et"), col("day"),
+        expr("CAST(ROUND(CAST(sad AS DOUBLE) / CAST(svol AS DOUBLE)" +
+          " * 1000000000) AS BIGINT)").as("illiq_day_e9"))
+      .groupBy("et")
+      .agg(count(lit(1)).as("n_days"),
+        expr("sum(illiq_day_e9) div count(1)").as("amihud_e9"),
+        max(col("illiq_day_e9")).as("worst_day_e9"))
+      .orderBy("et")
+
+  // ---- §2.201 differential privacy — composition accounting ---------------
+
+  /** One-row DP ledger: five mechanisms (one per event type), each with
+    * a data-derived per-release budget ε_i = (100 + n_i mod 400)/1000 ∈
+    * [0.1, 0.5] — exact e3 integers, so every bound below is a fixed
+    * 5-term tree. */
+  private def dpStats(spark: SparkSession, sf: String): DataFrame = {
+    val aggs = jkTypes.map { case (j, a) =>
+      expr(s"sum(CASE WHEN event_type = '$j' THEN 1 ELSE 0 END)").as(s"n_$a") }
+    Tables.eventsWithTs(spark, sf).groupBy().agg(aggs.head, aggs.tail: _*)
+      .select(jkTypes.map { case (_, a) =>
+        expr(s"100 + n_$a % 400").as(s"e3_$a") } ++
+        jkTypes.map { case (_, a) => col(s"n_$a") }: _*)
+  }
+
+  private def dpEps(a: String) =
+    s"(CAST(e3_$a AS DOUBLE) / CAST(1000 AS DOUBLE))"
+  private def dpSumEps = jkTypes.map { case (_, a) => dpEps(a) }
+    .mkString("(", " + ", ")")
+  private def dpSumEps2 = jkTypes.map { case (_, a) =>
+    s"${dpEps(a)} * ${dpEps(a)}" }.mkString("(", " + ", ")")
+  private def dpSumEpsExp = jkTypes.map { case (_, a) =>
+    s"${dpEps(a)} * (EXP(${dpEps(a)}) - CAST(1 AS DOUBLE))" }
+    .mkString("(", " + ", ")")
+  /** Heterogeneous advanced composition (Dwork-Rothblum-Vadhan):
+    * ε' = √(2 ln(1/δ) Σε²) + Σ ε(e^ε − 1). `lnInvDelta` is the ln(1/δ)
+    * tree. */
+  private def dpAdv(lnInvDelta: String) =
+    s"(SQRT(CAST(2 AS DOUBLE) * $lnInvDelta * $dpSumEps2) + $dpSumEpsExp)"
+
+  /** The composition headline: k mechanisms, basic Σε (exact e3), the
+    * advanced-composition bound at δ = 1e−5 (e6), the accountant's
+    * effective budget min(basic, advanced), and the signed gap — at
+    * small k the √k term usually makes advanced WORSE, which is exactly
+    * what the ledger should show. */
+  def q_dp_composition(spark: SparkSession, sf: String): DataFrame = {
+    val ln5 = "LN(CAST(100000 AS DOUBLE))"
+    dpStats(spark, sf)
+      .select(lit(5L).as("k_mechanisms"),
+        expr(jkTypes.map { case (_, a) => s"e3_$a" }
+          .mkString("(", " + ", ")")).as("basic_eps_e3"),
+        expr(s"CAST(ROUND(${dpAdv(ln5)} * 1000000) AS BIGINT)")
+          .as("advanced_eps_e6"),
+        expr(s"CAST(ROUND(LEAST($dpSumEps, ${dpAdv(ln5)}) * 1000000)" +
+          " AS BIGINT)").as("effective_eps_e6"),
+        expr(s"CAST(ROUND((${dpAdv(ln5)} - $dpSumEps) * 1000000)" +
+          " AS BIGINT) + 0").as("advanced_minus_basic_e6"))
+  }
+
+  /** Per-mechanism budget split: release count, ε (e3), and its share
+    * of the basic total (e6) — the per-surface privacy ledger. */
+  def q_dp_budget_split(spark: SparkSession, sf: String): DataFrame = {
+    val tot = jkTypes.map { case (_, a) => s"e3_$a" }.mkString("(", " + ", ")")
+    val rows = jkTypes.map { case (name, a) =>
+      struct(lit(name).as("mechanism"), col(s"n_$a").as("n_releases"),
+        col(s"e3_$a").as("eps_e3"),
+        expr(s"e3_$a * 1000000 div $tot").as("share_e6")) }
+    dpStats(spark, sf)
+      .select(explode(array(rows: _*)).as("r"))
+      .select(col("r.mechanism").as("mechanism"),
+        col("r.n_releases").as("n_releases"), col("r.eps_e3").as("eps_e3"),
+        col("r.share_e6").as("share_e6"))
+      .orderBy("mechanism")
+  }
+
+  /** ε(δ) trade-off curve: the advanced bound at δ = 1e−3/1e−5/1e−7 —
+    * the failure-probability dial a privacy review turns. */
+  def q_dp_delta_tradeoff(spark: SparkSession, sf: String): DataFrame = {
+    val rows = Seq(3L -> "1000", 5L -> "100000", 7L -> "10000000").map {
+      case (exp10, d) =>
+        struct(lit(exp10).as("delta_exp10"),
+          expr(s"CAST(ROUND(${dpAdv(s"LN(CAST($d AS DOUBLE))")} * 1000000)" +
+            " AS BIGINT)").as("advanced_eps_e6")) }
+    dpStats(spark, sf)
+      .select(explode(array(rows: _*)).as("r"))
+      .select(col("r.delta_exp10").as("delta_exp10"),
+        col("r.advanced_eps_e6").as("advanced_eps_e6"))
+      .orderBy("delta_exp10")
+  }
 }

@@ -1513,6 +1513,39 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(bn.getAs[Long]("network_resp_min_e6") > 0L)
   }
 
+  test("microstructure: spreads nonnegative, Amihud positive, Kyle defined") {
+    val roll = Analytics.q_roll_spread(spark, sf).collect()
+    assert(roll.length == 5)
+    roll.foreach { r =>
+      assert(r.getAs[Long]("roll_spread_cents") >= 0L)
+      assert(r.getAs[Long]("days_defined") <= r.getAs[Long]("n_days"))
+    }
+    Analytics.q_amihud_illiquidity(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("amihud_e9") > 0L, r.toString)
+      assert(r.getAs[Long]("worst_day_e9") >= r.getAs[Long]("amihud_e9"))
+    }
+    assert(Analytics.q_kyle_lambda(spark, sf).collect().length == 5)
+  }
+
+  test("DP composition: effective bound is the min, curve monotone in delta") {
+    val comp = Analytics.q_dp_composition(spark, sf).collect().head
+    // the accountant takes the better bound: min(basic, advanced)
+    assert(comp.getAs[Long]("effective_eps_e6") <=
+      comp.getAs[Long]("basic_eps_e3") * 1000L, comp.toString)
+    assert(comp.getAs[Long]("effective_eps_e6") <=
+      comp.getAs[Long]("advanced_eps_e6"), comp.toString)
+    // signed gap consistent with the two bounds
+    assert((comp.getAs[Long]("advanced_minus_basic_e6") >= 0L) ==
+      (comp.getAs[Long]("advanced_eps_e6") >=
+        comp.getAs[Long]("basic_eps_e3") * 1000L - 1L))
+    val split = Analytics.q_dp_budget_split(spark, sf).collect()
+    assert(math.abs(split.map(_.getAs[Long]("share_e6")).sum - 1000000L) <= 5L)
+    val curve = Analytics.q_dp_delta_tradeoff(spark, sf).collect()
+    val eps = curve.map(_.getAs[Long]("advanced_eps_e6"))
+    // smaller delta (larger exponent) costs more epsilon
+    assert(eps.zip(eps.tail).forall { case (a, b) => a <= b }, eps.toSeq.toString)
+  }
+
   test("reservoir bottom-k: sample never exceeds k=32 or the population") {
     Sampling.q_reservoir_bottomk(spark, sf).collect().foreach { r =>
       val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("k"))
