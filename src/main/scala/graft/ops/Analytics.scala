@@ -12892,4 +12892,148 @@ object Analytics {
         col("r.advanced_eps_e6").as("advanced_eps_e6"))
       .orderBy("delta_exp10")
   }
+
+  // ---- §2.202 Leontief input-output — exact Cramer solve ------------------
+
+  /** All 120 permutations of 0..4 in lexicographic order with parity —
+    * the FIXED term order both engines evaluate the Leibniz determinant
+    * in. */
+  private def leontiefPerms: Seq[(Seq[Int], Int)] =
+    (0 to 4).permutations.toSeq.map { p =>
+      val inv = (for (i <- p.indices; j <- i + 1 until p.length
+        if p(i) > p(j)) yield 1).sum
+      (p, if (inv % 2 == 0) 1 else -1)
+    }
+
+  /** Leibniz determinant over entry-name function `m(row, col)`: a fixed
+    * 120-term tree, identical text cross-engine. */
+  private def leibnizDet(m: (Int, Int) => String): String =
+    leontiefPerms.map { case (p, sgn) =>
+      val prod = (0 to 4).map(i => m(i, p(i))).mkString(" * ")
+      if (sgn > 0) s"($prod)" else s"(CAST(0 AS DOUBLE) - $prod)"
+    }.mkString("(", " + ", ")")
+
+  /** One-row inter-regional accounts: z_ij = discounted lineitem cents
+    * from supplier region i to customer region j (intermediate flows),
+    * f_j = undiscounted cents INTO region j (primary inputs), so gross
+    * activity x_j = Σ_i z_ij + f_j is INPUT-side defined and every
+    * technical-coefficient column sum (x_j − f_j)/x_j is < 1 whenever
+    * any undiscounted line lands in j — Hawkins-Simon holds by
+    * construction. The implied net final demand d_i = x_i − Σ_j z_ij
+    * (row sums subtracted, exact integers) then satisfies x = Ax + d
+    * identically, making the Cramer solve a pure float-precision
+    * audit. */
+  private def leontiefStats(spark: SparkSession, sf: String): DataFrame = {
+    val fl = {
+      val custRegion = Tables.customer(spark, sf)
+        .select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(Tables.nation(spark, sf)
+          .select(col("n_nationkey").as("cn"), col("n_regionkey").as("dst"))),
+          col("c_nationkey") === col("cn"))
+        .select(col("c_custkey"), col("dst"))
+      val suppRegion = Tables.supplier(spark, sf)
+        .select(col("s_suppkey"), col("s_nationkey"))
+        .join(broadcast(Tables.nation(spark, sf)
+          .select(col("n_nationkey").as("sn"), col("n_regionkey").as("src"))),
+          col("s_nationkey") === col("sn"))
+        .select(col("s_suppkey"), col("src"))
+      Tables.lineitem(spark, sf)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          cents(col("l_extendedprice")).as("v"), pct(col("l_discount")).as("disc"))
+        .join(Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(custRegion, col("o_custkey") === col("c_custkey"))
+        .join(suppRegion, col("l_suppkey") === col("s_suppkey"))
+    }
+    val aggs =
+      (for (i <- 0 to 4; j <- 0 to 4) yield
+        expr(s"sum(CASE WHEN src = $i AND dst = $j AND disc > 0" +
+          s" THEN v ELSE 0 END)").as(s"z_${i}_$j")) ++
+      (0 to 4).map(j =>
+        expr(s"sum(CASE WHEN dst = $j AND disc = 0 THEN v ELSE 0 END)")
+          .as(s"f_$j"))
+    var df = fl.groupBy().agg(aggs.head, aggs.tail: _*)
+    for (j <- 0 to 4)
+      df = df.withColumn(s"x_$j",
+        expr((0 to 4).map(i => s"z_${i}_$j").mkString("(", " + ", ")") +
+          s" + f_$j"))
+    for (i <- 0 to 4)
+      df = df.withColumn(s"d_$i",
+        expr(s"x_$i - " +
+          (0 to 4).map(j => s"z_${i}_$j").mkString("(", " + ", ")")))
+    // technical coefficients and the Leontief matrix M = I − A
+    for (i <- 0 to 4; j <- 0 to 4)
+      df = df.withColumn(s"m_${i}_$j",
+        expr(s"CAST(${if (i == j) 1 else 0} AS DOUBLE)" +
+          s" - CAST(z_${i}_$j AS DOUBLE) / CAST(x_$j AS DOUBLE)"))
+    df
+  }
+
+  /** Technical coefficients a_ij = z_ij/x_j with per-column input shares
+    * — the 25-cell structure table plus the Hawkins-Simon style column
+    * sum (< 1 exactly: f_j > 0 whenever any undiscounted line exists). */
+  def q_leontief_coefficients(spark: SparkSession, sf: String): DataFrame = {
+    val rows = for (i <- 0 to 4; j <- 0 to 4) yield
+      struct(lit(i.toLong).as("src"), lit(j.toLong).as("dst"),
+        col(s"z_${i}_$j").as("z_cents"),
+        expr(s"CAST(ROUND(CAST(z_${i}_$j AS DOUBLE) / CAST(x_$j AS DOUBLE)" +
+          " * 1000000) AS BIGINT)").as("a_e6"),
+        expr("CAST(ROUND(" + (0 to 4).map(k =>
+          s"CAST(z_${k}_$j AS DOUBLE) / CAST(x_$j AS DOUBLE)")
+          .mkString("(", " + ", ")") + " * 1000000) AS BIGINT)")
+          .as("colsum_e6"))
+    leontiefStats(spark, sf)
+      .select(explode(array(rows: _*)).as("r"))
+      .select(col("r.src").as("src"), col("r.dst").as("dst"),
+        col("r.z_cents").as("z_cents"), col("r.a_e6").as("a_e6"),
+        col("r.colsum_e6").as("colsum_e6"))
+      .orderBy("src", "dst")
+  }
+
+  /** EXACT Leontief solve by Cramer's rule: x̂ = (I−A)⁻¹f via six
+    * 120-term Leibniz determinants (fixed lexicographic term order, pure
+    * +,*,/ — bit-identical cross-engine). Since the accounts satisfy
+    * x = Ax + f identically, x̂ must reproduce the observed gross output
+    * up to float: the audit gap (e6, relative) rounds to 0. */
+  def q_leontief_solve(spark: SparkSession, sf: String): DataFrame = {
+    var df = leontiefStats(spark, sf)
+      .withColumn("det", expr(leibnizDet((i, j) => s"m_${i}_$j")))
+    for (s <- 0 to 4)
+      df = df.withColumn(s"det_$s", expr(leibnizDet((i, j) =>
+        if (j == s) s"CAST(d_$i AS DOUBLE)" else s"m_${i}_$j")))
+    val rows = (0 to 4).map { s =>
+      struct(lit(s.toLong).as("sector"), col(s"d_$s").as("final_demand_cents"),
+        col(s"x_$s").as("observed_output_cents"),
+        expr(s"CAST(ROUND(det_$s / det) AS BIGINT)").as("solved_output_cents"),
+        expr(s"CAST(ROUND(ABS(det_$s / det - CAST(x_$s AS DOUBLE))" +
+          s" / CAST(x_$s AS DOUBLE) * 1000000) AS BIGINT)").as("rel_gap_e6")) }
+    df.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.sector").as("sector"),
+        col("r.final_demand_cents").as("final_demand_cents"),
+        col("r.observed_output_cents").as("observed_output_cents"),
+        col("r.solved_output_cents").as("solved_output_cents"),
+        col("r.rel_gap_e6").as("rel_gap_e6"))
+      .orderBy("sector")
+  }
+
+  /** Output multipliers: column sums of (I−A)⁻¹, obtained by solving
+    * Mᵀy = 1 with the same Cramer machinery — how many cents of
+    * economy-wide output one final-demand cent in each sector drives.
+    * Every multiplier ≥ 1 by the power-series positivity. */
+  def q_leontief_multipliers(spark: SparkSession, sf: String): DataFrame = {
+    def mT(i: Int, j: Int) = s"m_${j}_$i"
+    var df = leontiefStats(spark, sf)
+      .withColumn("dett", expr(leibnizDet(mT)))
+    for (s <- 0 to 4)
+      df = df.withColumn(s"dett_$s", expr(leibnizDet((i, j) =>
+        if (j == s) "CAST(1 AS DOUBLE)" else mT(i, j))))
+    val rows = (0 to 4).map { s =>
+      struct(lit(s.toLong).as("sector"),
+        expr(s"CAST(ROUND(dett_$s / dett * 1000000) AS BIGINT)")
+          .as("multiplier_e6")) }
+    df.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.sector").as("sector"),
+        col("r.multiplier_e6").as("multiplier_e6"))
+      .orderBy("sector")
+  }
 }

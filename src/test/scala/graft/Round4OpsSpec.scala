@@ -1546,6 +1546,27 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(eps.zip(eps.tail).forall { case (a, b) => a <= b }, eps.toSeq.toString)
   }
 
+  test("Leontief: Cramer solve reproduces observed output, multipliers >= 1") {
+    val coef = Analytics.q_leontief_coefficients(spark, sf).collect()
+    assert(coef.length == 25)
+    coef.foreach { r =>
+      assert(r.getAs[Long]("a_e6") >= 0L)
+      // Hawkins-Simon: every input-share column sum strictly below 1
+      assert(r.getAs[Long]("colsum_e6") < 1000000L, r.toString)
+    }
+    val solve = Analytics.q_leontief_solve(spark, sf).collect()
+    assert(solve.length == 5)
+    solve.foreach { r =>
+      // x = Ax + f holds by construction, so the 120-term Cramer solve
+      // must reproduce the observed gross output to float precision
+      assert(r.getAs[Long]("rel_gap_e6") <= 1L, r.toString)
+      assert(r.getAs[Long]("solved_output_cents") > 0L)
+    }
+    Analytics.q_leontief_multipliers(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("multiplier_e6") >= 1000000L, r.toString)
+    }
+  }
+
   test("reservoir bottom-k: sample never exceeds k=32 or the population") {
     Sampling.q_reservoir_bottomk(spark, sf).collect().foreach { r =>
       val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("k"))
