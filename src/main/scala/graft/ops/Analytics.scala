@@ -13036,4 +13036,121 @@ object Analytics {
         col("r.multiplier_e6").as("multiplier_e6"))
       .orderBy("sector")
   }
+
+  // ---- §2.203 kernel density — quantized KDE grid, bandwidth, modes -------
+
+  /** Bounds-and-scale row for the value KDE: exact min/max/Σ/Σ² cents
+    * and Silverman's bandwidth h = 1.06·σ·n^(−1/5) as a fixed tree —
+    * resolved once and broadcast. */
+  private def kdeBounds(spark: SparkSession, sf: String): DataFrame =
+    Tables.eventsWithTs(spark, sf)
+      .select(cents(col("value")).as("v"))
+      .agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"),
+        count(lit(1)).as("n"), sum(col("v")).as("s1"),
+        sum(col("v") * col("v")).as("s2"))
+      .withColumn("sigma", expr("SQRT((CAST(s2 AS DOUBLE)" +
+        " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))" +
+        " / CAST(n AS DOUBLE))"))
+      .withColumn("h", expr("CAST(106 AS DOUBLE) / CAST(100 AS DOUBLE)" +
+        " * sigma * POWER(CAST(n AS DOUBLE)," +
+        " CAST(0 AS DOUBLE) - CAST(1 AS DOUBLE) / CAST(5 AS DOUBLE))"))
+
+  /** Grid point k of 16 (double cents). */
+  private def kdeG(k: Int): String =
+    s"(CAST(vmin AS DOUBLE) + CAST($k AS DOUBLE)" +
+      " * (CAST(vmax AS DOUBLE) - CAST(vmin AS DOUBLE)) / CAST(15 AS DOUBLE))"
+
+  /** Epanechnikov contribution of row value v at grid point k under
+    * bandwidth expression `h`, QUANTIZED per row to an e6 integer — the
+    * corpus-wide reduction is then an exact BIGINT sum, so the estimate
+    * is deterministic at any parallelism. */
+  private def kdeContrib(k: Int, h: String): String = {
+    val u = s"((CAST(v AS DOUBLE) - ${kdeG(k)}) / $h)"
+    s"sum(CAST(ROUND((CASE WHEN ABS($u) < CAST(1 AS DOUBLE)" +
+      s" THEN CAST(3 AS DOUBLE) / CAST(4 AS DOUBLE)" +
+      s" * (CAST(1 AS DOUBLE) - $u * $u) ELSE CAST(0 AS DOUBLE) END)" +
+      s" * 1000000) AS BIGINT))"
+  }
+
+  /** One-row KDE sufficient statistics at bandwidth multiplier
+    * num/den × Silverman: the 16 quantized kernel sums as named columns
+    * plus the bounds row. */
+  private def kdeStats(spark: SparkSession, sf: String,
+                       num: Int, den: Int): DataFrame = {
+    val h = s"(CAST($num AS DOUBLE) / CAST($den AS DOUBLE) * h)"
+    val aggs = (0 to 15).map(k => expr(kdeContrib(k, h)).as(s"c_$k")) ++ Seq(
+      max(col("vmin")).as("vmin"), max(col("vmax")).as("vmax"),
+      max(col("n")).as("n"), max(col("h")).as("h0"))
+    Tables.eventsWithTs(spark, sf)
+      .select(cents(col("value")).as("v"))
+      .crossJoin(broadcast(kdeBounds(spark, sf)))
+      .groupBy().agg(aggs.head, aggs.tail: _*)
+      .withColumn("hh", expr(s"CAST($num AS DOUBLE) / CAST($den AS DOUBLE) * h0"))
+  }
+
+  /** Density estimate at grid point k: Σc/(1e6·n·h). */
+  private def kdeD(k: Int): String =
+    s"(CAST(c_$k AS DOUBLE) / CAST(1000000 AS DOUBLE)" +
+      " / (CAST(n AS DOUBLE) * hh))"
+
+  /** The 16-point Epanechnikov KDE of event value at Silverman's
+    * bandwidth: grid position (cents), quantized kernel mass, and the
+    * density (e12 per cent) — a full density readout in ONE corpus pass
+    * with zero float reductions. */
+  def q_kde_grid(spark: SparkSession, sf: String): DataFrame = {
+    val rows = (0 to 15).map { k =>
+      struct(lit(k.toLong).as("k"),
+        expr(s"CAST(ROUND(${kdeG(k)}) AS BIGINT)").as("grid_cents"),
+        col(s"c_$k").as("kernel_mass_e6"),
+        expr(s"CAST(ROUND(${kdeD(k)} * 1000000000000) AS BIGINT)")
+          .as("density_e12")) }
+    kdeStats(spark, sf, 1, 1)
+      .select(explode(array(rows: _*)).as("r"))
+      .select(col("r.k").as("k"), col("r.grid_cents").as("grid_cents"),
+        col("r.kernel_mass_e6").as("kernel_mass_e6"),
+        col("r.density_e12").as("density_e12"))
+      .orderBy("k")
+  }
+
+  /** Bandwidth sweep at ½×, 1×, 2× Silverman: approximate integrated
+    * mass (trapezoid over the grid) and the first-difference roughness
+    * Σ(d_{k+1}−d_k)² — the bias-variance dial made visible. Fixed
+    * 15/16-term trees per row. */
+  def q_kde_bandwidth_sweep(spark: SparkSession, sf: String): DataFrame =
+    Seq((1, 2), (1, 1), (2, 1)).map { case (num, den) =>
+      val step = "((CAST(vmax AS DOUBLE) - CAST(vmin AS DOUBLE))" +
+        " / CAST(15 AS DOUBLE))"
+      val mass = (0 to 15).map { k =>
+        val w = if (k == 0 || k == 15) "CAST(1 AS DOUBLE) / CAST(2 AS DOUBLE)"
+          else "CAST(1 AS DOUBLE)"
+        s"$w * ${kdeD(k)}" }.mkString("(", " + ", s") * $step")
+      val rough = (0 to 14).map { k =>
+        s"(${kdeD(k + 1)} - ${kdeD(k)}) * (${kdeD(k + 1)} - ${kdeD(k)})" }
+        .mkString("(", " + ", ")")
+      kdeStats(spark, sf, num, den)
+        .select(
+          expr(s"CAST(ROUND(CAST($num AS DOUBLE) / CAST($den AS DOUBLE)" +
+            " * 1000000) AS BIGINT)").as("h_mult_e6"),
+          expr("CAST(ROUND(hh * 100) AS BIGINT)").as("h_cents_e2"),
+          expr(s"CAST(ROUND($mass * 1000000) AS BIGINT)").as("mass_e6"),
+          expr(s"CAST(ROUND($rough * 1e18) AS BIGINT)").as("roughness_e18"))
+    }.reduce(_ unionAll _).orderBy("h_mult_e6")
+
+  /** Mode hunt on the Silverman grid: interior local maxima count and
+    * the argmax grid point — multimodality screening from the same
+    * one-row statistics, pure fixed trees. */
+  def q_kde_modes(spark: SparkSession, sf: String): DataFrame = {
+    val nModes = (1 to 14).map { k =>
+      s"(CASE WHEN c_$k > c_${k - 1} AND c_$k > c_${k + 1}" +
+        " THEN 1 ELSE 0 END)" }.mkString("(", " + ", ")")
+    val best = (0 to 15).map(k =>
+      s"(CASE WHEN c_$k = ${(0 to 15).map(j => s"c_$j")
+        .mkString("GREATEST(", ", ", ")")} THEN $k ELSE -1 END)")
+      .mkString("GREATEST(", ", ", ")")
+    kdeStats(spark, sf, 1, 1)
+      .select(expr(s"CAST($nModes AS BIGINT)").as("n_interior_modes"),
+        expr(s"CAST($best AS BIGINT)").as("argmax_k"),
+        expr((0 to 15).map(j => s"c_$j").mkString("GREATEST(", ", ", ")"))
+          .as("peak_mass_e6"))
+  }
 }

@@ -1567,6 +1567,31 @@ class Round4OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("KDE: density integrates to ~1, narrower bandwidth is rougher") {
+    val grid = Analytics.q_kde_grid(spark, sf).collect()
+    assert(grid.length == 16)
+    grid.foreach(r => assert(r.getAs[Long]("density_e12") >= 0L))
+    val sweep = Analytics.q_kde_bandwidth_sweep(spark, sf).collect()
+    assert(sweep.length == 3)
+    sweep.foreach { r =>
+      // trapezoid mass on a 16-point grid lands loosely around 1
+      val m = r.getAs[Long]("mass_e6")
+      assert(m > 500000L && m < 1600000L, r.toString)
+    }
+    // on a FIXED 16-point grid narrow kernels can fall between grid
+    // points, so roughness is not strictly monotone — gate positivity
+    // and that the h values themselves double as declared
+    sweep.foreach(r => assert(r.getAs[Long]("roughness_e18") > 0L))
+    val hs = sweep.map(_.getAs[Long]("h_cents_e2"))
+    assert(math.abs(hs(1) - 2L * hs(0)) <= 2L && math.abs(hs(2) - 2L * hs(1)) <= 2L,
+      hs.toSeq.toString)
+    val modes = Analytics.q_kde_modes(spark, sf).collect().head
+    val k = modes.getAs[Long]("argmax_k")
+    assert(k >= 0L && k <= 15L)
+    assert(modes.getAs[Long]("peak_mass_e6") ==
+      grid.map(_.getAs[Long]("kernel_mass_e6")).max)
+  }
+
   test("reservoir bottom-k: sample never exceeds k=32 or the population") {
     Sampling.q_reservoir_bottomk(spark, sf).collect().foreach { r =>
       val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("k"))
