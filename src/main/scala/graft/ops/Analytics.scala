@@ -13153,4 +13153,80 @@ object Analytics {
         expr((0 to 15).map(j => s"c_$j").mkString("GREATEST(", ", ", ")"))
           .as("peak_mass_e6"))
   }
+
+  // ---- §2.204 bipartite motifs — butterflies, wedges, caterpillars --------
+
+  /** Distinct customer→supplier incidence (the bipartite trade graph).
+    * Dedup first so every motif count is simple-graph semantics. */
+  private def bipEdges(spark: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_suppkey").as("s"))
+      .join(Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey").as("c")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("c"), col("s")).distinct()
+
+  /** Supplier co-occurrence: pairs of suppliers sharing a customer with
+    * the shared-customer count m — generated inside each customer's
+    * sorted supplier array (one shuffle on customer, one on pair; pair
+    * fan-out bounded by per-customer breadth², the apriori discipline,
+    * never |V|²). */
+  private def bipPairs(spark: SparkSession, sf: String): DataFrame =
+    bipEdges(spark, sf)
+      .groupBy(col("c"))
+      .agg(array_sort(collect_set(col("s"))).as("items"))
+      .select(explode(expr(
+        """flatten(transform(items, (x, i) ->
+           transform(slice(items, i + 2, size(items)), y -> struct(x AS s1, y AS s2))))"""))
+        .as("p"))
+      .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+      .agg(count(lit(1)).as("m"))
+
+  /** Bipartite motif census: edges, customer-side wedges ΣC(deg,2),
+    * butterflies (4-cycles) ΣC(m,2) over supplier pairs, caterpillars
+    * (3-paths) Σ_edges (deg_c−1)(deg_s−1), and the bipartite clustering
+    * coefficient 4B/caterpillars (e6) — all exact integer sums. */
+  def q_butterfly_count(spark: SparkSession, sf: String): DataFrame = {
+    val edges = bipEdges(spark, sf).localCheckpoint()
+    val degC = edges.groupBy("c").agg(count(lit(1)).as("dc"))
+    val degS = edges.groupBy("s").agg(count(lit(1)).as("ds"))
+    val nE = edges.agg(count(lit(1)).as("n_edges"))
+    val wed = degC.agg(sum(expr("dc * (dc - 1) div 2")).as("wedges"))
+    val bf = bipPairs(spark, sf)
+      .agg(sum(expr("m * (m - 1) div 2")).as("butterflies"),
+        count(lit(1)).as("n_pairs"))
+    val cat = edges.join(degC, "c").join(degS, "s")
+      .agg(sum(expr("(dc - 1) * (ds - 1)")).as("caterpillars"))
+    nE.crossJoin(broadcast(wed)).crossJoin(broadcast(bf))
+      .crossJoin(broadcast(cat))
+      .select(col("n_edges"), col("wedges"), col("n_pairs"),
+        col("butterflies"), col("caterpillars"),
+        expr("CAST(ROUND(CAST(4 AS DOUBLE) * CAST(butterflies AS DOUBLE)" +
+          " / CAST(caterpillars AS DOUBLE) * 1000000) AS BIGINT)")
+          .as("bipartite_cc_e6"))
+  }
+
+  /** Per-supplier butterfly participation: each pair (s1,s2,m) gives
+    * both endpoints C(m,2) butterflies; the per-supplier ledger ranks
+    * who sits in the densest co-supply structure. */
+  def q_butterfly_suppliers(spark: SparkSession, sf: String): DataFrame =
+    bipPairs(spark, sf)
+      .select(explode(array(
+        struct(col("s1").as("s"), col("m")),
+        struct(col("s2").as("s"), col("m")))).as("e"))
+      .groupBy(col("e.s").as("s_suppkey"))
+      .agg(count(lit(1)).as("n_copairs"),
+        sum(expr("e.m * (e.m - 1) div 2")).as("butterflies"),
+        max(col("e.m")).as("max_shared"))
+      .orderBy("s_suppkey")
+
+  /** Customer-degree wedge distribution: per distinct-supplier degree
+    * the customer count and wedge mass — where the 4-cycle raw material
+    * concentrates. */
+  def q_wedge_distribution(spark: SparkSession, sf: String): DataFrame =
+    bipEdges(spark, sf)
+      .groupBy("c").agg(count(lit(1)).as("dc"))
+      .groupBy(col("dc").as("degree"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(expr("dc * (dc - 1) div 2")).as("wedges"))
+      .orderBy("degree")
 }

@@ -1592,6 +1592,21 @@ class Round4OpsSpec extends AnyFunSuite {
       grid.map(_.getAs[Long]("kernel_mass_e6")).max)
   }
 
+  test("butterflies: motif identities and distribution totals agree") {
+    val bc = Analytics.q_butterfly_count(spark, sf).collect().head
+    assert(bc.getAs[Long]("butterflies") >= 0L)
+    // distinct co-supply pairs can't exceed wedge count (with multiplicity)
+    assert(bc.getAs[Long]("n_pairs") <= bc.getAs[Long]("wedges"))
+    val cc = bc.getAs[Long]("bipartite_cc_e6")
+    assert(cc >= 0L && cc <= 1000000L, bc.toString)
+    val wd = Analytics.q_wedge_distribution(spark, sf).collect()
+    assert(wd.map(_.getAs[Long]("wedges")).sum == bc.getAs[Long]("wedges"))
+    // per-supplier ledger double-counts each pair's butterflies once per side
+    val sup = Analytics.q_butterfly_suppliers(spark, sf).collect()
+    assert(sup.map(_.getAs[Long]("butterflies")).sum ==
+      2L * bc.getAs[Long]("butterflies"))
+  }
+
   test("reservoir bottom-k: sample never exceeds k=32 or the population") {
     Sampling.q_reservoir_bottomk(spark, sf).collect().foreach { r =>
       val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("k"))
