@@ -13229,4 +13229,94 @@ object Analytics {
       .agg(count(lit(1)).as("n_customers"),
         sum(expr("dc * (dc - 1) div 2")).as("wedges"))
       .orderBy("degree")
+
+  // ---- §2.205 real-time scheduling — EDF, DBF, RM bounds ------------------
+
+  /** One-row task-set model: each event type is a periodic task with
+    * period T = observed span/(n−1) µs and WCET C = mean value cents
+    * read as µs of work — exact integer division both. Implicit
+    * deadlines D = T. */
+  private def rtTasks(spark: SparkSession, sf: String): DataFrame = {
+    val aggs = jkTypes.flatMap { case (j, a) => Seq(
+      expr(s"sum(CASE WHEN event_type = '$j' THEN 1 ELSE 0 END)").as(s"n_$a"),
+      expr(s"min(CASE WHEN event_type = '$j' THEN ts_usl END)").as(s"lo_$a"),
+      expr(s"max(CASE WHEN event_type = '$j' THEN ts_usl END)").as(s"hi_$a"),
+      expr(s"sum(CASE WHEN event_type = '$j'" +
+        " THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)").as(s"s_$a")) }
+    var df = Tables.eventsWithTs(spark, sf).groupBy().agg(aggs.head, aggs.tail: _*)
+    for ((_, a) <- jkTypes) {
+      df = df.withColumn(s"t_$a", expr(s"(hi_$a - lo_$a) div (n_$a - 1)"))
+      df = df.withColumn(s"c_$a", expr(s"s_$a div n_$a"))
+    }
+    df
+  }
+
+  private def rtU(a: String) =
+    s"(CAST(c_$a AS DOUBLE) / CAST(t_$a AS DOUBLE))"
+  private def rtUSum = jkTypes.map { case (_, a) => rtU(a) }
+    .mkString("(", " + ", ")")
+
+  /** EDF schedulability table: per task the period, WCET, and
+    * utilization share (e6), plus the task-set total and the EDF
+    * feasibility flag U ≤ 1 (exact for implicit deadlines). */
+  def q_edf_utilization(spark: SparkSession, sf: String): DataFrame = {
+    val rows = jkTypes.map { case (name, a) =>
+      struct(lit(name).as("task"), col(s"n_$a").as("n_jobs"),
+        col(s"t_$a").as("period_us"), col(s"c_$a").as("wcet_us"),
+        expr(s"CAST(ROUND(${rtU(a)} * 1000000) AS BIGINT)").as("u_e6"),
+        expr(s"CAST(ROUND($rtUSum * 1000000) AS BIGINT)").as("u_total_e6"),
+        expr(s"CASE WHEN $rtUSum <= CAST(1 AS DOUBLE) THEN 1 ELSE 0 END")
+          .cast("long").as("edf_feasible")) }
+    rtTasks(spark, sf)
+      .select(explode(array(rows: _*)).as("r"))
+      .select(col("r.task").as("task"), col("r.n_jobs").as("n_jobs"),
+        col("r.period_us").as("period_us"), col("r.wcet_us").as("wcet_us"),
+        col("r.u_e6").as("u_e6"), col("r.u_total_e6").as("u_total_e6"),
+        col("r.edf_feasible").as("edf_feasible"))
+      .orderBy("task")
+  }
+
+  /** Demand-bound audit: DBF(t) = Σᵢ (⌊(t−Tᵢ)/Tᵢ⌋+1)·Cᵢ at horizons
+    * t = k × max period, k = 1..8 — pure integer floor arithmetic, the
+    * processor-demand criterion checked point by point. */
+  def q_demand_bound_audit(spark: SparkSession, sf: String): DataFrame = {
+    val tmax = jkTypes.map { case (_, a) => s"t_$a" }
+      .mkString("GREATEST(", ", ", ")")
+    val rows = (1 to 8).map { k =>
+      val t = s"(CAST($k AS BIGINT) * $tmax)"
+      val dbf = jkTypes.map { case (_, a) =>
+        s"(CASE WHEN $t >= t_$a" +
+          s" THEN (($t - t_$a) div t_$a + 1) * c_$a ELSE 0 END)" }
+        .mkString("(", " + ", ")")
+      struct(lit(k.toLong).as("k"), expr(t).as("horizon_us"),
+        expr(dbf).as("demand_us"),
+        expr(s"$t - $dbf").as("slack_us"),
+        expr(s"CASE WHEN $dbf <= $t THEN 1 ELSE 0 END").cast("long")
+          .as("dbf_ok")) }
+    rtTasks(spark, sf)
+      .select(explode(array(rows: _*)).as("r"))
+      .select(col("r.k").as("k"), col("r.horizon_us").as("horizon_us"),
+        col("r.demand_us").as("demand_us"), col("r.slack_us").as("slack_us"),
+        col("r.dbf_ok").as("dbf_ok"))
+      .orderBy("k")
+  }
+
+  /** Fixed-priority bounds: total U vs the Liu-Layland limit
+    * n(2^{1/n}−1) and the hyperbolic bound Π(Uᵢ+1) ≤ 2 — the two
+    * classic sufficient tests side by side with their verdict flags. */
+  def q_rm_bound(spark: SparkSession, sf: String): DataFrame = {
+    val ll = "(CAST(5 AS DOUBLE) * (POWER(CAST(2 AS DOUBLE)," +
+      " CAST(1 AS DOUBLE) / CAST(5 AS DOUBLE)) - CAST(1 AS DOUBLE)))"
+    val hyp = jkTypes.map { case (_, a) =>
+      s"(${rtU(a)} + CAST(1 AS DOUBLE))" }.mkString("(", " * ", ")")
+    rtTasks(spark, sf)
+      .select(
+        expr(s"CAST(ROUND($rtUSum * 1000000) AS BIGINT)").as("u_total_e6"),
+        expr(s"CAST(ROUND($ll * 1000000) AS BIGINT)").as("ll_bound_e6"),
+        expr(s"CAST(ROUND($hyp * 1000000) AS BIGINT)").as("hyperbolic_e6"),
+        expr(s"CASE WHEN $rtUSum <= $ll THEN 1 ELSE 0 END").cast("long")
+          .as("rm_ll_pass"),
+        expr(s"CASE WHEN $hyp <= CAST(2 AS DOUBLE) THEN 1 ELSE 0 END")
+          .cast("long").as("rm_hyperbolic_pass"))
+  }
 }

@@ -1607,6 +1607,28 @@ class Round4OpsSpec extends AnyFunSuite {
       2L * bc.getAs[Long]("butterflies"))
   }
 
+  test("real-time: utilization consistent, DBF slack matches, bounds ordered") {
+    val edf = Analytics.q_edf_utilization(spark, sf).collect()
+    assert(edf.length == 5)
+    edf.foreach { r =>
+      assert(r.getAs[Long]("period_us") > 0L && r.getAs[Long]("wcet_us") >= 0L)
+      assert(r.getAs[Long]("u_e6") <= r.getAs[Long]("u_total_e6"))
+    }
+    val dbf = Analytics.q_demand_bound_audit(spark, sf).collect()
+    assert(dbf.length == 8)
+    dbf.foreach { r =>
+      assert(r.getAs[Long]("horizon_us") - r.getAs[Long]("demand_us") ==
+        r.getAs[Long]("slack_us"))
+      assert((r.getAs[Long]("dbf_ok") == 1L) == (r.getAs[Long]("slack_us") >= 0L))
+    }
+    val rm = Analytics.q_rm_bound(spark, sf).collect().head
+    // Liu-Layland for n=5 is ~743492
+    assert(math.abs(rm.getAs[Long]("ll_bound_e6") - 743492L) <= 2L)
+    // LL pass implies hyperbolic pass (hyperbolic strictly dominates)
+    if (rm.getAs[Long]("rm_ll_pass") == 1L)
+      assert(rm.getAs[Long]("rm_hyperbolic_pass") == 1L)
+  }
+
   test("reservoir bottom-k: sample never exceeds k=32 or the population") {
     Sampling.q_reservoir_bottomk(spark, sf).collect().foreach { r =>
       val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("k"))
