@@ -13319,4 +13319,95 @@ object Analytics {
         expr(s"CASE WHEN $hyp <= CAST(2 AS DOUBLE) THEN 1 ELSE 0 END")
           .cast("long").as("rm_hyperbolic_pass"))
   }
+
+  // ---- §2.206 coding theory — Hamming(7,4) audits -------------------------
+  //
+  // All bit manipulation is plain integer div/mod/add arithmetic (no
+  // engine-specific xor/shift syntax), so the Spark and DuckDB trees are
+  // the same mathematics even where the spelling differs (div vs //).
+
+  /** Bit `i` (0-based) of integer expression `x`. `d` is the integer-
+    * division spelling ("div" for Spark, "//" for DuckDB). */
+  private def hBit(x: String, i: Int, d: String): String =
+    s"(($x $d ${1L << i}) % 2)"
+
+  /** Hamming(7,4) codeword of 4-bit expression `v`: positions 1..7 hold
+    * p1 p2 d1 p3 d2 d3 d4, parities as sums mod 2. */
+  private def hEncode(v: String, d: String): String = {
+    val (d1, d2, d3, d4) =
+      (hBit(v, 0, d), hBit(v, 1, d), hBit(v, 2, d), hBit(v, 3, d))
+    val p1 = s"(($d1 + $d2 + $d4) % 2)"
+    val p2 = s"(($d1 + $d3 + $d4) % 2)"
+    val p3 = s"(($d2 + $d3 + $d4) % 2)"
+    s"($p1 * 1 + $p2 * 2 + $d1 * 4 + $p3 * 8 + $d2 * 16 + $d3 * 32 + $d4 * 64)"
+  }
+
+  /** Syndrome of 7-bit word `r` — equals the 1-based error position. */
+  private def hSyndrome(r: String, d: String): String = {
+    val b = (1 to 7).map(p => hBit(r, p - 1, d))
+    val s1 = s"((${b(0)} + ${b(2)} + ${b(4)} + ${b(6)}) % 2)"
+    val s2 = s"((${b(1)} + ${b(2)} + ${b(5)} + ${b(6)}) % 2)"
+    val s3 = s"((${b(3)} + ${b(4)} + ${b(5)} + ${b(6)}) % 2)"
+    s"($s1 * 1 + $s2 * 2 + $s3 * 4)"
+  }
+
+  /** End-to-end Hamming(7,4) audit over the event stream: data nibble =
+    * user_id mod 16, injected single-bit error at position event_id mod
+    * 8 (0 = clean channel); per position the syndrome hit rate and the
+    * decode success rate — both must be 100%, the single-error
+    * correction guarantee checked exhaustively on live data. */
+  def q_hamming74_audit(spark: SparkSession, sf: String): DataFrame = {
+    val d = "div"
+    val enc = hEncode("(user_id % 16)", d)
+    val flip = s"(CASE WHEN pos = 0 THEN cw ELSE cw" +
+      s" + (1 - 2 * ((cw $d (CASE WHEN pos = 0 THEN 1 ELSE" +
+      s" CAST(POW(2, pos - 1) AS BIGINT) END)) % 2))" +
+      s" * (CASE WHEN pos = 0 THEN 0 ELSE" +
+      s" CAST(POW(2, pos - 1) AS BIGINT) END) END)"
+    val base = Tables.eventsWithTs(spark, sf)
+      .select(col("user_id"), (col("event_id") % 8L).as("pos"))
+      .withColumn("cw", expr(enc))
+      .withColumn("rcv", expr(flip))
+      .withColumn("syn", expr(hSyndrome("rcv", d)))
+      .withColumn("fixed", expr(s"CASE WHEN syn = 0 THEN rcv ELSE rcv" +
+        s" + (1 - 2 * ((rcv $d CAST(POW(2, syn - 1) AS BIGINT)) % 2))" +
+        s" * CAST(POW(2, syn - 1) AS BIGINT) END"))
+    base.groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("syn") === col("pos"), 1L).otherwise(0L))
+          .as("syndrome_hits"),
+        sum(when(col("fixed") === col("cw"), 1L).otherwise(0L))
+          .as("decode_ok"))
+      .select(col("pos"), col("n"),
+        col("syndrome_hits"), col("decode_ok"),
+        expr("decode_ok * 1000000 div n").as("correct_rate_e6"))
+      .orderBy("pos")
+  }
+
+  /** Weight enumerator of the code: the 16 codewords' Hamming-weight
+    * histogram — must be the textbook A₀=1, A₃=7, A₄=7, A₇=1. */
+  def q_hamming_weight_enumerator(spark: SparkSession, sf: String): DataFrame = {
+    val enc = hEncode("CAST(id AS BIGINT)", "div")
+    spark.range(0L, 16L).toDF("id")
+      .withColumn("cw", expr(enc))
+      .groupBy(expr("CAST(bit_count(cw) AS BIGINT)").as("weight"))
+      .agg(count(lit(1)).as("n_codewords"))
+      .orderBy("weight")
+  }
+
+  /** Pairwise-distance spectrum over all codeword pairs: the minimum
+    * distance (= 3, the single-error-correction certificate), maximum,
+    * and mean (e6). Distance via bitwise arithmetic per pair. */
+  def q_hamming_min_distance(spark: SparkSession, sf: String): DataFrame = {
+    val enc = hEncode("CAST(id AS BIGINT)", "div")
+    val cws = spark.range(0L, 16L).toDF("id").withColumn("cw", expr(enc))
+    val a = cws.select(col("id").as("ia"), col("cw").as("ca"))
+    val b = cws.select(col("id").as("ib"), col("cw").as("cb"))
+    a.join(broadcast(b), col("ia") < col("ib"))
+      .select(expr("CAST(bit_count(ca ^ cb) AS BIGINT)").as("dist"))
+      .agg(count(lit(1)).as("n_pairs"), min(col("dist")).as("min_distance"),
+        max(col("dist")).as("max_distance"),
+        expr("CAST(ROUND(CAST(sum(dist) AS DOUBLE) / CAST(count(1) AS DOUBLE)" +
+          " * 1000000) AS BIGINT)").as("mean_distance_e6"))
+  }
 }

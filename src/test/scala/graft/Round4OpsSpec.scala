@@ -1629,6 +1629,23 @@ class Round4OpsSpec extends AnyFunSuite {
       assert(rm.getAs[Long]("rm_hyperbolic_pass") == 1L)
   }
 
+  test("Hamming(7,4): perfect single-error correction and textbook spectrum") {
+    val audit = Analytics.q_hamming74_audit(spark, sf).collect()
+    assert(audit.length == 8)
+    audit.foreach { r =>
+      // the syndrome exactly locates every injected error position
+      assert(r.getAs[Long]("syndrome_hits") == r.getAs[Long]("n"), r.toString)
+      assert(r.getAs[Long]("correct_rate_e6") == 1000000L, r.toString)
+    }
+    val wt = Analytics.q_hamming_weight_enumerator(spark, sf).collect()
+      .map(r => r.getAs[Long]("weight") -> r.getAs[Long]("n_codewords")).toMap
+    assert(wt == Map(0L -> 1L, 3L -> 7L, 4L -> 7L, 7L -> 1L), wt.toString)
+    val md = Analytics.q_hamming_min_distance(spark, sf).collect().head
+    assert(md.getAs[Long]("min_distance") == 3L)
+    assert(md.getAs[Long]("max_distance") == 7L)
+    assert(md.getAs[Long]("n_pairs") == 120L)
+  }
+
   test("reservoir bottom-k: sample never exceeds k=32 or the population") {
     Sampling.q_reservoir_bottomk(spark, sf).collect().foreach { r =>
       val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("k"))
