@@ -13410,4 +13410,83 @@ object Analytics {
         expr("CAST(ROUND(CAST(sum(dist) AS DOUBLE) / CAST(count(1) AS DOUBLE)" +
           " * 1000000) AS BIGINT)").as("mean_distance_e6"))
   }
+
+  // ---- §2.207 splines — Catmull-Rom, monotone Hermite, overshoot ----------
+
+  /** Monthly revenue lattice (exact cents) with the 4-point stencil
+    * attached via broadcast self-joins — the lattice is calendar-bounded
+    * (≤ ~100 rows at any SF), so no window and no scale hazard. Rows
+    * keep only months where the full p0..p3 stencil exists. */
+  private def splineStencil(spark: SparkSession, sf: String): DataFrame = {
+    val base = Tables.orders(spark, sf)
+      .groupBy(expr("CAST(year(o_orderdate) * 12 + month(o_orderdate)" +
+        " AS BIGINT)").as("m"))
+      .agg(sum(cents(col("o_totalprice"))).as("p"))
+      .localCheckpoint()
+    def at(off: Int, name: String) = broadcast(base.select(
+      (col("m") - off.toLong).as(s"m_$name"), col("p").as(name)))
+    base.select(col("m"), col("p").as("p1"))
+      .join(at(-1, "p0"), col("m") === col("m_p0"))
+      .join(at(1, "p2"), col("m") === col("m_p2"))
+      .join(at(2, "p3"), col("m") === col("m_p3"))
+      .select(col("m"), col("p0"), col("p1"), col("p2"), col("p3"))
+  }
+
+  /** Catmull-Rom midpoint interpolation per interior month segment:
+    * p(½) = (−p0 + 9p1 + 9p2 − p3)/16 — the classic 4-point midpoint
+    * rule, kept as an exact ×16 integer next to the linear midpoint ×2;
+    * floats only in the final rounded cents. */
+  def q_catmull_rom_interp(spark: SparkSession, sf: String): DataFrame =
+    splineStencil(spark, sf)
+      .select(col("m").as("month_idx"), col("p1").as("left_cents"),
+        col("p2").as("right_cents"),
+        expr("(0 - p0) + 9 * p1 + 9 * p2 - p3").as("cr_x16"),
+        expr("CAST(ROUND(CAST((0 - p0) + 9 * p1 + 9 * p2 - p3 AS DOUBLE)" +
+          " / CAST(16 AS DOUBLE)) AS BIGINT)").as("cr_mid_cents"),
+        expr("CAST(ROUND(CAST(p1 + p2 AS DOUBLE) / CAST(2 AS DOUBLE))" +
+          " AS BIGINT)").as("linear_mid_cents"))
+      .orderBy("month_idx")
+
+  /** Fritsch-Carlson monotone-Hermite tangents at each interior knot:
+    * secants d₋/d₊, the centered tangent ×2 (exact), and the
+    * monotonicity limiter — zero at sign changes, clamped to
+    * 3·min(|d₋|,|d₊|) otherwise — with a flag for where the limiter
+    * actually bit. Pure integer arithmetic. */
+  def q_monotone_hermite(spark: SparkSession, sf: String): DataFrame =
+    splineStencil(spark, sf)
+      .select(col("m").as("month_idx"),
+        (col("p1") - col("p0")).as("d_prev"),
+        (col("p2") - col("p1")).as("d_next"),
+        (col("p2") - col("p0")).as("tangent_x2"))
+      .select(col("month_idx"), col("d_prev"), col("d_next"), col("tangent_x2"),
+        expr("CASE WHEN SIGN(d_prev) * SIGN(d_next) <= 0 THEN CAST(0 AS BIGINT)" +
+          " WHEN ABS(tangent_x2) > 6 * LEAST(ABS(d_prev), ABS(d_next))" +
+          " THEN (CASE WHEN tangent_x2 > 0 THEN 1 ELSE -1 END)" +
+          " * 6 * LEAST(ABS(d_prev), ABS(d_next))" +
+          " ELSE tangent_x2 END").as("limited_x2"),
+        expr("CASE WHEN SIGN(d_prev) * SIGN(d_next) <= 0" +
+          " OR ABS(tangent_x2) > 6 * LEAST(ABS(d_prev), ABS(d_next))" +
+          " THEN 1 ELSE 0 END").cast("long").as("limiter_hit"))
+      .orderBy("month_idx")
+
+  /** Spline-overshoot audit: segments where the Catmull-Rom midpoint
+    * leaves the [min(p1,p2), max(p1,p2)] bracket (the wiggle linear
+    * interpolation never shows), overshoot magnitudes, and the mean
+    * |CR − linear| gap — why shape-preserving splines exist, in one
+    * summary row. Exact ×16 arithmetic throughout. */
+  def q_spline_overshoot_audit(spark: SparkSession, sf: String): DataFrame =
+    splineStencil(spark, sf)
+      .select(
+        expr("(0 - p0) + 9 * p1 + 9 * p2 - p3").as("cr16"),
+        expr("16 * LEAST(p1, p2)").as("lo16"),
+        expr("16 * GREATEST(p1, p2)").as("hi16"),
+        expr("8 * (p1 + p2)").as("lin16"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("cr16") < col("lo16") || col("cr16") > col("hi16"), 1L)
+          .otherwise(0L)).as("overshoot_segments"),
+        max(greatest(col("lo16") - col("cr16"), col("cr16") - col("hi16"),
+          lit(0L))).as("max_overshoot_x16"),
+        expr("CAST(ROUND(CAST(sum(ABS(cr16 - lin16)) AS DOUBLE)" +
+          " / CAST(count(1) AS DOUBLE) / CAST(16 AS DOUBLE)) AS BIGINT)")
+          .as("mean_cr_lin_gap_cents"))
 }

@@ -1646,6 +1646,28 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(md.getAs[Long]("n_pairs") == 120L)
   }
 
+  test("splines: CR midpoint near linear, limiter preserves monotone slopes") {
+    val cr = Analytics.q_catmull_rom_interp(spark, sf).collect()
+    assert(cr.nonEmpty)
+    cr.foreach { r =>
+      // exact x16 identity: rounded midpoint within 1 cent of cr_x16/16
+      val mid = r.getAs[Long]("cr_mid_cents")
+      assert(math.abs(mid * 16L - r.getAs[Long]("cr_x16")) <= 8L, r.toString)
+    }
+    val mh = Analytics.q_monotone_hermite(spark, sf).collect()
+    mh.foreach { r =>
+      val lim = r.getAs[Long]("limited_x2")
+      val (dp, dn) = (r.getAs[Long]("d_prev"), r.getAs[Long]("d_next"))
+      if (dp.signum * dn.signum <= 0) assert(lim == 0L, r.toString)
+      else assert(math.abs(lim) <= 6L * math.min(math.abs(dp), math.abs(dn)),
+        r.toString)
+    }
+    val audit = Analytics.q_spline_overshoot_audit(spark, sf).collect().head
+    assert(audit.getAs[Long]("n_segments") == cr.length.toLong)
+    assert(audit.getAs[Long]("overshoot_segments") <=
+      audit.getAs[Long]("n_segments"))
+  }
+
   test("reservoir bottom-k: sample never exceeds k=32 or the population") {
     Sampling.q_reservoir_bottomk(spark, sf).collect().foreach { r =>
       val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("k"))
