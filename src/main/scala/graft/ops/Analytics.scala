@@ -13489,4 +13489,163 @@ object Analytics {
         expr("CAST(ROUND(CAST(sum(ABS(cr16 - lin16)) AS DOUBLE)" +
           " / CAST(count(1) AS DOUBLE) / CAST(16 AS DOUBLE)) AS BIGINT)")
           .as("mean_cr_lin_gap_cents"))
+
+  // ---- §2.208 population genetics — Hardy-Weinberg ------------------------
+
+  /** Per-segment genotype counts: a diploid "locus" from two independent
+    * customer-key bits (alleles a1 = key mod 2, a2 = key div 2 mod 2,
+    * genotype = a1 + a2) — a population that should sit AT
+    * Hardy-Weinberg equilibrium, making the tests calibration checks. */
+  private def hwCounts(spark: SparkSession, sf: String): DataFrame =
+    Tables.customer(spark, sf)
+      .select(col("c_mktsegment"),
+        expr("(c_custkey % 2) + ((c_custkey div 2) % 2)").as("g"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("g") === 0L, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("g") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("g") === 2L, 1L).otherwise(0L)).as("n2"))
+
+  private val hwP =
+    "((CAST(2 AS DOUBLE) * CAST(n2 AS DOUBLE) + CAST(n1 AS DOUBLE))" +
+      " / (CAST(2 AS DOUBLE) * CAST(n AS DOUBLE)))"
+  private val hwQ = s"(CAST(1 AS DOUBLE) - $hwP)"
+
+  /** Hardy-Weinberg χ² per segment: observed genotype counts vs np²,
+    * 2npq, nq² — three fixed (O−E)²/E terms on exact integers; df = 1,
+    * so χ² ≳ 3.84 flags departure at 5%. */
+  def q_hardy_weinberg(spark: SparkSession, sf: String): DataFrame = {
+    def term(o: String, e: String) =
+      s"(($o - $e) * ($o - $e) / $e)"
+    val e0 = s"(CAST(n AS DOUBLE) * $hwQ * $hwQ)"
+    val e1 = s"(CAST(2 AS DOUBLE) * CAST(n AS DOUBLE) * $hwP * $hwQ)"
+    val e2 = s"(CAST(n AS DOUBLE) * $hwP * $hwP)"
+    val chi2 = s"(${term("CAST(n0 AS DOUBLE)", e0)}" +
+      s" + ${term("CAST(n1 AS DOUBLE)", e1)}" +
+      s" + ${term("CAST(n2 AS DOUBLE)", e2)})"
+    hwCounts(spark, sf)
+      .select(col("c_mktsegment"), col("n"), col("n0"), col("n1"), col("n2"),
+        expr(s"CAST(ROUND($chi2 * 1000000) AS BIGINT)").as("chi2_e6"),
+        expr(s"CASE WHEN $chi2 > CAST(384 AS DOUBLE) / CAST(100 AS DOUBLE)" +
+          " THEN 1 ELSE 0 END").cast("long").as("disequilibrium_5pct"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Allele frequencies and heterozygosity per segment: p, q, observed
+    * Ho = n1/n and expected He = 2pq (e6 each) — the population-genetics
+    * base table. */
+  def q_allele_frequencies(spark: SparkSession, sf: String): DataFrame =
+    hwCounts(spark, sf)
+      .select(col("c_mktsegment"), col("n"),
+        expr(s"CAST(ROUND($hwP * 1000000) AS BIGINT)").as("p_e6"),
+        expr(s"CAST(ROUND($hwQ * 1000000) AS BIGINT)").as("q_e6"),
+        expr("CAST(ROUND(CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE) * 1000000)" +
+          " AS BIGINT)").as("ho_e6"),
+        expr(s"CAST(ROUND(CAST(2 AS DOUBLE) * $hwP * $hwQ * 1000000)" +
+          " AS BIGINT)").as("he_e6"))
+      .orderBy("c_mktsegment")
+
+  /** Wright's inbreeding coefficient F = 1 − Ho/He per segment (≈ 0 for
+    * this independent-bit locus) with the excess-homozygosity sign — the
+    * F-statistics panel. */
+  def q_inbreeding_coefficient(spark: SparkSession, sf: String): DataFrame = {
+    val f = s"(CAST(1 AS DOUBLE) - (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))" +
+      s" / (CAST(2 AS DOUBLE) * $hwP * $hwQ))"
+    hwCounts(spark, sf)
+      .select(col("c_mktsegment"),
+        expr(s"CAST(ROUND($f * 1000000) AS BIGINT) + 0").as("f_e6"),
+        expr(s"CASE WHEN $f > CAST(0 AS DOUBLE) THEN 1 ELSE 0 END")
+          .cast("long").as("homozygote_excess"))
+      .orderBy("c_mktsegment")
+  }
+
+  // ---- §2.209 forensic digits — Benford 2nd digit, last digit, pairs ------
+
+  /** Second significant digit of order cents via an integer magnitude
+    * CASE ladder (no float log10 — exact at power boundaries). */
+  private val fdSecond: String = {
+    val whens = (2 to 12).reverse.map { k =>
+      s"WHEN v >= ${BigInt(10).pow(k - 1)} AND v < ${BigInt(10).pow(k)}" +
+        s" THEN (v div ${BigInt(10).pow(k - 2)}) % 10"
+    }.mkString(" ")
+    s"(CASE $whens ELSE v % 10 END)"
+  }
+
+  /** Benford's SECOND-digit law: observed counts of the second
+    * significant digit of order totals vs the 9-term expectation
+    * P(d) = Σ_k log10(1+1/(10k+d)) — forensic accounting's subtler
+    * screen, with per-digit χ² contributions (e6). */
+  def q_benford_second_digit(spark: SparkSession, sf: String): DataFrame = {
+    def pD(d: Int) = (1 to 9).map { k =>
+      s"LN(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE)" +
+        s" / CAST(${10 * k + d} AS DOUBLE)) / LN(CAST(10 AS DOUBLE))" }
+      .mkString("(", " + ", ")")
+    val exp = (0 to 9).map(d =>
+      s"WHEN d2 = $d THEN ${pD(d)}").mkString("(CASE ", " ", " END)")
+    Tables.orders(spark, sf)
+      .select(cents(col("o_totalprice")).as("v"))
+      .select(expr(fdSecond).as("d2"))
+      .groupBy("d2").agg(count(lit(1)).as("n_obs"))
+      .crossJoin(broadcast(Tables.orders(spark, sf)
+        .agg(count(lit(1)).as("n_all"))))
+      .select(col("d2"), col("n_obs"),
+        expr(s"CAST(ROUND($exp * 1000000) AS BIGINT)").as("benford_p_e6"),
+        expr(s"CAST(ROUND((CAST(n_obs AS DOUBLE) / CAST(n_all AS DOUBLE)" +
+          s" - $exp) * (CAST(n_obs AS DOUBLE) / CAST(n_all AS DOUBLE)" +
+          s" - $exp) / $exp * CAST(n_all AS DOUBLE) * 1000000) AS BIGINT)")
+          .as("chi2_contrib_e6"))
+      .orderBy("d2")
+  }
+
+  /** Last-digit uniformity: authentic transactional amounts carry a
+    * uniform final digit; per digit the count, share (e6), and χ²
+    * contribution vs 10% — rounding or fabrication shows instantly. */
+  def q_last_digit_uniform(spark: SparkSession, sf: String): DataFrame =
+    Tables.orders(spark, sf)
+      .select((cents(col("o_totalprice")) % 10L).as("d"))
+      .groupBy("d").agg(count(lit(1)).as("n_obs"))
+      .crossJoin(broadcast(Tables.orders(spark, sf)
+        .agg(count(lit(1)).as("n_all"))))
+      .select(col("d"), col("n_obs"),
+        expr("n_obs * 1000000 div n_all").as("share_e6"),
+        expr("CAST(ROUND((CAST(n_obs AS DOUBLE)" +
+          " - CAST(n_all AS DOUBLE) / CAST(10 AS DOUBLE))" +
+          " * (CAST(n_obs AS DOUBLE)" +
+          " - CAST(n_all AS DOUBLE) / CAST(10 AS DOUBLE))" +
+          " / (CAST(n_all AS DOUBLE) / CAST(10 AS DOUBLE)) * 1000000)" +
+          " AS BIGINT)").as("chi2_contrib_e6"))
+      .orderBy("d")
+
+  /** First-digit × last-digit-parity independence: the 9×2 contingency
+    * table with expected counts from the margins and per-cell χ²
+    * contributions — digits of honest amounts don't conspire. */
+  def q_digit_pair_independence(spark: SparkSession, sf: String): DataFrame = {
+    val firstDigit = {
+      val whens = (1 to 12).reverse.map { k =>
+        s"WHEN v >= ${BigInt(10).pow(k - 1)} THEN v div ${BigInt(10).pow(k - 1)}" }
+        .mkString(" ")
+      s"(CASE $whens ELSE v END)"
+    }
+    val cells = Tables.orders(spark, sf)
+      .select(cents(col("o_totalprice")).as("v"))
+      .select(expr(firstDigit).as("d1"), (col("v") % 2L).as("par"))
+      .groupBy("d1", "par").agg(count(lit(1)).as("n_obs"))
+      .localCheckpoint()
+    val rowM = cells.groupBy("d1").agg(sum(col("n_obs")).as("n_row"))
+    val colM = cells.groupBy("par").agg(sum(col("n_obs")).as("n_col"))
+    val tot = cells.agg(sum(col("n_obs")).as("n_all"))
+    cells.join(broadcast(rowM), "d1").join(broadcast(colM), "par")
+      .crossJoin(broadcast(tot))
+      .select(col("d1"), col("par"), col("n_obs"),
+        expr("CAST(ROUND(CAST(n_row AS DOUBLE) * CAST(n_col AS DOUBLE)" +
+          " / CAST(n_all AS DOUBLE) * 10000) AS BIGINT)").as("expected_e4"),
+        expr("CAST(ROUND((CAST(n_obs AS DOUBLE) - CAST(n_row AS DOUBLE)" +
+          " * CAST(n_col AS DOUBLE) / CAST(n_all AS DOUBLE))" +
+          " * (CAST(n_obs AS DOUBLE) - CAST(n_row AS DOUBLE)" +
+          " * CAST(n_col AS DOUBLE) / CAST(n_all AS DOUBLE))" +
+          " / (CAST(n_row AS DOUBLE) * CAST(n_col AS DOUBLE)" +
+          " / CAST(n_all AS DOUBLE)) * 1000000) AS BIGINT)")
+          .as("chi2_contrib_e6"))
+      .orderBy("d1", "par")
+  }
 }

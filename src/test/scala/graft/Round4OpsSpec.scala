@@ -1668,6 +1668,37 @@ class Round4OpsSpec extends AnyFunSuite {
       audit.getAs[Long]("n_segments"))
   }
 
+  test("Hardy-Weinberg: independent-bit locus sits near equilibrium") {
+    val hw = Analytics.q_hardy_weinberg(spark, sf).collect()
+    assert(hw.length == 5)
+    hw.foreach { r =>
+      assert(r.getAs[Long]("n0") + r.getAs[Long]("n1") + r.getAs[Long]("n2") ==
+        r.getAs[Long]("n"))
+      assert(r.getAs[Long]("chi2_e6") >= 0L)
+    }
+    val af = Analytics.q_allele_frequencies(spark, sf).collect()
+    af.foreach { r =>
+      assert(r.getAs[Long]("p_e6") + r.getAs[Long]("q_e6") >= 999999L)
+      assert(r.getAs[Long]("he_e6") <= 500000L) // 2pq <= 1/2
+    }
+    Analytics.q_inbreeding_coefficient(spark, sf).collect().foreach { r =>
+      // calibration: F of an independent locus stays small
+      assert(math.abs(r.getAs[Long]("f_e6")) < 300000L, r.toString)
+    }
+  }
+
+  test("forensic digits: distributions account for every order") {
+    val nOrders = graft.core.Tables.orders(spark, sf).count()
+    val b2 = Analytics.q_benford_second_digit(spark, sf).collect()
+    assert(b2.map(_.getAs[Long]("n_obs")).sum == nOrders)
+    assert(math.abs(b2.map(_.getAs[Long]("benford_p_e6")).sum - 1000000L) <= 5L)
+    val ld = Analytics.q_last_digit_uniform(spark, sf).collect()
+    assert(ld.map(_.getAs[Long]("n_obs")).sum == nOrders)
+    val dp = Analytics.q_digit_pair_independence(spark, sf).collect()
+    assert(dp.map(_.getAs[Long]("n_obs")).sum == nOrders)
+    dp.foreach(r => assert(r.getAs[Long]("d1") >= 1L && r.getAs[Long]("d1") <= 9L))
+  }
+
   test("reservoir bottom-k: sample never exceeds k=32 or the population") {
     Sampling.q_reservoir_bottomk(spark, sf).collect().foreach { r =>
       val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("k"))
