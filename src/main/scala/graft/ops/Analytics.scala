@@ -13648,4 +13648,94 @@ object Analytics {
           .as("chi2_contrib_e6"))
       .orderBy("d1", "par")
   }
+
+  // ---- §2.210 Mack chain-ladder variance ----------------------------------
+
+  /** Per-(origin, age) link observations from the §2.183 triangle:
+    * C_ik, C_{i,k+1}, the individual factor F_ik, and the Mack variance
+    * term C_ik(F_ik − f_k)² QUANTIZED per origin to an exact integer
+    * (×1e6) so the cross-origin reduction is a BIGINT sum — the same
+    * no-float-reduction discipline as the day-level microstructure
+    * estimators. */
+  private def mackObs(spark: SparkSession, sf: String): DataFrame = {
+    val rows = (0 to 2).map { k =>
+      struct(lit(k.toLong).as("k"), col(s"c$k").as("cik"),
+        col(s"c${k + 1}").as("cik1"),
+        expr(s"CASE WHEN origin + ${k + 1} <= cutoff THEN 1 ELSE 0 END")
+          .cast("long").as("observed"),
+        col("origin").cast("long").as("origin_y")) }
+    clTriangle(spark, sf)
+      .crossJoin(broadcast(clStats(spark, sf)))
+      .select(col("origin"), col("cutoff"),
+        col("den0"), col("num0"), col("den1"), col("num1"),
+        col("den2"), col("num2"),
+        explode(array(rows: _*)).as("r"))
+      .filter(col("r.observed") === 1L && col("r.cik") > 0L)
+      .select(col("r.origin_y").as("origin_y"), col("r.k").as("k"),
+        col("r.cik").as("cik"), col("r.cik1").as("cik1"),
+        col("den0"), col("num0"), col("den1"), col("num1"),
+        col("den2"), col("num2"))
+      .withColumn("fk", expr("CASE k WHEN 0 THEN CAST(num0 AS DOUBLE)" +
+        " / CAST(den0 AS DOUBLE) WHEN 1 THEN CAST(num1 AS DOUBLE)" +
+        " / CAST(den1 AS DOUBLE) ELSE CAST(num2 AS DOUBLE)" +
+        " / CAST(den2 AS DOUBLE) END"))
+      .withColumn("fik", expr("CAST(cik1 AS DOUBLE) / CAST(cik AS DOUBLE)"))
+      .withColumn("term_e6", expr("CAST(ROUND(CAST(cik AS DOUBLE)" +
+        " * (fik - fk) * (fik - fk) * 1000000) AS BIGINT)"))
+  }
+
+  /** Mack's σ_k² per development age: Σᵢ C_ik(F_ik − f_k)²/(n−1) from
+    * the quantized terms — the process-variance engine behind reserve
+    * ranges (Mack 1993), with the volume-weighted f for context. */
+  def q_mack_sigma(spark: SparkSession, sf: String): DataFrame =
+    mackObs(spark, sf)
+      .groupBy(col("k").as("dev_age"))
+      .agg(count(lit(1)).as("n_origins"), sum(col("term_e6")).as("ssq_e6"),
+        expr("CAST(ROUND(max(fk) * 1000000) AS BIGINT)").as("f_e6"))
+      .filter(col("n_origins") > 1L)
+      .select(col("dev_age"), col("n_origins"), col("f_e6"),
+        expr("CAST(ROUND(CAST(ssq_e6 AS DOUBLE) / CAST(1000000 AS DOUBLE)" +
+          " / (CAST(n_origins AS DOUBLE) - CAST(1 AS DOUBLE)) * 100)" +
+          " AS BIGINT)").as("sigma2_cents_e2"))
+      .orderBy("dev_age")
+
+  /** Link-ratio confidence bands: f_k ± 2σ_k/√S_k with S_k the total
+    * volume at age k — which development factors the data actually
+    * pins down. */
+  def q_dev_factor_ci(spark: SparkSession, sf: String): DataFrame = {
+    val sig = mackObs(spark, sf)
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_origins"), sum(col("term_e6")).as("ssq_e6"),
+        max(col("fk")).as("fk"), sum(col("cik")).as("sk"))
+      .filter(col("n_origins") > 1L)
+    val se = "SQRT(CAST(ssq_e6 AS DOUBLE) / CAST(1000000 AS DOUBLE)" +
+      " / (CAST(n_origins AS DOUBLE) - CAST(1 AS DOUBLE)))" +
+      " / SQRT(CAST(sk AS DOUBLE))"
+    sig.select(col("k").as("dev_age"),
+        expr("CAST(ROUND(fk * 1000000) AS BIGINT)").as("f_e6"),
+        expr(s"CAST(ROUND((fk - CAST(2 AS DOUBLE) * $se) * 1000000)" +
+          " AS BIGINT)").as("lo_e6"),
+        expr(s"CAST(ROUND((fk + CAST(2 AS DOUBLE) * $se) * 1000000)" +
+          " AS BIGINT)").as("hi_e6"))
+      .orderBy("dev_age")
+  }
+
+  /** Standardized Mack residuals (F_ik − f_k)√C_ik/σ_k per cell — the
+    * diagnostic plot actuaries scan for trends before trusting the
+    * chain ladder; the σ join is a broadcast of the tiny age table. */
+  def q_mack_residuals(spark: SparkSession, sf: String): DataFrame = {
+    val sig = mackObs(spark, sf)
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_origins"), sum(col("term_e6")).as("ssq_e6"))
+      .filter(col("n_origins") > 1L)
+      .select(col("k").as("sk_k"),
+        expr("SQRT(CAST(ssq_e6 AS DOUBLE) / CAST(1000000 AS DOUBLE)" +
+          " / (CAST(n_origins AS DOUBLE) - CAST(1 AS DOUBLE)))").as("sigma"))
+    mackObs(spark, sf)
+      .join(broadcast(sig), col("k") === col("sk_k"))
+      .select(col("origin_y"), col("k").as("dev_age"),
+        expr("CAST(ROUND((fik - fk) * SQRT(CAST(cik AS DOUBLE)) / sigma" +
+          " * 1000000) AS BIGINT) + 0").as("residual_e6"))
+      .orderBy("origin_y", "dev_age")
+  }
 }

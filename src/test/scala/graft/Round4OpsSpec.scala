@@ -1699,6 +1699,25 @@ class Round4OpsSpec extends AnyFunSuite {
     dp.foreach(r => assert(r.getAs[Long]("d1") >= 1L && r.getAs[Long]("d1") <= 9L))
   }
 
+  test("Mack variance: sigma2 nonnegative, CI brackets f, residuals centered") {
+    val sig = Analytics.q_mack_sigma(spark, sf).collect()
+    assert(sig.nonEmpty)
+    sig.foreach { r =>
+      assert(r.getAs[Long]("sigma2_cents_e2") >= 0L)
+      assert(r.getAs[Long]("f_e6") >= 1000000L) // cumulative => f >= 1
+    }
+    Analytics.q_dev_factor_ci(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("lo_e6") <= r.getAs[Long]("f_e6"))
+      assert(r.getAs[Long]("f_e6") <= r.getAs[Long]("hi_e6"))
+    }
+    val res = Analytics.q_mack_residuals(spark, sf).collect()
+    assert(res.nonEmpty)
+    // volume-weighted residual mean is ~0 by construction of f; the
+    // plain mean stays small relative to the unit scale
+    val mean = res.map(_.getAs[Long]("residual_e6")).sum / res.length
+    assert(math.abs(mean) < 2000000L, mean.toString)
+  }
+
   test("reservoir bottom-k: sample never exceeds k=32 or the population") {
     Sampling.q_reservoir_bottomk(spark, sf).collect().foreach { r =>
       val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("k"))
