@@ -13738,4 +13738,78 @@ object Analytics {
           " * 1000000) AS BIGINT) + 0").as("residual_e6"))
       .orderBy("origin_y", "dev_age")
   }
+
+  // ---- §2.211 inequality audits — Jensen, AM-GM, log-sum-exp --------------
+
+  /** Jensen's gap E[f(X)] − f(E[X]) for the convex f(x) = x² on event
+    * value cents, per event type: both sides from EXACT integer sums, so
+    * the gap equals the population variance — reported with the variance
+    * to make the identity visible (e2 cents²). */
+  def q_jensen_gap(spark: SparkSession, sf: String): DataFrame =
+    Tables.eventsWithTs(spark, sf)
+      .select(col("event_type"), cents(col("value")).as("v"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s1"),
+        sum(col("v") * col("v")).as("s2"))
+      .select(col("event_type"), col("n"),
+        expr("CAST(ROUND((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)" +
+          " - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))" +
+          " * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) * 100) AS BIGINT)")
+          .as("jensen_gap_e2"),
+        expr("CAST(ROUND((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)" +
+          " - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))" +
+          " * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) * 100) AS BIGINT)")
+          .as("variance_e2"))
+      .orderBy("event_type")
+
+  /** AM-GM gap per event type: the geometric mean exp(mean ln v) with
+    * per-row ln quantized to e9 integers (exact cross-row sum), vs the
+    * exact arithmetic mean — AM ≥ GM with equality only for constant
+    * values, the gap being a dispersion measure in cents. */
+  def q_amgm_gap(spark: SparkSession, sf: String): DataFrame =
+    Tables.eventsWithTs(spark, sf)
+      .select(col("event_type"), cents(col("value")).as("v"))
+      .filter(col("v") > 0L)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s1"),
+        sum(expr("CAST(ROUND(LN(CAST(v AS DOUBLE)) * 1000000000) AS BIGINT)"))
+          .as("slog_e9"))
+      .select(col("event_type"), col("n"),
+        expr("s1 div n").as("am_cents"),
+        expr("CAST(ROUND(EXP(CAST(slog_e9 AS DOUBLE)" +
+          " / CAST(1000000000 AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT)")
+          .as("gm_cents"),
+        expr("s1 div n - CAST(ROUND(EXP(CAST(slog_e9 AS DOUBLE)" +
+          " / CAST(1000000000 AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT)")
+          .as("amgm_gap_cents"))
+      .orderBy("event_type")
+
+  /** Log-sum-exp audit per event type at temperature τ = global mean
+    * cents: LSE = max + τ·ln Σ exp((v−max)/τ) with the Σ quantized per
+    * row (exact reduction) — LSE sits in [max, max + τ·ln n], the
+    * softmax-normalizer sandwich every LLM loss relies on. */
+  def q_logsumexp_audit(spark: SparkSession, sf: String): DataFrame = {
+    val tau = Tables.eventsWithTs(spark, sf)
+      .agg(expr("sum(CAST(ROUND(value * 100) AS BIGINT)) div count(1)")
+        .as("tau"))
+    val mx = Tables.eventsWithTs(spark, sf)
+      .select(col("event_type").as("et_m"), cents(col("value")).as("v"))
+      .groupBy("et_m").agg(max(col("v")).as("vmax"))
+    Tables.eventsWithTs(spark, sf)
+      .select(col("event_type"), cents(col("value")).as("v"))
+      .join(broadcast(mx), col("event_type") === col("et_m"))
+      .crossJoin(broadcast(tau))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), max(col("vmax")).as("vmax"),
+        max(col("tau")).as("tau"),
+        sum(expr("CAST(ROUND(EXP((CAST(v AS DOUBLE) - CAST(vmax AS DOUBLE))" +
+          " / CAST(tau AS DOUBLE)) * 1000000000) AS BIGINT)")).as("sexp_e9"))
+      .select(col("event_type"), col("n"), col("vmax").as("max_cents"),
+        expr("CAST(ROUND((CAST(vmax AS DOUBLE) + CAST(tau AS DOUBLE)" +
+          " * LN(CAST(sexp_e9 AS DOUBLE) / CAST(1000000000 AS DOUBLE)))" +
+          " * 100) AS BIGINT)").as("lse_cents_e2"),
+        expr("CAST(ROUND((CAST(vmax AS DOUBLE) + CAST(tau AS DOUBLE)" +
+          " * LN(CAST(n AS DOUBLE))) * 100) AS BIGINT)").as("upper_cents_e2"))
+      .orderBy("event_type")
+  }
 }
