@@ -11429,9 +11429,14 @@ object Analytics {
   }
 
   /** Textual double expression for link ratio f_k — kept as ONE string so
-    * the Spark and DuckDB trees are byte-identical. */
+    * the Spark and DuckDB trees are byte-identical. A development age with
+    * no fully-observed origins (den_k = 0) gets the identity link ratio 1
+    * on BOTH engines: without the guard Spark would ROUND(NaN) to 0 while
+    * DuckDB errors on CAST(NAN AS BIGINT), so a short-span fixture would
+    * diverge instead of matching. */
   private def clF(k: Int): String =
-    s"(CAST(num$k AS DOUBLE) / CAST(den$k AS DOUBLE))"
+    s"(CASE WHEN den$k = 0 THEN CAST(1 AS DOUBLE) " +
+      s"ELSE CAST(num$k AS DOUBLE) / CAST(den$k AS DOUBLE) END)"
 
   /** Chain-ladder development factors: per age k the volume-weighted link
     * ratio f_k = ΣC_{k+1}/ΣC_k with its exact integer numerator,
@@ -11986,7 +11991,14 @@ object Analytics {
   /** Aki-MLE b-value per event type, treating event value as the
     * magnitude and the GLOBAL mean as the completeness cutoff Mc (both
     * exact integer stats): b = log10(e)/(mean_{≥Mc} − Mc). One corpus
-    * pass for the cutoff, one for the per-type tail stats. */
+    * pass for the cutoff, one for the per-type tail stats.
+    *
+    * Integer-div contract: the `sum div count` means here (and in
+    * [[q_phase_profile]]) truncate toward zero on Spark but floor on
+    * DuckDB — identical ONLY because event value is non-negative, a
+    * precondition pinned by FixtureSchemaSpec ("events.value is
+    * non-negative"). A signed mean must route through
+    * CAST(ROUND(sum/count)) instead (the q_kyle_lambda pattern). */
   def q_gutenberg_richter(spark: SparkSession, sf: String): DataFrame = {
     val ev = Tables.eventsWithTs(spark, sf)
       .select(col("event_type"), cents(col("value")).as("mc"))

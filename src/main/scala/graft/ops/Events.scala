@@ -1405,10 +1405,11 @@ object Events {
   }
 
   /** LRU hit-rate curve by cache size (16..4096 lines) under the classic
-    * time-distance approximation (temporal reuse distance upper-bounds
-    * stack distance, so each point upper-bounds the true LRU hit rate):
-    * per size the hits, hit share of all accesses (e6), plus the
-    * compulsory-miss row the curve asymptotes to.
+    * time-distance approximation: temporal reuse distance >= stack
+    * distance, so counting accesses with d <= c only counts guaranteed
+    * hits and each point LOWER-bounds the true LRU hit rate. Per size the
+    * hits, hit share of all accesses (e6), plus the compulsory-miss row
+    * the curve asymptotes to.
     */
   def q_lru_hit_curve(spark: SparkSession, sf: String): DataFrame = {
     val (r, n) = reuseDist(spark, sf)

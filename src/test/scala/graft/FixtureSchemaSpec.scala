@@ -51,6 +51,20 @@ class FixtureSchemaSpec extends AnyFunSuite {
     assert(rt.getLong(0) === 0L)
   }
 
+  test("events.value is non-negative (integer-div floor/trunc contract)") {
+    import org.apache.spark.sql.functions._
+    // q_gutenberg_richter / q_phase_profile (and other `sum div count`
+    // means over value cents) rely on Spark's `div` (truncate toward zero)
+    // agreeing with DuckDB's `//` (floor) — identical only for
+    // non-negative operands. This pins the precondition so a fixture
+    // regeneration with signed values fails HERE, not as a silent
+    // cross-engine off-by-one.
+    val bad = Tables.eventsWithTs(spark, sf)
+      .agg(sum(when(col("value") < 0, 1L).otherwise(0L)).as("neg"))
+      .head().getLong(0)
+    assert(bad === 0L, "events.value went negative: audit every `div` mean")
+  }
+
   test("eventsWithTs rejects an unknown ts layout loudly") {
     import org.apache.spark.sql.functions._
     val bad = Tables.table(spark, sf, "events")
