@@ -28,14 +28,31 @@ object Ann {
       .select(col("vec_id"), col("label"), Vectors.q7(col("embedding")).as("qe"))
       .withColumn("nrm", Vectors.dotE14(col("qe"), col("qe")))
 
-  /** Embedding-cosine near-duplicates: same-label blocked pairs with
-    * cosine ≥ 0.25 (p99 of the same-label pair distribution).
+  /** Embedding-cosine near-duplicates: same-label pairs with cosine
+    * ≥ 0.25 (p99 of the same-label pair distribution) — EXACT, via the
+    * [[Vectors.gridLegs]] triangular grid (g=8) inside each label block.
+    *
+    * Why not the [[q_semantic_dedup]] LSH bucket stage: 0.25 is the p99
+    * of a near-isotropic pair distribution — at that angle (≈75.5°) two
+    * vectors agree on one sign-plane with probability only 0.58, so an
+    * 8-bit bucket match fires for ≈1.3% of TRUE pairs; no banding scheme
+    * separates cos 0.25 from the cos 0 bulk without probing everything.
+    * An exact low-threshold pair scan is irreducibly O(N²) work; the
+    * grid distributes it evenly with bounded task memory and per-row
+    * replication g+1 (vs the former label-block self-join whose biggest
+    * label owned the whole N²/|labels| product in one hash bucket).
     */
   def q_neardup_embedding(spark: SparkSession, sf: String): DataFrame = {
     val v = quantized(spark, sf)
-    v.as("a")
-      .join(v.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.label").as("label"), col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+    val (l, r) = Vectors.gridLegs(v, 8, "vec_id")
+    l.as("a")
+      .join(r.as("b"),
+        col("a.gi") === col("b.gi") && col("a.gj") === col("b.gj") &&
+          col("a.label") === col("b.label") &&
+          (col("a.gi") =!= col("a.gj") || col("a.vec_id") < col("b.vec_id")))
+      .select(col("a.label").as("label"),
+        least(col("a.vec_id"), col("b.vec_id")).as("v1"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("v2"),
         Vectors.cosine(Vectors.dotE14(col("a.qe"), col("b.qe")), col("a.nrm"), col("b.nrm"))
           .as("cos"))
       .filter(col("cos") >= 0.25)

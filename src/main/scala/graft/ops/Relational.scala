@@ -880,23 +880,104 @@ object Relational {
           lit(100.0), 4) + lit(0.0)).as("harm_mean"))
       .orderBy("flag")
 
-  /** 10%-trimmed mean per return flag: exact p10/p90 bounds broadcast
-    * back onto the scan, exact integer mean of the interior — the
-    * outlier-insensitive center that plain AVG isn't. Two passes, both
-    * single aggregates.
+  /** Exact percentile of a (group, value-lattice, count) frame WITHOUT
+    * buffering values: the distinct-value lattice cumulates per group and
+    * the bound is read off by rank, replicating Spark `percentile`'s own
+    * math bit-for-bit — pos = p·(n−1) in double, keys at ranks
+    * ⌊pos⌋/⌈pos⌉, value = (⌈pos⌉−pos)·k_lo + (pos−⌊pos⌋)·k_hi with the
+    * two equal-key/integral-pos short-circuits Spark takes. This is the
+    * scale-safe twin of `percentile(...)`: the builtin buffers EVERY
+    * group value into one aggregation buffer (per-group memory grows as
+    * N/|groups| — an executor-side collect), while the lattice form is
+    * two ordinary hash aggregates plus a per-group sorted window.
+    * RelationalSpec pins equality against the builtin on fixture and
+    * adversarial synthetic data.
+    *
+    * Input `lat` must have columns (groupCol, value `pc` long, count
+    * `cnt` long); returns (groupCol, n, <name> double) per group.
+    */
+  private[graft] def latticePercentiles(lat: DataFrame, groupCol: String,
+      ps: Seq[(Double, String)]): DataFrame = {
+    val win = Window.partitionBy(groupCol).orderBy("pc")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = lat
+      .withColumn("cum", sum(col("cnt")).over(win))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(groupCol)))
+    val posOf = ps.map { case (p, name) =>
+      name -> (lit(p) * (col("n") - lit(1L)).cast("double")) }
+    val keyAggs = posOf.flatMap { case (name, pos) => Seq(
+      min(when(col("cum") >= floor(pos) + 1L, col("pc"))).as(s"${name}_lk"),
+      min(when(col("cum") >= ceil(pos) + 1L, col("pc"))).as(s"${name}_hk"),
+      max(pos).as(s"${name}_pos")) }
+    val outs = ps.map { case (_, name) =>
+      val (pos, lk, hk) = (col(s"${name}_pos"), col(s"${name}_lk"), col(s"${name}_hk"))
+      when(ceil(pos) === floor(pos) || lk === hk, lk.cast("double"))
+        .otherwise(
+          (ceil(pos).cast("double") - pos) * lk.cast("double") +
+          (pos - floor(pos).cast("double")) * hk.cast("double"))
+        .as(name) }
+    cum.groupBy(col(groupCol))
+      .agg(max(col("n")).as("n"), keyAggs: _*)
+      .select(col(groupCol) +: col("n") +: outs: _*)
+  }
+
+  /** Single-percentile convenience over [[latticePercentiles]]. */
+  private[graft] def latticePercentile(lat: DataFrame, groupCol: String,
+      p: Double, name: String): DataFrame =
+    latticePercentiles(lat, groupCol, Seq(p -> name))
+
+  /** 10%-trimmed mean per return flag in ONE pass over the distinct-cents
+    * lattice: the cumulative count AND cumulative value windows run
+    * together, the per-flag aggregate captures the first lattice row at
+    * each of the four percentile ranks (min of a cum-led struct — cum is
+    * strictly increasing, so min selects the row), the p10/p90 bounds are
+    * reconstructed with `percentile`'s own interpolation math
+    * ([[latticePercentiles]] has the shared derivation), and the interior
+    * count/sum fall out of prefix-sum differences — no second scan, no
+    * join, no per-group value buffering (the builtin `percentile` buffers
+    * every group value in one aggregation buffer, N/|groups| memory).
+    * Round5OpsSpec pins equality with the buffering formulation.
     */
   def q_trimmed_mean(spark: SparkSession, sf: String): DataFrame = {
-    val v = Tables.lineitem(spark, sf)
+    val win = Window.partitionBy("flag").orderBy("pc")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = Tables.lineitem(spark, sf)
       .select(col("l_returnflag").as("flag"), cents(col("l_extendedprice")).as("pc"))
-    val bounds = v.groupBy(col("flag"))
-      .agg(percentile(col("pc"), lit(0.1)).as("lo"),
-        percentile(col("pc"), lit(0.9)).as("hi"))
-    v.join(broadcast(bounds), "flag")
-      .filter(col("pc").cast("double") >= col("lo") && col("pc").cast("double") <= col("hi"))
-      .groupBy(col("flag"))
-      .agg(count(lit(1)).as("n_kept"), sum(col("pc")).as("s"))
-      .select(col("flag"), col("n_kept"),
-        (round(col("s").cast("double") / col("n_kept").cast("double") / lit(100.0), 4)
+      .groupBy(col("flag"), col("pc"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(win))
+      .withColumn("cumv", sum(col("pc") * col("cnt")).over(win))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("flag")))
+    val pos10 = lit(0.1) * (col("n") - lit(1L)).cast("double")
+    val pos90 = lit(0.9) * (col("n") - lit(1L)).cast("double")
+    def firstAt(rank: Column) = min(when(col("cum") >= rank,
+      struct(col("cum"), col("cnt"), col("cumv"), col("pc"))))
+    def interp(pos: Column, lk: Column, hk: Column): Column =
+      when(ceil(pos) === floor(pos) || lk === hk, lk.cast("double"))
+        .otherwise((ceil(pos).cast("double") - pos) * lk.cast("double") +
+          (pos - floor(pos).cast("double")) * hk.cast("double"))
+    cum.groupBy(col("flag"))
+      .agg(firstAt(floor(pos10) + 1L).as("s10l"), firstAt(ceil(pos10) + 1L).as("s10h"),
+        firstAt(floor(pos90) + 1L).as("s90l"), firstAt(ceil(pos90) + 1L).as("s90h"),
+        max(pos10).as("pos10"), max(pos90).as("pos90"))
+      .select(col("flag"), col("s10l"), col("s90l"), col("s90h"),
+        interp(col("pos10"), col("s10l.pc"), col("s10h.pc")).as("lo"),
+        interp(col("pos90"), col("s90l.pc"), col("s90h.pc")).as("hi"))
+      // rows below the first kept value (pc >= lo: either s10l's own pc
+      // qualifies, or the next lattice value does — nothing sits between)
+      .select(col("flag"),
+        when(col("s10l.pc").cast("double") >= col("lo"),
+          col("s10l.cum") - col("s10l.cnt")).otherwise(col("s10l.cum")).as("nExcl"),
+        when(col("s10l.pc").cast("double") >= col("lo"),
+          col("s10l.cumv") - col("s10l.pc") * col("s10l.cnt"))
+          .otherwise(col("s10l.cumv")).as("sExcl"),
+        when(col("s90h.pc").cast("double") <= col("hi"), col("s90h.cum"))
+          .otherwise(col("s90l.cum")).as("nThru"),
+        when(col("s90h.pc").cast("double") <= col("hi"), col("s90h.cumv"))
+          .otherwise(col("s90l.cumv")).as("sThru"))
+      .select(col("flag"), (col("nThru") - col("nExcl")).as("n_kept"),
+        (round((col("sThru") - col("sExcl")).cast("double") /
+          (col("nThru") - col("nExcl")).cast("double") / lit(100.0), 4)
           + lit(0.0)).as("trimmed_mean"))
       .orderBy("flag")
   }

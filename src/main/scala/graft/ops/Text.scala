@@ -90,35 +90,83 @@ object Text {
     dupes.unionByName(total).orderBy("fingerprint")
   }
 
-  /** Near-duplicate pairs by token-set Jaccard >= 0.8, blocked by
-    * (lang, source). |A∩B| comes from a (block, token) equi-join of the
-    * distinct token sets; |A∪B| = |A| + |B| − |A∩B|. One shuffle on the
-    * block+token key — the pair space stays per-block.
-    */
-  /** Near-dup pairs (J ≥ 0.8 within a (lang, source) block) — shared by
-    * [[q_neardup_jaccard]] and the component clustering of
-    * [[q_dedup_components]].
-    */
-  /** Token-set overlap of every same-block doc pair: (lang, source, d1,
-    * d2, inter, sz1, sz2) — the shared core of the Jaccard and containment
-    * near-dup ops. One shuffle on the (block, token) key; the pair space
-    * stays per-block.
-    */
-  private[ops] def pairOverlap(spark: SparkSession, sf: String): DataFrame = {
-    val toks = Tables.documents(spark, sf)
+  /** Documents with their distinct-token arrays and set sizes — the shared
+    * input of the near-dup candidate and verify stages. */
+  private[ops] def docSets(spark: SparkSession, sf: String): DataFrame =
+    Tables.documents(spark, sf)
       .select(col("doc_id"), col("lang"), col("source"),
-        explode(array_distinct(tokens(col("text")))).as("word"))
-    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = toks.as("a")
-      .join(toks.as("b"),
+        array_distinct(tokens(col("text"))).as("toks"))
+      .withColumn("sz", size(col("toks")).cast("long"))
+
+  /** Token-set overlap of candidate same-block doc pairs: (lang, source,
+    * d1, d2, inter, sz1, sz2) — the shared core of the Jaccard /
+    * containment near-dup ops and the threshold sweep.
+    *
+    * Scale design (PPJoin-style prefix filter, Chaudhuri/Xiao et al.):
+    * the naive (block, token) postings self-join is O(df²) per token —
+    * any frequent token makes it quadratic in the block size. Instead,
+    * each document's tokens are ranked by GLOBAL rarity (df asc, token
+    * asc — one total order for the whole corpus) and only the rarest
+    * ⌊sz/2⌋+1 tokens (the "prefix") generate candidates:
+    *
+    *  - prefix × prefix (same block, d1 < d2) is COMPLETE for every pair
+    *    with Jaccard ≥ 0.5 — the lowest threshold any consumer applies
+    *    (the sweep's 5000 e4 cut; [[neardupPairs]] uses 0.8,
+    *    containment 0.9 implies J ≥ 0.82 at equal sizes). Proof: J ≥ 0.5
+    *    ⟹ |A∩B| ≥ ⌈sz/2⌉ on both sides, and any (sz − ⌈sz/2⌉ + 1)-sized
+    *    subset of a set must hit an ⌈sz/2⌉-sized intersection.
+    *  - smaller-doc prefix × full postings covers containment C ≥ 0.9
+    *    when sizes differ (inter ≥ ⌈0.9·sz_small⌉, so the small doc's
+    *    half-prefix must intersect the big doc).
+    *
+    * Candidates are then verified EXACTLY from the two token arrays
+    * (array_intersect — linear in doc length, no postings re-join), so
+    * the output is identical to the naive join for every consumer
+    * threshold while the candidate fan-out per token is prefix-df ×
+    * df instead of df²: a stopword sits at the END of the rarity order
+    * and never enters a large doc's prefix. Round5OpsSpec pins
+    * completeness against a brute-force oracle and the fan-out bound.
+    */
+  private[ops] def pairOverlap(spark: SparkSession, sf: String): DataFrame =
+    pairOverlapOf(docSets(spark, sf))
+
+  /** Candidate pairs of [[pairOverlap]] from a (doc_id, lang, source,
+    * toks, sz) frame — exposed separately so the spec can pin the
+    * prefix-filter's completeness and fan-out on synthetic corpora. */
+  private[graft] def pairCandidatesOf(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("lang"), col("source"), col("sz"),
+      explode(col("toks")).as("word"))
+    val dfreq = toks.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val ranked = toks.join(dfreq, "word")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df").asc, col("word").asc)))
+    val pref = ranked.filter(col("pos") <= col("sz") / 2 + 1)
+    val jCand = pref.as("a")
+      .join(pref.as("b"),
         col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
         col("a.word") === col("b.word") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.lang").as("lang"), col("a.source").as("source"),
+      .select(col("a.lang").as("lang"), col("a.source").as("source"),
         col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "sz1"), "d1")
-      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "sz2"), "d2")
+    val cCand = pref.as("a")
+      .join(toks.as("b"),
+        col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+        col("a.word") === col("b.word") && col("a.sz") < col("b.sz"))
+      .select(col("a.lang").as("lang"), col("a.source").as("source"),
+        least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
+    jCand.union(cCand).distinct()
+  }
+
+  private[graft] def pairOverlapOf(docsIn: DataFrame): DataFrame = {
+    val docs = docsIn.localCheckpoint()
+    pairCandidatesOf(docs)
+      .join(docs.select(col("doc_id").as("d1"), col("toks").as("t1"),
+        col("sz").as("sz1")), "d1")
+      .join(docs.select(col("doc_id").as("d2"), col("toks").as("t2"),
+        col("sz").as("sz2")), "d2")
+      .select(col("lang"), col("source"), col("d1"), col("d2"),
+        size(array_intersect(col("t1"), col("t2"))).cast("long").as("inter"),
+        col("sz1"), col("sz2"))
   }
 
   private[ops] def neardupPairs(spark: SparkSession, sf: String): DataFrame =

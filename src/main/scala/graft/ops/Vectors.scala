@@ -64,17 +64,60 @@ object Vectors {
       .limit(10)
   }
 
-  /** Top-20 most-similar pairs among label∈{0,1} vectors (label filter
-    * bounds the pair space; at scale this becomes LSH candidate pairs).
+  /** Grid decomposition of an exact all-pairs computation: every row is
+    * hashed to one of `g` groups, and the unordered pair space becomes the
+    * g(g+1)/2 group-pair "tasks" of a triangular grid. The left leg of a
+    * row covers tasks (grp, j ≥ grp), the right leg tasks (i ≤ grp, grp),
+    * so each unordered pair lands in EXACTLY one task — (min(grpA, grpB),
+    * max(grpA, grpB)) — and the diagonal is deduped by the caller's
+    * vec-id inequality. This is how an exact pair job survives 100 TB:
+    * per-row replication is g+1, each task streams (N/g)² products with
+    * both sides bounded, work is hash-uniform across tasks (no skew), and
+    * nothing is broadcast — unlike a BroadcastNestedLoopJoin whose build
+    * side must fit in every executor. Round5OpsSpec pins the
+    * exactly-once pair coverage.
+    */
+  private[graft] def gridLegs(v: DataFrame, g: Int, idCol: String): (DataFrame, DataFrame) = {
+    val withGrp = v.withColumn("grp", pmod(xxhash64(col(idCol)), lit(g.toLong)))
+    val left = withGrp.withColumn("gi", col("grp"))
+      .withColumn("gj", explode(expr(s"sequence(grp, ${g - 1}L)")))
+    val right = withGrp.withColumn("gj", col("grp"))
+      .withColumn("gi", explode(expr(s"sequence(0L, grp)")))
+    (left.drop("grp"), right.drop("grp"))
+  }
+
+  /** Top-20 most-similar pairs among label∈{0,1} vectors — EXACT, via the
+    * [[gridLegs]] triangular grid (g=8) with a per-task top-20
+    * pre-reduction before the global top-20 (any global top-20 pair is
+    * necessarily in its own task's top-20, so the cut is lossless).
+    *
+    * Why not LSH candidates: measured on the fixture, the top pair's
+    * cosine is 0.49 (the embeddings are near-isotropic), where a sign-LSH
+    * 8-bit bucket match has probability ≈ 3.8% — candidate pruning at
+    * this similarity level either misses top pairs (breaking exactness)
+    * or probes everything. The approximate scale path for genuinely
+    * clustered corpora is [[Ann.q_ann_rplsh]]/[[Ann.q_semantic_dedup]];
+    * THIS operator's contract is exactness, so it does the O(N²) work —
+    * distributed evenly and memory-bounded by the grid.
     */
   def q_similarity_join_topk(spark: SparkSession, sf: String): DataFrame = {
     val sel = quantized(spark, sf).filter(col("label").isin(0, 1))
-    sel.as("a")
-      .join(sel.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(
-        col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+      .select(col("vec_id"), col("qe"), col("nrm"))
+    val (l, r) = gridLegs(sel, 8, "vec_id")
+    val w = Window.partitionBy("gi", "gj")
+      .orderBy(col("cos").desc, col("v1").asc, col("v2").asc)
+    l.as("a")
+      .join(r.as("b"),
+        col("a.gi") === col("b.gi") && col("a.gj") === col("b.gj") &&
+          (col("a.gi") =!= col("a.gj") || col("a.vec_id") < col("b.vec_id")))
+      .select(col("a.gi").as("gi"), col("a.gj").as("gj"),
+        least(col("a.vec_id"), col("b.vec_id")).as("v1"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("v2"),
         (round(cosine(dotE14(col("a.qe"), col("b.qe")), col("a.nrm"), col("b.nrm")), 4) + lit(0.0))
           .as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .select(col("v1"), col("v2"), col("cos"))
       .orderBy(col("cos").desc, col("v1").asc, col("v2").asc)
       .limit(20)
   }

@@ -1,0 +1,263 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops._
+
+/** Invariant + plan-shape gates for the round-5 work: the §2.211
+  * inequality audits, and the scale rewrites of the pair-generation cores
+  * (prefix-filtered near-dup candidates, grid-blocked dense pair ops,
+  * lattice trimmed mean).
+  */
+class Round5OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import TestSpark.sf
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("jensen gap: gap equals the population variance and is non-negative") {
+    Analytics.q_jensen_gap(spark, sf).collect().foreach { r =>
+      val gap = r.getAs[Long]("jensen_gap_e2")
+      assert(gap === r.getAs[Long]("variance_e2"), "Jensen gap != variance")
+      assert(gap >= 0L, s"convexity violated: $gap")
+    }
+  }
+
+  test("am-gm: arithmetic mean >= geometric mean, gap consistent") {
+    Analytics.q_amgm_gap(spark, sf).collect().foreach { r =>
+      val am = r.getAs[Long]("am_cents")
+      val gm = r.getAs[Long]("gm_cents")
+      // the e9 ln lattice can displace GM by at most 1 cent at this scale
+      assert(am >= gm - 1L, s"AM $am < GM $gm")
+      assert(r.getAs[Long]("amgm_gap_cents") === am - gm)
+    }
+  }
+
+  test("log-sum-exp: LSE sits in the [max, max + tau*ln n] sandwich") {
+    Analytics.q_logsumexp_audit(spark, sf).collect().foreach { r =>
+      val lse = r.getAs[Long]("lse_cents_e2")
+      val mx = r.getAs[Long]("max_cents") * 100L
+      val ub = r.getAs[Long]("upper_cents_e2")
+      // per-row e9 quantization can shift the ln by <1e-6 — allow 1 e2 unit
+      assert(lse >= mx - 1L, s"LSE $lse below max $mx")
+      assert(lse <= ub + 1L, s"LSE $lse above upper bound $ub")
+    }
+  }
+
+  // ---- prefix-filtered near-dup core ---------------------------------------
+
+  import org.apache.spark.sql.functions._
+  import graft.core.Tables
+
+  /** The pre-round-5 naive postings self-join, kept as the spec's oracle:
+    * every same-block pair sharing >=1 token with its exact overlap. */
+  private def naiveOverlap(): org.apache.spark.sql.DataFrame = {
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(array_distinct(split(lower(col("text")), " "))).as("word"))
+    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    toks.as("a")
+      .join(toks.as("b"),
+        col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+        col("a.word") === col("b.word") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+  }
+
+  test("near-dup rewrites reproduce the naive postings join at every consumer threshold") {
+    val naive = naiveOverlap().collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"),
+        r.getAs[Long]("inter"), r.getAs[Long]("sz1"), r.getAs[Long]("sz2")))
+    val jac = naive.filter { case (_, _, i, s1, s2) =>
+      i.toDouble / (s1 + s2 - i) >= 0.8 }.map(t => (t._1, t._2)).toSet
+    val got = Text.q_neardup_jaccard(spark, sf).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    assert(got === jac, "Jaccard >= 0.8 pair set changed")
+    val cont = naive.filter { case (_, _, i, s1, s2) =>
+      i * 10000L / math.min(s1, s2) >= 9000L }.map(t => (t._1, t._2)).toSet
+    val gotC = Text.q_neardup_containment(spark, sf).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    assert(gotC === cont, "containment >= 0.9 pair set changed")
+    val sweep = Text.q_dedup_threshold_sweep(spark, sf).collect()
+      .map(r => r.getAs[Long]("threshold_e4") -> r.getAs[Long]("n_pairs")).toMap
+    for (thr <- Seq(5000L, 7000L, 9000L)) {
+      val want = naive.count { case (_, _, i, s1, s2) =>
+        i * 10000L / (s1 + s2 - i) >= thr }
+      assert(sweep.getOrElse(thr, 0L) === want.toLong, s"sweep@$thr changed")
+    }
+  }
+
+  test("prefix filter prunes a Zipf corpus to zero candidates but keeps true near-dups") {
+    import spark.implicits._
+    // 60 docs: 11 unique tokens (df=1, the rarity prefix) + 9 ubiquitous
+    // stopwords (df=62, never in a prefix) -> J = 9/31 < 0.5 for every
+    // cross pair; plus one genuine duplicate pair sharing all 20 tokens.
+    val stop = (0 until 9).map(i => f"zz_stop$i%02d")
+    val mk = (id: Int) => (id.toLong, "en", "src",
+      ((0 until 11).map(i => f"uniq_${id}%03d_$i") ++ stop).toArray, 20L)
+    val dup = Seq(
+      (1000L, "en", "src", ((0 until 11).map(i => f"uniq_999_$i") ++ stop).toArray, 20L),
+      (1001L, "en", "src", ((0 until 11).map(i => f"uniq_999_$i") ++ stop).toArray, 20L))
+    val docs = ((0 until 60).map(mk) ++ dup)
+      .toDF("doc_id", "lang", "source", "toks", "sz")
+    val cand = Text.pairCandidatesOf(docs).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    assert(cand.contains((1000L, 1001L)), "true duplicate pair pruned away")
+    // the naive join would generate C(62,2)=1891 stopword-driven pairs;
+    // the prefix filter must keep only the duplicate pair
+    assert(cand === Set((1000L, 1001L)),
+      s"prefix filter failed to prune the stopword fan-out: ${cand.size} candidates")
+  }
+
+  test("prefix filter is complete for containment pairs with unequal sizes") {
+    import spark.implicits._
+    // small doc fully contained in a big doc that shares NO prefix token
+    // with it under the symmetric scheme (big doc's prefix is its own
+    // rarest tokens) — the asymmetric small-prefix x full-postings leg
+    // must still find it: C = 10/10 = 1.0 >= 0.9.
+    val small = (1L, "en", "s", (0 until 10).map(i => s"w$i").toArray, 10L)
+    val big = (2L, "en", "s",
+      ((0 until 10).map(i => s"w$i") ++ (0 until 30).map(i => s"rare_$i")).toArray, 40L)
+    // make w* frequent so they sort LAST in big's rarity order
+    val noise = (10 until 40).map(id => (id.toLong, "en", "s",
+      (0 until 10).map(i => s"w$i").toArray ++ Array(s"pad_$id"), 11L))
+    val docs = (Seq(small, big) ++ noise).toDF("doc_id", "lang", "source", "toks", "sz")
+    val cand = Text.pairCandidatesOf(docs).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    assert(cand.contains((1L, 2L)), "containment pair missed by candidate stage")
+  }
+
+  // ---- grid-blocked dense pair ops -----------------------------------------
+
+  test("gridLegs covers every unordered pair exactly once") {
+    import spark.implicits._
+    val v = (0L until 100L).toDF("vec_id")
+    val (l, r) = Vectors.gridLegs(v, 8, "vec_id")
+    val pairs = l.as("a")
+      .join(r.as("b"),
+        col("a.gi") === col("b.gi") && col("a.gj") === col("b.gj") &&
+          (col("a.gi") =!= col("a.gj") || col("a.vec_id") < col("b.vec_id")))
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("v1"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("v2"))
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1)))
+    assert(pairs.length === 100 * 99 / 2, s"pair count ${pairs.length}")
+    assert(pairs.toSet.size === pairs.length, "a pair appeared in two tasks")
+    assert(pairs.forall { case (a, b) => a < b })
+  }
+
+  test("similarity join and embedding near-dup match their naive all-pairs twins") {
+    val v = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), Vectors.q7(col("embedding")).as("qe"))
+      .withColumn("nrm", Vectors.dotE14(col("qe"), col("qe")))
+    val naiveTop = v.filter(col("label").isin(0, 1)).as("a")
+      .join(v.filter(col("label").isin(0, 1)).as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        (round(Vectors.cosine(Vectors.dotE14(col("a.qe"), col("b.qe")),
+          col("a.nrm"), col("b.nrm")), 4) + lit(0.0)).as("cos"))
+      .orderBy(col("cos").desc, col("v1").asc, col("v2").asc).limit(20)
+      .collect().map(_.toSeq).toSeq
+    val gotTop = Vectors.q_similarity_join_topk(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(gotTop === naiveTop, "grid top-20 diverged from naive all-pairs")
+    val naiveNd = v.as("a")
+      .join(v.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.label").as("label"), col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        Vectors.cosine(Vectors.dotE14(col("a.qe"), col("b.qe")), col("a.nrm"), col("b.nrm"))
+          .as("cos"))
+      .filter(col("cos") >= 0.25)
+      .select(col("label"), col("v1"), col("v2"), (round(col("cos"), 4) + lit(0.0)).as("cos"))
+      .collect().map(_.toSeq).toSet
+    val gotNd = Ann.q_neardup_embedding(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(gotNd === naiveNd, "grid near-dup diverged from naive label join")
+  }
+
+  test("tfidf cosine grid rewrite matches the naive postings-dot twin") {
+    val docs = Tables.documents(spark, sf)
+    val n = docs.agg(count(lit(1)).as("nn"))
+    val tf = docs
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(split(lower(col("text")), " ")).as("word"))
+      .groupBy(col("doc_id"), col("lang"), col("source"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val weights = tf.join(dfr, "word").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("lang"), col("source"), col("word"),
+        (col("tf") * round(log(col("nn").cast("double") / (col("df") + lit(1L)).cast("double"))
+          * lit(1e4)).cast("long")).as("w"))
+    val norms = weights.groupBy(col("doc_id").as("nd"))
+      .agg(sum(col("w").cast("decimal(38,0)") * col("w")).as("nrm"))
+    val naive = weights.as("a")
+      .join(weights.as("b"),
+        col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+          col("a.word") === col("b.word") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(sum(col("a.w").cast("decimal(38,0)") * col("b.w")).as("dot"))
+      .join(norms.select(col("nd").as("d1"), col("nrm").as("n1")), "d1")
+      .join(norms.select(col("nd").as("d2"), col("nrm").as("n2")), "d2")
+      .select(col("d1"), col("d2"),
+        (round(col("dot").cast("double") /
+          sqrt(col("n1").cast("double") * col("n2").cast("double")), 6) + lit(0.0)).as("cos"))
+      .orderBy(col("cos").desc, col("d1").asc, col("d2").asc).limit(20)
+      .collect().map(_.toSeq).toSeq
+    val got = Retrieval.q_tfidf_cosine_docs(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got === naive, "prefix-candidate tfidf cosine diverged from naive")
+  }
+
+  // ---- lattice percentile ----------------------------------------------------
+
+  test("latticePercentile replicates the builtin percentile bit-for-bit") {
+    import spark.implicits._
+    val v = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").as("g"),
+        (col("l_extendedprice") * 100).cast("long").as("pc"))
+    for (p <- Seq(0.1, 0.25, 0.5, 0.9)) {
+      val builtin = v.groupBy(col("g")).agg(percentile(col("pc"), lit(p)).as("want"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val lat = v.groupBy(col("g"), col("pc")).agg(count(lit(1)).as("cnt"))
+      val got = Relational.latticePercentile(lat, "g", p, "got")
+        .collect().map(r => r.getAs[String]("g") -> r.getAs[Double]("got")).toMap
+      assert(got === builtin, s"lattice percentile p=$p diverged")
+    }
+    // adversarial shapes: single value, two values, all-equal, n%10==0 ties
+    val tricky = Seq(
+      ("a", Seq(7L)), ("b", Seq(3L, 9L)), ("c", Seq(5L, 5L, 5L, 5L)),
+      ("d", (1L to 20L) ++ Seq(10L, 10L, 10L)), ("e", (1L to 11L).map(_ * 100L)))
+      .flatMap { case (g, xs) => xs.map(x => (g, x)) }.toDF("g", "pc")
+    for (p <- Seq(0.0, 0.1, 0.5, 0.9, 1.0)) {
+      val builtin = tricky.groupBy(col("g")).agg(percentile(col("pc"), lit(p)).as("want"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val lat = tricky.groupBy(col("g"), col("pc")).agg(count(lit(1)).as("cnt"))
+      val got = Relational.latticePercentile(lat, "g", p, "got")
+        .collect().map(r => r.getAs[String]("g") -> r.getAs[Double]("got")).toMap
+      assert(got === builtin, s"lattice percentile p=$p diverged on tricky data")
+    }
+  }
+
+  test("trimmed mean no longer plans the value-buffering Percentile aggregate") {
+    val p = plan(Relational.q_trimmed_mean(spark, sf))
+    assert(!p.toLowerCase.contains("percentile"), s"builtin percentile still planned:\n$p")
+  }
+
+  test("one-pass trimmed mean equals the pre-round-5 percentile formulation") {
+    val v = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").as("flag"),
+        round(col("l_extendedprice") * 100).cast("long").as("pc"))
+    val bounds = v.groupBy(col("flag"))
+      .agg(percentile(col("pc"), lit(0.1)).as("lo"),
+        percentile(col("pc"), lit(0.9)).as("hi"))
+    val naive = v.join(broadcast(bounds), "flag")
+      .filter(col("pc").cast("double") >= col("lo") && col("pc").cast("double") <= col("hi"))
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("pc")).as("s"))
+      .select(col("flag"), col("n_kept"),
+        (round(col("s").cast("double") / col("n_kept").cast("double") / lit(100.0), 4)
+          + lit(0.0)).as("trimmed_mean"))
+      .orderBy("flag").collect().map(_.toSeq).toSeq
+    val got = Relational.q_trimmed_mean(spark, sf).collect().map(_.toSeq).toSeq
+    assert(got === naive, "one-pass trimmed mean diverged from percentile formulation")
+  }
+}
