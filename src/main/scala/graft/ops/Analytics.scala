@@ -72,7 +72,10 @@ object Analytics {
       .groupBy(col("user_id"))
       .agg(sum(when(col("event_type") === "purchase", cents(col("value")))
         .otherwise(0L)).as("purchase_cents"))
-    val median = perUser.agg(percentile(col("purchase_cents"), lit(0.5)).as("med"))
+    val median = Relational.latticePercentiles(
+        perUser.groupBy(col("purchase_cents").as("pc")).agg(count(lit(1)).as("cnt")),
+        Seq(), Seq(0.5 -> "med"))
+      .select(col("med"))
     val counts = perUser.crossJoin(broadcast(median))
       .groupBy((col("user_id") % 2).as("cohort"))
       .agg(count(lit(1)).as("n_users"),
@@ -104,8 +107,10 @@ object Analytics {
     */
   def q_hist_equidepth(spark: SparkSession, sf: String): DataFrame = {
     val tp = Tables.orders(spark, sf).select(cents(col("o_totalprice")).as("tp_cents"))
-    val bounds = tp.agg(percentile(col("tp_cents"),
-      array((1 to 9).map(i => lit(i / 10.0)): _*)).as("bounds"))
+    val bounds = Relational.latticePercentiles(
+        tp.groupBy(col("tp_cents").as("pc")).agg(count(lit(1)).as("cnt")),
+        Seq(), (1 to 9).map(i => i / 10.0 -> s"d$i"))
+      .select(array((1 to 9).map(i => col(s"d$i")): _*).as("bounds"))
     tp.crossJoin(broadcast(bounds))
       .select(col("tp_cents"),
         expr("1 + size(filter(bounds, b -> tp_cents > b))").cast("long").as("bucket"))
@@ -338,8 +343,11 @@ object Analytics {
   def q_psi_drift(spark: SparkSession, sf: String): DataFrame = {
     val o = Tables.orders(spark, sf)
       .select(year(col("o_orderdate")).as("yr"), cents(col("o_totalprice")).as("tp"))
-    val bounds = o.filter(col("yr") === 1996)
-      .agg(percentile(col("tp"), array((1 to 9).map(i => lit(i / 10.0)): _*)).as("bs"))
+    val bounds = Relational.latticePercentiles(
+        o.filter(col("yr") === 1996)
+          .groupBy(col("tp").as("pc")).agg(count(lit(1)).as("cnt")),
+        Seq(), (1 to 9).map(i => i / 10.0 -> s"d$i"))
+      .select(array((1 to 9).map(i => col(s"d$i")): _*).as("bs"))
     val binned = o.filter(col("yr").isin(1996, 1997))
       .crossJoin(broadcast(bounds))
       .select(col("yr"), expr("1 + size(filter(bs, b -> tp > b))").cast("long").as("bin"))
@@ -1118,11 +1126,13 @@ object Analytics {
           .cast("long").as("rec"),
         count(lit(1)).as("freq"),
         sum(cents(col("o_totalprice"))).as("mon"))
-    val bounds = base.agg(
-      percentile(col("rec"), array((1 to 4).map(i => lit(i / 5.0)): _*)).as("rb"),
-      percentile(col("freq"), array((1 to 4).map(i => lit(i / 5.0)): _*)).as("fb"),
-      percentile(col("mon"), array((1 to 4).map(i => lit(i / 5.0)): _*)).as("mb"))
-    base.crossJoin(broadcast(bounds))
+    def quintiles(c: String, name: String) = Relational.latticePercentiles(
+        base.groupBy(col(c).as("pc")).agg(count(lit(1)).as("cnt")),
+        Seq(), (1 to 4).map(i => i / 5.0 -> s"q$i"))
+      .select(array((1 to 4).map(i => col(s"q$i")): _*).as(name))
+    base.crossJoin(broadcast(quintiles("rec", "rb")))
+      .crossJoin(broadcast(quintiles("freq", "fb")))
+      .crossJoin(broadcast(quintiles("mon", "mb")))
       .select(col("mon"),
         expr("1 + size(filter(rb, b -> rec > b))").cast("long").as("r_bucket"),
         expr("1 + size(filter(fb, b -> freq > b))").cast("long").as("f_bucket"),
@@ -1509,8 +1519,10 @@ object Analytics {
   def q_lorenz_curve(spark: SparkSession, sf: String): DataFrame = {
     val spend = Tables.orders(spark, sf)
       .groupBy(col("o_custkey")).agg(sum(cents(col("o_totalprice"))).as("sp"))
-    val bounds = spend.agg(percentile(col("sp"),
-      array((1 to 9).map(i => lit(i / 10.0)): _*)).as("bs"))
+    val bounds = Relational.latticePercentiles(
+        spend.groupBy(col("sp").as("pc")).agg(count(lit(1)).as("cnt")),
+        Seq(), (1 to 9).map(i => i / 10.0 -> s"d$i"))
+      .select(array((1 to 9).map(i => col(s"d$i")): _*).as("bs"))
     val dec = spend.crossJoin(broadcast(bounds))
       .select(expr("1 + size(filter(bs, b -> sp > b))").cast("long").as("decile"),
         col("sp"))

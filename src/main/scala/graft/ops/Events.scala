@@ -274,16 +274,23 @@ object Events {
     * min/max, exact interpolated quartiles (r4) — the distribution card a
     * monitoring UI renders per metric.
     */
-  def q_five_number(spark: SparkSession, sf: String): DataFrame =
-    Tables.eventsWithTs(spark, sf)
-      .select(col("event_type"), cents(col("value")).as("vc"))
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), min(col("vc")).as("min_cents"),
-        (round(percentile(col("vc"), lit(0.25)), 4) + lit(0.0)).as("q1"),
-        (round(percentile(col("vc"), lit(0.5)), 4) + lit(0.0)).as("median"),
-        (round(percentile(col("vc"), lit(0.75)), 4) + lit(0.0)).as("q3"),
-        max(col("vc")).as("max_cents"))
+  def q_five_number(spark: SparkSession, sf: String): DataFrame = {
+    val lat = Tables.eventsWithTs(spark, sf)
+      .select(col("event_type"), cents(col("value")).as("pc"))
+      .groupBy(col("event_type"), col("pc"))
+      .agg(count(lit(1)).as("cnt"))
+    val qs = Relational.latticePercentiles(lat, Seq("event_type"),
+      Seq(0.25 -> "q1x", 0.5 -> "medx", 0.75 -> "q3x"))
+    lat.groupBy(col("event_type"))
+      .agg(min(col("pc")).as("min_cents"), max(col("pc")).as("max_cents"))
+      .join(qs, "event_type")
+      .select(col("event_type"), col("n"), col("min_cents"),
+        (round(col("q1x"), 4) + lit(0.0)).as("q1"),
+        (round(col("medx"), 4) + lit(0.0)).as("median"),
+        (round(col("q3x"), 4) + lit(0.0)).as("q3"),
+        col("max_cents"))
       .orderBy("event_type")
+  }
 
   /** Weekly retention curve: share of the user base active k weeks after
     * their first week (exact e4, cohort = everyone — offset 0 is 100% by
@@ -487,8 +494,10 @@ object Events {
       .withColumn("prev", lag(col("ts_usl"), 1).over(w))
       .filter(col("prev").isNotNull)
       .select(col("event_type"), (col("ts_usl") - col("prev")).as("gap"))
-    val med = gaps.groupBy(col("event_type"))
-      .agg(percentile(col("gap"), lit(0.5)).as("med"))
+    val med = Relational.latticePercentile(
+        gaps.groupBy(col("event_type"), col("gap").as("pc")).agg(count(lit(1)).as("cnt")),
+        "event_type", 0.5, "med")
+      .select(col("event_type"), col("med"))
     gaps.join(broadcast(med), "event_type")
       .select(col("event_type"), col("med"),
         when(col("gap").cast("double") * lit(2.0) >= col("med") &&
@@ -743,9 +752,11 @@ object Events {
   def q_qq_quantiles(spark: SparkSession, sf: String): DataFrame = {
     val probs = (1 to 19).map(_ / 20.0)
     def side(t: String, as: String): DataFrame =
-      Tables.eventsWithTs(spark, sf).filter(col("event_type") === t)
-        .agg(percentile(cents(col("value")),
-          array(probs.map(lit(_)): _*)).as("qs"))
+      Relational.latticePercentiles(
+          Tables.eventsWithTs(spark, sf).filter(col("event_type") === t)
+            .groupBy(cents(col("value")).as("pc")).agg(count(lit(1)).as("cnt")),
+          Seq(), probs.zipWithIndex.map { case (p, i) => p -> s"v$i" })
+        .select(array(probs.indices.map(i => col(s"v$i")): _*).as("qs"))
         .select(posexplode(col("qs")))
         .select(col("pos"), col("col").as(as))
     side("view", "view_q").join(side("purchase", "purchase_q"), "pos")

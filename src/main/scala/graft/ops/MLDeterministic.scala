@@ -503,8 +503,11 @@ object MLDeterministic {
     val scored = Tables.embeddings(spark, sf)
       .select(when(col("label") <= 4, 1L).otherwise(0L).as("y"),
         element_at(Vectors.q7(col("embedding")), 1).as("x"))
-    val thr = scored.agg(percentile(col("x"),
-      array(Seq(0.1, 0.3, 0.5, 0.7, 0.9).map(lit): _*)).as("ts"))
+    val probs = Seq(0.1, 0.3, 0.5, 0.7, 0.9)
+    val thr = Relational.latticePercentiles(
+        scored.groupBy(col("x").as("pc")).agg(count(lit(1)).as("cnt")),
+        Seq(), probs.zipWithIndex.map { case (p, i) => p -> s"t$i" })
+      .select(array(probs.indices.map(i => col(s"t$i")): _*).as("ts"))
     scored.crossJoin(broadcast(thr))
       .select(col("y"), col("x"), posexplode(col("ts")).as(Seq("i", "t")))
       .groupBy((col("i") + 1).cast("long").as("threshold_idx"))
@@ -982,11 +985,16 @@ object MLDeterministic {
     val spend = Tables.orders(spark, sf)
       .groupBy(col("o_custkey"))
       .agg(sum(cents(col("o_totalprice"))).as("spend"))
-    val med = spend.agg(percentile(col("spend"), lit(0.5)).as("m"))
+    val med = Relational.latticePercentiles(
+        spend.groupBy(col("spend").as("pc")).agg(count(lit(1)).as("cnt")),
+        Seq(), Seq(0.5 -> "m"))
+      .select(col("m"))
     val scored = Tables.customer(spark, sf)
       .select(col("c_custkey"), cents(col("c_acctbal")).as("score"))
-    val bounds = scored.agg(percentile(col("score"),
-      array((1 to 9).map(i => lit(i / 10.0)): _*)).as("bounds"))
+    val bounds = Relational.latticePercentiles(
+        scored.groupBy(col("score").as("pc")).agg(count(lit(1)).as("cnt")),
+        Seq(), (1 to 9).map(i => i / 10.0 -> s"d$i"))
+      .select(array((1 to 9).map(i => col(s"d$i")): _*).as("bounds"))
     val dec = scored
       .join(spend, col("c_custkey") === col("o_custkey"), "left")
       .crossJoin(broadcast(med))
@@ -1091,8 +1099,10 @@ object MLDeterministic {
   def q_levene_test(spark: SparkSession, sf: String): DataFrame = {
     val vals = Tables.eventsWithTs(spark, sf)
       .select(col("event_type"), cents(col("value")).as("vc"))
-    val med = vals.groupBy(col("event_type"))
-      .agg(percentile(col("vc"), lit(0.5)).as("med"))
+    val med = Relational.latticePercentile(
+        vals.groupBy(col("event_type"), col("vc").as("pc")).agg(count(lit(1)).as("cnt")),
+        "event_type", 0.5, "med")
+      .select(col("event_type"), col("med"))
     val z = vals.join(broadcast(med), "event_type")
       .select(col("event_type"),
         round(abs(col("vc").cast("double") - col("med")) * 2).cast("long").as("z2"))
@@ -1609,8 +1619,11 @@ object MLDeterministic {
         .as("y"))
       .select((col("user_id") % 2).as("arm"), col("y"))
     val probs = (1 to 9).map(_ / 10.0)
-    def side(a: Int, as: String): DataFrame = u.filter(col("arm") === a)
-      .agg(percentile(col("y"), array(probs.map(lit(_)): _*)).as("qs"))
+    def side(a: Int, as: String): DataFrame = Relational.latticePercentiles(
+        u.filter(col("arm") === a)
+          .groupBy(col("y").as("pc")).agg(count(lit(1)).as("cnt")),
+        Seq(), probs.zipWithIndex.map { case (p, i) => p -> s"v$i" })
+      .select(array(probs.indices.map(i => col(s"v$i")): _*).as("qs"))
       .select(posexplode(col("qs"))).select(col("pos"), col("col").as(as))
     side(1, "treated_q").join(side(0, "control_q"), "pos")
       .select(((col("pos") + 1) * 10).cast("long").as("decile"),
@@ -1717,6 +1730,14 @@ object MLDeterministic {
     * empirical coverage is checked on the held-out half — finite-sample
     * valid intervals with no distribution assumptions, the modern
     * uncertainty wrapper for any point model.
+    *
+    * Percentile-audit note: this is the one retained builtin `percentile`
+    * over an sf-scaling value set (|vc − mean| residuals). The lattice
+    * form would need the residuals rescaled by nc to stay integral, and
+    * the current green hash depends on Spark's and DuckDB's DIFFERENT
+    * interpolation formulas agreeing at r4 on these exact double inputs —
+    * rescaling changes those inputs on one side only. Documented
+    * trade-off: correctness stability over the buffer bound here.
     */
   def q_conformal_interval(spark: SparkSession, sf: String): DataFrame = {
     import graft.core.Det.hash32

@@ -235,14 +235,17 @@ object Relational {
         r4(stddev_samp(col("l_quantity"))).as("std_qty"),
         (r4(corr(col("l_quantity"), col("l_extendedprice"))) + lit(0.0)).as("corr_qty_price"))
 
-  /** Exact interpolating median + p90 over integer cents per priority. */
+  /** Exact interpolating median + p90 over integer cents per priority
+    * (lattice form — see [[latticePercentiles]]). */
   def q_agg_median(spark: SparkSession, sf: String): DataFrame =
-    Tables.orders(spark, sf)
-      .select(col("o_orderpriority"), cents(col("o_totalprice")).as("tp_cents"))
-      .groupBy(col("o_orderpriority"))
-      .agg(
-        r4(percentile(col("tp_cents"), lit(0.5))).as("median_cents"),
-        r4(percentile(col("tp_cents"), lit(0.9))).as("p90_cents"))
+    latticePercentiles(
+        Tables.orders(spark, sf)
+          .select(col("o_orderpriority"), cents(col("o_totalprice")).as("pc"))
+          .groupBy(col("o_orderpriority"), col("pc"))
+          .agg(count(lit(1)).as("cnt")),
+        Seq("o_orderpriority"), Seq(0.5 -> "m", 0.9 -> "p"))
+      .select(col("o_orderpriority"),
+        r4(col("m")).as("median_cents"), r4(col("p")).as("p90_cents"))
       .orderBy("o_orderpriority")
 
   /** Arg-max / arg-min in one aggregation pass: per order priority, the
@@ -518,16 +521,18 @@ object Relational {
     * twin of the global [[q_hist_equidepth]] boundary pass.
     */
   def q_grouped_quantiles(spark: SparkSession, sf: String): DataFrame =
-    Tables.orders(spark, sf)
-      .select(col("o_orderpriority"), cents(col("o_totalprice")).as("tp"))
-      .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"),
-        percentile(col("tp"), array(lit(0.25), lit(0.5), lit(0.75), lit(0.9))).as("qs"))
+    latticePercentiles(
+        Tables.orders(spark, sf)
+          .select(col("o_orderpriority"), cents(col("o_totalprice")).as("pc"))
+          .groupBy(col("o_orderpriority"), col("pc"))
+          .agg(count(lit(1)).as("cnt")),
+        Seq("o_orderpriority"),
+        Seq(0.25 -> "q25", 0.5 -> "q50", 0.75 -> "q75", 0.9 -> "q90"))
       .select(col("o_orderpriority"), col("n"),
-        (round(element_at(col("qs"), 1), 4) + lit(0.0)).as("p25"),
-        (round(element_at(col("qs"), 2), 4) + lit(0.0)).as("p50"),
-        (round(element_at(col("qs"), 3), 4) + lit(0.0)).as("p75"),
-        (round(element_at(col("qs"), 4), 4) + lit(0.0)).as("p90"))
+        (round(col("q25"), 4) + lit(0.0)).as("p25"),
+        (round(col("q50"), 4) + lit(0.0)).as("p50"),
+        (round(col("q75"), 4) + lit(0.0)).as("p75"),
+        (round(col("q90"), 4) + lit(0.0)).as("p90"))
       .orderBy("o_orderpriority")
 
   /** Schema-evolution union: two yearly aggregates with different column
@@ -886,23 +891,28 @@ object Relational {
     * math bit-for-bit — pos = p·(n−1) in double, keys at ranks
     * ⌊pos⌋/⌈pos⌉, value = (⌈pos⌉−pos)·k_lo + (pos−⌊pos⌋)·k_hi with the
     * two equal-key/integral-pos short-circuits Spark takes. This is the
-    * scale-safe twin of `percentile(...)`: the builtin buffers EVERY
-    * group value into one aggregation buffer (per-group memory grows as
-    * N/|groups| — an executor-side collect), while the lattice form is
-    * two ordinary hash aggregates plus a per-group sorted window.
-    * RelationalSpec pins equality against the builtin on fixture and
-    * adversarial synthetic data.
+    * scale-safe twin of `percentile(...)`: the builtin buffers every
+    * DISTINCT group value with its count in one aggregation buffer (an
+    * OpenHashMap that grows with the per-group value domain — for cents
+    * lattices that is ≈N/|groups|, an executor-side collect), while the
+    * lattice form is
+    * two hash aggregates plus a [[BandedScan]] prefix scan whose windows
+    * are keyed by (group, band) — parallel even with FEW or ZERO groups
+    * (empty `groupCols` = global percentile, still no empty-partitionSpec
+    * window). Round5OpsSpec pins equality against the builtin on fixture
+    * and adversarial synthetic data.
     *
-    * Input `lat` must have columns (groupCol, value `pc` long, count
-    * `cnt` long); returns (groupCol, n, <name> double) per group.
+    * Input `lat` must have columns (groupCols..., value `pc` — integral
+    * lattice, see BandedScan — and count `cnt` long); returns
+    * (groupCols..., n, <name> double...) per group.
     */
-  private[graft] def latticePercentiles(lat: DataFrame, groupCol: String,
+  private[graft] def latticePercentiles(lat: DataFrame, groupCols: Seq[String],
       ps: Seq[(Double, String)]): DataFrame = {
-    val win = Window.partitionBy(groupCol).orderBy("pc")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = lat
-      .withColumn("cum", sum(col("cnt")).over(win))
-      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(groupCol)))
+    val cum = BandedScan.cumSumAuto(lat, groupCols, "pc", "cnt", "cum")
+    val nAgg = (if (groupCols.isEmpty) lat.groupBy()
+      else lat.groupBy(groupCols.map(col): _*)).agg(sum(col("cnt")).as("n"))
+    val withN = if (groupCols.isEmpty) cum.crossJoin(broadcast(nAgg))
+      else cum.join(broadcast(nAgg), groupCols)
     val posOf = ps.map { case (p, name) =>
       name -> (lit(p) * (col("n") - lit(1L)).cast("double")) }
     val keyAggs = posOf.flatMap { case (name, pos) => Seq(
@@ -916,15 +926,18 @@ object Relational {
           (ceil(pos).cast("double") - pos) * lk.cast("double") +
           (pos - floor(pos).cast("double")) * hk.cast("double"))
         .as(name) }
-    cum.groupBy(col(groupCol))
+    val grouped = if (groupCols.isEmpty) withN.groupBy()
+      else withN.groupBy(groupCols.map(col): _*)
+    grouped
       .agg(max(col("n")).as("n"), keyAggs: _*)
-      .select(col(groupCol) +: col("n") +: outs: _*)
+      .select(groupCols.map(col) ++ (col("n") +: outs): _*)
   }
 
-  /** Single-percentile convenience over [[latticePercentiles]]. */
+  /** Single-group, single-percentile convenience over
+    * [[latticePercentiles]]. */
   private[graft] def latticePercentile(lat: DataFrame, groupCol: String,
       p: Double, name: String): DataFrame =
-    latticePercentiles(lat, groupCol, Seq(p -> name))
+    latticePercentiles(lat, Seq(groupCol), Seq(p -> name))
 
   /** 10%-trimmed mean per return flag in ONE pass over the distinct-cents
     * lattice: the cumulative count AND cumulative value windows run
@@ -939,15 +952,17 @@ object Relational {
     * Round5OpsSpec pins equality with the buffering formulation.
     */
   def q_trimmed_mean(spark: SparkSession, sf: String): DataFrame = {
-    val win = Window.partitionBy("flag").orderBy("pc")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = Tables.lineitem(spark, sf)
+    val lat = Tables.lineitem(spark, sf)
       .select(col("l_returnflag").as("flag"), cents(col("l_extendedprice")).as("pc"))
       .groupBy(col("flag"), col("pc"))
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("cum", sum(col("cnt")).over(win))
-      .withColumn("cumv", sum(col("pc") * col("cnt")).over(win))
-      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("flag")))
+      .withColumn("pv", col("pc") * col("cnt"))
+    val nAgg = lat.groupBy(col("flag")).agg(sum(col("cnt")).as("n"))
+    // twin banded prefix scans (count + value mass) — keyed by (flag,
+    // band), so no per-flag window funnels N/|flags| rows into one task
+    val cum = BandedScan
+      .cumSumsAuto(lat, Seq("flag"), "pc", Seq("cnt" -> "cum", "pv" -> "cumv"))
+      .join(broadcast(nAgg), "flag")
     val pos10 = lit(0.1) * (col("n") - lit(1L)).cast("double")
     val pos90 = lit(0.9) * (col("n") - lit(1L)).cast("double")
     def firstAt(rank: Column) = min(when(col("cum") >= rank,
@@ -1164,16 +1179,14 @@ object Relational {
   def q_percentile_disc(spark: SparkSession, sf: String): DataFrame = {
     val b = Tables.lineitem(spark, sf)
       .select(col("l_returnflag").as("flag"), cents(col("l_extendedprice")).as("pc"))
-    val cont = b.groupBy(col("flag"))
-      .agg(count(lit(1)).as("n"),
-        (round(percentile(col("pc"), lit(0.5)), 4) + lit(0.0)).as("p50_cont"),
-        (round(percentile(col("pc"), lit(0.9)), 4) + lit(0.0)).as("p90_cont"))
-    val hist = b.groupBy(col("flag"), col("pc")).agg(count(lit(1)).as("c"))
-    val w = Window.partitionBy(col("flag")).orderBy(col("pc"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val disc = hist
-      .withColumn("cum", sum(col("c")).over(w))
-      .withColumn("nn", sum(col("c")).over(Window.partitionBy(col("flag"))))
+    val hist = b.groupBy(col("flag"), col("pc")).agg(count(lit(1)).as("cnt"))
+    val cont = latticePercentiles(hist, Seq("flag"),
+        Seq(0.5 -> "c50", 0.9 -> "c90"))
+      .select(col("flag"), col("n"),
+        (round(col("c50"), 4) + lit(0.0)).as("p50_cont"),
+        (round(col("c90"), 4) + lit(0.0)).as("p90_cont"))
+    val disc = BandedScan.cumSumAuto(hist, Seq("flag"), "pc", "cnt", "cum")
+      .join(broadcast(hist.groupBy(col("flag")).agg(sum(col("cnt")).as("nn"))), "flag")
       .groupBy(col("flag"))
       .agg(min(when(col("cum") * 10 >= col("nn") * 5, col("pc"))).as("p50_disc"),
         min(when(col("cum") * 10 >= col("nn") * 9, col("pc"))).as("p90_disc"))

@@ -228,13 +228,22 @@ object Sampling {
   def q_anomaly_mad(spark: SparkSession, sf: String): DataFrame = {
     val v = Tables.eventsWithTs(spark, sf)
       .select(col("event_type"), cents(col("value")).as("vc"))
-    val med = v.groupBy(col("event_type"))
-      .agg(percentile(col("vc"), lit(0.5)).as("med"))
+    val latV = v.groupBy(col("event_type"), col("vc").as("pc"))
+      .agg(count(lit(1)).as("cnt"))
+    val med = Relational.latticePercentile(latV, "event_type", 0.5, "med")
+      .select(col("event_type"), col("med"))
     val dev = v.join(broadcast(med), "event_type")
       .select(col("event_type"), col("med"),
         abs(col("vc").cast("double") - col("med")).as("dev"))
-    val mad = dev.groupBy(col("event_type"))
-      .agg(percentile(col("dev"), lit(0.5)).as("mad"))
+    // MAD via the doubled lattice: deviations step in halves (integer
+    // cents minus an x.5 interpolating median), so 2·dev is an exact
+    // integer and percentile(2·dev)/2 == percentile(dev) bit-for-bit
+    // (power-of-two scaling commutes with every IEEE rounding involved)
+    val latD = dev.groupBy(col("event_type"),
+        (col("dev") * lit(2.0)).cast("long").as("pc"))
+      .agg(count(lit(1)).as("cnt"))
+    val mad = Relational.latticePercentile(latD, "event_type", 0.5, "mad2")
+      .select(col("event_type"), (col("mad2") / lit(2.0)).as("mad"))
     dev.join(broadcast(mad), "event_type")
       .groupBy(col("event_type"))
       .agg(
@@ -282,11 +291,14 @@ object Sampling {
     import graft.core.Det.{cents, hash32}
     val o = Tables.orders(spark, sf)
       .select(col("o_orderpriority"), col("o_orderkey"), cents(col("o_totalprice")).as("tp"))
-    val exact = o.groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n_exact"), percentile(col("tp"), lit(0.5)).as("p50_exact"))
-    val sampled = o.filter(hash32(col("o_orderkey")) % 10 === 0)
-      .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n_sample"), percentile(col("tp"), lit(0.5)).as("p50_sample"))
+    def lat(d: DataFrame) = d.groupBy(col("o_orderpriority"), col("tp").as("pc"))
+      .agg(count(lit(1)).as("cnt"))
+    val exact = Relational.latticePercentile(lat(o), "o_orderpriority", 0.5, "p50_exact")
+      .withColumnRenamed("n", "n_exact")
+    val sampled = Relational.latticePercentile(
+        lat(o.filter(hash32(col("o_orderkey")) % 10 === 0)),
+        "o_orderpriority", 0.5, "p50_sample")
+      .withColumnRenamed("n", "n_sample")
     exact.join(sampled, "o_orderpriority")
       .select(col("o_orderpriority"), col("n_exact"), col("n_sample"),
         (round(col("p50_exact"), 4) + lit(0.0)).as("p50_exact"),
@@ -329,9 +341,10 @@ object Sampling {
     import graft.core.Det.cents
     val v = Tables.eventsWithTs(spark, sf)
       .select(col("event_type"), cents(col("value")).as("vc"))
-    val b = v.groupBy(col("event_type")).agg(
-      percentile(col("vc"), lit(0.25)).as("q1"),
-      percentile(col("vc"), lit(0.75)).as("q3"))
+    val b = Relational.latticePercentiles(
+        v.groupBy(col("event_type"), col("vc").as("pc")).agg(count(lit(1)).as("cnt")),
+        Seq("event_type"), Seq(0.25 -> "q1", 0.75 -> "q3"))
+      .select(col("event_type"), col("q1"), col("q3"))
     v.join(broadcast(b), "event_type")
       .select(col("event_type"), col("vc"), col("q1"), col("q3"),
         (col("q1") - lit(1.5) * (col("q3") - col("q1"))).as("lo"),
@@ -356,9 +369,11 @@ object Sampling {
     import graft.core.Det.cents
     val v = Tables.eventsWithTs(spark, sf)
       .select(col("event_type"), cents(col("value")).as("vc"))
-    val bounds = v.groupBy(col("event_type")).agg(
-      round(percentile(col("vc"), lit(0.01))).cast("long").as("lo"),
-      round(percentile(col("vc"), lit(0.99))).cast("long").as("hi"))
+    val bounds = Relational.latticePercentiles(
+        v.groupBy(col("event_type"), col("vc").as("pc")).agg(count(lit(1)).as("cnt")),
+        Seq("event_type"), Seq(0.01 -> "p1", 0.99 -> "p99"))
+      .select(col("event_type"), round(col("p1")).cast("long").as("lo"),
+        round(col("p99")).cast("long").as("hi"))
     v.join(broadcast(bounds), "event_type")
       .select(col("event_type"), col("vc"), col("lo"), col("hi"),
         greatest(col("lo"), least(col("hi"), col("vc"))).as("wc"))

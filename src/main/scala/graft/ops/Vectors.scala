@@ -283,21 +283,29 @@ object Vectors {
       .limit(10)
   }
 
-  /** Norm quantiles per label: e3-floored L2 norms, exact p50/p90 and
-    * integer min/max per class — the per-class scale card read before
-    * deciding whether normalization is needed at all.
+  /** Norm quantiles per label: e3-floored L2 norms, exact p50/p90 (via
+    * the [[Relational.latticePercentiles]] lattice form — no per-label
+    * value buffering) and integer min/max per class — the per-class scale
+    * card read before deciding whether normalization is needed at all.
     */
-  def q_norm_quantiles_by_label(spark: SparkSession, sf: String): DataFrame =
-    Tables.embeddings(spark, sf)
+  def q_norm_quantiles_by_label(spark: SparkSession, sf: String): DataFrame = {
+    val lat = Tables.embeddings(spark, sf)
       .select(col("label").cast("long").as("label"),
         floor(sqrt(dotE14(q7(col("embedding")), q7(col("embedding"))).cast("double"))
-          / lit(10000.0)).cast("long").as("nrm_e3"))
-      .groupBy(col("label"))
-      .agg(count(lit(1)).as("n"), min(col("nrm_e3")).as("min_e3"),
-        (round(percentile(col("nrm_e3"), lit(0.5)), 4) + lit(0.0)).as("p50_e3"),
-        (round(percentile(col("nrm_e3"), lit(0.9)), 4) + lit(0.0)).as("p90_e3"),
-        max(col("nrm_e3")).as("max_e3"))
+          / lit(10000.0)).cast("long").as("pc"))
+      .groupBy(col("label"), col("pc"))
+      .agg(count(lit(1)).as("cnt"))
+    val qs = Relational.latticePercentiles(lat, Seq("label"),
+      Seq(0.5 -> "p50", 0.9 -> "p90"))
+    val ext = lat.groupBy(col("label"))
+      .agg(min(col("pc")).as("min_e3"), max(col("pc")).as("max_e3"))
+    qs.join(ext, "label")
+      .select(col("label"), col("n"), col("min_e3"),
+        (round(col("p50"), 4) + lit(0.0)).as("p50_e3"),
+        (round(col("p90"), 4) + lit(0.0)).as("p90_e3"),
+        col("max_e3"))
       .orderBy("label")
+  }
 
   /** Embedding-shape/content audit: vector counts per dimensionality,
     * with NaN-containing and all-zero vector counts per shape — the

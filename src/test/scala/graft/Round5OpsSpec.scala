@@ -260,4 +260,38 @@ class Round5OpsSpec extends AnyFunSuite {
     val got = Relational.q_trimmed_mean(spark, sf).collect().map(_.toSeq).toSeq
     assert(got === naive, "one-pass trimmed mean diverged from percentile formulation")
   }
+
+  test("builtin percentile stays confined to the audited bounded-domain allowlist") {
+    // Round-5 audit: every builtin `percentile` whose buffered value
+    // domain SCALES with the data (cents lattices, per-entity spend,
+    // scores, gaps in µs) was converted to Relational.latticePercentiles.
+    // The sites below buffer bounded domains only (day/week indexes,
+    // quantities 1..50, discount pct, per-user groups, hourly counts,
+    // count-of-count profiles) plus the documented q_conformal_interval
+    // exception. A NEW builtin percentile call must either be over a
+    // bounded domain (then: bump the count here and say why in the op's
+    // docstring) or use the lattice form.
+    val expected = Map(
+      "Analytics.scala" -> 5, // reorder gap_days x2, did dayn, theil-sen slopes, newsvendor weekly
+      "Events.scala" -> 2, // hourly counts p95, per-user purchase-gap median
+      "MLDeterministic.scala" -> 4, // woe quantity, conformal (documented), tail-dependence daily x2
+      "Relational.scala" -> 1, // impute: discount pct domain
+      "Sampling.scala" -> 0, "Sketches.scala" -> 1, // count-of-count profile
+      "Text.scala" -> 0, "TextPipeline.scala" -> 0, "Vectors.scala" -> 0,
+      "Retrieval.scala" -> 0, "Joins.scala" -> 0, "Windows.scala" -> 0,
+      "Scalars.scala" -> 0, "GraphMl.scala" -> 0, "Ann.scala" -> 0,
+      "BandedScan.scala" -> 0)
+    val dir = java.nio.file.Paths.get("src/main/scala/graft/ops")
+    expected.foreach { case (f, want) =>
+      val src = new String(java.nio.file.Files.readAllBytes(dir.resolve(f)), "UTF-8")
+      val calls = src.linesIterator.zipWithIndex.filter { case (l, _) =>
+        l.contains("percentile(") && !l.contains("approx_percentile") &&
+          !l.contains("latticePercentile") &&
+          !l.trim.startsWith("*") && !l.trim.startsWith("//")
+      }.toSeq
+      assert(calls.size === want,
+        s"$f: expected $want audited builtin percentile sites, found " +
+          calls.map { case (l, i) => s"${i + 1}: ${l.trim}" }.mkString("\n", "\n", ""))
+    }
+  }
 }
