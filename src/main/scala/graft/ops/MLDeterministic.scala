@@ -634,6 +634,71 @@ object MLDeterministic {
       .orderBy("cluster")
   }
 
+  /** Lloyd's K-Means run TO CONVERGENCE — the reference's defining
+    * chained-iteration semantic ("run MR jobs until the centroids stop
+    * moving") as a driver loop, k=10, seeds = vectors 0..9. Each round:
+    * assignment by exact integer lattice distance against the broadcast
+    * (cluster, dim, c_e6) centroid rows, centroid recomputation as
+    * per-dimension exact means re-quantized to the e6 lattice (the
+    * [[q_kmeans_iter2]] arithmetic), `localCheckpoint` truncating the
+    * iterative lineage each round exactly like [[Text.q_dedup_components]].
+    * Stops when no centroid coordinate moves on the e6 lattice (exact
+    * fixpoint) or after `maxIter` rounds. A cluster that loses all members
+    * keeps its previous centroid (outer join + coalesce), so k stays 10
+    * and the loop is deterministic. No oracle — a convergence LOOP isn't
+    * one SQL statement; Round5OpsSpec gates convergence, Lloyd
+    * monotonicity, and determinism instead.
+    *
+    * Output: per-cluster size and mean squared distance at the fixpoint,
+    * plus the iteration count and convergence flag.
+    */
+  def q_kmeans_converged(spark: SparkSession, sf: String): DataFrame =
+    kmeansConverged(spark, sf, maxIter = 30)
+
+  private[graft] def kmeansConverged(spark: SparkSession, sf: String,
+      maxIter: Int): DataFrame = {
+    val dims = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), posexplode(Vectors.q7(col("embedding")))
+        .as(Seq("dim", "x_e7")))
+      .localCheckpoint()
+    var cent = dims.filter(col("vec_id") <= 9)
+      .select(col("vec_id").as("cluster"), col("dim"),
+        round(col("x_e7") / lit(10.0)).cast("long").as("c_e6"))
+      .localCheckpoint()
+    def assign(c: org.apache.spark.sql.DataFrame) =
+      dims.join(broadcast(c), "dim")
+        .groupBy(col("vec_id"), col("cluster"))
+        .agg(sum((col("x_e7") - col("c_e6") * 10) *
+          (col("x_e7") - col("c_e6") * 10)).as("d2"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("cluster"))).as("best"))
+        .select(col("vec_id"), col("best.cluster").as("cluster"),
+          col("best.d2").as("d2"))
+    var it = 0
+    var moved = Long.MaxValue
+    while (moved > 0L && it < maxIter) {
+      val fresh = dims.join(assign(cent).select(col("vec_id"), col("cluster")), "vec_id")
+        .groupBy(col("cluster"), col("dim"))
+        .agg(round(round(sum(col("x_e7")) / (count(lit(1)) * lit(1e7)), 6) * 1e6)
+          .cast("long").as("c_new"))
+      val stepped = cent.join(fresh, Seq("cluster", "dim"), "left_outer")
+        .select(col("cluster"), col("dim"),
+          coalesce(col("c_new"), col("c_e6")).as("c_e6"),
+          abs(coalesce(col("c_new"), col("c_e6")) - col("c_e6")).as("delta"))
+        .localCheckpoint()
+      moved = stepped.agg(max(col("delta"))).head().getLong(0)
+      cent = stepped.drop("delta")
+      it += 1
+    }
+    assign(cent)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        (round(sum(col("d2")) / (count(lit(1)) * lit(1e14)), 4) + lit(0.0)).as("mean_dist2"))
+      .withColumn("n_iters", lit(it.toLong))
+      .withColumn("converged", lit(moved == 0L))
+      .orderBy("cluster")
+  }
+
   /** Apriori frequent pair mining: baskets = orders, items = distinct
     * l_partkey per order; pairs (p1<p2) with support ≥ 3, top-30. The
     * threshold is a flat 3 — support does NOT grow with scale factor here

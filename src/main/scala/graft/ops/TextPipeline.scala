@@ -1635,8 +1635,15 @@ object TextPipeline {
     * fingerprint-keyed, pairs bounded by sources-per-fingerprint, never
     * corpus².
     */
-  def q_source_overlap(spark: SparkSession, sf: String): DataFrame = {
-    val fp = Tables.documents(spark, sf)
+  def q_source_overlap(spark: SparkSession, sf: String): DataFrame =
+    sourceOverlapOf(Tables.documents(spark, sf))
+
+  /** [[q_source_overlap]] body over any (source, text) frame — split out
+    * so Round5OpsSpec can exercise the non-empty path with synthetic
+    * cross-source duplicates (the fixture corpus has none, so the oracle
+    * hash-match alone would verify only the empty result). */
+  private[graft] def sourceOverlapOf(docs: DataFrame): DataFrame = {
+    val fp = docs
       .select(col("source"),
         md5(concat_ws(" ", array_sort(split(col("text"), " "))).cast("binary"))
           .as("pfp"))

@@ -102,10 +102,11 @@ class PlanShapeSpec extends AnyFunSuite {
     // an empty partitionSpec moves ALL rows to one task — a 100 TB
     // red flag; every window in the inventory must carry a partition key
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
-    // q_dedup_components runs its whole convergence loop at plan
-    // CONSTRUCTION; its constituent stages are ordinary keyed windows, so
-    // exempt it rather than pay ~8s to inspect the final (window-free) plan
-    val actionAtConstruction = Set("q_dedup_components")
+    // q_dedup_components / q_kmeans_converged run their whole convergence
+    // loops at plan CONSTRUCTION; their constituent stages are ordinary
+    // keyed windows / aggregates, so exempt them rather than pay the loop
+    // cost to inspect the final (window-free) plan
+    val actionAtConstruction = Set("q_dedup_components", "q_kmeans_converged")
     val offenders = SparkEntry.queries.toSeq
       .filterNot { case (name, _) => actionAtConstruction(name) }
       .flatMap { case (name, fn) =>
@@ -115,6 +116,48 @@ class PlanShapeSpec extends AnyFunSuite {
         if (n > 0) Some(s"$name($n)") else None
       }
     assert(offenders.isEmpty, s"global windows in: ${offenders.mkString(", ")}")
+  }
+
+  test("AQE splits a skewed shuffle-join partition at runtime") {
+    // the production skew path the ops rely on (Joins.scala scale notes):
+    // a key holding most of one side must be split by AQE's skew-join
+    // rule, not melt one task. Pin that the feature actually fires on
+    // this build with a deliberately 90%-one-key join.
+    import org.apache.spark.sql.functions._
+    val c = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled", "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> util.Try(c.get(k)).toOption)
+    try {
+      c.set("spark.sql.adaptive.enabled", "true")
+      c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      c.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      c.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle join
+      val skewed = spark.range(0, 300000)
+        .select(when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+          col("id").as("payload"))
+      val dim = spark.range(0, 50000).select(col("id").as("k"), (col("id") * 2).as("v"))
+      val joined = skewed.join(dim, "k")
+      // collect() (not count(), which builds a SEPARATE execution) so the
+      // adaptive plan below is the one that actually ran. 270k rows carry
+      // k=7, plus the 5k multiples of 10 below 50000 (the dim's range)
+      assert(joined.collect().length === 275000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true") &&
+          finalPlan.contains("AQEShuffleRead skewed"),
+        s"AQE skew-join did not fire — no skewed shuffle read in:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => c.set(k, v)
+      case (k, None) => c.unset(k)
+    }
   }
 
   test("salted join result is identical to the plain join") {

@@ -261,6 +261,47 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(got === naive, "one-pass trimmed mean diverged from percentile formulation")
   }
 
+  test("source overlap: non-empty path verified with synthetic cross-source dups") {
+    import spark.implicits._
+    // srcA/srcB share the bag-of-words of "x y z" (one doc each, plus a
+    // token-order permutation that must fingerprint identically) and srcB/
+    // srcC share "p q"; srcA has a private doc. Expected matrix:
+    //   (A,B): 1 shared fp, cross pairs = 2*1 = 2 (A holds 2 copies)
+    //   (B,C): 1 shared fp, cross pairs = 1
+    val docs = Seq(
+      ("srcA", "x y z"), ("srcA", "z y x"), ("srcB", "y z x"),
+      ("srcB", "p q"), ("srcC", "q p"),
+      ("srcA", "only here")).toDF("source", "text")
+    val got = TextPipeline.sourceOverlapOf(docs).collect()
+      .map(r => (r.getString(0), r.getString(1),
+        r.getAs[Long]("n_shared_fps"), r.getAs[Long]("n_cross_pairs"))).toSet
+    assert(got === Set(("srcA", "srcB", 1L, 2L), ("srcB", "srcC", 1L, 1L)), got.toString)
+    // and the fixture path really is the empty matrix — if a regenerated
+    // fixture ever gains cross-source dups, the oracle hash still holds,
+    // and this assertion documents the expectation flip
+    assert(TextPipeline.q_source_overlap(spark, sf).count() === 0L,
+      "fixture gained cross-source duplicates: drop this assertion")
+  }
+
+  test("kmeans-to-convergence: reaches a fixpoint, beats iteration 1, deterministic") {
+    val rows = MLDeterministic.q_kmeans_converged(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("converged")), "did not converge in 30 iters")
+    val iters = rows.head.getAs[Long]("n_iters")
+    assert(iters >= 2L, s"converged suspiciously fast: $iters iters")
+    // Lloyd monotonicity: the converged WCSS must not exceed iteration 1's
+    // (both on the same e14 lattice; mean_dist2 is per-cluster, so compare
+    // the size-weighted totals)
+    def wcss(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("n") * r.getAs[Double]("mean_dist2")).sum
+    val it1 = wcss(MLDeterministic.q_kmeans_step(spark, sf))
+    val fin = wcss(MLDeterministic.q_kmeans_converged(spark, sf))
+    assert(fin <= it1 * 1.0001, s"WCSS rose: iter1=$it1 converged=$fin")
+    // determinism: a second run returns the identical table
+    val again = MLDeterministic.q_kmeans_converged(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("builtin percentile stays confined to the audited bounded-domain allowlist") {
     // Round-5 audit: every builtin `percentile` whose buffered value
     // domain SCALES with the data (cents lattices, per-entity spend,
