@@ -14,7 +14,7 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  private val capabilityOnly = Set("q_approx_distinct")
+  private val capabilityOnly = Set("q_approx_distinct", "q_kmeans_converged")
 
   test("no duplicate keys in the SparkEntry / OracleSql map literals") {
     // a Map literal silently keeps only the LAST binding for a repeated
@@ -41,11 +41,28 @@ class QueriesSmokeSpec extends AnyFunSuite {
       "oracle SQL for undeclared queries")
   }
 
+  // queries whose smoke-scale result is legitimately EMPTY (documented
+  // per key); everything else returning 0 rows is a silent-vacuity bug —
+  // the round-4 verdict flagged q_source_overlap verifying nothing for
+  // three rounds because its hash-matched result was the empty matrix
+  private val emptyAtSmokeScale = Set(
+    "q_source_overlap", // empty at EVERY sf (no cross-source dup texts);
+                        // non-empty path spec-covered in Round5OpsSpec
+    "q_fuzzy_match", // 23 rows at the sf0.01 oracle scale; the sf0.001
+                     // corpus has no qualifying fuzzy pairs
+    "q_ann_rplsh" // 2 rows at sf0.01; at sf0.001 the query's 8-bit LSH
+                  // bucket holds no neighbors
+  )
+
   SparkEntry.queries.foreach { case (name, fn) =>
-    test(s"$name runs and is deterministic at sf0.001") {
+    test(s"$name runs, is deterministic, and is non-vacuous at sf0.001") {
       val a = fn(spark, sf).collect().map(_.toString).toSeq
       val b = fn(spark, sf).collect().map(_.toString).toSeq
       assert(a === b, s"$name not deterministic")
+      if (emptyAtSmokeScale(name)) assert(a.isEmpty,
+        s"$name now returns rows at smoke scale — remove it from the empty allowlist")
+      else assert(a.nonEmpty,
+        s"$name returned 0 rows at smoke scale — its oracle hash-match is vacuous")
     }
   }
 }
