@@ -163,6 +163,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(back.columns.toSet === Set("ts_us", "event_type", "value", "user_id"))
   }
 
+  test("genuinely unbounded source: rate stream feeds a windowed aggregate") {
+    // the sandbox has no Kafka, but Spark's built-in rate source IS an
+    // unbounded streaming source — this closes the "MemoryStream-only"
+    // gap: micro-batches arrive on their own schedule, the aggregation
+    // keeps running state, and the query is stopped (not drained) like a
+    // production stream would be
+    val rate = spark.readStream.format("rate")
+      .option("rowsPerSecond", "500").load()
+    val agg = rate
+      .withWatermark("timestamp", "5 seconds")
+      .groupBy(expr("value % 10").as("bucket"))
+      .agg(count(lit(1)).as("n"), max(col("value")).as("max_v"))
+    val q = agg.writeStream.format("memory").queryName("rate_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var rows = 0L
+      while (rows < 10 && System.nanoTime() < deadline) {
+        Thread.sleep(500)
+        rows = spark.table("rate_out").count()
+      }
+      assert(rows === 10L, s"expected all 10 buckets from the rate source, got $rows")
+      val total = spark.table("rate_out")
+        .agg(sum(col("n"))).head().getLong(0)
+      assert(total > 0L)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops same-fingerprint duplicates in the horizon") {
     import spark.implicits._
     case class Doc(ts_us: Timestamp, fingerprint: String)
