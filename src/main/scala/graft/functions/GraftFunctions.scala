@@ -22,6 +22,10 @@ object GraftFunctions {
   def dist2Long(a: Column, b: Column): Column =
     Bridge.column(SquaredDistanceLong(Bridge.expression(a), Bridge.expression(b)))
 
+  /** Column API over the sorted-postings sparse dot product expression. */
+  def postingsDot(a: Column, b: Column): Column =
+    Bridge.column(PostingsDotLong(Bridge.expression(a), Bridge.expression(b)))
+
   /** Column API over the one-pass MinHash sketch aggregate (K=8 affine
     * minima of the shared 32-bit token hash in one buffer — no 8× row
     * expansion).

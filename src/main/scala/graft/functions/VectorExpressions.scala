@@ -100,3 +100,81 @@ case class SquaredDistanceLong(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Exact dot product of two SPARSE integer vectors given as postings
+  * arrays `array<struct<word:string, w:long>>` SORTED ascending by word
+  * (distinct words; `sort_array` over the struct produces exactly this
+  * order — binary UTF8 comparison, the same comparator this merge uses).
+  * A two-pointer merge makes each pair O(|a|+|b|); the HOF/map-lookup
+  * alternatives are O(|a|·|b|) per pair because `element_at` on unsafe
+  * map data is a linear key scan, which dominated the near-dup cosine
+  * join at 10× duplicate density.
+  */
+case class PostingsDotLong(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_postings_dot"
+
+  private def okType(t: DataType): Boolean = t match {
+    case ArrayType(s: org.apache.spark.sql.types.StructType, _) =>
+      s.length == 2 &&
+        s(0).dataType == org.apache.spark.sql.types.StringType &&
+        s(1).dataType == LongType
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okType(left.dataType) && okType(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"expected array<struct<string,bigint>> on both sides, got ${left.dataType} / ${right.dataType}")
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val m = y.numElements()
+    var acc = 0L
+    var i = 0
+    var j = 0
+    while (i < n && j < m) {
+      val rx = x.getStruct(i, 2)
+      val ry = y.getStruct(j, 2)
+      val c = rx.getUTF8String(0).compareTo(ry.getUTF8String(0))
+      if (c == 0) { acc += rx.getLong(1) * ry.getLong(1); i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val acc = ctx.freshName("acc")
+      val rx = ctx.freshName("rx")
+      val ry = ctx.freshName("ry")
+      val c = ctx.freshName("c")
+      s"""
+         |final int $n = $a.numElements();
+         |final int $m = $b.numElements();
+         |long $acc = 0L;
+         |int $i = 0;
+         |int $j = 0;
+         |while ($i < $n && $j < $m) {
+         |  final org.apache.spark.sql.catalyst.InternalRow $rx = $a.getStruct($i, 2);
+         |  final org.apache.spark.sql.catalyst.InternalRow $ry = $b.getStruct($j, 2);
+         |  final int $c = $rx.getUTF8String(0).compareTo($ry.getUTF8String(0));
+         |  if ($c == 0) { $acc += $rx.getLong(1) * $ry.getLong(1); $i++; $j++; }
+         |  else if ($c < 0) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

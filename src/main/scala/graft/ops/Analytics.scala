@@ -11747,8 +11747,13 @@ object Analytics {
     * of the textbook NW sweep, no iteration. Cumulatives via the banded
     * scan; the 5×5 grid is a broadcast cross join.
     */
-  def q_transport_plan_nw(spark: SparkSession, sf: String): DataFrame = {
-    val fl = transportFlows(spark, sf).localCheckpoint()
+  def q_transport_plan_nw(spark: SparkSession, sf: String): DataFrame =
+    transportPlanNwOf(transportFlows(spark, sf).localCheckpoint())
+
+  /** NW plan from an already-materialized flows table — shared with
+    * [[q_transport_cost_gap]] so the lineitem→orders flows pipeline runs
+    * once per query, not once per sub-plan. */
+  private def transportPlanNwOf(fl: DataFrame): DataFrame = {
     val sup = BandedScan.cumSum(
       fl.groupBy("src").agg(sum(col("flow")).as("s")), Nil, "src", "s", "cs")
       .select(col("src"), (col("cs") - col("s")).as("s_lo"), col("cs").as("s_hi"))
@@ -11796,7 +11801,7 @@ object Analytics {
   def q_transport_cost_gap(spark: SparkSession, sf: String): DataFrame = {
     val fl = transportFlows(spark, sf).localCheckpoint()
     val actual = fl.agg(sum(col("flow") * col("cost")).as("actual_cost"))
-    val nw = q_transport_plan_nw(spark, sf)
+    val nw = transportPlanNwOf(fl)
       .agg(sum(col("cost_total")).as("nw_cost"))
     val lb = fl.groupBy("src")
       .agg(sum(col("flow")).as("s"), min(col("cost")).as("cmin"))

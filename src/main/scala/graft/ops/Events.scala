@@ -112,6 +112,11 @@ object Events {
     if (b.isNullAt(0)) // empty input: empty calendar, not a parse error
       return spark.range(0).select(lit("").as("day"), lit(0L).as("n_events")).where(lit(false))
     val (lo, hi) = (b.getDate(0), b.getDate(1))
+    // one recursion level per calendar day: the default level limit (100)
+    // fails on any span over ~3 months, so size it to the actual span —
+    // sf-independent (a year of data is 366 levels, still trivial)
+    val spanDays = java.time.temporal.ChronoUnit.DAYS.between(lo.toLocalDate, hi.toLocalDate)
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", (spanDays + 10L).max(100L).toString)
     spark.sql(s"""
       WITH RECURSIVE
         days(d) AS (

@@ -29,15 +29,24 @@ object Retrieval {
     *
     * Scale design: the former unpruned (block, term) postings self-join
     * was O(df²) per term — quadratic in the block under frequent terms.
-    * Candidates now come from [[Text.pairCandidatesOf]] (each doc's
+    * Candidates come from [[Text.pairCandidatesOf]] (each doc's
     * rarest-half token prefix under the global df order — complete for
-    * every pair with token-set Jaccard ≥ 0.5, bounded fan-out per term),
-    * and each candidate's FULL dot product is computed exactly from the
-    * two docs' weight maps (one linear pass per pair, decimal exact — no
-    * postings re-join). A top-20 pair sharing under half its token set
-    * would be outside the candidate contract; Round5OpsSpec pins that no
-    * such pair ranks on the fixture (the top pairs are near-dup docs by
-    * construction of the metric), and the DuckDB oracle stays the full
+    * every pair with token-set Jaccard ≥ 0.5, bounded fan-out per term).
+    * Each candidate's FULL dot product runs in the native codegen
+    * expression [[graft.functions.PostingsDotLong]]: both docs' (word, w)
+    * postings are sorted once per doc, the join carries the two arrays,
+    * and a two-pointer merge computes Σ w1·w2 in O(|a|+|b|) per pair —
+    * the same shape as the near-dup `array_intersect` verify. (An earlier
+    * map-lookup variant paid O(len²) per pair because `element_at` on
+    * unsafe map data is a linear key scan and the HOF ran interpreted;
+    * a postings re-join variant paid a 370 M-row double shuffle. Both
+    * were the single slowest query in the whole bench at 10× duplicate
+    * density.) w values are tf × e4-scaled log-idf: |w| < 2³⁰ and docs
+    * are ≤ a few hundred distinct tokens, so the long accumulator has
+    * > 4 orders of headroom. A top-20 pair sharing under half its token
+    * set would be outside the candidate contract; Round5OpsSpec pins that
+    * no such pair ranks on the fixture (the top pairs are near-dup docs
+    * by construction of the metric), and the DuckDB oracle stays the full
     * brute-force join, so the driver's hash compare re-proves equality
     * every round.
     */
@@ -45,28 +54,25 @@ object Retrieval {
     val docs = Tables.documents(spark, sf)
     val n = docs.agg(count(lit(1)).as("nn"))
     val tf = docs
-      .select(col("doc_id"), col("lang"), col("source"), explode(toks(col("text"))).as("word"))
-      .groupBy(col("doc_id"), col("lang"), col("source"), col("word"))
+      .select(col("doc_id"), explode(toks(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val weights = tf.join(df, "word").crossJoin(broadcast(n))
-      .select(col("doc_id"), col("lang"), col("source"), col("word"),
+      .select(col("doc_id"), col("word"),
         (col("tf") * round(log(col("nn").cast("double") / (col("df") + lit(1L)).cast("double"))
           * lit(1e4)).cast("long")).as("w"))
     val docVecs = weights.groupBy(col("doc_id"))
-      .agg(map_from_entries(collect_list(struct(col("word"), col("w")))).as("wm"),
+      .agg(sort_array(collect_list(struct(col("word"), col("w")))).as("posts"),
         sum(col("w").cast("decimal(38,0)") * col("w")).as("nrm"))
       .localCheckpoint()
     val cand = Text.pairCandidatesOf(Text.docSets(spark, sf))
-    val dot = expr(
-      "aggregate(map_entries(wm1), CAST(0 AS DECIMAL(38,0)), (acc, e) -> " +
-        "acc + coalesce(CAST(e.value AS DECIMAL(19,0)) * " +
-        "CAST(element_at(wm2, e.key) AS DECIMAL(19,0)), CAST(0 AS DECIMAL(38,0))))")
+      .select(col("d1"), col("d2"))
     cand
-      .join(docVecs.select(col("doc_id").as("d1"), col("wm").as("wm1"), col("nrm").as("n1")), "d1")
-      .join(docVecs.select(col("doc_id").as("d2"), col("wm").as("wm2"), col("nrm").as("n2")), "d2")
+      .join(docVecs.select(col("doc_id").as("d1"), col("posts").as("p1"), col("nrm").as("n1")), "d1")
+      .join(docVecs.select(col("doc_id").as("d2"), col("posts").as("p2"), col("nrm").as("n2")), "d2")
       .select(col("d1"), col("d2"),
-        (round(dot.cast("double") /
+        (round(graft.functions.GraftFunctions.postingsDot(col("p1"), col("p2")).cast("double") /
           sqrt(col("n1").cast("double") * col("n2").cast("double")), 6) + lit(0.0)).as("cos"))
       .orderBy(col("cos").desc, col("d1").asc, col("d2").asc)
       .limit(20)

@@ -98,68 +98,106 @@ object Text {
         array_distinct(tokens(col("text"))).as("toks"))
       .withColumn("sz", size(col("toks")).cast("long"))
 
-  /** Token-set overlap of candidate same-block doc pairs: (lang, source,
-    * d1, d2, inter, sz1, sz2) — the shared core of the Jaccard /
-    * containment near-dup ops and the threshold sweep.
-    *
-    * Scale design (PPJoin-style prefix filter, Chaudhuri/Xiao et al.):
-    * the naive (block, token) postings self-join is O(df²) per token —
-    * any frequent token makes it quadratic in the block size. Instead,
-    * each document's tokens are ranked by GLOBAL rarity (df asc, token
-    * asc — one total order for the whole corpus) and only the rarest
-    * ⌊sz/2⌋+1 tokens (the "prefix") generate candidates:
-    *
-    *  - prefix × prefix (same block, d1 < d2) is COMPLETE for every pair
-    *    with Jaccard ≥ 0.5 — the lowest threshold any consumer applies
-    *    (the sweep's 5000 e4 cut; [[neardupPairs]] uses 0.8,
-    *    containment 0.9 implies J ≥ 0.82 at equal sizes). Proof: J ≥ 0.5
-    *    ⟹ |A∩B| ≥ ⌈sz/2⌉ on both sides, and any (sz − ⌈sz/2⌉ + 1)-sized
-    *    subset of a set must hit an ⌈sz/2⌉-sized intersection.
-    *  - smaller-doc prefix × full postings covers containment C ≥ 0.9
-    *    when sizes differ (inter ≥ ⌈0.9·sz_small⌉, so the small doc's
-    *    half-prefix must intersect the big doc).
-    *
-    * Candidates are then verified EXACTLY from the two token arrays
-    * (array_intersect — linear in doc length, no postings re-join), so
-    * the output is identical to the naive join for every consumer
-    * threshold while the candidate fan-out per token is prefix-df ×
-    * df instead of df²: a stopword sits at the END of the rarity order
-    * and never enters a large doc's prefix. Round5OpsSpec pins
-    * completeness against a brute-force oracle and the fan-out bound.
-    */
-  private[ops] def pairOverlap(spark: SparkSession, sf: String): DataFrame =
-    pairOverlapOf(docSets(spark, sf))
+  // Near-dup pair core (PPJoin-style prefix filter, Chaudhuri/Xiao et
+  // al.): the naive (block, token) postings self-join is O(df²) per token
+  // — any frequent token makes it quadratic in the block size. Instead,
+  // each document's tokens are ranked by GLOBAL rarity (df asc, token asc
+  // — one total order for the whole corpus) and only each doc's rarest
+  // threshold-sized prefix generates candidates; see [[pairCandidatesOf]]
+  // for the per-threshold completeness argument. Candidates are verified
+  // EXACTLY from the two token arrays (array_intersect — linear in doc
+  // length, no postings re-join), so each consumer's output is identical
+  // to the naive join at its threshold while a stopword sits at the END
+  // of the rarity order and never enters a large doc's prefix.
+  // Round5OpsSpec pins completeness against a brute-force oracle and the
+  // fan-out bound.
 
-  /** Candidate pairs of [[pairOverlap]] from a (doc_id, lang, source,
-    * toks, sz) frame — exposed separately so the spec can pin the
-    * prefix-filter's completeness and fan-out on synthetic corpora. */
-  private[graft] def pairCandidatesOf(docs: DataFrame): DataFrame = {
+  /** Candidate pairs of [[pairOverlapOf]] from a (doc_id, lang, source,
+    * toks, sz) frame — the general J ≥ 0.5 / C ≥ 0.5 contract (the widest
+    * any consumer needs); exposed so the spec can pin the prefix-filter's
+    * completeness and fan-out on synthetic corpora, and so the TF-IDF
+    * cosine op can reuse the candidate stage. */
+  private[graft] def pairCandidatesOf(docs: DataFrame): DataFrame =
+    pairCandidatesOf(docs, Some((1L, 2L)), Some((1L, 2L)))
+
+  /** Threshold-parameterized PPJoin candidate generation. Thresholds are
+    * exact integer rationals (num, den) — a float `ceil(0.9·sz)` can land
+    * one above the true ceiling and silently shrink the prefix below the
+    * completeness bound, so the ceilings here are pure integer math.
+    *
+    *  - `minJ = Some((n, d))`: prefix×prefix candidates complete for every
+    *    same-block pair with Jaccard ≥ n/d. J ≥ t ⟹ inter ≥ ⌈t·sz⌉ on
+    *    EACH side, and by the prefix-filter lemma (the SMALLEST common
+    *    token under the one global rarity order sits inside both
+    *    (sz − ⌈t·sz⌉ + 1)-prefixes), the two prefixes share a token.
+    *  - `minC = Some((n, d))`: smaller-side-prefix × full-postings
+    *    candidates complete for containment ≥ n/d: C ≥ t ⟹ inter ≥
+    *    ⌈t·sz_small⌉, so the small doc's (sz − ⌈t·sz⌉ + 1)-prefix must
+    *    hit the intersection — and every intersection token is in the big
+    *    doc's full postings. Equal sizes are covered via the doc_id
+    *    tiebreak (`<` on ids when `sz` ties).
+    *
+    * Consumers pass their own operating threshold, so a Jaccard-0.8 pass
+    * joins ~0.2·sz prefixes instead of the generic half prefix — the
+    * candidate volume at high duplicate density drops by the square of
+    * that ratio while the verified output is provably unchanged.
+    */
+  private[graft] def pairCandidatesOf(
+      docs: DataFrame,
+      minJ: Option[(Long, Long)],
+      minC: Option[(Long, Long)]): DataFrame = {
     val toks = docs.select(col("doc_id"), col("lang"), col("source"), col("sz"),
       explode(col("toks")).as("word"))
     val dfreq = toks.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val ranked = toks.join(dfreq, "word")
       .withColumn("pos", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df").asc, col("word").asc)))
-    val pref = ranked.filter(col("pos") <= col("sz") / 2 + 1)
-    val jCand = pref.as("a")
-      .join(pref.as("b"),
-        col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
-        col("a.word") === col("b.word") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.lang").as("lang"), col("a.source").as("source"),
-        col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-    val cCand = pref.as("a")
-      .join(toks.as("b"),
-        col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
-        col("a.word") === col("b.word") && col("a.sz") < col("b.sz"))
-      .select(col("a.lang").as("lang"), col("a.source").as("source"),
-        least(col("a.doc_id"), col("b.doc_id")).as("d1"),
-        greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
-    jCand.union(cCand).distinct()
+    // prefix length for threshold n/d: sz − ⌈(n·sz)/d⌉ + 1, all integer —
+    // `div`, not `/`: Column./ is DOUBLE division and a fractional prefix
+    // bound silently truncates below the completeness minimum
+    def pref(t: (Long, Long)) = ranked.filter(
+      col("pos") <= col("sz") - expr(s"(sz * ${t._1} + ${t._2 - 1L}) div ${t._2}") + 1L)
+    val jCand = minJ.map { t =>
+      val p = pref(t)
+      // PPJoin length filter: J ≥ n/d ⟹ max(sz)·n ≤ min(sz)·d (J is at
+      // most min/max), so size-mismatched pairs never become candidates
+      p.as("a")
+        .join(p.as("b"),
+          col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+          col("a.word") === col("b.word") && col("a.doc_id") < col("b.doc_id") &&
+          greatest(col("a.sz"), col("b.sz")) * t._1 <=
+            least(col("a.sz"), col("b.sz")) * t._2)
+        .select(col("a.lang").as("lang"), col("a.source").as("source"),
+          col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    }
+    val cCand = minC.map { t =>
+      pref(t).as("a")
+        .join(toks.as("b"),
+          col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+          col("a.word") === col("b.word") &&
+          (col("a.sz") < col("b.sz") ||
+            (col("a.sz") === col("b.sz") && col("a.doc_id") < col("b.doc_id"))))
+        .select(col("a.lang").as("lang"), col("a.source").as("source"),
+          least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
+    }
+    (jCand.toSeq ++ cCand.toSeq).reduce(_ union _).distinct()
   }
 
-  private[graft] def pairOverlapOf(docsIn: DataFrame): DataFrame = {
+  private[graft] def pairOverlapOf(docsIn: DataFrame): DataFrame =
+    pairOverlapOf(docsIn, Some((1L, 2L)), Some((1L, 2L)))
+
+  /** [[pairOverlapOf]] with per-consumer candidate thresholds — candidates
+    * from [[pairCandidatesOf]], then EXACT verification from the two token
+    * arrays, so any threshold filter at or above (minJ, minC) sees output
+    * identical to the naive all-pairs postings join (Round5OpsSpec pins
+    * this against the brute-force oracle at every consumer threshold). */
+  private[graft] def pairOverlapOf(
+      docsIn: DataFrame,
+      minJ: Option[(Long, Long)],
+      minC: Option[(Long, Long)]): DataFrame = {
     val docs = docsIn.localCheckpoint()
-    pairCandidatesOf(docs)
+    pairCandidatesOf(docs, minJ, minC)
       .join(docs.select(col("doc_id").as("d1"), col("toks").as("t1"),
         col("sz").as("sz1")), "d1")
       .join(docs.select(col("doc_id").as("d2"), col("toks").as("t2"),
@@ -170,7 +208,10 @@ object Text {
   }
 
   private[ops] def neardupPairs(spark: SparkSession, sf: String): DataFrame =
-    pairOverlap(spark, sf)
+    // candidates at the op's own J ≥ 0.8 threshold (~0.2·sz prefixes, no
+    // containment leg) — provably the same verified pair set as the
+    // generic half-prefix candidates, at a fraction of the fan-out
+    pairOverlapOf(docSets(spark, sf), Some((4L, 5L)), None)
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
       .filter(col("jaccard") >= 0.8)
@@ -184,7 +225,10 @@ object Text {
     * Jaccard misses.
     */
   def q_neardup_containment(spark: SparkSession, sf: String): DataFrame =
-    pairOverlap(spark, sf)
+    // containment-only candidates at the op's C ≥ 0.9 threshold: the
+    // smaller side's ~0.1·sz prefix against full postings (equal sizes
+    // via the id tiebreak) — no Jaccard leg needed, same verified output
+    pairOverlapOf(docSets(spark, sf), None, Some((9L, 10L)))
       .select(col("lang"), col("source"), col("d1"), col("d2"),
         expr("inter * 10000 div least(sz1, sz2)").as("cont_e4"))
       .filter(col("cont_e4") >= 9000)
@@ -312,7 +356,10 @@ object Text {
     * tiny pair table, never a re-scan per threshold.
     */
   def q_dedup_threshold_sweep(spark: SparkSession, sf: String): DataFrame = {
-    val pairs = pairOverlap(spark, sf)
+    // Jaccard-only sweep (lowest cut 0.5): the containment leg's extra
+    // candidates all fail every swept threshold, so dropping it leaves
+    // the counted pair set unchanged while halving the candidate stage
+    val pairs = pairOverlapOf(docSets(spark, sf), Some((1L, 2L)), None)
       .select(col("d1"), col("d2"),
         expr("inter * 10000 div (sz1 + sz2 - inter)").as("j_e4"))
     pairs

@@ -183,14 +183,20 @@ object TextPipeline {
       .join(sig.select(col("doc_id").as("d2"), col("i"), col("sig").as("s2")), Seq("d2", "i"))
       .groupBy(col("d1"), col("d2"))
       .agg(sum(when(col("s1") === col("s2"), 1L).otherwise(0L)).as("matches"))
-    val slim = docTok.select(col("doc_id"), col("word"))
-    val sizes = slim.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    // exact Jaccard per candidate from the two token ARRAYS (one
+    // linear-pass array_intersect per pair) — the former postings
+    // double-join fanned every candidate out by doc length before
+    // re-aggregating, a ~20× row blowup at high duplicate density
+    val arrs = docTok.groupBy(col("doc_id"))
+      .agg(collect_list(col("word")).as("tarr"), count(lit(1)).as("sz"))
     val exact = cand
-      .join(slim.withColumnRenamed("doc_id", "d1"), "d1")
-      .join(slim.withColumnRenamed("doc_id", "d2"), Seq("d2", "word"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
-      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "sz1"), "d1")
-      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "sz2"), "d2")
+      .join(arrs.select(col("doc_id").as("d1"), col("tarr").as("t1"),
+        col("sz").as("sz1")), "d1")
+      .join(arrs.select(col("doc_id").as("d2"), col("tarr").as("t2"),
+        col("sz").as("sz2")), "d2")
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("t1"), col("t2"))).cast("long").as("inter"),
+        col("sz1"), col("sz2"))
       .select(col("d1"), col("d2"),
         expr("inter * 10000 div (sz1 + sz2 - inter)").as("exact_e4"))
     matches.join(exact, Seq("d1", "d2"))

@@ -937,7 +937,10 @@ object Vectors {
       .select(col("qid"), greatest(col("kdist"), col("d2")).as("reach"))
       .groupBy(col("qid"))
       .agg(sum(col("reach")).as("rsum"))
-      .select(col("qid"), expr("5.0 / CAST(rsum AS DOUBLE)").as("lrd"))
+      // duplicate vectors (all-zero reach sums, common at high duplicate
+      // density) would divide by zero: clamp to 1 on the lattice, capping
+      // the density for duplicate clusters identically on both engines
+      .select(col("qid"), expr("5.0 / CAST(GREATEST(rsum, 1) AS DOUBLE)").as("lrd"))
     val lof = knn
       .join(lrd.select(col("qid").as("nid"), col("lrd").as("lrd_n")), "nid")
       .groupBy(col("qid"))
