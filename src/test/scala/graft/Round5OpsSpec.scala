@@ -335,4 +335,42 @@ class Round5OpsSpec extends AnyFunSuite {
           calls.map { case (l, i) => s"${i + 1}: ${l.trim}" }.mkString("\n", "\n", ""))
     }
   }
+
+  // ---- sorted-postings dot expression ---------------------------------------
+
+  test("postings dot: codegen merge equals a driver-side sparse dot, plus edges") {
+    import spark.implicits._
+    // 40 docs over a 30-word vocabulary with deterministic weights; every
+    // doc pair shares a data-dependent subset, exercising both match and
+    // skip branches of the two-pointer merge
+    val rows = for (d <- 0L until 40L; k <- 0 until 12) yield {
+      val w = s"w${(d * 7 + k * 5) % 30}"
+      (d, w, (d * 13 + k * 3 % 17 + 1).toLong)
+    }
+    val weights = rows.toDF("doc_id", "word", "w")
+      .groupBy(col("doc_id"), col("word")).agg(max(col("w")).as("w"))
+    val posts = weights.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("word"), col("w")))).as("p"))
+      .localCheckpoint()
+    val got = posts.as("a").join(posts.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        graft.functions.GraftFunctions.postingsDot(col("a.p"), col("b.p")).as("dot"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val maps = weights.collect()
+      .groupBy(_.getLong(0))
+      .map { case (d, rs) => d -> rs.map(r => r.getString(1) -> r.getLong(2)).toMap }
+    for (d1 <- 0L until 40L; d2 <- d1 + 1 until 40L) {
+      val want = maps(d1).iterator
+        .map { case (w, v) => v * maps(d2).getOrElse(w, 0L) }.sum
+      assert(got((d1, d2)) === want, s"dot($d1,$d2)")
+    }
+    // edge cases: empty side and fully-disjoint vocabularies -> 0
+    val e = Seq(
+      (Seq.empty[(String, Long)], Seq(("a", 3L), ("b", 4L))),
+      (Seq(("a", 2L)), Seq(("b", 5L), ("c", 1L))))
+      .toDF("x", "y")
+      .select(graft.functions.GraftFunctions.postingsDot(col("x"), col("y")).as("dot"))
+      .collect().map(_.getLong(0))
+    assert(e.toSeq === Seq(0L, 0L), "empty/disjoint postings must dot to 0")
+  }
 }
