@@ -373,4 +373,54 @@ class Round5OpsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0))
     assert(e.toSeq === Seq(0L, 0L), "empty/disjoint postings must dot to 0")
   }
+
+  // ---- q-gram rarity fuzzy match -------------------------------------------
+
+  test("fuzzy match equals the naive nation-blocked join on the fixture") {
+    val s = Tables.supplier(spark, sf)
+      .select(col("s_nationkey"), col("s_suppkey"), col("s_name"))
+    val naive = s.as("a")
+      .join(s.as("b"),
+        col("a.s_nationkey") === col("b.s_nationkey") &&
+          col("a.s_suppkey") < col("b.s_suppkey"))
+      .withColumn("d", levenshtein(col("a.s_name"), col("b.s_name")).cast("long"))
+      .filter(col("d") <= 2L)
+      .select(col("a.s_nationkey").cast("long").as("nationkey"), col("d"),
+        col("a.s_name").as("n1"), col("b.s_name").as("n2"))
+      .collect().map(_.toSeq).toSet
+    val got = Relational.fuzzyPairsOf(s, "s_nationkey", "s_suppkey", "s_name")
+      .select(col("nationkey").cast("long"), col("d"), col("n1"), col("n2"))
+      .collect().map(_.toSeq).toSet
+    assert(got === naive, "q-gram candidate fuzzy pairs diverged from naive")
+  }
+
+  test("fuzzy match candidates survive templated prefixes, indels and short strings") {
+    import spark.implicits._
+    // 200 heavily-templated names (shared 12-char prefix, the PassJoin
+    // killer): candidates must come from the discriminative tails only.
+    val base = (0 until 200).map(i => (1L, i.toLong, f"Template#Pre$i%04d"))
+    val cases = Seq(
+      // substitution x2 (d=2), insertion (d=1, shifts every later gram),
+      // deletion (d=1), insertion+substitution (d=2)
+      (1L, 900L, "Template#Pre0107x"),   // vs 0107 tail edits
+      (1L, 901L, "Template#PreX0042"),   // insertion before tail
+      (1L, 902L, "Template#Pr0042"),     // deletion inside prefix
+      (1L, 903L, "Template#PreY004Z"),   // ins + sub vs 0042? verify below
+      // short-string block (both < 9 chars -> fallback leg)
+      (2L, 904L, "ab"), (2L, 905L, "ax"), (2L, 906L, "abcd"),
+      // cross: short vs long in same nation (probe-covered from long side)
+      (2L, 907L, "Template#Pre0001"))
+    val df = (base ++ cases).toDF("nk", "k", "nm")
+    val naive = df.as("a")
+      .join(df.as("b"), col("a.nk") === col("b.nk") && col("a.k") < col("b.k"))
+      .withColumn("d", levenshtein(col("a.nm"), col("b.nm")).cast("long"))
+      .filter(col("d") <= 2L)
+      .select(col("a.nk").as("nationkey"), col("d"),
+        col("a.nm").as("n1"), col("b.nm").as("n2"))
+      .collect().map(_.toSeq).toSet
+    assert(naive.nonEmpty, "adversarial corpus must contain true matches")
+    val got = Relational.fuzzyPairsOf(df, "nk", "k", "nm")
+      .collect().map(_.toSeq).toSet
+    assert(got === naive, "adversarial fuzzy pairs diverged from naive")
+  }
 }
