@@ -179,4 +179,29 @@ class PlanShapeSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted
     assert(salted.toSeq === plain.toSeq)
   }
+
+  test("tfidf cosine: dot runs in the native postings-dot codegen expression") {
+    val df = Retrieval.q_tfidf_cosine_docs(spark, sf)
+    val p = plan(df)
+    assert(p.contains("graft_postings_dot"),
+      s"expected the native two-pointer merge, not a HOF/map lookup:\n$p")
+    assert(!p.contains("CartesianProduct"), s"all-pairs product leaked in:\n$p")
+  }
+
+  test("fuzzy match: candidates come from keyed gram joins, never a block product") {
+    val df = Relational.q_fuzzy_match(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy match must never plan an unkeyed pair product:\n$p")
+    assert(p.contains("levenshtein"), s"exact verify missing:\n$p")
+  }
+
+  test("near-dup candidates: prefix joins are keyed equi-joins on (block, word)") {
+    for (df <- Seq(Text.q_neardup_jaccard(spark, sf),
+                   Text.q_neardup_containment(spark, sf))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"near-dup candidate stage must stay keyed:\n$p")
+    }
+  }
 }
