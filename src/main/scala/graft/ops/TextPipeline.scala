@@ -137,14 +137,19 @@ object TextPipeline {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    val slim = docTok.select(col("doc_id"), col("word"))
-    val sizes = slim.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = cand
-      .join(slim.withColumnRenamed("doc_id", "d1"), "d1")
-      .join(slim.withColumnRenamed("doc_id", "d2"), Seq("d2", "word"))
-    inter.groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
-      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "sz1"), "d1")
-      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "sz2"), "d2")
+    // exact Jaccard per candidate from the two token ARRAYS (linear-pass
+    // array_intersect per pair), not the candidate × doc-length postings
+    // double-join — same rationale as q_minhash_accuracy's verify
+    val arrs = docTok.groupBy(col("doc_id"))
+      .agg(collect_list(col("word")).as("tarr"), count(lit(1)).as("sz"))
+    cand
+      .join(arrs.select(col("doc_id").as("d1"), col("tarr").as("t1"),
+        col("sz").as("sz1")), "d1")
+      .join(arrs.select(col("doc_id").as("d2"), col("tarr").as("t2"),
+        col("sz").as("sz2")), "d2")
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("t1"), col("t2"))).cast("long").as("inter"),
+        col("sz1"), col("sz2"))
       .withColumn("j", col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
       .filter(col("j") >= 0.5)
       .select(col("d1"), col("d2"), round(col("j"), 4).as("j"))
