@@ -657,19 +657,27 @@ object MLDeterministic {
 
   private[graft] def kmeansConverged(spark: SparkSession, sf: String,
       maxIter: Int): DataFrame = {
-    val dims = Tables.embeddings(spark, sf)
-      .select(col("vec_id"), posexplode(Vectors.q7(col("embedding")))
-        .as(Seq("dim", "x_e7")))
+    // Lloyd-to-convergence in the ARRAY form: vectors stay whole e7-lattice
+    // long arrays, the k=10 centroids are a broadcast 10-row table of
+    // arrays, and assignment is one N×k broadcast product through the
+    // native codegen dist2 merge. The earlier per-dim form fanned every
+    // (vec, dim) row across all k clusters — N×64×k shuffle rows per
+    // iteration versus N×k here; the lattice arithmetic (e7 points,
+    // e6 centroids ×10, half-up rounds) is bit-identical, so iterations,
+    // assignments and the final table are unchanged.
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), Vectors.q7(col("embedding")).as("qe"))
       .localCheckpoint()
-    var cent = dims.filter(col("vec_id") <= 9)
-      .select(col("vec_id").as("cluster"), col("dim"),
-        round(col("x_e7") / lit(10.0)).cast("long").as("c_e6"))
+    var cent = vecs.filter(col("vec_id") <= 9)
+      .select(col("vec_id").as("cluster"),
+        expr("transform(qe, x -> CAST(ROUND(CAST(x AS DOUBLE) / 10.0D) AS BIGINT))")
+          .as("c_e6"))
       .localCheckpoint()
     def assign(c: org.apache.spark.sql.DataFrame) =
-      dims.join(broadcast(c), "dim")
-        .groupBy(col("vec_id"), col("cluster"))
-        .agg(sum((col("x_e7") - col("c_e6") * 10) *
-          (col("x_e7") - col("c_e6") * 10)).as("d2"))
+      vecs.crossJoin(broadcast(
+          c.select(col("cluster"), expr("transform(c_e6, v -> v * 10)").as("ce7"))))
+        .select(col("vec_id"), col("cluster"),
+          Vectors.dist2E14(col("qe"), col("ce7")).as("d2"))
         .groupBy(col("vec_id"))
         .agg(min(struct(col("d2"), col("cluster"))).as("best"))
         .select(col("vec_id"), col("best.cluster").as("cluster"),
@@ -677,14 +685,19 @@ object MLDeterministic {
     var it = 0
     var moved = Long.MaxValue
     while (moved > 0L && it < maxIter) {
-      val fresh = dims.join(assign(cent).select(col("vec_id"), col("cluster")), "vec_id")
+      val fresh = vecs.join(assign(cent).select(col("vec_id"), col("cluster")), "vec_id")
+        .select(col("cluster"), posexplode(col("qe")).as(Seq("dim", "x_e7")))
         .groupBy(col("cluster"), col("dim"))
         .agg(round(round(sum(col("x_e7")) / (count(lit(1)) * lit(1e7)), 6) * 1e6)
           .cast("long").as("c_new"))
-      val stepped = cent.join(fresh, Seq("cluster", "dim"), "left_outer")
-        .select(col("cluster"), col("dim"),
-          coalesce(col("c_new"), col("c_e6")).as("c_e6"),
-          abs(coalesce(col("c_new"), col("c_e6")) - col("c_e6")).as("delta"))
+        .groupBy(col("cluster"))
+        .agg(expr("transform(sort_array(collect_list(struct(dim, c_new))), s -> s.c_new)")
+          .as("c_fresh"))
+      val stepped = cent.join(fresh, Seq("cluster"), "left_outer")
+        .select(col("cluster"),
+          coalesce(col("c_fresh"), col("c_e6")).as("c_e6"),
+          expr("aggregate(zip_with(coalesce(c_fresh, c_e6), c_e6, (a, b) -> abs(a - b)), " +
+            "CAST(0 AS BIGINT), (m, v) -> GREATEST(m, v))").as("delta"))
         .localCheckpoint()
       moved = stepped.agg(max(col("delta"))).head().getLong(0)
       cent = stepped.drop("delta")
