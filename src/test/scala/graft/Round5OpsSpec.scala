@@ -423,4 +423,87 @@ class Round5OpsSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(got === naive, "adversarial fuzzy pairs diverged from naive")
   }
+
+  // ---- randomized completeness sweeps (seeded, deterministic) --------------
+
+  test("prefix candidates are complete for random corpora at every threshold combo") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    // small vocabulary + duplicated-then-mutated docs force real overlap
+    val vocab = (0 until 40).map(i => f"v$i%02d")
+    val base = (0 until 60).map { id =>
+      val sz = 6 + rnd.nextInt(10)
+      (id.toLong, rnd.shuffle(vocab).take(sz).toArray)
+    }
+    val mutants = (0 until 30).map { i =>
+      val (src, toks) = base(rnd.nextInt(base.size))
+      val t = toks.toBuffer
+      (0 until (1 + rnd.nextInt(2))).foreach { _ =>
+        val v = vocab(rnd.nextInt(vocab.size))
+        if (t.contains(v)) t -= v else t += v
+      }
+      (1000L + i, t.distinct.toArray)
+    }
+    val docs = (base ++ mutants)
+      .map { case (id, t) => (id, "en", "s", t, t.length.toLong) }
+      .toDF("doc_id", "lang", "source", "toks", "sz")
+      .localCheckpoint()
+    // brute-force oracle: exact overlap of every pair
+    val all = docs.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Seq[String]]("toks").toSet))
+    def truth(keep: (Set[String], Set[String]) => Boolean) = (for {
+      (d1, t1) <- all; (d2, t2) <- all if d1 < d2 && keep(t1, t2)
+    } yield (d1, d2)).toSet
+    val combos = Seq(
+      (Some((1L, 2L)), None, "J>=0.5"), (Some((4L, 5L)), None, "J>=0.8"),
+      (None, Some((9L, 10L)), "C>=0.9"), (Some((1L, 2L)), Some((1L, 2L)), "generic"))
+    for ((mj, mc, label) <- combos) {
+      val cand = Text.pairCandidatesOf(docs, mj, mc).collect()
+        .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+      mj.foreach { case (n, d) =>
+        val want = truth((a, b) =>
+          a.intersect(b).size.toDouble / a.union(b).size >= n.toDouble / d)
+        assert(want.subsetOf(cand), s"$label missed ${(want -- cand).take(5)}")
+      }
+      mc.foreach { case (n, d) =>
+        val want = truth((a, b) =>
+          a.intersect(b).size.toDouble / math.min(a.size, b.size) >= n.toDouble / d)
+        assert(want.subsetOf(cand), s"$label containment missed ${(want -- cand).take(5)}")
+      }
+    }
+  }
+
+  test("fuzzy candidates are complete for random edit scripts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42L)
+    val alpha = "abcdefg"
+    def randStr(n: Int) = (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val base = (0 until 50).map(i => (1L, i.toLong, "Acme#" + randStr(8)))
+    // mutants: 0-2 random edits (sub/ins/del) of a random base name
+    val mutants = (0 until 40).map { i =>
+      var nm = base(rnd.nextInt(base.size))._3
+      (0 until rnd.nextInt(3)).foreach { _ =>
+        val p = rnd.nextInt(nm.length)
+        rnd.nextInt(3) match {
+          case 0 => nm = nm.updated(p, alpha(rnd.nextInt(alpha.length)))
+          case 1 => nm = nm.substring(0, p) + alpha(rnd.nextInt(alpha.length)) + nm.substring(p)
+          case _ if nm.length > 3 => nm = nm.substring(0, p) + nm.substring(p + 1)
+          case _ => ()
+        }
+      }
+      (1L, 500L + i, nm)
+    }
+    val df = (base ++ mutants).toDF("nk", "k", "nm")
+    val naive = df.as("a")
+      .join(df.as("b"), col("a.nk") === col("b.nk") && col("a.k") < col("b.k"))
+      .withColumn("d", levenshtein(col("a.nm"), col("b.nm")).cast("long"))
+      .filter(col("d") <= 2L)
+      .select(col("a.nk").as("nationkey"), col("d"),
+        col("a.nm").as("n1"), col("b.nm").as("n2"))
+      .collect().map(_.toSeq).toSet
+    assert(naive.nonEmpty, "random edit corpus must contain true matches")
+    val got = Relational.fuzzyPairsOf(df, "nk", "k", "nm")
+      .collect().map(_.toSeq).toSet
+    assert(got === naive, "random-edit fuzzy pairs diverged from naive")
+  }
 }
