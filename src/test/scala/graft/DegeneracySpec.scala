@@ -1,0 +1,283 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Branch-liveness gates for queries whose fixture output is DEGENERATE at
+  * the oracle scale (found by `scripts/degeneracy_audit.py` over the sf0.01
+  * Verify dump): the DuckDB hash-match of an all-zero / single-branch result
+  * proves both engines agree on the dead path, but says nothing about the
+  * live one. Each test here writes a tiny synthetic fixture (schema-exact,
+  * so it passes `Tables.assertSchema`) on which the interesting branch MUST
+  * fire, and asserts hand-computed expected values.
+  *
+  * Hand-computed cases: log-rank / weighted log-rank / RMST / C-index on a
+  * 6-user cohort with 4 churn events; a revenue series with a real
+  * drawdown; a zone-map false keep; a 16×16 Z-order grid; a 2-state Markov
+  * chain with stationary distribution (1/3, 2/3); perfectly-associated
+  * categorical MI; between-region Theil inequality; rare-category collapse;
+  * intermittent demand bands; NaN / all-zero embedding rows.
+  */
+class DegeneracySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Write `tables` as `<dir>/<name>.parquet` and return the dir. */
+  private def fixture(tables: (String, DataFrame)*): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_degen").toString
+    tables.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    }
+    dir
+  }
+
+  private def ts(c: org.apache.spark.sql.Column) = to_timestamp(c)
+
+  /** events fixture rows: (event_id, "yyyy-MM-dd HH:mm:ss", user_id, type, value). */
+  private def eventsTable(rows: Seq[(Long, String, Long, String, Double)]): DataFrame =
+    rows.toDF("event_id", "tss", "user_id", "event_type", "value")
+      .select(col("event_id"), ts(col("tss")).as("ts"), col("user_id"),
+        col("event_type"), col("value"), lit("{}").as("props"))
+
+  /** part fixture rows: (p_partkey, p_type, p_size, p_retailprice). */
+  private def partTable(rows: Seq[(Long, String, Int, Double)]): DataFrame =
+    rows.toDF("p_partkey", "p_type", "p_size", "p_retailprice")
+      .select(col("p_partkey"), concat(lit("part"), col("p_partkey")).as("p_name"),
+        lit("Brand#1").as("p_brand"), col("p_type"), col("p_size"), col("p_retailprice"))
+
+  /** lineitem fixture rows: (l_orderkey, l_partkey, l_quantity, "yyyy-MM-dd"). */
+  private def lineitemTable(rows: Seq[(Long, Long, Double, String)]): DataFrame =
+    rows.toDF("l_orderkey", "l_partkey", "l_quantity", "sd")
+      .select(col("l_orderkey"), col("l_partkey"), lit(1L).as("l_suppkey"),
+        lit(1).as("l_linenumber"), col("l_quantity"),
+        lit(100.0).as("l_extendedprice"), lit(0.0).as("l_discount"),
+        lit(0.0).as("l_tax"), lit("N").as("l_returnflag"), lit("O").as("l_linestatus"),
+        ts(concat(col("sd"), lit(" 00:00:00"))).as("l_shipdate"))
+
+  // ---- survival family: 6-user cohort, 4 churn events ----------------------
+  //
+  // user (id, group = id%2, span, #events, churned by 2024-01-23):
+  //   u2 g0 t=10 score=2 churned   u4 g0 t=20 score=3 churned
+  //   u6 g0 t=30 score=4 censored  u1 g1 t=15 score=3 churned
+  //   u3 g1 t=22 score=5 churned   u5 g1 t=30 score=2 censored
+  // Risk sets at death times t=10/15/20/22: nr=6/5/4/3, nr1(g0)=3/2/2/1.
+  private lazy val survivalDir: String = {
+    def span(uid: Long, base: Long, dates: Seq[String]): Seq[(Long, String, Long, String, Double)] =
+      dates.zipWithIndex.map { case (d, i) => (base + i, s"$d 12:00:00", uid, "purchase", 1.0) }
+    fixture("events" -> eventsTable(
+      span(1L, 100L, Seq("2024-01-01", "2024-01-09", "2024-01-16")) ++
+      span(2L, 200L, Seq("2024-01-01", "2024-01-11")) ++
+      span(3L, 300L, Seq("2024-01-01", "2024-01-05", "2024-01-10", "2024-01-15", "2024-01-23")) ++
+      span(4L, 400L, Seq("2024-01-01", "2024-01-10", "2024-01-21")) ++
+      span(5L, 500L, Seq("2024-01-05", "2024-02-04")) ++
+      span(6L, 600L, Seq("2024-01-01", "2024-01-10", "2024-01-20", "2024-01-31"))))
+  }
+
+  test("log-rank: the chi2 branch fires on a churning cohort (hand-computed)") {
+    val r = Analytics.q_logrank_test(spark, survivalDir).collect()
+    assert(r.length === 1)
+    // O1 = 2; E1 = 3/6 + 2/5 + 2/4 + 1/3 = 1.7333; V = 0.25+0.24+0.25+2/9
+    assert(r(0).getAs[Long]("observed_g0") === 2L)
+    assert(r(0).getAs[Double]("expected_g0") === 1.7333)
+    assert(r(0).getAs[Double]("chi2") === 0.0739)
+    assert(r(0).getAs[Long]("curves_differ") === 0L)
+  }
+
+  test("weighted log-rank: Gehan and Tarone-Ware weights diverge from plain (hand-computed)") {
+    val r = Analytics.q_weighted_logrank(spark, survivalDir).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Double]("chi2_logrank") === 0.0739)
+    // Gehan: U = Σ nr·contrib = 3−2+2−1 = 2, V = 9+6+4+2 = 21 → 4/21
+    assert(r(0).getAs[Double]("chi2_gehan") === 0.1905)
+    assert(r(0).getAs[Double]("chi2_tarone_ware") === 0.1298)
+  }
+
+  test("RMST: KM steps integrate to 19.5 days at tau=25 (hand-computed)") {
+    val r = Analytics.q_rmst(spark, survivalDir).collect()
+    assert(r.length === 1)
+    // S = 5/6, 2/3, 1/2, 1/3 on widths 5, 5, 2, 3 after the S=1 head of 10
+    assert(r(0).getAs[Long]("n_steps") === 4L)
+    assert(r(0).getAs[Double]("rmst_days") === 19.5)
+  }
+
+  test("survival C-index: concordant/tied pairs counted on the live branch (hand-computed)") {
+    val r = Analytics.q_survival_cindex(spark, survivalDir).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("comparable") === 14L)
+    assert(r(0).getAs[Long]("concordant") === 4L)
+    assert(r(0).getAs[Long]("tied") === 2L)
+    assert(r(0).getAs[Double]("c_index") === 0.3571) // (2·4+2)/(2·14)
+  }
+
+  // ---- drawdown: needs a NEGATIVE daily total to be non-vacuous -------------
+
+  test("max drawdown: a down day produces the 6000-cent trough (hand-computed)") {
+    val dir = fixture("events" -> eventsTable(Seq(
+      (1L, "2024-01-01 12:00:00", 1L, "purchase", 100.0),
+      (2L, "2024-01-02 12:00:00", 1L, "refund", -60.0),
+      (3L, "2024-01-03 12:00:00", 1L, "purchase", 20.0))))
+    val r = Analytics.q_max_drawdown(spark, dir).collect()
+    assert(r.length === 1)
+    // cum = 10000, 4000, 6000 cents; peak stays 10000
+    assert(r(0).getAs[Long]("n_days") === 3L)
+    assert(r(0).getAs[Long]("max_dd_cents") === 6000L)
+    assert(r(0).getAs[Long]("max_dd_pct_e6") === 600000L)
+    val ulcer = math.sqrt((600000.0 * 600000.0 + 400000.0 * 400000.0) / 3.0) / 1e6
+    assert(math.abs(r(0).getAs[Double]("ulcer_index") - ulcer) < 1e-6)
+  }
+
+  // ---- physical-design audits ----------------------------------------------
+
+  test("zone map: a straddling zone with no matching row is a false keep (hand-computed)") {
+    // 16 files × 2 parts; file0 = [$1100,$1105] (kept, 2 matches),
+    // file1 = [$900,$1500] (kept, 0 matches → the false keep), rest $2000
+    val price = (pk: Long) => pk match {
+      case 1L => 1100.0; case 2L => 1105.0; case 3L => 900.0; case 4L => 1500.0
+      case _ => 2000.0
+    }
+    val dir = fixture("part" -> partTable((1L to 32L).map(pk => (pk, "T", 1, price(pk)))))
+    val r = Relational.q_zone_map_pruning(spark, dir).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("n_files") === 16L)
+    assert(r(0).getAs[Long]("n_rows") === 32L)
+    assert(r(0).getAs[Long]("n_match_rows") === 2L)
+    assert(r(0).getAs[Long]("files_kept_by_zonemap") === 2L)
+    assert(r(0).getAs[Long]("files_with_matches") === 1L)
+    assert(r(0).getAs[Long]("false_keeps") === 1L)
+  }
+
+  test("z-order locality: a full 16x16 grid selects 4 of 16 z-files (hand-computed)") {
+    // price i cents × size j covers the grid exactly: px = i, sy = j
+    val rows = for (i <- 0 to 15; j <- 0 to 15)
+      yield ((i * 16 + j + 1).toLong, "T", j, i * 0.01)
+    val dir = fixture("part" -> partTable(rows))
+    val r = Relational.q_zorder_locality(spark, dir).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("n_rows") === 256L)
+    assert(r(0).getAs[Long]("n_match") === 64L) // px ∈ [4,7] × 16 sy values
+    assert(r(0).getAs[Long]("selectivity_e4") === 2500L)
+    // px ∈ 4..7 ⇒ px₃=0, px₂=1 ⇒ zfile = 2 + 4·sy₃ + sy₂ ∈ {2,3,6,7}
+    assert(r(0).getAs[Long]("z_files_touched") === 4L)
+    assert(r(0).getAs[Long]("z_files_total") === 16L)
+    assert(r(0).getAs[Long]("linear_files_touched") === 4L)
+  }
+
+  test("IN-subquery: the never-sold branch is non-zero on a gapped part list") {
+    val dir = fixture(
+      "part" -> partTable((1L to 10L).map(pk => (pk, "T", 1, 100.0))),
+      "lineitem" -> lineitemTable((1L to 7L).map(pk => (pk, pk, 1.0, "2024-01-01"))))
+    val r = Relational.q_subquery_in(spark, dir).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("n_parts_sold") === 7L)
+    assert(r(0).getAs[Long]("n_parts_never_sold") === 3L)
+  }
+
+  test("rare-category collapse: sub-1% categories fold into OTHER (hand-computed)") {
+    val rows = (1L to 198L).map(pk => (pk, "common", 1, 100.0)) ++
+      Seq((199L, "rare1", 1, 100.0), (200L, "rare2", 1, 100.0))
+    val dir = fixture("part" -> partTable(rows))
+    val r = MLDeterministic.q_rare_category_collapse(spark, dir).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("n_before") === 3L)
+    assert(r(0).getAs[Long]("n_after") === 2L) // common + OTHER
+    assert(r(0).getAs[Long]("n_collapsed") === 2L)
+    assert(r(0).getAs[Long]("rows_other") === 2L)
+    assert(r(0).getAs[Long]("other_share_e6") === 10000L) // 2/200
+  }
+
+  // ---- experiment / information-theory screens ------------------------------
+
+  test("SRM check: a 60/40 split trips the chi2 gate (hand-computed)") {
+    val rows = (1L to 60L).map(i => (i, s"2024-01-0${i % 9 + 1} 12:00:00", 2L * i, "view", 1.0)) ++
+      (61L to 100L).map(i => (i, "2024-01-02 12:00:00", 2L * (i - 61L) + 1L, "view", 1.0))
+    val dir = fixture("events" -> eventsTable(rows))
+    val r = MLDeterministic.q_srm_check(spark, dir).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("n0") === 60L)
+    assert(r(0).getAs[Long]("n1") === 40L)
+    assert(r(0).getAs[Double]("chi2") === 4.0) // (10²+10²)/50
+    assert(r(0).getAs[Long]("srm_flag") === 1L)
+  }
+
+  test("uncertainty coefficient: perfect association gives U = 1 (hand-computed)") {
+    // qty 10 → band 0 always flag A; qty 20 → band 1 always flag R
+    val rows = (1L to 50L).map(i => (i, 1L, 10.0, "A")) ++
+      (51L to 100L).map(i => (i, 1L, 20.0, "R"))
+    val li = rows.toDF("l_orderkey", "l_partkey", "l_quantity", "rf")
+      .select(col("l_orderkey"), col("l_partkey"), lit(1L).as("l_suppkey"),
+        lit(1).as("l_linenumber"), col("l_quantity"), lit(100.0).as("l_extendedprice"),
+        lit(0.0).as("l_discount"), lit(0.0).as("l_tax"), col("rf").as("l_returnflag"),
+        lit("O").as("l_linestatus"), ts(lit("2024-01-01 00:00:00")).as("l_shipdate"))
+    val dir = fixture("lineitem" -> li)
+    val r = Analytics.q_uncertainty_coefficient(spark, dir).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("n_items") === 100L)
+    assert(r(0).getAs[Double]("mi_nats") === 0.693147) // ln 2
+    assert(r(0).getAs[Double]("u_y_given_x") === 1.0)
+    assert(r(0).getAs[Double]("u_symmetric") === 1.0)
+  }
+
+  test("Theil decomposition: between-region inequality is the live term (hand-computed)") {
+    val orders = Seq((1L, 1L, 100.0), (2L, 2L, 100.0), (3L, 3L, 300.0), (4L, 4L, 300.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .select(col("o_orderkey"), col("o_custkey"), lit("O").as("o_orderstatus"),
+        col("o_totalprice"), ts(lit("2024-01-01 00:00:00")).as("o_orderdate"),
+        lit("1-URGENT").as("o_orderpriority"))
+    val cust = Seq((1L, 1), (2L, 1), (3L, 2), (4L, 2))
+      .toDF("c_custkey", "c_nationkey")
+      .select(col("c_custkey"), concat(lit("c"), col("c_custkey")).as("c_name"),
+        col("c_nationkey"), lit(0.0).as("c_acctbal"), lit("BUILDING").as("c_mktsegment"))
+    val nation = Seq((1, "N1", 1), (2, "N2", 2)).toDF("n_nationkey", "n_name", "n_regionkey")
+    val dir = fixture("orders" -> orders, "customer" -> cust, "nation" -> nation)
+    val r = Analytics.q_theil_between_within(spark, dir).collect()
+    assert(r.length === 1)
+    // two equal-within regions at 100 vs 300: T_total = T_between = 0.1308
+    assert(r(0).getAs[Double]("theil_total") === 0.1308)
+    assert(r(0).getAs[Double]("theil_between") === 0.1308)
+    assert(r(0).getAs[Double]("theil_within") === 0.0)
+    assert(r(0).getAs[Double]("identity_gap") === 0.0)
+  }
+
+  // ---- demand / markov / embedding screens ----------------------------------
+
+  test("demand intermittency: active-share bands 0, 2 and 4 all populate (hand-computed)") {
+    val dir = fixture("lineitem" -> lineitemTable(Seq(
+      (1L, 1L, 1.0, "2024-01-01"), (2L, 1L, 1.0, "2024-01-22"), // 2 of 4 weeks → band 2
+      (3L, 2L, 1.0, "2024-01-01"), (4L, 2L, 1.0, "2024-01-08"),
+      (5L, 2L, 1.0, "2024-01-15"), //                               3 of 3 → band 4
+      (6L, 3L, 1.0, "2024-01-01"), (7L, 3L, 1.0, "2024-03-04")))) // 2 of 10 → band 0
+    val r = Analytics.q_demand_intermittency(spark, dir).collect()
+      .map(x => (x.getAs[Long]("band"), x.getAs[Long]("n_parts"))).toSeq
+    assert(r === Seq((0L, 1L), (2L, 1L), (4L, 1L)))
+  }
+
+  test("stationary tiers: 2-state chain converges toward (1/3, 2/3) (hand-computed)") {
+    // u10 wk-tiers 0,1,0,1 and u11 tiers 1,1: P = [[0,1],[1/2,1/2]];
+    // three integer power steps from uniform: π₃ = (0.3125, 0.6875)
+    val dir = fixture("events" -> eventsTable(Seq(
+      (1L, "2024-01-01 12:00:00", 10L, "purchase", 500.0),
+      (2L, "2024-01-08 12:00:00", 10L, "purchase", 1500.0),
+      (3L, "2024-01-15 12:00:00", 10L, "purchase", 500.0),
+      (4L, "2024-01-22 12:00:00", 10L, "purchase", 1500.0),
+      (5L, "2024-01-01 12:00:00", 11L, "purchase", 1200.0),
+      (6L, "2024-01-08 12:00:00", 11L, "purchase", 1100.0))))
+    val r = Analytics.q_stationary_tiers(spark, dir).collect()
+      .map(x => (x.getAs[Long]("tier"), x.getAs[Long]("share_e6"))).toSeq
+    assert(r === Seq((0L, 312500L), (1L, 687500L)))
+  }
+
+  test("embedding shape audit: NaN and all-zero vectors are counted (hand-computed)") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f, 4.0f), 0),
+      (2L, Seq(Float.NaN, 0.0f, 0.0f, 0.0f), 0),
+      (3L, Seq(0.0f, 0.0f, 0.0f, 0.0f), 1),
+      (4L, Seq(1.0f, 1.0f), 1)).toDF("vec_id", "embedding", "label")
+    val dir = fixture("embeddings" -> emb)
+    val r = Vectors.q_embedding_shape_audit(spark, dir).collect()
+      .map(x => (x.getAs[Long]("dims"), x.getAs[Long]("n_vectors"),
+        x.getAs[Long]("n_with_nan"), x.getAs[Long]("n_all_zero"))).toSeq
+    assert(r === Seq((2L, 1L, 0L, 0L), (4L, 3L, 1L, 1L)))
+  }
+}

@@ -204,4 +204,16 @@ class PlanShapeSpec extends AnyFunSuite {
         s"near-dup candidate stage must stay keyed:\n$p")
     }
   }
+
+  test("exact kNN: rank filters plan a partial WindowGroupLimit before the shuffle") {
+    // the row_number-over-(qid)-then-filter idiom must trigger Spark's
+    // InferWindowGroupLimit so each map task keeps only its local top-k of
+    // the O(block²) pair stream — without it the full pair fan-out shuffles
+    for (df <- Seq(Vectors.q_knn_hubness(spark, sf),
+                   Vectors.q_mutual_nn(spark, sf))) {
+      val p = plan(df)
+      assert(p.contains("WindowGroupLimit"),
+        s"expected a partial top-k (WindowGroupLimit) under the rank window:\n$p")
+    }
+  }
 }
