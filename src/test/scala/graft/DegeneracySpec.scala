@@ -268,6 +268,43 @@ class DegeneracySpec extends AnyFunSuite {
     assert(r === Seq((0L, 312500L), (1L, 687500L)))
   }
 
+  test("growth accounting: expansion/contraction/churn/resurrection all fire (hand-computed)") {
+    // u1: 100 → 150 → 120 (expansion then contraction);
+    // u2: 200 → absent → 80 (churn then resurrection)
+    val dir = fixture("events" -> eventsTable(Seq(
+      (1L, "2024-01-05 12:00:00", 1L, "purchase", 100.0),
+      (2L, "2024-02-05 12:00:00", 1L, "purchase", 150.0),
+      (3L, "2024-03-05 12:00:00", 1L, "purchase", 120.0),
+      (4L, "2024-01-06 12:00:00", 2L, "purchase", 200.0),
+      (5L, "2024-03-06 12:00:00", 2L, "purchase", 80.0))))
+    val r = Analytics.q_revenue_growth_accounting(spark, dir).collect()
+      .map(x => (x.getAs[String]("month"), x.getAs[Long]("new_cents"),
+        x.getAs[Long]("expansion_cents"), x.getAs[Long]("contraction_cents"),
+        x.getAs[Long]("churned_cents"), x.getAs[Long]("resurrected_cents"),
+        x.getAs[Long]("net_change_cents"))).toSeq
+    assert(r === Seq(
+      ("2024-01", 30000L, 0L, 0L, 0L, 0L, 30000L),
+      ("2024-02", 0L, 5000L, 0L, -20000L, 0L, -15000L),
+      ("2024-03", 0L, 0L, -3000L, 0L, 8000L, 5000L)))
+  }
+
+  test("rate limit: a same-instant burst of 8 yields 3 violations (hand-computed)") {
+    // u1: 8 arrivals at one instant at 1 token/60s, burst 5 → backlog j·r
+    // exceeds 5r from the 6th arrival; u2 is a conforming control
+    val burst = (1L to 8L).map(i => (i, "2024-01-01 00:00:00 ", 1L, "view", 1.0))
+      .map { case (i, t, u, ty, v) => (i, t.trim, u, ty, v) }
+    val dir = fixture("events" -> eventsTable(burst ++ Seq(
+      (9L, "2024-01-01 00:00:00", 2L, "view", 1.0),
+      (10L, "2024-01-01 00:02:00", 2L, "view", 1.0))))
+    val r = Events.q_rate_limit_summary(spark, dir).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("n_users") === 2L)
+    assert(r(0).getAs[Long]("offending_users") === 1L)
+    assert(r(0).getAs[Long]("n_events") === 10L)
+    assert(r(0).getAs[Long]("n_violations") === 3L)
+    assert(r(0).getAs[Long]("violation_share_e6") === 300000L)
+  }
+
   test("embedding shape audit: NaN and all-zero vectors are counted (hand-computed)") {
     val emb = Seq(
       (1L, Seq(1.0f, 2.0f, 3.0f, 4.0f), 0),
