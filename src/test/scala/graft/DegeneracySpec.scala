@@ -317,4 +317,157 @@ class DegeneracySpec extends AnyFunSuite {
         x.getAs[Long]("n_with_nan"), x.getAs[Long]("n_all_zero"))).toSeq
     assert(r === Seq((2L, 1L, 0L, 0L), (4L, 3L, 1L, 1L)))
   }
+
+  // ---- dirty corpus: the exact-dup detector family ---------------------------
+  //
+  // The sf0.01 documents fixture contains NO exact text duplicates, so every
+  // exact-dup detector column (dup_docs, n_removed, n_dup_docs, n_absorbed,
+  // n_shared_exact, ...) is zero in every oracle run. This corpus plants:
+  // T1 ×3 (two web + one wiki exact dups), a token permutation of T1 (a
+  // bag-of-words dup that is NOT an exact dup), a single-token doc, a
+  // uniform-token doc, and a clean French control.
+  private def docsTable(rows: Seq[(Long, String, String, String)]): DataFrame =
+    rows.toDF("doc_id", "text", "lang", "source")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        length(col("text")).cast("long").as("n_chars"))
+
+  private lazy val dirtyDir: String = fixture("documents" -> docsTable(Seq(
+    (1L, "alpha beta gamma delta", "en", "web"),
+    (2L, "alpha beta gamma delta", "en", "web"),
+    (3L, "beta alpha delta gamma", "en", "web"), // bow dup, not exact
+    (4L, "alpha beta gamma delta", "en", "wiki"), // cross-source exact dup
+    (5L, "epsilon zeta", "fr", "web"),
+    (6L, "solo", "en", "web"),
+    (7L, "aa aa aa", "en", "web"))))
+
+  test("dedup apply: exact duplicates are removed, bow permutations kept (hand-computed)") {
+    val r = TextPipeline.q_dedup_apply(spark, dirtyDir).collect()
+      .map(x => (x.getAs[String]("lang"), x.getAs[String]("source"),
+        x.getAs[Long]("n_docs"), x.getAs[Long]("n_kept"), x.getAs[Long]("n_removed"))).toSeq
+    // fp(T1) group {1,2,4} keeps min id 1 → doc 2 (web) and doc 4 (wiki) removed
+    assert(r === Seq(("en", "web", 5L, 4L, 1L), ("en", "wiki", 1L, 0L, 1L),
+      ("fr", "web", 1L, 1L, 0L)))
+  }
+
+  test("corpus report: duplicate volume is counted per language (hand-computed)") {
+    val r = TextPipeline.q_corpus_report(spark, dirtyDir).collect()
+      .map(x => (x.getAs[String]("lang"), x.getAs[Long]("n_docs"),
+        x.getAs[Long]("n_chars"), x.getAs[Long]("n_tokens"), x.getAs[Long]("vocab"),
+        x.getAs[Long]("ttr_e4"), x.getAs[Long]("mean_chars"),
+        x.getAs[Long]("dup_docs"), x.getAs[Long]("dup_groups"))).toSeq
+    assert(r === Seq(
+      ("en", 6L, 100L, 20L, 6L, 3000L, 16L, 3L, 1L),
+      ("fr", 1L, 12L, 2L, 2L, 10000L, 12L, 0L, 0L)))
+  }
+
+  test("degenerate docs: single-token, uniform and short detectors fire (hand-computed)") {
+    val r = TextPipeline.q_degenerate_docs(spark, dirtyDir).collect()
+      .map(x => (x.getAs[String]("lang"), x.getAs[Long]("n_docs"),
+        x.getAs[Long]("n_single_tok"), x.getAs[Long]("n_uniform"),
+        x.getAs[Long]("n_short"))).toSeq
+    assert(r === Seq(("en", 6L, 1L, 1L, 2L), ("fr", 1L, 0L, 0L, 1L)))
+  }
+
+  test("bag-of-words dedup: a token permutation collapses with its source (hand-computed)") {
+    val r = Text.q_dedup_bow(spark, dirtyDir).collect()
+      .map(x => (x.getAs[String]("lang"), x.getAs[Long]("n_docs"),
+        x.getAs[Long]("n_bow_distinct"), x.getAs[Long]("n_dup_extra"))).toSeq
+    // en bows: {T1-sorted ×4, solo, aa aa aa} → 3 distinct of 6 docs
+    assert(r === Seq(("en", 6L, 3L, 3L), ("fr", 1L, 1L, 0L)))
+  }
+
+  test("structure dedup: identical length templates group, permutations do not (hand-computed)") {
+    val r = TextPipeline.q_structure_dedup(spark, dirtyDir).collect()
+      .map(x => (x.getAs[String]("lang"), x.getAs[Long]("n_docs"),
+        x.getAs[Long]("n_templates"), x.getAs[Long]("n_dup_docs"),
+        x.getAs[Long]("max_group"))).toSeq
+    // en templates: "5,4,5,5"×3, "4,5,5,5", "4", "2,2,2"
+    assert(r === Seq(("en", 6L, 4L, 3L, 3L), ("fr", 1L, 1L, 0L, 1L)))
+  }
+
+  test("golden record: the bow group absorbs 3 members across 2 sources (hand-computed)") {
+    val r = TextPipeline.q_golden_record(spark, dirtyDir).collect()
+      .map(x => (x.getAs[String]("lang"), x.getAs[Long]("n_golden"),
+        x.getAs[Long]("n_absorbed"), x.getAs[Long]("n_mixed_lang_groups"),
+        x.getAs[Long]("n_mixed_source_groups"))).toSeq
+    assert(r === Seq(("en", 3L, 3L, 0L, 1L), ("fr", 1L, 0L, 0L, 0L)))
+  }
+
+  test("cross-shard dedup: the web/wiki shared exact fingerprint is found (hand-computed)") {
+    val r = Text.q_dedup_crossshard(spark, dirtyDir).collect()
+      .map(x => (x.getAs[String]("source_a"), x.getAs[String]("source_b"),
+        x.getAs[Long]("n_shared_exact"), x.getAs[Long]("n_shared_prefix80"))).toSeq
+    assert(r === Seq(("web", "wiki", 1L, 1L)))
+  }
+
+  test("doc entropy filter: a repeated-token doc scores H=0 and is flagged (hand-computed)") {
+    val dir = fixture("documents" -> docsTable(Seq(
+      (1L, "aa aa aa", "en", "s1"),
+      (2L, "one two three four five six seven eight", "en", "s1"))))
+    val r = TextPipeline.q_doc_entropy_filter(spark, dir).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("n_docs") === 2L)
+    assert(r(0).getAs[Long]("n_low_entropy") === 1L) // H=0 < 1.5 nats
+    assert(r(0).getAs[Long]("mean_h_e4") === 10397L) // (0 + ln8·1e4) div 2
+  }
+
+  test("OOV rate: tokens past the top-100 vocabulary count as OOV (hand-computed)") {
+    val text = (1 to 120).map(i => f"w$i%03d").mkString(" ")
+    val dir = fixture("documents" -> docsTable(Seq((1L, text, "en", "web"))))
+    val r = TextPipeline.q_oov_rate(spark, dir).collect()
+    assert(r.length === 1)
+    // 120 once-seen tokens; count-tie → word asc keeps w001..w100
+    assert(r(0).getAs[Long]("n_tokens") === 120L)
+    assert(r(0).getAs[Long]("n_oov") === 20L)
+    assert(r(0).getAs[Long]("oov_e4") === 1666L)
+  }
+
+  test("n-gram novelty: the 1001st distinct bigram is novel (hand-computed)") {
+    val text = (0 to 1001).map(i => f"t$i%04d").mkString(" ")
+    val dir = fixture("documents" -> docsTable(Seq((1L, text, "en", "web"))))
+    val r = Text.q_ngram_novelty(spark, dir).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("n_bigrams") === 1001L)
+    assert(r(0).getAs[Long]("n_novel") === 1L) // "t1000 t1001" falls off the top-1000
+    assert(r(0).getAs[Long]("novelty_e4") === 9L)
+  }
+
+  test("semantic dedup: planted identical embeddings are found and removed (hand-computed)") {
+    val patt = (0 until 64).map(i => 0.1f * (i % 5 + 1))
+    val e0 = Seq.tabulate(64)(i => if (i == 0) 1.0f else 0.0f)
+    val e1 = Seq.tabulate(64)(i => if (i == 1) 1.0f else 0.0f)
+    val emb = Seq((1L, patt, 0), (2L, patt, 0), (3L, e0, 1), (4L, e1, 1))
+      .toDF("vec_id", "embedding", "label")
+    val dir = fixture("embeddings" -> emb)
+    val r = Ann.q_semantic_dedup(spark, dir).collect()
+      .map(x => (x.getAs[Long]("label"), x)).toMap
+    // label 0: identical pair → same LSH bucket, cos=1 ≥ 0.4, one removal
+    assert(r(0L).getAs[Long]("n_vecs") === 2L)
+    assert(r(0L).getAs[Long]("n_buckets") === 1L)
+    assert(r(0L).getAs[Long]("n_cand_pairs") === 1L)
+    assert(r(0L).getAs[Long]("n_dup_pairs") === 1L)
+    assert(r(0L).getAs[Long]("n_removed") === 1L)
+    // label 1: orthogonal pair, cos=0 — never a dup whatever its buckets
+    assert(r(1L).getAs[Long]("n_dup_pairs") === 0L)
+    assert(r(1L).getAs[Long]("n_removed") === 0L)
+  }
+
+  test("Kaplan-Meier: the product-limit curve steps at each churn time (hand-computed)") {
+    val r = Analytics.q_kaplan_meier(spark, survivalDir).collect()
+      .map(x => (x.getAs[Long]("t"), x.getAs[Long]("n_risk"),
+        x.getAs[Long]("n_churned"), x.getAs[Long]("n_censored"),
+        x.getAs[Double]("survival"))).toSeq
+    assert(r === Seq((10L, 6L, 1L, 0L, 0.8333), (15L, 5L, 1L, 0L, 0.6667),
+      (20L, 4L, 1L, 0L, 0.5), (22L, 3L, 1L, 0L, 0.3333), (30L, 2L, 0L, 2L, 0.3333)))
+  }
+
+  test("Nelson-Aalen: cumulative hazard and SE accumulate per churn time (hand-computed)") {
+    val r = Analytics.q_nelson_aalen(spark, survivalDir).collect()
+      .map(x => (x.getAs[Long]("t"), x.getAs[Long]("n_risk"),
+        x.getAs[Long]("n_churned"), x.getAs[Double]("na_cumhaz"),
+        x.getAs[Double]("na_se"))).toSeq
+    assert(r === Seq((10L, 6L, 1L, 0.1667, 0.1667), (15L, 5L, 1L, 0.3667, 0.2603),
+      (20L, 4L, 1L, 0.6167, 0.3609), (22L, 3L, 1L, 0.95, 0.4913),
+      (30L, 2L, 0L, 0.95, 0.4913)))
+  }
 }
