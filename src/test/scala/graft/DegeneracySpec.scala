@@ -470,4 +470,190 @@ class DegeneracySpec extends AnyFunSuite {
       (20L, 4L, 1L, 0.6167, 0.3609), (22L, 3L, 1L, 0.95, 0.4913),
       (30L, 2L, 0L, 0.95, 0.4913)))
   }
+
+  // ---- SPC alarms: the fixture series never leaves its control bands --------
+
+  test("control chart: a 5x spike day lands above the UCL (hand-computed)") {
+    val rows = (1 to 10).map(d => (d.toLong, f"2024-01-$d%02d 12:00:00", 1L, "view", 100.0)) :+
+      (11L, "2024-01-11 12:00:00", 1L, "view", 500.0)
+    val dir = fixture("events" -> eventsTable(rows))
+    val r = Events.q_control_chart(spark, dir).collect()
+    assert(r.length === 1)
+    // center = 150000/11, one moving range of 40000 over 10 → band 10640
+    assert(r(0).getAs[Long]("n_days") === 11L)
+    assert(r(0).getAs[Double]("center") === 13636.3636)
+    assert(r(0).getAs[Double]("ucl") === 24276.3636)
+    assert(r(0).getAs[Double]("lcl") === 2996.3636)
+    assert(r(0).getAs[Long]("n_out_of_control") === 1L)
+  }
+
+  test("EWMA chart: a 20x error burst drives the smoothed count past UCL (hand-computed)") {
+    var id = 0L
+    val rows = (1 to 20).flatMap { d =>
+      val k = if (d <= 17) 1 else 20
+      (1 to k).map { _ => id += 1; (id, f"2024-02-$d%02d 12:00:00", 1L, "error", 1.0) }
+    }
+    val dir = fixture("events" -> eventsTable(rows))
+    val r = Analytics.q_ewma_chart(spark, dir).collect() // full 12-day kernels: days 12..20
+    assert(r.length === 9)
+    assert(r.forall(_.getAs[Double]("ucl") === 7.2485)) // cbar 3.85 + 3·√(3.85/3)
+    assert(r.forall(_.getAs[Double]("lcl") === 0.4515))
+    val z = r.map(_.getAs[Double]("ewma")).toSeq
+    assert(z === Seq(0.9998, 0.9998, 0.9998, 0.9998, 0.9998, 0.9998,
+      10.4998, 15.2498, 17.6248))
+    assert(r.map(_.getAs[Long]("out_of_control")).toSeq === Seq(0L, 0L, 0L, 0L, 0L, 0L, 1L, 1L, 1L))
+  }
+
+  test("Page-Hinkley: a 10x level shift raises the alarm on day 10 (hand-computed)") {
+    val rows = (1 to 10).map { d =>
+      (d.toLong, f"2024-03-$d%02d 12:00:00", 1L, "purchase", if (d <= 5) 200.0 else 2000.0)
+    }
+    val dir = fixture("events" -> eventsTable(rows))
+    val r = MLDeterministic.q_page_hinkley(spark, dir).collect()
+    assert(r.length === 10)
+    assert(r.map(_.getAs[Double]("ph_stat")).toSeq === Seq(-10000.0, -20000.0,
+      -30000.0, -40000.0, -50000.0, 90000.0, 208571.4286, 311071.4286,
+      401071.4286, 481071.4286))
+    assert(r.map(_.getAs[Long]("alarm")).toSeq ===
+      Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 1L))
+  }
+
+  test("IQR outliers: both fence sides count their planted points (hand-computed)") {
+    val rows = (1 to 96).map(i => (i.toLong, "2024-01-01 12:00:00", i.toLong, "buy", 100.0)) ++
+      Seq((97L, "2024-01-01 12:00:00", 97L, "buy", 0.50),
+        (98L, "2024-01-01 12:00:00", 98L, "buy", 0.50),
+        (99L, "2024-01-01 12:00:00", 99L, "buy", 1000.0),
+        (100L, "2024-01-01 12:00:00", 100L, "buy", 1000.0))
+    val dir = fixture("events" -> eventsTable(rows))
+    val r = Sampling.q_iqr_outliers(spark, dir).collect()
+    assert(r.length === 1)
+    // q1 = q3 = 10000 cents (96% of mass), so the fences collapse onto it
+    assert(r(0).getAs[Long]("n") === 100L)
+    assert(r(0).getAs[Long]("n_below") === 2L)
+    assert(r(0).getAs[Long]("n_above") === 2L)
+    assert(r(0).getAs[Long]("outlier_share_e4") === 400L)
+  }
+
+  test("Tukey fences: inner-quartile collapse exposes low and high tails (hand-computed)") {
+    val prices = Seq.fill(96)(100.0) ++ Seq(0.50, 0.50, 1000.0, 1000.0)
+    val li = prices.zipWithIndex.map { case (p, i) => ((i + 1).toLong, p) }
+      .toDF("l_orderkey", "ep")
+      .select(col("l_orderkey"), lit(1L).as("l_partkey"), lit(1L).as("l_suppkey"),
+        lit(1).as("l_linenumber"), lit(1.0).as("l_quantity"),
+        col("ep").as("l_extendedprice"), lit(0.0).as("l_discount"),
+        lit(0.0).as("l_tax"), lit("N").as("l_returnflag"), lit("O").as("l_linestatus"),
+        ts(lit("2024-01-01 00:00:00")).as("l_shipdate"))
+    val dir = fixture("lineitem" -> li)
+    val r = Analytics.q_tukey_fences(spark, dir).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("q1") === 10000L)
+    assert(r(0).getAs[Long]("q3") === 10000L)
+    assert(r(0).getAs[Long]("n_low") === 2L)
+    assert(r(0).getAs[Long]("n_high") === 2L)
+    assert(r(0).getAs[Long]("outlier_rate_e6") === 40000L)
+  }
+
+  // ---- hypothesis-test rejections -------------------------------------------
+
+  /** orders fixture rows: (o_orderkey, o_custkey, o_totalprice, priority, "yyyy-MM-dd"). */
+  private def ordersTable(rows: Seq[(Long, Long, Double, String, String)]): DataFrame =
+    rows.toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority", "od")
+      .select(col("o_orderkey"), col("o_custkey"), lit("O").as("o_orderstatus"),
+        col("o_totalprice"), ts(concat(col("od"), lit(" 00:00:00"))).as("o_orderdate"),
+        col("o_orderpriority"))
+
+  /** customer fixture rows: (c_custkey, c_nationkey, c_mktsegment). */
+  private def custTable(rows: Seq[(Long, Int, String)]): DataFrame =
+    rows.toDF("c_custkey", "c_nationkey", "c_mktsegment")
+      .select(col("c_custkey"), concat(lit("c"), col("c_custkey")).as("c_name"),
+        col("c_nationkey"), lit(0.0).as("c_acctbal"), col("c_mktsegment"))
+
+  test("Bartlett: one exploded-variance group rejects homogeneity (hand-computed)") {
+    val tight = Seq(100.00, 101.00, 102.00, 103.00)
+    val wide = Seq(100.00, 300.00, 500.00, 700.00)
+    val pr = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED")
+    val rows = pr.zipWithIndex.flatMap { case (p, g) =>
+      tight.zipWithIndex.map { case (v, i) => ((g * 4 + i + 1).toLong, 1L, v, p, "2024-01-05") }
+    } ++ wide.zipWithIndex.map { case (v, i) => ((16 + i + 1).toLong, 1L, v, "5-LOW", "2024-01-05") }
+    val dir = fixture("orders" -> ordersTable(rows))
+    val r = Analytics.q_bartlett_test(spark, dir).collect()
+    assert(r.length === 5)
+    // tight groups: s² = 50000/3 cents² = 1.6667 $²; wide: 2e9/3 = 66666.6667 $²
+    assert(r.take(4).forall(_.getAs[Double]("var_dollars") === 1.6667))
+    assert(r(4).getAs[Double]("var_dollars") === 66666.6667)
+    val t = r(0).getAs[Double]("bartlett_t")
+    assert(t > 90.5 && t < 91.3, s"bartlett T $t outside the hand-computed window")
+    assert(r.forall(_.getAs[Long]("reject_homogeneous") === 1L))
+  }
+
+  test("Mood's median test: disjoint groups reject equal medians (hand-computed)") {
+    val rows = (1 to 5).map(i => (i.toLong, 1L, 100.0, "1-URGENT", "2024-01-05")) ++
+      (6 to 10).map(i => (i.toLong, 1L, 900.0, "5-LOW", "2024-01-05"))
+    val dir = fixture("orders" -> ordersTable(rows))
+    val r = Analytics.q_moods_median_test(spark, dir).collect()
+      .map(x => (x.getAs[String]("priority"), x.getAs[Long]("above"),
+        x.getAs[Long]("notabove"), x.getAs[Double]("contrib"),
+        x.getAs[Double]("chi2"), x.getAs[Long]("reject_equal_medians"))).toSeq
+    assert(r === Seq(("1-URGENT", 0L, 5L, 5.0, 10.0, 1L), ("5-LOW", 5L, 0L, 5.0, 10.0, 1L)))
+  }
+
+  test("Friedman: a consistent within-block ordering rejects rank equality (hand-computed)") {
+    val values = Map("1-URGENT" -> 500.0, "2-HIGH" -> 400.0, "3-MEDIUM" -> 300.0,
+      "4-NOT SPECIFIED" -> 200.0, "5-LOW" -> 100.0)
+    val rows = for ((m, mi) <- Seq("2024-01-15", "2024-02-15", "2024-03-15").zipWithIndex;
+                    ((p, v), pi) <- values.toSeq.zipWithIndex)
+      yield ((mi * 5 + pi + 1).toLong, 1L, v, p, m)
+    val dir = fixture("orders" -> ordersTable(rows))
+    val r = Analytics.q_friedman_test(spark, dir).collect()
+      .map(x => (x.getAs[String]("priority"), x.getAs[Long]("n_blocks"),
+        x.getAs[Long]("r_sum"), x.getAs[Double]("mean_rank"),
+        x.getAs[Double]("q_stat"), x.getAs[Long]("reject_equal"))).toSeq
+    // ranks 1..5 in every one of 3 blocks → Q = 12/(3·30)·495 − 54 = 12
+    assert(r === Seq(("1-URGENT", 3L, 3L, 1.0, 12.0, 1L), ("2-HIGH", 3L, 6L, 2.0, 12.0, 1L),
+      ("3-MEDIUM", 3L, 9L, 3.0, 12.0, 1L), ("4-NOT SPECIFIED", 3L, 12L, 4.0, 12.0, 1L),
+      ("5-LOW", 3L, 15L, 5.0, 12.0, 1L)))
+  }
+
+  test("Holm: only the leading segment survives the step-down (hand-computed)") {
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    val cust = segs.zipWithIndex.flatMap { case (s, g) =>
+      (1 to 100).map(i => ((g * 100 + i).toLong, 1, s))
+    }
+    // AUTOMOBILE: 50/100 urgent; others: 10/100 → pooled 18%
+    val orders = segs.zipWithIndex.flatMap { case (s, g) =>
+      (1 to 100).map { i =>
+        val urgent = if (g == 0) i <= 50 else i <= 10
+        ((g * 100 + i).toLong, (g * 100 + i).toLong,
+          100.0, if (urgent) "1-URGENT" else "3-MEDIUM", "2024-01-05")
+      }
+    }
+    val dir = fixture("orders" -> ordersTable(orders), "customer" -> custTable(cust))
+    val r = MLDeterministic.q_holm_correction(spark, dir).collect()
+      .map(x => (x.getAs[String]("segment"), x.getAs[Double]("chi2"),
+        x.getAs[Long]("holm_rank"), x.getAs[Double]("crit_value"),
+        x.getAs[Long]("rejected"))).toSeq
+    // chi2: (50−18)²·(1/18+1/82) = 102400/1476; ties rank by name asc
+    assert(r === Seq(("AUTOMOBILE", 69.3767, 1L, 6.6349, 1L),
+      ("BUILDING", 4.336, 2L, 6.2385, 0L), ("FURNITURE", 4.336, 3L, 5.7305, 0L),
+      ("HOUSEHOLD", 4.336, 4L, 5.0239, 0L), ("MACHINERY", 4.336, 5L, 3.8415, 0L)))
+  }
+
+  test("Benjamini-Hochberg: the inflated nation is the only rejection (hand-computed)") {
+    val cust = (1 to 500).map(i => (i.toLong, (i - 1) / 100 + 1, "BUILDING"))
+    val orders = (1 to 500).map { i =>
+      val nation = (i - 1) / 100 + 1
+      val lowHalf = (i - 1) % 100 < 50
+      val price = if (nation == 1) { if (lowHalf) 75.0 else 175.0 }
+                  else { if (lowHalf) 50.0 else 150.0 }
+      (i.toLong, i.toLong, price, "3-MEDIUM", "2024-01-05")
+    }
+    val dir = fixture("orders" -> ordersTable(orders), "customer" -> custTable(cust))
+    val r = MLDeterministic.q_benjamini_hochberg(spark, dir).collect()
+      .map(x => (x.getAs[Number]("nationkey").longValue, x.getAs[Long]("n_orders"),
+        x.getAs[Double]("z"), x.getAs[Long]("bh_rank"), x.getAs[Long]("rejected"))).toSeq
+    // mu=10500, sigma=√2.6e7: z₁ = 2000/509.902, z₂₋₅ = −500/509.902
+    assert(r === Seq((1L, 100L, 3.9223, 1L, 1L), (2L, 100L, -0.9806, 2L, 0L),
+      (3L, 100L, -0.9806, 3L, 0L), (4L, 100L, -0.9806, 4L, 0L),
+      (5L, 100L, -0.9806, 5L, 0L)))
+  }
 }
