@@ -638,7 +638,10 @@ class DegeneracySpec extends AnyFunSuite {
       ("HOUSEHOLD", 4.336, 4L, 5.0239, 0L), ("MACHINERY", 4.336, 5L, 3.8415, 0L)))
   }
 
-  test("Benjamini-Hochberg: the inflated nation is the only rejection (hand-computed)") {
+  /** One nation's order means inflated by 2000 cents over mu=10500 with
+    * sigma=√2.6e7: z₁ = 3.9223 (p ≈ 0.0025), the rest z = −0.9806
+    * (p ≈ 0.317) — exactly one discovery under both FDR procedures. */
+  private lazy val fdrDir: String = {
     val cust = (1 to 500).map(i => (i.toLong, (i - 1) / 100 + 1, "BUILDING"))
     val orders = (1 to 500).map { i =>
       val nation = (i - 1) / 100 + 1
@@ -647,13 +650,96 @@ class DegeneracySpec extends AnyFunSuite {
                   else { if (lowHalf) 50.0 else 150.0 }
       (i.toLong, i.toLong, price, "3-MEDIUM", "2024-01-05")
     }
-    val dir = fixture("orders" -> ordersTable(orders), "customer" -> custTable(cust))
-    val r = MLDeterministic.q_benjamini_hochberg(spark, dir).collect()
+    fixture("orders" -> ordersTable(orders), "customer" -> custTable(cust))
+  }
+
+  test("Benjamini-Hochberg: the inflated nation is the only rejection (hand-computed)") {
+    val r = MLDeterministic.q_benjamini_hochberg(spark, fdrDir).collect()
       .map(x => (x.getAs[Number]("nationkey").longValue, x.getAs[Long]("n_orders"),
         x.getAs[Double]("z"), x.getAs[Long]("bh_rank"), x.getAs[Long]("rejected"))).toSeq
-    // mu=10500, sigma=√2.6e7: z₁ = 2000/509.902, z₂₋₅ = −500/509.902
     assert(r === Seq((1L, 100L, 3.9223, 1L, 1L), (2L, 100L, -0.9806, 2L, 0L),
       (3L, 100L, -0.9806, 3L, 0L), (4L, 100L, -0.9806, 4L, 0L),
       (5L, 100L, -0.9806, 5L, 0L)))
+  }
+
+  test("Benjamini-Yekutieli: the harmonic correction still admits the discovery (hand-computed)") {
+    val r = MLDeterministic.q_benjamini_yekutieli(spark, fdrDir).collect()
+      .map(x => (x.getAs[Number]("nationkey").longValue, x.getAs[Long]("by_rank"),
+        x.getAs[Double]("c_m"), x.getAs[Long]("rejected"))).toSeq
+    // C(5) = 1+1/2+1/3+1/4+1/5; p₁ ≈ 0.0025 ≤ 0.02/C(5) = 0.00876
+    assert(r === Seq((1L, 1L, 2.283333, 1L), (2L, 2L, 2.283333, 0L),
+      (3L, 3L, 2.283333, 0L), (4L, 4L, 2.283333, 0L), (5L, 5L, 2.283333, 0L)))
+  }
+
+  test("Dunn post-hoc: disjoint rank blocks give z = -4.3589, significant (hand-computed)") {
+    val rows = (1 to 10).map(i => (i.toLong, 1L, 500.0, "1-URGENT", "2024-01-05")) ++
+      (11 to 20).map(i => (i.toLong, 1L, 1500.0, "5-LOW", "2024-01-05"))
+    val dir = fixture("orders" -> ordersTable(rows))
+    val r = Analytics.q_dunn_posthoc(spark, dir).collect()
+      .map(x => (x.getAs[String]("pair"), x.getAs[Double]("z"),
+        x.getAs[Long]("significant"))).toSeq
+    // midranks 5.5 vs 15.5; ties = 2·990: z = −10/√((35 − 1980/228)·0.2)
+    assert(r === Seq(("1-URGENT vs 5-LOW", -4.3589, 1L)))
+  }
+
+  test("Poisson dispersion: a burst day overdisperses the daily counts (hand-computed)") {
+    val rows = (1 to 10).map(d => (d.toLong, 1L, 100.0, "3-MEDIUM", f"1995-01-$d%02d")) ++
+      (11 to 33).map(i => (i.toLong, 1L, 100.0, "3-MEDIUM", "1995-01-11"))
+    val dir = fixture("orders" -> ordersTable(rows))
+    val r = Analytics.q_poisson_dispersion(spark, dir).collect()
+    assert(r.length === 1)
+    // counts [1×10, 23]: var = 44, mean = 3 → VMR = 44/3
+    assert(r(0).getAs[Long]("yr") === 1995L)
+    assert(r(0).getAs[Long]("n_days") === 11L)
+    assert(r(0).getAs[Double]("vmr") === 14.6667)
+    assert(r(0).getAs[Double]("d_stat") === 146.6667)
+    assert(r(0).getAs[Long]("overdispersed") === 1L)
+  }
+
+  test("leverage points: a lone x=100 among x=10 reaches leverage 1.0 (hand-computed)") {
+    val rows = (1 to 99).map(i => (i.toLong, 1L, 10.0, "2024-01-01")) :+
+      (100L, 1L, 100.0, "2024-01-01")
+    val dir = fixture("lineitem" -> lineitemTable(rows))
+    val r = MLDeterministic.q_leverage_points(spark, dir).collect()
+      .map(x => (x.getAs[Long]("x"), x.getAs[Long]("n_rows"),
+        x.getAs[Double]("leverage"), x.getAs[Long]("high_influence"))).toSeq
+    // Sxx = 8019: h(10) = 1/100 + 0.81/8019; h(100) = 1/100 + 7938.81/8019 = 1
+    assert(r === Seq((10L, 99L, 0.01010101, 0L), (100L, 1L, 1.0, 1L)))
+  }
+
+  test("learning curve: a perfectly linear relation holds r2 = 1 at every sample size") {
+    val li = (1 to 400).map { i =>
+      val x = (i % 50) + 1
+      (i.toLong, x.toLong, x.toDouble)
+    }.toDF("l_orderkey", "q", "ep")
+      .select(col("l_orderkey"), lit(1L).as("l_partkey"), lit(1L).as("l_suppkey"),
+        lit(1).as("l_linenumber"), col("q").cast("double").as("l_quantity"),
+        col("ep").as("l_extendedprice"), lit(0.0).as("l_discount"),
+        lit(0.0).as("l_tax"), lit("N").as("l_returnflag"), lit("O").as("l_linestatus"),
+        ts(lit("2024-01-01 00:00:00")).as("l_shipdate"))
+    val dir = fixture("lineitem" -> li)
+    val r = MLDeterministic.q_learning_curve(spark, dir).collect()
+    assert(r.map(_.getAs[Long]("pct")).toSeq === Seq(10L, 20L, 40L, 80L, 100L))
+    // y = 100x cents exactly → slope 100, r² = 1 at every training fraction
+    r.foreach { x =>
+      assert(x.getAs[Double]("slope") === 100.0)
+      assert(x.getAs[Double]("r2") === 1.0)
+    }
+    val ns = r.map(_.getAs[Long]("n")).toSeq
+    assert(ns === ns.sorted && ns.last === 400L)
+  }
+
+  test("lifecycle states: retained, resurrected and churning users classify (hand-computed)") {
+    val dir = fixture("events" -> eventsTable(Seq(
+      (1L, "2024-01-01 12:00:00", 1L, "view", 1.0),
+      (2L, "2024-01-08 12:00:00", 1L, "view", 1.0),
+      (3L, "2024-01-22 12:00:00", 1L, "view", 1.0), // gap week → resurrected
+      (4L, "2024-01-01 12:00:00", 2L, "view", 1.0)))) // one-week user → churns
+    val r = Analytics.q_lifecycle_states(spark, dir).collect()
+      .map(x => (x.getAs[String]("week"), x.getAs[Long]("active_users"),
+        x.getAs[Long]("n_new"), x.getAs[Long]("n_retained"),
+        x.getAs[Long]("n_resurrected"), x.getAs[Long]("n_churning_after"))).toSeq
+    assert(r === Seq(("2024-01-01", 2L, 2L, 0L, 0L, 1L),
+      ("2024-01-08", 1L, 0L, 1L, 0L, 1L), ("2024-01-22", 1L, 0L, 0L, 1L, 1L)))
   }
 }
