@@ -729,6 +729,68 @@ class DegeneracySpec extends AnyFunSuite {
     assert(ns === ns.sorted && ns.last === 400L)
   }
 
+  test("funnel plot: over- and under-performing rates flag +1 and -1 (hand-computed)") {
+    val cust = custTable(Seq((1L, 1, "BUILDING"), (2L, 2, "BUILDING")))
+    val orders = ordersTable(Seq((1L, 1L, 100.0, "3-MEDIUM", "2024-01-05"),
+      (2L, 2L, 100.0, "3-MEDIUM", "2024-01-05")))
+    val li = (1 to 200).map { i =>
+      val okey = if (i <= 100) 1L else 2L
+      val rf = if (i <= 50) "R" else "N" // nation 1: 50% returns; nation 2: 0%
+      (i.toLong, okey, rf)
+    }.toDF("id", "l_orderkey", "rf")
+      .select(col("l_orderkey"), lit(1L).as("l_partkey"), lit(1L).as("l_suppkey"),
+        col("id").cast("int").as("l_linenumber"), lit(1.0).as("l_quantity"),
+        lit(100.0).as("l_extendedprice"), lit(0.0).as("l_discount"),
+        lit(0.0).as("l_tax"), col("rf").as("l_returnflag"), lit("O").as("l_linestatus"),
+        ts(lit("2024-01-01 00:00:00")).as("l_shipdate"))
+    val dir = fixture("customer" -> cust, "orders" -> orders, "lineitem" -> li)
+    val r = Analytics.q_funnel_plot(spark, dir).collect()
+      .map(x => (x.getAs[Number]("nation").longValue, x.getAs[Long]("o"),
+        x.getAs[Long]("expected_e2"), x.getAs[Double]("smr"),
+        x.getAs[Long]("flag"))).toSeq
+    // pooled rate 0.25, e = 25: SMR 2.0 > 1+1.96/5, SMR 0 < 1−1.96/5
+    assert(r === Seq((1L, 50L, 2500L, 2.0, 1L), (2L, 0L, 2500L, 0.0, -1L)))
+  }
+
+  test("max-min fairness: small demands satisfy, the large one hits the water level (hand-computed)") {
+    val cust = custTable(Seq((1L, 1, "AUTOMOBILE"), (2L, 1, "BUILDING"), (3L, 1, "MACHINERY")))
+    val orders = ordersTable(Seq((1L, 1L, 10.0, "3-MEDIUM", "2024-01-05"),
+      (2L, 2L, 10.0, "3-MEDIUM", "2024-01-05"), (3L, 3L, 100.0, "3-MEDIUM", "2024-01-05")))
+    val dir = fixture("orders" -> orders, "customer" -> cust)
+    val r = Analytics.q_maxmin_fairness(spark, dir).collect()
+      .map(x => (x.getAs[String]("c_mktsegment"), x.getAs[Long]("demand_cents"),
+        x.getAs[Long]("satisfied"), x.getAs[Long]("water_level_cents"),
+        x.getAs[Long]("alloc_cents"))).toSeq
+    // cap = 60% of 12000 = 7200; the two 1000s fit, C gets λ = 5200
+    assert(r === Seq(("AUTOMOBILE", 1000L, 1L, 5200L, 1000L),
+      ("BUILDING", 1000L, 1L, 5200L, 1000L), ("MACHINERY", 10000L, 0L, 5200L, 5200L)))
+  }
+
+  test("Hardy-Weinberg: a homozygote-only segment is out of equilibrium (hand-computed)") {
+    // custkeys 3,4,7,8 → genotypes 2,0,2,0: p = q = 0.5, chi2 = 1+2+1 = 4
+    val dir = fixture("customer" -> custTable(Seq(
+      (3L, 1, "BUILDING"), (4L, 1, "BUILDING"), (7L, 1, "BUILDING"), (8L, 1, "BUILDING"))))
+    val r = Analytics.q_hardy_weinberg(spark, dir).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("n") === 4L)
+    assert(r(0).getAs[Long]("n0") === 2L)
+    assert(r(0).getAs[Long]("n1") === 0L)
+    assert(r(0).getAs[Long]("n2") === 2L)
+    assert(r(0).getAs[Long]("chi2_e6") === 4000000L)
+    assert(r(0).getAs[Long]("disequilibrium_5pct") === 1L)
+  }
+
+  test("Good-Turing: hapaxes give a non-zero unseen mass p0 (hand-computed)") {
+    val dir = fixture("documents" -> docsTable(Seq((1L, "a a a b b c", "en", "web"))))
+    val r = Text.q_good_turing(spark, dir).collect()
+      .map(x => (x.getAs[Long]("r"), x.getAs[Long]("n_r"),
+        x.getAs[Long]("n_r_plus1"), x.getAs[Long]("r_star_e4"),
+        x.getAs[Long]("p0_e6"))).toSeq
+    // freqs a:3 b:2 c:1 → N=6, N₁=1: p₀ = 1/6; r* = (r+1)·N_{r+1}/N_r
+    assert(r === Seq((1L, 1L, 1L, 20000L, 166666L), (2L, 1L, 1L, 30000L, 166666L),
+      (3L, 1L, 0L, 0L, 166666L)))
+  }
+
   test("lifecycle states: retained, resurrected and churning users classify (hand-computed)") {
     val dir = fixture("events" -> eventsTable(Seq(
       (1L, "2024-01-01 12:00:00", 1L, "view", 1.0),
