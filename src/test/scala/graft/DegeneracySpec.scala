@@ -780,6 +780,101 @@ class DegeneracySpec extends AnyFunSuite {
     assert(r(0).getAs[Long]("disequilibrium_5pct") === 1L)
   }
 
+  test("cold items: a singleton-basket part and a never-sold brand both surface (hand-computed)") {
+    val parts = partTable(Seq((1L, "T", 1, 100.0), (2L, "T", 1, 100.0),
+      (3L, "T", 1, 100.0), (4L, "T", 1, 100.0), (5L, "T", 1, 100.0)))
+      .withColumn("p_brand", when(col("p_partkey") <= 4L, "Brand#1").otherwise("Brand#2"))
+    val li = lineitemTable(Seq((1L, 1L, 1.0, "2024-01-01"), (1L, 2L, 1.0, "2024-01-01"),
+      (2L, 3L, 1.0, "2024-01-01"))) // order 1 = {p1,p2}, order 2 = {p3} singleton
+    val dir = fixture("part" -> parts, "lineitem" -> li)
+    val r = MLDeterministic.q_coverage_cold_items(spark, dir).collect()
+      .map(x => (x.getAs[String]("p_brand"), x.getAs[Long]("n_catalog"),
+        x.getAs[Long]("n_sold"), x.getAs[Long]("n_cooccur"),
+        x.getAs[Long]("cold_share_e4"))).toSeq
+    assert(r === Seq(("Brand#1", 4L, 3L, 2L, 3333L), ("Brand#2", 1L, 0L, 0L, -1L)))
+  }
+
+  test("partition health: a 16x day is flagged hot (hand-computed)") {
+    var id = 0L
+    val rows = (1 to 5).flatMap { d =>
+      val k = if (d < 5) 1 else 16
+      (1 to k).map { _ => id += 1; (id, f"2024-01-0$d%01d 12:00:00", 1L, "view", 1.0) }
+    }
+    val dir = fixture("events" -> eventsTable(rows))
+    val r = Analytics.q_partition_health(spark, dir).collect()
+      .map(x => (x.getAs[String]("day"), x.getAs[Long]("n_events"),
+        x.getAs[Long]("n_users"), x.getAs[Long]("props_chars"),
+        x.getAs[Long]("value_cents"), x.getAs[Long]("hot_flag"))).toSeq
+    // hot when n·2·days > total·3, i.e. n > 6 of the 20 events
+    assert(r === Seq(("2024-01-01", 1L, 1L, 2L, 100L, 0L),
+      ("2024-01-02", 1L, 1L, 2L, 100L, 0L), ("2024-01-03", 1L, 1L, 2L, 100L, 0L),
+      ("2024-01-04", 1L, 1L, 2L, 100L, 0L), ("2024-01-05", 16L, 1L, 32L, 1600L, 1L)))
+  }
+
+  test("supplier concentration: dominant and sole suppliers land in their bands (hand-computed)") {
+    val li = Seq((1L, 1L, 1L), (2L, 1L, 1L), (3L, 1L, 1L), (4L, 1L, 2L),
+      (5L, 2L, 7L), (6L, 2L, 7L))
+      .toDF("id", "l_partkey", "l_suppkey")
+      .select(col("id").as("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        lit(1).as("l_linenumber"), lit(1.0).as("l_quantity"),
+        lit(100.0).as("l_extendedprice"), lit(0.0).as("l_discount"),
+        lit(0.0).as("l_tax"), lit("N").as("l_returnflag"), lit("O").as("l_linestatus"),
+        ts(lit("2024-01-01 00:00:00")).as("l_shipdate"))
+    val dir = fixture("lineitem" -> li)
+    val r = Relational.q_supplier_concentration(spark, dir).collect()
+      .map(x => (x.getAs[Long]("n_sup"), x.getAs[Long]("share_band"),
+        x.getAs[Long]("n_parts"))).toSeq
+    // part 1: 3-of-4 lines from its top supplier → 7500 → band 3;
+    // part 2: sole supplier → 10000 → band 4
+    assert(r === Seq((1L, 4L, 1L), (2L, 3L, 1L)))
+  }
+
+  test("nonresponse bias: responders' balances diverge from the frame (hand-computed)") {
+    val cust = Seq((1L, 100.0), (2L, 300.0), (3L, -100.0), (4L, 100.0))
+      .toDF("c_custkey", "bal")
+      .select(col("c_custkey"), concat(lit("c"), col("c_custkey")).as("c_name"),
+        lit(1).as("c_nationkey"), col("bal").as("c_acctbal"),
+        lit("BUILDING").as("c_mktsegment"))
+    val orders = ordersTable(Seq((1L, 1L, 100.0, "3-MEDIUM", "2024-01-05"),
+      (2L, 2L, 100.0, "3-MEDIUM", "2024-01-05"))) // only customers 1 and 2 respond
+    val dir = fixture("customer" -> cust, "orders" -> orders)
+    val r = Sampling.q_nonresponse_bias(spark, dir).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("n_frame") === 4L)
+    assert(r(0).getAs[Long]("n_resp") === 2L)
+    assert(r(0).getAs[Long]("response_rate_e4") === 5000L)
+    assert(r(0).getAs[Long]("frame_mean_cents") === 10000L) // (100+300−100+100)/4
+    assert(r(0).getAs[Long]("resp_mean_cents") === 20000L) // (100+300)/2
+    assert(r(0).getAs[Long]("abs_bias_cents") === 10000L)
+  }
+
+  test("contrast sequences: the high cohort's view-then-purchase pattern contrasts (hand-computed)") {
+    val dir = fixture("events" -> eventsTable(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 1.0),
+      (2L, "2024-01-01 11:00:00", 1L, "purchase", 99.0), // u1: high cohort
+      (3L, "2024-01-01 10:00:00", 2L, "view", 1.0)))) // u2: low, no pair
+    val r = Events.q_contrast_sequences(spark, dir).collect()
+      .map(x => (x.getAs[String]("type_a"), x.getAs[String]("type_b"),
+        x.getAs[Long]("rate_high_e4"), x.getAs[Long]("rate_low_e4"),
+        x.getAs[Long]("contrast_e4"))).toSeq
+    assert(r === Seq(("view", "purchase", 10000L, 0L, 10000L)))
+  }
+
+  test("scalar JSON: $.k extraction aggregates a real payload (hand-computed)") {
+    val ev = Seq((1L, """{"k": 3}"""), (2L, """{"k": 7}"""))
+      .toDF("event_id", "props")
+      .select(col("event_id"), ts(lit("2024-01-01 12:00:00")).as("ts"),
+        lit(1L).as("user_id"), lit("view").as("event_type"),
+        lit(1.0).as("value"), col("props"))
+    val dir = fixture("events" -> ev)
+    val r = Scalars.q_scalar_json(spark, dir).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("n") === 2L)
+    assert(r(0).getAs[Long]("sum_k") === 10L)
+    assert(r(0).getAs[Number]("min_k").intValue === 3)
+    assert(r(0).getAs[Number]("max_k").intValue === 7)
+  }
+
   test("Good-Turing: hapaxes give a non-zero unseen mass p0 (hand-computed)") {
     val dir = fixture("documents" -> docsTable(Seq((1L, "a a a b b c", "en", "web"))))
     val r = Text.q_good_turing(spark, dir).collect()
