@@ -305,6 +305,20 @@ class DegeneracySpec extends AnyFunSuite {
     assert(r(0).getAs[Long]("violation_share_e6") === 300000L)
   }
 
+  test("token bucket audit: the burst user peaks at 8 tokens, first violation at 6 (hand-computed)") {
+    val burst = (1L to 8L).map(i => (i, "2024-01-01 00:00:00", 1L, "view", 1.0))
+    val dir = fixture("events" -> eventsTable(burst ++ Seq(
+      (9L, "2024-01-01 00:00:00", 2L, "view", 1.0),
+      (10L, "2024-01-01 00:02:00", 2L, "view", 1.0))))
+    val r = Events.q_token_bucket_audit(spark, dir).collect()
+      .map(x => (x.getAs[Long]("user_id"), x.getAs[Long]("n_events"),
+        x.getAs[Long]("peak_tokens_e6"), x.getAs[Long]("n_violations"),
+        Option(x.getAs[java.lang.Long]("first_violation_at")).map(_.toLong))).toSeq
+    // same-instant arrivals: backlog j·r peaks at 8 tokens, > burst 5 from j=6
+    assert(r === Seq((1L, 8L, 8000000L, 3L, Some(6L)),
+      (2L, 2L, 1000000L, 0L, None)))
+  }
+
   test("embedding shape audit: NaN and all-zero vectors are counted (hand-computed)") {
     val emb = Seq(
       (1L, Seq(1.0f, 2.0f, 3.0f, 4.0f), 0),
