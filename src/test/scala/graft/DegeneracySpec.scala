@@ -780,6 +780,24 @@ class DegeneracySpec extends AnyFunSuite {
       ("BUILDING", 1000L, 1L, 5200L, 1000L), ("MACHINERY", 10000L, 0L, 5200L, 5200L)))
   }
 
+  test("D'Hondt: a dominant party sweeps all seats past its upper quota (hand-computed)") {
+    // demands 8800/400/400/400: every 8800/k quotient (k ≤ 20) beats 400,
+    // so AUTOMOBILE takes all 20 seats; upper quota = ceil(17.6) = 18
+    val cust = custTable(Seq((1L, 1, "AUTOMOBILE"), (2L, 1, "BUILDING"),
+      (3L, 1, "FURNITURE"), (4L, 1, "HOUSEHOLD")))
+    val orders = ordersTable(Seq((1L, 1L, 88.0, "3-MEDIUM", "2024-01-05"),
+      (2L, 2L, 4.0, "3-MEDIUM", "2024-01-05"), (3L, 3L, 4.0, "3-MEDIUM", "2024-01-05"),
+      (4L, 4L, 4.0, "3-MEDIUM", "2024-01-05")))
+    val dir = fixture("orders" -> orders, "customer" -> cust)
+    val r = Analytics.q_dhondt_apportionment(spark, dir).collect()
+      .map(x => (x.getAs[String]("c_mktsegment"), x.getAs[Long]("demand_cents"),
+        x.getAs[Long]("seats"), x.getAs[Long]("lower_quota"),
+        x.getAs[Long]("upper_quota"), x.getAs[Long]("quota_violated"))).toSeq
+    assert(r === Seq(("AUTOMOBILE", 8800L, 20L, 17L, 18L, 1L),
+      ("BUILDING", 400L, 0L, 0L, 1L, 0L), ("FURNITURE", 400L, 0L, 0L, 1L, 0L),
+      ("HOUSEHOLD", 400L, 0L, 0L, 1L, 0L)))
+  }
+
   test("Hardy-Weinberg: a homozygote-only segment is out of equilibrium (hand-computed)") {
     // custkeys 3,4,7,8 → genotypes 2,0,2,0: p = q = 0.5, chi2 = 1+2+1 = 4
     val dir = fixture("customer" -> custTable(Seq(
