@@ -86,6 +86,56 @@ object Vectors {
     (left.drop("grp"), right.drop("grp"))
   }
 
+  /** DIRECTED within-set pair stream `(gi, gj, qid, nid, d2)` with
+    * qid ≠ nid, built on the [[gridLegs]] triangular grid: each UNORDERED
+    * pair's exact lattice distance is computed once, in its single grid
+    * task, and both directions are then emitted by one explode — half the
+    * distance work of the directed non-equi self-join (`a.id =!= b.id`)
+    * it replaces, and, unlike that join's BroadcastNestedLoopJoin plan
+    * (whole build side resident in every executor, one task per product
+    * block), a plain hash join on (gi, gj) with g(g+1)/2 uniform,
+    * memory-bounded tasks. `blockKeys` become extra equi-join keys (e.g.
+    * label blocking); `carryCols` are carried for both endpoints as
+    * `q_<c>` / `n_<c>`. The task key (gi, gj) stays in the output so a
+    * caller doing per-qid top-k can pre-reduce per task — the global
+    * top-k of a qid is contained in the union of its per-task top-ks, so
+    * the cut is lossless and the final keyed window shuffles k·(g+1) rows
+    * per qid instead of the whole neighbor stream.
+    */
+  private[graft] def gridDirectedD2(block: DataFrame, g: Int,
+      blockKeys: Seq[String] = Nil, carryCols: Seq[String] = Nil): DataFrame = {
+    val (l, r) = gridLegs(block, g, "vec_id")
+    val blockCond = blockKeys
+      .map(k => col(s"a.$k") === col(s"b.$k"))
+      .foldLeft(col("a.gi") === col("b.gi") && col("a.gj") === col("b.gj"))(_ && _)
+    def leg(me: String, other: String) = struct(
+      col(s"$me.vec_id").as("qid") +: col(s"$other.vec_id").as("nid") +:
+        carryCols.flatMap(c =>
+          Seq(col(s"$me.$c").as(s"q_$c"), col(s"$other.$c").as(s"n_$c"))): _*)
+    l.as("a")
+      .join(r.as("b"),
+        blockCond && (col("a.gi") =!= col("a.gj") || col("a.vec_id") < col("b.vec_id")))
+      .select(col("a.gi").as("gi"), col("a.gj").as("gj"),
+        dist2E14(col("a.qe"), col("b.qe")).as("d2"),
+        explode(array(leg("a", "b"), leg("b", "a"))).as("p"))
+      .select(Seq(col("gi"), col("gj"), col("p.qid").as("qid"), col("p.nid").as("nid")) ++
+        carryCols.flatMap(c =>
+          Seq(col(s"p.q_$c").as(s"q_$c"), col(s"p.n_$c").as(s"n_$c"))) :+ col("d2"): _*)
+  }
+
+  /** Lossless two-stage per-qid k-nearest cut over a [[gridDirectedD2]]
+    * stream: first top-k inside each (gi, gj) task (bounding the rows that
+    * reach the global shuffle to k·(g+1) per qid), then the global top-k
+    * with the same (d2, nid) total order — `rn` is the true global
+    * neighbor rank 1..k.
+    */
+  private[graft] def gridTopK(pairs: DataFrame, k: Int): DataFrame = {
+    val wTask = Window.partitionBy("gi", "gj", "qid").orderBy(col("d2").asc, col("nid").asc)
+    val wGlobal = Window.partitionBy("qid").orderBy(col("d2").asc, col("nid").asc)
+    pairs.withColumn("tr", row_number().over(wTask)).filter(col("tr") <= k).drop("tr")
+      .withColumn("rn", row_number().over(wGlobal)).filter(col("rn") <= k)
+  }
+
   /** Top-20 most-similar pairs among label∈{0,1} vectors — EXACT, via the
     * [[gridLegs]] triangular grid (g=8) with a per-task top-20
     * pre-reduction before the global top-20 (any global top-20 pair is
@@ -609,21 +659,18 @@ object Vectors {
   /** kNN label-noise audit over the label∈{0,1} block (the mislabeled-
     * example screen run before training): each point's label vs the
     * majority of its 5 nearest neighbors by exact lattice distance;
-    * per label the flagged count and e4 share. The block bounds the pair
-    * space exactly like [[q_similarity_join_topk]]; at scale the
-    * candidate pairs come from LSH instead.
+    * per label the flagged count and e4 share. EXACT over the block via
+    * the [[gridDirectedD2]] triangular grid + lossless per-task top-5
+    * pre-cut ([[gridTopK]]) — no BroadcastNestedLoopJoin, hash-uniform
+    * memory-bounded tasks; the approximate scale twin for unblocked
+    * corpora is LSH candidates ([[Ann.q_ann_rplsh]]).
     */
   def q_label_noise(spark: SparkSession, sf: String): DataFrame = {
     val block = quantized(spark, sf).filter(col("label") <= 1)
       .select(col("vec_id"), col("label"), col("qe"))
-    val w = Window.partitionBy("a_id").orderBy(col("d2").asc, col("b_id").asc)
-    val flagged = block.as("a")
-      .join(block.as("b"), col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("a_id"), col("a.label").as("a_label"),
-        col("b.vec_id").as("b_id"), col("b.label").as("b_label"),
-        dist2E14(col("a.qe"), col("b.qe")).as("d2"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
+    val flagged = gridTopK(gridDirectedD2(block, 8, Nil, Seq("label")), 5)
+      .select(col("qid").as("a_id"), col("q_label").as("a_label"),
+        col("n_label").as("b_label"))
       .groupBy(col("a_id"), col("a_label"))
       .agg(sum(when(col("b_label") === 1, 1L).otherwise(0L)).as("votes1"))
       .select(col("a_label"),
@@ -868,18 +915,16 @@ object Vectors {
     * appear in many neighbor lists and poison kNN labels/retrieval, and
     * this histogram is the standard diagnostic. Distances are exact
     * integer lattice math; the per-query top-5 is a keyed window (never
-    * global); blocking by label bounds the pair space exactly like the
-    * similarity join.
+    * global). The within-label pair space goes through the
+    * [[gridDirectedD2]] triangular grid (label as an extra equi key) with
+    * the lossless per-task top-5 pre-cut ([[gridTopK]]): the old
+    * label-equality self-join put each label's whole N²/L product in one
+    * hash bucket — the grid splits it into g(g+1)/2 uniform tasks and the
+    * pre-cut bounds the window shuffle to 5·(g+1) rows per query.
     */
   def q_knn_hubness(spark: SparkSession, sf: String): DataFrame = {
     val sel = quantized(spark, sf)
-    val pairs = sel.as("a")
-      .join(sel.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"),
-        dist2E14(col("a.qe"), col("b.qe")).as("d2"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("nid").asc)
-    val indeg = pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+    val indeg = gridTopK(gridDirectedD2(sel, 8, Seq("label")), 5)
       .groupBy(col("nid")).agg(count(lit(1)).as("in_deg"))
     val all = sel.select(col("vec_id").as("nid"))
       .join(indeg, Seq("nid"), "left_outer")
@@ -892,22 +937,32 @@ object Vectors {
     * sets: a pair survives only if each side is the other's single
     * nearest cross-set neighbor — the reciprocal-best-match criterion
     * batch-effect alignment (MNN) and bilingual lexicon induction use to
-    * mine high-precision anchors. Exact lattice distances, keyed argmin
-    * windows, one equi-join on the reciprocal condition.
+    * mine high-precision anchors. Exact lattice distances over a g×g
+    * rectangular grid (the two sets are disjoint, so every (gi, gj) cell
+    * is a task — per-row replication g, hash-uniform memory-bounded tasks
+    * instead of the former CartesianProduct whose single task owned the
+    * whole |A|×|B| stream); each side's argmin is `min(struct(d2, id))`,
+    * which partial-aggregates map-side, so NO full pair-stream shuffle
+    * ever happens — only per-task argmin partials move.
     */
   def q_mutual_nn(spark: SparkSession, sf: String): DataFrame = {
+    val g = 8
     val a = quantized(spark, sf).filter(col("label") === 0)
       .select(col("vec_id").as("aid"), col("qe").as("aqe"))
+      .withColumn("gi", pmod(xxhash64(col("aid")), lit(g.toLong)))
+      .withColumn("gj", explode(expr(s"sequence(0L, ${g - 1}L)")))
     val b = quantized(spark, sf).filter(col("label") === 1)
       .select(col("vec_id").as("bid"), col("qe").as("bqe"))
-    val pairs = a.crossJoin(b)
+      .withColumn("gj", pmod(xxhash64(col("bid")), lit(g.toLong)))
+      .withColumn("gi", explode(expr(s"sequence(0L, ${g - 1}L)")))
+    val pairs = a.join(b, Seq("gi", "gj"))
       .select(col("aid"), col("bid"), dist2E14(col("aqe"), col("bqe")).as("d2"))
-    val wA = Window.partitionBy(col("aid")).orderBy(col("d2").asc, col("bid").asc)
-    val wB = Window.partitionBy(col("bid")).orderBy(col("d2").asc, col("aid").asc)
-    val bestA = pairs.withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
-      .select(col("aid"), col("bid"), col("d2"))
-    val bestB = pairs.withColumn("rn", row_number().over(wB)).filter(col("rn") === 1)
-      .select(col("aid").as("aid2"), col("bid").as("bid2"))
+    val bestA = pairs.groupBy(col("aid"))
+      .agg(min(struct(col("d2"), col("bid"))).as("m"))
+      .select(col("aid"), col("m.bid").as("bid"), col("m.d2").as("d2"))
+    val bestB = pairs.groupBy(col("bid"))
+      .agg(min(struct(col("d2"), col("aid"))).as("m"))
+      .select(col("m.aid").as("aid2"), col("bid").as("bid2"))
     bestA.join(bestB, col("aid") === col("aid2") && col("bid") === col("bid2"))
       .select(col("aid"), col("bid"), col("d2"))
       .orderBy("aid")
@@ -918,17 +973,14 @@ object Vectors {
     * textbook density-ratio outlier score. Distances are exact lattice
     * integers end to end; the two density ratios are fixed IEEE trees, so
     * the ranking is cross-engine stable. Top-10 by LOF — the vectors
-    * whose neighborhood is sparser than their neighbors'.
+    * whose neighborhood is sparser than their neighbors'. The k-NN build
+    * is the [[gridDirectedD2]]+[[gridTopK]] grid (no BNLJ, hash-uniform
+    * bounded tasks); at open-corpus scale the candidate stage becomes
+    * LSH ([[Ann.q_ann_rplsh]]).
     */
   def q_lof_outliers(spark: SparkSession, sf: String): DataFrame = {
     val sel = quantized(spark, sf).filter(col("label") === 0)
-    val pairs = sel.as("a")
-      .join(sel.as("b"), col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"),
-        dist2E14(col("a.qe"), col("b.qe")).as("d2"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("nid").asc)
-    val ranked = pairs.withColumn("rn", row_number().over(w))
-    val knn = ranked.filter(col("rn") <= 5).localCheckpoint()
+    val knn = gridTopK(gridDirectedD2(sel, 8), 5).localCheckpoint()
     val kdist = knn.filter(col("rn") === 5)
       .select(col("qid").as("kd_id"), col("d2").as("kdist"))
     // lrd(a) = k / Σ_b max(kdist(b), d2(a,b))
@@ -954,18 +1006,18 @@ object Vectors {
   /** DBSCAN point classification on the label-0 block (ε²=1.65e14 on the
     * e14 lattice ≈ the median 4-NN distance, minPts=4): core points have
     * ≥4 ε-neighbors, border points are non-core with a core ε-neighbor,
-    * the rest is noise. One blocked pair join + two aggregates — the
-    * expensive part of DBSCAN is exactly this ε-neighborhood build, which
-    * at scale becomes an LSH/grid candidate join.
+    * the rest is noise. The ε-neighborhood build — the expensive part of
+    * DBSCAN — runs on the [[gridDirectedD2]] triangular grid (each
+    * unordered distance computed once, ε-filtered before the direction
+    * explode, no BNLJ, bounded tasks) and its output is TRUE-neighbor-
+    * bounded, not block²; then two aggregates.
     */
   def q_dbscan_labels(spark: SparkSession, sf: String): DataFrame = {
     val eps = 165000000000000L
     val sel = quantized(spark, sf).filter(col("label") === 0)
-    val neigh = sel.as("a")
-      .join(sel.as("b"), col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"),
-        dist2E14(col("a.qe"), col("b.qe")).as("d2"))
+    val neigh = gridDirectedD2(sel, 8)
       .filter(col("d2") <= eps)
+      .select(col("qid"), col("nid"), col("d2"))
       .localCheckpoint()
     val core = neigh.groupBy(col("qid")).agg(count(lit(1)).as("deg"))
       .filter(col("deg") >= 4).select(col("qid").as("core_id"))
@@ -973,11 +1025,16 @@ object Vectors {
       .join(core.select(col("core_id").as("nid")), "nid")
       .select(col("qid")).distinct()
       .join(core.select(col("core_id").as("qid")), Seq("qid"), "left_anti")
-    val all = sel.select(col("vec_id"))
-    val nCore = core.agg(count(lit(1)).as("n_core"))
-    val nBorder = border.agg(count(lit(1)).as("n_border"))
-    val nAll = all.agg(count(lit(1)).as("n_points"))
-    nAll.crossJoin(nCore).crossJoin(nBorder)
+    // mark-and-count via keyed left joins (one row per point, flags
+    // summed in a single aggregate) — no scalar-product stage at all
+    sel.select(col("vec_id"))
+      .join(core.select(col("core_id").as("vec_id")).withColumn("is_core", lit(1L)),
+        Seq("vec_id"), "left_outer")
+      .join(border.select(col("qid").as("vec_id")).withColumn("is_border", lit(1L)),
+        Seq("vec_id"), "left_outer")
+      .agg(count(lit(1)).as("n_points"),
+        sum(coalesce(col("is_core"), lit(0L))).as("n_core"),
+        sum(coalesce(col("is_border"), lit(0L))).as("n_border"))
       .select(col("n_points"), col("n_core"), col("n_border"),
         (col("n_points") - col("n_core") - col("n_border")).as("n_noise"))
   }
@@ -986,22 +1043,32 @@ object Vectors {
     * (labels 0-4): the full 10-pair dissimilarity matrix D(a,b) =
     * min cross-pair distance, plus which two clusters merge first — the
     * bottom level of a hierarchical clustering dendrogram. Exact lattice
-    * minima; the pair space is label-blocked.
+    * minima over the [[gridLegs]] triangular grid (cross-label pairs kept
+    * by a residual label-inequality filter on the hash-keyed join — the
+    * former `a.label < b.label` non-equi join planned BNLJ); min/count
+    * per unordered label pair partial-aggregate map-side, so only 10
+    * partials per task ever shuffle.
     */
   def q_single_linkage_step(spark: SparkSession, sf: String): DataFrame = {
     val sel = quantized(spark, sf).filter(col("label") < 5)
-    val cross = sel.as("a")
-      .join(sel.as("b"), col("a.label") < col("b.label"))
-      .select(col("a.label").as("la"), col("b.label").as("lb"),
+      .select(col("vec_id"), col("label"), col("qe"))
+    val (l, r) = gridLegs(sel, 8, "vec_id")
+    val cross = l.as("a")
+      .join(r.as("b"),
+        col("a.gi") === col("b.gi") && col("a.gj") === col("b.gj") &&
+          col("a.label") =!= col("b.label") &&
+          (col("a.gi") =!= col("a.gj") || col("a.vec_id") < col("b.vec_id")))
+      .select(least(col("a.label"), col("b.label")).as("la"),
+        greatest(col("a.label"), col("b.label")).as("lb"),
         dist2E14(col("a.qe"), col("b.qe")).as("d2"))
       .groupBy(col("la"), col("lb"))
       .agg(min(col("d2")).as("min_d2"), count(lit(1)).as("n_pairs"))
     val best = cross.orderBy(col("min_d2").asc, col("la").asc, col("lb").asc).limit(1)
-      .select(col("la").as("ma"), col("lb").as("mb"))
-    cross.crossJoin(broadcast(best))
+      .select(col("la").as("ma"), col("lb").as("mb"), lit(1L).as("mf"))
+    cross.join(broadcast(best),
+        col("la") === col("ma") && col("lb") === col("mb"), "left_outer")
       .select(col("la"), col("lb"), col("min_d2"), col("n_pairs"),
-        when(col("la") === col("ma") && col("lb") === col("mb"), 1L).otherwise(0L)
-          .as("merges_first"))
+        coalesce(col("mf"), lit(0L)).as("merges_first"))
       .orderBy("la", "lb")
   }
 
@@ -1010,16 +1077,12 @@ object Vectors {
     * distance ratio — whether 64 ambient dimensions hide a much smaller
     * manifold, the diagnostic read before trusting distance-based
     * methods at all. Per-point logs floor onto an e9 lattice so the sum
-    * is order-free.
+    * is order-free. The 2-NN build is the [[gridDirectedD2]]+[[gridTopK]]
+    * grid (no BNLJ; same shape as [[q_lof_outliers]]).
     */
   def q_intrinsic_dimension(spark: SparkSession, sf: String): DataFrame = {
     val sel = quantized(spark, sf).filter(col("label") === 0)
-    val pairs = sel.as("a")
-      .join(sel.as("b"), col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"),
-        dist2E14(col("a.qe"), col("b.qe")).as("d2"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("nid").asc)
-    val nn2 = pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+    val nn2 = gridTopK(gridDirectedD2(sel, 8), 2)
       .groupBy(col("qid"))
       .agg(min(when(col("rn") === 1, col("d2"))).as("r1sq"),
         min(when(col("rn") === 2, col("d2"))).as("r2sq"))

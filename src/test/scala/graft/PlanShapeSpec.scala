@@ -209,11 +209,42 @@ class PlanShapeSpec extends AnyFunSuite {
     // the row_number-over-(qid)-then-filter idiom must trigger Spark's
     // InferWindowGroupLimit so each map task keeps only its local top-k of
     // the O(block²) pair stream — without it the full pair fan-out shuffles
+    // (not q_lof_outliers/q_dbscan_labels: they localCheckpoint the kNN
+    // stage, so the final plan starts at Scan ExistingRDD and the window
+    // stage ran at construction)
     for (df <- Seq(Vectors.q_knn_hubness(spark, sf),
-                   Vectors.q_mutual_nn(spark, sf))) {
+                   Vectors.q_label_noise(spark, sf))) {
       val p = plan(df)
       assert(p.contains("WindowGroupLimit"),
         s"expected a partial top-k (WindowGroupLimit) under the rank window:\n$p")
+    }
+    // mutual-NN goes further: its argmin is min(struct(d2, id)), which
+    // partial-aggregates map-side — the pair stream itself never shuffles
+    val p = plan(Vectors.q_mutual_nn(spark, sf))
+    assert(p.contains("partial_min") || p.contains("min(struct"),
+      s"expected a partial-aggregated argmin, not a windowed rank:\n$p")
+  }
+
+  test("grid pair ops: none of the seven round-6 rewrites plans BNLJ or a data product") {
+    // these seven planned BroadcastNestedLoopJoin / CartesianProduct through
+    // round 5 (non-equi self-join conditions force BNLJ: the build side must
+    // fit in every executor and one task owns the whole product); the
+    // gridDirectedD2 / gridLegs rewrite turns each into a hash equi-join on
+    // (gi, gj) with g(g+1)/2 uniform memory-bounded tasks
+    val ops: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "q_knn_hubness" -> Vectors.q_knn_hubness(spark, sf),
+      "q_mutual_nn" -> Vectors.q_mutual_nn(spark, sf),
+      "q_lof_outliers" -> Vectors.q_lof_outliers(spark, sf),
+      "q_dbscan_labels" -> Vectors.q_dbscan_labels(spark, sf),
+      "q_single_linkage_step" -> Vectors.q_single_linkage_step(spark, sf),
+      "q_label_noise" -> Vectors.q_label_noise(spark, sf),
+      "q_intrinsic_dimension" -> Vectors.q_intrinsic_dimension(spark, sf))
+    for ((name, df) <- ops) {
+      val p = plan(df)
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name still plans BroadcastNestedLoopJoin:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"$name still plans CartesianProduct:\n$p")
     }
   }
 }

@@ -1,0 +1,199 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops._
+
+/** Round-6 gates: the seven dense pair ops that still planned
+  * BroadcastNestedLoopJoin / CartesianProduct (q_knn_hubness, q_mutual_nn,
+  * q_lof_outliers, q_dbscan_labels, q_single_linkage_step, q_label_noise,
+  * q_intrinsic_dimension) were re-routed through the gridDirectedD2 /
+  * gridLegs triangular grid. Each test pins the grid version's output
+  * against the pre-round-6 naive non-equi self-join, re-created here as
+  * the in-spec oracle — identical rows, identical order where the op
+  * orders. Plan-shape (no BNLJ / no data×data CartesianProduct) is gated
+  * in PlanShapeSpec alongside the other grid ops.
+  */
+class Round6OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import TestSpark.sf
+
+  /** The shared quantized-embedding projection the ops use. */
+  private def quantized(): DataFrame =
+    Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), Vectors.q7(col("embedding")).as("qe"))
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq)
+
+  test("knn hubness grid matches the naive label-blocked self-join") {
+    val sel = quantized()
+    val pairs = sel.as("a")
+      .join(sel.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"),
+        Vectors.dist2E14(col("a.qe"), col("b.qe")).as("d2"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("nid").asc)
+    val indeg = pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .groupBy(col("nid")).agg(count(lit(1)).as("in_deg"))
+    val naive = sel.select(col("vec_id").as("nid"))
+      .join(indeg, Seq("nid"), "left_outer")
+      .select(coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+      .groupBy(col("in_deg")).agg(count(lit(1)).as("n_vectors"))
+      .orderBy("in_deg")
+    assert(rows(Vectors.q_knn_hubness(spark, sf)) === rows(naive))
+  }
+
+  test("mutual NN grid matches the naive cross-join twin") {
+    val a = quantized().filter(col("label") === 0)
+      .select(col("vec_id").as("aid"), col("qe").as("aqe"))
+    val b = quantized().filter(col("label") === 1)
+      .select(col("vec_id").as("bid"), col("qe").as("bqe"))
+    val pairs = a.crossJoin(b)
+      .select(col("aid"), col("bid"), Vectors.dist2E14(col("aqe"), col("bqe")).as("d2"))
+    val wA = Window.partitionBy(col("aid")).orderBy(col("d2").asc, col("bid").asc)
+    val wB = Window.partitionBy(col("bid")).orderBy(col("d2").asc, col("aid").asc)
+    val bestA = pairs.withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
+      .select(col("aid"), col("bid"), col("d2"))
+    val bestB = pairs.withColumn("rn", row_number().over(wB)).filter(col("rn") === 1)
+      .select(col("aid").as("aid2"), col("bid").as("bid2"))
+    val naive = bestA.join(bestB, col("aid") === col("aid2") && col("bid") === col("bid2"))
+      .select(col("aid"), col("bid"), col("d2"))
+      .orderBy("aid")
+    val got = Vectors.q_mutual_nn(spark, sf)
+    assert(got.count() > 0, "mutual-NN fixture produced no reciprocal pairs")
+    assert(rows(got) === rows(naive))
+  }
+
+  test("LOF grid matches the naive all-pairs twin") {
+    val sel = quantized().filter(col("label") === 0)
+    val pairs = sel.as("a")
+      .join(sel.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"),
+        Vectors.dist2E14(col("a.qe"), col("b.qe")).as("d2"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("nid").asc)
+    val knn = pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .localCheckpoint()
+    val kdist = knn.filter(col("rn") === 5)
+      .select(col("qid").as("kd_id"), col("d2").as("kdist"))
+    val lrd = knn
+      .join(kdist.select(col("kd_id").as("nid"), col("kdist")), "nid")
+      .select(col("qid"), greatest(col("kdist"), col("d2")).as("reach"))
+      .groupBy(col("qid"))
+      .agg(sum(col("reach")).as("rsum"))
+      .select(col("qid"), expr("5.0 / CAST(GREATEST(rsum, 1) AS DOUBLE)").as("lrd"))
+    val naive = knn
+      .join(lrd.select(col("qid").as("nid"), col("lrd").as("lrd_n")), "nid")
+      .groupBy(col("qid"))
+      .agg(sum(col("lrd_n")).as("lrd_nsum"))
+      .join(lrd, "qid")
+      .select(col("qid").as("vec_id"),
+        (round(expr("lrd_nsum / (5.0 * lrd)"), 4) + lit(0.0)).as("lof"))
+      .orderBy(col("lof").desc, col("vec_id").asc).limit(10)
+    assert(rows(Vectors.q_lof_outliers(spark, sf)) === rows(naive))
+  }
+
+  test("DBSCAN grid matches the naive epsilon-neighborhood twin") {
+    val eps = 165000000000000L
+    val sel = quantized().filter(col("label") === 0)
+    val neigh = sel.as("a")
+      .join(sel.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"),
+        Vectors.dist2E14(col("a.qe"), col("b.qe")).as("d2"))
+      .filter(col("d2") <= eps)
+    val core = neigh.groupBy(col("qid")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 4).select(col("qid").as("core_id"))
+    val border = neigh
+      .join(core.select(col("core_id").as("nid")), "nid")
+      .select(col("qid")).distinct()
+      .join(core.select(col("core_id").as("qid")), Seq("qid"), "left_anti")
+    val naive = sel.agg(count(lit(1)).as("n_points"))
+      .crossJoin(core.agg(count(lit(1)).as("n_core")))
+      .crossJoin(border.agg(count(lit(1)).as("n_border")))
+      .select(col("n_points"), col("n_core"), col("n_border"),
+        (col("n_points") - col("n_core") - col("n_border")).as("n_noise"))
+    assert(rows(Vectors.q_dbscan_labels(spark, sf)) === rows(naive))
+  }
+
+  test("single-linkage grid matches the naive label-inequality twin") {
+    val sel = quantized().filter(col("label") < 5)
+    val cross = sel.as("a")
+      .join(sel.as("b"), col("a.label") < col("b.label"))
+      .select(col("a.label").as("la"), col("b.label").as("lb"),
+        Vectors.dist2E14(col("a.qe"), col("b.qe")).as("d2"))
+      .groupBy(col("la"), col("lb"))
+      .agg(min(col("d2")).as("min_d2"), count(lit(1)).as("n_pairs"))
+    val best = cross.orderBy(col("min_d2").asc, col("la").asc, col("lb").asc).limit(1)
+      .select(col("la").as("ma"), col("lb").as("mb"))
+    val naive = cross.crossJoin(broadcast(best))
+      .select(col("la"), col("lb"), col("min_d2"), col("n_pairs"),
+        when(col("la") === col("ma") && col("lb") === col("mb"), 1L).otherwise(0L)
+          .as("merges_first"))
+      .orderBy("la", "lb")
+    val got = Vectors.q_single_linkage_step(spark, sf)
+    assert(rows(got) === rows(naive))
+    // the 5-label dissimilarity matrix must be complete: C(5,2) rows
+    assert(got.count() === 10L)
+  }
+
+  test("label-noise grid matches the naive block self-join twin") {
+    val block = quantized().filter(col("label") <= 1)
+      .select(col("vec_id"), col("label"), col("qe"))
+    val w = Window.partitionBy("a_id").orderBy(col("d2").asc, col("b_id").asc)
+    val flagged = block.as("a")
+      .join(block.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("a.label").as("a_label"),
+        col("b.vec_id").as("b_id"), col("b.label").as("b_label"),
+        Vectors.dist2E14(col("a.qe"), col("b.qe")).as("d2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .groupBy(col("a_id"), col("a_label"))
+      .agg(sum(when(col("b_label") === 1, 1L).otherwise(0L)).as("votes1"))
+      .select(col("a_label"),
+        when((col("votes1") >= 3) =!= (col("a_label") === 1), 1L).otherwise(0L).as("flagged"))
+    val naive = flagged.groupBy(col("a_label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n"), sum(col("flagged")).as("n_flagged"))
+      .select(col("label"), col("n"), col("n_flagged"),
+        expr("n_flagged * 10000 div n").as("flagged_share_e4"))
+      .orderBy("label")
+    assert(rows(Vectors.q_label_noise(spark, sf)) === rows(naive))
+  }
+
+  test("intrinsic-dimension grid matches the naive 2-NN twin") {
+    val sel = quantized().filter(col("label") === 0)
+    val pairs = sel.as("a")
+      .join(sel.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"),
+        Vectors.dist2E14(col("a.qe"), col("b.qe")).as("d2"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("nid").asc)
+    val naive = pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .groupBy(col("qid"))
+      .agg(min(when(col("rn") === 1, col("d2"))).as("r1sq"),
+        min(when(col("rn") === 2, col("d2"))).as("r2sq"))
+      .select(col("qid"),
+        floor(log(col("r2sq").cast("double") / col("r1sq").cast("double")) * 0.5e9)
+          .cast("long").as("ln_mu_e9"))
+      .agg(count(lit(1)).as("n_points"), sum(col("ln_mu_e9")).as("sum_ln_e9"))
+      .select(col("n_points"), col("sum_ln_e9"),
+        (round(expr("CAST(n_points AS DOUBLE) * 1e9 / CAST(sum_ln_e9 AS DOUBLE)"), 4)
+          + lit(0.0)).as("intrinsic_dim"))
+    assert(rows(Vectors.q_intrinsic_dimension(spark, sf)) === rows(naive))
+  }
+
+  test("gridDirectedD2 emits every directed pair exactly once (randomized ids)") {
+    import spark.implicits._
+    // 97 rows with adversarial id spacing (hash collisions across groups)
+    val ids = (0 until 97).map(i => i.toLong * 1000003L)
+    val v = ids.toDF("vec_id")
+      .withColumn("qe", array(col("vec_id").cast("long"), lit(1L)))
+    val got = Vectors.gridDirectedD2(v, 8)
+      .select(col("qid"), col("nid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === 97 * 96, s"directed pair count ${got.length}")
+    assert(got.toSet.size === got.length, "a directed pair was emitted twice")
+    assert(got.forall { case (q, n) => q != n })
+  }
+}
