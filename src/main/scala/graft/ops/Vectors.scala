@@ -79,8 +79,16 @@ object Vectors {
     */
   private[graft] def gridLegs(v: DataFrame, g: Int, idCol: String): (DataFrame, DataFrame) = {
     val withGrp = v.withColumn("grp", pmod(xxhash64(col(idCol)), lit(g.toLong)))
+    // the left leg is the STREAMED side of the pair join: when Catalyst
+    // broadcasts the (small) right leg, probe parallelism equals the left
+    // leg's partition count — straight off a narrow scan that can be ONE
+    // task owning the whole g(g+1)/2-cell probe. Repartitioning by task
+    // key pins probe parallelism to the grid regardless of source layout
+    // (measured at sf1: q_knn_hubness 84 s → spread across all cores);
+    // with a shuffled join at real scale this exchange is subsumed anyway.
     val left = withGrp.withColumn("gi", col("grp"))
       .withColumn("gj", explode(expr(s"sequence(grp, ${g - 1}L)")))
+      .repartition(col("gi"), col("gj"))
     val right = withGrp.withColumn("gj", col("grp"))
       .withColumn("gi", explode(expr(s"sequence(0L, grp)")))
     (left.drop("grp"), right.drop("grp"))
@@ -951,6 +959,7 @@ object Vectors {
       .select(col("vec_id").as("aid"), col("qe").as("aqe"))
       .withColumn("gi", pmod(xxhash64(col("aid")), lit(g.toLong)))
       .withColumn("gj", explode(expr(s"sequence(0L, ${g - 1}L)")))
+      .repartition(col("gi"), col("gj")) // probe parallelism = grid cells (see gridLegs)
     val b = quantized(spark, sf).filter(col("label") === 1)
       .select(col("vec_id").as("bid"), col("qe").as("bqe"))
       .withColumn("gj", pmod(xxhash64(col("bid")), lit(g.toLong)))
