@@ -117,7 +117,11 @@ case class PostingsDotLong(left: Expression, right: Expression)
   override def prettyName: String = "graft_postings_dot"
 
   private def okType(t: DataType): Boolean = t match {
-    case ArrayType(s: org.apache.spark.sql.types.StructType, _) =>
+    // containsNull must be false: the merge loop reads each element's
+    // struct unconditionally, so a null entry (possible via the public
+    // column API, not the internal collect_list producers) would NPE at
+    // runtime — make it a plan-time type error instead
+    case ArrayType(s: org.apache.spark.sql.types.StructType, false) =>
       s.length == 2 &&
         s(0).dataType == org.apache.spark.sql.types.StringType &&
         s(1).dataType == LongType
@@ -127,7 +131,8 @@ case class PostingsDotLong(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     if (okType(left.dataType) && okType(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"expected array<struct<string,bigint>> on both sides, got ${left.dataType} / ${right.dataType}")
+      "expected array<struct<string,bigint>> (containsNull=false) on both sides, " +
+        s"got ${left.dataType} / ${right.dataType}")
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

@@ -120,8 +120,15 @@ object Multimodal {
         new java.io.ByteArrayInputStream(item.content))
       try {
         val fmt = in.getFormat
-        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
-          s"WavDecoder expects mono 16-bit PCM, got $fmt for media_id=${item.media_id}")
+        // encoding + endianness matter as much as width: a big-endian or
+        // unsigned 16-bit stream would pass a width-only check and decode
+        // to silently wrong RMS values under the little-endian signed
+        // byte pairing below — reject loudly instead
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          !fmt.isBigEndian,
+          s"WavDecoder expects mono 16-bit little-endian signed PCM, got $fmt " +
+            s"for media_id=${item.media_id}")
         val bytes = in.readAllBytes()
         val n = bytes.length / 2
         val feats = Array.tabulate(dim) { wdx =>

@@ -114,9 +114,15 @@ object Events {
     val (lo, hi) = (b.getDate(0), b.getDate(1))
     // one recursion level per calendar day: the default level limit (100)
     // fails on any span over ~3 months, so size it to the actual span —
-    // sf-independent (a year of data is 366 levels, still trivial)
+    // sf-independent (a year of data is 366 levels, still trivial).
+    // Only ever RAISE the session limit: DataFrames execute lazily, so
+    // constructing a short-span query after a long-span one would
+    // otherwise lower the limit before the long-span plan actually runs
     val spanDays = java.time.temporal.ChronoUnit.DAYS.between(lo.toLocalDate, hi.toLocalDate)
-    spark.conf.set("spark.sql.cteRecursionLevelLimit", (spanDays + 10L).max(100L).toString)
+    val current = spark.conf.getOption("spark.sql.cteRecursionLevelLimit")
+      .map(_.toLong).getOrElse(100L)
+    spark.conf.set("spark.sql.cteRecursionLevelLimit",
+      (spanDays + 10L).max(current).max(100L).toString)
     spark.sql(s"""
       WITH RECURSIVE
         days(d) AS (

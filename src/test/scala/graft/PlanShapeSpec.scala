@@ -181,7 +181,10 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("tfidf cosine: dot runs in the native postings-dot codegen expression") {
-    val df = Retrieval.q_tfidf_cosine_docs(spark, sf)
+    // the public op checkpoints the 20 rows before its completeness
+    // certificate, hiding the pair stage behind Scan ExistingRDD — inspect
+    // the un-checkpointed pipeline instead
+    val df = Retrieval.tfidfCosineTopForPlan(spark, sf)
     val p = plan(df)
     assert(p.contains("graft_postings_dot"),
       s"expected the native two-pointer merge, not a HOF/map lookup:\n$p")

@@ -364,14 +364,30 @@ class Round5OpsSpec extends AnyFunSuite {
         .map { case (w, v) => v * maps(d2).getOrElse(w, 0L) }.sum
       assert(got((d1, d2)) === want, s"dot($d1,$d2)")
     }
-    // edge cases: empty side and fully-disjoint vocabularies -> 0
+    // edge cases: empty side and fully-disjoint vocabularies -> 0.
+    // Seq-literal arrays type as containsNull=true, which the expression
+    // rejects at plan time (the merge loop reads elements unconditionally)
+    // — rebuild via transform, whose non-nullable struct lambda yields the
+    // exact containsNull=false type the real producers emit
+    def exact(c: org.apache.spark.sql.Column) =
+      transform(c, x => struct(x.getField("_1").as("word"), x.getField("_2").as("w")))
     val e = Seq(
       (Seq.empty[(String, Long)], Seq(("a", 3L), ("b", 4L))),
       (Seq(("a", 2L)), Seq(("b", 5L), ("c", 1L))))
       .toDF("x", "y")
-      .select(graft.functions.GraftFunctions.postingsDot(col("x"), col("y")).as("dot"))
+      .select(graft.functions.GraftFunctions.postingsDot(
+        exact(col("x")), exact(col("y"))).as("dot"))
       .collect().map(_.getLong(0))
     assert(e.toSeq === Seq(0L, 0L), "empty/disjoint postings must dot to 0")
+    // a containsNull=true array is a loud PLAN-TIME type error, never a
+    // runtime NPE on a null element
+    val err = intercept[Exception] {
+      Seq((Seq(("a", 1L)), Seq(("a", 1L)))).toDF("x", "y")
+        .select(graft.functions.GraftFunctions.postingsDot(col("x"), col("y")))
+        .collect()
+    }
+    assert(err.getMessage.contains("containsNull=false"),
+      s"expected the type-check rejection, got: ${err.getMessage}")
   }
 
   // ---- q-gram rarity fuzzy match -------------------------------------------

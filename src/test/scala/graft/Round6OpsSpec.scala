@@ -183,6 +183,90 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(rows(Vectors.q_intrinsic_dimension(spark, sf)) === rows(naive))
   }
 
+  // ---- tfidf cosine completeness certificate --------------------------------
+
+  private def fixture(tables: (String, DataFrame)*): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_r6").toString
+    tables.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    }
+    dir
+  }
+
+  private def docsTable(rows: Seq[(Long, String, String, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang", "source")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        length(col("text")).cast("long").as("n_chars"))
+  }
+
+  test("tfidf certificate: a rare-heavy low-Jaccard pair is found via the adaptive leg") {
+    // docs 100/101: share only r1 r2 r3 (tf=50 each, df=2) among 24
+    // distinct tokens — J = 3/45, C = 3/24, BOTH below the structural
+    // candidate thresholds, and the 21 unique df=1 tokens are RARER than
+    // the shared ones, pushing r1-r3 out of the rarity half-prefix. Their
+    // cosine is ≈1 (the shared mass dominates both norms), so exactness
+    // REQUIRES the norm-adaptive leg. 19 identical filler pairs at cos 1.0
+    // fill ranks 1-19 and keep the 20th cosine above the 3/4 certificate.
+    def uniq(p: String) = (1 to 21).map(i => s"$p$i").mkString(" ")
+    val rare = (("r1 " * 50) + ("r2 " * 50) + ("r3 " * 50)).trim
+    val fillers = (0 until 19).flatMap { i =>
+      val t = s"f${i}a f${i}b f${i}c"
+      Seq((200L + 2 * i, t, "en", "web"), (201L + 2 * i, t, "en", "web"))
+    }
+    val dir = fixture("documents" -> docsTable(
+      Seq((100L, s"${uniq("ua")} $rare", "en", "web"),
+          (101L, s"${uniq("ub")} $rare", "en", "web")) ++ fillers))
+    val got = Retrieval.q_tfidf_cosine_docs(spark, dir).collect()
+    assert(got.length === 20)
+    val pairs = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((100L, 101L)),
+      s"adaptive leg missed the rare-heavy low-J pair; got ${pairs.mkString(",")}")
+    // and the result equals the brute-force all-pairs postings twin
+    val docs = Tables.documents(spark, dir)
+    val n = docs.agg(count(lit(1)).as("nn"))
+    val tf = docs.select(col("doc_id"), col("lang"), col("source"),
+        explode(split(lower(col("text")), " ")).as("word"))
+      .groupBy(col("doc_id"), col("lang"), col("source"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val w = tf.join(dfr, "word").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("lang"), col("source"), col("word"),
+        (col("tf") * round(log(col("nn").cast("double") / (col("df") + lit(1L)).cast("double"))
+          * lit(1e4)).cast("long")).as("w"))
+    val norms = w.groupBy(col("doc_id").as("nd"))
+      .agg(sum(col("w").cast("decimal(38,0)") * col("w")).as("nrm"))
+    val naive = w.as("a")
+      .join(w.as("b"),
+        col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+          col("a.word") === col("b.word") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(sum(col("a.w").cast("decimal(38,0)") * col("b.w")).as("dot"))
+      .join(norms.select(col("nd").as("d1"), col("nrm").as("n1")), "d1")
+      .join(norms.select(col("nd").as("d2"), col("nrm").as("n2")), "d2")
+      .select(col("d1"), col("d2"),
+        (round(col("dot").cast("double") /
+          sqrt(col("n1").cast("double") * col("n2").cast("double")), 6) + lit(0.0)).as("cos"))
+      .orderBy(col("cos").desc, col("d1").asc, col("d2").asc).limit(20)
+    assert(rows(Retrieval.q_tfidf_cosine_docs(spark, dir)) === rows(naive))
+  }
+
+  test("tfidf certificate: fires loudly when exactness cannot be certified") {
+    // fewer than 20 candidate pairs exist — nothing proves the missing
+    // ranks, so the query must FAIL, not silently return a short result
+    val dir = fixture("documents" -> docsTable(Seq(
+      (1L, "alpha beta shared", "en", "web"),
+      (2L, "gamma delta shared", "en", "web"),
+      (3L, "epsilon zeta", "en", "web"))))
+    val e = intercept[Exception] {
+      Retrieval.q_tfidf_cosine_docs(spark, dir).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("completeness certificate failed")),
+      s"expected the certificate failure, got: ${messages(e).mkString(" | ")}")
+  }
+
   test("gridDirectedD2 emits every directed pair exactly once (randomized ids)") {
     import spark.implicits._
     // 97 rows with adversarial id spacing (hash collisions across groups)

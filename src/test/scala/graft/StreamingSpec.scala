@@ -178,13 +178,22 @@ class StreamingSpec extends AnyFunSuite {
     val q = agg.writeStream.format("memory").queryName("rate_out")
       .outputMode(OutputMode.Complete()).start()
     try {
-      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      // liveness, not wall-clock: require SOME rows within a generous
+      // window, then synchronize with processAllAvailable (drains every
+      // batch the source has emitted so far) before checking bucket
+      // coverage — a loaded CI machine lags micro-batches, and a hard
+      // "10 buckets in 30 s" bound was a timing flake, not a product gate.
+      // value%10 covers all 10 buckets once >=10 rows have been emitted.
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
       var rows = 0L
       while (rows < 10 && System.nanoTime() < deadline) {
         Thread.sleep(500)
         rows = spark.table("rate_out").count()
       }
-      assert(rows === 10L, s"expected all 10 buckets from the rate source, got $rows")
+      assert(rows > 0L, "rate source produced nothing within 120 s")
+      q.processAllAvailable()
+      val buckets = spark.table("rate_out").count()
+      assert(buckets === 10L, s"expected all 10 buckets after drain, got $buckets")
       val total = spark.table("rate_out")
         .agg(sum(col("n"))).head().getLong(0)
       assert(total > 0L)
