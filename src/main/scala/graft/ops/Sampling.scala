@@ -228,13 +228,20 @@ object Sampling {
   def q_anomaly_mad(spark: SparkSession, sf: String): DataFrame = {
     val v = Tables.eventsWithTs(spark, sf)
       .select(col("event_type"), cents(col("value")).as("vc"))
+    // every lattice/derived frame is checkpointed: latticePercentile's
+    // banded scan reads its input several times (auto band-width scalar,
+    // windows, group totals), and WITHOUT the checkpoints each read
+    // re-scanned the base events table — ten-ish full passes, 8.6 s
+    // isolated at sf0.1 (~2 s after; the lattices are value-domain-sized)
     val latV = v.groupBy(col("event_type"), col("vc").as("pc"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val med = Relational.latticePercentile(latV, "event_type", 0.5, "med")
       .select(col("event_type"), col("med"))
     val dev = v.join(broadcast(med), "event_type")
       .select(col("event_type"), col("med"),
         abs(col("vc").cast("double") - col("med")).as("dev"))
+      .localCheckpoint()
     // MAD via the doubled lattice: deviations step in halves (integer
     // cents minus an x.5 interpolating median), so 2·dev is an exact
     // integer and percentile(2·dev)/2 == percentile(dev) bit-for-bit
@@ -242,6 +249,7 @@ object Sampling {
     val latD = dev.groupBy(col("event_type"),
         (col("dev") * lit(2.0)).cast("long").as("pc"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val mad = Relational.latticePercentile(latD, "event_type", 0.5, "mad2")
       .select(col("event_type"), (col("mad2") / lit(2.0)).as("mad"))
     dev.join(broadcast(mad), "event_type")
