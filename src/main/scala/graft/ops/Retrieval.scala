@@ -29,14 +29,13 @@ object Retrieval {
     *
     * Scale design: the former unpruned (block, term) postings self-join
     * was O(df²) per term — quadratic in the block under frequent terms.
-    * Candidates are [[Text.pairCandidatesOf]] at (J ≥ 1/2, C ≥ 1/2) plus
-    * a NORM-ADAPTIVE probe leg (the Bayardo All-Pairs idea, weight-aware
-    * where the set-based prefixes are not): per doc, the minimal rarity-
-    * prefix whose residual squared-norm fraction is ≤ (3/4)² — minus the
-    * rows the structural half-prefix already probes, which measured at
-    * 0.5-2% extra fan-out (83 rows at sf0.01, 12 k at sf1; widening the
-    * containment threshold instead DOUBLED candidate volume at 10×
-    * duplicate density). Each
+    * Candidates come from ONE norm-adaptive probe leg (the Bayardo
+    * All-Pairs idea, weight-aware where set-based prefixes are not): per
+    * doc, the minimal greedy w²/df-ordered token prefix whose residual
+    * squared-norm fraction is ≤ (3/4)², probed against full postings from
+    * the smaller side (see [[tfidfCosineTopRaw]] for the completeness
+    * bound and the measured fan-out vs the retired set-based prefix
+    * legs). Each
     * candidate's FULL dot product runs in the native codegen
     * expression [[graft.functions.PostingsDotLong]]: both docs' (word, w)
     * postings are sorted once per doc, the join carries the two arrays,
@@ -50,21 +49,18 @@ object Retrieval {
     * are ≤ a few hundred distinct tokens, so the long accumulator has
     * > 4 orders of headroom.
     *
-    * Completeness certificate (exact-or-loud-failure): set-based prefixes
-    * alone are complete only above their (J, C) thresholds, and a pair
-    * dominated by a few heavily-weighted rare terms CAN rank top-20 with
-    * a small token overlap. A pair missed by EVERY leg shares no token in
-    * the smaller doc's structural half-prefix NOR in its norm-adaptive
-    * prefix, so all shared tokens sit in the adaptive suffix — whose
-    * norm fraction is ≤ 3/4 by construction — and by Cauchy-Schwarz its
-    * cosine is ≤ 3/4. If the 20th candidate cosine exceeds 3/4 (plus
-    * 6-decimal rounding slack), no missed pair can displace the result;
-    * `assert_true` fails the query loudly otherwise (also when fewer than
-    * 20 candidate pairs exist, where nothing can be certified). Measured
-    * 20th cosines: 0.83 (sf0.01) / 0.91 (sf0.1) / 1.0 (sf1). Round6OpsSpec
-    * pins both branches on planted corpora; the DuckDB oracle stays the
-    * full brute-force join, so the driver's hash compare re-proves
-    * equality every round.
+    * Completeness certificate (exact-or-loud-failure): a pair missed by
+    * the probe leg shares tokens only inside the smaller doc's residual
+    * suffix, whose norm fraction is ≤ 3/4 by construction, so by
+    * Cauchy-Schwarz its cosine is ≤ 3/4. If the 20th candidate cosine
+    * exceeds 3/4 (plus 6-decimal rounding slack) and no zero-norm doc
+    * exists (an undefined NaN cosine the bound cannot see), no missed
+    * pair can displace the result; `assert_true` fails the query loudly
+    * otherwise (also when fewer than 20 candidate pairs exist, where
+    * nothing can be certified). Measured 20th cosines: 0.83 (sf0.01) /
+    * 0.91 (sf0.1) / 1.0 (sf1). Round6OpsSpec pins both branches on
+    * planted corpora; the DuckDB oracle stays the full brute-force join,
+    * so the driver's hash compare re-proves equality every round.
     */
   def q_tfidf_cosine_docs(spark: SparkSession, sf: String): DataFrame = {
     val docs = Tables.documents(spark, sf)
@@ -73,13 +69,13 @@ object Retrieval {
     // candidate leg — without this the 100M-token tokenize+aggregate pass
     // runs twice (measured +30 s at sf1)
     val tf = docs
-      .select(col("doc_id"), explode(toks(col("text"))).as("word"))
-      .groupBy(col("doc_id"), col("word"))
+      .select(col("doc_id"), col("lang"), col("source"), explode(toks(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("lang"), col("source"), col("word"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint()
     val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val weights = tf.join(df, "word").crossJoin(broadcast(n))
-      .select(col("doc_id"), col("word"), col("df"),
+      .select(col("doc_id"), col("lang"), col("source"), col("word"), col("df"),
         (col("tf") * round(log(col("nn").cast("double") / (col("df") + lit(1L)).cast("double"))
           * lit(1e4)).cast("long")).as("w"))
     val docVecs = weights.groupBy(col("doc_id"))
@@ -89,69 +85,83 @@ object Retrieval {
     // 20 rows materialized once; the certificate aggregate and the guarded
     // result both read the checkpoint instead of re-running the pair join
     val top = tfidfCosineTopRaw(spark, sf, docVecs, weights).localCheckpoint()
-    // a pair missed by every candidate leg has cosine ≤ 3/4 (see above);
-    // 0.7501 absorbs the 6-decimal output rounding
-    // asserted on the 1-row aggregate (a global agg ALWAYS yields one
-    // row), never per result row — an empty result must fire the guard,
-    // not skip it via empty-relation propagation
+    // a pair missed by the probe leg has cosine ≤ 3/4 (see above); 0.7501
+    // absorbs the 6-decimal output rounding. Asserted on the 1-row
+    // aggregate (a global agg ALWAYS yields one row), never per result
+    // row — an empty result must fire the guard, not skip it via
+    // empty-relation propagation. The zero-norm count backs the
+    // Cauchy-Schwarz bound: a doc with no weight mass has an undefined
+    // (NaN) cosine the probe cannot see, so its presence voids the
+    // certificate instead of silently dropping its pairs.
+    val zeroNorm = docVecs.agg(
+      sum(when(col("nrm") === 0, 1L).otherwise(0L)).as("n_zero_norm"))
     val cert = top.agg(count(lit(1)).as("k"), min(col("cos")).as("c20"))
+      .crossJoin(broadcast(zeroNorm))
       .filter(assert_true(
-        col("k") === 20 && col("c20") >= lit(0.7501),
+        col("k") === 20 && col("c20") >= lit(0.7501) &&
+          coalesce(col("n_zero_norm"), lit(0L)) === 0L,
         concat(lit("tfidf top-20 completeness certificate failed: a missed pair "),
           lit("could reach cos 0.75 vs 20th candidate cos "),
           coalesce(col("c20").cast("string"), lit("(none)")),
-          lit(" over "), col("k").cast("string"), lit(" pairs"))).isNull)
+          lit(" over "), col("k").cast("string"), lit(" pairs; zero-norm docs: "),
+          coalesce(col("n_zero_norm").cast("string"), lit("0")))).isNull)
     top.crossJoin(broadcast(cert))
       .select(col("d1"), col("d2"), col("cos"))
       .orderBy(col("cos").desc, col("d1").asc, col("d2").asc)
   }
 
-  /** The un-guarded candidate→postings-dot→top-20 pipeline of
+  /** The un-guarded probe→postings-dot→top-20 pipeline of
     * [[q_tfidf_cosine_docs]] (no checkpoint): exposed so the plan-shape
     * spec can assert the native postings-dot expression and the absence of
     * a pair product on the REAL plan — the public op checkpoints the 20
     * rows before the certificate, which hides this stage behind a Scan
     * ExistingRDD. `docVecs` must carry (doc_id, posts, nrm); `weights`
-    * must carry (doc_id, word, df, w) for the norm-adaptive leg.
+    * must carry (doc_id, lang, source, word, df, w).
+    *
+    * Candidate generation is a single NORM-ADAPTIVE probe leg (the weight-
+    * aware Bayardo All-Pairs shape): per doc, tokens in GREEDY
+    * mass-per-join-cost order (w²/df desc — rare heavy terms first,
+    * stopwords only when the doc's mass leaves no choice) are kept while
+    * the mass before them is under 1 − (3/4)² = 7/16 of the doc total, so
+    * the residual after the kept probe is ≤ (3/4)² of the squared norm;
+    * probe(smaller doc) joins the bigger doc's full postings. Any pair the
+    * leg misses shares tokens only inside the smaller doc's residual, so
+    * by Cauchy-Schwarz its cosine is ≤ 3/4 — which is ALL the runtime
+    * certificate needs. The former structural (J ≥ 1/2, C ≥ 1/2) prefix
+    * legs only ever added candidates below that bound (they can never
+    * rank when the certificate holds) at 3-4× the join fan-out, so they
+    * are gone: measured Σdf over probe rows at sf1 is 7.5e9 for this
+    * order vs 18.8e9 rarity-ordered vs 23.7e9 for the half-prefix C-leg
+    * alone. The probe order is Spark-internal (any deterministic order
+    * gives the same verified top-20), so the double division needs no
+    * cross-engine lattice.
     */
   private[graft] def tfidfCosineTopRaw(
       spark: SparkSession, sf: String, docVecs: DataFrame,
       weights: DataFrame): DataFrame = {
-    val sets = Text.docSets(spark, sf)
-    // norm-adaptive probe rows: rarity-ordered (the candidate stage's
-    // exact order and ceiling arithmetic), keep a token while the norm
-    // mass BEFORE it is under 1 − (3/4)² = 7/16 of the doc total — the
-    // residual after the kept prefix is then ≤ (3/4)² of the squared
-    // norm. Only the rows the structural C-leg half-prefix does NOT
-    // already probe are joined (0.5-2% extra fan-out); together the two
-    // legs guarantee any missed pair has cosine ≤ 3/4.
-    val wWin = Window.partitionBy("doc_id").orderBy(col("df").asc, col("word").asc)
+    val mass = col("w").cast("decimal(38,0)") * col("w")
+    val gWin = Window.partitionBy("doc_id")
+      .orderBy((col("w").cast("double") * col("w").cast("double") /
+        col("df").cast("double")).desc, col("word").asc)
     val rankedW = weights
-      .withColumn("pos", row_number().over(wWin))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
-      .withColumn("cumb", coalesce(sum(col("w").cast("decimal(38,0)") * col("w"))
-        .over(wWin.rowsBetween(Window.unboundedPreceding, -1)), lit(0).cast("decimal(38,0)")))
-      .withColumn("nrm2", sum(col("w").cast("decimal(38,0)") * col("w"))
-        .over(Window.partitionBy("doc_id")))
-    val adaptiveRows = rankedW
-      .filter(col("pos") > col("sz") - expr("(sz + 1) div 2") + 1L &&
-        col("cumb") * 16 < col("nrm2") * 7)
-      .join(sets.select(col("doc_id"), col("lang"), col("source"), col("sz").as("ssz")), "doc_id")
-      .select(col("doc_id"), col("lang"), col("source"), col("ssz").as("sz"), col("word"))
-    val postings = sets.select(col("doc_id"), col("lang"), col("source"), col("sz"),
-      explode(col("toks")).as("word"))
-    val adaptiveCand = adaptiveRows.as("a")
+      .withColumn("cumb", coalesce(sum(mass)
+        .over(gWin.rowsBetween(Window.unboundedPreceding, -1)), lit(0).cast("decimal(38,0)")))
+      .withColumn("nrm2", sum(mass).over(Window.partitionBy("doc_id")))
+    val probe = rankedW
+      .filter(col("cumb") * 16 < col("nrm2") * 7)
+      .select(col("doc_id"), col("lang"), col("source"), col("sz"), col("word"))
+    val postings = rankedW
+      .select(col("doc_id"), col("lang"), col("source"), col("sz"), col("word"))
+    val cand = probe.as("a")
       .join(postings.as("b"),
         col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
           col("a.word") === col("b.word") &&
           (col("a.sz") < col("b.sz") ||
             (col("a.sz") === col("b.sz") && col("a.doc_id") =!= col("b.doc_id"))))
-      .select(col("a.lang").as("lang"), col("a.source").as("source"),
-        least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
-    val cand = Text.pairCandidatesOf(sets, Some((1L, 2L)), Some((1L, 2L)),
-        Seq(adaptiveCand))
-      .select(col("d1"), col("d2"))
+      .distinct()
     cand
       .join(docVecs.select(col("doc_id").as("d1"), col("posts").as("p1"), col("nrm").as("n1")), "d1")
       .join(docVecs.select(col("doc_id").as("d2"), col("posts").as("p2"), col("nrm").as("n2")), "d2")
@@ -168,12 +178,12 @@ object Retrieval {
     val docs = Tables.documents(spark, sf)
     val n = docs.agg(count(lit(1)).as("nn"))
     val tf = docs
-      .select(col("doc_id"), explode(toks(col("text"))).as("word"))
-      .groupBy(col("doc_id"), col("word"))
+      .select(col("doc_id"), col("lang"), col("source"), explode(toks(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("lang"), col("source"), col("word"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val weights = tf.join(df, "word").crossJoin(broadcast(n))
-      .select(col("doc_id"), col("word"), col("df"),
+      .select(col("doc_id"), col("lang"), col("source"), col("word"), col("df"),
         (col("tf") * round(log(col("nn").cast("double") / (col("df") + lit(1L)).cast("double"))
           * lit(1e4)).cast("long")).as("w"))
     val docVecs = weights.groupBy(col("doc_id"))

@@ -142,16 +142,10 @@ object Text {
     * candidate volume at high duplicate density drops by the square of
     * that ratio while the verified output is provably unchanged.
     */
-  /** Extension point: `extraLegs` (each shaped (lang, source, d1, d2))
-    * are unioned into the SAME final distinct as the built-in legs, so a
-    * consumer-specific candidate source (e.g. the TF-IDF cosine op's
-    * norm-adaptive probe) costs no second dedup shuffle over the full
-    * candidate volume. */
   private[graft] def pairCandidatesOf(
       docs: DataFrame,
       minJ: Option[(Long, Long)],
-      minC: Option[(Long, Long)],
-      extraLegs: Seq[DataFrame] = Nil): DataFrame = {
+      minC: Option[(Long, Long)]): DataFrame = {
     val toks = docs.select(col("doc_id"), col("lang"), col("source"), col("sz"),
       explode(col("toks")).as("word"))
     val dfreq = toks.groupBy(col("word")).agg(count(lit(1)).as("df"))
@@ -187,9 +181,7 @@ object Text {
           least(col("a.doc_id"), col("b.doc_id")).as("d1"),
           greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
     }
-    (jCand.toSeq ++ cCand.toSeq ++ extraLegs.map(_.select(
-      col("lang"), col("source"), col("d1"), col("d2"))))
-      .reduce(_ union _).distinct()
+    (jCand.toSeq ++ cCand.toSeq).reduce(_ union _).distinct()
   }
 
   private[graft] def pairOverlapOf(docsIn: DataFrame): DataFrame =
