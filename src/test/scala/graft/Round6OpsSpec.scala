@@ -251,6 +251,88 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(rows(Retrieval.q_tfidf_cosine_docs(spark, dir)) === rows(naive))
   }
 
+  test("tfidf certificate: randomized corpora — exact top-20 whenever it passes") {
+    // the certificate's contract across corpus shapes the fixture never
+    // takes: for each seeded random corpus, EITHER the query returns and
+    // must equal the brute-force all-pairs twin, OR it fires the
+    // certificate (cannot certify) — never a silently wrong result. At
+    // least a third of the seeds must take the pass branch so the sweep
+    // is non-vacuous.
+    val rnd = new scala.util.Random(42)
+    var passed = 0
+    for (seed <- 0 until 6) {
+      val vocab = (0 until 40).map(i => s"w$i")
+      // duplicate clusters: ~10 templates, each emitted 3-4 times (some
+      // verbatim, some with one extra token) → plenty of cos≈1 pairs so
+      // the 20th candidate cosine clears 3/4 on most seeds; plus random
+      // singleton docs as noise. Same-(lang,source) within a cluster.
+      val templates = (0 until 10).map { t =>
+        val len = 6 + rnd.nextInt(12)
+        Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      }
+      var id = -1L
+      val rows = templates.zipWithIndex.flatMap { case (t, ti) =>
+        val copies = 3 + rnd.nextInt(2)
+        (0 until copies).map { c =>
+          id += 1
+          val text = if (c > 0 && rnd.nextBoolean()) s"$t x$ti" else t
+          (id, text, "en", if (ti % 2 == 0) "web" else "wiki")
+        }
+      } ++ (0 until 10 + rnd.nextInt(10)).map { _ =>
+        id += 1
+        val len = 5 + rnd.nextInt(15)
+        (id, Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" "),
+          "en", if (rnd.nextBoolean()) "web" else "wiki")
+      }
+      val dir = fixture("documents" -> docsTable(rows))
+      val outcome = try Some(Retrieval.q_tfidf_cosine_docs(spark, dir).collect())
+      catch {
+        case e: Exception =>
+          def msgs(t: Throwable): Seq[String] =
+            if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+          assert(msgs(e).exists(_.contains("completeness certificate failed")),
+            s"seed $seed: unexpected failure ${msgs(e).mkString(" | ")}")
+          None
+      }
+      outcome.foreach { got =>
+        passed += 1
+        val naive = bruteForceTfidfTop20(dir).collect()
+        assert(got.map(_.toSeq).toSeq === naive.map(_.toSeq).toSeq,
+          s"seed $seed: certified result diverged from brute force")
+      }
+    }
+    assert(passed >= 2, s"only $passed/6 seeds passed the certificate — sweep vacuous")
+  }
+
+  /** Brute-force all-pairs tf-idf cosine top-20 (the oracle's shape). */
+  private def bruteForceTfidfTop20(dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val n = docs.agg(count(lit(1)).as("nn"))
+    val tf = docs.select(col("doc_id"), col("lang"), col("source"),
+        explode(split(lower(col("text")), " ")).as("word"))
+      .groupBy(col("doc_id"), col("lang"), col("source"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val w = tf.join(dfr, "word").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("lang"), col("source"), col("word"),
+        (col("tf") * round(log(col("nn").cast("double") / (col("df") + lit(1L)).cast("double"))
+          * lit(1e4)).cast("long")).as("w"))
+    val norms = w.groupBy(col("doc_id").as("nd"))
+      .agg(sum(col("w").cast("decimal(38,0)") * col("w")).as("nrm"))
+    w.as("a")
+      .join(w.as("b"),
+        col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+          col("a.word") === col("b.word") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(sum(col("a.w").cast("decimal(38,0)") * col("b.w")).as("dot"))
+      .join(norms.select(col("nd").as("d1"), col("nrm").as("n1")), "d1")
+      .join(norms.select(col("nd").as("d2"), col("nrm").as("n2")), "d2")
+      .select(col("d1"), col("d2"),
+        (round(col("dot").cast("double") /
+          sqrt(col("n1").cast("double") * col("n2").cast("double")), 6) + lit(0.0)).as("cos"))
+      .orderBy(col("cos").desc, col("d1").asc, col("d2").asc).limit(20)
+  }
+
   test("tfidf certificate: fires loudly when exactness cannot be certified") {
     // fewer than 20 candidate pairs exist — nothing proves the missing
     // ranks, so the query must FAIL, not silently return a short result
