@@ -361,5 +361,16 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(got.length === 97 * 96, s"directed pair count ${got.length}")
     assert(got.toSet.size === got.length, "a directed pair was emitted twice")
     assert(got.forall { case (q, n) => q != n })
+    // blockKeys variant: pairs restricted to equal labels, still
+    // exactly-once directed (3 blocks of 33/32/32 rows)
+    val vb = v.withColumn("label", pmod(col("vec_id"), lit(3L)))
+    val gotB = Vectors.gridDirectedD2(vb, 8, Seq("label"))
+      .select(col("qid"), col("nid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byLabel = ids.groupBy(_ % 3).values.map(_.size).toSeq
+    val want = byLabel.map(s => s * (s - 1)).sum
+    assert(gotB.length === want, s"blocked directed count ${gotB.length} != $want")
+    assert(gotB.toSet.size === gotB.length)
+    assert(gotB.forall { case (q, n) => q % 3 == n % 3 && q != n })
   }
 }
