@@ -33,9 +33,16 @@ object GraftFunctions {
   def minHash(tokenHash: Column): Column =
     Bridge.column(MinHashAgg(Bridge.expression(tokenHash)).toAggregateExpression())
 
+  /** Column API over the one-pass element-wise `array<bigint>` sum
+    * aggregate (the keyed centroid/vector-sum shape — one buffer per
+    * group, map-side combine, no per-dimension row fan-out).
+    */
+  def vecSum(vec: Column): Column =
+    Bridge.column(VecSumLongAgg(Bridge.expression(vec)).toAggregateExpression())
+
   /** Registers SQL-callable functions on the session:
     * `graft_tokenize(text)`, `graft_dot(a,b)`, `graft_dist2(a,b)`,
-    * `graft_cosine_centroid(arr)`, `graft_minhash(h)`.
+    * `graft_cosine_centroid(arr)`, `graft_minhash(h)`, `graft_vec_sum(arr)`.
     */
   def register(spark: SparkSession): Unit = {
     spark.udf.register("graft_tokenize", (s: String) =>
@@ -50,6 +57,8 @@ object GraftFunctions {
     // AggregateExpression — the builder returns the function itself
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash", exprs => MinHashAgg(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vec_sum", exprs => VecSumLongAgg(exprs(0)), "built-in")
   }
 
   /** Typed UDAF: element-wise mean of float-array embeddings (the exact

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.core.{Det, Tables}
+import graft.core.{Det, Guards, Tables}
 import graft.core.Det.{cents, pct}
 
 /** Time-series / product-analytics operators (SURVEY.md §2.21).
@@ -13,6 +13,36 @@ import graft.core.Det.{cents, pct}
   * tree computed from exact integer sufficient statistics (D3).
   */
 object Analytics {
+
+  /** Undirected support-2 co-purchase edge list (u < v): part pairs
+    * ordered together in ≥ 2 distinct orders — the node/edge universe of
+    * the §2.17/§2.44/§2.154 graph family. Built the apriori way: one
+    * shuffle keyed by order (collect_set dedups (order, part)), the
+    * per-order pair fan-out generated inside the sorted basket array
+    * (breadth² per basket — runtime-capped by
+    * [[graft.core.Guards.boundedBasket]], so a whale basket fails loudly
+    * instead of materializing its full pair set in one task), one
+    * shuffle on the pair key. Replaces nine per-query copies of an
+    * items×items self-join that streamed the same breadth² rows with no
+    * breadth guard. Deliberately NOT cached across queries — per-query
+    * independence is a bench contract; each caller localCheckpoints when
+    * it fans out.
+    */
+  private def support2Edges(spark: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy(col("ok"))
+      .agg(array_sort(collect_set(col("pk"))).as("items"))
+      .select(Guards.boundedBasket(col("items"), Guards.PairBreadthCap,
+        "support2Edges").as("items"))
+      .select(explode(expr(
+        """flatten(transform(items, (x, i) ->
+           transform(slice(items, i + 2, size(items)), y -> struct(x AS u, y AS v))))"""))
+        .as("p"))
+      .groupBy(col("p.u").as("u"), col("p.v").as("v"))
+      .agg(count(lit(1)).as("s"))
+      .filter(col("s") >= 2)
+      .select(col("u"), col("v"))
 
   /** OHLC candlestick bars: per (event_type, hour) the opening / highest /
     * lowest / closing event value plus count and volume. Open/close are
@@ -128,18 +158,11 @@ object Analytics {
     * the edge list is orders of magnitude smaller than the raw fact table.
     */
   def q_triangle_count(spark: SparkSession, sf: String): DataFrame = {
-    val items = Tables.lineitem(spark, sf)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
     // the expensive per-order pair build runs ONCE: the edge list is tiny
     // (support-2 survivors), so materialize it before it fans out into the
     // three triangle-join references + the node/edge counts — without this
     // the pair explosion re-executes five times
-    val edges = items.as("a")
-      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
-      .agg(count(lit(1)).as("s"))
-      .filter(col("s") >= 2)
-      .select(col("u"), col("v"))
+    val edges = support2Edges(spark, sf)
       .localCheckpoint()
     val tri = edges.as("e1")
       .join(edges.as("e2"), col("e1.v") === col("e2.u"))
@@ -3749,14 +3772,7 @@ object Analytics {
     * bit-safe).
     */
   def q_local_clustering(spark: SparkSession, sf: String): DataFrame = {
-    val items = Tables.lineitem(spark, sf)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val edges = items.as("a")
-      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
-      .agg(count(lit(1)).as("s"))
-      .filter(col("s") >= 2)
-      .select(col("u"), col("v"))
+    val edges = support2Edges(spark, sf)
       .localCheckpoint()
     val deg = edges.select(col("u").as("p")).union(edges.select(col("v").as("p")))
       .groupBy(col("p")).agg(count(lit(1)).as("d"))
@@ -3970,14 +3986,7 @@ object Analytics {
     */
   def q_rich_club(spark: SparkSession, sf: String): DataFrame = {
     import spark.implicits._
-    val items = Tables.lineitem(spark, sf)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val edges = items.as("a")
-      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
-      .agg(count(lit(1)).as("s"))
-      .filter(col("s") >= 2)
-      .select(col("u"), col("v"))
+    val edges = support2Edges(spark, sf)
       .localCheckpoint()
     val deg = edges.select(col("u").as("p")).union(edges.select(col("v").as("p")))
       .groupBy(col("p")).agg(count(lit(1)).as("d"))
@@ -4006,14 +4015,7 @@ object Analytics {
     * (d_min = 2, pre-rounded ln2 literal).
     */
   def q_degree_powerlaw(spark: SparkSession, sf: String): DataFrame = {
-    val items = Tables.lineitem(spark, sf)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val edges = items.as("a")
-      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
-      .agg(count(lit(1)).as("s"))
-      .filter(col("s") >= 2)
-      .select(col("u"), col("v"))
+    val edges = support2Edges(spark, sf)
     edges.select(col("u").as("p")).union(edges.select(col("v").as("p")))
       .groupBy(col("p")).agg(count(lit(1)).as("d"))
       .filter(col("d") >= 2L)
@@ -4515,14 +4517,7 @@ object Analytics {
     * never compares floats.
     */
   def q_katz_centrality(spark: SparkSession, sf: String): DataFrame = {
-    val items = Tables.lineitem(spark, sf)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val und = items.as("a")
-      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
-      .agg(count(lit(1)).as("s"))
-      .filter(col("s") >= 2)
-      .select(col("u"), col("v"))
+    val und = support2Edges(spark, sf)
     val dir = und.select(col("u"), col("v"))
       .union(und.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint()
@@ -4764,14 +4759,7 @@ object Analytics {
   }
 
   private def copurchaseDir(spark: SparkSession, sf: String): DataFrame = {
-    val items = Tables.lineitem(spark, sf)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val und = items.as("a")
-      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
-      .agg(count(lit(1)).as("s"))
-      .filter(col("s") >= 2)
-      .select(col("u"), col("v"))
+    val und = support2Edges(spark, sf)
     und.select(col("u"), col("v"))
       .union(und.select(col("v").as("u"), col("u").as("v")))
   }
@@ -9949,13 +9937,7 @@ object Analytics {
     * needs.
     */
   def q_clustering_null_model(spark: SparkSession, sf: String): DataFrame = {
-    val items = Tables.lineitem(spark, sf)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val e0 = items.as("a")
-      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
-      .agg(count(lit(1)).as("s")).filter(col("s") >= 2)
-      .select(col("u"), col("v"))
+    val e0 = support2Edges(spark, sf)
     val ed = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint()
     val tri = e0.as("e")
@@ -9991,13 +9973,7 @@ object Analytics {
     * every "can we drop x% of the network" question.
     */
   def q_percolation_threshold(spark: SparkSession, sf: String): DataFrame = {
-    val items = Tables.lineitem(spark, sf)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val e0 = items.as("a")
-      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
-      .agg(count(lit(1)).as("s")).filter(col("s") >= 2)
-      .select(col("u"), col("v"))
+    val e0 = support2Edges(spark, sf)
     e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
       .groupBy(col("u")).agg(count(lit(1)).as("d"))
       .agg(count(lit(1)).as("n"), sum(col("d")).as("sd"),
@@ -10021,13 +9997,7 @@ object Analytics {
     * keyed wedge join (basket-bounded edge build, never vertex²).
     */
   def q_agm_bound(spark: SparkSession, sf: String): DataFrame = {
-    val items = Tables.lineitem(spark, sf)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val e0 = items.as("a")
-      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
-      .agg(count(lit(1)).as("s")).filter(col("s") >= 2)
-      .select(col("u"), col("v")).localCheckpoint()
+    val e0 = support2Edges(spark, sf).localCheckpoint()
     val ed = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint()
     val tri = e0.as("e")
@@ -13203,6 +13173,8 @@ object Analytics {
     bipEdges(spark, sf)
       .groupBy(col("c"))
       .agg(array_sort(collect_set(col("s"))).as("items"))
+      .select(Guards.boundedBasket(col("items"), Guards.PairBreadthCap,
+        "bipPairs").as("items"))
       .select(explode(expr(
         """flatten(transform(items, (x, i) ->
            transform(slice(items, i + 2, size(items)), y -> struct(x AS s1, y AS s2))))"""))

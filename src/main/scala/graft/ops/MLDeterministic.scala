@@ -636,18 +636,29 @@ object MLDeterministic {
 
   /** Lloyd's K-Means run TO CONVERGENCE — the reference's defining
     * chained-iteration semantic ("run MR jobs until the centroids stop
-    * moving") as a driver loop, k=10, seeds = vectors 0..9. Each round:
-    * assignment by exact integer lattice distance against the broadcast
-    * (cluster, dim, c_e6) centroid rows, centroid recomputation as
-    * per-dimension exact means re-quantized to the e6 lattice (the
-    * [[q_kmeans_iter2]] arithmetic), `localCheckpoint` truncating the
-    * iterative lineage each round exactly like [[Text.q_dedup_components]].
-    * Stops when no centroid coordinate moves on the e6 lattice (exact
-    * fixpoint) or after `maxIter` rounds. A cluster that loses all members
-    * keeps its previous centroid (outer join + coalesce), so k stays 10
-    * and the loop is deterministic. No oracle — a convergence LOOP isn't
-    * one SQL statement; Round5OpsSpec gates convergence, Lloyd
-    * monotonicity, and determinism instead.
+    * moving") as a driver loop, k=10, seeds = vectors 0..9. Stops when no
+    * centroid coordinate moves on the e6 lattice (exact fixpoint) or
+    * after `maxIter` rounds. A cluster that loses all members keeps its
+    * previous centroid, so k stays 10 and the loop is deterministic. No
+    * oracle — a convergence LOOP isn't one SQL statement; Round5OpsSpec
+    * gates convergence, Lloyd monotonicity, and determinism instead.
+    *
+    * Plan shape (round 7): the k=10 centroids live on the DRIVER between
+    * rounds (k rows — bounded by the op's contract, never by the data,
+    * like the ≤5-row language list in [[nbPredict]]), so
+    * each Lloyd round is ONE Spark job with ONE aggregate exchange:
+    * assignment is a pure projection against the k literal centroid
+    * arrays (argmin over k native-codegen dist2 calls — no crossJoin, no
+    * per-vec_id shuffle), and the centroid recompute is a k-group
+    * `graft_vec_sum` + `count` (element-wise long-array
+    * TypedImperativeAggregate — partial-aggregable, map-side combined,
+    * no posexplode). The former plan paid a localCheckpoint + three
+    * shuffles + an N×dims explode per round — pure orchestration at
+    * ~20 rounds (12.9 s isolated at sf0.1, the suite's slowest query).
+    * The per-round collect is k rows of k×dims longs; every rounding
+    * step (e7 points, e6 centroids ×10, half-up ROUND) stays in Spark
+    * expressions, byte-identical to the [[q_kmeans_iter2]] arithmetic,
+    * so iterations, assignments and the final table are unchanged.
     *
     * Output: per-cluster size and mean squared distance at the fixpoint,
     * plus the iteration count and convergence flag.
@@ -655,55 +666,72 @@ object MLDeterministic {
   def q_kmeans_converged(spark: SparkSession, sf: String): DataFrame =
     kmeansConverged(spark, sf, maxIter = 30)
 
+  /** Best-cluster struct (d2, cluster) for column `qe` against driver-held
+    * centroids — `array_min` over k structs mirrors the former
+    * `min(struct(d2, cluster))` tie-break exactly. */
+  private def kmeansBest(cent: Seq[(Long, Array[Long])], qeType: org.apache.spark.sql.types.DataType): Column =
+    array_min(array(cent.map { case (cl, ce6) =>
+      struct(
+        Vectors.dist2E14(col("qe"),
+          typedlit(ce6.map(_ * 10L).toSeq).cast(qeType)).as("d2"),
+        lit(cl).as("cluster"))
+    }: _*))
+
+  /** One Lloyd round's centroid statistics — exposed so PlanShapeSpec can
+    * assert the round plan carries exactly ONE exchange (the k-group
+    * aggregate; assignment is projection-only). */
+  private[graft] def kmeansRoundAgg(vecs: DataFrame,
+      cent: Seq[(Long, Array[Long])]): DataFrame =
+    vecs
+      .select(kmeansBest(cent, vecs.schema("qe").dataType).as("best"), col("qe"))
+      .select(col("best.cluster").as("cluster"), col("qe"))
+      .groupBy(col("cluster"))
+      .agg(graft.functions.GraftFunctions.vecSum(col("qe")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("cluster"), expr(
+        "transform(s, v -> CAST(ROUND(ROUND(CAST(v AS DOUBLE) / " +
+          "(CAST(n AS DOUBLE) * 1e7), 6) * 1e6) AS BIGINT))").as("c_new"))
+
   private[graft] def kmeansConverged(spark: SparkSession, sf: String,
       maxIter: Int): DataFrame = {
-    // Lloyd-to-convergence in the ARRAY form: vectors stay whole e7-lattice
-    // long arrays, the k=10 centroids are a broadcast 10-row table of
-    // arrays, and assignment is one N×k broadcast product through the
-    // native codegen dist2 merge. The earlier per-dim form fanned every
-    // (vec, dim) row across all k clusters — N×64×k shuffle rows per
-    // iteration versus N×k here; the lattice arithmetic (e7 points,
-    // e6 centroids ×10, half-up rounds) is bit-identical, so iterations,
-    // assignments and the final table are unchanged.
     val vecs = Tables.embeddings(spark, sf)
       .select(col("vec_id"), Vectors.q7(col("embedding")).as("qe"))
       .localCheckpoint()
-    var cent = vecs.filter(col("vec_id") <= 9)
+    val qeType = vecs.schema("qe").dataType
+    // seed centroids: same Spark ROUND(x/10) expression as before, k rows
+    var cent: Seq[(Long, Array[Long])] = vecs.filter(col("vec_id") <= 9)
       .select(col("vec_id").as("cluster"),
         expr("transform(qe, x -> CAST(ROUND(CAST(x AS DOUBLE) / 10.0D) AS BIGINT))")
           .as("c_e6"))
-      .localCheckpoint()
-    def assign(c: org.apache.spark.sql.DataFrame) =
-      vecs.crossJoin(broadcast(
-          c.select(col("cluster"), expr("transform(c_e6, v -> v * 10)").as("ce7"))))
-        .select(col("vec_id"), col("cluster"),
-          Vectors.dist2E14(col("qe"), col("ce7")).as("d2"))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("d2"), col("cluster"))).as("best"))
-        .select(col("vec_id"), col("best.cluster").as("cluster"),
-          col("best.d2").as("d2"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+      .sortBy(_._1).toSeq
     var it = 0
     var moved = Long.MaxValue
     while (moved > 0L && it < maxIter) {
-      val fresh = vecs.join(assign(cent).select(col("vec_id"), col("cluster")), "vec_id")
-        .select(col("cluster"), posexplode(col("qe")).as(Seq("dim", "x_e7")))
-        .groupBy(col("cluster"), col("dim"))
-        .agg(round(round(sum(col("x_e7")) / (count(lit(1)) * lit(1e7)), 6) * 1e6)
-          .cast("long").as("c_new"))
-        .groupBy(col("cluster"))
-        .agg(expr("transform(sort_array(collect_list(struct(dim, c_new))), s -> s.c_new)")
-          .as("c_fresh"))
-      val stepped = cent.join(fresh, Seq("cluster"), "left_outer")
-        .select(col("cluster"),
-          coalesce(col("c_fresh"), col("c_e6")).as("c_e6"),
-          expr("aggregate(zip_with(coalesce(c_fresh, c_e6), c_e6, (a, b) -> abs(a - b)), " +
-            "CAST(0 AS BIGINT), (m, v) -> GREATEST(m, v))").as("delta"))
-        .localCheckpoint()
-      moved = stepped.agg(max(col("delta"))).head().getLong(0)
-      cent = stepped.drop("delta")
+      val freshMap = kmeansRoundAgg(vecs, cent).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+      // empty cluster keeps its previous centroid; movement = max
+      // element-wise lattice shift across clusters (exact long math)
+      var worst = 0L
+      cent = cent.map { case (cl, old) =>
+        freshMap.get(cl) match {
+          case Some(nw) =>
+            var i = 0
+            while (i < old.length) {
+              val d = math.abs(nw(i) - old(i))
+              if (d > worst) worst = d
+              i += 1
+            }
+            (cl, nw)
+          case None => (cl, old)
+        }
+      }
+      moved = worst
       it += 1
     }
-    assign(cent)
+    vecs.select(kmeansBest(cent, qeType).as("best"))
+      .select(col("best.cluster").as("cluster"), col("best.d2").as("d2"))
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n"),
         (round(sum(col("d2")) / (count(lit(1)) * lit(1e14)), 4) + lit(0.0)).as("mean_dist2"))
@@ -727,6 +755,8 @@ object MLDeterministic {
     val baskets = Tables.lineitem(spark, sf)
       .groupBy(col("l_orderkey"))
       .agg(array_sort(collect_set(col("l_partkey"))).as("items"))
+      .select(graft.core.Guards.boundedBasket(col("items"),
+        graft.core.Guards.PairBreadthCap, "q_apriori_pairs").as("items"))
     baskets
       .select(explode(expr(
         """flatten(transform(items, (x, i) ->
@@ -750,6 +780,8 @@ object MLDeterministic {
     val baskets = Tables.lineitem(spark, sf)
       .groupBy(col("l_orderkey"))
       .agg(array_sort(collect_set(col("l_partkey"))).as("items"))
+      .select(graft.core.Guards.boundedBasket(col("items"),
+        graft.core.Guards.TripleBreadthCap, "q_freq_triples").as("items"))
     baskets
       .select(explode(expr(
         """flatten(flatten(transform(items, (x, i) ->
@@ -835,6 +867,8 @@ object MLDeterministic {
     val baskets = Tables.lineitem(spark, sf)
       .groupBy(col("l_orderkey"))
       .agg(array_sort(collect_set(col("l_partkey"))).as("items"))
+      .select(graft.core.Guards.boundedBasket(col("items"),
+        graft.core.Guards.PairBreadthCap, "q_rule_confidence").as("items"))
       .localCheckpoint()
     val nB = baskets.agg(count(lit(1)).as("nb"))
     val itemSup = baskets.select(explode(col("items")).as("item"))

@@ -54,6 +54,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges <= 3, s"expected <=3 exchanges (agg + sort + reuse), got $exchanges:\n$p")
   }
 
+  test("kmeans round: assignment is projection-only, one aggregate exchange, no explode") {
+    // round-7 contract for the Lloyd loop: centroids are driver-held
+    // literals, so a round's plan is scan → project(argmin over k native
+    // dist2 calls) → graft_vec_sum aggregate — exactly ONE exchange (the
+    // k-group aggregate), no join, no posexplode Generate, per round
+    import org.apache.spark.sql.functions.col
+    val vecs = graft.core.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), ops.Vectors.q7(col("embedding")).as("qe"))
+    val cent: Seq[(Long, Array[Long])] =
+      (0L to 9L).map(c => c -> Array.tabulate(64)(i => c * 1000L + i))
+    val p = plan(ops.MLDeterministic.kmeansRoundAgg(vecs, cent))
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly 1 exchange per Lloyd round, got $exchanges:\n$p")
+    assert(!p.contains("Generate"), s"posexplode resurfaced in the Lloyd round:\n$p")
+    assert(!p.contains("Join"), s"join resurfaced in the Lloyd round:\n$p")
+  }
+
   test("pii redaction: regexes stay in one whole-stage codegen pass") {
     // AQE prints codegen spans only in the FINAL plan — execute first
     val df = Scalars.q_pii_redact(spark, sf)
