@@ -92,7 +92,7 @@ object Text {
 
   /** Documents with their distinct-token arrays and set sizes — the shared
     * input of the near-dup candidate and verify stages. */
-  private[ops] def docSets(spark: SparkSession, sf: String): DataFrame =
+  private[graft] def docSets(spark: SparkSession, sf: String): DataFrame =
     Tables.documents(spark, sf)
       .select(col("doc_id"), col("lang"), col("source"),
         array_distinct(tokens(col("text"))).as("toks"))
@@ -160,23 +160,40 @@ object Text {
     val jCand = minJ.map { t =>
       val p = pref(t)
       // PPJoin length filter: J ≥ n/d ⟹ max(sz)·n ≤ min(sz)·d (J is at
-      // most min/max), so size-mismatched pairs never become candidates
+      // most min/max), so size-mismatched pairs never become candidates.
+      // PPJoin POSITIONAL filter (round 7): J ≥ n/d ⟹ inter ≥
+      // ⌈n·(szA+szB)/(n+d)⌉, and every common token of the pair sits at
+      // or after the pair's SMALLEST common token w in BOTH docs (tokens
+      // before w's position are < w in the one global order, and w is
+      // the smallest common one), so inter ≤ min(szA−posA, szB−posB)+1
+      // on w's row. A qualifying pair therefore always survives on its
+      // w row — the filter only prunes redundant and sub-threshold
+      // candidate rows BEFORE the distinct + exact-verify stages (the
+      // integer ceiling keeps the bound exact, like the prefix bound).
       p.as("a")
         .join(p.as("b"),
           col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
           col("a.word") === col("b.word") && col("a.doc_id") < col("b.doc_id") &&
           greatest(col("a.sz"), col("b.sz")) * t._1 <=
-            least(col("a.sz"), col("b.sz")) * t._2)
+            least(col("a.sz"), col("b.sz")) * t._2 &&
+          expr(s"((a.sz + b.sz) * ${t._1} + ${t._1 + t._2 - 1L}) div ${t._1 + t._2}") <=
+            least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos")) + 1L)
         .select(col("a.lang").as("lang"), col("a.source").as("source"),
           col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
     }
     val cCand = minC.map { t =>
+      // containment positional filter: C ≥ n/d ⟹ inter ≥ ⌈n·szA/d⌉ (A =
+      // the smaller side), and the same smallest-common-token argument
+      // bounds inter by min(szA−posA, szB−posB)+1 — so the full-postings
+      // side joins `ranked` (which carries pos) instead of raw `toks`
       pref(t).as("a")
-        .join(toks.as("b"),
+        .join(ranked.as("b"),
           col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
           col("a.word") === col("b.word") &&
           (col("a.sz") < col("b.sz") ||
-            (col("a.sz") === col("b.sz") && col("a.doc_id") < col("b.doc_id"))))
+            (col("a.sz") === col("b.sz") && col("a.doc_id") < col("b.doc_id"))) &&
+          expr(s"(a.sz * ${t._1} + ${t._2 - 1L}) div ${t._2}") <=
+            least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos")) + 1L)
         .select(col("a.lang").as("lang"), col("a.source").as("source"),
           least(col("a.doc_id"), col("b.doc_id")).as("d1"),
           greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
@@ -350,24 +367,87 @@ object Text {
   }
 
   /** Near-dup threshold sweep (the tuning pass that decides where to cut
-    * before a production dedup run): from ONE pair-overlap pass, the
-    * candidate-pair count and total docs-removed-if-deduped at Jaccard
-    * thresholds 0.5…0.9 — exact e4 integer Jaccard, ×5 fan-out over the
-    * tiny pair table, never a re-scan per threshold.
+    * before a production dedup run): the candidate-pair count and total
+    * docs-removed-if-deduped at Jaccard thresholds 0.5…0.9 — exact e4
+    * integer Jaccard.
+    *
+    * Scale shape (round 7): EXACT-DUP COLLAPSE FIRST — the step every
+    * production near-dup pass runs anyway. Documents with identical
+    * (lang, source, token-array) keys form groups; the PPJoin pair pass
+    * runs over one REPRESENTATIVE per group (rep = min doc_id), and the
+    * swept counts are expanded combinatorially, exactly:
+    *  - within a group of m identical docs every pair has J = 1 (e4
+    *    10000 ≥ every swept cut): C(m,2) pairs;
+    *  - a rep pair (A,B) with Jaccard j stands for m_A·m_B doc pairs,
+    *    all with the SAME exact j (identical token sets per member);
+    *  - a doc x is "removed" at cut t (appears as the LARGER id d2 of
+    *    some qualifying pair) iff some qualifying partner has a smaller
+    *    id — i.e. iff x exceeds the smallest of {its own group's min id
+    *    (when m ≥ 2)} ∪ {qualifying partner groups' min ids} — a
+    *    per-(group, threshold) MIN bound counted over exploded members.
+    * At 10× duplicate density the rep corpus is ~10× smaller and the
+    * verified pair table ~100× smaller (sf1: 14.0 M → 0.14 M pairs,
+    * 46 s → ~8 s isolated) while every count is provably unchanged
+    * (Round7OpsSpec pins equality against the uncollapsed pipeline on a
+    * planted dirty corpus and the fixtures).
     */
-  def q_dedup_threshold_sweep(spark: SparkSession, sf: String): DataFrame = {
-    // Jaccard-only sweep (lowest cut 0.5): the containment leg's extra
-    // candidates all fail every swept threshold, so dropping it leaves
-    // the counted pair set unchanged while halving the candidate stage
-    val pairs = pairOverlapOf(docSets(spark, sf), Some((1L, 2L)), None)
+  def q_dedup_threshold_sweep(spark: SparkSession, sf: String): DataFrame =
+    dedupThresholdSweepOf(docSets(spark, sf))
+
+  private[graft] def dedupThresholdSweepOf(docsIn: DataFrame): DataFrame = {
+    // rep = min doc_id over the exact-dup group, via a window rather than
+    // a collect_list: no member array ever materializes, so a boilerplate
+    // doc repeated a million times is one fat PARTITION, not one fat row
+    val withRep = docsIn
+      .withColumn("rep", min(col("doc_id")).over(
+        Window.partitionBy(col("lang"), col("source"), col("toks"))))
+      .localCheckpoint() // feeds reps, group sizes, and the member scan
+    val sizes = withRep.groupBy(col("rep")).agg(count(lit(1)).as("m"))
+    val groups = sizes.localCheckpoint()
+    val reps = withRep.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("lang"), col("source"), col("toks"), col("sz"))
+    // Jaccard-only candidates (lowest cut 0.5): the containment leg's
+    // extra candidates all fail every swept threshold, so dropping it
+    // leaves the counted pair set unchanged while halving the candidates
+    val repPairs = pairOverlapOf(reps, Some((1L, 2L)), None)
       .select(col("d1"), col("d2"),
         expr("inter * 10000 div (sz1 + sz2 - inter)").as("j_e4"))
-    pairs
-      .select(col("d1"), col("d2"), col("j_e4"),
-        explode(expr("array(5000, 6000, 7000, 8000, 9000)")).as("thr"))
+      .filter(col("j_e4") >= 5000L)
+      .localCheckpoint() // feeds both the pair counts and the removal bounds
+    val thr = "explode(array(5000L, 6000L, 7000L, 8000L, 9000L))"
+    // qualifying pair multiplicities: cross-group m_A·m_B + within-group C(m,2)
+    val crossPairs = repPairs
+      .join(groups.select(col("rep").as("d1"), col("m").as("m1")), "d1")
+      .join(groups.select(col("rep").as("d2"), col("m").as("m2")), "d2")
+      .select(col("j_e4"), (col("m1") * col("m2")).as("mm"))
+    val withinPairs = groups.filter(col("m") >= 2L)
+      .select(lit(10000L).as("j_e4"), expr("m * (m - 1) div 2").as("mm"))
+    val nPairs = crossPairs.unionByName(withinPairs)
+      .select(col("j_e4"), col("mm"), expr(thr).as("thr"))
       .filter(col("j_e4") >= col("thr"))
       .groupBy(col("thr").cast("long").as("threshold_e4"))
-      .agg(count(lit(1)).as("n_pairs"), countDistinct(col("d2")).as("n_docs_removed"))
+      .agg(sum(col("mm")).as("n_pairs"))
+    // per-(group, threshold) removal bound = min over {own min id | m>=2}
+    // and qualifying partner groups' min ids (rep IS the group min)
+    val partnerBounds = repPairs
+      .select(col("j_e4"), explode(array(
+        struct(col("d1").as("g"), col("d2").as("b")),
+        struct(col("d2").as("g"), col("d1").as("b")))).as("e"))
+      .select(col("j_e4"), col("e.g").as("g"), col("e.b").as("b"), expr(thr).as("thr"))
+      .filter(col("j_e4") >= col("thr"))
+      .select(col("g"), col("b"), col("thr"))
+    val withinBounds = groups.filter(col("m") >= 2L)
+      .select(col("rep").as("g"), col("rep").as("b"), expr(thr).as("thr"))
+    val bounds = partnerBounds.unionByName(withinBounds)
+      .groupBy(col("g"), col("thr")).agg(min(col("b")).as("bound"))
+    val removed = withRep
+      .select(col("rep").as("g"), col("doc_id").as("member"))
+      .join(bounds, "g")
+      .filter(col("member") > col("bound"))
+      .groupBy(col("thr").cast("long").as("threshold_e4"))
+      .agg(count(lit(1)).as("n_docs_removed"))
+    nPairs.join(removed, "threshold_e4")
+      .select(col("threshold_e4"), col("n_pairs"), col("n_docs_removed"))
       .orderBy("threshold_e4")
   }
 

@@ -185,6 +185,45 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(msg.contains("q_apriori_pairs") && msg.contains("exceeds the documented"), msg)
   }
 
+  /** The pre-round-7 uncollapsed sweep verbatim: PPJoin over ALL docs,
+    * exact verify, ×5 threshold explode — the equality oracle for the
+    * exact-dup-collapse rewrite. */
+  private def legacySweep(docs: DataFrame): DataFrame = {
+    val pairs = Text.pairOverlapOf(docs, Some((1L, 2L)), None)
+      .select(col("d1"), col("d2"),
+        expr("inter * 10000 div (sz1 + sz2 - inter)").as("j_e4"))
+    pairs
+      .select(col("d1"), col("d2"), col("j_e4"),
+        explode(expr("array(5000, 6000, 7000, 8000, 9000)")).as("thr"))
+      .filter(col("j_e4") >= col("thr"))
+      .groupBy(col("thr").cast("long").as("threshold_e4"))
+      .agg(count(lit(1)).as("n_pairs"), countDistinct(col("d2")).as("n_docs_removed"))
+      .orderBy("threshold_e4")
+  }
+
+  test("threshold sweep: exact-dup collapse equals the uncollapsed pipeline on a dirty corpus") {
+    import spark.implicits._
+    // randomized corpus with planted exact-dup groups (m in 1..4) over two
+    // language blocks — near-dup pairs across groups arise at every swept
+    // threshold; the collapsed combinatorial counts must match the
+    // brute-ish uncollapsed pipeline exactly
+    val rnd = new scala.util.Random(7L)
+    val vocab = (0 until 40).map(i => s"w$i")
+    var id = 0L
+    val docRows = scala.collection.mutable.Buffer[(Long, String, String, Seq[String])]()
+    for (_ <- 0 until 60) {
+      val toks = rnd.shuffle(vocab).take(8 + rnd.nextInt(10))
+      val lang = if (rnd.nextBoolean()) "en" else "de"
+      for (_ <- 0 to rnd.nextInt(3)) { docRows += ((id, lang, "src", toks)); id += 1 }
+    }
+    val docs = docRows.toSeq.toDF("doc_id", "lang", "source", "toks")
+      .withColumn("sz", size(col("toks")).cast("long"))
+    assert(rows(Text.dedupThresholdSweepOf(docs)) === rows(legacySweep(docs)))
+    // and on the clean sf0.01 fixture (mostly singleton groups)
+    assert(rows(Text.q_dedup_threshold_sweep(spark, sf)) ===
+      rows(legacySweep(Text.docSets(spark, sf))))
+  }
+
   test("graft_vec_sum is SQL-callable after registration") {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
