@@ -30,7 +30,8 @@ import java.util.Locale
   * `isolated` next to `queries`, bench_detail.json carries the full
   * suite map plus the isolated re-runs, so a reader can tell a real
   * regression (isolated stays slow) from suite/VM contention (isolated
-  * snaps back) without access to sbt.
+  * snaps back) without access to sbt. An isolated re-run that throws is
+  * reported as -1, never as its (meaningless) wall time.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -59,14 +60,18 @@ object Bench {
     val total = results.map(_._2).sum
     val failed = results.filterNot(_._3).map(_._1)
     // isolated re-time of the 5 slowest successes, back-to-back in the
-    // now-quiet JVM (codegen warm, no interleaved suite stages)
+    // now-quiet JVM (codegen warm, no interleaved suite stages). A re-run
+    // that THROWS ships -1, not a short normal-looking duration — the
+    // isolated figure is the authoritative round-over-round comparator
+    // (BASELINE.md), so a crash must be distinguishable from a fast run.
     val isolated = results.filter(_._3).sortBy(-_._2).take(5).map { case (name, _, _) =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
-      (name, (System.nanoTime() - t0) / 1e9)
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val isolatedJson = isolated.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+    val isolatedJson = isolated
+      .map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) f3(v) else "-1") }
       .mkString("{", ",", "}")
     val detail = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

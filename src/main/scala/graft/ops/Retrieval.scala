@@ -62,26 +62,37 @@ object Retrieval {
     * planted corpora; the DuckDB oracle stays the full brute-force join,
     * so the driver's hash compare re-proves equality every round.
     */
-  def q_tfidf_cosine_docs(spark: SparkSession, sf: String): DataFrame = {
+  /** The (docVecs, weights) tf-idf model both [[q_tfidf_cosine_docs]] and
+    * the spec's plan twin [[tfidfCosineTopForPlan]] build from — ONE
+    * definition, so a weight-formula or blocking change can never drift
+    * between the production op and the plan-gated twin. `checkpoint`
+    * truncates lineage at the two reuse points (tf feeds both the doc
+    * vectors and the candidate leg — without it the 100M-token
+    * tokenize+aggregate pass runs twice, measured +30 s at sf1); the plan
+    * twin passes false so PlanShapeSpec can see through to the scans.
+    */
+  private def tfidfModel(spark: SparkSession, sf: String,
+      checkpoint: Boolean): (DataFrame, DataFrame) = {
+    def cp(d: DataFrame) = if (checkpoint) d.localCheckpoint() else d
     val docs = Tables.documents(spark, sf)
     val n = docs.agg(count(lit(1)).as("nn"))
-    // checkpointed: tf feeds BOTH the doc vectors and the norm-adaptive
-    // candidate leg — without this the 100M-token tokenize+aggregate pass
-    // runs twice (measured +30 s at sf1)
-    val tf = docs
+    val tf = cp(docs
       .select(col("doc_id"), col("lang"), col("source"), explode(toks(col("text"))).as("word"))
       .groupBy(col("doc_id"), col("lang"), col("source"), col("word"))
-      .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .agg(count(lit(1)).as("tf")))
     val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val weights = tf.join(df, "word").crossJoin(broadcast(n))
       .select(col("doc_id"), col("lang"), col("source"), col("word"), col("df"),
         (col("tf") * round(log(col("nn").cast("double") / (col("df") + lit(1L)).cast("double"))
           * lit(1e4)).cast("long")).as("w"))
-    val docVecs = weights.groupBy(col("doc_id"))
+    val docVecs = cp(weights.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("word"), col("w")))).as("posts"),
-        sum(col("w").cast("decimal(38,0)") * col("w")).as("nrm"))
-      .localCheckpoint()
+        sum(col("w").cast("decimal(38,0)") * col("w")).as("nrm")))
+    (docVecs, weights)
+  }
+
+  def q_tfidf_cosine_docs(spark: SparkSession, sf: String): DataFrame = {
+    val (docVecs, weights) = tfidfModel(spark, sf, checkpoint = true)
     // 20 rows materialized once; the certificate aggregate and the guarded
     // result both read the checkpoint instead of re-running the pair join
     val top = tfidfCosineTopRaw(spark, sf, docVecs, weights).localCheckpoint()
@@ -172,23 +183,12 @@ object Retrieval {
       .limit(20)
   }
 
-  /** [[tfidfCosineTopRaw]] wired from the corpus (docVecs built inline,
-    * un-checkpointed) — the spec's plan-inspection entry point. */
+  /** [[tfidfCosineTopRaw]] wired from the corpus via the SAME
+    * [[tfidfModel]] builder as the production op, un-checkpointed — the
+    * spec's plan-inspection entry point (localCheckpoint would hide the
+    * stages behind a Scan ExistingRDD). */
   private[graft] def tfidfCosineTopForPlan(spark: SparkSession, sf: String): DataFrame = {
-    val docs = Tables.documents(spark, sf)
-    val n = docs.agg(count(lit(1)).as("nn"))
-    val tf = docs
-      .select(col("doc_id"), col("lang"), col("source"), explode(toks(col("text"))).as("word"))
-      .groupBy(col("doc_id"), col("lang"), col("source"), col("word"))
-      .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
-    val weights = tf.join(df, "word").crossJoin(broadcast(n))
-      .select(col("doc_id"), col("lang"), col("source"), col("word"), col("df"),
-        (col("tf") * round(log(col("nn").cast("double") / (col("df") + lit(1L)).cast("double"))
-          * lit(1e4)).cast("long")).as("w"))
-    val docVecs = weights.groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("word"), col("w")))).as("posts"),
-        sum(col("w").cast("decimal(38,0)") * col("w")).as("nrm"))
+    val (docVecs, weights) = tfidfModel(spark, sf, checkpoint = false)
     tfidfCosineTopRaw(spark, sf, docVecs, weights)
   }
 
