@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.core.{Det, Guards, Tables}
+import graft.core.{Baskets, Det, Guards, Tables}
 import graft.core.Det.{cents, pct}
 
 /** Time-series / product-analytics operators (SURVEY.md §2.21).
@@ -28,18 +28,16 @@ object Analytics {
     * independence is a bench contract; each caller localCheckpoints when
     * it fans out.
     */
-  private def support2Edges(spark: SparkSession, sf: String): DataFrame =
-    Tables.lineitem(spark, sf)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .groupBy(col("ok"))
-      .agg(array_sort(collect_set(col("pk"))).as("items"))
-      .select(Guards.boundedBasket(col("items"), Guards.PairBreadthCap,
-        "support2Edges").as("items"))
-      .select(explode(expr(
-        """flatten(transform(items, (x, i) ->
-           transform(slice(items, i + 2, size(items)), y -> struct(x AS u, y AS v))))"""))
-        .as("p"))
-      .groupBy(col("p.u").as("u"), col("p.v").as("v"))
+  private[graft] def support2Edges(spark: SparkSession, sf: String): DataFrame =
+    Baskets.pairs(
+      Tables.lineitem(spark, sf)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .groupBy(col("ok"))
+        .agg(array_sort(collect_set(col("pk"))).as("items"))
+        .select(Guards.boundedBasket(col("items"), Guards.PairBreadthCap,
+          "support2Edges").as("items")),
+      "u", "v")
+      .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("s"))
       .filter(col("s") >= 2)
       .select(col("u"), col("v"))
@@ -9937,9 +9935,12 @@ object Analytics {
     * needs.
     */
   def q_clustering_null_model(spark: SparkSession, sf: String): DataFrame = {
-    val e0 = support2Edges(spark, sf)
+    // checkpoint the EDGE LIST itself: e0 feeds the triangle join's e-leg
+    // AND (doubled) both wedge legs + the degree aggregate — without this
+    // the lineitem pair build re-executes for the un-checkpointed e-leg
+    // (measured 2× the query's cost at sf0.1)
+    val e0 = support2Edges(spark, sf).localCheckpoint()
     val ed = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint()
     val tri = e0.as("e")
       .join(ed.select(col("u").as("eu"), col("v").as("z1")).as("a"),
         col("e.u") === col("eu"))
@@ -13170,16 +13171,21 @@ object Analytics {
     * fan-out bounded by per-customer breadth², the apriori discipline,
     * never |V|²). */
   private def bipPairs(spark: SparkSession, sf: String): DataFrame =
-    bipEdges(spark, sf)
-      .groupBy(col("c"))
-      .agg(array_sort(collect_set(col("s"))).as("items"))
-      .select(Guards.boundedBasket(col("items"), Guards.PairBreadthCap,
-        "bipPairs").as("items"))
-      .select(explode(expr(
-        """flatten(transform(items, (x, i) ->
-           transform(slice(items, i + 2, size(items)), y -> struct(x AS s1, y AS s2))))"""))
-        .as("p"))
-      .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+    bipPairsOf(bipEdges(spark, sf))
+
+  /** [[bipPairs]] from an already-built (c, s) edge frame — so a caller
+    * that ALSO aggregates the edges (q_butterfly_count) can checkpoint
+    * them once and feed both consumers instead of re-running the
+    * lineitem⋈orders dedup for the pair leg. */
+  private def bipPairsOf(edges: DataFrame): DataFrame =
+    Baskets.pairs(
+      edges
+        .groupBy(col("c"))
+        .agg(array_sort(collect_set(col("s"))).as("items"))
+        .select(Guards.boundedBasket(col("items"), Guards.PairBreadthCap,
+          "bipPairs").as("items")),
+      "s1", "s2")
+      .groupBy(col("s1"), col("s2"))
       .agg(count(lit(1)).as("m"))
 
   /** Bipartite motif census: edges, customer-side wedges ΣC(deg,2),
@@ -13192,7 +13198,7 @@ object Analytics {
     val degS = edges.groupBy("s").agg(count(lit(1)).as("ds"))
     val nE = edges.agg(count(lit(1)).as("n_edges"))
     val wed = degC.agg(sum(expr("dc * (dc - 1) div 2")).as("wedges"))
-    val bf = bipPairs(spark, sf)
+    val bf = bipPairsOf(edges)
       .agg(sum(expr("m * (m - 1) div 2")).as("butterflies"),
         count(lit(1)).as("n_pairs"))
     val cat = edges.join(degC, "c").join(degS, "s")

@@ -749,20 +749,17 @@ object MLDeterministic {
     * basket aggregate + one pair aggregate.
     */
   def q_apriori_pairs(spark: SparkSession, sf: String): DataFrame = {
-    // collect each basket's distinct items once, emit ordered pairs with an
-    // array HOF — one shuffle on basket + one on pair, instead of a
-    // distinct + self-join (which re-shuffles the item table twice)
+    // collect each basket's distinct items once, emit ordered pairs with
+    // chained codegen generators (Baskets.pairs) — one shuffle on basket +
+    // one on pair, instead of a distinct + self-join (which re-shuffles
+    // the item table twice)
     val baskets = Tables.lineitem(spark, sf)
       .groupBy(col("l_orderkey"))
       .agg(array_sort(collect_set(col("l_partkey"))).as("items"))
       .select(graft.core.Guards.boundedBasket(col("items"),
         graft.core.Guards.PairBreadthCap, "q_apriori_pairs").as("items"))
-    baskets
-      .select(explode(expr(
-        """flatten(transform(items, (x, i) ->
-           transform(slice(items, i + 2, size(items)), y -> struct(x AS p1, y AS p2))))"""))
-        .as("pair"))
-      .groupBy(col("pair.p1").as("p1"), col("pair.p2").as("p2"))
+    graft.core.Baskets.pairs(baskets, "p1", "p2")
+      .groupBy(col("p1"), col("p2"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= 3L)
       .select(col("p1"), col("p2"), col("support"))
@@ -772,9 +769,10 @@ object MLDeterministic {
 
   /** Apriori level 3: frequent item TRIPLES per order basket, support ≥ 2,
     * top-20. Triples are generated inside the sorted basket array (three
-    * nested HOF transforms over index slices — candidate count is bounded
-    * by basket breadth³, data-independent), so like [[q_apriori_pairs]]
-    * there is exactly one shuffle on the basket key and one on the triple.
+    * chained codegen generators over index slices, Baskets.triples —
+    * candidate count is bounded by basket breadth³, data-independent), so
+    * like [[q_apriori_pairs]] there is exactly one shuffle on the basket
+    * key and one on the triple.
     */
   def q_freq_triples(spark: SparkSession, sf: String): DataFrame = {
     val baskets = Tables.lineitem(spark, sf)
@@ -782,14 +780,8 @@ object MLDeterministic {
       .agg(array_sort(collect_set(col("l_partkey"))).as("items"))
       .select(graft.core.Guards.boundedBasket(col("items"),
         graft.core.Guards.TripleBreadthCap, "q_freq_triples").as("items"))
-    baskets
-      .select(explode(expr(
-        """flatten(flatten(transform(items, (x, i) ->
-           transform(slice(items, i + 2, size(items)), (y, j) ->
-             transform(slice(items, i + j + 3, size(items)),
-               z -> struct(x AS p1, y AS p2, z AS p3))))))"""))
-        .as("t"))
-      .groupBy(col("t.p1").as("p1"), col("t.p2").as("p2"), col("t.p3").as("p3"))
+    graft.core.Baskets.triples(baskets, "p1", "p2", "p3")
+      .groupBy(col("p1"), col("p2"), col("p3"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= 2L)
       .orderBy(col("support").desc, col("p1").asc, col("p2").asc, col("p3").asc)
@@ -873,12 +865,8 @@ object MLDeterministic {
     val nB = baskets.agg(count(lit(1)).as("nb"))
     val itemSup = baskets.select(explode(col("items")).as("item"))
       .groupBy(col("item")).agg(count(lit(1)).as("sup"))
-    val pairSup = baskets
-      .select(explode(expr(
-        """flatten(transform(items, (x, i) ->
-           transform(slice(items, i + 2, size(items)), y -> struct(x AS p1, y AS p2))))"""))
-        .as("p"))
-      .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
+    val pairSup = graft.core.Baskets.pairs(baskets, "p1", "p2")
+      .groupBy(col("p1"), col("p2"))
       .agg(count(lit(1)).as("sup_ab"))
       .filter(col("sup_ab") >= 2)
     pairSup

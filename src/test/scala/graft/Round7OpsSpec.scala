@@ -120,8 +120,9 @@ class Round7OpsSpec extends AnyFunSuite {
 
   test("support-2 edge rewrite equals the legacy items×items self-join") {
     // the nine graph queries' shared edge build moved from a per-order
-    // postings self-join to the guarded collect_set + in-array pair
-    // explode; the support-2 edge SET must be identical
+    // postings self-join to the guarded collect_set + chained-generator
+    // pair fan-out; the support-2 edge SET must be identical — asserted
+    // against the PRODUCTION helper, not an inline twin
     val items = Tables.lineitem(spark, sf)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
     val legacy = items.as("a")
@@ -131,22 +132,35 @@ class Round7OpsSpec extends AnyFunSuite {
       .filter(col("s") >= 2)
       .select(col("u"), col("v"))
       .orderBy("u", "v")
-    val rewritten = Tables.lineitem(spark, sf)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .groupBy(col("ok"))
-      .agg(array_sort(collect_set(col("pk"))).as("items"))
-      .select(graft.core.Guards.boundedBasket(col("items"),
-        graft.core.Guards.PairBreadthCap, "spec").as("items"))
-      .select(explode(expr(
+    val rewritten = Analytics.support2Edges(spark, sf).orderBy("u", "v")
+    assert(rows(rewritten) === rows(legacy))
+  }
+
+  test("Baskets.pairs/triples equal the nested-transform HOF form on random baskets") {
+    import spark.implicits._
+    // randomized breadths 1..12 including singleton baskets (zero fan-out)
+    val rnd = new scala.util.Random(11L)
+    val baskets = (0 until 50).map { g =>
+      (g.toLong, rnd.shuffle((0L until 40L).toList).take(1 + rnd.nextInt(12)).sorted)
+    }.toDF("g", "items").select(col("items"))
+    val pairsHof = baskets.select(explode(expr(
         """flatten(transform(items, (x, i) ->
            transform(slice(items, i + 2, size(items)), y -> struct(x AS u, y AS v))))"""))
         .as("p"))
-      .groupBy(col("p.u").as("u"), col("p.v").as("v"))
-      .agg(count(lit(1)).as("s"))
-      .filter(col("s") >= 2)
-      .select(col("u"), col("v"))
-      .orderBy("u", "v")
-    assert(rows(rewritten) === rows(legacy))
+      .select(col("p.u").as("u"), col("p.v").as("v")).orderBy("u", "v")
+    val pairsGen = graft.core.Baskets.pairs(baskets, "u", "v").orderBy("u", "v")
+    assert(rows(pairsGen) === rows(pairsHof))
+    val triplesHof = baskets.select(explode(expr(
+        """flatten(flatten(transform(items, (x, i) ->
+           transform(slice(items, i + 2, size(items)), (y, j) ->
+             transform(slice(items, i + j + 3, size(items)),
+               z -> struct(x AS a, y AS b, z AS c))))))"""))
+        .as("t"))
+      .select(col("t.a").as("a"), col("t.b").as("b"), col("t.c").as("c"))
+      .orderBy("a", "b", "c")
+    val triplesGen = graft.core.Baskets.triples(baskets, "a", "b", "c")
+      .orderBy("a", "b", "c")
+    assert(rows(triplesGen) === rows(triplesHof))
   }
 
   test("whale-basket guard: an over-cap basket fails loudly, under-cap passes through") {
