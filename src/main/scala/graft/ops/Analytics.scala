@@ -9072,11 +9072,13 @@ object Analytics {
     val cum = BandedScan.cumSumAuto(cell, Seq("g"), "v", "c", "cum")
       .localCheckpoint()
     val ng = cell.groupBy(col("g")).agg(sum(col("c")).as("n_g"))
-    val q1 = cum.join(broadcast(ng), "g").filter(col("cum") * 4L >= col("n_g"))
-      .groupBy(col("g")).agg(min(col("v")).as("q1"))
-    val q3 = cum.join(broadcast(ng), "g").filter(col("cum") * 4L >= col("n_g") * 3L)
-      .groupBy(col("g")).agg(min(col("v")).as("q3"))
-    val fences = q1.join(q3, "g")
+    // both quartiles from ONE scan of the cum lattice: conditional min
+    // inside a single aggregate instead of two filter+groupBy passes
+    val qs = cum.join(broadcast(ng), "g")
+      .groupBy(col("g")).agg(
+        min(when(col("cum") * 4L >= col("n_g"), col("v"))).as("q1"),
+        min(when(col("cum") * 4L >= col("n_g") * 3L, col("v"))).as("q3"))
+    val fences = qs
       .select(col("g"), col("q1"), col("q3"),
         (lit(2L) * col("q1") - lit(3L) * (col("q3") - col("q1"))).as("lo2"),
         (lit(2L) * col("q3") + lit(3L) * (col("q3") - col("q1"))).as("hi2"))
