@@ -8431,10 +8431,14 @@ object Analytics {
     * concentrate on high-priced items? S = 1 − 2∫C(y)dy over the
     * price-ordered accumulation curve (y = cumulative revenue share,
     * C = cumulative discount-dollar share), trapezoid-integrated on the
-    * price-cent lattice via [[BandedScan]] cumulatives + one dense-index
-    * adjacency self-join — no sort, no global window. The numerator
-    * Σ pyᵢ·(CTᵢ+CTᵢ₋₁) stays exact in decimal(38,0); S ∈ [−1, 1],
-    * positive = discounts progressive w.r.t. price.
+    * price-cent lattice via [[BandedScan]] cumulatives — no sort, no
+    * global window, and (round 7) no adjacency self-join: the previous
+    * lattice row's cumulative is this row's cumulative minus its OWN
+    * term (CTᵢ₋₁ = CTᵢ − ptᵢ), so the trapezoid numerator
+    * Σ pyᵢ·(CTᵢ+CTᵢ₋₁) = Σ pyᵢ·(2·CTᵢ−ptᵢ) folds into the same single
+    * aggregate as the totals. Exact in decimal(38,0) (identical terms,
+    * order-free sum); S ∈ [−1, 1], positive = discounts progressive
+    * w.r.t. price.
     */
   def q_suits_index(spark: SparkSession, sf: String): DataFrame = {
     val cell = Tables.lineitem(spark, sf)
@@ -8442,20 +8446,12 @@ object Analytics {
         cents(col("l_extendedprice") * col("l_discount")).as("tax"))
       .groupBy(col("v"))
       .agg(count(lit(1)).as("c"), sum(col("tax")).as("pt"))
-      .select(col("v"), (col("v") * col("c")).as("py"), col("pt"),
-        lit(1L).as("occ"))
-    val cums = BandedScan.cumSums(cell, Seq.empty, "v",
-      Seq("occ" -> "idx", "py" -> "cy", "pt" -> "ct"))
-      .localCheckpoint()
-    val tot = cums.agg(max(col("cy")).as("ty"), max(col("ct")).as("tt"),
-      count(lit(1)).as("n_cells"))
-    val terms = cums.as("x")
-      .join(cums.select((col("idx") + 1L).as("idx"), col("ct").as("ct_prev"))
-        .as("p"), Seq("idx"), "left_outer")
-      .select(col("py"),
-        (col("ct") + coalesce(col("ct_prev"), lit(0L))).as("ct2"))
-      .agg(sum(col("py").cast("decimal(38,0)") * col("ct2")).as("num"))
-    tot.crossJoin(terms)
+      .select(col("v"), (col("v") * col("c")).as("py"), col("pt"))
+    BandedScan.cumSums(cell, Seq.empty, "v", Seq("pt" -> "ct"))
+      .agg(max(col("ct")).as("tt"), sum(col("py")).as("ty"),
+        count(lit(1)).as("n_cells"),
+        sum(col("py").cast("decimal(38,0)")
+          * (lit(2L) * col("ct") - col("pt"))).as("num"))
       .select(col("n_cells"),
         (round(lit(1.0) - col("num").cast("double")
           / (col("ty").cast("double") * col("tt").cast("double")), 4)
@@ -8508,10 +8504,12 @@ object Analytics {
   /** Kakwani progressivity index of the discount "tariff" against the
     * price base: K = C_discount − Gini_price, both curves trapezoid-
     * integrated on the SAME price-cent lattice ordering (one
-    * [[BandedScan]] with population/revenue/discount cumulatives + one
-    * dense-index adjacency join shared by both integrals). Numerators
-    * exact in decimal(38,0); K > 0 = discounts progressively favor
-    * high-priced lines.
+    * [[BandedScan]] with revenue/discount cumulatives). As in
+    * [[q_suits_index]] (round 7) the adjacency self-join folds away —
+    * the previous row's cumulative is this row's minus its own term, so
+    * both integrals collapse into ONE aggregate over the scan (identical
+    * decimal(38,0) terms, order-free sum). K > 0 = discounts
+    * progressively favor high-priced lines.
     */
   def q_kakwani_index(spark: SparkSession, sf: String): DataFrame = {
     val cell = Tables.lineitem(spark, sf)
@@ -8519,26 +8517,20 @@ object Analytics {
         cents(col("l_extendedprice") * col("l_discount")).as("tax"))
       .groupBy(col("v"))
       .agg(count(lit(1)).as("c"), sum(col("tax")).as("pt"))
-      .select(col("v"), col("c"), (col("v") * col("c")).as("py"), col("pt"),
-        lit(1L).as("occ"))
-    val cums = BandedScan.cumSums(cell, Seq.empty, "v",
-      Seq("occ" -> "idx", "c" -> "cc", "py" -> "cy", "pt" -> "ct"))
-      .localCheckpoint()
-    val tot = cums.agg(max(col("cc")).as("tn"), max(col("cy")).as("ty"),
-      max(col("ct")).as("tt"), count(lit(1)).as("n_cells"))
-    val terms = cums.as("x")
-      .join(cums.select((col("idx") + 1L).as("idx"), col("cy").as("cy_prev"),
-        col("ct").as("ct_prev")).as("p"), Seq("idx"), "left_outer")
-      .agg(sum(col("c").cast("decimal(38,0)")
-          * (col("cy") + coalesce(col("cy_prev"), lit(0L)))).as("num_g"),
+      .select(col("v"), col("c"), (col("v") * col("c")).as("py"), col("pt"))
+    val s = BandedScan.cumSums(cell, Seq.empty, "v",
+      Seq("py" -> "cy", "pt" -> "ct"))
+      .agg(sum(col("c")).as("tn"), sum(col("py")).as("ty"),
+        sum(col("pt")).as("tt"), count(lit(1)).as("n_cells"),
         sum(col("c").cast("decimal(38,0)")
-          * (col("ct") + coalesce(col("ct_prev"), lit(0L)))).as("num_c"))
+          * (lit(2L) * col("cy") - col("py"))).as("num_g"),
+        sum(col("c").cast("decimal(38,0)")
+          * (lit(2L) * col("ct") - col("pt"))).as("num_c"))
     val gini = lit(1.0) - col("num_g").cast("double") /
       (col("tn").cast("double") * col("ty").cast("double"))
     val conc = lit(1.0) - col("num_c").cast("double") /
       (col("tn").cast("double") * col("tt").cast("double"))
-    tot.crossJoin(terms)
-      .select(col("n_cells"),
+    s.select(col("n_cells"),
         (round(gini, 4) + lit(0.0)).as("gini_price"),
         (round(conc, 4) + lit(0.0)).as("conc_discount"),
         (round(conc - gini, 4) + lit(0.0)).as("kakwani"))
