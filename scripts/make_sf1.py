@@ -2,7 +2,12 @@
 """Regenerate the sf1.0 scale-check fixture (dev-only tooling, like
 preflight.py — the engine itself is pure Scala).
 
-Usage: python3 scripts/make_sf1.py [<sf0.1 dir>] [<out dir>]
+Usage: python3 scripts/make_sf1.py [<sf0.1 dir>] [<out dir>] [<replicas>]
+
+Round 8: <replicas> (default 10 = sf1) generalizes the same methodology
+to further scale decades — `python3 scripts/make_sf1.py /root/testdata/sf0.1
+target/sf3 30` builds the sf3 fixture used for the second-decade scaling
+probe of the head queries (BASELINE.md "sf3 scale check").
 
 Replicates the sf0.1 tables 10x with disjoint key remapping per replica:
 every key column is offset by r * (max_key + 1), consistently across
@@ -22,7 +27,7 @@ import pyarrow.compute as pc
 
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "target/sf1"
-REPLICAS = 10
+REPLICAS = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 
 # table -> {column: offset-domain}; columns sharing a domain share the
 # same per-replica offset so cross-table joins stay consistent

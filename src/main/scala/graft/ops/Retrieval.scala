@@ -62,25 +62,46 @@ object Retrieval {
     * planted corpora; the DuckDB oracle stays the full brute-force join,
     * so the driver's hash compare re-proves equality every round.
     */
-  /** The (docVecs, weights) tf-idf model both [[q_tfidf_cosine_docs]] and
-    * the spec's plan twin [[tfidfCosineTopForPlan]] build from — ONE
+  /** The rep-collapsed tf-idf model both [[q_tfidf_cosine_docs]] and the
+    * spec's plan twin [[tfidfCosineTopForPlan]] build from — ONE
     * definition, so a weight-formula or blocking change can never drift
-    * between the production op and the plan-gated twin. `checkpoint`
-    * truncates lineage at the two reuse points (tf feeds both the doc
-    * vectors and the candidate leg — without it the 100M-token
-    * tokenize+aggregate pass runs twice, measured +30 s at sf1); the plan
-    * twin passes false so PlanShapeSpec can see through to the scans.
+    * between the production op and the plan-gated twin.
+    *
+    * Rep collapse (round 8): documents with identical (lang, source,
+    * lower(text)) — keyed by md5, like [[Text.q_dedup_exact]] — have
+    * identical token MULTISETS, and df/N are corpus-global constants, so
+    * their tf-idf vectors are bit-identical. The model (tokenize, tf,
+    * weights, postings, norms) is therefore built over ONE representative
+    * per group (rep = min doc_id), with df still counted over the FULL
+    * corpus as Σ group-size over the groups containing the word — every
+    * weight is unchanged vs the uncollapsed model. At 10× duplicate
+    * density the tokenize/aggregate/window passes shrink ~10× and the
+    * candidate pair space ~100×.
+    *
+    * Returns (docsWithRep, groups = (rep, m), rep-level docVecs, rep-level
+    * weights). `checkpoint` truncates lineage at the reuse points (the
+    * rep map feeds tokenize + group sizes + expansion; tf feeds both the
+    * doc vectors and the candidate leg); the plan twin passes false so
+    * PlanShapeSpec can see through to the scans.
     */
   private def tfidfModel(spark: SparkSession, sf: String,
-      checkpoint: Boolean): (DataFrame, DataFrame) = {
+      checkpoint: Boolean): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     def cp(d: DataFrame) = if (checkpoint) d.localCheckpoint() else d
-    val docs = Tables.documents(spark, sf)
-    val n = docs.agg(count(lit(1)).as("nn"))
-    val tf = cp(docs
+    val docsWithRep = cp(Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .withColumn("rep", min(col("doc_id")).over(
+        Window.partitionBy(col("lang"), col("source"),
+          md5(lower(col("text")).cast("binary"))))))
+    val groups = docsWithRep.groupBy(col("rep")).agg(count(lit(1)).as("m"))
+    val n = docsWithRep.agg(count(lit(1)).as("nn"))
+    val tf = cp(docsWithRep.filter(col("doc_id") === col("rep"))
       .select(col("doc_id"), col("lang"), col("source"), explode(toks(col("text"))).as("word"))
       .groupBy(col("doc_id"), col("lang"), col("source"), col("word"))
       .agg(count(lit(1)).as("tf")))
-    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    // full-corpus document frequency from rep rows × group sizes — equal
+    // to the uncollapsed per-word doc count, member by member
+    val df = tf.join(groups.select(col("rep").as("doc_id"), col("m")), "doc_id")
+      .groupBy(col("word")).agg(sum(col("m")).as("df"))
     val weights = tf.join(df, "word").crossJoin(broadcast(n))
       .select(col("doc_id"), col("lang"), col("source"), col("word"), col("df"),
         (col("tf") * round(log(col("nn").cast("double") / (col("df") + lit(1L)).cast("double"))
@@ -88,14 +109,65 @@ object Retrieval {
     val docVecs = cp(weights.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("word"), col("w")))).as("posts"),
         sum(col("w").cast("decimal(38,0)") * col("w")).as("nrm")))
-    (docVecs, weights)
+    (docsWithRep, groups, docVecs, weights)
   }
 
   def q_tfidf_cosine_docs(spark: SparkSession, sf: String): DataFrame = {
-    val (docVecs, weights) = tfidfModel(spark, sf, checkpoint = true)
-    // 20 rows materialized once; the certificate aggregate and the guarded
-    // result both read the checkpoint instead of re-running the pair join
-    val top = tfidfCosineTopRaw(spark, sf, docVecs, weights).localCheckpoint()
+    val (docsWithRep, groups, docVecs, weights) = tfidfModel(spark, sf, checkpoint = true)
+    val scored = tfidfCosineScoredRaw(docVecs, weights)
+    // --- expansion of the rep-level scores back to full doc ids ---
+    // pair CLASSES: one row per scored rep pair (g1 ≠ g2 — every member
+    // cross pair shares its cosine, since members carry bit-identical
+    // posts/nrm), plus one row per dup group of m ≥ 2 (g1 = g2 — within
+    // pairs share the group's self-cosine, computed from the SAME
+    // expression tree as the pair scoring so the doubles can't drift).
+    // A zero-norm group generates no within class: uncollapsed, a
+    // zero-norm doc has an empty probe prefix (cumb·16 < nrm2·7 is
+    // unsatisfiable at nrm2 = 0) so its identical twins never became
+    // probe-side candidates either; the certificate below voids zero-norm
+    // corpora loudly in both worlds.
+    val selfCos = (round(
+      graft.functions.GraftFunctions.postingsDot(col("posts"), col("posts")).cast("double") /
+        sqrt(col("nrm").cast("double") * col("nrm").cast("double")), 6) + lit(0.0)).as("cos")
+    val crossClasses = scored.select(col("d1").as("g1"), col("d2").as("g2"), col("cos"))
+    val withinClasses = docVecs
+      .join(groups.filter(col("m") >= 2L).select(col("rep").as("doc_id")), "doc_id")
+      .filter(col("nrm") > 0)
+      .select(col("doc_id").as("g1"), col("doc_id").as("g2"), selfCos)
+    val classes = crossClasses.unionByName(withinClasses).localCheckpoint()
+    // prune classes that cannot reach the global top-20: every class holds
+    // ≥ 1 pair, so a class with cos strictly below the 20th-best class cos
+    // is displaced by ≥ 20 better pairs; cos TIES stay in ((d1,d2) decides
+    // between them), and NaN classes (zero-norm side) stay in — they sort
+    // first, exactly as the uncollapsed NaN pairs did, and trip the
+    // certificate via the zero-norm count
+    val cut = classes.orderBy(col("cos").desc).limit(20)
+      .agg(count(lit(1)).as("kc"), min(col("cos")).as("ccut"))
+    val kept = classes.crossJoin(broadcast(cut))
+      .filter(col("kc") < 20 || col("cos") >= col("ccut") || col("cos").isNaN)
+    // per kept class, only its 20 smallest (d1, d2) member pairs can rank
+    // globally (class pairs tie on cos, so among them the global order IS
+    // (d1, d2)); those live inside each group's 21 smallest member ids —
+    // a pair using the 22nd+ id of either group is beaten by the ≥ 20
+    // same-class pairs that swap it for a smaller id
+    val m21 = docsWithRep
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("rep").orderBy(col("doc_id").asc)))
+      .filter(col("rn") <= 21)
+      .select(col("rep"), col("doc_id"))
+    val top = kept
+      .join(m21.select(col("rep").as("g1"), col("doc_id").as("m1")), "g1")
+      .join(m21.select(col("rep").as("g2"), col("doc_id").as("m2")), "g2")
+      .filter(col("g1") =!= col("g2") || col("m1") < col("m2"))
+      .select(col("g1"), col("g2"), col("cos"),
+        least(col("m1"), col("m2")).as("d1"), greatest(col("m1"), col("m2")).as("d2"))
+      .withColumn("prn", row_number().over(
+        Window.partitionBy(col("g1"), col("g2")).orderBy(col("d1").asc, col("d2").asc)))
+      .filter(col("prn") <= 20)
+      .orderBy(col("cos").desc, col("d1").asc, col("d2").asc)
+      .limit(20)
+      .select(col("d1"), col("d2"), col("cos"))
+      .localCheckpoint()
     // a pair missed by the probe leg has cosine ≤ 3/4 (see above); 0.7501
     // absorbs the 6-decimal output rounding. Asserted on the 1-row
     // aggregate (a global agg ALWAYS yields one row), never per result
@@ -104,8 +176,11 @@ object Retrieval {
     // Cauchy-Schwarz bound: a doc with no weight mass has an undefined
     // (NaN) cosine the probe cannot see, so its presence voids the
     // certificate instead of silently dropping its pairs.
-    val zeroNorm = docVecs.agg(
-      sum(when(col("nrm") === 0, 1L).otherwise(0L)).as("n_zero_norm"))
+    // zero-norm count over the FULL corpus: every member of a zero-norm
+    // rep group is a zero-norm doc
+    val zeroNorm = docVecs
+      .join(groups.select(col("rep").as("doc_id"), col("m")), "doc_id")
+      .agg(sum(when(col("nrm") === 0, col("m")).otherwise(0L)).as("n_zero_norm"))
     val cert = top.agg(count(lit(1)).as("k"), min(col("cos")).as("c20"))
       .crossJoin(broadcast(zeroNorm))
       .filter(assert_true(
@@ -149,7 +224,17 @@ object Retrieval {
     */
   private[graft] def tfidfCosineTopRaw(
       spark: SparkSession, sf: String, docVecs: DataFrame,
-      weights: DataFrame): DataFrame = {
+      weights: DataFrame): DataFrame =
+    tfidfCosineScoredRaw(docVecs, weights)
+      .orderBy(col("cos").desc, col("d1").asc, col("d2").asc)
+      .limit(20)
+
+  /** The scored candidate-pair table of [[tfidfCosineTopRaw]] WITHOUT the
+    * top-20 truncation — the production op needs every scored rep pair
+    * (a rep pair carries m1·m2 member pairs, so the global top-20 can sit
+    * below the rep-level 20th row). */
+  private[graft] def tfidfCosineScoredRaw(
+      docVecs: DataFrame, weights: DataFrame): DataFrame = {
     val mass = col("w").cast("decimal(38,0)") * col("w")
     val gWin = Window.partitionBy("doc_id")
       .orderBy((col("w").cast("double") * col("w").cast("double") /
@@ -179,8 +264,6 @@ object Retrieval {
       .select(col("d1"), col("d2"),
         (round(graft.functions.GraftFunctions.postingsDot(col("p1"), col("p2")).cast("double") /
           sqrt(col("n1").cast("double") * col("n2").cast("double")), 6) + lit(0.0)).as("cos"))
-      .orderBy(col("cos").desc, col("d1").asc, col("d2").asc)
-      .limit(20)
   }
 
   /** [[tfidfCosineTopRaw]] wired from the corpus via the SAME
@@ -188,7 +271,7 @@ object Retrieval {
     * spec's plan-inspection entry point (localCheckpoint would hide the
     * stages behind a Scan ExistingRDD). */
   private[graft] def tfidfCosineTopForPlan(spark: SparkSession, sf: String): DataFrame = {
-    val (docVecs, weights) = tfidfModel(spark, sf, checkpoint = false)
+    val (_, _, docVecs, weights) = tfidfModel(spark, sf, checkpoint = false)
     tfidfCosineTopRaw(spark, sf, docVecs, weights)
   }
 

@@ -93,10 +93,71 @@ object Text {
   /** Documents with their distinct-token arrays and set sizes — the shared
     * input of the near-dup candidate and verify stages. */
   private[graft] def docSets(spark: SparkSession, sf: String): DataFrame =
-    Tables.documents(spark, sf)
+    docSetsOf(Tables.documents(spark, sf))
+
+  /** [[docSets]] from an explicit documents frame (spec fixtures). */
+  private[graft] def docSetsOf(documents: DataFrame): DataFrame =
+    documents
       .select(col("doc_id"), col("lang"), col("source"),
         array_distinct(tokens(col("text"))).as("toks"))
       .withColumn("sz", size(col("toks")).cast("long"))
+
+  /** Exact-dup group representative per document: `rep` = min doc_id over
+    * the identical (lang, source, toks) group — the collapse key every
+    * rep-based pair op shares (round 7 proved it on the threshold sweep:
+    * at 10× duplicate density the rep corpus is ~10× smaller and any
+    * pair-shaped intermediate ~100× smaller, with outputs recoverable
+    * EXACTLY because identical token arrays have identical set overlap
+    * with every third document). Window-min, not collect_list — a
+    * million-way dup group is one fat partition, never one fat row.
+    * `localCheckpoint` because every consumer reads it ≥ 3 times (reps,
+    * members, group sizes). */
+  private[graft] def withRepOf(docsIn: DataFrame): DataFrame =
+    docsIn
+      .withColumn("rep", min(col("doc_id")).over(
+        Window.partitionBy(col("lang"), col("source"), col("toks"))))
+      .localCheckpoint()
+
+  /** [[pairOverlapOf]] semantics over a rep-collapsed corpus: the PPJoin
+    * candidate + exact-verify machinery runs on ONE representative per
+    * exact-dup group, and the verified pair table is expanded back to
+    * full doc ids — generation-only work, no re-verification:
+    *  - a rep pair (r1, r2) with overlap stats (inter, sz1, sz2) stands
+    *    for every (member of r1's group) × (member of r2's group) pair,
+    *    all with the SAME stats (identical token arrays per member);
+    *    d1/d2 are re-ordered by id and sz1/sz2 swapped along with them;
+    *  - within an exact-dup group every pair has inter = sz1 = sz2 = sz
+    *    (Jaccard 1, containment 1 — above any consumer threshold).
+    * The output pair set, filtered at any threshold ≥ (minJ, minC),
+    * equals the uncollapsed [[pairOverlapOf]] output filtered the same
+    * way (Round8OpsSpec pins this on planted dirty corpora); only the
+    * sub-threshold candidate noise may differ, which no consumer keeps.
+    */
+  private[graft] def pairOverlapCollapsedOf(
+      withRep: DataFrame,
+      minJ: Option[(Long, Long)],
+      minC: Option[(Long, Long)]): DataFrame = {
+    val reps = withRep.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("lang"), col("source"), col("toks"), col("sz"))
+    val members = withRep.select(col("rep"), col("doc_id"), col("lang"),
+      col("source"), col("sz"))
+    val cross = pairOverlapOf(reps, minJ, minC)
+      .join(members.select(col("rep").as("d1"), col("doc_id").as("m1")), "d1")
+      .join(members.select(col("rep").as("d2"), col("doc_id").as("m2")), "d2")
+      .select(col("lang"), col("source"),
+        least(col("m1"), col("m2")).as("d1"),
+        greatest(col("m1"), col("m2")).as("d2"),
+        col("inter"),
+        when(col("m1") < col("m2"), col("sz1")).otherwise(col("sz2")).as("sz1"),
+        when(col("m1") < col("m2"), col("sz2")).otherwise(col("sz1")).as("sz2"))
+    val within = members.as("a")
+      .join(members.as("b"),
+        col("a.rep") === col("b.rep") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.lang").as("lang"), col("a.source").as("source"),
+        col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.sz").as("inter"), col("a.sz").as("sz1"), col("b.sz").as("sz2"))
+    cross.unionByName(within)
+  }
 
   // Near-dup pair core (PPJoin-style prefix filter, Chaudhuri/Xiao et
   // al.): the naive (block, token) postings self-join is O(df²) per token
@@ -225,10 +286,16 @@ object Text {
   }
 
   private[ops] def neardupPairs(spark: SparkSession, sf: String): DataFrame =
-    // candidates at the op's own J ≥ 0.8 threshold (~0.2·sz prefixes, no
-    // containment leg) — provably the same verified pair set as the
-    // generic half-prefix candidates, at a fraction of the fan-out
-    pairOverlapOf(docSets(spark, sf), Some((4L, 5L)), None)
+    neardupPairsOf(docSets(spark, sf))
+
+  /** Near-dup Jaccard pairs (J ≥ 0.8) via exact-dup rep collapse
+    * (round 8): candidates at the op's own threshold (~0.2·sz prefixes,
+    * no containment leg) over group representatives, expanded exactly —
+    * same verified pair set as the uncollapsed pipeline, with the PPJoin
+    * join and the array_intersect verify running on a corpus ~10× smaller
+    * (and a pair space ~100× smaller) at 10× duplicate density. */
+  private[graft] def neardupPairsOf(docsIn: DataFrame): DataFrame =
+    pairOverlapCollapsedOf(withRepOf(docsIn), Some((4L, 5L)), None)
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
       .filter(col("jaccard") >= 0.8)
@@ -242,10 +309,14 @@ object Text {
     * Jaccard misses.
     */
   def q_neardup_containment(spark: SparkSession, sf: String): DataFrame =
-    // containment-only candidates at the op's C ≥ 0.9 threshold: the
-    // smaller side's ~0.1·sz prefix against full postings (equal sizes
-    // via the id tiebreak) — no Jaccard leg needed, same verified output
-    pairOverlapOf(docSets(spark, sf), None, Some((9L, 10L)))
+    neardupContainmentOf(docSets(spark, sf))
+
+  /** Containment pairs via the same rep collapse as [[neardupPairsOf]]:
+    * containment-only candidates at the op's C ≥ 0.9 threshold (the
+    * smaller side's ~0.1·sz prefix against full postings, equal sizes via
+    * the id tiebreak) over group representatives, expanded exactly. */
+  private[graft] def neardupContainmentOf(docsIn: DataFrame): DataFrame =
+    pairOverlapCollapsedOf(withRepOf(docsIn), None, Some((9L, 10L)))
       .select(col("lang"), col("source"), col("d1"), col("d2"),
         expr("inter * 10000 div least(sz1, sz2)").as("cont_e4"))
       .filter(col("cont_e4") >= 9000)
@@ -283,14 +354,52 @@ object Text {
     * are small by nature. Output: one row per component (labelled by its
     * min doc_id) with size and max member.
     */
-  def q_dedup_components(spark: SparkSession, sf: String): DataFrame = {
-    val exactEdges = Tables.documents(spark, sf)
+  def q_dedup_components(spark: SparkSession, sf: String): DataFrame =
+    dedupComponentsOf(Tables.documents(spark, sf))
+
+  /** [[q_dedup_components]] over an explicit documents frame, rep-collapsed
+    * (round 8): the min-label loop runs on the QUOTIENT graph over
+    * exact-dup group representatives, then the labelling is expanded back
+    * to full doc ids. Exactness argument:
+    *  - every member of a toks-group is connected to its rep in the
+    *    original graph (identical sets ⇒ J = 1 ≥ 0.8 near-dup edge), so
+    *    contracting each group onto its rep preserves components;
+    *  - near-dup edges between groups exist iff the REP pair qualifies
+    *    (J depends only on the token sets), so the quotient's near edges
+    *    are exactly the rep-level PPJoin pairs;
+    *  - exact (md5) edges ignore lang/source and can therefore CROSS
+    *    toks-groups — they are mapped through rep() and kept when they
+    *    connect two different groups;
+    *  - a component's label (min member id) equals the min rep id in the
+    *    quotient component, because each rep IS its group's min;
+    *  - the original vertex set = {members of md5-dup groups} ∪ {members
+    *    of toks-groups that have m ≥ 2 or whose rep touches a qualifying
+    *    near edge} — rebuilt below without materializing any pair.
+    * At 10× duplicate density the per-round join tables shrink ~10× and
+    * the near-edge build ~100×; round count (O(log diameter)) unchanged.
+    */
+  private[graft] def dedupComponentsOf(documents: DataFrame): DataFrame = {
+    val withRep = withRepOf(docSetsOf(documents))
+    val repOf = withRep.select(col("doc_id"), col("rep"))
+    val exactEdges = documents
       .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
       .withColumn("m", min(col("doc_id")).over(Window.partitionBy("fp")))
       .filter(col("m") =!= col("doc_id"))
-      .select(col("m").as("a"), col("doc_id").as("b"))
-    val nearEdges = neardupPairs(spark, sf).select(col("d1").as("a"), col("d2").as("b"))
-    val e = exactEdges.union(nearEdges).distinct()
+      .select(col("m").as("ea"), col("doc_id").as("eb"))
+    val exactRepEdges = exactEdges
+      .join(repOf.select(col("doc_id").as("ea"), col("rep").as("ra")), "ea")
+      .join(repOf.select(col("doc_id").as("eb"), col("rep").as("rb")), "eb")
+      .filter(col("ra") =!= col("rb"))
+      .select(col("ra").as("a"), col("rb").as("b"))
+    val reps = withRep.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("lang"), col("source"), col("toks"), col("sz"))
+    val nearRepEdges = pairOverlapOf(reps, Some((4L, 5L)), None)
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("d1").as("a"), col("d2").as("b"))
+      .localCheckpoint() // feeds the edge union AND the vertex expansion
+    val e = exactRepEdges.union(nearRepEdges).distinct()
     val und = e.union(e.select(col("b").as("a"), col("a").as("b"))).localCheckpoint()
     var labels = und.select(col("a").as("v")).distinct()
       .withColumn("comp", col("v")).localCheckpoint()
@@ -322,7 +431,25 @@ object Text {
       labels = next
       iter += 1
     }
-    labels.groupBy(col("comp"))
+    // expansion: rebuild the ORIGINAL vertex set (no pair materializes) and
+    // label each member by its rep's quotient component — an isolated
+    // m ≥ 2 group (no cross edges) keeps its own rep as the label
+    val groups = withRep.groupBy(col("rep")).agg(count(lit(1)).as("m"))
+    val nearVertGroups = groups.filter(col("m") >= 2L).select(col("rep"))
+      .union(nearRepEdges.select(col("a").as("rep")))
+      .union(nearRepEdges.select(col("b").as("rep")))
+      .distinct()
+    val nearVerts = withRep.join(nearVertGroups, "rep")
+      .select(col("doc_id").as("v"), col("rep"))
+    val exactVerts = exactEdges.select(col("ea").as("doc_id"))
+      .union(exactEdges.select(col("eb").as("doc_id"))).distinct()
+      .join(repOf, "doc_id")
+      .select(col("doc_id").as("v"), col("rep"))
+    val verts = nearVerts.union(exactVerts).distinct()
+    verts
+      .join(labels.select(col("v").as("rep"), col("comp")), Seq("rep"), "left_outer")
+      .select(col("v"), coalesce(col("comp"), col("rep")).as("comp"))
+      .groupBy(col("comp"))
       .agg(count(lit(1)).as("n_docs"), max(col("v")).as("max_doc"))
       .orderBy("comp")
   }

@@ -111,16 +111,16 @@ object TextPipeline {
       .orderBy("d1", "d2")
   }
 
-  /** MinHash + LSH near-dup: 8 minhashes of the distinct-token set from
-    * affine transforms of the shared token hash; 4 bands × 2 rows; docs
-    * colliding in any band become candidates; candidates are verified with
-    * the exact token-set Jaccard and kept at J ≥ 0.5.
-    */
-  def q_dedup_minhash_lsh(spark: SparkSession, sf: String): DataFrame = {
-    val docTok = Tables.documents(spark, sf)
+  /** MinHash signatures (8 affine minhashes, i = 0..7) and 4×2 banded LSH
+    * candidate pairs over a (doc_id, lang, source, toks, sz) frame —
+    * the shared sketch core of [[q_dedup_minhash_lsh]] and
+    * [[q_minhash_accuracy]]. Candidates are sharded by (lang, source) —
+    * see the q_dedup_simhash note. */
+  private def lshSigAndCand(docs: DataFrame): (DataFrame, DataFrame) = {
+    val hashed = docs
       .select(col("doc_id"), col("lang"), col("source"),
-        explode(array_distinct(toks(col("text")))).as("word"))
-    val hashed = docTok.select(col("doc_id"), col("lang"), col("source"), th(col("word")).as("h"))
+        explode(col("toks")).as("word"))
+      .select(col("doc_id"), col("lang"), col("source"), th(col("word")).as("h"))
     val sig = hashed
       .select(col("doc_id"), col("lang"), col("source"), col("h"),
         explode(sequence(lit(0), lit(7))).as("i"))
@@ -129,7 +129,6 @@ object TextPipeline {
     val bands = sig
       .groupBy(col("doc_id"), col("lang"), col("source"), expr("i div 2").as("band"))
       .agg(sum(expr("sig * (CASE WHEN i % 2 = 0 THEN 4294967311 ELSE 1 END)")).as("bv"))
-    // candidates sharded by (lang, source) — see q_dedup_simhash note
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
@@ -137,15 +136,40 @@ object TextPipeline {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    // exact Jaccard per candidate from the two token ARRAYS (linear-pass
-    // array_intersect per pair), not the candidate × doc-length postings
-    // double-join — same rationale as q_minhash_accuracy's verify
-    val arrs = docTok.groupBy(col("doc_id"))
-      .agg(collect_list(col("word")).as("tarr"), count(lit(1)).as("sz"))
-    cand
-      .join(arrs.select(col("doc_id").as("d1"), col("tarr").as("t1"),
+    (sig, cand)
+  }
+
+  /** MinHash + LSH near-dup: 8 minhashes of the distinct-token set from
+    * affine transforms of the shared token hash; 4 bands × 2 rows; docs
+    * colliding in any band become candidates; candidates are verified with
+    * the exact token-set Jaccard and kept at J ≥ 0.5.
+    *
+    * Scale shape (round 8): exact-dup rep collapse FIRST, like the
+    * threshold sweep — signatures depend only on the (lang, source,
+    * token-set) group key, so the N identical docs of a dup cluster all
+    * carry the SAME signature and used to collide in EVERY band
+    * (N²/2 candidate rows before `distinct` — the one spot a dup-heavy
+    * corpus hurt). Sketch + banding + verify now run over one
+    * representative per group; member pairs are expanded afterwards with
+    * their group-invariant Jaccard (within-group pairs have J = 1 ≥ 0.5
+    * by construction). Output identical (Round8OpsSpec pins equality
+    * against the uncollapsed pipeline on a planted dirty corpus).
+    */
+  def q_dedup_minhash_lsh(spark: SparkSession, sf: String): DataFrame =
+    dedupMinhashLshOf(Text.docSetsOf(Tables.documents(spark, sf)))
+
+  private[graft] def dedupMinhashLshOf(docsIn: DataFrame): DataFrame = {
+    val withRep = Text.withRepOf(docsIn)
+    val reps = withRep.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("lang"), col("source"), col("toks"), col("sz"))
+    val (_, cand) = lshSigAndCand(reps)
+    // exact Jaccard per rep candidate from the two token ARRAYS
+    // (linear-pass array_intersect per pair), not the candidate ×
+    // doc-length postings double-join
+    val repPairs = cand
+      .join(reps.select(col("doc_id").as("d1"), col("toks").as("t1"),
         col("sz").as("sz1")), "d1")
-      .join(arrs.select(col("doc_id").as("d2"), col("tarr").as("t2"),
+      .join(reps.select(col("doc_id").as("d2"), col("toks").as("t2"),
         col("sz").as("sz2")), "d2")
       .select(col("d1"), col("d2"),
         size(array_intersect(col("t1"), col("t2"))).cast("long").as("inter"),
@@ -153,7 +177,19 @@ object TextPipeline {
       .withColumn("j", col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
       .filter(col("j") >= 0.5)
       .select(col("d1"), col("d2"), round(col("j"), 4).as("j"))
-      .orderBy("d1", "d2")
+    val members = withRep.select(col("rep"), col("doc_id"))
+    val cross = repPairs
+      .join(members.select(col("rep").as("d1"), col("doc_id").as("m1")), "d1")
+      .join(members.select(col("rep").as("d2"), col("doc_id").as("m2")), "d2")
+      .select(least(col("m1"), col("m2")).as("d1"),
+        greatest(col("m1"), col("m2")).as("d2"), col("j"))
+    // within an exact-dup group: identical signatures collide in every
+    // band, inter = sz ⇒ J = sz/sz = 1.0 exactly (x/x is exact in IEEE)
+    val within = members.as("a")
+      .join(members.as("b"),
+        col("a.rep") === col("b.rep") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"), lit(1.0).as("j"))
+    cross.unionByName(within).orderBy("d1", "d2")
   }
 
   /** MinHash sketch accuracy audit: for every LSH candidate pair of
@@ -163,52 +199,56 @@ object TextPipeline {
     * before trusting the sketch at scale. Same shared md5 hash on both
     * engines, so even the estimates hash-match.
     */
-  def q_minhash_accuracy(spark: SparkSession, sf: String): DataFrame = {
-    val docTok = Tables.documents(spark, sf)
-      .select(col("doc_id"), col("lang"), col("source"),
-        explode(array_distinct(toks(col("text")))).as("word"))
-    val hashed = docTok.select(col("doc_id"), col("lang"), col("source"), th(col("word")).as("h"))
-    val sig = hashed
-      .select(col("doc_id"), col("lang"), col("source"), col("h"),
-        explode(sequence(lit(0), lit(7))).as("i"))
-      .groupBy(col("doc_id"), col("lang"), col("source"), col("i"))
-      .agg(min(expr("((2 * i + 1) * h + 7919 * i + 12345) % 1000000007")).as("sig"))
-    val bands = sig
-      .groupBy(col("doc_id"), col("lang"), col("source"), expr("i div 2").as("band"))
-      .agg(sum(expr("sig * (CASE WHEN i % 2 = 0 THEN 4294967311 ELSE 1 END)")).as("bv"))
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
+  def q_minhash_accuracy(spark: SparkSession, sf: String): DataFrame =
+    minhashAccuracyOf(Text.docSetsOf(Tables.documents(spark, sf)))
+
+  /** Rep-collapsed like [[dedupMinhashLshOf]] (the candidate stage is the
+    * same banding): signature agreement and exact Jaccard are both
+    * group-invariant, so rep candidates expand exactly; a within-group
+    * pair has all 8 signatures equal and J = 1 (matches = 8,
+    * est = exact = 10000, error 0). */
+  private[graft] def minhashAccuracyOf(docsIn: DataFrame): DataFrame = {
+    val withRep = Text.withRepOf(docsIn)
+    val reps = withRep.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("lang"), col("source"), col("toks"), col("sz"))
+    val (sig, cand) = lshSigAndCand(reps)
     val matches = cand
       .join(sig.select(col("doc_id").as("d1"), col("i"), col("sig").as("s1")), Seq("d1"))
       .join(sig.select(col("doc_id").as("d2"), col("i"), col("sig").as("s2")), Seq("d2", "i"))
       .groupBy(col("d1"), col("d2"))
       .agg(sum(when(col("s1") === col("s2"), 1L).otherwise(0L)).as("matches"))
-    // exact Jaccard per candidate from the two token ARRAYS (one
+    // exact Jaccard per rep candidate from the two token ARRAYS (one
     // linear-pass array_intersect per pair) — the former postings
     // double-join fanned every candidate out by doc length before
     // re-aggregating, a ~20× row blowup at high duplicate density
-    val arrs = docTok.groupBy(col("doc_id"))
-      .agg(collect_list(col("word")).as("tarr"), count(lit(1)).as("sz"))
     val exact = cand
-      .join(arrs.select(col("doc_id").as("d1"), col("tarr").as("t1"),
+      .join(reps.select(col("doc_id").as("d1"), col("toks").as("t1"),
         col("sz").as("sz1")), "d1")
-      .join(arrs.select(col("doc_id").as("d2"), col("tarr").as("t2"),
+      .join(reps.select(col("doc_id").as("d2"), col("toks").as("t2"),
         col("sz").as("sz2")), "d2")
       .select(col("d1"), col("d2"),
         size(array_intersect(col("t1"), col("t2"))).cast("long").as("inter"),
         col("sz1"), col("sz2"))
       .select(col("d1"), col("d2"),
         expr("inter * 10000 div (sz1 + sz2 - inter)").as("exact_e4"))
-    matches.join(exact, Seq("d1", "d2"))
+    val repRows = matches.join(exact, Seq("d1", "d2"))
       .select(col("d1"), col("d2"), col("matches"),
         (col("matches") * 1250).as("est_e4"), col("exact_e4"),
         abs(col("matches") * 1250 - col("exact_e4")).as("abs_err_e4"))
-      .orderBy("d1", "d2")
+    val members = withRep.select(col("rep"), col("doc_id"))
+    val cross = repRows
+      .join(members.select(col("rep").as("d1"), col("doc_id").as("m1")), "d1")
+      .join(members.select(col("rep").as("d2"), col("doc_id").as("m2")), "d2")
+      .select(least(col("m1"), col("m2")).as("d1"),
+        greatest(col("m1"), col("m2")).as("d2"),
+        col("matches"), col("est_e4"), col("exact_e4"), col("abs_err_e4"))
+    val within = members.as("a")
+      .join(members.as("b"),
+        col("a.rep") === col("b.rep") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        lit(8L).as("matches"), lit(10000L).as("est_e4"),
+        lit(10000L).as("exact_e4"), lit(0L).as("abs_err_e4"))
+    cross.unionByName(within).orderBy("d1", "d2")
   }
 
   /** Per-document bigram stream (doc_id, w1, w2) — the ONE bigram builder

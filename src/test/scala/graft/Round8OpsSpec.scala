@@ -1,0 +1,277 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops._
+
+/** Round-8 gates: the exact-dup rep collapse (proven on the threshold
+  * sweep in round 7) applied to the remaining pair-family heads —
+  * q_neardup_jaccard / q_neardup_containment (shared pairOverlap core),
+  * q_dedup_minhash_lsh / q_minhash_accuracy (shared LSH banding), and
+  * q_dedup_components (quotient-graph CC). Each collapsed op is pinned
+  * against the verbatim pre-round-8 uncollapsed pipeline on a planted
+  * dirty corpus (mixed-size exact-dup groups with near-dup variants,
+  * two (lang, source) blocks) AND on the sf fixture; connected
+  * components is additionally pinned against a driver-side union-find —
+  * an oracle independent of BOTH pipelines. The tf-idf cosine collapse
+  * gets a dedicated big-dup-group corpus that exercises the 21-member /
+  * 20-pairs-per-class truncation paths the round-6 randomized sweep
+  * never reaches (its groups have ≤ 4 copies).
+  */
+class Round8OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import TestSpark.sf
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] = df.collect().toSeq.map(_.toSeq)
+
+  private def fixture(tables: (String, DataFrame)*): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_r8").toString
+    tables.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    }
+    dir
+  }
+
+  private def docsTable(rows: Seq[(Long, String, String, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang", "source")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        length(col("text")).cast("long").as("n_chars"))
+  }
+
+  /** Dirty corpus: ~35 templates over two (lang, source) blocks, each
+    * emitted 1..6 times verbatim (exact-dup groups) and sometimes with a
+    * one-token suffix (near-dup neighbours ACROSS groups, J just under 1,
+    * containment exactly 1). */
+  private def dirtyDocs(seed: Long): Seq[(Long, String, String, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = (0 until 30).map(i => s"w$i")
+    var id = 0L
+    val out = scala.collection.mutable.Buffer[(Long, String, String, String)]()
+    for (t <- 0 until 35) {
+      val base = rnd.shuffle(vocab).take(6 + rnd.nextInt(10))
+      val lang = if (rnd.nextBoolean()) "en" else "de"
+      val source = if (t % 3 == 0) "wiki" else "web"
+      for (c <- 0 until 1 + rnd.nextInt(6)) {
+        val toksSeq = if (c > 0 && rnd.nextInt(3) == 0) base :+ s"x$t" else base
+        out += ((id, toksSeq.mkString(" "), lang, source)); id += 1
+      }
+    }
+    out.toSeq
+  }
+
+  // ---- verbatim pre-round-8 pipelines (the equality oracles) ---------------
+
+  private def legacyNeardup(docs: DataFrame): DataFrame =
+    Text.pairOverlapOf(docs, Some((4L, 5L)), None)
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("lang"), col("source"), col("d1"), col("d2"),
+        round(col("jaccard"), 4).as("j"))
+      .orderBy("lang", "source", "d1", "d2")
+
+  private def legacyContainment(docs: DataFrame): DataFrame =
+    Text.pairOverlapOf(docs, None, Some((9L, 10L)))
+      .select(col("lang"), col("source"), col("d1"), col("d2"),
+        expr("inter * 10000 div least(sz1, sz2)").as("cont_e4"))
+      .filter(col("cont_e4") >= 9000)
+      .orderBy("lang", "source", "d1", "d2")
+
+  private def th(t: Column): Column = graft.core.Det.hash32(t)
+
+  private def legacyLshParts(documents: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val docTok = documents
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(array_distinct(split(lower(col("text")), " "))).as("word"))
+    val sig = docTok
+      .select(col("doc_id"), col("lang"), col("source"), th(col("word")).as("h"))
+      .select(col("doc_id"), col("lang"), col("source"), col("h"),
+        explode(sequence(lit(0), lit(7))).as("i"))
+      .groupBy(col("doc_id"), col("lang"), col("source"), col("i"))
+      .agg(min(expr("((2 * i + 1) * h + 7919 * i + 12345) % 1000000007")).as("sig"))
+    val bands = sig
+      .groupBy(col("doc_id"), col("lang"), col("source"), expr("i div 2").as("band"))
+      .agg(sum(expr("sig * (CASE WHEN i % 2 = 0 THEN 4294967311 ELSE 1 END)")).as("bv"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    (docTok, sig, cand)
+  }
+
+  private def legacyLsh(documents: DataFrame): DataFrame = {
+    val (docTok, _, cand) = legacyLshParts(documents)
+    val arrs = docTok.groupBy(col("doc_id"))
+      .agg(collect_list(col("word")).as("tarr"), count(lit(1)).as("sz"))
+    cand
+      .join(arrs.select(col("doc_id").as("d1"), col("tarr").as("t1"),
+        col("sz").as("sz1")), "d1")
+      .join(arrs.select(col("doc_id").as("d2"), col("tarr").as("t2"),
+        col("sz").as("sz2")), "d2")
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("t1"), col("t2"))).cast("long").as("inter"),
+        col("sz1"), col("sz2"))
+      .withColumn("j", col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
+      .filter(col("j") >= 0.5)
+      .select(col("d1"), col("d2"), round(col("j"), 4).as("j"))
+      .orderBy("d1", "d2")
+  }
+
+  private def legacyAccuracy(documents: DataFrame): DataFrame = {
+    val (docTok, sig, cand) = legacyLshParts(documents)
+    val matches = cand
+      .join(sig.select(col("doc_id").as("d1"), col("i"), col("sig").as("s1")), Seq("d1"))
+      .join(sig.select(col("doc_id").as("d2"), col("i"), col("sig").as("s2")), Seq("d2", "i"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(sum(when(col("s1") === col("s2"), 1L).otherwise(0L)).as("matches"))
+    val arrs = docTok.groupBy(col("doc_id"))
+      .agg(collect_list(col("word")).as("tarr"), count(lit(1)).as("sz"))
+    val exact = cand
+      .join(arrs.select(col("doc_id").as("d1"), col("tarr").as("t1"),
+        col("sz").as("sz1")), "d1")
+      .join(arrs.select(col("doc_id").as("d2"), col("tarr").as("t2"),
+        col("sz").as("sz2")), "d2")
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("t1"), col("t2"))).cast("long").as("inter"),
+        col("sz1"), col("sz2"))
+      .select(col("d1"), col("d2"),
+        expr("inter * 10000 div (sz1 + sz2 - inter)").as("exact_e4"))
+    matches.join(exact, Seq("d1", "d2"))
+      .select(col("d1"), col("d2"), col("matches"),
+        (col("matches") * 1250).as("est_e4"), col("exact_e4"),
+        abs(col("matches") * 1250 - col("exact_e4")).as("abs_err_e4"))
+      .orderBy("d1", "d2")
+  }
+
+  // ---- the gates ------------------------------------------------------------
+
+  test("near-dup jaccard: rep collapse equals the uncollapsed PPJoin pipeline") {
+    for (seed <- Seq(11L, 12L)) {
+      val docs = Text.docSetsOf(docsTable(dirtyDocs(seed)))
+      assert(rows(Text.neardupPairsOf(docs).orderBy("lang", "source", "d1", "d2"))
+        === rows(legacyNeardup(docs)), s"seed $seed")
+    }
+    val fx = Text.docSets(spark, sf)
+    assert(rows(Text.q_neardup_jaccard(spark, sf)) === rows(legacyNeardup(fx)))
+  }
+
+  test("near-dup containment: rep collapse equals the uncollapsed pipeline") {
+    for (seed <- Seq(21L, 22L)) {
+      val docs = Text.docSetsOf(docsTable(dirtyDocs(seed)))
+      assert(rows(Text.neardupContainmentOf(docs)) === rows(legacyContainment(docs)),
+        s"seed $seed")
+    }
+    val fx = Text.docSets(spark, sf)
+    assert(rows(Text.q_neardup_containment(spark, sf)) === rows(legacyContainment(fx)))
+  }
+
+  test("minhash LSH: rep collapse equals the uncollapsed sketch pipeline") {
+    for (seed <- Seq(31L, 32L)) {
+      val documents = docsTable(dirtyDocs(seed))
+      assert(rows(TextPipeline.dedupMinhashLshOf(Text.docSetsOf(documents)))
+        === rows(legacyLsh(documents)), s"seed $seed")
+    }
+    val fxDocs = Tables.documents(spark, sf)
+    assert(rows(TextPipeline.q_dedup_minhash_lsh(spark, sf)) === rows(legacyLsh(fxDocs)))
+  }
+
+  test("minhash accuracy: rep collapse equals the uncollapsed audit") {
+    val documents = docsTable(dirtyDocs(41L))
+    assert(rows(TextPipeline.minhashAccuracyOf(Text.docSetsOf(documents)))
+      === rows(legacyAccuracy(documents)))
+    val fxDocs = Tables.documents(spark, sf)
+    assert(rows(TextPipeline.q_minhash_accuracy(spark, sf)) === rows(legacyAccuracy(fxDocs)))
+  }
+
+  /** Driver-side union-find over the legacy (uncollapsed) edge set — an
+    * oracle independent of both CC implementations. */
+  private def componentsOracle(documents: DataFrame): Seq[Seq[Any]] = {
+    val near = legacyNeardup(Text.docSetsOf(documents))
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exact = documents
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).values.filter(_.length >= 2).toSeq
+      .flatMap { g =>
+        val m = g.map(_._1).min
+        g.map(_._1).filter(_ != m).map(d => (m, d))
+      }
+    val edges = near.toSeq ++ exact
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .groupBy(find).toSeq
+      .map { case (c, vs) => Seq[Any](c, vs.size.toLong, vs.max) }
+      .sortBy(_.head.asInstanceOf[Long])
+  }
+
+  test("dedup components: quotient-graph CC equals a driver-side union-find") {
+    for (seed <- Seq(51L, 52L)) {
+      val documents = docsTable(dirtyDocs(seed))
+      assert(rows(Text.dedupComponentsOf(documents)) === componentsOracle(documents),
+        s"seed $seed")
+    }
+    assert(rows(Text.q_dedup_components(spark, sf))
+      === componentsOracle(Tables.documents(spark, sf)))
+  }
+
+  /** Brute-force all-pairs tf-idf cosine top-20 (the DuckDB oracle's
+    * shape) — same twin as Round6OpsSpec's, re-stated here for the
+    * big-dup-group corpus. */
+  private def bruteForceTfidfTop20(dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val n = docs.agg(count(lit(1)).as("nn"))
+    val tf = docs.select(col("doc_id"), col("lang"), col("source"),
+        explode(split(lower(col("text")), " ")).as("word"))
+      .groupBy(col("doc_id"), col("lang"), col("source"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val w = tf.join(dfr, "word").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("lang"), col("source"), col("word"),
+        (col("tf") * round(log(col("nn").cast("double") / (col("df") + lit(1L)).cast("double"))
+          * lit(1e4)).cast("long")).as("w"))
+    val norms = w.groupBy(col("doc_id").as("nd"))
+      .agg(sum(col("w").cast("decimal(38,0)") * col("w")).as("nrm"))
+    w.as("a")
+      .join(w.as("b"),
+        col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+          col("a.word") === col("b.word") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(sum(col("a.w").cast("decimal(38,0)") * col("b.w")).as("dot"))
+      .join(norms.select(col("nd").as("d1"), col("nrm").as("n1")), "d1")
+      .join(norms.select(col("nd").as("d2"), col("nrm").as("n2")), "d2")
+      .select(col("d1"), col("d2"),
+        (round(col("dot").cast("double") /
+          sqrt(col("n1").cast("double") * col("n2").cast("double")), 6) + lit(0.0)).as("cos"))
+      .orderBy(col("cos").desc, col("d1").asc, col("d2").asc).limit(20)
+  }
+
+  test("tfidf cosine: big dup groups exercise the truncated expansion exactly") {
+    // group A: 30 verbatim copies (435 within pairs, only the 20 smallest
+    // (d1,d2) can rank — the 21-member and 20-per-class truncations both
+    // fire); group B: 25 copies of a one-token variant (750 cross pairs
+    // with A, high cosine); interleaved ids so the member-id order is not
+    // the insertion order; plus noise docs
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val rows30 = (0 until 30).map(i => (i * 7L % 211L + 1000L, base, "en", "web"))
+    val rows25 = (0 until 25).map(i => (i * 11L % 211L + 2000L, s"$base iota", "en", "web"))
+    val noise = (0 until 12).map(i =>
+      (3000L + i, s"noise$i filler$i other${i % 3} words", "en", "web"))
+    val dir = fixture("documents" -> docsTable(rows30 ++ rows25 ++ noise))
+    assert(rows(Retrieval.q_tfidf_cosine_docs(spark, dir))
+      === rows(bruteForceTfidfTop20(dir)))
+  }
+}
