@@ -49,35 +49,58 @@ object Bench {
     // Dev-only subset filter (comma-separated keys), mirroring Verify; the
     // driver never sets this, so its runs always time the full inventory.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // a failure records WHY (exception class + first message line) for
+    // bench_detail.json — a bare name in `failed` forced a manual re-run
+    // to learn what broke (round-7 advice)
+    def reasonOf(e: Throwable): String = {
+      val msg = Option(e.getMessage).getOrElse("").linesIterator
+        .take(1).mkString.take(200)
+      s"${e.getClass.getSimpleName}: $msg"
+    }
     val results = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val err = try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable => Some(reasonOf(e)) }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
     def f3(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => " "
+        case c => c.toString
+      } + "\""
     val total = results.map(_._2).sum
-    val failed = results.filterNot(_._3).map(_._1)
+    val failed = results.filter(_._3.isDefined).map(_._1)
     // isolated re-time of the 5 slowest successes, back-to-back in the
     // now-quiet JVM (codegen warm, no interleaved suite stages). A re-run
     // that THROWS ships -1, not a short normal-looking duration — the
     // isolated figure is the authoritative round-over-round comparator
     // (BASELINE.md), so a crash must be distinguishable from a fast run.
-    val isolated = results.filter(_._3).sortBy(-_._2).take(5).map { case (name, _, _) =>
+    val isolated = results.filter(_._3.isEmpty).sortBy(-_._2).take(5).map { case (name, _, _) =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val err = try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable => Some(reasonOf(e)) }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
     val isolatedJson = isolated
-      .map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) f3(v) else "-1") }
+      .map { case (k, v, err) => s"\"" + k + "\":" + (if (err.isEmpty) f3(v) else "-1") }
       .mkString("{", ",", "}")
     val detail = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // failure reasons, suite + isolated (isolated keys prefixed) — the
+    // diagnostic that saves a re-run when something breaks
+    val errorsJson = (results.collect { case (k, _, Some(r)) => (k, r) } ++
+      isolated.collect { case (k, _, Some(r)) => ("isolated:" + k, r) })
+      .map { case (k, r) => jstr(k) + ":" + jstr(r) }
+      .mkString("{", ",", "}")
     try {
       Files.write(Paths.get("target/bench_detail.json"),
-        (s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"isolated":$isolatedJson,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}""" + "\n")
+        (s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"isolated":$isolatedJson,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"errors":$errorsJson,"sf":"$sfDir"}""" + "\n")
           .getBytes(StandardCharsets.UTF_8))
     } catch { case _: Throwable => () } // auxiliary; never lose the stdout line
     val slowest = results.sortBy(-_._2).take(15)

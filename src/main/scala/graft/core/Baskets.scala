@@ -26,12 +26,27 @@ import org.apache.spark.sql.functions._
   */
 object Baskets {
 
-  /** All pairs (u, v) with u strictly before v in the basket array, one
-    * row per pair. `baskets` must carry exactly the array column `items`
-    * (other columns are dropped — every current consumer aggregates over
-    * the bare pairs). */
-  def pairs(baskets: DataFrame, u: String, v: String): DataFrame =
+  /** CONTRACT (enforced): the input must carry an array column `items`;
+    * every other column is dropped (current consumers aggregate over the
+    * bare combinations). Callers must pass items SORTED + DEDUPED (the
+    * triangular slice enumerates positions, so a duplicate element emits
+    * duplicate combinations) and [[Guards.boundedBasket]]-capped. The
+    * schema half of the contract fails loudly here instead of producing
+    * wrong/missing output downstream. */
+  private def itemsArray(baskets: DataFrame): DataFrame = {
+    val field = baskets.schema.fields.find(_.name == "items").getOrElse(
+      throw new IllegalArgumentException(
+        s"Baskets: input must carry an array column 'items'; got " +
+          baskets.schema.fieldNames.mkString("[", ", ", "]")))
+    require(field.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType],
+      s"Baskets: 'items' must be an array column, got ${field.dataType}")
     baskets
+  }
+
+  /** All pairs (u, v) with u strictly before v in the basket array, one
+    * row per pair. */
+  def pairs(baskets: DataFrame, u: String, v: String): DataFrame =
+    itemsArray(baskets)
       .select(posexplode(col("items")).as(Seq("_i", "_x")), col("items"))
       .select(col("_x").as(u),
         explode(slice(col("items"), col("_i") + lit(2), size(col("items")))).as(v))
@@ -40,7 +55,7 @@ object Baskets {
     * chain with one more generator; `_j` is the 0-based position of b
     * inside a's tail slice, so c's tail starts at 1-based `_i + _j + 3`. */
   def triples(baskets: DataFrame, a: String, b: String, c: String): DataFrame =
-    baskets
+    itemsArray(baskets)
       .select(posexplode(col("items")).as(Seq("_i", "_x")), col("items"))
       .select(col("_x").as(a), col("_i"),
         posexplode(slice(col("items"), col("_i") + lit(2), size(col("items"))))

@@ -8447,8 +8447,11 @@ object Analytics {
       .groupBy(col("v"))
       .agg(count(lit(1)).as("c"), sum(col("tax")).as("pt"))
       .select(col("v"), (col("v") * col("c")).as("py"), col("pt"))
+    // tt = Σpt, NOT max(ct): the two agree only while every pt ≥ 0 keeps
+    // the cumsum monotone — the sum needs no such invariant (and matches
+    // how q_kakwani_index computes its total)
     BandedScan.cumSums(cell, Seq.empty, "v", Seq("pt" -> "ct"))
-      .agg(max(col("ct")).as("tt"), sum(col("py")).as("ty"),
+      .agg(sum(col("pt")).as("tt"), sum(col("py")).as("ty"),
         count(lit(1)).as("n_cells"),
         sum(col("py").cast("decimal(38,0)")
           * (lit(2L) * col("ct") - col("pt"))).as("num"))

@@ -609,26 +609,36 @@ object MLDeterministic {
 
   /** Two unrolled Lloyd iterations: recompute centroids as per-dimension
     * means ROUND(,6) (then re-quantized to an e6 lattice), re-assign, emit
-    * iteration-2 cluster sizes. Centroids live as (cluster, dim, value)
-    * ROWS — per-dimension exact sums, no array aggregation, so the same
-    * relational shape runs on both engines.
+    * iteration-2 cluster sizes.
+    *
+    * Round 8: the centroid recompute is ONE k-group `graft_vec_sum`
+    * aggregate over whole quantized arrays (the q_kmeans_converged round
+    * shape — 64× fewer shuffled rows than the former (cluster, dim)
+    * posexplode ladder, byte-identical ROUND(ROUND(Σ/(n·1e7),6)·1e6)
+    * arithmetic per element), and the iteration-2 re-assignment is the
+    * native dist2 argmin against the ≤ k broadcast centroid arrays —
+    * one N-row exchange instead of the former N×64-row join + N×k
+    * aggregate. The oracle keeps the relational (cluster, dim, value)
+    * shape; outputs hash-match at both graded scales.
     */
   def q_kmeans_iter2(spark: SparkSession, sf: String): DataFrame = {
-    val dims = Tables.embeddings(spark, sf)
-      .select(col("vec_id"), posexplode(Vectors.q7(col("embedding"))).as(Seq("dim", "x_e7")))
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), Vectors.q7(col("embedding")).as("qe"))
     val assign1 = kmeansAssign(spark, sf).select(col("vec_id"), col("cluster"))
-    // centroid per (cluster, dim): exact integer sum, one division, ROUND 6,
-    // re-quantized ×1e6 → exact integer lattice again
-    val centroids = dims.join(assign1, "vec_id")
-      .groupBy(col("cluster"), col("dim"))
-      .agg(round(round(sum(col("x_e7")) / (count(lit(1)) * lit(1e7)), 6) * 1e6)
-        .cast("long").as("c_e6"))
+    val centroids = vecs.join(assign1, "vec_id")
+      .groupBy(col("cluster"))
+      .agg(graft.functions.GraftFunctions.vecSum(col("qe")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("cluster"), expr(
+        "transform(s, v -> CAST(ROUND(ROUND(CAST(v AS DOUBLE) / " +
+          "(CAST(n AS DOUBLE) * 1e7), 6) * 1e6) AS BIGINT))").as("c_e6"))
     // iteration-2 squared distance: Σ(x_e7 − 10·c_e6)² — exact integers
-    dims.join(broadcast(centroids), "dim")
-      .groupBy(col("vec_id"), col("cluster"))
-      .agg(sum((col("x_e7") - col("c_e6") * 10) * (col("x_e7") - col("c_e6") * 10)).as("d2"))
+    vecs.crossJoin(broadcast(centroids))
+      .select(col("vec_id"),
+        struct(Vectors.dist2E14(col("qe"),
+          expr("transform(c_e6, v -> v * 10)")).as("d2"), col("cluster")).as("cand"))
       .groupBy(col("vec_id"))
-      .agg(min(struct(col("d2"), col("cluster"))).as("best"))
+      .agg(min(col("cand")).as("best"))
       .groupBy(col("best.cluster").as("cluster"))
       .agg(count(lit(1)).as("n"))
       .orderBy("cluster")

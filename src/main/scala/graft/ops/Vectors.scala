@@ -28,6 +28,23 @@ object Vectors {
   def q7(c: Column): Column =
     transform(c, v => round(v.cast("double") * 1e7).cast("long"))
 
+  /** Per-key rounded-mean centroid via the native element-wise
+    * `graft_vec_sum` aggregate (round 8): ONE exchange of k
+    * (sum-array, count) rows instead of the posexplode ladder's k×dims
+    * rows plus a second re-assembly aggregate. Each element applies the
+    * identical `ROUND(CAST(sum AS DOUBLE) / CAST(n AS DOUBLE))`
+    * expression the ladder used, so centroids are byte-identical
+    * (oracle-gated at both scales; plan-gated in PlanShapeSpec).
+    * `vecs` must carry `clabel` and the quantized array column `v8`.
+    */
+  private[graft] def centroidOf(vecs: DataFrame, as: String): DataFrame =
+    vecs.groupBy(col("clabel"))
+      .agg(graft.functions.GraftFunctions.vecSum(col("v8")).as("_s"),
+        count(lit(1)).as("_n"))
+      .select(col("clabel"), expr(
+        "transform(_s, v -> CAST(ROUND(CAST(v AS DOUBLE) / CAST(_n AS DOUBLE)) AS BIGINT))")
+        .as(as))
+
   /** Exact integer dot product of two quantized vectors (e14 scale).
     * Native codegen expression — the zip_with+aggregate HOF formulation is
     * semantically identical but evaluates interpreted lambdas per row.
@@ -292,15 +309,9 @@ object Vectors {
     * clustering/coreset build, one corpus scan at any size.
     */
   def q_centroid_confusion(spark: SparkSession, sf: String): DataFrame = {
-    val cent = Tables.embeddings(spark, sf)
+    val cent = centroidOf(Tables.embeddings(spark, sf)
       .select(col("label").cast("long").as("clabel"),
-        posexplode(slice(q7(col("embedding")), 1, 8)).as(Seq("dim", "x")))
-      .groupBy(col("clabel"), col("dim"))
-      .agg(round(sum(col("x")).cast("double") / count(lit(1)).cast("double"))
-        .cast("long").as("c"))
-      .groupBy(col("clabel"))
-      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), p -> p.c)")
-        .as("c_qe"))
+        slice(q7(col("embedding")), 1, 8).as("v8")), "c_qe")
     Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("label").cast("long").as("label"),
         slice(q7(col("embedding")), 1, 8).as("qe"))
@@ -432,15 +443,9 @@ object Vectors {
     * points an active learner asks about first.
     */
   def q_margin_sampling(spark: SparkSession, sf: String): DataFrame = {
-    val cent = Tables.embeddings(spark, sf)
+    val cent = centroidOf(Tables.embeddings(spark, sf)
       .select(col("label").cast("long").as("clabel"),
-        posexplode(slice(q7(col("embedding")), 1, 8)).as(Seq("dim", "x")))
-      .groupBy(col("clabel"), col("dim"))
-      .agg(round(sum(col("x")).cast("double") / count(lit(1)).cast("double"))
-        .cast("long").as("c"))
-      .groupBy(col("clabel"))
-      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), p -> p.c)")
-        .as("c_qe"))
+        slice(q7(col("embedding")), 1, 8).as("v8")), "c_qe")
     val w = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("clabel").asc)
     Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("label").cast("long").as("label"),
@@ -1350,15 +1355,9 @@ object Vectors {
     * the shared base of the internal-validation indices below.
     */
   private def centroids8(spark: SparkSession, sf: String): DataFrame =
-    Tables.embeddings(spark, sf)
+    centroidOf(Tables.embeddings(spark, sf)
       .select(col("label").cast("long").as("clabel"),
-        posexplode(slice(q7(col("embedding")), 1, 8)).as(Seq("dim", "x")))
-      .groupBy(col("clabel"), col("dim"))
-      .agg(round(sum(col("x")).cast("double") / count(lit(1)).cast("double"))
-        .cast("long").as("c"))
-      .groupBy(col("clabel"))
-      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), p -> p.c)")
-        .as("c_qe"))
+        slice(q7(col("embedding")), 1, 8).as("v8")), "c_qe")
 
   /** Davies–Bouldin index of the label clustering over dims 1..8:
     * scatter sᵢ = floor-mean of e6-latticed member→centroid distances,
@@ -1414,13 +1413,14 @@ object Vectors {
     val sizes = Tables.embeddings(spark, sf)
       .groupBy(col("label").cast("long").as("clabel"))
       .agg(count(lit(1)).as("ni"))
-    // global centroid from the raw corpus (not the centroid-of-centroids)
+    // global centroid from the raw corpus (not the centroid-of-centroids):
+    // one grand graft_vec_sum aggregate, same rounded-mean lattice
     val gcent = Tables.embeddings(spark, sf)
-      .select(posexplode(slice(q7(col("embedding")), 1, 8)).as(Seq("dim", "x")))
-      .groupBy(col("dim"))
-      .agg(round(sum(col("x")).cast("double") / count(lit(1)).cast("double"))
-        .cast("long").as("g"))
-      .agg(expr("transform(array_sort(collect_list(struct(dim, g))), p -> p.g)")
+      .select(slice(q7(col("embedding")), 1, 8).as("v8"))
+      .agg(graft.functions.GraftFunctions.vecSum(col("v8")).as("_s"),
+        count(lit(1)).as("_n"))
+      .select(expr(
+        "transform(_s, v -> CAST(ROUND(CAST(v AS DOUBLE) / CAST(_n AS DOUBLE)) AS BIGINT))")
         .as("g_qe"))
     val between = cent.join(sizes, "clabel").crossJoin(broadcast(gcent))
       .select((col("ni").cast("decimal(38,0)") *

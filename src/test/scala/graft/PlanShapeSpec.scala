@@ -71,6 +71,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"join resurfaced in the Lloyd round:\n$p")
   }
 
+  test("centroid ladders: one graft_vec_sum exchange, no posexplode Generate") {
+    // round-8 contract for the per-label centroid builders (confusion /
+    // margin / DB / CH / kmeans_iter2 recompute): ONE k-group aggregate
+    // over whole quantized arrays — no (label, dim) explode, no second
+    // re-assembly aggregate
+    import org.apache.spark.sql.functions.{col, lit}
+    val p = plan(ops.Vectors.centroidOf(
+      graft.core.Tables.embeddings(spark, sf)
+        .select(col("label").cast("long").as("clabel"),
+          org.apache.spark.sql.functions.slice(
+            ops.Vectors.q7(col("embedding")), 1, 8).as("v8")), "c_qe"))
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly 1 exchange, got $exchanges:\n$p")
+    assert(!p.contains("Generate"), s"posexplode resurfaced in the centroid build:\n$p")
+    val p2 = plan(ops.MLDeterministic.q_kmeans_iter2(spark, sf))
+    assert(!p2.contains("Generate"), s"posexplode resurfaced in q_kmeans_iter2:\n$p2")
+  }
+
   test("pii redaction: regexes stay in one whole-stage codegen pass") {
     // AQE prints codegen spans only in the FINAL plan — execute first
     val df = Scalars.q_pii_redact(spark, sf)

@@ -259,6 +259,54 @@ class Round8OpsSpec extends AnyFunSuite {
       .orderBy(col("cos").desc, col("d1").asc, col("d2").asc).limit(20)
   }
 
+  test("centroidOf equals the posexplode per-(label, dim) ladder") {
+    val ladder = Tables.embeddings(spark, sf)
+      .select(col("label").cast("long").as("clabel"),
+        posexplode(slice(Vectors.q7(col("embedding")), 1, 8)).as(Seq("dim", "x")))
+      .groupBy(col("clabel"), col("dim"))
+      .agg(round(sum(col("x")).cast("double") / count(lit(1)).cast("double"))
+        .cast("long").as("c"))
+      .groupBy(col("clabel"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), p -> p.c)")
+        .as("c_qe"))
+      .orderBy("clabel")
+    val vecSumForm = Vectors.centroidOf(Tables.embeddings(spark, sf)
+      .select(col("label").cast("long").as("clabel"),
+        slice(Vectors.q7(col("embedding")), 1, 8).as("v8")), "c_qe")
+      .orderBy("clabel")
+    assert(rows(vecSumForm) === rows(ladder))
+  }
+
+  test("kmeans_iter2 vec_sum recompute equals the legacy (cluster, dim) ladder") {
+    val dims = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), posexplode(Vectors.q7(col("embedding"))).as(Seq("dim", "x_e7")))
+    val legacy = {
+      val a1 = Tables.embeddings(spark, sf)
+        .select(col("vec_id"), Vectors.q7(col("embedding")).as("qe"))
+        .crossJoin(broadcast(Tables.embeddings(spark, sf)
+          .filter(col("vec_id") <= 9)
+          .select(col("vec_id").as("cluster"), Vectors.q7(col("embedding")).as("seed_qe"))))
+        .select(col("vec_id"), col("cluster"),
+          Vectors.dist2E14(col("qe"), col("seed_qe")).as("d2"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("cluster"))).as("best"))
+        .select(col("vec_id"), col("best.cluster").as("cluster"))
+      val centroids = dims.join(a1, "vec_id")
+        .groupBy(col("cluster"), col("dim"))
+        .agg(round(round(sum(col("x_e7")) / (count(lit(1)) * lit(1e7)), 6) * 1e6)
+          .cast("long").as("c_e6"))
+      dims.join(broadcast(centroids), "dim")
+        .groupBy(col("vec_id"), col("cluster"))
+        .agg(sum((col("x_e7") - col("c_e6") * 10) * (col("x_e7") - col("c_e6") * 10)).as("d2"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("cluster"))).as("best"))
+        .groupBy(col("best.cluster").as("cluster"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("cluster")
+    }
+    assert(rows(MLDeterministic.q_kmeans_iter2(spark, sf)) === rows(legacy))
+  }
+
   test("tfidf cosine: big dup groups exercise the truncated expansion exactly") {
     // group A: 30 verbatim copies (435 within pairs, only the 20 smallest
     // (d1,d2) can rank — the 21-member and 20-per-class truncations both
