@@ -349,14 +349,59 @@ object Relational {
     * naive blocked join (Round5OpsSpec pins this on the fixture and on
     * an adversarial templated/indel/short-string corpus).
     */
-  def q_fuzzy_match(spark: SparkSession, sf: String): DataFrame = {
-    val s = Tables.supplier(spark, sf)
-      .select(col("s_nationkey"), col("s_suppkey"), col("s_name"))
-    fuzzyPairsOf(s, "s_nationkey", "s_suppkey", "s_name")
+  def q_fuzzy_match(spark: SparkSession, sf: String): DataFrame =
+    fuzzyMatchOf(Tables.supplier(spark, sf)
+      .select(col("s_nationkey"), col("s_suppkey"), col("s_name")),
+      "s_nationkey", "s_suppkey", "s_name")
+
+  /** [[q_fuzzy_match]]'s per-block aggregate, rep-collapsed (round 8 —
+    * the sf3 scaling probe caught the only exponent-2 grower left:
+    * verbatim-replicated names make TRUE ed ≤ 2 pairs grow quadratically
+    * with duplication, and the pair table was enumerated before this
+    * aggregate). Identical (block, name) rows form a group
+    * (m, kmin = rep key, kmax); the trigram candidate machinery runs
+    * over ONE rep per distinct name, and the aggregate is recovered by
+    * COUNT ARITHMETIC — no member pair ever materializes:
+    *  - pair counts: a rep pair (A, B) with distance d stands for
+    *    m_A·m_B member pairs of the same d (levenshtein depends only on
+    *    the names); a group with m ≥ 2 adds C(m,2) within pairs at d = 0;
+    *  - the min-example struct (d, n1, n2) carries names in
+    *    ascending-KEY order, so a rep pair contributes its forward
+    *    orientation always (rep_A < rep_B ≤ kmax_B) and its REVERSE
+    *    orientation (d, n2, n1) exactly when kmin_B < kmax_A — emitted
+    *    as a count-0 candidate row that competes in the min but not in
+    *    the counts.
+    * Candidate volume now scales with DISTINCT names per block, not
+    * with duplication² (sf3: 95 s → the sf0.1-shaped cost);
+    * Round8OpsSpec pins equality against the uncollapsed aggregate on
+    * orientation-adversarial planted corpora and the fixture.
+    */
+  private[graft] def fuzzyMatchOf(src: DataFrame, blockCol: String,
+      keyCol: String, nameCol: String): DataFrame = {
+    val groups = src
+      .groupBy(col(blockCol).as("blk"), col(nameCol).as("nm"))
+      .agg(count(lit(1)).as("m"), min(col(keyCol)).as("kmin"),
+        max(col(keyCol)).as("kmax"))
+      .localCheckpoint() // feeds the rep pair build + both expansion joins
+    val repPairs = fuzzyPairsOf(
+      groups.select(col("blk"), col("kmin"), col("nm")), "blk", "kmin", "nm")
+      .join(groups.select(col("blk").as("nationkey"), col("nm").as("n1"),
+        col("m").as("m1"), col("kmax").as("kmax1")), Seq("nationkey", "n1"))
+      .join(groups.select(col("blk").as("nationkey"), col("nm").as("n2"),
+        col("m").as("m2"), col("kmin").as("kmin2")), Seq("nationkey", "n2"))
+    val fwd = repPairs.select(col("nationkey"), col("d"), col("n1"), col("n2"),
+      (col("m1") * col("m2")).as("mult"))
+    val rev = repPairs.filter(col("kmin2") < col("kmax1"))
+      .select(col("nationkey"), col("d"), col("n2").as("n1"),
+        col("n1").as("n2"), lit(0L).as("mult"))
+    val within = groups.filter(col("m") >= 2L)
+      .select(col("blk").as("nationkey"), lit(0L).as("d"), col("nm").as("n1"),
+        col("nm").as("n2"), expr("m * (m - 1) div 2").as("mult"))
+    fwd.unionByName(rev).unionByName(within)
       .groupBy(col("nationkey"))
       .agg(
-        count(lit(1)).as("n_pairs"),
-        sum(when(col("d") === 1L, 1L).otherwise(0L)).as("n_d1"),
+        sum(col("mult")).as("n_pairs"),
+        sum(when(col("d") === 1L, col("mult")).otherwise(0L)).as("n_d1"),
         min(struct(col("d"), col("n1"), col("n2"))).as("m"))
       .select(col("nationkey").cast("long").as("nationkey"), col("n_pairs"),
         col("n_d1"), col("m.d").as("best_d"), col("m.n1").as("best_1"),

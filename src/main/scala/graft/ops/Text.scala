@@ -1374,26 +1374,38 @@ object Text {
     * (fixed constant). Characters are generated INSIDE the row via a
     * sequence transform — no join, one explode, one doc-keyed aggregate.
     */
-  def q_char_entropy(spark: SparkSession, sf: String): DataFrame =
-    Tables.documents(spark, sf)
+  def q_char_entropy(spark: SparkSession, sf: String): DataFrame = {
+    // rep collapse (round 8): entropy depends only on lower(text), so the
+    // per-character explode + two aggregates run once per identical
+    // (lang, text) group and the per-doc rows expand by one join
+    val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), col("lang"), lower(col("text")).as("lt"))
-      .select(col("doc_id"), col("lang"), explode(expr(
+      .withColumn("rep", min(col("doc_id")).over(
+        Window.partitionBy(col("lang"), md5(col("lt").cast("binary")))))
+      .localCheckpoint()
+    val repStats = docs.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id").as("rep"), explode(expr(
         "transform(sequence(1, length(lt)), i -> substring(lt, i, 1))")).as("ch"))
-      .groupBy(col("doc_id"), col("lang"), col("ch"))
+      .groupBy(col("rep"), col("ch"))
       .agg(count(lit(1)).as("c"))
-      .select(col("doc_id"), col("lang"), col("c"),
+      .select(col("rep"), col("c"),
         round(col("c").cast("double") * log(col("c").cast("double")) * 1e4)
           .cast("long").as("clnc_e4"))
-      .groupBy(col("doc_id"), col("lang"))
+      .groupBy(col("rep"))
       .agg(count(lit(1)).as("distinct_chars"), sum(col("c")).as("n_chars_used"),
         sum(col("clnc_e4")).as("s_e4"))
-      .select(col("doc_id"), col("lang"), col("distinct_chars"), col("n_chars_used"),
+      .select(col("rep"), col("distinct_chars"), col("n_chars_used"),
         (round(
           log(col("n_chars_used").cast("double")) -
             col("s_e4").cast("double") / (col("n_chars_used").cast("double") * lit(1e4)),
           4) + lit(0.0)).as("entropy"))
+    docs.select(col("doc_id"), col("lang"), col("rep"))
+      .join(repStats, "rep")
+      .select(col("doc_id"), col("lang"), col("distinct_chars"),
+        col("n_chars_used"), col("entropy"))
       .withColumn("keep", (col("entropy") >= 1.5).cast("int").cast("long"))
       .orderBy("doc_id")
+  }
 
   /** Pairwise Jensen–Shannon divergence between the languages'
     * Laplace-smoothed token distributions — the SYMMETRIC, bounded

@@ -375,19 +375,40 @@ object TextPipeline {
 
   /** Shared char-bigram language-ID core: rank-distance of each doc's
     * top-20 bigram profile against every language's top-20 profile.
+    *
+    * Rep-collapsed (round 8 — caught by the sf3 probe: the bigram explode
+    * + (doc, gram) aggregate were the suite's biggest LINEAR constant,
+    * and identical (lang, text) docs recompute identical profiles):
+    * grams explode only over one representative per group; the language
+    * profile is recovered EXACTLY as Σ m·c over rep counts (every member
+    * contributes the same per-gram counts as its rep); per-rep ranks,
+    * distances and the argmin language are group-invariant, so the
+    * prediction row expands to members by one join. Equality is
+    * oracle-gated at both scales and Round8OpsSpec-pinned against the
+    * uncollapsed pipeline on a dirty corpus.
     */
   private def langidPredictions(spark: SparkSession, sf: String): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
-    val grams = Tables.documents(spark, sf)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .withColumn("rep", min(col("doc_id")).over(
+        Window.partitionBy(col("lang"), md5(col("text").cast("binary")))))
+      .localCheckpoint()
+    val groups = docs.groupBy(col("rep")).agg(count(lit(1)).as("m"))
+    val grams = docs.filter(col("doc_id") === col("rep"))
       .select(col("doc_id"), col("lang"),
         explode(Bridge.column(graft.functions.CharBigrams(Bridge.expression(col("text")))))
           .as("gram"))
-    // one explode + one aggregate: each doc has exactly one lang, so the
-    // per-doc and per-lang profiles both derive from (doc, lang, gram)
-    // counts — the language profile is a cheap re-aggregation of it
+    // one explode + one aggregate over REPS: each doc has exactly one
+    // lang, so the per-doc and per-lang profiles both derive from
+    // (rep, lang, gram) counts — the full-corpus language profile is the
+    // group-size-weighted re-aggregation
     val gramCounts = grams.groupBy(col("doc_id"), col("lang"), col("gram"))
       .agg(count(lit(1)).as("c"))
-    val langTop = gramCounts.groupBy(col("lang"), col("gram")).agg(sum(col("c")).as("c"))
+      .localCheckpoint() // feeds the language profile AND the doc ranks
+    val langTop = gramCounts
+      .join(groups.select(col("rep").as("doc_id"), col("m")), "doc_id")
+      .groupBy(col("lang"), col("gram")).agg(sum(col("c") * col("m")).as("c"))
       .withColumn("lrank", row_number().over(
         Window.partitionBy("lang").orderBy(col("c").desc, col("gram").asc)).cast("long"))
       .filter(col("lrank") <= 20)
@@ -397,17 +418,19 @@ object TextPipeline {
         Window.partitionBy("doc_id").orderBy(col("c").desc, col("gram").asc)).cast("long"))
       .filter(col("drank") <= 20)
       .select(col("doc_id"), col("gram"), col("drank"))
-    val langs = Tables.documents(spark, sf).select(col("lang").as("cand_lang")).distinct()
+    val langs = docs.select(col("lang").as("cand_lang")).distinct()
     val dist = docTop
       .crossJoin(broadcast(langs))
       .join(broadcast(langTop), Seq("cand_lang", "gram"), "left_outer")
       .groupBy(col("doc_id"), col("cand_lang"))
       .agg(sum(coalesce(abs(col("drank") - col("lrank")), lit(20L))).as("dist"))
-    dist.groupBy(col("doc_id"))
+    val preds = dist.groupBy(col("doc_id"))
       .agg(min(struct(col("dist"), col("cand_lang"))).as("best"))
-      .join(Tables.documents(spark, sf).select(col("doc_id"), col("lang").as("actual")), "doc_id")
-      .select(col("doc_id"), col("best.cand_lang").as("predicted"),
-        col("actual"), col("best.dist").as("dist"))
+      .select(col("doc_id").as("rep"), col("best.cand_lang").as("predicted"),
+        col("best.dist").as("dist"))
+    docs.select(col("doc_id"), col("lang").as("actual"), col("rep"))
+      .join(preds, "rep")
+      .select(col("doc_id"), col("predicted"), col("actual"), col("dist"))
   }
 
   /** Vocabulary coverage / OOV-rate report (the "how well does a fixed
@@ -725,13 +748,18 @@ object TextPipeline {
     * docs shorter than 3 chars are skipped on both engines.
     */
   def q_char_trigram_profile(spark: SparkSession, sf: String): DataFrame = {
+    // rep collapse (round 8): the profile needs no doc ids, so identical
+    // (lang, text) docs group DIRECTLY (one shuffled text row per distinct
+    // doc vs ~n_chars exploded rows) and each trigram carries the group
+    // size — Σ m over rep trigrams = the full-corpus count exactly
     val counts = Tables.documents(spark, sf)
       .filter(col("n_chars") >= 3)
-      .select(col("lang"), explode(expr(
+      .groupBy(col("lang"), col("text")).agg(count(lit(1)).as("m"))
+      .select(col("lang"), col("m"), explode(expr(
         "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
         .as("g"))
       .groupBy(col("lang"), col("g"))
-      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("m")).as("n"))
     val w = Window.partitionBy("lang").orderBy(col("n").desc, col("g").asc)
     counts
       .withColumn("tot", sum(col("n")).over(Window.partitionBy("lang")))

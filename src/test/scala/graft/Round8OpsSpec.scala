@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.ops._
@@ -257,6 +258,144 @@ class Round8OpsSpec extends AnyFunSuite {
         (round(col("dot").cast("double") /
           sqrt(col("n1").cast("double") * col("n2").cast("double")), 6) + lit(0.0)).as("cos"))
       .orderBy(col("cos").desc, col("d1").asc, col("d2").asc).limit(20)
+  }
+
+  /** The pre-round-8 char-bigram language-ID core verbatim: grams exploded
+    * over EVERY doc, per-doc and per-lang profiles from one aggregate. */
+  private def legacyLangidPredictions(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val grams = documents
+      .select(col("doc_id"), col("lang"),
+        explode(Bridge.column(graft.functions.CharBigrams(Bridge.expression(col("text")))))
+          .as("gram"))
+    val gramCounts = grams.groupBy(col("doc_id"), col("lang"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+    val langTop = gramCounts.groupBy(col("lang"), col("gram")).agg(sum(col("c")).as("c"))
+      .withColumn("lrank", row_number().over(
+        Window.partitionBy("lang").orderBy(col("c").desc, col("gram").asc)).cast("long"))
+      .filter(col("lrank") <= 20)
+      .select(col("lang").as("cand_lang"), col("gram"), col("lrank"))
+    val docTop = gramCounts
+      .withColumn("drank", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("c").desc, col("gram").asc)).cast("long"))
+      .filter(col("drank") <= 20)
+      .select(col("doc_id"), col("gram"), col("drank"))
+    val langs = documents.select(col("lang").as("cand_lang")).distinct()
+    val dist = docTop
+      .crossJoin(broadcast(langs))
+      .join(broadcast(langTop), Seq("cand_lang", "gram"), "left_outer")
+      .groupBy(col("doc_id"), col("cand_lang"))
+      .agg(sum(coalesce(abs(col("drank") - col("lrank")), lit(20L))).as("dist"))
+    dist.groupBy(col("doc_id"))
+      .agg(min(struct(col("dist"), col("cand_lang"))).as("best"))
+      .join(documents.select(col("doc_id"), col("lang").as("actual")), "doc_id")
+      .select(col("doc_id"), col("best.cand_lang").as("predicted"),
+        col("actual"), col("best.dist").as("dist"))
+  }
+
+  test("langid family / trigram profile / char entropy: rep collapse is exact") {
+    val dirty = fixture("documents" -> docsTable(dirtyDocs(61L)))
+    for (dir <- Seq(dirty, sf)) {
+      val documents = Tables.documents(spark, dir)
+      assert(rows(TextPipeline.q_langid_ngram(spark, dir))
+        === rows(legacyLangidPredictions(documents).orderBy("doc_id")), s"$dir langid")
+      val legacyCells = legacyLangidPredictions(documents)
+        .groupBy(col("actual"), col("predicted")).agg(count(lit(1)).as("n"))
+        .withColumn("row_tot", sum(col("n")).over(Window.partitionBy("actual")))
+        .select(col("actual"), col("predicted"), col("n"),
+          expr("n * 10000 div row_tot").as("row_share_e4"))
+        .orderBy("actual", "predicted")
+      assert(rows(TextPipeline.q_langid_confusion(spark, dir)) === rows(legacyCells),
+        s"$dir confusion")
+      val legacyTri = {
+        val counts = documents.filter(col("n_chars") >= 3)
+          .select(col("lang"), explode(expr(
+            "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+            .as("g"))
+          .groupBy(col("lang"), col("g")).agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("lang").orderBy(col("n").desc, col("g").asc)
+        counts
+          .withColumn("tot", sum(col("n")).over(Window.partitionBy("lang")))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 20)
+          .select(col("lang"), col("rk"), col("g").as("trigram"), col("n"),
+            expr("n * 10000 div tot").as("share_e4"))
+          .orderBy("lang", "rk")
+      }
+      assert(rows(TextPipeline.q_char_trigram_profile(spark, dir)) === rows(legacyTri),
+        s"$dir trigram")
+      val legacyEnt = documents
+        .select(col("doc_id"), col("lang"), lower(col("text")).as("lt"))
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "transform(sequence(1, length(lt)), i -> substring(lt, i, 1))")).as("ch"))
+        .groupBy(col("doc_id"), col("lang"), col("ch"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("doc_id"), col("lang"), col("c"),
+          round(col("c").cast("double") * log(col("c").cast("double")) * 1e4)
+            .cast("long").as("clnc_e4"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("distinct_chars"), sum(col("c")).as("n_chars_used"),
+          sum(col("clnc_e4")).as("s_e4"))
+        .select(col("doc_id"), col("lang"), col("distinct_chars"), col("n_chars_used"),
+          (round(
+            log(col("n_chars_used").cast("double")) -
+              col("s_e4").cast("double") / (col("n_chars_used").cast("double") * lit(1e4)),
+            4) + lit(0.0)).as("entropy"))
+        .withColumn("keep", (col("entropy") >= 1.5).cast("int").cast("long"))
+        .orderBy("doc_id")
+      assert(rows(Text.q_char_entropy(spark, dir)) === rows(legacyEnt), s"$dir entropy")
+    }
+  }
+
+  /** The pre-round-8 q_fuzzy_match aggregate verbatim: enumerate every
+    * verified pair, then aggregate per block. */
+  private def legacyFuzzyMatch(src: DataFrame): DataFrame =
+    Relational.fuzzyPairsOf(src, "blk", "k", "nm")
+      .groupBy(col("nationkey"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("d") === 1L, 1L).otherwise(0L)).as("n_d1"),
+        min(struct(col("d"), col("n1"), col("n2"))).as("m"))
+      .select(col("nationkey").cast("long").as("nationkey"), col("n_pairs"),
+        col("n_d1"), col("m.d").as("best_d"), col("m.n1").as("best_1"),
+        col("m.n2").as("best_2"))
+      .orderBy("nationkey")
+
+  test("fuzzy match: rep collapse equals the pair-enumerating aggregate") {
+    import spark.implicits._
+    // hand-built orientation-adversarial corpus: dup-name groups whose
+    // key ranges interleave (both orientations live), strictly dominate
+    // (reverse orientation dead), and singletons; plus a short name
+    val handRows = Seq(
+      (1, 10L, "supplier alpha 001"), (1, 50L, "supplier alpha 001"),
+      (1, 20L, "supplier alpha 002"), (1, 30L, "supplier alpha 002"),
+      (1, 60L, "supplier alpha 003"), (1, 70L, "supplier alpha 003"),
+      (1, 80L, "zed"),
+      (2, 11L, "acme manufacturing x"), (2, 12L, "acme manufacturing y"),
+      (2, 13L, "totally unrelated nm"))
+    val hand = handRows.toDF("blk", "k", "nm")
+    assert(rows(Relational.fuzzyMatchOf(hand, "blk", "k", "nm"))
+      === rows(legacyFuzzyMatch(hand)))
+    // randomized: base names with 1-2 char edits, duplicated over
+    // shuffled keys so rep/orientation structure is arbitrary
+    val rnd = new scala.util.Random(81L)
+    val bases = (0 until 12).map(i => f"vendor name nr $i%03d padded")
+    var k = 0L
+    val keys = rnd.shuffle((0 until 400).map(_.toLong * 3 + 7).toList).iterator
+    val rndRows = bases.flatMap { b =>
+      val variants = Seq(b, b.updated(3, 'x'), b.updated(5, 'q').updated(9, 'z'))
+      variants.flatMap { v =>
+        (0 until 1 + rnd.nextInt(4)).map { _ => (rnd.nextInt(3), keys.next(), v) }
+      }
+    }
+    val rndDf = rndRows.toDF("blk", "k", "nm")
+    assert(rows(Relational.fuzzyMatchOf(rndDf, "blk", "k", "nm"))
+      === rows(legacyFuzzyMatch(rndDf)))
+    // and the fixture
+    val s = Tables.supplier(spark, sf)
+      .select(col("s_nationkey").as("blk"), col("s_suppkey").as("k"),
+        col("s_name").as("nm"))
+    assert(rows(Relational.q_fuzzy_match(spark, sf)) === rows(legacyFuzzyMatch(s)))
   }
 
   test("centroidOf equals the posexplode per-(label, dim) ladder") {
