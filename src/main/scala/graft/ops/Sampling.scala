@@ -677,22 +677,27 @@ object Sampling {
     * runtime). Bit-identical on both engines.
     */
   private def bootstrapMeans(spark: SparkSession, sf: String): DataFrame = {
-    import spark.implicits._
-    val bs = (0L until 20L).toDF("b")
+    // round 8: the former broadcast(0..19) crossJoin fanned every order
+    // out 20× (30 M joined rows at sf1) into a 20-group aggregate; the
+    // same exact integer sums now come from TWO element-wise
+    // `graft_vec_sum` aggregates over per-order 20-long weight arrays —
+    // one corpus pass, no join, no fan-out, identical Σw·x / Σw per
+    // resample (order-free long addition either way)
     Tables.orders(spark, sf)
       .select(graft.core.Det.cents(col("o_totalprice")).as("x"),
         idHash(col("o_orderkey").cast("string")).as("h0"))
-      .crossJoin(broadcast(bs))
-      .select(col("b"), col("x"),
-        (((col("h0") * (col("b") * 2L + 1L) + col("b") * 40503L)
-          % 4294967296L) % 1000L).as("h"))
-      .select(col("b"), col("x"),
-        when(col("h") < 368L, 0L).when(col("h") < 736L, 1L)
-          .when(col("h") < 920L, 2L).when(col("h") < 981L, 3L)
-          .otherwise(4L).as("w"))
-      .groupBy(col("b"))
-      .agg(sum(col("w") * col("x")).as("swx"), sum(col("w")).as("sw"))
-      .select((col("swx").cast("double") / col("sw").cast("double")).as("mb"))
+      .select(col("x"), expr(
+        """transform(sequence(0L, 19L), b ->
+             CASE WHEN ((h0 * (b * 2 + 1) + b * 40503) % 4294967296) % 1000 < 368 THEN 0L
+                  WHEN ((h0 * (b * 2 + 1) + b * 40503) % 4294967296) % 1000 < 736 THEN 1L
+                  WHEN ((h0 * (b * 2 + 1) + b * 40503) % 4294967296) % 1000 < 920 THEN 2L
+                  WHEN ((h0 * (b * 2 + 1) + b * 40503) % 4294967296) % 1000 < 981 THEN 3L
+                  ELSE 4L END)""").as("w"))
+      .select(col("w"), expr("transform(w, v -> v * x)").as("wx"))
+      .agg(graft.functions.GraftFunctions.vecSum(col("wx")).as("swx"),
+        graft.functions.GraftFunctions.vecSum(col("w")).as("sw"))
+      .select(posexplode(arrays_zip(col("swx"), col("sw"))).as(Seq("b", "p")))
+      .select((col("p.swx").cast("double") / col("p.sw").cast("double")).as("mb"))
       .localCheckpoint()
   }
 

@@ -84,10 +84,18 @@ object TextPipeline {
     * (lang, source) — the 100 TB posture: dedup within corpus shards, so
     * a degenerate bucket never goes quadratic in the whole corpus.
     */
-  def q_dedup_simhash(spark: SparkSession, sf: String): DataFrame = {
-    val sim = Tables.documents(spark, sf)
+  def q_dedup_simhash(spark: SparkSession, sf: String): DataFrame =
+    dedupSimhashOf(Text.docSetsOf(Tables.documents(spark, sf)))
+
+  /** Rep-collapsed like [[dedupMinhashLshOf]] (round 8): the simhash
+    * depends only on the distinct-token set, so a dup cluster's members
+    * all collide in every band — sketch, banding and the hamming verify
+    * run over one rep per group; a within-group pair has hamming 0. */
+  private[graft] def dedupSimhashOf(docsIn: DataFrame): DataFrame = {
+    val withRep = Text.withRepOf(docsIn)
+    val sim = withRep.filter(col("doc_id") === col("rep"))
       .select(col("doc_id"), col("lang"), col("source"),
-        explode(array_distinct(toks(col("text")))).as("word"))
+        explode(col("toks")).as("word"))
       .select(col("doc_id"), col("lang"), col("source"), th(col("word")).as("h"))
       .select(col("doc_id"), col("lang"), col("source"), col("h"),
         explode(sequence(lit(0), lit(15))).as("j"))
@@ -99,7 +107,7 @@ object TextPipeline {
     val bands = sim.select(col("doc_id"), col("lang"), col("source"), col("simhash"),
       explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("bv", expr("CAST(shiftright(simhash, band * 4) AS BIGINT) & 15"))
-    bands.as("a")
+    val repPairs = bands.as("a")
       .join(bands.as("b"),
         col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
@@ -108,7 +116,18 @@ object TextPipeline {
         expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= 3)
-      .orderBy("d1", "d2")
+    val members = withRep.select(col("rep"), col("doc_id"))
+    val cross = repPairs
+      .join(members.select(col("rep").as("d1"), col("doc_id").as("m1")), "d1")
+      .join(members.select(col("rep").as("d2"), col("doc_id").as("m2")), "d2")
+      .select(least(col("m1"), col("m2")).as("d1"),
+        greatest(col("m1"), col("m2")).as("d2"), col("hamming"))
+    val within = members.as("a")
+      .join(members.as("b"),
+        col("a.rep") === col("b.rep") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        lit(0L).as("hamming"))
+    cross.unionByName(within).orderBy("d1", "d2")
   }
 
   /** MinHash signatures (8 affine minhashes, i = 0..7) and 4×2 banded LSH

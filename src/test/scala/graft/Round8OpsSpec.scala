@@ -182,6 +182,42 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(rows(TextPipeline.q_dedup_minhash_lsh(spark, sf)) === rows(legacyLsh(fxDocs)))
   }
 
+  test("simhash: rep collapse equals the uncollapsed sketch pipeline") {
+    def legacySimhash(documents: DataFrame): DataFrame = {
+      val sim = documents
+        .select(col("doc_id"), col("lang"), col("source"),
+          explode(array_distinct(split(lower(col("text")), " "))).as("word"))
+        .select(col("doc_id"), col("lang"), col("source"), th(col("word")).as("h"))
+        .select(col("doc_id"), col("lang"), col("source"), col("h"),
+          explode(sequence(lit(0), lit(15))).as("j"))
+        .groupBy(col("doc_id"), col("lang"), col("source"), col("j"))
+        .agg(sum(expr("(CAST(shiftright(h, j) AS BIGINT) & 1) * 2 - 1")).as("s"))
+        .groupBy(col("doc_id"), col("lang"), col("source"))
+        .agg(sum(expr("CASE WHEN s > 0 THEN CAST(shiftleft(1, j) AS BIGINT) ELSE 0 END"))
+          .as("simhash"))
+      val bands = sim.select(col("doc_id"), col("lang"), col("source"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+        .withColumn("bv", expr("CAST(shiftright(simhash, band * 4) AS BIGINT) & 15"))
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy("d1", "d2")
+    }
+    for (seed <- Seq(71L, 72L)) {
+      val documents = docsTable(dirtyDocs(seed))
+      assert(rows(TextPipeline.dedupSimhashOf(Text.docSetsOf(documents)))
+        === rows(legacySimhash(documents)), s"seed $seed")
+    }
+    assert(rows(TextPipeline.q_dedup_simhash(spark, sf))
+      === rows(legacySimhash(Tables.documents(spark, sf))))
+  }
+
   test("minhash accuracy: rep collapse equals the uncollapsed audit") {
     val documents = docsTable(dirtyDocs(41L))
     assert(rows(TextPipeline.minhashAccuracyOf(Text.docSetsOf(documents)))
