@@ -4737,10 +4737,10 @@ object Analytics {
     val tot = vals.agg(sum(col("t")).as("n"))
       .select(col("n"), expr("CAST((4 * n + 4) div 5 AS BIGINT)").as("k80"),
         expr("CAST((19 * n + 19) div 20 AS BIGINT)").as("k95"))
-    val cuts = vals.as("a")
-      .join(vals.select(col("rv").as("rv2"), col("t").as("t2")).as("b"),
-        col("rv2") <= col("a.rv"))
-      .groupBy(col("a.rv").as("rv")).agg(sum(col("t2")).as("cum"))
+    // cumulative counts over the rv lattice via BandedScan (round 8) —
+    // the former rv2 <= rv theta self-join was O(V²) in distinct revenue
+    // values and planned BNLJ; same cum values, same cuts
+    val cuts = BandedScan.cumSumsAuto(vals, Seq.empty, "rv", Seq("t" -> "cum"))
       .crossJoin(broadcast(tot))
       .agg(min(when(col("cum") >= col("k80"), col("rv"))).as("c80"),
         min(when(col("cum") >= col("k95"), col("rv"))).as("c95"))

@@ -276,7 +276,13 @@ object TextPipeline {
     * lockstep.
     */
   private[ops] def docBigrams(spark: SparkSession, sf: String): DataFrame =
-    Tables.documents(spark, sf)
+    docBigramsOf(Tables.documents(spark, sf))
+
+  /** [[docBigrams]] over an explicit documents-shaped frame (must carry
+    * `doc_id` and `text`) — the rep-collapsed consumers feed their rep
+    * slice through the same single definition. */
+  private[graft] def docBigramsOf(documents: DataFrame): DataFrame =
+    documents
       .select(col("doc_id"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
       .select(col("doc_id"), explode(expr(
@@ -730,34 +736,57 @@ object TextPipeline {
     * aggregates read that table, not the corpus.
     */
   def q_pipeline_funnel(spark: SparkSession, sf: String): DataFrame = {
-    val rep = docBigrams(spark, sf)
+    // round 8, two cuts: (1) the repetition gate's bigram scan and the
+    // token count depend only on text, so they run once per distinct
+    // text (keyed by the dedup group's min doc_id) and join back; (2)
+    // the five stage rows come from ONE conditional aggregate over the
+    // per-doc flag table instead of five filter+agg jobs
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .withColumn("tid", min(col("doc_id")).over(Window.partitionBy("text")))
+      .localCheckpoint()
+    val firsts = docs.filter(col("doc_id") === col("tid"))
+      .select(col("doc_id"), col("text"))
+    val textStats = firsts
+      .select(col("doc_id").as("tid"),
+        (size(split(lower(col("text")), " ")).cast("long") >= 20L).as("tok_ok"))
+    val rep = docBigramsOf(firsts)
       .groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_bg"), max(col("c")).as("top_c"))
-      .select(col("doc_id"),
+      .select(col("doc_id").as("tid"),
         (expr("top_c * 1000000 div n_bg") < 200000L).as("rep_ok"))
-    val wDup = Window.partitionBy("text").orderBy("doc_id")
-    val flags = Tables.documents(spark, sf)
-      .select(col("doc_id"), col("text"), col("n_chars"),
-        size(split(lower(col("text")), " ")).cast("long").as("n_tok"))
-      .withColumn("first_of_text", row_number().over(wDup) === 1)
-      .join(rep, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), col("n_chars"),
+    val flags = docs
+      .join(textStats, Seq("tid"))
+      .join(rep, Seq("tid"), "left_outer")
+      .select(col("n_chars"),
         (col("n_chars") >= 100L && col("n_chars") <= 5000L).as("len_ok"),
-        (col("n_tok") >= 20L).as("tok_ok"),
+        col("tok_ok"),
         coalesce(col("rep_ok"), lit(false)).as("rep_ok"),
-        col("first_of_text"))
-      .localCheckpoint()
-    def stage(idx: Long, name: String, f: Column): DataFrame =
-      flags.filter(f).agg(lit(idx).as("stage"), lit(name).as("gate"),
-        count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
-    stage(0L, "raw", lit(true))
-      .unionByName(stage(1L, "length", col("len_ok")))
-      .unionByName(stage(2L, "tokens", col("len_ok") && col("tok_ok")))
-      .unionByName(stage(3L, "repetition",
-        col("len_ok") && col("tok_ok") && col("rep_ok")))
-      .unionByName(stage(4L, "exact_dedup",
-        col("len_ok") && col("tok_ok") && col("rep_ok") && col("first_of_text")))
+        (col("doc_id") === col("tid")).as("first_of_text"))
+    def n(f: Column) = sum(when(f, 1L).otherwise(0L))
+    def c(f: Column) = sum(when(f, col("n_chars")))
+    val f1 = col("len_ok")
+    val f2 = f1 && col("tok_ok")
+    val f3 = f2 && col("rep_ok")
+    val f4 = f3 && col("first_of_text")
+    flags.agg(
+        count(lit(1)).as("n0"), sum(col("n_chars")).as("c0"),
+        n(f1).as("n1"), c(f1).as("c1"), n(f2).as("n2"), c(f2).as("c2"),
+        n(f3).as("n3"), c(f3).as("c3"), n(f4).as("n4"), c(f4).as("c4"))
+      .select(explode(array(
+        struct(lit(0L).as("stage"), lit("raw").as("gate"),
+          col("n0").as("n_docs"), col("c0").as("sum_chars")),
+        struct(lit(1L).as("stage"), lit("length").as("gate"),
+          col("n1").as("n_docs"), col("c1").as("sum_chars")),
+        struct(lit(2L).as("stage"), lit("tokens").as("gate"),
+          col("n2").as("n_docs"), col("c2").as("sum_chars")),
+        struct(lit(3L).as("stage"), lit("repetition").as("gate"),
+          col("n3").as("n_docs"), col("c3").as("sum_chars")),
+        struct(lit(4L).as("stage"), lit("exact_dedup").as("gate"),
+          col("n4").as("n_docs"), col("c4").as("sum_chars")))).as("s"))
+      .select(col("s.stage").as("stage"), col("s.gate").as("gate"),
+        col("s.n_docs").as("n_docs"), col("s.sum_chars").as("sum_chars"))
       .orderBy("stage")
   }
 
@@ -814,16 +843,22 @@ object TextPipeline {
     * keyword extractor. Top-10 words by final rank.
     */
   def q_textrank_keywords(spark: SparkSession, sf: String): DataFrame = {
+    // rep collapse (round 8): the co-occurrence graph needs no doc ids —
+    // identical texts contribute m identical copies of their pair
+    // multiset, so the positional self-join runs once per distinct text
+    // (keyed by its md5) and every pair carries the group size
     val toks = Tables.documents(spark, sf)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")))
-      .select(col("doc_id"), col("pos"), col("col").as("w"))
+      .groupBy(col("text")).agg(count(lit(1)).as("m"))
+      .select(md5(col("text").cast("binary")).as("gid"), col("m"),
+        posexplode(split(col("text"), " ")))
+      .select(col("gid"), col("m"), col("pos"), col("col").as("w"))
     val e0 = toks.as("a")
       .join(toks.as("b"),
-        col("a.doc_id") === col("b.doc_id") &&
+        col("a.gid") === col("b.gid") &&
           col("b.pos") > col("a.pos") && col("b.pos") <= col("a.pos") + 2 &&
           col("a.w") =!= col("b.w"))
       .groupBy(col("a.w").as("u"), col("b.w").as("v"))
-      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("a.m")).as("c"))
     val edges = e0.select(col("u"), col("v"), col("c"))
       .unionByName(e0.select(col("v").as("u"), col("u").as("v"), col("c")))
       .groupBy(col("u"), col("v")).agg(sum(col("c")).as("c"))
@@ -1045,19 +1080,33 @@ object TextPipeline {
     * tokenized once and never self-joined.
     */
   def q_corpus_novelty(spark: SparkSession, sf: String): DataFrame = {
-    val nb = docBigrams(spark, sf)
+    // rep collapse (round 8): identical texts carry identical bigram
+    // sets, so the distinct-bigram stream is built once per group; a
+    // bigram's first_doc = the min group-rep containing it (reps ARE
+    // group minima, and a member's bigrams are all its rep's, so only
+    // the OWNING rep can score a novel bigram — every non-rep member
+    // scores nv = 0 and nb equal to its rep's)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .withColumn("rep", min(col("doc_id")).over(
+        Window.partitionBy(md5(col("text").cast("binary")))))
+      .localCheckpoint()
+    val nb = docBigramsOf(docs.filter(col("doc_id") === col("rep")))
       .select(col("doc_id"), col("w1"), col("w2")).distinct()
     val first = nb.groupBy(col("w1"), col("w2"))
       .agg(min(col("doc_id")).as("first_doc"))
-    val perDoc = nb.join(first, Seq("w1", "w2"))
+    val perRep = nb.join(first, Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("nb"),
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("nv"))
-    Tables.documents(spark, sf).select(col("doc_id"), col("lang"))
-      .join(perDoc, "doc_id")
+      .withColumnRenamed("doc_id", "rep")
+    docs.select(col("doc_id"), col("lang"), col("rep"))
+      .join(perRep, "rep")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(col("nb")).as("doc_bigrams"), sum(col("nv")).as("novel_bigrams"))
+        sum(col("nb")).as("doc_bigrams"),
+        sum(when(col("doc_id") === col("rep"), col("nv")).otherwise(0L))
+          .as("novel_bigrams"))
       .select(col("lang"), col("n_docs"), col("doc_bigrams"), col("novel_bigrams"),
         expr("novel_bigrams * 10000 div doc_bigrams").as("novelty_e4"))
       .orderBy("lang")
@@ -1926,24 +1975,47 @@ object TextPipeline {
     * else is explode → hash-aggregate on (doc, bucket).
     */
   def q_dsir_weights(spark: SparkSession, sf: String): DataFrame = {
-    val feats = docBigrams(spark, sf)
-      .join(Tables.documents(spark, sf).select(col("doc_id"), col("lang")), "doc_id")
+    // rep collapse (round 8): bucket streams are built once per identical
+    // (lang, text) group; the domain/rest bucket totals are the
+    // group-size-weighted sums over rep occurrences (exact — every
+    // member contributes its rep's occurrence multiset), scores are
+    // group-invariant, and only each group's 20 smallest member ids can
+    // reach the global top-20 (score ties break by doc_id)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .withColumn("rep", min(col("doc_id")).over(
+        Window.partitionBy(col("lang"), md5(col("text").cast("binary")))))
+      .localCheckpoint()
+    val groups = docs.groupBy(col("rep")).agg(count(lit(1)).as("m"))
+    val reps = docs.filter(col("doc_id") === col("rep"))
+    val feats = docBigramsOf(reps)
+      .join(reps.select(col("doc_id"), col("lang")), "doc_id")
       .select(col("doc_id"), col("lang"),
         pmod(th(concat_ws(" ", col("w1"), col("w2"))), lit(1024L)).as("b"))
+      .localCheckpoint() // feeds the bucket totals AND the scoring join
     val counts = feats
+      .join(groups.select(col("rep").as("doc_id"), col("m")), "doc_id")
       .groupBy(col("b"))
-      .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tb"),
-        sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("rb"))
+      .agg(sum(when(col("lang") === "en", col("m")).otherwise(0L)).as("tb"),
+        sum(when(col("lang") =!= "en", col("m")).otherwise(0L)).as("rb"))
     val tots = counts.agg(sum(col("tb")).as("tt"), sum(col("rb")).as("rt"))
     val llr = counts.crossJoin(broadcast(tots))
       .select(col("b"), expr(
         """CAST(ROUND((ln(CAST(tb + 1 AS DOUBLE)) - ln(CAST(tt + 1024 AS DOUBLE))
                        - ln(CAST(rb + 1 AS DOUBLE)) + ln(CAST(rt + 1024 AS DOUBLE))) * 1e6)
            AS BIGINT)""").as("llr_e6"))
-    feats.filter(col("lang") =!= "en")
+    val repScores = feats.filter(col("lang") =!= "en")
       .join(broadcast(llr), "b")
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("llr_e6")).as("score_e6"))
+      .withColumnRenamed("doc_id", "rep")
+    docs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("rep").orderBy(col("doc_id").asc)))
+      .filter(col("rn") <= 20)
+      .select(col("rep"), col("doc_id"))
+      .join(repScores, "rep")
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("score_e6"))
       .orderBy(col("score_e6").desc, col("doc_id").asc)
       .limit(20)
   }

@@ -383,6 +383,111 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus novelty / dsir / textrank / funnel: rep collapse is exact") {
+    val dirty = fixture("documents" -> docsTable(dirtyDocs(91L)))
+    for (dir <- Seq(dirty, sf)) {
+      val documents = Tables.documents(spark, dir)
+      // corpus novelty — per-doc enumerated twin
+      val nb = TextPipeline.docBigramsOf(documents)
+        .select(col("doc_id"), col("w1"), col("w2")).distinct()
+      val first = nb.groupBy(col("w1"), col("w2")).agg(min(col("doc_id")).as("first_doc"))
+      val perDoc = nb.join(first, Seq("w1", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nb"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("nv"))
+      val legacyNovelty = documents.select(col("doc_id"), col("lang"))
+        .join(perDoc, "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nb")).as("doc_bigrams"), sum(col("nv")).as("novel_bigrams"))
+        .select(col("lang"), col("n_docs"), col("doc_bigrams"), col("novel_bigrams"),
+          expr("novel_bigrams * 10000 div doc_bigrams").as("novelty_e4"))
+        .orderBy("lang")
+      assert(rows(TextPipeline.q_corpus_novelty(spark, dir)) === rows(legacyNovelty),
+        s"$dir novelty")
+      // dsir — per-occurrence enumerated twin
+      val feats = TextPipeline.docBigramsOf(documents)
+        .join(documents.select(col("doc_id"), col("lang")), "doc_id")
+        .select(col("doc_id"), col("lang"),
+          pmod(graft.core.Det.hash32(concat_ws(" ", col("w1"), col("w2"))),
+            lit(1024L)).as("b"))
+      val counts = feats.groupBy(col("b"))
+        .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tb"),
+          sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("rb"))
+      val tots = counts.agg(sum(col("tb")).as("tt"), sum(col("rb")).as("rt"))
+      val llr = counts.crossJoin(broadcast(tots))
+        .select(col("b"), expr(
+          """CAST(ROUND((ln(CAST(tb + 1 AS DOUBLE)) - ln(CAST(tt + 1024 AS DOUBLE))
+                         - ln(CAST(rb + 1 AS DOUBLE)) + ln(CAST(rt + 1024 AS DOUBLE))) * 1e6)
+             AS BIGINT)""").as("llr_e6"))
+      val legacyDsir = feats.filter(col("lang") =!= "en")
+        .join(broadcast(llr), "b")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("llr_e6")).as("score_e6"))
+        .orderBy(col("score_e6").desc, col("doc_id").asc)
+        .limit(20)
+      assert(rows(TextPipeline.q_dsir_weights(spark, dir)) === rows(legacyDsir),
+        s"$dir dsir")
+      // textrank — the graph from per-doc positional pairs must be
+      // identical, so the top-10 is; rebuild just the EDGE table
+      val toksL = documents
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), col("pos"), col("col").as("w"))
+      val legacyEdges = toksL.as("a")
+        .join(toksL.as("b"),
+          col("a.doc_id") === col("b.doc_id") &&
+            col("b.pos") > col("a.pos") && col("b.pos") <= col("a.pos") + 2 &&
+            col("a.w") =!= col("b.w"))
+        .groupBy(col("a.w").as("u"), col("b.w").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy("u", "v")
+      val repToks = documents.groupBy(col("text")).agg(count(lit(1)).as("m"))
+        .select(md5(col("text").cast("binary")).as("gid"), col("m"),
+          posexplode(split(col("text"), " ")))
+        .select(col("gid"), col("m"), col("pos"), col("col").as("w"))
+      val repEdges = repToks.as("a")
+        .join(repToks.as("b"),
+          col("a.gid") === col("b.gid") &&
+            col("b.pos") > col("a.pos") && col("b.pos") <= col("a.pos") + 2 &&
+            col("a.w") =!= col("b.w"))
+        .groupBy(col("a.w").as("u"), col("b.w").as("v"))
+        .agg(sum(col("a.m")).as("c"))
+        .orderBy("u", "v")
+      assert(rows(repEdges) === rows(legacyEdges), s"$dir textrank edges")
+      // funnel — five filter+agg stages over per-doc flags
+      val rep = TextPipeline.docBigramsOf(documents)
+        .groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_bg"), max(col("c")).as("top_c"))
+        .select(col("doc_id"),
+          (expr("top_c * 1000000 div n_bg") < 200000L).as("rep_ok"))
+      val wDup = Window.partitionBy("text").orderBy("doc_id")
+      val flags = documents
+        .select(col("doc_id"), col("text"), col("n_chars"),
+          size(split(lower(col("text")), " ")).cast("long").as("n_tok"))
+        .withColumn("first_of_text", row_number().over(wDup) === 1)
+        .join(rep, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_chars"),
+          (col("n_chars") >= 100L && col("n_chars") <= 5000L).as("len_ok"),
+          (col("n_tok") >= 20L).as("tok_ok"),
+          coalesce(col("rep_ok"), lit(false)).as("rep_ok"),
+          col("first_of_text"))
+      def stage(idx: Long, name: String, f: Column): DataFrame =
+        flags.filter(f).agg(lit(idx).as("stage"), lit(name).as("gate"),
+          count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      val legacyFunnel = stage(0L, "raw", lit(true))
+        .unionByName(stage(1L, "length", col("len_ok")))
+        .unionByName(stage(2L, "tokens", col("len_ok") && col("tok_ok")))
+        .unionByName(stage(3L, "repetition",
+          col("len_ok") && col("tok_ok") && col("rep_ok")))
+        .unionByName(stage(4L, "exact_dedup",
+          col("len_ok") && col("tok_ok") && col("rep_ok") && col("first_of_text")))
+        .orderBy("stage")
+      assert(rows(TextPipeline.q_pipeline_funnel(spark, dir)) === rows(legacyFunnel),
+        s"$dir funnel")
+    }
+  }
+
   /** The pre-round-8 q_fuzzy_match aggregate verbatim: enumerate every
     * verified pair, then aggregate per block. */
   private def legacyFuzzyMatch(src: DataFrame): DataFrame =
