@@ -132,16 +132,30 @@ object Text {
     * equals the uncollapsed [[pairOverlapOf]] output filtered the same
     * way (Round8OpsSpec pins this on planted dirty corpora); only the
     * sub-threshold candidate noise may differ, which no consumer keeps.
+    *
+    * `repFilter` (round 9) is the consumer's threshold predicate over
+    * (inter, sz1, sz2), applied on the REP-level pair table BEFORE the
+    * m1·m2 member-expansion joins. Exact because the stats are group
+    * invariants: every expanded member pair carries the same (inter,
+    * sz1, sz2) values (modulo the id-order swap of sz1/sz2, which every
+    * consumer predicate is symmetric under), so filtering before or
+    * after expansion keeps the identical pair set — but filtering first
+    * stops sub-threshold candidate noise from being multiplied by
+    * m1·m2 at high duplicate density. The `within` leg (inter = sz1 =
+    * sz2) passes every consumer threshold ≤ 1 by construction and is
+    * left unfiltered.
     */
   private[graft] def pairOverlapCollapsedOf(
       withRep: DataFrame,
       minJ: Option[(Long, Long)],
-      minC: Option[(Long, Long)]): DataFrame = {
+      minC: Option[(Long, Long)],
+      repFilter: Column = lit(true)): DataFrame = {
     val reps = withRep.filter(col("doc_id") === col("rep"))
       .select(col("doc_id"), col("lang"), col("source"), col("toks"), col("sz"))
     val members = withRep.select(col("rep"), col("doc_id"), col("lang"),
       col("source"), col("sz"))
     val cross = pairOverlapOf(reps, minJ, minC)
+      .filter(repFilter)
       .join(members.select(col("rep").as("d1"), col("doc_id").as("m1")), "d1")
       .join(members.select(col("rep").as("d2"), col("doc_id").as("m2")), "d2")
       .select(col("lang"), col("source"),
@@ -295,7 +309,13 @@ object Text {
     * join and the array_intersect verify running on a corpus ~10× smaller
     * (and a pair space ~100× smaller) at 10× duplicate density. */
   private[graft] def neardupPairsOf(docsIn: DataFrame): DataFrame =
-    pairOverlapCollapsedOf(withRepOf(docsIn), Some((4L, 5L)), None)
+    pairOverlapCollapsedOf(withRepOf(docsIn), Some((4L, 5L)), None,
+      // the op's own J ≥ 0.8 cut, pushed to the rep level (round-9
+      // advice): the IDENTICAL expression re-applied below, symmetric in
+      // (sz1, sz2), so sub-threshold candidate noise dies before the
+      // m1·m2 expansion instead of after it
+      repFilter = col("inter").cast("double") /
+        (col("sz1") + col("sz2") - col("inter")) >= 0.8)
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
       .filter(col("jaccard") >= 0.8)
@@ -316,7 +336,10 @@ object Text {
     * smaller side's ~0.1·sz prefix against full postings, equal sizes via
     * the id tiebreak) over group representatives, expanded exactly. */
   private[graft] def neardupContainmentOf(docsIn: DataFrame): DataFrame =
-    pairOverlapCollapsedOf(withRepOf(docsIn), None, Some((9L, 10L)))
+    pairOverlapCollapsedOf(withRepOf(docsIn), None, Some((9L, 10L)),
+      // C ≥ 0.9 pushed to the rep level — same integer expression as the
+      // consumer cut below, symmetric in (sz1, sz2) via least()
+      repFilter = expr("inter * 10000 div least(sz1, sz2) >= 9000"))
       .select(col("lang"), col("source"), col("d1"), col("d2"),
         expr("inter * 10000 div least(sz1, sz2)").as("cont_e4"))
       .filter(col("cont_e4") >= 9000)

@@ -846,15 +846,22 @@ object TextPipeline {
     // rep collapse (round 8): the co-occurrence graph needs no doc ids —
     // identical texts contribute m identical copies of their pair
     // multiset, so the positional self-join runs once per distinct text
-    // (keyed by its md5) and every pair carries the group size
+    // and every pair carries the group size. The self-JOIN key is
+    // (md5, length) rather than md5 alone (round-9 advice): here a hash
+    // collision would cross-join two distinct texts' position streams and
+    // corrupt edge weights (unlike the window-grouping uses of md5, where
+    // a collision merely merges dup groups), so the key carries the
+    // length as a second independent discriminant instead of shuffling
+    // the full text value with every token row.
     val toks = Tables.documents(spark, sf)
       .groupBy(col("text")).agg(count(lit(1)).as("m"))
-      .select(md5(col("text").cast("binary")).as("gid"), col("m"),
+      .select(md5(col("text").cast("binary")).as("gid"),
+        length(col("text")).as("glen"), col("m"),
         posexplode(split(col("text"), " ")))
-      .select(col("gid"), col("m"), col("pos"), col("col").as("w"))
+      .select(col("gid"), col("glen"), col("m"), col("pos"), col("col").as("w"))
     val e0 = toks.as("a")
       .join(toks.as("b"),
-        col("a.gid") === col("b.gid") &&
+        col("a.gid") === col("b.gid") && col("a.glen") === col("b.glen") &&
           col("b.pos") > col("a.pos") && col("b.pos") <= col("a.pos") + 2 &&
           col("a.w") =!= col("b.w"))
       .groupBy(col("a.w").as("u"), col("b.w").as("v"))
