@@ -2635,24 +2635,41 @@ object MLDeterministic {
       .orderBy("lam_share")
   }
 
-  /** Two-model uplift by activity quartile: per user-activity quartile
-    * (theta-join ranks, no global window), the parity-arm purchase-rate
-    * difference — WHO should be targeted, the question a single average
-    * treatment effect can't answer. Exact counts, e4 rates.
+  /** Two-model uplift by activity quartile: per user-activity quartile,
+    * the parity-arm purchase-rate difference — WHO should be targeted,
+    * the question a single average treatment effect can't answer. Exact
+    * counts, e4 rates.
+    *
+    * The rank rk = #{act' < act} + #{same act, smaller user_id} is
+    * DECOMPOSED (round 9 — the full sf3 bench caught the former
+    * user×user rank theta join at exponent 2): the first term cumulates
+    * the per-activity-level count table (distinct activity levels are
+    * bounded by max events/user, so the cumulation is a broadcast theta
+    * join over a tiny frame), the second is a row_number inside the act
+    * partition — partition size = one tie class, never the user table.
     */
-  def q_uplift_quartiles(spark: SparkSession, sf: String): DataFrame = {
-    val u = Tables.eventsWithTs(spark, sf)
+  def q_uplift_quartiles(spark: SparkSession, sf: String): DataFrame =
+    upliftQuartilesOf(Tables.eventsWithTs(spark, sf)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("act"),
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
-      .select(col("user_id"), col("act"), col("np"), (col("user_id") % 2).as("arm"))
-    val ranked = u.as("a")
-      .join(u.select(col("user_id").as("u2"), col("act").as("act2")).as("b"),
-        col("act2") < col("act") ||
-          (col("act2") === col("act") && col("u2") < col("user_id")), "left_outer")
-      .groupBy(col("a.user_id").as("user_id"), col("a.act").as("act"),
-        col("a.np").as("np"), col("a.arm").as("arm"))
-      .agg(count(col("u2")).as("rk"))
+      .select(col("user_id"), col("act"), col("np"), (col("user_id") % 2).as("arm")))
+
+  /** The rank-decomposed core over a (user_id, act, np, arm) frame —
+    * exposed to Round9OpsSpec's theta-join twin. */
+  private[graft] def upliftQuartilesOf(u: DataFrame): DataFrame = {
+    val actCnt = u.groupBy(col("act")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // tiny: one row per distinct activity level
+    val below = actCnt.as("a")
+      .join(broadcast(actCnt.select(col("act").as("act2"), col("cnt").as("cnt2"))),
+        col("act2") < col("act"), "left_outer")
+      .groupBy(col("a.act").as("act"))
+      .agg(coalesce(sum(col("cnt2")), lit(0L)).as("below"))
+    val ranked = u.join(broadcast(below), "act")
+      .withColumn("rk", col("below") +
+        (row_number().over(Window.partitionBy(col("act"))
+          .orderBy(col("user_id"))) - 1).cast("long"))
+      .select(col("user_id"), col("act"), col("np"), col("arm"), col("rk"))
     val n = u.agg(count(lit(1)).as("n"))
     ranked.crossJoin(broadcast(n))
       .select(expr("least(3, rk * 4 div n)").as("quartile"), col("arm"),
@@ -3585,37 +3602,61 @@ object MLDeterministic {
 
   /** Shared Fellegi-Sunter core: customers blocked by (nation, $500
     * balance band), field surrogates f1=segment, f2=cent digits,
-    * f3=last dollar digit; pairs are an equi-join on the block key
-    * (never corpus²), the agreement pattern lattice is the full 2³.
+    * f3=last dollar digit; the agreement pattern lattice is the full 2³.
     * Returns (a1,a2,a3,n_pairs) with zero-count patterns present.
+    *
+    * Pattern counts come from COUNTING, not pair enumeration (round 9 —
+    * the full sf3 bench caught the blocked pair join as an exponent-2
+    * grower hiding behind count-pruned plans: blocks are bounded in
+    * NUMBER, so block size, and with it within-block pairs², grows with
+    * the data). For every field subset T ⊆ {f1,f2,f3}, the pairs
+    * agreeing on AT LEAST T are N_T = Σ_g C(c_g, 2) over groups keyed by
+    * (block ∪ T) — one linear groupBy each; the exact-pattern counts are
+    * the Möbius inversion n(S) = Σ_{T ⊇ S} (−1)^{|T\S|} N_T. Eight
+    * linear aggregates replace the quadratic join, with identical output
+    * (Round9OpsSpec pins equality against the verbatim pair join).
+    * C(c,2) accumulates in DECIMAL(38,0) so a single 10⁹-customer block
+    * cannot overflow the intermediate; the public n_pairs stays BIGINT.
     */
-  private def fsPatterns(spark: SparkSession, sf: String): DataFrame = {
-    val c = Tables.customer(spark, sf).select(
+  private def fsPatterns(spark: SparkSession, sf: String): DataFrame =
+    fsPatternsOf(Tables.customer(spark, sf).select(
       col("c_custkey").as("cust"), col("c_nationkey").cast("long").as("nat"),
       col("c_mktsegment").as("seg"),
       expr("CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000").as("bc"))
       .select(col("cust"), col("nat"), col("seg"),
         expr("bc % 100").as("f2"), expr("(bc div 100) % 10").as("f3"),
-        expr("bc div 50000").as("bb"))
-    val l = c.select(col("cust").as("cust1"), col("nat"), col("bb"),
-      col("seg").as("seg1"), col("f2").as("f21"), col("f3").as("f31"))
-    val r = c.select(col("cust").as("cust2"), col("nat"), col("bb"),
-      col("seg").as("seg2"), col("f2").as("f22"), col("f3").as("f32"))
-    val observed = l.join(r, Seq("nat", "bb"))
-      .filter(col("cust1") < col("cust2"))
-      .select(
-        when(col("seg1") === col("seg2"), 1L).otherwise(0L).as("a1"),
-        when(col("f21") === col("f22"), 1L).otherwise(0L).as("a2"),
-        when(col("f31") === col("f32"), 1L).otherwise(0L).as("a3"))
-      .groupBy(col("a1"), col("a2"), col("a3"))
-      .agg(count(lit(1)).as("n_pairs"))
-    val lattice = c.sparkSession.range(1).select(
-        explode(array(lit(0L), lit(1L))).as("a1"))
-      .select(col("a1"), explode(array(lit(0L), lit(1L))).as("a2"))
-      .select(col("a1"), col("a2"), explode(array(lit(0L), lit(1L))).as("a3"))
-    lattice.join(observed, Seq("a1", "a2", "a3"), "left_outer")
-      .select(col("a1"), col("a2"), col("a3"),
-        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+        expr("bc div 50000").as("bb")))
+
+  /** The counting core over a prepared (cust, nat, seg, f2, f3, bb)
+    * frame — exposed to Round9OpsSpec's pair-join twin. */
+  private[graft] def fsPatternsOf(src: DataFrame): DataFrame = {
+    val c = src.localCheckpoint() // feeds the 8 counting aggregates
+    def nT(out: String, fields: String*): DataFrame =
+      c.groupBy((Seq("nat", "bb") ++ fields).map(col): _*)
+        .agg(count(lit(1)).as("cnt"))
+        .agg(coalesce(sum(expr(
+          "CAST(cnt AS DECIMAL(38,0)) * (cnt - 1) / 2")),
+          expr("CAST(0 AS DECIMAL(38,0))")).as(out))
+    val t = nT("t0")
+      .crossJoin(nT("t1", "seg")).crossJoin(nT("t2", "f2"))
+      .crossJoin(nT("t3", "f3"))
+      .crossJoin(nT("t12", "seg", "f2")).crossJoin(nT("t13", "seg", "f3"))
+      .crossJoin(nT("t23", "f2", "f3"))
+      .crossJoin(nT("t123", "seg", "f2", "f3"))
+    def pat(a1: Int, a2: Int, a3: Int, e: String) = struct(
+      lit(a1.toLong).as("a1"), lit(a2.toLong).as("a2"), lit(a3.toLong).as("a3"),
+      expr(s"CAST($e AS BIGINT)").as("n_pairs"))
+    t.select(explode(array(
+        pat(0, 0, 0, "t0 - t1 - t2 - t3 + t12 + t13 + t23 - t123"),
+        pat(0, 0, 1, "t3 - t13 - t23 + t123"),
+        pat(0, 1, 0, "t2 - t12 - t23 + t123"),
+        pat(0, 1, 1, "t23 - t123"),
+        pat(1, 0, 0, "t1 - t12 - t13 + t123"),
+        pat(1, 0, 1, "t13 - t123"),
+        pat(1, 1, 0, "t12 - t123"),
+        pat(1, 1, 1, "t123"))).as("p"))
+      .select(col("p.a1").as("a1"), col("p.a2").as("a2"),
+        col("p.a3").as("a3"), col("p.n_pairs").as("n_pairs"))
   }
 
   /** Chance-agreement u-probabilities per field (P(agree | random pair),

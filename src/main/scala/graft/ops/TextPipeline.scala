@@ -1167,8 +1167,8 @@ object TextPipeline {
     * in-array (no pre-explode join); multiset semantics (repeats
     * counted) match the reference implementations of both metrics.
     */
-  private def gramCounts(spark: SparkSession, sf: String, n: Int): DataFrame = {
-    val base = Tables.documents(spark, sf)
+  private def gramCountsOf(d: DataFrame, n: Int): DataFrame = {
+    val base = d
       .select(col("doc_id"), col("lang"), col("source"), toks(col("text")).as("tk"))
     val grams =
       if (n == 1) base.select(col("doc_id"), col("lang"), col("source"),
@@ -1180,26 +1180,65 @@ object TextPipeline {
       .agg(count(lit(1)).as("c"))
   }
 
-  /** ROUGE-1/ROUGE-2 recall between every doc pair inside a (lang,
-    * source) shard (lower doc_id = reference): clipped multiset n-gram
-    * overlap Σ min(c_ref, c_cand) over the reference's gram total — the
-    * summarization-QA overlap metric, here as the intra-shard
-    * redundancy screen. Pair products are shard-bounded (≤|shard|² per
-    * block, never corpus²); per-pair recalls are e6-latticed before the
-    * shard mean.
+  /** Shared rep-collapsed pair statistics for the intra-shard pair
+    * metrics (ROUGE/BLEU; round 9 — the full sf3 bench caught both
+    * growing with duplication²: duplicated docs inflate the shard pair
+    * join AND the per-gram overlap join quadratically). Docs group by
+    * (lang, source, text); gram overlaps run once per DISTINCT text
+    * pair; and because the metrics are orientation-sensitive (the
+    * lower-doc-id member is the reference), the member multiplicity of
+    * each ORDERED rep pair is recovered exactly as an inversion count:
+    * for every (member, other-group) probe, one running-count window
+    * over the member⊎probe union (O(N·G) rows — linear in duplication,
+    * degrading to the old N² shape only when every doc is distinct)
+    * yields cnt(P→Q) = #{(p∈P, q∈Q) : p.doc_id < q.doc_id}, the member
+    * pairs in which P supplies the reference.
+    *
+    * Returns one row per ordered cross rep pair — (lang, source,
+    * len = reference-side tokens, len2 = candidate-side tokens, ov1,
+    * ov2, mult = the ordered member-pair count) — plus one row per
+    * duplicate group (identical texts: ov1 = len, ov2 = len−1 when
+    * len ≥ 2 else null — a 1-token doc's bigram stream joins nothing,
+    * exactly like the uncollapsed gram join — mult = C(m,2)).
+    * Consumers apply their verbatim per-pair metric expression and
+    * weight by mult, reproducing the uncollapsed sums bit-identically
+    * (Round9OpsSpec pins both consumers against their verbatim
+    * pipelines on an orientation-adversarial planted corpus).
     */
-  def q_rouge_recall(spark: SparkSession, sf: String): DataFrame = {
-    val docs = Tables.documents(spark, sf)
-      .select(col("doc_id"), col("lang"), col("source"),
-        size(toks(col("text"))).cast("long").as("len"))
+  private def shardPairStatsOf(docsSrc: DataFrame): DataFrame = {
+    val d = docsSrc.select(col("doc_id"), col("lang"), col("source"), col("text"))
       .localCheckpoint()
-    val pairs = docs.as("a")
-      .join(docs.select(col("lang"), col("source"), col("doc_id").as("d2"),
-        col("len").as("len2")).as("b"), Seq("lang", "source"))
-      .filter(col("doc_id") < col("d2"))
-      .select(col("lang"), col("source"), col("doc_id"), col("d2"), col("len"))
+    val groups = d.groupBy(col("lang"), col("source"), col("text"))
+      .agg(min(col("doc_id")).as("gid"), count(lit(1)).as("m"))
+      .select(col("lang"), col("source"), col("text"), col("gid"), col("m"),
+        size(toks(col("text"))).cast("long").as("len"))
+      .localCheckpoint() // feeds members, probes, grams, and the pair base
+    val members = d
+      .join(groups.select(col("lang"), col("source"), col("text"), col("gid")),
+        Seq("lang", "source", "text"))
+      .select(col("lang"), col("source"), col("gid"), col("doc_id"))
+    val probes = members
+      .join(groups.select(col("lang"), col("source"), col("gid").as("tg")),
+        Seq("lang", "source"))
+      .filter(col("tg") =!= col("gid"))
+      .select(col("lang"), col("source"), col("tg"), col("doc_id").as("id"),
+        lit(0L).as("is_member"), col("gid").as("own"))
+    val stream = members
+      .select(col("lang"), col("source"), col("gid").as("tg"),
+        col("doc_id").as("id"), lit(1L).as("is_member"),
+        lit(null).cast("long").as("own"))
+      .unionByName(probes)
+    val wRun = Window.partitionBy("lang", "source", "tg").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ot = stream.withColumn("prior", sum(col("is_member")).over(wRun))
+      .filter(col("is_member") === 0L)
+      .groupBy(col("lang"), col("source"), col("tg").as("gref"),
+        col("own").as("gcand"))
+      .agg(sum(col("prior")).as("cnt"))
+    val repDocs = groups.select(col("gid").as("doc_id"), col("lang"),
+      col("source"), col("text"))
     def overlap(n: Int, out: String): DataFrame = {
-      val g = gramCounts(spark, sf, n)
+      val g = gramCountsOf(repDocs, n)
       g.as("a")
         .join(g.select(col("lang"), col("source"), col("doc_id").as("d2"),
           col("g"), col("c").as("c2")).as("b"),
@@ -1208,24 +1247,66 @@ object TextPipeline {
         .groupBy(col("lang"), col("source"), col("doc_id"), col("d2"))
         .agg(sum(least(col("c"), col("c2"))).as(out))
     }
-    pairs
+    val base = groups.select(col("lang"), col("source"),
+        col("gid").as("doc_id"), col("len").as("l1"))
+      .join(groups.select(col("lang"), col("source"), col("gid").as("d2"),
+        col("len").as("l2")), Seq("lang", "source"))
+      .filter(col("doc_id") < col("d2"))
       .join(overlap(1, "ov1"), Seq("lang", "source", "doc_id", "d2"), "left_outer")
       .join(overlap(2, "ov2"), Seq("lang", "source", "doc_id", "d2"), "left_outer")
-      .select(col("lang"), col("source"),
+    val ordered = base.select(col("lang"), col("source"), explode(array(
+        struct(col("doc_id").as("gref"), col("d2").as("gcand"),
+          col("l1").as("len"), col("l2").as("len2"), col("ov1"), col("ov2")),
+        struct(col("d2").as("gref"), col("doc_id").as("gcand"),
+          col("l2").as("len"), col("l1").as("len2"), col("ov1"), col("ov2"))))
+        .as("p"))
+      .select(col("lang"), col("source"), col("p.gref").as("gref"),
+        col("p.gcand").as("gcand"), col("p.len").as("len"),
+        col("p.len2").as("len2"), col("p.ov1").as("ov1"), col("p.ov2").as("ov2"))
+      .join(ot, Seq("lang", "source", "gref", "gcand"), "left_outer")
+      .select(col("lang"), col("source"), col("len"), col("len2"),
+        col("ov1"), col("ov2"), coalesce(col("cnt"), lit(0L)).as("mult"))
+    val within = groups.filter(col("m") >= 2L)
+      .select(col("lang"), col("source"), col("len"), col("len").as("len2"),
+        col("len").as("ov1"),
+        when(col("len") >= 2L, col("len") - 1L).otherwise(lit(null).cast("long"))
+          .as("ov2"),
+        expr("m * (m - 1) div 2").as("mult"))
+    ordered.unionByName(within)
+  }
+
+  /** ROUGE-1/ROUGE-2 recall between every doc pair inside a (lang,
+    * source) shard (lower doc_id = reference): clipped multiset n-gram
+    * overlap Σ min(c_ref, c_cand) over the reference's gram total — the
+    * summarization-QA overlap metric, here as the intra-shard
+    * redundancy screen. Pair products are shard-bounded (≤|shard|² per
+    * block, never corpus²); per-pair recalls are e6-latticed before the
+    * shard mean.
+    */
+  def q_rouge_recall(spark: SparkSession, sf: String): DataFrame =
+    rougeRecallOf(Tables.documents(spark, sf))
+
+  /** The rep-collapsed core over a (doc_id, lang, source, text) frame —
+    * exposed to Round9OpsSpec's verbatim-pair-join twin. Per-pair metric
+    * expressions are verbatim round-8; [[shardPairStatsOf]] supplies the
+    * (len, len2, ov1, ov2) of each orientation and the exact member
+    * multiplicity, so the weighted sums equal the uncollapsed ones. */
+  private[graft] def rougeRecallOf(docsSrc: DataFrame): DataFrame =
+    shardPairStatsOf(docsSrc)
+      .select(col("lang"), col("source"), col("mult"),
         round(coalesce(col("ov1"), lit(0L)).cast("double") /
           col("len").cast("double") * lit(1e6)).cast("long").as("r1_e6"),
         round(coalesce(col("ov2"), lit(0L)).cast("double") /
           (col("len") - 1L).cast("double") * lit(1e6)).cast("long").as("r2_e6"))
       .groupBy(col("lang"), col("source"))
-      .agg(count(lit(1)).as("n_pairs"),
-        (round(sum(col("r1_e6")).cast("double") /
-          (count(lit(1)).cast("double") * lit(1e6)), 4) + lit(0.0))
+      .agg(sum(col("mult")).as("n_pairs"),
+        (round(sum(col("r1_e6") * col("mult")).cast("double") /
+          (sum(col("mult")).cast("double") * lit(1e6)), 4) + lit(0.0))
           .as("mean_rouge1"),
-        (round(sum(col("r2_e6")).cast("double") /
-          (count(lit(1)).cast("double") * lit(1e6)), 4) + lit(0.0))
+        (round(sum(col("r2_e6") * col("mult")).cast("double") /
+          (sum(col("mult")).cast("double") * lit(1e6)), 4) + lit(0.0))
           .as("mean_rouge2"))
       .orderBy("lang", "source")
-  }
 
   /** BLEU-2 between every doc pair inside a (lang, source) shard (lower
     * doc_id = reference, higher = candidate, documented): modified
@@ -1235,43 +1316,27 @@ object TextPipeline {
     * (no ln of 0). Same shard-bounded pair shape as [[q_rouge_recall]];
     * per-pair BLEU e6-latticed before the shard mean.
     */
-  def q_bleu_pairs(spark: SparkSession, sf: String): DataFrame = {
-    val docs = Tables.documents(spark, sf)
-      .select(col("doc_id"), col("lang"), col("source"),
-        size(toks(col("text"))).cast("long").as("len"))
-      .localCheckpoint()
-    val pairs = docs.as("a")
-      .join(docs.select(col("lang"), col("source"), col("doc_id").as("d2"),
-        col("len").as("len2")).as("b"), Seq("lang", "source"))
-      .filter(col("doc_id") < col("d2"))
-      .select(col("lang"), col("source"), col("doc_id"), col("d2"),
-        col("len"), col("len2"))
-    def overlap(n: Int, out: String): DataFrame = {
-      val g = gramCounts(spark, sf, n)
-      g.as("a")
-        .join(g.select(col("lang"), col("source"), col("doc_id").as("d2"),
-          col("g"), col("c").as("c2")).as("b"),
-          Seq("lang", "source", "g"))
-        .filter(col("doc_id") < col("d2"))
-        .groupBy(col("lang"), col("source"), col("doc_id"), col("d2"))
-        .agg(sum(least(col("c"), col("c2"))).as(out))
-    }
+  def q_bleu_pairs(spark: SparkSession, sf: String): DataFrame =
+    bleuPairsOf(Tables.documents(spark, sf))
+
+  /** The rep-collapsed core over a (doc_id, lang, source, text) frame —
+    * exposed to Round9OpsSpec's verbatim-pair-join twin; see
+    * [[rougeRecallOf]]. */
+  private[graft] def bleuPairsOf(docsSrc: DataFrame): DataFrame = {
     val bp = when(col("len2") >= col("len"), lit(1.0))
       .otherwise(exp(lit(1.0) - col("len").cast("double") / col("len2").cast("double")))
     val p1 = col("ov1").cast("double") / col("len2").cast("double")
     val p2 = col("ov2").cast("double") / (col("len2") - 1L).cast("double")
-    pairs
-      .join(overlap(1, "ov1"), Seq("lang", "source", "doc_id", "d2"), "left_outer")
-      .join(overlap(2, "ov2"), Seq("lang", "source", "doc_id", "d2"), "left_outer")
-      .select(col("lang"), col("source"),
+    shardPairStatsOf(docsSrc)
+      .select(col("lang"), col("source"), col("mult"),
         when(coalesce(col("ov1"), lit(0L)) === 0L ||
           coalesce(col("ov2"), lit(0L)) === 0L, lit(0L))
           .otherwise(round(bp * sqrt(p1 * p2) * lit(1e6)).cast("long"))
           .as("bleu_e6"))
       .groupBy(col("lang"), col("source"))
-      .agg(count(lit(1)).as("n_pairs"),
-        (round(sum(col("bleu_e6")).cast("double") /
-          (count(lit(1)).cast("double") * lit(1e6)), 4) + lit(0.0))
+      .agg(sum(col("mult")).as("n_pairs"),
+        (round(sum(col("bleu_e6") * col("mult")).cast("double") /
+          (sum(col("mult")).cast("double") * lit(1e6)), 4) + lit(0.0))
           .as("mean_bleu2"))
       .orderBy("lang", "source")
   }

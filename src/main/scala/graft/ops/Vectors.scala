@@ -629,19 +629,39 @@ object Vectors {
   /** Nearest-neighbor distance histogram over the label∈{0,1} block (the
     * intrinsic-density / outlier profile an ANN index build consults for
     * parameter choice): each point's exact 1-NN squared lattice distance,
-    * bucketed by integer bit length. The 1-NN is a plain min-aggregate
-    * over the block pair join — no window, no sort.
+    * bucketed by integer bit length.
+    *
+    * Rep-collapsed over distinct qe (round 9 — the full sf3 bench caught
+    * the former block² join growing with duplication²; it also planned a
+    * BNLJ): a point whose vector occurs m ≥ 2 times has 1-NN distance 0
+    * by definition (a co-located twin), and a singleton's 1-NN is the
+    * nearest DISTINCT vector — so the pair work runs once per distinct
+    * vector on the [[gridDirectedD2]] triangular grid (hash-joined,
+    * memory-bounded tasks) and member counts re-enter as histogram
+    * weights. Bit-identical to the uncollapsed join (Round9OpsSpec).
     */
-  def q_nn_distance_hist(spark: SparkSession, sf: String): DataFrame = {
-    val block = quantized(spark, sf).filter(col("label") <= 1)
-      .select(col("vec_id"), col("qe"))
-    block.as("a")
-      .join(block.as("b"), col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("a_id"), dist2E14(col("a.qe"), col("b.qe")).as("d2"))
-      .groupBy(col("a_id")).agg(min(col("d2")).as("nn_d2"))
-      .select(expr("CAST(length(bin(nn_d2)) AS BIGINT)").as("bucket"), col("nn_d2"))
+  def q_nn_distance_hist(spark: SparkSession, sf: String): DataFrame =
+    nnDistanceHistOf(quantized(spark, sf).filter(col("label") <= 1)
+      .select(col("vec_id"), col("qe")))
+
+  /** The rep-collapsed core over a (vec_id, qe) block — exposed to
+    * Round9OpsSpec's pair-join twin. */
+  private[graft] def nnDistanceHistOf(block: DataFrame): DataFrame = {
+    val groups = block
+      .groupBy(col("qe"))
+      .agg(count(lit(1)).as("m"), min(col("vec_id")).as("vec_id"))
+      .localCheckpoint()
+    val repNN = gridDirectedD2(groups.select(col("vec_id"), col("qe")), 8)
+      .groupBy(col("qid")).agg(min(col("d2")).as("rep_nn"))
+    groups.join(repNN, col("vec_id") === col("qid"), "left_outer")
+      .select(when(col("m") >= 2L, lit(0L)).otherwise(col("rep_nn")).as("nn_d2"),
+        col("m"))
+      .filter(col("nn_d2").isNotNull) // a lone singleton has no neighbor,
+      // exactly as the original a≠b join emitted nothing for it
+      .select(expr("CAST(length(bin(nn_d2)) AS BIGINT)").as("bucket"),
+        col("nn_d2"), col("m"))
       .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n"), min(col("nn_d2")).as("min_d2"),
+      .agg(sum(col("m")).as("n"), min(col("nn_d2")).as("min_d2"),
         max(col("nn_d2")).as("max_d2"))
       .orderBy("bucket")
   }
@@ -1063,9 +1083,23 @@ object Vectors {
     * per unordered label pair partial-aggregate map-side, so only 10
     * partials per task ever shuffle.
     */
-  def q_single_linkage_step(spark: SparkSession, sf: String): DataFrame = {
-    val sel = quantized(spark, sf).filter(col("label") < 5)
-      .select(col("vec_id"), col("label"), col("qe"))
+  def q_single_linkage_step(spark: SparkSession, sf: String): DataFrame =
+    singleLinkageStepOf(quantized(spark, sf).filter(col("label") < 5)
+      .select(col("vec_id"), col("label"), col("qe")))
+
+  /** The rep-collapsed core over a (vec_id, label, qe) frame — exposed
+    * to Round9OpsSpec's pair-join twin. */
+  private[graft] def singleLinkageStepOf(src: DataFrame): DataFrame = {
+    // Rep-collapsed over (qe, label) (round 9 — the full sf3 bench caught
+    // duplicated vectors inflating every grid task by duplication²): the
+    // triangular grid covers each unordered REP pair exactly once, a rep
+    // pair stands for m_a·m_b cross-label member pairs at the same d²,
+    // and same-label duplicates can never pair (the label-inequality
+    // filter), so min_d2 and the pair counts are recovered exactly.
+    val sel = src
+      .groupBy(col("qe"), col("label"))
+      .agg(count(lit(1)).as("m"), min(col("vec_id")).as("vec_id"))
+      .select(col("vec_id"), col("label"), col("qe"), col("m"))
     val (l, r) = gridLegs(sel, 8, "vec_id")
     val cross = l.as("a")
       .join(r.as("b"),
@@ -1074,9 +1108,10 @@ object Vectors {
           (col("a.gi") =!= col("a.gj") || col("a.vec_id") < col("b.vec_id")))
       .select(least(col("a.label"), col("b.label")).as("la"),
         greatest(col("a.label"), col("b.label")).as("lb"),
-        dist2E14(col("a.qe"), col("b.qe")).as("d2"))
+        dist2E14(col("a.qe"), col("b.qe")).as("d2"),
+        (col("a.m") * col("b.m")).as("w"))
       .groupBy(col("la"), col("lb"))
-      .agg(min(col("d2")).as("min_d2"), count(lit(1)).as("n_pairs"))
+      .agg(min(col("d2")).as("min_d2"), sum(col("w")).as("n_pairs"))
     val best = cross.orderBy(col("min_d2").asc, col("la").asc, col("lb").asc).limit(1)
       .select(col("la").as("ma"), col("lb").as("mb"), lit(1L).as("mf"))
     cross.join(broadcast(best),
@@ -1521,33 +1556,60 @@ object Vectors {
     * the winner is the lexicographic-min (d², a, b). Exact e7-lattice
     * integer distances; candidate count rides along as the efficiency
     * witness.
+    *
+    * Rep-collapsed over distinct (x, y) (round 9 — the full sf3 bench
+    * caught the within-cell blowup at exponent ~3: duplicated points all
+    * land in ONE cell, so candidates grow with duplication²). The grid
+    * machinery runs once per distinct point; a rep pair (P, Q) stands
+    * for m_P·m_Q member candidates whose lexicographic-min member pair
+    * is (min(i1_P, i1_Q), max(i1_P, i1_Q)) — the two group-min ids,
+    * because every member of the a-side group exceeds its own min and
+    * the partner b must come from the other group; a group with m ≥ 2
+    * adds C(m,2) zero-distance candidates whose min pair is (i1, i2),
+    * the group's two smallest ids. Counts by arithmetic, winner by the
+    * same (d², a, b) order — output bit-identical to the uncollapsed
+    * grid (Round9OpsSpec pins both on a planted dirty corpus).
     */
-  def q_closest_pair_2d(spark: SparkSession, sf: String): DataFrame = {
-    val pts = Tables.embeddings(spark, sf)
+  def q_closest_pair_2d(spark: SparkSession, sf: String): DataFrame =
+    closestPair2dOf(Tables.embeddings(spark, sf)
       .select(col("vec_id"),
         round(element_at(col("embedding"), 1).cast("double") * 1e7).cast("long").as("x"),
-        round(element_at(col("embedding"), 2).cast("double") * 1e7).cast("long").as("y"))
-      .localCheckpoint()
-    val bounds = pts.agg(min(col("x")).as("x0"), max(col("x")).as("x1"),
+        round(element_at(col("embedding"), 2).cast("double") * 1e7).cast("long").as("y")))
+
+  /** The rep-collapsed core over a (vec_id, x, y) frame — exposed to
+    * Round9OpsSpec's uncollapsed-grid twin. */
+  private[graft] def closestPair2dOf(ptsSrc: DataFrame): DataFrame = {
+    val pts = ptsSrc.localCheckpoint()
+    val grp = pts.groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("m"), min(col("vec_id")).as("i1"))
+    val second = pts.join(grp.select(col("x"), col("y"), col("i1")), Seq("x", "y"))
+      .filter(col("vec_id") > col("i1"))
+      .groupBy(col("x"), col("y")).agg(min(col("vec_id")).as("i2"))
+    val groups = grp.join(second, Seq("x", "y"), "left_outer").localCheckpoint()
+    val bounds = groups.agg(min(col("x")).as("x0"), max(col("x")).as("x1"),
       min(col("y")).as("y0"), max(col("y")).as("y1"))
-    val cells = pts.crossJoin(broadcast(bounds))
-      .select(col("vec_id"), col("x"), col("y"),
+    val cells = groups.crossJoin(broadcast(bounds))
+      .select(col("i1"), col("m"), col("x"), col("y"),
         expr("(x - x0) * 32 div (x1 - x0 + 1)").as("cx"),
         expr("(y - y0) * 32 div (y1 - y0 + 1)").as("cy"))
       .localCheckpoint()
-    val probe = cells.select(col("vec_id").as("b"), col("x").as("bx"),
-        col("y").as("by"), col("cx"), col("cy"))
+    val probe = cells.select(col("i1").as("b"), col("m").as("bm"),
+        col("x").as("bx"), col("y").as("by"), col("cx"), col("cy"))
       .withColumn("d", explode(expr(
         "transform(sequence(0, 8), i -> struct(i div 3 - 1 AS ox, i % 3 - 1 AS oy))")))
-      .select(col("b"), col("bx"), col("by"),
+      .select(col("b"), col("bm"), col("bx"), col("by"),
         (col("cx") + col("d.ox")).as("cx"), (col("cy") + col("d.oy")).as("cy"))
-    val cand = cells.join(probe, Seq("cx", "cy"))
-      .filter(col("vec_id") < col("b"))
-      .select(col("vec_id").as("a"), col("b"),
+    val cross = cells.join(probe, Seq("cx", "cy"))
+      .filter(col("i1") < col("b"))
+      .select(col("i1").as("a"), col("b"),
         ((col("x") - col("bx")) * (col("x") - col("bx"))
-          + (col("y") - col("by")) * (col("y") - col("by"))).as("d2"))
-      .localCheckpoint()
-    val n = cand.agg(count(lit(1)).as("n_candidates"))
+          + (col("y") - col("by")) * (col("y") - col("by"))).as("d2"),
+        (col("m") * col("bm")).as("w"))
+    val within = groups.filter(col("m") >= 2L)
+      .select(col("i1").as("a"), col("i2").as("b"), lit(0L).as("d2"),
+        expr("m * (m - 1) div 2").as("w"))
+    val cand = cross.unionByName(within).localCheckpoint()
+    val n = cand.agg(sum(col("w")).as("n_candidates"))
     cand.orderBy(col("d2").asc, col("a").asc, col("b").asc).limit(1)
       .crossJoin(broadcast(n))
       .select(col("a").as("vec_a"), col("b").as("vec_b"),
