@@ -698,18 +698,84 @@ object Vectors {
     * memory-bounded tasks; the approximate scale twin for unblocked
     * corpora is LSH candidates ([[Ann.q_ann_rplsh]]).
     */
-  def q_label_noise(spark: SparkSession, sf: String): DataFrame = {
-    val block = quantized(spark, sf).filter(col("label") <= 1)
-      .select(col("vec_id"), col("label"), col("qe"))
-    val flagged = gridTopK(gridDirectedD2(block, 8, Nil, Seq("label")), 5)
-      .select(col("qid").as("a_id"), col("q_label").as("a_label"),
-        col("n_label").as("b_label"))
-      .groupBy(col("a_id"), col("a_label"))
-      .agg(sum(when(col("b_label") === 1, 1L).otherwise(0L)).as("votes1"))
-      .select(col("a_label"),
-        when((col("votes1") >= 3) =!= (col("a_label") === 1), 1L).otherwise(0L).as("flagged"))
-    flagged.groupBy(col("a_label").cast("long").as("label"))
-      .agg(count(lit(1)).as("n"), sum(col("flagged")).as("n_flagged"))
+  def q_label_noise(spark: SparkSession, sf: String): DataFrame =
+    labelNoiseOf(quantized(spark, sf).filter(col("label") <= 1)
+      .select(col("vec_id"), col("label").cast("long").as("label"), col("qe")))
+
+  /** [[q_label_noise]]'s core, rep-collapsed over distinct qe (round 9 —
+    * the full sf3 bench caught the member-level grid growing with
+    * duplication²). The exact 5-NN vote of every member is recoverable
+    * from BOUNDED per-group state, because the neighbor order is
+    * (d², vec_id) and co-located twins sit at d² = 0:
+    *  - a member's internal neighbors are its group's smallest-id other
+    *    members — all inside the group's 6 smallest (id, label) pairs
+    *    (`top6`, one ≤6-row window per group);
+    *  - only groups with m ≤ 5 need EXTERNAL neighbors, and any external
+    *    top-5 entry must be one of its own group's 5 smallest members,
+    *    so the rep-level grid stream expands each neighbor rep to ≤5
+    *    member candidates before the verbatim [[gridTopK]] cut — the
+    *    expansion is 5× reps, never members²;
+    *  - members at in-group id-rank ≥ 7 all share the same neighbor set
+    *    (the group's 5 smallest ids), so their votes collapse to count
+    *    arithmetic over the per-label member totals.
+    * Output bit-identical to the uncollapsed member-level grid
+    * (Round9OpsSpec pins a mixed-label dup-group corpus).
+    */
+  private[graft] def labelNoiseOf(block: DataFrame): DataFrame = {
+    val w6 = Window.partitionBy("qe").orderBy("vec_id")
+    val groups = block.withColumn("rn", row_number().over(w6))
+      .groupBy(col("qe"))
+      .agg(count(lit(1)).as("m"), sum(col("label")).as("n1g"),
+        min(col("vec_id")).as("rid"),
+        sort_array(collect_list(when(col("rn") <= 6,
+          struct(col("vec_id").as("id"), col("label").as("lb"))))).as("top6"))
+      .localCheckpoint() // feeds the rep grid and the vote arithmetic
+    val reps = groups.select(col("rid").as("vec_id"), col("qe"),
+      col("m").as("gm"), slice(col("top6"), 1, 5).as("top5"))
+    val ext = gridDirectedD2(reps, 8, Nil, Seq("gm", "top5"))
+      .filter(col("q_gm") <= 5L) // only small groups have external NNs
+      .select(col("gi"), col("gj"), col("qid"), col("d2"),
+        explode(col("n_top5")).as("nb"))
+      .select(col("gi"), col("gj"), col("qid"),
+        col("nb.id").as("nid"), col("nb.lb").as("n_label"), col("d2"))
+    val extLabels = gridTopK(ext, 5)
+      .groupBy(col("qid"))
+      .agg(sort_array(collect_list(struct(col("rn"), col("n_label")))).as("er"))
+      .select(col("qid"), expr("transform(er, x -> x.n_label)").as("ext"))
+    val perGroup = groups
+      .join(extLabels, col("rid") === col("qid"), "left_outer")
+      .select(col("m"), col("n1g"), col("top6"),
+        expr("coalesce(ext, CAST(array() AS ARRAY<BIGINT>))").as("ext"))
+      .select(col("m"), col("n1g"), col("top6"),
+        // external slice shared by every member: 5 − (m−1) entries
+        expr("aggregate(slice(ext, 1, CAST(greatest(0L, 5 - (m - 1)) AS INT)), " +
+          "0L, (a, x) -> a + x)").as("vext"))
+      .select(col("m"), col("n1g"),
+        // explicit members (in-group id-rank ≤ 6): per-member vote over
+        // the n_int = least(m−1, 5) smallest other ids, plus vext
+        expr("""transform(top6, mem -> struct(mem.lb AS lb,
+            CASE WHEN ((aggregate(slice(filter(top6, x -> x.id != mem.id),
+                                        1, CAST(least(m - 1, 5) AS INT)),
+                                  0L, (a, x) -> a + x.lb) + vext) >= 3)
+                      != (mem.lb = 1) THEN 1L ELSE 0L END AS fl))""").as("fa"),
+        // the rank ≥ 7 class: identical neighbor set = top6[0..4]
+        expr("aggregate(slice(top6, 1, 5), 0L, (a, x) -> a + x.lb)").as("vrest"),
+        expr("aggregate(top6, 0L, (a, x) -> a + x.lb)").as("n1top6"))
+      .select(
+        col("n1g").as("n1"), (col("m") - col("n1g")).as("n0"),
+        (expr("aggregate(fa, 0L, (a, x) -> a + x.fl * x.lb)") +
+          expr("CASE WHEN m >= 7 AND vrest < 3 THEN n1g - n1top6 ELSE 0L END"))
+          .as("f1"),
+        (expr("aggregate(fa, 0L, (a, x) -> a + x.fl * (1 - x.lb))") +
+          expr("CASE WHEN m >= 7 AND vrest >= 3 THEN (m - n1g) - (6 - n1top6) ELSE 0L END"))
+          .as("f0"))
+    perGroup
+      .select(explode(array(
+        struct(lit(0L).as("label"), col("n0").as("n"), col("f0").as("f")),
+        struct(lit(1L).as("label"), col("n1").as("n"), col("f1").as("f")))).as("p"))
+      .groupBy(col("p.label").as("label"))
+      .agg(sum(col("p.n")).as("n"), sum(col("p.f")).as("n_flagged"))
+      .filter(col("n") > 0L)
       .select(col("label"), col("n"), col("n_flagged"),
         expr("n_flagged * 10000 div n").as("flagged_share_e4"))
       .orderBy("label")

@@ -341,6 +341,42 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(rows(graft.ops.TextPipeline.bleuPairsOf(d)) === rows(bleuTwin(d)))
   }
 
+  test("label-noise rep collapse == verbatim member-level grid") {
+    import spark.implicits._
+    // mixed-label dup groups across every vote regime: a 30-member group
+    // (rank ≥ 7 class + explicit top-6), m = 6 (all-explicit, no external),
+    // m = 5 (4 internal + 1 external), m = 2 (1 internal + 4 external),
+    // singletons (pure external) including one whose 5-NN straddles a
+    // d²-tie between two groups and interleaves by member id
+    val block = (
+      (0L until 30L).map(i => (i, if (i % 3 == 0) 1L else 0L, Seq(0L, 0L, 0L, 0L))) ++
+        Seq(40L -> 1L, 41L -> 1L, 42L -> 0L, 43L -> 1L, 44L -> 0L)
+          .map { case (id, lb) => (id, lb, Seq(7L, 0L, 0L, 0L)) } ++
+        Seq((50L, 1L, Seq(10L, 0L, 0L, 0L)), (51L, 1L, Seq(10L, 0L, 0L, 0L))) ++
+        Seq((60L, 0L, Seq(8L, 0L, 0L, 0L))) ++
+        Seq((31L, 1L), (32L, 0L), (36L, 1L), (37L, 0L))
+          .map { case (id, lb) => (id, lb, Seq(14L, 0L, 0L, 0L)) } ++
+        Seq((90L, 1L, Seq(12L, 0L, 0L, 0L))) ++
+        (100L until 106L).zip(Seq(0L, 1L, 1L, 0L, 1L, 0L))
+          .map { case (id, lb) => (id, lb, Seq(100L, 0L, 0L, 0L)) })
+      .toDF("vec_id", "label", "qe")
+    val flagged = Vectors.gridTopK(
+        Vectors.gridDirectedD2(block, 8, Nil, Seq("label")), 5)
+      .select(col("qid").as("a_id"), col("q_label").as("a_label"),
+        col("n_label").as("b_label"))
+      .groupBy(col("a_id"), col("a_label"))
+      .agg(sum(when(col("b_label") === 1, 1L).otherwise(0L)).as("votes1"))
+      .select(col("a_label"),
+        when((col("votes1") >= 3) =!= (col("a_label") === 1), 1L).otherwise(0L)
+          .as("flagged"))
+    val twin = flagged.groupBy(col("a_label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n"), sum(col("flagged")).as("n_flagged"))
+      .select(col("label"), col("n"), col("n_flagged"),
+        expr("n_flagged * 10000 div n").as("flagged_share_e4"))
+      .orderBy("label")
+    assert(rows(Vectors.labelNoiseOf(block)) === rows(twin))
+  }
+
   test("single-linkage rep collapse == verbatim cross-label pair join") {
     import spark.implicits._
     // duplicate vectors WITHIN a label (multiplicity weights) and the same
