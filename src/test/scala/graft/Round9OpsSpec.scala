@@ -341,6 +341,57 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(rows(graft.ops.TextPipeline.bleuPairsOf(d)) === rows(bleuTwin(d)))
   }
 
+  /** Verbatim round-8 winnowing pipeline over a (doc_id, lang, source,
+    * text) frame. */
+  private def winnowingTwin(dsrc: DataFrame): DataFrame = {
+    val fps = dsrc
+      .select(col("doc_id"), col("lang"), col("source"),
+        split(lower(col("text")), " ").as("t"))
+      .filter(size(col("t")) >= 6)
+      .select(col("doc_id"), col("lang"), col("source"), expr(
+        """transform(sequence(1, size(t) - 2),
+             i -> cast(conv(substring(md5(cast(concat_ws(' ', t[i-1], t[i], t[i+1])
+                  as binary)), 1, 8), 16, 10) as bigint))""").as("hs"))
+      .select(col("doc_id"), col("lang"), col("source"), explode(expr(
+        "array_distinct(transform(sequence(1, size(hs) - 3), j -> array_min(slice(hs, j, 4))))"))
+        .as("fp"))
+    val perDoc = fps.groupBy(col("lang"), col("source"), col("doc_id"))
+      .agg(count(lit(1)).as("nfp"))
+    val pairs = fps.as("a")
+      .join(fps.select(col("lang").as("l2"), col("source").as("s2"),
+        col("doc_id").as("d2"), col("fp").as("fp2")).as("b"),
+        col("lang") === col("l2") && col("source") === col("s2") &&
+          col("fp") === col("fp2") && col("doc_id") < col("d2"))
+      .groupBy(col("lang"), col("source"), col("doc_id"), col("d2"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 2)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("candidate_pairs"))
+    perDoc.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nfp")).as("n_fingerprints"))
+      .join(pairs, Seq("lang", "source"), "left_outer")
+      .select(col("lang"), col("source"), col("n_docs"), col("n_fingerprints"),
+        coalesce(col("candidate_pairs"), lit(0L)).as("candidate_pairs"))
+      .orderBy("lang", "source")
+  }
+
+  test("winnowing rep collapse == verbatim fingerprint join") {
+    import spark.implicits._
+    val t1 = (0 until 20).map(i => s"w$i").mkString(" ")
+    val t2 = ((0 until 15).map(i => s"w$i") ++ (0 until 5).map(i => s"q$i")).mkString(" ")
+    val t3 = (0 until 12).map(i => s"r$i").mkString(" ")
+    val t4 = (Seq("s0", "s1", "s2") ++ (0 until 6).map(i => s"w$i") ++
+      (3 until 10).map(i => s"s$i")).mkString(" ")
+    val docs = ((0L until 25L).map(id => (id, t1, "en", "web")) ++
+        (30L until 33L).map(id => (id, t2, "en", "web")) ++
+        Seq((40L, t3, "en", "web"), (41L, t3, "en", "web"),
+          (50L, t4, "en", "web"), (60L, "a b c", "en", "web"),
+          (70L, (0 until 10).map(i => s"f$i").mkString(" "), "fr", "web")))
+      .toDF("doc_id", "text", "lang", "source")
+    assert(rows(graft.ops.TextPipeline.winnowingFingerprintOf(docs))
+      === rows(winnowingTwin(docs)))
+  }
+
   test("label-noise rep collapse == verbatim member-level grid") {
     import spark.implicits._
     // mixed-label dup groups across every vote regime: a 30-member group
