@@ -59,7 +59,16 @@ object BandedScan {
                  xCol: String, cumCol: String): DataFrame =
     cumSumsAuto(df, groupCols, vCol, Seq(xCol -> cumCol))
 
-  /** Multi-measure [[cumSumAuto]]. */
+  /** Multi-measure [[cumSumAuto]]. Round 9: the recursion depth is also
+    * derived from the observed band count — when the band table is small
+    * enough for the terminal broadcast theta join directly (≤ 2048 bands
+    * ⇒ ≤ ~2M joined pairs before the aggregate), depth 1 skips the two
+    * recursion levels whose windows/joins replicated the input subtree
+    * and added ~8 exchanges of pure fixed cost per query (guide §2.4/
+    * §7.3 — q_trimmed_mean planned 46 Exchange nodes at depth 3). The
+    * choice stays scale-adaptive: a 10⁶×-wider lattice gets more bands
+    * and automatically recurses deeper, exactly as before.
+    */
   def cumSumsAuto(df: DataFrame, groupCols: Seq[String], vCol: String,
                   measures: Seq[(String, String)]): DataFrame = {
     val b = df.agg(min(col(vCol).cast("long")).as("mn"),
@@ -69,9 +78,20 @@ object BandedScan {
       val range = b.getLong(1) - b.getLong(0) + 1
       val n = math.max(b.getLong(2), 1L)
       val bw = math.max(1L, math.ceil(range / math.sqrt(n.toDouble)).toLong)
-      cumSums(df, groupCols, vCol, measures, bw)
+      val bands = range / bw + 1
+      val depth =
+        if (bands <= BroadcastBandCap) 1
+        else if (bands <= BroadcastBandCap * bw) 2
+        else 3
+      cumSums(df, groupCols, vCol, measures, bw, depth)
     }
   }
+
+  /** Max bands the terminal broadcast theta join takes directly: the
+    * join materializes ≤ cap²/2 (band, earlier-band) rows per group
+    * before its aggregate — ~2M at 2048, well inside one task's budget,
+    * while a 2048-row broadcast is trivial. */
+  private val BroadcastBandCap = 2048L
 
   /** Multi-measure variant: one scan adds an inclusive running sum per
     * (measure column → output column) pair. `maxDepth` bounds the
@@ -103,8 +123,17 @@ object BandedScan {
     val btotAggs = measures.zipWithIndex.map {
       case ((x, _), i) => sum(col(x)).as(s"__btot_$i")
     }
-    val bandTot = banded.groupBy(keyCols.map(col): _*)
+    val bandTot0 = banded.groupBy(keyCols.map(col): _*)
       .agg(btotAggs.head, btotAggs.tail: _*)
+    // Round 9: when the scan RECURSES, materialize the (small) band-total
+    // table first — otherwise each deeper level re-plans and re-evaluates
+    // the full input subtree (the window + two joins per level stacked
+    // the SAME df lineage 2^depth times: q_trimmed_mean's plan carried 46
+    // Exchange nodes). One tiny eager job per recursing level flattens
+    // the recursion onto a LogicalRDD; the depth-1 path (now the common
+    // one via [[cumSumsAuto]]) stays lazy and single-job.
+    val bandTot =
+      if (maxDepth > 1) bandTot0.localCheckpoint() else bandTot0
 
     // strict (<) per-band prefix of the band totals: recurse the banded
     // scan on the band table while depth remains, else broadcast theta
