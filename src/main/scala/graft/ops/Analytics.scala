@@ -29,6 +29,16 @@ object Analytics {
     * it fans out.
     */
   private[graft] def support2Edges(spark: SparkSession, sf: String): DataFrame =
+    support2PairCounts(spark, sf)
+      .filter(col("s") >= 2)
+      .select(col("u"), col("v"))
+
+  /** The (u, v, s) support counts behind [[support2Edges]] — exposed
+    * (round 9) so the weighted-graph family (q_sssp_weighted /
+    * q_boruvka_step: w = 1000 div s) and q_recsys_lift share the
+    * basket-generator build instead of keeping their own items×items
+    * self-joins (two extra shuffles + an unguarded breadth² join each). */
+  private[graft] def support2PairCounts(spark: SparkSession, sf: String): DataFrame =
     Baskets.pairs(
       Tables.lineitem(spark, sf)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
@@ -39,8 +49,6 @@ object Analytics {
       "u", "v")
       .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("s"))
-      .filter(col("s") >= 2)
-      .select(col("u"), col("v"))
 
   /** OHLC candlestick bars: per (event_type, hour) the opening / highest /
     * lowest / closing event value plus count and volume. Open/close are

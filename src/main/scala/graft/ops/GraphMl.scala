@@ -189,16 +189,27 @@ object GraphMl {
     * every consumer fans out into multiple self-references.
     */
   private def coPurchaseEdges(spark: SparkSession, sf: String): DataFrame = {
-    val items = Tables.lineitem(spark, sf)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val e = items.as("a")
-      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
-      .agg(count(lit(1)).as("s"))
-      .filter(col("s") >= 2)
-      .select(col("u"), col("v"))
+    // Round 9: the items×items self-join (distinct + join + aggregate =
+    // 3 shuffles, unguarded breadth² fan-out) is replaced by the shared
+    // basket-generator build the §2.44 family already used — one shuffle
+    // keyed by order, codegen pair generation inside the sorted basket,
+    // one shuffle on the pair key (Round7OpsSpec pins the pair-multiset
+    // equality of the two forms; Round9OpsSpec pins the weighted variant).
+    val e = Analytics.support2Edges(spark, sf)
     e.select(col("u"), col("v"))
       .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+  }
+
+  /** Weighted co-purchase edges (w = 1000 div support, both directions) —
+    * the [[q_sssp_weighted]]/[[q_boruvka_step]] graph, on the same shared
+    * basket-generator build as [[coPurchaseEdges]]. */
+  private def weightedCoPurchaseEdges(spark: SparkSession, sf: String): DataFrame = {
+    val e0 = Analytics.support2PairCounts(spark, sf)
+      .filter(col("s") >= 2)
+    e0.select(col("u"), col("v"), expr("1000 div s").as("w"))
+      .unionByName(e0.select(col("v").as("u"), col("u").as("v"),
+        expr("1000 div s").as("w")))
       .localCheckpoint()
   }
 
@@ -346,16 +357,7 @@ object GraphMl {
     * Output: the 10 closest nodes after round 3.
     */
   def q_sssp_weighted(spark: SparkSession, sf: String): DataFrame = {
-    val items = Tables.lineitem(spark, sf)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val e0 = items.as("a")
-      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
-      .agg(count(lit(1)).as("s"))
-      .filter(col("s") >= 2)
-    val edges = e0.select(col("u"), col("v"), expr("1000 div s").as("w"))
-      .unionByName(e0.select(col("v").as("u"), col("u").as("v"), expr("1000 div s").as("w")))
-      .localCheckpoint()
+    val edges = weightedCoPurchaseEdges(spark, sf)
     val src = edges.agg(min(col("u")).as("node")).withColumn("dist", lit(0L))
     def relax(d: DataFrame): DataFrame =
       d.join(edges, col("node") === col("u"))
@@ -632,16 +634,7 @@ object GraphMl {
     * distributed MST at any scale.
     */
   def q_boruvka_step(spark: SparkSession, sf: String): DataFrame = {
-    val items = Tables.lineitem(spark, sf)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val e0 = items.as("a")
-      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
-      .agg(count(lit(1)).as("s"))
-      .filter(col("s") >= 2)
-    val edges = e0.select(col("u"), col("v"), expr("1000 div s").as("w"))
-      .unionByName(e0.select(col("v").as("u"), col("u").as("v"), expr("1000 div s").as("w")))
-      .localCheckpoint()
+    val edges = weightedCoPurchaseEdges(spark, sf)
     val wMin = Window.partitionBy("u").orderBy(col("w").asc, col("v").asc)
     val picks = edges.withColumn("rn", row_number().over(wMin))
       .filter(col("rn") === 1)

@@ -534,9 +534,17 @@ object MLDeterministic {
       .localCheckpoint()
     val n = items.select(col("ok")).distinct().agg(count(lit(1)).as("n_orders"))
     val support = items.groupBy(col("pk")).agg(count(lit(1)).as("s"))
-    val pairs = items.as("a")
-      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+    // round 9: in-basket pair generation (one shuffle keyed by order +
+    // codegen generators) instead of the items×items self-join — same
+    // pair multiset (items is (ok, pk)-distinct, so collect_set = the
+    // order's exact item set), two fewer shuffles, breadth-guarded
+    val pairs = graft.core.Baskets.pairs(
+        items.groupBy(col("ok"))
+          .agg(array_sort(collect_set(col("pk"))).as("items"))
+          .select(graft.core.Guards.boundedBasket(col("items"),
+            graft.core.Guards.PairBreadthCap, "q_recsys_lift").as("items")),
+        "p1", "p2")
+      .groupBy(col("p1"), col("p2"))
       .agg(count(lit(1)).as("s12"))
       .filter(col("s12") >= 2)
     pairs

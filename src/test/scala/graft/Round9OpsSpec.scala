@@ -3,7 +3,8 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.ops.{MLDeterministic, Text, Vectors}
+import graft.ops.{Analytics, MLDeterministic, Text, Vectors}
+import graft.core.Tables
 
 /** Round-9 chaos gates (round-8 verdict item 7): the iterative/collapse
   * machinery under planted pathological fixtures the random dirty corpora
@@ -454,5 +455,21 @@ class Round9OpsSpec extends AnyFunSuite {
         coalesce(col("mf"), lit(0L)).as("merges_first"))
       .orderBy("la", "lb")
     assert(rows(Vectors.singleLinkageStepOf(src)) === rows(twin))
+  }
+
+  test("support-2 PAIR COUNTS equal the legacy self-join (weighted-graph input)") {
+    // round 9 moved q_sssp_weighted / q_boruvka_step / q_recsys_lift onto
+    // Analytics.support2PairCounts; unlike Round7's edge-SET twin this
+    // pins the s counts themselves (w = 1000 div s must be identical)
+    val sf = "/root/testdata/sf0.001"
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val legacy = items.as("a")
+      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("s"))
+      .orderBy("u", "v")
+    val rewritten = Analytics.support2PairCounts(spark, sf).orderBy("u", "v")
+    assert(rows(rewritten) === rows(legacy))
   }
 }
