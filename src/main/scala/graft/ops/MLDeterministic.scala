@@ -1123,6 +1123,12 @@ object MLDeterministic {
           .otherwise(0L).as("pos"))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+      // ≤10 rows; materialized because THREE consumers fan out below
+      // (the cumulative self-join's two sides + the totals row) — lazy,
+      // each would re-evaluate the whole scored⋈spend⋈percentile
+      // pipeline, tripling the work and planning a 194-Exchange tree
+      // (round 10 plan audit; guide §2.4 repeated-subtree)
+      .localCheckpoint()
     val tot = dec.agg(sum(col("n")).as("tot_n"), sum(col("n_pos")).as("tot_pos"))
     dec.as("a")
       .join(dec.select(col("decile").as("d2"), col("n").as("n2"),

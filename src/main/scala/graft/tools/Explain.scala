@@ -18,16 +18,36 @@ object Explain {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // mirror Bench's session tuning so plans match bench conditions
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_EXPLAIN_ONLY=1: skip executing each query (plan sweep
+    // over the full inventory — prints one summary line per query with
+    // the Exchange count and plan size instead of the full text)
+    val planOnly = sys.env.get("SPARK_GRAFT_EXPLAIN_ONLY").contains("1")
     names.foreach { name =>
-      val df = graft.SparkEntry.queries(name)(spark, sfDir)
-      println(s"\n===== $name =====")
-      println(df.queryExecution.explainString(
-        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
-      val t0 = System.nanoTime()
-      val n = df.count()
-      println(f"rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      try {
+        val df = graft.SparkEntry.queries(name)(spark, sfDir)
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        if (planOnly) {
+          val exch = "Exchange".r.findAllIn(plan).size
+          val smj = "SortMergeJoin".r.findAllIn(plan).size
+          val bnl = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+          val cart = "CartesianProduct".r.findAllIn(plan).size
+          println(s"PLAN $name exchanges=$exch smj=$smj bnlj=$bnl cartesian=$cart chars=${plan.length}")
+        } else {
+          println(s"\n===== $name =====")
+          println(plan)
+          val t0 = System.nanoTime()
+          val n = df.count()
+          println(f"rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+        }
+      } catch { case e: Throwable =>
+        println(s"PLAN $name ERROR ${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+      }
     }
     spark.stop()
   }

@@ -342,6 +342,26 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(rows(graft.ops.TextPipeline.bleuPairsOf(d)) === rows(bleuTwin(d)))
   }
 
+  /** All-distinct corpus (the graded sf0.1 shape): exercises the round-10
+    * no-duplicates fast path of shardPairStatsOf, which must equal the
+    * verbatim pair join exactly like the dup path does. */
+  private def noDupDocs: DataFrame = {
+    import spark.implicits._
+    val rows = (0L until 20L).map { i =>
+      val text = (i until i + 6L).map(j => s"n$j").mkString(" ")
+      (i, text, if (i % 2 == 0) "en" else "fr", "web")
+    }
+    rows.toDF("doc_id", "text", "lang", "source")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        length(col("text")).cast("long").as("n_chars"))
+  }
+
+  test("rouge/bleu no-dup fast path == verbatim pair join") {
+    val d = noDupDocs
+    assert(rows(graft.ops.TextPipeline.rougeRecallOf(d)) === rows(rougeTwin(d)))
+    assert(rows(graft.ops.TextPipeline.bleuPairsOf(d)) === rows(bleuTwin(d)))
+  }
+
   /** Verbatim round-8 winnowing pipeline over a (doc_id, lang, source,
     * text) frame. */
   private def winnowingTwin(dsrc: DataFrame): DataFrame = {
