@@ -1155,6 +1155,11 @@ object Analytics {
           .cast("long").as("rec"),
         count(lit(1)).as("freq"),
         sum(cents(col("o_totalprice"))).as("mon"))
+      // one row per customer; materialized because FOUR consumers fan
+      // out below (three quintile-boundary passes + the bucketing scan)
+      // — lazy, the orders aggregate re-ran four times (round 10 plan
+      // audit: 102 Exchange nodes without it)
+      .localCheckpoint()
     def quintiles(c: String, name: String) = Relational.latticePercentiles(
         base.groupBy(col(c).as("pc")).agg(count(lit(1)).as("cnt")),
         Seq(), (1 to 4).map(i => i / 5.0 -> s"q$i"))
@@ -1557,6 +1562,11 @@ object Analytics {
         col("sp"))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_customers"), sum(col("sp")).as("spend_cents"))
+      // ≤10 rows, three consumers below (both self-join sides + the
+      // total) — materialized so the spend⋈percentile pipeline above
+      // runs once instead of three times (round 10 plan audit: 116
+      // Exchange nodes without it; guide §2.4 repeated-subtree)
+      .localCheckpoint()
     dec.as("a")
       .join(dec.select(col("decile").as("d2"), col("spend_cents").as("s2")).as("b"),
         col("b.d2") <= col("a.decile"))
@@ -9228,7 +9238,12 @@ object Analytics {
       .select(col("l_returnflag").as("g"), col("l_quantity").cast("long").as("v"))
       .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
       .localCheckpoint()
+    // lattice-sized (|flags|×|quantity domain| ≈ 150 rows); materialized
+    // because BOTH clamp bounds below re-read it — lazy, each bound
+    // re-evaluated the whole banded-scan subtree (round 10 plan audit:
+    // 108 Exchange nodes without it)
     val cum = BandedScan.cumSum(cell, Seq("g"), "v", "c", "cum", 8L)
+      .localCheckpoint()
     val ng = cell.groupBy(col("g")).agg(sum(col("c")).as("n_g"))
     val lo = cum.join(broadcast(ng), "g")
       .filter(col("cum") * 10L >= col("n_g"))

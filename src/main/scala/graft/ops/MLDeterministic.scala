@@ -282,6 +282,10 @@ object MLDeterministic {
   def q_eval_f1(spark: SparkSession, sf: String): DataFrame = {
     val conf = nbPredict(spark, sf)
       .groupBy(col("actual"), col("predicted")).agg(count(lit(1)).as("n"))
+      // ≤ classes² rows; materialized because the precision and recall
+      // margins below each re-read it — lazy, the whole NB train+score
+      // pipeline ran twice (round 10 plan audit: 106 Exchange nodes)
+      .localCheckpoint()
     val byPred = conf.groupBy(col("predicted").as("class"))
       .agg(sum(when(col("actual") === col("predicted"), col("n")).otherwise(0L)).as("tp"),
         sum(when(col("actual") =!= col("predicted"), col("n")).otherwise(0L)).as("fp"))
@@ -3731,7 +3735,11 @@ object MLDeterministic {
     * exact-integer division rendered e6. Three field rows.
     */
   def q_em_linkage_step(spark: SparkSession, sf: String): DataFrame = {
-    val g = fsPatterns(spark, sf).crossJoin(broadcast(fsU(spark, sf)))
+    // one row; materialized because the E-step AND the M-step epilogue
+    // both cross-join it — lazy, the four chance-agreement aggregates
+    // ran twice (round 10 plan audit: 90 Exchange nodes without it)
+    val u = fsU(spark, sf).localCheckpoint()
+    val g = fsPatterns(spark, sf).crossJoin(broadcast(u))
       .select(col("a1"), col("a2"), col("a3"), col("n_pairs"),
         col("u1"), col("u2"), col("u3"),
         expr("""CAST(ROUND(
@@ -3755,7 +3763,7 @@ object MLDeterministic {
       sum((lit(1000000000L) - col("gp")) * col("n_pairs") * col("a2")).as("sv2"),
       sum((lit(1000000000L) - col("gp")) * col("n_pairs") * col("a3")).as("sv3"),
       sum(col("n_pairs")).as("np"))
-    s.crossJoin(broadcast(fsU(spark, sf)))
+    s.crossJoin(broadcast(u))
       .select(explode(array(
         struct(lit("f1_segment").as("field"),
           expr("CAST(ROUND(u1 * 1000000) AS BIGINT)").as("u0_e6"),

@@ -1016,8 +1016,15 @@ object Relational {
     * lattice, see BandedScan — and count `cnt` long); returns
     * (groupCols..., n, <name> double...) per group.
     */
-  private[graft] def latticePercentiles(lat: DataFrame, groupCols: Seq[String],
+  private[graft] def latticePercentiles(lat0: DataFrame, groupCols: Seq[String],
       ps: Seq[(Double, String)]): DataFrame = {
+    // lattice-sized (distinct values × groups, NOT rows); materialized
+    // once because THREE consumers read it — cumSumAuto's bounds probe,
+    // the banded scan itself, and the n aggregate. Lazy, every caller's
+    // lattice lineage (scan + groupBy, often behind further joins) ran
+    // three times per percentile call — q_qq_quantiles re-scanned events
+    // six times across its two sides (round 10 plan audit; guide §2.4).
+    val lat = lat0.localCheckpoint()
     val cum = BandedScan.cumSumAuto(lat, groupCols, "pc", "cnt", "cum")
     val nAgg = (if (groupCols.isEmpty) lat.groupBy()
       else lat.groupBy(groupCols.map(col): _*)).agg(sum(col("cnt")).as("n"))
@@ -1077,6 +1084,10 @@ object Relational {
       .groupBy(col("flag"), col("pc"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("pv", col("pc") * col("cnt"))
+      // lattice-sized; three consumers (cumSumsAuto bounds probe, the
+      // banded scan, nAgg) — lazy, the lineitem scan + lattice groupBy
+      // ran three times (round 10; same discipline as latticePercentiles)
+      .localCheckpoint()
     val nAgg = lat.groupBy(col("flag")).agg(sum(col("cnt")).as("n"))
     // twin banded prefix scans (count + value mass) — keyed by (flag,
     // band), so no per-flag window funnels N/|flags| rows into one task

@@ -423,28 +423,38 @@ object Text {
       .select(col("d1").as("a"), col("d2").as("b"))
       .localCheckpoint() // feeds the edge union AND the vertex expansion
     val e = exactRepEdges.union(nearRepEdges).distinct()
-    val und = e.union(e.select(col("b").as("a"), col("a").as("b"))).localCheckpoint()
+    // vertex self-loops folded into the undirected edge table (round 10):
+    // min-label propagation over neighbors∪self is then ONE join + ONE
+    // aggregate per round — the round-9 shape needed a second left-outer
+    // join per round just to merge each vertex's own label back in
+    // (profiled: the loop's job count, not its data, dominates at small
+    // SF — 77 Spark jobs per call; guide §7.3 driver overhead)
+    val dir = e.union(e.select(col("b").as("a"), col("a").as("b")))
+    val und = dir
+      .union(dir.select(col("a")).distinct()
+        .select(col("a"), col("a").as("b")))
+      .localCheckpoint()
     var labels = und.select(col("a").as("v")).distinct()
       .withColumn("comp", col("v")).localCheckpoint()
     var converged = false
     var iter = 0
     var labelSum: java.math.BigDecimal = null
     while (!converged && iter < 50) {
-      val nbr = und.join(labels, und("b") === labels("v"))
+      val stepped = und.join(labels, und("b") === labels("v"))
         .groupBy(und("a").as("v"))
-        .agg(min(col("comp")).as("nc"))
-      val stepped = labels.as("l")
-        .join(nbr.as("n"), col("l.v") === col("n.v"), "left_outer")
-        .select(col("l.v").as("v"),
-          least(col("l.comp"), coalesce(col("n.nc"), col("l.comp"))).as("comp"))
+        .agg(min(col("comp")).as("comp"))
       // pointer doubling: follow the label's own label (halves the
-      // remaining propagation distance each round)
+      // remaining propagation distance each round). Inner join — every
+      // comp value is the min of some vertex-id set, hence itself a
+      // vertex id, and `stepped` carries every vertex (self-loops).
       val next = stepped.as("x")
         .join(stepped.select(col("v").as("cv"), col("comp").as("ccomp")).as("y"),
-          col("x.comp") === col("y.cv"), "left_outer")
+          col("x.comp") === col("y.cv"))
         .select(col("x.v").as("v"),
-          least(col("x.comp"), coalesce(col("y.ccomp"), col("x.comp"))).as("comp"))
-        .localCheckpoint()
+          least(col("x.comp"), col("y.ccomp")).as("comp"))
+        // lazy: the convergence aggregate right below is the action that
+        // materializes it (eager would spend a second job per round)
+        .localCheckpoint(eager = false)
       // labels only ever decrease, so Σcomp is strictly monotone until the
       // fixpoint — one scalar aggregate per round instead of a compare-join
       val sum = next.agg(org.apache.spark.sql.functions.sum(col("comp")).cast("decimal(38,0)"))
