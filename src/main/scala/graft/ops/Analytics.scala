@@ -11712,7 +11712,11 @@ object Analytics {
     * broadcast self-join of consecutive ages (the table is age-bounded,
     * never corpus-bounded). */
   def q_mortality_gradient(spark: SparkSession, sf: String): DataFrame = {
-    val lt = lifeTable(spark, sf).filter(col("d") > 0L)
+    // age-bounded (one row per distinct age); materialized because both
+    // sides of the consecutive-age self-join below read it — lazy, the
+    // whole life-table pipeline ran twice (round 10 plan audit: 72
+    // Exchange nodes without it)
+    val lt = lifeTable(spark, sf).filter(col("d") > 0L).localCheckpoint()
     val mx = "(CAST(2 AS DOUBLE) * CAST(d AS DOUBLE) / CAST(L2 AS DOUBLE))"
     val mxN = "(CAST(2 AS DOUBLE) * CAST(d_n AS DOUBLE) / CAST(L2_n AS DOUBLE))"
     val nxt = lt.select(col("age_days").as("age_n"), col("d").as("d_n"),

@@ -3359,15 +3359,21 @@ object MLDeterministic {
     val starts = ev
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .groupBy(col("event_type").as("s0")).agg(count(lit(1)).as("c"))
+      // ≤|types| rows; the total AND the start scores read it — lazy,
+      // the per-user first-event window pass ran twice
+      .localCheckpoint()
     val nUsers = starts.agg(sum(col("c")).as("tot"))
     val s0 = starts.crossJoin(broadcast(nUsers))
       .select(col("s0"),
         round(log(col("c").cast("double") / col("tot").cast("double")) * 1e8)
           .cast("long").as("sc0"))
+    // |types|²-bounded; both DP steps read it — lazy, the events window
+    // pass behind transitionEdges ran twice
     val tr = GraphMl.transitionEdges(spark, sf)
       .select(col("src"), col("dst"),
         round(log(col("w").cast("double") / col("out_w").cast("double")) * 1e8)
           .cast("long").as("lt"))
+      .localCheckpoint()
     val v1 = s0.join(tr, col("s0") === col("src"))
       .groupBy(col("dst").as("s1"))
       .agg(max(struct((col("sc0") + col("lt")).as("sc"), col("s0"))).as("m"))
@@ -3397,8 +3403,13 @@ object MLDeterministic {
     val starts = ev
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .groupBy(col("event_type").as("s0")).agg(count(lit(1)).as("c"))
+      // ≤|types| rows; the user total AND the α₂ product read it — lazy,
+      // the per-user first-event window pass ran twice
+      .localCheckpoint()
     val nUsers = starts.agg(sum(col("c")).as("tot"))
-    val tr = GraphMl.transitionEdges(spark, sf)
+    // |types|²-bounded; both matrix-vector products below read it — lazy,
+    // the full events window pass behind transitionEdges ran twice
+    val tr = GraphMl.transitionEdges(spark, sf).localCheckpoint()
     val a2 = starts.crossJoin(broadcast(nUsers))
       .join(tr, col("s0") === col("src"))
       .select(col("dst"),
@@ -3407,6 +3418,8 @@ object MLDeterministic {
           .cast("long").as("t_e12"))
       .groupBy(col("dst").as("state"))
       .agg(sum(col("t_e12")).as("a2_e12"))
+      // ≤|types| rows; read by the α₃ product AND the final join
+      .localCheckpoint()
     val a3 = a2
       .join(tr, col("state") === col("src"))
       .select(col("dst"),

@@ -1523,7 +1523,10 @@ object Relational {
     }
     val before = assign(vnodes(8)).withColumnRenamed("shard", "shard8")
     val after = assign(vnodes(9)).withColumnRenamed("shard", "shard9")
-    val j = before.join(after, "h")
+    // one row per ring position; the per-shard ledger AND the movement
+    // total both read it — lazy, both full assignments ran twice
+    // (round 10 plan audit: 80 Exchange nodes without it)
+    val j = before.join(after, "h").localCheckpoint()
     val perShard = j.groupBy(col("shard9").as("shard"))
       .agg(count(lit(1)).as("n_keys_after"),
         sum(when(col("shard8") =!= col("shard9"), 1L).otherwise(0L)).as("n_arrived"))

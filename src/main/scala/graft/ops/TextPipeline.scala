@@ -145,6 +145,11 @@ object TextPipeline {
         explode(sequence(lit(0), lit(7))).as("i"))
       .groupBy(col("doc_id"), col("lang"), col("source"), col("i"))
       .agg(min(expr("((2 * i + 1) * h + 7919 * i + 12345) % 1000000007")).as("sig"))
+      // 8 rows per doc; materialized because the banding below AND (in
+      // the accuracy audit) two signature-agreement joins re-read it —
+      // lazy, the token explode + min-hash aggregate ran up to 4× per
+      // query (round 10 plan audit: q_minhash_accuracy 44 Exchange nodes)
+      .localCheckpoint()
     val bands = sig
       .groupBy(col("doc_id"), col("lang"), col("source"), expr("i div 2").as("band"))
       .agg(sum(expr("sig * (CASE WHEN i % 2 = 0 THEN 4294967311 ELSE 1 END)")).as("bv"))
@@ -230,7 +235,10 @@ object TextPipeline {
     val withRep = Text.withRepOf(docsIn)
     val reps = withRep.filter(col("doc_id") === col("rep"))
       .select(col("doc_id"), col("lang"), col("source"), col("toks"), col("sz"))
-    val (sig, cand) = lshSigAndCand(reps)
+    val (sig, cand0) = lshSigAndCand(reps)
+    // candidate pairs are read by BOTH the agreement count and the exact
+    // Jaccard verify — materialize the banding join once
+    val cand = cand0.localCheckpoint()
     val matches = cand
       .join(sig.select(col("doc_id").as("d1"), col("i"), col("sig").as("s1")), Seq("d1"))
       .join(sig.select(col("doc_id").as("d2"), col("i"), col("sig").as("s2")), Seq("d2", "i"))
