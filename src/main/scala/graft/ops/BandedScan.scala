@@ -132,6 +132,18 @@ object BandedScan {
     // Exchange nodes). One tiny eager job per recursing level flattens
     // the recursion onto a LogicalRDD; the depth-1 path (now the common
     // one via [[cumSumsAuto]]) stays lazy and single-job.
+    //
+    // SIZE CONTRACT (round 10, applies to every localCheckpoint in this
+    // repo): localCheckpoint stores partitions on EXECUTOR-LOCAL storage
+    // and truncates lineage — a lost executor cannot recompute them, so
+    // it is only used for tables whose size is bounded by something
+    // other than the corpus: here |groups|·(V/bandWidth) band totals
+    // (≈ |groups|·√n rows by cumSumsAuto's band sizing). On a cluster
+    // where executor loss is routine, swap to reliable checkpointing
+    // (sc.setCheckpointDir + .checkpoint()) — same semantics, an HDFS
+    // write instead of local blocks. All in-query by construction:
+    // recomputed from parquet on every invocation, never reused across
+    // queries or runs.
     val bandTot =
       if (maxDepth > 1) bandTot0.localCheckpoint() else bandTot0
 

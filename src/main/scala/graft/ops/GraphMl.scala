@@ -210,6 +210,11 @@ object GraphMl {
     e0.select(col("u"), col("v"), expr("1000 div s").as("w"))
       .unionByName(e0.select(col("v").as("u"), col("u").as("v"),
         expr("1000 div s").as("w")))
+      // size contract (see BandedScan.cumSums): the support-2 edge list
+      // is bounded by Σ_baskets breadth² with breadth runtime-capped by
+      // Guards.boundedBasket — a dimension-table-scale artifact, never
+      // corpus-scale; executor-local checkpoint storage is acceptable
+      // for it (swap to reliable .checkpoint() on a lossy cluster)
       .localCheckpoint()
   }
 

@@ -729,7 +729,11 @@ object Vectors {
         min(col("vec_id")).as("rid"),
         sort_array(collect_list(when(col("rn") <= 6,
           struct(col("vec_id").as("id"), col("label").as("lb"))))).as("top6"))
-      .localCheckpoint() // feeds the rep grid and the vote arithmetic
+      // feeds the rep grid and the vote arithmetic. Size contract (see
+      // BandedScan.cumSums): one row per DISTINCT vector with a ≤6-element
+      // array — bounded by the distinct-vector count, never by the
+      // duplicated corpus; executor-local checkpoint storage is fine
+      .localCheckpoint()
     val reps = groups.select(col("rid").as("vec_id"), col("qe"),
       col("m").as("gm"), slice(col("top6"), 1, 5).as("top5"))
     val ext = gridDirectedD2(reps, 8, Nil, Seq("gm", "top5"))
